@@ -1,0 +1,41 @@
+package graft.examples
+
+import graft.expectations.Expectations
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end usage example: compile a JSON-Schema entity, read a corpus with
+  * the enforced schema, print the compiled constraints and the violation
+  * report. Run:
+  *
+  * {{{ sbt "runMain graft.examples.DqDemo <modelDir> <entity> <dataPath>" }}}
+  */
+object DqDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(modelDir, entity, dataPath) = args
+    val spark = SparkSession.builder()
+      .appName("graft-dq-demo")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val compiled = new SchemaCompiler(modelDir).compile(entity)
+    println(s"=== schema for '$entity' ===")
+    compiled.schema.printTreeString()
+    println(s"=== ${compiled.constraints.size} constraints ===")
+    compiled.constraints.foreach { case (n, sql) => println(s"  $n := $sql") }
+
+    val df = spark.read.schema(compiled.schema).json(dataPath)
+    println(s"=== corpus rows: ${df.count()} ===")
+    println("=== violation report ===")
+    Expectations.violationReport(df, compiled.constraints)
+      .orderBy("rule").show(100, truncate = false)
+
+    val (good, bad) = Expectations.quarantine(df, compiled.constraints)
+    println(s"=== quarantine: valid=${good.count()} invalid=${bad.count()} ===")
+    spark.stop()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.expectations
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Runtime enforcement of compiled data-quality constraints
+  * (`name -> SQL predicate`) over batch or streaming DataFrames.
+  *
+  * This is the engine's replacement for the reference's DLT
+  * `expect_all` usage (`/root/reference/README.md:104-111`) and for the
+  * Python-UDF violation pipeline in its e2e test
+  * (`/root/reference/tests/tests_convertor.py:359-391`).
+  *
+  * Everything here is pure Catalyst: the per-row rule evaluation is a single
+  * `array(struct(lit(name), expr(pred)))` + higher-order `filter`/`transform`,
+  * which stays inside WholeStageCodegen — no Python worker, no UDF, no
+  * serialization boundary. At 100 TB this means constraint checking is a
+  * narrow map stage fused with the scan; the only shuffle in the violation
+  * report is the final tiny `groupBy(rule)` whose cardinality is the number
+  * of rules, not rows (partial aggregation reduces each partition to at most
+  * #rules rows before the exchange).
+  */
+object Expectations {
+
+  /** How to treat rows that violate at least one expectation. */
+  sealed trait Mode
+  object Mode {
+    /** Annotate every row with the array of failed rule names. */
+    case object Flag extends Mode
+    /** Keep only fully valid rows. */
+    case object Drop extends Mode
+    /** Throw at action time if any row violates any rule. */
+    case object Fail extends Mode
+  }
+
+  /** Column: array of the names of all failed rules for this row (empty when
+    * the row passes every expectation). A predicate evaluating to NULL counts
+    * as failed, matching the reference's `if not x` compaction semantics.
+    */
+  def failedRules(constraints: Map[String, String]): Column = {
+    val checks = constraints.toSeq.map { case (name, sql) =>
+      struct(lit(name).as("rule"), expr(sql).as("ok"))
+    }
+    transform(
+      filter(array(checks: _*), s => !coalesce(s.getField("ok"), lit(false))),
+      s => s.getField("rule")
+    )
+  }
+
+  /** Single AND-fold of all predicates — the cheapest "is this row valid"
+    * form (short-circuits, no array materialization). NULL counts as invalid.
+    */
+  def allValid(constraints: Map[String, String]): Column =
+    constraints.values
+      .map(sql => coalesce(expr(sql), lit(false)))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** Apply expectations in the requested mode. */
+  def apply(
+      df: DataFrame,
+      constraints: Map[String, String],
+      mode: Mode = Mode.Flag,
+      flagColumn: String = "dq_violations"
+  ): DataFrame = mode match {
+    case Mode.Flag => df.withColumn(flagColumn, failedRules(constraints))
+    case Mode.Drop => df.filter(allValid(constraints))
+    case Mode.Fail =>
+      val bad = df.filter(!allValid(constraints)).limit(1).count()
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"Expectation violation: at least one row fails one of ${constraints.size} rules")
+      df
+  }
+
+  /** Split into (valid, quarantined) — the medallion "silver + quarantine"
+    * shape. Both sides share the same scan lineage; Spark will plan two reads
+    * unless the caller persists the input first.
+    */
+  def quarantine(
+      df: DataFrame,
+      constraints: Map[String, String]
+  ): (DataFrame, DataFrame) = {
+    val valid = allValid(constraints)
+    (df.filter(valid), df.filter(!valid))
+  }
+
+  /** Violation report: one row per rule that has at least one violating input
+    * row, with the violation count — the reference's e2e DQ query
+    * (tests_convertor.py:359-391) re-expressed with zero UDFs:
+    *
+    * {{{ explode(failedRules) -> groupBy(rule).count() }}}
+    */
+  def violationReport(df: DataFrame, constraints: Map[String, String]): DataFrame =
+    df.select(explode(failedRules(constraints)).as("rule"))
+      .groupBy("rule")
+      .count()
+
+  /** Attach per-rule violation counters as observable metrics (streaming- and
+    * batch-safe). Metrics arrive on the driver via `QueryExecutionListener` /
+    * `StreamingQueryListener` without a second pass over the data.
+    */
+  def observed(
+      df: DataFrame,
+      constraints: Map[String, String],
+      observationName: String = "dq"
+  ): DataFrame = {
+    val metrics: Seq[Column] = count(lit(1)).as("rows") +:
+      constraints.toSeq.map { case (name, sql) =>
+        sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)).as(name)
+      }
+    df.observe(observationName, metrics.head, metrics.tail: _*)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import java.io.File
+
+/** A directory of JSON-Schema (draft-04) entity files, one `<entity>.json` per
+  * entity. This is the "enterprise data model" input of the engine.
+  *
+  * Reference semantics: `/root/reference/waterbear/convertor.py:9-36` (directory
+  * and file validation, `type == "object"` gate) and
+  * `/root/reference/waterbear/utils/util.py:86-95` (`load_json`).
+  *
+  * Purely driver-side and Spark-free: model compilation happens once per entity
+  * at plan-build time, never per row, so it has zero impact on distributed
+  * execution regardless of data scale.
+  */
+final class ModelDirectory(val path: String) {
+  private val dir = new File(path)
+  if (!dir.exists() || !dir.isDirectory)
+    throw new IllegalArgumentException(s"path $path is not a valid directory")
+
+  private val mapper = new ObjectMapper()
+
+  /** Load and parse any JSON file in the model directory. */
+  def loadJson(fileName: String): JsonNode = {
+    val f = new File(dir, fileName)
+    if (!f.isFile)
+      throw new IllegalArgumentException(s"Could not find file ${f.getPath}")
+    mapper.readTree(f)
+  }
+
+  /** Load an entity definition: resolves `<name>` or `<name>.json`, requires a
+    * top-level `"type": "object"`.
+    */
+  def loadEntity(entityName: String): JsonNode = {
+    val fileName =
+      if (entityName.endsWith(".json")) entityName else s"$entityName.json"
+    val f = new File(dir, fileName)
+    if (!f.isFile)
+      throw new IllegalArgumentException(s"File ${f.getPath} is not a valid file")
+    val node = mapper.readTree(f)
+    val tpe = Option(node.get("type")).map(_.asText()).getOrElse("")
+    if (tpe != "object")
+      throw new IllegalArgumentException("Can only process JSON entities of type object")
+    node
+  }
+}
+
+object JsonNodes {
+  /** Optional string property. */
+  def optText(node: JsonNode, field: String): Option[String] =
+    Option(node.get(field)).filter(n => !n.isNull).map(_.asText())
+
+  /** Optional numeric property (as Double). */
+  def optDouble(node: JsonNode, field: String): Option[Double] =
+    Option(node.get(field)).filter(_.isNumber).map(_.asDouble())
+
+  /** Optional numeric property (as Int). */
+  def optInt(node: JsonNode, field: String): Option[Int] =
+    Option(node.get(field)).filter(_.isNumber).map(_.asInt())
+
+  /** Field names of an object node, in document order. */
+  def fieldNames(node: JsonNode): Seq[String] = {
+    val it = node.fieldNames()
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) buf += it.next()
+    buf.result()
+  }
+
+  /** Elements of an array node as text, in order. */
+  def textElements(node: JsonNode): Seq[String] = {
+    val buf = Seq.newBuilder[String]
+    node.forEach(n => buf += n.asText())
+    buf.result()
+  }
+}

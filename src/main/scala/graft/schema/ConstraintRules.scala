@@ -1,0 +1,160 @@
+package graft.schema
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.model.JsonNodes._
+
+import scala.collection.immutable.ListMap
+
+/** Compilers from JSON-Schema field properties to named SQL predicates
+  * (data-quality expectations). Each rule returns `name -> sqlText` where the
+  * SQL compiles unchanged via `org.apache.spark.sql.functions.expr`.
+  *
+  * Naming scheme and predicate shapes follow the reference
+  * (`/root/reference/waterbear/utils/util.py:255-443`): names are
+  * `` [<path>] <KIND> `` with KIND in {NULLABLE, VALUE, MATCH, LENGTH, SIZE},
+  * and every non-NULLABLE predicate is null-tolerant (`x IS NULL OR ...`) so
+  * nullability and value checks fail independently.
+  *
+  * Deliberate divergences from the reference (documented in SURVEY.md §8):
+  *  - min/max presence is tested with explicit option checks, so
+  *    `minimum=0 AND maximum=0` emits a BETWEEN instead of dropping the upper
+  *    bound (reference truthiness bug, util.py:283-295).
+  *  - the `duration` format regex is `\d+` (the reference emits the malformed
+  *    quantifier `\d{+}`, util.py:326-327).
+  *  - a user `pattern` alongside a `format` emits two distinctly named
+  *    constraints instead of silently clobbering one another (util.py:319-357).
+  *
+  * All predicates are scalar row-local expressions: they evaluate inside
+  * WholeStageCodegen with no shuffle, so constraint checking scales linearly
+  * with input size on any number of executors.
+  */
+object ConstraintRules {
+
+  /** Backtick-quoted absolute SQL path (util.py:239-252). */
+  def fieldPath(fieldName: String, parentPath: Option[String]): String =
+    parentPath match {
+      case Some(p) => s"$p.`$fieldName`"
+      case None    => s"`$fieldName`"
+    }
+
+  /** Description inheritance: the parent's description wins over the child's
+    * ("more specific", util.py:225-236; asserted by the reference's own tests).
+    */
+  def fieldDescription(props: JsonNode, parentDescription: Option[String]): Option[String] =
+    parentDescription.orElse(optText(props, "description"))
+
+  /** Format a numeric bound the way Python's `float()` string-interpolates for
+    * the reference's golden constraint strings: `1` -> `1.0`, `0.5` -> `0.5`.
+    */
+  private def fmtDouble(d: Double): String = d.toString
+
+  def validateNullable(path: String, isNullable: Boolean): ListMap[String, String] =
+    if (isNullable) ListMap.empty
+    else ListMap(s"[$path] NULLABLE" -> s"$path IS NOT NULL")
+
+  /** minimum/maximum bounds on numeric fields (inclusive). */
+  def validateNumbers(path: String, props: JsonNode): ListMap[String, String] = {
+    val min = optDouble(props, "minimum")
+    val max = optDouble(props, "maximum")
+    val nme = s"[$path] VALUE"
+    (min, max) match {
+      case (Some(mn), Some(mx)) =>
+        ListMap(nme -> s"$path IS NULL OR $path BETWEEN ${fmtDouble(mn)} AND ${fmtDouble(mx)}")
+      case (Some(mn), None) =>
+        ListMap(nme -> s"$path IS NULL OR $path >= ${fmtDouble(mn)}")
+      case (None, Some(mx)) =>
+        ListMap(nme -> s"$path IS NULL OR $path <= ${fmtDouble(mx)}")
+      case _ => ListMap.empty
+    }
+  }
+
+  /** Canned regexes for JSON-Schema string formats (util.py:319-351). */
+  private val formatPatterns: Map[String, String] = Map(
+    "uuid" -> "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "ipv4" -> "^(?:[0-9]{1,3}\\.){3}[0-9]{1,3}$",
+    "ipv6" -> "^(?:[A-F0-9]{1,4}:){7}[A-F0-9]{1,4}$",
+    "hostname" -> ("^(([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\\-]*[a-zA-Z0-9])\\.)*([A-Za-z0-9]|" +
+      "[A-Za-z0-9][A-Za-z0-9\\-]*[A-Za-z0-9])$"),
+    "time" -> "^(0?[1-9]|1[012]):[0-5][0-9]:[0-5][0-9]$"
+  )
+
+  /** minLength/maxLength, pattern, enum and format constraints for plain
+    * strings (util.py:299-380). Date-formatted strings go through
+    * [[validateDates]] instead.
+    */
+  def validateStrings(path: String, props: JsonNode): ListMap[String, String] = {
+    var out = ListMap.empty[String, String]
+    val fmt = optText(props, "format")
+    val pattern = optText(props, "pattern")
+    val enum0 = Option(props.get("enum")).filter(_.isArray).map(textElements)
+    val minLen = optInt(props, "minLength")
+    val maxLen = optInt(props, "maxLength")
+
+    fmt.foreach {
+      case "duration" =>
+        // Fixed vs reference: `\d+`, not the malformed `\d{+}` (SURVEY §8 Q6).
+        out += s"[$path] MATCH" ->
+          s"$path IS NULL OR $path RLIKE '^P\\d+[YMWD]$$' OR $path RLIKE '^T\\d+[HMS]$$'"
+      case f if formatPatterns.contains(f) =>
+        out += s"[$path] MATCH" -> s"$path IS NULL OR $path RLIKE '${formatPatterns(f)}'"
+      case _ => ()
+    }
+
+    pattern.foreach { p =>
+      // When a format constraint is also present, keep both under distinct
+      // names (SURVEY §8 Q5) instead of the reference's key collision.
+      val nme = if (out.contains(s"[$path] MATCH")) s"[$path] PATTERN" else s"[$path] MATCH"
+      out += nme -> s"$path IS NULL OR $path RLIKE '$p'"
+    }
+
+    enum0.foreach { vals =>
+      val enums = vals.map(v => s"'$v'").mkString(", ")
+      out += s"[$path] VALUE" -> s"$path IS NULL OR $path IN ($enums)"
+    }
+
+    val nme = s"[$path] LENGTH"
+    (minLen, maxLen) match {
+      case (Some(mn), Some(mx)) =>
+        out += nme -> s"$path IS NULL OR LENGTH($path) BETWEEN $mn AND $mx"
+      case (Some(mn), None) =>
+        out += nme -> s"$path IS NULL OR LENGTH($path) >= $mn"
+      case (None, Some(mx)) =>
+        out += nme -> s"$path IS NULL OR LENGTH($path) <= $mx"
+      case _ => ()
+    }
+    out
+  }
+
+  /** min/max bounds for date / date-time formatted strings; the predicate is a
+    * lexicographic string comparison exactly as the reference emits it
+    * (util.py:383-409, non-standard `min`/`max` keys).
+    */
+  def validateDates(path: String, props: JsonNode): ListMap[String, String] = {
+    val min = optText(props, "min")
+    val max = optText(props, "max")
+    val nme = s"[$path] VALUE"
+    (min, max) match {
+      case (Some(mn), Some(mx)) =>
+        ListMap(nme -> s"$path IS NULL OR $path BETWEEN '$mn' AND '$mx'")
+      case (Some(mn), None) => ListMap(nme -> s"$path IS NULL OR $path >= '$mn'")
+      case (None, Some(mx)) => ListMap(nme -> s"$path IS NULL OR $path <= '$mx'")
+      case _                => ListMap.empty
+    }
+  }
+
+  /** minItems/maxItems bounds on arrays (util.py:412-443). Element-level
+    * integrity is deliberately out of scope, matching the reference.
+    */
+  def validateArrays(path: String, props: JsonNode): ListMap[String, String] = {
+    val min = optInt(props, "minItems")
+    val max = optInt(props, "maxItems")
+    val nme = s"[$path] SIZE"
+    (min, max) match {
+      case (Some(mn), Some(mx)) =>
+        ListMap(nme -> s"$path IS NULL OR SIZE($path) BETWEEN $mn AND $mx")
+      case (Some(mn), None) => ListMap(nme -> s"$path IS NULL OR SIZE($path) >= $mn")
+      case (None, Some(mx)) => ListMap(nme -> s"$path IS NULL OR SIZE($path) <= $mx")
+      case _                => ListMap.empty
+    }
+  }
+}

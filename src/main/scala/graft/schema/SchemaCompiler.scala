@@ -1,0 +1,276 @@
+package graft.schema
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.model.{JsonNodes, ModelDirectory}
+import graft.model.JsonNodes._
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+/** The compiled form of a model entity: an enforceable Spark schema plus the
+  * derived data-quality expectations (`constraintName -> SQL predicate`).
+  */
+final case class CompiledEntity(
+    name: String,
+    schema: StructType,
+    constraints: ListMap[String, String]
+)
+
+/** Compiles a JSON-Schema (draft-04) entity into a Spark `StructType` and a
+  * set of SQL data-quality constraints.
+  *
+  * Functionally equivalent to the reference's `JsonSchemaConvertor`
+  * (`/root/reference/waterbear/convertor.py:4-274`) with these deliberate
+  * fixes (SURVEY.md §8):
+  *  - `compile` is a pure function: constraints do NOT accumulate across calls
+  *    (the reference's instance-level dict does, convertor.py:11).
+  *  - a missing `required` list defaults to empty instead of crashing.
+  *  - `$ref` / `allOf` resolution is cycle-checked.
+  *
+  * Supported: nested objects (arbitrary depth), arrays of atomic or inline
+  * object element types, `$ref` field references (`file.json#/prop`), `allOf`
+  * supertype inheritance, description metadata (parent wins), nullability from
+  * `required`. Unsupported (same rejection semantics as the reference):
+  * `anyOf`/`oneOf`, `map`, `decimal`, `binary`.
+  */
+final class SchemaCompiler(model: ModelDirectory) {
+
+  def this(path: String) = this(new ModelDirectory(path))
+
+  /** Compile one entity. Pure: every call returns a fresh constraint map. */
+  def compile(entityName: String): CompiledEntity = {
+    val entity = model.loadEntity(entityName)
+    val acc = mutable.LinkedHashMap.empty[String, String]
+    val fields = processObject(entity, None, processConstraints = true, acc, Set.empty)
+    CompiledEntity(entityName, StructType(fields), ListMap.from(acc))
+  }
+
+  /** Convenience: schema only. */
+  def schemaOf(entityName: String): StructType = compile(entityName).schema
+
+  // ---------------------------------------------------------------- internal
+
+  private def processObject(
+      entity: JsonNode,
+      parentPath: Option[String],
+      processConstraints: Boolean,
+      acc: mutable.LinkedHashMap[String, String],
+      visiting: Set[String]
+  ): Seq[StructField] = {
+    // Supertypes: `allOf` of `$ref`s delegates entirely to the referenced
+    // entities; sibling `properties` are ignored by design (convertor.py:62-65).
+    val allOf = Option(entity.get("allOf")).filter(_.isArray)
+    allOf match {
+      case Some(refs) =>
+        val out = Seq.newBuilder[StructField]
+        refs.forEach { ref =>
+          val link = ref.get("$ref").asText()
+          out ++= processSupertype(link, parentPath, processConstraints, acc, visiting)
+        }
+        out.result()
+      case None =>
+        val required: Set[String] =
+          Option(entity.get("required")).filter(_.isArray)
+            .map(JsonNodes.textElements(_).toSet).getOrElse(Set.empty)
+        val props = Option(entity.get("properties")).getOrElse(
+          throw new IllegalArgumentException("Entity object has no 'properties'"))
+        fieldNames(props).map { fieldName =>
+          val fieldProps = props.get(fieldName)
+          val isNullable = !required.contains(fieldName)
+          processField(fieldName, isNullable, fieldProps, parentPath, None,
+            processConstraints, acc, visiting)
+        }
+    }
+  }
+
+  private def processSupertype(
+      refLink: String,
+      parentPath: Option[String],
+      processConstraints: Boolean,
+      acc: mutable.LinkedHashMap[String, String],
+      visiting: Set[String]
+  ): Seq[StructField] = {
+    val refFile = refLink.split('/').last
+    if (visiting.contains(refFile))
+      throw new IllegalArgumentException(s"Cyclic $$ref detected via $refFile")
+    val refModel = model.loadJson(refFile)
+    processObject(refModel, parentPath, processConstraints, acc, visiting + refFile)
+  }
+
+  private def processField(
+      fieldName: String,
+      isNullable: Boolean,
+      props: JsonNode,
+      parentPath: Option[String],
+      parentDescription: Option[String],
+      processConstraints: Boolean,
+      acc: mutable.LinkedHashMap[String, String],
+      visiting: Set[String]
+  ): StructField = {
+    val path = ConstraintRules.fieldPath(fieldName, parentPath)
+    val desc = ConstraintRules.fieldDescription(props, parentDescription)
+
+    if (optText(props, "$ref").isDefined)
+      return processFieldReference(fieldName, isNullable, props, parentPath, desc,
+        processConstraints, acc, visiting)
+
+    optText(props, "type") match {
+      case Some("object") =>
+        processFieldObject(fieldName, path, isNullable, props, desc,
+          processConstraints, acc, visiting)
+      case Some("array") =>
+        processFieldArray(fieldName, path, isNullable, props, desc,
+          processConstraints, acc, visiting)
+      case Some(_) =>
+        processFieldAtomic(fieldName, path, isNullable, props, desc,
+          processConstraints, acc)
+      case None =>
+        throw new IllegalArgumentException(s"Field $path has no 'type' or '$$ref'")
+    }
+  }
+
+  /** `$ref: "file.json#/prop"` — resolve the property in the other file and
+    * process it in place. The outer description wins over the referenced one.
+    */
+  private def processFieldReference(
+      fieldName: String,
+      isNullable: Boolean,
+      props: JsonNode,
+      parentPath: Option[String],
+      fieldDesc: Option[String],
+      processConstraints: Boolean,
+      acc: mutable.LinkedHashMap[String, String],
+      visiting: Set[String]
+  ): StructField = {
+    val ref = props.get("$ref").asText()
+    val refObject = ref.split('/').last
+    val refJson = ref.split('#').head.split('/').last
+    val key = s"$refJson#$refObject"
+    if (visiting.contains(key))
+      throw new IllegalArgumentException(s"Cyclic $$ref detected via $ref")
+    val refModel = model.loadJson(refJson)
+    val refProperty = Option(refModel.get(refObject)).getOrElse(
+      throw new IllegalArgumentException(s"Referencing non existing property $refObject"))
+    processField(fieldName, isNullable, refProperty, parentPath, fieldDesc,
+      processConstraints, acc, visiting + key)
+  }
+
+  private def processFieldObject(
+      fieldName: String,
+      path: String,
+      isNullable: Boolean,
+      props: JsonNode,
+      desc: Option[String],
+      processConstraints: Boolean,
+      acc: mutable.LinkedHashMap[String, String],
+      visiting: Set[String]
+  ): StructField = {
+    if (processConstraints)
+      acc ++= ConstraintRules.validateNullable(path, isNullable)
+    val nested = StructType(
+      processObject(props, Some(path), processConstraints, acc, visiting))
+    StructField(fieldName, nested, isNullable, commentMetadata(desc))
+  }
+
+  private def processFieldAtomic(
+      fieldName: String,
+      path: String,
+      isNullable: Boolean,
+      props: JsonNode,
+      desc: Option[String],
+      processConstraints: Boolean,
+      acc: mutable.LinkedHashMap[String, String]
+  ): StructField = {
+    val tpe = optText(props, "type").get
+    val fmt = optText(props, "format")
+    val dataType = atomicType(tpe, fmt, path)
+    if (processConstraints) {
+      acc ++= ConstraintRules.validateNullable(path, isNullable)
+      tpe match {
+        case "number" | "integer" => acc ++= ConstraintRules.validateNumbers(path, props)
+        case "boolean"            => ()
+        case "string" =>
+          if (fmt.contains("date") || fmt.contains("date-time"))
+            acc ++= ConstraintRules.validateDates(path, props)
+          else
+            acc ++= ConstraintRules.validateStrings(path, props)
+      }
+    }
+    StructField(fieldName, dataType, isNullable, commentMetadata(desc))
+  }
+
+  private def processFieldArray(
+      fieldName: String,
+      path: String,
+      isNullable: Boolean,
+      props: JsonNode,
+      desc: Option[String],
+      processConstraints: Boolean,
+      acc: mutable.LinkedHashMap[String, String],
+      visiting: Set[String]
+  ): StructField = {
+    if (processConstraints) {
+      acc ++= ConstraintRules.validateNullable(path, isNullable)
+      acc ++= ConstraintRules.validateArrays(path, props)
+    }
+    val items = Option(props.get("items")).getOrElse(
+      throw new IllegalArgumentException(s"Array field $path has no 'items'"))
+    val elemType = arrayElementType(items, acc, visiting)
+    StructField(fieldName, ArrayType(elemType, containsNull = true), isNullable,
+      commentMetadata(desc))
+  }
+
+  /** Element type of an array: inline `object` compiles to a StructType with
+    * constraints off (element-level DQ is out of scope, convertor.py:250-274);
+    * otherwise an atomic type.
+    */
+  private def arrayElementType(
+      items: JsonNode,
+      acc: mutable.LinkedHashMap[String, String],
+      visiting: Set[String]
+  ): DataType =
+    optText(items, "type") match {
+      case Some("object") =>
+        val required: Set[String] =
+          Option(items.get("required")).filter(_.isArray)
+            .map(JsonNodes.textElements(_).toSet).getOrElse(Set.empty)
+        val props = items.get("properties")
+        val fields = fieldNames(props).map { f =>
+          processField(f, !required.contains(f), props.get(f), None, None,
+            processConstraints = false, acc, visiting)
+        }
+        StructType(fields)
+      case Some(t) => atomicType(t, optText(items, "format"), "<array element>")
+      case None =>
+        throw new IllegalArgumentException("Array 'items' has no 'type'")
+    }
+
+  /** JSON (type, format) -> Spark DataType (util.py:199-222). */
+  private def atomicType(tpe: String, fmt: Option[String], path: String): DataType =
+    tpe match {
+      case "number"  => DoubleType
+      case "integer" => IntegerType
+      case "boolean" => BooleanType
+      case "string" =>
+        fmt match {
+          case Some("date")      => DateType
+          case Some("date-time") => TimestampType
+          case _                 => StringType
+        }
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported type $other for field $path")
+    }
+
+  /** `description` travels as `metadata.comment`, null when absent, matching
+    * the reference's golden schema JSON (`tests/expected/schema.json`).
+    */
+  private def commentMetadata(desc: Option[String]): Metadata = {
+    val b = new MetadataBuilder()
+    desc match {
+      case Some(d) => b.putString("comment", d)
+      case None    => b.putNull("comment")
+    }
+    b.build()
+  }
+}

@@ -1,0 +1,85 @@
+package graft.expectations
+
+import graft.SparkTestBase
+import graft.schema.SchemaCompiler
+
+/** Port of the reference's end-to-end Spark DQ test
+  * (`/root/reference/tests/tests_convertor.py:341-391`): the 100-record curated
+  * corpus has exactly one violation per rule except 70 username-pattern
+  * violations. Here the violation report is pure Catalyst (no UDF).
+  */
+class ExpectationsSpec extends SparkTestBase {
+
+  private lazy val compiled =
+    new SchemaCompiler(resourcePath("/model")).compile("employee")
+
+  private lazy val corpus =
+    spark.read.schema(compiled.schema).json(resourcePath("/data/employee.json"))
+
+  test("schema-enforced scan reads all 100 records") {
+    assert(corpus.count() == 100)
+  }
+
+  test("violation report matches the reference's golden counts") {
+    val actual = Expectations
+      .violationReport(corpus, compiled.constraints)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val expected = Map(
+      "[`id`] VALUE" -> 1L,
+      "[`high_fives`] VALUE" -> 1L,
+      "[`person`] NULLABLE" -> 1L,
+      "[`person`.`username`] MATCH" -> 70L,
+      "[`role`] VALUE" -> 1L,
+      "[`person`.`birth_date`] NULLABLE" -> 1L,
+      "[`person`.`last_name`] NULLABLE" -> 1L,
+      "[`person`.`first_name`] NULLABLE" -> 1L,
+      "[`skills`] SIZE" -> 1L,
+      "[`id`] NULLABLE" -> 1L
+    )
+    assert(actual == expected)
+  }
+
+  test("flag mode annotates rows; drop mode keeps only valid rows") {
+    val flagged = Expectations(corpus, compiled.constraints, Expectations.Mode.Flag)
+    assert(flagged.columns.contains("dq_violations"))
+    val nViolating = flagged
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("dq_violations")) > 0)
+      .count()
+    val kept = Expectations(corpus, compiled.constraints, Expectations.Mode.Drop).count()
+    assert(kept == 100 - nViolating)
+    // 70 username violations dominate; a handful of rows carry the other 9
+    assert(nViolating >= 70 && nViolating <= 79)
+  }
+
+  test("quarantine splits valid/invalid with no row loss") {
+    val (good, bad) = Expectations.quarantine(corpus, compiled.constraints)
+    assert(good.count() + bad.count() == 100)
+  }
+
+  test("fail mode throws on violating input") {
+    intercept[IllegalStateException] {
+      Expectations(corpus, compiled.constraints, Expectations.Mode.Fail)
+    }
+  }
+
+  test("observed metrics count violations per rule in one pass") {
+    import org.apache.spark.sql.Observation
+    // Use observe via named observation for a batch query
+    val obs = Observation("dq")
+    val df = corpus.observe(
+      obs,
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          !org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(compiled.constraints("[`id`] NULLABLE")),
+            org.apache.spark.sql.functions.lit(false)), 1L).otherwise(0L)).as("id_nullable")
+    )
+    df.collect()
+    assert(obs.get("rows") == 100L)
+    assert(obs.get("id_nullable") == 1L)
+  }
+}

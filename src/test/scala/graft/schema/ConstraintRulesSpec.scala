@@ -1,0 +1,92 @@
+package graft.schema
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of the reference's per-rule validation tests
+  * (`/root/reference/tests/tests_convertor.py:74-169`), plus coverage for the
+  * deliberate fixes documented in SURVEY.md §8.
+  */
+class ConstraintRulesSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private def props(json: String) = mapper.readTree(json)
+
+  test("nullable") {
+    assert(ConstraintRules.validateNullable("`foobar`", isNullable = false) ==
+      Map("[`foobar`] NULLABLE" -> "`foobar` IS NOT NULL"))
+    assert(ConstraintRules.validateNullable("`foobar`", isNullable = true).isEmpty)
+  }
+
+  test("numbers") {
+    assert(ConstraintRules.validateNumbers("`foobar`", props("""{"minimum": 0}""")) ==
+      Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` >= 0.0"))
+    assert(ConstraintRules.validateNumbers("`foobar`", props("""{"maximum": 0}""")) ==
+      Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` <= 0.0"))
+    assert(ConstraintRules.validateNumbers("`foobar`", props("""{"minimum": 0, "maximum": 1}""")) ==
+      Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` BETWEEN 0.0 AND 1.0"))
+    assert(ConstraintRules.validateNumbers("`foobar`", props("""{"minimum": -1, "maximum": 1}""")) ==
+      Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` BETWEEN -1.0 AND 1.0"))
+    // SURVEY §8 Q12 fix: zero bounds are not dropped by truthiness
+    assert(ConstraintRules.validateNumbers("`foobar`", props("""{"minimum": 0, "maximum": 0}""")) ==
+      Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` BETWEEN 0.0 AND 0.0"))
+    assert(ConstraintRules.validateNumbers("`foobar`", props("""{}""")).isEmpty)
+  }
+
+  test("string length") {
+    assert(ConstraintRules.validateStrings("`foobar`", props("""{"minLength": 0}""")) ==
+      Map("[`foobar`] LENGTH" -> "`foobar` IS NULL OR LENGTH(`foobar`) >= 0"))
+    assert(ConstraintRules.validateStrings("`foobar`", props("""{"minLength": 1}""")) ==
+      Map("[`foobar`] LENGTH" -> "`foobar` IS NULL OR LENGTH(`foobar`) >= 1"))
+    assert(ConstraintRules.validateStrings("`foobar`", props("""{"maxLength": 10}""")) ==
+      Map("[`foobar`] LENGTH" -> "`foobar` IS NULL OR LENGTH(`foobar`) <= 10"))
+    assert(ConstraintRules.validateStrings("`foobar`", props("""{"minLength": 1, "maxLength": 10}""")) ==
+      Map("[`foobar`] LENGTH" -> "`foobar` IS NULL OR LENGTH(`foobar`) BETWEEN 1 AND 10"))
+  }
+
+  test("string enum") {
+    assert(ConstraintRules.validateStrings("`foobar`", props("""{"enum": ["foo", "bar"]}""")) ==
+      Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` IN ('foo', 'bar')"))
+  }
+
+  test("string pattern") {
+    assert(ConstraintRules.validateStrings("`foobar`", props("""{"pattern": "^[a-z]{1,3}$"}""")) ==
+      Map("[`foobar`] MATCH" -> "`foobar` IS NULL OR `foobar` RLIKE '^[a-z]{1,3}$'"))
+  }
+
+  test("string formats") {
+    val uuid = ConstraintRules.validateStrings("`f`", props("""{"format": "uuid"}"""))
+    assert(uuid("[`f`] MATCH").contains("RLIKE '^[0-9a-fA-F]{8}-"))
+    // SURVEY §8 Q6 fix: valid duration quantifier
+    val dur = ConstraintRules.validateStrings("`f`", props("""{"format": "duration"}"""))
+    assert(dur("[`f`] MATCH") ==
+      "`f` IS NULL OR `f` RLIKE '^P\\d+[YMWD]$' OR `f` RLIKE '^T\\d+[HMS]$'")
+    val ipv4 = ConstraintRules.validateStrings("`f`", props("""{"format": "ipv4"}"""))
+    assert(ipv4("[`f`] MATCH").contains("{3}[0-9]{1,3}$'"))
+    // SURVEY §8 Q5 fix: format + pattern keep distinct names
+    val both = ConstraintRules.validateStrings(
+      "`f`", props("""{"format": "uuid", "pattern": "^x$"}"""))
+    assert(both.contains("[`f`] MATCH") && both.contains("[`f`] PATTERN"))
+  }
+
+  test("dates") {
+    assert(ConstraintRules.validateDates("`foobar`", props("""{"min": "2019-01-01"}""")) ==
+      Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` >= '2019-01-01'"))
+    assert(ConstraintRules.validateDates("`foobar`", props("""{"max": "2022-01-01"}""")) ==
+      Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` <= '2022-01-01'"))
+    assert(ConstraintRules.validateDates("`foobar`",
+      props("""{"min": "2019-01-01", "max": "2022-01-01"}""")) ==
+      Map("[`foobar`] VALUE" ->
+        "`foobar` IS NULL OR `foobar` BETWEEN '2019-01-01' AND '2022-01-01'"))
+  }
+
+  test("arrays") {
+    assert(ConstraintRules.validateArrays("`foobar`", props("""{"minItems": 0}""")) ==
+      Map("[`foobar`] SIZE" -> "`foobar` IS NULL OR SIZE(`foobar`) >= 0"))
+    assert(ConstraintRules.validateArrays("`foobar`", props("""{"minItems": 1}""")) ==
+      Map("[`foobar`] SIZE" -> "`foobar` IS NULL OR SIZE(`foobar`) >= 1"))
+    assert(ConstraintRules.validateArrays("`foobar`", props("""{"maxItems": 10}""")) ==
+      Map("[`foobar`] SIZE" -> "`foobar` IS NULL OR SIZE(`foobar`) <= 10"))
+    assert(ConstraintRules.validateArrays("`foobar`", props("""{"minItems": 1, "maxItems": 10}""")) ==
+      Map("[`foobar`] SIZE" -> "`foobar` IS NULL OR SIZE(`foobar`) BETWEEN 1 AND 10"))
+  }
+}

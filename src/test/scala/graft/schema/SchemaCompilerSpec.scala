@@ -1,0 +1,113 @@
+package graft.schema
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkTestBase
+import graft.model.ModelDirectory
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.ListMap
+
+/** Ports of the reference's convertor unit + golden-file tests
+  * (`/root/reference/tests/tests_convertor.py:19-338`).
+  */
+class SchemaCompilerSpec extends SparkTestBase {
+
+  private def modelDir = resourcePath("/model")
+  private def compiler = new SchemaCompiler(modelDir)
+
+  // -- interface / error paths (tests_convertor.py:19-34) --------------------
+
+  test("invalid directory is rejected") {
+    val e = intercept[IllegalArgumentException](new SchemaCompiler("foobar").compile("foobar"))
+    assert(e.getMessage.contains("is not a valid directory"))
+  }
+
+  test("invalid file is rejected") {
+    val e = intercept[IllegalArgumentException](compiler.compile("foobar"))
+    assert(e.getMessage.contains("is not a valid file"))
+  }
+
+  test("non-object entity is rejected") {
+    val e = intercept[IllegalArgumentException](compiler.compile("common"))
+    assert(e.getMessage.contains("Can only process JSON entities of type object"))
+  }
+
+  test("dummy (empty) entity compiles to an empty schema") {
+    val c = compiler.compile("dummy")
+    assert(c.schema.isEmpty)
+    assert(c.constraints.isEmpty)
+  }
+
+  test("missing file in loadJson is an error") {
+    val e = intercept[IllegalArgumentException](new ModelDirectory(modelDir).loadJson("foobar"))
+    assert(e.getMessage.contains("Could not find file"))
+  }
+
+  // -- helpers (tests_convertor.py:52-71) -------------------------------------
+
+  test("field path quoting") {
+    assert(ConstraintRules.fieldPath("foo", Some("`bar`")) == "`bar`.`foo`")
+    assert(ConstraintRules.fieldPath("foo", None) == "`foo`")
+  }
+
+  // -- golden schema (tests_convertor.py:314-319) -----------------------------
+
+  test("employee compiles to the golden schema") {
+    val actual = compiler.schemaOf("employee")
+    val goldenJson = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(resourcePath("/expected/schema.json"))))
+    val expected = DataType.fromJson(goldenJson).asInstanceOf[StructType]
+    assert(actual == expected)
+    // and the JSON round-trips to the same parsed form (order-insensitive)
+    val mapper = new ObjectMapper()
+    assert(mapper.readTree(actual.json) == mapper.readTree(goldenJson))
+  }
+
+  test("employee type details") {
+    val s = compiler.schemaOf("employee")
+    assert(s.fieldNames.toSeq == Seq("id", "person", "joined_date", "high_fives", "skills", "role"))
+    assert(s("id").dataType == IntegerType && !s("id").nullable)
+    assert(s("person").dataType.isInstanceOf[StructType] && !s("person").nullable)
+    assert(s("joined_date").dataType == DateType && s("joined_date").nullable)
+    assert(s("skills").dataType == ArrayType(StringType, containsNull = true))
+    val person = s("person").dataType.asInstanceOf[StructType]
+    assert(person.fieldNames.toSeq == Seq("first_name", "last_name", "birth_date", "username"))
+    assert(person("birth_date").dataType == DateType && !person("birth_date").nullable)
+    // description inheritance: parent wins (util.py:225-236)
+    assert(person("last_name").metadata.getString("comment") == "person last name")
+    assert(person("first_name").metadata.getString("comment") == "A person name, first or last")
+  }
+
+  // -- golden constraints (tests_convertor.py:321-338) ------------------------
+
+  test("employee compiles to the golden 12-constraint set") {
+    val actual = compiler.compile("employee").constraints
+    val expected = ListMap(
+      "[`id`] NULLABLE" -> "`id` IS NOT NULL",
+      "[`id`] VALUE" -> "`id` IS NULL OR `id` >= 1.0",
+      "[`joined_date`] VALUE" -> "`joined_date` IS NULL OR `joined_date` >= '2016-01-01'",
+      "[`person`.`birth_date`] NULLABLE" -> "`person`.`birth_date` IS NOT NULL",
+      "[`person`.`birth_date`] VALUE" ->
+        "`person`.`birth_date` IS NULL OR `person`.`birth_date` BETWEEN '1970-01-01' AND '2002-01-01'",
+      "[`person`.`first_name`] NULLABLE" -> "`person`.`first_name` IS NOT NULL",
+      "[`person`.`last_name`] NULLABLE" -> "`person`.`last_name` IS NOT NULL",
+      "[`person`.`username`] MATCH" ->
+        "`person`.`username` IS NULL OR `person`.`username` RLIKE '^[a-z0-9]{8}$'",
+      "[`person`] NULLABLE" -> "`person` IS NOT NULL",
+      "[`high_fives`] VALUE" -> "`high_fives` IS NULL OR `high_fives` BETWEEN 1.0 AND 300.0",
+      "[`skills`] SIZE" -> "`skills` IS NULL OR SIZE(`skills`) >= 1",
+      "[`role`] VALUE" -> "`role` IS NULL OR `role` IN ('SA', 'CSE', 'SSA', 'RSA')"
+    )
+    assert(actual.toMap == expected.toMap)
+  }
+
+  test("compile is pure: no cross-call constraint accumulation") {
+    val c = compiler
+    val first = c.compile("person").constraints
+    val second = c.compile("person").constraints
+    assert(first == second)
+    assert(c.compile("employee").constraints.size == 12)
+    assert(c.compile("person").constraints.size == first.size)
+  }
+}
