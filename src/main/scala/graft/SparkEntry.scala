@@ -1,13 +1,671 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.expectations.Expectations
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.{t, dec, dsum}
+
+/** Driver contract: the declared query inventory (SURVEY.md §2F + LLM-pipeline
+  * extensions). Every query takes `(spark, sfDir)` and reads the driver's
+  * parquet testdata; every oracle is equivalent ANSI SQL for DuckDB over the
+  * same tables.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - money/quantity aggregates go through DECIMAL(12,2) (exact, order-free)
+  *    and are cast back to DOUBLE;
+  *  - `avg` is expressed as exact-sum / count (one IEEE division both sides);
+  *  - every query ends in a total ORDER BY over a unique key set (Catalyst's
+  *    EliminateSorts removes the sort under count-only execution, so the
+  *    benchmark path doesn't pay for it);
+  *  - window/rank outputs use explicit unique tie-breakers;
+  *  - type widths are pinned with CASTs in the oracle SQL (DuckDB's year()
+  *    and length() return BIGINT where Spark returns INT, sum(int) returns
+  *    HUGEINT where Spark returns BIGINT, etc.).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: the multi-way star join (q04). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_join_multiway")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ helpers
+
+  /** Compile the customer DQ entity from bundled resources. */
+  private[graft] def customerConstraints: Map[String, String] = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dqmodel")
+    val src = getClass.getResourceAsStream("/dqmodel/customer.json")
+    java.nio.file.Files.copy(src, tmp.resolve("customer.json"))
+    src.close()
+    new SchemaCompiler(new ModelDirectory(tmp.toString)).compile("customer").constraints
+  }
+
+  // ------------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- 1. scan + filter + project (predicate pushdown, column pruning) ----
+    "q01_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // --- 2. grouped aggregate, TPC-H Q1 shape -------------------------------
+    "q02_agg_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity")))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- 3. inner equi-join + aggregate (broadcast the small dim) -----------
+    "q03_join_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")),
+
+    // --- 4. multi-way star join: revenue per nation in a region/date window -
+    "q04_join_multiway" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")),
+
+    // --- 5. left outer join + nested aggregation ----------------------------
+    "q05_left_join_dist" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")),
+
+    // --- 6. left-semi join (EXISTS) ------------------------------------------
+    "q06_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // --- 7. left-anti join (NOT EXISTS) --------------------------------------
+    "q07_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")),
+
+    // --- 8. count distinct ----------------------------------------------------
+    "q08_count_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // --- 9. group-by + HAVING -------------------------------------------------
+    "q09_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .where(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+
+    // --- 10. rollup ------------------------------------------------------------
+    "q10_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_year"))),
+
+    // --- 11. cube ---------------------------------------------------------------
+    "q11_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // --- 12. grouping sets (SQL-expressed; same text runs on DuckDB) -----------
+    "q12_grouping_sets" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q12)
+    }),
+
+    // --- 13. window: partitioned top-n by rank ---------------------------------
+    "q13_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    // --- 14. window: lag / lead -------------------------------------------------
+    "q14_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .withColumn("delta", col("o_totalprice") - col("prev_price"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price", "delta")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // --- 15. window: running sum with ROWS frame ---------------------------------
+    "q15_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // --- 16. order-by + limit (top-k, TakeOrderedAndProject) ---------------------
+    "q16_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // --- 17. UNION ALL ------------------------------------------------------------
+    "q17_union_all" -> ((s, d) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+        .select(lit("customer").as("side"), col("nationkey"), col("n"), col("bal"))
+      val sup = t(s, d, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("bal"))
+        .select(lit("supplier").as("side"), col("nationkey"), col("n"), col("bal"))
+      c.unionAll(sup).orderBy("side", "nationkey")
+    }),
+
+    // --- 18. UNION (distinct) -------------------------------------------------------
+    "q18_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    // --- 19. INTERSECT ----------------------------------------------------------------
+    "q19_intersect" -> ((s, d) =>
+      t(s, d, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").where(col("s_acctbal") > 5000)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // --- 20. EXCEPT --------------------------------------------------------------------
+    "q20_except" -> ((s, d) =>
+      t(s, d, "customer").where(col("c_acctbal") < -500)
+        .select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // --- 21. scalar string functions -----------------------------------------------------
+    "q21_scalar_string" -> ((s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("name5"),
+          length(col("p_name")).as("name_len"),
+          concat(col("p_brand"), lit("#"), lower(col("p_type"))).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+          col("p_name").rlike("^[a-z]+ [a-z]+$").as("is_two_words"))
+        .orderBy("p_partkey")),
+
+    // --- 22. scalar date functions --------------------------------------------------------
+    "q22_scalar_date" -> ((s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate")))
+            .as("days_to_2000"))
+        .orderBy("o_orderkey")),
+
+    // --- 23. scalar math + conditional -----------------------------------------------------
+    "q23_scalar_math" -> ((s, d) =>
+      t(s, d, "lineitem").where(col("l_orderkey") <= 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          when(col("l_quantity") >= 30, "H").when(col("l_quantity") >= 15, "M")
+            .otherwise("L").as("qty_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("X")).as("flag2"),
+          (col("l_extendedprice") * col("l_tax")).as("tax_amt"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // --- 24. scalar subquery (SQL-expressed) --------------------------------------------------
+    "q24_scalar_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q24)
+    }),
+
+    // --- 25. IN subquery (SQL-expressed) -------------------------------------------------------
+    "q25_in_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q25)
+    }),
+
+    // --- 26. correlated EXISTS with aggregate guard (SQL-expressed) ---------------------------
+    "q26_exists_agg" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q26)
+    }),
+
+    // --- 27. waterbear-native DQ: per-rule violation counts over customer ----------------------
+    "q27_dq_counts" -> ((s, d) =>
+      Expectations.violationCounts(t(s, d, "customer"), customerConstraints)
+        .orderBy("rule")),
+
+    // --- 28. event-time bucketed aggregation ----------------------------------------------------
+    "q28_events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // --- 29. exact dedup (keep-first by content hash) ------------------------------------------
+    "q29_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", Seq("text"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // --- 30. token counting ----------------------------------------------------------------------
+    "q30_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars2"))
+        .orderBy("doc_id")),
+
+    // --- 31. text quality scoring ----------------------------------------------------------------
+    "q31_text_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TF.punctRatio(col("text")).as("punct_ratio"),
+          TF.meanTokenLength(col("text")).as("mean_token_len"))
+        .orderBy("doc_id")),
+
+    // --- 32. language ID (heuristic; no SQL oracle) ------------------------------------------------
+    "q32_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_pred"),
+          TF.stopwordRatio(col("text")).as("stopword_ratio"),
+          TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // --- 33. MinHash+LSH near-dup pairs (no SQL oracle) --------------------------------------------
+    "q33_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)),
+
+    // --- 34. SimHash near-dup pairs (no SQL oracle) -------------------------------------------------
+    "q34_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // --- 35. n-gram Jaccard within language block (no SQL oracle) -----------------------------------
+    "q35_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
+        n = 2, threshold = 0.25)),
+
+    // --- 36. brute-force cosine top-k (no SQL oracle) -----------------------------------------------
+    "q36_knn_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceKnn(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 5)
+    }),
+
+    // --- 37. LSH-bucketed approximate top-k (no SQL oracle) ------------------------------------------
+    "q37_knn_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshKnn(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 5, nPlanes = 6)
+    }),
+
+    // --- 38. embedding near-duplicate pairs (no SQL oracle) -------------------------------------------
+    "q38_embedding_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(
+        t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.95, nPlanes = 4)),
+
+    // --- 39. document fingerprint (rolling hash; no SQL oracle) ----------------------------------------
+    "q39_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TF.fingerprint(col("text"), 8).as("fp"),
+          TF.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // --- 40. multimodal metadata plumbing ----------------------------------------------------------------
+    "q40_media_meta" -> ((s, d) => {
+      val bin = col("text").cast("binary")
+      t(s, d, "documents").select(
+          col("doc_id"),
+          length(bin).as("n_bytes"),
+          ceil(length(bin).cast("double") / 64.0).cast("int").as("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 41. multimodal decode stub (mapPartitions seam; no SQL oracle) ---------------------------------
+    "q41_media_features" -> ((s, d) =>
+      Multimodal.decodeStub(
+          t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload")
+        .orderBy("id"))
+  )
+
+  // ------------------------------------------------------- SQL-shared queries
+
+  private val sql_q12: String =
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+      |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  private val sql_q24: String =
+    """SELECT p_partkey, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  private val sql_q25: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey IN (1, 3, 5))
+      |  AND o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val sql_q26: String =
+    """SELECT c_custkey, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > 9500
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------ oracles
+
+  /** DuckDB-dialect SQL equivalents. Keys must match `queries`; column names
+    * and (post-driver-normalization) types must match the Spark output.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_join_multiway" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q05_left_join_dist" ->
+      """SELECT n_orders, COUNT(*) AS n_customers
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY n_orders
+        |ORDER BY n_orders""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q09_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, CAST(YEAR(o_orderdate) AS INT))
+        |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+
+    "q11_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q12_grouping_sets" -> sql_q12,
+
+    "q13_window_topn" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q14_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  o_totalprice - LAG(o_totalprice, 1) OVER w AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q15_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q16_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q17_union_all" ->
+      """SELECT side, nationkey, n, bal FROM (
+        |  SELECT 'customer' AS side, c_nationkey AS nationkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |  FROM customer GROUP BY c_nationkey
+        |  UNION ALL
+        |  SELECT 'supplier' AS side, s_nationkey AS nationkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |  FROM supplier GROUP BY s_nationkey) t
+        |ORDER BY side, nationkey""".stripMargin,
+
+    "q18_union" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION SELECT s_nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q19_intersect" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q20_except" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -500
+        |  EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal < 0) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q21_scalar_string" ->
+      """SELECT p_partkey,
+        |  UPPER(SUBSTR(p_name, 1, 5)) AS name5,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  CONCAT(p_brand, '#', LOWER(p_type)) AS brand_type,
+        |  REPLACE(p_name, ' ', '_') AS snake,
+        |  TRIM(CONCAT(' ', p_name, ' ')) AS trimmed,
+        |  regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS is_two_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q22_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  CAST(MONTH(o_orderdate) AS INT) AS o_month,
+        |  CAST(DAY(o_orderdate) AS INT) AS o_day,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+        |  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_2000
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q23_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_discount - 0.05) AS disc_dev,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CASE WHEN l_quantity >= 30 THEN 'H' WHEN l_quantity >= 15 THEN 'M' ELSE 'L' END AS qty_band,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'X') AS flag2,
+        |  l_extendedprice * l_tax AS tax_amt
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q24_scalar_subquery" -> sql_q24,
+    "q25_in_subquery" -> sql_q25,
+    "q26_exists_agg" -> sql_q26,
+
+    "q27_dq_counts" -> {
+      // mirrors the compiled customer constraints exactly (predicate text is
+      // dialect-neutral except RLIKE -> regexp_matches)
+      """SELECT rule, violations FROM (
+        |  SELECT '[`c_custkey`] NULLABLE' AS rule,
+        |    COUNT(*) FILTER (WHERE NOT (c_custkey IS NOT NULL)) AS violations FROM customer
+        |  UNION ALL SELECT '[`c_custkey`] VALUE',
+        |    COUNT(*) FILTER (WHERE NOT (c_custkey IS NULL OR c_custkey >= 0.0)) FROM customer
+        |  UNION ALL SELECT '[`c_name`] NULLABLE',
+        |    COUNT(*) FILTER (WHERE NOT (c_name IS NOT NULL)) FROM customer
+        |  UNION ALL SELECT '[`c_name`] MATCH',
+        |    COUNT(*) FILTER (WHERE NOT (c_name IS NULL OR regexp_matches(c_name, '^Customer#[0-9]{9}$'))) FROM customer
+        |  UNION ALL SELECT '[`c_name`] LENGTH',
+        |    COUNT(*) FILTER (WHERE NOT (c_name IS NULL OR LENGTH(c_name) <= 18)) FROM customer
+        |  UNION ALL SELECT '[`c_nationkey`] NULLABLE',
+        |    COUNT(*) FILTER (WHERE NOT (c_nationkey IS NOT NULL)) FROM customer
+        |  UNION ALL SELECT '[`c_nationkey`] VALUE',
+        |    COUNT(*) FILTER (WHERE NOT (c_nationkey IS NULL OR c_nationkey BETWEEN 0.0 AND 24.0)) FROM customer
+        |  UNION ALL SELECT '[`c_acctbal`] VALUE',
+        |    COUNT(*) FILTER (WHERE NOT (c_acctbal IS NULL OR c_acctbal >= 0.0)) FROM customer
+        |  UNION ALL SELECT '[`c_mktsegment`] VALUE',
+        |    COUNT(*) FILTER (WHERE NOT (c_mktsegment IS NULL OR c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY'))) FROM customer
+        |) t ORDER BY rule""".stripMargin
+    },
+
+    "q28_events_hourly" ->
+      """SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q29_dedup_exact" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q30_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(LENGTH(text) AS INT) AS n_chars2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) - LENGTH(TRANSLATE(text, '.,;:!?''"()-', '')) AS DOUBLE)
+        |    / GREATEST(LENGTH(text), 1) AS punct_ratio,
+        |  CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+        |  CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 64.0) AS INT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Helpers shared by SparkEntry / Verify / Bench. */
+object Tables {
+  val all = Seq("region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table from the testdata scale-factor directory.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as raw long nanos and convert with exact integer
+    * division (double division would lose sub-microsecond precision at
+    * ~1.7e18 ns magnitudes).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view (for spark.sql-expressed queries)
+    * and return the session. Idempotent per session.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Decimal-stabilized cast: TPC-H money/quantity columns have exactly two
+    * decimal digits, so DECIMAL(12,2) arithmetic is exact and associative —
+    * aggregation results are identical regardless of partitioning/order,
+    * unlike raw double sums. Cast back to DOUBLE at the end (single rounding)
+    * so the output schema matches the oracle's.
+    */
+  def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Exact (order-independent) sum of a 2-decimal double column, as DOUBLE. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+}

@@ -96,6 +96,25 @@ object Expectations {
       .groupBy("rule")
       .count()
 
+  /** Per-rule violation counts including zero-violation rules: a single
+    * full aggregation pass (`sum(when(not pred, 1))` per rule) producing one
+    * row, melted to (rule, violations). Unlike [[violationReport]] this never
+    * shuffles more than one row per partition regardless of rule count —
+    * the per-partition partial aggregate is a single row of R counters.
+    */
+  def violationCounts(df: DataFrame, constraints: Map[String, String]): DataFrame = {
+    val names = constraints.keys.toSeq
+    val aggs = constraints.values.toSeq.zipWithIndex.map { case (sql, i) =>
+      sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val kvs = names.zipWithIndex.map { case (n, i) =>
+      struct(lit(n).as("rule"), col(s"c$i").as("violations"))
+    }
+    one.select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.rule").as("rule"), col("kv.violations").as("violations"))
+  }
+
   /** Attach per-rule violation counters as observable metrics (streaming- and
     * batch-safe). Metrics arrive on the driver via `QueryExecutionListener` /
     * `StreamingQueryListener` without a second pass over the data.

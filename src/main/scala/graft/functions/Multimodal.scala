@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Input row shape for [[Multimodal.decodeStub]]. Top-level (not nested in
+  * the object) so Janino-generated encoder code can access the constructor.
+  */
+case class MediaIn(id: Long, payload: Array[Byte])
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct alongside.
+  *
+  * The Spark-side machinery here is real and tested — schema, batch shape,
+  * partition-friendly chunking, deterministic feature plumbing. The actual
+  * codec step is STUBBED (no image/audio libraries in this environment):
+  * [[decodeStub]] derives a deterministic fake "decode" from the bytes, and
+  * is the single seam where a real decoder (JNI codec, ONNX runtime, etc.)
+  * plugs in via `mapPartitions` so heavy native init happens once per
+  * partition, not once per row.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media payload. */
+  val mediaMetaSchema = "struct<kind:string,n_bytes:int,checksum:bigint>"
+
+  /** Attach typed metadata derived from the payload (row-local, codegen'd). */
+  def mediaMeta(bin: Column, kind: String): Column =
+    struct(
+      lit(kind).as("kind"),
+      length(bin).cast("int").as("n_bytes"),
+      crc32(bin).as("checksum"))
+
+  /** Split a payload into fixed-size chunks (e.g. video frame groups or audio
+    * windows) without decoding: array<binary>. Row-local.
+    */
+  def chunk(bin: Column, chunkBytes: Int): Column =
+    transform(
+      sequence(lit(0), ceil(length(bin).cast("double") / chunkBytes).cast("int") - 1),
+      i => bin.substr(i * chunkBytes + 1, lit(chunkBytes)))
+
+  /** Sample up to n evenly-spaced chunks ("frames") from the payload. */
+  def frameSample(bin: Column, chunkBytes: Int, n: Int): Column = {
+    val chunks = chunk(bin, chunkBytes)
+    val total = size(chunks)
+    when(total <= n, chunks).otherwise(
+      transform(sequence(lit(0), lit(n - 1)),
+        i => element_at(chunks, (i * total / n) + 1)))
+  }
+
+  /** The decode + feature-extraction seam. In production this is where the
+    * real decoder runs (per-partition init, vectorized batches). Here the
+    * decode is a deterministic fake: an 8-dim feature vector derived from
+    * byte statistics, so downstream plumbing (schema, joins, ANN) is fully
+    * exercisable and reproducible.
+    */
+  def decodeStub(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .as[MediaIn](Encoders.product[MediaIn])
+    ds.mapPartitions { it =>
+      // real impl: init decoder once per partition here
+      it.map { m =>
+        val bytes = m.payload
+        val n = math.max(bytes.length, 1)
+        val feat = new Array[Float](8)
+        var i = 0
+        while (i < bytes.length) {
+          feat(i % 8) += (bytes(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        (m.id, feat.map(f => math.round(f / n * 10000f) / 10000f))
+      }
+    }.toDF("id", "features")
+  }
+}

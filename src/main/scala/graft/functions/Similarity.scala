@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design: the query set is broadcast (it is small by construction);
+  * scoring is a narrow map over the corpus; top-k per query uses a window
+  * after scoring. The LSH variant buckets the corpus by random-hyperplane
+  * signature so each query only scores its bucket — the 100 TB path, since
+  * bucket fan-out replaces the full scan per query.
+  */
+object Similarity {
+
+  /** Dot product of two float vectors (fold in array order, double acc). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** Brute-force exact top-k cosine neighbors for each query vector.
+    * `queries` must be small (it is broadcast). Excludes self-matches on id.
+    */
+  def bruteForceKnn(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame,  // (id, vec)
+      k: Int
+  ): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Signed random-hyperplane LSH bucket id (nPlanes bits). Hyperplanes are
+    * pseudo-random +-1 vectors derived from xxhash64(plane, dim) — fully
+    * deterministic, no stored model. Row-local.
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val s = aggregate(
+        zip_with(vec, dims,
+          (x, d) => when(xxhash64(p, d).bitwiseAND(1) === 1,
+            x.cast("double")).otherwise(-x.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Approximate top-k: bucket corpus and queries by [[lshBucket]], score only
+    * within the query's bucket. Recall < 1 by construction; the scale path.
+    */
+  def lshKnn(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame,  // (id, vec)
+      k: Int,
+      nPlanes: Int = 8
+  ): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), nPlanes))
+    val cb = corpus.withColumn("bucket", lshBucket(col("vec"), nPlanes))
+    val scored = cb.join(broadcast(qb),
+        col("qid") =!= col("id") && qb("bucket") === cb("bucket"))
+      .withColumn("cos", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine above threshold, blocked by LSH
+    * bucket so the join is bucket-local instead of O(n^2).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, // (id, vec)
+      threshold: Double,
+      nPlanes: Int = 6
+  ): DataFrame = {
+    val b = df.withColumn("bucket", lshBucket(col("vec"), nPlanes))
+    b.as("l").join(b.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("cos", cosine(col("l.vec"), col("r.vec")))
+      .where(col("cos") >= threshold)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(desc("cos"), col("id1"), col("id2"))
+  }
+}

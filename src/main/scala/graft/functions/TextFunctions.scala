@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything is a pure Catalyst `Column` expression (builtin functions +
+  * higher-order array functions): row-local, codegen-friendly, zero UDFs and
+  * zero shuffles. At 100 TB these run as a narrow map fused into the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word chunks, digits, and punctuation counted
+    * separately (a cheap proxy for tokenizer token counts).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])|(?<=[a-z])(?=[A-Z])"),
+      t => length(trim(t)) > 0))
+
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by a space).
+    * Returns an empty array when the document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Deterministic 64-bit document fingerprint: min of xxhash64 over all
+    * k-byte character windows (a winnowing-style rolling-hash fingerprint).
+    */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    when(length(text) >= k,
+      array_min(transform(sequence(lit(1), length(text) - (k - 1)),
+        i => xxhash64(text.substr(i, lit(k))))))
+      .otherwise(xxhash64(text))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(translate(text, ".,;:!?'\"()-", ""))
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Mean token length (characters of non-space text / token count). */
+  def meanTokenLength(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double"))
+
+  /** Ratio of stopword tokens (tiny multilingual list) to all tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "la", "le", "el",
+      "de", "der", "die", "und", "el", "en", "y", "et", "的", "了")
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(stop.distinct: _*)))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, some stopwords (natural-language-ness heuristic).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctOk = when(punctRatio(text) <= 0.1, 1.0).otherwise(0.5)
+    val stopOk = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3), 4)
+  }
+
+  /** N-gram-overlap language ID: score each language by the fraction of its
+    * marker words present, pick the argmax ("und" = undetermined when no
+    * marker matches). Deterministic; purely expression-based.
+    */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+      "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein"),
+      "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "人")
+    )
+    val toks = array_distinct(tokens(lower(text)))
+    // array of (score, lang) structs -> max -> lang
+    val scored = markers.map { case (lang, words) =>
+      val hits = size(array_intersect(toks,
+        array(words.map(lit): _*)))
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit SimHash over the token multiset: for each bit position, sum +-1
+    * votes from each token's xxhash64, take the sign. Returns BIGINT whose
+    * bit b is 1 iff the weighted sum for bit b is positive.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    // votes: array of 64 ints, built by folding token bit-vectors
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when((call_function("shiftright", xxhash64(t), b).bitwiseAND(1)) === 1, 1).otherwise(-1))
+    )
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x)
+    )
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

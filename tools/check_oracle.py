@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query with an oracle: run the oracle SQL in DuckDB over the parquet
+tables, load the Spark result parquet, sort columns by name, sort rows, and
+compare cell-by-cell (exact for ints/strings, 1e-9 rel tolerance for floats).
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        # decimal/object numerics -> float
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def cells_equal(a, b):
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b or str(a) == str(b)
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"FAIL {name}: no spark output")
+        n_fail += 1
+        continue
+    try:
+        duck = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {e}")
+        n_fail += 1
+        continue
+    spark = pd.concat([pd.read_parquet(f) for f in spark_files])
+    d, s = norm(duck), norm(spark)
+    if list(d.columns) != list(s.columns):
+        print(f"FAIL {name}: columns duck={list(d.columns)} spark={list(s.columns)}")
+        n_fail += 1
+        continue
+    if len(d) != len(s):
+        print(f"FAIL {name}: rows duck={len(d)} spark={len(s)}")
+        n_fail += 1
+        continue
+    bad = None
+    for c in d.columns:
+        dv, sv = d[c].tolist(), s[c].tolist()
+        for i, (a, b) in enumerate(zip(dv, sv)):
+            if not cells_equal(a, b):
+                bad = (c, i, a, b)
+                break
+        if bad:
+            break
+    if bad:
+        c, i, a, b = bad
+        print(f"FAIL {name}: col {c} row {i}: duck={a!r} spark={b!r}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(d)} rows)")
+        n_pass += 1
+
+no_oracle = [p.split("/")[-1] for p in sorted(glob.glob(f"{out_dir}/q*"))
+             if p.split("/")[-1] not in oracle]
+print(f"\n{n_pass} pass, {n_fail} fail; rows-only (no oracle): {no_oracle}")
+sys.exit(1 if n_fail else 0)
