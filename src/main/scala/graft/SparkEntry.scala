@@ -369,7 +369,7 @@ object SparkEntry {
     "q38_embedding_neardup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(
         t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
-        threshold = 0.95, nPlanes = 4)),
+        threshold = 0.95, nPlanes = 8)),
 
     // --- 39. document fingerprint (rolling hash; no SQL oracle) ----------------------------------------
     "q39_fingerprint" -> ((s, d) =>

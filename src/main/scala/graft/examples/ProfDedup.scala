@@ -1,0 +1,49 @@
+package graft.examples
+
+import graft.functions.{Dedup, TextFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage timing of the MinHash/LSH dedup pipeline (dev tool). */
+object ProfDedup {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
+
+    time("warmup count")(df.count())
+    val docs = df.select(col("doc_id").as("id"),
+      TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+    time("shingleHashes")(docs.count())
+    time("shingleHashes forced")(docs.select(sum(size(col("hs")))).collect()(0).getLong(0))
+    val sig = docs.withColumn("sig", Dedup.minhashSignature(col("hs"), 64))
+    time("signature forced")(sig.select(sum(size(col("sig")))).collect()(0).getLong(0))
+    val banded = sig.select(col("id"),
+      explode(Dedup.lshBands(col("sig"), 16, 4)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.h").as("h"))
+    time("banded")(banded.count())
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2")).distinct()
+    time("candidates")(cand.count())
+    time("full minhashPairs")(
+      Dedup.minhashPairs(df, "doc_id", "text", 3, 64, 16, 0.5).count())
+    time("full ngramJaccard")(
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", 2, 0.25).count())
+    time("full simhashPairs")(
+      Dedup.simhashPairs(df, "doc_id", "text", 3).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,40 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Registers graft's native expressions with the SQL function registry, so
+  * `SELECT graft_minhash(hashes, 64)` / `graft_simhash(hashes)` work from
+  * SQL text as well as the typed API. Install with
+  * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, Literal(n: Int, IntegerType)) => MinHashSignatureExpr(child, n)
+        case Seq(child) => MinHashSignatureExpr(child, 64)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(array<bigint>[, numHashes literal int])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, Literal(n: Int, IntegerType)) => ShingleHashesExpr(child, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle_hashes(array<string>, n literal int)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => SimHash64Expr(child)
+        case _ => throw new IllegalArgumentException("graft_simhash(array<bigint>)")
+      }))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Tight-loop kernels behind the custom hash expressions. Static forwarders
+  * (Scala object => static methods on the companion class) make these
+  * directly callable from Janino-generated whole-stage code.
+  */
+object GraftHash {
+
+  /** MinHash signature of a set of 64-bit element hashes:
+    * sig[i] = min over h of xxhash64(h, seed=i). Empty set => all MaxValue.
+    */
+  def minhash(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val m = XXH64.hashLong(h, i)
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Distinct hashes of all n-token windows of a token array. Each token is
+    * hashed once (xxhash64 over its UTF-8 bytes, seed 42); a window hash
+    * chains the per-token hashes. Output is sorted ascending (set semantics
+    * downstream — intersect/union — are order-insensitive) and deduplicated.
+    * Fewer than n tokens => empty array.
+    */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val s = tokens.getUTF8String(j)
+      th(j) = if (s == null) 0L else XXH64.hashUTF8String(s, 42L)
+      j += 1
+    }
+    val k = m - n + 1
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var h = 42L
+      var w = i
+      while (w < i + n) { h = XXH64.hashLong(th(w), h); w += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var write = 0
+    var read = 0
+    while (read < k) {
+      if (write == 0 || out(read) != out(write - 1)) { out(write) = out(read); write += 1 }
+      read += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, write))
+  }
+
+  /** One-pass cosine similarity of two float vectors (double accumulators);
+    * 0.0 when either vector is empty/all-zero or lengths differ.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0 || n != b.numElements()) return 0.0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn > 0) dot / nn else 0.0
+  }
+
+  /** Dot product of two float vectors (double accumulator); 0.0 on length
+    * mismatch.
+    */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Multi-table random-hyperplane LSH buckets: `tables` longs, each packing
+    * `planes` sign bits. Hyperplane (t*planes+p) has pseudo-random +-1
+    * components: sign of dim d = bit 0 of xxhash64(d, seed=t*planes+p).
+    * Deterministic, no stored model.
+    */
+  def hyperplaneBuckets(vec: ArrayData, tables: Int, planes: Int): ArrayData = {
+    val dims = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val plane = t * planes + p
+        var side = 0.0
+        var d = 0
+        while (d < dims) {
+          val x = vec.getFloat(d).toDouble
+          if ((XXH64.hashLong(d, plane) & 1L) == 1L) side += x else side -= x
+          d += 1
+        }
+        if (side > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over pre-hashed tokens: bit b of each token hash votes
+    * +-1; signature bit b is 1 iff the vote total is positive. Bit-for-bit
+    * identical to the higher-order-function formulation it replaces.
+    */
+  def simhash(tokenHashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokenHashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = tokenHashes.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

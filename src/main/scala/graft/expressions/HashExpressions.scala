@@ -1,0 +1,133 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+private[expressions] object FloatVec {
+  def check(name: String, dts: DataType*): TypeCheckResult =
+    if (dts.forall {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> inputs, got ${dts.map(_.catalogString).mkString(", ")}")
+}
+
+/** Native Catalyst expressions (with whole-stage codegen) for the signature
+  * computations that dominate dedup cost. The higher-order-function
+  * formulation of MinHash evaluates H interpreted lambda calls per shingle;
+  * these run the same math as one static-call-per-row tight loop inside
+  * generated code, keeping the enclosing WholeStageCodegen span intact.
+  */
+
+/** `array<bigint>` of element hashes -> `array<bigint>` MinHash signature of
+  * length `numHashes`. sig[i] = min over h of xxhash64(h, seed=i).
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** `array<string>` of tokens -> `array<bigint>` of distinct hashes of all
+  * n-token windows (sorted). The set representation behind MinHash/Jaccard.
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle width must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.shingleHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** Cosine similarity of two `array<float>` vectors -> `double`. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatVec.check(prettyName, left.dataType, right.dataType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Dot product of two `array<float>` vectors -> `double`. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatVec.check(prettyName, left.dataType, right.dataType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** `array<float>` vector -> `array<bigint>` of multi-table hyperplane-LSH
+  * bucket ids (one per table, `planes` sign bits each).
+  */
+case class HyperplaneBucketsExpr(child: Expression, tables: Int, planes: Int)
+    extends UnaryExpression {
+  require(tables > 0 && planes > 0 && planes <= 63, "bad LSH shape")
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatVec.check(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.hyperplaneBuckets(input.asInstanceOf[ArrayData], tables, planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.GraftHash.hyperplaneBuckets($c, $tables, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_buckets"
+}
+
+/** `array<bigint>` of token hashes -> `bigint` 64-bit SimHash. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}

@@ -1,33 +1,44 @@
 package graft.functions
 
+import graft.expressions.{CosineSimExpr, DotProductExpr, HyperplaneBucketsExpr}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Scale design: the query set is broadcast (it is small by construction);
   * scoring is a narrow map over the corpus; top-k per query uses a window
-  * after scoring. The LSH variant buckets the corpus by random-hyperplane
-  * signature so each query only scores its bucket — the 100 TB path, since
-  * bucket fan-out replaces the full scan per query.
+  * after scoring. The LSH variants use MULTI-TABLE random-hyperplane
+  * signatures: `tables` independent bucketings of `planes` bits each. Two
+  * vectors are candidates iff they collide in at least one table, which
+  * keeps recall high (1-(1-p^planes)^tables for per-plane agreement p)
+  * while candidate volume stays near-linear — no O(n^2) pair scan.
+  * Only `(table, bucket, id)` triples cross the candidate shuffle.
+  *
+  * All vector math runs as native codegen'd Catalyst expressions
+  * ([[graft.expressions.CosineSimExpr]] etc.) — one tight JVM loop per row,
+  * no interpreted per-dimension lambdas.
   */
 object Similarity {
 
-  /** Dot product of two float vectors (fold in array order, double acc). */
+  /** Dot product of two float vectors (double accumulator). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn > 0, d / nn).otherwise(lit(0.0))
-  }
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Multi-table hyperplane-LSH bucket ids for a vector: array<bigint>,
+    * one packed `planes`-bit bucket per table.
+    */
+  def lshBuckets(vec: Column, tables: Int, planes: Int): Column =
+    Bridge.column(HyperplaneBucketsExpr(Bridge.expression(vec), tables, planes))
 
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast). Excludes self-matches on id.
@@ -48,36 +59,30 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Signed random-hyperplane LSH bucket id (nPlanes bits). Hyperplanes are
-    * pseudo-random +-1 vectors derived from xxhash64(plane, dim) — fully
-    * deterministic, no stored model. Row-local.
-    */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-      val s = aggregate(
-        zip_with(vec, dims,
-          (x, d) => when(xxhash64(p, d).bitwiseAND(1) === 1,
-            x.cast("double")).otherwise(-x.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
-      when(s > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** Explode a vector df to one row per LSH table: (…, table, bucket). */
+  private def bucketed(df: DataFrame, vecCol: String, tables: Int, planes: Int): DataFrame =
+    df.select(col("*"),
+      posexplode(lshBuckets(col(vecCol), tables, planes)).as(Seq("table", "bucket")))
 
-  /** Approximate top-k: bucket corpus and queries by [[lshBucket]], score only
-    * within the query's bucket. Recall < 1 by construction; the scale path.
+  /** Approximate top-k: score each query only against corpus vectors that
+    * share an LSH bucket in at least one table. Recall < 1 by construction;
+    * the scale path — per-query work is bucket-sized, not corpus-sized.
     */
   def lshKnn(
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame,  // (id, vec)
       k: Int,
-      nPlanes: Int = 8
+      nPlanes: Int = 6,
+      tables: Int = 4
   ): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), nPlanes))
-    val cb = corpus.withColumn("bucket", lshBucket(col("vec"), nPlanes))
-    val scored = cb.join(broadcast(qb),
-        col("qid") =!= col("id") && qb("bucket") === cb("bucket"))
+    val qb = bucketed(queries, "qvec", tables, nPlanes)
+    val cb = bucketed(corpus, "vec", tables, nPlanes)
+    val scored = cb.as("c").join(broadcast(qb).as("q"),
+        col("q.qid") =!= col("c.id") && col("q.table") === col("c.table") &&
+          col("q.bucket") === col("c.bucket"))
+      .select(col("q.qid").as("qid"), col("c.id").as("id"),
+        col("q.qvec").as("qvec"), col("c.vec").as("vec"))
+      .distinct() // a pair may collide in several tables
       .withColumn("cos", cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -87,21 +92,29 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: cosine above threshold, blocked by LSH
-    * bucket so the join is bucket-local instead of O(n^2).
+  /** Embedding near-duplicate pairs: cosine above threshold, candidates from
+    * multi-table hyperplane LSH, exact cosine verification. Only
+    * `(table, bucket, id)` triples cross the candidate shuffle; vectors are
+    * re-joined for the candidate pairs only.
     */
   def embeddingNearDupPairs(
       df: DataFrame, // (id, vec)
       threshold: Double,
-      nPlanes: Int = 6
+      nPlanes: Int = 8,
+      tables: Int = 4
   ): DataFrame = {
-    val b = df.withColumn("bucket", lshBucket(col("vec"), nPlanes))
-    b.as("l").join(b.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", cosine(col("l.vec"), col("r.vec")))
+    val b = bucketed(df, "vec", tables, nPlanes).select("id", "table", "bucket")
+    val candidates = b.as("l").join(b.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    candidates
+      .join(df.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+      .join(df.select(col("id").as("id2"), col("vec").as("v2")), "id2")
+      .withColumn("cos", cosine(col("v1"), col("v2")))
       .where(col("cos") >= threshold)
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
       .orderBy(desc("cos"), col("id1"), col("id2"))
   }
 }

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * Everything is a pure Catalyst `Column` expression (builtin functions +
   * higher-order array functions): row-local, codegen-friendly, zero UDFs and
   * zero shuffles. At 100 TB these run as a narrow map fused into the scan.
+  *
+  * Hashing discipline: each token/shingle is hashed ONCE with xxhash64; any
+  * family of derived hash functions (MinHash permutations, hyperplanes) is
+  * produced by 64-bit arithmetic mixing of that single hash — string bytes
+  * are never re-traversed per hash function.
   */
 object TextFunctions {
 
@@ -36,6 +41,19 @@ object TextFunctions {
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>")))
   }
+
+  /** Distinct 64-bit hashes of the word n-gram shingles, as a sorted
+    * `array<bigint>`: each token is hashed once, each window chains the
+    * token hashes — no joined strings are materialized. Runs as a native
+    * codegen'd Catalyst expression ([[graft.expressions.ShingleHashesExpr]]).
+    * This is the set representation all MinHash / Jaccard machinery runs on —
+    * longs shuffle and compare an order of magnitude cheaper than shingle
+    * strings.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ShingleHashesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(tokens(text)), n))
 
   /** Deterministic 64-bit document fingerprint: min of xxhash64 over all
     * k-byte character windows (a winnowing-style rolling-hash fingerprint).
@@ -99,26 +117,17 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** 64-bit SimHash over the token multiset: for each bit position, sum +-1
-    * votes from each token's xxhash64, take the sign. Returns BIGINT whose
-    * bit b is 1 iff the weighted sum for bit b is positive.
+  /** 64-bit SimHash over the token multiset: each token is hashed ONCE; its
+    * 64 hash bits then vote +-1 per bit position, and the signature takes the
+    * sign of each vote total. Returns BIGINT whose bit b is 1 iff the vote
+    * sum for bit b is positive. The vote loop runs as a native codegen'd
+    * Catalyst expression ([[graft.expressions.SimHash64Expr]]).
     */
   def simhash64(text: Column): Column = {
-    val toks = tokens(text)
-    // votes: array of 64 ints, built by folding token bit-vectors
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) =>
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, b) => a + when((call_function("shiftright", xxhash64(t), b).bitwiseAND(1)) === 1, 1).otherwise(-1))
-    )
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x)
-    )
+    val tokHashes = transform(tokens(text), t => xxhash64(t))
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SimHash64Expr(
+        org.apache.spark.sql.graft.Bridge.expression(tokHashes)))
   }
 
   /** Hamming distance between two 64-bit signatures. */
