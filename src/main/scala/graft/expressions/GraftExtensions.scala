@@ -1,18 +1,32 @@
 package graft.expressions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-/** Registers graft's native expressions with the SQL function registry, so
-  * `SELECT graft_minhash(hashes, 64)` / `graft_simhash(hashes)` work from
-  * SQL text as well as the typed API. Install with
-  * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`.
+/** SQL registration for graft's native expressions, so
+  * `SELECT graft_minhash(hashes, 64)` / `graft_simhash(hashes)` /
+  * `graft_shingle_hashes(tokens, n)` work from SQL text as well as the
+  * typed API.
+  *
+  * Two installation paths:
+  *  - at session build time: `.config("spark.sql.extensions",
+  *    "graft.expressions.GraftExtensions")`;
+  *  - on a live session: `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {
@@ -20,21 +34,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(child) => MinHashSignatureExpr(child, 64)
         case _ => throw new IllegalArgumentException(
           "graft_minhash(array<bigint>[, numHashes literal int])")
-      }))
-    ext.injectFunction((
+      }),
+    (
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) => args match {
         case Seq(child, Literal(n: Int, IntegerType)) => ShingleHashesExpr(child, n)
         case _ => throw new IllegalArgumentException(
           "graft_shingle_hashes(array<string>, n literal int)")
-      }))
-    ext.injectFunction((
+      }),
+    (
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
       (args: Seq[Expression]) => args match {
         case Seq(child) => SimHash64Expr(child)
         case _ => throw new IllegalArgumentException("graft_simhash(array<bigint>)")
-      }))
-  }
+      }),
+    (
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSimExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_cosine(array<float>, array<float>)")
+      }),
+    (
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProductExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_dot(array<float>, array<float>)")
+      }),
+    (
+      FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBucketsExpr].getName, "graft_hyperplane_buckets"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, Literal(t: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+          HyperplaneBucketsExpr(child, t, p)
+        case _ => throw new IllegalArgumentException(
+          "graft_hyperplane_buckets(array<float>, tables literal int, planes literal int)")
+      })
+  )
+
+  /** Register the graft functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.Bridge.registerFunctions(spark, functions)
 }

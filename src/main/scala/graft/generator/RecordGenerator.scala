@@ -1,0 +1,321 @@
+package graft.generator
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.model.{JsonNodes, ModelDirectory}
+import graft.model.JsonNodes._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import java.util.Random
+
+/** Serializable generation plan for one entity — the model directory is read
+  * ONCE on the driver at plan-compile time; executors generate purely from
+  * this ADT, with no filesystem or model access. That is what makes
+  * [[RecordGenerator.generateDS]] safe on a real cluster, unlike the
+  * reference generator which is driver-bound
+  * (`/root/reference/waterbear/generator.py:6-103`).
+  */
+sealed trait GenNode extends Serializable
+object GenNode {
+  final case class Field(name: String, optional: Boolean, node: GenNode)
+  final case class Obj(fields: Seq[Field]) extends GenNode
+  final case class Arr(minItems: Int, maxItems: Int, elem: GenNode) extends GenNode
+  final case class IntGen(min: Int, max: Int) extends GenNode
+  final case class NumGen(min: Double, max: Double) extends GenNode
+  case object BoolGen extends GenNode
+  final case class DateGen(minDay: Long, maxDay: Long) extends GenNode
+  final case class TimestampGen(minSec: Long, maxSec: Long) extends GenNode
+  case object UuidGen extends GenNode
+  case object DurationGen extends GenNode
+  final case class EnumGen(values: IndexedSeq[String]) extends GenNode
+  final case class StrGen(minLen: Int, maxLen: Int) extends GenNode
+}
+
+/** Schema-conformant synthetic JSON record generator (SURVEY.md §2C).
+  *
+  * Reference semantics (`generator.py` + `utils/util.py:17-155`) with the
+  * deliberate fixes of SURVEY.md §8:
+  *  - Q8: array length is uniform in [minItems, maxItems] (the reference
+  *    emits a deterministic max-min+1 items);
+  *  - Q9: generation is seeded and fully deterministic — record i is
+  *    derived from `mix(seed, i)`, so the distributed and local paths
+  *    produce byte-identical records for the same (seed, n) regardless of
+  *    partitioning;
+  *  - Q7: `date-time` min/max bounds accept ISO-8601 timestamps, falling
+  *    back to plain dates;
+  *  - Q2: a missing `required` list means "all fields optional" instead of
+  *    crashing.
+  *
+  * Like the reference, `pattern` constraints are NOT honored by generation
+  * (README.md:116) — generated strings are plain lowercase a-z.
+  *
+  * @param nullableRate probability that an optional field is omitted
+  */
+final class RecordGenerator(
+    model: ModelDirectory,
+    nullableRate: Double = 0.0,
+    seed: Long = 42L
+) {
+
+  def this(path: String, nullableRate: Double, seed: Long) =
+    this(new ModelDirectory(path), nullableRate, seed)
+
+  import GenNode._
+
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Compile an entity into its serializable generation plan. */
+  def plan(entityName: String): Obj = compileObject(model.loadEntity(entityName))
+
+  /** Driver-side generation of `num` JSON records. */
+  def generate(entityName: String, num: Int): Seq[String] = {
+    val p = plan(entityName)
+    (0 until num).map(i => renderRecord(p, i))
+  }
+
+  /** Distributed generation: `num` records as a Dataset[String] of JSON.
+    * The plan is compiled on the driver and shipped in the task closure;
+    * each record is seeded independently from its global index, so output
+    * content is partitioning-invariant.
+    */
+  def generateDS(
+      spark: SparkSession,
+      entityName: String,
+      num: Long,
+      numPartitions: Int = 0
+  ): Dataset[String] = {
+    import spark.implicits._
+    val p = plan(entityName)
+    val rate = nullableRate
+    val s = seed
+    val range =
+      if (numPartitions > 0) spark.range(0L, num, 1L, numPartitions)
+      else spark.range(0L, num)
+    range.map(i => RecordGenerator.render(p, rate, s, i))
+  }
+
+  /** Distributed generation straight into a schema-enforced DataFrame. */
+  def generateTable(
+      spark: SparkSession,
+      entityName: String,
+      num: Long,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val schema = new graft.schema.SchemaCompiler(model).schemaOf(entityName)
+    spark.read.schema(schema).json(generateDS(spark, entityName, num, numPartitions))
+  }
+
+  private def renderRecord(p: Obj, index: Long): String =
+    RecordGenerator.render(p, nullableRate, seed, index)
+
+  // ------------------------------------------------------------ plan compile
+
+  private def compileObject(node: JsonNode): Obj = {
+    val allOf = Option(node.get("allOf")).filter(_.isArray)
+    allOf match {
+      case Some(refs) =>
+        val fields = Seq.newBuilder[Field]
+        refs.forEach { ref =>
+          val link = ref.get("$ref").asText()
+          fields ++= compileObject(model.loadJson(link.split('/').last)).fields
+        }
+        Obj(fields.result())
+      case None =>
+        val required: Set[String] =
+          Option(node.get("required")).filter(_.isArray)
+            .map(JsonNodes.textElements(_).toSet).getOrElse(Set.empty)
+        val props = Option(node.get("properties")).getOrElse(
+          throw new IllegalArgumentException("Entity object has no 'properties'"))
+        Obj(fieldNames(props).map { name =>
+          Field(name, optional = !required.contains(name),
+            compileField(props.get(name)))
+        })
+    }
+  }
+
+  private def compileField(props: JsonNode): GenNode = {
+    optText(props, "$ref") match {
+      case Some(ref) =>
+        val refObject = ref.split('/').last
+        val refJson = ref.split('#').head.split('/').last
+        val refModel = model.loadJson(refJson)
+        val refProperty = Option(refModel.get(refObject)).getOrElse(
+          throw new IllegalArgumentException(s"Referencing non existing property $refObject"))
+        return compileField(refProperty)
+      case None => ()
+    }
+    optText(props, "type") match {
+      case Some("object") => compileObject(props)
+      case Some("array") =>
+        val items = Option(props.get("items")).getOrElse(
+          throw new IllegalArgumentException("Array field has no 'items'"))
+        val minItems = math.max(optInt(props, "minItems").getOrElse(0), 0)
+        val maxItems = math.max(optInt(props, "maxItems").getOrElse(1), minItems)
+        Arr(minItems, maxItems, compileField(items))
+      case Some("integer") =>
+        IntGen(optInt(props, "minimum").getOrElse(0),
+          optInt(props, "maximum").getOrElse(9999))
+      case Some("number") =>
+        NumGen(optDouble(props, "minimum").getOrElse(0.0),
+          optDouble(props, "maximum").getOrElse(1.0))
+      case Some("boolean") => BoolGen
+      case Some("string") =>
+        optText(props, "format") match {
+          case Some("date") =>
+            DateGen(parseDay(optText(props, "min"), "1970-01-01"),
+              parseDay(optText(props, "max"), "2025-01-01"))
+          case Some("date-time") =>
+            TimestampGen(parseSec(optText(props, "min"), "1970-01-01"),
+              parseSec(optText(props, "max"), "2025-01-01"))
+          case Some("uuid") => UuidGen
+          case Some("duration") => DurationGen
+          case _ =>
+            Option(props.get("enum")).filter(_.isArray) match {
+              case Some(e) => EnumGen(JsonNodes.textElements(e).toIndexedSeq)
+              case None =>
+                val minLen = math.max(optInt(props, "minLength").getOrElse(1), 0)
+                val maxLen = math.max(optInt(props, "maxLength").getOrElse(25), minLen)
+                StrGen(minLen, maxLen)
+            }
+        }
+      case Some(other) =>
+        throw new IllegalArgumentException(s"Unsupported type $other")
+      case None =>
+        throw new IllegalArgumentException("Field has no 'type' or '$ref'")
+    }
+  }
+
+  /** Parse a date bound to epoch day. */
+  private def parseDay(s: Option[String], default: String): Long =
+    LocalDate.parse(s.getOrElse(default), dateFmt).toEpochDay
+
+  /** Parse a date-time bound to epoch second: full ISO-8601 timestamp, or a
+    * plain date meaning midnight UTC (SURVEY.md §8 Q7).
+    */
+  private def parseSec(s: Option[String], default: String): Long = {
+    val text = s.getOrElse(default)
+    val dt =
+      try LocalDateTime.parse(text, tsFmt)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          LocalDate.parse(text, dateFmt).atStartOfDay()
+      }
+    dt.toEpochSecond(ZoneOffset.UTC)
+  }
+}
+
+object RecordGenerator {
+  import GenNode._
+
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  /** SplitMix64 finalizer (public-domain, Steele et al.) — decorrelates the
+    * per-record RNG seeds derived from (seed, recordIndex).
+    */
+  private def mix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Render record `index` of the plan as a JSON string. */
+  def render(p: Obj, nullableRate: Double, seed: Long, index: Long): String = {
+    val rng = new Random(mix(seed ^ mix(index)))
+    val sb = new java.lang.StringBuilder(128)
+    renderObj(p, rng, nullableRate, sb)
+    sb.toString
+  }
+
+  private def renderObj(o: Obj, rng: Random, rate: Double, sb: java.lang.StringBuilder): Unit = {
+    sb.append('{')
+    var first = true
+    o.fields.foreach { f =>
+      // Bernoulli field drop for optional fields (generator.py:17-18).
+      val drop = f.optional && rng.nextDouble() <= rate
+      if (!drop) {
+        if (!first) sb.append(',')
+        first = false
+        appendString(sb, f.name)
+        sb.append(':')
+        renderValue(f.node, rng, rate, sb)
+      }
+    }
+    sb.append('}')
+  }
+
+  private def renderValue(n: GenNode, rng: Random, rate: Double, sb: java.lang.StringBuilder): Unit =
+    n match {
+      case o: Obj => renderObj(o, rng, rate, sb)
+      case Arr(minItems, maxItems, elem) =>
+        val len = minItems + rng.nextInt(maxItems - minItems + 1)
+        sb.append('[')
+        var i = 0
+        while (i < len) {
+          if (i > 0) sb.append(',')
+          renderValue(elem, rng, rate, sb)
+          i += 1
+        }
+        sb.append(']')
+      case IntGen(min, max) =>
+        sb.append(min + rng.nextInt(math.max(max - min + 1, 1)))
+      case NumGen(min, max) =>
+        sb.append(min + rng.nextDouble() * (max - min))
+      case BoolGen => sb.append(rng.nextBoolean())
+      case DateGen(minDay, maxDay) =>
+        val d = minDay + nextLong(rng, maxDay - minDay + 1)
+        appendString(sb, LocalDate.ofEpochDay(d).format(dateFmt))
+      case TimestampGen(minSec, maxSec) =>
+        val s = minSec + nextLong(rng, maxSec - minSec + 1)
+        appendString(sb,
+          LocalDateTime.ofEpochSecond(s, 0, ZoneOffset.UTC).format(tsFmt))
+      case UuidGen =>
+        // RFC-4122 v4 layout from two seeded longs (deterministic).
+        val hi = (rng.nextLong() & 0xFFFFFFFFFFFF0FFFL) | 0x0000000000004000L
+        val lo = (rng.nextLong() & 0x3FFFFFFFFFFFFFFFL) | 0x8000000000000000L
+        appendString(sb, new java.util.UUID(hi, lo).toString)
+      case DurationGen =>
+        // Reference emits P<n><YMWD> or T<n><HMS>, n in [1,10] (util.py:61-66).
+        val num = 1 + rng.nextInt(10)
+        val s =
+          if (rng.nextBoolean()) "P" + num + "YMWD".charAt(rng.nextInt(4))
+          else "T" + num + "HMS".charAt(rng.nextInt(3))
+        appendString(sb, s)
+      case EnumGen(values) =>
+        appendString(sb, values(rng.nextInt(values.size)))
+      case StrGen(minLen, maxLen) =>
+        val len = minLen + rng.nextInt(maxLen - minLen + 1)
+        sb.append('"')
+        var i = 0
+        while (i < len) { sb.append(('a' + rng.nextInt(26)).toChar); i += 1 }
+        sb.append('"')
+    }
+
+  private def nextLong(rng: Random, boundExclusive: Long): Long = {
+    val b = math.max(boundExclusive, 1L)
+    val r = rng.nextLong() % b
+    if (r < 0) r + b else r
+  }
+
+  private def appendString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case ch if ch < ' ' => sb.append(f"\\u${ch.toInt}%04x")
+        case ch => sb.append(ch)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import graft.expectations.Expectations
+import graft.schema.CompiledEntity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Medallion (bronze -> silver [+ quarantine]) provisioning over compiled
+  * entities — the engine's replacement for the reference's DLT pipeline
+  * (`/root/reference/README.md:80-111`: auto-loader bronze, `expect_all`
+  * silver) without any DLT dependency.
+  *
+  * Scale posture:
+  *  - Readers always take the COMPILED schema — no inference pass over the
+  *    data (inference reads everything twice and breaks on schema drift).
+  *  - Expectation evaluation is a codegen'd narrow map fused into the scan
+  *    (see [[graft.expectations.Expectations]]); adding N rules does not add
+  *    N passes.
+  *  - Streaming metrics ride `observe()` — per-batch violation counters
+  *    reach the driver through the listener bus with zero extra jobs.
+  */
+object Medallion {
+
+  /** Schema-enforced batch read. Missing fields become null, extra fields
+    * are dropped, malformed rows yield nulls (PERMISSIVE) — the reference's
+    * "enforce a schema over structured-looking data" semantics
+    * (README.md:41-56).
+    */
+  def readBatch(
+      spark: SparkSession,
+      entity: CompiledEntity,
+      format: String,
+      path: String,
+      options: Map[String, String] = Map.empty
+  ): DataFrame =
+    spark.read.format(format).options(options).schema(entity.schema).load(path)
+
+  /** Schema-enforced streaming read (file source / auto-loader analog).
+    * `maxFilesPerTrigger` caps per-microbatch file intake like the
+    * reference's `max_files` (README.md:94-98).
+    */
+  def readStream(
+      spark: SparkSession,
+      entity: CompiledEntity,
+      format: String,
+      path: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      options: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val base = spark.readStream.format(format).options(options).schema(entity.schema)
+    maxFilesPerTrigger.fold(base)(n =>
+      base.option("maxFilesPerTrigger", n.toString)).load(path)
+  }
+
+  /** Bronze -> silver: apply the entity's expectations in the given mode.
+    * Works identically for batch and streaming DataFrames (all modes are
+    * expressed as stateless projections/filters).
+    */
+  def toSilver(
+      bronze: DataFrame,
+      entity: CompiledEntity,
+      mode: Expectations.Mode = Expectations.Mode.Flag
+  ): DataFrame =
+    Expectations(bronze, entity.constraints, mode)
+
+  /** Bronze -> (silver, quarantine): valid rows and violating rows as two
+    * DataFrames sharing one scan lineage.
+    */
+  def toSilverWithQuarantine(
+      bronze: DataFrame,
+      entity: CompiledEntity
+  ): (DataFrame, DataFrame) =
+    Expectations.quarantine(bronze, entity.constraints)
+
+  /** Attach per-rule violation counters (and a row counter) as observed
+    * metrics named `observationName` — batch and streaming safe.
+    */
+  def withDqMetrics(
+      df: DataFrame,
+      entity: CompiledEntity,
+      observationName: String = "dq"
+  ): DataFrame =
+    Expectations.observed(df, entity.constraints, observationName)
+
+  /** Configure a streaming writer for a silver table: parquet sink with a
+    * checkpoint, `AvailableNow` (drain-and-stop) or continuous processing.
+    */
+  def silverWriter(
+      silver: DataFrame,
+      sinkPath: String,
+      checkpointPath: String,
+      availableNow: Boolean = true
+  ): DataStreamWriter[Row] = {
+    val w = silver.writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+  }
+}

@@ -1,14 +1,28 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column <-> catalyst Expression bridge. `classic.ExpressionUtils` is
-  * `private[sql]`, so this one-file shim lives under the spark package tree —
-  * the standard pattern for libraries that provide native expressions.
+/** Column <-> catalyst Expression bridge. `classic.ExpressionUtils` and the
+  * session function registry are `private[sql]`, so this one-file shim lives
+  * under the spark package tree — the standard pattern for libraries that
+  * provide native expressions.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register SQL functions on a live (classic) session. */
+  def registerFunctions(
+      spark: SparkSession,
+      fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)]
+  ): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
 }

@@ -1,0 +1,84 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.{Dedup, Similarity, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class HashExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingleHashes: sorted distinct window hashes; short docs empty") {
+    val df = Seq(
+      ("a", "one two three four"),
+      ("b", "one two three four"),   // identical => identical hash set
+      ("c", "four three two one"),   // same tokens, different order
+      ("d", "one two")               // fewer than 3 tokens => empty
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("a") == rows("b"))
+    assert(rows("a") != rows("c"))
+    assert(rows("a") == rows("a").sorted && rows("a").distinct == rows("a"))
+    assert(rows("d").isEmpty)
+  }
+
+  test("minhash signature: identical sets agree; length = numHashes; empty = sentinel") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "entirely different words appear in this one here"),
+      ("d", "x")
+    ).toDF("id", "text")
+      .select(col("id"),
+        Dedup.minhashSignature(TextFunctions.shingleHashes(col("text"), 2), 32).as("sig"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows.values.forall(_.length == 32))
+    assert(rows("a") == rows("b"))
+    assert(rows("a") != rows("c"))
+    assert(rows("d").forall(_ == Long.MaxValue))
+  }
+
+  test("simhash: identical texts hamming 0; near-identical close; different far") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("c", "the quick brown fox jumps over the lazy cat again and again today"),
+      ("d", "zip zap zop completely unrelated gibberish tokens forever more blah")
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.simhash64(col("text")).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("b")) == 0)
+    assert(ham(m("a"), m("c")) < ham(m("a"), m("d")))
+  }
+
+  test("cosine/dot: exact on known vectors") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(2f, 4f, 4f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))
+    ).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("cos"),
+        Similarity.dot(col("a"), col("b")).as("dot"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12 && rows(0).getDouble(1) == 1.0)
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
+    assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-12 && rows(2).getDouble(1) == 18.0)
+    assert(rows(3).getDouble(0) == 0.0) // degenerate => 0, not NaN
+  }
+
+  test("SQL registry: graft_* functions usable from SQL after register(spark)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash(array(1L, 2L, 3L)) AS sh,
+        |       graft_minhash(array(1L, 2L, 3L), 8) AS mh,
+        |       graft_shingle_hashes(array('a','b','c'), 2) AS sgl,
+        |       graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |                    array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cos
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](1).length == 8)
+    assert(r.getSeq[Long](2).length == 2)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly " +
+      "behind the tall green hills and the river runs quietly through the valley"
+
+  private lazy val docs = Seq(
+    (1L, base, "en"),
+    (2L, base, "en"),                                    // exact dup of 1
+    (3L, base.replace("quick", "swift"), "en"),          // near dup of 1
+    (4L, "completely different text about spaceships and distant galaxies far away " +
+      "from any known star system with unusual physics", "en"),
+    (5L, base, "de")                                     // same text, other block
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps first row per identical content") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text")).select("doc_id")
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhashPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L))) // unblocked: cross-lang dup found
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngramJaccardPairs blocks by language") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+        n = 2, threshold = 0.25)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L))) // other block
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhashPairs finds near-identical texts within hamming bound") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // identical => hamming 0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("bruteForceKnn returns correct exact neighbors") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(0f, 0f, 1f))
+    ).toDF("id", "vec")
+    val queries = corpus.where(col("id") === 1)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = Similarity.bruteForceKnn(queries, corpus, k = 2)
+      .select("rank", "neighbor").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 2L), (2, 3L)) || out == Seq((1, 2L), (2, 4L)))
+    // rank 1 must be the 0.9-cosine vector
+    assert(out.head == (1, 2L))
+  }
+
+  test("lshKnn: identical vectors always collide and rank first") {
+    val corpus = (1L to 50L).map { i =>
+      val v = new Array[Float](16)
+      v((i % 16).toInt) = 1f; v(((i + 3) % 16).toInt) = 0.5f
+      (i, v)
+    }.toDF("id", "vec")
+    val queries = corpus.where(col("id") === 7)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = Similarity.lshKnn(queries, corpus, k = 3, nPlanes = 4, tables = 4)
+      .select("rank", "neighbor", "cos").as[(Int, Long, Double)].collect()
+    // id 23 and 39 have identical direction to id 7 (i % 16 pattern repeats)
+    assert(out.nonEmpty)
+    assert(out.head._3 >= out.last._3)
+    val top = out.filter(_._3 > 0.999).map(_._2).toSet
+    assert(top.subsetOf(Set(23L, 39L)) && top.nonEmpty)
+  }
+
+  test("embeddingNearDupPairs finds planted duplicate vectors") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (1L to 40L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val planted = vecs :+ (99L, vecs.head._2.map(x => x * 1.001f)) // dup of id 1
+    val df = planted.toDF("id", "vec")
+    val pairs = Similarity.embeddingNearDupPairs(df, threshold = 0.99,
+        nPlanes = 6, tables = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 99L)))
+  }
+}

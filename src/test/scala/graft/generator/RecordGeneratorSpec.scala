@@ -1,0 +1,69 @@
+package graft.generator
+
+import graft.SparkTestBase
+import graft.expectations.Expectations
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+
+class RecordGeneratorSpec extends SparkTestBase {
+
+  private def modelDir = new ModelDirectory(resourcePath("/model"))
+
+  test("generation is deterministic for a fixed seed") {
+    val g1 = new RecordGenerator(modelDir, nullableRate = 0.5, seed = 7L)
+    val g2 = new RecordGenerator(modelDir, nullableRate = 0.5, seed = 7L)
+    assert(g1.generate("employee", 20) == g2.generate("employee", 20))
+    val g3 = new RecordGenerator(modelDir, nullableRate = 0.5, seed = 8L)
+    assert(g1.generate("employee", 20) != g3.generate("employee", 20))
+  }
+
+  test("distributed generation matches local generation regardless of partitioning") {
+    val g = new RecordGenerator(modelDir, nullableRate = 0.3, seed = 42L)
+    val local = g.generate("employee", 50)
+    val dist4 = g.generateDS(spark, "employee", 50, numPartitions = 4)
+      .collect().toSeq
+    val dist1 = g.generateDS(spark, "employee", 50, numPartitions = 1)
+      .collect().toSeq
+    assert(dist4.sorted == local.sorted)
+    assert(dist1.sorted == local.sorted)
+  }
+
+  test("round-trip: generated records load through the compiled schema") {
+    // Mirrors the reference's tests_generator.py round-trip (count parity) and
+    // strengthens it: every generated record must satisfy every non-MATCH
+    // constraint (the reference's own promise, README.md:115-116; pattern
+    // generation is unsupported there and here).
+    val g = new RecordGenerator(modelDir, nullableRate = 0.5, seed = 42L)
+    val df = g.generateTable(spark, "employee", 100)
+    assert(df.count() == 100)
+
+    val compiled = new SchemaCompiler(modelDir).compile("employee")
+    val nonMatch = compiled.constraints.filterNot { case (name, _) =>
+      name.endsWith("MATCH")
+    }
+    val violations = Expectations.violationReport(df, nonMatch.toMap).collect()
+    assert(violations.isEmpty,
+      s"generated data violates: ${violations.mkString(", ")}")
+  }
+
+  test("nullableRate=0 keeps every field; =1 drops every optional field") {
+    val keepAll = new RecordGenerator(modelDir, nullableRate = 0.0, seed = 1L)
+    val dropAll = new RecordGenerator(modelDir, nullableRate = 1.0, seed = 1L)
+    val full = keepAll.generate("employee", 10)
+    assert(full.forall(r => r.contains("\"role\"") && r.contains("\"high_fives\"")))
+    val bare = dropAll.generate("employee", 10)
+    assert(bare.forall(r => !r.contains("\"role\"") && !r.contains("\"high_fives\"")))
+    // required fields always present
+    assert(bare.forall(r => r.contains("\"id\"") && r.contains("\"person\"")))
+  }
+
+  test("array lengths are uniform within [minItems, maxItems]") {
+    // employee.skills has minItems=1 (and no maxItems => max(1, minItems)=1).
+    val g = new RecordGenerator(modelDir, nullableRate = 0.0, seed = 3L)
+    val df = g.generateTable(spark, "employee", 50)
+    import org.apache.spark.sql.functions._
+    val sizes = df.select(size(col("skills")).as("n"))
+      .agg(min("n"), max("n")).collect()(0)
+    assert(sizes.getInt(0) >= 1 && sizes.getInt(1) <= 1)
+  }
+}

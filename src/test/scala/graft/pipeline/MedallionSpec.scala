@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.expectations.Expectations
+import graft.generator.RecordGenerator
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+
+import java.nio.file.Files
+
+class MedallionSpec extends SparkTestBase {
+
+  private def modelDir = new ModelDirectory(resourcePath("/model"))
+  private lazy val compiled = new SchemaCompiler(modelDir).compile("employee")
+
+  test("batch medallion: bronze -> silver + quarantine over the golden corpus") {
+    val bronze = Medallion.readBatch(spark, compiled, "json",
+      resourcePath("/data/employee.json"))
+    assert(bronze.count() == 100)
+    val (silver, quarantined) = Medallion.toSilverWithQuarantine(bronze, compiled)
+    // Golden corpus: 28 valid / 72 invalid (one violation per rule except 70
+    // username MATCH; some rows violate several rules).
+    assert(silver.count() == 28)
+    assert(quarantined.count() == 72)
+  }
+
+  test("streaming medallion: schema-enforced stream, DQ metrics via observe, AvailableNow drain") {
+    val srcDir = Files.createTempDirectory("graft-stream-src")
+    val sinkDir = Files.createTempDirectory("graft-stream-sink")
+    val ckptDir = Files.createTempDirectory("graft-stream-ckpt")
+
+    // Two input files of clean generated records.
+    val gen = new RecordGenerator(modelDir, nullableRate = 0.0, seed = 11L)
+    val recs = gen.generate("employee", 40)
+    Files.write(srcDir.resolve("a.json"),
+      recs.take(20).mkString("\n").getBytes("UTF-8"))
+    Files.write(srcDir.resolve("b.json"),
+      recs.drop(20).mkString("\n").getBytes("UTF-8"))
+
+    val bronze = Medallion.readStream(spark, compiled, "json", srcDir.toString,
+      maxFilesPerTrigger = Some(1))
+    val silver = Medallion.withDqMetrics(
+      Medallion.toSilver(bronze, compiled, Expectations.Mode.Flag), compiled)
+
+    val q = Medallion.silverWriter(silver, sinkDir.toString, ckptDir.toString)
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(sinkDir.toString)
+    assert(out.count() == 40)
+    // Flag mode annotated rows; generated data is clean except username
+    // pattern (generation doesn't honor `pattern`, so MATCH may fire).
+    import org.apache.spark.sql.functions._
+    val nonMatchViolations = out
+      .select(explode(col("dq_violations")).as("rule"))
+      .where(!col("rule").endsWith("MATCH"))
+      .count()
+    assert(nonMatchViolations == 0)
+  }
+}
