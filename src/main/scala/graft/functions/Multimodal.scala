@@ -45,7 +45,7 @@ object Multimodal {
     val total = size(chunks)
     when(total <= n, chunks).otherwise(
       transform(sequence(lit(0), lit(n - 1)),
-        i => element_at(chunks, (i * total / n) + 1)))
+        i => element_at(chunks, floor(i * total / n).cast("int") + 1)))
   }
 
   /** The decode + feature-extraction seam. In production this is where the

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions over the declared queries: the properties
+  * that make these plans survive a 100x scale-up — filter pushdown into the
+  * parquet scan, column pruning, broadcast of small dimensions, top-k as
+  * TakeOrderedAndProject — must hold structurally, not by luck.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01 pushes filters into the parquet scan and prunes columns") {
+    val p = plan("q01_filter_project")
+    // The filters must reach the parquet scan (not just a post-scan Filter).
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // Projection needs 6 of 11 lineitem columns; the scan schema must not
+    // include unneeded ones like l_partkey/l_suppkey.
+    assert(!p.contains("l_partkey"), p)
+  }
+
+  test("q03/q04 broadcast the small dimension tables") {
+    assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
+    val p4 = plan("q04_join_multiway")
+    assert(p4.contains("BroadcastHashJoin"))
+    // The big fact-fact join (lineitem x orders) must NOT be a nested loop.
+    assert(!p4.contains("BroadcastNestedLoopJoin"), p4)
+  }
+
+  test("q16 plans top-k as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q16_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q06/q07 plan as semi/anti joins, not materialized subqueries") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("q02 aggregates with partial (map-side) aggregation") {
+    val p = plan("q02_agg_pricing")
+    // HashAggregate appears twice: partial then final.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("DQ violation counts is a single-pass aggregate with no join or generate") {
+    val p = plan("q27_dq_counts")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("dedup/minhash pipeline joins candidates by equi-keys, never cross-product") {
+    val p = plan("q33_minhash_pairs")
+    // The LSH band self-join and verification joins must all be hash
+    // equi-joins (broadcast at this tiny SF, shuffled-hash/sort-merge at
+    // scale) — any nested-loop/cartesian operator means the banding failed
+    // to produce an equi-join structure.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    (1L, "0123456789abcdef0123456789".getBytes("UTF-8")),
+    (2L, "tiny".getBytes("UTF-8")),
+    (3L, Array.emptyByteArray)
+  ).toDF("id", "payload")
+
+  test("mediaMeta attaches kind, byte count, checksum") {
+    val out = media.select(col("id"),
+        Multimodal.mediaMeta(col("payload"), "image").as("meta"))
+      .select("id", "meta.kind", "meta.n_bytes", "meta.checksum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out.contains((1L, "image", 26)))
+    assert(out.contains((2L, "image", 4)))
+    assert(out.contains((3L, "image", 0)))
+  }
+
+  test("chunk splits payloads into fixed-size binary chunks") {
+    val out = media.where(col("id") === 1)
+      .select(Multimodal.chunk(col("payload"), 10).as("chunks"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(out.length == 3)
+    assert(new String(out(0), "UTF-8") == "0123456789")
+    assert(new String(out(2), "UTF-8") == "456789")
+  }
+
+  test("frameSample caps chunk count with even spacing") {
+    val out = media.where(col("id") === 1)
+      .select(Multimodal.frameSample(col("payload"), 2, 4).as("frames"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(out.length == 4) // 13 chunks sampled down to 4
+  }
+
+  test("decodeStub produces deterministic 8-dim features through mapPartitions") {
+    val out1 = Multimodal.decodeStub(media, "id", "payload")
+      .orderBy("id").collect()
+    val out2 = Multimodal.decodeStub(media, "id", "payload")
+      .orderBy("id").collect()
+    assert(out1.sameElements(out2))
+    assert(out1.length == 3)
+    assert(out1.forall(_.getSeq[Float](1).length == 8))
+  }
+}
