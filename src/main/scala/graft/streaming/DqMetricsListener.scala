@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Collects per-microbatch data-quality counters emitted through
+  * `Expectations.observed` / `Medallion.withDqMetrics` (`df.observe(...)`).
+  *
+  * The metrics ride the streaming progress events, so they cost ZERO extra
+  * jobs or passes over the data — this is the engine's replacement for DLT's
+  * per-expectation metrics UI (`/root/reference/README.md:104-111`).
+  *
+  * {{{
+  * val listener = new DqMetricsListener("dq")
+  * spark.streams.addListener(listener)
+  * ... run the query ...
+  * listener.totals  // rule -> violation count across all batches
+  * }}}
+  */
+final class DqMetricsListener(observationName: String = "dq")
+    extends StreamingQueryListener {
+
+  private val batches =
+    new ConcurrentLinkedQueue[(Long, Map[String, Long])]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val observed = e.progress.observedMetrics.asScala.get(observationName)
+    observed.foreach { row =>
+      val m = row.schema.fieldNames.zipWithIndex.map { case (name, i) =>
+        name -> (row.get(i) match {
+          case l: java.lang.Long    => l.longValue()
+          case i2: java.lang.Integer => i2.longValue()
+          case other                => Option(other).map(_.toString.toLong).getOrElse(0L)
+        })
+      }.toMap
+      batches.add(e.progress.batchId -> m)
+    }
+  }
+
+  /** (batchId, metricName -> value) in arrival order. */
+  def perBatch: Seq[(Long, Map[String, Long])] = batches.asScala.toSeq
+
+  /** Metric totals summed across all observed batches. */
+  def totals: Map[String, Long] =
+    perBatch.flatMap(_._2).groupMapReduce(_._1)(_._2)(_ + _)
+}

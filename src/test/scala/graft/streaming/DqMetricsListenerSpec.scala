@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.expectations.Expectations
+import graft.generator.RecordGenerator
+import graft.model.ModelDirectory
+import graft.pipeline.Medallion
+import graft.schema.SchemaCompiler
+
+import java.nio.file.Files
+
+class DqMetricsListenerSpec extends SparkTestBase {
+
+  test("per-batch DQ counters arrive via the listener with no extra jobs") {
+    val modelDir = new ModelDirectory(resourcePath("/model"))
+    val compiled = new SchemaCompiler(modelDir).compile("employee")
+
+    val srcDir = Files.createTempDirectory("graft-dql-src")
+    val sinkDir = Files.createTempDirectory("graft-dql-sink")
+    val ckptDir = Files.createTempDirectory("graft-dql-ckpt")
+
+    val gen = new RecordGenerator(modelDir, nullableRate = 0.0, seed = 21L)
+    val recs = gen.generate("employee", 30)
+    // One record per file-batch boundary: 2 files -> 2 microbatches.
+    Files.write(srcDir.resolve("a.json"),
+      recs.take(15).mkString("\n").getBytes("UTF-8"))
+    Files.write(srcDir.resolve("b.json"),
+      recs.drop(15).mkString("\n").getBytes("UTF-8"))
+
+    val listener = new DqMetricsListener("dq")
+    spark.streams.addListener(listener)
+    try {
+      val bronze = Medallion.readStream(spark, compiled, "json", srcDir.toString,
+        maxFilesPerTrigger = Some(1))
+      // Observe on bronze (pre-filter) so the counters describe ALL input
+      // rows, then drop violating rows on the way to silver.
+      val observed = Medallion.withDqMetrics(bronze, compiled)
+      val silver = Medallion.toSilver(observed, compiled, Expectations.Mode.Drop)
+      val q = Medallion.silverWriter(silver, sinkDir.toString, ckptDir.toString)
+        .start()
+      q.awaitTermination(120000)
+
+      // Listener events are delivered asynchronously; poll briefly.
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.totals.getOrElse("rows", 0L) < 30 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+
+      val totals = listener.totals
+      assert(totals("rows") == 30, totals)
+      assert(listener.perBatch.size >= 2, listener.perBatch)
+      // Generated data violates nothing except possibly username MATCH.
+      val nonMatch = totals.view
+        .filterKeys(k => k != "rows" && !k.endsWith("MATCH")).toMap
+      assert(nonMatch.values.forall(_ == 0L), nonMatch)
+    } finally spark.streams.removeListener(listener)
+  }
+}
