@@ -394,7 +394,18 @@ object SparkEntry {
       Multimodal.decodeStub(
           t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
           "doc_id", "payload")
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // --- 42. IVF approximate kNN (KMeans cells + probe search; no SQL oracle) ----------------------------
+    "q42_knn_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = graft.functions.Ivf.fit(e.withColumnRenamed("vec", "v")
+        .select(col("v").as("vec")), "vec", k = 8, seed = 42L)
+      graft.functions.Ivf.knn(
+        e.where(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec")),
+        e, k = 5, model, nProbe = 2)
+    })
   )
 
   // ------------------------------------------------------- SQL-shared queries

@@ -130,6 +130,50 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** Indices of the `nProbe` nearest centroids to `vec` by cosine
+    * similarity, best first. `centroids` is a dense row-major matrix.
+    */
+  def nearestCentroids(vec: ArrayData, centroids: Array[Array[Float]], nProbe: Int): ArrayData = {
+    val k = centroids.length
+    val dims = vec.numElements()
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var d = 0
+      val n = math.min(dims, cent.length)
+      while (d < n) {
+        val x = vec.getFloat(d).toDouble
+        val y = cent(d).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        d += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      sims(c) = if (nn > 0) dot / nn else -2.0
+      c += 1
+    }
+    val p = math.min(nProbe, k)
+    val out = new Array[Int](p)
+    val taken = new Array[Boolean](k)
+    var i = 0
+    while (i < p) {
+      var best = -1
+      var bestSim = -3.0
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && sims(j) > bestSim) { best = j; bestSim = sims(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over pre-hashed tokens: bit b of each token hash votes
     * +-1; signature bit b is 1 iff the vote total is positive. Bit-for-bit
     * identical to the higher-order-function formulation it replaces.

@@ -114,6 +114,32 @@ case class HyperplaneBucketsExpr(child: Expression, tables: Int, planes: Int)
   override def prettyName: String = "graft_hyperplane_buckets"
 }
 
+/** `array<float>` vector -> `array<int>` of the nProbe nearest centroid ids
+  * (cosine, best first). The centroid matrix rides the plan as a codegen
+  * reference object — evaluated row-locally with no join against a
+  * centroid table.
+  */
+case class NearestCentroidsExpr(
+    child: Expression,
+    centroids: Array[Array[Float]],
+    nProbe: Int
+) extends UnaryExpression {
+  require(centroids.nonEmpty && nProbe > 0, "need centroids and nProbe > 0")
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatVec.check(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.nearestCentroids(input.asInstanceOf[ArrayData], centroids, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.GraftHash.nearestCentroids($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroids"
+}
+
 /** `array<bigint>` of token hashes -> `bigint` 64-bit SimHash. */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression {

@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.expressions.NearestCentroidsExpr
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** IVF (inverted-file) approximate nearest neighbor search: the corpus is
+  * partitioned into k Voronoi cells by KMeans centroids; each query scores
+  * only the cells of its `nProbe` nearest centroids.
+  *
+  * Scale design:
+  *  - `fit` trains on a SAMPLE (centroid quality needs thousands of points,
+  *    not the corpus) — the only stage that sees the training set twice.
+  *  - The centroid matrix (k x dim floats) lives in the plan as a codegen
+  *    reference object ([[graft.expressions.NearestCentroidsExpr]]): cell
+  *    assignment is a row-local narrow map, there is no centroid join and
+  *    no shuffle to assign.
+  *  - Search cost per query is `nProbe/k` of the corpus; recall rises
+  *    monotonically with nProbe (nProbe = k is exact brute force).
+  *  - At 100 TB the assigned corpus would be written out partitioned by
+  *    `cell` so probes prune files at scan time; here assignment happens
+  *    inline.
+  */
+object Ivf {
+
+  /** A fitted IVF index: row-major centroid matrix. */
+  final case class Model(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Train centroids with KMeans (cosine distance) on a sample of `vecCol`. */
+  def fit(
+      corpus: DataFrame,
+      vecCol: String,
+      k: Int,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L
+  ): Model = {
+    val sampled =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    val train = sampled.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans()
+      .setK(k)
+      .setSeed(seed)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features")
+    val model = km.fit(train)
+    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** Column: the ids of the `nProbe` nearest cells for a vector. */
+  def cells(vec: Column, model: Model, nProbe: Int): Column =
+    Bridge.column(NearestCentroidsExpr(Bridge.expression(vec), model.centroids, nProbe))
+
+  /** Approximate top-k: corpus rows live in their single nearest cell;
+    * queries probe their `nProbe` nearest cells; scoring is exact cosine
+    * within the probed cells.
+    */
+  def knn(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame,  // (id, vec)
+      k: Int,
+      model: Model,
+      nProbe: Int = 2
+  ): DataFrame = {
+    val cb = corpus.withColumn("cell",
+      cells(col("vec"), model, nProbe = 1).getItem(0))
+    val qb = queries.withColumn("cell",
+      explode(cells(col("qvec"), model, nProbe)))
+    val scored = cb.as("c").join(broadcast(qb).as("q"),
+        col("q.cell") === col("c.cell") && col("q.qid") =!= col("c.id"))
+      .select(col("q.qid").as("qid"), col("c.id").as("id"),
+        Similarity.cosine(col("q.qvec"), col("c.vec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

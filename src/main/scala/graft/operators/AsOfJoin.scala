@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the most recent
+  * right row with the same key whose time is <= the left row's time
+  * (optionally within a tolerance window). The canonical time-series /
+  * training-data operation Spark lacks as a built-in.
+  *
+  * Implementation: preference order (a) from the build rules — composed from
+  * existing operators, no custom physical plan. Both sides are unioned and
+  * sorted within each key partition; the right-side payload is propagated
+  * forward with `last(..., ignoreNulls=true)` over a running window, then
+  * only left rows are kept. Cost: ONE hash shuffle on the key (both sides
+  * together) + an in-partition sort — strictly cheaper than the
+  * sort-merge-join + per-row backward scan a naive range join would plan,
+  * and skew behaves like any keyed window (AQE-visible).
+  *
+  * Semantics match the common `merge_asof`/ASOF JOIN "backward" direction:
+  * ties (equal timestamps) take the right row; multiple right rows at the
+  * same (key, time) resolve to the last one in `tieBreak` order.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (e.g. events needing point-in-time state)
+    * @param right      reference side (e.g. quotes/dimension snapshots)
+    * @param keyCols    equality keys present on both sides
+    * @param leftTime   event-time column name on `left`
+    * @param rightTime  event-time column name on `right`
+    * @param tolerance  optional max staleness; a right row older than
+    *                   `leftTime - tolerance` does not match
+    * @param rightCols  right payload columns to attach (default: all except
+    *                   keys and time)
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column] = None,
+      rightCols: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val payload =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.toSeq.diff(keyCols :+ rightTime)
+    val leftOut = left.columns.toSeq
+
+    // Conform both sides to (keys..., __t, __side, leftPayload..., rightPayload...)
+    val lConformed = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(
+        keyCols.map(col) ++ Seq(col("__t"), col("__side")) ++
+          leftOut.diff(keyCols).map(col) ++
+          payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rConformed = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(
+        keyCols.map(col) ++ Seq(col("__t"), col("__side")) ++
+          leftOut.diff(keyCols).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(c => col(c).as(s"__r_$c")): _*)
+
+    // One shuffle: partition by key, order by (time, side) so a right row at
+    // time T sorts before a left row at the same T (backward-inclusive ties).
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = lConformed.unionByName(rConformed)
+      .withColumn("__rt", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val withPayload = payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"__r_$c",
+        last(when(col("__side") === 0, col(s"__r_$c")), ignoreNulls = true).over(w))
+    }
+
+    val fresh = tolerance match {
+      case Some(tol) => col("__rt").isNotNull && col("__t") - col("__rt") <= tol
+      case None      => col("__rt").isNotNull
+    }
+    val nulled = payload.foldLeft(withPayload.where(col("__side") === 1)) { (df, c) =>
+      df.withColumn(s"__r_$c", when(fresh, col(s"__r_$c")))
+    }
+    nulled.select(
+      leftOut.map(col) ++
+        payload.map(c => col(s"__r_$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys.
+  *
+  * AQE's skew-join splitting handles most runtime skew; these helpers cover
+  * the cases it cannot: a single group whose PARTIAL aggregation state is
+  * itself too large for one task (e.g. `collect_list`/`collect_set` on a hot
+  * key), and broadcast-salted joins where one side's hot keys must be
+  * replicated deterministically.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: rows are spread over `saltBuckets`
+    * sub-groups of each key, partially aggregated per (key, salt), then
+    * merged per key. Use when a single key's row count dwarfs a partition.
+    *
+    * @param aggs   (partialAgg, mergeAgg, outName): e.g.
+    *               `(sum(col("x")), sum(col("x_p")), "x")` — the partial
+    *               runs per (key, salt) producing `<outName>_p`, the merge
+    *               runs per key over the partials.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int,
+      aggs: Seq[(Column, String => Column, String)]
+  ): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partials = salted
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(aggs.head._1.as(s"${aggs.head._3}__p"),
+        aggs.tail.map { case (p, _, n) => p.as(s"${n}__p") }: _*)
+    partials
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head._2(s"${aggs.head._3}__p").as(aggs.head._3),
+        aggs.tail.map { case (_, m, n) => m(s"${n}__p").as(n) }: _*)
+  }
+
+  /** Convenience: salted sum of one column (exact for any numeric type). */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      saltBuckets: Int = 32): DataFrame =
+    saltedAgg(df, keyCols, saltBuckets,
+      Seq((sum(col(valueCol)), (p: String) => sum(col(p)), valueCol)))
+
+  /** Salted inner equi-join for a skewed LEFT side: each left row gets a
+    * random salt in [0, saltBuckets); the (smaller) right side is replicated
+    * across ALL salt values, so hot left keys spread over `saltBuckets`
+    * tasks. Right replication multiplies its shuffle volume by
+    * `saltBuckets` — keep the right side the small one.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int = 8
+  ): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    l.join(r, keyCols :+ "__salt").drop("__salt")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4 well-separated direction clusters in 8 dims, 25 vectors each.
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(9)
+    (0 until 100).map { i =>
+      val base = new Array[Float](8)
+      base(2 * (i % 4)) = 1f
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+  }
+
+  test("fit produces k centroids; cells assign consistently") {
+    val model = Ivf.fit(corpus, "vec", k = 4, seed = 1L)
+    assert(model.k == 4)
+    val assigned = corpus.withColumn("cell",
+      Ivf.cells(col("vec"), model, 1).getItem(0))
+    // every cluster of ids (i % 4) should map to a single cell
+    val m = assigned.select((col("id") % 4).as("grp"), col("cell"))
+      .groupBy("grp").agg(countDistinct("cell").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(m.values.forall(_ == 1), m)
+  }
+
+  test("knn with nProbe=1 recovers same-cluster neighbors; matches brute force top1") {
+    val model = Ivf.fit(corpus, "vec", k = 4, seed = 1L)
+    val queries = corpus.where(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val ivf = Ivf.knn(queries, corpus, k = 3, model, nProbe = 1)
+      .select("qid", "rank", "neighbor").as[(Long, Int, Long)].collect()
+    val brute = Similarity.bruteForceKnn(queries, corpus, k = 3)
+      .select("qid", "rank", "neighbor").as[(Long, Int, Long)].collect()
+    // top-1 neighbor agrees with brute force for every query (clusters are
+    // well separated, so the nearest neighbor is always in the same cell)
+    val ivfTop = ivf.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val bruteTop = brute.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(ivfTop == bruteTop)
+    // all returned neighbors are same-cluster (id % 4 equal)
+    assert(ivf.forall { case (q, _, n) => q % 4 == n % 4 })
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asOfJoin attaches the most recent right row per key (backward, tie = right)") {
+    val trades = Seq(
+      ("A", 10L, 100.0),
+      ("A", 20L, 101.0),
+      ("A", 5L, 99.0),
+      ("B", 15L, 50.0),
+      ("C", 9L, 7.0) // no quotes for C
+    ).toDF("sym", "t", "price")
+    val quotes = Seq(
+      ("A", 8L, 1.0),
+      ("A", 10L, 2.0),  // tie with trade at t=10 -> must match
+      ("A", 18L, 3.0),
+      ("B", 30L, 9.0)   // later than B's trade -> no match
+    ).toDF("sym", "qt", "quote")
+
+    val out = AsOfJoin(trades, quotes, Seq("sym"), "t", "qt")
+      .orderBy("sym", "t")
+      .select("sym", "t", "price", "quote")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+
+    assert(out == Seq(
+      ("A", 5L, None),          // before first quote
+      ("A", 10L, Some(2.0)),    // tie-inclusive
+      ("A", 20L, Some(3.0)),
+      ("B", 15L, None),         // quote only later
+      ("C", 9L, None)
+    ))
+  }
+
+  test("asOfJoin tolerance drops stale matches") {
+    val l = Seq(("A", 100L, 1)).toDF("k", "t", "v")
+    val r = Seq(("A", 10L, 42.0)).toDF("k", "qt", "ref")
+    val near = AsOfJoin(l, r, Seq("k"), "t", "qt",
+      tolerance = Some(lit(1000L))).select("ref").collect()(0)
+    assert(near.getDouble(0) == 42.0)
+    val far = AsOfJoin(l, r, Seq("k"), "t", "qt",
+      tolerance = Some(lit(50L))).select("ref").collect()(0)
+    assert(far.isNullAt(0))
+  }
+
+  test("saltedSum matches plain groupBy sum") {
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) "cold" + i else "hot", i.toLong))
+      .toDF("k", "v")
+    val expected = df.groupBy("k").agg(sum("v").as("v")).orderBy("k")
+      .as[(String, Long)].collect().toSeq
+    val got = Skew.saltedSum(df, Seq("k"), "v", saltBuckets = 16).orderBy("k")
+      .as[(String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("saltedJoin matches plain join results") {
+    val left = (1 to 5000).map(i => ("hot", i)).toDF("k", "v")
+      .union(Seq(("cold", 0)).toDF("k", "v"))
+    val right = Seq(("hot", 10), ("cold", 20), ("absent", 30)).toDF("k", "w")
+    val expected = left.join(right, Seq("k")).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw")).orderBy("k")
+      .as[(String, Long, Long)].collect().toSeq
+    val got = Skew.saltedJoin(left, right, Seq("k"), saltBuckets = 4).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw")).orderBy("k")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+}
