@@ -2,6 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Tight-loop kernels behind the custom hash expressions. Static forwarders
   * (Scala object => static methods on the companion class) make these
@@ -128,6 +129,39 @@ object GraftHash {
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Winnowing-style document fingerprint: min of xxhash64 over every
+    * k-character window of the text; whole-text hash when shorter than k.
+    * One pass to index char boundaries, then each window hashes its byte
+    * slice in place — O(len) positioning, no per-window string copies
+    * (UTF8String.substring would seek from the start every call: O(len^2)).
+    */
+  def fingerprint(text: UTF8String, k: Int): Long = {
+    val base = text.getBaseObject
+    val offset = text.getBaseOffset
+    val nBytes = text.numBytes()
+    // Char-start byte positions (relative), one pass over the bytes.
+    val starts = new Array[Int](nBytes + 1)
+    var nChars = 0
+    var b = 0
+    while (b < nBytes) {
+      starts(nChars) = b
+      b += UTF8String.numBytesForFirstByte(text.getByte(b))
+      nChars += 1
+    }
+    starts(nChars) = nBytes
+    if (nChars < k) return XXH64.hashUnsafeBytes(base, offset, nBytes, 42L)
+    var min = Long.MaxValue
+    var i = 0
+    val last = nChars - k
+    while (i <= last) {
+      val from = starts(i)
+      val h = XXH64.hashUnsafeBytes(base, offset + from, starts(i + k) - from, 42L)
+      if (h < min) min = h
+      i += 1
+    }
+    min
   }
 
   /** Indices of the `nProbe` nearest centroids to `vec` by cosine

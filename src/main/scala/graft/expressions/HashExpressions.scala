@@ -65,6 +65,25 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** `string` -> `bigint` winnowing fingerprint (min hash over k-char windows). */
+case class FingerprintExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "window width must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.fingerprint(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.fingerprint($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fingerprint"
+}
+
 /** Cosine similarity of two `array<float>` vectors -> `double`. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -56,13 +56,14 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(tokens(text)), n))
 
   /** Deterministic 64-bit document fingerprint: min of xxhash64 over all
-    * k-byte character windows (a winnowing-style rolling-hash fingerprint).
+    * k-character windows (a winnowing-style rolling-hash fingerprint).
+    * Runs as a native codegen'd expression
+    * ([[graft.expressions.FingerprintExpr]]).
     */
   def fingerprint(text: Column, k: Int = 8): Column =
-    when(length(text) >= k,
-      array_min(transform(sequence(lit(1), length(text) - (k - 1)),
-        i => xxhash64(text.substr(i, lit(k))))))
-      .otherwise(xxhash64(text))
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.FingerprintExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), k))
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column = {
