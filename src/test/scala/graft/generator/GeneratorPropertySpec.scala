@@ -1,0 +1,93 @@
+package graft.generator
+
+import graft.SparkTestBase
+import graft.expectations.Expectations
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.nio.file.Files
+
+/** Property-based round-trip (SURVEY.md §5, strengthened test 6): for
+  * randomly composed schemas, generated records must load through the
+  * compiled schema and satisfy every generated non-MATCH constraint.
+  * (ScalaCheck Gen driven directly with fixed seeds — the scalatest
+  * bridge artifact is not available offline.)
+  */
+class GeneratorPropertySpec extends SparkTestBase {
+
+  // --- random schema composition -------------------------------------------
+
+  private val atomGen: Gen[String] = Gen.oneOf(
+    """{"type": "integer", "minimum": 5, "maximum": 50}""",
+    """{"type": "integer"}""",
+    """{"type": "number", "minimum": -1.5, "maximum": 1.5}""",
+    """{"type": "boolean"}""",
+    """{"type": "string", "minLength": 2, "maxLength": 6}""",
+    """{"type": "string", "enum": ["RED", "GREEN", "BLUE"]}""",
+    """{"type": "string", "format": "date", "min": "2000-01-01", "max": "2010-12-31"}""",
+    """{"type": "string", "format": "date-time", "min": "2000-01-01", "max": "2001-01-01"}""",
+    """{"type": "string", "format": "uuid"}"""
+  )
+
+  // NOTE on required-ness: object-valued fields are always marked required
+  // here. A NULLABLE constraint on a nested required field (`a.b IS NOT
+  // NULL`) fires when an OPTIONAL ancestor is dropped — a quirk shared with
+  // the reference (SURVEY.md §8 Q15), so the round-trip promise only holds
+  // when object ancestors are required. Atomic fields still exercise the
+  // optional-drop path.
+  private def objBody(inner: Seq[String], reqAtoms: Seq[Int]): String = {
+    val props = inner.zipWithIndex
+      .map { case (f, i) => s""""f$i": $f""" }.mkString(",")
+    val required = inner.zipWithIndex.collect {
+      case (f, i) if f.contains("\"object\"") || reqAtoms.contains(i) => s""""f$i""""
+    }.mkString(",")
+    s"""{"type": "object", "properties": {$props}, "required": [$required]}"""
+  }
+
+  private def fieldGen(depth: Int): Gen[String] =
+    if (depth <= 0) atomGen
+    else Gen.frequency(
+      6 -> atomGen,
+      2 -> (for {
+        n <- Gen.choose(1, 3)
+        inner <- Gen.listOfN(n, fieldGen(depth - 1))
+        req <- Gen.someOf(0 until n)
+      } yield objBody(inner, req.toSeq)),
+      2 -> (for {
+        elem <- atomGen
+        minI <- Gen.choose(0, 2)
+        maxI <- Gen.choose(2, 5)
+      } yield s"""{"type": "array", "minItems": $minI, "maxItems": $maxI, "items": $elem}""")
+    )
+
+  private val entityGen: Gen[String] = for {
+    n <- Gen.choose(1, 5)
+    fields <- Gen.listOfN(n, fieldGen(2))
+    req <- Gen.someOf(0 until n)
+  } yield objBody(fields, req.toSeq)
+
+  test("random schemas: compile -> generate -> enforce -> zero non-MATCH violations") {
+    val params = Gen.Parameters.default
+    (1 to 15).foreach { i =>
+      val schemaJson = entityGen.apply(params, Seed(i.toLong)).getOrElse(
+        fail(s"schema gen failed for seed $i"))
+      val rate = (i - 1) / 14.0
+      val dir = Files.createTempDirectory("graft-prop")
+      Files.write(dir.resolve("entity.json"), schemaJson.getBytes("UTF-8"))
+      val model = new ModelDirectory(dir.toString)
+      val compiled = new SchemaCompiler(model).compile("entity")
+      val gen = new RecordGenerator(model, nullableRate = rate, seed = 42L)
+      val df = gen.generateTable(spark, "entity", 40)
+      assert(df.count() == 40)
+      val nonMatch = compiled.constraints
+        .filterNot { case (name, _) => name.endsWith("MATCH") }
+      if (nonMatch.nonEmpty) {
+        val bad = Expectations.violationReport(df, nonMatch.toMap).collect()
+        assert(bad.isEmpty,
+          s"schema $schemaJson rate $rate violates: ${bad.mkString(",")}")
+      }
+    }
+  }
+}
