@@ -83,6 +83,22 @@ object Medallion {
   ): DataFrame =
     Expectations.observed(df, entity.constraints, observationName)
 
+  /** Write a table partitioned by low-cardinality key columns so downstream
+    * scans with partition-key predicates prune files instead of reading them
+    * (`PartitionFilters` in the plan). The 100 TB layout rule: partition by
+    * the columns queries filter on (date, source, language), bucket or sort
+    * within partitions only when a co-located join justifies it.
+    */
+  def writeTable(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String] = Seq.empty,
+      format: String = "parquet"
+  ): Unit = {
+    val w = df.write.format(format).mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
   /** Configure a streaming writer for a silver table: parquet sink with a
     * checkpoint, `AvailableNow` (drain-and-stop) or continuous processing.
     */

@@ -24,6 +24,19 @@ class MedallionSpec extends SparkTestBase {
     assert(quarantined.count() == 72)
   }
 
+  test("partitioned writes prune partitions at scan time") {
+    val out = Files.createTempDirectory("graft-part").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Medallion.writeTable(docs, out, partitionBy = Seq("lang"))
+
+    val scan = spark.read.parquet(out).where(org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    // All rows of exactly the one partition, none of the others.
+    val expected = docs.where("lang = 'en'").count()
+    assert(scan.count() == expected)
+  }
+
   test("streaming medallion: schema-enforced stream, DQ metrics via observe, AvailableNow drain") {
     val srcDir = Files.createTempDirectory("graft-stream-src")
     val sinkDir = Files.createTempDirectory("graft-stream-sink")
