@@ -82,7 +82,15 @@ object ConstraintRules {
     * strings (util.py:299-380). Date-formatted strings go through
     * [[validateDates]] instead.
     */
-  def validateStrings(path: String, props: JsonNode): ListMap[String, String] = {
+  def validateStrings(path: String, props: JsonNode): ListMap[String, String] =
+    validateStrings(path, props, compat = false)
+
+  /** @param compat reproduce the reference byte-exactly, INCLUDING its bugs:
+    *               the malformed duration quantifier `\d{+}` (Q6) and the
+    *               format regex clobbering a user `pattern` under the single
+    *               `[path] MATCH` key (Q5).
+    */
+  def validateStrings(path: String, props: JsonNode, compat: Boolean): ListMap[String, String] = {
     var out = ListMap.empty[String, String]
     val fmt = optText(props, "format")
     val pattern = optText(props, "pattern")
@@ -93,8 +101,9 @@ object ConstraintRules {
     fmt.foreach {
       case "duration" =>
         // Fixed vs reference: `\d+`, not the malformed `\d{+}` (SURVEY §8 Q6).
+        val d = if (compat) "\\d{+}" else "\\d+"
         out += s"[$path] MATCH" ->
-          s"$path IS NULL OR $path RLIKE '^P\\d+[YMWD]$$' OR $path RLIKE '^T\\d+[HMS]$$'"
+          s"$path IS NULL OR $path RLIKE '^P$d[YMWD]$$' OR $path RLIKE '^T$d[HMS]$$'"
       case f if formatPatterns.contains(f) =>
         out += s"[$path] MATCH" -> s"$path IS NULL OR $path RLIKE '${formatPatterns(f)}'"
       case _ => ()
@@ -102,9 +111,13 @@ object ConstraintRules {
 
     pattern.foreach { p =>
       // When a format constraint is also present, keep both under distinct
-      // names (SURVEY §8 Q5) instead of the reference's key collision.
-      val nme = if (out.contains(s"[$path] MATCH")) s"[$path] PATTERN" else s"[$path] MATCH"
-      out += nme -> s"$path IS NULL OR $path RLIKE '$p'"
+      // names (SURVEY §8 Q5) instead of the reference's key collision — in
+      // compat mode the canned format regex wins, as in the reference.
+      val hasFormatMatch = out.contains(s"[$path] MATCH")
+      if (!(compat && hasFormatMatch)) {
+        val nme = if (hasFormatMatch) s"[$path] PATTERN" else s"[$path] MATCH"
+        out += nme -> s"$path IS NULL OR $path RLIKE '$p'"
+      }
     }
 
     enum0.foreach { vals =>

@@ -34,9 +34,10 @@ final case class CompiledEntity(
   * `required`. Unsupported (same rejection semantics as the reference):
   * `anyOf`/`oneOf`, `map`, `decimal`, `binary`.
   */
-final class SchemaCompiler(model: ModelDirectory) {
+final class SchemaCompiler(model: ModelDirectory, compat: Boolean) {
 
-  def this(path: String) = this(new ModelDirectory(path))
+  def this(model: ModelDirectory) = this(model, compat = false)
+  def this(path: String) = this(new ModelDirectory(path), compat = false)
 
   /** Compile one entity. Pure: every call returns a fresh constraint map. */
   def compile(entityName: String): CompiledEntity = {
@@ -194,7 +195,7 @@ final class SchemaCompiler(model: ModelDirectory) {
           if (fmt.contains("date") || fmt.contains("date-time"))
             acc ++= ConstraintRules.validateDates(path, props)
           else
-            acc ++= ConstraintRules.validateStrings(path, props)
+            acc ++= ConstraintRules.validateStrings(path, props, compat)
       }
     }
     StructField(fieldName, dataType, isNullable, commentMetadata(desc))

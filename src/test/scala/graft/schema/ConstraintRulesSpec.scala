@@ -68,6 +68,19 @@ class ConstraintRulesSpec extends AnyFunSuite {
     assert(both.contains("[`f`] MATCH") && both.contains("[`f`] PATTERN"))
   }
 
+  test("compat mode reproduces the reference's bugs byte-exactly") {
+    // Q6: malformed duration quantifier preserved
+    val dur = ConstraintRules.validateStrings(
+      "`f`", props("""{"format": "duration"}"""), compat = true)
+    assert(dur("[`f`] MATCH") ==
+      "`f` IS NULL OR `f` RLIKE '^P\\d{+}[YMWD]$' OR `f` RLIKE '^T\\d{+}[HMS]$'")
+    // Q5: the canned format regex clobbers a user pattern
+    val both = ConstraintRules.validateStrings(
+      "`f`", props("""{"format": "uuid", "pattern": "^x$"}"""), compat = true)
+    assert(both.contains("[`f`] MATCH") && !both.contains("[`f`] PATTERN"))
+    assert(both("[`f`] MATCH").contains("^[0-9a-fA-F]{8}-"))
+  }
+
   test("dates") {
     assert(ConstraintRules.validateDates("`foobar`", props("""{"min": "2019-01-01"}""")) ==
       Map("[`foobar`] VALUE" -> "`foobar` IS NULL OR `foobar` >= '2019-01-01'"))
