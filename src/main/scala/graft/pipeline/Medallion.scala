@@ -99,6 +99,24 @@ object Medallion {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Write a catalog table bucketed (and optionally sorted) by join keys.
+    * Two tables bucketed the same way join WITHOUT a shuffle — the 100 TB
+    * answer for repeated large-large equi-joins (e.g. fact-fact on order
+    * key): pay the partitioning once at write time, never per query.
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Seq.empty
+  ): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(tableName)
+  }
+
   /** Configure a streaming writer for a silver table: parquet sink with a
     * checkpoint, `AvailableNow` (drain-and-stop) or continuous processing.
     */

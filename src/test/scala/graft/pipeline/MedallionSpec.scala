@@ -37,6 +37,29 @@ class MedallionSpec extends SparkTestBase {
     assert(scan.count() == expected)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    Medallion.writeBucketedTable(customer, "b_customer",
+      Seq("c_custkey"), 8, sortCols = Seq("c_custkey"))
+    Medallion.writeBucketedTable(orders, "b_orders",
+      Seq("o_custkey"), 8, sortCols = Seq("o_custkey"))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      // and the result is still correct
+      assert(joined.count() ==
+        orders.join(customer, orders("o_custkey") === customer("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("streaming medallion: schema-enforced stream, DQ metrics via observe, AvailableNow drain") {
     val srcDir = Files.createTempDirectory("graft-stream-src")
     val sinkDir = Files.createTempDirectory("graft-stream-sink")
