@@ -130,4 +130,21 @@ object Expectations {
       }
     df.observe(observationName, metrics.head, metrics.tail: _*)
   }
+
+  /** Batch-side convenience: attach the DQ counters through an
+    * [[org.apache.spark.sql.Observation]] and return it. After ANY action on
+    * the returned DataFrame, `observation.get` yields
+    * `rows -> count, <rule> -> violations` with zero extra passes.
+    */
+  def observeWith(
+      df: DataFrame,
+      constraints: Map[String, String]
+  ): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val metrics: Seq[Column] = count(lit(1)).as("rows") +:
+      constraints.toSeq.map { case (name, sql) =>
+        sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)).as(name)
+      }
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

@@ -217,14 +217,39 @@ object GraftHash {
     val n = tokenHashes.numElements()
     var j = 0
     while (j < n) {
-      val h = tokenHashes.getLong(j)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
+      vote(votes, tokenHashes.getLong(j))
       j += 1
     }
+    pack(votes)
+  }
+
+  /** SimHash directly over string tokens: each token hashed in the kernel
+    * (xxhash64 seed 42 — identical values to `xxhash64(token)` in Catalyst),
+    * so the expression takes a plain `split()` child and the enclosing
+    * projection stays inside WholeStageCodegen (a higher-order `transform`
+    * child would force the whole stage to interpreted mode).
+    */
+  def simhashTokens(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val t = tokens.getUTF8String(j)
+      if (t != null) vote(votes, XXH64.hashUTF8String(t, 42L))
+      j += 1
+    }
+    pack(votes)
+  }
+
+  private def vote(votes: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      b += 1
+    }
+  }
+
+  private def pack(votes: Array[Int]): Long = {
     var sig = 0L
     var b = 0
     while (b < 64) {

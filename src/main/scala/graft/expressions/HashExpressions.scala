@@ -159,19 +159,31 @@ case class NearestCentroidsExpr(
   override def prettyName: String = "graft_nearest_centroids"
 }
 
-/** `array<bigint>` of token hashes -> `bigint` 64-bit SimHash. */
+/** `array<bigint>` of token hashes OR `array<string>` of raw tokens ->
+  * `bigint` 64-bit SimHash. The string form hashes tokens in the kernel so
+  * the child can be a plain codegen'd `split()` (a higher-order `transform`
+  * child would drop the whole projection out of WholeStageCodegen).
+  */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) | ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+      s"$prettyName requires array<bigint> or array<string>, got ${other.catalogString}")
+  }
+  private def kernel: String = child.dataType match {
+    case ArrayType(StringType, _) => "simhashTokens"
+    case _                        => "simhash"
   }
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any =
-    GraftHash.simhash(input.asInstanceOf[ArrayData])
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case ArrayType(StringType, _) =>
+      GraftHash.simhashTokens(input.asInstanceOf[ArrayData])
+    case _ => GraftHash.simhash(input.asInstanceOf[ArrayData])
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.simhash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.$kernel($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash"

@@ -124,12 +124,10 @@ object TextFunctions {
     * sum for bit b is positive. The vote loop runs as a native codegen'd
     * Catalyst expression ([[graft.expressions.SimHash64Expr]]).
     */
-  def simhash64(text: Column): Column = {
-    val tokHashes = transform(tokens(text), t => xxhash64(t))
+  def simhash64(text: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       graft.expressions.SimHash64Expr(
-        org.apache.spark.sql.graft.Bridge.expression(tokHashes)))
-  }
+        org.apache.spark.sql.graft.Bridge.expression(tokens(text))))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

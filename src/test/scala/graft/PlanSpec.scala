@@ -53,6 +53,22 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("custom native expressions run inside WholeStageCodegen") {
+    // q39 projects graft_fingerprint + graft_simhash; both implement
+    // doGenCode, so the projection must be a WholeStageCodegen stage (an
+    // interpreted/fallback expression would break the span).
+    val df = SparkEntry.queries("q39_fingerprint")(spark, sf)
+    df.collect() // materialize the AQE final plan (codegen stages appear there)
+    val p = df.queryExecution.executedPlan.toString
+    // In the AQE final plan, operators inside a WholeStageCodegen stage are
+    // prefixed `*(n)`. The projection holding graft_fingerprint/graft_simhash
+    // must carry that prefix — an interpreted child (e.g. a higher-order
+    // transform) would strip it from the whole stage.
+    val projLine = p.linesIterator.find(_.contains("graft_fingerprint"))
+      .getOrElse(fail(s"no fingerprint projection in plan:\n$p"))
+    assert(projLine.contains("*("), p)
+  }
+
   test("dedup/minhash pipeline joins candidates by equi-keys, never cross-product") {
     val p = plan("q33_minhash_pairs")
     // The LSH band self-join and verification joins must all be hash

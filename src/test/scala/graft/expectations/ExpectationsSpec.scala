@@ -65,6 +65,19 @@ class ExpectationsSpec extends SparkTestBase {
     }
   }
 
+  test("observeWith yields batch counters after any action") {
+    val compiled = new graft.schema.SchemaCompiler(
+      new graft.model.ModelDirectory(resourcePath("/model"))).compile("employee")
+    val df = spark.read.schema(compiled.schema)
+      .json(resourcePath("/data/employee.json"))
+    val (observedDf, obs) = Expectations.observeWith(df, compiled.constraints.toMap)
+    observedDf.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows") == 100L)
+    assert(m("[`person`.`username`] MATCH") == 70L)
+    assert(m("[`id`] NULLABLE") == 1L)
+  }
+
   test("observed metrics count violations per rule in one pass") {
     import org.apache.spark.sql.Observation
     // Use observe via named observation for a batch query
