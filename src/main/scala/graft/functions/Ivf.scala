@@ -50,6 +50,10 @@ object Ivf {
       .setSeed(seed)
       .setDistanceMeasure("cosine")
       .setFeaturesCol("features")
+      // A coarse quantizer doesn't need convergence: a few iterations give
+      // cells good enough for probe-based search at a fraction of the cost.
+      .setMaxIter(5)
+      .setTol(1e-3)
     val model = km.fit(train)
     Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
