@@ -405,6 +405,26 @@ object SparkEntry {
       graft.functions.Ivf.knn(
         e.where(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec")),
         e, k = 5, model, nProbe = 2)
+    }),
+
+    // --- 43. sessionization: 30-min-gap sessions per user over the event stream --------------------------
+    "q43_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts"))
+      val prev = lag(unix_micros(col("ts")), 1).over(w)
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("new_session",
+          when(prev.isNull || (us - prev) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -672,6 +692,26 @@ object SparkEntry {
         |  CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS DOUBLE)
         |    / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM base
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q40_media_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Event-time windowed aggregation over a file stream with a watermark —
+  * the Structured-Streaming analytics surface (window(), withWatermark)
+  * beyond the reference's ingest-only streaming.
+  */
+class EventTimeWindowSpec extends SparkTestBase {
+
+  test("watermarked 10-minute windows over a 2-file stream match the batch result") {
+    val dir = Files.createTempDirectory("graft-evt")
+    val rows = (0 until 120).map { i =>
+      val minute = i % 60
+      s"""{"event_id": $i, "ts": "2024-01-01T00:${f"$minute%02d"}:00", "user_id": ${i % 5}, "value": ${i / 10.0}}"""
+    }
+    Files.write(dir.resolve("a.json"), rows.take(60).mkString("\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"), rows.drop(60).mkString("\n").getBytes("UTF-8"))
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+    val q = agg.writeStream.format("memory").queryName("evt_windows")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+      "SELECT window.start AS start, n, sum_value FROM evt_windows ORDER BY start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+
+    val batch = spark.read.schema(schema).json(dir.toString)
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("start"), col("n"), col("sum_value"))
+      .orderBy("start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+
+    assert(streamed.length == 6) // 60 distinct minutes => six 10-minute windows
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
