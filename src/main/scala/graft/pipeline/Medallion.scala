@@ -99,6 +99,23 @@ object Medallion {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Incremental refresh: overwrite ONLY the partitions present in `df`,
+    * leaving all other partitions untouched (dynamic partition overwrite).
+    * This is the parquet-lake analog of a partition-scoped MERGE: daily
+    * re-computations replace their own day without rewriting the table.
+    */
+  def upsertPartitions(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String],
+      format: String = "parquet"
+  ): Unit = {
+    require(partitionBy.nonEmpty, "upsertPartitions needs partition columns")
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.format(format).mode("overwrite")
+      .partitionBy(partitionBy: _*).save(path)
+  }
+
   /** Write a catalog table bucketed (and optionally sorted) by join keys.
     * Two tables bucketed the same way join WITHOUT a shuffle — the 100 TB
     * answer for repeated large-large equi-joins (e.g. fact-fact on order

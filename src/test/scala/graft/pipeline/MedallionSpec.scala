@@ -37,6 +37,54 @@ class MedallionSpec extends SparkTestBase {
     assert(scan.count() == expected)
   }
 
+  test("upsertPartitions replaces only the partitions present in the new data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-upsert").toString
+    val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0)).toDF("id", "day", "v")
+    Medallion.writeTable(day1, out, partitionBy = Seq("day"))
+    // Recompute day 2 only (different values, extra row).
+    val day2fix = Seq((3L, "2024-01-02", 31.0), (4L, "2024-01-02", 41.0))
+      .toDF("id", "day", "v")
+    Medallion.upsertPartitions(day2fix, out, partitionBy = Seq("day"))
+    val all = spark.read.parquet(out).orderBy("id")
+      .select("id", "day", "v").as[(Long, String, Double)].collect().toSeq
+    assert(all == Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 31.0), (4L, "2024-01-02", 41.0)))
+  }
+
+  test("streaming exact dedup: dropDuplicates with watermark across microbatches") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("graft-sdedup-src")
+    val sinkDir = Files.createTempDirectory("graft-sdedup-sink")
+    val ckptDir = Files.createTempDirectory("graft-sdedup-ckpt")
+    // doc 2 appears in both files; the stream must emit it once.
+    Files.write(srcDir.resolve("a.json"),
+      """{"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": "aa"}
+        |{"doc_id": 2, "ts": "2024-01-01T00:01:00", "text": "bb"}""".stripMargin.getBytes("UTF-8"))
+    Files.write(srcDir.resolve("b.json"),
+      """{"doc_id": 2, "ts": "2024-01-01T00:01:00", "text": "bb"}
+        |{"doc_id": 3, "ts": "2024-01-01T00:02:00", "text": "cc"}""".stripMargin.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(srcDir.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("doc_id")
+    val q = deduped.writeStream.format("parquet")
+      .option("path", sinkDir.toString)
+      .option("checkpointLocation", ckptDir.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.read.parquet(sinkDir.toString)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
