@@ -425,7 +425,23 @@ object SparkEntry {
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           dsum(col("value")).as("sum_value"))
         .orderBy("user_id", "session_id")
-    })
+    }),
+
+    // --- 44. PII redaction over documents ----------------------------------------------------------------
+    "q44_pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TF.redactPii(col("text")).as("clean_text"),
+          (length(col("text")) - length(TF.redactPii(col("text"))))
+            .cast("int").as("chars_removed"))
+        .orderBy("doc_id")),
+
+    // --- 45. near-duplicate removal (LSH pairs -> connected components; no SQL oracle) ------------------
+    "q45_drop_neardups" -> ((s, d) =>
+      Dedup.dropNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -712,6 +728,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q44_pii_redact" -> {
+      // Same three regex passes; DuckDB needs the 'g' flag for replace-all.
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')
+         |    AS clean_text,
+         |  CAST(LENGTH(text) -
+         |    LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
+         |    AS INT) AS chars_removed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q40_media_meta" ->
       """SELECT doc_id,

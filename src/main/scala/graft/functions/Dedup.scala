@@ -154,6 +154,55 @@ object Dedup {
       .orderBy(col("hamming"), col("id1"), col("id2"))
   }
 
+  /** Remove near-duplicates: cluster the [[minhashPairs]] graph into
+    * connected components and keep only the smallest id per component.
+    *
+    * Components are computed with iterative label propagation (each node
+    * takes the min label among itself and its neighbors) — O(log n)
+    * join+aggregate rounds for typical near-dup graphs, where n is the
+    * component diameter, NOT corpus size; each round touches only the pair
+    * edges (tiny relative to the corpus). `localCheckpoint` between rounds
+    * cuts the growing lineage so plans stay bounded.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands, threshold)
+      .select(col("id1"), col("id2"))
+    // Undirected edge list incl. self-loops so isolated pair-members keep labels.
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges.select(col("id1").as("id"))
+      .distinct().withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("id2") === labels("id"))
+        .groupBy(edges("id1").as("id")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .where(col("u.label") =!= col("l.label")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    // Keep the component representative (min id == its own label) plus every
+    // row that never appeared in a duplicate pair.
+    val losers = labels.where(col("id") =!= col("label")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** N-gram Jaccard similarity join within a blocking key (e.g. source or
     * language). Candidates come from banded MinHash WITHIN the block (the
     * block key is part of the band key), then exact Jaccard over the

@@ -131,4 +131,18 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** PII redaction: emails, then phone-like number runs, then IPv4 literals
+    * are replaced with typed placeholder tokens. Pure `regexp_replace`
+    * chain — codegen'd, row-local, no UDF. Patterns are deliberately
+    * dialect-portable (character classes + bounded quantifiers only).
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    regexp_replace(ip,
+      "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>")
+  }
 }

@@ -51,6 +51,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dropNearDuplicates keeps one representative per duplicate cluster") {
+    val out = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // {1,2,3,5} form one near-dup cluster (1-2 exact, 3 near, 5 same text);
+    // 4 is unrelated. Representative = min id.
+    assert(out == Seq(1L, 4L))
+  }
+
+  test("redactPii replaces emails, phones, IPs with typed tokens") {
+    val df = Seq(
+      (1L, "contact me at john.doe@example.com or +1 (555) 123-4567 ok"),
+      (2L, "server at 192.168.10.1 responded"),
+      (3L, "nothing sensitive here")
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.redactPii(col("text")).as("t"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "contact me at <EMAIL> or <PHONE> ok", m(1L))
+    assert(m(2L) == "server at <IP> responded", m(2L))
+    assert(m(3L) == "nothing sensitive here")
+  }
+
   test("bruteForceKnn returns correct exact neighbors") {
     val corpus = Seq(
       (1L, Array(1f, 0f, 0f)),
