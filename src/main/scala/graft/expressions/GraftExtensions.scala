@@ -51,6 +51,15 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_simhash(array<bigint>)")
       }),
     (
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintExpr].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, Literal(k: Int, IntegerType)) => FingerprintExpr(child, k)
+        case Seq(child) => FingerprintExpr(child, 8)
+        case _ => throw new IllegalArgumentException(
+          "graft_fingerprint(string[, k literal int])")
+      }),
+    (
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
       (args: Seq[Expression]) => args match {
