@@ -154,6 +154,50 @@ object Dedup {
       .orderBy(col("hamming"), col("id1"), col("id2"))
   }
 
+  /** Cross-corpus contamination check: near-duplicate pairs BETWEEN two
+    * corpora (e.g. training set vs evaluation benchmarks) by banded MinHash
+    * with exact Jaccard verification. Returns (left_id, right_id, jaccard).
+    *
+    * Same scale shape as [[minhashPairs]] — only (band, hash, id) triples
+    * shuffle for candidate generation; use it to detect eval-set leakage
+    * before training.
+    */
+  def crossCorpusNearDups(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      rightId: String,
+      leftText: String,
+      rightText: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val rows = numHashes / bands
+    def prep(df: DataFrame, idC: String, textC: String): DataFrame =
+      df.select(col(idC).as("id"),
+        TextFunctions.shingleHashes(col(textC), shingleN).as("hs"))
+    def banded(docs: DataFrame): DataFrame =
+      docs.withColumn("sig", minhashSignature(col("hs"), numHashes))
+        .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
+        .select(col("id"), col("b.band").as("band"), col("b.h").as("h"))
+    val l = prep(left, leftId, leftText)
+    val r = prep(right, rightId, rightText)
+    val candidates = banded(l).as("l")
+      .join(banded(r).as("r"),
+        col("l.band") === col("r.band") && col("l.h") === col("r.h"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"))
+      .distinct()
+    candidates
+      .join(l.select(col("id").as("left_id"), col("hs").as("hs1")), "left_id")
+      .join(r.select(col("id").as("right_id"), col("hs").as("hs2")), "right_id")
+      .withColumn("jaccard", jaccard(col("hs1"), col("hs2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), col("left_id"), col("right_id"))
+  }
+
   /** Remove near-duplicates: cluster the [[minhashPairs]] graph into
     * connected components and keep only the smallest id per component.
     *

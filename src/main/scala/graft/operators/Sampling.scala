@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data assembly.
+  *
+  * Everything here is HASH-based, not RNG-based: membership of a row depends
+  * only on its id (and the seed), never on partitioning, task retries, or
+  * row order — so splits are stable across reruns and cluster sizes, and a
+  * row never migrates between train and eval. That property is what makes
+  * these safe at 100 TB where stages get retried and data gets repartitioned.
+  */
+object Sampling {
+
+  /** Uniform [0,1) weight for a row derived from its id column and seed. */
+  def hashWeight(id: Column, seed: Long = 42L): Column =
+    (pmod(xxhash64(id, lit(seed)), lit(1000000L)).cast("double") / 1000000.0)
+
+  /** Deterministic sample: keep rows whose hash weight < fraction. */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      seed: Long = 42L
+  ): DataFrame =
+    df.where(hashWeight(col(idCol), seed) < fraction)
+
+  /** Stable train/validation/test split: returns the split label per row.
+    * `fractions` must sum to <= 1.0; rows beyond the total are dropped.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      seed: Long = 42L,
+      labelCol: String = "split"
+  ): DataFrame = {
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val w = hashWeight(col(idCol), seed)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val label = fractions.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((name, _), upper), els) => when(w < upper, name).otherwise(els)
+    }
+    df.withColumn(labelCol, label).where(col(labelCol).isNotNull)
+  }
+
+  /** Per-stratum deterministic sampling (e.g. language-balanced corpora):
+    * each stratum keeps its own fraction of rows, hash-stable.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      seed: Long = 42L
+  ): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (els, (value, f)) => when(col(stratumCol) === value, f).otherwise(els)
+    }
+    df.where(hashWeight(col(idCol), seed) < frac)
+  }
+
+  /** Mix several corpora with target ratios into one DataFrame, stamping the
+    * source. `sources` maps name -> (df, keepFraction); inputs must share a
+    * schema. Sampling is hash-deterministic per source.
+    */
+  def mixCorpora(
+      sources: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      seed: Long = 42L
+  ): DataFrame =
+    sources.map { case (name, df, fraction) =>
+      deterministicSample(df, idCol, fraction, seed)
+        .withColumn("source_corpus", lit(name))
+    }.reduce(_.unionByName(_))
+}

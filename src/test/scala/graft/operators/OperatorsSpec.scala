@@ -47,6 +47,57 @@ class OperatorsSpec extends SparkTestBase {
     assert(far.isNullAt(0))
   }
 
+  test("hashSplit is stable, exhaustive, and roughly proportional") {
+    val df = (1L to 10000L).toDF("id")
+    val split = Sampling.hashSplit(df, "id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000)
+    assert(counts("train") > 7500 && counts("train") < 8500, counts)
+    assert(counts("valid") > 600 && counts("valid") < 1400, counts)
+    // deterministic: same assignment on recompute
+    val again = Sampling.hashSplit(df, "id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(split.orderBy("id").collect().sameElements(again.orderBy("id").collect()))
+  }
+
+  test("stratifiedSample keeps per-stratum fractions deterministically") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("en") > 800 && counts("en") < 1200, counts)
+    assert(counts("de") > 100 && counts("de") < 300, counts)
+  }
+
+  test("mixCorpora samples each source by its ratio and stamps provenance") {
+    val a = (1L to 1000L).toDF("id")
+    val b = (1L to 1000L).toDF("id")
+    val mixed = Sampling.mixCorpora(
+      Seq(("web", a, 1.0), ("books", b, 0.2)), "id")
+    val counts = mixed.groupBy("source_corpus").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("web") == 1000)
+    assert(counts("books") > 100 && counts("books") < 300, counts)
+  }
+
+  test("crossCorpusNearDups detects eval-set leakage between corpora") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely unrelated training document about astronomy and telescopes")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "novel evaluation prompt with no training twin whatsoever in sight")
+    ).toDF("eval_id", "prompt")
+    val hits = graft.functions.Dedup.crossCorpusNearDups(
+        train, eval_, "doc_id", "eval_id", "text", "prompt", shingleN = 3)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L)))
+  }
+
   test("saltedSum matches plain groupBy sum") {
     val df = (1 to 10000).map(i => (if (i % 100 == 0) "cold" + i else "hot", i.toLong))
       .toDF("k", "v")
