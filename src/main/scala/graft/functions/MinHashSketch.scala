@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.expressions.GraftHash
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Group-level MinHash sketch: aggregates the distinct-shingle-hash sets of
+  * all rows in a group into ONE signature of the group's UNION set. The
+  * estimated Jaccard between two groups' sketches is the fraction of equal
+  * signature positions — content overlap between whole corpora/sources
+  * estimated from kilobytes of state instead of comparing documents.
+  *
+  * This is the classic mergeable-sketch shape: `reduce` folds rows into the
+  * signature, `merge` is elementwise min (associative + commutative), so
+  * Spark runs it as partial aggregation with map-side combine — per-group
+  * state is `numHashes` longs no matter how many documents the group holds.
+  */
+final class MinHashSketchAggregator(numHashes: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], hashes: Seq[Long]): Array[Long] = {
+    val it = hashes.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      var i = 0
+      while (i < numHashes) {
+        val m = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, i)
+        if (m < buf(i)) buf(i) = m
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+object MinHashSketch {
+
+  /** Aggregation column: MinHash sketch of a group's shingle-hash sets.
+    * Apply to a `array<bigint>` column (e.g. `TextFunctions.shingleHashes`).
+    */
+  def sketch(hashSet: Column, numHashes: Int = 64): Column =
+    udaf(new MinHashSketchAggregator(numHashes),
+      ExpressionEncoder[Seq[Long]]()).apply(hashSet)
+
+  /** Estimated Jaccard similarity of the underlying sets from two sketches:
+    * the fraction of signature positions that agree.
+    */
+  def estimatedJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a).cast("double")
+}

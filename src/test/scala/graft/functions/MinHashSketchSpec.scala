@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MinHashSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def doc(i: Int): String =
+    s"document number $i talks about topic ${i % 7} in considerable detail " +
+      s"with unique marker token${i} and shared vocabulary everywhere"
+
+  test("group sketches estimate cross-corpus overlap from tiny state") {
+    // A = docs 0-9, B = docs 5-14 (50% shared), C = completely different.
+    val rows =
+      (0 until 10).map(i => ("A", doc(i))) ++
+        (5 until 15).map(i => ("B", doc(i))) ++
+        (0 until 10).map(i => ("C", s"unrelated corpus entry $i about deep sea " +
+          s"creatures and volcanic vents item$i"))
+    val df = rows.toDF("source", "text")
+      .select(col("source"), TextFunctions.shingleHashes(col("text"), 2).as("hs"))
+
+    val sketches = df.groupBy("source")
+      .agg(MinHashSketch.sketch(col("hs"), 128).as("sig"))
+    val m = sketches.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m.values.forall(_.length == 128))
+
+    val est = sketches.as("l").join(sketches.as("r"),
+        col("l.source") < col("r.source"))
+      .select(col("l.source"), col("r.source"),
+        MinHashSketch.estimatedJaccard(col("l.sig"), col("r.sig")).as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    // True Jaccard(A,B) of the union shingle sets is ~0.33 (5 of ~15 docs'
+    // worth of shingles shared); the 128-hash estimate is within +-0.15.
+    assert(est(("A", "B")) > 0.15 && est(("A", "B")) < 0.55, est)
+    assert(est(("A", "C")) < 0.1, est)
+    assert(est(("B", "C")) < 0.1, est)
+  }
+
+  test("sketch of identical groups estimates Jaccard 1") {
+    val df = Seq(("X", "same text here"), ("Y", "same text here"))
+      .toDF("g", "text")
+      .select(col("g"), TextFunctions.shingleHashes(col("text"), 2).as("hs"))
+    val sk = df.groupBy("g").agg(MinHashSketch.sketch(col("hs"), 32).as("sig"))
+    val sigs = sk.collect().map(_.getSeq[Long](1))
+    assert(sigs(0) == sigs(1))
+  }
+}
