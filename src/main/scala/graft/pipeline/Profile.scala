@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass data profiling for lakehouse provisioning: per-column null
+  * counts, approximate distinct counts (HLL), min/max, and numeric
+  * quantiles — the summary a data steward wants before wiring expectations.
+  *
+  * Scale shape: ONE full aggregation job regardless of column count (all
+  * counters ride one `agg(...)` row, melted driver-side), partial
+  * aggregation does the heavy lifting map-side, and distinct counts are
+  * HLL sketches (`approx_count_distinct`) so no column needs a shuffle of
+  * its values.
+  */
+object Profile {
+
+  /** One row per column: (column, dtype, rows, nulls, distinct_est,
+    * min, max, p50) — min/max/median as strings for heterogeneity, null
+    * for unordered types.
+    */
+  def summarize(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = df.schema.fields.toSeq
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+      case _ => false
+    }
+    def numeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+
+    val aggs = fields.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c, rsd).as(s"${f.name}__distinct")) ++
+        (if (orderable(f.dataType))
+          Seq(min(c).cast("string").as(s"${f.name}__min"),
+            max(c).cast("string").as(s"${f.name}__max"))
+        else Nil) ++
+        (if (numeric(f.dataType))
+          Seq(percentile_approx(c.cast("double"), lit(0.5), lit(1000))
+            .cast("string").as(s"${f.name}__p50"))
+        else Nil)
+    } :+ count(lit(1)).as("__rows")
+
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def get(n: String): Option[String] = {
+      val i = row.schema.fieldNames.indexOf(n)
+      if (i < 0 || row.isNullAt(i)) None else Some(row.get(i).toString)
+    }
+    val rows = row.getAs[Long]("__rows")
+    fields.map { f =>
+      (f.name, f.dataType.simpleString, rows,
+        get(s"${f.name}__nulls").map(_.toLong).getOrElse(0L),
+        get(s"${f.name}__distinct").map(_.toLong).getOrElse(0L),
+        get(s"${f.name}__min").orNull,
+        get(s"${f.name}__max").orNull,
+        get(s"${f.name}__p50").orNull)
+    }.toDF("column", "dtype", "rows", "nulls", "distinct_est", "min", "max", "p50")
+  }
+}

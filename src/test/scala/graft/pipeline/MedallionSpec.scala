@@ -37,6 +37,20 @@ class MedallionSpec extends SparkTestBase {
     assert(scan.count() == expected)
   }
 
+  test("Profile.summarize profiles every column in one aggregation pass") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val prof = Profile.summarize(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == df.columns.length)
+    val okey = prof("o_orderkey")
+    assert(okey.getLong(2) == df.count())            // rows
+    assert(okey.getLong(3) == 0L)                    // no nulls
+    assert(math.abs(okey.getLong(4) - df.count()) <  // distinct ~= rows (pk)
+      df.count() * 0.1)
+    assert(prof("o_orderstatus").getLong(4) <= 5)    // tiny domain
+    assert(prof("o_totalprice").getString(7) != null) // numeric p50 present
+  }
+
   test("upsertPartitions replaces only the partitions present in the new data") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
