@@ -132,6 +132,16 @@ object TextFunctions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Canonical text form for robust near-dup detection: lowercase, strip
+    * punctuation to spaces, collapse whitespace runs, trim. Apply BEFORE
+    * shingling so cosmetic differences (case, punctuation, spacing) don't
+    * defeat MinHash/SimHash matching. Row-local regexp chain, codegen'd.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "),
+      "\\s+", " "))
+
   /** PII redaction: emails, then phone-like number runs, then IPv4 literals
     * are replaced with typed placeholder tokens. Pure `regexp_replace`
     * chain — codegen'd, row-local, no UDF. Patterns are deliberately

@@ -47,6 +47,9 @@ object AsOfJoin {
       if (rightCols.nonEmpty) rightCols
       else right.columns.toSeq.diff(keyCols :+ rightTime)
     val leftOut = left.columns.toSeq
+    val clashes = leftOut.toSet.intersect(payload.toSet)
+    require(clashes.isEmpty,
+      s"right payload columns collide with left columns: ${clashes.mkString(", ")} — rename or pass rightCols")
 
     // Conform both sides to (keys..., __t, __side, leftPayload..., rightPayload...)
     val lConformed = left

@@ -69,14 +69,18 @@ class PlanSpec extends SparkTestBase {
     assert(projLine.contains("*("), p)
   }
 
-  test("dedup/minhash pipeline joins candidates by equi-keys, never cross-product") {
-    val p = plan("q33_minhash_pairs")
-    // The LSH band self-join and verification joins must all be hash
+  test("dedup/similarity pipelines join candidates by equi-keys, never cross-product") {
+    // The LSH band/bucket joins and verification joins must all be hash
     // equi-joins (broadcast at this tiny SF, shuffled-hash/sort-merge at
     // scale) — any nested-loop/cartesian operator means the banding failed
-    // to produce an equi-join structure.
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("HashJoin"), p)
+    // to produce an equi-join structure. (q36 brute-force kNN is exempt:
+    // all-pairs scoring is its declared semantics.)
+    for (q <- Seq("q33_minhash_pairs", "q34_simhash_pairs", "q35_ngram_jaccard",
+        "q38_embedding_neardup", "q45_drop_neardups")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
   }
 }

@@ -60,6 +60,17 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out == Seq(1L, 4L))
   }
 
+  test("normalizeForDedup makes cosmetic variants identical") {
+    val df = Seq(
+      ("The  Quick,   Brown FOX!", "the quick brown fox"),
+      ("the-quick/brown(fox)", "the quick brown fox"),
+      ("  spaced   out  ", "spaced out")
+    ).toDF("raw", "expected")
+      .select(TextFunctions.normalizeForDedup(col("raw")).as("got"), col("expected"))
+    assert(df.collect().forall(r => r.getString(0) == r.getString(1)),
+      df.collect().mkString(", "))
+  }
+
   test("redactPii replaces emails, phones, IPs with typed tokens") {
     val df = Seq(
       (1L, "contact me at john.doe@example.com or +1 (555) 123-4567 ok"),
