@@ -22,11 +22,15 @@ object Verify {
     import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
     val pool = Executors.newSingleThreadExecutor()
     SparkEntry.queries.foreach { case (name, fn) =>
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
-        override def call(): Unit =
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        override def call(): Unit = {
+          // Job-group properties are thread-local: set them on the thread
+          // that actually runs the actions, or cancelJobGroup finds nothing.
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
       })
       try task.get(timeoutSec, TimeUnit.SECONDS)
       catch {
@@ -36,7 +40,7 @@ object Verify {
           System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.sparkContext.clearJobGroup()
+      }
     }
     pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
