@@ -441,7 +441,21 @@ object SparkEntry {
       Dedup.dropNearDuplicates(t(s, d, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .select("doc_id", "lang")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // --- 46. as-of join: latest view before each purchase per user ---------------------------------------
+    "q46_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("value").as("view_value"))
+      graft.operators.AsOfJoin(purchases, views, Seq("user_id"), "ts", "vts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+          col("value"), col("view_value"))
+        .orderBy("event_id")
+    })
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -728,6 +742,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q46_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+        |  p.value AS value, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q44_pii_redact" -> {
       // Same three regex passes; DuckDB needs the 'g' flag for replace-all.
