@@ -455,7 +455,17 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
           col("value"), col("view_value"))
         .orderBy("event_id")
-    })
+    }),
+
+    // --- 47. skew-safe salted aggregation (exact decimal partials; oracle = plain GROUP BY) -------------
+    "q47_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+          t(s, d, "lineitem"), Seq("l_suppkey"), saltBuckets = 16,
+          Seq((sum(dec(col("l_quantity"))), (p: String) => sum(col(p)), "sum_qty"),
+            (count(lit(1)), (p: String) => sum(col(p)), "n_items")))
+        .select(col("l_suppkey"), col("sum_qty").cast("double").as("sum_qty"),
+          col("n_items"))
+        .orderBy("l_suppkey"))
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -751,6 +761,12 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q47_salted_agg" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q44_pii_redact" -> {
       // Same three regex passes; DuckDB needs the 'g' flag for replace-all.
