@@ -35,12 +35,16 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ helpers
 
-  /** Compile the customer DQ entity from bundled resources. */
-  private[graft] def customerConstraints: Map[String, String] = {
+  /** Compile the customer DQ entity from bundled resources — once (compiled
+    * lazily; repeated q27 runs must not leak temp dirs or recompile).
+    */
+  private[graft] lazy val customerConstraints: Map[String, String] = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dqmodel")
-    val src = getClass.getResourceAsStream("/dqmodel/customer.json")
-    java.nio.file.Files.copy(src, tmp.resolve("customer.json"))
-    src.close()
+    val src = Option(getClass.getResourceAsStream("/dqmodel/customer.json"))
+      .getOrElse(throw new IllegalStateException(
+        "resource /dqmodel/customer.json missing from classpath"))
+    try java.nio.file.Files.copy(src, tmp.resolve("customer.json"))
+    finally src.close()
     new SchemaCompiler(new ModelDirectory(tmp.toString)).compile("customer").constraints
   }
 

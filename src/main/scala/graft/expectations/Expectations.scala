@@ -38,6 +38,7 @@ object Expectations {
     * as failed, matching the reference's `if not x` compaction semantics.
     */
   def failedRules(constraints: Map[String, String]): Column = {
+    if (constraints.isEmpty) return array().cast("array<string>")
     val checks = constraints.toSeq.map { case (name, sql) =>
       struct(lit(name).as("rule"), expr(sql).as("ok"))
     }
@@ -103,6 +104,9 @@ object Expectations {
     * the per-partition partial aggregate is a single row of R counters.
     */
   def violationCounts(df: DataFrame, constraints: Map[String, String]): DataFrame = {
+    if (constraints.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("rule"), lit(0L).as("violations")).limit(0)
     val names = constraints.keys.toSeq
     val aggs = constraints.values.toSeq.zipWithIndex.map { case (sql, i) =>
       sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)).as(s"c$i")

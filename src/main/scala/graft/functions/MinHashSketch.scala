@@ -23,6 +23,7 @@ final class MinHashSketchAggregator(numHashes: Int)
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], hashes: Seq[Long]): Array[Long] = {
+    if (hashes == null) return buf // null text row => null hash set
     val it = hashes.iterator
     while (it.hasNext) {
       val h = it.next()

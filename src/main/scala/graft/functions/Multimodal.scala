@@ -35,9 +35,13 @@ object Multimodal {
     * windows) without decoding: array<binary>. Row-local.
     */
   def chunk(bin: Column, chunkBytes: Int): Column =
-    transform(
-      sequence(lit(0), ceil(length(bin).cast("double") / chunkBytes).cast("int") - 1),
-      i => bin.substr(i * chunkBytes + 1, lit(chunkBytes)))
+    // Empty payloads must yield an empty array: sequence(0, -1) would infer
+    // step -1 and produce the two phantom indices [0, -1].
+    when(length(bin) > 0,
+      transform(
+        sequence(lit(0), ceil(length(bin).cast("double") / chunkBytes).cast("int") - 1),
+        i => bin.substr(i * chunkBytes + 1, lit(chunkBytes))))
+      .otherwise(array().cast("array<binary>"))
 
   /** Sample up to n evenly-spaced chunks ("frames") from the payload. */
   def frameSample(bin: Column, chunkBytes: Int, n: Int): Column = {

@@ -11,28 +11,37 @@ import org.apache.spark.sql.functions._
   *
   * Implementation: preference order (a) from the build rules — composed from
   * existing operators, no custom physical plan. Both sides are unioned and
-  * sorted within each key partition; the right-side payload is propagated
+  * sorted within each key partition; the right-side row is propagated
   * forward with `last(..., ignoreNulls=true)` over a running window, then
-  * only left rows are kept. Cost: ONE hash shuffle on the key (both sides
-  * together) + an in-partition sort — strictly cheaper than the
+  * only left rows are kept. The ENTIRE right row (timestamp + payload)
+  * travels as ONE struct, so a right row whose payload fields are
+  * genuinely NULL is still the row that matches — its nulls are attached,
+  * never an older row's values. Cost: ONE hash shuffle on the key (both
+  * sides together) + an in-partition sort — strictly cheaper than the
   * sort-merge-join + per-row backward scan a naive range join would plan,
   * and skew behaves like any keyed window (AQE-visible).
   *
   * Semantics match the common `merge_asof`/ASOF JOIN "backward" direction:
-  * ties (equal timestamps) take the right row; multiple right rows at the
-  * same (key, time) resolve to the last one in `tieBreak` order.
+  * ties (equal timestamps) take the right row. If MULTIPLE right rows share
+  * the same (key, time), the one attached is nondeterministic unless
+  * `tieBreakCols` names right-side columns that totally order them (the
+  * greatest in that order wins); deduplicate the right side or pass
+  * tie-breakers when exact-duplicate timestamps are possible.
   */
 object AsOfJoin {
 
-  /** @param left       probe side (e.g. events needing point-in-time state)
-    * @param right      reference side (e.g. quotes/dimension snapshots)
-    * @param keyCols    equality keys present on both sides
-    * @param leftTime   event-time column name on `left`
-    * @param rightTime  event-time column name on `right`
-    * @param tolerance  optional max staleness; a right row older than
-    *                   `leftTime - tolerance` does not match
-    * @param rightCols  right payload columns to attach (default: all except
-    *                   keys and time)
+  /** @param left        probe side (e.g. events needing point-in-time state)
+    * @param right       reference side (e.g. quotes/dimension snapshots)
+    * @param keyCols     equality keys present on both sides
+    * @param leftTime    event-time column name on `left`
+    * @param rightTime   event-time column name on `right`
+    * @param tolerance   optional max staleness; a right row older than
+    *                    `leftTime - tolerance` does not match
+    * @param rightCols   right payload columns to attach (default: all except
+    *                    keys and time)
+    * @param tieBreakCols right-side columns ordering rows that share
+    *                    (key, time); greatest wins. Empty = caller
+    *                    guarantees no such ties.
     */
   def apply(
       left: DataFrame,
@@ -41,7 +50,8 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       tolerance: Option[Column] = None,
-      rightCols: Seq[String] = Seq.empty
+      rightCols: Seq[String] = Seq.empty,
+      tieBreakCols: Seq[String] = Seq.empty
   ): DataFrame = {
     val payload =
       if (rightCols.nonEmpty) rightCols
@@ -51,44 +61,52 @@ object AsOfJoin {
     require(clashes.isEmpty,
       s"right payload columns collide with left columns: ${clashes.mkString(", ")} — rename or pass rightCols")
 
-    // Conform both sides to (keys..., __t, __side, leftPayload..., rightPayload...)
-    val lConformed = left
+    // The matched right row rides as ONE nullable struct: (__rt, payload...).
+    val rightStruct = struct(
+      col(rightTime).cast(right.schema(rightTime).dataType).as("__rt") +:
+        payload.map(c => col(c).as(c)): _*)
+
+    val rConformed = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__r", rightStruct)
+      .select(
+        keyCols.map(col) ++ Seq(col("__t"), col("__side")) ++
+          leftOut.diff(keyCols).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+          tieBreakCols.map(c => col(c).as(s"__tie_$c")) :+ col("__r"): _*)
+    val rStructType = rConformed.schema("__r").dataType
+    val aligned = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(
         keyCols.map(col) ++ Seq(col("__t"), col("__side")) ++
           leftOut.diff(keyCols).map(col) ++
-          payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
-    val rConformed = right
-      .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
-      .select(
-        keyCols.map(col) ++ Seq(col("__t"), col("__side")) ++
-          leftOut.diff(keyCols).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(c => col(c).as(s"__r_$c")): _*)
+          tieBreakCols.map(c =>
+            lit(null).cast(right.schema(c).dataType).as(s"__tie_$c")) :+
+          lit(null).cast(rStructType).as("__r"): _*)
 
-    // One shuffle: partition by key, order by (time, side) so a right row at
-    // time T sorts before a left row at the same T (backward-inclusive ties).
+    // One shuffle: partition by key, order by (time, side[, tie-breakers]) so
+    // a right row at time T sorts before a left row at the same T
+    // (backward-inclusive ties) and equal-time right rows order by tie-break.
+    val order = Seq(col("__t").asc, col("__side").asc) ++
+      tieBreakCols.map(c => col(s"__tie_$c").asc_nulls_first)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = lConformed.unionByName(rConformed)
-      .withColumn("__rt", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-    val withPayload = payload.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"__r_$c",
-        last(when(col("__side") === 0, col(s"__r_$c")), ignoreNulls = true).over(w))
-    }
+    val carried = aligned.unionByName(rConformed)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
 
     val fresh = tolerance match {
-      case Some(tol) => col("__rt").isNotNull && col("__t") - col("__rt") <= tol
-      case None      => col("__rt").isNotNull
+      case Some(tol) =>
+        col("__match").isNotNull && col("__t") - col("__match.__rt") <= tol
+      case None => col("__match").isNotNull
     }
-    val nulled = payload.foldLeft(withPayload.where(col("__side") === 1)) { (df, c) =>
-      df.withColumn(s"__r_$c", when(fresh, col(s"__r_$c")))
-    }
-    nulled.select(
+    val matched = carried.withColumn("__match", when(fresh, col("__match")))
+    matched.select(
       leftOut.map(col) ++
-        payload.map(c => col(s"__r_$c").as(c)): _*)
+        payload.map(c => col(s"__match.`$c`").as(c)): _*)
   }
 }

@@ -48,6 +48,13 @@ object ConstraintRules {
     */
   private def fmtDouble(d: Double): String = d.toString
 
+  /** Escape a user-supplied string for embedding in a single-quoted SQL
+    * literal (enum values, patterns, date bounds) — an embedded quote would
+    * otherwise make the generated predicate unparseable. No-op for the
+    * golden fixtures (none contain quotes), so parity is unaffected.
+    */
+  private def sq(s: String): String = s.replace("'", "''")
+
   def validateNullable(path: String, isNullable: Boolean): ListMap[String, String] =
     if (isNullable) ListMap.empty
     else ListMap(s"[$path] NULLABLE" -> s"$path IS NOT NULL")
@@ -116,12 +123,12 @@ object ConstraintRules {
       val hasFormatMatch = out.contains(s"[$path] MATCH")
       if (!(compat && hasFormatMatch)) {
         val nme = if (hasFormatMatch) s"[$path] PATTERN" else s"[$path] MATCH"
-        out += nme -> s"$path IS NULL OR $path RLIKE '$p'"
+        out += nme -> s"$path IS NULL OR $path RLIKE '${sq(p)}'"
       }
     }
 
     enum0.foreach { vals =>
-      val enums = vals.map(v => s"'$v'").mkString(", ")
+      val enums = vals.map(v => s"'${sq(v)}'").mkString(", ")
       out += s"[$path] VALUE" -> s"$path IS NULL OR $path IN ($enums)"
     }
 
@@ -148,9 +155,9 @@ object ConstraintRules {
     val nme = s"[$path] VALUE"
     (min, max) match {
       case (Some(mn), Some(mx)) =>
-        ListMap(nme -> s"$path IS NULL OR $path BETWEEN '$mn' AND '$mx'")
-      case (Some(mn), None) => ListMap(nme -> s"$path IS NULL OR $path >= '$mn'")
-      case (None, Some(mx)) => ListMap(nme -> s"$path IS NULL OR $path <= '$mx'")
+        ListMap(nme -> s"$path IS NULL OR $path BETWEEN '${sq(mn)}' AND '${sq(mx)}'")
+      case (Some(mn), None) => ListMap(nme -> s"$path IS NULL OR $path >= '${sq(mn)}'")
+      case (None, Some(mx)) => ListMap(nme -> s"$path IS NULL OR $path <= '${sq(mx)}'")
       case _                => ListMap.empty
     }
   }

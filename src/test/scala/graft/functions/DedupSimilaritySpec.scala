@@ -25,6 +25,19 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("exact dedup does not conflate null-vs-empty or shifted boundaries") {
+    val tricky = Seq(
+      (1L, Option("a b"), Option("c")),
+      (2L, Option("a"), Option("b c")),   // same concat, different fields
+      (3L, Option("x"), None),
+      (4L, None, Option("x")),            // null in a different position
+      (5L, Option("x"), Option(""))       // empty string vs null
+    ).toDF("id", "f1", "f2")
+    val out = Dedup.exact(tricky, "id", Seq("f1", "f2"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L, 5L), out) // all distinct, none dropped
+  }
+
   test("minhashPairs finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)

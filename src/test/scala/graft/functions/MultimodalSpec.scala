@@ -31,6 +31,13 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(out(2), "UTF-8") == "456789")
   }
 
+  test("chunk of an empty payload is an empty array") {
+    val out = media.where(col("id") === 3)
+      .select(Multimodal.chunk(col("payload"), 10).as("chunks"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(out.isEmpty, out.length)
+  }
+
   test("frameSample caps chunk count with even spacing") {
     val out = media.where(col("id") === 1)
       .select(Multimodal.frameSample(col("payload"), 2, 4).as("frames"))

@@ -36,6 +36,21 @@ class OperatorsSpec extends SparkTestBase {
     ))
   }
 
+  test("asOfJoin attaches NULL payload of the matched row, never an older value") {
+    // Right rows: (t=1, value=5.0) then (t=2, value=NULL). A left row at t=3
+    // must match the t=2 row and carry its NULL — not resurrect 5.0.
+    val l = Seq(("u", 3L)).toDF("k", "t")
+    val r = Seq(("u", 1L, Some(5.0)), ("u", 2L, None)).toDF("k", "qt", "ref")
+    val row = AsOfJoin(l, r, Seq("k"), "t", "qt").select("ref").collect()(0)
+    assert(row.isNullAt(0), row)
+    // And with tolerance covering only t=2: still matched (as NULL), while
+    // tolerance excluding t=2 yields no match at all.
+    val within = AsOfJoin(l, r, Seq("k"), "t", "qt",
+      tolerance = Some(org.apache.spark.sql.functions.lit(1L)))
+      .select("ref").collect()(0)
+    assert(within.isNullAt(0))
+  }
+
   test("asOfJoin tolerance drops stale matches") {
     val l = Seq(("A", 100L, 1)).toDF("k", "t", "v")
     val r = Seq(("A", 10L, 42.0)).toDF("k", "qt", "ref")
