@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Stateful streaming sessionization with the native `session_window`
+  * (gap-based sessions merge across microbatches through state), checked
+  * against the batch computation of the same windows.
+  */
+class SessionWindowSpec extends SparkTestBase {
+
+  test("streaming session_window merges gap-bounded sessions across microbatches") {
+    val dir = Files.createTempDirectory("graft-sess")
+    // user 1: events at minutes 0,2,4 then a >5-min gap, then 20,21 — two
+    // sessions. The first session SPANS the two input files, so state must
+    // merge across microbatches. user 2: one session.
+    Files.write(dir.resolve("a.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:02:00", "value": 2.0}
+        |{"user_id": 2, "ts": "2024-01-01T00:00:30", "value": 9.0}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:04:00", "value": 3.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:20:00", "value": 4.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:21:00", "value": 5.0}""".stripMargin.getBytes("UTF-8"))
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .withWatermark("ts", "1 hour")
+    val q = sessions(stream)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+      """SELECT user_id, session_window.start AS start, n, sum_value
+        |FROM sess ORDER BY user_id, start""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+
+    val batch = sessions(spark.read.schema(schema).json(dir.toString))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // user 1: cross-batch session (0:00-0:04, 3 events) + (0:20-0:21, 2 events)
+    assert(streamed.count(_._1 == 1L) == 2)
+    assert(streamed.exists(r => r._1 == 1L && r._3 == 3 && r._4 == 6.0))
+    assert(streamed.exists(r => r._1 == 1L && r._3 == 2 && r._4 == 9.0))
+    assert(streamed.count(_._1 == 2L) == 1)
+  }
+}
