@@ -188,8 +188,11 @@ object SparkEntry {
 
     // --- 15. window: running sum with ROWS frame ---------------------------------
     "q15_window_running" -> ((s, d) => {
+      // l_quantity joins the ordering because (suppkey, shipdate, orderkey,
+      // linenumber) is NOT unique in the synthetic data at sf0.1 — a
+      // non-total ROWS-frame order makes the running sum engine-dependent.
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "lineitem")
         .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
@@ -613,7 +616,8 @@ object SparkEntry {
     "q15_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
@@ -756,6 +760,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q36_knn_brute" ->
+      """SELECT qid, rank, neighbor, cos FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS INT) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q46_asof" ->
       """SELECT p.event_id, p.user_id,
