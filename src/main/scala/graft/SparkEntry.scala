@@ -761,6 +761,49 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    "q32_lang_id" -> {
+      // Mirrors TextFunctions.langId/stopwordRatio/qualityScore exactly:
+      // tokens = regex-split of trimmed text, marker hits per language,
+      // argmax with max-lang-string tie-break (Spark's array_max on
+      // struct(score, lang)), and the composite quality formula.
+      val markers = Map(
+        "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
+        "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+        "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+        "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein"),
+        "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "人"))
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "la", "le", "el",
+        "de", "der", "die", "und", "en", "y", "et", "的", "了")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, text,
+         |    string_split_regex(TRIM(LOWER(text)), '\\s+') AS tl
+         |  FROM documents
+         |), hits AS (
+         |  SELECT doc_id, lang, text, tl,
+         |    ${markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"len(list_intersect(list_distinct(tl), ${lst(ws)})) AS h_$l"
+      }.mkString(",\n    ")},
+         |    CAST(len(list_filter(tl, x -> list_contains(${lst(stop)}, x))) AS DOUBLE)
+         |      / GREATEST(len(tl), 1) AS sw_ratio,
+         |    CAST(LENGTH(text) - LENGTH(TRANSLATE(text, '.,;:!?''"()-', '')) AS DOUBLE)
+         |      / GREATEST(LENGTH(text), 1) AS p_ratio
+         |  FROM toks
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN GREATEST(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+         |       WHEN h_zh = GREATEST(h_en, h_es, h_fr, h_de, h_zh) THEN 'zh'
+         |       WHEN h_fr = GREATEST(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+         |       WHEN h_es = GREATEST(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+         |       WHEN h_en = GREATEST(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+         |       ELSE 'de' END AS lang_pred,
+         |  sw_ratio AS stopword_ratio,
+         |  FLOOR((LEAST(LENGTH(text) / 500.0, 1.0) * 0.4 +
+         |        (CASE WHEN p_ratio <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |        LEAST(sw_ratio * 5.0, 1.0) * 0.3) * 10000.0) / 10000.0 AS quality
+         |FROM hits ORDER BY doc_id""".stripMargin
+    },
+
     "q36_knn_brute" ->
       """SELECT qid, rank, neighbor, cos FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,

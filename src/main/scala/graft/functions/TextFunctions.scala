@@ -87,12 +87,15 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: length sweet-spot, moderate
     * punctuation, some stopwords (natural-language-ness heuristic).
+    * Quantized to 4 decimals with FLOOR, not ROUND: floor of a bit-identical
+    * double is engine-portable, while ROUND's half-way ties differ between
+    * HALF_UP (Spark) and half-even (DuckDB) engines.
     */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val punctOk = when(punctRatio(text) <= 0.1, 1.0).otherwise(0.5)
     val stopOk = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round((lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3), 4)
+    floor((lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3) * 10000.0) / 10000.0
   }
 
   /** N-gram-overlap language ID: score each language by the fraction of its

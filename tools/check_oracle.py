@@ -39,7 +39,8 @@ def cells_equal(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        # EXACT: the driver hashes values, so doubles must be bit-identical.
+        return fa == fb
     return a == b or str(a) == str(b)
 
 n_pass = n_fail = 0
