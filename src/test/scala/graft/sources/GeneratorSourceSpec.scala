@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.generator.RecordGenerator
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+
+class GeneratorSourceSpec extends SparkTestBase {
+
+  private def read(n: Long, parts: Int) = spark.read
+    .format("graft.sources.GeneratorSource")
+    .option("modelDir", resourcePath("/model"))
+    .option("entity", "employee")
+    .option("numRecords", n.toString)
+    .option("nullableRate", "0.3")
+    .option("seed", "42")
+    .option("numPartitions", parts.toString)
+    .load()
+
+  test("DSv2 source plans parallel partitions and generates the full range") {
+    val df = read(1000, 7)
+    assert(df.rdd.getNumPartitions == 7)
+    assert(df.count() == 1000)
+  }
+
+  test("content is partitioning-invariant and matches the library generator") {
+    val a = read(100, 1).collect().map(_.getString(0)).sorted.toSeq
+    val b = read(100, 9).collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b)
+    val lib = new RecordGenerator(new ModelDirectory(resourcePath("/model")),
+      nullableRate = 0.3, seed = 42L).generate("employee", 100).sorted
+    assert(a == lib)
+  }
+
+  test("records load through the compiled schema") {
+    import spark.implicits._
+    val schema = new SchemaCompiler(new ModelDirectory(resourcePath("/model")))
+      .schemaOf("employee")
+    val df = spark.read.schema(schema)
+      .json(read(200, 4).as[String])
+    assert(df.count() == 200)
+    assert(df.where("id IS NULL").count() == 0) // required field always present
+  }
+}
