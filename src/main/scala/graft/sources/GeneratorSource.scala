@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,7 +53,7 @@ private class GeneratorTable(options: Map[String, String])
     s"graft-generator(${options.getOrElse("entity", "?")})"
   override def schema(): StructType = GeneratorSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new GeneratorScan(options)
@@ -65,6 +66,14 @@ private class GeneratorScan(options: Map[String, String]) extends Scan with Batc
 
   override def readSchema(): StructType = GeneratorSource.schema
   override def toBatch: Batch = this
+
+  /** Streaming: emits the same `numRecords` records as the batch path, in
+    * admission-controlled microbatches (`maxRecordsPerBatch`), then idles.
+    * Offsets are simply "records emitted so far" — exactly-once replay of a
+    * batch range is trivial because content depends only on record index.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GeneratorMicroBatchStream(options)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Driver-side: compile the model once; ship the serializable plan.
@@ -83,22 +92,59 @@ private class GeneratorScan(options: Map[String, String]) extends Scan with Batc
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val p = partition.asInstanceOf[GeneratorPartition]
-        new PartitionReader[InternalRow] {
-          private var i = p.from - 1
-          private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-          override def next(): Boolean = { i += 1; i < p.until }
-          override def get(): InternalRow = {
-            row.update(0, UTF8String.fromString(
-              RecordGenerator.render(p.plan, p.nullableRate, p.seed, i)))
-            row
-          }
-          override def close(): Unit = ()
-        }
-      }
+    GeneratorPartition.readerFactory
+}
+
+private case class GenOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private class GeneratorMicroBatchStream(options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+  private def opt(k: String): String = options.getOrElse(k,
+    throw new IllegalArgumentException(s"graft generator source requires option '$k'"))
+  private val total = opt("numRecords").toLong
+  private val rate = options.getOrElse("nullableRate", "0.0").toDouble
+  private val seed = options.getOrElse("seed", "42").toLong
+  private val perBatch = options.getOrElse("maxRecordsPerBatch", "10000").toLong
+  private val parts = math.max(options.getOrElse("numPartitions", "8").toInt, 1)
+  // Compiled once per stream on the driver.
+  private lazy val plan =
+    new RecordGenerator(new ModelDirectory(opt("modelDir")), rate, seed)
+      .plan(opt("entity"))
+
+  override def initialOffset(): Offset = GenOffset(0L)
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GenOffset].n
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _              => perBatch
     }
+    GenOffset(math.min(from + step, total))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GenOffset].n
+    val until = end.asInstanceOf[GenOffset].n
+    val n = until - from
+    if (n <= 0) return Array.empty
+    val per = (n + parts - 1) / parts
+    (0 until parts).iterator
+      .map(i => GeneratorPartition(plan, rate, seed,
+        from + i * per, math.min(from + (i + 1) * per, until)))
+      .filter(p => p.from < p.until)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeneratorPartition.readerFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One planned slice of the record-index range; the plan rides inside. */
@@ -109,3 +155,25 @@ private case class GeneratorPartition(
     from: Long,
     until: Long
 ) extends InputPartition
+
+private object GeneratorPartition {
+  /** Shared by the batch Scan and the MicroBatchStream: streams records of
+    * the partition's index slice straight into InternalRows.
+    */
+  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[GeneratorPartition]
+      new PartitionReader[InternalRow] {
+        private var i = p.from - 1
+        private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        override def next(): Boolean = { i += 1; i < p.until }
+        override def get(): InternalRow = {
+          row.update(0, UTF8String.fromString(
+            RecordGenerator.render(p.plan, p.nullableRate, p.seed, i)))
+          row
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
