@@ -134,6 +134,36 @@ object Medallion {
       .format("parquet").saveAsTable(tableName)
   }
 
+  /** Streaming bronze -> silver + quarantine: a single stream cannot feed
+    * two sinks, so each microbatch is split in `foreachBatch` — the batch is
+    * persisted once, filtered both ways, appended to the two parquet
+    * locations, and released. Exactly-once per sink rides the stream's
+    * checkpoint (batch replays overwrite idempotently only if the caller's
+    * sink supports it; plain parquet append gives at-least-once on retry,
+    * which is the standard contract for foreachBatch fan-out).
+    */
+  def quarantineStreamWriter(
+      bronze: DataFrame,
+      entity: CompiledEntity,
+      silverPath: String,
+      quarantinePath: String,
+      checkpointPath: String,
+      availableNow: Boolean = true
+  ): DataStreamWriter[Row] = {
+    val w = bronze.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          val (valid, invalid) = Expectations.quarantine(cached, entity.constraints)
+          valid.write.mode("append").parquet(silverPath)
+          invalid.write.mode("append").parquet(quarantinePath)
+        } finally cached.unpersist()
+        ()
+      }
+    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+  }
+
   /** Configure a streaming writer for a silver table: parquet sink with a
     * checkpoint, `AvailableNow` (drain-and-stop) or continuous processing.
     */

@@ -99,6 +99,24 @@ class MedallionSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("streaming quarantine: foreachBatch splits each microbatch into two sinks") {
+    val srcDir = Files.createTempDirectory("graft-q-src")
+    val silverDir = Files.createTempDirectory("graft-q-silver").resolve("t").toString
+    val quarDir = Files.createTempDirectory("graft-q-quar").resolve("t").toString
+    val ckptDir = Files.createTempDirectory("graft-q-ckpt")
+    // The golden 100-record corpus: 28 valid / 72 invalid.
+    val corpus = java.nio.file.Paths.get(resourcePath("/data/employee.json"))
+    Files.copy(corpus, srcDir.resolve("employee.json"))
+
+    val bronze = Medallion.readStream(spark, compiled, "json", srcDir.toString)
+    val q = Medallion.quarantineStreamWriter(bronze, compiled,
+      silverDir, quarDir, ckptDir.toString).start()
+    q.awaitTermination(120000)
+
+    assert(spark.read.parquet(silverDir).count() == 28)
+    assert(spark.read.parquet(quarDir).count() == 72)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
