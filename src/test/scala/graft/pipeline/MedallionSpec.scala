@@ -24,6 +24,41 @@ class MedallionSpec extends SparkTestBase {
     assert(quarantined.count() == 72)
   }
 
+  test("schema-enforced CSV read: declared types, no inference, extra/missing handled") {
+    // Flat entity (CSV cannot carry structs/arrays) — the reference's own
+    // README example is a csv read with the compiled schema.
+    val modelTmp = Files.createTempDirectory("graft-csv-model")
+    Files.write(modelTmp.resolve("flat.json"),
+      """{"type": "object", "properties": {
+        |  "id": {"type": "integer", "minimum": 1},
+        |  "name": {"type": "string"},
+        |  "joined": {"type": "string", "format": "date"},
+        |  "score": {"type": "number"}
+        |}, "required": ["id", "name"]}""".stripMargin.getBytes("UTF-8"))
+    val flat = new SchemaCompiler(new ModelDirectory(modelTmp.toString)).compile("flat")
+
+    val dataTmp = Files.createTempDirectory("graft-csv-data")
+    Files.write(dataTmp.resolve("data.csv"),
+      """1,alice,2020-01-05,3.5
+        |2,bob,2021-11-30,
+        |bad,carol,2022-02-02,1.25""".stripMargin.getBytes("UTF-8"))
+
+    val df = Medallion.readBatch(spark, flat, "csv", dataTmp.toString)
+    // File sources relax nullability (they cannot guarantee non-null data);
+    // names and types must match the compiled schema exactly.
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      flat.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rows = df.orderBy("name").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "alice" &&
+      rows(0).getDate(2).toString == "2020-01-05" && rows(0).getDouble(3) == 3.5)
+    assert(rows(1).isNullAt(3))          // missing trailing value -> null
+    assert(rows(2).isNullAt(0))          // malformed int -> null (PERMISSIVE)
+    // and the compiled expectations flag the malformed row
+    val (valid, quarantined) = Medallion.toSilverWithQuarantine(df, flat)
+    assert(valid.count() == 2 && quarantined.count() == 1)
+  }
+
   test("partitioned writes prune partitions at scan time") {
     val out = Files.createTempDirectory("graft-part").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
