@@ -464,6 +464,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // --- 48. exact column profile (one aggregation pass melted to rows) ---------------------------------
+    "q48_profile_stats" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val src = t(s, d, "orders")
+      val aggs = cols.flatMap { c =>
+        Seq(count(lit(1)).as(s"${c}__rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+      }
+      val one = src.agg(aggs.head, aggs.tail: _*)
+      val kvs = cols.map { c =>
+        struct(lit(c).as("column"), col(s"${c}__rows").as("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"))
+      }
+      one.select(explode(array(kvs: _*)).as("p")).select("p.*").orderBy("column")
+    }),
+
     // --- 47. skew-safe salted aggregation (exact decimal partials; oracle = plain GROUP BY) -------------
     "q47_salted_agg" -> ((s, d) =>
       graft.operators.Skew.saltedAgg(
@@ -823,6 +843,18 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q48_profile_stats" -> {
+      // "column" is a reserved word in DuckDB — quote the identifier.
+      def side(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_totalprice").map(side)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY \"column\"")
+    },
 
     "q47_salted_agg" ->
       """SELECT l_suppkey,
