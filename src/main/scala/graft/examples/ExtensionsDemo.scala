@@ -1,0 +1,29 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Proves the `spark.sql.extensions` installation path for GraftExtensions
+  * (a fresh JVM is required — an existing session ignores builder configs,
+  * which is why the test suite covers only `register(spark)`).
+  */
+object ExtensionsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      """SELECT graft_simhash(array(1L, 2L, 3L)) AS sh,
+        |       size(graft_minhash(array(1L, 2L, 3L), 16)) AS mh_len,
+        |       graft_fingerprint('hello world fingerprint text') AS fp,
+        |       graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |                    array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cos
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(1) == 16)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    println(s"extensions-ok sh=${r.getLong(0)} mh_len=${r.getInt(1)} cos=${r.getDouble(3)}")
+    spark.stop()
+  }
+}
