@@ -49,7 +49,10 @@ object Multimodal {
     val total = size(chunks)
     when(total <= n, chunks).otherwise(
       transform(sequence(lit(0), lit(n - 1)),
-        i => element_at(chunks, floor(i * total / n).cast("int") + 1)))
+        // long arithmetic: i * total would overflow int under ANSI for
+        // payloads with >2^31/n chunks
+        i => element_at(chunks,
+          floor(i.cast("long") * total.cast("long") / n).cast("int") + 1)))
   }
 
   /** The decode + feature-extraction seam. In production this is where the
