@@ -49,11 +49,21 @@ object ConstraintRules {
   private def fmtDouble(d: Double): String = d.toString
 
   /** Escape a user-supplied string for embedding in a single-quoted SQL
-    * literal (enum values, patterns, date bounds) — an embedded quote would
-    * otherwise make the generated predicate unparseable. No-op for the
-    * golden fixtures (none contain quotes), so parity is unaffected.
+    * literal (enum values, date bounds) — an embedded quote would otherwise
+    * make the generated predicate unparseable. No-op for the golden
+    * fixtures (none contain quotes), so parity is unaffected.
     */
   private def sq(s: String): String = s.replace("'", "''")
+
+  /** Escape a REGEX for embedding in a SQL string literal: Spark's SQL
+    * parser treats backslash as an escape inside '...' (default
+    * `escapedStringLiterals=false`), so `RLIKE '^P\d+'` reaches the regex
+    * engine as `^Pd+` and never matches. Backslashes must be doubled in the
+    * emitted SQL text. Compat mode skips this to stay byte-identical with
+    * the reference's emitted strings (which carry the same latent bug).
+    */
+  private def regexLit(p: String, compat: Boolean): String =
+    if (compat) p else p.replace("\\", "\\\\").replace("'", "''")
 
   def validateNullable(path: String, isNullable: Boolean): ListMap[String, String] =
     if (isNullable) ListMap.empty
@@ -108,11 +118,12 @@ object ConstraintRules {
     fmt.foreach {
       case "duration" =>
         // Fixed vs reference: `\d+`, not the malformed `\d{+}` (SURVEY §8 Q6).
-        val d = if (compat) "\\d{+}" else "\\d+"
+        val d = regexLit(if (compat) "\\d{+}" else "\\d+", compat)
         out += s"[$path] MATCH" ->
           s"$path IS NULL OR $path RLIKE '^P$d[YMWD]$$' OR $path RLIKE '^T$d[HMS]$$'"
       case f if formatPatterns.contains(f) =>
-        out += s"[$path] MATCH" -> s"$path IS NULL OR $path RLIKE '${formatPatterns(f)}'"
+        out += s"[$path] MATCH" ->
+          s"$path IS NULL OR $path RLIKE '${regexLit(formatPatterns(f), compat)}'"
       case _ => ()
     }
 
@@ -123,7 +134,7 @@ object ConstraintRules {
       val hasFormatMatch = out.contains(s"[$path] MATCH")
       if (!(compat && hasFormatMatch)) {
         val nme = if (hasFormatMatch) s"[$path] PATTERN" else s"[$path] MATCH"
-        out += nme -> s"$path IS NULL OR $path RLIKE '${sq(p)}'"
+        out += nme -> s"$path IS NULL OR $path RLIKE '${regexLit(p, compat)}'"
       }
     }
 

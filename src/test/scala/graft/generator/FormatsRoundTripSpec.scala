@@ -1,0 +1,46 @@
+package graft.generator
+
+import graft.SparkTestBase
+import graft.expectations.Expectations
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+
+import java.nio.file.Files
+
+/** Generator <-> constraint-compiler coherence for string FORMATS: values
+  * the generator produces for uuid/duration/date/date-time/enum fields must
+  * satisfy the MATCH/VALUE constraints compiled from the same schema (the
+  * reference only promises this for non-pattern rules; formats are the
+  * stronger case because both sides encode the format's shape).
+  */
+class FormatsRoundTripSpec extends SparkTestBase {
+
+  test("format-generated values satisfy their own format constraints") {
+    val dir = Files.createTempDirectory("graft-formats")
+    Files.write(dir.resolve("doc.json"),
+      """{"type": "object", "properties": {
+        |  "uid": {"type": "string", "format": "uuid"},
+        |  "dur": {"type": "string", "format": "duration"},
+        |  "day": {"type": "string", "format": "date", "min": "2020-01-01", "max": "2020-12-31"},
+        |  "at": {"type": "string", "format": "date-time", "min": "2020-06-01", "max": "2020-06-02"},
+        |  "kind": {"type": "string", "enum": ["A", "B"]},
+        |  "amount": {"type": "number", "minimum": 10.5, "maximum": 20.5},
+        |  "n": {"type": "integer", "minimum": -5, "maximum": 5}
+        |}, "required": ["uid", "dur", "day", "at", "kind", "amount", "n"]}""".stripMargin
+        .getBytes("UTF-8"))
+
+    val model = new ModelDirectory(dir.toString)
+    val compiled = new SchemaCompiler(model).compile("doc")
+    // uuid + duration MATCH rules exist, plus VALUE/NULLABLE rules.
+    assert(compiled.constraints.contains("[`uid`] MATCH"))
+    assert(compiled.constraints.contains("[`dur`] MATCH"))
+
+    val df = new RecordGenerator(model, nullableRate = 0.0, seed = 5L)
+      .generateTable(spark, "doc", 200)
+    assert(df.count() == 200)
+    // ALL constraints must hold — including the format MATCH rules (the
+    // generator emits real uuids and durations, unlike user patterns).
+    val bad = Expectations.violationReport(df, compiled.constraints.toMap).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+}

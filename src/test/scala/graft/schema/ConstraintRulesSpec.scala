@@ -56,10 +56,12 @@ class ConstraintRulesSpec extends AnyFunSuite {
   test("string formats") {
     val uuid = ConstraintRules.validateStrings("`f`", props("""{"format": "uuid"}"""))
     assert(uuid("[`f`] MATCH").contains("RLIKE '^[0-9a-fA-F]{8}-"))
-    // SURVEY §8 Q6 fix: valid duration quantifier
+    // SURVEY §8 Q6 fix: valid duration quantifier. Backslashes are doubled
+    // in the SQL text so expr()'s string-literal parsing hands the regex
+    // engine a real `\d`.
     val dur = ConstraintRules.validateStrings("`f`", props("""{"format": "duration"}"""))
     assert(dur("[`f`] MATCH") ==
-      "`f` IS NULL OR `f` RLIKE '^P\\d+[YMWD]$' OR `f` RLIKE '^T\\d+[HMS]$'")
+      "`f` IS NULL OR `f` RLIKE '^P\\\\d+[YMWD]$' OR `f` RLIKE '^T\\\\d+[HMS]$'")
     val ipv4 = ConstraintRules.validateStrings("`f`", props("""{"format": "ipv4"}"""))
     assert(ipv4("[`f`] MATCH").contains("{3}[0-9]{1,3}$'"))
     // SURVEY §8 Q5 fix: format + pattern keep distinct names
