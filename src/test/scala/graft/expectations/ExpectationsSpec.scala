@@ -65,6 +65,19 @@ class ExpectationsSpec extends SparkTestBase {
     }
   }
 
+  test("backslash regex patterns enforce correctly end-to-end through expr()") {
+    import spark.implicits._
+    val props = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("""{"pattern": "^\\d{4}-[A-Z]+$"}""")
+    val rules = graft.schema.ConstraintRules.validateStrings("`code`", props)
+    val df = Seq("1234-AB", "12-AB", "abcd-EF").toDF("code")
+    val bad = Expectations.violationReport(df, rules.toMap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly the two non-matching rows violate; '\d' must survive SQL
+    // string-literal parsing (it would match literal 'd' otherwise)
+    assert(bad == Map("[`code`] MATCH" -> 2L), bad)
+  }
+
   test("observeWith yields batch counters after any action") {
     val compiled = new graft.schema.SchemaCompiler(
       new graft.model.ModelDirectory(resourcePath("/model"))).compile("employee")
