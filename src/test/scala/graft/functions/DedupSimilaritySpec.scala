@@ -57,6 +57,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngramJaccardPairs stop-shingle filter removes boilerplate-only matches") {
+    // Every doc carries the same boilerplate; docs 1/2 share ONLY it.
+    val boiler = "subscribe to our newsletter for updates and offers today"
+    val bdocs = Seq(
+      (1L, s"$boiler unique alpha content one", "en"),
+      (2L, s"$boiler totally different beta payload", "en"),
+      (3L, s"$boiler unique alpha content one", "en") // true dup of 1
+    ).toDF("doc_id", "text", "lang")
+    val noFilter = Dedup.ngramJaccardPairs(bdocs, "doc_id", "text", "lang",
+        n = 2, threshold = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(noFilter.contains((1L, 2L))) // boilerplate alone clears 0.3
+    val filtered = Dedup.ngramJaccardPairs(bdocs, "doc_id", "text", "lang",
+        n = 2, threshold = 0.3, maxDfFraction = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!filtered.contains((1L, 2L)), filtered) // boilerplate removed
+    assert(filtered.contains((1L, 3L)))            // true dup survives
+  }
+
   test("simhashPairs finds near-identical texts within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
