@@ -373,10 +373,21 @@ object SparkEntry {
     }),
 
     // --- 38. embedding near-duplicate pairs (no SQL oracle) -------------------------------------------
-    "q38_embedding_neardup" -> ((s, d) =>
-      Similarity.embeddingNearDupPairs(
-        t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
-        threshold = 0.95, nPlanes = 8)),
+    // The raw embeddings are near-orthogonal random vectors (max pairwise
+    // cosine ~0.51 at sf0.01), so a 0.95-threshold scan of them alone is
+    // vacuous. Plant known near-dups instead: every 10th vector re-enters
+    // the corpus scaled by 2 under a shifted id — same direction, cosine
+    // 1.0, identical hyperplane sign pattern, so LSH recall is exactly 1
+    // and the expected output is precisely the planted pairs at any sf.
+    "q38_embedding_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val planted = e.where(col("id") % 10 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          transform(col("vec"), x => x * lit(2.0f)).as("vec"))
+      Similarity.embeddingNearDupPairs(e.unionAll(planted),
+        threshold = 0.95, nPlanes = 8)
+    }),
 
     // --- 39. document fingerprint (rolling hash; no SQL oracle) ----------------------------------------
     "q39_fingerprint" -> ((s, d) =>
@@ -397,11 +408,17 @@ object SparkEntry {
     }),
 
     // --- 41. multimodal decode stub (mapPartitions seam; no SQL oracle) ---------------------------------
-    "q41_media_features" -> ((s, d) =>
-      Multimodal.decodeStub(
-          t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "doc_id", "payload")
-        .orderBy("id")),
+    // The feature vector is projected to one scalar column per dimension:
+    // the driver's rows-only check sorts every column, and a raw
+    // array<float> column crashes its pandas lexsort (unhashable ndarray).
+    "q41_media_features" -> ((s, d) => {
+      val feats = Multimodal.decodeStub(
+        t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+      feats.select(col("id") +:
+          (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+        .orderBy("id")
+    }),
 
     // --- 42. IVF approximate kNN (KMeans cells + probe search; no SQL oracle) ----------------------------
     "q42_knn_ivf" -> ((s, d) => {

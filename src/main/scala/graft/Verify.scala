@@ -20,7 +20,7 @@ object Verify {
     // stuck query's jobs.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toInt
     import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
-    val pool = Executors.newSingleThreadExecutor()
+    var pool = Executors.newSingleThreadExecutor()
     SparkEntry.queries.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
@@ -38,6 +38,12 @@ object Verify {
           spark.sparkContext.cancelJobGroup(name)
           task.cancel(true)
           System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s")
+          // The stuck thread may never exit (e.g. blocked in
+          // non-interruptible sink IO); abandoning the old single-thread
+          // pool for a fresh one keeps later queries from queueing behind
+          // it and falsely timing out in cascade.
+          pool.shutdownNow()
+          pool = Executors.newSingleThreadExecutor()
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

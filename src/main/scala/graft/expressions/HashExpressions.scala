@@ -144,6 +144,20 @@ case class NearestCentroidsExpr(
     nProbe: Int
 ) extends UnaryExpression {
   require(centroids.nonEmpty && nProbe > 0, "need centroids and nProbe > 0")
+  // Case-class equality on Array is reference-based, which would make two
+  // structurally identical expressions never compare equal — defeating
+  // common-subexpression elimination and plan-cache reuse when the model is
+  // re-fit. Compare (and hash) the centroid CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroidsExpr =>
+      nProbe == o.nProbe && child == o.child &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]], o.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nProbe),
+      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
   override def checkInputDataTypes(): TypeCheckResult =
     FloatVec.check(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -139,10 +139,15 @@ object Dedup {
     verified.orderBy(desc("jaccard"), col("id1"), col("id2"))
   }
 
-  /** SimHash near-duplicate pairs: 64-bit signatures, banded on four 16-bit
-    * chunks (two signatures within hamming distance <= 3 of each other must
-    * share at least one exact chunk when distance < 4), verified by exact
-    * hamming distance.
+  /** SimHash near-duplicate pairs: 64-bit signatures banded on
+    * `maxHamming + 1` disjoint bit chunks — by pigeonhole, two signatures
+    * within hamming distance `maxHamming` must agree exactly on at least one
+    * chunk, so banding guarantees full candidate recall for ANY maxHamming
+    * in [0, 63]. Candidates are verified by exact hamming distance.
+    *
+    * (The previous fixed 4x16-bit banding silently lost qualifying pairs
+    * for maxHamming >= 4 — a pair differing in 4+ bits can differ in all
+    * four chunks.)
     */
   def simhashPairs(
       df: DataFrame,
@@ -150,12 +155,26 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    // Chunk i covers bits [i*64/nChunks, (i+1)*64/nChunks) — widths differ
+    // by at most one bit when 64 is not divisible by nChunks; coverage is
+    // disjoint and total, which is all the pigeonhole argument needs.
+    val chunkDefs = (0 until nChunks).map { i =>
+      val start = i * 64 / nChunks
+      val width = (i + 1) * 64 / nChunks - start
+      (i, start, width)
+    }
     val sigs = df.select(col(idCol).as("id"),
       TextFunctions.simhash64(col(textCol)).as("sig"))
+    val chunkCols = chunkDefs.map { case (i, start, width) =>
+      val shifted = call_function("shiftrightunsigned", col("sig"), lit(start))
+      val v = if (width >= 64) shifted else shifted.bitwiseAND(lit((1L << width) - 1))
+      struct(lit(i).as("chunk"), v.as("v"))
+    }
     val chunked = sigs.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.as("chunk"),
-          call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v")))).as("c"))
+      explode(array(chunkCols: _*)).as("c"))
       .select(col("id"), col("sig"), col("c.chunk").as("chunk"), col("c.v").as("v"))
     chunked.as("l")
       .join(chunked.as("r"),
@@ -192,8 +211,14 @@ object Dedup {
     def prep(df: DataFrame, idC: String, textC: String): DataFrame =
       df.select(col(idC).as("id"),
         TextFunctions.shingleHashes(col(textC), shingleN).as("hs"))
+    // Same empty-shingle guard as lshCandidates: docs shorter than shingleN
+    // all share the sentinel signature, so without the filter every empty
+    // left doc collides with every empty right doc on every band — a
+    // |emptyL|x|emptyR| candidate blow-up on short-document corpora (the
+    // output stayed correct only because empty-set Jaccard is 0).
     def banded(docs: DataFrame): DataFrame =
-      docs.withColumn("sig", minhashSignature(col("hs"), numHashes))
+      docs.where(size(col("hs")) > 0)
+        .withColumn("sig", minhashSignature(col("hs"), numHashes))
         .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
         .select(col("id"), col("b.band").as("band"), col("b.h").as("h"))
     val l = prep(left, leftId, leftText)

@@ -67,7 +67,8 @@ final class RecordGenerator(
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
 
   /** Compile an entity into its serializable generation plan. */
-  def plan(entityName: String): Obj = compileObject(model.loadEntity(entityName))
+  def plan(entityName: String): Obj =
+    compileObject(model.loadEntity(entityName), Set.empty)
 
   /** Driver-side generation of `num` JSON records. */
   def generate(entityName: String, num: Int): Seq[String] = {
@@ -112,14 +113,21 @@ final class RecordGenerator(
 
   // ------------------------------------------------------------ plan compile
 
-  private def compileObject(node: JsonNode): Obj = {
+  // `visiting` carries the set of $ref targets on the current resolution
+  // path — a cyclic model fails with the same clear "Cyclic $ref" error as
+  // SchemaCompiler (processSupertype/processFieldReference) instead of a
+  // StackOverflowError.
+  private def compileObject(node: JsonNode, visiting: Set[String]): Obj = {
     val allOf = Option(node.get("allOf")).filter(_.isArray)
     allOf match {
       case Some(refs) =>
         val fields = Seq.newBuilder[Field]
         refs.forEach { ref =>
           val link = ref.get("$ref").asText()
-          fields ++= compileObject(model.loadJson(link.split('/').last)).fields
+          val refFile = link.split('/').last
+          if (visiting.contains(refFile))
+            throw new IllegalArgumentException(s"Cyclic $$ref detected via $refFile")
+          fields ++= compileObject(model.loadJson(refFile), visiting + refFile).fields
         }
         Obj(fields.result())
       case None =>
@@ -130,30 +138,33 @@ final class RecordGenerator(
           throw new IllegalArgumentException("Entity object has no 'properties'"))
         Obj(fieldNames(props).map { name =>
           Field(name, optional = !required.contains(name),
-            compileField(props.get(name)))
+            compileField(props.get(name), visiting))
         })
     }
   }
 
-  private def compileField(props: JsonNode): GenNode = {
+  private def compileField(props: JsonNode, visiting: Set[String]): GenNode = {
     optText(props, "$ref") match {
       case Some(ref) =>
         val refObject = ref.split('/').last
         val refJson = ref.split('#').head.split('/').last
+        val key = s"$refJson#$refObject"
+        if (visiting.contains(key))
+          throw new IllegalArgumentException(s"Cyclic $$ref detected via $ref")
         val refModel = model.loadJson(refJson)
         val refProperty = Option(refModel.get(refObject)).getOrElse(
           throw new IllegalArgumentException(s"Referencing non existing property $refObject"))
-        return compileField(refProperty)
+        return compileField(refProperty, visiting + key)
       case None => ()
     }
     optText(props, "type") match {
-      case Some("object") => compileObject(props)
+      case Some("object") => compileObject(props, visiting)
       case Some("array") =>
         val items = Option(props.get("items")).getOrElse(
           throw new IllegalArgumentException("Array field has no 'items'"))
         val minItems = math.max(optInt(props, "minItems").getOrElse(0), 0)
         val maxItems = math.max(optInt(props, "maxItems").getOrElse(1), minItems)
-        Arr(minItems, maxItems, compileField(items))
+        Arr(minItems, maxItems, compileField(items, visiting))
       case Some("integer") =>
         IntGen(optInt(props, "minimum").getOrElse(0),
           optInt(props, "maximum").getOrElse(9999))

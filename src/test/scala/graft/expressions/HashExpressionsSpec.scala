@@ -68,6 +68,22 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(rows(3).getDouble(0) == 0.0) // degenerate => 0, not NaN
   }
 
+  test("NearestCentroidsExpr: structural equality despite distinct centroid arrays") {
+    // Re-fitting the same model yields NEW arrays with equal content; the
+    // expressions must still canonicalize identically or CSE/plan-cache
+    // reuse is defeated (reference-based Array equality did exactly that).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def mk() = NearestCentroidsExpr(
+      Literal.create(Array(1.0f, 0.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)),
+      Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f)), nProbe = 1)
+    val a = mk(); val b = mk()
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val c = b.copy(nProbe = 2)
+    assert(a != c)
+  }
+
   test("SQL registry: graft_* functions usable from SQL after register(spark)") {
     GraftExtensions.register(spark)
     val r = spark.sql(

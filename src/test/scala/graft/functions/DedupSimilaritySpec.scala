@@ -83,6 +83,49 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhashPairs: full candidate recall for maxHamming >= 4 (derived chunk count)") {
+    // Perturbed copies of a long text differ in a handful of simhash bits
+    // that can land anywhere — with the old fixed 4x16 banding a pair at
+    // hamming 4+ could differ in all four chunks and silently vanish.
+    // Ground truth: every pair within the bound must be reported.
+    val variants = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "rapid")),
+      (3L, base.replace("lazy", "idle").replace("sun", "moon")),
+      (4L, base.replace("river", "creek").replace("green", "gray").replace("dog", "cat")),
+      (5L, base.replace("valley", "canyon").replace("tall", "short"))
+    ).toDF("doc_id", "text")
+    val maxH = 8
+    val sigs = variants
+      .select(col("doc_id"), TextFunctions.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxH
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, s"test needs pairs within hamming $maxH: $sigs")
+    val got = Dedup.simhashPairs(variants, "doc_id", "text", maxHamming = maxH)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("crossCorpusNearDups: finds leakage; sub-shingle docs never pair") {
+    val train = Seq(
+      (10L, base),                       // leaked into eval
+      (11L, "tiny"), (12L, "y"),         // shorter than the shingle width
+      (13L, "unrelated training text about oceans and tides rolling onto the shore at dusk")
+    ).toDF("tid", "ttext")
+    val eval_ = Seq(
+      (20L, base.replace("quick", "swift")), // near-dup of train 10
+      (21L, "also"), (22L, "z"),             // empty shingle sets too
+      (23L, "benchmark question about ancient history and early bronze age trade routes")
+    ).toDF("eid", "etext")
+    val got = Dedup.crossCorpusNearDups(train, eval_, "tid", "eid", "ttext", "etext",
+        shingleN = 3, threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L)), got.toString) // no empty-set pairings
+  }
+
   test("dropNearDuplicates keeps one representative per duplicate cluster") {
     val out = Dedup.dropNearDuplicates(docs, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)

@@ -57,6 +57,28 @@ class RecordGeneratorSpec extends SparkTestBase {
     assert(bare.forall(r => r.contains("\"id\"") && r.contains("\"person\"")))
   }
 
+  test("cyclic $ref fails with a clear error, not StackOverflowError") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cycle")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"type":"object","allOf":[{"$ref":"b.json"}]}""")
+    java.nio.file.Files.writeString(dir.resolve("b.json"),
+      """{"type":"object","allOf":[{"$ref":"a.json"}]}""")
+    val g = new RecordGenerator(new ModelDirectory(dir.toString), 0.0, 1L)
+    val e = intercept[IllegalArgumentException](g.plan("a"))
+    assert(e.getMessage.contains("Cyclic"), e.getMessage)
+    // field-level $ref cycles too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cycle2")
+    // $ref "file#/prop" resolves against the TOP-LEVEL keys of the file.
+    java.nio.file.Files.writeString(dir2.resolve("c.json"),
+      """{"f":{"$ref":"d.json#/g"},
+        |"type":"object","required":["f"],"properties":{"f":{"$ref":"d.json#/g"}}}""".stripMargin)
+    java.nio.file.Files.writeString(dir2.resolve("d.json"),
+      """{"g":{"$ref":"c.json#/f"}}""")
+    val g2 = new RecordGenerator(new ModelDirectory(dir2.toString), 0.0, 1L)
+    val e2 = intercept[IllegalArgumentException](g2.plan("c"))
+    assert(e2.getMessage.contains("Cyclic"), e2.getMessage)
+  }
+
   test("array lengths are uniform within [minItems, maxItems]") {
     // employee.skills has minItems=1 (and no maxItems => max(1, minItems)=1).
     val g = new RecordGenerator(modelDir, nullableRate = 0.0, seed = 3L)
