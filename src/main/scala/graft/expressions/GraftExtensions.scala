@@ -76,6 +76,14 @@ object GraftExtensions {
           "graft_dot(array<float>, array<float>)")
       }),
     (
+      FunctionIdentifier("graft_jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard_sorted"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaccardSortedExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_jaccard_sorted(array<bigint> sorted distinct, array<bigint> sorted distinct)")
+      }),
+    (
       FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBucketsExpr].getName, "graft_hyperplane_buckets"),
       (args: Seq[Expression]) => args match {

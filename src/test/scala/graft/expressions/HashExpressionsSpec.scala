@@ -68,6 +68,24 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(rows(3).getDouble(0) == 0.0) // degenerate => 0, not NaN
   }
 
+  test("jaccardSorted matches array_intersect/array_union on sorted distinct sets") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L)),   // 2 / 5
+      (Seq(1L, 2L), Seq(1L, 2L)),               // identical => 1
+      (Seq(1L, 2L), Seq(3L, 4L)),               // disjoint => 0
+      (Seq.empty[Long], Seq(1L)),               // one empty => 0
+      (Seq.empty[Long], Seq.empty[Long])        // both empty => 0 (not NaN)
+    ).toDF("a", "b")
+    val out = df.select(
+      org.apache.spark.sql.graft.Bridge.column(JaccardSortedExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("a")),
+        org.apache.spark.sql.graft.Bridge.expression(col("b")))).as("j"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        greatest(size(array_union(col("a"), col("b"))), lit(1)).cast("double")).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("NearestCentroidsExpr: structural equality despite distinct centroid arrays") {
     // Re-fitting the same model yields NEW arrays with equal content; the
     // expressions must still canonicalize identically or CSE/plan-cache

@@ -133,6 +133,13 @@ class DedupSimilaritySpec extends SparkTestBase {
     // {1,2,3,5} form one near-dup cluster (1-2 exact, 3 near, 5 same text);
     // 4 is unrelated. Representative = min id.
     assert(out == Seq(1L, 4L))
+    // maxLocalEdges=0 forces the distributed label-propagation path; the
+    // two component strategies must agree.
+    val outDist = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        maxLocalEdges = 0L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(outDist == out)
   }
 
   test("normalizeForDedup makes cosmetic variants identical") {
