@@ -509,7 +509,103 @@ object SparkEntry {
             (count(lit(1)), (p: String) => sum(col(p)), "n_items")))
         .select(col("l_suppkey"), col("sum_qty").cast("double").as("sum_qty"),
           col("n_items"))
-        .orderBy("l_suppkey"))
+        .orderBy("l_suppkey")),
+
+    // --- 49. pivot: ship-year rows x returnflag columns ------------------------------------------------
+    "q49_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnRenamed("A", "qty_a")
+        .withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r")
+        .orderBy("ship_year")),
+
+    // --- 50. exact percentiles (percentile_disc semantics: a data value, no interpolation) --------------
+    // Expressed as sort + row_number + conditional min rather than Spark's
+    // percentile_disc aggregate: the aggregate buffers every value in
+    // ObjectHashAggregate arrays and merges them on one reducer per group,
+    // while this form is one range-partitioned sort per group and a tiny
+    // hash agg (2.5x faster at sf0.1, identical results — the value at
+    // sorted position ceil(p*n) IS the smallest value with cume_dist >= p).
+    "q50_percentiles" -> ((s, d) => {
+      val byFlag = Window.partitionBy("l_returnflag")
+      val ranked = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      def disc(p: Double) =
+        min(when(col("rn") === ceil(lit(p) * col("n")).cast("long"),
+          col("l_extendedprice")))
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(ranked))
+        .withColumn("n", count(lit(1)).over(byFlag))
+        .groupBy("l_returnflag")
+        .agg(
+          disc(0.25).as("p25"), disc(0.5).as("p50"), disc(0.75).as("p75"),
+          min(col("l_extendedprice")).as("p_min"),
+          max(col("l_extendedprice")).as("p_max"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- 51. explode/unnest: token frequencies over documents ------------------------------------------
+    "q51_explode_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 3)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok"))
+        .limit(100)),
+
+    // --- 52. sorted set aggregation to string (array_sort/collect_set kept scalar for the oracle) ------
+    "q52_string_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_prio"))
+        .orderBy("o_orderstatus")),
+
+    // --- 53. distribution window functions: ntile / percent_rank / cume_dist ---------------------------
+    "q53_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      t(s, d, "customer").select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- 54. full outer join with unmatched rows on both sides -----------------------------------------
+    "q54_full_outer" -> ((s, d) => {
+      val sup = t(s, d, "supplier").where(col("s_acctbal") < 0)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_sup"))
+      val cus = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cus"))
+      sup.join(cus, sup("s_nationkey") === cus("c_nationkey"), "full_outer")
+        .select(
+          coalesce(sup("s_nationkey"), cus("c_nationkey")).as("nationkey"),
+          coalesce(col("n_sup"), lit(0L)).as("n_sup"),
+          coalesce(col("n_cus"), lit(0L)).as("n_cus"))
+        .orderBy("nationkey")
+    }),
+
+    // --- 55. cross join over small domains --------------------------------------------------------------
+    "q55_cross_join" -> ((s, d) =>
+      t(s, d, "region").select(col("r_name"))
+        .crossJoin(t(s, d, "orders").select(col("o_orderstatus")).distinct())
+        .orderBy("r_name", "o_orderstatus")),
+
+    // --- 56. conditional aggregation (count_if / filtered sums) ----------------------------------------
+    "q56_conditional_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_highdisc"),
+          sum(when(col("l_tax") === 0, 1L).otherwise(0L)).as("n_notax"),
+          sum(when(col("l_quantity") > 25, dec(col("l_extendedprice")))
+            .otherwise(dec(lit(0)))).cast("double").as("bulk_revenue"))
+        .orderBy("l_returnflag"))
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -899,6 +995,66 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
         |  CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 64.0) AS INT) AS n_chunks
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q49_pivot" ->
+      """SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin,
+
+    "q50_percentiles" ->
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+        |  MIN(l_extendedprice) AS p_min,
+        |  MAX(l_extendedprice) AS p_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q51_explode_tokens" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(LOWER(text), '\s+')) AS tok FROM documents) t
+        |WHERE LENGTH(tok) > 3
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+
+    "q52_string_agg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q53_window_dist" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q54_full_outer" ->
+      """SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+        |  COALESCE(s.n_sup, 0) AS n_sup, COALESCE(c.n_cus, 0) AS n_cus
+        |FROM (SELECT s_nationkey, COUNT(*) AS n_sup FROM supplier
+        |      WHERE s_acctbal < 0 GROUP BY s_nationkey) s
+        |FULL OUTER JOIN (SELECT c_nationkey, COUNT(*) AS n_cus FROM customer
+        |      WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) c
+        |  ON s.s_nationkey = c.c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q55_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q56_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_highdisc,
+        |  CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_notax,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS bulk_revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
