@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input event for [[StatefulOps.sessionizeWithState]]. Top-level case
+  * classes so Janino-generated encoder code can reach the constructors.
+  */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session state carried across microbatches (epoch millis). */
+case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+/** A completed session emitted downstream. */
+case class Session(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long,
+    sum_value: Double)
+
+/** Custom-state streaming operators (`flatMapGroupsWithState`) for the
+  * semantics the built-in `session_window` cannot express: sessions that
+  * EMIT ON COMPLETION (append-mode friendly — a session row is final the
+  * moment it is produced, no complete-mode re-emission of the whole result),
+  * carry custom per-session accumulators, and time out through event-time
+  * state expiry.
+  *
+  * Scale design: state lives in the state store keyed by user — one entry
+  * per OPEN session, not per event; each microbatch touches only the keys
+  * present in that batch plus expiring timers. The shuffle is the same
+  * hash-by-key exchange any streaming aggregation pays.
+  */
+object StatefulOps {
+
+  /** Gap-based sessionization that emits each session exactly once, when it
+    * CLOSES — either because a later event of the same user arrives more
+    * than `gap` after the session's last event, or because the watermark
+    * passes `last + gap` (event-time timeout) with no successor.
+    *
+    * Within a microbatch, a user's events are processed in event-time order
+    * (sorted in the group function); events older than the watermark should
+    * be filtered upstream by `withWatermark` on the source.
+    *
+    * @param events  streaming Dataset of (user_id, ts, value); must carry a
+    *                watermark on `ts` for the event-time timeout to fire
+    * @param gapMs   session gap in milliseconds
+    */
+  def sessionizeWithState(
+      events: Dataset[SessEvent],
+      gapMs: Long): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) => {
+          def toSession(s: SessState): Session = Session(
+            userId,
+            new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last),
+            s.n, s.sum)
+          if (state.hasTimedOut) {
+            // Watermark passed last+gap with no successor: the open session
+            // is final.
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += toSession(s)
+                  cur = Some(SessState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1L, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // Fires once the event-time watermark passes this instant.
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+        })
+  }
+
+  /** Streaming exact deduplication for document ingestion: content digest +
+    * `dropDuplicatesWithinWatermark`, which keeps digest state only for the
+    * watermark horizon — bounded state, unlike plain `dropDuplicates` whose
+    * state grows with the corpus forever. Emits the FIRST arrival of each
+    * distinct content digest; duplicates arriving within the watermark
+    * window are suppressed.
+    *
+    * @param df        streaming DataFrame with an event-time column already
+    *                  under `withWatermark`
+    * @param keyCols   content columns that define row identity
+    */
+  def streamingExactDedup(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.withColumn("__digest", md5(to_json(struct(keyCols.map(col): _*))))
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+}

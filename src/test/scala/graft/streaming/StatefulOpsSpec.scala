@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Custom-state streaming: flatMapGroupsWithState sessionization (sessions
+  * emitted once, on close, across microbatch boundaries) and bounded-state
+  * streaming dedup via dropDuplicatesWithinWatermark.
+  */
+class StatefulOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  test("flatMapGroupsWithState sessionization emits closed sessions across microbatches") {
+    val dir = Files.createTempDirectory("graft-fmgs")
+    // user 1: events at 0:00, 0:02 (file a) and 0:04 (file b) — ONE session
+    // spanning two microbatches — then 0:20, 0:21 (second session). user 2:
+    // a single event. File c is a late-time sentinel that pushes the
+    // watermark far enough to close every open session via event-time
+    // timeout.
+    Files.write(dir.resolve("a.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:02:00", "value": 2.0}
+        |{"user_id": 2, "ts": "2024-01-01T00:00:30", "value": 9.0}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:04:00", "value": 3.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:20:00", "value": 4.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:21:00", "value": 5.0}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("c.json"),
+      """{"user_id": 99, "ts": "2024-01-01T03:00:00", "value": 0.0}""".stripMargin.getBytes("UTF-8"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .withWatermark("ts", "1 minute")
+      .as[SessEvent]
+    val q = StatefulOps.sessionizeWithState(stream, gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fmgs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql(
+      """SELECT user_id, CAST(session_start AS STRING), CAST(session_end AS STRING),
+        |       n_events, sum_value
+        |FROM fmgs ORDER BY user_id, session_start""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:04:00", 3L, 6.0),
+      (1L, "2024-01-01 00:20:00", "2024-01-01 00:21:00", 2L, 9.0),
+      (2L, "2024-01-01 00:00:30", "2024-01-01 00:00:30", 1L, 9.0)), got.toString)
+  }
+
+  test("streamingExactDedup suppresses duplicate content within the watermark") {
+    val dir = Files.createTempDirectory("graft-sdedup")
+    // doc "aaa" appears in both microbatches (same content digest); doc
+    // "bbb" twice within one batch; "ccc" is unique.
+    Files.write(dir.resolve("a.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0}
+        |{"user_id": 2, "ts": "2024-01-01T00:00:10", "value": 2.0}
+        |{"user_id": 2, "ts": "2024-01-01T00:00:20", "value": 2.0}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:01:00", "value": 1.0}
+        |{"user_id": 3, "ts": "2024-01-01T00:01:30", "value": 3.0}""".stripMargin.getBytes("UTF-8"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .withWatermark("ts", "10 minutes")
+    // Identity = (user_id, value): the repeated (1, 1.0) and (2, 2.0) rows
+    // collapse to their first arrival regardless of ts.
+    val q = StatefulOps.streamingExactDedup(stream, Seq("user_id", "value"))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql(
+      "SELECT user_id, CAST(ts AS STRING), value FROM sdedup ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (2L, "2024-01-01 00:00:10", 2.0),
+      (3L, "2024-01-01 00:01:30", 3.0)), got.toString)
+  }
+}
