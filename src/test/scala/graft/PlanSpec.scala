@@ -69,6 +69,37 @@ class PlanSpec extends SparkTestBase {
     assert(projLine.contains("*("), p)
   }
 
+  test("q49 pivot and q51 explode aggregate partially before any shuffle") {
+    val p49 = plan("q49_pivot")
+    assert("HashAggregate".r.findAllIn(p49).size >= 2, p49)
+    val p51 = plan("q51_explode_tokens")
+    // The token explosion must be aggregated map-side (partial+final), so
+    // the shuffle carries (token, partial count) — not one row per token
+    // occurrence in the corpus.
+    assert(p51.contains("Generate"), p51)
+    assert("HashAggregate".r.findAllIn(p51).size >= 2, p51)
+  }
+
+  test("q50 percentiles reuses one hash partitioning for window + aggregate") {
+    // The window partitions by l_returnflag; the following groupBy uses the
+    // same key, so Catalyst must NOT add a second hash exchange — the
+    // aggregation runs on the window's partitioning. (Exchanges: one hash
+    // for the window, one range for the final tiny orderBy.)
+    val p = plan("q50_percentiles")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("q54 full outer join stays an equi-join; only q55 may be cartesian") {
+    val p54 = plan("q54_full_outer")
+    assert(p54.contains("FullOuter"), p54)
+    assert(!p54.contains("CartesianProduct") && !p54.contains("BroadcastNestedLoopJoin"), p54)
+    // q55 IS a declared cross join of two tiny domains — a broadcast-able
+    // nested loop is the right plan there, not a sign of a missing key.
+    val p55 = plan("q55_cross_join")
+    assert(p55.contains("BroadcastNestedLoopJoin") || p55.contains("CartesianProduct"), p55)
+  }
+
   test("dedup/similarity pipelines join candidates by equi-keys, never cross-product") {
     // The LSH band/bucket joins and verification joins must all be hash
     // equi-joins (broadcast at this tiny SF, shuffled-hash/sort-merge at
