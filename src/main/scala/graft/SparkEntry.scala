@@ -605,7 +605,32 @@ object SparkEntry {
           sum(when(col("l_tax") === 0, 1L).otherwise(0L)).as("n_notax"),
           sum(when(col("l_quantity") > 25, dec(col("l_extendedprice")))
             .otherwise(dec(lit(0)))).cast("double").as("bulk_revenue"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // --- 57. EXACT n-gram Jaccard, cross-engine verified ------------------------------------------------
+    // The LSH queries (q33/q35) are rows-only because banding is not SQL;
+    // this one pins the underlying JACCARD SEMANTICS against DuckDB: raw
+    // bigram STRING sets (no hashing), all pairs within a bounded slice,
+    // exact |intersect|/|union| — the same definition the LSH pipelines
+    // verify candidates with. Small-int division is IEEE-exact in both
+    // engines, so values hash-match bit-for-bit.
+    "q57_jaccard_exact" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      val grams = when(size(toks) >= 2,
+        array_distinct(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
+        .otherwise(array().cast("array<string>"))
+      val g = t(s, d, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), grams.as("gs"))
+        .where(size(col("gs")) > 0)
+      g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          (size(array_intersect(col("a.gs"), col("b.gs"))).cast("double") /
+            size(array_union(col("a.gs"), col("b.gs"))).cast("double")).as("jaccard"))
+        .where(col("jaccard") >= 0.08)
+        .orderBy("id1", "id2")
+    })
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -1055,6 +1080,21 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_notax,
         |  CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(12,2))
         |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS bulk_revenue
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q57_jaccard_exact" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS gs
+        |  FROM (SELECT doc_id, lang, string_split_regex(LOWER(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 100))
+        |SELECT id1, id2, jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) AS jaccard
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.gs) > 0 AND len(b.gs) > 0) t
+        |WHERE jaccard >= 0.08 ORDER BY id1, id2""".stripMargin
   )
 }
