@@ -96,6 +96,34 @@ object StatefulOps {
         })
   }
 
+  /** Stream-stream interval join: each left row joins right rows of the
+    * same key whose event time falls in `[leftTs - lookbackMs, leftTs]`
+    * (e.g. purchases enriched with the views that preceded them). Both
+    * sides MUST carry watermarks — the interval condition plus the
+    * watermarks is what lets Spark expire join state: a right row can be
+    * dropped once the left watermark passes `rightTs + lookbackMs`, so
+    * state is bounded by the lookback window, not the stream length.
+    *
+    * @param left     streaming DataFrame, watermarked on `leftTs`
+    * @param right    streaming DataFrame, watermarked on `rightTs`; column
+    *                 names must not collide with `left` (alias upstream)
+    * @param joinKeys equi-join key pairs (leftCol, rightCol)
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      joinKeys: Seq[(String, String)],
+      leftTs: String,
+      rightTs: String,
+      lookbackMs: Long): DataFrame = {
+    val keyCond = joinKeys.map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _)
+    val intervalCond =
+      right(rightTs) <= left(leftTs) &&
+        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $lookbackMs MILLISECONDS")
+    left.join(right, keyCond && intervalCond)
+  }
+
   /** Streaming exact deduplication for document ingestion: content digest +
     * `dropDuplicatesWithinWatermark`, which keeps digest state only for the
     * watermark horizon — bounded state, unlike plain `dropDuplicates` whose

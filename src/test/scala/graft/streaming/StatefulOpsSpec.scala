@@ -57,6 +57,40 @@ class StatefulOpsSpec extends SparkTestBase {
       (2L, "2024-01-01 00:00:30", "2024-01-01 00:00:30", 1L, 9.0)), got.toString)
   }
 
+  test("stream-stream interval join enriches purchases with preceding views only") {
+    val pDir = Files.createTempDirectory("graft-ssj-p")
+    val vDir = Files.createTempDirectory("graft-ssj-v")
+    // user 1 purchase at 0:10; views at 0:03 (inside the 10-min lookback),
+    // 0:08 (inside), and 0:30 (AFTER the purchase — must not join).
+    // user 2 purchase at 0:40; its only view is at 0:05 — outside the
+    // lookback, so the purchase matches nothing (inner join drops it).
+    Files.write(pDir.resolve("p.json"),
+      """{"p_user": 1, "p_ts": "2024-01-01T00:10:00", "amount": 100.0}
+        |{"p_user": 2, "p_ts": "2024-01-01T00:40:00", "amount": 50.0}""".stripMargin.getBytes("UTF-8"))
+    Files.write(vDir.resolve("v.json"),
+      """{"v_user": 1, "v_ts": "2024-01-01T00:03:00", "page": "a"}
+        |{"v_user": 1, "v_ts": "2024-01-01T00:08:00", "page": "b"}
+        |{"v_user": 1, "v_ts": "2024-01-01T00:30:00", "page": "c"}
+        |{"v_user": 2, "v_ts": "2024-01-01T00:05:00", "page": "d"}""".stripMargin.getBytes("UTF-8"))
+    val pSchema = StructType(Seq(StructField("p_user", LongType),
+      StructField("p_ts", TimestampType), StructField("amount", DoubleType)))
+    val vSchema = StructType(Seq(StructField("v_user", LongType),
+      StructField("v_ts", TimestampType), StructField("page", StringType)))
+    val purchases = spark.readStream.schema(pSchema).json(pDir.toString)
+      .withWatermark("p_ts", "1 minute")
+    val views = spark.readStream.schema(vSchema).json(vDir.toString)
+      .withWatermark("v_ts", "1 minute")
+    val q = StatefulOps.intervalJoin(purchases, views,
+        Seq("p_user" -> "v_user"), "p_ts", "v_ts", lookbackMs = 10 * 60 * 1000L)
+      .select(col("p_user"), col("amount"), col("page"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT p_user, amount, page FROM ssj ORDER BY p_user, page")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 100.0, "a"), (1L, 100.0, "b")), got.toString)
+  }
+
   test("streamingExactDedup suppresses duplicate content within the watermark") {
     val dir = Files.createTempDirectory("graft-sdedup")
     // doc "aaa" appears in both microbatches (same content digest); doc
