@@ -630,6 +630,21 @@ object SparkEntry {
             size(array_union(col("a.gs"), col("b.gs"))).cast("double")).as("jaccard"))
         .where(col("jaccard") >= 0.08)
         .orderBy("id1", "id2")
+    }),
+
+    // --- 58. deterministic train/valid/test hash split, cross-engine verified ---------------------------
+    // operators/Sampling.hashSplit uses the native xxhash64 path (faster,
+    // codegen'd); this query pins the PORTABLE variant of the same
+    // pattern — md5 exists in every engine, so the split assignment of
+    // every row is reproducible outside Spark (here: verified by DuckDB).
+    "q58_hash_split" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      t(s, d, "documents").select(
+          col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1095,6 +1110,14 @@ object SparkEntry {
         |    CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) AS jaccard
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |  WHERE len(a.gs) > 0 AND len(b.gs) > 0) t
-        |WHERE jaccard >= 0.08 ORDER BY id1, id2""".stripMargin
+        |WHERE jaccard >= 0.08 ORDER BY id1, id2""".stripMargin,
+
+    "q58_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin
   )
 }
