@@ -376,14 +376,15 @@ object SparkEntry {
     // The raw embeddings are near-orthogonal random vectors (max pairwise
     // cosine ~0.51 at sf0.01), so a 0.95-threshold scan of them alone is
     // vacuous. Plant known near-dups instead: every 10th vector re-enters
-    // the corpus scaled by 2 under a shifted id — same direction, cosine
-    // 1.0, identical hyperplane sign pattern, so LSH recall is exactly 1
-    // and the expected output is precisely the planted pairs at any sf.
+    // the corpus scaled by 2 under a NEGATED id (vec_ids are non-negative,
+    // so planted ids can never collide with real ones at any sf) — same
+    // direction, cosine 1.0, identical hyperplane sign pattern, so LSH
+    // recall is exactly 1 and the output is precisely the planted pairs.
     "q38_embedding_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val planted = e.where(col("id") % 10 === 0)
-        .select((col("id") + 10000000L).as("id"),
+        .select((-col("id") - 1L).as("id"),
           transform(col("vec"), x => x * lit(2.0f)).as("vec"))
       Similarity.embeddingNearDupPairs(e.unionAll(planted),
         threshold = 0.95, nPlanes = 8)
@@ -416,7 +417,8 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload")
       feats.select(col("id") +:
-          (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+          (0 until Multimodal.featureDims)
+            .map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy("id")
     }),
 

@@ -86,18 +86,21 @@ case class FingerprintExpr(child: Expression, k: Int)
 
 /** Jaccard similarity of two sorted-distinct `array<bigint>` hash sets ->
   * `double`. Requires the [[ShingleHashesExpr]] representation (sorted,
-  * deduped); a merge scan per pair instead of array_intersect+array_union's
-  * four allocations.
+  * deduped, no null elements); a merge scan per pair instead of
+  * array_intersect+array_union's four allocations. Inputs whose type admits
+  * null elements are REJECTED at analysis time — the merge scan reads
+  * elements with getLong, which would silently treat a null slot as 0.
   */
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint> inputs, got " +
+      s"$prettyName requires array<bigint> with non-null elements " +
+        "(the sorted-distinct shingle-hash representation), got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -36,11 +36,18 @@ object Dedup {
     * set then semi-joins back on the unique id, which partitions evenly by
     * construction.
     */
+  /** Content digest over a key tuple — the single definition of row
+    * identity shared by batch ([[exact]]) and streaming
+    * ([[graft.streaming.StatefulOps.streamingExactDedup]]) dedup.
+    * JSON-encodes the tuple: field boundaries are quoted and NULL is not
+    * conflated across positions (concat_ws silently skips nulls, so
+    * ("x", null) and (null, "x") would otherwise collide).
+    */
+  def contentDigest(keyCols: Seq[String]): Column =
+    md5(to_json(struct(keyCols.map(col): _*)))
+
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    // JSON-encode the key tuple: field boundaries are quoted and NULL is
-    // not conflated across positions (concat_ws silently skips nulls, so
-    // ("x", null) and (null, "x") would otherwise collide).
-    val digest = md5(to_json(struct(keyCols.map(col): _*)))
+    val digest = contentDigest(keyCols)
     val winners = df.select(col(idCol).as("__wid"), digest.as("__digest"))
       .groupBy("__digest").agg(min("__wid").as("__wid"))
       .select("__wid")
@@ -247,10 +254,11 @@ object Dedup {
     *
     * Two component strategies, chosen by edge count:
     *  - the near-dup PAIR list is orders of magnitude smaller than the
-    *    corpus, so when it fits on the driver (`maxLocalEdges`, default 5M
-    *    edges) components come from a single union-find pass over the
-    *    collected edges — one job instead of one join+aggregate round per
-    *    component diameter;
+    *    corpus, so when it fits on the driver (`maxLocalEdges`, default 1M
+    *    edges — with string ids that is roughly hundreds of MB of HashMap,
+    *    sized for a default driver heap) components come from a single
+    *    union-find pass over the collected edges — one job instead of one
+    *    join+aggregate round per component diameter;
     *  - above the threshold (or for exotic id types), iterative min-label
     *    propagation runs distributed: each round touches only the edge
     *    list, `localCheckpoint` between rounds keeps plans bounded, and a
@@ -266,7 +274,7 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxIterations: Int = 20,
-      maxLocalEdges: Long = 5000000L
+      maxLocalEdges: Long = 1000000L
   ): DataFrame = {
     // Materialized ONCE (localCheckpoint): the edge count decides the
     // strategy and both strategies re-read the pairs; without the
@@ -328,12 +336,10 @@ object Dedup {
         if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
-    val losers = new scala.collection.mutable.ArrayBuffer[Any]()
-    parent.keySet().forEach { k => if (find(k) != k) losers += k }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", pairs.schema("id1").dataType)))
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](losers.size)
-    losers.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    parent.keySet().forEach { k => if (find(k) != k) rows.add(org.apache.spark.sql.Row(k)) }
     broadcast(spark.createDataFrame(rows, schema))
   }
 

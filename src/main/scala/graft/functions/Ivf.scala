@@ -116,12 +116,16 @@ object Ivf {
     * an in-memory sample): centroid quality needs thousands of points, not
     * the corpus, so one sample-collect beats per-iteration distributed
     * jobs — at any corpus size the training cost is O(maxTrainPoints) and
-    * the cluster only runs ONE pass (the sample scan). The sample is sorted
-    * by content hash before seeding so the result is independent of
-    * partitioning and collect order.
+    * the cluster runs one count plus one sample scan.
     *
-    * @param maxTrainPoints cap on driver-collected sample size; the sample
-    *        fraction is derived from an approximate count when needed
+    * Sampling is CONTENT-HASH based, not a row-order prefix: when the
+    * corpus exceeds `maxTrainPoints`, rows are kept iff
+    * `xxhash64(vec) % keepMod == 0` — the kept set depends only on vector
+    * content, so a corpus whose physical layout clusters similar vectors
+    * (partition-ordered parquet) still yields a training set spread over
+    * the whole space, and repartitioning cannot change it. The collected
+    * sample is then hash-sorted so the seeding order is independent of
+    * collect order too.
     */
   def fit(
       corpus: DataFrame,
@@ -136,7 +140,13 @@ object Ivf {
     val sampled =
       if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
-    val collected = sampled.select(col(vecCol)).limit(maxTrainPoints)
+    val total = sampled.count()
+    val keepMod = math.max(1L, total / math.max(maxTrainPoints, 1))
+    val spread =
+      if (keepMod > 1)
+        sampled.where(pmod(xxhash64(col(vecCol)), lit(keepMod)) === 0)
+      else sampled
+    val collected = spread.select(col(vecCol)).limit(maxTrainPoints)
       .collect().map(_.getSeq[Float](0).toArray)
     require(collected.nonEmpty, "empty training set")
     // Deterministic order regardless of partitioning/collect order.

@@ -21,6 +21,13 @@ case class MediaIn(id: Long, payload: Array[Byte])
   */
 object Multimodal {
 
+  /** Dimensionality of the [[decodeStub]] feature vector — referenced by
+    * query code that projects per-dimension columns, so the two sites
+    * cannot drift (a stale hard-coded count would hit
+    * ARRAY_INDEX_OUT_OF_BOUNDS under ANSI mode).
+    */
+  val featureDims = 8
+
   /** Typed metadata carried next to every media payload. */
   val mediaMetaSchema = "struct<kind:string,n_bytes:int,checksum:bigint>"
 
@@ -71,10 +78,10 @@ object Multimodal {
       it.map { m =>
         val bytes = m.payload
         val n = math.max(bytes.length, 1)
-        val feat = new Array[Float](8)
+        val feat = new Array[Float](featureDims)
         var i = 0
         while (i < bytes.length) {
-          feat(i % 8) += (bytes(i) & 0xFF) / 255.0f
+          feat(i % featureDims) += (bytes(i) & 0xFF) / 255.0f
           i += 1
         }
         (m.id, feat.map(f => math.round(f / n * 10000f) / 10000f))

@@ -136,7 +136,7 @@ object StatefulOps {
     * @param keyCols   content columns that define row identity
     */
   def streamingExactDedup(df: DataFrame, keyCols: Seq[String]): DataFrame =
-    df.withColumn("__digest", md5(to_json(struct(keyCols.map(col): _*))))
+    df.withColumn("__digest", graft.functions.Dedup.contentDigest(keyCols))
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 }

@@ -73,13 +73,17 @@ class RuntimeScaleSpec extends SparkTestBase {
       val small = spark.read.parquet(s"$dir/small")
       val joined = skewed.join(small, col("k") === col("k2"))
       // Execute the full projection (a count() would prune the wide payload
-      // out of the shuffle and nothing would look skewed).
-      joined.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+      // out of the shuffle and nothing would look skewed), counting rows in
+      // the same pass rather than re-running the join.
+      val rows = spark.sparkContext.longAccumulator("rows")
+      joined.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) { it.next(); rows.add(1L) }
+      }
+      assert(rows.value == 200000L)
       // The AQE final plan marks the rewritten join with skew=true.
       val finalPlan = joined.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         s"AQE did not split the skewed partition:\n$finalPlan")
-      assert(joined.count() == 200000L)
     }
   }
 }
