@@ -647,6 +647,23 @@ object SparkEntry {
           when(bucket < 80, "train").when(bucket < 90, "valid")
             .otherwise("test").as("split"))
         .orderBy("doc_id")
+    }),
+
+    // --- 59. range join (point-in-interval) via bucketing, oracle = plain theta join ---------------------
+    // Spark would plan the raw BETWEEN predicate as a nested-loop;
+    // RangeJoin buckets the acctbal domain so the comparison count is
+    // bucket-local (see operators/RangeJoin). DuckDB evaluates the same
+    // theta join directly (IEJoin), so results cross-check exactly.
+    "q59_range_join" -> ((s, d) => {
+      val intervals = t(s, d, "supplier").where(col("s_suppkey") <= 100)
+        .select(col("s_suppkey"),
+          (col("s_acctbal") - 10.0).as("lo"), (col("s_acctbal") + 10.0).as("hi"))
+      val points = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, intervals, "c_acctbal", "lo", "hi", bucketWidth = 20.0)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_cust"), min("c_custkey").as("first_cust"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -1120,6 +1137,13 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM documents) t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q59_range_join" ->
+      """SELECT s_suppkey, COUNT(*) AS n_cust, MIN(c_custkey) AS first_cust
+        |FROM (SELECT s_suppkey, s_acctbal - 10.0 AS lo, s_acctbal + 10.0 AS hi
+        |      FROM supplier WHERE s_suppkey <= 100) s
+        |JOIN customer ON c_acctbal >= lo AND c_acctbal <= hi
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
   )
 }

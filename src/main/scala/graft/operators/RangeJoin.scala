@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable point-in-interval range join.
+  *
+  * Spark plans a pure range predicate (`p BETWEEN lo AND hi` with no
+  * equality key) as BroadcastNestedLoopJoin or CartesianProduct — O(n*m)
+  * comparisons that stop scaling the moment neither side broadcasts. The
+  * standard fix (used by every range-join-capable engine) is BUCKETING:
+  * quantize the domain into fixed-width buckets, emit each interval once
+  * per bucket it overlaps, put each point in its single bucket, then
+  * equi-join on the bucket id and re-check the exact predicate. The
+  * cross-bucket shuffle carries `(bucket, row)` pairs and the comparison
+  * count drops from n*m to sum-over-buckets of (points_b * intervals_b).
+  *
+  * Choose `bucketWidth` near the TYPICAL interval length: intervals emit
+  * `len/width + 1` copies, points always exactly one, and a bucket's
+  * candidate pairs are only those within one width of each other.
+  */
+object RangeJoin {
+
+  /** Join each row of `points` to every row of `intervals` whose
+    * `[startCol, endCol]` (inclusive) contains `pointCol`. Output columns:
+    * all of `points` then all of `intervals`. Column names must not
+    * collide (alias upstream).
+    *
+    * @param extraKeys optional equality keys (leftCol on points = rightCol
+    *                  on intervals) folded into the bucket join key
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Double,
+      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
+    // One copy of the interval per overlapped bucket; a point lives in
+    // exactly one bucket, so a (point, interval) pair can meet only once —
+    // no distinct needed.
+    // Degenerate intervals (start > end) can never match — and sequence()
+    // would otherwise count DOWN through them, emitting phantom buckets.
+    val iv = intervals.where(col(startCol) <= col(endCol))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val keyCond = (("__bucket", "__bucket") +: extraKeys)
+      .map { case (l, r) => p(l) === iv(r) }.reduce(_ && _)
+    p.join(iv, keyCond &&
+        col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pointInInterval matches the naive theta join exactly") {
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200))
+      .toDF("pid", "v")
+    val intervals = (1 to 80).map { i =>
+      val lo = rnd.nextDouble() * 1000 - 250
+      (i.toLong, lo, lo + rnd.nextDouble() * 60)
+    }.toDF("iid", "lo", "hi")
+    val naive = points.join(intervals,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val bucketed = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+        bucketWidth = 25.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(bucketed.toSet == naive, s"missing=${naive -- bucketed.toSet} " +
+      s"extra=${bucketed.toSet -- naive}")
+    // No duplicate pairs: a point lives in exactly one bucket.
+    assert(bucketed.size == bucketed.toSet.size)
+  }
+
+  test("pointInInterval plans as an equi-join on the bucket key, not a nested loop") {
+    val points = (1 to 50).map(i => (i.toLong, i * 3.0)).toDF("pid", "v")
+    val intervals = (1 to 20).map(i => (i.toLong, i * 5.0, i * 5.0 + 12.0))
+      .toDF("iid", "lo", "hi")
+    val p = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("degenerate (start > end) intervals never match and emit no phantom buckets") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val intervals = Seq((1L, 100.0, -100.0), (2L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 10.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)), out.toString)
+  }
+
+  test("extraKeys fold equality columns into the bucket key") {
+    val points = Seq((1L, "a", 5.0), (2L, "b", 5.0)).toDF("pid", "grp", "v")
+    val intervals = Seq((10L, "a", 0.0, 10.0)).toDF("iid", "igrp", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 10.0,
+        extraKeys = Seq("grp" -> "igrp"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L)), out.toString) // "b" point excluded by key
+  }
+}
