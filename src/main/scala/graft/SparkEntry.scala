@@ -664,6 +664,43 @@ object SparkEntry {
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_cust"), min("c_custkey").as("first_cust"))
         .orderBy("s_suppkey")
+    }),
+
+    // --- 60. HLL sketch distinct counts vs exact (no SQL oracle: sketch is engine-specific) --------------
+    // approx_count_distinct is the 100 TB path for cardinality (mergeable
+    // fixed-size registers, no distinct shuffle); HLL++ is deterministic
+    // for fixed data — max-merge of register arrays is commutative — so the
+    // rows-only check still pins exact output values across runs.
+    "q60_hll_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .withColumn("rel_err",
+          floor(abs(col("approx_orders") - col("exact_orders")).cast("double") /
+            col("exact_orders").cast("double") * 10000) / 10000)
+        .orderBy("l_returnflag")),
+
+    // --- 61. event funnel: first view -> first purchase after it, per user ------------------------------
+    "q61_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firstView = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      firstView.join(purchases,
+          col("p_user") === col("user_id") && col("pts") >= col("first_view"),
+          "left")
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(col("pts")).as("first_purchase"))
+        .select(
+          col("user_id"),
+          date_format(col("first_view"), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+          date_format(col("first_purchase"), "yyyy-MM-dd HH:mm:ss").as("first_purchase"),
+          col("first_purchase").isNotNull.as("converted"))
+        .orderBy("user_id")
     })
   )
 
@@ -1144,6 +1181,22 @@ object SparkEntry {
         |FROM (SELECT s_suppkey, s_acctbal - 10.0 AS lo, s_acctbal + 10.0 AS hi
         |      FROM supplier WHERE s_suppkey <= 100) s
         |JOIN customer ON c_acctbal >= lo AND c_acctbal <= hi
-        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "q61_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (
+        |  SELECT fv.user_id, fv.first_view, MIN(p.ts) AS first_purchase
+        |  FROM fv LEFT JOIN (SELECT user_id, ts FROM events
+        |                     WHERE event_type = 'purchase') p
+        |    ON p.user_id = fv.user_id AND p.ts >= fv.first_view
+        |  GROUP BY fv.user_id, fv.first_view)
+        |SELECT user_id,
+        |  strftime(first_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+        |  strftime(first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+        |  first_purchase IS NOT NULL AS converted
+        |FROM fp ORDER BY user_id""".stripMargin
   )
 }
