@@ -116,6 +116,58 @@ object Medallion {
       .partitionBy(partitionBy: _*).save(path)
   }
 
+  /** Compact a table to a target number of output files per partition
+    * directory (the small-files problem: a streaming or over-parallel
+    * writer leaves thousands of KB-sized files whose per-file open/footer
+    * cost dominates scans at scale). Row-count based: `rowsPerFile` is the
+    * target, derived from one count — robust where byte estimates are not
+    * (post-compression sizes vary per column mix).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rowsPerFile: Long,
+      partitionBy: Seq[String] = Seq.empty,
+      format: String = "parquet"
+  ): Unit = {
+    val df = spark.read.format(format).load(path)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+    // Write to a sibling then swap: compaction must not destroy the source
+    // before the rewrite succeeds.
+    val tmp = path + "__compact_tmp"
+    val w = df.repartition(nFiles).write.format(format).mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+  }
+
+  /** Write range-clustered by `clusterCols`: rows are range-partitioned and
+    * sorted so each output file covers a DISJOINT key range, which makes
+    * parquet row-group min/max statistics selective — a point/range filter
+    * on the cluster key then decodes only the files whose stats overlap it
+    * (the open-format analog of Z-ordering on one dimension). Verified
+    * live in `ClusteredWriteSpec`: the scan's output rows collapse from
+    * "everything" to "one file's worth".
+    */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      numFiles: Int,
+      format: String = "parquet"
+  ): Unit = {
+    require(clusterCols.nonEmpty, "writeClustered needs cluster columns")
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.format(format).mode("overwrite").save(path)
+  }
+
   /** Write a catalog table bucketed (and optionally sorted) by join keys.
     * Two tables bucketed the same way join WITHOUT a shuffle — the 100 TB
     * answer for repeated large-large equi-joins (e.g. fact-fact on order

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Write-layout operators: small-files compaction and range-clustered
+  * writes whose row-group statistics actually prune at read time.
+  */
+class ClusteredWriteSpec extends SparkTestBase {
+
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case s: FileSourceScanExec => Some(s)
+        case other => other.children.view.flatMap(find).headOption
+      }
+    find(df.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+      .metrics("numOutputRows").value
+  }
+
+  test("compact rewrites a fragmented table into the target file count") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 64 tiny files.
+    spark.range(10000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(64).write.parquet(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 64)
+    Medallion.compact(spark, dir, rowsPerFile = 5000)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 2, files.mkString(", "))
+    // Content survives the rewrite.
+    assert(spark.read.parquet(dir).count() == 10000)
+    assert(spark.read.parquet(dir).agg(sum("v")).head.getLong(0) ==
+      (0L until 10000L).map(_ % 7).sum)
+  }
+
+  test("writeClustered makes row-group stats prune a point filter to one file's rows") {
+    val base = Files.createTempDirectory("graft-cluster").toString
+    val data = spark.range(100000)
+      .select((col("id") % 1000).as("k"), col("id").as("v"))
+    // Round-robin layout: every file contains every key, stats are useless.
+    data.repartition(10).write.parquet(s"$base/scattered")
+    // Range-clustered: each file covers a disjoint k range.
+    Medallion.writeClustered(data, s"$base/clustered", Seq("k"), numFiles = 10)
+
+    def q(path: String) = spark.read.parquet(path).where(col("k") === 42)
+    assert(q(s"$base/clustered").count() == 100 &&
+      q(s"$base/scattered").count() == 100)
+    val scattered = scanOutputRows(q(s"$base/scattered"))
+    val clustered = scanOutputRows(q(s"$base/clustered"))
+    // Scattered decodes every row group (~all 100k rows); clustered decodes
+    // only the one file whose [min,max] covers k=42 (~10k rows).
+    assert(scattered > 50000, s"scattered scan emitted $scattered")
+    assert(clustered <= 15000, s"clustered scan emitted $clustered")
+  }
+}
