@@ -654,6 +654,9 @@ object SparkEntry {
     // RangeJoin buckets the acctbal domain so the comparison count is
     // bucket-local (see operators/RangeJoin). DuckDB evaluates the same
     // theta join directly (IEJoin), so results cross-check exactly.
+    // Boundary safety: s_acctbal is DOUBLE in the parquet, so `+- 10.0` is
+    // the same IEEE double op in both engines (DuckDB's double+decimal
+    // promotes to DOUBLE) — boundary-equal comparisons agree bit-for-bit.
     "q59_range_join" -> ((s, d) => {
       val intervals = t(s, d, "supplier").where(col("s_suppkey") <= 100)
         .select(col("s_suppkey"),

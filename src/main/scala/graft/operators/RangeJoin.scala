@@ -29,6 +29,13 @@ object RangeJoin {
     * @param extraKeys optional equality keys (leftCol on points = rightCol
     *                  on intervals) folded into the bucket join key
     */
+  /** @param maxBucketsPerInterval fail-fast bound on interval width: one
+    *        sentinel open-ended interval (hi = Double.MaxValue, the common
+    *        "valid forever" encoding) would otherwise ask sequence() for an
+    *        astronomically long bucket array and kill the job with an
+    *        opaque allocation error deep in codegen. Widen the bound or the
+    *        bucketWidth deliberately for genuinely huge intervals.
+    */
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -36,8 +43,12 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       bucketWidth: Double,
-      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+      extraKeys: Seq[(String, String)] = Nil,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains("__bucket") &&
+      !intervals.columns.contains("__bucket"),
+      "pointInInterval reserves the column name __bucket")
     def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
     val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
     // One copy of the interval per overlapped bucket; a point lives in
@@ -45,9 +56,15 @@ object RangeJoin {
     // no distinct needed.
     // Degenerate intervals (start > end) can never match — and sequence()
     // would otherwise count DOWN through them, emitting phantom buckets.
+    val startB = bucketOf(col(startCol))
+    val endB = bucketOf(col(endCol))
+    val guardedEnd = when(endB - startB < lit(maxBucketsPerInterval), endB)
+      .otherwise(raise_error(format_string(
+        s"RangeJoin: interval [%s, %s] spans more than $maxBucketsPerInterval " +
+          s"buckets at bucketWidth=$bucketWidth — widen bucketWidth or " +
+          "maxBucketsPerInterval", col(startCol), col(endCol))))
     val iv = intervals.where(col(startCol) <= col(endCol))
-      .withColumn("__bucket",
-        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+      .withColumn("__bucket", explode(sequence(startB, guardedEnd)))
     val keyCond = (("__bucket", "__bucket") +: extraKeys)
       .map { case (l, r) => p(l) === iv(r) }.reduce(_ && _)
     p.join(iv, keyCond &&

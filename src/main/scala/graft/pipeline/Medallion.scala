@@ -116,12 +116,23 @@ object Medallion {
       .partitionBy(partitionBy: _*).save(path)
   }
 
-  /** Compact a table to a target number of output files per partition
-    * directory (the small-files problem: a streaming or over-parallel
-    * writer leaves thousands of KB-sized files whose per-file open/footer
-    * cost dominates scans at scale). Row-count based: `rowsPerFile` is the
-    * target, derived from one count — robust where byte estimates are not
-    * (post-compression sizes vary per column mix).
+  /** Compact a table toward `rowsPerFile`-sized output files (the
+    * small-files problem: a streaming or over-parallel writer leaves
+    * thousands of KB-sized files whose per-file open/footer cost dominates
+    * scans at scale). Row-count based: the target file count derives from
+    * one count — robust where byte estimates are not (post-compression
+    * sizes vary per column mix).
+    *
+    * Partitioned tables repartition BY the partition columns, so a
+    * partition value's rows land in one task and each partition directory
+    * gets one file (sized by that partition's content) — a blind
+    * round-robin repartition would instead scatter every value across all
+    * tasks and re-create the small files inside each directory.
+    *
+    * The swap is staged for crash safety: rewrite to a `__compact_tmp`
+    * sibling, rename the live table aside, rename tmp into place, drop the
+    * old copy — a failure at any step leaves a complete readable table
+    * (live or aside), never a half-deleted one.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -130,20 +141,30 @@ object Medallion {
       partitionBy: Seq[String] = Seq.empty,
       format: String = "parquet"
   ): Unit = {
-    val df = spark.read.format(format).load(path)
+    // Hadoop Path normalizes trailing slashes and handles raw chars (a
+    // trailing "/" would otherwise put tmp INSIDE the source directory and
+    // the swap would destroy both copies).
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.format(format).load(src.toString)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
-    // Write to a sibling then swap: compaction must not destroy the source
-    // before the rewrite succeeds.
-    val tmp = path + "__compact_tmp"
-    val w = df.repartition(nFiles).write.format(format).mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    val repartitioned =
+      if (partitionBy.nonEmpty)
+        df.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    val tmp = src.suffix("__compact_tmp")
+    val old = src.suffix("__compact_old")
+    fs.delete(tmp, true) // stale leftovers from an earlier crash
+    fs.delete(old, true)
+    writeTable(repartitioned, tmp.toString, partitionBy, format)
+    if (!fs.rename(src, old))
+      throw new java.io.IOException(s"compact: rename $src -> $old failed")
+    if (!fs.rename(tmp, src)) {
+      fs.rename(old, src) // restore the live table
+      throw new java.io.IOException(s"compact: rename $tmp -> $src failed; source restored")
+    }
+    fs.delete(old, true)
   }
 
   /** Write range-clustered by `clusterCols`: rows are range-partitioned and

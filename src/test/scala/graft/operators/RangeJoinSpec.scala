@@ -44,6 +44,27 @@ class RangeJoinSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L)), out.toString)
   }
 
+  test("an absurdly wide interval fails fast with an actionable error") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val intervals = Seq((1L, 0.0, Double.MaxValue)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 10.0)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("RangeJoin")), e.toString)
+  }
+
+  test("a reserved __bucket input column is rejected up front") {
+    val points = Seq((1L, 5.0, 9L)).toDF("pid", "v", "__bucket")
+    val intervals = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 10.0)
+    }
+    assert(e.getMessage.contains("__bucket"))
+  }
+
   test("extraKeys fold equality columns into the bucket key") {
     val points = Seq((1L, "a", 5.0), (2L, "b", 5.0)).toDF("pid", "grp", "v")
     val intervals = Seq((10L, "a", 0.0, 10.0)).toDF("iid", "igrp", "lo", "hi")

@@ -40,6 +40,30 @@ class ClusteredWriteSpec extends SparkTestBase {
       (0L until 10000L).map(_ % 7).sum)
   }
 
+  test("compact survives a trailing slash and compacts partitioned dirs to one file each") {
+    val dir = Files.createTempDirectory("graft-compact-p").toString + "/t"
+    spark.range(6000)
+      .select((col("id") % 3).as("pt"), col("id").as("v"))
+      .repartition(16).write.partitionBy("pt").parquet(dir)
+    def filesPerDir: Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    assert(filesPerDir.values.forall(_ > 1), filesPerDir.toString)
+    // Trailing slash: the tmp sibling must NOT land inside the source dir
+    // (that layout made the old swap delete both copies).
+    Medallion.compact(spark, dir + "/", rowsPerFile = 100000,
+      partitionBy = Seq("pt"))
+    assert(filesPerDir == Map("pt=0" -> 1, "pt=1" -> 1, "pt=2" -> 1),
+      filesPerDir.toString)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 6000)
+    assert(back.agg(sum("v")).head.getLong(0) == (0L until 6000L).sum)
+    // No stray tmp/old siblings left behind.
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("__compact")), parent.mkString(", "))
+  }
+
   test("writeClustered makes row-group stats prune a point filter to one file's rows") {
     val base = Files.createTempDirectory("graft-cluster").toString
     val data = spark.range(100000)
