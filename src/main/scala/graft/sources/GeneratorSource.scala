@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -100,7 +100,8 @@ private case class GenOffset(n: Long) extends Offset {
 }
 
 private class GeneratorMicroBatchStream(options: Map[String, String])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private def opt(k: String): String = options.getOrElse(k,
     throw new IllegalArgumentException(s"graft generator source requires option '$k'"))
   private val total = opt("numRecords").toLong
@@ -116,6 +117,15 @@ private class GeneratorMicroBatchStream(options: Map[String, String])
   override def initialOffset(): Offset = GenOffset(0L)
   override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
+
+  // Trigger.AvailableNow: without this interface Spark wraps the source and
+  // PINS the end offset at the first admission-limited latestOffset — the
+  // query would drain exactly one microbatch and stop. The generator's end
+  // is already fixed (numRecords), so "prepare" needs no state: repeated
+  // admission-limited batches walk to `total` and reportLatestOffset tells
+  // the engine where the drain finishes.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = GenOffset(total)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")

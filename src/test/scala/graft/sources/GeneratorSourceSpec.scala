@@ -60,6 +60,32 @@ class GeneratorSourceSpec extends SparkTestBase {
     assert(out == batch)
   }
 
+  test("Trigger.AvailableNow drains the whole range across admission-limited batches") {
+    // Without SupportsTriggerAvailableNow the wrapper pins the end offset at
+    // the FIRST admission-limited latestOffset — the query would emit one
+    // 100-record batch and stop at 100 of 250.
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-gsrc-an-sink")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-gsrc-an-ckpt")
+    val stream = spark.readStream
+      .format("graft.sources.GeneratorSource")
+      .option("modelDir", resourcePath("/model"))
+      .option("entity", "employee")
+      .option("numRecords", "250")
+      .option("nullableRate", "0.3")
+      .option("seed", "42")
+      .option("maxRecordsPerBatch", "100")
+      .option("numPartitions", "3")
+      .load()
+    val q = stream.writeStream.format("parquet")
+      .option("path", sinkDir.toString)
+      .option("checkpointLocation", ckptDir.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(sinkDir.toString).count() == 250)
+  }
+
   test("records load through the compiled schema") {
     import spark.implicits._
     val schema = new SchemaCompiler(new ModelDirectory(resourcePath("/model")))
