@@ -704,6 +704,54 @@ object SparkEntry {
           date_format(col("first_purchase"), "yyyy-MM-dd HH:mm:ss").as("first_purchase"),
           col("first_purchase").isNotNull.as("converted"))
         .orderBy("user_id")
+    }),
+
+    // --- 62. unpivot/melt (wide measures -> long rows) --------------------------------------------------
+    "q62_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount")).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")),
+
+    // --- 63. posexplode: token positions (ordinality-preserving unnest) ---------------------------------
+    "q63_posexplode" -> ((s, d) =>
+      t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("ord"),
+          col("col").as("tok"))
+        .orderBy("doc_id", "ord")),
+
+    // --- 64. higher-order array functions (transform / filter / aggregate) -----------------------------
+    "q64_hof_arrays" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          size(filter(toks, x => length(x) > 3)).cast("bigint").as("n_long"),
+          aggregate(transform(toks, x => length(x).cast("bigint")),
+            lit(0L), (acc, x) => acc + x).as("sum_len"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 65. fuzzy string matching: levenshtein pairs within a brand block ------------------------------
+    "q65_levenshtein" -> ((s, d) => {
+      val p = t(s, d, "part").where(col("p_partkey") <= 150)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("lev"))
+        .where(col("lev") <= 12)
+        .orderBy("id1", "id2")
     })
   )
 
@@ -1200,6 +1248,42 @@ object SparkEntry {
         |  strftime(first_view, '%Y-%m-%d %H:%M:%S') AS first_view,
         |  strftime(first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
         |  first_purchase IS NOT NULL AS converted
-        |FROM fp ORDER BY user_id""".stripMargin
+        |FROM fp ORDER BY user_id""".stripMargin,
+
+    "q62_unpivot" ->
+      """SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q63_posexplode" ->
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(toks, 1) AS INT) AS ord,
+        |  unnest(toks) AS tok
+        |FROM (SELECT doc_id, string_split_regex(LOWER(text), '\s+') AS toks
+        |      FROM documents WHERE doc_id < 20) t
+        |ORDER BY doc_id, ord""".stripMargin,
+
+    "q64_hof_arrays" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> LENGTH(x) > 3)) AS BIGINT) AS n_long,
+        |  CAST(list_aggregate(list_transform(toks, x -> LENGTH(x)), 'sum') AS BIGINT) AS sum_len
+        |FROM (SELECT doc_id, string_split_regex(LOWER(text), '\s+') AS toks
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q65_levenshtein" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+        |FROM (SELECT * FROM part WHERE p_partkey <= 150) a
+        |JOIN (SELECT * FROM part WHERE p_partkey <= 150) b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 12
+        |ORDER BY id1, id2""".stripMargin
   )
 }
