@@ -752,6 +752,58 @@ object SparkEntry {
           levenshtein(col("a.p_name"), col("b.p_name")).as("lev"))
         .where(col("lev") <= 12)
         .orderBy("id1", "id2")
+    }),
+
+    // --- 66-68. TPC-H query shapes (Q3/Q5/Q10, adapted to the slimmed columns) --------------------------
+    // Revenue = sum(extprice * (1 - discount)) in exact DECIMAL (q02
+    // discipline), cast to DOUBLE once at the end.
+    "q66_tpch_q3" -> ((s, d) => {
+      val rev = sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double")
+      t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1997-06-15").cast("timestamp"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit("1997-06-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(rev.as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q67_tpch_q5" -> ((s, d) => {
+      val rev = sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double")
+      t(s, d, "region").where(col("r_name") === "ASIA")
+        .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "lineitem"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"),
+          col("c_custkey") === col("o_custkey") &&
+            col("c_nationkey") === col("s_nationkey")) // local supplier
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(rev.as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    "q68_tpch_q10" -> ((s, d) => {
+      val rev = sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double")
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_returnflag") === "R")
+        .join(t(s, d, "nation"), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
     })
   )
 
@@ -1284,6 +1336,42 @@ object SparkEntry {
         |JOIN (SELECT * FROM part WHERE p_partkey <= 150) b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 12
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q66_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-15'
+        |  AND l_shipdate > TIMESTAMP '1997-06-15'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q67_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN supplier ON s_nationkey = n_nationkey
+        |  JOIN lineitem ON l_suppkey = s_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q68_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 }
