@@ -1,0 +1,46 @@
+package graft.compat
+
+import graft.generator.RecordGenerator
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.types.StructType
+
+/** Drop-in entry points named after the reference's public API, so a
+  * waterbear user migrates by switching the import, not the call sites
+  * (`README.md:35` `JsonSchemaConvertor('fire/model').convert("collateral")`,
+  * `README.md:119` `JsonRecordGenerator('fire/model').generate("collateral", 5)`).
+  *
+  * Semantics follow the rebuild's deliberate fixes (SURVEY.md §8): the
+  * convertor is pure (no constraint accumulation across calls, unlike
+  * `convertor.py:11`), cyclic $refs fail with a clear error, and the
+  * generator is seeded/deterministic (`generator.py` is unseeded).
+  */
+final class JsonSchemaConvertor(schemaDirectory: String) {
+
+  private val compiler = new SchemaCompiler(new ModelDirectory(schemaDirectory))
+
+  /** Reference: `convert(entity_name) -> (StructType, {name: sql})`
+    * (`convertor.py:15-45`). Returns a fresh (schema, constraints) pair per
+    * call.
+    */
+  def convert(entityName: String): (StructType, Map[String, String]) = {
+    val compiled = compiler.compile(entityName)
+    (compiled.schema, compiled.constraints)
+  }
+}
+
+/** Reference: `JsonRecordGenerator(dir, nullable_rate)` (`generator.py:7-11`);
+  * the extra `seed` defaults to the harness's 42.
+  */
+final class JsonRecordGenerator(
+    schemaDirectory: String,
+    nullableRate: Double = 0.0,
+    seed: Long = 42L) {
+
+  private val gen =
+    new RecordGenerator(new ModelDirectory(schemaDirectory), nullableRate, seed)
+
+  /** Reference: `generate(entity_name, num) -> [str]` (`generator.py:13-15`). */
+  def generate(entityName: String, num: Int): Seq[String] =
+    gen.generate(entityName, num)
+}

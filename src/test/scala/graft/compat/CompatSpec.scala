@@ -1,0 +1,32 @@
+package graft.compat
+
+import graft.SparkTestBase
+
+/** The reference-named entry points return exactly what the underlying
+  * compiler/generator return — a migration is an import switch.
+  */
+class CompatSpec extends SparkTestBase {
+
+  test("JsonSchemaConvertor.convert returns (schema, constraints) like the reference") {
+    val (schema, constraints) =
+      new JsonSchemaConvertor(resourcePath("/model")).convert("employee")
+    assert(schema.fieldNames.contains("id") && schema.fieldNames.contains("person"))
+    assert(constraints.size == 12) // the golden employee constraint set
+    assert(constraints.keys.exists(_.contains("NULLABLE")))
+    // Pure: a second convert on the same instance must NOT accumulate
+    // (reference quirk Q1 deliberately fixed).
+    val (_, again) = new JsonSchemaConvertor(resourcePath("/model")).convert("employee")
+    assert(again == constraints)
+  }
+
+  test("JsonRecordGenerator.generate emits schema-conformant JSON records") {
+    val conv = new JsonSchemaConvertor(resourcePath("/model"))
+    val (schema, _) = conv.convert("employee")
+    val xs = new JsonRecordGenerator(resourcePath("/model"), 0.3).generate("employee", 25)
+    assert(xs.length == 25)
+    import spark.implicits._
+    val df = spark.read.schema(schema).json(xs.toDS)
+    assert(df.count() == 25)
+    assert(df.where("id IS NULL").count() == 0)
+  }
+}
