@@ -804,6 +804,24 @@ object SparkEntry {
         .agg(rev.as("revenue"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
+    }),
+
+    // --- 69. JSON construction/extraction + regex groups (log-pipeline scalar surface) ------------------
+    // The JSON text is built with format_string so both engines hold the
+    // byte-identical document; extraction and regex groups then cross-check.
+    "q69_json_regex" -> ((s, d) => {
+      val doc = format_string("""{"key":%d,"status":"%s","priority":"%s"}""",
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      t(s, d, "orders").where(col("o_orderkey") <= 2000)
+        .select(
+          col("o_orderkey"),
+          get_json_object(doc, "$.status").as("j_status"),
+          get_json_object(doc, "$.priority").as("j_priority"),
+          regexp_extract(col("o_orderpriority"), "([0-9]+)-([A-Z ]+)", 1)
+            .as("prio_rank"),
+          regexp_extract(col("o_orderpriority"), "([0-9]+)-([A-Z ]+)", 2)
+            .as("prio_name"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -1372,6 +1390,18 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-04-01'
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q69_json_regex" ->
+      """SELECT o_orderkey,
+        |  json_extract_string(doc, '$.status') AS j_status,
+        |  json_extract_string(doc, '$.priority') AS j_priority,
+        |  regexp_extract(o_orderpriority, '([0-9]+)-([A-Z ]+)', 1) AS prio_rank,
+        |  regexp_extract(o_orderpriority, '([0-9]+)-([A-Z ]+)', 2) AS prio_name
+        |FROM (SELECT *,
+        |        format('{{"key":{},"status":"{}","priority":"{}"}}',
+        |               o_orderkey, o_orderstatus, o_orderpriority) AS doc
+        |      FROM orders WHERE o_orderkey <= 2000) t
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
