@@ -189,6 +189,62 @@ object Medallion {
       .write.format(format).mode("overwrite").save(path)
   }
 
+  /** Write Z-ORDERED on multiple dimensions: each numeric dimension is
+    * quantized to `bitsPerDim` equi-width buckets between its observed min
+    * and max (one tiny aggregate pass), the bucket bits are interleaved
+    * into a Morton code, and rows are range-partitioned + sorted by that
+    * code. Files then cover compact HYPER-RECTANGLES of the key space, so
+    * row-group min/max stats prune filters on ANY of the z-columns — the
+    * open-format analog of Delta's OPTIMIZE ZORDER, where 1-D clustering
+    * ([[writeClustered]]) can only serve its single leading column.
+    *
+    * Equi-width (not quantile) bucketing keeps this a single cheap pass;
+    * heavily skewed dimensions deserve a pre-transform (log, rank) by the
+    * caller.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      bitsPerDim: Int = 8,
+      format: String = "parquet"
+  ): Unit = {
+    require(zCols.size >= 2, "z-ordering needs >= 2 dimensions (use writeClustered for 1)")
+    require(bitsPerDim >= 1 && bitsPerDim * zCols.size <= 60,
+      s"bitsPerDim * dims must fit a long, got $bitsPerDim * ${zCols.size}")
+    import org.apache.spark.sql.functions._
+    val nBuckets = 1 << bitsPerDim
+    val bounds = df.agg(
+      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"min_$c"),
+        max(col(c).cast("double")).as(s"max_$c"))).head,
+      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"min_$c"),
+        max(col(c).cast("double")).as(s"max_$c"))).tail: _*).head()
+    val dims = zCols.zipWithIndex.map { case (c, d) =>
+      val lo = bounds.getAs[Double](s"min_$c")
+      val hi = bounds.getAs[Double](s"max_$c")
+      // width_bucket returns 1..n (n+1 for v == hi); clamp to [0, n-1].
+      val bucket =
+        if (hi > lo)
+          least(greatest(width_bucket(col(c).cast("double"), lit(lo), lit(hi),
+            lit(nBuckets)) - 1, lit(0L)), lit((nBuckets - 1).toLong))
+        else lit(0L)
+      (bucket, d)
+    }
+    // Interleave: output bit (i*dims + d) = bit i of dimension d's bucket.
+    val nDims = zCols.size
+    val zCode = (0 until bitsPerDim).flatMap { i =>
+      dims.map { case (bucket, d) =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * nDims + d)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__z", zCode)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.format(format).mode("overwrite").save(path)
+  }
+
   /** Write a catalog table bucketed (and optionally sorted) by join keys.
     * Two tables bucketed the same way join WITHOUT a shuffle — the 100 TB
     * answer for repeated large-large equi-joins (e.g. fact-fact on order

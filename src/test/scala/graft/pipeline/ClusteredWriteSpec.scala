@@ -64,6 +64,30 @@ class ClusteredWriteSpec extends SparkTestBase {
     assert(!parent.exists(_.contains("__compact")), parent.mkString(", "))
   }
 
+  test("writeZOrdered prunes filters on BOTH dimensions; 1-D clustering only on its own") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val data = spark.range(100000).select(
+      (col("id") % 317).as("x"),
+      ((col("id") * 7919) % 331).as("y"),
+      col("id").as("v"))
+    Medallion.writeClustered(data, s"$base/xclustered", Seq("x"), numFiles = 16)
+    Medallion.writeZOrdered(data, s"$base/zordered", Seq("x", "y"), numFiles = 16)
+
+    def rowsScanned(path: String, c: String): Long =
+      scanOutputRows(spark.read.parquet(path).where(col(c) === 100))
+    val total = 100000L
+    // x-clustered serves x (one file's worth) but is blind on y.
+    assert(rowsScanned(s"$base/xclustered", "x") < total / 4)
+    assert(rowsScanned(s"$base/xclustered", "y") > (total * 3) / 4)
+    // z-ordered serves BOTH dimensions: each file is a hyper-rectangle.
+    val zx = rowsScanned(s"$base/zordered", "x")
+    val zy = rowsScanned(s"$base/zordered", "y")
+    assert(zx < total / 2, s"x filter on zordered scanned $zx")
+    assert(zy < total / 2, s"y filter on zordered scanned $zy")
+    // And the rewrite loses nothing.
+    assert(spark.read.parquet(s"$base/zordered").count() == total)
+  }
+
   test("writeClustered makes row-group stats prune a point filter to one file's rows") {
     val base = Files.createTempDirectory("graft-cluster").toString
     val data = spark.range(100000)
