@@ -1,7 +1,6 @@
 package graft.compat
 
 import graft.generator.RecordGenerator
-import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.types.StructType
 
@@ -17,7 +16,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class JsonSchemaConvertor(schemaDirectory: String) {
 
-  private val compiler = new SchemaCompiler(new ModelDirectory(schemaDirectory))
+  private val compiler = new SchemaCompiler(schemaDirectory)
 
   /** Reference: `convert(entity_name) -> (StructType, {name: sql})`
     * (`convertor.py:15-45`). Returns a fresh (schema, constraints) pair per
@@ -37,8 +36,7 @@ final class JsonRecordGenerator(
     nullableRate: Double = 0.0,
     seed: Long = 42L) {
 
-  private val gen =
-    new RecordGenerator(new ModelDirectory(schemaDirectory), nullableRate, seed)
+  private val gen = new RecordGenerator(schemaDirectory, nullableRate, seed)
 
   /** Reference: `generate(entity_name, num) -> [str]` (`generator.py:13-15`). */
   def generate(entityName: String, num: Int): Seq[String] =

@@ -213,22 +213,29 @@ object Medallion {
     require(zCols.size >= 2, "z-ordering needs >= 2 dimensions (use writeClustered for 1)")
     require(bitsPerDim >= 1 && bitsPerDim * zCols.size <= 60,
       s"bitsPerDim * dims must fit a long, got $bitsPerDim * ${zCols.size}")
+    require(!df.columns.contains("__z"), "writeZOrdered reserves the column name __z")
     import org.apache.spark.sql.functions._
     val nBuckets = 1 << bitsPerDim
-    val bounds = df.agg(
-      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"min_$c"),
-        max(col(c).cast("double")).as(s"max_$c"))).head,
-      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"min_$c"),
-        max(col(c).cast("double")).as(s"max_$c"))).tail: _*).head()
+    val aggs = zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val dims = zCols.zipWithIndex.map { case (c, d) =>
+      // Degenerate bounds would silently collapse the dimension to one
+      // bucket (NaN propagates through min/max and fails hi > lo; an
+      // all-null column null-unboxes to 0.0) — the write would LOOK
+      // successful while clustering on fewer dimensions than asked.
+      require(!bounds.isNullAt(bounds.fieldIndex(s"min_$c")),
+        s"writeZOrdered: column $c has no non-null values")
       val lo = bounds.getAs[Double](s"min_$c")
       val hi = bounds.getAs[Double](s"max_$c")
+      require(!lo.isNaN && !hi.isNaN,
+        s"writeZOrdered: column $c contains NaN — filter or transform it first")
+      require(hi > lo,
+        s"writeZOrdered: column $c is constant ($lo) — it cannot cluster; drop it from zCols")
       // width_bucket returns 1..n (n+1 for v == hi); clamp to [0, n-1].
       val bucket =
-        if (hi > lo)
-          least(greatest(width_bucket(col(c).cast("double"), lit(lo), lit(hi),
-            lit(nBuckets)) - 1, lit(0L)), lit((nBuckets - 1).toLong))
-        else lit(0L)
+        least(greatest(width_bucket(col(c).cast("double"), lit(lo), lit(hi),
+          lit(nBuckets)) - 1, lit(0L)), lit((nBuckets - 1).toLong))
       (bucket, d)
     }
     // Interleave: output bit (i*dims + d) = bit i of dimension d's bucket.

@@ -8,14 +8,16 @@ import graft.SparkTestBase
 class CompatSpec extends SparkTestBase {
 
   test("JsonSchemaConvertor.convert returns (schema, constraints) like the reference") {
-    val (schema, constraints) =
-      new JsonSchemaConvertor(resourcePath("/model")).convert("employee")
+    val conv = new JsonSchemaConvertor(resourcePath("/model"))
+    val (schema, constraints) = conv.convert("employee")
     assert(schema.fieldNames.contains("id") && schema.fieldNames.contains("person"))
     assert(constraints.size == 12) // the golden employee constraint set
     assert(constraints.keys.exists(_.contains("NULLABLE")))
-    // Pure: a second convert on the same instance must NOT accumulate
-    // (reference quirk Q1 deliberately fixed).
-    val (_, again) = new JsonSchemaConvertor(resourcePath("/model")).convert("employee")
+    // Pure: repeated converts on the SAME instance must not accumulate
+    // (reference quirk Q1: person then employee on one instance returned
+    // 17 constraints). Exercise the cross-entity sequence deliberately.
+    conv.convert("person")
+    val (_, again) = conv.convert("employee")
     assert(again == constraints)
   }
 
