@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr STRAIGHT through instead of routing
+// them via sbt's logger: the logger prefixes every line with "[info]" /
+// "[error]", which corrupts Bench's machine-readable one-line JSON output
+// (the round-1 bench harness recorded parsed: null because of it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
