@@ -822,6 +822,24 @@ object SparkEntry {
           regexp_extract(col("o_orderpriority"), "([0-9]+)-([A-Z ]+)", 2)
             .as("prio_name"))
         .orderBy("o_orderkey")
+    }),
+
+    // --- 70. TPC-H Q14 shape: promo revenue ratio per ship month ----------------------------------------
+    // Ratio of two exact decimal sums; ONE IEEE double division at the end
+    // on both engines (q02 avg_qty discipline).
+    "q70_tpch_q14" -> ((s, d) => {
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(month(col("l_shipdate")).as("ship_month"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "ECONOMY", rev).otherwise(dec(lit(0)) * dec(lit(0))))
+            .cast("double") /
+          sum(rev).cast("double")).as("promo_pct"))
+        .orderBy("ship_month")
     })
   )
 
@@ -1402,6 +1420,17 @@ object SparkEntry {
         |        format('{{"key":{},"status":"{}","priority":"{}"}}',
         |               o_orderkey, o_orderstatus, o_orderpriority) AS doc
         |      FROM orders WHERE o_orderkey <= 2000) t
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q70_tpch_q14" ->
+      """SELECT CAST(MONTH(l_shipdate) AS INT) AS ship_month,
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) * CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY MONTH(l_shipdate) ORDER BY ship_month""".stripMargin
   )
 }
