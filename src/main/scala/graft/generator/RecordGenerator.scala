@@ -30,6 +30,7 @@ object GenNode {
   case object DurationGen extends GenNode
   final case class EnumGen(values: IndexedSeq[String]) extends GenNode
   final case class StrGen(minLen: Int, maxLen: Int) extends GenNode
+  final case class PatternGen(rx: RxNode, pattern: String) extends GenNode
 }
 
 /** Schema-conformant synthetic JSON record generator (SURVEY.md §2C).
@@ -48,14 +49,19 @@ object GenNode {
   *    crashing.
   *
   * Like the reference, `pattern` constraints are NOT honored by generation
-  * (README.md:116) — generated strings are plain lowercase a-z.
+  * by default (README.md:116) — generated strings are plain lowercase a-z,
+  * and the reference's golden DQ test depends on the resulting MATCH
+  * violations. Pass `honorPatterns = true` to generate pattern-conformant
+  * strings instead ([[RegexGen]]) — a capability the reference lacks,
+  * useful when integration tests need VALID records.
   *
   * @param nullableRate probability that an optional field is omitted
   */
 final class RecordGenerator(
     model: ModelDirectory,
     nullableRate: Double = 0.0,
-    seed: Long = 42L
+    seed: Long = 42L,
+    honorPatterns: Boolean = false
 ) {
 
   def this(path: String, nullableRate: Double, seed: Long) =
@@ -186,9 +192,13 @@ final class RecordGenerator(
             Option(props.get("enum")).filter(_.isArray) match {
               case Some(e) => EnumGen(JsonNodes.textElements(e).toIndexedSeq)
               case None =>
-                val minLen = math.max(optInt(props, "minLength").getOrElse(1), 0)
-                val maxLen = math.max(optInt(props, "maxLength").getOrElse(25), minLen)
-                StrGen(minLen, maxLen)
+                optText(props, "pattern").filter(_ => honorPatterns) match {
+                  case Some(pattern) => PatternGen(RegexGen.compile(pattern), pattern)
+                  case None =>
+                    val minLen = math.max(optInt(props, "minLength").getOrElse(1), 0)
+                    val maxLen = math.max(optInt(props, "maxLength").getOrElse(25), minLen)
+                    StrGen(minLen, maxLen)
+                }
             }
         }
       case Some(other) =>
@@ -297,6 +307,8 @@ object RecordGenerator {
         appendString(sb, s)
       case EnumGen(values) =>
         appendString(sb, values(rng.nextInt(values.size)))
+      case PatternGen(rx, pattern) =>
+        appendString(sb, RegexGen.generateMatching(rx, pattern, rng))
       case StrGen(minLen, maxLen) =>
         val len = minLen + rng.nextInt(maxLen - minLen + 1)
         sb.append('"')

@@ -1,0 +1,206 @@
+package graft.generator
+
+import java.util.Random
+
+/** Serializable AST for the supported regex subset (see [[RegexGen]]). */
+sealed trait RxNode extends Serializable
+object RxNode {
+  final case class Lit(c: Char) extends RxNode
+  final case class Cls(chars: IndexedSeq[Char]) extends RxNode
+  final case class Cat(xs: Seq[RxNode]) extends RxNode
+  final case class Alt(xs: Seq[RxNode]) extends RxNode
+  final case class Rep(x: RxNode, min: Int, max: Int) extends RxNode
+}
+
+/** Compile a practical regex subset into a deterministic string SAMPLER —
+  * the opposite direction of matching. Powers the generator's opt-in
+  * pattern support (the reference explicitly does not generate
+  * pattern-conformant values, `README.md:116`; its golden DQ test depends
+  * on ~70% username MATCH violations, which is why this is opt-in).
+  *
+  * Supported: literals, escapes (`\d \w \s \.` etc.), `.` (printable),
+  * character classes with ranges and negation (`[a-z0-9_]`, `[^/]`),
+  * groups, alternation, and the quantifiers `* + ? {n} {n,m} {n,}`.
+  * Unbounded quantifiers draw a length in `[min, min + maxRep]`. Anchors
+  * `^`/`$` at the ends are stripped (generation is whole-string by
+  * construction). Unsupported constructs (backreferences, lookaround,
+  * non-capturing flags) fail compile with a clear message.
+  */
+object RegexGen {
+
+  import RxNode._
+
+  private val printable: IndexedSeq[Char] = (' ' to '~')
+  private val digits: IndexedSeq[Char] = ('0' to '9')
+  private val word: IndexedSeq[Char] = ('a' to 'z') ++ ('A' to 'Z') ++ digits :+ '_'
+
+  def compile(pattern: String, maxRep: Int = 8): RxNode = {
+    val p = new Parser(
+      pattern.stripPrefix("^").stripSuffix("$"), maxRep)
+    val node = p.alternation()
+    p.expectEnd()
+    node
+  }
+
+  /** Render one sample of `node` using `rng` (deterministic per seed). */
+  def generate(node: RxNode, rng: Random): String = {
+    val sb = new java.lang.StringBuilder
+    gen(node, rng, sb)
+    sb.toString
+  }
+
+  private val compiledCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** Render a sample GUARANTEED to match `pattern`: structural generation
+    * plus rejection against the real compiled regex. The structure alone
+    * cannot honor zero-width context assertions (`\b` between octets in
+    * the canned ipv4 regex rejects samples whose optional dot was omitted),
+    * so candidates are re-drawn — deterministically, from the same rng —
+    * until one matches.
+    */
+  def generateMatching(
+      node: RxNode,
+      pattern: String,
+      rng: Random,
+      maxTries: Int = 200): String = {
+    val p = compiledCache.computeIfAbsent(pattern, java.util.regex.Pattern.compile(_))
+    var tries = 0
+    while (tries < maxTries) {
+      val s = generate(node, rng)
+      if (p.matcher(s).matches()) return s
+      tries += 1
+    }
+    throw new IllegalArgumentException(
+      s"RegexGen: no sample matched '$pattern' after $maxTries draws — " +
+        "the pattern's assertions reject nearly all structural samples")
+  }
+
+  private def gen(n: RxNode, rng: Random, sb: java.lang.StringBuilder): Unit = n match {
+    case Lit(c)   => sb.append(c)
+    case Cls(cs)  => sb.append(cs(rng.nextInt(cs.length)))
+    case Cat(xs)  => xs.foreach(gen(_, rng, sb))
+    case Alt(xs)  => gen(xs(rng.nextInt(xs.length)), rng, sb)
+    case Rep(x, min, max) =>
+      val k = min + (if (max > min) rng.nextInt(max - min + 1) else 0)
+      var i = 0
+      while (i < k) { gen(x, rng, sb); i += 1 }
+  }
+
+  private final class Parser(s: String, maxRep: Int) {
+    private var i = 0
+    private def peek: Char = s.charAt(i)
+    private def more: Boolean = i < s.length
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"RegexGen: $msg at index $i in '$s'")
+
+    def expectEnd(): Unit = if (more) fail(s"unexpected '${peek}'")
+
+    def alternation(): RxNode = {
+      val first = concat()
+      if (!more || peek != '|') first
+      else {
+        val branches = scala.collection.mutable.ArrayBuffer(first)
+        while (more && peek == '|') { i += 1; branches += concat() }
+        Alt(branches.toSeq)
+      }
+    }
+
+    private def concat(): RxNode = {
+      val xs = scala.collection.mutable.ArrayBuffer[RxNode]()
+      while (more && peek != '|' && peek != ')') xs += postfix()
+      if (xs.size == 1) xs.head else Cat(xs.toSeq)
+    }
+
+    private def postfix(): RxNode = {
+      var node = atom()
+      while (more && "*+?{".contains(peek)) {
+        node = peek match {
+          case '*' => i += 1; Rep(node, 0, maxRep)
+          case '+' => i += 1; Rep(node, 1, 1 + maxRep)
+          case '?' => i += 1; Rep(node, 0, 1)
+          case '{' => braces(node)
+        }
+      }
+      node
+    }
+
+    private def braces(node: RxNode): RxNode = {
+      i += 1 // '{'
+      val start = i
+      while (more && peek != '}') i += 1
+      if (!more) fail("unterminated {")
+      val body = s.substring(start, i)
+      i += 1 // '}'
+      body.split(",", -1) match {
+        case Array(n) => val k = n.trim.toInt; Rep(node, k, k)
+        case Array(n, "") => val k = n.trim.toInt; Rep(node, k, k + maxRep)
+        case Array(n, m) => Rep(node, n.trim.toInt, m.trim.toInt)
+        case _ => fail(s"bad quantifier {$body}")
+      }
+    }
+
+    private def atom(): RxNode = peek match {
+      case '(' =>
+        i += 1
+        if (more && peek == '?') fail("non-capturing/lookaround groups unsupported")
+        val inner = alternation()
+        if (!more || peek != ')') fail("unterminated (")
+        i += 1
+        inner
+      case '[' => charClass()
+      case '\\' => i += 1; escaped()
+      case '.' => i += 1; Cls(printable)
+      case c if "*+?{}|)".contains(c) => fail(s"dangling '$c'")
+      case c => i += 1; Lit(c)
+    }
+
+    private def escaped(): RxNode = {
+      if (!more) fail("dangling backslash")
+      val c = peek; i += 1
+      c match {
+        case 'd' => Cls(digits)
+        case 'w' => Cls(word)
+        case 's' => Lit(' ')
+        case 'D' => Cls(printable.filterNot(digits.contains))
+        case 'W' => Cls(printable.filterNot(word.contains))
+        // Zero-width assertions generate nothing (the reference's canned
+        // ipv4 regex uses \b between octets).
+        case 'b' | 'B' => Cat(Nil)
+        case other => Lit(other) // \. \\ \- \[ etc.
+      }
+    }
+
+    private def charClass(): RxNode = {
+      i += 1 // '['
+      val negate = more && peek == '^'
+      if (negate) i += 1
+      val out = scala.collection.mutable.LinkedHashSet[Char]()
+      var firstInClass = true
+      while (more && (peek != ']' || firstInClass)) {
+        val c: Char =
+          if (peek == '\\') { i += 1; if (!more) fail("dangling backslash"); val e = peek; i += 1
+            e match {
+              case 'd' => out ++= digits; firstInClass = false; 0.toChar
+              case 'w' => out ++= word; firstInClass = false; 0.toChar
+              case 's' => ' '
+              case o => o
+            }
+          } else { val o = peek; i += 1; o }
+        if (c != 0.toChar) {
+          if (more && peek == '-' && i + 1 < s.length && s.charAt(i + 1) != ']') {
+            i += 1 // '-'
+            val hi = { val h = peek; i += 1; h }
+            (c to hi).foreach(out += _)
+          } else out += c
+        }
+        firstInClass = false
+      }
+      if (!more) fail("unterminated [")
+      i += 1 // ']'
+      val chars = if (negate) printable.filterNot(out.contains) else out.toIndexedSeq
+      if (chars.isEmpty) fail("empty character class")
+      Cls(chars)
+    }
+  }
+}

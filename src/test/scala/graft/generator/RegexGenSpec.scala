@@ -1,0 +1,73 @@
+package graft.generator
+
+import graft.SparkTestBase
+import graft.expectations.Expectations
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+
+import java.util.Random
+
+/** Pattern-honoring generation: every sample must MATCH the very regex it
+  * was generated from (the reverse direction of RLIKE), deterministically.
+  */
+class RegexGenSpec extends SparkTestBase {
+
+  // The reference model's username pattern plus every canned format regex
+  // the constraint compiler emits, and assorted constructs.
+  private val patterns = Seq(
+    "^[a-z0-9]{8}$",
+    "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$",
+    "^((25[0-5]|(2[0-4]|1\\d|[1-9]|)\\d)\\.?\\b){4}$",
+    "^(0?[1-9]|1[012]):[0-5][0-9]:[0-5][0-9]$",
+    "[A-Z][a-z]+( [A-Z][a-z]+)*",
+    "a+b?c{2,4}(d|e)*",
+    "[^/]{3,5}",
+    "\\d{4}-\\d{2}-\\d{2}",
+    "(foo|bar|baz)_\\w+"
+  )
+
+  test("every generated sample matches its own pattern") {
+    patterns.foreach { p =>
+      val rx = RegexGen.compile(p)
+      val compiled = java.util.regex.Pattern.compile(p)
+      val rng = new Random(7)
+      (1 to 200).foreach { _ =>
+        val s = RegexGen.generateMatching(rx, p, rng)
+        assert(compiled.matcher(s).matches(), s"'$s' does not match $p")
+      }
+    }
+  }
+
+  test("generation is deterministic per seed") {
+    val rx = RegexGen.compile("[a-z]{4}\\d{2}(x|y)")
+    def run(seed: Long) = {
+      val rng = new Random(seed)
+      (1 to 50).map(_ => RegexGen.generate(rx, rng))
+    }
+    assert(run(1) == run(1))
+    assert(run(1) != run(2))
+  }
+
+  test("unsupported constructs fail compile with a clear error") {
+    val e = intercept[IllegalArgumentException](RegexGen.compile("(?=lookahead)x"))
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
+    intercept[IllegalArgumentException](RegexGen.compile("[unclosed"))
+  }
+
+  test("honorPatterns=true yields records with ZERO MATCH violations; default keeps them") {
+    val model = new ModelDirectory(resourcePath("/model"))
+    val compiled = new SchemaCompiler(model).compile("employee")
+    val matchRules = compiled.constraints.filter(_._1.contains("MATCH"))
+    assert(matchRules.nonEmpty)
+    def violations(honor: Boolean): Long = {
+      val gen = new RecordGenerator(model, nullableRate = 0.0, seed = 11L,
+        honorPatterns = honor)
+      val df = gen.generateTable(spark, "employee", 100)
+      Expectations.quarantine(df, matchRules)._2.count()
+    }
+    assert(violations(honor = true) == 0L)
+    // Reference behavior (default): most generated usernames violate the
+    // pattern — the golden DQ test depends on these violations existing.
+    assert(violations(honor = false) > 50L)
+  }
+}
