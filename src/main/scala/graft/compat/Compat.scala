@@ -34,9 +34,11 @@ final class JsonSchemaConvertor(schemaDirectory: String) {
 final class JsonRecordGenerator(
     schemaDirectory: String,
     nullableRate: Double = 0.0,
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    honorPatterns: Boolean = false) {
 
-  private val gen = new RecordGenerator(schemaDirectory, nullableRate, seed)
+  private val gen = new RecordGenerator(
+    new graft.model.ModelDirectory(schemaDirectory), nullableRate, seed, honorPatterns)
 
   /** Reference: `generate(entity_name, num) -> [str]` (`generator.py:13-15`). */
   def generate(entityName: String, num: Int): Seq[String] =

@@ -27,6 +27,7 @@ import scala.jdk.CollectionConverters._
   *   .option("modelDir", "models/").option("entity", "employee")
   *   .option("numRecords", "1000000")
   *   .option("nullableRate", "0.5").option("seed", "42")
+  *   .option("honorPatterns", "true")   // optional: pattern-conformant strings
   *   .option("numPartitions", "64")
   *   .load()           // => DataFrame[value: string] of JSON records
   * }}}
@@ -80,7 +81,8 @@ private class GeneratorScan(options: Map[String, String]) extends Scan with Batc
     val model = new ModelDirectory(opt("modelDir"))
     val rate = options.getOrElse("nullableRate", "0.0").toDouble
     val seed = options.getOrElse("seed", "42").toLong
-    val gen = new RecordGenerator(model, rate, seed)
+    val honor = options.getOrElse("honorPatterns", "false").toBoolean
+    val gen = new RecordGenerator(model, rate, seed, honor)
     val plan = gen.plan(opt("entity"))
     val n = opt("numRecords").toLong
     val parts = math.max(options.getOrElse("numPartitions", "8").toInt, 1)
@@ -106,12 +108,13 @@ private class GeneratorMicroBatchStream(options: Map[String, String])
     throw new IllegalArgumentException(s"graft generator source requires option '$k'"))
   private val total = opt("numRecords").toLong
   private val rate = options.getOrElse("nullableRate", "0.0").toDouble
+  private val honor = options.getOrElse("honorPatterns", "false").toBoolean
   private val seed = options.getOrElse("seed", "42").toLong
   private val perBatch = options.getOrElse("maxRecordsPerBatch", "10000").toLong
   private val parts = math.max(options.getOrElse("numPartitions", "8").toInt, 1)
   // Compiled once per stream on the driver.
   private lazy val plan =
-    new RecordGenerator(new ModelDirectory(opt("modelDir")), rate, seed)
+    new RecordGenerator(new ModelDirectory(opt("modelDir")), rate, seed, honor)
       .plan(opt("entity"))
 
   override def initialOffset(): Offset = GenOffset(0L)
