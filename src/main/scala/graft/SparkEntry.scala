@@ -840,6 +840,22 @@ object SparkEntry {
             .cast("double") /
           sum(rev).cast("double")).as("promo_pct"))
         .orderBy("ship_month")
+    }),
+
+    // --- 71. TPC-H Q18 shape: large-volume customers (HAVING subquery semi-join) ------------------------
+    "q71_tpch_q18" -> ((s, d) => {
+      val big = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+        .where(col("qty") > 300)
+        .select(col("l_orderkey").as("big_okey"), col("qty"))
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("big_okey"))
+        .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("qty").cast("double").as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
     })
   )
 
@@ -1431,6 +1447,17 @@ object SparkEntry {
         |    AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |GROUP BY MONTH(l_shipdate) ORDER BY ship_month""".stripMargin
+        |GROUP BY MONTH(l_shipdate) ORDER BY ship_month""".stripMargin,
+
+    "q71_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, CAST(qty AS DOUBLE) AS sum_qty
+        |FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
   )
 }

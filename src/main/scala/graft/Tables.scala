@@ -15,11 +15,20 @@ object Tables {
     * division (double division would lose sub-microsecond precision at
     * ~1.7e18 ns magnitudes).
     */
+  // DataFrame handles are immutable plans — caching them per (session, dir,
+  // table) spares every one of the ~70 bench/verify queries a fresh parquet
+  // file-listing + footer read for the same files. NOT .cache(): no data is
+  // pinned, only the analyzed plan object is reused.
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    handles.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
   }
 
   /** Register every table as a temp view (for spark.sql-expressed queries)
