@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Totality on degenerate inputs: empty corpora and null text must flow
+  * through every dedup/similarity operator as empty results — not crashes.
+  * (An advisor-grade nit class: operators that work on the happy path but
+  * throw on the first empty partition of a real pipeline.)
+  */
+class EdgeInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String, String)]
+    .toDF("doc_id", "text", "lang")
+  private val nullDocs = Seq(
+    (1L, null.asInstanceOf[String], "en"),
+    (2L, "", "en"),
+    (3L, "real text that is long enough to form shingles in this corpus", "en"),
+    (4L, "real text that is long enough to form shingles in this corpus", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("dedup operators return empty on an empty corpus") {
+    assert(Dedup.exact(emptyDocs, "doc_id", Seq("text")).count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", "lang").count() == 0)
+    assert(Dedup.dropNearDuplicates(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.crossCorpusNearDups(emptyDocs, nullDocs,
+      "doc_id", "doc_id", "text", "text").count() == 0)
+  }
+
+  test("null and empty text rows flow through dedup without crashing") {
+    // Rows 3/4 are identical; rows 1 (null) and 2 (empty) must neither
+    // crash nor pair with anything.
+    val pairs = Dedup.minhashPairs(nullDocs, "doc_id", "text")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L)), pairs.toString)
+    val kept = Dedup.dropNearDuplicates(nullDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L), kept.toString)
+    // Exact dedup treats null and empty as distinct identities.
+    val exact = Dedup.exact(nullDocs, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(1L, 2L, 3L), exact.toString)
+  }
+
+  test("similarity operators return empty on empty corpora") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    val q = Seq((1L, Array(1f, 0f))).toDF("qid", "qvec")
+    assert(Similarity.bruteForceKnn(q, emptyVecs, k = 3).count() == 0)
+    assert(Similarity.lshKnn(q, emptyVecs, k = 3).count() == 0)
+    assert(Similarity.embeddingNearDupPairs(emptyVecs, threshold = 0.9).count() == 0)
+  }
+
+  test("range join with empty sides returns empty") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "v")
+    val emptyPts = Seq.empty[(Long, Double)].toDF("pid", "v")
+    val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val emptyIvs = Seq.empty[(Long, Double, Double)].toDF("iid", "lo", "hi")
+    assert(graft.operators.RangeJoin.pointInInterval(
+      emptyPts, ivs, "v", "lo", "hi", 10.0).count() == 0)
+    assert(graft.operators.RangeJoin.pointInInterval(
+      pts, emptyIvs, "v", "lo", "hi", 10.0).count() == 0)
+  }
+
+  test("text functions yield null/zero — not errors — for null and empty text") {
+    val out = nullDocs.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("tc"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.simhash64(col("text")).as("sh"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1) && out(1L).isNullAt(2)) // null text => nulls
+    assert(!out(2L).isNullAt(1))                       // empty text => defined
+    assert(out(3L).getLong(2) == out(4L).getLong(2))   // identical => same fp
+  }
+}
