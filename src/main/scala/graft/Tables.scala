@@ -18,13 +18,31 @@ object Tables {
   // DataFrame handles are immutable plans — caching them per (session, dir,
   // table) spares every one of the ~70 bench/verify queries a fresh parquet
   // file-listing + footer read for the same files. NOT .cache(): no data is
-  // pinned, only the analyzed plan object is reused.
+  // pinned, only the analyzed plan object is reused. Weak session keying
+  // lets a stopped session's plans be reclaimed instead of pinning them
+  // for the JVM lifetime. The driver testdata is immutable; a caller that
+  // rewrites a table directory in-session must call [[invalidate]] first
+  // or the cached file listing goes stale.
   private val handles =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  /** Drop cached handles (all sessions) — required after rewriting a table
+    * directory that `t` has already served.
+    */
+  def invalidate(): Unit = handles.synchronized(handles.clear())
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    handles.computeIfAbsent((spark, dir, name), { _ =>
+    val perSession = handles.synchronized {
+      var m = handles.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        handles.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), { _ =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df

@@ -176,16 +176,21 @@ case class NearestCentroidsExpr(
   // structurally identical expressions never compare equal — defeating
   // common-subexpression elimination and plan-cache reuse when the model is
   // re-fit. Compare (and hash) the centroid CONTENT instead.
+  // Catalyst hashes/compares expression nodes repeatedly during analysis,
+  // CSE and plan-cache lookup — cache the O(k*dim) matrix hash once and
+  // gate the deep comparison behind it.
+  @transient private lazy val centroidsHash: Int =
+    java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
   override def equals(other: Any): Boolean = other match {
     case o: NearestCentroidsExpr =>
       nProbe == o.nProbe && child == o.child &&
+        centroidsHash == o.centroidsHash &&
         java.util.Arrays.deepEquals(
           centroids.asInstanceOf[Array[AnyRef]], o.centroids.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Objects.hash(child, Integer.valueOf(nProbe),
-      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
+    java.util.Objects.hash(child, Integer.valueOf(nProbe), Integer.valueOf(centroidsHash))
   override def checkInputDataTypes(): TypeCheckResult =
     FloatVec.check(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -141,16 +141,24 @@ object Ivf {
       if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
     val total = sampled.count()
-    val keepMod = math.max(1L, total / math.max(maxTrainPoints, 1))
+    // Target ~maxTrainPoints/2 survivors so the content-hash filter is the
+    // SOLE selector — no limit() on the distributed side, whose truncation
+    // is partition-order dependent (exactly the bias this path eliminates).
+    val keepMod =
+      if (total <= maxTrainPoints) 1L
+      else (2L * total + maxTrainPoints - 1) / maxTrainPoints
     val spread =
       if (keepMod > 1)
         sampled.where(pmod(xxhash64(col(vecCol)), lit(keepMod)) === 0)
       else sampled
-    val collected = spread.select(col(vecCol)).limit(maxTrainPoints)
+    val collected = spread.select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
     require(collected.nonEmpty, "empty training set")
-    // Deterministic order regardless of partitioning/collect order.
-    val pts = collected.sortBy(v => java.util.Arrays.hashCode(v))
+    // Deterministic order regardless of partitioning/collect order; the
+    // residual cap (hash-order take, content-determined) only fires if the
+    // binomial survivor count overshoots the target, which is vanishingly
+    // rare at these margins.
+    val pts = collected.sortBy(v => java.util.Arrays.hashCode(v)).take(maxTrainPoints)
     Model(LocalKMeans.cosine(pts, k, maxIter, seed))
   }
 

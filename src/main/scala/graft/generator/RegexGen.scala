@@ -132,10 +132,13 @@ object RegexGen {
       if (!more) fail("unterminated {")
       val body = s.substring(start, i)
       i += 1 // '}'
+      def num(x: String): Int =
+        try x.trim.toInt
+        catch { case _: NumberFormatException => fail(s"bad quantifier {$body}") }
       body.split(",", -1) match {
-        case Array(n) => val k = n.trim.toInt; Rep(node, k, k)
-        case Array(n, "") => val k = n.trim.toInt; Rep(node, k, k + maxRep)
-        case Array(n, m) => Rep(node, n.trim.toInt, m.trim.toInt)
+        case Array(n) => val k = num(n); Rep(node, k, k)
+        case Array(n, "") => val k = num(n); Rep(node, k, k + maxRep)
+        case Array(n, m) => Rep(node, num(n), num(m))
         case _ => fail(s"bad quantifier {$body}")
       }
     }

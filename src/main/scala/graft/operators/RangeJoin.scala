@@ -58,7 +58,14 @@ object RangeJoin {
     // would otherwise count DOWN through them, emitting phantom buckets.
     val startB = bucketOf(col(startCol))
     val endB = bucketOf(col(endCol))
-    val guardedEnd = when(endB - startB < lit(maxBucketsPerInterval), endB)
+    // Width check in DOUBLE arithmetic: an extreme endpoint saturates
+    // floor().cast(long) to Long.MaxValue, so a long subtraction here would
+    // wrap (bypassing the guard) or throw a contextless ANSI overflow.
+    // Doubles just go to Infinity, which fails the comparison and raises
+    // the actionable error.
+    val guardedEnd = when(
+      (col(endCol) - col(startCol)) / bucketWidth < lit(maxBucketsPerInterval.toDouble),
+      endB)
       .otherwise(raise_error(format_string(
         s"RangeJoin: interval [%s, %s] spans more than $maxBucketsPerInterval " +
           s"buckets at bucketWidth=$bucketWidth — widen bucketWidth or " +

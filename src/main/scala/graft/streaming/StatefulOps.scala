@@ -75,8 +75,18 @@ object StatefulOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                // A cross-batch out-of-order event can precede the open
+                // session's START (in-batch order is handled by the sort):
+                // within the gap it must merge with start lowered — keeping
+                // the old start would report a session starting AFTER its
+                // earliest member. More than a gap BEFORE the start, it is
+                // its own already-closed predecessor session.
+                case Some(s) if t - s.last <= gapMs && t >= s.start - gapMs =>
+                  cur = Some(SessState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) if t < s.start - gapMs =>
+                  closed += Session(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1L, e.value)
                 case Some(s) =>
                   closed += toSession(s)
                   cur = Some(SessState(t, t, 1L, e.value))
@@ -135,8 +145,11 @@ object StatefulOps {
     *                  under `withWatermark`
     * @param keyCols   content columns that define row identity
     */
-  def streamingExactDedup(df: DataFrame, keyCols: Seq[String]): DataFrame =
+  def streamingExactDedup(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(!df.columns.contains("__digest"),
+      "streamingExactDedup reserves the column name __digest")
     df.withColumn("__digest", graft.functions.Dedup.contentDigest(keyCols))
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+  }
 }

@@ -57,6 +57,35 @@ class StatefulOpsSpec extends SparkTestBase {
       (2L, "2024-01-01 00:00:30", "2024-01-01 00:00:30", 1L, 9.0)), got.toString)
   }
 
+  test("a cross-batch out-of-order event lowers the session start") {
+    val dir = Files.createTempDirectory("graft-fmgs-ooo")
+    // Batch 1 opens a session at 00:04. Batch 2 delivers an EARLIER event
+    // (00:03:30, still above the watermark) — the merged session must
+    // report start=00:03:30, not keep the stale 00:04 start. File c only
+    // pushes the watermark to flush.
+    Files.write(dir.resolve("a.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:04:00", "value": 1.0}""".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:03:30", "value": 2.0}""".getBytes("UTF-8"))
+    Files.write(dir.resolve("c.json"),
+      """{"user_id": 99, "ts": "2024-01-01T03:00:00", "value": 0.0}""".getBytes("UTF-8"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .withWatermark("ts", "10 minutes")
+      .as[SessEvent]
+    val q = StatefulOps.sessionizeWithState(stream, gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fmgs_ooo")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      """SELECT user_id, CAST(session_start AS STRING), CAST(session_end AS STRING),
+        |       n_events, sum_value FROM fmgs_ooo WHERE user_id = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq((1L, "2024-01-01 00:03:30", "2024-01-01 00:04:00", 2L, 3.0)),
+      got.toString)
+  }
+
   test("stream-stream interval join enriches purchases with preceding views only") {
     val pDir = Files.createTempDirectory("graft-ssj-p")
     val vDir = Files.createTempDirectory("graft-ssj-v")
