@@ -856,6 +856,21 @@ object SparkEntry {
           col("o_totalprice"), col("qty").cast("double").as("sum_qty"))
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
         .limit(100)
+    }),
+
+    // --- 72. windowed DISTINCT count ---------------------------------------------------------------------
+    // Spark does not support COUNT(DISTINCT) OVER; the standard rewrite is
+    // size(collect_set() OVER) — cross-checked here against DuckDB's NATIVE
+    // windowed distinct aggregate, which pins that the rewrite is
+    // semantically exact (including per-customer partitions where the
+    // distinct set is small).
+    "q72_window_distinct" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      t(s, d, "orders").where(col("o_custkey") <= 300)
+        .select(col("o_orderkey"), col("o_custkey"),
+          size(collect_set(col("o_orderpriority")).over(w)).as("n_prio"),
+          size(collect_set(col("o_orderstatus")).over(w)).as("n_status"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -1458,6 +1473,13 @@ object SparkEntry {
         |      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) big
         |JOIN orders ON o_orderkey = big.l_orderkey
         |JOIN customer ON c_custkey = o_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q72_window_distinct" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS INT) AS n_prio,
+        |  CAST(COUNT(DISTINCT o_orderstatus) OVER (PARTITION BY o_custkey) AS INT) AS n_status
+        |FROM orders WHERE o_custkey <= 300
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
