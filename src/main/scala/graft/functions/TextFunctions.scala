@@ -132,6 +132,18 @@ object TextFunctions {
       graft.expressions.SimHash64Expr(
         org.apache.spark.sql.graft.Bridge.expression(tokens(text))))
 
+  /** One-pass token-length stats over a token array column:
+    * struct<n_tokens,n_long,sum_len> (all BIGINT), where n_long counts
+    * tokens longer than `longerThan` chars. Native codegen'd
+    * ([[graft.expressions.TokenLenStatsExpr]]) — the equivalent
+    * filter/transform/aggregate HOF chain runs interpreted and breaks the
+    * enclosing WholeStageCodegen span.
+    */
+  def tokenLenStats(toks: Column, longerThan: Int = 3): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TokenLenStatsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(toks), longerThan))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -69,6 +69,50 @@ class PlanSpec extends SparkTestBase {
     assert(projLine.contains("*("), p)
   }
 
+  test("q64 token-length stats run inside WholeStageCodegen (no interpreted HOF)") {
+    // The r2 formulation used filter/transform/aggregate HOFs, which run
+    // interpreted and strip codegen from the whole projection stage. The
+    // native TokenLenStatsExpr must keep the stage compiled: the projection
+    // line carrying the expression must have the `*(n)` codegen prefix.
+    val df = SparkEntry.queries("q64_hof_arrays")(spark, sf)
+    df.collect() // materialize the AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("graft_token_len_stats"))
+      .getOrElse(fail(s"no token_len_stats projection in plan:\n$p"))
+    assert(projLine.contains("*("), p)
+  }
+
+  test("q62 unpivot prunes the scan to 4 columns and aggregates partially") {
+    // Unpivot lowers to Expand ABOVE the aggregate, so column pruning must
+    // still reach the scan (4 of 11 lineitem columns) and the agg must stay
+    // partial+final — the properties that keep this a single cheap pass at
+    // 100x. (r2 flagged q62 as the slowest query; the audit showed the plan
+    // was already right and the cost was warm-up noise — this pins it.)
+    val p = plan("q62_unpivot")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_returnflag:string>"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("l_partkey"), p)
+  }
+
+  test("q74/q75/q76 correlated subqueries decorrelate to joins, no per-row subplans") {
+    // The Q17/Q20/Q21 stress shapes must not execute a subquery per outer
+    // row: Catalyst rewrites the correlated scalar aggs to joins against
+    // pre-aggregated subtrees and EXISTS/NOT EXISTS to semi/anti joins. A
+    // surviving per-row subplan shows up as a (non-scalar) Subquery node or
+    // an InSubqueryExec/DynamicPruning filter carrying the correlation.
+    for (q <- Seq("q74_tpch_q17", "q75_tpch_q20", "q76_tpch_q21")) {
+      val p = plan(q)
+      assert(!p.contains("Subquery subquery"), s"$q kept a per-row subquery:\n$p")
+      assert(p.contains("Join"), s"$q produced no join:\n$p")
+    }
+    // Q21's EXISTS/NOT EXISTS specifically must be semi/anti joins.
+    val p76 = plan("q76_tpch_q21")
+    assert(p76.contains("LeftSemi"), p76)
+    assert(p76.contains("LeftAnti"), p76)
+  }
+
   test("q49 pivot and q51 explode aggregate partially before any shuffle") {
     val p49 = plan("q49_pivot")
     assert("HashAggregate".r.findAllIn(p49).size >= 2, p49)

@@ -22,6 +22,28 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(rows("d").isEmpty)
   }
 
+  test("tokenLenStats matches the HOF formulation bit-for-bit") {
+    // q64's declared semantics are the size/filter/aggregate HOF chain; the
+    // native one-pass expression must agree on every row, including empty
+    // strings (split("") => [""] with length 0) and multibyte chars
+    // (numChars, not bytes).
+    val df = Seq("one two three four", "", "a bb ccc dddd eeeee",
+        "héllo wörld émoji ééééé", "single",
+        "  leading and   multi  spaces ")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val toks = split(lower(col("text")), "\\s+")
+    val hof = df.select(col("id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(filter(toks, x => length(x) > 3)).cast("bigint").as("n_long"),
+      aggregate(transform(toks, x => length(x).cast("bigint")),
+        lit(0L), (acc, x) => acc + x).as("sum_len"))
+    val native = df.select(col("id"),
+        TextFunctions.tokenLenStats(toks, longerThan = 3).as("st"))
+      .select(col("id"), col("st.n_tokens"), col("st.n_long"), col("st.sum_len"))
+    assert(native.orderBy("id").collect().toSeq ==
+      hof.orderBy("id").collect().toSeq)
+  }
+
   test("minhash signature: identical sets agree; length = numHashes; empty = sentinel") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
