@@ -915,6 +915,42 @@ object SparkEntry {
     "q76_tpch_q21" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(sql_q76)
+    }),
+
+    // --- 77. keyed MERGE (CDC upsert/delete) materialized and oracle-pinned ------------------------------
+    // Runs the REAL Medallion.merge against a parquet table built from
+    // orders (partitioned by o_orderstatus): update every 7th key's
+    // priority, delete the %13 subset of those, insert shifted copies of
+    // the %31 keys, then aggregate the merged table. The DuckDB oracle
+    // computes the same end state relationally from the base table alone,
+    // pinning the merge's update/insert/delete semantics end-to-end.
+    "q77_merge_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val root = s"/tmp/graft_q77_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_merged"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Medallion.writeTable(base, tbl, Seq("o_orderstatus"))
+      val updates = base.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .withColumn("is_delete", col("o_orderkey") % 13 === 0)
+      val inserts = base.where(col("o_orderkey") % 31 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderstatus"), lit("INSERTED").as("o_orderpriority"),
+          lit(false).as("is_delete"))
+      graft.pipeline.Medallion.merge(s, tbl, updates.unionByName(inserts),
+        keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"),
+        deleteCol = Some("is_delete"))
+      s.read.parquet(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderpriority") === "MERGED", 1L).otherwise(0L)).as("n_merged"),
+          sum(when(col("o_orderpriority") === "INSERTED", 1L).otherwise(0L)).as("n_inserted"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -1578,6 +1614,27 @@ object SparkEntry {
 
     "q74_tpch_q17" -> sql_q74,
     "q75_tpch_q20" -> sql_q75,
-    "q76_tpch_q21" -> sql_q76
+    "q76_tpch_q21" -> sql_q76,
+
+    "q77_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_orderstatus, 'MERGED' AS o_orderpriority,
+        |         (o_orderkey % 13 = 0) AS is_delete
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, 'INSERTED', FALSE
+        |  FROM orders WHERE o_orderkey % 31 = 0
+        |), merged AS (
+        |  SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM changes WHERE NOT is_delete
+        |)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderpriority = 'MERGED' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+        |  CAST(SUM(CASE WHEN o_orderpriority = 'INSERTED' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

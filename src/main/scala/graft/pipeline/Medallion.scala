@@ -116,6 +116,186 @@ object Medallion {
       .partitionBy(partitionBy: _*).save(path)
   }
 
+  /** Parquet-native keyed MERGE (CDC upsert/delete into a lake table) — the
+    * `MERGE INTO` a Delta/Iceberg user reaches for, re-expressed over plain
+    * parquet: join the changeset to the target on `keys`, rewrite ONLY the
+    * partitions the changeset touches, and leave every other partition's
+    * files byte-identical (they are never read for write nor moved).
+    *
+    * Semantics (per target row / changeset row, matched on `keys`):
+    *  - matched + changeset row not flagged deleted  -> UPDATE (replace row)
+    *  - matched + flagged deleted (`deleteCol` true) -> DELETE
+    *  - unmatched changeset row, not flagged         -> INSERT
+    *  - target rows with no matching changeset key   -> kept as-is
+    * A key that moves partitions is handled: its OLD partition is rewritten
+    * (row removed) and its new partition receives the update.
+    *
+    * Scale posture: the changeset is the small side by CDC construction,
+    * but it is NOT force-broadcast — AQE picks broadcast when it fits and
+    * falls back to a shuffled join when a backfill-sized changeset doesn't.
+    * The affected-partition list is collected (tiny by construction) and
+    * re-enters the plan as a literal partition-pruning predicate, so the
+    * rewrite scan LISTS only the touched directories; above ~1000 affected
+    * partitions it becomes a broadcast semi-join instead of a giant
+    * predicate tree. The rewrite cost is proportional to the affected
+    * partitions, not the table: the only full-table work is one semi-join
+    * projecting key + partition columns (column-pruned at the scan).
+    *
+    * Crash safety: the merged data is staged to a `__merge_tmp` sibling and
+    * swapped per partition directory (rename live aside, rename staged in,
+    * drop aside) — an interruption leaves each partition either pre- or
+    * post-merge, never half-written. Unpartitioned tables stage-and-swap
+    * the whole directory (same protocol as [[compact]]).
+    *
+    * Changeset contract: same columns as the target (plus the optional
+    * boolean `deleteCol`); keys must be unique in the changeset (verified —
+    * duplicate keys make MERGE order-ambiguous); null keys never match and
+    * therefore insert. Partition values are rendered to directory names with
+    * Spark's own escaping (string/numeric partition columns round-trip
+    * exactly).
+    */
+  def merge(
+      spark: SparkSession,
+      path: String,
+      changes: DataFrame,
+      keys: Seq[String],
+      partitionBy: Seq[String] = Seq.empty,
+      deleteCol: Option[String] = None,
+      format: String = "parquet"
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataCols = changes.columns.filterNot(c => deleteCol.contains(c))
+    require(keys.forall(dataCols.contains),
+      s"keys ${keys.mkString(",")} must be changeset columns")
+    val isDel = deleteCol.map(c => col(c) === true).getOrElse(lit(false))
+    val upsertsAll = changes.where(!isDel)
+
+    if (!fs.exists(src)) {
+      // First load: the changeset IS the table (deletes drop out).
+      writeTable(upsertsAll.select(dataCols.map(col): _*), path, partitionBy, format)
+      return
+    }
+    val target = spark.read.format(format).load(src.toString)
+    require(target.columns.sorted.toSeq == dataCols.sorted.toSeq,
+      s"changeset columns ${dataCols.sorted.mkString(",")} must equal target " +
+        s"columns ${target.columns.sorted.mkString(",")} (plus optional $deleteCol)")
+    require(partitionBy.forall(target.columns.contains),
+      "partitionBy must be target columns")
+    val dupKeys = changes.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"changeset has duplicate keys on (${keys.mkString(",")}): MERGE would be order-ambiguous")
+
+    val ordered = target.columns.toSeq
+    val upserts = upsertsAll.select(ordered.map(col): _*)
+    val changeKeys = changes.select(keys.map(col): _*).distinct()
+
+    if (partitionBy.isEmpty) {
+      // Whole-table rewrite (no partition scoping possible): stage + swap.
+      val merged = target.join(changeKeys, keys, "left_anti")
+        .select(ordered.map(col): _*).unionByName(upserts)
+      val tmp = src.suffix("__merge_tmp")
+      val old = src.suffix("__merge_old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      writeTable(merged, tmp.toString, Seq.empty, format)
+      if (!fs.rename(src, old))
+        throw new java.io.IOException(s"merge: rename $src -> $old failed")
+      if (!fs.rename(tmp, src)) {
+        fs.rename(old, src)
+        throw new java.io.IOException(s"merge: rename $tmp -> $src failed; source restored")
+      }
+      fs.delete(old, true)
+      return
+    }
+
+    // Affected partitions = partitions the upserts land in + partitions
+    // currently holding a matched key (covers updates that MOVE a row
+    // across partitions and deletes). The semi-join scans only
+    // key+partition columns (column-pruned); its output — a handful of
+    // partition tuples — is collected once and drives everything else.
+    val partCols = partitionBy.map(col)
+    val affectedRows = upserts.select(partCols: _*)
+      .unionByName(
+        target.join(changeKeys, keys, "left_semi").select(partCols: _*))
+      .distinct().collect().toSeq
+    if (affectedRows.isEmpty) return // empty changeset: nothing to do
+
+    // Restrict the rewrite to affected partitions. An explicit OR-of-ANDs
+    // literal predicate reaches the scan as PartitionFilters (only affected
+    // directories are even LISTED); a backfill touching very many
+    // partitions falls back to a broadcast semi-join rather than building
+    // a giant predicate tree.
+    val targetAffected =
+      if (affectedRows.size <= 1000) {
+        val pred = affectedRows.map { row =>
+          partitionBy.zipWithIndex.map { case (c, i) =>
+            val v = row.get(i)
+            if (v == null) col(c).isNull else col(c) === lit(v)
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        target.where(pred)
+      } else {
+        val affectedDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(affectedRows, 1),
+          org.apache.spark.sql.types.StructType(
+            partitionBy.map(c => target.schema(c))))
+        target.join(broadcast(affectedDf), partitionBy, "left_semi")
+      }
+    val merged = targetAffected.join(changeKeys, keys, "left_anti")
+      .select(ordered.map(col): _*).unionByName(upserts)
+
+    val tmp = src.suffix("__merge_tmp")
+    fs.delete(tmp, true)
+    writeTable(merged, tmp.toString, partitionBy, format)
+
+    // Swap staged partition dirs into the live table. Dir names come from
+    // Spark's own writer (tmp side) so escaping always agrees; partitions
+    // the merge EMPTIED (all rows deleted) exist in neither tmp nor the
+    // staged output — affected dirs absent from the staging area — so
+    // their live dirs are removed explicitly.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def partRelDirs(base: org.apache.hadoop.fs.Path): Seq[String] = {
+      def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+        if (depth == 0) Seq(p)
+        else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+          .flatMap(walk(_, depth - 1)).toSeq
+      val baseUri = base.toUri.getPath
+      walk(base, partitionBy.size).map(_.toUri.getPath.stripPrefix(baseUri).stripPrefix("/"))
+    }
+    val stagedRel = partRelDirs(tmp)
+    val emptiedRel = affectedRows.map { row =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        val v = row.get(i)
+        val rendered =
+          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(v.toString)
+        s"${ExternalCatalogUtils.escapePathName(c)}=$rendered"
+      }.mkString("/")
+    }.filterNot(stagedRel.contains)
+    def swapIn(rel: String, staged: Option[org.apache.hadoop.fs.Path]): Unit = {
+      val live = new org.apache.hadoop.fs.Path(src, rel)
+      val aside = new org.apache.hadoop.fs.Path(src, rel + "__merge_old")
+      fs.delete(aside, true)
+      val hadLive = fs.exists(live)
+      if (hadLive && !fs.rename(live, aside))
+        throw new java.io.IOException(s"merge: rename $live aside failed")
+      staged.foreach { st =>
+        fs.mkdirs(live.getParent)
+        if (!fs.rename(st, live)) {
+          if (hadLive) fs.rename(aside, live)
+          throw new java.io.IOException(s"merge: rename $st -> $live failed; partition restored")
+        }
+      }
+      fs.delete(aside, true)
+    }
+    stagedRel.foreach(rel => swapIn(rel, Some(new org.apache.hadoop.fs.Path(tmp, rel))))
+    emptiedRel.foreach(rel => swapIn(rel, None))
+    fs.delete(tmp, true)
+  }
+
   /** Compact a table toward `rowsPerFile`-sized output files (the
     * small-files problem: a streaming or over-parallel writer leaves
     * thousands of KB-sized files whose per-file open/footer cost dominates
