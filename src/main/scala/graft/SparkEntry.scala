@@ -951,6 +951,39 @@ object SparkEntry {
           sum(when(col("o_orderpriority") === "INSERTED", 1L).otherwise(0L)).as("n_inserted"),
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy("o_orderstatus")
+    }),
+
+    // --- 78. image header decode (PNG/JPEG/GIF), oracle-pinned ------------------------------------------
+    // No real image bytes exist in the synthetic corpus, so the query
+    // CONSTRUCTS a valid container header per row (PNG big-endian IHDR,
+    // JPEG with a JFIF APP0 segment before SOF0, GIF little-endian screen
+    // descriptor) from doc_id via hex/unhex, then parses it back with the
+    // native ImageHeaderExpr. The DuckDB oracle computes the expected
+    // dimensions arithmetically — a hash match proves parsing exactly
+    // inverts construction, including endianness and segment skipping.
+    "q78_media_header" -> ((s, d) => {
+      val w = (lit(16) + col("doc_id") % 640).cast("int")
+      val h = (lit(16) + (col("doc_id") * 7) % 480).cast("int")
+      def beHex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def leHex16(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8)), 2, "0"))
+      val png = concat(lit("89504E470D0A1A0A"), lit("0000000D49484452"),
+        beHex32(w), beHex32(h), lit("08060000001F1F1F1F"))
+      val jpeg = concat(lit("FFD8"),
+        lit("FFE000104A46494600010100000100010000"), // APP0/JFIF: must be skipped
+        lit("FFC00011"), lit("08"), beHex16(h), beHex16(w),
+        lit("03012200021101031101"))
+      val gif = concat(lit("474946383961"), leHex16(w), leHex16(h), lit("F70000"))
+      val hexStr = when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, jpeg)
+        .otherwise(gif)
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.imageHeader(unhex(hexStr)).as("m"))
+        .select(col("doc_id"), col("m.format").as("fmt"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1635,6 +1668,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderpriority = 'MERGED' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
         |  CAST(SUM(CASE WHEN o_orderpriority = 'INSERTED' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q78_media_header" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'gif' END AS fmt,
+        |  CAST(16 + doc_id % 640 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 480 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,109 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM image container header parsing (public formats: PNG, JPEG/JFIF,
+  * GIF). This is the REAL part of multimodal decode that needs no codec
+  * library: width/height/format come from the container header bytes, so
+  * filtering or bucketing a 100 TB image corpus by dimensions never touches
+  * a decoder. Full pixel decode stays behind the
+  * [[graft.functions.Multimodal.decodeStub]] mapPartitions seam.
+  */
+object MediaCodec {
+  private val pngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+
+  /** Parse (format, width, height) from a payload's container header.
+    * Returns null for unrecognized/truncated/corrupt headers — a data
+    * quality signal, not an error (ingest pipelines meet junk bytes).
+    */
+  def imageHeader(bytes: Array[Byte]): InternalRow = {
+    val r = parse(bytes)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](UTF8String.fromString(r._1), r._2, r._3))
+  }
+
+  private def parse(b: Array[Byte]): (String, Int, Int) = {
+    if (b == null) return null
+    // PNG: 8-byte signature, then the IHDR chunk (len + "IHDR" + w + h).
+    if (b.length >= 24 && pngSig.indices.forall(i => b(i) == pngSig(i)) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16); val h = be32(b, 20)
+      return if (w > 0 && h > 0) ("png", w, h) else null
+    }
+    // GIF87a / GIF89a: little-endian u16 logical screen size at offset 6.
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6); val h = le16(b, 8)
+      return if (w > 0 && h > 0) ("gif", w, h) else null
+    }
+    // JPEG: SOI then marker segments; dimensions live in the first SOFn
+    // (C0-CF minus C4/C8/CC) as [len][precision][height][width].
+    if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var pos = 2
+      while (pos + 3 < b.length && (b(pos) & 0xFF) == 0xFF) {
+        val marker = b(pos + 1) & 0xFF
+        if (marker == 0xFF) { pos += 1 } // fill byte
+        else if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          if (pos + 8 >= b.length) return null
+          val h = be16(b, pos + 5); val w = be16(b, pos + 7)
+          return if (w > 0 && h > 0) ("jpeg", w, h) else null
+        } else if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7)) {
+          pos += 2 // standalone marker, no length field
+        } else if (marker == 0xD9 || marker == 0xDA) {
+          return null // end of image / start of scan before any SOF
+        } else {
+          val segLen = be16(b, pos + 2)
+          if (segLen < 2) return null // corrupt length: would loop forever
+          pos += 2 + segLen
+        }
+      }
+      return null
+    }
+    null
+  }
+}
+
+/** `binary` -> struct<format:string,width:int,height:int>, or NULL for
+  * unrecognized bytes. Codegen'd: header sniffing runs inside the scan's
+  * WholeStageCodegen stage, so "filter a petabyte of images by size" is a
+  * pruned scan + compiled predicate with no UDF or decoder in the loop.
+  */
+case class ImageHeaderExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.imageHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.imageHeader($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ImageHeaderExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_image_header"
+}

@@ -62,6 +62,17 @@ object Multimodal {
           floor(i.cast("long") * total.cast("long") / n).cast("int") + 1)))
   }
 
+  /** Parse (format, width, height) from an image payload's container header
+    * (PNG IHDR / JPEG SOFn / GIF screen descriptor — public formats, pure
+    * JVM, no codec library). NULL for unrecognized bytes. Native codegen'd
+    * expression ([[graft.expressions.ImageHeaderExpr]]); full pixel decode
+    * remains behind [[decodeStub]].
+    */
+  def imageHeader(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ImageHeaderExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** The decode + feature-extraction seam. In production this is where the
     * real decoder runs (per-partition init, vectorized batches). Here the
     * decode is a deterministic fake: an 8-dim feature vector derived from

@@ -45,6 +45,64 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.length == 4) // 13 chunks sampled down to 4
   }
 
+  test("imageHeader parses a REAL png header and rejects junk/truncated bytes") {
+    import graft.expressions.MediaCodec
+    // Genuine byte prefix of a 1x1 RGB PNG (signature + IHDR), as any PNG
+    // encoder emits it — not the same synthetic path q78 exercises.
+    val realPng = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x02, 0x00, 0x00, 0x00, 0x90, 0x77, 0x53, 0xDE).map(_.toByte)
+    val r = MediaCodec.imageHeader(realPng)
+    assert(r != null && r.getUTF8String(0).toString == "png" &&
+      r.getInt(1) == 1 && r.getInt(2) == 1)
+    // JPEG whose SOF0 sits after two skippable segments (APP0 + comment).
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val jpeg = hex("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFFE0004ABCD" + "FFC0001108006400C803012200021101031101")
+    val j = MediaCodec.imageHeader(jpeg)
+    assert(j != null && j.getUTF8String(0).toString == "jpeg" &&
+      j.getInt(1) == 200 && j.getInt(2) == 100)
+    // GIF little-endian.
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array(0x20, 0x01, 0x40, 0x00).map(_.toByte)
+    val g = MediaCodec.imageHeader(gif ++ new Array[Byte](4))
+    assert(g != null && g.getUTF8String(0).toString == "gif" &&
+      g.getInt(1) == 0x0120 && g.getInt(2) == 0x0040)
+    // Junk, truncation, corrupt lengths: null (a DQ signal), never a throw
+    // or an infinite marker scan.
+    assert(MediaCodec.imageHeader(null) == null)
+    assert(MediaCodec.imageHeader(Array[Byte]()) == null)
+    assert(MediaCodec.imageHeader("not an image".getBytes) == null)
+    assert(MediaCodec.imageHeader(realPng.take(20)) == null) // truncated IHDR
+    assert(MediaCodec.imageHeader(hex("FFD8FFFE0000FFFE0000")) == null) // len<2 loop guard
+    assert(MediaCodec.imageHeader(hex("FFD8FFDA0002")) == null) // scan before SOF
+  }
+
+  test("imageHeader runs inside WholeStageCodegen over a parquet scan; junk NULLs") {
+    import org.apache.spark.sql.functions.{col, unhex, concat, lit, hex}
+    // A parquet-backed source (literal-only inputs constant-fold to a
+    // LocalTableScan and prove nothing about codegen). Junk rows: doc text
+    // bytes are not an image.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      Multimodal.imageHeader(
+        when(col("doc_id") % 2 === 0,
+          unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+            lpad(hex(col("doc_id") + 1), 8, "0"), lit("00000010"),
+            lit("08060000001F1F1F1F"))))
+          .otherwise(col("text").cast("binary"))).as("m"))
+    df.collect()
+    val rows = df.selectExpr("doc_id", "m.format", "m.width")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows.filter(_._1 % 2 == 0).forall(_._2.contains("png")))
+    assert(rows.filter(_._1 % 2 == 1).forall(_._2.isEmpty))
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("graft_image_header"))
+      .getOrElse(fail(s"no image_header projection:\n$p"))
+    assert(line.contains("*("), p)
+  }
+
   test("decodeStub produces deterministic 8-dim features through mapPartitions") {
     val out1 = Multimodal.decodeStub(media, "id", "payload")
       .orderBy("id").collect()
