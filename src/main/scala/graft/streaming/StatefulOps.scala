@@ -72,28 +72,52 @@ object StatefulOps {
             val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
             val closed = Seq.newBuilder[Session]
             var cur = state.getOption
+            // Cross-batch out-of-order events can precede the open session's
+            // START (in-batch order is handled by the sort). Such stragglers
+            // accumulate into their own predecessor session (`pred`) —
+            // successive stragglers within a gap of each other MERGE rather
+            // than each emitting a singleton — and a later event that lands
+            // within a gap of BOTH pred and the open session bridges the two
+            // into one.
+            var pred: Option[SessState] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                // A cross-batch out-of-order event can precede the open
-                // session's START (in-batch order is handled by the sort):
-                // within the gap it must merge with start lowered — keeping
-                // the old start would report a session starting AFTER its
-                // earliest member. More than a gap BEFORE the start, it is
-                // its own already-closed predecessor session.
-                case Some(s) if t - s.last <= gapMs && t >= s.start - gapMs =>
-                  cur = Some(SessState(math.min(s.start, t), math.max(s.last, t),
-                    s.n + 1, s.sum + e.value))
                 case Some(s) if t < s.start - gapMs =>
-                  closed += Session(userId, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1L, e.value)
+                  pred = pred match {
+                    case Some(p) if t - p.last <= gapMs =>
+                      Some(SessState(p.start, t, p.n + 1, p.sum + e.value))
+                    case Some(p) =>
+                      closed += toSession(p)
+                      Some(SessState(t, t, 1L, e.value))
+                    case None =>
+                      Some(SessState(t, t, 1L, e.value))
+                  }
+                // Within the gap of the open session: merge with start
+                // lowered — keeping the old start would report a session
+                // starting AFTER its earliest member.
+                case Some(s) if t - s.last <= gapMs && t >= s.start - gapMs =>
+                  val (pStart, pN, pSum) = pred match {
+                    case Some(p) if t - p.last <= gapMs => (p.start, p.n, p.sum)
+                    case Some(p) => closed += toSession(p); (t, 0L, 0.0)
+                    case None => (t, 0L, 0.0)
+                  }
+                  pred = None
+                  cur = Some(SessState(
+                    math.min(s.start, math.min(pStart, t)), math.max(s.last, t),
+                    s.n + pN + 1, s.sum + pSum + e.value))
                 case Some(s) =>
+                  pred.foreach(p => closed += toSession(p)); pred = None
                   closed += toSession(s)
                   cur = Some(SessState(t, t, 1L, e.value))
                 case None =>
                   cur = Some(SessState(t, t, 1L, e.value))
               }
             }
+            // A predecessor chain nothing bridged is final (events behind
+            // the watermark were filtered upstream; later deep stragglers
+            // would start a fresh session, same as before this merge logic).
+            pred.foreach(p => closed += toSession(p))
             cur match {
               case Some(s) =>
                 state.update(s)

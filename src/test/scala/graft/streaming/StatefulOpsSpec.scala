@@ -86,6 +86,131 @@ class StatefulOpsSpec extends SparkTestBase {
       got.toString)
   }
 
+  test("pre-start stragglers within a gap merge into one predecessor session") {
+    val dir = Files.createTempDirectory("graft-fmgs-strag")
+    // Batch 1 opens a session at 01:00. Batch 2 delivers THREE stragglers
+    // far before the session start: 00:10 and 00:12 are within the 5-min
+    // gap of each other (must merge into ONE predecessor session), 00:40
+    // is its own. Nothing bridges to the 01:00 session.
+    Files.write(dir.resolve("a.json"),
+      """{"user_id": 1, "ts": "2024-01-01T01:00:00", "value": 1.0}""".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:10:00", "value": 2.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:12:00", "value": 3.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:40:00", "value": 4.0}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("c.json"),
+      """{"user_id": 99, "ts": "2024-01-01T03:00:00", "value": 0.0}""".getBytes("UTF-8"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .withWatermark("ts", "1 hour")
+      .as[SessEvent]
+    val q = StatefulOps.sessionizeWithState(stream, gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fmgs_strag")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      """SELECT user_id, CAST(session_start AS STRING), CAST(session_end AS STRING),
+        |       n_events, sum_value FROM fmgs_strag WHERE user_id = 1
+        |ORDER BY session_start""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:10:00", "2024-01-01 00:12:00", 2L, 5.0),
+      (1L, "2024-01-01 00:40:00", "2024-01-01 00:40:00", 1L, 4.0),
+      (1L, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1L, 1.0)), got.toString)
+  }
+
+  test("a bridging event merges the predecessor chain INTO the open session") {
+    val dir = Files.createTempDirectory("graft-fmgs-bridge")
+    // Batch 1 opens at 00:20. Batch 2 delivers a straggler chain 00:09,
+    // 00:13 (4 min apart, both >5 min before the 00:20 start) and then
+    // 00:16 — within the gap of the chain's last (3 min) AND of the open
+    // session (4 min): all four events must merge into ONE session
+    // [00:09, 00:20].
+    Files.write(dir.resolve("a.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:20:00", "value": 1.0}""".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"user_id": 1, "ts": "2024-01-01T00:09:00", "value": 2.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:13:00", "value": 3.0}
+        |{"user_id": 1, "ts": "2024-01-01T00:16:00", "value": 4.0}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("c.json"),
+      """{"user_id": 99, "ts": "2024-01-01T03:00:00", "value": 0.0}""".getBytes("UTF-8"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .withWatermark("ts", "2 hours")
+      .as[SessEvent]
+    val q = StatefulOps.sessionizeWithState(stream, gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fmgs_bridge")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      """SELECT user_id, CAST(session_start AS STRING), CAST(session_end AS STRING),
+        |       n_events, sum_value FROM fmgs_bridge WHERE user_id = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq((1L, "2024-01-01 00:09:00", "2024-01-01 00:20:00", 4L, 10.0)),
+      got.toString)
+  }
+
+  test("streaming sessionization equals the batch q43 result on the events table") {
+    // The two sessionization paths — q43's window/lag batch formulation and
+    // the flatMapGroupsWithState streaming operator — implement the SAME
+    // declared semantics (30-min gap). Run both over the sf0.001 events
+    // table and compare row-for-row. Double sums are rounded to 4 decimals:
+    // the batch side aggregates in decimal, the streaming side in event-time
+    // double order (difference bounded ~1e-12 per session).
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q43_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 4).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    val dir = Files.createTempDirectory("graft-sess-eq")
+    val events = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    // Two files with increasing mtime: all data in batch 1, then a
+    // far-future sentinel whose watermark closes every open session.
+    events.coalesce(1).write.parquet(dir.resolve("stage").toString)
+    val part = {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir.resolve("stage")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    val streamDir = Files.createDirectory(dir.resolve("stream"))
+    Files.copy(part, streamDir.resolve("a.parquet"))
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000), 0.0))
+      .toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(dir.resolve("sentinel").toString)
+    val sentinelPart = {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir.resolve("sentinel")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    Files.copy(sentinelPart, streamDir.resolve("b.parquet"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .withWatermark("ts", "1 minute")
+      .as[SessEvent]
+    val q = StatefulOps.sessionizeWithState(stream, gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val got = spark.sql(
+      """SELECT user_id,
+        |  date_format(session_start, 'yyyy-MM-dd HH:mm:ss') AS s,
+        |  date_format(session_end, 'yyyy-MM-dd HH:mm:ss') AS e,
+        |  n_events, ROUND(sum_value, 4) AS sv
+        |FROM sess_eq WHERE user_id >= 0""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got.nonEmpty && got == batch,
+      s"streaming=${got.size} sessions, batch=${batch.size}; " +
+        s"onlyStreaming=${(got -- batch).take(3)}, onlyBatch=${(batch -- got).take(3)}")
+  }
+
   test("stream-stream interval join enriches purchases with preceding views only") {
     val pDir = Files.createTempDirectory("graft-ssj-p")
     val vDir = Files.createTempDirectory("graft-ssj-v")
