@@ -24,24 +24,31 @@ object Bench {
     Seq("q01_filter_project", "q39_fingerprint", "q36_knn_brute").foreach(q =>
       SparkEntry.queries.get(q)
         .foreach(fn => try run(fn(spark, sfDir)) catch { case _: Throwable => () }))
-    // Median of 3 runs per query: single-sample timings on this host carry
-    // ±30% noise plus first-run codegen/JIT warm-up spikes (r2 recorded
-    // 16.8s for a query whose steady cost is ~1.2s); the median is immune
-    // to one outlier in either direction.
+    // INTERLEAVED reps: run `reps` full passes over the whole query list and
+    // take the per-query MINIMUM across passes. Back-to-back reps of one query
+    // (the r3 scheme) let a sustained ~30s host-interference window poison all
+    // samples of whichever query it landed on — that's how a 1.2s query (q62)
+    // recorded a 9.3s "median of 3". With passes interleaved, a sustained noise
+    // window spans *different* queries' samples, so for each query at most one
+    // pass is affected and the min recovers the true steady cost. Min (not
+    // median) because timing noise on a quiet plan is strictly additive.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 } catch {
-          case e: Throwable =>
-            // A failed query must not masquerade as a fast one.
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    for (_ <- 1 to reps; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      val t = try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 } catch {
+        case e: Throwable =>
+          // A failed query must not masquerade as a fast one.
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
       }
-      val median =
-        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2)
-      name -> median
+      samples(name) = t :: samples(name)
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = samples(name)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -18,14 +18,26 @@ object Tables {
   // DataFrame handles are immutable plans — caching them per (session, dir,
   // table) spares every one of the ~70 bench/verify queries a fresh parquet
   // file-listing + footer read for the same files. NOT .cache(): no data is
-  // pinned, only the analyzed plan object is reused. Weak session keying
-  // lets a stopped session's plans be reclaimed instead of pinning them
-  // for the JVM lifetime. The driver testdata is immutable; a caller that
+  // pinned, only the analyzed plan object is reused.
+  //
+  // Keyed by the session's UUID STRING, not the session object: a DataFrame
+  // strongly references its session, so a WeakHashMap[SparkSession, ...]
+  // whose values hold DataFrames can never reclaim an entry (the value
+  // resurrects the key). The string key holds no reference to the session;
+  // LRU eviction (access-order LinkedHashMap, 512 entries ≈ 17 sessions ×
+  // 10 tables × 3 sf dirs) bounds retention of stopped sessions' plans in
+  // a long-lived JVM. The driver testdata is immutable; a caller that
   // rewrites a table directory in-session must call [[invalidate]] first
   // or the cached file listing goes stale.
   private val handles =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+    new java.util.LinkedHashMap[(String, String, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean =
+        size() > 512
+    }
+
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graft.Bridge.sessionUUID(spark)
 
   /** Drop cached handles (all sessions) — required after rewriting a table
     * directory that `t` has already served.
@@ -34,19 +46,20 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val perSession = handles.synchronized {
-      var m = handles.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        handles.put(spark, m)
+    val key = (sessionKey(spark), dir, name)
+    handles.synchronized {
+      val cached = handles.get(key)
+      if (cached != null) cached
+      else {
+        val df0 = spark.read.parquet(s"$dir/$name.parquet")
+        val df =
+          if (name == "events")
+            df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else df0
+        handles.put(key, df)
+        df
       }
-      m
     }
-    perSession.computeIfAbsent((dir, name), { _ =>
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
-    })
   }
 
   /** Register every table as a temp view (for spark.sql-expressed queries)

@@ -19,8 +19,17 @@ object Verify {
     // verification run. The job group lets the watchdog cancel only the
     // stuck query's jobs.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toInt
-    import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
-    var pool = Executors.newSingleThreadExecutor()
+    import java.util.concurrent.{Executors, ThreadFactory, TimeUnit, TimeoutException}
+    // Daemon threads: an abandoned worker stuck in non-interruptible IO
+    // (which shutdownNow's interrupt can't kill) must not block JVM exit
+    // after main completes — that would turn a single hung query into a
+    // hung verify process.
+    val daemonFactory: ThreadFactory = r => {
+      val t = new Thread(r, "verify-watchdog-worker")
+      t.setDaemon(true)
+      t
+    }
+    var pool = Executors.newSingleThreadExecutor(daemonFactory)
     SparkEntry.queries.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
@@ -43,7 +52,7 @@ object Verify {
           // pool for a fresh one keeps later queries from queueing behind
           // it and falsely timing out in cascade.
           pool.shutdownNow()
-          pool = Executors.newSingleThreadExecutor()
+          pool = Executors.newSingleThreadExecutor(daemonFactory)
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

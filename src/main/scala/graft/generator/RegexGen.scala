@@ -170,6 +170,20 @@ object RegexGen {
         // Zero-width assertions generate nothing (the reference's canned
         // ipv4 regex uses \b between octets).
         case 'b' | 'B' => Cat(Nil)
+        // Control-char escapes map to their actual characters; previously
+        // these fell through to Lit('n')/Lit('t'), producing a sampler that
+        // could never satisfy the pattern and exhausted the rejection loop
+        // with a misleading runtime error.
+        case 'n' => Lit('\n')
+        case 't' => Lit('\t')
+        case 'r' => Lit('\r')
+        case 'f' => Lit('\f')
+        // Unknown alphanumeric escapes (\p{...}, \x41, A, backrefs \1,
+        // \Q...\E, ...) have regex semantics we don't implement — fail at
+        // compile with a clear message instead of silently generating the
+        // literal letter.
+        case other if other.isLetterOrDigit =>
+          fail(s"unsupported escape \\$other")
         case other => Lit(other) // \. \\ \- \[ etc.
       }
     }
@@ -187,6 +201,11 @@ object RegexGen {
               case 'd' => out ++= digits; firstInClass = false; 0.toChar
               case 'w' => out ++= word; firstInClass = false; 0.toChar
               case 's' => ' '
+              case 'n' => '\n'
+              case 't' => '\t'
+              case 'r' => '\r'
+              case 'f' => '\f'
+              case o if o.isLetterOrDigit => fail(s"unsupported escape \\$o in class")
               case o => o
             }
           } else { val o = peek; i += 1; o }

@@ -14,6 +14,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Stable identity string for a session that holds NO reference to it —
+    * `sessionUUID` is `private[sql]`. Used by graft.Tables to key its plan
+    * cache without pinning stopped sessions.
+    */
+  def sessionUUID(spark: SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => String.valueOf(System.identityHashCode(other))
+  }
+
   /** Register SQL functions on a live (classic) session. */
   def registerFunctions(
       spark: SparkSession,

@@ -54,6 +54,26 @@ class RegexGenSpec extends SparkTestBase {
     intercept[IllegalArgumentException](RegexGen.compile("[unclosed"))
   }
 
+  test("control-char escapes emit real control chars; unknown alnum escapes fail compile") {
+    val rng = new Random(7)
+    // \n \t \r \f must generate the actual control characters (previously
+    // they generated the literal letters, so generateMatching exhausted its
+    // rejection draws with a misleading error).
+    assert(RegexGen.generate(RegexGen.compile("a\\nb\\tc"), rng) == "a\nb\tc")
+    assert(RegexGen.generateMatching(
+      RegexGen.compile("x\\r\\fy"), "x\\r\\fy", new Random(3)) == "x\r\fy")
+    // Inside a character class too.
+    val fromClass = (1 to 40).map(_ =>
+      RegexGen.generate(RegexGen.compile("[\\n\\t]"), rng)).toSet
+    assert(fromClass.subsetOf(Set("\n", "\t")) && fromClass.size == 2)
+    // Escapes with regex semantics we don't implement fail at compile, not
+    // at generation time.
+    for (p <- Seq("\\p{Alpha}+", "\\x41", "\\A.", "a\\1", "[\\p]")) {
+      val err = intercept[IllegalArgumentException](RegexGen.compile(p))
+      assert(err.getMessage.contains("unsupported escape"), s"$p: ${err.getMessage}")
+    }
+  }
+
   test("honorPatterns=true yields records with ZERO MATCH violations; default keeps them") {
     val model = new ModelDirectory(resourcePath("/model"))
     val compiled = new SchemaCompiler(model).compile("employee")
