@@ -408,18 +408,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- 41. multimodal decode stub (mapPartitions seam; no SQL oracle) ---------------------------------
-    // The feature vector is projected to one scalar column per dimension:
-    // the driver's rows-only check sorts every column, and a raw
-    // array<float> column crashes its pandas lexsort (unhashable ndarray).
+    // --- 41. REAL pixel decode (PGM raster) + per-channel stats, oracle-pinned --------------------------
+    // No real image files exist in the synthetic corpus, so the query
+    // CONSTRUCTS a binary PGM (P5) per row — ASCII header + raw raster where
+    // pixel i = (doc_id + i) % 256 — and decodes it back with the native
+    // codegen'd ImagePixelStatsExpr (one-pass decode+reduce, O(1) heap,
+    // inside WholeStageCodegen). The DuckDB oracle recomputes the stats
+    // arithmetically over generate_series: a hash match proves the decoder
+    // exactly inverts construction — header tokenization, raster offset,
+    // and the min/max/mean reduction. (Construction uses interpreted HOFs;
+    // that's the test harness, not the decode path being measured.)
     "q41_media_features" -> ((s, d) => {
-      val feats = Multimodal.decodeStub(
-        t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload")
-      feats.select(col("id") +:
-          (0 until Multimodal.featureDims)
-            .map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
-        .orderBy("id")
+      val w = (lit(4) + col("doc_id") % 13).cast("int")
+      val h = (lit(3) + (col("doc_id") * 5) % 11).cast("int")
+      val n = (w.cast("long") * h.cast("long"))
+      val headerHex = hex(encode(
+        concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"),
+          lit("\n255\n")), "UTF-8"))
+      val rasterHex = array_join(
+        transform(sequence(lit(0L), n - lit(1L)),
+          i => lpad(hex((col("doc_id") + i) % 256), 2, "0")), "")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.pixelStats(unhex(concat(headerHex, rasterHex))).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("px_mean"),
+          col("px.c0_min").as("px_min"),
+          col("px.c0_max").as("px_max"))
+        .orderBy("doc_id")
     }),
 
     // --- 42. IVF approximate kNN (KMeans cells + probe search; no SQL oracle) ----------------------------
@@ -988,6 +1008,34 @@ object SparkEntry {
         .select(col("doc_id"), col("m.format").as("fmt"),
           col("m.width").as("width"), col("m.height").as("height"))
         .orderBy("doc_id")
+    }),
+
+    // --- 79. multimodal decode seam (mapPartitions; no SQL oracle) --------------------------------------
+    // Exercises the per-partition-init decode seam over a MIXED corpus:
+    // even doc_ids carry a real PGM payload (decoded for real — leading
+    // feature dims are actual width/height/channel stats), odd doc_ids carry
+    // raw text bytes (fallback byte-statistics path). Feature dims project
+    // to scalar columns: the driver's rows-only check sorts every column,
+    // and a raw array<float> column crashes its pandas lexsort.
+    "q79_media_decode_seam" -> ((s, d) => {
+      val w = (lit(4) + col("doc_id") % 13).cast("int")
+      val h = (lit(3) + (col("doc_id") * 5) % 11).cast("int")
+      val n = (w.cast("long") * h.cast("long"))
+      val headerHex = hex(encode(
+        concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"),
+          lit("\n255\n")), "UTF-8"))
+      val rasterHex = array_join(
+        transform(sequence(lit(0L), n - lit(1L)),
+          i => lpad(hex((col("doc_id") + i) % 256), 2, "0")), "")
+      val payload = when(col("doc_id") % 2 === 0,
+        unhex(concat(headerHex, rasterHex))).otherwise(col("text").cast("binary"))
+      val feats = Multimodal.decode(
+        t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
+        "doc_id", "payload")
+      feats.select(col("id") +:
+          (0 until Multimodal.featureDims)
+            .map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+        .orderBy("id")
     })
   )
 
@@ -1423,6 +1471,25 @@ object SparkEntry {
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
         |  CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 64.0) AS INT) AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the constructed PGM's pixel stats arithmetically: pixel i of
+    // doc d is (d + i) % 256 over i in [0, w*h) — AVG/MIN/MAX via a lateral
+    // generate_series. Sums are integer-valued and < 2^53, so double AVG is
+    // exact on both engines.
+    "q41_media_features" ->
+      """SELECT doc_id, 'pgm' AS fmt, w AS width, h AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  AVG((doc_id + i) % 256) AS px_mean,
+        |  CAST(MIN((doc_id + i) % 256) AS INT) AS px_min,
+        |  CAST(MAX((doc_id + i) % 256) AS INT) AS px_max
+        |FROM (SELECT doc_id, w, h,
+        |        UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS i
+        |      FROM (SELECT doc_id,
+        |              CAST(4 + doc_id % 13 AS INT) AS w,
+        |              CAST(3 + (doc_id * 5) % 11 AS INT) AS h
+        |            FROM documents))
+        |GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
 
     "q49_pivot" ->
       """SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,

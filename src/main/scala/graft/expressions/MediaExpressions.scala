@@ -8,12 +8,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Pure-JVM image container header parsing (public formats: PNG, JPEG/JFIF,
-  * GIF). This is the REAL part of multimodal decode that needs no codec
-  * library: width/height/format come from the container header bytes, so
-  * filtering or bucketing a 100 TB image corpus by dimensions never touches
-  * a decoder. Full pixel decode stays behind the
-  * [[graft.functions.Multimodal.decodeStub]] mapPartitions seam.
+/** Pure-JVM image decoding that needs no codec library (all public
+  * formats):
+  *  - header parsing (format/width/height) for PNG, JPEG/JFIF, GIF, and the
+  *    uncompressed raster formats below — filtering or bucketing a 100 TB
+  *    image corpus by dimensions never touches a decoder;
+  *  - FULL pixel decode + one-pass per-channel statistics for the
+  *    uncompressed formats (PGM P5, PPM P6, 24-bit BI_RGB BMP), whose
+  *    samples are raw bytes.
+  * Compressed-pixel decode (PNG/JPEG bitstreams) requires a codec library
+  * not present here and stays behind the [[graft.functions.Multimodal.decode]]
+  * mapPartitions seam.
   */
 object MediaCodec {
   private val pngSig =
@@ -36,6 +41,156 @@ object MediaCodec {
     if (r == null) null
     else new GenericInternalRow(Array[Any](UTF8String.fromString(r._1), r._2, r._3))
   }
+
+  /** One-pass per-channel pixel statistics of an UNCOMPRESSED image payload
+    * (PGM P5 / PPM P6 / 24-bit BI_RGB BMP — public formats whose samples are
+    * raw bytes, so decode is pure JVM arithmetic, no codec library). Null for
+    * anything else — compressed formats (PNG/JPEG/GIF) stay behind the
+    * [[graft.functions.Multimodal]] mapPartitions seam where a real codec
+    * would plug in.
+    */
+  final class PixelStats(
+      val format: String, val width: Int, val height: Int, val channels: Int,
+      val mean: Array[Double], val min: Array[Int], val max: Array[Int])
+
+  /** Decode + reduce in one pass; never materializes a pixel matrix, so a
+    * 100 MB frame costs O(1) heap beyond the payload itself.
+    */
+  def decodePixels(b: Array[Byte]): PixelStats = {
+    if (b == null || b.length < 2) return null
+    if (b(0) == 'P' && (b(1) == '5' || b(1) == '6')) return decodePnm(b)
+    if (b(0) == 'B' && b(1) == 'M') return decodeBmp(b)
+    null
+  }
+
+  /** PGM (P5, 1 channel) / PPM (P6, 3 channels), binary variants: ASCII
+    * header `P5 <w> <h> <maxval>` with `#` comments, ONE whitespace byte,
+    * then raw samples. Only maxval<256 (1 byte/sample) is supported — the
+    * overwhelmingly common case.
+    */
+  private def decodePnm(b: Array[Byte]): PixelStats = {
+    val hd = pnmHeader(b)
+    if (hd == null) return null
+    val channels = if (b(1) == '5') 1 else 3
+    val Array(w, h, _, pos) = hd
+    val n = w.toLong * h.toLong * channels
+    if (pos + n > b.length) return null // truncated raster
+    scanInterleaved(if (channels == 1) "pgm" else "ppm", b, pos, w, h,
+      channels, rowStride = w * channels, bgr = false)
+  }
+
+  /** Parse a binary-PNM header: returns (width, height, maxval, rasterOffset)
+    * or null. Only maxval<256 (1 byte/sample) is accepted.
+    */
+  private def pnmHeader(b: Array[Byte]): Array[Int] = {
+    var pos = 2
+    // Read the 3 header integers, skipping whitespace and '#' comments.
+    val vals = new Array[Int](3)
+    var vi = 0
+    while (vi < 3) {
+      while (pos < b.length &&
+          (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\r' || b(pos) == '\t' ||
+            b(pos) == '#')) {
+        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      if (pos >= b.length || b(pos) < '0' || b(pos) > '9') return null
+      var v = 0L
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0')
+        if (v > Int.MaxValue) return null
+        pos += 1
+      }
+      vals(vi) = v.toInt; vi += 1
+    }
+    val w = vals(0); val h = vals(1); val maxval = vals(2)
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return null
+    // Exactly one whitespace byte separates maxval from the raster.
+    if (pos >= b.length ||
+        !(b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\r' || b(pos) == '\t'))
+      return null
+    Array(w, h, maxval, pos + 1)
+  }
+
+  /** 24-bit uncompressed (BI_RGB) BMP: 14-byte file header + DIB header
+    * (BITMAPINFOHEADER or larger), little-endian fields, B-G-R sample order,
+    * rows padded to 4 bytes, bottom-up unless height<0 (row order is
+    * irrelevant to channel statistics, but the padding must be skipped).
+    */
+  private def decodeBmp(b: Array[Byte]): PixelStats = {
+    if (b.length < 54) return null
+    val dataOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return null // BITMAPCOREHEADER not supported
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return null
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 14 + dibSize ||
+        dataOff.toLong + rowStride.toLong * h > b.length) return null
+    scanInterleaved("bmp", b, dataOff, w, h, 3, rowStride, bgr = true)
+  }
+
+  /** Shared single-pass reducer over an interleaved raster. `rowStride` may
+    * exceed `w*channels` (BMP padding); `bgr` flips the reported channel
+    * order so c0 is always red.
+    */
+  private def scanInterleaved(fmt: String, b: Array[Byte], off: Int,
+      w: Int, h: Int, channels: Int, rowStride: Int, bgr: Boolean): PixelStats = {
+    val sum = new Array[Long](channels)
+    val min = Array.fill(channels)(255)
+    val max = Array.fill(channels)(0)
+    var row = 0
+    while (row < h) {
+      var p = off + row.toLong * rowStride
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < channels) {
+          val v = b((p + c).toInt) & 0xFF
+          val ch = if (bgr) channels - 1 - c else c
+          sum(ch) += v
+          if (v < min(ch)) min(ch) = v
+          if (v > max(ch)) max(ch) = v
+          c += 1
+        }
+        p += channels
+        x += 1
+      }
+      row += 1
+    }
+    val nPix = w.toLong * h.toLong
+    new PixelStats(fmt, w, h, channels, sum.map(_.toDouble / nPix), min, max)
+  }
+
+  /** [[decodePixels]] marshalled for the catalyst expression: a flat struct
+    * with fixed 3-channel slots (c1/c2 null for grayscale) so query output
+    * stays scalar columns — array columns break the driver's pandas sort.
+    */
+  def pixelStats(bytes: Array[Byte]): InternalRow = {
+    val s = decodePixels(bytes)
+    if (s == null) return null
+    val out = new Array[Any](13)
+    out(0) = UTF8String.fromString(s.format)
+    out(1) = s.width; out(2) = s.height; out(3) = s.channels
+    var c = 0
+    while (c < 3) {
+      if (c < s.channels) {
+        out(4 + 3 * c) = s.mean(c)
+        out(5 + 3 * c) = s.min(c)
+        out(6 + 3 * c) = s.max(c)
+      }
+      c += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
 
   private def parse(b: Array[Byte]): (String, Int, Int) = {
     if (b == null) return null
@@ -76,6 +231,18 @@ object MediaCodec {
       }
       return null
     }
+    // Uncompressed raster formats get header-level recognition too (their
+    // FULL decode lives in decodePixels; header parse shares its logic).
+    if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) {
+      val hd = pnmHeader(b)
+      return if (hd == null) null
+        else (if (b(1) == '5') "pgm" else "ppm", hd(0), hd(1))
+    }
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      val w = le32(b, 18); val h = math.abs(le32(b, 22))
+      return if (w > 0 && h > 0 && le16(b, 28) == 24 && le32(b, 30) == 0)
+        ("bmp", w, h) else null
+    }
     null
   }
 }
@@ -106,4 +273,45 @@ case class ImageHeaderExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImageHeaderExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_image_header"
+}
+
+/** `binary` -> flat pixel-statistics struct (or NULL for anything but the
+  * uncompressed formats [[MediaCodec.decodePixels]] handles). Codegen'd: the
+  * whole decode+reduce runs inside the scan's WholeStageCodegen stage with
+  * O(1) extra heap, so per-channel stats over a petabyte image corpus is a
+  * single pruned scan — no UDF, no pixel matrix materialized, no
+  * mapPartitions barrier. Fixed 3-channel slots (c1/c2 NULL for grayscale)
+  * keep every output column scalar.
+  */
+case class ImagePixelStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("c0_mean", DoubleType, nullable = false),
+    StructField("c0_min", IntegerType, nullable = false),
+    StructField("c0_max", IntegerType, nullable = false),
+    StructField("c1_mean", DoubleType, nullable = true),
+    StructField("c1_min", IntegerType, nullable = true),
+    StructField("c1_max", IntegerType, nullable = true),
+    StructField("c2_mean", DoubleType, nullable = true),
+    StructField("c2_min", IntegerType, nullable = true),
+    StructField("c2_max", IntegerType, nullable = true)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.pixelStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.pixelStats($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ImagePixelStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pixel_stats"
 }

@@ -11,13 +11,14 @@ case class MediaIn(id: Long, payload: Array[Byte])
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct alongside.
   *
-  * The Spark-side machinery here is real and tested — schema, batch shape,
-  * partition-friendly chunking, deterministic feature plumbing. The actual
-  * codec step is STUBBED (no image/audio libraries in this environment):
-  * [[decodeStub]] derives a deterministic fake "decode" from the bytes, and
-  * is the single seam where a real decoder (JNI codec, ONNX runtime, etc.)
-  * plugs in via `mapPartitions` so heavy native init happens once per
-  * partition, not once per row.
+  * Decode is REAL for every format that needs no codec library: container
+  * headers (PNG/JPEG/GIF/PGM/PPM/BMP → [[imageHeader]]) and full pixel
+  * statistics for the uncompressed raster formats (PGM/PPM/24-bit BMP →
+  * [[pixelStats]], a codegen'd one-pass expression). Only compressed-pixel
+  * formats (JPEG/PNG bitstreams; no codec libraries in this environment)
+  * fall back to deterministic byte statistics inside [[decode]] — the
+  * single `mapPartitions` seam where a production decoder (JNI codec, ONNX
+  * runtime, etc.) plugs in with once-per-partition init.
   */
 object Multimodal {
 
@@ -73,30 +74,79 @@ object Multimodal {
       graft.expressions.ImageHeaderExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
-  /** The decode + feature-extraction seam. In production this is where the
-    * real decoder runs (per-partition init, vectorized batches). Here the
-    * decode is a deterministic fake: an 8-dim feature vector derived from
-    * byte statistics, so downstream plumbing (schema, joins, ANN) is fully
-    * exercisable and reproducible.
+  /** REAL pixel decode + per-channel statistics for uncompressed formats
+    * (PGM/PPM/24-bit BMP), as a native codegen'd expression
+    * ([[graft.expressions.ImagePixelStatsExpr]]): the one-pass decode+reduce
+    * runs inside the scan's WholeStageCodegen stage with O(1) extra heap.
+    * NULL for compressed formats — those need a codec library and belong
+    * behind the [[decode]] mapPartitions seam.
     */
-  def decodeStub(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def pixelStats(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ImagePixelStatsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** The decode + feature-extraction seam, `mapPartitions`-shaped so a heavy
+    * codec (JNI decoder, ONNX runtime) initializes once per partition, not
+    * once per row.
+    *
+    * The decode is REAL for the uncompressed formats
+    * [[graft.expressions.MediaCodec.decodePixels]] handles (PGM/PPM/24-bit
+    * BMP): the leading feature dims are actual image statistics
+    * (width, height, channels, per-channel means, global min/max, all
+    * scaled to [0,1]). Payloads in formats that require a codec library not
+    * present in this environment (JPEG/PNG pixel data) fall back to a
+    * deterministic byte-statistics vector — clearly a fallback, not a fake
+    * "decode" — so downstream plumbing stays total over junk bytes.
+    */
+  def decode(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
       .as[MediaIn](Encoders.product[MediaIn])
     ds.mapPartitions { it =>
-      // real impl: init decoder once per partition here
+      // real impl: init heavier codecs once per partition here
       it.map { m =>
         val bytes = m.payload
-        val n = math.max(bytes.length, 1)
+        val px = graft.expressions.MediaCodec.decodePixels(bytes)
         val feat = new Array[Float](featureDims)
-        var i = 0
-        while (i < bytes.length) {
-          feat(i % featureDims) += (bytes(i) & 0xFF) / 255.0f
-          i += 1
+        if (px != null) {
+          // Real decoded features. Dimensions log-scaled (corpus images span
+          // orders of magnitude), samples scaled to [0,1].
+          feat(0) = (math.log1p(px.width) / 16.0).toFloat
+          feat(1) = (math.log1p(px.height) / 16.0).toFloat
+          feat(2) = px.channels / 4.0f
+          var c = 0
+          while (c < 3) {
+            feat(3 + c) =
+              if (c < px.channels) (px.mean(c) / 255.0).toFloat else 0f
+            c += 1
+          }
+          feat(6) = px.min.min / 255.0f
+          feat(7) = px.max.max / 255.0f
+        } else {
+          // Fallback: deterministic byte statistics (documented above).
+          val n = math.max(bytes.length, 1)
+          var i = 0
+          while (i < bytes.length) {
+            feat(i % featureDims) += (bytes(i) & 0xFF) / 255.0f
+            i += 1
+          }
+          i = 0
+          while (i < featureDims) {
+            feat(i) = math.round(feat(i) / n * 10000f) / 10000f
+            i += 1
+          }
         }
-        (m.id, feat.map(f => math.round(f / n * 10000f) / 10000f))
+        (m.id, feat)
       }
     }.toDF("id", "features")
   }
+
+  /** Former name of [[decode]], kept for source compatibility; the "stub"
+    * is no longer a stub for uncompressed formats.
+    */
+  @deprecated("use decode — the pixel path is real now", "r4")
+  def decodeStub(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    decode(df, idCol, binCol)
 }

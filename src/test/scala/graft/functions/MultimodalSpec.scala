@@ -103,13 +103,157 @@ class MultimodalSpec extends SparkTestBase {
     assert(line.contains("*("), p)
   }
 
-  test("decodeStub produces deterministic 8-dim features through mapPartitions") {
-    val out1 = Multimodal.decodeStub(media, "id", "payload")
+  test("decode produces deterministic 8-dim features through mapPartitions") {
+    val out1 = Multimodal.decode(media, "id", "payload")
       .orderBy("id").collect()
-    val out2 = Multimodal.decodeStub(media, "id", "payload")
+    val out2 = Multimodal.decode(media, "id", "payload")
       .orderBy("id").collect()
     assert(out1.sameElements(out2))
     assert(out1.length == 3)
     assert(out1.forall(_.getSeq[Float](1).length == 8))
+  }
+
+  // ------------------------------------------------------ real pixel decode
+
+  private def pgm(w: Int, h: Int, px: Int => Int, header: String = null): Array[Byte] = {
+    val hd = (if (header == null) s"P5\n$w $h\n255\n" else header).getBytes("US-ASCII")
+    hd ++ Array.tabulate(w * h)(i => px(i).toByte)
+  }
+
+  test("decodePixels PGM: exact stats, comments in header, corrupt inputs null") {
+    import graft.expressions.MediaCodec
+    // 4x3 gradient 10,13,16,...,43 — mean is the arithmetic series mean.
+    val s = MediaCodec.decodePixels(pgm(4, 3, i => 10 + 3 * i))
+    assert(s != null && s.format == "pgm" && s.width == 4 && s.height == 3 &&
+      s.channels == 1)
+    assert(s.min(0) == 10 && s.max(0) == 43)
+    assert(s.mean(0) == (10 + 43) / 2.0) // exact: symmetric series
+    // '#' comments between header tokens are legal PNM.
+    val c = MediaCodec.decodePixels(
+      pgm(2, 2, _ => 7, header = "P5 # comment\n2 # w\n 2\n255\n"))
+    assert(c != null && c.width == 2 && c.height == 2 && c.mean(0) == 7.0)
+    // Corruption: truncated raster, 16-bit maxval, zero dim, non-numeric.
+    assert(MediaCodec.decodePixels(pgm(4, 3, _ => 0).dropRight(1)) == null)
+    assert(MediaCodec.decodePixels("P5\n2 2\n65535\n".getBytes ++
+      new Array[Byte](8)) == null)
+    assert(MediaCodec.decodePixels("P5\n0 2\n255\n".getBytes) == null)
+    assert(MediaCodec.decodePixels("P5\nx 2\n255\n".getBytes) == null)
+  }
+
+  test("decodePixels PPM: per-channel stats in R,G,B order") {
+    import graft.expressions.MediaCodec
+    // 2x2 RGB: R constant 100, G gradient, B constant 0.
+    val raster = Array(
+      100, 10, 0, 100, 20, 0,
+      100, 30, 0, 100, 40, 0).map(_.toByte)
+    val s = MediaCodec.decodePixels("P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster)
+    assert(s != null && s.format == "ppm" && s.channels == 3)
+    assert(s.mean(0) == 100.0 && s.min(0) == 100 && s.max(0) == 100)
+    assert(s.mean(1) == 25.0 && s.min(1) == 10 && s.max(1) == 40)
+    assert(s.mean(2) == 0.0 && s.max(2) == 0)
+  }
+
+  /** Minimal 24-bit BI_RGB BMP: 14-byte file header + 40-byte info header +
+    * bottom-up padded rows. Pixels given in (r,g,b) top-down row-major.
+    */
+  private def bmp(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      topDown: Boolean = false): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int) = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+    out.write('B'); out.write('M'); le32(54 + dataSize); le32(0); le32(54)
+    le32(40); le32(w); le32(if (topDown) -h else h); le16(1); le16(24)
+    le32(0); le32(dataSize); le32(2835); le32(2835); le32(0); le32(0)
+    val rows = if (topDown) 0 until h else (h - 1) to 0 by -1
+    for (y <- rows) {
+      for (x <- 0 until w) {
+        val (r, g, b) = rgb(x, y)
+        out.write(b); out.write(g); out.write(r) // file order is B,G,R
+      }
+      for (_ <- w * 3 until stride) out.write(0xEE) // padding: must be skipped
+    }
+    out.toByteArray
+  }
+
+  test("decodePixels BMP: padding skipped, BGR flipped to RGB, top-down accepted") {
+    import graft.expressions.MediaCodec
+    // w=3 -> stride 12 with 3 pad bytes of 0xEE per row; if padding leaked
+    // into stats, max would read 238.
+    val img = bmp(3, 2, (x, y) => (50 + x, 100 + y, 10 * (x + y)))
+    val s = MediaCodec.decodePixels(img)
+    assert(s != null && s.format == "bmp" && s.width == 3 && s.height == 2 &&
+      s.channels == 3)
+    assert(s.min(0) == 50 && s.max(0) == 52) // red channel, not blue
+    assert(s.min(1) == 100 && s.max(1) == 101)
+    assert(s.min(2) == 0 && s.max(2) == 30)
+    assert(s.mean(0) == 51.0)
+    // Top-down (negative height) must decode identically: stats are
+    // row-order independent.
+    val td = MediaCodec.decodePixels(bmp(3, 2, (x, y) => (50 + x, 100 + y, 10 * (x + y)),
+      topDown = true))
+    assert(td != null && td.mean(0) == s.mean(0) && td.max(2) == s.max(2))
+    // Rejected: 8-bit palette bmp, compressed, truncated.
+    val bad8 = img.clone(); bad8(28) = 8
+    assert(MediaCodec.decodePixels(bad8) == null)
+    val comp = img.clone(); comp(30) = 1
+    assert(MediaCodec.decodePixels(comp) == null)
+    assert(MediaCodec.decodePixels(img.dropRight(1)) == null)
+  }
+
+  test("imageHeader also recognizes pgm/ppm/bmp headers") {
+    import graft.expressions.MediaCodec
+    val p = MediaCodec.imageHeader(pgm(7, 5, _ => 0))
+    assert(p != null && p.getUTF8String(0).toString == "pgm" &&
+      p.getInt(1) == 7 && p.getInt(2) == 5)
+    val b = MediaCodec.imageHeader(bmp(3, 2, (_, _) => (0, 0, 0)))
+    assert(b != null && b.getUTF8String(0).toString == "bmp" &&
+      b.getInt(1) == 3 && b.getInt(2) == 2)
+  }
+
+  test("pixelStats expression decodes inside WholeStageCodegen over a parquet scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // Even ids: constructed 2x2 PGM with all pixels = doc_id % 256 (via
+    // binary concat of the ASCII header and repeated byte). Odd ids: text
+    // bytes (not an image -> NULL struct).
+    val pxByte = unhex(lpad(hex(col("doc_id") % 256), 2, "0"))
+    val payload = when(col("doc_id") % 2 === 0,
+      concat(lit("P5\n2 2\n255\n".getBytes("US-ASCII")),
+        pxByte, pxByte, pxByte, pxByte))
+      .otherwise(col("text").cast("binary"))
+    val df = docs.select(col("doc_id"), Multimodal.pixelStats(payload).as("px"))
+    val rows = df.selectExpr("doc_id", "px.format", "px.c0_mean", "px.c1_mean")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    rows.foreach { case (id, (fmt, mean, c1)) =>
+      if (id % 2 == 0) {
+        assert(fmt.contains("pgm") && mean.contains((id % 256).toDouble), (id, mean))
+        assert(c1.isEmpty) // grayscale: channel-1 slot is NULL
+      } else assert(fmt.isEmpty, (id, fmt))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_pixel_stats"))
+      .getOrElse(fail(s"no pixel_stats projection:\n$plan"))
+    assert(line.contains("*("), plan)
+  }
+
+  test("decode seam: REAL stats features for uncompressed payloads, fallback for junk") {
+    import graft.expressions.MediaCodec
+    val img = pgm(4, 3, i => 10 + 3 * i)
+    val mixed = Seq((1L, img), (2L, "just text bytes".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.decode(mixed, "id", "payload")
+      .orderBy("id").collect()
+    val real = out(0).getSeq[Float](1)
+    // Leading dims are genuine decoded statistics, not byte hashes.
+    assert(math.abs(real(0) - math.log1p(4.0) / 16.0) < 1e-6)   // width
+    assert(math.abs(real(1) - math.log1p(3.0) / 16.0) < 1e-6)   // height
+    assert(real(2) == 0.25f)                                    // 1 channel / 4
+    assert(math.abs(real(3) - 26.5f / 255.0f) < 1e-6)           // real mean
+    assert(real(6) == 10.0f / 255.0f && real(7) == 43.0f / 255.0f) // min/max
+    // Junk payload: deterministic fallback (not zeros, not a throw).
+    val fb = out(1).getSeq[Float](1)
+    assert(fb.length == 8 && fb.exists(_ != 0f))
   }
 }
