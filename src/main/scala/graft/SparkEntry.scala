@@ -1036,6 +1036,38 @@ object SparkEntry {
           (0 until Multimodal.featureDims)
             .map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy("id")
+    }),
+
+    // --- 80. MERGE with schema evolution, end-to-end oracle ---------------------------------------------
+    // Runs the REAL evolving merge (the changeset ADDS priority_score; only
+    // affected partitions rewrite with the wide footer, old files stay
+    // narrow and read back NULL via parquet schema-merge), then aggregates
+    // the evolved table. The oracle recomputes the end state relationally —
+    // a hash match proves evolution semantics, not just that it ran.
+    "q80_merge_evolve" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val root = s"/tmp/graft_q80_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_evolved"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Medallion.writeTable(base, tbl, Seq("o_orderstatus"))
+      val updates = base.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .withColumn("priority_score",
+          (col("o_orderkey") % 100).cast("double") / 100.0)
+      graft.pipeline.Medallion.merge(s, tbl, updates,
+        keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"),
+        evolveSchema = true)
+      s.read.option("mergeSchema", "true").parquet(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("priority_score")).as("n_scored"),
+          dsum(col("priority_score")).as("score_sum"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -1748,6 +1780,25 @@ object SparkEntry {
         |       ELSE 'gif' END AS fmt,
         |  CAST(16 + doc_id % 640 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 480 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Relational restatement of the evolving merge: rows the changeset
+    // touches carry the new column's value, untouched rows carry NULL.
+    "q80_merge_evolve" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |         CAST(NULL AS DOUBLE) AS priority_score
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'MERGED',
+        |         CAST(o_orderkey % 100 AS DOUBLE) / 100.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(priority_score) AS n_scored,
+        |  CAST(SUM(CAST(priority_score AS DECIMAL(12,2))) AS DOUBLE) AS score_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

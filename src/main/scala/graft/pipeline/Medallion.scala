@@ -36,6 +36,15 @@ object Medallion {
   ): DataFrame =
     spark.read.format(format).options(options).schema(entity.schema).load(path)
 
+  /** Read a lake table managed by [[merge]]/[[compact]]: via its snapshot
+    * manifest when one exists (consistent view even while a rewrite is
+    * in flight — see [[Snapshot]]), plain directory read otherwise.
+    * `version` pins a historical snapshot (time travel, pre-vacuum).
+    */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None,
+      format: String = "parquet"): DataFrame =
+    Snapshot.read(spark, path, version, format)
+
   /** Schema-enforced streaming read (file source / auto-loader analog).
     * `maxFilesPerTrigger` caps per-microbatch file intake like the
     * reference's `max_files` (README.md:94-98).
@@ -153,6 +162,17 @@ object Medallion {
     * therefore insert. Partition values are rendered to directory names with
     * Spark's own escaping (string/numeric partition columns round-trip
     * exactly).
+    *
+    * Schema evolution (`evolveSchema = true`, the Delta `mergeSchema`
+    * analog): the changeset may ADD columns — the table schema widens to
+    * target ∪ changeset and pre-existing rows read NULL for the new columns
+    * — and may OMIT target columns — upserted rows get NULL there. Only the
+    * AFFECTED partitions are rewritten with the widened schema; untouched
+    * partition files keep their old (narrower) footer, which parquet
+    * schema-merge reads back as NULLs — exactly the lakehouse add-a-column
+    * contract, with no full-table rewrite. Common columns must keep their
+    * type (a type CHANGE is not evolution; it fails fast), and keys/
+    * partition columns must already exist in the target.
     */
   def merge(
       spark: SparkSession,
@@ -161,7 +181,9 @@ object Medallion {
       keys: Seq[String],
       partitionBy: Seq[String] = Seq.empty,
       deleteCol: Option[String] = None,
-      format: String = "parquet"
+      format: String = "parquet",
+      evolveSchema: Boolean = false,
+      snapshot: Boolean = false
   ): Unit = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -176,31 +198,79 @@ object Medallion {
     if (!fs.exists(src)) {
       // First load: the changeset IS the table (deletes drop out).
       writeTable(upsertsAll.select(dataCols.map(col): _*), path, partitionBy, format)
+      if (snapshot) Snapshot.ensure(fs, src)
       return
     }
-    val target = spark.read.format(format).load(src.toString)
-    require(target.columns.sorted.toSeq == dataCols.sorted.toSeq,
-      s"changeset columns ${dataCols.sorted.mkString(",")} must equal target " +
-        s"columns ${target.columns.sorted.mkString(",")} (plus optional $deleteCol)")
+    // Snapshot mode is STICKY: once a table has a manifest, every rewrite
+    // must go through it (the directory may hold not-yet-vacuumed files an
+    // older manifest references — a raw listing would double-read them).
+    // `snapshot = true` on a plain table bootstraps the first manifest.
+    val snapMode = snapshot || Snapshot.current(fs, src).isDefined
+    if (snapMode) Snapshot.ensure(fs, src)
+    // An evolved table has mixed file footers (pre-evolution files lack the
+    // added columns); mergeSchema unions them so the target always presents
+    // the widest schema written so far.
+    val target =
+      if (snapMode) Snapshot.read(spark, src.toString, None, format)
+      else spark.read.format(format)
+        .option("mergeSchema", "true").load(src.toString)
+    if (!evolveSchema)
+      require(target.columns.sorted.toSeq == dataCols.sorted.toSeq,
+        s"changeset columns ${dataCols.sorted.mkString(",")} must equal target " +
+          s"columns ${target.columns.sorted.mkString(",")} (plus optional " +
+          s"$deleteCol); pass evolveSchema=true to widen")
+    else {
+      val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+      for (f <- changes.schema if !deleteCol.contains(f.name); t <- tTypes.get(f.name))
+        require(t == f.dataType,
+          s"merge evolveSchema: column ${f.name} changes type " +
+            s"${t.simpleString} -> ${f.dataType.simpleString}; type changes are not evolution")
+      require(keys.forall(target.columns.contains),
+        s"keys ${keys.mkString(",")} must already exist in the target")
+    }
     require(partitionBy.forall(target.columns.contains),
       "partitionBy must be target columns")
+    require(partitionBy.forall(dataCols.contains),
+      "changeset must carry the partition columns")
     val dupKeys = changes.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dupKeys == 0,
       s"changeset has duplicate keys on (${keys.mkString(",")}): MERGE would be order-ambiguous")
 
-    val ordered = target.columns.toSeq
-    val upserts = upsertsAll.select(ordered.map(col): _*)
+    // Evolved layout: target columns first (stable order), appended by the
+    // changeset-only columns. Without evolution both lists are equal and
+    // the null-padding folds are no-ops.
+    val addedCols = dataCols.filterNot(target.columns.contains).toSeq
+    val missingCols = target.columns.filterNot(dataCols.contains).toSeq
+    val ordered = target.columns.toSeq ++ addedCols
+    val changeTypes = changes.schema.map(f => f.name -> f.dataType).toMap
+    val targetWide = addedCols.foldLeft(target)((df, c) =>
+      df.withColumn(c, lit(null).cast(changeTypes(c))))
+    val upserts = missingCols.foldLeft(upsertsAll)((df, c) =>
+        df.withColumn(c, lit(null).cast(target.schema(c).dataType)))
+      .select(ordered.map(col): _*)
     val changeKeys = changes.select(keys.map(col): _*).distinct()
 
     if (partitionBy.isEmpty) {
-      // Whole-table rewrite (no partition scoping possible): stage + swap.
-      val merged = target.join(changeKeys, keys, "left_anti")
+      // Whole-table rewrite (no partition scoping possible).
+      val merged = targetWide.join(changeKeys, keys, "left_anti")
         .select(ordered.map(col): _*).unionByName(upserts)
       val tmp = src.suffix("__merge_tmp")
-      val old = src.suffix("__merge_old")
-      fs.delete(tmp, true); fs.delete(old, true)
+      fs.delete(tmp, true)
       writeTable(merged, tmp.toString, Seq.empty, format)
+      if (snapMode) {
+        // Snapshot commit: new files move in beside the old ones (names are
+        // writer-UUID-unique), then ONE manifest publish flips the table.
+        // Readers holding the previous manifest keep a consistent pre-merge
+        // view until vacuum.
+        val moved = Snapshot.moveIn(fs, tmp, src)
+        Snapshot.publish(fs, src, moved)
+        fs.delete(tmp, true)
+        return
+      }
+      // Plain mode: stage + swap (single-writer crash safety only).
+      val old = src.suffix("__merge_old")
+      fs.delete(old, true)
       if (!fs.rename(src, old))
         throw new java.io.IOException(s"merge: rename $src -> $old failed")
       if (!fs.rename(tmp, src)) {
@@ -236,13 +306,13 @@ object Medallion {
             if (v == null) col(c).isNull else col(c) === lit(v)
           }.reduce(_ && _)
         }.reduce(_ || _)
-        target.where(pred)
+        targetWide.where(pred)
       } else {
         val affectedDf = spark.createDataFrame(
           spark.sparkContext.parallelize(affectedRows, 1),
           org.apache.spark.sql.types.StructType(
             partitionBy.map(c => target.schema(c))))
-        target.join(broadcast(affectedDf), partitionBy, "left_semi")
+        targetWide.join(broadcast(affectedDf), partitionBy, "left_semi")
       }
     val merged = targetAffected.join(changeKeys, keys, "left_anti")
       .select(ordered.map(col): _*).unionByName(upserts)
@@ -275,6 +345,21 @@ object Medallion {
         s"${ExternalCatalogUtils.escapePathName(c)}=$rendered"
       }.mkString("/")
     }.filterNot(stagedRel.contains)
+    if (snapMode) {
+      // Snapshot commit: keep every manifest entry OUTSIDE the affected
+      // partitions, move the staged rewrite in beside the old files, and
+      // flip with one manifest publish. Emptied partitions simply drop out
+      // of the manifest; nothing is renamed aside or deleted (vacuum does
+      // that once old-version readers drain).
+      val curFiles = Snapshot.current(fs, src).get._2
+      val movedFiles = Snapshot.moveIn(fs, tmp, src)
+      val affectedDirs = (stagedRel ++ emptiedRel).toSet
+      val kept = curFiles.filterNot(f =>
+        affectedDirs.exists(d => f.startsWith(d + "/")))
+      Snapshot.publish(fs, src, kept ++ movedFiles)
+      fs.delete(tmp, true)
+      return
+    }
     def swapIn(rel: String, staged: Option[org.apache.hadoop.fs.Path]): Unit = {
       val live = new org.apache.hadoop.fs.Path(src, rel)
       val aside = new org.apache.hadoop.fs.Path(src, rel + "__merge_old")
@@ -319,14 +404,22 @@ object Medallion {
       path: String,
       rowsPerFile: Long,
       partitionBy: Seq[String] = Seq.empty,
-      format: String = "parquet"
+      format: String = "parquet",
+      snapshot: Boolean = false
   ): Unit = {
     // Hadoop Path normalizes trailing slashes and handles raw chars (a
     // trailing "/" would otherwise put tmp INSIDE the source directory and
     // the swap would destroy both copies).
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val df = spark.read.format(format).load(src.toString)
+    // Sticky snapshot mode, same contract as merge: with a manifest present
+    // the directory may hold unvacuumed old-version files, so both the read
+    // and the commit must go through the manifest.
+    val snapMode = snapshot || Snapshot.current(fs, src).isDefined
+    if (snapMode) Snapshot.ensure(fs, src)
+    val df =
+      if (snapMode) Snapshot.read(spark, src.toString, None, format)
+      else spark.read.format(format).load(src.toString)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
     val repartitioned =
@@ -334,10 +427,19 @@ object Medallion {
         df.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
     val tmp = src.suffix("__compact_tmp")
-    val old = src.suffix("__compact_old")
     fs.delete(tmp, true) // stale leftovers from an earlier crash
-    fs.delete(old, true)
     writeTable(repartitioned, tmp.toString, partitionBy, format)
+    if (snapMode) {
+      // Compaction rewrites the WHOLE table: the new manifest is exactly
+      // the staged files; old files stay for old-version readers until
+      // vacuum.
+      val moved = Snapshot.moveIn(fs, tmp, src)
+      Snapshot.publish(fs, src, moved)
+      fs.delete(tmp, true)
+      return
+    }
+    val old = src.suffix("__compact_old")
+    fs.delete(old, true)
     if (!fs.rename(src, old))
       throw new java.io.IOException(s"compact: rename $src -> $old failed")
     if (!fs.rename(tmp, src)) {

@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned file-manifest snapshots over a plain parquet directory — the
+  * minimal transaction-log protocol that gives CONCURRENT-READER ATOMICITY
+  * to multi-file table rewrites ([[Medallion.merge]] / [[Medallion.compact]])
+  * without any table-format dependency.
+  *
+  * Protocol (mirrors the public Delta/Iceberg design, radically reduced):
+  *  - the table root holds immutable data files plus `_manifest-<v>` text
+  *    files, one relative data-file path per line;
+  *  - the CURRENT table state is the highest-versioned manifest; readers
+  *    resolve it once and then scan an explicit file list, so a writer
+  *    publishing version v+1 (or laying down new data files) cannot change
+  *    what an in-flight reader sees;
+  *  - publishing is write-tmp + one rename of a NEW name — never an
+  *    overwrite — so a manifest is either absent or complete, and on
+  *    filesystems with atomic no-overwrite rename (HDFS) a lost
+  *    publish race surfaces as a failed rename, not silent corruption;
+  *  - writers ADD data files and publish; nothing referenced by an older
+  *    manifest is deleted until [[vacuum]], which is why a reader holding
+  *    version v keeps a consistent view while any number of writes land.
+  *
+  * At 100 TB this is the difference between "a merge takes minutes and
+  * every concurrent scan during it reads a half-swapped table" and
+  * "readers pin a version; the swap is one 4 KB rename".
+  */
+object Snapshot {
+  private val Prefix = "_manifest-"
+
+  private[pipeline] def fsFor(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All data files under root, relative paths (skips `_`/`.` files and
+    * dirs — manifests, Spark markers, staging). The LISTING fallback for
+    * tables that predate their first manifest.
+    */
+  def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Nil
+      else if (st.isDirectory) walk(st.getPath)
+      else Seq(st.getPath)
+    }
+    val rootUri = root.toUri.getPath
+    walk(root).map(_.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")).sorted
+  }
+
+  def manifestVersions(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(Prefix) && !n.endsWith(".tmp"))
+      .flatMap(n => n.stripPrefix(Prefix).toLongOption)
+
+  def readManifest(fs: FileSystem, root: Path, version: Long): Seq[String] = {
+    val in = fs.open(new Path(root, s"$Prefix$version"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** (version, files) of the current (highest) manifest, if any. */
+  def current(fs: FileSystem, root: Path): Option[(Long, Seq[String])] =
+    manifestVersions(fs, root).maxOption.map(v => v -> readManifest(fs, root, v))
+
+  /** Publish `files` as the next manifest version and return it. */
+  def publish(fs: FileSystem, root: Path, files: Seq[String]): Long = {
+    val next = manifestVersions(fs, root).maxOption.getOrElse(0L) + 1L
+    val tmp = new Path(root, s"$Prefix$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(root, s"$Prefix$next"))) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"snapshot publish: lost the race for manifest version $next of $root")
+    }
+    next
+  }
+
+  /** Bootstrap: current manifest, or publish one from a directory listing
+    * (converting a plain table to snapshot mode without touching data).
+    */
+  def ensure(fs: FileSystem, root: Path): (Long, Seq[String]) =
+    current(fs, root).getOrElse {
+      val files = listDataFiles(fs, root)
+      publish(fs, root, files) -> files
+    }
+
+  /** Read the table at its current manifest (or a pinned `version` — the
+    * reader-side half of snapshot isolation). `basePath` recovers partition
+    * columns from directory names exactly as a whole-directory read would;
+    * `mergeSchema` presents the union schema across file footers (needed
+    * after a schema-evolving merge). Falls back to a plain directory read
+    * when no manifest exists.
+    */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None,
+      format: String = "parquet"): DataFrame = {
+    val root = new Path(path)
+    val fs = fsFor(spark, root)
+    val files = version match {
+      case Some(v) => readManifest(fs, root, v)
+      case None => current(fs, root).map(_._2).getOrElse(Seq.empty)
+    }
+    if (files.isEmpty)
+      spark.read.format(format).option("mergeSchema", "true").load(root.toString)
+    else
+      spark.read.format(format)
+        .option("basePath", root.toString)
+        .option("mergeSchema", "true")
+        .load(files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Move every data file under `staged` into the live tree under its same
+    * relative path (writer-generated names are UUID-unique, so nothing
+    * collides with live files) and return the moved relative paths.
+    */
+  private[pipeline] def moveIn(fs: FileSystem, staged: Path, root: Path): Seq[String] = {
+    val rels = listDataFiles(fs, staged)
+    rels.foreach { rel =>
+      val dst = new Path(root, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(staged, rel), dst))
+        throw new java.io.IOException(s"snapshot: move of $rel into $root failed")
+    }
+    rels
+  }
+
+  /** Delete data files no manifest ≤ current retains — i.e. files not in the
+    * newest manifest — plus manifests older than the newest `keepVersions`.
+    * Run OUT-OF-BAND once in-flight readers of old versions have drained
+    * (the retention contract every snapshot format has). Returns the
+    * deleted data-file paths.
+    */
+  def vacuum(fs: FileSystem, root: Path, keepVersions: Int = 2): Seq[String] = {
+    current(fs, root) match {
+      case None => Seq.empty
+      case Some((v, files)) =>
+        val referenced = files.toSet
+        val garbage = listDataFiles(fs, root).filterNot(referenced)
+        garbage.foreach(f => fs.delete(new Path(root, f), false))
+        manifestVersions(fs, root).filter(_ <= v - keepVersions)
+          .foreach(old => fs.delete(new Path(root, s"$Prefix$old"), false))
+        garbage
+    }
+  }
+}

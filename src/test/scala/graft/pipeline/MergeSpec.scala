@@ -150,4 +150,77 @@ class MergeSpec extends SparkTestBase {
       .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
     assert(snap1 == snap2)
   }
+
+  // ------------------------------------------------------- schema evolution
+
+  test("evolveSchema: added column widens the table; old rows read NULL") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val before = fileDigests(path)
+    // Changeset adds a `score` column; touches only part=a.
+    val changes = Seq((2L, "a", 21.0, 0.9), (6L, "a", 60.0, 0.6))
+      .toDF("id", "part", "v", "score")
+    Medallion.merge(spark, path, changes, Seq("id"), Seq("part"),
+      evolveSchema = true)
+    val got = spark.read.option("mergeSchema", "true").parquet(path)
+      .select("id", "part", "v", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a", 10.0, None), (2L, "a", 21.0, Some(0.9)), (3L, "b", 30.0, None),
+      (4L, "b", 40.0, None), (5L, "c", 50.0, None), (6L, "a", 60.0, Some(0.6))))
+    // Evolution must NOT force a full-table rewrite: untouched partitions'
+    // files stay byte-identical (their footers keep the narrow schema;
+    // mergeSchema supplies the NULLs at read).
+    val after = fileDigests(path)
+    val untouched = (f: (String, (Long, Long))) =>
+      f._1.contains("part=b") || f._1.contains("part=c")
+    assert(after.filter(untouched) == before.filter(untouched))
+  }
+
+  test("evolveSchema: changeset omitting a target column upserts NULL there") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val changes = Seq((1L, "a"), (7L, "b")).toDF("id", "part") // no v
+    Medallion.merge(spark, path, changes, Seq("id"), Seq("part"),
+      evolveSchema = true)
+    val got = spark.read.option("mergeSchema", "true").parquet(path)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1L).isEmpty && got(7L).isEmpty) // replaced/inserted without v
+    assert(got(2L).contains(20.0)) // untouched keeps its value
+  }
+
+  test("evolveSchema: a second merge over the evolved table sees the wide schema") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    Medallion.merge(spark, path,
+      Seq((2L, "a", 21.0, 0.9)).toDF("id", "part", "v", "score"),
+      Seq("id"), Seq("part"), evolveSchema = true)
+    // Non-evolving merge with the WIDE schema must now be accepted — the
+    // target presents target∪changeset even though part=b/c files are
+    // narrow — and must preserve score values it doesn't touch.
+    Medallion.merge(spark, path,
+      Seq((3L, "b", 31.0, null.asInstanceOf[java.lang.Double])
+        ).toDF("id", "part", "v", "score"),
+      Seq("id"), Seq("part"))
+    val got = spark.read.option("mergeSchema", "true").parquet(path)
+      .select("id", "v", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    assert(got.contains((2L, 21.0, Some(0.9))))
+    assert(got.contains((3L, 31.0, None)))
+  }
+
+  test("evolveSchema: type change on a common column is rejected") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val changes = Seq((1L, "a", "not-a-double")).toDF("id", "part", "v")
+    val e = intercept[IllegalArgumentException] {
+      Medallion.merge(spark, path, changes, Seq("id"), Seq("part"),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("type changes are not evolution"), e.getMessage)
+  }
 }

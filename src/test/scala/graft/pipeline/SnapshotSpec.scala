@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Manifest-based snapshot isolation for lake-table rewrites: versioned
+  * publish, reader pinning across a concurrent merge/compact, sticky
+  * snapshot mode, bootstrap of plain tables, and vacuum retention.
+  */
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-snap").toString + "/tbl"
+
+  private def base() = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+    (4L, "b", 40.0), (5L, "c", 50.0)
+  ).toDF("id", "part", "v")
+
+  private def fsOf(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snap(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Double)] =
+    df.select("id", "part", "v").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  test("snapshot merge: a reader pinned to the pre-merge version sees the old table") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val fs = fsOf(path)
+    // Bootstrap + capture the version a long-running reader would hold.
+    Medallion.merge(spark, path,
+      Seq((2L, "a", 21.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true)
+    val (v1, _) = Snapshot.current(fs, new Path(path)).get
+    val expectedV1 = snap(Medallion.read(spark, path))
+    // A second merge lands WHILE the reader still holds v1.
+    Medallion.merge(spark, path,
+      Seq((2L, "a", 99.0), (6L, "c", 60.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"))
+    // The pinned reader still resolves the exact pre-merge table...
+    assert(snap(Medallion.read(spark, path, version = Some(v1))) == expectedV1)
+    // ...while a fresh reader sees the post-merge state.
+    val now = snap(Medallion.read(spark, path))
+    assert(now.contains((2L, "a", 99.0)) && now.contains((6L, "c", 60.0)))
+    assert(Snapshot.current(fs, new Path(path)).get._1 > v1)
+  }
+
+  test("snapshot mode is sticky: later merges without the flag stay manifest-correct") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    Medallion.merge(spark, path, Seq((1L, "a", 11.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true)
+    // No snapshot flag here — but the manifest exists, so the merge MUST
+    // route through it: the directory holds superseded files for part=a
+    // that a raw listing would double-read.
+    Medallion.merge(spark, path, Seq((1L, "a", 12.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"))
+    val got = snap(Medallion.read(spark, path))
+    assert(got == Seq((1L, "a", 12.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "c", 50.0)))
+    // The plain-directory read over the unvacuumed dir WOULD be wrong
+    // (stale part=a files still on disk) — which is exactly why stickiness
+    // matters.
+    val rawRows = spark.read.parquet(path).count()
+    assert(rawRows > got.size, s"expected unvacuumed duplicates, raw=$rawRows")
+  }
+
+  test("deletes and emptied partitions drop out of the manifest without touching old files") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val changes = Seq((5L, "c", 0.0, true)).toDF("id", "part", "v", "is_deleted")
+    Medallion.merge(spark, path, changes, Seq("id"), Seq("part"),
+      deleteCol = Some("is_deleted"), snapshot = true)
+    val got = snap(Medallion.read(spark, path))
+    assert(!got.exists(_._1 == 5L))
+    // part=c files still exist on disk (pre-vacuum) but are unreferenced.
+    val fs = fsOf(path)
+    assert(Snapshot.listDataFiles(fs, new Path(path)).exists(_.startsWith("part=c/")))
+    assert(!Snapshot.current(fs, new Path(path)).get._2.exists(_.startsWith("part=c/")))
+  }
+
+  test("vacuum removes unreferenced files and old manifests; current version intact") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    Medallion.merge(spark, path, Seq((1L, "a", 11.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true)
+    Medallion.merge(spark, path, Seq((1L, "a", 12.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"))
+    val fs = fsOf(path)
+    val root = new Path(path)
+    val before = snap(Medallion.read(spark, path))
+    val deleted = Snapshot.vacuum(fs, root, keepVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(Snapshot.manifestVersions(fs, root).size == 1)
+    // After vacuum, manifest view and raw directory agree again.
+    assert(snap(Medallion.read(spark, path)) == before)
+    assert(spark.read.parquet(path).count() == before.size)
+  }
+
+  test("snapshot compact: one manifest flip; reader view identical before/after") {
+    val path = tmpDir()
+    Medallion.writeTable(base().repartition(5), path) // many small files
+    val fs = fsOf(path)
+    val root = new Path(path)
+    val before = snap(spark.read.parquet(path))
+    Medallion.compact(spark, path, rowsPerFile = 100L, snapshot = true)
+    val (_, files) = Snapshot.current(fs, root).get
+    assert(files.size == 1, files) // 5 rows @ 100/file -> one file
+    assert(snap(Medallion.read(spark, path)) == before)
+  }
+
+  test("snapshot merge with schema evolution reads back via manifest + mergeSchema") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    Medallion.merge(spark, path,
+      Seq((2L, "a", 21.0, 0.9)).toDF("id", "part", "v", "score"),
+      Seq("id"), Seq("part"), evolveSchema = true, snapshot = true)
+    val got = Medallion.read(spark, path).select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(2L).contains(0.9) && got(3L).isEmpty)
+  }
+
+  test("publish is versioned and listDataFiles skips markers and manifests") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val fs = fsOf(path)
+    val root = new Path(path)
+    val files = Snapshot.listDataFiles(fs, root)
+    assert(files.nonEmpty && files.forall(f => !f.contains("_manifest") &&
+      !new Path(f).getName.startsWith("_") && !new Path(f).getName.startsWith(".")))
+    val v1 = Snapshot.publish(fs, root, files)
+    val v2 = Snapshot.publish(fs, root, files)
+    assert(v2 == v1 + 1)
+    assert(Snapshot.readManifest(fs, root, v2) == files.sorted)
+  }
+}
