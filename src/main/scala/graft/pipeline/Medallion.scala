@@ -381,6 +381,60 @@ object Medallion {
     fs.delete(tmp, true)
   }
 
+  /** Streaming CDC ingestion (the reference's DLT bronze→silver story,
+    * README.md:88-109, carried to its lakehouse conclusion): apply each
+    * microbatch of a changeset STREAM to the lake table with [[merge]] via
+    * `foreachBatch`.
+    *
+    * Exactly-once: Structured Streaming runs microbatches serially and on
+    * restart REPLAYS the last batch that didn't reach the sink, so the sink
+    * needs idempotence, which this has twice over — (1) a per-batchId
+    * commit marker under the checkpoint skips batches that already merged;
+    * (2) even without the marker (crash between merge and marker write),
+    * re-merging the SAME changeset is a fixpoint: updates re-set the same
+    * values, inserts match their own earlier insert and become no-op
+    * updates, deletes of absent keys do nothing.
+    *
+    * Contract: each microbatch must be key-unique (standard CDC compaction
+    * — latest event per key; [[merge]] rejects ambiguous batches). Ordering
+    * ACROSS batches is the stream's arrival order, as with any CDC apply.
+    */
+  def mergeStream(
+      changes: DataFrame,
+      path: String,
+      keys: Seq[String],
+      checkpoint: String,
+      partitionBy: Seq[String] = Seq.empty,
+      deleteCol: Option[String] = None,
+      format: String = "parquet",
+      evolveSchema: Boolean = false,
+      snapshot: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(changes.isStreaming, "mergeStream needs a streaming changeset")
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val markerDir = new org.apache.hadoop.fs.Path(checkpoint, "graft_merge_commits")
+        val fs = markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          // merge() makes several passes over the changeset (dup-key guard,
+          // key projection, the join) — pin the microbatch so the source
+          // isn't re-read per pass.
+          batch.persist()
+          try merge(spark, path, batch, keys, partitionBy, deleteCol, format,
+            evolveSchema, snapshot)
+          finally batch.unpersist()
+          fs.mkdirs(markerDir)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+  }
+
   /** Compact a table toward `rowsPerFile`-sized output files (the
     * small-files problem: a streaming or over-parallel writer leaves
     * thousands of KB-sized files whose per-file open/footer cost dominates

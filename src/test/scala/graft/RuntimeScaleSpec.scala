@@ -86,4 +86,76 @@ class RuntimeScaleSpec extends SparkTestBase {
         s"AQE did not split the skewed partition:\n$finalPlan")
     }
   }
+
+  test("sessionize/funnel stay correct over a pathologically skewed user; AQE splits the session join") {
+    // The stateful event-time paths (q43 sessionize, q61 funnel) are where a
+    // 100x pipeline breaks first: one bot-like user holding a large fraction
+    // of all events. Build a skewed slice of the real events table — one
+    // existing user replicated 300x with fresh event_ids/timestamps — and
+    // pin (a) both queries produce IDENTICAL results with AQE on and off
+    // (skew handling must never change semantics), and (b) a sessions-back-
+    // to-events join over the hot user gets skew-split by AQE rather than
+    // serializing into one straggler task.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewev").toString
+    // Keep the driver testdata's raw shape (ts = nanos long) so Tables.t
+    // applies its usual exact conversion to the skewed copy too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val hotUser = raw.groupBy("user_id").count().orderBy(desc("count"))
+      .head().getLong(0)
+    val extra = raw.where(col("user_id") === hotUser)
+      .withColumn("r", explode(sequence(lit(1), lit(300))))
+      .withColumn("event_id", col("event_id") * 1000L + col("r"))
+      .withColumn("ts", col("ts") + col("r").cast("long") * 1000000L) // +r ms
+      .drop("r")
+    raw.unionByName(extra).write.parquet(s"$dir/events.parquet")
+
+    def runBoth(q: String): Unit = {
+      val fn = SparkEntry.queries(q)
+      val on = fn(spark, dir).collect().map(_.toString).sorted.toSeq
+      withConfs("spark.sql.adaptive.enabled" -> "false") {
+        val off = fn(spark, dir).collect().map(_.toString).sorted.toSeq
+        assert(on == off, s"$q differs under AQE: ${on.size} vs ${off.size} rows")
+      }
+      assert(on.nonEmpty)
+    }
+    runBoth("q43_sessionize")
+    runBoth("q61_funnel")
+
+    // Sessions MATERIALIZED (as a real pipeline would) then joined back to
+    // their events on user_id: the hot user's partition carries ~300x the
+    // median. Both join children must be plain shuffled scans —
+    // OptimizeSkewedJoin only matches SMJ(Sort(Shuffle), Sort(Shuffle)); an
+    // aggregate between shuffle and join would silently disable skew
+    // handling, which is itself worth knowing when shaping 100 TB plans.
+    // Incompressible padding keeps the skew visible to AQE's
+    // compressed-size metrics (see the test above).
+    SparkEntry.queries("q43_sessionize")(spark, dir)
+      .write.parquet(s"$dir/sessions")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val ev = Tables.t(spark, dir, "events")
+        .withColumn("pad", sha2(concat(lit("p"), col("event_id")), 256))
+      val sessions = spark.read.parquet(s"$dir/sessions")
+        .select(col("user_id"), col("session_id"))
+      val joined = ev.join(sessions, "user_id")
+      val rows = spark.sparkContext.longAccumulator("rows")
+      joined.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) { it.next(); rows.add(1L) }
+      }
+      // Independent expectation: sum over users of n_events * n_sessions.
+      val expected = Tables.t(spark, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("ne"))
+        .join(sessions.groupBy("user_id").agg(count(lit(1)).as("ns")), "user_id")
+        .select(sum(col("ne") * col("ns"))).head().getLong(0)
+      assert(rows.value == expected, s"${rows.value} != $expected")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot user's join partition:\n$finalPlan")
+    }
+  }
 }

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Streaming CDC ingestion: a changeset stream applied per-microbatch with
+  * Medallion.mergeStream equals the batch-merged end state, and restarting
+  * the drained stream from its checkpoint re-applies nothing.
+  */
+class MergeStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cdcSchema = StructType(Seq(
+    StructField("id", LongType), StructField("part", StringType),
+    StructField("v", DoubleType), StructField("is_deleted", BooleanType)))
+
+  test("2-batch CDC stream == batch merge end state; checkpoint restart is a no-op") {
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val srcDir = s"$root/changes"
+    val tbl = s"$root/tbl"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(srcDir))
+    Medallion.writeTable(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)
+    ).toDF("id", "part", "v"), tbl, Seq("part"))
+
+    // Two CDC files with staggered mtimes so the file source delivers them
+    // as two ordered microbatches (maxFilesPerTrigger=1, oldest first).
+    val b1 = Seq((2L, "a", 21.0, false), (4L, "b", 40.0, false))
+      .toDF("id", "part", "v", "is_deleted")
+    val b2 = Seq((2L, "a", 22.0, false), (3L, "b", 0.0, true),
+      (5L, "c", 50.0, false)).toDF("id", "part", "v", "is_deleted")
+    b1.coalesce(1).write.parquet(s"$srcDir/batch1")
+    Thread.sleep(1100) // file-source ordering is mtime-based, 1s granularity
+    b2.coalesce(1).write.parquet(s"$srcDir/batch2")
+
+    def startStream() = Medallion.mergeStream(
+      spark.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      tbl, keys = Seq("id"), checkpoint = ckpt,
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"))
+
+    val q = startStream()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(tbl).select("id", "part", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+
+    // Batch equivalent: same two changesets applied in order.
+    val tbl2 = s"$root/tbl_batch"
+    Medallion.writeTable(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)
+    ).toDF("id", "part", "v"), tbl2, Seq("part"))
+    Medallion.merge(spark, tbl2, b1, Seq("id"), Seq("part"),
+      deleteCol = Some("is_deleted"))
+    Medallion.merge(spark, tbl2, b2, Seq("id"), Seq("part"),
+      deleteCol = Some("is_deleted"))
+    val batched = spark.read.parquet(tbl2).select("id", "part", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+
+    assert(streamed == batched, s"streamed=$streamed batched=$batched")
+    assert(streamed == Seq((1L, "a", 10.0), (2L, "a", 22.0),
+      (4L, "b", 40.0), (5L, "c", 50.0)))
+
+    // Restart from the drained checkpoint: no new files -> no batches -> the
+    // table is untouched (exactly-once across restarts).
+    val digestsBefore = tableDigests(tbl)
+    val q2 = startStream()
+    q2.awaitTermination(60000)
+    assert(tableDigests(tbl) == digestsBefore)
+  }
+
+  private def tableDigests(dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+      .map { p =>
+        val crc = new java.util.zip.CRC32(); crc.update(Files.readAllBytes(p))
+        root.relativize(p).toString -> crc.getValue
+      }.toMap
+  }
+}
