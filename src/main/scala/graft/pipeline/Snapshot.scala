@@ -128,21 +128,24 @@ object Snapshot {
     rels
   }
 
-  /** Delete data files no manifest ≤ current retains — i.e. files not in the
-    * newest manifest — plus manifests older than the newest `keepVersions`.
-    * Run OUT-OF-BAND once in-flight readers of old versions have drained
-    * (the retention contract every snapshot format has). Returns the
-    * deleted data-file paths.
+  /** Reclaim space: drop manifests older than the newest `keepVersions`,
+    * then delete data files referenced by NO retained manifest — a version
+    * that survives vacuum stays fully readable (time travel to any retained
+    * version is never broken by a vacuum, the invariant Delta's
+    * retention-window vacuum keeps). Run OUT-OF-BAND once in-flight readers
+    * of dropped versions have drained. Returns the deleted data-file paths.
     */
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, "vacuum must retain at least the current version")
     current(fs, root) match {
       case None => Seq.empty
-      case Some((v, files)) =>
-        val referenced = files.toSet
+      case Some((v, _)) =>
+        val (retained, dropped) =
+          manifestVersions(fs, root).partition(_ > v - keepVersions)
+        val referenced = retained.flatMap(readManifest(fs, root, _)).toSet
         val garbage = listDataFiles(fs, root).filterNot(referenced)
         garbage.foreach(f => fs.delete(new Path(root, f), false))
-        manifestVersions(fs, root).filter(_ <= v - keepVersions)
-          .foreach(old => fs.delete(new Path(root, s"$Prefix$old"), false))
+        dropped.foreach(old => fs.delete(new Path(root, s"$Prefix$old"), false))
         garbage
     }
   }

@@ -158,4 +158,20 @@ class PlanSpec extends SparkTestBase {
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"$q:\n$p")
     }
   }
+
+  test("q41 pixel decode runs as the codegen'd native expression over a pruned scan") {
+    val df = SparkEntry.queries("q41_media_features")(spark, sf)
+    df.collect() // materialize the AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    // The decode itself must be the native expression (no UDF, no
+    // mapPartitions barrier in this query's plan)...
+    val line = p.linesIterator.find(_.contains("graft_pixel_stats"))
+      .getOrElse(fail(s"no pixel_stats projection:\n$p"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"), p)
+    // ...and the scan must prune documents to just doc_id (text/lang/source/
+    // n_chars are not needed to construct or decode the payload).
+    val scanLine = p.linesIterator.find(_.contains("FileScan"))
+      .getOrElse(fail(s"no scan:\n$p"))
+    assert(scanLine.contains("ReadSchema: struct<doc_id:bigint>"), scanLine)
+  }
 }

@@ -83,20 +83,28 @@ class SnapshotSpec extends SparkTestBase {
     assert(!Snapshot.current(fs, new Path(path)).get._2.exists(_.startsWith("part=c/")))
   }
 
-  test("vacuum removes unreferenced files and old manifests; current version intact") {
+  test("vacuum retains every kept version fully readable; keepVersions=1 collapses to current") {
     val path = tmpDir()
     Medallion.writeTable(base(), path, Seq("part"))
     Medallion.merge(spark, path, Seq((1L, "a", 11.0)).toDF("id", "part", "v"),
       Seq("id"), Seq("part"), snapshot = true)
-    Medallion.merge(spark, path, Seq((1L, "a", 12.0)).toDF("id", "part", "v"),
-      Seq("id"), Seq("part"))
     val fs = fsOf(path)
     val root = new Path(path)
+    val (v1, _) = Snapshot.current(fs, root).get
+    val v1View = snap(Medallion.read(spark, path, version = Some(v1)))
+    Medallion.merge(spark, path, Seq((1L, "a", 12.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"))
     val before = snap(Medallion.read(spark, path))
+    // keepVersions=2: v1 survives the vacuum AND stays fully readable —
+    // vacuum must not delete files a retained manifest still references.
+    Snapshot.vacuum(fs, root, keepVersions = 2)
+    assert(snap(Medallion.read(spark, path, version = Some(v1))) == v1View)
+    assert(snap(Medallion.read(spark, path)) == before)
+    // keepVersions=1: only current survives; now the directory and the
+    // manifest agree file-for-file.
     val deleted = Snapshot.vacuum(fs, root, keepVersions = 1)
     assert(deleted.nonEmpty)
     assert(Snapshot.manifestVersions(fs, root).size == 1)
-    // After vacuum, manifest view and raw directory agree again.
     assert(snap(Medallion.read(spark, path)) == before)
     assert(spark.read.parquet(path).count() == before.size)
   }
