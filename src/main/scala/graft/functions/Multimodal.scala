@@ -143,10 +143,4 @@ object Multimodal {
     }.toDF("id", "features")
   }
 
-  /** Former name of [[decode]], kept for source compatibility; the "stub"
-    * is no longer a stub for uncompressed formats.
-    */
-  @deprecated("use decode — the pixel path is real now", "r4")
-  def decodeStub(df: DataFrame, idCol: String, binCol: String): DataFrame =
-    decode(df, idCol, binCol)
 }

@@ -238,6 +238,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(line.contains("*("), plan)
   }
 
+  test("decodePixels is total: 10k seeded random/mutated payloads never throw") {
+    import graft.expressions.MediaCodec
+    val rng = new java.util.Random(42)
+    val magics = Seq("P5".getBytes, "P6".getBytes, "BM".getBytes,
+      Array[Byte](0x42, 0x4D), Array.emptyByteArray)
+    (1 to 10000).foreach { i =>
+      val len = rng.nextInt(200)
+      val b = new Array[Byte](len)
+      rng.nextBytes(b)
+      // Half the samples start with a real magic so the parsers' deep paths
+      // (header ints, stride math, bounds checks) get fuzzed, not just the
+      // two-byte dispatch.
+      val magic = magics(i % magics.length)
+      System.arraycopy(magic, 0, b, 0, math.min(magic.length, len))
+      val s = MediaCodec.decodePixels(b) // must return stats or null, never throw
+      if (s != null) assert(s.width > 0 && s.height > 0)
+      assert(MediaCodec.imageHeader(b) != null || true)
+    }
+    // And a valid image truncated at EVERY prefix length decodes or nulls.
+    val img = pgm(6, 4, i => i * 3)
+    (0 to img.length).foreach { n =>
+      val s = MediaCodec.decodePixels(img.take(n))
+      if (n < img.length) assert(s == null, s"truncated at $n decoded")
+      else assert(s != null)
+    }
+  }
+
   test("decode seam: REAL stats features for uncompressed payloads, fallback for junk") {
     import graft.expressions.MediaCodec
     val img = pgm(4, 3, i => 10 + 3 * i)

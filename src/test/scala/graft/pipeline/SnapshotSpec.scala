@@ -133,6 +133,22 @@ class SnapshotSpec extends SparkTestBase {
     assert(got(2L).contains(0.9) && got(3L).isEmpty)
   }
 
+  test("manifest reads still prune partitions: a part filter scans one directory") {
+    // Snapshot.read hands Spark an explicit file list with basePath, which
+    // must NOT cost partition pruning — at 100 TB a manifest read that
+    // scans every listed file for a one-partition query would be a
+    // regression over the raw directory read.
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    Medallion.merge(spark, path, Seq((1L, "a", 11.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true)
+    val df = Medallion.read(spark, path).where(col("part") === "b")
+    assert(snap(df) == Seq((3L, "b", 30.0), (4L, "b", 40.0)))
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan")).getOrElse(fail("no scan"))
+    assert(scan.contains("PartitionFilters: [isnotnull(part"), scan)
+  }
+
   test("publish is versioned and listDataFiles skips markers and manifests") {
     val path = tmpDir()
     Medallion.writeTable(base(), path, Seq("part"))
