@@ -1038,6 +1038,55 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // --- 81. time-RANGE window: trailing one-hour running agg per user ----------------------------------
+    // RANGE BETWEEN (value-range frame over event time), distinct from the
+    // q15 ROWS frame: the frame is "every event within the last hour", not
+    // "the last k rows" — the canonical rate/rolling-exposure query. Ordered
+    // by unix micros so the frame bound is an exact integer interval; event
+    // timestamps are microsecond-aligned, so DuckDB's INTERVAL arithmetic
+    // over its ns timestamps selects identical frame membership. Sum is
+    // decimal-stabilized (order-independent) for a stable hash.
+    "q81_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          sum(dec(col("value"))).over(w).cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy("event_id")
+    }),
+
+    // --- 82. multiple DISTINCT aggregates in one GROUP BY (Expand-based rewrite) -------------------------
+    // Two different COUNT(DISTINCT) column sets plus a plain aggregate in
+    // one pass forces Catalyst's Expand rewrite (one input row fans to one
+    // row per distinct group) — the aggregation shape BI queries hit
+    // constantly and the one most engines get subtly wrong under nulls.
+    "q82_multi_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("d_orders"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("d_partsupp"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // --- 83. first_value / last_value / nth_value over a full-partition frame --------------------------
+    // The frame must be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING: the
+    // default frame stops at CURRENT ROW, which silently turns last_value
+    // into "current row's value" — the classic window-function trap. Total
+    // order (acctbal, custkey) keeps ties deterministic for the hash.
+    "q83_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          first(col("c_custkey")).over(w).as("poorest"),
+          last(col("c_custkey")).over(w).as("richest"),
+          nth_value(col("c_custkey"), 2).over(w).as("second_poorest"))
+        .orderBy("c_custkey")
+    }),
+
     // --- 80. MERGE with schema evolution, end-to-end oracle ---------------------------------------------
     // Runs the REAL evolving merge (the changeset ADDS priority_score; only
     // affected partitions rewrite with the wide footer, old files stay
@@ -1781,6 +1830,33 @@ object SparkEntry {
         |  CAST(16 + doc_id % 640 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q82_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS d_orders,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS d_partsupp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q83_window_firstlast" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  FIRST_VALUE(c_custkey) OVER w AS poorest,
+        |  LAST_VALUE(c_custkey) OVER w AS richest,
+        |  NTH_VALUE(c_custkey, 2) OVER w AS second_poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q81_window_range" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS hour_sum,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // Relational restatement of the evolving merge: rows the changeset
     // touches carry the new column's value, untouched rows carry NULL.
