@@ -91,6 +91,20 @@ object GraftExtensions {
           HyperplaneBucketsExpr(child, t, p)
         case _ => throw new IllegalArgumentException(
           "graft_hyperplane_buckets(array<float>, tables literal int, planes literal int)")
+      }),
+    (
+      FunctionIdentifier("graft_image_header"),
+      new ExpressionInfo(classOf[ImageHeaderExpr].getName, "graft_image_header"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => ImageHeaderExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_image_header(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_pixel_stats"),
+      new ExpressionInfo(classOf[ImagePixelStatsExpr].getName, "graft_pixel_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => ImagePixelStatsExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_pixel_stats(binary)")
       })
   )
 

@@ -159,6 +159,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q82 multi-distinct plans as one Expand pass, not separate joined aggregations") {
+    val p = plan("q82_multi_distinct")
+    // Catalyst's rewrite: Expand fans each row to one per distinct group,
+    // then a single partial+final aggregation tree — no self-joins.
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q41 pixel decode runs as the codegen'd native expression over a pruned scan") {
     val df = SparkEntry.queries("q41_media_features")(spark, sf)
     df.collect() // materialize the AQE final plan

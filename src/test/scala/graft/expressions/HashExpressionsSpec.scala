@@ -137,4 +137,17 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](2).length == 2)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("SQL registry: media functions decode from SQL text") {
+    GraftExtensions.register(spark)
+    // 2x2 PGM with all four pixels = 0x2A (42): "P5\n2 2\n255\n" + 4 bytes.
+    val m = spark.sql(
+      """SELECT graft_pixel_stats(unhex('50350A3220320A3235350A2A2A2A2A')) AS px,
+        |       graft_image_header(unhex('50350A3220320A3235350A2A2A2A2A')) AS hd
+        |""".stripMargin).selectExpr(
+      "px.format", "px.width", "px.c0_mean", "px.c0_min", "hd.format").collect()(0)
+    assert(m.getString(0) == "pgm" && m.getInt(1) == 2)
+    assert(m.getDouble(2) == 42.0 && m.getInt(3) == 42)
+    assert(m.getString(4) == "pgm")
+  }
 }
