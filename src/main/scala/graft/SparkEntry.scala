@@ -48,6 +48,24 @@ object SparkEntry {
     new SchemaCompiler(new ModelDirectory(tmp.toString)).compile("customer").constraints
   }
 
+  /** Synthetic binary PGM (P5) built per documents row: w = 4 + doc_id%13,
+    * h = 3 + (doc_id*5)%11, pixel i = (doc_id + i) % 256 — shared by
+    * q41/q79, and recomputed arithmetically (a THIRD time, by design) in
+    * q41's DuckDB oracle: keep all three in sync when changing the formula.
+    */
+  private def syntheticPgm: org.apache.spark.sql.Column = {
+    val w = (lit(4) + col("doc_id") % 13).cast("int")
+    val h = (lit(3) + (col("doc_id") * 5) % 11).cast("int")
+    val n = w.cast("long") * h.cast("long")
+    val headerHex = hex(encode(
+      concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"),
+        lit("\n255\n")), "UTF-8"))
+    val rasterHex = array_join(
+      transform(sequence(lit(0L), n - lit(1L)),
+        i => lpad(hex((col("doc_id") + i) % 256), 2, "0")), "")
+    unhex(concat(headerHex, rasterHex))
+  }
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -419,18 +437,9 @@ object SparkEntry {
     // and the min/max/mean reduction. (Construction uses interpreted HOFs;
     // that's the test harness, not the decode path being measured.)
     "q41_media_features" -> ((s, d) => {
-      val w = (lit(4) + col("doc_id") % 13).cast("int")
-      val h = (lit(3) + (col("doc_id") * 5) % 11).cast("int")
-      val n = (w.cast("long") * h.cast("long"))
-      val headerHex = hex(encode(
-        concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"),
-          lit("\n255\n")), "UTF-8"))
-      val rasterHex = array_join(
-        transform(sequence(lit(0L), n - lit(1L)),
-          i => lpad(hex((col("doc_id") + i) % 256), 2, "0")), "")
       t(s, d, "documents")
         .select(col("doc_id"),
-          Multimodal.pixelStats(unhex(concat(headerHex, rasterHex))).as("px"))
+          Multimodal.pixelStats(syntheticPgm).as("px"))
         .select(col("doc_id"),
           col("px.format").as("fmt"),
           col("px.width").as("width"),
@@ -1018,17 +1027,8 @@ object SparkEntry {
     // to scalar columns: the driver's rows-only check sorts every column,
     // and a raw array<float> column crashes its pandas lexsort.
     "q79_media_decode_seam" -> ((s, d) => {
-      val w = (lit(4) + col("doc_id") % 13).cast("int")
-      val h = (lit(3) + (col("doc_id") * 5) % 11).cast("int")
-      val n = (w.cast("long") * h.cast("long"))
-      val headerHex = hex(encode(
-        concat(lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"),
-          lit("\n255\n")), "UTF-8"))
-      val rasterHex = array_join(
-        transform(sequence(lit(0L), n - lit(1L)),
-          i => lpad(hex((col("doc_id") + i) % 256), 2, "0")), "")
-      val payload = when(col("doc_id") % 2 === 0,
-        unhex(concat(headerHex, rasterHex))).otherwise(col("text").cast("binary"))
+      val payload = when(col("doc_id") % 2 === 0, syntheticPgm)
+        .otherwise(col("text").cast("binary"))
       val feats = Multimodal.decode(
         t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
         "doc_id", "payload")

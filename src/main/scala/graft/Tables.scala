@@ -47,18 +47,21 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val key = (sessionKey(spark), dir, name)
+    // Build OUTSIDE the lock: spark.read.parquet does file listing + footer
+    // IO, and holding the global cache lock across it would serialize every
+    // concurrent caller JVM-wide on a cold miss. A racing duplicate build
+    // is harmless (both plans are identical; first put wins).
+    val cached = handles.synchronized(handles.get(key))
+    if (cached != null) return cached
+    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events")
+        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df0
     handles.synchronized {
-      val cached = handles.get(key)
-      if (cached != null) cached
-      else {
-        val df0 = spark.read.parquet(s"$dir/$name.parquet")
-        val df =
-          if (name == "events")
-            df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else df0
-        handles.put(key, df)
-        df
-      }
+      val again = handles.get(key)
+      if (again != null) again
+      else { handles.put(key, df); df }
     }
   }
 

@@ -123,15 +123,19 @@ object MediaCodec {
     val dibSize = le32(b, 14)
     if (dibSize < 40) return null // BITMAPCOREHEADER not supported
     val w = le32(b, 18)
-    val hRaw = le32(b, 22)
-    val h = math.abs(hRaw)
+    // All geometry in LONG: header fields are attacker-controlled, and an
+    // int-wrapped rowStride (w near Int.MaxValue/3) would pass the bounds
+    // check and crash scanInterleaved instead of returning null. abs in
+    // long also catches height = Int.MinValue (abs-negative in int).
+    val hL = math.abs(le32(b, 22).toLong)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return null
-    val rowStride = ((w * 3 + 3) / 4) * 4
+    if (w <= 0 || hL == 0 || hL > Int.MaxValue || bpp != 24 || compression != 0)
+      return null
+    val rowStrideL = ((w.toLong * 3 + 3) / 4) * 4
     if (dataOff < 14 + dibSize ||
-        dataOff.toLong + rowStride.toLong * h > b.length) return null
-    scanInterleaved("bmp", b, dataOff, w, h, 3, rowStride, bgr = true)
+        dataOff.toLong + rowStrideL * hL > b.length) return null
+    scanInterleaved("bmp", b, dataOff, w, hL.toInt, 3, rowStrideL.toInt, bgr = true)
   }
 
   /** Shared single-pass reducer over an interleaved raster. `rowStride` may

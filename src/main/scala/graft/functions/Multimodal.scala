@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
-/** Input row shape for [[Multimodal.decodeStub]]. Top-level (not nested in
+/** Input row shape for [[Multimodal.decode]]. Top-level (not nested in
   * the object) so Janino-generated encoder code can access the constructor.
   */
 case class MediaIn(id: Long, payload: Array[Byte])
@@ -22,7 +22,7 @@ case class MediaIn(id: Long, payload: Array[Byte])
   */
 object Multimodal {
 
-  /** Dimensionality of the [[decodeStub]] feature vector — referenced by
+  /** Dimensionality of the [[decode]] feature vector — referenced by
     * query code that projects per-dimension columns, so the two sites
     * cannot drift (a stale hard-coded count would hit
     * ARRAY_INDEX_OUT_OF_BOUNDS under ANSI mode).
@@ -67,7 +67,7 @@ object Multimodal {
     * (PNG IHDR / JPEG SOFn / GIF screen descriptor — public formats, pure
     * JVM, no codec library). NULL for unrecognized bytes. Native codegen'd
     * expression ([[graft.expressions.ImageHeaderExpr]]); full pixel decode
-    * remains behind [[decodeStub]].
+    * remains behind [[decode]].
     */
   def imageHeader(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -167,6 +167,7 @@ object RegexGen {
         case 's' => Lit(' ')
         case 'D' => Cls(printable.filterNot(digits.contains))
         case 'W' => Cls(printable.filterNot(word.contains))
+        case 'S' => Cls(printable.filterNot(_ == ' '))
         // Zero-width assertions generate nothing (the reference's canned
         // ipv4 regex uses \b between octets).
         case 'b' | 'B' => Cat(Nil)
@@ -201,6 +202,9 @@ object RegexGen {
               case 'd' => out ++= digits; firstInClass = false; 0.toChar
               case 'w' => out ++= word; firstInClass = false; 0.toChar
               case 's' => ' '
+              case 'D' => out ++= printable.filterNot(digits.contains); firstInClass = false; 0.toChar
+              case 'W' => out ++= printable.filterNot(word.contains); firstInClass = false; 0.toChar
+              case 'S' => out ++= printable.filterNot(_ == ' '); firstInClass = false; 0.toChar
               case 'n' => '\n'
               case 't' => '\t'
               case 'r' => '\r'

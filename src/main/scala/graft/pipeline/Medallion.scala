@@ -205,15 +205,23 @@ object Medallion {
     // must go through it (the directory may hold not-yet-vacuumed files an
     // older manifest references — a raw listing would double-read them).
     // `snapshot = true` on a plain table bootstraps the first manifest.
-    val snapMode = snapshot || Snapshot.current(fs, src).isDefined
-    if (snapMode) Snapshot.ensure(fs, src)
+    // The base (version, files) is PINNED here: the whole merge reads that
+    // version and commits exactly version+1, so a concurrent writer's
+    // commit surfaces as a publish conflict instead of being silently
+    // overwritten by a rewrite computed from stale state.
+    val snapBase: Option[(Long, Seq[String])] =
+      if (snapshot || Snapshot.current(fs, src).isDefined)
+        Some(Snapshot.ensure(fs, src))
+      else None
+    val snapMode = snapBase.isDefined
     // An evolved table has mixed file footers (pre-evolution files lack the
     // added columns); mergeSchema unions them so the target always presents
     // the widest schema written so far.
-    val target =
-      if (snapMode) Snapshot.read(spark, src.toString, None, format)
-      else spark.read.format(format)
+    val target = snapBase match {
+      case Some((v, _)) => Snapshot.read(spark, src.toString, Some(v), format)
+      case None => spark.read.format(format)
         .option("mergeSchema", "true").load(src.toString)
+    }
     if (!evolveSchema)
       require(target.columns.sorted.toSeq == dataCols.sorted.toSeq,
         s"changeset columns ${dataCols.sorted.mkString(",")} must equal target " +
@@ -264,7 +272,7 @@ object Medallion {
         // Readers holding the previous manifest keep a consistent pre-merge
         // view until vacuum.
         val moved = Snapshot.moveIn(fs, tmp, src)
-        Snapshot.publish(fs, src, moved)
+        Snapshot.publishVersion(fs, src, moved, snapBase.get._1 + 1)
         fs.delete(tmp, true)
         return
       }
@@ -346,17 +354,18 @@ object Medallion {
       }.mkString("/")
     }.filterNot(stagedRel.contains)
     if (snapMode) {
-      // Snapshot commit: keep every manifest entry OUTSIDE the affected
+      // Snapshot commit: keep every entry of the BASE manifest (the version
+      // this merge read — not whatever is current now) outside the affected
       // partitions, move the staged rewrite in beside the old files, and
-      // flip with one manifest publish. Emptied partitions simply drop out
+      // flip with one publish at base+1. Emptied partitions simply drop out
       // of the manifest; nothing is renamed aside or deleted (vacuum does
       // that once old-version readers drain).
-      val curFiles = Snapshot.current(fs, src).get._2
+      val (baseV, baseFiles) = snapBase.get
       val movedFiles = Snapshot.moveIn(fs, tmp, src)
       val affectedDirs = (stagedRel ++ emptiedRel).toSet
-      val kept = curFiles.filterNot(f =>
+      val kept = baseFiles.filterNot(f =>
         affectedDirs.exists(d => f.startsWith(d + "/")))
-      Snapshot.publish(fs, src, kept ++ movedFiles)
+      Snapshot.publishVersion(fs, src, kept ++ movedFiles, baseV + 1)
       fs.delete(tmp, true)
       return
     }
@@ -468,12 +477,18 @@ object Medallion {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Sticky snapshot mode, same contract as merge: with a manifest present
     // the directory may hold unvacuumed old-version files, so both the read
-    // and the commit must go through the manifest.
-    val snapMode = snapshot || Snapshot.current(fs, src).isDefined
-    if (snapMode) Snapshot.ensure(fs, src)
-    val df =
-      if (snapMode) Snapshot.read(spark, src.toString, None, format)
-      else spark.read.format(format).load(src.toString)
+    // and the commit must go through the manifest — pinned to the base
+    // version, committed at base+1 (concurrent-writer conflicts surface at
+    // publish, not as silent lost updates).
+    val snapBase: Option[(Long, Seq[String])] =
+      if (snapshot || Snapshot.current(fs, src).isDefined)
+        Some(Snapshot.ensure(fs, src))
+      else None
+    val snapMode = snapBase.isDefined
+    val df = snapBase match {
+      case Some((v, _)) => Snapshot.read(spark, src.toString, Some(v), format)
+      case None => spark.read.format(format).load(src.toString)
+    }
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
     val repartitioned =
@@ -488,7 +503,7 @@ object Medallion {
       // the staged files; old files stay for old-version readers until
       // vacuum.
       val moved = Snapshot.moveIn(fs, tmp, src)
-      Snapshot.publish(fs, src, moved)
+      Snapshot.publishVersion(fs, src, moved, snapBase.get._1 + 1)
       fs.delete(tmp, true)
       return
     }

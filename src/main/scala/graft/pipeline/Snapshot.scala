@@ -40,7 +40,13 @@ object Snapshot {
   def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
     def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
       val name = st.getPath.getName
-      if (name.startsWith("_") || name.startsWith(".")) Nil
+      if (name.startsWith("_") || name.startsWith(".") ||
+          // Aside/staging dirs a crashed plain-mode merge/compact may have
+          // left behind are NOT table data — sweeping them into a bootstrap
+          // manifest would double-read rows and corrupt basePath partition
+          // recovery ("part=a__merge_old" parses as value "a__merge_old").
+          name.endsWith("__merge_old") || name.endsWith("__merge_tmp") ||
+          name.endsWith("__compact_old") || name.endsWith("__compact_tmp")) Nil
       else if (st.isDirectory) walk(st.getPath)
       else Seq(st.getPath)
     }
@@ -68,16 +74,36 @@ object Snapshot {
   /** Publish `files` as the next manifest version and return it. */
   def publish(fs: FileSystem, root: Path, files: Seq[String]): Long = {
     val next = manifestVersions(fs, root).maxOption.getOrElse(0L) + 1L
-    val tmp = new Path(root, s"$Prefix$next.tmp")
+    publishVersion(fs, root, files, next)
+    next
+  }
+
+  /** Publish `files` at an EXPLICIT version — the optimistic-concurrency
+    * commit: a writer that read version v must publish v+1, so a concurrent
+    * writer that committed v+1 in between surfaces as "already exists"
+    * instead of being silently overwritten by a commit computed from stale
+    * state. (On filesystems whose rename overwrites — local posix — the
+    * exists() pre-check is the detection; on HDFS the no-overwrite rename
+    * makes it atomic.)
+    */
+  def publishVersion(fs: FileSystem, root: Path, files: Seq[String], version: Long): Unit = {
+    val dst = new Path(root, s"$Prefix$version")
+    if (fs.exists(dst))
+      throw new java.io.IOException(
+        s"snapshot publish: version $version of $root already exists — " +
+          "a concurrent writer committed first; re-read and retry")
+    val tmp = new Path(root, s"$Prefix$version.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // An EMPTY file list is a legal table state (a merge can delete every
+    // row): zero bytes; readManifest yields Nil, which read() renders as an
+    // empty table — never as "no manifest, fall back to a raw listing".
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, new Path(root, s"$Prefix$next"))) {
+    if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, true)
       throw new java.io.IOException(
-        s"snapshot publish: lost the race for manifest version $next of $root")
+        s"snapshot publish: lost the race for manifest version $version of $root")
     }
-    next
   }
 
   /** Bootstrap: current manifest, or publish one from a directory listing
@@ -100,17 +126,29 @@ object Snapshot {
       format: String = "parquet"): DataFrame = {
     val root = new Path(path)
     val fs = fsFor(spark, root)
-    val files = version match {
-      case Some(v) => readManifest(fs, root, v)
-      case None => current(fs, root).map(_._2).getOrElse(Seq.empty)
+    val resolved: Option[Seq[String]] = version match {
+      case Some(v) => Some(readManifest(fs, root, v))
+      case None => current(fs, root).map(_._2)
     }
-    if (files.isEmpty)
-      spark.read.format(format).option("mergeSchema", "true").load(root.toString)
-    else
-      spark.read.format(format)
-        .option("basePath", root.toString)
-        .option("mergeSchema", "true")
-        .load(files.map(f => new Path(root, f).toString): _*)
+    resolved match {
+      case None => // no manifest: plain directory read
+        spark.read.format(format).option("mergeSchema", "true").load(root.toString)
+      case Some(files) if files.isEmpty =>
+        // A manifest that lists NO files is an empty table (e.g. a merge
+        // deleted every row) — it must NOT fall back to a raw directory
+        // read, which would resurrect the unvacuumed old files. Schema
+        // comes best-effort from whatever files remain on disk; the
+        // always-false filter guarantees zero rows either way.
+        import org.apache.spark.sql.functions.lit
+        try spark.read.format(format).option("mergeSchema", "true")
+          .load(root.toString).where(lit(false))
+        catch { case _: Exception => spark.emptyDataFrame }
+      case Some(files) =>
+        spark.read.format(format)
+          .option("basePath", root.toString)
+          .option("mergeSchema", "true")
+          .load(files.map(f => new Path(root, f).toString): _*)
+    }
   }
 
   /** Move every data file under `staged` into the live tree under its same

@@ -200,6 +200,18 @@ class MultimodalSpec extends SparkTestBase {
     val comp = img.clone(); comp(30) = 1
     assert(MediaCodec.decodePixels(comp) == null)
     assert(MediaCodec.decodePixels(img.dropRight(1)) == null)
+    // Crafted overflow headers must null, not crash: width near
+    // Int.MaxValue/3 wraps rowStride in int arithmetic (w*3+3 = 5), and
+    // height = Int.MinValue survives int math.abs as negative.
+    def withLe32(at: Int, v: Int): Array[Byte] = {
+      val c = img.clone()
+      c(at) = (v & 0xFF).toByte; c(at + 1) = ((v >> 8) & 0xFF).toByte
+      c(at + 2) = ((v >> 16) & 0xFF).toByte; c(at + 3) = ((v >> 24) & 0xFF).toByte
+      c
+    }
+    assert(MediaCodec.decodePixels(withLe32(18, 1431655766)) == null) // w*3+3 wraps
+    assert(MediaCodec.decodePixels(withLe32(22, Int.MinValue)) == null) // abs-negative h
+    assert(MediaCodec.decodePixels(withLe32(10, Int.MaxValue)) == null) // dataOff overflow
   }
 
   test("imageHeader also recognizes pgm/ppm/bmp headers") {
@@ -253,8 +265,13 @@ class MultimodalSpec extends SparkTestBase {
       val magic = magics(i % magics.length)
       System.arraycopy(magic, 0, b, 0, math.min(magic.length, len))
       val s = MediaCodec.decodePixels(b) // must return stats or null, never throw
-      if (s != null) assert(s.width > 0 && s.height > 0)
-      assert(MediaCodec.imageHeader(b) != null || true)
+      val hd = MediaCodec.imageHeader(b) // same totality contract
+      if (s != null) {
+        assert(s.width > 0 && s.height > 0)
+        // A decodable raster always has a parseable header, with the SAME
+        // dimensions — the two parsers must never disagree.
+        assert(hd != null && hd.getInt(1) == s.width && hd.getInt(2) == s.height)
+      }
     }
     // And a valid image truncated at EVERY prefix length decodes or nulls.
     val img = pgm(6, 4, i => i * 3)

@@ -72,6 +72,13 @@ class RegexGenSpec extends SparkTestBase {
       val err = intercept[IllegalArgumentException](RegexGen.compile(p))
       assert(err.getMessage.contains("unsupported escape"), s"$p: ${err.getMessage}")
     }
+    // The negated classes compile BOTH at top level and inside [...] —
+    // every sample must satisfy its own pattern.
+    for (p <- Seq("\\S+", "\\D\\W", "[\\D]{3}", "[\\W]", "[\\S]+")) {
+      val rx = RegexGen.compile(p)
+      val out = RegexGen.generateMatching(rx, p, new Random(5))
+      assert(java.util.regex.Pattern.matches(p, out), s"$p -> '$out'")
+    }
   }
 
   test("honorPatterns=true yields records with ZERO MATCH violations; default keeps them") {

@@ -149,6 +149,58 @@ class SnapshotSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters: [isnotnull(part"), scan)
   }
 
+  test("a merge that deletes EVERY row yields an empty table, not a raw-listing fallback") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val wipe = base().withColumn("is_deleted", lit(true))
+    Medallion.merge(spark, path, wipe, Seq("id"), Seq("part"),
+      deleteCol = Some("is_deleted"), snapshot = true)
+    // The manifest exists but lists no files: the read must render an EMPTY
+    // table — falling back to the raw directory would resurrect all five
+    // unvacuumed "deleted" rows.
+    assert(Medallion.read(spark, path).count() == 0)
+    // And a follow-up merge computes its target from the empty state.
+    Medallion.merge(spark, path, Seq((9L, "a", 90.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"))
+    assert(snap(Medallion.read(spark, path)) == Seq((9L, "a", 90.0)))
+  }
+
+  test("publishVersion detects a concurrent writer's commit instead of overwriting it") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val fs = fsOf(path)
+    val root = new Path(path)
+    val (v, files) = Snapshot.ensure(fs, root)
+    // Writer A commits v+1 first; writer B (which also read v) must FAIL its
+    // v+1 publish rather than silently clobbering A's commit with a manifest
+    // computed from stale state.
+    Snapshot.publishVersion(fs, root, files, v + 1)
+    val e = intercept[java.io.IOException] {
+      Snapshot.publishVersion(fs, root, files.tail, v + 1)
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+  }
+
+  test("bootstrap manifest excludes crashed-merge aside/staging directories") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val fs = fsOf(path)
+    val root = new Path(path)
+    // Simulate a plain-mode merge crash: an aside copy of part=a left behind.
+    val aside = new Path(root, "part=a__merge_old")
+    fs.mkdirs(aside)
+    val src = fs.listStatus(new Path(root, "part=a"))
+      .filter(_.isFile).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new Path(aside, src.getName), false, spark.sparkContext.hadoopConfiguration)
+    val files = Snapshot.listDataFiles(fs, root)
+    assert(!files.exists(_.contains("__merge_old")), files)
+    // Bootstrap + read: no double-counted rows, no corrupt partition value.
+    Medallion.merge(spark, path, Seq((1L, "a", 11.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true)
+    assert(Medallion.read(spark, path).count() == 5)
+  }
+
   test("publish is versioned and listDataFiles skips markers and manifests") {
     val path = tmpDir()
     Medallion.writeTable(base(), path, Seq("part"))
