@@ -133,6 +133,12 @@ object MediaCodec {
     if (w <= 0 || hL == 0 || hL > Int.MaxValue || bpp != 24 || compression != 0)
       return null
     val rowStrideL = ((w.toLong * 3 + 3) / 4) * 4
+    // One row alone exceeding the payload rejects early — and caps
+    // rowStrideL at b.length (< 2^31), so rowStrideL * hL below stays
+    // < 2^62: the product itself can no longer wrap Long and sneak past
+    // the bounds check (w = h = Int.MaxValue would otherwise do exactly
+    // that).
+    if (rowStrideL > b.length) return null
     if (dataOff < 14 + dibSize ||
         dataOff.toLong + rowStrideL * hL > b.length) return null
     scanInterleaved("bmp", b, dataOff, w, hL.toInt, 3, rowStrideL.toInt, bgr = true)

@@ -33,6 +33,11 @@ object RegexGen {
   private val printable: IndexedSeq[Char] = (' ' to '~')
   private val digits: IndexedSeq[Char] = ('0' to '9')
   private val word: IndexedSeq[Char] = ('a' to 'z') ++ ('A' to 'Z') ++ digits :+ '_'
+  // Negated-class alphabets, shared by the top-level and in-class escape
+  // paths so their semantics can never drift apart.
+  private val nonDigits: IndexedSeq[Char] = printable.filterNot(digits.contains)
+  private val nonWord: IndexedSeq[Char] = printable.filterNot(word.contains)
+  private val nonSpace: IndexedSeq[Char] = printable.filterNot(_ == ' ')
 
   def compile(pattern: String, maxRep: Int = 8): RxNode = {
     val p = new Parser(
@@ -165,9 +170,9 @@ object RegexGen {
         case 'd' => Cls(digits)
         case 'w' => Cls(word)
         case 's' => Lit(' ')
-        case 'D' => Cls(printable.filterNot(digits.contains))
-        case 'W' => Cls(printable.filterNot(word.contains))
-        case 'S' => Cls(printable.filterNot(_ == ' '))
+        case 'D' => Cls(nonDigits)
+        case 'W' => Cls(nonWord)
+        case 'S' => Cls(nonSpace)
         // Zero-width assertions generate nothing (the reference's canned
         // ipv4 regex uses \b between octets).
         case 'b' | 'B' => Cat(Nil)
@@ -199,12 +204,14 @@ object RegexGen {
         val c: Char =
           if (peek == '\\') { i += 1; if (!more) fail("dangling backslash"); val e = peek; i += 1
             e match {
-              case 'd' => out ++= digits; firstInClass = false; 0.toChar
-              case 'w' => out ++= word; firstInClass = false; 0.toChar
+              // (firstInClass is cleared unconditionally at the end of the
+              // loop body, so no per-case bookkeeping is needed.)
+              case 'd' => out ++= digits; 0.toChar
+              case 'w' => out ++= word; 0.toChar
               case 's' => ' '
-              case 'D' => out ++= printable.filterNot(digits.contains); firstInClass = false; 0.toChar
-              case 'W' => out ++= printable.filterNot(word.contains); firstInClass = false; 0.toChar
-              case 'S' => out ++= printable.filterNot(_ == ' '); firstInClass = false; 0.toChar
+              case 'D' => out ++= nonDigits; 0.toChar
+              case 'W' => out ++= nonWord; 0.toChar
+              case 'S' => out ++= nonSpace; 0.toChar
               case 'n' => '\n'
               case 't' => '\t'
               case 'r' => '\r'

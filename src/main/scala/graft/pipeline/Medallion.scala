@@ -209,18 +209,34 @@ object Medallion {
     // version and commits exactly version+1, so a concurrent writer's
     // commit surfaces as a publish conflict instead of being silently
     // overwritten by a rewrite computed from stale state.
-    val snapBase: Option[(Long, Seq[String])] =
-      if (snapshot || Snapshot.current(fs, src).isDefined)
-        Some(Snapshot.ensure(fs, src))
-      else None
+    val snapBase: Option[(Long, Seq[String])] = Snapshot.current(fs, src) match {
+      case s @ Some(_) => s // one manifest read serves check, pin and scan
+      case None if snapshot => Some(Snapshot.ensure(fs, src))
+      case None => None
+    }
     val snapMode = snapBase.isDefined
     // An evolved table has mixed file footers (pre-evolution files lack the
     // added columns); mergeSchema unions them so the target always presents
     // the widest schema written so far.
     val target = snapBase match {
-      case Some((v, _)) => Snapshot.read(spark, src.toString, Some(v), format)
+      case Some((_, files)) => Snapshot.readFiles(spark, src.toString, files, format)
       case None => spark.read.format(format)
         .option("mergeSchema", "true").load(src.toString)
+    }
+    if (snapMode && target.columns.isEmpty) {
+      // Emptied-and-vacuumed table: the manifest lists no files and no file
+      // remains to supply a schema. The changeset IS the table again
+      // (first-load semantics), committed as a snapshot version so the
+      // table keeps its history instead of being bricked by the lost
+      // schema.
+      val tmp = src.suffix("__merge_tmp")
+      fs.delete(tmp, true)
+      writeTable(upsertsAll.select(dataCols.map(col): _*), tmp.toString,
+        partitionBy, format)
+      val moved = Snapshot.moveIn(fs, tmp, src)
+      Snapshot.publishVersion(fs, src, moved, snapBase.get._1 + 1)
+      fs.delete(tmp, true)
+      return
     }
     if (!evolveSchema)
       require(target.columns.sorted.toSeq == dataCols.sorted.toSeq,
@@ -480,13 +496,14 @@ object Medallion {
     // and the commit must go through the manifest — pinned to the base
     // version, committed at base+1 (concurrent-writer conflicts surface at
     // publish, not as silent lost updates).
-    val snapBase: Option[(Long, Seq[String])] =
-      if (snapshot || Snapshot.current(fs, src).isDefined)
-        Some(Snapshot.ensure(fs, src))
-      else None
+    val snapBase: Option[(Long, Seq[String])] = Snapshot.current(fs, src) match {
+      case s @ Some(_) => s // one manifest read serves check, pin and scan
+      case None if snapshot => Some(Snapshot.ensure(fs, src))
+      case None => None
+    }
     val snapMode = snapBase.isDefined
     val df = snapBase match {
-      case Some((v, _)) => Snapshot.read(spark, src.toString, Some(v), format)
+      case Some((_, files)) => Snapshot.readFiles(spark, src.toString, files, format)
       case None => spark.read.format(format).load(src.toString)
     }
     val rows = df.count()

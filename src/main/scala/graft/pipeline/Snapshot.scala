@@ -92,7 +92,11 @@ object Snapshot {
       throw new java.io.IOException(
         s"snapshot publish: version $version of $root already exists — " +
           "a concurrent writer committed first; re-read and retry")
-    val tmp = new Path(root, s"$Prefix$version.tmp")
+    // Writer-unique tmp: two racers publishing the same version must not
+    // share a staging file, or one's rename could promote the OTHER's
+    // content and both "succeed".
+    val tmp = new Path(root,
+      s"$Prefix$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     // An EMPTY file list is a legal table state (a merge can delete every
     // row): zero bytes; readManifest yields Nil, which read() renders as an
@@ -108,9 +112,30 @@ object Snapshot {
 
   /** Bootstrap: current manifest, or publish one from a directory listing
     * (converting a plain table to snapshot mode without touching data).
+    *
+    * Bootstrap REFUSES a table with crashed-merge aside directories
+    * (`*__merge_old` / `*__compact_old`): in one crash window the aside
+    * holds a partition's ONLY copy, so neither including it (double-counts
+    * in the other window) nor skipping it (silent row loss) is safe —
+    * the operator must finish or roll back the interrupted swap first.
+    * Snapshot-mode rewrites never create asides, so an existing-manifest
+    * table cannot hit this.
     */
   def ensure(fs: FileSystem, root: Path): (Long, Seq[String]) =
     current(fs, root).getOrElse {
+      def findAsides(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.endsWith("__merge_old") || name.endsWith("__compact_old"))
+          Seq(st.getPath)
+        else if (st.isDirectory && !name.startsWith("_") && !name.startsWith("."))
+          findAsides(st.getPath)
+        else Nil
+      }
+      val asides = findAsides(root)
+      if (asides.nonEmpty)
+        throw new java.io.IOException(
+          s"snapshot bootstrap of $root refused: crashed-merge aside dirs exist " +
+            s"(${asides.take(3).mkString(", ")}) — recover or remove them first")
       val files = listDataFiles(fs, root)
       publish(fs, root, files) -> files
     }
@@ -133,22 +158,36 @@ object Snapshot {
     resolved match {
       case None => // no manifest: plain directory read
         spark.read.format(format).option("mergeSchema", "true").load(root.toString)
-      case Some(files) if files.isEmpty =>
-        // A manifest that lists NO files is an empty table (e.g. a merge
-        // deleted every row) — it must NOT fall back to a raw directory
-        // read, which would resurrect the unvacuumed old files. Schema
-        // comes best-effort from whatever files remain on disk; the
-        // always-false filter guarantees zero rows either way.
-        import org.apache.spark.sql.functions.lit
-        try spark.read.format(format).option("mergeSchema", "true")
-          .load(root.toString).where(lit(false))
-        catch { case _: Exception => spark.emptyDataFrame }
-      case Some(files) =>
-        spark.read.format(format)
-          .option("basePath", root.toString)
-          .option("mergeSchema", "true")
-          .load(files.map(f => new Path(root, f).toString): _*)
+      case Some(files) => readFiles(spark, path, files, format)
     }
+  }
+
+  /** Read an explicit (already-resolved) manifest file list — the zero-
+    * extra-IO path for callers that hold the list (merge/compact pin their
+    * base version's list at the start of the operation).
+    */
+  def readFiles(spark: SparkSession, path: String, files: Seq[String],
+      format: String = "parquet"): DataFrame = {
+    val root = new Path(path)
+    if (files.isEmpty) {
+      // A manifest that lists NO files is an empty table (e.g. a merge
+      // deleted every row) — it must NOT fall back to a raw directory
+      // read, which would resurrect the unvacuumed old files. Schema
+      // comes best-effort from whatever files remain on disk; the
+      // always-false filter guarantees zero rows either way. Only the
+      // cannot-infer-schema failure (fully vacuumed directory) maps to a
+      // columnless frame — real IO errors still propagate.
+      import org.apache.spark.sql.functions.lit
+      try spark.read.format(format).option("mergeSchema", "true")
+        .load(root.toString).where(lit(false))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
+      }
+    } else
+      spark.read.format(format)
+        .option("basePath", root.toString)
+        .option("mergeSchema", "true")
+        .load(files.map(f => new Path(root, f).toString): _*)
   }
 
   /** Move every data file under `staged` into the live tree under its same

@@ -212,6 +212,15 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.decodePixels(withLe32(18, 1431655766)) == null) // w*3+3 wraps
     assert(MediaCodec.decodePixels(withLe32(22, Int.MinValue)) == null) // abs-negative h
     assert(MediaCodec.decodePixels(withLe32(10, Int.MaxValue)) == null) // dataOff overflow
+    // w AND h at Int.MaxValue: rowStrideL * hL wraps LONG (1.38e19) — the
+    // per-row guard must reject before the product is even formed.
+    val wh = withLe32(18, Int.MaxValue)
+    assert(MediaCodec.decodePixels({
+      val c = wh.clone()
+      c(22) = 0xFF.toByte; c(23) = 0xFF.toByte
+      c(24) = 0xFF.toByte; c(25) = 0x7F.toByte // h = Int.MaxValue
+      c
+    }) == null)
   }
 
   test("imageHeader also recognizes pgm/ppm/bmp headers") {

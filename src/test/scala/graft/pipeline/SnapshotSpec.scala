@@ -181,24 +181,49 @@ class SnapshotSpec extends SparkTestBase {
     assert(e.getMessage.contains("concurrent writer"), e.getMessage)
   }
 
-  test("bootstrap manifest excludes crashed-merge aside/staging directories") {
+  test("bootstrap REFUSES a table with crashed-merge aside dirs (one window loses rows)") {
     val path = tmpDir()
     Medallion.writeTable(base(), path, Seq("part"))
     val fs = fsOf(path)
     val root = new Path(path)
     // Simulate a plain-mode merge crash: an aside copy of part=a left behind.
+    // Depending on WHERE the crash hit, the aside is either a duplicate
+    // (include -> double-count) or the only copy (skip -> silent row loss),
+    // so bootstrap must surface it instead of guessing.
     val aside = new Path(root, "part=a__merge_old")
     fs.mkdirs(aside)
     val src = fs.listStatus(new Path(root, "part=a"))
       .filter(_.isFile).head.getPath
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
       new Path(aside, src.getName), false, spark.sparkContext.hadoopConfiguration)
-    val files = Snapshot.listDataFiles(fs, root)
-    assert(!files.exists(_.contains("__merge_old")), files)
-    // Bootstrap + read: no double-counted rows, no corrupt partition value.
+    assert(!Snapshot.listDataFiles(fs, root).exists(_.contains("__merge_old")))
+    val e = intercept[java.io.IOException] {
+      Medallion.merge(spark, path, Seq((1L, "a", 11.0)).toDF("id", "part", "v"),
+        Seq("id"), Seq("part"), snapshot = true)
+    }
+    assert(e.getMessage.contains("aside dirs exist"), e.getMessage)
+    // Operator recovers (here: the live dir was intact, drop the aside) and
+    // the bootstrap then proceeds.
+    fs.delete(aside, true)
     Medallion.merge(spark, path, Seq((1L, "a", 11.0)).toDF("id", "part", "v"),
       Seq("id"), Seq("part"), snapshot = true)
     assert(Medallion.read(spark, path).count() == 5)
+  }
+
+  test("wipe-merge + vacuum loses the schema but not the table: next merge reloads it") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    Medallion.merge(spark, path, base().withColumn("is_deleted", lit(true)),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"), snapshot = true)
+    val fs = fsOf(path)
+    val root = new Path(path)
+    Snapshot.vacuum(fs, root, keepVersions = 1) // all data files reclaimed
+    assert(Medallion.read(spark, path).count() == 0)
+    // No file remains to supply a schema; a subsequent merge must fall back
+    // to first-load semantics instead of failing its schema checks forever.
+    Medallion.merge(spark, path, Seq((9L, "a", 90.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"))
+    assert(snap(Medallion.read(spark, path)) == Seq((9L, "a", 90.0)))
   }
 
   test("publish is versioned and listDataFiles skips markers and manifests") {
