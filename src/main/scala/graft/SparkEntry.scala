@@ -1087,6 +1087,52 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // --- 84. token-window document chunking (context-window prep) ---------------------------------------
+    // Splits each document into overlapping token windows (size 32, stride
+    // 24) — the standard "chunk long documents to fit a model context"
+    // preprocessing step. Pure integer/string logic: the DuckDB oracle
+    // recomputes the same windows with list functions, pinning boundary
+    // semantics (final short chunk kept, single-chunk docs, stride math).
+    "q84_chunk_tokens" -> ((s, d) => {
+      val win = 32
+      val stride = 24 // = win - overlap(8)
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val nTok = size(toks)
+      // Number of windows: 1 + ceil(max(0, n - win) / stride), total cover.
+      val nChunks = (lit(1) +
+        ceil(greatest(nTok - win, lit(0)).cast("double") / stride).cast("int"))
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"), nTok.as("n_tokens"),
+          posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "dummy")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          array_join(slice(col("toks"), col("chunk_idx") * stride + lit(1), lit(win)), " ")
+            .as("chunk_text"),
+          least(col("n_tokens") - col("chunk_idx") * stride, lit(win))
+            .as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // --- 85. sequence packing (token-budget binning for training batches) -------------------------------
+    // Packs documents (per language, in doc_id order) into training
+    // sequences of <= 4096 tokens via running-cumsum bucketing:
+    // seq_id = floor((cumsum - n) / 4096) gives contiguous bins where each
+    // document lands in the bin its PREFIX sum opens — the deterministic,
+    // shuffle-once approximation of greedy packing (exact greedy is
+    // inherently sequential; this is the scalable form, one window pass).
+    "q85_pack_sequences" -> ((s, d) => {
+      val nTok = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tokens")).cast("double") / 4096.0).cast("long"))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .orderBy("lang", "seq_id")
+    }),
+
     // --- 80. MERGE with schema evolution, end-to-end oracle ---------------------------------------------
     // Runs the REAL evolving merge (the changeset ADDS priority_score; only
     // affected partitions rewrite with the wide footer, old files stay
@@ -1830,6 +1876,39 @@ object SparkEntry {
         |  CAST(16 + doc_id % 640 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q84_chunk_tokens" ->
+      """SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(n AS INT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_idx*24+1, chunk_idx*24+32), ' ')
+        |    AS chunk_text,
+        |  CAST(LEAST(n - chunk_idx*24, 32) AS INT) AS chunk_tokens
+        |FROM (
+        |  SELECT doc_id, toks, n,
+        |    UNNEST(generate_series(0,
+        |      CAST(CEIL(GREATEST(n - 32, 0) / 24.0) AS BIGINT))) AS chunk_idx
+        |  FROM (SELECT doc_id,
+        |          list_filter(str_split_regex(text, '\s+'), t -> len(t) > 0) AS toks,
+        |          len(list_filter(str_split_regex(text, '\s+'), t -> len(t) > 0)) AS n
+        |        FROM documents))
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q85_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(str_split_regex(text, '\s+'), t -> len(t) > 0))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang,
+        |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 4096.0) AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
 
     "q82_multi_distinct" ->
       """SELECT l_returnflag,
