@@ -1133,6 +1133,24 @@ object SparkEntry {
         .orderBy("lang", "seq_id")
     }),
 
+    // --- 86. weighted corpus mixing (per-source deterministic sampling) ---------------------------------
+    // The portable-md5 face of operators/Sampling.stratifiedSample /
+    // mixCorpora (same relationship q58 has to hashSplit): each source
+    // keeps its own target fraction — here derived from the source id so
+    // both engines compute it rather than hardcoding 20 weights — and
+    // membership is hash-of-id, so the mix is stable across reruns,
+    // retries, and repartitioning. Row-level output: the oracle pins every
+    // kept/dropped decision, not just the per-source counts.
+    "q86_corpus_mix" -> ((s, d) => {
+      val pct = lit(5) + substring(col("source"), 4, 10).cast("int") * 4
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      t(s, d, "documents")
+        .where(bucket < pct)
+        .select(col("doc_id"), col("source"), pct.cast("int").as("weight_pct"))
+        .orderBy("doc_id")
+    }),
+
     // --- 80. MERGE with schema evolution, end-to-end oracle ---------------------------------------------
     // Runs the REAL evolving merge (the changeset ADDS priority_score; only
     // affected partitions rewrite with the wide footer, old files stay
@@ -1876,6 +1894,14 @@ object SparkEntry {
         |  CAST(16 + doc_id % 640 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q86_corpus_mix" ->
+      """SELECT doc_id, source,
+        |  CAST(5 + 4 * CAST(substr(source, 4) AS INT) AS INT) AS weight_pct
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |      < 5 + 4 * CAST(substr(source, 4) AS INT)
+        |ORDER BY doc_id""".stripMargin,
 
     "q84_chunk_tokens" ->
       """SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
