@@ -48,6 +48,15 @@ object SparkEntry {
     new SchemaCompiler(new ModelDirectory(tmp.toString)).compile("customer").constraints
   }
 
+  /** Portable 0-99 hash bucket of a column: first 8 md5 hex chars as a
+    * number, mod 100. Used by q58/q86 because the DuckDB oracle can compute
+    * the IDENTICAL expression (`('0x' || substr(md5(...),1,8))::BIGINT`),
+    * unlike xxhash64 (`Sampling.hashWeight`, Spark-only). Change both the
+    * two oracle SQL strings and this helper together.
+    */
+  private def md5Bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
   /** Synthetic binary PGM (P5) built per documents row: w = 4 + doc_id%13,
     * h = 3 + (doc_id*5)%11, pixel i = (doc_id + i) % 256 — shared by
     * q41/q79, and recomputed arithmetically (a THIRD time, by design) in
@@ -669,8 +678,7 @@ object SparkEntry {
     // pattern — md5 exists in every engine, so the split assignment of
     // every row is reproducible outside Spark (here: verified by DuckDB).
     "q58_hash_split" -> ((s, d) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      val bucket = md5Bucket(col("doc_id"))
       t(s, d, "documents").select(
           col("doc_id"),
           when(bucket < 80, "train").when(bucket < 90, "valid")
@@ -1103,7 +1111,7 @@ object SparkEntry {
         ceil(greatest(nTok - win, lit(0)).cast("double") / stride).cast("int"))
       t(s, d, "documents")
         .select(col("doc_id"), toks.as("toks"), nTok.as("n_tokens"),
-          posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "dummy")))
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           array_join(slice(col("toks"), col("chunk_idx") * stride + lit(1), lit(win)), " ")
             .as("chunk_text"),
@@ -1113,12 +1121,15 @@ object SparkEntry {
     }),
 
     // --- 85. sequence packing (token-budget binning for training batches) -------------------------------
-    // Packs documents (per language, in doc_id order) into training
-    // sequences of <= 4096 tokens via running-cumsum bucketing:
-    // seq_id = floor((cumsum - n) / 4096) gives contiguous bins where each
-    // document lands in the bin its PREFIX sum opens — the deterministic,
-    // shuffle-once approximation of greedy packing (exact greedy is
-    // inherently sequential; this is the scalable form, one window pass).
+    // Packs documents (per language, in doc_id order) into ~4096-token
+    // training sequences via running-cumsum bucketing: seq_id =
+    // floor((cumsum - n) / 4096) gives contiguous bins where each document
+    // lands in the bin its PREFIX sum opens — so a bin can exceed the
+    // budget by up to one document's tokens (its last document straddles
+    // the boundary). That overshoot is the price of the deterministic,
+    // shuffle-once one-window-pass form; exact greedy packing is
+    // inherently sequential. Callers needing a hard cap split or truncate
+    // the straddling document downstream.
     "q85_pack_sequences" -> ((s, d) => {
       val nTok = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
       val w = Window.partitionBy("lang").orderBy("doc_id")
@@ -1143,8 +1154,7 @@ object SparkEntry {
     // kept/dropped decision, not just the per-source counts.
     "q86_corpus_mix" -> ((s, d) => {
       val pct = lit(5) + substring(col("source"), 4, 10).cast("int") * 4
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      val bucket = md5Bucket(col("doc_id"))
       t(s, d, "documents")
         .where(bucket < pct)
         .select(col("doc_id"), col("source"), pct.cast("int").as("weight_pct"))
