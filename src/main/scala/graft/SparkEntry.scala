@@ -1161,6 +1161,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 87. VARIANT semi-structured path (Spark 4 native) ----------------------------------------------
+    // The Spark-4 semi-structured story: props parses ONCE into a VARIANT
+    // (binary-encoded, typed access without re-tokenizing the JSON string
+    // per field — the at-scale difference from get_json_object, which
+    // re-parses per extraction) and fields come out via typed variant_get.
+    // The DuckDB oracle extracts the same path with its JSON type.
+    "q87_variant_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
+        .orderBy("event_type")),
+
     // --- 80. MERGE with schema evolution, end-to-end oracle ---------------------------------------------
     // Runs the REAL evolving merge (the changeset ADDS priority_score; only
     // affected partitions rewrite with the wide footer, old files stay
@@ -1904,6 +1923,18 @@ object SparkEntry {
         |  CAST(16 + doc_id % 640 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q87_variant_json" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  COUNT(k) AS n_k,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  CAST(MIN(k) AS INT) AS k_min,
+        |  CAST(MAX(k) AS INT) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q86_corpus_mix" ->
       """SELECT doc_id, source,
