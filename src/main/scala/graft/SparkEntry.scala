@@ -1071,6 +1071,13 @@ object SparkEntry {
     // one pass forces Catalyst's Expand rewrite (one input row fans to one
     // row per distinct group) — the aggregation shape BI queries hit
     // constantly and the one most engines get subtly wrong under nulls.
+    // Measured trade-off (r4, min-of-3 at sf0.1): this one-scan Expand plan
+    // runs 1.46s vs 0.82s for two separate distinct aggs joined — Expand
+    // triples the shuffled rows, and on a NARROW table a second scan is
+    // cheaper than the 3x shuffle. At 100 TB the balance flips with table
+    // width (re-scanning a wide table costs more than the fan-out); the
+    // query deliberately keeps the Expand form because pinning THAT plan's
+    // correctness is its purpose (PlanSpec: Expand present, no self-join).
     "q82_multi_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
