@@ -75,6 +75,37 @@ object SparkEntry {
     unhex(concat(headerHex, rasterHex))
   }
 
+  /** Synthetic mono PCM WAV (s16le, 16 kHz) built per documents row:
+    * n_frames = 20 + doc_id%50; stored u16 of frame i is
+    * raw = (doc_id*7 + i*13) % 65536, so the DECODED sample is its
+    * two's-complement reading ((raw + 32768) % 65536 - 32768). Shared
+    * intent with [[syntheticPgm]]: q88's DuckDB oracle recomputes the same
+    * arithmetic, so a hash match proves the WAV decode (RIFF chunk walk,
+    * s16le two's-complement read, per-channel reduction) exactly inverts
+    * construction.
+    */
+  private def syntheticWav: org.apache.spark.sql.Column = {
+    val n = (lit(20) + col("doc_id") % 50).cast("long")
+    def leHex16(c: org.apache.spark.sql.Column) = concat(
+      lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"))
+    def leHex32(c: org.apache.spark.sql.Column) = concat(
+      leHex16(c.bitwiseAND(lit(65535L))),
+      leHex16(shiftright(c, 16).bitwiseAND(lit(65535L))))
+    val dataSize = n * 2
+    val header = concat(
+      lit("52494646"), leHex32(lit(36L) + dataSize), lit("57415645"), // RIFF/WAVE
+      lit("666D7420"), lit("10000000"), // "fmt ", size 16
+      lit("0100"), lit("0100"),         // PCM, mono
+      lit("803E0000"), lit("007D0000"), // 16000 Hz, 32000 B/s
+      lit("0200"), lit("1000"),         // block align 2, 16 bits
+      lit("64617461"), leHex32(dataSize)) // "data"
+    val samplesHex = array_join(
+      transform(sequence(lit(0L), n - lit(1L)),
+        i => leHex16((col("doc_id") * 7 + i * 13) % 65536)), "")
+    unhex(concat(header, samplesHex))
+  }
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1198,6 +1229,24 @@ object SparkEntry {
           max(col("k")).as("k_max"))
         .orderBy("event_type")),
 
+    // --- 88. REAL audio decode (PCM WAV) + amplitude stats, oracle-pinned -------------------------------
+    // The audio analog of q41: a mono s16le WAV is CONSTRUCTED per row
+    // (RIFF header + raw frames from doc_id arithmetic) and decoded back
+    // with the native codegen'd AudioStatsExpr. A hash match proves the
+    // chunk walk, the two's-complement sample read, and the one-pass
+    // reduction all exactly invert construction.
+    "q88_audio_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.audioStats(syntheticWav).as("au"))
+        .select(col("doc_id"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.n_frames").as("n_frames"),
+          col("au.c0_mean").as("amp_mean"),
+          col("au.c0_min").as("amp_min"),
+          col("au.c0_max").as("amp_max"))
+        .orderBy("doc_id")),
+
     // --- 80. MERGE with schema evolution, end-to-end oracle ---------------------------------------------
     // Runs the REAL evolving merge (the changeset ADDS priority_score; only
     // affected partitions rewrite with the wide footer, old files stay
@@ -1941,6 +1990,18 @@ object SparkEntry {
         |  CAST(16 + doc_id % 640 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Decoded s16le sample of stored u16 raw: ((raw + 32768) % 65536) - 32768.
+    "q88_audio_stats" ->
+      """SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  AVG(((doc_id*7 + i*13) % 65536 + 32768) % 65536 - 32768) AS amp_mean,
+        |  CAST(MIN(((doc_id*7 + i*13) % 65536 + 32768) % 65536 - 32768) AS INT) AS amp_min,
+        |  CAST(MAX(((doc_id*7 + i*13) % 65536 + 32768) % 65536 - 32768) AS INT) AS amp_max
+        |FROM (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i
+        |      FROM (SELECT doc_id, CAST(20 + doc_id % 50 AS BIGINT) AS n
+        |            FROM documents))
+        |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     "q87_variant_json" ->
       """SELECT event_type,

@@ -105,6 +105,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(bin) => ImagePixelStatsExpr(bin)
         case _ => throw new IllegalArgumentException("graft_pixel_stats(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_audio_stats"),
+      new ExpressionInfo(classOf[AudioStatsExpr].getName, "graft_audio_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => AudioStatsExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_audio_stats(binary)")
       })
   )
 

@@ -202,6 +202,92 @@ object MediaCodec {
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
       ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
 
+  /** Decoded uncompressed audio: per-channel sample statistics. */
+  final class AudioStats(
+      val sampleRate: Int, val channels: Int, val nFrames: Long,
+      val mean: Array[Double], val min: Array[Int], val max: Array[Int])
+
+  /** One-pass decode+reduce of a PCM WAV payload (RIFF container, 16-bit
+    * signed little-endian samples — THE interchange format whose "decode"
+    * is pure byte arithmetic, the audio analog of BMP/PGM). Walks the chunk
+    * list (fmt may be followed by LIST/fact/cue chunks before data), null
+    * for compressed/float/other-width WAVs and corrupt containers. O(1)
+    * heap; geometry math in LONG against crafted headers.
+    */
+  def decodeWav(b: Array[Byte]): AudioStats = {
+    if (b == null || b.length < 44) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var pos = 12
+    var channels = 0; var sampleRate = 0; var fmtSeen = false
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4).toLong & 0xFFFFFFFFL
+      val body = pos + 8
+      if (id == "fmt ") {
+        if (size < 16 || body + 16 > b.length) return null
+        val audioFormat = le16(b, body)
+        channels = le16(b, body + 2)
+        sampleRate = le32(b, body + 4)
+        val bitsPerSample = le16(b, body + 14)
+        // Only integer PCM s16le; compressed/float/other widths need a
+        // real codec and stay behind the mapPartitions seam.
+        if (audioFormat != 1 || bitsPerSample != 16) return null
+        if (channels < 1 || channels > 8 || sampleRate <= 0) return null
+        fmtSeen = true
+      } else if (id == "data") {
+        if (!fmtSeen) return null
+        if (body + size > b.length) return null // truncated data chunk
+        val bytesPerFrame = 2L * channels
+        val nFrames = size / bytesPerFrame
+        if (nFrames == 0) return null
+        val sum = new Array[Long](channels)
+        val min = Array.fill(channels)(Int.MaxValue)
+        val max = Array.fill(channels)(Int.MinValue)
+        var f = 0L
+        while (f < nFrames) {
+          var c = 0
+          var p = body + f * bytesPerFrame
+          while (c < channels) {
+            val v = ((b((p + 1).toInt) << 8) | (b(p.toInt) & 0xFF)).toShort.toInt
+            sum(c) += v
+            if (v < min(c)) min(c) = v
+            if (v > max(c)) max(c) = v
+            c += 1; p += 2
+          }
+          f += 1
+        }
+        return new AudioStats(sampleRate, channels, nFrames,
+          sum.map(_.toDouble / nFrames), min, max)
+      }
+      // Chunks are word-aligned: odd sizes carry a pad byte.
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || pos + step > Int.MaxValue) return null
+      pos += step.toInt
+    }
+    null // no data chunk
+  }
+
+  /** [[decodeWav]] marshalled for the catalyst expression: fixed 2-channel
+    * slots (c1 null for mono) so query output stays scalar columns.
+    */
+  def audioStats(bytes: Array[Byte]): InternalRow = {
+    val s = decodeWav(bytes)
+    if (s == null) return null
+    val out = new Array[Any](9)
+    out(0) = s.sampleRate; out(1) = s.channels; out(2) = s.nFrames
+    var c = 0
+    while (c < 2) {
+      if (c < s.channels) {
+        out(3 + 3 * c) = s.mean(c)
+        out(4 + 3 * c) = s.min(c)
+        out(5 + 3 * c) = s.max(c)
+      }
+      c += 1
+    }
+    new GenericInternalRow(out)
+  }
+
   private def parse(b: Array[Byte]): (String, Int, Int) = {
     if (b == null) return null
     // PNG: 8-byte signature, then the IHDR chunk (len + "IHDR" + w + h).
@@ -324,4 +410,39 @@ case class ImagePixelStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImagePixelStatsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_pixel_stats"
+}
+
+/** `binary` -> flat PCM-WAV statistics struct (NULL for anything
+  * [[MediaCodec.decodeWav]] rejects). Codegen'd one-pass decode+reduce, the
+  * audio analog of [[ImagePixelStatsExpr]]: amplitude stats over a petabyte
+  * audio corpus is a pruned scan with no codec, no UDF, no sample buffer.
+  * Fixed 2-channel slots (c1 NULL for mono) keep output columns scalar.
+  */
+case class AudioStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("c0_mean", DoubleType, nullable = false),
+    StructField("c0_min", IntegerType, nullable = false),
+    StructField("c0_max", IntegerType, nullable = false),
+    StructField("c1_mean", DoubleType, nullable = true),
+    StructField("c1_min", IntegerType, nullable = true),
+    StructField("c1_max", IntegerType, nullable = true)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.audioStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.audioStats($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_audio_stats"
 }

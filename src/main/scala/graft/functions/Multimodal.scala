@@ -86,6 +86,17 @@ object Multimodal {
       graft.expressions.ImagePixelStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** REAL audio decode + per-channel amplitude statistics for PCM WAV
+    * (s16le — the uncompressed interchange format), as a native codegen'd
+    * expression ([[graft.expressions.AudioStatsExpr]]). NULL for
+    * compressed/float audio — that needs a codec and belongs behind the
+    * [[decode]] mapPartitions seam.
+    */
+  def audioStats(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AudioStatsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** The decode + feature-extraction seam, `mapPartitions`-shaped so a heavy
     * codec (JNI decoder, ONNX runtime) initializes once per partition, not
     * once per row.

@@ -149,5 +149,15 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(m.getString(0) == "pgm" && m.getInt(1) == 2)
     assert(m.getDouble(2) == 42.0 && m.getInt(3) == 42)
     assert(m.getString(4) == "pgm")
+    // Audio: 44-byte mono 16 kHz header + one zero frame.
+    val a = spark.sql(
+      """SELECT graft_audio_stats(unhex(concat(
+        |  '52494646', '26000000', '57415645',
+        |  '666D7420', '10000000', '0100', '0100',
+        |  '803E0000', '007D0000', '0200', '1000',
+        |  '64617461', '02000000', '0000'))) AS au
+        |""".stripMargin)
+      .selectExpr("au.sample_rate", "au.n_frames", "au.c0_mean").collect()(0)
+    assert(a.getInt(0) == 16000 && a.getLong(1) == 1L && a.getDouble(2) == 0.0)
   }
 }

@@ -259,11 +259,69 @@ class MultimodalSpec extends SparkTestBase {
     assert(line.contains("*("), plan)
   }
 
+  /** Minimal PCM WAV: RIFF + fmt (+ optional LIST filler) + data. Samples
+    * per channel in frame order.
+    */
+  private def wav(rate: Int, samples: Array[Array[Int]],
+      extraChunk: Boolean = false, bits: Int = 16, fmtCode: Int = 1): Array[Byte] = {
+    val channels = samples.length
+    val frames = samples(0).length
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int) = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+    def tag(s: String) = out.write(s.getBytes("US-ASCII"))
+    val dataSize = frames * channels * 2
+    val listSize = if (extraChunk) 8 + 6 else 0 // odd body: tests pad byte
+    tag("RIFF"); le32(36 + listSize + dataSize); tag("WAVE")
+    tag("fmt "); le32(16); le16(fmtCode); le16(channels); le32(rate)
+    le32(rate * channels * 2); le16(channels * 2); le16(bits)
+    if (extraChunk) { tag("LIST"); le32(5); out.write("INFOx".getBytes); out.write(0) }
+    tag("data"); le32(dataSize)
+    for (f <- 0 until frames; c <- 0 until channels) le16(samples(c)(f) & 0xFFFF)
+    out.toByteArray
+  }
+
+  test("decodeWav: exact per-channel stats, chunk walking, rejection of non-s16le") {
+    import graft.expressions.MediaCodec
+    // Stereo with an odd-sized LIST chunk between fmt and data (pad byte
+    // must be skipped or the data tag is misread).
+    val left = Array(-32768, 0, 100, 32767)
+    val right = Array(5, 5, 5, 5)
+    val s = MediaCodec.decodeWav(wav(16000, Array(left, right), extraChunk = true))
+    assert(s != null && s.sampleRate == 16000 && s.channels == 2 && s.nFrames == 4)
+    assert(s.min(0) == -32768 && s.max(0) == 32767)
+    assert(s.mean(0) == (-32768 + 0 + 100 + 32767) / 4.0)
+    assert(s.mean(1) == 5.0 && s.min(1) == 5 && s.max(1) == 5)
+    // Mono.
+    val m = MediaCodec.decodeWav(wav(8000, Array(Array(-1, 1))))
+    assert(m != null && m.channels == 1 && m.mean(0) == 0.0)
+    // Rejected: 8-bit, float (fmt 3), truncated data, junk, data before fmt.
+    assert(MediaCodec.decodeWav(wav(8000, Array(Array(1)), bits = 8)) == null)
+    assert(MediaCodec.decodeWav(wav(8000, Array(Array(1)), fmtCode = 3)) == null)
+    assert(MediaCodec.decodeWav(wav(8000, Array(Array(1, 2))).dropRight(1)) == null)
+    assert(MediaCodec.decodeWav("RIFFxxxxWAVEjunkjunkjunkjunkjunkjunkjunkjunk"
+      .getBytes("US-ASCII")) == null)
+    assert(MediaCodec.decodeWav(null) == null)
+  }
+
+  test("audioStats expression decodes WAVs inside a Spark plan; junk NULLs") {
+    val rows = Seq(
+      (1L, wav(16000, Array(Array(10, 20, 30)))),
+      (2L, "not audio at all".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+      .select(col("id"), Multimodal.audioStats(col("payload")).as("au"))
+      .selectExpr("id", "au.n_frames", "au.c0_mean", "au.c1_mean")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows(1L) == (Some(3L), Some(20.0), None)) // mono: c1 slot NULL
+    assert(rows(2L) == (None, None, None))
+  }
+
   test("decodePixels is total: 10k seeded random/mutated payloads never throw") {
     import graft.expressions.MediaCodec
     val rng = new java.util.Random(42)
     val magics = Seq("P5".getBytes, "P6".getBytes, "BM".getBytes,
-      Array[Byte](0x42, 0x4D), Array.emptyByteArray)
+      "RIFF".getBytes, "RIFFxxxxWAVE".getBytes, Array.emptyByteArray)
     (1 to 10000).foreach { i =>
       val len = rng.nextInt(200)
       val b = new Array[Byte](len)
@@ -275,6 +333,7 @@ class MultimodalSpec extends SparkTestBase {
       System.arraycopy(magic, 0, b, 0, math.min(magic.length, len))
       val s = MediaCodec.decodePixels(b) // must return stats or null, never throw
       val hd = MediaCodec.imageHeader(b) // same totality contract
+      MediaCodec.decodeWav(b)            // and the audio decoder too
       if (s != null) {
         assert(s.width > 0 && s.height > 0)
         // A decodable raster always has a parseable header, with the SAME
