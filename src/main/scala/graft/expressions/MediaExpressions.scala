@@ -221,21 +221,30 @@ object MediaCodec {
     var pos = 12
     var channels = 0; var sampleRate = 0; var fmtSeen = false
     while (pos + 8 <= b.length) {
-      val id = new String(b, pos, 4, "US-ASCII")
+      // Chunk ids compared as raw bytes (the convention every parser in
+      // this file uses) — a String per chunk would be per-row garbage
+      // inside a WholeStageCodegen stage.
+      val isFmt = b(pos) == 'f' && b(pos + 1) == 'm' &&
+        b(pos + 2) == 't' && b(pos + 3) == ' '
+      val isData = b(pos) == 'd' && b(pos + 1) == 'a' &&
+        b(pos + 2) == 't' && b(pos + 3) == 'a'
       val size = le32(b, pos + 4).toLong & 0xFFFFFFFFL
       val body = pos + 8
-      if (id == "fmt ") {
+      if (isFmt) {
         if (size < 16 || body + 16 > b.length) return null
         val audioFormat = le16(b, body)
         channels = le16(b, body + 2)
         sampleRate = le32(b, body + 4)
         val bitsPerSample = le16(b, body + 14)
         // Only integer PCM s16le; compressed/float/other widths need a
-        // real codec and stay behind the mapPartitions seam.
+        // real codec and stay behind the mapPartitions seam. Channels
+        // capped at 2 — the output struct has mono/stereo slots, and
+        // silently dropping surround channels' stats would misrepresent
+        // the decode.
         if (audioFormat != 1 || bitsPerSample != 16) return null
-        if (channels < 1 || channels > 8 || sampleRate <= 0) return null
+        if (channels < 1 || channels > 2 || sampleRate <= 0) return null
         fmtSeen = true
-      } else if (id == "data") {
+      } else if (isData) {
         if (!fmtSeen) return null
         if (body + size > b.length) return null // truncated data chunk
         val bytesPerFrame = 2L * channels
@@ -260,9 +269,11 @@ object MediaCodec {
         return new AudioStats(sampleRate, channels, nFrames,
           sum.map(_.toDouble / nFrames), min, max)
       }
-      // Chunks are word-aligned: odd sizes carry a pad byte.
+      // Chunks are word-aligned: odd sizes carry a pad byte. size is an
+      // unsigned 32-bit value, so step is always >= 8; only the int-index
+      // upper bound needs guarding.
       val step = 8L + size + (size & 1L)
-      if (step <= 0 || pos + step > Int.MaxValue) return null
+      if (pos + step > Int.MaxValue) return null
       pos += step.toInt
     }
     null // no data chunk

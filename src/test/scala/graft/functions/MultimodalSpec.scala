@@ -295,7 +295,11 @@ class MultimodalSpec extends SparkTestBase {
     // Mono.
     val m = MediaCodec.decodeWav(wav(8000, Array(Array(-1, 1))))
     assert(m != null && m.channels == 1 && m.mean(0) == 0.0)
-    // Rejected: 8-bit, float (fmt 3), truncated data, junk, data before fmt.
+    // Rejected: >2 channels (the output struct has mono/stereo slots;
+    // dropping surround channels' stats would misrepresent the decode),
+    // 8-bit, float (fmt 3), truncated data, junk, data before fmt.
+    assert(MediaCodec.decodeWav(
+      wav(8000, Array.fill(6)(Array(1, 2)))) == null)
     assert(MediaCodec.decodeWav(wav(8000, Array(Array(1)), bits = 8)) == null)
     assert(MediaCodec.decodeWav(wav(8000, Array(Array(1)), fmtCode = 3)) == null)
     assert(MediaCodec.decodeWav(wav(8000, Array(Array(1, 2))).dropRight(1)) == null)
