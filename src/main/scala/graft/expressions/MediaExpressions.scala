@@ -73,10 +73,17 @@ object MediaCodec {
     if (hd == null) return null
     val channels = if (b(1) == '5') 1 else 3
     val Array(w, h, _, pos) = hd
-    val n = w.toLong * h.toLong * channels
+    // Same hardening as BMP: one row alone exceeding the payload rejects
+    // early AND caps rowStride at b.length (< 2^31), so w*h*channels below
+    // stays < 2^62 — header fields are attacker-controlled, and without the
+    // cap w = h = Int.MaxValue wraps the Long product negative, passes the
+    // bounds check, and crashes scanInterleaved instead of returning null.
+    val rowStrideL = w.toLong * channels
+    if (rowStrideL > b.length) return null
+    val n = rowStrideL * h
     if (pos + n > b.length) return null // truncated raster
     scanInterleaved(if (channels == 1) "pgm" else "ppm", b, pos, w, h,
-      channels, rowStride = w * channels, bgr = false)
+      channels, rowStride = rowStrideL.toInt, bgr = false)
   }
 
   /** Parse a binary-PNM header: returns (width, height, maxval, rasterOffset)
@@ -139,7 +146,11 @@ object MediaCodec {
     // the bounds check (w = h = Int.MaxValue would otherwise do exactly
     // that).
     if (rowStrideL > b.length) return null
-    if (dataOff < 14 + dibSize ||
+    // Compare in LONG: `14 + dibSize` in int wraps negative for dibSize
+    // near Int.MaxValue, letting a negative dataOff (le32 with the high bit
+    // set) through to index b(negative). toLong on dataOff also makes the
+    // negative case fail the first comparison directly.
+    if (dataOff.toLong < 14L + dibSize ||
         dataOff.toLong + rowStrideL * hL > b.length) return null
     scanInterleaved("bmp", b, dataOff, w, hL.toInt, 3, rowStrideL.toInt, bgr = true)
   }

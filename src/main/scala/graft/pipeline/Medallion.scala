@@ -195,6 +195,18 @@ object Medallion {
     val isDel = deleteCol.map(c => col(c) === true).getOrElse(lit(false))
     val upsertsAll = changes.where(!isDel)
 
+    // Changeset-contract checks that need only `changes` run BEFORE any
+    // early-return branch (first load, emptied-and-vacuumed table): those
+    // paths write the changeset AS the table, and a duplicate-keyed
+    // changeset would silently commit duplicate rows per key — the exact
+    // order-ambiguity the documented contract rejects on every other path.
+    require(partitionBy.forall(dataCols.contains),
+      "changeset must carry the partition columns")
+    val dupKeys = changes.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"changeset has duplicate keys on (${keys.mkString(",")}): MERGE would be order-ambiguous")
+
     if (!fs.exists(src)) {
       // First load: the changeset IS the table (deletes drop out).
       writeTable(upsertsAll.select(dataCols.map(col): _*), path, partitionBy, format)
@@ -254,12 +266,6 @@ object Medallion {
     }
     require(partitionBy.forall(target.columns.contains),
       "partitionBy must be target columns")
-    require(partitionBy.forall(dataCols.contains),
-      "changeset must carry the partition columns")
-    val dupKeys = changes.groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"changeset has duplicate keys on (${keys.mkString(",")}): MERGE would be order-ambiguous")
 
     // Evolved layout: target columns first (stable order), appended by the
     // changeset-only columns. Without evolution both lists are equal and

@@ -78,22 +78,32 @@ object Snapshot {
     next
   }
 
+  /** Thrown when a concurrent writer committed the version this writer
+    * computed — the caller must re-read the new current version, recompute,
+    * and retry (see [[Medallion.merge]]'s bounded retry loop).
+    */
+  final class CommitConflictException(msg: String) extends java.io.IOException(msg)
+
   /** Publish `files` at an EXPLICIT version — the optimistic-concurrency
     * commit: a writer that read version v must publish v+1, so a concurrent
-    * writer that committed v+1 in between surfaces as "already exists"
-    * instead of being silently overwritten by a commit computed from stale
-    * state. (On filesystems whose rename overwrites — local posix — the
-    * exists() pre-check is the detection; on HDFS the no-overwrite rename
-    * makes it atomic.)
+    * writer that committed v+1 in between surfaces as a
+    * [[CommitConflictException]] instead of being silently overwritten by a
+    * commit computed from stale state.
+    *
+    * The commit must be ATOMIC no-overwrite, which plain rename is not on
+    * local posix (rename(2) replaces an existing destination — an
+    * exists() pre-check is a TOCTOU and two racers could both "succeed",
+    * silently losing one commit). On `file:` the content is staged to a
+    * writer-unique tmp and committed with `Files.createLink` — hard-link
+    * creation fails with EEXIST atomically in the kernel, the classic
+    * lock-file primitive. Elsewhere (HDFS and friends) rename-without-
+    * overwrite is atomic by contract and the rename's boolean is the
+    * verdict.
     */
   def publishVersion(fs: FileSystem, root: Path, files: Seq[String], version: Long): Unit = {
     val dst = new Path(root, s"$Prefix$version")
-    if (fs.exists(dst))
-      throw new java.io.IOException(
-        s"snapshot publish: version $version of $root already exists — " +
-          "a concurrent writer committed first; re-read and retry")
     // Writer-unique tmp: two racers publishing the same version must not
-    // share a staging file, or one's rename could promote the OTHER's
+    // share a staging file, or one's commit could promote the OTHER's
     // content and both "succeed".
     val tmp = new Path(root,
       s"$Prefix$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -103,10 +113,29 @@ object Snapshot {
     // empty table — never as "no manifest, fall back to a raw listing".
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, dst)) {
+    if ("file" == fs.getUri.getScheme) {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      try Files.createLink(Paths.get(dst.toUri.getPath), Paths.get(tmp.toUri.getPath))
+      catch {
+        case _: FileAlreadyExistsException =>
+          fs.delete(tmp, true)
+          throw new CommitConflictException(
+            s"snapshot publish: version $version of $root already exists — " +
+              "a concurrent writer committed first; re-read and retry")
+      }
       fs.delete(tmp, true)
-      throw new java.io.IOException(
-        s"snapshot publish: lost the race for manifest version $version of $root")
+    } else {
+      if (fs.exists(dst)) { // fast-path detection; the rename is the verdict
+        fs.delete(tmp, true)
+        throw new CommitConflictException(
+          s"snapshot publish: version $version of $root already exists — " +
+            "a concurrent writer committed first; re-read and retry")
+      }
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, true)
+        throw new CommitConflictException(
+          s"snapshot publish: lost the race for manifest version $version of $root")
+      }
     }
   }
 
@@ -209,8 +238,12 @@ object Snapshot {
     * then delete data files referenced by NO retained manifest — a version
     * that survives vacuum stays fully readable (time travel to any retained
     * version is never broken by a vacuum, the invariant Delta's
-    * retention-window vacuum keeps). Run OUT-OF-BAND once in-flight readers
-    * of dropped versions have drained. Returns the deleted data-file paths.
+    * retention-window vacuum keeps). Run OUT-OF-BAND: once in-flight
+    * readers of dropped versions have drained, AND with no writer mid-
+    * commit — a writer that has moved files in but not yet published
+    * references them from no manifest, so a concurrent vacuum would delete
+    * them out from under the commit (same single-maintainer rule as Delta's
+    * vacuum). Returns the deleted data-file paths.
     */
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "vacuum must retain at least the current version")

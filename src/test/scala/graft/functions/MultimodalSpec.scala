@@ -221,6 +221,25 @@ class MultimodalSpec extends SparkTestBase {
       c(24) = 0xFF.toByte; c(25) = 0x7F.toByte // h = Int.MaxValue
       c
     }) == null)
+    // dibSize near Int.MaxValue wraps `14 + dibSize` in int arithmetic to a
+    // large NEGATIVE number, so a negative dataOff (-100) passes the old int
+    // comparison and indexes b(-100): the guard must compare in long.
+    assert(MediaCodec.decodePixels(withLe32(14, Int.MaxValue) // dibSize
+      .patch(10, withLe32(10, -100).slice(10, 14), 4)) == null) // dataOff = -100
+  }
+
+  test("decodePixels PPM: crafted w*h*3 Long-overflow header nulls, not crashes") {
+    import graft.expressions.MediaCodec
+    // 1.8e9 x 1.8e9 x 3 = 9.72e18 > Long.MaxValue: the product wraps
+    // negative and passes `pos + n > b.length` unless the per-row stride is
+    // capped at the payload length first (the BMP guard, mirrored).
+    val crafted = "P6\n1800000000 1800000000\n255\n".getBytes("US-ASCII") ++
+      new Array[Byte](64)
+    assert(MediaCodec.decodePixels(crafted) == null)
+    // And the PGM single-row wrap: w alone near Int.MaxValue.
+    val wide = s"P5\n${Int.MaxValue} 2\n255\n".getBytes("US-ASCII") ++
+      new Array[Byte](64)
+    assert(MediaCodec.decodePixels(wide) == null)
   }
 
   test("imageHeader also recognizes pgm/ppm/bmp headers") {

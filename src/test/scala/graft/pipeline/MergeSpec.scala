@@ -124,6 +124,32 @@ class MergeSpec extends SparkTestBase {
     assert(e.getMessage.contains("duplicate keys"))
   }
 
+  test("first load and emptied-snapshot reload reject duplicate keys too") {
+    // The early-return paths write the changeset AS the table — committing
+    // a duplicate-keyed changeset there would silently produce duplicate
+    // rows per key, the exact ambiguity every other merge path rejects.
+    val path = tmpDir()
+    val dup = Seq((1L, "a", 1.0), (1L, "a", 2.0)).toDF("id", "part", "v")
+    val e = intercept[IllegalArgumentException] {
+      Medallion.merge(spark, path, dup, Seq("id"), Seq("part"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    assert(!Files.exists(JPath.of(path)), "rejected first load must not write")
+    // Emptied-and-vacuumed snapshot table: wipe every row, vacuum to one
+    // version, then reload with a duplicate-keyed changeset — same guard.
+    Medallion.writeTable(Seq((1L, "a", 1.0)).toDF("id", "part", "v"), path, Seq("part"))
+    Medallion.merge(spark, path,
+      Seq((1L, "a", 1.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"), snapshot = true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.vacuum(fs, root, keepVersions = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      Medallion.merge(spark, path, dup, Seq("id"), Seq("part"))
+    }
+    assert(e2.getMessage.contains("duplicate keys"))
+  }
+
   test("changeset schema must match the target's columns") {
     val path = tmpDir()
     Medallion.writeTable(base(), path, Seq("part"))
