@@ -106,6 +106,51 @@ object SparkEntry {
     unhex(concat(header, samplesHex))
   }
 
+  /** Synthetic 8-bit grayscale PNG built per documents row, exercising the
+    * REAL inflate+unfilter decode path (q89). Geometry: w = 3 + doc_id%5,
+    * h = 3, c = 1 + doc_id%20. The three scanlines use three different
+    * filters so the oracle pins the unfilter arithmetic, with closed-form
+    * decoded values:
+    *   row0 None: stored (doc_id+x)%256          -> pixel (doc_id+x)%256
+    *   row1 Sub:  stored c per byte              -> pixel c*(x+1)
+    *   row2 Up:   stored 5 per byte              -> pixel c*(x+1)+5
+    * The IDAT deflate stream uses a STORED (uncompressed) block, so
+    * construction is deterministic byte arithmetic; chunk CRCs and the
+    * adler32 are zeroed — the decoder documents checksum leniency, which is
+    * what keeps this constructible in SQL. q89's DuckDB oracle recomputes
+    * the same closed forms: a hash match proves the zlib framing walk, the
+    * stored-block inflate, and Sub/Up unfiltering invert construction.
+    */
+  private def syntheticPng: org.apache.spark.sql.Column = {
+    val w = (lit(3) + col("doc_id") % 5).cast("int")
+    val c = (lit(1) + col("doc_id") % 20).cast("int")
+    def beHex32(col: org.apache.spark.sql.Column) = lpad(hex(col), 8, "0")
+    def leHex16(col: org.apache.spark.sql.Column) = concat(
+      lpad(hex(col.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(col, 8).bitwiseAND(lit(255))), 2, "0"))
+    val dLen = (lit(1) + w) * 3 // 3 scanlines of (filter byte + w samples)
+    val row0 = concat(lit("00"), array_join(
+      transform(sequence(lit(0), w - 1),
+        x => lpad(hex((col("doc_id") + x) % 256), 2, "0")), ""))
+    val row1 = concat(lit("01"), array_join(
+      transform(sequence(lit(1), w), _ => lpad(hex(c), 2, "0")), ""))
+    val row2 = concat(lit("02"), array_join(
+      transform(sequence(lit(1), w), _ => lit("05")), ""))
+    unhex(concat(
+      lit("89504E470D0A1A0A"),                    // signature
+      lit("0000000D"), lit("49484452"),           // IHDR len + type
+      beHex32(w), lit("00000003"),                // width, height = 3
+      lit("0800000000"),                          // 8-bit gray, no interlace
+      lit("00000000"),                            // IHDR crc (unverified)
+      beHex32(dLen + 11), lit("49444154"),        // IDAT len + type
+      lit("7801"),                                // zlib CMF/FLG
+      lit("01"), leHex16(dLen), leHex16(lit(65535) - dLen), // stored block
+      row0, row1, row2,
+      lit("00000000"),                            // adler32 (unverified)
+      lit("00000000"),                            // IDAT crc (unverified)
+      lit("0000000049454E4400000000")))           // IEND
+  }
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1071,13 +1116,17 @@ object SparkEntry {
 
     // --- 79. multimodal decode seam (mapPartitions; no SQL oracle) --------------------------------------
     // Exercises the per-partition-init decode seam over a MIXED corpus:
-    // even doc_ids carry a real PGM payload (decoded for real — leading
-    // feature dims are actual width/height/channel stats), odd doc_ids carry
-    // raw text bytes (fallback byte-statistics path). Feature dims project
-    // to scalar columns: the driver's rows-only check sorts every column,
-    // and a raw array<float> column crashes its pandas lexsort.
+    // doc_id%3==0 carries a real PGM payload and doc_id%3==1 a real
+    // COMPRESSED PNG (both decoded for real — leading feature dims are
+    // actual width/height/channel stats; PNG through the full
+    // inflate+unfilter path, so the fallback no longer fires for it);
+    // doc_id%3==2 carries raw text bytes (fallback byte-statistics path).
+    // Feature dims project to scalar columns: the driver's rows-only check
+    // sorts every column, and a raw array<float> column crashes its pandas
+    // lexsort.
     "q79_media_decode_seam" -> ((s, d) => {
-      val payload = when(col("doc_id") % 2 === 0, syntheticPgm)
+      val payload = when(col("doc_id") % 3 === 0, syntheticPgm)
+        .when(col("doc_id") % 3 === 1, syntheticPng)
         .otherwise(col("text").cast("binary"))
       val feats = Multimodal.decode(
         t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
@@ -1245,6 +1294,26 @@ object SparkEntry {
           col("au.c0_mean").as("amp_mean"),
           col("au.c0_min").as("amp_min"),
           col("au.c0_max").as("amp_max"))
+        .orderBy("doc_id")),
+
+    // --- 89. REAL PNG pixel decode (inflate + unfilter), oracle-pinned ----------------------------------
+    // The compressed-format milestone: a PNG is CONSTRUCTED per row (stored
+    // deflate block, three scanlines under three different filters — see
+    // syntheticPng) and decoded back through the full zlib+unfilter path of
+    // the native codegen'd ImagePixelStatsExpr. The DuckDB oracle recomputes
+    // the decoded pixels' closed forms: a hash match proves the chunk walk,
+    // the Inflater plumbing, and the Sub/Up filter inversions are exact.
+    "q89_png_decode" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.pixelStats(syntheticPng).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("px_mean"),
+          col("px.c0_min").as("px_min"),
+          col("px.c0_max").as("px_max"))
         .orderBy("doc_id")),
 
     // --- 80. MERGE with schema evolution, end-to-end oracle ---------------------------------------------
@@ -2002,6 +2071,29 @@ object SparkEntry {
         |      FROM (SELECT doc_id, CAST(20 + doc_id % 50 AS BIGINT) AS n
         |            FROM documents))
         |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the constructed PNG's DECODED pixels' closed forms over a
+    // lateral generate_series (q41 pattern): row0 None = (doc_id+x)%256,
+    // row1 Sub = c*(x+1), row2 Up = c*(x+1)+5, for x in [0, w). Sums are
+    // integer-valued and < 2^53, so double AVG over 3w pixels is exact on
+    // both engines.
+    "q89_png_decode" ->
+      """SELECT doc_id, 'png' AS fmt, w AS width, CAST(3 AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  (SUM((doc_id + x) % 256) + SUM(c*(x+1)) + SUM(c*(x+1)+5))
+        |    / (3.0 * w) AS px_mean,
+        |  CAST(LEAST(MIN((doc_id + x) % 256), MIN(c*(x+1)), MIN(c*(x+1)+5))
+        |    AS INT) AS px_min,
+        |  CAST(GREATEST(MAX((doc_id + x) % 256), MAX(c*(x+1)), MAX(c*(x+1)+5))
+        |    AS INT) AS px_max
+        |FROM (SELECT doc_id, w, c,
+        |        UNNEST(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+        |      FROM (SELECT doc_id,
+        |              CAST(3 + doc_id % 5 AS INT) AS w,
+        |              CAST(1 + doc_id % 20 AS INT) AS c
+        |            FROM documents))
+        |GROUP BY doc_id, w, c
+        |ORDER BY doc_id""".stripMargin,
 
     "q87_variant_json" ->
       """SELECT event_type,

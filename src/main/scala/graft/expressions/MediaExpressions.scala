@@ -15,10 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    image corpus by dimensions never touches a decoder;
   *  - FULL pixel decode + one-pass per-channel statistics for the
   *    uncompressed formats (PGM P5, PPM P6, 24-bit BI_RGB BMP), whose
-  *    samples are raw bytes.
-  * Compressed-pixel decode (PNG/JPEG bitstreams) requires a codec library
-  * not present here and stays behind the [[graft.functions.Multimodal.decode]]
-  * mapPartitions seam.
+  *    samples are raw bytes, AND for PNG — zlib inflate is
+  *    `java.util.zip.Inflater` (in the JDK) and row unfiltering is byte
+  *    arithmetic, so "no codec library" does not block it.
+  * Only formats whose entropy coding has no JDK primitive (JPEG's DCT, GIF's
+  * LZW) stay behind the [[graft.functions.Multimodal.decode]] mapPartitions
+  * seam.
   */
 object MediaCodec {
   private val pngSig =
@@ -42,25 +44,174 @@ object MediaCodec {
     else new GenericInternalRow(Array[Any](UTF8String.fromString(r._1), r._2, r._3))
   }
 
-  /** One-pass per-channel pixel statistics of an UNCOMPRESSED image payload
-    * (PGM P5 / PPM P6 / 24-bit BI_RGB BMP — public formats whose samples are
-    * raw bytes, so decode is pure JVM arithmetic, no codec library). Null for
-    * anything else — compressed formats (PNG/JPEG/GIF) stay behind the
-    * [[graft.functions.Multimodal]] mapPartitions seam where a real codec
-    * would plug in.
+  /** One-pass per-channel pixel statistics of an image payload whose decode
+    * is pure JVM (PGM P5 / PPM P6 / 24-bit BI_RGB BMP raw rasters, and PNG
+    * via the JDK's Inflater). Null for anything else — JPEG/GIF entropy
+    * coding stays behind the [[graft.functions.Multimodal]] mapPartitions
+    * seam where a real codec would plug in.
     */
   final class PixelStats(
       val format: String, val width: Int, val height: Int, val channels: Int,
       val mean: Array[Double], val min: Array[Int], val max: Array[Int])
 
   /** Decode + reduce in one pass; never materializes a pixel matrix, so a
-    * 100 MB frame costs O(1) heap beyond the payload itself.
+    * 100 MB frame costs O(1) heap beyond the payload itself (PNG: O(2 rows)
+    * for the unfilter window).
     */
   def decodePixels(b: Array[Byte]): PixelStats = {
     if (b == null || b.length < 2) return null
     if (b(0) == 'P' && (b(1) == '5' || b(1) == '6')) return decodePnm(b)
     if (b(0) == 'B' && b(1) == 'M') return decodeBmp(b)
+    if (b.length >= 33 && pngSig.indices.forall(i => b(i) == pngSig(i)))
+      return decodePng(b)
     null
+  }
+
+  /** REAL PNG pixel decode + one-pass stats, pure JDK: IDAT chunks are one
+    * zlib stream ([[java.util.zip.Inflater]]), each scanline is a filter
+    * byte + filtered samples, unfiltered against the previous row
+    * (None/Sub/Up/Average/Paeth — byte arithmetic). Supported: 8-bit
+    * greyscale / grey+alpha / RGB / RGBA, non-interlaced — the overwhelming
+    * share of real corpora; palette, 16-bit, and Adam7 return null and take
+    * the decode seam.
+    *
+    * Memory is O(2 scanlines) regardless of image size — the stats reduce
+    * consumes each row as it inflates; no pixel matrix exists. A row-byte
+    * cap (64 MiB) bounds what a crafted header can make the decoder
+    * allocate BEFORE any pixel data is seen. Checksums (per-chunk CRC32,
+    * zlib adler32) are deliberately NOT verified: a stats scan treats a
+    * bit-rotted-but-decodable payload as data, and strict validation
+    * belongs to ingest DQ, not the hot decode loop.
+    */
+  private def decodePng(b: Array[Byte]): PixelStats = {
+    // IHDR must be the first chunk, directly after the 8-byte signature.
+    if (be32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' ||
+        b(15) != 'R') return null
+    val w = be32(b, 16); val h = be32(b, 20)
+    val bitDepth = b(24) & 0xFF; val colorType = b(25) & 0xFF
+    val compression = b(26) & 0xFF; val filterMethod = b(27) & 0xFF
+    val interlace = b(28) & 0xFF
+    if (w <= 0 || h <= 0) return null // be32 < 0 covers > 2^31-1 fields
+    if (bitDepth != 8 || compression != 0 || filterMethod != 0 ||
+        interlace != 0) return null
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return null // palette needs PLTE indirection: decode seam
+    }
+    val rowBytesL = w.toLong * channels
+    if (rowBytesL > (1 << 26)) return null // allocation cap, crafted headers
+    val rowBytes = rowBytesL.toInt
+
+    // Walk the chunk list collecting IDAT (offset, len) ranges. All bounds
+    // math in LONG: len fields are attacker-controlled be32.
+    var idat = List.empty[(Int, Int)]
+    var pos = 8L
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = be32(b, pos.toInt).toLong & 0xFFFFFFFFL
+      val end = pos + 8 + len + 4 // data + crc
+      if (end > b.length) return null // truncated chunk
+      val isIdat = b(pos.toInt + 4) == 'I' && b(pos.toInt + 5) == 'D' &&
+        b(pos.toInt + 6) == 'A' && b(pos.toInt + 7) == 'T'
+      val isIend = b(pos.toInt + 4) == 'I' && b(pos.toInt + 5) == 'E' &&
+        b(pos.toInt + 6) == 'N' && b(pos.toInt + 7) == 'D'
+      if (isIdat && len > 0) idat ::= ((pos.toInt + 8, len.toInt))
+      if (isIend) done = true
+      pos = end
+    }
+    val ranges = idat.reverse.toArray
+    if (ranges.isEmpty) return null
+
+    // The concatenated IDAT payload is one zlib stream: 2-byte header
+    // (CM must be 8 = deflate; a preset dictionary cannot be honored),
+    // then raw deflate. Inflate raw (nowrap) so the unverified adler32
+    // tail never gates the decode.
+    val first = b(ranges(0)._1) & 0xFF
+    if ((first & 0x0F) != 8) return null
+    // FLG byte may start the second chunk when the first IDAT is 1 byte.
+    val flgAt =
+      if (ranges(0)._2 >= 2) ranges(0)._1 + 1
+      else if (ranges.length > 1) ranges(1)._1
+      else return null
+    if ((b(flgAt) & 0x20) != 0) return null // FDICT: no dictionary to offer
+
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      var ri = 0          // next range to feed
+      var skip = 2        // zlib header bytes to drop from the stream head
+      def feed(): Boolean = {
+        while (ri < ranges.length) {
+          var (off, len) = ranges(ri); ri += 1
+          val s = math.min(skip, len); off += s; len -= s; skip -= s
+          if (len > 0) { inf.setInput(b, off, len); return true }
+        }
+        false
+      }
+      val cur = new Array[Byte](rowBytes + 1) // filter byte + samples
+      val prev = new Array[Byte](rowBytes)    // zero-initialized: PNG's row -1
+      val sum = new Array[Long](channels)
+      val min = Array.fill(channels)(255)
+      val max = Array.fill(channels)(0)
+      var row = 0
+      while (row < h) {
+        var got = 0
+        while (got < cur.length) {
+          val n = inf.inflate(cur, got, cur.length - got)
+          if (n == 0) {
+            if (inf.finished() || inf.needsDictionary()) return null
+            if (inf.needsInput() && !feed()) return null // truncated stream
+          } else got += n
+        }
+        val filter = cur(0) & 0xFF
+        var i = 0
+        filter match {
+          case 0 => // None
+          case 1 => // Sub: add left neighbor (bpp = channels at 8-bit)
+            i = channels
+            while (i < rowBytes) {
+              cur(1 + i) = (cur(1 + i) + cur(1 + i - channels)).toByte; i += 1
+            }
+          case 2 => // Up: add previous row
+            while (i < rowBytes) {
+              cur(1 + i) = (cur(1 + i) + prev(i)).toByte; i += 1
+            }
+          case 3 => // Average of left and up (floor)
+            while (i < rowBytes) {
+              val a = if (i >= channels) cur(1 + i - channels) & 0xFF else 0
+              cur(1 + i) = (cur(1 + i) + ((a + (prev(i) & 0xFF)) >> 1)).toByte
+              i += 1
+            }
+          case 4 => // Paeth predictor
+            while (i < rowBytes) {
+              val a = if (i >= channels) cur(1 + i - channels) & 0xFF else 0
+              val up = prev(i) & 0xFF
+              val c = if (i >= channels) prev(i - channels) & 0xFF else 0
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+              cur(1 + i) = (cur(1 + i) + pred).toByte
+              i += 1
+            }
+          case _ => return null // corrupt filter byte
+        }
+        i = 0
+        while (i < rowBytes) {
+          val v = cur(1 + i) & 0xFF
+          val ch = i % channels
+          sum(ch) += v
+          if (v < min(ch)) min(ch) = v
+          if (v > max(ch)) max(ch) = v
+          i += 1
+        }
+        System.arraycopy(cur, 1, prev, 0, rowBytes)
+        row += 1
+      }
+      val nPix = w.toLong * h.toLong
+      new PixelStats("png", w, h, channels, sum.map(_.toDouble / nPix), min, max)
+    } catch {
+      case _: java.util.zip.DataFormatException => null // corrupt bitstream
+    } finally inf.end()
   }
 
   /** PGM (P5, 1 channel) / PPM (P6, 3 channels), binary variants: ASCII
@@ -188,17 +339,18 @@ object MediaCodec {
   }
 
   /** [[decodePixels]] marshalled for the catalyst expression: a flat struct
-    * with fixed 3-channel slots (c1/c2 null for grayscale) so query output
-    * stays scalar columns — array columns break the driver's pandas sort.
+    * with fixed 4-channel slots (unused slots null — c1..c3 for grayscale,
+    * c3 for RGB; c3 carries alpha for RGBA PNGs) so query output stays
+    * scalar columns — array columns break the driver's pandas sort.
     */
   def pixelStats(bytes: Array[Byte]): InternalRow = {
     val s = decodePixels(bytes)
     if (s == null) return null
-    val out = new Array[Any](13)
+    val out = new Array[Any](16)
     out(0) = UTF8String.fromString(s.format)
     out(1) = s.width; out(2) = s.height; out(3) = s.channels
     var c = 0
-    while (c < 3) {
+    while (c < 4) {
       if (c < s.channels) {
         out(4 + 3 * c) = s.mean(c)
         out(5 + 3 * c) = s.min(c)
@@ -393,13 +545,13 @@ case class ImageHeaderExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_image_header"
 }
 
-/** `binary` -> flat pixel-statistics struct (or NULL for anything but the
-  * uncompressed formats [[MediaCodec.decodePixels]] handles). Codegen'd: the
-  * whole decode+reduce runs inside the scan's WholeStageCodegen stage with
-  * O(1) extra heap, so per-channel stats over a petabyte image corpus is a
-  * single pruned scan — no UDF, no pixel matrix materialized, no
-  * mapPartitions barrier. Fixed 3-channel slots (c1/c2 NULL for grayscale)
-  * keep every output column scalar.
+/** `binary` -> flat pixel-statistics struct (or NULL for anything
+  * [[MediaCodec.decodePixels]] rejects). Codegen'd: the whole decode+reduce
+  * runs inside the scan's WholeStageCodegen stage with O(1) extra heap
+  * (PNG: two scanlines), so per-channel stats over a petabyte image corpus
+  * is a single pruned scan — no UDF, no pixel matrix materialized, no
+  * mapPartitions barrier. Fixed 4-channel slots (unused slots NULL; c3 is
+  * RGBA alpha) keep every output column scalar.
   */
 case class ImagePixelStatsExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -421,7 +573,10 @@ case class ImagePixelStatsExpr(child: Expression) extends UnaryExpression {
     StructField("c1_max", IntegerType, nullable = true),
     StructField("c2_mean", DoubleType, nullable = true),
     StructField("c2_min", IntegerType, nullable = true),
-    StructField("c2_max", IntegerType, nullable = true)))
+    StructField("c2_max", IntegerType, nullable = true),
+    StructField("c3_mean", DoubleType, nullable = true),
+    StructField("c3_min", IntegerType, nullable = true),
+    StructField("c3_max", IntegerType, nullable = true)))
   override def nullSafeEval(input: Any): Any =
     MediaCodec.pixelStats(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -13,11 +13,12 @@ case class MediaIn(id: Long, payload: Array[Byte])
   *
   * Decode is REAL for every format that needs no codec library: container
   * headers (PNG/JPEG/GIF/PGM/PPM/BMP → [[imageHeader]]) and full pixel
-  * statistics for the uncompressed raster formats (PGM/PPM/24-bit BMP →
-  * [[pixelStats]], a codegen'd one-pass expression). Only compressed-pixel
-  * formats (JPEG/PNG bitstreams; no codec libraries in this environment)
-  * fall back to deterministic byte statistics inside [[decode]] — the
-  * single `mapPartitions` seam where a production decoder (JNI codec, ONNX
+  * statistics for the raster formats whose decode is pure JVM (PGM/PPM/
+  * 24-bit BMP raw bytes, PNG via the JDK's Inflater + row unfiltering →
+  * [[pixelStats]], a codegen'd one-pass expression). Only formats whose
+  * entropy coding has no JDK primitive (JPEG's DCT, GIF's LZW) fall back
+  * to deterministic byte statistics inside [[decode]] — the single
+  * `mapPartitions` seam where a production decoder (JNI codec, ONNX
   * runtime, etc.) plugs in with once-per-partition init.
   */
 object Multimodal {
@@ -74,11 +75,11 @@ object Multimodal {
       graft.expressions.ImageHeaderExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
-  /** REAL pixel decode + per-channel statistics for uncompressed formats
-    * (PGM/PPM/24-bit BMP), as a native codegen'd expression
+  /** REAL pixel decode + per-channel statistics for PGM/PPM/24-bit BMP and
+    * 8-bit PNG (gray/gray+alpha/RGB/RGBA), as a native codegen'd expression
     * ([[graft.expressions.ImagePixelStatsExpr]]): the one-pass decode+reduce
     * runs inside the scan's WholeStageCodegen stage with O(1) extra heap.
-    * NULL for compressed formats — those need a codec library and belong
+    * NULL for JPEG/GIF/palette-PNG — those need a real codec and belong
     * behind the [[decode]] mapPartitions seam.
     */
   def pixelStats(bin: Column): Column =
@@ -101,14 +102,14 @@ object Multimodal {
     * codec (JNI decoder, ONNX runtime) initializes once per partition, not
     * once per row.
     *
-    * The decode is REAL for the uncompressed formats
+    * The decode is REAL for every format
     * [[graft.expressions.MediaCodec.decodePixels]] handles (PGM/PPM/24-bit
-    * BMP): the leading feature dims are actual image statistics
+    * BMP, 8-bit PNG): the leading feature dims are actual image statistics
     * (width, height, channels, per-channel means, global min/max, all
     * scaled to [0,1]). Payloads in formats that require a codec library not
-    * present in this environment (JPEG/PNG pixel data) fall back to a
-    * deterministic byte-statistics vector — clearly a fallback, not a fake
-    * "decode" — so downstream plumbing stays total over junk bytes.
+    * present in this environment (JPEG pixel data, GIF's LZW) fall back to
+    * a deterministic byte-statistics vector — clearly a fallback, not a
+    * fake "decode" — so downstream plumbing stays total over junk bytes.
     */
   def decode(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -242,6 +242,182 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.decodePixels(wide) == null)
   }
 
+  // ------------------------------------------------------- PNG pixel decode
+
+  /** Minimal valid PNG via stored (uncompressed) deflate blocks with zeroed
+    * CRC/adler — the decoder deliberately skips checksum verification, so
+    * construction stays plain byte arithmetic (the same property q89's SQL
+    * construction relies on). `rows` are (filterByte, storedBytes).
+    */
+  private def png(w: Int, h: Int, channels: Int, rows: Seq[(Int, Array[Int])]): Array[Byte] = {
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int) = { out.write(v >>> 24); out.write((v >> 16) & 0xFF)
+      out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def tag(s: String) = out.write(s.getBytes("US-ASCII"))
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    be32(13); tag("IHDR"); be32(w); be32(h)
+    out.write(8); out.write(colorType); out.write(0); out.write(0); out.write(0)
+    be32(0) // IHDR crc: unverified
+    val raw = new java.io.ByteArrayOutputStream()
+    rows.foreach { case (f, bs) => raw.write(f); bs.foreach(raw.write) }
+    val d = raw.toByteArray
+    assert(d.length == h * (1 + w * channels), "row construction mismatch")
+    be32(2 + 5 + d.length + 4); tag("IDAT")
+    out.write(0x78); out.write(0x01) // zlib CMF/FLG
+    out.write(0x01) // BFINAL=1, BTYPE=00 (stored)
+    out.write(d.length & 0xFF); out.write((d.length >> 8) & 0xFF)
+    out.write(~d.length & 0xFF); out.write((~d.length >> 8) & 0xFF)
+    out.write(d); be32(0) // adler: unverified
+    be32(0) // IDAT crc: unverified
+    be32(0); tag("IEND"); be32(0)
+    out.toByteArray
+  }
+
+  test("decodePng: all five filter types invert exactly (gray)") {
+    import graft.expressions.MediaCodec
+    // w=4 gray. Row semantics per the PNG spec, expected values by hand:
+    // r0 None  [10,20,30,40]
+    // r1 Sub   stored 5 -> [5,10,15,20]
+    // r2 Up    stored 7 -> [12,17,22,27]
+    // r3 Avg   stored 3 -> a=left, b=up: px = 3+floor((a+b)/2)
+    //          [3+6=9, 3+floor((9+17)/2)=16, 3+floor((16+22)/2)=22, 3+floor((22+27)/2)=27]
+    // r4 Paeth stored 2 -> pred = paeth(a,b,c)
+    //          x0: a=0,b=9,c=0 -> p=9 pick b(9) -> 11
+    //          x1: a=11,b=16,c=9 -> p=18: pa=7,pb=2,pc=9 -> b(16) -> 18
+    //          x2: a=18,b=22,c=16 -> p=24: pa=6,pb=2,pc=8 -> b(22) -> 24
+    //          x3: a=24,b=27,c=22 -> p=29: pa=5,pb=2,pc=7 -> b(27) -> 29
+    val img = png(4, 5, 1, Seq(
+      (0, Array(10, 20, 30, 40)),
+      (1, Array(5, 5, 5, 5)),
+      (2, Array(7, 7, 7, 7)),
+      (3, Array(3, 3, 3, 3)),
+      (4, Array(2, 2, 2, 2))))
+    val s = MediaCodec.decodePixels(img)
+    assert(s != null && s.format == "png" && s.width == 4 && s.height == 5 &&
+      s.channels == 1)
+    val all = Seq(10, 20, 30, 40, 5, 10, 15, 20, 12, 17, 22, 27,
+      9, 16, 22, 27, 11, 18, 24, 29)
+    assert(s.min(0) == all.min && s.max(0) == all.max)
+    assert(s.mean(0) == all.sum.toDouble / all.size)
+  }
+
+  test("decodePng: RGBA carries alpha as channel 3; Sub uses bpp offset") {
+    import graft.expressions.MediaCodec
+    // 2x1 RGBA, filter Sub: second pixel adds the FIRST PIXEL's same
+    // channel (offset bpp=4), not the adjacent byte.
+    val img = png(2, 1, 4, Seq((1, Array(100, 50, 25, 200, 10, 10, 10, 10))))
+    val s = MediaCodec.decodePixels(img)
+    assert(s != null && s.channels == 4)
+    assert(s.min(0) == 100 && s.max(0) == 110)
+    assert(s.min(1) == 50 && s.max(1) == 60)
+    assert(s.min(2) == 25 && s.max(2) == 35)
+    assert(s.min(3) == 200 && s.max(3) == 210) // alpha
+    assert(s.mean(3) == 205.0)
+    // And the marshalled struct exposes the alpha slots.
+    val row = MediaCodec.pixelStats(img)
+    assert(row.getDouble(13) == 205.0 && row.getInt(14) == 200 && row.getInt(15) == 210)
+  }
+
+  test("decodePng: IDAT split across many tiny chunks still decodes") {
+    import graft.expressions.MediaCodec
+    // Re-chunk a valid PNG's single IDAT into 1-byte IDAT chunks (legal per
+    // spec: IDATs concatenate into one stream). Exercises the zlib-header
+    // skip crossing a chunk boundary and the refill loop.
+    val whole = png(3, 2, 1, Seq((0, Array(1, 2, 3)), (2, Array(10, 10, 10))))
+    val idatLen = java.nio.ByteBuffer.wrap(whole, 33, 4).getInt
+    val data = whole.slice(41, 41 + idatLen)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(whole, 0, 33) // sig + IHDR
+    data.foreach { byte =>
+      out.write(Array(0, 0, 0, 1).map(_.toByte)) // len 1
+      out.write("IDAT".getBytes("US-ASCII"))
+      out.write(byte); out.write(new Array[Byte](4))
+    }
+    out.write(whole, 41 + idatLen + 4, whole.length - (41 + idatLen + 4))
+    val s = MediaCodec.decodePixels(out.toByteArray)
+    assert(s != null && s.width == 3 && s.height == 2)
+    assert(s.min(0) == 1 && s.max(0) == 13)
+  }
+
+  test("decodePng cross-checked against ImageIO's encoder (real deflate streams)") {
+    import graft.expressions.MediaCodec
+    // javax.imageio (pure JDK) writes REAL dynamically-compressed PNGs —
+    // an independent implementation: agreement on random images validates
+    // the Inflater wiring + unfiltering against reference-encoded input,
+    // not just our own stored-block construction.
+    val rng = new java.util.Random(7)
+    for (trial <- 1 to 25) {
+      val w = 1 + rng.nextInt(40); val h = 1 + rng.nextInt(40)
+      val gray = trial % 2 == 0
+      val imgType = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      val bi = new java.awt.image.BufferedImage(w, h, imgType)
+      val expSum = Array.fill(if (gray) 1 else 3)(0L)
+      val expMin = Array.fill(if (gray) 1 else 3)(255)
+      val expMax = Array.fill(if (gray) 1 else 3)(0)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = rng.nextInt(256); val g = rng.nextInt(256); val bl = rng.nextInt(256)
+        if (gray) {
+          bi.getRaster.setSample(x, y, 0, r)
+          expSum(0) += r; expMin(0) = math.min(expMin(0), r); expMax(0) = math.max(expMax(0), r)
+        } else {
+          bi.setRGB(x, y, (r << 16) | (g << 8) | bl)
+          for ((v, c) <- Seq(r, g, bl).zipWithIndex) {
+            expSum(c) += v; expMin(c) = math.min(expMin(c), v); expMax(c) = math.max(expMax(c), v)
+          }
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", bos))
+      val s = MediaCodec.decodePixels(bos.toByteArray)
+      assert(s != null && s.format == "png" && s.width == w && s.height == h,
+        s"trial $trial ${w}x$h gray=$gray: $s")
+      assert(s.channels == (if (gray) 1 else 3))
+      for (c <- 0 until s.channels) {
+        assert(s.min(c) == expMin(c) && s.max(c) == expMax(c), s"trial $trial ch $c")
+        assert(math.abs(s.mean(c) - expSum(c).toDouble / (w.toLong * h)) < 1e-9)
+      }
+    }
+  }
+
+  test("decodePng: unsupported shapes and corrupt streams null, never throw") {
+    import graft.expressions.MediaCodec
+    val ok = png(3, 2, 1, Seq((0, Array(1, 2, 3)), (0, Array(4, 5, 6))))
+    assert(MediaCodec.decodePixels(ok) != null)
+    // Palette color type (3): needs PLTE, stays behind the seam.
+    val pal = ok.clone(); pal(25) = 3
+    assert(MediaCodec.decodePixels(pal) == null)
+    // 16-bit depth, interlaced: unsupported.
+    val b16 = ok.clone(); b16(24) = 16
+    assert(MediaCodec.decodePixels(b16) == null)
+    val adam7 = ok.clone(); adam7(28) = 1
+    assert(MediaCodec.decodePixels(adam7) == null)
+    // Truncation: every prefix cutting INTO the IDAT chunk is null (the
+    // chunk-bounds walk or the starved inflater rejects); a prefix that
+    // keeps the IDAT chunk whole but drops/clips IEND is accepted or
+    // rejected by the bounds walk — either way a clean null-or-stats,
+    // never a throw. (Checksums are documented as unverified.)
+    val idatEnd = 33 + 8 + (2 + 5 + 2 * 4 + 4) + 4 // IDAT chunk end incl. CRC
+    (0 until ok.length).foreach { n =>
+      val s = MediaCodec.decodePixels(ok.take(n)) // must not throw
+      if (n < idatEnd) assert(s == null, s"prefix $n decoded")
+    }
+    assert(MediaCodec.decodePixels(ok.take(idatEnd)) != null)
+    // Corrupt deflate bitstream: every IDAT payload byte flipped.
+    val bad = ok.clone()
+    (43 until 50).foreach(i => bad(i) = (~bad(i)).toByte)
+    assert(MediaCodec.decodePixels(bad) == null)
+    // Crafted row-cap header: w = 2^27 gray demands a 128 MiB row buffer —
+    // rejected by the allocation cap before any buffer exists.
+    val big = ok.clone()
+    java.nio.ByteBuffer.wrap(big, 16, 4).putInt(1 << 27)
+    assert(MediaCodec.decodePixels(big) == null)
+    // Filter byte out of range.
+    val badFilter = png(3, 1, 1, Seq((9, Array(1, 2, 3))))
+    assert(MediaCodec.decodePixels(badFilter) == null)
+  }
+
   test("imageHeader also recognizes pgm/ppm/bmp headers") {
     import graft.expressions.MediaCodec
     val p = MediaCodec.imageHeader(pgm(7, 5, _ => 0))
@@ -344,7 +520,11 @@ class MultimodalSpec extends SparkTestBase {
     import graft.expressions.MediaCodec
     val rng = new java.util.Random(42)
     val magics = Seq("P5".getBytes, "P6".getBytes, "BM".getBytes,
-      "RIFF".getBytes, "RIFFxxxxWAVE".getBytes, Array.emptyByteArray)
+      "RIFF".getBytes, "RIFFxxxxWAVE".getBytes, Array.emptyByteArray,
+      // PNG signature + IHDR length/type: fuzzes the chunk walk, geometry
+      // guards, and inflater feed with random chunk bodies.
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+        0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R').map(_.toByte))
     (1 to 10000).foreach { i =>
       val len = rng.nextInt(200)
       val b = new Array[Byte](len)
