@@ -1316,6 +1316,79 @@ object SparkEntry {
           col("px.c0_max").as("px_max"))
         .orderBy("doc_id")),
 
+    // --- 90. merge-on-read DELETE (key tombstones), end-to-end oracle -----------------------------------
+    // Runs the REAL deferred-delete path: build a snapshot table from
+    // orders, point-delete every 13th key as a TOMBSTONE (zero data files
+    // rewritten — the commit is one sidecar + one manifest rename;
+    // TombstoneSpec pins that property with byte digests), then aggregate
+    // what a reader sees. The oracle recomputes the visible rows
+    // relationally: a hash match proves the manifest/tombstone read path
+    // (broadcast anti-join) returns exactly the logical table.
+    "q90_merge_defer_delete" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val root = s"/tmp/graft_q90_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_tombstoned"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Medallion.writeTable(base, tbl, Seq("o_orderstatus"))
+      val deletes = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("is_deleted", lit(true))
+      graft.pipeline.Medallion.merge(s, tbl, deletes,
+        keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"),
+        deleteCol = Some("is_deleted"), snapshot = true, deferDeletes = true)
+      graft.pipeline.Medallion.read(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // --- 91. change data feed from MERGE, end-to-end oracle ---------------------------------------------
+    // Runs a REAL change-feed merge over an orders-derived table: updates
+    // (every 7th key, priority -> 'MERGED'), deletes (every 11th), inserts
+    // (every 13th key re-keyed +10M, priority 'NEW'), then aggregates the
+    // PUBLISHED feed rows by change type. The oracle recomputes each image
+    // class relationally (update keys exclude the deleted ones — merge
+    // rejects duplicate changeset keys): a hash match proves pre/post
+    // images, insert/update/delete classification, and the feed publication
+    // all agree with the relational definition of the merge.
+    "q91_change_feed" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val root = s"/tmp/graft_q91_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_cdf"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Medallion.writeTable(base, tbl, Seq("o_orderstatus"))
+      val updates = base
+        .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .withColumn("is_deleted", lit(false))
+      val deletes = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("is_deleted", lit(true))
+      val inserts = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderpriority", lit("NEW"))
+        .withColumn("is_deleted", lit(false))
+      graft.pipeline.Medallion.merge(s, tbl,
+        updates.unionByName(deletes).unionByName(inserts),
+        keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"),
+        deleteCol = Some("is_deleted"), snapshot = true, changeFeed = true)
+      graft.pipeline.Medallion.readChangeFeed(s, tbl, 2, 2)
+        .groupBy("_change_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          count(when(col("o_orderpriority") === "MERGED", 1)).as("n_merged"))
+        .withColumnRenamed("_change_type", "change_type")
+        .orderBy("change_type")
+    }),
+
     // --- 80. MERGE with schema evolution, end-to-end oracle ---------------------------------------------
     // Runs the REAL evolving merge (the changeset ADDS priority_score; only
     // affected partitions rewrite with the wide footer, old files stay
@@ -2177,6 +2250,37 @@ object SparkEntry {
 
     // Relational restatement of the evolving merge: rows the changeset
     // touches carry the new column's value, untouched rows carry NULL.
+    // Visible rows after the deferred delete = orders minus every 13th key.
+    "q90_merge_defer_delete" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The relational definition of the feed images: deletes carry the old
+    // row, updates both images, inserts the new row.
+    "q91_change_feed" ->
+      """SELECT change_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  COUNT(CASE WHEN prio = 'MERGED' THEN 1 END) AS n_merged
+        |FROM (
+        |  SELECT 'delete' AS change_type, o_orderkey AS k, o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT 'update_pre', o_orderkey, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT 'update_post', o_orderkey, 'MERGED'
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 10000000, 'NEW'
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |)
+        |GROUP BY change_type ORDER BY change_type""".stripMargin,
+
     "q80_merge_evolve" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderpriority,

@@ -173,6 +173,36 @@ object Medallion {
     * contract, with no full-table rewrite. Common columns must keep their
     * type (a type CHANGE is not evolution; it fails fast), and keys/
     * partition columns must already exist in the target.
+    *
+    * Merge-on-read deletes (`deferDeletes = true`, snapshot mode only —
+    * the deletion-vector analog): flagged deletes write a KEY-TOMBSTONE
+    * sidecar referenced from the manifest instead of rewriting their
+    * partitions — a point delete into a wide partition costs one tiny
+    * parquet file + one manifest rename, zero data-file IO. [[Snapshot.read]]
+    * applies tombstones as a broadcast anti-join; [[compact]] materializes
+    * them away. Tombstones are KEY-level: any merge automatically drops
+    * tombstones for keys its changeset re-introduces, and the rewrite scope
+    * includes partitions physically holding a tombstoned changeset key, so
+    * a re-insert can never resurrect or duplicate the old row. Deletes of
+    * absent keys still tombstone (detecting absence would need the scan
+    * deferral avoids); the stray entries are harmless and compact clears
+    * them. Large delete sets belong to the copy-on-write path.
+    *
+    * Change data feed (`changeFeed = true`, snapshot mode only — the Delta
+    * CDF analog): the merge also writes the row-level pre/post images it
+    * computes anyway to `_changes/v=<new version>/` (columns = table
+    * columns + `_change_type` in insert / update_pre / update_post /
+    * delete), in the same commit. Replaying feeds v1..vN onto the v0 table
+    * reconstructs version N exactly (spec-verified). Costs one extra
+    * changeset-vs-target join; feeds of dropped versions are vacuumed.
+    * The FIRST load of a table has no feed (no version to attach it to —
+    * bootstrap the manifest first for a fully-fed history).
+    *
+    * Concurrency: the snapshot commit is optimistic — if another writer
+    * publishes the pinned version first, this merge re-pins the NEW current
+    * version, recomputes, and retries (up to `maxCommitRetries` times,
+    * then the [[Snapshot.CommitConflictException]] propagates). Data files
+    * moved in by a lost attempt are unreferenced and reclaimed by vacuum.
     */
   def merge(
       spark: SparkSession,
@@ -183,7 +213,10 @@ object Medallion {
       deleteCol: Option[String] = None,
       format: String = "parquet",
       evolveSchema: Boolean = false,
-      snapshot: Boolean = false
+      snapshot: Boolean = false,
+      deferDeletes: Boolean = false,
+      changeFeed: Boolean = false,
+      maxCommitRetries: Int = 3
   ): Unit = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -207,6 +240,7 @@ object Medallion {
     require(dupKeys == 0,
       s"changeset has duplicate keys on (${keys.mkString(",")}): MERGE would be order-ambiguous")
 
+    def mergeAttempt(): Unit = {
     if (!fs.exists(src)) {
       // First load: the changeset IS the table (deletes drop out).
       writeTable(upsertsAll.select(dataCols.map(col): _*), path, partitionBy, format)
@@ -217,36 +251,60 @@ object Medallion {
     // must go through it (the directory may hold not-yet-vacuumed files an
     // older manifest references — a raw listing would double-read them).
     // `snapshot = true` on a plain table bootstraps the first manifest.
-    // The base (version, files) is PINNED here: the whole merge reads that
-    // version and commits exactly version+1, so a concurrent writer's
-    // commit surfaces as a publish conflict instead of being silently
-    // overwritten by a rewrite computed from stale state.
-    val snapBase: Option[(Long, Seq[String])] = Snapshot.current(fs, src) match {
-      case s @ Some(_) => s // one manifest read serves check, pin and scan
-      case None if snapshot => Some(Snapshot.ensure(fs, src))
-      case None => None
-    }
+    // The base (version, files, tombstones) is PINNED here: the whole merge
+    // reads that version and commits exactly version+1, so a concurrent
+    // writer's commit surfaces as a publish conflict instead of being
+    // silently overwritten by a rewrite computed from stale state.
+    val snapBase: Option[(Long, Seq[String], Seq[String])] =
+      Snapshot.currentFull(fs, src) match {
+        case s @ Some(_) => s // one manifest read serves check, pin and scan
+        case None if snapshot =>
+          val (v, files) = Snapshot.ensure(fs, src); Some((v, files, Nil))
+        case None => None
+      }
     val snapMode = snapBase.isDefined
+    require(!deferDeletes || snapMode,
+      "deferDeletes needs snapshot mode (tombstones live in the manifest): pass snapshot = true")
+    require(!changeFeed || snapMode,
+      "changeFeed needs snapshot mode (feeds are versioned): pass snapshot = true")
+    val baseTombs: Seq[String] = snapBase.map(_._3).getOrElse(Nil)
     // An evolved table has mixed file footers (pre-evolution files lack the
     // added columns); mergeSchema unions them so the target always presents
-    // the widest schema written so far.
-    val target = snapBase match {
-      case Some((_, files)) => Snapshot.readFiles(spark, src.toString, files, format)
+    // the widest schema written so far. targetRaw is the PHYSICAL content;
+    // target applies the base version's tombstones — all matching/rewrite
+    // logic must see the logical table, or deleted rows would resurrect.
+    val targetRaw = snapBase match {
+      case Some((_, files, _)) => Snapshot.readFiles(spark, src.toString, files, format)
       case None => spark.read.format(format)
         .option("mergeSchema", "true").load(src.toString)
     }
+    val target =
+      Snapshot.applyTombstones(spark, src.toString, targetRaw, baseTombs, format)
+    // Staging area: writer-UNIQUE in snapshot mode (concurrent writers must
+    // not clobber each other's staging; a lost attempt's leftovers are
+    // unreferenced and vacuumed), fixed name in plain mode (single-writer
+    // contract — the fixed name lets the next run clean crash leftovers).
+    def stagingDir(): org.apache.hadoop.fs.Path =
+      if (snapMode)
+        src.suffix(s"__merge_tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      else src.suffix("__merge_tmp")
     if (snapMode && target.columns.isEmpty) {
       // Emptied-and-vacuumed table: the manifest lists no files and no file
       // remains to supply a schema. The changeset IS the table again
       // (first-load semantics), committed as a snapshot version so the
       // table keeps its history instead of being bricked by the lost
-      // schema.
-      val tmp = src.suffix("__merge_tmp")
+      // schema. Old tombstones die with the old content.
+      val baseV = snapBase.get._1
+      val tmp = stagingDir()
       fs.delete(tmp, true)
       writeTable(upsertsAll.select(dataCols.map(col): _*), tmp.toString,
         partitionBy, format)
       val moved = Snapshot.moveIn(fs, tmp, src)
-      Snapshot.publishVersion(fs, src, moved, snapBase.get._1 + 1)
+      if (changeFeed)
+        writeChangeFeed(spark, fs, src, baseV + 1,
+          upsertsAll.select(dataCols.map(col): _*)
+            .withColumn("_change_type", lit("insert")))
+      Snapshot.publishVersion(fs, src, moved, baseV + 1)
       fs.delete(tmp, true)
       return
     }
@@ -280,12 +338,67 @@ object Medallion {
         df.withColumn(c, lit(null).cast(target.schema(c).dataType)))
       .select(ordered.map(col): _*)
     val changeKeys = changes.select(keys.map(col): _*).distinct()
+    // Keys whose matched target rows are physically REMOVED by the rewrite:
+    // with deferred deletes only the upserted keys rewrite (deletes become
+    // tombstones); otherwise every changeset key does.
+    val rewriteKeys =
+      if (deferDeletes) upsertsAll.select(keys.map(col): _*).distinct()
+      else changeKeys
+
+    // Consolidated tombstone set for the NEXT version: base tombstones
+    // minus every changeset key (a key the changeset re-introduces or
+    // re-deletes must shed its old entry — its physical row is rewritten
+    // away below, so keeping the entry would kill the fresh row), plus this
+    // merge's deferred deletes. None -> the new manifest carries none.
+    val survivorTombs: Option[DataFrame] =
+      if (baseTombs.isEmpty) None
+      else Some(spark.read.format(format)
+        .load(baseTombs.map(f => new org.apache.hadoop.fs.Path(src, f).toString): _*)
+        .join(changeKeys, keys, "left_anti"))
+    val deferredDeleteKeys: Option[DataFrame] =
+      if (!deferDeletes) None
+      else Some(changes.where(isDel).select(keys.map(col): _*).distinct())
+    val tombPlan: Option[DataFrame] = (survivorTombs, deferredDeleteKeys) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    def commitTombs(): Seq[String] =
+      tombPlan.flatMap(df => writeTombstone(spark, fs, src, df, format)).toSeq
+
+    // Row-level change images (gated: one extra changeset-vs-target join).
+    // Pre-images come from the tombstone-APPLIED target: a logically
+    // deleted row produces no image.
+    def feed(): DataFrame = {
+      val flagged = changes.select(keys.map(col) :+ isDel.as("__is_del"): _*)
+      val matched = targetWide.join(flagged, keys, "inner")
+      val del = matched.where(col("__is_del"))
+        .select(ordered.map(col): _*).withColumn("_change_type", lit("delete"))
+      val updPre = matched.where(!col("__is_del"))
+        .select(ordered.map(col): _*).withColumn("_change_type", lit("update_pre"))
+      val tKeys = target.select(keys.map(col): _*)
+      val updPost = upserts.join(tKeys, keys, "left_semi")
+        .withColumn("_change_type", lit("update_post"))
+      val ins = upserts.join(tKeys, keys, "left_anti")
+        .withColumn("_change_type", lit("insert"))
+      del.unionByName(updPre).unionByName(updPost).unionByName(ins)
+    }
+
+    // Pure deferred point-delete: ZERO data files written, moved, or
+    // rewritten — the whole commit is one tombstone sidecar plus one
+    // manifest rename. This is the 100 TB point-delete story: cost is
+    // O(delete keys), not O(partition size).
+    if (deferDeletes && upsertsAll.isEmpty) {
+      val baseV = snapBase.get._1
+      if (changeFeed) writeChangeFeed(spark, fs, src, baseV + 1, feed())
+      Snapshot.publishVersion(fs, src, snapBase.get._2, baseV + 1, commitTombs())
+      return
+    }
 
     if (partitionBy.isEmpty) {
       // Whole-table rewrite (no partition scoping possible).
-      val merged = targetWide.join(changeKeys, keys, "left_anti")
+      val merged = targetWide.join(rewriteKeys, keys, "left_anti")
         .select(ordered.map(col): _*).unionByName(upserts)
-      val tmp = src.suffix("__merge_tmp")
+      val tmp = stagingDir()
       fs.delete(tmp, true)
       writeTable(merged, tmp.toString, Seq.empty, format)
       if (snapMode) {
@@ -293,8 +406,10 @@ object Medallion {
         // writer-UUID-unique), then ONE manifest publish flips the table.
         // Readers holding the previous manifest keep a consistent pre-merge
         // view until vacuum.
+        val baseV = snapBase.get._1
         val moved = Snapshot.moveIn(fs, tmp, src)
-        Snapshot.publishVersion(fs, src, moved, snapBase.get._1 + 1)
+        if (changeFeed) writeChangeFeed(spark, fs, src, baseV + 1, feed())
+        Snapshot.publishVersion(fs, src, moved, baseV + 1, commitTombs())
         fs.delete(tmp, true)
         return
       }
@@ -312,14 +427,16 @@ object Medallion {
     }
 
     // Affected partitions = partitions the upserts land in + partitions
-    // currently holding a matched key (covers updates that MOVE a row
-    // across partitions and deletes). The semi-join scans only
+    // PHYSICALLY holding a rewrite key (covers updates that MOVE a row
+    // across partitions, deletes, and re-inserts of tombstoned keys — the
+    // old physical row must leave its file or dropping its tombstone would
+    // resurrect it beside the new row). The semi-join scans only
     // key+partition columns (column-pruned); its output — a handful of
     // partition tuples — is collected once and drives everything else.
     val partCols = partitionBy.map(col)
     val affectedRows = upserts.select(partCols: _*)
       .unionByName(
-        target.join(changeKeys, keys, "left_semi").select(partCols: _*))
+        targetRaw.join(rewriteKeys, keys, "left_semi").select(partCols: _*))
       .distinct().collect().toSeq
     if (affectedRows.isEmpty) return // empty changeset: nothing to do
 
@@ -344,10 +461,10 @@ object Medallion {
             partitionBy.map(c => target.schema(c))))
         targetWide.join(broadcast(affectedDf), partitionBy, "left_semi")
       }
-    val merged = targetAffected.join(changeKeys, keys, "left_anti")
+    val merged = targetAffected.join(rewriteKeys, keys, "left_anti")
       .select(ordered.map(col): _*).unionByName(upserts)
 
-    val tmp = src.suffix("__merge_tmp")
+    val tmp = stagingDir()
     fs.delete(tmp, true)
     writeTable(merged, tmp.toString, partitionBy, format)
 
@@ -382,12 +499,13 @@ object Medallion {
       // flip with one publish at base+1. Emptied partitions simply drop out
       // of the manifest; nothing is renamed aside or deleted (vacuum does
       // that once old-version readers drain).
-      val (baseV, baseFiles) = snapBase.get
+      val (baseV, baseFiles, _) = snapBase.get
       val movedFiles = Snapshot.moveIn(fs, tmp, src)
       val affectedDirs = (stagedRel ++ emptiedRel).toSet
       val kept = baseFiles.filterNot(f =>
         affectedDirs.exists(d => f.startsWith(d + "/")))
-      Snapshot.publishVersion(fs, src, kept ++ movedFiles, baseV + 1)
+      if (changeFeed) writeChangeFeed(spark, fs, src, baseV + 1, feed())
+      Snapshot.publishVersion(fs, src, kept ++ movedFiles, baseV + 1, commitTombs())
       fs.delete(tmp, true)
       return
     }
@@ -410,6 +528,99 @@ object Medallion {
     stagedRel.foreach(rel => swapIn(rel, Some(new org.apache.hadoop.fs.Path(tmp, rel))))
     emptiedRel.foreach(rel => swapIn(rel, None))
     fs.delete(tmp, true)
+    } // mergeAttempt
+
+    // Optimistic-concurrency retry: a publish conflict means another writer
+    // committed the pinned version first — re-pin the NEW current state,
+    // recompute everything, and try again (bounded). Data files a lost
+    // attempt already moved in are referenced by no manifest and are
+    // reclaimed by vacuum; the changeset itself is re-applied onto the
+    // winner's state, so both writers' changes land.
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      try { mergeAttempt(); committed = true }
+      catch {
+        case e: Snapshot.CommitConflictException =>
+          attempt += 1
+          if (attempt > maxCommitRetries) throw e
+      }
+    }
+  }
+
+  /** Write a consolidated key-tombstone sidecar under `_tombstones/` and
+    * return its manifest-relative path — None when the set is empty (the
+    * next manifest then simply carries no tombstone lines). One file per
+    * version keeps the read-side anti-join a single tiny broadcast;
+    * tombstone sets are point-delete-sized by contract (large deletes take
+    * the copy-on-write path), so `coalesce(1)` is the right shape.
+    */
+  private def writeTombstone(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      keysDf: DataFrame,
+      format: String
+  ): Option[String] = {
+    if (keysDf.isEmpty) return None
+    val name = s"ts-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    val tmp = new org.apache.hadoop.fs.Path(root, s"${Snapshot.TombDir}/.tmp-$name")
+    keysDf.coalesce(1).write.format(format).mode("overwrite").save(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new java.io.IOException(
+        s"tombstone write under $tmp produced no part file"))
+    val dst = new org.apache.hadoop.fs.Path(root, s"${Snapshot.TombDir}/$name")
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(part, dst))
+      throw new java.io.IOException(s"tombstone move $part -> $dst failed")
+    fs.delete(tmp, true)
+    Some(s"${Snapshot.TombDir}/$name")
+  }
+
+  /** Write a merge's change feed for the version it is about to commit.
+    * Runs BEFORE the manifest publish: a crash in between leaves an orphan
+    * feed dir for an uncommitted version, which the next writer of that
+    * version overwrites (delete-first) and vacuum reclaims.
+    */
+  private def writeChangeFeed(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      version: Long,
+      feed: DataFrame
+  ): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, s"${Snapshot.ChangesDir}/v=$version")
+    fs.delete(dir, true) // stale attempt of a crashed/conflicted writer
+    feed.write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Read a table's change data feed: every committed version's change rows
+    * (`_change_type` ∈ insert / update_pre / update_post / delete) with the
+    * version as `_commit_version`. `fromVersion`/`toVersion` bound the
+    * range inclusively — the incremental-consumer API (read feeds since the
+    * last processed version, apply downstream).
+    */
+  def readChangeFeed(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long = 0L,
+      toVersion: Long = Long.MaxValue
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(path, Snapshot.ChangesDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .flatMap(p => p.getName.stripPrefix("v=").toLongOption.map(_ -> p))
+        .filter { case (v, _) => v >= fromVersion && v <= toVersion }
+        .sortBy(_._1)
+    require(dirs.nonEmpty,
+      s"no change feed versions in [$fromVersion, $toVersion] under $root")
+    dirs.map { case (v, p) =>
+      spark.read.parquet(p.toString).withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_))
   }
 
   /** Streaming CDC ingestion (the reference's DLT bronze→silver story,
@@ -440,6 +651,8 @@ object Medallion {
       format: String = "parquet",
       evolveSchema: Boolean = false,
       snapshot: Boolean = false,
+      deferDeletes: Boolean = false,
+      changeFeed: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     require(changes.isStreaming, "mergeStream needs a streaming changeset")
@@ -457,7 +670,7 @@ object Medallion {
           // isn't re-read per pass.
           batch.persist()
           try merge(spark, path, batch, keys, partitionBy, deleteCol, format,
-            evolveSchema, snapshot)
+            evolveSchema, snapshot, deferDeletes, changeFeed)
           finally batch.unpersist()
           fs.mkdirs(markerDir)
           fs.create(marker, true).close()
@@ -502,14 +715,19 @@ object Medallion {
     // and the commit must go through the manifest — pinned to the base
     // version, committed at base+1 (concurrent-writer conflicts surface at
     // publish, not as silent lost updates).
-    val snapBase: Option[(Long, Seq[String])] = Snapshot.current(fs, src) match {
-      case s @ Some(_) => s // one manifest read serves check, pin and scan
-      case None if snapshot => Some(Snapshot.ensure(fs, src))
-      case None => None
-    }
+    val snapBase: Option[(Long, Seq[String], Seq[String])] =
+      Snapshot.currentFull(fs, src) match {
+        case s @ Some(_) => s // one manifest read serves check, pin and scan
+        case None if snapshot =>
+          val (v, files) = Snapshot.ensure(fs, src); Some((v, files, Nil))
+        case None => None
+      }
     val snapMode = snapBase.isDefined
+    // Tombstones are APPLIED here and the new manifest carries none:
+    // compaction is where merge-on-read deletes get materialized away.
     val df = snapBase match {
-      case Some((_, files)) => Snapshot.readFiles(spark, src.toString, files, format)
+      case Some((_, files, tombs)) => Snapshot.applyTombstones(spark, src.toString,
+        Snapshot.readFiles(spark, src.toString, files, format), tombs, format)
       case None => spark.read.format(format).load(src.toString)
     }
     val rows = df.count()

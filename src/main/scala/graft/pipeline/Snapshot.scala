@@ -29,6 +29,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshot {
   private val Prefix = "_manifest-"
+  /** Manifest line prefix marking a TOMBSTONE sidecar (merge-on-read
+    * deletes): `tombstone\t<relpath>`. Unprefixed lines are data files, so
+    * pre-tombstone manifests parse unchanged. A tab cannot appear in a real
+    * data path (Spark's partition-dir escaping renders it %09), so the
+    * prefix is unambiguous.
+    */
+  private val TombMark = "tombstone\t"
+  /** Directory (under the table root) holding tombstone sidecar files.
+    * Leading underscore keeps them out of [[listDataFiles]] and Spark's own
+    * directory listings.
+    */
+  val TombDir = "_tombstones"
+  /** Directory holding the change-data-feed output of merges that request
+    * it: `_changes/v=<version>/` has one parquet dir per committed version.
+    */
+  val ChangesDir = "_changes"
 
   private[pipeline] def fsFor(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -45,8 +61,11 @@ object Snapshot {
           // left behind are NOT table data — sweeping them into a bootstrap
           // manifest would double-read rows and corrupt basePath partition
           // recovery ("part=a__merge_old" parses as value "a__merge_old").
-          name.endsWith("__merge_old") || name.endsWith("__merge_tmp") ||
-          name.endsWith("__compact_old") || name.endsWith("__compact_tmp")) Nil
+          // contains, not endsWith: snapshot-mode staging dirs carry a
+          // writer-unique suffix (`__merge_tmp.<uuid>`) so concurrent
+          // writers never clobber each other's staging area.
+          name.endsWith("__merge_old") || name.contains("__merge_tmp") ||
+          name.endsWith("__compact_old") || name.contains("__compact_tmp")) Nil
       else if (st.isDirectory) walk(st.getPath)
       else Seq(st.getPath)
     }
@@ -60,16 +79,32 @@ object Snapshot {
       .filter(n => n.startsWith(Prefix) && !n.endsWith(".tmp"))
       .flatMap(n => n.stripPrefix(Prefix).toLongOption)
 
-  def readManifest(fs: FileSystem, root: Path, version: Long): Seq[String] = {
+  /** Data files of a manifest version (tombstone lines filtered out — the
+    * compatibility surface every pre-tombstone caller keeps using).
+    */
+  def readManifest(fs: FileSystem, root: Path, version: Long): Seq[String] =
+    readManifestFull(fs, root, version)._1
+
+  /** (dataFiles, tombstoneFiles) of a manifest version. */
+  def readManifestFull(fs: FileSystem, root: Path, version: Long): (Seq[String], Seq[String]) = {
     val in = fs.open(new Path(root, s"$Prefix$version"))
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    val (tomb, data) = lines.partition(_.startsWith(TombMark))
+    (data, tomb.map(_.stripPrefix(TombMark)))
   }
 
   /** (version, files) of the current (highest) manifest, if any. */
   def current(fs: FileSystem, root: Path): Option[(Long, Seq[String])] =
     manifestVersions(fs, root).maxOption.map(v => v -> readManifest(fs, root, v))
+
+  /** (version, dataFiles, tombstoneFiles) of the current manifest, if any. */
+  def currentFull(fs: FileSystem, root: Path): Option[(Long, Seq[String], Seq[String])] =
+    manifestVersions(fs, root).maxOption.map { v =>
+      val (d, t) = readManifestFull(fs, root, v); (v, d, t)
+    }
 
   /** Publish `files` as the next manifest version and return it. */
   def publish(fs: FileSystem, root: Path, files: Seq[String]): Long = {
@@ -100,7 +135,8 @@ object Snapshot {
     * overwrite is atomic by contract and the rename's boolean is the
     * verdict.
     */
-  def publishVersion(fs: FileSystem, root: Path, files: Seq[String], version: Long): Unit = {
+  def publishVersion(fs: FileSystem, root: Path, files: Seq[String], version: Long,
+      tombstones: Seq[String] = Nil): Unit = {
     val dst = new Path(root, s"$Prefix$version")
     // Writer-unique tmp: two racers publishing the same version must not
     // share a staging file, or one's commit could promote the OTHER's
@@ -111,7 +147,8 @@ object Snapshot {
     // An EMPTY file list is a legal table state (a merge can delete every
     // row): zero bytes; readManifest yields Nil, which read() renders as an
     // empty table — never as "no manifest, fall back to a raw listing".
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    val lines = files.sorted ++ tombstones.sorted.map(TombMark + _)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if ("file" == fs.getUri.getScheme) {
       import java.nio.file.{Files, Paths, FileAlreadyExistsException}
@@ -180,16 +217,35 @@ object Snapshot {
       format: String = "parquet"): DataFrame = {
     val root = new Path(path)
     val fs = fsFor(spark, root)
-    val resolved: Option[Seq[String]] = version match {
-      case Some(v) => Some(readManifest(fs, root, v))
-      case None => current(fs, root).map(_._2)
+    val resolved: Option[(Seq[String], Seq[String])] = version match {
+      case Some(v) => Some(readManifestFull(fs, root, v))
+      case None => currentFull(fs, root).map(c => (c._2, c._3))
     }
     resolved match {
       case None => // no manifest: plain directory read
         spark.read.format(format).option("mergeSchema", "true").load(root.toString)
-      case Some(files) => readFiles(spark, path, files, format)
+      case Some((files, tombs)) =>
+        applyTombstones(spark, path, readFiles(spark, path, files, format), tombs, format)
     }
   }
+
+  /** Merge-on-read delete application: anti-join the data against the
+    * version's tombstone sidecars (each a parquet file of key tuples; its
+    * OWN schema names the key columns, so the reader needs no external key
+    * metadata). The tombstone side is point-delete-sized by construction
+    * and force-broadcast — at 100 TB the read plan is the scan it would
+    * have been, plus a broadcast hash anti-join, with zero extra shuffles.
+    */
+  private[pipeline] def applyTombstones(spark: SparkSession, path: String,
+      df: DataFrame, tombs: Seq[String], format: String): DataFrame =
+    if (tombs.isEmpty || df.columns.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      val root = new Path(path)
+      val t = spark.read.format(format)
+        .load(tombs.map(f => new Path(root, f).toString): _*)
+      df.join(broadcast(t), t.columns.toSeq, "left_anti")
+    }
 
   /** Read an explicit (already-resolved) manifest file list — the zero-
     * extra-IO path for callers that hold the list (merge/compact pin their
@@ -252,11 +308,32 @@ object Snapshot {
       case Some((v, _)) =>
         val (retained, dropped) =
           manifestVersions(fs, root).partition(_ > v - keepVersions)
-        val referenced = retained.flatMap(readManifest(fs, root, _)).toSet
+        val full = retained.map(readManifestFull(fs, root, _))
+        val referenced = full.flatMap(_._1).toSet
         val garbage = listDataFiles(fs, root).filterNot(referenced)
         garbage.foreach(f => fs.delete(new Path(root, f), false))
+        // Tombstone sidecars referenced by ANY retained version survive
+        // (time travel to a retained version must still apply its deletes);
+        // the rest are manifest garbage like any other unreferenced file.
+        val tombRefs = full.flatMap(_._2).toSet
+        val tombRoot = new Path(root, TombDir)
+        val tombGarbage =
+          if (!fs.exists(tombRoot)) Nil
+          else fs.listStatus(tombRoot).toSeq.map(_.getPath)
+            .filterNot(p => tombRefs.contains(s"$TombDir/${p.getName}"))
+        tombGarbage.foreach(fs.delete(_, true))
+        // Change-feed dirs: keep only retained versions' feeds. Dirs ABOVE
+        // the current version are leftovers of a crashed (never-committed)
+        // merge attempt and go too.
+        val changesRoot = new Path(root, ChangesDir)
+        if (fs.exists(changesRoot))
+          fs.listStatus(changesRoot).toSeq.map(_.getPath)
+            .filter { p =>
+              p.getName.stripPrefix("v=").toLongOption
+                .forall(cv => cv <= v - keepVersions || cv > v)
+            }.foreach(fs.delete(_, true))
         dropped.foreach(old => fs.delete(new Path(root, s"$Prefix$old"), false))
-        garbage
+        garbage ++ tombGarbage.map(p => s"$TombDir/${p.getName}")
     }
   }
 }

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.hadoop.fs.Path
+import java.nio.file.Files
+
+/** Change data feed: every merge (with `changeFeed = true`) publishes its
+  * row-level pre/post images under `_changes/v=N` in the same commit. The
+  * load-bearing property: REPLAYING feeds v2..vN onto the v1 table
+  * reconstructs version N exactly.
+  */
+class ChangeFeedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-cdf").toString + "/tbl"
+
+  private def fsFor(path: String) = {
+    val p = new Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def snapTable(path: String): Unit = {
+    Medallion.writeTable(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "c", 50.0)
+    ).toDF("id", "part", "v"), path, Seq("part"))
+    val (p, fs) = fsFor(path)
+    Snapshot.ensure(fs, p)
+  }
+
+  /** Apply one version's change rows to a key->row state map. */
+  private def applyFeed(state: Map[Long, (String, Double)],
+      feed: Seq[Row]): Map[Long, (String, Double)] = {
+    val dels = feed.filter(_.getString(3) == "delete").map(_.getLong(0))
+    val posts = feed.filter(r =>
+      r.getString(3) == "update_post" || r.getString(3) == "insert")
+    val afterDel = state -- dels
+    posts.foldLeft(afterDel)((s, r) =>
+      s + (r.getLong(0) -> (r.getString(1), r.getDouble(2))))
+  }
+
+  test("replaying the feed version by version reconstructs the table at each version") {
+    val path = tmpDir()
+    snapTable(path) // v1
+    def m(changes: DataFrame): Unit = Medallion.merge(spark, path, changes,
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = true)
+    m(Seq((2L, "a", 21.0, false), (6L, "c", 60.0, false))
+      .toDF("id", "part", "v", "is_deleted"))                 // v2: update + insert
+    m(Seq((3L, "b", 0.0, true), (6L, "c", 66.0, false))
+      .toDF("id", "part", "v", "is_deleted"))                 // v3: delete + update
+    m(Seq((1L, "b", 11.0, false), (5L, "c", 0.0, true))
+      .toDF("id", "part", "v", "is_deleted"))                 // v4: partition move + delete
+
+    var state = Medallion.read(spark, path, Some(1L))
+      .select("id", "part", "v").as[(Long, String, Double)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    for (v <- 2L to 4L) {
+      val feed = Medallion.readChangeFeed(spark, path, v, v)
+        .select("id", "part", "v", "_change_type").collect().toSeq
+      state = applyFeed(state, feed)
+      val table = Medallion.read(spark, path, Some(v))
+        .select("id", "part", "v").as[(Long, String, Double)]
+        .collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(state == table, s"replay diverged at version $v")
+    }
+  }
+
+  test("update feeds carry BOTH images; pre matches old value, post the new") {
+    val path = tmpDir()
+    snapTable(path)
+    Medallion.merge(spark, path,
+      Seq((2L, "a", 21.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true, changeFeed = true)
+    val feed = Medallion.readChangeFeed(spark, path, 2, 2)
+      .select("id", "v", "_change_type").as[(Long, Double, String)]
+      .collect().toSet
+    assert(feed == Set((2L, 20.0, "update_pre"), (2L, 21.0, "update_post")))
+  }
+
+  test("deferred deletes still feed true pre-images (read-only lookup)") {
+    val path = tmpDir()
+    snapTable(path)
+    Medallion.merge(spark, path,
+      Seq((4L, "b", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true, changeFeed = true)
+    val feed = Medallion.readChangeFeed(spark, path, 2, 2)
+      .select("id", "v", "_change_type").as[(Long, Double, String)]
+      .collect().toSeq
+    assert(feed == Seq((4L, 40.0, "delete")), s"got $feed")
+    // A tombstoned key's later delete produces NO feed row (already gone).
+    Medallion.merge(spark, path,
+      Seq((4L, "b", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true, changeFeed = true)
+    val feed2 = Medallion.readChangeFeed(spark, path, 3, 3).collect()
+    assert(feed2.isEmpty, s"re-delete of a gone key must feed nothing")
+  }
+
+  test("vacuum drops feeds of dropped versions, keeps retained ones") {
+    val path = tmpDir()
+    snapTable(path)
+    for (i <- 1 to 3)
+      Medallion.merge(spark, path,
+        Seq((2L, "a", 20.0 + i)).toDF("id", "part", "v"),
+        Seq("id"), Seq("part"), snapshot = true, changeFeed = true) // v2..v4
+    val (p, fs) = fsFor(path)
+    Snapshot.vacuum(fs, p, keepVersions = 2) // retain v3, v4
+    val left = fs.listStatus(new Path(p, Snapshot.ChangesDir))
+      .map(_.getPath.getName).toSet
+    assert(left == Set("v=3", "v=4"), s"got $left")
+    // Bounded read over the retained range still works.
+    assert(Medallion.readChangeFeed(spark, path, 3, 4)
+      .select("_commit_version").distinct().as[Long].collect().sorted
+      .toSeq == Seq(3L, 4L))
+  }
+
+  test("changeFeed without snapshot mode is rejected") {
+    val path = tmpDir()
+    Medallion.writeTable(Seq((1L, "a", 1.0)).toDF("id", "part", "v"), path, Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      Medallion.merge(spark, path,
+        Seq((1L, "a", 2.0)).toDF("id", "part", "v"),
+        Seq("id"), Seq("part"), changeFeed = true)
+    }
+    assert(e.getMessage.contains("snapshot"))
+  }
+}

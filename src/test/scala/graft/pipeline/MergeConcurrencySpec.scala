@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import java.nio.file.Files
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+/** Deterministic hook for the conflict-injection test: a changeset filter
+  * calls [[observe]] on every evaluation; the SECOND distinct Spark stage
+  * that evaluates the changeset is, by the merge's job order, inside
+  * `mergeAttempt` AFTER the base version was pinned (the first stage is the
+  * pre-loop duplicate-key check) — firing the racer commit there creates a
+  * true stale-pin conflict without any timing dependence.
+  */
+object RacerHook {
+  val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  val fired = new AtomicBoolean(false)
+  @volatile var action: () => Unit = () => ()
+  def reset(a: () => Unit): Unit = { stages.clear(); fired.set(false); action = a }
+  def observe(stageId: Int): Boolean = {
+    stages.add(stageId)
+    if (stages.size >= 2 && fired.compareAndSet(false, true)) action()
+    true
+  }
+}
+
+/** Optimistic-concurrency end-to-end: a merge whose pinned base version is
+  * committed first by another writer must retry against the new state so
+  * BOTH changesets land; with retries exhausted the conflict propagates.
+  */
+class MergeConcurrencySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-conc").toString + "/tbl"
+
+  private def fsFor(path: String) = {
+    val p = new Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def snapTable(path: String): Unit = {
+    Medallion.writeTable(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), path)
+    val (p, fs) = fsFor(path)
+    Snapshot.ensure(fs, p) // v1
+  }
+
+  private val observeUdf = udf { (id: Long) =>
+    // Null-safe: ConvertToLocalRelation would evaluate this driver-side
+    // with no TaskContext; the injection tests exclude that rule so the
+    // filter runs in real tasks, but stay total regardless.
+    RacerHook.observe(
+      Option(org.apache.spark.TaskContext.get()).map(_.stageId()).getOrElse(-1))
+  }
+
+  /** Run `body` with constant-folding of local relations disabled, so the
+    * observe filter executes inside Spark TASKS (distinct stage ids per
+    * job) instead of once at driver-side optimization time.
+    */
+  private def withTaskSideEval[A](body: => A): A = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("a racing commit between pin and publish triggers retry; BOTH changesets land") {
+    val path = tmpDir()
+    snapTable(path)
+    val (p, fs) = fsFor(path)
+    // The racer: a fully independent merge (different key) committed the
+    // moment the victim's attempt is past its pin. The hook fires on an
+    // executor task thread, which cannot submit Spark jobs itself (its
+    // TaskContext confuses nested actions) — so the racer runs on a fresh
+    // thread and the task blocks on it; the victim's 1 held core leaves
+    // local[4] enough cores for the racer's jobs.
+    RacerHook.reset(() => {
+      val t = new Thread(() => Medallion.merge(spark, path,
+        Seq((2L, 222.0)).toDF("id", "v"), Seq("id")))
+      t.start(); t.join(120000)
+    })
+    val victimChanges = Seq((3L, 333.0)).toDF("id", "v")
+      .filter(observeUdf(col("id")))
+    withTaskSideEval { Medallion.merge(spark, path, victimChanges, Seq("id")) }
+    assert(RacerHook.fired.get(), "hook never fired: job order changed, fix the spec")
+    // v1 base, racer committed v2, victim conflicted on v2, retried, v3.
+    val (v, _, _) = Snapshot.currentFull(fs, p).get
+    assert(v == 3L, s"expected the victim's retry to commit v3, at v$v")
+    val got = Medallion.read(spark, path).select("id", "v")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 222.0), (3L, 333.0)),
+      "both the racer's and the victim's changes must land")
+  }
+
+  test("maxCommitRetries = 0 surfaces the conflict instead of retrying") {
+    val path = tmpDir()
+    snapTable(path)
+    RacerHook.reset(() => {
+      val t = new Thread(() => Medallion.merge(spark, path,
+        Seq((2L, 222.0)).toDF("id", "v"), Seq("id")))
+      t.start(); t.join(120000)
+    })
+    val victimChanges = Seq((3L, 333.0)).toDF("id", "v")
+      .filter(observeUdf(col("id")))
+    withTaskSideEval {
+      intercept[Snapshot.CommitConflictException] {
+        Medallion.merge(spark, path, victimChanges, Seq("id"), maxCommitRetries = 0)
+      }
+    }
+    // The racer's commit is intact; the victim's is absent.
+    val got = Medallion.read(spark, path).select("id", "v")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 222.0), (3L, 30.0)))
+  }
+
+  test("sustained contention: interleaved writers all land under retry") {
+    val path = tmpDir()
+    snapTable(path)
+    RacerHook.reset(() => ())
+    // Two real threads, each merging 4 distinct keys sequentially. The
+    // hard-link commit makes every race a detected conflict; retries must
+    // serialize all 8 merges (8 commits + v1 = version 9) with no loss.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counter = new AtomicInteger(0)
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until 4) {
+            val key = 100L + t * 10 + i
+            Medallion.merge(spark, path,
+              Seq((key, key.toDouble)).toDF("id", "v"), Seq("id"),
+              maxCommitRetries = 10)
+            counter.incrementAndGet()
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    assert(counter.get() == 8)
+    val (p, fs) = fsFor(path)
+    val (v, _, _) = Snapshot.currentFull(fs, p).get
+    assert(v == 9L, s"8 serialized commits over v1 must end at v9, got v$v")
+    val ids = Medallion.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 100L, 101L, 102L, 103L, 110L, 111L, 112L, 113L))
+  }
+}

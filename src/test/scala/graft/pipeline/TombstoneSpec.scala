@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import java.nio.file.{Files, Path => JPath}
+
+/** Merge-on-read deletes: key-tombstone sidecars instead of partition
+  * rewrites. The contract under test: a point delete writes ZERO data
+  * files, reads apply tombstones, re-inserts neither resurrect nor
+  * duplicate, compact materializes deletes away, and vacuum keeps every
+  * retained version's tombstones readable.
+  */
+class TombstoneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-tomb").toString + "/tbl"
+
+  private def base() = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+    (4L, "b", 40.0), (5L, "c", 50.0)
+  ).toDF("id", "part", "v")
+
+  private def fsFor(path: String) = {
+    val p = new Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** (relative path -> (size, checksum)) of every DATA file (skips _ dirs). */
+  private def dataDigests(dir: String): Map[String, (Long, Long)] = {
+    val root = JPath.of(dir)
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !root.relativize(p).toString.split('/').exists(s =>
+          s.startsWith("_") || s.startsWith(".")))
+      .map { p =>
+        val bytes = Files.readAllBytes(p)
+        val crc = new java.util.zip.CRC32(); crc.update(bytes)
+        root.relativize(p).toString -> (bytes.length.toLong, crc.getValue)
+      }.toMap
+  }
+
+  private def snapTable(path: String): Unit = {
+    Medallion.writeTable(base(), path, Seq("part"))
+    val (p, fs) = fsFor(path)
+    Snapshot.ensure(fs, p)
+  }
+
+  test("a 1-row deferred delete rewrites ZERO data files; the row is logically gone") {
+    val path = tmpDir()
+    snapTable(path)
+    val before = dataDigests(path)
+    Medallion.merge(spark, path,
+      Seq((3L, "b", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true)
+    // Every data file byte-identical: the commit was sidecar + manifest.
+    assert(dataDigests(path) == before,
+      "deferred delete must not touch data files")
+    val got = Medallion.read(spark, path).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 4L, 5L))
+    // Time travel to the pre-delete version still shows the row.
+    val v1 = Medallion.read(spark, path, version = Some(1L))
+      .select("id").as[Long].collect().sorted
+    assert(v1.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("re-inserting a tombstoned key yields exactly the new row (no resurrect, no dup)") {
+    val path = tmpDir()
+    snapTable(path)
+    Medallion.merge(spark, path,
+      Seq((3L, "b", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true)
+    // Upsert the same key back (normal CoW upsert on a tombstoned table):
+    // the old physical row's partition must rewrite, the tombstone must
+    // drop, and exactly ONE row with the new value must be visible.
+    Medallion.merge(spark, path,
+      Seq((3L, "b", 33.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"))
+    val got = Medallion.read(spark, path).select("id", "v")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 33.0), (4L, 40.0), (5L, 50.0)))
+    assert(got.count(_._1 == 3L) == 1, "tombstoned key must not duplicate on re-insert")
+    // The consolidated tombstone set is now empty: manifest carries none.
+    val (p, fs) = fsFor(path)
+    val (_, _, tombs) = Snapshot.currentFull(fs, p).get
+    assert(tombs.isEmpty, s"tombstone should be consolidated away, got $tombs")
+  }
+
+  test("deferred deletes accumulate across merges and compact materializes them away") {
+    val path = tmpDir()
+    snapTable(path)
+    def del(id: Long, part: String): Unit = Medallion.merge(spark, path,
+      Seq((id, part, 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true)
+    del(1L, "a"); del(4L, "b")
+    assert(Medallion.read(spark, path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L, 5L))
+    val (p, fs) = fsFor(path)
+    assert(Snapshot.currentFull(fs, p).get._3.nonEmpty)
+    Medallion.compact(spark, path, rowsPerFile = 100, Seq("part"))
+    val (_, files, tombs) = Snapshot.currentFull(fs, p).get
+    assert(tombs.isEmpty, "compact must materialize tombstones away")
+    assert(Medallion.read(spark, path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L, 5L))
+    // And the physical files no longer hold the deleted rows.
+    val raw = Snapshot.readFiles(spark, path, files)
+      .select("id").as[Long].collect().sorted
+    assert(raw.toSeq == Seq(2L, 3L, 5L))
+  }
+
+  test("vacuum keeps tombstones of retained versions readable, drops the rest") {
+    val path = tmpDir()
+    snapTable(path) // v1
+    Medallion.merge(spark, path,
+      Seq((2L, "a", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true) // v2: tombstone {2}
+    Medallion.merge(spark, path,
+      Seq((5L, "c", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true) // v3: tombstones {2,5}
+    val (p, fs) = fsFor(path)
+    // Retain v2 and v3: v2's tombstone sidecar must survive vacuum.
+    Snapshot.vacuum(fs, p, keepVersions = 2)
+    assert(Medallion.read(spark, path, Some(2L)).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(Medallion.read(spark, path, Some(3L)).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // Now retain only v3; v2's manifest goes, and any sidecar referenced
+    // ONLY by v2 goes with it, while v3's survive.
+    Snapshot.vacuum(fs, p, keepVersions = 1)
+    assert(Medallion.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    val tombDir = new Path(p, Snapshot.TombDir)
+    val left = fs.listStatus(tombDir).map(_.getPath.getName).toSet
+    val (_, _, tombs) = Snapshot.currentFull(fs, p).get
+    assert(left == tombs.map(_.stripPrefix(s"${Snapshot.TombDir}/")).toSet,
+      s"unreferenced sidecars must be vacuumed: left=$left referenced=$tombs")
+  }
+
+  test("CoW delete of a tombstoned key cleans it physically and sheds the tombstone") {
+    val path = tmpDir()
+    snapTable(path)
+    Medallion.merge(spark, path,
+      Seq((3L, "b", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true)
+    // Copy-on-write delete of the SAME key: partition rewrites, tombstone
+    // consolidates away, physical row gone.
+    Medallion.merge(spark, path,
+      Seq((3L, "b", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"))
+    val (p, fs) = fsFor(path)
+    val (_, files, tombs) = Snapshot.currentFull(fs, p).get
+    assert(tombs.isEmpty)
+    val raw = Snapshot.readFiles(spark, path, files)
+      .select("id").as[Long].collect().sorted
+    assert(raw.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("deferDeletes without snapshot mode is rejected") {
+    val path = tmpDir()
+    Medallion.writeTable(base(), path, Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      Medallion.merge(spark, path,
+        Seq((3L, "b", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+        Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+        deferDeletes = true)
+    }
+    assert(e.getMessage.contains("snapshot"))
+  }
+
+  test("mixed changeset: deferred deletes + upserts in one merge") {
+    val path = tmpDir()
+    snapTable(path)
+    val before = dataDigests(path)
+    Medallion.merge(spark, path,
+      Seq((5L, "c", 0.0, true), (2L, "a", 22.0, false), (6L, "b", 60.0, false))
+        .toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true)
+    val got = Medallion.read(spark, path).select("id", "v")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 22.0), (3L, 30.0), (4L, 40.0), (6L, 60.0)))
+    // part=c (the deleted row's partition) must be byte-untouched — only
+    // the upserted partitions rewrote.
+    val cBefore = before.filter(_._1.contains("part=c"))
+    val cAfter = dataDigests(path).filter(_._1.contains("part=c"))
+    assert(cBefore.nonEmpty && cAfter == cBefore,
+      "deferred delete's partition must not rewrite")
+  }
+}
