@@ -57,7 +57,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // "total" comes LAST: the driver's log capture keeps only a bounded tail
     // of this line, and the headline number must survive the truncation.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"total":$total}""")
+    val json =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"total":$total}"""
+    println(json)
+    // Also persist the FULL per-query JSON to the repo: the driver's bounded
+    // tail capture has dropped the leading queries before (BENCH_r04 lost
+    // q01-q25), and round-over-round per-query comparison needs all of them.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    }
     spark.stop()
   }
 }

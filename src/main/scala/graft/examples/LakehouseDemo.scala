@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Lakehouse lifecycle walkthrough (executable documentation): initial load
   * -> streaming CDC merge (exactly-once foreachBatch) -> schema-evolving
-  * merge -> snapshot time travel -> compaction -> vacuum. Everything over
-  * plain parquet + the graft Snapshot manifest protocol; no table-format
-  * jars.
+  * merge -> merge-on-read point delete (key tombstone, zero data-file IO)
+  * -> change data feed -> snapshot time travel -> compaction (materializes
+  * tombstones) -> vacuum. Everything over plain parquet + the graft
+  * Snapshot manifest protocol; no table-format jars.
   *
   * Usage: runMain graft.examples.LakehouseDemo <workDir>
   */
@@ -65,12 +66,27 @@ object LakehouseDemo {
     println("after evolution:")
     Medallion.read(spark, tbl).orderBy("id").show()
 
-    // 4. Time travel: the pre-evolution version is still fully readable.
+    // 4. Merge-on-read point delete: a key tombstone rides the manifest;
+    //    NO data file is rewritten, and the change feed records the
+    //    pre-image of the deleted row.
+    Medallion.merge(spark, tbl,
+      Seq((2L, "us", 0.0, "", true))
+        .toDF("id", "region", "balance", "tier", "is_deleted"),
+      keys = Seq("id"), partitionBy = Seq("region"),
+      deleteCol = Some("is_deleted"), deferDeletes = true, changeFeed = true)
+    val (vAfterDel, _, tombs) = Snapshot.currentFull(fs, new Path(tbl)).get
+    println(s"after deferred delete (version $vAfterDel, ${tombs.size} tombstone sidecar):")
+    Medallion.read(spark, tbl).orderBy("id").show()
+    println("change feed of the delete:")
+    Medallion.readChangeFeed(spark, tbl, vAfterDel, vAfterDel).show()
+
+    // 5. Time travel: the pre-evolution version is still fully readable.
     println(s"time travel to version $vAfterCdc:")
     Medallion.read(spark, tbl, version = Some(vAfterCdc)).orderBy("id").show()
 
-    // 5. Compact small files (one manifest flip; readers never see a
-    //    half-swapped table), then vacuum unreferenced files.
+    // 6. Compact small files (one manifest flip; readers never see a
+    //    half-swapped table) — this also materializes the tombstoned delete
+    //    into the data files — then vacuum unreferenced files.
     Medallion.compact(spark, tbl, rowsPerFile = 1000000L, Seq("region"))
     val reclaimed = Snapshot.vacuum(fs, new Path(tbl), keepVersions = 2)
     println(s"compacted; vacuum reclaimed ${reclaimed.size} files")
