@@ -730,6 +730,11 @@ object Medallion {
         Snapshot.readFiles(spark, src.toString, files, format), tombs, format)
       case None => spark.read.format(format).load(src.toString)
     }
+    // An emptied-and-vacuumed snapshot table reads back columnless (its
+    // schema left with its last data file — same corner merge handles):
+    // there is nothing to compact, and repartitioning a columnless frame
+    // by partition columns would throw. No-op, keep the current version.
+    if (df.columns.isEmpty) return
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
     val repartitioned =

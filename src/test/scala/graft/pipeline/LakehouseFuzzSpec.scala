@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import java.nio.file.Files
+
+/** Property-style fuzz over random interleavings of CoW merges, deferred
+  * deletes, compactions, and vacuums: after EVERY operation, every retained
+  * version must read back exactly the logical content recorded when that
+  * version was committed. This is the whole lakehouse contract in one
+  * invariant — manifest bookkeeping, tombstone consolidation, sidecar
+  * retention, and feed/garbage GC can each only break it.
+  */
+class LakehouseFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-fuzz").toString + "/tbl"
+
+  test("random merge/delete/compact/vacuum interleavings keep every retained version exact") {
+    for (seed <- Seq(11, 42)) {
+      val rng = new scala.util.Random(seed)
+      val path = tmpDir()
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+      def toDf(m: Map[Long, Double]) =
+        m.toSeq.map { case (k, v) => (k, s"p${k % 3}", v) }.toDF("id", "part", "v")
+      def readVersion(ver: Long): Map[Long, Double] = {
+        val df = Medallion.read(spark, path, Some(ver))
+        // A fully-vacuumed empty version loses its schema (documented):
+        // the columnless frame IS the empty table.
+        if (df.columns.isEmpty) Map.empty
+        else df.select("id", "v").as[(Long, Double)].collect().toMap
+      }
+
+      // Model state + per-version recorded expectations.
+      var model: Map[Long, Double] = (1L to 6L).map(k => k -> k.toDouble).toMap
+      Medallion.merge(spark, path, toDf(model), Seq("id"), Seq("part"), snapshot = true)
+      var recorded = Map(Snapshot.current(fs, root).get._1 -> model)
+
+      for (step <- 1 to 18) {
+        val op = rng.nextInt(10)
+        if (op <= 5) {
+          // Mixed changeset: up to 3 upserts + up to 2 deletes on DISTINCT
+          // keys (the contract rejects duplicates), randomly deferred.
+          val keys = rng.shuffle((1L to 12L).toList).take(1 + rng.nextInt(5))
+          val (delKeys, upKeys) = keys.splitAt(rng.nextInt(3))
+          val changes =
+            (upKeys.map(k => (k, s"p${k % 3}", rng.nextInt(1000).toDouble, false)) ++
+              delKeys.map(k => (k, s"p${k % 3}", 0.0, true)))
+              .toDF("id", "part", "v", "is_deleted")
+          val defer = rng.nextBoolean()
+          Medallion.merge(spark, path, changes, Seq("id"), Seq("part"),
+            deleteCol = Some("is_deleted"), snapshot = true, deferDeletes = defer,
+            changeFeed = rng.nextBoolean())
+          val ups = changes.where(!col("is_deleted"))
+            .select("id", "v").as[(Long, Double)].collect().toMap
+          model = (model -- delKeys) ++ ups
+        } else if (op == 6) {
+          Medallion.compact(spark, path, rowsPerFile = 3 + rng.nextInt(10), Seq("part"))
+        } else if (op <= 8) {
+          val keep = 1 + rng.nextInt(3)
+          Snapshot.vacuum(fs, root, keepVersions = keep)
+          val cur = Snapshot.current(fs, root).get._1
+          recorded = recorded.filter(_._1 > cur - keep)
+        } else {
+          // Wipe: delete every current key (random mode).
+          if (model.nonEmpty) {
+            val changes = model.keys.toSeq
+              .map(k => (k, s"p${k % 3}", 0.0, true))
+              .toDF("id", "part", "v", "is_deleted")
+            Medallion.merge(spark, path, changes, Seq("id"), Seq("part"),
+              deleteCol = Some("is_deleted"), snapshot = true,
+              deferDeletes = rng.nextBoolean())
+            model = Map.empty
+          }
+        }
+        // Record the (possibly new) current version's expected content.
+        val cur = Snapshot.current(fs, root).get._1
+        recorded += cur -> model
+        // THE invariant: every retained recorded version reads back exactly.
+        for ((ver, expect) <- recorded) {
+          val got = readVersion(ver)
+          assert(got == expect,
+            s"seed $seed step $step: version $ver diverged\n got=$got\n exp=$expect")
+        }
+      }
+    }
+  }
+}
