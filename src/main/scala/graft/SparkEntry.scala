@@ -151,6 +151,42 @@ object SparkEntry {
       lit("0000000049454E4400000000")))           // IEND
   }
 
+  /** Synthetic GIF89a built per documents row, exercising the REAL LZW
+    * decode path (q92). The trick that keeps construction pure SQL: with a
+    * 128-color palette (min LZW code size 7) the code width is 8 bits and
+    * stays 8 for the first 126 dictionary entries, so a stream of
+    * [clear, literal indices..., eoi] is BYTE-ALIGNED — plain hex
+    * arithmetic — while the decoder still runs its general LZW machinery
+    * (dictionary-building streams are pinned by the ImageIO cross-check
+    * spec). Geometry: w = 4 + doc_id%5, h = 3; palette[i] = (i, 2i, 255-i);
+    * pixel p's index = (doc_id*3 + p*5) % 128. q92's DuckDB oracle
+    * recomputes the per-channel closed forms.
+    */
+  private def syntheticGif: org.apache.spark.sql.Column = {
+    val w = (lit(4) + col("doc_id") % 5).cast("int")
+    val n = w * 3 // pixel count (h = 3)
+    def leHex16(c: org.apache.spark.sql.Column) = concat(
+      lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"))
+    // The 128-entry palette is row-independent: render it once, driver-side.
+    val paletteHex = (0 until 128).map(i =>
+      f"$i%02X${2 * i}%02X${255 - i}%02X").mkString
+    val indicesHex = array_join(
+      transform(sequence(lit(0), n - 1),
+        p => lpad(hex((col("doc_id") * 3 + p * 5) % 128), 2, "0")), "")
+    unhex(concat(
+      lit("474946383961"),                   // GIF89a
+      leHex16(w), lit("0300"),               // screen w, h = 3
+      lit("F60000"),                         // GCT, 128 colors; bg; aspect
+      lit(paletteHex),
+      lit("2C"), lit("00000000"),            // image at (0,0)
+      leHex16(w), lit("0300"), lit("00"),    // full frame, no LCT
+      lit("07"),                             // LZW min code size
+      lpad(hex(n + 2), 2, "0"),              // sub-block: clear + n + eoi
+      lit("80"), indicesHex, lit("81"),
+      lit("003B")))                          // terminator + trailer
+  }
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1116,17 +1152,18 @@ object SparkEntry {
 
     // --- 79. multimodal decode seam (mapPartitions; no SQL oracle) --------------------------------------
     // Exercises the per-partition-init decode seam over a MIXED corpus:
-    // doc_id%3==0 carries a real PGM payload and doc_id%3==1 a real
-    // COMPRESSED PNG (both decoded for real — leading feature dims are
-    // actual width/height/channel stats; PNG through the full
-    // inflate+unfilter path, so the fallback no longer fires for it);
-    // doc_id%3==2 carries raw text bytes (fallback byte-statistics path).
-    // Feature dims project to scalar columns: the driver's rows-only check
-    // sorts every column, and a raw array<float> column crashes its pandas
-    // lexsort.
+    // doc_id%4==0 carries a real PGM, %4==1 a real COMPRESSED PNG, %4==2 a
+    // real LZW GIF (all three decoded for real — leading feature dims are
+    // actual width/height/channel stats; the compressed paths run the full
+    // inflate+unfilter / LZW+palette machinery); %4==3 carries raw text
+    // bytes (fallback byte-statistics path — with PNG and GIF decoded,
+    // JPEG's DCT is the only format left behind the seam). Feature dims
+    // project to scalar columns: the driver's rows-only check sorts every
+    // column, and a raw array<float> column crashes its pandas lexsort.
     "q79_media_decode_seam" -> ((s, d) => {
-      val payload = when(col("doc_id") % 3 === 0, syntheticPgm)
-        .when(col("doc_id") % 3 === 1, syntheticPng)
+      val payload = when(col("doc_id") % 4 === 0, syntheticPgm)
+        .when(col("doc_id") % 4 === 1, syntheticPng)
+        .when(col("doc_id") % 4 === 2, syntheticGif)
         .otherwise(col("text").cast("binary"))
       val feats = Multimodal.decode(
         t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
@@ -1314,6 +1351,32 @@ object SparkEntry {
           col("px.c0_mean").as("px_mean"),
           col("px.c0_min").as("px_min"),
           col("px.c0_max").as("px_max"))
+        .orderBy("doc_id")),
+
+    // --- 92. REAL GIF pixel decode (LZW + palette), oracle-pinned ---------------------------------------
+    // The LZW milestone: a GIF is CONSTRUCTED per row (byte-aligned literal
+    // stream over a 128-color palette — see syntheticGif) and decoded back
+    // through the full LZW + color-table path of the codegen'd
+    // ImagePixelStatsExpr. The DuckDB oracle recomputes the decoded
+    // channels' closed forms; dictionary-building LZW streams are pinned
+    // separately by the ImageIO cross-check spec.
+    "q92_gif_decode" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.pixelStats(syntheticGif).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("r_mean"),
+          col("px.c0_min").as("r_min"),
+          col("px.c0_max").as("r_max"),
+          col("px.c1_mean").as("g_mean"),
+          col("px.c1_min").as("g_min"),
+          col("px.c1_max").as("g_max"),
+          col("px.c2_mean").as("b_mean"),
+          col("px.c2_min").as("b_min"),
+          col("px.c2_max").as("b_max"))
         .orderBy("doc_id")),
 
     // --- 90. merge-on-read DELETE (key tombstones), end-to-end oracle -----------------------------------
@@ -2250,6 +2313,24 @@ object SparkEntry {
 
     // Relational restatement of the evolving merge: rows the changeset
     // touches carry the new column's value, untouched rows carry NULL.
+    // Recomputes the constructed GIF's DECODED channels over a lateral
+    // generate_series: pixel p's palette index i = (doc_id*3 + p*5) % 128,
+    // channels (i, 2i, 255-i). Integer-valued sums < 2^53: double division
+    // exact on both engines.
+    "q92_gif_decode" ->
+      """SELECT doc_id, 'gif' AS fmt, w AS width, CAST(3 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  AVG(i) AS r_mean, CAST(MIN(i) AS INT) AS r_min, CAST(MAX(i) AS INT) AS r_max,
+        |  AVG(2*i) AS g_mean, CAST(MIN(2*i) AS INT) AS g_min, CAST(MAX(2*i) AS INT) AS g_max,
+        |  AVG(255-i) AS b_mean, CAST(MIN(255-i) AS INT) AS b_min, CAST(MAX(255-i) AS INT) AS b_max
+        |FROM (SELECT doc_id, w, (doc_id*3 + p*5) % 128 AS i
+        |      FROM (SELECT doc_id, w,
+        |              UNNEST(generate_series(0, CAST(w AS BIGINT)*3 - 1)) AS p
+        |            FROM (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w
+        |                  FROM documents)))
+        |GROUP BY doc_id, w
+        |ORDER BY doc_id""".stripMargin,
+
     // Visible rows after the deferred delete = orders minus every 13th key.
     "q90_merge_defer_delete" ->
       """SELECT o_orderstatus,

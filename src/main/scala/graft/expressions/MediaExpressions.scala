@@ -64,7 +64,171 @@ object MediaCodec {
     if (b(0) == 'B' && b(1) == 'M') return decodeBmp(b)
     if (b.length >= 33 && pngSig.indices.forall(i => b(i) == pngSig(i)))
       return decodePng(b)
+    if (b.length >= 14 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return decodeGif(b)
     null
+  }
+
+  /** REAL GIF pixel decode + one-pass stats, pure JVM: the LZW entropy
+    * coding is ~80 lines of table-driven decompression (no codec library
+    * involved), palette indices map through the color table straight into
+    * the channel reducers — no pixel matrix. Supported: first image of a
+    * GIF87a/89a whose frame covers the full logical screen (the
+    * overwhelmingly common single-image case; matching the header parser's
+    * screen dimensions keeps the two parsers consistent), global or local
+    * color table, interlaced or not — interlacing only PERMUTES row order,
+    * and every statistic here is an order-independent reduction, so the
+    * pass structure is irrelevant (the JDK's own GIF writer emits
+    * interlaced files by default). Partial-frame/no-table images return
+    * null and take the decode seam. A Graphic Control Extension's
+    * transparent index is NOT special-cased: stats describe the stored
+    * palette colors (documented leniency, same spirit as PNG's unverified
+    * checksums).
+    *
+    * Heap is O(1): the LZW dictionary is three fixed 4096-entry arrays and
+    * emission walks a fixed stack — a gigapixel GIF costs no more memory
+    * than an icon.
+    */
+  private def decodeGif(b: Array[Byte]): PixelStats = {
+    val screenW = le16(b, 6); val screenH = le16(b, 8)
+    if (screenW <= 0 || screenH <= 0) return null
+    val packed = b(10) & 0xFF
+    var pos = 13
+    var gctOff = -1; var gctSize = 0
+    if ((packed & 0x80) != 0) {
+      gctSize = 1 << ((packed & 0x07) + 1)
+      gctOff = pos
+      pos += 3 * gctSize
+      if (pos > b.length) return null
+    }
+    // Walk blocks to the first image descriptor, skipping extensions.
+    while (pos < b.length && (b(pos) & 0xFF) == 0x21) {
+      pos += 2 // introducer + label
+      while (pos < b.length && b(pos) != 0) {
+        val len = b(pos) & 0xFF
+        pos += 1 + len
+      }
+      pos += 1 // sub-block terminator
+    }
+    if (pos >= b.length || (b(pos) & 0xFF) != 0x2C) return null
+    if (pos + 10 > b.length) return null
+    val left = le16(b, pos + 1); val top = le16(b, pos + 3)
+    val w = le16(b, pos + 5); val h = le16(b, pos + 7)
+    val ipacked = b(pos + 9) & 0xFF
+    pos += 10
+    // Interlace (ipacked bit 6) is deliberately accepted: it permutes row
+    // ORDER only, which order-independent channel statistics cannot see.
+    if (left != 0 || top != 0 || w != screenW || h != screenH) return null
+    var ctOff = gctOff; var ctSize = gctSize
+    if ((ipacked & 0x80) != 0) { // local color table overrides
+      ctSize = 1 << ((ipacked & 0x07) + 1)
+      ctOff = pos
+      pos += 3 * ctSize
+      if (pos > b.length) return null
+    }
+    if (ctOff < 0) return null // no color table at all: indices are colorless
+    if (pos >= b.length) return null
+    val minCode = b(pos) & 0xFF
+    pos += 1
+    if (minCode < 2 || minCode > 8) return null
+
+    // LZW state. Fixed 4096-entry dictionary: prefix link + suffix byte;
+    // emission resolves a code by walking prefixes into a stack.
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Short](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var next = eoi + 1; var width = minCode + 1; var prev = -1
+    val nPix = w.toLong * h.toLong
+    val sum = new Array[Long](3)
+    val min = Array.fill(3)(255)
+    val max = Array.fill(3)(0)
+    var emitted = 0L
+    // Emit one palette index into the channel reducers.
+    def emitIndex(idx: Int): Boolean = {
+      if (idx >= ctSize) return false // corrupt: index beyond palette
+      if (emitted < nPix) {
+        val o = ctOff + 3 * idx
+        var c = 0
+        while (c < 3) {
+          val v = b(o + c) & 0xFF
+          sum(c) += v
+          if (v < min(c)) min(c) = v
+          if (v > max(c)) max(c) = v
+          c += 1
+        }
+      } // trailing indices beyond w*h (block padding) are ignored
+      emitted += 1
+      true
+    }
+    def emitCode(code: Int): Boolean = {
+      var depth = 0; var c = code
+      while (c >= clear) { // walk the prefix chain (clear/eoi never stored)
+        if (depth >= stack.length) return false // corrupt cycle
+        stack(depth) = suffix(c); depth += 1; c = prefix(c)
+      }
+      stack(depth) = c.toByte; depth += 1
+      var i = depth - 1
+      while (i >= 0) {
+        if (!emitIndex(stack(i) & 0xFF)) return false
+        i -= 1
+      }
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    // Bit reader over the concatenated sub-blocks, LSB-first.
+    var blockEnd = pos // exclusive end of current sub-block's data
+    var bitBuf = 0; var bitCnt = 0
+    var done = false
+    while (!done) {
+      // Refill bits, crossing sub-block boundaries as needed.
+      while (bitCnt < width) {
+        if (pos >= blockEnd) {
+          if (pos >= b.length) return null
+          val len = b(pos) & 0xFF
+          pos += 1
+          if (len == 0) return null // terminator before EOI: truncated
+          blockEnd = pos + len
+          if (blockEnd > b.length) return null
+        } else {
+          bitBuf |= (b(pos) & 0xFF) << bitCnt
+          bitCnt += 8
+          pos += 1
+        }
+      }
+      val code = bitBuf & ((1 << width) - 1)
+      bitBuf >>>= width; bitCnt -= width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) return null // first code must be a literal
+        if (!emitCode(code)) return null
+        prev = code
+      } else {
+        if (code > next) return null // corrupt: skips dictionary slots
+        val newSuffix =
+          if (code == next) firstByte(prev) // KwKwK case
+          else firstByte(code)
+        if (!emitCode(if (code == next) prev else code)) return null
+        if (code == next && !emitIndex(newSuffix)) return null
+        if (next < 4096) {
+          prefix(next) = prev.toShort
+          suffix(next) = newSuffix.toByte
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (emitted < nPix) return null // truncated raster
+    new PixelStats("gif", w, h, 3, sum.map(_.toDouble / nPix), min, max)
   }
 
   /** REAL PNG pixel decode + one-pass stats, pure JDK: IDAT chunks are one

@@ -418,6 +418,123 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.decodePixels(badFilter) == null)
   }
 
+  // ------------------------------------------------------- GIF pixel decode
+
+  /** Minimal full-frame GIF89a: global 2^(k+1)-color table, one image, LZW
+    * stream passed in raw (caller builds it — the byte-aligned literal
+    * construction below, or anything else).
+    */
+  private def gif(w: Int, h: Int, palette: Seq[(Int, Int, Int)],
+      minCode: Int, lzw: Array[Int]): Array[Byte] = {
+    val k = (math.log(palette.size) / math.log(2)).toInt - 1
+    assert(palette.size == (1 << (k + 1)), "palette size must be a power of 2")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0x80 | 0x70 | k); out.write(0); out.write(0)
+    palette.foreach { case (r, g, b) => out.write(r); out.write(g); out.write(b) }
+    // A skippable extension (GCE) before the image: the walk must hop it.
+    out.write(0x21); out.write(0xF9); out.write(4)
+    out.write(0); le16(0); out.write(0); out.write(0)
+    out.write(0x2C); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(minCode)
+    lzw.grouped(255).foreach { chunk =>
+      out.write(chunk.length); chunk.foreach(out.write)
+    }
+    out.write(0); out.write(0x3B)
+    out.toByteArray
+  }
+
+  test("decodeGif: byte-aligned literal LZW stream inverts exactly") {
+    import graft.expressions.MediaCodec
+    // 128-color palette (minCode 7): after a clear, literal codes stay
+    // 8-bit-wide for 126 entries — the stream is clear + indices + eoi,
+    // all plain bytes. palette[i] = (i, 2i, 255-i).
+    val pal = (0 until 128).map(i => (i, 2 * i, 255 - i))
+    val idx = Seq(5, 17, 99, 0, 127, 64) // 3x2 image
+    val img = gif(3, 2, pal, 7, (Seq(0x80) ++ idx ++ Seq(0x81)).toArray)
+    val s = MediaCodec.decodePixels(img)
+    assert(s != null && s.format == "gif" && s.width == 3 && s.height == 2 &&
+      s.channels == 3)
+    assert(s.min(0) == idx.min && s.max(0) == idx.max)
+    assert(s.mean(0) == idx.sum.toDouble / idx.size)
+    assert(s.min(1) == 2 * idx.min && s.max(1) == 2 * idx.max)
+    assert(s.min(2) == 255 - idx.max && s.max(2) == 255 - idx.min)
+    assert(s.mean(2) == 255.0 - idx.sum.toDouble / idx.size)
+  }
+
+  test("decodeGif cross-checked against ImageIO's encoder (real LZW with dictionary hits)") {
+    import graft.expressions.MediaCodec
+    val rng = new java.util.Random(13)
+    for (trial <- 1 to 20) {
+      val w = 1 + rng.nextInt(50); val h = 1 + rng.nextInt(50)
+      val n = 1 << (1 + rng.nextInt(7)) // palette of 2..128 colors
+      val r = new Array[Byte](n); val g = new Array[Byte](n); val bl = new Array[Byte](n)
+      (0 until n).foreach { i =>
+        r(i) = rng.nextInt(256).toByte; g(i) = rng.nextInt(256).toByte
+        bl(i) = rng.nextInt(256).toByte
+      }
+      val cm = new java.awt.image.IndexColorModel(8, n, r, g, bl)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val expSum = new Array[Long](3)
+      val expMin = Array.fill(3)(255); val expMax = Array.fill(3)(0)
+      for (y <- 0 until h; x <- 0 until w) {
+        // Runs of repeated indices force real dictionary usage in the
+        // encoder (this is what distinguishes this from the literal test).
+        val idx = if (rng.nextBoolean()) rng.nextInt(n) else (x / 3) % n
+        bi.getRaster.setSample(x, y, 0, idx)
+        for ((arr, c) <- Seq(r, g, bl).zipWithIndex) {
+          val v = arr(idx) & 0xFF
+          expSum(c) += v
+          expMin(c) = math.min(expMin(c), v); expMax(c) = math.max(expMax(c), v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "gif", bos))
+      val s = MediaCodec.decodePixels(bos.toByteArray)
+      assert(s != null && s.format == "gif" && s.width == w && s.height == h,
+        s"trial $trial ${w}x$h n=$n")
+      for (c <- 0 until 3) {
+        assert(s.min(c) == expMin(c) && s.max(c) == expMax(c), s"trial $trial ch $c")
+        assert(math.abs(s.mean(c) - expSum(c).toDouble / (w.toLong * h)) < 1e-9)
+      }
+    }
+  }
+
+  test("decodeGif: unsupported shapes and corrupt streams null, never throw") {
+    import graft.expressions.MediaCodec
+    val pal = (0 until 4).map(i => (i * 80, 255 - i * 80, i * 10))
+    val pal128 = (0 until 128).map(i => (i, i, i))
+    val good = gif(2, 2, pal128, 7, Array(0x80, 1, 2, 3, 4, 0x81))
+    assert(MediaCodec.decodePixels(good) != null)
+    // Interlaced: accepted — interlace permutes row ORDER only, invisible
+    // to order-independent stats; decode must be IDENTICAL.
+    val inter = good.clone()
+    val ipackedAt = good.length - (2 + 1 + 8) // packed byte of image descriptor
+    inter(ipackedAt) = (inter(ipackedAt) | 0x40).toByte
+    val si = MediaCodec.decodePixels(inter)
+    val sg = MediaCodec.decodePixels(good)
+    assert(si != null && si.mean(0) == sg.mean(0) && si.min(0) == sg.min(0))
+    // Partial frame (image smaller than screen): w field of the descriptor.
+    val part = good.clone()
+    part(ipackedAt - 4) = 1 // image w = 1 != screen w = 2
+    assert(MediaCodec.decodePixels(part) == null)
+    // Truncated at every prefix: clean null or stats, never a throw.
+    (0 until good.length).foreach(n => MediaCodec.decodePixels(good.take(n)))
+    // Index beyond palette: stream code 0x7F valid for 128-table, but body
+    // shrunk to 4 colors -> corrupt. Build with a 4-color table and an
+    // out-of-range literal packed at width 3: codes [4 (clear), 7?]; 7 >
+    // next(6) -> corrupt -> null. Packed LSB-first: 4=100, then 111 ->
+    // bits 100 111 -> byte 0b00111100 = 0x3C.
+    val bad = gif(1, 1, pal, 2, Array(0x3C))
+    assert(MediaCodec.decodePixels(bad) == null)
+    // Raster shorter than w*h: eoi right after clear.
+    val short = gif(2, 2, pal128, 7, Array(0x80, 1, 0x81))
+    assert(MediaCodec.decodePixels(short) == null)
+  }
+
   test("imageHeader also recognizes pgm/ppm/bmp headers") {
     import graft.expressions.MediaCodec
     val p = MediaCodec.imageHeader(pgm(7, 5, _ => 0))
@@ -524,7 +641,9 @@ class MultimodalSpec extends SparkTestBase {
       // PNG signature + IHDR length/type: fuzzes the chunk walk, geometry
       // guards, and inflater feed with random chunk bodies.
       Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
-        0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R').map(_.toByte))
+        0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R').map(_.toByte),
+      // GIF header + tiny screen: fuzzes the block walk and LZW reader.
+      ("GIF89a".getBytes("US-ASCII") ++ Array[Byte](2, 0, 2, 0)))
     (1 to 10000).foreach { i =>
       val len = rng.nextInt(200)
       val b = new Array[Byte](len)
