@@ -187,6 +187,47 @@ object SparkEntry {
       lit("003B")))                          // terminator + trailer
   }
 
+  /** Synthetic baseline JPEG built per documents row, exercising the REAL
+    * Huffman+IDCT decode path (q93). The trick that keeps construction pure
+    * SQL: a DC-only 8x8 block inverse-DCTs to a FLAT block of exactly
+    * DC*Q[0]/8 + 128, so with an all-8s quant table the decoded pixel is
+    * DC+128 exactly; choosing the Huffman tables (DC category-5 code `000`,
+    * AC EOB code `00000000`) makes each block's entropy coding two
+    * byte-aligned bytes [0x10+d, 0x00]; and restart interval 1 resets DC
+    * prediction each MCU, so blocks carry ABSOLUTE DCs — no cross-block
+    * differences to fold in SQL. The decoder still runs its general
+    * machinery (marker walk, canonical Huffman decode, dequantize, full
+    * 2-D IDCT, restart handling); dynamically-coded AC streams are pinned
+    * separately by the ImageIO cross-check spec. Geometry:
+    * w = 8*(1 + doc_id%3), h = 8*(1 + doc_id%2); block i's DC =
+    * 16 + (doc_id*7 + i*11)%16 -> its 64 pixels all decode to DC+128.
+    * q93's DuckDB oracle recomputes the per-block closed forms.
+    */
+  private def syntheticJpeg: org.apache.spark.sql.Column = {
+    val wB = (lit(1) + col("doc_id") % 3).cast("int") // blocks across
+    val hB = (lit(1) + col("doc_id") % 2).cast("int") // blocks down
+    val nb = wB * hB
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    val headers = concat(
+      lit("FFD8"),                                    // SOI
+      lit("FFDB0043" + "00" + "08" * 64),             // DQT: all-8s, table 0
+      lit("FFDD00040001"),                            // DRI: interval 1
+      lit("FFC0000B08"), beHex16(hB * 8), beHex16(wB * 8), // SOF0, 8-bit gray
+      lit("01011100"),                                // 1 comp, 1x1, qtbl 0
+      lit("FFC40014" + "00" + "000001" + "00" * 13 + "05"), // DC: cat5 <- 000
+      lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"), // AC: EOB
+      lit("FFDA0008010100003F00"))                    // SOS
+    val scanHex = array_join(
+      transform(sequence(lit(0), nb - 1), i => concat(
+        // 000 (DC code) + 5 amplitude bits of DC in [16,31]: the byte IS
+        // the DC value; then the 8-zero-bit EOB byte; then a restart
+        // marker between MCUs (cycling D0..D7).
+        lpad(hex(lit(16) + (col("doc_id") * 7 + i * 11) % 16), 2, "0"),
+        lit("00"),
+        when(i < nb - 1, concat(lit("FFD"), hex(i % 8))).otherwise(lit("")))), "")
+    unhex(concat(headers, scanHex, lit("FFD9")))
+  }
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1152,18 +1193,20 @@ object SparkEntry {
 
     // --- 79. multimodal decode seam (mapPartitions; no SQL oracle) --------------------------------------
     // Exercises the per-partition-init decode seam over a MIXED corpus:
-    // doc_id%4==0 carries a real PGM, %4==1 a real COMPRESSED PNG, %4==2 a
-    // real LZW GIF (all three decoded for real — leading feature dims are
-    // actual width/height/channel stats; the compressed paths run the full
-    // inflate+unfilter / LZW+palette machinery); %4==3 carries raw text
-    // bytes (fallback byte-statistics path — with PNG and GIF decoded,
-    // JPEG's DCT is the only format left behind the seam). Feature dims
+    // doc_id%5==0 carries a real PGM, %5==1 a real COMPRESSED PNG, %5==2 a
+    // real LZW GIF, %5==3 a real BASELINE JPEG (all four decoded for real —
+    // leading feature dims are actual width/height/channel stats; the
+    // compressed paths run the full inflate+unfilter / LZW+palette /
+    // Huffman+IDCT machinery); %5==4 carries raw text bytes (the fallback
+    // byte-statistics path — every mainstream format now decodes, so the
+    // fallback fires only for unrecognized payloads). Feature dims
     // project to scalar columns: the driver's rows-only check sorts every
     // column, and a raw array<float> column crashes its pandas lexsort.
     "q79_media_decode_seam" -> ((s, d) => {
-      val payload = when(col("doc_id") % 4 === 0, syntheticPgm)
-        .when(col("doc_id") % 4 === 1, syntheticPng)
-        .when(col("doc_id") % 4 === 2, syntheticGif)
+      val payload = when(col("doc_id") % 5 === 0, syntheticPgm)
+        .when(col("doc_id") % 5 === 1, syntheticPng)
+        .when(col("doc_id") % 5 === 2, syntheticGif)
+        .when(col("doc_id") % 5 === 3, syntheticJpeg)
         .otherwise(col("text").cast("binary"))
       val feats = Multimodal.decode(
         t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
@@ -1377,6 +1420,28 @@ object SparkEntry {
           col("px.c2_mean").as("b_mean"),
           col("px.c2_min").as("b_min"),
           col("px.c2_max").as("b_max"))
+        .orderBy("doc_id")),
+
+    // --- 93. REAL JPEG pixel decode (Huffman + IDCT), oracle-pinned -------------------------------------
+    // The DCT milestone — the last compressed format decoded for real: a
+    // baseline JPEG is CONSTRUCTED per row (DC-only blocks + chosen Huffman
+    // tables + restart-interval-1, all byte-aligned — see syntheticJpeg)
+    // and decoded back through the full marker-walk / canonical-Huffman /
+    // dequantize / 2-D-IDCT path of the codegen'd ImagePixelStatsExpr. The
+    // DuckDB oracle recomputes each block's closed-form flat value DC+128;
+    // dynamically-coded AC streams and 4:2:0 color are pinned by the
+    // ImageIO cross-check spec.
+    "q93_jpeg_decode" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.pixelStats(syntheticJpeg).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("px_mean"),
+          col("px.c0_min").as("px_min"),
+          col("px.c0_max").as("px_max"))
         .orderBy("doc_id")),
 
     // --- 90. merge-on-read DELETE (key tombstones), end-to-end oracle -----------------------------------
@@ -2329,6 +2394,26 @@ object SparkEntry {
         |            FROM (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w
         |                  FROM documents)))
         |GROUP BY doc_id, w
+        |ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the constructed JPEG's DECODED pixels: block i of the
+    // DC-only construction decodes to 64 pixels of exactly
+    // 144 + (doc_id*7 + i*11) % 16 (DC+128 with the all-8s quant table).
+    // Per-block AVG equals per-pixel AVG (equal 64-pixel blocks), and
+    // IEEE division of the x64-scaled sums is bit-identical, so the double
+    // means hash-match.
+    "q93_jpeg_decode" ->
+      """SELECT doc_id, 'jpeg' AS fmt, CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |  CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  AVG(144 + (doc_id*7 + i*11) % 16) AS px_mean,
+        |  CAST(MIN(144 + (doc_id*7 + i*11) % 16) AS INT) AS px_min,
+        |  CAST(MAX(144 + (doc_id*7 + i*11) % 16) AS INT) AS px_max
+        |FROM (SELECT doc_id,
+        |        UNNEST(generate_series(0,
+        |          (1 + doc_id % 3) * (1 + doc_id % 2) - 1)) AS i
+        |      FROM documents)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // Visible rows after the deferred delete = orders minus every 13th key.

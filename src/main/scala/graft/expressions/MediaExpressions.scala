@@ -15,12 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    image corpus by dimensions never touches a decoder;
   *  - FULL pixel decode + one-pass per-channel statistics for the
   *    uncompressed formats (PGM P5, PPM P6, 24-bit BI_RGB BMP), whose
-  *    samples are raw bytes, AND for PNG — zlib inflate is
-  *    `java.util.zip.Inflater` (in the JDK) and row unfiltering is byte
-  *    arithmetic, so "no codec library" does not block it.
-  * Only formats whose entropy coding has no JDK primitive (JPEG's DCT, GIF's
-  * LZW) stay behind the [[graft.functions.Multimodal.decode]] mapPartitions
-  * seam.
+  *    samples are raw bytes, for PNG (zlib inflate is
+  *    `java.util.zip.Inflater`, in the JDK; row unfiltering is byte
+  *    arithmetic), for GIF (table-driven LZW), and for baseline JPEG
+  *    (canonical Huffman + 8x8 inverse DCT — plain arithmetic, no codec
+  *    library involved).
+  * Only exotic shapes (progressive/12-bit JPEG, palette/16-bit/interlaced
+  * PNG, partial-frame GIF) stay behind the
+  * [[graft.functions.Multimodal.decode]] mapPartitions seam.
   */
 object MediaCodec {
   private val pngSig =
@@ -44,11 +46,13 @@ object MediaCodec {
     else new GenericInternalRow(Array[Any](UTF8String.fromString(r._1), r._2, r._3))
   }
 
-  /** One-pass per-channel pixel statistics of an image payload whose decode
-    * is pure JVM (PGM P5 / PPM P6 / 24-bit BI_RGB BMP raw rasters, and PNG
-    * via the JDK's Inflater). Null for anything else — JPEG/GIF entropy
-    * coding stays behind the [[graft.functions.Multimodal]] mapPartitions
-    * seam where a real codec would plug in.
+  /** One-pass per-channel pixel statistics of an image payload. Every
+    * mainstream raster format decodes for real, pure JVM: PGM P5 / PPM P6 /
+    * 24-bit BI_RGB BMP raw rasters, PNG via the JDK's Inflater, GIF via
+    * table-driven LZW, baseline JPEG via canonical Huffman + inverse DCT.
+    * Null only for exotic shapes (progressive JPEG, palette PNG, ...) and
+    * corrupt payloads — those take the [[graft.functions.Multimodal]]
+    * mapPartitions seam where a production codec would plug in.
     */
   final class PixelStats(
       val format: String, val width: Int, val height: Int, val channels: Int,
@@ -67,7 +71,377 @@ object MediaCodec {
     if (b.length >= 14 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return decodeGif(b)
+    if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      return decodeJpeg(b)
     null
+  }
+
+  /** Thrown (as a shared, stack-trace-free instance) by the JPEG bit/marker
+    * readers on any malformed structure; [[decodeJpeg]] translates it to the
+    * null-for-corrupt contract every decoder in this file follows. A control
+    * exception beats threading `-1` through a dozen reader call sites.
+    */
+  private final class CorruptMedia extends RuntimeException(null, null, false, false)
+  private val corruptMedia = new CorruptMedia
+
+  /** Scan position k -> natural (row-major) coefficient index, per the JPEG
+    * zigzag order. Quant tables are kept in scan order, so dequantization
+    * indexes them by k directly and only the coefficient store de-zigzags.
+    */
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** idctCos(x)(u) = C(u)/2 * cos((2x+1)u*pi/16): one axis of the 2-D
+    * separable inverse DCT. The 1/2 per axis carries the standard 1/4
+    * normalization, and a DC-only block comes out exactly F(0,0)/8 — the
+    * closed form the q93 oracle leans on.
+    */
+  private val idctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    (if (u == 0) 0.5 / math.sqrt(2.0) else 0.5) *
+      math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical JPEG Huffman table: the DECODE procedure's mincode/maxcode/
+    * valptr arrays built from the DHT's 16 length counts + symbol list.
+    */
+  private final class JpegHuff(counts: Array[Int], val vals: Array[Byte]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        if (counts(l - 1) > 0) { code += counts(l - 1); k += counts(l - 1) }
+        maxcode(l) = code - 1 // -1-below-mincode when the length is empty
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** REAL baseline JPEG pixel decode + one-pass stats, pure JVM — the last
+    * compressed image format behind the decode seam. Entropy decode is
+    * canonical Huffman (DHT-driven), then dequantize, 8x8 inverse DCT
+    * (separable double-precision, exact for the DC-only blocks the q93
+    * oracle constructs), level shift, and for 3-component frames the JFIF
+    * YCbCr->RGB conversion with per-component subsampling (4:4:4 / 4:2:2 /
+    * 4:2:0 and any h,v <= 4 combination). Supported: baseline + extended
+    * sequential Huffman (SOF0/SOF1), 8-bit precision, 1 or 3 components,
+    * single interleaved scan, restart markers. Progressive (SOF2),
+    * arithmetic coding, 12-bit, and hierarchical frames return null and
+    * take the decode seam.
+    *
+    * Heap is O(1) in image size: one MCU of component samples (at most
+    * 3 * 32x32 ints) plus the fixed Huffman/quant tables — the stats reduce
+    * consumes each MCU as it decodes; no pixel matrix exists. All header
+    * fields are attacker-controlled: every read is bounds-checked and any
+    * structural lie lands on the shared corrupt-control exception, never an
+    * ArrayIndexOutOfBounds from the scan loop.
+    */
+  private def decodeJpeg(b: Array[Byte]): PixelStats = {
+    try decodeJpeg0(b)
+    catch { case _: CorruptMedia => null }
+  }
+
+  private def decodeJpeg0(b: Array[Byte]): PixelStats = {
+    def u8(i: Int): Int = {
+      if (i >= b.length) throw corruptMedia
+      b(i) & 0xFF
+    }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+
+    // --- marker walk: collect tables + frame header until SOS ------------
+    val qt = Array.ofDim[Int](4, 64)
+    val qtSeen = new Array[Boolean](4)
+    val dcTbl = new Array[JpegHuff](4)
+    val acTbl = new Array[JpegHuff](4)
+    var restartInterval = 0
+    var w = 0; var h = 0; var nComp = 0
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compQ: Array[Int] = null
+    var pos = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (u8(pos) != 0xFF) throw corruptMedia
+      var marker = u8(pos + 1)
+      while (marker == 0xFF) { pos += 1; marker = u8(pos + 1) } // fill bytes
+      pos += 2
+      marker match {
+        case m if m == 0x01 || (m >= 0xD0 && m <= 0xD7) =>
+          () // standalone marker, no segment body
+        case 0xD8 | 0xD9 => throw corruptMedia // SOI again / EOI before scan
+        case 0xDB => // DQT: one or more tables
+          val end = pos + u16(pos)
+          var p = pos + 2
+          while (p < end) {
+            val pqTq = u8(p)
+            if ((pqTq >> 4) != 0) return null // 16-bit quant: unsupported
+            val tq = pqTq & 15
+            var k = 0
+            while (k < 64) { qt(tq)(k) = u8(p + 1 + k); k += 1 }
+            qtSeen(tq) = true
+            p += 65
+          }
+          if (p != end) throw corruptMedia
+          pos = end
+        case 0xC4 => // DHT: one or more tables
+          val end = pos + u16(pos)
+          var p = pos + 2
+          while (p < end) {
+            val tcTh = u8(p)
+            val tc = tcTh >> 4; val th = tcTh & 15
+            if (tc > 1 || th > 3) throw corruptMedia
+            val counts = new Array[Int](16)
+            var total = 0
+            var l = 0
+            while (l < 16) { counts(l) = u8(p + 1 + l); total += counts(l); l += 1 }
+            if (total == 0 || total > 256 || p + 17 + total > end ||
+                p + 17 + total > b.length) throw corruptMedia
+            val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total)
+            val tbl = new JpegHuff(counts, vals)
+            if (tc == 0) dcTbl(th) = tbl else acTbl(th) = tbl
+            p += 17 + total
+          }
+          pos = end
+        case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+          if (nComp != 0) throw corruptMedia // second frame header
+          val len = u16(pos)
+          if (u8(pos + 2) != 8) return null // 12-bit precision: unsupported
+          h = u16(pos + 3); w = u16(pos + 5)
+          nComp = u8(pos + 7)
+          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
+              len != 8 + 3 * nComp) return null
+          compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compId(c) = u8(pos + 8 + 3 * c)
+            val hv = u8(pos + 9 + 3 * c)
+            compH(c) = hv >> 4; compV(c) = hv & 15
+            compQ(c) = u8(pos + 10 + 3 * c)
+            if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4 ||
+                compQ(c) > 3) return null
+            c += 1
+          }
+          // A single-component frame is coded non-interleaved: the data
+          // unit is one block and sampling factors do not apply.
+          if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+          pos += len
+        case m if m >= 0xC2 && m <= 0xCF => // 0xC4 (DHT) matched above
+          return null // progressive/arithmetic/lossless: decode seam
+        case 0xDD => // DRI
+          if (u16(pos) != 4) throw corruptMedia
+          restartInterval = u16(pos + 2)
+          pos += 4
+        case 0xDA => sosAt = pos // scan header; entropy data follows
+        case _ => // APPn / COM / anything else with a length field
+          val len = u16(pos)
+          if (len < 2) throw corruptMedia
+          pos += len
+      }
+    }
+    if (nComp == 0) return null // SOS before SOF
+
+    // --- SOS header: map scan components to frame components -------------
+    pos = sosAt
+    val sosLen = u16(pos)
+    val ns = u8(pos + 2)
+    if (ns != nComp || sosLen != 6 + 2 * ns) return null // single full scan
+    val scanDc = new Array[JpegHuff](nComp)
+    val scanAc = new Array[JpegHuff](nComp)
+    var si = 0
+    while (si < ns) {
+      val cs = u8(pos + 3 + 2 * si)
+      val tdTa = u8(pos + 4 + 2 * si)
+      val c = compId.indexOf(cs)
+      if (c < 0) throw corruptMedia
+      scanDc(c) = dcTbl(tdTa >> 4)
+      scanAc(c) = acTbl(tdTa & 15)
+      if (scanDc(c) == null || scanAc(c) == null || !qtSeen(compQ(c)))
+        throw corruptMedia
+      si += 1
+    }
+    // Baseline sequential: full spectral band, no successive approximation.
+    if (u8(pos + 3 + 2 * ns) != 0 || u8(pos + 4 + 2 * ns) != 63 ||
+        u8(pos + 5 + 2 * ns) != 0) return null
+    pos += sosLen
+
+    // --- entropy-coded scan ----------------------------------------------
+    var hMax = 1; var vMax = 1
+    var c = 0
+    while (c < nComp) {
+      if (compH(c) > hMax) hMax = compH(c)
+      if (compV(c) > vMax) vMax = compV(c)
+      c += 1
+    }
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    // Per-component MCU sample buffers (natural order, stride 8*compH).
+    val mcuBuf = Array.tabulate(nComp)(c => new Array[Int](64 * compH(c) * compV(c)))
+    val coef = new Array[Double](64) // dequantized block, natural order
+    val tmp = new Array[Double](64)  // row-pass IDCT intermediate
+    val pred = new Array[Int](nComp)
+
+    var bitBuf = 0; var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        val byte = u8(pos); pos += 1
+        if (byte == 0xFF) {
+          if (u8(pos) != 0x00) throw corruptMedia // marker mid-entropy
+          pos += 1 // stuffed zero
+        }
+        bitBuf = byte; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def extend(v: Int, n: Int): Int =
+      if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+    def huffDecode(t: JpegHuff): Int = {
+      var code = nextBit(); var l = 1
+      while (code > t.maxcode(l)) {
+        l += 1
+        if (l > 16) throw corruptMedia
+        code = (code << 1) | nextBit()
+      }
+      val idx = t.valptr(l) + code - t.mincode(l)
+      if (idx < 0 || idx >= t.vals.length) throw corruptMedia
+      t.vals(idx) & 0xFF
+    }
+    // Decode one block of component c into mcuBuf(c) at (bx, by).
+    def decodeBlock(c: Int, bx: Int, by: Int): Unit = {
+      java.util.Arrays.fill(coef, 0.0)
+      val q = qt(compQ(c))
+      val s = huffDecode(scanDc(c))
+      if (s > 11) throw corruptMedia
+      pred(c) += extend(receive(s), s)
+      coef(0) = pred(c).toDouble * q(0)
+      var k = 1
+      while (k < 64) {
+        val rs = huffDecode(scanAc(c))
+        val r = rs >> 4; val sz = rs & 15
+        if (sz == 0) {
+          if (r == 15) k += 16 else k = 64 // ZRL / EOB
+        } else {
+          k += r
+          if (k > 63) throw corruptMedia
+          coef(jpegZigzag(k)) = extend(receive(sz), sz).toDouble * q(k)
+          k += 1
+        }
+      }
+      // Separable IDCT: rows then columns of the 8x8 block.
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0; var u = 0
+          while (u < 8) { acc += idctCos(x)(u) * coef(v * 8 + u); u += 1 }
+          tmp(v * 8 + x) = acc
+          x += 1
+        }
+        v += 1
+      }
+      val stride = 8 * compH(c)
+      val base = by * 8 * stride + bx * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0; var vv = 0
+          while (vv < 8) { acc += idctCos(y)(vv) * tmp(vv * 8 + x); vv += 1 }
+          val s = math.round(acc + 128.0).toInt
+          mcuBuf(c)(base + y * stride + x) =
+            if (s < 0) 0 else if (s > 255) 255 else s
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    val outCh = if (nComp == 1) 1 else 3
+    val sum = new Array[Long](outCh)
+    val min = Array.fill(outCh)(255)
+    val max = Array.fill(outCh)(0)
+    def clamp8(d: Double): Int = {
+      val v = math.round(d).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    var mcu = 0; var rst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bitCnt = 0 // discard bits to the byte boundary
+          if (u8(pos) != 0xFF || u8(pos + 1) != 0xD0 + rst) throw corruptMedia
+          pos += 2
+          rst = (rst + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+        var c = 0
+        while (c < nComp) {
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) { decodeBlock(c, bx, by); bx += 1 }
+            by += 1
+          }
+          c += 1
+        }
+        // Reduce this MCU's pixels straight into the channel stats.
+        val x0 = mx * mcuW; val y0 = my * mcuH
+        var py = 0
+        while (py < mcuH && y0 + py < h) {
+          var px = 0
+          while (px < mcuW && x0 + px < w) {
+            if (nComp == 1) {
+              val v = mcuBuf(0)(py * 8 + px) // 1-comp MCU is a single 8x8 block
+              sum(0) += v
+              if (v < min(0)) min(0) = v
+              if (v > max(0)) max(0) = v
+            } else {
+              // Per-component nearest sample in its subsampled grid.
+              def samp(c: Int): Int = {
+                val sx = px * compH(c) / hMax
+                val sy = py * compV(c) / vMax
+                mcuBuf(c)(sy * 8 * compH(c) + sx)
+              }
+              val yv = samp(0).toDouble
+              val cb = samp(1) - 128.0
+              val cr = samp(2) - 128.0
+              val r = clamp8(yv + 1.402 * cr)
+              val g = clamp8(yv - 0.344136 * cb - 0.714136 * cr)
+              val bl = clamp8(yv + 1.772 * cb)
+              sum(0) += r; sum(1) += g; sum(2) += bl
+              if (r < min(0)) min(0) = r
+              if (r > max(0)) max(0) = r
+              if (g < min(1)) min(1) = g
+              if (g > max(1)) max(1) = g
+              if (bl < min(2)) min(2) = bl
+              if (bl > max(2)) max(2) = bl
+            }
+            px += 1
+          }
+          py += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    val nPix = w.toLong * h.toLong
+    new PixelStats("jpeg", w, h, outCh, sum.map(_.toDouble / nPix), min, max)
   }
 
   /** REAL GIF pixel decode + one-pass stats, pure JVM: the LZW entropy

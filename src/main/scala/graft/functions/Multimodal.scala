@@ -11,16 +11,16 @@ case class MediaIn(id: Long, payload: Array[Byte])
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct alongside.
   *
-  * Decode is REAL for every format that needs no codec library: container
-  * headers (PNG/JPEG/GIF/PGM/PPM/BMP → [[imageHeader]]) and full pixel
-  * statistics for the raster formats whose decode is pure JVM (PGM/PPM/
-  * 24-bit BMP raw bytes, PNG via the JDK's Inflater + row unfiltering,
-  * GIF via table-driven LZW → [[pixelStats]], a codegen'd one-pass
-  * expression). Only JPEG — whose DCT entropy coding has no JDK
-  * primitive — falls back to deterministic byte statistics inside
-  * [[decode]] — the single
-  * `mapPartitions` seam where a production decoder (JNI codec, ONNX
-  * runtime, etc.) plugs in with once-per-partition init.
+  * Decode is REAL for every mainstream format, pure JVM: container headers
+  * (PNG/JPEG/GIF/PGM/PPM/BMP → [[imageHeader]]) and full pixel statistics
+  * (PGM/PPM/24-bit BMP raw bytes, PNG via the JDK's Inflater + row
+  * unfiltering, GIF via table-driven LZW, baseline JPEG via canonical
+  * Huffman + inverse DCT → [[pixelStats]], a codegen'd one-pass
+  * expression). Only exotic shapes — progressive/12-bit JPEG, palette
+  * PNG, partial-frame GIF — fall back to deterministic byte statistics
+  * inside [[decode]] — the single `mapPartitions` seam where a production
+  * decoder (JNI codec, ONNX runtime, etc.) plugs in with
+  * once-per-partition init.
   */
 object Multimodal {
 
@@ -77,11 +77,12 @@ object Multimodal {
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
   /** REAL pixel decode + per-channel statistics for PGM/PPM/24-bit BMP,
-    * 8-bit PNG (gray/gray+alpha/RGB/RGBA), and GIF (LZW + palette), as a
-    * native codegen'd expression ([[graft.expressions.ImagePixelStatsExpr]]):
-    * the one-pass decode+reduce runs inside the scan's WholeStageCodegen
-    * stage with O(1) extra heap. NULL for JPEG/palette-PNG — those need a
-    * real codec and belong behind the [[decode]] mapPartitions seam.
+    * 8-bit PNG (gray/gray+alpha/RGB/RGBA), GIF (LZW + palette), and
+    * baseline JPEG (Huffman + IDCT + YCbCr), as a native codegen'd
+    * expression ([[graft.expressions.ImagePixelStatsExpr]]): the one-pass
+    * decode+reduce runs inside the scan's WholeStageCodegen stage with O(1)
+    * extra heap. NULL for exotic shapes (progressive JPEG, palette PNG) —
+    * those belong behind the [[decode]] mapPartitions seam.
     */
   def pixelStats(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
@@ -105,12 +106,13 @@ object Multimodal {
     *
     * The decode is REAL for every format
     * [[graft.expressions.MediaCodec.decodePixels]] handles (PGM/PPM/24-bit
-    * BMP, 8-bit PNG, GIF): the leading feature dims are actual image
-    * statistics (width, height, channels, per-channel means, global
-    * min/max, all scaled to [0,1]). Payloads in the one format that still
-    * requires a codec library not present in this environment (JPEG) fall
-    * back to a deterministic byte-statistics vector — clearly a fallback, not a
-    * fake "decode" — so downstream plumbing stays total over junk bytes.
+    * BMP, 8-bit PNG, GIF, baseline JPEG): the leading feature dims are
+    * actual image statistics (width, height, channels, per-channel means,
+    * global min/max, all scaled to [0,1]). Unrecognized payloads and the
+    * exotic shapes a production codec would own (progressive JPEG, palette
+    * PNG) fall back to a deterministic byte-statistics vector — clearly a
+    * fallback, not a fake "decode" — so downstream plumbing stays total
+    * over junk bytes.
     */
   def decode(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -535,6 +535,134 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.decodePixels(short) == null)
   }
 
+  /** DC-only baseline JPEG, the q93 construction: quant all-8s (so a
+    * DC-only block decodes to exactly DC+128), custom Huffman tables where
+    * the DC category-5 code is `000` and the AC EOB code is `00000000`, and
+    * restart interval 1 so every block encodes its ABSOLUTE DC in [16,31] —
+    * each MCU is two byte-aligned bytes [0x10+d, 0x00]. `dc(i)` gives block
+    * i's DC value (16..31), blocks in MCU row-major order.
+    */
+  private def dcJpeg(wBlocks: Int, hBlocks: Int, dc: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def hx(s: String) = s.grouped(2).foreach(p => out.write(Integer.parseInt(p, 16)))
+    hx("FFD8")
+    hx("FFDB0043" + "00" + "08" * 64)            // DQT: all-8s
+    hx("FFDD00040001")                           // DRI: interval 1
+    hx(f"FFC0000B08${hBlocks * 8}%04X${wBlocks * 8}%04X01011100") // SOF0 gray
+    hx("FFC40014" + "00" + "000001" + "00" * 13 + "05") // DC: cat5 <- 000
+    hx("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00") // AC: EOB <- 8 zeros
+    hx("FFDA0008010100003F00")                   // SOS
+    val nb = wBlocks * hBlocks
+    for (i <- 0 until nb) {
+      val d = dc(i)
+      require(d >= 16 && d <= 31, s"DC $d outside category-5 positive range")
+      out.write(d)      // 000 (DC code) + 5 amplitude bits of d, byte-aligned
+      out.write(0x00)   // EOB
+      if (i < nb - 1) { out.write(0xFF); out.write(0xD0 + i % 8) }
+    }
+    hx("FFD9")
+    out.toByteArray
+  }
+
+  test("decodeJpeg: DC-only restart-interval construction inverts exactly") {
+    import graft.expressions.MediaCodec
+    // 3x2 blocks: mixed DCs; every pixel of block i must be dc(i)+128.
+    val dcs = Array(16, 31, 23, 19, 28, 17)
+    val s = MediaCodec.decodePixels(dcJpeg(3, 2, dcs))
+    assert(s != null && s.format == "jpeg" && s.width == 24 && s.height == 16)
+    assert(s.channels == 1)
+    assert(s.min(0) == 16 + 128 && s.max(0) == 31 + 128)
+    assert(s.mean(0) == dcs.map(_ + 128).sum.toDouble / dcs.length)
+    // Single block, no restarts on the wire.
+    val one = MediaCodec.decodePixels(dcJpeg(1, 1, _ => 20))
+    assert(one != null && one.mean(0) == 148.0 && one.min(0) == 148 && one.max(0) == 148)
+  }
+
+  test("decodeJpeg cross-checked against ImageIO's codec (real Huffman/IDCT streams)") {
+    import graft.expressions.MediaCodec
+    // The JDK ships a real JPEG codec (libjpeg-backed): encode random and
+    // gradient images with it, then decode the SAME compressed bytes with
+    // both ImageIO and our decoder. Gray images pin the Huffman+IDCT path
+    // (only IDCT rounding may differ); color images pin the 4:2:0
+    // subsampling + YCbCr conversion (upsampling filters legitimately
+    // differ, so gradients + a looser tolerance).
+    val rng = new java.util.Random(11)
+    for (trial <- 1 to 20) {
+      val w = 8 + rng.nextInt(40); val h = 8 + rng.nextInt(40)
+      val gray = trial % 2 == 0
+      val imgType = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      val bi = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (gray) bi.getRaster.setSample(x, y, 0, rng.nextInt(256))
+        else {
+          val r = math.min(255, 30 + x * 2 + y)
+          val g = math.max(0, 220 - x - y * 2)
+          val bl = math.min(255, 60 + x + y)
+          bi.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "jpg", bos))
+      val bytes = bos.toByteArray
+      val s = MediaCodec.decodePixels(bytes)
+      assert(s != null && s.format == "jpeg" && s.width == w && s.height == h,
+        s"trial $trial ${w}x$h gray=$gray")
+      assert(s.channels == (if (gray) 1 else 3))
+      // Reference decode of the identical bytes.
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val ch = s.channels
+      val refSum = new Array[Long](ch)
+      val refMin = Array.fill(ch)(255); val refMax = Array.fill(ch)(0)
+      for (y <- 0 until h; x <- 0 until w) {
+        val vs = if (gray) Array(ref.getRaster.getSample(x, y, 0))
+          else { val p = ref.getRGB(x, y); Array((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) }
+        for (c <- 0 until ch) {
+          refSum(c) += vs(c)
+          refMin(c) = math.min(refMin(c), vs(c)); refMax(c) = math.max(refMax(c), vs(c))
+        }
+      }
+      val meanTol = if (gray) 1.0 else 3.0
+      val extTol = if (gray) 3 else 10
+      for (c <- 0 until ch) {
+        val refMean = refSum(c).toDouble / (w.toLong * h)
+        assert(math.abs(s.mean(c) - refMean) <= meanTol,
+          s"trial $trial ch $c mean ${s.mean(c)} vs $refMean")
+        assert(math.abs(s.min(c) - refMin(c)) <= extTol, s"trial $trial ch $c min")
+        assert(math.abs(s.max(c) - refMax(c)) <= extTol, s"trial $trial ch $c max")
+      }
+    }
+  }
+
+  test("decodeJpeg: unsupported shapes and corrupt streams null, never throw") {
+    import graft.expressions.MediaCodec
+    val good = dcJpeg(2, 1, i => 20 + i)
+    assert(MediaCodec.decodePixels(good) != null)
+    // Progressive (SOF2 in place of SOF0): a real codec's job -> seam.
+    val prog = good.clone()
+    val sofAt = 2 + 69 + 6 // after DQT + DRI
+    assert((prog(sofAt) & 0xFF) == 0xFF && (prog(sofAt + 1) & 0xFF) == 0xC0)
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(MediaCodec.decodePixels(prog) == null)
+    // 12-bit precision.
+    val p12 = good.clone(); p12(sofAt + 4) = 12
+    assert(MediaCodec.decodePixels(p12) == null)
+    // Wrong restart marker index on the wire. Tail layout:
+    // [MCU0 d,00][FF D0][MCU1 d,00][FF D9] -> the D0 byte sits at len-5.
+    val badRst = good.clone()
+    assert((badRst(badRst.length - 5) & 0xFF) == 0xD0)
+    badRst(badRst.length - 5) = 0xD5.toByte
+    assert(MediaCodec.decodePixels(badRst) == null)
+    // Truncated at every prefix: clean null or stats, never a throw.
+    (0 until good.length).foreach(n => MediaCodec.decodePixels(good.take(n)))
+    // Garbage AC symbol (MCU0's EOB byte): no code of any length matches
+    // -> corrupt -> null, not a crash.
+    val badAc = good.clone()
+    assert((badAc(badAc.length - 7) & 0xFF) == 0x00)
+    badAc(badAc.length - 7) = 0x55
+    assert(MediaCodec.decodePixels(badAc) == null)
+  }
+
   test("imageHeader also recognizes pgm/ppm/bmp headers") {
     import graft.expressions.MediaCodec
     val p = MediaCodec.imageHeader(pgm(7, 5, _ => 0))
@@ -643,7 +771,14 @@ class MultimodalSpec extends SparkTestBase {
       Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
         0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R').map(_.toByte),
       // GIF header + tiny screen: fuzzes the block walk and LZW reader.
-      ("GIF89a".getBytes("US-ASCII") ++ Array[Byte](2, 0, 2, 0)))
+      ("GIF89a".getBytes("US-ASCII") ++ Array[Byte](2, 0, 2, 0)),
+      // JPEG SOI alone, and SOI + the DC-only preamble up into the DHT:
+      // fuzzes the marker walk, table builders, and entropy decoder.
+      Array(0xFF, 0xD8).map(_.toByte),
+      Array(0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x43, 0x00).map(_.toByte) ++
+        Array.fill[Byte](64)(8) ++
+        Array(0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x10, 0x00, 0x10,
+          0x01, 0x01, 0x11, 0x00).map(_.toByte))
     (1 to 10000).foreach { i =>
       val len = rng.nextInt(200)
       val b = new Array[Byte](len)
