@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, Multimodal, Quantize, Retrieval, Similarity, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1444,6 +1444,72 @@ object SparkEntry {
           col("px.c0_max").as("px_max"))
         .orderBy("doc_id")),
 
+    // --- 94. BM25 relevance scoring over the corpus, cross-engine exact ---------------------------------
+    // Retrieval-style term scoring — the ranking primitive behind corpus
+    // search and data-curation ("find documents about X") pipelines. The
+    // idf uses BM25's RATIONAL form (N - df + 0.5)/(df + 0.5) rather than
+    // its log: transcendental functions are correctly-rounded nowhere
+    // (libm vs JVM differ in the last ulp), while +,-,*,/ are IEEE-exact
+    // on both engines, so writing the SAME expression tree on both sides
+    // makes the double scores hash-match bit-for-bit. All aggregated
+    // inputs (tf, df, N, doc lengths) are integer-valued doubles -> sums
+    // are exact regardless of partition order. Scale shape: the per-term
+    // df table and the 2-value corpus stats broadcast; the only big scan
+    // is the documents table (twice: stats + scoring — at 100 TB the
+    // stats pass is amortized or precomputed).
+    "q94_bm25_score" -> ((s, d) =>
+      Retrieval.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "join", "vector"))
+        .orderBy("term", "doc_id")),
+
+    // --- 95. EXACT-budget sequence packing (sequential greedy, recursive-CTE oracle) --------------------
+    // The exactness upgrade over q85's shuffle-once window form: q85's bins
+    // can overshoot the 4096-token budget by one straddling document (the
+    // documented price of a single window pass); this variant runs the
+    // true sequential greedy fold per language, so NO bin exceeds budget
+    // unless a single document alone does (it then sits in its own bin).
+    // The fold is inherently order-dependent, so it runs as
+    // groupByKey(lang).flatMapGroups — one task per language holding that
+    // language's (doc_id, n_tokens) pairs, NOT the documents themselves:
+    // 16 bytes/doc means even a billion-document language fits a task. The
+    // DuckDB oracle replays the same fold as a recursive CTE: a hash match
+    // proves the distributed fold equals the sequential definition.
+    "q95_pack_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+            .cast("long").as("n_tokens"))
+      graft.operators.Packing.packExact(docs, "lang", "doc_id", "n_tokens", 4096L)
+        .withColumnRenamed("n_items", "n_docs")
+        .withColumnRenamed("bin_weight", "seq_tokens")
+        .orderBy("lang", "seq_id")
+    }),
+
+    // --- 96. int8 embedding quantization (storage / ANN prep), oracle-pinned ----------------------------
+    // Symmetric per-vector int8 quantization — the standard 4x storage
+    // shrink before ANN indexing. scale = max|x|/127; q_i = floor(x_i/scale
+    // + 0.5) (explicit floor(+0.5) rather than round(): Java rounds half
+    // up, DuckDB half away from zero — floor is identical on both).
+    // Outputs stay cross-engine exact: q sums are integer arithmetic, and
+    // max-abs-reconstruction-error is an order-INDEPENDENT max of
+    // identically-computed doubles (no accumulation rounding). Row-local
+    // work only — no shuffle beyond the output sort.
+    "q96_embed_quant" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Quantize.int8Scale(col("embedding")).as("scale"))
+        .where(col("scale") > 0)
+      e.select(col("vec_id"), col("scale"),
+          Quantize.int8Codes(col("embedding"), col("scale")).as("q"),
+          Quantize.int8AbsErrors(col("embedding"), col("scale")).as("errs"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+          array_min(col("q")).cast("int").as("q_min"),
+          array_max(col("q")).cast("int").as("q_max"),
+          array_max(col("errs")).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // --- 90. merge-on-read DELETE (key tombstones), end-to-end oracle -----------------------------------
     // Runs the REAL deferred-delete path: build a snapshot table from
     // orders, point-delete every 13th key as a TOMBSTONE (zero data files
@@ -2415,6 +2481,78 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Same rational-BM25 expression tree as the Spark side: every
+    // aggregate input is an integer-valued double (exact), and the final
+    // projection is the identical sequence of IEEE +,-,*,/ — no logs, so
+    // the double scores are bit-identical.
+    "q94_bm25_score" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dd),
+        |q AS (SELECT UNNEST(['spark', 'join', 'vector']) AS term),
+        |f AS (
+        |  SELECT dd.doc_id, q.term, dd.dl,
+        |    CAST(len(list_filter(dd.toks, t -> t = q.term)) AS DOUBLE) AS tf
+        |  FROM dd CROSS JOIN q
+        |  WHERE len(list_filter(dd.toks, t -> t = q.term)) > 0),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM f GROUP BY term)
+        |SELECT f.doc_id, f.term, CAST(f.tf AS INT) AS tf,
+        |  ((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |  ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / (s.sum_dl / s.n_docs))))
+        |    AS bm25
+        |FROM f, s, dfs WHERE dfs.term = f.term
+        |ORDER BY f.term, f.doc_id""".stripMargin,
+
+    // Replays the identical sequential greedy fold as a recursive CTE:
+    // rows advance per language in lockstep (rn joins rn+1), a bin closes
+    // exactly when the running total would exceed 4096.
+    "q95_pack_exact" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(list_filter(str_split_regex(text, '\s+'), t -> len(t) > 0))
+        |      AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |walk AS (
+        |  SELECT lang, rn, n_tokens, n_tokens AS cur, CAST(0 AS BIGINT) AS seq_id
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.rn, d.n_tokens,
+        |    CASE WHEN w.cur + d.n_tokens > 4096 THEN d.n_tokens
+        |         ELSE w.cur + d.n_tokens END,
+        |    CASE WHEN w.cur + d.n_tokens > 4096 THEN w.seq_id + 1
+        |         ELSE w.seq_id END
+        |  FROM d JOIN walk w ON d.lang = w.lang AND d.rn = w.rn + 1)
+        |SELECT lang, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |FROM walk GROUP BY lang, seq_id
+        |ORDER BY lang, seq_id""".stripMargin,
+
+    // Identical per-element arithmetic (floor(x/scale + 0.5), not round():
+    // the engines' round() semantics differ at .5); q sums are integer,
+    // the error stat is an order-independent max of identical doubles.
+    "q96_embed_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+        |    list_aggregate(list_transform(embedding,
+        |      v -> abs(CAST(v AS DOUBLE))), 'max') / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  CAST(list_aggregate(list_transform(xd,
+        |    v -> CAST(FLOOR(v / scale + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(list_transform(xd,
+        |    v -> FLOOR(v / scale + 0.5)), 'min') AS INT) AS q_min,
+        |  CAST(list_aggregate(list_transform(xd,
+        |    v -> FLOOR(v / scale + 0.5)), 'max') AS INT) AS q_max,
+        |  list_aggregate(list_transform(xd,
+        |    v -> abs(v - FLOOR(v / scale + 0.5) * scale)), 'max') AS max_abs_err
+        |FROM s WHERE scale > 0
+        |ORDER BY vec_id""".stripMargin,
 
     // Visible rows after the deferred delete = orders minus every 13th key.
     "q90_merge_defer_delete" ->

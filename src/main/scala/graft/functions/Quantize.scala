@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 embedding quantization — the standard 4x
+  * storage shrink before ANN indexing (float32 -> int8 plus one float
+  * scale per vector). Row-local column expressions: no shuffle, no UDF.
+  *
+  * Rounding is the explicit floor(x/scale + 0.5) rather than round():
+  * round-half semantics differ across engines (Java rounds half toward
+  * +inf, DuckDB half away from zero), while floor is identical everywhere
+  * — that exactness is what lets the q96 oracle hash-match. Quantized
+  * codes are guaranteed in [-127, 127]: |x_i| <= max|x| = 127*scale, so
+  * floor(x_i/scale + 0.5) cannot escape the range.
+  */
+object Quantize {
+
+  /** Per-vector scale: max|x| / 127. Zero for the all-zero vector — callers
+    * should filter or special-case those (quantizing a zero vector is
+    * meaningless; q/scale would divide by zero).
+    */
+  def int8Scale(x: Column): Column =
+    array_max(transform(x, v => abs(v.cast("double")))) / 127.0
+
+  /** Quantized codes (array<long> in [-127, 127]). */
+  def int8Codes(x: Column, scale: Column): Column =
+    transform(x, v => floor(v.cast("double") / scale + 0.5))
+
+  /** Per-element absolute reconstruction error |x_i - q_i * scale|.
+    * Each element is <= scale/2 by construction; `array_max` of this is
+    * the vector's worst-case error — an order-independent reduction, so
+    * it is deterministic under any partitioning.
+    */
+  def int8AbsErrors(x: Column, scale: Column): Column =
+    transform(x, v =>
+      abs(v.cast("double") - floor(v.cast("double") / scale + 0.5) * scale))
+}

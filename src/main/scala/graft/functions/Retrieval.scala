@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval scoring: BM25 term relevance over a tokenized corpus —
+  * the ranking primitive behind "find documents about X" curation queries
+  * and retrieval-augmented dataset construction.
+  *
+  * The idf deliberately uses BM25's RATIONAL form (N - df + 0.5)/(df + 0.5)
+  * rather than its logarithm: transcendental functions are correctly
+  * rounded nowhere (libm implementations differ in the last ulp), while
+  * +,-,*,/ are IEEE-exact everywhere, so scores computed from the same
+  * expression tree are bit-identical across engines — which is what lets
+  * the q94 DuckDB oracle hash-match doubles. Rank order matches the log
+  * form (log is monotone).
+  *
+  * Scale shape: corpus stats (N, total length) are a 2-value broadcast;
+  * per-term document frequencies are a |terms|-row broadcast; the only
+  * large object is the corpus scan itself. tf/df/length inputs are
+  * integer-valued doubles, so their distributed sums are exact regardless
+  * of partition order.
+  */
+object Retrieval {
+
+  /** Whitespace tokenization shared by the scorer and its oracle. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Score every (document, query term) pair with tf > 0.
+    *
+    * @param docs  corpus with an id column and a raw text column
+    * @param terms query terms (exact-match against lowercased tokens)
+    * @return (idCol, term, tf, bm25) — one row per matching pair
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokenized = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("double").as("dl"))
+    val stats = tokenized.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = tokenized.crossJoin(broadcast(terms.toDF("term")))
+      .select(col(idCol), col("term"), col("dl"),
+        size(filter(col("toks"), t => t === col("term"))).cast("double").as("tf"))
+      .where(col("tf") > 0)
+    val dfs = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), col("tf").cast("int").as("tf"),
+        (((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * (k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+              (col("sum_dl") / col("n_docs"))))))
+          .as("bm25"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Exact-budget sequence packing: fold documents (in a deterministic order)
+  * into consecutive bins whose weight sum never exceeds `budget` — the
+  * training-data "pack documents into context windows" step, exact variant.
+  *
+  * Contrast with the shuffle-once cumulative-sum form (SparkEntry q85):
+  * that form computes bins from floor(cumsum/budget) in ONE window pass but
+  * lets a straddling document overshoot its bin; this operator runs the
+  * true sequential greedy fold, so no bin exceeds `budget` unless a single
+  * document alone does (it then sits in its own bin — the only honest
+  * option short of splitting the document).
+  *
+  * Scale shape: the fold is inherently order-dependent, so it runs as
+  * `groupByKey(group).flatMapGroups` — one task per group holding that
+  * group's (order, weight) PAIRS, not the documents themselves: 16 bytes a
+  * document means even a billion-document group fits an executor. The
+  * output is already aggregated per bin (no per-document rows leave the
+  * task). If groups are few and huge, parallelism is bounded by group
+  * count — the price of exactness; use the cumsum form when approximate
+  * bins are acceptable.
+  */
+object Packing {
+
+  /** Pack rows of `df` into bins per `groupCol`, visiting rows in
+    * ascending `orderCol` order, closing a bin when adding the next row's
+    * `weightCol` would push the running sum past `budget`.
+    *
+    * Returns one row per bin: (group, seq_id, n_items, bin_weight).
+    */
+  def packExact(df: DataFrame, groupCol: String, orderCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    val ds = df.select(
+        col(groupCol).cast("string"),
+        col(orderCol).cast("long"),
+        col(weightCol).cast("long"))
+      .as[(String, Long, Long)](Encoders.product[(String, Long, Long)])
+    ds.groupByKey(_._1)(Encoders.STRING).flatMapGroups { (group, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      var seq = 0L; var cur = 0L; var n = 0L
+      rows.foreach { case (_, _, w) =>
+        if (n > 0 && cur + w > budget) {
+          out += ((group, seq, n, cur)); seq += 1; cur = 0L; n = 0L
+        }
+        cur += w; n += 1
+      }
+      if (n > 0) out += ((group, seq, n, cur))
+      out.iterator
+    }(Encoders.product[(String, Long, Long, Long)])
+      .toDF(groupCol, "seq_id", "n_items", "bin_weight")
+  }
+}

@@ -159,6 +159,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q94 bm25 joins everything to the corpus by broadcast, never a corpus shuffle join") {
+    // Corpus stats (1 row), the term list (3 rows), and per-term dfs are
+    // all broadcast; the only acceptable join flavors against the corpus
+    // scan are broadcast hash (dfs equi-join) and broadcast nested loop
+    // (the declared tiny cross joins). A SortMergeJoin would mean the
+    // 100 TB corpus gets shuffled to meet a 3-row table.
+    val p = plan("q94_bm25_score")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q96 quantization is row-local: no joins, no aggregation shuffle") {
+    val p = plan("q96_embed_quant")
+    assert(!p.contains("Join"), p)
+    // Only the output sort may repartition; quantization itself must not
+    // hash-shuffle anything.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q82 multi-distinct plans as one Expand pass, not separate joined aggregations") {
     val p = plan("q82_multi_distinct")
     // Catalyst's rewrite: Expand fans each row to one per distinct group,

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("int8 quantization: codes bounded, reconstruction within scale/2") {
+    val rng = new scala.util.Random(9)
+    val vecs = (1L to 50L).map(i =>
+      (i, Array.fill(32)((rng.nextFloat() * 2 - 1) * (i.toFloat / 7))))
+    val df = vecs.toDF("id", "x")
+      .select(col("id"),
+        col("x"),
+        Quantize.int8Scale(col("x")).as("scale"))
+    val out = df.select(col("id"), col("scale"),
+        Quantize.int8Codes(col("x"), col("scale")).as("q"),
+        Quantize.int8AbsErrors(col("x"), col("scale")).as("errs"))
+      .collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Long](2)
+      val errs = r.getSeq[Double](3)
+      assert(scale > 0)
+      // Codes can never escape int8 range: |x| <= 127 * scale by definition.
+      assert(q.forall(v => v >= -127 && v <= 127), s"id ${r.getLong(0)}: $q")
+      // floor(x + 0.5) rounding puts every element within half a step.
+      assert(errs.forall(_ <= scale / 2 + 1e-12))
+      // The max element hits code 127 or -127 exactly (scale is max|x|/127).
+      assert(q.exists(v => math.abs(v) == 127))
+    }
+  }
+
+  test("int8 scale of the zero vector is 0 (caller filters)") {
+    val df = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "x")
+      .select(Quantize.int8Scale(col("x")).as("scale"))
+    assert(df.collect()(0).getDouble(0) == 0.0)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark spark join filter"),   // dl 4, tf(spark)=2
+    (2L, "join merge sort"),           // dl 3
+    (3L, "SPARK scan")                 // dl 2, lowercased match
+  ).toDF("doc_id", "text")
+
+  test("bm25: hand-computed scores on a three-document corpus") {
+    val out = Retrieval.bm25(corpus, "doc_id", "text", Seq("spark"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 2), (3L, 1)))
+    // Same formula, computed independently: N=3, df=2, avgdl=3.
+    val idf = (3.0 - 2.0 + 0.5) / (2.0 + 0.5)
+    def score(tf: Double, dl: Double) =
+      idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (9.0 / 3.0))))
+    assert(out(0)._3 == score(2.0, 4.0), out(0))
+    assert(out(1)._3 == score(1.0, 2.0), out(1))
+    // Higher tf at equal-or-longer length still outranks (saturation keeps
+    // monotonicity in tf).
+    assert(out(0)._3 > out(1)._3)
+  }
+
+  test("bm25: absent terms yield no rows; multiple terms score independently") {
+    val out = Retrieval.bm25(corpus, "doc_id", "text", Seq("zebra", "join"))
+      .collect()
+    assert(out.forall(_.getString(1) == "join"))
+    assert(out.length == 2) // docs 1 and 2
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pack(rows: Seq[(String, Long, Long)], budget: Long) =
+    Packing.packExact(rows.toDF("grp", "ord", "w"), "grp", "ord", "w", budget)
+      .orderBy("grp", "seq_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("greedy fold: bins close exactly when the next item would overflow") {
+    // weights 3,4,5,2,6 with budget 8: [3,4]=7, [5,2]=7, [6]
+    val out = pack(Seq(("a", 1L, 3L), ("a", 2L, 4L), ("a", 3L, 5L),
+      ("a", 4L, 2L), ("a", 5L, 6L)), budget = 8)
+    assert(out.toSeq == Seq(("a", 0L, 2L, 7L), ("a", 1L, 2L, 7L), ("a", 2L, 1L, 6L)))
+  }
+
+  test("budget invariant: no bin exceeds budget unless it holds a single oversized item") {
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 5}", i.toLong, (1 + rng.nextInt(120)).toLong)
+    } :+ (("g0", 1000L, 999L)) // oversized straddler: must sit alone
+    val out = pack(rows, budget = 100)
+    out.foreach { case (g, seq, n, w) =>
+      assert(w <= 100 || n == 1, s"bin ($g,$seq) n=$n w=$w breaks the invariant")
+    }
+    // Conservation: every item lands in exactly one bin.
+    assert(out.map(_._3).sum == rows.length)
+    assert(out.map(_._4).sum == rows.map(_._3).sum)
+    // The oversized item is its own bin of weight 999.
+    assert(out.exists { case (g, _, n, w) => g == "g0" && n == 1 && w == 999 })
+  }
+
+  test("groups fold independently and bins are maximal (greedy, not lazy)") {
+    val out = pack(Seq(("a", 1L, 5L), ("b", 1L, 5L), ("a", 2L, 5L), ("b", 2L, 6L)),
+      budget = 10)
+    // a: [5,5] fills the budget exactly; b: 5+6 > 10 -> two bins.
+    assert(out.toSeq == Seq(("a", 0L, 2L, 10L),
+      ("b", 0L, 1L, 5L), ("b", 1L, 1L, 6L)))
+  }
+}
