@@ -1462,6 +1462,41 @@ object SparkEntry {
           Seq("spark", "join", "vector"))
         .orderBy("term", "doc_id")),
 
+    // --- 97. inverted-index statistics (posting-list build) ---------------------------------------------
+    // The index-construction shape behind corpus search: explode documents
+    // to (term, doc) postings, aggregate to per-term document frequency,
+    // corpus frequency, and posting extremes. Two-level aggregation means
+    // the big shuffle carries (term, doc_id, tf) triples — bytes per
+    // posting, never document text — and both levels combine map-side.
+    "q97_inverted_index" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(Retrieval.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("term").agg(
+          count(lit(1)).as("df"),
+          sum(col("tf")).as("cf"),
+          max(col("tf")).cast("int").as("max_tf"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("term")),
+
+    // --- 98. deterministic stratified sampling (fixed-size per-stratum) ---------------------------------
+    // Eval-set carving: keep the k = 20 documents per language whose
+    // doc_id md5 sorts lowest — a reproducible "random" sample that any
+    // engine recomputes identically (the q58/q86 portable-hash trick
+    // applied to ORDER instead of bucketing). Honest scale note: the
+    // window sorts each stratum fully; at 100 TB one would pre-filter on
+    // a conservative hash prefix (row-local, pushes 99% of rows out
+    // before the shuffle) and fall back to the full sort only for strata
+    // the filter starved below k.
+    "q98_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+        .where(col("rk") <= 20)
+        .orderBy("lang", "rk")
+    }),
+
     // --- 95. EXACT-budget sequence packing (sequential greedy, recursive-CTE oracle) --------------------
     // The exactness upgrade over q85's shuffle-once window form: q85's bins
     // can overshoot the 4096-token budget by one straddling document (the
@@ -2531,6 +2566,28 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
         |FROM walk GROUP BY lang, seq_id
         |ORDER BY lang, seq_id""".stripMargin,
+
+    "q97_inverted_index" ->
+      """SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  CAST(MAX(tf) AS INT) AS max_tf, MIN(doc_id) AS first_doc
+        |FROM (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (
+        |    SELECT doc_id,
+        |      UNNEST(list_filter(str_split_regex(lower(text), '\s+'),
+        |        t -> len(t) > 0)) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term)
+        |GROUP BY term ORDER BY term""".stripMargin,
+
+    "q98_stratified_sample" ->
+      """SELECT lang, CAST(rk AS INT) AS rk, doc_id
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
     // Identical per-element arithmetic (floor(x/scale + 0.5), not round():
     // the engines' round() semantics differ at .5); q sums are integer,

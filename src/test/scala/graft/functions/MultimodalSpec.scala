@@ -578,6 +578,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(one != null && one.mean(0) == 148.0 && one.min(0) == 148 && one.max(0) == 148)
   }
 
+  test("decodeJpeg: 4:4:4 color DC-only construction pins interleave + YCbCr wiring") {
+    import graft.expressions.MediaCodec
+    // Three components, all 1x1 sampling, same chosen Huffman tables: each
+    // MCU is six byte-aligned bytes [dY,00,dCb,00,dCr,00]. Block i decodes
+    // flat YCbCr (d+128 each); expected RGB applies the JFIF conversion.
+    def dcJpeg444(wB: Int, hB: Int, dc: Int => (Int, Int, Int)): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def hx(s: String) = s.grouped(2).foreach(p => out.write(Integer.parseInt(p, 16)))
+      hx("FFD8")
+      hx("FFDB0043" + "00" + "08" * 64)
+      hx("FFDD00040001")
+      hx(f"FFC0001108${hB * 8}%04X${wB * 8}%04X03" + "011100" + "021100" + "031100")
+      hx("FFC40014" + "00" + "000001" + "00" * 13 + "05")
+      hx("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00")
+      hx("FFDA000C03" + "0100" + "0200" + "0300" + "003F00")
+      val nb = wB * hB
+      for (i <- 0 until nb) {
+        val (y, cb, cr) = dc(i)
+        Seq(y, cb, cr).foreach { d =>
+          require(d >= 16 && d <= 31); out.write(d); out.write(0x00)
+        }
+        if (i < nb - 1) { out.write(0xFF); out.write(0xD0 + i % 8) }
+      }
+      hx("FFD9")
+      out.toByteArray
+    }
+    val dcs = Array((16, 24, 31), (31, 16, 20))
+    val s = MediaCodec.decodePixels(dcJpeg444(2, 1, dcs))
+    assert(s != null && s.format == "jpeg" && s.width == 16 && s.height == 8 &&
+      s.channels == 3, s)
+    // Expected per-block RGB via the same JFIF formulas (Cb/Cr offsets are
+    // the raw DCs: (d+128)-128 = d).
+    def clamp(v: Double) = math.max(0, math.min(255, math.round(v).toInt))
+    val rgb = dcs.map { case (y, cb, cr) =>
+      (clamp(y + 128 + 1.402 * cr),
+        clamp(y + 128 - 0.344136 * cb - 0.714136 * cr),
+        clamp(y + 128 + 1.772 * cb))
+    }
+    val exp = Seq(rgb.map(_._1), rgb.map(_._2), rgb.map(_._3))
+    for (c <- 0 until 3) {
+      assert(s.min(c) == exp(c).min && s.max(c) == exp(c).max, s"ch $c")
+      assert(s.mean(c) == exp(c).sum.toDouble / 2, s"ch $c mean ${s.mean(c)}")
+    }
+  }
+
   test("decodeJpeg cross-checked against ImageIO's codec (real Huffman/IDCT streams)") {
     import graft.expressions.MediaCodec
     // The JDK ships a real JPEG codec (libjpeg-backed): encode random and
