@@ -203,9 +203,14 @@ object SparkEntry {
     * 16 + (doc_id*7 + i*11)%16 -> its 64 pixels all decode to DC+128.
     * q93's DuckDB oracle recomputes the per-block closed forms.
     */
-  private def syntheticJpeg: org.apache.spark.sql.Column = {
-    val wB = (lit(1) + col("doc_id") % 3).cast("int") // blocks across
-    val hB = (lit(1) + col("doc_id") % 2).cast("int") // blocks down
+  /** Hex of one DC-only grayscale JPEG (see [[syntheticJpeg]] for why the
+    * construction is pure SQL): `dc(i)` gives block i's DC offset in
+    * [0,16) (encoded DC = 16 + offset). Byte length is the closed form
+    * 144 + 4 * wB * hB — [[syntheticAvi]] depends on it for RIFF sizes.
+    */
+  private def dcJpegHex(wB: org.apache.spark.sql.Column, hB: org.apache.spark.sql.Column,
+      dc: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val nb = wB * hB
     def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
     val headers = concat(
@@ -222,10 +227,45 @@ object SparkEntry {
         // 000 (DC code) + 5 amplitude bits of DC in [16,31]: the byte IS
         // the DC value; then the 8-zero-bit EOB byte; then a restart
         // marker between MCUs (cycling D0..D7).
-        lpad(hex(lit(16) + (col("doc_id") * 7 + i * 11) % 16), 2, "0"),
+        lpad(hex(lit(16) + dc(i)), 2, "0"),
         lit("00"),
         when(i < nb - 1, concat(lit("FFD"), hex(i % 8))).otherwise(lit("")))), "")
-    unhex(concat(headers, scanHex, lit("FFD9")))
+    concat(headers, scanHex, lit("FFD9"))
+  }
+
+  private def syntheticJpeg: org.apache.spark.sql.Column =
+    unhex(dcJpegHex(
+      (lit(1) + col("doc_id") % 3).cast("int"),
+      (lit(1) + col("doc_id") % 2).cast("int"),
+      i => (col("doc_id") * 7 + i * 11) % 16))
+
+  /** Synthetic AVI (RIFF) built per documents row, exercising the REAL
+    * video container walk (q99): a `movi` LIST of `00dc` frame chunks,
+    * each a DC-only grayscale JPEG from [[dcJpegHex]] — so every size
+    * field is closed-form SQL arithmetic (frame byte length = 144 + 4*nb).
+    * Geometry: nF = 2 + doc_id%3 frames, each 8*(1 + doc_id%2) x 8; frame
+    * f block i decodes flat to 144 + (doc_id*5 + f*7 + i*3) % 16. q99's
+    * DuckDB oracle recomputes the per-frame closed forms.
+    */
+  private def syntheticAvi: org.apache.spark.sql.Column = {
+    val wB = (lit(1) + col("doc_id") % 2).cast("int")
+    val nF = (lit(2) + col("doc_id") % 3).cast("int")
+    val jpegLen = lit(144) + lit(4) * wB
+    val moviSize = lit(4) + nF * (lit(8) + jpegLen)
+    val riffSize = lit(12) + moviSize
+    def leHex16(c: org.apache.spark.sql.Column) = concat(
+      lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"))
+    def leHex32(c: org.apache.spark.sql.Column) = concat(
+      leHex16(c.bitwiseAND(lit(65535))), leHex16(shiftright(c, 16).bitwiseAND(lit(65535))))
+    val framesHex = array_join(
+      transform(sequence(lit(0), nF - 1), f => concat(
+        lit("30306463"), leHex32(jpegLen), // "00dc" + frame size
+        dcJpegHex(wB, lit(1), i => (col("doc_id") * 5 + f * 7 + i * 3) % 16))), "")
+    unhex(concat(
+      lit("52494646"), leHex32(riffSize), lit("41564920"),  // RIFF..AVI(sp)
+      lit("4C495354"), leHex32(moviSize), lit("6D6F7669"),  // LIST..movi
+      framesHex))
   }
 
   // ------------------------------------------------------------------ queries
@@ -1462,6 +1502,30 @@ object SparkEntry {
           Seq("spark", "join", "vector"))
         .orderBy("term", "doc_id")),
 
+    // --- 99. REAL video decode (AVI container + MJPEG frames), oracle-pinned ----------------------------
+    // The video milestone: an AVI is CONSTRUCTED per row (RIFF chunk tree
+    // with a movi LIST of 00dc frame chunks, each a DC-only JPEG — see
+    // syntheticAvi) and decoded back through the container walk + the full
+    // per-frame JPEG path of the codegen'd VideoStatsExpr, aggregating
+    // cross-frame channel stats plus first/last-frame means (the temporal
+    // signal). The DuckDB oracle recomputes every frame's closed forms: a
+    // hash match proves the chunk-tree walk, frame extraction, per-frame
+    // Huffman+IDCT decode, and the exact cross-frame sum reconstruction.
+    "q99_video_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.videoStats(syntheticAvi).as("v"))
+        .select(col("doc_id"),
+          col("v.n_frames").as("n_frames"),
+          col("v.width").as("width"),
+          col("v.height").as("height"),
+          col("v.channels").as("channels"),
+          col("v.c0_mean").as("px_mean"),
+          col("v.c0_min").as("px_min"),
+          col("v.c0_max").as("px_max"),
+          col("v.mean_first").as("mean_first"),
+          col("v.mean_last").as("mean_last"))
+        .orderBy("doc_id")),
+
     // --- 97. inverted-index statistics (posting-list build) ---------------------------------------------
     // The index-construction shape behind corpus search: explode documents
     // to (term, doc) postings, aggregate to per-term document frequency,
@@ -2566,6 +2630,29 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
         |FROM walk GROUP BY lang, seq_id
         |ORDER BY lang, seq_id""".stripMargin,
+
+    // Recomputes the constructed AVI's decoded frames: frame f block i is
+    // 64 flat pixels of 144 + (doc_id*5 + f*7 + i*3) % 16. Per-block AVG
+    // equals per-pixel AVG (equal 64-pixel blocks; the x64-scaled IEEE
+    // divisions are bit-identical), so the double means hash-match.
+    "q99_video_stats" ->
+      """SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(8 * nb AS INT) AS width,
+        |  CAST(8 AS INT) AS height, CAST(1 AS INT) AS channels,
+        |  AVG(v) AS px_mean,
+        |  CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max,
+        |  AVG(CASE WHEN f = 0 THEN v END) AS mean_first,
+        |  AVG(CASE WHEN f = nf - 1 THEN v END) AS mean_last
+        |FROM (
+        |  SELECT doc_id, nf, nb, f, i,
+        |    144 + (doc_id*5 + f*7 + i*3) % 16 AS v
+        |  FROM (
+        |    SELECT doc_id, nf, nb, f, UNNEST(generate_series(0, nb - 1)) AS i
+        |    FROM (
+        |      SELECT doc_id, nf, nb, UNNEST(generate_series(0, nf - 1)) AS f
+        |      FROM (SELECT doc_id, 2 + doc_id % 3 AS nf, 1 + doc_id % 2 AS nb
+        |            FROM documents))))
+        |GROUP BY doc_id, nf, nb
+        |ORDER BY doc_id""".stripMargin,
 
     "q97_inverted_index" ->
       """SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,

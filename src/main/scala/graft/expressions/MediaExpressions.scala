@@ -903,6 +903,119 @@ object MediaCodec {
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
       ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
 
+  /** Decoded video: per-channel pixel statistics across ALL frames plus the
+    * first/last frame's channel-0 means (the cheap temporal signal — a
+    * static clip has mean_first == mean_last, a fade does not).
+    */
+  final class VideoStats(
+      val nFrames: Int, val width: Int, val height: Int, val channels: Int,
+      val mean: Array[Double], val min: Array[Int], val max: Array[Int],
+      val meanFirst: Double, val meanLast: Double)
+
+  /** REAL video decode + one-pass stats for AVI (RIFF) containers, pure
+    * JVM: walk the chunk tree to the `movi` LIST and decode every video
+    * frame chunk (`##dc`/`##db`) through [[decodePixels]] — frames are
+    * whatever payload the image decoders handle (MJPEG's JPEG frames being
+    * the classic case; the walk itself is payload-agnostic). Aggregates
+    * per-channel stats across frames in one pass — no frame matrix, O(1)
+    * heap beyond one frame's payload view.
+    *
+    * Strictness: every frame must decode and agree on dimensions/channels
+    * (a container whose frames disagree is corrupt for stats purposes);
+    * headers (`hdrl`) are skipped unparsed — the frame chunks carry
+    * everything statistics need. Null for non-AVI RIFF, no video frames,
+    * or any undecodable frame. All geometry reads are bounds-checked;
+    * chunk sizes are attacker-controlled le32 and read unsigned into Long.
+    */
+  def decodeAvi(b: Array[Byte]): VideoStats = {
+    if (b == null || b.length < 12) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return null
+    var nFrames = 0
+    var w = 0; var h = 0; var ch = 0
+    var sum: Array[Long] = null
+    var min: Array[Int] = null
+    var max: Array[Int] = null
+    var nPix = 0L
+    var meanFirst = 0.0; var meanLast = 0.0
+    // Frame chunk ids are '##dc' (compressed) / '##db' (uncompressed raw),
+    // where ## is the stream number in ASCII digits.
+    def isFrameId(p: Int): Boolean =
+      b(p) >= '0' && b(p) <= '9' && b(p + 1) >= '0' && b(p + 1) <= '9' &&
+        b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b')
+    // Walk one chunk run in [pos, end); recurse into LISTs. Returns false
+    // on structural corruption (caller nulls the whole decode).
+    def walk(start: Int, end: Int): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size = le32(b, pos + 4).toLong & 0xFFFFFFFFL
+        val body = pos + 8L
+        if (body + size > end) return false // truncated chunk
+        val isList = b(pos) == 'L' && b(pos + 1) == 'I' &&
+          b(pos + 2) == 'S' && b(pos + 3) == 'T'
+        if (isList) {
+          if (size < 4) return false
+          // Recurse past the 4-byte list type ('movi', 'rec ', 'hdrl', ...).
+          if (!walk((body + 4).toInt, (body + size).toInt)) return false
+        } else if (isFrameId(pos) && size > 0) {
+          val frame = java.util.Arrays.copyOfRange(b, body.toInt, (body + size).toInt)
+          val s = decodePixels(frame)
+          if (s == null) return false // undecodable frame: corrupt container
+          if (nFrames == 0) {
+            w = s.width; h = s.height; ch = s.channels
+            sum = new Array[Long](ch)
+            min = Array.fill(ch)(255); max = Array.fill(ch)(0)
+            meanFirst = s.mean(0)
+          } else if (s.width != w || s.height != h || s.channels != ch) {
+            return false // dimension drift mid-stream
+          }
+          val fPix = s.width.toLong * s.height.toLong
+          var c = 0
+          while (c < ch) {
+            // Per-frame means are exact multiples of 1/fPix: scale back to
+            // the integer pixel sum so the cross-frame mean stays exact.
+            sum(c) += math.round(s.mean(c) * fPix)
+            if (s.min(c) < min(c)) min(c) = s.min(c)
+            if (s.max(c) > max(c)) max(c) = s.max(c)
+            c += 1
+          }
+          nPix += fPix
+          meanLast = s.mean(0)
+          nFrames += 1
+        } // non-frame, non-list chunks (headers, index) are skipped
+        pos = (body + size + (size & 1L)).toInt // chunks are word-aligned
+        if (pos < 0) return false
+      }
+      true
+    }
+    val riffSize = le32(b, 4).toLong & 0xFFFFFFFFL
+    val end = math.min(b.length.toLong, 8L + riffSize).toInt
+    if (!walk(12, end) || nFrames == 0) return null
+    new VideoStats(nFrames, w, h, ch,
+      sum.map(_.toDouble / nPix), min, max, meanFirst, meanLast)
+  }
+
+  /** [[decodeAvi]] marshalled for the catalyst expression: flat scalar
+    * columns, fixed 3-channel slots (unused NULL).
+    */
+  def videoStats(bytes: Array[Byte]): InternalRow = {
+    val s = decodeAvi(bytes)
+    if (s == null) return null
+    val out = new Array[Any](15)
+    out(0) = s.nFrames; out(1) = s.width; out(2) = s.height; out(3) = s.channels
+    var c = 0
+    while (c < 3) {
+      if (c < s.channels) {
+        out(4 + 3 * c) = s.mean(c)
+        out(5 + 3 * c) = s.min(c)
+        out(6 + 3 * c) = s.max(c)
+      }
+      c += 1
+    }
+    out(13) = s.meanFirst; out(14) = s.meanLast
+    new GenericInternalRow(out)
+  }
+
   /** Decoded uncompressed audio: per-channel sample statistics. */
   final class AudioStats(
       val sampleRate: Int, val channels: Int, val nFrames: Long,
@@ -1160,4 +1273,46 @@ case class AudioStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): AudioStatsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_audio_stats"
+}
+
+/** `binary` -> flat video statistics struct (NULL for anything
+  * [[MediaCodec.decodeAvi]] rejects). Codegen'd one-pass container walk +
+  * per-frame decode + reduce — frame-level stats over a petabyte video
+  * corpus as a pruned scan, no codec library, no frame matrix. Fixed
+  * 3-channel slots (unused NULL); mean_first/mean_last carry the cheap
+  * temporal signal.
+  */
+case class VideoStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("c0_mean", DoubleType, nullable = false),
+    StructField("c0_min", IntegerType, nullable = false),
+    StructField("c0_max", IntegerType, nullable = false),
+    StructField("c1_mean", DoubleType, nullable = true),
+    StructField("c1_min", IntegerType, nullable = true),
+    StructField("c1_max", IntegerType, nullable = true),
+    StructField("c2_mean", DoubleType, nullable = true),
+    StructField("c2_min", IntegerType, nullable = true),
+    StructField("c2_max", IntegerType, nullable = true),
+    StructField("mean_first", DoubleType, nullable = false),
+    StructField("mean_last", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.videoStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.videoStats($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): VideoStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_video_stats"
 }

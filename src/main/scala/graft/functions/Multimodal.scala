@@ -100,6 +100,18 @@ object Multimodal {
       graft.expressions.AudioStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** REAL video decode + cross-frame statistics for AVI (RIFF) containers
+    * whose frames are any format [[pixelStats]] decodes (MJPEG's JPEG
+    * frames being the classic case), as a native codegen'd expression
+    * ([[graft.expressions.VideoStatsExpr]]): container walk + per-frame
+    * decode + one-pass reduce, plus first/last-frame means as the cheap
+    * temporal signal. NULL for non-AVI payloads or undecodable frames.
+    */
+  def videoStats(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.VideoStatsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** The decode + feature-extraction seam, `mapPartitions`-shaped so a heavy
     * codec (JNI decoder, ONNX runtime) initializes once per partition, not
     * once per row.

@@ -708,6 +708,79 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.decodePixels(badAc) == null)
   }
 
+  /** Minimal AVI: RIFF + (optional unparsed hdrl LIST) + movi LIST of
+    * frame chunks. Frame payloads are arbitrary bytes.
+    */
+  private def avi(frames: Seq[Array[Byte]], withHdrl: Boolean = false,
+      frameId: String = "00dc"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String) = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+    // hdrl LIST body: type (4) + one odd-sized dummy chunk (8 + 5 + pad 1).
+    val hdrlSize = if (withHdrl) 4 + 8 + 5 + 1 else 0
+    val framesSize = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviSize = 4 + framesSize
+    val hdrlBytes = if (withHdrl) 8 + hdrlSize else 0
+    tag("RIFF"); le32(4 + hdrlBytes + 8 + moviSize); tag("AVI ")
+    if (withHdrl) {
+      tag("LIST"); le32(hdrlSize); tag("hdrl")
+      tag("avih"); le32(5); out.write(Array[Byte](1, 2, 3, 4, 5)); out.write(0)
+    }
+    tag("LIST"); le32(moviSize); tag("movi")
+    frames.foreach { f =>
+      tag(frameId); le32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0) // word alignment pad
+    }
+    out.toByteArray
+  }
+
+  test("decodeAvi: DC-only MJPEG frames aggregate exactly; temporal means pinned") {
+    import graft.expressions.MediaCodec
+    // 3 frames of 2x1 blocks: frame f block i has DC 16 + (f*7 + i*3) % 16;
+    // every pixel of that block decodes to DC + 128. The unparsed hdrl
+    // LIST (odd-sized chunk inside) exercises the skip + pad path.
+    val frames = (0 until 3).map(f => dcJpeg(2, 1, i => 16 + (f * 7 + i * 3) % 16))
+    val s = MediaCodec.decodeAvi(avi(frames, withHdrl = true))
+    assert(s != null && s.nFrames == 3 && s.width == 16 && s.height == 8 &&
+      s.channels == 1, s)
+    val vals = for (f <- 0 until 3; i <- 0 until 2) yield 144 + (f * 7 + i * 3) % 16
+    assert(s.mean(0) == vals.sum.toDouble / vals.length)
+    assert(s.min(0) == vals.min && s.max(0) == vals.max)
+    val first = Seq(144 + 0, 144 + 3) // frame 0: DC offsets 0, 3
+    val last = Seq(144 + (2 * 7) % 16, 144 + (2 * 7 + 3) % 16)
+    assert(s.meanFirst == first.sum.toDouble / 2)
+    assert(s.meanLast == last.sum.toDouble / 2)
+  }
+
+  test("decodeAvi: frame format is whatever decodePixels handles (PGM frames)") {
+    import graft.expressions.MediaCodec
+    val frames = (0 until 2).map(f => pgm(4, 3, i => (10 * f + i) % 256))
+    val s = MediaCodec.decodeAvi(avi(frames, frameId = "01db"))
+    assert(s != null && s.nFrames == 2 && s.width == 4 && s.height == 3)
+    val vals = for (f <- 0 until 2; i <- 0 until 12) yield (10 * f + i) % 256
+    assert(s.mean(0) == vals.sum.toDouble / 24)
+  }
+
+  test("decodeAvi: corrupt containers and inconsistent frames null, never throw") {
+    import graft.expressions.MediaCodec
+    val ok = avi(Seq(dcJpeg(1, 1, _ => 20), dcJpeg(1, 1, _ => 25)))
+    assert(MediaCodec.decodeAvi(ok) != null)
+    // Dimension drift mid-stream: 1-block then 2-block frames.
+    val drift = avi(Seq(dcJpeg(1, 1, _ => 20), dcJpeg(2, 1, _ => 20)))
+    assert(MediaCodec.decodeAvi(drift) == null)
+    // A frame that is not an image.
+    val junk = avi(Seq(dcJpeg(1, 1, _ => 20), "not an image".getBytes))
+    assert(MediaCodec.decodeAvi(junk) == null)
+    // No frames at all (empty movi).
+    assert(MediaCodec.decodeAvi(avi(Seq.empty)) == null)
+    // Not an AVI RIFF (WAVE): routed to null here.
+    val w = wav(8000, Array(Array(1, 2, 3)))
+    assert(MediaCodec.decodeAvi(w) == null)
+    // Truncated at every prefix: clean null or stats, never a throw.
+    (0 until ok.length).foreach(n => MediaCodec.decodeAvi(ok.take(n)))
+  }
+
   test("imageHeader also recognizes pgm/ppm/bmp headers") {
     import graft.expressions.MediaCodec
     val p = MediaCodec.imageHeader(pgm(7, 5, _ => 0))
