@@ -112,6 +112,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(bin) => AudioStatsExpr(bin)
         case _ => throw new IllegalArgumentException("graft_audio_stats(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_video_stats"),
+      new ExpressionInfo(classOf[VideoStatsExpr].getName, "graft_video_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => VideoStatsExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_video_stats(binary)")
       })
   )
 

@@ -159,5 +159,16 @@ class HashExpressionsSpec extends SparkTestBase {
         |""".stripMargin)
       .selectExpr("au.sample_rate", "au.n_frames", "au.c0_mean").collect()(0)
     assert(a.getInt(0) == 16000 && a.getLong(1) == 1L && a.getDouble(2) == 0.0)
+    // Video: RIFF/AVI with a movi LIST holding one 00db frame carrying the
+    // same 2x2 all-42 PGM (15 bytes, so the odd-size pad byte is exercised).
+    val v = spark.sql(
+      """SELECT graft_video_stats(unhex(concat(
+        |  '52494646', '28000000', '41564920',
+        |  '4C495354', '1C000000', '6D6F7669',
+        |  '30306462', '0F000000', '50350A3220320A3235350A2A2A2A2A', '00'))) AS v
+        |""".stripMargin)
+      .selectExpr("v.n_frames", "v.width", "v.c0_mean", "v.mean_last").collect()(0)
+    assert(v.getInt(0) == 1 && v.getInt(1) == 2)
+    assert(v.getDouble(2) == 42.0 && v.getDouble(3) == 42.0)
   }
 }

@@ -896,7 +896,12 @@ class MultimodalSpec extends SparkTestBase {
       Array(0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x43, 0x00).map(_.toByte) ++
         Array.fill[Byte](64)(8) ++
         Array(0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x10, 0x00, 0x10,
-          0x01, 0x01, 0x11, 0x00).map(_.toByte))
+          0x01, 0x01, 0x11, 0x00).map(_.toByte),
+      // AVI RIFF + movi LIST opening: fuzzes the chunk-tree walk.
+      "RIFFxxxxAVI LIST".getBytes("US-ASCII"),
+      ("RIFF".getBytes("US-ASCII") ++ Array[Byte](100, 0, 0, 0) ++
+        "AVI LIST".getBytes("US-ASCII") ++ Array[Byte](40, 0, 0, 0) ++
+        "movi00dc".getBytes("US-ASCII")))
     (1 to 10000).foreach { i =>
       val len = rng.nextInt(200)
       val b = new Array[Byte](len)
@@ -909,6 +914,7 @@ class MultimodalSpec extends SparkTestBase {
       val s = MediaCodec.decodePixels(b) // must return stats or null, never throw
       val hd = MediaCodec.imageHeader(b) // same totality contract
       MediaCodec.decodeWav(b)            // and the audio decoder too
+      MediaCodec.decodeAvi(b)            // and the video container walk
       if (s != null) {
         assert(s.width > 0 && s.height > 0)
         // A decodable raster always has a parseable header, with the SAME
