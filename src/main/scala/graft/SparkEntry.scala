@@ -1598,9 +1598,10 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"),
           Quantize.int8Scale(col("embedding")).as("scale"))
         .where(col("scale") > 0)
-      e.select(col("vec_id"), col("scale"),
-          Quantize.int8Codes(col("embedding"), col("scale")).as("q"),
-          Quantize.int8AbsErrors(col("embedding"), col("scale")).as("errs"))
+      e.select(col("vec_id"), col("scale"), col("embedding"),
+          Quantize.int8Codes(col("embedding"), col("scale")).as("q"))
+        .select(col("vec_id"), col("scale"), col("q"),
+          Quantize.int8AbsErrors(col("embedding"), col("q"), col("scale")).as("errs"))
         .select(col("vec_id"), col("scale"),
           aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
           array_min(col("q")).cast("int").as("q_min"),
@@ -2590,7 +2591,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
         |  FROM documents),
-        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d
+        |       WHERE toks IS NOT NULL),
         |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dd),
         |q AS (SELECT UNNEST(['spark', 'join', 'vector']) AS term),
         |f AS (

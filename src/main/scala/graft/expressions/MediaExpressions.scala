@@ -182,6 +182,7 @@ object MediaCodec {
             val pqTq = u8(p)
             if ((pqTq >> 4) != 0) return null // 16-bit quant: unsupported
             val tq = pqTq & 15
+            if (tq > 3) throw corruptMedia // table id indexes qt(4)
             var k = 0
             while (k < 64) { qt(tq)(k) = u8(p + 1 + k); k += 1 }
             qtSeen(tq) = true
@@ -258,8 +259,10 @@ object MediaCodec {
     while (si < ns) {
       val cs = u8(pos + 3 + 2 * si)
       val tdTa = u8(pos + 4 + 2 * si)
+      if ((tdTa >> 4) > 3 || (tdTa & 15) > 3) throw corruptMedia // 4-slot tables
       val c = compId.indexOf(cs)
       if (c < 0) throw corruptMedia
+      if (scanDc(c) != null) throw corruptMedia // duplicate component in scan
       scanDc(c) = dcTbl(tdTa >> 4)
       scanAc(c) = acTbl(tdTa & 15)
       if (scanDc(c) == null || scanAc(c) == null || !qtSeen(compQ(c)))
@@ -944,8 +947,13 @@ object MediaCodec {
       b(p) >= '0' && b(p) <= '9' && b(p + 1) >= '0' && b(p + 1) <= '9' &&
         b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b')
     // Walk one chunk run in [pos, end); recurse into LISTs. Returns false
-    // on structural corruption (caller nulls the whole decode).
-    def walk(start: Int, end: Int): Boolean = {
+    // on structural corruption (caller nulls the whole decode). Depth is
+    // bounded: real AVIs nest LISTs 2-3 deep (hdrl/strl, movi/rec), while
+    // a crafted payload of nothing but nested 12-byte LIST headers would
+    // otherwise drive the recursion one stack frame per 12 payload bytes
+    // and overflow the stack — an Error no totality catch can save.
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      if (depth > 16) return false
       var pos = start
       while (pos + 8 <= end) {
         val size = le32(b, pos + 4).toLong & 0xFFFFFFFFL
@@ -956,7 +964,7 @@ object MediaCodec {
         if (isList) {
           if (size < 4) return false
           // Recurse past the 4-byte list type ('movi', 'rec ', 'hdrl', ...).
-          if (!walk((body + 4).toInt, (body + size).toInt)) return false
+          if (!walk((body + 4).toInt, (body + size).toInt, depth + 1)) return false
         } else if (isFrameId(pos) && size > 0) {
           val frame = java.util.Arrays.copyOfRange(b, body.toInt, (body + size).toInt)
           val s = decodePixels(frame)
@@ -990,7 +998,7 @@ object MediaCodec {
     }
     val riffSize = le32(b, 4).toLong & 0xFFFFFFFFL
     val end = math.min(b.length.toLong, 8L + riffSize).toInt
-    if (!walk(12, end) || nFrames == 0) return null
+    if (!walk(12, end, 0) || nFrames == 0) return null
     new VideoStats(nFrames, w, h, ch,
       sum.map(_.toDouble / nPix), min, max, meanFirst, meanLast)
   }

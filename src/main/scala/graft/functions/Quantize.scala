@@ -27,12 +27,12 @@ object Quantize {
   def int8Codes(x: Column, scale: Column): Column =
     transform(x, v => floor(v.cast("double") / scale + 0.5))
 
-  /** Per-element absolute reconstruction error |x_i - q_i * scale|.
-    * Each element is <= scale/2 by construction; `array_max` of this is
-    * the vector's worst-case error — an order-independent reduction, so
-    * it is deterministic under any partitioning.
+  /** Per-element absolute reconstruction error |x_i - q_i * scale|,
+    * derived from already-computed codes (zip_with, one pass — not a
+    * second divide+floor over every element). Each error is <= scale/2 by
+    * construction; `array_max` of this is the vector's worst-case error —
+    * an order-independent reduction, deterministic under any partitioning.
     */
-  def int8AbsErrors(x: Column, scale: Column): Column =
-    transform(x, v =>
-      abs(v.cast("double") - floor(v.cast("double") / scale + 0.5) * scale))
+  def int8AbsErrors(x: Column, codes: Column, scale: Column): Column =
+    zip_with(x, codes, (v, qi) => abs(v.cast("double") - qi * scale))
 }

@@ -37,7 +37,12 @@ object Retrieval {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NULL-text documents are excluded from the corpus entirely: Spark's
+    // size(NULL) is -1, which would silently SUBTRACT from the corpus
+    // length sum while count() still included the row — skewing avgdl and
+    // every score.
     val tokenized = docs
+      .where(col(textCol).isNotNull)
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("toks"), size(col("toks")).cast("double").as("dl"))
     val stats = tokenized.agg(

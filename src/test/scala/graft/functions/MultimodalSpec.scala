@@ -706,6 +706,32 @@ class MultimodalSpec extends SparkTestBase {
     assert((badAc(badAc.length - 7) & 0xFF) == 0x00)
     badAc(badAc.length - 7) = 0x55
     assert(MediaCodec.decodePixels(badAc) == null)
+    // Out-of-range table ids must be corrupt, not ArrayIndexOutOfBounds
+    // escaping the totality contract: DQT Tq=4 (byte after the 0x43 len)...
+    val badTq = good.clone()
+    assert(badTq(6) == 0x00)
+    badTq(6) = 0x04
+    assert(MediaCodec.decodePixels(badTq) == null)
+    // ...and SOS Td=4 (the component's table-selector byte).
+    val badTd = good.clone()
+    val sosAt = 2 + 69 + 6 + 13 + 22 + 22 // after DQT/DRI/SOF/DHTx2
+    assert((badTd(sosAt) & 0xFF) == 0xFF && (badTd(sosAt + 1) & 0xFF) == 0xDA)
+    assert(badTd(sosAt + 6) == 0x00) // Td/Ta of component 1
+    badTd(sosAt + 6) = 0x40
+    assert(MediaCodec.decodePixels(badTd) == null)
+    // Duplicate component ids in SOF+SOS: both SOS entries resolve to the
+    // same frame slot, leaving another slot's tables null — must be
+    // corrupt, not a NullPointerException mid-scan.
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val dup = hx("FFD8" + "FFDB0043" + "00" + "08" * 64 +
+      "FFC00011" + "08" + "0008" + "0008" + "03" +
+      "011100" + "011100" + "021100" + // ids 1, 1, 2
+      "FFC40014" + "00" + "000001" + "00" * 13 + "05" +
+      "FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00" +
+      "FFDA000C03" + "0100" + "0100" + "0200" + "003F00" +
+      "140014001400" + "FFD9")
+    assert(MediaCodec.decodePixels(dup) == null)
   }
 
   /** Minimal AVI: RIFF + (optional unparsed hdrl LIST) + movi LIST of
@@ -779,6 +805,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.decodeAvi(w) == null)
     // Truncated at every prefix: clean null or stats, never a throw.
     (0 until ok.length).foreach(n => MediaCodec.decodeAvi(ok.take(n)))
+    // Deeply nested LIST headers (depth >> any real AVI): must hit the
+    // recursion bound and return null, not StackOverflowError.
+    val depth = 100000
+    val nested = new java.io.ByteArrayOutputStream()
+    nested.write("RIFF".getBytes("US-ASCII"))
+    val total = 4 + depth * 12
+    nested.write(Array(total & 0xFF, (total >> 8) & 0xFF,
+      (total >> 16) & 0xFF, (total >> 24) & 0xFF).map(_.toByte))
+    nested.write("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until depth) {
+      val inner = (depth - i - 1) * 12 + 4
+      nested.write("LIST".getBytes("US-ASCII"))
+      nested.write(Array(inner & 0xFF, (inner >> 8) & 0xFF,
+        (inner >> 16) & 0xFF, (inner >> 24) & 0xFF).map(_.toByte))
+      nested.write("rec ".getBytes("US-ASCII"))
+    }
+    assert(MediaCodec.decodeAvi(nested.toByteArray) == null)
   }
 
   test("imageHeader also recognizes pgm/ppm/bmp headers") {

@@ -14,9 +14,10 @@ class QuantizeSpec extends SparkTestBase {
       .select(col("id"),
         col("x"),
         Quantize.int8Scale(col("x")).as("scale"))
-    val out = df.select(col("id"), col("scale"),
-        Quantize.int8Codes(col("x"), col("scale")).as("q"),
-        Quantize.int8AbsErrors(col("x"), col("scale")).as("errs"))
+    val out = df.select(col("id"), col("scale"), col("x"),
+        Quantize.int8Codes(col("x"), col("scale")).as("q"))
+      .select(col("id"), col("scale"), col("q"),
+        Quantize.int8AbsErrors(col("x"), col("q"), col("scale")).as("errs"))
       .collect()
     assert(out.length == 50)
     out.foreach { r =>
