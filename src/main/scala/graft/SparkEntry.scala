@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Dedup, Multimodal, Quantize, Retrieval, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, FrequentItems, Multimodal, Quantize, Retrieval, Similarity, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1526,6 +1526,25 @@ object SparkEntry {
           col("v.mean_last").as("mean_last"))
         .orderBy("doc_id")),
 
+    // --- 100. heavy hitters via mergeable Misra-Gries sketch, oracle-pinned -----------------------------
+    // Top-10 corpus terms through the one-pass bounded-state sketch
+    // (functions/FrequentItems) instead of a full GROUP BY term: partial
+    // 64-counter summaries merge map-side, so vocabulary cardinality never
+    // reaches the shuffle — THE shape for "top tokens over a 100 TB token
+    // stream". Capacity 64 exceeds this corpus's distinct-token count, so
+    // the sketch is provably exact and the DuckDB oracle is a plain
+    // GROUP BY + ORDER BY count DESC — hash-matching pins the full
+    // reduce/merge/truncate machinery; under-capacity error bounds are
+    // property-tested in FrequentItemsSpec.
+    "q100_heavy_hitters" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(Retrieval.tokens(col("text"))).as("term"))
+        .agg(FrequentItems.sketch(col("term"), 64).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e._1").as("term"), col("e._2").as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(10)),
+
     // --- 97. inverted-index statistics (posting-list build) ---------------------------------------------
     // The index-construction shape behind corpus search: explode documents
     // to (term, doc) postings, aggregate to per-term document frequency,
@@ -2655,6 +2674,19 @@ object SparkEntry {
         |            FROM documents))))
         |GROUP BY doc_id, nf, nb
         |ORDER BY doc_id""".stripMargin,
+
+    // Exact relational restatement: capacity exceeds the vocabulary, so
+    // the sketch's counts are exact and top-10 = plain GROUP BY top-10
+    // (count DESC, term as the shared deterministic tie-break).
+    "q100_heavy_hitters" ->
+      """SELECT term, COUNT(*) AS cnt
+        |FROM (
+        |  SELECT UNNEST(list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0)) AS term
+        |  FROM documents)
+        |GROUP BY term
+        |ORDER BY cnt DESC, term
+        |LIMIT 10""".stripMargin,
 
     "q97_inverted_index" ->
       """SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,

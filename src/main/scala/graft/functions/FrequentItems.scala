@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable heavy-hitters sketch (Misra-Gries "frequent" summary): finds
+  * the most frequent items of a column in ONE pass with bounded state —
+  * `capacity` counters per partial aggregate, no matter how many distinct
+  * items or rows flow through. The 100 TB point: a full `GROUP BY term`
+  * over a web-scale token stream shuffles every distinct term; this sketch
+  * ships one `capacity`-entry map per partition and merges map-side, so
+  * vocabulary cardinality never touches the exchange.
+  *
+  * Deterministic guarantees (no randomness): every reported count is an
+  * UNDER-estimate, low by at most n/(capacity+1) where n is the total item
+  * count; any item with true frequency above n/(capacity+1) is guaranteed
+  * present in the summary. With `capacity` >= the number of distinct items
+  * the sketch degenerates to exact counting — which is what lets q100 pin
+  * the whole machinery against a plain GROUP BY oracle while the
+  * under-capacity guarantees are property-tested in the spec.
+  *
+  * Merge is the Agarwal et al. "Mergeable Summaries" rule: sum counters
+  * pointwise, and if more than `capacity` remain, subtract the
+  * (capacity+1)-th largest count from all and drop the non-positive — this
+  * preserves the error bound under arbitrary merge trees, which is exactly
+  * what Spark's partial aggregation needs.
+  */
+final class FrequentItemsAggregator(capacity: Int)
+    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+  require(capacity >= 1, "capacity must be >= 1")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], item: String): Map[String, Long] = {
+    if (item == null) return buf // null rows carry no item
+    buf.get(item) match {
+      case Some(c) => buf.updated(item, c + 1)
+      case None if buf.size < capacity => buf.updated(item, 1L)
+      case None =>
+        // Classic MG decrement: new item + full table -> everyone pays 1
+        // (the new item's 1 cancels against its own decrement).
+        buf.flatMap { case (k, v) => if (v > 1) Some(k -> (v - 1)) else None }
+    }
+  }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+    if (sum.size <= capacity) sum
+    else {
+      val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+      sum.flatMap { case (k, v) => if (v - cut > 0) Some(k -> (v - cut)) else None }
+    }
+  }
+
+  /** Sorted heaviest-first with the item as deterministic tie-break, so
+    * the output is stable across partitionings and engines.
+    */
+  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
+    buf.toSeq.sortBy { case (item, c) => (-c, item) }
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    ExpressionEncoder[Seq[(String, Long)]]()
+}
+
+object FrequentItems {
+
+  /** Aggregation column: heavy-hitters summary of a string column as
+    * `array<struct<_1: item, _2: count>>`, heaviest first.
+    */
+  def sketch(item: Column, capacity: Int): Column =
+    udaf(new FrequentItemsAggregator(capacity),
+      ExpressionEncoder[String]()).apply(item)
+}

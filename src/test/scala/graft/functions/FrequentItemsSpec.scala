@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FrequentItemsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def skewed(n: Int): Seq[String] =
+    // Zipf-ish: item i appears ~n/(i+1) times.
+    (0 until 20).flatMap(i => Seq.fill(n / (i + 1))(s"item$i"))
+
+  test("capacity >= distinct items: sketch counts are exact under any partitioning") {
+    val items = skewed(1000)
+    val expected = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    for (parts <- Seq(1, 7)) {
+      val out = items.toDF("x").repartition(parts)
+        .agg(FrequentItems.sketch(col("x"), 64).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e._1"), col("e._2"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(out == expected, s"parts=$parts")
+    }
+  }
+
+  test("under capacity: underestimates only, within n/(k+1); heavy items survive") {
+    val items = skewed(2000)
+    val n = items.size
+    val truth = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val k = 8
+    val out = items.toDF("x").repartition(5)
+      .agg(FrequentItems.sketch(col("x"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e._1"), col("e._2"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.size <= k)
+    val bound = n.toLong / (k + 1)
+    out.foreach { case (item, est) =>
+      val t = truth(item)
+      assert(est <= t, s"$item overestimated: $est > $t")
+      assert(est >= t - bound, s"$item under bound: $est < $t - $bound")
+    }
+    // The MG guarantee: anything with true count > n/(k+1) must be present.
+    truth.filter(_._2 > bound).keys.foreach { heavy =>
+      assert(out.contains(heavy), s"guaranteed-heavy $heavy missing")
+    }
+  }
+
+  test("merge truncation keeps the summary within capacity and error budget") {
+    // Two disjoint-vocabulary halves force the (k+1)-th-largest subtraction.
+    val a = (0 until 10).flatMap(i => Seq.fill(100 - i)(s"a$i"))
+    val b = (0 until 10).flatMap(i => Seq.fill(100 - i)(s"b$i"))
+    val out = (a ++ b).toDF("x").repartition(2, col("x")) // each partition ~one half
+      .agg(FrequentItems.sketch(col("x"), 12).as("sk"))
+      .select(size(col("sk"))).collect()(0).getInt(0)
+    assert(out <= 12)
+  }
+}
