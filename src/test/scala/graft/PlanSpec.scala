@@ -180,6 +180,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q100 heavy hitters aggregates partially: terms never hash-shuffle") {
+    // The sketch's whole point: per-partition 64-counter summaries merge
+    // map-side, so the only exchange carries sketches to one reducer —
+    // a hashpartitioning exchange on terms would mean the vocabulary
+    // itself got shuffled (the GROUP BY shape the sketch replaces).
+    val p = plan("q100_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q82 multi-distinct plans as one Expand pass, not separate joined aggregations") {
     val p = plan("q82_multi_distinct")
     // Catalyst's rewrite: Expand fans each row to one per distinct group,

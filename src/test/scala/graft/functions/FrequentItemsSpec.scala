@@ -46,6 +46,36 @@ class FrequentItemsSpec extends SparkTestBase {
     }
   }
 
+  test("sketch aggregates in structured streaming (complete mode) same as batch") {
+    // Mergeable state means the same Aggregator serves streaming
+    // aggregation: two microbatches must land on the batch answer.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fi-stream")
+    java.nio.file.Files.write(dir.resolve("a.json"),
+      """{"x": "a"}
+        |{"x": "a"}
+        |{"x": "b"}""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.json"),
+      """{"x": "b"}
+        |{"x": "a"}
+        |{"x": "c"}""".stripMargin.getBytes("UTF-8"))
+    val stream = spark.readStream
+      .schema("x string")
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+    val q = stream
+      .agg(FrequentItems.sketch(col("x"), 16).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e._1"), col("e._2"))
+      .writeStream.format("memory").queryName("fi_sketch")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val out = spark.table("fi_sketch")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(out == Map("a" -> 3L, "b" -> 2L, "c" -> 1L), out)
+    } finally q.stop()
+  }
+
   test("merge truncation keeps the summary within capacity and error budget") {
     // Two disjoint-vocabulary halves force the (k+1)-th-largest subtraction.
     val a = (0 until 10).flatMap(i => Seq.fill(100 - i)(s"a$i"))
