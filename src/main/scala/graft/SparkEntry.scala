@@ -1347,7 +1347,9 @@ object SparkEntry {
     // the boundary). That overshoot is the price of the deterministic,
     // shuffle-once one-window-pass form; exact greedy packing is
     // inherently sequential. Callers needing a hard cap split or truncate
-    // the straddling document downstream.
+    // the straddling document downstream — or use q95's
+    // operators.Packing.packExact, the exact sequential fold whose bins
+    // never overshoot (at the cost of a per-group ordered pass).
     "q85_pack_sequences" -> ((s, d) => {
       val nTok = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
       val w = Window.partitionBy("lang").orderBy("doc_id")

@@ -5,12 +5,20 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
+/** Fixed-capacity counter table for [[FrequentItemsAggregator]]: parallel
+  * arrays, a slot is FREE iff counts(i) == 0 (a live MG counter is always
+  * >= 1, and items(i) is stale garbage for free slots). Arrays — not a
+  * persistent Map — so the per-row hot path mutates in place with zero
+  * allocation, the same buffer discipline [[MinHashSketchAggregator]] uses.
+  */
+final case class MgBuffer(items: Array[String], counts: Array[Long])
+
 /** Mergeable heavy-hitters sketch (Misra-Gries "frequent" summary): finds
   * the most frequent items of a column in ONE pass with bounded state —
   * `capacity` counters per partial aggregate, no matter how many distinct
   * items or rows flow through. The 100 TB point: a full `GROUP BY term`
   * over a web-scale token stream shuffles every distinct term; this sketch
-  * ships one `capacity`-entry map per partition and merges map-side, so
+  * ships one `capacity`-entry table per partition and merges map-side, so
   * vocabulary cardinality never touches the exchange.
   *
   * Deterministic guarantees (no randomness): every reported count is an
@@ -18,50 +26,80 @@ import org.apache.spark.sql.functions._
   * count; any item with true frequency above n/(capacity+1) is guaranteed
   * present in the summary. With `capacity` >= the number of distinct items
   * the sketch degenerates to exact counting — which is what lets q100 pin
-  * the whole machinery against a plain GROUP BY oracle while the
-  * under-capacity guarantees are property-tested in the spec.
+  * the whole machinery against a plain GROUP BY oracle (that premise is
+  * itself spec-pinned against the test corpora) while the under-capacity
+  * guarantees are property-tested in the spec.
   *
   * Merge is the Agarwal et al. "Mergeable Summaries" rule: sum counters
   * pointwise, and if more than `capacity` remain, subtract the
   * (capacity+1)-th largest count from all and drop the non-positive — this
   * preserves the error bound under arbitrary merge trees, which is exactly
-  * what Spark's partial aggregation needs.
+  * what Spark's partial aggregation needs. Merges happen once per
+  * partition/spill, so the temporary map there is off the hot path; the
+  * per-ROW path (`reduce`) allocates nothing.
   */
 final class FrequentItemsAggregator(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    extends Aggregator[String, MgBuffer, Seq[(String, Long)]] {
   require(capacity >= 1, "capacity must be >= 1")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: MgBuffer =
+    // "" placeholders, not nulls: free slots are identified by count == 0
+    // alone, and an all-non-null array keeps the buffer encoder's array
+    // serialization trivially safe.
+    MgBuffer(Array.fill(capacity)(""), new Array[Long](capacity))
 
-  override def reduce(buf: Map[String, Long], item: String): Map[String, Long] = {
+  override def reduce(buf: MgBuffer, item: String): MgBuffer = {
     if (item == null) return buf // null rows carry no item
-    buf.get(item) match {
-      case Some(c) => buf.updated(item, c + 1)
-      case None if buf.size < capacity => buf.updated(item, 1L)
-      case None =>
-        // Classic MG decrement: new item + full table -> everyone pays 1
-        // (the new item's 1 cancels against its own decrement).
-        buf.flatMap { case (k, v) => if (v > 1) Some(k -> (v - 1)) else None }
+    val items = buf.items; val counts = buf.counts
+    var free = -1
+    var i = 0
+    while (i < capacity) {
+      if (counts(i) == 0L) { if (free < 0) free = i }
+      else if (items(i) == item) { counts(i) += 1; return buf }
+      i += 1
     }
+    if (free >= 0) { items(free) = item; counts(free) = 1L; return buf }
+    // Classic MG decrement: new item + full table -> everyone pays 1
+    // (the new item's 1 cancels against its own decrement).
+    i = 0
+    while (i < capacity) { counts(i) -= 1; i += 1 }
+    buf
   }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
-    if (sum.size <= capacity) sum
-    else {
-      val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
-      sum.flatMap { case (k, v) => if (v - cut > 0) Some(k -> (v - cut)) else None }
+  override def merge(a: MgBuffer, b: MgBuffer): MgBuffer = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < capacity) {
+      if (a.counts(i) > 0) m.update(a.items(i), m.getOrElse(a.items(i), 0L) + a.counts(i))
+      i += 1
     }
+    i = 0
+    while (i < capacity) {
+      if (b.counts(i) > 0) m.update(b.items(i), m.getOrElse(b.items(i), 0L) + b.counts(i))
+      i += 1
+    }
+    // Over capacity: subtract the (capacity+1)-th largest from everyone —
+    // at most `capacity` counts can exceed it, so the survivors fit.
+    val cut =
+      if (m.size <= capacity) 0L
+      else m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+    java.util.Arrays.fill(a.counts, 0L)
+    i = 0
+    m.foreach { case (k, v) =>
+      if (v - cut > 0) { a.items(i) = k; a.counts(i) = v - cut; i += 1 }
+    }
+    a
   }
 
   /** Sorted heaviest-first with the item as deterministic tie-break, so
     * the output is stable across partitionings and engines.
     */
-  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
-    buf.toSeq.sortBy { case (item, c) => (-c, item) }
+  override def finish(buf: MgBuffer): Seq[(String, Long)] =
+    buf.items.indices.collect {
+      case i if buf.counts(i) > 0 => (buf.items(i), buf.counts(i))
+    }.sortBy { case (item, c) => (-c, item) }.toSeq
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
+  override def bufferEncoder: Encoder[MgBuffer] = ExpressionEncoder[MgBuffer]()
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     ExpressionEncoder[Seq[(String, Long)]]()
 }

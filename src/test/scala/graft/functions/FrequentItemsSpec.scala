@@ -76,6 +76,23 @@ class FrequentItemsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q100 exactness premise: corpus vocabulary stays within sketch capacity") {
+    // q100's DuckDB oracle is a plain GROUP BY, which matches the sketch
+    // only while the documents vocabulary fits the 64-counter capacity —
+    // a cross-component coupling to the data generator. Pin it here so a
+    // future richer generator breaks THIS test (pointing at the premise)
+    // rather than the driver's correctness gate (pointing at the sketch).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val n = docs
+        .select(explode(Retrieval.tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+      assert(n <= 64,
+        s"$sf vocabulary $n exceeds q100's sketch capacity 64: raise the " +
+          "capacity in SparkEntry.q100_heavy_hitters or this premise breaks")
+    }
+  }
+
   test("merge truncation keeps the summary within capacity and error budget") {
     // Two disjoint-vocabulary halves force the (k+1)-th-largest subtraction.
     val a = (0 until 10).flatMap(i => Seq.fill(100 - i)(s"a$i"))
