@@ -1,0 +1,58 @@
+package graft.examples
+
+import graft.functions.{FrequentItems, Quantize, Retrieval}
+import graft.operators.Packing
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end drive of the training-data prep operators over the test
+  * corpus: BM25 retrieval scoring, heavy-hitter vocabulary, exact-budget
+  * sequence packing, and int8 embedding quantization.
+  *
+  * Usage: runMain graft.examples.TrainingPrepDemo /root/testdata/sf0.001
+  */
+object TrainingPrepDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-training-prep-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    println("=== BM25: top docs for 'spark' ===")
+    Retrieval.bm25(docs, "doc_id", "text", Seq("spark"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(5).show(truncate = false)
+
+    println("=== Heavy hitters: top-10 corpus terms via Misra-Gries sketch ===")
+    docs.select(explode(Retrieval.tokens(col("text"))).as("term"))
+      .agg(FrequentItems.sketch(col("term"), 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e._1").as("term"), col("e._2").as("count"))
+      .limit(10).show(truncate = false)
+
+    println("=== Exact-budget packing: 4096-token bins per language ===")
+    val weighted = docs.select(col("lang"), col("doc_id"),
+      size(Retrieval.tokens(col("text"))).cast("long").as("n_tokens"))
+    Packing.packExact(weighted, "lang", "doc_id", "n_tokens", 4096L)
+      .orderBy("lang", "seq_id").show(20, truncate = false)
+
+    println("=== Int8 quantization: reconstruction error per vector ===")
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        Quantize.int8Scale(col("embedding")).as("scale"))
+      .where(col("scale") > 0)
+      .select(col("vec_id"), col("scale"),
+        Quantize.int8Codes(col("embedding"), col("scale")).as("q"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
+      .orderBy("vec_id").limit(5).show()
+
+    spark.stop()
+  }
+}
