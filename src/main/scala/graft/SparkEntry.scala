@@ -664,6 +664,25 @@ object SparkEntry {
         e, k = 5, model, nProbe = 2)
     }),
 
+    // --- 101. product-quantization kNN (PQ codes + ADC search; no SQL oracle) ---------------------------
+    // The compression end of the ANN ladder (brute q36 -> LSH q37 -> IVF
+    // q42 -> PQ): embeddings shrink to 8 codes each via the codegen'd
+    // encode expression, and search is table lookups over codes — no float
+    // vector is touched at scan time. KMeans codebooks are engine-specific
+    // (rows-only); the exactness of the ADC arithmetic and self-recall are
+    // pinned by PqSpec. Self-pairs excluded to mirror the other kNN shapes.
+    "q101_knn_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = graft.functions.Pq.fit(e, "vec", m = 8, k = 16, seed = 42L)
+      graft.functions.Pq.adcKnn(
+          e.where(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec")),
+          e, k = 6, model)
+        .where(col("qid") =!= col("neighbor"))
+        .select(col("qid"), col("neighbor"), col("adc_dist"))
+        .orderBy("qid", "adc_dist", "neighbor")
+    }),
+
     // --- 43. sessionization: 30-min-gap sessions per user over the event stream --------------------------
     "q43_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

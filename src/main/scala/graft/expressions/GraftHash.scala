@@ -308,4 +308,39 @@ object GraftHash {
     }
     sig
   }
+
+  /** Product-quantization encode: for each of the m subspaces, the index of
+    * the L2-nearest centroid of that subspace's slice of `vec`. `books` is
+    * m x k x subDim. Null for vectors shorter than m * subDim — a data
+    * quality signal, not an error.
+    */
+  def pqEncode(vec: ArrayData, books: Array[Array[Array[Float]]]): ArrayData = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    if (vec.numElements() < m * subDim) return null
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val cents = books(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = vec.getFloat(off + j).toDouble - cent(j)
+          d2 += diff * diff
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

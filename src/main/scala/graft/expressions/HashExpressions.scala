@@ -232,6 +232,47 @@ case class NearestCentroidsExpr(
   override def prettyName: String = "graft_nearest_centroids"
 }
 
+/** `array<float>` -> `array<int>` of m product-quantization codes: per
+  * subspace, the index of the L2-nearest codebook centroid. Codegen'd so
+  * encoding a petabyte embedding corpus down to m bytes/vector runs inside
+  * the scan's WholeStageCodegen stage. NULL for vectors shorter than the
+  * codebook's m * subDim. Content-based equality/hash for the same
+  * plan-cache reasons as [[NearestCentroidsExpr]].
+  */
+case class PqEncodeExpr(
+    child: Expression,
+    codebooks: Array[Array[Array[Float]]]
+) extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need non-empty codebooks")
+  @transient private lazy val booksHash: Int =
+    java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncodeExpr =>
+      child == o.child && booksHash == o.booksHash &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[AnyRef]], o.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, Integer.valueOf(booksHash))
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatVec.check(prettyName, child.dataType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.pqEncode(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.GraftHash.pqEncode($c, $ref);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_encode"
+}
+
 /** `array<bigint>` of token hashes OR `array<string>` of raw tokens ->
   * `bigint` 64-bit SimHash. The string form hashes tokens in the kernel so
   * the child can be a plain codegen'd `split()` (a higher-order `transform`

@@ -82,6 +82,66 @@ private[functions] object LocalKMeans {
     centroids
   }
 
+  /** Plain Euclidean Lloyd's — for quantizers whose distance is L2 in the
+    * RAW space (product-quantization sub-codebooks), where the cosine
+    * variant's normalization would distort subvector geometry.
+    * Deterministic for a fixed (sorted) input order and seed.
+    */
+  def euclidean(points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+    val rng = new java.util.Random(seed)
+    val order = rng.ints(0, n).distinct().limit(kk).toArray
+    var centroids = order.map(i => points(i).clone())
+    val counts = new Array[Int](kk)
+    val sums = Array.ofDim[Double](kk, dim)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val cent = centroids(c)
+          var d2 = 0.0
+          var j = 0
+          while (j < dim) {
+            val diff = v(j).toDouble - cent(j)
+            d2 += diff * diff
+            j += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        p += 1
+      }
+      moved = false
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val nc = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { nc(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+          if (!java.util.Arrays.equals(nc, centroids(c))) { centroids(c) = nc; moved = true }
+        }
+        // Empty cell: keep the old centroid (harmless for a quantizer).
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
   private def normalize(v: Array[Float]): Array[Float] = {
     var s = 0.0
     var i = 0

@@ -1,0 +1,125 @@
+package graft.functions
+
+import graft.expressions.PqEncodeExpr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Product quantization — the web-scale ANN compression step (the PQ in
+  * FAISS's IVF-PQ): split each D-dim embedding into `m` subvectors, learn a
+  * small per-subspace codebook (k centroids each), and store each vector as
+  * m small code indices — 64 float dims become 8 codes, a ~32x shrink —
+  * while approximate distances remain computable from the codes alone.
+  *
+  * Search uses the standard ADC (asymmetric distance computation): per
+  * query, precompute the m x k table of squared distances from the query's
+  * subvectors to every centroid (driver-side, tiny), then a candidate's
+  * approximate squared L2 distance is m table lookups summed — no float
+  * vector is touched at scan time.
+  *
+  * Scale shape mirrors [[Ivf]]: codebooks train driver-local on a bounded
+  * content-hash sample (one scan at any corpus size), encoding is a
+  * codegen'd native expression over the corpus scan, and per-query state
+  * (the ADC table) broadcasts. Queries must be a small/broadcastable set —
+  * the same contract as [[Similarity.bruteForceKnn]].
+  */
+object Pq {
+
+  /** A fitted PQ codebook: m subspaces x k centroids x subDim floats. */
+  final case class Model(m: Int, subDim: Int, codebooks: Array[Array[Array[Float]]])
+
+  /** Train per-subspace Euclidean codebooks on a bounded driver-side
+    * sample, selected and ordered by content hash exactly like [[Ivf.fit]]
+    * (layout-independent, deterministic for a seed).
+    */
+  def fit(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L,
+      maxTrainPoints: Int = 50000,
+      maxIter: Int = 10
+  ): Model = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    val total = corpus.count()
+    val keepMod =
+      if (total <= maxTrainPoints) 1L
+      else (2L * total + maxTrainPoints - 1) / maxTrainPoints
+    val spread =
+      if (keepMod > 1)
+        corpus.where(pmod(xxhash64(col(vecCol)), lit(keepMod)) === 0)
+      else corpus
+    val collected = spread.select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(collected.nonEmpty, "empty training set")
+    val pts = collected.sortBy(v => java.util.Arrays.hashCode(v)).take(maxTrainPoints)
+    val dim = pts(0).length
+    require(dim % m == 0, s"dimension $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val books = Array.tabulate(m) { s =>
+      val sub = pts.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      // Distinct seed per subspace: identical seeding across subspaces
+      // would correlate their codebooks on structured data.
+      LocalKMeans.euclidean(sub, k, maxIter, seed + s)
+    }
+    Model(m, subDim, books)
+  }
+
+  /** Column: the m PQ codes of a vector (codegen'd native expression). */
+  def codes(vec: Column, model: Model): Column =
+    Bridge.column(PqEncodeExpr(Bridge.expression(vec), model.codebooks))
+
+  /** The ADC lookup table for one query: table(s)(c) = squared L2 distance
+    * from the query's s-th subvector to centroid c of subspace s.
+    */
+  def adcTable(query: Array[Float], model: Model): Array[Array[Double]] =
+    Array.tabulate(model.m) { s =>
+      Array.tabulate(model.codebooks(s).length) { c =>
+        val cent = model.codebooks(s)(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < model.subDim) {
+          val diff = query(s * model.subDim + j).toDouble - cent(j)
+          d2 += diff * diff
+          j += 1
+        }
+        d2
+      }
+    }
+
+  /** Approximate top-k by ADC over PQ codes. `queries` (qid, qvec) is
+    * collected to the driver to build the per-query tables — the
+    * broadcast-queries contract. Output: (qid, rank, neighbor, adc_dist),
+    * nearest first; self-pairs are kept (callers filter if unwanted).
+    */
+  def adcKnn(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame,  // (id, vec)
+      k: Int,
+      model: Model
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("qvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val tables = q.map { case (qid, vec) => (qid, adcTable(vec, model).toSeq.map(_.toSeq)) }
+      .toSeq.toDF("qid", "table")
+    val encoded = corpus.select(col("id"), codes(col("vec"), model).as("codes"))
+      .where(col("codes").isNotNull)
+    // ADC: m lookups summed. zip_with pairs code s with table row s;
+    // element_at is 1-based on the k centroid distances.
+    val scored = encoded.crossJoin(broadcast(tables))
+      .select(col("qid"), col("id"),
+        aggregate(
+          zip_with(col("codes"), col("table"), (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, v) => acc + v).as("adc_dist"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

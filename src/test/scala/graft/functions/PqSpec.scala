@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("codes land on-centroid vectors exactly; ADC distance equals true sq L2") {
+    // Corpus constructed ON the codebook: each vector concatenates one
+    // centroid per subspace, so quantization error is zero and the ADC
+    // approximation must equal the true squared L2 distance exactly.
+    val rng = new scala.util.Random(5)
+    val m = 4; val subDim = 4; val k = 8
+    val books = Array.fill(m, k, subDim)((rng.nextFloat() * 2 - 1) * 3)
+    val model = Pq.Model(m, subDim, books)
+    val vecs = (0 until 40).map { i =>
+      val picks = Array.tabulate(m)(s => (i * 7 + s * 3) % k)
+      (i.toLong, Array.tabulate(m * subDim)(j => books(j / subDim)(picks(j / subDim))(j % subDim)),
+        picks)
+    }
+    val df = vecs.map { case (id, v, _) => (id, v) }.toDF("id", "vec")
+    val out = df.select(col("id"), Pq.codes(col("vec"), model).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, _, picks) =>
+      assert(out(id) == picks.toSeq, s"id $id")
+    }
+    // ADC vs direct: for on-centroid corpus, table-lookup distance is the
+    // exact squared distance between the raw vectors.
+    val query = vecs(3)._2
+    val table = Pq.adcTable(query, model)
+    vecs.foreach { case (id, v, picks) =>
+      val adc = picks.indices.map(s => table(s)(picks(s))).sum
+      val direct = v.indices.map(j => math.pow(query(j).toDouble - v(j), 2)).sum
+      assert(math.abs(adc - direct) < 1e-6, s"id $id adc $adc direct $direct")
+    }
+  }
+
+  test("fit + adcKnn: every vector retrieves itself first; ranks deterministic") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(32)(rng.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("id", "vec")
+    val model = Pq.fit(corpus, "vec", m = 8, k = 16, seed = 7L)
+    assert(model.m == 8 && model.subDim == 4)
+    val queries = corpus.where(col("id") < 20)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val top = Pq.adcKnn(queries, corpus, k = 3, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // Self has only quantization error as its ADC distance — with random
+    // near-orthogonal others, rank 1 must be self for every query.
+    val rank1 = top.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    (0L until 20L).foreach(q => assert(rank1(q) == q, s"query $q rank1 ${rank1(q)}"))
+    assert(top.length == 20 * 3)
+    // Determinism: refit + rerun gives identical output.
+    val model2 = Pq.fit(corpus.repartition(7), "vec", m = 8, k = 16, seed = 7L)
+    val top2 = Pq.adcKnn(queries, corpus, k = 3, model2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(top2.toSeq == top.toSeq)
+  }
+
+  test("short vectors code to NULL instead of crashing the scan") {
+    val model = Pq.Model(2, 4, Array.fill(2, 4, 4)(0.5f))
+    val df = Seq((1L, Array.fill(8)(0.1f)), (2L, Array.fill(3)(0.1f)))
+      .toDF("id", "vec")
+      .select(col("id"), Pq.codes(col("vec"), model).as("codes"))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isDefined && rows(2L).isEmpty)
+  }
+}
