@@ -89,10 +89,39 @@ object Pq {
       }
     }
 
-  /** Approximate top-k by ADC over PQ codes. `queries` (qid, qvec) is
-    * collected to the driver to build the per-query tables — the
-    * broadcast-queries contract. Output: (qid, rank, neighbor, adc_dist),
-    * nearest first; self-pairs are kept (callers filter if unwanted).
+  /** Per-query ADC tables as a broadcastable DataFrame (qid, table):
+    * `queries` is collected to the driver — the broadcast-queries contract.
+    */
+  private def queryTables(queries: DataFrame, model: Model): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col("qid").cast("long"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0),
+        adcTable(r.getSeq[Float](1).toArray, model).toSeq.map(_.toSeq)))
+      .toSeq.toDF("qid", "table")
+  }
+
+  /** ADC scoring + per-query top-k shared by the flat and IVF searches.
+    * ADC: m lookups summed — zip_with pairs code s with table row s,
+    * element_at is 1-based on the k centroid distances.
+    */
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.select(col("qid"), col("id"),
+      aggregate(
+        zip_with(col("codes"), col("table"), (c, row) => element_at(row, c + 1)),
+        lit(0.0), (acc, v) => acc + v).as("adc_dist"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Approximate top-k by ADC over PQ codes, full corpus scan (no cell
+    * pruning — the PQ-only baseline). Output: (qid, rank, neighbor,
+    * adc_dist), nearest first; self-pairs are kept (callers filter).
     */
   def adcKnn(
       queries: DataFrame, // (qid, qvec)
@@ -100,26 +129,35 @@ object Pq {
       k: Int,
       model: Model
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val q = queries.select(col("qid").cast("long"), col("qvec"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val tables = q.map { case (qid, vec) => (qid, adcTable(vec, model).toSeq.map(_.toSeq)) }
-      .toSeq.toDF("qid", "table")
     val encoded = corpus.select(col("id"), codes(col("vec"), model).as("codes"))
       .where(col("codes").isNotNull)
-    // ADC: m lookups summed. zip_with pairs code s with table row s;
-    // element_at is 1-based on the k centroid distances.
-    val scored = encoded.crossJoin(broadcast(tables))
-      .select(col("qid"), col("id"),
-        aggregate(
-          zip_with(col("codes"), col("table"), (c, row) => element_at(row, c + 1)),
-          lit(0.0), (acc, v) => acc + v).as("adc_dist"))
-    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor"),
-        round(col("adc_dist"), 6).as("adc_dist"))
-      .orderBy(col("qid"), col("rank"))
+    topK(encoded.crossJoin(broadcast(queryTables(queries, model))), k)
+  }
+
+  /** IVF-PQ: the standard web-scale ANN composition (FAISS's IndexIVFPQ
+    * shape). Corpus rows live in their nearest coarse cell carrying only
+    * their m PQ codes; queries probe their `nProbe` nearest cells and score
+    * candidates by ADC — so search touches ~nProbe/k of the corpus and
+    * never a float vector. The join is a broadcast hash equi-join on cell
+    * id (queries are the broadcast side), the same bucket-local discipline
+    * as every other pairing in this package.
+    */
+  def ivfAdcKnn(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame,  // (id, vec)
+      k: Int,
+      coarse: Ivf.Model,
+      model: Model,
+      nProbe: Int = 2
+  ): DataFrame = {
+    val cb = corpus.select(col("id"),
+        Ivf.cells(col("vec"), coarse, nProbe = 1).getItem(0).as("cell"),
+        codes(col("vec"), model).as("codes"))
+      .where(col("codes").isNotNull)
+    val qc = queries
+      .select(col("qid").cast("long").as("qid"),
+        explode(Ivf.cells(col("qvec"), coarse, nProbe)).as("cell"))
+      .join(queryTables(queries, model), "qid")
+    topK(cb.join(broadcast(qc), "cell"), k)
   }
 }

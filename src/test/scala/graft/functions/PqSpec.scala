@@ -58,6 +58,27 @@ class PqSpec extends SparkTestBase {
     assert(top2.toSeq == top.toSeq)
   }
 
+  test("ivfAdcKnn: probing all cells equals the flat ADC scan; fewer cells prune") {
+    val rng = new scala.util.Random(23)
+    val vecs = (0L until 150L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("id", "vec")
+    val coarse = Ivf.fit(corpus.select(col("vec")), "vec", k = 4, seed = 3L)
+    val model = Pq.fit(corpus, "vec", m = 4, k = 8, seed = 3L)
+    val queries = corpus.where(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    // nProbe = all cells: identical to the flat scan (same ADC arithmetic,
+    // every candidate reachable).
+    val full = Pq.adcKnn(queries, corpus, k = 4, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val probedAll = Pq.ivfAdcKnn(queries, corpus, k = 4, coarse, model, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(probedAll == full)
+    // nProbe = 1: self stays reachable (a query's own cell contains it).
+    val one = Pq.ivfAdcKnn(queries, corpus, k = 1, coarse, model, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 8L).foreach(q => assert(one(q) == q, s"query $q lost itself"))
+  }
+
   test("short vectors code to NULL instead of crashing the scan") {
     val model = Pq.Model(2, 4, Array.fill(2, 4, 4)(0.5f))
     val df = Seq((1L, Array.fill(8)(0.1f)), (2L, Array.fill(3)(0.1f)))
