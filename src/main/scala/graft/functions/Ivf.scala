@@ -30,70 +30,36 @@ import org.apache.spark.sql.graft.Bridge
   */
 private[functions] object LocalKMeans {
 
-  def cosine(points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
+  /** Spherical variant: points and centroids L2-normalized, assignment by
+    * max dot product, update renormalizes the mean.
+    */
+  def cosine(points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] =
+    lloyd(points.map(normalize), k, maxIter, seed, spherical = true)
+
+  /** Plain Euclidean variant — for quantizers whose distance is L2 in the
+    * RAW space (product-quantization sub-codebooks), where normalization
+    * would distort subvector geometry.
+    */
+  def euclidean(points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] =
+    lloyd(points, k, maxIter, seed, spherical = false)
+
+  /** One Lloyd's loop for both metrics, so seeding, accumulation,
+    * convergence, and empty-cell policy cannot drift apart. `spherical`
+    * assigns by max dot (inputs pre-normalized by [[cosine]]) and
+    * renormalizes updated centroids; otherwise assignment is min squared
+    * L2 and updates are plain means. Deterministic for a fixed (sorted)
+    * input order and seed.
+    */
+  private def lloyd(points: Array[Array[Float]], k: Int, maxIter: Int,
+      seed: Long, spherical: Boolean): Array[Array[Float]] = {
     val n = points.length
     val dim = points(0).length
-    val normed = points.map(normalize)
     val kk = math.min(k, n)
     // Seeding: k distinct points chosen by a seeded RNG (kmeans++ adds
     // little for a coarse quantizer over a hash-shuffled sample).
     val rng = new java.util.Random(seed)
     val order = rng.ints(0, n).distinct().limit(kk).toArray
-    var centroids = order.map(i => normed(i).clone())
-    val counts = new Array[Int](kk)
-    val sums = Array.ofDim[Double](kk, dim)
-    var iter = 0
-    var moved = true
-    while (iter < maxIter && moved) {
-      java.util.Arrays.fill(counts, 0)
-      sums.foreach(java.util.Arrays.fill(_, 0.0))
-      var p = 0
-      while (p < n) {
-        val v = normed(p)
-        var best = 0
-        var bestDot = Double.MinValue
-        var c = 0
-        while (c < kk) {
-          val d = dot(v, centroids(c))
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        val s = sums(best)
-        var j = 0
-        while (j < dim) { s(j) += v(j); j += 1 }
-        p += 1
-      }
-      moved = false
-      var c = 0
-      while (c < kk) {
-        if (counts(c) > 0) {
-          val nc = new Array[Float](dim)
-          var j = 0
-          while (j < dim) { nc(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
-          val nn = normalize(nc)
-          if (!java.util.Arrays.equals(nn, centroids(c))) { centroids(c) = nn; moved = true }
-        }
-        // Empty cell: keep the old centroid (harmless for a coarse quantizer).
-        c += 1
-      }
-      iter += 1
-    }
-    centroids
-  }
-
-  /** Plain Euclidean Lloyd's — for quantizers whose distance is L2 in the
-    * RAW space (product-quantization sub-codebooks), where the cosine
-    * variant's normalization would distort subvector geometry.
-    * Deterministic for a fixed (sorted) input order and seed.
-    */
-  def euclidean(points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
-    val n = points.length
-    val dim = points(0).length
-    val kk = math.min(k, n)
-    val rng = new java.util.Random(seed)
-    val order = rng.ints(0, n).distinct().limit(kk).toArray
-    var centroids = order.map(i => points(i).clone())
+    val centroids = order.map(i => points(i).clone())
     val counts = new Array[Int](kk)
     val sums = Array.ofDim[Double](kk, dim)
     var iter = 0
@@ -105,18 +71,24 @@ private[functions] object LocalKMeans {
       while (p < n) {
         val v = points(p)
         var best = 0
-        var bestD = Double.MaxValue
+        var bestScore = Double.MinValue
         var c = 0
         while (c < kk) {
+          // One comparable "higher is better" score for both metrics:
+          // dot for spherical, negated squared L2 otherwise.
           val cent = centroids(c)
-          var d2 = 0.0
+          var acc = 0.0
           var j = 0
-          while (j < dim) {
-            val diff = v(j).toDouble - cent(j)
-            d2 += diff * diff
-            j += 1
+          if (spherical) {
+            while (j < dim) { acc += v(j).toDouble * cent(j); j += 1 }
+          } else {
+            while (j < dim) {
+              val diff = v(j).toDouble - cent(j)
+              acc -= diff * diff
+              j += 1
+            }
           }
-          if (d2 < bestD) { bestD = d2; best = c }
+          if (acc > bestScore) { bestScore = acc; best = c }
           c += 1
         }
         counts(best) += 1
@@ -129,9 +101,10 @@ private[functions] object LocalKMeans {
       var c = 0
       while (c < kk) {
         if (counts(c) > 0) {
-          val nc = new Array[Float](dim)
+          var nc = new Array[Float](dim)
           var j = 0
           while (j < dim) { nc(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+          if (spherical) nc = normalize(nc)
           if (!java.util.Arrays.equals(nc, centroids(c))) { centroids(c) = nc; moved = true }
         }
         // Empty cell: keep the old centroid (harmless for a quantizer).
@@ -154,11 +127,53 @@ private[functions] object LocalKMeans {
     out
   }
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0
-    var i = 0
-    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
-    s
+}
+
+/** Shared driver-side training-sample collection for the quantizer
+  * trainers ([[Ivf.fit]], [[Pq.fit]]): content-hash selection when the
+  * corpus exceeds the cap (layout-independent — the kept set depends only
+  * on vector content), hash-sorted so seeding order is independent of
+  * collect order, and filtered to the corpus's dominant vector length —
+  * truncated/corrupt vectors must not contribute phantom zero-padded
+  * subvectors to training (encode/assign time excludes them anyway).
+  */
+private[functions] object TrainSample {
+
+  def collect(
+      corpus: DataFrame,
+      vecCol: String,
+      maxTrainPoints: Int,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L
+  ): Array[Array[Float]] = {
+    val sampled =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    val total = sampled.count()
+    // Target ~maxTrainPoints/2 survivors so the content-hash filter is the
+    // SOLE selector — no limit() on the distributed side, whose truncation
+    // is partition-order dependent (exactly the bias this path eliminates).
+    val keepMod =
+      if (total <= maxTrainPoints) 1L
+      else (2L * total + maxTrainPoints - 1) / maxTrainPoints
+    val spread =
+      if (keepMod > 1)
+        sampled.where(pmod(xxhash64(col(vecCol)), lit(keepMod)) === 0)
+      else sampled
+    val collected = spread.select(col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(collected.nonEmpty, "empty training set")
+    // Dominant length (most frequent, ties to the larger): training on a
+    // mix of lengths would zero-pad or truncate silently.
+    val dim = collected.groupBy(_.length).toSeq
+      .maxBy { case (len, vs) => (vs.length, len) }._1
+    val uniform = collected.filter(_.length == dim)
+    // Deterministic order regardless of partitioning/collect order; the
+    // residual cap (hash-order take, content-determined) only fires if the
+    // binomial survivor count overshoots the target, which is vanishingly
+    // rare at these margins.
+    uniform.sortBy(v => java.util.Arrays.hashCode(v)).take(maxTrainPoints)
   }
 }
 
@@ -197,28 +212,7 @@ object Ivf {
       maxIter: Int = 10
   ): Model = {
     require(k > 0, "k must be positive")
-    val sampled =
-      if (sampleFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, sampleFraction, seed)
-    val total = sampled.count()
-    // Target ~maxTrainPoints/2 survivors so the content-hash filter is the
-    // SOLE selector — no limit() on the distributed side, whose truncation
-    // is partition-order dependent (exactly the bias this path eliminates).
-    val keepMod =
-      if (total <= maxTrainPoints) 1L
-      else (2L * total + maxTrainPoints - 1) / maxTrainPoints
-    val spread =
-      if (keepMod > 1)
-        sampled.where(pmod(xxhash64(col(vecCol)), lit(keepMod)) === 0)
-      else sampled
-    val collected = spread.select(col(vecCol))
-      .collect().map(_.getSeq[Float](0).toArray)
-    require(collected.nonEmpty, "empty training set")
-    // Deterministic order regardless of partitioning/collect order; the
-    // residual cap (hash-order take, content-determined) only fires if the
-    // binomial survivor count overshoots the target, which is vanishingly
-    // rare at these margins.
-    val pts = collected.sortBy(v => java.util.Arrays.hashCode(v)).take(maxTrainPoints)
+    val pts = TrainSample.collect(corpus, vecCol, maxTrainPoints, sampleFraction, seed)
     Model(LocalKMeans.cosine(pts, k, maxIter, seed))
   }
 

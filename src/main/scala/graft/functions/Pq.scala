@@ -26,12 +26,22 @@ import org.apache.spark.sql.graft.Bridge
   */
 object Pq {
 
-  /** A fitted PQ codebook: m subspaces x k centroids x subDim floats. */
-  final case class Model(m: Int, subDim: Int, codebooks: Array[Array[Array[Float]]])
+  /** A fitted PQ codebook: m subspaces x k centroids x subDim floats.
+    * Geometry is DERIVED from the array shape so it can never disagree
+    * with it.
+    */
+  final case class Model(codebooks: Array[Array[Array[Float]]]) {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+      codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+      "codebooks must be a non-empty m x k x subDim array with uniform subDim")
+    val m: Int = codebooks.length
+    val subDim: Int = codebooks(0)(0).length
+  }
 
-  /** Train per-subspace Euclidean codebooks on a bounded driver-side
-    * sample, selected and ordered by content hash exactly like [[Ivf.fit]]
-    * (layout-independent, deterministic for a seed).
+  /** Train per-subspace Euclidean codebooks on the same bounded,
+    * content-hash-selected, dominant-length-filtered driver-side sample as
+    * [[Ivf.fit]] (shared [[TrainSample]] — layout-independent,
+    * deterministic for a seed).
     */
   def fit(
       corpus: DataFrame,
@@ -43,28 +53,16 @@ object Pq {
       maxIter: Int = 10
   ): Model = {
     require(m > 0 && k > 0, "m and k must be positive")
-    val total = corpus.count()
-    val keepMod =
-      if (total <= maxTrainPoints) 1L
-      else (2L * total + maxTrainPoints - 1) / maxTrainPoints
-    val spread =
-      if (keepMod > 1)
-        corpus.where(pmod(xxhash64(col(vecCol)), lit(keepMod)) === 0)
-      else corpus
-    val collected = spread.select(col(vecCol))
-      .collect().map(_.getSeq[Float](0).toArray)
-    require(collected.nonEmpty, "empty training set")
-    val pts = collected.sortBy(v => java.util.Arrays.hashCode(v)).take(maxTrainPoints)
+    val pts = TrainSample.collect(corpus, vecCol, maxTrainPoints, seed = seed)
     val dim = pts(0).length
     require(dim % m == 0, s"dimension $dim not divisible by m=$m subspaces")
     val subDim = dim / m
-    val books = Array.tabulate(m) { s =>
+    Model(Array.tabulate(m) { s =>
       val sub = pts.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       // Distinct seed per subspace: identical seeding across subspaces
       // would correlate their codebooks on structured data.
       LocalKMeans.euclidean(sub, k, maxIter, seed + s)
-    }
-    Model(m, subDim, books)
+    })
   }
 
   /** Column: the m PQ codes of a vector (codegen'd native expression). */
@@ -91,11 +89,15 @@ object Pq {
 
   /** Per-query ADC tables as a broadcastable DataFrame (qid, table):
     * `queries` is collected to the driver — the broadcast-queries contract.
+    * Null or too-short query vectors are dropped (they yield no result
+    * rows), mirroring the corpus side's NULL codes — a crashed driver is
+    * not an acceptable response to one corrupt query row.
     */
   private def queryTables(queries: DataFrame, model: Model): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     queries.select(col("qid").cast("long"), col("qvec"))
+      .where(col("qvec").isNotNull && size(col("qvec")) >= model.m * model.subDim)
       .collect()
       .map(r => (r.getLong(0),
         adcTable(r.getSeq[Float](1).toArray, model).toSeq.map(_.toSeq)))

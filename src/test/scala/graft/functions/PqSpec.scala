@@ -13,7 +13,8 @@ class PqSpec extends SparkTestBase {
     val rng = new scala.util.Random(5)
     val m = 4; val subDim = 4; val k = 8
     val books = Array.fill(m, k, subDim)((rng.nextFloat() * 2 - 1) * 3)
-    val model = Pq.Model(m, subDim, books)
+    val model = Pq.Model(books)
+    assert(model.m == m && model.subDim == subDim) // geometry derived from shape
     val vecs = (0 until 40).map { i =>
       val picks = Array.tabulate(m)(s => (i * 7 + s * 3) % k)
       (i.toLong, Array.tabulate(m * subDim)(j => books(j / subDim)(picks(j / subDim))(j % subDim)),
@@ -80,11 +81,17 @@ class PqSpec extends SparkTestBase {
   }
 
   test("short vectors code to NULL instead of crashing the scan") {
-    val model = Pq.Model(2, 4, Array.fill(2, 4, 4)(0.5f))
+    val model = Pq.Model(Array.fill(2, 4, 4)(0.5f))
     val df = Seq((1L, Array.fill(8)(0.1f)), (2L, Array.fill(3)(0.1f)))
       .toDF("id", "vec")
       .select(col("id"), Pq.codes(col("vec"), model).as("codes"))
     val rows = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(rows(1L).isDefined && rows(2L).isEmpty)
+    // A truncated QUERY vector is dropped (no rows), not a driver crash.
+    val corpus = Seq((1L, Array.fill(8)(0.1f))).toDF("id", "vec")
+    val badQ = Seq((9L, Array.fill(3)(0.1f)), (1L, Array.fill(8)(0.2f)))
+      .toDF("qid", "qvec")
+    val out = Pq.adcKnn(badQ, corpus, k = 1, model).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // only the valid query
   }
 }
