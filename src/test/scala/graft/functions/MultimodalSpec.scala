@@ -623,6 +623,58 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("decodeJpeg: 200 random DC-only geometries invert exactly (restart wrap past D7)") {
+    import graft.expressions.MediaCodec
+    // Property fuzz over the construction space: random block grids up to
+    // 8x4 = 32 MCUs — beyond 9 MCUs the restart marker index wraps D0..D7,
+    // a path the fixed q93 geometry (max 6 MCUs) never exercises.
+    val rng = new java.util.Random(31)
+    for (trial <- 1 to 200) {
+      val wB = 1 + rng.nextInt(8)
+      val hB = 1 + rng.nextInt(4)
+      val dcs = Array.fill(wB * hB)(16 + rng.nextInt(16))
+      val s = MediaCodec.decodePixels(dcJpeg(wB, hB, dcs))
+      assert(s != null && s.width == wB * 8 && s.height == hB * 8, s"trial $trial")
+      assert(s.min(0) == dcs.min + 128 && s.max(0) == dcs.max + 128, s"trial $trial")
+      assert(s.mean(0) == dcs.map(_ + 128).sum.toDouble / dcs.length, s"trial $trial")
+    }
+  }
+
+  test("decodeJpeg agrees with ImageIO across quality levels (distinct quant/Huffman tables)") {
+    import graft.expressions.MediaCodec
+    // Each quality level writes different quantization tables and code
+    // lengths; agreement on the SAME compressed bytes pins the general
+    // DQT/DHT parsing + AC decode across table shapes, not one default.
+    val rng = new java.util.Random(17)
+    for (quality <- Seq(0.3f, 0.6f, 0.95f)) {
+      val w = 24 + rng.nextInt(17); val h = 24 + rng.nextInt(17)
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, rng.nextInt(256))
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), params)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      val s = MediaCodec.decodePixels(bytes)
+      assert(s != null && s.width == w && s.height == h, s"q=$quality")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sum = 0L; var mn = 255; var mx = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ref.getRaster.getSample(x, y, 0)
+        sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      assert(math.abs(s.mean(0) - sum.toDouble / (w.toLong * h)) <= 1.0, s"q=$quality mean")
+      assert(math.abs(s.min(0) - mn) <= 3 && math.abs(s.max(0) - mx) <= 3, s"q=$quality")
+    }
+  }
+
   test("decodeJpeg cross-checked against ImageIO's codec (real Huffman/IDCT streams)") {
     import graft.expressions.MediaCodec
     // The JDK ships a real JPEG codec (libjpeg-backed): encode random and
