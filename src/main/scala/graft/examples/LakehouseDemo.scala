@@ -84,14 +84,21 @@ object LakehouseDemo {
     println(s"time travel to version $vAfterCdc:")
     Medallion.read(spark, tbl, version = Some(vAfterCdc)).orderBy("id").show()
 
-    // 6. Compact small files (one manifest flip; readers never see a
+    // 6. O(metadata) clone: hard-linked files, independent manifests —
+    //    the clone survives anything that happens to the source below.
+    val cloned = s"$root/orders_clone"
+    Snapshot.cloneTable(spark, tbl, cloned)
+    println(s"cloned -> $cloned (${Medallion.read(spark, cloned).count()} rows, 0 bytes copied)")
+
+    // 7. Compact small files (one manifest flip; readers never see a
     //    half-swapped table) — this also materializes the tombstoned delete
     //    into the data files — then vacuum unreferenced files.
     Medallion.compact(spark, tbl, rowsPerFile = 1000000L, Seq("region"))
     val reclaimed = Snapshot.vacuum(fs, new Path(tbl), keepVersions = 2)
     println(s"compacted; vacuum reclaimed ${reclaimed.size} files")
     println(s"final: ${Medallion.read(spark, tbl).count()} rows, " +
-      s"version ${Snapshot.current(fs, new Path(tbl)).get._1}")
+      s"version ${Snapshot.current(fs, new Path(tbl)).get._1}; " +
+      s"clone still reads ${Medallion.read(spark, cloned).count()} rows")
     spark.stop()
   }
 }

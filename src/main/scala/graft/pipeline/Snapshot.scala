@@ -336,4 +336,46 @@ object Snapshot {
         garbage ++ tombGarbage.map(p => s"$TombDir/${p.getName}")
     }
   }
+
+  /** Clone the CURRENT version of a snapshot table to an empty destination
+    * in O(files) METADATA operations: on local filesystems every data file
+    * (and tombstone sidecar) is HARD-LINKED, so a 100 TB table clones
+    * without copying a byte, and — unlike path-referencing shallow clones
+    * (Delta's) — the filesystem refcounts the shared blocks: vacuuming or
+    * rewriting the source can never break the clone, because each side
+    * only ever unlinks its own name. After the clone the two tables are
+    * fully independent (merge/compact/vacuum on one never touches the
+    * other); they merely share unchanged blocks until one side rewrites
+    * them. Non-local filesystems fall back to a byte copy (object stores
+    * have no link primitive; a production port would use server-side
+    * copy).
+    *
+    * Bootstraps the source's manifest if it predates snapshot mode.
+    * Returns the clone's manifest version (always 1).
+    */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+    val src = new Path(srcRoot)
+    val dst = new Path(dstRoot)
+    val fs = fsFor(spark, src)
+    require(!fs.exists(dst) || fs.listStatus(dst).isEmpty,
+      s"clone destination $dstRoot must not exist or be empty")
+    ensure(fs, src)
+    val (_, data, tombs) = currentFull(fs, src).get
+    val local = "file" == fs.getUri.getScheme
+    fs.mkdirs(dst)
+    (data ++ tombs).foreach { rel =>
+      val s = new Path(src, rel)
+      val d = new Path(dst, rel)
+      fs.mkdirs(d.getParent)
+      if (local) {
+        import java.nio.file.{Files, Paths}
+        Files.createLink(Paths.get(d.toUri.getPath), Paths.get(s.toUri.getPath))
+      } else {
+        org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d, false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    }
+    publishVersion(fs, dst, data, 1L, tombs)
+    1L
+  }
 }

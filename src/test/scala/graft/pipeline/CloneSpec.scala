@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import java.nio.file.{Files, Paths}
+
+/** O(metadata) table clone: hard-linked data files, independent manifests,
+  * and — the property path-referencing shallow clones lack — immunity to
+  * source vacuum/rewrites via filesystem link refcounting.
+  */
+class CloneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-clone").toString
+
+  private def base() = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+    (4L, "b", 40.0), (5L, "c", 50.0)
+  ).toDF("id", "part", "v")
+
+  private def content(path: String): Set[(Long, String, Double)] =
+    Medallion.read(spark, path).select("id", "part", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("clone equals source, shares inodes, and both sides stay independent") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    Medallion.writeTable(base(), src, Seq("part"))
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.ensure(fs, new Path(src))
+    assert(Snapshot.cloneTable(spark, src, dst) == 1L)
+    assert(content(dst) == content(src))
+    // Hard links, not copies: the first data file is the SAME inode.
+    val rel = Snapshot.current(fs, new Path(src)).get._2.head
+    assert(Files.isSameFile(Paths.get(s"$src/$rel"), Paths.get(s"$dst/$rel")),
+      s"$rel was copied, not linked")
+    // Merging into the CLONE leaves the source untouched...
+    Medallion.merge(spark, dst,
+      Seq((2L, "a", 99.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true)
+    assert(content(dst) == Set((1L, "a", 10.0), (2L, "a", 99.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "c", 50.0)))
+    assert(content(src) == Set((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "c", 50.0)))
+    // ...and vice versa.
+    Medallion.merge(spark, src,
+      Seq((5L, "c", -1.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true)
+    assert(content(dst).contains((2L, "a", 99.0)) && !content(dst).contains((5L, "c", -1.0)))
+  }
+
+  test("vacuuming a rewritten source never breaks the clone (link refcount)") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    Medallion.writeTable(base(), src, Seq("part"))
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.ensure(fs, new Path(src))
+    Snapshot.cloneTable(spark, src, dst)
+    val cloneBefore = content(dst)
+    // Rewrite EVERY partition of the source, then vacuum down to only the
+    // newest version: the source-side names of the originally shared
+    // files are unlinked...
+    Medallion.merge(spark, src,
+      Seq((1L, "a", 0.0), (3L, "b", 0.0), (5L, "c", 0.0)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), snapshot = true)
+    val deleted = Snapshot.vacuum(fs, new Path(src), keepVersions = 1)
+    assert(deleted.nonEmpty, "vacuum should have dropped the pre-merge files")
+    // ...but the clone's links keep the shared blocks alive.
+    assert(content(dst) == cloneBefore)
+  }
+
+  test("clone carries tombstones and refuses a non-empty destination") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    Medallion.writeTable(base(), src, Seq("part"))
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.ensure(fs, new Path(src))
+    Medallion.merge(spark, src,
+      Seq((4L, "b", 0.0, true)).toDF("id", "part", "v", "is_deleted"),
+      Seq("id"), Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true)
+    Snapshot.cloneTable(spark, src, dst)
+    // The deferred delete is visible through the clone's own manifest.
+    assert(content(dst) == content(src))
+    assert(!content(dst).exists(_._1 == 4L))
+    intercept[IllegalArgumentException] {
+      Snapshot.cloneTable(spark, src, dst) // dst now non-empty
+    }
+  }
+}
