@@ -332,8 +332,115 @@ object Snapshot {
               p.getName.stripPrefix("v=").toLongOption
                 .forall(cv => cv <= v - keepVersions || cv > v)
             }.foreach(fs.delete(_, true))
-        dropped.foreach(old => fs.delete(new Path(root, s"$Prefix$old"), false))
+        dropped.foreach { old =>
+          fs.delete(new Path(root, s"$Prefix$old"), false)
+          // A dropped version's data-skipping sidecar goes with it.
+          fs.delete(new Path(root, s"$StatsPrefix$old"), false)
+        }
         garbage ++ tombGarbage.map(p => s"$TombDir/${p.getName}")
+    }
+  }
+
+  /** Prefix of per-version data-skipping sidecars: `_stats-<v>` holds one
+    * `file SEP col SEP min SEP max` line per (data file, stats column).
+    */
+  val StatsPrefix = "_stats-"
+  private val StatsSep = "\u0001"
+
+  /** Compute and publish per-file min/max statistics for `cols` (numeric —
+    * values are compared as doubles) covering the CURRENT manifest version:
+    * ONE scan grouped by file. A maintenance operation like [[vacuum]]
+    * (single-maintainer; rewrites the sidecar in place). Stats are taken
+    * BEFORE tombstone application, which keeps them conservative bounds —
+    * deletes can only narrow a file's true range, never widen it.
+    *
+    * The 100 TB point: manifest + sidecar pruning happens at PLANNING time
+    * from two small text files — a selective query on a range-clustered or
+    * z-ordered table skips files before any footer is opened, on top of
+    * the row-group pruning those layouts already get.
+    */
+  def computeStats(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "need at least one stats column")
+    val root = new Path(path)
+    val fs = fsFor(spark, root)
+    val (v, files, _) = currentFull(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"$path has no manifest: Snapshot.ensure it first"))
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    val rootUri = root.toUri.getPath
+    val rows = readFiles(spark, path, files)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+      cols.flatMap { c =>
+        // An all-null column in a file gets no line -> the file is always
+        // kept for that column (conservative).
+        val mnIdx = r.fieldIndex(s"mn_$c")
+        if (r.isNullAt(mnIdx)) None
+        else Some(Seq(rel, c, r.getDouble(mnIdx).toString,
+          r.getDouble(r.fieldIndex(s"mx_$c")).toString).mkString(StatsSep))
+      }
+    }
+    val out = fs.create(new Path(root, s"$StatsPrefix$v"), true)
+    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** The stats sidecar of a version, if present: (file, col) -> (min, max). */
+  private def loadStats(fs: FileSystem, root: Path, version: Long)
+      : Option[Map[(String, String), (Double, Double)]] = {
+    val p = new Path(root, s"$StatsPrefix$version")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    Some(lines.map { l =>
+      val Array(f, c, mn, mx) = l.split(StatsSep, 4)
+      (f, c) -> (mn.toDouble, mx.toDouble)
+    }.toMap)
+  }
+
+  /** `files` pruned to those whose stored [min, max] for `column` can
+    * intersect [lo, hi]. Files without a stats line — or a missing/stale
+    * sidecar entirely — are KEPT: skipping is an optimization, never a
+    * correctness gate.
+    */
+  def pruneByStats(fs: FileSystem, root: Path, version: Long,
+      files: Seq[String], column: String, lo: Double, hi: Double): Seq[String] =
+    loadStats(fs, root, version) match {
+      case None => files
+      case Some(stats) => files.filter { f =>
+        stats.get((f, column)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+
+  /** Read the current version restricted to `column` in [lo, hi]: a
+    * drop-in for `read(...).where(column between lo and hi)` that also
+    * skips whole files via the stats sidecar before any footer is opened.
+    * Falls back to the unpruned file list when stats are missing or stale
+    * (version mismatch); the exact predicate is always applied on top.
+    */
+  def readPruned(spark: SparkSession, path: String, column: String,
+      lo: Double, hi: Double, format: String = "parquet"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new Path(path)
+    val fs = fsFor(spark, root)
+    currentFull(fs, root) match {
+      case None =>
+        spark.read.format(format).option("mergeSchema", "true").load(path)
+          .where(col(column) >= lit(lo) && col(column) <= lit(hi))
+      case Some((v, files, tombs)) =>
+        val kept = pruneByStats(fs, root, v, files, column, lo, hi)
+        applyTombstones(spark, path, readFiles(spark, path, kept, format), tombs, format)
+          .where(col(column) >= lit(lo) && col(column) <= lit(hi))
     }
   }
 

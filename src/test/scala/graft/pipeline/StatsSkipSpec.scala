@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import java.nio.file.Files
+
+/** File-level data skipping via per-version min/max sidecars: planning-time
+  * pruning from two small text files, layered over (not replacing) the
+  * row-group pruning the clustered layouts already get.
+  */
+class StatsSkipSpec extends SparkTestBase {
+
+  private def fsFor(path: String) = {
+    val p = new Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  test("computeStats + readPruned: selective range touches a strict file subset, exactly") {
+    val dir = Files.createTempDirectory("graft-skip").toString + "/t"
+    val data = spark.range(100000)
+      .select((col("id") % 1000).as("k"), col("id").as("v"))
+    // Range-clustered: each of the 10 files covers a disjoint k range.
+    Medallion.writeClustered(data, dir, Seq("k"), numFiles = 10)
+    val (root, fs) = fsFor(dir)
+    Snapshot.ensure(fs, root)
+    val v = Snapshot.computeStats(spark, dir, Seq("k"))
+    val (_, files, _) = Snapshot.currentFull(fs, root).get
+    // A 50-wide k range lives in one (maybe two, at a boundary) files.
+    val kept = Snapshot.pruneByStats(fs, root, v, files, "k", 100.0, 149.0)
+    assert(kept.nonEmpty && kept.size <= 2,
+      s"expected <=2 of ${files.size} files, kept ${kept.size}")
+    // And the pruned read returns EXACTLY what the unpruned filter does.
+    val pruned = Snapshot.readPruned(spark, dir, "k", 100.0, 149.0)
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    val full = Medallion.read(spark, dir).where(col("k").between(100, 149))
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    assert(pruned == full, s"pruned $pruned vs full $full")
+    // A column with no stats line prunes nothing (conservative).
+    assert(Snapshot.pruneByStats(fs, root, v, files, "v", 0.0, 1.0) == files)
+  }
+
+  test("stale or missing stats fall back to the full file list, still correct") {
+    val dir = Files.createTempDirectory("graft-skip2").toString + "/t"
+    val base = spark.range(1000)
+      .select((col("id") % 10).as("part"), col("id").as("k"), col("id").as("v"))
+    Medallion.writeTable(base, dir, Seq("part"))
+    val (root, fs) = fsFor(dir)
+    Snapshot.ensure(fs, root)
+    Snapshot.computeStats(spark, dir, Seq("k"))
+    // A merge bumps the version; the old sidecar no longer applies.
+    import spark.implicits._
+    Medallion.merge(spark, dir,
+      Seq((3L, 3L, 9999L)).toDF("part", "k", "v"),
+      Seq("k"), Seq("part"), snapshot = true)
+    val (v2, files2, _) = Snapshot.currentFull(fs, root).get
+    assert(Snapshot.pruneByStats(fs, root, v2, files2, "k", 0.0, 1.0) == files2,
+      "stale stats must not prune the new version")
+    val got = Snapshot.readPruned(spark, dir, "k", 3.0, 3.0)
+      .select("v").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(9999L), got)
+    // Re-compute covers the new version and prunes again.
+    val v3 = Snapshot.computeStats(spark, dir, Seq("k"))
+    assert(v3 == v2)
+    val kept = Snapshot.pruneByStats(fs, root, v2, files2, "k", 3.0, 3.0)
+    assert(kept.size < files2.size)
+  }
+
+  test("vacuum drops sidecars of dropped versions, keeps the current one") {
+    val dir = Files.createTempDirectory("graft-skip3").toString + "/t"
+    val base = spark.range(100)
+      .select((col("id") % 2).as("part"), col("id").as("k"), col("id").as("v"))
+    Medallion.writeTable(base, dir, Seq("part"))
+    val (root, fs) = fsFor(dir)
+    Snapshot.ensure(fs, root)
+    val v1 = Snapshot.computeStats(spark, dir, Seq("k"))
+    import spark.implicits._
+    Medallion.merge(spark, dir,
+      Seq((0L, 2L, -5L)).toDF("part", "k", "v"),
+      Seq("k"), Seq("part"), snapshot = true)
+    val v2 = Snapshot.computeStats(spark, dir, Seq("k"))
+    Snapshot.vacuum(fs, root, keepVersions = 1)
+    assert(!fs.exists(new Path(root, s"${Snapshot.StatsPrefix}$v1")))
+    assert(fs.exists(new Path(root, s"${Snapshot.StatsPrefix}$v2")))
+  }
+}
