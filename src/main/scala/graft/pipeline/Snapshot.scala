@@ -361,38 +361,65 @@ object Snapshot {
     */
   def computeStats(spark: SparkSession, path: String, cols: Seq[String]): Long = {
     require(cols.nonEmpty, "need at least one stats column")
-    val root = new Path(path)
-    val fs = fsFor(spark, root)
+    val fs = fsFor(spark, new Path(path))
+    // Qualified root: a RELATIVE path would make the rel-path stripping
+    // below silently miss, leaving sidecar keys that never match manifest
+    // entries (pruning degrades to a no-op with no signal).
+    val root = fs.makeQualified(new Path(path))
     val (v, files, _) = currentFull(fs, root).getOrElse(
       throw new IllegalArgumentException(s"$path has no manifest: Snapshot.ensure it first"))
     import org.apache.spark.sql.functions._
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"mn_$c"),
-      max(col(c).cast("double")).as(s"mx_$c")))
     val rootUri = root.toUri.getPath
-    val rows = readFiles(spark, path, files)
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val lines = rows.flatMap { r =>
-      val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-      cols.flatMap { c =>
-        // An all-null column in a file gets no line -> the file is always
-        // kept for that column (conservative).
-        val mnIdx = r.fieldIndex(s"mn_$c")
-        if (r.isNullAt(mnIdx)) None
-        else Some(Seq(rel, c, r.getDouble(mnIdx).toString,
-          r.getDouble(r.fieldIndex(s"mx_$c")).toString).mkString(StatsSep))
+    val lines =
+      if (files.isEmpty) Array.empty[String] // empty table: empty sidecar
+      else {
+        val aggs = cols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"mn_$c"),
+          max(col(c).cast("double")).as(s"mx_$c")))
+        val rows = readFiles(spark, root.toString, files)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        rows.flatMap { r =>
+          // Path(String) handles both plain and URI-escaped names; going
+          // through java.net.URI would throw on partition dirs with
+          // URI-special characters.
+          val rel = new Path(r.getString(0)).toUri.getPath
+            .stripPrefix(rootUri).stripPrefix("/")
+          cols.flatMap { c =>
+            // An all-null column in a file gets no line -> the file is
+            // always kept for that column (conservative).
+            val mnIdx = r.fieldIndex(s"mn_$c")
+            if (r.isNullAt(mnIdx)) None
+            else Some(Seq(rel, c, r.getDouble(mnIdx).toString,
+              r.getDouble(r.fieldIndex(s"mx_$c")).toString).mkString(StatsSep))
+          }
+        }
       }
-    }
-    val out = fs.create(new Path(root, s"$StatsPrefix$v"), true)
+    // Same tmp + promote discipline as manifests: a crash mid-write (or a
+    // concurrent readPruned) must never observe a truncated sidecar — a
+    // half-written max value PARSES and would wrongly prune. The brief
+    // delete-then-rename absence window is safe: missing sidecar = no
+    // pruning.
+    val tmp = new Path(root,
+      s"$StatsPrefix$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    val dst = new Path(root, s"$StatsPrefix$v")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"failed to publish stats sidecar $dst")
+    }
     v
   }
 
-  /** The stats sidecar of a version, if present: (file, col) -> (min, max). */
+  /** The stats sidecar of a version, if present and well-formed:
+    * (file, col) -> (min, max). ANY malformed line voids the whole sidecar
+    * (None -> no pruning): a partially-valid artifact must degrade to
+    * conservatism, not to selectively wrong pruning.
+    */
   private def loadStats(fs: FileSystem, root: Path, version: Long)
       : Option[Map[(String, String), (Double, Double)]] = {
     val p = new Path(root, s"$StatsPrefix$version")
@@ -402,23 +429,27 @@ object Snapshot {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toList
       finally in.close()
-    Some(lines.map { l =>
-      val Array(f, c, mn, mx) = l.split(StatsSep, 4)
-      (f, c) -> (mn.toDouble, mx.toDouble)
+    try Some(lines.map { l =>
+      val parts = l.split(StatsSep, 4)
+      require(parts.length == 4)
+      (parts(0), parts(1)) -> (parts(2).toDouble, parts(3).toDouble)
     }.toMap)
+    catch { case _: IllegalArgumentException => None }
   }
 
   /** `files` pruned to those whose stored [min, max] for `column` can
-    * intersect [lo, hi]. Files without a stats line — or a missing/stale
-    * sidecar entirely — are KEPT: skipping is an optimization, never a
-    * correctness gate.
+    * intersect [lo, hi]. Files without a stats line — or a missing/stale/
+    * corrupt sidecar entirely — are KEPT: skipping is an optimization,
+    * never a correctness gate. The negated comparison keeps NaN bounds
+    * too (all NaN comparisons are false): a file containing NaNs must
+    * never be skipped.
     */
   def pruneByStats(fs: FileSystem, root: Path, version: Long,
       files: Seq[String], column: String, lo: Double, hi: Double): Seq[String] =
     loadStats(fs, root, version) match {
       case None => files
       case Some(stats) => files.filter { f =>
-        stats.get((f, column)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        stats.get((f, column)).forall { case (mn, mx) => !(mx < lo || mn > hi) }
       }
     }
 
@@ -431,16 +462,16 @@ object Snapshot {
   def readPruned(spark: SparkSession, path: String, column: String,
       lo: Double, hi: Double, format: String = "parquet"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val root = new Path(path)
-    val fs = fsFor(spark, root)
+    val fs = fsFor(spark, new Path(path))
+    val root = fs.makeQualified(new Path(path))
+    val pred = (df: DataFrame) =>
+      df.where(col(column) >= lit(lo) && col(column) <= lit(hi))
     currentFull(fs, root) match {
-      case None =>
-        spark.read.format(format).option("mergeSchema", "true").load(path)
-          .where(col(column) >= lit(lo) && col(column) <= lit(hi))
+      case None => pred(read(spark, path, None, format)) // one no-manifest path
       case Some((v, files, tombs)) =>
         val kept = pruneByStats(fs, root, v, files, column, lo, hi)
-        applyTombstones(spark, path, readFiles(spark, path, kept, format), tombs, format)
-          .where(col(column) >= lit(lo) && col(column) <= lit(hi))
+        pred(applyTombstones(spark, path, readFiles(spark, path, kept, format),
+          tombs, format))
     }
   }
 
@@ -463,26 +494,53 @@ object Snapshot {
   def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
     val src = new Path(srcRoot)
     val dst = new Path(dstRoot)
-    val fs = fsFor(spark, src)
-    require(!fs.exists(dst) || fs.listStatus(dst).isEmpty,
+    val srcFs = fsFor(spark, src)
+    val dstFs = fsFor(spark, dst) // dst may live on a different filesystem
+    require(!dstFs.exists(dst) || dstFs.listStatus(dst).isEmpty,
       s"clone destination $dstRoot must not exist or be empty")
-    ensure(fs, src)
-    val (_, data, tombs) = currentFull(fs, src).get
-    val local = "file" == fs.getUri.getScheme
-    fs.mkdirs(dst)
-    (data ++ tombs).foreach { rel =>
-      val s = new Path(src, rel)
-      val d = new Path(dst, rel)
-      fs.mkdirs(d.getParent)
-      if (local) {
-        import java.nio.file.{Files, Paths}
-        Files.createLink(Paths.get(d.toUri.getPath), Paths.get(s.toUri.getPath))
-      } else {
-        org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d, false,
-          spark.sparkContext.hadoopConfiguration)
-      }
+    // One manifest resolution: bootstrap only if none exists, then read the
+    // full triple once (ensure-then-reread would widen the race window to
+    // a concurrent writer and parse the manifest twice).
+    val (srcV, data, tombs) = currentFull(srcFs, src).getOrElse {
+      ensure(srcFs, src); currentFull(srcFs, src).get
     }
-    publishVersion(fs, dst, data, 1L, tombs)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val linkable = "file" == srcFs.getUri.getScheme &&
+      "file" == dstFs.getUri.getScheme
+    dstFs.mkdirs(dst)
+    try {
+      (data ++ tombs).foreach { rel =>
+        val s = new Path(src, rel)
+        val d = new Path(dst, rel)
+        dstFs.mkdirs(d.getParent)
+        val linked = linkable && {
+          import java.nio.file.{Files, Paths}
+          // Cross-DEVICE local paths (tmpfs -> disk) cannot hard-link;
+          // fall back to a copy for that file rather than failing the
+          // clone.
+          try { Files.createLink(Paths.get(d.toUri.getPath),
+            Paths.get(s.toUri.getPath)); true }
+          catch { case _: java.nio.file.FileSystemException => false }
+        }
+        if (!linked)
+          org.apache.hadoop.fs.FileUtil.copy(srcFs, s, dstFs, d, false, conf)
+      }
+      publishVersion(dstFs, dst, data, 1L, tombs)
+      // Carry the source's data-skipping sidecar when it covers exactly
+      // the cloned version: same file list, so it is valid verbatim as the
+      // clone's version-1 stats.
+      val srcStats = new Path(src, s"$StatsPrefix$srcV")
+      if (srcFs.exists(srcStats))
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, srcStats, dstFs,
+          new Path(dst, s"${StatsPrefix}1"), false, conf)
+    } catch {
+      case e: Throwable =>
+        // A partial clone without a manifest would READ as a valid smaller
+        // table (directory-listing fallback) and block retries; tear it
+        // down before propagating.
+        try dstFs.delete(dst, true) catch { case _: Throwable => () }
+        throw e
+    }
     1L
   }
 }

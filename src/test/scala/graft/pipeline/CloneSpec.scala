@@ -71,6 +71,22 @@ class CloneSpec extends SparkTestBase {
     assert(content(dst) == cloneBefore)
   }
 
+  test("clone carries the data-skipping sidecar as its version-1 stats") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    Medallion.writeTable(base(), src, Seq("part"))
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.ensure(fs, new Path(src))
+    Snapshot.computeStats(spark, src, Seq("id"))
+    Snapshot.cloneTable(spark, src, dst)
+    val (v1, files1, _) = Snapshot.currentFull(fs, new Path(dst)).get
+    assert(v1 == 1L)
+    // The carried sidecar prunes on the clone without a recompute.
+    val kept = Snapshot.pruneByStats(fs, new Path(dst), 1L, files1, "id", 1.0, 1.0)
+    assert(kept.size < files1.size, s"kept ${kept.size} of ${files1.size}")
+    assert(Snapshot.readPruned(spark, dst, "id", 1.0, 1.0).count() == 1)
+  }
+
   test("clone carries tombstones and refuses a non-empty destination") {
     val root = tmp()
     val src = s"$root/src"; val dst = s"$root/dst"

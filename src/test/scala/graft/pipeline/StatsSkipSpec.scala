@@ -66,6 +66,30 @@ class StatsSkipSpec extends SparkTestBase {
     assert(kept.size < files2.size)
   }
 
+  test("NaN bounds and corrupt sidecars never prune (conservatism holds)") {
+    val dir = Files.createTempDirectory("graft-skip4").toString + "/t"
+    val data = spark.range(100).select(
+      when(col("id") === 7, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("k"),
+      col("id").as("v"))
+    data.coalesce(1).write.parquet(dir)
+    val (root, fs) = fsFor(dir)
+    Snapshot.ensure(fs, root)
+    val v = Snapshot.computeStats(spark, dir, Seq("k"))
+    val (_, files, _) = Snapshot.currentFull(fs, root).get
+    // The file's max is NaN (Spark orders NaN above all doubles): every
+    // comparison with NaN is false, so the file must be KEPT, not pruned.
+    assert(Snapshot.pruneByStats(fs, root, v, files, "k", 4.0, 6.0) == files)
+    val got = Snapshot.readPruned(spark, dir, "k", 4.0, 6.0).count()
+    assert(got == 3, s"expected k in {4,5,6}, got $got rows")
+    // Corrupt sidecar (truncated line): the WHOLE sidecar is voided.
+    val p = new Path(root, s"${Snapshot.StatsPrefix}$v")
+    val out = fs.create(p, true)
+    out.write("somefile.parquet\u0001k\u00011.0".getBytes("UTF-8")) // 3 fields
+    out.close()
+    assert(Snapshot.pruneByStats(fs, root, v, files, "k", 4.0, 6.0) == files)
+  }
+
   test("vacuum drops sidecars of dropped versions, keeps the current one") {
     val dir = Files.createTempDirectory("graft-skip3").toString + "/t"
     val base = spark.range(100)
