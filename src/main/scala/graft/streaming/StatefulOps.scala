@@ -20,6 +20,27 @@ case class Session(
     n_events: Long,
     sum_value: Double)
 
+/** Input document for [[StatefulOps.streamingNearDupPairs]]: event time +
+  * a precomputed 64-bit SimHash (e.g. `TextFunctions.simhash64`).
+  */
+case class NearDupDoc(doc_id: Long, ts: java.sql.Timestamp, simhash: Long)
+
+/** A document banded to one SimHash chunk (internal fan-out shape). */
+case class BandedDoc(band: String, doc_id: Long, simhash: Long, ts: java.sql.Timestamp)
+
+/** One stored hash in a band group's state (epoch millis). */
+case class BandEntry(id: Long, hash: Long, ts: Long)
+
+/** Recent hashes of one band group, pruned by watermark - retention. */
+case class BandState(entries: Seq[BandEntry])
+
+/** An emitted near-duplicate candidate, already VERIFIED by full-hash
+  * hamming distance inside the state function. `seen_doc_id` is the
+  * previously-processed document (processing order — with cross-batch
+  * stragglers it may carry the later event time).
+  */
+case class NearDupHit(doc_id: Long, seen_doc_id: Long, hamming: Int)
+
 /** Custom-state streaming operators (`flatMapGroupsWithState`) for the
   * semantics the built-in `session_window` cannot express: sessions that
   * EMIT ON COMPLETION (append-mode friendly — a session row is final the
@@ -169,6 +190,93 @@ object StatefulOps {
     *                  under `withWatermark`
     * @param keyCols   content columns that define row identity
     */
+  /** Streaming NEAR-duplicate detection: emit every pair of documents
+    * whose SimHashes are within `maxHamming` and whose event times are
+    * within `retentionMs` of each other — the streaming face of
+    * [[graft.functions.Dedup.simhashPairs]], same pigeonhole banding: a
+    * document fans out to `maxHamming + 1` disjoint hash chunks, two
+    * documents within the bound MUST collide on at least one chunk, and
+    * each band group stores only the full hashes seen in its retention
+    * window. Verification (exact hamming on the full 64-bit hash) happens
+    * inside the state function, so every emitted hit is REAL.
+    *
+    * Delivery is at-least-once per pair (a pair agreeing on several bands
+    * is emitted once per agreeing band): dedupe downstream with one
+    * `dropDuplicates` in the sink batch — exactly-once pair identity would
+    * require a second keyed stateful stage for no detection benefit.
+    *
+    * State is bounded by construction: a band group holds hashes newer
+    * than `watermark - retentionMs` (16 bytes a document per band), and an
+    * idle group's state expires through event-time timeout. The watermark
+    * is (re)applied on `ts` AFTER the band fan-out — a typed flatMap
+    * severs upstream watermark tracking, so an upstream `withWatermark`
+    * alone would fail analysis.
+    *
+    * @param watermarkDelay how far out of order events may arrive
+    *                       (`withWatermark` duration string)
+    */
+  def streamingNearDupPairs(
+      docs: Dataset[NearDupDoc],
+      maxHamming: Int,
+      retentionMs: Long,
+      watermarkDelay: String = "1 minute"): Dataset[NearDupHit] = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    require(retentionMs > 0, "retentionMs must be positive")
+    val nChunks = maxHamming + 1
+    // Same disjoint-total chunk map as Dedup.simhashPairs: widths differ
+    // by at most one bit when 64 is not divisible by nChunks.
+    val chunkDefs = (0 until nChunks).map { i =>
+      val start = i * 64 / nChunks
+      val width = (i + 1) * 64 / nChunks - start
+      (i, start, width)
+    }
+    implicit val bandedEnc = Encoders.product[BandedDoc]
+    implicit val hitEnc = Encoders.product[NearDupHit]
+    implicit val stateEnc = Encoders.product[BandState]
+    implicit val strEnc = Encoders.STRING
+    docs.flatMap { d =>
+      chunkDefs.map { case (i, start, width) =>
+        val shifted = d.simhash >>> start
+        val v = if (width >= 64) shifted else shifted & ((1L << width) - 1)
+        BandedDoc(s"$i:$v", d.doc_id, d.simhash, d.ts)
+      }
+    }.withWatermark("ts", watermarkDelay).as[BandedDoc]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[BandedDoc], state: GroupState[BandState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearDupHit]
+            sorted.foreach { d =>
+              val t = d.ts.getTime
+              entries.foreach { e =>
+                if (e.id != d.doc_id && math.abs(t - e.ts) <= retentionMs) {
+                  val h = java.lang.Long.bitCount(e.hash ^ d.simhash)
+                  if (h <= maxHamming) out += NearDupHit(d.doc_id, e.id, h)
+                }
+              }
+              entries = entries :+ BandEntry(d.doc_id, d.simhash, t)
+            }
+            // Prune what can no longer pair: future documents arrive with
+            // ts >= watermark, so entries older than watermark - retention
+            // are dead weight.
+            val wm = state.getCurrentWatermarkMs()
+            entries = entries.filter(_.ts >= wm - retentionMs)
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(BandState(entries))
+              state.setTimeoutTimestamp(entries.map(_.ts).max + retentionMs)
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   def streamingExactDedup(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(!df.columns.contains("__digest"),
       "streamingExactDedup reserves the column name __digest")

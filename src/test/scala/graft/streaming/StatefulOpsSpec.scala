@@ -18,6 +18,43 @@ class StatefulOpsSpec extends SparkTestBase {
     StructField("user_id", LongType), StructField("ts", TimestampType),
     StructField("value", DoubleType)))
 
+  test("streamingNearDupPairs: banded SimHash hits across microbatches, retention evicts") {
+    val dir = Files.createTempDirectory("graft-sneardup")
+    // Hashes chosen for exact hamming control: B = A^1 (distance 1 from A),
+    // C is far from both, D == A but arrives hours later (outside the
+    // 10-minute retention window -> must NOT pair with A).
+    val hashA = 0x0123456789ABCDEFL
+    val hashB = hashA ^ 1L
+    val hashC = ~hashA
+    Files.write(dir.resolve("a.json"),
+      s"""{"doc_id": 1, "ts": "2024-01-01T00:00:00", "simhash": $hashA}
+         |{"doc_id": 3, "ts": "2024-01-01T00:00:30", "simhash": $hashC}""".stripMargin
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      s"""{"doc_id": 2, "ts": "2024-01-01T00:01:00", "simhash": $hashB}""".stripMargin
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("c.json"),
+      s"""{"doc_id": 4, "ts": "2024-01-01T05:00:00", "simhash": $hashA}""".stripMargin
+        .getBytes("UTF-8"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("simhash", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[NearDupDoc] // the operator applies the watermark post-fan-out
+    val q = StatefulOps.streamingNearDupPairs(stream,
+        maxHamming = 2, retentionMs = 10 * 60 * 1000L,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    // At-least-once per band: dedupe pairs in the sink, as documented.
+    val hits = spark.table("sneardup").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Only (2 <- 1) at hamming 1: C is far, D is outside retention.
+    assert(hits == Set((2L, 1L, 1)), hits)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions across microbatches") {
     val dir = Files.createTempDirectory("graft-fmgs")
     // user 1: events at 0:00, 0:02 (file a) and 0:04 (file b) — ONE session
