@@ -1566,6 +1566,41 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("term"))
         .limit(10)),
 
+    // --- 102. AVI main-header parse (fps/frames/resolution without decoding), oracle-pinned -------------
+    // The metadata fast path for video corpora: an AVI with a real hdrl/
+    // avih header is CONSTRUCTED per row (all RIFF sizes constant — the
+    // avih body is fixed 56 bytes; only the four field values vary) and
+    // parsed back by the codegen'd VideoHeaderExpr, which never touches a
+    // frame. The oracle recomputes the constructed fields.
+    "q102_video_header" -> ((s, d) => {
+      def leHex32(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255))), 2, "0"))
+      val usPf = (lit(33333) + col("doc_id") % 100).cast("int")
+      val nFr = (lit(10) + col("doc_id") % 50).cast("int")
+      val w = (lit(16) * (lit(1) + col("doc_id") % 4)).cast("int")
+      val h = (lit(8) * (lit(1) + col("doc_id") % 3)).cast("int")
+      // RIFF(92): "AVI " + LIST(68: hdrl + avih(56)) + LIST(4: movi).
+      val payload = unhex(concat(
+        lit("52494646"), lit("5C000000"), lit("41564920"),
+        lit("4C495354"), lit("44000000"), lit("6864726C"),
+        lit("61766968"), lit("38000000"),
+        leHex32(usPf), lit("00000000"), lit("00000000"), lit("00000000"),
+        leHex32(nFr), lit("00000000"), lit("01000000"), lit("00000000"),
+        leHex32(w), leHex32(h), lit("00000000" * 4),
+        lit("4C495354"), lit("04000000"), lit("6D6F7669")))
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.videoHeader(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.us_per_frame").as("us_per_frame"),
+          col("v.total_frames").as("total_frames"),
+          col("v.width").as("width"),
+          col("v.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
     // --- 97. inverted-index statistics (posting-list build) ---------------------------------------------
     // The index-construction shape behind corpus search: explode documents
     // to (term, doc) postings, aggregate to per-term document frequency,
@@ -2708,6 +2743,14 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY cnt DESC, term
         |LIMIT 10""".stripMargin,
+
+    "q102_video_header" ->
+      """SELECT doc_id,
+        |  CAST(33333 + doc_id % 100 AS INT) AS us_per_frame,
+        |  CAST(10 + doc_id % 50 AS INT) AS total_frames,
+        |  CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+        |  CAST(8 * (1 + doc_id % 3) AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q97_inverted_index" ->
       """SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,

@@ -119,6 +119,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(bin) => VideoStatsExpr(bin)
         case _ => throw new IllegalArgumentException("graft_video_stats(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_video_header"),
+      new ExpressionInfo(classOf[VideoHeaderExpr].getName, "graft_video_header"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => VideoHeaderExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_video_header(binary)")
       })
   )
 

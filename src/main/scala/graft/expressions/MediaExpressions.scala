@@ -1003,6 +1003,54 @@ object MediaCodec {
       sum.map(_.toDouble / nPix), min, max, meanFirst, meanLast)
   }
 
+  /** Parse the AVI main header (`avih` inside the `hdrl` LIST) without
+    * touching any frame: (micro_sec_per_frame, total_frames, width,
+    * height). The video analog of [[imageHeader]] — filtering a petabyte
+    * of clips by duration/fps/resolution reads 100-odd bytes per payload.
+    * Null for non-AVI payloads or truncated/absent headers.
+    */
+  def videoHeader(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return null
+    val riffSize = le32(b, 4).toLong & 0xFFFFFFFFL
+    val end = math.min(b.length.toLong, 8L + riffSize).toInt
+    var pos = 12
+    while (pos + 8 <= end) {
+      val size = le32(b, pos + 4).toLong & 0xFFFFFFFFL
+      val body = pos + 8L
+      if (body + size > end) return null
+      val isList = b(pos) == 'L' && b(pos + 1) == 'I' &&
+        b(pos + 2) == 'S' && b(pos + 3) == 'T'
+      if (isList && size >= 4 && b(pos + 8) == 'h' && b(pos + 9) == 'd' &&
+          b(pos + 10) == 'r' && b(pos + 11) == 'l') {
+        // Inside hdrl: the avih chunk must come first per spec, but walk
+        // leniently.
+        var p = (body + 4).toInt
+        val hEnd = (body + size).toInt
+        while (p + 8 <= hEnd) {
+          val cSize = le32(b, p + 4).toLong & 0xFFFFFFFFL
+          if (p + 8 + cSize > hEnd) return null
+          if (b(p) == 'a' && b(p + 1) == 'v' && b(p + 2) == 'i' &&
+              b(p + 3) == 'h') {
+            if (cSize < 40) return null // needs fields through dwHeight
+            val o = p + 8
+            return new GenericInternalRow(Array[Any](
+              le32(b, o),          // dwMicroSecPerFrame
+              le32(b, o + 16),     // dwTotalFrames
+              le32(b, o + 32),     // dwWidth
+              le32(b, o + 36)))    // dwHeight
+          }
+          p += (8L + cSize + (cSize & 1L)).toInt
+        }
+        return null // hdrl without avih: corrupt
+      }
+      pos = (body + size + (size & 1L)).toInt
+      if (pos < 0) return null
+    }
+    null
+  }
+
   /** [[decodeAvi]] marshalled for the catalyst expression: flat scalar
     * columns, fixed 3-channel slots (unused NULL).
     */
@@ -1281,6 +1329,34 @@ case class AudioStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): AudioStatsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_audio_stats"
+}
+
+/** `binary` -> struct<us_per_frame:int,total_frames:int,width:int,
+  * height:int> from the AVI main header, or NULL. Codegen'd: fps/duration/
+  * resolution filters over a petabyte video corpus never touch a frame.
+  */
+case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("us_per_frame", IntegerType, nullable = false),
+    StructField("total_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.videoHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.videoHeader($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): VideoHeaderExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_video_header"
 }
 
 /** `binary` -> flat video statistics struct (NULL for anything

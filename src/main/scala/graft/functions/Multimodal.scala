@@ -100,6 +100,16 @@ object Multimodal {
       graft.expressions.AudioStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Parse the AVI main header (fps, frame count, resolution) without
+    * touching any frame — the video analog of [[imageHeader]], as a native
+    * codegen'd expression ([[graft.expressions.VideoHeaderExpr]]). NULL
+    * for non-AVI payloads.
+    */
+  def videoHeader(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.VideoHeaderExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** REAL video decode + cross-frame statistics for AVI (RIFF) containers
     * whose frames are any format [[pixelStats]] decodes (MJPEG's JPEG
     * frames being the classic case), as a native codegen'd expression

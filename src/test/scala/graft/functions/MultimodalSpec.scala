@@ -840,6 +840,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(s.mean(0) == vals.sum.toDouble / 24)
   }
 
+  test("videoHeader: parses a real avih; undersized or absent headers null") {
+    import graft.expressions.MediaCodec
+    // Hand-built AVI with a full 56-byte avih: 40000 us/frame, 25 frames,
+    // 320x240, one empty movi LIST.
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String) = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+    tag("RIFF"); le32(4 + 8 + 68 + 8 + 4); tag("AVI ")
+    tag("LIST"); le32(68); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0)
+    le32(25); le32(0); le32(1); le32(0)
+    le32(320); le32(240); (1 to 4).foreach(_ => le32(0))
+    tag("LIST"); le32(4); tag("movi")
+    val ok = out.toByteArray
+    val r = MediaCodec.videoHeader(ok)
+    assert(r != null && r.getInt(0) == 40000 && r.getInt(1) == 25 &&
+      r.getInt(2) == 320 && r.getInt(3) == 240)
+    // avi() helper's hdrl carries a 5-byte avih: undersized -> null.
+    assert(MediaCodec.videoHeader(avi(Seq(dcJpeg(1, 1, _ => 20)),
+      withHdrl = true)) == null)
+    // No hdrl at all (frames only), and truncations: null, never a throw.
+    assert(MediaCodec.videoHeader(avi(Seq(dcJpeg(1, 1, _ => 20)))) == null)
+    (0 until ok.length).foreach(n => MediaCodec.videoHeader(ok.take(n)))
+  }
+
   test("decodeAvi: corrupt containers and inconsistent frames null, never throw") {
     import graft.expressions.MediaCodec
     val ok = avi(Seq(dcJpeg(1, 1, _ => 20), dcJpeg(1, 1, _ => 25)))
@@ -1010,6 +1037,7 @@ class MultimodalSpec extends SparkTestBase {
       val hd = MediaCodec.imageHeader(b) // same totality contract
       MediaCodec.decodeWav(b)            // and the audio decoder too
       MediaCodec.decodeAvi(b)            // and the video container walk
+      MediaCodec.videoHeader(b)          // and the avih header parse
       if (s != null) {
         assert(s.width > 0 && s.height > 0)
         // A decodable raster always has a parseable header, with the SAME
