@@ -151,6 +151,25 @@ object Dedup {
     verified.orderBy(desc("jaccard"), col("id1"), col("id2"))
   }
 
+  /** The pigeonhole chunk map shared by batch ([[simhashPairs]]) and
+    * streaming ([[graft.streaming.StatefulOps.streamingNearDupPairs]])
+    * near-dup detection: (index, startBit, width) for `maxHamming + 1`
+    * disjoint chunks covering all 64 bits. Widths differ by at most one
+    * bit when 64 is not divisible by the chunk count; coverage is disjoint
+    * and total, which is all the pigeonhole argument needs. One definition
+    * so the two detectors can never band differently.
+    */
+  def simhashChunkDefs(maxHamming: Int): Seq[(Int, Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    (0 until nChunks).map { i =>
+      val start = i * 64 / nChunks
+      val width = (i + 1) * 64 / nChunks - start
+      (i, start, width)
+    }
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signatures banded on
     * `maxHamming + 1` disjoint bit chunks — by pigeonhole, two signatures
     * within hamming distance `maxHamming` must agree exactly on at least one
@@ -167,17 +186,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 63], got $maxHamming")
-    val nChunks = maxHamming + 1
-    // Chunk i covers bits [i*64/nChunks, (i+1)*64/nChunks) — widths differ
-    // by at most one bit when 64 is not divisible by nChunks; coverage is
-    // disjoint and total, which is all the pigeonhole argument needs.
-    val chunkDefs = (0 until nChunks).map { i =>
-      val start = i * 64 / nChunks
-      val width = (i + 1) * 64 / nChunks - start
-      (i, start, width)
-    }
+    val chunkDefs = simhashChunkDefs(maxHamming)
     val sigs = df.select(col(idCol).as("id"),
       TextFunctions.simhash64(col(textCol)).as("sig"))
     val chunkCols = chunkDefs.map { case (i, start, width) =>

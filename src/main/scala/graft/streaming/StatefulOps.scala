@@ -190,15 +190,24 @@ object StatefulOps {
     *                  under `withWatermark`
     * @param keyCols   content columns that define row identity
     */
+  def streamingExactDedup(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(!df.columns.contains("__digest"),
+      "streamingExactDedup reserves the column name __digest")
+    df.withColumn("__digest", graft.functions.Dedup.contentDigest(keyCols))
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+  }
+
   /** Streaming NEAR-duplicate detection: emit every pair of documents
     * whose SimHashes are within `maxHamming` and whose event times are
     * within `retentionMs` of each other — the streaming face of
-    * [[graft.functions.Dedup.simhashPairs]], same pigeonhole banding: a
-    * document fans out to `maxHamming + 1` disjoint hash chunks, two
-    * documents within the bound MUST collide on at least one chunk, and
-    * each band group stores only the full hashes seen in its retention
-    * window. Verification (exact hamming on the full 64-bit hash) happens
-    * inside the state function, so every emitted hit is REAL.
+    * [[graft.functions.Dedup.simhashPairs]], same pigeonhole banding
+    * (shared `Dedup.simhashChunkDefs`): a document fans out to
+    * `maxHamming + 1` disjoint hash chunks, two documents within the bound
+    * MUST collide on at least one chunk, and each band group stores only
+    * the full hashes seen in its retention window. Verification (exact
+    * hamming on the full 64-bit hash) happens inside the state function,
+    * so every emitted hit is REAL.
     *
     * Delivery is at-least-once per pair (a pair agreeing on several bands
     * is emitted once per agreeing band): dedupe downstream with one
@@ -206,7 +215,7 @@ object StatefulOps {
     * require a second keyed stateful stage for no detection benefit.
     *
     * State is bounded by construction: a band group holds hashes newer
-    * than `watermark - retentionMs` (16 bytes a document per band), and an
+    * than `watermark - retentionMs` (24 bytes a document per band), and an
     * idle group's state expires through event-time timeout. The watermark
     * is (re)applied on `ts` AFTER the band fan-out — a typed flatMap
     * severs upstream watermark tracking, so an upstream `withWatermark`
@@ -220,17 +229,8 @@ object StatefulOps {
       maxHamming: Int,
       retentionMs: Long,
       watermarkDelay: String = "1 minute"): Dataset[NearDupHit] = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 63], got $maxHamming")
     require(retentionMs > 0, "retentionMs must be positive")
-    val nChunks = maxHamming + 1
-    // Same disjoint-total chunk map as Dedup.simhashPairs: widths differ
-    // by at most one bit when 64 is not divisible by nChunks.
-    val chunkDefs = (0 until nChunks).map { i =>
-      val start = i * 64 / nChunks
-      val width = (i + 1) * 64 / nChunks - start
-      (i, start, width)
-    }
+    val chunkDefs = graft.functions.Dedup.simhashChunkDefs(maxHamming)
     implicit val bandedEnc = Encoders.product[BandedDoc]
     implicit val hitEnc = Encoders.product[NearDupHit]
     implicit val stateEnc = Encoders.product[BandState]
@@ -250,7 +250,15 @@ object StatefulOps {
             Iterator.empty
           } else {
             val sorted = it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
-            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            // Mutable buffer + inline max: appending to an immutable Seq
+            // per document would copy the whole collection each time in
+            // the one loop a hot band group pays per batch.
+            val entries = scala.collection.mutable.ArrayBuffer.empty[BandEntry]
+            var maxTs = Long.MinValue
+            state.getOption.foreach(_.entries.foreach { e =>
+              entries += e
+              if (e.ts > maxTs) maxTs = e.ts
+            })
             val out = Seq.newBuilder[NearDupHit]
             sorted.foreach { d =>
               val t = d.ts.getTime
@@ -260,28 +268,21 @@ object StatefulOps {
                   if (h <= maxHamming) out += NearDupHit(d.doc_id, e.id, h)
                 }
               }
-              entries = entries :+ BandEntry(d.doc_id, d.simhash, t)
+              entries += BandEntry(d.doc_id, d.simhash, t)
+              if (t > maxTs) maxTs = t
             }
             // Prune what can no longer pair: future documents arrive with
             // ts >= watermark, so entries older than watermark - retention
             // are dead weight.
             val wm = state.getCurrentWatermarkMs()
-            entries = entries.filter(_.ts >= wm - retentionMs)
-            if (entries.isEmpty) state.remove()
+            val kept = entries.filter(_.ts >= wm - retentionMs)
+            if (kept.isEmpty) state.remove()
             else {
-              state.update(BandState(entries))
-              state.setTimeoutTimestamp(entries.map(_.ts).max + retentionMs)
+              state.update(BandState(kept.toSeq))
+              state.setTimeoutTimestamp(maxTs + retentionMs)
             }
             out.result().iterator
           }
         })
-  }
-
-  def streamingExactDedup(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    require(!df.columns.contains("__digest"),
-      "streamingExactDedup reserves the column name __digest")
-    df.withColumn("__digest", graft.functions.Dedup.contentDigest(keyCols))
-      .dropDuplicatesWithinWatermark("__digest")
-      .drop("__digest")
   }
 }

@@ -170,5 +170,22 @@ class HashExpressionsSpec extends SparkTestBase {
       .selectExpr("v.n_frames", "v.width", "v.c0_mean", "v.mean_last").collect()(0)
     assert(v.getInt(0) == 1 && v.getInt(1) == 2)
     assert(v.getDouble(2) == 42.0 && v.getDouble(3) == 42.0)
+    // Video header: hdrl/avih with 40000 us/frame, 25 frames, 320x240
+    // (le32 fields at avih offsets 0/16/32/36; the rest zeroed).
+    val vh = spark.sql(
+      """SELECT graft_video_header(unhex(concat(
+        |  '52494646', '5C000000', '41564920',
+        |  '4C495354', '44000000', '6864726C',
+        |  '61766968', '38000000',
+        |  '409C0000', '00000000', '00000000', '00000000',
+        |  '19000000', '00000000', '01000000', '00000000',
+        |  '40010000', 'F0000000',
+        |  '00000000', '00000000', '00000000', '00000000',
+        |  '4C495354', '04000000', '6D6F7669'))) AS h
+        |""".stripMargin)
+      .selectExpr("h.us_per_frame", "h.total_frames", "h.width", "h.height")
+      .collect()(0)
+    assert(vh.getInt(0) == 40000 && vh.getInt(1) == 25)
+    assert(vh.getInt(2) == 320 && vh.getInt(3) == 240)
   }
 }
