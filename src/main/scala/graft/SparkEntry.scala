@@ -1601,6 +1601,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 103. bigram-LM fluency scoring (corpus-conditional transition support) ------------------------
+    // The n-gram language-model quality heuristic: score each document by
+    // how well the CORPUS bigram model supports its token transitions.
+    // P(w2|w1) = c(w1,w2) / c(w1,*) over all corpus-adjacent pairs; per
+    // document we report the support ratio sum_c(w1,w2)/sum_c(w1,*) and
+    // the weakest/strongest transition. Determinism by design: every
+    // aggregate input is an exact integer count (sums are order-free), the
+    // per-pair probability is ONE division of exact ints, and min/max are
+    // order-independent — no sequential double summation anywhere, so the
+    // doubles hash-match DuckDB. Scale: the bigram/prefix count tables are
+    // vocabulary-sized aggregates joined back to the pair stream (hash
+    // equi-joins; broadcast when small, shuffled at web scale).
+    "q103_bigram_fluency" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), Retrieval.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val pairs = docs.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val prefixes = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      pairs.join(bigrams, Seq("w1", "w2")).join(prefixes, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          (sum(col("c12")).cast("double") / sum(col("c1")).cast("double"))
+            .as("support_ratio"),
+          min(col("c12").cast("double") / col("c1").cast("double")).as("min_p"),
+          max(col("c12").cast("double") / col("c1").cast("double")).as("max_p"))
+        .orderBy("doc_id")
+    }),
+
     // --- 97. inverted-index statistics (posting-list build) ---------------------------------------------
     // The index-construction shape behind corpus search: explode documents
     // to (term, doc) postings, aggregate to per-term document frequency,
@@ -2743,6 +2777,26 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY cnt DESC, term
         |LIMIT 10""".stripMargin,
+
+    "q103_bigram_fluency" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM d WHERE len(toks) >= 2)),
+        |bigrams AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+        |prefixes AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1)
+        |SELECT p.doc_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(b.c12) AS DOUBLE) / CAST(SUM(f.c1) AS DOUBLE) AS support_ratio,
+        |  MIN(CAST(b.c12 AS DOUBLE) / CAST(f.c1 AS DOUBLE)) AS min_p,
+        |  MAX(CAST(b.c12 AS DOUBLE) / CAST(f.c1 AS DOUBLE)) AS max_p
+        |FROM pairs p
+        |JOIN bigrams b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |JOIN prefixes f ON p.w1 = f.w1
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     "q102_video_header" ->
       """SELECT doc_id,
