@@ -1623,7 +1623,11 @@ object SparkEntry {
               element_at(col("toks"), i + 1).as("w2")))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val prefixes = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // Prefix totals roll up from the vocab-sized bigram table (c1 =
+      // sum over w2 of c12, exactly) — NOT a second full pass over the
+      // pair stream: Catalyst does not dedupe uncached subplans, so a
+      // groupBy on `pairs` would re-scan and re-explode the corpus.
+      val prefixes = bigrams.groupBy("w1").agg(sum(col("c12")).as("c1"))
       pairs.join(bigrams, Seq("w1", "w2")).join(prefixes, Seq("w1"))
         .groupBy("doc_id")
         .agg(
@@ -2788,7 +2792,8 @@ object SparkEntry {
         |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
         |        FROM d WHERE len(toks) >= 2)),
         |bigrams AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
-        |prefixes AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1)
+        |prefixes AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        |             FROM bigrams GROUP BY w1)
         |SELECT p.doc_id, COUNT(*) AS n_pairs,
         |  CAST(SUM(b.c12) AS DOUBLE) / CAST(SUM(f.c1) AS DOUBLE) AS support_ratio,
         |  MIN(CAST(b.c12 AS DOUBLE) / CAST(f.c1 AS DOUBLE)) AS min_p,
