@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Dedup, FrequentItems, Multimodal, Quantize, Retrieval, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, FrequentItems, Multimodal, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -782,6 +782,11 @@ object SparkEntry {
     // hash agg (re-measured r4, min-of-3 each at sf0.1: 1.18s vs 4.15s for
     // the native WITHIN GROUP aggregate, identical results — the value at
     // sorted position ceil(p*n) IS the smallest value with cume_dist >= p).
+    // Scale note: with 3 return flags the window still hashes the table
+    // into 3 tasks — this is the EXACT form; the scale-safe sibling is
+    // q104's bounded-state mergeable quantile sketch
+    // (functions/QuantileSketch), whose partials combine map-side so
+    // group size never shapes the plan.
     "q50_percentiles" -> ((s, d) => {
       val byFlag = Window.partitionBy("l_returnflag")
       val ranked = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
@@ -1639,6 +1644,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 104. quantiles via mergeable bounded-state sketch, oracle-pinned -------------------------------
+    // q50's scale-safe sibling: per-flag p25/p50/p75 through the
+    // deterministic KLL/MRL-style compacting-buffer sketch
+    // (functions/QuantileSketch) instead of a per-group sort — partial
+    // summaries (capacity-bounded, O(log n) levels) merge map-side, so
+    // neither group cardinality (q50's 3-task trap) nor group size ever
+    // shapes the plan: THE percentile shape for a 100 TB column. Capacity
+    // 32768 exceeds every group at this sf, so the sketch is provably
+    // exact (nothing ever compacts) and the DuckDB oracle is a plain
+    // percentile_disc — hash-matching pins the full reduce/merge/finish
+    // machinery (the q100/q73 at-capacity trick); under-capacity rank
+    // error bounds are property-tested in QuantileSketchSpec. At sf0.1+
+    // (bench) groups exceed capacity and the sketch genuinely compacts.
+    "q104_quantile_sketch" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(QuantileSketch.sketch(
+          col("l_extendedprice"), 32768, Seq(0.25, 0.5, 0.75)).as("q"))
+        .select(col("l_returnflag"),
+          col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
+        .orderBy("l_returnflag")),
+
     // --- 97. inverted-index statistics (posting-list build) ---------------------------------------------
     // The index-construction shape behind corpus search: explode documents
     // to (term, doc) postings, aggregate to per-term document frequency,
@@ -1660,19 +1687,19 @@ object SparkEntry {
     // Eval-set carving: keep the k = 20 documents per language whose
     // doc_id md5 sorts lowest — a reproducible "random" sample that any
     // engine recomputes identically (the q58/q86 portable-hash trick
-    // applied to ORDER instead of bucketing). Honest scale note: the
-    // window sorts each stratum fully; at 100 TB one would pre-filter on
-    // a conservative hash prefix (row-local, pushes 99% of rows out
-    // before the shuffle) and fall back to the full sort only for strata
-    // the filter starved below k.
-    "q98_stratified_sample" -> ((s, d) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      t(s, d, "documents")
-        .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
-        .where(col("rk") <= 20)
-        .orderBy("lang", "rk")
-    }),
+    // applied to ORDER instead of bucketing). Scale shape: a conservative
+    // hash-prefix pre-filter (row-local, ~1/32 of rows survive) runs
+    // BEFORE the per-stratum window, so the dominant stratum of a skewed
+    // corpus never funnels whole into one sort task; strata the filter
+    // starves below k (all of them at this sf — the tiny-corpus
+    // degenerate case) fall back to the full window, which keeps the
+    // result exactly equal to the naive form by construction
+    // (operators/Sampling.stratifiedTopKByHash; equality + >90%-drop
+    // spec-pinned in SamplingScaleSpec).
+    "q98_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedTopKByHash(
+          t(s, d, "documents"), "lang", "doc_id", 20)
+        .orderBy("lang", "rk")),
 
     // --- 95. EXACT-budget sequence packing (sequential greedy, recursive-CTE oracle) --------------------
     // The exactness upgrade over q85's shuffle-once window form: q85's bins
@@ -2802,6 +2829,16 @@ object SparkEntry {
         |JOIN bigrams b ON p.w1 = b.w1 AND p.w2 = b.w2
         |JOIN prefixes f ON p.w1 = f.w1
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // Exact relational restatement: capacity exceeds every group, so no
+    // compaction fires and the sketch's percentile_disc (smallest value
+    // with cumulative weight >= ceil(p*n)) equals the plain aggregate.
+    "q104_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q102_video_header" ->
       """SELECT doc_id,

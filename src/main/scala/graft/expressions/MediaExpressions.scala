@@ -1052,15 +1052,17 @@ object MediaCodec {
   }
 
   /** [[decodeAvi]] marshalled for the catalyst expression: flat scalar
-    * columns, fixed 3-channel slots (unused NULL).
+    * columns, fixed 4-channel slots (unused NULL; c3 carries RGBA alpha
+    * when the container's frames are 4-channel PNGs, mirroring
+    * [[ImagePixelStatsExpr]]).
     */
   def videoStats(bytes: Array[Byte]): InternalRow = {
     val s = decodeAvi(bytes)
     if (s == null) return null
-    val out = new Array[Any](15)
+    val out = new Array[Any](18)
     out(0) = s.nFrames; out(1) = s.width; out(2) = s.height; out(3) = s.channels
     var c = 0
-    while (c < 3) {
+    while (c < 4) {
       if (c < s.channels) {
         out(4 + 3 * c) = s.mean(c)
         out(5 + 3 * c) = s.min(c)
@@ -1068,7 +1070,7 @@ object MediaCodec {
       }
       c += 1
     }
-    out(13) = s.meanFirst; out(14) = s.meanLast
+    out(16) = s.meanFirst; out(17) = s.meanLast
     new GenericInternalRow(out)
   }
 
@@ -1363,8 +1365,8 @@ case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
   * [[MediaCodec.decodeAvi]] rejects). Codegen'd one-pass container walk +
   * per-frame decode + reduce — frame-level stats over a petabyte video
   * corpus as a pruned scan, no codec library, no frame matrix. Fixed
-  * 3-channel slots (unused NULL); mean_first/mean_last carry the cheap
-  * temporal signal.
+  * 4-channel slots (unused NULL; c3 = alpha when frames are RGBA PNGs);
+  * mean_first/mean_last carry the cheap temporal signal.
   */
 case class VideoStatsExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -1387,6 +1389,9 @@ case class VideoStatsExpr(child: Expression) extends UnaryExpression {
     StructField("c2_mean", DoubleType, nullable = true),
     StructField("c2_min", IntegerType, nullable = true),
     StructField("c2_max", IntegerType, nullable = true),
+    StructField("c3_mean", DoubleType, nullable = true),
+    StructField("c3_min", IntegerType, nullable = true),
+    StructField("c3_max", IntegerType, nullable = true),
     StructField("mean_first", DoubleType, nullable = false),
     StructField("mean_last", DoubleType, nullable = false)))
   override def nullSafeEval(input: Any): Any =

@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** State for [[QuantileSketchAggregator]]: an unsorted fill buffer at
+  * weight 1 (`level0`, live prefix `n0`) plus sorted compacted levels
+  * (`upper(l)` holds items of weight `2^(l+1)`), and the exact total item
+  * count. Arrays so the per-row hot path writes one slot in place; only
+  * the 4-field case-class shell is re-allocated per row.
+  */
+final case class KllBuffer(
+    n0: Int, level0: Array[Double], upper: Array[Array[Double]], count: Long)
+
+/** Mergeable bounded-state quantile sketch (deterministic KLL/MRL-style
+  * compacting buffers): rank queries over a column in ONE pass with at
+  * most `capacity` items per level and O(log(n/capacity)) levels, no
+  * matter how many rows flow through. The 100 TB point: exact
+  * percentiles need a per-group sort — and a low-cardinality group key
+  * (q50's 3 return flags) collapses that sort to one task per group —
+  * while this sketch ships a few-KB summary per partition and merges
+  * map-side, so group cardinality and group SIZE never shape the plan.
+  * Completes the bounded-state sketch family next to
+  * [[FrequentItemsAggregator]] (heavy hitters), HLL (cardinality) and
+  * [[MinHashSketchAggregator]] (set similarity).
+  *
+  * Deterministic guarantees (no randomness, unlike textbook KLL's coin
+  * flip): compaction sorts a level and keeps the items at odd 0-based
+  * positions of each adjacent pair, doubling their weight — each
+  * compaction at item-weight `w` perturbs any rank by at most `w`, giving
+  * a worst-case rank error of `levels * n / capacity` (loose; the spec
+  * property-tests a measured bound well inside it). With fewer than
+  * `capacity` total items per group nothing ever compacts and every
+  * quantile is EXACT — which is what lets q104 pin the full
+  * reduce/merge/finish machinery against a plain `percentile_disc`
+  * oracle (the q100/q73 at-capacity trick) while under-capacity error is
+  * property-tested in the spec.
+  *
+  * Merge concatenates levels pointwise (sorted merge) and re-compacts any
+  * level over capacity — the Agarwal et al. "Mergeable Summaries"
+  * discipline, valid under arbitrary merge trees, which is exactly what
+  * Spark's partial aggregation requires.
+  *
+  * Query semantics are `percentile_disc`: the reported quantile is the
+  * smallest data value whose cumulative weight reaches `ceil(p * n)` — a
+  * value from the data, no interpolation.
+  *
+  * Null inputs are skipped (SQL aggregate semantics); NaN is rejected by
+  * `reduce` (a NaN would poison the sort order silently).
+  */
+final class QuantileSketchAggregator(capacity: Int, probs: Seq[Double])
+    extends Aggregator[java.lang.Double, KllBuffer, Seq[Double]] {
+  require(capacity >= 2, "capacity must be >= 2")
+  require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+    "probs must be in (0, 1]")
+
+  override def zero: KllBuffer =
+    KllBuffer(0, new Array[Double](capacity), Array.empty, 0L)
+
+  override def reduce(buf: KllBuffer, v: java.lang.Double): KllBuffer = {
+    if (v == null) return buf
+    val d = v.doubleValue()
+    require(!d.isNaN, "quantile sketch input must not be NaN")
+    buf.level0(buf.n0) = d
+    val out = buf.copy(n0 = buf.n0 + 1, count = buf.count + 1)
+    if (out.n0 == capacity) compactCascade(out) else out
+  }
+
+  /** Sort the full level0, push every other item one level up, cascading
+    * while a level exceeds capacity. Item weight doubles per level; an
+    * odd-length level keeps its last (largest) item in place so total
+    * weight stays exactly `count`.
+    */
+  private def compactCascade(buf: KllBuffer): KllBuffer = {
+    val l0 = java.util.Arrays.copyOf(buf.level0, buf.n0)
+    java.util.Arrays.sort(l0)
+    val (firstCarry, leftover0) = halve(l0)
+    var carry = firstCarry
+    // leftover (at most one item) stays at weight 1 in level0.
+    val newLevel0 = new Array[Double](capacity)
+    var n0 = 0
+    leftover0.foreach { d => newLevel0(n0) = d; n0 += 1 }
+    val levels = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    buf.upper.foreach(levels += _)
+    var l = 0
+    while (carry.nonEmpty) {
+      if (l >= levels.length) levels += Array.emptyDoubleArray
+      val merged = mergeSorted(levels(l), carry)
+      if (merged.length > capacity) {
+        val (up, keep) = halve(merged)
+        levels(l) = keep
+        carry = up
+      } else {
+        levels(l) = merged
+        carry = Array.emptyDoubleArray
+      }
+      l += 1
+    }
+    KllBuffer(n0, newLevel0, levels.toArray, buf.count)
+  }
+
+  /** Deterministic compaction of a SORTED array: keep odd 0-based indices
+    * of the even-length prefix (weight doubles upstream); an odd trailing
+    * item is returned separately to stay at its current weight.
+    */
+  private def halve(sorted: Array[Double]): (Array[Double], Array[Double]) = {
+    val pairs = sorted.length / 2
+    val up = new Array[Double](pairs)
+    var i = 0
+    while (i < pairs) { up(i) = sorted(2 * i + 1); i += 1 }
+    val rest =
+      if (sorted.length % 2 == 1) Array(sorted(sorted.length - 1))
+      else Array.emptyDoubleArray
+    (up, rest)
+  }
+
+  private def mergeSorted(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val out = new Array[Double](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { out(k) = a(i); i += 1 } else { out(k) = b(j); j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    out
+  }
+
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = {
+    if (b.count == 0L) return a
+    if (a.count == 0L) return b
+    // Concatenate fill buffers; overflow compacts through the cascade.
+    var acc = a
+    var i = 0
+    while (i < b.n0) { acc = reduceRaw(acc, b.level0(i)); i += 1 }
+    acc = acc.copy(count = a.count + b.count)
+    // Merge compacted levels pointwise, re-compacting overflow upward.
+    val levels = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    acc.upper.foreach(levels += _)
+    var l = 0
+    var carry = Array.emptyDoubleArray
+    val maxLen = math.max(levels.length, b.upper.length)
+    while (l < maxLen || carry.nonEmpty) {
+      if (l >= levels.length) levels += Array.emptyDoubleArray
+      val other = if (l < b.upper.length) b.upper(l) else Array.emptyDoubleArray
+      val merged = mergeSorted(mergeSorted(levels(l), other), carry)
+      if (merged.length > capacity) {
+        val (up, keep) = halve(merged)
+        levels(l) = keep
+        carry = up
+      } else {
+        levels(l) = merged
+        carry = Array.emptyDoubleArray
+      }
+      l += 1
+    }
+    acc.copy(upper = levels.toArray)
+  }
+
+  /** reduce() without the count bump (merge already accounts for counts). */
+  private def reduceRaw(buf: KllBuffer, d: Double): KllBuffer = {
+    buf.level0(buf.n0) = d
+    val out = buf.copy(n0 = buf.n0 + 1)
+    if (out.n0 == capacity) compactCascade(out) else out
+  }
+
+  /** percentile_disc over the weighted summary: smallest value whose
+    * cumulative weight reaches ceil(p * count), per prob, in input order
+    * of `probs`. Empty input yields an empty Seq.
+    */
+  override def finish(buf: KllBuffer): Seq[Double] = {
+    if (buf.count == 0L) return Seq.empty
+    val nItems = buf.n0 + buf.upper.map(_.length).sum
+    val vals = new Array[Double](nItems)
+    val wts = new Array[Long](nItems)
+    var k = 0
+    var i = 0
+    while (i < buf.n0) { vals(k) = buf.level0(i); wts(k) = 1L; k += 1; i += 1 }
+    var l = 0
+    while (l < buf.upper.length) {
+      val w = 1L << (l + 1)
+      val arr = buf.upper(l)
+      i = 0
+      while (i < arr.length) { vals(k) = arr(i); wts(k) = w; k += 1; i += 1 }
+      l += 1
+    }
+    // Sort (value, weight) pairs by value.
+    val idx = (0 until nItems).sortBy(vals(_))
+    probs.map { p =>
+      val target = math.ceil(p * buf.count).toLong
+      var cum = 0L
+      var j = 0
+      var out = vals(idx(nItems - 1))
+      var found = false
+      while (j < nItems && !found) {
+        cum += wts(idx(j))
+        if (cum >= target) { out = vals(idx(j)); found = true }
+        j += 1
+      }
+      out
+    }
+  }
+
+  override def bufferEncoder: Encoder[KllBuffer] = ExpressionEncoder[KllBuffer]()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}
+
+object QuantileSketch {
+
+  /** Aggregation column: `array<double>` of percentile_disc quantiles at
+    * `probs` (input order) from a bounded-state mergeable sketch. Exact
+    * whenever the group holds fewer than `capacity` items; rank error
+    * within `levels * n / capacity` beyond that.
+    */
+  def sketch(value: Column, capacity: Int, probs: Seq[Double]): Column =
+    udaf(new QuantileSketchAggregator(capacity, probs), Encoders.DOUBLE)
+      .apply(value)
+}

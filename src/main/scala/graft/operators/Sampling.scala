@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and splitting for training-data assembly.
@@ -60,6 +61,48 @@ object Sampling {
       case (els, (value, f)) => when(col(stratumCol) === value, f).otherwise(els)
     }
     df.where(hashWeight(col(idCol), seed) < frac)
+  }
+
+  /** Fixed-size per-stratum sample: the `k` rows per stratum whose
+    * `md5(id)` sorts lowest, with their rank (`rk` in 1..k) — a
+    * reproducible "random" eval carve any engine recomputes identically.
+    *
+    * Scale posture: the naive form is one `row_number` window per
+    * stratum, and a low-cardinality stratum column (languages of a web
+    * corpus) collapses that to ONE task sorting the dominant stratum
+    * alone. This form pre-filters on a conservative hash-prefix bound
+    * (row-local, no shuffle: md5 < `hashPrefixBound` keeps ~bound/16^len
+    * of rows), so the window only sorts the survivors. Correct by
+    * construction: if a stratum keeps >= k survivors, its k hash-smallest
+    * rows all hash below the bound, so the filtered window result is the
+    * exact answer; strata the filter starves below k (rare small strata)
+    * fall back to the full window. Cost: two column-pruned scans of
+    * (stratum, id) instead of one full-table sort shuffle — the trade
+    * that wins at 100 TB.
+    *
+    * Output: (stratumCol, idCol, rk), rk in 1..k per stratum.
+    */
+  def stratifiedTopKByHash(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Int,
+      hashPrefixBound: String = "08"
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(stratumCol).orderBy(key, col(idCol))
+    val slim = df.select(col(stratumCol), col(idCol))
+    val filtered = slim.where(key < lit(hashPrefixBound))
+    val okStrata = filtered.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= k).select(stratumCol)
+    val fromFiltered = filtered.join(broadcast(okStrata), Seq(stratumCol))
+      .select(col(stratumCol), col(idCol), row_number().over(w).as("rk"))
+      .where(col("rk") <= k)
+    val starved = slim.join(broadcast(okStrata), Seq(stratumCol), "left_anti")
+      .select(col(stratumCol), col(idCol), row_number().over(w).as("rk"))
+      .where(col("rk") <= k)
+    fromFiltered.unionByName(starved)
   }
 
   /** Mix several corpora with target ratios into one DataFrame, stamping the

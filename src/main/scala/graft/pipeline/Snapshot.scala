@@ -518,9 +518,13 @@ object Snapshot {
           // Cross-DEVICE local paths (tmpfs -> disk) cannot hard-link;
           // fall back to a copy for that file rather than failing the
           // clone.
+          // NonFatal, not just FileSystemException: createLink may throw
+          // UnsupportedOperationException on FSes without link support,
+          // and any recoverable failure should degrade to a copy, not
+          // abort (and tear down) the whole clone.
           try { Files.createLink(Paths.get(d.toUri.getPath),
             Paths.get(s.toUri.getPath)); true }
-          catch { case _: java.nio.file.FileSystemException => false }
+          catch { case scala.util.control.NonFatal(_) => false }
         }
         if (!linked)
           org.apache.hadoop.fs.FileUtil.copy(srcFs, s, dstFs, d, false, conf)

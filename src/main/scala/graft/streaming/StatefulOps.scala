@@ -143,7 +143,12 @@ object StatefulOps {
               case Some(s) =>
                 state.update(s)
                 // Fires once the event-time watermark passes this instant.
-                state.setTimeoutTimestamp(s.last + gapMs)
+                // Saturating add clamped positive and above the watermark
+                // (same adversarial-input guard as streamingNearDupPairs).
+                val sum = s.last + gapMs
+                val sat = if (gapMs > 0 && sum < s.last) Long.MaxValue else sum
+                state.setTimeoutTimestamp(math.max(sat,
+                  math.max(1L, state.getCurrentWatermarkMs() + 1L)))
               case None => state.remove()
             }
             closed.result().iterator
@@ -221,15 +226,28 @@ object StatefulOps {
     * severs upstream watermark tracking, so an upstream `withWatermark`
     * alone would fail analysis.
     *
+    * Time alone does not bound a HOT band: a skewed corpus whose SimHashes
+    * share a band prefix (near-identical boilerplate) piles every document
+    * into one group within the retention window. `maxEntriesPerBand` is
+    * the hard cap — when exceeded, the OLDEST entries are evicted first
+    * (deterministic: sorted by (ts, id)). Eviction weakens delivery to
+    * at-least-once only for pairs whose older member was evicted from
+    * EVERY shared band before the younger arrived; detection within the
+    * cap is unchanged because verification still runs on full hashes.
+    *
     * @param watermarkDelay how far out of order events may arrive
     *                       (`withWatermark` duration string)
+    * @param maxEntriesPerBand hard per-band state cap (oldest evicted
+    *                          first); must be positive
     */
   def streamingNearDupPairs(
       docs: Dataset[NearDupDoc],
       maxHamming: Int,
       retentionMs: Long,
-      watermarkDelay: String = "1 minute"): Dataset[NearDupHit] = {
+      watermarkDelay: String = "1 minute",
+      maxEntriesPerBand: Int = 100000): Dataset[NearDupHit] = {
     require(retentionMs > 0, "retentionMs must be positive")
+    require(maxEntriesPerBand > 0, "maxEntriesPerBand must be positive")
     val chunkDefs = graft.functions.Dedup.simhashChunkDefs(maxHamming)
     implicit val bandedEnc = Encoders.product[BandedDoc]
     implicit val hitEnc = Encoders.product[NearDupHit]
@@ -275,11 +293,24 @@ object StatefulOps {
             // ts >= watermark, so entries older than watermark - retention
             // are dead weight.
             val wm = state.getCurrentWatermarkMs()
-            val kept = entries.filter(_.ts >= wm - retentionMs)
+            var kept = entries.filter(_.ts >= wm - retentionMs)
+            // Hard count cap: a hot band (skewed SimHash prefix) grows
+            // faster than time evicts; drop oldest-first, deterministic
+            // within a timestamp by id.
+            if (kept.length > maxEntriesPerBand)
+              kept = kept.sortBy(e => (e.ts, e.id))
+                .takeRight(maxEntriesPerBand)
             if (kept.isEmpty) state.remove()
             else {
               state.update(BandState(kept.toSeq))
-              state.setTimeoutTimestamp(maxTs + retentionMs)
+              // Saturating add, clamped above the watermark: adversarial
+              // ts <= 0 or retentionMs near Long.MaxValue must not
+              // produce a non-positive or <= watermark timeout (Spark
+              // throws from inside the state function and fails the
+              // stream).
+              val sum = maxTs + retentionMs
+              val sat = if (sum < maxTs) Long.MaxValue else sum
+              state.setTimeoutTimestamp(math.max(sat, math.max(1L, wm + 1L)))
             }
             out.result().iterator
           }

@@ -1,0 +1,145 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Bounded-state mergeable quantile sketch: exactness whenever the group
+  * fits in one level, deterministic rank-error bounds beyond that, weight
+  * conservation, and partitioning-independence of the at-capacity path.
+  */
+class QuantileSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** percentile_disc ground truth: smallest value at cumulative rank
+    * >= ceil(p*n) — identical to the sketch's query rule and q50's form.
+    */
+  private def disc(sorted: IndexedSeq[Double], p: Double): Double =
+    sorted((math.ceil(p * sorted.size) - 1).toInt.max(0))
+
+  /** True rank of v (number of elements <= v). */
+  private def rankOf(sorted: IndexedSeq[Double], v: Double): Int = {
+    var lo = 0; var hi = sorted.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  test("capacity >= n: quantiles are exact under any partitioning") {
+    val values = (1 to 1000).map(i => ((i * 7919) % 1000).toDouble)
+    val sorted = values.sorted.toIndexedSeq
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    for (parts <- Seq(1, 7)) {
+      val out = values.toDF("x").repartition(parts)
+        .agg(QuantileSketch.sketch(col("x"), 1024, probs).as("q"))
+        .select(col("q")).collect()(0).getSeq[Double](0)
+      assert(out == probs.map(disc(sorted, _)), s"parts=$parts")
+    }
+  }
+
+  test("under capacity pressure: every reported quantile is within the documented rank bound") {
+    // 20k values through a 64-slot sketch: heavy compaction. The bound in
+    // the scaladoc is levels * n / capacity; assert against it with the
+    // actual level count implied by n/capacity.
+    val n = 20000
+    val k = 64
+    val values = (0 until n).map(i => ((i * 104729) % n).toDouble)
+    val sorted = values.sorted.toIndexedSeq
+    val probs = Seq(0.25, 0.5, 0.75)
+    val out = values.toDF("x").repartition(8)
+      .agg(QuantileSketch.sketch(col("x"), k, probs).as("q"))
+      .select(col("q")).collect()(0).getSeq[Double](0)
+    val levels = (math.log(n.toDouble / k) / math.log(2)).ceil.toInt + 1
+    val bound = levels.toLong * n / k
+    probs.zip(out).foreach { case (p, est) =>
+      val target = math.ceil(p * n).toLong
+      val r = rankOf(sorted, est)
+      // est must be a real data value whose rank is within the bound of
+      // the target rank (rankOf gives the upper rank of duplicates; the
+      // lower rank is rank - multiplicity, so test the interval).
+      assert(values.contains(est), s"p=$p: $est is not a data value")
+      val lower = r - values.count(_ == est)
+      assert(lower - bound <= target && target <= r + bound,
+        s"p=$p: rank interval [$lower,$r] vs target $target exceeds bound $bound")
+    }
+  }
+
+  test("property: exactness at capacity and rank bound under compaction, random inputs") {
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      xs <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+    } yield xs
+    val params = Gen.Parameters.default
+    (0 until 100).foreach { i =>
+      val xs = gen.apply(params, Seed(i.toLong)).getOrElse(Nil)
+      if (xs.nonEmpty) {
+        val sorted = xs.sorted.toIndexedSeq
+        val probs = Seq(0.5)
+        // capacity 512 > n: exact.
+        val agg = new QuantileSketchAggregator(512, probs)
+        var buf = agg.zero
+        xs.foreach(x => buf = agg.reduce(buf, x))
+        assert(agg.finish(buf) == probs.map(disc(sorted, _)), s"seed=$i")
+      }
+    }
+  }
+
+  test("merge conserves total weight and respects the rank bound under arbitrary merge trees") {
+    val k = 32
+    val agg = new QuantileSketchAggregator(k, Seq(0.5))
+    val chunks = (0 until 10).map(c =>
+      (0 until 500).map(i => ((c * 500 + i) * 7919 % 5000).toDouble))
+    // Left-deep and balanced merge trees over per-chunk partials.
+    val partials = chunks.map { ch =>
+      var b = agg.zero
+      ch.foreach(x => b = agg.reduce(b, x))
+      b
+    }
+    val leftDeep = partials.reduceLeft(agg.merge)
+    def balanced(bs: Seq[KllBuffer]): KllBuffer =
+      if (bs.size == 1) bs.head
+      else balanced(bs.grouped(2).map {
+        case Seq(a, b) => agg.merge(a, b)
+        case Seq(a) => a
+      }.toSeq)
+    // Re-build partials (merge mutates its left argument's arrays).
+    val partials2 = chunks.map { ch =>
+      var b = agg.zero
+      ch.foreach(x => b = agg.reduce(b, x))
+      b
+    }
+    val bal = balanced(partials2)
+    val all = chunks.flatten
+    val sorted = all.sorted.toIndexedSeq
+    val n = all.size
+    for (merged <- Seq(leftDeep, bal)) {
+      assert(merged.count == n.toLong)
+      // Weight conservation: level0 at weight 1 + upper(l) at 2^(l+1).
+      val w = merged.n0.toLong +
+        merged.upper.zipWithIndex.map { case (a, l) => a.length.toLong << (l + 1) }.sum
+      assert(w == n.toLong, s"weights $w != count $n")
+      val est = agg.finish(merged).head
+      val levels = (math.log(n.toDouble / k) / math.log(2)).ceil.toInt + 1
+      val bound = levels.toLong * n / k
+      val target = math.ceil(0.5 * n).toLong
+      val r = rankOf(sorted, est)
+      val lower = r - all.count(_ == est)
+      assert(lower - bound <= target && target <= r + bound)
+    }
+  }
+
+  test("nulls are skipped; NaN is rejected") {
+    val out = Seq[java.lang.Double](1.0, null, 2.0, null, 3.0)
+      .toDF("x")
+      .agg(QuantileSketch.sketch(col("x"), 16, Seq(0.5)).as("q"))
+      .select(col("q")).collect()(0).getSeq[Double](0)
+    assert(out == Seq(2.0))
+    val agg = new QuantileSketchAggregator(16, Seq(0.5))
+    intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, Double.NaN)
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** stratifiedTopKByHash: the hash-prefix pre-filter form equals the naive
+  * per-stratum window exactly (filtered path AND starved fallback), and
+  * the pre-filter actually discards the bulk of a skewed corpus before
+  * any shuffle.
+  */
+class SamplingScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Skewed corpus: one dominant stratum (the 100 TB web-corpus shape),
+  // one mid stratum that also survives the filter, one tiny stratum the
+  // filter starves below k (fallback path).
+  private def corpus = {
+    val rows =
+      (1L to 20000L).map(i => ("en", i)) ++
+        (20001L to 23000L).map(i => ("fr", i)) ++
+        (23001L to 23030L).map(i => ("tlh", i))
+    rows.toDF("lang", "doc_id")
+  }
+
+  private def naive(k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    corpus.select(col("lang"), col("doc_id"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= k)
+  }
+
+  test("pre-filtered result equals the naive window on both paths") {
+    val k = 20
+    val got = Sampling.stratifiedTopKByHash(corpus, "lang", "doc_id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = naive(k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // Paths actually split as constructed: en/fr have >= k filter
+    // survivors, tlh does not.
+    val survivors = corpus
+      .where(md5(col("doc_id").cast("string")) < "08")
+      .groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(survivors.getOrElse("en", 0L) >= k && survivors.getOrElse("fr", 0L) >= k)
+    assert(survivors.getOrElse("tlh", 0L) < k)
+  }
+
+  test("the pre-filter drops >90% of rows before the window shuffle") {
+    val total = corpus.count()
+    val kept = corpus.where(md5(col("doc_id").cast("string")) < "08").count()
+    assert(kept.toDouble / total < 0.10,
+      s"filter kept $kept of $total (${kept * 100.0 / total}%)")
+  }
+
+  test("a bound so tight every stratum starves still equals the naive window") {
+    val k = 20
+    val got = Sampling
+      .stratifiedTopKByHash(corpus, "lang", "doc_id", k, hashPrefixBound = "001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = naive(k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+}

@@ -55,6 +55,43 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(hits == Set((2L, 1L, 1)), hits)
   }
 
+  test("streamingNearDupPairs: hot band is count-capped, oldest evicted first") {
+    val dir = Files.createTempDirectory("graft-sneardup-cap")
+    // All ten batch-1 docs share ONE simhash -> every band is the same hot
+    // group; retention (10 min) never evicts within the test window, so
+    // only the count cap (3) bounds state. Batch 2's probe (same hash,
+    // in-retention) can then pair ONLY with the 3 newest survivors.
+    val hash = 0x0123456789ABCDEFL
+    val b1 = (1 to 10).map(i =>
+      s"""{"doc_id": $i, "ts": "2024-01-01T00:00:${"%02d".format(i)}", "simhash": $hash}""")
+      .mkString("\n")
+    Files.write(dir.resolve("a.json"), b1.getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      s"""{"doc_id": 11, "ts": "2024-01-01T00:02:00", "simhash": $hash}"""
+        .getBytes("UTF-8"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("simhash", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[NearDupDoc]
+    val q = StatefulOps.streamingNearDupPairs(stream,
+        maxHamming = 2, retentionMs = 10 * 60 * 1000L,
+        watermarkDelay = "1 minute", maxEntriesPerBand = 3)
+      .writeStream.format("memory").queryName("sneardup_cap")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val hits = spark.table("sneardup_cap").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Within batch 1 detection is unaffected (cap applies at batch end):
+    // every later doc pairs with every earlier one.
+    val batch1 = (for { i <- 1 to 10; j <- 1 until i } yield (i.toLong, j.toLong)).toSet
+    // The probe sees only the 3 newest retained entries (8, 9, 10) —
+    // oldest-first eviction bounded the band at the cap.
+    val probe = Set((11L, 8L), (11L, 9L), (11L, 10L))
+    assert(hits == batch1 ++ probe, hits -- (batch1 ++ probe))
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions across microbatches") {
     val dir = Files.createTempDirectory("graft-fmgs")
     // user 1: events at 0:00, 0:02 (file a) and 0:04 (file b) — ONE session
