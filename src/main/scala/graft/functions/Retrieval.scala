@@ -29,12 +29,27 @@ object Retrieval {
 
   /** Score every (document, query term) pair with tf > 0.
     *
+    * Posting-style term matching: tokens explode ONCE and a broadcast
+    * hash join against the term list keeps only query-term postings, so
+    * each document's token array is scanned once total — not once per
+    * query term — and the array never enters a shuffle or a pair row.
+    * (The previous shape, `crossJoin(terms)` + a per-term
+    * `size(filter(toks, _ === term))` projection, was O(dl * |terms|)
+    * per document and materialized the array into every pair row —
+    * correct and broadcast-bounded, but not the plan you want at 100 TB.)
+    * tf is the post-join count per (doc, term): identical integers, so
+    * the IEEE-exact score tree below is bit-unchanged (q94's oracle hash
+    * is the proof).
+    *
     * @param docs  corpus with an id column and a raw text column
-    * @param terms query terms (exact-match against lowercased tokens)
+    * @param terms query terms (exact-match against lowercased tokens);
+    *              must be distinct — duplicate terms would double-count
+    *              tf after the posting groupBy
     * @return (idCol, term, tf, bm25) — one row per matching pair
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
     val spark = docs.sparkSession
     import spark.implicits._
     // NULL-text documents are excluded from the corpus entirely: Spark's
@@ -48,10 +63,11 @@ object Retrieval {
     val stats = tokenized.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    val tf = tokenized.crossJoin(broadcast(terms.toDF("term")))
-      .select(col(idCol), col("term"), col("dl"),
-        size(filter(col("toks"), t => t === col("term"))).cast("double").as("tf"))
-      .where(col("tf") > 0)
+    val tf = tokenized
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms.toDF("term")), "term")
+      .groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
     val dfs = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
       .select(col(idCol), col("term"), col("tf").cast("int").as("tf"),

@@ -170,6 +170,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // Posting-style tf: tokens explode exactly once and the per-term
+    // count comes from an aggregate over postings — never a per-term
+    // re-scan of the token array (the old `filter(toks, _ === term)`
+    // projection would show a higher-order `filter(` over toks here).
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("filter(toks"), p)
   }
 
   test("q96 quantization is row-local: no joins, no aggregation shuffle") {
