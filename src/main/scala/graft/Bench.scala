@@ -36,7 +36,21 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map
       .empty[String, List[Double]].withDefaultValue(Nil)
-    for (_ <- 1 to reps; (name, fn) <- ordered) {
+    // Host-noise canary: a constant-cost query (sum over a generated range —
+    // no I/O, no shuffle, same plan every time) sampled throughout the run.
+    // Its dispersion separates code regressions from VM interference
+    // numerically: a real regression moves one query while the canary stays
+    // flat; host noise inflates canary samples in the same window.
+    val canarySamples = scala.collection.mutable.ListBuffer.empty[Double]
+    def canary(): Unit = {
+      val t0 = System.nanoTime()
+      run(spark.range(1L << 23).selectExpr("sum(id) AS s"))
+      canarySamples += (System.nanoTime() - t0) / 1e9
+    }
+    canary() // warm the canary's own codegen before the timed samples
+    canarySamples.clear()
+    for (_ <- 1 to reps; ((name, fn), i) <- ordered.zipWithIndex) {
+      if (i % 10 == 0) canary()
       val t0 = System.nanoTime()
       val t = try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
@@ -46,6 +60,7 @@ object Bench {
       }
       samples(name) = t :: samples(name)
     }
+    canary()
     val results = ordered.map { case (name, _) =>
       val times = samples(name)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
@@ -55,10 +70,18 @@ object Bench {
     // Total sums SUCCESSFUL runs only — the -1 failure markers must not
     // shrink the headline number as queries fail.
     val total = results.map(_._2).filter(_ >= 0).sum
+    val cs = canarySamples.toList.sorted
+    val canaryJson = if (cs.isEmpty) "null" else {
+      val med = cs(cs.size / 2)
+      // max/min ratio is the single-number noise verdict: ~1 on a quiet
+      // host; >>1 means interference windows hit during this run.
+      s"""{"n":${cs.size},"min":${cs.head},"median":$med,"max":${cs.last},""" +
+        s""""spread":${if (cs.head > 0) cs.last / cs.head else -1.0}}"""
+    }
     // "total" comes LAST: the driver's log capture keeps only a bounded tail
     // of this line, and the headline number must survive the truncation.
     val json =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"total":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"canary":$canaryJson,"value":$total,"total":$total}"""
     println(json)
     // Also persist the FULL per-query JSON to the repo: the driver's bounded
     // tail capture has dropped the leading queries before (BENCH_r04 lost
