@@ -1666,6 +1666,27 @@ object SparkEntry {
           col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
         .orderBy("l_returnflag")),
 
+    // --- 106. PERSISTED ANN index: fit -> commit -> load -> search ----------------------------------------
+    // The index-amortization path a real 100 TB corpus needs: centroids and
+    // the cell-clustered encoded corpus are COMMITTED as a snapshot table
+    // (+ stats sidecar driving file pruning, + codebook sidecar), then a
+    // separate load+search runs without refitting. Probing ALL cells makes
+    // the search exactly brute force, so the whole persist/load/prune/score
+    // round-trip earns q36's SQL oracle — a hash match proves the models
+    // and vectors survived disk bit-exactly. (Selective probes are the
+    // production mode; AnnIndexSpec pins their pruning live.)
+    "q106_knn_persisted" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val root = s"/tmp/graft_q106_${java.lang.Integer.toHexString(d.hashCode)}"
+      val model = graft.functions.Ivf.fit(e, "vec", k = 8, seed = 42L)
+      graft.functions.AnnIndex.writeIvf(e, root, model, numFiles = 8)
+      val idx = graft.functions.AnnIndex.load(s, root)
+      graft.functions.AnnIndex.searchIvf(s, idx,
+        e.where(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec")),
+        k = 5, nProbe = idx.coarse.k)
+    }),
+
     // --- 97. inverted-index statistics (posting-list build) ---------------------------------------------
     // The index-construction shape behind corpus search: explode documents
     // to (term, doc) postings, aggregate to per-term document frequency,
@@ -2839,6 +2860,20 @@ object SparkEntry {
         |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
         |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Full-probe search over the persisted index is exact brute-force
+    // cosine top-k — the same relational statement as q36. A hash match
+    // here certifies the persist/load/prune/score round-trip end-to-end.
+    "q106_knn_persisted" ->
+      """SELECT qid, rank, neighbor, cos FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS INT) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q102_video_header" ->
       """SELECT doc_id,

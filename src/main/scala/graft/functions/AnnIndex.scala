@@ -1,0 +1,229 @@
+package graft.functions
+
+import graft.pipeline.{Medallion, Snapshot}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index: the trained quantizer models plus the encoded
+  * corpus, committed as a snapshot table, so a 100 TB corpus amortizes
+  * training and encoding across every subsequent query job instead of
+  * refitting inline per search ([[Ivf.fit]]/[[Pq.fit]] each collect a
+  * training sample and scan the corpus once — fine per job, wasteful per
+  * query workload).
+  *
+  * Layout (all inside the index root, one directory = one index):
+  *  - data files: the corpus CELL-CLUSTERED via [[Medallion.writeClustered]]
+  *    — range-partitioned + sorted on `cell`, so each file covers a narrow
+  *    cell range and the per-file min/max stats sidecar
+  *    ([[Snapshot.computeStats]] on `cell`) lets a probe read ONLY the
+  *    files whose range intersects its probed cells. IVF rows are
+  *    `(id, cell, vec)` (search needs raw vectors for exact cosine);
+  *    IVF-PQ rows are `(id, cell, codes)` — the ~32x-smaller PQ
+  *    representation is all that lands on disk.
+  *  - `_manifest-1`: snapshot manifest ([[Snapshot.ensure]]) — atomic
+  *    visibility, clone/vacuum-safe like any other table.
+  *  - `_stats-1`: the data-skipping sidecar driving file pruning.
+  *  - `_graft_ann_model`: the codebook sidecar — IVF centroids and (for
+  *    IVF-PQ) the per-subspace PQ codebooks, written tmp+rename like every
+  *    other sidecar. Floats serialize via `Float.toString`, whose decimal
+  *    form round-trips exactly, so a loaded model is bit-identical to the
+  *    fitted one and search results cannot drift across persist/load.
+  *
+  * Search composes the SAME scoring code as the inline paths
+  * ([[Ivf.scoreAssigned]], [[Pq.topK]]): a loaded index with the same
+  * models and probe count returns bit-identical results to the inline
+  * search — `AnnIndexSpec` pins that, and q106 pins the full-probe search
+  * against the brute-force SQL oracle.
+  *
+  * Index tables are write-once: rebuild (to a new root, then swap) to
+  * update. The searches read the manifest's file list directly and apply
+  * no tombstones.
+  */
+object AnnIndex {
+
+  /** Codebook sidecar file name (underscore keeps it out of data listings;
+    * [[Snapshot.vacuum]] only deletes unreferenced DATA files, so the
+    * sidecar survives table maintenance).
+    */
+  val ModelFile = "_graft_ann_model"
+
+  /** A loaded index: where the encoded corpus lives + the fitted models. */
+  final case class Index(root: String, coarse: Ivf.Model, pq: Option[Pq.Model])
+
+  private def fsRoot(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(new Path(path)))
+  }
+
+  /** Persist an IVF index: each corpus row lands in its nearest cell with
+    * its raw vector, clustered so probes prune files. `corpus` is
+    * `(id, vec)`; rows whose vector is NULL are dropped (they can never be
+    * scored; keeping them would NULL the cell and break clustering).
+    */
+  def writeIvf(corpus: DataFrame, path: String, coarse: Ivf.Model,
+      numFiles: Int = 8): Unit = {
+    val cb = corpus
+      .where(col("vec").isNotNull)
+      .select(col("id"),
+        Ivf.cells(col("vec"), coarse, nProbe = 1).getItem(0).as("cell"),
+        col("vec"))
+    commit(cb, path, coarse, None, numFiles)
+  }
+
+  /** Persist an IVF-PQ index: nearest cell + the m PQ codes, no raw
+    * vectors on disk. Rows the encoder rejects (NULL/short vectors) are
+    * dropped, mirroring the inline [[Pq.ivfAdcKnn]] corpus side.
+    */
+  def writeIvfPq(corpus: DataFrame, path: String, coarse: Ivf.Model,
+      pq: Pq.Model, numFiles: Int = 8): Unit = {
+    val cb = corpus
+      .select(col("id"),
+        Ivf.cells(col("vec"), coarse, nProbe = 1).getItem(0).as("cell"),
+        Pq.codes(col("vec"), pq).as("codes"))
+      .where(col("codes").isNotNull)
+    commit(cb, path, coarse, Some(pq), numFiles)
+  }
+
+  private def commit(cb: DataFrame, path: String, coarse: Ivf.Model,
+      pq: Option[Pq.Model], numFiles: Int): Unit = {
+    val spark = cb.sparkSession
+    Medallion.writeClustered(cb, path, Seq("cell"), numFiles)
+    val (fs, root) = fsRoot(spark, path)
+    Snapshot.ensure(fs, root)
+    Snapshot.computeStats(spark, path, Seq("cell"))
+    writeModel(fs, root, coarse, pq)
+  }
+
+  /** Load the models of a persisted index (O(sidecar), no data I/O). */
+  def load(spark: SparkSession, path: String): Index = {
+    val (fs, root) = fsRoot(spark, path)
+    val p = new Path(root, ModelFile)
+    require(fs.exists(p), s"$path has no $ModelFile sidecar — not an ANN index")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    Index(root.toString, parseIvf(lines), parsePq(lines))
+  }
+
+  /** Exact-cosine search over a persisted IVF index. Same contract and
+    * bit-identical output as [[Ivf.knn]] with the same model and nProbe;
+    * additionally prunes data files by the probed cells before any footer
+    * opens. nProbe = model.k probes everything — exact brute force over a
+    * persisted corpus (how q106 earns a SQL oracle).
+    */
+  def searchIvf(spark: SparkSession, index: Index, queries: DataFrame,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val qb = queries.withColumn("cell",
+      explode(Ivf.cells(col("qvec"), index.coarse, nProbe)))
+    val cb = probedCorpus(spark, index, qb)
+    Ivf.scoreAssigned(qb, cb, k)
+  }
+
+  /** ADC search over a persisted IVF-PQ index — [[Pq.ivfAdcKnn]] reading
+    * codes from disk instead of encoding inline, with file pruning.
+    */
+  def searchIvfPq(spark: SparkSession, index: Index, queries: DataFrame,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val pq = index.pq.getOrElse(throw new IllegalArgumentException(
+      s"${index.root} is an IVF index with no PQ codebooks — use searchIvf"))
+    val qc = queries
+      .select(col("qid").cast("long").as("qid"),
+        explode(Ivf.cells(col("qvec"), index.coarse, nProbe)).as("cell"))
+      .join(Pq.queryTables(queries, pq), "qid")
+    val cb = probedCorpus(spark, index, qc)
+    Pq.topK(cb.join(broadcast(qc), "cell"), k)
+  }
+
+  /** The index files whose `cell` stats range intersects any probed cell:
+    * (manifest version, kept files, all files). Exposed so specs — and
+    * curious operators — can assert pruning live instead of trusting it.
+    */
+  def prunedFiles(spark: SparkSession, rootStr: String,
+      probeCells: Seq[Int]): (Long, Seq[String], Seq[String]) = {
+    val (fs, root) = fsRoot(spark, rootStr)
+    val (v, files, _) = Snapshot.currentFull(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"$rootStr has no manifest"))
+    val kept = probeCells.distinct
+      .flatMap(c => Snapshot.pruneByStats(fs, root, v, files, "cell", c, c))
+      .distinct.sorted
+    (v, kept, files)
+  }
+
+  /** Read only the data files the probe set can touch. The probed-cell
+    * collect is a tiny job over the (broadcast-contract-small) query side,
+    * driver-bounded by construction.
+    */
+  private def probedCorpus(spark: SparkSession, index: Index,
+      probed: DataFrame): DataFrame = {
+    val probeCells = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val (_, kept, _) = prunedFiles(spark, index.root, probeCells)
+    // The exact cell equi-join happens downstream; the isin filter here
+    // additionally prunes ROW GROUPS inside kept files (the writer sorted
+    // by cell, so group stats are tight too).
+    Snapshot.readFiles(spark, index.root, kept)
+      .where(col("cell").isin(probeCells: _*))
+  }
+
+  // ---- codebook sidecar (line-based, like the stats sidecar) --------------
+
+  private def fmtVec(v: Array[Float]): String = v.mkString(" ")
+
+  private def writeModel(fs: FileSystem, root: Path, coarse: Ivf.Model,
+      pq: Option[Pq.Model]): Unit = {
+    val sb = new StringBuilder
+    sb.append("graft-ann 1\n")
+    val dim = coarse.centroids(0).length
+    sb.append(s"ivf ${coarse.k} $dim\n")
+    coarse.centroids.foreach(c => sb.append(fmtVec(c)).append('\n'))
+    pq.foreach { m =>
+      val kc = m.codebooks(0).length
+      sb.append(s"pq ${m.m} $kc ${m.subDim}\n")
+      for (s <- 0 until m.m; c <- 0 until kc)
+        sb.append(fmtVec(m.codebooks(s)(c))).append('\n')
+    }
+    // tmp + rename: a crash mid-write must never leave a parseable-but-
+    // truncated model (same discipline as manifests and stats sidecars).
+    val tmp = new Path(root,
+      s"$ModelFile.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(root, ModelFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"failed to publish ANN model $dst")
+    }
+  }
+
+  private def parseVec(line: String, dim: Int): Array[Float] = {
+    val parts = line.split(' ')
+    require(parts.length == dim, s"model line has ${parts.length} values, want $dim")
+    parts.map(_.toFloat)
+  }
+
+  private def parseIvf(lines: List[String]): Ivf.Model = {
+    require(lines.headOption.exists(_.startsWith("graft-ann ")),
+      "not a graft ANN model sidecar")
+    val hdr = lines(1).split(' ')
+    require(hdr.length == 3 && hdr(0) == "ivf", s"bad ivf header: ${lines(1)}")
+    val (k, dim) = (hdr(1).toInt, hdr(2).toInt)
+    Ivf.Model(lines.slice(2, 2 + k).map(parseVec(_, dim)).toArray)
+  }
+
+  private def parsePq(lines: List[String]): Option[Pq.Model] = {
+    val k = lines(1).split(' ')(1).toInt
+    val rest = lines.drop(2 + k)
+    rest.headOption.filter(_.startsWith("pq ")).map { h =>
+      val hdr = h.split(' ')
+      require(hdr.length == 4, s"bad pq header: $h")
+      val (m, kc, subDim) = (hdr(1).toInt, hdr(2).toInt, hdr(3).toInt)
+      val vecs = rest.slice(1, 1 + m * kc).map(parseVec(_, subDim))
+      require(vecs.length == m * kc, "truncated pq codebooks")
+      Pq.Model(Array.tabulate(m, kc)((s, c) => vecs(s * kc + c)))
+    }
+  }
+}

@@ -235,6 +235,18 @@ object Ivf {
       cells(col("vec"), model, nProbe = 1).getItem(0))
     val qb = queries.withColumn("cell",
       explode(cells(col("qvec"), model, nProbe)))
+    scoreAssigned(qb, cb, k)
+  }
+
+  /** Exact-cosine scoring + per-query top-k over CELL-ASSIGNED sides:
+    * `qb` is (qid, qvec, cell) with one row per probed cell, `cb` is
+    * (id, vec, cell) with each corpus row in its single nearest cell.
+    * Shared by the inline search above and [[AnnIndex.searchIvf]] (which
+    * reads `cb` back from a persisted cell-clustered table) so the two
+    * paths can never drift: same score expression, same tie order, same
+    * rounding.
+    */
+  private[functions] def scoreAssigned(qb: DataFrame, cb: DataFrame, k: Int): DataFrame = {
     val scored = cb.as("c").join(broadcast(qb).as("q"),
         col("q.cell") === col("c.cell") && col("q.qid") =!= col("c.id"))
       .select(col("q.qid").as("qid"), col("c.id").as("id"),

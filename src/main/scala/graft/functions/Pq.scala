@@ -93,7 +93,7 @@ object Pq {
     * rows), mirroring the corpus side's NULL codes — a crashed driver is
     * not an acceptable response to one corrupt query row.
     */
-  private def queryTables(queries: DataFrame, model: Model): DataFrame = {
+  private[functions] def queryTables(queries: DataFrame, model: Model): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     queries.select(col("qid").cast("long"), col("qvec"))
@@ -108,7 +108,7 @@ object Pq {
     * ADC: m lookups summed — zip_with pairs code s with table row s,
     * element_at is 1-based on the k centroid distances.
     */
-  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+  private[functions] def topK(pairs: DataFrame, k: Int): DataFrame = {
     val scored = pairs.select(col("qid"), col("id"),
       aggregate(
         zip_with(col("codes"), col("table"), (c, row) => element_at(row, c + 1)),

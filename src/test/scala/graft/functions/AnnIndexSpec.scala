@@ -1,0 +1,100 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4 well-separated direction clusters in 8 dims (PQ: m=4 -> subDim=2).
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(17)
+    (0 until 120).map { i =>
+      val base = new Array[Float](8)
+      base(2 * (i % 4)) = 1f
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+  }
+
+  private lazy val queries = corpus.where(col("id") < 5)
+    .select(col("id").as("qid"), col("vec").as("qvec"))
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ann-$tag").toString
+
+  test("IVF: persisted model round-trips bit-exactly; search == inline search") {
+    val model = Ivf.fit(corpus, "vec", k = 4, seed = 1L)
+    val dir = tmpDir("ivf")
+    AnnIndex.writeIvf(corpus, dir, model, numFiles = 4)
+    val loaded = AnnIndex.load(spark, dir)
+    // Float.toString round-trips exactly: loaded centroids are identical.
+    assert(loaded.coarse.k == model.k)
+    for (c <- 0 until model.k)
+      assert(java.util.Arrays.equals(loaded.coarse.centroids(c), model.centroids(c)))
+    assert(loaded.pq.isEmpty)
+    val persisted = AnnIndex.searchIvf(spark, loaded, queries, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inline = Ivf.knn(queries, corpus, k = 3, model, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(persisted.toSeq == inline.toSeq)
+  }
+
+  test("IVF-PQ: codebooks round-trip; ADC search == inline ivfAdcKnn") {
+    val coarse = Ivf.fit(corpus, "vec", k = 4, seed = 1L)
+    val pq = Pq.fit(corpus, "vec", m = 4, k = 8, seed = 2L)
+    val dir = tmpDir("ivfpq")
+    AnnIndex.writeIvfPq(corpus, dir, coarse, pq, numFiles = 4)
+    val loaded = AnnIndex.load(spark, dir)
+    val lpq = loaded.pq.getOrElse(fail("pq codebooks missing after load"))
+    assert(lpq.m == pq.m && lpq.subDim == pq.subDim)
+    for (s <- 0 until pq.m; c <- 0 until pq.codebooks(s).length)
+      assert(java.util.Arrays.equals(lpq.codebooks(s)(c), pq.codebooks(s)(c)))
+    val persisted = AnnIndex.searchIvfPq(spark, loaded, queries, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inline = Pq.ivfAdcKnn(queries, corpus, k = 3, coarse, pq, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(persisted.toSeq == inline.toSeq)
+  }
+
+  test("probing prunes data files LIVE: a 1-cell probe reads a strict file subset") {
+    val model = Ivf.fit(corpus, "vec", k = 4, seed = 1L)
+    val dir = tmpDir("prune")
+    AnnIndex.writeIvf(corpus, dir, model, numFiles = 4)
+    val loaded = AnnIndex.load(spark, dir)
+    // One query, one probed cell: the clustered write + stats sidecar must
+    // let the search skip files covering the other cells.
+    val oneQ = queries.where(col("qid") === 0)
+    val probeCell = oneQ
+      .select(Ivf.cells(col("qvec"), loaded.coarse, 1).getItem(0)).head().getInt(0)
+    val (_, kept, all) = AnnIndex.prunedFiles(spark, dir, Seq(probeCell))
+    assert(all.size == 4, all)
+    assert(kept.nonEmpty && kept.size < all.size, s"kept=$kept all=$all")
+    // And the pruned read is what the search actually scans: the files it
+    // touches (input_file_name) are exactly the kept set.
+    val touched = graft.pipeline.Snapshot.readFiles(spark, dir, kept)
+      .where(col("cell") === probeCell)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(touched.forall(f => kept.exists(k => f.endsWith(k))), (touched, kept))
+    // Pruned search result == unpruned semantics (skipping is never a
+    // correctness gate): compare against inline knn with the same probe.
+    val viaIndex = AnnIndex.searchIvf(spark, loaded, oneQ, k = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inline = Ivf.knn(oneQ, corpus, k = 3, model, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaIndex.toSeq == inline.toSeq)
+  }
+
+  test("full-probe search over a persisted index is exact brute force") {
+    val model = Ivf.fit(corpus, "vec", k = 4, seed = 1L)
+    val dir = tmpDir("exact")
+    AnnIndex.writeIvf(corpus, dir, model, numFiles = 4)
+    val loaded = AnnIndex.load(spark, dir)
+    val viaIndex = AnnIndex.searchIvf(spark, loaded, queries, k = 3,
+        nProbe = model.k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.bruteForceKnn(queries, corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaIndex.toSeq == brute.toSeq)
+  }
+}
