@@ -1,0 +1,232 @@
+package graft.sql
+
+import graft.pipeline.{Medallion, Snapshot}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** SQL statement surface for the lakehouse verbs, so a SQL-first user can
+  * drive table maintenance without touching the Scala API:
+  *
+  * {{{
+  *   CALL graft_merge('/path/to/table', source_view, 'k1,k2'
+  *                    [, 'snapshot=true', 'deleteCol=deleted', ...])
+  *   CALL graft_clone('/src/table', '/dst/table')
+  *   CALL graft_compact('/path/to/table', 500000 [, 'snapshot=true'])
+  *   CALL graft_vacuum('/path/to/table' [, 3])
+  * }}}
+  *
+  * Implemented the standard way (Delta's, Iceberg's): an injected parser
+  * intercepts the tiny `CALL graft_*` grammar and DELEGATES every other
+  * statement — and every other ParserInterface entry point — to Spark's
+  * own parser, so the extension can never change the behavior of a query
+  * it doesn't own. Each verb becomes a `LeafRunnableCommand`, which
+  * `spark.sql` executes eagerly like any DDL and returns its report rows.
+  *
+  * Install at session build time
+  * (`.config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")`) or
+  * on a live application via [[GraftSqlExtensions.sessionWithSql]].
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // The scalar-function surface rides along: one extensions class
+    // installs the whole SQL face of the library.
+    graft.expressions.GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftSqlExtensions {
+  /** A sibling of `spark` (shared context, catalog, temp views) that
+    * understands the `CALL graft_*` statements — the live-application
+    * installation path, since an existing session's parser is immutable.
+    */
+  def sessionWithSql(spark: SparkSession): SparkSession =
+    org.apache.spark.sql.graft.Bridge.sessionWithExtensions(
+      spark, new GraftSqlExtensions()(_))
+}
+
+/** Delegating parser: `CALL graft_<verb>(...)` is ours, everything else —
+  * and every non-plan entry point — goes to `delegate` untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseCall(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** One parsed argument: a string literal, a bare integer, or a bare
+    * identifier (used for the merge source view name).
+    */
+  private[sql] sealed trait Arg
+  private[sql] final case class SArg(s: String) extends Arg
+  private[sql] final case class IArg(i: Long) extends Arg
+  private[sql] final case class IdArg(name: String) extends Arg
+
+  private val CallRe =
+    """(?is)\s*CALL\s+graft_([a-z_]+)\s*\((.*)\)\s*;?\s*""".r
+
+  /** Some(command) iff the statement is a well-formed `CALL graft_*`; a
+    * malformed graft CALL throws a ParseException with the grammar (it
+    * must NOT fall through to Spark, whose error would point at the wrong
+    * grammar); any other statement returns None.
+    */
+  def parseCall(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case CallRe(verb, argText) =>
+      val args = splitArgs(argText).map(parseArg(sqlText, _))
+      Some(GraftCallCommand(verb.toLowerCase(java.util.Locale.ROOT), args))
+    case _ => None
+  }
+
+  /** Split on top-level commas, respecting '…'-quoted literals with ''
+    * escapes. The grammar has no nesting, so a quote-aware scan suffices.
+    */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) {
+        cur.append(ch)
+        if (ch == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inQ = false
+        }
+      } else if (ch == '\'') { inQ = true; cur.append(ch) }
+      else if (ch == ',') { out += cur.toString; cur.clear() }
+      else cur.append(ch)
+      i += 1
+    }
+    val last = cur.toString
+    if (last.trim.nonEmpty || out.result().nonEmpty) out += last
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseArg(stmt: String, tok: String): Arg =
+    if (tok.startsWith("'") && tok.endsWith("'") && tok.length >= 2)
+      SArg(tok.substring(1, tok.length - 1).replace("''", "'"))
+    else if (tok.matches("[-+]?\\d+")) IArg(tok.toLong)
+    else if (tok.matches("[A-Za-z_][A-Za-z0-9_.]*")) IdArg(tok)
+    else throw new ParseException(
+      Option(stmt), org.apache.spark.sql.catalyst.trees.Origin(),
+      "PARSE_SYNTAX_ERROR",
+      Map("error" -> s"'$tok'", "hint" -> ": CALL graft_* arguments are string literals, integers, or view names"))
+}
+
+/** The executed verb. Eager (command) semantics: running `spark.sql(...)`
+  * performs the operation and yields one report row.
+  */
+case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"CALL graft_$verb: $msg")
+
+  private def str(i: Int): String = args.lift(i) match {
+    case Some(SArg(s)) => s
+    case other => bad(s"argument ${i + 1} must be a string literal, got $other")
+  }
+
+  private def long(i: Int, dflt: Long): Long = args.lift(i) match {
+    case Some(IArg(v)) => v
+    case None => dflt
+    case other => bad(s"argument ${i + 1} must be an integer, got $other")
+  }
+
+  /** Trailing 'key=value' string options (merge/compact flags). */
+  private def options(from: Int): Map[String, String] =
+    args.drop(from).map {
+      case SArg(s) => s.split("=", 2) match {
+        case Array(k, v) => k.trim -> v.trim
+        case _ => bad(s"option '$s' is not key=value")
+      }
+      case other => bad(s"options must be 'key=value' string literals, got $other")
+    }.toMap
+
+  private def bool(o: Map[String, String], k: String): Boolean =
+    o.get(k).exists(_.equalsIgnoreCase("true"))
+
+  override def run(spark: SparkSession): Seq[Row] = verb match {
+    case "merge" =>
+      val target = str(0)
+      val source = args.lift(1) match {
+        case Some(IdArg(name)) => spark.table(name)
+        case Some(SArg(name)) => spark.table(name)
+        case other => bad(s"argument 2 must be a source table/view, got $other")
+      }
+      val keys = str(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val o = options(3)
+      val known = Set("partitionBy", "deleteCol", "format", "evolveSchema",
+        "snapshot", "deferDeletes", "changeFeed")
+      o.keys.find(!known.contains(_)).foreach(k =>
+        bad(s"unknown option '$k' (known: ${known.toSeq.sorted.mkString(", ")})"))
+      Medallion.merge(spark, target, source, keys,
+        partitionBy = o.get("partitionBy").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+        deleteCol = o.get("deleteCol"),
+        format = o.getOrElse("format", "parquet"),
+        evolveSchema = bool(o, "evolveSchema"),
+        snapshot = bool(o, "snapshot"),
+        deferDeletes = bool(o, "deferDeletes"),
+        changeFeed = bool(o, "changeFeed"))
+      Seq(Row(s"merged into $target on (${keys.mkString(",")})"))
+
+    case "clone" =>
+      val (src, dst) = (str(0), str(1))
+      val v = Snapshot.cloneTable(spark, src, dst)
+      Seq(Row(s"cloned $src -> $dst at version $v"))
+
+    case "compact" =>
+      val target = str(0)
+      val rowsPerFile = long(1, -1L)
+      if (rowsPerFile <= 0) bad("argument 2 must be a positive rowsPerFile")
+      val o = options(2)
+      Medallion.compact(spark, target, rowsPerFile,
+        partitionBy = o.get("partitionBy").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+        format = o.getOrElse("format", "parquet"),
+        snapshot = bool(o, "snapshot"))
+      Seq(Row(s"compacted $target to <= $rowsPerFile rows/file"))
+
+    case "vacuum" =>
+      val target = str(0)
+      val keep = long(1, 2L)
+      val root = new Path(target)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deleted = Snapshot.vacuum(fs, fs.makeQualified(root), keep.toInt)
+      Seq(Row(s"vacuumed $target: ${deleted.size} files removed"))
+
+    case other =>
+      bad(s"unknown verb (known: merge, clone, compact, vacuum)")
+  }
+}

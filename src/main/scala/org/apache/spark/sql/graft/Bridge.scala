@@ -23,6 +23,29 @@ object Bridge {
     case other => String.valueOf(System.identityHashCode(other))
   }
 
+  /** A SIBLING session over the same SparkContext whose SessionState is
+    * built with the given extensions — the way to install a parser/rule/
+    * strategy extension on a LIVE application, where `Builder.getOrCreate`
+    * would return the existing session and ignore extensions. Public-API
+    * only: the default/active session registrations are cleared so the
+    * builder constructs fresh (reusing the live context), then restored.
+    * Used by `GraftSqlExtensions.sessionWithSql`.
+    */
+  def sessionWithExtensions(
+      spark: SparkSession,
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit
+  ): SparkSession = synchronized {
+    val oldDefault = SparkSession.getDefaultSession
+    val oldActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try SparkSession.builder().withExtensions(configure(_)).getOrCreate()
+    finally {
+      oldDefault.foreach(SparkSession.setDefaultSession)
+      oldActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   /** Register SQL functions on a live (classic) session. */
   def registerFunctions(
       spark: SparkSession,

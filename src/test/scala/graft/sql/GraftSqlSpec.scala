@@ -1,0 +1,68 @@
+package graft.sql
+
+import graft.SparkTestBase
+import graft.pipeline.{Medallion, Snapshot}
+import org.apache.hadoop.fs.Path
+import java.nio.file.Files
+
+/** The SQL face of the lakehouse verbs: `CALL graft_*` statements parsed by
+  * the injected parser and executed through a real `spark.sql` round-trip
+  * on a sibling session built with [[GraftSqlExtensions.sessionWithSql]].
+  */
+class GraftSqlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val sqlS = GraftSqlExtensions.sessionWithSql(spark)
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-sql-$tag").toString + "/tbl"
+
+  test("ordinary SQL still parses and runs through the delegating parser") {
+    assert(sqlS.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // the function surface rides along on the same extensions class
+    assert(sqlS.sql("SELECT size(graft_minhash(array(1L,2L), 16)) AS n")
+      .head().getInt(0) == 16)
+  }
+
+  test("CALL graft_merge upserts and deletes through pure SQL") {
+    val path = tmpDir("merge")
+    Medallion.writeTable(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), path, Nil)
+    val srcPath = tmpDir("merge-src")
+    Seq((2L, 21.0, false), (4L, 40.0, false), (3L, 0.0, true))
+      .toDF("id", "v", "is_deleted").write.parquet(srcPath)
+    sqlS.read.parquet(srcPath).createOrReplaceTempView("changes_v")
+    val report = sqlS.sql(
+      s"CALL graft_merge('$path', changes_v, 'id', 'deleteCol=is_deleted')")
+      .head().getString(0)
+    assert(report.contains("merged"), report)
+    val got = spark.read.parquet(path).select("id", "v")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 21.0), (4L, 40.0)))
+  }
+
+  test("CALL graft_clone + graft_vacuum + graft_compact round-trip") {
+    val path = tmpDir("lifecycle")
+    Medallion.writeTable(
+      (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v"), path, Nil)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.ensure(fs, fs.makeQualified(new Path(path)))
+    val clonePath = tmpDir("lifecycle-clone")
+    val cloneReport = sqlS.sql(s"CALL graft_clone('$path', '$clonePath')")
+      .head().getString(0)
+    assert(cloneReport.contains("version 1"), cloneReport)
+    assert(spark.read.parquet(clonePath).count() == 100)
+    sqlS.sql(s"CALL graft_compact('$path', 1000, 'snapshot=true')").collect()
+    val vacReport = sqlS.sql(s"CALL graft_vacuum('$path', 1)").head().getString(0)
+    assert(vacReport.contains("files removed"), vacReport)
+    assert(Snapshot.read(spark, path).count() == 100)
+  }
+
+  test("malformed graft CALL fails with OUR grammar error, not Spark's") {
+    val e = intercept[Exception](sqlS.sql("CALL graft_merge('/x', 1 + 1, 'id')"))
+    assert(e.getMessage.contains("CALL graft_*"), e.getMessage)
+    val e2 = intercept[Exception](
+      sqlS.sql("CALL graft_frobnicate('/x')").collect())
+    assert(e2.getMessage.contains("unknown verb"), e2.getMessage)
+  }
+}
