@@ -151,6 +151,42 @@ object SparkEntry {
       lit("0000000049454E4400000000")))           // IEND
   }
 
+  /** Synthetic PALETTED png (color type 3) built per documents row,
+    * exercising the REAL PLTE-lookup decode path (q107). Same stored-
+    * deflate trick as [[syntheticPng]]; the 16-entry palette is constant
+    * (entry i = (17i, 13i+7, 255-11i)) and pixel p's index is
+    * (doc_id + 3p) % 16, so the decoded RGB stats have closed forms the
+    * DuckDB oracle recomputes. Geometry: w = 4 + doc_id%4, h = 3.
+    */
+  private def syntheticPalettePng: org.apache.spark.sql.Column = {
+    val w = (lit(4) + col("doc_id") % 4).cast("int")
+    def beHex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def leHex16(c: org.apache.spark.sql.Column) = concat(
+      lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"))
+    val paletteHex = (0 until 16).map(i =>
+      f"${17 * i % 256}%02X${13 * i + 7}%02X${255 - 11 * i}%02X").mkString
+    val dLen = (lit(1) + w) * 3 // 3 scanlines of (filter byte + w indices)
+    def row(r: Int) = concat(lit("00"), array_join(
+      transform(sequence(lit(0), w - 1),
+        x => lpad(hex((col("doc_id") + (lit(r) * w + x) * 3) % 16), 2, "0")), ""))
+    unhex(concat(
+      lit("89504E470D0A1A0A"),                    // signature
+      lit("0000000D"), lit("49484452"),           // IHDR len + type
+      beHex32(w), lit("00000003"),                // width, height = 3
+      lit("0803000000"),                          // 8-bit, palette, no interlace
+      lit("00000000"),                            // IHDR crc (unverified)
+      lit("00000030"), lit("504C5445"),           // PLTE len 48 + type
+      lit(paletteHex), lit("00000000"),           // entries + crc
+      beHex32(dLen + 11), lit("49444154"),        // IDAT len + type
+      lit("7801"),                                // zlib CMF/FLG
+      lit("01"), leHex16(dLen), leHex16(lit(65535) - dLen), // stored block
+      row(0), row(1), row(2),
+      lit("00000000"),                            // adler32 (unverified)
+      lit("00000000"),                            // IDAT crc (unverified)
+      lit("0000000049454E4400000000")))           // IEND
+  }
+
   /** Synthetic GIF89a built per documents row, exercising the REAL LZW
     * decode path (q92). The trick that keeps construction pure SQL: with a
     * 128-color palette (min LZW code size 7) the code width is 8 bits and
@@ -1460,6 +1496,32 @@ object SparkEntry {
           col("px.c0_mean").as("px_mean"),
           col("px.c0_min").as("px_min"),
           col("px.c0_max").as("px_max"))
+        .orderBy("doc_id")),
+
+    // --- 107. REAL paletted-PNG decode (PLTE indirection), oracle-pinned --------------------------------
+    // Color-type-3 coverage: a palette PNG is CONSTRUCTED per row (see
+    // syntheticPalettePng) and decoded through the PLTE-resolving path of
+    // the codegen'd ImagePixelStatsExpr — indices unfilter like samples,
+    // then resolve to RGB before the stats reduce. The DuckDB oracle
+    // recomputes the per-channel closed forms; sub-byte depths and Adam7
+    // interlacing are pinned by the ImageIO cross-check spec.
+    "q107_png_palette" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.pixelStats(syntheticPalettePng).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("r_mean"),
+          col("px.c0_min").as("r_min"),
+          col("px.c0_max").as("r_max"),
+          col("px.c1_mean").as("g_mean"),
+          col("px.c1_min").as("g_min"),
+          col("px.c1_max").as("g_max"),
+          col("px.c2_mean").as("b_mean"),
+          col("px.c2_min").as("b_min"),
+          col("px.c2_max").as("b_max"))
         .orderBy("doc_id")),
 
     // --- 92. REAL GIF pixel decode (LZW + palette), oracle-pinned ---------------------------------------
@@ -2860,6 +2922,28 @@ object SparkEntry {
         |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
         |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Palette closed forms: idx = (doc_id + 3p) % 16 over p in [0, 3w);
+    // channel values are the palette formulas applied to idx. SUM/(3.0*w)
+    // (not AVG) mirrors the engine's sum-then-divide double exactly.
+    "q107_png_palette" ->
+      """SELECT doc_id, 'png' AS fmt, w AS width, CAST(3 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  SUM((17 * idx) % 256) / (3.0 * w) AS r_mean,
+        |  CAST(MIN((17 * idx) % 256) AS INT) AS r_min,
+        |  CAST(MAX((17 * idx) % 256) AS INT) AS r_max,
+        |  SUM(13 * idx + 7) / (3.0 * w) AS g_mean,
+        |  CAST(MIN(13 * idx + 7) AS INT) AS g_min,
+        |  CAST(MAX(13 * idx + 7) AS INT) AS g_max,
+        |  SUM(255 - 11 * idx) / (3.0 * w) AS b_mean,
+        |  CAST(MIN(255 - 11 * idx) AS INT) AS b_min,
+        |  CAST(MAX(255 - 11 * idx) AS INT) AS b_max
+        |FROM (SELECT doc_id, w, (doc_id + 3 * p) % 16 AS idx
+        |      FROM (SELECT doc_id, w, UNNEST(generate_series(0, CAST(3 * w AS BIGINT) - 1)) AS p
+        |            FROM (SELECT doc_id, CAST(4 + doc_id % 4 AS INT) AS w
+        |                  FROM documents)))
+        |GROUP BY doc_id, w
+        |ORDER BY doc_id""".stripMargin,
 
     // Full-probe search over the persisted index is exact brute-force
     // cosine top-k — the same relational statement as q36. A hash match

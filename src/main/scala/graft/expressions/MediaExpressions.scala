@@ -20,8 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    arithmetic), for GIF (table-driven LZW), and for baseline JPEG
   *    (canonical Huffman + 8x8 inverse DCT — plain arithmetic, no codec
   *    library involved).
-  * Only exotic shapes (progressive/12-bit JPEG, palette/16-bit/interlaced
-  * PNG, partial-frame GIF) stay behind the
+  * Only exotic shapes (progressive/12-bit JPEG, 16-bit or
+  * palette+tRNS PNG, partial-frame GIF) stay behind the
   * [[graft.functions.Multimodal.decode]] mapPartitions seam.
   */
 object MediaCodec {
@@ -612,9 +612,14 @@ object MediaCodec {
     * zlib stream ([[java.util.zip.Inflater]]), each scanline is a filter
     * byte + filtered samples, unfiltered against the previous row
     * (None/Sub/Up/Average/Paeth — byte arithmetic). Supported: 8-bit
-    * greyscale / grey+alpha / RGB / RGBA, non-interlaced — the overwhelming
-    * share of real corpora; palette, 16-bit, and Adam7 return null and take
-    * the decode seam.
+    * greyscale / grey+alpha / RGB / RGBA, PALETTED (color type 3 at depths
+    * 1/2/4/8, PLTE lookup to RGB), both non-interlaced and ADAM7: the
+    * seven interlace passes are decoded as independent sub-images — each
+    * pixel appears in exactly one pass, and stats don't care WHERE a pixel
+    * sits, so pass geometry is all that's needed (the same
+    * position-agnosticism the GIF decoder exploits). 16-bit and
+    * palette+tRNS (alpha indirection) return null and take the decode
+    * seam.
     *
     * Memory is O(2 scanlines) regardless of image size — the stats reduce
     * consumes each row as it inflates; no pixel matrix exists. A row-byte
@@ -633,35 +638,55 @@ object MediaCodec {
     val compression = b(26) & 0xFF; val filterMethod = b(27) & 0xFF
     val interlace = b(28) & 0xFF
     if (w <= 0 || h <= 0) return null // be32 < 0 covers > 2^31-1 fields
-    if (bitDepth != 8 || compression != 0 || filterMethod != 0 ||
-        interlace != 0) return null
-    val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case _ => return null // palette needs PLTE indirection: decode seam
+    if (compression != 0 || filterMethod != 0) return null
+    if (interlace != 0 && interlace != 1) return null
+    val isPal = colorType == 3
+    if (isPal) {
+      if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8)
+        return null
+    } else if (bitDepth != 8) return null
+    val rawChannels = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return null
     }
-    val rowBytesL = w.toLong * channels
+    // Palette pixels RESOLVE to RGB: stats are over the looked-up colors.
+    val outChannels = if (isPal) 3 else rawChannels
+    val bitsPerPixel = bitDepth * rawChannels
+    val bpp = math.max(1, bitsPerPixel / 8) // filter-predictor byte distance
+    val rowBytesL = (w.toLong * bitsPerPixel + 7) / 8
     if (rowBytesL > (1 << 26)) return null // allocation cap, crafted headers
-    val rowBytes = rowBytesL.toInt
 
-    // Walk the chunk list collecting IDAT (offset, len) ranges. All bounds
-    // math in LONG: len fields are attacker-controlled be32.
+    // Walk the chunk list collecting IDAT (offset, len) ranges plus the
+    // PLTE location and tRNS presence. All bounds math in LONG: len fields
+    // are attacker-controlled be32.
     var idat = List.empty[(Int, Int)]
+    var plteOff = -1; var plteLen = 0; var sawTrns = false
     var pos = 8L
     var done = false
     while (!done && pos + 8 <= b.length) {
       val len = be32(b, pos.toInt).toLong & 0xFFFFFFFFL
       val end = pos + 8 + len + 4 // data + crc
       if (end > b.length) return null // truncated chunk
-      val isIdat = b(pos.toInt + 4) == 'I' && b(pos.toInt + 5) == 'D' &&
-        b(pos.toInt + 6) == 'A' && b(pos.toInt + 7) == 'T'
-      val isIend = b(pos.toInt + 4) == 'I' && b(pos.toInt + 5) == 'E' &&
-        b(pos.toInt + 6) == 'N' && b(pos.toInt + 7) == 'D'
-      if (isIdat && len > 0) idat ::= ((pos.toInt + 8, len.toInt))
+      val p = pos.toInt
+      val isIdat = b(p + 4) == 'I' && b(p + 5) == 'D' && b(p + 6) == 'A' &&
+        b(p + 7) == 'T'
+      val isIend = b(p + 4) == 'I' && b(p + 5) == 'E' && b(p + 6) == 'N' &&
+        b(p + 7) == 'D'
+      if (b(p + 4) == 'P' && b(p + 5) == 'L' && b(p + 6) == 'T' &&
+          b(p + 7) == 'E') { plteOff = p + 8; plteLen = len.toInt }
+      if (b(p + 4) == 't' && b(p + 5) == 'R' && b(p + 6) == 'N' &&
+          b(p + 7) == 'S') sawTrns = true
+      if (isIdat && len > 0) idat ::= ((p + 8, len.toInt))
       if (isIend) done = true
       pos = end
     }
     val ranges = idat.reverse.toArray
     if (ranges.isEmpty) return null
+    if (isPal) {
+      if (plteOff < 0 || plteLen < 3 || plteLen % 3 != 0) return null
+      if (sawTrns) return null // per-entry alpha: decode seam
+    }
+    val palN = plteLen / 3
 
     // The concatenated IDAT payload is one zlib stream: 2-byte header
     // (CM must be 8 = deflate; a preset dictionary cannot be honored),
@@ -688,68 +713,117 @@ object MediaCodec {
         }
         false
       }
-      val cur = new Array[Byte](rowBytes + 1) // filter byte + samples
-      val prev = new Array[Byte](rowBytes)    // zero-initialized: PNG's row -1
-      val sum = new Array[Long](channels)
-      val min = Array.fill(channels)(255)
-      val max = Array.fill(channels)(0)
-      var row = 0
-      while (row < h) {
-        var got = 0
-        while (got < cur.length) {
-          val n = inf.inflate(cur, got, cur.length - got)
-          if (n == 0) {
-            if (inf.finished() || inf.needsDictionary()) return null
-            if (inf.needsInput() && !feed()) return null // truncated stream
-          } else got += n
+      // Interlace-agnostic decode: each pass is an independent sub-image
+      // (its own scanline widths, its own previous-row state); every image
+      // pixel lands in exactly one pass, so accumulating stats per pass
+      // covers the image exactly once. Non-interlaced = the single
+      // full-geometry pass.
+      val passes: Array[(Int, Int)] =
+        if (interlace == 0) Array((w, h))
+        else {
+          // Adam7 (x0, dx, y0, dy) per pass, PNG spec order.
+          val g = Array((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8),
+            (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+          g.map { case (x0, dx, y0, dy) =>
+            (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+             if (h > y0) (h - y0 + dy - 1) / dy else 0)
+          }
         }
-        val filter = cur(0) & 0xFF
-        var i = 0
-        filter match {
-          case 0 => // None
-          case 1 => // Sub: add left neighbor (bpp = channels at 8-bit)
-            i = channels
-            while (i < rowBytes) {
-              cur(1 + i) = (cur(1 + i) + cur(1 + i - channels)).toByte; i += 1
+      val sum = new Array[Long](outChannels)
+      val min = Array.fill(outChannels)(255)
+      val max = Array.fill(outChannels)(0)
+      val palMask = (1 << bitDepth) - 1
+      var pi = 0
+      while (pi < passes.length) {
+        val (sw, sh) = passes(pi)
+        if (sw > 0 && sh > 0) {
+          val rowBytes = ((sw.toLong * bitsPerPixel + 7) / 8).toInt
+          val cur = new Array[Byte](rowBytes + 1) // filter byte + samples
+          val prev = new Array[Byte](rowBytes) // zero-init: PNG's row -1
+          var row = 0
+          while (row < sh) {
+            var got = 0
+            while (got < cur.length) {
+              val n = inf.inflate(cur, got, cur.length - got)
+              if (n == 0) {
+                if (inf.finished() || inf.needsDictionary()) return null
+                if (inf.needsInput() && !feed()) return null // truncated
+              } else got += n
             }
-          case 2 => // Up: add previous row
-            while (i < rowBytes) {
-              cur(1 + i) = (cur(1 + i) + prev(i)).toByte; i += 1
+            val filter = cur(0) & 0xFF
+            var i = 0
+            filter match {
+              case 0 => // None
+              case 1 => // Sub: add the neighbor bpp bytes left
+                i = bpp
+                while (i < rowBytes) {
+                  cur(1 + i) = (cur(1 + i) + cur(1 + i - bpp)).toByte; i += 1
+                }
+              case 2 => // Up: add previous row
+                while (i < rowBytes) {
+                  cur(1 + i) = (cur(1 + i) + prev(i)).toByte; i += 1
+                }
+              case 3 => // Average of left and up (floor)
+                while (i < rowBytes) {
+                  val a = if (i >= bpp) cur(1 + i - bpp) & 0xFF else 0
+                  cur(1 + i) = (cur(1 + i) + ((a + (prev(i) & 0xFF)) >> 1)).toByte
+                  i += 1
+                }
+              case 4 => // Paeth predictor
+                while (i < rowBytes) {
+                  val a = if (i >= bpp) cur(1 + i - bpp) & 0xFF else 0
+                  val up = prev(i) & 0xFF
+                  val c = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+                  val p = a + up - c
+                  val pa = math.abs(p - a); val pb = math.abs(p - up)
+                  val pc = math.abs(p - c)
+                  val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+                  cur(1 + i) = (cur(1 + i) + pred).toByte
+                  i += 1
+                }
+              case _ => return null // corrupt filter byte
             }
-          case 3 => // Average of left and up (floor)
-            while (i < rowBytes) {
-              val a = if (i >= channels) cur(1 + i - channels) & 0xFF else 0
-              cur(1 + i) = (cur(1 + i) + ((a + (prev(i) & 0xFF)) >> 1)).toByte
-              i += 1
+            if (isPal) {
+              // Resolve each index through PLTE; sub-byte depths pack
+              // MSB-first with trailing pad bits ignored.
+              var px = 0
+              while (px < sw) {
+                val idx =
+                  if (bitDepth == 8) cur(1 + px) & 0xFF
+                  else {
+                    val bit = px * bitDepth
+                    (cur(1 + (bit >> 3)) >> (8 - bitDepth - (bit & 7))) & palMask
+                  }
+                if (idx >= palN) return null // index outside the palette
+                var c = 0
+                while (c < 3) {
+                  val v = b(plteOff + 3 * idx + c) & 0xFF
+                  sum(c) += v
+                  if (v < min(c)) min(c) = v
+                  if (v > max(c)) max(c) = v
+                  c += 1
+                }
+                px += 1
+              }
+            } else {
+              i = 0
+              while (i < rowBytes) {
+                val v = cur(1 + i) & 0xFF
+                val ch = i % outChannels
+                sum(ch) += v
+                if (v < min(ch)) min(ch) = v
+                if (v > max(ch)) max(ch) = v
+                i += 1
+              }
             }
-          case 4 => // Paeth predictor
-            while (i < rowBytes) {
-              val a = if (i >= channels) cur(1 + i - channels) & 0xFF else 0
-              val up = prev(i) & 0xFF
-              val c = if (i >= channels) prev(i - channels) & 0xFF else 0
-              val p = a + up - c
-              val pa = math.abs(p - a); val pb = math.abs(p - up)
-              val pc = math.abs(p - c)
-              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-              cur(1 + i) = (cur(1 + i) + pred).toByte
-              i += 1
-            }
-          case _ => return null // corrupt filter byte
+            System.arraycopy(cur, 1, prev, 0, rowBytes)
+            row += 1
+          }
         }
-        i = 0
-        while (i < rowBytes) {
-          val v = cur(1 + i) & 0xFF
-          val ch = i % channels
-          sum(ch) += v
-          if (v < min(ch)) min(ch) = v
-          if (v > max(ch)) max(ch) = v
-          i += 1
-        }
-        System.arraycopy(cur, 1, prev, 0, rowBytes)
-        row += 1
+        pi += 1
       }
       val nPix = w.toLong * h.toLong
-      new PixelStats("png", w, h, channels, sum.map(_.toDouble / nPix), min, max)
+      new PixelStats("png", w, h, outChannels, sum.map(_.toDouble / nPix), min, max)
     } catch {
       case _: java.util.zip.DataFormatException => null // corrupt bitstream
     } finally inf.end()

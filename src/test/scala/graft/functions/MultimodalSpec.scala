@@ -385,12 +385,14 @@ class MultimodalSpec extends SparkTestBase {
     import graft.expressions.MediaCodec
     val ok = png(3, 2, 1, Seq((0, Array(1, 2, 3)), (0, Array(4, 5, 6))))
     assert(MediaCodec.decodePixels(ok) != null)
-    // Palette color type (3): needs PLTE, stays behind the seam.
+    // Palette color type (3) WITHOUT a PLTE chunk: corrupt, null.
     val pal = ok.clone(); pal(25) = 3
     assert(MediaCodec.decodePixels(pal) == null)
-    // 16-bit depth, interlaced: unsupported.
+    // 16-bit depth: unsupported (decode seam).
     val b16 = ok.clone(); b16(24) = 16
     assert(MediaCodec.decodePixels(b16) == null)
+    // Marked Adam7 but carrying only the non-interlaced payload: the pass
+    // geometry demands more scanline bytes than the stream holds -> null.
     val adam7 = ok.clone(); adam7(28) = 1
     assert(MediaCodec.decodePixels(adam7) == null)
     // Truncation: every prefix cutting INTO the IDAT chunk is null (the
@@ -416,6 +418,169 @@ class MultimodalSpec extends SparkTestBase {
     // Filter byte out of range.
     val badFilter = png(3, 1, 1, Seq((9, Array(1, 2, 3))))
     assert(MediaCodec.decodePixels(badFilter) == null)
+  }
+
+  /** Fully-checksummed PNG builder (CRC32 + adler32, stored-deflate IDAT)
+    * so ImageIO — which VALIDATES checksums — can read it back as the
+    * cross-check decoder. `raw` is the complete filtered scanline stream
+    * (pass order for Adam7); `plte` adds a palette chunk.
+    */
+  private def checkedPng(w: Int, h: Int, colorType: Int, bitDepth: Int,
+      interlace: Int, raw: Array[Byte],
+      plte: Seq[(Int, Int, Int)] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def be32(o: java.io.ByteArrayOutputStream, v: Int) = {
+      o.write(v >>> 24); o.write((v >> 16) & 0xFF)
+      o.write((v >> 8) & 0xFF); o.write(v & 0xFF)
+    }
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      be32(out, body.length)
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      be32(out, crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(bitDepth); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
+    ihdr.write(interlace)
+    chunk("IHDR", ihdr.toByteArray)
+    if (plte.nonEmpty)
+      chunk("PLTE", plte.flatMap(t => Seq(t._1, t._2, t._3)).map(_.toByte).toArray)
+    val idat = new java.io.ByteArrayOutputStream()
+    idat.write(0x78); idat.write(0x01)
+    idat.write(0x01) // BFINAL, stored
+    idat.write(raw.length & 0xFF); idat.write((raw.length >> 8) & 0xFF)
+    idat.write(~raw.length & 0xFF); idat.write((~raw.length >> 8) & 0xFF)
+    idat.write(raw)
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    be32(idat, adler.getValue.toInt)
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode via ImageIO and reduce to per-channel (sum, min, max) over the
+    * first `channels` color components — the independent reference.
+    */
+  private def imageIoStats(bytes: Array[Byte], channels: Int): (Array[Long], Array[Int], Array[Int]) = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(bi != null, "ImageIO rejected the constructed PNG")
+    val sum = new Array[Long](channels)
+    val min = Array.fill(channels)(255); val max = Array.fill(channels)(0)
+    for (y <- 0 until bi.getHeight; x <- 0 until bi.getWidth) {
+      // Gray: raw raster sample (getRGB would gamma-convert gray->sRGB);
+      // palette/RGB: getRGB resolves the IndexColorModel to sRGB directly.
+      val comps =
+        if (channels == 1) Array(bi.getRaster.getSample(x, y, 0))
+        else {
+          val rgb = bi.getRGB(x, y)
+          Array((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        }
+      for (c <- 0 until channels) {
+        val v = comps(c)
+        sum(c) += v; min(c) = math.min(min(c), v); max(c) = math.max(max(c), v)
+      }
+    }
+    (sum, min, max)
+  }
+
+  test("decodePng: paletted (color type 3) resolves PLTE, depths 8 and 4; ImageIO agrees") {
+    import graft.expressions.MediaCodec
+    val palette = (0 until 16).map(i => ((i * 17) % 256, (i * 13 + 7) % 256, 255 - i * 11))
+    // depth 8: 5x3, indices (filter 0 per row)
+    val idx8 = Array(0, 3, 7, 12, 15, 1, 1, 2, 8, 9, 15, 14, 4, 5, 6)
+    val raw8 = (0 until 3).flatMap(r =>
+      0.toByte +: idx8.slice(r * 5, r * 5 + 5).map(_.toByte)).toArray
+    val img8 = checkedPng(5, 3, 3, 8, 0, raw8, palette)
+    val s8 = MediaCodec.decodePixels(img8)
+    assert(s8 != null && s8.channels == 3 && s8.width == 5 && s8.height == 3, s8)
+    val (eSum, eMin, eMax) = imageIoStats(img8, 3)
+    for (c <- 0 until 3) {
+      assert(s8.min(c) == eMin(c) && s8.max(c) == eMax(c), s"ch $c")
+      assert(math.abs(s8.mean(c) - eSum(c).toDouble / 15) < 1e-9, s"ch $c")
+    }
+    // depth 4: 5x2 — two pixels per byte, MSB first, pad bits in last byte
+    val idx4 = Array(0, 15, 3, 9, 11, 2, 5, 8, 13, 1)
+    def pack4(row: Array[Int]): Array[Byte] =
+      0.toByte +: row.grouped(2).map { g =>
+        ((g(0) << 4) | (if (g.length > 1) g(1) else 0)).toByte
+      }.toArray
+    val raw4 = pack4(idx4.slice(0, 5)) ++ pack4(idx4.slice(5, 10))
+    val img4 = checkedPng(5, 2, 3, 4, 0, raw4, palette)
+    val s4 = MediaCodec.decodePixels(img4)
+    assert(s4 != null && s4.channels == 3, s4)
+    val (e4Sum, e4Min, e4Max) = imageIoStats(img4, 3)
+    for (c <- 0 until 3) {
+      assert(s4.min(c) == e4Min(c) && s4.max(c) == e4Max(c), s"d4 ch $c")
+      assert(math.abs(s4.mean(c) - e4Sum(c).toDouble / 10) < 1e-9, s"d4 ch $c")
+    }
+    // Out-of-range index (palette has 16 entries, index 200): corrupt, null.
+    val rawBad = raw8.clone(); rawBad(1) = 200.toByte
+    assert(MediaCodec.decodePixels(checkedPng(5, 3, 3, 8, 0, rawBad, palette)) == null)
+    // tRNS (per-entry alpha): declared seam, null. Insert before IDAT.
+    val withTrns = {
+      val base = checkedPng(5, 3, 3, 8, 0, raw8, palette)
+      val idatAt = {
+        var i = 8; var found = -1
+        while (found < 0 && i + 8 <= base.length) {
+          if (base(i + 4) == 'I' && base(i + 5) == 'D' && base(i + 6) == 'A' &&
+            base(i + 7) == 'T') found = i
+          else i += 12 + ((base(i) & 0xFF) << 24 | (base(i + 1) & 0xFF) << 16 |
+            (base(i + 2) & 0xFF) << 8 | (base(i + 3) & 0xFF))
+        }
+        found
+      }
+      val trns = Array[Byte](0, 0, 0, 1, 't'.toByte, 'R'.toByte, 'N'.toByte,
+        'S'.toByte, 128.toByte, 0, 0, 0, 0)
+      base.take(idatAt) ++ trns ++ base.drop(idatAt)
+    }
+    assert(MediaCodec.decodePixels(withTrns) == null)
+  }
+
+  test("decodePng: Adam7 interlaced gray and palette agree with ImageIO") {
+    import graft.expressions.MediaCodec
+    // 8x8 gray: Adam7 pass sub-images are 1x1,1x1,2x1,2x2,4x2,4x4,8x4.
+    // Scanline stream in pass order, filter 0, random values — ImageIO's
+    // deinterlacing reader is the independent reference; stats are
+    // position-agnostic so the two decoders must agree exactly.
+    val rng = new java.util.Random(41)
+    val passDims = Seq((1, 1), (1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4))
+    val raw = new java.io.ByteArrayOutputStream()
+    for (((pw, ph), p) <- passDims.zipWithIndex; _ <- 0 until ph) {
+      raw.write(0) // filter None
+      (0 until pw).foreach(_ => raw.write(rng.nextInt(256)))
+    }
+    val img = checkedPng(8, 8, 0, 8, 1, raw.toByteArray)
+    val s = MediaCodec.decodePixels(img)
+    assert(s != null && s.width == 8 && s.height == 8 && s.channels == 1, s)
+    val (eSum, eMin, eMax) = imageIoStats(img, 1)
+    assert(s.min(0) == eMin(0) && s.max(0) == eMax(0))
+    assert(math.abs(s.mean(0) - eSum(0).toDouble / 64) < 1e-9)
+    // Adam7 + palette combined, non-multiple-of-8 geometry (5x3) — empty
+    // passes must be skipped. Pass dims computed from the spec grid;
+    // ImageIO is again the reference.
+    val palette = (0 until 16).map(i => ((i * 7) % 256, (i * 29 + 3) % 256, (i * 53) % 256))
+    val dims5x3 = Seq((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+      (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)).map { case (x0, dx, y0, dy) =>
+      (if (5 > x0) (5 - x0 + dx - 1) / dx else 0,
+       if (3 > y0) (3 - y0 + dy - 1) / dy else 0)
+    }
+    val rawP = new java.io.ByteArrayOutputStream()
+    for ((pw, ph) <- dims5x3; if pw > 0 && ph > 0; _ <- 0 until ph) {
+      rawP.write(0)
+      (0 until pw).foreach(_ => rawP.write(rng.nextInt(16)))
+    }
+    val imgP = checkedPng(5, 3, 3, 8, 1, rawP.toByteArray, palette)
+    val sP = MediaCodec.decodePixels(imgP)
+    assert(sP != null && sP.channels == 3, sP)
+    val (pSum, pMin, pMax) = imageIoStats(imgP, 3)
+    for (c <- 0 until 3) {
+      assert(sP.min(c) == pMin(c) && sP.max(c) == pMax(c), s"pal ch $c")
+      assert(math.abs(sP.mean(c) - pSum(c).toDouble / 15) < 1e-9, s"pal ch $c")
+    }
   }
 
   // ------------------------------------------------------- GIF pixel decode
