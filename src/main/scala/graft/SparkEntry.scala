@@ -275,6 +275,46 @@ object SparkEntry {
       (lit(1) + col("doc_id") % 2).cast("int"),
       i => (col("doc_id") * 7 + i * 11) % 16))
 
+  /** Hex of one DC-only PROGRESSIVE (SOF2) grayscale JPEG — the
+    * [[dcJpegHex]] construction split into two Annex-G scans: a DC scan
+    * (Ss=Se=0, Ah=Al=0) carrying the same byte-aligned absolute-DC bytes,
+    * then an AC scan (Ss=1, Se=63) whose every block is one 8-zero-bit EOB
+    * byte from the chosen AC table. The decoder runs its real multi-scan
+    * machinery (coefficient accumulation, per-scan restart handling, final
+    * dequantize+IDCT); refinement/EOB-run streams are pinned by the
+    * ImageIO progressive cross-check spec. Block i still decodes flat to
+    * dc(i)+128.
+    */
+  private def dcProgJpegHex(wB: org.apache.spark.sql.Column, hB: org.apache.spark.sql.Column,
+      dc: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val nb = wB * hB
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def perBlock(body: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      array_join(transform(sequence(lit(0), nb - 1), i => concat(
+        body(i),
+        when(i < nb - 1, concat(lit("FFD"), hex(i % 8))).otherwise(lit("")))), "")
+    concat(
+      lit("FFD8"),                                    // SOI
+      lit("FFDB0043" + "00" + "08" * 64),             // DQT: all-8s, table 0
+      lit("FFDD00040001"),                            // DRI: interval 1
+      lit("FFC2000B08"), beHex16(hB * 8), beHex16(wB * 8), // SOF2, 8-bit gray
+      lit("01011100"),                                // 1 comp, 1x1, qtbl 0
+      lit("FFC40014" + "00" + "000001" + "00" * 13 + "05"), // DC: cat5 <- 000
+      lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"), // AC: EOB
+      lit("FFDA00080101" + "00" + "000000"),          // DC scan Ss=0 Se=0
+      perBlock(i => lpad(hex(lit(16) + dc(i)), 2, "0")),
+      lit("FFDA00080101" + "00" + "013F00"),          // AC scan Ss=1 Se=63
+      perBlock(_ => lit("00")),                       // EOB per block
+      lit("FFD9"))
+  }
+
+  private def syntheticProgJpeg: org.apache.spark.sql.Column =
+    unhex(dcProgJpegHex(
+      (lit(1) + col("doc_id") % 3).cast("int"),
+      (lit(1) + col("doc_id") % 2).cast("int"),
+      i => (col("doc_id") * 5 + i * 13) % 16))
+
   /** Synthetic AVI (RIFF) built per documents row, exercising the REAL
     * video container walk (q99): a `movi` LIST of `00dc` frame chunks,
     * each a DC-only grayscale JPEG from [[dcJpegHex]] — so every size
@@ -1572,6 +1612,27 @@ object SparkEntry {
           col("px.c0_max").as("px_max"))
         .orderBy("doc_id")),
 
+    // --- 108. PROGRESSIVE JPEG decode (multi-scan SOF2), oracle-pinned ----------------------------------
+    // The progressive milestone: the q93 construction re-expressed as two
+    // Annex-G scans (DC, then AC-band EOBs — see dcProgJpegHex) and decoded
+    // through the real multi-scan path: coefficient accumulation across
+    // scans, per-scan restart handling, then dequantize+IDCT at EOI. The
+    // DuckDB oracle recomputes each block's closed-form flat value DC+128;
+    // refinement bits and EOB runs are pinned by the ImageIO progressive
+    // cross-check spec.
+    "q108_jpeg_progressive" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.pixelStats(syntheticProgJpeg).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("px_mean"),
+          col("px.c0_min").as("px_min"),
+          col("px.c0_max").as("px_max"))
+        .orderBy("doc_id")),
+
     // --- 94. BM25 relevance scoring over the corpus, cross-engine exact ---------------------------------
     // Retrieval-style term scoring — the ranking primitive behind corpus
     // search and data-curation ("find documents about X") pipelines. The
@@ -2798,6 +2859,21 @@ object SparkEntry {
         |  AVG(144 + (doc_id*7 + i*11) % 16) AS px_mean,
         |  CAST(MIN(144 + (doc_id*7 + i*11) % 16) AS INT) AS px_min,
         |  CAST(MAX(144 + (doc_id*7 + i*11) % 16) AS INT) AS px_max
+        |FROM (SELECT doc_id,
+        |        UNNEST(generate_series(0,
+        |          (1 + doc_id % 3) * (1 + doc_id % 2) - 1)) AS i
+        |      FROM documents)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Progressive twin of q93: same closed forms, the dc formula differs.
+    "q108_jpeg_progressive" ->
+      """SELECT doc_id, 'jpeg' AS fmt, CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |  CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  AVG(144 + (doc_id*5 + i*13) % 16) AS px_mean,
+        |  CAST(MIN(144 + (doc_id*5 + i*13) % 16) AS INT) AS px_min,
+        |  CAST(MAX(144 + (doc_id*5 + i*13) % 16) AS INT) AS px_max
         |FROM (SELECT doc_id,
         |        UNNEST(generate_series(0,
         |          (1 + doc_id % 3) * (1 + doc_id % 2) - 1)) AS i

@@ -233,8 +233,11 @@ object MediaCodec {
           // unit is one block and sampling factors do not apply.
           if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
           pos += len
-        case m if m >= 0xC2 && m <= 0xCF => // 0xC4 (DHT) matched above
-          return null // progressive/arithmetic/lossless: decode seam
+        case 0xC2 => // progressive: its own multi-scan decoder
+          if (nComp != 0) throw corruptMedia // second frame header
+          return decodeJpegProg0(b)
+        case m if m >= 0xC3 && m <= 0xCF => // 0xC4 (DHT) matched above
+          return null // arithmetic/lossless/hierarchical: decode seam
         case 0xDD => // DRI
           if (u16(pos) != 4) throw corruptMedia
           restartInterval = u16(pos + 2)
@@ -442,6 +445,484 @@ object MediaCodec {
         mx += 1
       }
       my += 1
+    }
+    val nPix = w.toLong * h.toLong
+    new PixelStats("jpeg", w, h, outCh, sum.map(_.toDouble / nPix), min, max)
+  }
+
+  /** PROGRESSIVE JPEG (SOF2) decode + stats, pure JVM — T.81 Annex G
+    * spectral selection and successive approximation. Unlike every other
+    * decoder in this file, progressive CANNOT stream in O(1): later scans
+    * revisit earlier blocks, so the full coefficient image must persist
+    * until EOI. Memory is therefore O(image coefficients), guarded by a
+    * hard cap (16M coefficients, 64 MiB of ints) checked at the frame
+    * header BEFORE any allocation — crafted geometry takes the seam, it
+    * does not take the heap. Scan kinds: interleaved or single-component
+    * DC first/refine, single-component AC first/refine with EOB-run
+    * accumulation across blocks; restart markers reset prediction, the
+    * EOB run, and bit alignment. Reconstruction (dequantize + the shared
+    * 8x8 IDCT per block, then the same nearest-sample chroma upsampling
+    * as the baseline path) runs once at EOI. Arithmetic coding, 12-bit
+    * precision, and >3 components stay behind the decode seam.
+    */
+  private def decodeJpegProg0(b: Array[Byte]): PixelStats = {
+    def u8(i: Int): Int = {
+      if (i >= b.length) throw corruptMedia
+      b(i) & 0xFF
+    }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+
+    val qt = Array.ofDim[Int](4, 64)
+    val qtSeen = new Array[Boolean](4)
+    val dcTbl = new Array[JpegHuff](4)
+    val acTbl = new Array[JpegHuff](4)
+    var restartInterval = 0
+    var w = 0; var h = 0; var nComp = 0
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compQ: Array[Int] = null
+    var hMax = 1; var vMax = 1; var mcusX = 0; var mcusY = 0
+    // Per component: the coefficient image (padded MCU grid, natural-order
+    // 64 ints per block), its padded stride in blocks, and the REAL block
+    // dims (non-interleaved scans iterate only real blocks).
+    var coefs: Array[Array[Int]] = null
+    var gridW: Array[Int] = null; var gridH: Array[Int] = null
+    var realBW: Array[Int] = null; var realBH: Array[Int] = null
+
+    var pos = 2
+    var eoi = false
+    var sawScan = false
+
+    // --- one entropy-coded scan (header at `pos`) -------------------------
+    def decodeScan(): Unit = {
+      val sosLen = u16(pos)
+      val ns = u8(pos + 2)
+      if (ns < 1 || ns > nComp || sosLen != 6 + 2 * ns) throw corruptMedia
+      val sComp = new Array[Int](ns)
+      val sDc = new Array[JpegHuff](ns)
+      val sAc = new Array[JpegHuff](ns)
+      var si = 0
+      while (si < ns) {
+        val cs = u8(pos + 3 + 2 * si)
+        val tdTa = u8(pos + 4 + 2 * si)
+        if ((tdTa >> 4) > 3 || (tdTa & 15) > 3) throw corruptMedia
+        val c = compId.indexOf(cs)
+        if (c < 0) throw corruptMedia
+        var j = 0
+        while (j < si) { if (sComp(j) == c) throw corruptMedia; j += 1 }
+        sComp(si) = c
+        sDc(si) = dcTbl(tdTa >> 4)
+        sAc(si) = acTbl(tdTa & 15)
+        if (!qtSeen(compQ(c))) throw corruptMedia
+        si += 1
+      }
+      val ss = u8(pos + 3 + 2 * ns)
+      val se = u8(pos + 4 + 2 * ns)
+      val ahAl = u8(pos + 5 + 2 * ns)
+      val ah = ahAl >> 4; val al = ahAl & 15
+      pos += sosLen
+      val isDc = ss == 0
+      if (isDc) { if (se != 0) throw corruptMedia } // DC band is exactly {0}
+      else if (ns != 1 || se < ss || se > 63) throw corruptMedia
+      if (al > 13 || (ah != 0 && ah != al + 1)) throw corruptMedia
+      if (isDc && ah == 0) {
+        si = 0
+        while (si < ns) { if (sDc(si) == null) throw corruptMedia; si += 1 }
+      }
+      if (!isDc && sAc(0) == null) throw corruptMedia
+
+      var bitBuf = 0; var bitCnt = 0
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          val byte = u8(pos); pos += 1
+          if (byte == 0xFF) {
+            if (u8(pos) != 0x00) throw corruptMedia // marker mid-entropy
+            pos += 1
+          }
+          bitBuf = byte; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+        v
+      }
+      def extend(v: Int, n: Int): Int =
+        if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+      def huffDecode(t: JpegHuff): Int = {
+        var code = nextBit(); var l = 1
+        while (code > t.maxcode(l)) {
+          l += 1
+          if (l > 16) throw corruptMedia
+          code = (code << 1) | nextBit()
+        }
+        val idx = t.valptr(l) + code - t.mincode(l)
+        if (idx < 0 || idx >= t.vals.length) throw corruptMedia
+        t.vals(idx) & 0xFF
+      }
+
+      val pred = new Array[Int](nComp)
+      var eobrun = 0
+      var rst = 0
+      def restart(): Unit = {
+        bitCnt = 0
+        if (u8(pos) != 0xFF || u8(pos + 1) != 0xD0 + rst) throw corruptMedia
+        pos += 2
+        rst = (rst + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+
+      def dcBlock(si: Int, base: Int): Unit = {
+        val c = sComp(si)
+        val plane = coefs(c)
+        if (ah == 0) {
+          val s = huffDecode(sDc(si))
+          if (s > 15) throw corruptMedia
+          pred(c) += extend(receive(s), s)
+          plane(base) = pred(c) << al
+        } else if (nextBit() == 1) plane(base) |= 1 << al
+      }
+
+      def acFirstBlock(plane: Array[Int], base: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = huffDecode(sAc(0))
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+              k = 64 // EOBn consumes this block
+            }
+          } else {
+            k += r
+            if (k > se) throw corruptMedia
+            plane(base + jpegZigzag(k)) = extend(receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      def acRefineBlock(plane: Array[Int], base: Int): Unit = {
+        val p1 = 1 << al
+        def refineAt(idx: Int): Unit =
+          if (nextBit() == 1 && (plane(idx) & p1) == 0)
+            plane(idx) += (if (plane(idx) >= 0) p1 else -p1)
+        var k = ss
+        if (eobrun > 0) {
+          // Whole band is an EOB run: correction bits for nonzero history.
+          while (k <= se) {
+            val idx = base + jpegZigzag(k)
+            if (plane(idx) != 0) refineAt(idx)
+            k += 1
+          }
+          eobrun -= 1
+          return
+        }
+        var inEob = false
+        while (!inEob && k <= se) {
+          val rs = huffDecode(sAc(0))
+          var r = rs >> 4; val s = rs & 15
+          var newnz = 0
+          if (s == 0) {
+            if (r != 15) { // EOBn: current block's tail refines below
+              eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+              inEob = true
+            } // r == 15: ZRL, skip 16 zero-history positions
+          } else {
+            if (s != 1) throw corruptMedia // refinement codes only +-1
+            newnz = if (nextBit() == 1) p1 else -p1
+          }
+          if (!inEob) {
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = base + jpegZigzag(k)
+              if (plane(idx) != 0) refineAt(idx) // history: r not consumed
+              else if (r == 0) {
+                if (newnz != 0) plane(idx) = newnz
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed && newnz != 0) throw corruptMedia // ran off the band
+          }
+        }
+        if (inEob) {
+          while (k <= se) {
+            val idx = base + jpegZigzag(k)
+            if (plane(idx) != 0) refineAt(idx)
+            k += 1
+          }
+        }
+      }
+
+      var unit = 0 // restart-interval counter: MCUs or blocks
+      def maybeRestart(): Unit = {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0)
+          restart()
+        unit += 1
+      }
+
+      if (ns > 1) {
+        // Interleaved (DC scans only, enforced above): MCU order over the
+        // PADDED grid — padding blocks are entropy-coded per spec.
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            si = 0
+            while (si < ns) {
+              val c = sComp(si)
+              var by = 0
+              while (by < compV(c)) {
+                var bx = 0
+                while (bx < compH(c)) {
+                  val bRow = my * compV(c) + by
+                  val bCol = mx * compH(c) + bx
+                  dcBlock(si, (bRow * gridW(c) + bCol) * 64)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // Non-interleaved: the component's REAL block grid, row-major.
+        val c = sComp(0)
+        val plane = coefs(c)
+        var bRow = 0
+        while (bRow < realBH(c)) {
+          var bCol = 0
+          while (bCol < realBW(c)) {
+            maybeRestart()
+            val base = (bRow * gridW(c) + bCol) * 64
+            if (isDc) dcBlock(0, base)
+            else if (ah == 0) acFirstBlock(plane, base)
+            else acRefineBlock(plane, base)
+            bCol += 1
+          }
+          bRow += 1
+        }
+      }
+      // Skip any entropy remainder (pad bits, trailing restarts) up to the
+      // next true marker so the outer walk resumes on a segment boundary.
+      var scanning = true
+      while (scanning) {
+        if (u8(pos) == 0xFF) {
+          val m = u8(pos + 1)
+          if (m == 0x00) pos += 2
+          else if (m >= 0xD0 && m <= 0xD7) pos += 2
+          else scanning = false
+        } else pos += 1
+      }
+    }
+
+    // --- marker walk: tables/frame/scans until EOI ------------------------
+    while (!eoi) {
+      if (u8(pos) != 0xFF) throw corruptMedia
+      var marker = u8(pos + 1)
+      while (marker == 0xFF) { pos += 1; marker = u8(pos + 1) }
+      pos += 2
+      marker match {
+        case m if m == 0x01 || (m >= 0xD0 && m <= 0xD7) => ()
+        case 0xD9 => eoi = true
+        case 0xD8 => throw corruptMedia // SOI again
+        case 0xDB =>
+          val end = pos + u16(pos)
+          var p = pos + 2
+          while (p < end) {
+            val pqTq = u8(p)
+            if ((pqTq >> 4) != 0) return null // 16-bit quant: unsupported
+            val tq = pqTq & 15
+            if (tq > 3) throw corruptMedia
+            var k = 0
+            while (k < 64) { qt(tq)(k) = u8(p + 1 + k); k += 1 }
+            qtSeen(tq) = true
+            p += 65
+          }
+          if (p != end) throw corruptMedia
+          pos = end
+        case 0xC4 =>
+          val end = pos + u16(pos)
+          var p = pos + 2
+          while (p < end) {
+            val tcTh = u8(p)
+            val tc = tcTh >> 4; val th = tcTh & 15
+            if (tc > 1 || th > 3) throw corruptMedia
+            val counts = new Array[Int](16)
+            var total = 0
+            var l = 0
+            while (l < 16) { counts(l) = u8(p + 1 + l); total += counts(l); l += 1 }
+            if (total == 0 || total > 256 || p + 17 + total > end ||
+                p + 17 + total > b.length) throw corruptMedia
+            val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total)
+            val tbl = new JpegHuff(counts, vals)
+            if (tc == 0) dcTbl(th) = tbl else acTbl(th) = tbl
+            p += 17 + total
+          }
+          pos = end
+        case 0xC2 =>
+          if (nComp != 0) throw corruptMedia // second frame header
+          val len = u16(pos)
+          if (u8(pos + 2) != 8) return null // 12-bit precision: unsupported
+          h = u16(pos + 3); w = u16(pos + 5)
+          nComp = u8(pos + 7)
+          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
+              len != 8 + 3 * nComp) return null
+          compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compId(c) = u8(pos + 8 + 3 * c)
+            val hv = u8(pos + 9 + 3 * c)
+            compH(c) = hv >> 4; compV(c) = hv & 15
+            compQ(c) = u8(pos + 10 + 3 * c)
+            if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4 ||
+                compQ(c) > 3) return null
+            c += 1
+          }
+          if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+          c = 0
+          while (c < nComp) {
+            if (compH(c) > hMax) hMax = compH(c)
+            if (compV(c) > vMax) vMax = compV(c)
+            c += 1
+          }
+          mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+          gridW = new Array[Int](nComp); gridH = new Array[Int](nComp)
+          realBW = new Array[Int](nComp); realBH = new Array[Int](nComp)
+          var total = 0L
+          c = 0
+          while (c < nComp) {
+            gridW(c) = mcusX * compH(c)
+            gridH(c) = mcusY * compV(c)
+            realBW(c) = ((w.toLong * compH(c) + hMax - 1) / hMax + 7).toInt / 8
+            realBH(c) = ((h.toLong * compV(c) + vMax - 1) / vMax + 7).toInt / 8
+            total += gridW(c).toLong * gridH(c) * 64
+            c += 1
+          }
+          // Hard cap BEFORE allocation: crafted 65k x 65k headers must not
+          // reserve gigabytes. 16M coefficients = 64 MiB of ints.
+          if (total > (1L << 24)) return null
+          coefs = Array.tabulate(nComp)(c => new Array[Int](gridW(c) * gridH(c) * 64))
+          pos += len
+        case m if m >= 0xC0 && m <= 0xCF => // C4 handled; any other SOF here
+          throw corruptMedia
+        case 0xDD =>
+          if (u16(pos) != 4) throw corruptMedia
+          restartInterval = u16(pos + 2)
+          pos += 4
+        case 0xDA =>
+          if (nComp == 0) throw corruptMedia // scan before frame
+          decodeScan()
+          sawScan = true
+        case _ =>
+          val len = u16(pos)
+          if (len < 2) throw corruptMedia
+          pos += len
+      }
+    }
+    if (nComp == 0 || !sawScan) return null
+
+    // --- reconstruction: dequantize + IDCT every real block ---------------
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val planes = Array.tabulate(nComp) { c =>
+      val sampW = realBW(c) * 8
+      val out = new Array[Byte](sampW * realBH(c) * 8)
+      val q = qt(compQ(c))
+      val src = coefs(c)
+      var bRow = 0
+      while (bRow < realBH(c)) {
+        var bCol = 0
+        while (bCol < realBW(c)) {
+          val base = (bRow * gridW(c) + bCol) * 64
+          var k = 0
+          while (k < 64) { // q is zigzag-ordered, coefficients natural
+            coef(jpegZigzag(k)) = src(base + jpegZigzag(k)).toDouble * q(k)
+            k += 1
+          }
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0; var u = 0
+              while (u < 8) { acc += idctCos(x)(u) * coef(v * 8 + u); u += 1 }
+              tmp(v * 8 + x) = acc
+              x += 1
+            }
+            v += 1
+          }
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0; var vv = 0
+              while (vv < 8) { acc += idctCos(y)(vv) * tmp(vv * 8 + x); vv += 1 }
+              val s = math.round(acc + 128.0).toInt
+              out((bRow * 8 + y) * sampW + bCol * 8 + x) =
+                (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bCol += 1
+        }
+        bRow += 1
+      }
+      out
+    }
+
+    val outCh = if (nComp == 1) 1 else 3
+    val sum = new Array[Long](outCh)
+    val min = Array.fill(outCh)(255)
+    val max = Array.fill(outCh)(0)
+    def clamp8(d: Double): Int = {
+      val v = math.round(d).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (nComp == 1) {
+          val v = planes(0)(y * realBW(0) * 8 + x) & 0xFF
+          sum(0) += v
+          if (v < min(0)) min(0) = v
+          if (v > max(0)) max(0) = v
+        } else {
+          // Same nearest-sample upsampling rule as the baseline path.
+          def samp(c: Int): Int = {
+            val sx = x * compH(c) / hMax
+            val sy = y * compV(c) / vMax
+            planes(c)(sy * realBW(c) * 8 + sx) & 0xFF
+          }
+          val yv = samp(0).toDouble
+          val cb = samp(1) - 128.0
+          val cr = samp(2) - 128.0
+          val r = clamp8(yv + 1.402 * cr)
+          val g = clamp8(yv - 0.344136 * cb - 0.714136 * cr)
+          val bl = clamp8(yv + 1.772 * cb)
+          sum(0) += r; sum(1) += g; sum(2) += bl
+          if (r < min(0)) min(0) = r
+          if (r > max(0)) max(0) = r
+          if (g < min(1)) min(1) = g
+          if (g > max(1)) max(1) = g
+          if (bl < min(2)) min(2) = bl
+          if (bl > max(2)) max(2) = bl
+        }
+        x += 1
+      }
+      y += 1
     }
     val nPix = w.toLong * h.toLong
     new PixelStats("jpeg", w, h, outCh, sum.map(_.toDouble / nPix), min, max)

@@ -805,6 +805,136 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  /** DC-only PROGRESSIVE JPEG: the q93 construction moved to SOF2 with two
+    * scans — a DC scan (Ss=Se=0, Ah=Al=0; same `000`-prefixed category-5
+    * byte-aligned coding, restart interval 1 so DCs are absolute) and an
+    * AC scan (Ss=1, Se=63) whose every block is one 8-zero-bit EOB byte.
+    * Blocks decode flat to dc(i)+128 exactly, like the baseline twin.
+    */
+  private def dcProgJpeg(wBlocks: Int, hBlocks: Int, dc: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def hx(s: String) = s.grouped(2).foreach(p => out.write(Integer.parseInt(p, 16)))
+    hx("FFD8")
+    hx("FFDB0043" + "00" + "08" * 64)            // DQT: all-8s
+    hx("FFDD00040001")                           // DRI: interval 1
+    hx(f"FFC2000B08${hBlocks * 8}%04X${wBlocks * 8}%04X01011100") // SOF2 gray
+    hx("FFC40014" + "00" + "000001" + "00" * 13 + "05") // DC: cat5 <- 000
+    hx("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00") // AC: EOB <- 8 zeros
+    val nb = wBlocks * hBlocks
+    hx("FFDA00080101" + "00" + "00" + "00" + "00") // DC scan: Ss=0 Se=0 AhAl=0
+    for (i <- 0 until nb) {
+      val d = dc(i)
+      require(d >= 16 && d <= 31, s"DC $d outside category-5 positive range")
+      out.write(d)
+      if (i < nb - 1) { out.write(0xFF); out.write(0xD0 + i % 8) }
+    }
+    hx("FFDA00080101" + "00" + "013F00")         // AC scan: Ss=1 Se=63 AhAl=0
+    for (i <- 0 until nb) {
+      out.write(0x00) // EOB: eight zero bits, byte-aligned
+      if (i < nb - 1) { out.write(0xFF); out.write(0xD0 + i % 8) }
+    }
+    hx("FFD9")
+    out.toByteArray
+  }
+
+  test("decodeJpeg: progressive DC-only construction inverts exactly") {
+    import graft.expressions.MediaCodec
+    val dcs = Array(16, 31, 23, 19, 28, 17)
+    val s = MediaCodec.decodePixels(dcProgJpeg(3, 2, dcs))
+    assert(s != null && s.format == "jpeg" && s.width == 24 && s.height == 16, s)
+    assert(s.channels == 1)
+    assert(s.min(0) == 16 + 128 && s.max(0) == 31 + 128)
+    assert(s.mean(0) == dcs.map(_ + 128).sum.toDouble / dcs.length)
+    // Single block: no restarts on the wire at all.
+    val one = MediaCodec.decodePixels(dcProgJpeg(1, 1, _ => 20))
+    assert(one != null && one.mean(0) == 148.0 && one.min(0) == 148)
+    // Baseline twin of the same pixels must agree EXACTLY: the two frame
+    // types share the dequantize/IDCT, differing only in scan structure.
+    val base = MediaCodec.decodePixels(dcJpeg(3, 2, dcs))
+    assert(base.mean(0) == s.mean(0) && base.min(0) == s.min(0) &&
+      base.max(0) == s.max(0))
+  }
+
+  test("decodeJpeg: progressive ImageIO encodes (spectral selection + refinement) decode within tolerance") {
+    import graft.expressions.MediaCodec
+    // ImageIO's progressive mode emits REAL multi-scan files: DC + banded
+    // AC scans with successive approximation — the full Annex G surface
+    // (EOB runs, refinement bits, per-scan tables). Decode the same bytes
+    // with both codecs; only IDCT/upsampling rounding may differ.
+    val rng = new java.util.Random(29)
+    for (trial <- 1 to 12) {
+      val w = 8 + rng.nextInt(40); val h = 8 + rng.nextInt(40)
+      val gray = trial % 2 == 0
+      val imgType = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      val bi = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (gray) bi.getRaster.setSample(x, y, 0, rng.nextInt(256))
+        else {
+          val r = math.min(255, 30 + x * 2 + y)
+          val g = math.max(0, 220 - x - y * 2)
+          val bl = math.min(255, 60 + x + y)
+          bi.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        }
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), params)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      // Confirm the writer actually emitted SOF2 (progressive).
+      assert((0 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2), "not progressive")
+      val s = MediaCodec.decodePixels(bytes)
+      assert(s != null && s.format == "jpeg" && s.width == w && s.height == h,
+        s"trial $trial ${w}x$h gray=$gray")
+      assert(s.channels == (if (gray) 1 else 3))
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val ch = s.channels
+      val refSum = new Array[Long](ch)
+      val refMin = Array.fill(ch)(255); val refMax = Array.fill(ch)(0)
+      for (y <- 0 until h; x <- 0 until w) {
+        val vs =
+          if (gray) Array(ref.getRaster.getSample(x, y, 0))
+          else {
+            val rgb = ref.getRGB(x, y)
+            Array((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+          }
+        for (c <- 0 until ch) {
+          refSum(c) += vs(c)
+          refMin(c) = math.min(refMin(c), vs(c))
+          refMax(c) = math.max(refMax(c), vs(c))
+        }
+      }
+      val tol = if (gray) 1.0 else 6.0 // upsampling filters differ on color
+      for (c <- 0 until ch) {
+        assert(math.abs(s.mean(c) - refSum(c).toDouble / (w.toLong * h)) <= tol,
+          s"trial $trial ch $c mean ${s.mean(c)} vs ${refSum(c).toDouble / (w.toLong * h)}")
+        assert(math.abs(s.min(c) - refMin(c)) <= 8 && math.abs(s.max(c) - refMax(c)) <= 8,
+          s"trial $trial ch $c minmax")
+      }
+    }
+  }
+
+  test("decodeJpeg: progressive crafted geometry takes the cap, truncation nulls") {
+    import graft.expressions.MediaCodec
+    val ok = dcProgJpeg(2, 1, Array(20, 25))
+    assert(MediaCodec.decodePixels(ok) != null)
+    // 65504x65504 progressive header: 537M coefficients > the 16M cap.
+    val big = ok.clone()
+    val sofAt = (0 until big.length - 1).find(i =>
+      (big(i) & 0xFF) == 0xFF && (big(i + 1) & 0xFF) == 0xC2).get
+    big(sofAt + 5) = 0xFF.toByte; big(sofAt + 6) = 0xE0.toByte
+    big(sofAt + 7) = 0xFF.toByte; big(sofAt + 8) = 0xE0.toByte
+    assert(MediaCodec.decodePixels(big) == null)
+    // Every truncation: clean null or stats, never a throw.
+    (0 until ok.length).foreach(n => MediaCodec.decodePixels(ok.take(n)))
+  }
+
   test("decodeJpeg agrees with ImageIO across quality levels (distinct quant/Huffman tables)") {
     import graft.expressions.MediaCodec
     // Each quality level writes different quantization tables and code
