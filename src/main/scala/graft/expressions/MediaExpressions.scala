@@ -20,9 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    arithmetic), for GIF (table-driven LZW), and for baseline JPEG
   *    (canonical Huffman + 8x8 inverse DCT — plain arithmetic, no codec
   *    library involved).
-  * Only exotic shapes (progressive/12-bit JPEG, 16-bit or
+  * Only exotic shapes (arithmetic/lossless/12-bit JPEG, 16-bit or
   * palette+tRNS PNG, partial-frame GIF) stay behind the
-  * [[graft.functions.Multimodal.decode]] mapPartitions seam.
+  * [[graft.functions.Multimodal.decode]] mapPartitions seam; progressive
+  * JPEG decodes inline via [[decodeJpegProg0]].
   */
 object MediaCodec {
   private val pngSig =

@@ -145,9 +145,9 @@ object AnnIndex {
     val (fs, root) = fsRoot(spark, rootStr)
     val (v, files, _) = Snapshot.currentFull(fs, root).getOrElse(
       throw new IllegalArgumentException(s"$rootStr has no manifest"))
-    val kept = probeCells.distinct
-      .flatMap(c => Snapshot.pruneByStats(fs, root, v, files, "cell", c, c))
-      .distinct.sorted
+    // One sidecar read for the whole probe set, not one per cell.
+    val kept = Snapshot.pruneByStatsAny(fs, root, v, files, "cell",
+      probeCells.distinct.map(c => (c.toDouble, c.toDouble))).sorted
     (v, kept, files)
   }
 

@@ -16,8 +16,9 @@ case class MediaIn(id: Long, payload: Array[Byte])
   * (PGM/PPM/24-bit BMP raw bytes, PNG via the JDK's Inflater + row
   * unfiltering, GIF via table-driven LZW, baseline JPEG via canonical
   * Huffman + inverse DCT → [[pixelStats]], a codegen'd one-pass
-  * expression). Only exotic shapes — progressive/12-bit JPEG, palette
-  * PNG, partial-frame GIF — fall back to deterministic byte statistics
+  * expression; progressive, paletted and Adam7 shapes decode for real
+  * too). Only exotic shapes — arithmetic/12-bit JPEG, 16-bit or
+  * palette+tRNS PNG, partial-frame GIF — fall back to byte statistics
   * inside [[decode]] — the single `mapPartitions` seam where a production
   * decoder (JNI codec, ONNX runtime, etc.) plugs in with
   * once-per-partition init.
@@ -77,12 +78,14 @@ object Multimodal {
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
   /** REAL pixel decode + per-channel statistics for PGM/PPM/24-bit BMP,
-    * 8-bit PNG (gray/gray+alpha/RGB/RGBA), GIF (LZW + palette), and
-    * baseline JPEG (Huffman + IDCT + YCbCr), as a native codegen'd
-    * expression ([[graft.expressions.ImagePixelStatsExpr]]): the one-pass
-    * decode+reduce runs inside the scan's WholeStageCodegen stage with O(1)
-    * extra heap. NULL for exotic shapes (progressive JPEG, palette PNG) —
-    * those belong behind the [[decode]] mapPartitions seam.
+    * 8-bit PNG (gray/gray+alpha/RGB/RGBA, paletted, Adam7), GIF (LZW +
+    * palette), and baseline + progressive JPEG (Huffman + IDCT + YCbCr),
+    * as a native codegen'd expression
+    * ([[graft.expressions.ImagePixelStatsExpr]]): the one-pass
+    * decode+reduce runs inside the scan's WholeStageCodegen stage with
+    * O(1) extra heap (progressive JPEG alone buffers its capped
+    * coefficient image). NULL for exotic shapes (arithmetic/12-bit JPEG,
+    * 16-bit PNG) — those belong behind the [[decode]] mapPartitions seam.
     */
   def pixelStats(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
@@ -128,11 +131,12 @@ object Multimodal {
     *
     * The decode is REAL for every format
     * [[graft.expressions.MediaCodec.decodePixels]] handles (PGM/PPM/24-bit
-    * BMP, 8-bit PNG, GIF, baseline JPEG): the leading feature dims are
+    * BMP, 8-bit PNG incl. paletted/Adam7, GIF, baseline + progressive
+    * JPEG): the leading feature dims are
     * actual image statistics (width, height, channels, per-channel means,
     * global min/max, all scaled to [0,1]). Unrecognized payloads and the
-    * exotic shapes a production codec would own (progressive JPEG, palette
-    * PNG) fall back to a deterministic byte-statistics vector — clearly a
+    * exotic shapes a production codec would own (arithmetic/12-bit JPEG,
+    * 16-bit PNG) fall back to a deterministic byte-statistics vector — clearly a
     * fallback, not a fake "decode" — so downstream plumbing stays total
     * over junk bytes.
     */

@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * weight 1 (`level0`, live prefix `n0`) plus sorted compacted levels
   * (`upper(l)` holds items of weight `2^(l+1)`), and the exact total item
   * count. Arrays so the per-row hot path writes one slot in place; only
-  * the 4-field case-class shell is re-allocated per row.
+  * the 4-field case-class shell is re-allocated per row. `level0` GROWS
+  * geometrically toward `capacity` instead of pre-allocating it: the
+  * buffer encoder serializes the array as-is, so a partial aggregate
+  * ships bytes proportional to what it actually holds (a compacted
+  * buffer's level0 is 0-1 items), not `capacity` slots of zeros.
   */
 final case class KllBuffer(
     n0: Int, level0: Array[Double], upper: Array[Array[Double]], count: Long)
@@ -44,8 +48,12 @@ final case class KllBuffer(
   * Spark's partial aggregation requires.
   *
   * Query semantics are `percentile_disc`: the reported quantile is the
-  * smallest data value whose cumulative weight reaches `ceil(p * n)` — a
-  * value from the data, no interpolation.
+  * smallest data value whose cumulative FRACTION (cume_dist) reaches
+  * `p` — a value from the data, no interpolation. The comparison is
+  * `cum/n >= p` in doubles, the same comparison percentile_disc engines
+  * make; deriving an integer target rank via `ceil(p * n)` instead would
+  * overshoot by one whenever `p * n` lands an ulp above an integer
+  * (0.07 * 100 = 7.000000000000001).
   *
   * Null inputs are skipped (SQL aggregate semantics); NaN is rejected by
   * `reduce` (a NaN would poison the sort order silently).
@@ -57,14 +65,21 @@ final class QuantileSketchAggregator(capacity: Int, probs: Seq[Double])
     "probs must be in (0, 1]")
 
   override def zero: KllBuffer =
-    KllBuffer(0, new Array[Double](capacity), Array.empty, 0L)
+    KllBuffer(0, new Array[Double](math.min(capacity, 8)), Array.empty, 0L)
+
+  /** Double `level0` (capped at capacity) when the live prefix fills it. */
+  private def ensureRoom(buf: KllBuffer): KllBuffer =
+    if (buf.n0 < buf.level0.length) buf
+    else buf.copy(level0 = java.util.Arrays.copyOf(buf.level0,
+      math.min(capacity, math.max(8, buf.level0.length * 2))))
 
   override def reduce(buf: KllBuffer, v: java.lang.Double): KllBuffer = {
     if (v == null) return buf
     val d = v.doubleValue()
     require(!d.isNaN, "quantile sketch input must not be NaN")
-    buf.level0(buf.n0) = d
-    val out = buf.copy(n0 = buf.n0 + 1, count = buf.count + 1)
+    val b = ensureRoom(buf)
+    b.level0(b.n0) = d
+    val out = b.copy(n0 = b.n0 + 1, count = b.count + 1)
     if (out.n0 == capacity) compactCascade(out) else out
   }
 
@@ -78,8 +93,9 @@ final class QuantileSketchAggregator(capacity: Int, probs: Seq[Double])
     java.util.Arrays.sort(l0)
     val (firstCarry, leftover0) = halve(l0)
     var carry = firstCarry
-    // leftover (at most one item) stays at weight 1 in level0.
-    val newLevel0 = new Array[Double](capacity)
+    // leftover (at most one item) stays at weight 1 in level0; the fresh
+    // fill buffer starts small again (it ships with every partial).
+    val newLevel0 = new Array[Double](math.min(capacity, 8))
     var n0 = 0
     leftover0.foreach { d => newLevel0(n0) = d; n0 += 1 }
     val levels = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
@@ -161,14 +177,15 @@ final class QuantileSketchAggregator(capacity: Int, probs: Seq[Double])
 
   /** reduce() without the count bump (merge already accounts for counts). */
   private def reduceRaw(buf: KllBuffer, d: Double): KllBuffer = {
-    buf.level0(buf.n0) = d
-    val out = buf.copy(n0 = buf.n0 + 1)
+    val b = ensureRoom(buf)
+    b.level0(b.n0) = d
+    val out = b.copy(n0 = b.n0 + 1)
     if (out.n0 == capacity) compactCascade(out) else out
   }
 
   /** percentile_disc over the weighted summary: smallest value whose
-    * cumulative weight reaches ceil(p * count), per prob, in input order
-    * of `probs`. Empty input yields an empty Seq.
+    * cumulative fraction reaches `p` (double comparison — see class doc),
+    * per prob, in input order of `probs`. Empty input yields an empty Seq.
     */
   override def finish(buf: KllBuffer): Seq[Double] = {
     if (buf.count == 0L) return Seq.empty
@@ -188,15 +205,15 @@ final class QuantileSketchAggregator(capacity: Int, probs: Seq[Double])
     }
     // Sort (value, weight) pairs by value.
     val idx = (0 until nItems).sortBy(vals(_))
+    val n = buf.count.toDouble
     probs.map { p =>
-      val target = math.ceil(p * buf.count).toLong
       var cum = 0L
       var j = 0
       var out = vals(idx(nItems - 1))
       var found = false
       while (j < nItems && !found) {
         cum += wts(idx(j))
-        if (cum >= target) { out = vals(idx(j)); found = true }
+        if (cum.toDouble / n >= p) { out = vals(idx(j)); found = true }
         j += 1
       }
       out

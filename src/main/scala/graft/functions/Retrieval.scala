@@ -41,7 +41,12 @@ object Retrieval {
     * the IEEE-exact score tree below is bit-unchanged (q94's oracle hash
     * is the proof).
     *
-    * @param docs  corpus with an id column and a raw text column
+    * @param docs  corpus with an id column and a raw text column. The id
+    *              column must be UNIQUE per document (it is the corpus
+    *              key): rows sharing an id would merge into one posting
+    *              with summed tf and a deflated df — BM25 over duplicate
+    *              ids is ill-defined, so key your corpus first
+    *              (Dedup.dropExactDuplicates)
     * @param terms query terms (exact-match against lowercased tokens);
     *              must be distinct — duplicate terms would double-count
     *              tf after the posting groupBy

@@ -93,7 +93,11 @@ object Sampling {
     val key = md5(col(idCol).cast("string"))
     val w = Window.partitionBy(stratumCol).orderBy(key, col(idCol))
     val slim = df.select(col(stratumCol), col(idCol))
-    val filtered = slim.where(key < lit(hashPrefixBound))
+    // NULL ids hash to NULL, which the window's ascending order sorts
+    // FIRST — so the naive form always ranks them into the top-k. The
+    // pre-filter must keep them too (`key < bound` is NULL for them and
+    // would silently drop what the fallback path keeps).
+    val filtered = slim.where(key < lit(hashPrefixBound) || col(idCol).isNull)
     val okStrata = filtered.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= k).select(stratumCol)
     val fromFiltered = filtered.join(broadcast(okStrata), Seq(stratumCol))

@@ -446,10 +446,24 @@ object Snapshot {
     */
   def pruneByStats(fs: FileSystem, root: Path, version: Long,
       files: Seq[String], column: String, lo: Double, hi: Double): Seq[String] =
-    loadStats(fs, root, version) match {
+    pruneByStatsAny(fs, root, version, files, column, Seq((lo, hi)))
+
+  /** Multi-range variant of [[pruneByStats]]: keep files whose stored
+    * [min, max] can intersect ANY of `ranges`, with ONE sidecar read for
+    * the whole batch (a per-range loop would re-open and re-parse the
+    * sidecar each time — k sidecar GETs on an object store where one
+    * does). Empty `ranges` keeps nothing: no range can intersect.
+    */
+  def pruneByStatsAny(fs: FileSystem, root: Path, version: Long,
+      files: Seq[String], column: String,
+      ranges: Seq[(Double, Double)]): Seq[String] =
+    if (ranges.isEmpty) Seq.empty
+    else loadStats(fs, root, version) match {
       case None => files
       case Some(stats) => files.filter { f =>
-        stats.get((f, column)).forall { case (mn, mx) => !(mx < lo || mn > hi) }
+        stats.get((f, column)).forall { case (mn, mx) =>
+          ranges.exists { case (lo, hi) => !(mx < lo || mn > hi) }
+        }
       }
     }
 

@@ -42,9 +42,14 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftSqlExtensions {
-  /** A sibling of `spark` (shared context, catalog, temp views) that
+  /** A sibling of `spark` (same SparkContext, own SessionState) that
     * understands the `CALL graft_*` statements — the live-application
     * installation path, since an existing session's parser is immutable.
+    * The sibling does NOT see the original session's temp views or
+    * session-registered functions: register merge sources on the sibling
+    * itself (`sibling.read.parquet(...).createOrReplaceTempView(...)`),
+    * as the spec does. Path-based arguments ('/table/path') need no
+    * catalog and work from either session.
     */
   def sessionWithSql(spark: SparkSession): SparkSession =
     org.apache.spark.sql.graft.Bridge.sessionWithExtensions(
@@ -106,7 +111,7 @@ object GraftSqlParser {
     * escapes. The grammar has no nesting, so a quote-aware scan suffices.
     */
   private def splitArgs(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
+    val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
     var i = 0
@@ -124,8 +129,8 @@ object GraftSqlParser {
       i += 1
     }
     val last = cur.toString
-    if (last.trim.nonEmpty || out.result().nonEmpty) out += last
-    out.result().map(_.trim).filter(_.nonEmpty)
+    if (last.trim.nonEmpty || out.nonEmpty) out += last
+    out.toList.map(_.trim).filter(_.nonEmpty)
   }
 
   private def parseArg(stmt: String, tok: String): Arg =
@@ -221,6 +226,8 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
     case "vacuum" =>
       val target = str(0)
       val keep = long(1, 2L)
+      if (keep < 1 || keep > Int.MaxValue)
+        bad(s"keepVersions must be in [1, ${Int.MaxValue}], got $keep")
       val root = new Path(target)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val deleted = Snapshot.vacuum(fs, fs.makeQualified(root), keep.toInt)

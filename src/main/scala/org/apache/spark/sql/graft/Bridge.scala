@@ -29,6 +29,11 @@ object Bridge {
     * would return the existing session and ignore extensions. Public-API
     * only: the default/active session registrations are cleared so the
     * builder constructs fresh (reusing the live context), then restored.
+    *
+    * The sibling shares the SparkContext (and any external metastore) but
+    * has its OWN SessionState — temp views and session functions from the
+    * original session are NOT visible; register sources on the sibling
+    * (e.g. `sibling.read.parquet(...).createOrReplaceTempView(...)`).
     * Used by `GraftSqlExtensions.sessionWithSql`.
     */
   def sessionWithExtensions(

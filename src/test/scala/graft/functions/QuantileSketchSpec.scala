@@ -12,11 +12,17 @@ import org.scalacheck.rng.Seed
 class QuantileSketchSpec extends SparkTestBase {
   import spark.implicits._
 
-  /** percentile_disc ground truth: smallest value at cumulative rank
-    * >= ceil(p*n) — identical to the sketch's query rule and q50's form.
+  /** percentile_disc ground truth: smallest value whose cumulative
+    * fraction reaches p, with the SAME double comparison the sketch (and
+    * DuckDB's percentile_disc) makes. A ceil(p*n)-based rank would drift
+    * one rank high whenever p*n lands an ulp above an integer.
     */
-  private def disc(sorted: IndexedSeq[Double], p: Double): Double =
-    sorted((math.ceil(p * sorted.size) - 1).toInt.max(0))
+  private def disc(sorted: IndexedSeq[Double], p: Double): Double = {
+    val n = sorted.size
+    var k = 1
+    while (k < n && k.toDouble / n < p) k += 1
+    sorted(k - 1)
+  }
 
   /** True rank of v (number of elements <= v). */
   private def rankOf(sorted: IndexedSeq[Double], v: Double): Int = {
@@ -129,6 +135,28 @@ class QuantileSketchSpec extends SparkTestBase {
       val lower = r - all.count(_ == est)
       assert(lower - bound <= target && target <= r + bound)
     }
+  }
+
+  test("probs whose p*n lands an ulp above an integer stay exact (0.07 * 100)") {
+    // 0.07 * 100 = 7.000000000000001 in doubles: a ceil-derived target
+    // rank would pick the 8th value; percentile_disc (cume_dist >= p)
+    // picks the 7th. 100 distinct values 1..100 make the off-by-one
+    // visible.
+    val values = (1 to 100).map(_.toDouble)
+    val out = values.toDF("x").repartition(3)
+      .agg(QuantileSketch.sketch(col("x"), 1024, Seq(0.07, 0.93)).as("q"))
+      .select(col("q")).collect()(0).getSeq[Double](0)
+    assert(out == Seq(7.0, 93.0), out)
+  }
+
+  test("level0 ships proportional to fill, not capacity (buffer growth)") {
+    val agg = new QuantileSketchAggregator(32768, Seq(0.5))
+    var buf = agg.zero
+    assert(buf.level0.length <= 8)
+    (1 to 100).foreach(i => buf = agg.reduce(buf, i.toDouble))
+    // 100 items: the grown buffer is O(n0), nowhere near capacity.
+    assert(buf.n0 == 100 && buf.level0.length <= 256,
+      s"n0=${buf.n0} len=${buf.level0.length}")
   }
 
   test("nulls are skipped; NaN is rejected") {

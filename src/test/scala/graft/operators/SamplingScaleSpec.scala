@@ -64,4 +64,28 @@ class SamplingScaleSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == want)
   }
+
+  test("NULL ids rank first in BOTH paths (the filter must not drop them)") {
+    // md5(NULL) is NULL: ascending order sorts it first, so the naive
+    // window always puts NULL-id rows at rk=1 — the pre-filtered path
+    // must too, even in strata where the hash filter is selective.
+    val k = 3
+    val withNulls = corpus.unionByName(
+      Seq(("en", null.asInstanceOf[java.lang.Long]),
+        ("tlh", null.asInstanceOf[java.lang.Long]))
+        .toDF("lang", "doc_id"))
+    val got = Sampling.stratifiedTopKByHash(withNulls, "lang", "doc_id", k)
+      .collect().map(r =>
+        (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = withNulls.select(col("lang"), col("doc_id"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= k)
+      .collect().map(r =>
+        (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // And the NULL rows did land at rank 1 in their strata.
+    assert(got.contains(("en", -1L, 1)) && got.contains(("tlh", -1L, 1)))
+  }
 }
