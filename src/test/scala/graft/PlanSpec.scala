@@ -220,4 +220,28 @@ class PlanSpec extends SparkTestBase {
       .getOrElse(fail(s"no scan:\n$p"))
     assert(scanLine.contains("ReadSchema: struct<doc_id:bigint>"), scanLine)
   }
+
+  test("q107/q108 palette + progressive decodes stay codegen-native over a pruned scan") {
+    for (q <- Seq("q107_png_palette", "q108_jpeg_progressive")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_pixel_stats"), s"$q:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"), s"$q:\n$p")
+      val scanLine = p.linesIterator.find(_.contains("FileScan"))
+        .getOrElse(fail(s"$q: no scan:\n$p"))
+      assert(scanLine.contains("ReadSchema: struct<doc_id:bigint>"), s"$q: $scanLine")
+    }
+  }
+
+  test("q106 persisted-index search broadcasts queries; corpus is never shuffle-joined") {
+    // Same discipline as q94/q03: the corpus side (the persisted index
+    // files) may only meet the query side through a broadcast hash join;
+    // the per-query top-k is the one window. A SortMergeJoin would mean
+    // the 100 TB index shuffled to meet 10 query vectors.
+    val p = plan("q106_knn_persisted")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
