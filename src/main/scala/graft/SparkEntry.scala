@@ -187,6 +187,37 @@ object SparkEntry {
       lit("0000000049454E4400000000")))           // IEND
   }
 
+  /** Synthetic 16-BIT grayscale png built per documents row (q109): the
+    * [[syntheticPng]] stored-deflate trick at bitDepth 16 — each sample is
+    * a big-endian pair, sample p = (doc_id*257 + p*4099) % 65536, so the
+    * decoded stats (native 0..65535 scale) have closed forms. Geometry:
+    * w = 3 + doc_id%4, h = 2, filter 0 rows.
+    */
+  private def synthetic16BitPng: org.apache.spark.sql.Column = {
+    val w = (lit(3) + col("doc_id") % 4).cast("int")
+    def beHex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def leHex16(c: org.apache.spark.sql.Column) = concat(
+      lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"))
+    val dLen = (lit(1) + w * 2) * 2 // 2 scanlines of (filter + 2w bytes)
+    def row(r: Int) = concat(lit("00"), array_join(
+      transform(sequence(lit(0), w - 1),
+        x => lpad(hex((col("doc_id") * 257 + (lit(r) * w + x) * 4099) % 65536), 4, "0")), ""))
+    unhex(concat(
+      lit("89504E470D0A1A0A"),                    // signature
+      lit("0000000D"), lit("49484452"),           // IHDR len + type
+      beHex32(w), lit("00000002"),                // width, height = 2
+      lit("1000000000"),                          // 16-bit gray, no interlace
+      lit("00000000"),                            // IHDR crc (unverified)
+      beHex32(dLen + 11), lit("49444154"),        // IDAT len + type
+      lit("7801"),                                // zlib CMF/FLG
+      lit("01"), leHex16(dLen), leHex16(lit(65535) - dLen), // stored block
+      row(0), row(1),
+      lit("00000000"),                            // adler32 (unverified)
+      lit("00000000"),                            // IDAT crc (unverified)
+      lit("0000000049454E4400000000")))           // IEND
+  }
+
   /** Synthetic GIF89a built per documents row, exercising the REAL LZW
     * decode path (q92). The trick that keeps construction pure SQL: with a
     * 128-color palette (min LZW code size 7) the code width is 8 bits and
@@ -1562,6 +1593,25 @@ object SparkEntry {
           col("px.c2_mean").as("b_mean"),
           col("px.c2_min").as("b_min"),
           col("px.c2_max").as("b_max"))
+        .orderBy("doc_id")),
+
+    // --- 109. 16-bit PNG decode (big-endian sample pairs), oracle-pinned --------------------------------
+    // Depth-16 coverage: filters stay BYTEWISE per spec while stats read
+    // big-endian sample PAIRS in the native 0..65535 scale — the decode
+    // path q41/q89 can't reach at depth 8. Closed-form construction (see
+    // synthetic16BitPng); bytewise Up-filter reconstruction at 16-bit and
+    // the ImageIO TYPE_USHORT_GRAY cross-check live in the spec.
+    "q109_png_16bit" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.pixelStats(synthetic16BitPng).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("px_mean"),
+          col("px.c0_min").as("px_min"),
+          col("px.c0_max").as("px_max"))
         .orderBy("doc_id")),
 
     // --- 92. REAL GIF pixel decode (LZW + palette), oracle-pinned ---------------------------------------
@@ -2998,6 +3048,20 @@ object SparkEntry {
         |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
         |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // 16-bit closed forms: sample p = (doc_id*257 + p*4099) % 65536 over
+    // p in [0, 2w), native-scale stats.
+    "q109_png_16bit" ->
+      """SELECT doc_id, 'png' AS fmt, w AS width, CAST(2 AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  SUM((doc_id*257 + p*4099) % 65536) / (2.0 * w) AS px_mean,
+        |  CAST(MIN((doc_id*257 + p*4099) % 65536) AS INT) AS px_min,
+        |  CAST(MAX((doc_id*257 + p*4099) % 65536) AS INT) AS px_max
+        |FROM (SELECT doc_id, w, UNNEST(generate_series(0, CAST(2 * w AS BIGINT) - 1)) AS p
+        |      FROM (SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS w
+        |            FROM documents))
+        |GROUP BY doc_id, w
+        |ORDER BY doc_id""".stripMargin,
 
     // Palette closed forms: idx = (doc_id + 3p) % 16 over p in [0, 3w);
     // channel values are the palette formulas applied to idx. SUM/(3.0*w)

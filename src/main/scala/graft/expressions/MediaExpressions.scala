@@ -20,8 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    arithmetic), for GIF (table-driven LZW), and for baseline JPEG
   *    (canonical Huffman + 8x8 inverse DCT — plain arithmetic, no codec
   *    library involved).
-  * Only exotic shapes (arithmetic/lossless/12-bit JPEG, 16-bit or
-  * palette+tRNS PNG, partial-frame GIF) stay behind the
+  * Only exotic shapes (arithmetic/lossless/12-bit JPEG, sub-8-bit
+  * GRAYSCALE PNG, partial-frame GIF) stay behind the
   * [[graft.functions.Multimodal.decode]] mapPartitions seam; progressive
   * JPEG decodes inline via [[decodeJpegProg0]].
   */
@@ -1094,14 +1094,15 @@ object MediaCodec {
     * zlib stream ([[java.util.zip.Inflater]]), each scanline is a filter
     * byte + filtered samples, unfiltered against the previous row
     * (None/Sub/Up/Average/Paeth — byte arithmetic). Supported: 8-bit
-    * greyscale / grey+alpha / RGB / RGBA, PALETTED (color type 3 at depths
-    * 1/2/4/8, PLTE lookup to RGB), both non-interlaced and ADAM7: the
+    * and 16-bit greyscale / grey+alpha / RGB / RGBA (16-bit stats keep
+    * the native 0..65535 scale), PALETTED (color type 3 at depths
+    * 1/2/4/8, PLTE lookup to RGB — RGBA when a tRNS chunk carries
+    * per-entry alpha), both non-interlaced and ADAM7: the
     * seven interlace passes are decoded as independent sub-images — each
     * pixel appears in exactly one pass, and stats don't care WHERE a pixel
     * sits, so pass geometry is all that's needed (the same
-    * position-agnosticism the GIF decoder exploits). 16-bit and
-    * palette+tRNS (alpha indirection) return null and take the decode
-    * seam.
+    * position-agnosticism the GIF decoder exploits). Sub-8-bit GRAYSCALE
+    * (depth 1/2/4 color type 0) returns null and takes the decode seam.
     *
     * Memory is O(2 scanlines) regardless of image size — the stats reduce
     * consumes each row as it inflates; no pixel matrix exists. A row-byte
@@ -1126,13 +1127,11 @@ object MediaCodec {
     if (isPal) {
       if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8)
         return null
-    } else if (bitDepth != 8) return null
+    } else if (bitDepth != 8 && bitDepth != 16) return null
     val rawChannels = colorType match {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return null
     }
-    // Palette pixels RESOLVE to RGB: stats are over the looked-up colors.
-    val outChannels = if (isPal) 3 else rawChannels
     val bitsPerPixel = bitDepth * rawChannels
     val bpp = math.max(1, bitsPerPixel / 8) // filter-predictor byte distance
     val rowBytesL = (w.toLong * bitsPerPixel + 7) / 8
@@ -1142,7 +1141,8 @@ object MediaCodec {
     // PLTE location and tRNS presence. All bounds math in LONG: len fields
     // are attacker-controlled be32.
     var idat = List.empty[(Int, Int)]
-    var plteOff = -1; var plteLen = 0; var sawTrns = false
+    var plteOff = -1; var plteLen = 0
+    var trnsOff = -1; var trnsLen = 0
     var pos = 8L
     var done = false
     while (!done && pos + 8 <= b.length) {
@@ -1157,18 +1157,26 @@ object MediaCodec {
       if (b(p + 4) == 'P' && b(p + 5) == 'L' && b(p + 6) == 'T' &&
           b(p + 7) == 'E') { plteOff = p + 8; plteLen = len.toInt }
       if (b(p + 4) == 't' && b(p + 5) == 'R' && b(p + 6) == 'N' &&
-          b(p + 7) == 'S') sawTrns = true
+          b(p + 7) == 'S') { trnsOff = p + 8; trnsLen = len.toInt }
       if (isIdat && len > 0) idat ::= ((p + 8, len.toInt))
       if (isIend) done = true
       pos = end
     }
     val ranges = idat.reverse.toArray
     if (ranges.isEmpty) return null
-    if (isPal) {
-      if (plteOff < 0 || plteLen < 3 || plteLen % 3 != 0) return null
-      if (sawTrns) return null // per-entry alpha: decode seam
-    }
+    if (isPal && (plteOff < 0 || plteLen < 3 || plteLen % 3 != 0)) return null
     val palN = plteLen / 3
+    // Palette + tRNS decodes as RGBA: entry i's alpha is tRNS(i), entries
+    // past the chunk default to opaque 255 (per spec). tRNS on NON-palette
+    // types names a transparent color key — stats describe stored samples,
+    // so it is ignored there (the GIF transparent-index leniency).
+    val palHasAlpha = isPal && trnsOff >= 0
+    if (palHasAlpha && trnsLen > palN) return null // more alphas than entries
+    // Palette pixels RESOLVE through PLTE: stats cover the looked-up
+    // colors (3 channels, or 4 with per-entry alpha).
+    val outChannels = if (isPal) (if (palHasAlpha) 4 else 3) else rawChannels
+    // Sample range: 16-bit samples keep their native 0..65535 scale.
+    val sampMax = if (bitDepth == 16) 65535 else 255
 
     // The concatenated IDAT payload is one zlib stream: 2-byte header
     // (CM must be 8 = deflate; a preset dictionary cannot be honored),
@@ -1212,7 +1220,7 @@ object MediaCodec {
           }
         }
       val sum = new Array[Long](outChannels)
-      val min = Array.fill(outChannels)(255)
+      val min = Array.fill(outChannels)(sampMax)
       val max = Array.fill(outChannels)(0)
       val palMask = (1 << bitDepth) - 1
       var pi = 0
@@ -1266,8 +1274,8 @@ object MediaCodec {
               case _ => return null // corrupt filter byte
             }
             if (isPal) {
-              // Resolve each index through PLTE; sub-byte depths pack
-              // MSB-first with trailing pad bits ignored.
+              // Resolve each index through PLTE (+ tRNS alpha); sub-byte
+              // depths pack MSB-first with trailing pad bits ignored.
               var px = 0
               while (px < sw) {
                 val idx =
@@ -1278,14 +1286,28 @@ object MediaCodec {
                   }
                 if (idx >= palN) return null // index outside the palette
                 var c = 0
-                while (c < 3) {
-                  val v = b(plteOff + 3 * idx + c) & 0xFF
+                while (c < outChannels) {
+                  val v =
+                    if (c < 3) b(plteOff + 3 * idx + c) & 0xFF
+                    else if (idx < trnsLen) b(trnsOff + idx) & 0xFF
+                    else 255 // entries past tRNS are opaque
                   sum(c) += v
                   if (v < min(c)) min(c) = v
                   if (v > max(c)) max(c) = v
                   c += 1
                 }
                 px += 1
+              }
+            } else if (bitDepth == 16) {
+              // Big-endian sample pairs; stats in the native 16-bit range.
+              i = 0
+              while (i + 1 < rowBytes) {
+                val v = ((cur(1 + i) & 0xFF) << 8) | (cur(2 + i) & 0xFF)
+                val ch = (i >> 1) % outChannels
+                sum(ch) += v
+                if (v < min(ch)) min(ch) = v
+                if (v > max(ch)) max(ch) = v
+                i += 2
               }
             } else {
               i = 0

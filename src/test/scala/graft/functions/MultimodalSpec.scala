@@ -388,9 +388,13 @@ class MultimodalSpec extends SparkTestBase {
     // Palette color type (3) WITHOUT a PLTE chunk: corrupt, null.
     val pal = ok.clone(); pal(25) = 3
     assert(MediaCodec.decodePixels(pal) == null)
-    // 16-bit depth: unsupported (decode seam).
+    // Marked 16-bit but carrying only the 8-bit payload: the doubled
+    // scanline byte count starves the inflater -> null.
     val b16 = ok.clone(); b16(24) = 16
     assert(MediaCodec.decodePixels(b16) == null)
+    // Sub-8-bit GRAYSCALE (depth 4, color type 0): declared seam, null.
+    val g4 = ok.clone(); g4(24) = 4
+    assert(MediaCodec.decodePixels(g4) == null)
     // Marked Adam7 but carrying only the non-interlaced payload: the pass
     // geometry demands more scanline bytes than the stream holds -> null.
     val adam7 = ok.clone(); adam7(28) = 1
@@ -520,24 +524,95 @@ class MultimodalSpec extends SparkTestBase {
     // Out-of-range index (palette has 16 entries, index 200): corrupt, null.
     val rawBad = raw8.clone(); rawBad(1) = 200.toByte
     assert(MediaCodec.decodePixels(checkedPng(5, 3, 3, 8, 0, rawBad, palette)) == null)
-    // tRNS (per-entry alpha): declared seam, null. Insert before IDAT.
-    val withTrns = {
-      val base = checkedPng(5, 3, 3, 8, 0, raw8, palette)
-      val idatAt = {
-        var i = 8; var found = -1
-        while (found < 0 && i + 8 <= base.length) {
-          if (base(i + 4) == 'I' && base(i + 5) == 'D' && base(i + 6) == 'A' &&
-            base(i + 7) == 'T') found = i
-          else i += 12 + ((base(i) & 0xFF) << 24 | (base(i + 1) & 0xFF) << 16 |
-            (base(i + 2) & 0xFF) << 8 | (base(i + 3) & 0xFF))
-        }
-        found
+  }
+
+  test("decodePng: palette + tRNS decodes as RGBA; ImageIO agrees on all four channels") {
+    import graft.expressions.MediaCodec
+    // 8 palette entries, 5 alphas in tRNS (entries 5..7 default opaque).
+    val n = 8
+    val pr = (0 until n).map(i => (i * 31 % 256).toByte).toArray
+    val pg = (0 until n).map(i => (i * 53 + 11).toByte).toArray
+    val pb = (0 until n).map(i => (255 - i * 27).toByte).toArray
+    val pa = Array[Byte](255.toByte, 0, 128.toByte, 64, 200.toByte,
+      255.toByte, 255.toByte, 255.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, n, pr, pg, pb, pa)
+    val (w, h) = (6, 4)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val rng = new java.util.Random(53)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, rng.nextInt(n))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val bytes = bos.toByteArray
+    // The writer must have emitted PLTE + tRNS (alpha < 255 in the model).
+    assert((0 until bytes.length - 3).exists(i => bytes(i) == 't' &&
+      bytes(i + 1) == 'R' && bytes(i + 2) == 'N' && bytes(i + 3) == 'S'))
+    val s = MediaCodec.decodePixels(bytes)
+    assert(s != null && s.channels == 4 && s.width == w && s.height == h, s)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val eSum = new Array[Long](4)
+    val eMin = Array.fill(4)(255); val eMax = Array.fill(4)(0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = ref.getRGB(x, y)
+      val comps = Array((argb >> 16) & 0xFF, (argb >> 8) & 0xFF,
+        argb & 0xFF, argb >>> 24)
+      for (c <- 0 until 4) {
+        eSum(c) += comps(c)
+        eMin(c) = math.min(eMin(c), comps(c)); eMax(c) = math.max(eMax(c), comps(c))
       }
-      val trns = Array[Byte](0, 0, 0, 1, 't'.toByte, 'R'.toByte, 'N'.toByte,
-        'S'.toByte, 128.toByte, 0, 0, 0, 0)
-      base.take(idatAt) ++ trns ++ base.drop(idatAt)
     }
-    assert(MediaCodec.decodePixels(withTrns) == null)
+    for (c <- 0 until 4) {
+      assert(s.min(c) == eMin(c) && s.max(c) == eMax(c), s"ch $c")
+      assert(math.abs(s.mean(c) - eSum(c).toDouble / (w * h)) < 1e-9, s"ch $c")
+    }
+  }
+
+  test("decodePng: 16-bit gray and RGB keep the native 0..65535 scale; ImageIO agrees on gray") {
+    import graft.expressions.MediaCodec
+    // 16-bit gray via ImageIO (TYPE_USHORT_GRAY writes bitDepth-16 PNGs).
+    val rng = new java.util.Random(61)
+    val (w, h) = (7, 5)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    var eSum = 0L; var eMin = 65535; var eMax = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = rng.nextInt(65536)
+      bi.getRaster.setSample(x, y, 0, v)
+      eSum += v; eMin = math.min(eMin, v); eMax = math.max(eMax, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val s = MediaCodec.decodePixels(bos.toByteArray)
+    assert(s != null && s.width == w && s.height == h && s.channels == 1, s)
+    assert(s.min(0) == eMin && s.max(0) == eMax, s)
+    assert(math.abs(s.mean(0) - eSum.toDouble / (w * h)) < 1e-9)
+    // 16-bit RGB hand-construction (stored deflate, filter 0 + one Up row):
+    // 2x2, known big-endian sample pairs.
+    val px = Array( // row-major, (r,g,b) per pixel
+      Array(1000, 40000, 65535), Array(0, 256, 513),
+      Array(1000, 40000, 65535), Array(70, 300, 5))
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write(0) // row 0: None
+    px.take(2).foreach(_.foreach { v => raw.write(v >> 8); raw.write(v & 0xFF) })
+    raw.write(2) // row 1: Up — stored bytes are deltas vs row 0
+    for (i <- 0 until 2) {
+      val top = px(i); val cur = px(2 + i)
+      for (c <- 0 until 3) {
+        val dHi = ((cur(c) >> 8) - (top(c) >> 8)) & 0xFF
+        val dLo = ((cur(c) & 0xFF) - (top(c) & 0xFF)) & 0xFF
+        raw.write(dHi); raw.write(dLo)
+      }
+    }
+    val img = checkedPng(2, 2, 2, 16, 0, raw.toByteArray)
+    val s2 = MediaCodec.decodePixels(img)
+    assert(s2 != null && s2.channels == 3, s2)
+    // Up filtering is BYTEWISE per spec: hi/lo deltas reconstruct exactly.
+    for (c <- 0 until 3) {
+      val col = px.map(_(c))
+      assert(s2.min(c) == col.min && s2.max(c) == col.max, s"ch $c: $s2")
+      assert(math.abs(s2.mean(c) - col.sum.toDouble / 4) < 1e-9, s"ch $c")
+    }
   }
 
   test("decodePng: Adam7 interlaced gray and palette agree with ImageIO") {
