@@ -20,8 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    arithmetic), for GIF (table-driven LZW), and for baseline JPEG
   *    (canonical Huffman + 8x8 inverse DCT — plain arithmetic, no codec
   *    library involved).
-  * Only exotic shapes (arithmetic/lossless/12-bit JPEG, sub-8-bit
-  * GRAYSCALE PNG, partial-frame GIF) stay behind the
+  * Only exotic shapes (arithmetic/lossless/12-bit JPEG,
+  * partial-frame GIF) stay behind the
   * [[graft.functions.Multimodal.decode]] mapPartitions seam; progressive
   * JPEG decodes inline via [[decodeJpegProg0]].
   */
@@ -1101,8 +1101,9 @@ object MediaCodec {
     * seven interlace passes are decoded as independent sub-images — each
     * pixel appears in exactly one pass, and stats don't care WHERE a pixel
     * sits, so pass geometry is all that's needed (the same
-    * position-agnosticism the GIF decoder exploits). Sub-8-bit GRAYSCALE
-    * (depth 1/2/4 color type 0) returns null and takes the decode seam.
+    * position-agnosticism the GIF decoder exploits). Sub-byte GRAYSCALE
+    * (depth 1/2/4) decodes in its native 0..2^d-1 range — every standard
+    * PNG color-type/depth combination now decodes inline.
     *
     * Memory is O(2 scanlines) regardless of image size — the stats reduce
     * consumes each row as it inflates; no pixel matrix exists. A row-byte
@@ -1124,9 +1125,11 @@ object MediaCodec {
     if (compression != 0 || filterMethod != 0) return null
     if (interlace != 0 && interlace != 1) return null
     val isPal = colorType == 3
-    if (isPal) {
-      if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8)
-        return null
+    if (isPal || colorType == 0) {
+      // Palette and GRAYSCALE allow sub-byte depths (gray samples stay in
+      // their native 0..2^d-1 range, like 16-bit keeps 0..65535).
+      if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8 &&
+          !(colorType == 0 && bitDepth == 16)) return null
     } else if (bitDepth != 8 && bitDepth != 16) return null
     val rawChannels = colorType match {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
@@ -1175,8 +1178,12 @@ object MediaCodec {
     // Palette pixels RESOLVE through PLTE: stats cover the looked-up
     // colors (3 channels, or 4 with per-entry alpha).
     val outChannels = if (isPal) (if (palHasAlpha) 4 else 3) else rawChannels
-    // Sample range: 16-bit samples keep their native 0..65535 scale.
-    val sampMax = if (bitDepth == 16) 65535 else 255
+    // Sample range: native scale at every depth (sub-byte gray 0..2^d-1,
+    // 16-bit 0..65535); palette resolves to 8-bit PLTE colors.
+    val sampMax =
+      if (isPal) 255
+      else if (bitDepth == 16) 65535
+      else (1 << bitDepth) - 1
 
     // The concatenated IDAT payload is one zlib stream: 2-byte header
     // (CM must be 8 = deflate; a preset dictionary cannot be honored),
@@ -1308,6 +1315,17 @@ object MediaCodec {
                 if (v < min(ch)) min(ch) = v
                 if (v > max(ch)) max(ch) = v
                 i += 2
+              }
+            } else if (bitDepth < 8) {
+              // Sub-byte GRAY: the palette unpacker without the PLTE hop.
+              var px = 0
+              while (px < sw) {
+                val bit = px * bitDepth
+                val v = (cur(1 + (bit >> 3)) >> (8 - bitDepth - (bit & 7))) & palMask
+                sum(0) += v
+                if (v < min(0)) min(0) = v
+                if (v > max(0)) max(0) = v
+                px += 1
               }
             } else {
               i = 0

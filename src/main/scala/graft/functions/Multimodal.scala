@@ -17,8 +17,8 @@ case class MediaIn(id: Long, payload: Array[Byte])
   * unfiltering, GIF via table-driven LZW, baseline JPEG via canonical
   * Huffman + inverse DCT → [[pixelStats]], a codegen'd one-pass
   * expression; progressive, paletted, 16-bit and Adam7 shapes decode for
-  * real too). Only exotic shapes — arithmetic/12-bit JPEG, sub-8-bit
-  * gray PNG, partial-frame GIF — fall back to byte statistics
+  * real too). Only exotic shapes — arithmetic/12-bit JPEG,
+  * partial-frame GIF — fall back to byte statistics
   * inside [[decode]] — the single `mapPartitions` seam where a production
   * decoder (JNI codec, ONNX runtime, etc.) plugs in with
   * once-per-partition init.
@@ -84,9 +84,8 @@ object Multimodal {
     * ([[graft.expressions.ImagePixelStatsExpr]]): the one-pass
     * decode+reduce runs inside the scan's WholeStageCodegen stage with
     * O(1) extra heap (progressive JPEG alone buffers its capped
-    * coefficient image). NULL for exotic shapes (arithmetic/12-bit JPEG,
-    * sub-8-bit gray PNG) — those belong behind the [[decode]]
-    * mapPartitions seam.
+    * coefficient image). NULL for exotic shapes (arithmetic/12-bit
+    * JPEG) — those belong behind the [[decode]] mapPartitions seam.
     */
   def pixelStats(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
@@ -136,8 +135,8 @@ object Multimodal {
     * JPEG): the leading feature dims are
     * actual image statistics (width, height, channels, per-channel means,
     * global min/max, all scaled to [0,1]). Unrecognized payloads and the
-    * exotic shapes a production codec would own (arithmetic/12-bit JPEG,
-    * sub-8-bit gray PNG) fall back to a deterministic byte-statistics vector — clearly a
+    * exotic shapes a production codec would own (arithmetic/12-bit JPEG)
+    * fall back to a deterministic byte-statistics vector — clearly a
     * fallback, not a fake "decode" — so downstream plumbing stays total
     * over junk bytes.
     */

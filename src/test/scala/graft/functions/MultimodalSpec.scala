@@ -392,9 +392,11 @@ class MultimodalSpec extends SparkTestBase {
     // scanline byte count starves the inflater -> null.
     val b16 = ok.clone(); b16(24) = 16
     assert(MediaCodec.decodePixels(b16) == null)
-    // Sub-8-bit GRAYSCALE (depth 4, color type 0): declared seam, null.
+    // Sub-byte GRAY (depth 4): the same bytes reinterpret as nibble
+    // samples — decodes, native 0..15 range.
     val g4 = ok.clone(); g4(24) = 4
-    assert(MediaCodec.decodePixels(g4) == null)
+    val sg4 = MediaCodec.decodePixels(g4)
+    assert(sg4 != null && sg4.max(0) <= 15, sg4)
     // Marked Adam7 but carrying only the non-interlaced payload: the pass
     // geometry demands more scanline bytes than the stream holds -> null.
     val adam7 = ok.clone(); adam7(28) = 1
@@ -566,6 +568,27 @@ class MultimodalSpec extends SparkTestBase {
       assert(s.min(c) == eMin(c) && s.max(c) == eMax(c), s"ch $c")
       assert(math.abs(s.mean(c) - eSum(c).toDouble / (w * h)) < 1e-9, s"ch $c")
     }
+  }
+
+  test("decodePng: 1-bit gray (TYPE_BYTE_BINARY) decodes in native 0..1 range; ImageIO agrees") {
+    import graft.expressions.MediaCodec
+    val rng = new java.util.Random(67)
+    // Odd width: the last byte of each row carries pad bits to ignore.
+    val (w, h) = (11, 6)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    var ones = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = rng.nextInt(2)
+      bi.getRaster.setSample(x, y, 0, v)
+      ones += v
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val s = MediaCodec.decodePixels(bos.toByteArray)
+    assert(s != null && s.width == w && s.height == h && s.channels == 1, s)
+    assert(s.min(0) == 0 && s.max(0) == 1)
+    assert(math.abs(s.mean(0) - ones.toDouble / (w * h)) < 1e-9)
   }
 
   test("decodePng: 16-bit gray and RGB keep the native 0..65535 scale; ImageIO agrees on gray") {
