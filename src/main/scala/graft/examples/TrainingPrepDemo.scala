@@ -1,13 +1,14 @@
 package graft.examples
 
-import graft.functions.{FrequentItems, Quantize, Retrieval}
+import graft.functions.{AnnIndex, FrequentItems, Ivf, Quantize, Retrieval}
 import graft.operators.Packing
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** End-to-end drive of the training-data prep operators over the test
   * corpus: BM25 retrieval scoring, heavy-hitter vocabulary, exact-budget
-  * sequence packing, and int8 embedding quantization.
+  * sequence packing, int8 embedding quantization, a persisted ANN index
+  * round-trip, and the SQL lakehouse verb surface.
   *
   * Usage: runMain graft.examples.TrainingPrepDemo /root/testdata/sf0.001
   */
@@ -52,6 +53,28 @@ object TrainingPrepDemo {
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
       .orderBy("vec_id").limit(5).show()
+
+    println("=== Persisted ANN index: fit -> commit -> load -> probe search ===")
+    val corpus = embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-demo-ann").toString
+    val model = Ivf.fit(corpus, "vec", k = 8, seed = 42L)
+    AnnIndex.writeIvf(corpus, idxDir, model, numFiles = 8)
+    val idx = AnnIndex.load(spark, idxDir)
+    AnnIndex.searchIvf(spark, idx,
+        corpus.where(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec")),
+        k = 3, nProbe = 2)
+      .show(truncate = false)
+
+    println("=== SQL lakehouse verbs: CALL graft_clone through spark.sql ===")
+    val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)
+    val tbl = java.nio.file.Files.createTempDirectory("graft-demo-tbl").toString + "/t"
+    graft.pipeline.Medallion.writeTable(
+      corpus.limit(100), tbl, Seq.empty)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.pipeline.Snapshot.ensure(fs, fs.makeQualified(new org.apache.hadoop.fs.Path(tbl)))
+    sqlS.sql(s"CALL graft_clone('$tbl', '${tbl}_clone')").show(truncate = false)
+    println(s"clone rows: ${spark.read.parquet(s"${tbl}_clone").count()}")
 
     spark.stop()
   }
