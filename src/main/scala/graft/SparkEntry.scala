@@ -2047,6 +2047,118 @@ object SparkEntry {
           dsum(col("priority_score")).as("score_sum"),
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy("o_orderstatus")
+    }),
+
+    // --- 110. TPC-H Q13 shape: customer order-count distribution ----------------------------------------
+    // The filter lives IN the left-outer join condition (not a pre-filter) —
+    // Q13's defining shape; unmatched customers must still appear with
+    // c_count = 0. All-integer aggregates: exact under any partition order.
+    "q110_tpch_q13" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o,
+          c("c_custkey") === o("o_custkey") &&
+            !o("o_orderpriority").like("4-%"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // --- 111. TPC-H Q15 shape: top supplier (max over an aggregated view) -------------------------------
+    // The max and the equality filter compare DECIMALS (exact); the one
+    // lossy cast to double happens after selection, identically both sides.
+    "q111_tpch_q15" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).as("rev_dec"))
+      val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
+      rev.join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
+        .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // --- 112. TPC-H Q16 shape: supplier count per part descriptor ---------------------------------------
+    // lineitem stands in for partsupp (the slimmed schema has none); the
+    // "complaints" exclusion is a left-anti join on a name pattern —
+    // equivalent to NOT IN here because s_suppkey is never null.
+    "q112_tpch_q16" -> ((s, d) => {
+      val excl = t(s, d, "supplier").where(col("s_name").like("%7"))
+        .select(col("s_suppkey").as("excl_suppkey"))
+      t(s, d, "part")
+        .where(col("p_brand") =!= "Brand#21" &&
+          !col("p_type").like("STANDARD%") &&
+          col("p_size").isin(1, 4, 7, 10, 15, 22, 25, 28))
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("excl_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // --- 113. TPC-H Q19 shape: disjunctive OR-of-ANDs predicates ----------------------------------------
+    // The point is the plan: the OR bundle mixes join-side columns so it
+    // must evaluate post-join, but the common l_partkey equi-key still
+    // drives a hash join (PlanSpec pins no NestedLoop/cartesian).
+    "q113_tpch_q19" -> ((s, d) => {
+      val rev = sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double")
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(rev.as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // --- 114. TPC-H Q22 shape: global-avg scalar subquery + anti-join -----------------------------------
+    // avg is exact-decimal-sum / count with ONE IEEE division, broadcast to
+    // every row; the > comparison then sees bit-identical doubles on both
+    // engines. NOT EXISTS = left-anti against the urgent-orders subset
+    // (every synthetic customer has SOME order, so Q22's bare "no orders"
+    // set is empty; "no urgent order" keeps the shape and selects rows at
+    // any SF).
+    "q114_tpch_q22" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .where(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+      val avgBal = cust.where(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_bal"))
+      val urgent = t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // --- 115. TPC-H Q11 shape: groups above a fraction-of-total threshold -------------------------------
+    // Per-part value and the grand total are both exact decimal sums; the
+    // threshold is 1.5× the mean share ((tot / n_parts) * 1.5, evaluated
+    // left-to-right identically on both engines), so the predicate is
+    // relative and survives any SF — Q11's 0.0001/SF constant does not.
+    "q115_tpch_q11" -> ((s, d) => {
+      val perPart = t(s, d, "lineitem").groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("val_dec"))
+      val total = perPart.agg(
+        sum(col("val_dec")).as("tot_dec"), count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("val_dec").cast("double") >
+          col("tot_dec").cast("double") / col("n_parts").cast("double") * 1.5)
+        .select(col("l_partkey"), col("val_dec").cast("double").as("part_value"))
+        .orderBy(desc("part_value"), col("l_partkey"))
     })
   )
 
@@ -3197,6 +3309,68 @@ object SparkEntry {
         |  COUNT(priority_score) AS n_scored,
         |  CAST(SUM(CAST(priority_score AS DECIMAL(12,2))) AS DOUBLE) AS score_sum,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q110_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4-%'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q111_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q112_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#21'
+        |  AND p_type NOT LIKE 'STANDARD%'
+        |  AND p_size IN (1, 4, 7, 10, 15, 22, 25, 28)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q113_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q114_tpch_q22" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |                   FROM customer
+        |                   WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13) AND c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q115_tpch_q11" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val_dec
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE CAST(val_dec AS DOUBLE) >
+        |  (SELECT CAST(SUM(val_dec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1.5 FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin
   )
 }

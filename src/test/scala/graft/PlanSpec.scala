@@ -244,4 +244,36 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q113 disjunctive OR bundle still rides the equi-key hash join") {
+    // Q19's OR-of-ANDs mixes columns from both join sides, so it can only
+    // evaluate post-join — but l_partkey = p_partkey must still drive a
+    // hash join; a NestedLoop here would all-pairs the fact table at 100x.
+    val p = plan("q113_tpch_q19")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q111/q114/q115 broadcast their 1-row global aggregates, never shuffle for them") {
+    // The max-revenue row (q111), the global-average row (q114), and the
+    // total/count row (q115) are scalar aggregates meeting a big table:
+    // each must arrive by broadcast; a SortMergeJoin against a 1-row side
+    // would shuffle the whole fact table to meet one row.
+    for (q <- Seq("q111_tpch_q15", "q114_tpch_q22", "q115_tpch_q11")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q110 outer-join distribution keeps the filter inside the join, anti nothing") {
+    // Q13's defining property: the priority filter is part of the LEFT
+    // OUTER join condition, so zero-order customers survive to c_count=0.
+    // The plan must be a single outer hash join + two aggregates — no
+    // extra shuffle from a filter-then-union rewrite.
+    val p = plan("q110_tpch_q13")
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
