@@ -2159,6 +2159,164 @@ object SparkEntry {
           col("tot_dec").cast("double") / col("n_parts").cast("double") * 1.5)
         .select(col("l_partkey"), col("val_dec").cast("double").as("part_value"))
         .orderBy(desc("part_value"), col("l_partkey"))
+    }),
+
+    // --- 116. TPC-H Q6 shape: single-table filter aggregate ---------------------------------------------
+    // The canonical "does the filter reach the scan" query: both range and
+    // band predicates push into the parquet reader, the aggregate is a
+    // 1-row partial-final sum. Discount joins the revenue product as an
+    // exact decimal; the single double cast happens after the sum.
+    "q116_tpch_q6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // --- 117. TPC-H Q4 shape: EXISTS with a correlated date condition -----------------------------------
+    // The slimmed lineitem has no commit/receipt dates, so "late line" is
+    // l_shipdate > o_orderdate + 60 days — same correlated-EXISTS shape,
+    // planned as a left-semi hash join on the order key with the date
+    // comparison as a join residual.
+    "q117_tpch_q4" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val l = t(s, d, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // --- 118. TPC-H Q12 shape: join + conditional two-way counts ----------------------------------------
+    // No l_shipmode in the slimmed schema; l_linestatus takes its place as
+    // the group key and the CASE split is on order priority, preserving the
+    // join + dual conditional-sum shape (one pass, no second scan).
+    "q118_tpch_q12" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // --- 119. TPC-H Q7 shape: bidirectional nation-pair volume ------------------------------------------
+    // Both nation copies are pre-filtered to the two-nation set BEFORE the
+    // broadcast (2-row build sides) and the cross-pair condition applies
+    // post-join — the selective filter sits in the dimension, not on the
+    // fact output, so the shape survives 100× fact growth.
+    "q119_tpch_q7" -> ((s, d) => {
+      val pair = Seq("NATION_3", "NATION_8")
+      val n1 = t(s, d, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // --- 120. TPC-H Q8 shape: national market share (conditional share of total) ------------------------
+    // Numerator and denominator are both exact decimal sums over the same
+    // rows; the single IEEE division per year-group happens after both, so
+    // the share is bit-identical across engines. Customer region membership
+    // is a broadcast semi-join (no region/nation columns survive the join).
+    "q120_tpch_q8" -> ((s, d) => {
+      val asiaNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val sn = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val vol = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").where(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+        .orderBy("o_year")
+    }),
+
+    // --- 121. TPC-H Q9 shape: product-type profit by nation and year ------------------------------------
+    // No partsupp/ps_supplycost in the slimmed schema: cost is
+    // p_retailprice × quantity × 0.1, all exact decimals, so the profit
+    // amount stays exact until the post-sum double cast. Five-table join
+    // with the name filter pushed into the part scan.
+    "q121_tpch_q9" -> ((s, d) => {
+      val amount = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity")) *
+          lit(0.1).cast("decimal(12,2)")
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").where(col("p_name").like("%bolt%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    }),
+
+    // --- 122. TPC-H Q2 shape: correlated min over a filtered join ---------------------------------------
+    // lineitem stands in for partsupp: an "offer" is any (part, supplier)
+    // lineitem priced at dec(l_extendedprice); the correlated subquery is
+    // the per-part MIN over European offers, rejoined on exact decimal
+    // equality. DISTINCT collapses repeat lineitems at the same min price;
+    // (p_partkey, s_suppkey) makes the output order total.
+    "q122_tpch_q2" -> ((s, d) => {
+      val eur = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      val offers = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+            .where(col("p_size") === 15 && col("p_type") === "SMALL")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(eur), col("s_nationkey") === col("nk"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"), dec(col("l_extendedprice")).as("price_dec"))
+      val minPrice = offers.groupBy(col("p_partkey").as("mp_partkey"))
+        .agg(min(col("price_dec")).as("min_price"))
+      offers.join(minPrice, col("p_partkey") === col("mp_partkey") &&
+          col("price_dec") === col("min_price"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_brand"), col("s_suppkey"),
+          col("price_dec").cast("double").as("min_cost"))
+        .distinct()
+        .orderBy(desc("s_acctbal"), col("p_partkey"), col("s_suppkey"))
     })
   )
 
@@ -3371,6 +3529,104 @@ object SparkEntry {
         |FROM pv
         |WHERE CAST(val_dec AS DOUBLE) >
         |  (SELECT CAST(SUM(val_dec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1.5 FROM pv)
-        |ORDER BY part_value DESC, l_partkey""".stripMargin
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q116_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q117_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q118_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q119_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_8')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS INT)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q120_tpch_q8" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_volume,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE p_type = 'PROMO'
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |                      WHERE r_name = 'ASIA')
+        |GROUP BY CAST(YEAR(o_orderdate) AS INT)
+        |ORDER BY o_year""".stripMargin,
+
+    "q121_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) -
+        |    CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(12,2))
+        |  ) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, CAST(YEAR(o_orderdate) AS INT)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q122_tpch_q2" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE')
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey,
+        |  CAST(price_dec AS DOUBLE) AS min_cost
+        |FROM offers o
+        |WHERE price_dec = (SELECT MIN(price_dec) FROM offers m WHERE m.p_partkey = o.p_partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey""".stripMargin
   )
 }

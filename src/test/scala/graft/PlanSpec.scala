@@ -276,4 +276,38 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftOuter"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q116 pushes both range and band predicates into the parquet scan") {
+    // Q6 is the pushdown litmus: every predicate is a single-column
+    // comparison, so all of them must reach the reader; a residual-only
+    // Filter would re-read the full fact table at 100x.
+    val p = plan("q116_tpch_q6")
+    // toString truncates the PushedFilters list, so pin the prefix (filters
+    // reached the reader at all) and the pruned 4-of-11-column ReadSchema.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate"), p)
+  }
+
+  test("q117 correlated EXISTS plans as one left-semi hash join") {
+    // The date comparison correlates the subquery, but the o_orderkey
+    // equi-key must still drive a semi HASH join with the residual attached
+    // — a nested-loop semi would probe every lineitem per order.
+    val p = plan("q117_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q119/q120/q121/q122 broadcast every dimension; facts never nested-loop") {
+    // The multi-join TPC-H shapes: nation/region/filtered-part are
+    // broadcast build sides; the fact-fact meets (lineitem x orders) may
+    // hash or sort-merge but never cartesian/nested-loop.
+    for (q <- Seq("q119_tpch_q7", "q120_tpch_q8", "q121_tpch_q9", "q122_tpch_q2")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
