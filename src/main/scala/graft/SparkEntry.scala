@@ -48,6 +48,14 @@ object SparkEntry {
     new SchemaCompiler(new ModelDirectory(tmp.toString)).compile("customer").constraints
   }
 
+  /** Best-effort recursive delete for self-cleaning temp artifacts (q106's
+    * persisted ANN index root). Never throws — cleanup must not fail a run.
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Portable 0-99 hash bucket of a column: first 8 md5 hex chars as a
     * number, mod 100. Used by q58/q86 because the DuckDB oracle can compute
     * the IDENTICAL expression (`('0x' || substr(md5(...),1,8))::BIGINT`),
@@ -1851,7 +1859,14 @@ object SparkEntry {
     "q106_knn_persisted" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val root = s"/tmp/graft_q106_${java.lang.Integer.toHexString(d.hashCode)}"
+      // Rebuilt from scratch each run and deleted on JVM exit, so repeated
+      // verify/bench runs leave no stray roots under the system temp dir.
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_q106_${java.lang.Integer.toHexString(d.hashCode)}").toString
+      deleteRecursively(new java.io.File(root))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
       val model = graft.functions.Ivf.fit(e, "vec", k = 8, seed = 42L)
       graft.functions.AnnIndex.writeIvf(e, root, model, numFiles = 8)
       val idx = graft.functions.AnnIndex.load(s, root)
@@ -2205,7 +2220,7 @@ object SparkEntry {
           col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
         .groupBy("l_linestatus")
         .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
         .orderBy("l_linestatus")
     }),
 
@@ -3552,8 +3567,8 @@ object SparkEntry {
 
     "q118_tpch_q12" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
         |GROUP BY l_linestatus
