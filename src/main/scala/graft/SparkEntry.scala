@@ -2332,6 +2332,65 @@ object SparkEntry {
           col("price_dec").cast("double").as("min_cost"))
         .distinct()
         .orderBy(desc("s_acctbal"), col("p_partkey"), col("s_suppkey"))
+    }),
+
+    // --- 123. MP4/MOV (ISO-BMFF) movie-header parse, oracle-pinned --------------------------------------
+    // The metadata fast path for the container that dominates web video:
+    // an MP4 is CONSTRUCTED per row (ftyp + moov{mvhd,trak{tkhd}x2} +
+    // mdat, all box sizes constant per branch) and parsed back by the
+    // codegen'd Mp4HeaderExpr, which never opens mdat. Structural
+    // variation is part of the pin: even doc_ids carry a v0 (32-bit)
+    // mvhd, odd a v1 (64-bit); every third row lists the zero-sized
+    // audio trak FIRST, so the hash also proves version dispatch and
+    // first-visually-sized-track selection. The oracle recomputes the
+    // constructed fields arithmetically (duration_ms = dur*1000/ts is
+    // exact because dur = ts * whole seconds by construction).
+    "q123_mp4_header" -> ((s, d) => {
+      def beHex32(c: org.apache.spark.sql.Column) =
+        lpad(hex(c.cast("bigint").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0")
+      def zeros(n: Int) = lit("00000000" * n)
+      val ts = (lit(600) + col("doc_id") % 100).cast("int")
+      val durSec = (lit(5) + col("doc_id") % 20).cast("int")
+      val dur = ts.cast("bigint") * durSec // movie-timescale units
+      val w = (lit(320) + lit(16) * (col("doc_id") % 8)).cast("int")
+      val h = (lit(240) + lit(8) * (col("doc_id") % 6)).cast("int")
+      val matrixHex = lit(
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000")
+      // mvhd v0: 108-byte box (verflags+times+ts+dur 32-bit, then
+      // rate/volume, reserved, matrix, predefined, next-track).
+      val mvhd0 = concat(lit("0000006C6D766864"), zeros(3), beHex32(ts),
+        beHex32(dur), lit("0001000001000000"), zeros(2), matrixHex, zeros(6),
+        lit("00000002"))
+      // mvhd v1: 120-byte box (64-bit creation/modification/duration).
+      val mvhd1 = concat(lit("000000786D766864"), lit("01000000"), zeros(4),
+        beHex32(ts), zeros(1), beHex32(dur), lit("0001000001000000"), zeros(2),
+        matrixHex, zeros(6), lit("00000002"))
+      // tkhd v0: 92-byte box; width/height are 16.16 fixed-point.
+      def trak(wc: org.apache.spark.sql.Column, hc: org.apache.spark.sql.Column) =
+        concat(lit("000000647472616B"), lit("0000005C746B6864"),
+          lit("00000007"), zeros(2), lit("00000001"), zeros(1), beHex32(dur),
+          zeros(4), matrixHex,
+          beHex32(wc.cast("bigint") * 65536), beHex32(hc.cast("bigint") * 65536))
+      val video = trak(w, h)
+      val audio = trak(lit(0), lit(0))
+      val traks = when(col("doc_id") % 3 === 0, concat(audio, video))
+        .otherwise(concat(video, audio))
+      val payload = unhex(concat(
+        lit("000000106674797069736F6D00000000"), // ftyp(16), brand 'isom'
+        when(col("doc_id") % 2 === 0, concat(lit("0000013C6D6F6F76"), mvhd0))
+          .otherwise(concat(lit("000001486D6F6F76"), mvhd1)),
+        traks,
+        lit("000000086D646174"))) // empty mdat
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.mp4Header(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.major_brand").as("major_brand"),
+          col("v.timescale").as("timescale"),
+          col("v.duration_ms").as("duration_ms"),
+          col("v.track_count").as("track_count"),
+          col("v.width").as("width"),
+          col("v.height").as("height"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3642,6 +3701,16 @@ object SparkEntry {
         |  CAST(price_dec AS DOUBLE) AS min_cost
         |FROM offers o
         |WHERE price_dec = (SELECT MIN(price_dec) FROM offers m WHERE m.p_partkey = o.p_partkey)
-        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey""".stripMargin
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey""".stripMargin,
+
+    "q123_mp4_header" ->
+      """SELECT doc_id,
+        |  'isom' AS major_brand,
+        |  CAST(600 + doc_id % 100 AS INT) AS timescale,
+        |  CAST((5 + doc_id % 20) * 1000 AS BIGINT) AS duration_ms,
+        |  CAST(2 AS INT) AS track_count,
+        |  CAST(320 + 16 * (doc_id % 8) AS INT) AS width,
+        |  CAST(240 + 8 * (doc_id % 6) AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

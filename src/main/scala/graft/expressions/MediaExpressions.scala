@@ -1647,6 +1647,132 @@ object MediaCodec {
     null
   }
 
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i).toLong & 0xFFFFFFFFL) << 32) | (be32(b, i + 4).toLong & 0xFFFFFFFFL)
+
+  /** Parse the ISO-BMFF (MP4/MOV/M4A — the container of essentially all
+    * modern web video) movie header without touching a sample: major
+    * brand, movie timescale, duration converted to milliseconds, track
+    * count, and the presentation dimensions of the first visually sized
+    * track. The MP4 analog of [[videoHeader]]: filtering a petabyte of
+    * clips by duration/resolution reads a few hundred header bytes per
+    * payload and never opens `mdat`.
+    *
+    * Box grammar (public ISO/IEC 14496-12): `[size:be32][type:4cc][body]`,
+    * `size==1` → a 64-bit `largesize` follows the type, `size==0` → the
+    * box runs to the end of its container (legal only for the last box).
+    * Unknown boxes are skipped by size — the format's own
+    * forward-compatibility mechanism, which is what makes a header-only
+    * walk safe. `mvhd`/`tkhd` version 0 (32-bit times) and 1 (64-bit)
+    * both parse. Null for non-BMFF payloads (no leading `ftyp`),
+    * structural corruption (box overruns its parent, truncated fixed
+    * fields), or a missing/degenerate `mvhd`. All sizes are
+    * attacker-controlled and read unsigned into Long before any bound
+    * check; `duration_ms` is -1 when the container declares duration
+    * unknown (all-ones) or implausibly large.
+    */
+  def mp4Header(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 16) return null
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
+    var brand: String = null
+    var timescale = 0L
+    var duration = -1L
+    var trackCount = 0
+    var width = 0; var height = 0
+    def is(p: Long, c0: Char, c1: Char, c2: Char, c3: Char): Boolean = {
+      val i = p.toInt
+      b(i) == c0 && b(i + 1) == c1 && b(i + 2) == c2 && b(i + 3) == c3
+    }
+    // Walk the child boxes of [start, end), handing f the type position
+    // and body bounds of each. f returns false only on structural
+    // corruption (nulls the whole parse); boxes it doesn't recognize it
+    // just skips. Recursion depth is bounded by the fixed moov/trak
+    // nesting below, not by payload content.
+    def walk(start: Long, end: Long)(f: (Long, Long, Long) => Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        var size = be32(b, pos.toInt).toLong & 0xFFFFFFFFL
+        var body = pos + 8
+        if (size == 1) { // 64-bit largesize escape follows the type
+          if (pos + 16 > end) return false
+          size = be64(b, (pos + 8).toInt)
+          if (size < 16) return false
+          body = pos + 16
+        } else if (size == 0) { // "extends to end of enclosing container"
+          size = end - pos
+          if (size < 8) return false
+        } else if (size < 8) {
+          return false
+        }
+        val boxEnd = pos + size
+        if (boxEnd > end) return false
+        if (!f(pos + 4, body, boxEnd)) return false
+        pos = boxEnd
+      }
+      true
+    }
+    val ok = walk(0, b.length.toLong) { (tp, body, boxEnd) =>
+      if (is(tp, 'f', 't', 'y', 'p')) {
+        if (body + 4 > boxEnd) false
+        else {
+          brand = new String(b, body.toInt, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          true
+        }
+      } else if (is(tp, 'm', 'o', 'o', 'v')) {
+        walk(body, boxEnd) { (tp2, body2, boxEnd2) =>
+          if (is(tp2, 'm', 'v', 'h', 'd')) {
+            if (body2 + 4 > boxEnd2) false
+            else if ((b(body2.toInt) & 0xFF) == 1) {
+              if (body2 + 32 > boxEnd2) false
+              else {
+                timescale = be32(b, (body2 + 20).toInt).toLong & 0xFFFFFFFFL
+                duration = be64(b, (body2 + 24).toInt)
+                true
+              }
+            } else {
+              if (body2 + 24 > boxEnd2) false
+              else {
+                timescale = be32(b, (body2 + 12).toInt).toLong & 0xFFFFFFFFL
+                val d = be32(b, (body2 + 16).toInt).toLong & 0xFFFFFFFFL
+                duration = if (d == 0xFFFFFFFFL) -1L else d // all-ones: unknown
+                true
+              }
+            }
+          } else if (is(tp2, 't', 'r', 'a', 'k')) {
+            trackCount += 1
+            walk(body2, boxEnd2) { (tp3, body3, boxEnd3) =>
+              if (is(tp3, 't', 'k', 'h', 'd')) {
+                if (body3 + 4 > boxEnd3) false
+                else {
+                  // Width/height are 16.16 fixed-point at the end of the
+                  // fixed-layout body: v0 at +76/+80, v1 (64-bit times,
+                  // 12 extra bytes) at +88/+92.
+                  val wOff = if ((b(body3.toInt) & 0xFF) == 1) 88L else 76L
+                  if (body3 + wOff + 8 > boxEnd3) false
+                  else {
+                    val tw = be32(b, (body3 + wOff).toInt) >>> 16
+                    val th = be32(b, (body3 + wOff + 4).toInt) >>> 16
+                    if (width == 0 && tw > 0) { width = tw; height = th }
+                    true
+                  }
+                }
+              } else true // mdia/edts/udta: not needed for the header
+            }
+          } else true // iods/udta/meta: skipped
+        }
+      } else true // mdat/free/skip/moof/...: skipped by size
+    }
+    if (!ok || brand == null || timescale <= 0 || timescale > Int.MaxValue)
+      return null
+    val durationMs =
+      if (duration < 0 || duration > Long.MaxValue / 1000L) -1L
+      else duration * 1000L / timescale
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(brand), timescale.toInt, durationMs,
+      trackCount, width, height))
+  }
+
   /** [[decodeAvi]] marshalled for the catalyst expression: flat scalar
     * columns, fixed 4-channel slots (unused NULL; c3 carries RGBA alpha
     * when the container's frames are 4-channel PNGs, mirroring
@@ -1955,6 +2081,37 @@ case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): VideoHeaderExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_video_header"
+}
+
+/** `binary` -> struct<major_brand:string,timescale:int,duration_ms:bigint,
+  * track_count:int,width:int,height:int> from the ISO-BMFF (MP4/MOV)
+  * movie header, or NULL. Codegen'd: duration/resolution filters over the
+  * container format that dominates web video never open `mdat`.
+  */
+case class Mp4HeaderExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("major_brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("track_count", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.mp4Header(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.mp4Header($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Mp4HeaderExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_mp4_header"
 }
 
 /** `binary` -> flat video statistics struct (NULL for anything

@@ -113,6 +113,17 @@ object Multimodal {
       graft.expressions.VideoHeaderExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Parse the ISO-BMFF (MP4/MOV) movie header — major brand, timescale,
+    * duration in ms, track count, and the first visually sized track's
+    * resolution — without touching a sample: the MP4 analog of
+    * [[videoHeader]], as a native codegen'd expression
+    * ([[graft.expressions.Mp4HeaderExpr]]). NULL for non-BMFF payloads.
+    */
+  def mp4Header(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Mp4HeaderExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** REAL video decode + cross-frame statistics for AVI (RIFF) containers
     * whose frames are any format [[pixelStats]] decodes (MJPEG's JPEG
     * frames being the classic case), as a native codegen'd expression

@@ -1465,4 +1465,120 @@ class MultimodalSpec extends SparkTestBase {
     val fb = out(1).getSeq[Float](1)
     assert(fb.length == 8 && fb.exists(_ != 0f))
   }
+
+  // ------------------------------------------------------------- ISO-BMFF
+
+  /** Minimal box builder for MP4 fixtures: size+type+body, with optional
+    * 64-bit largesize. Sizes hand-verifiable: box = 8 (or 16) + body.
+    */
+  private def box(typ: String, body: Array[Byte], large: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long) = { out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt) }
+    if (large) { be32(1); out.write(typ.getBytes("US-ASCII")); be32(0); be32(16L + body.length) }
+    else { be32(8L + body.length); out.write(typ.getBytes("US-ASCII")) }
+    out.write(body); out.toByteArray
+  }
+
+  private def beBytes(words: Long*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    words.foreach { v => out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt) }
+    out.toByteArray
+  }
+
+  /** Identity matrix words shared by mvhd/tkhd fixtures. */
+  private val bmffMatrix = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+
+  private def mvhdV0(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", beBytes(Seq(0L, 0L, 0L, ts, dur, 0x00010000L, 0x01000000L, 0L, 0L) ++
+      bmffMatrix ++ Seq(0L, 0L, 0L, 0L, 0L, 0L, 2L): _*))
+
+  private def mvhdV1(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", beBytes(Seq(0x01000000L, 0L, 0L, 0L, 0L, ts, dur >>> 32, dur & 0xFFFFFFFFL,
+      0x00010000L, 0x01000000L, 0L, 0L) ++ bmffMatrix ++ Seq(0L, 0L, 0L, 0L, 0L, 0L, 2L): _*))
+
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    box("tkhd", beBytes(Seq(0x00000007L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L) ++
+      bmffMatrix ++ Seq(w.toLong << 16, h.toLong << 16): _*))
+
+  private def tkhdV1(w: Int, h: Int): Array[Byte] =
+    box("tkhd", beBytes(Seq(0x01000007L, 0L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L) ++
+      bmffMatrix ++ Seq(w.toLong << 16, h.toLong << 16): _*))
+
+  private def cat(parts: Array[Byte]*): Array[Byte] = parts.reduce(_ ++ _)
+
+  test("mp4Header: v0 movie header, first visually sized track wins") {
+    import graft.expressions.MediaCodec
+    // audio trak (0x0) FIRST: dims must come from the video trak behind it.
+    val m = cat(
+      box("ftyp", beBytes(0x69736F6DL, 0L)), // 'isom', minor 0
+      box("moov", cat(
+        mvhdV0(ts = 1000, dur = 7500), // 7.5 s
+        box("trak", tkhdV0(0, 0)),
+        box("trak", cat(tkhdV0(640, 360), box("mdia", beBytes(0L)))))),
+      box("mdat", Array.emptyByteArray))
+    val r = MediaCodec.mp4Header(m)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "isom")
+    assert(r.getInt(1) == 1000 && r.getLong(2) == 7500L)
+    assert(r.getInt(3) == 2 && r.getInt(4) == 640 && r.getInt(5) == 360)
+  }
+
+  test("mp4Header: v1 mvhd/tkhd, largesize moov, size-0 trailing mdat") {
+    import graft.expressions.MediaCodec
+    val m = cat(
+      box("ftyp", beBytes(0x6D703432L, 0x200L)), // 'mp42'
+      box("free", beBytes(0L, 0L)),              // skipped by size
+      box("moov", cat(
+        mvhdV1(ts = 90000, dur = 90000L * 3661), // 1h 1m 1s at 90 kHz
+        box("trak", tkhdV1(1920, 1080))), large = true),
+      // size-0 final box: runs to end of file per spec.
+      beBytes(0L) ++ "mdat".getBytes("US-ASCII") ++ Array.fill[Byte](32)(0x55))
+    val r = MediaCodec.mp4Header(m)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "mp42")
+    assert(r.getInt(1) == 90000 && r.getLong(2) == 3661000L)
+    assert(r.getInt(3) == 1 && r.getInt(4) == 1920 && r.getInt(5) == 1080)
+  }
+
+  test("mp4Header: unknown duration, corruption, and non-BMFF all null cleanly") {
+    import graft.expressions.MediaCodec
+    // v0 duration all-ones means "unknown" -> duration_ms = -1.
+    val unk = cat(box("ftyp", beBytes(0x69736F6DL, 0L)),
+      box("moov", cat(mvhdV0(600, 0xFFFFFFFFL), box("trak", tkhdV0(64, 48)))))
+    val ru = MediaCodec.mp4Header(unk)
+    assert(ru != null && ru.getLong(2) == -1L && ru.getInt(4) == 64)
+    // timescale 0 is degenerate -> null.
+    assert(MediaCodec.mp4Header(cat(box("ftyp", beBytes(0x69736F6DL, 0L)),
+      box("moov", mvhdV0(0, 100)))) == null)
+    // moov without mvhd -> null.
+    assert(MediaCodec.mp4Header(cat(box("ftyp", beBytes(0x69736F6DL, 0L)),
+      box("moov", box("trak", tkhdV0(64, 48))))) == null)
+    // Child box overrunning its parent -> null (crafted inner size).
+    val overrun = cat(box("ftyp", beBytes(0x69736F6DL, 0L)),
+      box("moov", beBytes(0x7FFFFFFFL, 0x6D766864L, 0L)))
+    assert(MediaCodec.mp4Header(overrun) == null)
+    // Non-BMFF payloads: no leading ftyp.
+    assert(MediaCodec.mp4Header("RIFF....AVI ".getBytes) == null)
+    assert(MediaCodec.mp4Header(Array.emptyByteArray) == null)
+    // Truncated at every prefix: null or a row, never a throw.
+    val ok = cat(box("ftyp", beBytes(0x69736F6DL, 0L)),
+      box("moov", cat(mvhdV0(1000, 5000), box("trak", tkhdV0(320, 240)))))
+    (0 until ok.length).foreach(n => MediaCodec.mp4Header(ok.take(n)))
+  }
+
+  test("mp4Header: codegen'd column expression round-trips and nulls junk") {
+    val good = cat(box("ftyp", beBytes(0x69736F6DL, 0L)),
+      box("moov", cat(mvhdV0(1000, 2500), box("trak", tkhdV0(320, 240)))))
+    val df = Seq((1L, good), (2L, "junk".getBytes)).toDF("id", "payload")
+      .select(col("id"), Multimodal.mp4Header(col("payload")).as("v"))
+      .select(col("id"), col("v.major_brand"), col("v.duration_ms"),
+        col("v.width"), col("v.height"))
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows(0).getString(1) == "isom" && rows(0).getLong(2) == 2500L &&
+      rows(0).getInt(3) == 320 && rows(0).getInt(4) == 240)
+    assert(rows(1).isNullAt(1))
+  }
 }
