@@ -2391,6 +2391,47 @@ object SparkEntry {
           col("v.width").as("width"),
           col("v.height").as("height"))
         .orderBy("doc_id")
+    }),
+
+    // --- 124. WebP header sniff across all three container layouts, oracle-pinned -----------------------
+    // The second-most-common crawl image format joins the imageHeader
+    // ladder: a WebP is CONSTRUCTED per row, cycling through the three
+    // public layouts by doc_id — 'VP8 ' lossy (frame tag + 9D012A start
+    // code + 14-bit dims), 'VP8L' lossless (0x2F + two packed 14-bit
+    // dims-minus-one), 'VP8X' extended (24-bit canvas dims-minus-one) —
+    // and sniffed back by the codegen'd ImageHeaderExpr. One query, three
+    // binary encodings of the same (w, h): the hash pins every branch.
+    "q124_webp_header" -> ((s, d) => {
+      def leHex16(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"))
+      def leHex24(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0"))
+      def leHex32(c: org.apache.spark.sql.Column) = concat(
+        leHex16(c), leHex16(shiftright(c, 16)))
+      val w = (lit(32) + (col("doc_id") % 11) * 3).cast("int")
+      val h = (lit(24) + (col("doc_id") % 7) * 5).cast("int")
+      // VP8 lossy: 10-byte payload (RIFF size 22 = 0x16).
+      val vp8 = concat(lit("52494646160000005745425056503820" + "0A000000" +
+        "0000009D012A"), leHex16(w), leHex16(h))
+      // VP8L lossless: 5-byte payload (RIFF size 17 = 0x11); dims pack as
+      // (w-1) | (h-1) << 14 little-endian after the 0x2F signature.
+      val vp8l = concat(lit("5249464611000000574542505650384C050000002F"),
+        leHex32((w - 1) + (h - 1) * 16384))
+      // VP8X extended: 10-byte payload (RIFF size 22).
+      val vp8x = concat(lit("52494646160000005745425056503858" + "0A000000" +
+        "00000000"), leHex24(w - 1), leHex24(h - 1))
+      val payload = unhex(when(col("doc_id") % 3 === 0, vp8)
+        .when(col("doc_id") % 3 === 1, vp8l).otherwise(vp8x))
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.imageHeader(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.format").as("format"),
+          col("v.width").as("width"),
+          col("v.height").as("height"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3711,6 +3752,13 @@ object SparkEntry {
         |  CAST(2 AS INT) AS track_count,
         |  CAST(320 + 16 * (doc_id % 8) AS INT) AS width,
         |  CAST(240 + 8 * (doc_id % 6) AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q124_webp_header" ->
+      """SELECT doc_id,
+        |  'webp' AS format,
+        |  CAST(32 + (doc_id % 11) * 3 AS INT) AS width,
+        |  CAST(24 + (doc_id % 7) * 5 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1944,6 +1944,41 @@ object MediaCodec {
       return if (w > 0 && h > 0 && le16(b, 28) == 24 && le32(b, 30) == 0)
         ("bmp", w, h) else null
     }
+    // WebP (the second-most-common web-crawl image format): a RIFF
+    // container whose form is WEBP, dimensions in the leading bytes of
+    // the first bitstream chunk at offset 12. All three public layouts
+    // parse: 'VP8 ' (lossy — 3-byte frame tag, 9D 01 2A start code,
+    // 14-bit dims), 'VP8L' (lossless — 0x2F signature, two 14-bit
+    // dims-minus-one packed little-endian), 'VP8X' (extended — 24-bit
+    // canvas dims-minus-one). Dimension filters over a crawl corpus no
+    // longer fall through to the byte-stat seam for WebP payloads.
+    if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P' && b(12) == 'V' && b(13) == 'P' && b(14) == '8') {
+      if (b(15) == ' ') { // lossy: key-frame start code then 14-bit dims
+        if (b.length >= 30 && (b(23) & 0xFF) == 0x9D &&
+            (b(24) & 0xFF) == 0x01 && (b(25) & 0xFF) == 0x2A) {
+          val w = le16(b, 26) & 0x3FFF; val h = le16(b, 28) & 0x3FFF
+          return if (w > 0 && h > 0) ("webp", w, h) else null
+        }
+        return null
+      }
+      if (b(15) == 'L') { // lossless: 0x2F then packed 14+14-bit dims
+        if ((b(20) & 0xFF) != 0x2F) return null
+        val bits = (b(21) & 0xFF) | ((b(22) & 0xFF) << 8) |
+          ((b(23) & 0xFF) << 16) | ((b(24) & 0xFF) << 24)
+        return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+      }
+      if (b(15) == 'X') { // extended: 24-bit canvas dims minus one
+        if (b.length < 30) return null
+        val w = ((b(24) & 0xFF) | ((b(25) & 0xFF) << 8) |
+          ((b(26) & 0xFF) << 16)) + 1
+        val h = ((b(27) & 0xFF) | ((b(28) & 0xFF) << 8) |
+          ((b(29) & 0xFF) << 16)) + 1
+        return ("webp", w, h)
+      }
+      return null
+    }
     null
   }
 }

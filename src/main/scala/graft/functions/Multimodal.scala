@@ -67,8 +67,9 @@ object Multimodal {
   }
 
   /** Parse (format, width, height) from an image payload's container header
-    * (PNG IHDR / JPEG SOFn / GIF screen descriptor — public formats, pure
-    * JVM, no codec library). NULL for unrecognized bytes. Native codegen'd
+    * (PNG IHDR / JPEG SOFn / GIF screen descriptor / WebP VP8, VP8L and
+    * VP8X — public formats, pure JVM, no codec library). NULL for
+    * unrecognized bytes. Native codegen'd
     * expression ([[graft.expressions.ImageHeaderExpr]]); full pixel decode
     * remains behind [[decode]].
     */

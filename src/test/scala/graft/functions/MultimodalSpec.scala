@@ -1581,4 +1581,47 @@ class MultimodalSpec extends SparkTestBase {
       rows(0).getInt(3) == 320 && rows(0).getInt(4) == 240)
     assert(rows(1).isNullAt(1))
   }
+
+  test("imageHeader: WebP VP8/VP8L/VP8X layouts parse; corrupt WebP nulls") {
+    import graft.expressions.MediaCodec
+    def webp(variant: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+        out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+      out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + payload.length)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(variant.getBytes("US-ASCII")); le32(payload.length)
+      out.write(payload); out.toByteArray
+    }
+    // VP8 lossy: frame tag, 9D 01 2A, 14-bit le dims (640x480).
+    val vp8 = webp("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      (640 & 0xFF).toByte, (640 >> 8).toByte, (480 & 0xFF).toByte, (480 >> 8).toByte))
+    val r8 = MediaCodec.imageHeader(vp8)
+    assert(r8 != null && r8.getUTF8String(0).toString == "webp" &&
+      r8.getInt(1) == 640 && r8.getInt(2) == 480)
+    // VP8L lossless: 0x2F then (w-1) | (h-1)<<14 packed le (100x33).
+    val bits = (100 - 1) | ((33 - 1) << 14)
+    val vp8l = webp("VP8L", Array[Byte](0x2F, (bits & 0xFF).toByte,
+      ((bits >> 8) & 0xFF).toByte, ((bits >> 16) & 0xFF).toByte,
+      ((bits >> 24) & 0xFF).toByte))
+    val rl = MediaCodec.imageHeader(vp8l)
+    assert(rl != null && rl.getInt(1) == 100 && rl.getInt(2) == 33)
+    // VP8X extended: flags + reserved + 24-bit canvas dims minus one
+    // (70000x12 — beyond 14-bit range, the layout VP8X exists for).
+    val wm = 70000 - 1; val hm = 12 - 1
+    val vp8x = webp("VP8X", Array[Byte](0, 0, 0, 0,
+      (wm & 0xFF).toByte, ((wm >> 8) & 0xFF).toByte, ((wm >> 16) & 0xFF).toByte,
+      (hm & 0xFF).toByte, ((hm >> 8) & 0xFF).toByte, ((hm >> 16) & 0xFF).toByte))
+    val rx = MediaCodec.imageHeader(vp8x)
+    assert(rx != null && rx.getInt(1) == 70000 && rx.getInt(2) == 12)
+    // Corrupt: bad VP8 start code, bad VP8L signature, unknown variant.
+    assert(MediaCodec.imageHeader(webp("VP8 ", Array[Byte](0, 0, 0,
+      0x11, 0x22, 0x33, 1, 0, 1, 0))) == null)
+    assert(MediaCodec.imageHeader(webp("VP8L", Array[Byte](0x30, 0, 0, 0, 0))) == null)
+    assert(MediaCodec.imageHeader(webp("VP8Z", Array[Byte](0x2F, 0, 0, 0, 0))) == null)
+    // A WAV RIFF must not classify as WebP; truncations never throw.
+    assert(MediaCodec.imageHeader(wav(8000, Array(Array(1, 2, 3)))) == null)
+    (0 until vp8.length).foreach(n => MediaCodec.imageHeader(vp8.take(n)))
+    (0 until vp8l.length).foreach(n => MediaCodec.imageHeader(vp8l.take(n)))
+  }
 }
