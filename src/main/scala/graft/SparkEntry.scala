@@ -2432,6 +2432,55 @@ object SparkEntry {
           col("v.width").as("width"),
           col("v.height").as("height"))
         .orderBy("doc_id")
+    }),
+
+    // --- 125. MP3 frame-header audio stats (VBR tag + CBR estimate), oracle-pinned ----------------------
+    // Compressed-audio metadata without a codec: an MPEG1 Layer III
+    // payload is CONSTRUCTED per row — even doc_ids a stereo frame whose
+    // Xing tag declares the frame count (duration = frames*1152/rate),
+    // odd doc_ids a mono CBR stream of one full frame + a second sync at
+    // the exact frame boundary (exercising the false-sync guard) +
+    // trailing bytes (duration = bytes*8/bitrate). Bitrate/samplerate
+    // indices cycle through the public tables; the oracle recomputes both
+    // duration formulas with DuckDB floor division.
+    "q125_mp3_header" -> ((s, d) => {
+      def beHex32(c: org.apache.spark.sql.Column) =
+        lpad(hex(c.cast("bigint").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0")
+      val even = col("doc_id") % 2 === 0
+      val brTable = array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320).map(lit): _*)
+      val srTable = array(Seq(44100, 48000, 32000).map(lit): _*)
+      t(s, d, "documents")
+        .withColumn("bridx", (col("doc_id") % 14 + 1).cast("int"))
+        .withColumn("sridx", (col("doc_id") % 3).cast("int"))
+        .withColumn("br", element_at(brTable, col("bridx")))
+        .withColumn("sr", element_at(srTable, col("sridx") + 1))
+        // FF FB = sync + MPEG1 + Layer III + no CRC; b2 packs the
+        // bitrate/samplerate indices; b3 the channel mode.
+        .withColumn("hdr", concat(lit("FFFB"),
+          lpad(hex(col("bridx") * 16 + col("sridx") * 4), 2, "0"),
+          when(even, lit("40")).otherwise(lit("C0"))))
+        .withColumn("fs",
+          floor((lit(144000).cast("double") * col("br")) / col("sr")).cast("int"))
+        .withColumn("nframes", (lit(100) + col("doc_id") % 50).cast("int"))
+        .withColumn("extra", (lit(100) + col("doc_id") % 100).cast("int"))
+        .withColumn("payload", unhex(when(even,
+            // header + 32-byte stereo side info + Xing(frames flag) + count
+            concat(col("hdr"), lit("00" * 32), lit("58696E6700000001"),
+              beHex32(col("nframes"))))
+          .otherwise(
+            // one full frame, a second sync at the boundary, then junk
+            concat(col("hdr"), expr("repeat('00', fs - 4)"), col("hdr"),
+              expr("repeat('00', extra)")))))
+        .select(col("doc_id"), col("sr"), col("br"), col("fs"), col("extra"),
+          col("nframes"), Multimodal.mp3Header(col("payload")).as("v"))
+        .select(col("doc_id"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.bitrate_kbps").as("bitrate_kbps"),
+          col("v.channels").as("channels"),
+          col("v.frames").as("frames"),
+          col("v.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3759,6 +3808,25 @@ object SparkEntry {
         |  'webp' AS format,
         |  CAST(32 + (doc_id % 11) * 3 AS INT) AS width,
         |  CAST(24 + (doc_id % 7) * 5 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Both duration formulas are pure integer floor division, mirroring
+    // the parser's long arithmetic exactly.
+    "q125_mp3_header" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 + 1 AS INT)] AS br,
+        |    ([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1] AS sr,
+        |    100 + doc_id % 50 AS nframes,
+        |    100 + doc_id % 100 AS extra
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  CAST(br AS INT) AS bitrate_kbps,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN nframes ELSE -1 END AS INT) AS frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (nframes * 1152000) // sr
+        |       ELSE (((144000 * br) // sr) + 4 + extra) * 8 // br END AS BIGINT) AS duration_ms
+        |FROM e ORDER BY doc_id""".stripMargin
   )
 }

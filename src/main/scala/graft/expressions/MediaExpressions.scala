@@ -1773,6 +1773,106 @@ object MediaCodec {
       trackCount, width, height))
   }
 
+  // MPEG audio bitrate tables (kbps), indexed [layer-1][bitrate_index].
+  // Public ISO/IEC 11172-3 / 13818-3 values; index 0 ("free") and 15
+  // ("bad") are rejected before lookup.
+  private val mp3BitrateV1 = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val mp3BitrateV2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+
+  /** Parse the first valid MPEG audio (MP3) frame header + the Xing/Info
+    * or VBRI VBR tag: version, layer, sample rate, bitrate, channel
+    * count, VBR frame count (-1 when absent) and a duration estimate in
+    * ms — exact `frames * samples_per_frame / rate` when a VBR tag
+    * declares the frame count, else the CBR estimate `bytes * 8 /
+    * bitrate`. The audio analog of [[videoHeader]]/[[mp4Header]] for the
+    * format that dominates crawl audio: duration/bitrate filters read a
+    * few header bytes, never a codec.
+    *
+    * Robustness: an ID3v2 prefix is skipped via its syncsafe size; the
+    * sync scan is bounded (4 KiB past the tag); a candidate sync must
+    * carry legal version/layer/bitrate/samplerate bits AND — for CBR
+    * payloads long enough — a second sync at the computed frame boundary
+    * (the classic false-sync guard; VBR tags exempt it since their frame
+    * sizes vary). Null when no valid frame is found.
+    */
+  def mp3Header(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    var start = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      val skip = 10L + sz
+      if (skip + 4 > b.length) return null
+      start = skip.toInt
+    }
+    val scanEnd = math.min(b.length - 4, start + 4096)
+    var p = start
+    while (p <= scanEnd) {
+      if ((b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xE0) == 0xE0) {
+        val h1 = b(p + 1) & 0xFF; val h2 = b(p + 2) & 0xFF; val h3 = b(p + 3) & 0xFF
+        val verBits = (h1 >> 3) & 3   // 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1
+        val layerBits = (h1 >> 1) & 3 // 3 = I, 2 = II, 1 = III
+        val brIdx = (h2 >> 4) & 0xF
+        val srIdx = (h2 >> 2) & 3
+        val padding = (h2 >> 1) & 1
+        val mode = (h3 >> 6) & 3      // 3 = mono
+        if (verBits != 1 && layerBits != 0 && brIdx != 0 && brIdx != 15 &&
+            srIdx != 3) {
+          val layer = 4 - layerBits
+          val sr = verBits match {
+            case 3 => Array(44100, 48000, 32000)(srIdx)
+            case 2 => Array(22050, 24000, 16000)(srIdx)
+            case _ => Array(11025, 12000, 8000)(srIdx)
+          }
+          val br = (if (verBits == 3) mp3BitrateV1 else mp3BitrateV2)(layer - 1)(brIdx)
+          val spf = if (layer == 1) 384 else if (layer == 2) 1152
+            else if (verBits == 3) 1152 else 576
+          // Frame length: Layer I counts in 4-byte slots; II/III in bytes
+          // with coefficient spf/8 (144 for 1152 samples, 72 for 576).
+          val frameLen =
+            if (layer == 1) ((12L * br * 1000 / sr + padding) * 4).toInt
+            else ((spf / 8L) * br * 1000 / sr + padding).toInt
+          val channels = if (mode == 3) 1 else 2
+          // Xing/Info sits after the side info block; VBRI at a fixed +36.
+          var frames = -1
+          val sideInfo =
+            if (verBits == 3) { if (mode == 3) 17 else 32 }
+            else { if (mode == 3) 9 else 17 }
+          def tag4(o: Int, s: String): Boolean = o + 4 <= b.length &&
+            b(o) == s(0) && b(o + 1) == s(1) && b(o + 2) == s(2) && b(o + 3) == s(3)
+          val xOff = p + 4 + sideInfo
+          if (tag4(xOff, "Xing") || tag4(xOff, "Info")) {
+            if (xOff + 12 <= b.length && (be32(b, xOff + 4) & 1) != 0)
+              frames = be32(b, xOff + 8)
+          } else if (tag4(p + 36, "VBRI") && p + 36 + 18 <= b.length) {
+            frames = be32(b, p + 36 + 14)
+          }
+          val boundary = p + frameLen
+          val boundaryOk = frames >= 0 || frameLen <= 0 ||
+            boundary + 1 >= b.length ||
+            ((b(boundary) & 0xFF) == 0xFF && (b(boundary + 1) & 0xE0) == 0xE0)
+          if (frameLen > 0 && boundaryOk) {
+            val durationMs: Long =
+              if (frames >= 0) frames.toLong * spf * 1000L / sr
+              else (b.length - p).toLong * 8L / br
+            val ver = if (verBits == 3) "1" else if (verBits == 2) "2" else "2.5"
+            return new GenericInternalRow(Array[Any](
+              UTF8String.fromString(ver), layer, sr, br, channels, frames,
+              durationMs))
+          }
+        }
+      }
+      p += 1
+    }
+    null
+  }
+
   /** [[decodeAvi]] marshalled for the catalyst expression: flat scalar
     * columns, fixed 4-channel slots (unused NULL; c3 carries RGBA alpha
     * when the container's frames are 4-channel PNGs, mirroring
@@ -2147,6 +2247,39 @@ case class Mp4HeaderExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Mp4HeaderExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_mp4_header"
+}
+
+/** `binary` -> struct<version:string,layer:int,sample_rate:int,
+  * bitrate_kbps:int,channels:int,frames:int,duration_ms:bigint> from the
+  * first valid MPEG audio frame header (+ Xing/Info/VBRI tag), or NULL.
+  * Codegen'd: duration/bitrate filters over crawl audio read header
+  * bytes, never a codec.
+  */
+case class Mp3HeaderExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("version", StringType, nullable = false),
+    StructField("layer", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bitrate_kbps", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.mp3Header(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.mp3Header($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Mp3HeaderExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_mp3_header"
 }
 
 /** `binary` -> flat video statistics struct (NULL for anything

@@ -104,6 +104,17 @@ object Multimodal {
       graft.expressions.AudioStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Parse the first valid MPEG audio (MP3) frame header + Xing/VBRI tag
+    * — version, layer, sample rate, bitrate, channels, VBR frame count,
+    * duration estimate — without a codec: the compressed-audio analog of
+    * [[audioStats]]'s WAV surface, as a native codegen'd expression
+    * ([[graft.expressions.Mp3HeaderExpr]]). NULL for non-MPEG payloads.
+    */
+  def mp3Header(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Mp3HeaderExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Parse the AVI main header (fps, frame count, resolution) without
     * touching any frame — the video analog of [[imageHeader]], as a native
     * codegen'd expression ([[graft.expressions.VideoHeaderExpr]]). NULL

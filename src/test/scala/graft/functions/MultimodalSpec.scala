@@ -1624,4 +1624,67 @@ class MultimodalSpec extends SparkTestBase {
     (0 until vp8.length).foreach(n => MediaCodec.imageHeader(vp8.take(n)))
     (0 until vp8l.length).foreach(n => MediaCodec.imageHeader(vp8l.take(n)))
   }
+
+  // ------------------------------------------------------------- MPEG audio
+
+  /** MPEG1 Layer III header: bitrate index, samplerate index, mono flag. */
+  private def mp3Hdr(brIdx: Int, srIdx: Int, mono: Boolean): Array[Byte] =
+    Array(0xFF.toByte, 0xFB.toByte, ((brIdx << 4) | (srIdx << 2)).toByte,
+      (if (mono) 0xC0 else 0x40).toByte)
+
+  test("mp3Header: Xing VBR tag gives exact frame-count duration") {
+    import graft.expressions.MediaCodec
+    // 128 kbps, 44100 Hz, stereo; Xing declares 1000 frames.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(mp3Hdr(9, 0, mono = false))
+    out.write(new Array[Byte](32)) // stereo side info
+    out.write("Xing".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 0, 0, 1, 0, 0, 0x03, 0xE8.toByte)) // flags=1, frames=1000
+    val r = MediaCodec.mp3Header(out.toByteArray)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "1" && r.getInt(1) == 3)
+    assert(r.getInt(2) == 44100 && r.getInt(3) == 128 && r.getInt(4) == 2)
+    assert(r.getInt(5) == 1000)
+    assert(r.getLong(6) == 1000L * 1152 * 1000 / 44100)
+  }
+
+  test("mp3Header: CBR stream with second sync; ID3v2 skip; false sync rejected") {
+    import graft.expressions.MediaCodec
+    // 64 kbps mono at 32000 Hz: frame = 144*64000/32000 = 288 bytes.
+    val hdr = mp3Hdr(5, 2, mono = true)
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2 prefix of 20 syncsafe payload bytes.
+    out.write("ID3".getBytes("US-ASCII")); out.write(Array[Byte](4, 0, 0, 0, 0, 0, 20))
+    out.write(new Array[Byte](20))
+    out.write(hdr); out.write(new Array[Byte](288 - 4))
+    out.write(hdr); out.write(new Array[Byte](100))
+    val b = out.toByteArray
+    val r = MediaCodec.mp3Header(b)
+    assert(r != null)
+    assert(r.getInt(2) == 32000 && r.getInt(3) == 64 && r.getInt(4) == 1)
+    assert(r.getInt(5) == -1) // no VBR tag
+    val audioBytes = b.length - 30 // after the 30-byte ID3 tag
+    assert(r.getLong(6) == audioBytes.toLong * 8 / 64)
+    // A sync whose frame boundary holds junk (no second sync): rejected.
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write(hdr); bad.write(new Array[Byte](288 - 4))
+    bad.write(Array[Byte](0x11, 0x22)); bad.write(new Array[Byte](50))
+    assert(MediaCodec.mp3Header(bad.toByteArray) == null)
+    // Reserved version/layer/samplerate and bad bitrate indices: null.
+    assert(MediaCodec.mp3Header(Array(0xFF.toByte, 0xFB.toByte, 0xF0.toByte, 0x40.toByte)) == null)
+    assert(MediaCodec.mp3Header(Array(0xFF.toByte, 0xFB.toByte, 0x9C.toByte, 0x40.toByte)) == null)
+    // Truncations: never a throw.
+    (0 until b.length).foreach(n => MediaCodec.mp3Header(b.take(n)))
+    assert(MediaCodec.mp3Header("not audio at all".getBytes) == null)
+  }
+
+  test("mp3Header: short single-frame payload accepts without boundary bytes") {
+    import graft.expressions.MediaCodec
+    // Payload ends inside the first frame: boundary check must not fire.
+    val hdr = mp3Hdr(9, 0, mono = false)
+    val b = hdr ++ new Array[Byte](40)
+    val r = MediaCodec.mp3Header(b)
+    assert(r != null && r.getInt(3) == 128)
+    assert(r.getLong(6) == b.length.toLong * 8 / 128)
+  }
 }
