@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_clone('/src/table', '/dst/table')
   *   CALL graft_compact('/path/to/table', 500000 [, 'snapshot=true'])
   *   CALL graft_vacuum('/path/to/table' [, 3])
+  *   CALL graft_read_version('/path/to/table', 1, version1_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -233,7 +234,29 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
       val deleted = Snapshot.vacuum(fs, fs.makeQualified(root), keep.toInt)
       Seq(Row(s"vacuumed $target: ${deleted.size} files removed"))
 
+    // SQL time travel: register a historical snapshot (pre-vacuum) as a
+    // temp view, completing the SQL face — a SQL-first user can now read
+    // any version a Scala Medallion.read(version=...) caller can. The
+    // view is lazy: the snapshot's file list is pinned at registration,
+    // the data scanned on use. Version -1 means "latest" (a cheap way to
+    // diff current vs historical through two views).
+    case "read_version" =>
+      val target = str(0)
+      val version = args.lift(1) match {
+        case Some(IArg(v)) => v
+        case other => bad(s"argument 2 must be an integer version, got $other")
+      }
+      val view = args.lift(2) match {
+        case Some(IdArg(name)) => name
+        case Some(SArg(name)) => name
+        case other => bad(s"argument 3 must be a view name, got $other")
+      }
+      val pinned = if (version < 0) None else Some(version)
+      Medallion.read(spark, target, pinned).createOrReplaceTempView(view)
+      Seq(Row(s"registered $view = $target at version " +
+        pinned.map(_.toString).getOrElse("latest")))
+
     case other =>
-      bad(s"unknown verb (known: merge, clone, compact, vacuum)")
+      bad(s"unknown verb (known: merge, clone, compact, read_version, vacuum)")
   }
 }

@@ -65,4 +65,32 @@ class GraftSqlSpec extends SparkTestBase {
       sqlS.sql("CALL graft_frobnicate('/x')").collect())
     assert(e2.getMessage.contains("unknown verb"), e2.getMessage)
   }
+
+  test("CALL graft_read_version: SQL time travel across merge versions") {
+    val path = tmpDir("timetravel")
+    Medallion.writeTable(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), path, Nil)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.ensure(fs, fs.makeQualified(new Path(path)))          // version 1
+    val srcPath = tmpDir("timetravel-src")
+    Seq((2L, 21.0), (3L, 30.0)).toDF("id", "v").write.parquet(srcPath)
+    sqlS.read.parquet(srcPath).createOrReplaceTempView("tt_changes")
+    sqlS.sql(s"CALL graft_merge('$path', tt_changes, 'id', 'snapshot=true')")
+      .collect()                                                   // version 2
+    // Pure-SQL read of BOTH versions through registered views.
+    val r1 = sqlS.sql(s"CALL graft_read_version('$path', 1, tt_v1)")
+      .head().getString(0)
+    assert(r1.contains("version 1"), r1)
+    sqlS.sql(s"CALL graft_read_version('$path', -1, tt_latest)").collect()
+    val v1 = sqlS.sql("SELECT id, v FROM tt_v1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val latest = sqlS.sql("SELECT id, v FROM tt_latest ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(v1 == Seq((1L, 10.0), (2L, 20.0)))
+    assert(latest == Seq((1L, 10.0), (2L, 21.0), (3L, 30.0)))
+    // A view name is required; a missing third argument is OUR error.
+    val e = intercept[Exception](
+      sqlS.sql(s"CALL graft_read_version('$path', 1)").collect())
+    assert(e.getMessage.contains("view name"), e.getMessage)
+  }
 }
