@@ -2481,6 +2481,37 @@ object SparkEntry {
           col("v.frames").as("frames"),
           col("v.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
+    }),
+
+    // --- 126. Bloom-sidecar equality skipping end-to-end, oracle-pinned ---------------------------------
+    // The string-equality data-skipping path a 100 TB id-probe needs:
+    // documents land in a snapshot table hash-spread over 8 files (every
+    // file's doc_id [min,max] straddles every probe — min/max stats
+    // CANNOT prune here), per-file Bloom filters are computed in one
+    // grouped scan, and readPrunedEq probes 20 ids through the sidecar
+    // before opening any footer. The DuckDB oracle recomputes the probe
+    // set relationally — a hash match proves build, serialization, probe,
+    // and the no-false-negative contract in one pass; BloomSkipSpec pins
+    // the strictly-fewer-files property live.
+    "q126_bloom_skip" -> ((s, d) => {
+      import graft.pipeline.{BloomSidecar, Medallion, Snapshot}
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_q126_${java.lang.Integer.toHexString(d.hashCode)}").toString
+      deleteRecursively(new java.io.File(root))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("string").as("doc_id"), col("lang"))
+      Medallion.writeTable(docs.repartition(8, col("doc_id")), root, Nil)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Snapshot.ensure(fs, fs.makeQualified(rootPath))
+      BloomSidecar.computeBloom(s, root, Seq("doc_id"))
+      BloomSidecar.readPrunedEq(s, root, "doc_id",
+          (0 until 20).map(i => (i * 7).toString))
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3827,6 +3858,13 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN nframes ELSE -1 END AS INT) AS frames,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN (nframes * 1152000) // sr
         |       ELSE (((144000 * br) // sr) + 4 + extra) * 8 // br END AS BIGINT) AS duration_ms
-        |FROM e ORDER BY doc_id""".stripMargin
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // The Spark side probes doc_ids {0, 7, 14, ..., 133} through the
+    // Bloom sidecar; relationally that is exactly this predicate.
+    "q126_bloom_skip" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 7 = 0 AND doc_id <= 133
+        |ORDER BY doc_id""".stripMargin
   )
 }

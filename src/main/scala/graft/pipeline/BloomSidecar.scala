@@ -1,0 +1,228 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-file Bloom-filter sidecars for EQUALITY data skipping on string
+  * keys — the probe shape min/max stats can't help with: a high-
+  * cardinality id/URL column is effectively uniform per file, so every
+  * file's [min, max] straddles every probe and [[Snapshot.computeStats]]
+  * prunes nothing. A few kilobits of Bloom per (file, column) answer
+  * "can this file contain THIS value?" with a bounded false-positive
+  * rate and zero false negatives — at 100 TB an id-equality probe opens
+  * a handful of files instead of all of them, decided at planning time
+  * from one small sidecar read.
+  *
+  * Discipline mirrors `_stats-<v>` exactly (same publish atomicity, same
+  * conservatism): filters are computed in ONE scan grouped by file via a
+  * mergeable [[Aggregator]] (map-side combine; per-file state is the
+  * fixed bit array regardless of row count), the sidecar `_bloom-<v>` is
+  * tmp-written then renamed, and every degraded state — missing sidecar,
+  * stale version, malformed line, column without a filter — KEEPS files.
+  * Skipping is an optimization, never a correctness gate; the exact
+  * predicate is always applied on top.
+  */
+object BloomSidecar {
+
+  /** Prefix of per-version Bloom sidecars: `_bloom-<v>` holds one
+    * `file SEP col SEP m SEP k SEP base64(bits)` line per (data file,
+    * column).
+    */
+  val BloomPrefix = "_bloom-"
+  private val Sep = "\u0001"
+
+  /** Deterministic 64-bit hash of a string's UTF-8 bytes, identical on
+    * executors (build) and driver (probe) — Spark's own XXH64, seeded.
+    */
+  private[pipeline] def hash64(s: String, seed: Long): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
+  /** Bit indices of `s` under double hashing (Kirsch–Mitzenmacher:
+    * h1 + i*h2 covers k independent-enough probes from two hashes).
+    */
+  private def setBits(words: Array[Long], mBits: Int, k: Int, s: String): Unit = {
+    val h1 = hash64(s, 0x9E3779B97F4A7C15L)
+    val h2 = hash64(s, 0xC2B2AE3D27D4EB4FL) | 1L // odd: full period mod 2^64
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Math.floorMod(h1 + i * h2, mBits.toLong).toInt
+      words(bit >>> 6) |= 1L << (bit & 63)
+      i += 1
+    }
+  }
+
+  private def testBits(words: Array[Long], mBits: Int, k: Int, s: String): Boolean = {
+    val h1 = hash64(s, 0x9E3779B97F4A7C15L)
+    val h2 = hash64(s, 0xC2B2AE3D27D4EB4FL) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Math.floorMod(h1 + i * h2, mBits.toLong).toInt
+      if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** A loaded per-(file, column) filter. */
+  final class Bloom(val mBits: Int, val k: Int, val words: Array[Long]) {
+    def mightContain(s: String): Boolean = testBits(words, mBits, k, s)
+  }
+
+  /** Mergeable per-file Bloom build: reduce sets a value's k bits, merge
+    * ORs bit arrays (associative + commutative → map-side combine), so
+    * the shuffle carries one fixed-size array per (file, column) no
+    * matter how many rows the file holds. NULL values are skipped — an
+    * `= value` probe can't match NULL anyway.
+    */
+  final class BloomAggregator(mBits: Int, k: Int)
+      extends Aggregator[String, Array[Long], Array[Byte]] {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+
+    override def reduce(buf: Array[Long], value: String): Array[Long] = {
+      if (value != null) setBits(buf, mBits, k, value)
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Compute and publish per-file Bloom filters for string columns `cols`
+    * covering the CURRENT manifest version: ONE scan grouped by file,
+    * same maintenance discipline as [[Snapshot.computeStats]] (single
+    * maintainer, rewrite in place, tmp + rename publish so a concurrent
+    * reader never sees a truncated sidecar). `mBits` defaults to 64 Kib
+    * per (file, column) — ~0.1% FPP at 50k distinct values/file, 8 KiB
+    * of sidecar; size it to the table's rows-per-file.
+    */
+  def computeBloom(spark: SparkSession, path: String, cols: Seq[String],
+      mBits: Int = 1 << 16, k: Int = 5): Long = {
+    require(cols.nonEmpty, "need at least one bloom column")
+    val fs = Snapshot.fsFor(spark, new Path(path))
+    val root = fs.makeQualified(new Path(path))
+    val (v, files, _) = Snapshot.currentFull(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no manifest: Snapshot.ensure it first"))
+    val rootUri = root.toUri.getPath
+    val lines =
+      if (files.isEmpty) Array.empty[String]
+      else {
+        val agg = udaf(new BloomAggregator(mBits, k), Encoders.STRING)
+        val aggs = cols.map(c => agg(col(c).cast("string")).as(s"bf_$c"))
+        val rows = Snapshot.readFiles(spark, root.toString, files)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val b64 = java.util.Base64.getEncoder
+        rows.flatMap { r =>
+          val rel = new Path(r.getString(0)).toUri.getPath
+            .stripPrefix(rootUri).stripPrefix("/")
+          cols.flatMap { c =>
+            val idx = r.fieldIndex(s"bf_$c")
+            if (r.isNullAt(idx)) None // empty/all-null file: no line -> kept
+            else Some(Seq(rel, c, mBits.toString, k.toString,
+              b64.encodeToString(r.getAs[Array[Byte]](idx))).mkString(Sep))
+          }
+        }
+      }
+    val tmp = new Path(root,
+      s"$BloomPrefix$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(root, s"$BloomPrefix$v")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"failed to publish bloom sidecar $dst")
+    }
+    v
+  }
+
+  /** The Bloom sidecar of a version, if present and well-formed. ANY
+    * malformed line voids the whole sidecar (None -> no pruning): a
+    * partially-valid artifact degrades to conservatism, never to
+    * selectively wrong pruning.
+    */
+  private def loadBlooms(fs: FileSystem, root: Path, version: Long)
+      : Option[Map[(String, String), Bloom]] = {
+    val p = new Path(root, s"$BloomPrefix$version")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    try Some(lines.map { l =>
+      val parts = l.split(Sep, 5)
+      require(parts.length == 5)
+      val mBits = parts(2).toInt
+      val k = parts(3).toInt
+      val bytes = java.util.Base64.getDecoder.decode(parts(4))
+      require(mBits > 0 && mBits % 64 == 0 && k >= 1 && k <= 16 &&
+        bytes.length == mBits / 8)
+      val words = new Array[Long](bytes.length / 8)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
+      (parts(0), parts(1)) -> new Bloom(mBits, k, words)
+    }.toMap)
+    catch { case _: IllegalArgumentException => None }
+  }
+
+  /** `files` pruned to those whose filter for `column` might contain ANY
+    * of `values` (ONE sidecar read for the whole batch). Files without a
+    * filter line — or a missing/corrupt sidecar entirely — are KEPT.
+    * Empty `values` keeps nothing: no probe can match.
+    */
+  def pruneByBloom(fs: FileSystem, root: Path, version: Long,
+      files: Seq[String], column: String, values: Seq[String]): Seq[String] =
+    if (values.isEmpty) Seq.empty
+    else loadBlooms(fs, root, version) match {
+      case None => files
+      case Some(blooms) => files.filter { f =>
+        blooms.get((f, column)).forall(b => values.exists(b.mightContain))
+      }
+    }
+
+  /** Read the current version restricted to `column IN (values)`: a
+    * drop-in for `read(...).where(column isin values)` that also skips
+    * whole files via the Bloom sidecar before any footer is opened.
+    * Falls back to the unpruned file list when filters are missing or
+    * stale (version mismatch); the exact predicate is always applied on
+    * top, so false positives cost only I/O, never correctness.
+    */
+  def readPrunedEq(spark: SparkSession, path: String, column: String,
+      values: Seq[String], format: String = "parquet"): DataFrame = {
+    val fs = Snapshot.fsFor(spark, new Path(path))
+    val root = fs.makeQualified(new Path(path))
+    val pred = (df: DataFrame) =>
+      df.where(col(column).cast("string").isin(values: _*))
+    Snapshot.currentFull(fs, root) match {
+      case None => pred(Snapshot.read(spark, path, None, format))
+      case Some((v, files, tombs)) =>
+        val kept = pruneByBloom(fs, root, v, files, column, values)
+        pred(Snapshot.applyTombstones(spark, path,
+          Snapshot.readFiles(spark, path, kept, format), tombs, format))
+    }
+  }
+}

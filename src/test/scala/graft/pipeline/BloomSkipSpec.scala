@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import java.nio.file.Files
+
+/** Equality data skipping via per-file Bloom sidecars: the probe shape
+  * min/max stats can't serve (high-cardinality string keys), layered on
+  * the same conservatism discipline as [[StatsSkipSpec]].
+  */
+class BloomSkipSpec extends SparkTestBase {
+
+  private def fsFor(path: String) = {
+    val p = new Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  test("computeBloom + readPrunedEq: an id probe opens strictly fewer files, exactly") {
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/t"
+    // High-cardinality string ids spread over 10 hash-disjoint files —
+    // min/max stats would straddle every probe and prune NOTHING.
+    val data = spark.range(20000)
+      .select(concat(lit("doc-"), col("id")).as("doc_id"), col("id").as("v"))
+      .repartition(10, col("doc_id"))
+    Medallion.writeTable(data, dir, Nil)
+    val (root, fs) = fsFor(dir)
+    Snapshot.ensure(fs, root)
+    val v = BloomSidecar.computeBloom(spark, dir, Seq("doc_id"))
+    val (_, files, _) = Snapshot.currentFull(fs, root).get
+    assert(files.size == 10, s"expected 10 data files, got ${files.size}")
+    // Baseline claim first: min/max stats really are useless here.
+    Snapshot.computeStats(spark, dir, Seq("v"))
+    // One probe value lives in exactly one file; Bloom FPP at 64 Kib /
+    // 2k values per file is ~1e-15, so "strictly fewer" is deterministic.
+    val kept = BloomSidecar.pruneByBloom(fs, root, v, files, "doc_id",
+      Seq("doc-12345"))
+    assert(kept.size < files.size, s"kept ${kept.size} of ${files.size}")
+    assert(kept.nonEmpty, "the containing file must be kept (no false negatives)")
+    // The pruned read returns EXACTLY what the unpruned filter does.
+    val got = BloomSidecar.readPrunedEq(spark, dir, "doc_id", Seq("doc-12345"))
+      .select("v").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(12345L), got)
+    // Multi-value probes: one sidecar read, union of candidate files.
+    val multi = BloomSidecar.readPrunedEq(spark, dir, "doc_id",
+      Seq("doc-1", "doc-19999", "doc-absent"))
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(multi == Seq(1L, 19999L), multi)
+    // An absent value prunes (almost surely) everything; empty probe = nothing.
+    assert(BloomSidecar.pruneByBloom(fs, root, v, files, "doc_id", Seq.empty).isEmpty)
+  }
+
+  test("missing, stale, and corrupt Bloom sidecars never prune (conservatism)") {
+    val dir = Files.createTempDirectory("graft-bloom2").toString + "/t"
+    import spark.implicits._
+    Medallion.writeTable(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("doc_id", "v"), dir, Nil)
+    val (root, fs) = fsFor(dir)
+    Snapshot.ensure(fs, root)
+    val (v, files, _) = Snapshot.currentFull(fs, root).get
+    // No sidecar yet: keep everything, exact read still works.
+    assert(BloomSidecar.pruneByBloom(fs, root, v, files, "doc_id", Seq("b")) == files)
+    assert(BloomSidecar.readPrunedEq(spark, dir, "doc_id", Seq("b"))
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // Column without a filter line: kept.
+    BloomSidecar.computeBloom(spark, dir, Seq("doc_id"))
+    assert(BloomSidecar.pruneByBloom(fs, root, v, files, "v", Seq("2")) == files)
+    // A merge bumps the version; the old sidecar no longer applies but
+    // the read stays correct on the full list.
+    Medallion.merge(spark, dir, Seq(("d", 4L)).toDF("doc_id", "v"),
+      Seq("doc_id"), snapshot = true)
+    val (v2, files2, _) = Snapshot.currentFull(fs, root).get
+    assert(v2 != v)
+    assert(BloomSidecar.pruneByBloom(fs, root, v2, files2, "doc_id", Seq("d")) == files2)
+    assert(BloomSidecar.readPrunedEq(spark, dir, "doc_id", Seq("d"))
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // Corrupt sidecar: any malformed line voids the whole artifact.
+    val p = new Path(root, s"${BloomSidecar.BloomPrefix}$v2")
+    val out = fs.create(p, true)
+    try out.write("garbage line\nmore garbage".getBytes("UTF-8"))
+    finally out.close()
+    assert(BloomSidecar.pruneByBloom(fs, root, v2, files2, "doc_id", Seq("d")) == files2)
+  }
+}
