@@ -2512,6 +2512,48 @@ object SparkEntry {
           (0 until 20).map(i => (i * 7).toString))
         .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+
+    // --- 127. FLAC STREAMINFO parse (lossless-audio metadata), oracle-pinned ----------------------------
+    // The lossless sibling of q125: a FLAC header is CONSTRUCTED per row
+    // (spec-mandated STREAMINFO first block; the 20/3/5/36-bit packed
+    // tail is assembled byte-by-byte from varying rate/channels/depth/
+    // sample-count columns) and read back by the codegen'd
+    // FlacHeaderExpr. total = sr*secs + sr/2 makes duration_ms exactly
+    // secs*1000 + 500 — the oracle recomputes both from the same
+    // arithmetic.
+    "q127_flac_header" -> ((s, d) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val srTable = array(Seq(44100, 48000, 32000, 22050).map(lit): _*)
+      t(s, d, "documents")
+        .withColumn("sr", element_at(srTable, (col("doc_id") % 4).cast("int") + 1))
+        .withColumn("ch", (lit(1) + col("doc_id") % 2).cast("int"))
+        .withColumn("bps", (lit(16) + lit(8) * (col("doc_id") % 2)).cast("int"))
+        .withColumn("secs", (lit(3) + col("doc_id") % 30).cast("int"))
+        .withColumn("total",
+          col("sr").cast("bigint") * col("secs") + col("sr") / 2)
+        .withColumn("payload", unhex(concat(
+          lit("664C6143"),           // fLaC
+          lit("80000022"),           // last-block, type 0, length 34
+          lit("10001000"),           // min/max blocksize 4096
+          lit("000000000000"),       // min/max framesize unknown
+          hx(shiftright(col("sr"), 12)),
+          hx(shiftright(col("sr"), 4).bitwiseAND(lit(255))),
+          hx(shiftleft(col("sr").bitwiseAND(lit(15)), 4)
+            .bitwiseOR(shiftleft(col("ch") - 1, 1))
+            .bitwiseOR(shiftright(col("bps") - 1, 4))),
+          hx(shiftleft((col("bps") - 1).bitwiseAND(lit(15)), 4)),
+          lpad(hex(col("total").cast("bigint")), 8, "0"),
+          lit("00" * 16))))          // md5: unset
+        .select(col("doc_id"), Multimodal.flacHeader(col("payload")).as("v"))
+        .select(col("doc_id"),
+          col("v.min_block").as("min_block"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"),
+          col("v.bits_per_sample").as("bits_per_sample"),
+          col("v.total_samples").as("total_samples"),
+          col("v.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3865,6 +3907,23 @@ object SparkEntry {
     "q126_bloom_skip" ->
       """SELECT doc_id, lang FROM documents
         |WHERE doc_id % 7 = 0 AND doc_id <= 133
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q127_flac_header" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    ([44100,48000,32000,22050])[CAST(doc_id % 4 AS INT) + 1] AS sr,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(16 + 8 * (doc_id % 2) AS INT) AS bps,
+        |    3 + doc_id % 30 AS secs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(4096 AS INT) AS min_block,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  ch AS channels,
+        |  bps AS bits_per_sample,
+        |  CAST(sr * secs + sr // 2 AS BIGINT) AS total_samples,
+        |  CAST(secs * 1000 + 500 AS BIGINT) AS duration_ms
+        |FROM e ORDER BY doc_id""".stripMargin
   )
 }

@@ -1873,6 +1873,38 @@ object MediaCodec {
     null
   }
 
+  /** Parse a FLAC STREAMINFO header: block sizes, sample rate (20-bit),
+    * channels, bits per sample, 36-bit total sample count, and the exact
+    * duration in ms. The lossless-audio sibling of [[mp3Header]]; the
+    * spec (public, xiph.org) mandates STREAMINFO as the FIRST metadata
+    * block, so the parse is a fixed-offset read — 42 bytes decide
+    * duration/rate/depth filters over an audio corpus. Null for non-FLAC
+    * payloads, a first block that is not STREAMINFO, short STREAMINFO,
+    * or a degenerate (zero) sample rate.
+    */
+  def flacHeader(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 42) return null
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return null
+    // Metadata block header: last-flag bit + 7-bit type (0 = STREAMINFO),
+    // then a 24-bit big-endian body length that must cover the 34 fixed
+    // STREAMINFO bytes.
+    if ((b(4) & 0x7F) != 0) return null
+    val blockLen = ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+    if (blockLen < 34) return null
+    val minBlock = be16(b, 8)
+    val maxBlock = be16(b, 10)
+    // Bit-packed tail: 20-bit sample rate, 3-bit channels-1, 5-bit
+    // bits-per-sample-1, 36-bit total samples (bytes 18..25 of the file).
+    val sr = ((b(18) & 0xFF) << 12) | ((b(19) & 0xFF) << 4) | ((b(20) & 0xFF) >>> 4)
+    if (sr == 0) return null
+    val channels = ((b(20) >>> 1) & 0x7) + 1
+    val bps = (((b(20) & 0x1) << 4) | ((b(21) & 0xFF) >>> 4)) + 1
+    val total = ((b(21) & 0x0FL) << 32) | ((b(22) & 0xFFL) << 24) |
+      ((b(23) & 0xFFL) << 16) | ((b(24) & 0xFFL) << 8) | (b(25) & 0xFFL)
+    new GenericInternalRow(Array[Any](
+      minBlock, maxBlock, sr, channels, bps, total, total * 1000L / sr))
+  }
+
   /** [[decodeAvi]] marshalled for the catalyst expression: flat scalar
     * columns, fixed 4-channel slots (unused NULL; c3 carries RGBA alpha
     * when the container's frames are 4-channel PNGs, mirroring
@@ -2280,6 +2312,38 @@ case class Mp3HeaderExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Mp3HeaderExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_mp3_header"
+}
+
+/** `binary` -> struct<min_block:int,max_block:int,sample_rate:int,
+  * channels:int,bits_per_sample:int,total_samples:bigint,duration_ms:
+  * bigint> from a FLAC STREAMINFO header, or NULL. Codegen'd fixed-offset
+  * read: 42 bytes decide duration/rate/depth filters.
+  */
+case class FlacHeaderExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("min_block", IntegerType, nullable = false),
+    StructField("max_block", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("total_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.flacHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.flacHeader($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): FlacHeaderExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_flac_header"
 }
 
 /** `binary` -> flat video statistics struct (NULL for anything

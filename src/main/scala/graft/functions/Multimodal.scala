@@ -115,6 +115,17 @@ object Multimodal {
       graft.expressions.Mp3HeaderExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Parse a FLAC STREAMINFO header — block sizes, sample rate, channels,
+    * bit depth, total samples, exact duration — in a 42-byte fixed-offset
+    * read: the lossless sibling of [[mp3Header]], as a native codegen'd
+    * expression ([[graft.expressions.FlacHeaderExpr]]). NULL for
+    * non-FLAC payloads.
+    */
+  def flacHeader(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.FlacHeaderExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Parse the AVI main header (fps, frame count, resolution) without
     * touching any frame — the video analog of [[imageHeader]], as a native
     * codegen'd expression ([[graft.expressions.VideoHeaderExpr]]). NULL

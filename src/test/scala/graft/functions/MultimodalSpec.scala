@@ -1687,4 +1687,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(r != null && r.getInt(3) == 128)
     assert(r.getLong(6) == b.length.toLong * 8 / 128)
   }
+
+  test("flacHeader: STREAMINFO fixed-offset parse; malformed payloads null") {
+    import graft.expressions.MediaCodec
+    // 44100 Hz, 2 ch, 16 bps, 441000 samples (10 s), blocks 4096.
+    def flac(sr: Int, ch: Int, bps: Int, total: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      out.write(Array[Byte](0x80.toByte, 0, 0, 34)) // last block, type 0
+      out.write(Array[Byte](0x10, 0, 0x10, 0))      // min/max block 4096
+      out.write(new Array[Byte](6))                 // frame sizes unknown
+      out.write((sr >> 12) & 0xFF); out.write((sr >> 4) & 0xFF)
+      out.write(((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4))
+      out.write(((bps - 1) & 0xF) << 4 | ((total >> 32) & 0xF).toInt)
+      out.write(((total >> 24) & 0xFF).toInt); out.write(((total >> 16) & 0xFF).toInt)
+      out.write(((total >> 8) & 0xFF).toInt); out.write((total & 0xFF).toInt)
+      out.write(new Array[Byte](16))                // md5
+      out.toByteArray
+    }
+    val r = MediaCodec.flacHeader(flac(44100, 2, 16, 441000L))
+    assert(r != null)
+    assert(r.getInt(0) == 4096 && r.getInt(1) == 4096)
+    assert(r.getInt(2) == 44100 && r.getInt(3) == 2 && r.getInt(4) == 16)
+    assert(r.getLong(5) == 441000L && r.getLong(6) == 10000L)
+    // 24-bit mono at 96 kHz; a 36-bit sample count exercises the high nibble.
+    val hi = (5L << 32) | 123456789L
+    val r24 = MediaCodec.flacHeader(flac(96000, 1, 24, hi))
+    assert(r24 != null && r24.getInt(2) == 96000 && r24.getInt(3) == 1 &&
+      r24.getInt(4) == 24 && r24.getLong(5) == hi)
+    assert(r24.getLong(6) == hi * 1000L / 96000L)
+    // First block not STREAMINFO (type 4 = VORBIS_COMMENT): null.
+    val wrongType = flac(44100, 2, 16, 1000L)
+    wrongType(4) = 0x84.toByte
+    assert(MediaCodec.flacHeader(wrongType) == null)
+    // Zero sample rate is degenerate: null.
+    assert(MediaCodec.flacHeader(flac(0, 2, 16, 1000L)) == null)
+    // Bad magic and truncations: null, never a throw.
+    assert(MediaCodec.flacHeader("fLaX".getBytes ++ new Array[Byte](40)) == null)
+    val ok = flac(44100, 2, 16, 441000L)
+    (0 until ok.length).foreach(n => MediaCodec.flacHeader(ok.take(n)))
+  }
 }
