@@ -2554,6 +2554,41 @@ object SparkEntry {
           col("v.total_samples").as("total_samples"),
           col("v.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
+    }),
+
+    // --- 128. WARC record split + explode (crawl-ingest seam), oracle-pinned ----------------------------
+    // The operator every Common-Crawl-derived corpus starts from: a WARC
+    // segment is CONSTRUCTED per row (1-3 records of differing types,
+    // real CRLF framing, Content-Length computed from the payload) and
+    // split back by the codegen'd WarcRecordsExpr + posexplode — the
+    // scan-and-explode shape that turns a 100 TB dump into per-response
+    // rows with no UDF. The oracle regenerates every (record, field)
+    // relationally with DuckDB's range unnest.
+    "q128_warc_explode" -> ((s, d) => {
+      def rec(i: Int, typ: String) = {
+        val pay = concat(lit("payload-"), col("doc_id"), lit(s"-$i"))
+        concat(lit("WARC/1.0\r\n"),
+          lit(s"WARC-Type: $typ\r\n"),
+          concat(lit("WARC-Record-ID: <urn:uuid:"), col("doc_id"), lit(s"-$i>\r\n")),
+          concat(lit("WARC-Target-URI: http://example.com/"), col("doc_id"),
+            lit(s"/$i\r\n")),
+          lit("WARC-Date: 2026-01-01T00:00:00Z\r\n"),
+          concat(lit("Content-Length: "), length(pay).cast("string"),
+            lit("\r\n\r\n")),
+          pay, lit("\r\n\r\n"))
+      }
+      val warc = encode(concat(rec(0, "response"),
+        when(col("doc_id") % 3 >= 1, rec(1, "request")).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, rec(2, "metadata")).otherwise(lit(""))),
+        "UTF-8")
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(Multimodal.warcRecords(warc)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col.warc_type").as("warc_type"),
+          col("col.target_uri").as("target_uri"),
+          col("col.content_length").as("content_length"),
+          decode(col("col.payload"), "UTF-8").as("payload_text"))
+        .orderBy("doc_id", "pos")
     })
   )
 
@@ -3924,6 +3959,18 @@ object SparkEntry {
         |  bps AS bits_per_sample,
         |  CAST(sr * secs + sr // 2 AS BIGINT) AS total_samples,
         |  CAST(secs * 1000 + 500 AS BIGINT) AS duration_ms
-        |FROM e ORDER BY doc_id""".stripMargin
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q128_warc_explode" ->
+      """WITH r AS (
+        |  SELECT doc_id, UNNEST(range(CAST(doc_id % 3 AS INT) + 1)) AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE pos WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |    ELSE 'metadata' END AS warc_type,
+        |  'http://example.com/' || doc_id || '/' || pos AS target_uri,
+        |  CAST(length('payload-' || doc_id || '-' || pos) AS BIGINT) AS content_length,
+        |  'payload-' || doc_id || '-' || pos AS payload_text
+        |FROM r ORDER BY doc_id, pos""".stripMargin
   )
 }

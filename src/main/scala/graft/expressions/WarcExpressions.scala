@@ -1,0 +1,143 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (ISO 28500 — the Common Crawl / web-archive interchange format)
+  * record parsing, pure JVM: the ingest seam of every crawl-derived LLM
+  * corpus. A WARC file is a concatenation of records, each
+  *
+  * {{{
+  *   WARC/1.0\r\n
+  *   <Name>: <Value>\r\n ...
+  *   \r\n
+  *   <Content-Length bytes of payload>\r\n\r\n
+  * }}}
+  *
+  * [[WarcCodec.records]] walks that structure and returns the parsed
+  * records; splitting a 100 TB crawl dump into per-response rows becomes
+  * a scan + explode with no UDF in the loop.
+  */
+object WarcCodec {
+
+  /** Parse the records of a WARC segment: (warc_type, record_id,
+    * target_uri, content_length, payload) per record. Lenient the way
+    * crawl processing needs: unknown headers are skipped, extra CRLFs
+    * between records are tolerated, and a malformed or truncated suffix
+    * ends the walk with the records parsed so far — salvaging the valid
+    * prefix of a damaged dump instead of discarding it. Null (not an
+    * empty array) when no complete record parses: junk bytes classify as
+    * "not WARC", same convention as the media header parsers.
+    * Content-Length is attacker-controlled and bounds-checked in Long.
+    */
+  def records(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 12) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    var halted = false
+    // Index of the '\r' of the next CRLF at-or-after `from`, else -1.
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < b.length) {
+        if (b(i) == '\r' && b(i + 1) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    while (!halted && pos < b.length) {
+      while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
+      if (pos >= b.length) halted = true
+      else {
+        val ve = lineEnd(pos)
+        if (ve < 0 ||
+            !new String(b, pos, ve - pos, java.nio.charset.StandardCharsets.UTF_8)
+              .startsWith("WARC/")) {
+          halted = true
+        } else {
+          pos = ve + 2
+          var wtype: String = null
+          var rid: String = null
+          var uri: String = null
+          var clen = -1L
+          var ok = true
+          var headerDone = false
+          while (ok && !headerDone) {
+            val he = lineEnd(pos)
+            if (he < 0) ok = false
+            else if (he == pos) { headerDone = true; pos += 2 }
+            else {
+              val line = new String(b, pos, he - pos,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val ci = line.indexOf(':')
+              if (ci <= 0) ok = false
+              else {
+                val name = line.substring(0, ci).trim
+                  .toLowerCase(java.util.Locale.ROOT)
+                val value = line.substring(ci + 1).trim
+                name match {
+                  case "warc-type" => wtype = value
+                  case "warc-record-id" => rid = value
+                  case "warc-target-uri" => uri = value
+                  case "content-length" =>
+                    clen = try value.toLong
+                    catch { case _: NumberFormatException => -1L }
+                  case _ => () // WARC-Date, Content-Type, ...: not extracted
+                }
+                pos = he + 2
+              }
+            }
+          }
+          if (!ok || wtype == null || clen < 0 || clen > (b.length - pos).toLong) {
+            halted = true
+          } else {
+            val end = pos + clen.toInt
+            out += new GenericInternalRow(Array[Any](
+              UTF8String.fromString(wtype),
+              if (rid == null) null else UTF8String.fromString(rid),
+              if (uri == null) null else UTF8String.fromString(uri),
+              clen,
+              java.util.Arrays.copyOfRange(b, pos, end)))
+            pos = end
+          }
+        }
+      }
+    }
+    if (out.isEmpty) null else new GenericArrayData(out.toArray)
+  }
+}
+
+/** `binary` -> array<struct<warc_type:string,record_id:string,
+  * target_uri:string,content_length:bigint,payload:binary>>, or NULL when
+  * no complete WARC record parses. Codegen'd: crawl-dump splitting runs
+  * inside the scan's WholeStageCodegen stage, feeding a plain explode.
+  */
+case class WarcRecordsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("warc_type", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WarcCodec.records(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.WarcCodec.records($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): WarcRecordsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_warc_records"
+}

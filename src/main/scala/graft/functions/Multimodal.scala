@@ -159,6 +159,19 @@ object Multimodal {
       graft.expressions.VideoStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Parse the WARC (ISO 28500, the Common Crawl interchange format)
+    * records of a binary segment into
+    * `array<struct<warc_type,record_id,target_uri,content_length,payload>>`
+    * — the crawl-ingest seam, as a native codegen'd expression
+    * ([[graft.expressions.WarcRecordsExpr]]); pair with `explode` for
+    * per-response rows. NULL when no complete record parses; a damaged
+    * dump yields its valid prefix.
+    */
+  def warcRecords(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.WarcRecordsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** The decode + feature-extraction seam, `mapPartitions`-shaped so a heavy
     * codec (JNI decoder, ONNX runtime) initializes once per partition, not
     * once per row.

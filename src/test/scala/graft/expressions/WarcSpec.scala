@@ -1,0 +1,72 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** WARC record parsing: framing, leniency, and the valid-prefix salvage
+  * contract, over hand-built byte fixtures plus a codegen'd column
+  * round-trip.
+  */
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def record(typ: String, uri: String, payload: String,
+      extraHeader: String = ""): String =
+    s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+      s"WARC-Record-ID: <urn:uuid:42>\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      extraHeader +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+
+  test("records: multi-record segment parses with types, uris, payloads") {
+    val seg = (record("warcinfo", "", "software: graft\r\n") +
+      record("response", "http://x.test/a", "<html>hello</html>",
+        extraHeader = "Content-Type: text/html\r\n") +
+      record("request", "http://x.test/a", "GET /a HTTP/1.1")).getBytes("UTF-8")
+    val arr = WarcCodec.records(seg)
+    assert(arr != null && arr.numElements() == 3)
+    val r1 = arr.getStruct(1, 5)
+    assert(r1.getUTF8String(0).toString == "response")
+    assert(r1.getUTF8String(2).toString == "http://x.test/a")
+    assert(r1.getLong(3) == 18L)
+    assert(new String(r1.getBinary(4), "UTF-8") == "<html>hello</html>")
+    // warcinfo has no target URI -> null field, payload intact.
+    val r0 = arr.getStruct(0, 5)
+    assert(r0.isNullAt(2))
+    assert(new String(r0.getBinary(4), "UTF-8") == "software: graft\r\n")
+  }
+
+  test("records: damaged suffix salvages the valid prefix; junk is null") {
+    val good = record("response", "http://x.test/1", "abc")
+    // Second record lies about its length (overruns the buffer).
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999\r\n\r\nshort"
+    val arr = WarcCodec.records((good + bad).getBytes("UTF-8"))
+    assert(arr != null && arr.numElements() == 1)
+    // Missing WARC-Type, negative and non-numeric lengths: record rejected.
+    assert(WarcCodec.records(
+      "WARC/1.0\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n".getBytes) == null)
+    assert(WarcCodec.records(
+      "WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -1\r\n\r\n".getBytes) == null)
+    assert(WarcCodec.records(
+      "WARC/1.0\r\nWARC-Type: x\r\nContent-Length: abc\r\n\r\n".getBytes) == null)
+    // Not WARC at all; empty; truncation at every prefix never throws.
+    assert(WarcCodec.records("HTTP/1.1 200 OK\r\n\r\n".getBytes) == null)
+    assert(WarcCodec.records(Array.emptyByteArray) == null)
+    val b = (good + good).getBytes("UTF-8")
+    (0 until b.length).foreach(n => WarcCodec.records(b.take(n)))
+  }
+
+  test("warcRecords column + explode: codegen'd crawl-splitting round-trip") {
+    val seg = (record("response", "http://x.test/1", "one") +
+      record("response", "http://x.test/2", "two!")).getBytes("UTF-8")
+    val out = Seq((1L, seg)).toDF("id", "bin")
+      .select(col("id"),
+        explode(graft.functions.Multimodal.warcRecords(col("bin"))).as("r"))
+      .select(col("r.target_uri"), col("r.content_length"))
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("http://x.test/1", 3L), ("http://x.test/2", 4L)))
+  }
+}
