@@ -1933,12 +1933,15 @@ object MediaCodec {
       val sampleRate: Int, val channels: Int, val nFrames: Long,
       val mean: Array[Double], val min: Array[Int], val max: Array[Int])
 
-  /** One-pass decode+reduce of a PCM WAV payload (RIFF container, 16-bit
-    * signed little-endian samples — THE interchange format whose "decode"
-    * is pure byte arithmetic, the audio analog of BMP/PGM). Walks the chunk
-    * list (fmt may be followed by LIST/fact/cue chunks before data), null
-    * for compressed/float/other-width WAVs and corrupt containers. O(1)
-    * heap; geometry math in LONG against crafted headers.
+  /** One-pass decode+reduce of a WAV payload (RIFF container): integer
+    * PCM at 16/24/32 bits and IEEE float32 — every interchange shape
+    * whose "decode" is pure byte arithmetic, the audio analog of
+    * BMP/PGM. All widths report statistics in s16 scale (24-bit >> 8,
+    * 32-bit >> 16, float x32767 clamped) so corpus-level stats stay
+    * comparable across formats. Walks the chunk list (fmt may be
+    * followed by LIST/fact/cue chunks before data), null for
+    * compressed/extensible/other-width WAVs and corrupt containers.
+    * O(1) heap; geometry math in LONG against crafted headers.
     */
   def decodeWav(b: Array[Byte]): AudioStats = {
     if (b == null || b.length < 44) return null
@@ -1946,6 +1949,7 @@ object MediaCodec {
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
     var pos = 12
     var channels = 0; var sampleRate = 0; var fmtSeen = false
+    var audioFormat = 0; var bitsPerSample = 0
     while (pos + 8 <= b.length) {
       // Chunk ids compared as raw bytes (the convention every parser in
       // this file uses) — a String per chunk would be per-row garbage
@@ -1958,22 +1962,27 @@ object MediaCodec {
       val body = pos + 8
       if (isFmt) {
         if (size < 16 || body + 16 > b.length) return null
-        val audioFormat = le16(b, body)
+        audioFormat = le16(b, body)
         channels = le16(b, body + 2)
         sampleRate = le32(b, body + 4)
-        val bitsPerSample = le16(b, body + 14)
-        // Only integer PCM s16le; compressed/float/other widths need a
-        // real codec and stay behind the mapPartitions seam. Channels
-        // capped at 2 — the output struct has mono/stereo slots, and
-        // silently dropping surround channels' stats would misrepresent
-        // the decode.
-        if (audioFormat != 1 || bitsPerSample != 16) return null
+        bitsPerSample = le16(b, body + 14)
+        // Integer PCM at 16/24/32 bits and IEEE float32 — every "decode"
+        // that is pure byte arithmetic. Compressed formats (and
+        // WAVE_FORMAT_EXTENSIBLE's GUID indirection) stay behind the
+        // mapPartitions seam. Channels capped at 2 — the output struct
+        // has mono/stereo slots, and silently dropping surround
+        // channels' stats would misrepresent the decode.
+        val okFmt = (audioFormat == 1 &&
+          (bitsPerSample == 16 || bitsPerSample == 24 || bitsPerSample == 32)) ||
+          (audioFormat == 3 && bitsPerSample == 32)
+        if (!okFmt) return null
         if (channels < 1 || channels > 2 || sampleRate <= 0) return null
         fmtSeen = true
       } else if (isData) {
         if (!fmtSeen) return null
         if (body + size > b.length) return null // truncated data chunk
-        val bytesPerFrame = 2L * channels
+        val bytesPerSample = bitsPerSample / 8
+        val bytesPerFrame = bytesPerSample.toLong * channels
         val nFrames = size / bytesPerFrame
         if (nFrames == 0) return null
         val sum = new Array[Long](channels)
@@ -1984,11 +1993,26 @@ object MediaCodec {
           var c = 0
           var p = body + f * bytesPerFrame
           while (c < channels) {
-            val v = ((b((p + 1).toInt) << 8) | (b(p.toInt) & 0xFF)).toShort.toInt
+            val i = p.toInt
+            // All widths report in s16 scale so stats stay comparable
+            // across formats: 24-bit >> 8, 32-bit >> 16, float scaled by
+            // 32767 after clamping to [-1, 1].
+            val v = bitsPerSample match {
+              case 16 => ((b(i + 1) << 8) | (b(i) & 0xFF)).toShort.toInt
+              case 24 => ((b(i + 2) << 16) | ((b(i + 1) & 0xFF) << 8) |
+                (b(i) & 0xFF)) >> 8
+              case _ =>
+                if (audioFormat == 1) le32(b, i) >> 16
+                else {
+                  val x = java.lang.Float.intBitsToFloat(le32(b, i))
+                  val cl = if (x.isNaN) 0f else math.max(-1f, math.min(1f, x))
+                  math.round(cl * 32767f)
+                }
+            }
             sum(c) += v
             if (v < min(c)) min(c) = v
             if (v > max(c)) max(c) = v
-            c += 1; p += 2
+            c += 1; p += bytesPerSample
           }
           f += 1
         }

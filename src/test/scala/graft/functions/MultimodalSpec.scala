@@ -1727,4 +1727,45 @@ class MultimodalSpec extends SparkTestBase {
     val ok = flac(44100, 2, 16, 441000L)
     (0 until ok.length).foreach(n => MediaCodec.flacHeader(ok.take(n)))
   }
+
+  test("decodeWav: 24-bit PCM and float32 report s16-scaled stats") {
+    import graft.expressions.MediaCodec
+    def wavBytes(fmt: Int, bps: Int, data: Array[Byte], ch: Int = 1): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def tag(s: String) = out.write(s.getBytes("US-ASCII"))
+      def le32(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+        out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+      def le16(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      tag("RIFF"); le32(4 + 24 + 8 + data.length); tag("WAVE")
+      tag("fmt "); le32(16); le16(fmt); le16(ch); le32(8000)
+      le32(8000 * ch * bps / 8); le16(ch * bps / 8); le16(bps)
+      tag("data"); le32(data.length); out.write(data)
+      out.toByteArray
+    }
+    // 24-bit: samples 0x010000 (-> 256 after >> 8) and 0xFF0000 (-> -256).
+    val s24 = Array[Byte](0, 0, 1, 0, 0, 0xFF.toByte)
+    val r24 = MediaCodec.decodeWav(wavBytes(1, 24, s24))
+    assert(r24 != null && r24.nFrames == 2)
+    assert(r24.min(0) == -256 && r24.max(0) == 256 && r24.mean(0) == 0.0)
+    // float32: 0.5 -> 16384 (round(0.5*32767)=16384), -1.0 -> -32767,
+    // 2.0 clamps to 32767, NaN -> 0.
+    def fbits(f: Float): Array[Byte] = {
+      val i = java.lang.Float.floatToIntBits(f)
+      Array((i & 0xFF).toByte, ((i >> 8) & 0xFF).toByte,
+        ((i >> 16) & 0xFF).toByte, ((i >> 24) & 0xFF).toByte)
+    }
+    val sf = fbits(0.5f) ++ fbits(-1.0f) ++ fbits(2.0f) ++ fbits(Float.NaN)
+    val rf = MediaCodec.decodeWav(wavBytes(3, 32, sf))
+    assert(rf != null && rf.nFrames == 4)
+    assert(rf.min(0) == -32767 && rf.max(0) == 32767)
+    assert(rf.mean(0) == (16384.0 - 32767.0 + 32767.0 + 0.0) / 4)
+    // 32-bit int PCM: 0x7FFF0000 -> 32767.
+    val s32 = Array[Byte](0, 0, 0xFF.toByte, 0x7F.toByte)
+    val r32 = MediaCodec.decodeWav(wavBytes(1, 32, s32))
+    assert(r32 != null && r32.max(0) == 32767)
+    // Unsupported widths/formats still null: 8-bit PCM, float64, ADPCM.
+    assert(MediaCodec.decodeWav(wavBytes(1, 8, Array[Byte](1, 2))) == null)
+    assert(MediaCodec.decodeWav(wavBytes(3, 64, new Array[Byte](8))) == null)
+    assert(MediaCodec.decodeWav(wavBytes(2, 16, new Array[Byte](4))) == null)
+  }
 }
