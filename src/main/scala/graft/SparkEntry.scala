@@ -2589,7 +2589,19 @@ object SparkEntry {
           col("col.content_length").as("content_length"),
           decode(col("col.payload"), "UTF-8").as("payload_text"))
         .orderBy("doc_id", "pos")
-    })
+    }),
+
+    // --- 129. repeated n-gram spans (exact-substring dedup signal), oracle-pinned -----------------------
+    // The n-gram-granular face of exact-substring training-data dedup:
+    // every 5-token span appearing in >= 2 distinct documents, with
+    // document frequency and total occurrence count. The shuffle carries
+    // (span, doc_id) postings and both counts combine map-side — the
+    // boilerplate/contamination sweep stays a two-level aggregation at
+    // 100 TB. Exact integer counts, so the DuckDB recomputation (same
+    // tokenizer convention as q97) hash-matches.
+    "q129_repeated_ngrams" -> ((s, d) =>
+      Dedup.repeatedNgrams(t(s, d, "documents"), "doc_id", "text", n = 5)
+        .orderBy(desc("doc_freq"), desc("total_count"), col("ngram"))),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -3971,6 +3983,23 @@ object SparkEntry {
         |  'http://example.com/' || doc_id || '/' || pos AS target_uri,
         |  CAST(length('payload-' || doc_id || '-' || pos) AS BIGINT) AS content_length,
         |  'payload-' || doc_id || '-' || pos AS payload_text
-        |FROM r ORDER BY doc_id, pos""".stripMargin
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
+
+    "q129_repeated_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'),
+        |      s -> len(s) > 0) AS toks
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS ngram
+        |  FROM t, LATERAL UNNEST(range(len(toks) - 4)) AS u(i)
+        |  WHERE len(toks) >= 5)
+        |SELECT ngram,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |  CAST(COUNT(*) AS BIGINT) AS total_count
+        |FROM g GROUP BY ngram
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY doc_freq DESC, total_count DESC, ngram""".stripMargin
   )
 }

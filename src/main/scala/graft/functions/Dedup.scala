@@ -26,6 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Repeated n-gram span detection — the exact-substring face of
+    * training-data dedup (the signal behind "deduplicating training data"
+    * boilerplate/contamination removal, at n-gram granularity): every
+    * n-token span occurring in at least `minDocs` distinct documents,
+    * with its document frequency and total occurrence count.
+    *
+    * Scale shape: the only big shuffle carries (span, doc_id) postings —
+    * bytes per span occurrence, never document text — and the count /
+    * count-distinct aggregate combines map-side. Spans are emitted in
+    * document order WITHOUT per-document dedup (unlike
+    * [[graft.functions.TextFunctions.shingles]]' distinct set): occurrence
+    * counts are the point. Tokenization is [[Retrieval.tokens]], the
+    * whitespace+lowercase convention the DuckDB oracles mirror.
+    */
+  def repeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = Retrieval.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ngram"))
+      .groupBy("ngram")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("total_count"))
+      .where(col("doc_freq") >= minDocs)
+  }
+
   /** Exact dedup: keep the row with the smallest `idCol` per duplicate group.
     *
     * Winners are found with `groupBy(digest).agg(min(id))` — partial (map

@@ -211,4 +211,28 @@ class DedupSimilaritySpec extends SparkTestBase {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 99L)))
   }
+
+  test("repeatedNgrams: cross-doc spans counted, single-doc spans filtered") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a very quick brown fox jumps high today indeed"),
+      (3L, "the quick brown fox jumps over the lazy dog again"),
+      (4L, "completely unrelated text with no shared spans at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedNgrams(docs, "doc_id", "text", n = 5)
+      .orderBy(org.apache.spark.sql.functions.desc("doc_freq"),
+        org.apache.spark.sql.functions.col("ngram"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "quick brown fox jumps" extends to 5-grams shared by docs 1/2/3.
+    assert(out.contains(("the quick brown fox jumps", 2L, 2L)))
+    assert(out.contains(("quick brown fox jumps over", 2L, 2L)))
+    // Doc 2's variant span is NOT in two docs.
+    assert(!out.exists(_._1 == "very quick brown fox jumps"))
+    // Every reported span really is in >= 2 docs, counts are exact ints.
+    assert(out.forall(t => t._2 >= 2L && t._3 >= t._2))
+    // Short documents (< n tokens) contribute nothing and don't throw.
+    val short = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.repeatedNgrams(short, "doc_id", "text", n = 5).count() == 0)
+  }
 }
