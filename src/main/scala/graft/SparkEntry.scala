@@ -2602,6 +2602,29 @@ object SparkEntry {
     "q129_repeated_ngrams" -> ((s, d) =>
       Dedup.repeatedNgrams(t(s, d, "documents"), "doc_id", "text", n = 5)
         .orderBy(desc("doc_freq"), desc("total_count"), col("ngram"))),
+
+    // --- 130. ORC round-trip (columnar source-format coverage), oracle-pinned ---------------------------
+    // The second columnar format Spark ships natively: documents write to
+    // ORC and read back through the vectorized ORC scan, then aggregate.
+    // The DuckDB oracle computes the same aggregate from the parquet
+    // originals — a hash match proves the ORC write/read path preserves
+    // every value (ids, strings, lengths) bit-for-bit across formats.
+    "q130_orc_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_q130_${java.lang.Integer.toHexString(d.hashCode)}").toString
+      deleteRecursively(new java.io.File(root))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
+      t(s, d, "documents").select("doc_id", "lang", "text")
+        .write.mode("overwrite").orc(root)
+      s.read.orc(root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4000,6 +4023,13 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS total_count
         |FROM g GROUP BY ngram
         |HAVING COUNT(DISTINCT doc_id) >= 2
-        |ORDER BY doc_freq DESC, total_count DESC, ngram""".stripMargin
+        |ORDER BY doc_freq DESC, total_count DESC, ngram""".stripMargin,
+
+    "q130_orc_roundtrip" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
