@@ -310,4 +310,34 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
   }
+
+  test("round-7 header parsers (mp4/webp/mp3/flac/warc) run inside WholeStageCodegen") {
+    // Every new media/crawl parser implements doGenCode; the projection
+    // that evaluates it must sit in a codegen stage, or a 100 TB header
+    // sweep drops out of compiled execution.
+    for ((q, marker) <- Seq(
+        ("q123_mp4_header", "graft_mp4_header"),
+        ("q124_webp_header", "graft_image_header"),
+        ("q125_mp3_header", "graft_mp3_header"),
+        ("q127_flac_header", "graft_flac_header"),
+        ("q128_warc_explode", "graft_warc_records"))) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val line = p.linesIterator.find(_.contains(marker))
+        .getOrElse(fail(s"$q: no $marker projection in plan:\n$p"))
+      assert(line.contains("*("), s"$q: $marker outside codegen:\n$p")
+    }
+  }
+
+  test("q129 repeated n-grams aggregates partially before its only shuffle") {
+    val df = SparkEntry.queries("q129_repeated_ngrams")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Two-level count-distinct aggregate: partial_count before the span
+    // shuffle; exactly the posting exchanges plus the final sort's.
+    assert(p.contains("partial_count"), p)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
+  }
 }
