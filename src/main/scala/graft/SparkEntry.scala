@@ -56,6 +56,26 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  private val cleanRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A per-(tag, dataset) temp root wiped before use and deleted at JVM
+    * exit, shared by the queries that materialize side tables (q106's ANN
+    * index, q126's bloom table, q130's ORC copy). The shutdown hook
+    * registers ONCE per root: bench loops re-invoke query closures
+    * arbitrarily often, and a hook per invocation would accumulate live
+    * Threads in the runtime's hook set for the life of the process.
+    */
+  private def selfCleaningRoot(tag: String, d: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${java.lang.Integer.toHexString(d.hashCode)}").toString
+    deleteRecursively(new java.io.File(root))
+    if (cleanRoots.add(root))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
+    root
+  }
+
   /** Portable 0-99 hash bucket of a column: first 8 md5 hex chars as a
     * number, mod 100. Used by q58/q86 because the DuckDB oracle can compute
     * the IDENTICAL expression (`('0x' || substr(md5(...),1,8))::BIGINT`),
@@ -1859,14 +1879,7 @@ object SparkEntry {
     "q106_knn_persisted" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      // Rebuilt from scratch each run and deleted on JVM exit, so repeated
-      // verify/bench runs leave no stray roots under the system temp dir.
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft_q106_${java.lang.Integer.toHexString(d.hashCode)}").toString
-      deleteRecursively(new java.io.File(root))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteRecursively(new java.io.File(root))))
+      val root = selfCleaningRoot("q106", d)
       val model = graft.functions.Ivf.fit(e, "vec", k = 8, seed = 42L)
       graft.functions.AnnIndex.writeIvf(e, root, model, numFiles = 8)
       val idx = graft.functions.AnnIndex.load(s, root)
@@ -2495,12 +2508,7 @@ object SparkEntry {
     // the strictly-fewer-files property live.
     "q126_bloom_skip" -> ((s, d) => {
       import graft.pipeline.{BloomSidecar, Medallion, Snapshot}
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft_q126_${java.lang.Integer.toHexString(d.hashCode)}").toString
-      deleteRecursively(new java.io.File(root))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteRecursively(new java.io.File(root))))
+      val root = selfCleaningRoot("q126", d)
       val docs = t(s, d, "documents")
         .select(col("doc_id").cast("string").as("doc_id"), col("lang"))
       Medallion.writeTable(docs.repartition(8, col("doc_id")), root, Nil)
@@ -2610,12 +2618,7 @@ object SparkEntry {
     // originals — a hash match proves the ORC write/read path preserves
     // every value (ids, strings, lengths) bit-for-bit across formats.
     "q130_orc_roundtrip" -> ((s, d) => {
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft_q130_${java.lang.Integer.toHexString(d.hashCode)}").toString
-      deleteRecursively(new java.io.File(root))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteRecursively(new java.io.File(root))))
+      val root = selfCleaningRoot("q130", d)
       t(s, d, "documents").select("doc_id", "lang", "text")
         .write.mode("overwrite").orc(root)
       s.read.orc(root)

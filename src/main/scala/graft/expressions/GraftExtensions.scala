@@ -126,6 +126,34 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(bin) => VideoHeaderExpr(bin)
         case _ => throw new IllegalArgumentException("graft_video_header(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_mp4_header"),
+      new ExpressionInfo(classOf[Mp4HeaderExpr].getName, "graft_mp4_header"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => Mp4HeaderExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_mp4_header(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_mp3_header"),
+      new ExpressionInfo(classOf[Mp3HeaderExpr].getName, "graft_mp3_header"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => Mp3HeaderExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_mp3_header(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_flac_header"),
+      new ExpressionInfo(classOf[FlacHeaderExpr].getName, "graft_flac_header"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => FlacHeaderExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_flac_header(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_warc_records"),
+      new ExpressionInfo(classOf[WarcRecordsExpr].getName, "graft_warc_records"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => WarcRecordsExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_warc_records(binary)")
       })
   )
 

@@ -1704,8 +1704,12 @@ object MediaCodec {
         } else if (size < 8) {
           return false
         }
+        // Overflow-free bound: `pos + size` could wrap for a crafted
+        // 64-bit largesize near Long.MaxValue and sneak past a
+        // `boxEnd > end` comparison, driving pos negative (hang or AIOOBE
+        // inside codegen). Compare against the remaining span instead.
+        if (size > end - pos) return false
         val boxEnd = pos + size
-        if (boxEnd > end) return false
         if (!f(pos + 4, body, boxEnd)) return false
         pos = boxEnd
       }

@@ -136,8 +136,7 @@ object BloomSidecar {
           .collect()
         val b64 = java.util.Base64.getEncoder
         rows.flatMap { r =>
-          val rel = new Path(r.getString(0)).toUri.getPath
-            .stripPrefix(rootUri).stripPrefix("/")
+          val rel = Snapshot.relDataPath(rootUri, r.getString(0))
           cols.flatMap { c =>
             val idx = r.fieldIndex(s"bf_$c")
             if (r.isNullAt(idx)) None // empty/all-null file: no line -> kept
@@ -146,17 +145,7 @@ object BloomSidecar {
           }
         }
       }
-    val tmp = new Path(root,
-      s"$BloomPrefix$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = new Path(root, s"$BloomPrefix$v")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, true)
-      throw new java.io.IOException(s"failed to publish bloom sidecar $dst")
-    }
+    Snapshot.publishSidecar(fs, root, BloomPrefix, v, lines)
     v
   }
 

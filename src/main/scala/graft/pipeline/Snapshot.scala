@@ -345,6 +345,38 @@ object Snapshot {
     * `file SEP col SEP min SEP max` line per (data file, stats column).
     */
   val StatsPrefix = "_stats-"
+
+  /** `input_file_name()` output mapped back to the manifest-relative data
+    * path. Path(String) handles both plain and URI-escaped names; going
+    * through java.net.URI would throw on partition dirs with URI-special
+    * characters. Shared by every sidecar builder — a divergent copy would
+    * emit keys that never match manifest entries and silently degrade
+    * pruning to a no-op.
+    */
+  private[pipeline] def relDataPath(rootUri: String, fileName: String): String =
+    new Path(fileName).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+
+  /** Publish a sidecar with the same tmp + promote discipline as
+    * manifests: a crash mid-write (or a concurrent pruned read) must
+    * never observe a truncated sidecar — a half-written line can PARSE
+    * and would wrongly prune. The brief delete-then-rename absence window
+    * is safe: missing sidecar = no pruning. Shared by the stats and bloom
+    * builders.
+    */
+  private[pipeline] def publishSidecar(fs: FileSystem, root: Path,
+      prefix: String, version: Long, lines: Array[String]): Unit = {
+    val tmp = new Path(root,
+      s"$prefix$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(root, s"$prefix$version")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"failed to publish sidecar $dst")
+    }
+  }
   private val StatsSep = "\u0001"
 
   /** Compute and publish per-file min/max statistics for `cols` (numeric —
@@ -381,11 +413,7 @@ object Snapshot {
           .agg(aggs.head, aggs.tail: _*)
           .collect()
         rows.flatMap { r =>
-          // Path(String) handles both plain and URI-escaped names; going
-          // through java.net.URI would throw on partition dirs with
-          // URI-special characters.
-          val rel = new Path(r.getString(0)).toUri.getPath
-            .stripPrefix(rootUri).stripPrefix("/")
+          val rel = relDataPath(rootUri, r.getString(0))
           cols.flatMap { c =>
             // An all-null column in a file gets no line -> the file is
             // always kept for that column (conservative).
@@ -396,22 +424,7 @@ object Snapshot {
           }
         }
       }
-    // Same tmp + promote discipline as manifests: a crash mid-write (or a
-    // concurrent readPruned) must never observe a truncated sidecar — a
-    // half-written max value PARSES and would wrongly prune. The brief
-    // delete-then-rename absence window is safe: missing sidecar = no
-    // pruning.
-    val tmp = new Path(root,
-      s"$StatsPrefix$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = new Path(root, s"$StatsPrefix$v")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, true)
-      throw new java.io.IOException(s"failed to publish stats sidecar $dst")
-    }
+    publishSidecar(fs, root, StatsPrefix, v, lines)
     v
   }
 

@@ -1559,6 +1559,12 @@ class MultimodalSpec extends SparkTestBase {
     val overrun = cat(box("ftyp", beBytes(0x69736F6DL, 0L)),
       box("moov", beBytes(0x7FFFFFFFL, 0x6D766864L, 0L)))
     assert(MediaCodec.mp4Header(overrun) == null)
+    // Crafted largesize near Long.MaxValue: pos+size would wrap; the
+    // overflow-free bound must null it (not hang or throw).
+    val evil = cat(box("ftyp", beBytes(0x69736F6DL, 0L)),
+      beBytes(1L) ++ "free".getBytes("US-ASCII") ++
+        beBytes(0x7FFFFFFFL, 0xFFFFFFF0L)) // largesize = 0x7FFFFFFFFFFFFFF0
+    assert(MediaCodec.mp4Header(evil) == null)
     // Non-BMFF payloads: no leading ftyp.
     assert(MediaCodec.mp4Header("RIFF....AVI ".getBytes) == null)
     assert(MediaCodec.mp4Header(Array.emptyByteArray) == null)

@@ -22,6 +22,11 @@ class GraftSqlSpec extends SparkTestBase {
     // the function surface rides along on the same extensions class
     assert(sqlS.sql("SELECT size(graft_minhash(array(1L,2L), 16)) AS n")
       .head().getInt(0) == 16)
+    // every round-7 parser resolves from SQL text too (null-safe on NULL)
+    for (fn <- Seq("graft_mp4_header", "graft_mp3_header",
+        "graft_flac_header", "graft_warc_records"))
+      assert(sqlS.sql(s"SELECT $fn(CAST(NULL AS BINARY)) IS NULL AS r")
+        .head().getBoolean(0), fn)
   }
 
   test("CALL graft_merge upserts and deletes through pure SQL") {
