@@ -49,9 +49,14 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("toks")) - n),
         i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ngram"))
+      // Two-level aggregate instead of countDistinct + count in one pass:
+      // the single-pass form plans an Expand that DOUBLES the posting
+      // stream before the shuffle. Level 1 collapses within-doc repeats
+      // map-side (the shuffle carries distinct (span, doc) pairs + a
+      // count), level 2 makes doc_freq a plain count.
+      .groupBy("ngram", "doc_id").agg(count(lit(1)).as("occ"))
       .groupBy("ngram")
-      .agg(countDistinct(col("doc_id")).as("doc_freq"),
-        count(lit(1)).as("total_count"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("occ")).as("total_count"))
       .where(col("doc_freq") >= minDocs)
   }
 
