@@ -2619,7 +2619,8 @@ object SparkEntry {
     // every value (ids, strings, lengths) bit-for-bit across formats.
     "q130_orc_roundtrip" -> ((s, d) => {
       val root = selfCleaningRoot("q130", d)
-      t(s, d, "documents").select("doc_id", "lang", "text")
+      t(s, d, "documents")
+        .select("doc_id", "lang", "text")
         .write.mode("overwrite").orc(root)
       s.read.orc(root)
         .groupBy("lang")
@@ -2627,6 +2628,39 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"),
           min("doc_id").as("first_doc"))
         .orderBy("lang")
+    }),
+
+    // --- 131. TIFF header sniff (II/MM, SHORT/LONG dim types), oracle-pinned ----------------------------
+    // The scan/scientific-imagery format joins the imageHeader ladder: a
+    // TIFF is CONSTRUCTED per row — little-endian II with SHORT dims on
+    // even doc_ids, big-endian MM with LONG dims on odd, so one query
+    // pins both byte orders AND both value types — and sniffed back by
+    // the codegen'd ImageHeaderExpr (spec cross-checks a REAL ImageIO-
+    // written TIFF). The oracle recomputes the dims arithmetically.
+    "q131_tiff_header" -> ((s, d) => {
+      def leHex16(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"))
+      def beHex32(c: org.apache.spark.sql.Column) =
+        lpad(hex(c.cast("bigint").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0")
+      val w = (lit(100) + (col("doc_id") % 50) * 2).cast("int")
+      val h = (lit(80) + (col("doc_id") % 40) * 3).cast("int")
+      val ii = concat(lit("49492A0008000000" + "0200"),
+        lit("00010300" + "01000000"), leHex16(w), lit("0000"),
+        lit("01010300" + "01000000"), leHex16(h), lit("0000"),
+        lit("00000000"))
+      val mm = concat(lit("4D4D002A00000008" + "0002"),
+        lit("01000004" + "00000001"), beHex32(w),
+        lit("01010004" + "00000001"), beHex32(h),
+        lit("00000000"))
+      val payload = unhex(when(col("doc_id") % 2 === 0, ii).otherwise(mm))
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.imageHeader(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.format").as("format"),
+          col("v.width").as("width"),
+          col("v.height").as("height"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -4033,6 +4067,13 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS first_doc
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q131_tiff_header" ->
+      """SELECT doc_id,
+        |  'tiff' AS format,
+        |  CAST(100 + (doc_id % 50) * 2 AS INT) AS width,
+        |  CAST(80 + (doc_id % 40) * 3 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -2104,6 +2104,44 @@ object MediaCodec {
       return if (w > 0 && h > 0 && le16(b, 28) == 24 && le32(b, 30) == 0)
         ("bmp", w, h) else null
     }
+    // TIFF (scans/scientific impagery; II = little-endian, MM = big-endian
+    // byte order, magic 42, then the first IFD's tagged entries carry
+    // ImageWidth/ImageLength as SHORT or LONG values — public Adobe TIFF 6
+    // layout). Only the first IFD is consulted: header sniffing, not a
+    // full directory walk.
+    if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))) {
+      val le = b(0) == 'I'
+      def u16(i: Int): Int =
+        if (le) le16(b, i) else be16(b, i)
+      def u32(i: Int): Long =
+        (if (le) le32(b, i) else be32(b, i)).toLong & 0xFFFFFFFFL
+      if (u16(2) != 42) return null
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return null
+      val count = u16(ifd.toInt)
+      if (ifd + 2 + 12L * count > b.length) return null
+      var w = 0L; var h = 0L
+      var e = 0
+      while (e < count) {
+        val off = (ifd + 2 + 12L * e).toInt
+        val tag = u16(off)
+        if (tag == 256 || tag == 257) {
+          val typ = u16(off + 2)
+          val n = u32(off + 4)
+          // Inline values only (count 1): SHORT reads the first 2 bytes
+          // of the left-justified value field, LONG all 4.
+          val v =
+            if (typ == 3 && n == 1) u16(off + 8).toLong
+            else if (typ == 4 && n == 1) u32(off + 8)
+            else -1L
+          if (v <= 0 || v > Int.MaxValue) return null
+          if (tag == 256) w = v else h = v
+        }
+        e += 1
+      }
+      return if (w > 0 && h > 0) ("tiff", w.toInt, h.toInt) else null
+    }
     // WebP (the second-most-common web-crawl image format): a RIFF
     // container whose form is WEBP, dimensions in the leading bytes of
     // the first bitstream chunk at offset 12. All three public layouts

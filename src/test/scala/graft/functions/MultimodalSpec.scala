@@ -1774,4 +1774,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.decodeWav(wavBytes(3, 64, new Array[Byte](8))) == null)
     assert(MediaCodec.decodeWav(wavBytes(2, 16, new Array[Byte](4))) == null)
   }
+
+  test("imageHeader: TIFF II/MM dims parse; ImageIO-written TIFF cross-checks") {
+    import graft.expressions.MediaCodec
+    // Hand-built little-endian TIFF: IFD at 8, SHORT width/length tags.
+    def tiffLE(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int) = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+      out.write("II".getBytes); le16(42); le32(8)
+      le16(2) // two entries
+      le16(256); le16(3); le32(1); le16(w); le16(0)
+      le16(257); le16(3); le32(1); le16(h); le16(0)
+      le32(0) // no next IFD
+      out.toByteArray
+    }
+    val r = MediaCodec.imageHeader(tiffLE(640, 480))
+    assert(r != null && r.getUTF8String(0).toString == "tiff" &&
+      r.getInt(1) == 640 && r.getInt(2) == 480)
+    // Big-endian (MM) with LONG-typed dims.
+    def tiffBE(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be16(v: Int) = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      def be32(v: Int) = { be16((v >> 16) & 0xFFFF); be16(v & 0xFFFF) }
+      out.write("MM".getBytes); be16(42); be32(8)
+      be16(2)
+      be16(256); be16(4); be32(1); be32(w)
+      be16(257); be16(4); be32(1); be32(h)
+      be32(0)
+      out.toByteArray
+    }
+    val rb = MediaCodec.imageHeader(tiffBE(70000, 12))
+    assert(rb != null && rb.getInt(1) == 70000 && rb.getInt(2) == 12)
+    // A REAL TIFF written by the JDK's ImageIO TIFF plugin must parse to
+    // the same dims — external validation, not self-consistency.
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "tiff", baos)
+    assert(ok, "JDK ImageIO has no TIFF writer?")
+    val rio = MediaCodec.imageHeader(baos.toByteArray)
+    assert(rio != null && rio.getUTF8String(0).toString == "tiff" &&
+      rio.getInt(1) == 37 && rio.getInt(2) == 23)
+    // Wrong magic, truncated IFD, zero dims: null, never a throw.
+    assert(MediaCodec.imageHeader("IIXX".getBytes ++ new Array[Byte](8)) == null)
+    assert(MediaCodec.imageHeader(tiffLE(0, 10)) == null)
+    val full = tiffLE(8, 8)
+    (0 until full.length).foreach(n => MediaCodec.imageHeader(full.take(n)))
+  }
 }
