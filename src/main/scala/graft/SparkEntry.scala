@@ -2662,6 +2662,39 @@ object SparkEntry {
           col("v.height").as("height"))
         .orderBy("doc_id")
     }),
+
+    // --- 132. gzipped-WARC split (compressed crawl-dump ingest), oracle-pinned --------------------------
+    // How crawl dumps actually arrive: gzip members, not plain bytes.
+    // q128's per-row WARC segment goes through a REAL gzip compress +
+    // decompress (pure-JDK codegen'd expressions) before the record
+    // split; matching q128's relational oracle proves the whole
+    // compress -> decompress -> parse -> explode chain end-to-end.
+    "q132_warc_gzip" -> ((s, d) => {
+      def rec(i: Int, typ: String) = {
+        val pay = concat(lit("payload-"), col("doc_id"), lit(s"-$i"))
+        concat(lit("WARC/1.0\r\n"),
+          lit(s"WARC-Type: $typ\r\n"),
+          concat(lit("WARC-Record-ID: <urn:uuid:"), col("doc_id"), lit(s"-$i>\r\n")),
+          concat(lit("WARC-Target-URI: http://example.com/"), col("doc_id"),
+            lit(s"/$i\r\n")),
+          lit("WARC-Date: 2026-01-01T00:00:00Z\r\n"),
+          concat(lit("Content-Length: "), length(pay).cast("string"),
+            lit("\r\n\r\n")),
+          pay, lit("\r\n\r\n"))
+      }
+      val warc = encode(concat(rec(0, "response"),
+        when(col("doc_id") % 3 >= 1, rec(1, "request")).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, rec(2, "metadata")).otherwise(lit(""))),
+        "UTF-8")
+      val unzipped = Multimodal.gunzip(Multimodal.gzip(warc))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(Multimodal.warcRecords(unzipped)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col.warc_type").as("warc_type"),
+          col("col.target_uri").as("target_uri"),
+          col("col.content_length").as("content_length"))
+        .orderBy("doc_id", "pos")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4074,6 +4107,17 @@ object SparkEntry {
         |  'tiff' AS format,
         |  CAST(100 + (doc_id % 50) * 2 AS INT) AS width,
         |  CAST(80 + (doc_id % 40) * 3 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q132_warc_gzip" ->
+      """WITH r AS (
+        |  SELECT doc_id, UNNEST(range(CAST(doc_id % 3 AS INT) + 1)) AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE pos WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |    ELSE 'metadata' END AS warc_type,
+        |  'http://example.com/' || doc_id || '/' || pos AS target_uri,
+        |  CAST(length('payload-' || doc_id || '-' || pos) AS BIGINT) AS content_length
+        |FROM r ORDER BY doc_id, pos""".stripMargin
   )
 }

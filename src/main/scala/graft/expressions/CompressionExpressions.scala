@@ -1,0 +1,97 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Row-local gzip for binary payload columns, pure JDK (`java.util.zip`).
+  * Crawl interchange (WARC/WET dumps) ships as concatenated gzip members;
+  * pairing [[GunzipExpr]] with [[WarcRecordsExpr]] turns a compressed
+  * dump into per-record rows without a UDF or an external codec.
+  */
+object GzipCodec {
+
+  /** Decompressed size cap: a 4 KB gzip bomb can declare terabytes; a
+    * row-local decode that materializes more than this is a data-quality
+    * reject (null), not an OOM.
+    */
+  val MaxPlainBytes: Int = 1 << 28 // 256 MiB
+
+  /** Gzip-compress a payload (single member, default deflate level). */
+  def gzip(b: Array[Byte]): Array[Byte] = {
+    if (b == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 4))
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b)
+    gz.close()
+    out.toByteArray
+  }
+
+  /** Decompress a gzip payload — including concatenated multi-member
+    * streams, the shape per-record-gzipped WARC dumps use (the JDK's
+    * GZIPInputStream consumes members back-to-back). Null for non-gzip
+    * magic, corrupt streams, and payloads expanding past
+    * [[MaxPlainBytes]].
+    */
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 2 ||
+        (b(0) & 0xFF) != 0x1F || (b(1) & 0xFF) != 0x8B) return null
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size().toLong + n > MaxPlainBytes) return null // bomb guard
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null // corrupt deflate stream / CRC
+    }
+  }
+}
+
+/** `binary` -> gzip-compressed `binary` (never null on non-null input). */
+case class GzipExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    GzipCodec.gzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GzipCodec.gzip($c)")
+  override protected def withNewChildInternal(newChild: Expression): GzipExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gzip"
+}
+
+/** `binary` -> decompressed `binary`, or NULL for non-gzip/corrupt/
+  * bomb-sized payloads. Multi-member streams (per-record-gzipped WARC)
+  * decompress in full.
+  */
+case class GunzipExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    GzipCodec.gunzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.GzipCodec.gunzip($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): GunzipExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gunzip"
+}

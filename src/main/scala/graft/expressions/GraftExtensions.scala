@@ -149,6 +149,20 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_flac_header(binary)")
       }),
     (
+      FunctionIdentifier("graft_gzip"),
+      new ExpressionInfo(classOf[GzipExpr].getName, "graft_gzip"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => GzipExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_gzip(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_gunzip"),
+      new ExpressionInfo(classOf[GunzipExpr].getName, "graft_gunzip"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => GunzipExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_gunzip(binary)")
+      }),
+    (
       FunctionIdentifier("graft_warc_records"),
       new ExpressionInfo(classOf[WarcRecordsExpr].getName, "graft_warc_records"),
       (args: Seq[Expression]) => args match {

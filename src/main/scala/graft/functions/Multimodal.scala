@@ -172,6 +172,25 @@ object Multimodal {
       graft.expressions.WarcRecordsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Row-local gzip of a binary payload (single member, pure JDK), as a
+    * native codegen'd expression ([[graft.expressions.GzipExpr]]).
+    */
+  def gzip(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.GzipExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Decompress a gzip payload — including the concatenated multi-member
+    * streams per-record-gzipped WARC dumps use — as a native codegen'd
+    * expression ([[graft.expressions.GunzipExpr]]). NULL for non-gzip,
+    * corrupt, or bomb-sized (> 256 MiB plain) payloads; pair with
+    * [[warcRecords]] to split a compressed crawl dump with no UDF.
+    */
+  def gunzip(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.GunzipExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** The decode + feature-extraction seam, `mapPartitions`-shaped so a heavy
     * codec (JNI decoder, ONNX runtime) initializes once per partition, not
     * once per row.

@@ -69,4 +69,33 @@ class WarcSpec extends SparkTestBase {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("http://x.test/1", 3L), ("http://x.test/2", 4L)))
   }
+
+  test("gzip/gunzip: round-trip, multi-member streams, bombs and junk null") {
+    import GzipCodec.{gzip, gunzip}
+    val payload = ("WARC segment " * 100).getBytes("UTF-8")
+    assert(gunzip(gzip(payload)).toSeq == payload.toSeq)
+    // Concatenated members (per-record-gzipped WARC shape) decompress in full.
+    val a = gzip("first".getBytes); val b = gzip("second".getBytes)
+    assert(new String(gunzip(a ++ b), "UTF-8") == "firstsecond")
+    // Corrupt body, non-gzip magic, empty: null, never a throw.
+    val broken = gzip(payload)
+    broken(broken.length / 2) = (broken(broken.length / 2) ^ 0x55).toByte
+    assert(gunzip(broken) == null)
+    assert(gunzip("not gzip".getBytes) == null)
+    assert(gunzip(Array.emptyByteArray) == null)
+    (0 until a.length).foreach(n => gunzip(a.take(n)))
+    // A ~300 MiB-of-zeros bomb compresses to kilobytes but must refuse to
+    // expand past the 256 MiB cap.
+    val bombPlain = new Array[Byte](300 << 20)
+    assert(gunzip(gzip(bombPlain)) == null)
+  }
+
+  test("gunzip + warcRecords: compressed dump splits through the column API") {
+    val seg = (record("response", "http://x.test/z", "zzz")).getBytes("UTF-8")
+    val out = Seq((1L, GzipCodec.gzip(seg))).toDF("id", "bin")
+      .select(explode(graft.functions.Multimodal.warcRecords(
+        graft.functions.Multimodal.gunzip(col("bin")))).as("r"))
+      .select(col("r.target_uri")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("http://x.test/z"))
+  }
 }
