@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.pipeline.{Medallion, Snapshot}
+import graft.pipeline.{BloomSidecar, Medallion, Snapshot}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_compact('/path/to/table', 500000 [, 'snapshot=true'])
   *   CALL graft_vacuum('/path/to/table' [, 3])
   *   CALL graft_read_version('/path/to/table', 1, version1_view)
+  *   CALL graft_compute_stats('/path/to/table', 'col1,col2')
+  *   CALL graft_compute_bloom('/path/to/table', 'id_col')
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -256,7 +258,24 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
       Seq(Row(s"registered $view = $target at version " +
         pinned.map(_.toString).getOrElse("latest")))
 
+    // Data-skipping maintenance: publish min/max stats or per-file Bloom
+    // sidecars for the current version — the SQL route to the pruning
+    // machinery readPruned/readPrunedEq consult.
+    case "compute_stats" =>
+      val target = str(0)
+      val cols = str(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (cols.isEmpty) bad("argument 2 must name at least one column")
+      val v = Snapshot.computeStats(spark, target, cols)
+      Seq(Row(s"published stats sidecar for $target version $v on (${cols.mkString(",")})"))
+
+    case "compute_bloom" =>
+      val target = str(0)
+      val cols = str(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (cols.isEmpty) bad("argument 2 must name at least one column")
+      val v = BloomSidecar.computeBloom(spark, target, cols)
+      Seq(Row(s"published bloom sidecar for $target version $v on (${cols.mkString(",")})"))
+
     case other =>
-      bad(s"unknown verb (known: merge, clone, compact, read_version, vacuum)")
+      bad(s"unknown verb (known: clone, compact, compute_bloom, compute_stats, merge, read_version, vacuum)")
   }
 }

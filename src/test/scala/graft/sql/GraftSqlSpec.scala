@@ -98,4 +98,25 @@ class GraftSqlSpec extends SparkTestBase {
       sqlS.sql(s"CALL graft_read_version('$path', 1)").collect())
     assert(e.getMessage.contains("view name"), e.getMessage)
   }
+
+  test("CALL graft_compute_stats / graft_compute_bloom publish working sidecars") {
+    import graft.pipeline.BloomSidecar
+    val path = tmpDir("sidecars")
+    Medallion.writeTable(
+      spark.range(1000).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        .repartition(4, $"k"), path, Nil)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.ensure(fs, fs.makeQualified(new Path(path)))
+    val rs = sqlS.sql(s"CALL graft_compute_stats('$path', 'v')").head().getString(0)
+    assert(rs.contains("stats sidecar"), rs)
+    val rb = sqlS.sql(s"CALL graft_compute_bloom('$path', 'k')").head().getString(0)
+    assert(rb.contains("bloom sidecar"), rb)
+    // Both sidecars actually drive pruned reads.
+    assert(Snapshot.readPruned(spark, path, "v", 10.0, 20.0).count() == 11)
+    assert(BloomSidecar.readPrunedEq(spark, path, "k", Seq("42"))
+      .select("v").head().getLong(0) == 42L)
+    val e = intercept[Exception](
+      sqlS.sql(s"CALL graft_compute_stats('$path', '')").collect())
+    assert(e.getMessage.contains("at least one column"), e.getMessage)
+  }
 }
