@@ -2695,6 +2695,45 @@ object SparkEntry {
           col("col.content_length").as("content_length"))
         .orderBy("doc_id", "pos")
     }),
+
+    // --- 133. REAL animated-GIF decode (compositing + transparency), oracle-pinned ----------------------
+    // The partial-frame GIF seam closes as VIDEO: a two-frame GIF is
+    // CONSTRUCTED per row — full first frame [a,b,c,d] on a 4x1 canvas,
+    // then a 2-pixel partial frame at x=1 whose first pixel is a
+    // TRANSPARENT hole and second rewrites c->e — and decoded through
+    // the codegen'd VideoStatsExpr's GIF dispatch. Every output is exact
+    // integer arithmetic over the composited canvases (means are exact
+    // eighths), so the oracle recomputes compositing, transparency, and
+    // cross-frame reduction in closed form.
+    "q133_gif_anim" -> ((s, d) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val paletteHex = (0 until 128).map(i => f"$i%02X" * 3).mkString
+      val a = (lit(1) + col("doc_id") % 50).cast("int")
+      val bb = (lit(2) + col("doc_id") % 60).cast("int")
+      val c = (lit(3) + col("doc_id") % 40).cast("int")
+      val dd = (lit(4) + col("doc_id") % 30).cast("int")
+      val e = (lit(5) + col("doc_id") % 70).cast("int")
+      val payload = unhex(concat(
+        lit("474946383961" + "0400" + "0100" + "F6" + "00" + "00" + paletteHex),
+        lit("2C" + "00000000" + "04000100" + "00" + "07" + "06" + "80"),
+        hx(a), hx(bb), hx(c), hx(dd), lit("81" + "00"),
+        lit("21F9040100000000"), // GCE: transparent, index 0
+        lit("2C" + "01000000" + "02000100" + "00" + "07" + "04" + "80" + "00"),
+        hx(e), lit("81" + "00"),
+        lit("3B")))
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.videoStats(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.n_frames").as("n_frames"),
+          col("v.width").as("width"),
+          col("v.height").as("height"),
+          col("v.c0_mean").as("c0_mean"),
+          col("v.c0_min").as("c0_min"),
+          col("v.c0_max").as("c0_max"),
+          col("v.mean_first").as("mean_first"),
+          col("v.mean_last").as("mean_last"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4118,6 +4157,26 @@ object SparkEntry {
         |    ELSE 'metadata' END AS warc_type,
         |  'http://example.com/' || doc_id || '/' || pos AS target_uri,
         |  CAST(length('payload-' || doc_id || '-' || pos) AS BIGINT) AS content_length
-        |FROM r ORDER BY doc_id, pos""".stripMargin
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
+
+    // Canvas frames: f1 = [a,b,c,d], f2 = [a,b,e,d] (x=1 transparent
+    // hole keeps b; x=2 rewrites c->e). All stats exact integer ratios.
+    "q133_gif_anim" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 50 AS a, 2 + doc_id % 60 AS b,
+        |    3 + doc_id % 40 AS c, 4 + doc_id % 30 AS d,
+        |    5 + doc_id % 70 AS e
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(2 AS INT) AS n_frames,
+        |  CAST(4 AS INT) AS width,
+        |  CAST(1 AS INT) AS height,
+        |  CAST(a + b + c + d + a + b + e + d AS DOUBLE) / 8 AS c0_mean,
+        |  CAST(LEAST(a, b, c, d, e) AS INT) AS c0_min,
+        |  CAST(GREATEST(a, b, c, d, e) AS INT) AS c0_max,
+        |  CAST(a + b + c + d AS DOUBLE) / 4 AS mean_first,
+        |  CAST(a + b + e + d AS DOUBLE) / 4 AS mean_last
+        |FROM v ORDER BY doc_id""".stripMargin
   )
 }

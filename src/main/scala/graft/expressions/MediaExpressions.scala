@@ -1599,6 +1599,268 @@ object MediaCodec {
       sum.map(_.toDouble / nPix), min, max, meanFirst, meanLast)
   }
 
+  /** Generic GIF LZW run: decode the code stream starting at the minimum-
+    * code-size byte at `pos`, handing every palette index to `emit` in
+    * raster order. Returns the position just past the sub-block
+    * terminator, or -1 on structural corruption (including `emit`
+    * returning false). The streaming single-frame path in [[decodeGif]]
+    * keeps its own specialized loop — its per-pixel emit is three array
+    * adds that must stay monomorphic inside the scan stage; this shared
+    * runner pays one lambda call per pixel, which the compositing
+    * animated path (already O(canvas) per frame) doesn't notice.
+    */
+  private def lzwRun(b: Array[Byte], start: Int, emit: Int => Boolean): Int = {
+    var pos = start
+    if (pos >= b.length) return -1
+    val minCode = b(pos) & 0xFF
+    pos += 1
+    if (minCode < 2 || minCode > 8) return -1
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Short](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var next = eoi + 1; var width = minCode + 1; var prev = -1
+    def emitCode(code: Int): Boolean = {
+      var depth = 0; var c = code
+      while (c >= clear) {
+        if (depth >= stack.length) return false
+        stack(depth) = suffix(c); depth += 1; c = prefix(c)
+      }
+      stack(depth) = c.toByte; depth += 1
+      var i = depth - 1
+      while (i >= 0) {
+        if (!emit(stack(i) & 0xFF)) return false
+        i -= 1
+      }
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    var blockEnd = pos
+    var bitBuf = 0; var bitCnt = 0
+    var done = false
+    while (!done) {
+      while (bitCnt < width) {
+        if (pos >= blockEnd) {
+          if (pos >= b.length) return -1
+          val len = b(pos) & 0xFF
+          pos += 1
+          if (len == 0) return -1 // terminator before EOI: truncated
+          blockEnd = pos + len
+          if (blockEnd > b.length) return -1
+        } else {
+          bitBuf |= (b(pos) & 0xFF) << bitCnt
+          bitCnt += 8
+          pos += 1
+        }
+      }
+      val code = bitBuf & ((1 << width) - 1)
+      bitBuf >>>= width; bitCnt -= width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) return -1
+        if (!emitCode(code)) return -1
+        prev = code
+      } else {
+        if (code > next) return -1
+        val newSuffix =
+          if (code == next) firstByte(prev)
+          else firstByte(code)
+        if (!emitCode(if (code == next) prev else code)) return -1
+        if (code == next && !emit(newSuffix)) return -1
+        if (next < 4096) {
+          prefix(next) = prev.toShort
+          suffix(next) = newSuffix.toByte
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    // Skip remaining sub-blocks to the terminator (encoders may pad).
+    while (pos < b.length && b(pos) != 0) pos += 1 + (b(pos) & 0xFF)
+    if (pos >= b.length) return -1
+    pos + 1
+  }
+
+  /** REAL animated-GIF decode: composite every frame onto the logical
+    * canvas — frame rects at arbitrary offsets, local palettes,
+    * transparency holes, interlaced rasters, and disposal methods
+    * none/keep (0/1), restore-background (2) and restore-previous (3) —
+    * and aggregate per-channel statistics across the composited frames,
+    * plus first/last-frame channel-0 means (the same cheap temporal
+    * signal [[decodeAvi]] reports). This closes the partial-frame GIF
+    * seam: multi-frame GIFs are video, and now decode like it.
+    *
+    * Canvas memory is 3 bytes/pixel, capped at 16M pixels (48 MiB) —
+    * beyond that a crafted header would dictate the allocation, so the
+    * payload routes to the seam instead. Null for non-GIF bytes, zero
+    * frames, or any structural corruption.
+    */
+  def decodeGifAnim(b: Array[Byte]): VideoStats = {
+    if (b == null || b.length < 14) return null
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return null
+    val screenW = le16(b, 6); val screenH = le16(b, 8)
+    if (screenW <= 0 || screenH <= 0) return null
+    if (screenW.toLong * screenH > (1L << 24)) return null // canvas cap
+    val packed = b(10) & 0xFF
+    val bgIndex = b(11) & 0xFF
+    var pos = 13
+    var gctOff = -1; var gctSize = 0
+    if ((packed & 0x80) != 0) {
+      gctSize = 1 << ((packed & 0x07) + 1)
+      gctOff = pos
+      pos += 3 * gctSize
+      if (pos > b.length) return null
+    }
+    val nPix = screenW * screenH
+    val canvas = new Array[Byte](nPix * 3)
+    def fillRect(left: Int, top: Int, w: Int, h: Int): Unit = {
+      // Background color when the GCT defines it, else black.
+      val (r, g, bl) =
+        if (gctOff >= 0 && bgIndex < gctSize)
+          (b(gctOff + 3 * bgIndex), b(gctOff + 3 * bgIndex + 1),
+            b(gctOff + 3 * bgIndex + 2))
+        else (0.toByte, 0.toByte, 0.toByte)
+      var y = top
+      while (y < top + h) {
+        var x = left
+        while (x < left + w) {
+          val o = (y * screenW + x) * 3
+          canvas(o) = r; canvas(o + 1) = g; canvas(o + 2) = bl
+          x += 1
+        }
+        y += 1
+      }
+    }
+    fillRect(0, 0, screenW, screenH)
+    var nFrames = 0
+    val sum = new Array[Long](3)
+    val min = Array.fill(3)(255)
+    val max = Array.fill(3)(0)
+    var meanFirst = 0.0; var meanLast = 0.0
+    var disposal = 0; var transIdx = -1
+    var done = false
+    while (!done) {
+      if (pos >= b.length) return null
+      val blk = b(pos) & 0xFF
+      if (blk == 0x3B) { // trailer
+        done = true
+      } else if (blk == 0x21) { // extension
+        if (pos + 2 > b.length) return null
+        val label = b(pos + 1) & 0xFF
+        pos += 2
+        if (label == 0xF9) { // graphic control: disposal + transparency
+          if (pos + 6 > b.length || (b(pos) & 0xFF) != 4) return null
+          val gp = b(pos + 1) & 0xFF
+          disposal = (gp >> 2) & 7
+          transIdx = if ((gp & 1) != 0) b(pos + 4) & 0xFF else -1
+          pos += 5
+          if ((b(pos) & 0xFF) != 0) return null
+          pos += 1
+        } else { // comment/app/plain-text: skip sub-blocks
+          while (pos < b.length && b(pos) != 0) pos += 1 + (b(pos) & 0xFF)
+          if (pos >= b.length) return null
+          pos += 1
+        }
+      } else if (blk == 0x2C) { // image descriptor
+        if (pos + 10 > b.length) return null
+        val left = le16(b, pos + 1); val top = le16(b, pos + 3)
+        val fw = le16(b, pos + 5); val fh = le16(b, pos + 7)
+        val ip = b(pos + 9) & 0xFF
+        pos += 10
+        if (fw <= 0 || fh <= 0 || left + fw > screenW || top + fh > screenH)
+          return null
+        val interlaced = (ip & 0x40) != 0
+        var ctOff = gctOff; var ctSize = gctSize
+        if ((ip & 0x80) != 0) {
+          ctSize = 1 << ((ip & 0x07) + 1)
+          ctOff = pos
+          pos += 3 * ctSize
+          if (pos > b.length) return null
+        }
+        if (ctOff < 0) return null
+        val savedPrev = if (disposal == 3) canvas.clone() else null
+        // Interlace permutes the ROW each raster line lands on; compositing
+        // is position-sensitive (unlike the streaming stats path), so map
+        // emitted row -> canvas row through the four-pass order.
+        val rowMap: Array[Int] =
+          if (!interlaced) null
+          else {
+            val rows = new Array[Int](fh)
+            var r = 0
+            var y = 0
+            while (y < fh) { rows(r) = y; r += 1; y += 8 }
+            y = 4
+            while (y < fh) { rows(r) = y; r += 1; y += 8 }
+            y = 2
+            while (y < fh) { rows(r) = y; r += 1; y += 4 }
+            y = 1
+            while (y < fh) { rows(r) = y; r += 1; y += 2 }
+            rows
+          }
+        val fPix = fw * fh
+        var emitted = 0
+        val ti = transIdx
+        val next = lzwRun(b, pos, { idx =>
+          if (idx >= ctSize) false
+          else {
+            if (emitted < fPix && idx != ti) {
+              val er = emitted / fw
+              val fy = if (rowMap == null) er else rowMap(er)
+              val fx = emitted - er * fw
+              val ci = ((top + fy) * screenW + (left + fx)) * 3
+              val o = ctOff + 3 * idx
+              canvas(ci) = b(o); canvas(ci + 1) = b(o + 1); canvas(ci + 2) = b(o + 2)
+            }
+            emitted += 1
+            true
+          }
+        })
+        if (next < 0 || emitted < fPix) return null
+        pos = next
+        // Frame statistics over the FULL composited canvas (a viewer sees
+        // the whole canvas each frame, not just the updated rect).
+        var c0sum = 0L
+        var i = 0
+        while (i < nPix) {
+          var c = 0
+          while (c < 3) {
+            val v = canvas(3 * i + c) & 0xFF
+            sum(c) += v
+            if (v < min(c)) min(c) = v
+            if (v > max(c)) max(c) = v
+            c += 1
+          }
+          c0sum += canvas(3 * i) & 0xFF
+          i += 1
+        }
+        val m0 = c0sum.toDouble / nPix
+        if (nFrames == 0) meanFirst = m0
+        meanLast = m0
+        nFrames += 1
+        // Disposal applies AFTER the frame is shown.
+        if (disposal == 2) fillRect(left, top, fw, fh)
+        else if (disposal == 3 && savedPrev != null)
+          System.arraycopy(savedPrev, 0, canvas, 0, canvas.length)
+        disposal = 0; transIdx = -1
+      } else {
+        return null // unknown block introducer
+      }
+    }
+    if (nFrames == 0) return null
+    new VideoStats(nFrames, screenW, screenH, 3,
+      sum.map(_.toDouble / (nPix.toLong * nFrames)), min, max,
+      meanFirst, meanLast)
+  }
+
   /** Parse the AVI main header (`avih` inside the `hdrl` LIST) without
     * touching any frame: (micro_sec_per_frame, total_frames, width,
     * height). The video analog of [[imageHeader]] — filtering a petabyte
@@ -1909,13 +2171,16 @@ object MediaCodec {
       minBlock, maxBlock, sr, channels, bps, total, total * 1000L / sr))
   }
 
-  /** [[decodeAvi]] marshalled for the catalyst expression: flat scalar
-    * columns, fixed 4-channel slots (unused NULL; c3 carries RGBA alpha
-    * when the container's frames are 4-channel PNGs, mirroring
-    * [[ImagePixelStatsExpr]]).
+  /** [[decodeAvi]] / [[decodeGifAnim]] marshalled for the catalyst
+    * expression: flat scalar columns, fixed 4-channel slots (unused NULL;
+    * c3 carries RGBA alpha when an AVI's frames are 4-channel PNGs,
+    * mirroring [[ImagePixelStatsExpr]]). Animated GIFs dispatch on their
+    * magic — they are video, and graft_video_stats treats them as such.
     */
   def videoStats(bytes: Array[Byte]): InternalRow = {
-    val s = decodeAvi(bytes)
+    val isGif = bytes != null && bytes.length >= 6 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+    val s = if (isGif) decodeGifAnim(bytes) else decodeAvi(bytes)
     if (s == null) return null
     val out = new Array[Any](18)
     out(0) = s.nFrames; out(1) = s.width; out(2) = s.height; out(3) = s.channels

@@ -1822,4 +1822,116 @@ class MultimodalSpec extends SparkTestBase {
     val full = tiffLE(8, 8)
     (0 until full.length).foreach(n => MediaCodec.imageHeader(full.take(n)))
   }
+
+  // --------------------------------------------------------- animated GIF
+
+  /** Animated-GIF builder: logical screen + GCT, then per-frame
+    * (gce-options, rect, indices) tuples using the byte-aligned literal
+    * LZW trick (minCode 7: after a clear, <=126 literal codes stay 8-bit).
+    * gce = Some((disposal, transIdx)) emits a graphic-control extension.
+    */
+  private def agif(w: Int, h: Int, palette: Seq[(Int, Int, Int)],
+      frames: Seq[(Option[(Int, Int)], (Int, Int, Int, Int), Seq[Int])],
+      interlace: Set[Int] = Set.empty, bgIndex: Int = 0): Array[Byte] = {
+    val k = (math.log(palette.size) / math.log(2)).toInt - 1
+    assert(palette.size == (1 << (k + 1)))
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0x80 | 0x70 | k); out.write(bgIndex); out.write(0)
+    palette.foreach { case (r, g, b) => out.write(r); out.write(g); out.write(b) }
+    frames.zipWithIndex.foreach { case ((gce, (left, top, fw, fh), idx), fi) =>
+      gce.foreach { case (disposal, transIdx) =>
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write((disposal << 2) | (if (transIdx >= 0) 1 else 0))
+        le16(0); out.write(math.max(transIdx, 0)); out.write(0)
+      }
+      out.write(0x2C); le16(left); le16(top); le16(fw); le16(fh)
+      out.write(if (interlace(fi)) 0x40 else 0)
+      out.write(7) // minCode
+      val lzw = (Seq(0x80) ++ idx ++ Seq(0x81)).toArray
+      lzw.grouped(255).foreach { c => out.write(c.length); c.foreach(out.write) }
+      out.write(0)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  test("decodeGifAnim: full-frame animation aggregates cross-frame canvas stats") {
+    import graft.expressions.MediaCodec
+    val pal = (0 until 128).map(i => (i, 2 * i, 255 - i))
+    // 2x2 canvas, two solid frames: all-10 then all-20.
+    val g = agif(2, 2, pal, Seq(
+      (None, (0, 0, 2, 2), Seq(10, 10, 10, 10)),
+      (None, (0, 0, 2, 2), Seq(20, 20, 20, 20))))
+    val v = MediaCodec.decodeGifAnim(g)
+    assert(v != null && v.nFrames == 2 && v.width == 2 && v.height == 2 &&
+      v.channels == 3)
+    assert(v.mean(0) == 15.0 && v.min(0) == 10 && v.max(0) == 20)
+    assert(v.mean(1) == 30.0 && v.mean(2) == 255.0 - 15.0)
+    assert(v.meanFirst == 10.0 && v.meanLast == 20.0)
+    // The codegen'd column dispatches GIF magic to the animated path.
+    assert(MediaCodec.videoStats(g) != null)
+  }
+
+  test("decodeGifAnim: partial frames, transparency, disposal 2 and 3") {
+    import graft.expressions.MediaCodec
+    val pal = (0 until 128).map(i => (i, i, i))
+    // 4x1 canvas. Frame1: [1,2,3,4]. Frame2 (rect at x=1, w=2,
+    // transIdx=0): [0, 9] -> x1 keeps 2, x2 becomes 9 -> [1,2,9,4].
+    val g2 = agif(4, 1, pal, Seq(
+      (None, (0, 0, 4, 1), Seq(1, 2, 3, 4)),
+      (Some((0, 0)), (1, 0, 2, 1), Seq(0, 9))))
+    val v2 = MediaCodec.decodeGifAnim(g2)
+    assert(v2 != null && v2.nFrames == 2)
+    assert(v2.meanFirst == (1 + 2 + 3 + 4) / 4.0)
+    assert(v2.meanLast == (1 + 2 + 9 + 4) / 4.0)
+    // Disposal 2: after frame2 its rect restores to background (bg=0 ->
+    // pal[0]=0): frame3 full-transparent shows [1,0,0,4].
+    val g3 = agif(4, 1, pal, Seq(
+      (None, (0, 0, 4, 1), Seq(1, 2, 3, 4)),
+      (Some((2, -1)), (1, 0, 2, 1), Seq(8, 9)),
+      (Some((0, 0)), (0, 0, 4, 1), Seq(0, 0, 0, 0))))
+    val v3 = MediaCodec.decodeGifAnim(g3)
+    assert(v3 != null && v3.nFrames == 3)
+    assert(v3.meanLast == (1 + 0 + 0 + 4) / 4.0, v3.meanLast)
+    // Disposal 3: frame2's effect reverts to the PREVIOUS canvas.
+    val g4 = agif(4, 1, pal, Seq(
+      (None, (0, 0, 4, 1), Seq(1, 2, 3, 4)),
+      (Some((3, -1)), (0, 0, 4, 1), Seq(99, 99, 99, 99)),
+      (Some((0, 0)), (0, 0, 4, 1), Seq(0, 0, 0, 0))))
+    val v4 = MediaCodec.decodeGifAnim(g4)
+    assert(v4 != null && v4.meanLast == (1 + 2 + 3 + 4) / 4.0)
+    assert(v4.max(0) == 99) // frame2 itself was shown before reverting
+  }
+
+  test("decodeGifAnim: interlaced frame rows land at composited positions") {
+    import graft.expressions.MediaCodec
+    val pal = (0 until 128).map(i => (i, i, i))
+    // 1x4 interlaced frame emits rows in pass order 0,2,1,3: emitted
+    // [10,20,30,40] -> canvas rows [10,30,20,40]. Frame2 overwrites
+    // ROW 1 (canvas position) with 99: wrong interlace mapping would
+    // leave a different row and shift the final mean.
+    val g = agif(1, 4, pal, Seq(
+      (None, (0, 0, 1, 4), Seq(10, 20, 30, 40)),
+      (None, (0, 1, 1, 1), Seq(99))), interlace = Set(0))
+    val v = MediaCodec.decodeGifAnim(g)
+    assert(v != null && v.nFrames == 2)
+    assert(v.meanFirst == (10 + 20 + 30 + 40) / 4.0)
+    // Row 1 held 30 (pass 4 row 1 got emitted[2]=30): 30 -> 99.
+    assert(v.meanLast == (10 + 99 + 20 + 40) / 4.0, v.meanLast)
+    // Single-frame GIF through videoStats agrees with pixelStats' means.
+    val single = agif(2, 2, pal, Seq((None, (0, 0, 2, 2), Seq(5, 6, 7, 8))))
+    val ps = MediaCodec.decodePixels(single)
+    val vs = MediaCodec.decodeGifAnim(single)
+    assert(ps != null && vs != null && vs.nFrames == 1 &&
+      vs.mean(0) == ps.mean(0) && vs.min(0) == ps.min(0) &&
+      vs.max(0) == ps.max(0))
+    // Corruption never throws: truncate everywhere.
+    (0 until g.length).foreach(n => MediaCodec.decodeGifAnim(g.take(n)))
+    // Frame rect outside the canvas: null.
+    assert(MediaCodec.decodeGifAnim(agif(2, 2, pal,
+      Seq((None, (1, 0, 2, 2), Seq(1, 2, 3, 4))))) == null)
+  }
 }
