@@ -2734,6 +2734,24 @@ object SparkEntry {
           col("v.mean_last").as("mean_last"))
         .orderBy("doc_id")
     }),
+
+    // --- 134. overlapping-window chunking (RAG/context prep), oracle-pinned -----------------------------
+    // The sliding-window chunker every retrieval corpus is built with:
+    // 32-token windows at stride 24 (8-token overlap), window i covering
+    // tokens [i*24, i*24+32), last window ragged, short docs one window.
+    // Row-local sequence+slice arithmetic — no UDF, no shuffle beyond
+    // the explode — and the DuckDB oracle regenerates every window with
+    // the same closed-form count, so the hash pins boundary arithmetic
+    // (ragged tails, exact-fit documents, empty docs) across engines.
+    "q134_chunk_overlap" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TF.overlappingChunks(col("text"), 32, 24)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("chunk"),
+          size(split(col("col"), " ")).as("n_tokens"))
+        .where(length(col("col")) > 0)
+        .orderBy("doc_id", "pos")),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4177,6 +4195,24 @@ object SparkEntry {
         |  CAST(GREATEST(a, b, c, d, e) AS INT) AS c0_max,
         |  CAST(a + b + c + d AS DOUBLE) / 4 AS mean_first,
         |  CAST(a + b + e + d AS DOUBLE) / 4 AS mean_last
-        |FROM v ORDER BY doc_id""".stripMargin
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q134_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'),
+        |      s -> len(s) > 0) AS toks
+        |  FROM documents),
+        | w AS (
+        |  SELECT doc_id, toks,
+        |    1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) AS nw
+        |  FROM t),
+        | g AS (SELECT doc_id, UNNEST(range(nw)) AS pos, toks FROM w)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  array_to_string(toks[pos * 24 + 1 : pos * 24 + 32], ' ') AS chunk,
+        |  CAST(len(toks[pos * 24 + 1 : pos * 24 + 32]) AS INT) AS n_tokens
+        |FROM g
+        |WHERE len(toks[pos * 24 + 1 : pos * 24 + 32]) > 0
+        |ORDER BY doc_id, pos""".stripMargin
   )
 }

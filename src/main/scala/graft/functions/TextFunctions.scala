@@ -144,6 +144,24 @@ object TextFunctions {
       graft.expressions.TokenLenStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(toks), longerThan))
 
+  /** Overlapping token windows — the RAG/context-prep chunking shape:
+    * window i covers tokens [i*stride, i*stride + size), the last window
+    * may be shorter, and every token belongs to ceil(size/stride)
+    * windows at steady state. Row-local arithmetic over the token array
+    * (sequence + slice), no UDF. Window count is
+    * 1 + ceil(max(0, n - size) / stride) — one window for any document
+    * shorter than `size`, including the empty one.
+    */
+  def overlappingChunks(text: Column, window: Int, stride: Int): Column = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = graft.functions.Retrieval.tokens(text)
+    val windows = lit(1) +
+      ceil(greatest(size(toks) - window, lit(0)).cast("double") / stride).cast("int")
+    transform(sequence(lit(0), windows - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

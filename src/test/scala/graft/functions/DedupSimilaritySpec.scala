@@ -235,4 +235,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     val short = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
     assert(Dedup.repeatedNgrams(short, "doc_id", "text", n = 5).count() == 0)
   }
+
+  test("overlappingChunks: window/stride boundary arithmetic") {
+    import org.apache.spark.sql.functions.col
+    def chunksOf(text: String, w: Int, st: Int): Seq[String] =
+      Seq((1L, text)).toDF("id", "text")
+        .select(TextFunctions.overlappingChunks(col("text"), w, st).as("c"))
+        .head().getSeq[String](0)
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    // 10 tokens, window 4 stride 3: starts 0,3,6 cover to 9; last ragged at 9.
+    assert(chunksOf(ten, 4, 3) == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // Exact fit: one window, no phantom tail.
+    assert(chunksOf("a b c", 3, 2) == Seq("a b c"))
+    // Shorter than the window: one ragged window.
+    assert(chunksOf("a b", 5, 2) == Seq("a b"))
+    // stride == window: disjoint chunks.
+    assert(chunksOf(ten, 5, 5) == Seq("t1 t2 t3 t4 t5", "t6 t7 t8 t9 t10"))
+    intercept[IllegalArgumentException](
+      TextFunctions.overlappingChunks(col("text"), 4, 5))
+  }
 }
