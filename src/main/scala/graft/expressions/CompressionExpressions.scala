@@ -29,29 +29,78 @@ object GzipCodec {
   }
 
   /** Decompress a gzip payload — including concatenated multi-member
-    * streams, the shape per-record-gzipped WARC dumps use (the JDK's
-    * GZIPInputStream consumes members back-to-back). Null for non-gzip
-    * magic, corrupt streams, and payloads expanding past
-    * [[MaxPlainBytes]].
+    * streams, the shape per-record-gzipped WARC dumps use. Members are
+    * walked MANUALLY (header fields, raw deflate via Inflater, CRC32 +
+    * ISIZE trailer) rather than through GZIPInputStream, because the
+    * JDK stream treats a failed next-member header probe as clean EOF —
+    * it would silently drop the tail of a truncated dump instead of
+    * rejecting it. Here every input byte must belong to a valid member:
+    * null for non-gzip magic, corrupt deflate, CRC/length mismatch,
+    * trailing garbage, and payloads expanding past [[MaxPlainBytes]].
     */
   def gunzip(b: Array[Byte]): Array[Byte] = {
-    if (b == null || b.length < 2 ||
+    if (b == null || b.length < 18 ||
         (b(0) & 0xFF) != 0x1F || (b(1) & 0xFF) != 0x8B) return null
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (out.size().toLong + n > MaxPlainBytes) return null // bomb guard
-        out.write(buf, 0, n)
-        n = in.read(buf)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length.toLong * 4, 64L), 1L << 20).toInt)
+    val buf = new Array[Byte](64 * 1024)
+    var pos = 0
+    while (pos < b.length) {
+      // ---- member header (RFC 1952): magic, CM=8, FLG, MTIME/XFL/OS,
+      // then the optional FEXTRA/FNAME/FCOMMENT/FHCRC fields.
+      if (b.length - pos < 10 || (b(pos) & 0xFF) != 0x1F ||
+          (b(pos + 1) & 0xFF) != 0x8B || (b(pos + 2) & 0xFF) != 8) return null
+      val flg = b(pos + 3) & 0xFF
+      var p = pos + 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        if (p + 2 > b.length) return null
+        val xlen = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+        p += 2 + xlen
+        if (p > b.length) return null
       }
-      out.toByteArray
-    } catch {
-      case _: java.io.IOException => null // corrupt deflate stream / CRC
+      var skipZ = (if ((flg & 0x08) != 0) 1 else 0) +
+        (if ((flg & 0x10) != 0) 1 else 0) // FNAME, FCOMMENT
+      while (skipZ > 0) {
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return null
+        p += 1
+        skipZ -= 1
+      }
+      if ((flg & 0x02) != 0) { // FHCRC
+        p += 2
+        if (p > b.length) return null
+      }
+      // ---- raw deflate body.
+      val inf = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32
+      var memberOut = 0L
+      try {
+        inf.setInput(b, p, b.length - p)
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return null }
+          if (n == 0) {
+            if (!inf.finished()) return null // truncated / needs dict
+          } else {
+            if (out.size().toLong + n > MaxPlainBytes) return null // bomb
+            out.write(buf, 0, n)
+            crc.update(buf, 0, n)
+            memberOut += n
+          }
+        }
+        p += inf.getBytesRead.toInt
+      } finally inf.end()
+      // ---- trailer: CRC32 + ISIZE (mod 2^32), little-endian.
+      if (p + 8 > b.length) return null
+      def le32(i: Int): Long =
+        (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+          ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+      if (le32(p) != crc.getValue) return null
+      if (le32(p + 4) != (memberOut & 0xFFFFFFFFL)) return null
+      pos = p + 8
     }
+    out.toByteArray
   }
 }
 

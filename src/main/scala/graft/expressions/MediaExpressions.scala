@@ -1683,7 +1683,10 @@ object MediaCodec {
         prev = code
       }
     }
-    // Skip remaining sub-blocks to the terminator (encoders may pad).
+    // Skip to the terminator. Any remainder of the CURRENT sub-block is
+    // padding after EOI (decoders must ignore it) — consume it wholesale
+    // first, or its data bytes would be misread as sub-block lengths.
+    pos = math.max(pos, blockEnd)
     while (pos < b.length && b(pos) != 0) pos += 1 + (b(pos) & 0xFF)
     if (pos >= b.length) return -1
     pos + 1
@@ -1771,6 +1774,14 @@ object MediaCodec {
           pos += 1
         }
       } else if (blk == 0x2C) { // image descriptor
+        // Total pixel-WORK cap, not just allocation: every frame costs an
+        // O(canvas) stats pass (plus a canvas clone under disposal 3), so
+        // a small payload declaring a huge canvas and thousands of
+        // one-pixel frames would amplify kilobytes of input into hours of
+        // CPU. 2^28 canvas-pixel visits (~0.5 s of scanning) bounds the
+        // damage; beyond it the payload routes to the seam like any other
+        // reject.
+        if ((nFrames + 1).toLong * nPix > (1L << 28)) return null
         if (pos + 10 > b.length) return null
         val left = le16(b, pos + 1); val top = le16(b, pos + 3)
         val fw = le16(b, pos + 5); val fh = le16(b, pos + 7)

@@ -44,7 +44,11 @@ object Dedup {
       n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val toks = Retrieval.tokens(col(textCol))
-    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    // NULL ids are dropped explicitly: the two-level aggregate would
+    // otherwise count the null group as a "document" (countDistinct
+    // semantics exclude nulls, and doc_freq must mean real documents).
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("toks")) - n),

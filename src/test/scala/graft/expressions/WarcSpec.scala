@@ -88,6 +88,26 @@ class WarcSpec extends SparkTestBase {
     // expand past the 256 MiB cap.
     val bombPlain = new Array[Byte](300 << 20)
     assert(gunzip(gzip(bombPlain)) == null)
+    // Trailing garbage and a truncated second member must REJECT the
+    // whole payload, not silently return the leading members (the JDK
+    // stream's probe-failure-is-EOF trap).
+    assert(gunzip(a ++ "garbage".getBytes) == null)
+    assert(gunzip(a ++ b.take(b.length / 2)) == null)
+    // Wrong trailer CRC: reject.
+    val badCrc = gzip("payload".getBytes)
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x1).toByte
+    assert(gunzip(badCrc) == null)
+    // Header variants: FNAME + FCOMMENT + FEXTRA fields all skip cleanly.
+    val withName = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("x".getBytes); g.close()
+      val raw = bos.toByteArray
+      // splice FNAME flag + name after the 10-byte header
+      (raw.take(3) :+ 0x08.toByte) ++ raw.slice(4, 10) ++
+        "name\u0000".getBytes("ISO-8859-1") ++ raw.drop(10)
+    }
+    assert(new String(gunzip(withName), "UTF-8") == "x")
   }
 
   test("gunzip + warcRecords: compressed dump splits through the column API") {

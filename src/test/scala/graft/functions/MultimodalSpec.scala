@@ -1933,5 +1933,24 @@ class MultimodalSpec extends SparkTestBase {
     // Frame rect outside the canvas: null.
     assert(MediaCodec.decodeGifAnim(agif(2, 2, pal,
       Seq((None, (1, 0, 2, 2), Seq(1, 2, 3, 4))))) == null)
+    // Padding bytes after EOI inside the last sub-block are legal and
+    // must not be misread as sub-block lengths.
+    val padded = {
+      val base = agif(2, 1, pal, Seq((None, (0, 0, 2, 1), Seq(3, 4))))
+      // rebuild frame data block with two pad bytes after EOI
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, base.length - 7) // through the minCode byte
+      out.write(6); out.write(0x80); out.write(3); out.write(4)
+      out.write(0x81); out.write(0x55); out.write(0x99.toByte)
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+    val vp = MediaCodec.decodeGifAnim(padded)
+    assert(vp != null && vp.meanFirst == 3.5, vp)
+    // Work amplification: a large canvas with many tiny frames must hit
+    // the pixel-work cap and null, not pin a core.
+    val manyFrames = agif(4000, 4000, pal,
+      (0 until 32).map(_ => (None: Option[(Int, Int)], (0, 0, 1, 1), Seq(1))))
+    assert(MediaCodec.decodeGifAnim(manyFrames) == null)
   }
 }
