@@ -1425,9 +1425,11 @@ object MediaCodec {
     val hL = math.abs(le32(b, 22).toLong)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (w <= 0 || hL == 0 || hL > Int.MaxValue || bpp != 24 || compression != 0)
+    if (w <= 0 || hL == 0 || hL > Int.MaxValue ||
+        (bpp != 24 && bpp != 8) || compression != 0)
       return null
-    val rowStrideL = ((w.toLong * 3 + 3) / 4) * 4
+    val bytesPerPx = bpp / 8
+    val rowStrideL = ((w.toLong * bytesPerPx + 3) / 4) * 4
     // One row alone exceeding the payload rejects early — and caps
     // rowStrideL at b.length (< 2^31), so rowStrideL * hL below stays
     // < 2^62: the product itself can no longer wrap Long and sneak past
@@ -1440,7 +1442,45 @@ object MediaCodec {
     // negative case fail the first comparison directly.
     if (dataOff.toLong < 14L + dibSize ||
         dataOff.toLong + rowStrideL * hL > b.length) return null
-    scanInterleaved("bmp", b, dataOff, w, hL.toInt, 3, rowStrideL.toInt, bgr = true)
+    if (bpp == 24)
+      return scanInterleaved("bmp", b, dataOff, w, hL.toInt, 3,
+        rowStrideL.toInt, bgr = true)
+    // 8-bit paletted (the other common uncompressed BMP): BGRA palette
+    // quads sit right after the DIB header; biClrUsed 0 means a full
+    // 256-entry table. Indices resolve to RGB through the palette with
+    // the same one-pass reduce discipline as GIF.
+    val clrUsed = le32(b, 46)
+    val palSize = if (clrUsed == 0) 256 else clrUsed
+    if (palSize < 1 || palSize > 256) return null
+    val palOff = 14L + dibSize
+    if (palOff + 4L * palSize > dataOff.toLong) return null
+    val h = hL.toInt
+    val sum = new Array[Long](3)
+    val min = Array.fill(3)(255)
+    val max = Array.fill(3)(0)
+    var row = 0
+    while (row < h) {
+      var x = 0
+      val base = dataOff + row * rowStrideL.toInt
+      while (x < w) {
+        val idx = b(base + x) & 0xFF
+        if (idx >= palSize) return null // corrupt: index past the palette
+        val po = (palOff + 4L * idx).toInt
+        // Palette quads are B,G,R,reserved; report RGB like 24-bit.
+        var c = 0
+        while (c < 3) {
+          val v = b(po + (2 - c)) & 0xFF
+          sum(c) += v
+          if (v < min(c)) min(c) = v
+          if (v > max(c)) max(c) = v
+          c += 1
+        }
+        x += 1
+      }
+      row += 1
+    }
+    val nPix = w.toLong * h
+    new PixelStats("bmp", w, h, 3, sum.map(_.toDouble / nPix), min, max)
   }
 
   /** Shared single-pass reducer over an interleaved raster. `rowStride` may

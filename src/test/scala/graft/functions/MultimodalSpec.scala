@@ -1953,4 +1953,58 @@ class MultimodalSpec extends SparkTestBase {
       (0 until 32).map(_ => (None: Option[(Int, Int)], (0, 0, 1, 1), Seq(1))))
     assert(MediaCodec.decodeGifAnim(manyFrames) == null)
   }
+
+  test("decodeBmp: 8-bit paletted BMP decodes; ImageIO-written cross-check") {
+    import graft.expressions.MediaCodec
+    // Hand-built 3x2 paletted BMP: palette quads are B,G,R,0.
+    def bmp8(w: Int, h: Int, pal: Seq[(Int, Int, Int)], idx: Seq[Int]): Array[Byte] = {
+      val stride = (w + 3) / 4 * 4
+      val dataOff = 14 + 40 + 4 * pal.size
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int) = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int) = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      out.write('B'); out.write('M'); le32(dataOff + stride * h)
+      le32(0); le32(dataOff)
+      le32(40); le32(w); le32(h); le16(1); le16(8); le32(0); le32(stride * h)
+      le32(0); le32(0); le32(pal.size); le32(0)
+      pal.foreach { case (r, g, b) => out.write(b); out.write(g); out.write(r); out.write(0) }
+      // bottom-up rows, padded
+      for (row <- (h - 1) to 0 by -1) {
+        val rowIdx = idx.slice(row * w, row * w + w)
+        rowIdx.foreach(out.write)
+        (w until stride).foreach(_ => out.write(0))
+      }
+      out.toByteArray
+    }
+    val pal = Seq((10, 20, 30), (200, 100, 50), (0, 255, 128), (255, 0, 0))
+    // image rows (top-down in idx): [0,1,2] / [3,0,1]
+    val img = bmp8(3, 2, pal, Seq(0, 1, 2, 3, 0, 1))
+    val s0 = MediaCodec.decodePixels(img)
+    assert(s0 != null && s0.format == "bmp" && s0.width == 3 && s0.height == 2)
+    val reds = Seq(0, 1, 2, 3, 0, 1).map(i => pal(i)._1)
+    assert(s0.mean(0) == reds.sum.toDouble / 6 && s0.min(0) == reds.min &&
+      s0.max(0) == reds.max)
+    val blues = Seq(0, 1, 2, 3, 0, 1).map(i => pal(i)._3)
+    assert(s0.mean(2) == blues.sum.toDouble / 6)
+    // REAL paletted BMP from ImageIO (TYPE_BYTE_INDEXED): agree on stats.
+    val bi = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 4; x <- 0 until 5)
+      bi.setRGB(x, y, ((x * 40) << 16) | ((y * 50) << 8) | (x * y * 10))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "bmp", baos))
+    val mine = MediaCodec.decodePixels(baos.toByteArray)
+    assert(mine != null, "ImageIO 8-bit BMP did not decode")
+    // ImageIO's indexed write quantizes: compare against what it DECODES.
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    var rSum = 0L
+    for (y <- 0 until 4; x <- 0 until 5) rSum += (ref.getRGB(x, y) >> 16) & 0xFF
+    assert(mine.mean(0) == rSum.toDouble / 20)
+    // Corrupt: index past a short palette nulls; truncations never throw.
+    val shortPal = bmp8(2, 1, Seq((1, 2, 3), (4, 5, 6)), Seq(0, 1))
+    shortPal(54 + 8) = 7 // first pixel index -> 7, palette has 2
+    assert(MediaCodec.decodePixels(shortPal) == null)
+    (0 until img.length).foreach(n => MediaCodec.decodePixels(img.take(n)))
+  }
 }
