@@ -1,0 +1,78 @@
+package graft.examples
+
+import graft.functions.{Dedup, Multimodal, Retrieval, TextFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end drive of the crawl-ingest operators: per-document WARC
+  * segments are built from the corpus, gzip-compressed (the shape crawl
+  * dumps arrive in), then flow through the full pipeline —
+  * gunzip -> WARC record split -> explode -> language ID + quality
+  * scoring -> repeated-n-gram boilerplate sweep -> overlapping-window
+  * chunking — all as codegen'd expressions and declarative plans, no UDF
+  * anywhere.
+  *
+  * Usage: runMain graft.examples.CrawlIngestDemo /root/testdata/sf0.001
+  */
+object CrawlIngestDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-crawl-ingest-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // --- 1. simulate arrival: each document as a gzipped WARC response.
+    val warcText = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\n"),
+      concat(lit("WARC-Record-ID: <urn:uuid:"), col("doc_id"), lit(">\r\n")),
+      concat(lit("WARC-Target-URI: http://crawl.test/"), col("doc_id"), lit("\r\n")),
+      concat(lit("Content-Length: "), length(col("text")).cast("string"),
+        lit("\r\n\r\n")),
+      col("text"), lit("\r\n\r\n"))
+    val dumps = docs.select(col("doc_id"),
+      Multimodal.gzip(encode(warcText, "UTF-8")).as("gz"))
+    println(s"=== 1. arrival: ${dumps.count()} gzipped WARC member(s) ===")
+
+    // --- 2. ingest: gunzip -> record split -> per-response rows.
+    val responses = dumps
+      .select(explode(Multimodal.warcRecords(Multimodal.gunzip(col("gz")))).as("r"))
+      .select(col("r.target_uri").as("uri"),
+        decode(col("r.payload"), "UTF-8").as("text"))
+    println("=== 2. split records ===")
+    responses.show(3, 60)
+
+    // --- 3. filter: language ID + composite quality score.
+    val scored = responses.select(col("uri"), col("text"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    println("=== 3. language / quality profile ===")
+    scored.groupBy("lang").agg(count(lit(1)).as("docs"),
+      avg("quality").as("avg_quality")).orderBy("lang").show()
+    val kept = scored.where(col("quality") > 0.5)
+
+    // --- 4. boilerplate sweep: 5-gram spans shared across documents.
+    println("=== 4. top repeated 5-gram spans (boilerplate candidates) ===")
+    Dedup.repeatedNgrams(kept, "uri", "text", n = 5)
+      .orderBy(desc("doc_freq"), desc("total_count"), col("ngram"))
+      .limit(5).show(5, 60)
+
+    // --- 5. chunk: 32-token windows at stride 24 for retrieval/context.
+    val chunks = kept.select(col("uri"),
+      posexplode(TextFunctions.overlappingChunks(col("text"), 32, 24)))
+      .where(length(col("col")) > 0)
+      .select(col("uri"), col("pos"), col("col").as("chunk"),
+        size(Retrieval.tokens(col("col"))).as("n_tokens"))
+    println("=== 5. chunk inventory ===")
+    chunks.agg(count(lit(1)).as("chunks"),
+      avg("n_tokens").as("avg_tokens"),
+      max("n_tokens").as("max_tokens")).show()
+
+    spark.stop()
+  }
+}
