@@ -2752,6 +2752,31 @@ object SparkEntry {
           size(split(col("col"), " ")).as("n_tokens"))
         .where(length(col("col")) > 0)
         .orderBy("doc_id", "pos")),
+
+    // --- 135. HTML -> training text extraction, oracle-pinned -------------------------------------------
+    // The step between a crawl's WARC responses and every text operator:
+    // an HTML page is CONSTRUCTED per row (script with a raw '<' inside,
+    // style subtree, comment, heading, entity, variable-length body) and
+    // extracted by the regexp_replace chain. The oracle builds the
+    // EXPECTED TEXT directly — it never re-runs the regexes, so a hash
+    // match proves the extraction semantics (subtree drops, block
+    // newlines, entity decode, whitespace collapse) rather than mere
+    // regex parity.
+    "q135_html_text" -> ((s, d) => {
+      val body = array_join(transform(
+        sequence(lit(0), (col("doc_id") % 5).cast("int")),
+        i => concat(lit("w"), i)), " ")
+      val html = concat(
+        lit("<html><head><title>t</title><script>var x = 1 < 2;</script>"),
+        lit("<style>p { color: red; }</style></head><body>"),
+        lit("<h1>Doc "), col("doc_id"), lit("</h1>"),
+        lit("<!-- crawler note -->"),
+        lit("<p>"), body, lit(" &amp; more</p>"),
+        lit("</body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.htmlToText(html).as("extracted"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4213,6 +4238,14 @@ object SparkEntry {
         |  CAST(len(toks[pos * 24 + 1 : pos * 24 + 32]) AS INT) AS n_tokens
         |FROM g
         |WHERE len(toks[pos * 24 + 1 : pos * 24 + 32]) > 0
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q135_html_text" ->
+      """SELECT doc_id,
+        |  't Doc ' || doc_id || ' ' ||
+        |    array_to_string(list_transform(range(CAST(doc_id % 5 AS INT) + 1),
+        |      i -> 'w' || i), ' ') ||
+        |  ' & more' AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

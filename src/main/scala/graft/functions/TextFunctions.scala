@@ -162,6 +162,32 @@ object TextFunctions {
       i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
   }
 
+  /** HTML to training text — the extraction step between a crawl's WARC
+    * responses and every text operator in this library: drop script/style
+    * subtrees and comments, turn the block-level closers and <br> into
+    * newlines (so paragraphs don't fuse into one run-on token), strip
+    * remaining tags, decode the half-dozen entities that dominate real
+    * pages, and collapse whitespace. A chain of codegen'd regexp_replace
+    * builtins — no parser object, no UDF; at 100 TB this is a narrow map
+    * fused into the scan. (A browser-grade HTML5 parser belongs behind
+    * the decode seam; boilerplate-level extraction is what corpus
+    * pipelines actually run.)
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(?:br\\s*/?|/p|/div|/h[1-6]|/li|/tr)\\s*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

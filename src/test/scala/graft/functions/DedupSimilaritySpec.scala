@@ -255,4 +255,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TextFunctions.overlappingChunks(col("text"), 4, 5))
   }
+
+  test("htmlToText: subtree drops, block newlines, entities, attr tags") {
+    import org.apache.spark.sql.functions.col
+    def extract(html: String): String =
+      Seq((1L, html)).toDF("id", "h")
+        .select(TextFunctions.htmlToText(col("h"))).head().getString(0)
+    assert(extract("<p>hello <b>bold</b> world</p>") == "hello bold world")
+    // script/style subtrees vanish wholesale, even with raw '<' inside.
+    assert(extract("<script>if (a < b) { alert('<p>'); }</script>after") == "after")
+    assert(extract("<STYLE>p { }</STYLE>x<!-- note -->y") == "x y")
+    // Block closers become whitespace breaks; inline tags do not glue words.
+    assert(extract("<div>one</div><div>two</div>") == "one two")
+    // Attribute-laden tags strip; entities decode.
+    assert(extract("<a href=\"http://x.test?a=1&amp;b=2\">link</a>") == "link")
+    assert(extract("tom &amp; jerry &lt;3 &quot;q&quot; &#39;a&#39;&nbsp;end") ==
+      "tom & jerry <3 \"q\" 'a' end")
+    // Whitespace collapse + trim.
+    assert(extract("  <p>  spaced\n\n  out  </p>  ") == "spaced out")
+  }
 }
