@@ -2777,6 +2777,26 @@ object SparkEntry {
         .select(col("doc_id"), TF.htmlToText(html).as("extracted"))
         .orderBy("doc_id")
     }),
+
+    // --- 136. URL dissection (crawl-frontier scalar surface), oracle-pinned -----------------------------
+    // Per-URL host/path/param/fragment extraction — the fields every
+    // crawl frontier dedups, groups, and rate-limits by — via Spark's
+    // builtin parse_url over per-row constructed URLs; the oracle
+    // reassembles each component arithmetically, pinning the component
+    // semantics (HOST excludes the port, QUERY takes the named param,
+    // REF is the bare fragment).
+    "q136_url_parse" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("url", concat(
+          lit("https://host"), col("doc_id") % 7,
+          lit(".example.com:8080/p/"), col("doc_id"),
+          lit("/page?x="), col("doc_id") % 13, lit("&y=2#frag")))
+        .selectExpr("doc_id",
+          "parse_url(url, 'HOST') AS host",
+          "parse_url(url, 'PATH') AS path",
+          "parse_url(url, 'QUERY', 'x') AS x_param",
+          "parse_url(url, 'REF') AS frag")
+        .orderBy("doc_id")),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4246,6 +4266,14 @@ object SparkEntry {
         |    array_to_string(list_transform(range(CAST(doc_id % 5 AS INT) + 1),
         |      i -> 'w' || i), ' ') ||
         |  ' & more' AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q136_url_parse" ->
+      """SELECT doc_id,
+        |  'host' || (doc_id % 7) || '.example.com' AS host,
+        |  '/p/' || doc_id || '/page' AS path,
+        |  CAST(doc_id % 13 AS VARCHAR) AS x_param,
+        |  'frag' AS frag
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
