@@ -2797,6 +2797,29 @@ object SparkEntry {
           "parse_url(url, 'QUERY', 'x') AS x_param",
           "parse_url(url, 'REF') AS frag")
         .orderBy("doc_id")),
+
+    // --- 137. robots.txt politeness decisions (RFC 9309 core), oracle-pinned ----------------------------
+    // The fetch gate of a polite crawler: a robots file is CONSTRUCTED
+    // per row (wildcard group with a prefix Disallow, a deeper Allow
+    // exception, and an anchored *.pdf$ rule) and evaluated against four
+    // path shapes cycling by doc_id — hitting the longest-rule-wins tie,
+    // the Allow exception, the anchored wildcard, and the clean-allow
+    // path. The oracle states each expected decision in closed form.
+    "q137_robots" -> ((s, d) => {
+      val k = (col("doc_id") % 10).cast("int")
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok"), k,
+        lit(".html\nDisallow: /*.pdf$\n"))
+      val path = when(col("doc_id") % 4 === 0, lit("/public/page"))
+        .when(col("doc_id") % 4 === 1, lit("/private/x"))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("/private/ok"), k, lit(".html")))
+        .otherwise(concat(lit("/docs/f"), k, lit(".pdf")))
+      t(s, d, "documents")
+        .select(col("doc_id"), path.as("path"),
+          Multimodal.robotsAllowed(robots, lit("graftbot"), path).as("allowed"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4274,6 +4297,18 @@ object SparkEntry {
         |  '/p/' || doc_id || '/page' AS path,
         |  CAST(doc_id % 13 AS VARCHAR) AS x_param,
         |  'frag' AS frag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q137_robots" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN '/public/page'
+        |    WHEN 1 THEN '/private/x'
+        |    WHEN 2 THEN '/private/ok' || (doc_id % 10) || '.html'
+        |    ELSE '/docs/f' || (doc_id % 10) || '.pdf' END AS path,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN TRUE WHEN 1 THEN FALSE
+        |    WHEN 2 THEN TRUE ELSE FALSE END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

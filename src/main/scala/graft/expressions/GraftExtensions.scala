@@ -163,6 +163,14 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_gunzip(binary)")
       }),
     (
+      FunctionIdentifier("graft_robots_allowed"),
+      new ExpressionInfo(classOf[RobotsAllowedExpr].getName, "graft_robots_allowed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(r, a, p) => RobotsAllowedExpr(r, a, p)
+        case _ => throw new IllegalArgumentException(
+          "graft_robots_allowed(robots_txt string, agent string, path string)")
+      }),
+    (
       FunctionIdentifier("graft_warc_records"),
       new ExpressionInfo(classOf[WarcRecordsExpr].getName, "graft_warc_records"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,142 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt politeness evaluation — the gate in front of every crawl
+  * fetch. Implements the REP as publicly documented (RFC 9309's core):
+  * group selection by most specific User-agent (case-insensitive
+  * substring match of the group token in the crawler's agent beats `*`;
+  * groups with the same specificity MERGE), then longest-matching-rule
+  * wins between Allow and Disallow with Allow winning length ties,
+  * empty Disallow = allow everything, `*` wildcards and `$` end anchors
+  * honored inside rule paths, unknown lines ignored.
+  */
+object RobotsCodec {
+
+  private final case class Rule(allow: Boolean, path: String)
+
+  /** True iff `path` may be fetched under `robotsTxt` for `agent`. An
+    * empty robots file allows all; malformed lines are skipped (the REP
+    * is explicitly ignore-what-you-don't-understand).
+    */
+  def allowed(robotsTxt: String, agent: String, path: String): Boolean = {
+    if (robotsTxt == null || robotsTxt.isEmpty) return true
+    val want = if (agent == null) "" else agent.toLowerCase(java.util.Locale.ROOT)
+    val p = if (path == null || path.isEmpty) "/" else path
+    // Single pass: groups are runs of User-agent lines followed by rules;
+    // a User-agent line after rules opens a new group. Matching groups of
+    // equal specificity merge (RFC 9309 §2.2.1).
+    var specific = List.empty[Rule]
+    var wild = List.empty[Rule]
+    var anySpecific = false
+    var curSpecific = false
+    var curWild = false
+    var inAgentRun = false
+    var cur = List.empty[Rule]
+    def closeGroup(): Unit = {
+      if (curSpecific) { specific = cur ::: specific; anySpecific = true }
+      if (curWild) wild = cur ::: wild
+      curSpecific = false; curWild = false; cur = Nil
+    }
+    for (raw <- robotsTxt.split("\r\n|\n|\r")) {
+      val line = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgentRun) { closeGroup(); inAgentRun = true }
+            val v = value.toLowerCase(java.util.Locale.ROOT)
+            if (v == "*") curWild = true
+            else if (v.nonEmpty && want.contains(v)) curSpecific = true
+          case "allow" =>
+            inAgentRun = false
+            cur = Rule(allow = true, value) :: cur
+          case "disallow" =>
+            inAgentRun = false
+            cur = Rule(allow = false, value) :: cur
+          case _ => // crawl-delay, sitemap, unknown: ignored
+            inAgentRun = false
+        }
+      }
+    }
+    closeGroup()
+    val rules = if (anySpecific) specific else wild
+    // Longest matching rule wins; Allow wins length ties. An empty rule
+    // value matches nothing ("Disallow:" = allow all).
+    var bestLen = -1
+    var bestAllow = true
+    for (r <- rules) {
+      if (r.path.nonEmpty && ruleMatches(r.path, p)) {
+        val len = r.path.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len; bestAllow = r.allow
+        }
+      }
+    }
+    bestLen < 0 || bestAllow
+  }
+
+  /** RFC 9309 §2.2.3 rule matching: literal prefix, `*` matches any run,
+    * `$` at the end anchors the path end.
+    */
+  private def ruleMatches(rule: String, path: String): Boolean = {
+    val anchored = rule.endsWith("$")
+    val r = if (anchored) rule.substring(0, rule.length - 1) else rule
+    val parts = r.split("\\*", -1)
+    var pos = 0
+    var i = 0
+    while (i < parts.length) {
+      val part = parts(i)
+      if (i == 0) {
+        if (!path.startsWith(part, pos)) return false
+        pos += part.length
+      } else {
+        val at = path.indexOf(part, pos)
+        if (at < 0) return false
+        pos = at + part.length
+      }
+      i += 1
+    }
+    if (!anchored) true
+    else if (parts.last.isEmpty) true // rule ended "*$": any tail matches
+    else pos == path.length
+  }
+}
+
+/** `(robots_txt, agent, path)` strings -> boolean: may the agent fetch
+  * the path? Codegen'd with standard null propagation (null in -> null
+  * out; wrap in coalesce(..., true) where absent robots means allowed).
+  * A 100 TB frontier joins its URL stream to per-host robots rows and
+  * filters with this inside the scan stage.
+  */
+case class RobotsAllowedExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType == StringType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string, string)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(r: Any, a: Any, p: Any): Any =
+    RobotsCodec.allowed(r.asInstanceOf[UTF8String].toString,
+      a.asInstanceOf[UTF8String].toString, p.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, a, p) => s"""
+      ${ev.value} = graft.expressions.RobotsCodec.allowed(
+        $r.toString(), $a.toString(), $p.toString());
+    """)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): RobotsAllowedExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "graft_robots_allowed"
+}

@@ -191,6 +191,19 @@ object Multimodal {
       graft.expressions.GunzipExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** robots.txt politeness decision (RFC 9309 core: group selection,
+    * longest-rule-wins, wildcards/anchors) as a native codegen'd
+    * expression ([[graft.expressions.RobotsAllowedExpr]]). Standard null
+    * propagation — wrap in `coalesce(..., lit(true))` where an absent
+    * robots file means allowed.
+    */
+  def robotsAllowed(robotsTxt: Column, agent: Column, path: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.RobotsAllowedExpr(
+        org.apache.spark.sql.graft.Bridge.expression(robotsTxt),
+        org.apache.spark.sql.graft.Bridge.expression(agent),
+        org.apache.spark.sql.graft.Bridge.expression(path)))
+
   /** The decode + feature-extraction seam, `mapPartitions`-shaped so a heavy
     * codec (JNI decoder, ONNX runtime) initializes once per partition, not
     * once per row.

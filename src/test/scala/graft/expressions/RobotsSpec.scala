@@ -1,0 +1,69 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** RFC 9309 robots evaluation: group selection, merge, longest-rule-wins,
+  * wildcards/anchors, and the degenerate files crawls actually meet.
+  */
+class RobotsSpec extends SparkTestBase {
+  import spark.implicits._
+  import RobotsCodec.allowed
+
+  private val basic =
+    """User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok.html
+      |
+      |User-agent: graftbot
+      |Disallow: /graft-only/
+      |""".stripMargin
+
+  test("group selection: specific agent beats wildcard; substring match") {
+    // graftbot gets ONLY its group: /private/ is fine for it.
+    assert(allowed(basic, "graftbot/1.2", "/private/x.html"))
+    assert(!allowed(basic, "graftbot/1.2", "/graft-only/x"))
+    // Everyone else gets the * group.
+    assert(!allowed(basic, "otherbot", "/private/x.html"))
+    assert(allowed(basic, "otherbot", "/public/x.html"))
+    // Longest rule wins, Allow beats Disallow on the deeper path.
+    assert(allowed(basic, "otherbot", "/private/ok.html"))
+  }
+
+  test("wildcards, anchors, merge, and degenerate files") {
+    val wild =
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /tmp*/cache/
+        |""".stripMargin
+    assert(!allowed(wild, "bot", "/docs/paper.pdf"))
+    assert(allowed(wild, "bot", "/docs/paper.pdf.html")) // $ anchor held
+    assert(!allowed(wild, "bot", "/tmp123/cache/x"))
+    assert(allowed(wild, "bot", "/tmp123/x"))
+    // Groups with the same specificity merge (RFC 9309 2.2.1).
+    val merged =
+      """User-agent: *
+        |Disallow: /a/
+        |User-agent: *
+        |Disallow: /b/
+        |""".stripMargin
+    assert(!allowed(merged, "bot", "/a/x") && !allowed(merged, "bot", "/b/x"))
+    // Empty/absent robots, empty Disallow value, comments, junk lines.
+    assert(allowed(null, "bot", "/x"))
+    assert(allowed("", "bot", "/x"))
+    assert(allowed("User-agent: *\nDisallow:", "bot", "/anything"))
+    assert(allowed("# only a comment\nnonsense line", "bot", "/x"))
+    // Disallow everything.
+    assert(!allowed("User-agent: *\nDisallow: /", "bot", "/"))
+  }
+
+  test("column expression + SQL function evaluate in the plan") {
+    val df = Seq(("/private/a", basic), ("/pub/a", basic))
+      .toDF("path", "robots")
+      .select(col("path"), graft.functions.Multimodal.robotsAllowed(
+        col("robots"), lit("otherbot"), col("path")).as("ok"))
+      .orderBy("path")
+    assert(df.collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("/private/a", false), ("/pub/a", true)))
+  }
+}
