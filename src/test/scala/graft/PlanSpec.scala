@@ -320,7 +320,10 @@ class PlanSpec extends SparkTestBase {
         ("q124_webp_header", "graft_image_header"),
         ("q125_mp3_header", "graft_mp3_header"),
         ("q127_flac_header", "graft_flac_header"),
-        ("q128_warc_explode", "graft_warc_records"))) {
+        ("q128_warc_explode", "graft_warc_records"),
+        ("q131_tiff_header", "graft_image_header"),
+        ("q133_gif_anim", "graft_video_stats"),
+        ("q137_robots", "graft_robots_allowed"))) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
