@@ -32,8 +32,8 @@ object CrawlIngestDemo {
       lit("WARC/1.0\r\nWARC-Type: response\r\n"),
       concat(lit("WARC-Record-ID: <urn:uuid:"), col("doc_id"), lit(">\r\n")),
       concat(lit("WARC-Target-URI: http://crawl.test/"), col("doc_id"), lit("\r\n")),
-      concat(lit("Content-Length: "), length(col("text")).cast("string"),
-        lit("\r\n\r\n")),
+      concat(lit("Content-Length: "),
+        length(encode(col("text"), "UTF-8")).cast("string"), lit("\r\n\r\n")),
       col("text"), lit("\r\n\r\n"))
     val dumps = docs.select(col("doc_id"),
       Multimodal.gzip(encode(warcText, "UTF-8")).as("gz"))

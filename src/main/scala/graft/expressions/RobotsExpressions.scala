@@ -63,8 +63,12 @@ object RobotsCodec {
           case "disallow" =>
             inAgentRun = false
             cur = Rule(allow = false, value) :: cur
-          case _ => // crawl-delay, sitemap, unknown: ignored
-            inAgentRun = false
+          // Crawl-delay/Sitemap/unknown lines are ignored WITHOUT ending
+          // the User-agent run: 'User-agent: a / Crawl-delay: 10 /
+          // User-agent: b / Disallow: /' is ONE group covering both
+          // agents (google/robotstxt semantics) — ending the run here
+          // would hand agent a an empty allow-all group.
+          case _ => ()
         }
       }
     }
@@ -86,29 +90,28 @@ object RobotsCodec {
   }
 
   /** RFC 9309 §2.2.3 rule matching: literal prefix, `*` matches any run,
-    * `$` at the end anchors the path end.
+    * `$` at the end anchors the path end. Implemented via a compiled
+    * regex rather than greedy first-occurrence scanning: an anchored
+    * rule like slash-star-`.pdf$` must match `/a.pdf/b.pdf` (the wildcard
+    * BACKTRACKS so `.pdf` aligns with the path end), which a
+    * leftmost-indexOf walk gets wrong. Patterns are tiny and cached per
+    * rule string.
     */
+  private val rulePatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
   private def ruleMatches(rule: String, path: String): Boolean = {
-    val anchored = rule.endsWith("$")
-    val r = if (anchored) rule.substring(0, rule.length - 1) else rule
-    val parts = r.split("\\*", -1)
-    var pos = 0
-    var i = 0
-    while (i < parts.length) {
-      val part = parts(i)
-      if (i == 0) {
-        if (!path.startsWith(part, pos)) return false
-        pos += part.length
-      } else {
-        val at = path.indexOf(part, pos)
-        if (at < 0) return false
-        pos = at + part.length
-      }
-      i += 1
-    }
-    if (!anchored) true
-    else if (parts.last.isEmpty) true // rule ended "*$": any tail matches
-    else pos == path.length
+    val pat = rulePatterns.computeIfAbsent(rule, { r0 =>
+      val anchored = r0.endsWith("$")
+      val r = if (anchored) r0.substring(0, r0.length - 1) else r0
+      val body = r.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*")
+      java.util.regex.Pattern.compile(if (anchored) body + "$" else body)
+    })
+    val m = pat.matcher(path)
+    // Unanchored rules match a path PREFIX (lookingAt); anchored ones ran
+    // with a compiled trailing $.
+    m.lookingAt()
   }
 }
 

@@ -180,8 +180,11 @@ object TextFunctions {
     val blocks = regexp_replace(noComment,
       "(?i)<(?:br\\s*/?|/p|/div|/h[1-6]|/li|/tr)\\s*>", "\n")
     val noTags = regexp_replace(blocks, "<[^>]*>", " ")
-    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+    // &amp; decodes LAST: decoding it first would double-decode
+    // double-escaped text ('&amp;lt;' means the literal '&lt;', not '<').
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&")
     val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
       regexp_replace(c, java.util.regex.Pattern.quote(e), r)
     }

@@ -55,6 +55,15 @@ class RobotsSpec extends SparkTestBase {
     assert(allowed("# only a comment\nnonsense line", "bot", "/x"))
     // Disallow everything.
     assert(!allowed("User-agent: *\nDisallow: /", "bot", "/"))
+    // Anchored wildcard must BACKTRACK: the literal tail also appears
+    // mid-path, but the path still ends in .pdf and must be blocked.
+    assert(!allowed(wild, "bot", "/a.pdf/b.pdf"))
+    // Unknown directives between User-agent lines don't split the group:
+    // both agents share the Disallow.
+    val run = "User-agent: graftbot\nCrawl-delay: 10\n" +
+      "User-agent: otherbot\nDisallow: /\n"
+    assert(!allowed(run, "graftbot", "/x"))
+    assert(!allowed(run, "otherbot", "/x"))
   }
 
   test("column expression + SQL function evaluate in the plan") {

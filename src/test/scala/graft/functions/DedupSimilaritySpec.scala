@@ -273,5 +273,8 @@ class DedupSimilaritySpec extends SparkTestBase {
       "tom & jerry <3 \"q\" 'a' end")
     // Whitespace collapse + trim.
     assert(extract("  <p>  spaced\n\n  out  </p>  ") == "spaced out")
+    // Double-escaped entities decode ONE level: '&amp;lt;' is the
+    // literal text '&lt;' on the page, never '<'.
+    assert(extract("a &amp;lt;b&amp;gt; c") == "a &lt;b&gt; c")
   }
 }
