@@ -2820,6 +2820,33 @@ object SparkEntry {
           Multimodal.robotsAllowed(robots, lit("graftbot"), path).as("allowed"))
         .orderBy("doc_id")
     }),
+
+    // --- 138. sitemap.xml dissection via the XPath scalar surface, oracle-pinned ------------------------
+    // Crawl discovery's other half: a sitemap urlset is CONSTRUCTED per
+    // row (1-3 <url> entries with loc + priority) and dissected with
+    // Spark's builtin xpath functions — the XML face of the scalar
+    // surface, pinned the same way q69 pins JSON/regex. The oracle
+    // regenerates every (pos, loc, priority) relationally.
+    "q138_sitemap_xpath" -> ((s, d) => {
+      def urlBlock(i: Int) = concat(
+        lit("<url><loc>http://s.test/"), col("doc_id"), lit(s"/$i</loc>"),
+        lit(s"<priority>0.$i</priority></url>"))
+      val xml = concat(lit("<urlset>"), urlBlock(0),
+        when(col("doc_id") % 3 >= 1, urlBlock(1)).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, urlBlock(2)).otherwise(lit("")),
+        lit("</urlset>"))
+      t(s, d, "documents")
+        .withColumn("xml", xml)
+        .selectExpr("doc_id",
+          "xpath(xml, '/urlset/url/loc/text()') AS locs",
+          "xpath_long(xml, 'count(/urlset/url)') AS n_urls",
+          "xpath_string(xml, '/urlset/url[1]/priority') AS first_priority")
+        .select(col("doc_id"), posexplode(col("locs")),
+          col("n_urls"), col("first_priority"))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("loc"), col("n_urls"), col("first_priority"))
+        .orderBy("doc_id", "pos")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4309,6 +4336,16 @@ object SparkEntry {
         |  CASE CAST(doc_id % 4 AS INT)
         |    WHEN 0 THEN TRUE WHEN 1 THEN FALSE
         |    WHEN 2 THEN TRUE ELSE FALSE END AS allowed
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q138_sitemap_xpath" ->
+      """WITH r AS (
+        |  SELECT doc_id, UNNEST(range(CAST(doc_id % 3 AS INT) + 1)) AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  'http://s.test/' || doc_id || '/' || pos AS loc,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_urls,
+        |  '0.0' AS first_priority
+        |FROM r ORDER BY doc_id, pos""".stripMargin
   )
 }
