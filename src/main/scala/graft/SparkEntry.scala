@@ -2835,14 +2835,17 @@ object SparkEntry {
         when(col("doc_id") % 3 >= 1, urlBlock(1)).otherwise(lit("")),
         when(col("doc_id") % 3 >= 2, urlBlock(2)).otherwise(lit("")),
         lit("</urlset>"))
+      // Each xpath_* call re-parses the document (javax.xml DOM under the
+      // builtin), so the count derives from the already-extracted array
+      // instead of a third parse — two parses per row, not three.
       t(s, d, "documents")
         .withColumn("xml", xml)
         .selectExpr("doc_id",
           "xpath(xml, '/urlset/url/loc/text()') AS locs",
-          "xpath_long(xml, 'count(/urlset/url)') AS n_urls",
           "xpath_string(xml, '/urlset/url[1]/priority') AS first_priority")
         .select(col("doc_id"), posexplode(col("locs")),
-          col("n_urls"), col("first_priority"))
+          size(col("locs")).cast("bigint").as("n_urls"),
+          col("first_priority"))
         .select(col("doc_id"), col("pos").cast("int").as("pos"),
           col("col").as("loc"), col("n_urls"), col("first_priority"))
         .orderBy("doc_id", "pos")
