@@ -2850,6 +2850,41 @@ object SparkEntry {
           col("col").as("loc"), col("n_urls"), col("first_priority"))
         .orderBy("doc_id", "pos")
     }),
+
+    // --- 139. 24-bit PCM WAV decode (widened width path), oracle-pinned ---------------------------------
+    // q88 pins the s16 path; this pins the 24-bit one end-to-end: a mono
+    // 24-bit WAV is CONSTRUCTED per row whose samples are exact multiples
+    // of 256 (x * 256, x in [-500, 500)), so the decoder's s16 scaling
+    // (arithmetic >> 8) recovers x exactly and every statistic is closed-
+    // form integer arithmetic the oracle recomputes — including negative
+    // samples' two's-complement le24 encoding.
+    "q139_wav_24bit" -> ((s, d) => {
+      def leHex24(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0"))
+      def sample(i: Int) =
+        ((col("doc_id") * (i + 3)) % 1000 - 500).cast("int")
+      val payload = unhex(concat(
+        lit("52494646" + "30000000" + "57415645"),       // RIFF(48) WAVE
+        lit("666D7420" + "10000000" + "0100" + "0100"),  // fmt: PCM mono
+        lit("401F0000" + "C05D0000" + "0300" + "1800"),  // 8 kHz, 24-bit
+        lit("64617461" + "0C000000"),                    // data(12)
+        leHex24((sample(0) * 256).bitwiseAND(lit(0xFFFFFF))),
+        leHex24((sample(1) * 256).bitwiseAND(lit(0xFFFFFF))),
+        leHex24((sample(2) * 256).bitwiseAND(lit(0xFFFFFF))),
+        leHex24((sample(3) * 256).bitwiseAND(lit(0xFFFFFF)))))
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.audioStats(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"),
+          col("v.n_frames").as("n_frames"),
+          col("v.c0_mean").as("c0_mean"),
+          col("v.c0_min").as("c0_min"),
+          col("v.c0_max").as("c0_max"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4349,6 +4384,21 @@ object SparkEntry {
         |  'http://s.test/' || doc_id || '/' || pos AS loc,
         |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_urls,
         |  '0.0' AS first_priority
-        |FROM r ORDER BY doc_id, pos""".stripMargin
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
+
+    "q139_wav_24bit" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    (doc_id * 3) % 1000 - 500 AS x0, (doc_id * 4) % 1000 - 500 AS x1,
+        |    (doc_id * 5) % 1000 - 500 AS x2, (doc_id * 6) % 1000 - 500 AS x3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(x0 + x1 + x2 + x3 AS DOUBLE) / 4 AS c0_mean,
+        |  CAST(LEAST(x0, x1, x2, x3) AS INT) AS c0_min,
+        |  CAST(GREATEST(x0, x1, x2, x3) AS INT) AS c0_max
+        |FROM v ORDER BY doc_id""".stripMargin
   )
 }
