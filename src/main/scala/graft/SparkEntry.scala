@@ -2836,13 +2836,14 @@ object SparkEntry {
         when(col("doc_id") % 3 >= 2, urlBlock(2)).otherwise(lit("")),
         lit("</urlset>"))
       // Each xpath_* call re-parses the document (javax.xml DOM under the
-      // builtin), so the count derives from the already-extracted array
-      // instead of a third parse — two parses per row, not three.
+      // builtin), so the locs array is the ONLY parse: the count derives
+      // from it, and first_priority comes from a regexp over the
+      // constructed (format-pinned) document — one DOM parse per row.
       t(s, d, "documents")
         .withColumn("xml", xml)
         .selectExpr("doc_id",
           "xpath(xml, '/urlset/url/loc/text()') AS locs",
-          "xpath_string(xml, '/urlset/url[1]/priority') AS first_priority")
+          "regexp_extract(xml, '<priority>([^<]*)</priority>', 1) AS first_priority")
         .select(col("doc_id"), posexplode(col("locs")),
           size(col("locs")).cast("bigint").as("n_urls"),
           col("first_priority"))

@@ -2102,6 +2102,14 @@ object MediaCodec {
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
 
+  // Sample-rate tables indexed by srIdx, hoisted per the file's no-per-
+  // row-allocation convention: the sync scan visits up to 4096 candidate
+  // bytes per row, and allocating these inside the loop is per-row
+  // garbage exactly where the expression is hottest.
+  private val mp3SampleRateV1 = Array(44100, 48000, 32000)
+  private val mp3SampleRateV2 = Array(22050, 24000, 16000)
+  private val mp3SampleRateV25 = Array(11025, 12000, 8000)
+
   /** Parse the first valid MPEG audio (MP3) frame header + the Xing/Info
     * or VBRI VBR tag: version, layer, sample rate, bitrate, channel
     * count, VBR frame count (-1 when absent) and a duration estimate in
@@ -2143,9 +2151,9 @@ object MediaCodec {
             srIdx != 3) {
           val layer = 4 - layerBits
           val sr = verBits match {
-            case 3 => Array(44100, 48000, 32000)(srIdx)
-            case 2 => Array(22050, 24000, 16000)(srIdx)
-            case _ => Array(11025, 12000, 8000)(srIdx)
+            case 3 => mp3SampleRateV1(srIdx)
+            case 2 => mp3SampleRateV2(srIdx)
+            case _ => mp3SampleRateV25(srIdx)
           }
           val br = (if (verBits == 3) mp3BitrateV1 else mp3BitrateV2)(layer - 1)(brIdx)
           val spf = if (layer == 1) 384 else if (layer == 2) 1152

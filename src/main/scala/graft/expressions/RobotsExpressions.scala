@@ -28,19 +28,25 @@ object RobotsCodec {
     val want = if (agent == null) "" else agent.toLowerCase(java.util.Locale.ROOT)
     val p = if (path == null || path.isEmpty) "/" else path
     // Single pass: groups are runs of User-agent lines followed by rules;
-    // a User-agent line after rules opens a new group. Matching groups of
-    // equal specificity merge (RFC 9309 §2.2.1).
+    // a User-agent line after rules opens a new group. The MOST SPECIFIC
+    // matching user-agent token wins (RFC 9309 §2.2.1: longest matching
+    // token; google/robotstxt picks only that group) — with groups for
+    // both 'googlebot' and 'googlebot-news', agent 'googlebot-news' obeys
+    // only the latter. Groups at EQUAL (winning) specificity still merge.
     var specific = List.empty[Rule]
+    var bestSpecLen = 0
     var wild = List.empty[Rule]
-    var anySpecific = false
-    var curSpecific = false
+    var curSpecLen = 0
     var curWild = false
     var inAgentRun = false
     var cur = List.empty[Rule]
     def closeGroup(): Unit = {
-      if (curSpecific) { specific = cur ::: specific; anySpecific = true }
+      if (curSpecLen > 0) {
+        if (curSpecLen > bestSpecLen) { specific = cur; bestSpecLen = curSpecLen }
+        else if (curSpecLen == bestSpecLen) specific = cur ::: specific
+      }
       if (curWild) wild = cur ::: wild
-      curSpecific = false; curWild = false; cur = Nil
+      curSpecLen = 0; curWild = false; cur = Nil
     }
     for (raw <- robotsTxt.split("\r\n|\n|\r")) {
       val line = {
@@ -56,7 +62,8 @@ object RobotsCodec {
             if (!inAgentRun) { closeGroup(); inAgentRun = true }
             val v = value.toLowerCase(java.util.Locale.ROOT)
             if (v == "*") curWild = true
-            else if (v.nonEmpty && want.contains(v)) curSpecific = true
+            else if (v.nonEmpty && want.contains(v))
+              curSpecLen = math.max(curSpecLen, v.length)
           case "allow" =>
             inAgentRun = false
             cur = Rule(allow = true, value) :: cur
@@ -73,7 +80,7 @@ object RobotsCodec {
       }
     }
     closeGroup()
-    val rules = if (anySpecific) specific else wild
+    val rules = if (bestSpecLen > 0) specific else wild
     // Longest matching rule wins; Allow wins length ties. An empty rule
     // value matches nothing ("Disallow:" = allow all).
     var bestLen = -1
@@ -100,14 +107,26 @@ object RobotsCodec {
   private val rulePatterns =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
 
+  /** Cache ceiling: rule strings come from UNTRUSTED robots.txt bodies,
+    * so at crawl scale the distinct-rule universe is unbounded — an
+    * uncapped map would slowly exhaust every executor JVM. Past the cap
+    * the whole map is dropped (patterns are a few hundred bytes to
+    * recompile; real corpora have a heavy-hitter rule distribution, so
+    * the hot set repopulates immediately and eviction is rare).
+    */
+  private val RulePatternCacheMax = 16384
+
+  private def compileRule(r0: String): java.util.regex.Pattern = {
+    val anchored = r0.endsWith("$")
+    val r = if (anchored) r0.substring(0, r0.length - 1) else r0
+    val body = r.split("\\*", -1)
+      .map(java.util.regex.Pattern.quote).mkString(".*")
+    java.util.regex.Pattern.compile(if (anchored) body + "$" else body)
+  }
+
   private def ruleMatches(rule: String, path: String): Boolean = {
-    val pat = rulePatterns.computeIfAbsent(rule, { r0 =>
-      val anchored = r0.endsWith("$")
-      val r = if (anchored) r0.substring(0, r0.length - 1) else r0
-      val body = r.split("\\*", -1)
-        .map(java.util.regex.Pattern.quote).mkString(".*")
-      java.util.regex.Pattern.compile(if (anchored) body + "$" else body)
-    })
+    if (rulePatterns.size >= RulePatternCacheMax) rulePatterns.clear()
+    val pat = rulePatterns.computeIfAbsent(rule, compileRule(_))
     val m = pat.matcher(path)
     // Unanchored rules match a path PREFIX (lookingAt); anchored ones ran
     // with a compiled trailing $.

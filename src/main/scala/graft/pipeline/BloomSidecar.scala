@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -117,7 +119,7 @@ object BloomSidecar {
     * of sidecar; size it to the table's rows-per-file.
     */
   def computeBloom(spark: SparkSession, path: String, cols: Seq[String],
-      mBits: Int = 1 << 16, k: Int = 5): Long = {
+      mBits: Int = 1 << 16, k: Int = 5, format: String = "parquet"): Long = {
     require(cols.nonEmpty, "need at least one bloom column")
     val fs = Snapshot.fsFor(spark, new Path(path))
     val root = fs.makeQualified(new Path(path))
@@ -125,17 +127,22 @@ object BloomSidecar {
       throw new IllegalArgumentException(
         s"$path has no manifest: Snapshot.ensure it first"))
     val rootUri = root.toUri.getPath
-    val lines =
-      if (files.isEmpty) Array.empty[String]
+    val lines: Iterator[String] =
+      if (files.isEmpty) Iterator.empty
       else {
         val agg = udaf(new BloomAggregator(mBits, k), Encoders.STRING)
         val aggs = cols.map(c => agg(col(c).cast("string")).as(s"bf_$c"))
-        val rows = Snapshot.readFiles(spark, root.toString, files)
+        // toLocalIterator, NOT collect: the driver holds ONE file's
+        // filters at a time (mBits/8 bytes per column), so sidecar
+        // building is O(1) driver memory in the file count — at 100k
+        // files x 8 KiB x cols a collect() would be a multi-GB driver
+        // ceiling; streaming bounds it to a single row.
+        val rows = Snapshot.readFiles(spark, root.toString, files, format)
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
-          .collect()
+          .toLocalIterator()
         val b64 = java.util.Base64.getEncoder
-        rows.flatMap { r =>
+        rows.asScala.flatMap { r =>
           val rel = Snapshot.relDataPath(rootUri, r.getString(0))
           cols.flatMap { c =>
             val idx = r.fieldIndex(s"bf_$c")
@@ -145,7 +152,7 @@ object BloomSidecar {
           }
         }
       }
-    Snapshot.publishSidecar(fs, root, BloomPrefix, v, lines)
+    Snapshot.publishSidecarStream(fs, root, BloomPrefix, v, lines)
     v
   }
 

@@ -364,12 +364,30 @@ object Snapshot {
     * builders.
     */
   private[pipeline] def publishSidecar(fs: FileSystem, root: Path,
-      prefix: String, version: Long, lines: Array[String]): Unit = {
+      prefix: String, version: Long, lines: Array[String]): Unit =
+    publishSidecarStream(fs, root, prefix, version, lines.sorted.iterator)
+
+  /** Streaming sibling of [[publishSidecar]]: writes lines to the tmp
+    * file AS THEY ARRIVE (no driver-side materialization of the whole
+    * sidecar), then renames. Same atomicity — a concurrent reader sees
+    * either the old sidecar or the complete new one, never a truncated
+    * file. Line order is whatever the iterator yields; no loader depends
+    * on order (sidecars are parsed into maps).
+    */
+  private[pipeline] def publishSidecarStream(fs: FileSystem, root: Path,
+      prefix: String, version: Long, lines: Iterator[String]): Unit = {
     val tmp = new Path(root,
       s"$prefix$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try {
+      var first = true
+      while (lines.hasNext) {
+        val l = lines.next()
+        if (!first) out.write('\n')
+        out.write(l.getBytes("UTF-8"))
+        first = false
+      }
+    } finally out.close()
     val dst = new Path(root, s"$prefix$version")
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) {

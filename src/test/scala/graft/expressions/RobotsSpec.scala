@@ -66,6 +66,49 @@ class RobotsSpec extends SparkTestBase {
     assert(!allowed(run, "otherbot", "/x"))
   }
 
+  test("most-specific user-agent group wins; equal specificity merges") {
+    // RFC 9309 2.2.1 / google robotstxt: with groups for 'googlebot' and
+    // 'googlebot-news', agent 'googlebot-news' obeys ONLY the longer
+    // (more specific) token's group — the rule sets must NOT merge.
+    val tiered =
+      """User-agent: graftbot
+        |Disallow: /broad/
+        |
+        |User-agent: graftbot-news
+        |Disallow: /news-only/
+        |""".stripMargin
+    assert(!allowed(tiered, "graftbot-news/2.0", "/news-only/x"))
+    assert(allowed(tiered, "graftbot-news/2.0", "/broad/x")) // NOT merged in
+    assert(!allowed(tiered, "graftbot/2.0", "/broad/x"))
+    assert(allowed(tiered, "graftbot/2.0", "/news-only/x"))
+    // Two groups at the SAME winning specificity still merge.
+    val equal =
+      """User-agent: graftbot
+        |Disallow: /a/
+        |
+        |User-agent: graftbot
+        |Disallow: /b/
+        |
+        |User-agent: graftbot-news
+        |Disallow: /c/
+        |""".stripMargin
+    assert(!allowed(equal, "graftbot", "/a/x"))
+    assert(!allowed(equal, "graftbot", "/b/x"))
+    assert(allowed(equal, "graftbot", "/c/x"))
+    // A group naming BOTH tokens has the specificity of its longest
+    // matching token, so it survives against the specific group.
+    val both =
+      """User-agent: graftbot
+        |User-agent: graftbot-news
+        |Disallow: /x/
+        |
+        |User-agent: graftbot-news
+        |Disallow: /y/
+        |""".stripMargin
+    assert(!allowed(both, "graftbot-news", "/x/q"))
+    assert(!allowed(both, "graftbot-news", "/y/q"))
+  }
+
   test("column expression + SQL function evaluate in the plan") {
     val df = Seq(("/private/a", basic), ("/pub/a", basic))
       .toDF("path", "robots")
