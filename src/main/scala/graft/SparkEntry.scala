@@ -2886,6 +2886,40 @@ object SparkEntry {
           col("v.c0_max").as("c0_max"))
         .orderBy("doc_id")
     }),
+
+    // --- 142. zstd WARC split (.warc.zst crawl-dump ingest), oracle-pinned ------------------------------
+    // The modern sibling of q132: crawl dumps increasingly arrive zstd-
+    // compressed. The per-row WARC segment goes through a REAL zstd
+    // compress + decompress (zstd-jni, Spark's own codec dependency,
+    // codegen'd expressions) before the record split; matching q132's
+    // relational oracle proves the .zst compress -> decompress -> parse
+    // -> explode chain end-to-end.
+    "q142_warc_zstd" -> ((s, d) => {
+      def rec(i: Int, typ: String) = {
+        val pay = concat(lit("payload-"), col("doc_id"), lit(s"-$i"))
+        concat(lit("WARC/1.0\r\n"),
+          lit(s"WARC-Type: $typ\r\n"),
+          concat(lit("WARC-Record-ID: <urn:uuid:"), col("doc_id"), lit(s"-$i>\r\n")),
+          concat(lit("WARC-Target-URI: http://example.com/"), col("doc_id"),
+            lit(s"/$i\r\n")),
+          lit("WARC-Date: 2026-01-01T00:00:00Z\r\n"),
+          concat(lit("Content-Length: "), length(pay).cast("string"),
+            lit("\r\n\r\n")),
+          pay, lit("\r\n\r\n"))
+      }
+      val warc = encode(concat(rec(0, "response"),
+        when(col("doc_id") % 3 >= 1, rec(1, "request")).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, rec(2, "metadata")).otherwise(lit(""))),
+        "UTF-8")
+      val unzipped = Multimodal.zunstd(Multimodal.zstd(warc))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(Multimodal.warcRecords(unzipped)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col.warc_type").as("warc_type"),
+          col("col.target_uri").as("target_uri"),
+          col("col.content_length").as("content_length"))
+        .orderBy("doc_id", "pos")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4400,6 +4434,17 @@ object SparkEntry {
         |  CAST(x0 + x1 + x2 + x3 AS DOUBLE) / 4 AS c0_mean,
         |  CAST(LEAST(x0, x1, x2, x3) AS INT) AS c0_min,
         |  CAST(GREATEST(x0, x1, x2, x3) AS INT) AS c0_max
-        |FROM v ORDER BY doc_id""".stripMargin
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q142_warc_zstd" ->
+      """WITH r AS (
+        |  SELECT doc_id, UNNEST(range(CAST(doc_id % 3 AS INT) + 1)) AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE pos WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |    ELSE 'metadata' END AS warc_type,
+        |  'http://example.com/' || doc_id || '/' || pos AS target_uri,
+        |  CAST(length('payload-' || doc_id || '-' || pos) AS BIGINT) AS content_length
+        |FROM r ORDER BY doc_id, pos""".stripMargin
   )
 }

@@ -104,6 +104,65 @@ object GzipCodec {
   }
 }
 
+/** Row-local zstd for binary payload columns, via `com.github.luben.zstd`
+  * (zstd-jni — Spark's own shuffle/parquet codec dependency, already on
+  * every executor's classpath; no new dependency). Modern crawl dumps
+  * increasingly ship as `.warc.zst` (e.g. Common Crawl's zstd-compressed
+  * secondary formats), so [[ZunstdExpr]] is the drop-in sibling of
+  * [[GunzipExpr]] in the ingest chain.
+  */
+object ZstdCodec {
+
+  /** zstd frame magic, little-endian `28 B5 2F FD`; a cheap reject for
+    * obviously-non-zstd payloads before JNI is touched.
+    */
+  private def looksZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
+      (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD
+
+  /** zstd-compress a payload (default level). Single frame, WITH the
+    * optional xxhash64 content checksum — zstd omits it by default,
+    * which makes mid-frame corruption silently decode to different
+    * bytes; the 4-byte trailer buys gzip-CRC-equivalent detection.
+    */
+  def zstd(b: Array[Byte]): Array[Byte] = {
+    if (b == null) return null
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setChecksum(true)
+      ctx.compress(b)
+    } finally ctx.close()
+  }
+
+  /** Decompress a zstd payload — streaming, so concatenated multi-frame
+    * dumps (per-record-compressed `.warc.zst`) decompress in full, and
+    * the output size is capped at [[GzipCodec.MaxPlainBytes]] DURING
+    * decompression: a kilobyte zstd bomb declaring gigabytes is rejected
+    * (null) after at most one cap's worth of output, never an OOM. Null
+    * likewise for non-zstd magic and corrupt frames.
+    */
+  def zunstd(b: Array[Byte]): Array[Byte] = {
+    if (b == null || !looksZstd(b)) return null
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      in.setContinuous(false)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(b.length.toLong * 4, 64L), 1L << 20).toInt)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size().toLong + n > GzipCodec.MaxPlainBytes) return null
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null
+    } finally in.close()
+  }
+}
+
 /** `binary` -> gzip-compressed `binary` (never null on non-null input). */
 case class GzipExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -143,4 +202,45 @@ case class GunzipExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GunzipExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_gunzip"
+}
+
+/** `binary` -> zstd-compressed `binary` (never null on non-null input). */
+case class ZstdExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    ZstdCodec.zstd(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ZstdCodec.zstd($c)")
+  override protected def withNewChildInternal(newChild: Expression): ZstdExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_zstd"
+}
+
+/** `binary` -> decompressed `binary`, or NULL for non-zstd/corrupt/
+  * bomb-sized payloads. Concatenated multi-frame streams decompress in
+  * full.
+  */
+case class ZunstdExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    ZstdCodec.zunstd(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ZstdCodec.zunstd($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ZunstdExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_zunstd"
 }

@@ -163,6 +163,20 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_gunzip(binary)")
       }),
     (
+      FunctionIdentifier("graft_zstd"),
+      new ExpressionInfo(classOf[ZstdExpr].getName, "graft_zstd"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => ZstdExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_zstd(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_zunstd"),
+      new ExpressionInfo(classOf[ZunstdExpr].getName, "graft_zunstd"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => ZunstdExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_zunstd(binary)")
+      }),
+    (
       FunctionIdentifier("graft_robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowedExpr].getName, "graft_robots_allowed"),
       (args: Seq[Expression]) => args match {

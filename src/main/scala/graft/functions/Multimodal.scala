@@ -191,6 +191,26 @@ object Multimodal {
       graft.expressions.GunzipExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Row-local zstd of a binary payload (single frame, via zstd-jni —
+    * already on every Spark classpath), as a native codegen'd expression
+    * ([[graft.expressions.ZstdExpr]]).
+    */
+  def zstd(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ZstdExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Decompress a zstd payload — including concatenated multi-frame
+    * `.warc.zst` dumps — as a native codegen'd expression
+    * ([[graft.expressions.ZunstdExpr]]). NULL for non-zstd, corrupt, or
+    * bomb-sized (> 256 MiB plain) payloads; pair with [[warcRecords]] to
+    * split a compressed crawl dump with no UDF.
+    */
+  def zunstd(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ZunstdExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** robots.txt politeness decision (RFC 9309 core: group selection,
     * longest-rule-wins, wildcards/anchors) as a native codegen'd
     * expression ([[graft.expressions.RobotsAllowedExpr]]). Standard null

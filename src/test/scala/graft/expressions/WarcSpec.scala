@@ -118,4 +118,34 @@ class WarcSpec extends SparkTestBase {
       .select(col("r.target_uri")).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("http://x.test/z"))
   }
+
+  test("zstd/zunstd: round-trip, multi-frame streams, bombs and junk null") {
+    import ZstdCodec.{zstd, zunstd}
+    val payload = ("WARC segment " * 100).getBytes("UTF-8")
+    assert(zunstd(zstd(payload)).toSeq == payload.toSeq)
+    // Concatenated frames (per-record-compressed .warc.zst) decompress in full.
+    val a = zstd("first".getBytes); val b = zstd("second".getBytes)
+    assert(new String(zunstd(a ++ b), "UTF-8") == "firstsecond")
+    // Corrupt body, non-zstd magic, empty, truncations: null, never a throw.
+    val broken = zstd(payload)
+    broken(broken.length / 2) = (broken(broken.length / 2) ^ 0x55).toByte
+    assert(zunstd(broken) == null)
+    assert(zunstd("not zstd bytes".getBytes) == null)
+    assert(zunstd(Array.emptyByteArray) == null)
+    (0 until a.length).foreach(n => zunstd(a.take(n)))
+    assert(zunstd(a.take(a.length - 1)) == null) // truncated last frame
+    // A ~300 MiB-of-zeros bomb compresses to kilobytes but must refuse to
+    // expand past the 256 MiB cap.
+    val bombPlain = new Array[Byte](300 << 20)
+    assert(zunstd(zstd(bombPlain)) == null)
+  }
+
+  test("zunstd + warcRecords: .warc.zst dump splits through the column API") {
+    val seg = (record("response", "http://x.test/zst", "zzz")).getBytes("UTF-8")
+    val out = Seq((1L, ZstdCodec.zstd(seg))).toDF("id", "bin")
+      .select(explode(graft.functions.Multimodal.warcRecords(
+        graft.functions.Multimodal.zunstd(col("bin")))).as("r"))
+      .select(col("r.target_uri")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("http://x.test/zst"))
+  }
 }
