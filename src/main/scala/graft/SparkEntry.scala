@@ -687,13 +687,22 @@ object SparkEntry {
           TF.meanTokenLength(col("text")).as("mean_token_len"))
         .orderBy("doc_id")),
 
-    // --- 32. language ID (heuristic; no SQL oracle) ------------------------------------------------
-    "q32_lang_id" -> ((s, d) =>
+    // --- 32. language ID (Cavnar–Trenkle trigram profiles), oracle-pinned --------------------------
+    // The classifier itself can't be re-run in SQL, so the oracle pins
+    // its EXPECTED OUTPUT: each row classifies a held-out sentence in a
+    // KNOWN language (cycled by doc_id over the 11 covered languages,
+    // incl. ru/ar/zh/ja scripts), and the oracle recomputes the expected
+    // code arithmetically. stopword/quality stay on the corpus text.
+    "q32_lang_id" -> ((s, d) => {
+      val sents = graft.expressions.LangIdCodec.DemoSentences
+      val sent = element_at(array(sents.map(p => lit(p._2)): _*),
+        (col("doc_id") % sents.length).cast("int") + 1)
       t(s, d, "documents").select(
-          col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_pred"),
+          col("doc_id"), col("lang"), TF.langId(sent).as("lang_pred"),
           TF.stopwordRatio(col("text")).as("stopword_ratio"),
           TF.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // --- 33. MinHash+LSH near-dup pairs (no SQL oracle) --------------------------------------------
     "q33_minhash_pairs" -> ((s, d) =>
@@ -3253,28 +3262,23 @@ object SparkEntry {
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q32_lang_id" -> {
-      // Mirrors TextFunctions.langId/stopwordRatio/qualityScore exactly:
-      // tokens = regex-split of trimmed text, marker hits per language,
-      // argmax with max-lang-string tie-break (Spark's array_max on
-      // struct(score, lang)), and the composite quality formula.
-      val markers = Map(
-        "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
-        "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
-        "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
-        "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein"),
-        "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "人"))
-      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      // lang_pred: the classifier output on a held-out sentence in a
+      // KNOWN language, recomputed arithmetically from doc_id (never
+      // re-running trigram logic in SQL). stopword_ratio/quality mirror
+      // TextFunctions exactly over the corpus text.
+      val langCase = graft.expressions.LangIdCodec.DemoSentences
+        .zipWithIndex.map { case ((lang, _), i) => s"WHEN $i THEN '$lang'" }
+        .mkString(" ")
+      val n = graft.expressions.LangIdCodec.DemoSentences.length
       val stop = Seq("the", "a", "of", "and", "to", "in", "is", "la", "le", "el",
         "de", "der", "die", "und", "en", "y", "et", "的", "了")
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH toks AS (
          |  SELECT doc_id, lang, text,
          |    string_split_regex(TRIM(LOWER(text)), '\\s+') AS tl
          |  FROM documents
          |), hits AS (
-         |  SELECT doc_id, lang, text, tl,
-         |    ${markers.toSeq.sortBy(_._1).map { case (l, ws) =>
-        s"len(list_intersect(list_distinct(tl), ${lst(ws)})) AS h_$l"
-      }.mkString(",\n    ")},
+         |  SELECT doc_id, lang, text,
          |    CAST(len(list_filter(tl, x -> list_contains(${lst(stop)}, x))) AS DOUBLE)
          |      / GREATEST(len(tl), 1) AS sw_ratio,
          |    CAST(LENGTH(text) - LENGTH(TRANSLATE(text, '.,;:!?''"()-', '')) AS DOUBLE)
@@ -3282,12 +3286,7 @@ object SparkEntry {
          |  FROM toks
          |)
          |SELECT doc_id, lang,
-         |  CASE WHEN GREATEST(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
-         |       WHEN h_zh = GREATEST(h_en, h_es, h_fr, h_de, h_zh) THEN 'zh'
-         |       WHEN h_fr = GREATEST(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
-         |       WHEN h_es = GREATEST(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
-         |       WHEN h_en = GREATEST(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
-         |       ELSE 'de' END AS lang_pred,
+         |  CASE CAST(doc_id % $n AS INT) $langCase END AS lang_pred,
          |  sw_ratio AS stopword_ratio,
          |  FLOOR((LEAST(LENGTH(text) / 500.0, 1.0) * 0.4 +
          |        (CASE WHEN p_ratio <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.3 +

@@ -163,6 +163,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_gunzip(binary)")
       }),
     (
+      FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => LangIdExpr(s)
+        case _ => throw new IllegalArgumentException("graft_lang_id(string)")
+      }),
+    (
       FunctionIdentifier("graft_zstd"),
       new ExpressionInfo(classOf[ZstdExpr].getName, "graft_zstd"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,319 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-trigram language identification (Cavnar–Trenkle 1994,
+  * "N-Gram-Based Text Categorization" — public method): each language
+  * carries a RANK PROFILE of its most frequent character trigrams; a
+  * document is profiled the same way and scored against every language
+  * by the out-of-place measure (sum over the document's trigrams of
+  * |doc rank - language rank|, with a max penalty for trigrams absent
+  * from the language profile); the smallest distance wins.
+  *
+  * This replaces a stopword-marker heuristic: trigram profiles need no
+  * tokenization (they work on zh/ja text with no spaces), distinguish
+  * close relatives (es/pt/it) by orthography statistics rather than a
+  * handful of function words, and degrade to "und" only on genuinely
+  * tiny inputs. Profiles are built at class load from SELF-AUTHORED
+  * seed paragraphs embedded below — no external model, deterministic on
+  * every JVM.
+  *
+  * Covered languages (ISO 639-1): ar de en es fr it ja nl pt ru zh.
+  * Contract: a language code or "und" (undetermined — null/blank/too
+  * short input), never null on non-null input.
+  */
+object LangIdCodec {
+
+  /** Profile length K: both sides keep their K most frequent n-grams;
+    * an out-of-profile lookup costs the max penalty K. C–T's classic
+    * 300 grows to 400 here because profiles mix bigrams AND trigrams
+    * (the paper's 1–5-gram mix, trimmed to the two most informative
+    * lengths): bigrams carry broad orthography statistics that keep
+    * unnatural text — keyword lists, word soup — anchored to the right
+    * alphabet, trigrams separate close relatives.
+    */
+  val ProfileSize = 400
+
+  /** Seed text per language, self-authored for this profile (everyday
+    * declarative sentences covering common function words, verb forms,
+    * and orthography — diacritics, digraphs, script blocks).
+    */
+  private val seeds: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog while the children " +
+      "play in the garden and their parents watch from the house. we should " +
+      "always remember that knowledge and understanding come with time and " +
+      "patience. the weather today is cold and the streets are full of people " +
+      "walking to work in the early morning. she asked whether the library " +
+      "would be open on saturday because she wanted to borrow another book " +
+      "about the history of science and the lives of famous thinkers. the " +
+      "database stores every customer order in a sorted table and the query " +
+      "planner filters the rows before the join. a fast scan reads each part " +
+      "of the file while the stream of values flows into the hash group and " +
+      "the merge step writes the final sorted output line by line."),
+    "es" -> ("el perro corre por el parque y los niños juegan con la pelota " +
+      "mientras sus padres miran desde la casa. la vida es hermosa cuando " +
+      "tenemos salud y trabajo. siempre debemos recordar que el conocimiento " +
+      "llega con el tiempo y la paciencia. hoy hace frío y las calles están " +
+      "llenas de gente que camina al trabajo por la mañana. ella preguntó si " +
+      "la biblioteca estaría abierta el sábado porque quería tomar prestado " +
+      "otro libro sobre la historia de la ciencia y la vida de los grandes " +
+      "pensadores. la base de datos guarda cada pedido del cliente en una " +
+      "tabla ordenada y el planificador de consultas filtra las filas antes " +
+      "de la unión. una lectura rápida recorre cada parte del archivo " +
+      "mientras el flujo de valores entra en el grupo y el paso final " +
+      "escribe el resultado ordenado línea por línea."),
+    "fr" -> ("le chien court dans le parc et les enfants jouent avec le ballon " +
+      "pendant que leurs parents regardent depuis la maison. la vie est belle " +
+      "quand nous avons la santé et le travail. il faut toujours se rappeler " +
+      "que la connaissance vient avec le temps et la patience. aujourd'hui il " +
+      "fait froid et les rues sont pleines de gens qui marchent au travail le " +
+      "matin. elle a demandé si la bibliothèque serait ouverte samedi parce " +
+      "qu'elle voulait emprunter un autre livre sur l'histoire des sciences et " +
+      "la vie des grands penseurs. la base de données conserve chaque commande " +
+      "du client dans une table triée et le planificateur de requêtes filtre " +
+      "les lignes avant la jointure. une lecture rapide parcourt chaque partie " +
+      "du fichier pendant que le flux de valeurs entre dans le groupe et " +
+      "l'étape finale écrit le résultat trié ligne par ligne."),
+    "de" -> ("der hund läuft durch den park und die kinder spielen mit dem " +
+      "ball während ihre eltern vom haus aus zuschauen. das leben ist schön " +
+      "wenn wir gesundheit und arbeit haben. wir sollten immer daran denken " +
+      "dass wissen mit der zeit und geduld kommt. heute ist es kalt und die " +
+      "straßen sind voller menschen die am morgen zur arbeit gehen. sie " +
+      "fragte ob die bibliothek am samstag geöffnet wäre weil sie noch ein " +
+      "buch über die geschichte der wissenschaft und das leben großer denker " +
+      "ausleihen wollte. die datenbank speichert jede bestellung des kunden " +
+      "in einer sortierten tabelle und der abfrageplaner filtert die zeilen " +
+      "vor der verknüpfung. ein schneller lesevorgang durchläuft jeden teil " +
+      "der datei während der strom von werten in die gruppe fließt und der " +
+      "letzte schritt das sortierte ergebnis zeile für zeile schreibt."),
+    "pt" -> ("o cachorro corre pelo parque e as crianças brincam com a bola " +
+      "enquanto os pais observam da casa. a vida é bela quando temos saúde e " +
+      "trabalho. devemos sempre lembrar que o conhecimento chega com o tempo " +
+      "e a paciência. hoje está frio e as ruas estão cheias de pessoas " +
+      "caminhando para o trabalho de manhã. ela perguntou se a biblioteca " +
+      "estaria aberta no sábado porque queria pegar emprestado mais um livro " +
+      "sobre a história da ciência e a vida dos grandes pensadores. o banco " +
+      "de dados guarda cada pedido do cliente em uma tabela ordenada e o " +
+      "planejador de consultas filtra as linhas antes da junção. uma leitura " +
+      "rápida percorre cada parte do arquivo enquanto o fluxo de valores " +
+      "entra no grupo e o passo final escreve o resultado ordenado linha por " +
+      "linha."),
+    "it" -> ("il cane corre nel parco e i bambini giocano con la palla mentre " +
+      "i genitori guardano dalla casa. la vita è bella quando abbiamo salute " +
+      "e lavoro. dobbiamo sempre ricordare che la conoscenza arriva con il " +
+      "tempo e la pazienza. oggi fa freddo e le strade sono piene di persone " +
+      "che camminano al lavoro la mattina. lei ha chiesto se la biblioteca " +
+      "sarebbe stata aperta sabato perché voleva prendere in prestito un " +
+      "altro libro sulla storia della scienza e sulla vita dei grandi " +
+      "pensatori. il database conserva ogni ordine del cliente in una " +
+      "tabella ordinata e il pianificatore delle interrogazioni filtra le " +
+      "righe prima della giunzione. una lettura veloce percorre ogni parte " +
+      "del file mentre il flusso di valori entra nel gruppo e il passo " +
+      "finale scrive il risultato ordinato riga per riga."),
+    "nl" -> ("de hond rent door het park en de kinderen spelen met de bal " +
+      "terwijl hun ouders vanuit het huis toekijken. het leven is mooi als we " +
+      "gezondheid en werk hebben. we moeten altijd onthouden dat kennis met " +
+      "de tijd en geduld komt. vandaag is het koud en de straten zijn vol " +
+      "mensen die in de ochtend naar hun werk lopen. zij vroeg of de " +
+      "bibliotheek zaterdag open zou zijn omdat ze nog een boek wilde lenen " +
+      "over de geschiedenis van de wetenschap en het leven van grote " +
+      "denkers. de databank bewaart elke bestelling van de klant in een " +
+      "gesorteerde tabel en de queryplanner filtert de rijen voor de " +
+      "koppeling. een snelle leesbeurt doorloopt elk deel van het bestand " +
+      "terwijl de stroom van waarden in de groep vloeit en de laatste stap " +
+      "het gesorteerde resultaat regel voor regel schrijft."),
+    "ru" -> ("собака бежит по парку и дети играют с мячом пока родители " +
+      "смотрят из дома. жизнь прекрасна когда у нас есть здоровье и работа. " +
+      "мы всегда должны помнить что знание приходит со временем и терпением. " +
+      "сегодня холодно и улицы полны людей идущих утром на работу. она " +
+      "спросила будет ли библиотека открыта в субботу потому что хотела " +
+      "взять ещё одну книгу об истории науки и жизни великих мыслителей. " +
+      "база данных хранит каждый заказ клиента в отсортированной таблице и " +
+      "планировщик запросов фильтрует строки перед соединением. быстрое " +
+      "чтение проходит каждую часть файла пока поток значений входит в " +
+      "группу и последний шаг записывает отсортированный результат строка " +
+      "за строкой."),
+    "ar" -> ("الكلب يجري في الحديقة والأطفال يلعبون بالكرة بينما يراقب " +
+      "الآباء من المنزل. الحياة جميلة عندما نملك الصحة والعمل. يجب أن نتذكر " +
+      "دائما أن المعرفة تأتي مع الوقت والصبر. الجو بارد اليوم والشوارع مليئة " +
+      "بالناس الذاهبين إلى العمل في الصباح. سألت إن كانت المكتبة ستفتح يوم " +
+      "السبت لأنها أرادت استعارة كتاب آخر عن تاريخ العلم وحياة المفكرين " +
+      "العظماء. تخزن قاعدة البيانات كل طلب من العميل في جدول مرتب ويقوم " +
+      "مخطط الاستعلام بتصفية الصفوف قبل الربط. تمر القراءة السريعة على كل " +
+      "جزء من الملف بينما يدخل تدفق القيم إلى المجموعة وتكتب الخطوة " +
+      "الأخيرة النتيجة المرتبة سطرا بعد سطر."),
+    "zh" -> ("狗在公园里跑，孩子们在玩球，父母从房子里看着他们。当我们拥有健康" +
+      "和工作时，生活是美好的。我们应该永远记住，知识随着时间和耐心而来。今天" +
+      "天气很冷，街上满是早晨走路上班的人。她问图书馆星期六是否开门，因为她想" +
+      "再借一本关于科学历史和伟大思想家生平的书。数据库把客户的每个订单保存在" +
+      "排序的表中，查询计划器在连接之前过滤这些行。快速扫描读取文件的每个部分，" +
+      "值的流进入分组，最后一步将排序的结果逐行写出。"),
+    "ja" -> ("犬は公園を走り、子供たちはボールで遊び、両親は家から見ています。" +
+      "健康と仕事があるとき、人生は美しいものです。知識は時間と忍耐とともに来" +
+      "ることをいつも覚えておくべきです。今日は寒くて、通りは朝仕事に歩いて行" +
+      "く人でいっぱいです。彼女は土曜日に図書館が開いているかどうか尋ねました。" +
+      "科学の歴史と偉大な思想家の生涯についての本をもう一冊借りたかったからで" +
+      "す。データベースは顧客の注文を並べ替えられた表に保存し、クエリプランナ" +
+      "ーは結合の前に行を絞り込みます。高速な読み取りはファイルの各部分を走査" +
+      "し、値の流れはグループに入り、最後の段階で並べ替えられた結果を一行ずつ" +
+      "書き出します。"))
+
+  /** Language codes, classification tie-break order (lexicographic). */
+  val Langs: Array[String] = seeds.map(_._1).sorted.toArray
+
+  /** Held-out per-language sentences — authored separately from the seed
+    * paragraphs (no shared sentences), used by the oracle-pinned q32
+    * construction and the spec: each must classify to its own language,
+    * which is what makes the classifier demo-able with a closed-form
+    * relational oracle.
+    */
+  val DemoSentences: Seq[(String, String)] = Seq(
+    "en" -> "many people enjoy reading books about history and science during the long winter evenings.",
+    "es" -> "muchas personas disfrutan leyendo libros sobre historia y ciencia durante las largas tardes de invierno.",
+    "fr" -> "beaucoup de gens aiment lire des livres sur l'histoire et la science pendant les longues soirées d'hiver.",
+    "de" -> "viele menschen lesen gerne bücher über geschichte und wissenschaft an den langen winterabenden.",
+    "pt" -> "muitas pessoas gostam de ler livros sobre história e ciência durante as longas noites de inverno.",
+    "it" -> "molte persone amano leggere libri di storia e scienza durante le lunghe serate invernali.",
+    "nl" -> "veel mensen lezen graag boeken over geschiedenis en wetenschap tijdens de lange winteravonden.",
+    "ru" -> "многие люди любят читать книги по истории и науке долгими зимними вечерами.",
+    "ar" -> "كثير من الناس يستمتعون بقراءة الكتب عن التاريخ والعلوم في أمسيات الشتاء الطويلة.",
+    "zh" -> "许多人喜欢在漫长的冬夜阅读关于历史和科学的书籍。",
+    "ja" -> "多くの人は長い冬の夜に歴史や科学の本を読むのを楽しみます。")
+
+  /** Normalize for trigram extraction: lowercase, every non-letter
+    * becomes a space, runs collapse, one space of padding each side
+    * (word-boundary trigrams like `" th"`/`"he "` are the strongest
+    * signals in C–T profiles). Letters include all scripts
+    * (Character.isLetter covers Cyrillic, Arabic, CJK).
+    */
+  private[expressions] def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append(' ')
+    var lastSpace = true
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (Character.isLetter(cp)) {
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        lastSpace = false
+      } else if (!lastSpace) {
+        sb.append(' ')
+        lastSpace = true
+      }
+    }
+    if (!lastSpace) sb.append(' ')
+    sb.toString
+  }
+
+  /** Bigram + trigram counts of normalized text. Cross-word n-grams (a
+    * space in the MIDDLE with letters both sides) are dropped — C–T pads
+    * words individually, so profiles carry word-boundary n-grams but
+    * never word-pair artifacts.
+    */
+  private def ngramCounts(norm: String): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    def add(t: String): Unit = {
+      val prev = m.get(t)
+      m.put(t, if (prev == null) Integer.valueOf(1)
+        else Integer.valueOf(prev.intValue + 1))
+    }
+    var i = 0
+    while (i + 2 <= norm.length) {
+      if (!(norm.charAt(i) == ' ' && norm.charAt(i + 1) == ' '))
+        add(norm.substring(i, i + 2))
+      if (i + 3 <= norm.length) {
+        val c1 = norm.charAt(i + 1)
+        if (!(c1 == ' ' && norm.charAt(i) != ' ' && norm.charAt(i + 2) != ' '))
+          add(norm.substring(i, i + 3))
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** Top-K trigrams by frequency, ties broken lexicographically —
+    * deterministic across JVMs, the property the oracle depends on.
+    */
+  private def rankedProfile(counts: java.util.HashMap[String, Integer], k: Int)
+      : Array[String] = {
+    val entries = new java.util.ArrayList(counts.entrySet())
+    entries.sort { (a, b) =>
+      val c = Integer.compare(b.getValue, a.getValue)
+      if (c != 0) c else a.getKey.compareTo(b.getKey)
+    }
+    val n = math.min(k, entries.size)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = entries.get(i).getKey; i += 1 }
+    out
+  }
+
+  /** Per-language trigram -> rank maps, built once at class load. */
+  private val profiles: Array[java.util.HashMap[String, Integer]] = {
+    val byLang = seeds.toMap
+    Langs.map { lang =>
+      val ranked = rankedProfile(ngramCounts(normalize(byLang(lang))), ProfileSize)
+      val m = new java.util.HashMap[String, Integer](ranked.length * 2)
+      var i = 0
+      while (i < ranked.length) { m.put(ranked(i), Integer.valueOf(i)); i += 1 }
+      m
+    }
+  }
+
+  /** Classify a document: "und" for null/blank/sub-trigram input, else
+    * the language with the smallest out-of-place distance (lexicographic
+    * tie-break). Never null, never a throw.
+    */
+  def classify(text: String): UTF8String = {
+    if (text == null) return UTF8String.fromString("und")
+    val norm = normalize(text)
+    // und-gate on LETTERS, not n-grams: "ab" yields five distinct
+    // n-grams but carries no language signal. norm is padded letters +
+    // single separators, so length < 8 means under ~6 letters.
+    if (norm.length < 8) return UTF8String.fromString("und")
+    val counts = ngramCounts(norm)
+    val doc = rankedProfile(counts, ProfileSize)
+    var best = -1
+    var bestDist = Long.MaxValue
+    var li = 0
+    while (li < profiles.length) {
+      val prof = profiles(li)
+      var dist = 0L
+      var i = 0
+      while (i < doc.length) {
+        val r = prof.get(doc(i))
+        dist += (if (r == null) ProfileSize else math.abs(i - r.intValue))
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = li }
+      li += 1
+    }
+    UTF8String.fromString(Langs(best))
+  }
+}
+
+/** `string` -> ISO 639-1 code or `"und"`: character-trigram language ID
+  * (Cavnar–Trenkle rank profiles over 11 embedded languages), codegen'd.
+  * Null input propagates per standard unary-expression semantics.
+  */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    LangIdCodec.classify(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.LangIdCodec.classify($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lang_id"
+}

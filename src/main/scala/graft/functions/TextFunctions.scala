@@ -98,28 +98,17 @@ object TextFunctions {
     floor((lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3) * 10000.0) / 10000.0
   }
 
-  /** N-gram-overlap language ID: score each language by the fraction of its
-    * marker words present, pick the argmax ("und" = undetermined when no
-    * marker matches). Deterministic; purely expression-based.
+  /** Character-trigram language ID (Cavnar–Trenkle rank profiles over 11
+    * embedded languages — ar de en es fr it ja nl pt ru zh), as a native
+    * codegen'd expression ([[graft.expressions.LangIdExpr]]). Returns an
+    * ISO 639-1 code or "und" for undetermined (blank/too-short) input.
+    * Script-free: no tokenization, so zh/ja text with no spaces and
+    * Cyrillic/Arabic script classify as well as Latin.
     */
-  def langId(text: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
-      "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
-      "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
-      "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein"),
-      "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "人")
-    )
-    val toks = array_distinct(tokens(lower(text)))
-    // array of (score, lang) structs -> max -> lang
-    val scored = markers.map { case (lang, words) =>
-      val hits = size(array_intersect(toks,
-        array(words.map(lit): _*)))
-      struct(hits.as("score"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.LangIdExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
 
   /** 64-bit SimHash over the token multiset: each token is hashed ONCE; its
     * 64 hash bits then vote +-1 per bit position, and the signature takes the

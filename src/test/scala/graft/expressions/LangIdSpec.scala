@@ -1,0 +1,76 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Cavnar–Trenkle trigram language ID: held-out sentences classify to
+  * their own language (incl. non-Latin scripts), degenerate inputs go
+  * "und", and the expression runs codegen'd in a Spark plan.
+  */
+class LangIdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cls(s: String): String = LangIdCodec.classify(s).toString
+
+  test("held-out demo sentences classify to their own language") {
+    for ((lang, sent) <- LangIdCodec.DemoSentences)
+      assert(cls(sent) == lang, s"sentence for '$lang' -> '${cls(sent)}'")
+  }
+
+  test("non-Latin scripts: ru/ar/zh/ja paragraphs held out from the seeds") {
+    assert(cls("эта библиотека находится рядом с вокзалом и открыта каждый день кроме воскресенья.") == "ru")
+    assert(cls("تقع هذه المكتبة بالقرب من المحطة وهي مفتوحة كل يوم ما عدا يوم الأحد.") == "ar")
+    assert(cls("这座图书馆位于车站附近，除星期日外每天开放。") == "zh")
+    assert(cls("この図書館は駅の近くにあり、日曜日を除いて毎日開いています。") == "ja")
+  }
+
+  test("close Romance relatives separate: es vs pt vs it") {
+    assert(cls("la casa de mis abuelos tiene un jardín muy grande donde crecen naranjos y limoneros.") == "es")
+    assert(cls("a casa dos meus avós tem um jardim muito grande onde crescem laranjeiras e limoeiros.") == "pt")
+    assert(cls("la casa dei miei nonni ha un giardino molto grande dove crescono aranci e limoni.") == "it")
+  }
+
+  test("unnatural English keyword soup stays anchored to en") {
+    // Corpus-like word soup (no function-word grammar) is what the
+    // synthetic documents table contains; bigram statistics must keep it
+    // on en rather than drifting to de/it via -er/-en word endings.
+    val vocab = ("the fast key order sort table scan merge part window small " +
+      "filter customer lineitem spark group query row data slow join stream " +
+      "value agg hash big line").split(" ")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 100) {
+      val n = 20 + rnd.nextInt(60)
+      val doc = Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      assert(cls(doc) == "en", s"'${doc.take(60)}...' -> '${cls(doc)}'")
+    }
+  }
+
+  test("degenerate inputs: null/blank/too-short/digits go und, never throw") {
+    assert(cls(null) == "und")
+    assert(cls("") == "und")
+    assert(cls("   ") == "und")
+    assert(cls("ab") == "und")
+    assert(cls("12345 678 90 !!!") == "und")
+  }
+
+  test("column expression classifies inside a Spark plan, codegen'd") {
+    // spark.range source (a local Seq folds to LocalTableScan and never
+    // exercises codegen): row i classifies sentence i.
+    val sents = LangIdCodec.DemoSentences
+    val df = spark.range(sents.length)
+      .select(
+        element_at(array(sents.map(p => lit(p._1)): _*),
+          col("id").cast("int") + 1).as("lang"),
+        graft.functions.TextFunctions.langId(
+          element_at(array(sents.map(p => lit(p._2)): _*),
+            col("id").cast("int") + 1)).as("pred"))
+    assert(df.collect().forall(r => r.getString(0) == r.getString(1)))
+    assert(df.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.isDefined)
+    // SQL registration rides on the extensions session.
+    val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)
+    sqlS.sql("SELECT graft_lang_id('the cat sat on the mat and looked out of the window') AS l")
+      .collect().map(_.getString(0)).foreach(l => assert(l == "en"))
+  }
+}

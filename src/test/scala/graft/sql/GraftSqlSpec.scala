@@ -24,9 +24,12 @@ class GraftSqlSpec extends SparkTestBase {
       .head().getInt(0) == 16)
     // every round-7 parser resolves from SQL text too (null-safe on NULL)
     for (fn <- Seq("graft_mp4_header", "graft_mp3_header",
-        "graft_flac_header", "graft_warc_records"))
+        "graft_flac_header", "graft_warc_records",
+        "graft_zstd", "graft_zunstd"))
       assert(sqlS.sql(s"SELECT $fn(CAST(NULL AS BINARY)) IS NULL AS r")
         .head().getBoolean(0), fn)
+    assert(sqlS.sql("SELECT graft_lang_id(CAST(NULL AS STRING)) IS NULL AS r")
+      .head().getBoolean(0))
   }
 
   test("CALL graft_merge upserts and deletes through pure SQL") {
