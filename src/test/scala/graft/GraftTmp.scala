@@ -1,0 +1,29 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+/** Per-JVM temp-dir root for the test suites. Every spec's scratch
+  * directory nests under ONE `graft-tests-*` root that a shutdown hook
+  * removes recursively, so a full `sbt test` leaves no `/tmp/graft-*`
+  * litter behind (63 call sites across the suites create scratch dirs;
+  * per-site afterAll cleanup would be 63 chances to forget one).
+  * Deletion is best-effort and never throws: a streaming query or Spark
+  * shuffle file still open at JVM exit must not fail the build.
+  */
+object GraftTmp {
+  private lazy val root: Path = {
+    val r = Files.createTempDirectory("graft-tests")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(r.toFile)))
+    r
+  }
+
+  /** Drop-in replacement for `Files.createTempDirectory(prefix)` that
+    * parents the directory under the self-cleaning root.
+    */
+  def dir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    try f.delete(): Unit catch { case _: Throwable => () }
+  }
+}

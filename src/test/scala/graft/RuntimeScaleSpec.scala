@@ -23,7 +23,7 @@ class RuntimeScaleSpec extends SparkTestBase {
   }
 
   test("runtime bloom filter prunes the fact scan of a selective dim join") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-rbf")
+    val dir = graft.GraftTmp.dir("graft-rbf")
     // "fact": 100k rows over 1000 keys; "dim": 1000 rows, filtered to 10.
     spark.range(100000).select((col("id") % 1000).as("fk"), col("id").as("v"))
       .write.parquet(s"$dir/fact")
@@ -50,7 +50,7 @@ class RuntimeScaleSpec extends SparkTestBase {
     // a wide payload so the skewed partition crosses the (lowered) byte
     // threshold. AQE must mark the sort-merge join skew-handled and split
     // the hot partition instead of letting one task absorb it.
-    val dir = java.nio.file.Files.createTempDirectory("graft-skew")
+    val dir = graft.GraftTmp.dir("graft-skew")
     // Payload must be INCOMPRESSIBLE: AQE sizes partitions from the
     // lz4-compressed map output, and a constant pad would compress to
     // nothing, hiding the skew from the byte threshold.
@@ -96,7 +96,7 @@ class RuntimeScaleSpec extends SparkTestBase {
     // (skew handling must never change semantics), and (b) a sessions-back-
     // to-events join over the hot user gets skew-split by AQE rather than
     // serializing into one straggler task.
-    val dir = java.nio.file.Files.createTempDirectory("graft-skewev").toString
+    val dir = graft.GraftTmp.dir("graft-skewev").toString
     // Keep the driver testdata's raw shape (ts = nanos long) so Tables.t
     // applies its usual exact conversion to the skewed copy too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

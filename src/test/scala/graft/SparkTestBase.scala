@@ -13,7 +13,7 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      graft.GraftTmp.dir("graft-warehouse").toString)
     .getOrCreate()
 
   def resourcePath(name: String): String =

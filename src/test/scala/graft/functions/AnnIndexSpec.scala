@@ -21,7 +21,7 @@ class AnnIndexSpec extends SparkTestBase {
     .select(col("id").as("qid"), col("vec").as("qvec"))
 
   private def tmpDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-ann-$tag").toString
+    graft.GraftTmp.dir(s"graft-ann-$tag").toString
 
   test("IVF: persisted model round-trips bit-exactly; search == inline search") {
     val model = Ivf.fit(corpus, "vec", k = 4, seed = 1L)

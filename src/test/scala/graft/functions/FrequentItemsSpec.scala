@@ -49,7 +49,7 @@ class FrequentItemsSpec extends SparkTestBase {
   test("sketch aggregates in structured streaming (complete mode) same as batch") {
     // Mergeable state means the same Aggregator serves streaming
     // aggregation: two microbatches must land on the batch answer.
-    val dir = java.nio.file.Files.createTempDirectory("graft-fi-stream")
+    val dir = graft.GraftTmp.dir("graft-fi-stream")
     java.nio.file.Files.write(dir.resolve("a.json"),
       """{"x": "a"}
         |{"x": "a"}

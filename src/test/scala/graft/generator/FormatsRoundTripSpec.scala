@@ -16,7 +16,7 @@ import java.nio.file.Files
 class FormatsRoundTripSpec extends SparkTestBase {
 
   test("format-generated values satisfy their own format constraints") {
-    val dir = Files.createTempDirectory("graft-formats")
+    val dir = graft.GraftTmp.dir("graft-formats")
     Files.write(dir.resolve("doc.json"),
       """{"type": "object", "properties": {
         |  "uid": {"type": "string", "format": "uuid"},

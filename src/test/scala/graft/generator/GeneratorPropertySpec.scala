@@ -74,7 +74,7 @@ class GeneratorPropertySpec extends SparkTestBase {
       val schemaJson = entityGen.apply(params, Seed(i.toLong)).getOrElse(
         fail(s"schema gen failed for seed $i"))
       val rate = (i - 1) / 14.0
-      val dir = Files.createTempDirectory("graft-prop")
+      val dir = graft.GraftTmp.dir("graft-prop")
       Files.write(dir.resolve("entity.json"), schemaJson.getBytes("UTF-8"))
       val model = new ModelDirectory(dir.toString)
       val compiled = new SchemaCompiler(model).compile("entity")

@@ -58,7 +58,7 @@ class RecordGeneratorSpec extends SparkTestBase {
   }
 
   test("cyclic $ref fails with a clear error, not StackOverflowError") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-cycle")
+    val dir = graft.GraftTmp.dir("graft-cycle")
     java.nio.file.Files.writeString(dir.resolve("a.json"),
       """{"type":"object","allOf":[{"$ref":"b.json"}]}""")
     java.nio.file.Files.writeString(dir.resolve("b.json"),
@@ -67,7 +67,7 @@ class RecordGeneratorSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](g.plan("a"))
     assert(e.getMessage.contains("Cyclic"), e.getMessage)
     // field-level $ref cycles too
-    val dir2 = java.nio.file.Files.createTempDirectory("graft-cycle2")
+    val dir2 = graft.GraftTmp.dir("graft-cycle2")
     // $ref "file#/prop" resolves against the TOP-LEVEL keys of the file.
     java.nio.file.Files.writeString(dir2.resolve("c.json"),
       """{"f":{"$ref":"d.json#/g"},

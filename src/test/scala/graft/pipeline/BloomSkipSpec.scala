@@ -17,7 +17,7 @@ class BloomSkipSpec extends SparkTestBase {
   }
 
   test("computeBloom + readPrunedEq: an id probe opens strictly fewer files, exactly") {
-    val dir = Files.createTempDirectory("graft-bloom").toString + "/t"
+    val dir = graft.GraftTmp.dir("graft-bloom").toString + "/t"
     // High-cardinality string ids spread over 10 hash-disjoint files —
     // min/max stats would straddle every probe and prune NOTHING.
     val data = spark.range(20000)
@@ -51,7 +51,7 @@ class BloomSkipSpec extends SparkTestBase {
   }
 
   test("missing, stale, and corrupt Bloom sidecars never prune (conservatism)") {
-    val dir = Files.createTempDirectory("graft-bloom2").toString + "/t"
+    val dir = graft.GraftTmp.dir("graft-bloom2").toString + "/t"
     import spark.implicits._
     Medallion.writeTable(
       Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("doc_id", "v"), dir, Nil)

@@ -15,7 +15,7 @@ class ChangeFeedSpec extends SparkTestBase {
   import spark.implicits._
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft-cdf").toString + "/tbl"
+    graft.GraftTmp.dir("graft-cdf").toString + "/tbl"
 
   private def fsFor(path: String) = {
     val p = new Path(path)

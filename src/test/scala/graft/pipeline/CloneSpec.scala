@@ -13,7 +13,7 @@ class CloneSpec extends SparkTestBase {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-clone").toString
+    graft.GraftTmp.dir("graft-clone").toString
 
   private def base() = Seq(
     (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),

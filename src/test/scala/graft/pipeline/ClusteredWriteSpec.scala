@@ -26,7 +26,7 @@ class ClusteredWriteSpec extends SparkTestBase {
   }
 
   test("compact rewrites a fragmented table into the target file count") {
-    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val dir = graft.GraftTmp.dir("graft-compact").toString + "/t"
     // 64 tiny files.
     spark.range(10000).select(col("id"), (col("id") % 7).as("v"))
       .repartition(64).write.parquet(dir)
@@ -41,7 +41,7 @@ class ClusteredWriteSpec extends SparkTestBase {
   }
 
   test("compact survives a trailing slash and compacts partitioned dirs to one file each") {
-    val dir = Files.createTempDirectory("graft-compact-p").toString + "/t"
+    val dir = graft.GraftTmp.dir("graft-compact-p").toString + "/t"
     spark.range(6000)
       .select((col("id") % 3).as("pt"), col("id").as("v"))
       .repartition(16).write.partitionBy("pt").parquet(dir)
@@ -65,7 +65,7 @@ class ClusteredWriteSpec extends SparkTestBase {
   }
 
   test("writeZOrdered prunes filters on BOTH dimensions; 1-D clustering only on its own") {
-    val base = Files.createTempDirectory("graft-zorder").toString
+    val base = graft.GraftTmp.dir("graft-zorder").toString
     val data = spark.range(100000).select(
       (col("id") % 317).as("x"),
       ((col("id") * 7919) % 331).as("y"),
@@ -94,7 +94,7 @@ class ClusteredWriteSpec extends SparkTestBase {
   }
 
   test("writeClustered makes row-group stats prune a point filter to one file's rows") {
-    val base = Files.createTempDirectory("graft-cluster").toString
+    val base = graft.GraftTmp.dir("graft-cluster").toString
     val data = spark.range(100000)
       .select((col("id") % 1000).as("k"), col("id").as("v"))
     // Round-robin layout: every file contains every key, stats are useless.

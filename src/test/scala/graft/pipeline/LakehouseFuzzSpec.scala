@@ -16,7 +16,7 @@ class LakehouseFuzzSpec extends SparkTestBase {
   import spark.implicits._
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft-fuzz").toString + "/tbl"
+    graft.GraftTmp.dir("graft-fuzz").toString + "/tbl"
 
   test("random merge/delete/compact/vacuum interleavings keep every retained version exact") {
     for (seed <- Seq(11, 42)) {

@@ -27,7 +27,7 @@ class MedallionSpec extends SparkTestBase {
   test("schema-enforced CSV read: declared types, no inference, extra/missing handled") {
     // Flat entity (CSV cannot carry structs/arrays) — the reference's own
     // README example is a csv read with the compiled schema.
-    val modelTmp = Files.createTempDirectory("graft-csv-model")
+    val modelTmp = graft.GraftTmp.dir("graft-csv-model")
     Files.write(modelTmp.resolve("flat.json"),
       """{"type": "object", "properties": {
         |  "id": {"type": "integer", "minimum": 1},
@@ -37,7 +37,7 @@ class MedallionSpec extends SparkTestBase {
         |}, "required": ["id", "name"]}""".stripMargin.getBytes("UTF-8"))
     val flat = new SchemaCompiler(new ModelDirectory(modelTmp.toString)).compile("flat")
 
-    val dataTmp = Files.createTempDirectory("graft-csv-data")
+    val dataTmp = graft.GraftTmp.dir("graft-csv-data")
     Files.write(dataTmp.resolve("data.csv"),
       """1,alice,2020-01-05,3.5
         |2,bob,2021-11-30,
@@ -60,7 +60,7 @@ class MedallionSpec extends SparkTestBase {
   }
 
   test("partitioned writes prune partitions at scan time") {
-    val out = Files.createTempDirectory("graft-part").toString
+    val out = graft.GraftTmp.dir("graft-part").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Medallion.writeTable(docs, out, partitionBy = Seq("lang"))
 
@@ -89,7 +89,7 @@ class MedallionSpec extends SparkTestBase {
   test("upsertPartitions replaces only the partitions present in the new data") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val out = Files.createTempDirectory("graft-upsert").toString
+    val out = graft.GraftTmp.dir("graft-upsert").toString
     val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
       (3L, "2024-01-02", 30.0)).toDF("id", "day", "v")
     Medallion.writeTable(day1, out, partitionBy = Seq("day"))
@@ -105,9 +105,9 @@ class MedallionSpec extends SparkTestBase {
 
   test("streaming exact dedup: dropDuplicates with watermark across microbatches") {
     import org.apache.spark.sql.functions.col
-    val srcDir = Files.createTempDirectory("graft-sdedup-src")
-    val sinkDir = Files.createTempDirectory("graft-sdedup-sink")
-    val ckptDir = Files.createTempDirectory("graft-sdedup-ckpt")
+    val srcDir = graft.GraftTmp.dir("graft-sdedup-src")
+    val sinkDir = graft.GraftTmp.dir("graft-sdedup-sink")
+    val ckptDir = graft.GraftTmp.dir("graft-sdedup-ckpt")
     // doc 2 appears in both files; the stream must emit it once.
     Files.write(srcDir.resolve("a.json"),
       """{"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": "aa"}
@@ -135,10 +135,10 @@ class MedallionSpec extends SparkTestBase {
   }
 
   test("streaming quarantine: foreachBatch splits each microbatch into two sinks") {
-    val srcDir = Files.createTempDirectory("graft-q-src")
-    val silverDir = Files.createTempDirectory("graft-q-silver").resolve("t").toString
-    val quarDir = Files.createTempDirectory("graft-q-quar").resolve("t").toString
-    val ckptDir = Files.createTempDirectory("graft-q-ckpt")
+    val srcDir = graft.GraftTmp.dir("graft-q-src")
+    val silverDir = graft.GraftTmp.dir("graft-q-silver").resolve("t").toString
+    val quarDir = graft.GraftTmp.dir("graft-q-quar").resolve("t").toString
+    val ckptDir = graft.GraftTmp.dir("graft-q-ckpt")
     // The golden 100-record corpus: 28 valid / 72 invalid.
     val corpus = java.nio.file.Paths.get(resourcePath("/data/employee.json"))
     Files.copy(corpus, srcDir.resolve("employee.json"))
@@ -176,9 +176,9 @@ class MedallionSpec extends SparkTestBase {
   }
 
   test("streaming medallion: schema-enforced stream, DQ metrics via observe, AvailableNow drain") {
-    val srcDir = Files.createTempDirectory("graft-stream-src")
-    val sinkDir = Files.createTempDirectory("graft-stream-sink")
-    val ckptDir = Files.createTempDirectory("graft-stream-ckpt")
+    val srcDir = graft.GraftTmp.dir("graft-stream-src")
+    val sinkDir = graft.GraftTmp.dir("graft-stream-sink")
+    val ckptDir = graft.GraftTmp.dir("graft-stream-ckpt")
 
     // Two input files of clean generated records.
     val gen = new RecordGenerator(modelDir, nullableRate = 0.0, seed = 11L)

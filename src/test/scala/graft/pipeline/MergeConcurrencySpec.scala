@@ -33,7 +33,7 @@ class MergeConcurrencySpec extends SparkTestBase {
   import spark.implicits._
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft-conc").toString + "/tbl"
+    graft.GraftTmp.dir("graft-conc").toString + "/tbl"
 
   private def fsFor(path: String) = {
     val p = new Path(path)

@@ -18,7 +18,7 @@ class MergePruningScaleSpec extends SparkTestBase {
   import spark.implicits._
 
   test("200 partitions, 3 affected: the rewrite scan reads exactly 3 partitions' files") {
-    val path = Files.createTempDirectory("graft-prune").toString + "/tbl"
+    val path = graft.GraftTmp.dir("graft-prune").toString + "/tbl"
     // 200 partitions, exactly one row (= one file) each.
     val rows = (0 until 200).map(i => (i.toLong, f"p$i%03d", i.toDouble))
     Medallion.writeTable(rows.toDF("id", "part", "v"), path, Seq("part"))

@@ -12,7 +12,7 @@ class MergeSpec extends SparkTestBase {
   import spark.implicits._
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft-merge").toString + "/tbl"
+    graft.GraftTmp.dir("graft-merge").toString + "/tbl"
 
   private def base() = Seq(
     (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),

@@ -17,7 +17,7 @@ class MergeStreamSpec extends SparkTestBase {
     StructField("v", DoubleType), StructField("is_deleted", BooleanType)))
 
   test("2-batch CDC stream == batch merge end state; checkpoint restart is a no-op") {
-    val root = Files.createTempDirectory("graft-cdc").toString
+    val root = graft.GraftTmp.dir("graft-cdc").toString
     val srcDir = s"$root/changes"
     val tbl = s"$root/tbl"
     val ckpt = s"$root/ckpt"

@@ -13,7 +13,7 @@ class SnapshotSpec extends SparkTestBase {
   import spark.implicits._
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft-snap").toString + "/tbl"
+    graft.GraftTmp.dir("graft-snap").toString + "/tbl"
 
   private def base() = Seq(
     (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),

@@ -17,7 +17,7 @@ class StatsSkipSpec extends SparkTestBase {
   }
 
   test("computeStats + readPruned: selective range touches a strict file subset, exactly") {
-    val dir = Files.createTempDirectory("graft-skip").toString + "/t"
+    val dir = graft.GraftTmp.dir("graft-skip").toString + "/t"
     val data = spark.range(100000)
       .select((col("id") % 1000).as("k"), col("id").as("v"))
     // Range-clustered: each of the 10 files covers a disjoint k range.
@@ -41,7 +41,7 @@ class StatsSkipSpec extends SparkTestBase {
   }
 
   test("stale or missing stats fall back to the full file list, still correct") {
-    val dir = Files.createTempDirectory("graft-skip2").toString + "/t"
+    val dir = graft.GraftTmp.dir("graft-skip2").toString + "/t"
     val base = spark.range(1000)
       .select((col("id") % 10).as("part"), col("id").as("k"), col("id").as("v"))
     Medallion.writeTable(base, dir, Seq("part"))
@@ -67,7 +67,7 @@ class StatsSkipSpec extends SparkTestBase {
   }
 
   test("NaN bounds and corrupt sidecars never prune (conservatism holds)") {
-    val dir = Files.createTempDirectory("graft-skip4").toString + "/t"
+    val dir = graft.GraftTmp.dir("graft-skip4").toString + "/t"
     val data = spark.range(100).select(
       when(col("id") === 7, lit(Double.NaN))
         .otherwise(col("id").cast("double")).as("k"),
@@ -91,7 +91,7 @@ class StatsSkipSpec extends SparkTestBase {
   }
 
   test("vacuum drops sidecars of dropped versions, keeps the current one") {
-    val dir = Files.createTempDirectory("graft-skip3").toString + "/t"
+    val dir = graft.GraftTmp.dir("graft-skip3").toString + "/t"
     val base = spark.range(100)
       .select((col("id") % 2).as("part"), col("id").as("k"), col("id").as("v"))
     Medallion.writeTable(base, dir, Seq("part"))

@@ -15,7 +15,7 @@ class TombstoneSpec extends SparkTestBase {
   import spark.implicits._
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft-tomb").toString + "/tbl"
+    graft.GraftTmp.dir("graft-tomb").toString + "/tbl"
 
   private def base() = Seq(
     (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),

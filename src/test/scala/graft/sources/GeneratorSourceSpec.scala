@@ -33,8 +33,8 @@ class GeneratorSourceSpec extends SparkTestBase {
   }
 
   test("streaming read: admission-controlled microbatches emit the full range once") {
-    val sinkDir = java.nio.file.Files.createTempDirectory("graft-gsrc-sink")
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-gsrc-ckpt")
+    val sinkDir = graft.GraftTmp.dir("graft-gsrc-sink")
+    val ckptDir = graft.GraftTmp.dir("graft-gsrc-ckpt")
     val stream = spark.readStream
       .format("graft.sources.GeneratorSource")
       .option("modelDir", resourcePath("/model"))
@@ -64,8 +64,8 @@ class GeneratorSourceSpec extends SparkTestBase {
     // Without SupportsTriggerAvailableNow the wrapper pins the end offset at
     // the FIRST admission-limited latestOffset — the query would emit one
     // 100-record batch and stop at 100 of 250.
-    val sinkDir = java.nio.file.Files.createTempDirectory("graft-gsrc-an-sink")
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-gsrc-an-ckpt")
+    val sinkDir = graft.GraftTmp.dir("graft-gsrc-an-sink")
+    val ckptDir = graft.GraftTmp.dir("graft-gsrc-an-ckpt")
     val stream = spark.readStream
       .format("graft.sources.GeneratorSource")
       .option("modelDir", resourcePath("/model"))

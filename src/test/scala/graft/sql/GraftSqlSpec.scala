@@ -15,7 +15,7 @@ class GraftSqlSpec extends SparkTestBase {
   private lazy val sqlS = GraftSqlExtensions.sessionWithSql(spark)
 
   private def tmpDir(tag: String): String =
-    Files.createTempDirectory(s"graft-sql-$tag").toString + "/tbl"
+    graft.GraftTmp.dir(s"graft-sql-$tag").toString + "/tbl"
 
   test("ordinary SQL still parses and runs through the delegating parser") {
     assert(sqlS.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)

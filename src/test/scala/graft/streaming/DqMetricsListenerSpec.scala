@@ -15,9 +15,9 @@ class DqMetricsListenerSpec extends SparkTestBase {
     val modelDir = new ModelDirectory(resourcePath("/model"))
     val compiled = new SchemaCompiler(modelDir).compile("employee")
 
-    val srcDir = Files.createTempDirectory("graft-dql-src")
-    val sinkDir = Files.createTempDirectory("graft-dql-sink")
-    val ckptDir = Files.createTempDirectory("graft-dql-ckpt")
+    val srcDir = graft.GraftTmp.dir("graft-dql-src")
+    val sinkDir = graft.GraftTmp.dir("graft-dql-sink")
+    val ckptDir = graft.GraftTmp.dir("graft-dql-ckpt")
 
     val gen = new RecordGenerator(modelDir, nullableRate = 0.0, seed = 21L)
     val recs = gen.generate("employee", 30)

@@ -14,7 +14,7 @@ import java.nio.file.Files
 class EventTimeWindowSpec extends SparkTestBase {
 
   test("watermarked 10-minute windows over a 2-file stream match the batch result") {
-    val dir = Files.createTempDirectory("graft-evt")
+    val dir = graft.GraftTmp.dir("graft-evt")
     val rows = (0 until 120).map { i =>
       val minute = i % 60
       s"""{"event_id": $i, "ts": "2024-01-01T00:${f"$minute%02d"}:00", "user_id": ${i % 5}, "value": ${i / 10.0}}"""

@@ -14,7 +14,7 @@ import java.nio.file.Files
 class SessionWindowSpec extends SparkTestBase {
 
   test("streaming session_window merges gap-bounded sessions across microbatches") {
-    val dir = Files.createTempDirectory("graft-sess")
+    val dir = graft.GraftTmp.dir("graft-sess")
     // user 1: events at minutes 0,2,4 then a >5-min gap, then 20,21 — two
     // sessions. The first session SPANS the two input files, so state must
     // merge across microbatches. user 2: one session.

@@ -19,7 +19,7 @@ class StatefulOpsSpec extends SparkTestBase {
     StructField("value", DoubleType)))
 
   test("streamingNearDupPairs: banded SimHash hits across microbatches, retention evicts") {
-    val dir = Files.createTempDirectory("graft-sneardup")
+    val dir = graft.GraftTmp.dir("graft-sneardup")
     // Hashes chosen for exact hamming control: B = A^1 (distance 1 from A),
     // C is far from both, D == A but arrives hours later (outside the
     // 10-minute retention window -> must NOT pair with A).
@@ -56,7 +56,7 @@ class StatefulOpsSpec extends SparkTestBase {
   }
 
   test("streamingNearDupPairs: hot band is count-capped, oldest evicted first") {
-    val dir = Files.createTempDirectory("graft-sneardup-cap")
+    val dir = graft.GraftTmp.dir("graft-sneardup-cap")
     // All ten batch-1 docs share ONE simhash -> every band is the same hot
     // group; retention (10 min) never evicts within the test window, so
     // only the count cap (3) bounds state. Batch 2's probe (same hash,
@@ -93,7 +93,7 @@ class StatefulOpsSpec extends SparkTestBase {
   }
 
   test("flatMapGroupsWithState sessionization emits closed sessions across microbatches") {
-    val dir = Files.createTempDirectory("graft-fmgs")
+    val dir = graft.GraftTmp.dir("graft-fmgs")
     // user 1: events at 0:00, 0:02 (file a) and 0:04 (file b) — ONE session
     // spanning two microbatches — then 0:20, 0:21 (second session). user 2:
     // a single event. File c is a late-time sentinel that pushes the
@@ -132,7 +132,7 @@ class StatefulOpsSpec extends SparkTestBase {
   }
 
   test("a cross-batch out-of-order event lowers the session start") {
-    val dir = Files.createTempDirectory("graft-fmgs-ooo")
+    val dir = graft.GraftTmp.dir("graft-fmgs-ooo")
     // Batch 1 opens a session at 00:04. Batch 2 delivers an EARLIER event
     // (00:03:30, still above the watermark) — the merged session must
     // report start=00:03:30, not keep the stale 00:04 start. File c only
@@ -161,7 +161,7 @@ class StatefulOpsSpec extends SparkTestBase {
   }
 
   test("pre-start stragglers within a gap merge into one predecessor session") {
-    val dir = Files.createTempDirectory("graft-fmgs-strag")
+    val dir = graft.GraftTmp.dir("graft-fmgs-strag")
     // Batch 1 opens a session at 01:00. Batch 2 delivers THREE stragglers
     // far before the session start: 00:10 and 00:12 are within the 5-min
     // gap of each other (must merge into ONE predecessor session), 00:40
@@ -195,7 +195,7 @@ class StatefulOpsSpec extends SparkTestBase {
   }
 
   test("a bridging event merges the predecessor chain INTO the open session") {
-    val dir = Files.createTempDirectory("graft-fmgs-bridge")
+    val dir = graft.GraftTmp.dir("graft-fmgs-bridge")
     // Batch 1 opens at 00:20. Batch 2 delivers a straggler chain 00:09,
     // 00:13 (4 min apart, both >5 min before the 00:20 start) and then
     // 00:16 — within the gap of the chain's last (3 min) AND of the open
@@ -240,7 +240,7 @@ class StatefulOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getDouble(4))).toSet
 
-    val dir = Files.createTempDirectory("graft-sess-eq")
+    val dir = graft.GraftTmp.dir("graft-sess-eq")
     val events = graft.Tables.t(spark, sf, "events")
       .select(col("user_id"), col("ts"), col("value"))
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
@@ -286,8 +286,8 @@ class StatefulOpsSpec extends SparkTestBase {
   }
 
   test("stream-stream interval join enriches purchases with preceding views only") {
-    val pDir = Files.createTempDirectory("graft-ssj-p")
-    val vDir = Files.createTempDirectory("graft-ssj-v")
+    val pDir = graft.GraftTmp.dir("graft-ssj-p")
+    val vDir = graft.GraftTmp.dir("graft-ssj-v")
     // user 1 purchase at 0:10; views at 0:03 (inside the 10-min lookback),
     // 0:08 (inside), and 0:30 (AFTER the purchase — must not join).
     // user 2 purchase at 0:40; its only view is at 0:05 — outside the
@@ -320,7 +320,7 @@ class StatefulOpsSpec extends SparkTestBase {
   }
 
   test("streamingExactDedup suppresses duplicate content within the watermark") {
-    val dir = Files.createTempDirectory("graft-sdedup")
+    val dir = graft.GraftTmp.dir("graft-sdedup")
     // doc "aaa" appears in both microbatches (same content digest); doc
     // "bbb" twice within one batch; "ccc" is unique.
     Files.write(dir.resolve("a.json"),
