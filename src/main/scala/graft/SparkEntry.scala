@@ -2896,6 +2896,123 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 140. WebP VP8L lossless pixel decode, oracle-pinned --------------------------------------------
+    // The decode seam's last major image gap: two VP8L bitstreams are
+    // CONSTRUCTED per row against the public spec and decoded through the
+    // REAL prefix-code path of the codegen'd ImagePixelStatsExpr. The
+    // solid image rides one-symbol simple codes (zero bits per pixel — the
+    // literal channel values sit at fixed bit offsets, so the whole stream
+    // is one 51-bit integer), the 2x2 checkerboard rides a two-symbol
+    // green code (1 bit per pixel, 63-bit stream). The DuckDB oracle
+    // recomputes every statistic in closed form; transforms, LZ77, color
+    // cache and meta groups are pinned by Vp8lSpec's fixtures.
+    "q140_webp_vp8l" -> ((s, d) => {
+      def leHex(c: org.apache.spark.sql.Column, n: Int) = concat(
+        (0 until n).map(k =>
+          lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255L))), 2, "0")): _*)
+      val did = col("doc_id").cast("long")
+      val w = did % 7 + 1
+      val h = did % 5 + 1
+      val r = did % 256
+      val g = (did * 7) % 256
+      val b = (did * 13) % 256
+      val a = did % 100 + 155
+      // bit offsets: 3 transform/cache/meta zeros, then per-channel simple
+      // codes (1,0,1 + 8-bit symbol) for green/red/blue/alpha, then the
+      // 1-bit-symbol distance code (1,0,0,0)
+      val const51 = (1L << 3) | (1L << 5) | (1L << 14) | (1L << 16) |
+        (1L << 25) | (1L << 27) | (1L << 36) | (1L << 38) | (1L << 47)
+      val hdr = (w - 1) + (h - 1) * lit(1L << 14) + lit(1L << 28)
+      val stream = lit(const51) + g * lit(1L << 6) + r * lit(1L << 17) +
+        b * lit(1L << 28) + a * lit(1L << 39)
+      val solid = unhex(concat(
+        lit("52494646" + "18000000" + "57454250" + "5650384C" + "0C000000" + "2F"),
+        leHex(hdr, 4), leHex(stream, 7)))
+      // checkerboard 2x2: greens alternate g1/g2 (g1 < g2 pins canonical
+      // code order), two-symbol green code then one-symbol r/b/a codes,
+      // pixel pattern bits 0101 at stream offsets 59-62
+      val g1 = did % 96
+      val g2 = did % 96 + 160
+      val r2 = (did * 3) % 256
+      val b2 = (did * 5) % 256
+      val const63 = (1L << 3) | (1L << 4) | (1L << 5) | (1L << 22) |
+        (1L << 24) | (1L << 33) | (1L << 35) | (1L << 44) | (1L << 46) |
+        (1L << 55) | (1L << 60) | (1L << 62)
+      val stream2 = lit(const63) + g1 * lit(1L << 6) + g2 * lit(1L << 14) +
+        r2 * lit(1L << 25) + b2 * lit(1L << 36) + lit(255L << 47)
+      val checker = unhex(concat(
+        lit("52494646" + "1A000000" + "57454250" + "5650384C" + "0D000000" + "2F" +
+          "01400010"), // fixed 2x2 header with the alpha hint set
+        leHex(stream2, 8), lit("00"))) // trailing RIFF pad byte
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.pixelStats(solid).as("px"),
+          Multimodal.pixelStats(checker).as("cx"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("r_mean"),
+          col("px.c0_min").as("r_min"),
+          col("px.c0_max").as("r_max"),
+          col("px.c1_mean").as("g_mean"),
+          col("px.c1_min").as("g_min"),
+          col("px.c1_max").as("g_max"),
+          col("px.c2_mean").as("b_mean"),
+          col("px.c2_min").as("b_min"),
+          col("px.c2_max").as("b_max"),
+          col("px.c3_mean").as("a_mean"),
+          col("cx.c1_mean").as("chk_g_mean"),
+          col("cx.c1_min").as("chk_g_min"),
+          col("cx.c1_max").as("chk_g_max"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 141. TIFF uncompressed strip decode, oracle-pinned ---------------------------------------------
+    // Header sniffing landed in q131; this decodes PIXELS: a little-endian
+    // 8-bit grayscale TIFF (8-entry IFD, one strip at offset 110) is
+    // CONSTRUCTED per row with samples (doc_id + 17p) % 256, p in raster
+    // order, and decoded through the strip walk of the codegen'd
+    // ImagePixelStatsExpr. Big-endian, multi-strip, WhiteIsZero inversion
+    // and RGB are pinned by TiffSpec (incl. the JDK ImageIO cross-read).
+    "q141_tiff_decode" -> ((s, d) => {
+      def le16hex(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"))
+      def shortEntry(tag: Int, value: org.apache.spark.sql.Column) = concat(
+        lit(f"${tag & 0xFF}%02X${tag >> 8}%02X" + "0300" + "01000000"),
+        le16hex(value), lit("0000"))
+      def longEntry(tag: Int, value: org.apache.spark.sql.Column) = concat(
+        lit(f"${tag & 0xFF}%02X${tag >> 8}%02X" + "0400" + "01000000"),
+        le16hex(value), lit("0000")) // values < 65536 here: high half zero
+      val did = col("doc_id").cast("long")
+      val w = did % 5 + 2
+      val h = lit(3L)
+      val samples = expr(
+        "array_join(transform(sequence(0, CAST((doc_id % 5 + 2) * 3 - 1 AS INT))," +
+          " p -> lpad(hex((doc_id + 17 * p) % 256), 2, '0')), '')")
+      val payload = unhex(concat(
+        lit("49492A00" + "08000000" + "0800"), // II, IFD@8, 8 entries
+        shortEntry(256, w), shortEntry(257, h), shortEntry(258, lit(8L)),
+        shortEntry(259, lit(1L)), shortEntry(262, lit(1L)),
+        longEntry(273, lit(110L)), shortEntry(278, h),
+        longEntry(279, w * h),
+        lit("00000000"), // next-IFD terminator
+        samples))
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.pixelStats(payload).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("px_mean"),
+          col("px.c0_min").as("px_min"),
+          col("px.c0_max").as("px_max"))
+        .orderBy("doc_id")
+    }),
+
     // --- 142. zstd WARC split (.warc.zst crawl-dump ingest), oracle-pinned ------------------------------
     // The modern sibling of q132: crawl dumps increasingly arrive zstd-
     // compressed. The per-row WARC segment goes through a REAL zstd
@@ -4434,6 +4551,41 @@ object SparkEntry {
         |  CAST(LEAST(x0, x1, x2, x3) AS INT) AS c0_min,
         |  CAST(GREATEST(x0, x1, x2, x3) AS INT) AS c0_max
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // VP8L closed forms: the solid image's stats are its channel literals;
+    // the checkerboard's green mean is (g1+g2)/2 = doc_id%96 + 80 exactly.
+    "q140_webp_vp8l" ->
+      """SELECT doc_id, 'webp' AS fmt,
+        |  CAST(doc_id % 7 + 1 AS INT) AS width,
+        |  CAST(doc_id % 5 + 1 AS INT) AS height,
+        |  CAST(4 AS INT) AS channels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS r_mean,
+        |  CAST(doc_id % 256 AS INT) AS r_min,
+        |  CAST(doc_id % 256 AS INT) AS r_max,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS g_mean,
+        |  CAST((doc_id * 7) % 256 AS INT) AS g_min,
+        |  CAST((doc_id * 7) % 256 AS INT) AS g_max,
+        |  CAST((doc_id * 13) % 256 AS DOUBLE) AS b_mean,
+        |  CAST((doc_id * 13) % 256 AS INT) AS b_min,
+        |  CAST((doc_id * 13) % 256 AS INT) AS b_max,
+        |  CAST(doc_id % 100 + 155 AS DOUBLE) AS a_mean,
+        |  CAST(doc_id % 96 + 80 AS DOUBLE) AS chk_g_mean,
+        |  CAST(doc_id % 96 AS INT) AS chk_g_min,
+        |  CAST(doc_id % 96 + 160 AS INT) AS chk_g_max
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // TIFF closed forms: samples (doc_id + 17p) % 256 over p in [0, 3w).
+    "q141_tiff_decode" ->
+      """SELECT doc_id, 'tiff' AS fmt, w AS width, CAST(3 AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  SUM((doc_id + 17 * p) % 256) / (3.0 * w) AS px_mean,
+        |  CAST(MIN((doc_id + 17 * p) % 256) AS INT) AS px_min,
+        |  CAST(MAX((doc_id + 17 * p) % 256) AS INT) AS px_max
+        |FROM (SELECT doc_id, w, UNNEST(generate_series(0, CAST(3 * w AS BIGINT) - 1)) AS p
+        |      FROM (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS w
+        |            FROM documents))
+        |GROUP BY doc_id, w
+        |ORDER BY doc_id""".stripMargin,
 
     "q142_warc_zstd" ->
       """WITH r AS (

@@ -74,6 +74,13 @@ object MediaCodec {
       return decodeGif(b)
     if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
       return decodeJpeg(b)
+    if (b.length >= 20 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P')
+      return decodeWebp(b)
+    if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
+      return decodeTiff(b)
     null
   }
 
@@ -1088,6 +1095,695 @@ object MediaCodec {
     }
     if (emitted < nPix) return null // truncated raster
     new PixelStats("gif", w, h, 3, sum.map(_.toDouble / nPix), min, max)
+  }
+
+  // ---------------------------------------------------------------- WebP VP8L
+
+  /** LSB-first bit reader over a byte range — VP8L's bit order (DEFLATE's,
+    * not JPEG's MSB-first). A read past the end of the chunk lands on the
+    * shared corrupt-control exception rather than returning junk bits.
+    */
+  private final class VBits(b: Array[Byte], var pos: Int, end: Int) {
+    private var buf = 0L
+    private var cnt = 0
+    def read(n: Int): Int = {
+      while (cnt < n) {
+        if (pos >= end) throw corruptMedia
+        buf |= (b(pos) & 0xFFL) << cnt
+        pos += 1; cnt += 8
+      }
+      val v = (buf & ((1L << n) - 1)).toInt
+      buf >>>= n; cnt -= n
+      v
+    }
+    def bit(): Int = read(1)
+  }
+
+  /** Canonical prefix code, VP8L flavor (max length 15, DEFLATE-style
+    * canonical assignment: shorter codes first, ties by symbol order; the
+    * first bit read is the code's MSB). Decode is the standard
+    * mincode/maxcode/valptr walk the JPEG decoder above also uses. A code
+    * whose length assignment uses exactly ONE symbol decodes that symbol
+    * in zero bits — VP8L's one-symbol simple codes land here, which is
+    * what makes a solid-color image cost zero bits per pixel.
+    */
+  private final class VHuff(lengths: Array[Int]) {
+    private val count = new Array[Int](16)
+    private var used = 0
+    private var only = -1
+    locally {
+      var s = 0
+      while (s < lengths.length) {
+        val l = lengths(s)
+        if (l < 0 || l > 15) throw corruptMedia
+        if (l > 0) { count(l) += 1; used += 1; only = s }
+        s += 1
+      }
+      if (used == 0) throw corruptMedia
+    }
+    private val single: Int = if (used == 1) only else -1
+    private val mincode = new Array[Int](16)
+    private val maxcode = new Array[Int](16)
+    private val valptr = new Array[Int](16)
+    private val vals = new Array[Int](if (single < 0) used else 0)
+    locally {
+      if (single < 0) {
+        var code = 0; var k = 0; var l = 1
+        while (l <= 15) {
+          valptr(l) = k
+          mincode(l) = code
+          code += count(l); k += count(l)
+          maxcode(l) = code - 1
+          if (code > (1 << l)) throw corruptMedia // over-subscribed lengths
+          code <<= 1
+          l += 1
+        }
+        val next = new Array[Int](16)
+        System.arraycopy(valptr, 0, next, 0, 16)
+        var s = 0
+        while (s < lengths.length) {
+          val l = lengths(s)
+          if (l > 0) { vals(next(l)) = s; next(l) += 1 }
+          s += 1
+        }
+      }
+    }
+    def next(br: VBits): Int = {
+      if (single >= 0) return single
+      var code = 0; var l = 0
+      while (l < 15) {
+        code = (code << 1) | br.bit()
+        l += 1
+        if (count(l) > 0 && code <= maxcode(l))
+          return vals(valptr(l) + code - mincode(l))
+      }
+      throw corruptMedia // walked past the deepest level: incomplete code
+    }
+  }
+
+  /** Order in which the code-length code's own 3-bit lengths arrive (the
+    * spec's kCodeLengthCodeOrder — most-frequent-first, like DEFLATE's).
+    */
+  private val vp8lClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read one prefix code: either a "simple" code (1-2 symbols listed
+    * explicitly) or a full DEFLATE-style code-length-coded set with the
+    * 16/17/18 repeat symbols.
+    */
+  private def vp8lReadCode(br: VBits, alphabet: Int): VHuff = {
+    if (br.bit() == 1) { // simple
+      val numSym = br.bit() + 1
+      val lengths = new Array[Int](alphabet)
+      val first = br.read(if (br.bit() == 1) 8 else 1)
+      if (first >= alphabet) throw corruptMedia
+      lengths(first) = 1
+      if (numSym == 2) {
+        val second = br.read(8)
+        if (second >= alphabet || second == first) throw corruptMedia
+        lengths(second) = 1
+      }
+      new VHuff(lengths)
+    } else {
+      val numCodes = br.read(4) + 4 // <= 19 by construction
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCodes) { clLens(vp8lClOrder(i)) = br.read(3); i += 1 }
+      val clHuff = new VHuff(clLens)
+      val lengths = new Array[Int](alphabet)
+      // optional explicit budget on how many length symbols follow
+      var budget =
+        if (br.bit() == 1) {
+          val nbits = 2 + 2 * br.read(3)
+          2 + br.read(nbits)
+        } else alphabet
+      var symbol = 0
+      var prevLen = 8 // spec's default when a repeat-previous arrives first
+      var stop = false
+      while (symbol < alphabet && !stop) {
+        if (budget == 0) stop = true // remaining lengths are implicit zeros
+        else {
+          budget -= 1
+          val cl = clHuff.next(br)
+          if (cl < 16) {
+            lengths(symbol) = cl; symbol += 1
+            if (cl != 0) prevLen = cl
+          } else {
+            var extra = 7; var offset = 11; var usePrev = false
+            if (cl == 16) { extra = 2; offset = 3; usePrev = true }
+            else if (cl == 17) { extra = 3; offset = 3 }
+            val repeat = br.read(extra) + offset
+            if (symbol + repeat > alphabet) throw corruptMedia
+            val fill = if (usePrev) prevLen else 0
+            var r = 0
+            while (r < repeat) { lengths(symbol) = fill; symbol += 1; r += 1 }
+            if (usePrev && fill != 0) prevLen = fill
+          }
+        }
+      }
+      new VHuff(lengths)
+    }
+  }
+
+  /** LZ77 length/distance prefix decoding: codes 0-3 are the value
+    * directly (+1), above that (2 + lsb) << extra carries extra bits.
+    */
+  private def vp8lPrefixValue(code: Int, br: VBits): Int = {
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      ((2 + (code & 1)) << extra) + br.read(extra) + 1
+    }
+  }
+
+  /** Distance codes 1..120 address a 2-D neighborhood (dx, dy) rather than
+    * a scanline offset — the spec's distance-mapping table, flattened.
+    * Codes above 120 are plain pixel distances offset by 120.
+    */
+  private val vp8lDistDx: Array[Int] = Array(
+    0, 1, 1, -1, 0, 2, 1, -1, 2, -2, 2, -2, 0, 3, 1, -1,
+    3, -3, 2, -2, 3, -3, 0, 4, 1, -1, 4, -4, 3, -3, 2, -2,
+    4, -4, 0, 3, -3, 4, -4, 5, 1, -1, 5, -5, 2, -2, 5, -5,
+    4, -4, 3, -3, 5, -5, 0, 6, 1, -1, 6, -6, 2, -2, 6, -6,
+    4, -4, 5, -5, 3, -3, 6, -6, 0, 7, 1, -1, 5, -5, 7, -7,
+    4, -4, 6, -6, 2, -2, 7, -7, 3, -3, 7, -7, 5, -5, 6, -6,
+    8, 4, -4, 7, -7, 8, 8, 6, -6, 8, 5, -5, 7, -7, 8, 6,
+    -6, 7, -7, 8, 7, -7, 8, 8)
+  private val vp8lDistDy: Array[Int] = Array(
+    1, 0, 1, 1, 2, 0, 2, 2, 1, 1, 2, 2, 3, 0, 3, 3,
+    1, 1, 3, 3, 2, 2, 4, 0, 4, 4, 1, 1, 3, 3, 4, 4,
+    2, 2, 5, 4, 4, 3, 3, 0, 5, 5, 1, 1, 5, 5, 2, 2,
+    4, 4, 5, 5, 3, 3, 6, 0, 6, 6, 1, 1, 6, 6, 2, 2,
+    5, 5, 4, 4, 6, 6, 3, 3, 7, 0, 7, 7, 5, 5, 1, 1,
+    6, 6, 4, 4, 7, 7, 2, 2, 7, 7, 3, 3, 6, 6, 5, 5,
+    0, 7, 7, 4, 4, 1, 2, 6, 6, 3, 7, 7, 5, 5, 4, 7,
+    7, 6, 6, 5, 7, 7, 6, 7)
+
+  private def vp8lPlaneToDist(code: Int, xsize: Int): Int = {
+    if (code > 120) code - 120
+    else {
+      val d = vp8lDistDy(code - 1) * xsize + vp8lDistDx(code - 1)
+      if (d < 1) 1 else d
+    }
+  }
+
+  private def vp8lSub(n: Int, bits: Int): Int = (n + (1 << bits) - 1) >> bits
+
+  /** Per-channel byte-wise add mod 256, SIMD-in-a-register: the two masked
+    * halves can't carry into each other's kept bytes.
+    */
+  private def vp8lAddPix(p: Int, q: Int): Int =
+    (((p & 0xFF00FF00) + (q & 0xFF00FF00)) & 0xFF00FF00) |
+      (((p & 0x00FF00FF) + (q & 0x00FF00FF)) & 0x00FF00FF)
+
+  /** Per-channel floor average: (a&b) + ((a^b)>>1) bytewise. */
+  private def vp8lAvg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xFEFEFEFE) >>> 1) + (a & b)
+
+  /** One VP8L transform recorded at read time, applied inverse in reverse
+    * order. `xsize` is the image width the transform was read at (what its
+    * inverse must produce); `data` is the transform's entropy-coded
+    * subimage (predictor modes / color-transform elements / palette).
+    */
+  private final class VTransform(
+      val kind: Int, val bits: Int, val xsize: Int, val data: Array[Int])
+
+  /** Decode one VP8L image stream (the ARGB image at `level0`, entropy
+    * subimages below it): optional transforms + color cache + optional
+    * meta-prefix groups + prefix-coded LZ77 pixels, then the inverse
+    * transforms. Returns the ARGB pixel buffer — VP8L's backward
+    * references and block transforms genuinely need the materialized
+    * frame, the same O(1-frame) budget the animated-GIF compositor runs
+    * on (the caller caps w*h BEFORE calling).
+    */
+  private def vp8lDecodeImage(
+      b: Array[Byte], br: VBits, xsize0: Int, ysize: Int,
+      level0: Boolean): Array[Int] = {
+    var xs = xsize0
+    var transforms: List[VTransform] = Nil // head = last read = first inverse
+    if (level0) {
+      var seen = 0
+      while (br.bit() == 1) {
+        val kind = br.read(2)
+        if ((seen & (1 << kind)) != 0) throw corruptMedia // each at most once
+        seen |= 1 << kind
+        if (kind <= 1) { // predictor / color transform: block subimage
+          val sizeBits = br.read(3) + 2
+          val sub = vp8lDecodeImage(
+            b, br, vp8lSub(xs, sizeBits), vp8lSub(ysize, sizeBits), level0 = false)
+          transforms = new VTransform(kind, sizeBits, xs, sub) :: transforms
+        } else if (kind == 2) { // subtract-green: no payload
+          transforms = new VTransform(2, 0, xs, null) :: transforms
+        } else { // color indexing: palette + optional width packing
+          val n = br.read(8) + 1
+          val pal = vp8lDecodeImage(b, br, n, 1, level0 = false)
+          var i = 1
+          while (i < n) { pal(i) = vp8lAddPix(pal(i), pal(i - 1)); i += 1 }
+          val xbits = if (n <= 2) 3 else if (n <= 4) 2 else if (n <= 16) 1 else 0
+          transforms = new VTransform(3, xbits, xs, pal) :: transforms
+          xs = vp8lSub(xs, xbits) // everything downstream sees packed width
+        }
+      }
+    }
+    // color cache (any image level may carry one)
+    var cacheBits = 0
+    if (br.bit() == 1) {
+      cacheBits = br.read(4)
+      if (cacheBits < 1 || cacheBits > 11) throw corruptMedia
+    }
+    // meta prefix groups (ARGB image only)
+    var metaImg: Array[Int] = null
+    var metaBits = 0; var metaW = 0
+    var numGroups = 1
+    if (level0 && br.bit() == 1) {
+      metaBits = br.read(3) + 2
+      metaW = vp8lSub(xs, metaBits)
+      metaImg = vp8lDecodeImage(
+        b, br, metaW, vp8lSub(ysize, metaBits), level0 = false)
+      var i = 0
+      while (i < metaImg.length) {
+        val g = (metaImg(i) >>> 8) & 0xFFFF
+        if (g + 1 > numGroups) numGroups = g + 1
+        i += 1
+      }
+    }
+    val greenAlphabet = 256 + 24 + (if (cacheBits > 0) 1 << cacheBits else 0)
+    val groups = new Array[Array[VHuff]](numGroups)
+    var gi = 0
+    while (gi < numGroups) {
+      groups(gi) = Array(
+        vp8lReadCode(br, greenAlphabet), vp8lReadCode(br, 256),
+        vp8lReadCode(br, 256), vp8lReadCode(br, 256), vp8lReadCode(br, 40))
+      gi += 1
+    }
+    val n = xs * ysize
+    val pix = new Array[Int](n)
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    val cacheShift = 32 - cacheBits
+    var i = 0; var x = 0; var y = 0
+    var g = groups(0)
+    var metaCell = -1
+    while (i < n) {
+      if (metaImg != null) {
+        val cell = (y >> metaBits) * metaW + (x >> metaBits)
+        if (cell != metaCell) {
+          metaCell = cell
+          g = groups((metaImg(cell) >>> 8) & 0xFFFF)
+        }
+      }
+      val s = g(0).next(br)
+      if (s < 256) { // literal: green carried by the symbol itself
+        val red = g(1).next(br)
+        val blue = g(2).next(br)
+        val alpha = g(3).next(br)
+        val p = (alpha << 24) | (red << 16) | (s << 8) | blue
+        pix(i) = p
+        if (cache != null) cache((0x1E35A7BD * p) >>> cacheShift) = p
+        i += 1; x += 1; if (x == xs) { x = 0; y += 1 }
+      } else if (s < 280) { // backward reference
+        val len = vp8lPrefixValue(s - 256, br)
+        val distCode = vp8lPrefixValue(g(4).next(br), br)
+        val dist = vp8lPlaneToDist(distCode, xs)
+        if (dist > i || len > n - i) throw corruptMedia
+        var k = 0
+        while (k < len) {
+          val p = pix(i - dist)
+          pix(i) = p
+          if (cache != null) cache((0x1E35A7BD * p) >>> cacheShift) = p
+          i += 1; k += 1
+        }
+        x = i % xs; y = i / xs
+      } else { // color-cache hit
+        if (cache == null) throw corruptMedia
+        val p = cache(s - 280)
+        pix(i) = p
+        i += 1; x += 1; if (x == xs) { x = 0; y += 1 }
+      }
+    }
+    // inverse transforms, reverse order of appearance
+    var out = pix
+    var w = xs
+    var ts = transforms
+    while (ts.nonEmpty) {
+      val t = ts.head
+      ts = ts.tail
+      t.kind match {
+        case 3 => out = vp8lInversePalette(out, w, ysize, t); w = t.xsize
+        case 2 => vp8lInverseSubtractGreen(out)
+        case 1 => vp8lInverseColorTransform(out, w, ysize, t)
+        case _ => vp8lInversePredictor(out, w, ysize, t)
+      }
+    }
+    out
+  }
+
+  private def vp8lInverseSubtractGreen(pix: Array[Int]): Unit = {
+    var i = 0
+    while (i < pix.length) {
+      val p = pix(i)
+      val g = (p >>> 8) & 0xFF
+      val r = (((p >>> 16) & 0xFF) + g) & 0xFF
+      val bl = ((p & 0xFF) + g) & 0xFF
+      pix(i) = (p & 0xFF00FF00) | (r << 16) | bl
+      i += 1
+    }
+  }
+
+  /** Spec predictor modes 0-13. Edge rules: (0,0) predicts opaque black,
+    * the rest of row 0 predicts L, the rest of column 0 predicts T. TR at
+    * the last column reads index i-w+1 = the CURRENT row's first pixel —
+    * already decoded, exactly the reference behavior, no special case.
+    */
+  private def vp8lInversePredictor(
+      pix: Array[Int], w: Int, h: Int, t: VTransform): Unit = {
+    val subW = vp8lSub(w, t.bits)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mode =
+          if (y == 0) { if (x == 0) 0 else 1 }
+          else if (x == 0) 2
+          else (t.data((y >> t.bits) * subW + (x >> t.bits)) >>> 8) & 0xFF
+        val pred = mode match {
+          case 0 => 0xFF000000
+          case 1 => pix(i - 1)
+          case 2 => pix(i - w)
+          case 3 => pix(i - w + 1)
+          case 4 => pix(i - w - 1)
+          case 5 => vp8lAvg2(vp8lAvg2(pix(i - 1), pix(i - w + 1)), pix(i - w))
+          case 6 => vp8lAvg2(pix(i - 1), pix(i - w - 1))
+          case 7 => vp8lAvg2(pix(i - 1), pix(i - w))
+          case 8 => vp8lAvg2(pix(i - w - 1), pix(i - w))
+          case 9 => vp8lAvg2(pix(i - w), pix(i - w + 1))
+          case 10 => vp8lAvg2(
+            vp8lAvg2(pix(i - 1), pix(i - w - 1)),
+            vp8lAvg2(pix(i - w), pix(i - w + 1)))
+          case 11 => vp8lSelect(pix(i - 1), pix(i - w), pix(i - w - 1))
+          case 12 => vp8lClampFull(pix(i - 1), pix(i - w), pix(i - w - 1))
+          case 13 => vp8lClampHalf(pix(i - 1), pix(i - w), pix(i - w - 1))
+          case _ => throw corruptMedia
+        }
+        pix(i) = vp8lAddPix(pix(i), pred)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Select predictor: Manhattan distance (over all four channels) from
+    * the gradient estimate L+T-TL to L and to T; the strictly closer of
+    * the two wins, T on ties.
+    */
+  private def vp8lSelect(l: Int, t: Int, tl: Int): Int = {
+    var pl = 0; var pt = 0
+    var sh = 0
+    while (sh < 32) {
+      val lc = (l >>> sh) & 0xFF
+      val tc = (t >>> sh) & 0xFF
+      val tlc = (tl >>> sh) & 0xFF
+      val p = lc + tc - tlc
+      pl += math.abs(p - lc)
+      pt += math.abs(p - tc)
+      sh += 8
+    }
+    if (pl < pt) l else t
+  }
+
+  private def vp8lClampFull(l: Int, t: Int, tl: Int): Int = {
+    var out = 0; var sh = 0
+    while (sh < 32) {
+      val v = ((l >>> sh) & 0xFF) + ((t >>> sh) & 0xFF) - ((tl >>> sh) & 0xFF)
+      out |= (if (v < 0) 0 else if (v > 255) 255 else v) << sh
+      sh += 8
+    }
+    out
+  }
+
+  /** ClampAddSubtractHalf: a = avg(L,T) per channel, then clamp(a+(a-TL)/2)
+    * with C-style truncation toward zero on the halving.
+    */
+  private def vp8lClampHalf(l: Int, t: Int, tl: Int): Int = {
+    var out = 0; var sh = 0
+    while (sh < 32) {
+      val a = (((l >>> sh) & 0xFF) + ((t >>> sh) & 0xFF)) / 2
+      val v = a + (a - ((tl >>> sh) & 0xFF)) / 2
+      out |= (if (v < 0) 0 else if (v > 255) 255 else v) << sh
+      sh += 8
+    }
+    out
+  }
+
+  /** Color-transform inverse: per-block multipliers live in the subimage
+    * pixel (green_to_red in the blue byte, green_to_blue in green,
+    * red_to_blue in red), each applied as (int8 multiplier * int8 channel)
+    * >> 5 and ADDED (the encoder subtracted). red_to_blue reads the
+    * already-restored red, per spec.
+    */
+  private def vp8lInverseColorTransform(
+      pix: Array[Int], w: Int, h: Int, t: VTransform): Unit = {
+    val subW = vp8lSub(w, t.bits)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cte = t.data((y >> t.bits) * subW + (x >> t.bits))
+        val g2r = cte.toByte // blue byte
+        val g2b = (cte >>> 8).toByte // green byte
+        val r2b = (cte >>> 16).toByte // red byte
+        val p = pix(i)
+        val green = (p >>> 8).toByte // int8 view of the green channel
+        val red = (((p >>> 16) & 0xFF) + ((g2r * green) >> 5)) & 0xFF
+        var blue = (p & 0xFF) + ((g2b * green) >> 5)
+        blue = (blue + ((r2b * red.toByte) >> 5)) & 0xFF
+        pix(i) = (p & 0xFF00FF00) | (red << 16) | blue
+        i += 1; x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Color-indexing inverse: the green channel indexes the delta-decoded
+    * palette; for palettes of <= 16 entries the stored width is packed
+    * (several indices per green byte) and unpacks here. An index beyond
+    * the palette is corrupt, not black — a stats scan must not invent
+    * pixel values.
+    */
+  private def vp8lInversePalette(
+      pix: Array[Int], packedW: Int, h: Int, t: VTransform): Array[Int] = {
+    val pal = t.data
+    if (t.bits == 0) {
+      var i = 0
+      while (i < pix.length) {
+        val idx = (pix(i) >>> 8) & 0xFF
+        if (idx >= pal.length) throw corruptMedia
+        pix(i) = pal(idx)
+        i += 1
+      }
+      pix
+    } else {
+      val w = t.xsize
+      val out = new Array[Int](w * h)
+      val bpp = 8 >> t.bits
+      val mask = (1 << bpp) - 1
+      val perUnit = 1 << t.bits
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val packed = (pix(y * packedW + (x >> t.bits)) >>> 8) & 0xFF
+          val idx = (packed >>> ((x & (perUnit - 1)) * bpp)) & mask
+          if (idx >= pal.length) throw corruptMedia
+          out(y * w + x) = pal(idx)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** REAL TIFF pixel decode + one-pass stats for baseline uncompressed
+    * TIFFs: 8-bit samples, photometric 0/1/2 (grayscale in either polarity
+    * or RGB), chunky planar layout, any strip structure, both byte orders
+    * (II/MM). Compressed, tiled, paletted, planar-separated, or non-8-bit
+    * files return null and take the decode seam. The stats reduce consumes
+    * each strip in place — heap is O(strip table), never a pixel buffer.
+    */
+  private def decodeTiff(b: Array[Byte]): PixelStats = {
+    try decodeTiff0(b)
+    catch { case _: CorruptMedia => null }
+  }
+
+  private def decodeTiff0(b: Array[Byte]): PixelStats = {
+    val le = b(0) == 'I'
+    def u16(i: Long): Int = {
+      if (i < 0 || i + 2 > b.length) throw corruptMedia
+      if (le) le16(b, i.toInt) else be16(b, i.toInt)
+    }
+    def u32(i: Long): Long = {
+      if (i < 0 || i + 4 > b.length) throw corruptMedia
+      (if (le) le32(b, i.toInt) else be32(b, i.toInt)).toLong & 0xFFFFFFFFL
+    }
+    if (u16(2) != 42) return null
+    val ifd = u32(4)
+    val count = u16(ifd)
+    if (ifd + 2 + 12L * count > b.length) return null
+    var width = 0L; var height = 0L
+    var photometric = -1L; var compression = 1L
+    var spp = 1L; var rowsPerStrip = -1L; var planar = 1L
+    var bpsOk = true
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    var e = 0
+    while (e < count) {
+      val off = ifd + 2 + 12L * e
+      val tag = u16(off)
+      val typ = u16(off + 2)
+      val n = u32(off + 4)
+      // element k of the entry's value: inline when it fits the 4-byte
+      // value field (left-justified), otherwise behind the offset
+      def elem(k: Long): Long = {
+        val size = typ match {
+          case 1 | 2 | 6 | 7 => 1
+          case 3 => 2
+          case 4 => 4
+          case _ => throw corruptMedia // RATIONAL etc: not used by these tags
+        }
+        val base = if (n * size <= 4) off + 8 else u32(off + 8)
+        val at = base + k * size
+        size match {
+          case 1 => if (at < 0 || at >= b.length) throw corruptMedia
+            else (b(at.toInt) & 0xFF).toLong
+          case 2 => u16(at).toLong
+          case _ => u32(at)
+        }
+      }
+      def elems(): Array[Long] = {
+        if (n > (1L << 20)) throw corruptMedia // strip-table bomb cap
+        Array.tabulate(n.toInt)(k => elem(k.toLong))
+      }
+      tag match {
+        case 256 => width = elem(0)
+        case 257 => height = elem(0)
+        case 258 =>
+          var k = 0L
+          while (k < n) { if (elem(k) != 8) bpsOk = false; k += 1 }
+        case 259 => compression = elem(0)
+        case 262 => photometric = elem(0)
+        case 273 => stripOffsets = elems()
+        case 277 => spp = elem(0)
+        case 278 => rowsPerStrip = elem(0)
+        case 284 => planar = elem(0)
+        case 279 => stripCounts = elems()
+        case _ => () // orientation, resolution, ... don't affect stats
+      }
+      e += 1
+    }
+    if (width <= 0 || height <= 0 || width > Int.MaxValue ||
+        height > Int.MaxValue) return null
+    if (compression != 1 || planar != 1 || !bpsOk) return null
+    if (photometric < 0 || photometric > 2) return null
+    if ((photometric == 2 && spp != 3) || (photometric < 2 && spp != 1))
+      return null
+    if (stripOffsets == null || stripCounts == null ||
+        stripOffsets.length != stripCounts.length || stripOffsets.isEmpty)
+      return null
+    if (rowsPerStrip <= 0) rowsPerStrip = height // spec default: one strip
+    val channels = spp.toInt
+    if (width * height * channels > Long.MaxValue / 2) return null
+    val sum = new Array[Long](channels)
+    val min = Array.fill(channels)(255)
+    val max = Array.fill(channels)(0)
+    val invert = photometric == 0 // WhiteIsZero
+    var row = 0L
+    var s = 0
+    while (s < stripOffsets.length && row < height) {
+      val rows = math.min(rowsPerStrip, height - row)
+      val needed = rows * width * channels
+      if (stripCounts(s) < needed) return null // truncated strip
+      val base = stripOffsets(s)
+      if (base < 0 || base + needed > b.length) return null
+      var j = 0L
+      while (j < needed) {
+        val raw = b((base + j).toInt) & 0xFF
+        val v = if (invert) 255 - raw else raw
+        val c = (j % channels).toInt
+        sum(c) += v
+        if (v < min(c)) min(c) = v
+        if (v > max(c)) max(c) = v
+        j += 1
+      }
+      row += rows
+      s += 1
+    }
+    if (row < height) return null // strip table doesn't cover the image
+    val nPix = width * height
+    new PixelStats("tiff", width.toInt, height.toInt, channels,
+      sum.map(_.toDouble / nPix), min, max)
+  }
+
+  /** REAL WebP lossless (VP8L) pixel decode + channel stats, pure JVM: the
+    * full bitstream — simple and code-length-coded prefix codes, color
+    * cache, meta prefix groups, LZ77 backward references with the 2-D
+    * distance mapping, and all four inverse transforms (predictor with
+    * modes 0-13, color transform, subtract-green, color indexing with
+    * sub-byte width packing). Lossy 'VP8 ' payloads return null and take
+    * the decode seam; VP8X extended containers that carry a VP8L chunk
+    * decode via the same chunk walk. Channel count follows the header's
+    * alpha-hint bit (3 = RGB, 4 = RGBA) the way PNG's color type drives
+    * its channel count.
+    *
+    * Heap is one ARGB frame (the animated-GIF compositor's budget):
+    * backward references and block transforms address arbitrary earlier
+    * pixels, so a streaming two-row window can't exist. A 64 M-pixel cap
+    * (256 MiB) bounds what a crafted 14-bit dims header can allocate.
+    */
+  private def decodeWebp(b: Array[Byte]): PixelStats = {
+    try decodeWebp0(b)
+    catch { case _: CorruptMedia => null }
+  }
+
+  private def decodeWebp0(b: Array[Byte]): PixelStats = {
+    // chunk walk to the VP8L bitstream (chunks pad to even sizes)
+    var pos = 12
+    var off = -1; var len = 0
+    while (off < 0 && pos + 8 <= b.length) {
+      val sz = le32(b, pos + 4)
+      if (sz < 0 || pos + 8 + sz > b.length) return null
+      if (b(pos) == 'V' && b(pos + 1) == 'P' && b(pos + 2) == '8' &&
+          b(pos + 3) == 'L') { off = pos + 8; len = sz }
+      else pos += 8 + sz + (sz & 1)
+    }
+    if (off < 0) return null // lossy VP8 / no lossless chunk: decode seam
+    if (len < 5 || (b(off) & 0xFF) != 0x2F) return null
+    val br = new VBits(b, off + 1, off + len)
+    val w = br.read(14) + 1
+    val h = br.read(14) + 1
+    val alphaHint = br.bit()
+    if (br.read(3) != 0) return null // version must be 0
+    if (w.toLong * h.toLong > (1L << 26)) return null // 256 MiB frame cap
+    val pix = vp8lDecodeImage(b, br, w, h, level0 = true)
+    val channels = if (alphaHint == 1) 4 else 3
+    val sum = new Array[Long](channels)
+    val min = Array.fill(channels)(255)
+    val max = Array.fill(channels)(0)
+    var i = 0
+    while (i < pix.length) {
+      val p = pix(i)
+      var c = 0
+      while (c < channels) {
+        // channel order R,G,B,A to match the PNG stats convention
+        val v = (p >>> (if (c == 3) 24 else 16 - 8 * c)) & 0xFF
+        sum(c) += v
+        if (v < min(c)) min(c) = v
+        if (v > max(c)) max(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    val nPix = w.toLong * h.toLong
+    new PixelStats("webp", w, h, channels, sum.map(_.toDouble / nPix), min, max)
   }
 
   /** REAL PNG pixel decode + one-pass stats, pure JDK: IDAT chunks are one

@@ -1,0 +1,148 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TIFF strip-decode fixtures: constructed IFDs in both byte orders,
+  * multi-strip layouts, WhiteIsZero inversion, RGB chunky samples, and a
+  * cross-read of our constructed files through the JDK's own ImageIO TIFF
+  * reader (validating the construction AND the decoder against an
+  * independent implementation).
+  */
+class TiffSpec extends AnyFunSuite {
+
+  /** Build an uncompressed 8-bit TIFF. `photometric`: 0/1 gray, 2 RGB.
+    * Strips split rows evenly by `rowsPerStrip`.
+    */
+  private def tiff(le: Boolean, w: Int, h: Int, photometric: Int,
+      samples: Array[Byte], rowsPerStrip: Int): Array[Byte] = {
+    val spp = if (photometric == 2) 3 else 1
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val nEntries = 9
+    val order =
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN
+    // layout: 8 header, IFD (2 + 12n + 4), strip tables, then sample data
+    val ifdSize = 2 + 12 * nEntries + 4
+    val tablesOff = 8 + ifdSize
+    val dataOff = tablesOff + 8 * nStrips // two LONG arrays of strip info
+    val bb = java.nio.ByteBuffer.allocate(dataOff + samples.length).order(order)
+    bb.put((if (le) "II" else "MM").getBytes("US-ASCII")).putShort(42.toShort)
+    bb.putInt(8)
+    bb.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0.toShort) }
+      else bb.putInt(value)
+    }
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    entry(258, 3, 1, 8) // count 1 even for RGB: all samples 8-bit
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, photometric)
+    entry(273, 4, nStrips, if (nStrips == 1) dataOff else tablesOff)
+    entry(277, 3, 1, spp)
+    entry(278, 3, 1, rowsPerStrip)
+    entry(279, 4, nStrips,
+      if (nStrips == 1) samples.length else tablesOff + 4 * nStrips)
+    bb.putInt(0) // next IFD
+    // strip offset + byte-count arrays (present even when inline unused)
+    var row = 0; var off = dataOff
+    val counts = new Array[Int](nStrips)
+    for (s <- 0 until nStrips) {
+      val rows = math.min(rowsPerStrip, h - row)
+      counts(s) = rows * w * spp
+      bb.putInt(off)
+      off += counts(s); row += rows
+    }
+    for (s <- 0 until nStrips) bb.putInt(counts(s))
+    bb.put(samples)
+    bb.array
+  }
+
+  private def gray(n: Int)(f: Int => Int): Array[Byte] =
+    Array.tabulate(n)(i => f(i).toByte)
+
+  test("little-endian single-strip gray decodes exactly") {
+    val px = gray(4 * 3)(i => 10 + 7 * i)
+    val s = MediaCodec.decodePixels(tiff(le = true, 4, 3, 1, px, 3))
+    assert(s != null && s.format == "tiff" && s.width == 4 && s.height == 3)
+    assert(s.channels == 1)
+    assert(s.min(0) == 10 && s.max(0) == 10 + 7 * 11)
+    assert(s.mean(0) == px.map(_ & 0xFF).sum.toDouble / 12)
+  }
+
+  test("big-endian and multi-strip agree with single-strip") {
+    val px = gray(6 * 5)(i => (i * 31) % 256)
+    val a = MediaCodec.decodePixels(tiff(le = true, 6, 5, 1, px, 5))
+    val b = MediaCodec.decodePixels(tiff(le = false, 6, 5, 1, px, 2)) // 3 strips
+    assert(a != null && b != null)
+    assert(a.mean(0) == b.mean(0) && a.min(0) == b.min(0) && a.max(0) == b.max(0))
+    assert(b.width == 6 && b.height == 5)
+  }
+
+  test("photometric 0 (WhiteIsZero) inverts samples") {
+    val px = gray(2 * 2)(i => 10 * i) // 0,10,20,30 -> inverted 255..225
+    val s = MediaCodec.decodePixels(tiff(le = true, 2, 2, 0, px, 2))
+    assert(s != null)
+    assert(s.min(0) == 225 && s.max(0) == 255 && s.mean(0) == 240.0)
+  }
+
+  test("RGB chunky samples split into three channels") {
+    // 2x1: pixels (10,20,30) and (50,60,70)
+    val px = Array[Byte](10, 20, 30, 50, 60, 70)
+    val s = MediaCodec.decodePixels(tiff(le = true, 2, 1, 2, px, 1))
+    assert(s != null && s.channels == 3)
+    assert(s.mean(0) == 30.0 && s.min(0) == 10 && s.max(0) == 50)
+    assert(s.mean(1) == 40.0 && s.mean(2) == 50.0)
+  }
+
+  test("JDK ImageIO reads our fixtures identically (gray and RGB)") {
+    val px = gray(5 * 4)(i => (i * 53 + 11) % 256)
+    val bytesG = tiff(le = true, 5, 4, 1, px, 2)
+    val rgb = Array.tabulate(3 * 2 * 3)(i => ((i * 29 + 5) % 256).toByte)
+    val bytesC = tiff(le = false, 3, 2, 2, rgb, 1)
+    for ((bytes, spp) <- Seq((bytesG, 1), (bytesC, 3))) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO failed to read the constructed TIFF")
+      val ours = MediaCodec.decodePixels(bytes)
+      assert(ours != null && ours.channels == spp)
+      val raster = img.getRaster
+      for (c <- 0 until spp) {
+        var sum = 0L; var mn = 255; var mx = 0
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val v = raster.getSample(x, y, c)
+          sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+        }
+        val n = img.getWidth * img.getHeight
+        assert(ours.mean(c) == sum.toDouble / n, s"channel $c mean")
+        assert(ours.min(c) == mn && ours.max(c) == mx, s"channel $c min/max")
+      }
+    }
+  }
+
+  test("unsupported shapes and corrupt files null, never throw") {
+    val px = gray(4)(i => i)
+    val good = tiff(le = true, 2, 2, 1, px, 2)
+    assert(MediaCodec.decodePixels(good) != null)
+    // LZW compression flag
+    val lzw = good.clone
+    // entry 4 (index 3) = tag 259, value at 8+2+12*3+8
+    lzw(8 + 2 + 12 * 3 + 8) = 5
+    assert(MediaCodec.decodePixels(lzw) == null)
+    // 16-bit samples
+    val b16 = good.clone
+    b16(8 + 2 + 12 * 2 + 8) = 16
+    assert(MediaCodec.decodePixels(b16) == null)
+    // palette photometric
+    val pal = good.clone
+    pal(8 + 2 + 12 * 4 + 8) = 3
+    assert(MediaCodec.decodePixels(pal) == null)
+    // truncation at every byte
+    for (cut <- 0 until good.length)
+      assert(MediaCodec.decodePixels(good.take(cut)) == null, s"cut=$cut")
+    // strip offset past the end
+    val far = tiff(le = true, 2, 2, 1, px, 2)
+    val bb = java.nio.ByteBuffer.wrap(far).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(8 + 2 + 12 * 5 + 8, 100000)
+    assert(MediaCodec.decodePixels(far) == null)
+  }
+}

@@ -1,0 +1,418 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VP8L (WebP lossless) decode fixtures. Every payload is CONSTRUCTED
+  * bit-by-bit here against the public bitstream layout, so each assertion
+  * pins one decoder mechanism to a hand-computed expectation: simple and
+  * code-length-coded prefix codes, zero-bit single-symbol codes, LZ77
+  * backward references through the 2-D distance mapping, the color cache,
+  * meta prefix groups, and all four inverse transforms.
+  */
+class Vp8lSpec extends AnyFunSuite {
+
+  /** LSB-first bit writer (the encoder mirror of the decoder's VBits). */
+  private final class BW {
+    private val out = collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var n = 0
+    def put(v: Int, bits: Int): BW = {
+      var i = 0
+      while (i < bits) {
+        if (((v >> i) & 1) == 1) cur |= 1 << n
+        n += 1
+        if (n == 8) { out += cur.toByte; cur = 0; n = 0 }
+        i += 1
+      }
+      this
+    }
+    /** Prefix CODES go MSB-first (DEFLATE convention), unlike values. */
+    def code(c: Int, len: Int): BW = {
+      var j = len - 1
+      while (j >= 0) { put((c >> j) & 1, 1); j -= 1 }
+      this
+    }
+    def bytes: Array[Byte] = {
+      val t = out.toArray
+      if (n > 0) t :+ cur.toByte else t
+    }
+  }
+
+  /** Wrap a VP8L bit payload (post-signature) in RIFF/WEBP/VP8L. */
+  private def riff(bits: Array[Byte]): Array[Byte] = {
+    val payload = 0x2F.toByte +: bits
+    val pad = payload.length & 1
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 8 + payload.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + payload.length + pad)
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put("VP8L".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    bb.array
+  }
+
+  private def header(bw: BW, w: Int, h: Int, alphaHint: Int): BW =
+    bw.put(w - 1, 14).put(h - 1, 14).put(alphaHint, 1).put(0, 3)
+
+  /** Simple prefix code, one symbol (decodes in zero bits). */
+  private def simple1(bw: BW, sym: Int): BW = {
+    bw.put(1, 1).put(0, 1)
+    if (sym < 2) bw.put(0, 1).put(sym, 1) else bw.put(1, 1).put(sym, 8)
+  }
+
+  /** Simple prefix code, two symbols (1 bit each, canonical by value). */
+  private def simple2(bw: BW, s0: Int, s1: Int): BW =
+    bw.put(1, 1).put(1, 1).put(1, 1).put(s0, 8).put(s1, 8)
+
+  /** Code-length-coded prefix code giving every symbol in `syms` the same
+    * length `lt` (1 or 2; |syms| <= 2^lt). The code-length code itself is
+    * the complete set {0 -> len 1 (code 0), lt -> len 2 (code 10),
+    * 18 -> len 2 (code 11)}; gaps are explicit zeros or 18-runs.
+    */
+  private def normalCode(bw: BW, syms: Seq[Int], lt: Int, alphabet: Int): BW = {
+    bw.put(0, 1) // not simple
+    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    val numCodes = order.indexOf(lt).max(order.indexOf(18)).max(order.indexOf(0)) + 1
+    bw.put(numCodes - 4, 4)
+    var i = 0
+    while (i < numCodes) {
+      val s = order(i)
+      bw.put(if (s == 0) 1 else if (s == lt || s == 18) 2 else 0, 3)
+      i += 1
+    }
+    bw.put(0, 1) // no explicit symbol budget: runs cover the full alphabet
+    def cl(s: Int): Unit =
+      if (s == 0) bw.code(0, 1)
+      else if (s == lt) bw.code(2, 2)
+      else bw.code(3, 2) // 18
+    def zeros(k0: Int): Unit = {
+      var k = k0
+      while (k >= 11) { val run = math.min(k, 138); cl(18); bw.put(run - 11, 7); k -= run }
+      while (k > 0) { cl(0); k -= 1 }
+    }
+    var at = 0
+    for (s <- syms.sorted) { zeros(s - at); cl(lt); at = s + 1 }
+    zeros(alphabet - at)
+    bw
+  }
+
+  /** Canonical code value of `sym` within `syms` all at one length: its
+    * rank in symbol order.
+    */
+  private def rank(syms: Seq[Int], sym: Int): Int = syms.sorted.indexOf(sym)
+
+  test("solid color via one-symbol codes: zero bits per pixel, exact stats") {
+    val bw = new BW
+    header(bw, 5, 3, alphaHint = 1)
+    bw.put(0, 1).put(0, 1).put(0, 1) // no transforms, cache, meta
+    simple1(bw, 77); simple1(bw, 200); simple1(bw, 13); simple1(bw, 250)
+    simple1(bw, 0) // distance (never used)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null && s.format == "webp" && s.width == 5 && s.height == 3)
+    assert(s.channels == 4)
+    assert(s.mean(0) == 200.0 && s.min(0) == 200 && s.max(0) == 200) // R
+    assert(s.mean(1) == 77.0 && s.mean(2) == 13.0 && s.mean(3) == 250.0)
+  }
+
+  test("alpha-hint 0 reports 3 channels (RGB), like an opaque PNG") {
+    val bw = new BW
+    header(bw, 2, 2, alphaHint = 0)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    simple1(bw, 1); simple1(bw, 2); simple1(bw, 3); simple1(bw, 255)
+    simple1(bw, 0)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null && s.channels == 3)
+    assert(s.mean(0) == 2.0 && s.mean(1) == 1.0 && s.mean(2) == 3.0)
+  }
+
+  test("two-symbol green code alternates literals (1 bit per pixel)") {
+    val bw = new BW
+    header(bw, 2, 2, alphaHint = 1)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    simple2(bw, 10, 200) // green
+    simple1(bw, 5); simple1(bw, 6); simple1(bw, 255); simple1(bw, 0)
+    // pixels g: 10, 200, 10, 200 -> codes 0,1,0,1
+    bw.code(0, 1).code(1, 1).code(0, 1).code(1, 1)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null)
+    assert(s.mean(1) == 105.0 && s.min(1) == 10 && s.max(1) == 200)
+    assert(s.mean(0) == 5.0 && s.mean(2) == 6.0 && s.mean(3) == 255.0)
+  }
+
+  test("code-length-coded greens: four symbols at length 2 decode exactly") {
+    val greens = Seq(5, 9, 17, 33)
+    val bw = new BW
+    header(bw, 2, 2, alphaHint = 1)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    normalCode(bw, greens, 2, 280)
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 255); simple1(bw, 0)
+    for (g <- greens) bw.code(rank(greens, g), 2)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null)
+    assert(s.mean(1) == 16.0 && s.min(1) == 5 && s.max(1) == 33)
+  }
+
+  test("LZ77 backward reference: dist code 2 maps to (1,0), repeats last pixel") {
+    // 4x1: one literal, then symbol 258 -> length 3, dist plane (1,0) = 1.
+    val syms = Seq(42, 258)
+    val bw = new BW
+    header(bw, 4, 1, alphaHint = 1)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    normalCode(bw, syms, 1, 280)
+    simple1(bw, 7); simple1(bw, 8); simple1(bw, 255)
+    simple1(bw, 1) // distance prefix symbol 1 -> distCode 2 -> (1,0)
+    bw.code(rank(syms, 42), 1) // literal
+    bw.code(rank(syms, 258), 1) // backref: len = prefixValue(2) = 3, 0 extra
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null && s.width == 4 && s.height == 1)
+    assert(s.mean(1) == 42.0 && s.min(1) == 42 && s.max(1) == 42)
+    assert(s.mean(0) == 7.0 && s.mean(2) == 8.0)
+  }
+
+  test("LZ77 across rows: dist code 1 maps to (0,1) = one row up") {
+    // 2x2: two distinct literals, then symbol 257 (len 2) copies the row.
+    val g0 = 30; val g1 = 90
+    val syms = Seq(g0, g1, 257)
+    val bw = new BW
+    header(bw, 2, 2, alphaHint = 1)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    normalCode(bw, syms, 2, 280)
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 255)
+    simple1(bw, 0) // distance prefix symbol 0 -> distCode 1 -> (0,1)
+    bw.code(rank(syms, g0), 2).code(rank(syms, g1), 2)
+    bw.code(rank(syms, 257), 2) // len = prefixValue(1) = 2, dist = xsize = 2
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null)
+    assert(s.mean(1) == 60.0 && s.min(1) == 30 && s.max(1) == 90)
+  }
+
+  test("color cache: a cache-index symbol replays an inserted pixel") {
+    val cacheBits = 4
+    val argb = 0xFF010203 // a=255 r=1 g=2 b=3
+    val key = (0x1E35A7BD * argb) >>> (32 - cacheBits)
+    val syms = Seq(2, 280 + key)
+    val bw = new BW
+    header(bw, 2, 1, alphaHint = 1)
+    bw.put(0, 1) // no transforms
+    bw.put(1, 1).put(cacheBits, 4) // color cache on
+    bw.put(0, 1) // no meta
+    normalCode(bw, syms, 1, 256 + 24 + (1 << cacheBits))
+    simple1(bw, 1); simple1(bw, 3); simple1(bw, 255); simple1(bw, 0)
+    bw.code(rank(syms, 2), 1) // literal FF010203, inserted at `key`
+    bw.code(rank(syms, 280 + key), 1) // cache hit
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null && s.width == 2)
+    assert(s.mean(0) == 1.0 && s.mean(1) == 2.0 && s.mean(2) == 3.0)
+    assert(s.mean(3) == 255.0)
+  }
+
+  test("subtract-green transform inverts: stored r-g/b-g come back exact") {
+    val (a, r, g, b) = (255, 100, 30, 7)
+    val bw = new BW
+    header(bw, 3, 1, alphaHint = 1)
+    bw.put(1, 1).put(2, 2) // transform: subtract-green
+    bw.put(0, 1) // no more transforms
+    bw.put(0, 1).put(0, 1) // no cache, no meta
+    simple1(bw, g); simple1(bw, (r - g) & 0xFF); simple1(bw, (b - g) & 0xFF)
+    simple1(bw, a); simple1(bw, 0)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null)
+    assert(s.mean(0) == r.toDouble && s.mean(1) == g.toDouble &&
+      s.mean(2) == ((b - g + g) & 0xFF).toDouble && s.mean(3) == a.toDouble)
+  }
+
+  test("color-indexing transform: packed 2-bit indices resolve the palette") {
+    // Palette FF101010, FF303030, FF505050, FF707070 -> deltas: first
+    // entry literal, then 00202020 each. 4 entries -> 2 bits/index,
+    // packed width 1: one green byte 0xE4 = 0|1<<2|2<<4|3<<6.
+    val bw = new BW
+    header(bw, 4, 1, alphaHint = 1)
+    bw.put(1, 1).put(3, 2).put(3, 8) // color-indexing, size-1 = 3
+    // palette subimage 4x1 (no cache bit of its own group... it has one):
+    bw.put(0, 1) // palette image: no color cache
+    simple2(bw, 0x10, 0x20) // greens
+    simple2(bw, 0x10, 0x20) // reds
+    simple2(bw, 0x10, 0x20) // blues
+    simple2(bw, 0x00, 0xFF) // alphas
+    simple1(bw, 0) // dist
+    // palette pixels: d0 = FF101010 -> (g,r,b,a) codes (0,0,0,1);
+    // d1..d3 = 00202020 -> (1,1,1,0)
+    bw.code(0, 1).code(0, 1).code(0, 1).code(1, 1)
+    for (_ <- 0 until 3) bw.code(1, 1).code(1, 1).code(1, 1).code(0, 1)
+    bw.put(0, 1) // no more transforms
+    bw.put(0, 1).put(0, 1) // main image: no cache, no meta
+    simple1(bw, 0xE4) // the single packed index byte in green (zero bits/px)
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 0); simple1(bw, 0)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null && s.width == 4 && s.height == 1)
+    for (c <- 0 to 2) {
+      assert(s.mean(c) == (16 + 48 + 80 + 112) / 4.0)
+      assert(s.min(c) == 16 && s.max(c) == 112)
+    }
+    assert(s.mean(3) == 255.0)
+  }
+
+  test("predictor transform: mode 2 (T) block plus forced edge modes") {
+    // 4x2 solid FF406080 stored as residuals: only (0,0) is nonzero
+    // (pred there is opaque black), row 0 then predicts L, row 1 mode T.
+    val bw = new BW
+    header(bw, 4, 2, alphaHint = 1)
+    bw.put(1, 1).put(0, 2).put(1, 3) // predictor, sizeBits = 1+2 = 3
+    // 1x1 mode subimage: mode 2 in green
+    bw.put(0, 1) // no cache
+    simple1(bw, 2); simple1(bw, 0); simple1(bw, 0); simple1(bw, 0)
+    simple1(bw, 0)
+    bw.put(0, 1) // no more transforms
+    bw.put(0, 1).put(0, 1)
+    simple2(bw, 0x00, 0x60) // greens: residual 0x60 then zeros
+    simple2(bw, 0x00, 0x40) // reds
+    simple2(bw, 0x00, 0x80) // blues
+    simple1(bw, 0) // alpha residual always 0 (255 - 255... 0 for (0,0) too:
+    // black pred alpha is 255, target 255 -> residual 0)
+    simple1(bw, 0)
+    bw.code(1, 1).code(1, 1).code(1, 1) // (0,0): g,r,b nonzero residual
+    for (_ <- 0 until 7) bw.code(0, 1).code(0, 1).code(0, 1)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null && s.width == 4 && s.height == 2)
+    assert(s.mean(0) == 0x40.toDouble && s.min(0) == 0x40 && s.max(0) == 0x40)
+    assert(s.mean(1) == 0x60.toDouble && s.mean(2) == 0x80.toDouble)
+    assert(s.mean(3) == 255.0)
+  }
+
+  test("predictor mode 11 (Select) picks T on the hand-computed gradient") {
+    // 2x2: C1=(255,100,50,10), C2=(255,60,40,200), C3=(255,90,45,100).
+    // (1,1) under Select(L=C3, T=C2, TL=C1): p=L+T-TL=(255,50,35,290),
+    // pL=0+40+10+190=240, pT=0+10+5+90=105 -> T wins -> pixel = C2.
+    val resid = Seq( // (a,r,g,b) residual per pixel, raster order
+      (0, 100, 50, 10), // (0,0) vs black
+      (0, (60 - 100) & 0xFF, (40 - 50) & 0xFF, (200 - 10) & 0xFF), // L
+      (0, (90 - 100) & 0xFF, (45 - 50) & 0xFF, (100 - 10) & 0xFF), // T
+      (0, 0, 0, 0)) // Select -> T = C2 exactly
+    val gs = resid.map(_._3).distinct.sorted
+    val rs = resid.map(_._2).distinct.sorted
+    val bs = resid.map(_._4).distinct.sorted
+    val bw = new BW
+    header(bw, 2, 2, alphaHint = 1)
+    bw.put(1, 1).put(0, 2).put(0, 3) // predictor, sizeBits = 2 (block 4)
+    bw.put(0, 1) // subimage: no cache
+    simple1(bw, 11); simple1(bw, 0); simple1(bw, 0); simple1(bw, 0)
+    simple1(bw, 0)
+    bw.put(0, 1) // no more transforms
+    bw.put(0, 1).put(0, 1)
+    normalCode(bw, gs, 2, 280)
+    normalCode(bw, rs, 2, 256)
+    normalCode(bw, bs, 2, 256)
+    simple1(bw, 0) // alpha residuals all 0
+    simple1(bw, 0)
+    for ((_, r, g, b) <- resid)
+      bw.code(rank(gs, g), 2).code(rank(rs, r), 2).code(rank(bs, b), 2)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null)
+    // pixels: C1, C2, C3, C2
+    assert(s.mean(0) == (100 + 60 + 90 + 60) / 4.0 && s.min(0) == 60 && s.max(0) == 100)
+    assert(s.mean(1) == (50 + 40 + 45 + 40) / 4.0)
+    assert(s.mean(2) == (10 + 200 + 100 + 200) / 4.0 && s.max(2) == 200)
+    assert(s.mean(3) == 255.0)
+  }
+
+  test("color transform: signed multipliers restore red then blue from red") {
+    // One block: green_to_red=16, green_to_blue=-16 (0xF0), red_to_blue=0.
+    // green=64: dr = (16*64)>>5 = 32, db = (-16*64)>>5 = -32.
+    // Stored red = 100-32 = 68, stored blue = 7+32 = 39.
+    val bw = new BW
+    header(bw, 2, 1, alphaHint = 1)
+    bw.put(1, 1).put(1, 2).put(0, 3) // color transform, sizeBits = 2
+    bw.put(0, 1) // subimage: no cache
+    simple1(bw, 0xF0) // green byte = green_to_blue
+    simple1(bw, 0) // red byte = red_to_blue
+    simple1(bw, 16) // blue byte = green_to_red
+    simple1(bw, 0xFF)
+    simple1(bw, 0)
+    bw.put(0, 1) // no more transforms
+    bw.put(0, 1).put(0, 1)
+    simple1(bw, 64); simple1(bw, 68); simple1(bw, 39); simple1(bw, 255)
+    simple1(bw, 0)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null)
+    assert(s.mean(0) == 100.0 && s.mean(1) == 64.0 && s.mean(2) == 7.0)
+  }
+
+  test("meta prefix groups: two spatial groups decode with their own codes") {
+    // 8x1, metaBits=2 -> meta image 2x1 with group ids 0,1: left half
+    // solid (255,10,20,30), right half solid (255,110,120,130).
+    val bw = new BW
+    header(bw, 8, 1, alphaHint = 1)
+    bw.put(0, 1) // no transforms
+    bw.put(0, 1) // no cache
+    bw.put(1, 1).put(0, 3) // meta prefix on, bits = 2
+    // meta image 2x1: greens 0,1 (group ids), red/blue/alpha zero
+    bw.put(0, 1) // meta image: no cache
+    simple2(bw, 0, 1)
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 0); simple1(bw, 0)
+    bw.code(0, 1).code(1, 1)
+    // group 0 codes then group 1 codes
+    simple1(bw, 20); simple1(bw, 10); simple1(bw, 30); simple1(bw, 255)
+    simple1(bw, 0)
+    simple1(bw, 120); simple1(bw, 110); simple1(bw, 130); simple1(bw, 255)
+    simple1(bw, 0)
+    val s = MediaCodec.decodePixels(riff(bw.bytes))
+    assert(s != null && s.width == 8)
+    assert(s.mean(0) == 60.0 && s.min(0) == 10 && s.max(0) == 110)
+    assert(s.mean(1) == 70.0 && s.mean(2) == 80.0 && s.mean(3) == 255.0)
+  }
+
+  test("VP8X extended container: the chunk walk still finds VP8L") {
+    val bw = new BW
+    header(bw, 2, 1, alphaHint = 1)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    simple1(bw, 9); simple1(bw, 8); simple1(bw, 7); simple1(bw, 255)
+    simple1(bw, 0)
+    val payload = 0x2F.toByte +: bw.bytes
+    val pad = payload.length & 1
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 8 + 10 + 8 + payload.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 8 + 10 + 8 + payload.length + pad)
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put("VP8X".getBytes("US-ASCII")).putInt(10)
+    bb.put(new Array[Byte](10)) // flags + canvas dims (unused by decode)
+    bb.put("VP8L".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    val s = MediaCodec.decodePixels(bb.array)
+    assert(s != null && s.format == "webp" && s.width == 2)
+    assert(s.mean(0) == 8.0 && s.mean(1) == 9.0 && s.mean(2) == 7.0)
+  }
+
+  test("corrupt and unsupported payloads null, never throw") {
+    // lossy VP8 chunk: decode seam, not an error
+    val lossy = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lossy.put("RIFF".getBytes("US-ASCII")).putInt(22)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8 ".getBytes("US-ASCII")).putInt(10).put(new Array[Byte](10))
+    assert(MediaCodec.decodePixels(lossy.array) == null)
+    // good payload, then truncate at every byte boundary
+    val bw = new BW
+    header(bw, 2, 2, alphaHint = 1)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    simple2(bw, 10, 200)
+    simple1(bw, 5); simple1(bw, 6); simple1(bw, 255); simple1(bw, 0)
+    bw.code(0, 1).code(1, 1).code(0, 1).code(1, 1)
+    val good = riff(bw.bytes)
+    assert(MediaCodec.decodePixels(good) != null)
+    // every cut short of the full bitstream nulls (the final byte is the
+    // RIFF pad, which truncation legitimately drops)
+    for (cut <- 12 until good.length - 1)
+      assert(MediaCodec.decodePixels(good.take(cut)) == null, s"cut=$cut")
+    // version != 0
+    val badVer = new BW
+    header(badVer, 2, 2, 1)
+    val bv = badVer.bytes.clone()
+    bv(3) = (bv(3) | 0x80).toByte // highest header bit = version bit 2
+    assert(MediaCodec.decodePixels(riff(bv)) == null)
+    // dimension bomb: 16384x16384 > 64M-pixel cap
+    val bomb = new BW
+    header(bomb, 16384, 16384, 1)
+    bomb.put(0, 24)
+    assert(MediaCodec.decodePixels(riff(bomb.bytes)) == null)
+  }
+}
