@@ -3046,6 +3046,37 @@ object SparkEntry {
           col("col.content_length").as("content_length"))
         .orderBy("doc_id", "pos")
     }),
+
+    // --- 143. PDF text extraction, oracle-pinned --------------------------------------------------------
+    // After HTML (q135), the crawl corpus's biggest text format with no
+    // operator: a 1-3 page PDF is CONSTRUCTED per row (catalog/pages tree,
+    // per-page content streams with Td + Tj) and extracted through the
+    // codegen'd PdfTextExpr — stream walk, operator evaluation, page
+    // count. Flate inflation, TJ kerning, escapes/hex/WinAnsi and salvage
+    // on damaged files are pinned by PdfSpec's fixtures.
+    "q143_pdf_text" -> ((s, d) => {
+      def content(i: Int) = concat(
+        lit(s"BT 72 720 Td (p$i-"), col("doc_id"), lit(") Tj ET"))
+      def page(i: Int) = concat(
+        lit(s"${3 + 2 * i} 0 obj << /Type /Page /Parent 2 0 R >> endobj\n"),
+        lit(s"${4 + 2 * i} 0 obj << /Length "),
+        length(content(i)).cast("string"), lit(" >> stream\n"),
+        content(i), lit("\nendstream endobj\n"))
+      val pdf = encode(concat(
+        lit("%PDF-1.4\n" +
+          "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+          "2 0 obj << /Type /Pages /Count 1 >> endobj\n"),
+        page(0),
+        when(col("doc_id") % 3 >= 1, page(1)).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, page(2)).otherwise(lit("")),
+        lit("%%EOF")), "UTF-8")
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.pdfText(pdf).as("v"))
+        .select(col("doc_id"),
+          col("v.text").as("text"),
+          col("v.pages").as("pages"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4596,6 +4627,16 @@ object SparkEntry {
         |    ELSE 'metadata' END AS warc_type,
         |  'http://example.com/' || doc_id || '/' || pos AS target_uri,
         |  CAST(length('payload-' || doc_id || '-' || pos) AS BIGINT) AS content_length
-        |FROM r ORDER BY doc_id, pos""".stripMargin
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
+
+    // PDF closed forms: page i's stream shows exactly "pi-<doc_id>"; Td
+    // newlines join pages; page count = number of /Type /Page objects.
+    "q143_pdf_text" ->
+      """SELECT doc_id,
+        |  'p0-' || doc_id
+        |    || CASE WHEN doc_id % 3 >= 1 THEN chr(10) || 'p1-' || doc_id ELSE '' END
+        |    || CASE WHEN doc_id % 3 >= 2 THEN chr(10) || 'p2-' || doc_id ELSE '' END AS text,
+        |  CAST(doc_id % 3 + 1 AS INT) AS pages
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

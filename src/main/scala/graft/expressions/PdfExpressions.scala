@@ -1,0 +1,328 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Lenient PDF text extraction, pure JDK — the crawl corpus's second
+  * document format after HTML (q135). No xref trust, WARC-salvage
+  * discipline throughout: the extractor scans the raw bytes for content
+  * streams ("stream"..."endstream"), inflates FlateDecode bodies with
+  * [[java.util.zip.Inflater]] (the PNG decoder's plumbing), and evaluates
+  * the text operators (BT/ET blocks; Tj, TJ, ', ") found inside. A
+  * damaged or truncated file yields whatever text its intact streams
+  * carry — a corrupt tail must not zero a 50-page document.
+  *
+  * Deterministic layout rules (pinned by PdfSpec and the q143 oracle):
+  * Tj and the quote operators append their string; TJ appends its
+  * array's strings, inserting one space for kerning adjustments
+  * <= -180 thousandths of an em; Td, TD, T-star and the quote operators
+  * emit one newline (suppressed when the buffer is empty or
+  * already newline-terminated). String bytes map through WinAnsi
+  * (CP1252's 0x80-0x9F block, latin-1 elsewhere) — the dominant simple-
+  * font encoding; embedded CID fonts would need font tables no header
+  * scan can provide and come out as raw bytes.
+  *
+  * Page count is the number of `/Type /Page` dictionaries (the `/Pages`
+  * tree node is excluded by name-delimiter check) — robust against a
+  * broken or absent page tree.
+  */
+object PdfCodec {
+
+  /** Per-stream inflate cap: a kilobyte of deflate can declare gigabytes;
+    * row-local salvage keeps what fits and drops the rest.
+    */
+  val MaxStreamBytes: Int = 1 << 26 // 64 MiB
+
+  /** Total extracted-character cap across all streams of one document. */
+  val MaxTextChars: Int = 1 << 24 // 16M chars
+
+  /** CP1252 0x80-0x9F (WinAnsi's deviation from latin-1); 0 = undefined,
+    * kept as the raw latin-1 code point.
+    */
+  private val winAnsiHigh: Array[Char] = Array(
+    '€', 0, '‚', 'ƒ', '„', '…', '†', '‡',
+    'ˆ', '‰', 'Š', '‹', 'Œ', 0, 'Ž', 0,
+    0, '‘', '’', '“', '”', '•', '–', '—',
+    '˜', '™', 'š', '›', 'œ', 0, 'ž', 'Ÿ')
+
+  private def winAnsi(byte: Int): Char = {
+    val b = byte & 0xFF
+    if (b >= 0x80 && b <= 0x9F) {
+      val c = winAnsiHigh(b - 0x80)
+      if (c != 0) c else b.toChar
+    } else b.toChar
+  }
+
+  /** Find ASCII `needle` in `b` at or after `from`; -1 when absent. */
+  private def indexOf(b: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.length
+    var i = math.max(0, from)
+    val limit = b.length - n
+    while (i <= limit) {
+      var j = 0
+      while (j < n && b(i + j) == needle.charAt(j)) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+
+  /** Regular name characters — a `/Page` immediately followed by one of
+    * these is a different name (`/Pages`), not a page.
+    */
+  private def isNameChar(c: Int): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '+' || c == '.'
+
+  /** Count `/Type /Page` occurrences (whitespace between the two names
+    * optional per spec; `/Pages` excluded).
+    */
+  private def countPages(b: Array[Byte]): Int = {
+    var count = 0
+    var at = indexOf(b, "/Type", 0)
+    while (at >= 0) {
+      var p = at + 5
+      while (p < b.length && isWs(b(p) & 0xFF)) p += 1
+      if (p + 5 <= b.length && b(p) == '/' && b(p + 1) == 'P' &&
+          b(p + 2) == 'a' && b(p + 3) == 'g' && b(p + 4) == 'e' &&
+          (p + 5 == b.length || !isNameChar(b(p + 5) & 0xFF)))
+        count += 1
+      at = indexOf(b, "/Type", at + 5)
+    }
+    count
+  }
+
+  /** Inflate a FlateDecode body; on corruption keep the bytes produced so
+    * far (salvage), on bomb overflow truncate at the cap.
+    */
+  private def inflate(b: Array[Byte], from: Int, len: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(b, from, len)
+    val out = new java.io.ByteArrayOutputStream(math.min(len * 4, 1 << 16))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && out.size < MaxStreamBytes) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          return out.toByteArray // truncated input: keep the salvage
+        }
+        out.write(buf, 0, math.min(n, MaxStreamBytes - out.size))
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Evaluate the text operators of one decoded content stream into `out`.
+    * PDF content is postfix (operands, then the operator), so the walk
+    * tracks the operand window since the last operator: string/number
+    * items in order (TJ arrays flatten into the same window).
+    */
+  private def extractOps(s: Array[Byte], out: java.lang.StringBuilder): Unit = {
+    var inText = false
+    // operand window
+    val strs = new java.util.ArrayList[String]()
+    val kinds = new java.lang.StringBuilder() // 's' = string, 'n' = number
+    val nums = new java.util.ArrayList[Double]()
+    def clear(): Unit = { strs.clear(); nums.clear(); kinds.setLength(0) }
+    def newline(): Unit = {
+      val n = out.length
+      if (n > 0 && out.charAt(n - 1) != '\n' && n < MaxTextChars) out.append('\n')
+    }
+    def appendStr(x: String): Unit = {
+      val room = MaxTextChars - out.length
+      if (room > 0) out.append(if (x.length <= room) x else x.substring(0, room))
+    }
+    def showAll(kern: Boolean): Unit = {
+      var si = 0; var ni = 0; var k = 0
+      while (k < kinds.length) {
+        if (kinds.charAt(k) == 's') { appendStr(strs.get(si)); si += 1 }
+        else {
+          if (kern && nums.get(ni) <= -180.0) appendStr(" ")
+          ni += 1
+        }
+        k += 1
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s(i) & 0xFF
+      if (c == '(') {
+        // literal string: escapes + balanced unescaped parens
+        val sb = new java.lang.StringBuilder()
+        var depth = 1
+        i += 1
+        while (i < s.length && depth > 0) {
+          val ch = s(i) & 0xFF
+          if (ch == '\\' && i + 1 < s.length) {
+            i += 1
+            val e = s(i) & 0xFF
+            e match {
+              case 'n' => sb.append('\n'); i += 1
+              case 'r' => sb.append('\r'); i += 1
+              case 't' => sb.append('\t'); i += 1
+              case 'b' => sb.append('\b'); i += 1
+              case 'f' => sb.append('\f'); i += 1
+              case '\r' => i += 1; if (i < s.length && s(i) == '\n') i += 1
+              case '\n' => i += 1 // line continuation: no character
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0
+                while (k < 3 && i < s.length && s(i) >= '0' && s(i) <= '7') {
+                  v = v * 8 + (s(i) - '0'); i += 1; k += 1
+                }
+                sb.append(winAnsi(v & 0xFF))
+              case other => sb.append(winAnsi(other)); i += 1
+            }
+          } else if (ch == '(') { depth += 1; sb.append('('); i += 1 }
+          else if (ch == ')') {
+            depth -= 1
+            if (depth > 0) sb.append(')')
+            i += 1
+          } else { sb.append(winAnsi(ch)); i += 1 }
+        }
+        strs.add(sb.toString); kinds.append('s')
+      } else if (c == '<' && i + 1 < s.length && (s(i + 1) & 0xFF) == '<') {
+        i += 2 // inline dict marker: skip, its tokens are inert here
+      } else if (c == '>' && i + 1 < s.length && (s(i + 1) & 0xFF) == '>') {
+        i += 2
+      } else if (c == '<') {
+        // hex string
+        val sb = new java.lang.StringBuilder()
+        var hi = -1
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          val ch = s(i) & 0xFF
+          val d = Character.digit(ch, 16)
+          if (ch == '>') { done = true; i += 1 }
+          else {
+            if (d >= 0) {
+              if (hi < 0) hi = d
+              else { sb.append(winAnsi(hi * 16 + d)); hi = -1 }
+            }
+            i += 1
+          }
+        }
+        if (hi >= 0) sb.append(winAnsi(hi * 16)) // odd digit: pad 0
+        strs.add(sb.toString); kinds.append('s')
+      } else if (c == '[' || c == ']') {
+        i += 1 // TJ array brackets: elements flow into the operand window
+      } else if (c == '/') {
+        i += 1
+        while (i < s.length && isNameChar(s(i) & 0xFF)) i += 1
+      } else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        val start = i
+        i += 1
+        while (i < s.length && {
+          val d = s(i) & 0xFF
+          (d >= '0' && d <= '9') || d == '.' || d == 'e' || d == 'E' ||
+            d == '+' || d == '-'
+        }) i += 1
+        val tok = new String(s, start, i - start, "ISO-8859-1")
+        try { nums.add(tok.toDouble); kinds.append('n') }
+        catch { case _: NumberFormatException => () }
+      } else if (c == '\'') {
+        if (inText) { newline(); showAll(kern = false) }
+        clear(); i += 1
+      } else if (c == '"') {
+        if (inText) { newline(); showAll(kern = false) }
+        clear(); i += 1
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '*') {
+        val start = i
+        i += 1
+        while (i < s.length && {
+          val d = s(i) & 0xFF
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+            (d >= '0' && d <= '9') || d == '*'
+        }) i += 1
+        val op = new String(s, start, i - start, "ISO-8859-1")
+        op match {
+          case "BT" => inText = true
+          case "ET" => inText = false
+          case "Tj" => if (inText) showAll(kern = false)
+          case "TJ" => if (inText) showAll(kern = true)
+          case "Td" | "TD" | "T*" => if (inText) newline()
+          case _ => ()
+        }
+        clear()
+      } else i += 1
+    }
+  }
+
+  /** `binary` -> (text, pages), or null when the payload has no %PDF
+    * header in its first KiB (junk bytes, not a PDF).
+    */
+  def pdfText(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    val hdr = indexOf(bytes, "%PDF-", 0)
+    if (hdr < 0 || hdr > 1024) return null
+    val out = new java.lang.StringBuilder()
+    var at = indexOf(bytes, "stream", hdr)
+    while (at >= 0) {
+      // keyword must not be "endstream"'s tail
+      val isEnd = at >= 3 && bytes(at - 1) == 'd' && bytes(at - 2) == 'n' &&
+        bytes(at - 3) == 'e'
+      var dataStart = at + 6
+      if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
+      if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
+      if (!isEnd) {
+        val end = indexOf(bytes, "endstream", dataStart)
+        val dataEnd = if (end < 0) bytes.length else end // salvage truncation
+        // the stream's dictionary sits just before the keyword
+        val dictFrom = math.max(hdr, at - 1024)
+        val dict = new String(bytes, dictFrom, at - dictFrom, "ISO-8859-1")
+        val dictTail = dict.lastIndexOf("<<")
+        val d = if (dictTail >= 0) dict.substring(dictTail) else dict
+        val flate = d.contains("/FlateDecode") || d.contains("/Fl ") ||
+          d.endsWith("/Fl")
+        val otherFilter = !flate && d.contains("/Filter")
+        if (!otherFilter && dataEnd > dataStart) {
+          val body =
+            if (flate) inflate(bytes, dataStart, dataEnd - dataStart)
+            else java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          if (indexOf(body, "BT", 0) >= 0) extractOps(body, out)
+        }
+        at = indexOf(bytes, "stream", if (end < 0) bytes.length else end + 9)
+      } else {
+        at = indexOf(bytes, "stream", at + 6)
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(out.toString), countPages(bytes)))
+  }
+}
+
+/** `binary` -> struct<text:string, pages:int>, or NULL for payloads with
+  * no PDF header. Codegen'd: extraction runs inside the scan's
+  * WholeStageCodegen stage — "pull the text out of a billion crawled
+  * PDFs" is a pruned scan with no UDF in the loop.
+  */
+case class PdfTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("pages", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    PdfCodec.pdfText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.PdfCodec.pdfText($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): PdfTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pdf_text"
+}

@@ -211,6 +211,18 @@ object Multimodal {
       graft.expressions.ZunstdExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Lenient PDF text extraction + page count as a native codegen'd
+    * expression ([[graft.expressions.PdfTextExpr]]): scans for content
+    * streams without trusting the xref (WARC-salvage discipline),
+    * inflates FlateDecode bodies, and evaluates BT/ET text operators
+    * (Tj, TJ with kerning spaces, ', ") under WinAnsi. NULL only when no
+    * %PDF header exists; a damaged file yields its intact streams' text.
+    */
+  def pdfText(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.PdfTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** robots.txt politeness decision (RFC 9309 core: group selection,
     * longest-rule-wins, wildcards/anchors) as a native codegen'd
     * expression ([[graft.expressions.RobotsAllowedExpr]]). Standard null

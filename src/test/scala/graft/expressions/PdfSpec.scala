@@ -1,0 +1,154 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF text-extraction fixtures: constructed documents pin the stream
+  * walk, Flate inflation, the text-operator evaluation rules (Tj, TJ
+  * kerning, quote operators, Td newlines), string syntax (escapes, octal,
+  * hex strings, WinAnsi high bytes), page counting, and the salvage
+  * behavior on damaged files.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  private def latin1(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  private def rawStream(content: String, num: Int = 5): Array[Byte] =
+    latin1(s"$num 0 obj << /Length ${content.length} >> stream\n" +
+      s"$content\nendstream endobj\n")
+
+  private def flateStream(content: String, num: Int = 5): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(latin1(content)); d.finish()
+    val buf = new Array[Byte](65536)
+    val n = d.deflate(buf)
+    d.end()
+    latin1(s"$num 0 obj << /Filter /FlateDecode /Length $n >> stream\n") ++
+      buf.take(n) ++ latin1("\nendstream endobj\n")
+  }
+
+  private def pageObj(num: Int): Array[Byte] =
+    latin1(s"$num 0 obj << /Type /Page /Parent 2 0 R >> endobj\n")
+
+  private def doc(parts: Array[Byte]*): Array[Byte] =
+    latin1("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Count 1 >> endobj\n") ++
+      parts.flatten ++ latin1("%%EOF")
+
+  private def text(b: Array[Byte]): (String, Int) = {
+    val row = PdfCodec.pdfText(b)
+    assert(row != null)
+    (row.getUTF8String(0).toString, row.getInt(1))
+  }
+
+  test("minimal uncompressed document: one page, one Tj") {
+    val (t, pages) = text(doc(pageObj(3),
+      rawStream("BT /F1 12 Tf 72 720 Td (Hello World) Tj ET")))
+    assert(t == "Hello World")
+    assert(pages == 1)
+  }
+
+  test("FlateDecode stream inflates through the same operator path") {
+    val (t, pages) = text(doc(pageObj(3),
+      flateStream("BT 72 720 Td (compressed text) Tj ET")))
+    assert(t == "compressed text")
+    assert(pages == 1)
+  }
+
+  test("TJ kerning: adjustments <= -180 become a space, milder ones don't") {
+    val (t, _) = text(doc(pageObj(3),
+      rawStream("BT [(Hel) -50 (lo) -200 (world)] TJ ET")))
+    assert(t == "Hello world")
+  }
+
+  test("quote operator starts a new line before showing") {
+    val (t, _) = text(doc(pageObj(3),
+      rawStream("BT (first) Tj (second) ' ET")))
+    assert(t == "first\nsecond")
+  }
+
+  test("Td/TD/T* emit newlines; leading newline suppressed") {
+    val (t, _) = text(doc(pageObj(3),
+      rawStream("BT 72 720 Td (a) Tj 0 -14 TD (b) Tj T* (c) Tj ET")))
+    assert(t == "a\nb\nc")
+  }
+
+  test("string escapes: parens, backslash, octal, control, continuation") {
+    val (t, _) = text(doc(pageObj(3),
+      rawStream("BT (a\\(b\\)c \\\\ \\101 x\\\ny) Tj ET")))
+    assert(t == "a(b)c \\ A xy")
+  }
+
+  test("balanced unescaped parens nest inside literals") {
+    val (t, _) = text(doc(pageObj(3), rawStream("BT ((nested) ok) Tj ET")))
+    assert(t == "(nested) ok")
+  }
+
+  test("hex strings decode, whitespace ignored, odd digit pads zero") {
+    val (t, _) = text(doc(pageObj(3),
+      rawStream("BT <48 656C 6C6F> Tj ET")))
+    assert(t == "Hello")
+    val (t2, _) = text(doc(pageObj(3), rawStream("BT <414> Tj ET")))
+    assert(t2 == "A@") // 0x41, 0x40 (odd final digit padded)
+  }
+
+  test("WinAnsi high bytes map through CP1252") {
+    val (t, _) = text(doc(pageObj(3),
+      rawStream("BT (\\223quoted\\224 \\222) Tj ET")))
+    assert(t == "\u201Cquoted\u201D \u2019") // smart quotes + apostrophe
+  }
+
+  test("page counting: /Pages excluded, compact /Type/Page counted") {
+    val b = doc(pageObj(3), pageObj(4),
+      latin1("6 0 obj << /Type/Page >> endobj\n"),
+      rawStream("BT (x) Tj ET", 7))
+    assert(text(b)._2 == 3)
+  }
+
+  test("text outside BT/ET is ignored; multiple streams concatenate") {
+    val b = doc(pageObj(3),
+      rawStream("(ignored) Tj BT 1 2 Td (page one) Tj ET", 5),
+      rawStream("BT 1 2 Td (page two) Tj ET", 6))
+    assert(text(b)._1 == "page one\npage two")
+  }
+
+  test("salvage: truncated stream (no endstream) still yields its text") {
+    val whole = doc(pageObj(3),
+      rawStream("BT 1 2 Td (kept text) Tj ET"))
+    // cut right at the endstream keyword: stream data now runs to EOF
+    val cut = whole.take(new String(whole, "ISO-8859-1").indexOf("endstream"))
+    val row = PdfCodec.pdfText(cut)
+    assert(row != null && row.getUTF8String(0).toString == "kept text")
+  }
+
+  test("salvage: corrupt flate tail keeps the inflated prefix") {
+    val good = flateStream("BT 1 2 Td (partial recovery works) Tj ET")
+    // truncate the deflate body mid-way, then re-append the end markers
+    val endAt = {
+      val s = new String(good, "ISO-8859-1")
+      s.indexOf("endstream")
+    }
+    val mangled = doc(pageObj(3),
+      good.take(endAt - 12) ++ latin1("\nendstream endobj\n"))
+    val row = PdfCodec.pdfText(mangled)
+    assert(row != null) // whatever inflated before the cut, no throw
+  }
+
+  test("unsupported filters are skipped, not mis-parsed") {
+    val b = doc(pageObj(3),
+      latin1("5 0 obj << /Filter /DCTDecode /Length 4 >> stream\n" +
+        "BT (ÿØ) Tj\nendstream endobj\n"),
+      rawStream("BT (real) Tj ET", 6))
+    assert(text(b)._1 == "real")
+  }
+
+  test("junk bytes and headerless fragments null") {
+    assert(PdfCodec.pdfText("not a pdf at all".getBytes) == null)
+    assert(PdfCodec.pdfText(Array.fill[Byte](64)(0x7F)) == null)
+    assert(PdfCodec.pdfText(Array.emptyByteArray) == null)
+  }
+
+  test("empty document: no streams, zero text, pages still counted") {
+    val (t, pages) = text(doc(pageObj(3)))
+    assert(t == "" && pages == 1)
+  }
+}
