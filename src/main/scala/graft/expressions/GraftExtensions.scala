@@ -197,6 +197,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(bin) => WarcRecordsExpr(bin)
         case _ => throw new IllegalArgumentException("graft_warc_records(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_pdf_text"),
+      new ExpressionInfo(classOf[PdfTextExpr].getName, "graft_pdf_text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => PdfTextExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_pdf_text(binary)")
       })
   )
 

@@ -1691,7 +1691,9 @@ object MediaCodec {
       return null
     if (rowsPerStrip <= 0) rowsPerStrip = height // spec default: one strip
     val channels = spp.toInt
-    if (width * height * channels > Long.MaxValue / 2) return null
+    // pixel-count bomb cap; width/height are each <= Int.MaxValue so the
+    // product can't overflow Long, and everything downstream stays small
+    if (width * height > (1L << 40)) return null
     val sum = new Array[Long](channels)
     val min = Array.fill(channels)(255)
     val max = Array.fill(channels)(0)
@@ -1745,14 +1747,18 @@ object MediaCodec {
   }
 
   private def decodeWebp0(b: Array[Byte]): PixelStats = {
-    // chunk walk to the VP8L bitstream (chunks pad to even sizes)
-    var pos = 12
+    // chunk walk to the VP8L bitstream (chunks pad to even sizes). Sizes
+    // are attacker-controlled u32: Long arithmetic, like the file's other
+    // RIFF walks — Int would overflow into a negative index.
+    var pos = 12L
     var off = -1; var len = 0
     while (off < 0 && pos + 8 <= b.length) {
-      val sz = le32(b, pos + 4)
-      if (sz < 0 || pos + 8 + sz > b.length) return null
-      if (b(pos) == 'V' && b(pos + 1) == 'P' && b(pos + 2) == '8' &&
-          b(pos + 3) == 'L') { off = pos + 8; len = sz }
+      val sz = le32(b, (pos + 4).toInt).toLong & 0xFFFFFFFFL
+      if (pos + 8 + sz > b.length) return null
+      if (b(pos.toInt) == 'V' && b(pos.toInt + 1) == 'P' &&
+          b(pos.toInt + 2) == '8' && b(pos.toInt + 3) == 'L') {
+        off = pos.toInt + 8; len = sz.toInt
+      }
       else pos += 8 + sz + (sz & 1)
     }
     if (off < 0) return null // lossy VP8 / no lossless chunk: decode seam
