@@ -10,10 +10,15 @@ object Tables {
 
   /** Load one table from the testdata scale-factor directory.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw long nanos and convert with exact integer
-    * division (double division would lose sub-microsecond precision at
-    * ~1.7e18 ns magnitudes).
+    * `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as raw long nanos under `nanosAsLong` and convert with
+    * exact integer division, since double division would lose
+    * sub-microsecond precision at ~1.7e18 ns magnitudes) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (Spark reads TIMESTAMP_NTZ —
+    * cast to session-zone TIMESTAMP so downstream semantics match). The
+    * loader branches on the dtype Spark actually read, so either encoding
+    * yields the same `ts: timestamp` logical schema.
     */
   // DataFrame handles are immutable plans — caching them per (session, dir,
   // table) spares every one of the ~70 bench/verify queries a fresh parquet
@@ -55,9 +60,16 @@ object Tables {
     if (cached != null) return cached
     val df0 = spark.read.parquet(s"$dir/$name.parquet")
     val df =
-      if (name == "events")
-        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df0
+      if (name == "events") {
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+        df0.schema("ts").dataType match {
+          case LongType => // legacy int64-nanos encoding, read under nanosAsLong
+            df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampNTZType => // timestamp[us] without UTC flag
+            df0.withColumn("ts", col("ts").cast(TimestampType))
+          case _ => df0 // already session-zone timestamp
+        }
+      } else df0
     handles.synchronized {
       val again = handles.get(key)
       if (again != null) again
@@ -67,9 +79,23 @@ object Tables {
 
   /** Register every table as a temp view (for spark.sql-expressed queries)
     * and return the session. Idempotent per session.
+    *
+    * A single unreadable table must not take down queries that never
+    * reference it: failures are collected and rethrown lazily — the view is
+    * simply absent, so only queries naming that table fail (with the
+    * original cause chained), instead of every SQL-expressed query dying at
+    * registration time.
     */
-  def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val failures = all.flatMap { n =>
+      try { t(spark, dir, n).createOrReplaceTempView(n); None }
+      catch { case e: Exception => Some(n -> e) }
+    }
+    failures.foreach { case (n, e) =>
+      System.err.println(s"[graft] WARN: table '$n' failed to load from $dir; " +
+        s"view not registered: ${e.getMessage}")
+    }
+  }
 
   /** Decimal-stabilized cast: TPC-H money/quantity columns have exactly two
     * decimal digits, so DECIMAL(12,2) arithmetic is exact and associative —

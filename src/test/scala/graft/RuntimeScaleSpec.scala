@@ -97,16 +97,24 @@ class RuntimeScaleSpec extends SparkTestBase {
     // to-events join over the hot user gets skew-split by AQE rather than
     // serializing into one straggler task.
     val dir = graft.GraftTmp.dir("graft-skewev").toString
-    // Keep the driver testdata's raw shape (ts = nanos long) so Tables.t
-    // applies its usual exact conversion to the skewed copy too.
+    // Keep the driver testdata's raw shape (whatever encoding it ships —
+    // nanos long or native timestamp) so Tables.t applies its usual
+    // conversion to the skewed copy too. The +r ms bump below must therefore
+    // be encoding-agnostic.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     val hotUser = raw.groupBy("user_id").count().orderBy(desc("count"))
       .head().getLong(0)
+    val bumpTs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // raw nanos: +r * 1e6 ns = +r ms
+        col("ts") + col("r").cast("long") * 1000000L
+      case _ => // timestamp / timestamp_ntz
+        expr("timestampadd(MILLISECOND, r, ts)")
+    }
     val extra = raw.where(col("user_id") === hotUser)
       .withColumn("r", explode(sequence(lit(1), lit(300))))
       .withColumn("event_id", col("event_id") * 1000L + col("r"))
-      .withColumn("ts", col("ts") + col("r").cast("long") * 1000000L) // +r ms
+      .withColumn("ts", bumpTs)
       .drop("r")
     raw.unionByName(extra).write.parquet(s"$dir/events.parquet")
 

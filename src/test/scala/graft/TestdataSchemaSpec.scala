@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Testdata-encoding canary.
+  *
+  * The driver regenerates `/root/testdata` between (and occasionally DURING)
+  * rounds, and has already shipped `events.ts` in two physical encodings:
+  * int64 TIMESTAMP(NANOS) and plain `timestamp[us]` without the UTC flag.
+  * Round 8 learned the hard way that a loader hard-coded to one encoding
+  * fails as 13 opaque per-query analysis exceptions. This suite makes any
+  * future encoding drift fail as ONE focused test with a readable message:
+  * it pins the post-`Tables.t` logical schema of every table, and exercises
+  * both supported `events.ts` branches against synthesized fixtures so the
+  * legacy path stays covered even while the live testdata uses the new one.
+  */
+class TestdataSchemaSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // Timestamp-bearing driver columns have shipped both with and without the
+  // parquet isAdjustedToUTC flag (→ TimestampType vs TimestampNTZType).
+  // Queries + oracle agree under either (session TZ is UTC), so the canary
+  // accepts both — what it must catch is a column silently becoming a
+  // string/long/date.
+  private def tsLike(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  private val exact: Map[String, Map[String, DataType]] = Map(
+    "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Map("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Map("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Map("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderpriority" -> StringType),
+    "lineitem" -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType),
+    "events" -> Map("event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType),
+    "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Map("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
+  )
+
+  private val tsCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq() // pinned EXACTLY TimestampType below, not just tsLike
+  )
+
+  test("every driver table loads with the contract schema (post-Tables.t)") {
+    val problems = Tables.all.flatMap { name =>
+      try {
+        val schema = Tables.t(spark, sf, name).schema
+        val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+        val wrongExact = exact(name).collect {
+          case (c, want) if !byName.get(c).contains(want) =>
+            s"$name.$c: expected $want, got ${byName.get(c).orNull}"
+        }
+        val wrongTs = tsCols.getOrElse(name, Seq()).collect {
+          case c if !byName.get(c).exists(tsLike) =>
+            s"$name.$c: expected timestamp/timestamp_ntz, got ${byName.get(c).orNull}"
+        }
+        val missing = (exact(name).keySet ++ tsCols.getOrElse(name, Seq()))
+          .diff(byName.keySet).map(c => s"$name.$c: column missing")
+        wrongExact ++ wrongTs ++ missing
+      } catch {
+        case e: Exception => Seq(s"$name: failed to load — ${e.getMessage}")
+      }
+    }
+    assert(problems.isEmpty,
+      "TESTDATA ENCODING DRIFT — the driver regenerated /root/testdata with " +
+        "a schema the loader contract does not cover:\n  " +
+        problems.mkString("\n  "))
+  }
+
+  test("events.ts normalizes to TimestampType regardless of physical encoding") {
+    val dt = Tables.t(spark, sf, "events").schema("ts").dataType
+    assert(dt == TimestampType,
+      s"events.ts must load as TIMESTAMP (session-zone); got $dt — " +
+        "update the dtype branch in Tables.t")
+  }
+
+  test("legacy int64-nanos events encoding still converts exactly") {
+    // Spark cannot WRITE parquet TIMESTAMP(NANOS); under nanosAsLong=true a
+    // NANOS column reads back as LongType, which is also what a plain int64
+    // column reads as — so a long `ts` fixture exercises the identical
+    // LongType branch of Tables.t that live nanos testdata hits.
+    val dir = GraftTmp.dir("graft-evnanos").toString
+    val nanos = 1700000000123456789L // 2023-11-14T22:13:20.123456789Z
+    spark.range(1).select(
+      lit(1L).as("event_id"), lit(nanos).as("ts"), lit(7L).as("user_id"),
+      lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props")
+    ).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.t(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(col("ts")).head().getTimestamp(0)
+    // div 1000 truncates toward zero: .123456789 s → .123456 s (micros)
+    assert(got == Timestamp.valueOf("2023-11-14 22:13:20.123456"),
+      s"nanos conversion drifted: $got")
+  }
+
+  test("timestamp_ntz events encoding casts to session-zone timestamp exactly") {
+    val dir = GraftTmp.dir("graft-evntz").toString
+    spark.sql(
+      """SELECT 1L AS event_id,
+        |       TIMESTAMP_NTZ '2023-11-14 22:13:20.123456' AS ts,
+        |       7L AS user_id, 'click' AS event_type, 1.0D AS value,
+        |       '{}' AS props""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.t(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(col("ts")).head().getTimestamp(0)
+    // Session TZ is UTC, so NTZ wall-clock == the same UTC instant.
+    assert(got == Timestamp.valueOf("2023-11-14 22:13:20.123456"),
+      s"ntz cast drifted: $got")
+  }
+
+  test("registerViews survives one broken table; unrelated views still work") {
+    val dir = GraftTmp.dir("graft-brokenev").toString
+    // Valid copies of every table except events, which is unreadable garbage.
+    Tables.all.filter(_ != "events").foreach { n =>
+      spark.read.parquet(s"$sf/$n.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      "this is not parquet".getBytes("UTF-8"))
+    Tables.registerViews(spark, dir) // must NOT throw
+    assert(spark.sql("SELECT count(*) FROM nation").head().getLong(0) > 0)
+    // Re-register the real views so later suites sharing this session see
+    // canonical testdata, not this test's tmp dir.
+    Tables.registerViews(spark, sf)
+  }
+}
