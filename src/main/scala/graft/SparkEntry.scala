@@ -3077,6 +3077,73 @@ object SparkEntry {
           col("v.pages").as("pages"))
         .orderBy("doc_id")
     }),
+
+    // --- 144. FLAC subframe audio decode, oracle-pinned -------------------------------------------------
+    // Full FLAC frame decode (RFC 9639) behind the same graft_audio_stats
+    // expression as WAV: a one-frame FLAC file is CONSTRUCTED per row,
+    // cycling the four byte-constructible subframe shapes — CONSTANT,
+    // VERBATIM (alternating pair), FIXED order 1 with an escape-coded
+    // constant residual (arithmetic ramp), FIXED order 2 with rice-zero
+    // residuals (ramp from two warmups) — with row-varying byte-aligned
+    // sample fields spliced into Scala-precomputed bit-constant residual
+    // sections. The oracle recomputes every stat closed-form. LPC, stereo
+    // decorrelation, wasted bits, rice partitions and 24-bit scaling are
+    // pinned bit-exactly by FlacDecodeSpec.
+    "q144_flac_decode" -> ((s, d) => {
+      def hx4(c: org.apache.spark.sql.Column) =
+        lpad(hex(c.cast("bigint").bitwiseAND(lit(65535L))), 4, "0")
+      def bitsHex(bits: Seq[Int]): String =
+        (bits ++ Seq.fill((8 - bits.size % 8) % 8)(0)).grouped(8)
+          .map(g => f"${g.foldLeft(0)((a, b) => (a << 1) | b)}%02X").mkString
+      def fourBits(v: Int) = Seq(3, 2, 1, 0).map(i => (v >> i) & 1)
+      // FIXED-1 residual section: method 00, part order 0000, escape 1111,
+      // n=4 (00100), then 191 raw 4-bit residuals of +5 (0101); pad.
+      val secC = bitsHex(Seq(0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 1, 0, 0) ++
+        (1 until 192).flatMap(_ => fourBits(5)))
+      // FIXED-2 residual section: method 00, part order 0000, rice k=0000,
+      // then 190 zero residuals (each a lone 1-bit) — exactly 25 bytes.
+      val secD = bitsHex(Seq.fill(10)(0) ++ Seq.fill(190)(1))
+      val srTable = array(Seq(44100, 48000, 32000).map(lit): _*)
+      val m = col("doc_id") % 4
+      val vA = (col("doc_id") % 1000) * 60 - 29970
+      val aB = (col("doc_id") % 300) * 100 - 14950
+      val wC = (col("doc_id") % 100) * 300 - 16000
+      val dD = (col("doc_id") % 7) * 2 + 1
+      val wD = (col("doc_id") % 120) * 250 - 20000
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val sr = element_at(srTable, (col("doc_id") % 3).cast("int") + 1)
+      val streamInfo = concat(
+        lit("664C6143"), // fLaC
+        lit("80000022"), // last metadata block, type 0, length 34
+        lit("10001000"), // min/max blocksize 4096
+        lit("000000000000"), // min/max framesize unknown
+        hx(shiftright(sr, 12)),
+        hx(shiftright(sr, 4).bitwiseAND(lit(255))),
+        hx(shiftleft(sr.bitwiseAND(lit(15)), 4)), // ch-1=0, (bps-1)>>4=0
+        lit("F0"), // (bps-1)&15 << 4, total>>32 = 0
+        lit("000000C0"), // total samples 192
+        lit("00" * 16)) // md5 unset
+      // Frame header: sync FFF8, bs code 1 (=192) | sr code 0 (STREAMINFO),
+      // mono | 16-bit, frame number 0, CRC-8 (decoder skips).
+      val frameHdr = lit("FFF8100800" + "00")
+      val subframe =
+        when(m === 0, concat(lit("00"), hx4(vA)))
+          .when(m === 1, concat(lit("02"),
+            repeat(concat(hx4(aB), hx4(aB + 999)), 96)))
+          .when(m === 2, concat(lit("12"), hx4(wC), lit(secC)))
+          .otherwise(concat(lit("14"), hx4(wD), hx4(wD + dD), lit(secD)))
+      val payload = unhex(concat(streamInfo, frameHdr, subframe, lit("0000")))
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.audioStats(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"),
+          col("v.n_frames").as("n_frames"),
+          col("v.c0_mean").as("c0_mean"),
+          col("v.c0_min").as("c0_min"),
+          col("v.c0_max").as("c0_max"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4637,6 +4704,36 @@ object SparkEntry {
         |    || CASE WHEN doc_id % 3 >= 1 THEN chr(10) || 'p1-' || doc_id ELSE '' END
         |    || CASE WHEN doc_id % 3 >= 2 THEN chr(10) || 'p2-' || doc_id ELSE '' END AS text,
         |  CAST(doc_id % 3 + 1 AS INT) AS pages
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // FLAC closed forms: CONSTANT -> the value itself; VERBATIM a/b pair ->
+    // midpoint/min/max; FIXED-1 ramp step 5 over 192 samples from warmup w;
+    // FIXED-2 ramp step d from two warmups. Mirrors the construction
+    // arithmetic in the query exactly.
+    "q144_flac_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    ELSE 32000 END AS sample_rate,
+        |  1 AS channels,
+        |  CAST(192 AS BIGINT) AS n_frames,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN (doc_id % 1000) * 60 - 29970
+        |    WHEN 1 THEN (doc_id % 300) * 100 - 14950 + 499.5
+        |    WHEN 2 THEN (doc_id % 100) * 300 - 16000 + 477.5
+        |    ELSE (doc_id % 120) * 250 - 20000 + ((doc_id % 7) * 2 + 1) * 95.5
+        |  END AS DOUBLE) AS c0_mean,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN (doc_id % 1000) * 60 - 29970
+        |    WHEN 1 THEN (doc_id % 300) * 100 - 14950
+        |    WHEN 2 THEN (doc_id % 100) * 300 - 16000
+        |    ELSE (doc_id % 120) * 250 - 20000
+        |  END AS INT) AS c0_min,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN (doc_id % 1000) * 60 - 29970
+        |    WHEN 1 THEN (doc_id % 300) * 100 - 14950 + 999
+        |    WHEN 2 THEN (doc_id % 100) * 300 - 16000 + 955
+        |    ELSE (doc_id % 120) * 250 - 20000 + 191 * ((doc_id % 7) * 2 + 1)
+        |  END AS INT) AS c0_max
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -3059,11 +3059,331 @@ object MediaCodec {
     null // no data chunk
   }
 
-  /** [[decodeWav]] marshalled for the catalyst expression: fixed 2-channel
-    * slots (c1 null for mono) so query output stays scalar columns.
+  /** MSB-first bit reader over a byte array — FLAC's bit order. Overruns
+    * latch [[failed]] and return zeros instead of throwing: frame decode
+    * checks the flag once per frame, keeping the per-bit hot path
+    * branch-light and the decoder total-work bounded by input bits.
+    */
+  private final class BitReader(b: Array[Byte], startByte: Int) {
+    var pos: Int = startByte << 3 // absolute bit position
+    private val end: Int = b.length << 3
+    var failed: Boolean = false
+    def readBit(): Int = {
+      if (pos >= end) { failed = true; return 0 }
+      val v = (b(pos >>> 3) >>> (7 - (pos & 7))) & 1
+      pos += 1
+      v
+    }
+    /** n in [0, 32]: unsigned value. */
+    def readBits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** n in [1, 32]: two's-complement signed value. */
+    def readSigned(n: Int): Long = {
+      val v = readBits(n)
+      if ((v & (1L << (n - 1))) != 0) v - (1L << n) else v
+    }
+    /** Count of 0-bits before the terminating 1-bit. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0 && !failed) q += 1
+      q
+    }
+    def alignByte(): Unit = pos = (pos + 7) & ~7
+    def bytePos: Int = pos >>> 3
+  }
+
+  /** Full FLAC stream decode+reduce: the lossless sibling of [[decodeWav]],
+    * implementing the public spec (RFC 9639 / xiph.org): metadata-block
+    * walk, frame-header parse (all block-size/rate/size codes, UTF-8-coded
+    * frame numbers), CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32)
+    * subframes, 4- and 5-bit Rice partitions with escape codes, wasted
+    * bits, and left/side / right/side / mid/side stereo decorrelation.
+    * CRC-8/16 fields are skipped, not verified — the engine's posture on
+    * damaged crawl payloads is salvage, and a failed parse returns null
+    * (the mapPartitions seam) rather than throwing. Stats report in s16
+    * scale like every audio path. Heap is O(blockSize × channels) longs
+    * (≤ 65535 per spec); total work is bounded by input bits, because
+    * every decoded sample consumes at least one bit.
+    */
+  def decodeFlac(b: Array[Byte]): AudioStats = {
+    if (b == null || b.length < 42) return null
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return null
+    // Metadata blocks; STREAMINFO mandated first.
+    var pos = 4
+    var lastBlock = false
+    var sr = 0; var ch = 0; var bps = 0; var total = 0L
+    var firstBlock = true
+    while (!lastBlock) {
+      if (pos + 4 > b.length) return null
+      val hdr = b(pos) & 0xFF
+      lastBlock = (hdr & 0x80) != 0
+      val typ = hdr & 0x7F
+      val len = ((b(pos + 1) & 0xFF) << 16) | ((b(pos + 2) & 0xFF) << 8) |
+        (b(pos + 3) & 0xFF)
+      if (firstBlock) {
+        if (typ != 0 || len < 34) return null
+        val s = pos + 4
+        if (s + 34 > b.length) return null
+        sr = ((b(s + 10) & 0xFF) << 12) | ((b(s + 11) & 0xFF) << 4) |
+          ((b(s + 12) & 0xFF) >>> 4)
+        ch = ((b(s + 12) >>> 1) & 0x7) + 1
+        bps = (((b(s + 12) & 0x1) << 4) | ((b(s + 13) & 0xFF) >>> 4)) + 1
+        total = ((b(s + 13) & 0x0FL) << 32) | ((b(s + 14) & 0xFFL) << 24) |
+          ((b(s + 15) & 0xFFL) << 16) | ((b(s + 16) & 0xFFL) << 8) |
+          (b(s + 17) & 0xFFL)
+        if (sr == 0) return null
+        firstBlock = false
+      }
+      pos += 4 + len
+      if (pos > b.length) return null
+    }
+    // Output struct has mono/stereo slots; >2 channels would silently
+    // drop stats (same cap as decodeWav).
+    if (ch < 1 || ch > 2) return null
+    val sum = new Array[Long](ch)
+    val min = Array.fill(ch)(Int.MaxValue)
+    val max = Array.fill(ch)(Int.MinValue)
+    var nFrames = 0L
+    var buf0: Array[Long] = null // per-block sample buffers, grown on demand
+    var buf1: Array[Long] = null
+    while (pos < b.length) {
+      // Stream may not carry trailing garbage; but a stream whose
+      // STREAMINFO total is satisfied is complete.
+      if (pos + 2 > b.length) return null
+      // Sync: 11111111 111110, 1 reserved-0 bit, 1 blocking-strategy bit.
+      if ((b(pos) & 0xFF) != 0xFF || (b(pos + 1) & 0xFC) != 0xF8) return null
+      val r = new BitReader(b, pos + 2)
+      val bsCode = r.readBits(4).toInt
+      val srCode = r.readBits(4).toInt
+      val chAssign = r.readBits(4).toInt
+      val ssCode = r.readBits(3).toInt
+      if (r.readBit() != 0) return null // reserved
+      // UTF-8-style coded frame/sample number: skip (leading byte gives
+      // the continuation count).
+      val lead = r.readBits(8).toInt
+      if (lead >= 0x80) {
+        var cont = 0
+        var m = 0x40
+        while ((lead & m) != 0) { cont += 1; m >>>= 1 }
+        if (cont < 1 || cont > 6) return null
+        var i = 0
+        while (i < cont) { if ((r.readBits(8) & 0xC0L) != 0x80L) return null; i += 1 }
+      }
+      val blockSize = bsCode match {
+        case 0 => return null // reserved
+        case 1 => 192
+        case c if c <= 5 => 576 << (c - 2)
+        case 6 => r.readBits(8).toInt + 1
+        case 7 => r.readBits(16).toInt + 1
+        case c => 256 << (c - 8)
+      }
+      srCode match { // value only needed from STREAMINFO; skip inline forms
+        case 12 => r.readBits(8)
+        case 13 | 14 => r.readBits(16)
+        case 15 => return null // invalid
+        case _ => ()
+      }
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case _ => return null // reserved
+      }
+      val frameCh = if (chAssign <= 7) chAssign + 1 else 2
+      if (chAssign > 10 || frameCh != ch) return null
+      r.readBits(8) // CRC-8 of the frame header: skipped, not verified
+      if (r.failed) return null
+      if (buf0 == null || buf0.length < blockSize) {
+        buf0 = new Array[Long](blockSize)
+        if (ch == 2) buf1 = new Array[Long](blockSize)
+      }
+      var c = 0
+      while (c < ch) {
+        // Side channel carries one extra bit: left/side(8) & mid/side(10)
+        // put it on channel 1, right/side(9) on channel 0.
+        val sfBps = frameBps + (chAssign match {
+          case 8 | 10 => if (c == 1) 1 else 0
+          case 9 => if (c == 0) 1 else 0
+          case _ => 0
+        })
+        val out = if (c == 0) buf0 else buf1
+        if (!decodeSubframe(r, out, blockSize, sfBps)) return null
+        c += 1
+      }
+      r.alignByte()
+      r.readBits(16) // frame CRC-16: skipped
+      if (r.failed) return null
+      // Stereo decorrelation (RFC 9639 reconstruction).
+      if (chAssign == 8) { // left/side: right = left - side
+        var i = 0; while (i < blockSize) { buf1(i) = buf0(i) - buf1(i); i += 1 }
+      } else if (chAssign == 9) { // right/side: left = right + side
+        var i = 0
+        while (i < blockSize) {
+          val side = buf0(i); buf0(i) = buf1(i) + side; i += 1
+        }
+      } else if (chAssign == 10) { // mid/side
+        var i = 0
+        while (i < blockSize) {
+          val side = buf1(i)
+          val mid = (buf0(i) << 1) | (side & 1L)
+          buf0(i) = (mid + side) >> 1
+          buf1(i) = (mid - side) >> 1
+          i += 1
+        }
+      }
+      // Reduce in s16 scale so stats stay comparable across bit depths.
+      val shift = frameBps - 16
+      c = 0
+      while (c < ch) {
+        val buf = if (c == 0) buf0 else buf1
+        var i = 0
+        while (i < blockSize) {
+          val raw = buf(i)
+          val v = (if (shift > 0) raw >> shift else raw << -shift).toInt
+          sum(c) += v
+          if (v < min(c)) min(c) = v
+          if (v > max(c)) max(c) = v
+          i += 1
+        }
+        c += 1
+      }
+      nFrames += blockSize
+      pos = r.bytePos
+    }
+    if (nFrames == 0) return null
+    if (total != 0 && nFrames != total) return null // truncated stream
+    new AudioStats(sr, ch, nFrames, sum.map(_.toDouble / nFrames), min, max)
+  }
+
+  /** One FLAC subframe into `out(0 until blockSize)`; false on any
+    * malformed shape (reserved types, bad residual headers, bit overrun).
+    */
+  private def decodeSubframe(
+      r: BitReader, out: Array[Long], blockSize: Int, bps: Int): Boolean = {
+    if (r.readBit() != 0) return false // mandatory zero pad bit
+    val typ = r.readBits(6).toInt
+    var wasted = 0
+    if (r.readBit() == 1) wasted = r.readUnary() + 1
+    if (r.failed || wasted >= bps) return false
+    val eBps = bps - wasted
+    val order =
+      if (typ == 0) -1 // constant
+      else if (typ == 1) -2 // verbatim
+      else if (typ >= 8 && typ <= 12) typ - 8 // fixed
+      else if (typ >= 32) typ - 31 // lpc
+      else return false
+    if (typ == 0) {
+      val v = r.readSigned(eBps)
+      java.util.Arrays.fill(out, 0, blockSize, v)
+    } else if (typ == 1) {
+      var i = 0
+      while (i < blockSize) { out(i) = r.readSigned(eBps); i += 1 }
+    } else {
+      if (order > blockSize) return false
+      var i = 0
+      while (i < order) { out(i) = r.readSigned(eBps); i += 1 }
+      var lpcShift = 0
+      var lpcCoef: Array[Long] = null
+      if (typ >= 32) {
+        val precM1 = r.readBits(4).toInt
+        if (precM1 == 15) return false // invalid per spec
+        val prec = precM1 + 1
+        lpcShift = r.readSigned(5).toInt
+        if (lpcShift < 0) return false
+        lpcCoef = new Array[Long](order)
+        var j = 0
+        while (j < order) { lpcCoef(j) = r.readSigned(prec); j += 1 }
+      }
+      if (!readResidual(r, out, blockSize, order)) return false
+      // Residuals are in out(order..); predict in place.
+      if (typ < 32) {
+        var i = order
+        order match {
+          case 0 => ()
+          case 1 => while (i < blockSize) { out(i) += out(i - 1); i += 1 }
+          case 2 => while (i < blockSize) {
+            out(i) += 2 * out(i - 1) - out(i - 2); i += 1 }
+          case 3 => while (i < blockSize) {
+            out(i) += 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3); i += 1 }
+          case _ => while (i < blockSize) {
+            out(i) += 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) -
+              out(i - 4); i += 1 }
+        }
+      } else {
+        var i = order
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += lpcCoef(j) * out(i - 1 - j); j += 1 }
+          out(i) += acc >> lpcShift
+          i += 1
+        }
+      }
+    }
+    if (r.failed) return false
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) <<= wasted; i += 1 }
+    }
+    true
+  }
+
+  /** Rice-coded residual section into `out(order until blockSize)`. */
+  private def readResidual(
+      r: BitReader, out: Array[Long], blockSize: Int, order: Int): Boolean = {
+    val method = r.readBits(2).toInt
+    if (method > 1) return false
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val partOrder = r.readBits(4).toInt
+    val partitions = 1 << partOrder
+    if ((blockSize & (partitions - 1)) != 0) return false // must divide
+    val perPart = blockSize >>> partOrder
+    if (perPart <= 0 || (partOrder == 0 && perPart < order)) return false
+    var idx = order
+    var p = 0
+    while (p < partitions) {
+      val count = if (p == 0) perPart - order else perPart
+      if (count < 0) return false
+      val param = r.readBits(paramBits).toInt
+      if (param == escape) {
+        val nBits = r.readBits(5).toInt
+        var i = 0
+        while (i < count) {
+          out(idx) = if (nBits == 0) 0L else r.readSigned(nBits)
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.readUnary().toLong
+          val folded = (q << param) | r.readBits(param)
+          out(idx) = (folded >>> 1) ^ -(folded & 1L) // zigzag unfold
+          idx += 1; i += 1
+        }
+      }
+      if (r.failed) return false
+      p += 1
+    }
+    true
+  }
+
+  /** [[decodeWav]] / [[decodeFlac]] marshalled for the catalyst
+    * expression: fixed 2-channel slots (c1 null for mono) so query output
+    * stays scalar columns. Dispatch on magic — RIFF is WAV, fLaC is FLAC —
+    * one expression covers the uncompressed and lossless corpus halves.
     */
   def audioStats(bytes: Array[Byte]): InternalRow = {
-    val s = decodeWav(bytes)
+    val isFlac = bytes != null && bytes.length >= 4 &&
+      bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'
+    val s = if (isFlac) decodeFlac(bytes) else decodeWav(bytes)
     if (s == null) return null
     val out = new Array[Any](9)
     out(0) = s.sampleRate; out(1) = s.channels; out(2) = s.nFrames

@@ -1,0 +1,350 @@
+package graft.expressions
+
+import graft.SparkTestBase
+
+/** FLAC frame decode (RFC 9639) against bit-exact constructed streams.
+  *
+  * The writer below is a test-only bit-packer, not an encoder: samples are
+  * DERIVED from chosen warmups/residuals via the spec's prediction
+  * formulas, computed independently in plain Scala, so the assertions pin
+  * bit-level parsing (rice folds, partitions, escapes, wasted bits, UTF-8
+  * frame numbers), stereo reconstruction, s16 scaling, and multi-frame
+  * accumulation rather than round-tripping the decoder against itself.
+  */
+class FlacDecodeSpec extends SparkTestBase {
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var n = 0
+    def bit(v: Int): this.type = {
+      cur = (cur << 1) | (v & 1); n += 1
+      if (n == 8) { buf += cur.toByte; cur = 0; n = 0 }
+      this
+    }
+    def bits(v: Long, w: Int): this.type = {
+      var i = w - 1
+      while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 }
+      this
+    }
+    def unary(q: Int): this.type = { (0 until q).foreach(_ => bit(0)); bit(1) }
+    def rice(v: Long, k: Int): this.type = {
+      val folded = (v << 1) ^ (v >> 63) // zigzag
+      unary((folded >>> k).toInt)
+      if (k > 0) bits(folded & ((1L << k) - 1), k)
+      this
+    }
+    def align(): this.type = { while (n != 0) bit(0); this }
+    def raw(bs: Array[Byte]): this.type = { bs.foreach(b => bits(b & 0xFFL, 8)); this }
+    def bytes: Array[Byte] = { require(n == 0, "unaligned"); buf.toArray }
+  }
+
+  private def streamInfo(sr: Int, ch: Int, bps: Int, total: Long): Array[Byte] = {
+    val w = new BitWriter
+    w.raw("fLaC".getBytes("US-ASCII"))
+    w.bits(0x80, 8).bits(34, 24) // last-block, type 0, length 34
+    w.bits(4096, 16).bits(4096, 16) // min/max block size
+    w.bits(0, 24).bits(0, 24) // min/max frame size unknown
+    w.bits(sr, 20).bits(ch - 1, 3).bits(bps - 1, 5).bits(total, 36)
+    (0 until 16).foreach(_ => w.bits(0, 8)) // md5 unset
+    w.bytes
+  }
+
+  /** Frame header for STREAMINFO sample rate; blockSize via the 16-bit
+    * form (code 7) so arbitrary sizes work. frameNo exercises the UTF-8
+    * coded-number path when > 0x7F.
+    */
+  private def frameHeader(w: BitWriter, blockSize: Int, chAssign: Int,
+      ssCode: Int, frameNo: Int = 0): Unit = {
+    w.bits(0xFFF8, 16) // sync + fixed blocking
+    w.bits(7, 4).bits(0, 4) // bs code 7 (u16 follows), sr from STREAMINFO
+    w.bits(chAssign, 4).bits(ssCode, 3).bit(0)
+    if (frameNo < 0x80) w.bits(frameNo, 8)
+    else { // 2-byte UTF-8
+      w.bits(0xC0 | (frameNo >> 6), 8).bits(0x80 | (frameNo & 0x3F), 8)
+    }
+    w.bits(blockSize - 1, 16)
+    w.bits(0, 8) // crc8 (decoder skips)
+  }
+
+  private def constantSub(w: BitWriter, v: Long, bps: Int, wasted: Int = 0): Unit = {
+    w.bit(0).bits(0, 6)
+    if (wasted > 0) { w.bit(1); w.unary(wasted - 1) } else w.bit(0)
+    w.bits(v & ((1L << (bps - wasted)) - 1), bps - wasted)
+  }
+
+  private def verbatimSub(w: BitWriter, xs: Seq[Long], bps: Int): Unit = {
+    w.bit(0).bits(1, 6).bit(0)
+    xs.foreach(x => w.bits(x & ((1L << bps) - 1), bps))
+  }
+
+  /** Rice-coded residual section, single partition, 4-bit params. */
+  private def riceResidual(w: BitWriter, res: Seq[Long], k: Int,
+      method: Int = 0): Unit = {
+    w.bits(method, 2).bits(0, 4) // partition order 0
+    w.bits(k, if (method == 0) 4 else 5)
+    res.foreach(r0 => w.rice(r0, k))
+  }
+
+  private def fixedSub(w: BitWriter, order: Int, warm: Seq[Long],
+      res: Seq[Long], bps: Int, k: Int): Unit = {
+    w.bit(0).bits(8 + order, 6).bit(0)
+    warm.foreach(x => w.bits(x & ((1L << bps) - 1), bps))
+    riceResidual(w, res, k)
+  }
+
+  /** Spec prediction formulas, computed independently of the decoder. */
+  private def fixedPredict(order: Int, warm: Seq[Long], res: Seq[Long]): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer(warm: _*)
+    res.foreach { r =>
+      val i = out.length
+      val p = order match {
+        case 0 => 0L
+        case 1 => out(i - 1)
+        case 2 => 2 * out(i - 1) - out(i - 2)
+        case 3 => 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3)
+        case 4 => 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) - out(i - 4)
+      }
+      out += p + r
+    }
+    out.toSeq
+  }
+
+  private def stats(xs: Seq[Long]): (Double, Int, Int) =
+    (xs.sum.toDouble / xs.size, xs.min.toInt, xs.max.toInt)
+
+  private def decode(bytes: Array[Byte]) = MediaCodec.decodeFlac(bytes)
+
+  test("constant subframe: stats equal the constant") {
+    val bs = 192
+    val w = new BitWriter
+    w.raw(streamInfo(44100, 1, 16, bs))
+    frameHeader(w, bs, 0, 4)
+    constantSub(w, -1234, 16)
+    w.align().bits(0, 16)
+    val s = decode(w.bytes)
+    assert(s != null && s.sampleRate == 44100 && s.channels == 1 && s.nFrames == bs)
+    assert(s.mean(0) == -1234.0 && s.min(0) == -1234 && s.max(0) == -1234)
+  }
+
+  test("verbatim subframe round-trips arbitrary samples") {
+    val xs = Seq[Long](0, 1, -1, 32767, -32768, 100, -20000, 5)
+    val w = new BitWriter
+    w.raw(streamInfo(8000, 1, 16, xs.size))
+    frameHeader(w, xs.size, 0, 4)
+    verbatimSub(w, xs, 16)
+    w.align().bits(0, 16)
+    val s = decode(w.bytes)
+    val (m, mn, mx) = stats(xs)
+    assert(s != null && s.mean(0) == m && s.min(0) == mn && s.max(0) == mx)
+  }
+
+  test("fixed order 2 with nonzero rice residuals (mixed signs, k=3)") {
+    val warm = Seq[Long](100, 110)
+    val res = Seq[Long](5, -3, 0, 17, -25, 1, 7, -8, 30, -2, 12, 0, -40, 9)
+    val xs = fixedPredict(2, warm, res)
+    val w = new BitWriter
+    w.raw(streamInfo(22050, 1, 16, xs.size))
+    frameHeader(w, xs.size, 0, 4)
+    fixedSub(w, 2, warm, res, 16, 3)
+    w.align().bits(0, 16)
+    val s = decode(w.bytes)
+    val (m, mn, mx) = stats(xs)
+    assert(s != null && s.mean(0) == m && s.min(0) == mn && s.max(0) == mx)
+  }
+
+  test("fixed order 4 + two rice partitions with different params") {
+    val warm = Seq[Long](10, 12, 15, 19)
+    val res = (0 until 12).map(i => ((i * 7) % 11 - 5).toLong)
+    val xs = fixedPredict(4, warm, res)
+    val bs = xs.size // 16: divisible by 2 partitions
+    val w = new BitWriter
+    w.raw(streamInfo(32000, 1, 16, bs))
+    frameHeader(w, bs, 0, 4)
+    w.bit(0).bits(12, 6).bit(0) // fixed order 4
+    warm.foreach(x => w.bits(x & 0xFFFFL, 16))
+    w.bits(0, 2).bits(1, 4) // method 0, partition order 1 -> 2 partitions of 8
+    w.bits(2, 4); res.take(4).foreach(r0 => w.rice(r0, 2)) // part 1: 8-4 warmups
+    w.bits(5, 4); res.drop(4).foreach(r0 => w.rice(r0, 5)) // part 2: 8
+    w.align().bits(0, 16)
+    val s = decode(w.bytes)
+    val (m, mn, mx) = stats(xs)
+    assert(s != null && s.mean(0) == m && s.min(0) == mn && s.max(0) == mx)
+  }
+
+  test("LPC subframe: coefficients + shift applied per the spec formula") {
+    val warm = Seq[Long](1000, 1040)
+    val res = Seq[Long](3, -7, 11, 0, -2, 9, -14, 6)
+    val coefs = Seq[Long](3, -1) // newest-first
+    val shift = 1
+    val out = scala.collection.mutable.ArrayBuffer(warm: _*)
+    res.foreach { r =>
+      val i = out.length
+      val acc = coefs.zipWithIndex.map { case (c, j) => c * out(i - 1 - j) }.sum
+      out += (acc >> shift) + r
+    }
+    val xs = out.toSeq
+    val w = new BitWriter
+    w.raw(streamInfo(48000, 1, 16, xs.size))
+    frameHeader(w, xs.size, 0, 4)
+    w.bit(0).bits(32 + 1, 6).bit(0) // LPC order 2 (type 100001)
+    warm.foreach(x => w.bits(x & 0xFFFFL, 16))
+    w.bits(11, 4) // precision 12
+    w.bits(shift, 5)
+    coefs.foreach(c => w.bits(c & 0xFFFL, 12))
+    riceResidual(w, res, 2)
+    w.align().bits(0, 16)
+    val s = decode(w.bytes)
+    val (m, mn, mx) = stats(xs)
+    assert(s != null && s.mean(0) == m && s.min(0) == mn && s.max(0) == mx)
+  }
+
+  test("wasted bits shift reconstructed samples up") {
+    val bs = 192
+    val w = new BitWriter
+    w.raw(streamInfo(44100, 1, 16, bs))
+    frameHeader(w, bs, 0, 4)
+    constantSub(w, 300 >> 2, 16, wasted = 2) // sample value 300, 2 wasted bits
+    w.align().bits(0, 16)
+    val s = decode(w.bytes)
+    assert(s != null && s.mean(0) == 300.0 && s.min(0) == 300 && s.max(0) == 300)
+  }
+
+  test("stereo left/side, right/side, mid/side reconstruct exact L/R") {
+    val l = Seq[Long](100, -250, 32000, 7, -1, 0, 1234, -32768)
+    val r = Seq[Long](90, -260, 31900, -7, 1, 0, -4321, -32768)
+    val side = l.zip(r).map { case (a, b) => a - b }
+    val mid = l.zip(r).map { case (a, b) => (a + b) >> 1 }
+    val (lm, lmn, lmx) = stats(l)
+    val (rm, rmn, rmx) = stats(r)
+    def check(chAssign: Int, c0: Seq[Long], c0bps: Int, c1: Seq[Long], c1bps: Int) = {
+      val w = new BitWriter
+      w.raw(streamInfo(44100, 2, 16, l.size))
+      frameHeader(w, l.size, chAssign, 4)
+      verbatimSub(w, c0, c0bps)
+      verbatimSub(w, c1, c1bps)
+      w.align().bits(0, 16)
+      val s = decode(w.bytes)
+      assert(s != null && s.channels == 2, s"chAssign=$chAssign gave null")
+      assert(s.mean(0) == lm && s.min(0) == lmn && s.max(0) == lmx,
+        s"chAssign=$chAssign L: ${s.mean(0)}/${s.min(0)}/${s.max(0)}")
+      assert(s.mean(1) == rm && s.min(1) == rmn && s.max(1) == rmx,
+        s"chAssign=$chAssign R: ${s.mean(1)}/${s.min(1)}/${s.max(1)}")
+    }
+    check(8, l, 16, side, 17) // left/side
+    check(9, side, 17, r, 16) // right/side
+    check(10, mid, 16, side, 17) // mid/side
+  }
+
+  test("multiple frames accumulate; 5-bit rice method; UTF-8 frame number") {
+    val bs = 192
+    val w = new BitWriter
+    w.raw(streamInfo(16000, 1, 16, 2L * bs))
+    frameHeader(w, bs, 0, 4, frameNo = 0)
+    constantSub(w, 1000, 16)
+    w.align().bits(0, 16)
+    frameHeader(w, bs, 0, 4, frameNo = 200) // 2-byte UTF-8 number
+    // fixed order 1, method-1 (5-bit param) rice, all-zero residuals
+    w.bit(0).bits(9, 6).bit(0)
+    w.bits(3000 & 0xFFFFL, 16)
+    w.bits(1, 2).bits(0, 4).bits(0, 5)
+    (1 until bs).foreach(_ => w.rice(0, 0))
+    w.align().bits(0, 16)
+    val s = decode(w.bytes)
+    assert(s != null && s.nFrames == 2L * bs)
+    assert(s.mean(0) == 2000.0 && s.min(0) == 1000 && s.max(0) == 3000)
+  }
+
+  test("escape-coded partition with n=0 means all-zero residuals") {
+    val bs = 192
+    val w = new BitWriter
+    w.raw(streamInfo(44100, 1, 16, bs))
+    frameHeader(w, bs, 0, 4)
+    w.bit(0).bits(9, 6).bit(0) // fixed order 1
+    w.bits(500 & 0xFFFFL, 16)
+    w.bits(0, 2).bits(0, 4).bits(15, 4).bits(0, 5) // escape, n=0
+    w.align().bits(0, 16)
+    val s = decode(w.bytes)
+    assert(s != null && s.mean(0) == 500.0 && s.min(0) == 500 && s.max(0) == 500)
+  }
+
+  test("8- and 24-bit depths report in s16 scale") {
+    def one(bps: Int, ssCode: Int, v: Long, want: Int) = {
+      val bs = 192
+      val w = new BitWriter
+      w.raw(streamInfo(44100, 1, bps, bs))
+      frameHeader(w, bs, 0, ssCode)
+      constantSub(w, v, bps)
+      w.align().bits(0, 16)
+      val s = decode(w.bytes)
+      assert(s != null && s.min(0) == want && s.max(0) == want,
+        s"bps=$bps v=$v got ${if (s == null) "null" else s.min(0).toString}")
+    }
+    one(8, 1, 100, 100 << 8)
+    one(8, 1, -128, -128 << 8)
+    one(24, 6, 1 << 20, 1 << 12)
+    one(24, 6, -(1 << 20), -(1 << 12))
+  }
+
+  test("malformed streams return null, never throw") {
+    val bs = 192
+    val good = {
+      val w = new BitWriter
+      w.raw(streamInfo(44100, 1, 16, bs))
+      frameHeader(w, bs, 0, 4)
+      constantSub(w, 7, 16)
+      w.align().bits(0, 16)
+      w.bytes
+    }
+    assert(decode(good) != null)
+    assert(decode(good.take(good.length - 3)) == null) // truncated frame
+    assert(decode(good.take(40)) == null) // truncated STREAMINFO
+    assert(decode("fLaCgarbage".getBytes) == null)
+    // STREAMINFO total disagrees with decoded sample count
+    val badTotal = {
+      val w = new BitWriter
+      w.raw(streamInfo(44100, 1, 16, bs + 5))
+      frameHeader(w, bs, 0, 4)
+      constantSub(w, 7, 16)
+      w.align().bits(0, 16)
+      w.bytes
+    }
+    assert(decode(badTotal) == null)
+    // reserved subframe type (2)
+    val badType = {
+      val w = new BitWriter
+      w.raw(streamInfo(44100, 1, 16, bs))
+      frameHeader(w, bs, 0, 4)
+      w.bit(0).bits(2, 6).bit(0)
+      w.bits(0, 16)
+      w.align().bits(0, 16)
+      w.bytes
+    }
+    assert(decode(badType) == null)
+    // random fuzz must never throw
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { i =>
+      val len = 42 + rnd.nextInt(300)
+      val arr = new Array[Byte](len)
+      rnd.nextBytes(arr)
+      arr(0) = 'f'; arr(1) = 'L'; arr(2) = 'a'; arr(3) = 'C'
+      decode(arr) // null or stats; no exception
+    }
+  }
+
+  test("graft_audio_stats expression dispatches FLAC alongside WAV") {
+    import org.apache.spark.sql.functions._
+    val bs = 192
+    val w = new BitWriter
+    w.raw(streamInfo(44100, 1, 16, bs))
+    frameHeader(w, bs, 0, 4)
+    constantSub(w, 4242, 16)
+    w.align().bits(0, 16)
+    val hexStr = w.bytes.map(b => f"${b & 0xFF}%02X").mkString
+    val row = spark.range(1)
+      .select(graft.functions.Multimodal.audioStats(unhex(lit(hexStr))).as("v"))
+      .select("v.sample_rate", "v.n_frames", "v.c0_mean").head()
+    assert(row.getInt(0) == 44100 && row.getLong(1) == bs &&
+      row.getDouble(2) == 4242.0)
+  }
+}
