@@ -3144,6 +3144,92 @@ object SparkEntry {
           col("v.c0_max").as("c0_max"))
         .orderBy("doc_id")
     }),
+
+    // --- 145. exact n-gram benchmark decontamination, oracle-pinned -------------------------------------
+    // The standard eval-hygiene sweep before training: every TRAIN document
+    // sharing at least one exact 4-token span with the BENCHMARK slice
+    // (here docs with doc_id % 10 == 0), with the distinct-span hit count.
+    // The benchmark gram set is tiny by nature and BROADCAST: train grams
+    // stream through a broadcast hash join with no gram shuffle — the only
+    // exchange is the final per-doc count (map-side combined). The oracle
+    // regenerates both gram sets relationally.
+    "q145_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // --- 146. Unicode NFC normalization (graft_nfc), oracle-pinned --------------------------------------
+    // Corpus canonicalization Spark has no builtin for: decomposed
+    // sequences (e + combining acute, Hangul jamo pairs) are APPENDED to
+    // each document's prefix per row, normalized by the codegen'd
+    // NfcNormalizeExpr, and compared against DuckDB's utf8proc-backed
+    // nfc_normalize over the identically constructed input — two
+    // independent Unicode implementations must agree byte-for-byte.
+    // Char/byte lengths pin that composition actually shrank the string.
+    "q146_nfc_normalize" -> ((s, d) => {
+      // Unicode literals, not Spark's chr() (which is byte-valued, mod 256):
+      // combining acute/grave/circumflex/tilde, a Hangul L+V jamo pair, and
+      // an already-composed e-acute that must stay put.
+      val mixed = concat(
+        substring(col("text"), 1, 40),
+        lit(" e\u0301 a\u0300 o\u0302 n\u0303 \u1100\u1161 caf\u00e9"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TF.nfc(mixed).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          length(col("norm")).as("n_chars"),
+          octet_length(col("norm")).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 147. content-defined chunking (Gear CDC), declared rows-only -----------------------------------
+    // The storage-dedup primitive: boundaries decided by content, so
+    // shifted/edited blobs re-align and identical regions land identical
+    // chunk hashes. Per-doc chunk census over the documents corpus
+    // (64-byte expected chunks on these short texts); boundary semantics,
+    // shift-resistance and hash identity are pinned by ChunkingSpec —
+    // the gear/FNV pipeline is not SQL-expressible, so this query is
+    // declared rows-only like the other hash-defined operators.
+    "q147_content_chunks" -> ((s, d) => {
+      val cs = Multimodal.contentChunks(encode(col("text"), "UTF-8"), avgBits = 6)
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(cs).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("c.hash")).as("n_distinct"),
+          sum(col("c.length")).as("n_bytes"),
+          max(col("c.length")).as("max_chunk"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 148. URL canonicalization (graft_url_canon), oracle-pinned -------------------------------------
+    // Crawl-frontier canonicalization: six URL shapes are CONSTRUCTED per
+    // row (case/default-port noise, dot-segments, tracking params,
+    // unsorted query, percent-escape case, fragment) with doc_id woven
+    // into host and path, then folded by the codegen'd expression; the
+    // oracle states each shape's expected canonical form closed-form.
+    "q148_url_canon" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 6
+      val url =
+        when(m === 0, concat(lit("HTTP://Example"), id,
+          lit(".COM:80/a/b/../c?utm_source=x&b=2&a=1#frag")))
+        .when(m === 1, concat(lit("https://Host"), id,
+          lit(".org:443/%7euser/./docs//f%2fv")))
+        .when(m === 2, concat(lit("http://site"), id,
+          lit(".net/p"), id, lit("/?z=26&y=25&utm_campaign=c&x=24")))
+        .when(m === 3, concat(lit("https://a"), id, lit(".b/../../x/y/..")))
+        .when(m === 4, concat(lit("http://plain"), id, lit(".io")))
+        .otherwise(concat(lit("https://e"), id,
+          lit(".co/p?gclid=1&fbclid=2&IGSHID=3")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.canonicalizeUrl(url).as("canon"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4734,6 +4820,58 @@ object SparkEntry {
         |    WHEN 2 THEN (doc_id % 100) * 300 - 16000 + 955
         |    ELSE (doc_id % 120) * 250 - 20000 + 191 * ((doc_id % 7) * 2 + 1)
         |  END AS INT) AS c0_max
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Decontamination: regenerate 4-gram sets for both slices relationally
+    // (same tokenization as q129), then count distinct overlapping grams
+    // per train doc.
+    "q145_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'),
+        |      s -> len(s) > 0) AS toks
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, array_to_string(toks[i + 1 : i + 4], ' ') AS ngram
+        |  FROM t, LATERAL UNNEST(range(len(toks) - 3)) AS u(i)
+        |  WHERE len(toks) >= 4),
+        | bg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 10 = 0),
+        | tg AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 10 <> 0)
+        |SELECT tg.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS contaminated_grams
+        |FROM tg JOIN bg USING (ngram)
+        |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin,
+
+    // NFC: DuckDB's utf8proc normalization over the identically
+    // constructed mixed-form input must agree byte-for-byte with the
+    // JDK-backed expression.
+    "q146_nfc_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(substring(text, 1, 40)
+        |    || ' e' || chr(769) || ' a' || chr(768) || ' o' || chr(770)
+        |    || ' n' || chr(771) || ' ' || chr(4352) || chr(4449)
+        |    || ' caf' || chr(233)) AS norm,
+        |  CAST(length(nfc_normalize(substring(text, 1, 40)
+        |    || ' e' || chr(769) || ' a' || chr(768) || ' o' || chr(770)
+        |    || ' n' || chr(771) || ' ' || chr(4352) || chr(4449)
+        |    || ' caf' || chr(233))) AS INT) AS n_chars,
+        |  CAST(octet_length(encode(nfc_normalize(substring(text, 1, 40)
+        |    || ' e' || chr(769) || ' a' || chr(768) || ' o' || chr(770)
+        |    || ' n' || chr(771) || ' ' || chr(4352) || chr(4449)
+        |    || ' caf' || chr(233)))) AS INT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // URL canonicalization closed forms, one per constructed shape.
+    "q148_url_canon" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'http://example' || doc_id || '.com/a/c?a=1&b=2'
+        |    WHEN 1 THEN 'https://host' || doc_id || '.org/~user/docs//f%2Fv'
+        |    WHEN 2 THEN 'http://site' || doc_id || '.net/p' || doc_id || '/?x=24&y=25&z=26'
+        |    WHEN 3 THEN 'https://a' || doc_id || '.b/x/'
+        |    WHEN 4 THEN 'http://plain' || doc_id || '.io/'
+        |    ELSE 'https://e' || doc_id || '.co/p'
+        |  END AS canon
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

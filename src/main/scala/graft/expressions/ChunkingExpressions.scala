@@ -1,0 +1,110 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Content-defined chunking (Gear / FastCDC-family rolling hash) — the
+  * storage-dedup primitive: chunk boundaries are decided by CONTENT, not
+  * offset, so inserting or deleting bytes near the front of a blob changes
+  * only the chunks overlapping the edit while every later chunk re-aligns
+  * and hashes identically. At corpus scale that turns "this 2 GB dump is
+  * 99% identical to yesterday's" into an exact chunk-hash join.
+  *
+  * Algorithm (public literature: Gear hash rolling CDC, FastCDC's
+  * normalized-chunking simplification): h = (h << 1) + GEAR(byte); a
+  * boundary is declared when `(h & mask) == 0` once past `minSize`, with a
+  * `maxSize` force-split. The 256-entry gear table derives from splitmix64
+  * so chunk boundaries are deterministic across JVMs/runs — chunk hashes
+  * are join keys, determinism is the contract.
+  */
+object ChunkingCodec {
+
+  /** splitmix64 — the standard public-domain 64-bit mixer. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val gear: Array[Long] = Array.tabulate(256)(i => mix64(i.toLong))
+
+  /** FNV-1a 64 over a byte range — the per-chunk content hash (join key). */
+  def fnv1a(b: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      h ^= (b(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** Chunk a payload: array of (offset, length, fnv1a hash) rows covering
+    * the input exactly, in order. `avgBits` sets the expected chunk size to
+    * 2^avgBits bytes (mask = 2^avgBits - 1); min = avg/4 and max = 4*avg
+    * bound the tail distribution. Null input -> null; empty -> empty array.
+    */
+  def chunks(b: Array[Byte], avgBits: Int): ArrayData = {
+    if (b == null) return null
+    val mask = (1L << avgBits) - 1
+    val minSize = math.max(1, 1 << (avgBits - 2))
+    val maxSize = 1 << (avgBits + 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var start = 0
+    while (start < b.length) {
+      var h = 0L
+      var i = start
+      var boundary = -1
+      val hardEnd = math.min(b.length, start + maxSize)
+      while (i < hardEnd && boundary < 0) {
+        h = (h << 1) + gear(b(i) & 0xFF)
+        i += 1
+        // Boundary test only once past minSize: tiny chunks defeat dedup
+        // (per-chunk metadata dominates) and the skip also makes the roll
+        // cheaper than testing from byte 0.
+        if (i - start >= minSize && (h & mask) == 0) boundary = i
+      }
+      val end = if (boundary > 0) boundary else hardEnd
+      out += new GenericInternalRow(
+        Array[Any](start, end - start, fnv1a(b, start, end - start)))
+      start = end
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** `binary` -> array<struct<offset:int,length:int,hash:bigint>>: Gear
+  * content-defined chunking, codegen'd. `avgBits` is a compile-time
+  * literal (2^avgBits expected chunk size).
+  */
+case class ContentChunksExpr(child: Expression, avgBits: Int)
+    extends UnaryExpression {
+  require(avgBits >= 4 && avgBits <= 28,
+    s"avgBits must be in [4, 28], got $avgBits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("offset", IntegerType, nullable = false),
+    StructField("length", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ChunkingCodec.chunks(input.asInstanceOf[Array[Byte]], avgBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ChunkingCodec.chunks($c, $avgBits)")
+  override protected def withNewChildInternal(newChild: Expression): ContentChunksExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_content_chunks"
+}

@@ -149,6 +149,35 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_flac_header(binary)")
       }),
     (
+      FunctionIdentifier("graft_content_chunks"),
+      new ExpressionInfo(classOf[ContentChunksExpr].getName, "graft_content_chunks"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin, Literal(n: Int, IntegerType)) => ContentChunksExpr(bin, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_content_chunks(binary, avgBits int literal)")
+      }),
+    (
+      FunctionIdentifier("graft_url_canon"),
+      new ExpressionInfo(classOf[UrlCanonicalizeExpr].getName, "graft_url_canon"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => UrlCanonicalizeExpr(s)
+        case _ => throw new IllegalArgumentException("graft_url_canon(string)")
+      }),
+    (
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NfcNormalizeExpr(s)
+        case _ => throw new IllegalArgumentException("graft_nfc(string)")
+      }),
+    (
+      FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[NfkcNormalizeExpr].getName, "graft_nfkc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NfkcNormalizeExpr(s)
+        case _ => throw new IllegalArgumentException("graft_nfkc(string)")
+      }),
+    (
       FunctionIdentifier("graft_gzip"),
       new ExpressionInfo(classOf[GzipExpr].getName, "graft_gzip"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode canonicalization for training-text pipelines.
+  *
+  * Web-crawled corpora mix precomposed and decomposed forms of the same
+  * grapheme ("é" as U+00E9 vs e + U+0301), which silently defeats exact
+  * dedup, n-gram matching and tokenizer merges. NFC/NFKC normalization is
+  * the standard first step of every corpus-cleaning recipe; Spark has no
+  * builtin for it, so this is a native codegen'd expression over the JDK's
+  * `java.text.Normalizer` (Unicode-conformant, zero dependencies).
+  */
+object UnicodeOps {
+
+  /** True iff every byte is ASCII — UTF8String stores UTF-8, so a pure
+    * 7-bit payload is already in every normalization form and the (much
+    * more expensive) String round-trip can be skipped. On mostly-English
+    * corpora this fast path handles nearly every row.
+    */
+  private def isAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def nfc(s: UTF8String): UTF8String = {
+    if (s == null || isAscii(s)) return s
+    val str = s.toString
+    val norm = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+    if (norm eq str) s else UTF8String.fromString(norm)
+  }
+
+  def nfkc(s: UTF8String): UTF8String = {
+    if (s == null || isAscii(s)) return s
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFKC))
+  }
+}
+
+/** `string` -> NFC-normalized string (canonical composition), codegen'd.
+  * ASCII rows short-circuit without materializing a java.lang.String.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UnicodeOps.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.UnicodeOps.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nfc"
+}
+
+/** `string` -> NFKC-normalized string (compatibility composition: also
+  * folds ligatures, fullwidth forms, superscripts — the aggressive variant
+  * tokenizer pipelines use), codegen'd.
+  */
+case class NfkcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UnicodeOps.nfkc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.UnicodeOps.nfkc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nfkc"
+}

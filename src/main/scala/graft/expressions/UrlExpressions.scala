@@ -1,0 +1,165 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL canonicalization for crawl frontiers and dedup keys.
+  *
+  * The same resource hides behind many spellings — scheme/host case, default
+  * ports, dot-segments, fragment, tracking parameters, query-parameter
+  * order, percent-encoding case. Canonicalization (RFC 3986 §6 syntax-based
+  * normalization + the crawl-practice extras: fragment drop, tracking-param
+  * strip, stable query sort) folds them to one spelling so frontier dedup
+  * and politeness bucketing see one URL per resource.
+  */
+object UrlCodec {
+
+  private val trackingExact = Set("gclid", "fbclid", "msclkid", "igshid")
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** RFC 3986 §6.2.2.2: decode percent-escapes of unreserved characters,
+    * uppercase the hex of every remaining escape; malformed escapes pass
+    * through untouched (salvage posture).
+    */
+  private def normalizeEscapes(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = (hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))
+        if (v < 128 && isUnreserved(v.toChar)) out.append(v.toChar)
+        else out.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    // Split KEEPING empty segments ("//" is meaning-bearing in a path).
+    val segs = path.split("/", -1)
+    var i = 0
+    while (i < segs.length) {
+      val s = segs(i)
+      if (s == ".") {
+        // drop; if final segment, preserve trailing slash via empty seg
+        if (i == segs.length - 1) out += ""
+      } else if (s == "..") {
+        // pop the previous real segment (never the leading empty root)
+        if (out.nonEmpty && out.last != "") out.remove(out.length - 1)
+        else if (out.length > 1) out.remove(out.length - 1)
+        if (i == segs.length - 1) out += ""
+      } else out += s
+      i += 1
+    }
+    val joined = out.mkString("/")
+    if (joined.isEmpty || !joined.startsWith("/")) "/" + joined else joined
+  }
+
+  /** Canonicalize; null for strings with no `scheme://` structure. */
+  def canonicalize(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val raw = u.toString.trim
+    val schemeEnd = raw.indexOf("://")
+    if (schemeEnd <= 0) return null
+    val scheme = raw.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    if (!scheme.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '+' || c == '-' || c == '.')) return null
+    var rest = raw.substring(schemeEnd + 3)
+    // Fragment: always dropped (client-side only).
+    val hash = rest.indexOf('#')
+    if (hash >= 0) rest = rest.substring(0, hash)
+    // Authority ends at the first '/' or '?'.
+    var aEnd = rest.length
+    var i = 0
+    while (i < rest.length && aEnd == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?') aEnd = i
+      i += 1
+    }
+    var authority = rest.substring(0, aEnd)
+    if (authority.isEmpty) return null
+    val tail = rest.substring(aEnd)
+    // Host lowercases; userinfo (rare) is preserved case-sensitively.
+    val at = authority.lastIndexOf('@')
+    val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
+    var hostPort = if (at >= 0) authority.substring(at + 1) else authority
+    hostPort = hostPort.toLowerCase(java.util.Locale.ROOT)
+    // Default-port strip ([] IPv6 hosts keep their colons; port is after ]).
+    val pc = hostPort.lastIndexOf(':')
+    if (pc > hostPort.lastIndexOf(']')  && pc >= 0) {
+      val port = hostPort.substring(pc + 1)
+      if ((scheme == "http" && port == "80") ||
+          (scheme == "https" && port == "443") ||
+          port.isEmpty) hostPort = hostPort.substring(0, pc)
+    }
+    authority = userinfo + hostPort
+    // Split path / query.
+    val qm = tail.indexOf('?')
+    val rawPath = if (qm >= 0) tail.substring(0, qm) else tail
+    val rawQuery = if (qm >= 0) tail.substring(qm + 1) else null
+    val path = removeDotSegments(normalizeEscapes(rawPath))
+    val query =
+      if (rawQuery == null || rawQuery.isEmpty) null
+      else {
+        val kept = rawQuery.split("&", -1).filter { p =>
+          val k = { val e = p.indexOf('='); if (e >= 0) p.substring(0, e) else p }
+          val kl = k.toLowerCase(java.util.Locale.ROOT)
+          p.nonEmpty && !kl.startsWith("utm_") && !trackingExact.contains(kl)
+        }.map(normalizeEscapes)
+        if (kept.isEmpty) null
+        // Stable sort by key: equal keys keep their original relative
+        // order (repeated params are order-significant).
+        else kept.sortBy { p =>
+          val e = p.indexOf('='); if (e >= 0) p.substring(0, e) else p
+        }.mkString("&")
+      }
+    val sb = new java.lang.StringBuilder(raw.length)
+    sb.append(scheme).append("://").append(authority).append(path)
+    if (query != null) sb.append('?').append(query)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `string` -> canonicalized URL string (RFC 3986 syntax normalization +
+  * fragment drop, tracking-param strip, stable query sort), codegen'd.
+  * NULL for inputs without a `scheme://` structure.
+  */
+case class UrlCanonicalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UrlCodec.canonicalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.UrlCodec.canonicalize($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_url_canon"
+}

@@ -479,4 +479,49 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(desc("jaccard"), col("id1"), col("id2"))
   }
+
+  /** Exact n-gram benchmark decontamination — the standard eval-hygiene
+    * sweep: flag every training document sharing at least one exact
+    * n-token span with a benchmark corpus, with the count of DISTINCT
+    * matching spans as evidence. (The hard-overlap complement of
+    * [[crossCorpusNearDups]]'s fuzzy MinHash check; n=13 is the
+    * published-convention default for eval decontamination.)
+    *
+    * Scale shape: benchmarks are inherently tiny next to a 100 TB training
+    * corpus, so the distinct benchmark-gram set is BROADCAST
+    * (`broadcastBench`, default true) and the training side streams its
+    * generated grams through a broadcast hash semi-structure with no
+    * gram shuffle at all — the only exchange is the final per-doc hit
+    * count, which combines map-side. `array_distinct` collapses within-doc
+    * repeats before the explode, so the joined count IS the distinct-gram
+    * count without an Expand. Tokenization is [[Retrieval.tokens]]
+    * (lowercase + whitespace), the convention every oracle mirrors.
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      trainId: String,
+      trainText: String,
+      benchText: String,
+      n: Int = 13,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(textC: Column): Column = {
+      val toks = Retrieval.tokens(textC)
+      when(size(toks) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val benchGrams0 = bench
+      .select(explode(grams(col(benchText))).as("g")).distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    train.where(col(trainId).isNotNull)
+      .select(col(trainId).as("doc_id"), explode(grams(col(trainText))).as("g"))
+      .join(benchGrams, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("contaminated_grams"))
+  }
 }

@@ -211,6 +211,18 @@ object Multimodal {
       graft.expressions.ZunstdExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Gear content-defined chunking ([[graft.expressions.ContentChunksExpr]]):
+    * `array<struct<offset,length,hash>>` whose boundaries are decided by
+    * content, so an insert near the front of a blob re-aligns every later
+    * chunk — the storage-dedup primitive that turns "mostly identical
+    * dumps" into an exact chunk-hash join. Expected chunk size 2^avgBits
+    * bytes; deterministic across runs (seeded gear table).
+    */
+  def contentChunks(bin: Column, avgBits: Int = 12): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ContentChunksExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin), avgBits))
+
   /** Lenient PDF text extraction + page count as a native codegen'd
     * expression ([[graft.expressions.PdfTextExpr]]): scans for content
     * streams without trusting the xref (WARC-salvage discipline),

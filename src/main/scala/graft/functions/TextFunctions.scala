@@ -110,6 +110,40 @@ object TextFunctions {
       graft.expressions.LangIdExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Unicode NFC normalization (canonical composition) as a native
+    * codegen'd expression ([[graft.expressions.NfcNormalizeExpr]]): folds
+    * decomposed grapheme sequences (e + U+0301) into their precomposed
+    * forms (U+00E9) so exact dedup, n-gram matching and tokenizer merges
+    * see one spelling per grapheme. ASCII rows short-circuit byte-scanned.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.NfcNormalizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Unicode NFKC normalization (compatibility composition: additionally
+    * folds ligatures, fullwidth forms, superscripts), the aggressive
+    * variant tokenizer pipelines apply ([[graft.expressions.NfkcNormalizeExpr]]).
+    */
+  def nfkc(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.NfkcNormalizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Crawl-frontier URL canonicalization
+    * ([[graft.expressions.UrlCanonicalizeExpr]]): RFC 3986 syntax
+    * normalization (case, default ports, dot-segments, percent-escape
+    * case + unreserved decode) plus the crawl-practice extras — fragment
+    * drop, tracking-parameter strip (utm_ prefix, gclid, fbclid, ...),
+    * stable
+    * query-parameter sort. One spelling per resource, so frontier dedup
+    * and politeness bucketing key correctly. NULL for non-URL strings.
+    */
+  def canonicalizeUrl(url: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.UrlCanonicalizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(url)))
+
   /** 64-bit SimHash over the token multiset: each token is hashed ONCE; its
     * 64 hash bits then vote +-1 per bit position, and the signature takes the
     * sign of each vote total. Returns BIGINT whose bit b is 1 iff the vote

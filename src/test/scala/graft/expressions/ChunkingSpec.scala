@@ -1,0 +1,71 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def chunksOf(payload: Array[Byte], avgBits: Int): Seq[(Int, Int, Long)] =
+    Seq(payload).toDF("b")
+      .select(graft.functions.Multimodal.contentChunks(col("b"), avgBits).as("cs"))
+      .head().getSeq[Row](0).map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+
+  private def randomBytes(n: Int, seed: Long): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    val b = new Array[Byte](n)
+    r.nextBytes(b)
+    b
+  }
+
+  test("chunks tile the input exactly; sizes respect min/max bounds") {
+    val b = randomBytes(200000, 7)
+    val avgBits = 10 // 1 KiB average, min 256, max 4096
+    val cs = chunksOf(b, avgBits)
+    assert(cs.head._1 == 0)
+    cs.sliding(2).foreach {
+      case Seq((o1, l1, _), (o2, _, _)) => assert(o1 + l1 == o2)
+      case _ => ()
+    }
+    assert(cs.map(_._2).sum == b.length)
+    cs.init.foreach { case (_, len, _) =>
+      assert(len >= 256 && len <= 4096, s"len $len out of bounds")
+    }
+    assert(cs.last._2 <= 4096)
+    // ~195 expected chunks at 1 KiB average over 200 KB; sanity band.
+    assert(cs.size > 50 && cs.size < 800, s"${cs.size} chunks")
+  }
+
+  test("deterministic across invocations") {
+    val b = randomBytes(50000, 11)
+    assert(chunksOf(b, 9) == chunksOf(b, 9))
+  }
+
+  test("insert-shift resistance: most chunk hashes survive a front insert") {
+    val b = randomBytes(300000, 13)
+    val shifted = Array.fill[Byte](7)(42) ++ b
+    val h1 = chunksOf(b, 10).map(_._3).toSet
+    val h2 = chunksOf(shifted, 10).map(_._3).toSet
+    val survived = h1.intersect(h2).size.toDouble / h1.size
+    // Offset-based (fixed-size) chunking would share ~0% after a 7-byte
+    // shift; content-defined re-aligns after the first boundary.
+    assert(survived > 0.9, s"only ${(survived * 100).round}% survived")
+  }
+
+  test("chunk hash is FNV-1a of exactly the chunk bytes") {
+    val b = randomBytes(20000, 17)
+    chunksOf(b, 9).foreach { case (off, len, h) =>
+      assert(h == ChunkingCodec.fnv1a(b, off, len))
+    }
+  }
+
+  test("empty input -> empty array; null propagates; SQL form works") {
+    assert(chunksOf(Array.emptyByteArray, 10).isEmpty)
+    val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)
+    val r = sqlS.sql(
+      "SELECT graft_content_chunks(CAST(NULL AS BINARY), 10), " +
+        "size(graft_content_chunks(encode('abc', 'UTF-8'), 10))").head()
+    assert(r.isNullAt(0) && r.getInt(1) == 1) // 3 bytes < min -> one chunk
+  }
+}

@@ -1,0 +1,41 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class UnicodeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("nfc composes decomposed sequences; composed text passes through") {
+    val in = "é à ô ñ 가 café"
+    val want = "é à ô ñ 가 café"
+    val got = Seq(in).toDF("s")
+      .select(graft.functions.TextFunctions.nfc(col("s"))).head().getString(0)
+    assert(got == want)
+  }
+
+  test("ascii fast path returns the same UTF8String instance") {
+    val s = UTF8String.fromString("plain ascii text 123")
+    assert(UnicodeOps.nfc(s) eq s)
+    assert(UnicodeOps.nfkc(s) eq s)
+  }
+
+  test("nfkc additionally folds compatibility forms") {
+    val in = "ﬁle ＡＢ x²" // fi-ligature, fullwidth AB, superscript 2
+    val got = Seq(in).toDF("s")
+      .select(graft.functions.TextFunctions.nfkc(col("s"))).head().getString(0)
+    assert(got == "file AB x2")
+    // nfc leaves compatibility forms alone
+    val nfc = Seq(in).toDF("s")
+      .select(graft.functions.TextFunctions.nfc(col("s"))).head().getString(0)
+    assert(nfc == in)
+  }
+
+  test("null propagates; SQL registration works") {
+    val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)
+    val r = sqlS.sql("SELECT graft_nfc(CAST(NULL AS STRING)), " +
+      "graft_nfkc('ﬁx'), graft_nfc('é')").head()
+    assert(r.isNullAt(0) && r.getString(1) == "fix" && r.getString(2) == "é")
+  }
+}

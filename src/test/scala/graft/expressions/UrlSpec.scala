@@ -1,0 +1,43 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.unsafe.types.UTF8String
+
+class UrlSpec extends SparkTestBase {
+
+  private def canon(u: String): String = {
+    val r = UrlCodec.canonicalize(UTF8String.fromString(u))
+    if (r == null) null else r.toString
+  }
+
+  test("RFC 3986 normalizations") {
+    assert(canon("HTTP://WWW.Ex.COM:80/A/B") == "http://www.ex.com/A/B")
+    assert(canon("https://x.io:443/") == "https://x.io/")
+    assert(canon("https://x.io:8443/") == "https://x.io:8443/") // non-default kept
+    assert(canon("http://x.io/a/./b/../c") == "http://x.io/a/c")
+    assert(canon("http://x.io") == "http://x.io/")
+    assert(canon("http://x.io/%7Ea%2fb%41") == "http://x.io/~a%2FbA")
+  }
+
+  test("crawl extras: fragment, tracking params, stable sort") {
+    assert(canon("http://x.io/p#sec") == "http://x.io/p")
+    assert(canon("http://x.io/p?utm_source=a&q=1") == "http://x.io/p?q=1")
+    assert(canon("http://x.io/p?b=2&a=1&b=1") == "http://x.io/p?a=1&b=2&b=1")
+    assert(canon("http://x.io/p?gclid=z") == "http://x.io/p")
+    assert(canon("http://x.io/p?") == "http://x.io/p")
+  }
+
+  test("authority edge shapes") {
+    assert(canon("http://User:Pw@Host.Com/x") == "http://User:Pw@host.com/x")
+    assert(canon("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(canon("http://[2001:db8::1]:8080/x") == "http://[2001:db8::1]:8080/x")
+  }
+
+  test("salvage + null contract") {
+    assert(canon("not a url") == null)
+    assert(canon("mailto:a@b.c") == null) // no ://
+    assert(canon("http://x.io/a%2") == "http://x.io/a%2") // malformed escape kept
+    assert(canon("  http://x.io/p  ") == "http://x.io/p") // trimmed
+    assert(canon("http://x.io/../..") == "http://x.io/")
+  }
+}

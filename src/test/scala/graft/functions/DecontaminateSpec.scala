@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val bench = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "pack my box with five dozen jugs")
+  ).toDF("id", "text")
+
+  private val train = Seq(
+    (10L, "a quick brown fox jumps high"), // shares "quick brown fox jumps"
+    (11L, "nothing in common here at all"),
+    // shares "the quick brown fox" AND "quick brown fox jumps"
+    (12L, "see the quick brown fox jumps twice the quick brown fox jumps"),
+    (13L, "box with five dozen") // exactly one 4-gram, from bench doc 2
+  ).toDF("id", "text")
+
+  test("flags exactly the overlapping docs with distinct-gram counts") {
+    val got = Dedup.decontaminate(train, bench, "id", "text", "text", n = 4)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L), (12L, 2L), (13L, 1L)))
+  }
+
+  test("within-doc repeats of a gram count once") {
+    // doc 12 contains each matching gram twice; hit count must stay 2.
+    val got = Dedup.decontaminate(train, bench, "id", "text", "text", n = 4)
+      .where(col("doc_id") === 12L).head().getLong(1)
+    assert(got == 2L)
+  }
+
+  test("shuffle fallback (broadcastBench=false) is result-identical") {
+    val a = Dedup.decontaminate(train, bench, "id", "text", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.decontaminate(train, bench, "id", "text", "text", n = 4,
+      broadcastBench = false).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("n longer than every document yields no rows, not an error") {
+    assert(Dedup.decontaminate(train, bench, "id", "text", "text", n = 40)
+      .count() == 0)
+  }
+
+  test("benchmark grams broadcast: no gram-side shuffle in the plan") {
+    val df = Dedup.decontaminate(train, bench, "id", "text", "text", n = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // The only exchanges allowed: the broadcast itself, the benchmark
+    // distinct, and the final per-doc count — never the train gram stream
+    // (grams explode AFTER the last train-side exchange, if any).
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
