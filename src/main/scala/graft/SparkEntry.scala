@@ -3230,6 +3230,24 @@ object SparkEntry {
         .select(col("doc_id"), TF.canonicalizeUrl(url).as("canon"))
         .orderBy("doc_id")
     }),
+
+    // --- 149. mojibake repair (graft_fix_mojibake), oracle-pinned ---------------------------------------
+    // The most common encoding damage in web corpora, CONSTRUCTED for
+    // real per row: clean text (doc prefix + accents, em-dash, CJK,
+    // trademark) is UTF-8-encoded then mis-decoded as ISO-8859-1 — the
+    // exact upstream failure — and repaired by the codegen'd expression.
+    // The oracle states the expected repaired text closed-form: repair
+    // must restore the original byte-for-byte.
+    "q149_fix_mojibake" -> ((s, d) => {
+      val clean = concat(substring(col("text"), 1, 30),
+        lit(" caf\u00e9 \u2014 \u4f60\u597d d\u00e9sol\u00e9\u2122"))
+      val moji = decode(encode(clean, "UTF-8"), "ISO-8859-1")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TF.fixMojibake(moji).as("fixed"),
+          (length(moji) - length(TF.fixMojibake(moji))).as("chars_recovered"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4872,6 +4890,17 @@ object SparkEntry {
         |    WHEN 4 THEN 'http://plain' || doc_id || '.io/'
         |    ELSE 'https://e' || doc_id || '.co/p'
         |  END AS canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mojibake: repaired text must equal the closed-form original; the
+    // recovered-char count is the mojibake inflation (one char per
+    // multi-byte continuation byte).
+    "q149_fix_mojibake" ->
+      """SELECT doc_id,
+        |  substring(text, 1, 30) || ' caf' || chr(233) || ' ' || chr(8212)
+        |    || ' ' || chr(20320) || chr(22909)
+        |    || ' d' || chr(233) || 'sol' || chr(233) || chr(8482) AS fixed,
+        |  CAST(11 AS INT) AS chars_recovered
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -157,6 +157,13 @@ object GraftExtensions {
           "graft_content_chunks(binary, avgBits int literal)")
       }),
     (
+      FunctionIdentifier("graft_fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibakeExpr].getName, "graft_fix_mojibake"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => FixMojibakeExpr(s)
+        case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
+      }),
+    (
       FunctionIdentifier("graft_url_canon"),
       new ExpressionInfo(classOf[UrlCanonicalizeExpr].getName, "graft_url_canon"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,135 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mojibake repair — UTF-8 text that was mis-decoded as Windows-1252 /
+  * Latin-1 somewhere upstream ("café" -> "cafÃ©", "—" -> "â€”") is the
+  * single most common encoding damage in web corpora. The repair is
+  * deterministic: map each suspect character back to the cp1252 byte it
+  * came from; when the reassembled byte run forms a valid UTF-8 sequence,
+  * that sequence IS the original text (the probability of natural text
+  * doing this by accident is negligible — valid multi-byte UTF-8 through
+  * the cp1252 lens requires exact lead/continuation patterns). Runs to a
+  * fixpoint (≤ 3 rounds) so double-encoded damage unwinds too.
+  */
+object MojibakeCodec {
+
+  /** cp1252 byte for a codepoint, or -1. 0xA0-0xFF are identity (Latin-1);
+    * 0x80-0x9F hold cp1252's 27 specials (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " "
+    * • – — ˜ ™ š › œ ž Ÿ); the five unassigned slots stay -1.
+    */
+  private val specials: Map[Int, Int] = Map(
+    0x20AC -> 0x80, 0x201A -> 0x82, 0x0192 -> 0x83, 0x201E -> 0x84,
+    0x2026 -> 0x85, 0x2020 -> 0x86, 0x2021 -> 0x87, 0x02C6 -> 0x88,
+    0x2030 -> 0x89, 0x0160 -> 0x8A, 0x2039 -> 0x8B, 0x0152 -> 0x8C,
+    0x017D -> 0x8E, 0x2018 -> 0x91, 0x2019 -> 0x92, 0x201C -> 0x93,
+    0x201D -> 0x94, 0x2022 -> 0x95, 0x2013 -> 0x96, 0x2014 -> 0x97,
+    0x02DC -> 0x98, 0x2122 -> 0x99, 0x0161 -> 0x9A, 0x203A -> 0x9B,
+    0x0153 -> 0x9C, 0x017E -> 0x9E, 0x0178 -> 0x9F)
+
+  private val inv: Array[Int] = {
+    val a = Array.fill(0x2200)(-1)
+    // Latin-1 lens: 0x80-0xFF identity — including the C1 controls, which
+    // is what an ISO-8859-1 mis-decode produces for continuation bytes
+    // (ftfy's "sloppy-windows-1252" trick: accept BOTH lenses at once).
+    var c = 0x80
+    while (c <= 0xFF) { a(c) = c; c += 1 }
+    specials.foreach { case (cp, b) => a(cp) = b }
+    a
+  }
+
+  private def cpByte(c: Int): Int = if (c < inv.length) inv(c) else -1
+
+  /** One repair pass; returns the input string itself when nothing fired. */
+  private def fixOnce(s: String): String = {
+    var out: java.lang.StringBuilder = null
+    var i = 0
+    var copied = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      val b0 = if (c >= 0x80) cpByte(c) else -1
+      // UTF-8 lead byte through the cp1252 lens?
+      val need =
+        if (b0 >= 0xC2 && b0 <= 0xDF) 1
+        else if (b0 >= 0xE0 && b0 <= 0xEF) 2
+        else if (b0 >= 0xF0 && b0 <= 0xF4) 3
+        else 0
+      var ok = need > 0 && i + need < s.length
+      if (ok) {
+        val bytes = new Array[Int](need + 1)
+        bytes(0) = b0
+        var j = 1
+        while (j <= need && ok) {
+          val bj = cpByte(s.charAt(i + j).toInt)
+          if (bj >= 0x80 && bj <= 0xBF) bytes(j) = bj else ok = false
+          j += 1
+        }
+        if (ok) {
+          // Decode + validate (overlongs/surrogates/range per RFC 3629).
+          val cp = need match {
+            case 1 => ((bytes(0) & 0x1F) << 6) | (bytes(1) & 0x3F)
+            case 2 => ((bytes(0) & 0x0F) << 12) | ((bytes(1) & 0x3F) << 6) |
+              (bytes(2) & 0x3F)
+            case _ => ((bytes(0) & 0x07) << 18) | ((bytes(1) & 0x3F) << 12) |
+              ((bytes(2) & 0x3F) << 6) | (bytes(3) & 0x3F)
+          }
+          val minCp = need match { case 1 => 0x80; case 2 => 0x800; case _ => 0x10000 }
+          if (cp >= minCp && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) {
+            if (out == null) out = new java.lang.StringBuilder(s.length)
+            out.append(s, copied, i)
+            out.appendCodePoint(cp)
+            i += need + 1
+            copied = i
+          } else ok = false
+        }
+      }
+      if (!ok) i += 1
+    }
+    if (out == null) s
+    else { out.append(s, copied, s.length); out.toString }
+  }
+
+  def fix(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    // ASCII fast path on raw bytes — no String materialized.
+    val n = u.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { ascii = (u.getByte(i) & 0x80) == 0; i += 1 }
+    if (ascii) return u
+    var s = u.toString
+    var round = 0
+    var changed = true
+    while (changed && round < 3) { // fixpoint: unwinds double-encoding
+      val next = fixOnce(s)
+      changed = next ne s
+      s = next
+      round += 1
+    }
+    if (round == 1 && !changed) u else UTF8String.fromString(s)
+  }
+}
+
+/** `string` -> mojibake-repaired string (UTF-8-read-as-cp1252 undone to a
+  * fixpoint), codegen'd. Clean text passes through unchanged; ASCII rows
+  * short-circuit on raw bytes.
+  */
+case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    MojibakeCodec.fix(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MojibakeCodec.fix($c)")
+  override protected def withNewChildInternal(newChild: Expression): FixMojibakeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fix_mojibake"
+}

@@ -130,6 +130,18 @@ object TextFunctions {
       graft.expressions.NfkcNormalizeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Mojibake repair ([[graft.expressions.FixMojibakeExpr]]): undoes
+    * UTF-8-read-as-cp1252/Latin-1 damage ("cafÃ©" -> "café") to a
+    * fixpoint, so double-encoded text unwinds too. Deterministic byte
+    * reassembly — only character runs that form VALID UTF-8 through the
+    * cp1252 lens are touched; clean text (ASCII fast-pathed) passes
+    * through unchanged.
+    */
+  def fixMojibake(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.FixMojibakeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Crawl-frontier URL canonicalization
     * ([[graft.expressions.UrlCanonicalizeExpr]]): RFC 3986 syntax
     * normalization (case, default ports, dot-segments, percent-escape

@@ -1,0 +1,56 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+class MojibakeSpec extends SparkTestBase {
+
+  private def fix(s: String): String =
+    MojibakeCodec.fix(UTF8String.fromString(s)).toString
+
+  /** Mis-decode real UTF-8 bytes through `cs` — the upstream failure. */
+  private def breakAs(clean: String, cs: Charset): String =
+    new String(clean.getBytes(StandardCharsets.UTF_8), cs)
+
+  private val cp1252 = Charset.forName("windows-1252")
+  private val latin1 = StandardCharsets.ISO_8859_1
+
+  test("repairs cp1252-lens damage (specials range)") {
+    // U+201D is absent: its UTF-8 tail byte 0x9D is one of cp1252's five
+    // unassigned slots, which Java's decoder maps to U+FFFD — that damage
+    // is LOSSY upstream and unrepairable by construction.
+    val clean = "café — “quote„ …™ Œuvre"
+    assert(fix(breakAs(clean, cp1252)) == clean)
+  }
+
+  test("repairs latin-1-lens damage (C1 controls)") {
+    val clean = "désolé — 你好 🙂"
+    assert(fix(breakAs(clean, latin1)) == clean)
+  }
+
+  test("double-encoded damage unwinds to the original") {
+    val clean = "naïve café"
+    val once = breakAs(clean, cp1252)
+    val twice = breakAs(once, cp1252)
+    assert(fix(twice) == clean)
+  }
+
+  test("clean non-ascii text passes through unchanged") {
+    for (s <- Seq("naïve café über", "Привет мир", "日本語テキスト",
+        "À la carte", "price €9.99"))
+      assert(fix(s) == s, s)
+  }
+
+  test("ascii fast path returns the same instance; null propagates") {
+    val a = UTF8String.fromString("plain ascii")
+    assert(MojibakeCodec.fix(a) eq a)
+    assert(MojibakeCodec.fix(null) == null)
+  }
+
+  test("lone high chars that do not form valid UTF-8 stay untouched") {
+    for (s <- Seq("Ã", "A±B", "Ã(", "â€")) // truncated/invalid runs
+      assert(fix(s) == s, s)
+  }
+}
