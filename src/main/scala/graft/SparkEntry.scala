@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Dedup, FrequentItems, Multimodal, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
+import graft.functions.{Bpe, Dedup, FrequentItems, Multimodal, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3246,6 +3246,25 @@ object SparkEntry {
         .select(col("doc_id"),
           TF.fixMojibake(moji).as("fixed"),
           (length(moji) - length(TF.fixMojibake(moji))).as("chars_recovered"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 150. BPE tokenizer training + encoding, declared rows-only -------------------------------------
+    // The tokenizer pillar: 40 merges learned from the corpus itself (ONE
+    // distributed word-count pass; merge learning runs on the
+    // vocabulary-sized dictionary, never rescanning the corpus), then
+    // every document encoded with the GPT-2 merge-by-rank algorithm.
+    // Subword counts per doc vs whitespace tokens = the compression the
+    // learned vocabulary buys. The algorithm is pinned against the
+    // hand-computed Sennrich textbook trace in BpeSpec; the iterative
+    // merge loop is not SQL-expressible, so rows-only here.
+    "q150_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.learnMerges(docs, "text", numMerges = 40)
+      docs
+        .select(col("doc_id"),
+          size(Retrieval.tokens(col("text"))).as("n_tokens"),
+          size(Bpe.encode(col("text"), merges)).as("n_subwords"))
         .orderBy("doc_id")
     }),
   )

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and encoding.
+  *
+  * Training follows the published BPE recipe (Sennrich et al. 2016, the
+  * algorithm behind GPT-2/HF tokenizers): start from characters, repeatedly
+  * merge the most frequent adjacent symbol pair (ties broken
+  * lexicographically for determinism).
+  *
+  * Scale shape (100 TB posture): the corpus is touched EXACTLY ONCE — a
+  * distributed word-frequency aggregation (shuffle carries (word, count)
+  * pairs with map-side combine). Merge learning then runs on the
+  * word-frequency DICTIONARY, which is vocabulary-sized, not corpus-sized;
+  * `maxVocab` caps it at the most frequent words (the published trainers do
+  * the same: rare-word tails contribute nothing to early merges). The loop
+  * maintains incremental pair counts — O(changed words) per merge, not a
+  * corpus rescan per iteration.
+  */
+object Bpe {
+
+  /** Learn `numMerges` merges from a text column. Returns the ordered merge
+    * list as (rank, left, right) — rank is application priority.
+    */
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = 100000
+  ): Seq[(Int, String, String)] = {
+    require(numMerges >= 1 && maxVocab >= 1)
+    // One distributed pass: word counts, capped at the most frequent
+    // maxVocab words (deterministic tie-break on the word itself).
+    val wordCounts: Array[(String, Long)] =
+      df.select(explode(Retrieval.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w"))
+        .limit(maxVocab)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    learnFromWordCounts(wordCounts, numMerges)
+  }
+
+  /** Driver-side merge learning over a word-frequency dictionary —
+    * separated for direct testing and for callers that already hold
+    * word counts (e.g. from a saved profile).
+    */
+  def learnFromWordCounts(
+      wordCounts: Array[(String, Long)],
+      numMerges: Int
+  ): Seq[(Int, String, String)] = {
+    // Each word as a mutable symbol sequence.
+    val words = wordCounts.map { case (w, c) =>
+      (scala.collection.mutable.ArrayBuffer(w.map(_.toString): _*), c)
+    }
+    // pair -> total count, plus pair -> word indexes containing it (for
+    // incremental updates: only words containing the merged pair change).
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addPair(p: (String, String), c: Long, wi: Int): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + c
+      if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+      if (c > 0)
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+    }
+    words.zipWithIndex.foreach { case ((syms, c), wi) =>
+      var i = 0
+      while (i < syms.length - 1) { addPair((syms(i), syms(i + 1)), c, wi); i += 1 }
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    while (rank < numMerges && pairCount.nonEmpty) {
+      // Most frequent pair; lexicographic tie-break for determinism.
+      val best = pairCount.reduceLeft { (a, b) =>
+        if (a._2 > b._2) a
+        else if (a._2 < b._2) b
+        else if ((a._1._1 < b._1._1) ||
+          (a._1._1 == b._1._1 && a._1._2 < b._1._2)) a
+        else b
+      }._1
+      merges += ((rank, best._1, best._2))
+      val merged = best._1 + best._2
+      val affected = pairWords.getOrElse(best, scala.collection.mutable.Set.empty)
+      affected.toSeq.foreach { wi =>
+        val (syms, c) = words(wi)
+        // Retract this word's pair contributions, apply the merge, re-add.
+        var i = 0
+        while (i < syms.length - 1) { addPair((syms(i), syms(i + 1)), -c, wi); i += 1 }
+        i = 0
+        while (i < syms.length - 1) {
+          if (syms(i) == best._1 && syms(i + 1) == best._2) {
+            syms(i) = merged
+            syms.remove(i + 1)
+          } else i += 1
+        }
+        i = 0
+        while (i < syms.length - 1) { addPair((syms(i), syms(i + 1)), c, wi); i += 1 }
+      }
+      pairCount.remove(best)
+      pairWords.remove(best)
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** Encode a text column into BPE subword tokens (array<string>) using a
+    * learned merge list: per word, repeatedly merge the LOWEST-RANK
+    * adjacent pair until none applies (the HF/GPT-2 encode algorithm).
+    * The merge table travels to executors once per task via the codegen
+    * reference mechanism, not per row.
+    */
+  def encode(text: Column, merges: Seq[(Int, String, String)]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.BpeEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(
+          Retrieval.tokens(text)),
+        merges.sortBy(_._1).map(m => (m._2, m._3)).toArray))
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BPE training against the Sennrich-paper textbook corpus, with the merge
+  * sequence computed BY HAND (pair counts + lexicographic tie-breaks
+  * traced in the comments), so the assertions pin the algorithm rather
+  * than round-tripping the implementation against itself.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // low:5 lower:2 newest:6 widest:3 — the classic example.
+  private val counts = Array[(String, Long)](
+    ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+
+  // Hand trace: pairs {es:9, st:9, we:8, lo:7, ow:7, ne:6, ew:6, er:2,
+  // wi:3, id:3, de:3} -> ties at 9 broken lexicographically: (e,s) first,
+  // then (es,t)->est dominates at 9; then (l,o),(o,w) tie at 7 -> (l,o),
+  // then (lo,w)->low; 6-ties (e,w)<(n,e)<(w,est) -> (e,w); then
+  // (ew,est)<(n,ew) -> ewest; then (n,ewest)->newest.
+  private val expected = Seq(
+    (0, "e", "s"), (1, "es", "t"), (2, "l", "o"), (3, "lo", "w"),
+    (4, "e", "w"), (5, "ew", "est"), (6, "n", "ewest"))
+
+  test("merge learning reproduces the hand-computed sequence") {
+    assert(Bpe.learnFromWordCounts(counts, 7) == expected)
+  }
+
+  test("merge learning stops when no pairs remain") {
+    val m = Bpe.learnFromWordCounts(Array(("ab", 3L)), 10)
+    assert(m == Seq((0, "a", "b")))
+  }
+
+  test("distributed learning matches the driver-side dictionary path") {
+    val df = Seq.fill(5)("low").mkString(" ") ::
+      Seq.fill(2)("lower").mkString(" ") ::
+      Seq.fill(6)("newest").mkString(" ") ::
+      Seq.fill(3)("widest").mkString(" ") :: Nil
+    val learned = Bpe.learnMerges(df.toDF("text"), "text", 7)
+    assert(learned == expected)
+  }
+
+  test("encoding applies merges by rank (GPT-2 algorithm)") {
+    val enc = Bpe.encode(col("text"), expected)
+    val got = Seq("lowest newest widest xyz low")
+      .toDF("text").select(enc).head().getSeq[String](0)
+    assert(got == Seq("low", "est", "newest", "w", "i", "d", "est",
+      "x", "y", "z", "low"))
+  }
+
+  test("encoding is deterministic and null-safe") {
+    val enc = Bpe.encode(col("text"), expected)
+    val df = Seq(Some("newest lowest"), None).toDF("text")
+    val rows = df.select(enc.as("t")).collect()
+    assert(rows(0).getSeq[String](0) == Seq("newest", "low", "est"))
+    assert(rows(1).isNullAt(0))
+  }
+}
