@@ -3267,6 +3267,63 @@ object SparkEntry {
           size(Bpe.encode(col("text"), merges)).as("n_subwords"))
         .orderBy("doc_id")
     }),
+
+    // --- 151. HTML metadata extraction, oracle-pinned ---------------------------------------------------
+    // The per-page fields a crawl index keys on (title, meta description,
+    // canonical link, og:title), CONSTRUCTED per row in four shapes:
+    // normal attribute order, reversed order + single quotes, partial
+    // fields + uppercase tags, and bare pages (all NULL). Extraction is a
+    // codegen'd regexp_extract chain with attr-order coalescing; the
+    // oracle states each shape's fields closed-form.
+    "q151_html_meta" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val html =
+        when(m === 0, concat(
+          lit("<html><head><title> Page "), id, lit(" </title>"),
+          lit("<meta name=\"description\" content=\"Desc "), id, lit("\">"),
+          lit("<link rel=\"canonical\" href=\"http://c.io/"), id, lit("\">"),
+          lit("<meta property=\"og:title\" content=\"OG "), id,
+          lit("\"></head><body>x</body></html>")))
+        .when(m === 1, concat(
+          lit("<head><title id='t'>T"), id, lit("</title>"),
+          lit("<meta content='Rev "), id, lit("' name='description'>"),
+          lit("<link href='http://r.io/"), id, lit("' rel='canonical'></head>")))
+        .when(m === 2, concat(
+          lit("<HTML><HEAD><TITLE>Up "), id, lit("</TITLE>"),
+          lit("<meta content=\"OGR "), id,
+          lit("\" property=\"og:title\"></HEAD></HTML>")))
+        .otherwise(concat(lit("<html><body>plain "), id, lit("</body></html>")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.htmlMeta(html).as("v"))
+        .select(col("doc_id"),
+          col("v.title").as("title"),
+          col("v.description").as("description"),
+          col("v.canonical").as("canonical"),
+          col("v.og_title").as("og_title"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 152. Gopher quality-filter rules, oracle-pinned ------------------------------------------------
+    // The published heuristic gate (word-count bounds, mean word length,
+    // symbol ratios, bullet/ellipsis line ratios, alpha-word ratio, core
+    // stopwords) computed as one builtin-function struct over the raw
+    // corpus; the oracle recomputes every metric and the verdict
+    // relationally with the shared tokenization.
+    "q152_gopher_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.gopherQualityFlags(col("text")).as("v"))
+        .select(col("doc_id"),
+          col("v.n_words").as("n_words"),
+          col("v.mean_word_len").as("mean_word_len"),
+          col("v.hash_word_ratio").as("hash_word_ratio"),
+          col("v.ellipsis_word_ratio").as("ellipsis_word_ratio"),
+          col("v.bullet_line_ratio").as("bullet_line_ratio"),
+          col("v.ellipsis_line_ratio").as("ellipsis_line_ratio"),
+          col("v.alpha_word_ratio").as("alpha_word_ratio"),
+          col("v.stop_hits").as("stop_hits"),
+          col("v.passes").as("passes"))
+        .orderBy("doc_id")),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4920,6 +4977,67 @@ object SparkEntry {
         |    || ' ' || chr(20320) || chr(22909)
         |    || ' d' || chr(233) || 'sol' || chr(233) || chr(8482) AS fixed,
         |  CAST(11 AS INT) AS chars_recovered
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // HTML metadata closed forms, one per constructed shape.
+    "q151_html_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'Page ' || doc_id WHEN 1 THEN 'T' || doc_id
+        |    WHEN 2 THEN 'Up ' || doc_id ELSE NULL END AS title,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'Desc ' || doc_id WHEN 1 THEN 'Rev ' || doc_id
+        |    ELSE NULL END AS description,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'http://c.io/' || doc_id
+        |    WHEN 1 THEN 'http://r.io/' || doc_id ELSE NULL END AS canonical,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'OG ' || doc_id WHEN 2 THEN 'OGR ' || doc_id
+        |    ELSE NULL END AS og_title
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Gopher metrics recomputed relationally with the shared tokenization.
+    "q152_gopher_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(str_split_regex(lower(text), '\s+'),
+        |      s -> len(s) > 0) AS toks
+        |  FROM documents),
+        | m AS (
+        |  SELECT doc_id, text, toks,
+        |    len(toks) AS n_words,
+        |    CAST(GREATEST(len(toks), 1) AS DOUBLE) AS nw,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonspace,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3.0 AS ell,
+        |    str_split(text, chr(10)) AS lines
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(n_words AS INT) AS n_words,
+        |  nonspace / nw AS mean_word_len,
+        |  hashes / nw AS hash_word_ratio,
+        |  ell / nw AS ellipsis_word_ratio,
+        |  CAST(len(list_filter(lines, l -> starts_with(trim(l), chr(8226))
+        |      OR starts_with(trim(l), '- ') OR starts_with(trim(l), '* ')))
+        |    AS DOUBLE) / GREATEST(len(lines), 1) AS bullet_line_ratio,
+        |  CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |    AS DOUBLE) / GREATEST(len(lines), 1) AS ellipsis_line_ratio,
+        |  CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-z]')))
+        |    AS DOUBLE) / nw AS alpha_word_ratio,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    w -> list_contains(toks, w))) AS INT) AS stop_hits,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (nonspace / nw BETWEEN 3.0 AND 10.0)
+        |    AND hashes / nw <= 0.1 AND ell / nw <= 0.1
+        |    AND CAST(len(list_filter(lines, l -> starts_with(trim(l), chr(8226))
+        |        OR starts_with(trim(l), '- ') OR starts_with(trim(l), '* ')))
+        |      AS DOUBLE) / GREATEST(len(lines), 1) <= 0.9
+        |    AND CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |      AS DOUBLE) / GREATEST(len(lines), 1) <= 0.3
+        |    AND CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-z]')))
+        |      AS DOUBLE) / nw >= 0.8
+        |    AND len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) >= 2 AS passes
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

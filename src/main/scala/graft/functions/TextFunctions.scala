@@ -98,6 +98,54 @@ object TextFunctions {
     floor((lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3) * 10000.0) / 10000.0
   }
 
+  /** The published Gopher quality-filter rules (Rae et al. 2021 — the
+    * heuristic gate most large-scale text pipelines start from), as one
+    * struct of metrics + the pass verdict:
+    *  - word count in [50, 100000]
+    *  - mean word length in [3, 10]
+    *  - '#'-per-word and '...'-per-word ratios <= 0.1
+    *  - <= 90% of lines bullet-led; <= 30% of lines ellipsis-ended
+    *  - >= 80% of words contain an alphabetic character
+    *  - >= 2 distinct core stopwords present
+    * Tokenization is [[Retrieval.tokens]] (lowercase + whitespace), the
+    * oracle-mirrored convention. Pure builtin-function composition.
+    */
+  def gopherQualityFlags(text: Column): Column = {
+    val toks = Retrieval.tokens(text)
+    val nWords = size(toks)
+    val nWordsD = greatest(nWords, lit(1)).cast("double")
+    val meanLen = length(regexp_replace(text, "\\s+", "")).cast("double") / nWordsD
+    val hashes = (length(text) - length(regexp_replace(text, "#", "")))
+      .cast("double") / nWordsD
+    val ellipses = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("double") / nWordsD
+    val lines = split(text, "\\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletLines = size(filter(lines, l =>
+      trim(l).startsWith("•") || trim(l).startsWith("- ") ||
+        trim(l).startsWith("* "))).cast("double") / nLines
+    val ellipsisLines = size(filter(lines, l =>
+      trim(l).endsWith("..."))).cast("double") / nLines
+    val alphaRatio = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast("double") / nWordsD
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(
+      array(stops.map(lit): _*), w => array_contains(toks, w)))
+    val passes = nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+      hashes <= 0.1 && ellipses <= 0.1 && bulletLines <= 0.9 &&
+      ellipsisLines <= 0.3 && alphaRatio >= 0.8 && stopHits >= 2
+    struct(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      hashes.as("hash_word_ratio"),
+      ellipses.as("ellipsis_word_ratio"),
+      bulletLines.as("bullet_line_ratio"),
+      ellipsisLines.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      passes.as("passes"))
+  }
+
   /** Character-trigram language ID (Cavnar–Trenkle rank profiles over 11
     * embedded languages — ar de en es fr it ja nl pt ru zh), as a native
     * codegen'd expression ([[graft.expressions.LangIdExpr]]). Returns an
@@ -208,6 +256,36 @@ object TextFunctions {
     * the decode seam; boilerplate-level extraction is what corpus
     * pipelines actually run.)
     */
+  /** HTML metadata extraction — the per-page fields every crawl index
+    * keys on: <title>, meta description, canonical link, og:title. A
+    * chain of codegen'd regexp_extract builtins (same discipline as
+    * [[htmlToText]]): attribute order and quote style both vary in the
+    * wild, so each field coalesces an attr-before and attr-after pattern;
+    * absent fields are NULL, not "". Struct<title, description,
+    * canonical, og_title>.
+    */
+  def htmlMeta(html: Column): Column = {
+    def first(c: Column, patterns: String*): Column = {
+      val hits = patterns.map(p => nullif(regexp_extract(c, p, 1), lit("")))
+      coalesce(hits: _*)
+    }
+    val q = "[\"']"
+    struct(
+      first(html, "(?is)<title[^>]*>\\s*(.*?)\\s*</title").as("title"),
+      first(html,
+        s"(?is)<meta\\s+[^>]*name\\s*=\\s*$q?description$q?[^>]*content\\s*=\\s*$q(.*?)$q",
+        s"(?is)<meta\\s+[^>]*content\\s*=\\s*$q(.*?)$q[^>]*name\\s*=\\s*$q?description$q?")
+        .as("description"),
+      first(html,
+        s"(?is)<link\\s+[^>]*rel\\s*=\\s*$q?canonical$q?[^>]*href\\s*=\\s*$q(.*?)$q",
+        s"(?is)<link\\s+[^>]*href\\s*=\\s*$q(.*?)$q[^>]*rel\\s*=\\s*$q?canonical$q?")
+        .as("canonical"),
+      first(html,
+        s"(?is)<meta\\s+[^>]*property\\s*=\\s*${q}og:title$q[^>]*content\\s*=\\s*$q(.*?)$q",
+        s"(?is)<meta\\s+[^>]*content\\s*=\\s*$q(.*?)$q[^>]*property\\s*=\\s*${q}og:title$q")
+        .as("og_title"))
+  }
+
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script\\b.*?</script\\s*>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", " ")
