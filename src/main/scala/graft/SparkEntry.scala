@@ -3312,7 +3312,10 @@ object SparkEntry {
     // relationally with the shared tokenization.
     "q152_gopher_quality" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TF.gopherQualityFlags(col("text")).as("v"))
+        .select(col("doc_id"), col("text"),
+          Retrieval.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TF.gopherQualityFlags(col("text"), col("__toks")).as("v"))
         .select(col("doc_id"),
           col("v.n_words").as("n_words"),
           col("v.mean_word_len").as("mean_word_len"),

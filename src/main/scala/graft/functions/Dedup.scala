@@ -507,19 +507,24 @@ object Dedup {
       broadcastBench: Boolean = true
   ): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    def grams(textC: Column): Column = {
-      val toks = Retrieval.tokens(textC)
+    // Tokenize in a SEPARATE projection and build grams from the
+    // materialized array: inlining the tokenizer into the explode lambda
+    // re-splits the text once per reference (3x per row before the per-gram
+    // slices) — measured 4.1s -> 0.9s at sf0.1 for the q145 shape.
+    def gramsFromToks(toks: Column): Column =
       when(size(toks) >= n,
         array_distinct(transform(
           sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
         .otherwise(array().cast("array<string>"))
-    }
     val benchGrams0 = bench
-      .select(explode(grams(col(benchText))).as("g")).distinct()
+      .select(Retrieval.tokens(col(benchText)).as("__toks"))
+      .select(explode(gramsFromToks(col("__toks"))).as("g")).distinct()
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     train.where(col(trainId).isNotNull)
-      .select(col(trainId).as("doc_id"), explode(grams(col(trainText))).as("g"))
+      .select(col(trainId).as("doc_id"),
+        Retrieval.tokens(col(trainText)).as("__toks"))
+      .select(col("doc_id"), explode(gramsFromToks(col("__toks"))).as("g"))
       .join(benchGrams, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("contaminated_grams"))

@@ -110,8 +110,14 @@ object TextFunctions {
     * Tokenization is [[Retrieval.tokens]] (lowercase + whitespace), the
     * oracle-mirrored convention. Pure builtin-function composition.
     */
-  def gopherQualityFlags(text: Column): Column = {
-    val toks = Retrieval.tokens(text)
+  def gopherQualityFlags(text: Column): Column =
+    gopherQualityFlags(text, Retrieval.tokens(text))
+
+  /** [[gopherQualityFlags]] with pre-materialized tokens: pass a projected
+    * token-array column when computing several token metrics per row —
+    * inlining the tokenizer re-splits the text once per reference.
+    */
+  def gopherQualityFlags(text: Column, toks: Column): Column = {
     val nWords = size(toks)
     val nWordsD = greatest(nWords, lit(1)).cast("double")
     val meanLen = length(regexp_replace(text, "\\s+", "")).cast("double") / nWordsD
