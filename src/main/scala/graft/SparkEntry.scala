@@ -3327,6 +3327,41 @@ object SparkEntry {
           col("v.stop_hits").as("stop_hits"),
           col("v.passes").as("passes"))
         .orderBy("doc_id")),
+
+    // --- 153. robots.txt politeness metadata (crawl-delay + sitemaps), oracle-pinned --------------------
+    // The other half of the robots gate (q137 decides CAN fetch; this
+    // decides HOW FAST and WHERE TO START): four constructed shapes cycle
+    // specific-group vs wildcard vs merged-group delays and 0-2 sitemap
+    // URLs; group selection must match graft_robots_allowed's RFC 9309
+    // semantics exactly. Oracle states delay and sitemap list closed-form.
+    "q153_robots_meta" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val robots =
+        when(m === 0, concat(
+          lit("User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /x\n"),
+          lit("User-agent: *\nCrawl-delay: 9\nDisallow: /\n"),
+          lit("Sitemap: http://h"), id, lit(".io/sm.xml\n")))
+        .when(m === 1, concat(
+          lit("User-agent: *\nCrawl-delay: 7\nDisallow: /\n"),
+          lit("Sitemap: http://a"), id, lit(".io/1.xml\n"),
+          lit("Sitemap: http://a"), id, lit(".io/2.xml\n")))
+        .when(m === 2, concat(
+          // Two merged graftbot groups (equal specificity): smallest
+          // delay wins; no sitemaps.
+          lit("User-agent: graftbot\nCrawl-delay: 6\nDisallow: /a\n"),
+          lit("User-agent: graftbot\nCrawl-delay: 4\nDisallow: /b\n")))
+        .otherwise(
+          // No delay anywhere; unknown lines and a comment ignored.
+          lit("# robots\nUser-agent: graftbot\nDisallow: /q\nFoo: bar\n"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.robotsMeta(robots, lit("graftbot")).as("v"))
+        .select(col("doc_id"),
+          col("v.crawl_delay").as("crawl_delay"),
+          array_join(col("v.sitemaps"), ",").as("sitemaps"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -4997,6 +5032,18 @@ object SparkEntry {
         |  CASE CAST(doc_id % 4 AS INT)
         |    WHEN 0 THEN 'OG ' || doc_id WHEN 2 THEN 'OGR ' || doc_id
         |    ELSE NULL END AS og_title
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Robots politeness metadata closed forms, one per shape.
+    "q153_robots_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 2.5 WHEN 1 THEN 7.0 WHEN 2 THEN 4.0
+        |    ELSE NULL END AS crawl_delay,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'http://h' || doc_id || '.io/sm.xml'
+        |    WHEN 1 THEN 'http://a' || doc_id || '.io/1.xml,http://a' || doc_id || '.io/2.xml'
+        |    ELSE '' END AS sitemaps
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Gopher metrics recomputed relationally with the shared tokenization.

@@ -157,6 +157,14 @@ object GraftExtensions {
           "graft_content_chunks(binary, avgBits int literal)")
       }),
     (
+      FunctionIdentifier("graft_robots_meta"),
+      new ExpressionInfo(classOf[RobotsMetaExpr].getName, "graft_robots_meta"),
+      (args: Seq[Expression]) => args match {
+        case Seq(r, a) => RobotsMetaExpr(r, a)
+        case _ => throw new IllegalArgumentException(
+          "graft_robots_meta(robots_txt, agent)")
+      }),
+    (
       FunctionIdentifier("graft_fix_mojibake"),
       new ExpressionInfo(classOf[FixMojibakeExpr].getName, "graft_fix_mojibake"),
       (args: Seq[Expression]) => args match {

@@ -1,9 +1,11 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** robots.txt politeness evaluation — the gate in front of every crawl
@@ -124,6 +126,78 @@ object RobotsCodec {
     java.util.regex.Pattern.compile(if (anchored) body + "$" else body)
   }
 
+  /** Politeness metadata: the winning group's Crawl-delay (null when the
+    * group declares none) and every Sitemap URL in file order. Group
+    * selection is IDENTICAL to [[allowed]] (most specific User-agent
+    * token, else the `*` groups, merged at equal specificity); when
+    * merged groups declare several delays the SMALLEST wins — the
+    * conservative politeness reading. Sitemap lines are global per RFC
+    * 9309 / sitemaps.org, not group-scoped.
+    */
+  def meta(robotsTxt: String, agent: String): (java.lang.Double, Array[String]) = {
+    if (robotsTxt == null) return (null, Array.empty)
+    val want = if (agent == null) "" else agent.toLowerCase(java.util.Locale.ROOT)
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var specificDelay: java.lang.Double = null
+    var bestSpecLen = 0
+    var wildDelay: java.lang.Double = null
+    var curSpecLen = 0
+    var curWild = false
+    var inAgentRun = false
+    var curDelay: java.lang.Double = null
+    def minD(a: java.lang.Double, b: java.lang.Double): java.lang.Double =
+      if (a == null) b else if (b == null) a
+      else java.lang.Double.valueOf(math.min(a.doubleValue, b.doubleValue))
+    def closeGroup(): Unit = {
+      if (curSpecLen > 0) {
+        if (curSpecLen > bestSpecLen) {
+          specificDelay = curDelay; bestSpecLen = curSpecLen
+        } else if (curSpecLen == bestSpecLen)
+          specificDelay = minD(specificDelay, curDelay)
+      }
+      if (curWild) wildDelay = minD(wildDelay, curDelay)
+      curSpecLen = 0; curWild = false; curDelay = null
+    }
+    for (raw <- robotsTxt.split("\r\n|\n|\r")) {
+      val line = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgentRun) { closeGroup(); inAgentRun = true }
+            val v = value.toLowerCase(java.util.Locale.ROOT)
+            if (v == "*") curWild = true
+            else if (v.nonEmpty && want.contains(v))
+              curSpecLen = math.max(curSpecLen, v.length)
+          case "crawl-delay" =>
+            // Does NOT end the agent run — group membership must stay
+            // IDENTICAL to [[allowed]]'s ('UA: a / Crawl-delay / UA: b'
+            // is one group there, so it is one group here too).
+            try {
+              val d = java.lang.Double.parseDouble(value)
+              if (d >= 0 && !d.isNaN && !d.isInfinite)
+                curDelay = minD(curDelay, java.lang.Double.valueOf(d))
+            } catch { case _: NumberFormatException => () }
+          case "sitemap" =>
+            // Global, and must NOT end the agent run (same reasoning as
+            // the unknown-line rule in [[allowed]]).
+            if (value.nonEmpty) sitemaps += value
+          case "allow" | "disallow" =>
+            inAgentRun = false
+          case _ => ()
+        }
+      }
+    }
+    closeGroup()
+    val delay = if (bestSpecLen > 0) specificDelay else wildDelay
+    (delay, sitemaps.toArray)
+  }
+
   private def ruleMatches(rule: String, path: String): Boolean = {
     if (rulePatterns.size >= RulePatternCacheMax) rulePatterns.clear()
     val pat = rulePatterns.computeIfAbsent(rule, compileRule(_))
@@ -161,4 +235,38 @@ case class RobotsAllowedExpr(first: Expression, second: Expression,
       newSecond: Expression, newThird: Expression): RobotsAllowedExpr =
     copy(first = newFirst, second = newSecond, third = newThird)
   override def prettyName: String = "graft_robots_allowed"
+}
+
+/** `(robots_txt, agent)` -> struct<crawl_delay:double, sitemaps:array<string>>:
+  * the winning group's Crawl-delay (null when none) and the file's Sitemap
+  * URLs, by the same group selection as [[RobotsAllowedExpr]]. A frontier
+  * derives per-host politeness pacing and sitemap seeds in the same scan
+  * that evaluates fetch permissions.
+  */
+case class RobotsMetaExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string, string)")
+  override def dataType: DataType = StructType(Seq(
+    StructField("crawl_delay", DoubleType, nullable = true),
+    StructField("sitemaps", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  def evalMeta(r: UTF8String, a: UTF8String): InternalRow = {
+    val (delay, maps) = RobotsCodec.meta(r.toString, a.toString)
+    new GenericInternalRow(Array[Any](
+      if (delay == null) null else delay.doubleValue,
+      new GenericArrayData(maps.map(UTF8String.fromString(_)).toArray[Any])))
+  }
+  override def nullSafeEval(r: Any, a: Any): Any =
+    evalMeta(r.asInstanceOf[UTF8String], a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("robotsMeta", this, classOf[RobotsMetaExpr].getName)
+    defineCodeGen(ctx, ev, (r, a) => s"$self.evalMeta($r, $a)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RobotsMetaExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_robots_meta"
 }

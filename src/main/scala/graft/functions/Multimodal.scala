@@ -211,6 +211,17 @@ object Multimodal {
       graft.expressions.ZunstdExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Politeness metadata from robots.txt
+    * ([[graft.expressions.RobotsMetaExpr]]): the winning group's
+    * Crawl-delay (null when none) and the file's Sitemap URLs, with the
+    * same RFC 9309 group selection as [[robotsAllowed]].
+    */
+  def robotsMeta(robotsTxt: Column, agent: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.RobotsMetaExpr(
+        org.apache.spark.sql.graft.Bridge.expression(robotsTxt),
+        org.apache.spark.sql.graft.Bridge.expression(agent)))
+
   /** Gear content-defined chunking ([[graft.expressions.ContentChunksExpr]]):
     * `array<struct<offset,length,hash>>` whose boundaries are decided by
     * content, so an insert near the front of a blob re-aligns every later

@@ -109,6 +109,37 @@ class RobotsSpec extends SparkTestBase {
     assert(!allowed(both, "graftbot-news", "/y/q"))
   }
 
+  test("meta: crawl-delay group selection mirrors allowed; sitemaps global") {
+    def meta(txt: String, agent: String) = RobotsCodec.meta(txt, agent)
+    // Specific group beats wildcard.
+    val t1 = "User-agent: bot\nCrawl-delay: 2.5\nDisallow: /x\n" +
+      "User-agent: *\nCrawl-delay: 9\nDisallow: /\n" +
+      "Sitemap: http://h.io/sm.xml\n"
+    assert(meta(t1, "graftbot")._1 == 2.5)
+    assert(meta(t1, "graftbot")._2.toSeq == Seq("http://h.io/sm.xml"))
+    // Wildcard-only match ("crawler" does not contain the "bot" token;
+    // note "otherbot" WOULD match by substring, same as allowed()).
+    assert(meta(t1, "crawler")._1 == 9.0)
+    // Merged equal-specificity groups: smallest delay wins.
+    val t2 = "User-agent: bot\nCrawl-delay: 6\nDisallow: /a\n" +
+      "User-agent: bot\nCrawl-delay: 4\nDisallow: /b\n"
+    assert(meta(t2, "bot")._1 == 4.0)
+    // No delay declared -> null; sitemaps still collected in order.
+    val t3 = "User-agent: bot\nDisallow: /q\n" +
+      "Sitemap: http://a.io/1.xml\nSitemap: http://a.io/2.xml\n"
+    assert(meta(t3, "bot")._1 == null)
+    assert(meta(t3, "bot")._2.toSeq == Seq("http://a.io/1.xml", "http://a.io/2.xml"))
+    // Crawl-delay must NOT split a shared user-agent run (group parity
+    // with allowed()): both agents get the one group's delay.
+    val t4 = "User-agent: a\nCrawl-delay: 3\nUser-agent: b\nDisallow: /\n"
+    assert(meta(t4, "a")._1 == 3.0 && meta(t4, "b")._1 == 3.0)
+    // Malformed/negative delays ignored.
+    val t5 = "User-agent: bot\nCrawl-delay: nope\nCrawl-delay: -1\n"
+    assert(meta(t5, "bot")._1 == null)
+    // Null/empty file.
+    assert(meta(null, "bot")._1 == null && meta(null, "bot")._2.isEmpty)
+  }
+
   test("column expression + SQL function evaluate in the plan") {
     val df = Seq(("/private/a", basic), ("/pub/a", basic))
       .toDF("path", "robots")
