@@ -3362,6 +3362,30 @@ object SparkEntry {
           array_join(col("v.sitemaps"), ",").as("sitemaps"))
         .orderBy("doc_id")
     }),
+
+    // --- 154. sentence segmentation (graft_sentences), oracle-pinned ------------------------------------
+    // Abbreviation-aware rule segmentation: three constructed shapes per
+    // row exercise Dr./p.m./fig. suppression, initials, ellipsis-capital
+    // boundaries, closing quotes and digit-led sentences; posexploded so
+    // the oracle can state every (pos, sentence) closed-form.
+    "q154_sentences" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text =
+        when(m === 0, concat(
+          lit("Dr. Smith visited site "), id,
+          lit(". He left at 5 p.m. on Friday! Done.")))
+        .when(m === 1, concat(
+          lit("Version "), id,
+          lit(" shipped... users cheered. See fig. 2 for charts. 3 bugs remain.")))
+        .otherwise(concat(
+          lit("She said \"wait.\" Then left. Case "), id, lit(" closed?")))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(TF.sentences(text)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("sentence"))
+        .orderBy("doc_id", "pos")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -5033,6 +5057,27 @@ object SparkEntry {
         |    WHEN 0 THEN 'OG ' || doc_id WHEN 2 THEN 'OGR ' || doc_id
         |    ELSE NULL END AS og_title
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Sentence segmentation closed forms: every (pos, sentence) stated.
+    "q154_sentences" ->
+      """WITH r AS (
+        |  SELECT doc_id, UNNEST(range(3)) AS pos FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN CASE pos
+        |      WHEN 0 THEN 'Dr. Smith visited site ' || doc_id || '.'
+        |      WHEN 1 THEN 'He left at 5 p.m. on Friday!'
+        |      ELSE 'Done.' END
+        |    WHEN 1 THEN CASE pos
+        |      WHEN 0 THEN 'Version ' || doc_id || ' shipped... users cheered.'
+        |      WHEN 1 THEN 'See fig. 2 for charts.'
+        |      ELSE '3 bugs remain.' END
+        |    ELSE CASE pos
+        |      WHEN 0 THEN 'She said "wait."'
+        |      WHEN 1 THEN 'Then left.'
+        |      ELSE 'Case ' || doc_id || ' closed?' END
+        |  END AS sentence
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
 
     // Robots politeness metadata closed forms, one per shape.
     "q153_robots_meta" ->

@@ -165,6 +165,13 @@ object GraftExtensions {
           "graft_robots_meta(robots_txt, agent)")
       }),
     (
+      FunctionIdentifier("graft_sentences"),
+      new ExpressionInfo(classOf[SentenceSplitExpr].getName, "graft_sentences"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SentenceSplitExpr(t)
+        case _ => throw new IllegalArgumentException("graft_sentences(string)")
+      }),
+    (
       FunctionIdentifier("graft_fix_mojibake"),
       new ExpressionInfo(classOf[FixMojibakeExpr].getName, "graft_fix_mojibake"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,113 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rule-based sentence segmentation — chunking, windowed dedup and
+  * per-sentence quality scoring all want sentence units, and a
+  * whitespace/period split gets "Dr. Smith" and "5 p.m. on Tuesday"
+  * wrong. The classic abbreviation-aware splitter (the rule core of
+  * Punkt-style segmenters, deterministic, no model):
+  *
+  *  - a boundary is a terminator run `[.!?]+` (plus closing quotes/
+  *    parens), followed by whitespace and an uppercase letter or digit,
+  *    or end of text;
+  *  - a '.' boundary is SUPPRESSED when the preceding word is a known
+  *    abbreviation (mr/dr/e.g/etc/...) or a single letter (initials);
+  *  - "..." followed by lowercase continues the sentence.
+  *
+  * Sentences return trimmed, with their terminators attached.
+  */
+object SentenceCodec {
+
+  private val abbrevs: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc",
+      "e.g", "i.e", "cf", "fig", "no", "inc", "ltd", "co", "corp", "dept",
+      "est", "approx", "jan", "feb", "mar", "apr", "jun", "jul", "aug",
+      "sep", "sept", "oct", "nov", "dec", "p.m", "a.m").foreach(s.add)
+    s
+  }
+
+  private def isTerm(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+  private def isClose(c: Char): Boolean =
+    c == '"' || c == '\'' || c == ')' || c == ']' || c == '»' ||
+      c == '”' || c == '’'
+
+  /** Word (letters and interior dots) ending at exclusive position `end`,
+    * lowercased — what the abbreviation check runs on ("p.m." ends with
+    * word "p.m"; "Smith." ends with "smith").
+    */
+  private def wordBefore(s: String, end: Int): String = {
+    var i = end
+    while (i > 0 && (Character.isLetter(s.charAt(i - 1)) ||
+        (s.charAt(i - 1) == '.' && i - 1 > 0 && i < end &&
+          Character.isLetter(s.charAt(i - 2))))) i -= 1
+    s.substring(i, end).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  def split(u: UTF8String): ArrayData = {
+    if (u == null) return null
+    val s = u.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var i = 0
+    def emit(endExcl: Int): Unit = {
+      val t = s.substring(start, endExcl).trim
+      if (t.nonEmpty) out += UTF8String.fromString(t)
+      start = endExcl
+    }
+    while (i < s.length) {
+      if (isTerm(s.charAt(i))) {
+        val termStart = i
+        while (i < s.length && isTerm(s.charAt(i))) i += 1
+        var j = i
+        while (j < s.length && isClose(s.charAt(j))) j += 1
+        // Whitespace then upper/digit (or end of text) makes a boundary.
+        var k = j
+        while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
+        val atEnd = k >= s.length
+        val nextUpper = !atEnd &&
+          (Character.isUpperCase(s.charAt(k)) || Character.isDigit(s.charAt(k)))
+        val boundary =
+          if (!(atEnd || (k > j && nextUpper))) false
+          else if (s.charAt(termStart) != '.') true
+          else {
+            // Lone-dot run: abbreviation / initial suppression. "..." and
+            // "?!" runs always terminate (the run is > 1 char).
+            if (i - termStart > 1) true
+            else {
+              val w = wordBefore(s, termStart)
+              !(abbrevs.contains(w) || w.length == 1)
+            }
+          }
+        if (boundary) { emit(j); i = k } else i = j
+      } else i += 1
+    }
+    emit(s.length)
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `string` -> array<string> of trimmed sentences (abbreviation-aware
+  * rule segmentation), codegen'd.
+  */
+case class SentenceSplitExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SentenceCodec.split(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SentenceCodec.split($c)")
+  override protected def withNewChildInternal(newChild: Expression): SentenceSplitExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sentences"
+}

@@ -184,6 +184,19 @@ object TextFunctions {
       graft.expressions.NfkcNormalizeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Abbreviation-aware sentence segmentation
+    * ([[graft.expressions.SentenceSplitExpr]]): terminator runs with
+    * closing-quote handling, suppressed after known abbreviations
+    * (mr/dr/e.g/p.m/...) and single-letter initials; "..." followed by
+    * lowercase continues. Returns trimmed sentences with terminators
+    * attached — the unit chunking, windowed dedup and per-sentence
+    * quality scoring want.
+    */
+  def sentences(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SentenceSplitExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Mojibake repair ([[graft.expressions.FixMojibakeExpr]]): undoes
     * UTF-8-read-as-cp1252/Latin-1 damage ("cafÃ©" -> "café") to a
     * fixpoint, so double-encoded text unwinds too. Deterministic byte

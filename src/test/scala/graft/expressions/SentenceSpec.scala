@@ -1,0 +1,46 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.unsafe.types.UTF8String
+
+class SentenceSpec extends SparkTestBase {
+
+  private def split(s: String): Seq[String] =
+    SentenceCodec.split(UTF8String.fromString(s))
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+
+  test("plain boundaries on . ! ? with capital follow") {
+    assert(split("One sentence. Two here! Three now? Four.") ==
+      Seq("One sentence.", "Two here!", "Three now?", "Four."))
+  }
+
+  test("abbreviations and initials do not split") {
+    assert(split("Dr. Smith met Mr. J. Jones. They left.") ==
+      Seq("Dr. Smith met Mr. J. Jones.", "They left."))
+    assert(split("He arrived at 5 p.m. on Tuesday. Then slept.") ==
+      Seq("He arrived at 5 p.m. on Tuesday.", "Then slept."))
+    assert(split("See fig. 3 for details. Next.") ==
+      Seq("See fig. 3 for details.", "Next."))
+  }
+
+  test("lowercase follow continues; ellipsis rules") {
+    assert(split("He paused... then spoke.") == Seq("He paused... then spoke."))
+    assert(split("He paused... Then spoke.") == Seq("He paused...", "Then spoke."))
+    assert(split("version 2.5 is out. Yes.") ==
+      Seq("version 2.5 is out.", "Yes."))
+  }
+
+  test("closing quotes ride with the sentence; digits start sentences") {
+    assert(split("She said \"stop.\" He did. 7 days passed.") ==
+      Seq("She said \"stop.\"", "He did.", "7 days passed."))
+  }
+
+  test("edge shapes") {
+    assert(split("") == Seq())
+    assert(split("no terminator at all") == Seq("no terminator at all"))
+    assert(split("  Trimmed.  Spaces.  ") == Seq("Trimmed.", "Spaces."))
+    assert(split("Wow?! Really.") == Seq("Wow?!", "Really."))
+    assert(SentenceCodec.split(null) == null)
+  }
+}
