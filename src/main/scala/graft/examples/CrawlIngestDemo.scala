@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /** End-to-end drive of the crawl-ingest operators: per-document WARC
   * segments are built from the corpus, gzip-compressed (the shape crawl
   * dumps arrive in), then flow through the full pipeline —
-  * gunzip -> WARC record split -> explode -> language ID + quality
-  * scoring -> repeated-n-gram boilerplate sweep -> overlapping-window
-  * chunking — all as codegen'd expressions and declarative plans, no UDF
-  * anywhere.
+  * gunzip -> WARC record split -> explode -> URL canonicalization +
+  * frontier dedup -> mojibake repair + NFC normalization -> language ID +
+  * Gopher quality gate -> benchmark decontamination -> repeated-n-gram
+  * boilerplate sweep -> sentence-aware stats -> overlapping-window
+  * chunking -> BPE subword census — all as codegen'd expressions and
+  * declarative plans, no UDF anywhere.
   *
   * Usage: runMain graft.examples.CrawlIngestDemo /root/testdata/sf0.001
   */
@@ -47,31 +49,73 @@ object CrawlIngestDemo {
     println("=== 2. split records ===")
     responses.show(3, 60)
 
-    // --- 3. filter: language ID + composite quality score.
-    val scored = responses.select(col("uri"), col("text"),
+    // --- 3. frontier hygiene: canonicalize URIs (tracking params, case,
+    // dot-segments) and keep one row per canonical resource.
+    val canon = responses
+      .withColumn("uri",
+        coalesce(TextFunctions.canonicalizeUrl(
+          concat(col("uri"), lit("?utm_source=feed#frag"))), col("uri")))
+      .dropDuplicates("uri")
+    println(s"=== 3. canonical frontier: ${canon.count()} unique resources ===")
+
+    // --- 4. text repair: mojibake fixpoint + NFC normalization (clean
+    // text passes through both untouched; ASCII short-circuits).
+    val repaired = canon.withColumn("text",
+      TextFunctions.nfc(TextFunctions.fixMojibake(col("text"))))
+
+    // --- 5. filter: language ID + the Gopher heuristic gate.
+    val scored = repaired.select(col("uri"), col("text"),
       TextFunctions.langId(col("text")).as("lang"),
-      TextFunctions.qualityScore(col("text")).as("quality"))
-    println("=== 3. language / quality profile ===")
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.gopherQualityFlags(col("text")).as("gopher"))
+    println("=== 5. language / quality profile ===")
     scored.groupBy("lang").agg(count(lit(1)).as("docs"),
-      avg("quality").as("avg_quality")).orderBy("lang").show()
+      avg("quality").as("avg_quality"),
+      avg(col("gopher.passes").cast("int")).as("gopher_pass_rate"))
+      .orderBy("lang").show()
     val kept = scored.where(col("quality") > 0.5)
 
-    // --- 4. boilerplate sweep: 5-gram spans shared across documents.
-    println("=== 4. top repeated 5-gram spans (boilerplate candidates) ===")
+    // --- 6. eval hygiene: drop training docs sharing any exact 4-gram
+    // with the held-out "benchmark" slice (every 10th resource here).
+    val benchSlice = kept.where(xxhash64(col("uri")) % 10 === 0)
+    val trainSlice = kept.where(xxhash64(col("uri")) % 10 =!= 0)
+    val contaminated = Dedup.decontaminate(
+      trainSlice, benchSlice, "uri", "text", "text", n = 4)
+    println(s"=== 6. decontamination: ${contaminated.count()} flagged ===")
+
+    // --- 7. boilerplate sweep: 5-gram spans shared across documents.
+    println("=== 7. top repeated 5-gram spans (boilerplate candidates) ===")
     Dedup.repeatedNgrams(kept, "uri", "text", n = 5)
       .orderBy(desc("doc_freq"), desc("total_count"), col("ngram"))
       .limit(5).show(5, 60)
 
-    // --- 5. chunk: 32-token windows at stride 24 for retrieval/context.
+    // --- 8. sentence census: abbreviation-aware segmentation.
+    println("=== 8. sentence stats ===")
+    kept.select(size(TextFunctions.sentences(col("text"))).as("n_sent"))
+      .agg(count(lit(1)).as("docs"), avg("n_sent").as("avg_sentences"),
+        max("n_sent").as("max_sentences")).show()
+
+    // --- 9. chunk: 32-token windows at stride 24 for retrieval/context.
     val chunks = kept.select(col("uri"),
       posexplode(TextFunctions.overlappingChunks(col("text"), 32, 24)))
       .where(length(col("col")) > 0)
       .select(col("uri"), col("pos"), col("col").as("chunk"),
         size(Retrieval.tokens(col("col"))).as("n_tokens"))
-    println("=== 5. chunk inventory ===")
+    println("=== 9. chunk inventory ===")
     chunks.agg(count(lit(1)).as("chunks"),
       avg("n_tokens").as("avg_tokens"),
       max("n_tokens").as("max_tokens")).show()
+
+    // --- 10. tokenizer: learn 30 BPE merges from the kept corpus, report
+    // the subword compression they buy.
+    val merges = graft.functions.Bpe.learnMerges(kept, "text", numMerges = 30)
+    println(s"=== 10. BPE: learned ${merges.size} merges; first 5: " +
+      merges.take(5).map(m => s"${m._2}+${m._3}").mkString(", ") + " ===")
+    kept.select(
+      size(Retrieval.tokens(col("text"))).as("n_tokens"),
+      size(graft.functions.Bpe.encode(col("text"), merges)).as("n_subwords"))
+      .agg((sum("n_subwords").cast("double") / sum("n_tokens"))
+        .as("subwords_per_token")).show()
 
     spark.stop()
   }
