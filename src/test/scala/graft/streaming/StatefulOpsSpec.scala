@@ -319,6 +319,44 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(got == Seq((1L, 100.0, "a"), (1L, 100.0, "b")), got.toString)
   }
 
+  test("decontaminate runs on a stream: static benchmark grams gate microbatches") {
+    // The benchmark side is a STATIC broadcast table; the train side
+    // arrives as a stream. The same Dedup.decontaminate plan must run
+    // under Structured Streaming (stream-static joins + per-batch
+    // aggregation via foreachBatch — the production shape for continuous
+    // ingest hygiene).
+    import org.apache.spark.sql.types.StringType
+    val dir = graft.GraftTmp.dir("graft-sdecon")
+    Files.write(dir.resolve("a.json"),
+      """{"id": 10, "text": "alpha beta gamma delta tail"}
+        |{"id": 11, "text": "nothing shared here at all"}""".stripMargin
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"id": 12, "text": "alpha beta gamma delta and beta gamma delta epsilon"}""".stripMargin
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val bench = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("id", "text")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.functions.Dedup.decontaminate(batch, bench,
+            "id", "text", "text", n = 4)
+          .collect().foreach(r => got.synchronized {
+            got += ((r.getLong(0), r.getLong(1)))
+          })
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    // doc 10 shares "alpha beta gamma delta"; doc 12 shares that plus
+    // "beta gamma delta epsilon" (its within-doc repeat counts once each).
+    assert(got.sorted.toList == List((10L, 1L), (12L, 2L)), got)
+  }
+
   test("streamingExactDedup suppresses duplicate content within the watermark") {
     val dir = graft.GraftTmp.dir("graft-sdedup")
     // doc "aaa" appears in both microbatches (same content digest); doc
