@@ -1,0 +1,189 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Audio fingerprinting — constellation hashing over the short-time
+  * spectrum (the published Shazam scheme, Wang 2003): landmark peaks in
+  * time-frequency, paired into (f1, f2, Δt) keys that survive noise,
+  * re-encoding and amplitude changes. Two recordings of the same audio
+  * share many keys; unrelated audio shares almost none — so audio
+  * NEAR-DUP at corpus scale is an exact equi-join on key, the same shape
+  * as MinHash bands (no pairwise comparison anywhere).
+  *
+  * Deterministic by construction: Hann window, radix-2 FFT (textbook
+  * iterative form, double precision), per-band argmax peaks, fixed
+  * fanout pairing — identical input bytes give identical keys on every
+  * JVM.
+  */
+object AudioFingerprintCodec {
+
+  private val FftSize = 1024
+  private val Hop = 512
+  /** Log-spaced band edges over the 512 positive-frequency bins. */
+  private val BandEdges = Array(1, 32, 64, 128, 256, 384, 512)
+  private val Fanout = 3
+  private val MaxDt = 32
+  /** Cap on fingerprinted audio: 30s at 48kHz. */
+  val MaxFrames = 30 * 48000
+
+  private val hann: Array[Double] = Array.tabulate(FftSize)(i =>
+    0.5 - 0.5 * math.cos(2.0 * math.Pi * i / (FftSize - 1)))
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT (textbook form). */
+  private def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    // Bit-reversal permutation.
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blockStart = 0
+      while (blockStart < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = blockStart + k
+          val bidx = a + len / 2
+          val tr = re(bidx) * cr - im(bidx) * ci
+          val ti = re(bidx) * ci + im(bidx) * cr
+          re(bidx) = re(a) - tr
+          im(bidx) = im(a) - ti
+          re(a) += tr
+          im(a) += ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        blockStart += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Landmark peaks: for each Hann-windowed frame, the strongest bin of
+    * each log band, kept only when it beats the frame's mean magnitude
+    * (silence emits nothing). Returns (frameIdx, bin) pairs in time order.
+    */
+  private def peaks(samples: Array[Double]): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val re = new Array[Double](FftSize)
+    val im = new Array[Double](FftSize)
+    var frame = 0
+    var off = 0
+    while (off + FftSize <= samples.length) {
+      var i = 0
+      while (i < FftSize) {
+        re(i) = samples(off + i) * hann(i)
+        im(i) = 0.0
+        i += 1
+      }
+      fft(re, im)
+      // Mean magnitude-squared over positive bins as the silence gate.
+      var total = 0.0
+      i = 1
+      while (i < FftSize / 2) {
+        total += re(i) * re(i) + im(i) * im(i)
+        i += 1
+      }
+      val mean = total / (FftSize / 2 - 1)
+      var band = 0
+      while (band < BandEdges.length - 1) {
+        var best = -1.0
+        var bestBin = -1
+        var bin = BandEdges(band)
+        while (bin < BandEdges(band + 1)) {
+          val m = re(bin) * re(bin) + im(bin) * im(bin)
+          if (m > best) { best = m; bestBin = bin }
+          bin += 1
+        }
+        if (bestBin >= 0 && best > mean) out += ((frame, bestBin))
+        band += 1
+      }
+      frame += 1
+      off += Hop
+    }
+    out.toArray
+  }
+
+  /** Constellation keys: each peak paired with the next `Fanout` peaks
+    * within `MaxDt` frames; key = f1(10b) | f2(10b) | dt(6b) packed into
+    * a positive long. Sorted distinct (a set semantics for the join).
+    */
+  def fingerprint(samples: Array[Double]): Array[Long] = {
+    if (samples == null) return null
+    val ps = peaks(samples)
+    val keys = scala.collection.mutable.SortedSet.empty[Long]
+    var i = 0
+    while (i < ps.length) {
+      var paired = 0
+      var j = i + 1
+      while (j < ps.length && paired < Fanout) {
+        val dt = ps(j)._1 - ps(i)._1
+        if (dt > MaxDt) j = ps.length // beyond pairing window: stop
+        else {
+          if (dt >= 1) {
+            keys += (ps(i)._2.toLong << 16) | (ps(j)._2.toLong << 6) | dt.toLong
+            paired += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    keys.toArray
+  }
+
+  /** Dispatch on magic: WAV or FLAC payload -> fingerprint keys. */
+  def fingerprintAudio(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 4) return null
+    val mono =
+      if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+        MediaCodec.flacMonoSamples(b, MaxFrames)
+      else MediaCodec.wavMonoSamples(b, MaxFrames)
+    if (mono == null) return null
+    val keys = fingerprint(mono._2)
+    new GenericArrayData(keys.map(Long.box).toArray[Any])
+  }
+}
+
+/** `binary` (WAV or FLAC) -> sorted distinct array<bigint> of spectral
+  * constellation keys, codegen'd. NULL for undecodable payloads.
+  */
+case class AudioFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    AudioFingerprintCodec.fingerprintAudio(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.AudioFingerprintCodec.fingerprintAudio($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioFingerprintExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_audio_fingerprint"
+}

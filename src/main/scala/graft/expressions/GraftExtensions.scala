@@ -165,6 +165,14 @@ object GraftExtensions {
           "graft_robots_meta(robots_txt, agent)")
       }),
     (
+      FunctionIdentifier("graft_audio_fingerprint"),
+      new ExpressionInfo(classOf[AudioFingerprintExpr].getName,
+        "graft_audio_fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => AudioFingerprintExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_audio_fingerprint(binary)")
+      }),
+    (
       FunctionIdentifier("graft_sentences"),
       new ExpressionInfo(classOf[SentenceSplitExpr].getName, "graft_sentences"),
       (args: Seq[Expression]) => args match {

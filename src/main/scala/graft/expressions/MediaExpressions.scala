@@ -2973,7 +2973,15 @@ object MediaCodec {
     * compressed/extensible/other-width WAVs and corrupt containers.
     * O(1) heap; geometry math in LONG against crafted headers.
     */
-  def decodeWav(b: Array[Byte]): AudioStats = {
+  /** Parsed WAV container geometry — shared by the stats reduce
+    * ([[decodeWav]]) and the sample extractor ([[wavMonoSamples]]) so the
+    * chunk walk and its hardening exist exactly once.
+    */
+  private final class WavInfo(val audioFormat: Int, val channels: Int,
+      val sampleRate: Int, val bitsPerSample: Int, val dataOff: Int,
+      val nFrames: Long)
+
+  private def parseWav(b: Array[Byte]): WavInfo = {
     if (b == null || b.length < 44) return null
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
@@ -3015,39 +3023,8 @@ object MediaCodec {
         val bytesPerFrame = bytesPerSample.toLong * channels
         val nFrames = size / bytesPerFrame
         if (nFrames == 0) return null
-        val sum = new Array[Long](channels)
-        val min = Array.fill(channels)(Int.MaxValue)
-        val max = Array.fill(channels)(Int.MinValue)
-        var f = 0L
-        while (f < nFrames) {
-          var c = 0
-          var p = body + f * bytesPerFrame
-          while (c < channels) {
-            val i = p.toInt
-            // All widths report in s16 scale so stats stay comparable
-            // across formats: 24-bit >> 8, 32-bit >> 16, float scaled by
-            // 32767 after clamping to [-1, 1].
-            val v = bitsPerSample match {
-              case 16 => ((b(i + 1) << 8) | (b(i) & 0xFF)).toShort.toInt
-              case 24 => ((b(i + 2) << 16) | ((b(i + 1) & 0xFF) << 8) |
-                (b(i) & 0xFF)) >> 8
-              case _ =>
-                if (audioFormat == 1) le32(b, i) >> 16
-                else {
-                  val x = java.lang.Float.intBitsToFloat(le32(b, i))
-                  val cl = if (x.isNaN) 0f else math.max(-1f, math.min(1f, x))
-                  math.round(cl * 32767f)
-                }
-            }
-            sum(c) += v
-            if (v < min(c)) min(c) = v
-            if (v > max(c)) max(c) = v
-            c += 1; p += bytesPerSample
-          }
-          f += 1
-        }
-        return new AudioStats(sampleRate, channels, nFrames,
-          sum.map(_.toDouble / nFrames), min, max)
+        return new WavInfo(audioFormat, channels, sampleRate, bitsPerSample,
+          body, nFrames)
       }
       // Chunks are word-aligned: odd sizes carry a pad byte. size is an
       // unsigned 32-bit value, so step is always >= 8; only the int-index
@@ -3057,6 +3034,78 @@ object MediaCodec {
       pos += step.toInt
     }
     null // no data chunk
+  }
+
+  /** One decoded sample in s16 scale (shared by stats and fingerprint
+    * paths): 24-bit >> 8, 32-bit >> 16, float scaled by 32767 after
+    * clamping to [-1, 1], NaN -> 0.
+    */
+  private def wavSampleS16(b: Array[Byte], i: Int, bitsPerSample: Int,
+      audioFormat: Int): Int = bitsPerSample match {
+    case 16 => ((b(i + 1) << 8) | (b(i) & 0xFF)).toShort.toInt
+    case 24 => ((b(i + 2) << 16) | ((b(i + 1) & 0xFF) << 8) |
+      (b(i) & 0xFF)) >> 8
+    case _ =>
+      if (audioFormat == 1) le32(b, i) >> 16
+      else {
+        val x = java.lang.Float.intBitsToFloat(le32(b, i))
+        val cl = if (x.isNaN) 0f else math.max(-1f, math.min(1f, x))
+        math.round(cl * 32767f)
+      }
+  }
+
+  def decodeWav(b: Array[Byte]): AudioStats = {
+    val w = parseWav(b)
+    if (w == null) return null
+    val channels = w.channels
+    val bytesPerSample = w.bitsPerSample / 8
+    val bytesPerFrame = bytesPerSample.toLong * channels
+    val sum = new Array[Long](channels)
+    val min = Array.fill(channels)(Int.MaxValue)
+    val max = Array.fill(channels)(Int.MinValue)
+    var f = 0L
+    while (f < w.nFrames) {
+      var c = 0
+      var p = w.dataOff + f * bytesPerFrame
+      while (c < channels) {
+        // All widths report in s16 scale so stats stay comparable across
+        // formats ([[wavSampleS16]]).
+        val v = wavSampleS16(b, p.toInt, w.bitsPerSample, w.audioFormat)
+        sum(c) += v
+        if (v < min(c)) min(c) = v
+        if (v > max(c)) max(c) = v
+        c += 1; p += bytesPerSample
+      }
+      f += 1
+    }
+    new AudioStats(w.sampleRate, channels, w.nFrames,
+      sum.map(_.toDouble / w.nFrames), min, max)
+  }
+
+  /** Mono-mixed s16-scale samples of a WAV payload, capped at `maxFrames`
+    * (fingerprinting needs seconds, not the whole file). Stereo averages
+    * the channels (floor division — deterministic integer arithmetic).
+    * Null for anything [[parseWav]] rejects.
+    */
+  def wavMonoSamples(b: Array[Byte], maxFrames: Int): (Int, Array[Double]) = {
+    val w = parseWav(b)
+    if (w == null) return null
+    val n = math.min(w.nFrames, maxFrames.toLong).toInt
+    val bytesPerSample = w.bitsPerSample / 8
+    val bytesPerFrame = bytesPerSample.toLong * w.channels
+    val out = new Array[Double](n)
+    var f = 0
+    while (f < n) {
+      val p = (w.dataOff + f * bytesPerFrame).toInt
+      val v0 = wavSampleS16(b, p, w.bitsPerSample, w.audioFormat)
+      val v =
+        if (w.channels == 1) v0
+        else (v0 + wavSampleS16(b, p + bytesPerSample, w.bitsPerSample,
+          w.audioFormat)) / 2
+      out(f) = v.toDouble
+      f += 1
+    }
+    (w.sampleRate, out)
   }
 
   /** MSB-first bit reader over a byte array — FLAC's bit order. Overruns
@@ -3108,7 +3157,28 @@ object MediaCodec {
     * (≤ 65535 per spec); total work is bounded by input bits, because
     * every decoded sample consumes at least one bit.
     */
-  def decodeFlac(b: Array[Byte]): AudioStats = {
+  def decodeFlac(b: Array[Byte]): AudioStats = decodeFlac(b, null)
+
+  /** Bounded mono sample collector for the fingerprint path. */
+  private[expressions] final class MonoSink(cap: Int) {
+    val data = new Array[Double](cap)
+    var n = 0
+    def full: Boolean = n >= data.length
+    def add(v: Double): Unit = if (n < data.length) { data(n) = v; n += 1 }
+  }
+
+  /** Mono-mixed s16-scale samples of a FLAC payload (same decode as
+    * [[decodeFlac]], collecting instead of reducing), capped at
+    * `maxFrames`. Null for undecodable payloads.
+    */
+  def flacMonoSamples(b: Array[Byte], maxFrames: Int): (Int, Array[Double]) = {
+    val sink = new MonoSink(maxFrames)
+    val s = decodeFlac(b, sink)
+    if (s == null) return null
+    (s.sampleRate, java.util.Arrays.copyOf(sink.data, sink.n))
+  }
+
+  private def decodeFlac(b: Array[Byte], sink: MonoSink): AudioStats = {
     if (b == null || b.length < 42) return null
     if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return null
     // Metadata blocks; STREAMINFO mandated first.
@@ -3240,19 +3310,30 @@ object MediaCodec {
       }
       // Reduce in s16 scale so stats stay comparable across bit depths.
       val shift = frameBps - 16
+      def s16(raw: Long): Int =
+        (if (shift > 0) raw >> shift else raw << -shift).toInt
       c = 0
       while (c < ch) {
         val buf = if (c == 0) buf0 else buf1
         var i = 0
         while (i < blockSize) {
-          val raw = buf(i)
-          val v = (if (shift > 0) raw >> shift else raw << -shift).toInt
+          val v = s16(buf(i))
           sum(c) += v
           if (v < min(c)) min(c) = v
           if (v > max(c)) max(c) = v
           i += 1
         }
         c += 1
+      }
+      if (sink != null && !sink.full) {
+        var i = 0
+        while (i < blockSize && !sink.full) {
+          val v =
+            if (ch == 1) s16(buf0(i))
+            else (s16(buf0(i)) + s16(buf1(i))) / 2
+          sink.add(v.toDouble)
+          i += 1
+        }
       }
       nFrames += blockSize
       pos = r.bytePos

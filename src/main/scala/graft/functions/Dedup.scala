@@ -480,6 +480,46 @@ object Dedup {
       .orderBy(desc("jaccard"), col("id1"), col("id2"))
   }
 
+  /** Audio near-duplicate pairs by shared fingerprint keys: payloads
+    * whose spectral constellations ([[Multimodal.audioFingerprint]])
+    * share at least `minSharedKeys` keys. Scale shape: keys explode to
+    * (key, id) postings and pairs form ONLY inside equal-key buckets —
+    * the MinHash-band shape, no all-pairs join. `maxKeyDf` drops
+    * degenerate keys shared by more than that many payloads (silence /
+    * boilerplate jingles), the same heavy-hitter guard as
+    * [[ngramJaccardPairs]]'s stop list.
+    */
+  def audioNearDups(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      minSharedKeys: Int = 8,
+      maxKeyDf: Int = 64
+  ): DataFrame = {
+    // PERSIST the postings: the plan references them three times (the
+    // heavy-hitter aggregate and both self-join sides), and fingerprinting
+    // is the expensive part (an FFT pass per payload) — without the cache
+    // Catalyst re-decodes and re-transforms every payload once per
+    // reference (measured 4x wall-clock on the q155 shape). The cached
+    // set is (key, id) longs-and-ids only, tiny next to the audio.
+    val keyed = df
+      .select(col(idCol).as("id"),
+        Multimodal.audioFingerprint(col(binCol)).as("ks"))
+      .where(col("ks").isNotNull)
+      .select(col("id"), explode(col("ks")).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = keyed.groupBy("k").agg(countDistinct(col("id")).as("df"))
+      .where(col("df") > maxKeyDf).select("k")
+    val pruned = keyed.join(hot, Seq("k"), "left_anti")
+    pruned.as("l")
+      .join(pruned.as("r"),
+        col("l.k") === col("r.k") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
+      .agg(count(lit(1)).as("shared_keys"))
+      .where(col("shared_keys") >= minSharedKeys)
+      .orderBy(desc("shared_keys"), col("id1"), col("id2"))
+  }
+
   /** Exact n-gram benchmark decontamination — the standard eval-hygiene
     * sweep: flag every training document sharing at least one exact
     * n-token span with a benchmark corpus, with the count of DISTINCT

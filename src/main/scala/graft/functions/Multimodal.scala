@@ -211,6 +211,18 @@ object Multimodal {
       graft.expressions.ZunstdExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Audio fingerprint ([[graft.expressions.AudioFingerprintExpr]]):
+    * Shazam-style spectral constellation keys (Hann + radix-2 FFT,
+    * per-band landmark peaks, fanout-paired (f1, f2, dt) hashes) over a
+    * WAV or FLAC payload. Same-audio payloads share many keys; unrelated
+    * audio shares almost none — audio near-dup becomes an exact
+    * equi-join on key ([[graft.functions.Dedup.audioNearDups]]).
+    */
+  def audioFingerprint(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AudioFingerprintExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Politeness metadata from robots.txt
     * ([[graft.expressions.RobotsMetaExpr]]): the winning group's
     * Crawl-delay (null when none) and the file's Sitemap URLs, with the

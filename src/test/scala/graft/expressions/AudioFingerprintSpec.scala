@@ -1,0 +1,116 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AudioFingerprintSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val SR = 8000
+
+  /** Multi-tone test signal: frequency steps every half second through a
+    * seeded schedule — rich enough for a real constellation, stationary
+    * within windows.
+    */
+  private def signal(seed: Int, seconds: Double): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    val freqs = Array.fill(math.ceil(seconds * 2).toInt)(300.0 + rnd.nextInt(2800))
+    Array.tabulate((seconds * SR).toInt) { i =>
+      val f = freqs((i / (SR / 2)).min(freqs.length - 1))
+      math.round(10000.0 * math.sin(2 * math.Pi * f * i / SR) +
+        4000.0 * math.sin(2 * math.Pi * 2 * f * i / SR)).toDouble
+    }
+  }
+
+  private def wavBytes(samples: Array[Double]): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(SR).putInt(SR * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(2 * n)
+    samples.foreach(s => bb.putShort(s.toInt.toShort))
+    bb.array()
+  }
+
+  /** Minimal mono/16-bit FLAC: STREAMINFO + one VERBATIM frame holding
+    * exactly `samples` — everything byte-serializable without an encoder.
+    */
+  private def flacBytes(samples: Array[Double]): Array[Byte] = {
+    val n = samples.length
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    def put(v: Long, w: Int): Unit = {
+      acc = (acc << w) | (v & ((1L << w) - 1)); nb += w
+      while (nb >= 8) { bits.write(((acc >> (nb - 8)) & 0xFF).toInt); nb -= 8 }
+    }
+    put('f', 8); put('L', 8); put('a', 8); put('C', 8)
+    put(0x80, 8); put(34, 24) // last metadata block, STREAMINFO
+    put(4096, 16); put(4096, 16); put(0, 24); put(0, 24)
+    put(SR, 20); put(0, 3); put(15, 5); put(n.toLong, 36)
+    (0 until 16).foreach(_ => put(0, 8)) // md5 unset
+    put(0xFFF8, 16) // frame sync, fixed blocking
+    put(7, 4); put(0, 4) // 16-bit blocksize follows; rate from STREAMINFO
+    put(0, 4); put(4, 3); put(0, 1) // mono, 16-bit
+    put(0, 8) // frame number 0
+    put(n - 1, 16)
+    put(0, 8) // crc8 (decoder skips)
+    put(0, 1); put(1, 6); put(0, 1) // VERBATIM subframe
+    samples.foreach(s => put(s.toInt.toLong, 16))
+    if (nb > 0) put(0, 8 - nb) // byte-align
+    put(0, 16) // crc16 (decoder skips)
+    bits.toByteArray
+  }
+
+  private def keys(b: Array[Byte]): Set[Long] = {
+    val ad = AudioFingerprintCodec.fingerprintAudio(b)
+    if (ad == null) null else ad.toLongArray().toSet
+  }
+
+  test("deterministic, and rich enough to be a signature") {
+    val k1 = keys(wavBytes(signal(1, 3.0)))
+    assert(k1 == keys(wavBytes(signal(1, 3.0))))
+    assert(k1.size > 20, s"only ${k1.size} keys")
+  }
+
+  test("same audio in WAV and FLAC containers fingerprints identically") {
+    val s = signal(2, 2.0)
+    assert(keys(wavBytes(s)) == keys(flacBytes(s)))
+  }
+
+  test("time shift preserves most keys; different audio shares almost none") {
+    val base = signal(3, 3.0)
+    val k1 = keys(wavBytes(base))
+    // Shift by a non-multiple of the hop: windows land differently but
+    // the tones are stationary within windows.
+    val shifted = Array.fill(1000)(0.0) ++ base
+    val k2 = keys(wavBytes(shifted))
+    val overlap = k1.intersect(k2).size.toDouble / k1.size
+    assert(overlap > 0.5, s"shift overlap $overlap")
+    val other = keys(wavBytes(signal(99, 3.0)))
+    val cross = k1.intersect(other).size.toDouble / k1.size
+    assert(cross < 0.15, s"cross overlap $cross")
+  }
+
+  test("null and garbage payloads yield null") {
+    assert(keys(null) == null)
+    assert(keys("not audio at all".getBytes) == null)
+    assert(keys(Array[Byte](1, 2)) == null)
+  }
+
+  test("audioNearDups recovers duplicate groups via the key join") {
+    // Three groups of two (same signal, one time-shifted) + two loners.
+    def shifted(s: Array[Double]) = Array.fill(1000)(0.0) ++ s
+    val rows = Seq(
+      (1L, wavBytes(signal(10, 2.0))), (2L, wavBytes(shifted(signal(10, 2.0)))),
+      (3L, wavBytes(signal(20, 2.0))), (4L, wavBytes(shifted(signal(20, 2.0)))),
+      (5L, wavBytes(signal(30, 2.0))), (6L, wavBytes(shifted(signal(30, 2.0)))),
+      (7L, wavBytes(signal(40, 2.0))), (8L, wavBytes(signal(50, 2.0))))
+    val df = rows.toDF("id", "audio")
+    val pairs = graft.functions.Dedup.audioNearDups(df, "id", "audio",
+        minSharedKeys = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L), (5L, 6L)), pairs)
+  }
+}
