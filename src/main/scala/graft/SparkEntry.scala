@@ -3388,8 +3388,8 @@ object SparkEntry {
     }),
 
     // --- 155. audio near-dup via spectral fingerprints, declared rows-only ------------------------------
-    // The audio face of corpus dedup: a 1s two-tone WAV (fundamental +
-    // octave, frequency class doc_id % 97) is CONSTRUCTED per row, then
+    // The audio face of corpus dedup: a 0.5s square-wave WAV (frequency
+    // class doc_id % 48, bounded slice) is CONSTRUCTED per row, then
     // constellation-fingerprinted (Hann + radix-2 FFT + landmark pairs)
     // and paired by the exact key join — same-class docs share their
     // constellation, cross-class docs share none. FFT peaks are not
@@ -5125,9 +5125,9 @@ object SparkEntry {
     // Robots politeness metadata closed forms, one per shape.
     "q153_robots_meta" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INT)
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
         |    WHEN 0 THEN 2.5 WHEN 1 THEN 7.0 WHEN 2 THEN 4.0
-        |    ELSE NULL END AS crawl_delay,
+        |    ELSE NULL END AS DOUBLE) AS crawl_delay,
         |  CASE CAST(doc_id % 4 AS INT)
         |    WHEN 0 THEN 'http://h' || doc_id || '.io/sm.xml'
         |    WHEN 1 THEN 'http://a' || doc_id || '.io/1.xml,http://a' || doc_id || '.io/2.xml'

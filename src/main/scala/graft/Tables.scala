@@ -81,10 +81,11 @@ object Tables {
     * and return the session. Idempotent per session.
     *
     * A single unreadable table must not take down queries that never
-    * reference it: failures are collected and rethrown lazily — the view is
-    * simply absent, so only queries naming that table fail (with the
-    * original cause chained), instead of every SQL-expressed query dying at
-    * registration time.
+    * reference it: per-table failures are caught and reported on stderr,
+    * and the broken view is simply ABSENT -- only queries naming that
+    * table fail (with Spark's TABLE_OR_VIEW_NOT_FOUND; the load error
+    * itself is on stderr, not chained), instead of every SQL-expressed
+    * query dying at registration time.
     */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     val failures = all.flatMap { n =>

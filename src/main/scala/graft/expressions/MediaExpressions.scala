@@ -3159,20 +3159,35 @@ object MediaCodec {
     */
   def decodeFlac(b: Array[Byte]): AudioStats = decodeFlac(b, null)
 
-  /** Bounded mono sample collector for the fingerprint path. */
-  private[expressions] final class MonoSink(cap: Int) {
-    val data = new Array[Double](cap)
+  /** Bounded mono sample collector for the fingerprint path: starts at
+    * `initial` and doubles up to `cap` -- a short clip must not pay the
+    * 30s-cap allocation (11.5 MB of doubles per row in a corpus scan).
+    */
+  private[expressions] final class MonoSink(initial: Int, cap: Int) {
+    var data = new Array[Double](math.min(math.max(initial, 1), cap))
     var n = 0
-    def full: Boolean = n >= data.length
-    def add(v: Double): Unit = if (n < data.length) { data(n) = v; n += 1 }
+    def full: Boolean = n >= cap
+    def add(v: Double): Unit = if (n < cap) {
+      if (n == data.length)
+        data = java.util.Arrays.copyOf(data,
+          math.min(math.max(data.length * 2, 1), cap))
+      data(n) = v; n += 1
+    }
   }
 
   /** Mono-mixed s16-scale samples of a FLAC payload (same decode as
     * [[decodeFlac]], collecting instead of reducing), capped at
-    * `maxFrames`. Null for undecodable payloads.
+    * `maxFrames`. The sink is sized from STREAMINFO's total-samples field
+    * when declared (the usual case), so the allocation matches the audio.
+    * Null for undecodable payloads.
     */
   def flacMonoSamples(b: Array[Byte], maxFrames: Int): (Int, Array[Double]) = {
-    val sink = new MonoSink(maxFrames)
+    val hdr = flacHeader(b)
+    if (hdr == null) return null
+    val declared = hdr.getLong(5)
+    val initial =
+      if (declared > 0) math.min(declared, maxFrames.toLong).toInt else 4096
+    val sink = new MonoSink(initial, maxFrames)
     val s = decodeFlac(b, sink)
     if (s == null) return null
     (s.sampleRate, java.util.Arrays.copyOf(sink.data, sink.n))
@@ -3219,9 +3234,11 @@ object MediaCodec {
     var nFrames = 0L
     var buf0: Array[Long] = null // per-block sample buffers, grown on demand
     var buf1: Array[Long] = null
-    while (pos < b.length) {
-      // Stream may not carry trailing garbage; but a stream whose
-      // STREAMINFO total is satisfied is complete.
+    while (pos < b.length && (total == 0 || nFrames < total)) {
+      // A stream whose STREAMINFO total is satisfied is COMPLETE: the
+      // loop condition stops before trailing bytes (ID3v1 tags, padding
+      // appended by upstream tools) can fail the sync check -- salvage
+      // posture, same as every parser in this file.
       if (pos + 2 > b.length) return null
       // Sync: 11111111 111110, 1 reserved-0 bit, 1 blocking-strategy bit.
       if ((b(pos) & 0xFF) != 0xFF || (b(pos + 1) & 0xFC) != 0xF8) return null

@@ -95,12 +95,9 @@ object MojibakeCodec {
 
   def fix(u: UTF8String): UTF8String = {
     if (u == null) return null
-    // ASCII fast path on raw bytes — no String materialized.
-    val n = u.numBytes()
-    var i = 0
-    var ascii = true
-    while (ascii && i < n) { ascii = (u.getByte(i) & 0x80) == 0; i += 1 }
-    if (ascii) return u
+    // ASCII fast path on raw bytes -- no String materialized (shared with
+    // the NFC/NFKC expressions).
+    if (UnicodeOps.isAscii(u)) return u
     var s = u.toString
     var round = 0
     var changed = true

@@ -22,7 +22,7 @@ object UnicodeOps {
     * more expensive) String round-trip can be skipped. On mostly-English
     * corpora this fast path handles nearly every row.
     */
-  private def isAscii(s: UTF8String): Boolean = {
+  private[expressions] def isAscii(s: UTF8String): Boolean = {
     val n = s.numBytes()
     var i = 0
     while (i < n) {

@@ -502,6 +502,10 @@ object Dedup {
     // Catalyst re-decodes and re-transforms every payload once per
     // reference (measured 4x wall-clock on the q155 shape). The cached
     // set is (key, id) longs-and-ids only, tiny next to the audio.
+    // LIFECYCLE: the cache lives until Spark's context cleaner collects
+    // the plan (there is no sound point to unpersist inside a lazily
+    // consumed result); callers sweeping MANY corpora in one session
+    // should spark.catalog.clearCache() between sweeps.
     val keyed = df
       .select(col(idCol).as("id"),
         Multimodal.audioFingerprint(col(binCol)).as("ks"))

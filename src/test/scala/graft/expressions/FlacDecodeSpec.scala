@@ -297,6 +297,10 @@ class FlacDecodeSpec extends SparkTestBase {
       w.bytes
     }
     assert(decode(good) != null)
+    // Trailing junk AFTER the declared total is satisfied is salvage, not
+    // failure (ID3v1 tags, upstream padding).
+    val tagged = good ++ Array.fill[Byte](128)('x')
+    assert(decode(tagged) != null && decode(tagged).nFrames == bs)
     assert(decode(good.take(good.length - 3)) == null) // truncated frame
     assert(decode(good.take(40)) == null) // truncated STREAMINFO
     assert(decode("fLaCgarbage".getBytes) == null)
