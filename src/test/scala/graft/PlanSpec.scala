@@ -343,4 +343,23 @@ class PlanSpec extends SparkTestBase {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
   }
+  test("r9 narrow-map expressions (url/mojibake/nfc/sentences) plan with no mid-query shuffle") {
+    // Each is a per-row kernel over one table: the ONLY exchange allowed
+    // is the final presentation sort. A stray aggregation or join exchange
+    // would mean the operator stopped being a narrow map.
+    for (q <- Seq("q148_url_canon", "q149_fix_mojibake", "q146_nfc_normalize",
+        "q154_sentences")) {
+      val p = plan(q)
+      val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toList
+      assert(exchanges.count(_.contains("rangepartitioning")) <= 1, s"$q: $p")
+      assert(!exchanges.exists(_.contains("hashpartitioning")), s"$q: $p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
+  test("q145 decontamination broadcasts benchmark grams; train grams never hash-shuffle") {
+    val p = plan("q145_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
