@@ -3429,6 +3429,35 @@ object SparkEntry {
           unhex(concat(header, samplesHex)).as("audio"))
       Dedup.audioNearDups(docs, "id", "audio", minSharedKeys = 6)
     }),
+
+    // --- 156. perceptual image hash (dHash/aHash), oracle-pinned ----------------------------------------
+    // The visual near-dup signature, pinned RELATIONALLY: a 36x32 gray
+    // PGM (grid cells exactly 4x4, so cell means are exact sums/16) is
+    // CONSTRUCTED per row with a closed-form pixel function, decoded and
+    // hashed by the codegen'd ImageHashExpr, while the oracle recomputes
+    // every cell mean, every gradient comparison, and the 64-bit packing
+    // from the same arithmetic. The slice is constant-bounded (200 docs):
+    // the cost is per-pixel test-image synthesis, not the operator.
+    "q156_image_phash" -> ((s, d) => {
+      val w = 36; val h = 32
+      val header = concat(lit(hex(lit(s"P5 $w $h 255\n"))))
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y) % 256
+      val rasterHex = array_join(
+        transform(sequence(lit(0), lit(w * h - 1)), i =>
+          // floorDiv, not `/`: Spark's int/int division is DOUBLE.
+          lpad(hex(px(i % w, floor(i / w).cast("int"))), 2, "0")), "")
+      val payload = unhex(concat(header, rasterHex))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), Multimodal.imageHash(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.dhash").as("dhash"),
+          col("v.ahash").as("ahash"),
+          col("v.width").as("width"),
+          col("v.height").as("height"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -5100,6 +5129,49 @@ object SparkEntry {
         |    WHEN 0 THEN 'OG ' || doc_id WHEN 2 THEN 'OGR ' || doc_id
         |    ELSE NULL END AS og_title
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Perceptual-hash oracle: regenerate the 36x32 raster relationally,
+    // box-average the exact 4x4 cells, compare adjacent cells, and pack
+    // the 64 bits with the same row-major MSB-first order as the
+    // implementation (first comparison lands at bit 63).
+    "q156_image_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y) % 256 AS DOUBLE) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y)),
+        | cells AS (
+        |  SELECT doc_id, CAST(x // 4 AS INT) AS cx, CAST(y // 4 AS INT) AS cy,
+        |    SUM(v) / 16.0 AS m
+        |  FROM px GROUP BY doc_id, x // 4, y // 4),
+        | grid AS (
+        |  SELECT l.doc_id, l.cy, l.cx, l.m AS ml, r.m AS mr
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        | bits AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN ml < mr
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx))) ELSE 0 END) AS dh
+        |  FROM grid GROUP BY doc_id),
+        | cavg AS (
+        |  SELECT doc_id, AVG(m) AS gavg
+        |  FROM cells WHERE cx < 8 GROUP BY doc_id),
+        | abits AS (
+        |  SELECT c.doc_id,
+        |    SUM(CASE WHEN c.m > a.gavg
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (c.cy * 8 + c.cx))) ELSE 0 END) AS ah
+        |  FROM cells c JOIN cavg a ON c.doc_id = a.doc_id
+        |  WHERE c.cx < 8 GROUP BY c.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN b.dh >= CAST(1 AS HUGEINT) << 63
+        |    THEN b.dh - (CAST(1 AS HUGEINT) << 64) ELSE b.dh END AS BIGINT) AS dhash,
+        |  CAST(CASE WHEN ab.ah >= CAST(1 AS HUGEINT) << 63
+        |    THEN ab.ah - (CAST(1 AS HUGEINT) << 64) ELSE ab.ah END AS BIGINT) AS ahash,
+        |  36 AS width, 32 AS height
+        |FROM bits b JOIN abits ab ON b.doc_id = ab.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Sentence segmentation closed forms: every (pos, sentence) stated.
     "q154_sentences" ->

@@ -165,6 +165,13 @@ object GraftExtensions {
           "graft_robots_meta(robots_txt, agent)")
       }),
     (
+      FunctionIdentifier("graft_image_hash"),
+      new ExpressionInfo(classOf[ImageHashExpr].getName, "graft_image_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => ImageHashExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_image_hash(binary)")
+      }),
+    (
       FunctionIdentifier("graft_audio_fingerprint"),
       new ExpressionInfo(classOf[AudioFingerprintExpr].getName,
         "graft_audio_fingerprint"),

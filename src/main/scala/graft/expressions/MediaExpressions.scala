@@ -63,25 +63,59 @@ object MediaCodec {
     * 100 MB frame costs O(1) heap beyond the payload itself (PNG: O(2 rows)
     * for the unfilter window).
     */
-  def decodePixels(b: Array[Byte]): PixelStats = {
+  def decodePixels(b: Array[Byte]): PixelStats = decodePixels(b, null)
+
+  private def decodePixels(b: Array[Byte], grid: GridAcc): PixelStats = {
     if (b == null || b.length < 2) return null
-    if (b(0) == 'P' && (b(1) == '5' || b(1) == '6')) return decodePnm(b)
-    if (b(0) == 'B' && b(1) == 'M') return decodeBmp(b)
+    if (b(0) == 'P' && (b(1) == '5' || b(1) == '6')) return decodePnm(b, grid)
+    if (b(0) == 'B' && b(1) == 'M') return decodeBmp(b, grid)
     if (b.length >= 33 && pngSig.indices.forall(i => b(i) == pngSig(i)))
-      return decodePng(b)
+      return decodePng(b, grid)
     if (b.length >= 14 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-      return decodeGif(b)
+      return decodeGif(b, grid)
     if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
-      return decodeJpeg(b)
+      return decodeJpeg(b, grid)
     if (b.length >= 20 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
         b(11) == 'P')
-      return decodeWebp(b)
+      return decodeWebp(b, grid)
     if (b.length >= 8 &&
         ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
-      return decodeTiff(b)
+      return decodeTiff(b, grid)
     null
+  }
+
+  /** Perceptual hashes of an image payload through the REAL decoders:
+    * struct<dhash, ahash, width, height>. dHash = 8x8 gradient signs over
+    * a 9x8 box-averaged luma grid, aHash = mean threshold over the left
+    * 8x8 — the standard public near-dup signatures; two images within a
+    * few Hamming bits of dhash are visual near-duplicates regardless of
+    * format, scale, or mild re-encoding. NULL for undecodable payloads
+    * and for images smaller than the grid (no meaningful signature).
+    */
+  def imageHashes(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    // Peek dims cheaply first: the grid needs w/h before decode.
+    val hdr = parse(b)
+    val (w0, h0) =
+      if (hdr != null) (hdr._2, hdr._3)
+      else if (b.length >= 2 && (b(0) == 'P' && (b(1) == '5' || b(1) == '6'))) {
+        val p = pnmHeader(b)
+        if (p == null) return null
+        (p(0), p(1))
+      } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+        if (b.length < 26) return null
+        (le32(b, 18), math.abs(le32(b, 22).toLong).toInt)
+      } else return null
+    if (w0 < GridAcc.GW || h0 < GridAcc.GH) return null
+    val grid = new GridAcc(w0, h0)
+    val stats = decodePixels(b, grid)
+    if (stats == null) return null
+    // Decoder geometry may differ from the sniffed header on damaged
+    // files; a partially filled grid has no meaningful hash.
+    if (stats.width != w0 || stats.height != h0 || !grid.complete) return null
+    new GenericInternalRow(Array[Any](grid.dhash, grid.ahash, w0, h0))
   }
 
   /** Thrown (as a shared, stack-trace-free instance) by the JPEG bit/marker
@@ -151,12 +185,12 @@ object MediaCodec {
     * structural lie lands on the shared corrupt-control exception, never an
     * ArrayIndexOutOfBounds from the scan loop.
     */
-  private def decodeJpeg(b: Array[Byte]): PixelStats = {
-    try decodeJpeg0(b)
+  private def decodeJpeg(b: Array[Byte], grid: GridAcc = null): PixelStats = {
+    try decodeJpeg0(b, grid)
     catch { case _: CorruptMedia => null }
   }
 
-  private def decodeJpeg0(b: Array[Byte]): PixelStats = {
+  private def decodeJpeg0(b: Array[Byte], grid: GridAcc): PixelStats = {
     def u8(i: Int): Int = {
       if (i >= b.length) throw corruptMedia
       b(i) & 0xFF
@@ -243,7 +277,7 @@ object MediaCodec {
           pos += len
         case 0xC2 => // progressive: its own multi-scan decoder
           if (nComp != 0) throw corruptMedia // second frame header
-          return decodeJpegProg0(b)
+          return decodeJpegProg0(b, grid)
         case m if m >= 0xC3 && m <= 0xCF => // 0xC4 (DHT) matched above
           return null // arithmetic/lossless/hierarchical: decode seam
         case 0xDD => // DRI
@@ -424,6 +458,7 @@ object MediaCodec {
               sum(0) += v
               if (v < min(0)) min(0) = v
               if (v > max(0)) max(0) = v
+              if (grid != null) grid.add(x0 + px, y0 + py, v.toDouble)
             } else {
               // Per-component nearest sample in its subsampled grid.
               def samp(c: Int): Int = {
@@ -444,6 +479,7 @@ object MediaCodec {
               if (g > max(1)) max(1) = g
               if (bl < min(2)) min(2) = bl
               if (bl > max(2)) max(2) = bl
+              if (grid != null) grid.addRgb(x0 + px, y0 + py, r, g, bl)
             }
             px += 1
           }
@@ -473,7 +509,7 @@ object MediaCodec {
     * as the baseline path) runs once at EOI. Arithmetic coding, 12-bit
     * precision, and >3 components stay behind the decode seam.
     */
-  private def decodeJpegProg0(b: Array[Byte]): PixelStats = {
+  private def decodeJpegProg0(b: Array[Byte], grid: GridAcc = null): PixelStats = {
     def u8(i: Int): Int = {
       if (i >= b.length) throw corruptMedia
       b(i) & 0xFF
@@ -907,6 +943,7 @@ object MediaCodec {
           sum(0) += v
           if (v < min(0)) min(0) = v
           if (v > max(0)) max(0) = v
+          if (grid != null) grid.add(x, y, v.toDouble)
         } else {
           // Same nearest-sample upsampling rule as the baseline path.
           def samp(c: Int): Int = {
@@ -927,6 +964,7 @@ object MediaCodec {
           if (g > max(1)) max(1) = g
           if (bl < min(2)) min(2) = bl
           if (bl > max(2)) max(2) = bl
+          if (grid != null) grid.addRgb(x, y, r, g, bl)
         }
         x += 1
       }
@@ -956,7 +994,7 @@ object MediaCodec {
     * emission walks a fixed stack — a gigapixel GIF costs no more memory
     * than an icon.
     */
-  private def decodeGif(b: Array[Byte]): PixelStats = {
+  private def decodeGif(b: Array[Byte], grid: GridAcc = null): PixelStats = {
     val screenW = le16(b, 6); val screenH = le16(b, 8)
     if (screenW <= 0 || screenH <= 0) return null
     val packed = b(10) & 0xFF
@@ -1011,6 +1049,21 @@ object MediaCodec {
     val min = Array.fill(3)(255)
     val max = Array.fill(3)(0)
     var emitted = 0L
+    // Interlaced GIFs emit rows in four passes (starts 0/4/2/1, steps
+    // 8/8/4/2): position-agnostic stats ignore that, but the perceptual
+    // grid needs the DISPLAY row for each sequentially emitted row.
+    val interlacedImg = (ipacked & 0x40) != 0
+    def displayRow(seq: Int): Int =
+      if (!interlacedImg) seq
+      else {
+        val p1 = (h + 7) / 8
+        val p2 = (h + 3) / 8 // rows starting at 4 step 8
+        val p3 = (h + 1) / 4 // rows starting at 2 step 4
+        if (seq < p1) seq * 8
+        else if (seq < p1 + p2) 4 + (seq - p1) * 8
+        else if (seq < p1 + p2 + p3) 2 + (seq - p1 - p2) * 4
+        else 1 + (seq - p1 - p2 - p3) * 2
+      }
     // Emit one palette index into the channel reducers.
     def emitIndex(idx: Int): Boolean = {
       if (idx >= ctSize) return false // corrupt: index beyond palette
@@ -1023,6 +1076,11 @@ object MediaCodec {
           if (v < min(c)) min(c) = v
           if (v > max(c)) max(c) = v
           c += 1
+        }
+        if (grid != null) {
+          val x = (emitted % w).toInt
+          val y = displayRow((emitted / w).toInt)
+          grid.addRgb(x, y, b(o) & 0xFF, b(o + 1) & 0xFF, b(o + 2) & 0xFF)
         }
       } // trailing indices beyond w*h (block padding) are ignored
       emitted += 1
@@ -1610,12 +1668,12 @@ object MediaCodec {
     * files return null and take the decode seam. The stats reduce consumes
     * each strip in place — heap is O(strip table), never a pixel buffer.
     */
-  private def decodeTiff(b: Array[Byte]): PixelStats = {
-    try decodeTiff0(b)
+  private def decodeTiff(b: Array[Byte], grid: GridAcc = null): PixelStats = {
+    try decodeTiff0(b, grid)
     catch { case _: CorruptMedia => null }
   }
 
-  private def decodeTiff0(b: Array[Byte]): PixelStats = {
+  private def decodeTiff0(b: Array[Byte], grid: GridAcc): PixelStats = {
     val le = b(0) == 'I'
     def u16(i: Long): Int = {
       if (i < 0 || i + 2 > b.length) throw corruptMedia
@@ -1716,6 +1774,24 @@ object MediaCodec {
         if (v > max(c)) max(c) = v
         j += 1
       }
+      if (grid != null) {
+        // Grid-only second scan: strip-local pixel index -> absolute
+        // (x, y). Inversion matches the stats convention (brightness).
+        var pix = 0L
+        val stripPixels = rows * width
+        while (pix < stripPixels) {
+          val ax = (pix % width).toInt
+          val ay = (row + pix / width).toInt
+          val o = (base + pix * channels).toInt
+          def lum(i: Int): Int = {
+            val r0 = b(o + i) & 0xFF
+            if (invert) 255 - r0 else r0
+          }
+          if (channels == 1) grid.add(ax, ay, lum(0).toDouble)
+          else grid.addRgb(ax, ay, lum(0), lum(1), lum(2))
+          pix += 1
+        }
+      }
       row += rows
       s += 1
     }
@@ -1741,12 +1817,12 @@ object MediaCodec {
     * pixels, so a streaming two-row window can't exist. A 64 M-pixel cap
     * (256 MiB) bounds what a crafted 14-bit dims header can allocate.
     */
-  private def decodeWebp(b: Array[Byte]): PixelStats = {
-    try decodeWebp0(b)
+  private def decodeWebp(b: Array[Byte], grid: GridAcc = null): PixelStats = {
+    try decodeWebp0(b, grid)
     catch { case _: CorruptMedia => null }
   }
 
-  private def decodeWebp0(b: Array[Byte]): PixelStats = {
+  private def decodeWebp0(b: Array[Byte], grid: GridAcc): PixelStats = {
     // chunk walk to the VP8L bitstream (chunks pad to even sizes). Sizes
     // are attacker-controlled u32: Long arithmetic, like the file's other
     // RIFF walks — Int would overflow into a negative index.
@@ -1788,6 +1864,15 @@ object MediaCodec {
       }
       i += 1
     }
+    if (grid != null) {
+      var gi = 0
+      while (gi < pix.length) {
+        val p = pix(gi)
+        grid.addRgb(gi % w, gi / w,
+          (p >>> 16) & 0xFF, (p >>> 8) & 0xFF, p & 0xFF)
+        gi += 1
+      }
+    }
     val nPix = w.toLong * h.toLong
     new PixelStats("webp", w, h, channels, sum.map(_.toDouble / nPix), min, max)
   }
@@ -1815,7 +1900,7 @@ object MediaCodec {
     * bit-rotted-but-decodable payload as data, and strict validation
     * belongs to ingest DQ, not the hot decode loop.
     */
-  private def decodePng(b: Array[Byte]): PixelStats = {
+  private def decodePng(b: Array[Byte], grid: GridAcc = null): PixelStats = {
     // IHDR must be the first chunk, directly after the 8-byte signature.
     if (be32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' ||
         b(15) != 'R') return null
@@ -1917,16 +2002,18 @@ object MediaCodec {
       // pixel lands in exactly one pass, so accumulating stats per pass
       // covers the image exactly once. Non-interlaced = the single
       // full-geometry pass.
+      // Adam7 (x0, dx, y0, dy) per pass, PNG spec order; non-interlaced
+      // is the single identity-geometry pass. The geometry also maps each
+      // pass-local (px, row) to ABSOLUTE image coordinates for the
+      // perceptual-hash grid.
+      val passGeom: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 1, 0, 1))
+        else Array((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8),
+          (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
       val passes: Array[(Int, Int)] =
-        if (interlace == 0) Array((w, h))
-        else {
-          // Adam7 (x0, dx, y0, dy) per pass, PNG spec order.
-          val g = Array((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8),
-            (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
-          g.map { case (x0, dx, y0, dy) =>
-            (if (w > x0) (w - x0 + dx - 1) / dx else 0,
-             if (h > y0) (h - y0 + dy - 1) / dy else 0)
-          }
+        passGeom.map { case (x0, dx, y0, dy) =>
+          (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+           if (h > y0) (h - y0 + dy - 1) / dy else 0)
         }
       val sum = new Array[Long](outChannels)
       val min = Array.fill(outChannels)(sampMax)
@@ -2040,6 +2127,44 @@ object MediaCodec {
                 i += 1
               }
             }
+            if (grid != null) {
+              // Grid-only second scan of the unfiltered row (the stats
+              // loops above stay untouched): pass-local (px, row) maps to
+              // absolute coordinates via the pass geometry.
+              val (gx0, gdx, gy0, gdy) = passGeom(pi)
+              val ay = gy0 + row * gdy
+              var px = 0
+              while (px < sw) {
+                val ax = gx0 + px * gdx
+                if (isPal) {
+                  val idx =
+                    if (bitDepth == 8) cur(1 + px) & 0xFF
+                    else {
+                      val bit = px * bitDepth
+                      (cur(1 + (bit >> 3)) >> (8 - bitDepth - (bit & 7))) & palMask
+                    }
+                  grid.addRgb(ax, ay, b(plteOff + 3 * idx) & 0xFF,
+                    b(plteOff + 3 * idx + 1) & 0xFF,
+                    b(plteOff + 3 * idx + 2) & 0xFF)
+                } else if (bitDepth == 16) {
+                  val base = 1 + px * 2 * outChannels
+                  def s16(c: Int): Int =
+                    ((cur(base + 2 * c) & 0xFF) << 8) | (cur(base + 2 * c + 1) & 0xFF)
+                  if (outChannels < 3) grid.add(ax, ay, s16(0).toDouble)
+                  else grid.addRgb(ax, ay, s16(0), s16(1), s16(2))
+                } else if (bitDepth < 8) {
+                  val bit = px * bitDepth
+                  val v = (cur(1 + (bit >> 3)) >> (8 - bitDepth - (bit & 7))) & palMask
+                  grid.add(ax, ay, v.toDouble)
+                } else {
+                  val base = 1 + px * outChannels
+                  if (outChannels < 3) grid.add(ax, ay, (cur(base) & 0xFF).toDouble)
+                  else grid.addRgb(ax, ay, cur(base) & 0xFF,
+                    cur(base + 1) & 0xFF, cur(base + 2) & 0xFF)
+                }
+                px += 1
+              }
+            }
             System.arraycopy(cur, 1, prev, 0, rowBytes)
             row += 1
           }
@@ -2058,7 +2183,7 @@ object MediaCodec {
     * then raw samples. Only maxval<256 (1 byte/sample) is supported — the
     * overwhelmingly common case.
     */
-  private def decodePnm(b: Array[Byte]): PixelStats = {
+  private def decodePnm(b: Array[Byte], grid: GridAcc = null): PixelStats = {
     val hd = pnmHeader(b)
     if (hd == null) return null
     val channels = if (b(1) == '5') 1 else 3
@@ -2073,7 +2198,7 @@ object MediaCodec {
     val n = rowStrideL * h
     if (pos + n > b.length) return null // truncated raster
     scanInterleaved(if (channels == 1) "pgm" else "ppm", b, pos, w, h,
-      channels, rowStride = rowStrideL.toInt, bgr = false)
+      channels, rowStride = rowStrideL.toInt, bgr = false, grid = grid)
   }
 
   /** Parse a binary-PNM header: returns (width, height, maxval, rasterOffset)
@@ -2114,7 +2239,7 @@ object MediaCodec {
     * rows padded to 4 bytes, bottom-up unless height<0 (row order is
     * irrelevant to channel statistics, but the padding must be skipped).
     */
-  private def decodeBmp(b: Array[Byte]): PixelStats = {
+  private def decodeBmp(b: Array[Byte], grid: GridAcc = null): PixelStats = {
     if (b.length < 54) return null
     val dataOff = le32(b, 10)
     val dibSize = le32(b, 14)
@@ -2124,7 +2249,9 @@ object MediaCodec {
     // int-wrapped rowStride (w near Int.MaxValue/3) would pass the bounds
     // check and crash scanInterleaved instead of returning null. abs in
     // long also catches height = Int.MinValue (abs-negative in int).
-    val hL = math.abs(le32(b, 22).toLong)
+    val hRaw = le32(b, 22)
+    val hL = math.abs(hRaw.toLong)
+    val bottomUp = hRaw > 0 // negative height = top-down DIB
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     if (w <= 0 || hL == 0 || hL > Int.MaxValue ||
@@ -2146,7 +2273,7 @@ object MediaCodec {
         dataOff.toLong + rowStrideL * hL > b.length) return null
     if (bpp == 24)
       return scanInterleaved("bmp", b, dataOff, w, hL.toInt, 3,
-        rowStrideL.toInt, bgr = true)
+        rowStrideL.toInt, bgr = true, grid = grid, gridFlipY = bottomUp)
     // 8-bit paletted (the other common uncompressed BMP): BGRA palette
     // quads sit right after the DIB header; biClrUsed 0 means a full
     // 256-entry table. Indices resolve to RGB through the palette with
@@ -2181,6 +2308,22 @@ object MediaCodec {
       }
       row += 1
     }
+    if (grid != null) {
+      var gy = 0
+      while (gy < h) {
+        val base = dataOff + gy * rowStrideL.toInt
+        val dy = if (bottomUp) h - 1 - gy else gy
+        var gx = 0
+        while (gx < w) {
+          val idx = b(base + gx) & 0xFF
+          val po = (palOff + 4L * idx).toInt
+          grid.addRgb(gx, dy,
+            b(po + 2) & 0xFF, b(po + 1) & 0xFF, b(po) & 0xFF)
+          gx += 1
+        }
+        gy += 1
+      }
+    }
     val nPix = w.toLong * h
     new PixelStats("bmp", w, h, 3, sum.map(_.toDouble / nPix), min, max)
   }
@@ -2189,8 +2332,85 @@ object MediaCodec {
     * exceed `w*channels` (BMP padding); `bgr` flips the reported channel
     * order so c0 is always red.
     */
+  /** Perceptual-hash grid accumulator: a GW x GH luma grid filled by
+    * box-assignment ((x*GW/w, y*GH/h) — every pixel lands in exactly one
+    * cell), format-agnostic. dHash/aHash compare only the ORDER of cell
+    * means, so luma stays in each format's native scale (16-bit PNG needs
+    * no rescale: any per-image monotone transform leaves the hash
+    * unchanged). Grid fills run as SEPARATE passes over already-decoded
+    * row/block buffers so the oracle-pinned stats loops stay untouched.
+    */
+  private[expressions] final class GridAcc(val w: Int, val h: Int) {
+    import GridAcc.{GW, GH}
+    val sum = new Array[Double](GW * GH)
+    val cnt = new Array[Long](GW * GH)
+    def add(x: Int, y: Int, luma: Double): Unit = {
+      val cx = (x.toLong * GW / w).toInt
+      val cy = (y.toLong * GH / h).toInt
+      val i = cy * GW + cx
+      sum(i) += luma
+      cnt(i) += 1
+    }
+    def addRgb(x: Int, y: Int, r: Int, g: Int, bl: Int): Unit =
+      add(x, y, (299L * r + 587L * g + 114L * bl) / 1000.0)
+    /** All cells covered (true for any image with w >= GW and h >= GH). */
+    def complete: Boolean = cnt.forall(_ > 0)
+    def mean(cx: Int, cy: Int): Double = {
+      val i = cy * GW + cx
+      sum(i) / cnt(i)
+    }
+    /** Difference hash: bit (row, col) set iff cell(col) < cell(col+1),
+      * row-major over the 8x8 comparisons of the 9-wide grid.
+      */
+    def dhash: Long = {
+      var bits = 0L
+      var cy = 0
+      while (cy < GH) {
+        var cx = 0
+        while (cx < GW - 1) {
+          bits <<= 1
+          if (mean(cx, cy) < mean(cx + 1, cy)) bits |= 1L
+          cx += 1
+        }
+        cy += 1
+      }
+      bits
+    }
+    /** Average hash over the LEFT 8x8 subgrid: bit set iff cell mean
+      * exceeds the subgrid's global mean.
+      */
+    def ahash: Long = {
+      var total = 0.0
+      var cy = 0
+      while (cy < GH) {
+        var cx = 0
+        while (cx < GW - 1) { total += mean(cx, cy); cx += 1 }
+        cy += 1
+      }
+      val avg = total / ((GW - 1) * GH)
+      var bits = 0L
+      cy = 0
+      while (cy < GH) {
+        var cx = 0
+        while (cx < GW - 1) {
+          bits <<= 1
+          if (mean(cx, cy) > avg) bits |= 1L
+          cx += 1
+        }
+        cy += 1
+      }
+      bits
+    }
+  }
+
+  private[expressions] object GridAcc {
+    val GW = 9 // 9 columns -> 8 horizontal comparisons (dHash convention)
+    val GH = 8
+  }
+
   private def scanInterleaved(fmt: String, b: Array[Byte], off: Int,
-      w: Int, h: Int, channels: Int, rowStride: Int, bgr: Boolean): PixelStats = {
+      w: Int, h: Int, channels: Int, rowStride: Int, bgr: Boolean,
+      grid: GridAcc = null, gridFlipY: Boolean = false): PixelStats = {
     val sum = new Array[Long](channels)
     val min = Array.fill(channels)(255)
     val max = Array.fill(channels)(0)
@@ -2212,6 +2432,30 @@ object MediaCodec {
         x += 1
       }
       row += 1
+    }
+    if (grid != null) {
+      var gy = 0
+      while (gy < h) {
+        // Storage row -> DISPLAY row: bottom-up rasters (BMP) flip, so the
+        // hash matches the image as seen, not as stored.
+        val dy = if (gridFlipY) h - 1 - gy else gy
+        var gx = 0
+        var p = off + gy.toLong * rowStride
+        while (gx < w) {
+          val i = p.toInt
+          if (channels == 1) grid.add(gx, dy, (b(i) & 0xFF).toDouble)
+          else {
+            val c0 = b(i) & 0xFF
+            val c1 = b(i + 1) & 0xFF
+            val c2 = b(i + 2) & 0xFF
+            if (bgr) grid.addRgb(gx, dy, c2, c1, c0)
+            else grid.addRgb(gx, dy, c0, c1, c2)
+          }
+          p += channels
+          gx += 1
+        }
+        gy += 1
+      }
     }
     val nPix = w.toLong * h.toLong
     new PixelStats(fmt, w, h, channels, sum.map(_.toDouble / nPix), min, max)
@@ -3703,6 +3947,35 @@ case class ImagePixelStatsExpr(child: Expression) extends UnaryExpression {
   * audio corpus is a pruned scan with no codec, no UDF, no sample buffer.
   * Fixed 2-channel slots (c1 NULL for mono) keep output columns scalar.
   */
+/** `binary` -> struct<dhash:bigint,ahash:bigint,width:int,height:int>:
+  * perceptual image hashes through the REAL decoders
+  * ([[MediaCodec.imageHashes]]), codegen'd. NULL for undecodable
+  * payloads and sub-grid images.
+  */
+case class ImageHashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("dhash", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.imageHashes(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.imageHashes($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ImageHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_image_hash"
+}
+
 case class AudioStatsExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

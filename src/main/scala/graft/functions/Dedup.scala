@@ -223,10 +223,18 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3
-  ): DataFrame = {
+  ): DataFrame =
+    hamming64Pairs(df.select(col(idCol).as("id"),
+      TextFunctions.simhash64(col(textCol)).as("sig")), maxHamming)
+
+  /** Near-pairs of any 64-bit signature column by the pigeonhole band
+    * join (maxHamming+1 chunks: at most maxHamming bits differ, so at
+    * least one chunk is EQUAL — full recall, no all-pairs). Shared by
+    * text SimHash ([[simhashPairs]]) and image perceptual hashes
+    * ([[imageNearDups]]). Input: (id, sig).
+    */
+  def hamming64Pairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunkDefs = simhashChunkDefs(maxHamming)
-    val sigs = df.select(col(idCol).as("id"),
-      TextFunctions.simhash64(col(textCol)).as("sig"))
     val chunkCols = chunkDefs.map { case (i, start, width) =>
       val shifted = call_function("shiftrightunsigned", col("sig"), lit(start))
       val v = if (width >= 64) shifted else shifted.bitwiseAND(lit((1L << width) - 1))
@@ -245,6 +253,25 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("id1"), col("id2"))
   }
+
+  /** Image near-duplicate pairs by perceptual dHash
+    * ([[Multimodal.imageHash]]): images whose 8x8 gradient-sign
+    * signatures differ in at most `maxHamming` bits — resized, mildly
+    * re-encoded or format-converted copies land within a few bits, while
+    * unrelated images are ~32 bits apart in expectation. Same pigeonhole
+    * band join as text SimHash; no pairwise comparison anywhere.
+    */
+  def imageNearDups(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 6
+  ): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"),
+          Multimodal.imageHash(col(binCol)).getField("dhash").as("sig"))
+        .where(col("sig").isNotNull),
+      maxHamming)
 
   /** Cross-corpus contamination check: near-duplicate pairs BETWEEN two
     * corpora (e.g. training set vs evaluation benchmarks) by banded MinHash

@@ -211,6 +211,19 @@ object Multimodal {
       graft.expressions.ZunstdExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Perceptual image hashes ([[graft.expressions.ImageHashExpr]]):
+    * struct<dhash, ahash, width, height> through the REAL pixel decoders
+    * (PNM/BMP/PNG incl. Adam7 and palettes/GIF incl. interlace/baseline +
+    * progressive JPEG/WebP-VP8L/TIFF). dHash = 8x8 gradient signs over a
+    * 9x8 box-averaged luma grid: near-identical images across formats and
+    * mild re-encodes land within a few Hamming bits
+    * ([[graft.functions.Dedup.imageNearDups]]).
+    */
+  def imageHash(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ImageHashExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Audio fingerprint ([[graft.expressions.AudioFingerprintExpr]]):
     * Shazam-style spectral constellation keys (Hann + radix-2 FFT,
     * per-band landmark peaks, fanout-paired (f1, f2, dt) hashes) over a

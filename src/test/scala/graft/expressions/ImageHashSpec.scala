@@ -1,0 +1,131 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/** Perceptual image hashing through the real decoders. The load-bearing
+  * assertion is CROSS-FORMAT IDENTITY: the same pixels through PNG, BMP
+  * (bottom-up!), GIF, PNM and JPEG must produce the same (or, for lossy
+  * JPEG, nearly the same) dHash — which exercises every decoder's grid
+  * geometry including row order, palette resolution and chroma
+  * upsampling in one equation.
+  */
+class ImageHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Asymmetric test scene (gradients + one bright block) so any axis
+    * flip or row-order bug flips hash bits.
+    */
+  private def scene(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / w
+      val g = (y * 255) / h
+      val b = ((x + y) * 127) / (w + h)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    for (y <- 0 until h / 4; x <- 0 until w / 4)
+      img.setRGB(x, y, 0xFFFFFF) // bright top-left block
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"ImageIO cannot write $fmt")
+    bos.toByteArray
+  }
+
+  private def pgm(img: BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val head = s"P6 $w $h 255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](head.length + w * h * 3)
+    System.arraycopy(head, 0, out, 0, head.length)
+    var i = head.length
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      out(i) = ((p >> 16) & 0xFF).toByte
+      out(i + 1) = ((p >> 8) & 0xFF).toByte
+      out(i + 2) = (p & 0xFF).toByte
+      i += 3
+    }
+    out
+  }
+
+  private def hashes(b: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+    val r = MediaCodec.imageHashes(b)
+    if (r == null) None
+    else Some((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("cross-format identity: PNG == BMP == GIF-ish == PPM; JPEG within tolerance") {
+    val img = scene(64, 48)
+    val Some((dPng, aPng, w, h)) = hashes(encode(img, "png"))
+    assert(w == 64 && h == 48)
+    val Some((dBmp, _, _, _)) = hashes(encode(img, "bmp"))
+    assert(dBmp == dPng, f"bmp ${dBmp}%016x != png ${dPng}%016x") // bottom-up flip proven
+    val Some((dPpm, aPpm, _, _)) = hashes(pgm(img))
+    assert(dPpm == dPng && aPpm == aPng)
+    // GIF quantizes to 256 colors: allow a couple of gradient-boundary bits.
+    val Some((dGif, _, _, _)) = hashes(encode(img, "gif"))
+    assert(hamming(dGif, dPng) <= 4, s"gif hamming ${hamming(dGif, dPng)}")
+    val Some((dJpg, _, _, _)) = hashes(encode(img, "jpg"))
+    assert(hamming(dJpg, dPng) <= 6, s"jpeg hamming ${hamming(dJpg, dPng)}")
+  }
+
+  test("scale invariance and discrimination") {
+    val img = scene(64, 48)
+    val big = new BufferedImage(128, 96, BufferedImage.TYPE_INT_RGB)
+    val gfx = big.createGraphics()
+    gfx.drawImage(img, 0, 0, 128, 96, null)
+    gfx.dispose()
+    val Some((d1, _, _, _)) = hashes(encode(img, "png"))
+    val Some((d2, _, _, _)) = hashes(encode(big, "png"))
+    assert(hamming(d1, d2) <= 4, s"2x scale moved ${hamming(d1, d2)} bits")
+    // A different scene must be far (expect ~32; require > 12).
+    val other = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      other.setRGB(x, y, ((x * 37 + y * 101) % 255) << 8)
+    val Some((d3, _, _, _)) = hashes(encode(other, "png"))
+    assert(hamming(d1, d3) > 12, s"unrelated only ${hamming(d1, d3)} bits apart")
+  }
+
+  test("sub-grid and undecodable payloads yield null") {
+    assert(hashes(encode(scene(8, 8), "png")).isEmpty) // smaller than grid
+    assert(hashes("not an image".getBytes).isEmpty)
+    assert(MediaCodec.imageHashes(null) == null)
+  }
+
+  test("imageNearDups recovers format-converted duplicates via the band join") {
+    val a = scene(64, 48)
+    val b = scene(96, 64) // same scene geometry, different raster size
+    val other = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      other.setRGB(x, y, ((x * 37 + y * 101) % 255) << 16)
+    val rows = Seq(
+      (1L, encode(a, "png")), (2L, encode(a, "bmp")), (3L, encode(a, "jpg")),
+      (4L, encode(b, "png")), (5L, encode(other, "png")))
+    val pairs = graft.functions.Dedup.imageNearDups(
+        rows.toDF("id", "img"), "id", "img", maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // 1/2/3 are the same image across formats; 4 is the same scene at a
+    // different size (dHash is scale-normalized); 5 is unrelated.
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(pairs), pairs)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), pairs)
+  }
+
+  test("SQL registration works") {
+    val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)
+    val png = encode(scene(64, 48), "png")
+    val hexStr = png.map(b => f"${b & 0xFF}%02X").mkString
+    val r = sqlS.sql(
+      s"SELECT graft_image_hash(unhex('$hexStr')).width AS w").head()
+    assert(r.getInt(0) == 64)
+  }
+}
