@@ -3458,6 +3458,40 @@ object SparkEntry {
           col("v.height").as("height"))
         .orderBy("doc_id")
     }),
+
+    // --- 157. per-frame video hashes (AVI walk + frame dHash), oracle-pinned ----------------------------
+    // The video near-dup signature end-to-end: a minimal RIFF/AVI (LIST
+    // movi of 00dc chunks, word-aligned odd frames) holding two 36x32
+    // PGM frames with closed-form pixels is CONSTRUCTED per row, walked
+    // and per-frame-hashed by the codegen'd VideoHashExpr; the oracle
+    // recomputes every frame's cell means, comparisons and bit packing
+    // relationally (q156's oracle with a frame dimension). Constant
+    // sizes: frame 1165 B (+pad), movi 2352, LIST 2360, RIFF 2364.
+    "q157_video_hash" -> ((s, d) => {
+      val w = 36; val h = 32
+      def le32hex(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+      val frameLen = 13 + w * h // "P5 36 32 255\n" + raster
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, f: Int) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y + f * 31) % 256
+      def frameHex(f: Int) = concat(
+        lit("30306463"), lit(le32hex(frameLen)), // "00dc" + size
+        hex(lit(s"P5 $w $h 255\n")),
+        array_join(transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"), f)), 2, "0")), ""),
+        lit("00")) // pad byte: 1165 is odd
+      val movi = 4 + 2 * (8 + frameLen + 1)
+      val payload = unhex(concat(
+        lit("52494646"), lit(le32hex(4 + 8 + movi)), lit("41564920"),
+        lit("4C495354"), lit(le32hex(movi)), lit("6D6F7669"),
+        frameHex(0), frameHex(1)))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(Multimodal.videoHash(payload)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("frame_hash"))
+        .orderBy("doc_id", "pos")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -5172,6 +5206,36 @@ object SparkEntry {
         |  36 AS width, 32 AS height
         |FROM bits b JOIN abits ab ON b.doc_id = ab.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Video-hash oracle: q156's relational dHash with a frame dimension.
+    "q157_video_hash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y + f * 31) % 256
+        |      AS DOUBLE) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(2)) AS uf(f),
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y)),
+        | cells AS (
+        |  SELECT doc_id, f, CAST(x // 4 AS INT) AS cx, CAST(y // 4 AS INT) AS cy,
+        |    SUM(v) / 16.0 AS m
+        |  FROM px GROUP BY doc_id, f, x // 4, y // 4),
+        | grid AS (
+        |  SELECT l.doc_id, l.f, l.cy, l.cx, l.m AS ml, r.m AS mr
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND l.cy = r.cy
+        |      AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        | bits AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN ml < mr
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx))) ELSE 0 END) AS dh
+        |  FROM grid GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(f AS INT) AS pos,
+        |  CAST(CASE WHEN dh >= CAST(1 AS HUGEINT) << 63
+        |    THEN dh - (CAST(1 AS HUGEINT) << 64) ELSE dh END AS BIGINT) AS frame_hash
+        |FROM bits ORDER BY doc_id, pos""".stripMargin,
 
     // Sentence segmentation closed forms: every (pos, sentence) stated.
     "q154_sentences" ->

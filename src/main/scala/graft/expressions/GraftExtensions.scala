@@ -165,6 +165,13 @@ object GraftExtensions {
           "graft_robots_meta(robots_txt, agent)")
       }),
     (
+      FunctionIdentifier("graft_video_hash"),
+      new ExpressionInfo(classOf[VideoHashExpr].getName, "graft_video_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => VideoHashExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_video_hash(binary)")
+      }),
+    (
       FunctionIdentifier("graft_image_hash"),
       new ExpressionInfo(classOf[ImageHashExpr].getName, "graft_image_hash"),
       (args: Seq[Expression]) => args match {

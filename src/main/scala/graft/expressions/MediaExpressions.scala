@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -84,6 +85,33 @@ object MediaCodec {
         ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
       return decodeTiff(b, grid)
     null
+  }
+
+  /** Bounded per-frame dHash collector for [[videoHashes]]. */
+  private[expressions] final class FrameHashSink(cap: Int) {
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def full: Boolean = hashes.size >= cap
+    def add(h0: Long): Unit = if (!full) hashes += h0
+  }
+
+  /** Per-frame perceptual dHash sequence of a video payload (AVI or
+    * animated GIF), capped at `maxFrames`: the video near-dup signature —
+    * trimmed/re-muxed/re-encoded copies share most frame hashes, so
+    * video dedup is an exact key join on frame hash
+    * ([[graft.functions.Dedup.videoNearDups]]). GIF frames hash the FULL
+    * composited canvas (what a viewer sees); AVI frames hash each decoded
+    * frame payload. Null when the container is undecodable or no frame
+    * meets the grid minimum.
+    */
+  def videoHashes(b: Array[Byte], maxFrames: Int): ArrayData = {
+    if (b == null || b.length < 12) return null
+    val sink = new FrameHashSink(maxFrames)
+    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    val stats =
+      if (isGif) decodeGifAnim(b, sink)
+      else decodeAvi(b, sink)
+    if (stats == null || sink.hashes.isEmpty) return null
+    new GenericArrayData(sink.hashes.toArray.map(Long.box).toArray[Any])
   }
 
   /** Perceptual hashes of an image payload through the REAL decoders:
@@ -2512,7 +2540,9 @@ object MediaCodec {
     * or any undecodable frame. All geometry reads are bounds-checked;
     * chunk sizes are attacker-controlled le32 and read unsigned into Long.
     */
-  def decodeAvi(b: Array[Byte]): VideoStats = {
+  def decodeAvi(b: Array[Byte]): VideoStats = decodeAvi(b, null)
+
+  private def decodeAvi(b: Array[Byte], sink: FrameHashSink): VideoStats = {
     if (b == null || b.length < 12) return null
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return null
@@ -2571,6 +2601,13 @@ object MediaCodec {
           }
           nPix += fPix
           meanLast = s.mean(0)
+          // Hash path: a second decode of this frame fills the perceptual
+          // grid (only when a sink asked for hashes; the stats loop above
+          // stays the single-decode hot path).
+          if (sink != null && !sink.full) {
+            val r = imageHashes(frame)
+            if (r != null) sink.add(r.getLong(0))
+          }
           nFrames += 1
         } // non-frame, non-list chunks (headers, index) are skipped
         pos = (body + size + (size & 1L)).toInt // chunks are word-aligned
@@ -2692,7 +2729,9 @@ object MediaCodec {
     * payload routes to the seam instead. Null for non-GIF bytes, zero
     * frames, or any structural corruption.
     */
-  def decodeGifAnim(b: Array[Byte]): VideoStats = {
+  def decodeGifAnim(b: Array[Byte]): VideoStats = decodeGifAnim(b, null)
+
+  private def decodeGifAnim(b: Array[Byte], sink: FrameHashSink): VideoStats = {
     if (b == null || b.length < 14) return null
     if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return null
@@ -2842,6 +2881,17 @@ object MediaCodec {
         val m0 = c0sum.toDouble / nPix
         if (nFrames == 0) meanFirst = m0
         meanLast = m0
+        if (sink != null && !sink.full &&
+            screenW >= GridAcc.GW && screenH >= GridAcc.GH) {
+          val g = new GridAcc(screenW, screenH)
+          var gi = 0
+          while (gi < nPix) {
+            g.addRgb(gi % screenW, gi / screenW, canvas(3 * gi) & 0xFF,
+              canvas(3 * gi + 1) & 0xFF, canvas(3 * gi + 2) & 0xFF)
+            gi += 1
+          }
+          sink.add(g.dhash)
+        }
         nFrames += 1
         // Disposal applies AFTER the frame is shown.
         if (disposal == 2) fillRect(left, top, fw, fh)
@@ -3974,6 +4024,30 @@ case class ImageHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImageHashExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_image_hash"
+}
+
+/** `binary` (AVI / animated GIF) -> array<bigint> of per-frame dHashes
+  * (capped at 64 frames), codegen'd: the video near-dup signature
+  * ([[MediaCodec.videoHashes]]). NULL for undecodable containers.
+  */
+case class VideoHashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.videoHashes(input.asInstanceOf[Array[Byte]], 64)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.videoHashes($c, 64);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): VideoHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_video_hash"
 }
 
 case class AudioStatsExpr(child: Expression) extends UnaryExpression {

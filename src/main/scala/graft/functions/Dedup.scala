@@ -533,11 +533,44 @@ object Dedup {
     // the plan (there is no sound point to unpersist inside a lazily
     // consumed result); callers sweeping MANY corpora in one session
     // should spark.catalog.clearCache() between sweeps.
-    val keyed = df
-      .select(col(idCol).as("id"),
-        Multimodal.audioFingerprint(col(binCol)).as("ks"))
-      .where(col("ks").isNotNull)
-      .select(col("id"), explode(col("ks")).as("k"))
+    sharedKeyPairs(
+      df.select(col(idCol).as("id"),
+          Multimodal.audioFingerprint(col(binCol)).as("ks"))
+        .where(col("ks").isNotNull)
+        .select(col("id"), explode(col("ks")).as("k")),
+      minSharedKeys, maxKeyDf)
+  }
+
+  /** Video near-duplicate pairs by shared per-frame perceptual hashes
+    * ([[Multimodal.videoHash]]): trimmed/re-muxed/re-encoded copies keep
+    * most frame dHashes bit-identical, so the pairing is the same exact
+    * key-join shape as audio fingerprints — no pairwise comparison.
+    */
+  def videoNearDups(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      minSharedFrames: Int = 3,
+      maxKeyDf: Int = 64
+  ): DataFrame =
+    sharedKeyPairs(
+      df.select(col(idCol).as("id"),
+          Multimodal.videoHash(col(binCol)).as("ks"))
+        .where(col("ks").isNotNull)
+        .select(col("id"), explode(array_distinct(col("ks"))).as("k")),
+      minSharedFrames, maxKeyDf)
+      .withColumnRenamed("shared_keys", "shared_frames")
+
+  /** Shared core of the fingerprint-key near-dup joins: (id, key)
+    * postings in, (id1, id2, shared_keys >= minShared) out, with
+    * heavy-hitter keys (> maxKeyDf distinct ids) pruned. The postings
+    * PERSIST because the plan references them three times (hot-key
+    * aggregate + both self-join sides) and producing them is the
+    * expensive part (FFT / frame decode per payload).
+    */
+  private def sharedKeyPairs(postings: DataFrame, minShared: Int,
+      maxKeyDf: Int): DataFrame = {
+    val keyed = postings
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = keyed.groupBy("k").agg(countDistinct(col("id")).as("df"))
       .where(col("df") > maxKeyDf).select("k")
@@ -547,7 +580,7 @@ object Dedup {
         col("l.k") === col("r.k") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
       .agg(count(lit(1)).as("shared_keys"))
-      .where(col("shared_keys") >= minSharedKeys)
+      .where(col("shared_keys") >= minShared)
       .orderBy(desc("shared_keys"), col("id1"), col("id2"))
   }
 

@@ -224,6 +224,16 @@ object Multimodal {
       graft.expressions.ImageHashExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Per-frame perceptual dHash sequence of an AVI / animated-GIF
+    * payload ([[graft.expressions.VideoHashExpr]]): trimmed or re-muxed
+    * copies share most frame hashes, so video near-dup is an exact key
+    * join ([[graft.functions.Dedup.videoNearDups]]).
+    */
+  def videoHash(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.VideoHashExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Audio fingerprint ([[graft.expressions.AudioFingerprintExpr]]):
     * Shazam-style spectral constellation keys (Hann + radix-2 FFT,
     * per-band landmark peaks, fanout-paired (f1, f2, dt) hashes) over a

@@ -1,0 +1,81 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+class VideoHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def png(seed: Int): Array[Byte] = {
+    val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, ((x * (3 + seed)) % 256 << 16) |
+        ((y * (5 + seed)) % 256 << 8) | ((x + y + seed * 40) % 256))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal RIFF/AVI: LIST(movi) of 00dc chunks — the shape decodeAvi
+    * walks; headers/index are optional to it.
+    */
+  private def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val chunks = frames.flatMap { f =>
+      val pad = f.length % 2
+      "00dc".getBytes("US-ASCII") ++ le32(f.length) ++ f ++
+        new Array[Byte](pad)
+    }
+    val movi = "movi".getBytes("US-ASCII") ++ chunks
+    val list = "LIST".getBytes("US-ASCII") ++ le32(movi.length) ++ movi
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ list
+    "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
+  }
+
+  private def vHashes(b: Array[Byte]): Seq[Long] = {
+    val r = MediaCodec.videoHashes(b, 64)
+    if (r == null) null else r.toLongArray().toSeq
+  }
+
+  test("AVI frame hashes equal the per-frame image hashes, in order") {
+    val fs = Seq(png(1), png(2), png(3))
+    val got = vHashes(avi(fs))
+    val want = fs.map(f => MediaCodec.imageHashes(f).getLong(0))
+    assert(got == want)
+  }
+
+  test("single-frame GIF: animation-canvas path agrees with the streaming image path") {
+    val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 4) % 256 << 16) | ((y * 5) % 256 << 8))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "gif", bos)
+    val gif = bos.toByteArray
+    // Two genuinely different decode paths (compositing canvas vs the
+    // streaming LZW reducer) must land the identical dHash.
+    assert(vHashes(gif) == Seq(MediaCodec.imageHashes(gif).getLong(0)))
+  }
+
+  test("videoNearDups pairs a trimmed copy; unrelated video stays apart") {
+    val f = (1 to 5).map(png)
+    val full = avi(f)
+    val trimmed = avi(f.drop(2)) // shares frames 3..5
+    val other = avi(Seq(png(20), png(21), png(22)))
+    val pairs = graft.functions.Dedup.videoNearDups(
+        Seq((1L, full), (2L, trimmed), (3L, other)).toDF("id", "v"),
+        "id", "v", minSharedFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L)), pairs)
+  }
+
+  test("undecodable and frameless payloads yield null") {
+    assert(vHashes("garbage".getBytes) == null)
+    assert(vHashes(avi(Seq(png(1))).take(20)) == null)
+    assert(MediaCodec.videoHashes(null, 64) == null)
+  }
+}
