@@ -1,0 +1,99 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property fuzz for the round's text/URL kernels (ScalaCheck Gen driven
+  * directly with fixed seeds — the scalatest bridge artifact is not
+  * available offline): the invariants a 100 TB corpus silently relies on.
+  *
+  *  - canonicalizeUrl is IDEMPOTENT (a canonical form that re-canonicalizes
+  *    differently would make frontier dedup keys unstable);
+  *  - sentence segmentation preserves every non-whitespace character in
+  *    order (a splitter that drops or reorders text corrupts the corpus);
+  *  - mojibake repair reaches a fixpoint and never touches ASCII;
+  *  - NFC is idempotent;
+  *  - none of them ever throw, on any input.
+  */
+class TextOpsPropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP", "ftp")
+    host <- Gen.oneOf("Ex.COM", "a.b.c", "x", "[2001:DB8::1]", "h-h.io")
+    port <- Gen.oneOf("", ":80", ":443", ":8080", ":")
+    nSeg <- Gen.choose(0, 4)
+    segs <- Gen.listOfN(nSeg, Gen.oneOf("a", "..", ".", "B%2f", "%7e", "x y", ""))
+    q <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x", "?a=%2F&A=1&a=0", "?&&")
+    frag <- Gen.oneOf("", "#f", "#")
+  } yield s"$scheme://$host$port/${segs.mkString("/")}$q$frag"
+
+  private val junkGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(" .!?…é—Ã©€́:/%#&=".toList)))
+      .map(_.mkString)
+
+  test("canonicalizeUrl: idempotent and total on structured + junk input") {
+    def canon(u: String): String = {
+      val r = UrlCodec.canonicalize(UTF8String.fromString(u))
+      if (r == null) null else r.toString
+    }
+    val inputs = samples(urlGen, 400, 11L) ++ samples(junkGen, 200, 13L)
+    inputs.foreach { u =>
+      val once = canon(u) // must not throw
+      if (once != null) {
+        val twice = canon(once)
+        assert(twice == once, s"not idempotent: '$u' -> '$once' -> '$twice'")
+      }
+    }
+  }
+
+  test("sentences: preserves every non-whitespace char, in order; total") {
+    val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.oneOf(". ", "! ", "? ", "... ",
+        " Dr. ", " p.m. ", "\"x.\" ", "(y.) ", "  ", "\n", "e")))
+      .map(_.mkString)
+    (samples(textGen, 400, 17L) :+ "" :+ "...." :+ "?!?!").foreach { t =>
+      val parts = SentenceCodec.split(UTF8String.fromString(t))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+      val joined = parts.mkString.filterNot(_.isWhitespace)
+      val orig = t.filterNot(_.isWhitespace)
+      assert(joined == orig, s"chars lost on '$t': '$joined' vs '$orig'")
+      parts.foreach(p => assert(p == p.trim && p.nonEmpty))
+    }
+  }
+
+  test("mojibake fix: fixpoint stable, ascii identity, total") {
+    (samples(junkGen, 400, 23L) :+ "Ã©" * 50 :+ "�").foreach { t =>
+      val u = UTF8String.fromString(t)
+      val once = MojibakeCodec.fix(u)
+      assert(MojibakeCodec.fix(once) == once, s"unstable on '$t'")
+      if (t.forall(_ < 0x80)) assert(once eq u)
+    }
+  }
+
+  test("nfc: idempotent and total") {
+    samples(junkGen, 300, 31L).foreach { t =>
+      val once = UnicodeOps.nfc(UTF8String.fromString(t))
+      assert(UnicodeOps.nfc(once) == once, s"unstable on '$t'")
+    }
+  }
+
+  test("content chunks tile arbitrary random payloads exactly") {
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(20000))
+      rnd.nextBytes(b)
+      val cs = ChunkingCodec.chunks(b, 8)
+      val rows = (0 until cs.numElements()).map(cs.getStruct(_, 3))
+      assert(rows.map(_.getInt(1)).sum == b.length)
+      rows.foldLeft(0) { (expect, r) =>
+        assert(r.getInt(0) == expect); expect + r.getInt(1)
+      }
+    }
+  }
+}
