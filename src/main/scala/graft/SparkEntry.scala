@@ -707,16 +707,18 @@ object SparkEntry {
     // --- 33. MinHash+LSH near-dup pairs (no SQL oracle) --------------------------------------------
     "q33_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)),
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        sorted = true)),  // deterministic output order for the verify dump
 
     // --- 34. SimHash near-dup pairs (no SQL oracle) -------------------------------------------------
     "q34_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3,
+        sorted = true)),
 
     // --- 35. n-gram Jaccard within language block (no SQL oracle) -----------------------------------
     "q35_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
-        n = 2, threshold = 0.25)),
+        n = 2, threshold = 0.25, sorted = true)),
 
     // --- 36. brute-force cosine top-k (no SQL oracle) -----------------------------------------------
     "q36_knn_brute" -> ((s, d) => {
@@ -3427,7 +3429,7 @@ object SparkEntry {
         .where(col("doc_id") < 300)
         .select(col("doc_id").as("id"),
           unhex(concat(header, samplesHex)).as("audio"))
-      Dedup.audioNearDups(docs, "id", "audio", minSharedKeys = 6)
+      Dedup.audioNearDups(docs, "id", "audio", minSharedKeys = 6, sorted = true)
     }),
 
     // --- 156. perceptual image hash (dHash/aHash), oracle-pinned ----------------------------------------

@@ -50,7 +50,6 @@ object Tables {
   def invalidate(): Unit = handles.synchronized(handles.clear())
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val key = (sessionKey(spark), dir, name)
     // Build OUTSIDE the lock: spark.read.parquet does file listing + footer
     // IO, and holding the global cache lock across it would serialize every
@@ -58,7 +57,31 @@ object Tables {
     // is harmless (both plans are identical; first put wins).
     val cached = handles.synchronized(handles.get(key))
     if (cached != null) return cached
-    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    // nanosAsLong is set ONLY when a read actually trips over the legacy
+    // TIMESTAMP(NANOS) encoding (Spark's schema converter rejects it up
+    // front with "Illegal Parquet type"), so loading a table is no longer
+    // an unconditional session-conf mutation. The flag stays set for the
+    // session once tripped: execution re-reads footers per split under the
+    // conf captured at that point, so restoring it here would break the
+    // lazy read later.
+    val df0 =
+      try spark.read.parquet(s"$dir/$name.parquet")
+      catch {
+        case e: Exception
+            if name == "events" && {
+              // The NANOS rejection has surfaced as AnalysisException and as
+              // a wrapped SparkException across Spark minors — match on the
+              // stable message fragment anywhere in the cause chain.
+              var t: Throwable = e; var hit = false
+              while (t != null && !hit) {
+                hit = t.getMessage != null && t.getMessage.contains("Parquet type")
+                t = t.getCause
+              }
+              hit
+            } =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$dir/$name.parquet")
+      }
     val df =
       if (name == "events") {
         import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

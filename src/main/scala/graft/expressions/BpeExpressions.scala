@@ -37,8 +37,16 @@ case class BpeEncodeExpr(child: Expression, merges: Array[(String, String)])
 
   // Word-level memo: bounded so an adversarial high-cardinality corpus
   // cannot grow it without limit (natural text vocabulary fits easily).
+  // INSERTION-order eviction (accessOrder = false): get() must not mutate
+  // the map, because while each executor task deserializes its own private
+  // expression copy, driver-side interpreted eval of a reused plan can
+  // evaluate ONE instance from more than one thread — an access-ordered
+  // map reorders its linked list on every get and corrupts under that
+  // concurrency. FIFO eviction loses a little hit rate on Zipfian text
+  // (hot early words are safe anyway: they enter first and 64k entries
+  // outlast any natural vocabulary) and makes reads side-effect-free.
   @transient private lazy val memo =
-    new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, false) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Array[UTF8String]]): Boolean =
         size() > 65536

@@ -3377,9 +3377,11 @@ object MediaCodec {
   }
 
   /** Mono-mixed s16-scale samples of a WAV payload, capped at `maxFrames`
-    * (fingerprinting needs seconds, not the whole file). Stereo averages
-    * the channels (floor division — deterministic integer arithmetic).
-    * Null for anything [[parseWav]] rejects.
+    * (fingerprinting needs seconds, not the whole file). Averages ALL
+    * channels — not just the first two — so >2-channel (5.1 etc.) WAVs
+    * fingerprint their full mix. Truncating integer division, matching
+    * [[flacMonoSamples]]' stereo `(a+b)/2` bit-for-bit so the WAV==FLAC
+    * fingerprint identity holds. Null for anything [[parseWav]] rejects.
     */
   def wavMonoSamples(b: Array[Byte], maxFrames: Int): (Int, Array[Double]) = {
     val w = parseWav(b)
@@ -3391,12 +3393,14 @@ object MediaCodec {
     var f = 0
     while (f < n) {
       val p = (w.dataOff + f * bytesPerFrame).toInt
-      val v0 = wavSampleS16(b, p, w.bitsPerSample, w.audioFormat)
-      val v =
-        if (w.channels == 1) v0
-        else (v0 + wavSampleS16(b, p + bytesPerSample, w.bitsPerSample,
-          w.audioFormat)) / 2
-      out(f) = v.toDouble
+      var acc = 0L
+      var c = 0
+      while (c < w.channels) {
+        acc += wavSampleS16(b, p + c * bytesPerSample, w.bitsPerSample,
+          w.audioFormat)
+        c += 1
+      }
+      out(f) = (acc / w.channels).toDouble
       f += 1
     }
     (w.sampleRate, out)

@@ -121,11 +121,17 @@ object UrlCodec {
     val query =
       if (rawQuery == null || rawQuery.isEmpty) null
       else {
-        val kept = rawQuery.split("&", -1).filter { p =>
+        // Escape-normalize each param BEFORE the tracking filter and the
+        // key sort: an encoded key like %75tm_source would otherwise evade
+        // the strip, and the sort key would differ from its decoded
+        // spelling. Safe to decode first — '=' and '&' are reserved, so
+        // their escapes (%3D/%26) survive normalization and cannot shift
+        // param/key boundaries.
+        val kept = rawQuery.split("&", -1).map(normalizeEscapes).filter { p =>
           val k = { val e = p.indexOf('='); if (e >= 0) p.substring(0, e) else p }
           val kl = k.toLowerCase(java.util.Locale.ROOT)
           p.nonEmpty && !kl.startsWith("utm_") && !trackingExact.contains(kl)
-        }.map(normalizeEscapes)
+        }
         if (kept.isEmpty) null
         // Stable sort by key: equal keys keep their original relative
         // order (repeated params are order-significant).

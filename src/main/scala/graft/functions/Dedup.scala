@@ -165,7 +165,13 @@ object Dedup {
     * @param numHashes signature length (bands * rowsPerBand)
     * @param bands     LSH bands; candidate threshold ~ (1/bands)^(rows^-1)
     * @param threshold exact-Jaccard cutoff applied to candidates
-    * @return (id1, id2, jaccard) with id1 < id2, ordered desc by jaccard
+    * @param sorted    apply the deterministic global (jaccard desc, id1, id2)
+    *                  output sort. The sort exists for oracle/report
+    *                  stability; callers feeding the pairs into a further
+    *                  shuffle (connected components, joins) should pass
+    *                  false and skip a full sort of a potentially huge pair
+    *                  set ([[dropNearDuplicates]] does).
+    * @return (id1, id2, jaccard) with id1 < id2
     */
   def minhashPairs(
       df: DataFrame,
@@ -174,7 +180,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      sorted: Boolean = true
   ): DataFrame = {
     val docs = df.select(
       col(idCol).as("id"),
@@ -186,7 +193,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("hs1"), col("hs2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
-    verified.orderBy(desc("jaccard"), col("id1"), col("id2"))
+    if (sorted) verified.orderBy(desc("jaccard"), col("id1"), col("id2")) else verified
   }
 
   /** The pigeonhole chunk map shared by batch ([[simhashPairs]]) and
@@ -222,10 +229,11 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      sorted: Boolean = true
   ): DataFrame =
     hamming64Pairs(df.select(col(idCol).as("id"),
-      TextFunctions.simhash64(col(textCol)).as("sig")), maxHamming)
+      TextFunctions.simhash64(col(textCol)).as("sig")), maxHamming, sorted)
 
   /** Near-pairs of any 64-bit signature column by the pigeonhole band
     * join (maxHamming+1 chunks: at most maxHamming bits differ, so at
@@ -233,7 +241,8 @@ object Dedup {
     * text SimHash ([[simhashPairs]]) and image perceptual hashes
     * ([[imageNearDups]]). Input: (id, sig).
     */
-  def hamming64Pairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  def hamming64Pairs(sigs: DataFrame, maxHamming: Int,
+      sorted: Boolean = true): DataFrame = {
     val chunkDefs = simhashChunkDefs(maxHamming)
     val chunkCols = chunkDefs.map { case (i, start, width) =>
       val shifted = call_function("shiftrightunsigned", col("sig"), lit(start))
@@ -243,7 +252,7 @@ object Dedup {
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array(chunkCols: _*)).as("c"))
       .select(col("id"), col("sig"), col("c.chunk").as("chunk"), col("c.v").as("v"))
-    chunked.as("l")
+    val out = chunked.as("l")
       .join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.v") === col("r.v") &&
           col("l.id") < col("r.id"))
@@ -251,7 +260,7 @@ object Dedup {
         TextFunctions.hamming64(col("l.sig"), col("r.sig")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
-      .orderBy(col("hamming"), col("id1"), col("id2"))
+    if (sorted) out.orderBy(col("hamming"), col("id1"), col("id2")) else out
   }
 
   /** Image near-duplicate pairs by perceptual dHash
@@ -265,13 +274,14 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       binCol: String,
-      maxHamming: Int = 6
+      maxHamming: Int = 6,
+      sorted: Boolean = true
   ): DataFrame =
     hamming64Pairs(
       df.select(col(idCol).as("id"),
           Multimodal.imageHash(col(binCol)).getField("dhash").as("sig"))
         .where(col("sig").isNotNull),
-      maxHamming)
+      maxHamming, sorted)
 
   /** Cross-corpus contamination check: near-duplicate pairs BETWEEN two
     * corpora (e.g. training set vs evaluation benchmarks) by banded MinHash
@@ -291,7 +301,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      sorted: Boolean = true
   ): DataFrame = {
     val rows = numHashes / bands
     def prep(df: DataFrame, idC: String, textC: String): DataFrame =
@@ -314,13 +325,14 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.h") === col("r.h"))
       .select(col("l.id").as("left_id"), col("r.id").as("right_id"))
       .distinct()
-    candidates
+    val verified = candidates
       .join(l.select(col("id").as("left_id"), col("hs").as("hs1")), "left_id")
       .join(r.select(col("id").as("right_id"), col("hs").as("hs2")), "right_id")
       .withColumn("jaccard", jaccard(col("hs1"), col("hs2")))
       .where(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(desc("jaccard"), col("left_id"), col("right_id"))
+    if (sorted) verified.orderBy(desc("jaccard"), col("left_id"), col("right_id"))
+    else verified
   }
 
   /** Remove near-duplicates: cluster the [[minhashPairs]] graph into
@@ -353,7 +365,11 @@ object Dedup {
     // Materialized ONCE (localCheckpoint): the edge count decides the
     // strategy and both strategies re-read the pairs; without the
     // checkpoint each pass would re-run the whole MinHash/LSH pipeline.
-    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands, threshold)
+    // sorted = false: the pairs feed straight into union-find / label
+    // propagation, which re-shuffle anyway — a global sort of the pair set
+    // here would be pure wasted work at scale (PlanSpec pins its absence).
+    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands, threshold,
+        sorted = false)
       .select(col("id1"), col("id2"))
       .localCheckpoint(true)
     val idOrd = localOrdering(pairs.schema("id1").dataType)
@@ -481,7 +497,8 @@ object Dedup {
       threshold: Double = 0.25,
       numHashes: Int = 48,
       bands: Int = 24,
-      maxDfFraction: Double = 1.0
+      maxDfFraction: Double = 1.0,
+      sorted: Boolean = true
   ): DataFrame = {
     val raw = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       TextFunctions.shingleHashes(col(textCol), n).as("hs"))
@@ -498,13 +515,13 @@ object Dedup {
           array_except(col("hs"), lit(stop)))
       }
     val candidates = lshCandidates(docs, numHashes, bands, blocked = true)
-    candidates
+    val verified = candidates
       .join(docs.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
       .join(docs.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
       .withColumn("jaccard", jaccard(col("hs1"), col("hs2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(desc("jaccard"), col("id1"), col("id2"))
+    if (sorted) verified.orderBy(desc("jaccard"), col("id1"), col("id2")) else verified
   }
 
   /** Audio near-duplicate pairs by shared fingerprint keys: payloads
@@ -516,49 +533,47 @@ object Dedup {
     * boilerplate jingles), the same heavy-hitter guard as
     * [[ngramJaccardPairs]]'s stop list.
     */
+  /** EAGER: runs the pairing job at call time (see [[sharedKeyPairs]]) so
+    * the internal postings cache can be unpersisted before returning —
+    * sweeping many corpora in one session leaves no cached blocks behind.
+    */
   def audioNearDups(
       df: DataFrame,
       idCol: String,
       binCol: String,
       minSharedKeys: Int = 8,
-      maxKeyDf: Int = 64
-  ): DataFrame = {
-    // PERSIST the postings: the plan references them three times (the
-    // heavy-hitter aggregate and both self-join sides), and fingerprinting
-    // is the expensive part (an FFT pass per payload) — without the cache
-    // Catalyst re-decodes and re-transforms every payload once per
-    // reference (measured 4x wall-clock on the q155 shape). The cached
-    // set is (key, id) longs-and-ids only, tiny next to the audio.
-    // LIFECYCLE: the cache lives until Spark's context cleaner collects
-    // the plan (there is no sound point to unpersist inside a lazily
-    // consumed result); callers sweeping MANY corpora in one session
-    // should spark.catalog.clearCache() between sweeps.
+      maxKeyDf: Int = 64,
+      sorted: Boolean = true
+  ): DataFrame =
     sharedKeyPairs(
       df.select(col(idCol).as("id"),
           Multimodal.audioFingerprint(col(binCol)).as("ks"))
         .where(col("ks").isNotNull)
         .select(col("id"), explode(col("ks")).as("k")),
-      minSharedKeys, maxKeyDf)
-  }
+      minSharedKeys, maxKeyDf, sorted)
 
   /** Video near-duplicate pairs by shared per-frame perceptual hashes
     * ([[Multimodal.videoHash]]): trimmed/re-muxed/re-encoded copies keep
     * most frame dHashes bit-identical, so the pairing is the same exact
     * key-join shape as audio fingerprints — no pairwise comparison.
     */
+  /** EAGER: runs the pairing job at call time (see [[sharedKeyPairs]]) so
+    * the internal postings cache can be unpersisted before returning.
+    */
   def videoNearDups(
       df: DataFrame,
       idCol: String,
       binCol: String,
       minSharedFrames: Int = 3,
-      maxKeyDf: Int = 64
+      maxKeyDf: Int = 64,
+      sorted: Boolean = true
   ): DataFrame =
     sharedKeyPairs(
       df.select(col(idCol).as("id"),
           Multimodal.videoHash(col(binCol)).as("ks"))
         .where(col("ks").isNotNull)
         .select(col("id"), explode(array_distinct(col("ks"))).as("k")),
-      minSharedFrames, maxKeyDf)
+      minSharedFrames, maxKeyDf, sorted)
       .withColumnRenamed("shared_keys", "shared_frames")
 
   /** Shared core of the fingerprint-key near-dup joins: (id, key)
@@ -566,22 +581,36 @@ object Dedup {
     * heavy-hitter keys (> maxKeyDf distinct ids) pruned. The postings
     * PERSIST because the plan references them three times (hot-key
     * aggregate + both self-join sides) and producing them is the
-    * expensive part (FFT / frame decode per payload).
+    * expensive part (FFT / frame decode per payload — measured 4x
+    * wall-clock on the q155 shape without the cache).
+    *
+    * Cache lifecycle: the pair set (tiny next to the media payloads) is
+    * EAGERLY materialized via `localCheckpoint(true)` while the postings
+    * are cached, then the postings are unpersisted before returning — a
+    * caller sweeping many corpora in one session accumulates no
+    * CacheManager entries. The checkpoint blocks backing the returned
+    * DataFrame are reclaimed by the context cleaner when the caller drops
+    * the result (they are not registered in the cache manager). The
+    * optional determinism sort runs AFTER the checkpoint, so opting out
+    * skips it entirely without re-running the join.
     */
   private def sharedKeyPairs(postings: DataFrame, minShared: Int,
-      maxKeyDf: Int): DataFrame = {
+      maxKeyDf: Int, sorted: Boolean): DataFrame = {
     val keyed = postings
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = keyed.groupBy("k").agg(countDistinct(col("id")).as("df"))
-      .where(col("df") > maxKeyDf).select("k")
-    val pruned = keyed.join(hot, Seq("k"), "left_anti")
-    pruned.as("l")
-      .join(pruned.as("r"),
-        col("l.k") === col("r.k") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
-      .agg(count(lit(1)).as("shared_keys"))
-      .where(col("shared_keys") >= minShared)
-      .orderBy(desc("shared_keys"), col("id1"), col("id2"))
+    try {
+      val hot = keyed.groupBy("k").agg(countDistinct(col("id")).as("df"))
+        .where(col("df") > maxKeyDf).select("k")
+      val pruned = keyed.join(hot, Seq("k"), "left_anti")
+      val pairs = pruned.as("l")
+        .join(pruned.as("r"),
+          col("l.k") === col("r.k") && col("l.id") < col("r.id"))
+        .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
+        .agg(count(lit(1)).as("shared_keys"))
+        .where(col("shared_keys") >= minShared)
+        .localCheckpoint(true)
+      if (sorted) pairs.orderBy(desc("shared_keys"), col("id1"), col("id2")) else pairs
+    } finally keyed.unpersist(false)
   }
 
   /** Exact n-gram benchmark decontamination — the standard eval-hygiene

@@ -23,6 +23,16 @@ object Bridge {
     case other => String.valueOf(System.identityHashCode(other))
   }
 
+  /** True when no Dataset is registered in the session's CacheManager —
+    * the registry that pins `persist()`ed plans until an explicit
+    * unpersist. Used by specs to assert operators leave no cached plans
+    * behind (`localCheckpoint` blocks are NOT in this registry; those are
+    * reclaimed by the context cleaner on GC).
+    */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** A SIBLING session over the same SparkContext whose SessionState is
     * built with the given extensions — the way to install a parser/rule/
     * strategy extension on a LIVE application, where `Builder.getOrCreate`

@@ -362,4 +362,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("pair APIs with sorted=false plan no global sort (dropNearDuplicates input path)") {
+    // dropNearDuplicates consumes minhashPairs(sorted = false) straight
+    // into union-find / label propagation — a deterministic global sort of
+    // the pair set there is pure wasted work at 100x. The LOGICAL plan must
+    // contain no global Sort (physical SortMergeJoin-local sorts are fine
+    // and excluded by checking the logical tree).
+    val docs = graft.Tables.t(spark, sf, "documents")
+    for ((name, df) <- Seq(
+        "minhash" -> graft.functions.Dedup.minhashPairs(
+          docs, "doc_id", "text", sorted = false),
+        "simhash" -> graft.functions.Dedup.simhashPairs(
+          docs, "doc_id", "text", sorted = false))) {
+      val sorts = df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }
+      assert(sorts.isEmpty, s"$name: global Sort survives sorted=false:\n$sorts")
+    }
+    // And the sorted=true spelling keeps exactly one global presentation sort.
+    val sortedPlan = graft.functions.Dedup.minhashPairs(
+        docs, "doc_id", "text", sorted = true)
+      .queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }
+    assert(sortedPlan.size == 1, sortedPlan.toString)
+  }
 }

@@ -113,4 +113,28 @@ class AudioFingerprintSpec extends SparkTestBase {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (3L, 4L), (5L, 6L)), pairs)
   }
+
+  test("audioNearDups sweep leaves no cached plans behind") {
+    // The internal postings persist() must be scoped: after N sweeps the
+    // CacheManager registry is empty (nothing pinned until clearCache),
+    // and the only storage residue is the eager checkpoint backing each
+    // RETAINED result — reclaimed by the context cleaner once the caller
+    // drops it, unlike a CacheManager entry.
+    val df = Seq((1L, wavBytes(signal(10, 1.0))), (2L, wavBytes(signal(10, 1.0))),
+      (3L, wavBytes(signal(55, 1.0)))).toDF("id", "audio")
+    val wasEmpty = org.apache.spark.sql.graft.Bridge.cacheManagerIsEmpty(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      graft.functions.Dedup.audioNearDups(df, "id", "audio", minSharedKeys = 8)
+        .count()
+    }
+    // Only assert emptiness if nothing ELSE was cached when we started
+    // (the session is shared across suites).
+    if (wasEmpty)
+      assert(org.apache.spark.sql.graft.Bridge.cacheManagerIsEmpty(spark),
+        "postings cache still registered after sweep")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"more storage residue than one checkpoint per sweep: $before -> $after")
+  }
 }
