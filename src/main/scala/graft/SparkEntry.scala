@@ -3494,6 +3494,57 @@ object SparkEntry {
           col("col").as("frame_hash"))
         .orderBy("doc_id", "pos")
     }),
+
+    // --- 158. MP4 sample-table walk + per-frame hash, oracle-pinned -------------------------------------
+    // q157's contract on the DOMINANT web container: a minimal ISO-BMFF
+    // MP4 (ftyp + moov with real stsd/stsz/stsc/stco sample tables +
+    // mdat) is CONSTRUCTED per row holding the same two closed-form
+    // 36x32 PGM frames (offset constant 29, distinguishing it from
+    // q157's 31); decodeMp4 enumerates the samples via the stbl join and
+    // hashes each, while the oracle recomputes every cell mean and bit
+    // relationally. Every byte of the container EXCEPT the pixel raster
+    // is doc-independent, so the box layout (including the absolute stco
+    // offsets) is computed once in plain Scala; only the frames are
+    // column expressions.
+    "q158_mp4_video_hash" -> ((s, d) => {
+      val w = 36; val h = 32
+      def be32hex(v: Int) = f"$v%08X"
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def boxHex(t: String, body: String) = be32hex(body.length / 2 + 8) + cc(t) + body
+      val frameLen = 13 + w * h // "P5 36 32 255\n" + raster
+      val hdlr = boxHex("hdlr", "00" * 8 + cc("vide") + "00" * 13)
+      val stsd = boxHex("stsd", be32hex(0) + be32hex(1) +
+        be32hex(16) + cc("jpeg") + "00" * 8)
+      val stsz = boxHex("stsz", be32hex(0) + be32hex(0) + be32hex(2) +
+        be32hex(frameLen) * 2)
+      val stsc = boxHex("stsc", be32hex(0) + be32hex(1) +
+        be32hex(1) + be32hex(1) + be32hex(1))
+      def moovHex(off0: Int, off1: Int) = {
+        val stco = boxHex("stco", be32hex(0) + be32hex(2) +
+          be32hex(off0) + be32hex(off1))
+        boxHex("moov", boxHex("trak", boxHex("mdia", hdlr +
+          boxHex("minf", boxHex("stbl", stsd + stsz + stsc + stco)))))
+      }
+      val ftyp = boxHex("ftyp", cc("isom") + be32hex(0x200) + cc("isom"))
+      // stco offsets depend only on the (offset-invariant) moov length.
+      val base = ftyp.length / 2 + moovHex(0, 0).length / 2 + 8
+      val prefix = ftyp + moovHex(base, base + frameLen) +
+        be32hex(2 * frameLen + 8) + cc("mdat")
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, f: Int) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y + f * 29) % 256
+      def frameHex(f: Int) = concat(
+        hex(lit(s"P5 $w $h 255\n")),
+        array_join(transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"), f)), 2, "0")), ""))
+      val payload = unhex(concat(lit(prefix), frameHex(0), frameHex(1)))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(Multimodal.videoHash(payload)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("frame_hash"))
+        .orderBy("doc_id", "pos")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -5214,6 +5265,36 @@ object SparkEntry {
       """WITH px AS (
         |  SELECT d.doc_id, f, x, y,
         |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y + f * 31) % 256
+        |      AS DOUBLE) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(2)) AS uf(f),
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y)),
+        | cells AS (
+        |  SELECT doc_id, f, CAST(x // 4 AS INT) AS cx, CAST(y // 4 AS INT) AS cy,
+        |    SUM(v) / 16.0 AS m
+        |  FROM px GROUP BY doc_id, f, x // 4, y // 4),
+        | grid AS (
+        |  SELECT l.doc_id, l.f, l.cy, l.cx, l.m AS ml, r.m AS mr
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND l.cy = r.cy
+        |      AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        | bits AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN ml < mr
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx))) ELSE 0 END) AS dh
+        |  FROM grid GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(f AS INT) AS pos,
+        |  CAST(CASE WHEN dh >= CAST(1 AS HUGEINT) << 63
+        |    THEN dh - (CAST(1 AS HUGEINT) << 64) ELSE dh END AS BIGINT) AS frame_hash
+        |FROM bits ORDER BY doc_id, pos""".stripMargin,
+
+    // MP4 sample-walk oracle: identical relational dHash, frame offset 29.
+    "q158_mp4_video_hash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y + f * 29) % 256
         |      AS DOUBLE) AS v
         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
         |    LATERAL UNNEST(range(2)) AS uf(f),

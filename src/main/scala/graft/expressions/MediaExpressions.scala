@@ -94,21 +94,24 @@ object MediaCodec {
     def add(h0: Long): Unit = if (!full) hashes += h0
   }
 
-  /** Per-frame perceptual dHash sequence of a video payload (AVI or
-    * animated GIF), capped at `maxFrames`: the video near-dup signature —
-    * trimmed/re-muxed/re-encoded copies share most frame hashes, so
-    * video dedup is an exact key join on frame hash
+  /** Per-frame perceptual dHash sequence of a video payload (AVI,
+    * ISO-BMFF MP4/MOV with decodable samples, or animated GIF), capped at
+    * `maxFrames`: the video near-dup signature — trimmed/re-muxed/
+    * re-encoded copies share most frame hashes, so video dedup is an
+    * exact key join on frame hash
     * ([[graft.functions.Dedup.videoNearDups]]). GIF frames hash the FULL
-    * composited canvas (what a viewer sees); AVI frames hash each decoded
-    * frame payload. Null when the container is undecodable or no frame
-    * meets the grid minimum.
+    * composited canvas (what a viewer sees); AVI and MP4 frames hash each
+    * decoded sample payload — the same frame bytes hash identically in
+    * either container, so cross-container copies pair. Null when the
+    * container is undecodable or no frame meets the grid minimum.
     */
   def videoHashes(b: Array[Byte], maxFrames: Int): ArrayData = {
     if (b == null || b.length < 12) return null
     val sink = new FrameHashSink(maxFrames)
-    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
     val stats =
-      if (isGif) decodeGifAnim(b, sink)
+      if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGifAnim(b, sink)
+      else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+        decodeMp4(b, sink)
       else decodeAvi(b, sink)
     if (stats == null || sink.hashes.isEmpty) return null
     new GenericArrayData(sink.hashes.toArray.map(Long.box).toArray[Any])
@@ -3086,6 +3089,207 @@ object MediaCodec {
       trackCount, width, height))
   }
 
+  /** Sample-entry formats whose payloads the pure-JVM image ladder can
+    * decode: motion-JPEG flavors (samples are self-contained JPEG images
+    * — ISO 14496-12 sample entries 'jpeg'/'mjpa'/'mjpb', plus the common
+    * 'mjpg' spelling) and PNG-coded stills. H.264/H.265 ('avc1'/'hvc1')
+    * are deliberately absent — their samples need a full entropy decoder;
+    * tracks carrying them are skipped without touching a sample.
+    */
+  private def mp4DecodableFormat(b: Array[Byte], p: Int): Boolean = {
+    def is(s: String) = b(p) == s.charAt(0) && b(p + 1) == s.charAt(1) &&
+      b(p + 2) == s.charAt(2) && b(p + 3) == s.charAt(3)
+    is("jpeg") || is("mjpa") || is("mjpb") || is("mjpg") || is("MJPG") ||
+      is("png ")
+  }
+
+  def decodeMp4(b: Array[Byte]): VideoStats = decodeMp4(b, null)
+
+  /** REAL sample access for ISO-BMFF (MP4/MOV) video: walk
+    * `moov/trak/mdia` to the first video (`hdlr` = 'vide') track whose
+    * sample-entry format is decodable ([[mp4DecodableFormat]]), read the
+    * sample tables (`stsd`/`stsz`/`stsc`/`stco`|`co64` — ISO/IEC 14496-12
+    * §8.5-8.7), enumerate every sample's absolute byte range in `mdat`,
+    * and push each sample through [[decodePixels]] — the same one-pass
+    * stats + optional per-frame hash sink as [[decodeAvi]], extended to
+    * the container that carries essentially all modern web video.
+    *
+    * Sample enumeration is the standard stbl join: `stsc` maps chunk
+    * runs to samples-per-chunk, `stco`/`co64` gives each chunk's file
+    * offset, `stsz` each sample's size; within a chunk samples are
+    * contiguous. All offsets/sizes are attacker-controlled and
+    * bounds-checked against the payload; a DECODE BUDGET of 4x the
+    * payload size caps total work even when a crafted `stco` aliases
+    * every chunk onto the same bytes (the quadratic-amplification risk a
+    * sequential AVI walk structurally cannot have). Strictness matches
+    * [[decodeAvi]]: every enumerated sample must decode and agree on
+    * dimensions; table inconsistency, overrun, or an undecodable sample
+    * nulls the whole decode.
+    */
+  private def decodeMp4(b: Array[Byte], sink: FrameHashSink): VideoStats = {
+    if (b == null || b.length < 16) return null
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
+    def is4(p: Int, s: String): Boolean =
+      b(p) == s.charAt(0) && b(p + 1) == s.charAt(1) &&
+        b(p + 2) == s.charAt(2) && b(p + 3) == s.charAt(3)
+    // First child box typed `t` at or after `start`: (bodyStart, boxEnd),
+    // null when absent or structurally corrupt. Same box grammar as
+    // [[mp4Header]] (u32 size, size==1 -> u64 largesize, size==0 -> to
+    // container end), with the same overflow-free bound checks.
+    def findBox(start: Int, end: Int, t: String): (Int, Int) = {
+      var pos = start
+      while (pos + 8 <= end) {
+        var size = be32(b, pos).toLong & 0xFFFFFFFFL
+        var body = pos + 8
+        if (size == 1) {
+          if (pos + 16 > end) return null
+          val s64 = be64(b, pos + 8)
+          if (s64 < 16) return null
+          size = s64; body = pos + 16
+        } else if (size == 0) size = (end - pos).toLong
+        else if (size < 8) return null
+        if (size > end - pos) return null
+        val boxEnd = pos + size.toInt
+        if (is4(pos + 4, t)) return (body, boxEnd)
+        pos = boxEnd
+      }
+      null
+    }
+    val moov = findBox(0, b.length, "moov")
+    if (moov == null) return null
+    // Accumulated one-pass stats (the decodeAvi shape).
+    var nFrames = 0
+    var w = 0; var h = 0; var ch = 0
+    var sum: Array[Long] = null
+    var min: Array[Int] = null
+    var max: Array[Int] = null
+    var nPix = 0L
+    var meanFirst = 0.0; var meanLast = 0.0
+    var budget = 4L * b.length + 65536L
+    // Decode one sample at [off, off+sz); false = corruption (nulls all).
+    def sample(off: Long, sz: Long): Boolean = {
+      if (off < 0 || sz <= 0 || off + sz > b.length) return false
+      budget -= sz
+      if (budget < 0) return false
+      val frame = java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+      val s = decodePixels(frame)
+      if (s == null) return false
+      if (nFrames == 0) {
+        w = s.width; h = s.height; ch = s.channels
+        sum = new Array[Long](ch)
+        min = Array.fill(ch)(255); max = Array.fill(ch)(0)
+        meanFirst = s.mean(0)
+      } else if (s.width != w || s.height != h || s.channels != ch) return false
+      val fPix = s.width.toLong * s.height.toLong
+      var c = 0
+      while (c < ch) {
+        sum(c) += math.round(s.mean(c) * fPix)
+        if (s.min(c) < min(c)) min(c) = s.min(c)
+        if (s.max(c) > max(c)) max(c) = s.max(c)
+        c += 1
+      }
+      nPix += fPix
+      meanLast = s.mean(0)
+      if (sink != null && !sink.full) {
+        val r = imageHashes(frame)
+        if (r != null) sink.add(r.getLong(0))
+      }
+      nFrames += 1
+      true
+    }
+    // Scan traks for the first decodable video track.
+    var trakPos = moov._1
+    var decoded = false
+    var corrupt = false
+    while (!decoded && !corrupt && trakPos < moov._2) {
+      val trak = findBox(trakPos, moov._2, "trak")
+      if (trak == null) trakPos = moov._2 // no more traks
+      else {
+        trakPos = trak._2
+        val mdia = findBox(trak._1, trak._2, "mdia")
+        val hdlr = if (mdia == null) null else findBox(mdia._1, mdia._2, "hdlr")
+        val isVideo = hdlr != null && hdlr._1 + 12 <= hdlr._2 &&
+          is4(hdlr._1 + 8, "vide")
+        if (isVideo) {
+          val minf = findBox(mdia._1, mdia._2, "minf")
+          val stbl = if (minf == null) null else findBox(minf._1, minf._2, "stbl")
+          if (stbl != null) {
+            val stsd = findBox(stbl._1, stbl._2, "stsd")
+            // stsd body: version+flags(4), entry_count(4), then sample
+            // entries (each its own box: size(4) + format(4cc) + ...).
+            val fmtOk = stsd != null && stsd._1 + 16 <= stsd._2 &&
+              be32(b, stsd._1 + 4) >= 1 && mp4DecodableFormat(b, stsd._1 + 12)
+            if (fmtOk) {
+              val stsz = findBox(stbl._1, stbl._2, "stsz")
+              val stsc = findBox(stbl._1, stbl._2, "stsc")
+              val stco0 = findBox(stbl._1, stbl._2, "stco")
+              val co64 = if (stco0 == null) findBox(stbl._1, stbl._2, "co64") else null
+              if (stsz == null || stsc == null || (stco0 == null && co64 == null))
+                corrupt = true
+              else {
+                // stsz: v+flags(4), fixed sample_size(4), sample_count(4).
+                if (stsz._1 + 12 > stsz._2) corrupt = true
+                else {
+                  val fixedSz = be32(b, stsz._1 + 4).toLong & 0xFFFFFFFFL
+                  val nSamples = be32(b, stsz._1 + 8)
+                  val szTabOk = fixedSz > 0 ||
+                    stsz._1 + 12 + 4L * nSamples <= stsz._2
+                  // stsc: v+flags(4), entry_count(4), 12-byte entries.
+                  val nScEnt = if (stsc._1 + 8 <= stsc._2) be32(b, stsc._1 + 4) else -1
+                  val scOk = nScEnt > 0 && stsc._1 + 8 + 12L * nScEnt <= stsc._2 &&
+                    be32(b, stsc._1 + 8) == 1 // first run must start at chunk 1
+                  // stco/co64: v+flags(4), entry_count(4), offsets.
+                  val (coBody, coEnd, coWide) =
+                    if (stco0 != null) (stco0._1, stco0._2, false)
+                    else (co64._1, co64._2, true)
+                  val nChunks = if (coBody + 8 <= coEnd) be32(b, coBody + 4) else -1
+                  val coOk = nChunks >= 0 &&
+                    coBody + 8 + (if (coWide) 8L else 4L) * nChunks <= coEnd
+                  if (nSamples <= 0 || nSamples > (1 << 20) || !szTabOk || !scOk || !coOk)
+                    corrupt = true
+                  else {
+                    def sampleSize(i: Int): Long =
+                      if (fixedSz > 0) fixedSz
+                      else be32(b, stsz._1 + 12 + 4 * i).toLong & 0xFFFFFFFFL
+                    def chunkOff(c: Int): Long = // c is 1-based
+                      if (coWide) be64(b, coBody + 8 + 8 * (c - 1))
+                      else be32(b, coBody + 8 + 4 * (c - 1)).toLong & 0xFFFFFFFFL
+                    var si = 0
+                    var chunk = 1
+                    var e = 0
+                    while (!corrupt && chunk <= nChunks && si < nSamples) {
+                      while (e + 1 < nScEnt &&
+                          (be32(b, stsc._1 + 8 + 12 * (e + 1)).toLong & 0xFFFFFFFFL) <= chunk)
+                        e += 1
+                      val perChunk = be32(b, stsc._1 + 12 + 12 * e).toLong & 0xFFFFFFFFL
+                      if (perChunk <= 0 || perChunk > nSamples) corrupt = true
+                      else {
+                        var off = chunkOff(chunk)
+                        var i = 0L
+                        while (!corrupt && i < perChunk && si < nSamples) {
+                          val sz = sampleSize(si)
+                          if (!sample(off, sz)) corrupt = true
+                          off += sz; si += 1; i += 1
+                        }
+                      }
+                      chunk += 1
+                    }
+                    // Tables must account for every declared sample.
+                    if (si != nSamples) corrupt = true
+                    decoded = !corrupt
+                  }
+                }
+              }
+            } // non-decodable format (avc1/...): skip, keep scanning traks
+          }
+        }
+      }
+    }
+    if (corrupt || !decoded || nFrames == 0) return null
+    new VideoStats(nFrames, w, h, ch,
+      sum.map(_.toDouble / nPix), min, max, meanFirst, meanLast)
+  }
+
   // MPEG audio bitrate tables (kbps), indexed [layer-1][bitrate_index].
   // Public ISO/IEC 11172-3 / 13818-3 values; index 0 ("free") and 15
   // ("bad") are rejected before lookup.
@@ -3226,16 +3430,20 @@ object MediaCodec {
       minBlock, maxBlock, sr, channels, bps, total, total * 1000L / sr))
   }
 
-  /** [[decodeAvi]] / [[decodeGifAnim]] marshalled for the catalyst
-    * expression: flat scalar columns, fixed 4-channel slots (unused NULL;
-    * c3 carries RGBA alpha when an AVI's frames are 4-channel PNGs,
-    * mirroring [[ImagePixelStatsExpr]]). Animated GIFs dispatch on their
-    * magic — they are video, and graft_video_stats treats them as such.
+  /** [[decodeAvi]] / [[decodeMp4]] / [[decodeGifAnim]] marshalled for the
+    * catalyst expression: flat scalar columns, fixed 4-channel slots
+    * (unused NULL; c3 carries RGBA alpha when an AVI's frames are
+    * 4-channel PNGs, mirroring [[ImagePixelStatsExpr]]). Animated GIFs
+    * and ISO-BMFF payloads dispatch on their magics — they are video, and
+    * graft_video_stats treats them as such.
     */
   def videoStats(bytes: Array[Byte]): InternalRow = {
-    val isGif = bytes != null && bytes.length >= 6 &&
-      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
-    val s = if (isGif) decodeGifAnim(bytes) else decodeAvi(bytes)
+    if (bytes == null || bytes.length < 12) return null
+    val s =
+      if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') decodeGifAnim(bytes)
+      else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+        bytes(7) == 'p') decodeMp4(bytes)
+      else decodeAvi(bytes)
     if (s == null) return null
     val out = new Array[Any](18)
     out(0) = s.nFrames; out(1) = s.width; out(2) = s.height; out(3) = s.channels

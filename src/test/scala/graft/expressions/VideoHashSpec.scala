@@ -42,6 +42,51 @@ class VideoHashSpec extends SparkTestBase {
     if (r == null) null else r.toLongArray().toSeq
   }
 
+  private def jpg(seed: Int): Array[Byte] = {
+    val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, ((x * (3 + seed)) % 256 << 16) |
+        ((y * (5 + seed)) % 256 << 8) | ((x + y + seed * 40) % 256))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal ISO-BMFF MP4: ftyp + moov(trak(mdia(hdlr,minf(stbl(stsd,
+    * stsz,stsc,stco))))) + mdat, one chunk per frame — exactly the boxes
+    * decodeMp4's sample-table walk reads, with REAL absolute offsets into
+    * mdat (computed after the moov size is known, which is invariant to
+    * the offset values).
+    */
+  private def mp4(frames: Seq[Array[Byte]], format: String = "jpeg"): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ t.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0x200) ++ "isom".getBytes("US-ASCII"))
+    def moovFor(offsets: Seq[Int]): Array[Byte] = {
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+        "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
+      val entry = be32(16) ++ format.getBytes("US-ASCII") ++ new Array[Byte](8)
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.length) ++
+        frames.flatMap(f => be32(f.length)))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(1) ++ be32(1))
+      val stco = box("stco", be32(0) ++ be32(offsets.length) ++
+        offsets.flatMap(be32))
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr ++ minf)
+      box("moov", box("trak", mdia))
+    }
+    val moovLen = moovFor(frames.map(_ => 0)).length
+    val mdatBody = frames.toArray.flatten
+    val base = ftyp.length + moovLen + 8 // first sample offset (mdat body)
+    val offsets = frames.scanLeft(base)((o, f) => o + f.length).init
+    ftyp ++ moovFor(offsets) ++ box("mdat", mdatBody)
+  }
+
   test("AVI frame hashes equal the per-frame image hashes, in order") {
     val fs = Seq(png(1), png(2), png(3))
     val got = vHashes(avi(fs))
@@ -77,5 +122,50 @@ class VideoHashSpec extends SparkTestBase {
     assert(vHashes("garbage".getBytes) == null)
     assert(vHashes(avi(Seq(png(1))).take(20)) == null)
     assert(MediaCodec.videoHashes(null, 64) == null)
+  }
+
+  test("MP4 frame hashes == AVI frame hashes == per-frame image hashes (MJPEG)") {
+    // The same JPEG payloads muxed into either container must hash
+    // identically frame for frame — the cross-container dedup contract.
+    val fs = Seq(jpg(1), jpg(2), jpg(3))
+    val fromMp4 = vHashes(mp4(fs))
+    assert(fromMp4 == vHashes(avi(fs)), "MP4 vs AVI")
+    assert(fromMp4 == fs.map(f => MediaCodec.imageHashes(f).getLong(0)))
+  }
+
+  test("MP4 sample-table stats: frame count, dims, multi-sample chunks") {
+    val fs = Seq(jpg(4), jpg(5), jpg(6))
+    val s = MediaCodec.decodeMp4(mp4(fs))
+    assert(s != null && s.nFrames == 3 && s.width == 64 && s.height == 48, s)
+    // Same stats as the AVI mux of the same frames.
+    val a = MediaCodec.decodeAvi(avi(fs))
+    assert(s.mean.toSeq == a.mean.toSeq && s.nFrames == a.nFrames)
+    assert(s.meanFirst == a.meanFirst && s.meanLast == a.meanLast)
+  }
+
+  test("videoNearDups pairs an MP4 copy of an AVI via shared frame hashes") {
+    val f = (1 to 5).map(jpg)
+    val pairs = graft.functions.Dedup.videoNearDups(
+        Seq((1L, avi(f)), (2L, mp4(f.drop(2))), (3L, mp4(Seq(jpg(20), jpg(21), jpg(22)))))
+          .toDF("id", "v"),
+        "id", "v", minSharedFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L)), pairs)
+  }
+
+  test("MP4: avc1 tracks are skipped without decode; corrupt tables yield null") {
+    assert(vHashes(mp4(Seq(jpg(1)), format = "avc1")) == null)
+    // stco pointing past the payload: structural corruption, whole decode null.
+    val good = mp4(Seq(jpg(1)))
+    val idx = {
+      // find "stco" and bump its single offset entry beyond the payload
+      val needle = "stco".getBytes("US-ASCII")
+      (0 until good.length - 4).find(i => needle.indices.forall(j => good(i + j) == needle(j))).get
+    }
+    val bad = good.clone()
+    bad(idx + 12) = 0x7F.toByte // offset high byte -> far past end
+    assert(vHashes(bad) == null)
+    // Truncated mdat: last sample overruns.
+    assert(vHashes(good.dropRight(10)) == null)
   }
 }
