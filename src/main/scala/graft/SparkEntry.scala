@@ -3545,6 +3545,71 @@ object SparkEntry {
           col("col").as("frame_hash"))
         .orderBy("doc_id", "pos")
     }),
+
+    // --- 159. MPEG frame walk: exact stream inventory, oracle-pinned ------------------------------------
+    // Layer III PAYLOAD decode is deliberately out of scope (the spec's
+    // Huffman tables + synthesis window are unverifiable table data in
+    // this environment — see SURVEY §8); the frame WALK is closed-form
+    // ISO 11172-3 arithmetic, so every output field is independently
+    // recomputable. Streams are CONSTRUCTED per row: even docs CBR (k
+    // frames at 128 kbps), odd docs VBR (alternating 128/192), all
+    // MPEG-1 Layer III 44.1 kHz mono with an ID3v1 trailer the walk must
+    // exclude. frameLen(128) = 417, frameLen(192) = 626 (144*br/sr).
+    "q159_mp3_frames" -> ((s, d) => {
+      val f128 = "FFFB90C0" + "00" * 413
+      val f192 = "FFFBB0C0" + "00" * 622
+      val trailer = "544147" + "00" * 125 // "TAG" + zeroed v1 fields
+      val k = (col("doc_id") % 4 + 2).cast("int") // 2..5 frames
+      val framesHex = when(col("doc_id") % 2 === 0, repeat(lit(f128), k))
+        .otherwise(array_join(
+          transform(sequence(lit(0), k - 1),
+            i => when(i % 2 === 0, lit(f128)).otherwise(lit(f192))), ""))
+      val payload = unhex(concat(framesHex, lit(trailer)))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.mp3Frames(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.frame_count").as("frame_count"),
+          col("v.duration_ms").as("duration_ms"),
+          col("v.stream_bytes").as("stream_bytes"),
+          col("v.bitrate_min").as("bitrate_min"),
+          col("v.bitrate_max").as("bitrate_max"),
+          col("v.avg_bitrate_kbps").as("avg_bitrate_kbps"),
+          col("v.is_vbr").as("is_vbr"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 161. ID3 metadata extraction, oracle-pinned ----------------------------------------------------
+    // An ID3v2.3 prefix (TIT2/TPE1 latin1 text frames, sizes computed
+    // relationally) + an ID3v1 trailer carrying only the album: the
+    // extractor must take title/artist from v2 and fill album/year from
+    // v1. The oracle simply states the expected strings — the whole
+    // byte-layout complexity lives on the construction side.
+    "q161_id3_tags" -> ((s, d) => {
+      val title = concat(lit("Song "), col("doc_id"))
+      val artist = concat(lit("Artist "), col("doc_id") % 7)
+      val album = concat(lit("Album "), col("doc_id") % 3)
+      def textFrame(id: String, text: org.apache.spark.sql.Column) = concat(
+        hex(lit(id)), lpad(hex(length(text) + 1), 8, "0"), lit("0000"),
+        lit("00"), hex(text))
+      val body = concat(textFrame("TIT2", title), textFrame("TPE1", artist))
+      val bodyLen = length(title) + length(artist) + 22 // 2x (10 hdr + enc byte)
+      val tag = concat(hex(lit("ID3")), lit("0300"), lit("00"), lit("0000"),
+        lpad(hex(shiftright(bodyLen, 7)), 2, "0"),
+        lpad(hex(bodyLen.bitwiseAND(lit(0x7F))), 2, "0"), body)
+      val v1 = concat(hex(lit("TAG")), lit("00" * 60), // title+artist zeroed
+        rpad(hex(album), 60, "0"), hex(lit("1999")), lit("00" * 31))
+      val payload = unhex(concat(tag, v1))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.id3Tags(payload).as("v"))
+        .select(col("doc_id"), col("v.title").as("title"),
+          col("v.artist").as("artist"), col("v.album").as("album"),
+          col("v.year").as("year"), col("v.version").as("version"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -5289,6 +5354,39 @@ object SparkEntry {
         |  CAST(CASE WHEN dh >= CAST(1 AS HUGEINT) << 63
         |    THEN dh - (CAST(1 AS HUGEINT) << 64) ELSE dh END AS BIGINT) AS frame_hash
         |FROM bits ORDER BY doc_id, pos""".stripMargin,
+
+    // MPEG frame-walk oracle: every inventory field restated from the
+    // public frame-length arithmetic (417/626-byte frames, 1152 samples
+    // at 44.1 kHz), integer maths throughout.
+    "q159_mp3_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS k
+        |  FROM documents WHERE doc_id < 400),
+        | c AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST(k AS BIGINT) * 417
+        |         ELSE CAST((k + 1) // 2 AS BIGINT) * 417
+        |            + CAST(k // 2 AS BIGINT) * 626 END AS stream_bytes,
+        |    CAST(k AS BIGINT) * 1152 * 1000 // 44100 AS duration_ms
+        |  FROM d)
+        |SELECT doc_id, k AS frame_count, duration_ms, stream_bytes,
+        |  CAST(128 AS INT) AS bitrate_min,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 192 END AS INT) AS bitrate_max,
+        |  CAST(stream_bytes * 8 // duration_ms AS INT) AS avg_bitrate_kbps,
+        |  doc_id % 2 <> 0 AS is_vbr,
+        |  CAST(44100 AS INT) AS sample_rate, CAST(1 AS INT) AS channels
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // ID3 oracle: the expected parse stated directly — construction
+    // complexity lives entirely on the Spark side.
+    "q161_id3_tags" ->
+      """SELECT doc_id,
+        |  'Song ' || doc_id AS title,
+        |  'Artist ' || (doc_id % 7) AS artist,
+        |  'Album ' || (doc_id % 3) AS album,
+        |  '1999' AS year,
+        |  CAST(2 AS INT) AS version
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // MP4 sample-walk oracle: identical relational dHash, frame offset 29.
     "q158_mp4_video_hash" ->

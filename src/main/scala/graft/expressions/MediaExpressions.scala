@@ -3398,6 +3398,294 @@ object MediaCodec {
     null
   }
 
+  /** Full MPEG-audio FRAME WALK: iterate every physical frame of the
+    * stream via the public frame-length arithmetic (ISO 11172-3 /
+    * 13818-3), returning the exact inventory a header estimate cannot
+    * give — true frame count, exact stream duration, per-stream bitrate
+    * min/max (VBR detection without trusting a Xing tag), and the byte
+    * extent of the audio region. `struct<frame_count, duration_ms,
+    * stream_bytes, bitrate_min, bitrate_max, avg_bitrate_kbps, is_vbr,
+    * sample_rate, channels, layer>`.
+    *
+    * Why a walk and not payload decode: Layer III PCM reconstruction
+    * hinges on the spec's tabulated Huffman code tables and the 512-entry
+    * synthesis window — pure table data with no algorithmic derivation,
+    * which cannot be verified in this environment; a guessed table set
+    * would decode fixtures (which would share it) while silently
+    * corrupting real streams. The walk uses only closed-form structure,
+    * so every field is independently recomputable — and at crawl scale
+    * the walk already answers the questions that gate audio curation
+    * (true duration, CBR/VBR, truncation).
+    *
+    * Walk contract: ID3v2 prefix skipped via syncsafe size; ID3v1 "TAG"
+    * trailer excluded from the audio extent; the first frame is found by
+    * the same validated sync scan as [[mp3Header]]; every subsequent
+    * frame must carry a sync with the SAME version/layer/samplerate
+    * (bitrate and padding float frame-to-frame — that IS VBR). The walk
+    * stops at the first non-frame byte (trailing junk is not counted)
+    * and the inventory reflects only contiguous valid frames, so a
+    * truncated stream reports its decodable prefix. `avg_bitrate_kbps`
+    * is `stream_bytes * 8 / duration_ms` — integer maths, exact for the
+    * oracle. Null when no valid first frame exists.
+    */
+  def mp3FrameWalk(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    var start = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      val skip = 10L + sz
+      if (skip + 4 > b.length) return null
+      start = skip.toInt
+    }
+    var end = b.length
+    if (end - start >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' &&
+        b(end - 126) == 'G')
+      end -= 128
+    // Validated header decode at p. Returns (frameLen << 16) | brKbps
+    // packed in a Long (frameLen < 2^31-16, br <= 448), or -1 when p does
+    // not start a legal frame. Packing instead of a side-channel field:
+    // MediaCodec is a JVM-wide singleton evaluated from many executor
+    // threads at once, so the helper must stay pure. Field layout per
+    // [[mp3Header]].
+    var verBits = -1; var layerBits = -1; var srIdx = -1
+    var sr = 0; var spf = 0; var channels = 0
+    def frameAt(p: Int, first: Boolean): Long = {
+      if (p + 4 > end) return -1L
+      if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xE0) != 0xE0) return -1L
+      val h1 = b(p + 1) & 0xFF; val h2 = b(p + 2) & 0xFF; val h3 = b(p + 3) & 0xFF
+      val vb = (h1 >> 3) & 3; val lb = (h1 >> 1) & 3
+      val brIdx = (h2 >> 4) & 0xF; val si = (h2 >> 2) & 3
+      val padding = (h2 >> 1) & 1; val mode = (h3 >> 6) & 3
+      if (vb == 1 || lb == 0 || brIdx == 0 || brIdx == 15 || si == 3) return -1L
+      if (!first && (vb != verBits || lb != layerBits || si != srIdx)) return -1L
+      val layer = 4 - lb
+      val srV = vb match {
+        case 3 => mp3SampleRateV1(si)
+        case 2 => mp3SampleRateV2(si)
+        case _ => mp3SampleRateV25(si)
+      }
+      val br = (if (vb == 3) mp3BitrateV1 else mp3BitrateV2)(layer - 1)(brIdx)
+      if (first) {
+        verBits = vb; layerBits = lb; srIdx = si; sr = srV
+        spf = if (layer == 1) 384 else if (layer == 2) 1152
+          else if (vb == 3) 1152 else 576
+        channels = if (mode == 3) 1 else 2
+      }
+      val fl =
+        if (layer == 1) ((12L * br * 1000 / srV + padding) * 4).toInt
+        else ((spf / 8L) * br * 1000 / srV + padding).toInt
+      // The FULL declared extent must be present: a truncated final frame
+      // is not a decodable frame and must not count in the inventory.
+      if (fl <= 4 || p + fl > end) -1L else (fl.toLong << 16) | br
+    }
+    // First frame: bounded sync scan with the next-boundary guard.
+    val scanEnd = math.min(end - 4, start + 4096)
+    var p = start
+    var found = -1
+    while (found < 0 && p <= scanEnd) {
+      val r = frameAt(p, first = true)
+      if (r > 0) {
+        val boundary = p + (r >>> 16).toInt
+        if (boundary + 1 >= end ||
+            ((b(boundary) & 0xFF) == 0xFF && (b(boundary + 1) & 0xE0) == 0xE0))
+          found = p
+        else { verBits = -1; p += 1 } // false sync: reset lock, keep scanning
+      } else p += 1
+    }
+    if (found < 0) return null
+    verBits = -1 // re-lock cleanly inside the walk below
+    var pos = found
+    var frames = 0
+    var brMin = Int.MaxValue; var brMax = 0
+    var bytes = 0L
+    var ok = true
+    while (ok && frames < (1 << 21)) {
+      val r = frameAt(pos, first = frames == 0)
+      if (r <= 0) ok = false
+      else {
+        val fl = (r >>> 16).toInt
+        val br = (r & 0xFFFF).toInt
+        frames += 1; bytes += fl
+        if (br < brMin) brMin = br
+        if (br > brMax) brMax = br
+        pos += fl
+      }
+    }
+    if (frames == 0) return null
+    val durationMs = frames.toLong * spf * 1000L / sr
+    val avgKbps = if (durationMs > 0) (bytes * 8L / durationMs).toInt else 0
+    new GenericInternalRow(Array[Any](
+      frames, durationMs, bytes, brMin, brMax, avgKbps, brMin != brMax,
+      sr, channels, 4 - layerBits))
+  }
+
+  /** ID3 metadata extraction: `struct<title, artist, album, year,
+    * version>` from an ID3v2 (2.2/2.3/2.4) prefix tag, falling back to /
+    * merging with the fixed-layout ID3v1 trailer (informal public
+    * standards, id3.org). v2 text frames handle all four declared
+    * encodings (ISO-8859-1, UTF-16 BOM, UTF-16BE, UTF-8) and trailing
+    * NULs; v2.4 syncsafe frame sizes, v2.3 plain sizes, v2.2 3-byte
+    * ids/sizes; whole-tag unsynchronisation is reversed on a bounded
+    * copy; compressed/encrypted frames are skipped, not mis-read. Fields
+    * absent in both tags are NULL; `version` is 2 when any v2 frame was
+    * read, 1 when only the v1 trailer, NULL row when neither tag exists.
+    */
+  def id3Tags(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    var title: String = null; var artist: String = null
+    var album: String = null; var year: String = null
+    var sawV2 = false
+    // ---- ID3v2 prefix ----
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
+        (b(3) & 0xFF) <= 4) {
+      val ver = b(3) & 0xFF
+      val flags = b(5) & 0xFF
+      val declared = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      val tagEnd = math.min(10L + declared, b.length.toLong).toInt
+      // Whole-tag unsynchronisation (v2.2/2.3 semantics): FF 00 -> FF.
+      // Bounded copy — `declared` is syncsafe (<256 MiB) but the copy is
+      // capped by the actual payload, and 1 MiB of tag is plenty for text.
+      var t: Array[Byte] = b
+      var tStart = 10; var tEnd = tagEnd
+      if ((flags & 0x80) != 0 && ver < 4) {
+        val cap = math.min(tagEnd - 10, 1 << 20)
+        val out = new Array[Byte](cap)
+        var i = 10; var o = 0
+        while (i < 10 + cap) {
+          out(o) = b(i)
+          o += 1
+          if (b(i) == 0xFF.toByte && i + 1 < tagEnd && b(i + 1) == 0) i += 2
+          else i += 1
+        }
+        t = out; tStart = 0; tEnd = o
+      }
+      var p = tStart
+      // Extended header: v2.3 size excludes its own 4 bytes; v2.4
+      // syncsafe size includes itself.
+      if ((flags & 0x40) != 0 && p + 4 <= tEnd) {
+        val esz =
+          if (ver == 4) ((t(p) & 0x7F) << 21) | ((t(p + 1) & 0x7F) << 14) |
+            ((t(p + 2) & 0x7F) << 7) | (t(p + 3) & 0x7F)
+          else 4 + (((t(p) & 0xFF) << 24) | ((t(p + 1) & 0xFF) << 16) |
+            ((t(p + 2) & 0xFF) << 8) | (t(p + 3) & 0xFF))
+        if (esz < 4 || p + esz > tEnd) return finishId3(b, title, artist, album, year, sawV2)
+        p += esz
+      }
+      val idLen = if (ver == 2) 3 else 4
+      val hdrLen = if (ver == 2) 6 else 10
+      def isAlnum(c: Byte): Boolean =
+        (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      var run = true
+      while (run && p + hdrLen <= tEnd) {
+        if (!isAlnum(t(p))) run = false // padding / corrupt: stop
+        else {
+          val id = new String(t, p, idLen, java.nio.charset.StandardCharsets.US_ASCII)
+          val fsz =
+            if (ver == 2) ((t(p + 3) & 0xFF) << 16) | ((t(p + 4) & 0xFF) << 8) |
+              (t(p + 5) & 0xFF)
+            else if (ver == 4) ((t(p + 4) & 0x7F) << 21) | ((t(p + 5) & 0x7F) << 14) |
+              ((t(p + 6) & 0x7F) << 7) | (t(p + 7) & 0x7F)
+            else ((t(p + 4) & 0xFF) << 24) | ((t(p + 5) & 0xFF) << 16) |
+              ((t(p + 6) & 0xFF) << 8) | (t(p + 7) & 0xFF)
+          val fflags = if (ver == 2) 0 else ((t(p + 8) & 0xFF) << 8) | (t(p + 9) & 0xFF)
+          val body = p + hdrLen
+          if (fsz < 0 || body + fsz > tEnd) run = false
+          else {
+            // Skip compressed (v2.3 0x0080 / v2.4 0x0008) and encrypted
+            // (v2.3 0x0040 / v2.4 0x0004) frames; reverse v2.4 per-frame
+            // unsync (0x0002) and data-length prefix (0x0001).
+            val compressed = if (ver == 4) (fflags & 0x0008) != 0 else (fflags & 0x0080) != 0
+            val encrypted = if (ver == 4) (fflags & 0x0004) != 0 else (fflags & 0x0040) != 0
+            val target = id match {
+              case "TIT2" | "TT2" => 0
+              case "TPE1" | "TP1" => 1
+              case "TALB" | "TAL" => 2
+              case "TYER" | "TYE" | "TDRC" => 3
+              case _ => -1
+            }
+            if (target >= 0 && !compressed && !encrypted && fsz >= 1) {
+              var s = body; var e = body + fsz
+              if (ver == 4 && (fflags & 0x0001) != 0 && fsz >= 5) s += 4 // data-length indicator
+              var seg = t
+              if (ver == 4 && (fflags & 0x0002) != 0) { // per-frame unsync
+                val out = new Array[Byte](e - s)
+                var i = s; var o = 0
+                while (i < e) {
+                  out(o) = t(i); o += 1
+                  if (t(i) == 0xFF.toByte && i + 1 < e && t(i + 1) == 0) i += 2 else i += 1
+                }
+                seg = out; s = 0; e = o
+              }
+              val text = id3Text(seg, s, e)
+              if (text != null && text.nonEmpty) {
+                sawV2 = true
+                target match {
+                  case 0 => if (title == null) title = text
+                  case 1 => if (artist == null) artist = text
+                  case 2 => if (album == null) album = text
+                  case _ => if (year == null) year = text
+                }
+              }
+            }
+            p = body + fsz
+          }
+        }
+      }
+    }
+    finishId3(b, title, artist, album, year, sawV2)
+  }
+
+  /** Decode one ID3v2 text-frame body: leading encoding byte then text;
+    * trailing NULs (and a v1-style padding run) trimmed. Null on an
+    * undeclared encoding byte.
+    */
+  private def id3Text(t: Array[Byte], start: Int, end: Int): String = {
+    if (start >= end) return null
+    val enc = t(start) & 0xFF
+    val s = start + 1
+    if (s >= end) return ""
+    val cs = enc match {
+      case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+      case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-aware
+      case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+      case 3 => java.nio.charset.StandardCharsets.UTF_8
+      case _ => return null
+    }
+    var e = end
+    // Trim trailing NUL terminator bytes (single for 8-bit, pairs for 16).
+    if (enc == 1 || enc == 2) while (e - 2 >= s && t(e - 1) == 0 && t(e - 2) == 0) e -= 2
+    else while (e - 1 >= s && t(e - 1) == 0) e -= 1
+    new String(t, s, e - s, cs)
+  }
+
+  /** ID3v1 trailer fallback + struct marshalling for [[id3Tags]]. */
+  private def finishId3(b: Array[Byte], t0: String, a0: String, al0: String,
+      y0: String, sawV2: Boolean): InternalRow = {
+    var title = t0; var artist = a0; var album = al0; var year = y0
+    var sawV1 = false
+    val n = b.length
+    if (n >= 128 && b(n - 128) == 'T' && b(n - 127) == 'A' && b(n - 126) == 'G') {
+      sawV1 = true
+      def field(off: Int, len: Int): String = {
+        var e = len
+        val base = n - 128 + off
+        while (e > 0 && (b(base + e - 1) == 0 || b(base + e - 1) == ' ')) e -= 1
+        if (e == 0) null
+        else new String(b, base, e, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+      if (title == null) title = field(3, 30)
+      if (artist == null) artist = field(33, 30)
+      if (album == null) album = field(63, 30)
+      if (year == null) year = field(93, 4)
+    }
+    if (!sawV2 && !sawV1) return null
+    def u(s: String) = if (s == null) null else UTF8String.fromString(s)
+    new GenericInternalRow(Array[Any](u(title), u(artist), u(album), u(year),
+      if (sawV2) 2 else 1))
+  }
+
   /** Parse a FLAC STREAMINFO header: block sizes, sample rate (20-bit),
     * channels, bits per sample, 36-bit total sample count, and the exact
     * duration in ms. The lossless-audio sibling of [[mp3Header]]; the
@@ -4381,6 +4669,70 @@ case class Mp3HeaderExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Mp3HeaderExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_mp3_header"
+}
+
+/** `binary` -> exact MPEG-audio stream inventory via the full frame walk
+  * ([[MediaCodec.mp3FrameWalk]]): true frame count / duration / byte
+  * extent / bitrate envelope, VBR detected from the frames themselves
+  * rather than a Xing tag. Codegen'd; NULL when no valid first frame.
+  */
+case class Mp3FrameWalkExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("frame_count", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("stream_bytes", LongType, nullable = false),
+    StructField("bitrate_min", IntegerType, nullable = false),
+    StructField("bitrate_max", IntegerType, nullable = false),
+    StructField("avg_bitrate_kbps", IntegerType, nullable = false),
+    StructField("is_vbr", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("layer", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.mp3FrameWalk(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.mp3FrameWalk($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Mp3FrameWalkExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_mp3_frames"
+}
+
+/** `binary` -> struct<title,artist,album,year,version> from ID3v2
+  * (2.2/2.3/2.4) and/or the ID3v1 trailer ([[MediaCodec.id3Tags]]).
+  * Codegen'd; NULL when neither tag exists.
+  */
+case class Id3TagsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("artist", StringType, nullable = true),
+    StructField("album", StringType, nullable = true),
+    StructField("year", StringType, nullable = true),
+    StructField("version", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.id3Tags(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.id3Tags($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Id3TagsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_id3_tags"
 }
 
 /** `binary` -> struct<min_block:int,max_block:int,sample_rate:int,

@@ -115,6 +115,29 @@ object Multimodal {
       graft.expressions.Mp3HeaderExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Full MPEG-audio frame walk — exact frame count / stream duration /
+    * byte extent / bitrate envelope, VBR detected from the frames
+    * themselves: what a crawl-audio curation filter needs and a header
+    * estimate cannot give (truncated streams report their decodable
+    * prefix; Xing tags are not trusted). Native codegen'd
+    * ([[graft.expressions.Mp3FrameWalkExpr]]). NULL for non-MPEG
+    * payloads.
+    */
+  def mp3Frames(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Mp3FrameWalkExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** ID3 metadata (title/artist/album/year) from ID3v2.2/2.3/2.4 prefix
+    * tags and/or the fixed ID3v1 trailer, all four declared text
+    * encodings handled; v2 wins per field. Native codegen'd
+    * ([[graft.expressions.Id3TagsExpr]]). NULL when neither tag exists.
+    */
+  def id3Tags(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Id3TagsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Parse a FLAC STREAMINFO header — block sizes, sample rate, channels,
     * bit depth, total samples, exact duration — in a 42-byte fixed-offset
     * read: the lossless sibling of [[mp3Header]], as a native codegen'd

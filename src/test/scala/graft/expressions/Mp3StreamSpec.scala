@@ -1,0 +1,147 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MPEG frame walk + ID3 extraction against hand-built streams whose
+  * every field is closed-form (frame length arithmetic is public ISO
+  * 11172-3; ID3 layouts are the public id3.org informal standards).
+  */
+class Mp3StreamSpec extends AnyFunSuite {
+
+  private val brV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** One MPEG-1 Layer III 44.1 kHz mono frame, zero payload. */
+  private def frame(brIdx: Int, padding: Int = 0): Array[Byte] = {
+    val br = brV1L3(brIdx)
+    val len = 144 * br * 1000 / 44100 + padding
+    val a = new Array[Byte](len)
+    a(0) = 0xFF.toByte; a(1) = 0xFB.toByte
+    a(2) = ((brIdx << 4) | (padding << 1)).toByte // srIdx 0 = 44100
+    a(3) = 0xC0.toByte // mono
+    a
+  }
+
+  private def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+  private def syncsafe(v: Int) = Array[Byte](((v >> 21) & 0x7F).toByte,
+    ((v >> 14) & 0x7F).toByte, ((v >> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+
+  private def id3v23(fields: (String, Array[Byte])*): Array[Byte] = {
+    val body = fields.flatMap { case (id, data) =>
+      id.getBytes("US-ASCII") ++ be32(data.length) ++ Array[Byte](0, 0) ++ data
+    }.toArray
+    "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+      syncsafe(body.length) ++ body
+  }
+  private def latin1(s: String): Array[Byte] = 0.toByte +: s.getBytes("ISO-8859-1")
+
+  private def id3v1(title: String, artist: String, album: String, year: String): Array[Byte] = {
+    def pad(s: String, n: Int) = s.getBytes("ISO-8859-1").padTo(n, 0.toByte).take(n)
+    "TAG".getBytes("US-ASCII") ++ pad(title, 30) ++ pad(artist, 30) ++
+      pad(album, 30) ++ pad(year, 4) ++ new Array[Byte](31)
+  }
+
+  private def walk(b: Array[Byte]) = MediaCodec.mp3FrameWalk(b)
+
+  test("CBR stream: exact frame count, duration, bytes, bitrate envelope") {
+    val b = Array.fill(5)(frame(9)).flatten // 128 kbps, frameLen 417
+    val r = walk(b)
+    assert(r != null)
+    assert(r.getInt(0) == 5) // frames
+    assert(r.getLong(1) == 5L * 1152 * 1000 / 44100) // 130 ms
+    assert(r.getLong(2) == 5L * 417)
+    assert(r.getInt(3) == 128 && r.getInt(4) == 128 && !r.getBoolean(6))
+    assert(r.getInt(5) == 5L * 417 * 8 / (5L * 1152 * 1000 / 44100)) // avg kbps
+    assert(r.getInt(7) == 44100 && r.getInt(8) == 1 && r.getInt(9) == 3)
+  }
+
+  test("VBR stream: per-frame bitrates float, envelope and flag reflect it") {
+    val b = (frame(9) ++ frame(11) ++ frame(9) ++ frame(11, padding = 1)).toArray
+    val r = walk(b)
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(3) == 128 && r.getInt(4) == 192 && r.getBoolean(6))
+    // padding byte counted in the stream extent
+    assert(r.getLong(2) == 2L * 417 + 626 + 627)
+  }
+
+  test("ID3v2 prefix and ID3v1 trailer excluded; trailing junk stops the walk") {
+    val audio = Array.fill(3)(frame(9)).flatten
+    val tagged = id3v23("TIT2" -> latin1("x")) ++ audio ++ id3v1("t", "a", "b", "1999")
+    assert(walk(tagged).getInt(0) == 3)
+    // junk AFTER valid frames: inventory reflects the decodable prefix
+    val junked = audio ++ "not a frame".getBytes
+    assert(walk(junked).getInt(0) == 3)
+    // truncated final frame is not counted
+    assert(walk(audio.dropRight(10)).getInt(0) == 2)
+  }
+
+  test("frame walk rejects: garbage, empty, mismatched mid-stream samplerate") {
+    assert(walk(null) == null)
+    assert(walk("garbage".getBytes) == null)
+    // second frame at 32 kHz (srIdx 2): walk stops at frame 1
+    val f2 = frame(9); f2(2) = ((9 << 4) | (2 << 2)).toByte
+    val mixed = frame(9) ++ f2
+    assert(walk(mixed.toArray).getInt(0) == 1)
+  }
+
+  test("ID3v2.3 latin1 text frames extract; v2 wins over v1; v1 fills gaps") {
+    val tag = id3v23("TIT2" -> latin1("Title2"), "TPE1" -> latin1("Artist2"),
+      "TYER" -> latin1("2001"))
+    val b = tag ++ frame(9) ++ id3v1("t1", "a1", "Album1", "1999")
+    val r = MediaCodec.id3Tags(b)
+    assert(r.getUTF8String(0).toString == "Title2")
+    assert(r.getUTF8String(1).toString == "Artist2")
+    assert(r.getUTF8String(2).toString == "Album1") // v1 fallback for the gap
+    assert(r.getUTF8String(3).toString == "2001")
+    assert(r.getInt(4) == 2)
+  }
+
+  test("ID3v2.4: syncsafe frame sizes, UTF-8 and UTF-16 text, TDRC year") {
+    def fr(id: String, data: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ syncsafe(data.length) ++ Array[Byte](0, 0) ++ data
+    val utf8 = 3.toByte +: "Tîtle".getBytes("UTF-8")
+    val utf16 = 1.toByte +: "Ärtist".getBytes("UTF-16") // BOM included by charset
+    val body = fr("TIT2", utf8) ++ fr("TPE1", utf16) ++ fr("TDRC", latin1("2020-05"))
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0) ++
+      syncsafe(body.length) ++ body
+    val r = MediaCodec.id3Tags(tag ++ frame(9))
+    assert(r.getUTF8String(0).toString == "Tîtle")
+    assert(r.getUTF8String(1).toString == "Ärtist")
+    assert(r.getUTF8String(3).toString == "2020-05")
+  }
+
+  test("ID3v2.2: 3-byte ids and sizes") {
+    def fr(id: String, data: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ Array[Byte](0, (data.length >> 8).toByte,
+        data.length.toByte) ++ data
+    val body = fr("TT2", latin1("OldTitle")) ++ fr("TAL", latin1("OldAlbum"))
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0) ++
+      syncsafe(body.length) ++ body
+    val r = MediaCodec.id3Tags(tag)
+    assert(r.getUTF8String(0).toString == "OldTitle")
+    assert(r.getUTF8String(2).toString == "OldAlbum")
+  }
+
+  test("ID3v1-only trailer; NUL/space padding trimmed; no tags -> null") {
+    val r = MediaCodec.id3Tags(frame(9) ++ id3v1("My Song  ", "Me", "", "2003"))
+    assert(r.getUTF8String(0).toString == "My Song")
+    assert(r.getUTF8String(1).toString == "Me")
+    assert(r.isNullAt(2)) // empty album -> null
+    assert(r.getUTF8String(3).toString == "2003")
+    assert(r.getInt(4) == 1)
+    assert(MediaCodec.id3Tags(frame(9)) == null)
+    assert(MediaCodec.id3Tags(Array[Byte]()) == null)
+  }
+
+  test("ID3v2 padding stops the frame scan; oversized frame is rejected safely") {
+    val body = ("TIT2".getBytes("US-ASCII") ++ be32(2) ++ Array[Byte](0, 0) ++
+      latin1("T")) ++ new Array[Byte](64) // zero padding after the frame
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+      syncsafe(body.length) ++ body
+    assert(MediaCodec.id3Tags(tag).getUTF8String(0).toString == "T")
+    // declared frame size overruns the tag: parse stops without throwing
+    val bad = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++ syncsafe(20) ++
+      "TIT2".getBytes("US-ASCII") ++ be32(1000) ++ Array[Byte](0, 0) ++ latin1("x")
+    assert(MediaCodec.id3Tags(bad) == null)
+  }
+}
