@@ -3610,6 +3610,27 @@ object SparkEntry {
           col("v.year").as("year"), col("v.version").as("version"))
         .orderBy("doc_id")
     }),
+
+    // --- 160. block-level boilerplate removal (JusText), oracle-pinned ----------------------------------
+    // Pages CONSTRUCTED per row with known structure: a nav link list
+    // (link density ~0.9 -> BAD), a short heading (mixed neighbours ->
+    // BAD, then promoted above GOOD content), a long high-stopword prose
+    // block (GOOD), a copyright footer (BAD). The oracle states the
+    // exact retained text and the block-class census.
+    "q160_boilerplate" -> ((s, d) => {
+      val base = "the cat sat on the mat and it was happy and the sun was warm."
+      val nav = """<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>"""
+      val prose = concat(lit((base + " ") * 4), lit("Doc "), col("doc_id"), lit(" ends."))
+      val html = concat(lit("<html><body>" + nav + "<h2>Story "), col("doc_id"),
+        lit("</h2><p>"), prose, lit("</p><div>&copy; 2024 Site</div></body></html>"))
+      val blocks = TF.htmlBlocks(html)
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), TF.mainText(html).as("main_text"),
+          size(filter(blocks, b => b.getField("class") === "good")).as("good_blocks"),
+          size(filter(blocks, b => b.getField("class") === "bad")).as("bad_blocks"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -5386,6 +5407,16 @@ object SparkEntry {
         |  'Album ' || (doc_id % 3) AS album,
         |  '1999' AS year,
         |  CAST(2 AS INT) AS version
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Boilerplate oracle: retained text + block census stated closed-form.
+    "q160_boilerplate" ->
+      """SELECT doc_id,
+        |  'Story ' || doc_id || chr(10) ||
+        |    repeat('the cat sat on the mat and it was happy and the sun was warm. ', 4) ||
+        |    'Doc ' || doc_id || ' ends.' AS main_text,
+        |  CAST(2 AS INT) AS good_blocks,
+        |  CAST(2 AS INT) AS bad_blocks
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // MP4 sample-walk oracle: identical relational dHash, frame offset 29.

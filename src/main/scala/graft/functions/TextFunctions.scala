@@ -323,6 +323,27 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** JusText block segmentation + classification (Pomikálek 2011):
+    * array<struct<pos,text,words,link_density,stopword_density,
+    * is_heading,cf_class,class>> — the inspectable per-block report
+    * behind [[mainText]]. Native codegen'd row-local kernel
+    * ([[graft.expressions.HtmlBlocksExpr]]).
+    */
+  def htmlBlocks(html: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.HtmlBlocksExpr(
+        org.apache.spark.sql.graft.Bridge.expression(html)))
+
+  /** Main-content extraction: the page's GOOD blocks (JusText
+    * classification) joined by newline — navigation, footers, sidebars
+    * and link lists removed, where [[htmlToText]] keeps everything.
+    * Native codegen'd ([[graft.expressions.MainTextExpr]]).
+    */
+  def mainText(html: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.MainTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(html)))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

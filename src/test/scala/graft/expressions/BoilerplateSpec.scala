@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JusText block classification against constructed pages with known
+  * boilerplate structure — segmentation, the context-free rule chain,
+  * the context-sensitive neighbour resolution, and heading promotion.
+  */
+class BoilerplateSpec extends AnyFunSuite {
+
+  // High-stopword English prose: density 9/15 = 0.6 per sentence.
+  private val base = "the cat sat on the mat and it was happy and the sun was warm."
+  private val prose = (base + " ") * 4 // 252 chars incl trailing space
+
+  private def main(html: String): String = {
+    val r = BoilerplateCodec.mainText(UTF8String.fromString(html))
+    if (r == null) null else r.toString
+  }
+  private def classes(html: String): Seq[(String, String)] = {
+    val blocks = BoilerplateCodec.segment(html)
+    BoilerplateCodec.classify(blocks)
+    blocks.map(b => (b.text, b.cls)).toSeq
+  }
+
+  test("segmentation: block tags split, scripts/styles/comments stripped, entities decoded") {
+    val html = """<html><head><title>T</title><style>p{color:red}</style></head>
+      |<body><script>var x = "<p>not a block</p>";</script>
+      |<p>alpha &amp; beta</p><div>gamma&nbsp;delta</div><!-- note --></body></html>"""
+      .stripMargin
+    val texts = BoilerplateCodec.segment(html).map(_.text).toSeq
+    assert(texts == Seq("T", "alpha & beta", "gamma delta"), texts)
+  }
+
+  test("context-free: long stopword prose GOOD, link list BAD, copyright BAD, low-stopword BAD") {
+    val html = s"""<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>
+      |<p>$prose</p>
+      |<div>© 2024 Example</div>
+      |<p>lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod tempor incididunt ut labore et dolore magna aliqua</p>"""
+      .stripMargin
+    val cs = classes(html)
+    assert(cs(0)._2 == "bad", cs(0)) // link density ~0.9
+    assert(cs(1)._2 == "good", cs(1))
+    assert(cs(2)._2 == "bad", cs(2)) // copyright mark
+    assert(cs(3)._2 == "bad", cs(3)) // latin filler: no English stopwords
+  }
+
+  test("context-sensitive: short blocks inherit; neargood resolves by neighbours") {
+    // short between two good -> good
+    val between = s"<p>$prose</p><p>Short note.</p><p>$prose</p>"
+    assert(classes(between)(1)._2 == "good")
+    // short between two bad -> bad
+    val surrounded = s"<div>© x</div><p>Short note.</p><div>© y</div>"
+    assert(classes(surrounded)(1)._2 == "bad")
+    // neargood (70 < len <= 200, high stopwords) next to good -> good;
+    // isolated among bad -> bad
+    val ng = base + " " + base // ~125 chars
+    assert(classes(s"<p>$prose</p><p>$ng</p>")(1)._2 == "good")
+    assert(classes(s"<div>© x</div><p>$ng</p><div>© y</div>")(1)._2 == "bad")
+  }
+
+  test("short with mixed neighbours: good only via an intervening neargood") {
+    val ng = base + " " + base
+    // bad | short | good: no neargood between short and the bad side -> bad
+    val mixed = s"<div>© x</div><p>Short note.</p><p>$prose</p>"
+    assert(classes(mixed)(1)._2 == "bad")
+    // bad | neargood | short | good: neargood sits between short and bad -> good
+    val withNg = s"<div>© x</div><p>$ng</p><p>Short note.</p><p>$prose</p>"
+    val cs = classes(withNg)
+    assert(cs(2)._2 == "good", cs)
+  }
+
+  test("heading promotion: BAD heading directly above GOOD content is retained") {
+    val html = s"""<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>
+      |<h2>Story Title</h2><p>$prose</p><div>© 2024</div>""".stripMargin
+    val got = main(html)
+    assert(got == "Story Title\n" + prose.trim, got)
+  }
+
+  test("mainText: exact retained text, no good blocks -> empty, null -> null") {
+    assert(main(s"<p>$prose</p><div>© x</div>") == prose.trim)
+    assert(main("<div><a href='/'>Home</a></div>") == "")
+    assert(BoilerplateCodec.mainText(null) == null)
+  }
+
+  test("anchor text outside block tags counts toward link density across inline tags") {
+    // 'Read <a>more</a> here' in a long low-link block stays good; a
+    // block that is mostly one big anchor goes bad.
+    val linky = s"<p><a href='/x'>$base $base $base $base</a></p>"
+    assert(classes(linky)(0)._2 == "bad")
+    val sprinkled = s"<p>$prose Read <a href='/m'>more</a> now.</p>"
+    assert(classes(sprinkled)(0)._2 == "good")
+  }
+}
