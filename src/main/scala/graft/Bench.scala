@@ -33,7 +33,13 @@ object Bench {
     // pass is affected and the min recovers the true steady cost. Min (not
     // median) because timing noise on a quiet plan is strictly additive.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Optional subset (comma-separated name prefixes) — used by the scale
+    // probes to time a chosen query set at a different SF without paying
+    // for the full list.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map
       .empty[String, List[Double]].withDefaultValue(Nil)
     // Host-noise canary: a constant-cost query (sum over a generated range —

@@ -1,0 +1,71 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator: replicate a testdata scale-factor
+  * directory N times with disjoint key ranges, producing an sf1-like
+  * corpus from sf0.1 for empirical 10x validation of the bench plans
+  * (`BENCH_SF1.json`). Every key column is offset by `replica * 1e9` so
+  * joins stay consistent within a replica and never match across
+  * replicas; `region`/`nation` are fixed dimensions and copy as-is.
+  *
+  * Replicated text/media corpora are deliberately duplicate-heavy (each
+  * document exists once per replica) — representative of real crawls,
+  * and the reason pair-producing dedup queries grow FASTER than 10x in
+  * the probe (documented in the artifact, plan-explainable).
+  *
+  * Usage: runMain graft.examples.ScaleUp <srcDir> <dstDir> <replicas>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <replicas>")
+    val Seq(src, dst) = args.take(2).toSeq
+    val replicas = args(2).toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // 1e9, NOT 1e8: q77's synthetic inserts offset keys by +1e8, and a
+    // replica stride of 1e8 would alias those inserts onto the next
+    // replica's key range (observed as a MERGE duplicate-key failure).
+    val OFF = 1000000000L
+
+    val keyCols: Map[String, Seq[String]] = Map(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+
+    def replicate(df: DataFrame, keys: Seq[String]): DataFrame = {
+      // One scan, exploded per replica — avoids N unions of the same file.
+      val withR = df.withColumn("__r",
+        explode(sequence(lit(0), lit(replicas - 1))))
+      keys.foldLeft(withR) { (d, k) =>
+        d.withColumn(k, col(k) + col("__r") * OFF)
+      }.drop("__r")
+    }
+
+    for (t <- Seq("region", "nation")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t: copied")
+    }
+    for ((t, keys) <- keyCols) {
+      val in = spark.read.parquet(s"$src/$t.parquet")
+      val out = replicate(in, keys)
+      // Partition count scaled with the data so bench tasks stay balanced.
+      out.repartition(32).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      val n = spark.read.parquet(s"$dst/$t.parquet").count()
+      println(s"[scaleup] $t: $n rows")
+    }
+    spark.stop()
+  }
+}
