@@ -3419,7 +3419,10 @@ object MediaCodec {
     *
     * Walk contract: ID3v2 prefix skipped via syncsafe size; ID3v1 "TAG"
     * trailer excluded from the audio extent; the first frame is found by
-    * the same validated sync scan as [[mp3Header]]; every subsequent
+    * the same validated sync scan as [[mp3Header]] — including its
+    * false-sync boundary guard, so a SINGLE frame followed by non-frame
+    * bytes is indistinguishable from a false sync and nulls (a clean
+    * single frame, or >= 2 frames + junk, parse fine); every subsequent
     * frame must carry a sync with the SAME version/layer/samplerate
     * (bitrate and padding float frame-to-frame — that IS VBR). The walk
     * stops at the first non-frame byte (trailing junk is not counted)

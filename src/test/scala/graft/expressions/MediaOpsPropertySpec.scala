@@ -1,0 +1,165 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz for the round's container/boilerplate kernels (seeded
+  * ScalaCheck Gen, same offline pattern as TextOpsPropertySpec): the
+  * crash-safety and conservation invariants a crawl corpus relies on.
+  *
+  *  - JusText segmentation/classification is TOTAL on arbitrary tag soup,
+  *    strips every tag, gives every block a decided final class, and
+  *    mainText only ever emits text that exists in some block;
+  *  - the MPEG frame walk is total, and its inventory is internally
+  *    consistent (extent bounded by payload, envelope ordered, duration
+  *    exactly frames*spf/rate) — and appending junk to a valid stream
+  *    never changes the counted frames;
+  *  - ID3 parse is total and round-trips what the writer wrote;
+  *  - the MP4 sample walk never throws on bit-flipped containers — every
+  *    mutation either still decodes or returns null, no exceptions, no
+  *    hangs.
+  */
+class MediaOpsPropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  // --- tag-soup generator: fragments of real structure + junk ------------
+  private val soupGen: Gen[String] = {
+    val frag = Gen.oneOf(
+      Gen.oneOf("<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
+        "<h2>", "</h2>", "<br>", "<script>", "</script>", "<style>",
+        "<!--", "-->", "<![CDATA[", "]]>", "<", ">", "&amp;", "&#65;",
+        "&#x41;", "&bogus;", "&", "<p", "< p>", "</", "<a href=\">\">"),
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(" \t\n.&<>©é的!?".toList))).map(_.mkString))
+    Gen.listOf(frag).map(_.mkString)
+  }
+
+  test("jusText: total on tag soup; tags stripped; every block decided; mainText conserved") {
+    samples(soupGen, 400, 101L).foreach { html =>
+      val blocks = BoilerplateCodec.segment(html) // must not throw
+      BoilerplateCodec.classify(blocks)
+      blocks.foreach { b =>
+        assert(!b.text.contains("<"), s"tag survived in block: '${b.text}' for $html")
+        assert(b.cls == "good" || b.cls == "bad", s"undecided block ${b.cls}")
+        assert(b.linkDensity >= 0.0 && b.linkDensity <= 1.0)
+        assert(b.stopDensity >= 0.0 && b.stopDensity <= 1.0)
+      }
+      val main = BoilerplateCodec.mainText(UTF8String.fromString(html)).toString
+      val all = blocks.map(_.text).toSet
+      main.split("\n").filter(_.nonEmpty).foreach { line =>
+        assert(all.contains(line), s"mainText line not from a block: '$line'")
+      }
+    }
+  }
+
+  // --- MPEG frames -------------------------------------------------------
+  private val brV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private def frame(brIdx: Int): Array[Byte] = {
+    val len = 144 * brV1L3(brIdx) * 1000 / 44100
+    val a = new Array[Byte](len)
+    a(0) = 0xFF.toByte; a(1) = 0xFB.toByte
+    a(2) = (brIdx << 4).toByte; a(3) = 0xC0.toByte
+    a
+  }
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  test("mp3FrameWalk: total on junk; consistent inventory; junk suffix never changes counts") {
+    samples(bytesGen, 300, 103L).foreach { b =>
+      val r = MediaCodec.mp3FrameWalk(b) // must not throw
+      if (r != null) {
+        assert(r.getInt(0) >= 1)
+        assert(r.getLong(2) <= b.length, "extent exceeds payload")
+        assert(r.getInt(3) <= r.getInt(4), "bitrate envelope inverted")
+      }
+    }
+    // n >= 2: a SINGLE frame followed by junk is indistinguishable from a
+    // false sync and is rejected by the boundary guard (mp3Header's
+    // documented behavior; pinned below).
+    val streamGen = for {
+      n <- Gen.choose(2, 6)
+      idxs <- Gen.listOfN(n, Gen.choose(1, 14))
+    } yield idxs
+    val junk = "garbage tail that is not a frame".getBytes
+    samples(streamGen, 120, 107L).foreach { idxs =>
+      val clean = idxs.toArray.flatMap(frame)
+      val r1 = MediaCodec.mp3FrameWalk(clean)
+      val r2 = MediaCodec.mp3FrameWalk(clean ++ junk)
+      assert(r1 != null && r1.getInt(0) == idxs.length, s"$idxs")
+      assert(r2 != null && r2.getInt(0) == idxs.length, "junk suffix changed the count")
+      // duration is exactly frames * 1152 / 44100 (MPEG-1 L3)
+      assert(r1.getLong(1) == idxs.length.toLong * 1152 * 1000 / 44100)
+    }
+    // the false-sync guard: one frame + junk rejects, one clean frame parses
+    assert(MediaCodec.mp3FrameWalk(frame(9)) != null)
+    assert(MediaCodec.mp3FrameWalk(frame(9) ++ junk) == null)
+  }
+
+  // --- ID3 round-trip ----------------------------------------------------
+  private val asciiText: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' ')))
+      .map(_.mkString.trim).suchThat(_.nonEmpty)
+
+  test("id3Tags: total on junk; v2.3 writer round-trips") {
+    samples(bytesGen, 300, 109L).foreach(b => MediaCodec.id3Tags(b)) // no throw
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def syncsafe(v: Int) = Array[Byte](((v >> 21) & 0x7F).toByte,
+      ((v >> 14) & 0x7F).toByte, ((v >> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+    val pair = for { t <- asciiText; a <- asciiText } yield (t, a)
+    samples(pair, 150, 113L).foreach { case (title, artist) =>
+      val body =
+        ("TIT2".getBytes ++ be32(title.length + 1) ++ Array[Byte](0, 0) ++
+          (0.toByte +: title.getBytes("ISO-8859-1"))) ++
+        ("TPE1".getBytes ++ be32(artist.length + 1) ++ Array[Byte](0, 0) ++
+          (0.toByte +: artist.getBytes("ISO-8859-1")))
+      val tag = "ID3".getBytes ++ Array[Byte](3, 0, 0) ++ syncsafe(body.length) ++ body
+      val r = MediaCodec.id3Tags(tag)
+      assert(r != null && r.getUTF8String(0).toString == title &&
+        r.getUTF8String(1).toString == artist, s"'$title'/'$artist'")
+    }
+  }
+
+  // --- MP4 mutation fuzz -------------------------------------------------
+  test("decodeMp4: bit-flipped containers never throw") {
+    // Minimal valid MP4 with two PGM samples (same layout as the
+    // VideoHashSpec muxer, inlined).
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(t: String, b: Array[Byte]) = be32(b.length + 8) ++ t.getBytes ++ b
+    val pgm = ("P5 8 8 255\n".getBytes ++ Array.tabulate(64)(i => (i * 4).toByte))
+    val frames = Seq(pgm, pgm)
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes)
+    def moovFor(offs: Seq[Int]) = {
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes ++ new Array[Byte](13))
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ (be32(16) ++ "jpeg".getBytes ++ new Array[Byte](8)))
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.length) ++
+        frames.toArray.flatMap(f => be32(f.length)))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(1) ++ be32(1))
+      val stco = box("stco", be32(0) ++ be32(offs.length) ++ offs.toArray.flatMap(be32))
+      box("moov", box("trak", box("mdia", hdlr ++ box("minf", box("stbl",
+        stsd ++ stsz ++ stsc ++ stco)))))
+    }
+    val base = ftyp.length + moovFor(frames.map(_ => 0)).length + 8
+    val offs = frames.scanLeft(base)((o, f) => o + f.length).init
+    val good = ftyp ++ moovFor(offs) ++ box("mdat", frames.toArray.flatten)
+    assert(MediaCodec.decodeMp4(good) != null) // the fixture itself decodes
+    val mut = for {
+      n <- Gen.choose(1, 8)
+      flips <- Gen.listOfN(n, for {
+        p <- Gen.choose(0, good.length - 1)
+        v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield (p, v))
+    } yield flips
+    samples(mut, 500, 127L).foreach { flips =>
+      val b = good.clone()
+      flips.foreach { case (p, v) => b(p) = v }
+      MediaCodec.decodeMp4(b) // null or stats — never an exception
+      MediaCodec.videoHashes(b, 16)
+    }
+  }
+}
