@@ -3611,6 +3611,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 162. PCM audio in MP4/M4A (sample-table walk), oracle-pinned -----------------------------------
+    // The audio face of q158: a minimal M4A ('soun' track, 'sowt' s16le
+    // entry, real stsd/stsz/stsc/stco) is CONSTRUCTED per row around 64
+    // closed-form PCM frames; decodeM4aPcm enumerates the chunk via the
+    // shared stbl join and reduces exact integer stats the oracle
+    // recomputes relationally. Container bytes except the samples are
+    // doc-independent (computed once in Scala).
+    "q162_m4a_audio" -> ((s, d) => {
+      val n = 64
+      def be32hex(v: Int) = f"$v%08X"
+      def be16hex(v: Int) = f"$v%04X"
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def boxHex(t: String, body: String) = be32hex(body.length / 2 + 8) + cc(t) + body
+      val hdlr = boxHex("hdlr", "00" * 8 + cc("soun") + "00" * 13)
+      val entry = be32hex(36) + cc("sowt") + "00" * 6 + be16hex(1) + // dref
+        be16hex(0) + be16hex(0) + be32hex(0) + // version/rev/vendor
+        be16hex(1) + be16hex(16) + be16hex(0) + be16hex(0) + // mono s16
+        be16hex(8000) + be16hex(0) // 16.16 rate
+      val stsd = boxHex("stsd", be32hex(0) + be32hex(1) + entry)
+      val stsz = boxHex("stsz", be32hex(0) + be32hex(2 * n) + be32hex(1))
+      val stsc = boxHex("stsc", be32hex(0) + be32hex(1) +
+        be32hex(1) + be32hex(1) + be32hex(1))
+      def moovHex(off: Int) = {
+        val stco = boxHex("stco", be32hex(0) + be32hex(1) + be32hex(off))
+        boxHex("moov", boxHex("trak", boxHex("mdia", hdlr +
+          boxHex("minf", boxHex("stbl", stsd + stsz + stsc + stco)))))
+      }
+      val ftyp = boxHex("ftyp", cc("M4A ") + be32hex(0x200) + cc("isom"))
+      val base = ftyp.length / 2 + moovHex(0).length / 2 + 8
+      val prefix = ftyp + moovHex(base) + be32hex(2 * n + 8) + cc("mdat")
+      val samplesHex = array_join(transform(sequence(lit(0), lit(n - 1)), i => {
+        val v = (col("doc_id") * 31 + i * 257) % 4001 - 2000
+        val u = ((v % 65536) + 65536) % 65536 // two's-complement u16
+        concat(lpad(hex(u.bitwiseAND(lit(255))), 2, "0"), // little-endian
+          lpad(hex(shiftright(u, 8)), 2, "0"))
+      }), "")
+      val payload = unhex(concat(lit(prefix), samplesHex))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.audioStats(payload).as("v"))
+        .select(col("doc_id"), col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"), col("v.n_frames").as("n_frames"),
+          col("v.c0_mean").as("c0_mean"), col("v.c0_min").as("c0_min"),
+          col("v.c0_max").as("c0_max"))
+        .orderBy("doc_id")
+    }),
+
     // --- 160. block-level boilerplate removal (JusText), oracle-pinned ----------------------------------
     // Pages CONSTRUCTED per row with known structure: a nav link list
     // (link density ~0.9 -> BAD), a short heading (mixed neighbours ->
@@ -5408,6 +5455,20 @@ object SparkEntry {
         |  '1999' AS year,
         |  CAST(2 AS INT) AS version
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // M4A PCM oracle: regenerate the closed-form samples, aggregate exact
+    // integer stats (mean = integer sum / 64, exact in doubles).
+    "q162_m4a_audio" ->
+      """WITH s AS (
+        |  SELECT d.doc_id,
+        |    CAST((d.doc_id * 31 + i * 257) % 4001 - 2000 AS INT) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d,
+        |    LATERAL UNNEST(range(64)) AS ui(i))
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(64 AS BIGINT) AS n_frames,
+        |  SUM(v)::DOUBLE / 64 AS c0_mean,
+        |  CAST(MIN(v) AS INT) AS c0_min, CAST(MAX(v) AS INT) AS c0_max
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Boilerplate oracle: retained text + block census stated closed-form.
     "q160_boilerplate" ->

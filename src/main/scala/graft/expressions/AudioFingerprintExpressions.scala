@@ -152,12 +152,17 @@ object AudioFingerprintCodec {
     keys.toArray
   }
 
-  /** Dispatch on magic: WAV or FLAC payload -> fingerprint keys. */
+  /** Dispatch on magic: WAV, FLAC, or M4A/MP4-PCM payload -> fingerprint
+    * keys. All three mono extractors use the identical truncating channel
+    * mix, so the same audio fingerprints identically across containers.
+    */
   def fingerprintAudio(b: Array[Byte]): ArrayData = {
-    if (b == null || b.length < 4) return null
+    if (b == null || b.length < 12) return null
     val mono =
       if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
         MediaCodec.flacMonoSamples(b, MaxFrames)
+      else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+        MediaCodec.m4aMonoSamples(b, MaxFrames)
       else MediaCodec.wavMonoSamples(b, MaxFrames)
     if (mono == null) return null
     val keys = fingerprint(mono._2)

@@ -3126,9 +3126,29 @@ object MediaCodec {
     * dimensions; table inconsistency, overrun, or an undecodable sample
     * nulls the whole decode.
     */
-  private def decodeMp4(b: Array[Byte], sink: FrameHashSink): VideoStats = {
-    if (b == null || b.length < 16) return null
-    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
+  /** Shared ISO-BMFF sample enumeration: find the first `trak` whose
+    * `mdia/hdlr` handler is `handler` and whose first `stsd` sample-entry
+    * 4cc satisfies `formatOk`; hand the sample-entry body bounds to
+    * `onEntry` once, then every sample's absolute (offset, size) to
+    * `onSample` in stbl order (the standard stsc/stco|co64/stsz join —
+    * ISO/IEC 14496-12 §8.5-8.7). Any callback returning false, or any
+    * structural inconsistency (overrun, unaccounted samples, table
+    * bounds), aborts with -1; 0 = no eligible track; 1 = one track fully
+    * enumerated. All offsets/sizes are attacker-controlled and
+    * bounds-checked; a DECODE BUDGET of 4x the payload size caps total
+    * sample bytes even when a crafted `stco` aliases every chunk onto the
+    * same region (the quadratic-amplification risk a sequential AVI walk
+    * structurally cannot have). Shared by the video ([[decodeMp4]]) and
+    * PCM-audio ([[decodeM4aPcm]]) paths.
+    */
+  private def forEachMp4Sample(
+      b: Array[Byte],
+      handler: String,
+      formatOk: Int => Boolean,
+      onEntry: (Int, Int) => Boolean,
+      onSample: (Long, Long) => Boolean): Int = {
+    if (b == null || b.length < 16) return 0
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return 0
     def is4(p: Int, s: String): Boolean =
       b(p) == s.charAt(0) && b(p + 1) == s.charAt(1) &&
         b(p + 2) == s.charAt(2) && b(p + 3) == s.charAt(3)
@@ -3156,61 +3176,21 @@ object MediaCodec {
       null
     }
     val moov = findBox(0, b.length, "moov")
-    if (moov == null) return null
-    // Accumulated one-pass stats (the decodeAvi shape).
-    var nFrames = 0
-    var w = 0; var h = 0; var ch = 0
-    var sum: Array[Long] = null
-    var min: Array[Int] = null
-    var max: Array[Int] = null
-    var nPix = 0L
-    var meanFirst = 0.0; var meanLast = 0.0
+    if (moov == null) return 0
     var budget = 4L * b.length + 65536L
-    // Decode one sample at [off, off+sz); false = corruption (nulls all).
-    def sample(off: Long, sz: Long): Boolean = {
-      if (off < 0 || sz <= 0 || off + sz > b.length) return false
-      budget -= sz
-      if (budget < 0) return false
-      val frame = java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
-      val s = decodePixels(frame)
-      if (s == null) return false
-      if (nFrames == 0) {
-        w = s.width; h = s.height; ch = s.channels
-        sum = new Array[Long](ch)
-        min = Array.fill(ch)(255); max = Array.fill(ch)(0)
-        meanFirst = s.mean(0)
-      } else if (s.width != w || s.height != h || s.channels != ch) return false
-      val fPix = s.width.toLong * s.height.toLong
-      var c = 0
-      while (c < ch) {
-        sum(c) += math.round(s.mean(c) * fPix)
-        if (s.min(c) < min(c)) min(c) = s.min(c)
-        if (s.max(c) > max(c)) max(c) = s.max(c)
-        c += 1
-      }
-      nPix += fPix
-      meanLast = s.mean(0)
-      if (sink != null && !sink.full) {
-        val r = imageHashes(frame)
-        if (r != null) sink.add(r.getLong(0))
-      }
-      nFrames += 1
-      true
-    }
-    // Scan traks for the first decodable video track.
     var trakPos = moov._1
-    var decoded = false
+    var done = 0
     var corrupt = false
-    while (!decoded && !corrupt && trakPos < moov._2) {
+    while (done == 0 && !corrupt && trakPos < moov._2) {
       val trak = findBox(trakPos, moov._2, "trak")
       if (trak == null) trakPos = moov._2 // no more traks
       else {
         trakPos = trak._2
         val mdia = findBox(trak._1, trak._2, "mdia")
         val hdlr = if (mdia == null) null else findBox(mdia._1, mdia._2, "hdlr")
-        val isVideo = hdlr != null && hdlr._1 + 12 <= hdlr._2 &&
-          is4(hdlr._1 + 8, "vide")
-        if (isVideo) {
+        val matches = hdlr != null && hdlr._1 + 12 <= hdlr._2 &&
+          is4(hdlr._1 + 8, handler)
+        if (matches) {
           val minf = findBox(mdia._1, mdia._2, "minf")
           val stbl = if (minf == null) null else findBox(minf._1, minf._2, "stbl")
           if (stbl != null) {
@@ -3218,14 +3198,20 @@ object MediaCodec {
             // stsd body: version+flags(4), entry_count(4), then sample
             // entries (each its own box: size(4) + format(4cc) + ...).
             val fmtOk = stsd != null && stsd._1 + 16 <= stsd._2 &&
-              be32(b, stsd._1 + 4) >= 1 && mp4DecodableFormat(b, stsd._1 + 12)
+              be32(b, stsd._1 + 4) >= 1 && formatOk(stsd._1 + 12)
             if (fmtOk) {
+              val entryEnd = {
+                val declared = be32(b, stsd._1 + 8).toLong & 0xFFFFFFFFL
+                val e = stsd._1 + 8 + declared
+                if (declared < 16 || e > stsd._2) -1 else e.toInt
+              }
               val stsz = findBox(stbl._1, stbl._2, "stsz")
               val stsc = findBox(stbl._1, stbl._2, "stsc")
               val stco0 = findBox(stbl._1, stbl._2, "stco")
               val co64 = if (stco0 == null) findBox(stbl._1, stbl._2, "co64") else null
-              if (stsz == null || stsc == null || (stco0 == null && co64 == null))
-                corrupt = true
+              if (entryEnd < 0 || stsz == null || stsc == null ||
+                  (stco0 == null && co64 == null)) corrupt = true
+              else if (!onEntry(stsd._1 + 16, entryEnd)) corrupt = true
               else {
                 // stsz: v+flags(4), fixed sample_size(4), sample_count(4).
                 if (stsz._1 + 12 > stsz._2) corrupt = true
@@ -3268,7 +3254,9 @@ object MediaCodec {
                         var i = 0L
                         while (!corrupt && i < perChunk && si < nSamples) {
                           val sz = sampleSize(si)
-                          if (!sample(off, sz)) corrupt = true
+                          budget -= sz
+                          if (off < 0 || sz <= 0 || off + sz > b.length ||
+                              budget < 0 || !onSample(off, sz)) corrupt = true
                           off += sz; si += 1; i += 1
                         }
                       }
@@ -3276,18 +3264,164 @@ object MediaCodec {
                     }
                     // Tables must account for every declared sample.
                     if (si != nSamples) corrupt = true
-                    decoded = !corrupt
+                    if (!corrupt) done = 1
                   }
                 }
               }
-            } // non-decodable format (avc1/...): skip, keep scanning traks
+            } // non-matching format (avc1/mp4a/...): skip, keep scanning
           }
         }
       }
     }
-    if (corrupt || !decoded || nFrames == 0) return null
+    if (corrupt) -1 else done
+  }
+
+  private def decodeMp4(b: Array[Byte], sink: FrameHashSink): VideoStats = {
+    // Accumulated one-pass stats (the decodeAvi shape).
+    var nFrames = 0
+    var w = 0; var h = 0; var ch = 0
+    var sum: Array[Long] = null
+    var min: Array[Int] = null
+    var max: Array[Int] = null
+    var nPix = 0L
+    var meanFirstV = 0.0
+    var meanLastV = 0.0
+    def sample(off: Long, sz: Long): Boolean = {
+      val frame = java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+      val s = decodePixels(frame)
+      if (s == null) return false
+      if (nFrames == 0) {
+        w = s.width; h = s.height; ch = s.channels
+        sum = new Array[Long](ch)
+        min = Array.fill(ch)(255); max = Array.fill(ch)(0)
+        meanFirstV = s.mean(0)
+      } else if (s.width != w || s.height != h || s.channels != ch) return false
+      val fPix = s.width.toLong * s.height.toLong
+      var c = 0
+      while (c < ch) {
+        sum(c) += math.round(s.mean(c) * fPix)
+        if (s.min(c) < min(c)) min(c) = s.min(c)
+        if (s.max(c) > max(c)) max(c) = s.max(c)
+        c += 1
+      }
+      nPix += fPix
+      meanLastV = s.mean(0)
+      if (sink != null && !sink.full) {
+        val r = imageHashes(frame)
+        if (r != null) sink.add(r.getLong(0))
+      }
+      nFrames += 1
+      true
+    }
+    val r = forEachMp4Sample(b, "vide", p => mp4DecodableFormat(b, p),
+      (_, _) => true, sample)
+    if (r != 1 || nFrames == 0) return null
     new VideoStats(nFrames, w, h, ch,
-      sum.map(_.toDouble / nPix), min, max, meanFirst, meanLast)
+      sum.map(_.toDouble / nPix), min, max, meanFirstV, meanLastV)
+  }
+
+  /** PCM sample-entry formats in MP4/M4A: 'sowt' (s16 little-endian),
+    * 'twos' (signed big-endian, 8 or 16 bit), 'raw ' (offset-binary u8)
+    * — the QuickTime uncompressed-audio tags whose samples are raw
+    * interleaved PCM. AAC ('mp4a') is deliberately absent: its Huffman
+    * codebooks are tabulated spec data, unverifiable here for the same
+    * reason as MP3 Layer III (SURVEY §8 Q13).
+    */
+  private def m4aPcmFormat(b: Array[Byte], p: Int): Boolean = {
+    def is(s: String) = b(p) == s.charAt(0) && b(p + 1) == s.charAt(1) &&
+      b(p + 2) == s.charAt(2) && b(p + 3) == s.charAt(3)
+    is("sowt") || is("twos") || is("raw ")
+  }
+
+  def decodeM4aPcm(b: Array[Byte]): AudioStats = decodeM4aPcm(b, null)
+
+  /** REAL PCM decode for MP4/M4A audio tracks via the shared sample walk
+    * ([[forEachMp4Sample]], handler 'soun'): parse the SoundSampleEntry
+    * (channels, bit depth, 16.16 sample rate — ISO 14496-12 §12.2.3),
+    * then reduce every sample chunk's interleaved frames into the same
+    * s16-scale per-channel [[AudioStats]] as WAV/FLAC, optionally
+    * collecting the truncating-mean mono mix for fingerprinting. Chunk
+    * sizes must be whole frames (a split sample frame is corruption).
+    */
+  private def decodeM4aPcm(b: Array[Byte], mono: MonoSink): AudioStats = {
+    if (b == null || b.length < 16) return null
+    var fmt = 0 // 0 sowt, 1 twos, 2 raw
+    var channels = 0
+    var bits = 0
+    var rate = 0
+    var sum: Array[Long] = null
+    var min: Array[Int] = null
+    var max: Array[Int] = null
+    var nFrames = 0L
+    def entry(body: Int, end: Int): Boolean = {
+      // SoundSampleEntry: reserved(6) dref(2) version(2) rev(2) vendor(4)
+      // channelcount(2) samplesize(2) compression(2) packet(2) rate(4:16.16)
+      if (body + 28 > end) return false
+      fmt =
+        if (b(body - 4) == 's') 0      // sowt
+        else if (b(body - 4) == 't') 1 // twos
+        else 2                         // raw_
+      val version = be16(b, body + 8)
+      if (version > 1) return false // v2 ('lpcm') layouts out of scope
+      channels = be16(b, body + 16)
+      bits = be16(b, body + 18)
+      rate = be32(b, body + 24) >>> 16
+      val bitsOk = if (fmt == 0) bits == 16 else bits == 8 || bits == 16
+      if (channels < 1 || channels > 8 || !bitsOk || rate <= 0) return false
+      if (fmt == 2 && bits != 8) return false // raw_ is 8-bit offset-binary
+      sum = new Array[Long](channels)
+      min = Array.fill(channels)(Int.MaxValue)
+      max = Array.fill(channels)(Int.MinValue)
+      true
+    }
+    def sample(off: Long, sz: Long): Boolean = {
+      val bytesPer = bits / 8
+      val frameBytes = bytesPer.toLong * channels
+      if (sz % frameBytes != 0) return false // split frame: corrupt
+      val frames = (sz / frameBytes).toInt
+      var f = 0
+      while (f < frames) {
+        var p = (off + f * frameBytes).toInt
+        var c = 0
+        var acc = 0L
+        while (c < channels) {
+          // s16 scale across widths/endiannesses, mirroring wavSampleS16.
+          val v =
+            if (bits == 16) {
+              if (fmt == 0) ((b(p + 1) << 8) | (b(p) & 0xFF)).toShort.toInt
+              else ((b(p) << 8) | (b(p + 1) & 0xFF)).toShort.toInt
+            } else {
+              if (fmt == 1) b(p).toInt << 8          // twos s8
+              else ((b(p) & 0xFF) - 128) << 8        // raw_ u8 offset-binary
+            }
+          sum(c) += v
+          if (v < min(c)) min(c) = v
+          if (v > max(c)) max(c) = v
+          acc += v
+          c += 1; p += bytesPer
+        }
+        if (mono != null && !mono.full) mono.add((acc / channels).toDouble)
+        f += 1
+      }
+      nFrames += frames
+      true
+    }
+    val r = forEachMp4Sample(b, "soun", p => m4aPcmFormat(b, p), entry, sample)
+    if (r != 1 || nFrames == 0) return null
+    new AudioStats(rate, channels, nFrames,
+      sum.map(_.toDouble / nFrames), min, max)
+  }
+
+  /** Mono-mixed s16-scale samples of an M4A/MP4 PCM track, capped at
+    * `maxFrames` — the fingerprint source, same truncating channel mix
+    * as [[wavMonoSamples]]/[[flacMonoSamples]] so identical audio
+    * fingerprints identically across all three containers.
+    */
+  def m4aMonoSamples(b: Array[Byte], maxFrames: Int): (Int, Array[Double]) = {
+    val sink = new MonoSink(4096, maxFrames)
+    val s = decodeM4aPcm(b, sink)
+    if (s == null) return null
+    (s.sampleRate, java.util.Arrays.copyOf(sink.data, sink.n))
   }
 
   // MPEG audio bitrate tables (kbps), indexed [layer-1][bitrate_index].
@@ -4276,9 +4410,13 @@ object MediaCodec {
     * one expression covers the uncompressed and lossless corpus halves.
     */
   def audioStats(bytes: Array[Byte]): InternalRow = {
-    val isFlac = bytes != null && bytes.length >= 4 &&
-      bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'
-    val s = if (isFlac) decodeFlac(bytes) else decodeWav(bytes)
+    if (bytes == null || bytes.length < 12) return null
+    val s =
+      if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+        bytes(3) == 'C') decodeFlac(bytes)
+      else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+        bytes(7) == 'p') decodeM4aPcm(bytes)
+      else decodeWav(bytes)
     if (s == null) return null
     val out = new Array[Any](9)
     out(0) = s.sampleRate; out(1) = s.channels; out(2) = s.nFrames

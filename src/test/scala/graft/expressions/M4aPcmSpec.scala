@@ -1,0 +1,116 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PCM audio tracks in MP4/M4A via the shared sample-table walk:
+  * cross-container stats parity with WAV, endianness handling, 8-bit
+  * variants, fingerprint identity, and strictness edges.
+  */
+class M4aPcmSpec extends AnyFunSuite {
+
+  private def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def box(t: String, b: Array[Byte]) =
+    be32(b.length + 8) ++ t.getBytes("US-ASCII") ++ b
+
+  /** Minimal M4A: one 'soun' track, one chunk per sample entry in stco. */
+  private def m4a(format: String, channels: Int, bits: Int, rate: Int,
+      chunks: Seq[Array[Byte]]): Array[Byte] = {
+    val ftyp = box("ftyp", "M4A ".getBytes ++ be32(0x200) ++ "isom".getBytes)
+    def moovFor(offs: Seq[Int]): Array[Byte] = {
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+        "soun".getBytes ++ new Array[Byte](13))
+      val entry = be32(36) ++ format.getBytes("US-ASCII") ++
+        new Array[Byte](6) ++ be16(1) ++ // reserved + dref
+        be16(0) ++ be16(0) ++ be32(0) ++ // version 0, rev, vendor
+        be16(channels) ++ be16(bits) ++ be16(0) ++ be16(0) ++
+        be16(rate) ++ be16(0) // 16.16 fixed rate
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(chunks.length) ++
+        chunks.toArray.flatMap(c => be32(c.length)))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(1) ++ be32(1))
+      val stco = box("stco", be32(0) ++ be32(offs.length) ++
+        offs.toArray.flatMap(be32))
+      box("moov", box("trak", box("mdia", hdlr ++ box("minf",
+        box("stbl", stsd ++ stsz ++ stsc ++ stco)))))
+    }
+    val base = ftyp.length + moovFor(chunks.map(_ => 0)).length + 8
+    val offs = chunks.scanLeft(base)((o, c) => o + c.length).init
+    ftyp ++ moovFor(offs) ++ box("mdat", chunks.toArray.flatten)
+  }
+
+  /** Minimal WAV (PCM s16le) for the cross-container comparisons. */
+  private def wav(channels: Int, rate: Int, frames: Array[Array[Int]]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val data = frames.flatMap(f => f.flatMap(le16))
+    val fmt = le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ fmt ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  private val toneFrames: Array[Array[Int]] = Array.tabulate(2048) { i =>
+    val l = math.round(8000 * math.sin(2 * math.Pi * 440 * i / 44100)).toInt
+    val r = math.round(6000 * math.sin(2 * math.Pi * 880 * i / 44100)).toInt
+    Array(l, r)
+  }
+  private def s16le(frames: Array[Array[Int]]): Array[Byte] =
+    frames.flatMap(f => f.flatMap(v => Array(v.toByte, (v >> 8).toByte)))
+  private def s16be(frames: Array[Array[Int]]): Array[Byte] =
+    frames.flatMap(f => f.flatMap(v => Array((v >> 8).toByte, v.toByte)))
+
+  test("sowt stats match the WAV decode of the same frames exactly") {
+    val pcm = s16le(toneFrames)
+    // two chunks to exercise multi-chunk enumeration
+    val (a, b) = pcm.splitAt(pcm.length / 2)
+    val m = MediaCodec.decodeM4aPcm(m4a("sowt", 2, 16, 44100, Seq(a, b)))
+    val w = MediaCodec.decodeWav(wav(2, 44100, toneFrames))
+    assert(m != null && w != null)
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.nFrames == 2048)
+    assert(m.mean.toSeq == w.mean.toSeq)
+    assert(m.min.toSeq == w.min.toSeq && m.max.toSeq == w.max.toSeq)
+  }
+
+  test("twos (big-endian) of byte-swapped samples equals sowt stats") {
+    val le = MediaCodec.decodeM4aPcm(m4a("sowt", 2, 16, 44100, Seq(s16le(toneFrames))))
+    val be = MediaCodec.decodeM4aPcm(m4a("twos", 2, 16, 44100, Seq(s16be(toneFrames))))
+    assert(le.mean.toSeq == be.mean.toSeq)
+    assert(le.min.toSeq == be.min.toSeq && le.max.toSeq == be.max.toSeq)
+  }
+
+  test("8-bit variants: twos s8 and raw_ u8 land on the s16 scale") {
+    val vals = Array(-128, -1, 0, 1, 127)
+    val s8 = vals.map(_.toByte)
+    val u8 = vals.map(v => (v + 128).toByte)
+    val t = MediaCodec.decodeM4aPcm(m4a("twos", 1, 8, 8000, Seq(s8)))
+    val r = MediaCodec.decodeM4aPcm(m4a("raw ", 1, 8, 8000, Seq(u8)))
+    assert(t.min(0) == -128 << 8 && t.max(0) == 127 << 8)
+    assert(r.min(0) == t.min(0) && r.max(0) == t.max(0) && r.mean(0) == t.mean(0))
+  }
+
+  test("audio fingerprint: M4A == WAV identity on the same signal") {
+    val m4aKeys = AudioFingerprintCodec.fingerprintAudio(
+      m4a("sowt", 2, 16, 44100, Seq(s16le(toneFrames))))
+    val wavKeys = AudioFingerprintCodec.fingerprintAudio(wav(2, 44100, toneFrames))
+    assert(m4aKeys != null && wavKeys != null)
+    assert(m4aKeys.toLongArray().toSeq == wavKeys.toLongArray().toSeq)
+  }
+
+  test("graft_audio_stats dispatches on the ftyp magic") {
+    val r = MediaCodec.audioStats(m4a("sowt", 2, 16, 44100, Seq(s16le(toneFrames))))
+    assert(r != null && r.getInt(0) == 44100 && r.getInt(1) == 2 && r.getLong(2) == 2048)
+  }
+
+  test("strictness: mp4a skipped, v2 entry rejected, split frame nulls") {
+    assert(MediaCodec.decodeM4aPcm(
+      m4a("mp4a", 2, 16, 44100, Seq(s16le(toneFrames)))) == null)
+    // split frame: odd chunk size for 16-bit stereo
+    assert(MediaCodec.decodeM4aPcm(
+      m4a("sowt", 2, 16, 44100, Seq(s16le(toneFrames).dropRight(1)))) == null)
+    // sowt must be 16-bit
+    assert(MediaCodec.decodeM4aPcm(m4a("sowt", 1, 8, 8000, Seq(Array[Byte](1, 2)))) == null)
+  }
+}
