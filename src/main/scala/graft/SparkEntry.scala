@@ -3658,6 +3658,116 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 163. docx text extraction (ZIP walk + WordprocessingML), oracle-pinned -------------------------
+    // A STORED-method ZIP holding word/document.xml is CONSTRUCTED per
+    // row — every header field computed relationally including the real
+    // CRC-32 (Spark's crc32 on the XML bytes), sizes/offsets from
+    // length(); the extractor must walk EOCD -> central directory ->
+    // local header, verify the CRC, and reduce the WordprocessingML to
+    // plain text. The oracle states the expected text and inventory.
+    "q163_docx_text" -> ((s, d) => {
+      def le32hex(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+      val name = "word/document.xml" // 17 bytes
+      val nameHex = name.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      val xml = concat(lit("<w:document><w:body><w:p><w:r><w:t>Report "),
+        col("doc_id"), lit("</w:t></w:r></w:p><w:p><w:r><w:t>Total &amp; sum for "),
+        col("doc_id") % 5, lit("</w:t></w:r></w:p></w:body></w:document>"))
+      val crcHex = le32hex(crc32(xml.cast("binary")))
+      val szHex = le32hex(length(xml).cast("long"))
+      val cdOff = (length(xml) + 30 + 17).cast("long")
+      val payload = unhex(concat(
+        // local header: sig ver flags method time date crc comp size nlen xlen
+        lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, szHex, szHex, lit("1100" + "0000"), lit(nameHex),
+        hex(xml),
+        // central dir: sig vmade vneed flags method time date crc comp size
+        // nlen xlen clen disk iattr eattr localoff
+        lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, szHex, szHex,
+        lit("1100" + "0000" + "0000" + "0000" + "0000" + "00000000" + "00000000"),
+        lit(nameHex),
+        // EOCD: sig disks counts cdsize cdoff comment
+        lit("504B0506" + "0000" + "0000" + "0100" + "0100"),
+        le32hex(lit(63L)), le32hex(cdOff), lit("0000")))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.docxText(payload).as("text"),
+          size(Multimodal.zipEntries(payload)).as("n_entries"),
+          Multimodal.zipEntries(payload).getItem(0).getField("name").as("entry_name"),
+          Multimodal.zipEntries(payload).getItem(0).getField("size").as("entry_size"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 164. EXIF metadata walk, oracle-pinned ---------------------------------------------------------
+    // A JPEG APP1 + little-endian TIFF with IFD0 (Make/Orientation/
+    // DateTime/GPS pointer) and a GPS IFD (refs + 3-rational coordinates)
+    // is CONSTRUCTED per row; fixed-width strings keep every offset
+    // constant, so the layout is computed once in Scala and only field
+    // bytes are column expressions. The oracle recomputes each field —
+    // including the signed decimal-degree reduction — arithmetically.
+    "q164_exif" -> ((s, d) => {
+      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+      def le32h(v: Long) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def entryH(tag: Int, typ: Int, count: Long) =
+        le16h(tag) + le16h(typ) + le32h(count) // value appended separately
+      // fixed layout: hdr 8 | IFD0 54 | make 5 | dt 20 | gpsIFD 54 | lat 24 | lon 24
+      val makeOff = 62L; val dtOff = 67L; val gpsOff = 87L
+      val latOff = 141L; val lonOff = 165L
+      val C = (c: org.apache.spark.sql.Column) => c // type helper
+      def le32hexC(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+      val orient = (col("doc_id") % 8 + 1).cast("long")
+      val makeS = concat(lit("Cam"), col("doc_id") % 10)
+      val dtS = concat(lit("2024:01:"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"), lit(" "),
+        lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":00:00"))
+      val latDeg = col("doc_id") % 90; val latMin = col("doc_id") % 60
+      val latSec = (col("doc_id") * 7) % 60
+      val lonDeg = col("doc_id") % 180; val lonMin = (col("doc_id") * 3) % 60
+      val lonSec = (col("doc_id") * 11) % 60
+      val ifd0 = concat(lit(le16h(4)),
+        lit(entryH(0x010F, 2, 5) + le32h(makeOff)),
+        lit(entryH(0x0112, 3, 1)), lpad(hex(orient), 2, "0"), lit("000000"),
+        lit(entryH(0x0132, 2, 20) + le32h(dtOff)),
+        lit(entryH(0x8825, 4, 1) + le32h(gpsOff)),
+        lit(le32h(0)))
+      def rats(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+          c2: org.apache.spark.sql.Column) = concat(
+        le32hexC(a.cast("long")), lit(le32h(1)),
+        le32hexC(b.cast("long")), lit(le32h(1)),
+        le32hexC((c2 * 100).cast("long")), lit(le32h(100)))
+      val gpsIfd = concat(lit(le16h(4)),
+        lit(entryH(0x0001, 2, 2)),
+        when(col("doc_id") % 2 === 0, lit(cc("N"))).otherwise(lit(cc("S"))), lit("000000"),
+        lit(entryH(0x0002, 5, 3) + le32h(latOff)),
+        lit(entryH(0x0003, 2, 2) + cc("E") + "000000"),
+        lit(entryH(0x0004, 5, 3) + le32h(lonOff)),
+        lit(le32h(0)))
+      val tiff = concat(lit(cc("II") + le16h(42) + le32h(8L)), ifd0,
+        hex(makeS), lit("00"), hex(dtS), lit("00"), gpsIfd,
+        rats(latDeg, latMin, latSec), rats(lonDeg, lonMin, lonSec))
+      val tiffLen = 189 // 8 + 54 + 5 + 20 + 54 + 24 + 24
+      val segLen = 2 + 6 + tiffLen
+      val payload = unhex(concat(
+        lit("FFD8FFE1" + f"$segLen%04X" + cc("Exif") + "0000"), tiff, lit("FFD9")))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), C(Multimodal.exifMeta(payload)).as("v"))
+        .select(col("doc_id"),
+          col("v.orientation").as("orientation"), col("v.make").as("make"),
+          col("v.datetime").as("datetime"),
+          col("v.gps_lat").as("gps_lat"), col("v.gps_lon").as("gps_lon"))
+        .orderBy("doc_id")
+    }),
+
     // --- 160. block-level boilerplate removal (JusText), oracle-pinned ----------------------------------
     // Pages CONSTRUCTED per row with known structure: a nav link list
     // (link density ~0.9 -> BAD), a short heading (mixed neighbours ->
@@ -5469,6 +5579,34 @@ object SparkEntry {
         |  SUM(v)::DOUBLE / 64 AS c0_mean,
         |  CAST(MIN(v) AS INT) AS c0_min, CAST(MAX(v) AS INT) AS c0_max
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // EXIF oracle: every field restated arithmetically; decimal degrees
+    // mirror the implementation's exact float order (deg + min/60 +
+    // sec/3600, sign applied, floored to 6dp).
+    "q164_exif" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        |  'Cam' || (doc_id % 10) AS make,
+        |  '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' ' ||
+        |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS datetime,
+        |  FLOOR((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+        |    ((doc_id % 90) + (doc_id % 60) / 60.0 + ((doc_id * 7) % 60) / 3600.0)
+        |    * 1000000) / 1000000 AS gps_lat,
+        |  FLOOR(((doc_id % 180) + ((doc_id * 3) % 60) / 60.0 +
+        |    ((doc_id * 11) % 60) / 3600.0) * 1000000) / 1000000 AS gps_lon
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // docx oracle: expected text + inventory stated closed-form (the
+    // CRC/offset machinery lives entirely on the construction side).
+    "q163_docx_text" ->
+      """SELECT doc_id,
+        |  'Report ' || doc_id || chr(10) || 'Total & sum for ' || (doc_id % 5) AS text,
+        |  CAST(1 AS INT) AS n_entries,
+        |  'word/document.xml' AS entry_name,
+        |  CAST(LENGTH('<w:document><w:body><w:p><w:r><w:t>Report ' || doc_id ||
+        |    '</w:t></w:r></w:p><w:p><w:r><w:t>Total &amp; sum for ' || (doc_id % 5) ||
+        |    '</w:t></w:r></w:p></w:body></w:document>') AS BIGINT) AS entry_size
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // Boilerplate oracle: retained text + block census stated closed-form.
     "q160_boilerplate" ->

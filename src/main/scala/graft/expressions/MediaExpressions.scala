@@ -3823,6 +3823,132 @@ object MediaCodec {
       if (sawV2) 2 else 1))
   }
 
+  /** EXIF metadata from a JPEG APP1 segment or a bare TIFF payload:
+    * `struct<orientation, make, model, datetime, gps_lat, gps_lon>` —
+    * the curation fields of photo crawls (orientation-aware hashing,
+    * device/time/place grouping). Pure TIFF IFD walk (public TIFF 6.0 /
+    * EXIF structure): byte-order-aware entry scan of IFD0 plus the GPS
+    * sub-IFD, ASCII/SHORT/LONG/RATIONAL types, inline-vs-offset values
+    * by size. GPS coordinates are reduced to signed decimal degrees
+    * (deg + min/60 + sec/3600, S/W negative), floored to 6 decimals —
+    * the file's engine-portable convention. All offsets are
+    * attacker-controlled and bounds-checked against the TIFF region;
+    * entry counts are capped; a malformed IFD yields whatever fields
+    * parsed before it. Null when no EXIF/TIFF structure exists.
+    */
+  def exifMeta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 8) return null
+    // Locate the TIFF region: bare TIFF, or JPEG -> APP1 "Exif\0\0".
+    var base = -1
+    var end = -1
+    if ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xFF) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xFF) == 42)) {
+      base = 0; end = b.length
+    } else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var p = 2
+      while (base < 0 && p + 4 <= b.length && (b(p) & 0xFF) == 0xFF) {
+        val marker = b(p + 1) & 0xFF
+        if (marker == 0xD9 || marker == 0xDA) p = b.length // SOS/EOI: no APP1
+        else {
+          val segLen = be16(b, p + 2)
+          if (segLen < 2 || p + 2 + segLen > b.length) return null
+          if (marker == 0xE1 && segLen >= 8 &&
+              b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+              b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+            base = p + 10; end = p + 2 + segLen
+          } else p += 2 + segLen
+        }
+      }
+      if (base < 0) return null
+    } else return null
+    if (base + 8 > end) return null
+    val le = b(base) == 'I'
+    def u16(i: Int): Int =
+      if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+      else ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def u32(i: Int): Long =
+      if (le) (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+      else ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    if (u16(base + 2) != 42) return null
+    var orientation = -1
+    var make: String = null
+    var model: String = null
+    var datetime: String = null
+    var gpsLat = Double.NaN
+    var gpsLon = Double.NaN
+    var latRef = 'N'; var lonRef = 'E'
+    val typeSize = Array(0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8)
+    // One IFD scan; `gps` selects the GPS tag namespace. Returns the GPS
+    // sub-IFD offset when IFD0 declares one.
+    def scanIfd(ifdOff: Long, gps: Boolean): Long = {
+      if (ifdOff < 0 || base + ifdOff + 2 > end) return -1
+      val cnt = u16((base + ifdOff).toInt)
+      if (cnt > 256) return -1
+      var gpsOff = -1L
+      var i = 0
+      while (i < cnt) {
+        val ep = (base + ifdOff + 2 + 12L * i).toInt
+        if (ep + 12 > end) return gpsOff
+        val tag = u16(ep)
+        val typ = u16(ep + 2)
+        val count = u32(ep + 4)
+        val total = if (typ < typeSize.length) typeSize(typ) * count else 0
+        // value position: inline when it fits in 4 bytes, else an offset
+        val vp =
+          if (total > 0 && total <= 4) ep + 8
+          else {
+            val off = u32(ep + 8)
+            if (base + off + total > end || off < 0) -1 else (base + off).toInt
+          }
+        if (vp >= 0 && total > 0 && total <= (1 << 16)) {
+          def ascii(): String = {
+            var n = count.toInt
+            while (n > 0 && b(vp + n - 1) == 0) n -= 1
+            new String(b, vp, n, java.nio.charset.StandardCharsets.US_ASCII)
+          }
+          def rational(k: Int): Double = {
+            val num = u32(vp + 8 * k); val den = u32(vp + 8 * k + 4)
+            if (den == 0) Double.NaN else num.toDouble / den.toDouble
+          }
+          if (!gps) tag match {
+            case 0x0112 if typ == 3 => orientation = u16(vp)
+            case 0x010F if typ == 2 => make = ascii()
+            case 0x0110 if typ == 2 => model = ascii()
+            case 0x0132 if typ == 2 => datetime = ascii()
+            case 0x8825 if (typ == 4 || typ == 3) && count == 1 => gpsOff = u32(vp)
+            case _ =>
+          } else tag match {
+            case 0x0001 if typ == 2 => latRef = (b(vp) & 0xFF).toChar
+            case 0x0003 if typ == 2 => lonRef = (b(vp) & 0xFF).toChar
+            case 0x0002 if typ == 5 && count == 3 =>
+              gpsLat = rational(0) + rational(1) / 60.0 + rational(2) / 3600.0
+            case 0x0004 if typ == 5 && count == 3 =>
+              gpsLon = rational(0) + rational(1) / 60.0 + rational(2) / 3600.0
+            case _ =>
+          }
+        }
+        i += 1
+      }
+      gpsOff
+    }
+    val gpsIfd = scanIfd(u32(base + 4), gps = false)
+    if (gpsIfd >= 0) scanIfd(gpsIfd, gps = true)
+    if (orientation < 0 && make == null && model == null && datetime == null &&
+      gpsLat.isNaN && gpsLon.isNaN) return null
+    def floor6(x: Double): Any =
+      if (x.isNaN) null else math.floor(x * 1e6) / 1e6
+    val lat = if (gpsLat.isNaN) null
+      else floor6(if (latRef == 'S') -gpsLat else gpsLat)
+    val lon = if (gpsLon.isNaN) null
+      else floor6(if (lonRef == 'W') -gpsLon else gpsLon)
+    def u(s: String) = if (s == null) null else UTF8String.fromString(s)
+    new GenericInternalRow(Array[Any](
+      if (orientation < 0) null else orientation,
+      u(make), u(model), u(datetime), lat, lon))
+  }
+
   /** Parse a FLAC STREAMINFO header: block sizes, sample rate (20-bit),
     * channels, bits per sample, 36-bit total sample count, and the exact
     * duration in ms. The lossless-audio sibling of [[mp3Header]]; the
@@ -4810,6 +4936,36 @@ case class Mp3HeaderExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Mp3HeaderExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_mp3_header"
+}
+
+/** `binary` (JPEG with APP1, or bare TIFF) -> struct<orientation:int,
+  * make:string, model:string, datetime:string, gps_lat:double,
+  * gps_lon:double> from the EXIF IFDs, or NULL. Codegen'd.
+  */
+case class ExifMetaExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("orientation", IntegerType, nullable = true),
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true),
+    StructField("datetime", StringType, nullable = true),
+    StructField("gps_lat", DoubleType, nullable = true),
+    StructField("gps_lon", DoubleType, nullable = true)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.exifMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.exifMeta($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ExifMetaExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_exif"
 }
 
 /** `binary` -> exact MPEG-audio stream inventory via the full frame walk

@@ -1,0 +1,287 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local ZIP container access, pure JDK — the envelope of the Office
+  * document formats (docx/xlsx/pptx are ZIP + XML) and a large share of
+  * crawl attachments. Structure per the public PKWARE APPNOTE: an End of
+  * Central Directory record located by backward scan, central-directory
+  * entries as the authoritative inventory, local headers resolved only
+  * to find each entry's data start.
+  *
+  * Safety: every length/offset is attacker-controlled and bounds-checked;
+  * extraction inflates through the same [[GzipCodec.MaxPlainBytes]] bomb
+  * cap as the gzip path and verifies CRC-32; listing never touches entry
+  * data, so an inventory scan over a petabyte of attachments reads
+  * directory bytes only. ZIP64 archives (>4 GiB or >65535 entries)
+  * return null — row-scale payloads don't reach them.
+  */
+object ZipCodec {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  final class Entry(val name: String, val method: Int, val crc: Long,
+    val compSize: Long, val size: Long, val localOff: Long)
+
+  /** Central-directory walk -> entries, or null for anything that is not
+    * a structurally whole ZIP.
+    */
+  def entries(b: Array[Byte]): Array[Entry] = {
+    if (b == null || b.length < 22) return null
+    // EOCD: signature PK\5\6, located by backward scan over at most the
+    // maximal 64 KiB comment + the fixed 22 bytes.
+    val scanFrom = math.max(0, b.length - 22 - 0xFFFF)
+    var eocd = -1
+    var p = b.length - 22
+    while (eocd < 0 && p >= scanFrom) {
+      if (b(p) == 0x50 && b(p + 1) == 0x4B && b(p + 2) == 0x05 && b(p + 3) == 0x06 &&
+          p + 22 + le16(b, p + 20) == b.length) // comment must reach the end
+        eocd = p
+      else p -= 1
+    }
+    if (eocd < 0) return null
+    val nEntries = le16(b, eocd + 10)
+    val cdSize = le32(b, eocd + 12)
+    val cdOff = le32(b, eocd + 16)
+    if (le16(b, eocd + 8) != nEntries) return null // multi-disk: unsupported
+    if (nEntries == 0xFFFF || cdOff == 0xFFFFFFFFL) return null // ZIP64
+    if (cdOff + cdSize > eocd) return null
+    val out = new Array[Entry](nEntries)
+    var pos = cdOff.toInt
+    var i = 0
+    while (i < nEntries) {
+      if (pos + 46 > eocd) return null
+      if (!(b(pos) == 0x50 && b(pos + 1) == 0x4B && b(pos + 2) == 0x01 && b(pos + 3) == 0x02))
+        return null
+      val method = le16(b, pos + 10)
+      val crc = le32(b, pos + 16)
+      val compSize = le32(b, pos + 20)
+      val size = le32(b, pos + 24)
+      val nameLen = le16(b, pos + 28)
+      val extraLen = le16(b, pos + 30)
+      val commentLen = le16(b, pos + 32)
+      val localOff = le32(b, pos + 42)
+      if (pos + 46 + nameLen > eocd) return null
+      if (compSize == 0xFFFFFFFFL || size == 0xFFFFFFFFL) return null // ZIP64
+      val name = new String(b, pos + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      out(i) = new Entry(name, method, crc, compSize, size, localOff)
+      pos += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    out
+  }
+
+  /** Extract one entry's bytes by exact name: stored (0) and deflate (8)
+    * methods, CRC-32 verified, bomb-capped. Null when the archive is not
+    * whole, the name is absent, or verification fails.
+    */
+  def entry(b: Array[Byte], name: String): Array[Byte] = {
+    val es = entries(b)
+    if (es == null || name == null) return null
+    var i = 0
+    while (i < es.length) {
+      if (es(i).name == name) return extract(b, es(i))
+      i += 1
+    }
+    null
+  }
+
+  private def extract(b: Array[Byte], e: Entry): Array[Byte] = {
+    // Local header: PK\3\4 with its OWN name/extra lengths (they may
+    // differ from the central directory's).
+    val lo = e.localOff
+    if (lo < 0 || lo + 30 > b.length) return null
+    val p = lo.toInt
+    if (!(b(p) == 0x50 && b(p + 1) == 0x4B && b(p + 2) == 0x03 && b(p + 3) == 0x04))
+      return null
+    val dataOff = lo + 30 + le16(b, p + 26) + le16(b, p + 28)
+    if (e.size > GzipCodec.MaxPlainBytes) return null // declared bomb
+    if (dataOff + e.compSize > b.length) return null
+    val plain: Array[Byte] = e.method match {
+      case 0 => // stored
+        if (e.compSize != e.size) return null
+        java.util.Arrays.copyOfRange(b, dataOff.toInt, (dataOff + e.size).toInt)
+      case 8 => // deflate (raw)
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(b, dataOff.toInt, e.compSize.toInt)
+          val out = new Array[Byte](e.size.toInt)
+          var n = 0
+          while (n < out.length && !inf.finished()) {
+            val k =
+              try inf.inflate(out, n, out.length - n)
+              catch { case _: java.util.zip.DataFormatException => return null }
+            if (k == 0 && inf.needsInput()) return null // truncated
+            n += k
+          }
+          // declared size must be exact: neither short nor overlong
+          if (n != out.length || !inf.finished()) return null
+          out
+        } finally inf.end()
+      case _ => return null // unsupported method
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(plain)
+    if (crc.getValue != e.crc) return null
+    plain
+  }
+
+  /** `graft_zip_entries`: the directory inventory, data untouched. */
+  def listEntries(b: Array[Byte]): ArrayData = {
+    val es = entries(b)
+    if (es == null) return null
+    new GenericArrayData(es.map(e => new GenericInternalRow(Array[Any](
+      UTF8String.fromString(e.name), e.method, e.compSize, e.size)): Any))
+  }
+
+  /** WordprocessingML text extraction for a `word/document.xml` payload:
+    * single pass emitting `<w:t>` text content (entities decoded),
+    * `<w:tab/>` as TAB, `<w:br/>` as newline, and a newline at each
+    * `</w:p>` paragraph end — the public OOXML structure (ECMA-376).
+    */
+  def wordXmlText(xml: String): String = {
+    val sb = new java.lang.StringBuilder()
+    val n = xml.length
+    var i = 0
+    var inT = false
+    while (i < n) {
+      val c = xml.charAt(i)
+      if (c == '<') {
+        if (inT && xml.regionMatches(i, "</w:t", 0, 5)) inT = false
+        else if (!inT && xml.regionMatches(i, "<w:t", 0, 4) && i + 4 < n &&
+          (xml.charAt(i + 4) == '>' || xml.charAt(i + 4) == ' ')) inT = true
+        else if (!inT && xml.regionMatches(i, "<w:tab", 0, 6)) sb.append('\t')
+        else if (!inT && xml.regionMatches(i, "<w:br", 0, 5) && i + 5 < n &&
+          (xml.charAt(i + 5) == '/' || xml.charAt(i + 5) == '>' ||
+            xml.charAt(i + 5) == ' ')) sb.append('\n')
+        else if (!inT && xml.regionMatches(i, "</w:p>", 0, 6)) sb.append('\n')
+        val gt = xml.indexOf('>', i)
+        i = if (gt < 0) n else gt + 1
+      } else if (inT) {
+        if (c == '&') {
+          val semi = xml.indexOf(';', i + 1)
+          if (semi > i && semi - i <= 10) {
+            val name = xml.substring(i + 1, semi)
+            val rep = name match {
+              case "lt" => "<"
+              case "gt" => ">"
+              case "amp" => "&"
+              case "quot" => "\""
+              case "apos" => "'"
+              case _ =>
+                if (name.startsWith("#x") || name.startsWith("#X"))
+                  try new String(Character.toChars(Integer.parseInt(name.substring(2), 16)))
+                  catch { case _: Exception => null }
+                else if (name.startsWith("#"))
+                  try new String(Character.toChars(Integer.parseInt(name.substring(1))))
+                  catch { case _: Exception => null }
+                else null
+            }
+            if (rep != null) { sb.append(rep); i = semi + 1 }
+            else { sb.append(c); i += 1 }
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else i += 1
+    }
+    // trim the trailing paragraph newline (every document ends one)
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == '\n') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  /** `graft_docx_text`: extract `word/document.xml` and reduce it to
+    * plain text. Null for non-ZIP payloads or archives without the part.
+    */
+  def docxText(b: Array[Byte]): UTF8String = {
+    val xml = entry(b, "word/document.xml")
+    if (xml == null) return null
+    UTF8String.fromString(wordXmlText(new String(xml,
+      java.nio.charset.StandardCharsets.UTF_8)))
+  }
+}
+
+/** `binary` -> array<struct<name,method,compressed_size,size>>: the ZIP
+  * central-directory inventory, entry data untouched. Codegen'd.
+  */
+case class ZipEntriesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("method", IntegerType, nullable = false),
+    StructField("compressed_size", LongType, nullable = false),
+    StructField("size", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ZipCodec.listEntries(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ZipCodec.listEntries($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ZipEntriesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_zip_entries"
+}
+
+/** `(binary, string)` -> binary: one ZIP entry extracted by exact name,
+  * CRC-verified, bomb-capped. Codegen'd.
+  */
+case class ZipEntryExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string), got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(zip: Any, name: Any): Any =
+    ZipCodec.entry(zip.asInstanceOf[Array[Byte]], name.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (z, n) => s"""
+      ${ev.value} = graft.expressions.ZipCodec.entry($z, $n.toString());
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZipEntryExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_zip_entry"
+}
+
+/** `binary` -> string: plain text of a docx payload (ECMA-376
+  * WordprocessingML), or NULL. Codegen'd.
+  */
+case class DocxTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    ZipCodec.docxText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ZipCodec.docxText($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): DocxTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_docx_text"
+}

@@ -304,6 +304,48 @@ object Multimodal {
       graft.expressions.PdfTextExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** EXIF metadata (orientation, make/model, timestamp, GPS decimal
+    * degrees) from JPEG APP1 segments or bare TIFF payloads — the
+    * curation fields of photo crawls, as a native codegen'd TIFF IFD
+    * walk ([[graft.expressions.ExifMetaExpr]]). NULL when no EXIF
+    * structure exists; absent fields are NULL within the struct.
+    */
+  def exifMeta(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ExifMetaExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** ZIP central-directory inventory — array<struct<name,method,
+    * compressed_size,size>> with entry data untouched, so an attachment
+    * census over a crawl reads directory bytes only. Native codegen'd
+    * ([[graft.expressions.ZipEntriesExpr]]). NULL for non-ZIP payloads.
+    */
+  def zipEntries(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ZipEntriesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** One ZIP entry's bytes by exact name — stored and deflate methods,
+    * CRC-32 verified, inflate bomb-capped ([[graft.expressions
+    * .ZipEntryExpr]]). NULL when absent or verification fails.
+    */
+  def zipEntry(bin: Column, name: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ZipEntryExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin),
+        org.apache.spark.sql.graft.Bridge.expression(name)))
+
+  /** Plain text of a docx payload (ZIP + ECMA-376 WordprocessingML:
+    * w:t runs, w:tab, w:br, paragraph newlines, entities decoded) — the
+    * Office sibling of [[pdfText]], as a native codegen'd expression
+    * ([[graft.expressions.DocxTextExpr]]). NULL for payloads without a
+    * whole `word/document.xml`.
+    */
+  def docxText(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.DocxTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** robots.txt politeness decision (RFC 9309 core: group selection,
     * longest-rule-wins, wildcards/anchors) as a native codegen'd
     * expression ([[graft.expressions.RobotsAllowedExpr]]). Standard null

@@ -363,6 +363,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("r10 constructed-media queries (mp4/mp3/id3/m4a/boilerplate) plan as narrow maps") {
+    // Each builds its payload per row and decodes it back: the ONLY
+    // exchange allowed is the final presentation sort; a stray
+    // aggregation or join exchange would mean the kernel stopped being a
+    // row-local map.
+    for (q <- Seq("q158_mp4_video_hash", "q159_mp3_frames", "q161_id3_tags",
+        "q162_m4a_audio", "q160_boilerplate", "q163_docx_text", "q164_exif")) {
+      val p = plan(q)
+      val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toList
+      assert(exchanges.count(_.contains("rangepartitioning")) <= 1, s"$q: $p")
+      assert(!exchanges.exists(_.contains("hashpartitioning")), s"$q: $p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
   test("pair APIs with sorted=false plan no global sort (dropNearDuplicates input path)") {
     // dropNearDuplicates consumes minhashPairs(sorted = false) straight
     // into union-find / label propagation — a deterministic global sort of

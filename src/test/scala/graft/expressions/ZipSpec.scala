@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
+
+/** ZIP walk + docx text extraction against real java.util.zip archives
+  * (deflate and stored methods) and structural corruption.
+  */
+class ZipSpec extends AnyFunSuite {
+
+  private def zip(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (n, data) =>
+      z.putNextEntry(new ZipEntry(n)); z.write(data); z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private def zipStored(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (n, data) =>
+      val e = new ZipEntry(n)
+      e.setMethod(ZipEntry.STORED)
+      e.setSize(data.length); e.setCompressedSize(data.length)
+      val c = new CRC32(); c.update(data); e.setCrc(c.getValue)
+      z.putNextEntry(e); z.write(data); z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  test("entries: inventory of a deflated archive without touching data") {
+    val b = zip("a.txt" -> "alpha".getBytes, "dir/b.bin" -> Array.fill(1000)(7.toByte))
+    val es = ZipCodec.entries(b)
+    assert(es.map(_.name).toSeq == Seq("a.txt", "dir/b.bin"))
+    assert(es.forall(_.method == 8))
+    assert(es(1).size == 1000 && es(1).compSize < 1000) // runs compress
+  }
+
+  test("entry: round-trips deflate and stored methods with CRC verification") {
+    val text = "The quick brown fox. " * 40
+    val d = zip("doc.txt" -> text.getBytes)
+    val s = zipStored("doc.txt" -> text.getBytes)
+    assert(new String(ZipCodec.entry(d, "doc.txt")) == text)
+    assert(new String(ZipCodec.entry(s, "doc.txt")) == text)
+    assert(ZipCodec.entry(d, "missing.txt") == null)
+  }
+
+  test("corruption: flipped data byte fails CRC; truncation and garbage null") {
+    val b = zipStored("x" -> "payload-bytes-here".getBytes)
+    val bad = b.clone()
+    // flip a byte inside the stored data region (after the 30-byte local
+    // header + 1-byte name)
+    bad(31 + 3) = (bad(31 + 3) ^ 0x55).toByte
+    assert(ZipCodec.entry(bad, "x") == null, "CRC mismatch must null")
+    assert(ZipCodec.entries("not a zip at all".getBytes) == null)
+    assert(ZipCodec.entries(b.dropRight(5)) == null) // EOCD comment check fails
+    assert(ZipCodec.entries(null) == null)
+  }
+
+  test("wordXmlText: runs, preserved spaces, tabs, breaks, entities, paragraphs") {
+    val xml = """<?xml version="1.0"?><w:document><w:body>
+      |<w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:t xml:space="preserve"> world</w:t></w:r></w:p>
+      |<w:p><w:r><w:t>A&amp;B</w:t><w:tab/><w:t>C&#65;</w:t><w:br/><w:t>end</w:t></w:r></w:p>
+      |</w:body></w:document>""".stripMargin
+    assert(ZipCodec.wordXmlText(xml) == "Hello world\nA&B\tCA\nend")
+  }
+
+  test("docxText: full document round-trip through a real archive") {
+    val xml = """<w:document><w:body><w:p><w:r><w:t>Para one</w:t></w:r></w:p>
+      |<w:p><w:r><w:t>Para two &lt;tagged&gt;</w:t></w:r></w:p></w:body></w:document>"""
+      .stripMargin
+    val docx = zip(
+      "[Content_Types].xml" -> "<Types/>".getBytes,
+      "word/document.xml" -> xml.getBytes("UTF-8"))
+    val got = ZipCodec.docxText(docx)
+    assert(got != null && got.toString == "Para one\nPara two <tagged>")
+    // an archive without the part is not a docx
+    assert(ZipCodec.docxText(zip("other.xml" -> "<a/>".getBytes)) == null)
+  }
+
+  test("declared-size lies are rejected (inflate must match exactly)") {
+    val b = zip("x" -> Array.fill(100)(1.toByte))
+    val es = ZipCodec.entries(b)
+    assert(es != null && es.length == 1)
+    // corrupt the central directory's uncompressed size field (+24)
+    val eocdPos = {
+      var p = b.length - 22
+      while (!(b(p) == 0x50 && b(p + 1) == 0x4B && b(p + 2) == 0x05 && b(p + 3) == 0x06)) p -= 1
+      p
+    }
+    def le32(i: Int): Long = (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    val cdOff = le32(eocdPos + 16).toInt
+    val bad = b.clone()
+    bad(cdOff + 24) = 5 // size 100 -> wrong
+    assert(ZipCodec.entry(bad, "x") == null)
+  }
+}
