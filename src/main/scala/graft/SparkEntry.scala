@@ -3768,6 +3768,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 165. Office text dispatch (docx/pptx/xlsx), oracle-pinned --------------------------------------
+    // q163's STORED-zip construction generalized: each doc gets one of
+    // the three OOXML shapes (doc_id % 3) and graft_office_text must
+    // dispatch on the archive's parts and reduce the right XML dialect.
+    "q165_office_text" -> ((s, d) => {
+      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+      def le32hex(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+      // One stored entry named `name` holding `xml`: the q163 layout with
+      // the name length parameterized.
+      def storedZip(name: String, xml: org.apache.spark.sql.Column) = {
+        val nameHex = name.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+        val nl = name.length
+        val crcHex = le32hex(crc32(xml.cast("binary")))
+        val szHex = le32hex(length(xml).cast("long"))
+        val cdOff = (length(xml) + 30 + nl).cast("long")
+        unhex(concat(
+          lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crcHex, szHex, szHex, lit(le16h(nl) + "0000"), lit(nameHex),
+          hex(xml),
+          lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crcHex, szHex, szHex,
+          lit(le16h(nl) + "0000" + "0000" + "0000" + "0000" + "00000000" + "00000000"),
+          lit(nameHex),
+          lit("504B0506" + "0000" + "0000" + "0100" + "0100"),
+          le32hex(lit(46L + nl)), le32hex(cdOff), lit("0000")))
+      }
+      val docx = storedZip("word/document.xml",
+        concat(lit("<w:document><w:body><w:p><w:r><w:t>Body "), col("doc_id"),
+          lit("</w:t></w:r></w:p></w:body></w:document>")))
+      val pptx = storedZip("ppt/slides/slide1.xml",
+        concat(lit("<p:sld><a:p><a:r><a:t>Slide "), col("doc_id"),
+          lit("</a:t></a:r></a:p></p:sld>")))
+      val xlsx = storedZip("xl/sharedStrings.xml",
+        concat(lit("<sst><si><t>Cell A</t></si><si><t>Val "), col("doc_id"),
+          lit("</t></si></sst>")))
+      val payload = when(col("doc_id") % 3 === 0, docx)
+        .when(col("doc_id") % 3 === 1, pptx)
+        .otherwise(xlsx)
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.officeText(payload).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // --- 160. block-level boilerplate removal (JusText), oracle-pinned ----------------------------------
     // Pages CONSTRUCTED per row with known structure: a nav link list
     // (link density ~0.9 -> BAD), a short heading (mixed neighbours ->
@@ -5594,6 +5642,15 @@ object SparkEntry {
         |    * 1000000) / 1000000 AS gps_lat,
         |  FLOOR(((doc_id % 180) + ((doc_id * 3) % 60) / 60.0 +
         |    ((doc_id * 11) % 60) / 3600.0) * 1000000) / 1000000 AS gps_lon
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Office-dispatch oracle: expected text per format variant.
+    "q165_office_text" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'Body ' || doc_id
+        |    WHEN 1 THEN 'Slide ' || doc_id
+        |    ELSE 'Cell A' || chr(10) || 'Val ' || doc_id END AS text
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // docx oracle: expected text + inventory stated closed-form (the

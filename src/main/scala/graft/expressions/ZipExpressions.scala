@@ -145,27 +145,35 @@ object ZipCodec {
       UTF8String.fromString(e.name), e.method, e.compSize, e.size)): Any))
   }
 
-  /** WordprocessingML text extraction for a `word/document.xml` payload:
-    * single pass emitting `<w:t>` text content (entities decoded),
-    * `<w:tab/>` as TAB, `<w:br/>` as newline, and a newline at each
-    * `</w:p>` paragraph end — the public OOXML structure (ECMA-376).
+  /** Single-pass OOXML run-text extraction, shared by the three Office
+    * reductions (ECMA-376): emit `<tTag>` text content (entities
+    * decoded), optional tab/br elements, and a newline at each paragraph
+    * (or row/si) close. Tag names are matched with a following '>', ' '
+    * or '/' so `<w:t>` never matches `<w:tab>`.
     */
-  def wordXmlText(xml: String): String = {
+  private def xmlRuns(xml: String, tTag: String, pEnd: String,
+      tabTag: String, brTag: String): String = {
     val sb = new java.lang.StringBuilder()
     val n = xml.length
+    val tOpen = "<" + tTag
+    val tClose = "</" + tTag
     var i = 0
     var inT = false
+    def tagBoundary(p: Int): Boolean =
+      p >= n || xml.charAt(p) == '>' || xml.charAt(p) == ' ' || xml.charAt(p) == '/'
     while (i < n) {
       val c = xml.charAt(i)
       if (c == '<') {
-        if (inT && xml.regionMatches(i, "</w:t", 0, 5)) inT = false
-        else if (!inT && xml.regionMatches(i, "<w:t", 0, 4) && i + 4 < n &&
-          (xml.charAt(i + 4) == '>' || xml.charAt(i + 4) == ' ')) inT = true
-        else if (!inT && xml.regionMatches(i, "<w:tab", 0, 6)) sb.append('\t')
-        else if (!inT && xml.regionMatches(i, "<w:br", 0, 5) && i + 5 < n &&
-          (xml.charAt(i + 5) == '/' || xml.charAt(i + 5) == '>' ||
-            xml.charAt(i + 5) == ' ')) sb.append('\n')
-        else if (!inT && xml.regionMatches(i, "</w:p>", 0, 6)) sb.append('\n')
+        if (inT && xml.regionMatches(i, tClose, 0, tClose.length)) inT = false
+        else if (!inT && xml.regionMatches(i, tOpen, 0, tOpen.length) &&
+          tagBoundary(i + tOpen.length)) inT = true
+        else if (!inT && tabTag != null &&
+          xml.regionMatches(i, "<" + tabTag, 0, tabTag.length + 1) &&
+          tagBoundary(i + tabTag.length + 1)) sb.append('\t')
+        else if (!inT && brTag != null &&
+          xml.regionMatches(i, "<" + brTag, 0, brTag.length + 1) &&
+          tagBoundary(i + brTag.length + 1)) sb.append('\n')
+        else if (!inT && xml.regionMatches(i, pEnd, 0, pEnd.length)) sb.append('\n')
         val gt = xml.indexOf('>', i)
         i = if (gt < 0) n else gt + 1
       } else if (inT) {
@@ -199,14 +207,66 @@ object ZipCodec {
     sb.toString
   }
 
+  /** WordprocessingML reduction (`w:t` runs, `w:tab`, `w:br`, `</w:p>`
+    * paragraphs).
+    */
+  def wordXmlText(xml: String): String =
+    xmlRuns(xml, "w:t", "</w:p>", "w:tab", "w:br")
+
+  /** DrawingML reduction for pptx slides (`a:t` runs, `a:br`, `</a:p>`
+    * paragraphs).
+    */
+  def slideXmlText(xml: String): String =
+    xmlRuns(xml, "a:t", "</a:p>", "a:tab", "a:br")
+
+  /** SpreadsheetML shared-strings reduction (`t` runs, one line per
+    * `</si>` item).
+    */
+  def sharedStringsText(xml: String): String =
+    xmlRuns(xml, "t", "</si>", null, null)
+
+  private def utf8(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+
   /** `graft_docx_text`: extract `word/document.xml` and reduce it to
     * plain text. Null for non-ZIP payloads or archives without the part.
     */
   def docxText(b: Array[Byte]): UTF8String = {
     val xml = entry(b, "word/document.xml")
     if (xml == null) return null
-    UTF8String.fromString(wordXmlText(new String(xml,
-      java.nio.charset.StandardCharsets.UTF_8)))
+    UTF8String.fromString(wordXmlText(utf8(xml)))
+  }
+
+  /** `graft_office_text`: dispatch on the archive's parts — docx
+    * (`word/document.xml`), pptx (`ppt/slides/slideN.xml`, numeric slide
+    * order, slides separated by blank lines), xlsx
+    * (`xl/sharedStrings.xml`, one line per string item). Null when the
+    * payload is not a whole ZIP or matches none of the three shapes.
+    */
+  def officeText(b: Array[Byte]): UTF8String = {
+    val es = entries(b)
+    if (es == null) return null
+    if (es.exists(_.name == "word/document.xml")) return docxText(b)
+    val slideRe = "ppt/slides/slide([0-9]+)\\.xml".r
+    val slides = es.flatMap(e => e.name match {
+      case slideRe(num) => Some((num.toInt, e))
+      case _ => None
+    }).sortBy(_._1)
+    if (slides.nonEmpty) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < slides.length) {
+        val bytes = extract(b, slides(i)._2)
+        if (bytes == null) return null // corrupt slide: whole doc rejected
+        if (sb.length > 0) sb.append("\n\n")
+        sb.append(slideXmlText(utf8(bytes)))
+        i += 1
+      }
+      return UTF8String.fromString(sb.toString)
+    }
+    val shared = entry(b, "xl/sharedStrings.xml")
+    if (shared != null) return UTF8String.fromString(sharedStringsText(utf8(shared)))
+    null
   }
 }
 
@@ -261,6 +321,30 @@ case class ZipEntryExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ZipEntryExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_zip_entry"
+}
+
+/** `binary` -> string: plain text of any of the three OOXML Office
+  * formats (docx/pptx/xlsx, dispatched on the archive's parts), or
+  * NULL. Codegen'd.
+  */
+case class OfficeTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    ZipCodec.officeText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ZipCodec.officeText($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): OfficeTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_office_text"
 }
 
 /** `binary` -> string: plain text of a docx payload (ECMA-376

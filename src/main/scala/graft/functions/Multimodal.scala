@@ -346,6 +346,16 @@ object Multimodal {
       graft.expressions.DocxTextExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Plain text of any OOXML Office payload — docx body, pptx slides in
+    * numeric order, or xlsx shared strings — dispatched on the archive's
+    * parts ([[graft.expressions.OfficeTextExpr]]). NULL when the payload
+    * matches none of the three shapes.
+    */
+  def officeText(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.OfficeTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** robots.txt politeness decision (RFC 9309 core: group selection,
     * longest-rule-wins, wildcards/anchors) as a native codegen'd
     * expression ([[graft.expressions.RobotsAllowedExpr]]). Standard null

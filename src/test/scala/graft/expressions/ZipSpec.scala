@@ -84,6 +84,26 @@ class ZipSpec extends AnyFunSuite {
     assert(ZipCodec.docxText(zip("other.xml" -> "<a/>".getBytes)) == null)
   }
 
+  test("officeText: pptx slides in numeric order, xlsx shared strings, dispatch") {
+    val s1 = "<p:sld><a:p><a:r><a:t>One</a:t></a:r></a:p></p:sld>"
+    val s2 = "<p:sld><a:p><a:r><a:t>Two</a:t></a:r><a:br/><a:r><a:t>more</a:t></a:r></a:p></p:sld>"
+    val s10 = "<p:sld><a:p><a:r><a:t>Ten</a:t></a:r></a:p></p:sld>"
+    val pptx = zip(
+      "ppt/slides/slide10.xml" -> s10.getBytes, // archive order != slide order
+      "ppt/slides/slide1.xml" -> s1.getBytes,
+      "ppt/slides/slide2.xml" -> s2.getBytes)
+    assert(ZipCodec.officeText(pptx).toString == "One\n\nTwo\nmore\n\nTen")
+    val xlsx = zip("xl/sharedStrings.xml" ->
+      "<sst><si><t>Cell A</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>".getBytes)
+    assert(ZipCodec.officeText(xlsx).toString == "Cell A\nrich")
+    // docx part takes precedence when present
+    val both = zip(
+      "word/document.xml" -> "<w:p><w:r><w:t>Doc</w:t></w:r></w:p>".getBytes,
+      "xl/sharedStrings.xml" -> "<sst><si><t>x</t></si></sst>".getBytes)
+    assert(ZipCodec.officeText(both).toString == "Doc")
+    assert(ZipCodec.officeText(zip("a.txt" -> "x".getBytes)) == null)
+  }
+
   test("declared-size lies are rejected (inflate must match exactly)") {
     val b = zip("x" -> Array.fill(100)(1.toByte))
     val es = ZipCodec.entries(b)
