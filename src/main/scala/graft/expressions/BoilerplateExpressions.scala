@@ -9,6 +9,45 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Basic HTML/XML entity decoding shared by the markup reducers
+  * ([[BoilerplateCodec.segment]], [[ZipCodec]]'s OOXML run extractor):
+  * the predefined XML five plus nbsp/copy and decimal/hex numeric
+  * references. One definition so a decode fix can never apply to one
+  * reducer and miss the other.
+  */
+private[expressions] object XmlEntities {
+  /** Decode the entity starting at `i` (must point at '&'): returns the
+    * replacement text and the next scan position; unknown/malformed
+    * entities pass the '&' through literally.
+    */
+  def decode(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ("&", i + 1)
+    val name = s.substring(i + 1, semi)
+    val rep = name match {
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case "amp" => "&"
+      case "copy" => "©"
+      case _ =>
+        if (name.startsWith("#")) {
+          try {
+            val cp =
+              if (name.length > 1 && (name.charAt(1) == 'x' || name.charAt(1) == 'X'))
+                Integer.parseInt(name.substring(2), 16)
+              else Integer.parseInt(name.substring(1))
+            if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+            else null
+          } catch { case _: NumberFormatException => null }
+        } else null
+    }
+    if (rep == null) ("&", i + 1) else (rep, semi + 1)
+  }
+}
+
 /** Block-level boilerplate removal — the JusText algorithm (Pomikálek,
   * "Removing boilerplate and duplicate content from web corpora", 2011;
   * the published block-classification standard for training-corpus
@@ -174,7 +213,7 @@ object BoilerplateCodec {
           }
         }
       } else if (c == '&') {
-        val (decoded, next) = entity(html, i)
+        val (decoded, next) = XmlEntities.decode(html, i)
         sb.append(decoded)
         if (anchorDepth > 0) linkChars += decoded.length
         i = next
@@ -188,37 +227,6 @@ object BoilerplateCodec {
     out.toArray
   }
 
-  /** Basic entity decode at position i (must point at '&'): returns the
-    * replacement text and the next scan position. Unknown entities pass
-    * through literally.
-    */
-  private def entity(s: String, i: Int): (String, Int) = {
-    val n = s.length
-    val semi = s.indexOf(';', i + 1)
-    if (semi < 0 || semi - i > 10) return ("&", i + 1)
-    val name = s.substring(i + 1, semi)
-    val rep = name match {
-      case "lt" => "<"
-      case "gt" => ">"
-      case "quot" => "\""
-      case "apos" => "'"
-      case "nbsp" => " "
-      case "amp" => "&"
-      case "copy" => "©"
-      case _ =>
-        if (name.startsWith("#")) {
-          try {
-            val cp =
-              if (name.length > 1 && (name.charAt(1) == 'x' || name.charAt(1) == 'X'))
-                Integer.parseInt(name.substring(2), 16)
-              else Integer.parseInt(name.substring(1))
-            if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
-            else null
-          } catch { case _: NumberFormatException => null }
-        } else null
-    }
-    if (rep == null) ("&", i + 1) else (rep, semi + 1)
-  }
 
   /** Context-free classification — the published rule chain. */
   private def classifyContextFree(b: Block): String = {

@@ -3762,7 +3762,14 @@ object MediaCodec {
                   case 0 => if (title == null) title = text
                   case 1 => if (artist == null) artist = text
                   case 2 => if (album == null) album = text
-                  case _ => if (year == null) year = text
+                  case _ =>
+                    // TDRC (v2.4's TYER replacement) is a full ISO 8601
+                    // timestamp; the year field is its leading 4 digits —
+                    // returning the whole stamp would fragment grouping
+                    // against v1/TYER-derived "2024" values.
+                    val y = if (id == "TDRC" && text.length > 4 &&
+                      text.take(4).forall(_.isDigit)) text.take(4) else text
+                    if (year == null) year = y
                 }
               }
             }
@@ -3917,7 +3924,10 @@ object MediaCodec {
             case 0x010F if typ == 2 => make = ascii()
             case 0x0110 if typ == 2 => model = ascii()
             case 0x0132 if typ == 2 => datetime = ascii()
-            case 0x8825 if (typ == 4 || typ == 3) && count == 1 => gpsOff = u32(vp)
+            case 0x8825 if (typ == 4 || typ == 3) && count == 1 =>
+              // SHORT-typed pointer carries 2 value bytes + 2 padding:
+              // a u32 read would splice the padding into the offset.
+              gpsOff = if (typ == 3) u16(vp) else u32(vp)
             case _ =>
           } else tag match {
             case 0x0001 if typ == 2 => latRef = (b(vp) & 0xFF).toChar

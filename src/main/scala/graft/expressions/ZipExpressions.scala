@@ -116,17 +116,37 @@ object ZipCodec {
         val inf = new java.util.zip.Inflater(true)
         try {
           inf.setInput(b, dataOff.toInt, e.compSize.toInt)
-          val out = new Array[Byte](e.size.toInt)
+          // Grow toward the declared size instead of pre-allocating it:
+          // a 100-byte payload declaring 256 MiB must fail on its actual
+          // (tiny or garbage) deflate stream, not allocate the lie first
+          // (the allocation-amplification DoS the gzip path avoids the
+          // same way).
+          val declared = e.size.toInt
+          var out = new Array[Byte](math.min(declared, 64 * 1024))
           var n = 0
-          while (n < out.length && !inf.finished()) {
+          var truncated = false
+          while (!truncated && n < declared && !inf.finished()) {
+            if (n == out.length)
+              out = java.util.Arrays.copyOf(out,
+                math.min(declared, math.max(out.length * 2, 1)))
             val k =
               try inf.inflate(out, n, out.length - n)
               catch { case _: java.util.zip.DataFormatException => return null }
-            if (k == 0 && inf.needsInput()) return null // truncated
+            if (k == 0 && inf.needsInput()) truncated = true
             n += k
           }
-          // declared size must be exact: neither short nor overlong
-          if (n != out.length || !inf.finished()) return null
+          if (truncated || n != declared) return null
+          // The stream must END here: a zero-length entry still carries
+          // an empty final block (probe drives the inflater through it),
+          // and any surplus data means the declared size lied short.
+          if (!inf.finished()) {
+            val probe = new Array[Byte](1)
+            val k =
+              try inf.inflate(probe, 0, 1)
+              catch { case _: java.util.zip.DataFormatException => return null }
+            if (k != 0 || !inf.finished()) return null
+          }
+          if (out.length != declared) out = java.util.Arrays.copyOf(out, declared)
           out
         } finally inf.end()
       case _ => return null // unsupported method
@@ -164,9 +184,15 @@ object ZipCodec {
     while (i < n) {
       val c = xml.charAt(i)
       if (c == '<') {
+        val gt = xml.indexOf('>', i)
+        // A self-closing <w:t/> is an EMPTY run, not an opening tag —
+        // latching inT on it would swallow the next paragraph newline
+        // and leak inter-tag whitespace into the text (Word emits empty
+        // runs routinely).
+        val selfClosing = gt > i && xml.charAt(gt - 1) == '/'
         if (inT && xml.regionMatches(i, tClose, 0, tClose.length)) inT = false
         else if (!inT && xml.regionMatches(i, tOpen, 0, tOpen.length) &&
-          tagBoundary(i + tOpen.length)) inT = true
+          tagBoundary(i + tOpen.length) && !selfClosing) inT = true
         else if (!inT && tabTag != null &&
           xml.regionMatches(i, "<" + tabTag, 0, tabTag.length + 1) &&
           tagBoundary(i + tabTag.length + 1)) sb.append('\t')
@@ -174,31 +200,12 @@ object ZipCodec {
           xml.regionMatches(i, "<" + brTag, 0, brTag.length + 1) &&
           tagBoundary(i + brTag.length + 1)) sb.append('\n')
         else if (!inT && xml.regionMatches(i, pEnd, 0, pEnd.length)) sb.append('\n')
-        val gt = xml.indexOf('>', i)
         i = if (gt < 0) n else gt + 1
       } else if (inT) {
         if (c == '&') {
-          val semi = xml.indexOf(';', i + 1)
-          if (semi > i && semi - i <= 10) {
-            val name = xml.substring(i + 1, semi)
-            val rep = name match {
-              case "lt" => "<"
-              case "gt" => ">"
-              case "amp" => "&"
-              case "quot" => "\""
-              case "apos" => "'"
-              case _ =>
-                if (name.startsWith("#x") || name.startsWith("#X"))
-                  try new String(Character.toChars(Integer.parseInt(name.substring(2), 16)))
-                  catch { case _: Exception => null }
-                else if (name.startsWith("#"))
-                  try new String(Character.toChars(Integer.parseInt(name.substring(1))))
-                  catch { case _: Exception => null }
-                else null
-            }
-            if (rep != null) { sb.append(rep); i = semi + 1 }
-            else { sb.append(c); i += 1 }
-          } else { sb.append(c); i += 1 }
+          val (decoded, next) = XmlEntities.decode(xml, i)
+          sb.append(decoded)
+          i = next
         } else { sb.append(c); i += 1 }
       } else i += 1
     }
@@ -247,17 +254,26 @@ object ZipCodec {
     val es = entries(b)
     if (es == null) return null
     if (es.exists(_.name == "word/document.xml")) return docxText(b)
-    val slideRe = "ppt/slides/slide([0-9]+)\\.xml".r
+    // Slide number bounded to 9 digits: the pattern is attacker-named, and
+    // an unbounded [0-9]+ would throw NumberFormatException out of toInt.
+    val slideRe = "ppt/slides/slide([0-9]{1,9})\\.xml".r
     val slides = es.flatMap(e => e.name match {
       case slideRe(num) => Some((num.toInt, e))
       case _ => None
     }).sortBy(_._1)
     if (slides.nonEmpty) {
+      // Aggregate output budget: each slide is individually bomb-capped,
+      // but a central directory can declare thousands of slide entries
+      // aliasing one highly-compressible stream — total extracted bytes
+      // are held to the same 4x-payload envelope as the MP4 sample walk.
+      var budget = 4L * b.length + 65536L
       val sb = new java.lang.StringBuilder()
       var i = 0
       while (i < slides.length) {
         val bytes = extract(b, slides(i)._2)
         if (bytes == null) return null // corrupt slide: whole doc rejected
+        budget -= bytes.length
+        if (budget < 0) return null // aliased-entry amplification
         if (sb.length > 0) sb.append("\n\n")
         sb.append(slideXmlText(utf8(bytes)))
         i += 1

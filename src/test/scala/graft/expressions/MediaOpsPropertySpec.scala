@@ -124,6 +124,31 @@ class MediaOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- ZIP / EXIF totality fuzz ------------------------------------------
+  test("zip walk and exif walk: total on junk and on bit-flipped real payloads") {
+    samples(bytesGen, 300, 131L).foreach { b =>
+      ZipCodec.entries(b) // never throws
+      ZipCodec.officeText(b)
+      MediaCodec.exifMeta(b)
+    }
+    // bit-flip a real archive and a real EXIF JPEG
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write("<w:p><w:r><w:t>fuzz doc</w:t></w:r></w:p>".getBytes)
+    z.closeEntry(); z.close()
+    val goodZip = bos.toByteArray
+    val mut = for {
+      p <- Gen.choose(0, goodZip.length - 1)
+      v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield (p, v)
+    samples(mut, 400, 137L).foreach { case (p, v) =>
+      val b = goodZip.clone(); b(p) = v
+      ZipCodec.officeText(b) // null or text — never an exception
+      ZipCodec.entry(b, "word/document.xml")
+    }
+  }
+
   // --- MP4 mutation fuzz -------------------------------------------------
   test("decodeMp4: bit-flipped containers never throw") {
     // Minimal valid MP4 with two PGM samples (same layout as the

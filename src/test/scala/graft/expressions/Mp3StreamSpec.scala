@@ -107,7 +107,8 @@ class Mp3StreamSpec extends AnyFunSuite {
     val r = MediaCodec.id3Tags(tag ++ frame(9))
     assert(r.getUTF8String(0).toString == "Tîtle")
     assert(r.getUTF8String(1).toString == "Ärtist")
-    assert(r.getUTF8String(3).toString == "2020-05")
+    // TDRC is a timestamp; the year field is its leading 4 digits
+    assert(r.getUTF8String(3).toString == "2020")
   }
 
   test("ID3v2.2: 3-byte ids and sizes") {

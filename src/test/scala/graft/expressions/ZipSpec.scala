@@ -104,6 +104,26 @@ class ZipSpec extends AnyFunSuite {
     assert(ZipCodec.officeText(zip("a.txt" -> "x".getBytes)) == null)
   }
 
+  test("zero-length deflated entries extract as empty, not null") {
+    // java.util.zip writes an empty file as method=8 with a 2-byte
+    // empty-final-block stream; it must round-trip to an empty array.
+    val b = zip("empty.txt" -> Array[Byte](), "full.txt" -> "x".getBytes)
+    val got = ZipCodec.entry(b, "empty.txt")
+    assert(got != null && got.length == 0)
+    // and an empty slide must not reject the whole pptx
+    val pptx = zip(
+      "ppt/slides/slide1.xml" -> "<a:p><a:r><a:t>A</a:t></a:r></a:p>".getBytes,
+      "ppt/slides/slide2.xml" -> Array[Byte]())
+    assert(ZipCodec.officeText(pptx).toString == "A\n\n")
+  }
+
+  test("self-closing <w:t/> empty runs do not swallow paragraph breaks") {
+    val xml = "<w:p><w:r><w:t>A</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t/></w:r></w:p>" +
+      "<w:p><w:r><w:t>B</w:t></w:r></w:p>"
+    assert(ZipCodec.wordXmlText(xml) == "A\n\nB")
+  }
+
   test("declared-size lies are rejected (inflate must match exactly)") {
     val b = zip("x" -> Array.fill(100)(1.toByte))
     val es = ZipCodec.entries(b)
