@@ -3816,6 +3816,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 166. subtitle cue parse (SRT), oracle-pinned ---------------------------------------------------
+    // Two cues per doc with arithmetic-derived timestamps and markup the
+    // parser must strip; the oracle restates cue times in milliseconds
+    // and the cleaned text.
+    "q166_subtitles" -> ((s, d) => {
+      val sec1 = col("doc_id") % 50
+      val min2 = col("doc_id") % 58 + 1
+      val srt = concat(
+        lit("1\n00:00:"), lpad(sec1.cast("string"), 2, "0"),
+        lit(",500 --> 00:00:"), lpad((sec1 + 2).cast("string"), 2, "0"),
+        lit(",500\nHello <i>doc "), col("doc_id"), lit("</i>\nsecond line\n\n"),
+        lit("2\n00:"), lpad(min2.cast("string"), 2, "0"),
+        lit(":10,000 --> 00:"), lpad(min2.cast("string"), 2, "0"),
+        lit(":11,500\n{\\an8}Cue "), col("doc_id") % 9, lit("\n"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), posexplode(Multimodal.subtitleCues(srt)))
+        .select(col("doc_id"), col("col.pos").as("pos"),
+          col("col.start_ms").as("start_ms"), col("col.end_ms").as("end_ms"),
+          col("col.text").as("text"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 167. e-mail extraction (RFC 5322/MIME), oracle-pinned ------------------------------------------
+    // A multipart/alternative message per doc: folded To header,
+    // encoded-word subject (B via Spark's base64), an html part the
+    // extractor must pass over, and a quoted-printable utf-8 plain part
+    // it must decode. Oracle states every decoded field.
+    "q167_email" -> ((s, d) => {
+      val subjectWord = concat(lit("=?UTF-8?B?"),
+        base64(concat(lit("Sub "), col("doc_id")).cast("binary")), lit("?="))
+      val eml = concat(
+        lit("From: u"), col("doc_id") % 7, lit("@example.org\r\n"),
+        lit("To: first@example.org,\r\n\tsecond@example.org\r\n"),
+        lit("Subject: "), subjectWord, lit("\r\n"),
+        lit("Content-Type: multipart/alternative; boundary=\"BB\"\r\n\r\n"),
+        lit("--BB\r\nContent-Type: text/html\r\n\r\n<p>no</p>\r\n"),
+        lit("--BB\r\nContent-Type: text/plain; charset=utf-8\r\n"),
+        lit("Content-Transfer-Encoding: quoted-printable\r\n\r\n"),
+        lit("Msg "), col("doc_id"), lit(" caf=C3=A9\r\n--BB--\r\n"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.email(eml.cast("binary")).as("v"))
+        .select(col("doc_id"), col("v.from").as("from_addr"),
+          col("v.to").as("to_addr"), col("v.subject").as("subject"),
+          col("v.mime").as("mime"), col("v.body_text").as("body_text"))
+        .orderBy("doc_id")
+    }),
+
     // --- 160. block-level boilerplate removal (JusText), oracle-pinned ----------------------------------
     // Pages CONSTRUCTED per row with known structure: a nav link list
     // (link density ~0.9 -> BAD), a short heading (mixed neighbours ->
@@ -5651,6 +5700,29 @@ object SparkEntry {
         |    WHEN 0 THEN 'Body ' || doc_id
         |    WHEN 1 THEN 'Slide ' || doc_id
         |    ELSE 'Cell A' || chr(10) || 'Val ' || doc_id END AS text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Subtitle oracle: cue times in ms + cleaned text, closed-form.
+    "q166_subtitles" ->
+      """WITH r AS (SELECT doc_id, UNNEST(range(2)) AS pos
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE pos WHEN 0 THEN (doc_id % 50) * 1000 + 500
+        |    ELSE (doc_id % 58 + 1) * 60000 + 10000 END AS start_ms,
+        |  CASE pos WHEN 0 THEN (doc_id % 50 + 2) * 1000 + 500
+        |    ELSE (doc_id % 58 + 1) * 60000 + 11500 END AS end_ms,
+        |  CASE pos WHEN 0 THEN 'Hello doc ' || doc_id || chr(10) || 'second line'
+        |    ELSE 'Cue ' || (doc_id % 9) END AS text
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
+
+    // E-mail oracle: every decoded field stated directly.
+    "q167_email" ->
+      """SELECT doc_id,
+        |  'u' || (doc_id % 7) || '@example.org' AS from_addr,
+        |  'first@example.org, second@example.org' AS to_addr,
+        |  'Sub ' || doc_id AS subject,
+        |  'text/plain' AS mime,
+        |  'Msg ' || doc_id || ' café' AS body_text
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // docx oracle: expected text + inventory stated closed-form (the

@@ -1,0 +1,264 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 5322 / MIME (RFC 2045/2047) e-mail extraction — mbox and .eml
+  * corpora are a standing crawl source, and their text lives behind
+  * three public decoding layers this kernel walks: header unfolding +
+  * encoded-words, multipart boundaries, and content-transfer-encodings
+  * (quoted-printable / base64). Row-local, bounded recursion, total on
+  * junk.
+  */
+object EmailCodec {
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def charsetFor(name: String): java.nio.charset.Charset =
+    try java.nio.charset.Charset.forName(name)
+    catch { case _: Exception => Latin1 }
+
+  /** Unfolded headers of the region [start, end): (lowercased name ->
+    * raw value, first occurrence wins), plus the body start offset.
+    */
+  private def headers(b: Array[Byte], start: Int, end: Int):
+      (java.util.LinkedHashMap[String, String], Int) = {
+    val hs = new java.util.LinkedHashMap[String, String]()
+    var i = start
+    var bodyStart = end
+    var curName: String = null
+    val curVal = new java.lang.StringBuilder()
+    def commit(): Unit = {
+      if (curName != null) hs.putIfAbsent(curName, curVal.toString.trim)
+      curName = null; curVal.setLength(0)
+    }
+    var done = false
+    while (!done && i < end) {
+      // one line
+      var e = i
+      while (e < end && b(e) != '\n') e += 1
+      val lineEnd = if (e > i && b(e - 1) == '\r') e - 1 else e
+      if (lineEnd == i) { // blank line: headers over
+        commit()
+        bodyStart = math.min(e + 1, end)
+        done = true
+      } else if (b(i) == ' ' || b(i) == '\t') { // folded continuation
+        if (curName != null) {
+          curVal.append(' ')
+          curVal.append(new String(b, i, lineEnd - i, Latin1).trim)
+        }
+        i = e + 1
+      } else {
+        commit()
+        var c = i
+        while (c < lineEnd && b(c) != ':') c += 1
+        if (c < lineEnd) {
+          curName = new String(b, i, c - i, Latin1).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          curVal.append(new String(b, c + 1, lineEnd - c - 1, Latin1).trim)
+        }
+        i = e + 1
+      }
+    }
+    if (!done) commit()
+    (hs, bodyStart)
+  }
+
+  /** RFC 2047 encoded-word decoding: `=?charset?B|Q?payload?=` runs,
+    * adjacent encoded words joined without separating space (per spec).
+    */
+  def decodeEncodedWords(s: String): String = {
+    if (s == null || !s.contains("=?")) return s
+    val re = "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=".r
+    val sb = new java.lang.StringBuilder()
+    var last = 0
+    var sawWord = false // an encoded word ended exactly at `last`
+    for (m <- re.findAllMatchIn(s)) {
+      val between = s.substring(last, m.start)
+      // whitespace BETWEEN two encoded words is dropped (RFC 2047 §6.2)
+      if (!(sawWord && between.nonEmpty && between.forall(_.isWhitespace)))
+        sb.append(between)
+      val cs = charsetFor(m.group(1))
+      val payload = m.group(3)
+      val decoded =
+        if (m.group(2).equalsIgnoreCase("B")) {
+          try new String(java.util.Base64.getMimeDecoder.decode(payload), cs)
+          catch { case _: IllegalArgumentException => m.matched }
+        } else { // Q: like quoted-printable, '_' is space
+          val bytes = qpDecode(payload.replace('_', ' ').getBytes(Latin1))
+          new String(bytes, cs)
+        }
+      sb.append(decoded)
+      last = m.end
+      sawWord = true
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
+
+  /** Quoted-printable decode (RFC 2045 §6.7): `=XX` escapes, soft line
+    * breaks `=\r?\n`; malformed escapes pass through literally.
+    */
+  private def qpDecode(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    def hexAt(p: Int): Int = {
+      val c = b(p) & 0xFF
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else -1
+    }
+    while (i < b.length) {
+      val c = b(i)
+      if (c == '=') {
+        if (i + 1 < b.length && (b(i + 1) == '\n' ||
+            (b(i + 1) == '\r' && i + 2 < b.length && b(i + 2) == '\n'))) {
+          i += (if (b(i + 1) == '\r') 3 else 2) // soft break
+        } else if (i + 2 < b.length && hexAt(i + 1) >= 0 && hexAt(i + 2) >= 0) {
+          out.write((hexAt(i + 1) << 4) | hexAt(i + 2))
+          i += 3
+        } else { out.write(c); i += 1 }
+      } else { out.write(c); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  private def param(headerVal: String, name: String): String = {
+    if (headerVal == null) return null
+    val re = ("(?i)" + java.util.regex.Pattern.quote(name) +
+      "\\s*=\\s*(\"([^\"]*)\"|[^;\\s]+)").r
+    re.findFirstMatchIn(headerVal)
+      .map(m => if (m.group(2) != null) m.group(2) else m.group(1)).orNull
+  }
+
+  private def mimeType(ct: String): String =
+    if (ct == null) "text/plain"
+    else {
+      val semi = ct.indexOf(';')
+      (if (semi >= 0) ct.substring(0, semi) else ct).trim
+        .toLowerCase(java.util.Locale.ROOT)
+    }
+
+  /** Decode one leaf part's body to text per its transfer encoding and
+    * charset.
+    */
+  private def decodeBody(b: Array[Byte], start: Int, end: Int,
+      cte: String, charset: String): String = {
+    val raw = java.util.Arrays.copyOfRange(b, start, end)
+    val enc = if (cte == null) "" else cte.trim.toLowerCase(java.util.Locale.ROOT)
+    val bytes = enc match {
+      case "base64" =>
+        try java.util.Base64.getMimeDecoder.decode(
+          new String(raw, Latin1).replaceAll("\\s", ""))
+        catch { case _: IllegalArgumentException => return null }
+      case "quoted-printable" => qpDecode(raw)
+      case _ => raw // 7bit/8bit/binary
+    }
+    new String(bytes, charsetFor(if (charset == null) "UTF-8" else charset)).trim
+  }
+
+  /** First text/plain (preferred) or text/html leaf of the MIME tree
+    * under [start, end) with the given headers; bounded depth/parts.
+    * Returns (mime, text) or null.
+    */
+  private def findText(b: Array[Byte],
+      hs: java.util.LinkedHashMap[String, String],
+      bodyStart: Int, end: Int, depth: Int): (String, String) = {
+    if (depth > 8) return null
+    val ct = hs.get("content-type")
+    val mt = mimeType(ct)
+    if (mt.startsWith("multipart/")) {
+      val boundary = param(ct, "boundary")
+      if (boundary == null) return null
+      val delim = ("--" + boundary).getBytes(Latin1)
+      // collect part regions between boundary lines
+      var best: (String, String) = null
+      var p = bodyStart
+      var partStart = -1
+      var parts = 0
+      while (p <= end - delim.length && parts < 256) {
+        // boundary must start a line
+        val atLineStart = p == bodyStart || b(p - 1) == '\n'
+        if (atLineStart && (0 until delim.length).forall(k => b(p + k) == delim(k))) {
+          val closing = p + delim.length + 1 < end &&
+            b(p + delim.length) == '-' && b(p + delim.length + 1) == '-'
+          if (partStart >= 0) {
+            // part body runs to just before this boundary line
+            var pe = p - 1 // the '\n'
+            if (pe > partStart && b(pe - 1) == '\r') pe -= 1
+            val (phs, pBody) = headers(b, partStart, pe)
+            val r = findText(b, phs, pBody, pe, depth + 1)
+            if (r != null && (best == null ||
+              (best._1 != "text/plain" && r._1 == "text/plain"))) best = r
+            parts += 1
+          }
+          if (closing) return best
+          // next part starts after this line
+          var q = p
+          while (q < end && b(q) != '\n') q += 1
+          partStart = math.min(q + 1, end)
+          p = partStart
+        } else p += 1
+      }
+      best
+    } else if (mt == "text/plain" || mt == "text/html") {
+      val text = decodeBody(b, bodyStart, end,
+        hs.get("content-transfer-encoding"), param(ct, "charset"))
+      if (text == null) null else (mt, text)
+    } else null
+  }
+
+  /** `graft_email`: struct<from, to, subject, date, mime, body_text>
+    * from an RFC 5322 message. Header values are encoded-word-decoded;
+    * the body is the first text/plain leaf (preferring plain over html
+    * across multipart alternatives), transfer-decoding applied. Null
+    * when the payload has neither a From nor a Subject header (not an
+    * e-mail).
+    */
+  def email(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (b == null || b.length < 6) return null
+    val (hs, bodyStart) = headers(b, 0, b.length)
+    if (!hs.containsKey("from") && !hs.containsKey("subject")) return null
+    val body = findText(b, hs, bodyStart, b.length, 0)
+    def u(s: String) = if (s == null) null else UTF8String.fromString(s)
+    def h(n: String) = decodeEncodedWords(hs.get(n))
+    new GenericInternalRow(Array[Any](
+      u(h("from")), u(h("to")), u(h("subject")), u(hs.get("date")),
+      u(if (body == null) null else body._1),
+      u(if (body == null) null else body._2)))
+  }
+}
+
+/** `binary` -> struct<from,to,subject,date,mime,body_text> from an RFC
+  * 5322 / MIME message, or NULL. Codegen'd.
+  */
+case class EmailExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("from", StringType, nullable = true),
+    StructField("to", StringType, nullable = true),
+    StructField("subject", StringType, nullable = true),
+    StructField("date", StringType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("body_text", StringType, nullable = true)))
+  override def nullSafeEval(input: Any): Any =
+    EmailCodec.email(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.EmailCodec.email($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): EmailExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_email"
+}

@@ -1,0 +1,102 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Subtitle parsing (SRT and WebVTT) — the time-aligned text face of a
+  * video corpus: per-cue start/end milliseconds and text, the raw
+  * material for audio/visual-text alignment and caption-based dedup.
+  * Both formats are public plain-text structures (SubRip's de-facto
+  * grammar; WebVTT is a W3C spec). Row-local single pass; cue markup
+  * (`<i>`, `{\\an8}`, VTT voice/class spans) is stripped to plain text.
+  */
+object SubtitleCodec {
+
+  /** Parse `HH:MM:SS,mmm` / `H:MM:SS.mmm` / VTT's `MM:SS.mmm` into
+    * milliseconds, or -1.
+    */
+  private def timeMs(s: String): Long = {
+    val parts = s.trim.replace(',', '.').split(":")
+    if (parts.length < 2 || parts.length > 3) return -1
+    try {
+      var ms = 0.0
+      var i = 0
+      while (i < parts.length) { ms = ms * 60 + parts(i).toDouble; i += 1 }
+      val v = math.round(ms * 1000)
+      if (v < 0) -1 else v
+    } catch { case _: NumberFormatException => -1 }
+  }
+
+  private val tagRe = "<[^>]*>|\\{\\\\[^}]*\\}".r
+
+  /** Cues from an SRT or WebVTT document:
+    * array<struct<pos:int, start_ms:bigint, end_ms:bigint, text:string>>.
+    * A cue is any block whose first-or-second line contains `-->`;
+    * numeric SRT indices and VTT cue identifiers/headers/NOTE blocks are
+    * skipped. Null when no cue parses (not a subtitle payload).
+    */
+  def cues(doc: UTF8String): ArrayData = {
+    if (doc == null) return null
+    val lines = doc.toString.split("\r\n|\n|\r", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    var pos = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      val arrow = l.indexOf("-->")
+      if (arrow >= 0) {
+        val start = timeMs(l.substring(0, arrow))
+        // VTT appends cue settings after the end time: cut at whitespace.
+        val endRaw = l.substring(arrow + 3).trim
+        val sp = endRaw.indexWhere(c => c == ' ' || c == '\t')
+        val end = timeMs(if (sp >= 0) endRaw.substring(0, sp) else endRaw)
+        if (start >= 0 && end >= 0) {
+          val sb = new java.lang.StringBuilder()
+          var j = i + 1
+          while (j < lines.length && lines(j).trim.nonEmpty) {
+            if (sb.length > 0) sb.append('\n')
+            sb.append(tagRe.replaceAllIn(lines(j), ""))
+            j += 1
+          }
+          out += new GenericInternalRow(Array[Any](
+            pos, start, end, UTF8String.fromString(sb.toString)))
+          pos += 1
+          i = j
+        } else i += 1
+      } else i += 1
+    }
+    if (out.isEmpty) null else new GenericArrayData(out.toArray)
+  }
+}
+
+/** `string` -> array<struct<pos,start_ms,end_ms,text>>: SRT/WebVTT cues
+  * with markup stripped, or NULL when nothing parses. Codegen'd.
+  */
+case class SubtitleCuesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("start_ms", LongType, nullable = false),
+    StructField("end_ms", LongType, nullable = false),
+    StructField("text", StringType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SubtitleCodec.cues(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.SubtitleCodec.cues($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): SubtitleCuesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_subtitle_cues"
+}

@@ -346,6 +346,25 @@ object Multimodal {
       graft.expressions.DocxTextExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** SRT/WebVTT subtitle cues — array<struct<pos,start_ms,end_ms,text>>
+    * with markup stripped: the time-aligned text of a video corpus
+    * ([[graft.expressions.SubtitleCuesExpr]]). NULL when nothing parses.
+    */
+  def subtitleCues(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SubtitleCuesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** RFC 5322 / MIME e-mail extraction — headers with encoded-word
+    * decoding, multipart walk, quoted-printable/base64 transfer decode,
+    * first text/plain (preferred) or text/html body
+    * ([[graft.expressions.EmailExpr]]). NULL for non-mail payloads.
+    */
+  def email(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.EmailExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Plain text of any OOXML Office payload — docx body, pptx slides in
     * numeric order, or xlsx shared strings — dispatched on the archive's
     * parts ([[graft.expressions.OfficeTextExpr]]). NULL when the payload

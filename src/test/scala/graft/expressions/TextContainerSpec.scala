@@ -1,0 +1,115 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Subtitle (SRT/WebVTT) and e-mail (RFC 5322/MIME) extraction against
+  * hand-built documents covering each public structure rule.
+  */
+class TextContainerSpec extends AnyFunSuite {
+
+  private def cues(s: String): Seq[(Int, Long, Long, String)] = {
+    val r = SubtitleCodec.cues(UTF8String.fromString(s))
+    if (r == null) null
+    else (0 until r.numElements()).map { i =>
+      val row = r.getStruct(i, 4)
+      (row.getInt(0), row.getLong(1), row.getLong(2), row.getUTF8String(3).toString)
+    }
+  }
+
+  test("SRT: indices skipped, timestamps exact, multi-line cues, markup stripped") {
+    val srt = """1
+      |00:00:01,500 --> 00:00:04,000
+      |Hello <i>world</i>
+      |second line
+      |
+      |2
+      |00:01:00,000 --> 00:01:02,250
+      |{\an8}Top text
+      |""".stripMargin
+    assert(cues(srt) == Seq(
+      (0, 1500L, 4000L, "Hello world\nsecond line"),
+      (1, 60000L, 62250L, "Top text")))
+  }
+
+  test("WebVTT: header skipped, MM:SS.mmm times, cue settings after end time") {
+    val vtt = """WEBVTT
+      |
+      |intro
+      |00:05.000 --> 00:07.500 align:start line:0
+      |<v Speaker>Welcome</v>
+      |
+      |01:00:00.000 --> 01:00:01.000
+      |Hour mark
+      |""".stripMargin
+    assert(cues(vtt) == Seq(
+      (0, 5000L, 7500L, "Welcome"),
+      (1, 3600000L, 3601000L, "Hour mark")))
+  }
+
+  test("subtitles: junk and empty yield null; malformed times skipped") {
+    assert(cues("no cues here at all") == null)
+    assert(cues("") == null)
+    assert(SubtitleCodec.cues(null) == null)
+    val partial = "garbage --> more garbage\n\n00:00:01,000 --> 00:00:02,000\nok\n"
+    assert(cues(partial) == Seq((0, 1000L, 2000L, "ok")))
+  }
+
+  private def mail(s: String) = EmailCodec.email(s.getBytes("ISO-8859-1"))
+
+  test("email: unfolded headers, encoded-word subject, plain body") {
+    val eml = "From: Alice <a@example.org>\r\n" +
+      "To: b@example.org,\r\n c@example.org\r\n" +
+      "Subject: =?UTF-8?B?SMOpbGxv?= =?UTF-8?Q?_world?=\r\n" +
+      "Date: Mon, 1 Jan 2024 00:00:00 +0000\r\n" +
+      "\r\n" +
+      "Body line one.\r\nBody line two.\r\n"
+    val r = mail(eml)
+    assert(r.getUTF8String(0).toString == "Alice <a@example.org>")
+    assert(r.getUTF8String(1).toString == "b@example.org, c@example.org")
+    assert(r.getUTF8String(2).toString == "Héllo world")
+    assert(r.getUTF8String(4).toString == "text/plain")
+    assert(r.getUTF8String(5).toString == "Body line one.\r\nBody line two.")
+  }
+
+  test("email: multipart/alternative prefers text/plain; QP and base64 decode") {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "Base64 text body".getBytes("UTF-8"))
+    val eml = "From: x@y.z\r\n" +
+      "Content-Type: multipart/alternative; boundary=\"BB\"\r\n\r\n" +
+      "--BB\r\n" +
+      "Content-Type: text/html\r\n\r\n" +
+      "<p>html</p>\r\n" +
+      "--BB\r\n" +
+      "Content-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+      "caf=C3=A9 soft=\r\nwrap\r\n" +
+      "--BB--\r\n"
+    val r = mail(eml)
+    assert(r.getUTF8String(4).toString == "text/plain")
+    assert(r.getUTF8String(5).toString == "café softwrap")
+    val eml2 = "Subject: s\r\n" +
+      "Content-Type: multipart/mixed; boundary=ZZ\r\n\r\n" +
+      "--ZZ\r\n" +
+      "Content-Type: text/plain\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\n" +
+      b64 + "\r\n" +
+      "--ZZ--\r\n"
+    assert(mail(eml2).getUTF8String(5).toString == "Base64 text body")
+  }
+
+  test("email: nested multipart recursion; non-mail payloads null") {
+    val eml = "From: x@y.z\r\n" +
+      "Content-Type: multipart/mixed; boundary=OUT\r\n\r\n" +
+      "--OUT\r\n" +
+      "Content-Type: multipart/alternative; boundary=IN\r\n\r\n" +
+      "--IN\r\n" +
+      "Content-Type: text/plain\r\n\r\n" +
+      "nested plain\r\n" +
+      "--IN--\r\n" +
+      "--OUT--\r\n"
+    assert(mail(eml).getUTF8String(5).toString == "nested plain")
+    assert(EmailCodec.email("just some text without headers".getBytes) == null)
+    assert(EmailCodec.email(null) == null)
+  }
+}
