@@ -3865,6 +3865,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 168. data-URI media extraction from HTML, oracle-pinned ----------------------------------------
+    // Crawl HTML embeds media inline as data: URIs; this query pulls
+    // them back out with builtins only (regexp + unbase64 — codegen'd,
+    // no custom kernel needed for the EXTRACTION) and feeds the image
+    // payload to the perceptual-hash ladder. The page embeds a q156-style
+    // closed-form PGM (pixel offset +13) and a text note; the oracle
+    // recomputes the dHash relationally and states the note.
+    "q168_data_uris" -> ((s, d) => {
+      val w = 36; val h = 32
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y + 13) % 256
+      val rasterHex = array_join(
+        transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"))), 2, "0")), "")
+      // Spark's base64 emits MIME-chunked output (76-char lines); a data:
+      // URI is single-line, so strip the breaks at construction.
+      val imgB64 = regexp_replace(
+        base64(unhex(concat(lit(hex(lit(s"P5 $w $h 255\n"))), rasterHex))),
+        "[\\r\\n]", "")
+      val noteB64 = regexp_replace(
+        base64(concat(lit("note "), col("doc_id")).cast("binary")), "[\\r\\n]", "")
+      val html = concat(
+        lit("<p>body</p><img src=\"data:image/x-portable-graymap;base64,"),
+        imgB64,
+        lit("\"><a href=\"data:text/plain;base64,"), noteB64, lit("\">n</a>"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("__html"),
+            lit("data:[^;\"]+;base64,([A-Za-z0-9+/=]+)"), lit(0))).as("n_uris"),
+          Multimodal.imageHash(unbase64(regexp_extract(col("__html"),
+            "data:image/[^;]+;base64,([A-Za-z0-9+/=]+)", 1)))
+            .getField("dhash").as("dhash"),
+          unbase64(regexp_extract(col("__html"),
+            "data:text/plain;base64,([A-Za-z0-9+/=]+)", 1))
+            .cast("string").as("note"))
+        .orderBy("doc_id")
+    }),
+
     // --- 160. block-level boilerplate removal (JusText), oracle-pinned ----------------------------------
     // Pages CONSTRUCTED per row with known structure: a nav link list
     // (link density ~0.9 -> BAD), a short heading (mixed neighbours ->
@@ -5701,6 +5741,35 @@ object SparkEntry {
         |    WHEN 1 THEN 'Slide ' || doc_id
         |    ELSE 'Cell A' || chr(10) || 'Val ' || doc_id END AS text
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // data-URI oracle: q156's relational dHash with pixel offset +13,
+    // plus the URI census and the decoded note.
+    "q168_data_uris" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y + 13) % 256 AS DOUBLE) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y)),
+        | cells AS (
+        |  SELECT doc_id, CAST(x // 4 AS INT) AS cx, CAST(y // 4 AS INT) AS cy,
+        |    SUM(v) / 16.0 AS m
+        |  FROM px GROUP BY doc_id, x // 4, y // 4),
+        | grid AS (
+        |  SELECT l.doc_id, l.cy, l.cx, l.m AS ml, r.m AS mr
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        | bits AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN ml < mr
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx))) ELSE 0 END) AS dh
+        |  FROM grid GROUP BY doc_id)
+        |SELECT doc_id, CAST(2 AS INT) AS n_uris,
+        |  CAST(CASE WHEN dh >= CAST(1 AS HUGEINT) << 63
+        |    THEN dh - (CAST(1 AS HUGEINT) << 64) ELSE dh END AS BIGINT) AS dhash,
+        |  'note ' || doc_id AS note
+        |FROM bits ORDER BY doc_id""".stripMargin,
 
     // Subtitle oracle: cue times in ms + cleaned text, closed-form.
     "q166_subtitles" ->
