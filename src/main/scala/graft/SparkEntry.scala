@@ -3905,6 +3905,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 169. RTF text extraction, oracle-pinned --------------------------------------------------------
+    // A constructed RTF per row: font/color tables the extractor must
+    // skip, a codepage escape, a Unicode escape with fallback, and
+    // paragraph breaks. The oracle states the decoded text.
+    "q169_rtf_text" -> ((s, d) => {
+      val BS = "\\"
+      val doc = concat(
+        lit("{" + BS + "rtf1" + BS + "ansi{" + BS + "fonttbl{" + BS + "f0 Arial;}}" +
+          BS + "f0" + BS + "fs24 Doc "), col("doc_id"),
+        lit(BS + "par Caf" + BS + "'e9 item "), col("doc_id") % 7,
+        lit(BS + "par}"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"),
+          Multimodal.rtfText(doc.cast("binary")).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 170. mbox splitting + e-mail extraction (builtins + graft_email) -------------------------------
+    // An mbox is messages separated by "From " lines; the split is pure
+    // builtins (multiline regexp split + first-line strip), each message
+    // then feeding graft_email — composition at the right altitude.
+    "q170_mbox" -> ((s, d) => {
+      def msg(k: Int) = concat(
+        lit(s"From sender$k@example.org Mon Jan  1 00:0$k:00 2024\n"),
+        lit(s"From: sender$k@example.org\nSubject: M$k doc "), col("doc_id"),
+        lit(s"\n\nBody $k for "), col("doc_id"), lit("\n"))
+      val mbox = concat(msg(0), msg(1))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), posexplode(filter(
+          split(mbox, "(?m)^From "), m => m =!= "")))
+        // strip the "From " envelope line: the message starts after it
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          Multimodal.email(expr("substring(col, instr(col, '\n') + 1)")
+            .cast("binary")).as("v"))
+        .select(col("doc_id"), col("pos"),
+          col("v.from").as("from_addr"), col("v.subject").as("subject"),
+          col("v.body_text").as("body_text"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // --- 160. block-level boilerplate removal (JusText), oracle-pinned ----------------------------------
     // Pages CONSTRUCTED per row with known structure: a nav link list
     // (link density ~0.9 -> BAD), a short heading (mixed neighbours ->
@@ -5770,6 +5812,22 @@ object SparkEntry {
         |    THEN dh - (CAST(1 AS HUGEINT) << 64) ELSE dh END AS BIGINT) AS dhash,
         |  'note ' || doc_id AS note
         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    // RTF oracle: decoded text stated directly (é from the codepage escape).
+    "q169_rtf_text" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || 'Café item ' || (doc_id % 7) AS text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // mbox oracle: two extracted messages per doc.
+    "q170_mbox" ->
+      """WITH r AS (SELECT doc_id, UNNEST(range(2)) AS pos
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  'sender' || pos || '@example.org' AS from_addr,
+        |  'M' || pos || ' doc ' || doc_id AS subject,
+        |  'Body ' || pos || ' for ' || doc_id AS body_text
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
 
     // Subtitle oracle: cue times in ms + cleaned text, closed-form.
     "q166_subtitles" ->

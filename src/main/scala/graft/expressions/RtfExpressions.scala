@@ -1,0 +1,149 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RTF plain-text extraction — the public Rich Text Format structure
+  * (Microsoft's RTF specification): brace groups, `\word` control words
+  * with optional numeric parameters, `\'xx` codepage escapes, `\uN`
+  * Unicode escapes with `\ucN` fallback skipping, `\bin` raw-byte runs,
+  * and destination groups (`{\*...}`, font/color/style tables, info,
+  * embedded pictures, field instructions) whose content is NOT document
+  * text. Single pass, bounded group depth, total on junk.
+  */
+object RtfCodec {
+
+  /** Destinations whose group content is metadata, not text. `\*` marks
+    * any unknown destination as ignorable per the spec.
+    */
+  private val SkipDests: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+      "header", "footer", "footnote", "fldinst", "themedata", "datastore",
+      "listtable", "listoverridetable", "generator", "xmlnstbl")
+      .foreach(s.add)
+    s
+  }
+
+  def text(b: Array[Byte]): UTF8String = {
+    if (b == null || b.length < 5) return null
+    if (!(b(0) == '{' && b(1) == '\\' && b(2) == 'r' && b(3) == 't' && b(4) == 'f'))
+      return null
+    val sb = new java.lang.StringBuilder()
+    val n = b.length
+    var i = 0
+    var depth = 0
+    var skipDepth = -1 // inside an ignored destination while depth >= this
+    var uc = 1 // \ucN: fallback chars to skip after \uN
+    var pendingSkip = 0 // fallback bytes still to swallow after \uN
+    def skipping: Boolean = skipDepth >= 0 && depth >= skipDepth
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c == '{') { depth += 1; i += 1 }
+      else if (c == '}') {
+        depth -= 1
+        if (skipDepth >= 0 && depth < skipDepth) skipDepth = -1 // left the dest group
+        i += 1
+      } else if (c == '\\') {
+        if (i + 1 >= n) i = n
+        else {
+          val c1 = b(i + 1) & 0xFF
+          if (c1 == '\'') { // \'xx codepage escape
+            if (i + 3 < n) {
+              val hv = Integer.parseInt(
+                new String(b, i + 2, 2, java.nio.charset.StandardCharsets.US_ASCII)
+                  .replaceAll("[^0-9a-fA-F]", "0"), 16)
+              if (!skipping) {
+                if (pendingSkip > 0) pendingSkip -= 1
+                else sb.append(new String(Array(hv.toByte),
+                  java.nio.charset.Charset.forName("windows-1252")))
+              }
+              i += 4
+            } else i = n
+          } else if (c1 == '*') { // ignorable destination: skip the group
+            if (skipDepth < 0) skipDepth = depth
+            i += 2
+          } else if (!Character.isLetter(c1)) { // control symbol
+            if (!skipping && (c1 == '\\' || c1 == '{' || c1 == '}'))
+              sb.append(c1.toChar)
+            else if (!skipping && c1 == '~') sb.append(' ') // nbsp
+            i += 2
+          } else { // control word
+            var j = i + 1
+            while (j < n && Character.isLetter(b(j))) j += 1
+            val word = new String(b, i + 1, j - i - 1,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            // optional signed numeric parameter
+            var neg = false
+            var param = -1L
+            if (j < n && (b(j) == '-' || (b(j) >= '0' && b(j) <= '9'))) {
+              if (b(j) == '-') { neg = true; j += 1 }
+              param = 0
+              while (j < n && b(j) >= '0' && b(j) <= '9' && param < (1L << 31)) {
+                param = param * 10 + (b(j) - '0'); j += 1
+              }
+              if (neg) param = -param
+            }
+            if (j < n && b(j) == ' ') j += 1 // the delimiting space is consumed
+            word match {
+              case "par" | "line" | "row" => if (!skipping) sb.append('\n')
+              case "tab" | "cell" => if (!skipping) sb.append('\t')
+              case "uc" => if (param >= 0 && param <= 8) uc = param.toInt
+              case "u" =>
+                if (!skipping && param != -1L) {
+                  // \uN is a SIGNED 16-bit value per spec
+                  val cp = if (param < 0) (param + 65536).toInt else param.toInt
+                  if (Character.isValidCodePoint(cp) && cp >= 32)
+                    sb.appendCodePoint(cp)
+                  pendingSkip = uc
+                }
+              case "bin" =>
+                val skip = math.max(0L, param)
+                j = math.min(n.toLong, j + skip).toInt // raw bytes: not text
+              case w if SkipDests.contains(w) =>
+                if (skipDepth < 0) skipDepth = depth
+              case _ => // formatting word: no text effect
+            }
+            i = j
+          }
+        }
+      } else if (c == '\r' || c == '\n') i += 1 // raw newlines are ignored
+      else {
+        if (!skipping) {
+          if (pendingSkip > 0) pendingSkip -= 1
+          else sb.append(c.toChar)
+        }
+        i += 1
+      }
+    }
+    // collapse the trailing newline the final \par leaves
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == '\n') sb.setLength(sb.length - 1)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `binary` -> plain text of an RTF document, or NULL for non-RTF.
+  * Codegen'd row-local kernel.
+  */
+case class RtfTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    RtfCodec.text(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.RtfCodec.text($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): RtfTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rtf_text"
+}

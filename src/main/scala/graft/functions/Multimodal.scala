@@ -365,6 +365,15 @@ object Multimodal {
       graft.expressions.EmailExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Plain text of an RTF document — control-word walk with codepage and
+    * Unicode escapes, destination-group skipping, \\bin runs
+    * ([[graft.expressions.RtfTextExpr]]). NULL for non-RTF payloads.
+    */
+  def rtfText(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.RtfTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Plain text of any OOXML Office payload — docx body, pptx slides in
     * numeric order, or xlsx shared strings — dispatched on the archive's
     * parts ([[graft.expressions.OfficeTextExpr]]). NULL when the payload

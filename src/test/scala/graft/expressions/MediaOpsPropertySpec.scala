@@ -149,6 +149,37 @@ class MediaOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- text-container totality fuzz --------------------------------------
+  test("rtf/email/subtitle kernels: total on junk and near-miss structures") {
+    val rtfish = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("{", "}", "\\", "\\par", "\\'f", "\\'zz", "\\bin", "\\bin99",
+        "\\u", "\\u99999999", "\\uc", "{\\*", "\\rtf1"),
+      Gen.alphaNumStr)).map(l => "{\\rtf1" + l.mkString + "}")
+    samples(rtfish, 300, 139L).foreach { s =>
+      RtfCodec.text(s.getBytes("ISO-8859-1")) // never throws
+    }
+    val mailish = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("From: a\r\n", "Subject: =?bad?X?x?=\r\n", ":\r\n", "\r\n",
+        "Content-Type: multipart/mixed; boundary=\r\n", "--\r\n",
+        "Content-Transfer-Encoding: base64\r\n", "=?UTF-8?B?!!!?=\r\n"),
+      Gen.alphaNumStr)).map(_.mkString)
+    samples(mailish, 300, 149L).foreach { s =>
+      EmailCodec.email(s.getBytes("ISO-8859-1"))
+    }
+    samples(bytesGen, 200, 151L).foreach { b =>
+      RtfCodec.text(b)
+      EmailCodec.email(b)
+      SubtitleCodec.cues(org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+    }
+    val cueish = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("-->", "00:00:01,000 --> 00:00:02,000", "99:99:99,999 --> x",
+        "0:0 --> 0:0", "\n", "\n\n", "text"),
+      Gen.alphaNumStr)).map(_.mkString("\n"))
+    samples(cueish, 300, 157L).foreach { s =>
+      SubtitleCodec.cues(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    }
+  }
+
   // --- MP4 mutation fuzz -------------------------------------------------
   test("decodeMp4: bit-flipped containers never throw") {
     // Minimal valid MP4 with two PGM samples (same layout as the

@@ -57,6 +57,36 @@ class TextContainerSpec extends AnyFunSuite {
 
   private def mail(s: String) = EmailCodec.email(s.getBytes("ISO-8859-1"))
 
+  private def rtf(s: String): String = {
+    val r = RtfCodec.text(s.getBytes("ISO-8859-1"))
+    if (r == null) null else r.toString
+  }
+
+  test("RTF: control words, escapes, tables skipped, unicode with fallback") {
+    // Built by concatenation: Scala's lexer would interpret a literal
+    // backslash-u escape even inside triple quotes.
+    val BS = "\\"
+    val doc = "{" + BS + "rtf1" + BS + "ansi{" + BS + "fonttbl{" + BS + "f0 Arial;}}" +
+      "{" + BS + "colortbl;" + BS + "red0" + BS + "green0" + BS + "blue0;}\r\n" +
+      BS + "f0" + BS + "fs24 Hello world" + BS + "par\r\n" +
+      "Caf" + BS + "'e9 and " + BS + "u8364? sign" + BS + "par\r\n" +
+      "A" + BS + "tab B" + BS + "line C\r\n" +
+      "{" + BS + "*" + BS + "generator Fancy 1.0;}Done}"
+    assert(rtf(doc) == "Hello world\nCaf\u00e9 and \u20ac sign\nA\tB\nCDone")
+  }
+
+  test("RTF: escaped braces and backslash, bin runs skipped, non-RTF null") {
+    val BS = "\\"
+    assert(rtf("{" + BS + "rtf1 a" + BS + "{b" + BS + "}c" + BS + BS + "d}") ==
+      "a{b}c" + BS + "d")
+    // bin swallows raw bytes that would otherwise read as text/braces
+    assert(rtf("{" + BS + "rtf1 x" + BS + "bin5 }}}}}y}") == "xy")
+    assert(rtf("plain text") == null)
+    assert(RtfCodec.text(null) == null)
+    // negative uN escape is a signed 16-bit codepoint; '?' fallback skipped
+    assert(rtf("{" + BS + "rtf1 " + BS + "u-3841?}") == "\uf0ff")
+  }
+
   test("email: unfolded headers, encoded-word subject, plain body") {
     val eml = "From: Alice <a@example.org>\r\n" +
       "To: b@example.org,\r\n c@example.org\r\n" +
