@@ -3967,6 +3967,73 @@ object SparkEntry {
           size(filter(blocks, b => b.getField("class") === "bad")).as("bad_blocks"))
         .orderBy("doc_id")
     }),
+
+    // --- 173. TAR archive enumeration + text extraction, oracle-pinned ----------------------------------
+    // Source-tarball ingest: archives CONSTRUCTED per row byte-for-byte
+    // (512-byte ustar headers with the checksum computed IN the plan as
+    // the byte sum over the header hex — the same arithmetic the walk
+    // verifies), three shapes: dir + file, a ustar prefix-field path,
+    // and a terminator-less single file. Every entry row (name, size,
+    // typeflag, payload text) is stated closed-form by the oracle.
+    "q173_tar_entries" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      val modeHex = cc("0000644") + "00"
+      val zeroOct = cc("0000000") + "00"
+      val mtimeHex = cc("14524770400") + "00" // 1700000000 in octal
+      val magicHex = cc("ustar") + "00" + cc("00")
+      // header with the checksum field as spaces; name/prefix/content are columns
+      def hdrSpaces(nameHex: Column, size: Column, tf: Char, prefixHex: Column): Column =
+        concat(rpad(nameHex, 200, "0"),
+          lit(modeHex + zeroOct + zeroOct),
+          hex(lpad(conv(size, 10, 8), 11, "0")), lit("00"),
+          lit(mtimeHex + "20" * 8), lit(cc(tf.toString)),
+          lit("00" * 100 + magicHex + "00" * 64 + zeroOct + zeroOct),
+          rpad(prefixHex, 310, "0"), lit("00" * 12))
+      def withChk(h: Column): Column = {
+        val sum = aggregate(transform(sequence(lit(0), lit(511)),
+          i => conv(substring(h, i * 2 + 1, lit(2)), 16, 10).cast("long")),
+          lit(0L), (a, x) => a + x)
+        concat(substring(h, 1, 296), hex(lpad(conv(sum, 10, 8), 6, "0")),
+          lit("0020"), substring(h, 313, 712))
+      }
+      def hdr(name: Column, size: Column, tf: Char,
+          prefix: Column = lit("")): Column =
+        withChk(hdrSpaces(hex(name), size, tf, hex(prefix)))
+      // payload hex padded to whole 512-byte blocks
+      def pay(content: Column): Column =
+        rpad(hex(content), (ceil(length(content) / 512.0) * 1024).cast("int"),
+          lit("0"))
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val readme = concat(lit("Readme for "), id, lit("\n"))
+      val librs = concat(lit("pub fn f"), id, lit("() {}\n"))
+      val csv = concat(lit("a,b\n"), id, lit(",1\n"))
+      val arch =
+        when(m === 0, concat(
+          hdr(concat(lit("proj"), id, lit("/")), lit(0L), '5'),
+          hdr(concat(lit("proj"), id, lit("/readme.txt")), length(readme), '0'),
+          pay(readme), lit("00" * 1024)))
+        .when(m === 1, concat(
+          hdr(lit("lib.rs"), length(librs), '0',
+            prefix = concat(lit("vendor/pkg"), id)),
+          pay(librs), lit("00" * 1024)))
+        .otherwise(concat( // no two-zero-block terminator: also valid
+          hdr(concat(lit("data"), id, lit(".csv")), length(csv), '0'),
+          pay(csv)))
+      val payload = unhex(arch)
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), payload.as("tar"),
+          posexplode(Multimodal.tarEntries(payload)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col.name").as("name"),
+          col("col.size_bytes").as("size_bytes"),
+          col("col.typeflag").as("typeflag"),
+          col("col.mtime").as("mtime"),
+          Multimodal.tarText(col("tar"), col("col.name")).as("text"))
+        .orderBy("doc_id", "pos")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -5873,6 +5940,31 @@ object SparkEntry {
         |  CAST(2 AS INT) AS good_blocks,
         |  CAST(2 AS INT) AS bad_blocks
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // TAR inventory closed forms: every entry row stated per shape.
+    "q173_tar_entries" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 3 AS INT) AS m
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS pos,
+        |    CASE m WHEN 0 THEN 'proj' || s || '/'
+        |      WHEN 1 THEN 'vendor/pkg' || s || '/lib.rs'
+        |      ELSE 'data' || s || '.csv' END AS name,
+        |    CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN 14 + length(s)
+        |      ELSE 7 + length(s) END AS BIGINT) AS size_bytes,
+        |    CASE m WHEN 0 THEN '5' ELSE '0' END AS typeflag,
+        |    CAST(1700000000 AS BIGINT) AS mtime,
+        |    CASE m WHEN 0 THEN NULL
+        |      WHEN 1 THEN 'pub fn f' || s || '() {}' || chr(10)
+        |      ELSE 'a,b' || chr(10) || s || ',1' || chr(10) END AS text
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT), 'proj' || s || '/readme.txt',
+        |    CAST(12 + length(s) AS BIGINT), '0', CAST(1700000000 AS BIGINT),
+        |    'Readme for ' || s || chr(10)
+        |  FROM d WHERE m = 0)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // MP4 sample-walk oracle: identical relational dHash, frame offset 29.
     "q158_mp4_video_hash" ->

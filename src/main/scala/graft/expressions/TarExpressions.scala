@@ -1,0 +1,247 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local TAR (ustar, POSIX.1-1988 + the widely-used GNU longname
+  * extension) container access, pure JDK — the envelope of source-code
+  * distributions (`.tar.gz` release tarballs dominate code-corpus
+  * ingest the way ZIP dominates document attachments; compose with
+  * [[GzipCodec.gunzip]] for the compressed form).
+  *
+  * Structure per the public ustar layout: 512-byte header blocks with
+  * octal ASCII numeric fields, payloads rounded up to block size, the
+  * archive terminated by two zero blocks (or simply end-of-data —
+  * both accepted, as GNU and BSD tar do). The header checksum (simple
+  * byte sum with the checksum field read as spaces) is VERIFIED in
+  * both historical variants (unsigned, and signed as emitted by some
+  * early System V tars); the first mismatching header stops the walk
+  * and fails the whole payload to null — a half-parsed archive is
+  * worse than none for corpus accounting.
+  *
+  * Safety mirrors [[ZipCodec]]: every size/offset is attacker-
+  * controlled and bounds-checked; enumeration never touches payload
+  * bytes; single-entry text extraction is capped by
+  * [[GzipCodec.MaxPlainBytes]]. GNU base-256 binary sizes (entries
+  * over 8 GiB) return null — row-scale payloads don't reach them.
+  */
+object TarCodec {
+
+  private val BlockSize = 512
+
+  final class Entry(val name: String, val size: Long, val typeflag: String,
+    val mtime: Long, val dataOff: Long)
+
+  /** Octal ASCII field: leading spaces/NULs skipped, terminated by
+    * space/NUL/end; -1 for malformed (including GNU base-256 marker).
+    */
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    if ((b(off) & 0x80) != 0) return -1L // GNU base-256: out of scope
+    var i = off
+    val end = off + len
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    if (i == end) return 0L // all-blank numeric field: GNU emits for devs
+    var v = 0L
+    var any = false
+    while (i < end && b(i) != ' ' && b(i) != 0) {
+      val c = b(i)
+      if (c < '0' || c > '7' || v > (Long.MaxValue >> 3)) return -1L
+      v = (v << 3) | (c - '0')
+      any = true
+      i += 1
+    }
+    if (any) v else -1L
+  }
+
+  /** Both checksum conventions: the field itself (bytes 148-155) counts
+    * as eight spaces; everything else sums unsigned OR signed.
+    */
+  private def checksumOk(b: Array[Byte], off: Int): Boolean = {
+    val stored = octal(b, off + 148, 8)
+    if (stored < 0) return false
+    var unsigned = 0L
+    var signed = 0L
+    var i = 0
+    while (i < BlockSize) {
+      val raw = if (i >= 148 && i < 156) ' '.toByte else b(off + i)
+      unsigned += raw & 0xFF
+      signed += raw
+      i += 1
+    }
+    stored == unsigned || stored == signed
+  }
+
+  private def isZeroBlock(b: Array[Byte], off: Int): Boolean = {
+    var i = 0
+    while (i < BlockSize) {
+      if (b(off + i) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** NUL-terminated string field. */
+  private def str(b: Array[Byte], off: Int, len: Int): String = {
+    var n = 0
+    while (n < len && b(off + n) != 0) n += 1
+    new String(b, off, n, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Header walk -> entries, or null for anything that is not a
+    * structurally whole tar. Metadata entries are consumed in place:
+    * GNU 'L' longname payloads override the NEXT entry's name (the
+    * dominant long-path convention in release tarballs); 'K' longlink
+    * and pax 'x'/'g' extended headers are skipped payload-and-all
+    * (their target-entry name field is still authoritative here —
+    * documented scope, matching the ZIP walk's ZIP64 cut).
+    */
+  def entries(b: Array[Byte]): Array[Entry] = {
+    if (b == null || b.length < BlockSize) return null
+    val out = new java.util.ArrayList[Entry]()
+    var pos = 0L
+    var pendingName: String = null
+    var sawHeader = false
+    while (pos + BlockSize <= b.length) {
+      val p = pos.toInt
+      if (isZeroBlock(b, p)) {
+        // End-of-archive: a second zero block and/or padding may follow;
+        // anything non-zero after it is trailing garbage, ignored (GNU
+        // tar -i behavior).
+        return if (sawHeader) out.toArray(new Array[Entry](out.size())) else null
+      }
+      // "ustar\0" (POSIX) or "ustar " (GNU); pre-POSIX v7 has NULs —
+      // accept v7 too when the checksum holds (the field is all-NUL).
+      val magicOk = (b(p + 257) == 'u' && b(p + 258) == 's' && b(p + 259) == 't' &&
+        b(p + 260) == 'a' && b(p + 261) == 'r') || b(p + 257) == 0
+      if (!magicOk || !checksumOk(b, p)) return null
+      val size = octal(b, p + 124, 12)
+      val mtime = octal(b, p + 136, 12)
+      if (size < 0 || mtime < 0) return null
+      val dataBlocks = (size + BlockSize - 1) / BlockSize
+      val dataOff = pos + BlockSize
+      if (dataOff + dataBlocks * BlockSize > b.length) return null
+      val typeflag = b(p + 156)
+      typeflag match {
+        case 'L' => // GNU longname: payload is the next entry's path
+          if (size > 4096) return null // paths are small; anything else is hostile
+          var n = size.toInt
+          while (n > 0 && b((dataOff + n - 1).toInt) == 0) n -= 1
+          pendingName = new String(b, dataOff.toInt, n,
+            java.nio.charset.StandardCharsets.UTF_8)
+        case 'K' | 'x' | 'g' => // longlink / pax headers: skip payload
+          ()
+        case _ =>
+          val name =
+            if (pendingName != null) pendingName
+            else {
+              val base = str(b, p, 100)
+              // ustar prefix field (155 bytes), POSIX magic "ustar\0" ONLY:
+              // the old-GNU format ("ustar ") keeps atime/ctime there, which
+              // would read as a garbage prefix.
+              val prefix =
+                if (b(p + 257) == 'u' && b(p + 262) == 0) str(b, p + 345, 155)
+                else ""
+              if (prefix.isEmpty) base else prefix + "/" + base
+            }
+          pendingName = null
+          val tf = typeflag match {
+            case 0 => "0" // v7 regular file
+            case t => String.valueOf(t.toChar)
+          }
+          out.add(new Entry(name, size, tf, mtime, dataOff))
+      }
+      sawHeader = true
+      pos = dataOff + dataBlocks * BlockSize
+    }
+    if (sawHeader) out.toArray(new Array[Entry](out.size())) else null
+  }
+
+  def listEntries(b: Array[Byte]): ArrayData = {
+    val es = entries(b)
+    if (es == null) return null
+    new GenericArrayData(es.map(e => new GenericInternalRow(Array[Any](
+      UTF8String.fromString(e.name), e.size,
+      UTF8String.fromString(e.typeflag), e.mtime)): Any))
+  }
+
+  /** UTF-8 text of one regular-file entry by exact name; null when the
+    * archive is not whole, the name is absent or not a regular file,
+    * or the payload exceeds the bomb cap.
+    */
+  def entryText(b: Array[Byte], name: UTF8String): UTF8String = {
+    val es = entries(b)
+    if (es == null || name == null) return null
+    val want = name.toString
+    var i = 0
+    while (i < es.length) {
+      val e = es(i)
+      if (e.name == want && e.typeflag == "0") {
+        if (e.size > GzipCodec.MaxPlainBytes) return null
+        return UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(b, e.dataOff.toInt,
+            (e.dataOff + e.size).toInt))
+      }
+      i += 1
+    }
+    null
+  }
+}
+
+/** `binary` -> `array<struct<name,size_bytes,typeflag,mtime>>` over a tar
+  * archive's headers — payload bytes untouched, so inventorying a corpus
+  * of tarballs reads header blocks only. Null for non-tar payloads.
+  */
+case class TarEntriesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType), StructField("size_bytes", LongType),
+    StructField("typeflag", StringType), StructField("mtime", LongType))))
+  override def nullSafeEval(input: Any): Any =
+    TarCodec.listEntries(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.TarCodec.listEntries($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): TarEntriesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tar_entries"
+}
+
+/** `(binary, string)` -> UTF-8 text of the named regular-file entry,
+  * bomb-capped. Null when absent or the archive is not whole.
+  */
+case class TarEntryTextExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(tar: Any, name: Any): Any =
+    TarCodec.entryText(tar.asInstanceOf[Array[Byte]],
+      name.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) => s"""
+      ${ev.value} = graft.expressions.TarCodec.entryText($t, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TarEntryTextExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_tar_text"
+}

@@ -325,6 +325,27 @@ object Multimodal {
       graft.expressions.ZipEntriesExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Entry inventory of a TAR archive (ustar/POSIX + GNU longname) —
+    * name, size, typeflag, mtime per header block, payloads untouched,
+    * checksum-verified in both historical conventions. The source-
+    * tarball sibling of [[zipEntries]]; compose with [[gunzip]] for
+    * `.tar.gz` ([[graft.expressions.TarEntriesExpr]]). NULL for
+    * non-tar payloads.
+    */
+  def tarEntries(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TarEntriesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** UTF-8 text of one regular-file tar entry by exact name, bomb-capped
+    * ([[graft.expressions.TarEntryTextExpr]]). NULL when absent.
+    */
+  def tarText(bin: Column, name: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TarEntryTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin),
+        org.apache.spark.sql.graft.Bridge.expression(name)))
+
   /** One ZIP entry's bytes by exact name — stored and deflate methods,
     * CRC-32 verified, inflate bomb-capped ([[graft.expressions
     * .ZipEntryExpr]]). NULL when absent or verification fails.
