@@ -3968,6 +3968,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 171. PII detection + redaction, oracle-pinned ---------------------------------------------------
+    // The pre-release hygiene sweep: text CONSTRUCTED per row with one
+    // redactable instance of each category (email, intl + US phone,
+    // IPv4 + full-form IPv6, Luhn-valid card) AND the reject side inline
+    // (an out-of-range dotted quad, the same card digits failing Luhn) —
+    // the oracle states the masked text and per-category counts.
+    "q171_pii_redact" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val d4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      val d3 = lpad((col("doc_id") % 1000).cast("string"), 3, "0")
+      val oct = (col("doc_id") % 200).cast("string")
+      val text2 = concat(
+        lit("Contact user"), id, lit("@mail"), id,
+        lit(".example or call +1 555 010 "), d4,
+        lit(" / (212) 555-0"), d3, lit(". Host 10."), oct,
+        lit(".0.1 peer 2001:db8:0:0:0:0:2:1 bad 999.300.1.1"),
+        lit(" pay 4111 1111 1111 1111 ref 4111 1111 1111 1112. "),
+        substring(col("text"), 1, 40))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.piiRedact(text2).as("v"))
+        .select(col("doc_id"),
+          col("v.redacted").as("redacted"),
+          col("v.n_emails").as("n_emails"),
+          col("v.n_phones").as("n_phones"),
+          col("v.n_ips").as("n_ips"),
+          col("v.n_cards").as("n_cards"))
+        .orderBy("doc_id")
+    }),
+
     // --- 173. TAR archive enumeration + text extraction, oracle-pinned ----------------------------------
     // Source-tarball ingest: archives CONSTRUCTED per row byte-for-byte
     // (512-byte ustar headers with the checksum computed IN the plan as
@@ -5940,6 +5969,16 @@ object SparkEntry {
         |  CAST(2 AS INT) AS good_blocks,
         |  CAST(2 AS INT) AS bad_blocks
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // PII masking closed form: every placeholder and count stated.
+    "q171_pii_redact" ->
+      """SELECT doc_id,
+        |  'Contact <EMAIL> or call <PHONE> / <PHONE>. Host <IP> peer <IP>'
+        |    || ' bad 999.300.1.1 pay <CARD> ref 4111 1111 1111 1112. '
+        |    || substring(text, 1, 40) AS redacted,
+        |  CAST(1 AS INT) AS n_emails, CAST(2 AS INT) AS n_phones,
+        |  CAST(2 AS INT) AS n_ips, CAST(1 AS INT) AS n_cards
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // TAR inventory closed forms: every entry row stated per shape.
     "q173_tar_entries" ->

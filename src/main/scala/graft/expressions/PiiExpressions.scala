@@ -1,0 +1,154 @@
+package graft.expressions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PII detection + redaction for training-corpus hygiene — the published
+  * pre-release sweep (emails / phone numbers / IP addresses / payment
+  * card numbers masked with typed placeholder tokens) as one row-local
+  * pass, the approach documented for the open BigCode/StarCoder
+  * pipelines re-expressed over compiled JDK regex.
+  *
+  * Deliberately CONSERVATIVE patterns (a false redaction corrupts
+  * training text; a rare miss does not):
+  *  - e-mail: local@dotted-domain with a 2+-letter TLD;
+  *  - payment card: 13-19 digits with optional single space/hyphen
+  *    separators, digit-lookaround-bounded, and Luhn-VALIDATED — a run
+  *    failing Luhn is skipped wholesale (scanning resumes after it, so
+  *    substrings of a rejected run are never re-tested: deterministic,
+  *    and never mutates a number that is not a card);
+  *  - IPv4: strict dotted-quad with 0-255 octets enforced in-pattern
+  *    (999.300.1.1 is untouched); IPv6 in the full 8-group form
+  *    (compressed `::` forms are out of scope — on prose text the
+  *    token collides with C++ scope syntax);
+  *  - phone: international `+CC sep groups` (2-4 digit groups, 2-4 of
+  *    them) or the US `(NNN) NNN-NNNN` shape. Bare digit runs are NOT
+  *    phones here — on web text they are overwhelmingly ids/timestamps.
+  *
+  * Precedence email > card > IP > phone; spans claimed left-to-right
+  * per category, later categories cannot overlap an earlier claim.
+  */
+object PiiCodec {
+
+  private val Email = Pattern.compile(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}")
+  private val Card = Pattern.compile(
+    "(?<![0-9])(?:[0-9][ -]?){12,18}[0-9](?![0-9])")
+  private val Ipv4 = Pattern.compile(
+    "(?<![0-9.])(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}" +
+      "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(?![0-9.])")
+  private val Ipv6 = Pattern.compile(
+    "(?<![0-9A-Fa-f:])(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}(?![0-9A-Fa-f:])")
+  private val PhoneIntl = Pattern.compile(
+    "\\+[0-9]{1,3}(?:[ -][0-9]{2,4}){2,4}(?![0-9])")
+  private val PhoneUs = Pattern.compile(
+    "\\(\\d{3}\\) ?\\d{3}-\\d{4}(?![0-9])")
+
+  def luhnOk(digits: String): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  private final class Span(val start: Int, val end: Int, val tag: String)
+
+  private def claim(spans: java.util.ArrayList[Span], s: Int, e: Int,
+      tag: String): Boolean = {
+    var i = 0
+    while (i < spans.size()) {
+      val sp = spans.get(i)
+      if (s < sp.end && sp.start < e) return false
+      i += 1
+    }
+    spans.add(new Span(s, e, tag))
+    true
+  }
+
+  val Schema: StructType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false),
+    StructField("n_ips", IntegerType, nullable = false),
+    StructField("n_cards", IntegerType, nullable = false)))
+
+  def redact(u: UTF8String): GenericInternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val spans = new java.util.ArrayList[Span]()
+    var nEmails = 0; var nPhones = 0; var nIps = 0; var nCards = 0
+
+    val em = Email.matcher(s)
+    while (em.find())
+      if (claim(spans, em.start, em.end, "<EMAIL>")) nEmails += 1
+    val cm = Card.matcher(s)
+    while (cm.find()) {
+      val digits = cm.group.replaceAll("[ -]", "")
+      if (digits.length >= 13 && digits.length <= 19 && luhnOk(digits) &&
+          claim(spans, cm.start, cm.end, "<CARD>")) nCards += 1
+    }
+    val i4 = Ipv4.matcher(s)
+    while (i4.find())
+      if (claim(spans, i4.start, i4.end, "<IP>")) nIps += 1
+    val i6 = Ipv6.matcher(s)
+    while (i6.find())
+      if (claim(spans, i6.start, i6.end, "<IP>")) nIps += 1
+    val pi = PhoneIntl.matcher(s)
+    while (pi.find())
+      if (claim(spans, pi.start, pi.end, "<PHONE>")) nPhones += 1
+    val pu = PhoneUs.matcher(s)
+    while (pu.find())
+      if (claim(spans, pu.start, pu.end, "<PHONE>")) nPhones += 1
+
+    val redacted =
+      if (spans.isEmpty) u
+      else {
+        spans.sort((a, b) => Integer.compare(a.start, b.start))
+        val out = new java.lang.StringBuilder(s.length)
+        var pos = 0
+        var i = 0
+        while (i < spans.size()) {
+          val sp = spans.get(i)
+          out.append(s, pos, sp.start).append(sp.tag)
+          pos = sp.end
+          i += 1
+        }
+        out.append(s, pos, s.length)
+        UTF8String.fromString(out.toString)
+      }
+    new GenericInternalRow(Array[Any](redacted, nEmails, nPhones, nIps, nCards))
+  }
+}
+
+/** `string` -> `struct<redacted,n_emails,n_phones,n_ips,n_cards>`:
+  * typed-placeholder PII masking with per-category hit counts, one
+  * compiled-regex pass, codegen'd.
+  */
+case class PiiRedactExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = PiiCodec.Schema
+  override def nullSafeEval(input: Any): Any =
+    PiiCodec.redact(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PiiCodec.redact($c)")
+  override protected def withNewChildInternal(newChild: Expression): PiiRedactExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pii_redact"
+}

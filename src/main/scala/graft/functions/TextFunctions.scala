@@ -209,6 +209,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** PII redaction ([[graft.expressions.PiiRedactExpr]]): emails, Luhn-
+    * validated payment cards, strict IPv4 + full-form IPv6, and
+    * conservative phone shapes masked with typed placeholder tokens —
+    * `struct<redacted,n_emails,n_phones,n_ips,n_cards>` in one
+    * compiled-regex pass. The pre-release corpus hygiene sweep.
+    */
+  def piiRedact(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.PiiRedactExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Crawl-frontier URL canonicalization
     * ([[graft.expressions.UrlCanonicalizeExpr]]): RFC 3986 syntax
     * normalization (case, default ports, dot-segments, percent-escape

@@ -1,0 +1,67 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PII redaction against hand-built text covering each pattern's accept
+  * AND reject sides — the reject side is the important one (a false
+  * redaction corrupts training text).
+  */
+class PiiSpec extends AnyFunSuite {
+
+  private def run(s: String): (String, Int, Int, Int, Int) = {
+    val r = PiiCodec.redact(UTF8String.fromString(s))
+    (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+  }
+  private def red(s: String): String = run(s)._1
+
+  test("emails: dotted domains and tags redact; bare @ and trailing dot do not") {
+    assert(red("mail a.b+tag@sub.ex-1.org now") == "mail <EMAIL> now")
+    assert(red("not an@email") == "not an@email") // TLD-less
+    assert(run("x@y.io y@z.co")._2 == 2)
+  }
+
+  test("cards: Luhn decides; separators allowed; bounded at 19 digits") {
+    assert(red("pay 4111 1111 1111 1111 now") == "pay <CARD> now")
+    assert(red("pay 4111-1111-1111-1111.") == "pay <CARD>.")
+    // same digits, Luhn check fails -> untouched
+    assert(red("ref 4111 1111 1111 1112") == "ref 4111 1111 1111 1112")
+    // 20-digit run: no card-sized match with digit lookarounds
+    assert(red("id 41111111111111111115") == "id 41111111111111111115")
+    // 13-digit Luhn-valid (Visa test shape)
+    assert(red("v 4222222222222") == "v <CARD>")
+  }
+
+  test("ipv4: strict octet range; embedded-in-version strings untouched") {
+    assert(red("host 10.200.0.1 up") == "host <IP> up")
+    assert(red("gw 999.300.1.1") == "gw 999.300.1.1")
+    assert(red("ver 1.2.3.4.5") == "ver 1.2.3.4.5") // 5 groups: lookarounds block
+    assert(red("255.255.255.255") == "<IP>")
+  }
+
+  test("ipv6 full form only") {
+    assert(red("at 2001:db8:0:0:0:0:2:1 end") == "at <IP> end")
+    assert(red("time 12:30:45") == "time 12:30:45")
+    assert(red("compressed 2001:db8::1 stays") == "compressed 2001:db8::1 stays")
+  }
+
+  test("phones: international and US shapes; bare digit runs never match") {
+    assert(red("call +1 555 010 4321") == "call <PHONE>")
+    assert(red("or +49-30-1234-567") == "or <PHONE>")
+    assert(red("us (212) 555-0187!") == "us <PHONE>!")
+    assert(red("order 5551234567") == "order 5551234567")
+  }
+
+  test("precedence: a claimed span blocks later categories; counts split") {
+    val (r, e, p, i, c) = run(
+      "u9@ex.io card 4111 1111 1111 1111 ip 10.0.0.1 tel +44 20 7946 0958")
+    assert(r == "<EMAIL> card <CARD> ip <IP> tel <PHONE>")
+    assert((e, p, i, c) == (1, 1, 1, 1))
+  }
+
+  test("clean text passes through as the same instance; null in null out") {
+    val u = UTF8String.fromString("no pii here at all")
+    assert(PiiCodec.redact(u).getUTF8String(0) eq u)
+    assert(PiiCodec.redact(null) == null)
+  }
+}
