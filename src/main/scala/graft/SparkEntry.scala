@@ -3997,6 +3997,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 172. cross-document boilerplate line removal, oracle-pinned ------------------------------------
+    // The RefinedWeb/CCNet intra-site cleanup: every document of a source
+    // gets the SAME nav header and copyright footer plus a unique body
+    // line and a blank line; lines repeating across >= 2 docs of the
+    // source are removed corpus-wide (every source has >= 25 docs at all
+    // SFs), so exactly the body survives. Oracle states the cleaned text
+    // and kept/removed counts closed-form.
+    "q172_line_dedup" -> ((s, d) => {
+      val text2 = concat(
+        lit("HOME | ABOUT | "), col("source"), lit("\n"),
+        lit("doc "), col("doc_id"), lit(" "), substring(col("text"), 1, 40),
+        lit("\n  \n(c) 2024 "), col("source"))
+      Dedup.dropBoilerplateLines(
+        t(s, d, "documents").withColumn("text2", text2),
+        "doc_id", "text2", "source")
+        .orderBy("doc_id")
+    }),
+
     // --- 173. TAR archive enumeration + text extraction, oracle-pinned ----------------------------------
     // Source-tarball ingest: archives CONSTRUCTED per row byte-for-byte
     // (512-byte ustar headers with the checksum computed IN the plan as
@@ -5978,6 +5996,13 @@ object SparkEntry {
         |    || substring(text, 1, 40) AS redacted,
         |  CAST(1 AS INT) AS n_emails, CAST(2 AS INT) AS n_phones,
         |  CAST(2 AS INT) AS n_ips, CAST(1 AS INT) AS n_cards
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Boilerplate line removal closed form: body survives, counts stated.
+    "q172_line_dedup" ->
+      """SELECT doc_id,
+        |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
+        |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // TAR inventory closed forms: every entry row stated per shape.

@@ -662,4 +662,56 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("contaminated_grams"))
   }
+
+  /** Cross-document boilerplate LINE removal — the published RefinedWeb /
+    * CCNet intra-site cleanup: a line whose trimmed form repeats across at
+    * least `minDocs` distinct documents of the same group (site, domain,
+    * source) is navigation / cookie banner / footer, not content, and is
+    * removed from EVERY document of that group; survivors are reassembled
+    * in original line order. Blank lines carry no signal and are dropped.
+    * The line-granularity complement of [[repeatedNgrams]] (which counts
+    * token spans) and the relational sibling of the block-level JusText
+    * classifier (which judges one page at a time; this one uses the
+    * corpus itself as the boilerplate model).
+    *
+    * Scale shape: the exploded (group, line, id) postings are the only
+    * big shuffle — bytes per line, never whole documents; the
+    * count-distinct combines map-side, the boilerplate line set joins
+    * back as a plain equi-join on (group, trimmed line) that AQE can
+    * broadcast (it holds one row per REPEATED distinct line, inherently
+    * tiny next to the corpus), and the per-document reassembly groups on
+    * the document id. Nothing is pairwise.
+    *
+    * Output: one row per input document — `idCol`, `clean_text` (kept
+    * lines joined with '\n', empty string when everything was
+    * boilerplate), `n_kept`, `n_removed` (blank lines count as removed).
+    */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        posexplode(split(col(textCol), "\n")))
+      .select(col("id"), col("grp"), col("pos"), col("col").as("line"),
+        trim(col("col")).as("norm"))
+      .where(col("norm") =!= "")
+    val boiler = lines.groupBy("grp", "norm")
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select("grp", "norm")
+    val kept = lines.join(boiler, Seq("grp", "norm"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+    df.select(col(idCol).as("id"),
+        (size(split(col(textCol), "\n"))).as("n_lines"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0))).cast("int")
+          .as("n_removed"))
+  }
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+class LineDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // site A: shared nav + footer, unique bodies
+    (1L, "a", "MENU | HOME\nalpha body one\n\nfooter (c) site-a"),
+    (2L, "a", "MENU | HOME\nbeta body two\nfooter (c) site-a"),
+    // leading/trailing whitespace variants normalize to the same line
+    (3L, "a", "  MENU | HOME  \ngamma body three"),
+    // site B: same nav TEXT as site A but only one doc -> kept (groups
+    // are independent boilerplate models)
+    (4L, "b", "MENU | HOME\ndelta body four"),
+    // a doc that is ALL boilerplate ends up empty
+    (5L, "a", "MENU | HOME\nfooter (c) site-a")
+  ).toDF("doc_id", "site", "text")
+
+  private def run(minDocs: Int = 2) =
+    Dedup.dropBoilerplateLines(docs, "doc_id", "text", "site", minDocs)
+      .orderBy("doc_id").as[(Long, String, Int, Int)].collect().toSeq
+
+  test("repeated lines removed per group, order kept, whitespace normalized") {
+    assert(run() == Seq(
+      (1L, "alpha body one", 1, 3),        // blank line counts as removed
+      (2L, "beta body two", 1, 2),
+      (3L, "gamma body three", 1, 1),
+      (4L, "MENU | HOME\ndelta body four", 2, 0),
+      (5L, "", 0, 2)))
+  }
+
+  test("minDocs raises the bar: footer (3 docs) survives at minDocs=4") {
+    // MENU|HOME appears in 4 site-a docs, footer in 3.
+    assert(run(minDocs = 4) == Seq(
+      (1L, "alpha body one\nfooter (c) site-a", 2, 2),
+      (2L, "beta body two\nfooter (c) site-a", 2, 1),
+      (3L, "gamma body three", 1, 1),
+      (4L, "MENU | HOME\ndelta body four", 2, 0),
+      (5L, "footer (c) site-a", 1, 1)))
+  }
+
+  test("kept lines preserve their ORIGINAL spelling, not the trimmed form") {
+    val d = Seq((1L, "x", "  indented unique  \nshared\n"),
+      (2L, "x", "shared")).toDF("doc_id", "site", "text")
+    val got = Dedup.dropBoilerplateLines(d, "doc_id", "text", "site")
+      .orderBy("doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, "  indented unique  ", 1, 2), (2L, "", 0, 1)))
+  }
+}
