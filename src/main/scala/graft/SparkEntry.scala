@@ -4015,6 +4015,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 174. license identification, oracle-pinned -----------------------------------------------------
+    // The permissive-license filter every code dataset runs: 8 header
+    // shapes cycle an SPDX tag, six characteristic phrases (with comment
+    // markers and line breaks in the way), and a no-license file; the
+    // oracle states id + tier closed-form.
+    "q174_license_id" -> ((s, d) => {
+      val m = col("doc_id") % 8
+      val header =
+        when(m === 0, "// SPDX-License-Identifier: Apache-2.0\n")
+        .when(m === 1, "/* Permission is hereby granted, free of charge, " +
+          "to any person obtaining a copy */\n")
+        .when(m === 2, " * Licensed under the Apache License,\n" +
+          " * Version 2.0 (the \"License\");\n")
+        .when(m === 3, "GNU General Public License as published by\n" +
+          "the Free Software Foundation, either version 3 of the License\n")
+        .when(m === 4, "Redistribution and use in source and binary " +
+          "forms, with or without\nmodification, are permitted ... " +
+          "Neither the name of the copyright holder\n")
+        .when(m === 5, "Redistribution and use in source and binary " +
+          "forms, with or without\nmodification, are permitted\n")
+        .when(m === 6, "Permission to use, copy, modify, and/or " +
+          "distribute this software for any purpose\n")
+        .otherwise("")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TF.licenseId(concat(header, col("text"))).as("v"))
+        .select(col("doc_id"),
+          col("v.license").as("license"),
+          col("v.matched_by").as("matched_by"))
+        .orderBy("doc_id")
+    }),
+
     // --- 173. TAR archive enumeration + text extraction, oracle-pinned ----------------------------------
     // Source-tarball ingest: archives CONSTRUCTED per row byte-for-byte
     // (512-byte ustar headers with the checksum computed IN the plan as
@@ -6003,6 +6035,19 @@ object SparkEntry {
       """SELECT doc_id,
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // License id closed forms: id + detection tier per shape.
+    "q174_license_id" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT'
+        |    WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'GPL-3.0-or-later'
+        |    WHEN 4 THEN 'BSD-3-Clause' WHEN 5 THEN 'BSD-2-Clause'
+        |    WHEN 6 THEN 'ISC' ELSE NULL END AS license,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'spdx-tag' WHEN 7 THEN NULL
+        |    ELSE 'header-phrase' END AS matched_by
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // TAR inventory closed forms: every entry row stated per shape.

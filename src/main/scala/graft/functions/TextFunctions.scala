@@ -286,6 +286,57 @@ object TextFunctions {
     * the decode seam; boilerplate-level extraction is what corpus
     * pipelines actually run.)
     */
+  /** License identification for code corpora — the filter every
+    * permissively-licensed code dataset runs before training. Two
+    * detection tiers, builtins only (the whole ladder stays inside
+    * WholeStageCodegen):
+    *  1. an `SPDX-License-Identifier:` tag, the machine-readable
+    *     convention — authoritative when present, extracted verbatim;
+    *  2. characteristic-phrase matching over NORMALIZED text (lowercase,
+    *     punctuation to spaces, whitespace collapsed — so comment
+    *     markers, line breaks, and `v. 2.0` vs `Version 2.0` spelling
+    *     all wash out) for the common license headers: Apache-2.0,
+    *     LGPL before GPL (its phrase contains GPL's), GPL-3.0/2.0
+    *     or-later, MPL-2.0, BSD-3 before BSD-2 (same preamble, the
+    *     no-endorsement clause separates them), ISC, MIT, Unlicense.
+    * `struct<license, matched_by>`, both NULL when nothing matches —
+    * "no license detected" must stay distinct from any real id.
+    */
+  def licenseId(text: Column): Column = {
+    val spdx = regexp_extract(text,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
+    val norm = regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " ")
+    def hit(phrase: String): Column = norm.contains(lit(phrase))
+    val gplBase = "gnu general public license as published by the free " +
+      "software foundation either version "
+    val phrase =
+      when(hit("licensed under the apache license version 2 0"), "Apache-2.0")
+        .when(hit("gnu lesser general public license"),
+          when(hit("either version 3"), "LGPL-3.0-or-later")
+            // 2.1 is the dominant in-the-wild LGPL header; also the
+            // fallback when no either-version clause is quoted
+            .otherwise("LGPL-2.1-or-later"))
+        .when(hit(gplBase + "3"), "GPL-3.0-or-later")
+        .when(hit(gplBase + "2"), "GPL-2.0-or-later")
+        .when(hit("mozilla public license v 2 0") ||
+          hit("mozilla public license version 2 0"), "MPL-2.0")
+        .when(hit("redistribution and use in source and binary forms"),
+          when(hit("neither the name"), "BSD-3-Clause")
+            .otherwise("BSD-2-Clause"))
+        .when(hit("permission to use copy modify and or distribute this " +
+          "software for any purpose"), "ISC")
+        .when(hit("permission is hereby granted free of charge"), "MIT")
+        .when(hit("this is free and unencumbered software released into " +
+          "the public domain"), "Unlicense")
+    when(spdx =!= "",
+      struct(spdx.as("license"), lit("spdx-tag").as("matched_by")))
+      .when(phrase.isNotNull,
+        struct(phrase.as("license"), lit("header-phrase").as("matched_by")))
+      .otherwise(struct(lit(null).cast("string").as("license"),
+        lit(null).cast("string").as("matched_by")))
+  }
+
   /** HTML metadata extraction — the per-page fields every crawl index
     * keys on: <title>, meta description, canonical link, og:title. A
     * chain of codegen'd regexp_extract builtins (same discipline as

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** License identification over the canonical header snippets (public
+  * SPDX/license texts), with comment markers and line breaks in the way —
+  * exactly how the phrases appear at the top of real source files.
+  */
+class LicenseIdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def idOf(text: String): (String, String) = {
+    val r = Seq(text).toDF("t")
+      .select(TextFunctions.licenseId(col("t")).as("v"))
+      .select("v.license", "v.matched_by").collect()(0)
+    (r.getString(0), r.getString(1))
+  }
+
+  test("SPDX tag is authoritative and verbatim") {
+    assert(idOf("// SPDX-License-Identifier: Apache-2.0\ncode();") ==
+      ("Apache-2.0", "spdx-tag"))
+    assert(idOf("# SPDX-License-Identifier: GPL-3.0-only") ==
+      ("GPL-3.0-only", "spdx-tag"))
+    // tag wins over a contradicting header phrase
+    assert(idOf("/* SPDX-License-Identifier: MIT */\n" +
+      "Licensed under the Apache License, Version 2.0") == ("MIT", "spdx-tag"))
+  }
+
+  test("header phrases through comment markers and line breaks") {
+    assert(idOf("/*\n * Licensed under the Apache License,\n" +
+      " * Version 2.0 (the \"License\");\n */") == ("Apache-2.0", "header-phrase"))
+    assert(idOf("Permission is hereby granted, free of charge, to any " +
+      "person obtaining a copy") == ("MIT", "header-phrase"))
+    assert(idOf("under the terms of the GNU General Public License as " +
+      "published by\nthe Free Software Foundation, either version 3 of " +
+      "the License") == ("GPL-3.0-or-later", "header-phrase"))
+    assert(idOf("GNU General Public License as published by the Free " +
+      "Software Foundation; either version 2") == ("GPL-2.0-or-later", "header-phrase"))
+    assert(idOf("This Source Code Form is subject to the terms of the " +
+      "Mozilla Public License, v. 2.0.") == ("MPL-2.0", "header-phrase"))
+    assert(idOf("Permission to use, copy, modify, and/or distribute this " +
+      "software for any purpose with or without fee") == ("ISC", "header-phrase"))
+    assert(idOf("This is free and unencumbered software released into " +
+      "the public domain.") == ("Unlicense", "header-phrase"))
+  }
+
+  test("BSD: the no-endorsement clause separates 3-clause from 2-clause") {
+    val preamble = "Redistribution and use in source and binary forms, " +
+      "with or without modification, are permitted"
+    assert(idOf(preamble + " ... Neither the name of the copyright holder") ==
+      ("BSD-3-Clause", "header-phrase"))
+    assert(idOf(preamble) == ("BSD-2-Clause", "header-phrase"))
+  }
+
+  test("LGPL before GPL (its phrase contains GPL's), version resolved") {
+    assert(idOf("GNU Lesser General Public License as published by the " +
+      "Free Software Foundation, either version 3") == ("LGPL-3.0-or-later", "header-phrase"))
+    assert(idOf("GNU Lesser General Public License as published by the " +
+      "Free Software Foundation; either version 2.1") == ("LGPL-2.1-or-later", "header-phrase"))
+  }
+
+  test("no license: both fields NULL, distinct from every real id") {
+    val r = Seq("just some code with no legal text at all").toDF("t")
+      .select(TextFunctions.licenseId(col("t")).as("v"))
+      .select("v.license", "v.matched_by").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
