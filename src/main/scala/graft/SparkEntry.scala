@@ -4015,6 +4015,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 175. code-file quality flags, oracle-pinned ----------------------------------------------------
+    // The StarCoder/The-Stack pre-training filters over constructed
+    // source files: a clean file, an autogenerated one (marker line),
+    // and one with a 1200-char minified line; the oracle recomputes
+    // every metric and the gate relationally from the same text.
+    "q175_code_quality" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val base = concat(
+        lit("// Copyright "), id, lit("\nfn f"), id,
+        lit("() {\n  let x = "), id, lit("; // init\n\n}"))
+      val code =
+        when(m === 1, concat(lit("// DO NOT EDIT - generated by tool\n"), base))
+        .when(m === 2, concat(base, lit("\n"), repeat(lit("x"), 1200)))
+        .otherwise(base)
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.codeQualityFlags(code).as("v"))
+        .select(col("doc_id"),
+          col("v.n_lines").as("n_lines"),
+          col("v.mean_line_len").as("mean_line_len"),
+          col("v.max_line_len").as("max_line_len"),
+          col("v.alnum_frac").as("alnum_frac"),
+          col("v.comment_line_ratio").as("comment_line_ratio"),
+          col("v.blank_line_ratio").as("blank_line_ratio"),
+          col("v.autogenerated").as("autogenerated"),
+          col("v.passes").as("passes"))
+        .orderBy("doc_id")
+    }),
+
     // --- 174. license identification, oracle-pinned -----------------------------------------------------
     // The permissive-license filter every code dataset runs: 8 header
     // shapes cycle an SPDX tag, six characteristic phrases (with comment
@@ -6036,6 +6065,42 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Code quality: every metric + the gate recomputed relationally.
+    "q175_code_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 1 THEN '// DO NOT EDIT - generated by tool' || chr(10)
+        |      ELSE '' END
+        |    || '// Copyright ' || doc_id || chr(10)
+        |    || 'fn f' || doc_id || '() {' || chr(10)
+        |    || '  let x = ' || doc_id || '; // init' || chr(10) || chr(10) || '}'
+        |    || CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 2 THEN chr(10) || repeat('x', 1200) ELSE '' END AS code
+        |  FROM documents),
+        | l AS (SELECT doc_id, unnest(string_split(code, chr(10))) AS line FROM d),
+        | s AS (SELECT doc_id,
+        |    CAST(count(*) AS INT) AS n_lines,
+        |    SUM(length(line)) * 1.0 / count(*) AS mean_line_len,
+        |    CAST(max(length(line)) AS INT) AS max_line_len,
+        |    SUM(CASE WHEN regexp_matches(trim(line), '^(//|#|\*|/\*|--)')
+        |      THEN 1 ELSE 0 END) * 1.0 / count(*) AS comment_line_ratio,
+        |    SUM(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |      AS blank_line_ratio
+        |  FROM l GROUP BY doc_id),
+        | c AS (SELECT doc_id,
+        |    length(regexp_replace(code, '[^A-Za-z0-9]', '', 'g')) * 1.0
+        |      / length(code) AS alnum_frac,
+        |    regexp_matches(lower(code),
+        |      'auto[- ]?generated|automatically generated|do not edit|generated by')
+        |      AS autogenerated
+        |  FROM d)
+        |SELECT s.doc_id, n_lines, mean_line_len, max_line_len, alnum_frac,
+        |  comment_line_ratio, blank_line_ratio, autogenerated,
+        |  (max_line_len <= 1000 AND mean_line_len <= 100
+        |    AND alnum_frac >= 0.25 AND NOT autogenerated) AS passes
+        |FROM s JOIN c ON s.doc_id = c.doc_id ORDER BY s.doc_id""".stripMargin,
 
     // License id closed forms: id + detection tier per shape.
     "q174_license_id" ->

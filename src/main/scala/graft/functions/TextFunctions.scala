@@ -152,6 +152,47 @@ object TextFunctions {
       passes.as("passes"))
   }
 
+  /** Code-file quality flags — the published filters the open
+    * StarCoder/The-Stack pipeline applies before training on source
+    * code, as one builtin struct (the code sibling of
+    * [[gopherQualityFlags]]): line-length stats (data files and
+    * minified bundles show up as extreme max/mean line length),
+    * alphanumeric fraction (binary-ish or symbol-soup files score low),
+    * comment / blank line ratios, and autogenerated-file detection
+    * ("do not edit" / "auto-generated" / "generated by" markers —
+    * generated code is near-duplicate boilerplate at corpus scale).
+    * `passes` applies the published-convention gate: max line <= 1000,
+    * mean line <= 100, alnum fraction >= 0.25, not autogenerated.
+    */
+  def codeQualityFlags(text: Column): Column = {
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val nLinesD = greatest(nLines, lit(1)).cast("double")
+    val lens = transform(lines, l => length(l))
+    val meanLen = aggregate(lens, lit(0L), (a, x) => a + x.cast("bigint"))
+      .cast("double") / nLinesD
+    val maxLen = coalesce(array_max(lens), lit(0))
+    val alnumFrac = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+    val commentRatio = size(filter(lines, l =>
+      trim(l).rlike("^(//|#|\\*|/\\*|--)"))).cast("double") / nLinesD
+    val blankRatio = size(filter(lines, l => trim(l) === ""))
+      .cast("double") / nLinesD
+    val autogen = lower(text).rlike(
+      "auto[- ]?generated|automatically generated|do not edit|generated by")
+    val passes = maxLen <= 1000 && meanLen <= 100.0 &&
+      alnumFrac >= 0.25 && !autogen
+    struct(
+      nLines.as("n_lines"),
+      meanLen.as("mean_line_len"),
+      maxLen.as("max_line_len"),
+      alnumFrac.as("alnum_frac"),
+      commentRatio.as("comment_line_ratio"),
+      blankRatio.as("blank_line_ratio"),
+      autogen.as("autogenerated"),
+      passes.as("passes"))
+  }
+
   /** Character-trigram language ID (Cavnar–Trenkle rank profiles over 11
     * embedded languages — ar de en es fr it ja nl pt ru zh), as a native
     * codegen'd expression ([[graft.expressions.LangIdExpr]]). Returns an
