@@ -4015,6 +4015,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 176. Ogg Vorbis/Opus header walk, oracle-pinned ------------------------------------------------
+    // Streams CONSTRUCTED per row as real RFC 3533 pages (ident header
+    // page + audio pages with the duration in the LAST granule
+    // position): vorbis stereo 44.1k, opus mono with a 312-sample
+    // pre-skip on the 48 kHz granule clock, and a 3-page vorbis 8k
+    // walk. Arithmetic picks granules so durations are exact integers;
+    // the oracle states every field closed-form.
+    "q176_ogg_header" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def le(v: Long, nb: Int) =
+        (0 until nb).map(i => f"${(v >> (8 * i)) & 0xFF}%02X").mkString
+      def leC(v: Column, nb: Int) = concat((0 until nb).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * i), lit(256))), 2, "0")): _*)
+      def pageHex(flags: String, granule: Column, serial: Long, seq: Long,
+          payloadHex: Column) =
+        concat(lit(cc("OggS") + "00" + flags), leC(granule, 8),
+          lit(le(serial, 4) + le(seq, 4) + "00000000" + "01"),
+          lpad(hex((length(payloadHex) / 2).cast("int")), 2, "0"), payloadHex)
+      def vIdent(ch: Int, rate: Long) = "01" + cc("vorbis") + "00000000" +
+        f"$ch%02X" + le(rate, 4) + "00" * 12 + "B8" + "01"
+      val opusHead = cc("OpusHead") + "01" + "01" + le(312, 2) +
+        le(48000, 4) + "0000" + "00"
+      val n = (col("doc_id") % 1000 + 1)
+      val m = col("doc_id") % 3
+      val stream =
+        when(m === 0, concat(
+          pageHex("02", lit(0L), 7, 0, lit(vIdent(2, 44100))),
+          pageHex("04", n * 441, 7, 1, lit("AA"))))
+        .when(m === 1, concat(
+          pageHex("02", lit(0L), 9, 0, lit(opusHead)),
+          pageHex("04", n * 480 + 312, 9, 1, lit("BB"))))
+        .otherwise(concat(
+          pageHex("02", lit(0L), 7, 0, lit(vIdent(1, 8000))),
+          pageHex("00", n * 4, 7, 1, lit("CC")),
+          pageHex("04", n * 8, 7, 2, lit("DD"))))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.oggHeader(unhex(stream)).as("v"))
+        .select(col("doc_id"),
+          col("v.codec").as("codec"),
+          col("v.channels").as("channels"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.n_samples").as("n_samples"),
+          col("v.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // --- 175. code-file quality flags, oracle-pinned ----------------------------------------------------
     // The StarCoder/The-Stack pre-training filters over constructed
     // source files: a clean file, an autogenerated one (marker line),
@@ -6065,6 +6113,21 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Ogg header closed forms: all fields stated per shape.
+    "q176_ogg_header" ->
+      """SELECT doc_id,
+        |  CASE m WHEN 1 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(CASE m WHEN 0 THEN 2 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE m WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 8000 END
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(CASE m WHEN 0 THEN n * 441 WHEN 1 THEN n * 480 ELSE n * 8 END
+        |    AS BIGINT) AS n_samples,
+        |  CAST(CASE m WHEN 2 THEN n ELSE n * 10 END AS BIGINT) AS duration_ms
+        |FROM (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+        |    doc_id % 1000 + 1 AS n
+        |  FROM documents WHERE doc_id < 400)
+        |ORDER BY doc_id""".stripMargin,
 
     // Code quality: every metric + the gate recomputed relationally.
     "q175_code_quality" ->

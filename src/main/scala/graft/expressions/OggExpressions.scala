@@ -1,0 +1,141 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Ogg container header walk (RFC 3533 page structure) with Vorbis
+  * (Xiph spec) and Opus (RFC 7845) identification headers — the
+  * dominant open web-audio envelope, closing the header-ladder seam
+  * beside MP3/FLAC/WAV/MP4.
+  *
+  * What a corpus inventory needs is codec/channels/rate/duration, and
+  * duration in Ogg lives in the LAST page's granule position (sample
+  * count at the codec clock — the codec's own rate for Vorbis, 48 kHz
+  * always for Opus, with the pre-skip priming samples deducted per
+  * RFC 7845 §4.1), so the walk traverses every page header: 27 bytes +
+  * segment table per page, payload bytes SKIPPED, not read. Page CRCs
+  * protect payload integrity and are not verified by this
+  * structure-only walk (the [[ZipCodec]] inventory/extract split);
+  * a malformed FIRST page nulls the payload, while a malformed or
+  * truncated page mid-stream ENDS the walk keeping the duration seen
+  * so far — truncated downloads are routine in crawl data and their
+  * prefix inventory is still valid. Grouped/chained streams: pages are
+  * filtered to the first bitstream's serial number.
+  */
+object OggCodec {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
+
+  private def isPage(b: Array[Byte], p: Int): Boolean =
+    p + 27 <= b.length && b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' &&
+      b(p + 3) == 'S' && b(p + 4) == 0
+
+  /** (headerLen, payloadLen) of the page at p, or null if malformed. */
+  private def pageLens(b: Array[Byte], p: Int): (Int, Int) = {
+    val nseg = b(p + 26) & 0xFF
+    if (p + 27 + nseg > b.length) return null
+    var payload = 0
+    var i = 0
+    while (i < nseg) { payload += b(p + 27 + i) & 0xFF; i += 1 }
+    (27 + nseg, payload)
+  }
+
+  val Schema: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", LongType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  def header(b: Array[Byte]): GenericInternalRow = {
+    if (b == null || !isPage(b, 0)) return null
+    val lens0 = pageLens(b, 0)
+    if (lens0 == null) return null
+    val (hdr0, pay0) = lens0
+    if (pay0 < 8 || hdr0 + pay0 > b.length) return null
+    val serial = le32(b, 14)
+    val id = hdr0 // identification-header payload start
+
+    var codec: String = null
+    var channels = 0
+    var rate = 0L
+    var preSkip = 0L
+    var clock = 0L // granule clock rate
+    if (pay0 >= 30 && b(id) == 0x01 && b(id + 1) == 'v' && b(id + 2) == 'o' &&
+        b(id + 3) == 'r' && b(id + 4) == 'b' && b(id + 5) == 'i' &&
+        b(id + 6) == 's' && le32(b, id + 7) == 0L) {
+      codec = "vorbis"
+      channels = b(id + 11) & 0xFF
+      rate = le32(b, id + 12)
+      clock = rate
+    } else if (pay0 >= 19 && b(id) == 'O' && b(id + 1) == 'p' &&
+        b(id + 2) == 'u' && b(id + 3) == 's' && b(id + 4) == 'H' &&
+        b(id + 5) == 'e' && b(id + 6) == 'a' && b(id + 7) == 'd') {
+      codec = "opus"
+      channels = b(id + 9) & 0xFF
+      preSkip = le16(b, id + 10)
+      rate = le32(b, id + 12) // informational input rate
+      clock = 48000L          // Opus granules always tick at 48 kHz
+    } else return null
+    if (channels == 0 || rate <= 0) return null
+
+    // Page walk: last non-(-1) granule position of this serial wins.
+    var lastGranule = -1L
+    var pos = hdr0 + pay0
+    var ok = true
+    while (ok && pos < b.length) {
+      if (!isPage(b, pos)) ok = false
+      else {
+        val lens = pageLens(b, pos)
+        if (lens == null || pos + lens._1 + lens._2 > b.length) ok = false
+        else {
+          if (le32(b, pos + 14) == serial) {
+            val g = le64(b, pos + 6)
+            if (g != -1L) lastGranule = g
+          }
+          pos += lens._1 + lens._2
+        }
+      }
+    }
+    val nSamples =
+      if (lastGranule < 0) 0L
+      else math.max(0L, lastGranule - preSkip)
+    val durationMs = nSamples * 1000L / clock
+    new GenericInternalRow(Array[Any](UTF8String.fromString(codec),
+      channels, rate, nSamples, durationMs))
+  }
+}
+
+/** `binary` -> `struct<codec,channels,sample_rate,n_samples,duration_ms>`
+  * over an Ogg Vorbis/Opus payload; header-only (payload bytes skipped).
+  * Null for anything that is not a well-formed first Ogg page.
+  */
+case class OggHeaderExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = OggCodec.Schema
+  override def nullSafeEval(input: Any): Any =
+    OggCodec.header(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.OggCodec.header($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): OggHeaderExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ogg_header"
+}

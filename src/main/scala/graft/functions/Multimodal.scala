@@ -325,6 +325,17 @@ object Multimodal {
       graft.expressions.ZipEntriesExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Ogg Vorbis/Opus header walk ([[graft.expressions.OggHeaderExpr]]):
+    * codec, channels, sample rate, and duration from the LAST page's
+    * granule position (48 kHz clock minus pre-skip for Opus per
+    * RFC 7845) — page headers traversed, payload bytes skipped. NULL
+    * for non-Ogg payloads.
+    */
+  def oggHeader(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.OggHeaderExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Entry inventory of a TAR archive (ustar/POSIX + GNU longname) —
     * name, size, typeflag, mtime per header block, payloads untouched,
     * checksum-verified in both historical conventions. The source-

@@ -1,0 +1,102 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ogg page walk against hand-built streams: Vorbis and Opus ident
+  * headers, last-granule duration, Opus pre-skip and 48 kHz clock,
+  * serial filtering, truncation tolerance, hostile shapes.
+  */
+class OggSpec extends AnyFunSuite {
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >>> (8 * i)) & 0xFF).toByte).toArray
+
+  private def page(flags: Int, granule: Long, serial: Int, seq: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 255)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0) // version
+    out.write(flags)
+    out.write(le(granule, 8))
+    out.write(le(serial.toLong, 4))
+    out.write(le(seq.toLong, 4))
+    out.write(le(0L, 4)) // CRC: structure-only walk does not verify
+    out.write(1)         // one segment
+    out.write(payload.length)
+    out.write(payload)
+    out.toByteArray
+  }
+
+  private def vorbisIdent(channels: Int, rate: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1); out.write("vorbis".getBytes("US-ASCII"))
+    out.write(le(0L, 4)); out.write(channels); out.write(le(rate, 4))
+    out.write(new Array[Byte](12)); out.write(0xB8); out.write(1)
+    out.toByteArray
+  }
+
+  private def opusHead(channels: Int, preSkip: Int, rate: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OpusHead".getBytes("US-ASCII"))
+    out.write(1); out.write(channels); out.write(le(preSkip.toLong, 2))
+    out.write(le(rate, 4)); out.write(le(0L, 2)); out.write(0)
+    out.toByteArray
+  }
+
+  private def hdr(b: Array[Byte]): (String, Int, Long, Long, Long) = {
+    val r = OggCodec.header(b)
+    if (r == null) null
+    else (r.getUTF8String(0).toString, r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+  }
+
+  private def cat(parts: Array[Byte]*): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(); parts.foreach(o.write); o.toByteArray
+  }
+
+  test("vorbis: codec fields + duration from the last granule") {
+    val s = cat(
+      page(0x02, 0, 7, 0, vorbisIdent(2, 44100)),
+      page(0x00, 22050, 7, 1, Array[Byte](1, 2, 3)),
+      page(0x04, 44100, 7, 2, Array[Byte](4, 5)))
+    assert(hdr(s) == ("vorbis", 2, 44100L, 44100L, 1000L))
+  }
+
+  test("opus: 48 kHz granule clock, pre-skip deducted") {
+    val s = cat(
+      page(0x02, 0, 9, 0, opusHead(1, 312, 48000)),
+      page(0x04, 48312, 9, 1, Array[Byte](0)))
+    assert(hdr(s) == ("opus", 1, 48000L, 48000L, 1000L))
+  }
+
+  test("pages of other serials are ignored (grouped streams)") {
+    val s = cat(
+      page(0x02, 0, 7, 0, vorbisIdent(1, 8000)),
+      page(0x02, 0, 8, 0, opusHead(2, 0, 48000)), // second bitstream BOS
+      page(0x04, 999999, 8, 1, Array[Byte](0)),   // its EOS: ignored
+      page(0x04, 4000, 7, 1, Array[Byte](0)))
+    assert(hdr(s) == ("vorbis", 1, 8000L, 4000L, 500L))
+  }
+
+  test("truncated tail keeps the prefix duration; -1 granules skipped") {
+    val whole = cat(
+      page(0x02, 0, 7, 0, vorbisIdent(1, 8000)),
+      page(0x00, 2000, 7, 1, Array[Byte](1)),
+      page(0x00, -1L, 7, 2, Array[Byte](2)), // continuation page: no granule
+      page(0x04, 8000, 7, 3, Array[Byte](3)))
+    assert(hdr(whole) == ("vorbis", 1, 8000L, 8000L, 1000L))
+    val cut = java.util.Arrays.copyOf(whole, whole.length - 20)
+    assert(hdr(cut) == ("vorbis", 1, 8000L, 2000L, 250L))
+  }
+
+  test("hostile shapes null cleanly") {
+    assert(hdr("OggS but not really a page".getBytes("US-ASCII")) == null)
+    assert(hdr(Array[Byte]()) == null)
+    assert(OggCodec.header(null) == null)
+    // well-formed page, unknown codec payload
+    assert(hdr(page(0x02, 0, 7, 0, "notacodecheader!!".getBytes("US-ASCII"))) == null)
+    // vorbis ident with zero channels
+    assert(hdr(page(0x02, 0, 7, 0, vorbisIdent(0, 44100))) == null)
+  }
+}
