@@ -4015,6 +4015,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 177. Markdown-to-text extraction, oracle-pinned ------------------------------------------------
+    // README-style pages CONSTRUCTED per row exercising headers, inline
+    // + image links, list markers, bold, inline code and blockquotes;
+    // the oracle states the exact extracted text.
+    "q177_markdown_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val mdText = concat(
+        lit("# Doc "), id, lit("\n\nSee [link "), id, lit("](http://x.io/"),
+        id, lit(") and ![img](p.png).\n\n- item one "), id,
+        lit("\n- **bold "), id, lit("** and `code "), id,
+        lit("`\n\n> quote "), id)
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.markdownToText(mdText).as("plain"))
+        .orderBy("doc_id")
+    }),
+
     // --- 176. Ogg Vorbis/Opus header walk, oracle-pinned ------------------------------------------------
     // Streams CONSTRUCTED per row as real RFC 3533 pages (ident header
     // page + audio pages with the duration in the LAST granule
@@ -6112,6 +6128,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Markdown extraction closed form: the exact plain text stated.
+    "q177_markdown_text" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || chr(10)
+        |  || 'See link ' || doc_id || ' and img.' || chr(10) || chr(10)
+        |  || 'item one ' || doc_id || chr(10)
+        |  || 'bold ' || doc_id || ' and code ' || doc_id || chr(10) || chr(10)
+        |  || 'quote ' || doc_id AS plain
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Ogg header closed forms: all fields stated per shape.

@@ -152,6 +152,51 @@ object TextFunctions {
       passes.as("passes"))
   }
 
+  /** Markdown-to-text — READMEs and docs sites are a major slice of any
+    * code-adjacent corpus, and their formatting syntax is token noise
+    * the way HTML tags are. Same discipline as [[htmlToText]]: a chain
+    * of codegen'd regexp_replace builtins, no parser object, a narrow
+    * map fused into the scan at 100 TB.
+    *
+    * Coverage and ORDER (order is load-bearing): fence lines dropped
+    * with code content KEPT (code in docs is usually wanted text),
+    * reference-link definition lines dropped, images to alt text, links
+    * to link text (inline then reference form), ATX headers and
+    * blockquote markers stripped per line, horizontal rules dropped
+    * BEFORE list markers (both match `*`-runs) and both before
+    * emphasis (a line-start `* item` marker inside an italic pattern
+    * would otherwise pair across lines), bold/italic/strikethrough
+    * unwrapped (underscore italics boundary-guarded so snake_case
+    * survives), inline code unwrapped, 3+ blank runs collapsed.
+    * HTML embedded in Markdown is out of scope — compose with
+    * [[htmlToText]] when the corpus mixes them.
+    */
+  def markdownToText(md: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?m)^```[^\n]*$" -> "",                  // fence lines (content kept)
+      "(?m)^\\[[^\\]]+\\]:[^\n]*$" -> "",       // reference definitions
+      "!\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",    // images -> alt
+      "\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",     // inline links -> text
+      "\\[([^\\]]*)\\]\\[[^\\]]*\\]" -> "$1",   // reference links -> text
+      "(?m)^#{1,6}[ \t]*" -> "",                // ATX headers
+      "(?m)^>[ \t]?" -> "",                     // blockquotes
+      "(?m)^[ \t]*(-{3,}|\\*{3,}|_{3,})[ \t]*$" -> "", // horizontal rules
+      "(?m)^[ \t]*[-*+][ \t]+" -> "",           // unordered list markers
+      "(?m)^[ \t]*\\d+\\.[ \t]+" -> "",         // ordered list markers
+      // emphasis: flanking guards keep arithmetic (a*b, 2**10) and
+      // snake_case intact — only delimiters not glued to word chars
+      // on the outside unwrap
+      "(?<![\\w*])\\*\\*([^*\n]+)\\*\\*(?![\\w*])" -> "$1", // bold
+      "(?<![\\w*])\\*([^*\n]+)\\*(?![\\w*])" -> "$1",       // italic
+      "(?<![\\w_])__([^_\n]+)__(?![\\w_])" -> "$1",         // bold (underscore)
+      "(?<![\\w_])_([^_\n]+)_(?![\\w_])" -> "$1",           // italic
+      "~~([^~\n]+)~~" -> "$1",                  // strikethrough
+      "`([^`\n]*)`" -> "$1",                    // inline code
+      "\n{3,}" -> "\n\n",                       // collapse blank runs
+      "(?s)^\\s+|\\s+$" -> "")                  // trim (incl. newlines)
+    steps.foldLeft(md) { case (c, (p, r)) => regexp_replace(c, p, r) }
+  }
+
   /** Code-file quality flags — the published filters the open
     * StarCoder/The-Stack pipeline applies before training on source
     * code, as one builtin struct (the code sibling of

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MarkdownSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md(s: String): String =
+    Seq(s).toDF("t")
+      .select(TextFunctions.markdownToText(col("t")).as("x"))
+      .collect()(0).getString(0)
+
+  test("headers, emphasis, links, images, inline code") {
+    assert(md("# Title\n\nSee [docs](http://d.io) and ![logo](l.png) now.") ==
+      "Title\n\nSee docs and logo now.")
+    assert(md("**bold** and *ital* and __b2__ and _i2_ and ~~gone~~ and `x+1`") ==
+      "bold and ital and b2 and i2 and gone and x+1")
+  }
+
+  test("snake_case and arithmetic survive the emphasis unwrapping") {
+    assert(md("use var_name_here and a*b plus 2*3") ==
+      "use var_name_here and a*b plus 2*3")
+  }
+
+  test("lists, blockquotes, rules; markers stripped, items kept") {
+    assert(md("- one\n* two\n1. three\n> quoted\n---\nend") ==
+      "one\ntwo\nthree\nquoted\n\nend")
+  }
+
+  test("list markers do not pair as cross-line italics") {
+    assert(md("* alpha\n* beta") == "alpha\nbeta")
+  }
+
+  test("fenced code: fences dropped, content kept verbatim") {
+    assert(md("intro\n```scala\nval x = 1\n```\noutro") ==
+      "intro\n\nval x = 1\n\noutro")
+  }
+
+  test("reference links resolve to text, definition lines vanish") {
+    assert(md("see [the spec][1] here\n\n[1]: http://spec.example") ==
+      "see the spec here")
+  }
+}
