@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Bpe, Dedup, FrequentItems, Multimodal, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -4015,6 +4015,57 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 178. link extraction + in-degree census, oracle-pinned -----------------------------------------
+    // The web-graph edge list out of page HTML with BUILTINS only
+    // (regexp_extract_all for hrefs + anchors, arrays_zip, explode) and
+    // graft_canonicalize_url folding tracking params and host case so
+    // both constructed spellings of a target land on ONE node; the
+    // oracle rebuilds the same edges relationally and aggregates
+    // in-degree + lexicographically-first anchor per target.
+    "q178_link_graph" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val k = 50
+      val j1 = ((col("doc_id") + 1) % k).cast("string")
+      val j2 = ((col("doc_id") + 2) % k).cast("string")
+      val html = concat(
+        lit("<p><a href=\"http://site"), j1,
+        lit(".com/page?utm_source=x\">Next "), id,
+        lit("</a> <a href=\"HTTP://Site"), j2,
+        lit(".com/page\">Other</a></p>"))
+      val hrefs = regexp_extract_all(html, lit("<a href=\"([^\"]+)\""), lit(1))
+      val anchors = regexp_extract_all(html, lit(">([^<]+)</a>"), lit(1))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(arrays_zip(hrefs, anchors)).as("e"))
+        .select(TF.canonicalizeUrl(col("e.0")).as("dst"),
+          col("e.1").as("anchor"))
+        .groupBy("dst")
+        .agg(count(lit(1)).as("in_degree"), min("anchor").as("top_anchor"))
+        .orderBy("dst")
+    }),
+
+    // --- 179. PageRank over a link graph, oracle-pinned -------------------------------------------------
+    // The Pregel-in-DataFrames loop on a CONSTRUCTED 2-out-regular ring
+    // (i -> i+1, i -> i+7 mod 300): regular graphs keep the uniform
+    // distribution as their exact fixpoint at EVERY iteration count, so
+    // the oracle states rank = 1/300 closed-form while the query still
+    // runs the full 5-iteration join/aggregate/checkpoint machinery.
+    // (Non-regular dynamics are pinned by hand + reference impl in
+    // GraphSpec.)
+    "q179_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val e1 = docs.select(
+        concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") + 1) % 300).as("dst"))
+      val e2 = docs.select(
+        concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") + 7) % 300).as("dst"))
+      Graph.pageRank(e1.union(e2), "src", "dst", iterations = 5)
+        // 12-decimal round: the gate hash-compares doubles bit-exact, and
+        // 5 iterations of float arithmetic sit ~1e-15 off the closed form
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+        .orderBy("node")
+    }),
+
     // --- 177. Markdown-to-text extraction, oracle-pinned ------------------------------------------------
     // README-style pages CONSTRUCTED per row exercising headers, inline
     // + image links, list markers, bold, inline code and blockquotes;
@@ -6129,6 +6180,25 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Link graph: same edges rebuilt relationally, canonical forms stated.
+    "q178_link_graph" ->
+      """WITH e AS (
+        |  SELECT 'http://site' || CAST((doc_id + 1) % 50 AS VARCHAR)
+        |    || '.com/page' AS dst, 'Next ' || doc_id AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'http://site' || CAST((doc_id + 2) % 50 AS VARCHAR)
+        |    || '.com/page', 'Other'
+        |  FROM documents)
+        |SELECT dst, CAST(count(*) AS BIGINT) AS in_degree,
+        |  min(anchor) AS top_anchor
+        |FROM e GROUP BY dst ORDER BY dst""".stripMargin,
+
+    // PageRank on a 2-out-regular ring: uniform is the exact fixpoint.
+    "q179_pagerank" ->
+      """SELECT 'n' || doc_id AS node, round(1.0 / 300, 12) AS rank
+        |FROM documents WHERE doc_id < 300 ORDER BY node""".stripMargin,
 
     // Markdown extraction closed form: the exact plain text stated.
     "q177_markdown_text" ->

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for crawl corpora. The web graph is the other
+  * half of a crawl beside the page text: in-degree and PageRank are the
+  * standard page-quality priors (the original published use was exactly
+  * ranking a crawl), and a training-data pipeline uses them to weight or
+  * gate documents.
+  */
+object Graph {
+
+  /** Damped PageRank over an edge list — the Brin/Page formulation with
+    * uniform teleport and DANGLING-MASS redistribution (nodes with no
+    * out-links leak their rank nowhere; their mass is re-spread
+    * uniformly each step, keeping the distribution summing to 1, the
+    * convention of the published formulation).
+    *
+    * Scale shape (the Pregel loop in DataFrame form): per iteration ONE
+    * join of the edge list against the current ranks on `src` (edges
+    * pre-aggregated to (src, dst, weight=1/outDeg) ONCE up front and
+    * localCheckpoint'd — the big side never recomputes) and one
+    * map-side-combining groupBy on `dst`; the dangling mass is a
+    * 1-row aggregate crossJoin-broadcast back, never a driver value.
+    * Ranks localCheckpoint each iteration: bounded lineage, bounded
+    * plan size, O(E) work per step — the shape that survives a
+    * billion-edge graph. Self-loops count like any edge; parallel
+    * edges carry proportional weight.
+    *
+    * Returns (node, rank) over every node appearing as src OR dst,
+    * summing to 1 (+- float rounding).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count().toDouble
+    // (src, dst, w): each out-edge carries 1/outDeg of its node's rank.
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val weighted = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var iter = 0
+    while (iter < iterations) {
+      val contrib = weighted.join(ranks, weighted("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("rank")).as("contrib"))
+      // Dangling nodes (no out-edges) leak: whatever mass did NOT flow
+      // through an edge this step is the dangling mass.
+      val flowed = contrib.agg(sum("contrib").as("__flowed"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(flowed))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              (lit(1.0) - coalesce(col("__flowed"), lit(0.0))) / lit(n)))
+            .as("rank"))
+        .localCheckpoint(true)
+      ranks = next
+      iter += 1
+    }
+    ranks
+  }
+}

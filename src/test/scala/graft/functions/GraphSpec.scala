@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String)], iters: Int)
+      : Map[String, Double] =
+    Graph.pageRank(edges.toDF("s", "t"), "s", "t", iterations = iters)
+      .as[(String, Double)].collect().toMap
+
+  /** Reference PageRank, same formulation, plain Scala. */
+  private def reference(edges: Seq[(String, String)], iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / out(e._1)).sum
+      }
+      val flowed = contrib.values.sum
+      r = nodes.map(v => v -> ((1 - d) / n +
+        d * (contrib.getOrElse(v, 0.0) + (1 - flowed) / n))).toMap
+    }
+    r
+  }
+
+  test("one iteration, hand-computed: dangling mass redistributes") {
+    // A->B, A->C, B->C; C dangling. After one step from uniform:
+    // A = .05 + .85/9; B = A + .85/6; C = .05 + .85*(1/2 + 1/9)
+    val got = ranksOf(Seq(("A", "B"), ("A", "C"), ("B", "C")), iters = 1)
+    assert(math.abs(got("A") - (0.05 + 0.85 / 9)) < 1e-12)
+    assert(math.abs(got("B") - (0.05 + 0.85 / 9 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(got("C") - (0.05 + 0.85 * (0.5 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("ten iterations match the reference implementation exactly") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("e", "a"), ("a", "d"), ("f", "a")) // f has no in-links
+    val got = ranksOf(edges, iters = 10)
+    val want = reference(edges, iters = 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // a collects from 3 nodes + teleport: must outrank the unlinked f
+    assert(got("a") > got("f"))
+  }
+
+  test("regular ring stays uniform at every iteration count") {
+    val n = 12
+    val edges = (0 until n).flatMap(i =>
+      Seq((s"n$i", s"n${(i + 1) % n}"), (s"n$i", s"n${(i + 5) % n}")))
+    for (it <- Seq(1, 7)) {
+      val got = ranksOf(edges, it)
+      got.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12))
+    }
+  }
+
+  test("parallel edges carry proportional weight") {
+    // Two A->B edges + one A->C: B gets 2/3 of A's flow.
+    val got = ranksOf(Seq(("A", "B"), ("A", "B"), ("A", "C")), 1)
+    val base = 0.05 + 0.85 * (2.0 / 3) / 3 // dangling B,C mass = 2/3 over N=3
+    assert(math.abs(got("B") - (base + 0.85 * (2.0 / 3) / 3)) < 1e-12)
+    assert(math.abs(got("C") - (base + 0.85 * (1.0 / 3) / 3)) < 1e-12)
+  }
+}
