@@ -4015,6 +4015,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 180. JSON-LD structured-data extraction, oracle-pinned -----------------------------------------
+    // The schema.org metadata crawl indexes key on: the ld+json script
+    // block pulled with a (?s) regexp (BUILTINS only) and its fields
+    // with get_json_object bracket paths (@-keys). Article and Product
+    // shapes plus a block-less page (all NULL); oracle closed-form.
+    "q180_jsonld" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val block =
+        when(m === 0, concat(
+          lit("""{"@context":"https://schema.org","@type":"Article","""),
+          lit(""""headline":"Story """), id,
+          lit("""","author":{"@type":"Person","name":"A"""), id, lit("\"}}")))
+        .when(m === 1, concat(
+          lit("""{"@type":"Product","name":"Item """), id,
+          lit("""","offers":{"price":""""), id, lit(""".99","priceCurrency":"USD"}}""")))
+      val html =
+        when(m === 2, concat(lit("<html><body>plain "), id, lit("</body></html>")))
+        .otherwise(concat(lit("<html><head><script type=\"application/ld+json\">"),
+          block, lit("</script></head><body>x</body></html>")))
+      val ld = nullif(regexp_extract(html,
+        "(?s)<script type=\"application/ld\\+json\">(.*?)</script>", 1), lit(""))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          get_json_object(ld, "$['@type']").as("ld_type"),
+          coalesce(get_json_object(ld, "$.headline"),
+            get_json_object(ld, "$.name")).as("title"),
+          get_json_object(ld, "$.author.name").as("author_name"),
+          get_json_object(ld, "$.offers.price").as("price"))
+        .orderBy("doc_id")
+    }),
+
     // --- 178. link extraction + in-degree census, oracle-pinned -----------------------------------------
     // The web-graph edge list out of page HTML with BUILTINS only
     // (regexp_extract_all for hrefs + anchors, arrays_zip, explode) and
@@ -6179,6 +6211,19 @@ object SparkEntry {
       """SELECT doc_id,
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // JSON-LD closed forms per shape; block-less pages all NULL.
+    "q180_jsonld" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Article'
+        |    WHEN 1 THEN 'Product' ELSE NULL END AS ld_type,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Story ' || doc_id
+        |    WHEN 1 THEN 'Item ' || doc_id ELSE NULL END AS title,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'A' || doc_id
+        |    ELSE NULL END AS author_name,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN doc_id || '.99'
+        |    ELSE NULL END AS price
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Link graph: same edges rebuilt relationally, canonical forms stated.
