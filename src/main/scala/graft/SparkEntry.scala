@@ -4015,6 +4015,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 181. tar.bz2 / tar.xz ingest composition, oracle-pinned ----------------------------------------
+    // The two big dump compressions beside gzip/zstd, through the full
+    // chain IN-PLAN: ustar archive constructed byte-for-byte (shared
+    // TarHex, checksum as column arithmetic), bzip2- and xz-compressed,
+    // decompressed, enumerated, payload text extracted. Round-trip
+    // inverse pairs; cross-tool interop is pinned by CPython-produced
+    // blobs in Bzip2XzSpec.
+    "q181_tar_bz2_xz" -> ((s, d) => {
+      import TarHex.{hdr, pay}
+      val id = col("doc_id").cast("string")
+      val content = concat(lit("payload "), id, lit("\n"))
+      val name = concat(lit("src"), id, lit(".txt"))
+      val tarBin = unhex(concat(
+        hdr(name, length(content), '0'), pay(content), lit("00" * 1024)))
+      val viaBz2 = Multimodal.bunzip2(Multimodal.bzip2(tarBin))
+      val viaXz = Multimodal.unxz(Multimodal.xz(tarBin))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), viaBz2.as("bz"), viaXz.as("xz"))
+        .select(col("doc_id"),
+          element_at(Multimodal.tarEntries(col("bz")), 1)
+            .getField("name").as("bz2_name"),
+          Multimodal.tarText(col("bz"),
+            concat(lit("src"), id, lit(".txt"))).as("bz2_text"),
+          element_at(Multimodal.tarEntries(col("xz")), 1)
+            .getField("name").as("xz_name"),
+          Multimodal.tarText(col("xz"),
+            concat(lit("src"), id, lit(".txt"))).as("xz_text"))
+        .orderBy("doc_id")
+    }),
+
     // --- 180. JSON-LD structured-data extraction, oracle-pinned -----------------------------------------
     // The schema.org metadata crawl indexes key on: the ld+json script
     // block pulled with a (?s) regexp (BUILTINS only) and its fields
@@ -4231,34 +4262,7 @@ object SparkEntry {
     // and a terminator-less single file. Every entry row (name, size,
     // typeflag, payload text) is stated closed-form by the oracle.
     "q173_tar_entries" -> ((s, d) => {
-      import org.apache.spark.sql.Column
-      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
-      val modeHex = cc("0000644") + "00"
-      val zeroOct = cc("0000000") + "00"
-      val mtimeHex = cc("14524770400") + "00" // 1700000000 in octal
-      val magicHex = cc("ustar") + "00" + cc("00")
-      // header with the checksum field as spaces; name/prefix/content are columns
-      def hdrSpaces(nameHex: Column, size: Column, tf: Char, prefixHex: Column): Column =
-        concat(rpad(nameHex, 200, "0"),
-          lit(modeHex + zeroOct + zeroOct),
-          hex(lpad(conv(size, 10, 8), 11, "0")), lit("00"),
-          lit(mtimeHex + "20" * 8), lit(cc(tf.toString)),
-          lit("00" * 100 + magicHex + "00" * 64 + zeroOct + zeroOct),
-          rpad(prefixHex, 310, "0"), lit("00" * 12))
-      def withChk(h: Column): Column = {
-        val sum = aggregate(transform(sequence(lit(0), lit(511)),
-          i => conv(substring(h, i * 2 + 1, lit(2)), 16, 10).cast("long")),
-          lit(0L), (a, x) => a + x)
-        concat(substring(h, 1, 296), hex(lpad(conv(sum, 10, 8), 6, "0")),
-          lit("0020"), substring(h, 313, 712))
-      }
-      def hdr(name: Column, size: Column, tf: Char,
-          prefix: Column = lit("")): Column =
-        withChk(hdrSpaces(hex(name), size, tf, hex(prefix)))
-      // payload hex padded to whole 512-byte blocks
-      def pay(content: Column): Column =
-        rpad(hex(content), (ceil(length(content) / 512.0) * 1024).cast("int"),
-          lit("0"))
+      import TarHex.{hdr, pay}
       val id = col("doc_id").cast("string")
       val m = col("doc_id") % 3
       val readme = concat(lit("Readme for "), id, lit("\n"))
@@ -4292,6 +4296,44 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------- SQL-shared queries
+
+  /** In-plan ustar header construction shared by the TAR queries
+    * (q173, q181): hex-string assembly with the checksum computed AS
+    * COLUMN ARITHMETIC (byte sum over the header hex — the same sum
+    * the walk verifies), so constructed archives are valid
+    * byte-for-byte.
+    */
+  private object TarHex {
+    import org.apache.spark.sql.Column
+    private def cc(str: String) =
+      str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+    private val modeHex = cc("0000644") + "00"
+    private val zeroOct = cc("0000000") + "00"
+    private val mtimeHex = cc("14524770400") + "00" // 1700000000 in octal
+    private val magicHex = cc("ustar") + "00" + cc("00")
+    private def hdrSpaces(nameHex: Column, size: Column, tf: Char,
+        prefixHex: Column): Column =
+      concat(rpad(nameHex, 200, "0"),
+        lit(modeHex + zeroOct + zeroOct),
+        hex(lpad(conv(size, 10, 8), 11, "0")), lit("00"),
+        lit(mtimeHex + "20" * 8), lit(cc(tf.toString)),
+        lit("00" * 100 + magicHex + "00" * 64 + zeroOct + zeroOct),
+        rpad(prefixHex, 310, "0"), lit("00" * 12))
+    private def withChk(h: Column): Column = {
+      val sum = aggregate(transform(sequence(lit(0), lit(511)),
+        i => conv(substring(h, i * 2 + 1, lit(2)), 16, 10).cast("long")),
+        lit(0L), (a, x) => a + x)
+      concat(substring(h, 1, 296), hex(lpad(conv(sum, 10, 8), 6, "0")),
+        lit("0020"), substring(h, 313, 712))
+    }
+    def hdr(name: Column, size: Column, tf: Char,
+        prefix: Column = lit("")): Column =
+      withChk(hdrSpaces(hex(name), size, tf, hex(prefix)))
+    /** payload hex padded to whole 512-byte blocks */
+    def pay(content: Column): Column =
+      rpad(hex(content), (ceil(length(content) / 512.0) * 1024).cast("int"),
+        lit("0"))
+  }
 
   private val sql_q12: String =
     """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
@@ -6212,6 +6254,15 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // tar.bz2/tar.xz chain closed forms: same fields via both codecs.
+    "q181_tar_bz2_xz" ->
+      """SELECT doc_id,
+        |  'src' || doc_id || '.txt' AS bz2_name,
+        |  'payload ' || doc_id || chr(10) AS bz2_text,
+        |  'src' || doc_id || '.txt' AS xz_name,
+        |  'payload ' || doc_id || chr(10) AS xz_text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // JSON-LD closed forms per shape; block-less pages all NULL.
     "q180_jsonld" ->

@@ -234,6 +234,43 @@ object Multimodal {
       graft.expressions.ZunstdExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Row-local bzip2 compress ([[graft.expressions.Bzip2Expr]], via
+    * commons-compress from Spark's own classpath).
+    */
+  def bzip2(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Bzip2Expr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Decompress a bzip2 payload — the Wikipedia-dump / archived-crawl
+    * format — including concatenated pbzip2 streams
+    * ([[graft.expressions.Bunzip2Expr]]). NULL for non-bzip2, corrupt
+    * (per-block CRC verified), or bomb-sized payloads.
+    */
+  def bunzip2(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Bunzip2Expr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Row-local xz compress ([[graft.expressions.XzExpr]], via the
+    * tukaani xz library from Spark's own classpath).
+    */
+  def xz(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.XzExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Decompress an xz payload — the `.tar.xz` source-tarball
+    * compression; pair with [[tarEntries]] — including concatenated
+    * streams, memory-limited against hostile dictionary declarations
+    * ([[graft.expressions.UnxzExpr]]). NULL for non-xz/corrupt/
+    * bomb-sized payloads.
+    */
+  def unxz(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.UnxzExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Perceptual image hashes ([[graft.expressions.ImageHashExpr]]):
     * struct<dhash, ahash, width, height> through the REAL pixel decoders
     * (PNM/BMP/PNG incl. Adam7 and palettes/GIF incl. interlace/baseline +

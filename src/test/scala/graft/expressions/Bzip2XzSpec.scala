@@ -1,0 +1,62 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** bzip2 + xz codec behavior: round-trips, cross-tool interop blobs
+  * (generated with CPython's bz2/lzma modules, embedded base64),
+  * concatenated streams, hostile shapes.
+  */
+class Bzip2XzSpec extends AnyFunSuite {
+
+  private def b64(s: String) = java.util.Base64.getDecoder.decode(s)
+  private def utf8(b: Array[Byte]) = new String(b, "UTF-8")
+
+  test("bzip2 round-trip: empty, text, multi-block repetitive input") {
+    for (payload <- Seq(Array.empty[Byte], "hello bz2".getBytes("UTF-8"),
+        Array.fill[Byte](300000)('a'), // > one 100k-block at any level
+        (0 until 5000).map(i => (i * 31 % 251).toByte).toArray)) {
+      val rt = Bzip2Codec.bunzip2(Bzip2Codec.bzip2(payload))
+      assert(java.util.Arrays.equals(rt, payload))
+    }
+  }
+
+  test("xz round-trip: empty, text, repetitive input") {
+    for (payload <- Seq(Array.empty[Byte], "hello xz".getBytes("UTF-8"),
+        Array.fill[Byte](300000)('b'))) {
+      val rt = XzCodec.unxz(XzCodec.xz(payload))
+      assert(java.util.Arrays.equals(rt, payload))
+    }
+  }
+
+  test("interop: blobs produced by an independent implementation decode") {
+    val bz = b64("QlpoOTFBWSZTWfyUJmAAAARZgAAQQAAQADOh1BAgACKZM1GjZQpgADxh" +
+      "zMAaVhObKXxdyRThQkPyUJmA")
+    assert(utf8(Bzip2Codec.bunzip2(bz)) == "graft bzip2 interop\n")
+    val xz = b64("/Td6WFoAAATm1rRGAgAhARYAAAB0L+WjAQAQZ3JhZnQgeHogaW50ZXJv" +
+      "cAoAAAAAB83ZBXLMewoAASkRMgpwDh+2830BAAAAAARZWg==")
+    assert(utf8(XzCodec.unxz(xz)) == "graft xz interop\n")
+  }
+
+  test("concatenated bzip2 streams (pbzip2 shape) decompress in full") {
+    val cat = b64("QlpoOTFBWSZTWen4rdgAAAABgAEgHAQgACGADAMnLuLuSKcKEh0/FbsA" +
+      "QlpoOTFBWSZTWSaKAjQAAAKBgA4BiAAgACIYaDAHAphdyRThQkCaKAjQ")
+    assert(utf8(Bzip2Codec.bunzip2(cat)) == "first|second")
+    val xzCat = XzCodec.xz("one+".getBytes("UTF-8")) ++
+      XzCodec.xz("two".getBytes("UTF-8"))
+    assert(utf8(XzCodec.unxz(xzCat)) == "one+two")
+  }
+
+  test("hostile shapes null cleanly: wrong magic, corrupt body, null") {
+    assert(Bzip2Codec.bunzip2("not bzip2 data".getBytes("UTF-8")) == null)
+    assert(XzCodec.unxz("not xz data either".getBytes("UTF-8")) == null)
+    assert(Bzip2Codec.bunzip2(null) == null)
+    assert(XzCodec.unxz(null) == null)
+    val good = Bzip2Codec.bzip2("corruption target payload".getBytes("UTF-8"))
+    val bad = good.clone(); bad(good.length / 2) = (bad(good.length / 2) ^ 0x55).toByte
+    assert(Bzip2Codec.bunzip2(bad) == null) // block CRC catches it
+    val goodXz = XzCodec.xz("corruption target payload".getBytes("UTF-8"))
+    val badXz = goodXz.clone()
+    badXz(goodXz.length / 2) = (badXz(goodXz.length / 2) ^ 0x55).toByte
+    assert(XzCodec.unxz(badXz) == null)
+  }
+}
