@@ -117,6 +117,39 @@ object CrawlIngestDemo {
       .agg((sum("n_subwords").cast("double") / sum("n_tokens"))
         .as("subwords_per_token")).show()
 
+    // --- 11. release hygiene: PII masking + license census over the kept
+    // corpus (typed placeholders; Luhn/range-validated patterns).
+    val hygiene = kept.select(col("uri"),
+      TextFunctions.piiRedact(col("text")).as("pii"),
+      TextFunctions.licenseId(col("text")).as("lic"))
+    println("=== 11. PII + license census ===")
+    hygiene.agg(sum("pii.n_emails").as("emails"),
+      sum("pii.n_phones").as("phones"), sum("pii.n_ips").as("ips"),
+      sum("pii.n_cards").as("cards"),
+      count(col("lic.license")).as("licensed_docs")).show()
+
+    // --- 12. intra-site boilerplate: shared nav/footer lines removed
+    // corpus-wide (site = URI host here).
+    val sited = kept.withColumn("site",
+      regexp_extract(col("uri"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("page",
+        concat(lit("NAV | "), col("site"), lit("\n"), col("text"),
+          lit("\n(c) "), col("site")))
+    val cleaned = Dedup.dropBoilerplateLines(sited, "uri", "page", "site")
+    println("=== 12. boilerplate line sweep ===")
+    cleaned.agg(count(lit(1)).as("docs"), sum("n_removed").as("lines_removed"),
+      avg("n_kept").as("avg_kept_lines")).show()
+
+    // --- 13. the web graph: link edges from (synthetic) anchors, then
+    // 5-iteration PageRank as the page-quality prior.
+    val edges = kept.select(
+      col("uri").as("src"),
+      concat(lit("http://crawl.test/"),
+        (xxhash64(col("uri")) % 50).cast("string")).as("dst"))
+    val pr = graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 5)
+    println("=== 13. PageRank priors (top 5) ===")
+    pr.orderBy(desc("rank")).limit(5).show(5, 60)
+
     spark.stop()
   }
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The round's corpus-hygiene operators are stateless per-row
+  * expressions, so the SAME plan must run unchanged on a stream — the
+  * production shape for continuous ingest: redact PII, stamp license +
+  * markdown-stripped text, gate on quality, all inside one streaming
+  * select with no foreachBatch.
+  */
+class HygieneStreamSpec extends SparkTestBase {
+
+  test("PII redaction, license id and quality gate run on a stream") {
+    val dir = graft.GraftTmp.dir("graft-shygiene")
+    Files.write(dir.resolve("a.json"),
+      """{"id": 1, "text": "# T\nmail me at ab@cd.io\nMIT-free text here"}
+        |{"id": 2, "text": "// SPDX-License-Identifier: MIT\nshort"}""".stripMargin
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"id": 3, "text": "clean *doc* with no pii at all"}""".stripMargin
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+    val q = stream
+      .select(col("id"),
+        TextFunctions.piiRedact(col("text")).as("pii"),
+        TextFunctions.licenseId(col("text")).as("lic"),
+        TextFunctions.markdownToText(col("text")).as("plain"))
+      .select(col("id"), col("pii.redacted").as("redacted"),
+        col("pii.n_emails").as("n_emails"), col("lic.license").as("license"),
+        col("plain"))
+      .writeStream.format("memory").queryName("hygiene")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT id, redacted, n_emails, license, plain FROM hygiene ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) null else r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, "# T\nmail me at <EMAIL>\nMIT-free text here", 1, null,
+        "T\nmail me at ab@cd.io\nMIT-free text here"),
+      (2L, "// SPDX-License-Identifier: MIT\nshort", 0, "MIT",
+        "// SPDX-License-Identifier: MIT\nshort"),
+      (3L, "clean *doc* with no pii at all", 0, null,
+        "clean doc with no pii at all")))
+  }
+}
