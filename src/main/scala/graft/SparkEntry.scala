@@ -4015,6 +4015,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 183. HTML table extraction, oracle-pinned ------------------------------------------------------
+    // Tables are the structured slice of web text (table-QA corpora key
+    // on them): tr/td|th cell grids pulled with BUILTINS only (nested
+    // regexp_extract_all under transform), inner markup stripped,
+    // emitted one row per <tr> with '|'-joined cells. Header row, bold
+    // cell and attribute-bearing td all constructed; oracle states
+    // every row.
+    "q183_html_tables" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<p>intro</p><table class=\"t\"><tr><th>K</th><th>V</th></tr>"),
+        lit("<tr><td>a"), id, lit("</td><td><b>1</b></td></tr>"),
+        lit("<tr><td a=\"x\">b"), id, lit("</td><td>2"), id,
+        lit("</td></tr></table>"))
+      val rows = regexp_extract_all(html, lit("(?s)<tr[^>]*>(.*?)</tr>"), lit(1))
+      val cells = transform(rows, r => transform(
+        regexp_extract_all(r, lit("(?s)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)),
+        c => trim(regexp_replace(c, "<[^>]+>", ""))))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(cells))
+        .select(col("doc_id"), col("pos").cast("int").as("row_idx"),
+          size(col("col")).as("n_cells"),
+          array_join(col("col"), "|").as("row_text"))
+        .orderBy("doc_id", "row_idx")
+    }),
+
+    // --- 182. intra-document repetition statistics, oracle-pinned ---------------------------------------
+    // The repetition half of the Gopher gate over three constructed
+    // shapes (clean, repeated-lines-with-alternating-bigrams, repeated
+    // paragraphs); every fraction is a small exact division stated by
+    // the oracle — the same hand derivations pinned in RepetitionSpec.
+    "q182_repetition" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val textC =
+        when(m === 0, concat(lit("u"), id, lit("a u"), id, lit("b u"), id,
+          lit("c")))
+        .when(m === 1, "aa bb aa bb\naa bb aa bb\ncc dd")
+        .otherwise("pp qq\n\npp qq\n\nrr ss tt uu vv ww xx yy zz a1 b2 c3")
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.repetitionStats(textC).as("v"))
+        .select(col("doc_id") +: graft.expressions.RepetitionStats.Schema
+          .fieldNames.map(f => col(s"v.$f").as(f)): _*)
+        .orderBy("doc_id")
+    }),
+
     // --- 181. tar.bz2 / tar.xz ingest composition, oracle-pinned ----------------------------------------
     // The two big dump compressions beside gzip/zstd, through the full
     // chain IN-PLAN: ustar archive constructed byte-for-byte (shared
@@ -6254,6 +6300,39 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // HTML tables: every extracted row stated.
+    "q183_html_tables" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS row_idx, CAST(2 AS INT) AS n_cells,
+        |    'K|V' AS row_text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT), CAST(2 AS INT),
+        |    'a' || doc_id || '|1' FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS INT), CAST(2 AS INT),
+        |    'b' || doc_id || '|2' || doc_id FROM documents)
+        |ORDER BY doc_id, row_idx""".stripMargin,
+
+    // Repetition stats: every fraction an exact division per shape.
+    "q182_repetition" ->
+      """SELECT doc_id,
+        |  CASE m WHEN 1 THEN 2.0/3 WHEN 2 THEN 2.0/3 ELSE 0.0 END AS dup_line_frac,
+        |  CASE m WHEN 1 THEN 22.0/27 WHEN 2 THEN 10.0/45 ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE m WHEN 2 THEN 2.0/3 ELSE 0.0 END AS dup_para_frac,
+        |  CASE m WHEN 2 THEN 10.0/45 ELSE 0.0 END AS dup_para_char_frac,
+        |  CASE m WHEN 1 THEN 16.0/20 WHEN 2 THEN 8.0/32 ELSE 0.0 END AS top_2gram_char_frac,
+        |  CASE m WHEN 1 THEN 18.0/20 ELSE 0.0 END AS top_3gram_char_frac,
+        |  CASE m WHEN 1 THEN 24.0/20 ELSE 0.0 END AS top_4gram_char_frac,
+        |  CASE m WHEN 1 THEN 16.0/20 ELSE 0.0 END AS dup_5gram_char_frac,
+        |  CASE m WHEN 1 THEN 16.0/20 ELSE 0.0 END AS dup_6gram_char_frac,
+        |  0.0 AS dup_7gram_char_frac,
+        |  0.0 AS dup_8gram_char_frac,
+        |  0.0 AS dup_9gram_char_frac,
+        |  0.0 AS dup_10gram_char_frac,
+        |  (m = 0) AS passes
+        |FROM (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // tar.bz2/tar.xz chain closed forms: same fields via both codecs.
     "q181_tar_bz2_xz" ->

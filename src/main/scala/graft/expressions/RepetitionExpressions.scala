@@ -1,0 +1,163 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Intra-document repetition statistics — the OTHER half of the
+  * published Gopher quality gate ([[graft.functions.TextFunctions
+  * .gopherQualityFlags]] carries the composition rules; these are the
+  * repetition rules from the same paper): machine-generated and
+  * template text betrays itself by repeating lines, paragraphs and
+  * n-grams far above natural-text rates.
+  *
+  * Exact definitions (mirrored by the oracle closed forms; published
+  * reproductions vary in details, so ours are pinned here):
+  *  - tokens: lowercase, whitespace-split (the corpus-wide convention);
+  *    `tok_chars` = sum of token lengths (no spaces);
+  *  - lines: '\n'-split, trimmed, empties dropped; paragraphs: split on
+  *    blank lines, trimmed, empties dropped; their char totals use the
+  *    trimmed string lengths (spaces included);
+  *  - dup_*_frac: occurrences whose value appears >= 2 times in the
+  *    document / total occurrences; the _char_ variants weight each
+  *    occurrence by its length;
+  *  - top_{2,3,4}gram_char_frac: (count x gram token chars) / tok_chars
+  *    for the most frequent n-gram — 0 when nothing repeats, ties
+  *    broken to the lexicographically smallest gram (determinism);
+  *    overlapping occurrences all count, so the value can exceed 1;
+  *  - dup_{5..10}gram_char_frac: token chars covered by ANY n-gram
+  *    occurring >= 2 times / tok_chars (coverage union — no double
+  *    counting, the fraction is <= 1).
+  *
+  * `passes` applies the paper's thresholds: dup line/para <= 0.30/0.30,
+  * their char fractions <= 0.20/0.20, top 2/3/4-gram <= 0.20/0.18/0.16,
+  * dup 5..10-gram <= 0.15/0.14/0.13/0.12/0.11/0.10.
+  */
+object RepetitionStats {
+
+  val Schema: StructType = StructType(
+    Seq(
+      StructField("dup_line_frac", DoubleType, nullable = false),
+      StructField("dup_line_char_frac", DoubleType, nullable = false),
+      StructField("dup_para_frac", DoubleType, nullable = false),
+      StructField("dup_para_char_frac", DoubleType, nullable = false),
+      StructField("top_2gram_char_frac", DoubleType, nullable = false),
+      StructField("top_3gram_char_frac", DoubleType, nullable = false),
+      StructField("top_4gram_char_frac", DoubleType, nullable = false)) ++
+    (5 to 10).map(n =>
+      StructField(s"dup_${n}gram_char_frac", DoubleType, nullable = false)) :+
+    StructField("passes", BooleanType, nullable = false))
+
+  private def dupFracs(items: Array[String]): (Double, Double) = {
+    if (items.isEmpty) return (0.0, 0.0)
+    val counts = new java.util.HashMap[String, Int]()
+    items.foreach(s => counts.merge(s, 1, Integer.sum))
+    var dupN = 0; var dupC = 0L; var totC = 0L
+    items.foreach { s =>
+      totC += s.length
+      if (counts.get(s) >= 2) { dupN += 1; dupC += s.length }
+    }
+    (dupN.toDouble / items.length,
+      if (totC == 0) 0.0 else dupC.toDouble / totC)
+  }
+
+  /** (count, gramTokenChars) of the winning n-gram, or null. */
+  private def grams(toks: Array[String], n: Int)
+      : java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      m.merge(sb.toString, 1, Integer.sum)
+      i += 1
+    }
+    m
+  }
+
+  def stats(u: UTF8String): GenericInternalRow = {
+    if (u == null) return null
+    val text = u.toString
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val paras = text.split("\n\\s*\n").map(_.trim).filter(_.nonEmpty)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val lens = toks.map(_.length)
+    val tokChars = lens.map(_.toLong).sum
+
+    val (dupLine, dupLineC) = dupFracs(lines)
+    val (dupPara, dupParaC) = dupFracs(paras)
+
+    def topFrac(n: Int): Double = {
+      if (tokChars == 0 || toks.length < n) return 0.0
+      val m = grams(toks, n)
+      var bestKey: String = null
+      var bestCount = 0
+      m.forEach { (k, c) =>
+        if (c > bestCount || (c == bestCount && (bestKey == null || k < bestKey))) {
+          bestKey = k; bestCount = c
+        }
+      }
+      if (bestCount < 2) 0.0
+      else {
+        val gramChars = bestKey.length - (n - 1) // minus the joining spaces
+        bestCount.toDouble * gramChars / tokChars
+      }
+    }
+
+    def dupCover(n: Int): Double = {
+      if (tokChars == 0 || toks.length < n) return 0.0
+      val m = grams(toks, n)
+      val covered = new Array[Boolean](toks.length)
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        if (m.get(sb.toString) >= 2) {
+          var k = i
+          while (k < i + n) { covered(k) = true; k += 1 }
+        }
+        i += 1
+      }
+      var c = 0L
+      i = 0
+      while (i < toks.length) { if (covered(i)) c += lens(i); i += 1 }
+      c.toDouble / tokChars
+    }
+
+    val top2 = topFrac(2); val top3 = topFrac(3); val top4 = topFrac(4)
+    val dup5to10 = (5 to 10).map(dupCover).toArray
+    val dupLimits = Array(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    val passes = dupLine <= 0.30 && dupPara <= 0.30 &&
+      dupLineC <= 0.20 && dupParaC <= 0.20 &&
+      top2 <= 0.20 && top3 <= 0.18 && top4 <= 0.16 &&
+      dup5to10.zip(dupLimits).forall { case (v, lim) => v <= lim }
+
+    new GenericInternalRow(
+      (Array[Any](dupLine, dupLineC, dupPara, dupParaC, top2, top3, top4) ++
+        dup5to10.map(v => v: Any)) :+ (passes: Any))
+  }
+}
+
+/** `string` -> the 14-field repetition-statistics struct, codegen'd. */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = RepetitionStats.Schema
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.RepetitionStats.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : RepetitionStatsExpr = copy(child = newChild)
+  override def prettyName: String = "graft_repetition_stats"
+}

@@ -152,6 +152,19 @@ object TextFunctions {
       passes.as("passes"))
   }
 
+  /** Intra-document repetition statistics
+    * ([[graft.expressions.RepetitionStatsExpr]]) — the repetition half
+    * of the published Gopher gate beside [[gopherQualityFlags]]'
+    * composition half: duplicate line/paragraph fractions (count and
+    * char-weighted), top 2/3/4-gram char fractions, duplicated
+    * 5..10-gram coverage fractions, and the paper-threshold verdict.
+    * One codegen'd pass; exact definitions pinned on the expression.
+    */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.RepetitionStatsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Markdown-to-text — READMEs and docs sites are a major slice of any
     * code-adjacent corpus, and their formatting syntax is token noise
     * the way HTML tags are. Same discipline as [[htmlToText]]: a chain

@@ -1,0 +1,60 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repetition statistics against hand-computed documents — every
+  * fraction derived on paper from the pinned definitions.
+  */
+class RepetitionSpec extends AnyFunSuite {
+
+  private def st(s: String): IndexedSeq[Any] = {
+    val r = RepetitionStats.stats(UTF8String.fromString(s))
+    (0 until 13).map(r.getDouble) :+ r.getBoolean(13)
+  }
+  private def approx(a: Any, b: Double) =
+    math.abs(a.asInstanceOf[Double] - b) < 1e-12
+
+  test("clean text: everything 0, passes") {
+    val v = st("one two three four five\nsix seven eight\n\nnine ten")
+    assert((0 until 13).forall(i => v(i) == 0.0))
+    assert(v(13) == true)
+  }
+
+  test("repeated lines + alternating bigrams, fractions exact") {
+    // lines: "aa bb aa bb" x2 (dup), "cc dd"; tokens: (aa bb)x4 cc dd
+    val v = st("aa bb aa bb\naa bb aa bb\ncc dd")
+    assert(approx(v(0), 2.0 / 3))        // dup_line_frac
+    assert(approx(v(1), 22.0 / 27))      // dup_line_char (11+11)/ (11+11+5)
+    assert(v(2) == 0.0 && v(3) == 0.0)   // single paragraph
+    // tok_chars = 20; "aa bb" x4 -> 4*4/20; "aa bb aa" x3 -> 3*6/20;
+    // "aa bb aa bb" x3 -> 3*8/20 (overlaps can exceed 1)
+    assert(approx(v(4), 16.0 / 20))
+    assert(approx(v(5), 18.0 / 20))
+    assert(approx(v(6), 24.0 / 20))
+    // dup 5- and 6-grams cover tokens 0..7 (16 chars); 7+ all unique
+    assert(approx(v(7), 16.0 / 20))
+    assert(approx(v(8), 16.0 / 20))
+    assert((9 until 13).forall(i => v(i) == 0.0))
+    assert(v(13) == false)
+  }
+
+  test("repeated paragraphs; blank-line splitting; ties break smallest") {
+    // paras: "pp qq" x2 (dup), long tail of distinct tokens
+    val v = st("pp qq\n\npp qq\n \nrr ss tt uu vv ww xx yy zz a1 b2 c3")
+    assert(approx(v(2), 2.0 / 3))
+    assert(approx(v(3), 10.0 / 45)) // (5+5) / (5+5+35)
+    // 16 tokens x 2 chars = 32; "pp qq" occurs twice -> 2*4/32
+    assert(approx(v(4), 8.0 / 32))
+    assert(v(5) == 0.0 && v(6) == 0.0)
+    assert(v(13) == false) // dup_line_frac 2/3 > 0.30
+  }
+
+  test("top-ngram needs count >= 2; short docs yield 0") {
+    val v = st("alpha beta gamma")
+    assert(v(4) == 0.0 && v(5) == 0.0 && v(6) == 0.0)
+    assert((7 until 13).forall(i => v(i) == 0.0)) // fewer tokens than n
+    assert(st("")(13) == true)
+    assert(RepetitionStats.stats(null) == null)
+  }
+}
