@@ -4015,6 +4015,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 184. Aho-Corasick blocklist gate, oracle-pinned ------------------------------------------------
+    // The C4-style bad-phrase filter as ONE automaton pass: even rows
+    // carry two spellings of one phrase (case fold), a second phrase,
+    // and a hyphen-bounded term; odd rows are clean. Counts, distinct
+    // terms and the first term in TEXT order stated closed-form.
+    "q184_blocklist" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 2
+      val textC =
+        when(m === 0, concat(lit("Doc "), id,
+          lit(": click here to win free money, CLICK HERE again. "),
+          lit("casino-grade fun. "), substring(col("text"), 1, 30)))
+        .otherwise(concat(lit("Calm doc "), id, lit(". "),
+          substring(col("text"), 1, 30)))
+      val terms = Seq("free money", "click here", "buy now", "casino", "winner")
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.blocklistHits(textC, terms).as("v"))
+        .select(col("doc_id"),
+          col("v.hits").as("hits"),
+          col("v.distinct_terms").as("distinct_terms"),
+          col("v.first_term").as("first_term"))
+        .orderBy("doc_id")
+    }),
+
     // --- 183. HTML table extraction, oracle-pinned ------------------------------------------------------
     // Tables are the structured slice of web text (table-QA corpora key
     // on them): tr/td|th cell grids pulled with BUILTINS only (nested
@@ -6299,6 +6323,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Blocklist closed forms: counts + first term in text order.
+    "q184_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END AS INT) AS hits,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 0 END AS INT)
+        |    AS distinct_terms,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'click here' ELSE NULL END
+        |    AS first_term
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // HTML tables: every extracted row stated.

@@ -1,0 +1,152 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multi-phrase blocklist matching — the C4/Gopher-style "bad words"
+  * gate: a corpus filter matches THOUSANDS of phrases per document, and
+  * a regex alternation re-scans the text once per phrase; the classic
+  * Aho–Corasick automaton (public, 1975) matches all phrases in ONE
+  * left-to-right pass regardless of list size.
+  *
+  * Matching semantics (the published filters' convention): case-
+  * insensitive, and a hit must align on WORD BOUNDARIES — "ass" does
+  * not fire inside "class"; multi-word phrases match across single
+  * spaces. Boundaries are non-alphanumeric characters or the text ends.
+  *
+  * The automaton builds ONCE per expression instance from the literal
+  * phrase list (goto/fail/output construction, lowercase), then every
+  * row is a single O(chars + hits) scan.
+  */
+object BlocklistAutomaton {
+
+  final class Node extends Serializable {
+    val next = new java.util.HashMap[Character, Node]()
+    var fail: Node = _
+    /** phrase ids ending here (via output links) */
+    var outs: List[Int] = Nil
+    var depth: Int = 0
+  }
+
+  /** Serializable: codegen ships the built automaton to executors inside
+    * the plan's reference array (Java serialization follows the node
+    * graph's cycles fine; tries are shallow — phrase-length deep).
+    */
+  final class Automaton(val phrases: Array[String]) extends Serializable {
+    val root = new Node
+    // goto construction
+    phrases.zipWithIndex.foreach { case (p0, id) =>
+      val p = p0.toLowerCase
+      var n = root
+      p.foreach { ch =>
+        var c = n.next.get(ch)
+        if (c == null) { c = new Node; c.depth = n.depth + 1; n.next.put(ch, c) }
+        n = c
+      }
+      n.outs ::= id
+    }
+    // BFS fail links + output merging
+    locally {
+      val q = new java.util.ArrayDeque[Node]()
+      root.fail = root
+      root.next.values.forEach { c => c.fail = root; q.add(c) }
+      while (!q.isEmpty) {
+        val n = q.poll()
+        n.next.forEach { (ch, c) =>
+          var f = n.fail
+          while (f != root && !f.next.containsKey(ch)) f = f.fail
+          c.fail = if (f.next.containsKey(ch) && (f.next.get(ch) ne c))
+            f.next.get(ch) else root
+          c.outs = c.outs ++ c.fail.outs
+          q.add(c)
+        }
+      }
+    }
+
+    private def isWord(ch: Char): Boolean =
+      Character.isLetterOrDigit(ch)
+
+    /** (total hits, distinct phrase count, first phrase in text order or
+      * null) under word-boundary semantics.
+      */
+    def scan(text: String): (Int, Int, String) = {
+      val seen = new Array[Boolean](phrases.length)
+      var hits = 0
+      var distinct = 0
+      var first: String = null
+      var n = root
+      var i = 0
+      while (i < text.length) {
+        val ch = Character.toLowerCase(text.charAt(i))
+        while (n != root && !n.next.containsKey(ch)) n = n.fail
+        n = if (n.next.containsKey(ch)) n.next.get(ch) else root
+        var outs = n.outs
+        while (outs.nonEmpty) {
+          val id = outs.head
+          val start = i - phrases(id).length + 1
+          val okLeft = start == 0 || !isWord(text.charAt(start - 1))
+          val okRight = i == text.length - 1 || !isWord(text.charAt(i + 1))
+          if (okLeft && okRight) {
+            hits += 1
+            if (!seen(id)) { seen(id) = true; distinct += 1 }
+            if (first == null) first = phrases(id)
+          }
+          outs = outs.tail
+        }
+        i += 1
+      }
+      (hits, distinct, first)
+    }
+  }
+
+  val Schema: StructType = StructType(Seq(
+    StructField("hits", IntegerType, nullable = false),
+    StructField("distinct_terms", IntegerType, nullable = false),
+    StructField("first_term", StringType, nullable = true)))
+}
+
+/** `(string; phrases: literal array<string>)` ->
+  * `struct<hits,distinct_terms,first_term>`: Aho–Corasick multi-phrase
+  * blocklist scan, case-insensitive, word-boundary aligned, one pass
+  * per row. The phrase list must be a foldable literal — the automaton
+  * compiles once per instance, never per row.
+  */
+case class BlocklistHitsExpr(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+  require(phrases.nonEmpty, "graft_blocklist_hits needs at least one phrase")
+  require(phrases.forall(_.nonEmpty), "blocklist phrases must be non-empty")
+
+  @transient private lazy val automaton =
+    new BlocklistAutomaton.Automaton(phrases.toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BlocklistAutomaton.Schema
+  override def nullSafeEval(input: Any): Any = {
+    val (h, d, f) = automaton.scan(input.asInstanceOf[UTF8String].toString)
+    new GenericInternalRow(Array[Any](h, d,
+      if (f == null) null else UTF8String.fromString(f)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // The automaton rides along as a reference object into generated code.
+    val autoRef = ctx.addReferenceObj("blocklistAutomaton", automaton,
+      classOf[BlocklistAutomaton.Automaton].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      scala.Tuple3 r = $autoRef.scan($c.toString());
+      Object f = r._3();
+      ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        new Object[] { r._1(), r._2(), f == null ? null :
+          org.apache.spark.unsafe.types.UTF8String.fromString((String) f) });
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+      : BlocklistHitsExpr = copy(child = newChild)
+  override def prettyName: String = "graft_blocklist_hits"
+}

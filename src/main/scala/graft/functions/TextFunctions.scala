@@ -152,6 +152,18 @@ object TextFunctions {
       passes.as("passes"))
   }
 
+  /** Multi-phrase blocklist scan
+    * ([[graft.expressions.BlocklistHitsExpr]]): the C4/Gopher bad-word
+    * gate as one Aho–Corasick pass — case-insensitive, word-boundary
+    * aligned, `struct<hits,distinct_terms,first_term>`. The phrase
+    * list compiles into the automaton once per plan, so a
+    * thousands-strong blocklist costs the same single scan per row.
+    */
+  def blocklistHits(text: Column, phrases: Seq[String]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.BlocklistHitsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), phrases))
+
   /** Intra-document repetition statistics
     * ([[graft.expressions.RepetitionStatsExpr]]) — the repetition half
     * of the published Gopher gate beside [[gopherQualityFlags]]'

@@ -1,0 +1,48 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Aho–Corasick blocklist semantics: word boundaries, overlapping
+  * phrase sets, suffix phrases via fail links, case folding.
+  */
+class BlocklistSpec extends AnyFunSuite {
+
+  private def scan(text: String, phrases: String*): (Int, Int, String) =
+    new BlocklistAutomaton.Automaton(phrases.toArray).scan(text)
+
+  test("word boundaries: no hit inside a longer word") {
+    assert(scan("a class act", "ass") == (0, 0, null))
+    assert(scan("an ass appears", "ass") == (1, 1, "ass"))
+    assert(scan("ass!", "ass") == (1, 1, "ass"))
+    assert(scan("bad-word hyphens are boundaries", "word") == (1, 1, "word"))
+  }
+
+  test("multi-word phrases and counts") {
+    assert(scan("free money, free money now", "free money") ==
+      (2, 1, "free money"))
+    val (h, d, f) = scan("spam and eggs and spam", "spam", "eggs")
+    assert((h, d, f) == (3, 2, "spam"))
+  }
+
+  test("suffix phrases fire via fail links") {
+    // "urn" is a suffix of "burn": both must fire on "burn" only when
+    // boundary-aligned — here "urn" is inside a word, so only "burn".
+    assert(scan("they burn it", "burn", "urn") == (1, 1, "burn"))
+    assert(scan("an urn burns", "burn", "urn") == (1, 1, "urn"))
+  }
+
+  test("case folding both sides") {
+    assert(scan("FREE Money", "free money") == (1, 1, "free money"))
+    assert(scan("free money", "FREE MONEY") == (1, 1, "FREE MONEY"))
+  }
+
+  test("first_term is text order, not list order") {
+    assert(scan("eggs then spam", "spam", "eggs")._3 == "eggs")
+  }
+
+  test("unicode letters count as word chars") {
+    assert(scan("café bar", "bar") == (1, 1, "bar"))
+    assert(scan("cafébar", "bar") == (0, 0, null)) // é is a word char
+  }
+}
