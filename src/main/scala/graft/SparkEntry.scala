@@ -4015,6 +4015,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 185. DSIR importance weights, oracle-pinned ----------------------------------------------------
+    // The published importance-resampling selection score: every-5th
+    // document is the target slice, the rest are raw; the bucket feature
+    // here is the token's first character (the paper's hashed n-grams
+    // are one pluggable bucket fn away — smoothing and scoring are what
+    // is under test). The oracle recomputes both Laplace-smoothed bucket
+    // models and every document's log-likelihood-ratio sum relationally;
+    // 9-decimal round absorbs libm/ordering ulps under the bit-exact
+    // hash compare.
+    "q185_importance_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Sampling.importanceWeights(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", tok => substring(tok, 1, 1))
+        .select(col("doc_id"), round(col("log_weight"), 9).as("log_weight"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // --- 184. Aho-Corasick blocklist gate, oracle-pinned ------------------------------------------------
     // The C4-style bad-phrase filter as ONE automaton pass: even rows
     // carry two spellings of one phrase (case fold), a second phrase,
@@ -4316,8 +4336,10 @@ object SparkEntry {
           "distribute this software for any purpose\n")
         .otherwise("")
       t(s, d, "documents")
-        .select(col("doc_id"),
-          TF.licenseId(concat(header, col("text"))).as("v"))
+        // norm projected once; the ladder references it ~12 times
+        .select(col("doc_id"), concat(header, col("text")).as("__t"))
+        .select(col("doc_id"), col("__t"), TF.licenseNorm(col("__t")).as("__n"))
+        .select(col("doc_id"), TF.licenseId(col("__t"), col("__n")).as("v"))
         .select(col("doc_id"),
           col("v.license").as("license"),
           col("v.matched_by").as("matched_by"))
@@ -4381,24 +4403,37 @@ object SparkEntry {
     private val zeroOct = cc("0000000") + "00"
     private val mtimeHex = cc("14524770400") + "00" // 1700000000 in octal
     private val magicHex = cc("ustar") + "00" + cc("00")
-    private def hdrSpaces(nameHex: Column, size: Column, tf: Char,
-        prefixHex: Column): Column =
-      concat(rpad(nameHex, 200, "0"),
-        lit(modeHex + zeroOct + zeroOct),
-        hex(lpad(conv(size, 10, 8), 11, "0")), lit("00"),
-        lit(mtimeHex + "20" * 8), lit(cc(tf.toString)),
-        lit("00" * 100 + magicHex + "00" * 64 + zeroOct + zeroOct),
-        rpad(prefixHex, 310, "0"), lit("00" * 12))
-    private def withChk(h: Column): Column = {
-      val sum = aggregate(transform(sequence(lit(0), lit(511)),
-        i => conv(substring(h, i * 2 + 1, lit(2)), 16, 10).cast("long")),
-        lit(0L), (a, x) => a + x)
-      concat(substring(h, 1, 296), hex(lpad(conv(sum, 10, 8), 6, "0")),
-        lit("0020"), substring(h, 313, 712))
-    }
+    private def hexByteSum(h: String): Long =
+      h.grouped(2).map(java.lang.Integer.parseInt(_, 16).toLong).sum
+    /** ASCII byte sum of a (7-bit) string column — the only per-row
+      * arithmetic the checksum needs: the fixed fields sum driver-side,
+      * so the interpreted HOF runs over ~15 name chars, not 512 bytes
+      * (the previous whole-header fold benched 20x slower).
+      */
+    private def asciiSum(c: Column): Column =
+      when(length(c) === 0, lit(0L)).otherwise(
+        aggregate(transform(sequence(lit(1), length(c)),
+          i => ascii(substring(c, i, lit(1))).cast("long")),
+          lit(0L), (a, x) => a + x))
     def hdr(name: Column, size: Column, tf: Char,
-        prefix: Column = lit("")): Column =
-      withChk(hdrSpaces(hex(name), size, tf, hex(prefix)))
+        prefix: Column = lit("")): Column = {
+      val sizeOct = lpad(conv(size, 10, 8), 11, "0")
+      // checksum = fixed-field bytes (driver-side) + the three variable
+      // ASCII strings; NUL padding contributes zero.
+      val fixedSum = hexByteSum(modeHex + zeroOct + zeroOct) +
+        hexByteSum(mtimeHex) + 8L * 32 /* chksum field reads as spaces */ +
+        tf.toLong + hexByteSum(magicHex) + hexByteSum(zeroOct + zeroOct)
+      val chk = lit(fixedSum) + asciiSum(name) + asciiSum(sizeOct) +
+        asciiSum(prefix)
+      concat(rpad(hex(name), 200, "0"),
+        lit(modeHex + zeroOct + zeroOct),
+        hex(sizeOct), lit("00"),
+        lit(mtimeHex),
+        hex(lpad(conv(chk, 10, 8), 6, "0")), lit("0020"),
+        lit(cc(tf.toString)),
+        lit("00" * 100 + magicHex + "00" * 64 + zeroOct + zeroOct),
+        rpad(hex(prefix), 310, "0"), lit("00" * 12))
+    }
     /** payload hex padded to whole 512-byte blocks */
     def pay(content: Column): Column =
       rpad(hex(content), (ceil(length(content) / 512.0) * 1024).cast("int"),
@@ -6324,6 +6359,30 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DSIR weights: both bucket models + every LLR sum recomputed.
+    "q185_importance_weights" ->
+      """WITH rawd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        | tgt AS (SELECT text FROM documents WHERE doc_id % 5 = 0),
+        | rt AS (SELECT doc_id, substring(tok, 1, 1) AS b FROM (
+        |   SELECT doc_id, unnest(string_split_regex(TRIM(LOWER(text)), '\s+'))
+        |     AS tok FROM rawd) WHERE tok <> ''),
+        | tt AS (SELECT substring(tok, 1, 1) AS b FROM (
+        |   SELECT unnest(string_split_regex(TRIM(LOWER(text)), '\s+'))
+        |     AS tok FROM tgt) WHERE tok <> ''),
+        | tb AS (SELECT b, count(*) AS tc FROM tt GROUP BY b),
+        | rb AS (SELECT b, count(*) AS rc FROM rt GROUP BY b),
+        | j AS (SELECT coalesce(tb.b, rb.b) AS b, coalesce(tc, 0) AS tc,
+        |     coalesce(rc, 0) AS rc
+        |   FROM tb FULL OUTER JOIN rb ON tb.b = rb.b),
+        | tot AS (SELECT sum(tc) AS t2, sum(rc) AS r2, count(*) AS nb FROM j),
+        | lr AS (SELECT b, ln((tc + 1.0) / (t2 + nb)) - ln((rc + 1.0) / (r2 + nb))
+        |     AS lr FROM j, tot),
+        | w AS (SELECT doc_id, sum(lr) AS lw, count(*) AS nt
+        |   FROM rt JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT doc_id, round(coalesce(lw, 0), 9) AS log_weight,
+        |  CAST(coalesce(nt, 0) AS INT) AS n_tokens
+        |FROM rawd LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Blocklist closed forms: counts + first term in text order.
     "q184_blocklist" ->

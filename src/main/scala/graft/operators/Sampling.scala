@@ -122,4 +122,64 @@ object Sampling {
       deterministicSample(df, idCol, fraction, seed)
         .withColumn("source_corpus", lit(name))
     }.reduce(_.unionByName(_))
+
+  /** DSIR-style importance weights for data selection (the published
+    * importance-resampling recipe: score raw documents by how
+    * target-like their hashed-feature distribution is, then resample by
+    * weight). Each raw document gets the log-likelihood ratio of its
+    * token-bucket counts under the TARGET vs the RAW bucket unigram
+    * models, Laplace-smoothed over the union of observed buckets:
+    * `log_weight = sum_tokens [ log p_target(bucket) - log p_raw(bucket) ]`.
+    * The `bucket` function is pluggable (hashed n-grams in the paper;
+    * any token -> id Column works) — smoothing and scoring are the
+    * operator.
+    *
+    * Scale shape: both bucket distributions aggregate map-side to at
+    * most |buckets| rows; the per-bucket log-ratio table (tiny — the
+    * feature space, not the corpus) BROADCAST-joins against the raw
+    * side's exploded tokens, and the per-document sum combines
+    * map-side. The raw corpus never shuffles its text. Pair the output
+    * with [[deterministicSample]]/[[hashWeight]] thresholding for the
+    * resampling step.
+    *
+    * Output: one row per raw document — idCol, `log_weight`,
+    * `n_tokens` (tokens that produced a bucket). Documents with zero
+    * tokens weight 0.
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucket: Column => Column
+  ): DataFrame = {
+    val rawToks = raw
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.Retrieval.tokens(col(textCol))).as("tok"))
+      .select(col("__id"), bucket(col("tok")).as("b"))
+    val tb = target
+      .select(explode(graft.functions.Retrieval.tokens(col(textCol))).as("tok"))
+      .select(bucket(col("tok")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val rb = rawToks.groupBy("b").agg(count(lit(1)).as("rc"))
+    val joined = tb.join(rb, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+      .localCheckpoint(true) // referenced 3x below (2 totals + join)
+    val totals = joined.agg(sum("tc").as("tt"), sum("rc").as("rt"),
+      count(lit(1)).as("nb"))
+    val lr = joined.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("tc") + 1).cast("double") / (col("tt") + col("nb"))) -
+          log((col("rc") + 1).cast("double") / (col("rt") + col("nb"))))
+          .as("lr"))
+    raw.select(col(idCol).as("__id"))
+      .join(rawToks.join(broadcast(lr), "b")
+          .groupBy("__id")
+          .agg(sum("lr").as("log_weight"), count(lit(1)).as("n_tokens")),
+        Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"),
+        coalesce(col("n_tokens"), lit(0L)).cast("int").as("n_tokens"))
+  }
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ImportanceWeightsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // bucket = first character; tiny corpora hand-checkable
+  private val raw = Seq(
+    (1L, "apple ant bear"),   // buckets a a b
+    (2L, "zebra zoo"),        // z z
+    (3L, "")                  // no tokens
+  ).toDF("id", "text")
+  private val target = Seq((9L, "avocado apricot bee")) // a a b
+    .toDF("id", "text")
+
+  /** Reference: Laplace-smoothed LLR over the observed-bucket union. */
+  private def ref(bs: Seq[Char]): Double = {
+    val tc = Map('a' -> 2L, 'b' -> 1L, 'z' -> 0L)
+    val rc = Map('a' -> 2L, 'b' -> 1L, 'z' -> 2L)
+    val (tt, rt, nb) = (3.0, 5.0, 3.0)
+    bs.map(b => math.log((tc(b) + 1) / (tt + nb)) -
+      math.log((rc(b) + 1) / (rt + nb))).sum
+  }
+
+  test("log-likelihood ratios match the hand model; empty doc weights 0") {
+    val got = Sampling.importanceWeights(raw, target, "id", "text",
+        tok => substring(tok, 1, 1))
+      .orderBy("id").as[(Long, Double, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(math.abs(got(0)._2 - ref("aab".toSeq)) < 1e-12)
+    assert(math.abs(got(1)._2 - ref("zz".toSeq)) < 1e-12)
+    assert(got(2) == ((3L, 0.0, 0)))
+    assert(got.map(_._3) == Seq(3, 2, 0))
+    // target-like doc scores above the target-unlike one
+    assert(got(0)._2 > got(1)._2)
+  }
+}
