@@ -403,4 +403,40 @@ class PlanSpec extends SparkTestBase {
       }
     assert(sortedPlan.size == 1, sortedPlan.toString)
   }
+
+  test("importanceWeights broadcast-joins the log-ratio table; raw text never shuffles wide") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val p = graft.operators.Sampling.importanceWeights(
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
+        "doc_id", "text",
+        tok => org.apache.spark.sql.functions.substring(tok, 1, 1))
+      .queryExecution.executedPlan.toString
+    // The per-bucket log-ratio table (feature-space-sized) must reach the
+    // exploded raw tokens as a broadcast, never a shuffled join.
+    assert(p.contains("BroadcastHashJoin"), p)
+    // Per-document LLR sums combine map-side: partial then final aggregate.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("dropBoilerplateLines: anti join against the boiler set, partial aggregation") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val p = graft.functions.Dedup.dropBoilerplateLines(
+        docs, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("blocklist gate stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q184_blocklist")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans print
+    val p = df.queryExecution.executedPlan.toString
+    // The automaton scan is a codegen'd expression; the projection that
+    // computes it must sit inside a whole-stage-codegen span (the
+    // `*(n)` marker in the finalized plan's simple string form).
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
 }
