@@ -4015,6 +4015,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 186. image thumbnail resize, oracle-pinned -----------------------------------------------------
+    // The pre-embedding downscale: a 36x32 PGM constructed per row
+    // (q158's pixel formula), box-mean-resized to 9x8 — cells are exact
+    // 4x4 blocks, so every output byte is an integer-exact mean the
+    // oracle recomputes relationally. Output bytes re-exploded from the
+    // PGM payload (11-byte header skipped).
+    "q186_image_resize" -> ((s, d) => {
+      val w = 36; val h = 32
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y) % 256
+      val srcHex = concat(
+        hex(lit(s"P5 $w $h 255\n")),
+        array_join(transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"))), 2, "0")), ""))
+      val resized = Multimodal.imageResize(unhex(srcHex), 9, 8)
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        // 11-byte "P5 9 8 255\n" header -> body starts at hex char 23
+        .select(col("doc_id"), substring(hex(resized), 23, 144).as("bh"))
+        .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(71)),
+          i => conv(substring(col("bh"), i * 2 + 1, lit(2)), 16, 10)
+            .cast("int"))))
+        .select(col("doc_id"), col("pos").cast("int").as("cell"),
+          col("col").as("value"))
+        .orderBy("doc_id", "cell")
+    }),
+
     // --- 185. DSIR importance weights, oracle-pinned ----------------------------------------------------
     // The published importance-resampling selection score: every-5th
     // document is the target slice, the rest are raw; the bucket feature
@@ -6359,6 +6386,21 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Image resize: every output cell's 4x4 box mean recomputed.
+    "q186_image_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y) % 256 AS DOUBLE)
+        |      AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y))
+        |SELECT doc_id,
+        |  CAST(CAST(y // 4 AS INT) * 9 + CAST(x // 4 AS INT) AS INT) AS cell,
+        |  CAST(floor(SUM(v) / 16.0 + 0.5) AS INT) AS value
+        |FROM px GROUP BY doc_id, y // 4, x // 4
+        |ORDER BY doc_id, cell""".stripMargin,
 
     // DSIR weights: both bucket models + every LLR sum recomputed.
     "q185_importance_weights" ->

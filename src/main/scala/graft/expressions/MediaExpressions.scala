@@ -149,6 +149,47 @@ object MediaCodec {
     new GenericInternalRow(Array[Any](grid.dhash, grid.ahash, w0, h0))
   }
 
+  /** Box-mean grayscale DOWNSCALE through the real decoders — the
+    * standard pre-embedding thumbnail: the payload decodes ONCE, each
+    * source pixel's luma accumulates into its output cell (O(outW*outH)
+    * heap, never a full pixel matrix), and the result ships as a flat
+    * PGM P5 payload so it composes with every image op in this file
+    * (header, stats, hashes — a thumbnail's dHash is computable from
+    * the resize output). Cell value = box mean rounded half-up, 0-255.
+    * Null for undecodable payloads, upscales (a box mean cannot invent
+    * pixels; outW/outH must not exceed the source), and non-positive
+    * target dims.
+    */
+  def imageResize(b: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    if (b == null || outW <= 0 || outH <= 0) return null
+    val hdr = parse(b)
+    val (w0, h0) =
+      if (hdr != null) (hdr._2, hdr._3)
+      else if (b.length >= 2 && (b(0) == 'P' && (b(1) == '5' || b(1) == '6'))) {
+        val p = pnmHeader(b)
+        if (p == null) return null
+        (p(0), p(1))
+      } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+        if (b.length < 26) return null
+        (le32(b, 18), math.abs(le32(b, 22).toLong).toInt)
+      } else return null
+    if (w0 < outW || h0 < outH) return null
+    val grid = new GridAcc(w0, h0, outW, outH)
+    val stats = decodePixels(b, grid)
+    if (stats == null) return null
+    if (stats.width != w0 || stats.height != h0 || !grid.complete) return null
+    val header = s"P5 $outW $outH 255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + outW * outH)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < outW * outH) {
+      val v = math.floor(grid.sum(i) / grid.cnt(i) + 0.5).toInt
+      out(header.length + i) = math.max(0, math.min(255, v)).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Thrown (as a shared, stack-trace-free instance) by the JPEG bit/marker
     * readers on any malformed structure; [[decodeJpeg]] translates it to the
     * null-for-corrupt contract every decoder in this file follows. A control
@@ -2371,8 +2412,12 @@ object MediaCodec {
     * unchanged). Grid fills run as SEPARATE passes over already-decoded
     * row/block buffers so the oracle-pinned stats loops stay untouched.
     */
-  private[expressions] final class GridAcc(val w: Int, val h: Int) {
-    import GridAcc.{GW, GH}
+  /** Box-mean accumulator over a gw x gh cell grid. The 9x8 default is
+    * the dHash/aHash convention; [[imageResize]] instantiates arbitrary
+    * output geometries over the same decode pass.
+    */
+  private[expressions] final class GridAcc(val w: Int, val h: Int,
+      val GW: Int = GridAcc.GW, val GH: Int = GridAcc.GH) {
     val sum = new Array[Double](GW * GH)
     val cnt = new Array[Long](GW * GH)
     def add(x: Int, y: Int, luma: Double): Unit = {
@@ -4801,6 +4846,33 @@ case class ImageHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImageHashExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_image_hash"
+}
+
+/** `binary` -> PGM P5 `binary`: box-mean grayscale downscale to
+  * (outW, outH) through the real decoders, one pass, O(outW*outH) heap
+  * ([[MediaCodec.imageResize]]). NULL for undecodable payloads and
+  * upscales. Codegen'd.
+  */
+case class ImageResizeExpr(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression {
+  require(outW > 0 && outH > 0, s"target dims must be positive: $outW x $outH")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.imageResize(input.asInstanceOf[Array[Byte]], outW, outH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.imageResize($c, $outW, $outH);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ImageResizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_image_resize"
 }
 
 /** `binary` (AVI / animated GIF) -> array<bigint> of per-frame dHashes

@@ -271,6 +271,17 @@ object Multimodal {
       graft.expressions.UnxzExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Box-mean grayscale downscale to (w, h) as a flat PGM P5 payload
+    * ([[graft.expressions.ImageResizeExpr]]) — the pre-embedding
+    * thumbnail, decoded and reduced in one pass through the real
+    * codecs; the output feeds every other image op (header, stats,
+    * hashes). NULL for undecodable payloads and upscales.
+    */
+  def imageResize(bin: Column, w: Int, h: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ImageResizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin), w, h))
+
   /** Perceptual image hashes ([[graft.expressions.ImageHashExpr]]):
     * struct<dhash, ahash, width, height> through the REAL pixel decoders
     * (PNM/BMP/PNG incl. Adam7 and palettes/GIF incl. interlace/baseline +

@@ -1,0 +1,76 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Box-mean resize: exact cell means on constructed rasters,
+  * cross-format identity, PGM composability, reject sides.
+  */
+class ResizeSpec extends AnyFunSuite {
+
+  private def pgm(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5 $w $h 255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+  }
+
+  private def body(b: Array[Byte]): Seq[Int] = {
+    val nl = b.indexOf('\n'.toInt)
+    b.drop(nl + 1).map(_ & 0xFF).toSeq
+  }
+
+  test("8x8 ramp to 2x2: each cell is the exact 4x4 box mean") {
+    val src = pgm(8, 8, (x, y) => x + 8 * y) // values 0..63
+    val out = MediaCodec.imageResize(src, 2, 2)
+    assert(new String(out.take(10), "US-ASCII") == "P5 2 2 255")
+    // mean of block (x0..x0+3, y0..y0+3) of v = x + 8y is
+    // (x0 + 1.5) + 8*(y0 + 1.5) = x0 + 8*y0 + 13.5 -> rounds half-up
+    assert(body(out) == Seq(14, 18, 46, 50))
+  }
+
+  test("identity-size resize copies pixels; full-width mean matches stats") {
+    val src = pgm(4, 4, (x, y) => 16 * x + y)
+    assert(body(MediaCodec.imageResize(src, 4, 4)) ==
+      (0 until 16).map(i => 16 * (i % 4) + i / 4))
+    val one = MediaCodec.imageResize(src, 1, 1)
+    val mean = (0 until 16).map(i => 16 * (i % 4) + i / 4).sum / 16.0
+    assert(body(one) == Seq(math.floor(mean + 0.5).toInt))
+  }
+
+  test("cross-format: BMP and PGM of the same gray raster resize identically") {
+    def bmp(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val rowPad = (4 - (w * 3) % 4) % 4
+      val dataSize = (w * 3 + rowPad) * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) { // bottom-up rows
+        for (x <- 0 until w) {
+          val v = f(x, y).toByte; b.put(v).put(v).put(v)
+        }
+        for (_ <- 0 until rowPad) b.put(0.toByte)
+      }
+      b.array()
+    }
+    val f = (x: Int, y: Int) => (x * 13 + y * 7) % 256
+    val a = MediaCodec.imageResize(pgm(16, 12, f), 4, 3)
+    val c = MediaCodec.imageResize(bmp(16, 12, f), 4, 3)
+    assert(a != null && java.util.Arrays.equals(a, c))
+  }
+
+  test("the output is a decodable PGM: header, stats and hashes compose") {
+    val src = pgm(40, 40, (x, y) => (x * 5 + y * 3) % 256)
+    val out = MediaCodec.imageResize(src, 12, 10)
+    val hdr = MediaCodec.imageHeader(out)
+    assert(hdr.getInt(1) == 12 && hdr.getInt(2) == 10)
+    assert(MediaCodec.imageHashes(out) != null)
+  }
+
+  test("reject sides: upscale, junk, null, bad dims") {
+    val src = pgm(4, 4, (_, _) => 1)
+    assert(MediaCodec.imageResize(src, 8, 4) == null)
+    assert(MediaCodec.imageResize("junk".getBytes, 2, 2) == null)
+    assert(MediaCodec.imageResize(null, 2, 2) == null)
+    assert(MediaCodec.imageResize(src, 0, 2) == null)
+  }
+}
