@@ -4015,6 +4015,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 187. audio resample, oracle-pinned -------------------------------------------------------------
+    // The canonical-rate normalization: syntheticWav's 16 kHz stream
+    // linear-resampled to 12 kHz (4:3 — every third output frame sits
+    // between inputs at exact thirds) and reduced through the same
+    // audio-stats path as q88. The oracle replays the pinned integer
+    // div/mod + IEEE interpolation arithmetic for every output frame.
+    "q187_audio_resample" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.audioStats(
+          Multimodal.audioResample(syntheticWav, 12000)).as("au"))
+        .select(col("doc_id"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.n_frames").as("n_frames"),
+          col("au.c0_mean").as("amp_mean"),
+          col("au.c0_min").as("amp_min"),
+          col("au.c0_max").as("amp_max"))
+        .orderBy("doc_id")),
+
     // --- 186. image thumbnail resize, oracle-pinned -----------------------------------------------------
     // The pre-embedding downscale: a 36x32 PGM constructed per row
     // (q158's pixel formula), box-mean-resized to 9x8 — cells are exact
@@ -6386,6 +6405,29 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Audio resample: every output frame's interpolation replayed.
+    "q187_audio_resample" ->
+      """WITH d AS (SELECT doc_id, CAST(20 + doc_id % 50 AS BIGINT) AS n
+        |    FROM documents),
+        | kk AS (SELECT doc_id, n, UNNEST(generate_series(0, (3*n)//4 - 1)) AS k
+        |    FROM d),
+        | p AS (SELECT doc_id, n, (k*16000)//12000 AS i,
+        |    CAST(k*16000 % 12000 AS DOUBLE) AS rem FROM kk),
+        | sv AS (SELECT doc_id, n,
+        |    ((doc_id*7 + i*13) % 65536 + 32768) % 65536 - 32768 AS s0,
+        |    CASE WHEN i + 1 >= n THEN NULL
+        |      ELSE ((doc_id*7 + (i+1)*13) % 65536 + 32768) % 65536 - 32768
+        |      END AS s1, rem FROM p),
+        | r AS (SELECT doc_id,
+        |    CAST(floor(CASE WHEN s1 IS NULL THEN CAST(s0 AS DOUBLE)
+        |      ELSE s0 + (s1 - s0) * (rem / 12000.0) END + 0.5) AS BIGINT) AS v
+        |  FROM sv)
+        |SELECT doc_id, CAST(12000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(count(*) AS BIGINT) AS n_frames,
+        |  AVG(v) AS amp_mean, CAST(MIN(v) AS INT) AS amp_min,
+        |  CAST(MAX(v) AS INT) AS amp_max
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Image resize: every output cell's 4x4 box mean recomputed.
     "q186_image_resize" ->

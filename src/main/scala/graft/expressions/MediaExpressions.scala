@@ -4220,6 +4220,65 @@ object MediaCodec {
     (w.sampleRate, out)
   }
 
+  /** Linear-interpolation resample of a WAV or FLAC payload to a mono
+    * 16-bit PCM WAV at `outRate` — the audio sibling of [[imageResize]]:
+    * fingerprinting and cross-corpus audio dedup need one canonical
+    * rate, and crawl audio arrives at many. Channels mono-mix through
+    * the same [[wavMonoSamples]]/[[flacMonoSamples]] extractors the
+    * fingerprints use, so a resampled payload feeds the whole audio
+    * ladder (stats, fingerprint, near-dup) unchanged.
+    *
+    * Arithmetic is pinned for the oracle: output frame k sits at input
+    * position `k*inRate/outRate` held as EXACT integers (`i = pos div
+    * outRate`, `rem = pos mod outRate`), and the sample is
+    * `s[i] + (s[i+1]-s[i]) * (rem/outRate)` rounded half-up — IEEE
+    * +,-,*,/ only, so an independent engine reproduces it bit-for-bit.
+    * Output frames = floor(n*outRate/inRate). Null for non-audio
+    * payloads and absurd rates; input decode is frame-capped (~87 s at
+    * 48 kHz) — the row-scale bomb guard.
+    */
+  def audioResample(b: Array[Byte], outRate: Int): Array[Byte] = {
+    if (b == null || outRate <= 0 || outRate > 768000) return null
+    val maxFrames = 1 << 22
+    val mono =
+      if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == 'F') wavMonoSamples(b, maxFrames)
+      else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+          b(3) == 'C') flacMonoSamples(b, maxFrames)
+      else null
+    if (mono == null) return null
+    val (inRate, s) = mono
+    if (inRate <= 0 || s.isEmpty) return null
+    val nOut = (s.length.toLong * outRate / inRate).toInt
+    if (nOut <= 0) return null
+    val out = new Array[Byte](44 + nOut * 2)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def le32(off: Int, v: Int): Unit = { le16(off, v & 0xFFFF); le16(off + 2, v >>> 16) }
+    def tag(off: Int, t: String): Unit = {
+      val tb = t.getBytes("US-ASCII"); System.arraycopy(tb, 0, out, off, 4)
+    }
+    tag(0, "RIFF"); le32(4, 36 + nOut * 2); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, outRate); le32(28, outRate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, nOut * 2)
+    var k = 0
+    while (k < nOut) {
+      val pos = k.toLong * inRate
+      val i = (pos / outRate).toInt
+      val rem = (pos % outRate).toDouble
+      val v =
+        if (i + 1 >= s.length) s(i)
+        else s(i) + (s(i + 1) - s(i)) * (rem / outRate)
+      val r = math.floor(v + 0.5).toInt
+      val c = math.max(-32768, math.min(32767, r))
+      le16(44 + 2 * k, c & 0xFFFF)
+      k += 1
+    }
+    out
+  }
+
   /** MSB-first bit reader over a byte array — FLAC's bit order. Overruns
     * latch [[failed]] and return zeros instead of throwing: frame decode
     * checks the flag once per frame, keeping the per-bit hot path
@@ -4873,6 +4932,32 @@ case class ImageResizeExpr(child: Expression, outW: Int, outH: Int)
   override protected def withNewChildInternal(newChild: Expression): ImageResizeExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_image_resize"
+}
+
+/** `binary` (WAV/FLAC) -> mono 16-bit WAV `binary` at `outRate`, linear
+  * interpolation ([[MediaCodec.audioResample]]). NULL for non-audio
+  * payloads. Codegen'd.
+  */
+case class AudioResampleExpr(child: Expression, outRate: Int)
+    extends UnaryExpression {
+  require(outRate > 0, s"target rate must be positive: $outRate")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.audioResample(input.asInstanceOf[Array[Byte]], outRate)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.audioResample($c, $outRate);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioResampleExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_audio_resample"
 }
 
 /** `binary` (AVI / animated GIF) -> array<bigint> of per-frame dHashes

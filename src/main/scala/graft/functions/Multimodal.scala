@@ -271,6 +271,17 @@ object Multimodal {
       graft.expressions.UnxzExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Linear-interpolation resample of a WAV/FLAC payload to a mono
+    * 16-bit WAV at `rate` ([[graft.expressions.AudioResampleExpr]]) —
+    * the canonical-rate normalization before fingerprinting and audio
+    * dedup; the output feeds the whole audio ladder unchanged. NULL
+    * for non-audio payloads.
+    */
+  def audioResample(bin: Column, rate: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AudioResampleExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin), rate))
+
   /** Box-mean grayscale downscale to (w, h) as a flat PGM P5 payload
     * ([[graft.expressions.ImageResizeExpr]]) — the pre-embedding
     * thumbnail, decoded and reduced in one pass through the real

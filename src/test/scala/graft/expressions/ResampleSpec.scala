@@ -1,0 +1,65 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Linear resample semantics: exact decimation, midpoint interpolation,
+  * identity-rate normalization, downstream composability, rejects.
+  */
+class ResampleSpec extends AnyFunSuite {
+
+  private def wav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+    val n = samples.length
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    b.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(2 * n)
+    samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  private def samplesOf(b: Array[Byte]): (Int, Seq[Int]) = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rate = bb.getInt(24)
+    val n = bb.getInt(40) / 2
+    (rate, (0 until n).map(i => bb.getShort(44 + 2 * i).toInt))
+  }
+
+  test("2:1 decimation picks every other frame exactly") {
+    val src = wav(8000, Seq(10, -20, 30, -40, 50, -60, 70, -80))
+    val (rate, out) = samplesOf(MediaCodec.audioResample(src, 4000))
+    assert(rate == 4000)
+    assert(out == Seq(10, 30, 50, 70))
+  }
+
+  test("3:2 ratio: odd output frames are rounded midpoints") {
+    // pos = k*48000/32000 = 1.5k: frames 0,1.5,3,4.5,...
+    val src = wav(48000, Seq(0, 100, 200, 301, 400, 500))
+    val (_, out) = samplesOf(MediaCodec.audioResample(src, 32000))
+    // k=0 -> s0; k=1 -> mid(100,200)=150; k=2 -> s3=301; k=3 -> mid(400,500)=450
+    assert(out == Seq(0, 150, 301, 450))
+  }
+
+  test("identity rate re-emits the mono samples unchanged") {
+    val src = wav(16000, Seq(-3, 5, 7, -32768, 32767))
+    val (rate, out) = samplesOf(MediaCodec.audioResample(src, 16000))
+    assert(rate == 16000 && out == Seq(-3, 5, 7, -32768, 32767))
+  }
+
+  test("output feeds the audio ladder: stats and fingerprint accept it") {
+    val tone = (0 until 8000).map(i =>
+      (3000 * math.sin(2 * math.Pi * 440 * i / 8000)).toInt)
+    val out = MediaCodec.audioResample(wav(8000, tone), 4000)
+    val stats = MediaCodec.audioStats(out)
+    assert(stats != null)
+    assert(stats.getLong(2) == 4000L) // n_frames halves
+  }
+
+  test("rejects: junk, null, absurd rates, non-audio magic") {
+    assert(MediaCodec.audioResample("nope".getBytes, 8000) == null)
+    assert(MediaCodec.audioResample(null, 8000) == null)
+    assert(MediaCodec.audioResample(wav(8000, Seq(1, 2)), 0) == null)
+    assert(MediaCodec.audioResample(wav(8000, Seq(1, 2)), 10000000) == null)
+  }
+}
