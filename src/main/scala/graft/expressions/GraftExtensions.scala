@@ -278,7 +278,92 @@ object GraftExtensions {
         case Seq(bin) => PdfTextExpr(bin)
         case _ => throw new IllegalArgumentException("graft_pdf_text(binary)")
       })
+  ) ++ unary(
+    // one-argument expressions: name -> constructor (argument kind is
+    // documented on each expression; wrong types fail analysis there)
+    "graft_zip_entries" -> (classOf[ZipEntriesExpr], ZipEntriesExpr(_)),
+    "graft_office_text" -> (classOf[OfficeTextExpr], OfficeTextExpr(_)),
+    "graft_docx_text" -> (classOf[DocxTextExpr], DocxTextExpr(_)),
+    "graft_email" -> (classOf[EmailExpr], EmailExpr(_)),
+    "graft_rtf_text" -> (classOf[RtfTextExpr], RtfTextExpr(_)),
+    "graft_subtitle_cues" -> (classOf[SubtitleCuesExpr], SubtitleCuesExpr(_)),
+    "graft_tar_entries" -> (classOf[TarEntriesExpr], TarEntriesExpr(_)),
+    "graft_ogg_header" -> (classOf[OggHeaderExpr], OggHeaderExpr(_)),
+    "graft_pii_redact" -> (classOf[PiiRedactExpr], PiiRedactExpr(_)),
+    "graft_repetition_stats" ->
+      (classOf[RepetitionStatsExpr], RepetitionStatsExpr(_)),
+    "graft_bzip2" -> (classOf[Bzip2Expr], Bzip2Expr(_)),
+    "graft_bunzip2" -> (classOf[Bunzip2Expr], Bunzip2Expr(_)),
+    "graft_xz" -> (classOf[XzExpr], XzExpr(_)),
+    "graft_unxz" -> (classOf[UnxzExpr], UnxzExpr(_)),
+    "graft_exif" -> (classOf[ExifMetaExpr], ExifMetaExpr(_)),
+    "graft_id3_tags" -> (classOf[Id3TagsExpr], Id3TagsExpr(_)),
+    "graft_mp3_frames" -> (classOf[Mp3FrameWalkExpr], Mp3FrameWalkExpr(_)),
+    "graft_html_blocks" -> (classOf[HtmlBlocksExpr], HtmlBlocksExpr(_)),
+    "graft_main_text" -> (classOf[MainTextExpr], MainTextExpr(_))
+  ) ++ Seq[FunctionDescription](
+    (
+      FunctionIdentifier("graft_zip_entry"),
+      new ExpressionInfo(classOf[ZipEntryExpr].getName, "graft_zip_entry"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin, name) => ZipEntryExpr(bin, name)
+        case _ => throw new IllegalArgumentException(
+          "graft_zip_entry(binary, name string)")
+      }),
+    (
+      FunctionIdentifier("graft_tar_text"),
+      new ExpressionInfo(classOf[TarEntryTextExpr].getName, "graft_tar_text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin, name) => TarEntryTextExpr(bin, name)
+        case _ => throw new IllegalArgumentException(
+          "graft_tar_text(binary, name string)")
+      }),
+    (
+      FunctionIdentifier("graft_image_resize"),
+      new ExpressionInfo(classOf[ImageResizeExpr].getName, "graft_image_resize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin, Literal(w: Int, IntegerType), Literal(h: Int, IntegerType)) =>
+          ImageResizeExpr(bin, w, h)
+        case _ => throw new IllegalArgumentException(
+          "graft_image_resize(binary, w literal int, h literal int)")
+      }),
+    (
+      FunctionIdentifier("graft_audio_resample"),
+      new ExpressionInfo(classOf[AudioResampleExpr].getName, "graft_audio_resample"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin, Literal(r: Int, IntegerType)) => AudioResampleExpr(bin, r)
+        case _ => throw new IllegalArgumentException(
+          "graft_audio_resample(binary, rate literal int)")
+      }),
+    (
+      FunctionIdentifier("graft_blocklist_hits"),
+      new ExpressionInfo(classOf[BlocklistHitsExpr].getName, "graft_blocklist_hits"),
+      (args: Seq[Expression]) => args match {
+        // any foldable array<string> works: array('a','b') from SQL text
+        case Seq(child, arr) if arr.foldable && (arr.dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType, _) => true
+            case _ => false
+          }) =>
+          val data = arr.eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val phrases = (0 until data.numElements())
+            .map(i => data.getUTF8String(i).toString)
+          BlocklistHitsExpr(child, phrases)
+        case _ => throw new IllegalArgumentException(
+          "graft_blocklist_hits(string, phrases foldable array<string>)")
+      })
   )
+
+  private def unary(
+      entries: (String, (Class[_], Expression => Expression))*): Seq[FunctionDescription] =
+    entries.map { case (name, (cls, ctor)) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        (args: Seq[Expression]) => args match {
+          case Seq(child) => ctor(child)
+          case _ => throw new IllegalArgumentException(s"$name(arg)")
+        }): FunctionDescription
+    }
 
   /** Register the graft functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,49 @@
+package graft.expressions
+
+import graft.SparkTestBase
+
+/** The round's expressions must work from SQL TEXT, not just the typed
+  * API — `GraftExtensions.register` is the session-extension face a
+  * SQL-only user gets. One smoke per registration family.
+  */
+class SqlSurfaceSpec extends SparkTestBase {
+
+  GraftExtensions.register(spark)
+
+  private def one(sql: String): org.apache.spark.sql.Row =
+    spark.sql(sql).collect()(0)
+
+  test("text family: pii, rtf, email, repetition, blocklist from SQL text") {
+    val pii = one("SELECT graft_pii_redact('mail x@y.io now').redacted AS r")
+    assert(pii.getString(0) == "mail <EMAIL> now")
+    val rtf = one(
+      """SELECT graft_rtf_text(CAST('{\\rtf1 hi there}' AS BINARY)) AS t""")
+    assert(rtf.getString(0) == "hi there")
+    val rep = one("SELECT graft_repetition_stats('a b\na b').dup_line_frac AS f")
+    assert(rep.getDouble(0) == 1.0)
+    val bl = one("SELECT graft_blocklist_hits('free money now', " +
+      "array('free money', 'casino')).hits AS h")
+    assert(bl.getInt(0) == 1)
+  }
+
+  test("container family: tar entries + text, zip entries, bzip2/xz round-trips") {
+    // round-trip through SQL only: compress then decompress
+    val rt = one("SELECT CAST(graft_bunzip2(graft_bzip2(" +
+      "CAST('payload!' AS BINARY))) AS STRING) AS s")
+    assert(rt.getString(0) == "payload!")
+    val xz = one("SELECT CAST(graft_unxz(graft_xz(" +
+      "CAST('payload?' AS BINARY))) AS STRING) AS s")
+    assert(xz.getString(0) == "payload?")
+  }
+
+  test("media family: resize and resample accept literal geometry") {
+    val px = one("SELECT CAST(graft_image_resize(" +
+      "CAST(concat('P5 4 4 255', chr(10), repeat('A', 16)) AS BINARY), " +
+      "2, 2) AS STRING) AS s")
+    // uniform 'A' (65) raster stays uniform at any size
+    assert(px.getString(0) == "P5 2 2 255\nAAAA")
+    // resample needs a real WAV; reject side from SQL is null, not a throw
+    val bad = one("SELECT graft_audio_resample(CAST('junk' AS BINARY), 8000) AS r")
+    assert(bad.isNullAt(0))
+  }
+}
