@@ -4015,6 +4015,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 188. Unicode script profile, oracle-pinned -----------------------------------------------------
+    // The writing-system census: four constructed shapes (pure Latin,
+    // pure Cyrillic, mixed Latin+CJK with han AND kana, letterless);
+    // every fraction is an exact small division stated closed-form,
+    // dominant NULL-distinct on the letterless shape.
+    "q188_script_profile" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val textC =
+        when(m === 0, concat(lit("Hello world "), id))
+        .when(m === 1, concat(lit("Привет " +
+          "мир "), id)) // "Привет мир"
+        .when(m === 2, concat(lit("Tokyo 東京です "), id))
+        .otherwise(concat(lit("12345 !! "), id))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.scriptProfile(textC).as("v"))
+        .select(col("doc_id"),
+          col("v.latin_frac").as("latin_frac"),
+          col("v.cyrillic_frac").as("cyrillic_frac"),
+          col("v.cjk_frac").as("cjk_frac"),
+          col("v.hangul_frac").as("hangul_frac"),
+          col("v.dominant").as("dominant"))
+        .orderBy("doc_id")
+    }),
+
     // --- 187. audio resample, oracle-pinned -------------------------------------------------------------
     // The canonical-rate normalization: syntheticWav's 16 kHz stream
     // linear-resampled to 12 kHz (4:3 — every third output frame sits
@@ -6405,6 +6430,18 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Script profile closed forms: exact fractions per shape.
+    "q188_script_profile" ->
+      """SELECT doc_id,
+        |  CASE m WHEN 0 THEN 1.0 WHEN 2 THEN 5.0/9 ELSE 0.0 END AS latin_frac,
+        |  CASE m WHEN 1 THEN 1.0 ELSE 0.0 END AS cyrillic_frac,
+        |  CASE m WHEN 2 THEN 4.0/9 ELSE 0.0 END AS cjk_frac,
+        |  0.0 AS hangul_frac,
+        |  CASE m WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic'
+        |    WHEN 2 THEN 'latin' ELSE NULL END AS dominant
+        |FROM (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // Audio resample: every output frame's interpolation replayed.
     "q187_audio_resample" ->

@@ -152,6 +152,38 @@ object TextFunctions {
       passes.as("passes"))
   }
 
+  /** Unicode script profile — the writing-system census a multilingual
+    * corpus routes on (language ID says WHICH language; this says which
+    * SCRIPT, catching mixed-script spam, transliteration noise and
+    * wrong-script residue the trigram model can't). Character fractions
+    * per major script block over the LETTER characters only (digits,
+    * punctuation and whitespace are script-neutral), plus the dominant
+    * script name. BUILTINS only — each fraction is a regexp_count over
+    * an explicit codepoint range, codegen'd.
+    */
+  def scriptProfile(text: Column): Column = {
+    val ranges = Seq(
+      "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+      "cyrillic" -> "[\\u0400-\\u04FF]",
+      "greek" -> "[\\u0370-\\u03FF]",
+      "arabic" -> "[\\u0600-\\u06FF]",
+      "hebrew" -> "[\\u0590-\\u05FF]",
+      "devanagari" -> "[\\u0900-\\u097F]",
+      "cjk" -> "[\\u4E00-\\u9FFF\\u3040-\\u30FF]", // han + kana
+      "hangul" -> "[\\uAC00-\\uD7AF]")
+    val counts = ranges.map { case (n, re) =>
+      n -> regexp_count(text, lit(re)).cast("double")
+    }
+    val letters = greatest(counts.map(_._2).reduce(_ + _), lit(1.0))
+    val fracs = counts.map { case (n, c) => n -> (c / letters) }
+    val dominant = fracs.map { case (n, f) => struct(f.as("f"), lit(n).as("n")) }
+      .reduce((a, b) => when(b.getField("f") > a.getField("f"), b).otherwise(a))
+    struct(
+      fracs.map { case (n, f) => f.as(s"${n}_frac") } :+
+        when(counts.map(_._2).reduce(_ + _) === 0, lit(null).cast("string"))
+          .otherwise(dominant.getField("n")).as("dominant"): _*)
+  }
+
   /** Multi-phrase blocklist scan
     * ([[graft.expressions.BlocklistHitsExpr]]): the C4/Gopher bad-word
     * gate as one Aho–Corasick pass — case-insensitive, word-boundary

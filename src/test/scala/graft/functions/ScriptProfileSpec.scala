@@ -1,0 +1,35 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ScriptProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def prof(s: String): Map[String, Any] = {
+    val r = Seq(s).toDF("t")
+      .select(TextFunctions.scriptProfile(col("t")).as("v")).select("v.*")
+    r.collect()(0).getValuesMap[Any](r.columns.toSeq)
+  }
+
+  test("each script block counts; digits and punctuation are neutral") {
+    assert(prof("αβγ 123 !")("greek_frac") == 1.0)
+    assert(prof("שלום")("hebrew_frac") == 1.0) // shalom
+    assert(prof("مرحبا")("arabic_frac") == 1.0)
+    assert(prof("नमस्ते")("devanagari_frac") == 1.0)
+    assert(prof("안녕")("hangul_frac") == 1.0)
+  }
+
+  test("mixed text: exact fractions, dominant by majority, ties to list order") {
+    val p = prof("abc де") // 3 latin, 2 cyrillic
+    assert(p("latin_frac") == 0.6 && p("cyrillic_frac") == 0.4)
+    assert(p("dominant") == "latin")
+    // exact tie: latin precedes cyrillic in the range list
+    assert(prof("ab де")("dominant") == "latin")
+  }
+
+  test("letterless text: zero fractions, NULL dominant") {
+    val p = prof("123 --- 456")
+    assert(p("latin_frac") == 0.0 && p("dominant") == null)
+  }
+}
