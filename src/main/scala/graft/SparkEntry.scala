@@ -4015,6 +4015,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 189. shared zstd dictionary train + roundtrip, oracle-pinned -----------------------------------
+    // The small-document storage path: a dictionary trained driver-side
+    // on a bounded deterministic sample (first 256 docs), then EVERY
+    // document compressed and decompressed through it in-plan. The
+    // oracle states the roundtrip identity; the compression win itself
+    // is pinned in ZstdDictSpec (dict bytes are library-version
+    // detail, the identity is not).
+    "q189_zstd_dict" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dict = Multimodal.trainZstdDict(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+        "doc_id", "bin", dictSizeBytes = 16 * 1024, maxSamples = 256)
+      val bin = encode(col("text"), "UTF-8")
+      docs.select(col("doc_id"),
+          decode(Multimodal.zunstdDict(
+            Multimodal.zstdDict(bin, dict), dict), "UTF-8").as("rt_text"),
+          lit(dict != null).as("dict_trained"))
+        .orderBy("doc_id")
+    }),
+
     // --- 188. Unicode script profile, oracle-pinned -----------------------------------------------------
     // The writing-system census: four constructed shapes (pure Latin,
     // pure Cyrillic, mixed Latin+CJK with han AND kana, letterless);
@@ -6429,6 +6449,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Dict roundtrip identity; training success is part of the contract.
+    "q189_zstd_dict" ->
+      """SELECT doc_id, text AS rt_text, TRUE AS dict_trained
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Script profile closed forms: exact fractions per shape.

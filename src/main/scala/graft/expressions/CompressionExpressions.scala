@@ -141,6 +141,60 @@ object ZstdCodec {
     * (null) after at most one cap's worth of output, never an OOM. Null
     * likewise for non-zstd magic and corrupt frames.
     */
+  /** Train a shared zstd dictionary from payload samples — the
+    * small-document storage optimizer (zstd's own recipe: tiny rows
+    * compress poorly alone because each frame restarts cold; a corpus-
+    * trained dictionary seeds every frame with the shared redundancy).
+    * Null when the sample set is too small/uniform for the trainer —
+    * callers fall back to plain [[zstd]].
+    */
+  def trainDict(samples: Seq[Array[Byte]], dictSizeBytes: Int,
+      maxSampleBytes: Int): Array[Byte] = {
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      maxSampleBytes, dictSizeBytes)
+    var total = 0L
+    var n = 0
+    val it = samples.iterator
+    while (it.hasNext && total < maxSampleBytes) {
+      val s = it.next()
+      if (s != null && s.nonEmpty && trainer.addSample(s)) {
+        total += s.length; n += 1
+      }
+    }
+    if (n < 8) return null // trainer needs variety; degenerate corpora fall back
+    try trainer.trainSamples()
+    catch { case _: com.github.luben.zstd.ZstdException => null }
+  }
+
+  /** Compress with a shared dictionary (content checksum on, as [[zstd]]). */
+  def zstdDict(b: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    if (b == null) return null
+    if (dict == null || dict.isEmpty) return zstd(b)
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setChecksum(true)
+      ctx.loadDict(dict)
+      ctx.compress(b)
+    } finally ctx.close()
+  }
+
+  /** Decompress a dictionary-compressed frame; bomb-capped via the
+    * frame's declared content size (unknown/oversized -> null).
+    */
+  def zunstdDict(b: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    if (b == null || !looksZstd(b)) return null
+    if (dict == null || dict.isEmpty) return zunstd(b)
+    val size = com.github.luben.zstd.Zstd.getFrameContentSize(b)
+    if (size < 0 || size > GzipCodec.MaxPlainBytes) return null
+    val ctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    try {
+      ctx.loadDict(dict)
+      ctx.decompress(b, size.toInt)
+    } catch {
+      case _: com.github.luben.zstd.ZstdException => null
+    } finally ctx.close()
+  }
+
   def zunstd(b: Array[Byte]): Array[Byte] = {
     if (b == null || !looksZstd(b)) return null
     val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
@@ -340,6 +394,58 @@ object XzCodec {
       case _: java.io.IOException => null
     }
   }
+}
+
+/** `binary` -> `binary` compressed with a shared trained dictionary
+  * ([[ZstdCodec.zstdDict]]); the dictionary rides inside the expression
+  * (serialized with the plan, loaded once per task). Falls back to
+  * plain zstd for an empty dictionary.
+  */
+case class ZstdDictCompressExpr(child: Expression, dict: Array[Byte])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    ZstdCodec.zstdDict(input.asInstanceOf[Array[Byte]], dict)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("zstdDict", dict, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ZstdCodec.zstdDict($c, $ref);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+      : ZstdDictCompressExpr = copy(child = newChild)
+  override def prettyName: String = "graft_zstd_dict"
+}
+
+/** `binary` -> `binary` decompressed with the shared dictionary
+  * ([[ZstdCodec.zunstdDict]]), frame-content-size bomb-capped.
+  */
+case class ZstdDictDecompressExpr(child: Expression, dict: Array[Byte])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    ZstdCodec.zunstdDict(input.asInstanceOf[Array[Byte]], dict)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("zstdDict", dict, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ZstdCodec.zunstdDict($c, $ref);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+      : ZstdDictDecompressExpr = copy(child = newChild)
+  override def prettyName: String = "graft_zunstd_dict"
 }
 
 /** `binary` -> bzip2-compressed `binary`. */

@@ -234,6 +234,38 @@ object Multimodal {
       graft.expressions.ZunstdExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Train a shared zstd dictionary on a BOUNDED, deterministic sample
+    * of a binary column (first `maxSamples` rows in `idCol` order, the
+    * Bpe.learnMerges collect-bound precedent) — the small-document
+    * storage optimizer. Null when the corpus is too small/uniform to
+    * train; [[zstdDict]]/[[zunstdDict]] fall back to plain zstd then.
+    */
+  def trainZstdDict(df: DataFrame, idCol: String, binCol: String,
+      dictSizeBytes: Int = 64 * 1024, maxSamples: Int = 1024): Array[Byte] = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.where(col(binCol).isNotNull)
+      .orderBy(col(idCol)).limit(maxSamples)
+      .select(col(binCol)).collect().map(_.getAs[Array[Byte]](0)).toSeq
+    graft.expressions.ZstdCodec.trainDict(rows, dictSizeBytes,
+      math.max(1 << 20, dictSizeBytes * 128))
+  }
+
+  /** Compress with a trained shared dictionary
+    * ([[graft.expressions.ZstdDictCompressExpr]]).
+    */
+  def zstdDict(bin: Column, dict: Array[Byte]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ZstdDictCompressExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin), dict))
+
+  /** Decompress with the shared dictionary
+    * ([[graft.expressions.ZstdDictDecompressExpr]]).
+    */
+  def zunstdDict(bin: Column, dict: Array[Byte]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ZstdDictDecompressExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin), dict))
+
   /** Row-local bzip2 compress ([[graft.expressions.Bzip2Expr]], via
     * commons-compress from Spark's own classpath).
     */

@@ -1,0 +1,45 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared-dictionary zstd: the small-document storage path. */
+class ZstdDictSpec extends AnyFunSuite {
+
+  private val docs: Seq[Array[Byte]] = (0 until 256).map { i =>
+    (s"""{"user": "u$i", "city": "metropolis", "plan": "standard", """ +
+      s""""active": true, "score": ${i * 37 % 100}}""").getBytes("UTF-8")
+  }
+
+  private lazy val dict = ZstdCodec.trainDict(docs, 16 * 1024, 1 << 20)
+
+  test("training succeeds on a varied corpus and round-trips every doc") {
+    assert(dict != null && dict.nonEmpty)
+    docs.foreach { d =>
+      val rt = ZstdCodec.zunstdDict(ZstdCodec.zstdDict(d, dict), dict)
+      assert(java.util.Arrays.equals(rt, d))
+    }
+  }
+
+  test("the dictionary earns its keep: smaller total than cold frames") {
+    val cold = docs.map(d => ZstdCodec.zstd(d).length.toLong).sum
+    val warm = docs.map(d => ZstdCodec.zstdDict(d, dict).length.toLong).sum
+    assert(warm < cold, s"dict $warm vs cold $cold")
+  }
+
+  test("wrong or missing dictionary: mismatch nulls, empty falls back") {
+    val other = ZstdCodec.trainDict(
+      (0 until 256).map(i => s"totally different sample content $i ${i * 7}"
+        .getBytes("UTF-8")), 16 * 1024, 1 << 20)
+    val frame = ZstdCodec.zstdDict(docs.head, dict)
+    assert(ZstdCodec.zunstdDict(frame, other) == null)
+    // empty dict degrades to the plain codec both ways
+    val plain = ZstdCodec.zstdDict(docs.head, null)
+    assert(java.util.Arrays.equals(
+      ZstdCodec.zunstdDict(plain, null), docs.head))
+  }
+
+  test("degenerate corpora refuse to train (callers fall back)") {
+    assert(ZstdCodec.trainDict(Seq.empty, 16 * 1024, 1 << 20) == null)
+    assert(ZstdCodec.trainDict(Seq(Array[Byte](1, 2, 3)), 16 * 1024, 1 << 20) == null)
+  }
+}
