@@ -40,6 +40,8 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val n = nodes.count().toDouble
+    if (n == 0) // empty edge list: empty result, not a division by zero
+      return nodes.withColumn("rank", lit(0.0))
     // (src, dst, w): each out-edge carries 1/outDeg of its node's rank.
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outDeg, "src")

@@ -174,14 +174,20 @@ object TextFunctions {
     val counts = ranges.map { case (n, re) =>
       n -> regexp_count(text, lit(re)).cast("double")
     }
-    val letters = greatest(counts.map(_._2).reduce(_ + _), lit(1.0))
+    val total = counts.map(_._2).reduce(_ + _)
+    val letters = greatest(total, lit(1.0))
     val fracs = counts.map { case (n, c) => n -> (c / letters) }
-    val dominant = fracs.map { case (n, f) => struct(f.as("f"), lit(n).as("n")) }
-      .reduce((a, b) => when(b.getField("f") > a.getField("f"), b).otherwise(a))
+    // Dominant via ONE sorted array, not a when-chain reduce: a reduce
+    // references its accumulator twice per step, doubling the regexp
+    // expression tree 8 times over (benched 12.8s -> 0.2s at sf0.1).
+    // Ties break to the lexicographically GREATEST script name (the
+    // struct sort's natural order).
+    val top = sort_array(array(fracs.map { case (n, f) =>
+      struct(f.as("f"), lit(n).as("n")) }: _*), asc = false).getItem(0)
     struct(
       fracs.map { case (n, f) => f.as(s"${n}_frac") } :+
-        when(counts.map(_._2).reduce(_ + _) === 0, lit(null).cast("string"))
-          .otherwise(dominant.getField("n")).as("dominant"): _*)
+        when(total === 0, lit(null).cast("string"))
+          .otherwise(top.getField("n")).as("dominant"): _*)
   }
 
   /** Multi-phrase blocklist scan

@@ -20,11 +20,11 @@ class ScriptProfileSpec extends SparkTestBase {
     assert(prof("안녕")("hangul_frac") == 1.0)
   }
 
-  test("mixed text: exact fractions, dominant by majority, ties to list order") {
+  test("mixed text: exact fractions, dominant by majority, ties to greatest name") {
     val p = prof("abc де") // 3 latin, 2 cyrillic
     assert(p("latin_frac") == 0.6 && p("cyrillic_frac") == 0.4)
     assert(p("dominant") == "latin")
-    // exact tie: latin precedes cyrillic in the range list
+    // exact tie: lexicographically greatest name wins ('latin' > 'cyrillic')
     assert(prof("ab де")("dominant") == "latin")
   }
 
