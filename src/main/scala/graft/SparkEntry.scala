@@ -4015,6 +4015,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 190. truncated-JSON repair, oracle-pinned ------------------------------------------------------
+    // The LLM-output salvage op: a balanced doc passes through
+    // untouched, a mid-array cut closes, a dangling-key cut trims; the
+    // repaired text must actually parse, proven in-plan by
+    // get_json_object extraction. Oracle states repaired text + fields.
+    "q190_json_repair" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val raw =
+        when(m === 0, concat(lit("{\"id\": "), id, lit(", \"tag\": \"t"), id,
+          lit("\"}")))
+        .when(m === 1, concat(lit("{\"id\": "), id,
+          lit(", \"tags\": [\"a\", \"b")))
+        .otherwise(concat(lit("{\"id\": "), id, lit(", \"extr")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.jsonRepair(raw).as("repaired"))
+        .select(col("doc_id"), col("repaired"),
+          get_json_object(col("repaired"), "$.id").as("rid"),
+          get_json_object(col("repaired"), "$.tags[1]").as("tag1"))
+        .orderBy("doc_id")
+    }),
+
     // --- 189. shared zstd dictionary train + roundtrip, oracle-pinned -----------------------------------
     // The small-document storage path: a dictionary trained driver-side
     // on a bounded deterministic sample (first 256 docs), then EVERY
@@ -6449,6 +6471,17 @@ object SparkEntry {
       """SELECT doc_id,
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // JSON repair: repaired text + extracted fields per shape.
+    "q190_json_repair" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN '{"id": ' || doc_id || ', "tag": "t' || doc_id || '"}'
+        |    WHEN 1 THEN '{"id": ' || doc_id || ', "tags": ["a", "b"]}'
+        |    ELSE '{"id": ' || doc_id || '}' END AS repaired,
+        |  CAST(doc_id AS VARCHAR) AS rid,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'b' ELSE NULL END AS tag1
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Dict roundtrip identity; training success is part of the contract.

@@ -1,0 +1,164 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Truncated-JSON repair — LLM structured output and crash-cut logs
+  * routinely end mid-document (context-length cutoffs chop the closing
+  * braces), and a parser then discards the WHOLE record. The repair is
+  * purely structural and conservative:
+  *
+  *  1. scan once tracking string state (with escapes) and the open
+  *     `{`/`[` stack;
+  *  2. a document that already parses balanced passes through as the
+  *     SAME instance (no reformatting, no whitespace changes);
+  *  3. a truncated one is closed: an unterminated string gets its
+  *     quote, a dangling `,` / `:` tail is trimmed (a cut after a comma
+  *     or half a key-value pair would otherwise close into invalid
+  *     JSON; for a dangling `:` the orphaned KEY string is trimmed
+  *     too), then the stack unwinds `]`/`}` in order;
+  *  4. structurally BROKEN input — a closer that never opened, a
+  *     mismatched closer, or trailing garbage after balance — returns
+  *     NULL: repair is for truncation, not for arbitrary damage, and
+  *     pretending otherwise corrupts records silently.
+  *
+  * A repaired document is parseable whenever the untruncated prefix
+  * was valid JSON so far; semantic validation stays with from_json /
+  * the schema-compiler expectations downstream.
+  */
+object JsonRepairCodec {
+
+  def repair(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val s = u.toString
+    val stack = new java.lang.StringBuilder() // closers, innermost last
+    var inString = false
+    var escaped = false
+    var lastSig = -1 // last significant (non-whitespace) char index
+    var lastSigCh = ' '
+    var stringStart = -1
+    var stringIsKey = false // open/last-closed string sits in KEY position
+    var lastKeyStart = -1 // start of a CLOSED key-position string
+    var closedTop = false // a top-level container completed
+    def inObject: Boolean =
+      stack.length > 0 && stack.charAt(stack.length - 1) == '}'
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inString) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') {
+          inString = false
+          lastKeyStart = if (stringIsKey) stringStart else -1
+          lastSig = i; lastSigCh = c
+        }
+      } else {
+        if (closedTop && !Character.isWhitespace(c))
+          return null // trailing garbage after a complete document
+        c match {
+          case '{' => stack.append('}'); lastSig = i; lastSigCh = c
+          case '[' => stack.append(']'); lastSig = i; lastSigCh = c
+          case '}' | ']' =>
+            val n = stack.length
+            if (n == 0 || stack.charAt(n - 1) != c) return null // never opened
+            stack.setLength(n - 1)
+            if (stack.length == 0) closedTop = true
+            lastSig = i; lastSigCh = c
+          case '"' =>
+            inString = true; stringStart = i
+            // a string opening after '{' or ',' INSIDE AN OBJECT is a key;
+            // after ',' in an array it is a complete value
+            stringIsKey = (lastSigCh == '{' || lastSigCh == ',') && inObject
+          case ch if !Character.isWhitespace(ch) => lastSig = i; lastSigCh = ch
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    if (!inString && stack.length == 0) return u // already balanced
+
+    var end = s.length
+    val out = new java.lang.StringBuilder()
+    if (inString) {
+      // A string cut mid-flight: terminate it — unless it is an orphaned
+      // KEY, where closing would strand `"key"` with no value; trim the
+      // fragment instead. A cut right after '\' completes the escape
+      // pair first so the added quote actually closes the string.
+      if (stringIsKey) end = stringStart
+      else {
+        out.append(s, 0, end)
+        if (escaped) out.append('\\')
+        out.append('"')
+        end = -1
+      }
+    }
+    if (end >= 0) {
+      // Trim a dangling ',' / ':' tail, an orphaned closed key, and the
+      // key string before a dangling ':'.
+      var cut = end
+      var sig = lastSig
+      var sigCh = if (end == s.length) lastSigCh else ' '
+      if (end != s.length) { // recompute after string trim
+        var j = end - 1
+        while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
+        sig = j; sigCh = if (j >= 0) s.charAt(j) else ' '
+      }
+      if (sigCh == ',') cut = sig
+      else if (sigCh == '"' && end == s.length && lastKeyStart >= 0)
+        cut = lastKeyStart // closed key with no ':' yet
+      else if (sigCh == ':') {
+        // drop ':' plus the key string before it
+        var j = sig - 1
+        while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
+        if (j >= 0 && s.charAt(j) == '"') {
+          var k = j - 1
+          var done = false
+          while (k >= 0 && !done) {
+            if (s.charAt(k) == '"' && (k == 0 || s.charAt(k - 1) != '\\')) done = true
+            else k -= 1
+          }
+          cut = if (done) k else sig
+        } else cut = sig
+      }
+      // a trim may expose ANOTHER dangling comma ('{"a": 1, "b"' ->
+      // '{"a": 1,'): sweep once more
+      if (cut < end) {
+        var j = cut - 1
+        while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
+        if (j >= 0 && s.charAt(j) == ',') cut = j
+      }
+      out.append(s, 0, cut)
+    }
+    var p = stack.length - 1
+    while (p >= 0) { out.append(stack.charAt(p)); p -= 1 }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** `string` -> structurally repaired JSON (truncation closed), the SAME
+  * instance when already balanced, NULL for structurally broken input.
+  * Codegen'd.
+  */
+case class JsonRepairExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    JsonRepairCodec.repair(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.JsonRepairCodec.repair($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): JsonRepairExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_json_repair"
+}

@@ -152,6 +152,20 @@ object TextFunctions {
       passes.as("passes"))
   }
 
+  /** Truncated-JSON structural repair
+    * ([[graft.expressions.JsonRepairExpr]]): context-length-cut LLM
+    * output and crash-cut logs get their strings terminated, dangling
+    * comma/colon tails trimmed, and open containers closed, so
+    * `from_json` can salvage the prefix instead of nulling the record.
+    * Balanced documents pass through untouched; structurally BROKEN
+    * ones (mismatched closers, trailing garbage) stay NULL — repair is
+    * for truncation, not arbitrary damage.
+    */
+  def jsonRepair(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.JsonRepairExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Unicode script profile — the writing-system census a multilingual
     * corpus routes on (language ID says WHICH language; this says which
     * SCRIPT, catching mixed-script spam, transliteration noise and

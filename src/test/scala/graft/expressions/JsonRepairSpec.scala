@@ -1,0 +1,60 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Truncation repair semantics, with a Jackson cross-check: every
+  * repaired document must actually parse.
+  */
+class JsonRepairSpec extends AnyFunSuite {
+
+  private def rep(s: String): String = {
+    val r = JsonRepairCodec.repair(UTF8String.fromString(s))
+    if (r == null) null else r.toString
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def parses(s: String): Boolean =
+    try { mapper.readTree(s); true } catch { case _: Exception => false }
+
+  test("balanced documents pass through as the same instance") {
+    val u = UTF8String.fromString("""{"a": [1, 2], "b": {"c": "}"}}""")
+    assert(JsonRepairCodec.repair(u) eq u)
+  }
+
+  test("open containers close in order; cut strings terminate") {
+    assert(rep("""{"a": [1, {"b": 2""") == """{"a": [1, {"b": 2}]}""")
+    assert(rep("""{"msg": "hello wor""") == """{"msg": "hello wor"}""")
+    assert(rep("""[["x", "y""") == """[["x", "y"]]""")
+  }
+
+  test("dangling comma, colon and orphaned keys trim away") {
+    assert(rep("""{"a": 1,""") == """{"a": 1}""")
+    assert(rep("""{"a": 1, "b":""") == """{"a": 1}""")
+    assert(rep("""{"a": 1, "unfinished_ke""") == """{"a": 1}""")
+    assert(rep("""[1, 2,""") == """[1, 2]""")
+  }
+
+  test("every truncation of a real document repairs to parseable JSON") {
+    val doc = """{"id": 7, "tags": ["a", "b"], "meta": {"k": "v\"q", "n": [1, 2]}}"""
+    // cut at every prefix length past the opening brace
+    for (cut <- 1 to doc.length) {
+      val r = rep(doc.substring(0, cut))
+      assert(r != null && parses(r), s"cut=$cut -> $r")
+    }
+  }
+
+  test("structural damage stays NULL: mismatches, trailing garbage") {
+    assert(rep("""{"a": 1]""") == null)
+    assert(rep("""}{""") == null)
+    assert(rep("""{"a": 1} extra""") == null)
+    assert(rep("""{"a": 1}{"b": 2}""") == null) // JSONL is per-line upstream
+    assert(JsonRepairCodec.repair(null) == null)
+  }
+
+  test("escapes inside strings do not fool the scanner") {
+    assert(rep("""{"path": "C:\\dir\\""") == "{\"path\": \"C:\\dir\\\"}" ||
+      parses(rep("""{"path": "C:\\dir\\""")))
+    assert(rep("""{"q": "she said \"hi""") == "{\"q\": \"she said \\\"hi\"}")
+  }
+}
