@@ -4015,6 +4015,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 191. CJK sentence segmentation, oracle-pinned --------------------------------------------------
+    // The caseless-script half of q154: fullwidth terminators bound
+    // unconditionally (no case or space cues exist), fullwidth closers
+    // ride with their sentence, and ASCII rules still govern ASCII
+    // runs in mixed text. Every (pos, sentence) stated closed-form.
+    "q191_cjk_sentences" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val textC = concat(
+        lit("文書"), id, lit("です。明日は雨！出かけますか？End "), id, lit("."))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(TF.sentences(textC)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("sentence"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // --- 190. truncated-JSON repair, oracle-pinned ------------------------------------------------------
     // The LLM-output salvage op: a balanced doc passes through
     // untouched, a mid-array cut closes, a dangling-key cut trims; the
@@ -6472,6 +6488,17 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // CJK sentences: every (pos, sentence) stated.
+    "q191_cjk_sentences" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS pos,
+        |    '文書' || doc_id || 'です。' AS sentence FROM documents
+        |  UNION ALL SELECT doc_id, CAST(1 AS INT), '明日は雨！' FROM documents
+        |  UNION ALL SELECT doc_id, CAST(2 AS INT), '出かけますか？' FROM documents
+        |  UNION ALL SELECT doc_id, CAST(3 AS INT), 'End ' || doc_id || '.'
+        |    FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // JSON repair: repaired text + extracted fields per shape.
     "q190_json_repair" ->

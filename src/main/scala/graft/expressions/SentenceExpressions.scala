@@ -33,10 +33,18 @@ object SentenceCodec {
     s
   }
 
-  private def isTerm(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+  private def isTerm(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?' || isCjkTerm(c)
+  /** Fullwidth terminators (。！？): CJK text has neither case nor
+    * inter-word spaces, so these are boundaries UNCONDITIONALLY —
+    * the next-char-uppercase test below only applies to ASCII runs.
+    */
+  private def isCjkTerm(c: Char): Boolean =
+    c == '。' || c == '！' || c == '？'
   private def isClose(c: Char): Boolean =
     c == '"' || c == '\'' || c == ')' || c == ']' || c == '»' ||
-      c == '”' || c == '’'
+      c == '”' || c == '’' ||
+      c == '」' || c == '』' || c == '）' || c == '】'
 
   /** Word (letters and interior dots) ending at exclusive position `end`,
     * lowercased — what the abbreviation check runs on ("p.m." ends with
@@ -71,10 +79,23 @@ object SentenceCodec {
         var k = j
         while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
         val atEnd = k >= s.length
-        val nextUpper = !atEnd &&
-          (Character.isUpperCase(s.charAt(k)) || Character.isDigit(s.charAt(k)))
+        // Sentence-start evidence: uppercase/digit (ASCII convention) or
+        // a CJK letter (caseless scripts start sentences with any char).
+        val nextUpper = !atEnd && {
+          val c = s.charAt(k)
+          Character.isUpperCase(c) || Character.isDigit(c) ||
+            (c >= '぀' && c <= 'ヿ') || // kana
+            (c >= '一' && c <= '鿿') || // han
+            (c >= '가' && c <= '힯')    // hangul
+        }
+        val hasCjk = {
+          var t = termStart; var f = false
+          while (t < i && !f) { f = isCjkTerm(s.charAt(t)); t += 1 }
+          f
+        }
         val boundary =
-          if (!(atEnd || (k > j && nextUpper))) false
+          if (hasCjk) true // no case/space conventions to consult
+          else if (!(atEnd || (k > j && nextUpper))) false
           else if (s.charAt(termStart) != '.') true
           else {
             // Lone-dot run: abbreviation / initial suppression. "..." and

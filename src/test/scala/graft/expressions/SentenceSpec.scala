@@ -43,4 +43,15 @@ class SentenceSpec extends SparkTestBase {
     assert(split("Wow?! Really.") == Seq("Wow?!", "Really."))
     assert(SentenceCodec.split(null) == null)
   }
+
+  test("CJK: fullwidth terminators split with no space or case cues") {
+    assert(split("今日は晴れ。明日は雨！出かけますか？はい。") ==
+      Seq("今日は晴れ。", "明日は雨！", "出かけますか？", "はい。"))
+    // fullwidth closing bracket rides with its sentence
+    assert(split("彼は「行く」と言った。次の日。") ==
+      Seq("彼は「行く」と言った。", "次の日。"))
+    // mixed scripts: ASCII rules still apply to ASCII runs
+    assert(split("これはv2.5です。Dr. Smith arrived. 終わり。") ==
+      Seq("これはv2.5です。", "Dr. Smith arrived.", "終わり。"))
+  }
 }
