@@ -40,7 +40,10 @@ object BlocklistAutomaton {
     val root = new Node
     // goto construction
     phrases.zipWithIndex.foreach { case (p0, id) =>
-      val p = p0.toLowerCase
+      // Per-char fold, SAME function as the scan side — String.toLowerCase
+      // is locale-sensitive (Turkish I) and 1:N (ss), either of which
+      // would make a phrase unmatchable against the scan's folding.
+      val p = p0.map(Character.toLowerCase)
       var n = root
       p.foreach { ch =>
         var c = n.next.get(ch)

@@ -300,7 +300,8 @@ object GraftExtensions {
     "graft_id3_tags" -> (classOf[Id3TagsExpr], Id3TagsExpr(_)),
     "graft_mp3_frames" -> (classOf[Mp3FrameWalkExpr], Mp3FrameWalkExpr(_)),
     "graft_html_blocks" -> (classOf[HtmlBlocksExpr], HtmlBlocksExpr(_)),
-    "graft_main_text" -> (classOf[MainTextExpr], MainTextExpr(_))
+    "graft_main_text" -> (classOf[MainTextExpr], MainTextExpr(_)),
+    "graft_json_repair" -> (classOf[JsonRepairExpr], JsonRepairExpr(_))
   ) ++ Seq[FunctionDescription](
     (
       FunctionIdentifier("graft_zip_entry"),

@@ -36,21 +36,34 @@ object JsonRepairCodec {
     val s = u.toString
     val stack = new java.lang.StringBuilder() // closers, innermost last
     var inString = false
-    var escaped = false
     var lastSig = -1 // last significant (non-whitespace) char index
     var lastSigCh = ' '
     var stringStart = -1
     var stringIsKey = false // open/last-closed string sits in KEY position
     var lastKeyStart = -1 // start of a CLOSED key-position string
     var closedTop = false // a top-level container completed
+    // Pending escape machine: escStart marks the '\' of an escape whose
+    // full form has not arrived (a bare '\', or '\u' with < 4 hex) — a
+    // cut inside one must truncate back to escStart or the closing
+    // quote we add lands escaped / the \uXX fragment stays invalid.
+    var escStart = -1
+    var escHexLeft = 0
+    def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     def inObject: Boolean =
       stack.length > 0 && stack.charAt(stack.length - 1) == '}'
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inString) {
-        if (escaped) escaped = false
-        else if (c == '\\') escaped = true
+        if (escStart >= 0) {
+          if (escHexLeft > 0) {
+            if (isHex(c)) { escHexLeft -= 1; if (escHexLeft == 0) escStart = -1 }
+            else { escStart = -1; escHexLeft = 0 } // malformed; not ours to fix
+          } else if (c == 'u') escHexLeft = 4
+          else escStart = -1 // single-char escape complete
+        }
+        else if (c == '\\') escStart = i
         else if (c == '"') {
           inString = false
           lastKeyStart = if (stringIsKey) stringStart else -1
@@ -86,12 +99,11 @@ object JsonRepairCodec {
     if (inString) {
       // A string cut mid-flight: terminate it — unless it is an orphaned
       // KEY, where closing would strand `"key"` with no value; trim the
-      // fragment instead. A cut right after '\' completes the escape
-      // pair first so the added quote actually closes the string.
+      // fragment instead. An incomplete escape ('\', '\u12') truncates
+      // back to its backslash first so the close actually closes.
       if (stringIsKey) end = stringStart
       else {
-        out.append(s, 0, end)
-        if (escaped) out.append('\\')
+        out.append(s, 0, if (escStart >= 0) escStart else end)
         out.append('"')
         end = -1
       }
@@ -107,7 +119,32 @@ object JsonRepairCodec {
         while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
         sig = j; sigCh = if (j >= 0) s.charAt(j) else ' '
       }
-      if (sigCh == ',') cut = sig
+      if (end == s.length && (Character.isLetterOrDigit(sigCh) ||
+          sigCh == '.' || sigCh == '-' || sigCh == '+')) {
+        // The tail is a bare literal token, possibly cut mid-flight
+        // ('fal', '1.', '12e'): keep its longest valid JSON prefix, or
+        // drop it entirely and let the ':' / ',' rules below clean up.
+        var ts = sig
+        while (ts > 0 && {
+          val c = s.charAt(ts - 1)
+          Character.isLetterOrDigit(c) || c == '.' || c == '-' || c == '+'
+        }) ts -= 1
+        val tok = s.substring(ts, sig + 1)
+        def validLit(t: String): Boolean =
+          t == "true" || t == "false" || t == "null" ||
+            t.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?")
+        if (!validLit(tok)) {
+          var keep = tok.length - 1
+          while (keep > 0 && !validLit(tok.substring(0, keep))) keep -= 1
+          cut = ts + keep
+          if (keep == 0) { // whole token dropped: expose what precedes it
+            var j = ts - 1
+            while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
+            sig = j; sigCh = if (j >= 0) s.charAt(j) else ' '
+          } else sigCh = ' ' // kept a valid prefix: nothing more to trim
+        }
+      }
+      if (sigCh == ',') cut = math.min(cut, sig)
       else if (sigCh == '"' && end == s.length && lastKeyStart >= 0)
         cut = lastKeyStart // closed key with no ':' yet
       else if (sigCh == ':') {

@@ -4249,8 +4249,12 @@ object MediaCodec {
     if (mono == null) return null
     val (inRate, s) = mono
     if (inRate <= 0 || s.isEmpty) return null
-    val nOut = (s.length.toLong * outRate / inRate).toInt
-    if (nOut <= 0) return null
+    // Long math + output cap: a low-declared-rate input upsampled to a
+    // high rate would otherwise wrap Int (NegativeArraySizeException —
+    // a job-killing crash, not the null-for-corrupt contract).
+    val nOutL = s.length.toLong * outRate / inRate
+    if (nOutL <= 0 || nOutL > (1L << 24)) return null
+    val nOut = nOutL.toInt
     val out = new Array[Byte](44 + nOut * 2)
     def le16(off: Int, v: Int): Unit = {
       out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte

@@ -87,7 +87,10 @@ object OggCodec {
       rate = le32(b, id + 12) // informational input rate
       clock = 48000L          // Opus granules always tick at 48 kHz
     } else return null
-    if (channels == 0 || rate <= 0) return null
+    // Opus's input-rate field is informational and 0 means "unspecified"
+    // per RFC 7845 §5.1 — only Vorbis carries a load-bearing rate.
+    if (channels == 0 || (codec == "vorbis" && rate <= 0) || rate < 0)
+      return null
 
     // Page walk: last non-(-1) granule position of this serial wins.
     var lastGranule = -1L

@@ -689,11 +689,16 @@ object Dedup {
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // EAGER checkpoint: the exploded line set feeds BOTH the boiler
+    // aggregate and the anti-join probe side — without it the
+    // split/explode lineage executes twice, a second full pass over all
+    // text at corpus scale (the importanceWeights `joined` precedent).
     val lines = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
         posexplode(split(col(textCol), "\n")))
       .select(col("id"), col("grp"), col("pos"), col("col").as("line"),
         trim(col("col")).as("norm"))
       .where(col("norm") =!= "")
+      .localCheckpoint(true)
     val boiler = lines.groupBy("grp", "norm")
       .agg(countDistinct(col("id")).as("ndocs"))
       .where(col("ndocs") >= minDocs)

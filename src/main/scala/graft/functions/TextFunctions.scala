@@ -200,7 +200,10 @@ object TextFunctions {
       struct(f.as("f"), lit(n).as("n")) }: _*), asc = false).getItem(0)
     struct(
       fracs.map { case (n, f) => f.as(s"${n}_frac") } :+
-        when(total === 0, lit(null).cast("string"))
+        // coalesce: NULL text makes total NULL, and `when(null === 0)`
+        // would fall through to the sort's tie-break ('latin') — a null
+        // document must not classify as any script
+        when(coalesce(total, lit(0.0)) === 0, lit(null).cast("string"))
           .otherwise(top.getField("n")).as("dominant"): _*)
   }
 
@@ -255,7 +258,9 @@ object TextFunctions {
       "!\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",    // images -> alt
       "\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",     // inline links -> text
       "\\[([^\\]]*)\\]\\[[^\\]]*\\]" -> "$1",   // reference links -> text
-      "(?m)^#{1,6}[ \t]*" -> "",                // ATX headers
+      // CommonMark requires the space: '#include', '#!/bin/sh' and
+      // '#hashtag' are NOT headings and must survive
+      "(?m)^#{1,6}[ \t]+" -> "",                // ATX headers
       "(?m)^>[ \t]?" -> "",                     // blockquotes
       "(?m)^[ \t]*(-{3,}|\\*{3,}|_{3,})[ \t]*$" -> "", // horizontal rules
       "(?m)^[ \t]*[-*+][ \t]+" -> "",           // unordered list markers

@@ -52,6 +52,29 @@ class JsonRepairSpec extends AnyFunSuite {
     assert(JsonRepairCodec.repair(null) == null)
   }
 
+  test("cut literals and numbers: longest valid prefix or clean drop") {
+    assert(rep("""{"ok": true, "x": fal""") == """{"ok": true}""")
+    assert(rep("""{"a": 1.""") == """{"a": 1}""")
+    assert(rep("""{"a": 12e""") == """{"a": 12}""")
+    assert(rep("""[true, nul""") == """[true]""")
+    assert(rep("""{"a": -""") == """{}""")
+  }
+
+  test("cut unicode escapes truncate back to their backslash") {
+    // (\ u split to dodge Scala's own unicode-escape preprocessing)
+    assert(rep("{\"s\": \"ab\\" + "u12") == """{"s": "ab"}""")
+    assert(rep("{\"s\": \"ab\\") == """{"s": "ab"}""")
+    assert(parses(rep("{\"s\": \"ab\\" + "u1234")))
+  }
+
+  test("every truncation of a literal-heavy document parses") {
+    val doc = """{"b": true, "f": false, "n": null, "x": -1.5e+2, "u": "aéz"}"""
+    for (cut <- 1 to doc.length) {
+      val r = rep(doc.substring(0, cut))
+      assert(r != null && parses(r), s"cut=$cut -> $r")
+    }
+  }
+
   test("escapes inside strings do not fool the scanner") {
     assert(rep("""{"path": "C:\\dir\\""") == "{\"path\": \"C:\\dir\\\"}" ||
       parses(rep("""{"path": "C:\\dir\\""")))

@@ -37,6 +37,12 @@ class MarkdownSpec extends SparkTestBase {
       "intro\n\nval x = 1\n\noutro")
   }
 
+  test("space-less # lines are not headings: code and hashtags survive") {
+    assert(md("```c\n#include <a.h>\n```") == "#include <a.h>")
+    assert(md("#!/bin/sh\necho hi") == "#!/bin/sh\necho hi")
+    assert(md("#hashtag stays\n# Heading goes") == "#hashtag stays\nHeading goes")
+  }
+
   test("reference links resolve to text, definition lines vanish") {
     assert(md("see [the spec][1] here\n\n[1]: http://spec.example") ==
       "see the spec here")

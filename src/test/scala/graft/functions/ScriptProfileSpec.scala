@@ -32,4 +32,11 @@ class ScriptProfileSpec extends SparkTestBase {
     val p = prof("123 --- 456")
     assert(p("latin_frac") == 0.0 && p("dominant") == null)
   }
+
+  test("NULL text never classifies as a script") {
+    val r = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.scriptProfile(col("t")).as("v"))
+      .select("v.dominant").collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
