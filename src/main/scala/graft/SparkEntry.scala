@@ -4015,6 +4015,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 192. exact containment slice, oracle-pinned ----------------------------------------------------
+    // The quote/subset signal: q57's exact blocked pair slice with the
+    // ASYMMETRIC measure — |A∩B| / |smaller| oriented as
+    // (contained, container) — recomputed relationally by DuckDB on the
+    // same bigram sets. (The LSH-scaled form is Dedup.containmentPairs,
+    // spec-pinned; this slice is the cross-engine anchor.)
+    "q192_containment_exact" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      val grams = when(size(toks) >= 2,
+        array_distinct(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
+        .otherwise(array().cast("array<string>"))
+      val g = t(s, d, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), grams.as("gs"))
+        .where(size(col("gs")) > 0)
+      g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          when(size(col("a.gs")) <= size(col("b.gs")), col("a.doc_id"))
+            .otherwise(col("b.doc_id")).as("contained_id"),
+          when(size(col("a.gs")) <= size(col("b.gs")), col("b.doc_id"))
+            .otherwise(col("a.doc_id")).as("container_id"),
+          (size(array_intersect(col("a.gs"), col("b.gs"))).cast("double") /
+            least(size(col("a.gs")), size(col("b.gs"))).cast("double"))
+            .as("containment"))
+        .where(col("containment") >= 0.35)
+        .orderBy("contained_id", "container_id")
+    }),
+
     // --- 191. CJK sentence segmentation, oracle-pinned --------------------------------------------------
     // The caseless-script half of q154: fullwidth terminators bound
     // unconditionally (no case or space cues exist), fullwidth closers
@@ -6488,6 +6517,26 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Containment: same bigram sets, asymmetric measure, oriented pairs.
+    "q192_containment_exact" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS gs
+        |  FROM (SELECT doc_id, lang, string_split_regex(LOWER(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 100))
+        |SELECT contained_id, container_id, containment FROM (
+        |  SELECT
+        |    CASE WHEN len(a.gs) <= len(b.gs) THEN a.doc_id ELSE b.doc_id END
+        |      AS contained_id,
+        |    CASE WHEN len(a.gs) <= len(b.gs) THEN b.doc_id ELSE a.doc_id END
+        |      AS container_id,
+        |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |      CAST(least(len(a.gs), len(b.gs)) AS DOUBLE) AS containment
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.gs) > 0 AND len(b.gs) > 0) t
+        |WHERE containment >= 0.35 ORDER BY contained_id, container_id""".stripMargin,
 
     // CJK sentences: every (pos, sentence) stated.
     "q191_cjk_sentences" ->

@@ -92,6 +92,29 @@ object GraftHash {
     if (union > 0) inter.toDouble / union else 0.0
   }
 
+  /** Asymmetric containment |A ∩ B| / |A| over the same sorted-distinct
+    * representation — the quote/subset signal Jaccard dilutes: a page
+    * wholesale-including a short document scores near 1 here while its
+    * Jaccard stays low (the big side inflates the union). Same merge
+    * scan, zero allocations; 0.0 for an empty A.
+    */
+  def containmentSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    if (na == 0) return 0.0
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / na
+  }
+
   /** One-pass cosine similarity of two float vectors (double accumulators);
     * 0.0 when either vector is empty/all-zero or lengths differ.
     */

@@ -112,6 +112,34 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_jaccard_sorted"
 }
 
+/** Asymmetric containment |left ∩ right| / |left| of two sorted-distinct
+  * `array<bigint>` hash sets -> `double` — the quote/subset-detection
+  * sibling of [[JaccardSortedExpr]] (same representation contract, same
+  * merge scan). Inputs admitting null elements are rejected at analysis
+  * time for the same getLong reason.
+  */
+case class ContainmentSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, false) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> with non-null elements " +
+        "(the sorted-distinct shingle-hash representation), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.containmentSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.GraftHash.containmentSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : ContainmentSortedExpr = copy(left = l, right = r)
+  override def prettyName: String = "graft_containment_sorted"
+}
+
 /** `array<string>` of tokens -> struct<n_tokens,n_long,sum_len> (all bigint),
   * one pass. The codegen'd replacement for the interpreted HOF chain
   * `size(filter(toks, len>k))` + `aggregate(transform(toks, len), 0, +)`:

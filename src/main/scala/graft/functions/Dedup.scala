@@ -663,6 +663,64 @@ object Dedup {
       .agg(count(lit(1)).as("contaminated_grams"))
   }
 
+  /** Asymmetric containment pairs — the quote/subset dedup mode Jaccard
+    * misses: an aggregator page wholesale-including a short document
+    * scores containment ~1 while its Jaccard stays low (the big side
+    * inflates the union). Candidates come from the SAME banded-MinHash
+    * join as [[minhashPairs]], then exact containment of the SMALLER
+    * shingle set inside the larger verifies
+    * ([[graft.expressions.ContainmentSortedExpr]]'s merge scan).
+    * Output orients each pair as (contained_id, container_id).
+    *
+    * Recall caveat, stated honestly: band collisions track JACCARD, so
+    * small-in-big containment with a very large size ratio (tiny quote
+    * inside a huge page -> low Jaccard) can miss candidates; at near-par
+    * sizes (the dominant duplication shape) recall matches
+    * [[minhashPairs]]. Lowering `bands` rows (more, shallower bands)
+    * raises small-pair recall at candidate-volume cost.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.9,
+      sorted: Boolean = true
+  ): DataFrame = {
+    val docs = df.select(
+      col(idCol).as("id"),
+      TextFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
+    val candidates = lshCandidates(docs, numHashes, bands, blocked = false)
+    val verified = candidates
+      .join(docs.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(docs.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
+      // orient: the smaller set is the candidate quote/subset
+      .select(
+        when(size(col("hs1")) <= size(col("hs2")), col("id1"))
+          .otherwise(col("id2")).as("contained_id"),
+        when(size(col("hs1")) <= size(col("hs2")), col("id2"))
+          .otherwise(col("id1")).as("container_id"),
+        when(size(col("hs1")) <= size(col("hs2")),
+          containmentSorted(col("hs1"), col("hs2")))
+          .otherwise(containmentSorted(col("hs2"), col("hs1")))
+          .as("containment"))
+      .where(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 6).as("containment"))
+    if (sorted)
+      verified.orderBy(desc("containment"), col("contained_id"),
+        col("container_id"))
+    else verified
+  }
+
+  private def containmentSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ContainmentSortedExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Cross-document boilerplate LINE removal — the published RefinedWeb /
     * CCNet intra-site cleanup: a line whose trimmed form repeats across at
     * least `minDocs` distinct documents of the same group (site, domain,

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Asymmetric containment: the quote/subset dedup mode. */
+class ContainmentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+    "india juliet kilo lima mike november oscar papa"
+
+  private val docs = Seq(
+    (1L, base),                                   // the container
+    (2L, base.split(" ").take(8).mkString(" ")),  // strict prefix: contained
+    (3L, "totally unrelated words here speaking about other matters entirely"),
+    (4L, base + " quebec romeo sierra tango")     // superset of doc 1
+  ).toDF("id", "text")
+
+  test("planted subset pairs orient (contained, container) at high containment") {
+    val got = Dedup.containmentPairs(docs, "id", "text", shingleN = 3,
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 2 inside doc 1 and inside doc 4; doc 1 inside doc 4
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 4L)), got.toString)
+    assert(got.forall(_._3 >= 0.8))
+    assert(got.forall(t => t._1 != 3L && t._2 != 3L)) // unrelated never pairs
+    // every emitted containment is exact |A∩B|/|A| of the smaller set:
+    // doc 1's shingles are a strict subset of doc 4's -> exactly 1.0
+    assert(got.find(t => (t._1, t._2) == ((1L, 4L))).get._3 == 1.0)
+  }
+
+  test("jaccard dilutes what containment catches") {
+    // doc 1 vs doc 4: containment 1.0, but Jaccard strictly below 1
+    val j = Dedup.minhashPairs(docs.where(col("id").isin(1L, 4L)),
+        "id", "text", shingleN = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(j.forall(_._3 < 1.0))
+  }
+}
