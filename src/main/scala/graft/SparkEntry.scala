@@ -4015,6 +4015,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 193. AVIF/HEIC image metadata, oracle-pinned ---------------------------------------------------
+    // The modern image containers sized WITHOUT an AV1/HEVC decoder:
+    // real ISO-BMFF meta/iprp/ipco/ispe boxes constructed per row —
+    // avif rows carry a primary ispe plus a 32x32 thumbnail ispe (the
+    // largest must win), heic rows a single ispe. Closed-form oracle.
+    "q193_bmff_image_meta" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def boxH(t: String, body: Column): Column = concat(
+        lpad(hex((length(body) / 2).cast("int") + 8), 8, "0"), lit(cc(t)), body)
+      def be32h(c: Column) = lpad(hex(c), 8, "0")
+      val w = (col("doc_id") % 800 + 100).cast("int")
+      val h = (col("doc_id") % 600 + 80).cast("int")
+      val m = col("doc_id") % 2
+      def ispe(wc: Column, hc: Column) =
+        boxH("ispe", concat(lit("00000000"), be32h(wc), be32h(hc)))
+      val ipco = boxH("ipco",
+        when(m === 0, concat(ispe(w, h), ispe(lit(32), lit(32))))
+          .otherwise(ispe(w, h)))
+      val meta = boxH("meta", concat(lit("00000000"),
+        boxH("iprp", ipco)))
+      val brand = when(m === 0, "avif").otherwise("heic")
+      val ftyp = boxH("ftyp", concat(hex(brand), lit("00000000"), hex(brand)))
+      val payload = unhex(concat(ftyp, meta))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.bmffImageMeta(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.brand").as("brand"), col("v.width").as("width"),
+          col("v.height").as("height"), col("v.n_items").as("n_items"))
+        .orderBy("doc_id")
+    }),
+
     // --- 192. exact containment slice, oracle-pinned ----------------------------------------------------
     // The quote/subset signal: q57's exact blocked pair slice with the
     // ASYMMETRIC measure — |A∩B| / |smaller| oriented as
@@ -6517,6 +6550,15 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // AVIF/HEIC meta closed forms: largest ispe wins on avif rows.
+    "q193_bmff_image_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+        |  CAST(doc_id % 800 + 100 AS INT) AS width,
+        |  CAST(doc_id % 600 + 80 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_items
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // Containment: same bigram sets, asymmetric measure, oriented pairs.
     "q192_containment_exact" ->

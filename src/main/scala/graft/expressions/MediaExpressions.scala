@@ -3134,6 +3134,82 @@ object MediaCodec {
       trackCount, width, height))
   }
 
+  /** AVIF/HEIC image metadata — the modern web-image containers the
+    * raster ladder cannot decode (AV1/HEVC payloads) but a crawl
+    * inventory still must size: ISO-BMFF with the image properties
+    * under `meta` (a FullBox) -> `iprp` -> `ipco` -> `ispe` boxes
+    * (one per item: primary + thumbnails + alpha). Width/height are the
+    * LARGEST ispe's (the primary image dominates its derivatives — the
+    * documented heuristic in place of a full pitm/ipma association
+    * resolve); `n_items` counts the ispe boxes. Same bounds discipline
+    * as [[mp4Header]]'s walk. Null for non-image brands.
+    */
+  def bmffImageMeta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 16) return null
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
+    val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (!Set("avif", "avis", "heic", "heix", "hevc", "mif1", "msf1")
+        .contains(brand)) return null
+    var width = 0; var height = 0; var nItems = 0
+    def walk(start: Long, end: Long)(f: (Long, Long, Long) => Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        var size = be32(b, pos.toInt).toLong & 0xFFFFFFFFL
+        var body = pos + 8
+        if (size == 1) {
+          if (pos + 16 > end) return false
+          size = be64(b, (pos + 8).toInt)
+          if (size < 16) return false
+          body = pos + 16
+        } else if (size == 0) {
+          size = end - pos
+          if (size < 8) return false
+        } else if (size < 8) return false
+        if (size > end - pos) return false
+        if (!f(pos + 4, body, pos + size)) return false
+        pos += size
+      }
+      true
+    }
+    def is(p: Long, t: String): Boolean = {
+      val i = p.toInt
+      b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+        b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+    }
+    val ok = walk(0, b.length.toLong) { (tp, body, boxEnd) =>
+      if (is(tp, "meta")) {
+        if (body + 4 > boxEnd) false
+        else walk(body + 4, boxEnd) { (tp2, body2, boxEnd2) => // FullBox skip
+          if (is(tp2, "iprp")) {
+            walk(body2, boxEnd2) { (tp3, body3, boxEnd3) =>
+              if (is(tp3, "ipco")) {
+                walk(body3, boxEnd3) { (tp4, body4, boxEnd4) =>
+                  if (is(tp4, "ispe")) {
+                    if (body4 + 12 > boxEnd4) false
+                    else {
+                      val w = be32(b, (body4 + 4).toInt)
+                      val h = be32(b, (body4 + 8).toInt)
+                      if (w > 0 && h > 0) {
+                        nItems += 1
+                        if (w.toLong * h > width.toLong * height) {
+                          width = w; height = h
+                        }
+                      }
+                      true
+                    }
+                  } else true
+                }
+              } else true
+            }
+          } else true
+        }
+      } else true
+    }
+    if (!ok || nItems == 0) return null
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(brand), width, height, nItems))
+  }
+
   /** Sample-entry formats whose payloads the pure-JVM image ladder can
     * decode: motion-JPEG flavors (samples are self-contained JPEG images
     * — ISO 14496-12 sample entries 'jpeg'/'mjpa'/'mjpb', plus the common
@@ -4909,6 +4985,34 @@ case class ImageHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImageHashExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_image_hash"
+}
+
+/** `binary` (AVIF/HEIC) -> `struct<brand,width,height,n_items>` from the
+  * meta/iprp/ipco/ispe walk — header bytes only
+  * ([[MediaCodec.bmffImageMeta]]). NULL for non-image brands. Codegen'd.
+  */
+case class BmffImageMetaExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("brand", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_items", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.bmffImageMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.bmffImageMeta($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): BmffImageMetaExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bmff_image_meta"
 }
 
 /** `binary` -> PGM P5 `binary`: box-mean grayscale downscale to

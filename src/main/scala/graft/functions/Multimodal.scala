@@ -314,6 +314,17 @@ object Multimodal {
       graft.expressions.AudioResampleExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin), rate))
 
+  /** AVIF/HEIC image dimensions from the ISO-BMFF meta/ispe walk —
+    * the modern web-image containers a crawl inventory must size even
+    * without an AV1/HEVC decoder ([[graft.expressions
+    * .BmffImageMetaExpr]]). Largest ispe wins (primary over
+    * thumbnails); NULL for non-image brands.
+    */
+  def bmffImageMeta(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.BmffImageMetaExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Box-mean grayscale downscale to (w, h) as a flat PGM P5 payload
     * ([[graft.expressions.ImageResizeExpr]]) — the pre-embedding
     * thumbnail, decoded and reduced in one pass through the real

@@ -1,0 +1,43 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AVIF/HEIC meta walk: ispe selection, brand gating, hostile shapes. */
+class BmffMetaSpec extends AnyFunSuite {
+
+  private def be32(v: Int) = Array[Byte](
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def box(t: String, body: Array[Byte]): Array[Byte] =
+    be32(body.length + 8) ++ t.getBytes("US-ASCII") ++ body
+  private def ispe(w: Int, h: Int) =
+    box("ispe", new Array[Byte](4) ++ be32(w) ++ be32(h))
+  private def doc(brand: String, ispes: Array[Byte]): Array[Byte] =
+    box("ftyp", brand.getBytes ++ new Array[Byte](4) ++ brand.getBytes) ++
+      box("meta", new Array[Byte](4) ++ box("iprp", box("ipco", ispes)))
+
+  private def meta(b: Array[Byte]): (String, Int, Int, Int) = {
+    val r = MediaCodec.bmffImageMeta(b)
+    if (r == null) null
+    else (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  test("largest ispe wins over thumbnails and alpha planes") {
+    val b = doc("avif", ispe(64, 64) ++ ispe(1280, 960) ++ ispe(160, 120))
+    assert(meta(b) == ("avif", 1280, 960, 3))
+  }
+
+  test("heic single item; mif1 accepted") {
+    assert(meta(doc("heic", ispe(640, 480))) == ("heic", 640, 480, 1))
+    assert(meta(doc("mif1", ispe(8, 8))) == ("mif1", 8, 8, 1))
+  }
+
+  test("non-image brands and structureless payloads null") {
+    assert(meta(doc("isom", ispe(640, 480))) == null) // video brand
+    assert(meta(doc("avif", Array.empty[Byte])) == null) // no ispe at all
+    assert(meta("random junk bytes".getBytes) == null)
+    assert(MediaCodec.bmffImageMeta(null) == null)
+    // truncated ispe body: structural corruption nulls the walk
+    val cut = doc("avif", box("ispe", new Array[Byte](6)))
+    assert(meta(cut) == null)
+  }
+}
