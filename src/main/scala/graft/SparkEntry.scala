@@ -4015,6 +4015,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 194. ADTS AAC frame walk, oracle-pinned --------------------------------------------------------
+    // Raw .aac dumps inventoried exactly: k LC/44.1k/stereo frames per
+    // row with id-dependent frame lengths (header arithmetic computed
+    // in-plan), duration on the 1024-samples-per-block clock.
+    "q194_adts_frames" -> ((s, d) => {
+      val k = (col("doc_id") % 4 + 1).cast("int")
+      val len = (col("doc_id") % 50 + 17).cast("int") // 7 hdr + payload
+      val frameHex = concat(
+        lit("FFF15080"), // sync/MPEG-4/LC/44.1k/stereo, len<2048
+        lpad(hex(shiftright(len, 3).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftleft(len.bitwiseAND(lit(7)), 5)), 2, "0"),
+        lit("00"), // fullness low, 1 raw block
+        repeat(lit("00"), len - 7))
+      val payload = unhex(array_join(
+        transform(sequence(lit(1), k), _ => frameHex), ""))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.adtsFrames(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.frame_count").as("frame_count"),
+          col("v.profile").as("profile"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"),
+          col("v.n_samples").as("n_samples"),
+          col("v.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // --- 193. AVIF/HEIC image metadata, oracle-pinned ---------------------------------------------------
     // The modern image containers sized WITHOUT an AV1/HEVC decoder:
     // real ISO-BMFF meta/iprp/ipco/ispe boxes constructed per row —
@@ -6550,6 +6578,17 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ADTS closed forms: counts + the 1024-sample clock.
+    "q194_adts_frames" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 + 1 AS INT) AS frame_count,
+        |  'LC' AS profile, CAST(44100 AS INT) AS sample_rate,
+        |  CAST(2 AS INT) AS channels,
+        |  CAST((doc_id % 4 + 1) * 1024 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 4 + 1) * 1024 * 1000 // 44100 AS BIGINT)
+        |    AS duration_ms
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // AVIF/HEIC meta closed forms: largest ispe wins on avif rows.
     "q193_bmff_image_meta" ->

@@ -3686,6 +3686,58 @@ object MediaCodec {
     * is `stream_bytes * 8 / duration_ms` — integer maths, exact for the
     * oracle. Null when no valid first frame exists.
     */
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+  private val AdtsProfiles = Array("Main", "LC", "SSR", "LTP")
+
+  /** ADTS AAC frame walk (ISO 14496-3 §1.A.3) — the raw-AAC sibling of
+    * [[mp3FrameWalk]]: streams dumped outside the MP4 container carry
+    * consecutive ADTS frames (12-bit sync, 13-bit frame length, 1024
+    * samples per raw data block, 1-4 blocks per frame). Exact stream
+    * inventory: frame/block counts, profile, rate/channels from the
+    * FIRST header (mid-stream parameter changes stop the walk — a
+    * spliced stream is two streams), duration on the sample clock.
+    * Payload bytes skipped; a malformed header mid-stream ENDS the walk
+    * keeping the prefix (truncated downloads), but no valid first frame
+    * nulls the payload.
+    */
+  def adtsFrameWalk(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 7) return null
+    def hdrAt(p: Int): (Int, Int, Int, Int, Int) = {
+      // (frameLen, rateIdx, channels, profile, rawBlocks) or null
+      if (p + 7 > b.length) return null
+      if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xF6) != 0xF0) return null
+      val profile = (b(p + 2) >>> 6) & 0x3
+      val rateIdx = (b(p + 2) >>> 2) & 0xF
+      if (rateIdx >= AdtsRates.length) return null
+      val ch = ((b(p + 2) & 0x1) << 2) | ((b(p + 3) >>> 6) & 0x3)
+      val len = ((b(p + 3) & 0x3) << 11) | ((b(p + 4) & 0xFF) << 3) |
+        ((b(p + 5) >>> 5) & 0x7)
+      val blocks = (b(p + 6) & 0x3) + 1
+      if (len < 7 || ch == 0) return null
+      (len, rateIdx, ch, profile, blocks)
+    }
+    val first = hdrAt(0)
+    if (first == null) return null
+    val (_, rateIdx, channels, profile, _) = first
+    var pos = 0
+    var frames = 0
+    var rawBlocks = 0L
+    var ok = true
+    while (ok && pos + 7 <= b.length) {
+      val h = hdrAt(pos)
+      if (h == null || h._2 != rateIdx || h._3 != channels) ok = false
+      else if (pos + h._1 > b.length) ok = false // truncated final frame
+      else { frames += 1; rawBlocks += h._5; pos += h._1 }
+    }
+    if (frames == 0) return null
+    val rate = AdtsRates(rateIdx)
+    val nSamples = rawBlocks * 1024L
+    new GenericInternalRow(Array[Any](
+      frames, UTF8String.fromString(AdtsProfiles(profile)), rate, channels,
+      nSamples, nSamples * 1000L / rate))
+  }
+
   def mp3FrameWalk(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 4) return null
     var start = 0
@@ -5276,6 +5328,36 @@ case class Mp3FrameWalkExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Mp3FrameWalkExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_mp3_frames"
+}
+
+/** `binary` (raw ADTS AAC) -> struct<frame_count,profile,sample_rate,
+  * channels,n_samples,duration_ms> ([[MediaCodec.adtsFrameWalk]]) —
+  * header bytes only. NULL when no valid first frame. Codegen'd.
+  */
+case class AdtsFrameWalkExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("frame_count", IntegerType, nullable = false),
+    StructField("profile", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.adtsFrameWalk(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.adtsFrameWalk($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AdtsFrameWalkExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_adts_frames"
 }
 
 /** `binary` -> struct<title,artist,album,year,version> from ID3v2

@@ -314,6 +314,17 @@ object Multimodal {
       graft.expressions.AudioResampleExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin), rate))
 
+  /** ADTS AAC stream inventory ([[graft.expressions.AdtsFrameWalkExpr]]):
+    * frame/raw-block counts, profile, rate/channels and the exact
+    * duration of a raw `.aac` dump — header bytes only, the MP3-walk
+    * sibling for the other dominant crawl audio codec. NULL when no
+    * valid first frame.
+    */
+  def adtsFrames(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AdtsFrameWalkExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** AVIF/HEIC image dimensions from the ISO-BMFF meta/ispe walk —
     * the modern web-image containers a crawl inventory must size even
     * without an AV1/HEVC decoder ([[graft.expressions

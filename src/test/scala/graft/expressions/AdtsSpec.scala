@@ -1,0 +1,50 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ADTS AAC frame-walk semantics. */
+class AdtsSpec extends AnyFunSuite {
+
+  private def frame(len: Int, rateIdx: Int = 4, ch: Int = 2,
+      profile: Int = 1, blocks: Int = 1): Array[Byte] = {
+    val b = new Array[Byte](len)
+    b(0) = 0xFF.toByte
+    b(1) = 0xF1.toByte // MPEG-4, layer 00, no CRC
+    b(2) = ((profile << 6) | (rateIdx << 2) | ((ch >> 2) & 1)).toByte
+    b(3) = (((ch & 3) << 6) | ((len >> 11) & 3)).toByte
+    b(4) = ((len >> 3) & 0xFF).toByte
+    b(5) = ((len & 7) << 5).toByte
+    b(6) = (blocks - 1).toByte
+    b
+  }
+  private def cat(fs: Array[Byte]*): Array[Byte] = fs.reduce(_ ++ _)
+
+  private def walk(b: Array[Byte]): (Int, String, Int, Int, Long, Long) = {
+    val r = MediaCodec.adtsFrameWalk(b)
+    if (r == null) null
+    else (r.getInt(0), r.getUTF8String(1).toString, r.getInt(2), r.getInt(3),
+      r.getLong(4), r.getLong(5))
+  }
+
+  test("frame counts, profiles, the 1024-sample clock, multi-block frames") {
+    assert(walk(cat(frame(40), frame(200), frame(9))) ==
+      (3, "LC", 44100, 2, 3072L, 3072L * 1000 / 44100))
+    assert(walk(frame(50, rateIdx = 11, ch = 1, profile = 0, blocks = 3)) ==
+      (1, "Main", 8000, 1, 3072L, 384L))
+  }
+
+  test("truncated tail keeps the prefix; parameter change stops the walk") {
+    val cut = cat(frame(60), frame(400)).dropRight(100)
+    assert(walk(cut)._1 == 1)
+    // a spliced stream (rate change) is two streams: count stops at 2
+    assert(walk(cat(frame(30), frame(30), frame(30, rateIdx = 3)))._1 == 2)
+  }
+
+  test("junk and headerless payloads null") {
+    assert(walk("no adts here".getBytes) == null)
+    assert(walk(Array[Byte](0xFF.toByte, 0xF1.toByte)) == null)
+    assert(MediaCodec.adtsFrameWalk(null) == null)
+    // zero channels is a malformed first header
+    assert(walk(frame(40, ch = 0)) == null)
+  }
+}
