@@ -301,7 +301,10 @@ object GraftExtensions {
     "graft_mp3_frames" -> (classOf[Mp3FrameWalkExpr], Mp3FrameWalkExpr(_)),
     "graft_html_blocks" -> (classOf[HtmlBlocksExpr], HtmlBlocksExpr(_)),
     "graft_main_text" -> (classOf[MainTextExpr], MainTextExpr(_)),
-    "graft_json_repair" -> (classOf[JsonRepairExpr], JsonRepairExpr(_))
+    "graft_json_repair" -> (classOf[JsonRepairExpr], JsonRepairExpr(_)),
+    "graft_bmff_image_meta" ->
+      (classOf[BmffImageMetaExpr], BmffImageMetaExpr(_)),
+    "graft_adts_frames" -> (classOf[AdtsFrameWalkExpr], AdtsFrameWalkExpr(_))
   ) ++ Seq[FunctionDescription](
     (
       FunctionIdentifier("graft_zip_entry"),
@@ -335,6 +338,16 @@ object GraftExtensions {
         case Seq(bin, Literal(r: Int, IntegerType)) => AudioResampleExpr(bin, r)
         case _ => throw new IllegalArgumentException(
           "graft_audio_resample(binary, rate literal int)")
+      }),
+    (
+      FunctionIdentifier("graft_containment_sorted"),
+      new ExpressionInfo(classOf[ContainmentSortedExpr].getName,
+        "graft_containment_sorted"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ContainmentSortedExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_containment_sorted(array<bigint> sorted distinct, " +
+            "array<bigint> sorted distinct)")
       }),
     (
       FunctionIdentifier("graft_blocklist_hits"),

@@ -46,4 +46,15 @@ class SqlSurfaceSpec extends SparkTestBase {
     val bad = one("SELECT graft_audio_resample(CAST('junk' AS BINARY), 8000) AS r")
     assert(bad.isNullAt(0))
   }
+
+  test("late registrations: json repair, containment, bmff/adts rejects") {
+    val jr = one("""SELECT graft_json_repair('{"a": [1,') AS r""")
+    assert(jr.getString(0) == """{"a": [1]}""")
+    val c = one("SELECT graft_containment_sorted(" +
+      "graft_shingle_hashes(array('a','b','c'), 2), " +
+      "graft_shingle_hashes(array('a','b','c','d'), 2)) AS c")
+    assert(c.getDouble(0) == 1.0)
+    assert(one("SELECT graft_bmff_image_meta(CAST('x' AS BINARY)) AS m").isNullAt(0))
+    assert(one("SELECT graft_adts_frames(CAST('x' AS BINARY)) AS f").isNullAt(0))
+  }
 }
