@@ -4015,6 +4015,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 195. e-mail attachment extraction, oracle-pinned -----------------------------------------------
+    // The mail-corpus media seam: per-row multipart/mixed messages with
+    // a body (NOT an attachment), a base64 octet-stream attachment and
+    // a named image part; every inventory row + the transfer-DECODED
+    // payload text stated closed-form.
+    "q195_email_attachments" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val att1 = base64(encode(concat(lit("att "), id), "UTF-8"))
+      val att2 = base64(encode(concat(lit("P5 1 1 255\nA")), "UTF-8"))
+      val mailText = concat(
+        lit("From: a@b.c\r\nSubject: S"), id,
+        lit("\r\nMIME-Version: 1.0\r\nContent-Type: multipart/mixed; " +
+          "boundary=\"B\"\r\n\r\n" +
+          "--B\r\nContent-Type: text/plain\r\n\r\nbody "), id,
+        lit("\r\n--B\r\nContent-Type: application/octet-stream\r\n" +
+          "Content-Disposition: attachment; filename=\"note"), id,
+        lit(".txt\"\r\nContent-Transfer-Encoding: base64\r\n\r\n"), att1,
+        lit("\r\n--B\r\nContent-Type: image/x-portable-graymap; name=\"p"), id,
+        lit(".pgm\"\r\nContent-Transfer-Encoding: base64\r\n\r\n"), att2,
+        lit("\r\n--B--\r\n"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), posexplode(
+          Multimodal.emailAttachments(encode(mailText, "ISO-8859-1"))))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col.filename").as("filename"),
+          col("col.mime").as("mime"),
+          col("col.size_bytes").as("size_bytes"),
+          decode(col("col.bytes"), "UTF-8").as("content"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // --- 194. ADTS AAC frame walk, oracle-pinned --------------------------------------------------------
     // Raw .aac dumps inventoried exactly: k LC/44.1k/stereo frames per
     // row with id-dependent frame lengths (header arithmetic computed
@@ -6578,6 +6610,22 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Email attachments: every inventory row + decoded payload stated.
+    "q195_email_attachments" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS pos,
+        |    'note' || doc_id || '.txt' AS filename,
+        |    'application/octet-stream' AS mime,
+        |    CAST(4 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS size_bytes,
+        |    'att ' || doc_id AS content
+        |  FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT), 'p' || doc_id || '.pgm',
+        |    'image/x-portable-graymap', CAST(12 AS BIGINT),
+        |    'P5 1 1 255' || chr(10) || 'A'
+        |  FROM documents WHERE doc_id < 400)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // ADTS closed forms: counts + the 1024-sample clock.
     "q194_adts_frames" ->

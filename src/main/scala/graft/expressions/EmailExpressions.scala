@@ -147,18 +147,25 @@ object EmailCodec {
   /** Decode one leaf part's body to text per its transfer encoding and
     * charset.
     */
-  private def decodeBody(b: Array[Byte], start: Int, end: Int,
-      cte: String, charset: String): String = {
+  /** Transfer-decode one leaf part's raw bytes; null for corrupt base64. */
+  private def decodeBytes(b: Array[Byte], start: Int, end: Int,
+      cte: String): Array[Byte] = {
     val raw = java.util.Arrays.copyOfRange(b, start, end)
     val enc = if (cte == null) "" else cte.trim.toLowerCase(java.util.Locale.ROOT)
-    val bytes = enc match {
+    enc match {
       case "base64" =>
         try java.util.Base64.getMimeDecoder.decode(
           new String(raw, Latin1).replaceAll("\\s", ""))
-        catch { case _: IllegalArgumentException => return null }
+        catch { case _: IllegalArgumentException => null }
       case "quoted-printable" => qpDecode(raw)
       case _ => raw // 7bit/8bit/binary
     }
+  }
+
+  private def decodeBody(b: Array[Byte], start: Int, end: Int,
+      cte: String, charset: String): String = {
+    val bytes = decodeBytes(b, start, end, cte)
+    if (bytes == null) return null
     new String(bytes, charsetFor(if (charset == null) "UTF-8" else charset)).trim
   }
 
@@ -213,6 +220,92 @@ object EmailCodec {
     } else null
   }
 
+  /** Walk every LEAF part of the MIME tree under the given headers,
+    * calling `f(partHeaders, bodyStart, bodyEnd)`. Bounded depth and
+    * part counts as [[findText]] (whose boundary-scan shape this
+    * mirrors; findText keeps its own best-text fold untouched).
+    */
+  private def forEachLeaf(b: Array[Byte],
+      hs: java.util.LinkedHashMap[String, String],
+      bodyStart: Int, end: Int, depth: Int)(
+      f: (java.util.LinkedHashMap[String, String], Int, Int) => Unit): Unit = {
+    if (depth > 8) return
+    val ct = hs.get("content-type")
+    if (mimeType(ct).startsWith("multipart/")) {
+      val boundary = param(ct, "boundary")
+      if (boundary == null) return
+      val delim = ("--" + boundary).getBytes(Latin1)
+      var p = bodyStart
+      var partStart = -1
+      var parts = 0
+      while (p <= end - delim.length && parts < 256) {
+        val atLineStart = p == bodyStart || b(p - 1) == '\n'
+        if (atLineStart && (0 until delim.length).forall(k => b(p + k) == delim(k))) {
+          val closing = p + delim.length + 1 < end &&
+            b(p + delim.length) == '-' && b(p + delim.length + 1) == '-'
+          if (partStart >= 0) {
+            var pe = p - 1
+            if (pe > partStart && b(pe - 1) == '\r') pe -= 1
+            val (phs, pBody) = headers(b, partStart, pe)
+            forEachLeaf(b, phs, pBody, pe, depth + 1)(f)
+            parts += 1
+          }
+          if (closing) return
+          var q = p
+          while (q < end && b(q) != '\n') q += 1
+          partStart = math.min(q + 1, end)
+          p = partStart
+        } else p += 1
+      }
+    } else f(hs, bodyStart, end)
+  }
+
+  /** Attachment inventory of a message: every leaf part carrying a
+    * filename or an attachment disposition (plus non-text leaves with
+    * neither — embedded media without metadata), transfer-DECODED —
+    * the bytes feed the media ladder directly (image hashes of mail
+    * attachments, tar walks of attached archives). Caps: 32
+    * attachments, 64 MiB decoded total (then the list truncates —
+    * inventory rows stay, oversized tails drop). Null for non-mail.
+    */
+  def attachments(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 6) return null
+    val (hs, bodyStart) = headers(b, 0, b.length)
+    if (!hs.containsKey("from") && !hs.containsKey("subject")) return null
+    val out = new java.util.ArrayList[Any]()
+    var budget = 64L * 1024 * 1024
+    forEachLeaf(b, hs, bodyStart, b.length, 0) { (phs, ps, pe) =>
+      if (out.size < 32) {
+        val ct = phs.get("content-type")
+        val mt = mimeType(ct)
+        val cd = phs.get("content-disposition")
+        val fname = {
+          val fn = param(cd, "filename")
+          if (fn != null) fn else param(ct, "name")
+        }
+        val isAttachment = fname != null ||
+          (cd != null && cd.trim.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("attachment")) ||
+          !(mt.startsWith("text/") || mt.startsWith("message/"))
+        if (isAttachment) {
+          val bytes = decodeBytes(b, ps, pe,
+            phs.get("content-transfer-encoding"))
+          if (bytes != null && bytes.length <= budget) {
+            budget -= bytes.length
+            out.add(new GenericInternalRow(Array[Any](
+              if (fname == null) null
+              else UTF8String.fromString(decodeEncodedWords(fname)),
+              UTF8String.fromString(mt), bytes.length.toLong, bytes)))
+          }
+        }
+      }
+    }
+    val arr = new Array[Any](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** `graft_email`: struct<from, to, subject, date, mime, body_text>
     * from an RFC 5322 message. Header values are encoded-word-decoded;
     * the body is the first text/plain leaf (preferring plain over html
@@ -261,4 +354,32 @@ case class EmailExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): EmailExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_email"
+}
+
+/** `binary` -> array<struct<filename,mime,size_bytes,bytes>> of a
+  * message's transfer-decoded attachments ([[EmailCodec.attachments]]),
+  * or NULL for non-mail. Codegen'd.
+  */
+case class EmailAttachmentsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("filename", StringType, nullable = true),
+    StructField("mime", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false))))
+  override def nullSafeEval(input: Any): Any =
+    EmailCodec.attachments(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.EmailCodec.attachments($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression)
+      : EmailAttachmentsExpr = copy(child = newChild)
+  override def prettyName: String = "graft_email_attachments"
 }

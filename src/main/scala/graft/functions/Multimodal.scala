@@ -510,6 +510,17 @@ object Multimodal {
       graft.expressions.EmailExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** A message's transfer-decoded ATTACHMENTS
+    * ([[graft.expressions.EmailAttachmentsExpr]]): filename, mime,
+    * size and the raw bytes — feed them straight into the media ladder
+    * (image hashes of mail attachments, tar/zip walks of attached
+    * archives). NULL for non-mail payloads.
+    */
+  def emailAttachments(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.EmailAttachmentsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Plain text of an RTF document — control-word walk with codepage and
     * Unicode escapes, destination-group skipping, \\bin runs
     * ([[graft.expressions.RtfTextExpr]]). NULL for non-RTF payloads.

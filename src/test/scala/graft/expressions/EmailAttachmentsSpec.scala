@@ -1,0 +1,49 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Attachment extraction: decode fidelity (bytes feed the media ladder),
+  * selection rules, non-mail null.
+  */
+class EmailAttachmentsSpec extends AnyFunSuite {
+
+  private def pgm: Array[Byte] = {
+    val header = "P5 12 10 255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(120)(i => ((i * 7) % 256).toByte)
+  }
+
+  private def mail: Array[Byte] = {
+    val b64 = java.util.Base64.getEncoder.encodeToString(pgm)
+    ("From: a@b.c\r\nSubject: pics\r\nMIME-Version: 1.0\r\n" +
+      "Content-Type: multipart/mixed; boundary=\"B\"\r\n\r\n" +
+      "--B\r\nContent-Type: text/plain\r\n\r\nsee attached\r\n" +
+      "--B\r\nContent-Type: image/x-portable-graymap\r\n" +
+      "Content-Disposition: attachment; filename=\"scan.pgm\"\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\n" + b64 + "\r\n" +
+      "--B\r\nContent-Type: text/csv; name=\"data.csv\"\r\n\r\na,b\r\n1,2\r\n" +
+      "--B--\r\n").getBytes("ISO-8859-1")
+  }
+
+  test("attachments decode byte-exact and feed the image ladder") {
+    val r = EmailCodec.attachments(mail)
+    assert(r.numElements() == 2)
+    val a0 = r.getStruct(0, 4)
+    assert(a0.getUTF8String(0).toString == "scan.pgm")
+    assert(a0.getUTF8String(1).toString == "image/x-portable-graymap")
+    val bytes = a0.getBinary(3)
+    assert(java.util.Arrays.equals(bytes, pgm))
+    // the decoded attachment hashes identically to the standalone file
+    assert(MediaCodec.imageHashes(bytes).getLong(0) ==
+      MediaCodec.imageHashes(pgm).getLong(0))
+    val a1 = r.getStruct(1, 4)
+    assert(a1.getUTF8String(0).toString == "data.csv")
+    assert(new String(a1.getBinary(3), "UTF-8").contains("a,b"))
+  }
+
+  test("plain text body parts are not attachments; non-mail nulls") {
+    val simple = "From: x@y.z\r\n\r\njust a body".getBytes("ISO-8859-1")
+    assert(EmailCodec.attachments(simple).numElements() == 0)
+    assert(EmailCodec.attachments("not mail at all".getBytes) == null)
+    assert(EmailCodec.attachments(null) == null)
+  }
+}
