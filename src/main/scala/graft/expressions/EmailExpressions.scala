@@ -170,54 +170,28 @@ object EmailCodec {
   }
 
   /** First text/plain (preferred) or text/html leaf of the MIME tree
-    * under [start, end) with the given headers; bounded depth/parts.
-    * Returns (mime, text) or null.
+    * under [start, end) with the given headers — ONE fold over
+    * [[forEachLeaf]]'s walk, so the boundary-scan rules live in exactly
+    * one place. Returns (mime, text) or null.
     */
   private def findText(b: Array[Byte],
       hs: java.util.LinkedHashMap[String, String],
       bodyStart: Int, end: Int, depth: Int): (String, String) = {
-    if (depth > 8) return null
-    val ct = hs.get("content-type")
-    val mt = mimeType(ct)
-    if (mt.startsWith("multipart/")) {
-      val boundary = param(ct, "boundary")
-      if (boundary == null) return null
-      val delim = ("--" + boundary).getBytes(Latin1)
-      // collect part regions between boundary lines
-      var best: (String, String) = null
-      var p = bodyStart
-      var partStart = -1
-      var parts = 0
-      while (p <= end - delim.length && parts < 256) {
-        // boundary must start a line
-        val atLineStart = p == bodyStart || b(p - 1) == '\n'
-        if (atLineStart && (0 until delim.length).forall(k => b(p + k) == delim(k))) {
-          val closing = p + delim.length + 1 < end &&
-            b(p + delim.length) == '-' && b(p + delim.length + 1) == '-'
-          if (partStart >= 0) {
-            // part body runs to just before this boundary line
-            var pe = p - 1 // the '\n'
-            if (pe > partStart && b(pe - 1) == '\r') pe -= 1
-            val (phs, pBody) = headers(b, partStart, pe)
-            val r = findText(b, phs, pBody, pe, depth + 1)
-            if (r != null && (best == null ||
-              (best._1 != "text/plain" && r._1 == "text/plain"))) best = r
-            parts += 1
-          }
-          if (closing) return best
-          // next part starts after this line
-          var q = p
-          while (q < end && b(q) != '\n') q += 1
-          partStart = math.min(q + 1, end)
-          p = partStart
-        } else p += 1
+    var plain: (String, String) = null
+    var html: (String, String) = null
+    forEachLeaf(b, hs, bodyStart, end, depth) { (phs, ps, pe) =>
+      val ct = phs.get("content-type")
+      val mt = mimeType(ct)
+      if ((mt == "text/plain" && plain == null) ||
+          (mt == "text/html" && html == null)) {
+        val text = decodeBody(b, ps, pe,
+          phs.get("content-transfer-encoding"), param(ct, "charset"))
+        if (text != null) {
+          if (mt == "text/plain") plain = (mt, text) else html = (mt, text)
+        }
       }
-      best
-    } else if (mt == "text/plain" || mt == "text/html") {
-      val text = decodeBody(b, bodyStart, end,
-        hs.get("content-transfer-encoding"), param(ct, "charset"))
-      if (text == null) null else (mt, text)
-    } else null
+    }
+    if (plain != null) plain else html
   }
 
   /** Walk every LEAF part of the MIME tree under the given headers,
@@ -235,28 +209,46 @@ object EmailCodec {
       val boundary = param(ct, "boundary")
       if (boundary == null) return
       val delim = ("--" + boundary).getBytes(Latin1)
+      // RFC 2046: a delimiter LINE is --boundary, optionally '--'
+      // (closing), then only transport padding (space/tab) to the line
+      // end. A body line merely PREFIXED by the delimiter (or a nested
+      // boundary sharing this one as a prefix) is content, not a
+      // delimiter — checked here, not just the prefix.
+      def delimiterAt(p: Int): Int = { // 0 = no, 1 = part, 2 = closing
+        if (!(0 until delim.length).forall(k => b(p + k) == delim(k))) return 0
+        var q = p + delim.length
+        val closing = q + 1 < end && b(q) == '-' && b(q + 1) == '-'
+        if (closing) q += 2
+        while (q < end && (b(q) == ' ' || b(q) == '\t')) q += 1
+        val lineEnds = q >= end || b(q) == '\n' ||
+          (b(q) == '\r' && (q + 1 >= end || b(q + 1) == '\n'))
+        if (!lineEnds) 0 else if (closing) 2 else 1
+      }
+      def emitPart(partStart: Int, upTo: Int): Unit = {
+        var pe = upTo
+        if (pe > partStart && b(pe - 1) == '\n') pe -= 1
+        if (pe > partStart && b(pe - 1) == '\r') pe -= 1
+        val (phs, pBody) = headers(b, partStart, pe)
+        forEachLeaf(b, phs, pBody, pe, depth + 1)(f)
+      }
       var p = bodyStart
       var partStart = -1
       var parts = 0
       while (p <= end - delim.length && parts < 256) {
         val atLineStart = p == bodyStart || b(p - 1) == '\n'
-        if (atLineStart && (0 until delim.length).forall(k => b(p + k) == delim(k))) {
-          val closing = p + delim.length + 1 < end &&
-            b(p + delim.length) == '-' && b(p + delim.length + 1) == '-'
-          if (partStart >= 0) {
-            var pe = p - 1
-            if (pe > partStart && b(pe - 1) == '\r') pe -= 1
-            val (phs, pBody) = headers(b, partStart, pe)
-            forEachLeaf(b, phs, pBody, pe, depth + 1)(f)
-            parts += 1
-          }
-          if (closing) return
+        val kind = if (atLineStart) delimiterAt(p) else 0
+        if (kind > 0) {
+          if (partStart >= 0) { emitPart(partStart, p); parts += 1 }
+          if (kind == 2) return
           var q = p
           while (q < end && b(q) != '\n') q += 1
           partStart = math.min(q + 1, end)
           p = partStart
         } else p += 1
       }
+      // No closing delimiter (truncated download): the pending part is
+      // fully present — keep it, as the other walks keep their prefixes.
+      if (partStart >= 0 && parts < 256) emitPart(partStart, end)
     } else f(hs, bodyStart, end)
   }
 
@@ -265,8 +257,10 @@ object EmailCodec {
     * neither — embedded media without metadata), transfer-DECODED —
     * the bytes feed the media ladder directly (image hashes of mail
     * attachments, tar walks of attached archives). Caps: 32
-    * attachments, 64 MiB decoded total (then the list truncates —
-    * inventory rows stay, oversized tails drop). Null for non-mail.
+    * attachments, and a 64 MiB decode budget — the first attachment
+    * that would exceed the remaining budget TRUNCATES the list there
+    * (no partial rows, no skipped-then-resumed positions; the emitted
+    * prefix is a faithful inventory). Null for non-mail.
     */
   def attachments(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (b == null || b.length < 6) return null
@@ -274,8 +268,9 @@ object EmailCodec {
     if (!hs.containsKey("from") && !hs.containsKey("subject")) return null
     val out = new java.util.ArrayList[Any]()
     var budget = 64L * 1024 * 1024
+    var stopped = false
     forEachLeaf(b, hs, bodyStart, b.length, 0) { (phs, ps, pe) =>
-      if (out.size < 32) {
+      if (!stopped && out.size < 32) {
         val ct = phs.get("content-type")
         val mt = mimeType(ct)
         val cd = phs.get("content-disposition")
@@ -290,12 +285,15 @@ object EmailCodec {
         if (isAttachment) {
           val bytes = decodeBytes(b, ps, pe,
             phs.get("content-transfer-encoding"))
-          if (bytes != null && bytes.length <= budget) {
-            budget -= bytes.length
-            out.add(new GenericInternalRow(Array[Any](
-              if (fname == null) null
-              else UTF8String.fromString(decodeEncodedWords(fname)),
-              UTF8String.fromString(mt), bytes.length.toLong, bytes)))
+          if (bytes != null) {
+            if (bytes.length > budget) stopped = true // truncate, don't skip
+            else {
+              budget -= bytes.length
+              out.add(new GenericInternalRow(Array[Any](
+                if (fname == null) null
+                else UTF8String.fromString(decodeEncodedWords(fname)),
+                UTF8String.fromString(mt), bytes.length.toLong, bytes)))
+            }
           }
         }
       }

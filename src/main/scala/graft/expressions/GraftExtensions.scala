@@ -304,7 +304,9 @@ object GraftExtensions {
     "graft_json_repair" -> (classOf[JsonRepairExpr], JsonRepairExpr(_)),
     "graft_bmff_image_meta" ->
       (classOf[BmffImageMetaExpr], BmffImageMetaExpr(_)),
-    "graft_adts_frames" -> (classOf[AdtsFrameWalkExpr], AdtsFrameWalkExpr(_))
+    "graft_adts_frames" -> (classOf[AdtsFrameWalkExpr], AdtsFrameWalkExpr(_)),
+    "graft_email_attachments" ->
+      (classOf[EmailAttachmentsExpr], EmailAttachmentsExpr(_))
   ) ++ Seq[FunctionDescription](
     (
       FunctionIdentifier("graft_zip_entry"),

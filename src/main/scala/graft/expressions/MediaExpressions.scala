@@ -3144,12 +3144,14 @@ object MediaCodec {
     * resolve); `n_items` counts the ispe boxes. Same bounds discipline
     * as [[mp4Header]]'s walk. Null for non-image brands.
     */
+  private val BmffImageBrands =
+    Set("avif", "avis", "heic", "heix", "hevc", "mif1", "msf1")
+
   def bmffImageMeta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 16) return null
     if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
     val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (!Set("avif", "avis", "heic", "heix", "hevc", "mif1", "msf1")
-        .contains(brand)) return null
+    if (!BmffImageBrands.contains(brand)) return null
     var width = 0; var height = 0; var nItems = 0
     def walk(start: Long, end: Long)(f: (Long, Long, Long) => Boolean): Boolean = {
       var pos = start

@@ -40,6 +40,27 @@ class EmailAttachmentsSpec extends AnyFunSuite {
     assert(new String(a1.getBinary(3), "UTF-8").contains("a,b"))
   }
 
+  test("boundary rules: prefix lines are content, truncated tails keep their part") {
+    // a body line STARTING with --B but continuing is not a delimiter
+    val tricky = ("From: a@b.c\r\nSubject: t\r\n" +
+      "Content-Type: multipart/mixed; boundary=\"B\"\r\n\r\n" +
+      "--B\r\nContent-Type: application/data; name=\"d.bin\"\r\n\r\n" +
+      "--Bogus line is data, not a boundary\r\n" +
+      "--B--\r\n").getBytes("ISO-8859-1")
+    val r = EmailCodec.attachments(tricky)
+    assert(r.numElements() == 1)
+    assert(new String(r.getStruct(0, 4).getBinary(3), "UTF-8")
+      .contains("--Bogus line is data"))
+    // no closing delimiter: the pending attachment still inventories
+    val cut = ("From: a@b.c\r\nSubject: t\r\n" +
+      "Content-Type: multipart/mixed; boundary=\"B\"\r\n\r\n" +
+      "--B\r\nContent-Disposition: attachment; filename=\"f.bin\"\r\n\r\n" +
+      "payload without a closing boundary").getBytes("ISO-8859-1")
+    val rc = EmailCodec.attachments(cut)
+    assert(rc.numElements() == 1)
+    assert(rc.getStruct(0, 4).getUTF8String(0).toString == "f.bin")
+  }
+
   test("plain text body parts are not attachments; non-mail nulls") {
     val simple = "From: x@y.z\r\n\r\njust a body".getBytes("ISO-8859-1")
     assert(EmailCodec.attachments(simple).numElements() == 0)

@@ -56,5 +56,7 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(c.getDouble(0) == 1.0)
     assert(one("SELECT graft_bmff_image_meta(CAST('x' AS BINARY)) AS m").isNullAt(0))
     assert(one("SELECT graft_adts_frames(CAST('x' AS BINARY)) AS f").isNullAt(0))
+    assert(one("SELECT graft_email_attachments(CAST('x' AS BINARY)) AS a")
+      .isNullAt(0))
   }
 }
