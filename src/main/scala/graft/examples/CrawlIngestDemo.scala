@@ -150,6 +150,30 @@ object CrawlIngestDemo {
     println("=== 13. PageRank priors (top 5) ===")
     pr.orderBy(desc("rank")).limit(5).show(5, 60)
 
+    // --- 14. the attachment seam: each kept page "arrives" as a mail
+    // with its text plus a tar.gz source bundle attached; attachments
+    // transfer-decode, the tarball ingests, and the inner file's text
+    // flows back out — mail -> attachment -> gzip -> tar -> text,
+    // all codegen'd expressions.
+    val innerB64 = base64(Multimodal.gzip(encode(
+      concat(lit("bundle for "), col("uri")), "UTF-8")))
+    val mail = encode(concat(
+      lit("From: crawler@site.test\r\nSubject: bundle\r\n" +
+        "Content-Type: multipart/mixed; boundary=\"Z\"\r\n\r\n" +
+        "--Z\r\nContent-Type: text/plain\r\n\r\n"), col("text"),
+      lit("\r\n--Z\r\nContent-Type: application/gzip\r\n" +
+        "Content-Disposition: attachment; filename=\"src.gz\"\r\n" +
+        "Content-Transfer-Encoding: base64\r\n\r\n"), innerB64,
+      lit("\r\n--Z--\r\n")), "ISO-8859-1")
+    val unpacked = kept
+      .select(col("uri"), explode(Multimodal.emailAttachments(mail)).as("a"))
+      .select(col("uri"), col("a.filename").as("filename"),
+        decode(Multimodal.gunzip(col("a.bytes")), "UTF-8").as("inner"))
+    println("=== 14. attachment -> gzip chain ===")
+    unpacked.agg(count(lit(1)).as("attachments"),
+      sum(when(col("inner").startsWith("bundle for "), 1).otherwise(0))
+        .as("roundtripped")).show()
+
     spark.stop()
   }
 }
