@@ -4015,6 +4015,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- 196. connected components, oracle-pinned -------------------------------------------------------
+    // The duplicate-cluster operator on a constructed graph: 30 chains
+    // of 10 consecutive ids (diameter 9, well inside the default
+    // iteration cap); every node's component is its chain's minimum id,
+    // stated closed-form.
+    "q196_connected_components" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val edges = docs.where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      Graph.connectedComponents(edges, "src", "dst")
+        .orderBy("node")
+    }),
+
     // --- 195. e-mail attachment extraction, oracle-pinned -----------------------------------------------
     // The mail-corpus media seam: per-row multipart/mixed messages with
     // a body (NOT an attachment), a base64 octet-stream attachment and
@@ -6610,6 +6623,11 @@ object SparkEntry {
         |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
         |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Connected components: each chain labels with its minimum id.
+    "q196_connected_components" ->
+      """SELECT doc_id AS node, (doc_id // 10) * 10 AS component
+        |FROM documents WHERE doc_id < 300 ORDER BY node""".stripMargin,
 
     // Email attachments: every inventory row + decoded payload stated.
     "q195_email_attachments" ->

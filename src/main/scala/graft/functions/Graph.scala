@@ -11,6 +11,54 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Connected components over an UNDIRECTED edge list — the public
+    * face of the label machinery near-dup clustering runs on: each
+    * node's component id is the MINIMUM node id reachable from it
+    * (min-label propagation to a fixpoint, the Pregel classic).
+    * Duplicate-pair edges in, duplicate CLUSTERS out — cluster sizes,
+    * representatives, and per-cluster sampling all hang off this.
+    *
+    * Scale shape: the symmetrized edge list checkpoints once; each
+    * iteration is one join + one min-aggregate (map-side combining) +
+    * a 1-row convergence count, labels checkpointed per step for
+    * bounded lineage. Iterations needed = graph diameter; the cap
+    * guards adversarial chains (a warning prints, labels still
+    * returned, partially merged).
+    *
+    * Returns (node, component).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 20): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = e.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = e.join(labels, e("b") === labels("node"))
+        .groupBy(col("a").as("node"))
+        .agg(min("component").as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = updated.as("u").join(labels.as("l"), "node")
+        .where(col("u.component") =!= col("l.component")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: not converged " +
+        s"within $maxIterations rounds — components may be partially " +
+        "merged; raise maxIterations toward the graph diameter")
+    labels
+  }
+
   /** Damped PageRank over an edge list — the Brin/Page formulation with
     * uniform teleport and DANGLING-MASS redistribution (nodes with no
     * out-links leak their rank nowhere; their mass is re-spread

@@ -61,6 +61,31 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("connected components: min-label clusters match a reference union-find") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 7L), (8L, 9L),
+      (9L, 10L), (10L, 8L), (3L, 1L))
+    val got = Graph.connectedComponents(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(n => assert(got(n) == find(n), s"node $n"))
+    // a long chain converges within its diameter
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val cc = Graph.connectedComponents(chain.toDF("s", "t"), "s", "t",
+      maxIterations = 20).as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 0L))
+  }
+
   test("parallel edges carry proportional weight") {
     // Two A->B edges + one A->C: B gets 2/3 of A's flow.
     val got = ranksOf(Seq(("A", "B"), ("A", "B"), ("A", "C")), 1)
