@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -4649,6 +4649,29 @@ object SparkEntry {
           Multimodal.tarText(col("tar"), col("col.name")).as("text"))
         .orderBy("doc_id", "pos")
     }),
+
+    // --- 197. Kneser-Ney LM perplexity scoring, oracle-pinned -------------------------------------------
+    // The CCNet-style quality filter: train an interpolated KN bigram LM
+    // on the every-5th-document target slice (q185's split), score the
+    // rest by perplexity. All three probability paths run relationally —
+    // seen bigram (full interpolation), seen prefix with unseen bigram
+    // (lambda * Pcont backoff), unseen prefix (Pcont alone) — plus the
+    // floor for never-seen continuations. The oracle rebuilds the model
+    // (bigram types, prefix totals + distinct-continuation counts,
+    // distinct-predecessor counts, the type total) and every transition
+    // probability from the same exact integer counts; only the per-doc
+    // log-sum is order-dependent, absorbed by the 7-decimal round under
+    // the bit-exact hash compare (q185 precedent, wider margin).
+    "q197_kn_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train(docs.where(col("doc_id") % 5 === 0), "text")
+      NgramLm.score(model, docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_trans"),
+          round(col("avg_logp"), 7).as("avg_logp"),
+          round(exp(-round(col("avg_logp"), 7)), 6).as("ppl"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7074,6 +7097,57 @@ object SparkEntry {
         |      AS DOUBLE) / nw >= 0.8
         |    AND len(list_filter(['the','be','to','of','and','that','have','with'],
         |      w -> list_contains(toks, w))) >= 2 AS passes
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // KN perplexity: the oracle retrains the model relationally — bigram
+    // types from the target slice, prefix totals + distinct continuations
+    // rolled up from the type table, distinct-predecessor continuation
+    // counts, the scalar type total — and replays every transition's
+    // interpolated probability with the SAME arithmetic tree (left-assoc
+    // * and / mirror the Spark expression). 7-decimal round on the
+    // log-mean, 6 on ppl of the rounded mean.
+    "q197_kn_perplexity" ->
+      """WITH tgt AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tp AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tgt WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM tp GROUP BY w1, w2),
+        |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |          COUNT(*) AS n1p FROM big GROUP BY w1),
+        |cont AS (SELECT w2, COUNT(*) AS contc FROM big GROUP BY w2),
+        |bt AS (SELECT COUNT(*) AS btypes FROM big),
+        |sd AS (
+        |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |sp AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM sd WHERE len(toks) >= 2)),
+        |p AS (
+        |  SELECT sp.doc_id, GREATEST(
+        |    CASE
+        |      WHEN b.c12 IS NOT NULL THEN
+        |        (CAST(b.c12 AS DOUBLE) - 0.75) / CAST(f.c1 AS DOUBLE)
+        |        + 0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |          * (CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE))
+        |      WHEN f.c1 IS NOT NULL THEN
+        |        0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |        * COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |      ELSE COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |    END, 1e-10) AS prob
+        |  FROM sp
+        |  LEFT JOIN big b ON sp.w1 = b.w1 AND sp.w2 = b.w2
+        |  LEFT JOIN pre f ON sp.w1 = f.w1
+        |  LEFT JOIN cont c ON sp.w2 = c.w2
+        |  CROSS JOIN bt)
+        |SELECT doc_id, COUNT(*) AS n_trans,
+        |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp,
+        |  ROUND(exp(-ROUND(SUM(ln(prob)) / COUNT(*), 7)), 6) AS ppl
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser–Ney bigram language model: train on a target corpus,
+  * score any corpus by per-document perplexity — the published CCNet-style
+  * quality filter (train an n-gram LM on a clean target such as Wikipedia,
+  * rank crawl documents by perplexity, keep the head). q103's support ratio
+  * asks "are these transitions attested"; this asks the calibrated question
+  * "how PROBABLE is this document under the target model", which is what
+  * the published pipelines actually bucket on.
+  *
+  * Model (Kneser–Ney, fixed discount D, interpolated form):
+  *
+  *   P(w2|w1) = (c(w1,w2) - D)/c(w1)  +  D * N1+(w1,*)/c(w1) * Pcont(w2)
+  *   Pcont(w2) = N1+(*,w2) / N1+(*,*)
+  *
+  * where N1+(w1,*) is the number of distinct continuations of w1, N1+(*,w2)
+  * the number of distinct predecessors of w2 (the "novel continuation"
+  * count that distinguishes KN from plain backoff), and N1+(*,*) the total
+  * number of distinct bigram types. Out-of-model transitions back off
+  * through the same interpolation: a seen prefix with an unseen bigram
+  * keeps only the lambda * Pcont term; a wholly unseen prefix scores
+  * Pcont(w2) alone; and a floor probability bounds words the model has
+  * never seen as a continuation (log of zero is the alternative).
+  *
+  * Every model quantity is an exact integer count aggregated with map-side
+  * combine, so the model tables are VOCABULARY-sized regardless of corpus
+  * size: bigram types, prefix totals (rolled up from the bigram table, not
+  * a second corpus pass), continuation counts, and one 1-row type total
+  * that joins in as a broadcast cross join — never a driver-side value.
+  * Scoring is three hash equi-joins of the scored corpus' transition
+  * stream against those tables (all broadcastable when the vocabulary
+  * fits, which is the normal case — a word vocabulary is millions of rows
+  * at web scale while the corpus is billions) followed by one per-document
+  * aggregation. Nothing in the plan grows with corpus x corpus.
+  *
+  * Determinism for the cross-engine oracle: the per-transition probability
+  * is a fixed arithmetic tree over exact integer counts (the discount 0.75
+  * is exactly representable), so both engines compute identical doubles
+  * per transition; only the per-document log-sum is order-dependent, which
+  * the caller rounds (q185 precedent) before hashing.
+  */
+object NgramLm {
+
+  /** Vocabulary-sized model tables; all lazy plans until scored. */
+  final case class KnModel(
+      bigrams: DataFrame, // w1, w2, c12
+      prefixes: DataFrame, // w1, c1 (= sum c12), n1p (= distinct continuations)
+      continuations: DataFrame, // w2, contc (= distinct predecessors)
+      types: DataFrame, // 1 row: btypes (= total distinct bigram types)
+      discount: Double)
+
+  /** (id, w1, w2) adjacent-token transition stream of a corpus. */
+  private def transitions(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column): DataFrame = {
+    val toks = df.select(col(idCol), tokenizer(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+    toks.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(element_at(col("__toks"), i).as("w1"),
+            element_at(col("__toks"), i + 1).as("w2")))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+  }
+
+  /** Train the KN bigram model on `corpus(textCol)`. One corpus pass: the
+    * prefix and continuation tables roll up from the bigram-type table
+    * (Catalyst does not dedupe uncached subplans, so aggregating the
+    * transition stream twice would re-scan and re-explode the corpus).
+    */
+  def train(
+      corpus: DataFrame,
+      textCol: String,
+      discount: Double = 0.75,
+      tokenizer: Column => Column = Retrieval.tokens
+  ): KnModel = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val pairs = transitions(corpus.select(lit(0L).as("__id"),
+        col(textCol)), "__id", textCol, tokenizer)
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val prefixes = bigrams.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val continuations = bigrams.groupBy("w2").agg(count(lit(1)).as("contc"))
+    val types = bigrams.agg(count(lit(1)).as("btypes"))
+    KnModel(bigrams, prefixes, continuations, types, discount)
+  }
+
+  /** Score `docs`: one row per document with >= 2 tokens —
+    * (idCol, n_trans, avg_logp, ppl) where avg_logp is the mean natural
+    * log-probability of the document's transitions under the model and
+    * ppl = exp(-avg_logp). Lower perplexity = more target-like; the CCNet
+    * bucketing is a quantile split on ppl. `floor` bounds transitions the
+    * model cannot place at all (never-seen continuation words).
+    */
+  def score(
+      model: KnModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      floor: Double = 1e-10,
+      tokenizer: Column => Column = Retrieval.tokens
+  ): DataFrame = {
+    require(floor > 0, "floor must be positive")
+    val d = model.discount
+    val pairs = transitions(docs, idCol, textCol, tokenizer)
+    val contFrac = col("contc").cast("double") / col("btypes").cast("double")
+    val scored = pairs
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.prefixes, Seq("w1"), "left")
+      .join(model.continuations, Seq("w2"), "left")
+      .crossJoin(broadcast(model.types))
+      .withColumn("__prob", greatest(
+        when(col("c12").isNotNull,
+          (col("c12").cast("double") - d) / col("c1").cast("double")
+            + lit(d) * col("n1p").cast("double") / col("c1").cast("double")
+              * contFrac)
+          .when(col("c1").isNotNull,
+            lit(d) * col("n1p").cast("double") / col("c1").cast("double")
+              * coalesce(contFrac, lit(0.0)))
+          .otherwise(coalesce(contFrac, lit(0.0))),
+        lit(floor)))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_trans"),
+        (sum(log(col("__prob"))) / count(lit(1))).as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+}

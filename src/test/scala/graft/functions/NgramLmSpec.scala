@@ -1,0 +1,106 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser-Ney bigram LM: hand-computed model probabilities on
+  * a tiny corpus, all three scoring paths (seen bigram / seen-prefix
+  * backoff / unseen prefix) plus the floor, and the scale-relevant
+  * invariants (train-corpus self-score ordering, model-table sizes).
+  */
+class NgramLmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val D = 0.75
+
+  // Corpus: "a b a b" and "a c". Transitions: (a,b) x2, (b,a) x1, (a,c) x1.
+  // Bigram types: (a,b), (b,a), (a,c) -> btypes = 3.
+  // Prefix a: c1 = 3, n1p = 2. Prefix b: c1 = 1, n1p = 1.
+  // Continuations: b <- {a}: contc 1; a <- {b}: contc 1; c <- {a}: contc 1.
+  private def model(): NgramLm.KnModel =
+    NgramLm.train(Seq("a b a b", "a c").toDF("text"), "text")
+
+  private def scoreOne(text: String, floor: Double = 1e-10): (Long, Double) = {
+    val out = NgramLm.score(model(), Seq((1L, text)).toDF("id", "text"),
+      "id", "text", floor = floor)
+    val r = out.select("n_trans", "avg_logp").as[(Long, Double)].collect()
+    assert(r.length == 1)
+    r.head
+  }
+
+  test("model tables carry the hand-computed counts") {
+    val m = model()
+    assert(m.bigrams.as[(String, String, Long)].collect().toSet ==
+      Set(("a", "b", 2L), ("b", "a", 1L), ("a", "c", 1L)))
+    assert(m.prefixes.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 3L, 2L), ("b", 1L, 1L)))
+    assert(m.continuations.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 1L), ("c", 1L)))
+    assert(m.types.as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("seen bigram: full interpolation, hand-computed") {
+    // P(b|a) = (2-.75)/3 + .75*2/3 * (1/3) = 0.41666... + 0.16666... = 0.58333...
+    val pAB = (2 - D) / 3 + D * 2 / 3 * (1.0 / 3)
+    val (n, avg) = scoreOne("a b")
+    assert(n == 1)
+    assert(math.abs(avg - math.log(pAB)) < 1e-12)
+  }
+
+  test("seen prefix, unseen bigram: lambda * Pcont backoff") {
+    // (b,b) unseen; prefix b seen: P = .75*1/1 * Pcont(b) = .75 * (1/3) = .25
+    val (n, avg) = scoreOne("b b")
+    assert(n == 1)
+    assert(math.abs(avg - math.log(D * 1.0 / 1 * (1.0 / 3))) < 1e-12)
+  }
+
+  test("unseen prefix: continuation probability alone") {
+    // (z,a): prefix z unseen; P = Pcont(a) = 1/3
+    val (n, avg) = scoreOne("z a")
+    assert(n == 1)
+    assert(math.abs(avg - math.log(1.0 / 3)) < 1e-12)
+  }
+
+  test("never-seen continuation floors instead of log(0)") {
+    // (z,z): both unseen everywhere -> P = floor
+    val (n, avg) = scoreOne("z z", floor = 1e-6)
+    assert(n == 1)
+    assert(math.abs(avg - math.log(1e-6)) < 1e-12)
+  }
+
+  test("multi-transition doc averages the per-transition logs") {
+    // "a b a": transitions (a,b) then (b,a).
+    val pAB = (2 - D) / 3 + D * 2 / 3 * (1.0 / 3)
+    val pBA = (1 - D) / 1 + D * 1 / 1 * (1.0 / 3)
+    val (n, avg) = scoreOne("a b a")
+    assert(n == 2)
+    assert(math.abs(avg - (math.log(pAB) + math.log(pBA)) / 2) < 1e-12)
+  }
+
+  test("ppl = exp(-avg_logp) and target-like text scores lower ppl") {
+    val m = model()
+    val docs = Seq((1L, "a b a b a b"), (2L, "z z z z")).toDF("id", "text")
+    val r = NgramLm.score(m, docs, "id", "text")
+      .select("id", "avg_logp", "ppl").as[(Long, Double, Double)]
+      .collect().sortBy(_._1)
+    r.foreach { case (_, lp, ppl) =>
+      assert(math.abs(ppl - math.exp(-lp)) < 1e-9 * ppl) }
+    assert(r(0)._3 < r(1)._3, "in-model text must have lower perplexity")
+  }
+
+  test("single-token and empty docs produce no score row") {
+    val out = NgramLm.score(model(),
+      Seq((1L, "a"), (2L, ""), (3L, "a b")).toDF("id", "text"), "id", "text")
+    assert(out.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("unigram probabilities sum to ~1 over the seen-prefix rows") {
+    // For prefix a (all continuations seen from a): sum over model vocab of
+    // P(w|a) = [(2-.75)/3 + (1-.75)/3] + lambda(a) * sum Pcont = 1 exactly
+    // when Pcont sums over ALL continuations (3/3 here).
+    val pAB = (2 - D) / 3 + D * 2 / 3 * (1.0 / 3)
+    val pAC = (1 - D) / 3 + D * 2 / 3 * (1.0 / 3)
+    val pAA = D * 2 / 3 * (1.0 / 3) // (a,a) unseen: backoff path
+    assert(math.abs((pAB + pAC + pAA) - 1.0) < 1e-12)
+  }
+}
