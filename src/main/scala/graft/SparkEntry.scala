@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -4672,6 +4672,25 @@ object SparkEntry {
           round(exp(-round(col("avg_logp"), 7)), 6).as("ppl"))
         .orderBy("doc_id")
     }),
+
+    // --- 198. Naive-Bayes document classifier, oracle-pinned --------------------------------------------
+    // The fastText-shaped linear filter: train add-one multinomial NB on
+    // the every-5th-document slice with `lang` as the label, score the
+    // rest — the full per-(doc, label) log-posterior matrix, so both the
+    // smoothed seen-feature and unseen-feature-under-label paths and the
+    // vocabulary-skip convention run relationally. The oracle retrains
+    // the model from the same integer counts and replays every term;
+    // 7-decimal round on the log-sums (q185/q197 precedent).
+    "q198_nb_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NaiveBayes.train(docs.where(col("doc_id") % 5 === 0),
+        "text", "lang")
+      NaiveBayes.score(model, docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("label"), col("n_used"),
+          round(col("score"), 7).as("score"))
+        .orderBy("doc_id", "label")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7148,6 +7167,47 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_trans,
         |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp,
         |  ROUND(exp(-ROUND(SUM(ln(prob)) / COUNT(*), 7)), 6) AS ppl
-        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // NB classifier: the oracle retrains the model relationally — the
+    // (feature, label) count table, per-label token totals rolled up from
+    // it, document-count priors, the scalar doc/vocab totals — and replays
+    // every smoothed log-likelihood term and the prior with the same
+    // arithmetic tree. Out-of-vocabulary tokens drop via the inner
+    // vocabulary join on both sides.
+    "q198_nb_classifier" ->
+      """WITH tr AS (
+        |  SELECT lang AS label, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tt AS (SELECT label, UNNEST(toks) AS f FROM tr),
+        |feat AS (SELECT f, label, COUNT(*) AS c FROM tt GROUP BY f, label),
+        |ntok AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_tok
+        |         FROM feat GROUP BY label),
+        |ndoc AS (SELECT lang AS label, COUNT(*) AS n_docs
+        |         FROM documents WHERE doc_id % 5 = 0 GROUP BY lang),
+        |tot AS (SELECT (SELECT CAST(SUM(n_docs) AS BIGINT) FROM ndoc) AS nd_total,
+        |               (SELECT COUNT(DISTINCT f) FROM feat) AS vsize),
+        |sd AS (
+        |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |st AS (SELECT doc_id, UNNEST(toks) AS f FROM sd),
+        |iv AS (SELECT st.doc_id, st.f
+        |       FROM st JOIN (SELECT DISTINCT f FROM feat) v ON st.f = v.f),
+        |x AS (
+        |  SELECT iv.doc_id, nd.label, nd.n_docs, nt.n_tok,
+        |         t.nd_total, t.vsize, fe.c
+        |  FROM iv
+        |  CROSS JOIN ndoc nd
+        |  JOIN ntok nt ON nd.label = nt.label
+        |  CROSS JOIN tot t
+        |  LEFT JOIN feat fe ON iv.f = fe.f AND nd.label = fe.label)
+        |SELECT doc_id, label, COUNT(*) AS n_used,
+        |  ROUND(SUM(ln((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0)
+        |      / (CAST(n_tok AS DOUBLE) + 1.0 * CAST(vsize AS DOUBLE))))
+        |    + ln(CAST(n_docs AS DOUBLE) / CAST(nd_total AS DOUBLE)), 7) AS score
+        |FROM x GROUP BY doc_id, label, n_docs, nd_total
+        |ORDER BY doc_id, label""".stripMargin
   )
 }

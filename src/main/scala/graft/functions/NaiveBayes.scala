@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes over bag-of-token features — the fastText-shaped
+  * document classifier the published pipelines use as a QUALITY filter
+  * (train on "looks like Wikipedia/books" vs "random crawl" seed sets,
+  * keep documents the classifier scores target-like) and as a cheap
+  * language/domain router. Linear classifiers with closed-form counts are
+  * the standard here precisely because they train in one aggregation pass
+  * at corpus scale — no gradient loop, no driver-side state.
+  *
+  * Model (add-alpha multinomial NB):
+  *
+  *   score(doc, y) = ln P(y) + sum_tokens ln (c(f,y) + a) / (N_y + a*V)
+  *
+  * with c(f,y) the token count of feature f under label y, N_y the total
+  * token count of label y, V the corpus-wide distinct feature count, and
+  * P(y) the document-count prior. Tokens outside the model vocabulary are
+  * skipped (the standard convention); in-vocabulary tokens unseen under a
+  * label take the smoothed floor a / (N_y + a*V).
+  *
+  * Scale posture: training is one explode + two vocabulary-sized
+  * aggregations with map-side combine (the per-label table rolls up from
+  * the feature table, never a second corpus pass); the totals row joins as
+  * a broadcast cross join, never a driver value. Scoring explodes the
+  * corpus once, inner-joins the (broadcastable) vocabulary, fans out only
+  * by the LABEL count (a handful), and aggregates per (doc, label) with
+  * map-side combine. Nothing grows with corpus x corpus.
+  *
+  * The feature function is pluggable: identity tokens give the
+  * oracle-replayable model; `hashedTokens(buckets)` gives the fastText-style
+  * fixed-width hashed feature space for web-scale vocabularies.
+  */
+object NaiveBayes {
+
+  /** Vocabulary-sized model tables; all lazy plans until scored. */
+  final case class NbModel(
+      features: DataFrame, // feature, label, c
+      classes: DataFrame, // label, n_docs, n_tok
+      totals: DataFrame, // 1 row: nd_total, vsize
+      vocab: DataFrame, // feature (distinct)
+      alpha: Double)
+
+  /** fastText-style hashed feature space: token -> bucket id as a string. */
+  def hashedTokens(buckets: Int): Column => Column =
+    tok => pmod(xxhash64(tok), lit(buckets.toLong)).cast("string")
+
+  private def tokenStream(
+      df: DataFrame, keep: Seq[(Column, String)], textCol: String,
+      tokenizer: Column => Column, feature: Column => Column): DataFrame =
+    df.select(keep.map { case (c, n) => c.as(n) } :+
+        explode(tokenizer(col(textCol))).as("__tok"): _*)
+      .select(keep.map(k => col(k._2)) :+ feature(col("__tok")).as("__f"): _*)
+
+  /** Train on `docs(textCol, labelCol)`. One corpus pass: per-label totals
+    * and the vocabulary roll up from the (feature, label) count table.
+    */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      alpha: Double = 1.0,
+      tokenizer: Column => Column = Retrieval.tokens,
+      feature: Column => Column = identity
+  ): NbModel = {
+    require(alpha > 0, "alpha must be positive")
+    val toks = tokenStream(docs, Seq(col(labelCol) -> "label"), textCol,
+      tokenizer, feature)
+    val features = toks.groupBy("__f", "label")
+      .agg(count(lit(1)).as("c"))
+      .select(col("__f").as("feature"), col("label"), col("c"))
+    val perLabelTok = features.groupBy("label").agg(sum(col("c")).as("n_tok"))
+    val perLabelDoc = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val classes = perLabelDoc.join(perLabelTok, Seq("label"))
+    val vocab = features.select("feature").distinct()
+    val totals = perLabelDoc.agg(sum(col("n_docs")).as("nd_total"))
+      .crossJoin(vocab.agg(count(lit(1)).as("vsize")))
+    NbModel(features, classes, totals, vocab, alpha)
+  }
+
+  /** Per-(document, label) log-posterior matrix: (idCol, label, n_used,
+    * score) where n_used counts the document's in-vocabulary tokens and
+    * score = log prior + summed smoothed log-likelihoods. Documents with
+    * zero in-vocabulary tokens produce no rows.
+    */
+  def score(
+      model: NbModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenizer: Column => Column = Retrieval.tokens,
+      feature: Column => Column = identity
+  ): DataFrame = {
+    val a = model.alpha
+    val toks = tokenStream(docs, Seq(col(idCol) -> idCol), textCol,
+      tokenizer, feature)
+    val priors = model.classes.crossJoin(broadcast(model.totals))
+      .select(col("label"),
+        log(col("n_docs").cast("double") / col("nd_total").cast("double"))
+          .as("__logprior"),
+        col("n_tok"), col("vsize"))
+    val term = log(
+      (coalesce(col("c"), lit(0L)).cast("double") + a) /
+        (col("n_tok").cast("double") + lit(a) * col("vsize").cast("double")))
+    toks
+      .join(model.vocab.withColumnRenamed("feature", "__f"), Seq("__f"))
+      .crossJoin(broadcast(priors))
+      .join(model.features
+          .select(col("feature").as("__f"), col("label"), col("c")),
+        Seq("__f", "label"), "left")
+      .groupBy(col(idCol), col("label"))
+      .agg(count(lit(1)).as("n_used"), sum(term).as("__ll"),
+        max(col("__logprior")).as("__lp"))
+      .select(col(idCol), col("label"), col("n_used"),
+        (col("__ll") + col("__lp")).as("score"))
+  }
+
+  /** Argmax prediction: (idCol, label, score), ties broken by label order. */
+  def predict(
+      model: NbModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenizer: Column => Column = Retrieval.tokens,
+      feature: Column => Column = identity
+  ): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    score(model, docs, idCol, textCol, tokenizer, feature)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk", "n_used")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Multinomial NB: hand-computed model counts and scores on a tiny labeled
+  * corpus, the vocabulary-skip and smoothing-floor conventions, argmax
+  * prediction with deterministic tie-break, and the hashed feature space.
+  */
+class NaiveBayesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Train: label p -> "good good fine", "good"; label n -> "bad bad".
+  // Features: (good,p)=3, (fine,p)=1, (bad,n)=2. V=3.
+  // N_p=4, N_n=2; priors: p 2/3, n 1/3.
+  private def model(): NaiveBayes.NbModel =
+    NaiveBayes.train(
+      Seq(("good good fine", "p"), ("good", "p"), ("bad bad", "n"))
+        .toDF("text", "label"),
+      "text", "label")
+
+  test("model tables carry the hand-computed counts") {
+    val m = model()
+    assert(m.features.as[(String, String, Long)].collect().toSet ==
+      Set(("good", "p", 3L), ("fine", "p", 1L), ("bad", "n", 2L)))
+    assert(m.classes.as[(String, Long, Long)].collect().toSet ==
+      Set(("p", 2L, 4L), ("n", 1L, 2L)))
+    assert(m.totals.as[(Long, Long)].collect().toSeq == Seq((3L, 3L)))
+    assert(m.vocab.as[String].collect().toSet == Set("good", "fine", "bad"))
+  }
+
+  test("scores are the hand-computed smoothed log-posteriors") {
+    // Doc "good bad": in-vocab both.
+    // score(p) = ln(2/3) + ln((3+1)/(4+3)) + ln((0+1)/(4+3))
+    // score(n) = ln(1/3) + ln((0+1)/(2+3)) + ln((2+1)/(2+3))
+    val got = NaiveBayes.score(model(),
+        Seq((1L, "good bad")).toDF("id", "text"), "id", "text")
+      .select("label", "n_used", "score").as[(String, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val wantP = math.log(2.0 / 3) + math.log(4.0 / 7) + math.log(1.0 / 7)
+    val wantN = math.log(1.0 / 3) + math.log(1.0 / 5) + math.log(3.0 / 5)
+    assert(got("p")._1 == 2 && got("n")._1 == 2)
+    assert(math.abs(got("p")._2 - wantP) < 1e-12)
+    assert(math.abs(got("n")._2 - wantN) < 1e-12)
+  }
+
+  test("out-of-vocabulary tokens are skipped, all-OOV docs drop") {
+    val out = NaiveBayes.score(model(),
+      Seq((1L, "good zzz qqq"), (2L, "zzz qqq")).toDF("id", "text"),
+      "id", "text")
+    val byId = out.select("id", "n_used").as[(Long, Long)].collect()
+    assert(byId.forall { case (id, n) => id == 1L && n == 1L })
+    assert(byId.length == 2) // one row per label, doc 2 absent
+  }
+
+  test("predict returns the argmax label per document") {
+    val pred = NaiveBayes.predict(model(),
+        Seq((1L, "good good fine"), (2L, "bad bad bad")).toDF("id", "text"),
+        "id", "text")
+      .select("id", "label").as[(Long, String)].collect().toMap
+    assert(pred == Map(1L -> "p", 2L -> "n"))
+  }
+
+  test("alpha scales the smoothing floor") {
+    val m = NaiveBayes.train(
+      Seq(("good", "p"), ("bad", "n")).toDF("text", "label"),
+      "text", "label", alpha = 2.0)
+    // Doc "good" under n: ln(1/2) + ln((0+2)/(1+2*2))
+    val got = NaiveBayes.score(m, Seq((1L, "good")).toDF("id", "text"),
+        "id", "text")
+      .where(col("label") === "n").select("score").as[Double].collect().head
+    assert(math.abs(got - (math.log(0.5) + math.log(2.0 / 5))) < 1e-12)
+  }
+
+  test("hashed feature space trains and predicts consistently") {
+    val h = NaiveBayes.hashedTokens(1 << 16)
+    val m = NaiveBayes.train(
+      Seq(("alpha beta alpha", "x"), ("gamma delta gamma", "y"))
+        .toDF("text", "label"),
+      "text", "label", feature = h)
+    val pred = NaiveBayes.predict(m,
+        Seq((1L, "alpha beta"), (2L, "gamma gamma")).toDF("id", "text"),
+        "id", "text", feature = h)
+      .select("id", "label").as[(Long, String)].collect().toMap
+    assert(pred == Map(1L -> "x", 2L -> "y"))
+  }
+
+  test("per-label likelihoods sum to 1 over the vocabulary") {
+    // Under label p: [(3+1) + (1+1) + (0+1)] / (4+3) = 7/7.
+    val m = model()
+    val sums = m.vocab
+      .crossJoin(m.classes)
+      .join(m.features, Seq("feature", "label"), "left")
+      .crossJoin(m.totals)
+      .groupBy("label")
+      .agg(sum((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+        (col("n_tok").cast("double") + col("vsize").cast("double")))
+        .as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+}
