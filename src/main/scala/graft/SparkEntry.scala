@@ -4691,6 +4691,27 @@ object SparkEntry {
           round(col("score"), 7).as("score"))
         .orderBy("doc_id", "label")
     }),
+
+    // --- 199. SemDeDup semantic pruning, oracle-pinned --------------------------------------------------
+    // Embedding-space dedup the published SemDeDup way: nearest-centroid
+    // clustering bounds the quadratic term, pairs compare only within a
+    // cluster, keep-first drops later same-cluster vectors above the
+    // cosine threshold. Centroids here are ten explicit rows of the table
+    // itself so the oracle replays assignment + pruning exactly; the
+    // threshold decision is pinned on ROUND(cos, 6) (q36 established the
+    // cross-engine cosine parity). The trained-centroid path (Ivf.fit)
+    // is spec-pinned in DedupSemanticSpec.
+    "q199_semantic_prune" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Dedup.semanticPrune(
+          e.where(col("vec_id") < 2000)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          e.where(col("vec_id") < 10)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          threshold = 0.42)
+        .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+        .orderBy("vec_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7208,6 +7229,25 @@ object SparkEntry {
         |      / (CAST(n_tok AS DOUBLE) + 1.0 * CAST(vsize AS DOUBLE))))
         |    + ln(CAST(n_docs AS DOUBLE) / CAST(nd_total AS DOUBLE)), 7) AS score
         |FROM x GROUP BY doc_id, label, n_docs, nd_total
-        |ORDER BY doc_id, label""".stripMargin
+        |ORDER BY doc_id, label""".stripMargin,
+
+    // SemDeDup: assignment (max cosine, cid tie-break) and the
+    // keep-first within-cluster prune replayed exactly; the duplicate
+    // decision compares ROUND(cos, 6) on both engines.
+    "q199_semantic_prune" ->
+      """WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |             FROM embeddings WHERE vec_id < 2000),
+        |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |          FROM embeddings WHERE vec_id < 10),
+        |asg AS (SELECT id, v, cid AS cluster FROM (
+        |  SELECT p.id, p.v, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p.id
+        |      ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid) AS rk
+        |  FROM pts p CROSS JOIN cents c) WHERE rk = 1),
+        |dup AS (SELECT DISTINCT r.id FROM asg l JOIN asg r
+        |        ON l.cluster = r.cluster AND l.id < r.id
+        |        WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.42)
+        |SELECT a.id AS vec_id, a.cluster, (d.id IS NULL) AS kept
+        |FROM asg a LEFT JOIN dup d ON a.id = d.id ORDER BY vec_id""".stripMargin
   )
 }

@@ -777,4 +777,80 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0))).cast("int")
           .as("n_removed"))
   }
+
+  /** SemDeDup-style semantic pruning over an embedding column: assign every
+    * vector to its nearest centroid (max cosine, centroid-id tie-break),
+    * compare pairs ONLY within a cluster, and drop every vector that has an
+    * earlier (smaller-id) same-cluster neighbor with cosine >= `threshold`
+    * — the keep-first convention of [[exact]], applied in embedding space.
+    * Returns one row per input vector: (idCol, cluster, kept).
+    *
+    * This is the published SemDeDup recipe: the centroids BOUND the
+    * quadratic term — candidate pairing is cluster-local, so the cost is
+    * sum over clusters of c_i^2, never corpus^2, and k is the lever (the
+    * paper runs k in the tens of thousands at web scale; size k so the
+    * expected cluster is a few thousand rows). Assignment is a broadcast
+    * cross join against the centroid table (k rows) + one per-id window;
+    * the pair join shuffles each cluster once, keyed by cluster id.
+    *
+    * `centroids` is a DataFrame (cid, cvec) so the caller chooses the
+    * source: [[Ivf.fit]]'s sampled Lloyd's iterations for the real
+    * pipeline (see `semanticPruneAuto`), or any explicit row set when the
+    * assignment must be replayable by an independent engine. The duplicate
+    * comparison is pinned on ROUND(cos, 6) so the threshold decision is
+    * stable across engines' last-ulp differences.
+    */
+  def semanticPrune(
+      df: DataFrame, // (id, vec)
+      centroids: DataFrame, // (cid, cvec)
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val cos = Similarity.cosine(col("vec"), col("cvec"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__cos").desc, col("cid").asc)
+    val assigned = df
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cos", cos)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("id"), col("vec"), col("cid").as("cluster"))
+    val slim = assigned.select("cluster", "id", "vec")
+    val dupIds = slim.as("l")
+      .join(slim.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .where(round(Similarity.cosine(col("l.vec"), col("r.vec")), 6)
+        >= threshold)
+      .select(col("r.id").as("id"))
+      .distinct()
+    assigned
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        col("__dup").isNull.as("kept"))
+  }
+
+  /** [[semanticPrune]] with centroids trained by [[Ivf.fit]]'s bounded-
+    * sample Lloyd's iterations — the end-to-end SemDeDup pipeline shape.
+    */
+  def semanticPruneAuto(
+      df: DataFrame, // (id, vec)
+      k: Int,
+      threshold: Double,
+      seed: Long = 42L
+  ): DataFrame = {
+    val model = Ivf.fit(df, "vec", k, seed = seed)
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = model.centroids.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i.toLong, v.toSeq)
+    }.toSeq.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false)))
+    semanticPrune(df, spark.createDataFrame(rows, schema), threshold)
+  }
 }
