@@ -4712,6 +4712,31 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"), col("kept"))
         .orderBy("vec_id")
     }),
+
+    // --- 200. DCT perceptual hash (pHash), oracle-pinned ------------------------------------------------
+    // The robust member of the perceptual trio: a 32x32 PGM per row whose
+    // pixels come from a NON-separable integer formula (the x*y cross
+    // term keeps the DCT free of structural coefficient ties), hashed
+    // through the real decode -> 32x32 grid -> DCT-II -> median-threshold
+    // pipeline. The oracle recomputes every cell, all 63 AC coefficients,
+    // the 32nd-smallest median, and the MSB-first bit packing
+    // relationally; coefficient margins around the median are orders of
+    // magnitude above cross-engine summation ulps.
+    "q200_image_phash_dct" -> ((s, d) => {
+      val px = transform(sequence(lit(0), lit(1023)), i => {
+        val x = i % 32
+        val y = shiftright(i, 5)
+        lpad(hex(pmod(x * 37 + y * 71 + x * y * 13 + col("doc_id"), lit(256))),
+          2, "0")
+      })
+      val pgm = unhex(concat(
+        lit("5035203332203332203235350A"), // "P5 32 32 255\n"
+        array_join(px, "")))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.imagePhash(pgm).as("phash"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7248,6 +7273,38 @@ object SparkEntry {
         |        ON l.cluster = r.cluster AND l.id < r.id
         |        WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.42)
         |SELECT a.id AS vec_id, a.cluster, (d.id IS NULL) AS kept
-        |FROM asg a LEFT JOIN dup d ON a.id = d.id ORDER BY vec_id""".stripMargin
+        |FROM asg a LEFT JOIN dup d ON a.id = d.id ORDER BY vec_id""".stripMargin,
+
+    // pHash: every 32x32 cell (= pixel of the constructed PGM), all 63
+    // AC DCT coefficients (cos argument grouped pi*k/64 with k an exact
+    // integer, matching the engine's table), the 32nd-smallest median
+    // and the MSB-first bit packing recomputed relationally.
+    "q200_image_phash_dct" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+        |px AS (
+        |  SELECT doc_id, i % 32 AS x, i // 32 AS y,
+        |    (x * 37 + y * 71 + x * y * 13 + doc_id) % 256 AS p
+        |  FROM ids, (SELECT UNNEST(generate_series(0, 1023)) AS i)),
+        |uv AS (SELECT u, v, u * 8 + v - 1 AS k
+        |       FROM (SELECT UNNEST(generate_series(0, 7)) AS u),
+        |            (SELECT UNNEST(generate_series(0, 7)) AS v)
+        |       WHERE NOT (u = 0 AND v = 0)),
+        |coefs AS (
+        |  SELECT doc_id, k,
+        |    SUM(CAST(p AS DOUBLE)
+        |        * cos(pi() * ((2 * x + 1) * u) / 64)
+        |        * cos(pi() * ((2 * y + 1) * v) / 64)) AS c
+        |  FROM px CROSS JOIN uv
+        |  GROUP BY doc_id, k),
+        |med AS (
+        |  SELECT doc_id, c AS m FROM (
+        |    SELECT doc_id, c,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c) AS rk
+        |    FROM coefs) WHERE rk = 32)
+        |SELECT coefs.doc_id,
+        |  CAST(SUM(CASE WHEN c > m THEN (CAST(1 AS BIGINT) << (62 - k))
+        |    ELSE 0 END) AS BIGINT) AS phash
+        |FROM coefs JOIN med ON coefs.doc_id = med.doc_id
+        |GROUP BY coefs.doc_id ORDER BY coefs.doc_id""".stripMargin
   )
 }

@@ -179,6 +179,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_image_hash(binary)")
       }),
     (
+      FunctionIdentifier("graft_image_phash"),
+      new ExpressionInfo(classOf[ImagePhashExpr].getName, "graft_image_phash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => ImagePhashExpr(bin)
+        case _ => throw new IllegalArgumentException("graft_image_phash(binary)")
+      }),
+    (
       FunctionIdentifier("graft_audio_fingerprint"),
       new ExpressionInfo(classOf[AudioFingerprintExpr].getName,
         "graft_audio_fingerprint"),

@@ -149,6 +149,81 @@ object MediaCodec {
     new GenericInternalRow(Array[Any](grid.dhash, grid.ahash, w0, h0))
   }
 
+  /** DCT perceptual hash (pHash) — the robust member of the perceptual
+    * trio beside [[imageHashes]]' dHash/aHash: a 32x32 box-mean luma grid
+    * fills in the same ONE decode pass, a 2D DCT-II concentrates the
+    * image into its lowest spatial frequencies, and the hash keeps only
+    * the 8x8 low-frequency block's shape. Crops, gamma shifts, and
+    * re-encodings that move individual pixels barely move the low
+    * frequencies, which is why pHash survives edits that flip dHash bits.
+    *
+    * Pinned arithmetic (the oracle replays it):
+    *   C(u,v) = sum_{y=0..31} sum_{x=0..31}
+    *              m(x,y) * cos(pi*((2x+1)*u)/64) * cos(pi*((2y+1)*v)/64)
+    * with m the grid cell means; coefficients enumerate (u,v) row-major
+    * over u,v in 0..7 SKIPPING (0,0) (the DC term is overall brightness,
+    * not shape) -> 63 values; median = the 32nd smallest; bit k (MSB
+    * first in enumeration order) set iff its coefficient > median — so
+    * exactly 31 bits are set for distinct coefficients and the Hamming
+    * distance between two hashes is a calibrated shape difference.
+    * NULL for undecodable payloads and images smaller than the grid.
+    */
+  def imagePhash(b: Array[Byte]): java.lang.Long = {
+    if (b == null) return null
+    val hdr = parse(b)
+    val (w0, h0) =
+      if (hdr != null) (hdr._2, hdr._3)
+      else if (b.length >= 2 && (b(0) == 'P' && (b(1) == '5' || b(1) == '6'))) {
+        val p = pnmHeader(b)
+        if (p == null) return null
+        (p(0), p(1))
+      } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+        if (b.length < 26) return null
+        (le32(b, 18), math.abs(le32(b, 22).toLong).toInt)
+      } else return null
+    if (w0 < 32 || h0 < 32) return null
+    val grid = new GridAcc(w0, h0, 32, 32)
+    val stats = decodePixels(b, grid)
+    if (stats == null) return null
+    if (stats.width != w0 || stats.height != h0 || !grid.complete) return null
+    val coefs = new Array[Double](63)
+    var u = 0
+    var k = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var acc = 0.0
+          var y = 0
+          while (y < 32) {
+            val cv = PhashTables.cos(v)(y)
+            var x = 0
+            while (x < 32) {
+              acc += grid.mean(x, y) * PhashTables.cos(u)(x) * cv
+              x += 1
+            }
+            y += 1
+          }
+          coefs(k) = acc
+          k += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coefs.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted(31)
+    var bits = 0L
+    k = 0
+    while (k < 63) {
+      bits <<= 1
+      if (coefs(k) > median) bits |= 1L
+      k += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
   /** Box-mean grayscale DOWNSCALE through the real decoders — the
     * standard pre-embedding thumbnail: the payload decodes ONCE, each
     * source pixel's luma accumulates into its output cell (O(outW*outH)
@@ -2482,6 +2557,17 @@ object MediaCodec {
   private[expressions] object GridAcc {
     val GW = 9 // 9 columns -> 8 horizontal comparisons (dHash convention)
     val GH = 8
+  }
+
+  /** DCT basis table for [[MediaCodec.imagePhash]]:
+    * cos(u)(x) = cos(pi * ((2x+1)*u) / 64), u in 0..7, x in 0..31.
+    * The argument groups as pi*k/64 with k an exact integer so an
+    * independent engine reproduces the same double before its cos.
+    */
+  private[expressions] object PhashTables {
+    val cos: Array[Array[Double]] = Array.tabulate(8, 32) { (u, x) =>
+      Math.cos(Math.PI * ((2 * x + 1) * u) / 64.0)
+    }
   }
 
   private def scanInterleaved(fmt: String, b: Array[Byte], off: Int,
@@ -5039,6 +5125,36 @@ case class ImageHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImageHashExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_image_hash"
+}
+
+/** `binary` (any decodable image) -> `bigint` DCT perceptual hash
+  * ([[MediaCodec.imagePhash]]): 32x32 box-mean luma grid, 2D DCT-II,
+  * median-thresholded 8x8 low-frequency block minus DC. NULL for
+  * undecodable payloads and images under 32x32. Codegen'd.
+  */
+case class ImagePhashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val r = MediaCodec.imagePhash(input.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("phash")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $tmp = graft.expressions.MediaCodec.imagePhash($c);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ImagePhashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_image_phash"
 }
 
 /** `binary` (AVIF/HEIC) -> `struct<brand,width,height,n_items>` from the

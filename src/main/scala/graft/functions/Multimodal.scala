@@ -360,6 +360,18 @@ object Multimodal {
       graft.expressions.ImageHashExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** DCT perceptual hash ([[graft.expressions.ImagePhashExpr]]): the
+    * robust member of the perceptual trio — a 32x32 box-mean luma grid
+    * filled in the same one decode pass, 2D DCT-II, median-thresholded
+    * 8x8 low-frequency block minus DC. Survives edits (gamma, mild crops,
+    * re-encodes) that flip dHash bits; pair with
+    * [[graft.functions.Dedup.hamming64Pairs]] for banded near-dup joins.
+    */
+  def imagePhash(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ImagePhashExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Per-frame perceptual dHash sequence of an AVI / animated-GIF
     * payload ([[graft.expressions.VideoHashExpr]]): trimmed or re-muxed
     * copies share most frame hashes, so video near-dup is an exact key

@@ -1,0 +1,111 @@
+package graft.expressions
+
+import graft.SparkTestBase
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/** DCT perceptual hash: cross-format identity through the real decoders,
+  * the structural invariances that distinguish pHash from dHash (constant
+  * brightness shift leaves every AC coefficient untouched; pixel-doubling
+  * leaves the 32x32 grid means untouched), the exactly-31-set-bits median
+  * property, and the reject sides.
+  */
+class PhashSpec extends SparkTestBase {
+
+  private def scene(w: Int, h: Int, shift: Int = 0): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, ((x * 37 + y * 71 + x * y * 13) % 200) + shift)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"ImageIO cannot write $fmt")
+    bos.toByteArray
+  }
+
+  private def pgmOf(img: BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val head = s"P5 $w $h 255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](head.length + w * h)
+    System.arraycopy(head, 0, out, 0, head.length)
+    var i = head.length
+    for (y <- 0 until h; x <- 0 until w) {
+      out(i) = (img.getRGB(x, y) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def phash(b: Array[Byte]): Option[Long] =
+    Option(MediaCodec.imagePhash(b)).map(_.longValue())
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("cross-format identity: PNG == BMP == PGM on identical pixels") {
+    val img = scene(64, 48)
+    val Some(hPng) = phash(encode(img, "png"))
+    val Some(hBmp) = phash(encode(img, "bmp"))
+    val Some(hPgm) = phash(pgmOf(img))
+    assert(hPng == hBmp, f"bmp ${hBmp}%016x != png ${hPng}%016x")
+    assert(hPng == hPgm)
+  }
+
+  test("exactly 31 bits set (median split of 63 distinct coefficients)") {
+    val Some(h) = phash(pgmOf(scene(64, 48)))
+    assert(java.lang.Long.bitCount(h) == 31, f"${h}%016x")
+  }
+
+  test("constant brightness shift leaves the hash IDENTICAL (DC-only change)") {
+    // +40 on every pixel (no clipping: base < 200) shifts only the DC
+    // coefficient; every AC coefficient — and so the hash — is unchanged.
+    // dHash shares this property but pHash proves it through the DCT.
+    val Some(h0) = phash(pgmOf(scene(64, 48, shift = 0)))
+    val Some(h1) = phash(pgmOf(scene(64, 48, shift = 40)))
+    assert(h0 == h1)
+  }
+
+  test("pixel-doubling leaves the hash identical (exact grid-mean invariance)") {
+    val img = scene(32, 32)
+    val big = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      big.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    val Some(h1) = phash(pgmOf(img))
+    val Some(h2) = phash(pgmOf(big))
+    assert(h1 == h2, s"hamming ${hamming(h1, h2)}")
+  }
+
+  test("JPEG re-encode stays near; unrelated scene is far") {
+    val img = scene(64, 48)
+    val Some(h1) = phash(pgmOf(img))
+    val Some(hJpg) = phash(encode(img, "jpg"))
+    assert(hamming(h1, hJpg) <= 6, s"jpeg moved ${hamming(h1, hJpg)} bits")
+    val other = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      other.setRGB(x, y, (((x / 8 + y / 8) % 2) * 255) * 0x010101)
+    val Some(h3) = phash(pgmOf(other))
+    assert(hamming(h1, h3) > 12, s"unrelated only ${hamming(h1, h3)} bits apart")
+  }
+
+  test("sub-32x32 and undecodable payloads yield null") {
+    assert(phash(pgmOf(scene(31, 32))).isEmpty)
+    assert(phash(pgmOf(scene(32, 31))).isEmpty)
+    assert(phash("not an image".getBytes).isEmpty)
+    assert(MediaCodec.imagePhash(null) == null)
+  }
+
+  test("SQL surface: graft_image_phash equals the codec") {
+    val bytes = pgmOf(scene(40, 40))
+    graft.expressions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val got = Seq(bytes).toDF("b")
+      .selectExpr("graft_image_phash(b) AS h")
+      .as[Long].collect().head
+    assert(got == MediaCodec.imagePhash(bytes).longValue())
+  }
+}
