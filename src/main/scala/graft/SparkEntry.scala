@@ -4737,6 +4737,31 @@ object SparkEntry {
         .select(col("doc_id"), Multimodal.imagePhash(pgm).as("phash"))
         .orderBy("doc_id")
     }),
+
+    // --- 201. LZ4-frame + snappy-framing codecs, oracle-pinned ------------------------------------------
+    // The speed-tier compressions beside gzip/zstd/bzip2/xz: per-row
+    // round trips through both formats, LZ4 concatenated-frame
+    // decompression (doubled payload length stated closed-form), and
+    // the magic-check reject side — compressed bytes never leave the
+    // plan, so the oracle states only format-independent facts.
+    "q201_lz4_snappy" -> ((s, d) => {
+      val text = concat(lit("doc "), col("doc_id"), lit(" "),
+        array_join(array_repeat(lit("the quick brown fox "),
+          ((col("doc_id") % 5 + 1) * 8).cast("int")), ""))
+      val raw = encode(text, "UTF-8")
+      val lz = Multimodal.lz4(raw)
+      val sz = Multimodal.snappy(raw)
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"),
+          (decode(Multimodal.unlz4(lz), "UTF-8") === text).as("lz4_ok"),
+          (decode(Multimodal.unsnappy(sz), "UTF-8") === text).as("snappy_ok"),
+          length(decode(Multimodal.unlz4(concat(lz, lz)), "UTF-8"))
+            .as("lz4_concat_len"),
+          Multimodal.unlz4(raw).isNull.as("lz4_reject"),
+          Multimodal.unsnappy(raw).isNull.as("snappy_reject"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7305,6 +7330,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN c > m THEN (CAST(1 AS BIGINT) << (62 - k))
         |    ELSE 0 END) AS BIGINT) AS phash
         |FROM coefs JOIN med ON coefs.doc_id = med.doc_id
-        |GROUP BY coefs.doc_id ORDER BY coefs.doc_id""".stripMargin
+        |GROUP BY coefs.doc_id ORDER BY coefs.doc_id""".stripMargin,
+
+    // LZ4/snappy closed forms: round trips hold, the doubled-frame
+    // decompression length is exact arithmetic, raw text rejects.
+    "q201_lz4_snappy" ->
+      """SELECT doc_id, TRUE AS lz4_ok, TRUE AS snappy_ok,
+        |  CAST(2 * (5 + length(CAST(doc_id AS VARCHAR))
+        |    + 20 * ((doc_id % 5 + 1) * 8)) AS INT) AS lz4_concat_len,
+        |  TRUE AS lz4_reject, TRUE AS snappy_reject
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
   )
 }

@@ -527,3 +527,161 @@ case class UnxzExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
   override def prettyName: String = "graft_unxz"
 }
+
+/** Row-local LZ4 FRAME format via commons-compress (Spark's own event-log
+  * codec family — lz4 already backs `spark.io.compression.codec`; the
+  * commons-compress framed reader/writer is likewise on every executor's
+  * classpath). The speed-tier compression of the data-engineering
+  * ecosystem: `.lz4` shards and framed streams from kafka/fluentd-style
+  * shippers. Same discipline as the gzip/zstd/bzip2/xz siblings:
+  * magic-checked reject before any work, concatenated frames
+  * decompressed in full, output bomb-capped DURING decompression,
+  * content-checksummed frames verified by the underlying decoder, null
+  * for anything corrupt.
+  */
+object Lz4Codec {
+
+  /** LZ4 frame magic 0x184D2204, little-endian on the wire. */
+  private def looksLz4(b: Array[Byte]): Boolean =
+    b.length >= 7 && (b(0) & 0xFF) == 0x04 && (b(1) & 0xFF) == 0x22 &&
+      (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18
+
+  def lz4(b: Array[Byte]): Array[Byte] = {
+    if (b == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 2))
+    val z = new org.apache.commons.compress.compressors.lz4
+      .FramedLZ4CompressorOutputStream(out)
+    try z.write(b) finally z.close()
+    out.toByteArray
+  }
+
+  def unlz4(b: Array[Byte]): Array[Byte] = {
+    if (b == null || !looksLz4(b)) return null
+    val in = new java.io.ByteArrayInputStream(b)
+    try {
+      val z = new org.apache.commons.compress.compressors.lz4
+        .FramedLZ4CompressorInputStream(in, /* decompressConcatenated = */ true)
+      try Bzip2Codec.drainCapped(z) finally z.close()
+    } catch {
+      case _: java.io.IOException => null
+    }
+  }
+}
+
+/** Row-local Snappy FRAMING format (sNaPpY stream identifier) via
+  * commons-compress — the other speed-tier resident of Spark's own
+  * codec family (snappy-java backs parquet/shuffle compression). The
+  * framing format is what streams and `.sz` files use; per-chunk
+  * masked CRC32-C is verified by the underlying decoder. Same
+  * magic-check / concatenation / bomb-cap discipline as the siblings.
+  */
+object SnappyCodec {
+
+  /** Stream identifier chunk: ff 06 00 00 "sNaPpY". */
+  private def looksSnappy(b: Array[Byte]): Boolean =
+    b.length >= 10 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0x06 &&
+      b(2) == 0 && b(3) == 0 && b(4) == 's' && b(5) == 'N' && b(6) == 'a' &&
+      b(7) == 'P' && b(8) == 'p' && b(9) == 'Y'
+
+  def snappy(b: Array[Byte]): Array[Byte] = {
+    if (b == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 2))
+    val z = new org.apache.commons.compress.compressors.snappy
+      .FramedSnappyCompressorOutputStream(out)
+    try z.write(b) finally z.close()
+    out.toByteArray
+  }
+
+  def unsnappy(b: Array[Byte]): Array[Byte] = {
+    if (b == null || !looksSnappy(b)) return null
+    val in = new java.io.ByteArrayInputStream(b)
+    try {
+      val z = new org.apache.commons.compress.compressors.snappy
+        .FramedSnappyCompressorInputStream(in)
+      try Bzip2Codec.drainCapped(z) finally z.close()
+    } catch {
+      case _: java.io.IOException => null
+      case _: IllegalArgumentException => null
+    }
+  }
+}
+
+/** `binary` -> LZ4-frame-compressed `binary`. */
+case class Lz4Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    Lz4Codec.lz4(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Lz4Codec.lz4($c)")
+  override protected def withNewChildInternal(newChild: Expression): Lz4Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lz4"
+}
+
+/** `binary` -> decompressed `binary`, or NULL for non-LZ4-frame/corrupt/
+  * bomb-sized payloads. Concatenated frames decompress in full.
+  */
+case class Unlz4Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    Lz4Codec.unlz4(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.Lz4Codec.unlz4($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Unlz4Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_unlz4"
+}
+
+/** `binary` -> snappy-framing-compressed `binary`. */
+case class SnappyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    SnappyCodec.snappy(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SnappyCodec.snappy($c)")
+  override protected def withNewChildInternal(newChild: Expression): SnappyExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_snappy"
+}
+
+/** `binary` -> decompressed `binary`, or NULL for non-framed-snappy/
+  * corrupt/bomb-sized payloads (per-chunk masked CRC32-C verified).
+  */
+case class UnsnappyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    SnappyCodec.unsnappy(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.SnappyCodec.unsnappy($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): UnsnappyExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_unsnappy"
+}

@@ -303,6 +303,10 @@ object GraftExtensions {
     "graft_bunzip2" -> (classOf[Bunzip2Expr], Bunzip2Expr(_)),
     "graft_xz" -> (classOf[XzExpr], XzExpr(_)),
     "graft_unxz" -> (classOf[UnxzExpr], UnxzExpr(_)),
+    "graft_lz4" -> (classOf[Lz4Expr], Lz4Expr(_)),
+    "graft_unlz4" -> (classOf[Unlz4Expr], Unlz4Expr(_)),
+    "graft_snappy" -> (classOf[SnappyExpr], SnappyExpr(_)),
+    "graft_unsnappy" -> (classOf[UnsnappyExpr], UnsnappyExpr(_)),
     "graft_exif" -> (classOf[ExifMetaExpr], ExifMetaExpr(_)),
     "graft_id3_tags" -> (classOf[Id3TagsExpr], Id3TagsExpr(_)),
     "graft_mp3_frames" -> (classOf[Mp3FrameWalkExpr], Mp3FrameWalkExpr(_)),

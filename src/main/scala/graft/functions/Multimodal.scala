@@ -303,6 +303,42 @@ object Multimodal {
       graft.expressions.UnxzExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Row-local LZ4 FRAME compress ([[graft.expressions.Lz4Expr]], via
+    * commons-compress from Spark's own classpath).
+    */
+  def lz4(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Lz4Expr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Decompress an LZ4 frame payload — the speed-tier `.lz4` shard /
+    * shipper-stream format — including concatenated frames
+    * ([[graft.expressions.Unlz4Expr]]). NULL for non-LZ4-frame,
+    * corrupt (content checksum verified), or bomb-sized payloads.
+    */
+  def unlz4(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Unlz4Expr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Row-local snappy FRAMING compress
+    * ([[graft.expressions.SnappyExpr]]).
+    */
+  def snappy(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SnappyExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Decompress a snappy framing-format payload (`.sz` / sNaPpY
+    * streams; per-chunk masked CRC32-C verified)
+    * ([[graft.expressions.UnsnappyExpr]]). NULL for non-framed-snappy/
+    * corrupt/bomb-sized payloads.
+    */
+  def unsnappy(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.UnsnappyExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Linear-interpolation resample of a WAV/FLAC payload to a mono
     * 16-bit WAV at `rate` ([[graft.expressions.AudioResampleExpr]]) —
     * the canonical-rate normalization before fingerprinting and audio

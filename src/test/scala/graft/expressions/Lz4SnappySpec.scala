@@ -1,0 +1,76 @@
+package graft.expressions
+
+import graft.SparkTestBase
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** LZ4 frame + snappy framing codecs: round trips (incl. empty and
+  * incompressible payloads), on-wire magic pinned to the public specs,
+  * concatenated-frame decompression, corruption and reject sides, and
+  * the SQL surface.
+  */
+class Lz4SnappySpec extends SparkTestBase {
+
+  private val sample =
+    ("the quick brown fox jumps over the lazy dog " * 40).getBytes(UTF_8)
+
+  test("lz4 round trip, empty and incompressible payloads") {
+    assert(Lz4Codec.unlz4(Lz4Codec.lz4(sample)).sameElements(sample))
+    assert(Lz4Codec.unlz4(Lz4Codec.lz4(Array.emptyByteArray)).isEmpty)
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(4096)(rnd.nextInt().toByte)
+    assert(Lz4Codec.unlz4(Lz4Codec.lz4(noise)).sameElements(noise))
+    assert(Lz4Codec.lz4(sample).length < sample.length, "text must compress")
+  }
+
+  test("snappy round trip, empty and incompressible payloads") {
+    assert(SnappyCodec.unsnappy(SnappyCodec.snappy(sample)).sameElements(sample))
+    assert(SnappyCodec.unsnappy(
+      SnappyCodec.snappy(Array.emptyByteArray)).isEmpty)
+    val rnd = new scala.util.Random(11)
+    val noise = Array.fill(4096)(rnd.nextInt().toByte)
+    assert(SnappyCodec.unsnappy(SnappyCodec.snappy(noise)).sameElements(noise))
+  }
+
+  test("on-wire magic matches the public specs") {
+    val lz = Lz4Codec.lz4(sample)
+    assert((lz(0) & 0xFF) == 0x04 && (lz(1) & 0xFF) == 0x22 &&
+      (lz(2) & 0xFF) == 0x4D && (lz(3) & 0xFF) == 0x18) // 0x184D2204 LE
+    val sz = SnappyCodec.snappy(sample)
+    assert((sz(0) & 0xFF) == 0xFF && sz(1) == 6 &&
+      new String(sz, 4, 6, UTF_8) == "sNaPpY")
+  }
+
+  test("concatenated LZ4 frames decompress in full") {
+    val a = "first frame ".getBytes(UTF_8)
+    val b = "second frame".getBytes(UTF_8)
+    val joined = Lz4Codec.lz4(a) ++ Lz4Codec.lz4(b)
+    assert(Lz4Codec.unlz4(joined).sameElements(a ++ b))
+  }
+
+  test("corrupt payloads and wrong magics null out") {
+    assert(Lz4Codec.unlz4("plain text".getBytes(UTF_8)) == null)
+    assert(SnappyCodec.unsnappy("plain text".getBytes(UTF_8)) == null)
+    assert(Lz4Codec.unlz4(SnappyCodec.snappy(sample)) == null)
+    assert(SnappyCodec.unsnappy(Lz4Codec.lz4(sample)) == null)
+    val broken = Lz4Codec.lz4(sample)
+    broken(broken.length / 2) = (broken(broken.length / 2) ^ 0x5A).toByte
+    assert(Lz4Codec.unlz4(broken) == null, "content checksum must catch")
+    val brokenSz = SnappyCodec.snappy(sample)
+    brokenSz(brokenSz.length / 2) =
+      (brokenSz(brokenSz.length / 2) ^ 0x5A).toByte
+    assert(SnappyCodec.unsnappy(brokenSz) == null, "chunk CRC must catch")
+    assert(Lz4Codec.unlz4(null) == null && SnappyCodec.unsnappy(null) == null)
+  }
+
+  test("SQL surface: graft_lz4/unlz4/snappy/unsnappy round-trip") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val got = Seq("payload for sql").toDF("t")
+      .selectExpr(
+        "decode(graft_unlz4(graft_lz4(encode(t, 'UTF-8'))), 'UTF-8') AS a",
+        "decode(graft_unsnappy(graft_snappy(encode(t, 'UTF-8'))), 'UTF-8') AS b")
+      .as[(String, String)].collect().head
+    assert(got == (("payload for sql", "payload for sql")))
+  }
+}
