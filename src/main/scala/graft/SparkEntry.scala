@@ -112,8 +112,15 @@ object SparkEntry {
     * s16le two's-complement read, per-channel reduction) exactly inverts
     * construction.
     */
-  private def syntheticWav: org.apache.spark.sql.Column = {
-    val n = (lit(20) + col("doc_id") % 50).cast("long")
+  private def syntheticWav: org.apache.spark.sql.Column =
+    syntheticWavN((lit(20) + col("doc_id") % 50).cast("long"))
+
+  /** [[syntheticWav]] with a caller-chosen frame count (q202 needs
+    * >= 512 frames for a full MFCC analysis window).
+    */
+  private def syntheticWavN(
+      nFrames: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = nFrames
     def leHex16(c: org.apache.spark.sql.Column) = concat(
       lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
       lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"))
@@ -4762,6 +4769,23 @@ object SparkEntry {
           Multimodal.unsnappy(raw).isNull.as("snappy_reject"))
         .orderBy("doc_id")
     }),
+
+    // --- 202. MFCC audio features (rows-only: FFT has no SQL oracle) ------------------------------------
+    // The compact audio embedding: per-row synthetic 16 kHz WAV streams
+    // (512-sample window arithmetic gives 2..5 frames), reduced to the
+    // mean 13-coefficient MFCC vector. The cepstral pipeline — Hann/FFT
+    // power spectra, mel filterbank, log, DCT-II — is not relationally
+    // expressible, so this is a DECLARED rows-only query; MfccSpec pins
+    // the closed-form silence cepstrum, the gain-separation property,
+    // window arithmetic, and filterbank structure.
+    "q202_mfcc" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.mfcc(syntheticWavN(
+          lit(768L) + (col("doc_id") % 4).cast("long") * 256L)).as("m"))
+        .select(col("doc_id"), col("m.n_frames").as("n_frames"),
+          transform(col("m.mfcc"), c => round(c, 6)).as("mfcc"))
+        .orderBy("doc_id")),
   )
 
   // ------------------------------------------------------- SQL-shared queries

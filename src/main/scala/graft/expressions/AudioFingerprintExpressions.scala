@@ -33,8 +33,10 @@ object AudioFingerprintCodec {
   private val hann: Array[Double] = Array.tabulate(FftSize)(i =>
     0.5 - 0.5 * math.cos(2.0 * math.Pi * i / (FftSize - 1)))
 
-  /** In-place iterative radix-2 Cooley–Tukey FFT (textbook form). */
-  private def fft(re: Array[Double], im: Array[Double]): Unit = {
+  /** In-place iterative radix-2 Cooley–Tukey FFT (textbook form).
+    * Shared with [[MfccCodec]] — one FFT kernel for the audio ladder.
+    */
+  private[expressions] def fft(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length
     // Bit-reversal permutation.
     var i = 1

@@ -307,6 +307,7 @@ object GraftExtensions {
     "graft_unlz4" -> (classOf[Unlz4Expr], Unlz4Expr(_)),
     "graft_snappy" -> (classOf[SnappyExpr], SnappyExpr(_)),
     "graft_unsnappy" -> (classOf[UnsnappyExpr], UnsnappyExpr(_)),
+    "graft_mfcc" -> (classOf[MfccExpr], MfccExpr(_)),
     "graft_exif" -> (classOf[ExifMetaExpr], ExifMetaExpr(_)),
     "graft_id3_tags" -> (classOf[Id3TagsExpr], Id3TagsExpr(_)),
     "graft_mp3_frames" -> (classOf[Mp3FrameWalkExpr], Mp3FrameWalkExpr(_)),

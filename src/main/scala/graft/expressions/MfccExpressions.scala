@@ -1,0 +1,191 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** MFCC audio features — the standard compact spectral descriptor
+  * (published since Davis & Mermelstein 1980; the HTK/librosa default
+  * front-end): Hann-windowed power spectra, a mel-scale triangular
+  * filterbank, log energies, and a DCT-II that decorrelates them into a
+  * handful of cepstral coefficients. The per-document MEAN coefficient
+  * vector is the cheap "audio embedding" a corpus pipeline wants for
+  * similarity search, clustering, and speech/music routing — the audio
+  * sibling of the text n-gram profile, feeding the SAME vector operators
+  * (brute/IVF/PQ kNN, SemDeDup) as any other embedding column.
+  *
+  * Pinned conventions (so independent reimplementations agree):
+  * 512-sample frames, hop 256, Hann window with the N-1 denominator
+  * (matching [[AudioFingerprintCodec]]); power = |X(k)|^2 unnormalized
+  * over the 257 non-negative bins; 26 triangular filters with peaks
+  * equally spaced on mel(f) = 2595*log10(1+f/700) between 0 and
+  * sampleRate/2, HTK-style unit-peak weights; log energy floored at
+  * 1e-10; DCT-II c_n = sqrt(2/M) * sum_m logE_m * cos(pi*n*(m+0.5)/M)
+  * keeping n = 0..12. Decode shares the fingerprint ladder's mono
+  * extractors (WAV/FLAC/M4A-PCM), so identical audio yields identical
+  * MFCCs across containers — and so does audio passed through
+  * [[MediaCodec.audioResample]] first, the normalization that makes
+  * cross-rate corpora comparable.
+  */
+object MfccCodec {
+
+  val FftSize = 512
+  val Hop = 256
+  val NMels = 26
+  val NCoefs = 13
+  val LogFloor = 1e-10
+  /** Feature-extraction cap: 60s at 48kHz. */
+  val MaxFrames = 60 * 48000
+
+  private val hann: Array[Double] = Array.tabulate(FftSize)(i =>
+    0.5 - 0.5 * math.cos(2.0 * math.Pi * i / (FftSize - 1)))
+
+  private def melOf(f: Double): Double = 2595.0 * math.log10(1.0 + f / 700.0)
+  private def invMel(m: Double): Double =
+    700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+  /** Triangular filterbank weights for one sample rate: NMels rows over
+    * the 257 non-negative bins. Cached per rate (a corpus has few).
+    */
+  private val fbCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private[expressions] def filterbank(sampleRate: Int): Array[Array[Double]] =
+    fbCache.computeIfAbsent(sampleRate, sr => {
+      val nBins = FftSize / 2 + 1
+      val maxMel = melOf(sr / 2.0)
+      // NMels + 2 edge points equally spaced in mel; filter m peaks at
+      // edge m+1 and spans [edge m, edge m+2].
+      val edgeHz = Array.tabulate(NMels + 2)(i =>
+        invMel(maxMel * i / (NMels + 1.0)))
+      val fb = Array.ofDim[Double](NMels, nBins)
+      var m = 0
+      while (m < NMels) {
+        val lo = edgeHz(m); val c = edgeHz(m + 1); val hi = edgeHz(m + 2)
+        var k = 0
+        while (k < nBins) {
+          val f = k.toDouble * sr / FftSize
+          fb(m)(k) =
+            if (f <= lo || f >= hi) 0.0
+            else if (f <= c) (f - lo) / (c - lo)
+            else (hi - f) / (hi - c)
+          k += 1
+        }
+        m += 1
+      }
+      fb
+    })
+
+  private val dctBasis: Array[Array[Double]] = Array.tabulate(NCoefs, NMels) {
+    (n, m) => math.sqrt(2.0 / NMels) *
+      math.cos(math.Pi * n * (m + 0.5) / NMels)
+  }
+
+  /** Per-frame MFCC matrix of a mono sample stream. */
+  private[expressions] def mfccFrames(
+      samples: Array[Double], sampleRate: Int): Array[Array[Double]] = {
+    val fb = filterbank(sampleRate)
+    val nBins = FftSize / 2 + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val re = new Array[Double](FftSize)
+    val im = new Array[Double](FftSize)
+    val power = new Array[Double](nBins)
+    var off = 0
+    while (off + FftSize <= samples.length) {
+      var i = 0
+      while (i < FftSize) {
+        re(i) = samples(off + i) * hann(i)
+        im(i) = 0.0
+        i += 1
+      }
+      AudioFingerprintCodec.fft(re, im)
+      i = 0
+      while (i < nBins) {
+        power(i) = re(i) * re(i) + im(i) * im(i)
+        i += 1
+      }
+      val logE = new Array[Double](NMels)
+      var m = 0
+      while (m < NMels) {
+        var acc = 0.0
+        var k = 0
+        val w = fb(m)
+        while (k < nBins) { acc += w(k) * power(k); k += 1 }
+        logE(m) = math.log(math.max(acc, LogFloor))
+        m += 1
+      }
+      val coefs = new Array[Double](NCoefs)
+      var n = 0
+      while (n < NCoefs) {
+        var acc = 0.0
+        m = 0
+        val basis = dctBasis(n)
+        while (m < NMels) { acc += basis(m) * logE(m); m += 1 }
+        coefs(n) = acc
+        n += 1
+      }
+      out += coefs
+      off += Hop
+    }
+    out.toArray
+  }
+
+  /** Dispatch on magic (the fingerprint ladder's containers) and reduce
+    * to (n_frames, mean coefficient vector). Null for undecodable
+    * payloads or audio shorter than one frame.
+    */
+  def mfccAudio(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    val mono =
+      if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+        MediaCodec.flacMonoSamples(b, MaxFrames)
+      else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+        MediaCodec.m4aMonoSamples(b, MaxFrames)
+      else MediaCodec.wavMonoSamples(b, MaxFrames)
+    if (mono == null) return null
+    val frames = mfccFrames(mono._2, mono._1)
+    if (frames.isEmpty) return null
+    val mean = new Array[Double](NCoefs)
+    var n = 0
+    while (n < NCoefs) {
+      var acc = 0.0
+      var f = 0
+      while (f < frames.length) { acc += frames(f)(n); f += 1 }
+      mean(n) = acc / frames.length
+      n += 1
+    }
+    new GenericInternalRow(Array[Any](frames.length,
+      new GenericArrayData(mean.map(Double.box).toArray[Any])))
+  }
+}
+
+/** `binary` (WAV/FLAC/M4A-PCM) -> `struct<n_frames int, mfcc
+  * array<double>>`: the per-document mean 13-coefficient MFCC vector
+  * ([[MfccCodec]]). NULL for undecodable or sub-frame audio. Codegen'd.
+  */
+case class MfccExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("mfcc", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MfccCodec.mfccAudio(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MfccCodec.mfccAudio($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MfccExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_mfcc"
+}

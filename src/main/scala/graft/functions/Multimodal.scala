@@ -339,6 +339,19 @@ object Multimodal {
       graft.expressions.UnsnappyExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** MFCC features of a WAV/FLAC/M4A-PCM payload
+    * ([[graft.expressions.MfccExpr]]): struct<n_frames, mfcc> with the
+    * per-document mean 13-coefficient vector — the cheap audio embedding
+    * for kNN/clustering/SemDeDup over an audio corpus. Containers share
+    * the fingerprint ladder's mono extractors, so identical audio gets
+    * identical MFCCs regardless of container; run
+    * [[audioResample]] first to compare across sample rates.
+    */
+  def mfcc(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.MfccExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Linear-interpolation resample of a WAV/FLAC payload to a mono
     * 16-bit WAV at `rate` ([[graft.expressions.AudioResampleExpr]]) —
     * the canonical-rate normalization before fingerprinting and audio

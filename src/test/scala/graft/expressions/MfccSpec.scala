@@ -1,0 +1,108 @@
+package graft.expressions
+
+import graft.SparkTestBase
+
+/** MFCC features: frame-count arithmetic, the closed-form silence
+  * spectrum, the amplitude-separation property (gain lands entirely in
+  * c0 — the cepstral decorrelation MFCCs exist for), tone
+  * discrimination, filterbank structure, reject sides, SQL surface.
+  */
+class MfccSpec extends SparkTestBase {
+
+  private val SR = 16000
+
+  private def wavBytes(samples: Array[Double], sr: Int = SR): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(2 * n)
+    samples.foreach(s => bb.putShort(s.toInt.toShort))
+    bb.array()
+  }
+
+  private def tone(freq: Double, n: Int, amp: Double = 8000.0): Array[Double] =
+    Array.tabulate(n)(i => amp * math.sin(2 * math.Pi * freq * i / SR))
+
+  private def mfccOf(b: Array[Byte]): Option[(Int, Array[Double])] =
+    Option(MfccCodec.mfccAudio(b)).map { r =>
+      (r.getInt(0), r.getArray(1).toDoubleArray())
+    }
+
+  test("frame count follows the 512/256 window arithmetic") {
+    val Some((n1, m1)) = mfccOf(wavBytes(tone(440, 512)))
+    assert(n1 == 1 && m1.length == MfccCodec.NCoefs)
+    val Some((n2, _)) = mfccOf(wavBytes(tone(440, 512 + 256 * 3)))
+    assert(n2 == 4)
+    val Some((n3, _)) = mfccOf(wavBytes(tone(440, 512 + 255)))
+    assert(n3 == 1, "a partial trailing window does not count")
+  }
+
+  test("silence has the closed-form constant-floor cepstrum") {
+    val Some((_, m)) = mfccOf(wavBytes(Array.fill(1024)(0.0)))
+    val want0 = math.sqrt(2.0 / MfccCodec.NMels) * MfccCodec.NMels *
+      math.log(MfccCodec.LogFloor)
+    assert(math.abs(m(0) - want0) < 1e-9, s"c0 ${m(0)} want $want0")
+    (1 until MfccCodec.NCoefs).foreach(n =>
+      assert(math.abs(m(n)) < 1e-9, s"c$n ${m(n)} should vanish"))
+  }
+
+  test("gain lands entirely in c0: higher coefficients are amplitude-free") {
+    // An EXACT 2x of the already-quantized samples multiplies every
+    // filter energy by 4 (power-of-two FP scaling is lossless through
+    // the linear FFT), shifting every log energy by ln 4 — a constant
+    // vector whose DCT is pure c0. (Re-synthesizing a louder sine would
+    // NOT do this: quantization noise does not scale with amplitude.)
+    val quiet = tone(440, 4096, amp = 4000).map(_.toInt.toDouble)
+    val loud = quiet.map(_ * 2)
+    val Some((_, q)) = mfccOf(wavBytes(quiet))
+    val Some((_, l)) = mfccOf(wavBytes(loud))
+    assert(l(0) > q(0) + 1.0)
+    (1 until MfccCodec.NCoefs).foreach(n =>
+      assert(math.abs(l(n) - q(n)) < 1e-9,
+        s"c$n moved ${math.abs(l(n) - q(n))}"))
+  }
+
+  test("distinct tones produce distant coefficient vectors; reruns identical") {
+    val Some((_, a)) = mfccOf(wavBytes(tone(300, 4096)))
+    val Some((_, b)) = mfccOf(wavBytes(tone(3000, 4096)))
+    val dist = math.sqrt(a.zip(b).map { case (x, y) =>
+      (x - y) * (x - y) }.sum)
+    assert(dist > 5.0, s"tones only $dist apart")
+    val Some((_, a2)) = mfccOf(wavBytes(tone(300, 4096)))
+    assert(a.sameElements(a2), "determinism")
+  }
+
+  test("filterbank: unit peaks, full coverage, rate-dependent layout") {
+    val fb = MfccCodec.filterbank(SR)
+    assert(fb.length == MfccCodec.NMels)
+    fb.foreach(f => assert(math.abs(f.max - 1.0) < 0.35,
+      "each triangle reaches near its unit peak on the bin grid"))
+    // Mel spacing: low-frequency filters are narrower (more bins at the
+    // top than the bottom filter).
+    val width = (f: Array[Double]) => f.count(_ > 0)
+    assert(width(fb(MfccCodec.NMels - 1)) > width(fb(0)))
+    val fb48 = MfccCodec.filterbank(48000)
+    assert(width(fb48(0)) <= width(fb(0)),
+      "same grid spread over a wider spectrum -> fewer bins per filter")
+  }
+
+  test("sub-frame audio and non-audio payloads yield null") {
+    assert(mfccOf(wavBytes(tone(440, 511))).isEmpty)
+    assert(mfccOf("not audio".getBytes).isEmpty)
+    assert(MfccCodec.mfccAudio(null) == null)
+  }
+
+  test("SQL surface: graft_mfcc equals the codec") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val bytes = wavBytes(tone(440, 2048))
+    val got = Seq(bytes).toDF("b")
+      .selectExpr("graft_mfcc(b).n_frames AS n", "graft_mfcc(b).mfcc AS m")
+      .as[(Int, Seq[Double])].collect().head
+    val want = mfccOf(bytes).get
+    assert(got._1 == want._1 && got._2.toArray.sameElements(want._2))
+  }
+}
