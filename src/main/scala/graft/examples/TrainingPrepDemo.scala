@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.functions.{AnnIndex, FrequentItems, Ivf, Quantize, Retrieval}
+import graft.functions.{AnnIndex, Dedup, FrequentItems, Ivf, NaiveBayes, NgramLm, Quantize, Retrieval}
 import graft.operators.Packing
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -64,6 +64,26 @@ object TrainingPrepDemo {
         corpus.where(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec")),
         k = 3, nProbe = 2)
       .show(truncate = false)
+
+    println("=== KN-LM perplexity: CCNet-style quality ranking ===")
+    val lm = NgramLm.train(docs.where(col("doc_id") % 5 === 0), "text")
+    NgramLm.score(lm, docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      .select(col("doc_id"), round(col("ppl"), 2).as("ppl"))
+      .orderBy(col("ppl")).limit(5).show()
+
+    println("=== Naive-Bayes router: language prediction from text alone ===")
+    val nb = NaiveBayes.train(docs.where(col("doc_id") % 5 === 0),
+      "text", "lang")
+    val pred = NaiveBayes.predict(nb, docs.where(col("doc_id") % 5 =!= 0),
+      "doc_id", "text")
+    pred.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy((col("label") === col("lang")).as("correct"))
+      .count().show()
+
+    println("=== SemDeDup: embedding-cluster near-dup pruning ===")
+    Dedup.semanticPruneAuto(corpus.select(col("id"), col("vec")),
+        k = 8, threshold = 0.42)
+      .groupBy("kept").count().show()
 
     println("=== SQL lakehouse verbs: CALL graft_clone through spark.sql ===")
     val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)

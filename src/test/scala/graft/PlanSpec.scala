@@ -439,4 +439,41 @@ class PlanSpec extends SparkTestBase {
     assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("BatchEvalPython"), p)
   }
+
+  test("q197/q198 model scoring joins by hash equi-keys; the only nested loop is the 1-row totals") {
+    // KN-LM and NB scoring join the token/transition stream against
+    // vocabulary-sized model tables: every join must be an equi-join
+    // (broadcast here; hash-shuffle at scale), never a cartesian — the
+    // ONLY nested-loop allowed is the broadcast cross join of the 1-row
+    // totals table, which is O(rows), not O(rows^2).
+    for (q <- Seq("q197_kn_perplexity", "q198_nb_classifier")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$q needs equi-joins for the model tables: $p")
+      assert(p.contains("partial"), s"$q must aggregate map-side: $p")
+    }
+  }
+
+  test("q199 SemDeDup pairs join by the cluster equi-key, never cross-product") {
+    // The centroid assignment is a broadcast nested loop over k rows
+    // (bounded); the PAIR join — the quadratic-risk step — must be an
+    // equi-join keyed on the cluster id.
+    val p = plan("q199_semantic_prune")
+    assert(!p.contains("CartesianProduct"), p)
+    val pairJoins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).toList
+    assert(pairJoins.nonEmpty, s"cluster-keyed pair join missing: $p")
+  }
+
+  test("r11 constructed-payload queries (phash/lz4/mfcc) plan as narrow maps") {
+    for (q <- Seq("q200_image_phash_dct", "q201_lz4_snappy", "q202_mfcc")) {
+      val p = plan(q)
+      val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toList
+      assert(exchanges.count(_.contains("rangepartitioning")) <= 1, s"$q: $p")
+      assert(!exchanges.exists(_.contains("hashpartitioning")), s"$q: $p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q: $p")
+    }
+  }
 }
