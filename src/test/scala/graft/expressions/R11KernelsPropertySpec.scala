@@ -1,0 +1,88 @@
+package graft.expressions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz for the round-11 row-local kernels (fixed-seed Gen, the
+  * RoundKernelsPropertySpec pattern): totality on arbitrary bytes,
+  * round-trip identity for the codecs, and structural invariants of the
+  * perceptual/cepstral features.
+  */
+class R11KernelsPropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.choose(0, 800).flatMap(n => Gen.listOfN(n,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  private val magicBytesGen: Gen[Array[Byte]] = for {
+    magic <- Gen.oneOf("\u0004\u0022\u004d\u0018", // LZ4 frame magic 04 22 4D 18
+      "\u00ff\u0006\u0000\u0000sNaPpY", // snappy framing stream identifier
+      "RIFF", "fLaC", "P5 32 32 255\n", "BM")
+    tail <- bytesGen
+  } yield magic.getBytes("ISO-8859-1") ++ tail
+
+  private def allBytes = samples(bytesGen, 300, 311L) ++
+    samples(magicBytesGen, 300, 313L)
+
+  test("r11 kernels are total on arbitrary bytes") {
+    allBytes.foreach { b =>
+      Lz4Codec.unlz4(b)
+      SnappyCodec.unsnappy(b)
+      MediaCodec.imagePhash(b)
+      MfccCodec.mfccAudio(b)
+    }
+  }
+
+  test("lz4/snappy round-trip identity on arbitrary payloads") {
+    samples(bytesGen, 200, 331L).foreach { b =>
+      assert(Lz4Codec.unlz4(Lz4Codec.lz4(b)).sameElements(b))
+      assert(SnappyCodec.unsnappy(SnappyCodec.snappy(b)).sameElements(b))
+    }
+  }
+
+  test("phash of random valid PGMs: total, deterministic, 31 bits set") {
+    val pgmGen: Gen[Array[Byte]] = for {
+      w <- Gen.choose(32, 70)
+      h <- Gen.choose(32, 70)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield s"P5 $w $h 255\n".getBytes("US-ASCII") ++ px.map(_.toByte).toArray
+    samples(pgmGen, 60, 349L).foreach { b =>
+      val h1 = MediaCodec.imagePhash(b)
+      assert(h1 != null)
+      assert(MediaCodec.imagePhash(b).longValue() == h1.longValue())
+      // Random images have 63 distinct coefficients with probability ~1.
+      assert(java.lang.Long.bitCount(h1.longValue()) == 31)
+    }
+  }
+
+  test("mfcc of random valid WAVs: total, deterministic, finite") {
+    def wav(sr: Int, s: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * s.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 2 * s.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(2 * s.length)
+      s.foreach(bb.putShort)
+      bb.array()
+    }
+    val wavGen: Gen[Array[Byte]] = for {
+      sr <- Gen.oneOf(8000, 16000, 44100, 48000)
+      n <- Gen.choose(512, 3000)
+      s <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield wav(sr, s.toArray)
+    samples(wavGen, 40, 367L).foreach { b =>
+      val r = MfccCodec.mfccAudio(b)
+      assert(r != null)
+      val m = r.getArray(1).toDoubleArray()
+      assert(m.length == MfccCodec.NCoefs)
+      assert(m.forall(v => !v.isNaN && !v.isInfinite))
+      val r2 = MfccCodec.mfccAudio(b)
+      assert(r2.getArray(1).toDoubleArray().sameElements(m))
+    }
+  }
+}
