@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.functions.{Multimodal, NaiveBayes}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming parity for the round's model-scoring path: a Naive-Bayes
+  * model trained on a STATIC labeled batch scores a document STREAM
+  * through the same `NaiveBayes.score` plan — stream-static equi-joins
+  * against the model tables plus one streaming aggregation (complete
+  * mode), the production shape for continuous-ingest routing. The
+  * row-local perceptual kernels (pHash) ride the same stream unchanged.
+  */
+class ModelScoringStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("static-trained NB model scores a document stream") {
+    val model = NaiveBayes.train(
+      Seq(("good good fine", "p"), ("good", "p"), ("bad bad", "n"))
+        .toDF("text", "label"),
+      "text", "label")
+    val dir = graft.GraftTmp.dir("graft-snb")
+    Files.write(dir.resolve("a.json"),
+      """{"id": 1, "text": "good good"}
+        |{"id": 2, "text": "bad"}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"id": 3, "text": "fine bad"}""".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+    val q = NaiveBayes.score(model, stream, "id", "text")
+      .writeStream.format("memory").queryName("nbstream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT id, label, n_used, score FROM nbstream ORDER BY id, label")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // Batch parity: identical rows from the identical plan over a batch.
+    val want = NaiveBayes.score(model,
+        Seq((1L, "good good"), (2L, "bad"), (3L, "fine bad")).toDF("id", "text"),
+        "id", "text")
+      .orderBy("id", "label").as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == want)
+    // And the routing is right: 1 -> p, 2 -> n.
+    val best = got.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.maxBy(_._4)._2 }
+    assert(best(1L) == "p" && best(2L) == "n")
+  }
+
+  test("perceptual hashing rides a binary-column stream unchanged") {
+    // A 32x32 PGM with deterministic pixels, hex-encoded through JSON.
+    val px = Array.tabulate(1024)(i => ((i % 32) * 37 + (i / 32) * 71 +
+      (i % 32) * (i / 32) * 13) % 256)
+    val pgm = "P5 32 32 255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
+    val hexed = pgm.map(b => f"${b & 0xFF}%02x").mkString
+    val dir = graft.GraftTmp.dir("graft-sphash")
+    Files.write(dir.resolve("a.json"),
+      s"""{"id": 1, "hex": "$hexed"}""".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("hex", StringType)))
+    val q = spark.readStream.schema(schema).json(dir.toString)
+      .select(col("id"), Multimodal.imagePhash(unhex(col("hex"))).as("ph"))
+      .writeStream.format("memory").queryName("phstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT ph FROM phstream").as[Long].collect()
+    assert(got.toSeq ==
+      Seq(graft.expressions.MediaCodec.imagePhash(pgm).longValue()))
+  }
+}
