@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, TextFunctions => TF}
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -4786,6 +4786,24 @@ object SparkEntry {
         .select(col("doc_id"), col("m.n_frames").as("n_frames"),
           transform(col("m.mfcc"), c => round(c, 6)).as("mfcc"))
         .orderBy("doc_id")),
+
+    // --- 203. Unigram-LM tokenizer train + encode (rows-only: float EM) ---------------------------------
+    // The SentencePiece-family counterpart of q150's BPE: ONE distributed
+    // word-count pass caps the dictionary, EM + pruning run driver-side
+    // on it, and Viterbi encode ships the piece table inside a codegen'd
+    // expression. Float EM has no SQL oracle (declared rows-only);
+    // UnigramTokenizerSpec pins a hand-computed forward-backward
+    // iteration, convergence, tie rules, and the unknown-char fallback.
+    "q203_unigram_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = UnigramTokenizer.train(docs, "text", vocabSize = 200,
+        maxPieceLen = 6, emIters = 3)
+      docs
+        .select(col("doc_id"),
+          size(Retrieval.tokens(col("text"))).as("n_tokens"),
+          size(UnigramTokenizer.encode(col("text"), model)).as("n_pieces"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries

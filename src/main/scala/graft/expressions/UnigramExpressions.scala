@@ -1,0 +1,142 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Viterbi encoding against a fixed unigram-LM piece table (see
+  * [[graft.functions.UnigramTokenizer]]): per word, the single
+  * most-probable segmentation under the piece log-probabilities —
+  * SentencePiece's decode algorithm. The piece table rides inside the
+  * expression (broadcast with the serialized plan, the
+  * [[BpeEncodeExpr]] pattern), per-word results are memoized with the
+  * same bounded insertion-order map, and characters outside the
+  * training alphabet fall back to themselves at floor probability so
+  * encoding is total.
+  *
+  * Determinism: ties on total log-probability prefer the LONGER last
+  * piece — a fixed rule, not map iteration order (equal-length ties
+  * cannot arise: there is one substring per span).
+  */
+case class UnigramEncodeExpr(
+    child: Expression,
+    pieces: Array[String],
+    logProbs: Array[Double]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val FloorLogProb = -1e9
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      m.putIfAbsent(pieces(i), java.lang.Double.valueOf(logProbs(i)))
+      i += 1
+    }
+    m
+  }
+
+  @transient private lazy val maxPieceLen: Int =
+    if (pieces.isEmpty) 1 else pieces.map(_.length).max
+
+  // Bounded FIFO memo (see BpeEncodeExpr for the concurrency rationale).
+  @transient private lazy val memo =
+    new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[UTF8String]]): Boolean =
+        size() > 65536
+    }
+
+  def encodeWord(w: String): Array[UTF8String] = {
+    val cached = memo.get(w)
+    if (cached != null) return cached
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val backLen = new Array[Int](n + 1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var len = 1
+      val lenMax = math.min(j, maxPieceLen)
+      while (len <= lenMax) {
+        val i = j - len
+        if (best(i) != Double.NegativeInfinity) {
+          val sub = w.substring(i, j)
+          val lp = table.get(sub)
+          val score =
+            if (lp != null) best(i) + lp.doubleValue()
+            else if (len == 1) best(i) + FloorLogProb // unknown char
+            else Double.NegativeInfinity
+          // len iterates ascending, so >= on equal scores lets the
+          // longer piece win the tie.
+          if (score != Double.NegativeInfinity &&
+              (score > best(j) ||
+                (score == best(j) && len > backLen(j)))) {
+            best(j) = score
+            backLen(j) = len
+          }
+        }
+        len += 1
+      }
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = n
+    while (pos > 0) {
+      val len = backLen(pos)
+      out.prepend(UTF8String.fromString(w.substring(pos - len, pos)))
+      pos -= len
+    }
+    val arr = out.toArray
+    memo.put(w, arr)
+    arr
+  }
+
+  def encodeTokens(toks: ArrayData): ArrayData = {
+    if (toks == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < toks.numElements()) {
+      val w = toks.getUTF8String(i)
+      if (w != null && w.numChars() > 0) out ++= encodeWord(w.toString)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encodeTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unigramExpr", this,
+      classOf[UnigramEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$self.encodeTokens($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnigramEncodeExpr = copy(child = newChild)
+  override def prettyName: String = "graft_unigram_encode"
+
+  // Array members: structural equality for plan canonicalization.
+  override def equals(o: Any): Boolean = o match {
+    case u: UnigramEncodeExpr =>
+      u.child == child &&
+        java.util.Arrays.equals(pieces.asInstanceOf[Array[AnyRef]],
+          u.pieces.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(logProbs, u.logProbs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(
+      pieces.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.hashCode(logProbs)
+}

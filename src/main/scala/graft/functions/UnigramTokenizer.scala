@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer — the OTHER real-world tokenizer family
+  * beside [[Bpe]] (Kudo 2018, the algorithm behind SentencePiece's
+  * default model): a vocabulary of pieces with unigram probabilities,
+  * trained by EM over the segmentation lattice, decoding by Viterbi
+  * (most-probable segmentation). Where BPE greedily merges, unigram
+  * PRUNES from a rich seed — which is why it can score alternative
+  * segmentations and subword-regularize; for a data engine the point is
+  * parity: corpora tokenized for either family measure comparably.
+  *
+  * Scale shape (the [[Bpe]] architecture, deliberately): the corpus is
+  * touched EXACTLY ONCE — a distributed word-frequency aggregation with
+  * map-side combine, capped at the `maxVocab` most frequent words
+  * (published trainers do the same; rare tails contribute nothing).
+  * Seeding, EM (true forward-backward expectations, not hard counts) and
+  * pruning then run on the vocabulary-sized dictionary driver-side —
+  * O(dictWords * wordLen * maxPieceLen) per iteration, corpus-size-free.
+  * Encoding ships the learned piece table inside a codegen'd expression
+  * ([[graft.expressions.UnigramEncodeExpr]]) exactly like BPE's merge
+  * table.
+  *
+  * Documented divergence from the reference trainer: pruning keeps the
+  * highest-probability pieces rather than recomputing each piece's exact
+  * likelihood-loss delta (the common simplification); single-character
+  * pieces are never pruned, so any training-alphabet text stays
+  * encodable, and encode-time characters outside the alphabet fall back
+  * to themselves at floor probability.
+  */
+object UnigramTokenizer {
+
+  /** Parallel arrays, sorted by piece for determinism. */
+  final case class Model(pieces: Array[String], logProbs: Array[Double]) {
+    require(pieces.length == logProbs.length)
+  }
+
+  def train(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxVocab: Int = 100000,
+      maxPieceLen: Int = 8,
+      seedFactor: Int = 4,
+      emIters: Int = 4
+  ): Model = {
+    require(vocabSize >= 2 && maxPieceLen >= 1 && emIters >= 1)
+    val wordCounts: Array[(String, Long)] =
+      df.select(explode(Retrieval.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w"))
+        .limit(maxVocab)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    trainFromWordCounts(wordCounts, vocabSize, maxPieceLen, seedFactor, emIters)
+  }
+
+  /** Driver-side seeding + EM + pruning over a word-frequency dictionary
+    * — separated for direct testing (the [[Bpe.learnFromWordCounts]]
+    * precedent).
+    */
+  def trainFromWordCounts(
+      wordCounts: Array[(String, Long)],
+      vocabSize: Int,
+      maxPieceLen: Int = 8,
+      seedFactor: Int = 4,
+      emIters: Int = 4
+  ): Model = {
+    require(wordCounts.nonEmpty, "empty dictionary")
+    // ---- Seed: all substrings up to maxPieceLen, frequency-weighted.
+    val subFreq = scala.collection.mutable.HashMap.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val s = w.substring(i, i + l)
+          subFreq(s) = subFreq.getOrElse(s, 0L) + c
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = subFreq.keysIterator.filter(_.length == 1).toArray
+    val seedSize = math.max(vocabSize * seedFactor, chars.length + 1)
+    val multis = subFreq.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (s, f) => (-f * s.length, s) } // SP seeds by freq*len
+      .take(seedSize - chars.length)
+      .map(_._1)
+    var pieces: Array[String] = (chars ++ multis).sorted
+    // Init probs proportional to weighted frequency.
+    var logProbs: Array[Double] = {
+      val total = pieces.map(subFreq(_).toDouble).sum
+      pieces.map(p => math.log(subFreq(p) / total))
+    }
+
+    def emRound(): Unit = {
+      val idx = pieces.zipWithIndex.toMap
+      val expected = new Array[Double](pieces.length)
+      wordCounts.foreach { case (w, c) =>
+        val n = w.length
+        // Lattice edges: (start, pieceId) for every in-vocab substring.
+        val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+        val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+        alpha(0) = 0.0
+        var j = 1
+        while (j <= n) {
+          var i = math.max(0, j - maxPieceLen)
+          while (i < j) {
+            val id = idx.getOrElse(w.substring(i, j), -1)
+            if (id >= 0 && alpha(i) != Double.NegativeInfinity) {
+              alpha(j) = logAdd(alpha(j), alpha(i) + logProbs(id))
+            }
+            i += 1
+          }
+          j += 1
+        }
+        beta(n) = 0.0
+        var i = n - 1
+        while (i >= 0) {
+          var j2 = math.min(n, i + maxPieceLen)
+          while (j2 > i) {
+            val id = idx.getOrElse(w.substring(i, j2), -1)
+            if (id >= 0 && beta(j2) != Double.NegativeInfinity) {
+              beta(i) = logAdd(beta(i), logProbs(id) + beta(j2))
+            }
+            j2 -= 1
+          }
+          i -= 1
+        }
+        val z = alpha(n)
+        if (z != Double.NegativeInfinity) {
+          i = 0
+          while (i < n) {
+            var j3 = i + 1
+            val jMax = math.min(n, i + maxPieceLen)
+            while (j3 <= jMax) {
+              val id = idx.getOrElse(w.substring(i, j3), -1)
+              if (id >= 0 && alpha(i) != Double.NegativeInfinity &&
+                  beta(j3) != Double.NegativeInfinity) {
+                expected(id) +=
+                  c * math.exp(alpha(i) + logProbs(id) + beta(j3) - z)
+              }
+              j3 += 1
+            }
+            i += 1
+          }
+        }
+      }
+      // M-step: drop multi-char pieces EM gave up on, renormalize over
+      // the survivors.
+      val kept = pieces.indices.filter(i =>
+        pieces(i).length == 1 || expected(i) > 1e-12)
+      val total = kept.map(i => math.max(expected(i), 1e-12)).sum
+      pieces = kept.map(pieces(_)).toArray
+      logProbs = kept.map(i =>
+        math.log(math.max(expected(i), 1e-12) / total)).toArray
+    }
+
+    (1 to emIters).foreach(_ => emRound())
+    // ---- Prune to vocabSize: single chars always survive.
+    if (pieces.length > vocabSize) {
+      val charIdx = pieces.indices.filter(pieces(_).length == 1)
+      val multiIdx = pieces.indices.filter(pieces(_).length > 1)
+        .sortBy(i => (-logProbs(i), pieces(i)))
+        .take(math.max(0, vocabSize - charIdx.length))
+      val kept = (charIdx ++ multiIdx).sortBy(pieces(_))
+      pieces = kept.map(pieces(_)).toArray
+      logProbs = kept.map(logProbs(_)).toArray
+      emRound() // re-fit probabilities to the pruned vocabulary
+    }
+    Model(pieces, logProbs)
+  }
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a > b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** Viterbi-encode a text column's whitespace tokens into pieces. */
+  def encode(text: Column, model: Model): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.UnigramEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(
+          Retrieval.tokens(text)),
+        model.pieces, model.logProbs))
+}

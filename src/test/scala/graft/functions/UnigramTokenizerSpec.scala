@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer: a hand-computed EM trace (one full
+  * forward-backward iteration on a one-word dictionary), convergence to
+  * the whole-word piece, Viterbi encode semantics (prefer-longer ties,
+  * unknown-character fallback), pruning invariants, and the
+  * text-to-pieces column surface.
+  */
+class UnigramTokenizerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def probs(m: UnigramTokenizer.Model): Map[String, Double] =
+    m.pieces.zip(m.logProbs.map(math.exp)).toMap
+
+  test("one EM iteration reproduces the hand-computed expectations") {
+    // Dictionary {ab: 10}; seed pieces {a, b, ab} at P = 1/3 each.
+    // Lattice of "ab": path [ab] mass 1/3, path [a,b] mass 1/9 -> Z = 4/9.
+    // E: E[ab] = (1/3)/(4/9)*10 = 7.5, E[a] = E[b] = (1/9)/(4/9)*10 = 2.5.
+    // M: P(ab) = 7.5/12.5 = 0.6, P(a) = P(b) = 0.2.
+    val m = UnigramTokenizer.trainFromWordCounts(
+      Array(("ab", 10L)), vocabSize = 3, maxPieceLen = 2, emIters = 1)
+    assert(m.pieces.toSeq == Seq("a", "ab", "b"))
+    val p = probs(m)
+    assert(math.abs(p("ab") - 0.6) < 1e-12)
+    assert(math.abs(p("a") - 0.2) < 1e-12)
+    assert(math.abs(p("b") - 0.2) < 1e-12)
+  }
+
+  test("EM converges to the dominant whole-word piece") {
+    val m = UnigramTokenizer.trainFromWordCounts(
+      Array(("ab", 10L)), vocabSize = 3, maxPieceLen = 2, emIters = 8)
+    assert(probs(m)("ab") > 0.95)
+  }
+
+  test("probabilities sum to 1 and pruning respects vocabSize + alphabet") {
+    val dict = Array(("hello", 50L), ("help", 30L), ("world", 20L),
+      ("word", 10L))
+    val m = UnigramTokenizer.trainFromWordCounts(dict, vocabSize = 12,
+      maxPieceLen = 4, emIters = 3)
+    assert(math.abs(m.logProbs.map(math.exp).sum - 1.0) < 1e-9)
+    assert(m.pieces.length <= 12 ||
+      m.pieces.count(_.length == 1) == m.pieces.length,
+      "over-budget only if the alphabet alone exceeds it")
+    val chars = dict.flatMap(_._1.toSeq).distinct.map(_.toString)
+    assert(chars.forall(m.pieces.contains(_)), "single chars never pruned")
+  }
+
+  test("Viterbi encode: most-probable segmentation, longer piece wins ties") {
+    val m = UnigramTokenizer.Model(
+      Array("a", "ab", "b", "c"),
+      Array(math.log(0.2), math.log(0.4), math.log(0.2), math.log(0.2)))
+    val got = Seq("ab abc")
+      .toDF("text")
+      .select(UnigramTokenizer.encode(col("text"), m).as("p"))
+      .as[Seq[String]].collect().head
+    // "ab" -> [ab] (0.4 beats 0.2*0.2); "abc" -> [ab, c].
+    assert(got == Seq("ab", "ab", "c"))
+  }
+
+  test("unknown characters fall back to themselves; encoding is total") {
+    val m = UnigramTokenizer.Model(Array("a"), Array(0.0))
+    val got = Seq("axa")
+      .toDF("text")
+      .select(UnigramTokenizer.encode(col("text"), m).as("p"))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("a", "x", "a"))
+  }
+
+  test("end-to-end: train on a corpus column, encode, reruns identical") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 2 == 0) "running runner run" else "runway run"))
+      .toDF("id", "text")
+    val m = UnigramTokenizer.train(docs, "text", vocabSize = 20,
+      maxPieceLen = 4, emIters = 3)
+    assert(m.pieces.contains("run"), "shared stem must survive as a piece")
+    val enc = docs.select(col("id"),
+        UnigramTokenizer.encode(col("text"), m).as("p"))
+      .orderBy("id").as[(Long, Seq[String])].collect()
+    assert(enc.forall(_._2.nonEmpty))
+    assert(enc.forall { case (_, ps) => ps.forall(p =>
+      m.pieces.contains(p) || p.length == 1) })
+    val m2 = UnigramTokenizer.train(docs, "text", vocabSize = 20,
+      maxPieceLen = 4, emIters = 3)
+    assert(m.pieces.toSeq == m2.pieces.toSeq &&
+      m.logProbs.toSeq == m2.logProbs.toSeq, "training is deterministic")
+  }
+}
