@@ -174,6 +174,44 @@ object CrawlIngestDemo {
       sum(when(col("inner").startsWith("bundle for "), 1).otherwise(0))
         .as("roundtripped")).show()
 
+    // --- 15. speed-tier shipper streams: the kept corpus re-ships as
+    // LZ4-framed and snappy-framed payloads, round-tripping in-plan.
+    println("=== 15. LZ4 + snappy shipper round trip ===")
+    kept.select(
+        (decode(Multimodal.unlz4(Multimodal.lz4(
+          encode(col("text"), "UTF-8"))), "UTF-8") === col("text"))
+          .as("lz4_ok"),
+        (decode(Multimodal.unsnappy(Multimodal.snappy(
+          encode(col("text"), "UTF-8"))), "UTF-8") === col("text"))
+          .as("snappy_ok"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("lz4_ok") && col("snappy_ok"), 1).otherwise(0))
+          .as("roundtripped")).show()
+
+    // --- 16. model-based selection: KN-LM perplexity buckets (CCNet
+    // head/middle/tail) with an every-5th-document target slice.
+    val lm = graft.functions.NgramLm.train(
+      kept.where(xxhash64(col("uri")) % 5 === 0), "text")
+    val lmScored = graft.functions.NgramLm.score(lm,
+      kept.where(xxhash64(col("uri")) % 5 =!= 0), "uri", "text")
+    println("=== 16. KN-LM perplexity buckets ===")
+    lmScored.select(col("uri"),
+        when(col("ppl") <= 25, "head")
+          .when(col("ppl") <= 40, "middle").otherwise("tail").as("bucket"))
+      .groupBy("bucket").count().orderBy("bucket").show()
+
+    // --- 17. subword parity: the unigram-LM tokenizer beside BPE's
+    // census — the two real-world tokenizer families on one corpus.
+    val um = graft.functions.UnigramTokenizer.train(kept, "text",
+      vocabSize = 120, maxPieceLen = 5, emIters = 2)
+    println(s"=== 17. unigram tokenizer: ${um.pieces.length} pieces ===")
+    kept.select(
+        size(Retrieval.tokens(col("text"))).as("n_tokens"),
+        size(graft.functions.UnigramTokenizer.encode(col("text"), um))
+          .as("n_pieces"))
+      .agg((sum("n_pieces").cast("double") / sum("n_tokens"))
+        .as("pieces_per_token")).show()
+
     spark.stop()
   }
 }
