@@ -49,13 +49,25 @@ object MfccCodec {
     700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
 
   /** Triangular filterbank weights for one sample rate: NMels rows over
-    * the 257 non-negative bins. Cached per rate (a corpus has few).
+    * the 257 non-negative bins. Cached per rate — BOUNDED: a real corpus
+    * has a handful of rates, but the rate is a hostile-controllable
+    * 4-byte header field, so past 64 distinct rates the bank is computed
+    * per call instead of growing the cache (~53 KB per entry) without
+    * limit.
     */
   private val fbCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private val FbCacheMax = 64
 
-  private[expressions] def filterbank(sampleRate: Int): Array[Array[Double]] =
-    fbCache.computeIfAbsent(sampleRate, sr => {
+  private[expressions] def filterbank(sampleRate: Int): Array[Array[Double]] = {
+    val cached = fbCache.get(sampleRate)
+    if (cached != null) return cached
+    val built = buildFilterbank(sampleRate)
+    if (fbCache.size < FbCacheMax) fbCache.putIfAbsent(sampleRate, built)
+    built
+  }
+
+  private def buildFilterbank(sr: Int): Array[Array[Double]] = {
       val nBins = FftSize / 2 + 1
       val maxMel = melOf(sr / 2.0)
       // NMels + 2 edge points equally spaced in mel; filter m peaks at
@@ -78,7 +90,7 @@ object MfccCodec {
         m += 1
       }
       fb
-    })
+  }
 
   private val dctBasis: Array[Array[Double]] = Array.tabulate(NCoefs, NMels) {
     (n, m) => math.sqrt(2.0 / NMels) *

@@ -809,12 +809,18 @@ object Dedup {
     val cos = Similarity.cosine(col("vec"), col("cvec"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("__cos").desc, col("cid").asc)
+    // EAGER checkpoint: the assignment (broadcast cross join + per-id
+    // window) feeds BOTH sides of the pair self-join AND the final
+    // output — without it the k-way fan-out and its window shuffle
+    // execute three times (the dropBoilerplateLines precedent; also the
+    // SemDeDup recipe itself, which materializes cluster assignment).
     val assigned = df
       .crossJoin(broadcast(centroids))
       .withColumn("__cos", cos)
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1)
       .select(col("id"), col("vec"), col("cid").as("cluster"))
+      .localCheckpoint(true)
     val slim = assigned.select("cluster", "id", "vec")
     val dupIds = slim.as("l")
       .join(slim.as("r"),
