@@ -4804,6 +4804,20 @@ object SparkEntry {
           size(UnigramTokenizer.encode(col("text"), model)).as("n_pieces"))
         .orderBy("doc_id")
     }),
+
+    // --- 204. temperature-based source sampling, oracle-pinned ------------------------------------------
+    // The published multilingual mixing rule (p(s) proportional to
+    // n_s^alpha) at alpha = 0.5, half the corpus: per-language keep
+    // fractions derive from exact counts through IEEE-exact sqrt, the
+    // membership hash is md5 (both engines), and the per-stratum
+    // threshold is an exact-integer-derived hex string — so the oracle
+    // replays the KEPT ROW SET verbatim, not just its size.
+    "q204_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureSample(
+          t(s, d, "documents"), "lang", "doc_id",
+          alpha = 0.5, targetFraction = 0.5)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7381,6 +7395,28 @@ object SparkEntry {
         |  CAST(2 * (5 + length(CAST(doc_id AS VARCHAR))
         |    + 20 * ((doc_id % 5 + 1) * 8)) AS INT) AS lz4_concat_len,
         |  TRUE AS lz4_reject, TRUE AS snappy_reject
-        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Temperature sampling: per-language counts -> sqrt-weighted keep
+    // fractions -> exact hex thresholds -> md5 membership, replaying the
+    // kept set row-for-row.
+    "q204_temperature_mix" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS ntot,
+        |               SUM(sqrt(CAST(ns AS DOUBLE))) AS sw FROM n),
+        |f AS (SELECT lang,
+        |        LEAST(1.0, CAST(ntot AS DOUBLE) * 0.5
+        |          * (sqrt(CAST(ns AS DOUBLE)) / sw)
+        |          / CAST(ns AS DOUBLE)) AS frac
+        |      FROM n CROSS JOIN tot),
+        |th AS (SELECT lang, frac,
+        |         printf('%08x', CAST(FLOOR(frac * 4294967296) AS BIGINT))
+        |           AS thr
+        |       FROM f)
+        |SELECT d.lang, d.doc_id
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE th.frac >= 1.0
+        |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr
+        |ORDER BY d.lang, d.doc_id""".stripMargin
   )
 }

@@ -182,4 +182,57 @@ object Sampling {
         coalesce(col("log_weight"), lit(0.0)).as("log_weight"),
         coalesce(col("n_tokens"), lit(0L)).cast("int").as("n_tokens"))
   }
+
+  /** Temperature-based source sampling — the published multilingual
+    * mixing rule (mBERT/XLM-R style): sample sources with probability
+    * p(s) proportional to n_s^alpha, so alpha = 1 preserves the natural
+    * distribution and alpha -> 0 flattens it (low-resource languages get
+    * upsampled relative to their share). Given a target corpus fraction,
+    * each stratum keeps
+    *
+    *   keep_s = min(1, n_total * targetFraction * p(s) / n_s)
+    *
+    * of its rows, hash-deterministically (md5 of the id — the
+    * [[stratifiedTopKByHash]] engine-replayable weight, so membership
+    * depends only on content, never on partitioning or retries).
+    *
+    * Scale posture: ONE stratum-count aggregation (map-side combine)
+    * plus a 1-row total joined back as a broadcast cross join; the
+    * corpus itself is touched once by a row-local hash filter. The
+    * membership decision compares the id's first 8 md5 hex chars
+    * against a per-stratum hex threshold — exact-integer-derived, so an
+    * independent engine replays the kept set verbatim (alpha = 0.5 is
+    * fully bit-replayable: sqrt is IEEE-exact, where pow is not).
+    */
+  def temperatureSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      alpha: Double,
+      targetFraction: Double
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0,1]")
+    require(targetFraction > 0 && targetFraction <= 1,
+      "targetFraction must be in (0,1]")
+    val pw: Column => Column =
+      if (alpha == 0.5) sqrt(_)
+      else if (alpha == 1.0) identity
+      else c => pow(c, alpha)
+    val counts = df.groupBy(col(stratumCol).as("__s"))
+      .agg(count(lit(1)).as("__ns"))
+    val totals = counts.agg(sum(col("__ns")).as("__ntot"),
+      sum(pw(col("__ns").cast("double"))).as("__sw"))
+    val frac = least(lit(1.0),
+      col("__ntot").cast("double") * targetFraction *
+        (pw(col("__ns").cast("double")) / col("__sw")) /
+        col("__ns").cast("double"))
+    val thresholds = counts.crossJoin(broadcast(totals))
+      .select(col("__s"), frac.as("__frac"),
+        lpad(lower(hex(floor(frac * 4294967296L).cast("bigint"))), 8, "0")
+          .as("__thr"))
+    df.join(broadcast(thresholds), col(stratumCol) === col("__s"))
+      .where(col("__frac") >= 1.0 ||
+        substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr"))
+      .drop("__s", "__frac", "__thr")
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Temperature sampling: the alpha = 1 identity (natural distribution),
+  * the flattening direction (low-resource strata upsample relative to
+  * their share), the clamp, hash-determinism under repartitioning, and
+  * the exact threshold arithmetic.
+  */
+class TemperatureSampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 400 "en" rows, 100 "fr" rows, 25 "de" rows.
+  private def corpus() =
+    ((0 until 400).map(i => (i.toLong, "en")) ++
+      (400 until 500).map(i => (i.toLong, "fr")) ++
+      (500 until 525).map(i => (i.toLong, "de")))
+      .toDF("id", "lang")
+
+  private def keptBy(alpha: Double, f: Double): Map[String, Long] =
+    Sampling.temperatureSample(corpus(), "lang", "id", alpha, f)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+      .withDefaultValue(0L)
+
+  test("alpha = 1 keeps ~targetFraction of every stratum (natural mix)") {
+    val k = keptBy(1.0, 0.5)
+    // Expected per-stratum fraction is exactly 0.5; md5 uniformity gives
+    // binomial noise around it.
+    assert(math.abs(k("en") - 200.0) < 50, k.toString)
+    assert(math.abs(k("fr") - 50.0) < 25, k.toString)
+    assert(k("de") > 2 && k("de") < 23, k.toString)
+  }
+
+  test("alpha = 0.5 upsamples small strata relative to their share") {
+    val k = keptBy(0.5, 0.5)
+    // keep_s proportional to 1/sqrt(n_s): de's keep fraction must exceed
+    // en's by ~4x (sqrt(400/25)).
+    val fEn = k("en") / 400.0
+    val fDe = k("de") / 25.0
+    assert(fDe > fEn * 2, s"en $fEn de $fDe")
+  }
+
+  test("fractions above 1 clamp: tiny strata keep every row") {
+    // alpha = 0.5, targetFraction = 1: frac_de = 525*1*(5/sw)/25 > 1.
+    val k = keptBy(0.5, 1.0)
+    assert(k("de") == 25, k.toString)
+  }
+
+  test("membership is hash-deterministic and partitioning-invariant") {
+    val a = Sampling.temperatureSample(corpus(), "lang", "id", 0.5, 0.4)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureSample(corpus().repartition(13), "lang",
+        "id", 0.5, 0.4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("threshold hex arithmetic matches a hand check") {
+    // One stratum, frac = 0.5 exactly -> threshold 0x80000000; a row is
+    // kept iff its md5 hex8 < "80000000".
+    val df = (0L until 64L).map(i => (i, "x")).toDF("id", "lang")
+    val kept = Sampling.temperatureSample(df, "lang", "id", 1.0, 0.5)
+      .select("id").as[Long].collect().toSet
+    val want = (0L until 64L).filter { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val hex8 = d.take(4).map(b => f"${b & 0xFF}%02x").mkString
+      hex8 < "80000000"
+    }.toSet
+    assert(kept == want)
+  }
+}
