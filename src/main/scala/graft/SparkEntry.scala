@@ -4818,6 +4818,24 @@ object SparkEntry {
           alpha = 0.5, targetFraction = 0.5)
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
+
+    // --- 205. trigram Kneser-Ney perplexity, oracle-pinned ----------------------------------------------
+    // q197's full recursion: raw counts at the top order, CONTINUATION
+    // counts at every lower order (the KN insight), the backoff chain
+    // seen-trigram -> lambda*P2' -> P2'(w3|w2) -> Pc(w3) -> floor all
+    // exercised relationally. The oracle rebuilds all six model tables
+    // from the trigram type table and stages P2' exactly as the engine's
+    // expression tree does; 7-decimal round on the log-mean.
+    "q205_kn3_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train3(docs.where(col("doc_id") % 5 === 0), "text")
+      NgramLm.score3(model, docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_trans"),
+          round(col("avg_logp"), 7).as("avg_logp"),
+          round(exp(-round(col("avg_logp"), 7)), 6).as("ppl"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7417,6 +7435,73 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE th.frac >= 1.0
         |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr
-        |ORDER BY d.lang, d.doc_id""".stripMargin
+        |ORDER BY d.lang, d.doc_id""".stripMargin,
+
+    // Trigram KN: all six model tables rebuilt from the trigram type
+    // table; P2' staged, then the top-level CASE mirrors the engine's
+    // branch arithmetic exactly.
+    "q205_kn3_perplexity" ->
+      """WITH tgt AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tp AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        |  FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 2)) AS i
+        |        FROM tgt WHERE len(toks) >= 3)),
+        |tri AS (SELECT w1, w2, w3, COUNT(*) AS c123
+        |        FROM tp GROUP BY w1, w2, w3),
+        |p12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+        |          COUNT(*) AS n1p12 FROM tri GROUP BY w1, w2),
+        |mid AS (SELECT w2, w3, COUNT(*) AS cm FROM tri GROUP BY w2, w3),
+        |mp AS (SELECT w2, CAST(SUM(cm) AS BIGINT) AS cm2,
+        |         COUNT(*) AS n1pm FROM mid GROUP BY w2),
+        |cont AS (SELECT w3, COUNT(*) AS contc FROM mid GROUP BY w3),
+        |mt AS (SELECT COUNT(*) AS mtypes FROM mid),
+        |sd AS (
+        |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |sp AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 2)) AS i
+        |        FROM sd WHERE len(toks) >= 3)),
+        |j AS (
+        |  SELECT sp.doc_id, t.c123, f.c12, f.n1p12, m.cm, g.cm2, g.n1pm,
+        |    CAST(c.contc AS DOUBLE) / CAST(mt.mtypes AS DOUBLE) AS pcv
+        |  FROM sp
+        |  LEFT JOIN tri t ON sp.w1 = t.w1 AND sp.w2 = t.w2 AND sp.w3 = t.w3
+        |  LEFT JOIN p12 f ON sp.w1 = f.w1 AND sp.w2 = f.w2
+        |  LEFT JOIN mid m ON sp.w2 = m.w2 AND sp.w3 = m.w3
+        |  LEFT JOIN mp g ON sp.w2 = g.w2
+        |  LEFT JOIN cont c ON sp.w3 = c.w3
+        |  CROSS JOIN mt),
+        |x AS (
+        |  SELECT doc_id, c123, c12, n1p12,
+        |    CASE
+        |      WHEN cm IS NOT NULL THEN
+        |        (CAST(cm AS DOUBLE) - 0.75) / CAST(cm2 AS DOUBLE)
+        |        + 0.75 * CAST(n1pm AS DOUBLE) / CAST(cm2 AS DOUBLE) * pcv
+        |      WHEN cm2 IS NOT NULL THEN
+        |        0.75 * CAST(n1pm AS DOUBLE) / CAST(cm2 AS DOUBLE)
+        |        * COALESCE(pcv, 0.0)
+        |      ELSE COALESCE(pcv, 0.0)
+        |    END AS p2
+        |  FROM j),
+        |p AS (
+        |  SELECT doc_id, GREATEST(
+        |    CASE
+        |      WHEN c123 IS NOT NULL THEN
+        |        (CAST(c123 AS DOUBLE) - 0.75) / CAST(c12 AS DOUBLE)
+        |        + 0.75 * CAST(n1p12 AS DOUBLE) / CAST(c12 AS DOUBLE) * p2
+        |      WHEN c12 IS NOT NULL THEN
+        |        0.75 * CAST(n1p12 AS DOUBLE) / CAST(c12 AS DOUBLE) * p2
+        |      ELSE p2
+        |    END, 1e-10) AS prob
+        |  FROM x)
+        |SELECT doc_id, COUNT(*) AS n_trans,
+        |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp,
+        |  ROUND(exp(-ROUND(SUM(ln(prob)) / COUNT(*), 7)), 6) AS ppl
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -126,4 +126,116 @@ object NgramLm {
         (sum(log(col("__prob"))) / count(lit(1))).as("avg_logp"))
       .withColumn("ppl", exp(-col("avg_logp")))
   }
+
+  // ------------------------------------------------------------------
+  // Trigram interpolated KN — the full recursion the published filters
+  // run (KenLM's 5-gram is this chain, two levels deeper): the highest
+  // order uses RAW counts, every lower order uses CONTINUATION counts
+  // (N1+ types), which is the Kneser-Ney insight.
+  //
+  //   P3(w3|w1,w2) = (c123 - D)/c12. + D*N1+(w1w2*)/c12. * P2'(w3|w2)
+  //   P2'(w3|w2)   = (c'23 - D)/c'2. + D*N1+'(w2*)/c'2.  * Pc(w3)
+  //   Pc(w3)       = N1+'(*w3) / N1+'(**)
+  //
+  // with c123 raw trigram counts, c12. their prefix totals, c'23 =
+  // N1+(*,w2,w3) the distinct-left-context continuation counts, c'2.
+  // their per-w2 totals, and the bottom level counting distinct (w2,w3)
+  // continuation types. Every table rolls up from the trigram type
+  // table — the corpus is tokenized ONCE.
+
+  /** Trigram-KN model tables; all lazy plans until scored. */
+  final case class Kn3Model(
+      trigrams: DataFrame, // w1, w2, w3, c123
+      prefixes12: DataFrame, // w1, w2, c12 (= sum c123), n1p12 (distinct w3)
+      mids: DataFrame, // w2, w3, cm (= distinct w1) -- continuation bigrams
+      midPrefixes: DataFrame, // w2, cm2 (= sum cm), n1pm (distinct w3)
+      continuations: DataFrame, // w3, contc (= distinct w2 in mids)
+      types: DataFrame, // 1 row: mtypes (= total mid types)
+      discount: Double)
+
+  /** (id, w1, w2, w3) adjacent-token triple stream. */
+  private def triples(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column): DataFrame = {
+    val toks = df.select(col(idCol), tokenizer(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 3)
+    toks.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 2),
+          i => struct(element_at(col("__toks"), i).as("w1"),
+            element_at(col("__toks"), i + 1).as("w2"),
+            element_at(col("__toks"), i + 2).as("w3")))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"),
+        col("__p.w3").as("w3"))
+  }
+
+  /** Train the trigram KN model on `corpus(textCol)`. */
+  def train3(
+      corpus: DataFrame,
+      textCol: String,
+      discount: Double = 0.75,
+      tokenizer: Column => Column = Retrieval.tokens
+  ): Kn3Model = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val ts = triples(corpus.select(lit(0L).as("__id"), col(textCol)),
+      "__id", textCol, tokenizer)
+    val trigrams = ts.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val prefixes12 = trigrams.groupBy("w1", "w2")
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1p12"))
+    val mids = trigrams.groupBy("w2", "w3").agg(count(lit(1)).as("cm"))
+    val midPrefixes = mids.groupBy("w2")
+      .agg(sum(col("cm")).as("cm2"), count(lit(1)).as("n1pm"))
+    val continuations = mids.groupBy("w3").agg(count(lit(1)).as("contc"))
+    val types = mids.agg(count(lit(1)).as("mtypes"))
+    Kn3Model(trigrams, prefixes12, mids, midPrefixes, continuations, types,
+      discount)
+  }
+
+  /** Score `docs` under the trigram model: (idCol, n_trans, avg_logp,
+    * ppl) over each document's adjacent triples. Backoff chain per
+    * triple: seen trigram -> full interpolation; seen (w1,w2) context ->
+    * lambda * P2'; seen w2 context -> P2'(w3|w2); else Pc(w3); floored.
+    */
+  def score3(
+      model: Kn3Model,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      floor: Double = 1e-10,
+      tokenizer: Column => Column = Retrieval.tokens
+  ): DataFrame = {
+    require(floor > 0, "floor must be positive")
+    val d = model.discount
+    val ts = triples(docs, idCol, textCol, tokenizer)
+    val pc = col("contc").cast("double") / col("mtypes").cast("double")
+    val p2 =
+      when(col("cm").isNotNull,
+        (col("cm").cast("double") - d) / col("cm2").cast("double")
+          + lit(d) * col("n1pm").cast("double") / col("cm2").cast("double")
+            * pc)
+        .when(col("cm2").isNotNull,
+          lit(d) * col("n1pm").cast("double") / col("cm2").cast("double")
+            * coalesce(pc, lit(0.0)))
+        .otherwise(coalesce(pc, lit(0.0)))
+    val prob =
+      when(col("c123").isNotNull,
+        (col("c123").cast("double") - d) / col("c12").cast("double")
+          + lit(d) * col("n1p12").cast("double") / col("c12").cast("double")
+            * p2)
+        .when(col("c12").isNotNull,
+          lit(d) * col("n1p12").cast("double") / col("c12").cast("double")
+            * p2)
+        .otherwise(p2)
+    val scored = ts
+      .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(model.prefixes12, Seq("w1", "w2"), "left")
+      .join(model.mids, Seq("w2", "w3"), "left")
+      .join(model.midPrefixes, Seq("w2"), "left")
+      .join(model.continuations, Seq("w3"), "left")
+      .crossJoin(broadcast(model.types))
+      .withColumn("__prob", greatest(prob, lit(floor)))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_trans"),
+        (sum(log(col("__prob"))) / count(lit(1))).as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
 }

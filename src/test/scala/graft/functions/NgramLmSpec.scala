@@ -94,6 +94,56 @@ class NgramLmSpec extends SparkTestBase {
     assert(out.select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  // ---- trigram recursion ------------------------------------------------
+
+  // Corpus "a b c a b c": triples (a,b,c) x2, (b,c,a), (c,a,b).
+  // tri: abc 2, bca 1, cab 1. p12: (a,b) c12=2 n1p=1; (b,c) 1,1; (c,a) 1,1.
+  // mids (distinct-w1): (b,c) 1, (c,a) 1, (a,b) 1 -> all cm2=1, n1pm=1.
+  // cont: a,b,c each 1; mtypes=3 -> Pc = 1/3 each.
+  private def model3(): NgramLm.Kn3Model =
+    NgramLm.train3(Seq("a b c a b c").toDF("text"), "text")
+
+  private def score3One(text: String): (Long, Double) = {
+    val out = NgramLm.score3(model3(), Seq((1L, text)).toDF("id", "text"),
+      "id", "text")
+    val r = out.select("n_trans", "avg_logp").as[(Long, Double)].collect()
+    assert(r.length == 1)
+    r.head
+  }
+
+  test("trigram model tables carry the hand-computed counts") {
+    val m = model3()
+    assert(m.trigrams.as[(String, String, String, Long)].collect().toSet ==
+      Set(("a", "b", "c", 2L), ("b", "c", "a", 1L), ("c", "a", "b", 1L)))
+    assert(m.prefixes12.as[(String, String, Long, Long)].collect().toSet ==
+      Set(("a", "b", 2L, 1L), ("b", "c", 1L, 1L), ("c", "a", 1L, 1L)))
+    assert(m.mids.as[(String, String, Long)].collect().toSet ==
+      Set(("b", "c", 1L), ("c", "a", 1L), ("a", "b", 1L)))
+    assert(m.types.as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("trigram scoring: all four backoff paths, hand-computed") {
+    // Seen trigram (a,b,c): P2'(c|b) = .25/1 + .75*(1/3) = 0.5;
+    // P3 = (2-.75)/2 + .75*1/2*0.5 = 0.8125.
+    val (n1, s1) = score3One("a b c")
+    assert(n1 == 1 && math.abs(s1 - math.log(0.8125)) < 1e-12)
+    // Unseen (z,b) context, seen w2=b: P = P2'(c|b) = 0.5.
+    val (_, s2) = score3One("z b c")
+    assert(math.abs(s2 - math.log(0.5)) < 1e-12)
+    // Unseen w2 context (x,y,a): P = Pc(a) = 1/3.
+    val (_, s3) = score3One("x y a")
+    assert(math.abs(s3 - math.log(1.0 / 3)) < 1e-12)
+    // Seen (b,c) context, dead-end continuation z: lambda * 0 -> floor.
+    val (_, s4) = score3One("b c z")
+    assert(math.abs(s4 - math.log(1e-10)) < 1e-9)
+  }
+
+  test("trigram needs three tokens; shorter docs drop") {
+    val out = NgramLm.score3(model3(),
+      Seq((1L, "a b"), (2L, "a b c")).toDF("id", "text"), "id", "text")
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("unigram probabilities sum to ~1 over the seen-prefix rows") {
     // For prefix a (all continuations seen from a): sum over model vocab of
     // P(w|a) = [(2-.75)/3 + (1-.75)/3] + lambda(a) * sum Pcont = 1 exactly
