@@ -4836,6 +4836,22 @@ object SparkEntry {
           round(exp(-round(col("avg_logp"), 7)), 6).as("ppl"))
         .orderBy("doc_id")
     }),
+
+    // --- 206. margin-based parallel-pair mining, oracle-pinned ------------------------------------------
+    // The CCMatrix/LASER bitext criterion on two disjoint embedding
+    // slices: raw cosine normalized by both sides' k-NN neighborhood
+    // averages, forward pairs above the ratio threshold. The oracle
+    // replays the full score matrix, both rank windows, both averages
+    // and the margin arithmetic; decisions compare at ROUND(margin, 6).
+    "q206_margin_mining" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.marginPairs(
+          e.where(col("vec_id") < 300)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          e.where(col("vec_id") >= 300 && col("vec_id") < 600)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          k = 4, threshold = 1.05)
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7502,6 +7518,30 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_trans,
         |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp,
         |  ROUND(exp(-ROUND(SUM(ln(prob)) / COUNT(*), 7)), 6) AS ppl
-        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Margin mining: full score matrix + both rank windows + both
+    // neighborhood averages + the ratio margin, replayed exactly.
+    "q206_margin_mining" ->
+      """WITH s AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS sv
+        |           FROM embeddings WHERE vec_id < 300),
+        |tt AS (SELECT vec_id AS tid, embedding::DOUBLE[] AS tv
+        |       FROM embeddings WHERE vec_id >= 300 AND vec_id < 600),
+        |r AS (SELECT sid, tid, list_cosine_similarity(sv, tv) AS cos,
+        |        ROW_NUMBER() OVER (PARTITION BY sid
+        |          ORDER BY list_cosine_similarity(sv, tv) DESC, tid) AS rf,
+        |        ROW_NUMBER() OVER (PARTITION BY tid
+        |          ORDER BY list_cosine_similarity(sv, tv) DESC, sid) AS rb
+        |      FROM s CROSS JOIN tt),
+        |fa AS (SELECT sid, AVG(cos) AS avgx FROM r WHERE rf <= 4 GROUP BY sid),
+        |ba AS (SELECT tid, AVG(cos) AS avgy FROM r WHERE rb <= 4 GROUP BY tid)
+        |SELECT r.sid, r.tid, ROUND(r.cos, 6) AS cos,
+        |  ROUND(r.cos / ((fa.avgx + ba.avgy) / 2.0), 6) AS margin
+        |FROM r
+        |JOIN fa ON r.sid = fa.sid
+        |JOIN ba ON r.tid = ba.tid
+        |WHERE r.rf <= 4
+        |  AND ROUND(r.cos / ((fa.avgx + ba.avgy) / 2.0), 6) >= 1.05
+        |ORDER BY margin DESC, r.sid, r.tid""".stripMargin
   )
 }

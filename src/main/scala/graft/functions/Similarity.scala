@@ -97,6 +97,58 @@ object Similarity {
     * `(table, bucket, id)` triples cross the candidate shuffle; vectors are
     * re-joined for the candidate pairs only.
     */
+  /** Margin-based parallel-pair mining (the Artetxe & Schwenk "ratio"
+    * margin, the published CCMatrix/LASER bitext-mining criterion):
+    * a source/target pair scores
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNNk(x) + avgNNk(y)) / 2)
+    *
+    * — raw cosine normalized by how crowded each side's neighborhood is,
+    * which kills hub vectors that score high against EVERYTHING (the
+    * failure mode of plain cosine thresholds for mined translation
+    * pairs). Returns forward-neighbor pairs above `threshold`.
+    *
+    * This is the BRUTE anchor (one broadcast cross score of the two
+    * slices, both top-k windows and both neighborhood averages derived
+    * from that single matrix — eagerly checkpointed so the three
+    * consumers don't recompute it): exact, oracle-replayable, and the
+    * right tool for bounded candidate slices. At web scale the same
+    * margin arithmetic composes over [[Ivf.knn]] candidate lists
+    * instead of the full matrix. The threshold decision and output
+    * round at 6 decimals (the q199 cross-engine convention).
+    */
+  def marginPairs(
+      src: DataFrame, // (id, vec)
+      tgt: DataFrame, // (id, vec)
+      k: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val s = src.select(col("id").as("sid"), col("vec").as("svec"))
+    val tdf = tgt.select(col("id").as("tid"), col("vec").as("tvec"))
+    val wf = Window.partitionBy("sid").orderBy(desc("cos"), col("tid"))
+    val wb = Window.partitionBy("tid").orderBy(desc("cos"), col("sid"))
+    val ranked = s.join(broadcast(tdf))
+      .withColumn("cos", cosine(col("svec"), col("tvec")))
+      .select(col("sid"), col("tid"), col("cos"))
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+      .localCheckpoint(true)
+    val fAvg = ranked.where(col("rf") <= k)
+      .groupBy("sid").agg(avg(col("cos")).as("avgx"))
+    val bAvg = ranked.where(col("rb") <= k)
+      .groupBy("tid").agg(avg(col("cos")).as("avgy"))
+    ranked.where(col("rf") <= k)
+      .join(fAvg, Seq("sid"))
+      .join(bAvg, Seq("tid"))
+      .withColumn("margin",
+        col("cos") / ((col("avgx") + col("avgy")) / 2.0))
+      .where(round(col("margin"), 6) >= threshold)
+      .select(col("sid"), col("tid"), round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy(desc("margin"), col("sid"), col("tid"))
+  }
+
   def embeddingNearDupPairs(
       df: DataFrame, // (id, vec)
       threshold: Double,

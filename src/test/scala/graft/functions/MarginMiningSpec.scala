@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Margin-based pair mining: hand-computed ratio margins, the
+  * hub-suppression property the margin exists for (plain cosine ranks a
+  * hub pair above a genuine pair; the margin reverses that), forward
+  * top-k candidate bounding, and determinism.
+  */
+class MarginMiningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df(rows: (Long, Seq[Float])*) = rows.toDF("id", "vec")
+
+  test("hand-computed margin on a 1-NN toy") {
+    // src x = e1; tgt: y1 = e1 (cos 1), y2 = (1,1)/sqrt2 (cos ~.7071).
+    // k=2: avgx = (1 + .70710678)/2; y1's backward avg = 1 (only x);
+    // margin(x,y1) = 1 / ((avgx + 1)/2).
+    val src = df(1L -> Seq(1f, 0f))
+    val tgt = df(10L -> Seq(1f, 0f), 11L -> Seq(1f, 1f))
+    val got = Similarity.marginPairs(src, tgt, k = 2, threshold = 0.0)
+      .select("tid", "cos", "margin").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val c2 = 1.0 / math.sqrt(2)
+    val avgx = (1.0 + c2) / 2
+    assert(math.abs(got(10L)._3 - 1.0 / ((avgx + 1.0) / 2)) < 1e-6)
+    assert(math.abs(got(11L)._3 - c2 / ((avgx + c2) / 2)) < 1e-6)
+  }
+
+  test("the margin suppresses hubs that plain cosine rewards") {
+    // Target hub h sits at the centroid of many sources (high cosine to
+    // ALL of them); target g is a genuine partner of source s0 only.
+    // Plain cosine: (s1, h) outranks or rivals (s0, g). Margin: the hub
+    // pair normalizes away (crowded neighborhoods on both sides) while
+    // the genuine pair keeps a high ratio.
+    val srcs = df(
+      0L -> Seq(1f, 0f, 0.3f), 1L -> Seq(0.9f, 0.1f, 0.3f),
+      2L -> Seq(0.8f, 0.2f, 0.3f), 3L -> Seq(0.9f, 0.2f, 0.3f))
+    val tgts = df(
+      100L -> Seq(0.88f, 0.12f, 0.3f), // hub: near every source
+      101L -> Seq(1f, 0f, 0.31f), // genuine partner of source 0
+      102L -> Seq(0f, 1f, 0f), 103L -> Seq(0f, 0.9f, 0.44f))
+    val out = Similarity.marginPairs(srcs, tgts, k = 3, threshold = 0.0)
+      .select("sid", "tid", "margin").as[(Long, Long, Double)].collect()
+    val genuine = out.find(r => r._1 == 0L && r._2 == 101L).get._3
+    val hubMargins = out.filter(_._2 == 100L).map(_._3)
+    assert(hubMargins.forall(genuine > _),
+      s"genuine $genuine vs hub ${hubMargins.mkString(",")}")
+  }
+
+  test("only forward top-k pairs are candidates; threshold gates on round-6") {
+    val src = df(1L -> Seq(1f, 0f))
+    val tgt = df(10L -> Seq(1f, 0f), 11L -> Seq(0.9f, 0.1f),
+      12L -> Seq(0.5f, 0.5f), 13L -> Seq(0f, 1f))
+    val all = Similarity.marginPairs(src, tgt, k = 2, threshold = 0.0)
+      .select("tid").as[Long].collect().toSet
+    assert(all == Set(10L, 11L), "k = 2 keeps exactly the top-2 forward")
+    val none = Similarity.marginPairs(src, tgt, k = 2, threshold = 99.0)
+    assert(none.count() == 0)
+  }
+
+  test("deterministic across reruns and repartitioning") {
+    val src = df((0L until 20L).map(i =>
+      i -> Seq((i % 5).toFloat + 1, (i % 3).toFloat, 1f)): _*)
+    val tgt = df((100L until 120L).map(i =>
+      i -> Seq((i % 4).toFloat + 1, (i % 7).toFloat, 1f)): _*)
+    val a = Similarity.marginPairs(src, tgt, 3, 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val b = Similarity.marginPairs(src.repartition(7), tgt.repartition(3),
+        3, 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
