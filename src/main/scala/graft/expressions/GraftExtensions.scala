@@ -297,6 +297,8 @@ object GraftExtensions {
     "graft_tar_entries" -> (classOf[TarEntriesExpr], TarEntriesExpr(_)),
     "graft_ogg_header" -> (classOf[OggHeaderExpr], OggHeaderExpr(_)),
     "graft_pii_redact" -> (classOf[PiiRedactExpr], PiiRedactExpr(_)),
+    "graft_secrets_redact" ->
+      (classOf[SecretsRedactExpr], SecretsRedactExpr(_)),
     "graft_repetition_stats" ->
       (classOf[RepetitionStatsExpr], RepetitionStatsExpr(_)),
     "graft_bzip2" -> (classOf[Bzip2Expr], Bzip2Expr(_)),

@@ -1,0 +1,167 @@
+package graft.expressions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Credential/secret detection + redaction for CODE corpora — the other
+  * half of pre-release hygiene beside [[PiiCodec]]: the published
+  * BigCode/StarCoder pipelines sweep leaked credentials out of source
+  * files before training, and the detector rule shapes here are the
+  * public detect-secrets/gitleaks ones — provider-prefixed key formats
+  * plus a keyword-context generic with a Shannon-entropy gate.
+  *
+  * Deliberately CONSERVATIVE (a false redaction corrupts code; a rare
+  * miss does not):
+  *  - PEM private-key blocks: BEGIN...END inclusive (truncated blocks
+  *    redact to end-of-text — a leaked prefix is still a leak);
+  *  - AWS access key ids (AKIA/ASIA/ABIA/ACCA + 16 uppercase base-32),
+  *    boundary-guarded;
+  *  - GitHub tokens (ghp_/gho_/ghu_/ghs_/ghr_ + 36+), Slack tokens
+  *    (xox[baprs]-...), Google API keys (AIza + 35);
+  *  - JWTs (three dot-joined base64url segments, eyJ header);
+  *  - generic ASSIGNED secrets: `password/secret/token/api_key/auth`
+  *    followed by = or :, a quoted 16-64 char value, redacted ONLY if
+  *    its Shannon entropy exceeds 3.0 bits/char — `password = "hunter2"`
+  *    and repeated-char placeholders stay untouched; the VALUE alone is
+  *    masked, the keyword and quotes survive.
+  *
+  * Precedence pem > aws > github > slack > google > jwt > assigned;
+  * spans claimed left-to-right per category, later categories cannot
+  * overlap an earlier claim (the [[PiiCodec]] machinery).
+  */
+object SecretsCodec {
+
+  private val Pem = Pattern.compile(
+    "-----BEGIN [A-Z ]*PRIVATE KEY-----" +
+      "(?:[\\s\\S]*?-----END [A-Z ]*PRIVATE KEY-----|[\\s\\S]*\\z)")
+  private val Aws = Pattern.compile(
+    "(?<![A-Z0-9])(?:AKIA|ASIA|ABIA|ACCA)[A-Z0-9]{16}(?![A-Z0-9])")
+  private val Github = Pattern.compile(
+    "(?<![A-Za-z0-9])gh[pousr]_[A-Za-z0-9]{36,255}(?![A-Za-z0-9])")
+  private val Slack = Pattern.compile(
+    "(?<![A-Za-z0-9])xox[baprs]-[A-Za-z0-9-]{10,}(?![A-Za-z0-9-])")
+  private val Google = Pattern.compile(
+    "(?<![A-Za-z0-9_-])AIza[0-9A-Za-z_-]{35}(?![0-9A-Za-z_-])")
+  private val Jwt = Pattern.compile(
+    "(?<![A-Za-z0-9_-])eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}" +
+      "\\.[A-Za-z0-9_-]{5,}(?![A-Za-z0-9_-])")
+  private val Assigned = Pattern.compile(
+    "(?i)(password|passwd|secret|token|api_key|apikey|auth)" +
+      "(\\s*[:=]\\s*[\"'])([A-Za-z0-9+/_=-]{16,64})([\"'])")
+
+  /** Shannon entropy in bits per character. */
+  def entropyBits(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Character, Integer]()
+    var i = 0
+    while (i < s.length) {
+      counts.merge(s.charAt(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().doubleValue() / s.length
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    h
+  }
+
+  private final class Span(val start: Int, val end: Int, val tag: String)
+
+  private def claim(spans: java.util.ArrayList[Span], s: Int, e: Int,
+      tag: String): Boolean = {
+    var i = 0
+    while (i < spans.size()) {
+      val sp = spans.get(i)
+      if (s < sp.end && sp.start < e) return false
+      i += 1
+    }
+    spans.add(new Span(s, e, tag))
+    true
+  }
+
+  val Schema: StructType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_pem", IntegerType, nullable = false),
+    StructField("n_keys", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_assigned", IntegerType, nullable = false)))
+
+  def redact(u: UTF8String): GenericInternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val spans = new java.util.ArrayList[Span]()
+    var nPem = 0; var nKeys = 0; var nTokens = 0; var nAssigned = 0
+
+    val pm = Pem.matcher(s)
+    while (pm.find())
+      if (claim(spans, pm.start, pm.end, "<PRIVATE_KEY>")) nPem += 1
+    val am = Aws.matcher(s)
+    while (am.find())
+      if (claim(spans, am.start, am.end, "<AWS_KEY>")) nKeys += 1
+    val gm = Github.matcher(s)
+    while (gm.find())
+      if (claim(spans, gm.start, gm.end, "<GITHUB_TOKEN>")) nTokens += 1
+    val sm = Slack.matcher(s)
+    while (sm.find())
+      if (claim(spans, sm.start, sm.end, "<SLACK_TOKEN>")) nTokens += 1
+    val km = Google.matcher(s)
+    while (km.find())
+      if (claim(spans, km.start, km.end, "<GOOGLE_KEY>")) nKeys += 1
+    val jm = Jwt.matcher(s)
+    while (jm.find())
+      if (claim(spans, jm.start, jm.end, "<JWT>")) nTokens += 1
+    val asg = Assigned.matcher(s)
+    while (asg.find()) {
+      val value = asg.group(3)
+      if (entropyBits(value) > 3.0 &&
+          claim(spans, asg.start(3), asg.end(3), "<SECRET>")) nAssigned += 1
+    }
+
+    val redacted =
+      if (spans.isEmpty) u
+      else {
+        spans.sort((a, b) => Integer.compare(a.start, b.start))
+        val out = new java.lang.StringBuilder(s.length)
+        var pos = 0
+        var i = 0
+        while (i < spans.size()) {
+          val sp = spans.get(i)
+          out.append(s, pos, sp.start).append(sp.tag)
+          pos = sp.end
+          i += 1
+        }
+        out.append(s, pos, s.length)
+        UTF8String.fromString(out.toString)
+      }
+    new GenericInternalRow(
+      Array[Any](redacted, nPem, nKeys, nTokens, nAssigned))
+  }
+}
+
+/** `string` -> `struct<redacted,n_pem,n_keys,n_tokens,n_assigned>`:
+  * typed-placeholder secret masking with per-category hit counts, one
+  * compiled-regex pass, codegen'd.
+  */
+case class SecretsRedactExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = SecretsCodec.Schema
+  override def nullSafeEval(input: Any): Any =
+    SecretsCodec.redact(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SecretsCodec.redact($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : SecretsRedactExpr = copy(child = newChild)
+  override def prettyName: String = "graft_secrets_redact"
+}

@@ -388,6 +388,18 @@ object TextFunctions {
       graft.expressions.PiiRedactExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Credential/secret redaction ([[graft.expressions.SecretsRedactExpr]]):
+    * PEM private-key blocks, provider-prefixed keys (AWS/Google), tokens
+    * (GitHub/Slack/JWT), and keyword-assigned quoted values gated on
+    * Shannon entropy, masked with typed placeholders —
+    * `struct<redacted,n_pem,n_keys,n_tokens,n_assigned>`. The CODE-corpus
+    * hygiene sweep beside [[piiRedact]].
+    */
+  def secretsRedact(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SecretsRedactExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Crawl-frontier URL canonicalization
     * ([[graft.expressions.UrlCanonicalizeExpr]]): RFC 3986 syntax
     * normalization (case, default ports, dot-segments, percent-escape
