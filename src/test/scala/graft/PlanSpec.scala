@@ -466,8 +466,9 @@ class PlanSpec extends SparkTestBase {
     assert(pairJoins.nonEmpty, s"cluster-keyed pair join missing: $p")
   }
 
-  test("r11 constructed-payload queries (phash/lz4/mfcc) plan as narrow maps") {
-    for (q <- Seq("q200_image_phash_dct", "q201_lz4_snappy", "q202_mfcc")) {
+  test("r11 constructed-payload queries (phash/lz4/mfcc/secrets) plan as narrow maps") {
+    for (q <- Seq("q200_image_phash_dct", "q201_lz4_snappy", "q202_mfcc",
+        "q207_secrets_redact")) {
       val p = plan(q)
       val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toList
       assert(exchanges.count(_.contains("rangepartitioning")) <= 1, s"$q: $p")
@@ -475,5 +476,21 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
         s"$q: $p")
     }
+  }
+
+  test("q204 temperature sampling: broadcast thresholds, corpus scanned once") {
+    // The corpus side must meet the (tiny) per-stratum threshold table
+    // through a broadcast join — a shuffle of the corpus for a 5-row
+    // dimension would be the classic scale mistake.
+    val p = plan("q204_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q205 trigram scoring joins all six model tables by equi-keys") {
+    val p = plan("q205_kn3_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial"), s"map-side aggregation expected: $p")
   }
 }
