@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The `binaryFile` source is how raw media/doc files enter a Spark
+  * pipeline (batch AND structured streaming): path, modificationTime,
+  * length, content. These specs pin that the whole media ladder runs
+  * directly over its `content` column — batch glob-filtered ingest, and
+  * a file-arrival STREAM feeding perceptual hashing — so the engine's
+  * operators compose with the standard ingestion path, not just with
+  * constructed in-plan payloads.
+  */
+class BinaryFileIngestSpec extends SparkTestBase {
+
+  private def pgm(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val px = Array.tabulate(w * h)(i =>
+      (((i % w) * 37 + (i / w) * 71 + (i % w) * (i / w) * 13 + seed) % 256)
+        .toByte)
+    s"P5 $w $h 255\n".getBytes("US-ASCII") ++ px
+  }
+
+  private def wav(n: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(2 * n)
+    (0 until n).foreach(i => bb.putShort((i * 131 % 8000).toShort))
+    bb.array()
+  }
+
+  test("batch: glob-filtered binaryFile scan feeds the media ladder") {
+    val dir = graft.GraftTmp.dir("graft-binfile")
+    Files.write(dir.resolve("a.pgm"), pgm(40, 40, 1))
+    Files.write(dir.resolve("b.pgm"), pgm(40, 40, 2))
+    Files.write(dir.resolve("c.wav"), wav(1024))
+    Files.write(dir.resolve("note.txt"), "not media".getBytes)
+    val images = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pgm").load(dir.toString)
+      .select(col("path"), col("length"),
+        Multimodal.imagePhash(col("content")).as("ph"),
+        Multimodal.imageHash(col("content")).as("h"))
+      .collect()
+    assert(images.length == 2)
+    assert(images.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+    val wantA = graft.expressions.MediaCodec.imagePhash(pgm(40, 40, 1))
+    val gotA = images.find(_.getString(0).endsWith("a.pgm")).get.getLong(2)
+    assert(gotA == wantA.longValue(), "file content == constructed payload")
+    val audio = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir.toString)
+      .select(Multimodal.mfcc(col("content")).as("m"))
+      .collect()
+    assert(audio.length == 1 && !audio.head.isNullAt(0))
+  }
+
+  test("streaming: file-arrival binaryFile stream feeds perceptual hashing") {
+    val dir = graft.GraftTmp.dir("graft-binstream")
+    Files.write(dir.resolve("x.pgm"), pgm(32, 32, 7))
+    Files.write(dir.resolve("y.pgm"), pgm(32, 32, 9))
+    // Streaming sources need the schema up front; binaryFile's is fixed.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.pgm").load(dir.toString)
+      .select(col("path"), Multimodal.imagePhash(col("content")).as("ph"))
+      .writeStream.format("memory").queryName("binstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT ph FROM binstream").collect().map(_.getLong(0))
+    assert(got.toSet == Set(
+      graft.expressions.MediaCodec.imagePhash(pgm(32, 32, 7)).longValue(),
+      graft.expressions.MediaCodec.imagePhash(pgm(32, 32, 9)).longValue()))
+  }
+}
