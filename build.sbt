@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 200+-query run keeps thousands of whole-stage-codegen classes
+  // live (Bench raises spark.sql.codegen.cache.maxEntries so reps reuse
+  // compiled stages instead of recompiling); give the JIT room for all
+  // of them to stay compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -9,6 +9,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 200+ distinct queries generate far more codegen stages than the
+      // default 100-entry compiled-class cache holds: with the default,
+      // every interleaved rep re-COMPILES every stage it revisits (the
+      // cache was fully evicted in between), taxing each sample a
+      // uniform ~10-15% — measured as "fresh-JVM subsets run at
+      // committed speed while the same queries inside a full pass run
+      // slow, independent of position". Size the cache to the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Execute the query's OWN physical plan (sorts, projections and all).

@@ -121,11 +121,14 @@ object CrawlIngestDemo {
     // corpus (typed placeholders; Luhn/range-validated patterns).
     val hygiene = kept.select(col("uri"),
       TextFunctions.piiRedact(col("text")).as("pii"),
+      TextFunctions.secretsRedact(col("text")).as("sec"),
       TextFunctions.licenseId(col("text")).as("lic"))
-    println("=== 11. PII + license census ===")
+    println("=== 11. PII + secrets + license census ===")
     hygiene.agg(sum("pii.n_emails").as("emails"),
       sum("pii.n_phones").as("phones"), sum("pii.n_ips").as("ips"),
       sum("pii.n_cards").as("cards"),
+      (sum("sec.n_pem") + sum("sec.n_keys") + sum("sec.n_tokens")
+        + sum("sec.n_assigned")).as("secrets"),
       count(col("lic.license")).as("licensed_docs")).show()
 
     // --- 12. intra-site boilerplate: shared nav/footer lines removed
