@@ -4885,6 +4885,30 @@ object SparkEntry {
           col("v.n_assigned").as("n_assigned"))
         .orderBy("doc_id")
     }),
+
+    // --- 208. paragraph-granular LM scoring, oracle-pinned ----------------------------------------------
+    // The granularity CCNet actually filters at: each scored document is
+    // three constructed paragraphs — target-like corpus text, a junk
+    // block of unseen words (every transition floors), and a short
+    // corpus slice — and each paragraph gets its own perplexity, so the
+    // junk block is separable from the good page around it. Segment
+    // split, the q197 model, and every per-segment probability replay
+    // relationally; sub-2-token segments drop on both engines.
+    "q208_paragraph_ppl" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train(docs.where(col("doc_id") % 5 === 0), "text")
+      val text3 = concat(
+        substring(col("text"), 1, 80), lit("\n\n"),
+        lit("zz qq vv zz qq vv"), lit("\n\n"),
+        substring(col("text"), 41, 40))
+      NgramLm.scoreSegments(model,
+          docs.where(col("doc_id") % 5 =!= 0)
+            .withColumn("text3", text3),
+          "doc_id", "text3")
+        .select(col("doc_id"), col("seg"), col("n_trans"),
+          round(col("avg_logp"), 7).as("avg_logp"))
+        .orderBy("doc_id", "seg")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7592,6 +7616,62 @@ object SparkEntry {
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 ELSE 0 END AS INT) AS n_keys,
         |  CAST(CASE doc_id % 4 WHEN 2 THEN 2 ELSE 0 END AS INT) AS n_tokens,
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 ELSE 0 END AS INT) AS n_assigned
-        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Paragraph-granular KN scoring: the q197 model replayed per
+    // SEGMENT — the three constructed paragraphs rebuilt directly,
+    // sub-2-token segments dropping on both engines.
+    "q208_paragraph_ppl" ->
+      """WITH tgt AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tp AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tgt WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM tp GROUP BY w1, w2),
+        |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |          COUNT(*) AS n1p FROM big GROUP BY w1),
+        |cont AS (SELECT w2, COUNT(*) AS contc FROM big GROUP BY w2),
+        |bt AS (SELECT COUNT(*) AS btypes FROM big),
+        |segs AS (
+        |  SELECT doc_id, 0 AS seg, substring(text, 1, 80) AS st
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'zz qq vv zz qq vv'
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, substring(text, 41, 40)
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |sd AS (
+        |  SELECT doc_id, seg, list_filter(str_split_regex(lower(st), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM segs),
+        |sp AS (
+        |  SELECT doc_id, seg, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, seg, toks,
+        |          UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM sd WHERE len(toks) >= 2)),
+        |p AS (
+        |  SELECT sp.doc_id, sp.seg, GREATEST(
+        |    CASE
+        |      WHEN b.c12 IS NOT NULL THEN
+        |        (CAST(b.c12 AS DOUBLE) - 0.75) / CAST(f.c1 AS DOUBLE)
+        |        + 0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |          * (CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE))
+        |      WHEN f.c1 IS NOT NULL THEN
+        |        0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |        * COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |      ELSE COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |    END, 1e-10) AS prob
+        |  FROM sp
+        |  LEFT JOIN big b ON sp.w1 = b.w1 AND sp.w2 = b.w2
+        |  LEFT JOIN pre f ON sp.w1 = f.w1
+        |  LEFT JOIN cont c ON sp.w2 = c.w2
+        |  CROSS JOIN bt)
+        |SELECT doc_id, CAST(seg AS INT) AS seg, COUNT(*) AS n_trans,
+        |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp
+        |FROM p GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin
   )
 }

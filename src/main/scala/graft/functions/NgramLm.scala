@@ -52,18 +52,24 @@ object NgramLm {
       types: DataFrame, // 1 row: btypes (= total distinct bigram types)
       discount: Double)
 
-  /** (id, w1, w2) adjacent-token transition stream of a corpus. */
-  private def transitions(
-      df: DataFrame, idCol: String, textCol: String,
+  /** (keys..., w1, w2) adjacent-token transition stream of a corpus. */
+  private def transitionsKeyed(
+      df: DataFrame, keyCols: Seq[String], textCol: String,
       tokenizer: Column => Column): DataFrame = {
-    val toks = df.select(col(idCol), tokenizer(col(textCol)).as("__toks"))
+    val keys = keyCols.map(col)
+    val toks = df.select(keys :+ tokenizer(col(textCol)).as("__toks"): _*)
       .where(size(col("__toks")) >= 2)
-    toks.select(col(idCol),
+    toks.select(keys :+
         explode(transform(sequence(lit(1), size(col("__toks")) - 1),
           i => struct(element_at(col("__toks"), i).as("w1"),
-            element_at(col("__toks"), i + 1).as("w2")))).as("__p"))
-      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+            element_at(col("__toks"), i + 1).as("w2")))).as("__p"): _*)
+      .select(keys :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
   }
+
+  private def transitions(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column): DataFrame =
+    transitionsKeyed(df, Seq(idCol), textCol, tokenizer)
 
   /** Train the KN bigram model on `corpus(textCol)`. One corpus pass: the
     * prefix and continuation tables roll up from the bigram-type table
@@ -101,10 +107,45 @@ object NgramLm {
       textCol: String,
       floor: Double = 1e-10,
       tokenizer: Column => Column = Retrieval.tokens
+  ): DataFrame =
+    scoreKeyed(model, docs, Seq(idCol), textCol, floor, tokenizer)
+
+  /** [[score]] at SEGMENT granularity — the shape CCNet actually runs:
+    * the published pipeline splits documents into paragraphs, scores
+    * each against the target LM, and buckets or drops per PARAGRAPH, so
+    * one boilerplate block cannot sink an otherwise-good page (and one
+    * good quote cannot save a junk page). `splitPattern` defaults to
+    * blank-line paragraph boundaries; empty segments drop. Output keys
+    * (idCol, seg) with seg the 0-based paragraph position.
+    */
+  def scoreSegments(
+      model: KnModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitPattern: String = "\\n{2,}",
+      floor: Double = 1e-10,
+      tokenizer: Column => Column = Retrieval.tokens
+  ): DataFrame = {
+    val segs = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), splitPattern))
+          .as(Seq("seg", "__seg_text")))
+      .where(length(trim(col("__seg_text"))) > 0)
+    scoreKeyed(model, segs, Seq(idCol, "seg"), "__seg_text", floor, tokenizer)
+  }
+
+  private def scoreKeyed(
+      model: KnModel,
+      docs: DataFrame,
+      keyCols: Seq[String],
+      textCol: String,
+      floor: Double,
+      tokenizer: Column => Column
   ): DataFrame = {
     require(floor > 0, "floor must be positive")
     val d = model.discount
-    val pairs = transitions(docs, idCol, textCol, tokenizer)
+    val pairs = transitionsKeyed(docs, keyCols, textCol, tokenizer)
     val contFrac = col("contc").cast("double") / col("btypes").cast("double")
     val scored = pairs
       .join(model.bigrams, Seq("w1", "w2"), "left")
@@ -121,7 +162,7 @@ object NgramLm {
               * coalesce(contFrac, lit(0.0)))
           .otherwise(coalesce(contFrac, lit(0.0))),
         lit(floor)))
-    scored.groupBy(idCol)
+    scored.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_trans"),
         (sum(log(col("__prob"))) / count(lit(1))).as("avg_logp"))
       .withColumn("ppl", exp(-col("avg_logp")))

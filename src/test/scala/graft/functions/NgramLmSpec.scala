@@ -94,6 +94,23 @@ class NgramLmSpec extends SparkTestBase {
     assert(out.select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("scoreSegments: per-paragraph keys, empty and sub-2-token segments drop") {
+    val m = model()
+    val docs = Seq((7L, "a b a\n\njunk only\n\n\n\nx")).toDF("id", "text")
+    val got = NgramLm.scoreSegments(m, docs, "id", "text")
+      .select("id", "seg", "n_trans").as[(Long, Int, Long)]
+      .collect().sortBy(_._2)
+    // seg 0 scores (2 transitions), seg 1 scores (1 transition); the
+    // empty segment and the 1-token "x" segment produce no rows.
+    assert(got.toSeq == Seq((7L, 0, 2L), (7L, 1, 1L)))
+    // Per-segment scores equal scoring the paragraph as its own doc.
+    val segScore = NgramLm.scoreSegments(m, docs, "id", "text")
+      .where(col("seg") === 0).select("avg_logp").as[Double].collect().head
+    val docScore = NgramLm.score(m, Seq((1L, "a b a")).toDF("id", "text"),
+      "id", "text").select("avg_logp").as[Double].collect().head
+    assert(segScore == docScore)
+  }
+
   // ---- trigram recursion ------------------------------------------------
 
   // Corpus "a b c a b c": triples (a,b,c) x2, (b,c,a), (c,a,b).
