@@ -36,7 +36,10 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
-  /** Vocabulary-sized model tables; all lazy plans until scored. */
+  /** Vocabulary-sized model tables; all lazy plans until scored — a
+    * caller scoring several corpora against one model should persist
+    * the tables once, else each score replays the training pass.
+    */
   final case class NbModel(
       features: DataFrame, // feature, label, c
       classes: DataFrame, // label, n_docs, n_tok

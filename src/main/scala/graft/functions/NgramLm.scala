@@ -44,7 +44,11 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  /** Vocabulary-sized model tables; all lazy plans until scored. */
+  /** Vocabulary-sized model tables; all lazy plans until scored — a
+    * caller scoring SEVERAL corpora against one model should persist
+    * (or localCheckpoint) the tables once, else each score replays the
+    * training aggregation.
+    */
   final case class KnModel(
       bigrams: DataFrame, // w1, w2, c12
       prefixes: DataFrame, // w1, c1 (= sum c12), n1p (= distinct continuations)
@@ -184,7 +188,9 @@ object NgramLm {
   // continuation types. Every table rolls up from the trigram type
   // table — the corpus is tokenized ONCE.
 
-  /** Trigram-KN model tables; all lazy plans until scored. */
+  /** Trigram-KN model tables; all lazy plans until scored (persist for
+    * repeated scoring — the [[KnModel]] note).
+    */
   final case class Kn3Model(
       trigrams: DataFrame, // w1, w2, w3, c123
       prefixes12: DataFrame, // w1, w2, c12 (= sum c123), n1p12 (distinct w3)

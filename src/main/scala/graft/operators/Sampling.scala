@@ -203,6 +203,12 @@ object Sampling {
     * against a per-stratum hex threshold — exact-integer-derived, so an
     * independent engine replays the kept set verbatim (alpha = 0.5 is
     * fully bit-replayable: sqrt is IEEE-exact, where pow is not).
+    *
+    * Rows with a NULL stratum are DROPPED (null never equi-joins its
+    * threshold): an unlabeled row has no defined sampling rate under
+    * this rule, and silently lumping nulls into some bucket would skew
+    * the mixture. Map nulls to an explicit stratum first if they should
+    * participate.
     */
   def temperatureSample(
       df: DataFrame,
