@@ -166,4 +166,48 @@ class RuntimeScaleSpec extends SparkTestBase {
         s"AQE did not split the hot user's join partition:\n$finalPlan")
     }
   }
+
+  test("KN-LM scoring is plan-invariant under Zipfian token skew (broadcast vs shuffle)") {
+    // At web scale the LM model tables can exceed the broadcast threshold,
+    // and the transition stream then SHUFFLE-joins on w1 — a Zipfian
+    // hazard: one function word can carry most transitions. The
+    // load-bearing guarantee is that the FORCED shuffle plan (sort-merge
+    // equi-joins, the 100x fallback) scores bit-compatibly with the
+    // broadcast plan the optimizer picks when the model fits — correctness
+    // must not depend on which physical join the planner chose. (That AQE
+    // splits genuinely skewed shuffle partitions under this session's
+    // configuration is pinned by the parquet-backed skew test above; the
+    // primary skew defense for THIS shape is that the model tables are
+    // vocabulary-sized and broadcastable in the first place.)
+    import graft.functions.NgramLm
+    import spark.implicits._
+    val hot = (0 until 1500).map(i =>
+      (i.toLong, ("the " * 400).trim)) // ONE dominant transition (the,the)
+    val cold = (1500 until 1900).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d"))
+    val docs = (hot ++ cold).toDF("id", "text")
+    val model = NgramLm.train(docs, "text")
+    // Plans aggregate the per-doc log-sum in different orders, so compare
+    // at a rounded precision (the oracle convention), not bit-exact.
+    val broadcastScores = NgramLm.score(model, docs, "id", "text")
+      .select(col("id"), col("n_trans"), round(col("avg_logp"), 9))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(broadcastScores.length == 1900)
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true") {
+      val scored = NgramLm.score(model, docs, "id", "text")
+        .select(col("id"), col("n_trans"), round(col("avg_logp"), 9))
+      val shuffled = scored.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(shuffled == broadcastScores,
+        "shuffle-join plan must score identically to the broadcast plan")
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected shuffle equi-joins under the disabled broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
 }
