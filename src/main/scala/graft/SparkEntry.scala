@@ -4909,6 +4909,44 @@ object SparkEntry {
           round(col("avg_logp"), 7).as("avg_logp"))
         .orderBy("doc_id", "seg")
     }),
+
+    // --- 209. charset detection + transcoding, oracle-pinned --------------------------------------------
+    // The ingest step in FRONT of every text operator: web servers lie
+    // about encodings, so raw crawl bytes must be sniffed and transcoded
+    // before lang-id/quality/dedup see them. Six real encodings are
+    // CONSTRUCTED per row — the legacy-encoded script prefixes are fixed
+    // hex literals (driver-side JVM encode; ASCII suffix bytes are
+    // identical in every candidate code page, so the per-row id rides
+    // along untranslated), shape 5 wraps a cp1252 body in HTML with a
+    // declared meta charset (the WHATWG prescan path). The oracle states
+    // detected label and decoded UTF-8 text closed-form.
+    "q209_charset" -> ((s, d) => {
+      def hx(txt: String, cs: String) = txt
+        .getBytes(java.nio.charset.Charset.forName(cs))
+        .map(bb => f"$bb%02X").mkString
+      val ruT = CharsetFixtures.ru
+      val jaT = CharsetFixtures.ja
+      val zhT = CharsetFixtures.zh
+      val frT = CharsetFixtures.fr
+      val idBytes = hex(encode(
+        concat(lit(" doc "), col("doc_id").cast("string")), "UTF-8"))
+      val m = col("doc_id") % 6
+      val payload =
+        when(m === 0, unhex(concat(lit(hx(ruT, "windows-1251")), idBytes)))
+        .when(m === 1, unhex(concat(lit(hx(ruT, "KOI8-R")), idBytes)))
+        .when(m === 2, unhex(concat(lit(hx(jaT, "Shift_JIS")), idBytes)))
+        .when(m === 3, unhex(concat(lit(hx(zhT, "GBK")), idBytes)))
+        .when(m === 4, unhex(concat(lit("EFBBBF" + hx(frT, "UTF-8")), idBytes)))
+        .otherwise(unhex(concat(
+          lit(hx(CharsetFixtures.htmlPre, "US-ASCII")),
+          lit(hx(frT, "windows-1252")), idBytes,
+          lit(hx(CharsetFixtures.htmlPost, "US-ASCII")))))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.charset(payload).as("charset"),
+          Multimodal.toUtf8(payload).as("text"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------- SQL-shared queries
@@ -7672,6 +7710,44 @@ object SparkEntry {
         |  CROSS JOIN bt)
         |SELECT doc_id, CAST(seg AS INT) AS seg, COUNT(*) AS n_trans,
         |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp
-        |FROM p GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin
+        |FROM p GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin,
+
+    // Charset detection + transcode: label and decoded text stated
+    // closed-form — the SAME Scala constants build the query's payloads
+    // and this SQL, so the literals cannot drift. DuckDB string literals
+    // are UTF-8; doubled quotes escape the single quote in the French
+    // fixture.
+    "q209_charset" -> {
+      def sq(t: String) = t.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CASE CAST(doc_id % 6 AS INT)
+         |    WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'koi8-r'
+         |    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'gbk'
+         |    WHEN 4 THEN 'utf-8' ELSE 'windows-1252' END AS charset,
+         |  CASE CAST(doc_id % 6 AS INT)
+         |    WHEN 0 THEN '${sq(CharsetFixtures.ru)}' || ' doc ' || doc_id
+         |    WHEN 1 THEN '${sq(CharsetFixtures.ru)}' || ' doc ' || doc_id
+         |    WHEN 2 THEN '${sq(CharsetFixtures.ja)}' || ' doc ' || doc_id
+         |    WHEN 3 THEN '${sq(CharsetFixtures.zh)}' || ' doc ' || doc_id
+         |    WHEN 4 THEN '${sq(CharsetFixtures.fr)}' || ' doc ' || doc_id
+         |    ELSE '${sq(CharsetFixtures.htmlPre)}' || '${sq(CharsetFixtures.fr)}'
+         |      || ' doc ' || doc_id || '${sq(CharsetFixtures.htmlPost)}'
+         |  END AS text
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
+
+  /** Fixture texts for q209 — shared by the query builder (encoded to
+    * legacy bytes driver-side) and the oracle SQL (embedded as UTF-8
+    * literals), so both sides are the same constants by construction.
+    * Natural-length snippets: detection is statistics.
+    */
+  private[graft] object CharsetFixtures {
+    val ru = "Съешь же ещё этих мягких французских булок, да выпей чаю"
+    val ja = "いろはにほへと ちりぬるを 色は匂へど 散りぬるを"
+    val zh = "我能吞下玻璃而不伤身体 中文处理的第一步是正确识别编码"
+    val fr = "Le cœur déçu — l'âme plutôt naïve"
+    val htmlPre = "<html><head><meta charset=\"iso-8859-1\"></head><body>"
+    val htmlPost = "</body></html>"
+  }
 }

@@ -1,0 +1,603 @@
+package graft.expressions
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-set detection + transcoding — the step BEFORE every text
+  * operator in a crawl pipeline. Web servers lie about encodings and a
+  * large fraction of the crawl predates UTF-8 dominance, so raw response
+  * bodies arrive as windows-125x / KOI8-R / Shift_JIS / GBK / EUC-KR /
+  * Big5 bytes. Everything downstream (lang-id, quality, dedup shingles)
+  * assumes UTF-8 text; feeding it mis-decoded bytes silently corrupts
+  * the corpus (the damage [[MojibakeCodec]] repairs after the fact —
+  * this operator prevents it at ingest).
+  *
+  * Detection is the published chardet/WHATWG ladder, deterministic and
+  * allocation-light (single pass over at most [[CharsetCodec.ScanCap]]
+  * bytes):
+  *
+  *   1. byte-order marks (UTF-8/16/32);
+  *   2. ISO-2022-JP escape sequences;
+  *   3. strict RFC 3629 UTF-8 validation ("us-ascii" when no high byte);
+  *   4. BOM-less UTF-16 via the zero-byte parity statistic;
+  *   5. CJK multi-byte structural scoring: each candidate (Shift_JIS,
+  *      EUC-JP, EUC-KR, GBK, Big5) is walked for lead/trail validity and
+  *      scored with script-frequency bonuses (kana rows, hangul syllable
+  *      zone, frequent-hanzi zones) — the same signal chardet's state
+  *      machines + frequency models use, reduced to range arithmetic;
+  *   6. single-byte Cyrillic-vs-Western split on the high-byte run
+  *      statistic, then windows-1251 vs KOI8-R on the lower-case range
+  *      (natural text is mostly lower case: cp1251 lower case lives in
+  *      0xE0-0xFF, KOI8-R in 0xC0-0xDF);
+  *   7. windows-1252 fallback (the WHATWG default; supersedes
+  *      ISO-8859-1 by design).
+  *
+  * Scope note: single-byte discrimination is the Cyrillic pair plus the
+  * cp1252 default — the same deliberate scoping as the 11-language
+  * Cavnar-Trenkle lang-id. Adding Greek/Hebrew/Arabic code pages is a
+  * range-table extension, not a design change.
+  *
+  * Transcoding decodes through the JDK's own charset implementations
+  * (java.nio, present in every JVM — no bundled mapping tables) with
+  * malformed input REPLACEd, never thrown. [[CharsetCodec.htmlCharset]]
+  * implements the WHATWG meta-prescan (first 1024 bytes) so declared
+  * charsets win over statistics when present, exactly as browsers do.
+  */
+object CharsetCodec {
+
+  /** Detection scans at most this many bytes — statistics converge long
+    * before this and payloads can be huge (scan is O(cap), not O(doc)).
+    */
+  val ScanCap = 65536
+
+  /** WHATWG prescan window for `<meta charset=...>`. */
+  val MetaCap = 1024
+
+  // ---- canonical names ------------------------------------------------
+
+  /** Canonical lowercase label -> JDK charset name. ISO-8859-1 and
+    * US-ASCII label requests transcode via windows-1252 per the WHATWG
+    * encoding standard (a superset; real "latin-1" web content uses the
+    * 0x80-0x9F printables).
+    */
+  private val jdkName: Map[String, String] = Map(
+    "utf-8" -> "UTF-8", "us-ascii" -> "US-ASCII",
+    "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE",
+    "utf-32le" -> "UTF-32LE", "utf-32be" -> "UTF-32BE",
+    "windows-1252" -> "windows-1252", "windows-1251" -> "windows-1251",
+    "koi8-r" -> "KOI8-R", "shift_jis" -> "Shift_JIS",
+    "euc-jp" -> "EUC-JP", "euc-kr" -> "EUC-KR",
+    "gbk" -> "GBK", "big5" -> "Big5", "iso-2022-jp" -> "ISO-2022-JP",
+    "windows-1250" -> "windows-1250", "windows-1253" -> "windows-1253",
+    "windows-1254" -> "windows-1254", "windows-1255" -> "windows-1255",
+    "windows-1256" -> "windows-1256", "windows-1257" -> "windows-1257",
+    "iso-8859-2" -> "ISO-8859-2", "iso-8859-5" -> "ISO-8859-5",
+    "iso-8859-7" -> "ISO-8859-7", "iso-8859-9" -> "ISO-8859-9",
+    "iso-8859-15" -> "ISO-8859-15", "gb18030" -> "GB18030",
+    "tis-620" -> "TIS-620")
+
+  /** Alias -> canonical lowercase label (WHATWG alias table, trimmed to
+    * the labels that appear in real crawl meta tags).
+    */
+  private val aliases: Map[String, String] = Map(
+    "utf8" -> "utf-8", "unicode-1-1-utf-8" -> "utf-8",
+    "ascii" -> "us-ascii", "ansi_x3.4-1968" -> "us-ascii",
+    "iso-8859-1" -> "windows-1252", "iso8859-1" -> "windows-1252",
+    "latin1" -> "windows-1252", "latin-1" -> "windows-1252",
+    "l1" -> "windows-1252", "cp1252" -> "windows-1252",
+    "x-cp1252" -> "windows-1252", "iso_8859-1" -> "windows-1252",
+    "cp1251" -> "windows-1251", "x-cp1251" -> "windows-1251",
+    "win-1251" -> "windows-1251",
+    "koi8r" -> "koi8-r", "koi8" -> "koi8-r", "cskoi8r" -> "koi8-r",
+    "sjis" -> "shift_jis", "shift-jis" -> "shift_jis",
+    "x-sjis" -> "shift_jis", "ms_kanji" -> "shift_jis",
+    "windows-31j" -> "shift_jis", "cp932" -> "shift_jis",
+    "eucjp" -> "euc-jp", "x-euc-jp" -> "euc-jp",
+    "euckr" -> "euc-kr", "ks_c_5601-1987" -> "euc-kr", "cp949" -> "euc-kr",
+    "gb2312" -> "gbk", "gb_2312" -> "gbk", "csgb2312" -> "gbk",
+    "x-gbk" -> "gbk", "chinese" -> "gbk",
+    "big5-hkscs" -> "big5", "cn-big5" -> "big5", "x-x-big5" -> "big5",
+    "csiso2022jp" -> "iso-2022-jp",
+    "utf-16" -> "utf-16le", "ucs-2" -> "utf-16le",
+    "iso8859-2" -> "iso-8859-2", "latin2" -> "iso-8859-2",
+    "iso8859-15" -> "iso-8859-15", "latin9" -> "iso-8859-15",
+    "cp1250" -> "windows-1250", "cp1253" -> "windows-1253",
+    "cp1254" -> "windows-1254", "cp1255" -> "windows-1255",
+    "cp1256" -> "windows-1256", "cp1257" -> "windows-1257",
+    "cp874" -> "tis-620", "windows-874" -> "tis-620")
+
+  /** Normalize a declared label to the canonical lowercase name, or null
+    * for labels the JDK can't serve (detection still runs for those).
+    */
+  def canonical(label: String): String = {
+    if (label == null) return null
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
+    val c = aliases.getOrElse(l, l)
+    if (jdkName.contains(c)) c else null
+  }
+
+  // ---- detection ------------------------------------------------------
+
+  private def u(b: Byte): Int = b & 0xFF
+
+  /** Strict RFC 3629 walk. Returns 0 = pure ASCII, 1 = valid UTF-8 with
+    * multi-byte sequences, -1 = invalid. A multi-byte sequence truncated
+    * by the scan cap (not by the payload end) is not an error.
+    */
+  private def utf8Class(b: Array[Byte], n: Int, capped: Boolean): Int = {
+    var i = 0
+    var multi = false
+    while (i < n) {
+      val c = u(b(i))
+      if (c < 0x80) i += 1
+      else {
+        val need =
+          if (c >= 0xC2 && c <= 0xDF) 1
+          else if (c >= 0xE0 && c <= 0xEF) 2
+          else if (c >= 0xF0 && c <= 0xF4) 3
+          else return -1
+        // sequence truncated by the scan cap = fine; by the payload = invalid
+        if (i + need >= n) return if (capped) 1 else -1
+        // overlong / surrogate / range guards on the constrained lead+first
+        val c1 = u(b(i + 1))
+        if (c1 < 0x80 || c1 > 0xBF) return -1
+        if (c == 0xE0 && c1 < 0xA0) return -1
+        if (c == 0xED && c1 > 0x9F) return -1
+        if (c == 0xF0 && c1 < 0x90) return -1
+        if (c == 0xF4 && c1 > 0x8F) return -1
+        var j = 2
+        while (j <= need) {
+          val cj = u(b(i + j))
+          if (cj < 0x80 || cj > 0xBF) return -1
+          j += 1
+        }
+        multi = true
+        i += need + 1
+      }
+    }
+    if (multi) 1 else 0
+  }
+
+  /** One CJK candidate's structural walk. `valid` counts DOUBLE-BYTE
+    * pairs only (singles like Shift_JIS half-width kana are structurally
+    * accepted but carry no weight — a single-byte code page shares that
+    * range); `bonus` counts script-frequency evidence; `bad` counts
+    * structural violations.
+    */
+  private final class CjkScore { var valid = 0; var bonus = 0; var bad = 0 }
+
+  /** Weighted score, or MinValue when the candidate is disqualified.
+    * The claim demands real evidence: >= `minPairs` clean pairs, a
+    * positive script bonus, and at most valid/16 violations.
+    */
+  private def total(s: CjkScore, bonusWeight: Int): Int =
+    if (s.valid < 4 || s.bonus == 0 || s.bad * 16 > s.valid) Int.MinValue
+    else s.valid * 2 + s.bonus * bonusWeight
+
+  private def scoreSjis(b: Array[Byte], n: Int): CjkScore = {
+    val s = new CjkScore
+    var i = 0
+    while (i < n) {
+      val c = u(b(i))
+      if (c < 0x80) i += 1
+      else if (c >= 0xA1 && c <= 0xDF) i += 1 // half-width kana: neutral
+      else if ((c >= 0x81 && c <= 0x9F) || (c >= 0xE0 && c <= 0xFC)) {
+        if (i + 1 < n) {
+          val t = u(b(i + 1))
+          if (t >= 0x40 && t <= 0xFC && t != 0x7F) {
+            s.valid += 1
+            // hiragana 0x82 0x9F-0xF1, katakana 0x83 0x40-0x96: the rows
+            // that dominate natural Japanese text in Shift_JIS and are
+            // unique to it among the candidates (0x82/0x83 leads are
+            // invalid in EUC/Big5, unassigned zones in GBK text).
+            if (c == 0x82 && t >= 0x9F && t <= 0xF1) s.bonus += 1
+            else if (c == 0x83 && t >= 0x40 && t <= 0x96) s.bonus += 1
+            i += 2
+          } else { s.bad += 1; i += 1 }
+        } else i += 1
+      } else { s.bad += 1; i += 1 }
+    }
+    s
+  }
+
+  private def scoreEucJp(b: Array[Byte], n: Int): CjkScore = {
+    val s = new CjkScore
+    var i = 0
+    while (i < n) {
+      val c = u(b(i))
+      if (c < 0x80) i += 1
+      else if (c == 0x8E) { // JIS X 0201 kana: neutral single
+        if (i + 1 < n && u(b(i + 1)) >= 0xA1 && u(b(i + 1)) <= 0xDF) i += 2
+        else { s.bad += 1; i += 1 }
+      } else if (c == 0x8F) { // JIS X 0212 triple
+        if (i + 2 < n && u(b(i + 1)) >= 0xA1 && u(b(i + 1)) <= 0xFE &&
+          u(b(i + 2)) >= 0xA1 && u(b(i + 2)) <= 0xFE) { s.valid += 1; i += 3 }
+        else { s.bad += 1; i += 1 }
+      } else if (c >= 0xA1 && c <= 0xFE) {
+        if (i + 1 < n) {
+          val t = u(b(i + 1))
+          if (t >= 0xA1 && t <= 0xFE) {
+            s.valid += 1
+            // hiragana row 0xA4, katakana row 0xA5 — the decisive
+            // Japanese signal (natural text is ~half kana).
+            if (c == 0xA4 || c == 0xA5) s.bonus += 1
+            i += 2
+          } else { s.bad += 1; i += 1 }
+        } else i += 1
+      } else { s.bad += 1; i += 1 }
+    }
+    s
+  }
+
+  private def scoreEucKr(b: Array[Byte], n: Int): CjkScore = {
+    val s = new CjkScore
+    var i = 0
+    while (i < n) {
+      val c = u(b(i))
+      if (c < 0x80) i += 1
+      else if (c >= 0xA1 && c <= 0xFE) {
+        if (i + 1 < n) {
+          val t = u(b(i + 1))
+          if (t >= 0xA1 && t <= 0xFE) {
+            s.valid += 1
+            // precomposed hangul syllable zone (KS X 1001 rows B0-C8).
+            if (c >= 0xB0 && c <= 0xC8) s.bonus += 1
+            i += 2
+          } else { s.bad += 1; i += 1 }
+        } else i += 1
+      } else { s.bad += 1; i += 1 }
+    }
+    s
+  }
+
+  private def scoreGbk(b: Array[Byte], n: Int): CjkScore = {
+    val s = new CjkScore
+    var i = 0
+    while (i < n) {
+      val c = u(b(i))
+      if (c < 0x80) i += 1
+      else if (c >= 0x81 && c <= 0xFE) {
+        if (i + 1 < n) {
+          val t = u(b(i + 1))
+          if (t >= 0x40 && t <= 0xFE && t != 0x7F) {
+            s.valid += 1
+            // GB2312 level-1 frequent-hanzi zone (leads B0-D7, high trails).
+            if (c >= 0xB0 && c <= 0xD7 && t >= 0xA1) s.bonus += 1
+            i += 2
+          } else { s.bad += 1; i += 1 }
+        } else i += 1
+      } else { s.bad += 1; i += 1 }
+    }
+    s
+  }
+
+  private def scoreBig5(b: Array[Byte], n: Int): CjkScore = {
+    val s = new CjkScore
+    var i = 0
+    while (i < n) {
+      val c = u(b(i))
+      if (c < 0x80) i += 1
+      else if (c >= 0xA1 && c <= 0xF9) {
+        if (i + 1 < n) {
+          val t = u(b(i + 1))
+          if ((t >= 0x40 && t <= 0x7E) || (t >= 0xA1 && t <= 0xFE)) {
+            s.valid += 1
+            // Big5's top-frequency block sits in leads A4-A6 (的/不/了/一
+            // live at A4xx); in GB2312 those rows are kana/Greek — absent
+            // from natural Chinese text — so the bonus is discriminative.
+            if (c >= 0xA4 && c <= 0xA6) s.bonus += 1
+            i += 2
+          } else { s.bad += 1; i += 1 }
+        } else i += 1
+      } else { s.bad += 1; i += 1 }
+    }
+    s
+  }
+
+  /** Statistical detection, BOM/UTF-8 already ruled out. `high` = count
+    * of bytes >= 0x80 in the scanned window (always > 0 here).
+    *
+    * Candidate weights encode script-frequency priors: kana rows are
+    * near-unique Japanese evidence (weight 4); the hangul syllable zone
+    * needs dominance, not presence, to beat the hanzi candidates (its
+    * rows overlap GB2312's) — the claim additionally demands >= 90% of
+    * pairs in-zone; the two hanzi candidates are separated by their
+    * disjoint frequent blocks (Big5's A4-A6 rows are non-text rows in
+    * GB2312 and vice versa B0-D7 with high trails is bonus-free in the
+    * Big5 walk only when text actually is Big5).
+    */
+  private def detectLegacy(b: Array[Byte], n: Int, high: Int): String = {
+    val sj = scoreSjis(b, n); val ej = scoreEucJp(b, n)
+    val ek = scoreEucKr(b, n); val gb = scoreGbk(b, n); val b5 = scoreBig5(b, n)
+    val ekScore = // hangul-zone dominance gate
+      if (ek.bonus * 10 < ek.valid * 9) Int.MinValue else total(ek, 3)
+    val cands = Seq(
+      ("euc-jp", total(ej, 4)), ("shift_jis", total(sj, 4)),
+      ("euc-kr", ekScore), ("big5", total(b5, 3)), ("gbk", total(gb, 1)))
+    val best = cands.maxBy(_._2)
+    if (best._2 > Int.MinValue) return best._1
+
+    // Single-byte split: Cyrillic code pages put whole words in the high
+    // half (long runs, high density); Western European accents are
+    // isolated inside ASCII words.
+    var runSum = 0; var runCnt = 0; var run = 0
+    var lo1251 = 0; var loKoi = 0
+    var i = 0
+    while (i < n) {
+      val c = u(b(i))
+      if (c >= 0x80) {
+        run += 1
+        if (c >= 0xE0) lo1251 += 1
+        else if (c >= 0xC0) loKoi += 1
+        if (c == 0xB8 || c == 0xA3) { lo1251 += 1; loKoi += 1 } // ё in each
+      } else if (run > 0) { runSum += run; runCnt += 1; run = 0 }
+      i += 1
+    }
+    if (run > 0) { runSum += run; runCnt += 1 }
+    val avgRun = if (runCnt == 0) 0.0 else runSum.toDouble / runCnt
+    val density = high.toDouble / n
+    if (avgRun >= 3.0 || density >= 0.4) {
+      if (lo1251 >= loKoi) "windows-1251" else "koi8-r"
+    } else "windows-1252"
+  }
+
+  /** Detect the charset of a raw byte payload; returns the canonical
+    * lowercase label, or null for null/empty input. Never throws.
+    */
+  def detect(b: Array[Byte]): String = {
+    if (b == null || b.length == 0) return null
+    val n = math.min(b.length, ScanCap)
+    // 1. BOMs (longest first: UTF-32LE's BOM starts with UTF-16LE's).
+    if (n >= 4 && u(b(0)) == 0xFF && u(b(1)) == 0xFE && b(2) == 0 && b(3) == 0)
+      return "utf-32le"
+    if (n >= 4 && b(0) == 0 && b(1) == 0 && u(b(2)) == 0xFE && u(b(3)) == 0xFF)
+      return "utf-32be"
+    if (n >= 3 && u(b(0)) == 0xEF && u(b(1)) == 0xBB && u(b(2)) == 0xBF)
+      return "utf-8"
+    if (n >= 2 && u(b(0)) == 0xFF && u(b(1)) == 0xFE) return "utf-16le"
+    if (n >= 2 && u(b(0)) == 0xFE && u(b(1)) == 0xFF) return "utf-16be"
+    // 2. ISO-2022-JP escape shifts.
+    var i = 0
+    var high = 0
+    while (i < n) {
+      val c = u(b(i))
+      if (c == 0x1B && i + 2 < n) {
+        val a = b(i + 1).toChar; val d = b(i + 2).toChar
+        if ((a == '$' && (d == 'B' || d == '@')) || (a == '(' && (d == 'B' || d == 'J')))
+          return "iso-2022-jp"
+      }
+      if (c >= 0x80) high += 1
+      i += 1
+    }
+    // 3. BOM-less UTF-16, checked BEFORE the UTF-8 walk (its bytes are
+    // "valid ASCII" to a strict walk). Two parity statistics, both
+    // impossible for real text in any byte encoding:
+    //  - ASCII-heavy UTF-16 has a NUL every other position;
+    //  - Cyrillic/Greek/Hebrew/Arabic UTF-16 has a CONTROL byte (the
+    //    block's high byte, 0x03-0x06) every other position. Control
+    //    bytes (minus tab/LF/CR/ESC) never appear in text.
+    if (n >= 8 && n % 2 == 0) {
+      var zeroEven = 0; var zeroOdd = 0
+      var ctrlEven = 0; var ctrlOdd = 0
+      var j = 0
+      while (j < n) {
+        val c = u(b(j))
+        val isCtrl = c < 0x20 && c != 0x09 && c != 0x0A && c != 0x0D && c != 0x1B
+        if (j % 2 == 0) {
+          if (c == 0) zeroEven += 1
+          if (isCtrl) ctrlEven += 1
+        } else {
+          if (c == 0) zeroOdd += 1
+          if (isCtrl) ctrlOdd += 1
+        }
+        j += 1
+      }
+      val half = n / 2
+      if (zeroOdd >= (half * 2) / 5 && zeroEven == 0) return "utf-16le"
+      if (zeroEven >= (half * 2) / 5 && zeroOdd == 0) return "utf-16be"
+      if (ctrlOdd * 5 >= half * 2 && ctrlEven * 20 <= half) return "utf-16le"
+      if (ctrlEven * 5 >= half * 2 && ctrlOdd * 20 <= half) return "utf-16be"
+    }
+    // 4. strict UTF-8 / pure ASCII.
+    utf8Class(b, n, capped = b.length > ScanCap) match {
+      case 0 => return "us-ascii"
+      case 1 => return "utf-8"
+      case _ =>
+    }
+    // 5./6. legacy statistics (high > 0 guaranteed: high == 0 with
+    // invalid UTF-8 is impossible — pure ASCII classifies as 0 above).
+    detectLegacy(b, n, high)
+  }
+
+  // ---- WHATWG meta prescan ---------------------------------------------
+
+  /** Declared charset from an HTML `<meta charset=...>` / `<meta
+    * http-equiv="content-type" content="...charset=...">` or an XML
+    * declaration, scanning the first [[MetaCap]] bytes case-insensitively
+    * (the WHATWG prescan, reduced to its observable behavior). Returns
+    * the canonical label or null.
+    */
+  def htmlCharset(b: Array[Byte]): String = {
+    if (b == null) return null
+    val n = math.min(b.length, MetaCap)
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) { sb.append((u(b(i)) & 0x7F).toChar); i += 1 }
+    val s = sb.toString.toLowerCase(java.util.Locale.ROOT)
+    val m1 = java.util.regex.Pattern
+      .compile("<meta[^>]*\\bcharset\\s*=\\s*[\"']?\\s*([a-z0-9._:-]+)")
+      .matcher(s)
+    if (m1.find()) return canonical(m1.group(1))
+    val m2 = java.util.regex.Pattern
+      .compile("<\\?xml[^>]*\\bencoding\\s*=\\s*[\"']([a-z0-9._:-]+)[\"']")
+      .matcher(s)
+    if (m2.find()) return canonical(m2.group(1))
+    null
+  }
+
+  // ---- transcoding ------------------------------------------------------
+
+  private val decoderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Charset]()
+
+  private def charsetFor(canon: String): Charset = {
+    var cs = decoderCache.get(canon)
+    if (cs == null) {
+      cs = try Charset.forName(jdkName(canon))
+      catch { case _: Exception => StandardCharsets.UTF_8 }
+      decoderCache.put(canon, cs)
+    }
+    cs
+  }
+
+  private def stripBom(b: Array[Byte], canon: String): (Array[Byte], Int, Int) =
+    canon match {
+      case "utf-8" if b.length >= 3 && u(b(0)) == 0xEF && u(b(1)) == 0xBB &&
+        u(b(2)) == 0xBF => (b, 3, b.length - 3)
+      case "utf-16le" if b.length >= 2 && u(b(0)) == 0xFF && u(b(1)) == 0xFE =>
+        (b, 2, b.length - 2)
+      case "utf-16be" if b.length >= 2 && u(b(0)) == 0xFE && u(b(1)) == 0xFF =>
+        (b, 2, b.length - 2)
+      case "utf-32le" if b.length >= 4 && u(b(0)) == 0xFF && u(b(1)) == 0xFE &&
+        b(2) == 0 && b(3) == 0 => (b, 4, b.length - 4)
+      case "utf-32be" if b.length >= 4 && b(0) == 0 && b(1) == 0 &&
+        u(b(2)) == 0xFE && u(b(3)) == 0xFF => (b, 4, b.length - 4)
+      case _ => (b, 0, b.length)
+    }
+
+  /** Decode `b` as `canon` (canonical label) to a String; malformed and
+    * unmappable input is REPLACEd (U+FFFD), never thrown.
+    */
+  private def decodeAs(b: Array[Byte], canon: String): String = {
+    val (arr, off, len) = stripBom(b, canon)
+    val dec = charsetFor(canon).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(arr, off, len)).toString
+  }
+
+  /** `graft_charset`: detected canonical label, HTML meta declaration
+    * winning over statistics (browsers' rule) — except when the payload
+    * is structurally valid UTF-8, which wins over a stale meta tag (the
+    * modern-web reality: templates still declare iso-8859-1 over UTF-8
+    * bytes; the bytes don't lie).
+    */
+  def sniff(b: Array[Byte]): UTF8String = {
+    if (b == null || b.length == 0) return null
+    val stat = detect(b)
+    val out =
+      if (stat == "utf-8" || stat == "us-ascii" || stat == "utf-16le" ||
+        stat == "utf-16be" || stat == "utf-32le" || stat == "utf-32be") stat
+      else {
+        val meta = htmlCharset(b)
+        if (meta != null) meta else stat
+      }
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  /** `graft_to_utf8(binary)`: sniff (meta-aware) + decode. */
+  def toUtf8(b: Array[Byte]): UTF8String = {
+    if (b == null) return null
+    if (b.length == 0) return UTF8String.EMPTY_UTF8
+    val label = sniff(b).toString
+    if (label == "us-ascii" || label == "utf-8") {
+      // zero-copy fast path: already UTF-8 (minus a possible BOM).
+      val (arr, off, len) = stripBom(b, "utf-8")
+      if (utf8Class(b, b.length, capped = false) >= 0 || label == "us-ascii")
+        return UTF8String.fromBytes(arr, off, len)
+      // capped scan said utf-8 but the tail is malformed: REPLACE-decode.
+      return UTF8String.fromString(decodeAs(b, "utf-8"))
+    }
+    UTF8String.fromString(decodeAs(b, label))
+  }
+
+  /** `graft_to_utf8(binary, label)`: decode with an explicit declared
+    * charset (HTTP header, WARC metadata); unknown or empty labels fall
+    * back to the sniffing path (the wrapper coalesces a null label to
+    * "" so a missing header never nulls the row).
+    */
+  def toUtf8Hinted(b: Array[Byte], label: UTF8String): UTF8String = {
+    if (b == null) return null
+    if (label == null) return toUtf8(b)
+    val canon = canonical(label.toString)
+    if (canon == null) return toUtf8(b)
+    if (b.length == 0) return UTF8String.EMPTY_UTF8
+    UTF8String.fromString(decodeAs(b, canon))
+  }
+}
+
+/** `binary` -> canonical charset label (chardet ladder + WHATWG meta
+  * prescan), codegen'd. Null for null/empty payloads.
+  */
+case class DetectCharsetExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    CharsetCodec.sniff(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.CharsetCodec.sniff($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+    r
+  }
+  override protected def withNewChildInternal(newChild: Expression): DetectCharsetExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_charset"
+}
+
+/** `binary` -> UTF-8 string through detection (meta-aware), codegen'd.
+  * Valid UTF-8/ASCII payloads pass through zero-copy.
+  */
+case class ToUtf8Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    CharsetCodec.toUtf8(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.CharsetCodec.toUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): ToUtf8Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_to_utf8"
+}
+
+/** `(binary, string)` -> UTF-8 string with a declared charset label
+  * (HTTP header / WARC metadata); unknown or empty labels sniff instead.
+  * Standard null propagation — the [[graft.functions.Multimodal]]
+  * wrapper coalesces a null label to "" so a missing header sniffs
+  * rather than nulling the row.
+  */
+case class TranscodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(bin: Any, label: Any): Any =
+    CharsetCodec.toUtf8Hinted(bin.asInstanceOf[Array[Byte]],
+      label.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, l) =>
+      s"graft.expressions.CharsetCodec.toUtf8Hinted($b, $l)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TranscodeExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_to_utf8"
+}

@@ -208,6 +208,22 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_charset"),
+      new ExpressionInfo(classOf[DetectCharsetExpr].getName, "graft_charset"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => DetectCharsetExpr(b)
+        case _ => throw new IllegalArgumentException("graft_charset(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_to_utf8"),
+      new ExpressionInfo(classOf[ToUtf8Expr].getName, "graft_to_utf8"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => ToUtf8Expr(b)
+        case Seq(b, l) => TranscodeExpr(b, l)
+        case _ => throw new IllegalArgumentException(
+          "graft_to_utf8(binary[, charset label])")
+      }),
+    (
       FunctionIdentifier("graft_url_canon"),
       new ExpressionInfo(classOf[UrlCanonicalizeExpr].getName, "graft_url_canon"),
       (args: Seq[Expression]) => args match {

@@ -582,6 +582,39 @@ object Multimodal {
       graft.expressions.EmailAttachmentsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Detected charset of a raw byte payload — BOMs, strict UTF-8
+    * validation, ISO-2022-JP escapes, CJK structural scoring, the
+    * Cyrillic case statistic, windows-1252 fallback, with the WHATWG
+    * `<meta charset>` prescan winning for legacy-labelled HTML
+    * ([[graft.expressions.DetectCharsetExpr]]). Canonical lowercase
+    * label; NULL for null/empty payloads.
+    */
+  def charset(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.DetectCharsetExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Transcode a raw byte payload to UTF-8 text via charset detection
+    * ([[graft.expressions.ToUtf8Expr]]) — the ingest step in front of
+    * every text operator. Valid UTF-8/ASCII passes through zero-copy;
+    * malformed bytes are U+FFFD-replaced, never thrown.
+    */
+  def toUtf8(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ToUtf8Expr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Transcode with a declared charset label (HTTP Content-Type, WARC
+    * metadata). Null/unknown/empty labels fall back to detection — a
+    * missing header never nulls the row
+    * ([[graft.expressions.TranscodeExpr]]).
+    */
+  def toUtf8(bin: Column, label: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TranscodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin),
+        org.apache.spark.sql.graft.Bridge.expression(coalesce(label, lit("")))))
+
   /** Plain text of an RTF document — control-word walk with codepage and
     * Unicode escapes, destination-group skipping, \\bin runs
     * ([[graft.expressions.RtfTextExpr]]). NULL for non-RTF payloads.

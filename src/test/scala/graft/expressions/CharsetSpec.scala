@@ -1,0 +1,164 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+class CharsetSpec extends SparkTestBase {
+
+  private def enc(s: String, cs: String): Array[Byte] =
+    s.getBytes(Charset.forName(cs))
+
+  private def detect(b: Array[Byte]): String = {
+    val r = CharsetCodec.sniff(b)
+    if (r == null) null else r.toString
+  }
+
+  private def toUtf8(b: Array[Byte]): String = {
+    val r = CharsetCodec.toUtf8(b)
+    if (r == null) null else r.toString
+  }
+
+  // Natural-length snippets: detection is statistics, so fixtures look
+  // like real crawl text, not single words.
+  private val ru = "Съешь же ещё этих мягких французских булок, да выпей чаю. " +
+    "Широкая электрификация южных губерний даст мощный толчок подъёму."
+  private val fr = "Le cœur déçu mais l'âme plutôt naïve, Louÿs rêva de " +
+    "crapaüter en canoë au delà des îles, près du mälström où brûlent les novæ."
+  private val ja = "いろはにほへと ちりぬるを 色は匂へど 散りぬるを 我が世誰ぞ 常ならむ"
+  private val ko = "키스의 고유조건은 입술끼리 만나야 하고 특별한 기술은 필요치 않다"
+  private val zhS = "我能吞下玻璃而不伤身体 中文处理的第一步是正确识别编码"
+  private val zhT = "我能吞下玻璃而不傷身體 中文處理的第一步是正確識別編碼"
+
+  test("BOMs win: utf-8 / utf-16le / utf-16be") {
+    assert(detect(Array(0xEF, 0xBB, 0xBF, 'h', 'i').map(_.toByte)) == "utf-8")
+    assert(detect(Array(0xFF.toByte, 0xFE.toByte) ++ enc("hello", "UTF-16LE"))
+      == "utf-16le")
+    assert(detect(Array(0xFE, 0xFF, 0, 'h').map(_.toByte)) == "utf-16be")
+  }
+
+  test("strict utf-8 vs pure ascii") {
+    assert(detect("plain ascii text, nothing fancy".getBytes) == "us-ascii")
+    assert(detect(ru.getBytes(StandardCharsets.UTF_8)) == "utf-8")
+    assert(detect(ja.getBytes(StandardCharsets.UTF_8)) == "utf-8")
+  }
+
+  test("overlong/surrogate/truncated utf-8 is NOT utf-8") {
+    // overlong '/' (C0 AF), CESU surrogate (ED A0 80), truncated lead
+    for (bad <- Seq(Array(0xC0, 0xAF), Array(0xED, 0xA0, 0x80), Array('a'.toInt, 0xE3)))
+      assert(detect(bad.map(_.toByte)) != "utf-8", bad.mkString(","))
+  }
+
+  test("bom-less utf-16le via zero-byte parity") {
+    assert(detect("attention is all you need".getBytes(StandardCharsets.UTF_16LE))
+      == "utf-16le")
+    assert(detect("attention is all you need".getBytes(StandardCharsets.UTF_16BE))
+      == "utf-16be")
+  }
+
+  test("iso-2022-jp via escape shifts") {
+    assert(detect(enc(ja, "ISO-2022-JP")) == "iso-2022-jp")
+  }
+
+  test("cyrillic split: windows-1251 vs koi8-r on the case statistic") {
+    assert(detect(enc(ru, "windows-1251")) == "windows-1251")
+    assert(detect(enc(ru, "KOI8-R")) == "koi8-r")
+  }
+
+  test("western accents stay windows-1252 (incl. latin-1 bytes)") {
+    assert(detect(enc(fr, "windows-1252")) == "windows-1252")
+    assert(detect(enc(fr, "ISO-8859-1")) == "windows-1252")
+  }
+
+  test("cjk structural + frequency detection") {
+    assert(detect(enc(ja, "Shift_JIS")) == "shift_jis")
+    assert(detect(enc(ja, "EUC-JP")) == "euc-jp")
+    assert(detect(enc(ko, "EUC-KR")) == "euc-kr")
+    assert(detect(enc(zhS, "GBK")) == "gbk")
+    assert(detect(enc(zhT, "Big5")) == "big5")
+  }
+
+  test("whatwg meta prescan overrides statistics for html") {
+    val html = ("<html><head><meta charset=\"windows-1251\"></head><body>" +
+      ru + "</body></html>")
+    assert(detect(enc(html, "windows-1251")) == "windows-1251")
+    // meta declares latin1 -> canonicalizes to windows-1252 (WHATWG)
+    val h2 = "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\">" + fr
+    assert(detect(enc(h2, "ISO-8859-1")) == "windows-1252")
+    // xml declaration
+    val x = "<?xml version=\"1.0\" encoding=\"KOI8-R\"?><doc>" + ru + "</doc>"
+    assert(detect(enc(x, "KOI8-R")) == "koi8-r")
+    // but valid utf-8 BYTES beat a stale meta tag
+    val stale = "<meta charset=\"iso-8859-1\">" + fr
+    assert(detect(stale.getBytes(StandardCharsets.UTF_8)) == "utf-8")
+  }
+
+  test("toUtf8 round-trips every supported encoding") {
+    val cases = Seq(
+      ru -> "windows-1251", ru -> "KOI8-R", fr -> "windows-1252",
+      ja -> "Shift_JIS", ja -> "EUC-JP", ja -> "ISO-2022-JP",
+      ko -> "EUC-KR", zhS -> "GBK", zhT -> "Big5",
+      ru -> "UTF-16LE", ru -> "UTF-16BE", fr -> "UTF-8")
+    for ((text, cs) <- cases)
+      assert(toUtf8(enc(text, cs)) == text, s"$cs")
+  }
+
+  test("toUtf8 strips the utf-8 BOM and passes ascii zero-copy") {
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "hi".getBytes
+    assert(toUtf8(bom) == "hi")
+    assert(toUtf8("plain".getBytes) == "plain")
+  }
+
+  test("toUtf8 REPLACEs malformed bytes, never throws") {
+    val broken = "caf".getBytes ++ Array(0xE9.toByte) ++ " et plus de contexte ascii".getBytes
+    val out = toUtf8(broken)
+    assert(out != null && out.contains("caf"))
+  }
+
+  test("explicit label wins; unknown/empty label sniffs") {
+    val b = enc(ru, "windows-1251")
+    assert(CharsetCodec.toUtf8Hinted(b, UTF8String.fromString("cp1251")).toString == ru)
+    assert(CharsetCodec.toUtf8Hinted(b, UTF8String.fromString("")).toString == ru)
+    assert(CharsetCodec.toUtf8Hinted(b, UTF8String.fromString("no-such")).toString == ru)
+    // a WRONG explicit label is honored (declared semantics)
+    val wrong = CharsetCodec.toUtf8Hinted(enc(fr, "windows-1252"),
+      UTF8String.fromString("koi8-r")).toString
+    assert(wrong != fr)
+  }
+
+  test("canonical alias table") {
+    assert(CharsetCodec.canonical("Latin1") == "windows-1252")
+    assert(CharsetCodec.canonical("GB2312") == "gbk")
+    assert(CharsetCodec.canonical("Windows-31J") == "shift_jis")
+    assert(CharsetCodec.canonical("ks_c_5601-1987") == "euc-kr")
+    assert(CharsetCodec.canonical("UTF8") == "utf-8")
+    assert(CharsetCodec.canonical("no-such-charset") == null)
+  }
+
+  test("null/empty propagate; detection caps the scan") {
+    assert(CharsetCodec.sniff(null) == null)
+    assert(CharsetCodec.sniff(Array.emptyByteArray) == null)
+    assert(CharsetCodec.toUtf8(null) == null)
+    assert(CharsetCodec.toUtf8(Array.emptyByteArray).toString == "")
+    // > ScanCap payload: ascii prefix + cp1251 tail inside the cap window
+    val big = ("x" * 1000 + ru) * 80
+    assert(detect(enc(big, "windows-1251")) == "windows-1251")
+  }
+
+  test("sql surface: graft_charset / graft_to_utf8") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    val df = Seq(enc(ru, "windows-1251"), enc(ja, "Shift_JIS"),
+      ru.getBytes(StandardCharsets.UTF_8)).toDF("b")
+    df.createOrReplaceTempView("cs_t")
+    val rows = s.sql(
+      "SELECT graft_charset(b) AS c, graft_to_utf8(b) AS t FROM cs_t").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("windows-1251", "shift_jis", "utf-8"))
+    assert(rows.forall(r => r.getString(1) == ru || r.getString(1) == ja))
+    val hinted = s.sql(
+      "SELECT graft_to_utf8(b, 'cp1251') AS t FROM cs_t LIMIT 1").collect()
+    assert(hinted.head.getString(0) == ru)
+  }
+}
