@@ -4947,7 +4947,91 @@ object SparkEntry {
           Multimodal.toUtf8(payload).as("text"))
         .orderBy("doc_id")
     }),
+
+    // --- 210. EPUB book extraction, oracle-pinned -------------------------------------------------------
+    // Books are the highest-quality corpus slice; a five-entry EPUB
+    // (mimetype, OCF container, OPF with Dublin Core + manifest + spine,
+    // two XHTML chapters) is CONSTRUCTED per row as a structurally whole
+    // STORED zip — every CRC/size/offset computed relationally by the
+    // shared ZipHex builder — and the extractor must walk container ->
+    // OPF -> spine order, reduce XHTML to block text, and surface the
+    // metadata. The oracle states every field closed-form.
+    "q210_epub" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val opfXml = concat(
+        lit("<package version=\"3.0\"><metadata " +
+          "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+          "<dc:title>Book "), id,
+        lit("</dc:title><dc:creator>A. Writer</dc:creator>" +
+          "<dc:language>en</dc:language></metadata><manifest>" +
+          "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+          "<item id=\"c2\" href=\"ch2.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+          "</manifest><spine><itemref idref=\"c1\"/><itemref idref=\"c2\"/>" +
+          "</spine></package>"))
+      val ch1 = concat(
+        lit("<html><body><h1>Chapter One</h1><p>Prose for doc "), id,
+        lit(".</p></body></html>"))
+      val ch2 = concat(
+        lit("<html><body><p>Closing &amp; summary "),
+        (col("doc_id") % 7).cast("string"), lit(".</p></body></html>"))
+      val payload = ZipHex.build(Seq(
+        "mimetype" -> lit("application/epub+zip"),
+        "META-INF/container.xml" -> lit(
+          "<container><rootfiles><rootfile full-path=\"OEBPS/content.opf\"" +
+            " media-type=\"application/oebps-package+xml\"/></rootfiles></container>"),
+        "OEBPS/content.opf" -> opfXml,
+        "OEBPS/ch1.xhtml" -> ch1,
+        "OEBPS/ch2.xhtml" -> ch2))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.epubText(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.title").as("title"), col("v.author").as("author"),
+          col("v.language").as("language"),
+          col("v.n_chapters").as("n_chapters"), col("v.text").as("text"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** General in-plan STORED-zip construction (the q163/q165 single-entry
+    * layout generalized to any entry list): per-entry CRC-32 via Spark's
+    * own `crc32`, byte sizes via binary length, local offsets and
+    * central-directory size/offset as running Column sums — constructed
+    * archives are valid byte-for-byte for any per-row content.
+    */
+  private object ZipHex {
+    import org.apache.spark.sql.Column
+    private def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+    private def le32hex(c: Column) = concat(
+      lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+    def build(entries: Seq[(String, Column)]): Column = {
+      val nameHex = entries.map(_._1.getBytes("US-ASCII")
+        .map(bb => f"$bb%02X").mkString)
+      val bins = entries.map(_._2.cast("binary"))
+      val lens = bins.map(b => length(b).cast("long"))
+      val crcs = bins.map(b => le32hex(crc32(b)))
+      val szs = lens.map(le32hex)
+      val offs = entries.map(_._1.length).zip(lens)
+        .scanLeft(lit(0L): Column) { case (acc, (nl, l)) => acc + l + lit(30L + nl) }
+      val locals = entries.zipWithIndex.map { case ((n, c), i) =>
+        concat(lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crcs(i), szs(i), szs(i), lit(le16h(n.length) + "0000"),
+          lit(nameHex(i)), hex(c)) }
+      val cds = entries.zipWithIndex.map { case ((n, _), i) =>
+        concat(lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crcs(i), szs(i), szs(i),
+          lit(le16h(n.length) + "0000" + "0000" + "0000" + "0000" + "00000000"),
+          le32hex(offs(i)), lit(nameHex(i))) }
+      val eocd = concat(
+        lit("504B0506" + "0000" + "0000" + le16h(entries.size) + le16h(entries.size)),
+        le32hex(lit(entries.map(e => 46L + e._1.length).sum)),
+        le32hex(offs.last), lit("0000"))
+      unhex(concat(locals ++ cds :+ eocd: _*))
+    }
+  }
 
   // ------------------------------------------------------- SQL-shared queries
 
@@ -7734,7 +7818,21 @@ object SparkEntry {
          |      || ' doc ' || doc_id || '${sq(CharsetFixtures.htmlPost)}'
          |  END AS text
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // EPUB closed form: Dublin Core fields and the spine-ordered block
+    // text (h1 and p blocks newline-joined, chapters blank-line-joined,
+    // &amp; decoded).
+    "q210_epub" ->
+      """SELECT doc_id,
+        |  'Book ' || doc_id AS title,
+        |  'A. Writer' AS author,
+        |  'en' AS language,
+        |  CAST(2 AS INT) AS n_chapters,
+        |  'Chapter One' || chr(10) || 'Prose for doc ' || doc_id || '.'
+        |    || chr(10) || chr(10) || 'Closing & summary ' || doc_id % 7 || '.'
+        |    AS text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

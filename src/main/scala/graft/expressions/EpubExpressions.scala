@@ -1,0 +1,233 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** EPUB text extraction — books are the highest-quality slice of a
+  * training corpus, and EPUB is their dominant open container (IDPF/W3C
+  * EPUB 2+3: a ZIP with a `mimetype` marker, an OCF `META-INF/
+  * container.xml` pointing at the OPF package document, Dublin Core
+  * metadata, a manifest of resources, and a spine giving the reading
+  * order of XHTML chapters).
+  *
+  * The walk reuses the existing machinery end-to-end: [[ZipCodec]] for
+  * the archive (CRC-verified stored/deflate entries), [[CharsetCodec]]
+  * for chapter bytes (XHTML is usually UTF-8 but the detector handles
+  * declared exceptions), and [[BoilerplateCodec.segment]] for
+  * XHTML-to-text (chapters keep ALL blocks — a book's body is content;
+  * JusText classification is for web pages).
+  *
+  * Shape notes (all lenient, all bounded):
+  *  - the `mimetype` entry is checked when present but its absence does
+  *    not reject — real-world EPUBs sometimes drop it; the OCF
+  *    container.xml is the structural anchor;
+  *  - spine hrefs resolve relative to the OPF's directory per OCF;
+  *    `../` segments normalize; fragments/query strings drop;
+  *  - chapter count and total text are capped ([[EpubCodec.MaxChapters]],
+  *    [[EpubCodec.MaxTextChars]]) — zip-bomb posture matching the other
+  *    container codecs;
+  *  - row-local, O(archive) time, codegen'd: a distributed map at any
+  *    corpus scale.
+  */
+object EpubCodec {
+
+  val MaxChapters = 512
+  val MaxTextChars = 4 << 20
+
+  private val containerRe = java.util.regex.Pattern.compile(
+    "<rootfile[^>]*full-path\\s*=\\s*[\"']([^\"']+)[\"']",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val titleRe = java.util.regex.Pattern.compile(
+    "<dc:title[^>]*>(.*?)</dc:title>",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+  private val creatorRe = java.util.regex.Pattern.compile(
+    "<dc:creator[^>]*>(.*?)</dc:creator>",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+  private val langRe = java.util.regex.Pattern.compile(
+    "<dc:language[^>]*>(.*?)</dc:language>",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+  private val itemRe = java.util.regex.Pattern.compile(
+    "<item\\b[^>]*>", java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val itemrefRe = java.util.regex.Pattern.compile(
+    "<itemref\\b[^>]*\\bidref\\s*=\\s*[\"']([^\"']+)[\"']",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val attrRe = java.util.regex.Pattern.compile(
+    "\\b(id|href|media-type)\\s*=\\s*[\"']([^\"']*)[\"']",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  private def decodeEntities(s: String): String = {
+    var i = s.indexOf('&')
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(s, 0, i)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val (rep, next) = XmlEntities.decode(s, i)
+        sb.append(rep); i = next
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def group1(p: java.util.regex.Pattern, s: String): String = {
+    val m = p.matcher(s)
+    if (m.find()) {
+      val t = decodeEntities(m.group(1)).trim.replaceAll("\\s+", " ")
+      if (t.isEmpty) null else t
+    } else null
+  }
+
+  /** Resolve `href` against the OPF's directory: join, normalize `.`/
+    * `..`, drop fragment/query.
+    */
+  private def resolve(opfDir: String, href: String): String = {
+    var h = href
+    val hash = h.indexOf('#'); if (hash >= 0) h = h.substring(0, hash)
+    val q = h.indexOf('?'); if (q >= 0) h = h.substring(0, q)
+    val joined = if (opfDir.isEmpty) h else opfDir + "/" + h
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    joined.split("/", -1).foreach {
+      case "" | "." =>
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    out.mkString("/")
+  }
+
+  private def utf8(b: Array[Byte]): String = {
+    val u = CharsetCodec.toUtf8(b)
+    if (u == null) null else u.toString
+  }
+
+  /** Extract a chapter's visible text: all segmented blocks joined by
+    * newlines (books keep everything; no boilerplate classification).
+    */
+  private def chapterText(xhtml: String): String = {
+    val blocks = BoilerplateCodec.segment(xhtml)
+    if (blocks.isEmpty) ""
+    else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < blocks.length) {
+        if (blocks(i).text.nonEmpty) {
+          if (sb.length > 0) sb.append('\n')
+          sb.append(blocks(i).text)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** `binary` -> struct<title, author, language, n_chapters, text>, or
+    * null for payloads that are not a structurally whole EPUB.
+    */
+  def epubText(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    val container = ZipCodec.entry(b, "META-INF/container.xml")
+    if (container == null) return null
+    val containerXml = utf8(container)
+    if (containerXml == null) return null
+    val cm = containerRe.matcher(containerXml)
+    if (!cm.find()) return null
+    val opfPath = cm.group(1)
+    val opfBytes = ZipCodec.entry(b, opfPath)
+    if (opfBytes == null) return null
+    val opf = utf8(opfBytes)
+    if (opf == null) return null
+    val slash = opfPath.lastIndexOf('/')
+    val opfDir = if (slash < 0) "" else opfPath.substring(0, slash)
+
+    // manifest: id -> (href, media-type)
+    val manifest = new java.util.HashMap[String, (String, String)]()
+    val im = itemRe.matcher(opf)
+    while (im.find()) {
+      val tag = im.group()
+      var id: String = null; var href: String = null; var mt: String = null
+      val am = attrRe.matcher(tag)
+      while (am.find()) {
+        am.group(1).toLowerCase(java.util.Locale.ROOT) match {
+          case "id" => id = am.group(2)
+          case "href" => href = am.group(2)
+          case _ => mt = am.group(2)
+        }
+      }
+      if (id != null && href != null)
+        manifest.put(id, (href, if (mt == null) "" else mt))
+    }
+
+    // spine order -> chapter entries (XHTML parts only)
+    val sb = new java.lang.StringBuilder()
+    var nChapters = 0
+    val rm = itemrefRe.matcher(opf)
+    var truncated = false
+    while (rm.find() && nChapters < MaxChapters && !truncated) {
+      val item = manifest.get(rm.group(1))
+      if (item != null) {
+        val (href, mt) = item
+        val isDoc = mt.isEmpty || mt.contains("xhtml") || mt.contains("html")
+        if (isDoc) {
+          val bytes = ZipCodec.entry(b, resolve(opfDir, href))
+          if (bytes != null) {
+            val xhtml = utf8(bytes)
+            if (xhtml != null) {
+              val text = chapterText(xhtml)
+              nChapters += 1
+              if (text.nonEmpty) {
+                if (sb.length > 0) sb.append("\n\n")
+                if (sb.length + text.length > MaxTextChars) {
+                  sb.append(text, 0, MaxTextChars - sb.length)
+                  truncated = true
+                } else sb.append(text)
+              }
+            }
+          }
+        }
+      }
+    }
+    if (nChapters == 0) return null
+
+    val out = new Array[Any](5)
+    def s2u(s: String): AnyRef = if (s == null) null else UTF8String.fromString(s)
+    out(0) = s2u(group1(titleRe, opf))
+    out(1) = s2u(group1(creatorRe, opf))
+    out(2) = s2u(group1(langRe, opf))
+    out(3) = nChapters
+    out(4) = UTF8String.fromString(sb.toString)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `binary` -> struct<title,author,language,n_chapters,text> for EPUB
+  * payloads ([[EpubCodec.epubText]]); NULL for non-EPUB.
+  */
+case class EpubTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("author", StringType),
+    StructField("language", StringType),
+    StructField("n_chapters", IntegerType),
+    StructField("text", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    EpubCodec.epubText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.EpubCodec.epubText($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): EpubTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_epub_text"
+}

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_epub_text"),
+      new ExpressionInfo(classOf[EpubTextExpr].getName, "graft_epub_text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => EpubTextExpr(b)
+        case _ => throw new IllegalArgumentException("graft_epub_text(binary)")
+      }),
+    (
       FunctionIdentifier("graft_charset"),
       new ExpressionInfo(classOf[DetectCharsetExpr].getName, "graft_charset"),
       (args: Seq[Expression]) => args match {

@@ -582,6 +582,16 @@ object Multimodal {
       graft.expressions.EmailAttachmentsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** EPUB (IDPF/W3C) book extraction — OCF container walk to the OPF
+    * package, Dublin Core title/author/language, spine-ordered XHTML
+    * chapters reduced to text through the shared block segmenter
+    * ([[graft.expressions.EpubTextExpr]]). NULL for non-EPUB payloads.
+    */
+  def epubText(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.EpubTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Detected charset of a raw byte payload — BOMs, strict UTF-8
     * validation, ISO-2022-JP escapes, CJK structural scoring, the
     * Cyrillic case statistic, windows-1252 fallback, with the WHATWG

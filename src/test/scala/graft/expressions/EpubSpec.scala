@@ -1,0 +1,155 @@
+package graft.expressions
+
+import graft.SparkTestBase
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+class EpubSpec extends SparkTestBase {
+
+  /** Real deflate-compressed ZIP via the JDK writer — the walk must
+    * handle what actual packaging tools emit, not just our stored-mode
+    * constructions.
+    */
+  private def zip(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, data) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(data)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private def u8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  private val container =
+    """<?xml version="1.0"?>
+      |<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+      |  <rootfiles>
+      |    <rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/>
+      |  </rootfiles>
+      |</container>""".stripMargin
+
+  private def opf(spine: String*): String =
+    s"""<?xml version="1.0"?>
+       |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+       |  <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+       |    <dc:title>War &amp; Peace</dc:title>
+       |    <dc:creator id="a1">Leo Tolstoy</dc:creator>
+       |    <dc:language>en</dc:language>
+       |  </metadata>
+       |  <manifest>
+       |    <item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+       |    <item id="c2" href="./sub/../ch2.xhtml" media-type="application/xhtml+xml"/>
+       |    <item id="css" href="style.css" media-type="text/css"/>
+       |    <item id="img" href="cover.png" media-type="image/png"/>
+       |  </manifest>
+       |  <spine>${spine.map(id => s"""<itemref idref="$id"/>""").mkString}</spine>
+       |</package>""".stripMargin
+
+  private val ch1 =
+    """<html><head><title>Ch1</title></head><body>
+      |<h1>Chapter One</h1>
+      |<p>It was a dark and stormy night; caf&#233; doors rattled.</p>
+      |</body></html>""".stripMargin
+  private val ch2 =
+    """<html><body><p>Second chapter text.</p><p>More prose here.</p></body></html>"""
+
+  private def book: Array[Byte] = zip(
+    "mimetype" -> "application/epub+zip".getBytes(StandardCharsets.US_ASCII),
+    "META-INF/container.xml" -> u8(container),
+    "OEBPS/content.opf" -> u8(opf("c1", "c2")),
+    "OEBPS/ch1.xhtml" -> u8(ch1),
+    "OEBPS/ch2.xhtml" -> u8(ch2),
+    "OEBPS/style.css" -> u8("p { margin: 0 }"),
+    "OEBPS/cover.png" -> Array[Byte](1, 2, 3))
+
+  private def extract(b: Array[Byte]) = EpubCodec.epubText(b)
+
+  test("full book: metadata + spine-ordered chapter text") {
+    val r = extract(book)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "War & Peace")
+    assert(r.getUTF8String(1).toString == "Leo Tolstoy")
+    assert(r.getUTF8String(2).toString == "en")
+    assert(r.getInt(3) == 2)
+    val text = r.getUTF8String(4).toString
+    assert(text ==
+      "Ch1\nChapter One\nIt was a dark and stormy night; café doors rattled." +
+        "\n\nSecond chapter text.\nMore prose here.")
+  }
+
+  test("spine order wins over manifest order") {
+    val reversed = zip(
+      "META-INF/container.xml" -> u8(container),
+      "OEBPS/content.opf" -> u8(opf("c2", "c1")),
+      "OEBPS/ch1.xhtml" -> u8(ch1),
+      "OEBPS/ch2.xhtml" -> u8(ch2))
+    val text = extract(reversed).getUTF8String(4).toString
+    assert(text.startsWith("Second chapter text."))
+    assert(text.contains("Chapter One"))
+  }
+
+  test("missing mimetype entry still extracts (container.xml anchors)") {
+    val noMime = zip(
+      "META-INF/container.xml" -> u8(container),
+      "OEBPS/content.opf" -> u8(opf("c1")),
+      "OEBPS/ch1.xhtml" -> u8(ch1))
+    val r = extract(noMime)
+    assert(r != null && r.getInt(3) == 1)
+  }
+
+  test("spine idref without a manifest item / missing chapter file skip") {
+    val partial = zip(
+      "META-INF/container.xml" -> u8(container),
+      "OEBPS/content.opf" -> u8(opf("ghost", "c2", "c1")),
+      "OEBPS/ch2.xhtml" -> u8(ch2))
+    val r = extract(partial) // c1's file absent, ghost unmapped
+    assert(r != null && r.getInt(3) == 1)
+    assert(r.getUTF8String(4).toString.startsWith("Second chapter"))
+  }
+
+  test("chapter in a declared legacy charset transcodes") {
+    val latin = "<html><head><meta charset=\"iso-8859-1\"></head><body>" +
+      "<p>Le cœur déçu — naïve prose of sufficient length to read well.</p></body></html>"
+    val b = zip(
+      "META-INF/container.xml" -> u8(container),
+      "OEBPS/content.opf" -> u8(opf("c1")),
+      "OEBPS/ch1.xhtml" -> latin.getBytes(Charset("windows-1252")))
+    val text = extract(b).getUTF8String(4).toString
+    assert(text == "Le cœur déçu — naïve prose of sufficient length to read well.")
+  }
+
+  private def Charset(n: String) = java.nio.charset.Charset.forName(n)
+
+  test("non-epub payloads are null") {
+    assert(extract(null) == null)
+    assert(extract(Array[Byte](1, 2, 3)) == null)
+    // a zip without container.xml (e.g. docx shape)
+    val docx = zip("word/document.xml" -> u8("<w:document/>"))
+    assert(extract(docx) == null)
+    // container pointing at a missing opf
+    val broken = zip("META-INF/container.xml" -> u8(container))
+    assert(extract(broken) == null)
+    // opf with an empty spine
+    val empty = zip(
+      "META-INF/container.xml" -> u8(container),
+      "OEBPS/content.opf" -> u8(opf()))
+    assert(extract(empty) == null)
+  }
+
+  test("sql surface: graft_epub_text") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(book).toDF("b").createOrReplaceTempView("epub_t")
+    val row = s.sql(
+      "SELECT graft_epub_text(b).title AS t, graft_epub_text(b).n_chapters AS n " +
+        "FROM epub_t").collect().head
+    assert(row.getString(0) == "War & Peace" && row.getInt(1) == 2)
+  }
+}
