@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, TextFunctions => TF}
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, WordPiece, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -4991,6 +4991,31 @@ object SparkEntry {
           col("v.n_chapters").as("n_chapters"), col("v.text").as("text"))
         .orderBy("doc_id")
     }),
+
+    // --- 211. WordPiece encoding, oracle-pinned ---------------------------------------------------------
+    // The BERT-family member of the tokenizer trio (BPE q150, unigram-LM
+    // q176-family, and this). Training's likelihood-score loop is pinned
+    // against a hand-computed trace in WordPieceSpec (not SQL-expressible,
+    // same call as BPE); ENCODING with an explicit vocabulary is fully
+    // closed-form: greedy longest-match-first with ## continuations over
+    // five word shapes plus the per-row "docN" word, whose digits encode
+    // one ##digit piece each. Codegen'd end-to-end (plain split feeds the
+    // expression — no interpreted HOF in the hot path).
+    "q211_wordpiece" -> ((s, d) => {
+      val vocab = Seq("[UNK]", "play", "##ing", "##ed", "##er", "un",
+        "##play", "do", "##ne", "doc") ++ (0 to 9).map(dd => "##" + dd)
+      val m = col("doc_id") % 5
+      val word = when(m === 0, lit("playing")).when(m === 1, lit("played"))
+        .when(m === 2, lit("unplayed")).when(m === 3, lit("done"))
+        .otherwise(lit("zzq"))
+      val text = concat(word, lit(" doc"), col("doc_id").cast("string"))
+      val pieces = WordPiece.encode(text, vocab)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", pieces).as("pieces"),
+          size(pieces).as("n_pieces"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -7832,7 +7857,24 @@ object SparkEntry {
         |  'Chapter One' || chr(10) || 'Prose for doc ' || doc_id || '.'
         |    || chr(10) || chr(10) || 'Closing & summary ' || doc_id % 7 || '.'
         |    AS text
-        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // WordPiece closed form: each shape's greedy segmentation stated
+    // literally; the docN word contributes 'doc' + one ##digit piece per
+    // digit (regexp-expanded, trim drops the trailing separator).
+    "q211_wordpiece" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'play ##ing' WHEN 1 THEN 'play ##ed'
+        |    WHEN 2 THEN 'un ##play ##ed' WHEN 3 THEN 'do ##ne'
+        |    ELSE '[UNK]' END
+        |  || ' doc ' || trim(regexp_replace(CAST(doc_id AS VARCHAR),
+        |       '(.)', '##\1 ', 'g')) AS pieces,
+        |  CAST(CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 2
+        |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
+        |    AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

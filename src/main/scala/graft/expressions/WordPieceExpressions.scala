@@ -1,0 +1,107 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece encoding against a fixed vocabulary (see
+  * [[graft.functions.WordPiece]]): per word, greedy longest-match-first —
+  * the published BERT `WordpieceTokenizer` algorithm. Pieces after the
+  * first carry the `##` continuation prefix; a word with no matchable
+  * segmentation (or longer than `maxWordLen`) becomes the `unk` token.
+  * The vocabulary is part of the expression (serialized with the plan,
+  * referenced once via `addReferenceObj` in codegen); per-word results
+  * are memoized per-instance with FIFO eviction (see [[BpeEncodeExpr]]
+  * for why the memo must not be access-ordered).
+  */
+case class WordPieceEncodeExpr(
+    child: Expression,
+    vocab: Array[String],
+    unk: String,
+    maxWordLen: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val unkU = UTF8String.fromString(unk)
+  @transient private lazy val maxPieceChars: Int = {
+    var m = 1
+    vocab.foreach(v => if (v.length > m) m = v.length)
+    m
+  }
+
+  @transient private lazy val memo =
+    new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[UTF8String]]): Boolean =
+        size() > 65536
+    }
+
+  def encodeWord(w: String): Array[UTF8String] = {
+    val cached = memo.get(w)
+    if (cached != null) return cached
+    val out: Array[UTF8String] =
+      if (w.isEmpty) Array.empty
+      else if (w.length > maxWordLen) Array(unkU)
+      else {
+        val pieces = new java.util.ArrayList[UTF8String](4)
+        var start = 0
+        var failed = false
+        while (start < w.length && !failed) {
+          val prefix = if (start == 0) "" else "##"
+          // longest vocabulary match first
+          var end = math.min(w.length, start + maxPieceChars - prefix.length)
+          var hit: String = null
+          while (hit == null && end > start) {
+            val cand = prefix + w.substring(start, end)
+            if (vocabSet.contains(cand)) hit = cand else end -= 1
+          }
+          if (hit == null) failed = true
+          else { pieces.add(UTF8String.fromString(hit)); start = end }
+        }
+        if (failed) Array(unkU)
+        else pieces.toArray(new Array[UTF8String](pieces.size))
+      }
+    memo.put(w, out)
+    out
+  }
+
+  def encodeTokens(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val pieces = encodeWord(arr.getUTF8String(i).toString)
+        var j = 0
+        while (j < pieces.length) { out.add(pieces(j)); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encodeTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpiece", this, classOf[WordPieceEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodeTokens($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_wordpiece"
+}

@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer training and encoding — the BERT-family member of
+  * the tokenizer trio ([[Bpe]] merge-by-rank, [[UnigramTokenizer]]
+  * lattice EM, and this).
+  *
+  * Training is the published WordPiece recipe (Schuster & Nakajima 2012;
+  * the HF `WordPieceTrainer` formulation): like BPE, repeatedly merge an
+  * adjacent symbol pair over the word-frequency dictionary, but ranked by
+  * the LIKELIHOOD score `count(pair) / (count(left) * count(right))`
+  * rather than raw frequency — the merge that most increases a unigram
+  * LM's data likelihood. Non-initial symbols carry the `##` continuation
+  * prefix; ties break lexicographically for determinism.
+  *
+  * Encoding is greedy longest-match-first over the vocabulary (the
+  * published BERT `WordpieceTokenizer`): per word, take the longest
+  * vocabulary prefix (`##`-prefixed after the first piece), emit `[UNK]`
+  * for unmatchable or over-long words.
+  *
+  * Scale shape (100 TB posture): identical to [[Bpe]] — the corpus is
+  * touched EXACTLY ONCE for the word-frequency aggregation (map-side
+  * combine, (word,count) shuffle); vocabulary learning runs driver-side
+  * on the vocabulary-sized dictionary with incremental pair/symbol
+  * counts; encoding is a codegen'd expression with a bounded word memo.
+  */
+object WordPiece {
+
+  val ContinuationPrefix = "##"
+  val DefaultUnk = "[UNK]"
+
+  /** Learn a WordPiece vocabulary of (at most) `vocabSize` entries from a
+    * text column: the initial alphabet (all first-position chars and
+    * `##`-prefixed continuation chars seen in the dictionary) plus merged
+    * pieces in learning order. `[UNK]` is always entry 0.
+    */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxVocab: Int = 100000
+  ): Seq[String] = {
+    require(vocabSize >= 1 && maxVocab >= 1)
+    val wordCounts: Array[(String, Long)] =
+      df.select(explode(Retrieval.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w"))
+        .limit(maxVocab)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    trainFromWordCounts(wordCounts, vocabSize)
+  }
+
+  /** Driver-side vocabulary learning over a word-frequency dictionary —
+    * separated for direct testing and for callers that already hold
+    * word counts.
+    */
+  def trainFromWordCounts(
+      wordCounts: Array[(String, Long)],
+      vocabSize: Int
+  ): Seq[String] = {
+    // Words as mutable symbol sequences: first char plain, rest ##-prefixed.
+    val words = wordCounts.filter(_._1.nonEmpty).map { case (w, c) =>
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        syms += (if (i == 0) String.valueOf(w.charAt(i))
+          else ContinuationPrefix + w.charAt(i))
+        i += 1
+      }
+      (syms, c)
+    }
+    val symCount = scala.collection.mutable.HashMap.empty[String, Long]
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addSym(sym: String, c: Long): Unit = {
+      val nc = symCount.getOrElse(sym, 0L) + c
+      if (nc == 0L) symCount.remove(sym) else symCount(sym) = nc
+    }
+    def addPair(p: (String, String), c: Long, wi: Int): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + c
+      if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+      if (c > 0)
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+    }
+    words.zipWithIndex.foreach { case ((syms, c), wi) =>
+      var i = 0
+      while (i < syms.length) {
+        addSym(syms(i), c)
+        if (i < syms.length - 1) addPair((syms(i), syms(i + 1)), c, wi)
+        i += 1
+      }
+    }
+    // Initial vocabulary: [UNK] + the alphabet, lexicographic for
+    // determinism. Learned pieces append in merge order.
+    val vocab = scala.collection.mutable.LinkedHashSet.empty[String]
+    vocab += DefaultUnk
+    symCount.keys.toSeq.sorted.foreach(vocab += _)
+
+    def mergedSurface(l: String, r: String): String =
+      l + (if (r.startsWith(ContinuationPrefix))
+        r.substring(ContinuationPrefix.length) else r)
+
+    while (vocab.size < vocabSize && pairCount.nonEmpty) {
+      // Highest likelihood score count(pair)/(count(l)*count(r)).
+      // Doubles decide the common case (equal true ratios round to the
+      // same double); bit-equal doubles fall back to EXACT BigInt
+      // cross-multiplication — corpus-scale counts overflow a Long
+      // product — then lexicographic (left, right) for determinism.
+      var best: (String, String) = null
+      var bestNum = 0L; var bestDen = 1L; var bestScore = -1.0
+      pairCount.foreach { case (p, pc) =>
+        val den = symCount.getOrElse(p._1, 1L) * symCount.getOrElse(p._2, 1L)
+        val score = pc.toDouble / den.toDouble
+        val better =
+          if (best == null) true
+          else if (score != bestScore) score > bestScore
+          else {
+            val cmp = (BigInt(pc) * BigInt(bestDen))
+              .compare(BigInt(bestNum) * BigInt(den))
+            if (cmp != 0) cmp > 0
+            else if (p._1 != best._1) p._1 < best._1
+            else p._2 < best._2
+          }
+        if (better) { best = p; bestNum = pc; bestDen = den; bestScore = score }
+      }
+      val merged = mergedSurface(best._1, best._2)
+      vocab += merged
+      val affected = pairWords.getOrElse(best, scala.collection.mutable.Set.empty)
+      affected.toSeq.foreach { wi =>
+        val (syms, c) = words(wi)
+        var i = 0
+        while (i < syms.length) {
+          addSym(syms(i), -c)
+          if (i < syms.length - 1) addPair((syms(i), syms(i + 1)), -c, wi)
+          i += 1
+        }
+        i = 0
+        while (i < syms.length - 1) {
+          if (syms(i) == best._1 && syms(i + 1) == best._2) {
+            syms(i) = mergedSurface(syms(i), syms(i + 1))
+            syms.remove(i + 1)
+          } else i += 1
+        }
+        i = 0
+        while (i < syms.length) {
+          addSym(syms(i), c)
+          if (i < syms.length - 1) addPair((syms(i), syms(i + 1)), c, wi)
+          i += 1
+        }
+      }
+      pairCount.remove(best)
+      pairWords.remove(best)
+    }
+    vocab.toSeq
+  }
+
+  /** Encode a text column into WordPiece subword tokens (array<string>)
+    * with greedy longest-match-first against `vocab`. The vocabulary
+    * travels to executors once per task with the serialized expression,
+    * not per row.
+    */
+  def encode(
+      text: Column,
+      vocab: Seq[String],
+      unk: String = DefaultUnk,
+      maxWordLen: Int = 100): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.WordPieceEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(
+          // plain split, NOT Retrieval.tokens: the empty-token filter is
+          // a higher-order function (interpreted, and it kicks the whole
+          // projection out of WholeStageCodegen); the encode expression
+          // skips empty words itself, so the hot path stays compiled.
+          split(lower(text), "\\s+")),
+        vocab.toArray, unk, maxWordLen))
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WordPieceSpec extends SparkTestBase {
+
+  // ---- training: hand-computed likelihood-score trace -------------------
+
+  test("trainFromWordCounts follows the likelihood score, not raw frequency") {
+    // Corpus: "ab" x10, "abc" x4.
+    // Symbols: a:14, ##b:14, ##c:4.
+    // Pairs:   (a,##b):14  score 14/(14*14) = 1/14
+    //          (##b,##c):4 score 4/(14*4)  = 1/14
+    // TIE on score -> lexicographic: "##b" < "a", so (##b,##c) merges
+    // FIRST (raw-frequency BPE would merge (a,##b) first) -> "##bc".
+    // Then: a:14, ##b:10, ##bc:4; pairs (a,##b):10 -> 10/140 = 1/14,
+    // (a,##bc):4 -> 4/56 = 1/14: tie again, "##b" < "##bc" -> "ab".
+    val vocab = WordPiece.trainFromWordCounts(
+      Array("ab" -> 10L, "abc" -> 4L), vocabSize = 6)
+    assert(vocab == Seq("[UNK]", "##b", "##c", "a", "##bc", "ab"))
+  }
+
+  test("training stops at vocabSize and at pair exhaustion") {
+    val tiny = WordPiece.trainFromWordCounts(Array("ab" -> 1L), vocabSize = 3)
+    assert(tiny == Seq("[UNK]", "##b", "a")) // alphabet already fills it
+    val full = WordPiece.trainFromWordCounts(Array("ab" -> 1L), vocabSize = 99)
+    assert(full == Seq("[UNK]", "##b", "a", "ab")) // one possible merge
+  }
+
+  test("distributed train matches driver-side learning on the same counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.fill(10)("ab").union(Seq.fill(4)("abc")).toDF("text")
+    val vocab = WordPiece.train(df, "text", vocabSize = 6)
+    assert(vocab == Seq("[UNK]", "##b", "##c", "a", "##bc", "ab"))
+  }
+
+  // ---- encoding: greedy longest-match-first -----------------------------
+
+  private val vocab = Seq("[UNK]", "play", "##ing", "##ed", "un", "##play",
+    "do", "##ne", "p", "##l")
+
+  private def enc(text: String): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("t")
+      .select(WordPiece.encode(col("t"), vocab).as("p"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("greedy longest match with continuation prefix") {
+    assert(enc("playing") == Seq("play", "##ing"))
+    assert(enc("unplayed") == Seq("un", "##play", "##ed"))
+    assert(enc("done") == Seq("do", "##ne"))
+    assert(enc("playing done") == Seq("play", "##ing", "do", "##ne"))
+  }
+
+  test("longest match wins over shorter prefixes") {
+    // "pl" would start with p + ##l, but "play" is longer and must win.
+    assert(enc("played") == Seq("play", "##ed"))
+    // where only the short pieces exist, they chain
+    assert(enc("pl") == Seq("p", "##l"))
+  }
+
+  test("unmatchable and over-long words become [UNK]") {
+    assert(enc("xyzzy") == Seq("[UNK]"))
+    // matchable head but unmatchable tail: whole word collapses to UNK
+    assert(enc("playz") == Seq("[UNK]"))
+    val long = "p" + "l" * 200
+    assert(enc(long) == Seq("[UNK]"))
+  }
+
+  test("case follows the shared lowercasing tokenizer") {
+    assert(enc("PLAYING") == Seq("play", "##ing"))
+  }
+
+  test("encode plan stays codegen-compiled") {
+    // range (not a LocalRelation, which folds to LocalTableScan) so the
+    // projection actually compiles.
+    val df = spark.range(4)
+      .select(WordPiece.encode(concat(lit("playing doc"), col("id")), vocab).as("p"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(1)" is WholeStageCodegen's simpleString marker: the projection
+    // is inside the compiled stage (an interpreted fallback would print
+    // a bare "Project" outside any starred stage).
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.collect().head.getSeq[String](0).take(2) == Seq("play", "##ing"))
+  }
+}
