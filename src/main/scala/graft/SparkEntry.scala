@@ -5016,6 +5016,25 @@ object SparkEntry {
           size(pieces).as("n_pieces"))
         .orderBy("doc_id")
     }),
+
+    // --- 212. Bloom-filter seen-before gate, oracle-pinned ----------------------------------------------
+    // The scalable cross-corpus membership primitive (frontier dedup,
+    // incremental-ingest sweeps): Spark's own mergeable
+    // BloomFilterAggregate builds the reference filter in ONE pass
+    // (xxhash64 keys), and the probe is a codegen'd per-row filter — no
+    // join, no shuffle, either corpus. fpp is sized (1e-8 over ~600 ref
+    // keys) so the deterministic test corpus produces ZERO false
+    // positives, making the gate EXACTLY the semijoin the oracle states;
+    // no-false-negatives is the structural guarantee either way.
+    "q212_bloom_seen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.where(col("doc_id") % 10 === 0)
+      val bf = Dedup.bloomBuild(ref, "text", fpp = 1e-8)
+      docs
+        .select(col("doc_id"),
+          Dedup.bloomMightContain(bf, col("text")).as("seen"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -7874,7 +7893,15 @@ object SparkEntry {
         |    WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 2
         |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
         |    AS n_pieces
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Bloom gate at zero-FP sizing = the exact text-membership semijoin
+    // (duplicate texts across ids flag too — membership is by KEY).
+    "q212_bloom_seen" ->
+      """SELECT d.doc_id,
+        |  EXISTS(SELECT 1 FROM documents r
+        |         WHERE r.doc_id % 10 = 0 AND r.text = d.text) AS seen
+        |FROM documents d ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -859,4 +859,82 @@ object Dedup {
         nullable = false)))
     semanticPrune(df, spark.createDataFrame(rows, schema), threshold)
   }
+
+  // ------------------------------------------------------------ Bloom gate
+
+  /** Serialized Bloom filter over a reference corpus's key column — the
+    * scalable "have I seen this before" membership primitive (crawl
+    * frontier dedup against already-fetched URLs, benchmark/blocklist
+    * sweeps, incremental-ingest exact dedup against yesterday's corpus).
+    *
+    * Built with Spark's OWN mergeable `BloomFilterAggregate` in ONE
+    * distributed pass: per-partition filters OR-merge through the
+    * single-row aggregation — no row ever leaves its partition. Keys are
+    * `xxhash64`'d in-plan (LongType put/probe on both sides), so any key
+    * type works through one code path.
+    *
+    * Sizing: `numBits = max(optimalNumOfBits(expectedItems, fpp),
+    * minBits)`. The floor matters: the sketch library probes by DOUBLE
+    * HASHING (bit_i = h1 + i*h2 mod m), whose false-positive rate has a
+    * structural pair-collision term ~ nRef*nProbe/m^2 that DOMINATES the
+    * textbook formula when m is small — a 2k-bit filter at nominal 1e-8
+    * fpp really delivers ~1e-3 over a few hundred probes. The 1 MiB-bit
+    * (128 KiB) default floor pushes that term below 1e-8 for
+    * million-probe workloads at zero practical cost. The filter must fit
+    * the DRIVER and the task broadcast — 1e9 items at fpp 1e-3 is
+    * ~1.7 GiB of bits, so billion-key gates belong at fpp 1e-2/1e-3, not
+    * 1e-6 (the published space formula, not a library limit).
+    * `expectedItems <= 0` counts the reference first (one cheap
+    * aggregate on what is by construction the SMALL side).
+    */
+  def bloomBuild(
+      ref: DataFrame,
+      keyCol: String,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.001,
+      minBits: Long = 1L << 20): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val n =
+      if (expectedItems > 0) expectedItems
+      else math.max(1L, ref.select(keyCol).distinct().count())
+    val bits = math.max(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp), minBits)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        org.apache.spark.sql.graft.Bridge.expression(xxhash64(col(keyCol))),
+        org.apache.spark.sql.catalyst.expressions.Literal(n),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+    ref.select(org.apache.spark.sql.graft.Bridge.column(
+        agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Membership-probe column against a built filter: true = PROBABLY in
+    * the reference (false-positive rate set at build), false = DEFINITELY
+    * not. The filter bytes ride the serialized plan once per task
+    * (Spark's `BloomFilterMightContain`, codegen'd).
+    */
+  def bloomMightContain(filter: Array[Byte], key: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          filter, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graft.Bridge.expression(xxhash64(key))))
+
+  /** Drop every row of `df` whose key appears in `ref` — plus an
+    * fpp-rate's worth of collateral false positives, the documented trade
+    * for never shuffling either corpus: the probe is a broadcast-free
+    * per-row filter, and `ref` is only read to build the filter. NO FALSE
+    * NEGATIVES: a surviving row is guaranteed absent from `ref`.
+    */
+  def dropSeen(
+      df: DataFrame,
+      keyCol: String,
+      ref: DataFrame,
+      refKeyCol: String,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.001): DataFrame = {
+    val filter = bloomBuild(ref, refKeyCol, expectedItems, fpp)
+    df.where(!bloomMightContain(filter, col(keyCol)))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupBloomSpec extends SparkTestBase {
+
+  private def refDf(keys: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    keys.toDF("k")
+  }
+
+  test("no false negatives: every reference key probes true") {
+    val keys = (0 until 500).map(i => s"url-$i")
+    val bf = Dedup.bloomBuild(refDf(keys), "k", fpp = 0.01)
+    val flagged = refDf(keys)
+      .where(Dedup.bloomMightContain(bf, col("k"))).count()
+    assert(flagged == 500)
+  }
+
+  test("definite negatives survive at tight fpp") {
+    val bf = Dedup.bloomBuild(refDf((0 until 500).map(i => s"url-$i")), "k",
+      fpp = 1e-8)
+    val probes = refDf((0 until 2000).map(i => s"other-$i"))
+    val survivors = probes.where(!Dedup.bloomMightContain(bf, col("k"))).count()
+    assert(survivors == 2000) // deterministic corpus, fpp sized to zero FPs
+  }
+
+  test("dropSeen removes exactly the overlap (tight fpp)") {
+    val s = spark
+    import s.implicits._
+    val ref = (0 until 300).map(i => s"doc-$i").toDF("k")
+    val corpus = (200 until 1000).map(i => s"doc-$i").toDF("k")
+    val kept = Dedup.dropSeen(corpus, "k", ref, "k", fpp = 1e-8)
+    assert(kept.count() == 700) // 200..299 dropped
+    assert(kept.where(col("k") === "doc-250").count() == 0)
+    assert(kept.where(col("k") === "doc-999").count() == 1)
+  }
+
+  test("auto-sizing counts the reference when expectedItems is omitted") {
+    val ref = refDf(Seq.fill(100)("dup") ++ (0 until 50).map(i => s"u$i"))
+    // minBits lowered to observe the n-driven size: 51 distinct keys at
+    // 1% -> ~489 bits, far under the row count's 1438.
+    val bf = Dedup.bloomBuild(ref, "k", fpp = 0.01, minBits = 1)
+    assert(bf.length < 128) // sized for distinct count, not row count
+    assert(refDf(Seq("dup", "u7"))
+      .where(Dedup.bloomMightContain(bf, col("k"))).count() == 2)
+  }
+
+  test("default minBits floor guards the double-hashing fp floor") {
+    // tiny reference still gets the 1 MiB-bit floor (128 KiB + header):
+    // the sketch's double-hashed probes have a structural ~n*m_probes/m^2
+    // collision term that the floor suppresses.
+    val bf = Dedup.bloomBuild(refDf(Seq("a")), "k", fpp = 1e-8)
+    assert(bf.length >= (1 << 17))
+  }
+
+  test("probe plan is a per-row filter: no join, no shuffle") {
+    val bf = Dedup.bloomBuild(refDf(Seq("a", "b")), "k", fpp = 0.01)
+    val probed = refDf(Seq("a", "c", "d"))
+      .where(Dedup.bloomMightContain(bf, col("k")))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("numeric keys work through the same xxhash64 path") {
+    val s = spark
+    import s.implicits._
+    val ref = (0L until 100L).toDF("k")
+    val bf = Dedup.bloomBuild(ref, "k", fpp = 1e-8)
+    val hits = (0L until 200L).toDF("k")
+      .where(Dedup.bloomMightContain(bf, col("k"))).count()
+    assert(hits == 100)
+  }
+}
