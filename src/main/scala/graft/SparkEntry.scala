@@ -5035,6 +5035,36 @@ object SparkEntry {
           Dedup.bloomMightContain(bf, col("text")).as("seen"))
         .orderBy("doc_id")
     }),
+
+    // --- 213. image quality statistics, oracle-pinned ---------------------------------------------------
+    // The blur/exposure gates of a multimodal corpus filter, pinned
+    // RELATIONALLY like q156: a 24x16 gray PGM with a closed-form pixel
+    // function is CONSTRUCTED per row; the codegen'd ImageQualityExpr
+    // decodes it once and reduces exact milli-luma integer aggregates to
+    // a FIXED float expression per metric, and the oracle replays the
+    // same integer sums and the same float expression — Laplacian
+    // variance (sharpness), RMS contrast, exposure mean, clip fractions
+    // — bit-exact. Constant-bounded slice: per-pixel synthesis cost.
+    "q213_image_quality" -> ((s, d) => {
+      val w = 24; val h = 16
+      val header = concat(lit(hex(lit(s"P5 $w $h 255\n"))))
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        (col("doc_id") * 11 + x * x * 5 + y * 3 + x * y * 2) % 256
+      val rasterHex = array_join(
+        transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"))), 2, "0")), "")
+      val payload = unhex(concat(header, rasterHex))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), Multimodal.imageQuality(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.width").as("width"), col("v.height").as("height"),
+          col("v.mean_luma").as("mean_luma"),
+          col("v.contrast").as("contrast"),
+          col("v.sharpness").as("sharpness"),
+          col("v.clip_lo").as("clip_lo"), col("v.clip_hi").as("clip_hi"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -7901,7 +7931,49 @@ object SparkEntry {
       """SELECT d.doc_id,
         |  EXISTS(SELECT 1 FROM documents r
         |         WHERE r.doc_id % 10 = 0 AND r.text = d.text) AS seen
-        |FROM documents d ORDER BY doc_id""".stripMargin
+        |FROM documents d ORDER BY doc_id""".stripMargin,
+
+    // Image quality: regenerate the raster, replay the exact integer
+    // milli-luma sums, then the implementation's EXACT float expression
+    // per metric (two-divisions mean, var = ssq/n - (s/n)^2, max-then-
+    // divide sharpness) so doubles are bit-identical.
+    "q213_image_quality" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x, y,
+        |    CAST((d.doc_id * 11 + x * x * 5 + y * 3 + x * y * 2) % 256 AS BIGINT) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(24)) AS ux(x),
+        |    LATERAL UNNEST(range(16)) AS uy(y)),
+        | agg AS (
+        |  SELECT doc_id, SUM(v * 1000) AS sm, SUM(v * v * 1000000) AS ssqm,
+        |    SUM(CASE WHEN v <= 2 THEN 1 ELSE 0 END) AS nlo,
+        |    SUM(CASE WHEN v >= 253 THEN 1 ELSE 0 END) AS nhi
+        |  FROM px GROUP BY doc_id),
+        | lap AS (
+        |  SELECT c.doc_id,
+        |    SUM(1000 * (4 * c.v - l.v - r.v - u.v - dn.v)) AS sl,
+        |    SUM((1000 * (4 * c.v - l.v - r.v - u.v - dn.v))
+        |      * (1000 * (4 * c.v - l.v - r.v - u.v - dn.v))) AS ssl
+        |  FROM px c
+        |  JOIN px l ON l.doc_id = c.doc_id AND l.y = c.y AND l.x = c.x - 1
+        |  JOIN px r ON r.doc_id = c.doc_id AND r.y = c.y AND r.x = c.x + 1
+        |  JOIN px u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+        |  JOIN px dn ON dn.doc_id = c.doc_id AND dn.x = c.x AND dn.y = c.y + 1
+        |  WHERE c.x BETWEEN 1 AND 22 AND c.y BETWEEN 1 AND 14
+        |  GROUP BY c.doc_id)
+        |SELECT a.doc_id,
+        |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  (CAST(a.sm AS DOUBLE) / 384) / 1000.0 AS mean_luma,
+        |  sqrt(greatest(0.0, CAST(a.ssqm AS DOUBLE) / 384
+        |    - (CAST(a.sm AS DOUBLE) / 384) * (CAST(a.sm AS DOUBLE) / 384)))
+        |    / 1000.0 AS contrast,
+        |  greatest(0.0, CAST(p.ssl AS DOUBLE) / 308
+        |    - (CAST(p.sl AS DOUBLE) / 308) * (CAST(p.sl AS DOUBLE) / 308))
+        |    / 1000000.0 AS sharpness,
+        |  CAST(a.nlo AS DOUBLE) / 384 AS clip_lo,
+        |  CAST(a.nhi AS DOUBLE) / 384 AS clip_hi
+        |FROM agg a JOIN lap p ON a.doc_id = p.doc_id
+        |ORDER BY a.doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

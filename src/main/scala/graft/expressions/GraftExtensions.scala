@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_image_quality"),
+      new ExpressionInfo(classOf[ImageQualityExpr].getName, "graft_image_quality"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => ImageQualityExpr(b)
+        case _ => throw new IllegalArgumentException("graft_image_quality(binary)")
+      }),
+    (
       FunctionIdentifier("graft_epub_text"),
       new ExpressionInfo(classOf[EpubTextExpr].getName, "graft_epub_text"),
       (args: Seq[Expression]) => args match {

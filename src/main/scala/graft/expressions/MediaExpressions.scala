@@ -5018,6 +5018,107 @@ object MediaCodec {
     }
     null
   }
+
+  // ----------------------------------------------------- image quality
+
+  /** Luma-grid cap for [[imageQuality]]: above ~2 Mpx the grid
+    * downsamples (box means) so per-row heap stays bounded — blur/
+    * exposure filtering does not need gigapixel Laplacians, and the cap
+    * keeps 32 concurrent tasks under ~1 GiB of grids worst-case.
+    */
+  val QualityMaxPixels: Int = 1 << 21
+
+  /** Image QUALITY statistics for corpus filtering — the published
+    * heuristics a multimodal training pipeline gates on:
+    *
+    *  - `sharpness`: variance of the 4-neighbour Laplacian over interior
+    *    pixels (the standard blur metric — low = blurry/flat);
+    *  - `mean_luma` + `clip_lo`/`clip_hi` fractions (luma <= 2 / >= 253):
+    *    exposure and blown-out/crushed detection;
+    *  - `contrast`: RMS contrast (population stddev of luma).
+    *
+    * Decodes ONCE through the shared ladder into a luma grid (full
+    * resolution up to [[QualityMaxPixels]], box-mean-downsampled above).
+    * Luma is held in exact MILLI units (299r+587g+114b per pixel; 1000x
+    * gray), and every aggregate is integer until a FIXED final float
+    * expression — so an oracle can replay the metrics relationally,
+    * bit-exact, from the regenerated raster. NULL for undecodable
+    * payloads.
+    */
+  def imageQuality(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    val hdr = parse(bytes)
+    val (w0, h0) =
+      if (hdr != null) (hdr._2, hdr._3)
+      else if (bytes.length >= 2 && bytes(0) == 'P' &&
+        (bytes(1) == '5' || bytes(1) == '6')) {
+        val p = pnmHeader(bytes)
+        if (p == null) return null
+        (p(0), p(1))
+      } else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+        if (bytes.length < 26) return null
+        (le32(bytes, 18), math.abs(le32(bytes, 22).toLong).toInt)
+      } else return null
+    if (w0 <= 0 || h0 <= 0) return null
+    var gw = w0; var gh = h0
+    if (w0.toLong * h0 > QualityMaxPixels) {
+      val scale = math.sqrt(w0.toLong * h0 / QualityMaxPixels.toDouble)
+      gw = math.max(3, math.ceil(w0 / scale).toInt)
+      gh = math.max(3, math.ceil(h0 / scale).toInt)
+    }
+    val grid = new GridAcc(w0, h0, gw, gh)
+    val stats = decodePixels(bytes, grid)
+    if (stats == null) return null
+    if (stats.width != w0 || stats.height != h0 || !grid.complete) return null
+    val n = gw * gh
+    // Exact milli-luma per cell: full-res cells hold ONE pixel whose
+    // accumulated luma is k/1000 for integer k, so round(x*1000) IS k.
+    val milli = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      milli(i) = Math.round(grid.sum(i) * 1000.0 / grid.cnt(i)).toInt
+      i += 1
+    }
+    var sum = 0L; var sumSq = 0L; var lo = 0L; var hi = 0L
+    i = 0
+    while (i < n) {
+      val v = milli(i)
+      sum += v; sumSq += v.toLong * v
+      if (v <= 2000) lo += 1
+      if (v >= 253000) hi += 1
+      i += 1
+    }
+    val nD = n.toDouble
+    val meanLuma = (sum.toDouble / nD) / 1000.0
+    val contrastVar = sumSq.toDouble / nD -
+      (sum.toDouble / nD) * (sum.toDouble / nD)
+    val contrast = math.sqrt(math.max(0.0, contrastVar)) / 1000.0
+    var sharpness = 0.0
+    if (gw >= 3 && gh >= 3) {
+      var sl = 0L; var ssl = 0L
+      var y = 1
+      while (y < gh - 1) {
+        var x = 1
+        while (x < gw - 1) {
+          val c = y * gw + x
+          val l = 4L * milli(c) - milli(c - 1) - milli(c + 1) -
+            milli(c - gw) - milli(c + gw)
+          sl += l; ssl += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val nI = (gw - 2).toLong * (gh - 2)
+      val nID = nI.toDouble
+      val varL = ssl.toDouble / nID - (sl.toDouble / nID) * (sl.toDouble / nID)
+      sharpness = math.max(0.0, varL) / 1e6
+    }
+    val out = new Array[Any](7)
+    out(0) = w0; out(1) = h0
+    out(2) = meanLuma; out(3) = contrast; out(4) = sharpness
+    out(5) = lo.toDouble / nD; out(6) = hi.toDouble / nD
+    new GenericInternalRow(out)
+  }
 }
 
 /** `binary` -> struct<format:string,width:int,height:int>, or NULL for
@@ -5090,6 +5191,38 @@ case class ImagePixelStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImagePixelStatsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_pixel_stats"
+}
+
+/** `binary` -> image quality struct for corpus filtering
+  * ([[MediaCodec.imageQuality]]: Laplacian-variance sharpness, exposure
+  * mean, clipping fractions, RMS contrast — the blur/exposure gates).
+  * NULL for undecodable payloads; codegen'd, bounded luma grid.
+  */
+case class ImageQualityExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false),
+    StructField("contrast", DoubleType, nullable = false),
+    StructField("sharpness", DoubleType, nullable = false),
+    StructField("clip_lo", DoubleType, nullable = false),
+    StructField("clip_hi", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.imageQuality(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MediaCodec.imageQuality($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ImageQualityExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_image_quality"
 }
 
 /** `binary` -> flat PCM-WAV statistics struct (NULL for anything

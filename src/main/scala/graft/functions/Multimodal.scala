@@ -93,6 +93,17 @@ object Multimodal {
       graft.expressions.ImagePixelStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Image QUALITY statistics for corpus filtering — Laplacian-variance
+    * sharpness (the standard blur gate), exposure mean, clip fractions,
+    * RMS contrast — decoded once through the shared ladder into a
+    * bounded luma grid ([[graft.expressions.ImageQualityExpr]]). NULL
+    * for undecodable payloads.
+    */
+  def imageQuality(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ImageQualityExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** REAL audio decode + per-channel amplitude statistics for PCM WAV
     * (s16le — the uncompressed interchange format), as a native codegen'd
     * expression ([[graft.expressions.AudioStatsExpr]]). NULL for

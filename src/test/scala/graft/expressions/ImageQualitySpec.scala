@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Image quality statistics: hand-computed metrics on constructed
+  * rasters, the blur ordering the Laplacian variance exists for, clip
+  * detection, cross-format identity, reject sides.
+  */
+class ImageQualitySpec extends AnyFunSuite {
+
+  private def pgm(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5 $w $h 255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+  }
+
+  private def q(b: Array[Byte]) = MediaCodec.imageQuality(b)
+
+  test("flat image: zero sharpness, zero contrast, exact mean") {
+    val r = q(pgm(8, 8, (_, _) => 100))
+    assert(r != null)
+    assert(r.getInt(0) == 8 && r.getInt(1) == 8)
+    assert(r.getDouble(2) == 100.0) // mean_luma
+    assert(r.getDouble(3) == 0.0) // contrast
+    assert(r.getDouble(4) == 0.0) // sharpness
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+  }
+
+  test("linear ramp: zero Laplacian (gradients are sharp-free), known contrast") {
+    // v = x: Laplacian of a linear function is 0 everywhere.
+    val r = q(pgm(10, 6, (x, _) => 10 * x))
+    assert(r.getDouble(4) == 0.0)
+    // mean of 10x over x=0..9 is 45; population var = 100 * var(0..9) = 825
+    assert(r.getDouble(2) == 45.0)
+    assert(math.abs(r.getDouble(3) - math.sqrt(825.0)) < 1e-9)
+  }
+
+  test("checkerboard: hand-computed Laplacian variance") {
+    // v alternates 0/200: every interior Laplacian is +/-(4*200 - 0) or
+    // (0 - 4*200) in luma units -> L = +/-800, variance = 800^2 = 640000
+    // (mean 0 on an even interior). 6x6 -> 16 interior pixels, 8 each sign.
+    val r = q(pgm(6, 6, (x, y) => if ((x + y) % 2 == 0) 200 else 0))
+    assert(r.getDouble(4) == 640000.0)
+  }
+
+  test("blur ordering: the same scene, progressively smoothed, ranks down") {
+    def noise(x: Int, y: Int): Int = (x * 73 + y * 151 + x * y * 7) % 256
+    val sharp = pgm(32, 32, noise)
+    // 3x3 box blur of the same scene (computed on the test side)
+    def blurred(x: Int, y: Int): Int = {
+      var s = 0; var n = 0
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val xx = x + dx; val yy = y + dy
+        if (xx >= 0 && xx < 32 && yy >= 0 && yy < 32) { s += noise(xx, yy); n += 1 }
+      }
+      s / n
+    }
+    val soft = pgm(32, 32, blurred)
+    val sSharp = q(sharp).getDouble(4)
+    val sSoft = q(soft).getDouble(4)
+    assert(sSharp > sSoft * 2, s"$sSharp vs $sSoft")
+  }
+
+  test("clip fractions count blown and crushed pixels") {
+    // left half crushed (0), right half blown (255)
+    val r = q(pgm(8, 4, (x, _) => if (x < 4) 0 else 255))
+    assert(r.getDouble(5) == 0.5 && r.getDouble(6) == 0.5)
+    // boundary: 2 counts low, 3 does not; 253 counts high, 252 does not
+    val r2 = q(pgm(4, 2, (x, _) => Seq(2, 3, 252, 253)(x)))
+    assert(r2.getDouble(5) == 0.25 && r2.getDouble(6) == 0.25)
+  }
+
+  test("cross-format: BMP gray raster matches PGM metrics exactly") {
+    def bmp(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val rowPad = (4 - (w * 3) % 4) % 4
+      val dataSize = (w * 3 + rowPad) * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+      b.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w) { val v = f(x, y).toByte; b.put(v).put(v).put(v) }
+        for (_ <- 0 until rowPad) b.put(0.toByte)
+      }
+      b.array()
+    }
+    def scene(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val a = q(pgm(9, 7, scene)); val b = q(bmp(9, 7, scene))
+    for (i <- 2 to 6) assert(a.getDouble(i) == b.getDouble(i), s"field $i")
+  }
+
+  test("oversize images downsample but still rank blur correctly") {
+    // 2049x1025 > 2^21 pixels forces the capped grid path.
+    val big = pgm(2049, 1025, (x, y) => (x * 7 + y * 13) % 256)
+    val r = q(big)
+    assert(r != null && r.getInt(0) == 2049 && r.getInt(1) == 1025)
+    assert(r.getDouble(3) > 0.0)
+  }
+
+  test("rejects: null, garbage, truncated") {
+    assert(q(null) == null)
+    assert(q(Array[Byte](1, 2, 3)) == null)
+    assert(q(pgm(8, 8, (x, y) => x + y).dropRight(20)) == null)
+  }
+}
