@@ -5065,6 +5065,52 @@ object SparkEntry {
           col("v.clip_lo").as("clip_lo"), col("v.clip_hi").as("clip_hi"))
         .orderBy("doc_id")
     }),
+
+    // --- 214. audio activity (frame-energy VAD), oracle-pinned ------------------------------------------
+    // The audio-corpus curation gate: a 16 kHz mono WAV with DESIGNED
+    // silence/tone frame runs (lead = id%3, tone = 1+id%4, tail = id%2;
+    // tone alternates +/-2000, far above the -40 dBFS default) is
+    // CONSTRUCTED per row; the codegen'd VAD must count frames, active
+    // frames, and the exact leading/trailing silence runs. The linear
+    // RMS threshold keeps the decision integer-exact, so the oracle
+    // states every field closed-form.
+    "q214_audio_activity" -> ((s, d) => {
+      def leHex16(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"))
+      def leHex32(c: org.apache.spark.sql.Column) = concat(
+        leHex16(c.bitwiseAND(lit(65535L))),
+        leHex16(shiftright(c, 16).bitwiseAND(lit(65535L))))
+      def rep(h: String, nn: org.apache.spark.sql.Column) =
+        when(nn <= 0, lit("")).otherwise(
+          array_join(transform(sequence(lit(1), nn), _ => lit(h)), ""))
+      val L = (col("doc_id") % 3).cast("int")
+      val A = (lit(1) + col("doc_id") % 4).cast("int")
+      val T = (col("doc_id") % 2).cast("int")
+      val nSamp = (L + A + T) * 320
+      val silFrame = "0000" * 320
+      val toneFrame = "D00730F8" * 160 // +2000/-2000 alternating, 320 samples
+      val dataSize = nSamp.cast("long") * 2L
+      val header = concat(
+        lit("52494646"), leHex32(lit(36L) + dataSize), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+        lit("803E0000"), lit("007D0000"), lit("0200"), lit("1000"),
+        lit("64617461"), leHex32(dataSize))
+      val payload = unhex(concat(header,
+        rep(silFrame, L), rep(toneFrame, A), rep(silFrame, T)))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.audioActivity(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.n_samples").as("n_samples"),
+          col("v.n_frames").as("n_frames"),
+          col("v.active_frames").as("active_frames"),
+          col("v.active_frac").as("active_frac"),
+          col("v.leading_silence_frames").as("lead_frames"),
+          col("v.trailing_silence_frames").as("trail_frames"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -7973,7 +8019,21 @@ object SparkEntry {
         |  CAST(a.nlo AS DOUBLE) / 384 AS clip_lo,
         |  CAST(a.nhi AS DOUBLE) / 384 AS clip_hi
         |FROM agg a JOIN lap p ON a.doc_id = p.doc_id
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // Audio activity closed form: the designed frame runs restated.
+    "q214_audio_activity" ->
+      """SELECT doc_id,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST((doc_id % 3 + 1 + doc_id % 4 + doc_id % 2) * 320 AS BIGINT)
+        |    AS n_samples,
+        |  CAST(doc_id % 3 + 1 + doc_id % 4 + doc_id % 2 AS INT) AS n_frames,
+        |  CAST(1 + doc_id % 4 AS INT) AS active_frames,
+        |  CAST(1 + doc_id % 4 AS DOUBLE)
+        |    / (doc_id % 3 + 1 + doc_id % 4 + doc_id % 2) AS active_frac,
+        |  CAST(doc_id % 3 AS INT) AS lead_frames,
+        |  CAST(doc_id % 2 AS INT) AS trail_frames
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

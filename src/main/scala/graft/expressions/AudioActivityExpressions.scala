@@ -1,0 +1,124 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Audio ACTIVITY profiling — the energy-gated voice/sound-activity
+  * detector an audio-corpus curation pipeline filters on: how much of a
+  * clip is actual signal vs silence, and how much dead air pads the
+  * ends (lead-in trims, truncated-recording detection, "empty upload"
+  * rejects).
+  *
+  * The classic frame-energy VAD, reduced to exactly replayable
+  * arithmetic: mono samples (the shared WAV/FLAC/M4A extractors — the
+  * whole audio ladder hears identical signals) are cut into
+  * non-overlapping `frameMs` frames (the final partial frame counts,
+  * at its real length); a frame is ACTIVE iff its energy exceeds a
+  * LINEAR RMS threshold in s16 units:
+  *
+  *   sum(s^2) > threshAmp^2 * frameLen
+  *
+  * — integer-exact sums and one fixed float comparison, so an oracle
+  * replays the decision bit-for-bit (a dB threshold would drag
+  * non-correctly-rounded `pow` into the comparison; callers convert
+  * once via `32768 * 10^(dB/20)`: -40 dBFS ~ 327.68).
+  *
+  * Outputs are frame counts (exact ints) plus one derived fraction;
+  * leading/trailing silences are in frames, `frameMs` each by
+  * construction. Decode is frame-capped like the resampler (~95 s at
+  * 44.1 kHz) — the row-scale bomb guard.
+  */
+object AudioActivityCodec {
+
+  val MaxFrames: Int = 1 << 22
+
+  def activity(b: Array[Byte], frameMs: Int, threshAmp: Double): InternalRow = {
+    if (b == null || frameMs <= 0 || frameMs > 10000 || threshAmp < 0)
+      return null
+    val mono =
+      if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F') MediaCodec.wavMonoSamples(b, MaxFrames)
+      else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C') MediaCodec.flacMonoSamples(b, MaxFrames)
+      else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') MediaCodec.m4aMonoSamples(b, MaxFrames)
+      else null
+    if (mono == null) return null
+    val (rate, s) = mono
+    if (rate <= 0 || s.isEmpty) return null
+    val spf = math.max(1, (rate.toLong * frameMs / 1000).toInt)
+    val nFrames = (s.length + spf - 1) / spf
+    val threshSq = threshAmp * threshAmp
+    var active = 0
+    var firstActive = -1
+    var lastActive = -1
+    var f = 0
+    while (f < nFrames) {
+      val start = f * spf
+      val end = math.min(start + spf, s.length)
+      var sumSq = 0.0
+      var i = start
+      while (i < end) { sumSq += s(i) * s(i); i += 1 }
+      if (sumSq > threshSq * (end - start)) {
+        active += 1
+        if (firstActive < 0) firstActive = f
+        lastActive = f
+      }
+      f += 1
+    }
+    val leading = if (firstActive < 0) nFrames else firstActive
+    val trailing = if (lastActive < 0) nFrames else nFrames - 1 - lastActive
+    val out = new Array[Any](7)
+    out(0) = rate
+    out(1) = s.length.toLong
+    out(2) = nFrames
+    out(3) = active
+    out(4) = active.toDouble / nFrames
+    out(5) = leading
+    out(6) = trailing
+    new GenericInternalRow(out)
+  }
+}
+
+/** `binary` -> audio activity struct ([[AudioActivityCodec.activity]]):
+  * frame-energy VAD with an exactly-replayable linear RMS threshold.
+  * NULL for non-audio payloads.
+  */
+case class AudioActivityExpr(child: Expression, frameMs: Int, threshAmp: Double)
+  extends UnaryExpression {
+  // finite guard: the threshold is interpolated into generated Java
+  // source, where NaN/Infinity are not literals.
+  require(java.lang.Double.isFinite(threshAmp) && threshAmp >= 0,
+    s"threshAmp must be finite and >= 0, got $threshAmp")
+  require(frameMs > 0 && frameMs <= 10000,
+    s"frameMs must be in (0, 10000], got $frameMs")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("active_frames", IntegerType, nullable = false),
+    StructField("active_frac", DoubleType, nullable = false),
+    StructField("leading_silence_frames", IntegerType, nullable = false),
+    StructField("trailing_silence_frames", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    AudioActivityCodec.activity(input.asInstanceOf[Array[Byte]], frameMs, threshAmp)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.AudioActivityCodec.activity(
+        $c, $frameMs, $threshAmp);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioActivityExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_audio_activity"
+}

@@ -208,6 +208,17 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_audio_activity"),
+      new ExpressionInfo(classOf[AudioActivityExpr].getName, "graft_audio_activity"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => AudioActivityExpr(b, 20, 327.68)
+        case Seq(b, Literal(ms: Int, IntegerType)) => AudioActivityExpr(b, ms, 327.68)
+        case Seq(b, Literal(ms: Int, IntegerType), Literal(t, _)) =>
+          AudioActivityExpr(b, ms, String.valueOf(t).toDouble)
+        case _ => throw new IllegalArgumentException(
+          "graft_audio_activity(binary[, frameMs literal int[, threshAmp literal]])")
+      }),
+    (
       FunctionIdentifier("graft_image_quality"),
       new ExpressionInfo(classOf[ImageQualityExpr].getName, "graft_image_quality"),
       (args: Seq[Expression]) => args match {

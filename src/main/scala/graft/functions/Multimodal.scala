@@ -93,6 +93,19 @@ object Multimodal {
       graft.expressions.ImagePixelStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Audio ACTIVITY profile (frame-energy VAD) for audio-corpus
+    * curation: active fraction and leading/trailing silence of a
+    * WAV/FLAC/M4A payload, with an exactly-replayable LINEAR RMS
+    * threshold in s16 units — convert a dB gate once via
+    * `32768 * 10^(dB/20)` (-40 dBFS ~ 327.68)
+    * ([[graft.expressions.AudioActivityExpr]]). NULL for non-audio.
+    */
+  def audioActivity(bin: Column, frameMs: Int = 20,
+      threshAmp: Double = 327.68): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AudioActivityExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin), frameMs, threshAmp))
+
   /** Image QUALITY statistics for corpus filtering — Laplacian-variance
     * sharpness (the standard blur gate), exposure mean, clip fractions,
     * RMS contrast — decoded once through the shared ladder into a

@@ -1,0 +1,97 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frame-energy VAD: hand-computed frame decisions on constructed WAVs,
+  * silence trims, threshold boundary, partial final frame, format
+  * identity, rejects.
+  */
+class AudioActivitySpec extends graft.SparkTestBase {
+
+  private def wav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+    val n = samples.length
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(1.toShort)
+    b.putInt(rate).putInt(rate * 2).putShort(2.toShort).putShort(16.toShort)
+    b.put("data".getBytes).putInt(2 * n)
+    samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  private def act(b: Array[Byte], frameMs: Int = 20, thresh: Double = 327.68) =
+    AudioActivityCodec.activity(b, frameMs, thresh)
+
+  // 1000 Hz rate, 20 ms frames -> 20 samples per frame: easy counting.
+  private val Rate = 1000
+
+  test("silence then tone then silence: frame counts and trims") {
+    val silence = Seq.fill(40)(0)
+    val tone = Seq.tabulate(60)(i => if (i % 2 == 0) 2000 else -2000)
+    val r = act(wav(Rate, silence ++ tone ++ silence))
+    assert(r.getInt(0) == Rate)
+    assert(r.getLong(1) == 140L)
+    assert(r.getInt(2) == 7) // 140 samples / 20 spf
+    assert(r.getInt(3) == 3) // frames 2,3,4 are the tone
+    assert(r.getDouble(4) == 3.0 / 7)
+    assert(r.getInt(5) == 2) // leading silence frames
+    assert(r.getInt(6) == 2) // trailing
+  }
+
+  test("threshold boundary is a strict inequality on exact integers") {
+    // constant amplitude A over a full frame: sumSq = 20*A^2;
+    // active iff 20*A^2 > t^2*20 iff A > t. t = 100 exactly:
+    val at = act(wav(Rate, Seq.fill(20)(100)), thresh = 100.0)
+    assert(at.getInt(3) == 0) // A == t -> NOT active (strict)
+    val above = act(wav(Rate, Seq.fill(20)(101)), thresh = 100.0)
+    assert(above.getInt(3) == 1)
+  }
+
+  test("partial final frame is judged at its real length") {
+    // 30 samples -> one full frame (silent) + 10-sample tail of amplitude
+    // 200: tail sumSq = 10*200^2 = 400000 > t^2*10 = 100000 -> active.
+    val r = act(wav(Rate, Seq.fill(20)(0) ++ Seq.fill(10)(200)), thresh = 100.0)
+    assert(r.getInt(2) == 2 && r.getInt(3) == 1)
+    assert(r.getInt(5) == 1 && r.getInt(6) == 0)
+  }
+
+  test("all-silent clip: trims cover the whole clip") {
+    val r = act(wav(Rate, Seq.fill(100)(3)), thresh = 100.0)
+    assert(r.getInt(3) == 0)
+    assert(r.getInt(5) == 5 && r.getInt(6) == 5)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("all-active clip: zero trims") {
+    val r = act(wav(Rate, Seq.tabulate(100)(i => if (i % 2 == 0) 5000 else -5000)))
+    assert(r.getInt(3) == 5 && r.getInt(5) == 0 && r.getInt(6) == 0)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("spf respects the sample rate") {
+    // 16 kHz, 20 ms -> 320 samples per frame
+    val r = act(wav(16000, Seq.fill(800)(1000)), thresh = 100.0)
+    assert(r.getInt(2) == 3) // 800 = 2*320 + 160
+    assert(r.getInt(3) == 3)
+  }
+
+  test("rejects: null, garbage, bad params") {
+    assert(act(null) == null)
+    assert(act(Array[Byte](1, 2, 3)) == null)
+    assert(AudioActivityCodec.activity(wav(Rate, Seq(1)), 0, 1.0) == null)
+    assert(AudioActivityCodec.activity(wav(Rate, Seq(1)), 20, -1.0) == null)
+  }
+
+  test("sql surface: graft_audio_activity") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(wav(Rate, Seq.fill(40)(0) ++ Seq.fill(20)(2000))).toDF("b")
+      .createOrReplaceTempView("aa_t")
+    val row = spark.sql(
+      "SELECT graft_audio_activity(b, 20, 100.0).active_frames AS a, " +
+        "graft_audio_activity(b).n_frames AS n FROM aa_t").collect().head
+    assert(row.getInt(0) == 1 && row.getInt(1) == 3)
+  }
+}
