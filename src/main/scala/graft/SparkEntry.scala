@@ -5111,6 +5111,24 @@ object SparkEntry {
           col("v.trailing_silence_frames").as("trail_frames"))
         .orderBy("doc_id")
     }),
+
+    // --- 215. Porter stemming, oracle-pinned ------------------------------------------------------------
+    // The classic retrieval normalization (original 1980 rule set): six
+    // word shapes exercising steps 1b/1c/2/4/5b plus the per-row "docN"
+    // word, whose digits trip the letters-only guard and pass through —
+    // every stem statable closed-form. Codegen'd per-token transform.
+    "q215_stemming" -> ((s, d) => {
+      val m = col("doc_id") % 6
+      val word = when(m === 0, lit("relational")).when(m === 1, lit("hopping"))
+        .when(m === 2, lit("happy")).when(m === 3, lit("adjustment"))
+        .when(m === 4, lit("controlling")).otherwise(lit("rate"))
+      val text = concat(word, lit(" doc"), col("doc_id").cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", transform(split(lower(text), "\\s+"),
+            w => TF.stem(w))).as("stems"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8033,7 +8051,16 @@ object SparkEntry {
         |    / (doc_id % 3 + 1 + doc_id % 4 + doc_id % 2) AS active_frac,
         |  CAST(doc_id % 3 AS INT) AS lead_frames,
         |  CAST(doc_id % 2 AS INT) AS trail_frames
-        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Porter stems closed form; docN trips the letters-only guard.
+    "q215_stemming" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'relat' WHEN 1 THEN 'hop' WHEN 2 THEN 'happi'
+        |    WHEN 3 THEN 'adjust' WHEN 4 THEN 'control' ELSE 'rate' END
+        |  || ' doc' || doc_id AS stems
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

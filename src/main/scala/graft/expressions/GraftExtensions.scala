@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_stem"),
+      new ExpressionInfo(classOf[PorterStemExpr].getName, "graft_stem"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => PorterStemExpr(s)
+        case _ => throw new IllegalArgumentException("graft_stem(string)")
+      }),
+    (
       FunctionIdentifier("graft_audio_activity"),
       new ExpressionInfo(classOf[AudioActivityExpr].getName, "graft_audio_activity"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,225 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The Porter stemmer (Porter, "An algorithm for suffix stripping",
+  * Program 14(3), 1980) — the classic English normalization for
+  * retrieval-side token matching (BM25 term unification, keyword
+  * overlap, index folding). This is the ORIGINAL published rule set
+  * (steps 1a-5b as in the paper; without the later website-era
+  * additions like `logi -> log`), implemented as a row-local,
+  * allocation-light pass suitable for codegen.
+  *
+  * Scope contract: operates on lowercase ASCII letter runs; words
+  * shorter than 3 characters or containing any non-ASCII-letter pass
+  * through unchanged (the published reference implementation's same
+  * guard). Case: input is lowercased first (stemming is defined over
+  * lowercase).
+  */
+object PorterStemmer {
+
+  private def isVowelAt(w: Array[Char], i: Int): Boolean = w(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => true
+    case 'y' => i > 0 && !isVowelAt(w, i - 1)
+    case _ => false
+  }
+
+  /** measure m of w[0..end]: [C](VC)^m[V]. */
+  private def measure(w: Array[Char], end: Int): Int = {
+    var m = 0
+    var i = 0
+    // skip initial consonants
+    while (i <= end && !isVowelAt(w, i)) i += 1
+    while (i <= end) {
+      // in vowels
+      while (i <= end && isVowelAt(w, i)) i += 1
+      if (i <= end) {
+        m += 1
+        while (i <= end && !isVowelAt(w, i)) i += 1
+      }
+    }
+    m
+  }
+
+  private def containsVowel(w: Array[Char], end: Int): Boolean = {
+    var i = 0
+    while (i <= end) { if (isVowelAt(w, i)) return true; i += 1 }
+    false
+  }
+
+  /** *d: ends with a double consonant. */
+  private def doubleC(w: Array[Char], end: Int): Boolean =
+    end >= 1 && w(end) == w(end - 1) && !isVowelAt(w, end)
+
+  /** *o: ends cvc where the final c is not w, x or y. */
+  private def cvc(w: Array[Char], end: Int): Boolean =
+    end >= 2 && !isVowelAt(w, end) && isVowelAt(w, end - 1) &&
+      !isVowelAt(w, end - 2) &&
+      w(end) != 'w' && w(end) != 'x' && w(end) != 'y'
+
+  private def endsWith(w: Array[Char], end: Int, s: String): Boolean = {
+    val n = s.length
+    if (end + 1 < n) return false
+    var i = 0
+    while (i < n) {
+      if (w(end - n + 1 + i) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Stem a lowercase ASCII-letter word in place; returns new end index. */
+  private def stemChars(w: Array[Char], end0: Int): Int = {
+    var end = end0
+
+    // ---- step 1a
+    if (endsWith(w, end, "sses")) end -= 2
+    else if (endsWith(w, end, "ies")) end -= 2
+    else if (!endsWith(w, end, "ss") && endsWith(w, end, "s")) end -= 1
+
+    // ---- step 1b
+    var applyFix = false
+    if (endsWith(w, end, "eed")) {
+      if (measure(w, end - 3) > 0) end -= 1
+    } else if (endsWith(w, end, "ed") && containsVowel(w, end - 2)) {
+      end -= 2; applyFix = true
+    } else if (endsWith(w, end, "ing") && containsVowel(w, end - 3)) {
+      end -= 3; applyFix = true
+    }
+    if (applyFix) {
+      if (endsWith(w, end, "at") || endsWith(w, end, "bl") ||
+        endsWith(w, end, "iz")) {
+        end += 1; w(end) = 'e'
+      } else if (doubleC(w, end) &&
+        w(end) != 'l' && w(end) != 's' && w(end) != 'z') {
+        end -= 1
+      } else if (measure(w, end) == 1 && cvc(w, end)) {
+        end += 1; w(end) = 'e'
+      }
+    }
+
+    // ---- step 1c
+    if (endsWith(w, end, "y") && containsVowel(w, end - 1)) w(end) = 'i'
+
+    // ---- step 2 (longest matching suffix only; fires when m(stem) > 0)
+    val step2 = Array(
+      ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+      ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+      ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+      ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+      ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+      ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"))
+    end = replaceLongest(w, end, step2, 0)
+
+    // ---- step 3
+    val step3 = Array(
+      ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+      ("ical", "ic"), ("ful", ""), ("ness", ""))
+    end = replaceLongest(w, end, step3, 0)
+
+    // ---- step 4 (delete when m(stem) > 1; ion needs *S or *T before it)
+    val step4 = Array("ement", "ance", "ence", "able", "ible", "ment",
+      "ant", "ent", "ion", "ism", "ate", "iti", "ous", "ive", "ize",
+      "al", "er", "ic", "ou")
+    var matched: String = null
+    var i = 0
+    while (matched == null && i < step4.length) {
+      if (endsWith(w, end, step4(i))) matched = step4(i)
+      i += 1
+    }
+    if (matched != null) {
+      val stemEnd = end - matched.length
+      val ok =
+        if (matched == "ion") stemEnd >= 0 &&
+          (w(stemEnd) == 's' || w(stemEnd) == 't') && measure(w, stemEnd) > 1
+        else measure(w, stemEnd) > 1
+      if (ok) end = stemEnd
+    }
+
+    // ---- step 5a
+    if (endsWith(w, end, "e")) {
+      val m = measure(w, end - 1)
+      if (m > 1 || (m == 1 && !cvc(w, end - 1))) end -= 1
+    }
+    // ---- step 5b
+    if (doubleC(w, end) && w(end) == 'l' && measure(w, end) > 1) end -= 1
+
+    end
+  }
+
+  /** Apply the longest matching (suffix -> replacement) whose stem
+    * measure exceeds `minM`; per the paper, only the longest MATCH is
+    * considered — a failed condition does not fall through to shorter
+    * suffixes.
+    */
+  private def replaceLongest(
+      w: Array[Char], end: Int,
+      rules: Array[(String, String)], minM: Int): Int = {
+    var best = -1
+    var bestLen = -1
+    var i = 0
+    while (i < rules.length) {
+      val s = rules(i)._1
+      if (s.length > bestLen && endsWith(w, end, s)) { best = i; bestLen = s.length }
+      i += 1
+    }
+    if (best < 0) return end
+    val (suf, rep) = rules(best)
+    val stemEnd = end - suf.length
+    if (measure(w, stemEnd) <= minM) return end
+    var j = 0
+    while (j < rep.length) { w(stemEnd + 1 + j) = rep.charAt(j); j += 1 }
+    stemEnd + rep.length
+  }
+
+  /** Stem one word. Lowercases; words < 3 chars or with any
+    * non-ASCII-letter character pass through (lowercased).
+    */
+  def stem(word: String): String = {
+    if (word == null) return null
+    val lower = word.toLowerCase(java.util.Locale.ROOT)
+    val n = lower.length
+    if (n < 3) return lower
+    var i = 0
+    while (i < n) {
+      val c = lower.charAt(i)
+      if (c < 'a' || c > 'z') return lower
+      i += 1
+    }
+    val w = lower.toCharArray
+    val end = stemChars(w, n - 1)
+    // steps can rewrite in place without shortening (1c's y->i): always
+    // rebuild from the buffer, reusing the input only on a true no-op.
+    val out = new String(w, 0, end + 1)
+    if (out == lower) lower else out
+  }
+
+  def stemU(word: UTF8String): UTF8String = {
+    if (word == null) return null
+    val out = stem(word.toString)
+    UTF8String.fromString(out)
+  }
+}
+
+/** `string` -> Porter-stemmed string (one word per value; compose with
+  * `transform(tokens, t -> graft_stem(t))` for token arrays), codegen'd.
+  */
+case class PorterStemExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    PorterStemmer.stemU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PorterStemmer.stemU($c)")
+  override protected def withNewChildInternal(newChild: Expression): PorterStemExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_stem"
+}

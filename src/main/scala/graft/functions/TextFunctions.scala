@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Porter stem of one word ([[graft.expressions.PorterStemExpr]], the
+    * original 1980 rules): the retrieval-side normalization for BM25
+    * term unification and keyword overlap. Compose over token arrays
+    * with `transform(tokens, t => TextFunctions.stem(t))`.
+    */
+  def stem(word: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.PorterStemExpr(
+        org.apache.spark.sql.graft.Bridge.expression(word)))
+
   /** PII redaction ([[graft.expressions.PiiRedactExpr]]): emails, Luhn-
     * validated payment cards, strict IPv4 + full-form IPv6, and
     * conservative phone shapes masked with typed placeholder tokens —

@@ -1,0 +1,127 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Porter stemmer against the paper's own example vocabulary (each
+  * step's published before/after pairs), plus guards and SQL surface.
+  */
+class StemSpec extends graft.SparkTestBase {
+
+  private def st(w: String) = PorterStemmer.stem(w)
+
+  test("step 1a: plural stripping") {
+    assert(st("caresses") == "caress")
+    assert(st("ponies") == "poni")
+    assert(st("ties") == "ti")
+    assert(st("caress") == "caress")
+    assert(st("cats") == "cat")
+  }
+
+  test("step 1b: ed/ing with cleanup rules") {
+    assert(st("feed") == "feed")
+    assert(st("agreed") == "agre") // agreed -> agree -> (1c..5a) agre
+    assert(st("plastered") == "plaster")
+    assert(st("bled") == "bled")
+    assert(st("motoring") == "motor")
+    assert(st("sing") == "sing")
+    assert(st("conflated") == "conflat")
+    assert(st("troubled") == "troubl")
+    assert(st("sized") == "size")
+    assert(st("hopping") == "hop")
+    assert(st("tanned") == "tan")
+    assert(st("falling") == "fall")
+    assert(st("hissing") == "hiss")
+    assert(st("fizzed") == "fizz")
+    assert(st("failing") == "fail")
+    assert(st("filing") == "file")
+  }
+
+  test("step 1c: y -> i") {
+    assert(st("happy") == "happi")
+    assert(st("sky") == "sky")
+  }
+
+  test("step 2: double-suffix folding") {
+    assert(st("relational") == "relat")
+    assert(st("conditional") == "condit")
+    assert(st("rational") == "ration")
+    assert(st("valenci") == "valenc")
+    assert(st("hesitanci") == "hesit")
+    assert(st("digitizer") == "digit")
+    assert(st("conformabli") == "conform")
+    assert(st("radicalli") == "radic")
+    assert(st("differentli") == "differ")
+    assert(st("vileli") == "vile")
+    assert(st("analogousli") == "analog")
+    assert(st("vietnamization") == "vietnam")
+    assert(st("predication") == "predic")
+    assert(st("operator") == "oper")
+    assert(st("feudalism") == "feudal")
+    assert(st("decisiveness") == "decis")
+    assert(st("hopefulness") == "hope")
+    assert(st("callousness") == "callous")
+    assert(st("formaliti") == "formal")
+    assert(st("sensitiviti") == "sensit")
+    assert(st("sensibiliti") == "sensibl")
+  }
+
+  test("step 3") {
+    assert(st("triplicate") == "triplic")
+    assert(st("formative") == "form")
+    assert(st("formalize") == "formal")
+    assert(st("electriciti") == "electr")
+    assert(st("electrical") == "electr")
+    assert(st("hopeful") == "hope")
+    assert(st("goodness") == "good")
+  }
+
+  test("step 4: long-stem suffix deletion") {
+    assert(st("revival") == "reviv")
+    assert(st("allowance") == "allow")
+    assert(st("inference") == "infer")
+    assert(st("airliner") == "airlin")
+    assert(st("gyroscopic") == "gyroscop")
+    assert(st("adjustable") == "adjust")
+    assert(st("defensible") == "defens")
+    assert(st("irritant") == "irrit")
+    assert(st("replacement") == "replac")
+    assert(st("adjustment") == "adjust")
+    assert(st("dependent") == "depend")
+    assert(st("adoption") == "adopt")
+    assert(st("communism") == "commun")
+    assert(st("activate") == "activ")
+    assert(st("angulariti") == "angular")
+    // original 1980 rules: no LOGI -> LOG (that is a later website-era
+    // addition), so the step-1a result stands.
+    assert(st("homologies") == "homologi")
+    assert(st("effective") == "effect")
+    assert(st("bowdlerize") == "bowdler")
+  }
+
+  test("step 5: final e and -ll") {
+    assert(st("probate") == "probat")
+    assert(st("rate") == "rate")
+    assert(st("cease") == "ceas")
+    assert(st("controlling") == "control")
+    assert(st("rolling") == "roll")
+  }
+
+  test("guards: short words, non-ascii, case, null") {
+    assert(st("as") == "as")
+    assert(st("be") == "be")
+    assert(st("Café") == "café") // non-ascii passes (lowercased)
+    assert(st("RUNNING") == "run")
+    assert(PorterStemmer.stem(null) == null)
+  }
+
+  test("sql surface + token-array composition") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("Fishing fished FISHES fisher").toDF("t").createOrReplaceTempView("stem_t")
+    val row = s.sql(
+      "SELECT transform(split(lower(t), ' '), w -> graft_stem(w)) AS v " +
+        "FROM stem_t").collect().head
+    assert(row.getSeq[String](0) == Seq("fish", "fish", "fish", "fisher"))
+  }
+}
