@@ -5129,6 +5129,20 @@ object SparkEntry {
             w => TF.stem(w))).as("stems"))
         .orderBy("doc_id")
     }),
+
+    // --- 216. weighted sampling (Efraimidis-Spirakis), oracle-pinned ------------------------------------
+    // The quality-weighted subset-selection primitive: md5-derived u and
+    // the ln(u)/w A-ES key are engine-replayable, and with ~5k rows the
+    // k-th/k+1-th key gap is ~1e-4 — far beyond any ulp-level ln
+    // divergence — so the SELECTED SET is stable cross-engine. Plans as
+    // TakeOrderedAndProject (per-partition top-k), pinned in
+    // WeightedSampleSpec.
+    "q216_weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("w"))
+      graft.operators.Sampling.weightedSample(docs, "doc_id", "w", 150)
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8060,7 +8074,26 @@ object SparkEntry {
         |    WHEN 0 THEN 'relat' WHEN 1 THEN 'hop' WHEN 2 THEN 'happi'
         |    WHEN 3 THEN 'adjust' WHEN 4 THEN 'control' ELSE 'rate' END
         |  || ' doc' || doc_id AS stems
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Weighted sample: replay md5 -> 48-bit u (digit expansion; exact
+    // integer-valued doubles) -> ln(u)/w key -> top-150 set.
+    "q216_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, length(text) AS w,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12) AS hx
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, w,
+        |    (CAST(SUM((strpos('0123456789abcdef', substring(hx, i + 1, 1)) - 1)
+        |       * power(16, 11 - i)) AS DOUBLE) + 0.5)
+        |      / 281474976710656.0 AS uu
+        |  FROM h, LATERAL UNNEST(range(12)) AS r(i)
+        |  GROUP BY doc_id, w, hx),
+        |sel AS (
+        |  SELECT doc_id, w FROM u
+        |  ORDER BY ln(uu) / CAST(w AS DOUBLE) DESC, doc_id LIMIT 150)
+        |SELECT doc_id, CAST(w AS INT) AS w FROM sel ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

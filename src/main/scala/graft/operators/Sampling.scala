@@ -241,4 +241,40 @@ object Sampling {
         substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr"))
       .drop("__s", "__frac", "__thr")
   }
+
+  /** Deterministic WEIGHTED sample of (at most) `k` rows — the
+    * Efraimidis-Spirakis A-ES reservoir criterion: each row gets the
+    * key `u^(1/w)` (ordered here through the equivalent `ln(u)/w`,
+    * larger = better) and the k largest keys are the sample, so a row's
+    * inclusion probability tracks its weight. The canonical "select a
+    * quality-weighted training subset" primitive.
+    *
+    * Randomness is md5-derived from `(id, seed)` — fully deterministic
+    * and REPLAYABLE in any engine (no engine RNG): u = (first 48 md5
+    * bits + 0.5) / 2^48. Rows with null/non-positive weight are
+    * excluded (a zero-weight row can never win a weighted draw).
+    *
+    * Scale shape: no global sort — `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    * the driver side of a single stage). The deterministic id
+    * tie-break keeps partitioning invisible.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = md5(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))
+    val ui = conv(substring(h, 1, 12), 16, 10).cast("long")
+    val u = (ui.cast("double") + 0.5) / lit(281474976710656.0) // 2^48
+    val key = log(u) / col(weightCol).cast("double")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", key)
+      .orderBy(desc("__wkey"), col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
 }

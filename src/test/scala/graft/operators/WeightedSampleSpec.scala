@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Efraimidis-Spirakis weighted sampling: determinism, weight
+  * proportionality, exclusions, top-k plan shape, partitioning
+  * invariance.
+  */
+class WeightedSampleSpec extends SparkTestBase {
+
+  private def corpus(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, if (i % 10 == 0) 10.0 else 1.0))
+      .toDF("id", "w")
+  }
+
+  test("deterministic: same seed same set; different seed different set") {
+    val df = corpus(1000)
+    val a = Sampling.weightedSample(df, "id", "w", 100).collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df, "id", "w", 100).collect().map(_.getLong(0)).toSet
+    val c = Sampling.weightedSample(df, "id", "w", 100, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a != c)
+    assert(a.size == 100)
+  }
+
+  test("weights drive inclusion: 10x-weighted rows dominate the sample") {
+    // 100 heavy rows (w=10) among 1000; expected heavy share of a k=200
+    // draw is far above the 10% population share (A-ES inclusion ~ the
+    // weighted draw). Deterministic, so the band is safe.
+    val picked = Sampling.weightedSample(corpus(1000), "id", "w", 200)
+      .collect().map(_.getLong(0))
+    val heavy = picked.count(_ % 10 == 0)
+    assert(heavy > 55 && heavy < 100, s"heavy=$heavy")
+  }
+
+  test("uniform weights behave like a plain deterministic sample") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, 1.0)).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 300)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 300)
+    // roughly spread across the id range
+    assert(picked.count(_ < 500) > 100 && picked.count(_ >= 500) > 100)
+  }
+
+  test("null and non-positive weights are excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, None: Option[Double])).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == Set(1L))
+  }
+
+  test("k larger than the corpus returns everything eligible") {
+    assert(Sampling.weightedSample(corpus(50), "id", "w", 500).count() == 50)
+  }
+
+  test("plans as TakeOrdered, not a global sort") {
+    val plan = Sampling.weightedSample(corpus(100), "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("partitioning-invariant: repartitioned input picks the same set") {
+    val df = corpus(1000)
+    val a = Sampling.weightedSample(df, "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+}
