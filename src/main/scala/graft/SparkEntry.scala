@@ -5143,6 +5143,16 @@ object SparkEntry {
       graft.operators.Sampling.weightedSample(docs, "doc_id", "w", 150)
         .orderBy("doc_id")
     }),
+
+    // --- 217. TF-IDF top-k terms, oracle-pinned ---------------------------------------------------------
+    // Per-document keyword extraction: one explode, vocabulary-sized df
+    // table broadcast back onto the postings, 1-row corpus-size
+    // broadcast, per-doc top-k window (no global sort). The 6-decimal
+    // round + term tie-break makes rankings engine-replayable — a
+    // raw-double rank would hinge on ulp-level ln agreement.
+    "q217_tfidf_terms" -> ((s, d) =>
+      Retrieval.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8093,7 +8103,33 @@ object SparkEntry {
         |sel AS (
         |  SELECT doc_id, w FROM u
         |  ORDER BY ln(uu) / CAST(w AS DOUBLE) DESC, doc_id LIMIT 150)
-        |SELECT doc_id, CAST(w AS INT) AS w FROM sel ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, CAST(w AS INT) AS w FROM sel ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF top-5 per doc: same tokenization, same smoothed idf, same
+    // round-then-rank with the term tie-break.
+    "q217_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, UNNEST(tk) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY doc_id, term),
+        |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+        |    ROUND(CAST(tf.tf AS DOUBLE)
+        |      * (ln((CAST(nd AS DOUBLE) + 1.0) / (CAST(dfs.df AS DOUBLE) + 1.0))
+        |         + 1.0), 6) AS score
+        |  FROM tf JOIN dfs USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+        |  score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -82,4 +82,49 @@ object Retrieval {
               (col("sum_dl") / col("n_docs"))))))
           .as("bm25"))
   }
+
+  /** Per-document TF-IDF TOP-K term extraction — the classic keyword /
+    * topic-signal operator for corpus analytics and index folding:
+    * `score = tf * (ln((N+1)/(df+1)) + 1)` (the standard smoothed idf —
+    * never zero, never divides by zero), ranked per document with a
+    * 6-decimal round and a term tie-break so rankings are deterministic
+    * and engine-replayable (a raw-double rank would hinge on ulp-level
+    * `ln` agreement between engines).
+    *
+    * Returns (id, term, tf, df, score, rank), rank 1..k.
+    *
+    * Scale shape: tokens explode ONCE; document frequencies are a
+    * vocabulary-sized table broadcast back onto the postings; the corpus
+    * size is a 1-row broadcast; the only big shuffle is the per-(doc,
+    * term) count with map-side combine, and the top-k window partitions
+    * by document (no global sort).
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val postings = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = postings.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(broadcast(dfs), "term").crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)) + 1.0), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(desc("score"), asc("term"))))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf").cast("int").as("tf"),
+        col("df").cast("int").as("df"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
 }

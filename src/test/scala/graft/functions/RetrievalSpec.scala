@@ -33,4 +33,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.forall(_.getString(1) == "join"))
     assert(out.length == 2) // docs 1 and 2
   }
+
+  test("tfidf top terms: hand-computed scores, ranks and tie-breaks") {
+    val out = Retrieval.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+    // N=3. idf(df) = ln(4/(df+1)) + 1: df=1 -> ln2+1, df=2 -> ln(4/3)+1.
+    def sc(tf: Int, df: Int) =
+      math.floor(tf * (math.log(4.0 / (df + 1.0)) + 1.0) * 1e6 + 0.5) / 1e6
+    // doc 1: spark tf2 df2 -> 2*(ln(4/3)+1)=2.575364; filter tf1 df1
+    // -> 1.693147; join tf1 df2 -> 1.287682. Top-2: spark, filter.
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._5, t._6)).toSeq ==
+      Seq(("spark", sc(2, 2), 1), ("filter", sc(1, 1), 2)))
+    // doc 2: join/merge/sort all tf1; merge & sort df1 tie at 1.693147,
+    // term tie-break alphabetical -> merge then sort.
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._6)).toSeq ==
+      Seq(("merge", 1), ("sort", 2)))
+    // doc 3: scan df1 beats spark df2.
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq("scan", "spark"))
+  }
+
+  test("tfidf top terms: broadcast df table, no global sort") {
+    val plan = Retrieval.tfidfTopTerms(corpus, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
