@@ -215,6 +215,42 @@ object CrawlIngestDemo {
       .agg((sum("n_pieces").cast("double") / sum("n_tokens"))
         .as("pieces_per_token")).show()
 
+    // --- 18. charset ingest seam: the kept corpus re-arrives as legacy
+    // bytes (cp1252 here; real crawls mix pages), is sniffed and
+    // transcoded to UTF-8 BEFORE any text operator — the step that
+    // prevents the damage stage 4 repairs after the fact.
+    val legacy = kept.select(col("uri"),
+      encode(col("text"), "ISO-8859-1").as("raw"))
+    val sniffed = legacy.select(col("uri"),
+      Multimodal.charset(col("raw")).as("cs"),
+      Multimodal.toUtf8(col("raw")).as("text"))
+    println("=== 18. charset sniff + transcode ===")
+    sniffed.groupBy("cs").count().orderBy("cs").show()
+
+    // --- 19. seen-before gate: yesterday's frontier as a Bloom filter;
+    // today's fetch skips every already-ingested resource with a per-row
+    // probe — no join, no shuffle.
+    val yesterday = kept.where(xxhash64(col("uri")) % 3 === 0)
+    val fresh = Dedup.dropSeen(kept, "uri", yesterday, "uri", fpp = 1e-6)
+    println(s"=== 19. bloom frontier gate: ${kept.count()} fetched, " +
+      s"${fresh.count()} new ===")
+
+    // --- 20. retrieval folding: Porter stems unify inflected terms, then
+    // TF-IDF surfaces each page's keywords.
+    println("=== 20. stemmed TF-IDF keywords (3 pages) ===")
+    Retrieval.tfidfTopTerms(
+        kept.withColumn("text", concat_ws(" ",
+          transform(split(lower(col("text")), "\\s+"),
+            w => TextFunctions.stem(w)))),
+        "uri", "text", k = 3)
+      .orderBy("uri", "rank").show(9, 40)
+
+    // --- 21. quality-weighted release subset: longer (higher-signal)
+    // pages win the deterministic weighted draw.
+    val subset = graft.operators.Sampling.weightedSample(
+      kept.withColumn("w", length(col("text"))), "uri", "w", k = 25)
+    println(s"=== 21. weighted sample: ${subset.count()} of ${kept.count()} ===")
+
     spark.stop()
   }
 }

@@ -96,6 +96,15 @@ object TrainingPrepDemo {
     sqlS.sql(s"CALL graft_clone('$tbl', '${tbl}_clone')").show(truncate = false)
     println(s"clone rows: ${spark.read.parquet(s"${tbl}_clone").count()}")
 
+    println("=== WordPiece: the BERT-family tokenizer beside BPE/unigram ===")
+    val wp = graft.functions.WordPiece.train(docs, "text", vocabSize = 120)
+    println(s"vocab ${wp.size}; learned tail: ${wp.takeRight(5).mkString(" ")}")
+    docs.select(
+        size(Retrieval.tokens(col("text"))).as("n_tokens"),
+        size(graft.functions.WordPiece.encode(col("text"), wp)).as("n_pieces"))
+      .agg((sum("n_pieces").cast("double") / sum("n_tokens"))
+        .as("pieces_per_token")).show()
+
     spark.stop()
   }
 }

@@ -1,0 +1,161 @@
+package graft.expressions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property fuzz for the round-12 row-local kernels (fixed-seed Gen, the
+  * RoundKernelsPropertySpec pattern): totality on arbitrary bytes,
+  * charset round-trip identity over every supported encoding, stemmer
+  * invariants, and quality-stat structural bounds.
+  */
+class R12KernelsPropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.choose(0, 800).flatMap(n => Gen.listOfN(n,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  private val magicBytesGen: Gen[Array[Byte]] = for {
+    magic <- Gen.oneOf("PK", "PK", "RIFF", "fLaC",
+      "ï»¿", "ÿþ", "P5 16 16 255\n",
+      "<meta charset=\"x\">")
+    tail <- bytesGen
+  } yield magic.getBytes("ISO-8859-1") ++ tail
+
+  private def allBytes = samples(bytesGen, 300, 121L) ++
+    samples(magicBytesGen, 300, 123L)
+
+  test("r12 kernels are total on arbitrary bytes") {
+    allBytes.foreach { b =>
+      CharsetCodec.sniff(b)
+      CharsetCodec.toUtf8(b)
+      EpubCodec.epubText(b)
+      MediaCodec.imageQuality(b)
+      AudioActivityCodec.activity(b, 20, 327.68)
+    }
+  }
+
+  test("toUtf8 output is always valid UTF-8 (decodable, no throw)") {
+    allBytes.foreach { b =>
+      val u = CharsetCodec.toUtf8(b)
+      if (u != null) {
+        // UTF8String invariant: round-trips through String
+        val s = u.toString
+        assert(UTF8String.fromString(s).toString == s)
+      }
+    }
+  }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(30, 160)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaLowerChar,
+      2 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', 'ü', 'ß', 'ç', 'à'),
+      1 -> Gen.oneOf('.', ',', '!', '0', '9')))
+  } yield cs.mkString
+
+  test("charset round-trip: encode in a legacy page, detect+decode restores") {
+    // Western text through the cp1252/latin1 family (the statistically
+    // detectable single-byte case for Latin-script fuzz text).
+    for (cs <- Seq("windows-1252", "ISO-8859-1")) {
+      val charset = java.nio.charset.Charset.forName(cs)
+      samples(textGen, 100, 131L).foreach { t =>
+        val enc = charset.encode(t)
+        val bytes = java.util.Arrays.copyOf(enc.array(), enc.limit())
+        assert(CharsetCodec.toUtf8(bytes).toString == t, s"$cs $t")
+      }
+    }
+    // UTF-16 both orders (BOM-less, parity-detected)
+    for (cs <- Seq("UTF-16LE", "UTF-16BE")) {
+      samples(textGen, 100, 137L).foreach { t =>
+        val bytes = t.getBytes(cs)
+        assert(CharsetCodec.toUtf8(bytes).toString == t, s"$cs $t")
+      }
+    }
+  }
+
+  test("stemmer: total, idempotent-ish shape, never grows, ascii-lower out") {
+    val wordGen = Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    samples(wordGen, 500, 141L).foreach { w =>
+      val s1 = PorterStemmer.stem(w)
+      assert(s1 != null && s1.length <= w.length)
+      assert(s1.forall(c => c >= 'a' && c <= 'z'))
+      // stemming a stem never grows it either
+      assert(PorterStemmer.stem(s1).length <= s1.length)
+    }
+    // arbitrary unicode words pass through lowercased, never throw
+    samples(Gen.listOfN(8, Gen.choose(32.toChar, 0x2FFF.toChar)).map(_.mkString),
+      200, 143L).foreach { w =>
+      assert(PorterStemmer.stem(w) != null)
+    }
+  }
+
+  test("image quality invariants on random valid PGMs") {
+    val pgmGen: Gen[Array[Byte]] = for {
+      w <- Gen.choose(3, 40)
+      h <- Gen.choose(3, 40)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield s"P5 $w $h 255\n".getBytes("US-ASCII") ++ px.map(_.toByte).toArray
+    samples(pgmGen, 80, 151L).foreach { b =>
+      val r = MediaCodec.imageQuality(b)
+      assert(r != null)
+      val mean = r.getDouble(2)
+      assert(mean >= 0.0 && mean <= 255.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 128.0) // contrast
+      assert(r.getDouble(4) >= 0.0) // sharpness
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("audio activity invariants on random WAVs") {
+    val wavGen: Gen[Array[Byte]] = for {
+      n <- Gen.choose(1, 400)
+      ss <- Gen.listOfN(n, Gen.choose(-32768, 32767))
+    } yield {
+      val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(1.toShort)
+      b.putInt(8000).putInt(16000).putShort(2.toShort).putShort(16.toShort)
+      b.put("data".getBytes).putInt(2 * n)
+      ss.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    samples(wavGen, 120, 161L).foreach { b =>
+      val r = AudioActivityCodec.activity(b, 20, 327.68)
+      assert(r != null)
+      val nF = r.getInt(2); val act = r.getInt(3)
+      val lead = r.getInt(5); val trail = r.getInt(6)
+      assert(act >= 0 && act <= nF)
+      assert(lead >= 0 && trail >= 0)
+      if (act > 0) assert(lead + trail <= nF - act)
+      else assert(lead == nF && trail == nF)
+      // frame arithmetic: 8000 Hz, 20 ms -> 160 spf
+      assert(nF == (r.getLong(1) + 159) / 160)
+    }
+  }
+
+  test("wordpiece encode: total and lossless when no UNK fires") {
+    val vocab = ("[UNK]" +: ('a' to 'z').map(_.toString)) ++
+      ('a' to 'z').map(c => "##" + c)
+    val expr = WordPieceEncodeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      vocab.toArray, "[UNK]", 100)
+    val wordGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    samples(wordGen, 300, 171L).foreach { w =>
+      val pieces = expr.encodeWord(w)
+      // single-char alphabet: every word segments, rejoins to itself
+      val rejoined = pieces.map(_.toString.stripPrefix("##")).mkString
+      assert(rejoined == w)
+      assert(pieces.length == w.length)
+    }
+  }
+}
