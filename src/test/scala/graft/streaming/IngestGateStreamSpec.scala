@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.functions.{Dedup, Multimodal, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming parity for the round's ingest-gate operators: charset
+  * detection + transcode and the Bloom seen-before probe are stateless
+  * per-row expressions (the filter is built ONCE from the static
+  * reference and rides the plan), so the exact batch plan runs
+  * unchanged on a stream — the continuous-crawl shape: raw legacy
+  * bytes in, UTF-8 text out, already-seen resources dropped, stems
+  * stamped.
+  */
+class IngestGateStreamSpec extends SparkTestBase {
+
+  test("charset transcode + bloom gate + stemming run on a stream") {
+    val s = spark
+    import s.implicits._
+    val dir = graft.GraftTmp.dir("graft-singest")
+    // two microbatch files of cp1251/cp1252-encoded payloads (as base64
+    // via parquet binary... keep json: hex strings decoded in-plan)
+    def hx(t: String, cs: String) = t.getBytes(
+      java.nio.charset.Charset.forName(cs)).map(b => f"$b%02X").mkString
+    Files.write(dir.resolve("a.json"),
+      (s"""{"url": "http://a/1", "hex": "${hx("Съешь же ещё этих мягких французских булок", "windows-1251")}"}""" + "\n" +
+        s"""{"url": "http://a/2", "hex": "${hx("plain ascii running dogs fished", "US-ASCII")}"}""")
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      s"""{"url": "http://a/3", "hex": "${hx("Le cœur déçu plutôt naïve du café crémeux", "windows-1252")}"}"""
+        .getBytes("UTF-8"))
+
+    // the "yesterday" reference: url 2 already fetched
+    val seen = Seq("http://a/2").toDF("url")
+    val bloom = Dedup.bloomBuild(seen, "url", fpp = 1e-8)
+
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("hex", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .where(!Dedup.bloomMightContain(bloom, col("url")))
+      .select(col("url"),
+        Multimodal.charset(unhex(col("hex"))).as("cs"),
+        Multimodal.toUtf8(unhex(col("hex"))).as("text"))
+      .withColumn("stem1",
+        TextFunctions.stem(element_at(split(col("text"), " "), -1)))
+      .writeStream.format("memory").queryName("ingestgate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT url, cs, text, stem1 FROM ingestgate ORDER BY url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      ("http://a/1", "windows-1251",
+        "Съешь же ещё этих мягких французских булок", "булок"),
+      ("http://a/3", "windows-1252",
+        "Le cœur déçu plutôt naïve du café crémeux", "crémeux")))
+  }
+}
