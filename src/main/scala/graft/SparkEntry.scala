@@ -5153,6 +5153,18 @@ object SparkEntry {
     "q217_tfidf_terms" -> ((s, d) =>
       Retrieval.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")),
+
+    // --- 218. repeated-span removal (ExactSubstr surgery), oracle-pinned --------------------------------
+    // q129's census becomes the CUT: every token covered by a 4-gram
+    // shared across >= 2 documents is removed and the survivors rejoin —
+    // adjacent duplicated grams union into maximal removed runs (the
+    // Lee et al. exact-substring sweep at n-gram anchors). Shuffles
+    // carry postings and (doc, pos) pairs only; the oracle replays
+    // coverage and the rebuilt text relationally.
+    "q218_drop_spans" -> ((s, d) =>
+      Dedup.dropRepeatedSpans(t(s, d, "documents"), "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean"))
+        .orderBy("doc_id")),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8129,7 +8141,39 @@ object SparkEntry {
         |  FROM sc)
         |SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
         |  score, CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // Repeated-span removal: replay gram starts, cross-doc duplicated
+    // grams, position coverage, and the order-preserving rebuild.
+    "q218_drop_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |tp AS (
+        |  SELECT doc_id, i - 1 AS p, tk[i] AS tok
+        |  FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 1)),
+        |st AS (
+        |  SELECT doc_id, i - 1 AS s,
+        |    array_to_string(list_slice(tk, i, i + 3), ' ') AS ngram
+        |  FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - 3)) AS i
+        |        FROM toks WHERE len(tk) >= 4)),
+        |dup AS (
+        |  SELECT ngram FROM (SELECT ngram, doc_id FROM st GROUP BY ngram, doc_id)
+        |  GROUP BY ngram HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT st.doc_id, st.s + u.o AS p
+        |  FROM st JOIN dup USING (ngram), LATERAL UNNEST(range(4)) AS u(o)),
+        |k AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok, cov.p IS NOT NULL AS cut
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS INT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY p),
+        |    '') AS clean
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -64,6 +64,63 @@ object Dedup {
       .where(col("doc_freq") >= minDocs)
   }
 
+  /** Repeated-span REMOVAL — the ExactSubstr surgery of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2021), at
+    * n-gram anchor granularity: every token covered by ANY n-gram that
+    * occurs in >= `minDocs` distinct documents is cut, and the
+    * surviving tokens are rejoined. Adjacent duplicated n-grams merge
+    * into one maximal removed run by construction (their covered
+    * positions union), so arbitrary-length cross-document repeats
+    * disappear in one pass — the practical distributed form of the
+    * paper's suffix-array sweep ([[repeatedNgrams]] is the read-only
+    * census; this is the cut).
+    *
+    * Scale shape: the shuffles carry (gram, doc) postings, (doc, pos)
+    * coverage pairs, and per-token rows — never document text in a
+    * pair row; the rebuild is a doc-local sort of each document's own
+    * tokens. Duplicated-gram selection combines map-side (two-level
+    * aggregate, as in [[repeatedNgrams]]). Tokenization is
+    * [[Retrieval.tokens]]; documents shorter than `n` tokens pass
+    * through untouched; empty-token documents drop (nothing to emit).
+    */
+  def dropRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), Retrieval.tokens(col(textCol)).as("toks"))
+    val toksP = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+    val starts = base.where(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+        .as(Seq("s", "ngram")))
+    val dup = starts
+      .groupBy("ngram", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocs)
+      .select("ngram")
+    val covered = starts.join(dup, "ngram")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
+      .distinct()
+    toksP
+      .join(covered.withColumn("__cut", lit(true)), Seq("doc_id", "p"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("__cut").isNotNull, 1).otherwise(0)).cast("int")
+          .as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__cut").isNull, struct(col("p"), col("tok"))))),
+          x => x.getField("tok")), " ").as("clean"))
+  }
+
   /** Exact dedup: keep the row with the smallest `idCol` per duplicate group.
     *
     * Winners are found with `groupBy(digest).agg(min(id))` — partial (map

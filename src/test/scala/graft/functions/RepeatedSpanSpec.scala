@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** ExactSubstr-style repeated-span removal: surgical cuts, maximal-run
+  * merging, short-doc passthrough, within-doc repeats not cut alone.
+  */
+class RepeatedSpanSpec extends SparkTestBase {
+
+  private def run(docs: Seq[(Long, String)], n: Int, minDocs: Int = 2) = {
+    val s = spark
+    import s.implicits._
+    Dedup.dropRepeatedSpans(docs.toDF("id", "text"), "id", "text", n, minDocs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+  }
+
+  test("shared boilerplate is cut from every document; unique prose survives") {
+    val boiler = "subscribe to our newsletter for daily updates"
+    val out = run(Seq(
+      (1L, s"alpha beta gamma $boiler delta"),
+      (2L, s"$boiler omega psi chi phi"),
+      (3L, "totally unrelated text with no shared spans at all")), n = 4)
+    assert(out(0) == ((1L, 11, 7, "alpha beta gamma delta")))
+    assert(out(1) == ((2L, 11, 7, "omega psi chi phi")))
+    assert(out(2) == ((3L, 9, 0, "totally unrelated text with no shared spans at all")))
+  }
+
+  test("adjacent duplicated grams merge into one maximal removed run") {
+    // A 10-token shared run with n=4: starts 0..6 all duplicated ->
+    // covered positions 0..9 union to ONE maximal cut.
+    val shared = "a b c d e f g h i j"
+    val out = run(Seq(
+      (1L, s"$shared tail1 one"),
+      (2L, s"lead2 $shared tail2")), n = 4)
+    assert(out(0)._4 == "tail1 one")
+    assert(out(1)._4 == "lead2 tail2")
+    assert(out(0)._3 == 10 && out(1)._3 == 10)
+  }
+
+  test("documents shorter than n tokens pass through untouched") {
+    val out = run(Seq(
+      (1L, "tiny doc"),
+      (2L, "tiny doc")), n = 4)
+    assert(out.forall(_._3 == 0))
+    assert(out(0)._4 == "tiny doc")
+  }
+
+  test("within-document repetition alone does not cut (doc_freq, not count)") {
+    val out = run(Seq(
+      (1L, "loop loop loop loop loop loop loop loop"),
+      (2L, "different words entirely here now")), n = 3)
+    assert(out(0)._3 == 0)
+  }
+
+  test("minDocs raises the bar") {
+    val shared = "w x y z q r"
+    val docs = Seq((1L, s"$shared one"), (2L, s"$shared two"),
+      (3L, "nothing in common"))
+    assert(run(docs, n = 6, minDocs = 2)(0)._3 == 6)
+    assert(run(docs, n = 6, minDocs = 3)(0)._3 == 0)
+  }
+
+  test("partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) s"common prefix run here unique$i tail"
+      else s"other${i} words common prefix run here end"))
+    val a = Dedup.dropRepeatedSpans(docs.toDF("id", "text"), "id", "text", 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Dedup.dropRepeatedSpans(docs.toDF("id", "text").repartition(7),
+      "id", "text", 4).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.forall(r => r(2).asInstanceOf[Int] >= 4))
+  }
+}
