@@ -299,6 +299,66 @@ object CharsetCodec {
     s
   }
 
+  /** Frequency anchors for non-Latin single-byte pages: each language's
+    * highest-frequency letters AS BYTES in its code page (the chardet
+    * letter-frequency model reduced to its top mass — natural text hits
+    * its own page's anchors at 45-65%, a wrong page's at well under
+    * 25%). Zone = the page's letter range, a weak coherence second
+    * signal.
+    */
+  private val sbAnchors: Array[(String, Array[Int], Int, Int)] = Array(
+    // Russian о е а и н т с в р л (lower case, windows-1251)
+    ("windows-1251",
+      Array(0xEE, 0xE5, 0xE0, 0xE8, 0xED, 0xF2, 0xF1, 0xE2, 0xF0, 0xEB),
+      0xC0, 0xFF),
+    // the same letters in KOI8-R
+    ("koi8-r",
+      Array(0xCF, 0xC5, 0xC1, 0xC9, 0xCE, 0xD4, 0xD3, 0xD7, 0xD2, 0xCC),
+      0xC0, 0xFF),
+    // Greek α ο ε ι τ σ ν η ρ π (windows-1253)
+    ("windows-1253",
+      Array(0xE1, 0xEF, 0xE5, 0xE9, 0xF4, 0xF3, 0xED, 0xE7, 0xF1, 0xF0),
+      0xC1, 0xFE),
+    // Hebrew י ו ה א ל מ ר ת ש ב (windows-1255)
+    ("windows-1255",
+      Array(0xE9, 0xE5, 0xE4, 0xE0, 0xEC, 0xEE, 0xF8, 0xFA, 0xF9, 0xE1),
+      0xE0, 0xFA),
+    // Arabic ا ل ي م و ن ر ب ت ع (windows-1256)
+    ("windows-1256",
+      Array(0xC7, 0xE1, 0xED, 0xE3, 0xE6, 0xE4, 0xD1, 0xC8, 0xCA, 0xDA),
+      0xC0, 0xFF))
+
+  /** Thai frequency anchors (TIS-620): า ร น อ ก เ ง ย + the frequent
+    * vowel/tone marks ั ิ ี ่ ้. Checked BEFORE the CJK structural pass
+    * because Thai is a single-byte script living entirely in the
+    * 0xA1-0xFB range CJK pair-walks also accept — and Thai writes
+    * without word spaces, so the odd-length-run signal that disqualifies
+    * the other single-byte pages from CJK claims never fires for it.
+    */
+  private val thaiAnchors: Array[Int] =
+    Array(0xD2, 0xC3, 0xB9, 0xCD, 0xA1, 0xE0, 0xA7, 0xC2,
+      0xD1, 0xD4, 0xD5, 0xE8, 0xE9)
+
+  private def anchorFrac(b: Array[Byte], n: Int, anchors: Array[Int]): Double = {
+    var hit = 0; var high = 0
+    var i = 0
+    while (i < n) {
+      val c = u(b(i))
+      if (c >= 0x80) {
+        high += 1
+        var j = 0
+        var isHit = false
+        while (!isHit && j < anchors.length) {
+          if (anchors(j) == c) isHit = true
+          j += 1
+        }
+        if (isHit) hit += 1
+      }
+      i += 1
+    }
+    if (high == 0) 0.0 else hit.toDouble / high
+  }
+
   /** Statistical detection, BOM/UTF-8 already ruled out. `high` = count
     * of bytes >= 0x80 in the scanned window (always > 0 here).
     *
@@ -309,9 +369,29 @@ object CharsetCodec {
     * pairs in-zone; the two hanzi candidates are separated by their
     * disjoint frequent blocks (Big5's A4-A6 rows are non-text rows in
     * GB2312 and vice versa B0-D7 with high trails is bonus-free in the
-    * Big5 walk only when text actually is Big5).
+    * Big5 walk only when text actually is Big5). Single-byte pages
+    * resolve by frequency anchors ([[sbAnchors]]), with the Cyrillic
+    * case statistic as the anchors-inconclusive fallback and
+    * windows-1252 as the WHATWG default for accent-sparse Latin text.
     */
   private def detectLegacy(b: Array[Byte], n: Int, high: Int): String = {
+    val density = high.toDouble / n
+    // Thai first: single-byte, in-CJK-range, spaceless (see thaiAnchors).
+    // Density-gated: Thai text is byte-dense (no word spaces), while the
+    // accent bytes of sparse Latin text (é=0xE9, à=0xE0) collide with
+    // Thai anchor values and must never reach this claim.
+    if (density >= 0.4 && anchorFrac(b, n, thaiAnchors) >= 0.35) {
+      // demand the bytes actually live in the TIS-620 letter range
+      var inZone = 0
+      var i = 0
+      while (i < n) {
+        val c = u(b(i))
+        if (c >= 0xA1 && c <= 0xFB) inZone += 1
+        i += 1
+      }
+      if (inZone * 10 >= high * 9) return "tis-620"
+    }
+
     val sj = scoreSjis(b, n); val ej = scoreEucJp(b, n)
     val ek = scoreEucKr(b, n); val gb = scoreGbk(b, n); val b5 = scoreBig5(b, n)
     val ekScore = // hangul-zone dominance gate
@@ -322,8 +402,8 @@ object CharsetCodec {
     val best = cands.maxBy(_._2)
     if (best._2 > Int.MinValue) return best._1
 
-    // Single-byte split: Cyrillic code pages put whole words in the high
-    // half (long runs, high density); Western European accents are
+    // Single-byte split: non-Latin code pages put whole words in the
+    // high half (long runs, high density); Western European accents are
     // isolated inside ASCII words.
     var runSum = 0; var runCnt = 0; var run = 0
     var lo1251 = 0; var loKoi = 0
@@ -340,8 +420,31 @@ object CharsetCodec {
     }
     if (run > 0) { runSum += run; runCnt += 1 }
     val avgRun = if (runCnt == 0) 0.0 else runSum.toDouble / runCnt
-    val density = high.toDouble / n
     if (avgRun >= 3.0 || density >= 0.4) {
+      // frequency-anchor vote across the non-Latin pages; zone coverage
+      // breaks near-ties toward the page whose letter range the bytes
+      // actually occupy.
+      var bestName: String = null
+      var bestScore = 0.0
+      var k = 0
+      while (k < sbAnchors.length) {
+        val (name, anchors, zLo, zHi) = sbAnchors(k)
+        val af = anchorFrac(b, n, anchors)
+        if (af >= 0.25) {
+          var inZone = 0
+          var j = 0
+          while (j < n) {
+            val c = u(b(j))
+            if (c >= zLo && c <= zHi) inZone += 1
+            j += 1
+          }
+          val score = 2.0 * af + inZone.toDouble / high
+          if (score > bestScore) { bestScore = score; bestName = name }
+        }
+        k += 1
+      }
+      if (bestName != null) return bestName
+      // anchors inconclusive: the classic Cyrillic case statistic
       if (lo1251 >= loKoi) "windows-1251" else "koi8-r"
     } else "windows-1252"
   }

@@ -79,6 +79,28 @@ class CharsetSpec extends SparkTestBase {
     assert(detect(enc(zhT, "Big5")) == "big5")
   }
 
+  private val el = "η γρήγορη καφέ αλεπού πηδά πάνω από το τεμπέλικο σκυλί " +
+    "και συνεχίζει τον δρόμο της προς την θάλασσα"
+  private val he = "שועל החום הזריז קופץ מעל הכלב העצלן ורץ הלאה אל תוך השדה " +
+    "הירוק ליד הנהר הגדול"
+  private val ar = "الثعلب البني السريع يقفز فوق الكلب الكسول ثم يركض بعيدا " +
+    "نحو النهر الكبير في الصحراء"
+  private val th = "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจแล้ววิ่งต่อไปยังแม่น้ำ"
+
+  test("single-byte script pages via frequency anchors") {
+    assert(detect(enc(el, "windows-1253")) == "windows-1253")
+    assert(detect(enc(he, "windows-1255")) == "windows-1255")
+    assert(detect(enc(ar, "windows-1256")) == "windows-1256")
+    assert(detect(enc(th, "TIS-620")) == "tis-620")
+  }
+
+  test("script pages transcode back to the original") {
+    assert(toUtf8(enc(el, "windows-1253")) == el)
+    assert(toUtf8(enc(he, "windows-1255")) == he)
+    assert(toUtf8(enc(ar, "windows-1256")) == ar)
+    assert(toUtf8(enc(th, "TIS-620")) == th)
+  }
+
   test("whatwg meta prescan overrides statistics for html") {
     val html = ("<html><head><meta charset=\"windows-1251\"></head><body>" +
       ru + "</body></html>")
