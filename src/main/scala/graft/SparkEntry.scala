@@ -5165,6 +5165,41 @@ object SparkEntry {
       Dedup.dropRepeatedSpans(t(s, d, "documents"), "doc_id", "text", n = 4)
         .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean"))
         .orderBy("doc_id")),
+
+    // --- 219. RSS/Atom feed extraction, oracle-pinned ---------------------------------------------------
+    // Both feed dialects CONSTRUCTED per row (RSS 2.0 with two items —
+    // CDATA title, entity, pubDate; Atom with one href-linked entry) and
+    // reduced to the uniform item array; items explode for the oracle,
+    // which states every field closed-form per dialect.
+    "q219_feed_items" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val rss = concat(
+        lit("<rss version=\"2.0\"><channel><title>Feed &amp; "), id,
+        lit("</title><item><title><![CDATA[Post "), id,
+        lit(" a]]></title><link>http://f.io/"), id,
+        lit("/a</link><pubDate>Mon, 01 Jan 2024</pubDate>" +
+          "<description>sum  a</description></item>" +
+          "<item><title>Post "), id,
+        lit(" b</title><link>http://f.io/"), id,
+        lit("/b</link></item></channel></rss>"))
+      val atom = concat(
+        lit("<feed><title>Blog "), id,
+        lit("</title><entry><title>Entry "), id,
+        lit("</title><link href=\"http://a.io/"), id,
+        lit("\"/><published>2024-02-03</published>" +
+          "<summary>s "), col("doc_id") % 9,
+        lit("</summary></entry></feed>"))
+      val v = TF.feedItems(when(col("doc_id") % 2 === 0, rss).otherwise(atom))
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("feed_type").as("feed_type"),
+          v.getField("feed_title").as("feed_title"),
+          posexplode(v.getField("items")).as(Seq("i", "it")))
+        .select(col("doc_id"), col("feed_type"), col("feed_title"),
+          col("i").cast("int").as("i"),
+          col("it.title").as("title"), col("it.link").as("link"),
+          col("it.published").as("published"), col("it.summary").as("summary"))
+        .orderBy("doc_id", "i")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8173,7 +8208,34 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS INT) AS n_removed,
         |  coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY p),
         |    '') AS clean
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Feed extraction closed form: two RSS items for even ids, one Atom
+    // entry for odd; CDATA unwrapped, entity decoded, whitespace
+    // collapsed.
+    "q219_feed_items" ->
+      """WITH rows0 AS (
+        |  SELECT doc_id, 0 AS i FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1 FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_type,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Feed & ' || doc_id
+        |       ELSE 'Blog ' || doc_id END AS feed_title,
+        |  CAST(i AS INT) AS i,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'Entry ' || doc_id
+        |       WHEN i = 0 THEN 'Post ' || doc_id || ' a'
+        |       ELSE 'Post ' || doc_id || ' b' END AS title,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'http://a.io/' || doc_id
+        |       WHEN i = 0 THEN 'http://f.io/' || doc_id || '/a'
+        |       ELSE 'http://f.io/' || doc_id || '/b' END AS link,
+        |  CASE WHEN doc_id % 2 = 1 THEN '2024-02-03'
+        |       WHEN i = 0 THEN 'Mon, 01 Jan 2024' ELSE NULL END AS published,
+        |  CASE WHEN doc_id % 2 = 1 THEN 's ' || doc_id % 9
+        |       WHEN i = 0 THEN 'sum a' ELSE NULL END AS summary
+        |FROM rows0 ORDER BY doc_id, i""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

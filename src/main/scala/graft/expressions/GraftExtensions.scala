@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_feed_items"),
+      new ExpressionInfo(classOf[FeedItemsExpr].getName, "graft_feed_items"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => FeedItemsExpr(s)
+        case _ => throw new IllegalArgumentException("graft_feed_items(string)")
+      }),
+    (
       FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[PorterStemExpr].getName, "graft_stem"),
       (args: Seq[Expression]) => args match {

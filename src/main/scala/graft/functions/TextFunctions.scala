@@ -377,6 +377,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** RSS 2.0 / Atom feed extraction ([[graft.expressions.FeedItemsExpr]]):
+    * both dialects into one uniform item array (title/link/published/
+    * summary), CDATA unwrapped, entities decoded — the crawl's freshest
+    * text source and the change signal for recrawl scheduling. NULL for
+    * non-feed text.
+    */
+  def feedItems(xml: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.FeedItemsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(xml)))
+
   /** Porter stem of one word ([[graft.expressions.PorterStemExpr]], the
     * original 1980 rules): the retrieval-side normalization for BM25
     * term unification and keyword overlap. Compose over token arrays

@@ -1,0 +1,100 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RSS/Atom extraction: both dialects, CDATA, entities, feed-level vs
+  * item titles, missing fields, caps, rejects, SQL surface.
+  */
+class FeedSpec extends graft.SparkTestBase {
+
+  private def parse(xml: String) = FeedCodec.feedItems(UTF8String.fromString(xml))
+
+  private val rss =
+    """<?xml version="1.0"?>
+      |<rss version="2.0"><channel>
+      |  <title>Example &amp; News</title>
+      |  <link>http://ex.io/</link>
+      |  <item>
+      |    <title><![CDATA[First <b>post</b>]]></title>
+      |    <link>http://ex.io/1</link>
+      |    <pubDate>Mon, 01 Jan 2024 10:00:00 GMT</pubDate>
+      |    <description>Hello   world &lt;3</description>
+      |  </item>
+      |  <item>
+      |    <title>Second</title>
+      |    <link>http://ex.io/2</link>
+      |  </item>
+      |</channel></rss>""".stripMargin
+
+  private val atom =
+    """<?xml version="1.0"?>
+      |<feed xmlns="http://www.w3.org/2005/Atom">
+      |  <title>Atom Blog</title>
+      |  <entry>
+      |    <title>Entry One</title>
+      |    <link rel="alternate" href="http://a.io/e1"/>
+      |    <published>2024-02-03T04:05:06Z</published>
+      |    <summary>sum one</summary>
+      |  </entry>
+      |</feed>""".stripMargin
+
+  test("rss 2.0: feed title, items, cdata, entities, whitespace collapse") {
+    val r = parse(rss)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "rss")
+    assert(r.getUTF8String(1).toString == "Example & News")
+    val items = r.getArray(2)
+    assert(items.numElements() == 2)
+    val i0 = items.getStruct(0, 4)
+    assert(i0.getUTF8String(0).toString == "First <b>post</b>")
+    assert(i0.getUTF8String(1).toString == "http://ex.io/1")
+    assert(i0.getUTF8String(2).toString == "Mon, 01 Jan 2024 10:00:00 GMT")
+    assert(i0.getUTF8String(3).toString == "Hello world <3")
+    val i1 = items.getStruct(1, 4)
+    assert(i1.getUTF8String(0).toString == "Second")
+    assert(i1.isNullAt(2) && i1.isNullAt(3))
+  }
+
+  test("atom: entry fields via href links and summary/published") {
+    val r = parse(atom)
+    assert(r.getUTF8String(0).toString == "atom")
+    assert(r.getUTF8String(1).toString == "Atom Blog")
+    val i0 = r.getArray(2).getStruct(0, 4)
+    assert(i0.getUTF8String(0).toString == "Entry One")
+    assert(i0.getUTF8String(1).toString == "http://a.io/e1")
+    assert(i0.getUTF8String(2).toString == "2024-02-03T04:05:06Z")
+    assert(i0.getUTF8String(3).toString == "sum one")
+  }
+
+  test("atom content element serves as summary fallback") {
+    val xml = """<feed><title>t</title><entry><title>x</title>
+      |<content type="html">full &amp; body</content></entry></feed>""".stripMargin
+    val i0 = parse(xml).getArray(2).getStruct(0, 4)
+    assert(i0.getUTF8String(3).toString == "full & body")
+  }
+
+  test("non-feed text is null; feed with zero items keeps the envelope") {
+    assert(parse("<html><body>nope</body></html>") == null)
+    assert(FeedCodec.feedItems(null) == null)
+    val empty = parse("<rss><channel><title>empty</title></channel></rss>")
+    assert(empty != null && empty.getArray(2).numElements() == 0)
+  }
+
+  test("item cap bounds adversarial feeds") {
+    val many = "<rss><channel>" +
+      (1 to 2000).map(i => s"<item><title>t$i</title></item>").mkString +
+      "</channel></rss>"
+    assert(parse(many).getArray(2).numElements() == FeedCodec.MaxItems)
+  }
+
+  test("sql surface + explode composition") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(rss).toDF("x").createOrReplaceTempView("feed_t")
+    val rows = s.sql(
+      "SELECT it.title FROM feed_t " +
+        "LATERAL VIEW explode(graft_feed_items(x).items) AS it").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("First <b>post</b>", "Second"))
+  }
+}
