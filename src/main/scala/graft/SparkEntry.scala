@@ -5200,6 +5200,29 @@ object SparkEntry {
           col("it.published").as("published"), col("it.summary").as("summary"))
         .orderBy("doc_id", "i")
     }),
+
+    // --- 220. code-dedup normalization, oracle-pinned ---------------------------------------------------
+    // The CodeParrot/StarCoder preprocessing: comments stripped OUTSIDE
+    // string literals, whitespace canonicalized — so reformat+recomment
+    // forks collapse to one dedup key. Four shapes: two formatting
+    // variants of the same function (must normalize IDENTICALLY), a
+    // per-row-varying body, and a string literal whose '#' must survive.
+    // n_same counts each key's group — the dedup signal itself.
+    "q220_code_dedup" -> ((s, d) => {
+      val m = col("doc_id") % 4
+      val code = when(m === 0,
+        lit("def f(a, b):\n    # one\n    return a + b"))
+        .when(m === 1, lit("def f(a, b):   return a + b  # two"))
+        .when(m === 2, concat(lit("def g(x):\n    return x * "),
+          (col("doc_id") % 7).cast("string"), lit("  // note")))
+        .otherwise(concat(lit("print(\"# not a comment "),
+          (col("doc_id") % 5).cast("string"), lit("\")")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.codeNormalize(code).as("norm"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("norm"))).cast("int"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8235,7 +8258,22 @@ object SparkEntry {
         |       WHEN i = 0 THEN 'Mon, 01 Jan 2024' ELSE NULL END AS published,
         |  CASE WHEN doc_id % 2 = 1 THEN 's ' || doc_id % 9
         |       WHEN i = 0 THEN 'sum a' ELSE NULL END AS summary
-        |FROM rows0 ORDER BY doc_id, i""".stripMargin
+        |FROM rows0 ORDER BY doc_id, i""".stripMargin,
+
+    // Code normalization closed form + the window-counted dedup groups.
+    "q220_code_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'def f(a, b): return a + b'
+        |      WHEN 1 THEN 'def f(a, b): return a + b'
+        |      WHEN 2 THEN 'def g(x): return x * ' || doc_id % 7
+        |      ELSE 'print("# not a comment ' || doc_id % 5 || '")'
+        |    END AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm,
+        |  CAST(COUNT(*) OVER (PARTITION BY norm) AS INT) AS n_same
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

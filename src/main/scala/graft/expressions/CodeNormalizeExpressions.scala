@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Source-code normalization for code-corpus near-dedup — the published
+  * preprocessing behind CodeParrot/StarCoder-style dedup: two files
+  * differing only in comments and formatting ARE duplicates, so the
+  * dedup key is the text with comments removed and whitespace
+  * canonicalized. `exact`/MinHash dedup over the normalized form then
+  * catches the fork-with-reformat copies raw hashing misses.
+  *
+  * One pass with a string-aware state machine (the part a regex cannot
+  * do): `//...`, `/*...*/`, and `#...` comments are removed, but ONLY
+  * outside string/char literals — `"http://x"` and `"#tag"` survive —
+  * with backslash escapes honored inside literals. Whitespace runs
+  * (including newlines) collapse to one space; leading/trailing
+  * trims. Unterminated block comments drop to end-of-file (the
+  * truncated-file reality). Language scope: the C-family + hash-comment
+  * families (C/C++/Java/JS/Go/Rust/Python/Ruby/shell); exotic syntaxes
+  * (Python triple-quotes as docstrings, nested block comments) degrade
+  * gracefully — their content is treated as the literals/comments the
+  * state machine sees, deterministic either way.
+  */
+object CodeNormalizeCodec {
+
+  def normalize(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val s = u.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var ws = true // swallow leading whitespace
+    def appendWs(): Unit = { if (!ws && sb.length > 0) sb.append(' '); ws = true }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\'') {
+        // string/char literal: copy verbatim with escapes
+        val quote = c
+        sb.append(c); ws = false
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = s.charAt(i)
+          sb.append(d)
+          if (d == '\\' && i + 1 < n) { sb.append(s.charAt(i + 1)); i += 2 }
+          else { if (d == quote) closed = true; i += 1 }
+        }
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '/') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+        appendWs()
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        i += 2
+        var closed = false
+        while (i < n && !closed) {
+          if (s.charAt(i) == '*' && i + 1 < n && s.charAt(i + 1) == '/') {
+            i += 2; closed = true
+          } else i += 1
+        }
+        appendWs()
+      } else if (c == '#') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+        appendWs()
+      } else if (Character.isWhitespace(c)) {
+        appendWs(); i += 1
+      } else { sb.append(c); ws = false; i += 1 }
+    }
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `string` -> comment-stripped, whitespace-canonical source text
+  * ([[CodeNormalizeCodec.normalize]]) — the code-dedup key. Codegen'd.
+  */
+case class CodeNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    CodeNormalizeCodec.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.CodeNormalizeCodec.normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): CodeNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_code_normalize"
+}

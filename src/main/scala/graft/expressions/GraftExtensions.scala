@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_code_normalize"),
+      new ExpressionInfo(classOf[CodeNormalizeExpr].getName, "graft_code_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => CodeNormalizeExpr(s)
+        case _ => throw new IllegalArgumentException("graft_code_normalize(string)")
+      }),
+    (
       FunctionIdentifier("graft_feed_items"),
       new ExpressionInfo(classOf[FeedItemsExpr].getName, "graft_feed_items"),
       (args: Seq[Expression]) => args match {

@@ -377,6 +377,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Code-dedup normalization ([[graft.expressions.CodeNormalizeExpr]]):
+    * comments stripped outside string literals, whitespace
+    * canonicalized — two files differing only in comments/formatting
+    * become identical, so exact/MinHash dedup over this key catches
+    * the reformat-fork copies raw hashing misses.
+    */
+  def codeNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.CodeNormalizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** RSS 2.0 / Atom feed extraction ([[graft.expressions.FeedItemsExpr]]):
     * both dialects into one uniform item array (title/link/published/
     * summary), CDATA unwrapped, entities decoded — the crawl's freshest

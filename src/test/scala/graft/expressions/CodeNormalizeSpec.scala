@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Code normalization: comment stripping with string-literal awareness,
+  * whitespace canonicalization, the dedup-key property, rejects.
+  */
+class CodeNormalizeSpec extends graft.SparkTestBase {
+
+  private def norm(s: String): String =
+    CodeNormalizeCodec.normalize(UTF8String.fromString(s)).toString
+
+  test("line, block and hash comments strip; code survives") {
+    val src =
+      """// header comment
+        |int main() { /* inline */ return 42; } # trailing
+        |/* multi
+        |   line */ done
+        |""".stripMargin
+    assert(norm(src) == "int main() { return 42; } done")
+  }
+
+  test("comment markers inside string literals survive") {
+    assert(norm("""url = "http://x.io/a"; // real comment""")
+      == """url = "http://x.io/a";""")
+    assert(norm("""tag = '#hash'; s = "a /* not */ b"""")
+      == """tag = '#hash'; s = "a /* not */ b"""")
+    // escaped quote does not end the literal
+    assert(norm("""s = "he said \"hi\" // still string"; x""")
+      == """s = "he said \"hi\" // still string"; x""")
+  }
+
+  test("whitespace canonicalizes: runs, newlines, indentation") {
+    assert(norm("a   =\t1;\n\n\n   b = 2;") == "a = 1; b = 2;")
+    assert(norm("   \n  ") == "")
+  }
+
+  test("the dedup-key property: reformat + recomment = identical keys") {
+    val v1 =
+      """def add(a, b):
+        |    # adds two numbers
+        |    return a + b
+        |""".stripMargin
+    val v2 = "def add(a, b):   return a + b  # different comment"
+    assert(norm(v1) == norm(v2))
+    val v3 = "def add(a, c):   return a + c"
+    assert(norm(v1) != norm(v3))
+  }
+
+  test("unterminated block comment and unterminated string degrade safely") {
+    assert(norm("code(); /* never closed") == "code();")
+    assert(norm("s = \"never closed") == "s = \"never closed")
+  }
+
+  test("null propagates; sql surface") {
+    assert(CodeNormalizeCodec.normalize(null) == null)
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("x = 1; // c").toDF("t").createOrReplaceTempView("cn_t")
+    assert(s.sql("SELECT graft_code_normalize(t) FROM cn_t")
+      .collect().head.getString(0) == "x = 1;")
+  }
+}
