@@ -5223,6 +5223,45 @@ object SparkEntry {
           count(lit(1)).over(Window.partitionBy(col("norm"))).cast("int"))
         .orderBy("doc_id")
     }),
+
+    // --- 221. ICO favicon walk + best-image extraction, oracle-pinned -----------------------------------
+    // The site-identity image: a one-entry ICO holding an 8x2 24bpp DIB
+    // (DOUBLED height, bottom-up XOR rows, zero AND mask) is CONSTRUCTED
+    // per row; the walk must inventory the entry and re-ship the DIB as
+    // a standalone BMP (reconstructed header, height halved) that the
+    // REAL BMP decoder then reduces — pixel stats close the loop. Every
+    // field closed-form (16 pixels; /16 divisions are exact).
+    "q221_ico_walk" -> ((s, d) => {
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        (col("doc_id") * 13 + x * 7 + y * 5) % 256
+      // bottom-up rows: i 0..15 -> y = 1 - i/8, x = i%8; gray triplets
+      val xorHex = array_join(
+        transform(sequence(lit(0), lit(15)), i => {
+          val h2 = lpad(hex(px(i % 8, lit(1) - floor(i / 8).cast("int"))), 2, "0")
+          concat(h2, h2, h2)
+        }), "")
+      val payload = unhex(concat(
+        lit("000001000100"), // ICONDIR: reserved, type 1, count 1
+        lit("0802" + "0000" + "0100" + "1800"), // entry: 8x2, planes, 24bpp
+        lit("60000000" + "16000000"), // size 96, offset 22
+        lit("28000000" + "08000000" + "04000000" + "0100" + "1800"), // DIB hdr
+        lit("00000000" * 6), // comp/sizeImage/ppm/clr fields
+        xorHex, lit("00" * 8))) // XOR rows + AND mask
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"),
+          Multimodal.icoEntries(payload).getItem(0).as("e"),
+          Multimodal.pixelStats(Multimodal.icoBest(payload)).as("px"))
+        .select(col("doc_id"),
+          col("e.width").as("width"), col("e.height").as("height"),
+          col("e.bit_count").as("bit_count"), col("e.size").as("size"),
+          col("e.format").as("format"),
+          col("px.width").as("px_w"), col("px.height").as("px_h"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("mean"),
+          col("px.c0_min").as("px_min"), col("px.c0_max").as("px_max"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8273,7 +8312,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, norm,
         |  CAST(COUNT(*) OVER (PARTITION BY norm) AS INT) AS n_same
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // ICO walk: entry fields are literals; pixel stats replay the 16
+    // constructed gray values (exact /16 division).
+    "q221_ico_walk" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, CAST((d.doc_id * 13 + x * 7 + y * 5) % 256 AS BIGINT) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d,
+        |    LATERAL UNNEST(range(8)) AS ux(x),
+        |    LATERAL UNNEST(range(2)) AS uy(y))
+        |SELECT doc_id,
+        |  CAST(8 AS INT) AS width, CAST(2 AS INT) AS height,
+        |  CAST(24 AS INT) AS bit_count, CAST(96 AS INT) AS size,
+        |  'bmp' AS format,
+        |  CAST(8 AS INT) AS px_w, CAST(2 AS INT) AS px_h,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(SUM(v) AS DOUBLE) / 16 AS mean,
+        |  CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -208,6 +208,20 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_ico_entries"),
+      new ExpressionInfo(classOf[IcoEntriesExpr].getName, "graft_ico_entries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => IcoEntriesExpr(b)
+        case _ => throw new IllegalArgumentException("graft_ico_entries(binary)")
+      }),
+    (
+      FunctionIdentifier("graft_ico_best"),
+      new ExpressionInfo(classOf[IcoBestExpr].getName, "graft_ico_best"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => IcoBestExpr(b)
+        case _ => throw new IllegalArgumentException("graft_ico_best(binary)")
+      }),
+    (
       FunctionIdentifier("graft_code_normalize"),
       new ExpressionInfo(classOf[CodeNormalizeExpr].getName, "graft_code_normalize"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,176 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** ICO (favicon) container walk — favicons are fetched for essentially
+  * every crawled site and are a cheap SITE-identity signal: the same
+  * favicon across domains clusters mirrors/parked pages, and a pHash
+  * over favicons is the standard site-level near-dup key. An ICO is an
+  * ICONDIR (reserved=0, type=1, count) of 16-byte entries whose
+  * payloads are either whole PNG files or a BMP DIB with DOUBLED height
+  * (XOR pixels + AND transparency mask) and no file header.
+  *
+  * Two operators: the entry INVENTORY (dimensions/bit depth/size/
+  * format — header bytes only, payloads untouched), and BEST-image
+  * extraction: the largest-area entry re-shipped as a STANDALONE image
+  * payload — PNG entries pass through byte-identical; BMP entries gain
+  * a reconstructed file header (offset = 14 + header + palette) with
+  * the height halved back, so the result feeds the whole existing
+  * image ladder (decode, stats, hashes, resize). The AND mask trails
+  * the pixel data and is ignored by row-counted BMP decoding;
+  * transparency is not a dedup signal, documented as dropped.
+  */
+object IcoCodec {
+
+  val MaxEntries = 64
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (le16(b, i).toLong) | (le16(b, i + 2).toLong << 16)
+
+  private final class Entry(val w: Int, val h: Int, val bpp: Int,
+    val size: Int, val off: Int, val isPng: Boolean)
+
+  private def entries0(b: Array[Byte]): Array[Entry] = {
+    if (b == null || b.length < 6) return null
+    if (le16(b, 0) != 0 || le16(b, 2) != 1) return null
+    val count = le16(b, 4)
+    if (count < 1 || count > MaxEntries) return null
+    if (b.length < 6 + 16 * count) return null
+    val out = new Array[Entry](count)
+    var i = 0
+    while (i < count) {
+      val p = 6 + 16 * i
+      val w0 = b(p) & 0xFF; val h0 = b(p + 1) & 0xFF
+      val bpp = le16(b, p + 6)
+      val size = le32(b, p + 8)
+      val off = le32(b, p + 12)
+      if (size < 8 || off < 0 || off + size > b.length) return null
+      val o = off.toInt
+      val isPng = (b(o) & 0xFF) == 0x89 && b(o + 1) == 'P' &&
+        b(o + 2) == 'N' && b(o + 3) == 'G'
+      // dimension 0 encodes 256; PNG entries carry real dims in IHDR
+      val (w, h) =
+        if (isPng && size >= 24) {
+          def be32(x: Int) = ((b(o + x) & 0xFF) << 24) | ((b(o + x + 1) & 0xFF) << 16) |
+            ((b(o + x + 2) & 0xFF) << 8) | (b(o + x + 3) & 0xFF)
+          (be32(16), be32(20))
+        } else (if (w0 == 0) 256 else w0, if (h0 == 0) 256 else h0)
+      out(i) = new Entry(w, h, bpp, size.toInt, o, isPng)
+      i += 1
+    }
+    out
+  }
+
+  def icoEntries(b: Array[Byte]): ArrayData = {
+    val es = entries0(b)
+    if (es == null) return null
+    new GenericArrayData(es.map { e =>
+      val f = new Array[Any](5)
+      f(0) = e.w; f(1) = e.h; f(2) = e.bpp; f(3) = e.size
+      f(4) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (e.isPng) "png" else "bmp")
+      new GenericInternalRow(f): Any
+    })
+  }
+
+  /** Largest-area entry as a standalone image payload (PNG verbatim,
+    * BMP with a reconstructed file header and the height halved), or
+    * null for non-ICO payloads.
+    */
+  def icoBest(b: Array[Byte]): Array[Byte] = {
+    val es = entries0(b)
+    if (es == null) return null
+    var best: Entry = null
+    es.foreach { e =>
+      if (best == null || e.w.toLong * e.h > best.w.toLong * best.h) best = e
+    }
+    if (best.isPng)
+      return java.util.Arrays.copyOfRange(b, best.off, best.off + best.size)
+    // BMP DIB: need a BITMAPINFOHEADER (biSize 40) to patch
+    if (best.size < 40) return null
+    val o = best.off
+    if (le32(b, o) != 40) return null
+    val biHeight = le32(b, o + 8).toInt
+    val bpp = le16(b, o + 14)
+    val clrUsed = le32(b, o + 32).toInt
+    val palette =
+      if (bpp <= 8) (if (clrUsed > 0) clrUsed else 1 << bpp) * 4 else 0
+    val out = new Array[Byte](14 + best.size)
+    out(0) = 'B'; out(1) = 'M'
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+      out(i + 2) = ((v >> 16) & 0xFF).toByte; out(i + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    putLe32(2, out.length.toLong)
+    putLe32(6, 0L)
+    putLe32(10, 14L + 40L + palette)
+    System.arraycopy(b, o, out, 14, best.size)
+    // halve the doubled XOR+AND height (sign-preserving: top-down DIBs
+    // are negative, and icons in practice are bottom-up positive)
+    putLe32Into(out, 14 + 8, biHeight / 2)
+    out
+  }
+
+  private def putLe32Into(a: Array[Byte], i: Int, v: Int): Unit = {
+    a(i) = (v & 0xFF).toByte; a(i + 1) = ((v >> 8) & 0xFF).toByte
+    a(i + 2) = ((v >> 16) & 0xFF).toByte; a(i + 3) = ((v >> 24) & 0xFF).toByte
+  }
+}
+
+/** `binary` -> array<struct<width,height,bit_count,size,format>> of ICO
+  * directory entries ([[IcoCodec.icoEntries]]); NULL for non-ICO.
+  */
+case class IcoEntriesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bit_count", IntegerType, nullable = false),
+    StructField("size", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    IcoCodec.icoEntries(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.IcoCodec.icoEntries($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): IcoEntriesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ico_entries"
+}
+
+/** `binary` -> the largest ICO entry as a standalone PNG/BMP payload
+  * ([[IcoCodec.icoBest]]) — feeds the image ladder; NULL for non-ICO.
+  */
+case class IcoBestExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    IcoCodec.icoBest(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.IcoCodec.icoBest($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): IcoBestExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ico_best"
+}

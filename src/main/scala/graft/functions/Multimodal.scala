@@ -93,6 +93,25 @@ object Multimodal {
       graft.expressions.ImagePixelStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** ICO (favicon) directory inventory — dimensions/bit depth/size/
+    * format per entry, payloads untouched
+    * ([[graft.expressions.IcoEntriesExpr]]). NULL for non-ICO.
+    */
+  def icoEntries(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.IcoEntriesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** The largest ICO entry as a STANDALONE image payload (PNG verbatim;
+    * BMP with a reconstructed header, height halved back) — favicons
+    * feed the whole image ladder: stats, pHash site-identity dedup,
+    * resize ([[graft.expressions.IcoBestExpr]]). NULL for non-ICO.
+    */
+  def icoBest(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.IcoBestExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Audio ACTIVITY profile (frame-energy VAD) for audio-corpus
     * curation: active fraction and leading/trailing silence of a
     * WAV/FLAC/M4A payload, with an exactly-replayable LINEAR RMS

@@ -1,0 +1,133 @@
+package graft.expressions
+
+/** ICO walk: inventory fields, PNG passthrough identity, BMP DIB
+  * reconstruction through the real decoder, best-entry selection,
+  * rejects.
+  */
+class IcoSpec extends graft.SparkTestBase {
+
+  /** Standalone 24bpp bottom-up BMP (same builder as the resize spec). */
+  private def bmp(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val rowPad = (4 - (w * 3) % 4) % 4
+    val dataSize = (w * 3 + rowPad) * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    b.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) {
+      for (x <- 0 until w) { val v = f(x, y).toByte; b.put(v).put(v).put(v) }
+      for (_ <- 0 until rowPad) b.put(0.toByte)
+    }
+    b.array()
+  }
+
+  /** The same raster as an ICO DIB entry: BITMAPINFOHEADER with DOUBLED
+    * height, XOR pixel rows, then an all-zero 1bpp AND mask.
+    */
+  private def icoDib(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val rowPad = (4 - (w * 3) % 4) % 4
+    val xorSize = (w * 3 + rowPad) * h
+    val andRow = ((w + 31) / 32) * 4
+    val andSize = andRow * h
+    val b = java.nio.ByteBuffer.allocate(40 + xorSize + andSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(40).putInt(w).putInt(h * 2).putShort(1.toShort).putShort(24.toShort)
+    b.putInt(0).putInt(xorSize + andSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) {
+      for (x <- 0 until w) { val v = f(x, y).toByte; b.put(v).put(v).put(v) }
+      for (_ <- 0 until rowPad) b.put(0.toByte)
+    }
+    b.array() // AND mask left zero
+  }
+
+  private def ico(entries: (Int, Int, Array[Byte])*): Array[Byte] = {
+    val dirSize = 6 + 16 * entries.size
+    val total = dirSize + entries.map(_._3.length).sum
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putShort(0.toShort).putShort(1.toShort).putShort(entries.size.toShort)
+    var off = dirSize
+    entries.foreach { case (w, h, data) =>
+      b.put((if (w == 256) 0 else w).toByte).put((if (h == 256) 0 else h).toByte)
+      b.put(0.toByte).put(0.toByte).putShort(1.toShort).putShort(24.toShort)
+      b.putInt(data.length).putInt(off)
+      off += data.length
+    }
+    entries.foreach(e => b.put(e._3))
+    b.array()
+  }
+
+  private def png16: Array[Byte] = {
+    // real PNG via ImageIO (gray gradient 16x16)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = (x * 16 + y) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("inventory: dims, depth, size, per-entry format") {
+    val p = png16
+    val d = icoDib(8, 8, (x, y) => x + 8 * y)
+    val arr = IcoCodec.icoEntries(ico((16, 16, p), (8, 8, d)))
+    assert(arr != null && arr.numElements() == 2)
+    val e0 = arr.getStruct(0, 5)
+    assert(e0.getInt(0) == 16 && e0.getInt(1) == 16)
+    assert(e0.getUTF8String(4).toString == "png")
+    val e1 = arr.getStruct(1, 5)
+    assert(e1.getInt(0) == 8 && e1.getUTF8String(4).toString == "bmp")
+  }
+
+  test("png entry passes through byte-identical and decodes") {
+    val p = png16
+    val best = IcoCodec.icoBest(ico((16, 16, p)))
+    assert(best.sameElements(p))
+    val stats = MediaCodec.pixelStats(best)
+    assert(stats != null && stats.getInt(1) == 16)
+  }
+
+  test("bmp DIB reconstructs: decoder sees the same raster as a real BMP") {
+    def scene(x: Int, y: Int): Int = (x * 29 + y * 13) % 256
+    val viaIco = IcoCodec.icoBest(ico((8, 8, icoDib(8, 8, scene))))
+    assert(viaIco != null)
+    val a = MediaCodec.pixelStats(viaIco)
+    val b = MediaCodec.pixelStats(bmp(8, 8, scene))
+    assert(a != null && b != null)
+    for (i <- Seq(1, 2, 3)) assert(a.getInt(i) == b.getInt(i), s"f$i")
+    assert(a.getDouble(4) == b.getDouble(4)) // c0 mean identical
+  }
+
+  test("best = largest area across mixed entries") {
+    val small = icoDib(4, 4, (_, _) => 7)
+    val large = icoDib(8, 8, (_, _) => 9)
+    val best = IcoCodec.icoBest(ico((4, 4, small), (8, 8, large)))
+    val stats = MediaCodec.pixelStats(best)
+    assert(stats.getInt(1) == 8 && stats.getDouble(4) == 9.0)
+  }
+
+  test("rejects: wrong magic, truncated dir, out-of-range entries, null") {
+    assert(IcoCodec.icoEntries(null) == null)
+    assert(IcoCodec.icoEntries(Array[Byte](1, 2, 3)) == null)
+    assert(IcoCodec.icoEntries("BM123456".getBytes) == null)
+    val good = ico((8, 8, icoDib(8, 8, (_, _) => 1)))
+    assert(IcoCodec.icoEntries(good.dropRight(40)) == null)
+  }
+
+  test("sql surface composes with the image ladder") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(ico((8, 8, icoDib(8, 8, (x, y) => 32 * (x % 4))))).toDF("b")
+      .createOrReplaceTempView("ico_t")
+    val row = s.sql(
+      "SELECT graft_ico_entries(b)[0].format AS f, " +
+        "graft_pixel_stats(graft_ico_best(b)).width AS w FROM ico_t")
+      .collect().head
+    assert(row.getString(0) == "bmp" && row.getInt(1) == 8)
+  }
+}
