@@ -5262,6 +5262,53 @@ object SparkEntry {
           col("px.c0_min").as("px_min"), col("px.c0_max").as("px_max"))
         .orderBy("doc_id")
     }),
+
+    // --- 222. HTTP response split, oracle-pinned --------------------------------------------------------
+    // The layer between the WARC walk and the text pipeline: three
+    // response shapes CONSTRUCTED per row — legacy-charset body with a
+    // Content-Type param (the toUtf8 hint closes the loop), a CHUNKED
+    // body whose hex size is computed relationally, and a GZIPPED body
+    // built with graft's own codec (the oracle states the decoded
+    // plaintext; the roundtrip is engine-internal). Status/headers/
+    // media-type/charset/encoding/body all closed-form.
+    "q222_http_split" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      def hx(t: String, cs: String) = t
+        .getBytes(java.nio.charset.Charset.forName(cs))
+        .map(bb => f"$bb%02X").mkString
+      val m = col("doc_id") % 3
+      val ruBody = unhex(concat(
+        lit(hx(CharsetFixtures.ru, "windows-1251")),
+        hex(encode(concat(lit(" doc "), id), "UTF-8"))))
+      val plainMsg = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nServer: g\r\n" +
+          "Content-Type: text/html; charset=windows-1251\r\n\r\n"), "UTF-8"),
+        ruBody)
+      val chunkBody = encode(concat(lit("chunky doc "), id), "UTF-8")
+      val chunkMsg = concat(
+        encode(lit("HTTP/1.1 404 Not Found\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"), "UTF-8"),
+        encode(lower(conv(length(chunkBody).cast("string"), 10, 16)), "UTF-8"),
+        encode(lit("\r\n"), "UTF-8"), chunkBody,
+        encode(lit("\r\n0\r\n\r\n"), "UTF-8"))
+      val gzMsg = concat(
+        encode(lit("HTTP/1.1 301 Moved\r\nLocation: http://x/\r\n" +
+          "Content-Encoding: gzip\r\n\r\n"), "UTF-8"),
+        Multimodal.gzip(encode(concat(lit("zipped doc "), id), "UTF-8")))
+      val msg = when(m === 0, plainMsg).when(m === 1, chunkMsg).otherwise(gzMsg)
+      val v = Multimodal.httpResponse(msg)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.as("v"))
+        .select(col("doc_id"),
+          col("v.status").as("status"), col("v.reason").as("reason"),
+          col("v.content_type").as("content_type"),
+          col("v.charset").as("charset"),
+          col("v.content_encoding").as("content_encoding"),
+          col("v.n_headers").as("n_headers"),
+          Multimodal.toUtf8(col("v.body"),
+            coalesce(col("v.charset"), lit("utf-8"))).as("text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8330,7 +8377,30 @@ object SparkEntry {
         |  CAST(3 AS INT) AS channels,
         |  CAST(SUM(v) AS DOUBLE) / 16 AS mean,
         |  CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // HTTP split closed form per shape (the gzip/chunk roundtrips are
+    // engine-internal; the oracle states the decoded plaintext).
+    "q222_http_split" -> {
+      def sq(t: String) = t.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END AS INT) AS status,
+         |  CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN 'OK' WHEN 1 THEN 'Not Found' ELSE 'Moved' END AS reason,
+         |  CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN 'text/html' ELSE NULL END AS content_type,
+         |  CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN 'windows-1251' ELSE NULL END AS charset,
+         |  'identity' AS content_encoding,
+         |  CAST(CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END AS INT) AS n_headers,
+         |  CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN '${sq(CharsetFixtures.ru)}' || ' doc ' || doc_id
+         |    WHEN 1 THEN 'chunky doc ' || doc_id
+         |    ELSE 'zipped doc ' || doc_id END AS text
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_http_response"),
+      new ExpressionInfo(classOf[HttpResponseExpr].getName, "graft_http_response"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => HttpResponseExpr(b)
+        case _ => throw new IllegalArgumentException("graft_http_response(binary)")
+      }),
+    (
       FunctionIdentifier("graft_ico_entries"),
       new ExpressionInfo(classOf[IcoEntriesExpr].getName, "graft_ico_entries"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,229 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Raw HTTP message split — the layer BETWEEN the WARC walk and the
+  * text pipeline: a WARC `response` record's payload is a verbatim
+  * HTTP/1.x message, so before any text operator can run, the status
+  * line and headers must come off and the body must be de-chunked and
+  * content-decoded. This is where "just read the crawl" pipelines
+  * silently corrupt: a chunked+gzipped body fed to a text operator is
+  * binary soup.
+  *
+  * The walk (RFC 9112 shapes, lenient where crawls are): status line
+  * `HTTP/1.x NNN reason`; header lines to the first empty line (CRLF or
+  * bare LF, folded continuations joined); case-insensitive header
+  * lookup; `Transfer-Encoding: chunked` de-chunked (hex sizes,
+  * extensions ignored, trailers dropped, truncation keeps the decoded
+  * prefix); `Content-Encoding: gzip|x-gzip|deflate` decoded through the
+  * existing bomb-capped codecs (deflate tries zlib then raw — both
+  * spellings exist in the wild); unknown encodings (br) leave the body
+  * raw and REPORTED so callers can route. Content-Type media type and
+  * charset parameter split out lowercased — the `graft_to_utf8` hint.
+  */
+object HttpCodec {
+
+  private def indexOfBlank(b: Array[Byte]): Int = {
+    // first \r\n\r\n or \n\n; returns index AFTER the blank line
+    var i = 0
+    while (i < b.length - 1) {
+      if (b(i) == '\n') {
+        if (b(i + 1) == '\n') return i + 2
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n') return i + 3
+      }
+      i += 1
+    }
+    -1
+  }
+
+  def parseResponse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    // must start HTTP/
+    if (!(b(0) == 'H' && b(1) == 'T' && b(2) == 'T' && b(3) == 'P' &&
+      b(4) == '/')) return null
+    val headEnd = indexOfBlank(b)
+    val headBytes = if (headEnd < 0) b.length else headEnd
+    val head = new String(b, 0, headBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines0 = head.split("\r?\n")
+    if (lines0.isEmpty) return null
+    // status line
+    val sl = lines0(0).split(" ", 3)
+    if (sl.length < 2) return null
+    val status = try sl(1).toInt catch { case _: NumberFormatException => return null }
+    val reason = if (sl.length >= 3) sl(2).trim else ""
+    // unfold + collect headers
+    val headers = new java.util.ArrayList[(String, String)](16)
+    var i = 1
+    while (i < lines0.length) {
+      var line = lines0(i)
+      while (i + 1 < lines0.length && lines0(i + 1).nonEmpty &&
+        (lines0(i + 1).charAt(0) == ' ' || lines0(i + 1).charAt(0) == '\t')) {
+        line = line + " " + lines0(i + 1).trim
+        i += 1
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0)
+        headers.add((line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT), line.substring(colon + 1).trim))
+      i += 1
+    }
+    def header(name: String): String = {
+      var j = 0
+      while (j < headers.size) {
+        if (headers.get(j)._1 == name) return headers.get(j)._2
+        j += 1
+      }
+      null
+    }
+    // content-type: media type + charset param
+    val ct = header("content-type")
+    var mediaType: String = null
+    var charset: String = null
+    if (ct != null) {
+      val semi = ct.indexOf(';')
+      mediaType = (if (semi < 0) ct else ct.substring(0, semi))
+        .trim.toLowerCase(java.util.Locale.ROOT)
+      val m = java.util.regex.Pattern
+        .compile("charset\\s*=\\s*\"?([A-Za-z0-9._:-]+)\"?",
+          java.util.regex.Pattern.CASE_INSENSITIVE).matcher(ct)
+      if (m.find()) charset = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    }
+    // body: de-chunk then content-decode
+    var body: Array[Byte] =
+      if (headEnd < 0) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(b, headEnd, b.length)
+    val te = header("transfer-encoding")
+    if (te != null && te.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+      body = dechunk(body)
+    val ce0 = header("content-encoding")
+    val ce = if (ce0 == null) null else ce0.trim.toLowerCase(java.util.Locale.ROOT)
+    var encodingOut = "identity"
+    if (ce != null && ce != "identity" && ce.nonEmpty) {
+      val decoded = ce match {
+        case "gzip" | "x-gzip" => GzipCodec.gunzip(body)
+        case "deflate" => inflateLenient(body)
+        case _ => null
+      }
+      if (decoded != null) body = decoded
+      else encodingOut = ce // undecodable/unknown: body stays raw, reported
+    }
+    val out = new Array[Any](8)
+    out(0) = status
+    out(1) = UTF8String.fromString(reason)
+    out(2) = if (mediaType == null) null else UTF8String.fromString(mediaType)
+    out(3) = if (charset == null) null else UTF8String.fromString(charset)
+    out(4) = UTF8String.fromString(encodingOut)
+    out(5) = headers.size
+    out(6) = body.length.toLong
+    out(7) = body
+    new GenericInternalRow(out)
+  }
+
+  /** RFC 9112 chunked decoding, lenient: hex size (extensions after ';'
+    * ignored), CRLF or LF line ends, zero-chunk ends the stream
+    * (trailers dropped), truncation keeps the decoded prefix.
+    */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var i = 0
+    var done = false
+    while (!done && i < b.length) {
+      // read the size line
+      var j = i
+      while (j < b.length && b(j) != '\n') j += 1
+      if (j >= b.length) done = true
+      else {
+        var lineEnd = j
+        if (lineEnd > i && b(lineEnd - 1) == '\r') lineEnd -= 1
+        val line = new String(b, i, lineEnd - i,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val semi = line.indexOf(';')
+        val sizeStr = (if (semi < 0) line else line.substring(0, semi)).trim
+        val size =
+          try java.lang.Long.parseLong(sizeStr, 16)
+          catch { case _: NumberFormatException => return out.toByteArray }
+        if (size == 0) done = true
+        else if (size < 0 || size > GzipCodec.MaxPlainBytes ||
+          out.size().toLong + size > GzipCodec.MaxPlainBytes) done = true
+        else {
+          val start = j + 1
+          val avail = math.min(size, (b.length - start).toLong).toInt
+          if (avail > 0) out.write(b, start, avail)
+          if (avail < size) done = true // truncated: keep prefix
+          else {
+            i = start + size.toInt
+            // skip the chunk-terminating CRLF/LF
+            if (i < b.length && b(i) == '\r') i += 1
+            if (i < b.length && b(i) == '\n') i += 1
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** `deflate` bodies ship BOTH as zlib-wrapped and raw-deflate in the
+    * wild; try zlib first, then raw. Bomb-capped like the gzip path.
+    */
+  private def inflateLenient(b: Array[Byte]): Array[Byte] = {
+    for (raw <- Seq(false, true)) {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+        val buf = new Array[Byte](8192)
+        var ok = true
+        while (ok && !inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => ok = false; 0 }
+          if (n > 0) {
+            if (out.size().toLong + n > GzipCodec.MaxPlainBytes) ok = false
+            else out.write(buf, 0, n)
+          } else if (n == 0 && inf.needsInput()) ok = false
+        }
+        if (ok || (inf.finished() && out.size() > 0)) return out.toByteArray
+      } finally inf.end()
+    }
+    null
+  }
+}
+
+/** `binary` -> parsed HTTP response struct ([[HttpCodec.parseResponse]]):
+  * status/reason/media type/charset/content-encoding/header count/
+  * decoded body. NULL for non-HTTP payloads.
+  */
+case class HttpResponseExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("reason", StringType, nullable = false),
+    StructField("content_type", StringType),
+    StructField("charset", StringType),
+    StructField("content_encoding", StringType, nullable = false),
+    StructField("n_headers", IntegerType, nullable = false),
+    StructField("body_len", LongType, nullable = false),
+    StructField("body", BinaryType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    HttpCodec.parseResponse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.HttpCodec.parseResponse($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): HttpResponseExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_http_response"
+}

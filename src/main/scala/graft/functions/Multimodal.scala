@@ -93,6 +93,17 @@ object Multimodal {
       graft.expressions.ImagePixelStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Raw HTTP response split ([[graft.expressions.HttpResponseExpr]]):
+    * status/reason, media type + charset (the `toUtf8` hint),
+    * content-encoding, de-chunked and gzip/deflate-decoded body — the
+    * layer between [[warcRecords]] and the text pipeline. NULL for
+    * non-HTTP payloads.
+    */
+  def httpResponse(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.HttpResponseExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** ICO (favicon) directory inventory — dimensions/bit depth/size/
     * format per entry, payloads untouched
     * ([[graft.expressions.IcoEntriesExpr]]). NULL for non-ICO.

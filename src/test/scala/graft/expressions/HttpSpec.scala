@@ -1,0 +1,104 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+
+/** HTTP response split: status/headers, folding, content-type params,
+  * chunked decoding (incl. truncation), gzip/deflate bodies, unknown
+  * encodings reported raw, rejects, composition with toUtf8.
+  */
+class HttpSpec extends graft.SparkTestBase {
+
+  private def parse(s: Array[Byte]) = HttpCodec.parseResponse(s)
+  private def ascii(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+
+  test("plain response: status, reason, headers, media type + charset") {
+    val msg = ascii(
+      "HTTP/1.1 200 OK\r\n" +
+        "Server: test\r\n" +
+        "Content-Type: text/HTML; charset=\"ISO-8859-1\"\r\n" +
+        "X-Folded: a\r\n b\r\n" +
+        "\r\n" +
+        "<html>body</html>")
+    val r = parse(msg)
+    assert(r != null)
+    assert(r.getInt(0) == 200 && r.getUTF8String(1).toString == "OK")
+    assert(r.getUTF8String(2).toString == "text/html")
+    assert(r.getUTF8String(3).toString == "iso-8859-1")
+    assert(r.getUTF8String(4).toString == "identity")
+    assert(r.getInt(5) == 3)
+    assert(new String(r.getBinary(7), "UTF-8") == "<html>body</html>")
+  }
+
+  test("bare-LF lines and missing reason tolerate") {
+    val r = parse(ascii("HTTP/1.0 404\nContent-Type: text/plain\n\nnope"))
+    assert(r.getInt(0) == 404 && r.getUTF8String(1).toString == "")
+    assert(new String(r.getBinary(7), "UTF-8") == "nope")
+  }
+
+  test("chunked transfer decodes; extensions and trailers drop") {
+    val body = "5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\nTrailer: x\r\n\r\n"
+    val r = parse(ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body))
+    assert(new String(r.getBinary(7), "UTF-8") == "hello world")
+    assert(r.getLong(6) == 11L)
+  }
+
+  test("truncated chunk keeps the decoded prefix") {
+    val r = parse(ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "5\r\nhel"))
+    assert(new String(r.getBinary(7), "UTF-8") == "hel")
+  }
+
+  test("gzip and deflate content-encodings decode; brotli reports raw") {
+    val plain = "compressed payload body".getBytes("UTF-8")
+    val gz = GzipCodec.gzip(plain)
+    val rg = parse(ascii(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n") ++ gz)
+    assert(rg.getUTF8String(4).toString == "identity")
+    assert(rg.getBinary(7).sameElements(plain))
+    // zlib-wrapped deflate
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val rd = parse(ascii(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n") ++ defl)
+    assert(rd.getBinary(7).sameElements(plain))
+    // unknown encoding: raw body + reported
+    val rb = parse(ascii(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nrawbytes"))
+    assert(rb.getUTF8String(4).toString == "br")
+    assert(new String(rb.getBinary(7), "UTF-8") == "rawbytes")
+  }
+
+  test("chunked + gzip compose (transfer first, then content)") {
+    val plain = "twice wrapped body".getBytes("UTF-8")
+    val gz = GzipCodec.gzip(plain)
+    val chunked = ascii(f"${gz.length}%x\r\n") ++ gz ++ ascii("\r\n0\r\n\r\n")
+    val r = parse(ascii(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        "Content-Encoding: gzip\r\n\r\n") ++ chunked)
+    assert(r.getBinary(7).sameElements(plain))
+  }
+
+  test("rejects: non-http, garbage status, null") {
+    assert(parse(null) == null)
+    assert(parse(ascii("GET / HTTP/1.1\r\n\r\n")) == null) // a REQUEST
+    assert(parse(ascii("HTTP/1.1 abc OK\r\n\r\n")) == null)
+    assert(parse(ascii("random bytes here")) == null)
+  }
+
+  test("composes with the charset hint into utf-8 text") {
+    val body = "Съешь же ещё этих мягких булок"
+    val msg = ascii(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1251\r\n\r\n") ++
+      body.getBytes("windows-1251")
+    val r = parse(msg)
+    val text = CharsetCodec.toUtf8Hinted(r.getBinary(7), r.getUTF8String(3))
+    assert(text.toString == body)
+  }
+}
