@@ -5309,6 +5309,36 @@ object SparkEntry {
             coalesce(col("v.charset"), lit("utf-8"))).as("text"))
         .orderBy("doc_id")
     }),
+
+    // --- 223. SVG metadata + text, oracle-pinned --------------------------------------------------------
+    // The vector half of crawl imagery: three shapes per row — explicit
+    // px dims with paths + title, pt units (the 96-dpi CSS ladder) with
+    // an image census, percent dims falling back to the viewBox with
+    // tspan'd text and an excluded script body. Every field closed-form.
+    "q223_svg_meta" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val svg = when(m === 0, concat(
+        lit("<svg width=\""), (col("doc_id") % 50 + 1).cast("string"),
+        lit("\" height=\"40\"><title>Icon "), id,
+        lit("</title><path d=\"M0 0\"/><path d=\"M1 1\"/></svg>")))
+        .when(m === 1, concat(
+          lit("<svg width=\"72pt\" height=\"36pt\" viewBox=\"0 0 9 9\">" +
+            "<image href=\"a.png\"/><desc>mark "), col("doc_id") % 7,
+          lit("</desc></svg>")))
+        .otherwise(concat(
+          lit("<svg width=\"100%\" viewBox=\"0 0 640 480\">" +
+            "<script>var x = \"<text>no</text>\";</script>" +
+            "<text>Label <tspan>"), id, lit("</tspan></text></svg>")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.svgMeta(svg).as("v"))
+        .select(col("doc_id"),
+          col("v.width").as("width"), col("v.height").as("height"),
+          col("v.view_box").as("view_box"),
+          col("v.n_paths").as("n_paths"), col("v.n_images").as("n_images"),
+          col("v.text").as("text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
@@ -8400,7 +8430,29 @@ object SparkEntry {
          |    WHEN 1 THEN 'chunky doc ' || doc_id
          |    ELSE 'zipped doc ' || doc_id END AS text
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // SVG closed forms: px passthrough, 72pt -> 96px ladder, percent ->
+    // viewBox fallback; script body excluded from text.
+    "q223_svg_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN CAST(doc_id % 50 + 1 AS DOUBLE)
+        |    WHEN 1 THEN 96.0 ELSE 640.0 END AS width,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 40.0 WHEN 1 THEN 48.0 ELSE 480.0 END AS height,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN NULL WHEN 1 THEN '0 0 9 9' ELSE '0 0 640 480'
+        |    END AS view_box,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2 ELSE 0 END AS INT)
+        |    AS n_paths,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 1 ELSE 0 END AS INT)
+        |    AS n_images,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'Icon ' || doc_id
+        |    WHEN 1 THEN 'mark ' || doc_id % 7
+        |    ELSE 'Label ' || doc_id END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_svg_meta"),
+      new ExpressionInfo(classOf[SvgMetaExpr].getName, "graft_svg_meta"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => SvgMetaExpr(s)
+        case _ => throw new IllegalArgumentException("graft_svg_meta(string)")
+      }),
+    (
       FunctionIdentifier("graft_http_response"),
       new ExpressionInfo(classOf[HttpResponseExpr].getName, "graft_http_response"),
       (args: Seq[Expression]) => args match {

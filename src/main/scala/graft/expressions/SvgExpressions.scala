@@ -1,0 +1,155 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SVG metadata + text extraction — the vector half of crawl imagery
+  * (logos, icons, charts ship as SVG, and inline SVG carries real
+  * text): canvas dimensions from `width`/`height` attributes with the
+  * CSS-unit ladder (px implied, pt/pc/mm/cm/in converted at 96 dpi,
+  * percentages unresolvable -> fall back to the viewBox), the viewBox
+  * itself, element censuses (paths — the complexity proxy — and
+  * embedded `<image>` references), and the visible text: `<title>`,
+  * `<desc>`, and all `<text>`/`<tspan>` content, entity-decoded and
+  * whitespace-collapsed — searchable alt-text for the image corpus.
+  *
+  * Bounded regex + entity discipline (the HTML-meta/feed pattern — two
+  * fixed dialect shapes don't need a DOM); `<script>`/`<style>` bodies
+  * are excluded from text. Row-local, codegen'd; NULL when no `<svg`
+  * root is present.
+  */
+object SvgCodec {
+
+  private val F = java.util.regex.Pattern.CASE_INSENSITIVE |
+    java.util.regex.Pattern.DOTALL
+  private val svgTagRe = java.util.regex.Pattern.compile("<svg\\b[^>]*>", F)
+  private val attrRe = java.util.regex.Pattern.compile(
+    "\\b(width|height|viewBox)\\s*=\\s*[\"']([^\"']*)[\"']", F)
+  private val scriptStyleRe = java.util.regex.Pattern.compile(
+    "<(script|style)\\b[^>]*>.*?</\\1\\s*>", F)
+  private val textRe = java.util.regex.Pattern.compile(
+    "<(title|desc|text|tspan)\\b[^>]*>([^<]*)", F)
+  private val pathRe = java.util.regex.Pattern.compile("<path\\b", F)
+  private val imageRe = java.util.regex.Pattern.compile("<image\\b", F)
+
+  /** CSS length -> px at 96 dpi; NaN for percentages/unparseable. */
+  private def cssPx(v0: String): Double = {
+    val v = v0.trim.toLowerCase(java.util.Locale.ROOT)
+    if (v.isEmpty || v.endsWith("%")) return Double.NaN
+    val (num, mult) =
+      if (v.endsWith("px")) (v.dropRight(2), 1.0)
+      else if (v.endsWith("pt")) (v.dropRight(2), 96.0 / 72.0)
+      else if (v.endsWith("pc")) (v.dropRight(2), 16.0)
+      else if (v.endsWith("mm")) (v.dropRight(2), 96.0 / 25.4)
+      else if (v.endsWith("cm")) (v.dropRight(2), 96.0 / 2.54)
+      else if (v.endsWith("in")) (v.dropRight(2), 96.0)
+      else if (v.endsWith("em") || v.endsWith("ex")) return Double.NaN
+      else (v, 1.0)
+    try {
+      val d = num.trim.toDouble * mult
+      if (d.isFinite && d >= 0) d else Double.NaN
+    } catch { case _: NumberFormatException => Double.NaN }
+  }
+
+  def svgMeta(xmlU: UTF8String): InternalRow = {
+    if (xmlU == null) return null
+    val xml = xmlU.toString
+    val m = svgTagRe.matcher(xml)
+    if (!m.find()) return null
+    val svgTag = m.group()
+    var wAttr: String = null; var hAttr: String = null; var vb: String = null
+    val am = attrRe.matcher(svgTag)
+    while (am.find()) {
+      am.group(1).toLowerCase(java.util.Locale.ROOT) match {
+        case "width" => wAttr = am.group(2)
+        case "height" => hAttr = am.group(2)
+        case _ => vb = am.group(2)
+      }
+    }
+    // viewBox: "minx miny w h"
+    var vbW = Double.NaN; var vbH = Double.NaN
+    if (vb != null) {
+      val parts = vb.trim.split("[\\s,]+")
+      if (parts.length == 4) {
+        try { vbW = parts(2).toDouble; vbH = parts(3).toDouble }
+        catch { case _: NumberFormatException => }
+      }
+    }
+    var w = if (wAttr == null) Double.NaN else cssPx(wAttr)
+    var h = if (hAttr == null) Double.NaN else cssPx(hAttr)
+    if (w.isNaN) w = vbW
+    if (h.isNaN) h = vbH
+
+    val body = scriptStyleRe.matcher(xml).replaceAll(" ")
+    var nPaths = 0
+    val pm = pathRe.matcher(body)
+    while (pm.find()) nPaths += 1
+    var nImages = 0
+    val im = imageRe.matcher(body)
+    while (im.find()) nImages += 1
+
+    // collect fragments (entity-decoded), then one final whitespace
+    // normalize — fragment boundaries become single spaces.
+    val sb = new java.lang.StringBuilder()
+    val tm = textRe.matcher(body)
+    while (tm.find()) {
+      val raw = tm.group(2)
+      sb.append(' ')
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '&') {
+          val (rep, next) = XmlEntities.decode(raw, i)
+          sb.append(rep); i = next
+        } else { sb.append(c); i += 1 }
+      }
+    }
+    val text = {
+      val t = sb.toString.trim.replaceAll("\\s+", " ")
+      if (t.isEmpty) null else t
+    }
+
+    val out = new Array[Any](6)
+    out(0) = if (w.isNaN) null else java.lang.Double.valueOf(w)
+    out(1) = if (h.isNaN) null else java.lang.Double.valueOf(h)
+    out(2) = if (vb == null) null else UTF8String.fromString(vb.trim)
+    out(3) = nPaths
+    out(4) = nImages
+    out(5) = if (text == null) null else UTF8String.fromString(text)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<width,height,view_box,n_paths,n_images,text> for
+  * SVG markup ([[SvgCodec.svgMeta]]); NULL when no `<svg` root.
+  */
+case class SvgMetaExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", DoubleType),
+    StructField("height", DoubleType),
+    StructField("view_box", StringType),
+    StructField("n_paths", IntegerType, nullable = false),
+    StructField("n_images", IntegerType, nullable = false),
+    StructField("text", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    SvgCodec.svgMeta(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.SvgCodec.svgMeta($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): SvgMetaExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_svg_meta"
+}

@@ -377,6 +377,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** SVG metadata + text ([[graft.expressions.SvgMetaExpr]]): canvas
+    * dimensions through the CSS-unit ladder with viewBox fallback, path/
+    * image censuses, and the visible text (title/desc/text/tspan) —
+    * searchable alt-text for the vector half of crawl imagery. NULL for
+    * non-SVG markup.
+    */
+  def svgMeta(xml: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SvgMetaExpr(
+        org.apache.spark.sql.graft.Bridge.expression(xml)))
+
   /** Code-dedup normalization ([[graft.expressions.CodeNormalizeExpr]]):
     * comments stripped outside string literals, whitespace
     * canonicalized — two files differing only in comments/formatting

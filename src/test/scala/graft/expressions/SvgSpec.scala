@@ -1,0 +1,62 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SVG metadata: unit ladder, viewBox fallback, censuses, text
+  * extraction with script/style exclusion, rejects, SQL surface.
+  */
+class SvgSpec extends graft.SparkTestBase {
+
+  private def meta(s: String) = SvgCodec.svgMeta(UTF8String.fromString(s))
+
+  test("explicit px dimensions and element censuses") {
+    val r = meta("""<svg width="120" height="80px" viewBox="0 0 12 8">
+      |<path d="M0 0"/><path d="M1 1"/><image href="a.png"/></svg>""".stripMargin)
+    assert(r != null)
+    assert(r.getDouble(0) == 120.0 && r.getDouble(1) == 80.0)
+    assert(r.getUTF8String(2).toString == "0 0 12 8")
+    assert(r.getInt(3) == 2 && r.getInt(4) == 1)
+  }
+
+  test("css unit ladder: pt/mm/cm/in at 96 dpi") {
+    val r = meta("""<svg width="72pt" height="25.4mm"></svg>""")
+    assert(r.getDouble(0) == 96.0)
+    assert(math.abs(r.getDouble(1) - 96.0) < 1e-9)
+    val r2 = meta("""<svg width="2in" height="2.54cm"></svg>""")
+    assert(r2.getDouble(0) == 192.0 && math.abs(r2.getDouble(1) - 96.0) < 1e-9)
+  }
+
+  test("percent and missing dims fall back to the viewBox") {
+    val r = meta("""<svg width="100%" viewBox="0 0 640 480"></svg>""")
+    assert(r.getDouble(0) == 640.0 && r.getDouble(1) == 480.0)
+    val none = meta("""<svg><path d="M0 0"/></svg>""")
+    assert(none.isNullAt(0) && none.isNullAt(1) && none.isNullAt(2))
+  }
+
+  test("text: title/desc/text/tspan, entities, script and style excluded") {
+    val r = meta("""<svg viewBox="0 0 1 1">
+      |<title>Logo &amp; Brand</title><desc>company   mark</desc>
+      |<style>.a { fill: red }</style>
+      |<script>var text = "<text>nope</text>";</script>
+      |<text x="0">Hello <tspan>world</tspan></text></svg>""".stripMargin)
+    assert(r.getUTF8String(5).toString == "Logo & Brand company mark Hello world")
+  }
+
+  test("no text yields null; non-svg yields null") {
+    assert(meta("""<svg viewBox="0 0 1 1"><path d="M0 0"/></svg>""").isNullAt(5))
+    assert(meta("<html><body>x</body></html>") == null)
+    assert(SvgCodec.svgMeta(null) == null)
+  }
+
+  test("sql surface") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("""<svg width="10" height="4"><title>icon</title></svg>""")
+      .toDF("x").createOrReplaceTempView("svg_t")
+    val row = s.sql(
+      "SELECT graft_svg_meta(x).width AS w, graft_svg_meta(x).text AS t " +
+        "FROM svg_t").collect().head
+    assert(row.getDouble(0) == 10.0 && row.getString(1) == "icon")
+  }
+}
