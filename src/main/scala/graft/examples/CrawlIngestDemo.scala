@@ -251,6 +251,34 @@ object CrawlIngestDemo {
       kept.withColumn("w", length(col("text"))), "uri", "w", k = 25)
     println(s"=== 21. weighted sample: ${subset.count()} of ${kept.count()} ===")
 
+    // --- 22. the full wire shape: pages re-arrive as HTTP responses
+    // (gzipped Content-Encoding, charset-parameterized Content-Type);
+    // graft_http_response splits and content-decodes, the charset rides
+    // into graft_to_utf8 — the layer every real WARC pipeline needs
+    // between record split and text.
+    val wire = kept.select(col("uri"), concat(
+      encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+        "charset=utf-8\r\nContent-Encoding: gzip\r\n\r\n"), "UTF-8"),
+      Multimodal.gzip(encode(col("text"), "UTF-8"))).as("msg"))
+    val wireSplit = wire.select(col("uri"),
+      Multimodal.httpResponse(col("msg")).as("h"))
+      .select(col("uri"), col("h.status").as("status"),
+        Multimodal.toUtf8(col("h.body"), col("h.charset")).as("text"))
+    println("=== 22. HTTP wire split: status census, bodies decoded ===")
+    wireSplit.groupBy("status").count().show()
+    assert(wireSplit.join(kept.withColumnRenamed("text", "orig"), "uri")
+      .where(col("text") =!= col("orig")).count() == 0)
+
+    // --- 23. feed discovery: each site's RSS feed parsed to items —
+    // the freshest-content seam for recrawl scheduling.
+    val feeds = kept.limit(20).select(col("uri"), TextFunctions.feedItems(
+      concat(lit("<rss><channel><title>ch</title><item><title>"),
+        substring(col("text"), 1, 30),
+        lit("</title><link>"), col("uri"),
+        lit("</link></item></channel></rss>"))).as("f"))
+    println(s"=== 23. feed discovery: " +
+      s"${feeds.select(explode(col("f.items"))).count()} items ===")
+
     spark.stop()
   }
 }
