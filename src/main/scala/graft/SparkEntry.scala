@@ -5339,7 +5339,104 @@ object SparkEntry {
           col("v.text").as("text"))
         .orderBy("doc_id")
     }),
+
+    // --- 224. animated WebP frame walk, oracle-pinned ---------------------------------------------------
+    // The sticker/meme container joins the video ladder: a two-frame
+    // VP8X/ANIM/ANMF animation of solid VP8L frames (one-symbol prefix
+    // codes — the frames REALLY decode through the lossless path) is
+    // CONSTRUCTED per row from 8 precomputed frame hexes; stats and the
+    // frame-hash count are closed-form from the color table.
+    "q224_webp_anim" -> ((s, d) => {
+      val colors = (0 until 8).map(i => 20 + i * 25)
+      def pick(idx: org.apache.spark.sql.Column) =
+        colors.zipWithIndex.tail.foldLeft(
+          when(idx === 0, lit(AnimWebpHex.frameHex(colors(0))))) {
+          case (acc, (c, i)) => acc.when(idx === i, lit(AnimWebpHex.frameHex(c)))
+        }
+      val a = col("doc_id") % 8
+      val b = (col("doc_id") * 3 + 1) % 8
+      val payload = unhex(concat(lit(AnimWebpHex.headerHex), pick(a), pick(b)))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.videoStats(payload).as("v"),
+          size(Multimodal.videoHash(payload)).as("n_hashes"))
+        .select(col("doc_id"),
+          col("v.n_frames").as("n_frames"),
+          col("v.width").as("width"), col("v.height").as("height"),
+          col("v.channels").as("channels"),
+          col("v.c0_mean").as("r_mean"),
+          col("v.c0_min").as("r_min"), col("v.c0_max").as("r_max"),
+          col("v.mean_first").as("mean_first"),
+          col("v.mean_last").as("mean_last"),
+          col("n_hashes"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** Driver-side construction of animated-WebP fixtures for q224: a
+    * solid-color VP8L frame (one-symbol prefix codes — zero bits per
+    * pixel) wrapped in an ANMF chunk, as hex. All colors >= 2 encode at
+    * identical bit length, so every frame hex is the same size and the
+    * RIFF envelope is CONSTANT — per-row variation is a CASE over
+    * precomputed frame hexes.
+    */
+  private object AnimWebpHex {
+    private final class BW {
+      private val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      private var cur = 0
+      private var n = 0
+      def put(v: Int, bits: Int): BW = {
+        var i = 0
+        while (i < bits) {
+          if (((v >> i) & 1) == 1) cur |= 1 << n
+          n += 1
+          if (n == 8) { out += cur.toByte; cur = 0; n = 0 }
+          i += 1
+        }
+        this
+      }
+      def bytes: Array[Byte] = {
+        val t = out.toArray
+        if (n > 0) t :+ cur.toByte else t
+      }
+    }
+    private def simple1(bw: BW, sym: Int): BW = {
+      bw.put(1, 1).put(0, 1)
+      if (sym < 2) bw.put(0, 1).put(sym, 1) else bw.put(1, 1).put(sym, 8)
+    }
+    val W = 16; val H = 12
+    private def solidVp8l(c: Int): Array[Byte] = {
+      val bw = new BW
+      bw.put(W - 1, 14).put(H - 1, 14).put(1, 1).put(0, 3) // alpha hint: 4ch
+      bw.put(0, 1).put(0, 1).put(0, 1)
+      simple1(bw, c); simple1(bw, c); simple1(bw, c); simple1(bw, 255)
+      simple1(bw, 0)
+      0x2F.toByte +: bw.bytes
+    }
+    private def hexOf(a: Array[Byte]) = a.map(bb => f"$bb%02X").mkString
+    private def le24h(v: Int) =
+      f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X"
+    private def le32h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X" +
+      f"${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    /** One ANMF chunk holding one solid frame, hex. */
+    def frameHex(c: Int): String = {
+      val p = solidVp8l(c)
+      val pad = p.length & 1
+      val inner = hexOf("VP8L".getBytes) + le32h(p.length) + hexOf(p) + "00" * pad
+      val anmfPayload = le24h(0) + le24h(0) + le24h(W - 1) + le24h(H - 1) +
+        le24h(40) + "00" + inner
+      hexOf("ANMF".getBytes) + le32h(anmfPayload.length / 2) + anmfPayload
+    }
+    /** RIFF+VP8X+ANIM envelope hex; constant because frame size is. */
+    def headerHex: String = {
+      val vp8x = hexOf("VP8X".getBytes) + le32h(10) +
+        "02000000" + le24h(W - 1) + le24h(H - 1)
+      val animC = hexOf("ANIM".getBytes) + le32h(6) + "00" * 6 // even: no pad
+      val bodyLen = (vp8x.length + animC.length) / 2 + 2 * (frameHex(2).length / 2)
+      hexOf("RIFF".getBytes) + le32h(4 + bodyLen) + hexOf("WEBP".getBytes) +
+        vp8x + animC
+    }
+  }
 
   /** General in-plan STORED-zip construction (the q163/q165 single-entry
     * layout generalized to any entry list): per-entry CRC-32 via Spark's
@@ -8452,7 +8549,26 @@ object SparkEntry {
         |    WHEN 0 THEN 'Icon ' || doc_id
         |    WHEN 1 THEN 'mark ' || doc_id % 7
         |    ELSE 'Label ' || doc_id END AS text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Animated WebP: stats from the two solid frame colors.
+    "q224_webp_anim" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    20 + (doc_id % 8) * 25 AS ca,
+        |    20 + ((doc_id * 3 + 1) % 8) * 25 AS cb
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id,
+        |  CAST(2 AS INT) AS n_frames,
+        |  CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST(4 AS INT) AS channels,
+        |  CAST(ca + cb AS DOUBLE) / 2 AS r_mean,
+        |  CAST(LEAST(ca, cb) AS INT) AS r_min,
+        |  CAST(GREATEST(ca, cb) AS INT) AS r_max,
+        |  CAST(ca AS DOUBLE) AS mean_first,
+        |  CAST(cb AS DOUBLE) AS mean_last,
+        |  CAST(2 AS INT) AS n_hashes
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -112,6 +112,7 @@ object MediaCodec {
       if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGifAnim(b, sink)
       else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
         decodeMp4(b, sink)
+      else if (isAnimatedWebp(b)) decodeWebpAnim(b, sink)
       else decodeAvi(b, sink)
     if (stats == null || sink.hashes.isEmpty) return null
     new GenericArrayData(sink.hashes.toArray.map(Long.box).toArray[Any])
@@ -4259,12 +4260,117 @@ object MediaCodec {
     * and ISO-BMFF payloads dispatch on their magics — they are video, and
     * graft_video_stats treats them as such.
     */
+  /** RIFF WEBP with a VP8X animation flag? (the videoHashes/videoStats
+    * dispatch test — cheap header peek, no chunk walk).
+    */
+  private def isAnimatedWebp(b: Array[Byte]): Boolean =
+    b.length >= 21 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+      b(11) == 'P' && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+      b(15) == 'X' && (b(20) & 0x02) != 0
+
+  def decodeWebpAnim(b: Array[Byte]): VideoStats = decodeWebpAnim(b, null)
+
+  /** Animated WebP (VP8X + ANIM/ANMF, the sticker/meme container):
+    * walk the RIFF chunks, and for every ANMF frame whose payload is a
+    * LOSSLESS (VP8L) bitstream, re-ship it as a standalone WEBP and
+    * decode through the existing VP8L path — frames are hashed/reduced
+    * as INDEPENDENT images at their own geometry (no canvas
+    * compositing: animated stickers ship full-canvas frames, and
+    * sub-rect blend/dispose state is not a dedup signal — documented
+    * scope, like MP4's decodable-sample contract). Lossy (VP8) frames
+    * SKIP (the container commonly mixes none); null when no frame
+    * decodes. Canvas dims come from VP8X (24-bit minus-one fields).
+    */
+  private def decodeWebpAnim(b: Array[Byte], sink: FrameHashSink): VideoStats = {
+    if (b == null || b.length < 30 || !isAnimatedWebp(b)) return null
+    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4))
+    val canvasW = (((b(24) & 0xFF) | ((b(25) & 0xFF) << 8) |
+      ((b(26) & 0xFF) << 16)) + 1)
+    val canvasH = (((b(27) & 0xFF) | ((b(28) & 0xFF) << 8) |
+      ((b(29) & 0xFF) << 16)) + 1)
+    var nFrames = 0
+    var ch = 0
+    var sum: Array[Long] = null
+    var min: Array[Int] = null
+    var max: Array[Int] = null
+    var nPix = 0L
+    var meanFirst = 0.0; var meanLast = 0.0
+    var pos = 12L
+    while (pos + 8 <= riffEnd) {
+      val p = pos.toInt
+      val size = le32(b, p + 4)
+      if (size < 0 || pos + 8 + size > riffEnd + 1) return null
+      if (b(p) == 'A' && b(p + 1) == 'N' && b(p + 2) == 'M' &&
+        b(p + 3) == 'F' && size >= 24) {
+        // 16-byte frame header, then the image sub-chunk(s)
+        val sub = p + 8 + 16
+        if (sub + 8 <= b.length && b(sub) == 'V' && b(sub + 1) == 'P' &&
+          b(sub + 2) == '8' && b(sub + 3) == 'L') {
+          val subSize = le32(b, sub + 4)
+          if (subSize > 0 && sub + 8 + subSize <= b.length) {
+            // standalone WEBP around the VP8L payload (even-padded)
+            val pad = (subSize & 1L).toInt
+            val standalone = new Array[Byte](12 + 8 + subSize.toInt + pad)
+            standalone(0) = 'R'; standalone(1) = 'I'; standalone(2) = 'F'
+            standalone(3) = 'F'
+            val rs = 4 + 8 + subSize + pad
+            standalone(4) = (rs & 0xFF).toByte
+            standalone(5) = ((rs >> 8) & 0xFF).toByte
+            standalone(6) = ((rs >> 16) & 0xFF).toByte
+            standalone(7) = ((rs >> 24) & 0xFF).toByte
+            standalone(8) = 'W'; standalone(9) = 'E'; standalone(10) = 'B'
+            standalone(11) = 'P'
+            System.arraycopy(b, sub, standalone, 12, 8 + subSize.toInt)
+            val fw = ((b(p + 8 + 6) & 0xFF) | ((b(p + 8 + 7) & 0xFF) << 8) |
+              ((b(p + 8 + 8) & 0xFF) << 16)) + 1
+            val fh = ((b(p + 8 + 9) & 0xFF) | ((b(p + 8 + 10) & 0xFF) << 8) |
+              ((b(p + 8 + 11) & 0xFF) << 16)) + 1
+            val grid =
+              if (sink != null && fw >= GridAcc.GW && fh >= GridAcc.GH)
+                new GridAcc(fw, fh)
+              else null
+            val st = decodePixels(standalone, grid)
+            if (st != null) {
+              if (nFrames == 0) {
+                ch = st.channels
+                sum = new Array[Long](ch); min = Array.fill(ch)(Int.MaxValue)
+                max = Array.fill(ch)(Int.MinValue)
+              }
+              if (st.channels == ch) {
+                val fpix = st.width.toLong * st.height
+                var c = 0
+                while (c < ch) {
+                  sum(c) += math.round(st.mean(c) * fpix)
+                  if (st.min(c) < min(c)) min(c) = st.min(c)
+                  if (st.max(c) > max(c)) max(c) = st.max(c)
+                  c += 1
+                }
+                nPix += fpix
+                if (nFrames == 0) meanFirst = st.mean(0)
+                meanLast = st.mean(0)
+                nFrames += 1
+                if (grid != null && grid.complete &&
+                  st.width == fw && st.height == fh) sink.add(grid.dhash)
+              }
+            }
+          }
+        }
+      }
+      pos += 8 + size + (size & 1L)
+    }
+    if (nFrames == 0 || nPix == 0) return null
+    new VideoStats(nFrames, canvasW, canvasH, ch,
+      sum.map(_.toDouble / nPix), min, max, meanFirst, meanLast)
+  }
+
   def videoStats(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length < 12) return null
     val s =
       if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') decodeGifAnim(bytes)
       else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
         bytes(7) == 'p') decodeMp4(bytes)
+      else if (isAnimatedWebp(bytes)) decodeWebpAnim(bytes)
       else decodeAvi(bytes)
     if (s == null) return null
     val out = new Array[Any](18)

@@ -1,0 +1,160 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Animated WebP (VP8X/ANIM/ANMF) frame walk: per-frame stats and
+  * hashes over bit-constructed VP8L frames, cross-path hash identity
+  * with the standalone decoder, lossy-frame skipping, trimmed-copy
+  * recovery, rejects.
+  */
+class AnimWebpSpec extends AnyFunSuite {
+
+  // ---- VP8L bit construction (the Vp8lSpec recipe) ----------------------
+  private final class BW {
+    private val out = collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var n = 0
+    def put(v: Int, bits: Int): BW = {
+      var i = 0
+      while (i < bits) {
+        if (((v >> i) & 1) == 1) cur |= 1 << n
+        n += 1
+        if (n == 8) { out += cur.toByte; cur = 0; n = 0 }
+        i += 1
+      }
+      this
+    }
+    def code(c: Int, len: Int): BW = {
+      var j = len - 1
+      while (j >= 0) { put((c >> j) & 1, 1); j -= 1 }
+      this
+    }
+    def bytes: Array[Byte] = {
+      val t = out.toArray
+      if (n > 0) t :+ cur.toByte else t
+    }
+  }
+  private def simple1(bw: BW, sym: Int): BW = {
+    bw.put(1, 1).put(0, 1)
+    if (sym < 2) bw.put(0, 1).put(sym, 1) else bw.put(1, 1).put(sym, 8)
+  }
+  private def simple2(bw: BW, s0: Int, s1: Int): BW =
+    bw.put(1, 1).put(1, 1).put(1, 1).put(s0, 8).put(s1, 8)
+
+  /** Solid-color VP8L payload bytes (0x2F signature + bits). */
+  private def solidVp8l(w: Int, h: Int, r: Int, g: Int, b0: Int): Array[Byte] = {
+    val bw = new BW
+    bw.put(w - 1, 14).put(h - 1, 14).put(0, 1).put(0, 3)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    simple1(bw, g); simple1(bw, r); simple1(bw, b0); simple1(bw, 255)
+    simple1(bw, 0)
+    0x2F.toByte +: bw.bytes
+  }
+
+  /** Striped VP8L: green alternates g0/g1 per pixel (vertical stripes). */
+  private def stripedVp8l(w: Int, h: Int, g0: Int, g1: Int): Array[Byte] = {
+    val bw = new BW
+    bw.put(w - 1, 14).put(h - 1, 14).put(0, 1).put(0, 3)
+    bw.put(0, 1).put(0, 1).put(0, 1)
+    simple2(bw, g0, g1)
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 255); simple1(bw, 0)
+    var i = 0
+    while (i < w * h) { bw.code(i % 2, 1); i += 1 }
+    0x2F.toByte +: bw.bytes
+  }
+
+  /** Wrap one VP8L payload as a standalone WEBP. */
+  private def still(vp8l: Array[Byte]): Array[Byte] = {
+    val pad = vp8l.length & 1
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + vp8l.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(4 + 8 + vp8l.length + pad)
+    bb.put("WEBP".getBytes)
+    bb.put("VP8L".getBytes).putInt(vp8l.length).put(vp8l)
+    bb.array()
+  }
+
+  /** Animated WEBP: VP8X(anim) + ANIM + one ANMF per frame; frames may
+    * declare a lossy fourcc to exercise the skip path.
+    */
+  private def anim(canvasW: Int, canvasH: Int,
+      frames: Seq[(Int, Int, Array[Byte], String)]): Array[Byte] = {
+    def chunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc.getBytes).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    def le24(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte)
+    val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++
+      le24(canvasW - 1) ++ le24(canvasH - 1))
+    val animC = chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0))
+    val anmfs = frames.map { case (fw, fh, payload, fourcc) =>
+      val inner = chunk(fourcc, payload)
+      chunk("ANMF", le24(0) ++ le24(0) ++ le24(fw - 1) ++ le24(fh - 1) ++
+        le24(40) ++ Array[Byte](0) ++ inner)
+    }
+    val body = (Seq(vp8x, animC) ++ anmfs).reduce(_ ++ _)
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(4 + body.length).put("WEBP".getBytes)
+    bb.put(body)
+    bb.array()
+  }
+
+  test("two solid frames: stats aggregate, canvas dims from VP8X") {
+    val a = anim(16, 12, Seq(
+      (16, 12, solidVp8l(16, 12, 100, 50, 10), "VP8L"),
+      (16, 12, solidVp8l(16, 12, 200, 150, 30), "VP8L")))
+    val s = MediaCodec.decodeWebpAnim(a)
+    assert(s != null)
+    assert(s.nFrames == 2 && s.width == 16 && s.height == 12)
+    assert(s.mean(0) == 150.0) // R: (100+200)/2 over equal-sized frames
+    assert(s.min(0) == 100 && s.max(0) == 200)
+    assert(s.meanFirst == 100.0 && s.meanLast == 200.0)
+  }
+
+  test("frame hashes match the standalone decoder's dhash exactly") {
+    val f1 = stripedVp8l(16, 16, 10, 240)
+    val f2 = solidVp8l(16, 16, 5, 5, 5)
+    val hashes = MediaCodec.videoHashes(
+      anim(16, 16, Seq((16, 16, f1, "VP8L"), (16, 16, f2, "VP8L"))), 64)
+    assert(hashes != null && hashes.numElements() == 2)
+    val h1 = MediaCodec.imageHashes(still(f1)).getLong(0)
+    val h2 = MediaCodec.imageHashes(still(f2)).getLong(0)
+    assert(hashes.getLong(0) == h1 && hashes.getLong(1) == h2)
+    assert(h1 != h2)
+  }
+
+  test("trimmed copy shares its frame-hash prefix (the near-dup signal)") {
+    val fs = (0 until 3).map(i => stripedVp8l(16, 16, 10 + i * 3, 240 - i * 5))
+    val full = MediaCodec.videoHashes(
+      anim(16, 16, fs.map(f => (16, 16, f, "VP8L"))), 64)
+    val trimmed = MediaCodec.videoHashes(
+      anim(16, 16, fs.take(2).map(f => (16, 16, f, "VP8L"))), 64)
+    assert(full.numElements() == 3 && trimmed.numElements() == 2)
+    assert(full.getLong(0) == trimmed.getLong(0))
+    assert(full.getLong(1) == trimmed.getLong(1))
+  }
+
+  test("lossy frames skip; all-lossy yields null") {
+    val lossy = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val mixed = anim(16, 12, Seq(
+      (16, 12, lossy, "VP8 "),
+      (16, 12, solidVp8l(16, 12, 9, 9, 9), "VP8L")))
+    val s = MediaCodec.decodeWebpAnim(mixed)
+    assert(s != null && s.nFrames == 1 && s.mean(0) == 9.0)
+    assert(MediaCodec.decodeWebpAnim(
+      anim(16, 12, Seq((16, 12, lossy, "VP8 ")))) == null)
+  }
+
+  test("still webp and garbage reject; dispatch does not misroute") {
+    assert(MediaCodec.decodeWebpAnim(still(solidVp8l(16, 12, 1, 2, 3))) == null)
+    assert(MediaCodec.decodeWebpAnim(null) == null)
+    assert(MediaCodec.decodeWebpAnim(Array[Byte](1, 2, 3)) == null)
+    // still webp still decodes as an IMAGE
+    assert(MediaCodec.decodePixels(still(solidVp8l(16, 12, 1, 2, 3))) != null)
+  }
+}
