@@ -5371,6 +5371,30 @@ object SparkEntry {
           col("n_hashes"))
         .orderBy("doc_id")
     }),
+
+    // --- 225. privacy metadata scrub, oracle-pinned -----------------------------------------------------
+    // The image-side PII sweep: a JPEG with an APP1-Exif segment
+    // (orientation = id%8+1) is CONSTRUCTED per row; the scrub must
+    // remove the whole segment by byte surgery. Orientation reads
+    // before, null after, lengths exact.
+    "q225_strip_metadata" -> ((s, d) => {
+      val orient = (col("doc_id") % 8 + 1).cast("long")
+      // TIFF: II 42 off8 | IFD: 1 entry (0x0112 SHORT 1 = orient) | next 0
+      val tiffHex = concat(
+        lit("49492A0008000000" + "0100" + "1201" + "0300" + "01000000"),
+        lpad(hex(orient), 2, "0"), lit("000000"), lit("00000000"))
+      val payload = unhex(concat(
+        lit("FFD8" + "FFE1" + "0022" + "45786966" + "0000"), // SOI, APP1 len 34
+        tiffHex, lit("FFD9")))
+      val stripped = Multimodal.stripMetadata(payload)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.exifMeta(payload).getField("orientation").as("orient_before"),
+          Multimodal.exifMeta(stripped).isNull.as("exif_gone"),
+          length(payload).as("len_before"),
+          length(stripped).as("len_after"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8568,7 +8592,15 @@ object SparkEntry {
         |  CAST(ca AS DOUBLE) AS mean_first,
         |  CAST(cb AS DOUBLE) AS mean_last,
         |  CAST(2 AS INT) AS n_hashes
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Metadata scrub: 40-byte constructed JPEG -> 4 bytes (SOI+EOI).
+    "q225_strip_metadata" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS INT) AS orient_before,
+        |  TRUE AS exif_gone,
+        |  CAST(40 AS INT) AS len_before, CAST(4 AS INT) AS len_after
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

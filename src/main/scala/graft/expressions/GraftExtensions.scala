@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_strip_metadata"),
+      new ExpressionInfo(classOf[StripMetadataExpr].getName, "graft_strip_metadata"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => StripMetadataExpr(b)
+        case _ => throw new IllegalArgumentException("graft_strip_metadata(binary)")
+      }),
+    (
       FunctionIdentifier("graft_svg_meta"),
       new ExpressionInfo(classOf[SvgMetaExpr].getName, "graft_svg_meta"),
       (args: Seq[Expression]) => args match {

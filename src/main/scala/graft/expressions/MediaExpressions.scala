@@ -4260,6 +4260,105 @@ object MediaCodec {
     * and ISO-BMFF payloads dispatch on their magics — they are video, and
     * graft_video_stats treats them as such.
     */
+  /** Privacy metadata scrub — the image-side PII sweep: camera serials,
+    * GPS positions, author fields and editing history ride in metadata
+    * segments that a released corpus must not carry. Strips WITHOUT
+    * re-encoding (pixels untouched, byte surgery only):
+    *
+    *  - JPEG: APP1 segments (Exif AND XMP live there) and APP13
+    *    (Photoshop IRB / IPTC); everything else copies verbatim, entropy
+    *    data included;
+    *  - PNG: eXIf, tEXt, zTXt and iTXt chunks (whole-chunk copies keep
+    *    the remaining CRCs valid);
+    *  - WebP: EXIF and XMP chunks, with the VP8X flag bits cleared and
+    *    the RIFF size re-stamped.
+    *
+    * Non-matching formats pass through UNCHANGED (a hygiene map must be
+    * safe over a mixed corpus). Decoders and perceptual hashes see
+    * identical pixels before and after.
+    */
+  def stripMetadata(b: Array[Byte]): Array[Byte] = {
+    if (b == null) return b
+    // ---- JPEG
+    if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      out.write(b, 0, 2)
+      var pos = 2
+      var done = false
+      while (!done && pos + 3 < b.length && (b(pos) & 0xFF) == 0xFF) {
+        val marker = b(pos + 1) & 0xFF
+        if (marker == 0xFF) { out.write(0xFF); pos += 1 }
+        else if (marker == 0xD8 || marker == 0x01 ||
+          (marker >= 0xD0 && marker <= 0xD7)) {
+          out.write(b, pos, 2); pos += 2
+        } else if (marker == 0xD9 || marker == 0xDA) {
+          done = true // copy SOS/EOI + everything after verbatim
+        } else {
+          val segLen = be16(b, pos + 2)
+          if (segLen < 2 || pos + 2 + segLen > b.length) done = true
+          else {
+            if (marker != 0xE1 && marker != 0xED) out.write(b, pos, 2 + segLen)
+            pos += 2 + segLen
+          }
+        }
+      }
+      if (pos < b.length) out.write(b, pos, b.length - pos)
+      return out.toByteArray
+    }
+    // ---- PNG
+    if (b.length >= 8 && pngSig.indices.forall(i => b(i) == pngSig(i))) {
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      out.write(b, 0, 8)
+      var pos = 8
+      var ok = true
+      while (ok && pos + 8 <= b.length) {
+        val len = be32(b, pos)
+        val total = 12L + len
+        if (len < 0 || pos + total > b.length) ok = false
+        else {
+          val t = new String(b, pos + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (t != "eXIf" && t != "tEXt" && t != "zTXt" && t != "iTXt")
+            out.write(b, pos, total.toInt)
+          pos += total.toInt
+        }
+      }
+      if (pos < b.length) out.write(b, pos, b.length - pos) // trailing junk
+      return out.toByteArray
+    }
+    // ---- WebP
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+      b(11) == 'P') {
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      out.write(b, 0, 12)
+      var pos = 12L
+      val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4))
+      var ok = true
+      while (ok && pos + 8 <= riffEnd) {
+        val p = pos.toInt
+        val size = le32(b, p + 4)
+        val total = 8L + size + (size & 1L)
+        if (size < 0 || pos + 8 + size > b.length) ok = false
+        else {
+          val t = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (t != "EXIF" && t != "XMP ") out.write(b, p, total.toInt)
+          pos += total
+        }
+      }
+      val arr = out.toByteArray
+      // clear VP8X EXIF(0x08)/XMP(0x04) flags and re-stamp the RIFF size
+      if (arr.length >= 21 && arr(12) == 'V' && arr(13) == 'P' &&
+        arr(14) == '8' && arr(15) == 'X')
+        arr(20) = (arr(20) & ~0x0C).toByte
+      val rs = arr.length - 8
+      arr(4) = (rs & 0xFF).toByte; arr(5) = ((rs >> 8) & 0xFF).toByte
+      arr(6) = ((rs >> 16) & 0xFF).toByte; arr(7) = ((rs >> 24) & 0xFF).toByte
+      return arr
+    }
+    b
+  }
+
   /** RIFF WEBP with a VP8X animation flag? (the videoHashes/videoStats
     * dispatch test — cheap header peek, no chunk walk).
     */
@@ -5297,6 +5396,27 @@ case class ImagePixelStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImagePixelStatsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_pixel_stats"
+}
+
+/** `binary` -> the same image with metadata segments removed
+  * ([[MediaCodec.stripMetadata]]: JPEG APP1/APP13, PNG text+eXIf
+  * chunks, WebP EXIF/XMP — pixels untouched, non-matching formats pass
+  * through). The image-side PII sweep; codegen'd.
+  */
+case class StripMetadataExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.stripMetadata(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MediaCodec.stripMetadata($c)")
+  override protected def withNewChildInternal(newChild: Expression): StripMetadataExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_strip_metadata"
 }
 
 /** `binary` -> image quality struct for corpus filtering

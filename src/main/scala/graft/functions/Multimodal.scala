@@ -93,6 +93,16 @@ object Multimodal {
       graft.expressions.ImagePixelStatsExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Privacy metadata scrub ([[graft.expressions.StripMetadataExpr]]):
+    * EXIF/XMP/IPTC segments removed from JPEG/PNG/WebP by byte surgery —
+    * pixels untouched, hashes identical, GPS/serials gone; non-matching
+    * formats pass through unchanged (safe over a mixed corpus).
+    */
+  def stripMetadata(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.StripMetadataExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** Raw HTTP response split ([[graft.expressions.HttpResponseExpr]]):
     * status/reason, media type + charset (the `toUtf8` hint),
     * content-encoding, de-chunked and gzip/deflate-decoded body — the

@@ -1,0 +1,118 @@
+package graft.expressions
+
+/** Metadata scrub: EXIF removal with pixel identity across JPEG/PNG/
+  * WebP, IPTC/APP13, passthroughs, idempotence.
+  */
+class StripMetadataSpec extends graft.SparkTestBase {
+
+  private def strip(b: Array[Byte]) = MediaCodec.stripMetadata(b)
+
+  /** Real JPEG via ImageIO, then an APP1-Exif segment spliced after SOI. */
+  private def jpegWithExif: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (x * 16) << 16 | (y * 16) << 8 | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    // minimal TIFF with one orientation entry
+    val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, /* IFD0 */ 1, 0,
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, 6, 0, 0, 0, 0, 0, 0, 0)
+    val exifBody = ("Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0)) ++ tiff
+    val segLen = 2 + exifBody.length
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      ((segLen >> 8) & 0xFF).toByte, (segLen & 0xFF).toByte) ++ exifBody
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  test("jpeg: exif removed, pixels and hashes identical") {
+    val withMeta = jpegWithExif
+    assert(MediaCodec.exifMeta(withMeta) != null)
+    val clean = strip(withMeta)
+    assert(clean.length == withMeta.length - 36) // whole APP1 segment
+    assert(MediaCodec.exifMeta(clean) == null)
+    val a = MediaCodec.pixelStats(withMeta)
+    val b = MediaCodec.pixelStats(clean)
+    assert(a != null && b != null && a.getDouble(4) == b.getDouble(4))
+    assert(MediaCodec.imageHashes(withMeta).getLong(0) ==
+      MediaCodec.imageHashes(clean).getLong(0))
+  }
+
+  test("jpeg: app13 (IPTC) removed too; other segments survive") {
+    val base = jpegWithExif
+    val iptc = Array[Byte](0xFF.toByte, 0xED.toByte, 0, 8,
+      'P', 'h', 'o', 't', 'o', '!')
+    val withIptc = base.take(2) ++ iptc ++ base.drop(2)
+    val clean = strip(withIptc)
+    // both the spliced APP13 (10 B) and base's APP1 (36 B) are gone
+    assert(clean.length == base.length - 36)
+    assert(MediaCodec.pixelStats(clean) != null)
+  }
+
+  test("png: tEXt and eXIf chunks removed, raster identical") {
+    val img = new java.awt.image.BufferedImage(12, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 12) img.setRGB(x, y, x * 20 << 16)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // splice a tEXt chunk after IHDR (8 sig + 25 IHDR chunk)
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val tx = chunk("tEXt", "Author:Jane Doe".getBytes("ISO-8859-1"))
+    val withMeta = png.take(33) ++ tx ++ png.drop(33)
+    val clean = strip(withMeta)
+    assert(clean.sameElements(png))
+    assert(MediaCodec.pixelStats(clean).getDouble(4) ==
+      MediaCodec.pixelStats(png).getDouble(4))
+  }
+
+  test("webp: EXIF chunk removed, VP8X flags cleared, riff size restamped") {
+    // minimal VP8X + EXIF + (no image payload needed for surgery checks)
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(t.getBytes).putInt(data.length).put(data)
+      bb.array()
+    }
+    val vp8x = chunk("VP8X", Array[Byte](0x0C, 0, 0, 0, 15, 0, 0, 15, 0, 0))
+    val exif = chunk("EXIF", "IIexifdata".getBytes)
+    val body = vp8x ++ exif
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(4 + body.length).put("WEBP".getBytes).put(body)
+    val clean = strip(bb.array())
+    assert(clean.length == 12 + vp8x.length)
+    assert((clean(20) & 0x0C) == 0)
+    val le = java.nio.ByteBuffer.wrap(clean).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(le.getInt(4) == clean.length - 8)
+  }
+
+  test("idempotent; non-image formats pass through unchanged; null") {
+    val clean = strip(jpegWithExif)
+    assert(strip(clean).sameElements(clean))
+    val txt = "just some text".getBytes
+    assert(strip(txt) eq txt)
+    assert(strip(null) == null)
+  }
+
+  test("sql surface") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(jpegWithExif).toDF("b").createOrReplaceTempView("sm_t")
+    val row = s.sql(
+      "SELECT graft_exif(b) IS NOT NULL AS before, " +
+        "graft_exif(graft_strip_metadata(b)) IS NULL AS after FROM sm_t")
+      .collect().head
+    assert(row.getBoolean(0) && row.getBoolean(1))
+  }
+}
