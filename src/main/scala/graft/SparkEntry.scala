@@ -5395,6 +5395,24 @@ object SparkEntry {
           length(stripped).as("len_after"))
         .orderBy("doc_id")
     }),
+
+    // --- 226. Flesch/Flesch-Kincaid readability, oracle-pinned ------------------------------------------
+    // The audience/quality routing signal over REAL corpus text: the
+    // pinned counting rules (letter-run words, terminator-run sentences,
+    // vowel-group syllables with the silent-e rule) and both score
+    // formulas replay fully relationally — regexp extraction + the same
+    // left-associated float expression + the same half-up round.
+    "q226_readability" -> ((s, d) => {
+      val v = TF.readability(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("n_sentences").as("n_sentences"),
+          v.getField("n_words").as("n_words"),
+          v.getField("n_syllables").as("n_syllables"),
+          v.getField("flesch").as("flesch"),
+          v.getField("grade").as("grade"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8600,7 +8618,39 @@ object SparkEntry {
         |  CAST(doc_id % 8 + 1 AS INT) AS orient_before,
         |  TRUE AS exif_gone,
         |  CAST(40 AS INT) AS len_before, CAST(4 AS INT) AS len_after
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Readability: the same counting rules and float expression replayed.
+    "q226_readability" ->
+      """WITH w AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS wd
+        |  FROM documents),
+        |syl AS (
+        |  SELECT doc_id,
+        |    GREATEST(1,
+        |      len(regexp_extract_all(wd, '[aeiouy]+'))
+        |      - CASE WHEN len(regexp_extract_all(wd, '[aeiouy]+')) > 1
+        |              AND wd LIKE '%e' AND NOT wd LIKE '%le'
+        |             THEN 1 ELSE 0 END) AS s
+        |  FROM w),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+        |    CAST(SUM(s) AS BIGINT) AS ns
+        |  FROM syl GROUP BY doc_id),
+        |sent AS (
+        |  SELECT doc_id,
+        |    CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |      AS nsent
+        |  FROM documents)
+        |SELECT sent.doc_id,
+        |  nsent AS n_sentences, nw AS n_words, ns AS n_syllables,
+        |  floor((206.835 - 1.015 * (CAST(nw AS DOUBLE) / nsent)
+        |    - 84.6 * (CAST(ns AS DOUBLE) / nw)) * 1e6 + 0.5) / 1e6 AS flesch,
+        |  floor((0.39 * (CAST(nw AS DOUBLE) / nsent)
+        |    + 11.8 * (CAST(ns AS DOUBLE) / nw) - 15.59) * 1e6 + 0.5) / 1e6
+        |    AS grade
+        |FROM sent JOIN agg ON sent.doc_id = agg.doc_id
+        |ORDER BY sent.doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

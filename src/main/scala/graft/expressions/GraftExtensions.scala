@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_readability"),
+      new ExpressionInfo(classOf[ReadabilityExpr].getName, "graft_readability"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => ReadabilityExpr(s)
+        case _ => throw new IllegalArgumentException("graft_readability(string)")
+      }),
+    (
       FunctionIdentifier("graft_strip_metadata"),
       new ExpressionInfo(classOf[StripMetadataExpr].getName, "graft_strip_metadata"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,118 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Flesch reading-ease + Flesch-Kincaid grade level — the published
+  * readability pair (Kincaid et al. 1975), a standard quality/audience
+  * signal for corpus routing (children's text vs academic prose vs
+  * machine-generated word soup).
+  *
+  * Counting rules are pinned EXACTLY so an oracle replays them
+  * relationally (this is the readability-tool convention, not the
+  * linguistic sentence splitter):
+  *  - words = maximal `[a-z]+` runs of the lowercased text;
+  *  - sentences = runs of `[.!?]`, floored at 1;
+  *  - syllables per word = vowel-group count (`[aeiouy]+` runs), minus
+  *    one for a silent trailing `e` (ends in `e`, not in `le`, and more
+  *    than one group), floored at 1.
+  *
+  * Scores (one fixed float expression each, 6-decimal round):
+  *   flesch = 206.835 - 1.015*(W/S) - 84.6*(Y/W)
+  *   grade  = 0.39*(W/S) + 11.8*(Y/W) - 15.59
+  * Null scores for zero-word text. Row-local single pass, codegen'd.
+  */
+object ReadabilityCodec {
+
+  private def isVowel(c: Char): Boolean = c match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' => true
+    case _ => false
+  }
+
+  def readability(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    var nWords = 0L
+    var nSyll = 0L
+    var nSent = 0L
+    var i = 0
+    var inTerm = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        if (!inTerm) { nSent += 1; inTerm = true }
+        i += 1
+      } else {
+        inTerm = false
+        if (c >= 'a' && c <= 'z') {
+          // one word: scan the letter run, counting vowel groups
+          val start = i
+          var groups = 0
+          var inGroup = false
+          while (i < n && s.charAt(i) >= 'a' && s.charAt(i) <= 'z') {
+            if (isVowel(s.charAt(i))) {
+              if (!inGroup) { groups += 1; inGroup = true }
+            } else inGroup = false
+            i += 1
+          }
+          val len = i - start
+          var syll = groups
+          if (groups > 1 && s.charAt(i - 1) == 'e' &&
+            !(len >= 2 && s.charAt(i - 2) == 'l')) syll -= 1
+          if (syll < 1) syll = 1
+          nWords += 1
+          nSyll += syll
+        } else i += 1
+      }
+    }
+    if (nSent < 1) nSent = 1
+    val out = new Array[Any](5)
+    out(0) = nSent
+    out(1) = nWords
+    out(2) = nSyll
+    if (nWords > 0) {
+      val wps = nWords.toDouble / nSent
+      val spw = nSyll.toDouble / nWords
+      out(3) = round6(206.835 - 1.015 * wps - 84.6 * spw)
+      out(4) = round6(0.39 * wps + 11.8 * spw - 15.59)
+    }
+    new GenericInternalRow(out)
+  }
+
+  private def round6(v: Double): Double =
+    math.floor(v * 1e6 + 0.5) / 1e6
+}
+
+/** `string` -> struct<n_sentences,n_words,n_syllables,flesch,grade>
+  * ([[ReadabilityCodec.readability]]); scores null for wordless text.
+  */
+case class ReadabilityExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_sentences", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_syllables", LongType, nullable = false),
+    StructField("flesch", DoubleType),
+    StructField("grade", DoubleType)))
+  override def nullSafeEval(input: Any): Any =
+    ReadabilityCodec.readability(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ReadabilityCodec.readability($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ReadabilityExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_readability"
+}

@@ -377,6 +377,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Flesch reading-ease + Flesch-Kincaid grade
+    * ([[graft.expressions.ReadabilityExpr]]): the published readability
+    * pair over pinned counting rules (letter-run words, terminator-run
+    * sentences, vowel-group syllables with the silent-e rule) — the
+    * audience/quality routing signal. Scores null for wordless text.
+    */
+  def readability(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ReadabilityExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** SVG metadata + text ([[graft.expressions.SvgMetaExpr]]): canvas
     * dimensions through the CSS-unit ladder with viewBox fallback, path/
     * image censuses, and the visible text (title/desc/text/tspan) —

@@ -1,0 +1,65 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Readability: hand-computed counts and scores, syllable rules, the
+  * easy-vs-dense ordering the metric exists for, edge cases.
+  */
+class ReadabilitySpec extends graft.SparkTestBase {
+
+  private def r(s: String) = ReadabilityCodec.readability(UTF8String.fromString(s))
+
+  test("hand-computed example: counts and both scores") {
+    // "The cat sat. It was happy!" -> 2 sentences, 6 words.
+    // syllables: the 1, cat 1, sat 1, it 1, was 1, happy 2 -> 7
+    val v = r("The cat sat. It was happy!")
+    assert(v.getLong(0) == 2 && v.getLong(1) == 6 && v.getLong(2) == 7)
+    val wps = 6.0 / 2; val spw = 7.0 / 6
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(v.getDouble(3) == r6(206.835 - 1.015 * wps - 84.6 * spw))
+    assert(v.getDouble(4) == r6(0.39 * wps + 11.8 * spw - 15.59))
+  }
+
+  test("syllable rules: vowel groups, silent e, le-ending, floor at 1") {
+    def syll(word: String) = r(word + ".").getLong(2)
+    assert(syll("time") == 1) // ti-me: silent e
+    assert(syll("table") == 2) // -le keeps its syllable
+    assert(syll("the") == 1) // single group, no subtract
+    assert(syll("beautiful") == 3) // groups: eau, i, u (the rule's count)
+    assert(syll("mr") == 1) // no vowels: floor
+    assert(syll("queue") == 1) // one long vowel group... ueue
+    assert(syll("readability") == 5)
+  }
+
+  test("terminator runs count once; no terminator floors at 1") {
+    assert(r("What?! Really... yes").getLong(0) == 2) // "?!" and "..." runs
+    assert(r("no terminator at all").getLong(0) == 1)
+  }
+
+  test("ordering: children's prose scores easier than academic prose") {
+    val easy = r("The dog ran. The dog sat. He was a good dog. We like him.")
+    val dense = r("Institutional heterogeneity necessitates comprehensive " +
+      "organizational restructuring methodologies notwithstanding " +
+      "considerable epistemological disagreement.")
+    assert(easy.getDouble(3) > 80.0, easy.getDouble(3))
+    assert(dense.getDouble(3) < 0.0, dense.getDouble(3))
+    assert(easy.getDouble(4) < dense.getDouble(4))
+  }
+
+  test("wordless text: null scores, counts still present; null propagates") {
+    val v = r("1234 ... 5678")
+    assert(v.getLong(1) == 0 && v.isNullAt(3) && v.isNullAt(4))
+    assert(ReadabilityCodec.readability(null) == null)
+  }
+
+  test("sql surface") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("The cat sat. It was happy!").toDF("t").createOrReplaceTempView("rd_t")
+    val row = s.sql(
+      "SELECT graft_readability(t).n_words AS w, " +
+        "graft_readability(t).grade AS g FROM rd_t").collect().head
+    assert(row.getLong(0) == 6L && !row.isNullAt(1))
+  }
+}
