@@ -5413,6 +5413,34 @@ object SparkEntry {
           v.getField("grade").as("grade"))
         .orderBy("doc_id")
     }),
+
+    // --- 227. Jupyter notebook flattening, oracle-pinned ------------------------------------------------
+    // The code-corpus notebook converter: an nbformat-4 notebook with a
+    // markdown cell, a line-array code cell (with outputs the flattener
+    // must DROP) and a plain-string code cell is CONSTRUCTED per row;
+    // cells explode in order with every field closed-form.
+    "q227_ipynb_cells" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val nb = concat(
+        lit("""{"nbformat": 4, "cells": ["""),
+        lit("""{"cell_type": "markdown", "source": ["# Doc """), id,
+        lit("""\n", "intro"]},"""),
+        lit("""{"cell_type": "code", "source": ["x = """), id,
+        lit("""\n", "print(x)"], "outputs": [{"text": ["junk"]}]},"""),
+        lit("""{"cell_type": "code", "source": "y = """),
+        (col("doc_id") % 7).cast("string"), lit("\"}]}"))
+      val v = TF.ipynbCells(nb)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("nbformat").as("nbformat"),
+          v.getField("n_cells").as("n_cells"),
+          v.getField("n_code").as("n_code"),
+          v.getField("n_markdown").as("n_markdown"),
+          posexplode(v.getField("cells")).as(Seq("i", "c")))
+        .select(col("doc_id"), col("nbformat"), col("n_cells"),
+          col("n_code"), col("n_markdown"), col("i").cast("int").as("i"),
+          col("c.cell_type").as("cell_type"), col("c.source").as("source"))
+        .orderBy("doc_id", "i")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8650,7 +8678,22 @@ object SparkEntry {
         |    + 11.8 * (CAST(ns AS DOUBLE) / nw) - 15.59) * 1e6 + 0.5) / 1e6
         |    AS grade
         |FROM sent JOIN agg ON sent.doc_id = agg.doc_id
-        |ORDER BY sent.doc_id""".stripMargin
+        |ORDER BY sent.doc_id""".stripMargin,
+
+    // Notebook flattening closed form: three cells per doc, in order.
+    "q227_ipynb_cells" ->
+      """WITH rows0 AS (
+        |  SELECT doc_id, i FROM documents, LATERAL UNNEST(range(3)) AS u(i))
+        |SELECT doc_id,
+        |  CAST(4 AS INT) AS nbformat, CAST(3 AS INT) AS n_cells,
+        |  CAST(2 AS INT) AS n_code, CAST(1 AS INT) AS n_markdown,
+        |  CAST(i AS INT) AS i,
+        |  CASE i WHEN 0 THEN 'markdown' ELSE 'code' END AS cell_type,
+        |  CASE i
+        |    WHEN 0 THEN '# Doc ' || doc_id || chr(10) || 'intro'
+        |    WHEN 1 THEN 'x = ' || doc_id || chr(10) || 'print(x)'
+        |    ELSE 'y = ' || doc_id % 7 END AS source
+        |FROM rows0 ORDER BY doc_id, i""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_ipynb_cells"),
+      new ExpressionInfo(classOf[IpynbCellsExpr].getName, "graft_ipynb_cells"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => IpynbCellsExpr(s)
+        case _ => throw new IllegalArgumentException("graft_ipynb_cells(string)")
+      }),
+    (
       FunctionIdentifier("graft_readability"),
       new ExpressionInfo(classOf[ReadabilityExpr].getName, "graft_readability"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,140 @@
+package graft.expressions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jupyter notebook (.ipynb) cell extraction — notebooks are a large
+  * slice of any code crawl, and published code-corpus pipelines
+  * (StarCoder-family) flatten them to (cell_type, source) sequences
+  * before dedup/quality/training. Handles BOTH on-disk layouts:
+  * nbformat 4 (`cells` at the root, `source` as a string OR a line
+  * array) and nbformat 3 (`worksheets[].cells`, `input` for code
+  * cells); outputs/metadata/execution counts are dropped — the text
+  * pipeline wants the authored content.
+  *
+  * Jackson parse (the library the schema compiler already uses) with
+  * bomb caps: at most [[IpynbCodec.MaxCells]] cells and
+  * [[IpynbCodec.MaxSourceChars]] characters per cell (truncated, not
+  * failed). Null for non-JSON or JSON without a notebook shape.
+  */
+object IpynbCodec {
+
+  val MaxCells = 4096
+  val MaxSourceChars = 1 << 20
+
+  private val mapper = new ObjectMapper()
+
+  private def sourceText(cell: JsonNode, field: String): String = {
+    val src = cell.get(field)
+    if (src == null) return null
+    val sb = new java.lang.StringBuilder()
+    if (src.isArray) {
+      val it = src.elements()
+      while (it.hasNext && sb.length < MaxSourceChars) {
+        val e = it.next()
+        if (e.isTextual) sb.append(e.asText())
+      }
+    } else if (src.isTextual) sb.append(src.asText())
+    else return null
+    if (sb.length > MaxSourceChars) sb.setLength(MaxSourceChars)
+    sb.toString
+  }
+
+  private def addCell(cell: JsonNode,
+      out: java.util.ArrayList[AnyRef]): Unit = {
+    if (!cell.isObject) return
+    val ct = cell.get("cell_type")
+    if (ct == null || !ct.isTextual) return
+    val cellType = ct.asText()
+    // nbformat 3 code cells keep their text under "input"
+    val text = {
+      val s = sourceText(cell, "source")
+      if (s != null) s else sourceText(cell, "input")
+    }
+    if (text != null) {
+      val f = new Array[Any](2)
+      f(0) = UTF8String.fromString(cellType)
+      f(1) = UTF8String.fromString(text)
+      out.add(new GenericInternalRow(f))
+    }
+  }
+
+  def cells(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val root =
+      try mapper.readTree(u.toString)
+      catch { case _: Exception => return null }
+    if (root == null || !root.isObject) return null
+    val out = new java.util.ArrayList[AnyRef](16)
+    val cells4 = root.get("cells")
+    if (cells4 != null && cells4.isArray) {
+      val it = cells4.elements()
+      while (it.hasNext && out.size < MaxCells) addCell(it.next(), out)
+    } else {
+      val ws = root.get("worksheets")
+      if (ws == null || !ws.isArray) return null
+      val wit = ws.elements()
+      while (wit.hasNext && out.size < MaxCells) {
+        val sheet = wit.next()
+        val cs = if (sheet == null) null else sheet.get("cells")
+        if (cs != null && cs.isArray) {
+          val it = cs.elements()
+          while (it.hasNext && out.size < MaxCells) addCell(it.next(), out)
+        }
+      }
+    }
+    val nbf = root.get("nbformat")
+    val version = if (nbf != null && nbf.isInt) nbf.asInt() else 0
+    var nCode = 0; var nMd = 0
+    var i = 0
+    while (i < out.size) {
+      val t = out.get(i).asInstanceOf[GenericInternalRow].getUTF8String(0).toString
+      if (t == "code") nCode += 1
+      else if (t == "markdown") nMd += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      version, out.size, nCode, nMd,
+      new GenericArrayData(out.toArray)))
+  }
+}
+
+/** `string` -> struct<nbformat,n_cells,n_code,n_markdown,
+  * cells array<struct<cell_type,source>>> ([[IpynbCodec.cells]]); NULL
+  * for non-notebook JSON.
+  */
+case class IpynbCellsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("nbformat", IntegerType, nullable = false),
+    StructField("n_cells", IntegerType, nullable = false),
+    StructField("n_code", IntegerType, nullable = false),
+    StructField("n_markdown", IntegerType, nullable = false),
+    StructField("cells", ArrayType(StructType(Seq(
+      StructField("cell_type", StringType, nullable = false),
+      StructField("source", StringType, nullable = false))),
+      containsNull = false))))
+  override def nullSafeEval(input: Any): Any =
+    IpynbCodec.cells(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.IpynbCodec.cells($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): IpynbCellsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ipynb_cells"
+}

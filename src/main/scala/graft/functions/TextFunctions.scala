@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Jupyter notebook flattening ([[graft.expressions.IpynbCellsExpr]]):
+    * nbformat 3 AND 4 layouts to (cell_type, source) sequences with
+    * outputs/metadata dropped — the code-corpus notebook converter.
+    * NULL for non-notebook JSON.
+    */
+  def ipynbCells(json: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.IpynbCellsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(json)))
+
   /** Flesch reading-ease + Flesch-Kincaid grade
     * ([[graft.expressions.ReadabilityExpr]]): the published readability
     * pair over pinned counting rules (letter-run words, terminator-run

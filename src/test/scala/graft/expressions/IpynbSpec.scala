@@ -1,0 +1,87 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Notebook flattening: nbformat 4 and 3 layouts, line-array and plain
+  * sources, counts, caps, rejects, SQL explode composition.
+  */
+class IpynbSpec extends graft.SparkTestBase {
+
+  private def parse(s: String) = IpynbCodec.cells(UTF8String.fromString(s))
+
+  private val nb4 =
+    """{"nbformat": 4, "nbformat_minor": 5, "metadata": {"kernel": "py"},
+      |"cells": [
+      |  {"cell_type": "markdown", "source": ["# Title\n", "intro text"]},
+      |  {"cell_type": "code", "execution_count": 3,
+      |   "source": ["import os\n", "print(os.name)"],
+      |   "outputs": [{"output_type": "stream", "text": ["posix\n"]}]},
+      |  {"cell_type": "code", "source": "x = 1"},
+      |  {"cell_type": "raw", "source": ["raw stuff"]}
+      |]}""".stripMargin
+
+  private val nb3 =
+    """{"nbformat": 3, "worksheets": [{"cells": [
+      |  {"cell_type": "code", "input": ["a = 2\n", "a"], "outputs": []},
+      |  {"cell_type": "markdown", "source": ["note"]}
+      |]}]}""".stripMargin
+
+  test("nbformat 4: cells in order, line arrays joined, outputs dropped") {
+    val r = parse(nb4)
+    assert(r != null)
+    assert(r.getInt(0) == 4 && r.getInt(1) == 4)
+    assert(r.getInt(2) == 2 && r.getInt(3) == 1) // code, markdown
+    val cells = r.getArray(4)
+    val c0 = cells.getStruct(0, 2)
+    assert(c0.getUTF8String(0).toString == "markdown")
+    assert(c0.getUTF8String(1).toString == "# Title\nintro text")
+    val c1 = cells.getStruct(1, 2)
+    assert(c1.getUTF8String(1).toString == "import os\nprint(os.name)")
+    assert(cells.getStruct(2, 2).getUTF8String(1).toString == "x = 1")
+  }
+
+  test("nbformat 3: worksheets walk, input field for code") {
+    val r = parse(nb3)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+    val c0 = r.getArray(4).getStruct(0, 2)
+    assert(c0.getUTF8String(0).toString == "code")
+    assert(c0.getUTF8String(1).toString == "a = 2\na")
+  }
+
+  test("cell cap bounds adversarial notebooks") {
+    val many = "{\"nbformat\": 4, \"cells\": [" +
+      (1 to 5000).map(i =>
+        s"""{"cell_type": "code", "source": "c$i"}""").mkString(",") + "]}"
+    assert(parse(many).getInt(1) == IpynbCodec.MaxCells)
+  }
+
+  test("rejects: invalid json, non-notebook json, null") {
+    assert(parse("not json at all") == null)
+    assert(parse("{\"data\": [1, 2, 3]}") == null)
+    assert(parse("[1, 2]") == null)
+    assert(IpynbCodec.cells(null) == null)
+  }
+
+  test("cells missing type or source skip; empty notebook keeps envelope") {
+    val r = parse(
+      """{"nbformat": 4, "cells": [
+        |  {"source": ["orphan"]},
+        |  {"cell_type": "code"},
+        |  {"cell_type": "code", "source": ["ok = 1"]}]}""".stripMargin)
+    assert(r.getInt(1) == 1)
+    assert(parse("""{"nbformat": 4, "cells": []}""").getInt(1) == 0)
+  }
+
+  test("sql surface: explode cells into the code pipeline") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(nb4).toDF("j").createOrReplaceTempView("nb_t")
+    val rows = s.sql(
+      "SELECT c.cell_type, c.source FROM nb_t " +
+        "LATERAL VIEW explode(graft_ipynb_cells(j).cells) AS c " +
+        "WHERE c.cell_type = 'code'").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getString(1).startsWith("import os"))
+  }
+}
