@@ -5441,6 +5441,32 @@ object SparkEntry {
           col("c.cell_type").as("cell_type"), col("c.source").as("source"))
         .orderBy("doc_id", "i")
     }),
+
+    // --- 228. citation extraction, oracle-pinned --------------------------------------------------------
+    // The linking signals of academic text: a reference-styled sentence
+    // with a trailing-punct URL, a DOI, and both arXiv styles is
+    // CONSTRUCTED per row over the real text; every extracted id and
+    // count stated closed-form.
+    "q228_citations" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val text = concat(substring(col("text"), 1, 40),
+        lit(" see https://ex.io/p/"), id,
+        lit(". and doi:10.1000/j."), id,
+        lit(" plus arXiv:2301.0"), lpad((col("doc_id") % 9000 + 1000)
+          .cast("string"), 4, "0"),
+        lit(" or arXiv:cs.CL/0112017."))
+      val v = TF.citations(text)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("urls").getItem(0).as("url0"),
+          v.getField("dois").getItem(0).as("doi0"),
+          v.getField("arxiv").getItem(0).as("arxiv0"),
+          v.getField("arxiv").getItem(1).as("arxiv1"),
+          v.getField("n_urls").as("n_urls"),
+          v.getField("n_dois").as("n_dois"),
+          v.getField("n_arxiv").as("n_arxiv"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8693,7 +8719,19 @@ object SparkEntry {
         |    WHEN 0 THEN '# Doc ' || doc_id || chr(10) || 'intro'
         |    WHEN 1 THEN 'x = ' || doc_id || chr(10) || 'print(x)'
         |    ELSE 'y = ' || doc_id % 7 END AS source
-        |FROM rows0 ORDER BY doc_id, i""".stripMargin
+        |FROM rows0 ORDER BY doc_id, i""".stripMargin,
+
+    // Citations closed form (the synthetic corpus text contains none).
+    "q228_citations" ->
+      """SELECT doc_id,
+        |  'https://ex.io/p/' || doc_id AS url0,
+        |  '10.1000/j.' || doc_id AS doi0,
+        |  'arXiv:2301.0' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+        |    AS arxiv0,
+        |  'arXiv:cs.CL/0112017' AS arxiv1,
+        |  CAST(1 AS INT) AS n_urls, CAST(1 AS INT) AS n_dois,
+        |  CAST(2 AS INT) AS n_arxiv
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,90 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Citation / reference extraction — the linking signals of academic
+  * and technical corpora: outbound URLs (the web-graph edge source for
+  * plain-text documents, where the HTML link extractor cannot see),
+  * DOIs, and arXiv identifiers (both the modern `arXiv:YYMM.NNNNN` and
+  * the pre-2007 `archive/NNNNNNN` style). Extraction rules are pinned
+  * regexes with a simple trailing-punctuation trim (`.,;:!?`) so an
+  * oracle replays them relationally — sentence-final citations are the
+  * common case and parenthesis balancing is deliberately out of scope
+  * (documented).
+  */
+object CitationCodec {
+
+  private val urlRe = java.util.regex.Pattern.compile(
+    "https?://[^\\s<>\"'\\)\\]\\}]+")
+  private val doiRe = java.util.regex.Pattern.compile(
+    "\\b10\\.\\d{4,9}/[-._;()/:A-Za-z0-9]+")
+  private val arxivRe = java.util.regex.Pattern.compile(
+    "\\barXiv:(?:\\d{4}\\.\\d{4,5}(?:v\\d+)?|[a-z-]+(?:\\.[A-Z]{2})?/\\d{7})",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  private def trimTrail(s: String): String = {
+    var end = s.length
+    while (end > 0 && ".,;:!?".indexOf(s.charAt(end - 1)) >= 0) end -= 1
+    s.substring(0, end)
+  }
+
+  private def extract(p: java.util.regex.Pattern, s: String,
+      cap: Int): Array[AnyRef] = {
+    val out = new java.util.ArrayList[AnyRef](4)
+    val m = p.matcher(s)
+    while (m.find() && out.size < cap) {
+      val t = trimTrail(m.group())
+      if (t.nonEmpty) out.add(UTF8String.fromString(t))
+    }
+    out.toArray
+  }
+
+  val MaxPerKind = 4096
+
+  def citations(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val urls = extract(urlRe, s, MaxPerKind)
+    val dois = extract(doiRe, s, MaxPerKind)
+    val arxiv = extract(arxivRe, s, MaxPerKind)
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(urls), new GenericArrayData(dois),
+      new GenericArrayData(arxiv),
+      urls.length, dois.length, arxiv.length))
+  }
+}
+
+/** `string` -> struct<urls,dois,arxiv,n_urls,n_dois,n_arxiv>
+  * ([[CitationCodec.citations]]), codegen'd.
+  */
+case class CitationsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("urls", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("dois", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("arxiv", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("n_urls", IntegerType, nullable = false),
+    StructField("n_dois", IntegerType, nullable = false),
+    StructField("n_arxiv", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    CitationCodec.citations(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.CitationCodec.citations($c)")
+  override protected def withNewChildInternal(newChild: Expression): CitationsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_citations"
+}

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_citations"),
+      new ExpressionInfo(classOf[CitationsExpr].getName, "graft_citations"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => CitationsExpr(s)
+        case _ => throw new IllegalArgumentException("graft_citations(string)")
+      }),
+    (
       FunctionIdentifier("graft_ipynb_cells"),
       new ExpressionInfo(classOf[IpynbCellsExpr].getName, "graft_ipynb_cells"),
       (args: Seq[Expression]) => args match {

@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Citation extraction ([[graft.expressions.CitationsExpr]]): outbound
+    * URLs (plain-text web-graph edges), DOIs, and arXiv ids (modern +
+    * pre-2007 styles) with a pinned trailing-punctuation trim — the
+    * linking signals of academic/technical corpora.
+    */
+  def citations(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.CitationsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Jupyter notebook flattening ([[graft.expressions.IpynbCellsExpr]]):
     * nbformat 3 AND 4 layouts to (cell_type, source) sequences with
     * outputs/metadata dropped — the code-corpus notebook converter.

@@ -1,0 +1,55 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Citation extraction: URL/DOI/arXiv patterns, trailing trims, both
+  * arXiv styles, counts, SQL surface.
+  */
+class CitationSpec extends graft.SparkTestBase {
+
+  private def c(s: String) = CitationCodec.citations(UTF8String.fromString(s))
+  private def strs(r: org.apache.spark.sql.catalyst.InternalRow, i: Int) = {
+    val a = r.getArray(i)
+    (0 until a.numElements()).map(j => a.getUTF8String(j).toString)
+  }
+
+  test("urls: sentence-final punctuation trims, delimiters bound") {
+    val r = c("See https://ex.io/a/b?q=1 and (http://t.co/x) or " +
+      "https://end.io/path. Done <https://angle.io/p> \"https://q.io/r\"")
+    assert(strs(r, 0) == Seq("https://ex.io/a/b?q=1", "http://t.co/x",
+      "https://end.io/path", "https://angle.io/p", "https://q.io/r"))
+    assert(r.getInt(3) == 5)
+  }
+
+  test("dois: the 10.xxxx/suffix shape, trailing trim") {
+    val r = c("As shown in doi:10.1038/nature12373. Also 10.1145/3292500.3330701, " +
+      "but not 10.12/tooShortPrefix")
+    assert(strs(r, 1) == Seq("10.1038/nature12373", "10.1145/3292500.3330701"))
+  }
+
+  test("arxiv: modern and pre-2007 identifiers, versions, case") {
+    val r = c("See arXiv:2307.09288v2 and arxiv:1706.03762, plus the old " +
+      "style arXiv:cs.CL/0112017 and arXiv:hep-th/9901001.")
+    assert(strs(r, 2) == Seq("arXiv:2307.09288v2", "arxiv:1706.03762",
+      "arXiv:cs.CL/0112017", "arXiv:hep-th/9901001"))
+    assert(r.getInt(5) == 4)
+  }
+
+  test("plain text yields empty arrays, zero counts; null propagates") {
+    val r = c("no references in this prose at all")
+    assert(r.getInt(3) == 0 && r.getInt(4) == 0 && r.getInt(5) == 0)
+    assert(CitationCodec.citations(null) == null)
+  }
+
+  test("sql surface") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("read https://a.io/x. and arXiv:2301.00001").toDF("t")
+      .createOrReplaceTempView("cit_t")
+    val row = s.sql(
+      "SELECT graft_citations(t).urls[0] AS u, " +
+        "graft_citations(t).n_arxiv AS n FROM cit_t").collect().head
+    assert(row.getString(0) == "https://a.io/x" && row.getInt(1) == 1)
+  }
+}
