@@ -63,6 +63,17 @@ class RepeatedSpanSpec extends SparkTestBase {
     assert(run(docs, n = 6, minDocs = 3)(0)._3 == 0)
   }
 
+  test("plan: equi-joins only — no cartesian, no nested-loop pairing") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20L).map(i => (i, s"some shared words here tail$i"))
+      .toDF("id", "text")
+    val plan = Dedup.dropRepeatedSpans(df, "id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("partitioning-invariant") {
     val s = spark
     import s.implicits._
