@@ -5467,6 +5467,36 @@ object SparkEntry {
           v.getField("n_arxiv").as("n_arxiv"))
         .orderBy("doc_id")
     }),
+
+    // --- 229. machine-log detection, oracle-pinned ------------------------------------------------------
+    // The anti-pollution gate: three document shapes — pure log
+    // (timestamp+level, level-only, JVM trace), mixed (one log line in
+    // prose), pure prose — with every line signal and the fraction
+    // stated closed-form.
+    "q229_log_profile" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("2024-03-01 10:15:32 INFO start job "), id,
+        lit("\nWARN disk low\n    at com.example.Main.run(Main.java:"), id,
+        lit(")")))
+        .when(m === 1, concat(
+          lit("prose about topic "), id,
+          lit("\n[2024-02-02T08:00] ERROR once\nmore plain prose here")))
+        .otherwise(concat(
+          lit("just narrative line one for "), id,
+          lit("\nand a second line of prose")))
+      val v = TF.logProfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("n_lines").as("n_lines"),
+          v.getField("ts_lines").as("ts_lines"),
+          v.getField("level_lines").as("level_lines"),
+          v.getField("trace_lines").as("trace_lines"),
+          v.getField("log_lines").as("log_lines"),
+          v.getField("log_frac").as("log_frac"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8731,6 +8761,24 @@ object SparkEntry {
         |  'arXiv:cs.CL/0112017' AS arxiv1,
         |  CAST(1 AS INT) AS n_urls, CAST(1 AS INT) AS n_dois,
         |  CAST(2 AS INT) AS n_arxiv
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Log profile closed form per shape.
+    "q229_log_profile" ->
+      """SELECT doc_id,
+        |  CAST(3 AS BIGINT) - CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1
+        |    ELSE 0 END AS n_lines,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS ts_lines,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS level_lines,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 1 ELSE 0 END AS BIGINT) AS trace_lines,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS log_lines,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 1.0 WHEN 1 THEN CAST(1 AS DOUBLE) / 3
+        |    ELSE 0.0 END AS log_frac
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

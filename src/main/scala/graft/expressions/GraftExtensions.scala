@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_log_profile"),
+      new ExpressionInfo(classOf[LogProfileExpr].getName, "graft_log_profile"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => LogProfileExpr(s)
+        case _ => throw new IllegalArgumentException("graft_log_profile(string)")
+      }),
+    (
       FunctionIdentifier("graft_citations"),
       new ExpressionInfo(classOf[CitationsExpr].getName, "graft_citations"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,112 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Machine-log detection — log files, build output and stack traces are
+  * a major pollution class in crawled "text" (pastebins, CI dumps, issue
+  * bodies) and train models to emit timestamps: a quality gate needs the
+  * per-document log-likeness BEFORE any model sees it. Three pinned,
+  * relationally-replayable line signals:
+  *
+  *  - timestamp lines: start (after optional whitespace/bracket) with an
+  *    ISO-ish `YYYY-MM-DD[T ]hh:mm` stamp;
+  *  - level lines: contain a classic level token (TRACE/DEBUG/INFO/
+  *    WARN/WARNING/ERROR/FATAL, word-bounded, case-sensitive — real logs
+  *    shout);
+  *  - trace lines: start with `at ` + a dotted name, or `Traceback`, or
+  *    `File "` (the JVM and Python stack shapes).
+  *
+  * `log_frac` = lines matching ANY signal / non-empty lines. Empty lines
+  * don't count in either direction (wrapped prose vs log density would
+  * otherwise depend on blank-line style).
+  */
+object LogDetectCodec {
+
+  private val tsRe = java.util.regex.Pattern.compile(
+    "^\\s*\\[?\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}")
+  private val levelRe = java.util.regex.Pattern.compile(
+    "\\b(TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL)\\b")
+  private val traceRe = java.util.regex.Pattern.compile(
+    "^\\s*(at [A-Za-z_$][A-Za-z0-9_$]*(\\.[A-Za-z0-9_$<>]+)+|Traceback|File \")")
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    var nLines = 0L
+    var tsLines = 0L
+    var levelLines = 0L
+    var traceLines = 0L
+    var logLines = 0L
+    var start = 0
+    val n = s.length
+    while (start <= n) {
+      var end = s.indexOf('\n', start)
+      if (end < 0) end = n
+      // non-empty (non-whitespace) lines only
+      var i = start
+      var blank = true
+      while (blank && i < end) {
+        if (!Character.isWhitespace(s.charAt(i))) blank = false
+        i += 1
+      }
+      if (!blank) {
+        nLines += 1
+        val line = s.substring(start, end)
+        val isTs = tsRe.matcher(line).find()
+        val isLevel = levelRe.matcher(line).find()
+        val isTrace = traceRe.matcher(line).find()
+        if (isTs) tsLines += 1
+        if (isLevel) levelLines += 1
+        if (isTrace) traceLines += 1
+        if (isTs || isLevel || isTrace) logLines += 1
+      }
+      start = end + 1
+      if (end == n) start = n + 1
+    }
+    val out = new Array[Any](6)
+    out(0) = nLines
+    out(1) = tsLines
+    out(2) = levelLines
+    out(3) = traceLines
+    out(4) = logLines
+    out(5) = if (nLines == 0) null
+      else java.lang.Double.valueOf(logLines.toDouble / nLines)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<n_lines,ts_lines,level_lines,trace_lines,
+  * log_lines,log_frac> ([[LogDetectCodec.profile]]); log_frac null for
+  * blank text.
+  */
+case class LogProfileExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("ts_lines", LongType, nullable = false),
+    StructField("level_lines", LongType, nullable = false),
+    StructField("trace_lines", LongType, nullable = false),
+    StructField("log_lines", LongType, nullable = false),
+    StructField("log_frac", DoubleType)))
+  override def nullSafeEval(input: Any): Any =
+    LogDetectCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.LogDetectCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): LogProfileExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_log_profile"
+}

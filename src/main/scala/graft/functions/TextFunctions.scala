@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Machine-log detection ([[graft.expressions.LogProfileExpr]]):
+    * per-line timestamp/level/stack-trace signals and the combined
+    * log_frac — the gate that keeps CI dumps and pastebin logs out of
+    * prose corpora.
+    */
+  def logProfile(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.LogProfileExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Citation extraction ([[graft.expressions.CitationsExpr]]): outbound
     * URLs (plain-text web-graph edges), DOIs, and arXiv ids (modern +
     * pre-2007 styles) with a pinned trailing-punctuation trim — the

@@ -1,0 +1,61 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Log detection: each line signal, blank-line neutrality, prose
+  * passthrough, mixed documents, SQL surface.
+  */
+class LogDetectSpec extends graft.SparkTestBase {
+
+  private def p(s: String) = LogDetectCodec.profile(UTF8String.fromString(s))
+
+  test("timestamp, level and trace lines each count") {
+    val log =
+      """2024-03-01 10:15:32 INFO starting up
+        |[2024-03-01T10:15:33] worker ready
+        |plain narrative line
+        |WARN disk low
+        |    at com.example.Main.run(Main.java:42)
+        |Traceback (most recent call last):
+        |  File "x.py", line 3
+        |""".stripMargin
+    val r = p(log)
+    assert(r.getLong(0) == 7)
+    assert(r.getLong(1) == 2) // ts lines
+    assert(r.getLong(2) == 2) // level lines (INFO line counts both)
+    assert(r.getLong(3) == 3) // at/Traceback/File
+    assert(r.getLong(4) == 6)
+    assert(r.getDouble(5) == 6.0 / 7)
+  }
+
+  test("prose scores near zero; lowercase 'error' prose does not trip") {
+    val prose = "The error of his ways was clear.\nA debug of the plan.\n" +
+      "It was 2024-03-01 when they met at noon."
+    val r = p(prose)
+    assert(r.getLong(4) == 0)
+    assert(r.getDouble(5) == 0.0)
+  }
+
+  test("blank lines are neutral") {
+    val r = p("INFO one\n\n\n   \nINFO two\n")
+    assert(r.getLong(0) == 2 && r.getLong(4) == 2)
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("wordless/blank text: null fraction; null propagates") {
+    assert(p("   \n  \n").isNullAt(5))
+    assert(LogDetectCodec.profile(null) == null)
+  }
+
+  test("sql surface gates a mixed corpus") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("clean prose only here",
+      "2024-01-01 00:00 ERROR boom\n2024-01-01 00:01 ERROR again")
+      .toDF("t").createOrReplaceTempView("log_t")
+    val kept = s.sql(
+      "SELECT t FROM log_t WHERE graft_log_profile(t).log_frac < 0.5").collect()
+    assert(kept.length == 1 && kept.head.getString(0).startsWith("clean"))
+  }
+}
