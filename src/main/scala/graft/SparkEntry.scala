@@ -5497,6 +5497,24 @@ object SparkEntry {
           v.getField("log_frac").as("log_frac"))
         .orderBy("doc_id")
     }),
+
+    // --- 230. registrable domain, oracle-pinned ---------------------------------------------------------
+    // The per-site grouping key: four shapes — plain host under a
+    // single-label TLD, deep subdomain under co.uk, a full URL with
+    // port+path, a platform suffix (github.io) — each reduced to the
+    // registrable domain, closed-form.
+    "q230_domain" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val host = when(m === 0, concat(lit("www.site"), id, lit(".com")))
+        .when(m === 1, concat(lit("a.b.site"), id, lit(".co.uk")))
+        .when(m === 2, concat(lit("https://user:pw@sub.site"), id,
+          lit(".org:8080/p/q?x=1")))
+        .otherwise(concat(lit("deep.app"), id, lit(".github.io")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.registrableDomain(host).as("domain"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8779,6 +8797,16 @@ object SparkEntry {
         |  CASE CAST(doc_id % 3 AS INT)
         |    WHEN 0 THEN 1.0 WHEN 1 THEN CAST(1 AS DOUBLE) / 3
         |    ELSE 0.0 END AS log_frac
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Registrable domain closed form per shape.
+    "q230_domain" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'site' || doc_id || '.com'
+        |    WHEN 1 THEN 'site' || doc_id || '.co.uk'
+        |    WHEN 2 THEN 'site' || doc_id || '.org'
+        |    ELSE 'app' || doc_id || '.github.io' END AS domain
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_domain"),
+      new ExpressionInfo(classOf[RegistrableDomainExpr].getName, "graft_domain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => RegistrableDomainExpr(s)
+        case _ => throw new IllegalArgumentException("graft_domain(string)")
+      }),
+    (
       FunctionIdentifier("graft_log_profile"),
       new ExpressionInfo(classOf[LogProfileExpr].getName, "graft_log_profile"),
       (args: Seq[Expression]) => args match {

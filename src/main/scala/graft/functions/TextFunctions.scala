@@ -377,6 +377,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Registrable domain of a host or URL
+    * ([[graft.expressions.RegistrableDomainExpr]]): the SITE grouping
+    * key for per-site operators — longest-matching public suffix
+    * (high-mass core of the PSL) plus one label; IPs and single labels
+    * pass through.
+    */
+  def registrableDomain(hostOrUrl: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.RegistrableDomainExpr(
+        org.apache.spark.sql.graft.Bridge.expression(hostOrUrl)))
+
   /** Machine-log detection ([[graft.expressions.LogProfileExpr]]):
     * per-line timestamp/level/stack-trace signals and the combined
     * log_frac — the gate that keeps CI dumps and pastebin logs out of

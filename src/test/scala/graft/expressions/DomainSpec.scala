@@ -1,0 +1,66 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registrable domain: suffix rules, URL host extraction, IPs and edge
+  * shapes, the grouping property, SQL surface.
+  */
+class DomainSpec extends graft.SparkTestBase {
+
+  private def d(s: String): String = {
+    val r = DomainCodec.registrableDomain(UTF8String.fromString(s))
+    if (r == null) null else r.toString
+  }
+
+  test("single-label TLDs: suffix + one label") {
+    assert(d("example.com") == "example.com")
+    assert(d("www.example.com") == "example.com")
+    assert(d("a.b.c.example.org") == "example.org")
+    assert(d("sub.example.io") == "example.io")
+    assert(d("EXAMPLE.De") == "example.de")
+  }
+
+  test("two-level public suffixes keep their extra label") {
+    assert(d("blog.example.co.uk") == "example.co.uk")
+    assert(d("shop.example.co.uk") == "example.co.uk")
+    assert(d("x.y.site.com.au") == "site.com.au")
+    assert(d("user.github.io") == "user.github.io")
+    assert(d("deep.sub.user.github.io") == "user.github.io")
+    assert(d("myblog.blogspot.com") == "myblog.blogspot.com")
+  }
+
+  test("urls: host extracted through scheme/port/userinfo/path") {
+    assert(d("https://www.example.co.uk/path?q=1") == "example.co.uk")
+    assert(d("http://user:pw@sub.example.com:8080/x") == "example.com")
+    assert(d("https://example.com") == "example.com")
+  }
+
+  test("ips, single labels, bracketed hosts pass through") {
+    assert(d("192.168.1.10") == "192.168.1.10")
+    assert(d("localhost") == "localhost")
+    assert(d("[2001:db8::1]") == "[2001:db8::1]")
+    assert(d("example.com.") == "example.com") // trailing root dot
+  }
+
+  test("the grouping property: one site, one key; different sites differ") {
+    val site = Seq("a.ex.co.uk", "b.ex.co.uk", "ex.co.uk",
+      "https://c.ex.co.uk/p").map(d).toSet
+    assert(site == Set("ex.co.uk"))
+    assert(d("other.co.uk") != d("ex.co.uk"))
+  }
+
+  test("null and empties") {
+    assert(DomainCodec.registrableDomain(null) == null)
+    assert(d("https://") == null)
+  }
+
+  test("sql surface") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("https://news.site.co.jp/article/1").toDF("u")
+      .createOrReplaceTempView("dom_t")
+    assert(s.sql("SELECT graft_domain(u) FROM dom_t").collect()
+      .head.getString(0) == "site.co.jp")
+  }
+}
