@@ -5515,6 +5515,32 @@ object SparkEntry {
         .select(col("doc_id"), TF.registrableDomain(host).as("domain"))
         .orderBy("doc_id")
     }),
+
+    // --- 231. CSV/TSV sniffing, oracle-pinned -----------------------------------------------------------
+    // The tabular-content router: three shapes — headered CSV with a
+    // QUOTED comma the counter must not split on, headerless numeric
+    // TSV, plain prose — every sniffed field closed-form.
+    "q231_csv_sniff" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("name,note,n\nrow"), id, lit(",\"a, quoted\",1\nrow"),
+        id, lit("b,plain,2")))
+        .when(m === 1, concat(
+          lit("1\t2\t"), id, lit("\n4\t5\t6\n7\t8\t9")))
+        .otherwise(concat(
+          lit("prose line about doc "), id,
+          lit("\nwith, some commas here\nand nothing tabular at all")))
+      val v = TF.csvSniff(text)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("delimiter").as("delimiter"),
+          v.getField("n_cols").as("n_cols"),
+          v.getField("n_rows").as("n_rows"),
+          v.getField("is_tabular").as("is_tabular"),
+          v.getField("has_header").as("has_header"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8807,6 +8833,18 @@ object SparkEntry {
         |    WHEN 1 THEN 'site' || doc_id || '.co.uk'
         |    WHEN 2 THEN 'site' || doc_id || '.org'
         |    ELSE 'app' || doc_id || '.github.io' END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // CSV sniff closed form per shape.
+    "q231_csv_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN ',' WHEN 1 THEN chr(9) ELSE NULL END AS delimiter,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 2 THEN 0 ELSE 3 END AS INT) AS n_cols,
+        |  CAST(3 AS INT) AS n_rows,
+        |  CAST(doc_id % 3 AS INT) <> 2 AS is_tabular,
+        |  CAST(doc_id % 3 AS INT) = 0 AS has_header
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -1,0 +1,189 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CSV/TSV sniffing — tabular blobs inside "text" documents (data
+  * dumps, exported spreadsheets, delimiter-separated logs) want
+  * different handling than prose: a corpus router needs to KNOW a
+  * document is a table, its delimiter, and its shape before chunking
+  * or quality-scoring mangles it.
+  *
+  * The classic dialect-sniff reduced to pinned rules: candidate
+  * delimiters `,` `\t` `;` `|` are scored over the first
+  * [[CsvSniffCodec.MaxLines]] non-empty lines by QUOTE-AWARE field
+  * counts (RFC 4180 double quotes, `""` escapes); a candidate
+  * qualifies when >= 90% of lines agree on a modal field count >= 2;
+  * the qualifier with the highest agreement wins (ties: more columns,
+  * then candidate order). `has_header` = the first row has no numeric
+  * field while some later row does (the standard heuristic). A
+  * document with no qualifying delimiter reports null delimiter and
+  * zero columns — prose.
+  */
+object CsvSniffCodec {
+
+  val MaxLines = 200
+  private val delims = Array(',', '\t', ';', '|')
+
+  private def fieldCount(line: String, d: Char): Int = {
+    var count = 1
+    var i = 0
+    var inQ = false
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < n && line.charAt(i + 1) == '"') i += 1 // escaped
+          else inQ = false
+        }
+      } else {
+        if (c == '"') inQ = true
+        else if (c == d) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  private def isNumeric(f0: String): Boolean = {
+    val f = f0.trim
+    if (f.isEmpty) return false
+    var i = 0
+    if (f.charAt(0) == '-') i = 1
+    if (i >= f.length) return false
+    var dot = false
+    var digits = 0
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      else if (c == '.' && !dot) dot = true
+      else return false
+      i += 1
+    }
+    digits > 0
+  }
+
+  /** Quote-aware split (same state machine as [[fieldCount]]). */
+  private def fields(line: String, d: Char): Array[String] = {
+    val out = new java.util.ArrayList[String](8)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var inQ = false
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < n && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+          else inQ = false
+        } else sb.append(c)
+      } else {
+        if (c == '"') inQ = true
+        else if (c == d) { out.add(sb.toString); sb.setLength(0) }
+        else sb.append(c)
+      }
+      i += 1
+    }
+    out.add(sb.toString)
+    out.toArray(new Array[String](out.size))
+  }
+
+  def sniff(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val lines0 = u.toString.split("\n", -1)
+    val lines = new java.util.ArrayList[String](math.min(lines0.length, MaxLines))
+    var i = 0
+    while (i < lines0.length && lines.size < MaxLines) {
+      val l = if (lines0(i).endsWith("\r"))
+        lines0(i).substring(0, lines0(i).length - 1) else lines0(i)
+      if (l.trim.nonEmpty) lines.add(l)
+      i += 1
+    }
+    val nRows = lines.size
+    var bestD = 0.toChar
+    var bestAgree = 0.0
+    var bestCols = 0
+    if (nRows > 0) {
+      for (d <- delims) {
+        val counts = new java.util.HashMap[Integer, Integer]()
+        var j = 0
+        while (j < nRows) {
+          val c = fieldCount(lines.get(j), d)
+          counts.merge(c, 1, (a, b) => a + b)
+          j += 1
+        }
+        var modal = 0; var modalN = 0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > modalN ||
+            (e.getValue == modalN && e.getKey > modal)) {
+            modal = e.getKey; modalN = e.getValue
+          }
+        }
+        val agree = modalN.toDouble / nRows
+        if (modal >= 2 && agree >= 0.9 &&
+          (agree > bestAgree || (agree == bestAgree && modal > bestCols))) {
+          bestD = d; bestAgree = agree; bestCols = modal
+        }
+      }
+    }
+    val out = new Array[Any](5)
+    if (bestCols >= 2) {
+      out(0) = UTF8String.fromString(String.valueOf(bestD))
+      out(1) = bestCols
+      out(2) = nRows
+      // header heuristic: first row all non-numeric, some later row numeric
+      val first = fields(lines.get(0), bestD)
+      val firstNonNum = first.forall(f => !isNumeric(f))
+      var laterNum = false
+      var j = 1
+      while (!laterNum && j < nRows) {
+        laterNum = fields(lines.get(j), bestD).exists(isNumeric)
+        j += 1
+      }
+      out(3) = true
+      out(4) = firstNonNum && laterNum
+    } else {
+      out(1) = 0
+      out(2) = nRows
+      out(3) = false
+      out(4) = false
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<delimiter,n_cols,n_rows,is_tabular,has_header>
+  * ([[CsvSniffCodec.sniff]]); delimiter null for prose.
+  */
+case class CsvSniffExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("delimiter", StringType),
+    StructField("n_cols", IntegerType, nullable = false),
+    StructField("n_rows", IntegerType, nullable = false),
+    StructField("is_tabular", BooleanType, nullable = false),
+    StructField("has_header", BooleanType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    CsvSniffCodec.sniff(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.CsvSniffCodec.sniff($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): CsvSniffExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_csv_sniff"
+}

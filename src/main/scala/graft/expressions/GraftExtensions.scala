@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_csv_sniff"),
+      new ExpressionInfo(classOf[CsvSniffExpr].getName, "graft_csv_sniff"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => CsvSniffExpr(s)
+        case _ => throw new IllegalArgumentException("graft_csv_sniff(string)")
+      }),
+    (
       FunctionIdentifier("graft_domain"),
       new ExpressionInfo(classOf[RegistrableDomainExpr].getName, "graft_domain"),
       (args: Seq[Expression]) => args match {

@@ -377,6 +377,15 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** CSV/TSV dialect sniff ([[graft.expressions.CsvSniffExpr]]):
+    * quote-aware delimiter detection, shape, and the header heuristic —
+    * tabular blobs get routed before prose operators mangle them.
+    */
+  def csvSniff(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.CsvSniffExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Registrable domain of a host or URL
     * ([[graft.expressions.RegistrableDomainExpr]]): the SITE grouping
     * key for per-site operators — longest-matching public suffix

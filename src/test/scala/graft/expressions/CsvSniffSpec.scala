@@ -1,0 +1,72 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CSV sniffing: delimiter selection, quote awareness, header
+  * heuristic, prose rejection, consistency threshold, SQL surface.
+  */
+class CsvSniffSpec extends graft.SparkTestBase {
+
+  private def sniff(s: String) = CsvSniffCodec.sniff(UTF8String.fromString(s))
+
+  test("comma csv with header") {
+    val r = sniff("name,age,city\nalice,30,berlin\nbob,25,paris\n")
+    assert(r.getUTF8String(0).toString == ",")
+    assert(r.getInt(1) == 3 && r.getInt(2) == 3)
+    assert(r.getBoolean(3) && r.getBoolean(4))
+  }
+
+  test("tsv wins over comma when tabs are the consistent delimiter") {
+    val r = sniff("a\tb, with comma\tc\n1\t2\t3\n4\t5\t6")
+    assert(r.getUTF8String(0).toString == "\t")
+    assert(r.getInt(1) == 3)
+  }
+
+  test("quoted fields hide their delimiters") {
+    val r = sniff("""id,desc,n
+      |1,"hello, world",2
+      |2,"a ""quoted"" bit, yes",3""".stripMargin)
+    assert(r.getUTF8String(0).toString == ",")
+    assert(r.getInt(1) == 3)
+  }
+
+  test("no header when the first row is numeric") {
+    val r = sniff("1,2,3\n4,5,6\n7,8,9")
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+  }
+
+  test("all-text tables report no header (nothing numeric to contrast)") {
+    val r = sniff("a,b\nc,d\ne,f")
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+  }
+
+  test("prose is not tabular, despite stray commas") {
+    val r = sniff("This is prose, with commas, sometimes.\n" +
+      "Other lines have none at all.\nAnd some, have, many, more, commas.")
+    assert(r.isNullAt(0) && !r.getBoolean(3) && r.getInt(1) == 0)
+  }
+
+  test("90% consistency tolerates a ragged line; 2 of 3 does not qualify") {
+    val good = (1 to 19).map(i => s"$i,x$i").mkString("\n") + "\nragged line"
+    assert(sniff(good).getBoolean(3)) // 19/20 = 95%
+    val bad = "a,b\nc,d\nnope"
+    assert(!sniff(bad).getBoolean(3)) // 2/3 = 67%
+  }
+
+  test("semicolon and pipe dialects; null propagates") {
+    assert(sniff("a;b;c\n1;2;3").getUTF8String(0).toString == ";")
+    assert(sniff("a|b\n1|2").getUTF8String(0).toString == "|")
+    assert(CsvSniffCodec.sniff(null) == null)
+  }
+
+  test("sql surface routes tables away from prose") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("k,v\na,1\nb,2", "plain prose here").toDF("t")
+      .createOrReplaceTempView("csv_t")
+    val tab = s.sql(
+      "SELECT t FROM csv_t WHERE graft_csv_sniff(t).is_tabular").collect()
+    assert(tab.length == 1 && tab.head.getString(0).startsWith("k,v"))
+  }
+}
