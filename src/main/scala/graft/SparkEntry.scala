@@ -5541,6 +5541,32 @@ object SparkEntry {
           v.getField("has_header").as("has_header"))
         .orderBy("doc_id")
     }),
+
+    // --- 232. YAML front matter, oracle-pinned ----------------------------------------------------------
+    // The static-site metadata convention: a fenced block with quoted
+    // title, date, inline tag list and draft flag is CONSTRUCTED per
+    // row over real text as the body; every field + the fence-free body
+    // closed-form.
+    "q232_front_matter" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val doc = concat(
+        lit("---\ntitle: \"Post "), id,
+        lit("\"\ndate: 2024-03-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        lit("\ntags: [t"), (col("doc_id") % 5).cast("string"),
+        lit(", common]\ndraft: "),
+        when(col("doc_id") % 2 === 0, lit("true")).otherwise(lit("false")),
+        lit("\n---\n"), substring(col("text"), 1, 60))
+      val v = TF.frontMatter(doc)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("title").as("title"), v.getField("date").as("date"),
+          concat_ws(",", v.getField("tags")).as("tags"),
+          v.getField("draft").as("draft"),
+          size(v.getField("fields")).as("n_fields"),
+          v.getField("body").as("body"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8845,6 +8871,17 @@ object SparkEntry {
         |  CAST(3 AS INT) AS n_rows,
         |  CAST(doc_id % 3 AS INT) <> 2 AS is_tabular,
         |  CAST(doc_id % 3 AS INT) = 0 AS has_header
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Front matter closed form; body = the real-text prefix.
+    "q232_front_matter" ->
+      """SELECT doc_id,
+        |  'Post ' || doc_id AS title,
+        |  '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS date,
+        |  't' || doc_id % 5 || ',common' AS tags,
+        |  doc_id % 2 = 0 AS draft,
+        |  CAST(4 AS INT) AS n_fields,
+        |  substring(text, 1, 60) AS body
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

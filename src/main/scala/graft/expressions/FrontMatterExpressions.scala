@@ -1,0 +1,178 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** YAML front-matter extraction — the metadata convention of the entire
+  * static-site world (Jekyll/Hugo/Gatsby blogs, docs sites, Obsidian
+  * vaults): a `---` fenced block at the TOP of a markdown file carrying
+  * title/date/tags/draft. A markdown corpus without front-matter
+  * awareness loses its best per-document metadata AND leaks the fence
+  * into the text.
+  *
+  * Scope (documented): the flat subset real front matter overwhelmingly
+  * uses — `key: value` scalar lines (quotes stripped), inline lists
+  * `[a, b]`, and block lists (`- item` lines under a key); nested maps
+  * and multi-line scalars end the simple parse for that key (skipped,
+  * not failed). The well-known fields (title/date/tags/draft) surface
+  * typed; everything parsed rides in a (key, value) array; `body` is
+  * the document with the block removed — the text pipeline's input.
+  */
+object FrontMatterCodec {
+
+  val MaxKeys = 256
+
+  def extract(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    // the fence must open the document (BOM/blank tolerated)
+    var p = 0
+    if (s.startsWith("﻿")) p = 1
+    while (p < s.length && (s.charAt(p) == ' ' || s.charAt(p) == '\r' ||
+      s.charAt(p) == '\n')) p += 1
+    if (!s.startsWith("---", p)) return null
+    val open = s.indexOf('\n', p)
+    if (open < 0) return null
+    if (s.substring(p, open).trim != "---") return null
+    // find the closing fence line
+    var close = -1
+    var lineStart = open + 1
+    while (close < 0 && lineStart <= s.length) {
+      var lineEnd = s.indexOf('\n', lineStart)
+      if (lineEnd < 0) lineEnd = s.length
+      val t = s.substring(lineStart, lineEnd).trim
+      if (t == "---" || t == "...") close = lineStart
+      else if (lineEnd >= s.length) lineStart = s.length + 1
+      else lineStart = lineEnd + 1
+    }
+    if (close < 0) return null
+    val blockEndLine = s.indexOf('\n', close)
+    val bodyStart = if (blockEndLine < 0) s.length else blockEndLine + 1
+    val block = s.substring(open + 1, close)
+
+    val kvs = new java.util.ArrayList[AnyRef](8)
+    var title: String = null
+    var date: String = null
+    var draft: java.lang.Boolean = null
+    var tags: Array[AnyRef] = Array.empty
+    def unquote(v0: String): String = {
+      val v = v0.trim
+      if (v.length >= 2 && ((v.charAt(0) == '"' && v.endsWith("\"")) ||
+        (v.charAt(0) == '\'' && v.endsWith("'"))))
+        v.substring(1, v.length - 1)
+      else v
+    }
+    def inlineList(v: String): Array[AnyRef] =
+      v.substring(1, v.length - 1).split(",")
+        .map(x => unquote(x)).filter(_.nonEmpty)
+        .map(x => UTF8String.fromString(x): AnyRef)
+    val lines = block.split("\n", -1)
+    var i = 0
+    while (i < lines.length && kvs.size < MaxKeys) {
+      val raw = lines(i)
+      val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+      val colon = line.indexOf(':')
+      // top-level keys only: no leading whitespace, a word-ish key
+      if (colon > 0 && line.nonEmpty && !Character.isWhitespace(line.charAt(0))) {
+        val key = line.substring(0, colon).trim
+        if (key.nonEmpty && key.forall(c => c == '_' || c == '-' ||
+          Character.isLetterOrDigit(c))) {
+          var value = line.substring(colon + 1).trim
+          var listVals: Array[AnyRef] = null
+          if (value.isEmpty) {
+            // block list? consume following "- item" lines
+            val items = new java.util.ArrayList[AnyRef](4)
+            var j = i + 1
+            var more = true
+            while (more && j < lines.length) {
+              val l2 = lines(j).trim
+              if (l2.startsWith("- ") || l2 == "-") {
+                items.add(UTF8String.fromString(
+                  unquote(if (l2 == "-") "" else l2.substring(2))))
+                j += 1
+              } else more = false
+            }
+            if (items.size > 0) {
+              listVals = items.toArray
+              i = j - 1
+            }
+          } else if (value.startsWith("[") && value.endsWith("]")) {
+            listVals = inlineList(value)
+            value = null
+          } else value = unquote(value)
+
+          val rendered =
+            if (listVals != null)
+              listVals.map(_.toString).mkString(",")
+            else value
+          if (rendered != null && rendered.nonEmpty) {
+            val f = new Array[Any](2)
+            f(0) = UTF8String.fromString(key)
+            f(1) = UTF8String.fromString(rendered)
+            kvs.add(new GenericInternalRow(f))
+            key.toLowerCase(java.util.Locale.ROOT) match {
+              case "title" if listVals == null => title = value
+              case "date" if listVals == null => date = value
+              case "draft" if listVals == null =>
+                if (value == "true") draft = java.lang.Boolean.TRUE
+                else if (value == "false") draft = java.lang.Boolean.FALSE
+              case "tags" | "categories" if tags.isEmpty =>
+                tags = if (listVals != null) listVals
+                  else Array(UTF8String.fromString(value): AnyRef)
+              case _ =>
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](6)
+    out(0) = if (title == null) null else UTF8String.fromString(title)
+    out(1) = if (date == null) null else UTF8String.fromString(date)
+    out(2) = new GenericArrayData(tags)
+    out(3) = draft
+    out(4) = new GenericArrayData(kvs.toArray)
+    out(5) = UTF8String.fromString(s.substring(bodyStart))
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<title,date,tags,draft,fields,body> for documents
+  * opening with a `---` front-matter fence ([[FrontMatterCodec.extract]]);
+  * NULL when no fence opens the document.
+  */
+case class FrontMatterExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("date", StringType),
+    StructField("tags", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("draft", BooleanType),
+    StructField("fields", ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false))),
+      containsNull = false), nullable = false),
+    StructField("body", StringType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    FrontMatterCodec.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.FrontMatterCodec.extract($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): FrontMatterExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_front_matter"
+}

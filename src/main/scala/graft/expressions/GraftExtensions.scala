@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_front_matter"),
+      new ExpressionInfo(classOf[FrontMatterExpr].getName, "graft_front_matter"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => FrontMatterExpr(s)
+        case _ => throw new IllegalArgumentException("graft_front_matter(string)")
+      }),
+    (
       FunctionIdentifier("graft_csv_sniff"),
       new ExpressionInfo(classOf[CsvSniffExpr].getName, "graft_csv_sniff"),
       (args: Seq[Expression]) => args match {

@@ -377,6 +377,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** YAML front-matter extraction ([[graft.expressions.FrontMatterExpr]]):
+    * the static-site metadata convention — `---` fenced key/value block
+    * with typed title/date/tags/draft, the full field list, and the
+    * BODY with the fence removed (the text pipeline's input). NULL when
+    * no fence opens the document.
+    */
+  def frontMatter(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.FrontMatterExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** CSV/TSV dialect sniff ([[graft.expressions.CsvSniffExpr]]):
     * quote-aware delimiter detection, shape, and the header heuristic —
     * tabular blobs get routed before prose operators mangle them.

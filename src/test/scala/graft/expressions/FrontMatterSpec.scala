@@ -1,0 +1,83 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Front matter: typed fields, list shapes, body split, fence rules,
+  * skip rules, SQL surface.
+  */
+class FrontMatterSpec extends graft.SparkTestBase {
+
+  private def fm(s: String) = FrontMatterCodec.extract(UTF8String.fromString(s))
+
+  private val doc =
+    """---
+      |title: "My Post"
+      |date: 2024-03-01
+      |tags: [spark, data]
+      |draft: false
+      |author: 'Jane'
+      |---
+      |# Heading
+      |Body text here.""".stripMargin
+
+  test("typed fields, quotes stripped, body without the fence") {
+    val r = fm(doc)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "My Post")
+    assert(r.getUTF8String(1).toString == "2024-03-01")
+    val tags = r.getArray(2)
+    assert((0 until tags.numElements()).map(i =>
+      tags.getUTF8String(i).toString) == Seq("spark", "data"))
+    assert(!r.getBoolean(3))
+    assert(r.getUTF8String(5).toString == "# Heading\nBody text here.")
+  }
+
+  test("all parsed pairs ride in fields") {
+    val fields = fm(doc).getArray(4)
+    val keys = (0 until fields.numElements())
+      .map(i => fields.getStruct(i, 2).getUTF8String(0).toString)
+    assert(keys == Seq("title", "date", "tags", "draft", "author"))
+  }
+
+  test("block lists under a key") {
+    val r = fm("---\ntags:\n- alpha\n- beta\ntitle: x\n---\nbody")
+    val tags = r.getArray(2)
+    assert((0 until tags.numElements()).map(i =>
+      tags.getUTF8String(i).toString) == Seq("alpha", "beta"))
+    assert(r.getUTF8String(0).toString == "x")
+  }
+
+  test("scalar tags fall back to a one-element list; draft true") {
+    val r = fm("---\ntags: solo\ndraft: true\n---\nb")
+    assert(r.getArray(2).numElements() == 1)
+    assert(r.getBoolean(3))
+  }
+
+  test("no opening fence -> null; unterminated fence -> null") {
+    assert(fm("# Just markdown\ntext") == null)
+    assert(fm("---\ntitle: x\nnever closed") == null)
+    assert(fm("text first\n---\ntitle: x\n---") == null)
+    assert(FrontMatterCodec.extract(null) == null)
+  }
+
+  test("nested/indented lines and odd keys skip without failing") {
+    val r = fm("---\ntitle: ok\nnested:\n  inner: 1\nweird key!: x\n---\nbody")
+    assert(r.getUTF8String(0).toString == "ok")
+    val fields = r.getArray(4)
+    val keys = (0 until fields.numElements())
+      .map(i => fields.getStruct(i, 2).getUTF8String(0).toString)
+    assert(keys == Seq("title"))
+  }
+
+  test("sql surface: draft filtering") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("---\ntitle: a\ndraft: true\n---\nx",
+      "---\ntitle: b\ndraft: false\n---\ny").toDF("t")
+      .createOrReplaceTempView("fm_t")
+    val pub = s.sql("SELECT graft_front_matter(t).title AS ti FROM fm_t " +
+      "WHERE NOT graft_front_matter(t).draft").collect()
+    assert(pub.map(_.getString(0)).toSeq == Seq("b"))
+  }
+}
