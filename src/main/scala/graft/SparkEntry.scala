@@ -5567,6 +5567,28 @@ object SparkEntry {
           v.getField("body").as("body"))
         .orderBy("doc_id")
     }),
+
+    // --- 233. base64-blob removal, oracle-pinned --------------------------------------------------------
+    // Token-count hygiene: a REAL 64-char base64 blob (base64 of 48
+    // md5-derived bytes, built in-plan with Spark's own codec) is
+    // embedded in prose per row; the stripper must remove exactly the
+    // blob and count its characters. Clean text and counts closed-form
+    // — the oracle never needs to re-encode.
+    "q233_strip_base64" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val blob = base64(unhex(concat(
+        md5(concat(lit("a"), id)), md5(concat(lit("b"), id)),
+        md5(concat(lit("c"), id)))))
+      val text = concat(lit("report for doc "), id, lit(" follows "),
+        blob, lit(" end of report"))
+      val v = TF.stripBase64(text)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("clean").as("clean"),
+          v.getField("n_blobs").as("n_blobs"),
+          v.getField("chars_removed").as("chars_removed"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8882,6 +8904,14 @@ object SparkEntry {
         |  doc_id % 2 = 0 AS draft,
         |  CAST(4 AS INT) AS n_fields,
         |  substring(text, 1, 60) AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Base64 strip: the blob (64 chars) vanishes, leaving its spaces.
+    "q233_strip_base64" ->
+      """SELECT doc_id,
+        |  'report for doc ' || doc_id || ' follows  end of report' AS clean,
+        |  CAST(1 AS INT) AS n_blobs,
+        |  CAST(64 AS BIGINT) AS chars_removed
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -1,0 +1,96 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Base64-blob removal — embedded binary masquerading as text
+  * (certificates, inlined payloads, serialized state in issue bodies
+  * and logs) inflates token counts and teaches models to emit random
+  * alphabet soup. The detector is a pinned structural rule, not a
+  * model: a maximal run of the base64 alphabet (`A-Za-z0-9+/`, `=`
+  * padding, internal newlines allowed — PEM wraps at 64 columns) of at
+  * least `minRun` alphabet characters, containing at least one digit,
+  * one lowercase and one uppercase letter (the mixed-alphabet tell
+  * that excludes long words and hex runs of one case). Qualifying runs
+  * are removed; everything else is untouched.
+  */
+object Base64StripCodec {
+
+  def strip(u: UTF8String, minRun: Int): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var nBlobs = 0
+    var removed = 0L
+    var i = 0
+    def isB64(c: Char): Boolean =
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '/' || c == '='
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isB64(c)) {
+        // scan the maximal run (newlines between alphabet chars ride along)
+        val start = i
+        var j = i
+        var chars = 0
+        var digits = 0; var lower = 0; var upper = 0
+        var lastAlpha = i - 1
+        while (j < n && (isB64(s.charAt(j)) ||
+          (s.charAt(j) == '\n' || s.charAt(j) == '\r') && j > start &&
+            j + 1 < n && isB64(s.charAt(j + 1)))) {
+          val d = s.charAt(j)
+          if (isB64(d)) {
+            chars += 1
+            lastAlpha = j
+            if (d >= '0' && d <= '9') digits += 1
+            else if (d >= 'a' && d <= 'z') lower += 1
+            else if (d >= 'A' && d <= 'Z') upper += 1
+          }
+          j += 1
+        }
+        val end = lastAlpha + 1
+        if (chars >= minRun && digits > 0 && lower > 0 && upper > 0) {
+          nBlobs += 1
+          removed += chars
+          i = end
+        } else {
+          sb.append(s, start, end)
+          i = end
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(sb.toString), nBlobs, removed))
+  }
+}
+
+/** `string` -> struct<clean,n_blobs,chars_removed>
+  * ([[Base64StripCodec.strip]]); `minRun` is a literal parameter.
+  */
+case class Base64StripExpr(child: Expression, minRun: Int)
+  extends UnaryExpression {
+  require(minRun >= 16, s"minRun must be >= 16, got $minRun")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_blobs", IntegerType, nullable = false),
+    StructField("chars_removed", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Base64StripCodec.strip(input.asInstanceOf[UTF8String], minRun)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Base64StripCodec.strip($c, $minRun)")
+  override protected def withNewChildInternal(newChild: Expression): Base64StripExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_strip_base64"
+}

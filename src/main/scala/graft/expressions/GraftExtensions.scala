@@ -208,6 +208,15 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_strip_base64"),
+      new ExpressionInfo(classOf[Base64StripExpr].getName, "graft_strip_base64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => Base64StripExpr(s, 64)
+        case Seq(s, Literal(m: Int, IntegerType)) => Base64StripExpr(s, m)
+        case _ => throw new IllegalArgumentException(
+          "graft_strip_base64(string[, minRun literal int])")
+      }),
+    (
       FunctionIdentifier("graft_front_matter"),
       new ExpressionInfo(classOf[FrontMatterExpr].getName, "graft_front_matter"),
       (args: Seq[Expression]) => args match {

@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Base64-blob removal ([[graft.expressions.Base64StripExpr]]):
+    * embedded binary masquerading as text — qualifying mixed-alphabet
+    * runs >= minRun chars (PEM line wraps ride along) removed, counts
+    * reported. Token-count hygiene for logs/issues/docs corpora.
+    */
+  def stripBase64(text: Column, minRun: Int = 64): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Base64StripExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), minRun))
+
   /** YAML front-matter extraction ([[graft.expressions.FrontMatterExpr]]):
     * the static-site metadata convention — `---` fenced key/value block
     * with typed title/date/tags/draft, the full field list, and the

@@ -1,0 +1,66 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Base64 stripping: blob detection, mixed-alphabet gate, PEM wraps,
+  * prose survival, counts, SQL surface.
+  */
+class Base64StripSpec extends graft.SparkTestBase {
+
+  private def strip(s: String, minRun: Int = 64) =
+    Base64StripCodec.strip(UTF8String.fromString(s), minRun)
+
+  private val blob = java.util.Base64.getEncoder.encodeToString(
+    Array.tabulate[Byte](120)(i => (i * 37 + 11).toByte))
+
+  test("a real base64 blob in prose is removed, prose intact") {
+    val r = strip(s"before the blob $blob after the blob")
+    assert(r.getUTF8String(0).toString == "before the blob  after the blob")
+    assert(r.getInt(1) == 1)
+    assert(r.getLong(2) == blob.length)
+  }
+
+  test("pem-style wrapped blob (newlines inside) strips as ONE blob") {
+    val wrapped = blob.grouped(64).mkString("\n")
+    val pem = s"-----BEGIN X-----\n$wrapped\n-----END X-----"
+    val r = strip(pem)
+    assert(r.getInt(1) == 1)
+    assert(r.getLong(2) == blob.length)
+    assert(r.getUTF8String(0).toString.contains("BEGIN X"))
+  }
+
+  test("long words and single-case hex runs survive (mixed-alphabet gate)") {
+    val word = "a" * 100 // one case, no digits
+    val hexRun = "0123456789abcdef" * 8 // no uppercase
+    val shout = "ABCDEFGHIJKLMNOP" * 8 + "123" // no lowercase
+    val r = strip(s"$word $hexRun $shout")
+    assert(r.getInt(1) == 0)
+    assert(r.getUTF8String(0).toString == s"$word $hexRun $shout")
+  }
+
+  test("short qualifying runs survive below minRun") {
+    val short = java.util.Base64.getEncoder.encodeToString(
+      "tiny payload".getBytes) // ~16 chars
+    val r = strip(s"x $short y", minRun = 64)
+    assert(r.getInt(1) == 0)
+    val r2 = strip(s"x $short y", minRun = 16)
+    assert(r2.getInt(1) == 1)
+  }
+
+  test("multiple blobs count; null propagates") {
+    val r = strip(s"$blob and also $blob")
+    assert(r.getInt(1) == 2 && r.getLong(2) == 2L * blob.length)
+    assert(Base64StripCodec.strip(null, 64) == null)
+  }
+
+  test("sql surface") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(s"keep $blob this").toDF("t").createOrReplaceTempView("b64_t")
+    val row = s.sql(
+      "SELECT graft_strip_base64(t).clean AS c, " +
+        "graft_strip_base64(t).n_blobs AS n FROM b64_t").collect().head
+    assert(row.getString(0) == "keep  this" && row.getInt(1) == 1)
+  }
+}
