@@ -1,0 +1,126 @@
+package graft.expressions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property fuzz for the round's second wave of kernels: totality on
+  * arbitrary input, idempotence of the normalizers/strippers, and
+  * structural invariants.
+  */
+class R12WaveTwoPropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.choose(0, 600).flatMap(n => Gen.listOfN(n,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  private val textGen: Gen[String] = Gen.choose(0, 400).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\n', '\t'),
+      2 -> Gen.oneOf('<', '>', '"', '\'', '/', ':', '.', ',', '-', '=',
+        '{', '}', '[', ']', '#', '%', '&', '?'),
+      1 -> Gen.oneOf('é', '日', 'я', '!'))).map(_.mkString))
+
+  private def u8(s: String) = UTF8String.fromString(s)
+
+  test("wave-2 kernels are total on arbitrary input") {
+    val magicTextGen: Gen[String] = for {
+      m <- Gen.oneOf("<rss>", "<feed>", "<svg ", "{\"nbformat\": 4,",
+        "---\n", "HTTP/1.1 ", "a,b,c\n")
+      t <- textGen
+    } yield m + t
+    (samples(textGen, 250, 211L) ++ samples(magicTextGen, 250, 213L))
+      .foreach { t =>
+        FeedCodec.feedItems(u8(t))
+        CodeNormalizeCodec.normalize(u8(t))
+        SvgCodec.svgMeta(u8(t))
+        IpynbCodec.cells(u8(t))
+        CitationCodec.citations(u8(t))
+        LogDetectCodec.profile(u8(t))
+        DomainCodec.registrableDomain(u8(t))
+        CsvSniffCodec.sniff(u8(t))
+        FrontMatterCodec.extract(u8(t))
+        Base64StripCodec.strip(u8(t), 64)
+        ReadabilityCodec.readability(u8(t))
+      }
+    val magicBytesGen: Gen[Array[Byte]] = for {
+      m <- Gen.oneOf(Array[Byte](0, 0, 1, 0), // ICO
+        Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte),
+        "RIFF1234WEBPVP8X".getBytes.toArray,
+        "HTTP/1.1 200 OK\r\n".getBytes.toArray)
+      t <- bytesGen
+    } yield m ++ t
+    (samples(bytesGen, 250, 217L) ++ samples(magicBytesGen, 250, 219L))
+      .foreach { b =>
+        IcoCodec.icoEntries(b); IcoCodec.icoBest(b)
+        HttpCodec.parseResponse(b)
+        MediaCodec.stripMetadata(b)
+        MediaCodec.decodeWebpAnim(b)
+      }
+  }
+
+  test("code normalization is idempotent") {
+    samples(textGen, 300, 221L).foreach { t =>
+      val once = CodeNormalizeCodec.normalize(u8(t))
+      assert(CodeNormalizeCodec.normalize(once).toString == once.toString, t)
+    }
+  }
+
+  test("base64 stripping is idempotent and leaves no qualifying runs") {
+    val blobGen: Gen[String] = for {
+      pre <- textGen
+      n <- Gen.choose(48, 200)
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      post <- textGen
+    } yield pre + " " + java.util.Base64.getEncoder
+      .encodeToString(bs.toArray) + " " + post
+    samples(blobGen, 200, 223L).foreach { t =>
+      val once = Base64StripCodec.strip(u8(t), 64)
+      val again = Base64StripCodec.strip(once.getUTF8String(0), 64)
+      assert(again.getInt(1) == 0, t)
+      assert(again.getUTF8String(0).toString == once.getUTF8String(0).toString)
+    }
+  }
+
+  test("metadata strip is idempotent on jpeg-shaped fuzz") {
+    val jpegGen: Gen[Array[Byte]] = bytesGen.map(t =>
+      Array[Byte](0xFF.toByte, 0xD8.toByte) ++ t)
+    samples(jpegGen, 200, 227L).foreach { b =>
+      val once = MediaCodec.stripMetadata(b)
+      val twice = MediaCodec.stripMetadata(once)
+      assert(twice.sameElements(once))
+    }
+  }
+
+  test("registrable domain is idempotent and suffixes its host input") {
+    val hostGen: Gen[String] = for {
+      n <- Gen.choose(1, 4)
+      ls <- Gen.listOfN(n, Gen.choose(1, 8).flatMap(k =>
+        Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString)))
+      tld <- Gen.oneOf("com", "org", "io", "de", "co.uk", "com.au")
+    } yield (ls :+ tld).mkString(".")
+    samples(hostGen, 300, 229L).foreach { h =>
+      val d1 = DomainCodec.registrableDomain(u8(h)).toString
+      assert(h.endsWith(d1), s"$h -> $d1")
+      assert(DomainCodec.registrableDomain(u8(d1)).toString == d1)
+    }
+  }
+
+  test("readability invariants: syllables >= words, frac bounds") {
+    samples(textGen, 300, 231L).foreach { t =>
+      val r = ReadabilityCodec.readability(u8(t))
+      assert(r.getLong(2) >= r.getLong(1))
+      val lp = LogDetectCodec.profile(u8(t))
+      if (!lp.isNullAt(5)) {
+        val f = lp.getDouble(5)
+        assert(f >= 0.0 && f <= 1.0)
+        assert(lp.getLong(4) <= lp.getLong(0))
+      }
+    }
+  }
+}
