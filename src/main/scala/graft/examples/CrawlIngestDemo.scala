@@ -279,6 +279,25 @@ object CrawlIngestDemo {
     println(s"=== 23. feed discovery: " +
       s"${feeds.select(explode(col("f.items"))).count()} items ===")
 
+    // --- 24. content routing: one profiling pass decides each
+    // document's lane — tabular blobs, machine logs, base64 payloads and
+    // reading level all route differently, grouped per SITE (registrable
+    // domain, not bare host).
+    val routed = kept.select(
+      TextFunctions.registrableDomain(col("uri")).as("site"),
+      TextFunctions.csvSniff(col("text")).getField("is_tabular").as("tabular"),
+      TextFunctions.logProfile(col("text")).getField("log_frac").as("log_frac"),
+      TextFunctions.stripBase64(col("text")).getField("n_blobs").as("b64_blobs"),
+      TextFunctions.readability(col("text")).getField("grade").as("grade"))
+    println("=== 24. router profile (site-grouped) ===")
+    routed.groupBy("site").agg(
+        count(lit(1)).as("docs"),
+        sum(col("tabular").cast("int")).as("tabular"),
+        round(avg("log_frac"), 3).as("avg_log_frac"),
+        sum("b64_blobs").as("b64_blobs"),
+        round(avg("grade"), 1).as("avg_grade"))
+      .orderBy(desc("docs")).show(5, false)
+
     spark.stop()
   }
 }
