@@ -5589,6 +5589,33 @@ object SparkEntry {
           v.getField("chars_removed").as("chars_removed"))
         .orderBy("doc_id")
     }),
+
+    // --- 234. tokenizer persistence round-trip, oracle-pinned -------------------------------------------
+    // The production contract: a tokenizer trains ONCE and every later
+    // job reloads it verbatim. The q211 vocabulary is SAVED to a sidecar
+    // and RELOADED before encoding, so the closed-form segmentation also
+    // pins the persistence path — a reload that shifted one boundary
+    // would hash-mismatch.
+    "q234_tokenizer_reload" -> ((s, d) => {
+      val vocab = Seq("[UNK]", "play", "##ing", "##ed", "##er", "un",
+        "##play", "do", "##ne", "doc") ++ (0 to 9).map(dd => "##" + dd)
+      val p = java.nio.file.Paths.get(
+        selfCleaningRoot("q234tok", d), "wp.jsonl").toString
+      new java.io.File(p).getParentFile.mkdirs()
+      graft.functions.Tokenizers.saveWordPiece(s, p, vocab)
+      val reloaded = graft.functions.Tokenizers.loadWordPiece(s, p)
+      val m = col("doc_id") % 5
+      val word = when(m === 0, lit("playing")).when(m === 1, lit("played"))
+        .when(m === 2, lit("unplayed")).when(m === 3, lit("done"))
+        .otherwise(lit("zzq"))
+      val text = concat(word, lit(" doc"), col("doc_id").cast("string"))
+      val pieces = WordPiece.encode(text, reloaded)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", pieces).as("pieces"),
+          size(pieces).as("n_pieces"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8912,6 +8939,21 @@ object SparkEntry {
         |  'report for doc ' || doc_id || ' follows  end of report' AS clean,
         |  CAST(1 AS INT) AS n_blobs,
         |  CAST(64 AS BIGINT) AS chars_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Tokenizer reload: q211's closed form through the persistence path.
+    "q234_tokenizer_reload" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'play ##ing' WHEN 1 THEN 'play ##ed'
+        |    WHEN 2 THEN 'un ##play ##ed' WHEN 3 THEN 'do ##ne'
+        |    ELSE '[UNK]' END
+        |  || ' doc ' || trim(regexp_replace(CAST(doc_id AS VARCHAR),
+        |       '(.)', '##\1 ', 'g')) AS pieces,
+        |  CAST(CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 2
+        |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
+        |    AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -1,0 +1,114 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Tokenizer model PERSISTENCE — the production contract the in-memory
+  * trainers ([[Bpe]], [[WordPiece]], [[UnigramTokenizer]]) need: a
+  * tokenizer is trained ONCE on a corpus snapshot and then reused
+  * verbatim by every downstream job, stream, and retrain comparison —
+  * re-deriving it per session would silently shift token boundaries
+  * under the model being trained.
+  *
+  * Format: one JSON object per line (Jackson-escaped — pieces may
+  * contain any non-whitespace characters), a typed header line first,
+  * entries in model order. Unigram log-probs round-trip through
+  * `Double.toString`/`parseDouble` — exact by the JLS shortest-repr
+  * contract, so a reloaded model scores BIT-IDENTICALLY. Files are
+  * driver-written sidecars (vocabulary-sized, KBs) via the Hadoop
+  * filesystem, so they live next to lake tables on any storage the
+  * cluster reaches; writes go through a temp file + rename (the
+  * same atomic-publish manner as the snapshot sidecars).
+  */
+object Tokenizers {
+
+  private val mapper = new ObjectMapper()
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeLines(spark: SparkSession, path: String,
+      lines: Iterator[String]): Unit = {
+    val (fs, p) = fsFor(spark, path)
+    val tmp = new Path(p.getParent match {
+      case null => new Path(".")
+      case par => par
+    }, "." + p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, "UTF-8"))
+      lines.foreach { l => w.write(l); w.write('\n') }
+      w.flush()
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not publish $path")
+  }
+
+  private def readLines(spark: SparkSession, path: String,
+      expectType: String): List[com.fasterxml.jackson.databind.JsonNode] = {
+    val (fs, p) = fsFor(spark, path)
+    require(fs.exists(p), s"$path does not exist")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    require(lines.nonEmpty, s"$path is empty")
+    val head = mapper.readTree(lines.head)
+    val t = if (head.get("type") == null) null else head.get("type").asText()
+    require(t == expectType,
+      s"$path holds a '$t' model, expected '$expectType'")
+    lines.tail.filter(_.nonEmpty).map(mapper.readTree)
+  }
+
+  private def js(s: String): String = mapper.writeValueAsString(s)
+
+  // ---- BPE ------------------------------------------------------------
+
+  def saveBpe(spark: SparkSession, path: String,
+      merges: Seq[(Int, String, String)]): Unit =
+    writeLines(spark, path,
+      Iterator(s"""{"type":"bpe","n":${merges.size}}""") ++
+        merges.sortBy(_._1).iterator.map { case (_, l, r) =>
+          s"""{"l":${js(l)},"r":${js(r)}}"""
+        })
+
+  def loadBpe(spark: SparkSession, path: String): Seq[(Int, String, String)] =
+    readLines(spark, path, "bpe").zipWithIndex.map { case (n, i) =>
+      (i, n.get("l").asText(), n.get("r").asText())
+    }
+
+  // ---- WordPiece ------------------------------------------------------
+
+  def saveWordPiece(spark: SparkSession, path: String,
+      vocab: Seq[String]): Unit =
+    writeLines(spark, path,
+      Iterator(s"""{"type":"wordpiece","n":${vocab.size}}""") ++
+        vocab.iterator.map(p => s"""{"p":${js(p)}}"""))
+
+  def loadWordPiece(spark: SparkSession, path: String): Seq[String] =
+    readLines(spark, path, "wordpiece").map(_.get("p").asText())
+
+  // ---- Unigram --------------------------------------------------------
+
+  def saveUnigram(spark: SparkSession, path: String,
+      model: UnigramTokenizer.Model): Unit =
+    writeLines(spark, path,
+      Iterator(s"""{"type":"unigram","n":${model.pieces.length}}""") ++
+        model.pieces.indices.iterator.map { i =>
+          // Double.toString round-trips exactly (JLS shortest repr)
+          s"""{"p":${js(model.pieces(i))},"lp":${model.logProbs(i)}}"""
+        })
+
+  def loadUnigram(spark: SparkSession, path: String): UnigramTokenizer.Model = {
+    val rows = readLines(spark, path, "unigram")
+    UnigramTokenizer.Model(
+      rows.map(_.get("p").asText()).toArray,
+      rows.map(_.get("lp").asDouble()).toArray)
+  }
+}

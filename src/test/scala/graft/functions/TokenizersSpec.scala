@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Tokenizer persistence: round-trips for all three families, encode
+  * identity through reload, escaping, type guards, overwrite.
+  */
+class TokenizersSpec extends SparkTestBase {
+
+  private def tmp(name: String): String =
+    graft.GraftTmp.dir("graft-tok").resolve(name).toString
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    (Seq.fill(10)("the quick brown fox") ++ Seq.fill(4)("pack my box"))
+      .toDF("text")
+  }
+
+  test("bpe merges round-trip; encode identical through reload") {
+    val merges = Bpe.learnMerges(corpus, "text", numMerges = 12)
+    val p = tmp("bpe.jsonl")
+    Tokenizers.saveBpe(spark, p, merges)
+    val back = Tokenizers.loadBpe(spark, p)
+    assert(back.map(m => (m._2, m._3)) == merges.sortBy(_._1).map(m => (m._2, m._3)))
+    val s = spark
+    import s.implicits._
+    val df = Seq("the quick pack").toDF("t")
+    val a = df.select(Bpe.encode(col("t"), merges)).collect().head.getSeq[String](0)
+    val b = df.select(Bpe.encode(col("t"), back)).collect().head.getSeq[String](0)
+    assert(a == b)
+  }
+
+  test("wordpiece vocab round-trips in order; encode identical") {
+    val vocab = WordPiece.train(corpus, "text", vocabSize = 40)
+    val p = tmp("wp.jsonl")
+    Tokenizers.saveWordPiece(spark, p, vocab)
+    val back = Tokenizers.loadWordPiece(spark, p)
+    assert(back == vocab)
+    val s = spark
+    import s.implicits._
+    val df = Seq("quick box").toDF("t")
+    val a = df.select(WordPiece.encode(col("t"), vocab)).collect()
+      .head.getSeq[String](0)
+    val b = df.select(WordPiece.encode(col("t"), back)).collect()
+      .head.getSeq[String](0)
+    assert(a == b)
+  }
+
+  test("unigram model round-trips bit-exactly (log probs included)") {
+    val model = UnigramTokenizer.train(corpus, "text", vocabSize = 30,
+      maxPieceLen = 4, emIters = 2)
+    val p = tmp("uni.jsonl")
+    Tokenizers.saveUnigram(spark, p, model)
+    val back = Tokenizers.loadUnigram(spark, p)
+    assert(back.pieces.toSeq == model.pieces.toSeq)
+    assert(back.logProbs.toSeq == model.logProbs.toSeq) // bit-exact
+  }
+
+  test("pieces with quotes/backslashes/unicode escape safely") {
+    val vocab = Seq("[UNK]", "a\"b", "c\\d", "é日", "##\"")
+    val p = tmp("esc.jsonl")
+    Tokenizers.saveWordPiece(spark, p, vocab)
+    assert(Tokenizers.loadWordPiece(spark, p) == vocab)
+  }
+
+  test("type guard and overwrite") {
+    val p = tmp("guard.jsonl")
+    Tokenizers.saveWordPiece(spark, p, Seq("[UNK]", "a"))
+    intercept[IllegalArgumentException] { Tokenizers.loadBpe(spark, p) }
+    Tokenizers.saveWordPiece(spark, p, Seq("[UNK]", "b")) // overwrite
+    assert(Tokenizers.loadWordPiece(spark, p) == Seq("[UNK]", "b"))
+    intercept[IllegalArgumentException] {
+      Tokenizers.loadWordPiece(spark, tmp("missing.jsonl"))
+    }
+  }
+}
