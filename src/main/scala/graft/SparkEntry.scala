@@ -5616,6 +5616,26 @@ object SparkEntry {
           size(pieces).as("n_pieces"))
         .orderBy("doc_id")
     }),
+
+    // --- 235. LM persistence round-trip, oracle-pinned --------------------------------------------------
+    // q197's CCNet-style KN scoring with a SAVE + RELOAD between train
+    // and score: the reloaded parquet tables must reproduce every
+    // transition probability, so q197's replayed-oracle hash also pins
+    // the model store. The production shape: the filter model trains
+    // once, every later batch reloads it.
+    "q235_kn_reload" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train(docs.where(col("doc_id") % 5 === 0), "text")
+      val root = selfCleaningRoot("q235kn", d)
+      graft.functions.Models.saveKn(s, root, model)
+      val reloaded = graft.functions.Models.loadKn(s, root)
+      NgramLm.score(reloaded, docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_trans"),
+          round(col("avg_logp"), 7).as("avg_logp"),
+          round(exp(-round(col("avg_logp"), 7)), 6).as("ppl"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8954,7 +8974,53 @@ object SparkEntry {
         |    WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 2
         |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
         |    AS n_pieces
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // LM persistence: q197's oracle verbatim - the reload must
+    // reproduce every transition probability.
+    "q235_kn_reload" ->
+      """WITH tgt AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tp AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tgt WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM tp GROUP BY w1, w2),
+        |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |          COUNT(*) AS n1p FROM big GROUP BY w1),
+        |cont AS (SELECT w2, COUNT(*) AS contc FROM big GROUP BY w2),
+        |bt AS (SELECT COUNT(*) AS btypes FROM big),
+        |sd AS (
+        |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |sp AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM sd WHERE len(toks) >= 2)),
+        |p AS (
+        |  SELECT sp.doc_id, GREATEST(
+        |    CASE
+        |      WHEN b.c12 IS NOT NULL THEN
+        |        (CAST(b.c12 AS DOUBLE) - 0.75) / CAST(f.c1 AS DOUBLE)
+        |        + 0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |          * (CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE))
+        |      WHEN f.c1 IS NOT NULL THEN
+        |        0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |        * COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |      ELSE COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |    END, 1e-10) AS prob
+        |  FROM sp
+        |  LEFT JOIN big b ON sp.w1 = b.w1 AND sp.w2 = b.w2
+        |  LEFT JOIN pre f ON sp.w1 = f.w1
+        |  LEFT JOIN cont c ON sp.w2 = c.w2
+        |  CROSS JOIN bt)
+        |SELECT doc_id, COUNT(*) AS n_trans,
+        |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp,
+        |  ROUND(exp(-ROUND(SUM(ln(prob)) / COUNT(*), 7)), 6) AS ppl
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Model persistence for the QUALITY FILTERS — the same production
+  * contract as [[Tokenizers]]: a CCNet-style LM or a Naive-Bayes router
+  * is trained once on a reference snapshot and then scores every later
+  * batch and stream; re-training per session would re-rank the corpus
+  * under the consumer. Each model is a bundle of vocabulary-sized
+  * DataFrames plus scalars: the tables persist as parquet subdirectories
+  * (schema included, splittable, lake-native) and the scalars in a tiny
+  * JSON sidecar; loading re-reads the parquet, so a reloaded model
+  * scores from IDENTICAL counts — the score joins and aggregates are
+  * value-deterministic, making reload score-identity exact.
+  */
+object Models {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeMeta(spark: SparkSession, path: String,
+      tpe: String, scalars: Map[String, Double]): Unit = {
+    val p = new Path(path, "_model.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val kv = scalars.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      out.write(s"""{"type":"$tpe",$kv}""".getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String,
+      expect: String): com.fasterxml.jackson.databind.JsonNode = {
+    val p = new Path(path, "_model.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$path has no _model.json — not a saved model")
+    val in = fs.open(p)
+    val node =
+      try mapper.readTree(in)
+      finally in.close()
+    val t = if (node.get("type") == null) null else node.get("type").asText()
+    require(t == expect, s"$path holds a '$t' model, expected '$expect'")
+    node
+  }
+
+  private def writeTable(df: org.apache.spark.sql.DataFrame,
+      path: String, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$path/$name")
+
+  private def readTable(spark: SparkSession, path: String, name: String) =
+    spark.read.parquet(s"$path/$name")
+
+  // ---- Kneser-Ney bigram ---------------------------------------------
+
+  def saveKn(spark: SparkSession, path: String, m: NgramLm.KnModel): Unit = {
+    writeTable(m.bigrams, path, "bigrams")
+    writeTable(m.prefixes, path, "prefixes")
+    writeTable(m.continuations, path, "continuations")
+    writeTable(m.types, path, "types")
+    writeMeta(spark, path, "kn2", Map("discount" -> m.discount))
+  }
+
+  def loadKn(spark: SparkSession, path: String): NgramLm.KnModel = {
+    val meta = readMeta(spark, path, "kn2")
+    NgramLm.KnModel(
+      readTable(spark, path, "bigrams"),
+      readTable(spark, path, "prefixes"),
+      readTable(spark, path, "continuations"),
+      readTable(spark, path, "types"),
+      meta.get("discount").asDouble())
+  }
+
+  // ---- Kneser-Ney trigram --------------------------------------------
+
+  def saveKn3(spark: SparkSession, path: String, m: NgramLm.Kn3Model): Unit = {
+    writeTable(m.trigrams, path, "trigrams")
+    writeTable(m.prefixes12, path, "prefixes12")
+    writeTable(m.mids, path, "mids")
+    writeTable(m.midPrefixes, path, "midPrefixes")
+    writeTable(m.continuations, path, "continuations")
+    writeTable(m.types, path, "types")
+    writeMeta(spark, path, "kn3", Map("discount" -> m.discount))
+  }
+
+  def loadKn3(spark: SparkSession, path: String): NgramLm.Kn3Model = {
+    val meta = readMeta(spark, path, "kn3")
+    NgramLm.Kn3Model(
+      readTable(spark, path, "trigrams"),
+      readTable(spark, path, "prefixes12"),
+      readTable(spark, path, "mids"),
+      readTable(spark, path, "midPrefixes"),
+      readTable(spark, path, "continuations"),
+      readTable(spark, path, "types"),
+      meta.get("discount").asDouble())
+  }
+
+  // ---- Naive Bayes ----------------------------------------------------
+
+  def saveNb(spark: SparkSession, path: String, m: NaiveBayes.NbModel): Unit = {
+    writeTable(m.features, path, "features")
+    writeTable(m.classes, path, "classes")
+    writeTable(m.totals, path, "totals")
+    writeTable(m.vocab, path, "vocab")
+    writeMeta(spark, path, "nb", Map("alpha" -> m.alpha))
+  }
+
+  def loadNb(spark: SparkSession, path: String): NaiveBayes.NbModel = {
+    val meta = readMeta(spark, path, "nb")
+    NaiveBayes.NbModel(
+      readTable(spark, path, "features"),
+      readTable(spark, path, "classes"),
+      readTable(spark, path, "totals"),
+      readTable(spark, path, "vocab"),
+      meta.get("alpha").asDouble())
+  }
+}

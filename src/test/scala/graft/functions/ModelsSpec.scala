@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Quality-filter model persistence: score identity through reload for
+  * the KN bigram/trigram LMs and the NB classifier; type guards.
+  */
+class ModelsSpec extends SparkTestBase {
+
+  private def tmp(name: String): String =
+    graft.GraftTmp.dir("graft-models").resolve(name).toString
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the rug", "en"),
+      (3L, "le chat et le chien", "fr"),
+      (4L, "the cat and the dog ran", "en"),
+      (5L, "le chien et le chat dorment", "fr"))
+      .toDF("id", "text", "lang")
+  }
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]) =
+    df.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+
+  test("kn bigram: reloaded model scores identically") {
+    val m = NgramLm.train(corpus, "text")
+    val p = tmp("kn2")
+    Models.saveKn(spark, p, m)
+    val back = Models.loadKn(spark, p)
+    assert(back.discount == m.discount)
+    val target = corpus.select(col("id"), col("text"))
+    val a = collectScores(NgramLm.score(m, target, "id", "text"),
+      Seq("id", "avg_logp"))
+    val b = collectScores(NgramLm.score(back, target, "id", "text"),
+      Seq("id", "avg_logp"))
+    assert(a == b)
+  }
+
+  test("kn trigram: reloaded model scores identically") {
+    val m = NgramLm.train3(corpus, "text")
+    val p = tmp("kn3")
+    Models.saveKn3(spark, p, m)
+    val back = Models.loadKn3(spark, p)
+    val target = corpus.select(col("id"), col("text"))
+    val a = collectScores(NgramLm.score3(m, target, "id", "text"),
+      Seq("id", "avg_logp"))
+    val b = collectScores(NgramLm.score3(back, target, "id", "text"),
+      Seq("id", "avg_logp"))
+    assert(a == b)
+  }
+
+  test("naive bayes: reloaded model predicts identically") {
+    val m = NaiveBayes.train(corpus, "text", "lang")
+    val p = tmp("nb")
+    Models.saveNb(spark, p, m)
+    val back = Models.loadNb(spark, p)
+    assert(back.alpha == m.alpha)
+    val target = corpus.select(col("id"), col("text"))
+    val a = collectScores(NaiveBayes.predict(m, target, "id", "text"),
+      Seq("id", "label"))
+    val b = collectScores(NaiveBayes.predict(back, target, "id", "text"),
+      Seq("id", "label"))
+    assert(a == b)
+  }
+
+  test("type guards: loading the wrong family fails clearly") {
+    val p = tmp("guard")
+    Models.saveNb(spark, p, NaiveBayes.train(corpus, "text", "lang"))
+    intercept[IllegalArgumentException] { Models.loadKn(spark, p) }
+    intercept[IllegalArgumentException] {
+      Models.loadNb(spark, tmp("missing-model"))
+    }
+  }
+}
