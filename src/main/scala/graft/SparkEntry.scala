@@ -5636,6 +5636,24 @@ object SparkEntry {
           round(exp(-round(col("avg_logp"), 7)), 6).as("ppl"))
         .orderBy("doc_id")
     }),
+
+    // --- 236. confusable skeleton, oracle-pinned --------------------------------------------------------
+    // The IDN-homograph normalization: three host shapes — clean latin,
+    // the SAME host spelled with Cyrillic homographs (must collide), a
+    // fullwidth-form host (NFKC folds it) — skeleton and the
+    // spoof-collision count closed-form.
+    "q236_skeleton" -> ((s, d) => {
+      val num = (col("doc_id") % 100).cast("string")
+      val m = col("doc_id") % 3
+      val host = when(m === 0, concat(lit("shop"), num, lit(".com")))
+        .when(m === 1, concat(lit("shоp"), num, lit(".cоm"))) // Cyrillic о
+        .otherwise(concat(lit("ｓｈｏｐ"), num, lit(".com"))) // fullwidth shop
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.skeleton(host).as("skeleton"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("skeleton"))).cast("int"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8975,6 +8993,16 @@ object SparkEntry {
         |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
         |    AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Skeleton: all three shapes collapse to one key; the collision
+    // count replays as a window over the same construction.
+    "q236_skeleton" ->
+      """WITH k AS (
+        |  SELECT doc_id, 'shop' || doc_id % 100 || '.com' AS skeleton
+        |  FROM documents)
+        |SELECT doc_id, skeleton,
+        |  CAST(COUNT(*) OVER (PARTITION BY skeleton) AS INT) AS n_same
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // LM persistence: q197's oracle verbatim - the reload must
     // reproduce every transition probability.

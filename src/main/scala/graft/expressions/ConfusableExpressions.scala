@@ -1,0 +1,100 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Confusable skeleton — the IDN-homograph / brand-spoof detector's
+  * normalization (the UTS #39 skeleton idea): `аррІе.com` spelled with
+  * Cyrillic letters must collide with `apple.com` under the skeleton,
+  * and a URL/domain whose skeleton differs from its plain lowercase IS
+  * the mixed-script spoof signal. Also a dedup key hardener: spam farms
+  * rotate confusables precisely to defeat exact keys.
+  *
+  * Pipeline: NFKC (reuses [[UnicodeOps]] — folds fullwidth forms,
+  * ligatures, compatibility variants algorithmically), lowercase, then
+  * the confusable map. Scope (documented): the high-confidence core of
+  * the confusables data — the Cyrillic and Greek letters whose glyphs
+  * are IDENTICAL to Latin in common fonts (the homograph-attack
+  * alphabet), not the full 6k-pair table; unmapped characters pass
+  * through, so the skeleton is always total and deterministic.
+  */
+object ConfusableCodec {
+
+  /** codepoint -> replacement (post-NFKC, post-lowercase). */
+  private val map: java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String]()
+    def put(cp: Int, s: String): Unit = { m.put(cp, s); () }
+    // Cyrillic lowercase homographs
+    put(0x0430, "a"); put(0x0435, "e"); put(0x043E, "o"); put(0x0440, "p")
+    put(0x0441, "c"); put(0x0443, "y"); put(0x0445, "x"); put(0x0455, "s")
+    put(0x0456, "i"); put(0x0457, "i"); put(0x0458, "j"); put(0x04BB, "h")
+    put(0x0501, "d"); put(0x051B, "q"); put(0x051D, "w"); put(0x0454, "e")
+    // Greek lowercase homographs
+    put(0x03BF, "o") // omicron
+    put(0x03B9, "i") // iota
+    put(0x03BD, "v") // nu
+    put(0x03C5, "u") // upsilon
+    put(0x03BA, "k") // kappa
+    put(0x03C1, "p") // rho
+    // punctuation/digit lookalikes that appear in spoofed URLs
+    put(0x2010, "-"); put(0x2011, "-"); put(0x2012, "-"); put(0x2013, "-")
+    put(0x2014, "-"); put(0x2212, "-")
+    put(0x02BC, "'"); put(0x2018, "'"); put(0x2019, "'")
+    put(0x00B7, "."); put(0x2024, ".")
+    m
+  }
+
+  def skeleton(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    // NFKC folds width/compatibility forms; then lowercase; then map.
+    val nk = UnicodeOps.nfkc(u)
+    val s = nk.toString.toLowerCase(java.util.Locale.ROOT)
+    var out: java.lang.StringBuilder = null
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      val rep = map.get(cp)
+      if (rep != null) {
+        if (out == null) {
+          out = new java.lang.StringBuilder(s.length)
+          out.append(s, 0, i)
+        }
+        out.append(rep)
+      } else if (out != null) out.appendCodePoint(cp)
+      i += n
+    }
+    UTF8String.fromString(if (out == null) s else out.toString)
+  }
+
+  /** The spoof signal: true when the skeleton changed something beyond
+    * plain NFKC+lowercase — i.e., confusable substitution is present.
+    */
+  def isSpoofy(u: UTF8String): Boolean = {
+    if (u == null) return false
+    val plain = UnicodeOps.nfkc(u).toString.toLowerCase(java.util.Locale.ROOT)
+    skeleton(u).toString != plain
+  }
+}
+
+/** `string` -> confusable skeleton ([[ConfusableCodec.skeleton]]):
+  * NFKC + lowercase + the homograph-core confusable map. Codegen'd.
+  */
+case class ConfusableSkeletonExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    ConfusableCodec.skeleton(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ConfusableCodec.skeleton($c)")
+  override protected def withNewChildInternal(newChild: Expression): ConfusableSkeletonExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_skeleton"
+}

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_skeleton"),
+      new ExpressionInfo(classOf[ConfusableSkeletonExpr].getName, "graft_skeleton"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => ConfusableSkeletonExpr(s)
+        case _ => throw new IllegalArgumentException("graft_skeleton(string)")
+      }),
+    (
       FunctionIdentifier("graft_strip_base64"),
       new ExpressionInfo(classOf[Base64StripExpr].getName, "graft_strip_base64"),
       (args: Seq[Expression]) => args match {

@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Confusable skeleton ([[graft.expressions.ConfusableSkeletonExpr]]):
+    * NFKC + lowercase + the homograph-core map — the IDN-spoof
+    * normalization (Cyrillic apple collides with apple) and a dedup-key
+    * hardener against confusable rotation.
+    */
+  def skeleton(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ConfusableSkeletonExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Base64-blob removal ([[graft.expressions.Base64StripExpr]]):
     * embedded binary masquerading as text — qualifying mixed-alphabet
     * runs >= minRun chars (PEM line wraps ride along) removed, counts

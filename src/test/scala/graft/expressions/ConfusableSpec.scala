@@ -1,0 +1,62 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Confusable skeleton: homograph collisions, spoof signal, NFKC
+  * composition, passthroughs, SQL surface.
+  */
+class ConfusableSpec extends graft.SparkTestBase {
+
+  private def sk(s: String): String =
+    ConfusableCodec.skeleton(UTF8String.fromString(s)).toString
+
+  test("cyrillic homograph domain collides with the latin original") {
+    // 'аррle.com' with Cyrillic а (0430) and р (0440)
+    val spoof = "аррle.com"
+    assert(sk(spoof) == "apple.com")
+    assert(sk("apple.com") == "apple.com")
+    assert(sk(spoof) == sk("APPLE.com"))
+  }
+
+  test("greek omicron and friends fold") {
+    assert(sk("gοοgle.com") == "google.com") // omicrons
+    assert(sk("mιcrοsoft") == "microsoft")
+  }
+
+  test("nfkc composes: fullwidth forms fold before mapping") {
+    assert(sk("ａｂｃ.com") == "abc.com") // ｆullwidth abc
+  }
+
+  test("dash and quote lookalikes normalize") {
+    assert(sk("foo–bar") == "foo-bar") // en dash
+    assert(sk("it’s") == "it's")
+  }
+
+  test("spoof signal: substitution beyond case/NFKC") {
+    assert(ConfusableCodec.isSpoofy(UTF8String.fromString("pаypal.com")))
+    assert(!ConfusableCodec.isSpoofy(UTF8String.fromString("paypal.com")))
+    assert(!ConfusableCodec.isSpoofy(UTF8String.fromString("PAYPAL.com")))
+    // the signal targets IDENTIFIERS: genuine Cyrillic prose contains
+    // homograph-core letters too and flags — callers gate on
+    // identifier-shaped input (hosts, handles), documented scope.
+    assert(ConfusableCodec.isSpoofy(UTF8String.fromString("привет мир")))
+  }
+
+  test("unmapped text passes through; null propagates") {
+    assert(sk("日本語テキスト") == "日本語テキスト")
+    assert(sk("plain ascii 123") == "plain ascii 123")
+    assert(ConfusableCodec.skeleton(null) == null)
+  }
+
+  test("sql surface: skeleton grouping catches the spoof pair") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("bank.com", "bаnk.com", "other.com").toDF("h")
+      .createOrReplaceTempView("conf_t")
+    val groups = s.sql(
+      "SELECT graft_skeleton(h) AS k, COUNT(*) AS n FROM conf_t GROUP BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(groups("bank.com") == 2 && groups("other.com") == 1)
+  }
+}
