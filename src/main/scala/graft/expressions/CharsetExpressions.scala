@@ -609,11 +609,14 @@ object CharsetCodec {
     if (b.length == 0) return UTF8String.EMPTY_UTF8
     val label = sniff(b).toString
     if (label == "us-ascii" || label == "utf-8") {
-      // zero-copy fast path: already UTF-8 (minus a possible BOM).
+      // zero-copy fast path: already UTF-8 (minus a possible BOM). The
+      // DETECTION scan is capped, so the full payload must revalidate
+      // here — for BOTH labels: an ascii-classified payload can hide
+      // arbitrary bytes past the cap just as a utf-8 one can.
       val (arr, off, len) = stripBom(b, "utf-8")
-      if (utf8Class(b, b.length, capped = false) >= 0 || label == "us-ascii")
+      if (utf8Class(b, b.length, capped = false) >= 0)
         return UTF8String.fromBytes(arr, off, len)
-      // capped scan said utf-8 but the tail is malformed: REPLACE-decode.
+      // capped scan misclassified a malformed tail: REPLACE-decode.
       return UTF8String.fromString(decodeAs(b, "utf-8"))
     }
     UTF8String.fromString(decodeAs(b, label))

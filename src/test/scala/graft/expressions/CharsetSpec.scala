@@ -168,6 +168,23 @@ class CharsetSpec extends SparkTestBase {
     assert(detect(enc(big, "windows-1251")) == "windows-1251")
   }
 
+  test("malformed tail PAST the detection cap never rides the zero-copy path") {
+    // > ScanCap of pure ascii, then an invalid byte sequence: detection
+    // (capped) says us-ascii, but toUtf8 must revalidate in full and
+    // REPLACE the tail — the output is always valid UTF-8.
+    val b = ("a" * (CharsetCodec.ScanCap + 100)).getBytes ++
+      Array(0xFF.toByte, 0xFE.toByte, 0x81.toByte)
+    val out = toUtf8(b)
+    assert(out.startsWith("aaa"))
+    assert(out.contains("�")) // replacement, not raw invalid bytes
+    // same for a valid-utf-8 head with a truncated multibyte tail
+    val b2 = ("é" * 40000).getBytes(StandardCharsets.UTF_8) ++
+      Array(0xE3.toByte)
+    val out2 = toUtf8(b2)
+    assert(out2.endsWith("�") || out2.endsWith("é"))
+    assert(UTF8String.fromString(out2).toString == out2)
+  }
+
   test("sql surface: graft_charset / graft_to_utf8") {
     val s = spark
     GraftExtensions.register(s)
