@@ -33,7 +33,7 @@ object FrontMatterCodec {
     val s = u.toString
     // the fence must open the document (BOM/blank tolerated)
     var p = 0
-    if (s.startsWith("﻿")) p = 1
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') p = 1
     while (p < s.length && (s.charAt(p) == ' ' || s.charAt(p) == '\r' ||
       s.charAt(p) == '\n')) p += 1
     if (!s.startsWith("---", p)) return null
