@@ -74,6 +74,26 @@ class RepeatedSpanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("skew posture: a gram shared by most of the corpus stays correct") {
+    // one boilerplate sentence in 80% of documents -> its (gram, doc)
+    // postings and (doc, pos) coverage rows are the hot groups; the
+    // two-level aggregate and equi-joins must neither wedge nor
+    // miscount under that skew.
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 400L).map { i =>
+      if (i % 5 != 0) (i, s"unique lead $i follow the daily newsletter here now tail$i")
+      else (i, s"totally distinct content $i with other words")
+    }
+    val out = Dedup.dropRepeatedSpans(docs.toDF("id", "text"), "id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // the 320 boilerplate docs each lose the shared 6-token span
+    // ("follow the daily newsletter here now"); hot-gram docs keep
+    // their unique lead/tail tokens
+    assert(out.count { case (id, rem) => id % 5 != 0 && rem >= 6 } == 320)
+    assert(out.count { case (id, rem) => id % 5 == 0 && rem == 0 } == 80)
+  }
+
   test("partitioning-invariant") {
     val s = spark
     import s.implicits._
