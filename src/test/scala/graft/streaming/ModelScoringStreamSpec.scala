@@ -72,4 +72,36 @@ class ModelScoringStreamSpec extends SparkTestBase {
     assert(got.toSeq ==
       Seq(graft.expressions.MediaCodec.imagePhash(pgm).longValue()))
   }
+  test("a RELOADED NB model scores a stream identically to the live one") {
+    // the full production loop: train -> save -> reload -> score a
+    // stream; the reloaded parquet tables must route identically.
+    val model = NaiveBayes.train(
+      Seq(("good good fine", "p"), ("good", "p"), ("bad bad", "n"))
+        .toDF("text", "label"),
+      "text", "label")
+    val mp = graft.GraftTmp.dir("graft-snb-model").toString
+    graft.functions.Models.saveNb(spark, mp, model)
+    val reloaded = graft.functions.Models.loadNb(spark, mp)
+    val dir = graft.GraftTmp.dir("graft-snb2")
+    Files.write(dir.resolve("a.json"),
+      """{"id": 1, "text": "good fine"}
+        |{"id": 2, "text": "bad bad bad"}""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+    val q = NaiveBayes.score(reloaded, stream, "id", "text")
+      .writeStream.format("memory").queryName("nbreload")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT id, label, score FROM nbreload ORDER BY id, label")
+      .as[(Long, String, Double)].collect().toSeq
+    val want = NaiveBayes.score(model,
+        Seq((1L, "good fine"), (2L, "bad bad bad")).toDF("id", "text"),
+        "id", "text")
+      .select(col("id"), col("label"), col("score"))
+      .orderBy("id", "label").as[(Long, String, Double)].collect().toSeq
+    assert(got == want)
+  }
 }
