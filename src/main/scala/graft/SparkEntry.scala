@@ -5654,6 +5654,31 @@ object SparkEntry {
           count(lit(1)).over(Window.partitionBy(col("skeleton"))).cast("int"))
         .orderBy("doc_id")
     }),
+
+    // --- 237. iCalendar event extraction, oracle-pinned -------------------------------------------------
+    // RFC 5545 payloads parsed for metadata: a two-event calendar per
+    // row — parameterized timestamps, an escaped comma, a FOLDED
+    // summary line, a mailto organizer — every field closed-form.
+    "q237_ical_events" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val day = lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")
+      val ics = concat(
+        lit("BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:Sync\\, doc "), id,
+        lit("\r\nDTSTART;TZID=UTC:202403"), day,
+        lit("T100000\r\nORGANIZER:mailto:owner"), id,
+        lit("@ex.io\r\nEND:VEVENT\r\nBEGIN:VEVENT\r\nSUMMARY:Offsite\r\n folded "),
+        id, lit("\r\nLOCATION:Hall "), (col("doc_id") % 9).cast("string"),
+        lit("\r\nEND:VEVENT\r\nEND:VCALENDAR"))
+      val v = TF.icalEvents(ics)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_events").as("n_events"),
+          posexplode(v.getField("events")).as(Seq("i", "e")))
+        .select(col("doc_id"), col("n_events"), col("i").cast("int").as("i"),
+          col("e.summary").as("summary"), col("e.dtstart").as("dtstart"),
+          col("e.location").as("location"),
+          col("e.organizer").as("organizer"))
+        .orderBy("doc_id", "i")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -8993,6 +9018,21 @@ object SparkEntry {
         |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
         |    AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // iCal: both events' fields restated; the folded summary joins.
+    "q237_ical_events" ->
+      """WITH rows0 AS (
+        |  SELECT doc_id, i FROM documents, LATERAL UNNEST(range(2)) AS u(i))
+        |SELECT doc_id, CAST(2 AS INT) AS n_events, CAST(i AS INT) AS i,
+        |  CASE i WHEN 0 THEN 'Sync, doc ' || doc_id
+        |    ELSE 'Offsitefolded ' || doc_id END AS summary,
+        |  CASE i WHEN 0 THEN '202403'
+        |    || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T100000'
+        |    ELSE NULL END AS dtstart,
+        |  CASE i WHEN 1 THEN 'Hall ' || doc_id % 9 ELSE NULL END AS location,
+        |  CASE i WHEN 0 THEN 'owner' || doc_id || '@ex.io' ELSE NULL END
+        |    AS organizer
+        |FROM rows0 ORDER BY doc_id, i""".stripMargin,
 
     // Skeleton: all three shapes collapse to one key; the collision
     // count replays as a window over the same construction.

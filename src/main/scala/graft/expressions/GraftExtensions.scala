@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_ical_events"),
+      new ExpressionInfo(classOf[IcalEventsExpr].getName, "graft_ical_events"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => IcalEventsExpr(s)
+        case _ => throw new IllegalArgumentException("graft_ical_events(string)")
+      }),
+    (
       FunctionIdentifier("graft_skeleton"),
       new ExpressionInfo(classOf[ConfusableSkeletonExpr].getName, "graft_skeleton"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,155 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** iCalendar (RFC 5545) event extraction — `.ics` attachments and feeds
+  * are a common crawl payload (event sites, mail attachments, public
+  * calendars), structurally rich AND PII-adjacent (organizer/attendee
+  * addresses), so a corpus pipeline wants them parsed for the metadata
+  * and routable into the PII sweep rather than treated as prose.
+  *
+  * The RFC shapes handled: 75-octet LINE FOLDING unfolded first (a CRLF
+  * or LF followed by one space/tab continues the line — same rule the
+  * mail header walk uses), `BEGIN:VEVENT`..`END:VEVENT` blocks,
+  * properties with parameters (`DTSTART;TZID=X:value` — parameters are
+  * dropped, the value kept raw), and TEXT escaping (`\\n` newline,
+  * `\\,` `\\;` `\\\\` literals). Per event: SUMMARY, DTSTART, DTEND,
+  * LOCATION, ORGANIZER (mailto: prefix stripped). Bomb cap at
+  * [[IcalCodec.MaxEvents]]; null when no VCALENDAR/VEVENT structure.
+  */
+object IcalCodec {
+
+  val MaxEvents = 2048
+
+  private def unfold(s: String): Array[String] = {
+    val out = new java.util.ArrayList[String](32)
+    val sb = new java.lang.StringBuilder()
+    val lines = s.split("\r?\n", -1)
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.nonEmpty && (l.charAt(0) == ' ' || l.charAt(0) == '\t'))
+        sb.append(l, 1, l.length)
+      else {
+        if (sb.length > 0) out.add(sb.toString)
+        sb.setLength(0)
+        sb.append(l)
+      }
+      i += 1
+    }
+    if (sb.length > 0) out.add(sb.toString)
+    out.toArray(new Array[String](out.size))
+  }
+
+  private def unescape(v: String): String = {
+    if (v.indexOf('\\') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' | 'N' => sb.append('\n')
+          case d => sb.append(d)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def events(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    if (!s.contains("BEGIN:VCALENDAR") && !s.contains("BEGIN:VEVENT"))
+      return null
+    val lines = unfold(s)
+    val out = new java.util.ArrayList[AnyRef](8)
+    var in = false
+    var summary: String = null; var dtstart: String = null
+    var dtend: String = null; var location: String = null
+    var organizer: String = null
+    var i = 0
+    while (i < lines.length && out.size < MaxEvents) {
+      val l = lines(i)
+      if (l.equalsIgnoreCase("BEGIN:VEVENT")) {
+        in = true
+        summary = null; dtstart = null; dtend = null
+        location = null; organizer = null
+      } else if (l.equalsIgnoreCase("END:VEVENT")) {
+        if (in) {
+          val f = new Array[Any](5)
+          def u8(x: String): AnyRef =
+            if (x == null) null else UTF8String.fromString(x)
+          f(0) = u8(summary); f(1) = u8(dtstart); f(2) = u8(dtend)
+          f(3) = u8(location); f(4) = u8(organizer)
+          out.add(new GenericInternalRow(f))
+        }
+        in = false
+      } else if (in) {
+        val colon = l.indexOf(':')
+        if (colon > 0) {
+          val semi = l.indexOf(';')
+          val name = (if (semi >= 0 && semi < colon) l.substring(0, semi)
+            else l.substring(0, colon)).toUpperCase(java.util.Locale.ROOT)
+          val value = unescape(l.substring(colon + 1).trim)
+          name match {
+            case "SUMMARY" if summary == null => summary = value
+            case "DTSTART" if dtstart == null => dtstart = value
+            case "DTEND" if dtend == null => dtend = value
+            case "LOCATION" if location == null => location = value
+            case "ORGANIZER" if organizer == null =>
+              organizer =
+                if (value.toLowerCase(java.util.Locale.ROOT)
+                  .startsWith("mailto:")) value.substring(7)
+                else value
+            case _ =>
+          }
+        }
+      }
+      i += 1
+    }
+    if (out.size == 0) return null
+    new GenericInternalRow(Array[Any](
+      out.size, new GenericArrayData(out.toArray)))
+  }
+}
+
+/** `string` -> struct<n_events, events array<struct<summary,dtstart,
+  * dtend,location,organizer>>> ([[IcalCodec.events]]); NULL for
+  * non-calendar text.
+  */
+case class IcalEventsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_events", IntegerType, nullable = false),
+    StructField("events", ArrayType(StructType(Seq(
+      StructField("summary", StringType),
+      StructField("dtstart", StringType),
+      StructField("dtend", StringType),
+      StructField("location", StringType),
+      StructField("organizer", StringType))), containsNull = false),
+      nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    IcalCodec.events(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.IcalCodec.events($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): IcalEventsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ical_events"
+}

@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** iCalendar event extraction ([[graft.expressions.IcalEventsExpr]]):
+    * RFC 5545 folding/escaping/parameters to per-event
+    * summary/times/location/organizer — .ics crawl payloads parsed for
+    * metadata and routable into the PII sweep. NULL for non-calendar.
+    */
+  def icalEvents(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.IcalEventsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Confusable skeleton ([[graft.expressions.ConfusableSkeletonExpr]]):
     * NFKC + lowercase + the homograph-core map — the IDN-spoof
     * normalization (Cyrillic apple collides with apple) and a dedup-key

@@ -1,0 +1,66 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** iCal extraction: folding, escaping, parameters, mailto strip,
+  * multi-event order, rejects, SQL surface.
+  */
+class IcalSpec extends graft.SparkTestBase {
+
+  private def ev(s: String) = IcalCodec.events(UTF8String.fromString(s))
+
+  private val ics =
+    "BEGIN:VCALENDAR\r\nVERSION:2.0\r\n" +
+      "BEGIN:VEVENT\r\n" +
+      "SUMMARY:Team sync\\, weekly\r\n" +
+      "DTSTART;TZID=Europe/Berlin:20240301T100000\r\n" +
+      "DTEND;TZID=Europe/Berlin:20240301T110000\r\n" +
+      "LOCATION:Room 4\r\n" +
+      "ORGANIZER;CN=Jane:mailto:jane@ex.io\r\n" +
+      "END:VEVENT\r\n" +
+      "BEGIN:VEVENT\r\n" +
+      "SUMMARY:Offsite with a very long subject line that the writer\r\n" +
+      " folded across two physical lines\r\n" +
+      "DTSTART:20240402\r\n" +
+      "END:VEVENT\r\n" +
+      "END:VCALENDAR\r\n"
+
+  test("events in order with params dropped, escapes and folding applied") {
+    val r = ev(ics)
+    assert(r != null && r.getInt(0) == 2)
+    val e0 = r.getArray(1).getStruct(0, 5)
+    assert(e0.getUTF8String(0).toString == "Team sync, weekly")
+    assert(e0.getUTF8String(1).toString == "20240301T100000")
+    assert(e0.getUTF8String(2).toString == "20240301T110000")
+    assert(e0.getUTF8String(3).toString == "Room 4")
+    assert(e0.getUTF8String(4).toString == "jane@ex.io")
+    val e1 = r.getArray(1).getStruct(1, 5)
+    assert(e1.getUTF8String(0).toString ==
+      "Offsite with a very long subject line that the writerfolded across two physical lines")
+    assert(e1.isNullAt(2) && e1.isNullAt(3) && e1.isNullAt(4))
+  }
+
+  test("escaped newline and backslash in text values") {
+    val r = ev("BEGIN:VEVENT\nSUMMARY:line1\\nline2 \\\\ done\nEND:VEVENT")
+    assert(r.getArray(1).getStruct(0, 5).getUTF8String(0).toString ==
+      "line1\nline2 \\ done")
+  }
+
+  test("rejects: prose, empty calendar, null") {
+    assert(ev("just some text") == null)
+    assert(ev("BEGIN:VCALENDAR\nEND:VCALENDAR") == null)
+    assert(IcalCodec.events(null) == null)
+  }
+
+  test("sql surface: organizer census feeds the PII sweep") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(ics).toDF("t").createOrReplaceTempView("ical_t")
+    val row = s.sql(
+      "SELECT graft_ical_events(t).n_events AS n, " +
+        "graft_ical_events(t).events[0].organizer AS o FROM ical_t")
+      .collect().head
+    assert(row.getInt(0) == 2 && row.getString(1) == "jane@ex.io")
+  }
+}
