@@ -5679,6 +5679,32 @@ object SparkEntry {
           col("e.organizer").as("organizer"))
         .orderBy("doc_id", "i")
     }),
+
+    // --- 238. vCard contact extraction, oracle-pinned ---------------------------------------------------
+    // The most PII-dense crawl payload, recognized for routing: one card
+    // per row with a group-prefixed work email, a second email the
+    // counter must tally, a parameterized phone and a multi-component
+    // ORG; every field + count closed-form.
+    "q238_vcards" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val vcf = concat(
+        lit("BEGIN:VCARD\r\nFN:User "), id,
+        lit("\r\nORG:Org "), (col("doc_id") % 7).cast("string"),
+        lit(";Dept\r\nitem1.EMAIL;TYPE=work:u"), id,
+        lit("@ex.io\r\nEMAIL:u"), id,
+        lit("@home.io\r\nTEL;TYPE=cell:+1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("\r\nEND:VCARD"))
+      val v = TF.vcards(vcf)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_cards").as("n_cards"),
+          v.getField("cards").getItem(0).as("c"))
+        .select(col("doc_id"), col("n_cards"),
+          col("c.fn").as("fn"), col("c.email").as("email"),
+          col("c.tel").as("tel"), col("c.org").as("org"),
+          col("c.n_emails").as("n_emails"), col("c.n_tels").as("n_tels"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9017,6 +9043,17 @@ object SparkEntry {
         |    WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 2
         |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
         |    AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // vCard closed form: firsts kept, counts tallied, org first component.
+    "q238_vcards" ->
+      """SELECT doc_id,
+        |  CAST(1 AS INT) AS n_cards,
+        |  'User ' || doc_id AS fn,
+        |  'u' || doc_id || '@ex.io' AS email,
+        |  '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS tel,
+        |  'Org ' || doc_id % 7 AS org,
+        |  CAST(2 AS INT) AS n_emails, CAST(1 AS INT) AS n_tels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // iCal: both events' fields restated; the folded summary joins.

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_vcards"),
+      new ExpressionInfo(classOf[VcardsExpr].getName, "graft_vcards"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => VcardsExpr(s)
+        case _ => throw new IllegalArgumentException("graft_vcards(string)")
+      }),
+    (
       FunctionIdentifier("graft_ical_events"),
       new ExpressionInfo(classOf[IcalEventsExpr].getName, "graft_ical_events"),
       (args: Seq[Expression]) => args match {

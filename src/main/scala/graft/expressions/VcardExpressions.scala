@@ -1,0 +1,158 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** vCard (RFC 6350 / 2426) contact extraction — `.vcf` payloads are the
+  * most PII-dense format a crawl encounters (names, phones, emails,
+  * addresses in one block): a corpus pipeline must RECOGNIZE them to
+  * route them into redaction/drop policy rather than let contact dumps
+  * ride into a text corpus as high-quality "prose".
+  *
+  * Same line discipline as [[IcalCodec]] (the two RFCs share it):
+  * folding unfolded, `BEGIN:VCARD`..`END:VCARD` blocks, property
+  * parameters dropped (`TEL;TYPE=cell:+1...` -> value), TEXT escapes
+  * decoded. Per card: FN (formatted name), first EMAIL, first TEL, ORG;
+  * plus the card and email/tel COUNTS — the routing signal is usually
+  * "how many contacts", not the values. Cap at [[VcardCodec.MaxCards]].
+  */
+object VcardCodec {
+
+  val MaxCards = 4096
+
+  private def unfold(s: String): Array[String] = {
+    val out = new java.util.ArrayList[String](32)
+    val sb = new java.lang.StringBuilder()
+    val lines = s.split("\r?\n", -1)
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.nonEmpty && (l.charAt(0) == ' ' || l.charAt(0) == '\t'))
+        sb.append(l, 1, l.length)
+      else {
+        if (sb.length > 0) out.add(sb.toString)
+        sb.setLength(0)
+        sb.append(l)
+      }
+      i += 1
+    }
+    if (sb.length > 0) out.add(sb.toString)
+    out.toArray(new Array[String](out.size))
+  }
+
+  private def unescape(v: String): String = {
+    if (v.indexOf('\\') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' | 'N' => sb.append('\n')
+          case d => sb.append(d)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def cards(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    if (!s.contains("BEGIN:VCARD")) return null
+    val lines = unfold(s)
+    val out = new java.util.ArrayList[AnyRef](8)
+    var in = false
+    var fn: String = null; var email: String = null
+    var tel: String = null; var org: String = null
+    var nEmails = 0; var nTels = 0
+    var i = 0
+    while (i < lines.length && out.size < MaxCards) {
+      val l = lines(i)
+      if (l.equalsIgnoreCase("BEGIN:VCARD")) {
+        in = true
+        fn = null; email = null; tel = null; org = null
+        nEmails = 0; nTels = 0
+      } else if (l.equalsIgnoreCase("END:VCARD")) {
+        if (in) {
+          val f = new Array[Any](6)
+          def u8(x: String): AnyRef =
+            if (x == null) null else UTF8String.fromString(x)
+          f(0) = u8(fn); f(1) = u8(email); f(2) = u8(tel); f(3) = u8(org)
+          f(4) = nEmails; f(5) = nTels
+          out.add(new GenericInternalRow(f))
+        }
+        in = false
+      } else if (in) {
+        val colon = l.indexOf(':')
+        if (colon > 0) {
+          val semi = l.indexOf(';')
+          val name = (if (semi >= 0 && semi < colon) l.substring(0, semi)
+            else l.substring(0, colon)).toUpperCase(java.util.Locale.ROOT)
+          // group prefixes (item1.EMAIL) resolve to the bare name
+          val bare = {
+            val dot = name.lastIndexOf('.')
+            if (dot >= 0) name.substring(dot + 1) else name
+          }
+          val value = unescape(l.substring(colon + 1).trim)
+          bare match {
+            case "FN" if fn == null => fn = value
+            case "EMAIL" =>
+              nEmails += 1
+              if (email == null) email = value
+            case "TEL" =>
+              nTels += 1
+              if (tel == null) tel = value
+            case "ORG" if org == null =>
+              // ORG components are ;-separated; the org name is first
+              org = value.split(";", 2)(0)
+            case _ =>
+          }
+        }
+      }
+      i += 1
+    }
+    if (out.size == 0) return null
+    new GenericInternalRow(Array[Any](
+      out.size, new GenericArrayData(out.toArray)))
+  }
+}
+
+/** `string` -> struct<n_cards, cards array<struct<fn,email,tel,org,
+  * n_emails,n_tels>>> ([[VcardCodec.cards]]); NULL for non-vCard text.
+  */
+case class VcardsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cards", IntegerType, nullable = false),
+    StructField("cards", ArrayType(StructType(Seq(
+      StructField("fn", StringType),
+      StructField("email", StringType),
+      StructField("tel", StringType),
+      StructField("org", StringType),
+      StructField("n_emails", IntegerType, nullable = false),
+      StructField("n_tels", IntegerType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    VcardCodec.cards(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.VcardCodec.cards($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): VcardsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_vcards"
+}

@@ -377,6 +377,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** vCard contact extraction ([[graft.expressions.VcardsExpr]]): the
+    * most PII-dense crawl format, recognized so contact dumps route to
+    * redaction/drop policy instead of riding in as "prose"; per-card
+    * fn/email/tel/org plus the counts that drive routing. NULL for
+    * non-vCard text.
+    */
+  def vcards(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.VcardsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** iCalendar event extraction ([[graft.expressions.IcalEventsExpr]]):
     * RFC 5545 folding/escaping/parameters to per-event
     * summary/times/location/organizer — .ics crawl payloads parsed for

@@ -1,0 +1,55 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** vCard extraction: fields, params, group prefixes, counts, folding,
+  * rejects, SQL routing.
+  */
+class VcardSpec extends graft.SparkTestBase {
+
+  private def vc(s: String) = VcardCodec.cards(UTF8String.fromString(s))
+
+  private val vcf =
+    "BEGIN:VCARD\r\nVERSION:4.0\r\n" +
+      "FN:Jane Q. Public\r\n" +
+      "ORG:Example Corp;Engineering\r\n" +
+      "item1.EMAIL;TYPE=work:jane@ex.io\r\n" +
+      "EMAIL:jane.home@ex.io\r\n" +
+      "TEL;TYPE=cell:+1-555-0100\r\n" +
+      "END:VCARD\r\n" +
+      "BEGIN:VCARD\r\nFN:Bob\\, Jr.\r\nTEL:+44 20 5550\r\nEND:VCARD\r\n"
+
+  test("cards with params dropped, group prefixes resolved, firsts kept") {
+    val r = vc(vcf)
+    assert(r != null && r.getInt(0) == 2)
+    val c0 = r.getArray(1).getStruct(0, 6)
+    assert(c0.getUTF8String(0).toString == "Jane Q. Public")
+    assert(c0.getUTF8String(1).toString == "jane@ex.io")
+    assert(c0.getUTF8String(2).toString == "+1-555-0100")
+    assert(c0.getUTF8String(3).toString == "Example Corp")
+    assert(c0.getInt(4) == 2 && c0.getInt(5) == 1)
+    val c1 = r.getArray(1).getStruct(1, 6)
+    assert(c1.getUTF8String(0).toString == "Bob, Jr.")
+    assert(c1.isNullAt(1) && c1.getInt(4) == 0)
+  }
+
+  test("folded lines join; rejects for prose/empty/null") {
+    val folded = "BEGIN:VCARD\r\nFN:A Very Long\r\n  Name Indeed\r\nEND:VCARD"
+    assert(vc(folded).getArray(1).getStruct(0, 6)
+      .getUTF8String(0).toString == "A Very Long Name Indeed")
+    assert(vc("no contacts here") == null)
+    assert(vc("BEGIN:VCARD\nEND:VCARD\n") != null) // empty card still counts
+    assert(VcardCodec.cards(null) == null)
+  }
+
+  test("sql surface: contact dumps route away from the text corpus") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(vcf, "ordinary document text").toDF("t")
+      .createOrReplaceTempView("vc_t")
+    val kept = s.sql(
+      "SELECT t FROM vc_t WHERE graft_vcards(t) IS NULL").collect()
+    assert(kept.length == 1 && kept.head.getString(0).startsWith("ordinary"))
+  }
+}
