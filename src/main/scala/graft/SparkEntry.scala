@@ -5705,6 +5705,29 @@ object SparkEntry {
           col("c.n_emails").as("n_emails"), col("c.n_tels").as("n_tels"))
         .orderBy("doc_id")
     }),
+
+    // --- 239. OPML feed-list extraction, oracle-pinned --------------------------------------------------
+    // Subscription exports seed the frontier: a nested OPML with a
+    // category outline (must skip), an entity-titled feed, and a
+    // title-attribute fallback feed — exploded entries closed-form.
+    "q239_opml_feeds" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val opml = concat(
+        lit("<opml version=\"2.0\"><body><outline text=\"Cat\">" +
+          "<outline text=\"Feed &amp; co "), id,
+        lit("\" xmlUrl=\"http://f"), id,
+        lit(".io/rss\" htmlUrl=\"http://f"), id,
+        lit(".io\"/></outline><outline title='Alt "),
+        (col("doc_id") % 7).cast("string"),
+        lit("' xmlUrl='http://alt"), id, lit(".io/feed'/></body></opml>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TF.opmlFeeds(opml)).as(Seq("i", "f")))
+        .select(col("doc_id"), col("i").cast("int").as("i"),
+          col("f.title").as("title"), col("f.xml_url").as("xml_url"),
+          col("f.html_url").as("html_url"))
+        .orderBy("doc_id", "i")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9044,6 +9067,19 @@ object SparkEntry {
         |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
         |    AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // OPML closed form: category skipped, entity decoded, title fallback.
+    "q239_opml_feeds" ->
+      """WITH rows0 AS (
+        |  SELECT doc_id, i FROM documents, LATERAL UNNEST(range(2)) AS u(i))
+        |SELECT doc_id, CAST(i AS INT) AS i,
+        |  CASE i WHEN 0 THEN 'Feed & co ' || doc_id
+        |    ELSE 'Alt ' || doc_id % 7 END AS title,
+        |  CASE i WHEN 0 THEN 'http://f' || doc_id || '.io/rss'
+        |    ELSE 'http://alt' || doc_id || '.io/feed' END AS xml_url,
+        |  CASE i WHEN 0 THEN 'http://f' || doc_id || '.io'
+        |    ELSE NULL END AS html_url
+        |FROM rows0 ORDER BY doc_id, i""".stripMargin,
 
     // vCard closed form: firsts kept, counts tallied, org first component.
     "q238_vcards" ->

@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_opml_feeds"),
+      new ExpressionInfo(classOf[OpmlFeedsExpr].getName, "graft_opml_feeds"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => OpmlFeedsExpr(s)
+        case _ => throw new IllegalArgumentException("graft_opml_feeds(string)")
+      }),
+    (
       FunctionIdentifier("graft_vcards"),
       new ExpressionInfo(classOf[VcardsExpr].getName, "graft_vcards"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** OPML feed-list extraction — OPML is how feed subscriptions ship
+  * (blogroll exports, podcast subscription lists, "awesome feeds"
+  * collections): each one found in a crawl seeds HUNDREDS of fresh-
+  * content sources for [[FeedCodec]] to poll. `<outline>` elements
+  * carrying an `xmlUrl` are feed entries (nesting is organizational
+  * and flattens); title falls back text -> title attribute; htmlUrl
+  * rides along for site linking. Bounded regex + entity discipline,
+  * [[OpmlCodec.MaxFeeds]] cap; null when no `<opml` root.
+  */
+object OpmlCodec {
+
+  val MaxFeeds = 4096
+
+  private val F = java.util.regex.Pattern.CASE_INSENSITIVE
+  private val opmlRe = java.util.regex.Pattern.compile("<opml[\\s>]", F)
+  private val outlineRe = java.util.regex.Pattern.compile("<outline\\b[^>]*>", F)
+  private val attrRe = java.util.regex.Pattern.compile(
+    "\\b(text|title|xmlUrl|htmlUrl)\\s*=\\s*\"([^\"]*)\"|" +
+      "\\b(text|title|xmlUrl|htmlUrl)\\s*=\\s*'([^']*)'", F)
+
+  private def decode(v: String): UTF8String = {
+    if (v == null || v.isEmpty) return null
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '&') {
+        val (rep, next) = XmlEntities.decode(v, i)
+        sb.append(rep); i = next
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def feeds(u: UTF8String): ArrayData = {
+    if (u == null) return null
+    val xml = u.toString
+    if (!opmlRe.matcher(xml).find()) return null
+    val out = new java.util.ArrayList[AnyRef](16)
+    val m = outlineRe.matcher(xml)
+    while (m.find() && out.size < MaxFeeds) {
+      val tag = m.group()
+      var text: String = null; var title: String = null
+      var xmlUrl: String = null; var htmlUrl: String = null
+      val am = attrRe.matcher(tag)
+      while (am.find()) {
+        val name = (if (am.group(1) != null) am.group(1) else am.group(3))
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = if (am.group(2) != null) am.group(2) else am.group(4)
+        name match {
+          case "text" => text = value
+          case "title" => title = value
+          case "xmlurl" => xmlUrl = value
+          case _ => htmlUrl = value
+        }
+      }
+      if (xmlUrl != null && xmlUrl.nonEmpty) {
+        val f = new Array[Any](3)
+        f(0) = decode(if (text != null && text.nonEmpty) text else title)
+        f(1) = decode(xmlUrl)
+        f(2) = decode(htmlUrl)
+        out.add(new GenericInternalRow(f))
+      }
+    }
+    if (out.size == 0) return null
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `string` -> array<struct<title,xml_url,html_url>> of an OPML
+  * document's feed outlines ([[OpmlCodec.feeds]]); NULL for non-OPML.
+  */
+case class OpmlFeedsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("title", StringType),
+    StructField("xml_url", StringType, nullable = false),
+    StructField("html_url", StringType))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    OpmlCodec.feeds(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.OpmlCodec.feeds($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): OpmlFeedsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_opml_feeds"
+}

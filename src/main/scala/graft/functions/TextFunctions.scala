@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** OPML feed-list extraction ([[graft.expressions.OpmlFeedsExpr]]):
+    * blogroll/podcast subscription exports flattened to (title, xml_url,
+    * html_url) feed entries — each one seeds hundreds of fresh-content
+    * sources for [[feedItems]]. NULL for non-OPML.
+    */
+  def opmlFeeds(xml: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.OpmlFeedsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(xml)))
+
   /** vCard contact extraction ([[graft.expressions.VcardsExpr]]): the
     * most PII-dense crawl format, recognized so contact dumps route to
     * redaction/drop policy instead of riding in as "prose"; per-card

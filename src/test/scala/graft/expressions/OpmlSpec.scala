@@ -1,0 +1,55 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** OPML extraction: attribute orders and quotes, nesting flattened,
+  * category outlines skipped, entities, rejects, SQL composition.
+  */
+class OpmlSpec extends graft.SparkTestBase {
+
+  private def feeds(s: String) = OpmlCodec.feeds(UTF8String.fromString(s))
+
+  private val opml =
+    """<?xml version="1.0"?>
+      |<opml version="2.0"><head><title>Subs</title></head><body>
+      |  <outline text="Tech">
+      |    <outline text="Daily &amp; Weekly" xmlUrl="http://a.io/rss"
+      |      htmlUrl="http://a.io"/>
+      |    <outline xmlUrl='http://b.io/feed' title='B Blog'/>
+      |  </outline>
+      |  <outline text="Pods" xmlUrl="http://pod.io/rss.xml"/>
+      |</body></opml>""".stripMargin
+
+  test("feed outlines flatten; category outlines (no xmlUrl) skip") {
+    val r = feeds(opml)
+    assert(r != null && r.numElements() == 3)
+    val f0 = r.getStruct(0, 3)
+    assert(f0.getUTF8String(0).toString == "Daily & Weekly")
+    assert(f0.getUTF8String(1).toString == "http://a.io/rss")
+    assert(f0.getUTF8String(2).toString == "http://a.io")
+    val f1 = r.getStruct(1, 3)
+    assert(f1.getUTF8String(0).toString == "B Blog") // title fallback
+    assert(f1.getUTF8String(1).toString == "http://b.io/feed")
+    assert(f1.isNullAt(2))
+    assert(r.getStruct(2, 3).getUTF8String(1).toString == "http://pod.io/rss.xml")
+  }
+
+  test("rejects: non-opml, opml with no feeds, null") {
+    assert(feeds("<rss><channel/></rss>") == null)
+    assert(feeds("<opml><body><outline text='cat'/></body></opml>") == null)
+    assert(OpmlCodec.feeds(null) == null)
+  }
+
+  test("sql surface: opml seeds the feed poller") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(opml).toDF("x").createOrReplaceTempView("opml_t")
+    val urls = s.sql(
+      "SELECT f.xml_url FROM opml_t " +
+        "LATERAL VIEW explode(graft_opml_feeds(x)) AS f").collect()
+      .map(_.getString(0)).toSeq
+    assert(urls == Seq("http://a.io/rss", "http://b.io/feed",
+      "http://pod.io/rss.xml"))
+  }
+}
