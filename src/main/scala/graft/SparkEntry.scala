@@ -5728,6 +5728,26 @@ object SparkEntry {
           col("f.html_url").as("html_url"))
         .orderBy("doc_id", "i")
     }),
+
+    // --- 240. ANSI escape removal, oracle-pinned --------------------------------------------------------
+    // Pasted terminal output cleaned: color CSIs, an OSC title, a CRLF
+    // — clean text and escape counts closed-form (the oracle never
+    // needs escape bytes: it states the post-strip text).
+    "q240_strip_ansi" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val esc = lit("\u001b")
+      val term = concat(
+        esc, lit("]0;build "), id, lit("\u0007"),
+        esc, lit("[32m$ make doc"), id, esc, lit("[0m\r\n"),
+        esc, lit("[1;31mFAIL "), (col("doc_id") % 5).cast("string"),
+        esc, lit("[0m done"))
+      val v = TF.stripAnsi(term)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("clean").as("clean"),
+          v.getField("n_escapes").as("n_escapes"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9066,6 +9086,14 @@ object SparkEntry {
         |    WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 2
         |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
         |    AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ANSI strip closed form: the post-strip text restated.
+    "q240_strip_ansi" ->
+      """SELECT doc_id,
+        |  '$ make doc' || doc_id || chr(10) || 'FAIL ' || doc_id % 5
+        |    || ' done' AS clean,
+        |  CAST(5 AS INT) AS n_escapes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // OPML closed form: category skipped, entity decoded, title fallback.

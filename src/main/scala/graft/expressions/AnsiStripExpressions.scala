@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ANSI escape-sequence removal — pasted terminal output (CI logs,
+  * shell transcripts, REPL sessions in issues and pastebins) carries
+  * color/cursor control sequences that tokenize into garbage and mark
+  * a document as terminal-dump territory. One pass handles the ECMA-48
+  * families that actually occur: CSI (`ESC [ ... final`), OSC (`ESC ]
+  * ... BEL or ESC \\`), and the two-character escapes; bare ESC/CR
+  * control bytes drop too (CR only when a LF follows — Windows line
+  * ends normalize as a side effect, lone CR becomes LF). The escape
+  * COUNT is the terminal-dump routing signal alongside
+  * [[LogDetectCodec]].
+  */
+object AnsiStripCodec {
+
+  def strip(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var nEsc = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\u001b') {
+        nEsc += 1
+        if (i + 1 < n) {
+          s.charAt(i + 1) match {
+            case '[' => // CSI: parameters 0x30-0x3F, intermediates 0x20-0x2F, final 0x40-0x7E
+              var j = i + 2
+              while (j < n && s.charAt(j) >= 0x20 && s.charAt(j) <= 0x3F) j += 1
+              i = if (j < n) j + 1 else n
+            case ']' => // OSC: to BEL or ST (ESC \)
+              var j = i + 2
+              var done = false
+              while (!done && j < n) {
+                val d = s.charAt(j)
+                if (d == '\u0007') { j += 1; done = true }
+                else if (d == '\u001b' && j + 1 < n && s.charAt(j + 1) == '\\') {
+                  j += 2; done = true
+                } else j += 1
+              }
+              i = j
+            case _ => i += 2 // two-character escape (ESC c, ESC ( B, ...)
+          }
+        } else i += 1
+      } else if (c == '\r') {
+        // CRLF -> LF; lone CR -> LF (old-Mac/overwrite-progress lines)
+        if (!(i + 1 < n && s.charAt(i + 1) == '\n')) sb.append('\n')
+        i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(sb.toString), nEsc))
+  }
+}
+
+/** `string` -> struct<clean,n_escapes> ([[AnsiStripCodec.strip]]):
+  * ECMA-48 sequences removed, line ends normalized; the escape count is
+  * the terminal-dump routing signal. Codegen'd.
+  */
+case class AnsiStripExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_escapes", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    AnsiStripCodec.strip(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.AnsiStripCodec.strip($c)")
+  override protected def withNewChildInternal(newChild: Expression): AnsiStripExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_strip_ansi"
+}

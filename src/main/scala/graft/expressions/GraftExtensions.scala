@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_strip_ansi"),
+      new ExpressionInfo(classOf[AnsiStripExpr].getName, "graft_strip_ansi"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => AnsiStripExpr(s)
+        case _ => throw new IllegalArgumentException("graft_strip_ansi(string)")
+      }),
+    (
       FunctionIdentifier("graft_opml_feeds"),
       new ExpressionInfo(classOf[OpmlFeedsExpr].getName, "graft_opml_feeds"),
       (args: Seq[Expression]) => args match {

@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** ANSI escape removal ([[graft.expressions.AnsiStripExpr]]): ECMA-48
+    * CSI/OSC/two-char sequences stripped and line ends normalized —
+    * pasted terminal output stops tokenizing into garbage, and the
+    * escape count routes terminal dumps alongside [[logProfile]].
+    */
+  def stripAnsi(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AnsiStripExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** OPML feed-list extraction ([[graft.expressions.OpmlFeedsExpr]]):
     * blogroll/podcast subscription exports flattened to (title, xml_url,
     * html_url) feed entries — each one seeds hundreds of fresh-content

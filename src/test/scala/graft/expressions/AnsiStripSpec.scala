@@ -1,0 +1,56 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ANSI stripping: CSI/OSC/two-char families, truncation, CR
+  * normalization, clean passthrough, SQL surface.
+  */
+class AnsiStripSpec extends graft.SparkTestBase {
+
+  private def strip(s: String) = AnsiStripCodec.strip(UTF8String.fromString(s))
+  private val E = "\u001b"
+
+  test("color and cursor CSI sequences strip; text survives") {
+    val r = strip(s"${E}[31mred${E}[0m and ${E}[1;32mbold green${E}[0m done")
+    assert(r.getUTF8String(0).toString == "red and bold green done")
+    assert(r.getInt(1) == 4)
+  }
+
+  test("OSC titles (BEL and ST terminated) strip") {
+    val r = strip(s"${E}]0;window title\u0007before ${E}]8;;http://x${E}\\after")
+    assert(r.getUTF8String(0).toString == "before after")
+    assert(r.getInt(1) == 2)
+  }
+
+  test("two-character escapes and truncated sequences never throw") {
+    val r = strip(s"${E}c reset ${E}")
+    assert(r.getUTF8String(0).toString == " reset ")
+    val r2 = strip(s"tail ${E}[31")
+    assert(r2.getUTF8String(0).toString == "tail ")
+  }
+
+  test("line ends normalize: CRLF and lone CR become LF") {
+    val r = strip("a\r\nb\rc\n")
+    assert(r.getUTF8String(0).toString == "a\nb\nc\n")
+    assert(r.getInt(1) == 0)
+  }
+
+  test("clean text passes through unchanged; null propagates") {
+    val r = strip("plain text, no escapes\n")
+    assert(r.getUTF8String(0).toString == "plain text, no escapes\n")
+    assert(r.getInt(1) == 0)
+    assert(AnsiStripCodec.strip(null) == null)
+  }
+
+  test("sql surface: escape count routes terminal dumps") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq(s"${E}[32m$$ make test${E}[0m\nok", "prose only").toDF("t")
+      .createOrReplaceTempView("ansi_t")
+    val dumps = s.sql(
+      "SELECT graft_strip_ansi(t).clean AS c FROM ansi_t " +
+        "WHERE graft_strip_ansi(t).n_escapes > 0").collect()
+    assert(dumps.length == 1 && dumps.head.getString(0) == "$ make test\nok")
+  }
+}
