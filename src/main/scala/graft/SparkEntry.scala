@@ -5748,6 +5748,24 @@ object SparkEntry {
           v.getField("n_escapes").as("n_escapes"))
         .orderBy("doc_id")
     }),
+
+    // --- 241. markdown heading outline, oracle-pinned ---------------------------------------------------
+    // Document structure for chunk routing: an ATX h1 with closing
+    // hashes and inline markup, a fenced code block hiding a hash line,
+    // a setext h2 — the exploded outline closed-form.
+    "q241_md_outline" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val md = concat(
+        lit("# Guide *"), id, lit("* #\nintro\n```\n# not a heading\n```\n"),
+        lit("Part "), (col("doc_id") % 9).cast("string"),
+        lit("\n---\n### Step ["), id, lit("](http://x)\nbody"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TF.mdOutline(md)).as(Seq("i", "h")))
+        .select(col("doc_id"), col("i").cast("int").as("i"),
+          col("h.level").as("level"), col("h.title").as("title"))
+        .orderBy("doc_id", "i")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9087,6 +9105,17 @@ object SparkEntry {
         |    ELSE 1 END + 1 + length(CAST(doc_id AS VARCHAR)) AS INT)
         |    AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Outline closed form: three headings per doc, in order.
+    "q241_md_outline" ->
+      """WITH rows0 AS (
+        |  SELECT doc_id, i FROM documents, LATERAL UNNEST(range(3)) AS u(i))
+        |SELECT doc_id, CAST(i AS INT) AS i,
+        |  CAST(CASE i WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS INT) AS level,
+        |  CASE i WHEN 0 THEN 'Guide ' || doc_id
+        |    WHEN 1 THEN 'Part ' || doc_id % 9
+        |    ELSE 'Step ' || doc_id END AS title
+        |FROM rows0 ORDER BY doc_id, i""".stripMargin,
 
     // ANSI strip closed form: the post-strip text restated.
     "q240_strip_ansi" ->

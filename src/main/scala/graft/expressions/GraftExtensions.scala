@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_md_outline"),
+      new ExpressionInfo(classOf[MdOutlineExpr].getName, "graft_md_outline"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => MdOutlineExpr(s)
+        case _ => throw new IllegalArgumentException("graft_md_outline(string)")
+      }),
+    (
       FunctionIdentifier("graft_strip_ansi"),
       new ExpressionInfo(classOf[AnsiStripExpr].getName, "graft_strip_ansi"),
       (args: Seq[Expression]) => args match {

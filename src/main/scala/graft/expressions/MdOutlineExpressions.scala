@@ -1,0 +1,118 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Markdown heading OUTLINE — document structure is a quality and
+  * chunking signal the flat text extractor throws away: well-structured
+  * docs (tutorials, references) chunk best at heading boundaries, and
+  * heading depth/density separates real documentation from flat prose
+  * dumps. Extracts ATX headings (`#{1,6} title`, optional closing
+  * hashes) and setext headings (`===`/`---` underlines -> levels 1/2),
+  * skipping fenced code blocks (``` fences — a `# comment` inside code
+  * is not a heading). Inline markup is stripped the [[TextFunctions]]
+  * markdown way: emphasis/code marks dropped, link text kept.
+  */
+object MdOutlineCodec {
+
+  val MaxHeadings = 4096
+
+  private def cleanTitle(t0: String): String = {
+    var t = t0.trim
+    // closing ATX hashes
+    var end = t.length
+    while (end > 0 && t.charAt(end - 1) == '#') end -= 1
+    t = t.substring(0, end).trim
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      c match {
+        case '*' | '_' | '`' => i += 1
+        case '[' => i += 1 // link text opens
+        case ']' => // drop the (url) that follows, keep the text
+          i += 1
+          if (i < t.length && t.charAt(i) == '(') {
+            while (i < t.length && t.charAt(i) != ')') i += 1
+            if (i < t.length) i += 1
+          }
+        case _ => sb.append(c); i += 1
+      }
+    }
+    sb.toString.trim
+  }
+
+  def outline(u: UTF8String): ArrayData = {
+    if (u == null) return null
+    val lines = u.toString.split("\n", -1)
+    val out = new java.util.ArrayList[AnyRef](16)
+    var inFence = false
+    var i = 0
+    while (i < lines.length && out.size < MaxHeadings) {
+      val raw = lines(i)
+      val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+      val t = line.trim
+      if (t.startsWith("```") || t.startsWith("~~~")) inFence = !inFence
+      else if (!inFence) {
+        if (t.startsWith("#")) {
+          var level = 0
+          while (level < t.length && t.charAt(level) == '#') level += 1
+          if (level <= 6 && level < t.length && t.charAt(level) == ' ') {
+            val title = cleanTitle(t.substring(level + 1))
+            if (title.nonEmpty) {
+              out.add(new GenericInternalRow(Array[Any](
+                level, UTF8String.fromString(title))))
+            }
+          }
+        } else if (t.nonEmpty && i + 1 < lines.length) {
+          // setext: a non-empty line underlined by === or ---
+          val next = lines(i + 1).trim
+          val isEq = next.length >= 2 && next.forall(_ == '=')
+          val isDash = next.length >= 2 && next.forall(_ == '-')
+          if (isEq || isDash) {
+            val title = cleanTitle(t)
+            if (title.nonEmpty) {
+              out.add(new GenericInternalRow(Array[Any](
+                if (isEq) 1 else 2, UTF8String.fromString(title))))
+              i += 1 // consume the underline
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (out.size == 0) return null
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `string` -> array<struct<level,title>> of markdown headings
+  * ([[MdOutlineCodec.outline]]); NULL when the document has none.
+  */
+case class MdOutlineExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("level", IntegerType, nullable = false),
+    StructField("title", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MdOutlineCodec.outline(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MdOutlineCodec.outline($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MdOutlineExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_md_outline"
+}

@@ -377,6 +377,16 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Markdown heading outline ([[graft.expressions.MdOutlineExpr]]):
+    * ATX + setext headings with fenced code skipped — the structure
+    * signal for heading-boundary chunking and docs-vs-prose routing.
+    * NULL for heading-free text.
+    */
+  def mdOutline(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.MdOutlineExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** ANSI escape removal ([[graft.expressions.AnsiStripExpr]]): ECMA-48
     * CSI/OSC/two-char sequences stripped and line ends normalized —
     * pasted terminal output stops tokenizing into garbage, and the

@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Markdown outline: ATX levels and closing hashes, setext, fenced-code
+  * skipping, inline markup stripping, rejects, SQL surface.
+  */
+class MdOutlineSpec extends graft.SparkTestBase {
+
+  private def outline(s: String): Seq[(Int, String)] = {
+    val r = MdOutlineCodec.outline(UTF8String.fromString(s))
+    if (r == null) Seq.empty
+    else (0 until r.numElements()).map { i =>
+      val st = r.getStruct(i, 2)
+      (st.getInt(0), st.getUTF8String(1).toString)
+    }
+  }
+
+  test("atx headings at every level; closing hashes and markup strip") {
+    val md =
+      """# Top Title
+        |intro prose
+        |## Section *one* ##
+        |### `code` in [a link](http://x) ###
+        |####### not a heading (7 hashes)
+        |#missing space is not a heading
+        |""".stripMargin
+    assert(outline(md) == Seq(
+      (1, "Top Title"), (2, "Section one"), (3, "code in a link")))
+  }
+
+  test("setext headings: === is h1, --- is h2") {
+    val md = "Title Line\n====\nbody\nSub Part\n---\nmore"
+    assert(outline(md) == Seq((1, "Title Line"), (2, "Sub Part")))
+  }
+
+  test("fenced code blocks hide their hash lines") {
+    val md =
+      """# Real
+        |```bash
+        |# a comment, not a heading
+        |echo hi
+        |```
+        |## After
+        |""".stripMargin
+    assert(outline(md) == Seq((1, "Real"), (2, "After")))
+  }
+
+  test("heading-free text yields null; null propagates") {
+    assert(MdOutlineCodec.outline(UTF8String.fromString("plain prose")) == null)
+    assert(MdOutlineCodec.outline(null) == null)
+  }
+
+  test("sql surface: depth census for chunk routing") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("# A\n## B\n## C\ntext").toDF("t").createOrReplaceTempView("md_t")
+    val row = s.sql(
+      "SELECT size(graft_md_outline(t)) AS n, " +
+        "graft_md_outline(t)[0].title AS first FROM md_t").collect().head
+    assert(row.getInt(0) == 3 && row.getString(1) == "A")
+  }
+}
