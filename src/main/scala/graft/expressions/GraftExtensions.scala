@@ -208,6 +208,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_fix_mojibake(string)")
       }),
     (
+      FunctionIdentifier("graft_shell_profile"),
+      new ExpressionInfo(classOf[ShellSessionExpr].getName, "graft_shell_profile"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => ShellSessionExpr(s)
+        case _ => throw new IllegalArgumentException("graft_shell_profile(string)")
+      }),
+    (
       FunctionIdentifier("graft_md_outline"),
       new ExpressionInfo(classOf[MdOutlineExpr].getName, "graft_md_outline"),
       (args: Seq[Expression]) => args match {

@@ -1,0 +1,119 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shell/REPL-session detection — the transcript complement of
+  * [[LogDetectCodec]]: tutorial pages and issue threads are full of
+  * pasted sessions whose COMMAND lines are valuable (they're code) while
+  * their interleaved OUTPUT lines are noise, and whole-transcript
+  * documents want routing, not prose scoring. Pinned prompt shapes:
+  *
+  *  - shell: `$ ` or `# ` after optional `user@host[:path]` / `(venv)`
+  *    prefixes (the prefix must look prompt-ish: no spaces before the
+  *    sigil except the indent), and `> ` PowerShell-style with `PS `;
+  *  - python REPL: `>>> ` and `... ` continuations;
+  *  - IPython/Jupyter: `In [N]:` and `Out[N]:`.
+  *
+  * Reports line counts per family, the prompt fraction, and the
+  * COMMANDS joined (prompt stripped) — the extractable code.
+  */
+object ShellSessionCodec {
+
+  private val shellRe = java.util.regex.Pattern.compile(
+    // longest sigils first: the '>' class must not eat '>>>'
+    "^\\s*(?:\\([\\w.-]+\\)\\s*)?(?:[\\w.-]+@[\\w.-]+(?::[~/\\w.-]*)?\\s*)?" +
+      "(?:PS [^>]*)?(>>>|\\.\\.\\.|[$#>])\\s(.*)$")
+  private val ipyInRe = java.util.regex.Pattern.compile(
+    "^\\s*In \\[(\\d+)\\]:\\s?(.*)$")
+  private val ipyOutRe = java.util.regex.Pattern.compile(
+    "^\\s*Out\\[\\d+\\]:.*$")
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    var nLines = 0L
+    var promptLines = 0L
+    var replLines = 0L
+    val commands = new java.lang.StringBuilder()
+    var start = 0
+    val n = s.length
+    while (start <= n) {
+      var end = s.indexOf('\n', start)
+      if (end < 0) end = n
+      val line = s.substring(start, end)
+      if (line.trim.nonEmpty) {
+        nLines += 1
+        val im = ipyInRe.matcher(line)
+        if (im.matches()) {
+          replLines += 1
+          promptLines += 1
+          if (commands.length > 0) commands.append('\n')
+          commands.append(im.group(2))
+        } else if (ipyOutRe.matcher(line).matches()) {
+          replLines += 1
+        } else {
+          val m = shellRe.matcher(line)
+          if (m.matches()) {
+            val sigil = m.group(1)
+            val cmd = m.group(2).trim
+            // a bare "$ " with empty command is a prompt but not code;
+            // "..." continuations join the previous command
+            promptLines += 1
+            if (sigil == ">>>" || sigil == "...") replLines += 1
+            if (cmd.nonEmpty) {
+              if (commands.length > 0)
+                commands.append(if (sigil == "...") ' ' else '\n')
+              commands.append(cmd)
+            }
+          }
+        }
+      }
+      start = end + 1
+      if (end == n) start = n + 1
+    }
+    val out = new Array[Any](5)
+    out(0) = nLines
+    out(1) = promptLines
+    out(2) = replLines
+    out(3) = if (nLines == 0) null
+      else java.lang.Double.valueOf(promptLines.toDouble / nLines)
+    out(4) = if (commands.length == 0) null
+      else UTF8String.fromString(commands.toString)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<n_lines,prompt_lines,repl_lines,prompt_frac,
+  * commands> ([[ShellSessionCodec.profile]]); commands = the prompt-
+  * stripped code a session transcript contains.
+  */
+case class ShellSessionExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("prompt_lines", LongType, nullable = false),
+    StructField("repl_lines", LongType, nullable = false),
+    StructField("prompt_frac", DoubleType),
+    StructField("commands", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    ShellSessionCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ShellSessionCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ShellSessionExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shell_profile"
+}

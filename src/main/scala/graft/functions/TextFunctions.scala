@@ -377,6 +377,17 @@ object TextFunctions {
       graft.expressions.FixMojibakeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Shell/REPL-session detection
+    * ([[graft.expressions.ShellSessionExpr]]): prompt/REPL line counts,
+    * the prompt fraction, and the prompt-stripped COMMANDS — transcripts
+    * route as sessions and their code extracts, instead of scoring as
+    * prose.
+    */
+  def shellProfile(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ShellSessionExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Markdown heading outline ([[graft.expressions.MdOutlineExpr]]):
     * ATX + setext headings with fenced code skipped — the structure
     * signal for heading-boundary chunking and docs-vs-prose routing.

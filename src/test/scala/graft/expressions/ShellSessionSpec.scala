@@ -1,0 +1,69 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shell-session detection: prompt families, command extraction,
+  * continuations, prose safety, SQL routing.
+  */
+class ShellSessionSpec extends graft.SparkTestBase {
+
+  private def p(s: String) = ShellSessionCodec.profile(UTF8String.fromString(s))
+
+  test("shell transcript: prompts counted, commands extracted, output not") {
+    val t =
+      """$ ls -la
+        |total 12
+        |drwxr-xr-x 2 u u 4096 .
+        |user@host:~/src$ make test
+        |OK
+        |(venv) user@host$ pip install x
+        |""".stripMargin
+    val r = p(t)
+    assert(r.getLong(0) == 6)
+    assert(r.getLong(1) == 3)
+    assert(r.getUTF8String(4).toString ==
+      "ls -la\nmake test\npip install x")
+  }
+
+  test("python REPL: >>> and ... continuations join; ipython In/Out") {
+    val t =
+      """>>> def f(x):
+        |...     return x + 1
+        |>>> f(2)
+        |3
+        |In [4]: import os
+        |Out[4]: None
+        |""".stripMargin
+    val r = p(t)
+    assert(r.getLong(1) == 4) // >>>, ..., >>>, In
+    assert(r.getLong(2) == 5) // + Out
+    assert(r.getUTF8String(4).toString ==
+      "def f(x): return x + 1\nf(2)\nimport os")
+  }
+
+  test("prose with dollar amounts and markdown quotes does not trip") {
+    val t = "I paid $50 for it.\n> a quoted line of prose\nplain text"
+    val r = p(t)
+    // "> " IS a prompt shape; the markdown-quote collision is documented
+    // — the routing signal is the FRACTION, and prose keeps it low.
+    assert(r.getLong(1) <= 1)
+    assert(r.getDouble(3) <= 0.34)
+  }
+
+  test("empty/blank text: null frac; null propagates") {
+    assert(p("  \n \n").isNullAt(3))
+    assert(ShellSessionCodec.profile(null) == null)
+  }
+
+  test("sql surface: transcripts route and their code extracts") {
+    val s = spark
+    GraftExtensions.register(s)
+    import s.implicits._
+    Seq("$ echo hi\nhi\n$ exit", "entirely normal prose here")
+      .toDF("t").createOrReplaceTempView("sh_t")
+    val rows = s.sql(
+      "SELECT graft_shell_profile(t).commands AS c FROM sh_t " +
+        "WHERE graft_shell_profile(t).prompt_frac > 0.5").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "echo hi\nexit")
+  }
+}
