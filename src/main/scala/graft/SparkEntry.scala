@@ -4777,14 +4777,17 @@ object SparkEntry {
     // power spectra, mel filterbank, log, DCT-II — is not relationally
     // expressible, so this is a DECLARED rows-only query; MfccSpec pins
     // the closed-form silence cepstrum, the gain-separation property,
-    // window arithmetic, and filterbank structure.
+    // window arithmetic, and filterbank structure. The 13-coefficient
+    // vector is emitted as scalar columns c0..c12 (not an array) so the
+    // driver's rows-only check can sort the frame.
     "q202_mfcc" -> ((s, d) =>
       t(s, d, "documents")
         .where(col("doc_id") < 400)
         .select(col("doc_id"), Multimodal.mfcc(syntheticWavN(
           lit(768L) + (col("doc_id") % 4).cast("long") * 256L)).as("m"))
-        .select(col("doc_id"), col("m.n_frames").as("n_frames"),
-          transform(col("m.mfcc"), c => round(c, 6)).as("mfcc"))
+        .select(Seq(col("doc_id"), col("m.n_frames").as("n_frames")) ++
+          (1 to 13).map(i =>
+            round(element_at(col("m.mfcc"), i), 6).as(s"c${i - 1}")): _*)
         .orderBy("doc_id")),
 
     // --- 203. Unigram-LM tokenizer train + encode (rows-only: float EM) ---------------------------------
@@ -5766,6 +5769,88 @@ object SparkEntry {
           col("h.level").as("level"), col("h.title").as("title"))
         .orderBy("doc_id", "i")
     }),
+
+    // --- 242. CCNet head/middle/tail perplexity bucketing, oracle-pinned --------------------------------
+    // The published CCNet SELECTION step on top of q197's scoring: each
+    // LANGUAGE is split into head/middle/tail at its 1/3 and 2/3
+    // perplexity rank cutoffs. The cutoffs are data VALUES picked at
+    // integer-exact ranks (ceil(n/3) = (n+2) div 3 — no float
+    // percentile semantics to align cross-engine), the cut table is one
+    // row per language broadcast back onto the corpus, and the labels
+    // compare the same 6-rounded ppl on both engines. At 100 TB the
+    // exact per-lang rank sort is replaced by the mergeable quantile
+    // sketch (q103) feeding the same broadcast-assign shape — one
+    // corpus pass, no global sort.
+    "q242_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train(docs.where(col("doc_id") % 5 === 0), "text")
+      val scored = NgramLm.score(model, docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          round(exp(-round(col("avg_logp"), 7)), 6).as("ppl"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val ranked = scored
+        .select(col("lang"), col("doc_id"), col("ppl"),
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("ppl"), col("doc_id"))).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("lang"))).as("n"))
+      val cuts = ranked.groupBy("lang").agg(
+        max(when(col("rn") === expr("(n + 2) div 3"), col("ppl"))).as("cut1"),
+        max(when(col("rn") === expr("(n * 2 + 2) div 3"), col("ppl"))).as("cut2"))
+      ranked
+        .join(broadcast(cuts), Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("ppl"),
+          when(col("ppl") <= col("cut1"), "head")
+            .when(col("ppl") <= col("cut2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // --- 243. IBAN detection + mod-97 redaction, oracle-pinned ------------------------------------------
+    // The bank-account half of the PII sweep, on CONSTRUCTED payloads
+    // (q200/q207 pattern): per row a German IBAN whose check digits
+    // come from the real ISO 7064 arithmetic (Decimal(38,0) mod 97
+    // engine-side; the oracle replays it in HUGEINT), corrupted for
+    // every 4th doc and paper-format-spaced for every odd doc. The
+    // scanner must count the candidate either way, validate mod-97,
+    // and redact ONLY the valid ones — the oracle states the whole
+    // answer closed-form from the same construction.
+    "q243_iban" -> ((s, d) => {
+      val bban = lpad((col("doc_id") * 7919 + 11).cast("string"), 18, "0")
+      val m = (concat(bban, lit("131400")).cast("decimal(38,0)") % 97)
+        .cast("int")
+      val ck = when(col("doc_id") % 4 === 0, lit(98) - m + 1)
+        .otherwise(lit(98) - m)
+      val compact = concat(lit("DE"), lpad(ck.cast("string"), 2, "0"), bban)
+      val shown = when(col("doc_id") % 2 === 1,
+        trim(regexp_replace(compact, "(.{4})", "$1 "))).otherwise(compact)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("invoice "), col("doc_id").cast("string"), lit(" pay "),
+            shown, lit(" ref ok")).as("txt"))
+        .select(col("doc_id"), TF.ibanScan(col("txt")).as("r"))
+        .select(col("doc_id"), col("r.n_candidates").as("n_candidates"),
+          col("r.n_valid").as("n_valid"), col("r.redacted").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 244. character-entropy quality gate, oracle-pinned ---------------------------------------------
+    // The compressibility quality signal: per-doc code-point entropy in
+    // the integer-count form H = (ln n - S/n)/ln 2, S = sum c*ln(c) —
+    // every ln() argument is a small integer, so the oracle replays the
+    // identical term set (per-char counts in code-point order, left-fold
+    // sum); the 7-decimal round absorbs summation-order ulps. Row-local
+    // codegen'd scalar — the only exchange is the final presentation
+    // sort.
+    "q244_char_entropy" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), TF.charEntropy(col("text")).as("e"))
+        .select(col("doc_id"), col("e.n_cp").as("n_cp"),
+          round(col("e.h_bits"), 7).as("h_bits"))
+        .withColumn("prose_band",
+          col("h_bits") >= 3.0 && col("h_bits") <= 5.0)
+        .orderBy("doc_id")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9218,7 +9303,129 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_trans,
         |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp,
         |  ROUND(exp(-ROUND(SUM(ln(prob)) / COUNT(*), 7)), 6) AS ppl
-        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CCNet bucketing: q197's model rebuild + per-doc ppl, then the
+    // per-language rank cutoffs replayed with the same integer-exact
+    // rank formulas ((n+2)//3, (2n+2)//3) and the same 6-rounded ppl
+    // comparisons.
+    "q242_ccnet_buckets" ->
+      """WITH tgt AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tp AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tgt WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM tp GROUP BY w1, w2),
+        |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |          COUNT(*) AS n1p FROM big GROUP BY w1),
+        |cont AS (SELECT w2, COUNT(*) AS contc FROM big GROUP BY w2),
+        |bt AS (SELECT COUNT(*) AS btypes FROM big),
+        |sd AS (
+        |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |sp AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM sd WHERE len(toks) >= 2)),
+        |p AS (
+        |  SELECT sp.doc_id, GREATEST(
+        |    CASE
+        |      WHEN b.c12 IS NOT NULL THEN
+        |        (CAST(b.c12 AS DOUBLE) - 0.75) / CAST(f.c1 AS DOUBLE)
+        |        + 0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |          * (CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE))
+        |      WHEN f.c1 IS NOT NULL THEN
+        |        0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |        * COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |      ELSE COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |    END, 1e-10) AS prob
+        |  FROM sp
+        |  LEFT JOIN big b ON sp.w1 = b.w1 AND sp.w2 = b.w2
+        |  LEFT JOIN pre f ON sp.w1 = f.w1
+        |  LEFT JOIN cont c ON sp.w2 = c.w2
+        |  CROSS JOIN bt),
+        |pp AS (
+        |  SELECT doc_id,
+        |    ROUND(exp(-ROUND(SUM(ln(prob)) / COUNT(*), 7)), 6) AS ppl
+        |  FROM p GROUP BY doc_id),
+        |rk AS (
+        |  SELECT dd.lang, pp.doc_id, pp.ppl,
+        |    ROW_NUMBER() OVER (PARTITION BY dd.lang
+        |      ORDER BY pp.ppl, pp.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY dd.lang) AS n
+        |  FROM pp JOIN documents dd ON pp.doc_id = dd.doc_id),
+        |cuts AS (
+        |  SELECT lang,
+        |    MAX(CASE WHEN rn = (n + 2) // 3 THEN ppl END) AS cut1,
+        |    MAX(CASE WHEN rn = (n * 2 + 2) // 3 THEN ppl END) AS cut2
+        |  FROM rk GROUP BY lang)
+        |SELECT rk.lang, rk.doc_id, rk.ppl,
+        |  CASE WHEN rk.ppl <= c.cut1 THEN 'head'
+        |       WHEN rk.ppl <= c.cut2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM rk JOIN cuts c ON rk.lang = c.lang
+        |ORDER BY rk.lang, rk.doc_id""".stripMargin,
+
+    // IBAN: the oracle rebuilds the construction (check digits via the
+    // same ISO 7064 modulus, in HUGEINT) and states the scanner's
+    // answer closed-form — candidate always found, valid iff
+    // uncorrupted, redaction only when valid.
+    "q243_iban" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    lpad(CAST(doc_id * 7919 + 11 AS VARCHAR), 18, '0') AS bban
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, bban,
+        |    CAST(CAST(bban || '131400' AS HUGEINT) % 97 AS INT) AS m
+        |  FROM c),
+        |ib AS (
+        |  SELECT doc_id,
+        |    'DE' || lpad(CAST(CASE WHEN doc_id % 4 = 0 THEN 98 - m + 1
+        |      ELSE 98 - m END AS VARCHAR), 2, '0') || bban AS compact,
+        |    doc_id % 4 <> 0 AS valid
+        |  FROM k),
+        |fmt AS (
+        |  SELECT doc_id, valid,
+        |    CASE WHEN doc_id % 2 = 1
+        |      THEN trim(regexp_replace(compact, '(.{4})', '\1 ', 'g'))
+        |      ELSE compact END AS shown
+        |  FROM ib)
+        |SELECT doc_id,
+        |  CAST(1 AS INT) AS n_candidates,
+        |  CAST(CASE WHEN valid THEN 1 ELSE 0 END AS INT) AS n_valid,
+        |  'invoice ' || doc_id || ' pay ' ||
+        |    CASE WHEN valid THEN '<IBAN>' ELSE shown END || ' ref ok'
+        |    AS redacted
+        |FROM fmt ORDER BY doc_id""".stripMargin,
+
+    // Char entropy: identical term set — per-char counts from
+    // character-level substr, listed in code-point order, left-folded,
+    // the same ln-based closed form, 7-round.
+    "q244_char_entropy" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+        |ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS ch
+        |  FROM (SELECT doc_id, text,
+        |          UNNEST(generate_series(1, len(text))) AS i FROM d0)),
+        |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n,
+        |    list(CAST(c AS DOUBLE) ORDER BY ch) AS cs
+        |  FROM cnt GROUP BY doc_id),
+        |h AS (
+        |  SELECT doc_id, CAST(n AS INT) AS n_cp,
+        |    ROUND((ln(CAST(n AS DOUBLE)) -
+        |      list_reduce(list_transform(cs, x -> x * ln(x)), (a, b) -> a + b)
+        |        / CAST(n AS DOUBLE)) / ln(2.0), 7) AS h_bits
+        |  FROM agg)
+        |SELECT doc_id, n_cp, h_bits,
+        |  h_bits >= 3.0 AND h_bits <= 5.0 AS prose_band
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

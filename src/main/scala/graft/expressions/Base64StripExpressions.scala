@@ -41,9 +41,8 @@ object Base64StripCodec {
         var chars = 0
         var digits = 0; var lower = 0; var upper = 0
         var lastAlpha = i - 1
-        while (j < n && (isB64(s.charAt(j)) ||
-          (s.charAt(j) == '\n' || s.charAt(j) == '\r') && j > start &&
-            j + 1 < n && isB64(s.charAt(j + 1)))) {
+        var scanning = true
+        while (j < n && scanning) {
           val d = s.charAt(j)
           if (isB64(d)) {
             chars += 1
@@ -51,8 +50,15 @@ object Base64StripCodec {
             if (d >= '0' && d <= '9') digits += 1
             else if (d >= 'a' && d <= 'z') lower += 1
             else if (d >= 'A' && d <= 'Z') upper += 1
-          }
-          j += 1
+            j += 1
+          } else if (j > start && (d == '\n' || d == '\r')) {
+            // newline bridge: a "\r\n" PAIR is one bridge, so
+            // CRLF-wrapped blobs (MIME/PEM on Windows) ride along
+            val br =
+              if (d == '\r' && j + 1 < n && s.charAt(j + 1) == '\n') 2 else 1
+            if (j + br < n && isB64(s.charAt(j + br))) j += br
+            else scanning = false
+          } else scanning = false
         }
         val end = lastAlpha + 1
         if (chars >= minRun && digits > 0 && lower > 0 && upper > 0) {

@@ -16,6 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * One pass with a string-aware state machine (the part a regex cannot
   * do): `//...`, `/*...*/`, and `#...` comments are removed, but ONLY
   * outside string/char literals — `"http://x"` and `"#tag"` survive —
+  * and line-leading C-preprocessor directives (`#include`, `#define`,
+  * ...) are kept: they are code, not comments —
   * with backslash escapes honored inside literals. Whitespace runs
   * (including newlines) collapse to one space; leading/trailing
   * trims. Unterminated block comments drop to end-of-file (the
@@ -26,6 +28,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * state machine sees, deterministic either way.
   */
 object CodeNormalizeCodec {
+
+  // C preprocessor directives are CODE, not comments: '#include'/'#define'
+  // lines must stay in the dedup key or two files differing only in their
+  // includes/macros would falsely merge as duplicates.
+  private val cppDirectives = Set(
+    "include", "define", "undef", "ifdef", "ifndef", "if", "elif", "else",
+    "endif", "pragma", "error", "warning", "line")
+
+  /** True when the '#' at `i` opens a line-leading C-preprocessor
+    * directive (optionally indented, optionally '#  define'-spaced).
+    */
+  private def isCppDirective(s: String, i: Int, n: Int): Boolean = {
+    var b = i - 1
+    while (b >= 0 && (s.charAt(b) == ' ' || s.charAt(b) == '\t')) b -= 1
+    if (b >= 0 && s.charAt(b) != '\n' && s.charAt(b) != '\r') return false
+    var k = i + 1
+    while (k < n && (s.charAt(k) == ' ' || s.charAt(k) == '\t')) k += 1
+    var e = k
+    while (e < n && e - k < 8 && Character.isLetter(s.charAt(e))) e += 1
+    e > k && (e >= n || !Character.isLetter(s.charAt(e))) &&
+      cppDirectives.contains(s.substring(k, e))
+  }
 
   def normalize(u: UTF8String): UTF8String = {
     if (u == null) return null
@@ -61,7 +85,7 @@ object CodeNormalizeCodec {
           } else i += 1
         }
         appendWs()
-      } else if (c == '#') {
+      } else if (c == '#' && !isCppDirective(s, i, n)) {
         while (i < n && s.charAt(i) != '\n') i += 1
         appendWs()
       } else if (Character.isWhitespace(c)) {

@@ -89,19 +89,22 @@ object DomainCodec {
   def registrableDomain(u: UTF8String): UTF8String = {
     if (u == null) return null
     var s = u.toString.trim.toLowerCase(java.util.Locale.ROOT)
-    // URL? take the authority's host
+    // URL? drop the scheme, then strip the authority delimiters whether
+    // or not a scheme was present: 'example.com:8080/p?x=1' must still
+    // group as example.com.
     val scheme = s.indexOf("://")
-    if (scheme >= 0) {
-      var rest = s.substring(scheme + 3)
-      val slash = rest.indexOf('/')
-      if (slash >= 0) rest = rest.substring(0, slash)
-      val q = rest.indexOf('?'); if (q >= 0) rest = rest.substring(0, q)
-      val at = rest.lastIndexOf('@'); if (at >= 0) rest = rest.substring(at + 1)
-      if (!rest.startsWith("[")) {
-        val pc = rest.lastIndexOf(':')
-        if (pc >= 0) rest = rest.substring(0, pc)
-      }
-      s = rest
+    if (scheme >= 0) s = s.substring(scheme + 3)
+    val slash = s.indexOf('/'); if (slash >= 0) s = s.substring(0, slash)
+    val q = s.indexOf('?'); if (q >= 0) s = s.substring(0, q)
+    val frag = s.indexOf('#'); if (frag >= 0) s = s.substring(0, frag)
+    val at = s.lastIndexOf('@'); if (at >= 0) s = s.substring(at + 1)
+    if (!s.startsWith("[")) {
+      // a port is ONE ':' with a digit tail; multiple ':' means an
+      // unbracketed IPv6 literal, which must survive whole
+      val pc = s.lastIndexOf(':')
+      if (pc >= 0 && s.indexOf(':') == pc &&
+          s.substring(pc + 1).forall(c => c >= '0' && c <= '9'))
+        s = s.substring(0, pc)
     }
     if (s.isEmpty) return null
     if (s.startsWith("[") || isIpv4(s) || s.indexOf('.') < 0)

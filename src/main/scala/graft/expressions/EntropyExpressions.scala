@@ -1,0 +1,82 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-distribution entropy — the compressibility face of quality
+  * filtering: natural prose sits in a stable band of bits/char, while
+  * base64 blobs, minified code, and key-mash spam sit above it and
+  * repeated-character padding sits near zero. A one-pass census over
+  * Unicode CODE POINTS (so the result is encoding-independent and
+  * matches character-level SQL), then
+  *
+  *   H = (ln n - S/n) / ln 2,  S = sum over chars of cnt*ln(cnt)
+  *
+  * — the integer-count form: every ln() argument is a small integer, so
+  * a SQL oracle replays the identical term set; the sum runs in
+  * ascending code-point order with left association to make the float
+  * fold deterministic on the engine side.
+  *
+  * At scale this is a row-local scalar (codegen'd, no shuffle); the
+  * corpus-level entropy histogram it feeds is a one-pass groupBy.
+  */
+object EntropyCodec {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_cp", IntegerType, nullable = false),
+    StructField("h_bits", DoubleType, nullable = false)))
+
+  private val Ln2 = math.log(2.0)
+
+  /** null/empty -> null; else (code-point count, entropy in bits/char). */
+  def entropy(u: UTF8String): GenericInternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    if (s.isEmpty) return null
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      sum += c * math.log(c)
+    }
+    val h = (math.log(n.toDouble) - sum / n) / Ln2
+    new GenericInternalRow(Array[Any](n, h))
+  }
+}
+
+/** `string` -> `struct<n_cp:int,h_bits:double>`: code-point count and
+  * character entropy in bits ([[EntropyCodec.entropy]]). Codegen'd.
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = EntropyCodec.Schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    EntropyCodec.entropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.EntropyCodec.entropy($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_entropy"
+}

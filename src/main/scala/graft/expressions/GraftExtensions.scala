@@ -501,6 +501,8 @@ object GraftExtensions {
     "graft_tar_entries" -> (classOf[TarEntriesExpr], TarEntriesExpr(_)),
     "graft_ogg_header" -> (classOf[OggHeaderExpr], OggHeaderExpr(_)),
     "graft_pii_redact" -> (classOf[PiiRedactExpr], PiiRedactExpr(_)),
+    "graft_iban_scan" -> (classOf[IbanScanExpr], IbanScanExpr(_)),
+    "graft_char_entropy" -> (classOf[CharEntropyExpr], CharEntropyExpr(_)),
     "graft_secrets_redact" ->
       (classOf[SecretsRedactExpr], SecretsRedactExpr(_)),
     "graft_repetition_stats" ->

@@ -1,0 +1,160 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IBAN detection + redaction — the bank-account half of the PII sweep
+  * ([[PiiCodec]] covers cards/emails/phones/IPs). ISO 13616 public
+  * spec: two country letters, two check digits, a country-fixed-length
+  * BBAN; validity is the mod-97-10 rule (ISO 7064) over the rearranged
+  * string with letters expanded to 10..35 — computed as a STREAMING
+  * modulus (m = (m*10+d) % 97 per digit, m*100 for letters), no bignum.
+  *
+  * Deliberately conservative, like the card scanner:
+  *  - a candidate must start at a word boundary with a KNOWN country
+  *    code and match that country's exact registry length — uppercase
+  *    prose that happens to shape like `[A-Z]{2}[0-9]{2}...` (e.g.
+  *    "IN 2024 THE...") never counts;
+  *  - paper format rides along: single internal spaces between
+  *    alphanumeric groups bridge, so `DE44 5001 0517 ...` is ONE
+  *    candidate and is redacted wholesale;
+  *  - only mod-97-VALID candidates are redacted (`<IBAN>`); a
+  *    structural candidate failing the checksum is left untouched —
+  *    false redaction corrupts training text, a rare miss does not.
+  */
+object IbanCodec {
+
+  /** Country -> IBAN length, the high-traffic slice of the public
+    * ISO 13616 registry (SEPA + GCC). Unknown countries never match.
+    */
+  private val countryLen: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    val entries = Seq(
+      "AD" -> 24, "AE" -> 23, "AL" -> 28, "AT" -> 20, "BA" -> 20,
+      "BE" -> 16, "BG" -> 22, "BH" -> 22, "CH" -> 21, "CY" -> 28,
+      "CZ" -> 24, "DE" -> 22, "DK" -> 18, "EE" -> 20, "ES" -> 24,
+      "FI" -> 18, "FR" -> 27, "GB" -> 22, "GE" -> 22, "GI" -> 23,
+      "GR" -> 27, "HR" -> 21, "HU" -> 28, "IE" -> 22, "IL" -> 23,
+      "IS" -> 26, "IT" -> 27, "JO" -> 30, "KW" -> 30, "LI" -> 21,
+      "LT" -> 20, "LU" -> 20, "LV" -> 21, "MC" -> 27, "MD" -> 24,
+      "ME" -> 22, "MK" -> 19, "MT" -> 31, "NL" -> 18, "NO" -> 15,
+      "PL" -> 28, "PT" -> 25, "QA" -> 29, "RO" -> 24, "RS" -> 22,
+      "SA" -> 24, "SE" -> 24, "SI" -> 19, "SK" -> 24, "SM" -> 27,
+      "TR" -> 26, "UA" -> 29)
+    entries.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  /** ISO 7064 mod-97-10 over the rearranged compact IBAN (chars 4..n
+    * then 0..4), letters as two digits. Valid IBANs yield 1.
+    */
+  def mod97(compact: String): Int = {
+    val n = compact.length
+    var m = 0
+    var idx = 0
+    while (idx < n) {
+      val c = compact.charAt((idx + 4) % n)
+      if (c >= '0' && c <= '9') m = (m * 10 + (c - '0')) % 97
+      else m = (m * 100 + (10 + c - 'A')) % 97
+      idx += 1
+    }
+    m
+  }
+
+  /** Strict validator on a compact (no separators) candidate. */
+  def ibanValid(compact: String): Boolean = {
+    val n = compact.length
+    if (n < 15 || n > 34) return false
+    var i = 0
+    while (i < n) {
+      val c = compact.charAt(i)
+      val ok =
+        if (i < 2) c >= 'A' && c <= 'Z'
+        else if (i < 4) c >= '0' && c <= '9'
+        else (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      if (!ok) return false
+      i += 1
+    }
+    val expect = countryLen.get(compact.substring(0, 2))
+    expect != null && expect == n && mod97(compact) == 1
+  }
+
+  val Schema: StructType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_candidates", IntegerType, nullable = false),
+    StructField("n_valid", IntegerType, nullable = false)))
+
+  private def isUp(c: Char): Boolean = c >= 'A' && c <= 'Z'
+  private def isDig(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isAln(c: Char): Boolean = isUp(c) || isDig(c)
+
+  /** One pass: find candidates (known country + registry length, word
+    * bounded, single-space groups bridged), count them, redact the
+    * mod-97-valid ones.
+    */
+  def scan(u: UTF8String): GenericInternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    var nCand = 0
+    var nValid = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val prevOk = i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))
+      if (isUp(c) && prevOk && i + 1 < n && isUp(s.charAt(i + 1))) {
+        var j = i
+        var lastAln = i - 1
+        val compact = new java.lang.StringBuilder(34)
+        var scanning = true
+        while (j < n && scanning && compact.length() <= 34) {
+          val d = s.charAt(j)
+          if (isAln(d)) { compact.append(d); lastAln = j; j += 1 }
+          else if (d == ' ' && j + 1 < n && isAln(s.charAt(j + 1)) &&
+              s.charAt(j - 1) != ' ') j += 1
+          else scanning = false
+        }
+        val end = lastAln + 1
+        val cp = compact.toString
+        val expect =
+          if (cp.length >= 15 && cp.length <= 34 && isDig(cp.charAt(2)) &&
+            isDig(cp.charAt(3))) countryLen.get(cp.substring(0, 2))
+          else null
+        if (expect != null && expect == cp.length &&
+            cp.substring(4).forall(isAln)) {
+          nCand += 1
+          if (mod97(cp) == 1) { nValid += 1; out.append("<IBAN>") }
+          else out.append(s, i, end)
+        } else out.append(s, i, end)
+        i = end
+      } else { out.append(c); i += 1 }
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(out.toString), nCand, nValid))
+  }
+}
+
+/** `string` -> `struct<redacted,n_candidates,n_valid>`: IBAN scan with
+  * mod-97 validation and valid-only redaction ([[IbanCodec.scan]]).
+  * Codegen'd.
+  */
+case class IbanScanExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IbanCodec.Schema
+  override def nullSafeEval(input: Any): Any =
+    IbanCodec.scan(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.IbanCodec.scan($c)")
+  override protected def withNewChildInternal(newChild: Expression): IbanScanExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_iban_scan"
+}

@@ -22,6 +22,10 @@ object Models {
       tpe: String, scalars: Map[String, Double]): Unit = {
     val p = new Path(path, "_model.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    scalars.foreach { case (k, v) =>
+      require(java.lang.Double.isFinite(v),
+        s"model scalar '$k' is not finite ($v) — would write invalid JSON")
+    }
     val out = fs.create(p, true)
     try {
       val kv = scalars.map { case (k, v) => s""""$k":$v""" }.mkString(",")

@@ -597,6 +597,27 @@ object TextFunctions {
       graft.expressions.SecretsRedactExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** IBAN scan — ISO 13616 structural candidates (known country code +
+    * registry length, paper-format spaces bridged) with ISO 7064
+    * mod-97 validation; valid ones redact to `<IBAN>` —
+    * `struct<redacted,n_candidates,n_valid>`. The bank-account half of
+    * the PII sweep.
+    */
+  def ibanScan(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.IbanScanExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Character-distribution entropy over code points —
+    * `struct<n_cp:int,h_bits:double>` (null for null/empty input); the
+    * compressibility quality signal: prose sits in a stable bits/char
+    * band, base64/minified/key-mash text above it, padding near zero.
+    */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.CharEntropyExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Crawl-frontier URL canonicalization
     * ([[graft.expressions.UrlCanonicalizeExpr]]): RFC 3986 syntax
     * normalization (case, default ports, dot-segments, percent-escape

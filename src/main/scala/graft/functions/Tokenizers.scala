@@ -40,11 +40,19 @@ object Tokenizers {
     }, "." + p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try {
-      val w = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(out, "UTF-8"))
-      lines.foreach { l => w.write(l); w.write('\n') }
-      w.flush()
-    } finally out.close()
+      try {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, "UTF-8"))
+        lines.foreach { l => w.write(l); w.write('\n') }
+        w.flush()
+      } finally out.close()
+    } catch {
+      case e: Throwable =>
+        // do not leave the half-written sidecar behind
+        try fs.delete(tmp, false)
+        catch { case _: Throwable => () }
+        throw e
+    }
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"could not publish $path")

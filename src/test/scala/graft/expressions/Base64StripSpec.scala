@@ -29,6 +29,22 @@ class Base64StripSpec extends graft.SparkTestBase {
     assert(r.getUTF8String(0).toString.contains("BEGIN X"))
   }
 
+  test("CRLF-wrapped blob (MIME/PEM on Windows) strips as ONE blob") {
+    val wrapped = blob.grouped(64).mkString("\r\n")
+    val pem = s"-----BEGIN X-----\r\n$wrapped\r\n-----END X-----"
+    val r = strip(pem)
+    assert(r.getInt(1) == 1)
+    assert(r.getLong(2) == blob.length)
+    assert(r.getUTF8String(0).toString.contains("BEGIN X"))
+  }
+
+  test("bare-CR wraps still bridge; trailing newline is not consumed") {
+    val wrapped = blob.grouped(64).mkString("\r")
+    val r = strip(s"x $wrapped\n.")
+    assert(r.getInt(1) == 1)
+    assert(r.getUTF8String(0).toString == "x \n.")
+  }
+
   test("long words and single-case hex runs survive (mixed-alphabet gate)") {
     val word = "a" * 100 // one case, no digits
     val hexRun = "0123456789abcdef" * 8 // no uppercase

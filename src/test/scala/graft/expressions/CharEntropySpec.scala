@@ -1,0 +1,52 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character entropy: closed forms, permutation invariance, code-point
+  * (not UTF-16-unit) counting, null/empty, SQL surface.
+  */
+class CharEntropySpec extends graft.SparkTestBase {
+
+  private def h(s: String): (Int, Double) = {
+    val r = EntropyCodec.entropy(UTF8String.fromString(s))
+    (r.getInt(0), r.getDouble(1))
+  }
+
+  test("closed forms: uniform distributions hit exact bit counts") {
+    assert(h("aaaa") == ((4, 0.0)))
+    val (n2, h2) = h("abab")
+    assert(n2 == 4 && math.abs(h2 - 1.0) < 1e-12)
+    val (n4, h4) = h("abcdabcdabcd")
+    assert(n4 == 12 && math.abs(h4 - 2.0) < 1e-12)
+  }
+
+  test("permutation invariance: counts, not order") {
+    assert(h("mississippi") == h("ipssmisspii"))
+  }
+
+  test("supplementary-plane chars count once (code points, not chars)") {
+    val (n, hv) = h("😀😀aa") // two U+1F600 + two 'a'
+    assert(n == 4 && math.abs(hv - 1.0) < 1e-12)
+  }
+
+  test("skew lowers entropy below uniform") {
+    val (_, hu) = h("abcd")
+    val (_, hs) = h("aaab")
+    assert(hs < hu && hs > 0.0)
+  }
+
+  test("null and empty yield null") {
+    assert(EntropyCodec.entropy(null) == null)
+    assert(EntropyCodec.entropy(UTF8String.fromString("")) == null)
+  }
+
+  test("sql surface") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_char_entropy('abab') AS e, graft_char_entropy('') AS z")
+      .select("e.n_cp", "e.h_bits", "z").head()
+    assert(row.getInt(0) == 4)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    assert(row.isNullAt(2))
+  }
+}

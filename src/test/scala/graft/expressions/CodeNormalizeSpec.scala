@@ -30,6 +30,22 @@ class CodeNormalizeSpec extends graft.SparkTestBase {
       == """s = "he said \"hi\" // still string"; x""")
   }
 
+  test("C preprocessor directives are code, not comments") {
+    val src =
+      """#include <stdio.h>
+        |#define MAX 10   // limit
+        |  #pragma once
+        |int x; # just a note
+        |""".stripMargin
+    assert(norm(src) ==
+      "#include <stdio.h> #define MAX 10 #pragma once int x;")
+    // two files differing only in includes keep DIFFERENT keys
+    assert(norm("#include <a.h>\nint f();") != norm("#include <b.h>\nint f();"))
+    // a shell/Python comment that merely starts with a directive-shaped
+    // word mid-line is still a comment
+    assert(norm("x = 1 # define things later") == "x = 1")
+  }
+
   test("whitespace canonicalizes: runs, newlines, indentation") {
     assert(norm("a   =\t1;\n\n\n   b = 2;") == "a = 1; b = 2;")
     assert(norm("   \n  ") == "")

@@ -35,6 +35,16 @@ class DomainSpec extends graft.SparkTestBase {
     assert(d("https://example.com") == "example.com")
   }
 
+  test("schemeless inputs still shed port/path/query/userinfo") {
+    assert(d("example.com:8080/p?x=1") == "example.com")
+    assert(d("www.example.co.uk/path#frag") == "example.co.uk")
+    assert(d("user@sub.example.com:443") == "example.com")
+    assert(d("example.com:") == "example.com")
+    // unbracketed IPv6 literals are NOT a host:port and survive whole
+    assert(d("::1") == "::1")
+    assert(d("2001:db8::1") == "2001:db8::1")
+  }
+
   test("ips, single labels, bracketed hosts pass through") {
     assert(d("192.168.1.10") == "192.168.1.10")
     assert(d("localhost") == "localhost")

@@ -1,0 +1,67 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IBAN scan: ISO 7064 mod-97 on public registry examples, paper-format
+  * bridging, conservative candidate gating, SQL surface.
+  */
+class IbanSpec extends graft.SparkTestBase {
+
+  private def scan(s: String) =
+    IbanCodec.scan(UTF8String.fromString(s))
+
+  test("public registry examples validate; a flipped digit fails") {
+    assert(IbanCodec.ibanValid("DE44500105175407324931"))
+    assert(IbanCodec.ibanValid("GB82WEST12345698765432"))
+    assert(!IbanCodec.ibanValid("DE45500105175407324931")) // check digit +1
+    assert(!IbanCodec.ibanValid("GB82WEST12345698765433")) // last digit +1
+  }
+
+  test("structure gates: unknown country, wrong length, bad charset") {
+    assert(!IbanCodec.ibanValid("XX82WEST12345698765432")) // unknown country
+    assert(!IbanCodec.ibanValid("DE4450010517540732493")) // DE must be 22
+    assert(!IbanCodec.ibanValid("DEA4500105175407324931")) // letter check digit
+    assert(!IbanCodec.ibanValid("DE445001051754073249e1")) // lowercase
+  }
+
+  test("compact IBAN in prose is counted and redacted; prose intact") {
+    val r = scan("pay DE44500105175407324931 today")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getUTF8String(0).toString == "pay <IBAN> today")
+  }
+
+  test("paper format (grouped spaces) is ONE candidate, redacted wholesale") {
+    val r = scan("ref: GB82 WEST 1234 5698 7654 32, thanks")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getUTF8String(0).toString == "ref: <IBAN>, thanks")
+  }
+
+  test("checksum-failing candidate is counted but NOT redacted") {
+    val s = "acct DE45500105175407324931 on file"
+    val r = scan(s)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 0)
+    assert(r.getUTF8String(0).toString == s)
+  }
+
+  test("uppercase prose and unknown countries never count") {
+    val s = "IN 2024 THE WORLD SAW CHANGE and XX8212345678901234 too"
+    val r = scan(s)
+    assert(r.getInt(1) == 0 && r.getInt(2) == 0)
+    assert(r.getUTF8String(0).toString == s)
+  }
+
+  test("word boundaries: digits or letters glued on do not match") {
+    val r = scan("xDE44500105175407324931 9DE44500105175407324931")
+    assert(r.getInt(1) == 0)
+  }
+
+  test("null propagates; sql surface") {
+    assert(IbanCodec.scan(null) == null)
+    GraftExtensions.register(spark)
+    val df = spark.sql(
+      """SELECT graft_iban_scan('to DE44500105175407324931.') AS r""")
+    val row = df.select("r.redacted", "r.n_candidates", "r.n_valid").head()
+    assert(row.getString(0) == "to <IBAN>.")
+    assert(row.getInt(1) == 1 && row.getInt(2) == 1)
+  }
+}

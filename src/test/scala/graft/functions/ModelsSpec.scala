@@ -76,4 +76,13 @@ class ModelsSpec extends SparkTestBase {
       Models.loadNb(spark, tmp("missing-model"))
     }
   }
+
+  test("non-finite scalars fail at SAVE time, not at reload") {
+    val m = NgramLm.train(corpus, "text")
+    val bad = m.copy(discount = Double.NaN)
+    val e = intercept[IllegalArgumentException] {
+      Models.saveKn(spark, tmp("nan-discount"), bad)
+    }
+    assert(e.getMessage.contains("not finite"))
+  }
 }
