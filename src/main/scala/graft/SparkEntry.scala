@@ -5851,6 +5851,58 @@ object SparkEntry {
         .withColumn("prose_band",
           col("h_bits") >= 3.0 && col("h_bits") <= 5.0)
         .orderBy("doc_id")),
+
+    // --- 245. incremental materialized-aggregate maintenance, end-to-end oracle -------------------------
+    // The change-feed CONSUMER story (q91 produces the feed, this
+    // maintains a rollup from it): build the grouped count/sum once,
+    // then two real merges — CDC update/delete/insert, then a
+    // PARTITION-MOVING update — refresh the aggregate from their feeds
+    // alone (O(delta), no base rescan; decimal sums make
+    // add-then-subtract bit-exact). The oracle recomputes the final
+    // grouped state closed-form — a hash match proves the incremental
+    // path lands exactly on the recompute answer.
+    "q245_incremental_agg" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val root = s"/tmp/graft_q245_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_agg_src"
+      val aggP = s"$root/agg"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Medallion.writeTable(base, tbl, Seq("o_orderstatus"))
+      graft.pipeline.IncrementalAgg.maintain(s, tbl, aggP,
+        Seq("o_orderstatus"), Seq("o_totalprice")) // full build @ v1
+      val updates = base
+        .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("is_deleted", lit(false))
+      val deletes = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("is_deleted", lit(true))
+      val inserts = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_totalprice",
+          (col("o_orderkey") % 500).cast("double"))
+        .withColumn("is_deleted", lit(false))
+      graft.pipeline.Medallion.merge(s, tbl,
+        updates.unionByName(deletes).unionByName(inserts),
+        keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"),
+        deleteCol = Some("is_deleted"), snapshot = true, changeFeed = true)
+      graft.pipeline.IncrementalAgg.maintain(s, tbl, aggP,
+        Seq("o_orderstatus"), Seq("o_totalprice")) // feed-only @ v2
+      val move = graft.pipeline.Medallion.read(s, tbl)
+        .where(col("o_orderkey") % 9 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      graft.pipeline.Medallion.merge(s, tbl, move,
+        keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"),
+        snapshot = true, changeFeed = true)
+      graft.pipeline.IncrementalAgg.maintain(s, tbl, aggP,
+        Seq("o_orderstatus"), Seq("o_totalprice")) // feed-only @ v3
+      graft.pipeline.IncrementalAgg.read(s, aggP)
+        .select(col("o_orderstatus"), col("n_rows"),
+          col("sum_o_totalprice").cast("double").as("price_sum"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9425,7 +9477,30 @@ object SparkEntry {
         |  FROM agg)
         |SELECT doc_id, n_cp, h_bits,
         |  h_bits >= 3.0 AND h_bits <= 5.0 AS prose_band
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Incremental agg: the oracle replays both merges closed-form
+    // (update/delete/insert, then the partition-moving update) and
+    // aggregates the FINAL state with the same decimal(38,6) sums —
+    // exactly what the feed-maintained rollup must land on.
+    "q245_incremental_agg" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 7 = 0 THEN p + 1000.0 ELSE p END AS p
+        |  FROM base WHERE k % 11 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000 AS k, st,
+        |    CAST((k + 10000000) % 500 AS DOUBLE) AS p
+        |  FROM base WHERE k % 13 = 0),
+        |s2 AS (
+        |  SELECT k, CASE WHEN k % 9 = 0 THEN 'X' ELSE st END AS st, p
+        |  FROM s1)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+        |FROM s2 GROUP BY st ORDER BY st""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -247,6 +247,65 @@ object Snapshot {
       df.join(broadcast(t), t.columns.toSeq, "left_anti")
     }
 
+  /** O(metadata) COUNT(*): sum parquet footer record counts over the
+    * version's manifest — no data page is ever read. Footer reads are
+    * DISTRIBUTED (one tiny ranged GET per file), so a 100 TB table's
+    * count is a files-sized job, not a table-sized scan. Falls back to a
+    * real counted read when the version carries tombstone sidecars
+    * (merge-on-read deletes make footer counts an overcount).
+    */
+  def countFast(spark: SparkSession, path: String,
+      version: Option[Long] = None): Long = {
+    val root0 = new Path(path)
+    val fs = fsFor(spark, root0)
+    val root = fs.makeQualified(root0)
+    val (files, tombs) = version match {
+      case Some(v) => readManifestFull(fs, root, v)
+      case None =>
+        val (_, f) = ensure(fs, root)
+        val t = currentFull(fs, root).map(_._3).getOrElse(Nil)
+        (f, t)
+    }
+    if (tombs.nonEmpty) return read(spark, path, version).count()
+    if (files.isEmpty) return 0L
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rootStr = root.toString
+    spark.sparkContext
+      .parallelize(files,
+        math.min(files.size, spark.sparkContext.defaultParallelism))
+      .map { rel =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(new Path(rootStr), rel), conf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      .sum().toLong
+  }
+
+  /** O(metadata) MIN/MAX of `column` from the current version's stats
+    * sidecar ([[computeStats]]): fold the per-file [min, max] lines —
+    * zero data IO, zero footer IO. None whenever the answer cannot be
+    * PROVEN from metadata alone: missing/stale/corrupt sidecar, a
+    * tombstoned version (a delete may remove the extreme), or no line
+    * for the column at all (either never computed or all-null — both
+    * mean "unknown" here). The caller falls back to the scan.
+    */
+  def minMaxFast(spark: SparkSession, path: String,
+      column: String): Option[(Double, Double)] = {
+    val root0 = new Path(path)
+    val fs = fsFor(spark, root0)
+    val root = fs.makeQualified(root0)
+    currentFull(fs, root).flatMap { case (v, files, tombs) =>
+      if (tombs.nonEmpty) None
+      else loadStats(fs, root, v).flatMap { stats =>
+        val bounds = files.flatMap(f => stats.get((f, column)))
+        if (bounds.isEmpty) None
+        else Some((bounds.map(_._1).min, bounds.map(_._2).max))
+      }
+    }
+  }
+
   /** Read an explicit (already-resolved) manifest file list — the zero-
     * extra-IO path for callers that hold the list (merge/compact pin their
     * base version's list at the start of the operation).

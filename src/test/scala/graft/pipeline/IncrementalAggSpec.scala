@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: feed-only refresh equals full
+  * recompute bit-exactly, up-to-date no-op, group birth/death, the
+  * partition-moving update, and crash recovery via the marker.
+  */
+class IncrementalAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def roots(): (String, String) = {
+    val r = graft.GraftTmp.dir("graft-incagg").toString
+    (r + "/tbl", r + "/agg")
+  }
+
+  private def base() = Seq(
+    (1L, "a", 10.5), (2L, "a", 20.25), (3L, "b", 30.0),
+    (4L, "b", 40.0), (5L, "c", 50.0)
+  ).toDF("id", "part", "v")
+
+  private def recompute(tbl: String): DataFrame =
+    Medallion.read(spark, tbl).groupBy("part").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("v").cast("decimal(38,6)")).as("sum_v"))
+
+  private def rows(df: DataFrame) =
+    df.orderBy("part").collect().map(_.toSeq).toSeq
+
+  private def refresh(tbl: String, agg: String): Long =
+    IncrementalAgg.maintain(spark, tbl, agg, Seq("part"), Seq("v"))
+
+  test("full build, then feed-only refresh == recompute, bit-exact") {
+    val (tbl, agg) = roots()
+    Medallion.writeTable(base(), tbl, Seq("part"))
+    refresh(tbl, agg)
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+
+    // update + delete + insert in one merge
+    val changes = Seq(
+      (1L, "a", 99.75, false), // update
+      (3L, "b", 0.0, true), // delete
+      (6L, "c", 6.5, false) // insert
+    ).toDF("id", "part", "v", "is_deleted")
+    Medallion.merge(spark, tbl, changes, keys = Seq("id"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = true)
+    val v = refresh(tbl, agg)
+    assert(v == 2L)
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+  }
+
+  test("up-to-date refresh is a no-op (no new aggregate version)") {
+    val (tbl, agg) = roots()
+    Medallion.writeTable(base(), tbl, Seq("part"))
+    refresh(tbl, agg)
+    val before = IncrementalAgg.appliedVersions(spark, agg).get
+    refresh(tbl, agg)
+    assert(IncrementalAgg.appliedVersions(spark, agg).get == before)
+  }
+
+  test("a group emptied by deletes drops out; a new group is born") {
+    val (tbl, agg) = roots()
+    Medallion.writeTable(base(), tbl, Seq("part"))
+    refresh(tbl, agg)
+    val changes = Seq(
+      (5L, "c", 0.0, true), // empties group c
+      (7L, "d", 7.0, false) // births group d
+    ).toDF("id", "part", "v", "is_deleted")
+    Medallion.merge(spark, tbl, changes, keys = Seq("id"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = true)
+    refresh(tbl, agg)
+    val parts = IncrementalAgg.read(spark, agg)
+      .select("part").as[String].collect().sorted.toSeq
+    assert(parts == Seq("a", "b", "d"))
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+  }
+
+  test("partition-moving update transfers count and sum across groups") {
+    val (tbl, agg) = roots()
+    Medallion.writeTable(base(), tbl, Seq("part"))
+    refresh(tbl, agg)
+    val move = Seq((3L, "a", 30.0)).toDF("id", "part", "v") // b -> a
+    Medallion.merge(spark, tbl, move, keys = Seq("id"),
+      partitionBy = Seq("part"), snapshot = true, changeFeed = true)
+    refresh(tbl, agg)
+    val got = IncrementalAgg.read(spark, agg)
+      .select("part", "n_rows").as[(String, Long)].collect().toMap
+    assert(got("a") == 3L && got("b") == 1L)
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+  }
+
+  test("crash between publish and marker: orphan version never observed") {
+    val (tbl, agg) = roots()
+    Medallion.writeTable(base(), tbl, Seq("part"))
+    refresh(tbl, agg)
+    val marker = IncrementalAgg.appliedVersions(spark, agg).get
+    // simulate the crash: a data version published WITHOUT marker update
+    val p = new org.apache.hadoop.fs.Path(agg)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(p)
+    val staged = new org.apache.hadoop.fs.Path(root, ".staged-crash")
+    Seq(("zz", 999L)).toDF("part", "n_rows")
+      .write.mode("overwrite").parquet(staged.toString)
+    val files = Snapshot.moveIn(fs, staged, root)
+    Snapshot.publish(fs, root, files)
+    // the marker still pins the good pair; reads and refreshes ignore
+    // the orphan
+    assert(IncrementalAgg.appliedVersions(spark, agg).get == marker)
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+    val changes = Seq((2L, "a", 21.0, false)).toDF("id", "part", "v", "is_deleted")
+    Medallion.merge(spark, tbl, changes, keys = Seq("id"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = true)
+    refresh(tbl, agg)
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Metadata-only aggregates: footer-sum COUNT and sidecar MIN/MAX agree
+  * with the scans, degrade to correctness under tombstones, and answer
+  * "unknown" instead of guessing.
+  */
+class MetadataAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fsFor(path: String) = {
+    val p = new Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  test("countFast equals the scan count, before and after a merge") {
+    val dir = graft.GraftTmp.dir("graft-metacount").toString + "/t"
+    val base = spark.range(1000)
+      .select((col("id") % 7).as("part"), col("id").as("k"),
+        (col("id") * 2).as("v"))
+    Medallion.writeTable(base, dir, Seq("part"))
+    assert(Snapshot.countFast(spark, dir) == 1000L)
+
+    val changes = Seq(
+      (1L, 1L, 111L, false), // update (key 1 exists in part 1)
+      (5000L, 3L, 0L, false), // insert
+      (2L, 2L, 0L, true) // delete
+    ).toDF("k", "part", "v", "is_deleted")
+    Medallion.merge(spark, dir, changes, keys = Seq("k"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = false)
+    val expect = Medallion.read(spark, dir).count()
+    assert(Snapshot.countFast(spark, dir) == expect)
+    assert(expect == 1000L) // +1 insert -1 delete
+  }
+
+  test("countFast under merge-on-read tombstones stays exact (fallback)") {
+    val dir = graft.GraftTmp.dir("graft-metacount2").toString + "/t"
+    val base = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("k", "part", "v")
+    Medallion.writeTable(base, dir, Seq("part"))
+    val del = Seq((2L, "a", 0.0, true)).toDF("k", "part", "v", "is_deleted")
+    Medallion.merge(spark, dir, del, keys = Seq("k"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, deferDeletes = true)
+    assert(Snapshot.countFast(spark, dir) == 2L)
+  }
+
+  test("countFast: empty manifest counts zero; pinned version counts its state") {
+    val dir = graft.GraftTmp.dir("graft-metacount3").toString + "/t"
+    val (root, fs) = fsFor(dir)
+    fs.mkdirs(root)
+    Snapshot.publish(fs, fs.makeQualified(root), Nil)
+    assert(Snapshot.countFast(spark, dir) == 0L)
+
+    val dir2 = graft.GraftTmp.dir("graft-metacount4").toString + "/t"
+    val base = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("k", "part", "v")
+    Medallion.writeTable(base, dir2, Seq("part"))
+    Snapshot.countFast(spark, dir2) // ensures v1
+    val ins = Seq((9L, "b", 9.0)).toDF("k", "part", "v")
+    Medallion.merge(spark, dir2, ins, keys = Seq("k"),
+      partitionBy = Seq("part"), snapshot = true)
+    assert(Snapshot.countFast(spark, dir2, Some(1L)) == 2L)
+    assert(Snapshot.countFast(spark, dir2) == 3L)
+  }
+
+  test("minMaxFast folds the sidecar; unknown stays None") {
+    val dir = graft.GraftTmp.dir("graft-metamm").toString + "/t"
+    val data = spark.range(10000)
+      .select((col("id") % 100).as("k"), col("id").as("v"),
+        lit(null).cast("double").as("allnull"))
+    Medallion.writeClustered(data, dir, Seq("k"), numFiles = 8)
+    val (root, fs) = fsFor(dir)
+    Snapshot.ensure(fs, root)
+    // no sidecar yet -> unknown
+    assert(Snapshot.minMaxFast(spark, dir, "k").isEmpty)
+    Snapshot.computeStats(spark, dir, Seq("k", "v", "allnull"))
+    assert(Snapshot.minMaxFast(spark, dir, "k").contains((0.0, 99.0)))
+    assert(Snapshot.minMaxFast(spark, dir, "v").contains((0.0, 9999.0)))
+    // all-null column: no line -> unknown, never a fabricated bound
+    assert(Snapshot.minMaxFast(spark, dir, "allnull").isEmpty)
+    // column never passed to computeStats -> unknown
+    assert(Snapshot.minMaxFast(spark, dir, "nosuch").isEmpty)
+  }
+}

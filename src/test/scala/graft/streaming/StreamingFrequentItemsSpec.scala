@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.functions.FrequentItems
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Streaming heavy hitters: the mergeable Misra-Gries Aggregator (q100's
+  * batch sketch) runs INCREMENTALLY under streaming aggregation state —
+  * bounded memory per trigger, no replay of past batches. Mergeability
+  * is exactly what makes the same code correct in both worlds.
+  */
+class StreamingFrequentItemsSpec extends SparkTestBase {
+
+  private def runStream(dir: java.nio.file.Path, capacity: Int,
+      name: String): Seq[(String, Long)] = {
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+      .groupBy()
+      .agg(FrequentItems.sketch(col("value"), capacity).as("top"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name).head().getSeq[Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  test("exact regime: capacity >= distinct items reproduces true counts") {
+    val dir = graft.GraftTmp.dir("graft-sfreq-exact")
+    Files.write(dir.resolve("a.txt"),
+      "apple\napple\napple\nbanana\nbanana\ncherry\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.txt"),
+      "apple\nbanana\ndate\napple\n".getBytes("UTF-8"))
+    val got = runStream(dir, capacity = 16, name = "sfreq_exact")
+    assert(got == Seq(("apple", 5L), ("banana", 3L), ("cherry", 1L),
+      ("date", 1L)))
+  }
+
+  test("skewed regime across batches keeps the MG undercount bound") {
+    val dir = graft.GraftTmp.dir("graft-sfreq-skew")
+    val noise1 = (1 to 15).map(i => s"n$i")
+    val noise2 = (16 to 30).map(i => s"n$i")
+    Files.write(dir.resolve("a.txt"),
+      (Seq.fill(25)("hot") ++ noise1).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("b.txt"),
+      (Seq.fill(25)("hot") ++ noise2).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    val got = runStream(dir, capacity = 2, name = "sfreq_skew")
+    // n = 80, capacity 2: any survivor's undercount <= n/(cap+1) = 26.x
+    val hot = got.find(_._1 == "hot")
+    assert(hot.isDefined, s"hot item evicted: $got")
+    assert(hot.get._2 <= 50L && hot.get._2 >= 50L - 26L, got)
+    assert(got.head._1 == "hot", s"hot not ranked first: $got")
+  }
+}
