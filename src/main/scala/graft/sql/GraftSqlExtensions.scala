@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.pipeline.{BloomSidecar, Medallion, Snapshot}
+import graft.pipeline.{BloomSidecar, IncrementalAgg, Medallion, Snapshot}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
@@ -22,6 +22,8 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_read_version('/path/to/table', 1, version1_view)
   *   CALL graft_compute_stats('/path/to/table', 'col1,col2')
   *   CALL graft_compute_bloom('/path/to/table', 'id_col')
+  *   CALL graft_maintain_agg('/path/to/table', '/path/to/agg', 'g1,g2', 's1,s2')
+  *   CALL graft_count_fast('/path/to/table' [, version])
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -275,7 +277,27 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
       val v = BloomSidecar.computeBloom(spark, target, cols)
       Seq(Row(s"published bloom sidecar for $target version $v on (${cols.mkString(",")})"))
 
+    // Materialized-rollup refresh: bring the change-feed-maintained
+    // aggregate up to the table's current version (O(delta); first call
+    // builds it). The SQL face of pipeline/IncrementalAgg.
+    case "maintain_agg" =>
+      val (table, agg) = (str(0), str(1))
+      val groupCols = str(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val sumCols = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (groupCols.isEmpty) bad("argument 3 must name at least one group column")
+      val v = IncrementalAgg.maintain(spark, table, agg, groupCols, sumCols)
+      Seq(Row(s"maintained $agg from $table through version $v"))
+
+    // O(metadata) count: footer sums, tombstone-aware (see
+    // Snapshot.countFast). Version -1 means "current".
+    case "count_fast" =>
+      val target = str(0)
+      val version = long(1, -1L)
+      val pinned = if (version < 0) None else Some(version)
+      val n = Snapshot.countFast(spark, target, pinned)
+      Seq(Row(n.toString))
+
     case other =>
-      bad(s"unknown verb (known: clone, compact, compute_bloom, compute_stats, merge, read_version, vacuum)")
+      bad(s"unknown verb (known: clone, compact, compute_bloom, compute_stats, count_fast, maintain_agg, merge, read_version, vacuum)")
   }
 }

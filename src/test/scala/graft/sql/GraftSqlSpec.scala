@@ -122,4 +122,37 @@ class GraftSqlSpec extends SparkTestBase {
       sqlS.sql(s"CALL graft_compute_stats('$path', '')").collect())
     assert(e.getMessage.contains("at least one column"), e.getMessage)
   }
+
+  test("CALL graft_maintain_agg + graft_count_fast: the rollup and count faces") {
+    import graft.pipeline.IncrementalAgg
+    val path = tmpDir("mvagg")
+    val aggPath = tmpDir("mvagg-out")
+    Medallion.writeTable(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("id", "part", "v"), path, Seq("part"))
+    val r1 = sqlS.sql(
+      s"CALL graft_maintain_agg('$path', '$aggPath', 'part', 'v')")
+      .head().getString(0)
+    assert(r1.contains("version 1"), r1)
+    assert(sqlS.sql(s"CALL graft_count_fast('$path')").head().getString(0) == "3")
+
+    // a merge, then the SQL refresh applies only its feed (the view must
+    // live in the SQL session's own temp catalog)
+    val chPath = tmpDir("mvagg-src")
+    Seq((4L, "b", 40.0, false), (1L, "a", 0.0, true))
+      .toDF("id", "part", "v", "is_deleted").write.parquet(chPath)
+    sqlS.read.parquet(chPath).createOrReplaceTempView("mv_changes")
+    sqlS.sql(s"""CALL graft_merge('$path', mv_changes, 'id',
+      'partitionBy=part', 'deleteCol=is_deleted', 'snapshot=true',
+      'changeFeed=true')""").collect()
+    val r2 = sqlS.sql(
+      s"CALL graft_maintain_agg('$path', '$aggPath', 'part', 'v')")
+      .head().getString(0)
+    assert(r2.contains("version 2"), r2)
+    val got = IncrementalAgg.read(spark, aggPath)
+      .select("part", "n_rows").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L), got.toString)
+    assert(sqlS.sql(s"CALL graft_count_fast('$path')").head().getString(0) == "3")
+    assert(sqlS.sql(s"CALL graft_count_fast('$path', 1)").head().getString(0) == "3")
+  }
 }
