@@ -5903,6 +5903,35 @@ object SparkEntry {
           col("sum_o_totalprice").cast("double").as("price_sum"))
         .orderBy("o_orderstatus")
     }),
+
+    // --- 246. date extraction + normalization, oracle-pinned --------------------------------------------
+    // The published-date signal from TEXT (no HTML metadata needed):
+    // constructed payloads cycle an ISO mention, a day-first prose
+    // mention of the SAME date (so normalization equivalence is
+    // exercised), a month-first mention, and two calendar-invalid
+    // decoys (Feb 30 / Feb 31) that must be dropped by the real
+    // leap-aware validation. Closed-form oracle.
+    "q246_dates" -> ((s, d) => {
+      val y = (lit(2000) + col("doc_id") % 25).cast("int")
+      val m = (col("doc_id") % 12 + 1).cast("int")
+      val dd = (col("doc_id") % 28 + 1).cast("int")
+      val iso = concat(lpad(y.cast("string"), 4, "0"), lit("-"),
+        lpad(m.cast("string"), 2, "0"), lit("-"),
+        lpad(dd.cast("string"), 2, "0"))
+      val monthName = element_at(array(Seq(
+        "January", "February", "March", "April", "May", "June", "July",
+        "August", "September", "October", "November", "December")
+        .map(lit): _*), m)
+      val txt = concat(
+        lit("posted "), iso, lit(", rev "), dd.cast("string"), lit(" "),
+        monthName, lit(" "), y.cast("string"), lit("; also "), monthName,
+        lit(" 5, 2011 but not 2023-02-30 nor 31 February 2020"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TF.extractDates(txt)).as(Seq("i", "dt")))
+        .select(col("doc_id"), col("i").cast("int").as("i"), col("dt"))
+        .orderBy("doc_id", "i")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9500,7 +9529,26 @@ object SparkEntry {
         |  FROM s1)
         |SELECT st AS o_orderstatus, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
-        |FROM s2 GROUP BY st ORDER BY st""".stripMargin
+        |FROM s2 GROUP BY st ORDER BY st""".stripMargin,
+
+    // Dates: the construction replayed — the ISO and day-first mentions
+    // normalize to the same value, the month-first to its own, the two
+    // invalid decoys vanish.
+    "q246_dates" ->
+      """WITH c AS (
+        |  SELECT doc_id, 2000 + doc_id % 25 AS y, doc_id % 12 + 1 AS m
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    lpad(CAST(y AS VARCHAR), 4, '0') || '-' ||
+        |      lpad(CAST(m AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS iso,
+        |    '2011-' || lpad(CAST(m AS VARCHAR), 2, '0') || '-05' AS mdy
+        |  FROM c)
+        |SELECT f.doc_id, CAST(u.i AS INT) AS i,
+        |  CASE u.i WHEN 0 THEN f.iso WHEN 1 THEN f.iso ELSE f.mdy END AS dt
+        |FROM f CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) u
+        |ORDER BY doc_id, i""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

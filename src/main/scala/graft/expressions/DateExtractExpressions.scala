@@ -1,0 +1,118 @@
+package graft.expressions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Date-mention extraction + normalization — the published-date signal
+  * of a crawl corpus (freshness routing, dedup tie-breaking, temporal
+  * filtering) without an HTML-metadata dependency: dates are pulled
+  * from the TEXT and normalized to ISO `yyyy-MM-dd`.
+  *
+  * Recognized, deliberately unambiguous forms only:
+  *  - ISO 8601 `2006-01-02`;
+  *  - day-first prose/RFC `2 Jan 2006` / `2nd January 2006`;
+  *  - month-first prose `January 2, 2006` / `Jan. 2 2006`.
+  * Slash forms (`02/01/2006`) are NOT parsed — day-first vs month-first
+  * is locale guesswork, and a wrong date is worse than no date.
+  *
+  * Every candidate is CALENDAR-validated (real month lengths, Gregorian
+  * leap rule), spans claim left-to-right without overlap, and the
+  * output preserves text order — `dates[0]` is the lead mention.
+  */
+object DateExtractCodec {
+
+  private val Iso = Pattern.compile(
+    "(?<![0-9])(\\d{4})-(\\d{2})-(\\d{2})(?![0-9])")
+  private val MonthAlt =
+    "((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*)"
+  private val Dmy = Pattern.compile(
+    s"(?<![0-9A-Za-z])(\\d{1,2})(?:st|nd|rd|th)?\\s+$MonthAlt\\.?\\s+(\\d{4})(?![0-9])")
+  private val Mdy = Pattern.compile(
+    s"(?<![A-Za-z])$MonthAlt\\.?\\s+(\\d{1,2})(?:st|nd|rd|th)?,?\\s+(\\d{4})(?![0-9])")
+
+  private val MonthNum: Map[String, Int] = {
+    val fulls = Seq("January", "February", "March", "April", "May", "June",
+      "July", "August", "September", "October", "November", "December")
+    val m = Map.newBuilder[String, Int]
+    fulls.zipWithIndex.foreach { case (full, i) =>
+      m += full -> (i + 1)
+      m += full.take(3) -> (i + 1)
+    }
+    m += "Sept" -> 9 // the one common 4-letter abbreviation
+    m.result()
+  }
+
+  private def leap(y: Int): Boolean =
+    (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+
+  private val MonthDays =
+    Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+  def validDate(y: Int, m: Int, d: Int): Boolean =
+    y >= 1 && m >= 1 && m <= 12 && d >= 1 &&
+      d <= (if (m == 2 && leap(y)) 29 else MonthDays(m - 1))
+
+  private final case class Hit(start: Int, end: Int, iso: String)
+
+  /** null -> null; else ISO dates in text order (may be empty). */
+  def extract(u: UTF8String): GenericArrayData = {
+    if (u == null) return null
+    val s = u.toString
+    val hits = new java.util.ArrayList[Hit]()
+    def claim(start: Int, end: Int, y: Int, m: Int, d: Int): Unit = {
+      if (!validDate(y, m, d)) return
+      var i = 0
+      while (i < hits.size()) {
+        val h = hits.get(i)
+        if (start < h.end && h.start < end) return
+        i += 1
+      }
+      hits.add(Hit(start, end, f"$y%04d-$m%02d-$d%02d"))
+    }
+    val im = Iso.matcher(s)
+    while (im.find())
+      claim(im.start, im.end, im.group(1).toInt, im.group(2).toInt,
+        im.group(3).toInt)
+    val dm = Dmy.matcher(s)
+    while (dm.find())
+      MonthNum.get(dm.group(2)).foreach(mn =>
+        claim(dm.start, dm.end, dm.group(3).toInt, mn, dm.group(1).toInt))
+    val mm = Mdy.matcher(s)
+    while (mm.find())
+      MonthNum.get(mm.group(1)).foreach(mn =>
+        claim(mm.start, mm.end, mm.group(3).toInt, mn, mm.group(2).toInt))
+    hits.sort((a, b) => Integer.compare(a.start, b.start))
+    val out = new Array[Any](hits.size())
+    var i = 0
+    while (i < hits.size()) {
+      out(i) = UTF8String.fromString(hits.get(i).iso)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `string` -> `array<string>` of calendar-valid ISO dates in text order
+  * ([[DateExtractCodec.extract]]). Codegen'd.
+  */
+case class DateExtractExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    DateExtractCodec.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.DateExtractCodec.extract($c)")
+  override protected def withNewChildInternal(newChild: Expression): DateExtractExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dates"
+}

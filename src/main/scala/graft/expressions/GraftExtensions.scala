@@ -503,6 +503,7 @@ object GraftExtensions {
     "graft_pii_redact" -> (classOf[PiiRedactExpr], PiiRedactExpr(_)),
     "graft_iban_scan" -> (classOf[IbanScanExpr], IbanScanExpr(_)),
     "graft_char_entropy" -> (classOf[CharEntropyExpr], CharEntropyExpr(_)),
+    "graft_dates" -> (classOf[DateExtractExpr], DateExtractExpr(_)),
     "graft_secrets_redact" ->
       (classOf[SecretsRedactExpr], SecretsRedactExpr(_)),
     "graft_repetition_stats" ->

@@ -608,6 +608,16 @@ object TextFunctions {
       graft.expressions.IbanScanExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Date-mention extraction: calendar-valid ISO `yyyy-MM-dd` strings
+    * in text order, from ISO / day-first / month-first forms only
+    * (slash forms are locale guesswork and stay unparsed) —
+    * `array<string>`. The published-date signal for freshness routing.
+    */
+  def extractDates(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.DateExtractExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Character-distribution entropy over code points —
     * `struct<n_cp:int,h_bits:double>` (null for null/empty input); the
     * compressibility quality signal: prose sits in a stable bits/char

@@ -493,4 +493,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
     assert(p.contains("partial"), s"map-side aggregation expected: $p")
   }
+
+  test("r11 row-local scans (iban/entropy) plan as narrow maps") {
+    for (q <- Seq("q243_iban", "q244_char_entropy")) {
+      val p = plan(q)
+      val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toList
+      assert(exchanges.count(_.contains("rangepartitioning")) <= 1, s"$q: $p")
+      assert(!exchanges.exists(_.contains("hashpartitioning")), s"$q: $p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q: $p")
+    }
+  }
+
+  test("q242 bucketing: the per-language cut table joins back by broadcast") {
+    // The corpus side must meet the one-row-per-language cut table via a
+    // broadcast join — shuffling the scored corpus against a 5-row
+    // dimension would be the classic scale mistake (q204's rule).
+    val p = plan("q242_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,60 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Date extraction: all three forms normalize, calendar validation with
+  * the real leap rule, span claiming, text order, SQL surface.
+  */
+class DateExtractSpec extends graft.SparkTestBase {
+
+  private def ex(s: String): Seq[String] = {
+    val a = DateExtractCodec.extract(UTF8String.fromString(s))
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  test("three forms normalize to the same ISO value") {
+    assert(ex("2006-01-02") == Seq("2006-01-02"))
+    assert(ex("2 Jan 2006") == Seq("2006-01-02"))
+    assert(ex("2nd January 2006") == Seq("2006-01-02"))
+    assert(ex("January 2, 2006") == Seq("2006-01-02"))
+    assert(ex("Jan. 2 2006") == Seq("2006-01-02"))
+  }
+
+  test("calendar validation: month lengths and the Gregorian leap rule") {
+    assert(ex("2024-02-29") == Seq("2024-02-29")) // leap
+    assert(ex("2023-02-29").isEmpty)
+    assert(ex("1900-02-29").isEmpty) // century non-leap
+    assert(ex("2000-02-29") == Seq("2000-02-29")) // 400-rule leap
+    assert(ex("31 April 2020").isEmpty)
+    assert(ex("2023-13-01 2023-00-10 2023-01-00").isEmpty)
+  }
+
+  test("slash forms are locale guesswork and stay unparsed") {
+    assert(ex("02/01/2006 and 2006/01/02").isEmpty)
+  }
+
+  test("text order is preserved; spans claim once") {
+    assert(ex("from 3 Mar 1999 to 2001-12-31")
+      == Seq("1999-03-03", "2001-12-31"))
+    // the day-first match must not be re-claimed by the month-first scan
+    assert(ex("on 15 June 2010, fine") == Seq("2010-06-15"))
+  }
+
+  test("digit/letter boundaries: timestamps and ids do not leak") {
+    assert(ex("v12024-01-023 build").isEmpty) // digit-glued ISO
+    assert(ex("20 Janets 2020").isEmpty) // not a month name
+  }
+
+  test("null and no-date text") {
+    assert(DateExtractCodec.extract(null) == null)
+    assert(ex("no dates here").isEmpty)
+  }
+
+  test("sql surface") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_dates('posted 2021-05-06, seen May 7, 2021') AS d")
+      .head().getSeq[String](0)
+    assert(row == Seq("2021-05-06", "2021-05-07"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.functions.QuantileSketch
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Streaming quantiles: the mergeable KLL-style sketch (q104's batch
+  * aggregator) under streaming-aggregation state — the percentile
+  * dashboard over an unbounded stream with bounded memory. The
+  * exact-below-capacity regime makes the assertion deterministic across
+  * microbatch boundaries.
+  */
+class StreamingQuantileSpec extends SparkTestBase {
+
+  test("exact regime across microbatches: sketch quantiles are the data values") {
+    val dir = graft.GraftTmp.dir("graft-squant")
+    // 1..60 split across two files in interleaved order: the final state
+    // must be identical to a batch pass over the union.
+    Files.write(dir.resolve("a.txt"),
+      (1 to 60 by 2).mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("b.txt"),
+      (2 to 60 by 2).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+      .select(col("value").cast("double").as("v"))
+      .groupBy()
+      .agg(QuantileSketch.sketch(col("v"), capacity = 256,
+        probs = Seq(0.25, 0.5, 0.95)).as("qs"))
+      .writeStream.format("memory").queryName("squant")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("squant").head().getSeq[Double](0)
+    assert(got == Seq(15.0, 30.0, 57.0), got)
+  }
+}
