@@ -5932,6 +5932,47 @@ object SparkEntry {
         .select(col("doc_id"), col("i").cast("int").as("i"), col("dt"))
         .orderBy("doc_id", "i")
     }),
+
+    // --- 247. version diff without a change feed, end-to-end oracle -------------------------------------
+    // q91's merge replayed, but the diff is RECONSTRUCTED from the two
+    // manifests alone (no `_changes` published): only files private to
+    // one version are read — partition-scoped rewrites price the diff
+    // at the changed partitions — and byte-identical rewritten
+    // neighbors drop out of the key join. Same CDC vocabulary as the
+    // feed, same closed-form oracle shape as q91.
+    "q247_version_diff" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val root = s"/tmp/graft_q247_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_diff"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Medallion.writeTable(base, tbl, Seq("o_orderstatus"))
+      val updates = base
+        .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .withColumn("is_deleted", lit(false))
+      val deletes = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("is_deleted", lit(true))
+      val inserts = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderpriority", lit("NEW"))
+        .withColumn("is_deleted", lit(false))
+      graft.pipeline.Medallion.merge(s, tbl,
+        updates.unionByName(deletes).unionByName(inserts),
+        keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"),
+        deleteCol = Some("is_deleted"), snapshot = true)
+      graft.pipeline.VersionDiff.diffVersions(s, tbl, 1L, 2L,
+          Seq("o_orderkey"))
+        .groupBy("_diff_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          count(when(col("o_orderpriority") === "MERGED", 1)).as("n_merged"))
+        .withColumnRenamed("_diff_type", "diff_type")
+        .orderBy("diff_type")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9548,7 +9589,29 @@ object SparkEntry {
         |SELECT f.doc_id, CAST(u.i AS INT) AS i,
         |  CASE u.i WHEN 0 THEN f.iso WHEN 1 THEN f.iso ELSE f.mdy END AS dt
         |FROM f CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) u
-        |ORDER BY doc_id, i""".stripMargin
+        |ORDER BY doc_id, i""".stripMargin,
+
+    // Version diff: q91's closed form with the diff vocabulary — the
+    // reconstruction must land on exactly the feed's rows.
+    "q247_version_diff" ->
+      """SELECT diff_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  COUNT(CASE WHEN prio = 'MERGED' THEN 1 END) AS n_merged
+        |FROM (
+        |  SELECT 'delete' AS diff_type, o_orderkey AS k, o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT 'update_pre', o_orderkey, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT 'update_post', o_orderkey, 'MERGED'
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 10000000, 'NEW'
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |)
+        |GROUP BY diff_type ORDER BY diff_type""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to
