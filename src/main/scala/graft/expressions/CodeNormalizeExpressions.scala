@@ -37,14 +37,19 @@ object CodeNormalizeCodec {
     "endif", "pragma", "error", "warning", "line")
 
   /** True when the '#' at `i` opens a line-leading C-preprocessor
-    * directive (optionally indented, optionally '#  define'-spaced).
+    * directive (optionally indented). The directive word must follow the
+    * '#' with NO intervening space — the dominant C style — so
+    * line-leading script comments that happen to start with a directive
+    * word ('# include the helper', '# define terms') are stripped like
+    * their siblings. Residual ambiguity: a shell comment written
+    * '#include stuff' (no space) is kept as code; unresolvable without
+    * knowing the language, and far rarer than the spaced form.
     */
   private def isCppDirective(s: String, i: Int, n: Int): Boolean = {
     var b = i - 1
     while (b >= 0 && (s.charAt(b) == ' ' || s.charAt(b) == '\t')) b -= 1
     if (b >= 0 && s.charAt(b) != '\n' && s.charAt(b) != '\r') return false
-    var k = i + 1
-    while (k < n && (s.charAt(k) == ' ' || s.charAt(k) == '\t')) k += 1
+    val k = i + 1
     var e = k
     while (e < n && e - k < 8 && Character.isLetter(s.charAt(e))) e += 1
     e > k && (e >= n || !Character.isLetter(s.charAt(e))) &&

@@ -110,13 +110,17 @@ object IbanCodec {
       if (isUp(c) && prevOk && i + 1 < n && isUp(s.charAt(i + 1))) {
         var j = i
         var lastAln = i - 1
+        var firstBridge = -1
         val compact = new java.lang.StringBuilder(34)
         var scanning = true
         while (j < n && scanning && compact.length() <= 34) {
           val d = s.charAt(j)
           if (isAln(d)) { compact.append(d); lastAln = j; j += 1 }
           else if (d == ' ' && j + 1 < n && isAln(s.charAt(j + 1)) &&
-              s.charAt(j - 1) != ' ') j += 1
+              s.charAt(j - 1) != ' ') {
+            if (firstBridge < 0) firstBridge = j
+            j += 1
+          }
           else scanning = false
         }
         val end = lastAln + 1
@@ -130,8 +134,16 @@ object IbanCodec {
           nCand += 1
           if (mod97(cp) == 1) { nValid += 1; out.append("<IBAN>") }
           else out.append(s, i, end)
-        } else out.append(s, i, end)
-        i = end
+          i = end
+        } else if (firstBridge >= 0) {
+          // Structural failure on a space-bridged run: an IBAN preceded by
+          // an uppercase word and one space ('IBAN DE44 5001 ...') was
+          // absorbed into the failing candidate. Emit only up to the first
+          // bridged space and rescan from just after it, so the embedded
+          // candidate is still examined.
+          out.append(s, i, firstBridge + 1)
+          i = firstBridge + 1
+        } else { out.append(s, i, end); i = end }
       } else { out.append(c); i += 1 }
     }
     new GenericInternalRow(Array[Any](

@@ -106,15 +106,35 @@ object IncrementalAgg {
     val (baseFs, baseRoot) = fsRoot(spark, tablePath)
     val (curV, _) = Snapshot.ensure(baseFs, baseRoot)
     val (aggFs, aggRoot) = fsRoot(spark, aggPath)
+    // Full recompute pinned at curV: the marker and the aggregated data
+    // reflect the SAME version even if another writer commits while we
+    // aggregate (Snapshot.read(Some(curV)) is immutable; an unpinned
+    // Medallion.read would resolve the newest version at scan time and
+    // that commit's feed would later be double-applied).
+    def rebuild(): Long = {
+      val full = fullAggregate(
+        Snapshot.read(spark, tablePath, Some(curV)), groupCols, sumCols)
+      val av = publishAgg(spark, aggFs, aggRoot, full)
+      writeMarker(aggFs, aggRoot, curV, av)
+      curV
+    }
     appliedVersions(spark, aggPath) match {
       case Some((bv, _)) if bv == curV => curV // already current
-      case None =>
-        val full = fullAggregate(
-          Medallion.read(spark, tablePath), groupCols, sumCols)
-        val av = publishAgg(spark, aggFs, aggRoot, full)
-        writeMarker(aggFs, aggRoot, curV, av)
-        curV
+      case None => rebuild()
       case Some((bv, av0)) =>
+        // The feed slice is only trustworthy when EVERY commit in
+        // (bv, curV] published a change feed: a plain merge/append without
+        // changeFeed=true leaves no v=N dir, and applying the partial feed
+        // would silently diverge the rollup from the recompute answer.
+        // Any gap — including an all-gap range of feed-less commits —
+        // falls back to the full recompute, which also re-anchors the
+        // marker so later feed-complete ranges resume the O(delta) path.
+        val feedRoot = new Path(baseRoot, Snapshot.ChangesDir)
+        val feedVersions: Set[Long] =
+          if (!baseFs.exists(feedRoot)) Set.empty
+          else baseFs.listStatus(feedRoot).toSeq.map(_.getPath.getName)
+            .flatMap(_.stripPrefix("v=").toLongOption).toSet
+        if (!((bv + 1) to curV).forall(feedVersions.contains)) return rebuild()
         val feed = Medallion.readChangeFeed(spark, tablePath, bv + 1, curV)
         val signPos = col("_change_type").isin("insert", "update_post")
         val deltaAggs = sum(when(signPos, 1L).otherwise(-1L)).as("n_rows") +:

@@ -262,9 +262,12 @@ object Snapshot {
     val (files, tombs) = version match {
       case Some(v) => readManifestFull(fs, root, v)
       case None =>
-        val (_, f) = ensure(fs, root)
-        val t = currentFull(fs, root).map(_._3).getOrElse(Nil)
-        (f, t)
+        // ensure() adopts loose files into a manifest if none exists, then
+        // ONE readManifestFull pins files and tombstones to the SAME
+        // version — a concurrent commit between two separate reads would
+        // otherwise pair one version's files with another's tombstones.
+        val (v, _) = ensure(fs, root)
+        readManifestFull(fs, root, v)
     }
     if (tombs.nonEmpty) return read(spark, path, version).count()
     if (files.isEmpty) return 0L
@@ -280,7 +283,9 @@ object Snapshot {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }
-      .sum().toLong
+      // exact Long fold — RDD.sum() folds through Double and would lose
+      // precision above 2^53 total rows, breaking the exact-COUNT contract
+      .fold(0L)(_ + _)
   }
 
   /** O(metadata) MIN/MAX of `column` from the current version's stats

@@ -44,6 +44,12 @@ class CodeNormalizeSpec extends graft.SparkTestBase {
     // a shell/Python comment that merely starts with a directive-shaped
     // word mid-line is still a comment
     assert(norm("x = 1 # define things later") == "x = 1")
+    // line-leading spaced forms are comments too: the directive word must
+    // hug the '#' (dominant C style), so '# include the helper' strips
+    // consistently with its sibling comments in the same file
+    assert(norm("# include the helper\n# just a note\ny = 2") == "y = 2")
+    assert(norm("  # define terms\nz = 3") == "z = 3")
+    assert(norm("# error handling below\nf()") == "f()")
   }
 
   test("whitespace canonicalizes: runs, newlines, indentation") {

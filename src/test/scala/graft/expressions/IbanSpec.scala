@@ -55,6 +55,22 @@ class IbanSpec extends graft.SparkTestBase {
     assert(r.getInt(1) == 0)
   }
 
+  test("uppercase label + single space before the IBAN is still caught") {
+    // 'IBAN DE44 ...' bridges into one failing run ('IBANDE44...'); the
+    // scan must resume after the first bridged space and still validate
+    // the embedded candidate — the common presentation, not a rare miss.
+    val r = scan("IBAN DE44 5001 0517 5407 3249 31 thanks")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getUTF8String(0).toString == "IBAN <IBAN> thanks")
+    val r2 = scan("PAY GB82 WEST 1234 5698 7654 32")
+    assert(r2.getInt(1) == 1 && r2.getInt(2) == 1)
+    assert(r2.getUTF8String(0).toString == "PAY <IBAN>")
+    // two labels deep still converges to the candidate
+    val r3 = scan("REF IBAN DE44500105175407324931 ok")
+    assert(r3.getInt(1) == 1 && r3.getInt(2) == 1)
+    assert(r3.getUTF8String(0).toString == "REF IBAN <IBAN> ok")
+  }
+
   test("null propagates; sql surface") {
     assert(IbanCodec.scan(null) == null)
     GraftExtensions.register(spark)

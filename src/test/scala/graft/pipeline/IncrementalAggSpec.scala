@@ -93,6 +93,46 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
   }
 
+  test("feed gap (a commit without changeFeed) falls back to recompute") {
+    val (tbl, agg) = roots()
+    Medallion.writeTable(base(), tbl, Seq("part"))
+    refresh(tbl, agg)
+    // commit WITHOUT a change feed: the range (bv, curV] now has a gap —
+    // applying any partial feed would silently diverge, so maintain()
+    // must recompute (and must not throw on the feed-less range either)
+    val noFeed = Seq((1L, "a", 500.0, false)).toDF("id", "part", "v", "is_deleted")
+    Medallion.merge(spark, tbl, noFeed, keys = Seq("id"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = false)
+    refresh(tbl, agg)
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+    // a later feed-complete range resumes the O(delta) path from the
+    // re-anchored marker and still matches the recompute bit-exactly
+    val withFeed = Seq((7L, "d", 7.25, false)).toDF("id", "part", "v", "is_deleted")
+    Medallion.merge(spark, tbl, withFeed, keys = Seq("id"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = true)
+    refresh(tbl, agg)
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+  }
+
+  test("mixed range (feed + feed-less commits) recomputes, not partial-applies") {
+    val (tbl, agg) = roots()
+    Medallion.writeTable(base(), tbl, Seq("part"))
+    refresh(tbl, agg)
+    val c1 = Seq((2L, "a", 1000.0, false)).toDF("id", "part", "v", "is_deleted")
+    Medallion.merge(spark, tbl, c1, keys = Seq("id"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = true)
+    val c2 = Seq((3L, "b", 2000.0, false)).toDF("id", "part", "v", "is_deleted")
+    Medallion.merge(spark, tbl, c2, keys = Seq("id"),
+      partitionBy = Seq("part"), deleteCol = Some("is_deleted"),
+      snapshot = true, changeFeed = false)
+    refresh(tbl, agg)
+    // pre-fix this applied only c1's feed and marked curV — diverged forever
+    assert(rows(IncrementalAgg.read(spark, agg)) == rows(recompute(tbl)))
+  }
+
   test("crash between publish and marker: orphan version never observed") {
     val (tbl, agg) = roots()
     Medallion.writeTable(base(), tbl, Seq("part"))
