@@ -5973,6 +5973,41 @@ object SparkEntry {
         .withColumnRenamed("_diff_type", "diff_type")
         .orderBy("diff_type")
     }),
+
+    // --- 248. shell/REPL-session profile, oracle-pinned -------------------------------------------------
+    // The transcript complement of q229's log gate: four constructed
+    // session shapes — bash with a user@host:path prompt, python REPL
+    // with a '...' continuation (joined into ONE command), IPython
+    // In/Out cells, PowerShell + venv prefixes — with every line count,
+    // the prompt fraction, and the prompt-stripped command extract
+    // stated closed-form from the same construction.
+    "q248_shell_session" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val text = when(m === 0, concat(
+        lit("$ ls -la "), id,
+        lit("\ntotal 4\nuser@host:~/src $ echo "), id,
+        lit("\n"), id))
+        .when(m === 1, concat(
+          lit(">>> x = "), id,
+          lit("\n... y = x + 1\n>>> print(y)\ndone")))
+        .when(m === 2, concat(
+          lit("In [1]: run job "), id,
+          lit("\nOut[1]: 42\nplain note")))
+        .otherwise(concat(
+          lit("PS C:\\Users\\me> dir "), id,
+          lit("\nDirectory listing\n(venv) $ pip install pkg"), id,
+          lit("\nok")))
+      val v = TF.shellProfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("n_lines").as("n_lines"),
+          v.getField("prompt_lines").as("prompt_lines"),
+          v.getField("repl_lines").as("repl_lines"),
+          v.getField("prompt_frac").as("prompt_frac"),
+          v.getField("commands").as("commands"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9611,7 +9646,28 @@ object SparkEntry {
         |  SELECT 'insert', o_orderkey + 10000000, 'NEW'
         |  FROM orders WHERE o_orderkey % 13 = 0
         |)
-        |GROUP BY diff_type ORDER BY diff_type""".stripMargin
+        |GROUP BY diff_type ORDER BY diff_type""".stripMargin,
+
+    // Shell/REPL session: counts and the command extract restated
+    // closed-form per construction case; the '...' continuation joins
+    // with a SPACE onto its opening '>>>' command.
+    "q248_shell_session" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 3 ELSE 4 END AS BIGINT) AS n_lines,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS prompt_lines,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS repl_lines,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 0.75
+        |    WHEN 2 THEN CAST(1 AS DOUBLE) / 3 ELSE 0.5 END AS DOUBLE)
+        |    AS prompt_frac,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'ls -la ' || doc_id || chr(10) || 'echo ' || doc_id
+        |    WHEN 1 THEN 'x = ' || doc_id || ' y = x + 1' || chr(10) || 'print(y)'
+        |    WHEN 2 THEN 'run job ' || doc_id
+        |    ELSE 'dir ' || doc_id || chr(10) || 'pip install pkg' || doc_id
+        |  END AS commands
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to
