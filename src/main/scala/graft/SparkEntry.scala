@@ -2839,11 +2839,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- 138. sitemap.xml dissection via the XPath scalar surface, oracle-pinned ------------------------
-    // Crawl discovery's other half: a sitemap urlset is CONSTRUCTED per
-    // row (1-3 <url> entries with loc + priority) and dissected with
-    // Spark's builtin xpath functions — the XML face of the scalar
-    // surface, pinned the same way q69 pins JSON/regex. The oracle
+    // --- 138. XPath scalar surface pin (tiny), oracle-pinned ---------------------------------------------
+    // Pins Spark's builtin xpath functions the way q69 pins JSON/regex —
+    // on a CONSTANT 100-row slice (doc_id < 100), because each xpath_*
+    // call costs a javax DOM parse per row: the builtin is a surface to
+    // keep verified, not a crawl-scale operator. Sitemap extraction at
+    // scale is q249's bounded-regex graft_sitemap_items. The oracle
     // regenerates every (pos, loc, priority) relationally.
     "q138_sitemap_xpath" -> ((s, d) => {
       def urlBlock(i: Int) = concat(
@@ -2858,6 +2859,7 @@ object SparkEntry {
       // from it, and first_priority comes from a regexp over the
       // constructed (format-pinned) document — one DOM parse per row.
       t(s, d, "documents")
+        .where(col("doc_id") < 100)
         .withColumn("xml", xml)
         .selectExpr("doc_id",
           "xpath(xml, '/urlset/url/loc/text()') AS locs",
@@ -6008,6 +6010,46 @@ object SparkEntry {
           v.getField("commands").as("commands"))
         .orderBy("doc_id")
     }),
+
+    // --- 249. sitemap extraction (bounded-regex, crawl-scale), oracle-pinned ----------------------------
+    // The scale-path sitemap operator (q138 keeps the xpath-builtin
+    // pin): per row an even doc gets a urlset with 1-3 <url> entries
+    // (loc with an &amp; entity, lastmod, priority, changefreq on the
+    // first only), an odd doc a sitemapindex with 2 child sitemaps —
+    // every extracted field restated closed-form from the same
+    // construction. Row-local, codegen'd, no DOM.
+    "q249_sitemap_items" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      def urlBlock(i: Int) = concat(
+        lit("<url><loc>http://s.test/"), id, lit(s"/$i?a=1&amp;b=$i</loc>"),
+        lit((if (i == 0) "<changefreq>daily</changefreq>" else "") +
+          s"<lastmod>2024-0${i + 1}-15</lastmod>" +
+          s"<priority>0.${i + 5}</priority></url>"))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        urlBlock(0),
+        when(col("doc_id") % 3 >= 1, urlBlock(1)).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, urlBlock(2)).otherwise(lit("")),
+        lit("</urlset>"))
+      def mapBlock(i: Int) = concat(
+        lit("<sitemap><loc>http://s.test/maps/"), id,
+        lit(s"/$i.xml</loc><lastmod>2024-01-0${i + 1}</lastmod></sitemap>"))
+      val index = concat(lit("<sitemapindex>"), mapBlock(0), mapBlock(1),
+        lit("</sitemapindex>"))
+      val v = TF.sitemapItems(
+        when(col("doc_id") % 2 === 0, urlset).otherwise(index))
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("kind").as("kind"),
+          posexplode(v.getField("items")),
+          size(v.getField("items")).cast("bigint").as("n_items"))
+        .select(col("doc_id"), col("kind"),
+          col("pos").cast("int").as("pos"),
+          col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+          col("col.changefreq").as("changefreq"),
+          col("col.priority").as("priority"), col("n_items"))
+        .orderBy("doc_id", "pos")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -7648,7 +7690,7 @@ object SparkEntry {
     "q138_sitemap_xpath" ->
       """WITH r AS (
         |  SELECT doc_id, UNNEST(range(CAST(doc_id % 3 AS INT) + 1)) AS pos
-        |  FROM documents)
+        |  FROM documents WHERE doc_id < 100)
         |SELECT doc_id, CAST(pos AS INT) AS pos,
         |  'http://s.test/' || doc_id || '/' || pos AS loc,
         |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_urls,
@@ -9667,7 +9709,30 @@ object SparkEntry {
         |    WHEN 2 THEN 'run job ' || doc_id
         |    ELSE 'dir ' || doc_id || chr(10) || 'pip install pkg' || doc_id
         |  END AS commands
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Sitemap extraction: both shapes regenerated relationally; the
+    // urlset loc restates the DECODED entity (&amp; -> &).
+    "q249_sitemap_items" ->
+      """WITH u AS (
+        |  SELECT doc_id, UNNEST(range(CAST(doc_id % 3 AS INT) + 1)) AS pos
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |m AS (
+        |  SELECT doc_id, UNNEST(range(2)) AS pos
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, 'urlset' AS kind, CAST(pos AS INT) AS pos,
+        |  'http://s.test/' || doc_id || '/' || pos || '?a=1&b=' || pos AS loc,
+        |  '2024-0' || (pos + 1) || '-15' AS lastmod,
+        |  CASE WHEN pos = 0 THEN 'daily' END AS changefreq,
+        |  '0.' || (pos + 5) AS priority,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_items
+        |FROM u
+        |UNION ALL
+        |SELECT doc_id, 'sitemapindex', CAST(pos AS INT),
+        |  'http://s.test/maps/' || doc_id || '/' || pos || '.xml',
+        |  '2024-01-0' || (pos + 1), NULL, NULL, CAST(2 AS BIGINT)
+        |FROM m
+        |ORDER BY doc_id, pos""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -43,7 +43,7 @@ object FeedCodec {
   private val dateRe = java.util.regex.Pattern.compile(
     "<(?:pubDate|published|updated|dc:date)[^>]*>(.*?)</(?:pubDate|published|updated|dc:date)\\s*>", F)
 
-  private def clean(s: String): UTF8String = {
+  private[expressions] def clean(s: String): UTF8String = {
     if (s == null) return null
     var t = s.trim
     if (t.startsWith("<![CDATA[") && t.endsWith("]]>"))
@@ -67,7 +67,7 @@ object FeedCodec {
     if (sb.length == 0) null else UTF8String.fromString(sb.toString)
   }
 
-  private def group1(p: java.util.regex.Pattern, s: String): UTF8String = {
+  private[expressions] def group1(p: java.util.regex.Pattern, s: String): UTF8String = {
     val m = p.matcher(s)
     if (m.find()) clean(m.group(1)) else null
   }
@@ -139,4 +139,92 @@ case class FeedItemsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): FeedItemsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_feed_items"
+}
+
+/** sitemap.xml extraction — crawl discovery's index surface, the
+  * companion of [[FeedCodec]]: a `<urlset>` lists page URLs with
+  * recrawl hints (lastmod/changefreq/priority), a `<sitemapindex>`
+  * lists child sitemaps. Same bounded-regex + entity-decode discipline
+  * as the feed extractor — the two shapes are fixed and element-local,
+  * so a per-row javax DOM parse (allocation storm at crawl scale) buys
+  * nothing. Caps at [[FeedCodec.MaxItems]] entries — bomb posture.
+  * Row-local and codegen'd; NULL when neither root marker is present.
+  */
+object SitemapCodec {
+
+  private val F = java.util.regex.Pattern.CASE_INSENSITIVE |
+    java.util.regex.Pattern.DOTALL
+  // '[\s>]' after the name keeps '<url' from eating '<urlset' and
+  // '<sitemap' from eating '<sitemapindex'
+  private val urlRe = java.util.regex.Pattern.compile(
+    "<url[\\s>].*?</url\\s*>", F)
+  private val mapRe = java.util.regex.Pattern.compile(
+    "<sitemap[\\s>].*?</sitemap\\s*>", F)
+  private val locRe = java.util.regex.Pattern.compile(
+    "<loc[^>]*>(.*?)</loc\\s*>", F)
+  private val lastmodRe = java.util.regex.Pattern.compile(
+    "<lastmod[^>]*>(.*?)</lastmod\\s*>", F)
+  private val changefreqRe = java.util.regex.Pattern.compile(
+    "<changefreq[^>]*>(.*?)</changefreq\\s*>", F)
+  private val priorityRe = java.util.regex.Pattern.compile(
+    "<priority[^>]*>(.*?)</priority\\s*>", F)
+
+  /** `string` -> struct<kind, items array<struct<loc, lastmod,
+    * changefreq, priority>>>, or null for non-sitemap text. kind is
+    * 'urlset' or 'sitemapindex'; index entries carry null
+    * changefreq/priority by shape.
+    */
+  def sitemapItems(xmlU: UTF8String): InternalRow = {
+    if (xmlU == null) return null
+    val xml = xmlU.toString
+    val lower = xml.toLowerCase(java.util.Locale.ROOT)
+    val isIndex = lower.contains("<sitemapindex")
+    val isUrlset = !isIndex && lower.contains("<urlset")
+    if (!isIndex && !isUrlset) return null
+    val blockRe = if (isIndex) mapRe else urlRe
+    val items = new java.util.ArrayList[AnyRef](8)
+    val m = blockRe.matcher(xml)
+    while (m.find() && items.size < FeedCodec.MaxItems) {
+      val block = m.group()
+      val fields = new Array[Any](4)
+      fields(0) = FeedCodec.group1(locRe, block)
+      fields(1) = FeedCodec.group1(lastmodRe, block)
+      fields(2) = if (isIndex) null else FeedCodec.group1(changefreqRe, block)
+      fields(3) = if (isIndex) null else FeedCodec.group1(priorityRe, block)
+      items.add(new GenericInternalRow(fields))
+    }
+    val out = new Array[Any](2)
+    out(0) = UTF8String.fromString(if (isIndex) "sitemapindex" else "urlset")
+    out(1) = new GenericArrayData(items.toArray)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> parsed sitemap struct ([[SitemapCodec.sitemapItems]]);
+  * NULL for non-sitemap text.
+  */
+case class SitemapItemsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("loc", StringType),
+      StructField("lastmod", StringType),
+      StructField("changefreq", StringType),
+      StructField("priority", StringType))), containsNull = false))))
+  override def nullSafeEval(input: Any): Any =
+    SitemapCodec.sitemapItems(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.SitemapCodec.sitemapItems($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): SitemapItemsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sitemap_items"
 }

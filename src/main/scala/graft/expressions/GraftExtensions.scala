@@ -364,6 +364,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_feed_items(string)")
       }),
     (
+      FunctionIdentifier("graft_sitemap_items"),
+      new ExpressionInfo(classOf[SitemapItemsExpr].getName, "graft_sitemap_items"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => SitemapItemsExpr(s)
+        case _ => throw new IllegalArgumentException("graft_sitemap_items(string)")
+      }),
+    (
       FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[PorterStemExpr].getName, "graft_stem"),
       (args: Seq[Expression]) => args match {

@@ -564,6 +564,16 @@ object TextFunctions {
       graft.expressions.FeedItemsExpr(
         org.apache.spark.sql.graft.Bridge.expression(xml)))
 
+  /** sitemap.xml extraction ([[graft.expressions.SitemapItemsExpr]]):
+    * urlset page entries (loc/lastmod/changefreq/priority) or
+    * sitemapindex child-sitemap entries, bounded-regex parsed — crawl
+    * discovery without a per-row DOM. NULL for non-sitemap text.
+    */
+  def sitemapItems(xml: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SitemapItemsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(xml)))
+
   /** Porter stem of one word ([[graft.expressions.PorterStemExpr]], the
     * original 1980 rules): the retrieval-side normalization for BM25
     * term unification and keyword overlap. Compose over token arrays

@@ -1,0 +1,87 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sitemap extraction: urlset/sitemapindex shapes, entity decode,
+  * CDATA, the name-prefix guard ('<url' vs '<urlset'), item cap
+  * posture, non-sitemap rejection, SQL surface.
+  */
+class SitemapSpec extends graft.SparkTestBase {
+
+  private def items(xml: String) =
+    SitemapCodec.sitemapItems(UTF8String.fromString(xml))
+
+  test("urlset: loc/lastmod/changefreq/priority per entry") {
+    val r = items(
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>http://a.io/1</loc><lastmod>2024-01-02</lastmod>
+        |    <changefreq>daily</changefreq><priority>0.8</priority></url>
+        |  <url><loc>http://a.io/2</loc></url>
+        |</urlset>""".stripMargin)
+    assert(r.getUTF8String(0).toString == "urlset")
+    val arr = r.getArray(1)
+    assert(arr.numElements() == 2)
+    val e0 = arr.getStruct(0, 4)
+    assert(e0.getUTF8String(0).toString == "http://a.io/1")
+    assert(e0.getUTF8String(1).toString == "2024-01-02")
+    assert(e0.getUTF8String(2).toString == "daily")
+    assert(e0.getUTF8String(3).toString == "0.8")
+    val e1 = arr.getStruct(1, 4)
+    assert(e1.getUTF8String(0).toString == "http://a.io/2")
+    assert(e1.isNullAt(1) && e1.isNullAt(2) && e1.isNullAt(3))
+  }
+
+  test("sitemapindex routes as index; entries carry loc + lastmod only") {
+    val r = items(
+      "<sitemapindex><sitemap><loc>http://a.io/m1.xml</loc>" +
+        "<lastmod>2024-02-03</lastmod></sitemap>" +
+        "<sitemap><loc>http://a.io/m2.xml</loc></sitemap></sitemapindex>")
+    assert(r.getUTF8String(0).toString == "sitemapindex")
+    val arr = r.getArray(1)
+    assert(arr.numElements() == 2)
+    assert(arr.getStruct(0, 4).getUTF8String(0).toString == "http://a.io/m1.xml")
+    assert(arr.getStruct(0, 4).getUTF8String(1).toString == "2024-02-03")
+    assert(arr.getStruct(1, 4).isNullAt(1))
+  }
+
+  test("entities decode and CDATA unwraps in loc") {
+    val r = items("<urlset><url><loc>http://a.io/?x=1&amp;y=2</loc></url>" +
+      "<url><loc><![CDATA[http://a.io/raw?a=1&b=2]]></loc></url></urlset>")
+    val arr = r.getArray(1)
+    assert(arr.getStruct(0, 4).getUTF8String(0).toString == "http://a.io/?x=1&y=2")
+    assert(arr.getStruct(1, 4).getUTF8String(0).toString == "http://a.io/raw?a=1&b=2")
+  }
+
+  test("non-sitemap text is NULL; the item regex never eats the root tag") {
+    assert(items("<html><body>hi</body></html>") == null)
+    assert(items("plain prose") == null)
+    // '<urlset>' itself must not match the '<url' item pattern
+    val r = items("<urlset></urlset>")
+    assert(r.getUTF8String(0).toString == "urlset")
+    assert(r.getArray(1).numElements() == 0)
+  }
+
+  test("item cap bounds a bomb payload") {
+    val many = new StringBuilder("<urlset>")
+    var i = 0
+    while (i < FeedCodec.MaxItems + 50) {
+      many.append(s"<url><loc>http://a.io/$i</loc></url>"); i += 1
+    }
+    many.append("</urlset>")
+    assert(items(many.toString).getArray(1).numElements() == FeedCodec.MaxItems)
+  }
+
+  test("null propagates; sql surface") {
+    assert(SitemapCodec.sitemapItems(null) == null)
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_sitemap_items(
+        |  '<urlset><url><loc>http://a.io/z</loc><priority>0.5</priority></url></urlset>') AS v
+      """.stripMargin)
+      .selectExpr("v.kind", "v.items[0].loc", "v.items[0].priority").head()
+    assert(row.getString(0) == "urlset")
+    assert(row.getString(1) == "http://a.io/z")
+    assert(row.getString(2) == "0.5")
+  }
+}
