@@ -3197,14 +3197,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- 147. content-defined chunking (Gear CDC), declared rows-only -----------------------------------
+    // --- 147. content-defined chunking (Gear CDC), oracle-pinned -----------------------------------------
     // The storage-dedup primitive: boundaries decided by content, so
     // shifted/edited blobs re-align and identical regions land identical
     // chunk hashes. Per-doc chunk census over the documents corpus
-    // (64-byte expected chunks on these short texts); boundary semantics,
-    // shift-resistance and hash identity are pinned by ChunkingSpec —
-    // the gear/FNV pipeline is not SQL-expressible, so this query is
-    // declared rows-only like the other hash-defined operators.
+    // (64-byte expected chunks on these short texts). The gear/FNV
+    // pipeline IS integer arithmetic, so the oracle replays it exactly:
+    // the splitmix64 gear table built in HUGEINT mod-2^64 (split-half
+    // mulmod keeps products under 2^97), then a per-byte recursive walk
+    // carrying (gear rolling hash, FNV-1a chunk hash, chunk start) with
+    // the same min/max/mask boundary rule — boundaries AND hashes
+    // hash-match, not just counts. Shift-resistance stays in ChunkingSpec.
     "q147_content_chunks" -> ((s, d) => {
       val cs = Multimodal.contentChunks(encode(col("text"), "UTF-8"), avgBits = 6)
       t(s, d, "documents")
@@ -3260,22 +3263,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- 150. BPE tokenizer training + encoding, declared rows-only -------------------------------------
-    // The tokenizer pillar: 40 merges learned from the corpus itself (ONE
-    // distributed word-count pass; merge learning runs on the
-    // vocabulary-sized dictionary, never rescanning the corpus), then
-    // every document encoded with the GPT-2 merge-by-rank algorithm.
-    // Subword counts per doc vs whitespace tokens = the compression the
-    // learned vocabulary buys. The algorithm is pinned against the
-    // hand-computed Sennrich textbook trace in BpeSpec; the iterative
-    // merge loop is not SQL-expressible, so rows-only here.
+    // --- 150. BPE encoding with a pinned merge list, oracle-pinned ---------------------------------------
+    // The tokenizer pillar's ENCODE half, oracle-exact: a 15-merge list
+    // is pinned in the query (rank chains up to 4 deep — t+a→ta→tab→
+    // tabl→table — plus rank-priority splits like er-before-ar), and
+    // every document encodes with the GPT-2 merge-by-rank algorithm.
+    // The corpus vocabulary is CLOSED (31 words), so the oracle restates
+    // each word's pieces hand-derived from the same merge list and
+    // reassembles documents relationally — counts AND the piece strings
+    // hash-match. Corpus TRAINING (learnMerges' one-pass word count +
+    // incremental pair maintenance) stays pinned by BpeSpec's
+    // hand-computed Sennrich trace — the iterative merge-learning loop
+    // is the one half with no SQL expression.
     "q150_bpe_tokens" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val merges = Bpe.learnMerges(docs, "text", numMerges = 40)
-      docs
+      val merges = Seq(("t", "a"), ("h", "e"), ("t", "he"), ("r", "o"),
+        ("ro", "w"), ("s", "c"), ("sc", "a"), ("sca", "n"), ("ta", "b"),
+        ("tab", "l"), ("tabl", "e"), ("k", "e"), ("ke", "y"), ("e", "r"),
+        ("a", "r")).zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      val enc = Bpe.encode(col("text"), merges)
+      t(s, d, "documents")
         .select(col("doc_id"),
           size(Retrieval.tokens(col("text"))).as("n_tokens"),
-          size(Bpe.encode(col("text"), merges)).as("n_subwords"))
+          size(enc).as("n_subwords"),
+          concat_ws(" ", enc).as("pieces"))
         .orderBy("doc_id")
     }),
 
@@ -7837,6 +7847,73 @@ object SparkEntry {
         |    || ' caf' || chr(233)))) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Gear CDC replayed exactly in integer SQL: splitmix64 gear table in
+    // HUGEINT mod-2^64 (split-half mulmod bounds products at 2^97), then
+    // a per-byte recursive walk with the engine's boundary rule
+    // (len>=16 && low-6-bits zero, 256 force-split, end-of-doc) and the
+    // FNV-1a chunk hash folded in the same walk. ASCII corpus: ord over
+    // per-char substring IS the byte stream.
+    "q147_content_chunks" ->
+      """WITH RECURSIVE
+        |g0 AS (SELECT UNNEST(range(256)) AS i),
+        |g1 AS (SELECT i, (i + CAST('11400714819323198485' AS HUGEINT))
+        |  % CAST('18446744073709551616' AS HUGEINT) AS z FROM g0),
+        |g2 AS (SELECT i, xor(z, z >> 30) AS x FROM g1),
+        |g3 AS (SELECT i,
+        |  ((x % 4294967296) * CAST('13787848793156543929' AS HUGEINT)
+        |     % CAST('18446744073709551616' AS HUGEINT)
+        |   + ((x // 4294967296) * CAST('13787848793156543929' AS HUGEINT)
+        |      % 4294967296) * 4294967296)
+        |  % CAST('18446744073709551616' AS HUGEINT) AS z FROM g2),
+        |g4 AS (SELECT i, xor(z, z >> 27) AS x FROM g3),
+        |g5 AS (SELECT i,
+        |  ((x % 4294967296) * CAST('10723151780598845931' AS HUGEINT)
+        |     % CAST('18446744073709551616' AS HUGEINT)
+        |   + ((x // 4294967296) * CAST('10723151780598845931' AS HUGEINT)
+        |      % 4294967296) * 4294967296)
+        |  % CAST('18446744073709551616' AS HUGEINT) AS z FROM g4),
+        |gear AS (SELECT i, xor(z, z >> 31) AS g FROM g5),
+        |docs AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |         WHERE length(text) > 0),
+        |rec AS (
+        |  SELECT doc_id, 0 AS pos, 1 AS cstart,
+        |    CAST(0 AS HUGEINT) AS gh,
+        |    CAST('14695981039346656037' AS HUGEINT) AS fh,
+        |    CAST(NULL AS INT) AS emit_len, CAST(NULL AS HUGEINT) AS emit_fh
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |    CASE WHEN s.boundary THEN r.pos + 2 ELSE r.cstart END,
+        |    CASE WHEN s.boundary THEN CAST(0 AS HUGEINT) ELSE s.gh2 END,
+        |    CASE WHEN s.boundary
+        |      THEN CAST('14695981039346656037' AS HUGEINT) ELSE s.fh2 END,
+        |    CASE WHEN s.boundary THEN r.pos + 2 - r.cstart END,
+        |    CASE WHEN s.boundary THEN s.fh2 END
+        |  FROM rec r
+        |  JOIN docs d ON d.doc_id = r.doc_id AND r.pos < d.n
+        |  JOIN gear ge ON ge.i = ord(substring(d.text, r.pos + 1, 1))
+        |  CROSS JOIN LATERAL (
+        |    SELECT gh2, fh2,
+        |      (r.pos + 2 - r.cstart >= 16 AND gh2 % 64 = 0)
+        |        OR r.pos + 2 - r.cstart = 256 OR r.pos + 1 = d.n AS boundary
+        |    FROM (SELECT
+        |      (r.gh * 2 + ge.g)
+        |        % CAST('18446744073709551616' AS HUGEINT) AS gh2,
+        |      (((r.fh // 256) * 256 + xor(r.fh % 256, CAST(ge.i AS HUGEINT)))
+        |         % 4294967296 * CAST('1099511628211' AS HUGEINT)
+        |       + (((r.fh // 256) * 256 + xor(r.fh % 256, CAST(ge.i AS HUGEINT)))
+        |          // 4294967296 * CAST('1099511628211' AS HUGEINT)
+        |          % 4294967296) * 4294967296)
+        |      % CAST('18446744073709551616' AS HUGEINT) AS fh2) q) s
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(emit_len) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT emit_fh) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(emit_len) AS BIGINT) AS n_bytes,
+        |  CAST(MAX(emit_len) AS INT) AS max_chunk
+        |FROM rec WHERE emit_len IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // URL canonicalization closed forms, one per constructed shape.
     "q148_url_canon" ->
       """SELECT doc_id,
@@ -7860,6 +7937,38 @@ object SparkEntry {
         |    || ' d' || chr(233) || 'sol' || chr(233) || chr(8482) AS fixed,
         |  CAST(11 AS INT) AS chars_recovered
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BPE encode with the pinned 15-merge list: the corpus vocabulary is
+    // closed (31 words), so each word's pieces are hand-derived from the
+    // merge ranks (t+a→ta→tab→tabl→table chains; er rank 13 beats ar 14)
+    // and documents reassemble relationally in token order.
+    "q150_bpe_tokens" ->
+      """WITH bpe(w, p, np) AS (VALUES
+        |  ('a', 'a', 1), ('agg', 'a g g', 3), ('batch', 'b a t c h', 5),
+        |  ('big', 'b i g', 3), ('column', 'c o l u m n', 6),
+        |  ('customer', 'c u s t o m er', 7), ('data', 'd a ta', 3),
+        |  ('dup', 'd u p', 3), ('fast', 'f a s t', 4),
+        |  ('filter', 'f i l t er', 5), ('group', 'g ro u p', 4),
+        |  ('hash', 'h a s h', 4), ('join', 'j o i n', 4), ('key', 'key', 1),
+        |  ('line', 'l i n e', 4), ('merge', 'm er g e', 4),
+        |  ('order', 'o r d er', 4), ('part', 'p ar t', 3),
+        |  ('query', 'q u er y', 4), ('row', 'row', 1), ('scan', 'scan', 1),
+        |  ('slow', 's l o w', 4), ('small', 's m a l l', 5),
+        |  ('sort', 's o r t', 4), ('spark', 's p ar k', 4),
+        |  ('stream', 's t r e a m', 6), ('table', 'table', 1),
+        |  ('the', 'the', 1), ('value', 'v a l u e', 5),
+        |  ('vector', 'v e c t o r', 6), ('window', 'w i n d o w', 6)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    UNNEST(string_split(text, ' ')) AS w,
+        |    UNNEST(range(len(string_split(text, ' ')))) AS i
+        |  FROM documents)
+        |SELECT t.doc_id,
+        |  CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(b.np) AS INT) AS n_subwords,
+        |  string_agg(b.p, ' ' ORDER BY t.i) AS pieces
+        |FROM tok t JOIN bpe b ON b.w = t.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // HTML metadata closed forms, one per constructed shape.
     "q151_html_meta" ->
