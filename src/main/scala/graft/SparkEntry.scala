@@ -6060,6 +6060,72 @@ object SparkEntry {
           col("col.priority").as("priority"), col("n_items"))
         .orderBy("doc_id", "pos")
     }),
+
+    // --- 250. xlsx worksheet typed cells, oracle-pinned -------------------------------------------------
+    // The spreadsheet-DATA half of office extraction (q165 pins the
+    // string pool): a TWO-entry stored zip (sharedStrings + sheet1) is
+    // constructed per row, with shared-string, numeric, boolean,
+    // formula-string and entity-bearing cells; graft_office_text must
+    // resolve the pool indexes and emit typed values row-major. The
+    // oracle restates the whole text closed-form from the construction.
+    "q250_xlsx_cells" -> ((s, d) => {
+      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+      def le32hex(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+      // Two stored entries + central directory: q165's layout with the
+      // second entry's local offset and the directory offset tracked in
+      // Column arithmetic.
+      def storedZip2(n1: String, x1: org.apache.spark.sql.Column,
+          n2: String, x2: org.apache.spark.sql.Column) = {
+        val h1 = n1.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+        val h2 = n2.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+        val (l1, l2) = (n1.length, n2.length)
+        val crc1 = le32hex(crc32(x1.cast("binary")))
+        val crc2 = le32hex(crc32(x2.cast("binary")))
+        val sz1 = le32hex(length(x1).cast("long"))
+        val sz2 = le32hex(length(x2).cast("long"))
+        val off2 = (length(x1) + 30 + l1).cast("long")
+        val cdOff = (off2 + 30 + l2 + length(x2)).cast("long")
+        unhex(concat(
+          lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crc1, sz1, sz1, lit(le16h(l1) + "0000"), lit(h1), hex(x1),
+          lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crc2, sz2, sz2, lit(le16h(l2) + "0000"), lit(h2), hex(x2),
+          lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crc1, sz1, sz1,
+          lit(le16h(l1) + "0000" + "0000" + "0000" + "0000" + "00000000" +
+            "00000000"),
+          lit(h1),
+          lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crc2, sz2, sz2,
+          lit(le16h(l2) + "0000" + "0000" + "0000" + "0000" + "00000000"),
+          le32hex(off2), lit(h2),
+          lit("504B0506" + "0000" + "0000" + "0200" + "0200"),
+          le32hex(lit(92L + l1 + l2)), le32hex(cdOff), lit("0000")))
+      }
+      val id = col("doc_id").cast("string")
+      val shared = concat(lit("<sst><si><t>label</t></si><si><t>name "),
+        id, lit("</t></si></sst>"))
+      val sheet = concat(
+        lit("<worksheet><sheetData>" +
+          "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c><c r=\"B1\"><v>"),
+        (col("doc_id") * 3).cast("string"),
+        lit("</v></c><c r=\"C1\" t=\"b\"><v>"),
+        (col("doc_id") % 2).cast("string"),
+        lit("</v></c></row>" +
+          "<row r=\"2\"><c r=\"A2\" t=\"s\"><v>1</v></c><c r=\"B2\"><v>"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".25</v></c><c r=\"C2\" t=\"str\"><v>=A&amp;B "), id,
+        lit("</v></c></row></sheetData></worksheet>"))
+      val payload = storedZip2("xl/sharedStrings.xml", shared,
+        "xl/worksheets/sheet1.xml", sheet)
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.officeText(payload).as("text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9841,7 +9907,19 @@ object SparkEntry {
         |  'http://s.test/maps/' || doc_id || '/' || pos || '.xml',
         |  '2024-01-0' || (pos + 1), NULL, NULL, CAST(2 AS BIGINT)
         |FROM m
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // xlsx typed cells: the whole extracted text restated closed-form —
+    // pool resolution, numeric passthrough, TRUE/FALSE booleans, the
+    // formula string with its entity decoded.
+    "q250_xlsx_cells" ->
+      """SELECT doc_id,
+        |  'label' || chr(9) || (doc_id * 3) || chr(9)
+        |    || CASE WHEN doc_id % 2 = 1 THEN 'TRUE' ELSE 'FALSE' END
+        |    || chr(10)
+        |    || 'name ' || doc_id || chr(9) || (doc_id % 7) || '.25'
+        |    || chr(9) || '=A&B ' || doc_id AS text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -232,6 +232,77 @@ object ZipCodec {
   def sharedStringsText(xml: String): String =
     xmlRuns(xml, "t", "</si>", null, null)
 
+  private def decodeAll(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val (rep, next) = XmlEntities.decode(s, i)
+        sb.append(rep); i = next
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val cellRe = java.util.regex.Pattern.compile(
+    "<c\\b([^>]*)>(.*?)</c\\s*>", java.util.regex.Pattern.DOTALL)
+  private val tAttrRe = java.util.regex.Pattern.compile(
+    "\\bt=\"([^\"]*)\"")
+  private val rowRe = java.util.regex.Pattern.compile(
+    "<row\\b[^>]*>(.*?)</row\\s*>", java.util.regex.Pattern.DOTALL)
+  private val vRe = java.util.regex.Pattern.compile(
+    "<v[^>]*>(.*?)</v\\s*>", java.util.regex.Pattern.DOTALL)
+  private val isTRe = java.util.regex.Pattern.compile(
+    "<is>.*?<t[^>]*>(.*?)</t\\s*>", java.util.regex.Pattern.DOTALL)
+
+  /** SpreadsheetML worksheet reduction: typed CELL VALUES in row-major
+    * order — numeric (`t` absent or "n") and formula-string ("str")
+    * cells emit their `<v>` text, shared-string cells ("s") resolve
+    * their index against the workbook's shared-strings items, booleans
+    * ("b") emit TRUE/FALSE, inline strings ("inlineStr") their
+    * `<is><t>` run. Cells join with tabs, rows with newlines —
+    * spreadsheet TABLE EXTRACTION, not just the string pool (numeric
+    * cells never enter sharedStrings, so a strings-only reduction is
+    * blind to the data). Self-closing (empty) cells are skipped; date
+    * NUMBER FORMATS are out of scope (a date cell emits its raw serial
+    * — resolving it needs styles.xml numFmt chasing).
+    */
+  def sheetCellsText(xml: String, shared: Array[String]): String = {
+    val sb = new java.lang.StringBuilder()
+    val rm = rowRe.matcher(xml)
+    while (rm.find()) {
+      if (sb.length > 0) sb.append('\n')
+      val cm = cellRe.matcher(rm.group(1))
+      var first = true
+      while (cm.find()) {
+        val tm = tAttrRe.matcher(cm.group(1))
+        val t = if (tm.find()) tm.group(1) else null
+        val body = cm.group(2)
+        val value: String =
+          if (t == "inlineStr") {
+            val im = isTRe.matcher(body)
+            if (im.find()) decodeAll(im.group(1)) else ""
+          } else {
+            val vm = vRe.matcher(body)
+            val raw = if (vm.find()) decodeAll(vm.group(1)) else ""
+            t match {
+              case "s" =>
+                val idx = raw.toIntOption.getOrElse(-1)
+                if (idx >= 0 && idx < shared.length) shared(idx) else ""
+              case "b" => if (raw == "1") "TRUE" else "FALSE"
+              case _ => raw // n (default), str, e
+            }
+          }
+        if (!first) sb.append('\t')
+        sb.append(value)
+        first = false
+      }
+    }
+    sb.toString
+  }
+
   private def utf8(b: Array[Byte]): String =
     new String(b, java.nio.charset.StandardCharsets.UTF_8)
 
@@ -280,7 +351,35 @@ object ZipCodec {
       }
       return UTF8String.fromString(sb.toString)
     }
+    // xlsx: worksheets carry the DATA (numeric cells never enter the
+    // shared-strings pool); extract typed cell values row-major per
+    // sheet, sheets separated by blank lines, under the same aggregate
+    // output budget as the slide walk. A workbook with a string pool but
+    // no parseable worksheet falls back to the pool lines.
+    val sheetRe = "xl/worksheets/sheet([0-9]{1,9})\\.xml".r
+    val sheets = es.flatMap(e => e.name match {
+      case sheetRe(num) => Some((num.toInt, e))
+      case _ => None
+    }).sortBy(_._1)
     val shared = entry(b, "xl/sharedStrings.xml")
+    if (sheets.nonEmpty) {
+      val pool: Array[String] =
+        if (shared == null) Array.empty
+        else sharedStringsText(utf8(shared)).split("\n", -1)
+      var budget = 4L * b.length + 65536L
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < sheets.length) {
+        val bytes = extract(b, sheets(i)._2)
+        if (bytes == null) return null // corrupt sheet: whole doc rejected
+        budget -= bytes.length
+        if (budget < 0) return null // aliased-entry amplification
+        if (sb.length > 0) sb.append("\n\n")
+        sb.append(sheetCellsText(utf8(bytes), pool))
+        i += 1
+      }
+      return UTF8String.fromString(sb.toString)
+    }
     if (shared != null) return UTF8String.fromString(sharedStringsText(utf8(shared)))
     null
   }

@@ -104,6 +104,38 @@ class ZipSpec extends AnyFunSuite {
     assert(ZipCodec.officeText(zip("a.txt" -> "x".getBytes)) == null)
   }
 
+  test("officeText: xlsx worksheet typed cells, row-major, sheets in order") {
+    val shared = "<sst><si><t>alpha</t></si><si><t>beta</t></si></sst>"
+    val sheet1 =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c>
+        |  <c r="C1" t="b"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="n"><v>3.5</v></c>
+        |  <c r="C2" t="str"><v>=SUM says 7&amp;8</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sheet2 =
+      """<worksheet><sheetData><row r="1">
+        |<c r="A1" t="inlineStr"><is><t>inline!</t></is></c>
+        |<c r="B1" t="b"><v>0</v></c><c r="C1"/></row></sheetData></worksheet>"""
+        .stripMargin
+    val xlsx = zip(
+      "xl/worksheets/sheet2.xml" -> sheet2.getBytes, // archive order != sheet order
+      "xl/sharedStrings.xml" -> shared.getBytes,
+      "xl/worksheets/sheet1.xml" -> sheet1.getBytes)
+    assert(ZipCodec.officeText(xlsx).toString ==
+      "alpha\t42\tTRUE\nbeta\t3.5\t=SUM says 7&8\n\ninline!\tFALSE")
+    // numeric cells are VISIBLE even with no string pool at all
+    val noPool = zip("xl/worksheets/sheet1.xml" ->
+      """<worksheet><sheetData><row><c><v>7</v></c><c><v>9</v></c></row>
+        |<row><c t="s"><v>0</v></c></row></sheetData></worksheet>"""
+        .stripMargin.getBytes)
+    assert(ZipCodec.officeText(noPool).toString == "7\t9\n") // s out of range -> empty
+    // a workbook with only the string pool keeps the old reduction
+    val poolOnly = zip("xl/sharedStrings.xml" ->
+      "<sst><si><t>x</t></si><si><t>y</t></si></sst>".getBytes)
+    assert(ZipCodec.officeText(poolOnly).toString == "x\ny")
+  }
+
   test("zero-length deflated entries extract as empty, not null") {
     // java.util.zip writes an empty file as method=8 with a 2-byte
     // empty-final-block stream; it must round-trip to an empty array.
