@@ -1,7 +1,7 @@
 package graft
 
 import graft.expectations.Expectations
-import graft.functions.{Bpe, Dedup, FrequentItems, Graph, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, WordPiece, TextFunctions => TF}
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, LinearText, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, WordPiece, TextFunctions => TF}
 import graft.model.ModelDirectory
 import graft.schema.SchemaCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -6126,6 +6126,22 @@ object SparkEntry {
         .select(col("doc_id"), Multimodal.officeText(payload).as("text"))
         .orderBy("doc_id")
     }),
+
+    // --- 251. fastText-shaped linear quality filter, oracle-pinned ---------------------------------------
+    // The CCNet/GPT-3 quality-filter family member with an EXACTLY-
+    // replayable training rule: hashed word-bigram features (FNV-1a,
+    // 64 buckets, unsigned mod — all integer SQL), keyword-seeded
+    // classes ('spark' docs positive, 'slow' docs negative), and the
+    // centroid-difference scorer kept in integers end to end
+    // (w[b] = P[b]*Sn - N[b]*Sp; score = SUM c[b]*w[b]) — the oracle
+    // rebuilds buckets, weights and scores from the raw text with the
+    // q147 HUGEINT fnv fold. Iterative-SGD fastText is deliberately
+    // out of scope: no exact oracle.
+    "q251_fasttext_quality" -> ((s, d) =>
+      LinearText.centroidScores(t(s, d, "documents"), "doc_id", "text",
+          isPos = col("text").contains("spark"),
+          isNeg = col("text").contains("slow"), buckets = 64)
+        .orderBy("doc_id")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9919,7 +9935,56 @@ object SparkEntry {
         |    || chr(10)
         |    || 'name ' || doc_id || chr(9) || (doc_id % 7) || '.25'
         |    || chr(9) || '=A&B ' || doc_id AS text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fastText-shaped filter: buckets, weights and scores all rebuilt
+    // from raw text in integer SQL — FNV-1a per bigram via a HUGEINT
+    // list_reduce fold, unsigned mod-64 buckets, centroid-difference
+    // weights as exact integer products.
+    "q251_fasttext_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text LIKE '%spark%' AS pos, text LIKE '%slow%' AS neg,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, pos, neg, ws[i] || ' ' || ws[i + 1] AS bg
+        |  FROM tok, LATERAL UNNEST(range(1, len(ws))) AS u(i)),
+        |hh AS (
+        |  SELECT bg,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        list_transform(string_split_regex(bg, ''),
+        |          c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, b) -> (((h // 256) * 256 + xor(h % 256, b)) % 4294967296
+        |                   * CAST('1099511628211' AS HUGEINT)
+        |                 + (((h // 256) * 256 + xor(h % 256, b)) // 4294967296
+        |                    * CAST('1099511628211' AS HUGEINT) % 4294967296)
+        |                   * 4294967296)
+        |                % CAST('18446744073709551616' AS HUGEINT)
+        |    ) % 64 AS INT) AS b
+        |  FROM (SELECT DISTINCT bg FROM big)),
+        |feat AS (
+        |  SELECT doc_id, any_value(pos) AS pos, any_value(neg) AS neg,
+        |    h.b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM big JOIN hh h USING (bg) GROUP BY doc_id, h.b),
+        |tots AS (
+        |  SELECT SUM(CASE WHEN pos THEN c ELSE 0 END) AS sp,
+        |    SUM(CASE WHEN neg THEN c ELSE 0 END) AS sn
+        |  FROM feat),
+        |p AS (SELECT b, SUM(c) AS pc FROM feat WHERE pos GROUP BY b),
+        |ng AS (SELECT b, SUM(c) AS nc FROM feat WHERE neg GROUP BY b),
+        |w AS (
+        |  SELECT COALESCE(p.b, ng.b) AS b,
+        |    COALESCE(pc, 0) * sn - COALESCE(nc, 0) * sp AS wb
+        |  FROM p FULL JOIN ng ON p.b = ng.b CROSS JOIN tots),
+        |sc AS (
+        |  SELECT doc_id, SUM(c * wb) AS score
+        |  FROM feat JOIN w USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(score, 0) AS BIGINT) AS score,
+        |  COALESCE(score, 0) > 0 AS pred
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

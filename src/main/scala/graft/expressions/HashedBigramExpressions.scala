@@ -1,0 +1,81 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashed word-bigram features — the fastText-family text-classifier
+  * representation (Joulin et al. 2016, "Bag of Tricks for Efficient
+  * Text Classification"): adjacent token pairs hashed into a fixed
+  * bucket table, so the feature space is bounded regardless of
+  * vocabulary and the classifier is a dot product. The hash is FNV-1a
+  * over `left + ' ' + right` (streamed — no pair-string allocation)
+  * with an UNSIGNED modulus into `buckets`, both chosen because they
+  * replay exactly in integer SQL (the q147 discipline) — an oracle can
+  * rebuild the same buckets from the raw text.
+  */
+object HashedBigramCodec {
+
+  private final val FnvOffset = 0xCBF29CE484222325L
+  private final val FnvPrime = 0x100000001B3L
+
+  private def fold(h0: Long, u: UTF8String): Long = {
+    var h = h0
+    var i = 0
+    val n = u.numBytes()
+    while (i < n) {
+      h ^= (u.getByte(i) & 0xFFL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** `array<string>` tokens -> `array<int>` of length `buckets`: counts
+    * of each hashed-bigram bucket. Null tokens are skipped (they break
+    * adjacency: a null is not a word). Empty/1-token input -> all-zero
+    * counts.
+    */
+  def counts(tokens: ArrayData, buckets: Int): ArrayData = {
+    val out = new Array[Int](buckets)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n - 1) {
+      val a = tokens.getUTF8String(i)
+      val b = tokens.getUTF8String(i + 1)
+      if (a != null && b != null) {
+        var h = fold(FnvOffset, a)
+        h = (h ^ ' '.toLong) * FnvPrime
+        h = fold(h, b)
+        out(java.lang.Long.remainderUnsigned(h, buckets).toInt) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<string>` -> `array<int>` bucket counts
+  * ([[HashedBigramCodec.counts]]). Codegen'd; `buckets` is plan-time.
+  */
+case class HashedBigramCountsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets >= 1, "buckets must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashedBigramCodec.counts(input.asInstanceOf[ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.HashedBigramCodec.counts($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): HashedBigramCountsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hashed_bigrams"
+}

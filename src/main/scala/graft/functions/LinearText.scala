@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-shaped linear text classification (Joulin et al. 2016) with
+  * an EXACTLY-REPLAYABLE training rule: hashed word-bigram features
+  * ([[graft.expressions.HashedBigramCountsExpr]]) and a centroid-
+  * difference linear scorer instead of softmax SGD — the one-pass
+  * closed-form member of the family (CCNet/GPT-3-style quality filters
+  * are this shape), chosen so the learned weights are pure integer
+  * arithmetic an SQL oracle can rebuild from the raw text. The
+  * iterative-SGD variant has no exact oracle and is deliberately out of
+  * scope.
+  *
+  * The scorer stays in INTEGERS throughout: with P[b]/N[b] the summed
+  * bucket counts over positive/negative seed docs and Sp/Sn their
+  * totals, weight w[b] = P[b]*Sn - N[b]*Sp (the centroid difference
+  * P[b]/Sp - N[b]/Sn scaled by the positive constant Sp*Sn — same sign,
+  * same ranking, zero float drift) and score(d) = SUM_b c_d[b] * w[b].
+  *
+  * Scale shape (100 TB posture): features are row-local and codegen'd;
+  * the feature table shuffles (bucket, count) pairs with map-side
+  * combine; the weight table is BUCKETS rows and broadcast back; no
+  * driver collect anywhere. Magnitudes: w fits BIGINT while
+  * seed-corpus bucket totals stay under ~3e9 — switch the two sums to
+  * DECIMAL(38,0) beyond that.
+  */
+object LinearText {
+
+  /** Per-token-array hashed-bigram bucket counts (`array<int>`). */
+  def hashedBigrams(tokens: Column, buckets: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.HashedBigramCountsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(tokens), buckets))
+
+  /** Score every document against centroid-difference weights learned
+    * from the rows matching `isPos` / `isNeg` (seed labels — a fixed,
+    * replayable rule, e.g. a keyword or an id split). Returns
+    * `idCol, score bigint, pred boolean`; docs with no bigrams score 0.
+    */
+  def centroidScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isPos: Column,
+      isNeg: Column,
+      buckets: Int = 64
+  ): DataFrame = {
+    val feat = df
+      .select(col(idCol), isPos.as("_pos"), isNeg.as("_neg"),
+        posexplode(hashedBigrams(Retrieval.tokens(col(textCol)), buckets))
+          .as(Seq("b", "c")))
+      .where(col("c") > 0)
+    val tots = feat.agg(
+      sum(when(col("_pos"), col("c")).otherwise(0L)).as("sp"),
+      sum(when(col("_neg"), col("c")).otherwise(0L)).as("sn"))
+    val p = feat.where(col("_pos")).groupBy("b").agg(sum("c").as("pc"))
+    val n = feat.where(col("_neg")).groupBy("b").agg(sum("c").as("nc"))
+    val w = p.join(n, Seq("b"), "full_outer")
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        (coalesce(col("pc"), lit(0L)) * col("sn")
+          - coalesce(col("nc"), lit(0L)) * col("sp")).as("wb"))
+    val scores = feat
+      .join(broadcast(w), Seq("b"))
+      .groupBy(idCol)
+      .agg(sum(col("c") * col("wb")).as("score"))
+    df.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("score"), lit(0L)).cast("bigint").as("score"),
+        (coalesce(col("score"), lit(0L)) > 0).as("pred"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** fastText-shaped linear classifier: bucket hashing matches a direct
+  * FNV computation, the centroid scorer separates planted classes,
+  * integer weights equal the hand-computed products, seedless docs
+  * score zero, and the weight join broadcasts.
+  */
+class LinearTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fnv(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    s.getBytes("UTF-8").foreach { b => h ^= (b & 0xFFL); h *= 0x100000001B3L }
+    h
+  }
+
+  test("bucket counts match direct FNV-1a of 'left right' mod buckets") {
+    val toks = new GenericArrayData(Array[Any](
+      UTF8String.fromString("big"), UTF8String.fromString("fast"),
+      UTF8String.fromString("big"), UTF8String.fromString("fast")))
+    val got = graft.expressions.HashedBigramCodec.counts(toks, 64)
+    val expected = new Array[Int](64)
+    Seq("big fast", "fast big", "big fast").foreach { bg =>
+      expected(java.lang.Long.remainderUnsigned(fnv(bg), 64).toInt) += 1
+    }
+    assert(got.toIntArray().toSeq == expected.toSeq)
+    // 0/1-token arrays: all-zero counts, never null
+    val empty = new GenericArrayData(Array[Any]())
+    assert(graft.expressions.HashedBigramCodec.counts(empty, 8)
+      .toIntArray().forall(_ == 0))
+  }
+
+  test("centroid scorer separates planted classes; unseen docs lean right") {
+    val docs = Seq(
+      (1L, "good clean prose flows here", true, false),
+      (2L, "good clean text reads well", true, false),
+      (3L, "spam spam buy now spam", false, true),
+      (4L, "buy now spam buy now", false, true),
+      (5L, "clean prose reads well", false, false), // unlabeled, positive-ish
+      (6L, "spam buy spam now", false, false) // unlabeled, negative-ish
+    ).toDF("id", "text", "p", "n")
+    val out = LinearText.centroidScores(docs, "id", "text",
+      isPos = col("p"), isNeg = col("n"), buckets = 256)
+      .orderBy("id").collect()
+    assert(out(0).getBoolean(2) && out(1).getBoolean(2)) // seeds classify
+    assert(!out(2).getBoolean(2) && !out(3).getBoolean(2))
+    assert(out(4).getBoolean(2)) // generalizes via shared bigrams
+    assert(!out(5).getBoolean(2))
+  }
+
+  test("weights are the exact integer products; bigram-free docs score 0") {
+    // one pos doc 'a b' (1 bigram), one neg doc 'c d' (1 bigram): sp=sn=1,
+    // w[ab]=1, w[cd]=-1; doc 'a b c d' hits both once -> score 0, pred false
+    val docs = Seq(
+      (1L, "a b", true, false), (2L, "c d", false, true),
+      (3L, "a b c d", false, false), (4L, "solo", false, false)
+    ).toDF("id", "text", "p", "n")
+    val out = LinearText.centroidScores(docs, "id", "text",
+      isPos = col("p"), isNeg = col("n"), buckets = 4096)
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getBoolean(2))
+    assert(out(1).getLong(1) == -1L && !out(1).getBoolean(2))
+    // 'a b c d' also contains bigrams 'b c' (weight 0 bucket): net 0
+    assert(out(2).getLong(1) == 0L && !out(2).getBoolean(2))
+    assert(out(3).getLong(1) == 0L && !out(3).getBoolean(2))
+  }
+
+  test("plan: the weight table joins back as a broadcast, no sort-merge") {
+    val docs = Seq((1L, "a b c", true, false), (2L, "c d e", false, true))
+      .toDF("id", "text", "p", "n")
+    val plan = LinearText.centroidScores(docs, "id", "text",
+      col("p"), col("n")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
