@@ -484,19 +484,27 @@ object Snapshot {
       throw new IllegalArgumentException(s"$path has no manifest: Snapshot.ensure it first"))
     import org.apache.spark.sql.functions._
     val rootUri = root.toUri.getPath
-    val lines =
-      if (files.isEmpty) Array.empty[String] // empty table: empty sidecar
-      else {
-        val aggs = cols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"mn_$c"),
-          max(col(c).cast("double")).as(s"mx_$c")))
-        val rows = readFiles(spark, root.toString, files)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-        rows.flatMap { r =>
+    if (files.isEmpty) { // empty table: empty sidecar
+      publishSidecar(fs, root, StatsPrefix, v, Array.empty[String])
+      return v
+    }
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    // Lines are FORMATTED on the executors (Double.toString round-trips
+    // exactly through loadStats' toDouble) and streamed into the sidecar
+    // one partition at a time: at ~10^6 files x k columns the driver
+    // holds one partition's strings, not a files-sized array — the
+    // former collect() here was the largest driver allocation in the
+    // tree. The publish stays atomic (tmp + rename).
+    val colsLocal = cols
+    val lineDs = readFiles(spark, root.toString, files)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .mapPartitions { it =>
+        it.flatMap { r =>
           val rel = relDataPath(rootUri, r.getString(0))
-          cols.flatMap { c =>
+          colsLocal.flatMap { c =>
             // An all-null column in a file gets no line -> the file is
             // always kept for that column (conservative).
             val mnIdx = r.fieldIndex(s"mn_$c")
@@ -505,8 +513,10 @@ object Snapshot {
               r.getDouble(r.fieldIndex(s"mx_$c")).toString).mkString(StatsSep))
           }
         }
-      }
-    publishSidecar(fs, root, StatsPrefix, v, lines)
+      }(org.apache.spark.sql.Encoders.STRING)
+    import scala.jdk.CollectionConverters._
+    publishSidecarStream(fs, root, StatsPrefix, v,
+      lineDs.toLocalIterator().asScala)
     v
   }
 
