@@ -6142,6 +6142,26 @@ object SparkEntry {
           isPos = col("text").contains("spark"),
           isNeg = col("text").contains("slow"), buckets = 64)
         .orderBy("doc_id")),
+
+    // --- 252. Jaro-Winkler record linkage, oracle-pinned --------------------------------------------------
+    // q65's fuzzy-matching block with the record-linkage-standard
+    // scorer: transposition-tolerant, prefix-boosted. The oracle is
+    // DuckDB's OWN jaro_winkler_similarity — an INDEPENDENT
+    // implementation of the same published definition (rapidfuzz
+    // family), bit-matched by construction: the strongest oracle form
+    // in the suite (not a restatement of our arithmetic).
+    "q252_jaro_winkler" -> ((s, d) => {
+      val p = t(s, d, "part").where(col("p_partkey") <= 150)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val jw = TF.jaroWinkler(col("a.p_name"), col("b.p_name"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+          jw.as("jw"))
+        .where(col("jw") >= 0.82)
+        .orderBy("id1", "id2")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -9984,7 +10004,18 @@ object SparkEntry {
         |  CAST(COALESCE(score, 0) AS BIGINT) AS score,
         |  COALESCE(score, 0) > 0 AS pred
         |FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Independent-implementation oracle: DuckDB's own rapidfuzz-family
+    // jaro_winkler_similarity, bit-compatible with ours by construction.
+    "q252_jaro_winkler" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM (SELECT * FROM part WHERE p_partkey <= 150) a
+        |JOIN (SELECT * FROM part WHERE p_partkey <= 150) b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.82
+        |ORDER BY id1, id2""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

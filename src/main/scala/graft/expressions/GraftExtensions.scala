@@ -371,6 +371,14 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("graft_sitemap_items(string)")
       }),
     (
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinklerExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_jaro_winkler(string, string)")
+      }),
+    (
       FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[PorterStemExpr].getName, "graft_stem"),
       (args: Seq[Expression]) => args match {

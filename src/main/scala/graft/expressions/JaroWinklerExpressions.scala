@@ -1,0 +1,101 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler similarity — the record-linkage standard for short
+  * identifier strings (names, brands, SKUs), complementing Levenshtein
+  * (q65) where transposition tolerance and prefix emphasis matter.
+  * Classic definition: matches within a floor(max(l1,l2)/2)-1 window,
+  * half-counted transpositions, jaro = (m/l1 + m/l2 + (m-t)/m)/3,
+  * Winkler prefix boost (up to 4 chars, weight 0.1) applied only above
+  * the 0.7 threshold. Operation ORDER mirrors the rapidfuzz-family
+  * implementations (DuckDB ships one) bit-for-bit, verified over random
+  * pairs — so an INDEPENDENT engine is usable as the oracle, the
+  * strongest pin in the suite. Empty input scores 0 (incl. both-empty,
+  * matching that family). Char-level (BMP); O(l1*window) time,
+  * O(l2) heap — row-local, codegen'd.
+  */
+object JaroWinklerCodec {
+
+  def similarity(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    var w = math.max(l1, l2) / 2 - 1
+    if (w < 0) w = 0
+    val used = new Array[Boolean](l2)
+    // match chars in s1 order; record each match's index in s2
+    val m2 = new Array[Int](math.min(l1, l2))
+    val m1 = new Array[Char](math.min(l1, l2))
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val c = s1.charAt(i)
+      var j = math.max(0, i - w)
+      val hi = math.min(l2 - 1, i + w)
+      var found = false
+      while (!found && j <= hi) {
+        if (!used(j) && s2.charAt(j) == c) {
+          used(j) = true
+          m1(m) = c
+          m2(m) = j
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: compare s1's match sequence against s2's matched
+    // chars in s2 order (m2 sorted ascending)
+    java.util.Arrays.sort(m2, 0, m)
+    var t = 0
+    i = 0
+    while (i < m) {
+      if (m1(i) != s2.charAt(m2(i))) t += 1
+      i += 1
+    }
+    t /= 2
+    var jaro = ((m.toDouble / l1) + (m.toDouble / l2) +
+      ((m - t).toDouble / m)) / 3.0
+    if (jaro > 0.7) {
+      var p = 0
+      val pMax = math.min(math.min(l1, l2), 4)
+      while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro = jaro + p * 0.1 * (1.0 - jaro)
+    }
+    jaro
+  }
+}
+
+/** `(string, string)` -> `double` Jaro-Winkler similarity
+  * ([[JaroWinklerCodec.similarity]]). Codegen'd.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerCodec.similarity(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.JaroWinklerCodec.similarity($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaro_winkler"
+}

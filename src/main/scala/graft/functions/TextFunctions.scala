@@ -574,6 +574,18 @@ object TextFunctions {
       graft.expressions.SitemapItemsExpr(
         org.apache.spark.sql.graft.Bridge.expression(xml)))
 
+  /** Jaro-Winkler similarity ([[graft.expressions.JaroWinklerExpr]]):
+    * the record-linkage standard for short identifiers — transposition-
+    * tolerant with a matched-prefix boost, where Levenshtein counts
+    * every shift as a full edit. Bit-compatible with the
+    * rapidfuzz-family implementations.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.JaroWinklerExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Porter stem of one word ([[graft.expressions.PorterStemExpr]], the
     * original 1980 rules): the retrieval-side normalization for BM25
     * term unification and keyword overlap. Compose over token arrays

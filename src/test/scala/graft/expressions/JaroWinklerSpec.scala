@@ -1,0 +1,42 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler: published textbook values, boost-threshold gating,
+  * window/transposition edges, empty semantics, SQL surface.
+  */
+class JaroWinklerSpec extends graft.SparkTestBase {
+
+  private def jw(a: String, b: String): Double =
+    JaroWinklerCodec.similarity(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("textbook pairs (the values every implementation publishes)") {
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("kitten", "sitting") == 0.746031746031746)
+  }
+
+  test("prefix boost applies only above the 0.7 threshold") {
+    // common prefix 'ab' but jaro 0.5556 <= 0.7: no boost
+    assert(jw("abcdef", "abxxxx") == 0.5555555555555555)
+    // crate/trace: jaro 0.7333 > 0.7 but zero common prefix: unchanged
+    assert(jw("crate", "trace") == 0.7333333333333334)
+  }
+
+  test("edges: identity, empty, window-0, disjoint") {
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "") == 0.0) // rapidfuzz-family convention
+    assert(jw("a", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0) // window floor(2/2)-1 = 0: no matches
+    assert(jw("x", "y") == 0.0)
+  }
+
+  test("sql surface matches the codec") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS v").head().getDouble(0)
+    assert(r == 0.9611111111111111)
+  }
+}
