@@ -6162,6 +6162,41 @@ object SparkEntry {
         .where(col("jw") >= 0.82)
         .orderBy("id1", "id2")
     }),
+
+    // --- 253. salted skew join in the gate, oracle-pinned -------------------------------------------------
+    // The hot-key mitigation operator (operators/Skew): each left row
+    // gets a salt, the small right side replicates across all salts, so
+    // one hot part key spreads over saltBuckets tasks. Salting must be
+    // INVISIBLE in the answer — the revenue rollup is exact DECIMAL
+    // (order-free), so the oracle is the plain unsalted join. The salt
+    // itself is nondeterministic (partition id + row position); only
+    // plans whose result is salt-independent may use it, which is
+    // exactly what this query demonstrates.
+    "q253_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_extendedprice"))
+      val p = t(s, d, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(li, p, Seq("pk"), saltBuckets = 8)
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // --- 254. Johnson-Lindenstrauss random projection, oracle-pinned -------------------------------------
+    // The embedding coarse filter: ±1 sign matrix from FNV-1a of "d:j"
+    // (Achlioptas' database-friendly JL — no stored model), accumulated
+    // as a plain ascending-d left fold. The oracle rebuilds the SAME
+    // signs with the q147 HUGEINT fnv fold and replays the identical
+    // fold over the float values lifted to double — bit-exact output,
+    // k=8 components exploded per vector.
+    "q254_random_projection" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Similarity.randomProjection(col("embedding"), 8))
+            .as(Seq("j", "v")))
+        .orderBy("vec_id", "j")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10015,7 +10050,47 @@ object SparkEntry {
         |JOIN (SELECT * FROM part WHERE p_partkey <= 150) b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.82
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Salting must be invisible: the oracle is the PLAIN join with the
+    // same exact-decimal rollup.
+    "q253_salted_join" ->
+      """SELECT p.p_brand,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    // JL projection: the same FNV sign bits rebuilt in HUGEINT, the same
+    // ascending-d left fold over doubles (list_reduce preserves order,
+    // so the IEEE sums are bit-identical).
+    "q254_random_projection" ->
+      """WITH sg AS (
+        |  SELECT d, j,
+        |    CASE WHEN list_reduce(
+        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        list_transform(string_split_regex(d || ':' || j, ''),
+        |          c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, b) -> (((h // 256) * 256 + xor(h % 256, b)) % 4294967296
+        |                   * CAST('1099511628211' AS HUGEINT)
+        |                 + (((h // 256) * 256 + xor(h % 256, b)) // 4294967296
+        |                    * CAST('1099511628211' AS HUGEINT) % 4294967296)
+        |                   * 4294967296)
+        |                % CAST('18446744073709551616' AS HUGEINT)
+        |    ) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM (SELECT UNNEST(range(64)) AS d),
+        |       (SELECT UNNEST(range(8)) AS j)),
+        |signs AS (
+        |  SELECT j, list(s ORDER BY d) AS sl FROM sg GROUP BY j)
+        |SELECT e.vec_id, CAST(j AS INT) AS j,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(64),
+        |        d -> sl[d + 1] * CAST(e.embedding[d + 1] AS DOUBLE))),
+        |    (a, x) -> a + x) AS v
+        |FROM embeddings e CROSS JOIN signs
+        |ORDER BY vec_id, j""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,79 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Seeded random projection (Johnson-Lindenstrauss family with a ±1
+  * sign matrix — Achlioptas 2001, "Database-friendly random
+  * projections"): out[j] = Σ_d sign(d,j) · vec[d]. The embedding-side
+  * dimensionality reducer for coarse ANN filtering and sketching:
+  * distances are preserved within (1±ε) at k = O(log n / ε²), and a
+  * ±1 matrix needs no stored model — sign(d,j) is bit 0 of FNV-1a over
+  * the ASCII key `d:j`, deterministic across JVMs and EXACTLY
+  * replayable in integer SQL (the q147 discipline), unlike a
+  * Gaussian matrix. Accumulation is a plain left fold over d in
+  * ascending order, so an oracle reproducing the same fold lands on
+  * bit-identical doubles. Row-local, codegen'd, O(dims·k).
+  */
+object ProjectionCodec {
+
+  private final val FnvOffset = 0xCBF29CE484222325L
+  private final val FnvPrime = 0x100000001B3L
+
+  private def fnvAscii(s: String): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < s.length) {
+      h ^= (s.charAt(i) & 0xFFL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** +1.0 when bit 0 of fnv1a("d:j") is set, else -1.0. */
+  def sign(d: Int, j: Int): Double =
+    if ((fnvAscii(d.toString + ":" + j.toString) & 1L) == 1L) 1.0 else -1.0
+
+  def project(vec: ArrayData, k: Int): ArrayData = {
+    val dims = vec.numElements()
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      var d = 0
+      while (d < dims) {
+        acc += sign(d, j) * vec.getFloat(d).toDouble
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<float>` -> `array<double>` of length `k`
+  * ([[ProjectionCodec.project]]). Codegen'd; `k` is plan-time.
+  */
+case class RandomProjectionExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "k must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ProjectionCodec.project(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ProjectionCodec.project($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectionExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_random_projection"
+}

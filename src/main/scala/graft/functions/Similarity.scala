@@ -27,6 +27,16 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Seeded ±1 random projection to `k` dims
+    * ([[graft.expressions.RandomProjectionExpr]]): the
+    * Johnson-Lindenstrauss coarse filter — no stored model, the sign
+    * matrix derives from a hash, so executors and an SQL oracle rebuild
+    * it identically.
+    */
+  def randomProjection(vec: Column, k: Int): Column =
+    Bridge.column(graft.expressions.RandomProjectionExpr(
+      Bridge.expression(vec), k))
+
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

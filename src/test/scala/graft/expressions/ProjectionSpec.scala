@@ -1,0 +1,50 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** Random projection: sign determinism, linearity, norm concentration
+  * over the planted corpus, and the Column surface.
+  */
+class ProjectionSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  test("signs are deterministic and balanced-ish") {
+    val signs = for (d <- 0 until 64; j <- 0 until 8)
+      yield ProjectionCodec.sign(d, j)
+    assert(signs.forall(s => s == 1.0 || s == -1.0))
+    assert(signs == (for (d <- 0 until 64; j <- 0 until 8)
+      yield ProjectionCodec.sign(d, j))) // rerun identical
+    val plus = signs.count(_ == 1.0)
+    assert(plus > signs.size / 4 && plus < 3 * signs.size / 4)
+  }
+
+  test("projection is linear: P(a+b) == P(a)+P(b) elementwise") {
+    def arr(xs: Array[Float]) = new GenericArrayData(xs.map(x => x: Any))
+    val a = Array.tabulate(16)(i => (i % 5 - 2).toFloat)
+    val b = Array.tabulate(16)(i => (i % 3).toFloat)
+    val pa = ProjectionCodec.project(arr(a), 4).toDoubleArray()
+    val pb = ProjectionCodec.project(arr(b), 4).toDoubleArray()
+    val pab = ProjectionCodec.project(
+      arr(a.zip(b).map { case (x, y) => x + y }), 4).toDoubleArray()
+    // ±1 entries and small integers: the fold is exact integer-valued
+    assert(pab.toSeq == pa.zip(pb).map { case (x, y) => x + y }.toSeq)
+  }
+
+  test("JL concentration: projected squared norms track k/dims scaling") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = df.select(
+        graft.functions.Similarity.randomProjection(
+          org.apache.spark.sql.functions.col("embedding"), 16).as("p"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .limit(50).collect()
+    val ratios = out.map { r =>
+      val p = r.getSeq[Double](0)
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val pn = p.map(x => x * x).sum / 16 // E[component^2] = |v|^2
+      val vn = v.map(x => x * x).sum
+      pn / vn
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean ratio $mean")
+  }
+}
