@@ -6729,6 +6729,77 @@ object SparkEntry {
         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) t
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // Replays BOTH hash kernels exactly in integer SQL (graft.oracle.XxSql):
+    // the winnowing fingerprint is min (signed) over xxhash64 of every
+    // 8-char window; the SimHash signature hashes each DISTINCT whitespace
+    // token once, then per-bit +-1 votes over the token MULTISET decide the
+    // 64 signature bits. Was rows-only before round 12.
+    "q39_fingerprint" -> {
+      import graft.oracle.XxSql._
+      val win = chain("fw",
+        """SELECT doc_id, substring(text, w + 1, 8) AS st
+          |FROM documents,
+          |  LATERAL (SELECT unnest(range(length(text) - 7)) AS w)""".stripMargin,
+        Seq("doc_id", "st"))
+      strHash(win, "st", "8", maxLen = 8, constLen = Some(8))
+      val tok = chain("tk",
+        """SELECT st, length(st) AS l FROM (
+          |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS st
+          |  FROM documents)""".stripMargin,
+        Seq("st", "l"))
+      strHash(tok, "st", "l", maxLen = 16)
+      s"""WITH fp AS (WITH ${win.withClauses}
+         |  SELECT doc_id, min(${s64("h")}) AS fp FROM ${win.last} GROUP BY doc_id),
+         |th AS (WITH ${tok.withClauses} SELECT st, h FROM ${tok.last}),
+         |dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS st
+         |       FROM documents),
+         |votes AS (
+         |  SELECT d.doc_id, b.b,
+         |    sum(CASE WHEN (th.h // (1::HUGEINT << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM dt d JOIN th ON th.st = d.st,
+         |       LATERAL (SELECT unnest(range(64)) AS b) b
+         |  GROUP BY d.doc_id, b.b),
+         |sim AS (
+         |  SELECT doc_id,
+         |    ${s64("sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END)")} AS simhash
+         |  FROM votes GROUP BY doc_id)
+         |SELECT fp.doc_id, fp.fp, sim.simhash
+         |FROM fp JOIN sim ON fp.doc_id = sim.doc_id ORDER BY fp.doc_id""".stripMargin
+    },
+
+    // The engine's pigeonhole band join (maxHamming+1 disjoint chunks) has
+    // GUARANTEED full recall — candidates are a superset of all true pairs
+    // and are verified by exact hamming — so the all-pairs oracle over the
+    // replayed SimHash signatures is exactly equivalent, with no LSH
+    // modeling needed (unlike MinHash banding, whose recall is < 1).
+    "q34_simhash_pairs" -> {
+      import graft.oracle.XxSql._
+      val tok = chain("tk",
+        """SELECT st, length(st) AS l FROM (
+          |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS st
+          |  FROM documents)""".stripMargin,
+        Seq("st", "l"))
+      strHash(tok, "st", "l", maxLen = 16)
+      s"""WITH th AS (WITH ${tok.withClauses} SELECT st, h FROM ${tok.last}),
+         |dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS st
+         |       FROM documents),
+         |votes AS (
+         |  SELECT d.doc_id, b.b,
+         |    sum(CASE WHEN (th.h // (1::HUGEINT << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM dt d JOIN th ON th.st = d.st,
+         |       LATERAL (SELECT unnest(range(64)) AS b) b
+         |  GROUP BY d.doc_id, b.b),
+         |sim AS (
+         |  SELECT doc_id,
+         |    ${s64("sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END)")} AS sig
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY hamming, id1, id2""".stripMargin
+    },
+
     "q46_asof" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,

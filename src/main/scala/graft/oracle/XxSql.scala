@@ -1,0 +1,168 @@
+package graft.oracle
+
+/** DuckDB SQL generator replaying Spark's XXH64 (the Catalyst `xxhash64`
+  * kernel) exactly in integer SQL, so hash-valued query outputs (document
+  * fingerprints, SimHash signatures, MinHash signatures) get full DuckDB
+  * oracles instead of rows-only checks.
+  *
+  * Arithmetic model: every hash state is a non-negative HUGEINT < 2^64.
+  * 64-bit wrap-around multiplication splits the multiplicand into 32-bit
+  * halves (products bounded by 2^96 < HUGEINT max) — the same idiom as the
+  * Gear-chunking oracle (q147). Rotations and shifts are div/mod by powers
+  * of two; xor is DuckDB's HUGEINT `xor`.
+  *
+  * Expression-tree discipline: DuckDB inlines single-use CTEs and lateral
+  * column aliases TEXTUALLY, so a naive 60-step alias chain (each step
+  * referencing the previous twice) makes the planner build a 2^60-node
+  * tree. Every mixing step therefore lands in its own `AS MATERIALIZED`
+  * CTE carrying only the key columns plus the running state — tree size
+  * stays linear in the step count.
+  *
+  * Validated byte-for-byte against `XXH64.hashLong` / `hashUTF8String` on
+  * random vectors (all three length paths: 8-byte words, 4-byte chunk,
+  * tail bytes) and against the engine's fingerprint/simhash dumps at
+  * sf0.001 and sf0.01. ASCII corpus only: `ord(substring(s, i, 1))` IS
+  * byte i of the UTF-8 encoding; multi-byte text would need a byte-level
+  * decomposition first.
+  */
+object XxSql {
+  val M = "18446744073709551616" // 2^64
+  val P1 = "11400714785074694791"
+  val P2 = "14029467366897019727"
+  val P3 = "1609587929392839161"
+  val P4 = "9650029242287828579"
+  val P5 = "2870177450012600261"
+
+  /** a * c mod 2^64 for a < 2^64 (HUGEINT expr) and constant c. */
+  def mulmod(a: String, c: String): String =
+    s"(($a) % 4294967296 * $c % $M + " +
+      s"(($a) // 4294967296 * $c % 4294967296) * 4294967296) % $M"
+
+  /** 64-bit rotate-left by n of a < 2^64. */
+  def rotl(x: String, n: Int): String = {
+    val lo = java.math.BigInteger.ONE.shiftLeft(64 - n).toString
+    val hi = java.math.BigInteger.ONE.shiftLeft(n).toString
+    s"(($x) % $lo * $hi + ($x) // $lo)"
+  }
+
+  private def shr(x: String, n: Int): String =
+    s"(($x) // ${java.math.BigInteger.ONE.shiftLeft(n).toString})"
+
+  /** Signed BIGINT expr -> non-negative u64 HUGEINT. */
+  def u64(x: String): String = s"((CAST($x AS HUGEINT) % $M) + $M) % $M"
+
+  /** u64 HUGEINT expr -> signed BIGINT (two's complement). */
+  def s64(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $M ELSE ($x) END AS BIGINT)"
+
+  /** Builder for a chain of `AS MATERIALIZED` CTEs `<name>0, <name>1, ...`
+    * where each stage selects the carry columns plus newly-computed ones.
+    */
+  final class Chain(name: String, baseSql: String, carry0: Seq[String]) {
+    private var ctes = Vector(s"${name}0" -> baseSql)
+    private var carry = carry0.toVector
+    private var i = 0
+
+    def stage(newCols: (String, String)*): Chain = {
+      val prev = s"$name$i"; i += 1
+      val cols = (carry ++ newCols.map { case (c, e) => s"$e AS $c" }).mkString(", ")
+      ctes :+= s"$name$i" -> s"SELECT $cols FROM $prev"
+      carry ++= newCols.map(_._1)
+      this
+    }
+
+    def drop(cols: String*): Chain = { carry = carry.filterNot(cols.contains); this }
+
+    def last: String = s"$name$i"
+
+    def withClauses: String =
+      ctes.map { case (n, sql) => s"$n AS MATERIALIZED ($sql)" }.mkString(",\n")
+  }
+
+  /** Little-endian u64 of `nBytes` ASCII chars from 1-based position expr
+    * `pos1` of string column `scol`. DuckDB's ord('') is 0, so reads past
+    * the end contribute zero bytes (they are CASE-guarded off anyway).
+    */
+  private def loadWord(scol: String, pos1: String, nBytes: Int): String = {
+    val terms = (0 until nBytes).map { j =>
+      val mult = java.math.BigInteger.ONE.shiftLeft(8 * j).toString
+      s"ord(substring($scol, ($pos1)+$j, 1)) * $mult::HUGEINT"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  private def fmixStages(ch: Chain, h: String, out: String): Chain = {
+    ch.stage("xf1" -> mulmod(s"xor($h, ($h) // 8589934592)", P2)).drop(h) // >>33
+      .stage("xf3" -> mulmod("xor(xf1, xf1 // 536870912)", P3)).drop("xf1") // >>29
+      .stage(out -> "xor(xf3, xf3 // 4294967296)").drop("xf3") // >>32
+  }
+
+  /** Appends stages hashing ASCII string column `scol` (char length expr
+    * `lcol`, always < 32) with `seed`, leaving the u64 result in column
+    * `out`. `maxLen` statically prunes word rounds the corpus can never
+    * reach; `constLen` prunes the 4-byte/tail stages when the length is a
+    * compile-time constant (e.g. fixed 8-char fingerprint windows).
+    */
+  def strHash(ch: Chain, scol: String, lcol: String, maxLen: Int,
+      out: String = "h", seed: String = "42", constLen: Option[Int] = None): Chain = {
+    require(maxLen < 32, s"short-input path only (len < 32), got maxLen=$maxLen")
+    ch.stage("xh" -> s"(($seed) + $P5 + ($lcol)) % $M")
+    var c = 0
+    while (8 * (c + 1) <= maxLen) { // word round c iff some doc has len >= 8(c+1)
+      val k2 = mulmod(rotl(mulmod(loadWord(scol, (8 * c + 1).toString, 8), P2), 31), P1)
+      ch.stage("xk" -> k2)
+      val step = s"(${mulmod(rotl("xor(xh, xk)", 27), P1)} + $P4) % $M"
+      val guarded = constLen match {
+        case Some(n) if n >= 8 * (c + 1) => step
+        case Some(_) => "xh"
+        case None => s"CASE WHEN ($lcol) >= ${8 * (c + 1)} THEN $step ELSE xh END"
+      }
+      ch.stage("xh2" -> guarded).drop("xh", "xk").stage("xh" -> "xh2").drop("xh2")
+      c += 1
+    }
+    val need4 = constLen.forall(n => n % 8 >= 4)
+    if (need4) {
+      ch.stage("xk" -> mulmod(loadWord(scol, s"(($lcol) // 8 * 8) + 1", 4), P1))
+      val step = s"(${mulmod(rotl("xor(xh, xk)", 23), P2)} + $P3) % $M"
+      val guarded =
+        if (constLen.isDefined) step
+        else s"CASE WHEN ($lcol) % 8 >= 4 THEN $step ELSE xh END"
+      ch.stage("xh2" -> guarded).drop("xh", "xk").stage("xh" -> "xh2").drop("xh2")
+    }
+    val maxTail = constLen.map(_ % 4).getOrElse(3)
+    var b = 0
+    while (b < maxTail) {
+      val bv = s"ord(substring($scol, (($lcol) // 4 * 4) + ${b + 1}, 1))::HUGEINT"
+      ch.stage("xk" -> mulmod(bv, P5))
+      val step = mulmod(rotl("xor(xh, xk)", 11), P1)
+      val guarded =
+        if (constLen.isDefined) step // b < constLen % 4 statically true
+        else s"CASE WHEN ($lcol) % 4 > $b THEN $step ELSE xh END"
+      ch.stage("xh2" -> guarded).drop("xh", "xk").stage("xh" -> "xh2").drop("xh2")
+      b += 1
+    }
+    fmixStages(ch, "xh", out)
+  }
+
+  /** Appends stages for XXH64.hashLong(vcol u64, seed expr) -> column `out`. */
+  def longHash(ch: Chain, vcol: String, seed: String, out: String = "h"): Chain = {
+    val k2 = mulmod(rotl(mulmod(vcol, P2), 31), P1)
+    ch.stage("lk" -> k2, "lh0" -> s"(($seed) + $P5 + 8) % $M")
+      .stage("lh2" -> s"(${mulmod(rotl("xor(lh0, lk)", 27), P1)} + $P4) % $M")
+      .drop("lk", "lh0")
+    fmixStages(ch, "lh2", out)
+  }
+
+  /** Appends stages for XXH64.hashInt(vcol, seed expr) -> column `out`.
+    * `vcol` must be the unsigned 32-bit reading of the int (0 <= v < 2^32).
+    */
+  def intHash(ch: Chain, vcol: String, seed: String, out: String = "h"): Chain = {
+    ch.stage("ik" -> mulmod(vcol, P1), "ih0" -> s"(($seed) + $P5 + 4) % $M")
+      .stage("ih2" -> s"(${mulmod(rotl("xor(ih0, ik)", 23), P2)} + $P3) % $M")
+      .drop("ik", "ih0")
+    fmixStages(ch, "ih2", out)
+  }
+
+  def chain(name: String, baseSql: String, carry: Seq[String]): Chain =
+    new Chain(name, baseSql, carry)
+}
