@@ -6800,6 +6800,21 @@ object SparkEntry {
          |ORDER BY hamming, id1, id2""".stripMargin
     },
 
+    // Full MinHash+LSH replay (graft.oracle.XxSql.minhashPairsSql): the
+    // banding itself is part of the declared semantics (recall < 1), so the
+    // oracle rebuilds signatures and band keys hash-for-hash rather than
+    // scanning all pairs. 64 hashes, 16 bands, 3-word shingles, exact
+    // Jaccard >= 0.5 on candidates. Was rows-only before round 12.
+    "q33_minhash_pairs" ->
+      graft.oracle.XxSql.minhashPairsSql(shingleN = 3, numHashes = 64,
+        bands = 16, threshold = 0.5, blockCol = None),
+
+    // Same replay, bigram shingles blocked by language (48 hashes, 24
+    // bands, Jaccard >= 0.25). Was rows-only before round 12.
+    "q35_ngram_jaccard" ->
+      graft.oracle.XxSql.minhashPairsSql(shingleN = 2, numHashes = 48,
+        bands = 24, threshold = 0.25, blockCol = Some("lang")),
+
     "q46_asof" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,

@@ -33,20 +33,23 @@ object XxSql {
   val P4 = "9650029242287828579"
   val P5 = "2870177450012600261"
 
-  /** a * c mod 2^64 for a < 2^64 (HUGEINT expr) and constant c. */
+  private val M64 = "18446744073709551615" // 2^64 - 1 (the & mask)
+
+  /** a * c mod 2^64 for a < 2^64 (HUGEINT expr) and constant c, via 32-bit
+    * split. ALL bit ops: HUGEINT `//`/`%` by powers of two run a full
+    * 128-bit divmod per call and measured 20x slower than `&`/`>>`/`<<`
+    * (50s -> 2s on the MinHash signature stage).
+    */
   def mulmod(a: String, c: String): String =
-    s"(($a) % 4294967296 * $c % $M + " +
-      s"(($a) // 4294967296 * $c % 4294967296) * 4294967296) % $M"
+    s"(((((($a) & 4294967295) * $c) & $M64) + " +
+      s"((((($a) >> 32) * $c) & 4294967295) << 32)) & $M64)"
 
   /** 64-bit rotate-left by n of a < 2^64. */
   def rotl(x: String, n: Int): String = {
-    val lo = java.math.BigInteger.ONE.shiftLeft(64 - n).toString
-    val hi = java.math.BigInteger.ONE.shiftLeft(n).toString
-    s"(($x) % $lo * $hi + ($x) // $lo)"
+    val mask = java.math.BigInteger.ONE.shiftLeft(64 - n)
+      .subtract(java.math.BigInteger.ONE).toString
+    s"(((($x) & $mask) << $n) + (($x) >> ${64 - n}))"
   }
-
-  private def shr(x: String, n: Int): String =
-    s"(($x) // ${java.math.BigInteger.ONE.shiftLeft(n).toString})"
 
   /** Signed BIGINT expr -> non-negative u64 HUGEINT. */
   def u64(x: String): String = s"((CAST($x AS HUGEINT) % $M) + $M) % $M"
@@ -92,9 +95,9 @@ object XxSql {
   }
 
   private def fmixStages(ch: Chain, h: String, out: String): Chain = {
-    ch.stage("xf1" -> mulmod(s"xor($h, ($h) // 8589934592)", P2)).drop(h) // >>33
-      .stage("xf3" -> mulmod("xor(xf1, xf1 // 536870912)", P3)).drop("xf1") // >>29
-      .stage(out -> "xor(xf3, xf3 // 4294967296)").drop("xf3") // >>32
+    ch.stage("xf1" -> mulmod(s"xor($h, ($h) >> 33)", P2)).drop(h)
+      .stage("xf3" -> mulmod("xor(xf1, xf1 >> 29)", P3)).drop("xf1")
+      .stage(out -> "xor(xf3, xf3 >> 32)").drop("xf3")
   }
 
   /** Appends stages hashing ASCII string column `scol` (char length expr
@@ -165,4 +168,111 @@ object XxSql {
 
   def chain(name: String, baseSql: String, carry: Seq[String]): Chain =
     new Chain(name, baseSql, carry)
+
+  /** Full oracle SQL for [[graft.functions.Dedup.minhashPairs]] /
+    * [[graft.functions.Dedup.ngramJaccardPairs]]: replays token hashing,
+    * chained shingle hashes, the `numHashes`-seed MinHash signature (min
+    * over SIGNED longs, as the engine's Long comparison), the Catalyst
+    * `xxhash64(band, slice(sig, ...))` band keys (hashInt then a hashLong
+    * fold over the band's rows), band-collision candidates, and exact
+    * Jaccard verification over the 64-bit shingle-hash sets. The LSH
+    * banding is replayed — NOT approximated by an all-pairs scan — because
+    * MinHash banding recall is < 1, so the candidate set itself is part of
+    * the declared semantics. Threshold compares the UNROUNDED ratio (the
+    * engine filters before its round(…, 6)).
+    *
+    * Shared hash values are computed once per DISTINCT token / shingle /
+    * signature slot: the corpus-wide distinct-shingle set times numHashes
+    * is the only big intermediate.
+    */
+  def minhashPairsSql(shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, blockCol: Option[String]): String = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val blkSel = blockCol.map(c => s", $c AS blk").getOrElse("")
+    val blkCarry = blockCol.map(_ => "blk").toSeq
+
+    val tok = chain("tk",
+      """SELECT st, length(st) AS l FROM (
+        |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS st
+        |  FROM documents)""".stripMargin,
+      Seq("st", "l"))
+    strHash(tok, "st", "l", maxLen = 16)
+
+    // chained shingle hash over token positions: h = hashLong(th_i, ... hashLong(th_0, 42))
+    val win = chain("sw",
+      (s"""SELECT p0.doc_id${if (blockCol.isDefined) ", p0.blk" else ""}, p0.pos""" +
+        (0 until shingleN).map(j => s", t$j.th AS v$j").mkString + "\n" +
+        s"FROM tp p0 " +
+        (1 until shingleN).map(j =>
+          s"JOIN tp p$j ON p$j.doc_id = p0.doc_id AND p$j.pos = p0.pos + $j ").mkString +
+        (0 until shingleN).map(j => s"JOIN th t$j ON t$j.st = p$j.st ").mkString),
+      Seq("doc_id", "pos") ++ blkCarry ++ (0 until shingleN).map(j => s"v$j"))
+    var prevSeed = "42"
+    for (j <- 0 until shingleN) {
+      longHash(win, s"v$j", prevSeed, s"w$j")
+      win.drop(s"v$j")
+      if (j > 0) win.drop(s"w${j - 1}")
+      prevSeed = s"w$j"
+    }
+    val shCols = (Seq("doc_id") ++ blkCarry ++ Seq(s"w${shingleN - 1} AS sh")).mkString(", ")
+
+    // signature values per distinct shingle hash x seed
+    val sig = chain("sg",
+      s"SELECT g.sh, s.s AS seed FROM (SELECT DISTINCT sh FROM sh) g, " +
+        s"LATERAL (SELECT unnest(range($numHashes)) AS s) s",
+      Seq("sh", "seed"))
+    longHash(sig, "sh", "seed", "mh")
+
+    // band keys: xxhash64(band, slice) = hashInt(band, 42) folded with hashLong per row value
+    val bandBase =
+      s"""SELECT s0.doc_id${blockCol.map(_ => ", d.blk").getOrElse("")}, s0.seed // $rows AS band""" +
+        (0 until rows).map(r => s", s$r.sv AS v$r").mkString + "\nFROM sig s0 " +
+        (1 until rows).map(r =>
+          s"JOIN sig s$r ON s$r.doc_id = s0.doc_id AND s$r.seed = s0.seed + $r ").mkString +
+        blockCol.map(_ =>
+          "JOIN (SELECT DISTINCT doc_id, blk FROM sh) d ON d.doc_id = s0.doc_id ").getOrElse("") +
+        s"WHERE s0.seed % $rows = 0"
+    val bnd = chain("bd", bandBase,
+      Seq("doc_id", "band") ++ blkCarry ++ (0 until rows).map(r => s"v$r"))
+    intHash(bnd, "band::HUGEINT", "42", "bh0")
+    var prevB = "bh0"
+    for (r <- 0 until rows) {
+      longHash(bnd, s"v$r", prevB, s"bh${r + 1}")
+      bnd.drop(s"v$r", prevB)
+      prevB = s"bh${r + 1}"
+    }
+
+    val candJoin = (Seq("l.band = r.band", "l.bh = r.bh", "l.doc_id < r.doc_id") ++
+      blockCol.map(_ => "l.blk = r.blk").toSeq).mkString(" AND ")
+    s"""WITH th AS MATERIALIZED (WITH ${tok.withClauses} SELECT st, h AS th FROM ${tok.last}),
+       |tp AS MATERIALIZED (
+       |  SELECT doc_id$blkSel, i.i AS pos, arr[i.i + 1] AS st
+       |  FROM (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents),
+       |       LATERAL (SELECT unnest(range(len(arr))) AS i) i),
+       |sh AS MATERIALIZED (WITH ${win.withClauses}
+       |  SELECT DISTINCT $shCols FROM ${win.last}),
+       |sig AS MATERIALIZED (WITH ${sig.withClauses}
+       |  SELECT d.doc_id, m.seed, ${u64(s"min(${s64("m.mh")})")} AS sv
+       |  FROM sh d JOIN ${sig.last} m ON m.sh = d.sh GROUP BY d.doc_id, m.seed),
+       |bands AS MATERIALIZED (WITH ${bnd.withClauses}
+       |  SELECT doc_id${blockCol.map(_ => ", blk").getOrElse("")}, band, $prevB AS bh FROM ${bnd.last}),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM bands l JOIN bands r ON $candJoin),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, count(*) AS i
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id1
+       |              JOIN sh b ON b.doc_id = c.id2 AND b.sh = a.sh
+       |  GROUP BY c.id1, c.id2),
+       |jac AS (
+       |  SELECT c.id1, c.id2,
+       |    COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0)) AS j
+       |  FROM cand c
+       |  JOIN sizes sa ON sa.doc_id = c.id1 JOIN sizes sb ON sb.doc_id = c.id2
+       |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2)
+       |SELECT id1, id2, round(j, 6) AS jaccard FROM jac WHERE j >= $threshold
+       |ORDER BY jaccard DESC, id1, id2""".stripMargin
+  }
 }
