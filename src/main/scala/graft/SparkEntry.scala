@@ -6815,6 +6815,14 @@ object SparkEntry {
       graft.oracle.XxSql.minhashPairsSql(shingleN = 2, numHashes = 48,
         bands = 24, threshold = 0.25, blockCol = Some("lang")),
 
+    // Pairs replay + transitive-closure components, keeping each
+    // component's min doc_id (the engine's union-find order). Was
+    // rows-only before round 12.
+    "q45_drop_neardups" ->
+      graft.oracle.XxSql.dropNearDupsSql(shingleN = 3, numHashes = 64,
+        bands = 16, threshold = 0.5,
+        selectCols = "d.doc_id, d.lang", orderCol = "doc_id"),
+
     "q46_asof" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,

@@ -186,7 +186,34 @@ object XxSql {
     * is the only big intermediate.
     */
   def minhashPairsSql(shingleN: Int, numHashes: Int, bands: Int,
-      threshold: Double, blockCol: Option[String]): String = {
+      threshold: Double, blockCol: Option[String]): String =
+    minhashCore(shingleN, numHashes, bands, blockCol) +
+      s"""
+         |SELECT id1, id2, round(j, 6) AS jaccard FROM jac WHERE j >= $threshold
+         |ORDER BY jaccard DESC, id1, id2""".stripMargin
+
+  /** Oracle SQL for [[graft.functions.Dedup.dropNearDuplicates]]: the same
+    * pairs replay, then connected components by transitive closure (a
+    * recursive CTE — component sizes are small, so the closure is tiny even
+    * though it is quadratic per component) keeping each component's MINIMUM
+    * id — the engine's union-find keeps min under Ordering.Long.
+    */
+  def dropNearDupsSql(shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, selectCols: String, orderCol: String): String =
+    "WITH RECURSIVE " + minhashCore(shingleN, numHashes, bands, None).stripPrefix("WITH ") +
+      s""",
+         |pairs AS MATERIALIZED (SELECT id1, id2 FROM jac WHERE j >= $threshold),
+         |walk AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |         UNION SELECT id2, id1 FROM pairs),
+         |reach AS (SELECT a, b FROM walk
+         |          UNION SELECT r.a, w.b FROM reach r JOIN walk w ON w.a = r.b),
+         |losers AS (SELECT DISTINCT a AS id FROM reach WHERE b < a)
+         |SELECT $selectCols FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE id = d.$orderCol)
+         |ORDER BY d.$orderCol""".stripMargin
+
+  private def minhashCore(shingleN: Int, numHashes: Int, bands: Int,
+      blockCol: Option[String]): String = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val blkSel = blockCol.map(c => s", $c AS blk").getOrElse("")
@@ -271,8 +298,6 @@ object XxSql {
        |    COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0)) AS j
        |  FROM cand c
        |  JOIN sizes sa ON sa.doc_id = c.id1 JOIN sizes sb ON sb.doc_id = c.id2
-       |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2)
-       |SELECT id1, id2, round(j, 6) AS jaccard FROM jac WHERE j >= $threshold
-       |ORDER BY jaccard DESC, id1, id2""".stripMargin
+       |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2)""".stripMargin
   }
 }
