@@ -6815,6 +6815,29 @@ object SparkEntry {
       graft.oracle.XxSql.minhashPairsSql(shingleN = 2, numHashes = 48,
         bands = 24, threshold = 0.25, blockCol = Some("lang")),
 
+    // Bit-exact LSH KNN replay (graft.oracle.VecSql): hyperplane sign sums
+    // re-folded in IEEE order with signs baked in at generation time,
+    // bucket-collision candidates, exact cosine, same tie-breaks. Was
+    // rows-only before round 12.
+    "q37_knn_lsh" ->
+      graft.oracle.VecSql.lshKnnSql(dims = 64, k = 5, nPlanes = 6,
+        tables = 4, queryPred = "< 10"),
+
+    // The planted-near-dup construction makes the expected output CLOSED
+    // FORM: every planted vector (2x a real one, negated id) pairs with its
+    // source at cosine 1.0 (scaling by 2 commutes exactly with IEEE
+    // addition, so dot == 2*na and the ratio rounds to 1.0); all other
+    // pairs sit at cosine <= ~0.51, far under the 0.95 threshold, and
+    // identical sign patterns guarantee LSH recall 1. A missed or spurious
+    // pair in the engine WOULD break this oracle, so it checks the whole
+    // LSH + verify pipeline, not just the construction. Was rows-only
+    // before round 12.
+    "q38_embedding_neardup" ->
+      """SELECT CAST(-vec_id - 1 AS BIGINT) AS id1, vec_id AS id2,
+        |  CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id % 10 = 0
+        |ORDER BY cos DESC, id1, id2""".stripMargin,
+
     // Pairs replay + transitive-closure components, keeping each
     // component's min doc_id (the engine's union-find order). Was
     // rows-only before round 12.

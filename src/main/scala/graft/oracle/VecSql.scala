@@ -1,0 +1,85 @@
+package graft.oracle
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** DuckDB SQL generator replaying the engine's float-vector kernels
+  * ([[graft.expressions.GraftHash.hyperplaneBuckets]] /
+  * [[GraftHash.cosineF]]) bit-for-bit, so LSH KNN output gets a full
+  * oracle instead of a rows-only check.
+  *
+  * Exactness argument: the kernels accumulate float32 values into a double
+  * in ascending dimension order. A generated LEFT-ASSOCIATIVE chain
+  * (`0.0 + v[1] - v[2] ...` / `q[1]*c[1] + q[2]*c[2] + ...`) performs the
+  * identical IEEE-754 operation sequence (parquet float -> DOUBLE cast is
+  * exact; SQL `+` is left-assoc; sqrt, multiply and divide are correctly
+  * rounded in both engines), so signs, cosines, and tie-breaks match — no
+  * tolerance needed. The hyperplane SIGN PATTERN (bit 0 of
+  * `XXH64.hashLong(dim, table*planes+plane)`) is deterministic, so it is
+  * evaluated HERE at SQL-generation time and baked into the text as
+  * +/- term signs.
+  */
+object VecSql {
+
+  /** The engine's side sum for one hyperplane: 0.0 +/- v[d] folded in
+    * dimension order, signs from bit 0 of hashLong(d, plane).
+    */
+  private def sideChain(vec: String, dims: Int, plane: Int): String = {
+    val sb = new StringBuilder("0.0")
+    var d = 0
+    while (d < dims) {
+      val plus = (XXH64.hashLong(d.toLong, plane.toLong) & 1L) == 1L
+      sb.append(if (plus) " + " else " - ").append(s"$vec[${d + 1}]::DOUBLE")
+      d += 1
+    }
+    sb.toString
+  }
+
+  /** Packed bucket id for one LSH table: bit p set iff side(plane) > 0. */
+  private def bucketExpr(vec: String, dims: Int, table: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN ${sideChain(vec, dims, table * planes + p)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def foldChain(terms: Seq[String]): String = terms.mkString(" + ")
+
+  /** cosineF replay over two vector columns: dot/na/nb left-fold chains,
+    * then dot / (sqrt(na)*sqrt(nb)) with the kernel's zero guard. Emitted
+    * as three lateral aliases + the guarded ratio.
+    */
+  def cosineCols(a: String, b: String, dims: Int): String = {
+    val dot = foldChain((1 to dims).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE"))
+    val na = foldChain((1 to dims).map(i => s"$a[$i]::DOUBLE * $a[$i]::DOUBLE"))
+    val nb = foldChain((1 to dims).map(i => s"$b[$i]::DOUBLE * $b[$i]::DOUBLE"))
+    s"""($dot) AS dot, ($na) AS na, ($nb) AS nb,
+       |    CASE WHEN sqrt(na) * sqrt(nb) > 0 THEN dot / (sqrt(na) * sqrt(nb))
+       |         ELSE 0.0 END AS cos""".stripMargin
+  }
+
+  /** Full oracle for [[graft.functions.Similarity.lshKnn]] on the
+    * embeddings table: per-table bucket ids (replayed sign sums), bucket
+    * collisions as candidates, exact cosine, rank by (cos DESC, id), top k.
+    */
+  def lshKnnSql(dims: Int, k: Int, nPlanes: Int, tables: Int,
+      queryPred: String): String = {
+    val bucketSelects = (0 until tables).map { t =>
+      s"SELECT vec_id AS id, $t AS tbl, ${bucketExpr("embedding", dims, t, nPlanes)} AS bucket FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH cb AS MATERIALIZED (
+       |  $bucketSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT q.id AS qid, c.id AS id
+       |  FROM cb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.id <> c.id
+       |  WHERE q.id $queryPred),
+       |scored AS (
+       |  SELECT cand.qid, cand.id,
+       |    ${cosineCols("eq.embedding", "ec.embedding", dims)}
+       |  FROM cand JOIN embeddings eq ON eq.vec_id = cand.qid
+       |            JOIN embeddings ec ON ec.vec_id = cand.id),
+       |ranked AS (
+       |  SELECT qid, id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+       |  FROM scored)
+       |SELECT qid, CAST(rk AS INT) AS rank, id AS neighbor, round(cos, 6) AS cos
+       |FROM ranked WHERE rk <= $k ORDER BY qid, rank""".stripMargin
+  }
+}
