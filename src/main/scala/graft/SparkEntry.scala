@@ -6197,6 +6197,25 @@ object SparkEntry {
           posexplode(Similarity.randomProjection(col("embedding"), 8))
             .as(Seq("j", "v")))
         .orderBy("vec_id", "j")),
+
+    // --- 255. reciprocal-rank fusion of two retrieval runs, oracle-pinned -------------------------------
+    // The hybrid-retrieval combiner (RRF, SIGIR 2009): a BM25 run and a
+    // raw-tf run over the same query terms fuse by sum of 1/(60 + rank).
+    // Ranks are integers and the score is a fixed two-term left fold, so
+    // the fused doubles are bit-exact and fully oracle-replayable.
+    "q255_rrf_fusion" -> ((s, d) => {
+      val scored = Retrieval.bm25(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector"))
+      val wA = Window.partitionBy("term").orderBy(desc("bm25"), col("doc_id"))
+      val wB = Window.partitionBy("term").orderBy(desc("tf"), col("doc_id"))
+      val runA = scored.withColumn("rank", row_number().over(wA))
+        .where(col("rank") <= 20)
+      val runB = scored.withColumn("rank", row_number().over(wB))
+        .where(col("rank") <= 20)
+      Retrieval.rrfFuse(Seq(runA, runB), "term", "doc_id", "rank",
+          k = 60, topK = 10)
+        .orderBy("term", "fused_rank")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10207,7 +10226,52 @@ object SparkEntry {
         |        d -> sl[d + 1] * CAST(e.embedding[d + 1] AS DOUBLE))),
         |    (a, x) -> a + x) AS v
         |FROM embeddings e CROSS JOIN signs
-        |ORDER BY vec_id, j""".stripMargin
+        |ORDER BY vec_id, j""".stripMargin,
+
+    // Replays both runs (the q94 BM25 replay + a raw-tf ranking over the
+    // same postings) and the fixed-order RRF fold 1/(60+rA) + 1/(60+rB).
+    "q255_rrf_fusion" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d
+        |       WHERE toks IS NOT NULL),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dd),
+        |q AS (SELECT UNNEST(['spark', 'join', 'vector']) AS term),
+        |f AS (
+        |  SELECT dd.doc_id, q.term, dd.dl,
+        |    CAST(len(list_filter(dd.toks, t -> t = q.term)) AS DOUBLE) AS tf
+        |  FROM dd CROSS JOIN q
+        |  WHERE len(list_filter(dd.toks, t -> t = q.term)) > 0),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM f GROUP BY term),
+        |bm AS (
+        |  SELECT f.doc_id, f.term, f.tf,
+        |    ((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |    ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / (s.sum_dl / s.n_docs))))
+        |      AS bm25
+        |  FROM f, s, dfs WHERE dfs.term = f.term),
+        |ra AS (SELECT term, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS r
+        |       FROM bm QUALIFY r <= 20),
+        |rb AS (SELECT term, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r
+        |       FROM bm QUALIFY r <= 20),
+        |wide AS (
+        |  SELECT COALESCE(a.term, b.term) AS term,
+        |    COALESCE(a.doc_id, b.doc_id) AS doc_id, a.r AS r0, b.r AS r1
+        |  FROM ra a FULL OUTER JOIN rb b ON a.term = b.term AND a.doc_id = b.doc_id),
+        |fused AS (
+        |  SELECT term, doc_id,
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r0), CAST(0.0 AS DOUBLE)) +
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r1), CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM wide)
+        |SELECT term, doc_id, rrf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id) AS INT)
+        |    AS fused_rank
+        |FROM fused
+        |QUALIFY fused_rank <= 10
+        |ORDER BY term, fused_rank""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

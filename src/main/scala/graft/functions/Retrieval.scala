@@ -127,4 +127,53 @@ object Retrieval {
         col("df").cast("int").as("df"), col("score"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of N
+    * ranked runs — the standard hybrid-retrieval combiner (e.g. BM25 +
+    * dense ANN): fused score of a document is the sum over runs of
+    * 1 / (k + rank), treating absence from a run as contributing 0.
+    *
+    * Each run is (queryCol, docCol, rankCol) with rank >= 1 and at most
+    * one row per (query, doc). Returns (queryCol, docCol, rrf,
+    * fused_rank), fused_rank 1..topK per query.
+    *
+    * Determinism: the per-run ranks are pivoted to columns first (an
+    * order-free integer aggregation), and the score is a FIXED
+    * left-associative fold in run order — never a distributed float sum —
+    * so the doubles are bit-identical across partitionings and replayable
+    * by an oracle running the same expression. Ties break on docCol.
+    *
+    * Scale shape: one shuffle on (query, doc) for the pivot; the top-k
+    * window partitions by query (no global sort). Run inputs are already
+    * rank-truncated, so the fused table is bounded by queries x runs x
+    * run-depth — small regardless of corpus size.
+    */
+  def rrfFuse(
+      runs: Seq[DataFrame],
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int = 60,
+      topK: Int = 10
+  ): DataFrame = {
+    require(runs.nonEmpty, "need at least one run")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = runs.zipWithIndex.map { case (r, i) =>
+      r.select(col(queryCol), col(docCol),
+        col(rankCol).cast("long").as("rank"), lit(i).as("run"))
+    }.reduce(_ unionAll _)
+    val rankAggs = runs.indices.map(i =>
+      min(when(col("run") === i, col("rank"))).as(s"r$i"))
+    val wide = tagged.groupBy(col(queryCol), col(docCol))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    val score = runs.indices
+      .map(i => coalesce(lit(1.0) / (lit(k.toDouble) + col(s"r$i")), lit(0.0)))
+      .reduce(_ + _) // left-assoc in run order: deterministic doubles
+    wide.withColumn("rrf", score)
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col(queryCol)).orderBy(desc("rrf"), col(docCol))))
+      .where(col("fused_rank") <= topK)
+      .select(col(queryCol), col(docCol), col("rrf"),
+        col("fused_rank").cast("int").as("fused_rank"))
+  }
 }

@@ -61,4 +61,31 @@ class RetrievalSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("rrf fusion: hand-computed scores, absence contributes zero, doc tie-break") {
+    val runA = Seq(("q", 10L, 1), ("q", 20L, 2), ("q", 30L, 3))
+      .toDF("qid", "doc", "rank")
+    val runB = Seq(("q", 20L, 1), ("q", 40L, 2))
+      .toDF("qid", "doc", "rank")
+    val out = Retrieval.rrfFuse(Seq(runA, runB), "qid", "doc", "rank", k = 60)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // doc 20 in both runs wins; absence = 0 contribution.
+    assert(out.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(out(0)._2 == 1.0 / 62 + 1.0 / 61)
+    assert(out(1)._2 == 1.0 / 61)      // run A rank 1 only
+    assert(out(2)._2 == 1.0 / 62)      // run B rank 2 only
+    assert(out(3)._2 == 1.0 / 63)
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrf fusion: equal scores break ties on doc id; topK truncates") {
+    // Same rank in the same single run => identical scores.
+    val run = Seq(("q", 5L, 1), ("q", 3L, 1), ("q", 9L, 1))
+      .toDF("qid", "doc", "rank")
+    val out = Retrieval.rrfFuse(Seq(run), "qid", "doc", "rank", topK = 2)
+      .orderBy("fused_rank")
+      .collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(3L, 5L)) // doc asc among ties, 9 truncated
+  }
 }
