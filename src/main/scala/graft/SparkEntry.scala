@@ -6216,6 +6216,25 @@ object SparkEntry {
           k = 60, topK = 10)
         .orderBy("term", "fused_rank")
     }),
+
+    // --- 256. KMV bottom-k distinct sketch vs exact, oracle-pinned --------------------------------------
+    // The VERIFIABLE distinct sketch beside q60's HLL: k smallest distinct
+    // xxhash64 values per group, estimate (k-1)*2^64/kth. Integer hashing
+    // + one fixed-order double expression => the estimate is bit-exact
+    // replayable, unlike HLL++'s bias tables. Mergeable (map-side combine;
+    // k longs of state per group at any group size).
+    "q256_kmv_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val exact = li.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_orders"))
+      val sk = li.groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketch.sketch(xxhash64(col("l_orderkey")), 256).as("sk"))
+      exact.join(sk, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_orders"),
+          size(col("sk")).cast("int").as("sk_size"),
+          graft.functions.KmvSketch.estimate(col("sk"), 256).as("kmv_est"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10271,7 +10290,36 @@ object SparkEntry {
         |    AS fused_rank
         |FROM fused
         |QUALIFY fused_rank <= 10
-        |ORDER BY term, fused_rank""".stripMargin
+        |ORDER BY term, fused_rank""".stripMargin,
+
+    // Replays the sketch exactly: distinct keys -> hashLong(key, 42) in
+    // HUGEINT SQL, unsigned rank per group, k-th value into the identical
+    // two-op unsigned->double conversion and one division.
+    "q256_kmv_distinct" -> {
+      import graft.oracle.XxSql._
+      val ch = chain("kh",
+        "SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem",
+        Seq("l_returnflag", "l_orderkey"))
+      longHash(ch, u64("l_orderkey"), "42", "h")
+      s"""WITH hh AS MATERIALIZED (WITH ${ch.withClauses}
+         |  SELECT DISTINCT l_returnflag, h FROM ${ch.last}),
+         |rk AS (SELECT l_returnflag, h,
+         |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |       FROM hh),
+         |st AS (SELECT l_returnflag, count(*) AS nh FROM hh GROUP BY l_returnflag),
+         |kth AS (SELECT l_returnflag, ${s64("h")} AS ks FROM rk WHERE rn = 256),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
+         |       FROM lineitem GROUP BY l_returnflag)
+         |SELECT ex.l_returnflag, ex.exact_orders,
+         |  CAST(LEAST(st.nh, 256) AS INT) AS sk_size,
+         |  CASE WHEN st.nh < 256 THEN CAST(st.nh AS DOUBLE)
+         |       ELSE CAST(4703919738795935662080 AS DOUBLE) /
+         |            (CASE WHEN kth.ks >= 0 THEN CAST(kth.ks AS DOUBLE)
+         |                  ELSE CAST(kth.ks AS DOUBLE) + 1.8446744073709552e19 END)
+         |  END AS kmv_est
+         |FROM ex JOIN st USING (l_returnflag) LEFT JOIN kth USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    }
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

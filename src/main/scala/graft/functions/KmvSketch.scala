@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values, a.k.a. bottom-k) distinct-count sketch
+  * (Bar-Yossef et al. 2002; the theta-sketch family): keep the k smallest
+  * DISTINCT hash values of a stream under the UNSIGNED 64-bit order. With
+  * hashes uniform on [0, 2^64), the k-th smallest value U estimates the
+  * distinct count as (k-1) * 2^64 / U; fewer than k values means the
+  * sketch holds every distinct hash and the count is exact.
+  *
+  * The deliberately-chosen alternative to HLL (`approx_count_distinct`,
+  * q60) when VERIFIABILITY matters: every step is integer hashing plus one
+  * fixed-order double expression, so a DuckDB oracle replays the estimate
+  * bit-for-bit — HLL++'s bias-correction tables make that impossible.
+  * Sketches are mergeable (merge = union, keep k smallest), so Spark runs
+  * partial aggregation with map-side combine: per-group state is at most
+  * k longs regardless of group size, and set EXPRESSIONS over corpora
+  * (union = sketch merge) compose without rescanning data.
+  */
+final class KmvSketchAggregator(k: Int)
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
+  require(k >= 2, "k must be >= 2 (the estimator divides by k-1)")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  /** Insert one hash: unsigned-sorted, distinct, capped at k. */
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    // Binary search in unsigned order.
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.lang.Long.compareUnsigned(buf(mid), h)
+      if (c < 0) lo = mid + 1
+      else if (c > 0) hi = mid
+      else return buf // already present
+    }
+    if (lo >= k) return buf // larger than the current k-th smallest
+    val n = math.min(buf.length + 1, k)
+    val out = new Array[Long](n)
+    System.arraycopy(buf, 0, out, 0, lo)
+    out(lo) = h
+    System.arraycopy(buf, lo, out, lo + 1, n - lo - 1)
+    out
+  }
+
+  /** Merge two sorted-distinct arrays, keep the k unsigned-smallest. */
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var w = 0
+    while (w < out.length && (i < a.length || j < b.length)) {
+      val c =
+        if (i >= a.length) 1
+        else if (j >= b.length) -1
+        else java.lang.Long.compareUnsigned(a(i), b(j))
+      if (c < 0) { out(w) = a(i); i += 1; w += 1 }
+      else if (c > 0) { out(w) = b(j); j += 1; w += 1 }
+      else { out(w) = a(i); i += 1; j += 1; w += 1 }
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+object KmvSketch {
+
+  /** Aggregation column: bottom-k sketch of a 64-bit hash column (feed it
+    * `xxhash64(key)`). Result: `array<bigint>`, unsigned-ascending.
+    */
+  def sketch(hash: Column, k: Int = 256): Column =
+    udaf(new KmvSketchAggregator(k),
+      ExpressionEncoder[Long]()).apply(hash)
+
+  /** The unsigned 64-bit value of a signed long hash as a double — the
+    * SAME two-op sequence the oracle mirrors textually, so the rounding
+    * (values above 2^53 round) is reproduced, not approximated.
+    */
+  private def u64d(h: Column): Column =
+    when(h >= 0, h.cast("double")).otherwise(h.cast("double") + lit(1.8446744073709552E19))
+
+  /** Distinct-count estimate from a sketch: exact size below k, else
+    * (k-1) * 2^64 / kth-smallest. The numerator constant is exactly
+    * representable (small-integer times a power of two).
+    */
+  def estimate(sk: Column, k: Int): Column = {
+    val a = ((BigInt(k) - 1) << 64).toDouble
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit(a) / u64d(element_at(sk, k)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class KmvSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("below k the sketch holds every distinct hash and the estimate is exact") {
+    val df = Seq(1L, 2L, 3L, 2L, 1L).toDF("v")
+    val sk = df.agg(KmvSketch.sketch(xxhash64(col("v")), k = 256).as("sk"))
+      .select(col("sk"), KmvSketch.estimate(col("sk"), 256).as("est"))
+      .collect()(0)
+    assert(sk.getSeq[Long](0).length == 3) // duplicates collapse
+    assert(sk.getDouble(1) == 3.0)
+  }
+
+  test("sketch keeps the k unsigned-smallest, sorted unsigned ascending") {
+    val df = (1L to 2000L).toDF("v")
+    val sk = df.agg(KmvSketch.sketch(xxhash64(col("v")), k = 64).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(sk.length == 64)
+    // Unsigned-sorted, distinct.
+    sk.sliding(2).foreach { case Seq(a, b) =>
+      assert(java.lang.Long.compareUnsigned(a, b) < 0, s"$a !< $b unsigned")
+    }
+    // Equals the brute-force bottom-64 of the same hashes.
+    val all = (1L to 2000L).map(v =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L))
+      .distinct.sorted(Ordering.fromLessThan[Long](
+        (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+    assert(sk == all.take(64))
+  }
+
+  test("estimate within 20% at k=256 over 10k distinct; partition-count invariant") {
+    val df = (1L to 10000L).toDF("v")
+    def est(parts: Int): Double =
+      df.repartition(parts)
+        .agg(KmvSketch.estimate(
+          KmvSketch.sketch(xxhash64(col("v")), 256), 256).as("e"))
+        .collect()(0).getDouble(0)
+    val e8 = est(8)
+    assert(math.abs(e8 - 10000.0) / 10000.0 < 0.2, s"estimate $e8")
+    // Mergeable sketch: identical (not just close) under any partitioning.
+    assert(est(1) == e8)
+    assert(est(32) == e8)
+  }
+
+  test("merge is union: sketch of a union equals merged per-half sketches") {
+    val a = (1L to 500L).toDF("v")
+    val b = (400L to 900L).toDF("v")
+    val whole = a.union(b)
+      .agg(KmvSketch.sketch(xxhash64(col("v")), 32)).collect()(0).getSeq[Long](0)
+    val halves = a.union(b).repartition(7)
+      .agg(KmvSketch.sketch(xxhash64(col("v")), 32)).collect()(0).getSeq[Long](0)
+    assert(whole == halves)
+  }
+}
