@@ -513,4 +513,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q255 RRF fusion: run pivot is a hash aggregate, no cross product, no sort-merge join") {
+    // The fused table groups (query, doc) once; runs meet by union, never
+    // by a join of ranked lists — a per-run SortMergeJoin or cartesian
+    // would shuffle every ranked row per run pair at scale.
+    val p = plan("q255_rrf_fusion")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q256 KMV sketch aggregates partially before the group shuffle") {
+    // The mergeable Aggregator must run map-side (partial_kmvsketch...):
+    // only k-long sketch states cross the exchange, never raw hash rows.
+    val p = plan("q256_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_kmvsketchaggregator"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
