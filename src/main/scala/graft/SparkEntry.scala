@@ -6235,6 +6235,22 @@ object SparkEntry {
           graft.functions.KmvSketch.estimate(col("sk"), 256).as("kmv_est"))
         .orderBy("l_returnflag")
     }),
+
+    // --- 257. fill-in-the-middle transform, oracle-pinned -----------------------------------------------
+    // Deterministic FIM over documents: pivots and PSM/SPM mode derive
+    // from xxhash64(doc_id) (and xxhash64 of that hash), so the oracle
+    // replays both hash chains in integer SQL (XxSql.longHash) and then
+    // restates the substring arithmetic relationally.
+    "q257_fim_split" -> ((s, d) => {
+      val v = TF.fimSplit(col("text"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("mode").as("mode"),
+          length(v.getField("prefix")).cast("int").as("prefix_len"),
+          v.getField("middle").as("middle"),
+          v.getField("suffix").as("suffix"),
+          v.getField("fim_text").as("fim_text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10319,6 +10335,39 @@ object SparkEntry {
          |  END AS kmv_est
          |FROM ex JOIN st USING (l_returnflag) LEFT JOIN kth USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // FIM: replay the two chained hashLong calls in integer SQL, then the
+    // pivot arithmetic (Spark's pmod on the SIGNED long) and substring
+    // algebra are restated relationally; text joins back at the end so the
+    // hash chain carries only doc_id.
+    "q257_fim_split" -> {
+      import graft.oracle.XxSql._
+      val ch = chain("fh", "SELECT doc_id FROM documents", Seq("doc_id"))
+      longHash(ch, u64("doc_id"), "42", "h1")
+      longHash(ch, "h1", "42", "h2")
+      s"""WITH ${ch.withClauses},
+         |pv AS (SELECT d.doc_id, d.text, length(d.text) AS n,
+         |  CASE WHEN c.h1 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+         |  ((${s64("c.h1")} % (length(d.text)+1)) + (length(d.text)+1))
+         |    % (length(d.text)+1) AS a,
+         |  ((${s64("c.h2")} % (length(d.text)+1)) + (length(d.text)+1))
+         |    % (length(d.text)+1) AS b
+         |  FROM documents d JOIN ${ch.last} c USING (doc_id)),
+         |sp AS (SELECT doc_id, mode, text, n,
+         |  LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM pv),
+         |parts AS (SELECT doc_id, mode, lo,
+         |  substring(text, 1, CAST(lo AS INT)) AS prefix,
+         |  substring(text, CAST(lo+1 AS INT), CAST(hi-lo AS INT)) AS middle,
+         |  substring(text, CAST(hi+1 AS INT), CAST(n-hi AS INT)) AS suffix
+         |  FROM sp)
+         |SELECT doc_id, mode, CAST(lo AS INT) AS prefix_len, middle, suffix,
+         |  CASE WHEN mode = 'psm'
+         |    THEN '<fim_prefix>' || prefix || '<fim_suffix>' || suffix ||
+         |         '<fim_middle>' || middle
+         |    ELSE '<fim_prefix><fim_suffix>' || suffix || '<fim_middle>' ||
+         |         prefix || middle END AS fim_text
+         |FROM parts ORDER BY doc_id""".stripMargin
     }
   )
 

@@ -859,6 +859,48 @@ object TextFunctions {
       regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "),
       "\\s+", " "))
 
+  /** Fill-in-the-middle (FIM) transform — the pretraining-data augmentation
+    * published for code models (Bavarian et al. 2022; the StarCoder/
+    * SantaCoder data pipelines): split a document into prefix|middle|suffix
+    * at two pivots and re-serialize with sentinel tokens so the model
+    * learns infilling. Everything here is DETERMINISTIC — both pivots and
+    * the PSM/SPM mode choice derive from `xxhash64` of the caller's key
+    * column (doc id), so the transform is reproducible across runs,
+    * executors, and retries (a random split would break exactly-once
+    * semantics under task retry).
+    *
+    *  - pivots: `a = pmod(h1, n+1)`, `b = pmod(h2, n+1)` with
+    *    `h1 = xxhash64(key)`, `h2 = xxhash64(h1)`; `lo/hi = min/max(a,b)`;
+    *  - mode: `psm` when h1 is even, else `spm` (the paper's 50/50 mix);
+    *  - `psm`: `<fim_prefix>P<fim_suffix>S<fim_middle>M`;
+    *  - `spm` (joined variant): `<fim_prefix><fim_suffix>S<fim_middle>PM`.
+    *
+    * Returns `struct<mode, prefix, middle, suffix, fim_text>`. Pure
+    * builtin composition (substr/concat/pmod) — row-local, codegen'd, a
+    * narrow map fused into the scan at 100 TB.
+    */
+  def fimSplit(text: Column, key: Column): Column = {
+    val h1 = xxhash64(key.cast("long"))
+    val h2 = xxhash64(h1)
+    val n = length(text)
+    val a = pmod(h1, (n + 1).cast("long")).cast("int")
+    val b = pmod(h2, (n + 1).cast("long")).cast("int")
+    val lo = least(a, b)
+    val hi = greatest(a, b)
+    val prefix = text.substr(lit(1), lo)
+    val middle = text.substr(lo + 1, hi - lo)
+    val suffix = text.substr(hi + 1, n - hi)
+    val psm = concat(lit("<fim_prefix>"), prefix, lit("<fim_suffix>"), suffix,
+      lit("<fim_middle>"), middle)
+    val spm = concat(lit("<fim_prefix><fim_suffix>"), suffix,
+      lit("<fim_middle>"), prefix, middle)
+    val isPsm = pmod(h1, lit(2L)) === 0L
+    struct(
+      when(isPsm, lit("psm")).otherwise(lit("spm")).as("mode"),
+      prefix.as("prefix"), middle.as("middle"), suffix.as("suffix"),
+      when(isPsm, psm).otherwise(spm).as("fim_text"))
+  }
+
   /** PII redaction: emails, then phone-like number runs, then IPv4 literals
     * are replaced with typed placeholder tokens. Pure `regexp_replace`
     * chain — codegen'd, row-local, no UDF. Patterns are deliberately

@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Deterministic fill-in-the-middle transform: parts reassemble to the
+  * original text, pivots are stable across runs, both serialization modes
+  * appear and follow the sentinel grammar, and edge inputs (empty text)
+  * stay total.
+  */
+class FimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fim(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), TextFunctions.fimSplit(col("text"), col("id")).as("v"))
+      .select(col("id"), col("v.mode"), col("v.prefix"), col("v.middle"),
+        col("v.suffix"), col("v.fim_text"))
+
+  test("prefix || middle || suffix reassembles the document exactly") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i " + ("abcdefg " * (i % 13).toInt).trim))
+      .toDF("id", "text")
+    val bad = fim(docs)
+      .join(docs, "id")
+      .where(concat(col("prefix"), col("middle"), col("suffix")) =!= col("text"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("splits are deterministic across evaluations") {
+    val docs = (1L to 50L).map(i => (i, s"some text body number $i")).toDF("id", "text")
+    val a = fim(docs).orderBy("id").collect().toSeq
+    val b = fim(docs).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("both modes occur and follow the sentinel grammar") {
+    val docs = (1L to 64L).map(i => (i, s"alpha beta gamma delta $i")).toDF("id", "text")
+    val rows = fim(docs).collect()
+    val modes = rows.map(_.getString(1)).toSet
+    assert(modes == Set("psm", "spm"))
+    rows.foreach { r =>
+      val (mode, p, m, sfx, t) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4), r.getString(5))
+      if (mode == "psm")
+        assert(t == s"<fim_prefix>$p<fim_suffix>$sfx<fim_middle>$m")
+      else
+        assert(t == s"<fim_prefix><fim_suffix>$sfx<fim_middle>$p$m")
+    }
+  }
+
+  test("empty text yields empty parts, never null") {
+    val r = fim(Seq((7L, "")).toDF("id", "text")).collect()(0)
+    assert(r.getString(2) == "" && r.getString(3) == "" && r.getString(4) == "")
+    assert(r.getString(5).startsWith("<fim_prefix>"))
+  }
+
+  test("pivot distribution covers interior splits, not just endpoints") {
+    val docs = (1L to 300L).map(i => (i, "x" * 40)).toDF("id", "text")
+    val interior = fim(docs)
+      .where(length(col("middle")) > 0 && length(col("prefix")) > 0 &&
+        length(col("suffix")) > 0)
+      .count()
+    assert(interior > 100L, s"only $interior interior splits of 300")
+  }
+}
