@@ -6251,6 +6251,40 @@ object SparkEntry {
           v.getField("fim_text").as("fim_text"))
         .orderBy("doc_id")
     }),
+
+    // --- 258. chat-transcript structure extraction, oracle-pinned ---------------------------------------
+    // Four constructed shapes: full ChatML (3 turns), ChatML with the
+    // mid-line <|im_end|> and a multi-line body, role-prefixed markers
+    // with bold/heading dress + human/AI normalization, and plain prose
+    // (must stay kind=none). Counts, role sequence, and both extracts
+    // restated closed-form from the construction.
+    "q258_chat_turns" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val text = when(m === 0, concat(
+        lit("<|im_start|>system\nBe helpful.\n<|im_end|>\n<|im_start|>user\nq "),
+        id, lit("\n<|im_end|>\n<|im_start|>assistant\na "), id, lit("\n<|im_end|>")))
+        .when(m === 1, concat(
+          lit("<|im_start|>user\nline one "), id,
+          lit("\nline two<|im_end|>\n<|im_start|>assistant\nans "), id,
+          lit("<|im_end|>")))
+        .when(m === 2, concat(
+          lit("intro ignored\n**Human:** ask "), id,
+          lit("\ndetails "), id, lit("\n## AI: answer "), id,
+          lit("\nSystem: done")))
+        .otherwise(concat(lit("plain document text "), id,
+          lit("\nNote: nothing conversational here")))
+      val v = TF.chatTurns(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("kind").as("kind"),
+          v.getField("n_turns").as("n_turns"),
+          v.getField("n_user").as("n_user"),
+          v.getField("n_assistant").as("n_assistant"),
+          v.getField("roles").as("roles"),
+          v.getField("first_user").as("first_user"),
+          v.getField("assistant_text").as("assistant_text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10368,7 +10402,29 @@ object SparkEntry {
          |    ELSE '<fim_prefix><fim_suffix>' || suffix || '<fim_middle>' ||
          |         prefix || middle END AS fim_text
          |FROM parts ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Chat transcript: every field restated closed-form per construction
+    // case; the m=2 continuation line joins first_user with a newline.
+    "q258_chat_turns" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 3 THEN 'none' WHEN 2 THEN 'prefixed'
+        |    ELSE 'chatml' END AS kind,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    ELSE 0 END AS BIGINT) AS n_turns,
+        |  CAST(CASE doc_id % 4 WHEN 3 THEN 0 ELSE 1 END AS BIGINT) AS n_user,
+        |  CAST(CASE doc_id % 4 WHEN 3 THEN 0 ELSE 1 END AS BIGINT) AS n_assistant,
+        |  CASE doc_id % 4 WHEN 0 THEN 'system,user,assistant'
+        |    WHEN 1 THEN 'user,assistant'
+        |    WHEN 2 THEN 'user,assistant,system' END AS roles,
+        |  CASE doc_id % 4 WHEN 0 THEN 'q ' || doc_id
+        |    WHEN 1 THEN 'line one ' || doc_id || chr(10) || 'line two'
+        |    WHEN 2 THEN 'ask ' || doc_id || chr(10) || 'details ' || doc_id
+        |  END AS first_user,
+        |  CASE doc_id % 4 WHEN 0 THEN 'a ' || doc_id
+        |    WHEN 1 THEN 'ans ' || doc_id
+        |    WHEN 2 THEN 'answer ' || doc_id END AS assistant_text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,158 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Chat-transcript structure extraction — the conversational complement of
+  * [[ShellSessionCodec]]: web corpora carry pasted LLM conversations and
+  * support-chat logs whose TURN STRUCTURE is the valuable part (instruction-
+  * tuning mining wants user/assistant pairs; pretraining dedup wants the
+  * assistant side, which parrots across dumps). Two pinned shapes:
+  *
+  *  - ChatML: `<|im_start|>role` ... `<|im_end|>` blocks (role on the
+  *    opening-tag line; `<|im_end|>` closes mid-line or on its own line);
+  *  - prefixed: `User:` / `Human:` / `Assistant:` / `AI:` / `Bot:` /
+  *    `System:` line markers, tolerant of `**bold**` and `## heading`
+  *    dress; a marker line closes the previous turn, preamble before the
+  *    first marker is ignored. Only these six role words ever match — a
+  *    bare `Note:` line must NOT make prose look like a conversation.
+  *
+  * Roles normalize (human->user, ai/bot->assistant, else lowercased). A
+  * prefixed document needs >= 2 marker lines to count as a conversation;
+  * anything else is kind='none' with zero turns. Row-local, codegen'd.
+  */
+object ChatTranscriptCodec {
+
+  private val START = "<|im_start|>"
+  private val END = "<|im_end|>"
+
+  private val prefixRe = java.util.regex.Pattern.compile(
+    // both bold spellings: **Role**: and **Role:** (closing ** either side
+    // of the colon); ATX-heading dress; the captured body excludes dress
+    "^\\s*(?:\\*\\*|#{1,6}\\s*)?(User|Human|Assistant|AI|Bot|System)" +
+      "(?:\\*\\*)?\\s*:\\s*(?:\\*\\*)?\\s*(.*)$",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  private def normRole(r: String): String = r.toLowerCase match {
+    case "human" => "user"
+    case "ai" | "bot" => "assistant"
+    case other => other
+  }
+
+  private def result(kind: String, roles: Seq[String], texts: Seq[String]): InternalRow = {
+    val out = new Array[Any](7)
+    out(0) = UTF8String.fromString(kind)
+    out(1) = roles.length.toLong
+    out(2) = roles.count(_ == "user").toLong
+    out(3) = roles.count(_ == "assistant").toLong
+    out(4) = if (roles.isEmpty) null else UTF8String.fromString(roles.mkString(","))
+    val firstUser = roles.indexOf("user")
+    out(5) = if (firstUser < 0) null else UTF8String.fromString(texts(firstUser))
+    val asst = roles.zip(texts).collect { case ("assistant", t) => t }
+    out(6) = if (asst.isEmpty) null else UTF8String.fromString(asst.mkString("\n"))
+    new GenericInternalRow(out)
+  }
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val lines = s.split("\n", -1)
+    if (s.contains(START)) {
+      val roles = scala.collection.mutable.ArrayBuffer[String]()
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      var role: String = null
+      val body = new java.lang.StringBuilder()
+      def close(): Unit = if (role != null) {
+        roles += normRole(role)
+        texts += body.toString.trim
+        role = null; body.setLength(0)
+      }
+      for (raw <- lines) {
+        val line = raw.trim
+        if (line.startsWith(START)) {
+          close()
+          role = line.substring(START.length).trim
+          // role token only; tolerate trailing junk after whitespace
+          val sp = role.indexOf(' ')
+          if (sp >= 0) role = role.substring(0, sp)
+          if (role.isEmpty) role = "unknown"
+        } else if (role != null) {
+          val e = line.indexOf(END)
+          if (e >= 0) {
+            val frag = line.substring(0, e).trim
+            if (frag.nonEmpty) {
+              if (body.length > 0) body.append('\n')
+              body.append(frag)
+            }
+            close()
+          } else if (line.nonEmpty) {
+            if (body.length > 0) body.append('\n')
+            body.append(line)
+          }
+        }
+      }
+      close()
+      result("chatml", roles.toSeq, texts.toSeq)
+    } else {
+      val roles = scala.collection.mutable.ArrayBuffer[String]()
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      var role: String = null
+      val body = new java.lang.StringBuilder()
+      def close(): Unit = if (role != null) {
+        roles += normRole(role)
+        texts += body.toString.trim
+        role = null; body.setLength(0)
+      }
+      for (raw <- lines) {
+        val m = prefixRe.matcher(raw)
+        if (m.matches()) {
+          close()
+          role = m.group(1)
+          body.append(m.group(2))
+        } else if (role != null && raw.trim.nonEmpty) {
+          if (body.length > 0) body.append('\n')
+          body.append(raw.trim)
+        }
+      }
+      close()
+      if (roles.length >= 2) result("prefixed", roles.toSeq, texts.toSeq)
+      else result("none", Seq.empty, Seq.empty)
+    }
+  }
+}
+
+/** `string` -> struct<kind,n_turns,n_user,n_assistant,roles,first_user,
+  * assistant_text> ([[ChatTranscriptCodec.profile]]): conversation shape
+  * detection + the role-separated extract instruction-tuning mining needs.
+  */
+case class ChatTranscriptExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("n_turns", LongType, nullable = false),
+    StructField("n_user", LongType, nullable = false),
+    StructField("n_assistant", LongType, nullable = false),
+    StructField("roles", StringType),
+    StructField("first_user", StringType),
+    StructField("assistant_text", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    ChatTranscriptCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ChatTranscriptCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ChatTranscriptExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_chat_turns"
+}

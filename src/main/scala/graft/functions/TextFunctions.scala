@@ -388,6 +388,17 @@ object TextFunctions {
       graft.expressions.ShellSessionExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Chat-transcript structure extraction
+    * ([[graft.expressions.ChatTranscriptExpr]]): ChatML and role-prefixed
+    * conversation shapes -> turn counts, normalized role sequence, the
+    * first user message and the joined assistant text — the extract
+    * instruction-tuning mining and assistant-side dedup run on.
+    */
+  def chatTurns(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ChatTranscriptExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Markdown heading outline ([[graft.expressions.MdOutlineExpr]]):
     * ATX + setext headings with fenced code skipped — the structure
     * signal for heading-boundary chunking and docs-vs-prose routing.

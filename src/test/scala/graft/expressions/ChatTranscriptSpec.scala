@@ -1,0 +1,89 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Chat-transcript extraction: ChatML block walk (own-line and mid-line
+  * `<|im_end|>`), prefixed role markers with bold/heading dress, role
+  * normalization, the two-marker floor, and prose rejection.
+  */
+class ChatTranscriptSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.chatTurns(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("ChatML three-turn transcript: roles, counts, extracts") {
+    val r = one(
+      "<|im_start|>system\nBe helpful.\n<|im_end|>\n" +
+        "<|im_start|>user\nWhat is 2+2?\n<|im_end|>\n" +
+        "<|im_start|>assistant\nIt is 4.\n<|im_end|>")
+    assert(r.getString(0) == "chatml")
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(r.getString(4) == "system,user,assistant")
+    assert(r.getString(5) == "What is 2+2?")
+    assert(r.getString(6) == "It is 4.")
+  }
+
+  test("ChatML mid-line im_end and multi-line bodies") {
+    val r = one(
+      "<|im_start|>user\nfirst line\nsecond line<|im_end|>\n" +
+        "<|im_start|>assistant\nanswer A\nanswer B<|im_end|>")
+    assert(r.getLong(1) == 2)
+    assert(r.getString(5) == "first line\nsecond line")
+    assert(r.getString(6) == "answer A\nanswer B")
+  }
+
+  test("prefixed markers: bold + heading dress, human/AI normalization, continuation lines") {
+    val r = one(
+      "intro preamble is ignored\n" +
+        "**Human:** please summarize\nthis document\n" +
+        "## AI: sure —\nhere is the summary\n" +
+        "System: logged")
+    assert(r.getString(0) == "prefixed")
+    assert(r.getString(4) == "user,assistant,system")
+    assert(r.getString(5) == "please summarize\nthis document")
+    assert(r.getString(6) == "sure —\nhere is the summary")
+  }
+
+  test("a single marker or bare 'Note:' prose stays kind=none with zero turns") {
+    for (t <- Seq(
+      "User: only one marker here\nmore text",
+      "Note: this is not a chat\nTip: neither is this",
+      "plain paragraph\nsecond line")) {
+      val r = one(t)
+      assert(r.getString(0) == "none", t)
+      assert(r.getLong(1) == 0 && r.getString(4) == null && r.getString(6) == null)
+    }
+  }
+
+  test("assistant turns join with newline; first_user is the FIRST user turn") {
+    val r = one(
+      "User: q1\nAssistant: a1\nUser: q2\nAssistant: a2")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 2)
+    assert(r.getString(5) == "q1")
+    assert(r.getString(6) == "a1\na2")
+  }
+
+  test("null in, null out; empty string is kind=none") {
+    val rows = Seq[(java.lang.Long, String)]((1L, null), (2L, ""))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.chatTurns(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getStruct(1).getString(0) == "none")
+  }
+
+  test("SQL surface: expression survives codegen over a projected column") {
+    val df = (1L to 100L)
+      .map(i => (i, s"User: ask $i\nAssistant: answer $i"))
+      .toDF("id", "t")
+    val n = df.select(TextFunctions.chatTurns(col("t")).getField("n_turns").as("n"))
+      .where(col("n") === 2).count()
+    assert(n == 100L)
+  }
+}
