@@ -6285,6 +6285,43 @@ object SparkEntry {
           v.getField("assistant_text").as("assistant_text"))
         .orderBy("doc_id")
     }),
+
+    // --- 259. SCD Type-2 dimension history, end-to-end oracle -------------------------------------------
+    // Dimension-history maintenance over the customer table: batch 1
+    // loads the dimension, batch 2 changes %7 keys (not %11), deletes
+    // %11 keys, inserts %13 keys shifted +5e6. The full history then
+    // aggregates per (eff_from, is_current) class; the oracle rebuilds
+    // every class relationally from customer alone.
+    "q259_scd2_history" -> ((s, d) => {
+      val base = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val root = s"/tmp/graft_q259_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/dim"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Scd.applyBatch(s, tbl, base,
+        Seq("c_custkey"), Seq("c_mktsegment"), 1L)
+      val k = col("c_custkey")
+      val changed = base.where(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("c_mktsegment", lit("WHOLESALE"))
+        .withColumn("is_gone", lit(false))
+      val deletes = base.where(k % 11 === 0).withColumn("is_gone", lit(true))
+      val inserts = base.where(k % 13 === 0)
+        .withColumn("c_custkey", k + 5000000L)
+        .withColumn("c_mktsegment", lit("NEWSEG"))
+        .withColumn("is_gone", lit(false))
+      graft.pipeline.Scd.applyBatch(s, tbl,
+        changed.unionByName(deletes).unionByName(inserts),
+        Seq("c_custkey"), Seq("c_mktsegment"), 2L, deleteCol = Some("is_gone"))
+      graft.pipeline.Scd.history(s, tbl)
+        .groupBy(col(graft.pipeline.Scd.EffFrom).as("eff_from"),
+          col(graft.pipeline.Scd.IsCurrent).as("is_current"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).as("key_sum"),
+          count(when(col("c_mktsegment") === "WHOLESALE", 1)).as("n_wholesale"),
+          max(col(graft.pipeline.Scd.EffTo)).as("eff_to"))
+        .orderBy("eff_from", "is_current")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10424,7 +10461,34 @@ object SparkEntry {
         |  CASE doc_id % 4 WHEN 0 THEN 'a ' || doc_id
         |    WHEN 1 THEN 'ans ' || doc_id
         |    WHEN 2 THEN 'answer ' || doc_id END AS assistant_text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // SCD2: every history class rebuilt relationally — (1,current) the
+    // untouched keys, (1,closed) changed+deleted originals with their OLD
+    // segment, (2,current) the WHOLESALE reopens plus shifted NEWSEG
+    // inserts; eff_to is 2 exactly on the closed class.
+    "q259_scd2_history" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, c_mktsegment, 1 AS eff_from, TRUE AS is_current,
+        |    CAST(NULL AS BIGINT) AS eff_to
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 11 <> 0)
+        |    AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, 1, FALSE, 2 FROM customer
+        |  WHERE (c_custkey % 7 = 0 AND c_custkey % 11 <> 0)
+        |    OR c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'WHOLESALE', 2, TRUE, NULL FROM customer
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 5000000, 'NEWSEG', 2, TRUE, NULL FROM customer
+        |  WHERE c_custkey % 13 = 0)
+        |SELECT CAST(eff_from AS BIGINT) AS eff_from, is_current,
+        |  count(*) AS n, sum(c_custkey) AS key_sum,
+        |  count(CASE WHEN c_mktsegment = 'WHOLESALE' THEN 1 END) AS n_wholesale,
+        |  max(eff_to) AS eff_to
+        |FROM hist GROUP BY 1, 2 ORDER BY eff_from, is_current""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

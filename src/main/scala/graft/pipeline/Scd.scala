@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 maintenance — the dimension-history
+  * pattern every warehouse-grade pipeline pairs with fact MERGE: instead
+  * of overwriting attributes in place (Type 1 = [[Medallion.merge]]),
+  * each change CLOSES the current row and opens a new one, so any past
+  * batch can be reconstructed exactly ([[asOf]]) and joins against facts
+  * can be version-correct.
+  *
+  * History schema: the caller's key + tracked columns plus
+  * `_eff_from BIGINT` (the batch id that opened the row),
+  * `_eff_to BIGINT` (the batch id that closed it; NULL = still open) and
+  * `_is_current BOOLEAN`. Batch contract: one row per key, `batchId`
+  * strictly greater than every applied batch (enforced), optional
+  * `deleteCol` marks keys to close without replacement. Re-applying an
+  * identical batch is a no-op (idempotent); a key deleted earlier and
+  * seen again simply re-opens — the full lifecycle stays in the history.
+  *
+  * Scale shape: one equi-join of the batch against the CURRENT slice on
+  * the business key (a dimension's current slice is small by definition —
+  * broadcastable when it fits), then ONE [[Medallion.merge]] keyed on
+  * `(keys..., _eff_from)`: closed rows arrive as updates of existing
+  * `(key, old _eff_from)` rows, opened rows as inserts of
+  * `(key, batchId)` — nothing ever rewrites untouched history rows, and
+  * unchanged keys produce zero change rows.
+  */
+object Scd {
+  val EffFrom = "_eff_from"
+  val EffTo = "_eff_to"
+  val IsCurrent = "_is_current"
+
+  /** Apply one batch of current-state rows to the history table at `path`
+    * (created on first call). Returns the number of change rows written
+    * (closed + opened); 0 means the batch was a complete no-op.
+    */
+  def applyBatch(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      tracked: Seq[String],
+      batchId: Long,
+      deleteCol: Option[String] = None,
+      partitionBy: Seq[String] = Seq.empty
+  ): Long = {
+    require(keys.nonEmpty, "SCD2 needs at least one key column")
+    require(tracked.nonEmpty, "SCD2 needs at least one tracked column")
+    require((keys ++ tracked).forall(batch.columns.contains),
+      "batch must carry every key and tracked column")
+    require(partitionBy.forall(c => keys.contains(c) || tracked.contains(c)),
+      "partition columns must be key or tracked columns")
+    val isDel = deleteCol.map(c => col(c) === true).getOrElse(lit(false))
+    val src = batch.select((keys ++ tracked).map(col) :+ isDel.as("__del"): _*)
+
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val hist = src.where(!col("__del")).drop("__del")
+        .withColumn(EffFrom, lit(batchId))
+        .withColumn(EffTo, lit(null).cast("long"))
+        .withColumn(IsCurrent, lit(true))
+      Medallion.writeTable(hist, path, partitionBy)
+      return hist.count()
+    }
+
+    val cur = Medallion.read(spark, path).where(col(IsCurrent)).cache()
+    try {
+      val newest = cur.agg(max(col(EffFrom))).first()
+      if (!newest.isNullAt(0))
+        require(batchId > newest.getLong(0),
+          s"batchId $batchId must exceed every applied batch (${newest.getLong(0)})")
+
+      val curSel = cur.select(
+        (keys ++ tracked :+ EffFrom).map(c => col(c).as(s"__c_$c")): _*)
+      val joined = src.join(curSel,
+        keys.map(k => col(k) === col(s"__c_$k")).reduce(_ && _), "left")
+      val matched = col(s"__c_$EffFrom").isNotNull
+      val changed = matched &&
+        tracked.map(t => !(col(t) <=> col(s"__c_$t"))).reduce(_ || _)
+
+      // Old attribute VALUES close with the old row; the batch's values
+      // open the new one. Unchanged matched keys emit nothing.
+      val closed = joined.where(matched && (changed || col("__del")))
+        .select(keys.map(col) ++
+          tracked.map(t => col(s"__c_$t").as(t)) ++ Seq(
+            col(s"__c_$EffFrom").as(EffFrom),
+            lit(batchId).as(EffTo),
+            lit(false).as(IsCurrent)): _*)
+      val opened = joined.where(!col("__del") && (!matched || changed))
+        .select(keys.map(col) ++ tracked.map(col) ++ Seq(
+          lit(batchId).as(EffFrom),
+          lit(null).cast("long").as(EffTo),
+          lit(true).as(IsCurrent)): _*)
+      val changes = closed.unionByName(opened).cache()
+      try {
+        val n = changes.count()
+        if (n > 0)
+          Medallion.merge(spark, path, changes,
+            keys = keys :+ EffFrom, partitionBy = partitionBy,
+            snapshot = true)
+        n
+      } finally changes.unpersist()
+    } finally cur.unpersist()
+  }
+
+  /** Full history (every open and closed row). */
+  def history(spark: SparkSession, path: String): DataFrame =
+    Medallion.read(spark, path)
+
+  /** The current slice — exactly one row per live key. */
+  def current(spark: SparkSession, path: String): DataFrame =
+    Medallion.read(spark, path).where(col(IsCurrent))
+
+  /** The dimension as of `batchId`: rows opened at or before it and not
+    * closed by it. Deleted-then-revived keys resolve to whichever row's
+    * interval covers the batch.
+    */
+  def asOf(spark: SparkSession, path: String, batchId: Long): DataFrame =
+    Medallion.read(spark, path)
+      .where(col(EffFrom) <= batchId &&
+        (col(EffTo).isNull || col(EffTo) > batchId))
+}

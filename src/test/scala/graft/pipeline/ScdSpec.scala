@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 lifecycle: create, attribute change closes + reopens,
+  * delete closes, revive reopens, identical batch is a no-op, asOf
+  * reconstructs every past batch, and the batch-id monotonicity guard.
+  */
+class ScdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String = {
+    val p = graft.GraftTmp.dir(s"graft-scd-$tag").toString + "/dim"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    p
+  }
+
+  private def hist(path: String) =
+    Scd.history(spark, path)
+      .select("k", "seg", Scd.EffFrom, Scd.EffTo, Scd.IsCurrent)
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+
+  test("full lifecycle: change, delete, revive; asOf reconstructs each batch") {
+    val path = freshPath("life")
+    val b1 = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+    assert(Scd.applyBatch(spark, path, b1, Seq("k"), Seq("seg"), 1L) == 3L)
+
+    // batch 2: k=1 changes, k=2 deleted, k=4 new, k=3 untouched
+    val b2 = Seq((1L, "A2", false), (2L, "B", true), (3L, "C", false),
+      (4L, "D", false)).toDF("k", "seg", "del")
+    val n2 = Scd.applyBatch(spark, path, b2, Seq("k"), Seq("seg"), 2L,
+      deleteCol = Some("del"))
+    assert(n2 == 4L) // close k1, open k1', close k2, open k4
+
+    // batch 3: k=2 revives with a new value
+    val b3 = Seq((2L, "B3")).toDF("k", "seg")
+    assert(Scd.applyBatch(spark, path, b3, Seq("k"), Seq("seg"), 3L) == 1L)
+
+    assert(hist(path) == Set(
+      (1L, "A", 1L, Some(2L), false), (1L, "A2", 2L, None, true),
+      (2L, "B", 1L, Some(2L), false), (2L, "B3", 3L, None, true),
+      (3L, "C", 1L, None, true),
+      (4L, "D", 2L, None, true)))
+
+    assert(Scd.asOf(spark, path, 1L).select("k", "seg").as[(Long, String)]
+      .collect().toSet == Set((1L, "A"), (2L, "B"), (3L, "C")))
+    assert(Scd.asOf(spark, path, 2L).select("k", "seg").as[(Long, String)]
+      .collect().toSet == Set((1L, "A2"), (3L, "C"), (4L, "D")))
+    assert(Scd.current(spark, path).select("k", "seg").as[(Long, String)]
+      .collect().toSet == Set((1L, "A2"), (2L, "B3"), (3L, "C"), (4L, "D")))
+  }
+
+  test("identical batch is a complete no-op; unchanged keys write nothing") {
+    val path = freshPath("noop")
+    val b = Seq((1L, "A"), (2L, "B")).toDF("k", "seg")
+    Scd.applyBatch(spark, path, b, Seq("k"), Seq("seg"), 1L)
+    assert(Scd.applyBatch(spark, path, b, Seq("k"), Seq("seg"), 2L) == 0L)
+    assert(hist(path).forall(_._3 == 1L))
+  }
+
+  test("delete of an unknown key is a no-op; null-safe tracked comparison") {
+    val path = freshPath("nulls")
+    val b1 = Seq((1L, null: String)).toDF("k", "seg")
+    Scd.applyBatch(spark, path, b1, Seq("k"), Seq("seg"), 1L)
+    // null == null must NOT read as a change
+    assert(Scd.applyBatch(spark, path, b1, Seq("k"), Seq("seg"), 2L) == 0L)
+    val b3 = Seq((9L, "X", true), (1L, "now-set", false)).toDF("k", "seg", "del")
+    val n = Scd.applyBatch(spark, path, b3, Seq("k"), Seq("seg"), 3L,
+      deleteCol = Some("del"))
+    assert(n == 2L) // close+reopen k=1 only; k=9 delete ignored
+    assert(Scd.current(spark, path).count() == 1L)
+  }
+
+  test("batch ids must increase; stale replays are rejected") {
+    val path = freshPath("mono")
+    val b = Seq((1L, "A")).toDF("k", "seg")
+    Scd.applyBatch(spark, path, b, Seq("k"), Seq("seg"), 5L)
+    intercept[IllegalArgumentException] {
+      Scd.applyBatch(spark, path, Seq((1L, "Z")).toDF("k", "seg"),
+        Seq("k"), Seq("seg"), 5L)
+    }
+  }
+}
