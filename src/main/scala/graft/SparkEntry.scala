@@ -6322,6 +6322,17 @@ object SparkEntry {
           max(col(graft.pipeline.Scd.EffTo)).as("eff_to"))
         .orderBy("eff_from", "is_current")
     }),
+
+    // --- 260. exact prefix-filtered cosine similarity join, oracle-pinned -------------------------------
+    // Total-recall complement of the LSH pair finders: every pair with
+    // tf-vector cosine >= 0.8, prefix filtering (rare-first, suffix-norm
+    // bound) instead of banding. The oracle is an INDEPENDENT direct
+    // implementation of the definition — the strongest pin form: if
+    // prefix filtering dropped any true pair, the hash would differ.
+    "q260_cosine_join" -> ((s, d) =>
+      graft.functions.Dedup.cosineJoinExact(
+        t(s, d, "documents"), "doc_id", "text", 0.8)
+        .select(col("id1"), col("id2"), col("cos"))),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10488,7 +10499,32 @@ object SparkEntry {
         |  count(*) AS n, sum(c_custkey) AS key_sum,
         |  count(CASE WHEN c_mktsegment = 'WHOLESALE' THEN 1 END) AS n_wholesale,
         |  max(eff_to) AS eff_to
-        |FROM hist GROUP BY 1, 2 ORDER BY eff_from, is_current""".stripMargin
+        |FROM hist GROUP BY 1, 2 ORDER BY eff_from, is_current""".stripMargin,
+
+    // Exact cosine join: the definition computed directly — integer tf
+    // dot products over shared terms, one double division per pair; the
+    // engine's prefix filtering must change nothing.
+    "q260_cosine_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''),
+        |p AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(cnt*cnt) AS ssq FROM p GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.cnt*b.cnt) AS num
+        |  FROM p a JOIN p b USING (term) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, cos FROM (
+        |  SELECT id1, id2,
+        |    CAST(num AS DOUBLE) / sqrt(CAST(n1.ssq * n2.ssq AS DOUBLE)) AS cos
+        |  FROM pairs
+        |  JOIN n n1 ON n1.doc_id = id1
+        |  JOIN n n2 ON n2.doc_id = id2)
+        |WHERE cos >= 0.8
+        |ORDER BY cos DESC, id1, id2""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

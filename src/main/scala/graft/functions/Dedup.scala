@@ -253,6 +253,71 @@ object Dedup {
     if (sorted) verified.orderBy(desc("jaccard"), col("id1"), col("id2")) else verified
   }
 
+  /** EXACT all-pairs cosine similarity join over term-COUNT vectors with
+    * prefix filtering (the AllPairs family — Bayardo et al. WWW 2007,
+    * Vernica et al. SIGMOD 2010): every document pair whose tf-vector
+    * cosine reaches `threshold`, with NO approximation — the complement
+    * of [[minhashPairs]]/[[simhashPairs]] when recall must be total.
+    *
+    * Prefix filtering: each document's terms sort by ascending global
+    * document frequency (rare first, canonical tie-break on the term), and
+    * a term position is INDEXED only while the normalized suffix norm from
+    * that position is still >= threshold/2. Soundness: if a pair shares no
+    * term indexed by both sides, every common term lies in one side's
+    * unindexed tail, so cos <= ||d_tail|| + ||e_tail|| < t/2 + t/2 = t.
+    * Rare-first ordering pushes stop-words out of prefixes, so the
+    * candidate join on the term key never explodes on 'the'.
+    *
+    * Scale shape: shuffles carry (id, term, count) postings and
+    * (term, id) prefix entries — bytes per term, never text; candidate
+    * verification is an integer dot product over the pair's common terms.
+    * `cos = num / sqrt(ssq1 * ssq2)` is one integer-valued double
+    * division — bit-exact replayable by an independent SQL
+    * implementation. Nothing is O(n^2) in the corpus: pairing is
+    * term-bucket-local and prefix-bounded.
+    */
+  def cosineJoinExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      sorted: Boolean = true
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val postings = df
+      .select(col(idCol).as("id"),
+        explode(Retrieval.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+    val norms = postings.groupBy("id")
+      .agg(sum(col("cnt") * col("cnt")).as("ssq"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("tdf"))
+    val w = Window.partitionBy("id").orderBy(col("tdf"), col("term"))
+    val idx = postings.join(dfreq, "term")
+      .join(norms, "id")
+      .withColumn("run_ssq", sum(col("cnt") * col("cnt")).over(w))
+      // suffix (this position included) must still carry >= t/2 of the norm
+      .where((col("ssq") - col("run_ssq") + col("cnt") * col("cnt"))
+        .cast("double") >= lit(threshold * threshold / 4.0) * col("ssq").cast("double"))
+      .select("term", "id")
+    val cands = idx.as("a").join(idx.as("b"), "term")
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val pa = postings.select(col("id").as("id1"), col("term"), col("cnt").as("c1"))
+    val pb = postings.select(col("id").as("id2"), col("term"), col("cnt").as("c2"))
+    val out = cands.join(pa, "id1")
+      .join(pb, Seq("id2", "term"))
+      .groupBy("id1", "id2").agg(sum(col("c1") * col("c2")).as("num"))
+      .join(norms.select(col("id").as("id1"), col("ssq").as("ssq1")), "id1")
+      .join(norms.select(col("id").as("id2"), col("ssq").as("ssq2")), "id2")
+      .withColumn("cos",
+        col("num").cast("double") / sqrt((col("ssq1") * col("ssq2")).cast("double")))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+    if (sorted) out.orderBy(desc("cos"), col("id1"), col("id2")) else out
+  }
+
   /** The pigeonhole chunk map shared by batch ([[simhashPairs]]) and
     * streaming ([[graft.streaming.StatefulOps.streamingNearDupPairs]])
     * near-dup detection: (index, startBit, width) for `maxHamming + 1`

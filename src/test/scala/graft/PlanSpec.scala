@@ -524,6 +524,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q260 exact cosine join: no cartesian product, postings aggregate partially") {
+    // All pairing must go through the term-key equi-join of prefix
+    // entries; a CartesianProduct would be the O(n^2) shape prefix
+    // filtering exists to avoid. Posting counts combine map-side.
+    val p = plan("q260_cosine_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q256 KMV sketch aggregates partially before the group shuffle") {
     // The mergeable Aggregator must run map-side (partial_kmvsketch...):
     // only k-long sketch states cross the exchange, never raw hash rows.

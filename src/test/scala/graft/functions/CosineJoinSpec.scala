@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Exact prefix-filtered cosine join: full parity with a brute-force
+  * all-pairs computation (prefix filtering must lose NOTHING), identical
+  * documents score exactly 1.0, and thresholds gate correctly.
+  */
+class CosineJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def brute(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    def counts(s: String): Map[String, Long] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cs = docs.map { case (id, s) => id -> counts(s) }
+    (for {
+      (i, ci) <- cs; (j, cj) <- cs if i < j
+      num = ci.keysIterator.filter(cj.contains).map(k => ci(k) * cj(k)).sum
+      ssqI = ci.values.map(v => v * v).sum
+      ssqJ = cj.values.map(v => v * v).sum
+      cos = num.toDouble / math.sqrt((ssqI * ssqJ).toDouble)
+      if cos >= t
+    } yield (i, j, cos)).toSet
+  }
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "entirely different words about training data pipelines"),
+    (5L, "words about training data pipelines entirely different"), // permutation of 4
+    (6L, "the the the the the quick"),
+    (7L, "lorem ipsum dolor sit amet consectetur"),
+    (8L, "quick brown fox"),
+    (9L, "dolor sit amet lorem ipsum consectetur elite"),
+    (10L, "singleton vocabulary zzz"))
+
+  test("parity with brute force at several thresholds") {
+    val df = corpus.toDF("id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 0.95)) {
+      val got = Dedup.cosineJoinExact(df, "id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute(corpus, t), s"threshold $t")
+    }
+  }
+
+  test("exact duplicates and permutations score exactly 1.0") {
+    val got = Dedup.cosineJoinExact(corpus.toDF("id", "text"), "id", "text", 0.9999)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 3L), (4L, 5L)))
+    assert(got.forall(_._3 == 1.0))
+  }
+
+  test("threshold 1.0 is accepted and stop-word-heavy docs don't pair with everything") {
+    val df = corpus.toDF("id", "text")
+    val got = Dedup.cosineJoinExact(df, "id", "text", 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 3L), (4L, 5L)))
+    assert(!Dedup.cosineJoinExact(df, "id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().exists(p => p._1 == 10L || p._2 == 10L))
+  }
+}
