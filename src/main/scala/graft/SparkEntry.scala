@@ -6333,6 +6333,35 @@ object SparkEntry {
       graft.functions.Dedup.cosineJoinExact(
         t(s, d, "documents"), "doc_id", "text", 0.8)
         .select(col("id1"), col("id2"), col("cos"))),
+
+    // --- 261. unified-diff/patch profile, oracle-pinned -------------------------------------------------
+    // Three constructed shapes: a two-file git diff, a classic unified
+    // file deletion (name recovered from the --- side), and prose with
+    // decoy +/- lines that must stay is_diff=false. Every count and the
+    // file list restated closed-form.
+    "q261_diff_profile" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("diff --git a/f"), id, lit(".c b/f"), id, lit(".c\n--- a/f"), id,
+        lit(".c\n+++ b/f"), id,
+        lit(".c\n@@ -1,3 +1,4 @@\n ctx\n-old "), id, lit("\n+new "), id,
+        lit("\n+more\ndiff --git a/doc.md b/doc.md\n--- a/doc.md\n" +
+          "+++ b/doc.md\n@@ -5 +5,2 @@\n+doc "), id))
+        .when(m === 1, concat(
+          lit("--- a/gone"), id, lit(".py\n+++ /dev/null\n@@ -1,2 +0,0 @@\n-a "),
+          id, lit("\n-b")))
+        .otherwise(concat(lit("plain text "), id, lit("\n+ plus\n- minus")))
+      val v = TF.diffProfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_diff").as("is_diff"),
+          v.getField("n_files").as("n_files"),
+          v.getField("n_hunks").as("n_hunks"),
+          v.getField("n_added").as("n_added"),
+          v.getField("n_removed").as("n_removed"),
+          v.getField("files").as("files"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10524,7 +10553,23 @@ object SparkEntry {
         |  JOIN n n1 ON n1.doc_id = id1
         |  JOIN n n2 ON n2.doc_id = id2)
         |WHERE cos >= 0.8
-        |ORDER BY cos DESC, id1, id2""".stripMargin
+        |ORDER BY cos DESC, id1, id2""".stripMargin,
+
+    // Diff profile: all three construction cases restated closed-form.
+    "q261_diff_profile" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_diff,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_files,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_hunks,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 1 END
+        |    AS BIGINT) AS n_added,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_removed,
+        |  CASE doc_id % 3 WHEN 0 THEN 'f' || doc_id || '.c,doc.md'
+        |    WHEN 1 THEN 'gone' || doc_id || '.py' END AS files
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,118 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unified-diff / patch-file profile — the commit-data face of the
+  * transcript router family ([[ShellSessionCodec]], [[ChatTranscriptCodec]]):
+  * code corpora mined from mailing lists, issue trackers and commit dumps
+  * are full of patches whose STRUCTURE decides routing — a diff is not
+  * prose (quality scores would reject it) and not plain code (half its
+  * lines are context markers), but its added lines are trainable code and
+  * its file list drives language routing. Pinned shapes:
+  *
+  *  - `diff --git a/x b/y` headers (git), counted as file boundaries;
+  *  - `--- old` / `+++ new` header pairs (classic unified), the `+++`
+  *    path naming the file — `a/`/`b/` prefixes stripped, `/dev/null`
+  *    falling back to the `---` side (deleted files keep their name);
+  *  - `@@ -a,b +c,d @@` hunk headers (validated shape, not just `@@`);
+  *  - body lines: `+` added / `-` removed (headers excluded), everything
+  *    else context.
+  *
+  * A document is a diff when it has at least one valid hunk header AND at
+  * least one file header. Row-local, codegen'd.
+  */
+object DiffPatchCodec {
+
+  private val hunkRe = java.util.regex.Pattern.compile(
+    "^@@ -\\d+(?:,\\d+)? \\+\\d+(?:,\\d+)? @@.*$")
+  private val gitRe = java.util.regex.Pattern.compile(
+    "^diff --git a/(\\S+) b/(\\S+)$")
+
+  private def stripAb(p: String): String =
+    if (p.startsWith("a/") || p.startsWith("b/")) p.substring(2) else p
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    var nHunks = 0L
+    var nAdded = 0L
+    var nRemoved = 0L
+    val files = scala.collection.mutable.LinkedHashSet[String]()
+    var lastMinus: String = null
+    var start = 0
+    val n = s.length
+    while (start <= n) {
+      var end = s.indexOf('\n', start)
+      if (end < 0) end = n
+      val line = s.substring(start, end)
+      val gm = gitRe.matcher(line)
+      if (gm.matches()) {
+        files += gm.group(2)
+        lastMinus = null
+      } else if (line.startsWith("--- ")) {
+        lastMinus = line.substring(4).trim
+      } else if (line.startsWith("+++ ")) {
+        val p = line.substring(4).trim
+        if (p == "/dev/null") {
+          if (lastMinus != null && lastMinus != "/dev/null")
+            files += stripAb(lastMinus)
+        } else files += stripAb(p)
+        lastMinus = null
+      } else if (hunkRe.matcher(line).matches()) {
+        nHunks += 1
+      } else if (line.startsWith("+")) {
+        nAdded += 1
+      } else if (line.startsWith("-")) {
+        nRemoved += 1
+      }
+      start = end + 1
+      if (end == n) start = n + 1
+    }
+    val isDiff = nHunks >= 1 && files.nonEmpty
+    val out = new Array[Any](6)
+    out(0) = isDiff
+    out(1) = files.size.toLong
+    out(2) = nHunks
+    out(3) = nAdded
+    out(4) = nRemoved
+    out(5) = if (files.isEmpty) null
+      else UTF8String.fromString(files.mkString(","))
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<is_diff,n_files,n_hunks,n_added,n_removed,files>
+  * ([[DiffPatchCodec.profile]]): patch-structure routing + the file list
+  * for language dispatch.
+  */
+case class DiffPatchExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_diff", BooleanType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_hunks", LongType, nullable = false),
+    StructField("n_added", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("files", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    DiffPatchCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.DiffPatchCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): DiffPatchExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_diff_profile"
+}

@@ -399,6 +399,16 @@ object TextFunctions {
       graft.expressions.ChatTranscriptExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Unified-diff / patch profile ([[graft.expressions.DiffPatchExpr]]):
+    * git/classic header walk, validated hunk headers, added/removed
+    * counts and the touched-file list — patches route as patches, not as
+    * low-quality prose.
+    */
+  def diffProfile(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.DiffPatchExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Markdown heading outline ([[graft.expressions.MdOutlineExpr]]):
     * ATX + setext headings with fenced code skipped — the structure
     * signal for heading-boundary chunking and docs-vs-prose routing.

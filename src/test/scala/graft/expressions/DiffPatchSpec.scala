@@ -1,0 +1,67 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Diff/patch profile: git + classic headers, hunk validation, deleted-file
+  * naming via the `---` side, body-line counting with headers excluded, and
+  * prose rejection.
+  */
+class DiffPatchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.diffProfile(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("git two-file diff: files, hunks, added/removed counts") {
+    val r = one(
+      "diff --git a/src/main.c b/src/main.c\n" +
+        "--- a/src/main.c\n+++ b/src/main.c\n" +
+        "@@ -1,3 +1,4 @@\n context\n-old line\n+new line\n+another\n" +
+        "diff --git a/README.md b/README.md\n" +
+        "--- a/README.md\n+++ b/README.md\n" +
+        "@@ -5 +5,2 @@\n+added doc\n")
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 3 && r.getLong(4) == 1)
+    assert(r.getString(5) == "src/main.c,README.md")
+  }
+
+  test("classic unified diff without git header") {
+    val r = one("--- old.txt\n+++ new.txt\n@@ -1,2 +1,2 @@\n-x\n+y\n context\n")
+    assert(r.getBoolean(0) && r.getLong(1) == 1)
+    assert(r.getString(5) == "new.txt")
+  }
+
+  test("deleted file takes its name from the --- side") {
+    val r = one("--- a/gone.py\n+++ /dev/null\n@@ -1,3 +0,0 @@\n-a\n-b\n-c\n")
+    assert(r.getBoolean(0))
+    assert(r.getString(5) == "gone.py")
+    assert(r.getLong(4) == 3 && r.getLong(3) == 0)
+  }
+
+  test("hunk header shape is validated; bare @@ or prose is not a diff") {
+    for (t <- Seq(
+      "@@ not a real hunk @@\n--- x\n+++ y\n",
+      "plain text with a + leading plus\n- and a dash\n",
+      "+++ orphan header only\n")) {
+      assert(!one(t).getBoolean(0), t)
+    }
+    // counting still happens on non-diff docs (routing signal)
+    val r = one("plain text\n+ plus line\n- dash line\n")
+    assert(r.getLong(3) == 1 && r.getLong(4) == 1 && r.getLong(2) == 0)
+  }
+
+  test("null in, null out; codegen over a projected column") {
+    val rows = Seq[(Long, String)]((1L, null), (2L, "--- a\n+++ b\n@@ -1 +1 @@\n+z"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.diffProfile(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getStruct(1).getBoolean(0))
+  }
+}
