@@ -6362,6 +6362,41 @@ object SparkEntry {
           v.getField("files").as("files"))
         .orderBy("doc_id")
     }),
+
+    // --- 262. stack-trace profile, oracle-pinned --------------------------------------------------------
+    // Four constructed shapes: a chained Python traceback (innermost-LAST
+    // top frame, one cause), a JVM trace with Caused by (innermost-FIRST),
+    // a Node trace with column-suffixed frames, and prose with an 'Error:'
+    // decoy that must stay kind=none. All fields closed-form.
+    "q262_stack_trace" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val text = when(m === 0, concat(
+        lit("Traceback (most recent call last):\n  File \"app.py\", line 10, in main\n" +
+          "    run()\n  File \"app.py\", line 22, in run\n    parse(x)\n" +
+          "ValueError: bad input "), id,
+        lit("\n\nDuring handling of the above exception, another exception occurred:\n\n" +
+          "Traceback (most recent call last):\n  File \"app.py\", line 30, in handler"),
+        id, lit("\n    raise\nRuntimeError: giving up")))
+        .when(m === 1, concat(
+          lit("Exception in thread \"main\" java.lang.IllegalStateException: boom "), id,
+          lit("\n\tat com.foo.Bar.baz(Bar.java:42)\n\tat com.foo.Main.main(Main.java:7)\n" +
+            "Caused by: java.io.IOException: disk\n\tat com.foo.Disk.read(Disk.java:99)\n" +
+            "\t... 2 more")))
+        .when(m === 2, concat(
+          lit("TypeError: x is not a function "), id,
+          lit("\n    at doWork (app.js:10:5)\n    at main (app.js:3:1)")))
+        .otherwise(concat(lit("plain text about an Error: nothing here "), id))
+      val v = TF.stackTrace(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("kind").as("kind"),
+          v.getField("n_frames").as("n_frames"),
+          v.getField("n_causes").as("n_causes"),
+          v.getField("exception").as("exception"),
+          v.getField("message").as("message"),
+          v.getField("top_frame").as("top_frame"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10569,6 +10604,27 @@ object SparkEntry {
         |    AS BIGINT) AS n_removed,
         |  CASE doc_id % 3 WHEN 0 THEN 'f' || doc_id || '.c,doc.md'
         |    WHEN 1 THEN 'gone' || doc_id || '.py' END AS files
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Stack trace: all four construction cases closed-form; python top
+    // frame is the LAST File line (in handler{id}), jvm the FIRST at.
+    "q262_stack_trace" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'python' WHEN 1 THEN 'jvm'
+        |    WHEN 2 THEN 'js' ELSE 'none' END AS kind,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 2
+        |    ELSE 0 END AS BIGINT) AS n_frames,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_causes,
+        |  CASE doc_id % 4 WHEN 0 THEN 'ValueError'
+        |    WHEN 1 THEN 'java.lang.IllegalStateException'
+        |    WHEN 2 THEN 'TypeError' END AS exception,
+        |  CASE doc_id % 4 WHEN 0 THEN 'bad input ' || doc_id
+        |    WHEN 1 THEN 'boom ' || doc_id
+        |    WHEN 2 THEN 'x is not a function ' || doc_id END AS message,
+        |  CASE doc_id % 4 WHEN 0 THEN 'app.py:30:handler' || doc_id
+        |    WHEN 1 THEN 'com.foo.Bar.baz(Bar.java:42)'
+        |    WHEN 2 THEN 'doWork (app.js:10:5)' END AS top_frame
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

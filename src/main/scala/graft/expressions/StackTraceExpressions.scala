@@ -1,0 +1,155 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Stack-trace profile — the crash-report member of the transcript-router
+  * family ([[ShellSessionCodec]], [[DiffPatchCodec]]): issue threads and
+  * log dumps are dominated by pasted stack traces whose structure is the
+  * routing signal (a trace is neither prose nor code; its exception type
+  * and innermost frame are the dedup/clustering key bug trackers
+  * actually use). Three pinned families:
+  *
+  *  - Python: a `Traceback (most recent call last):` marker, `File "f",
+  *    line N, in func` frames (INNERMOST LAST — top_frame is the final
+  *    frame), the trailing `Type: message` line, and chained-exception
+  *    markers (`During handling ...` / `... direct cause ...`) as causes;
+  *  - JVM: a dotted `pkg.Class{Exception|Error}[: message]` head line
+  *    (optionally after `Exception in thread "..."`), `at sym(loc)`
+  *    frames (INNERMOST FIRST — top_frame is the first frame),
+  *    `Caused by:` count;
+  *  - JS/Node: an undotted `SomeError: message` head with `at ...:L:C`
+  *    frames (column suffix distinguishes the family; innermost first).
+  *
+  * Discrimination order: the Python marker wins, then JVM (dotted head +
+  * paren frames), then JS (colon-column frames); anything else is
+  * kind='none' with empty fields. Row-local, codegen'd.
+  */
+object StackTraceCodec {
+
+  import java.util.regex.{Pattern => P}
+  private val pyFrameRe = P.compile("^\\s*File \"([^\"]+)\", line (\\d+), in (.+)$")
+  private val pyExcRe = P.compile("^([A-Za-z_][\\w.]*)(?:: (.*))?$")
+  private val javaHeadRe = P.compile(
+    "^(?:Exception in thread \"[^\"]*\" )?([\\w$]+(?:\\.[\\w$]+)+(?:Exception|Error))(?:: (.*))?$")
+  private val javaAtRe = P.compile("^\\s*at ([\\w$.<>/]+)\\(([^)]*)\\)$")
+  private val jsHeadRe = P.compile("^([A-Z]\\w*(?:Error|Exception))(?:: (.*))?$")
+  private val jsAtRe = P.compile("^\\s+at .+:\\d+:\\d+\\)?$")
+
+  private def result(kind: String, frames: Long, causes: Long,
+      exc: String, msg: String, top: String): InternalRow = {
+    val out = new Array[Any](6)
+    out(0) = UTF8String.fromString(kind)
+    out(1) = frames
+    out(2) = causes
+    out(3) = if (exc == null) null else UTF8String.fromString(exc)
+    out(4) = if (msg == null || msg.isEmpty) null else UTF8String.fromString(msg)
+    out(5) = if (top == null) null else UTF8String.fromString(top)
+    new GenericInternalRow(out)
+  }
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val lines = u.toString.split("\n", -1)
+
+    if (lines.exists(_.trim == "Traceback (most recent call last):")) {
+      var frames = 0L
+      var causes = 0L
+      var top: String = null
+      var exc: String = null
+      var msg: String = null
+      var sawMarker = false
+      for (raw <- lines) {
+        val line = raw.trim
+        if (line == "Traceback (most recent call last):") sawMarker = true
+        else if (line.startsWith("During handling of the above exception") ||
+          line.endsWith("direct cause of the following exception:")) causes += 1
+        else {
+          val fm = pyFrameRe.matcher(raw)
+          if (fm.matches()) {
+            frames += 1
+            top = s"${fm.group(1)}:${fm.group(2)}:${fm.group(3)}"
+          } else if (sawMarker && frames > 0 && exc == null && line.nonEmpty &&
+            !raw.startsWith("    ")) {
+            val em = pyExcRe.matcher(line)
+            // the code echo under a frame is indented; the exception line
+            // is flush-left and type-shaped
+            if (em.matches() && line.head.isUpper) {
+              exc = em.group(1); msg = em.group(2)
+            }
+          }
+        }
+      }
+      return result("python", frames, causes, exc, msg, top)
+    }
+
+    var javaHead: java.util.regex.Matcher = null
+    var jsHead: java.util.regex.Matcher = null
+    var javaFrames = 0L
+    var jsFrames = 0L
+    var causes = 0L
+    var topJava: String = null
+    var topJs: String = null
+    for (raw <- lines) {
+      val line = raw.trim
+      if (javaHead == null) {
+        val m = javaHeadRe.matcher(line)
+        if (m.matches()) javaHead = m
+      }
+      val am = javaAtRe.matcher(raw)
+      if (am.matches()) {
+        javaFrames += 1
+        if (topJava == null) topJava = s"${am.group(1)}(${am.group(2)})"
+      } else if (jsAtRe.matcher(raw).matches()) {
+        jsFrames += 1
+        if (topJs == null) topJs = raw.trim.substring(3).trim
+      }
+      if (line.startsWith("Caused by: ")) causes += 1
+      if (jsHead == null) {
+        val jm = jsHeadRe.matcher(line)
+        if (jm.matches() && !line.contains(".")) jsHead = jm
+      }
+    }
+    if (javaHead != null && javaFrames > 0)
+      result("jvm", javaFrames, causes, javaHead.group(1), javaHead.group(2), topJava)
+    else if (jsHead != null && jsFrames > 0)
+      result("js", jsFrames, causes, jsHead.group(1), jsHead.group(2), topJs)
+    else
+      result("none", 0L, 0L, null, null, null)
+  }
+}
+
+/** `string` -> struct<kind,n_frames,n_causes,exception,message,top_frame>
+  * ([[StackTraceCodec.profile]]): crash-report routing + the exception/
+  * innermost-frame clustering key.
+  */
+case class StackTraceExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_causes", LongType, nullable = false),
+    StructField("exception", StringType),
+    StructField("message", StringType),
+    StructField("top_frame", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    StackTraceCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.StackTraceCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): StackTraceExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_stack_trace"
+}

@@ -409,6 +409,16 @@ object TextFunctions {
       graft.expressions.DiffPatchExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Stack-trace profile ([[graft.expressions.StackTraceExpr]]):
+    * Python/JVM/JS crash shapes -> frame and cause counts plus the
+    * exception type, message and innermost frame — the clustering key
+    * crash dedup actually uses.
+    */
+  def stackTrace(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.StackTraceExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Markdown heading outline ([[graft.expressions.MdOutlineExpr]]):
     * ATX + setext headings with fenced code skipped — the structure
     * signal for heading-boundary chunking and docs-vs-prose routing.

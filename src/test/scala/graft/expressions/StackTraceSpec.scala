@@ -1,0 +1,82 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Stack-trace profile: the three family shapes, innermost-frame side per
+  * family, cause chains, discrimination order, and prose rejection.
+  */
+class StackTraceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.stackTrace(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("python traceback: frames, chained cause, innermost-LAST top frame") {
+    val r = one(
+      "Traceback (most recent call last):\n" +
+        "  File \"app.py\", line 10, in main\n    run()\n" +
+        "  File \"app.py\", line 22, in run\n    parse(x)\n" +
+        "ValueError: bad input\n\n" +
+        "During handling of the above exception, another exception occurred:\n\n" +
+        "Traceback (most recent call last):\n" +
+        "  File \"app.py\", line 30, in handler\n    raise\n" +
+        "RuntimeError: giving up")
+    assert(r.getString(0) == "python")
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1)
+    assert(r.getString(3) == "ValueError" && r.getString(4) == "bad input")
+    assert(r.getString(5) == "app.py:30:handler")
+  }
+
+  test("jvm trace: dotted head, Caused by, innermost-FIRST top frame") {
+    val r = one(
+      "Exception in thread \"main\" java.lang.IllegalStateException: boom\n" +
+        "\tat com.foo.Bar.baz(Bar.java:42)\n" +
+        "\tat com.foo.Main.main(Main.java:7)\n" +
+        "Caused by: java.io.IOException: disk\n" +
+        "\tat com.foo.Disk.read(Disk.java:99)\n" +
+        "\t... 2 more")
+    assert(r.getString(0) == "jvm")
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1)
+    assert(r.getString(3) == "java.lang.IllegalStateException")
+    assert(r.getString(4) == "boom")
+    assert(r.getString(5) == "com.foo.Bar.baz(Bar.java:42)")
+  }
+
+  test("js trace: undotted head with column-suffixed frames") {
+    val r = one(
+      "TypeError: x is not a function\n" +
+        "    at doWork (app.js:10:5)\n" +
+        "    at main (app.js:3:1)")
+    assert(r.getString(0) == "js")
+    assert(r.getLong(1) == 2)
+    assert(r.getString(3) == "TypeError")
+    assert(r.getString(5) == "doWork (app.js:10:5)")
+  }
+
+  test("prose, lone heads, and frameless errors stay kind=none") {
+    for (t <- Seq(
+      "plain text about an Error: nothing else",
+      "java.lang.RuntimeException: head but no frames",
+      "TypeError: head only\nno frames here")) {
+      val r = one(t)
+      assert(r.getString(0) == "none", t)
+      assert(r.getLong(1) == 0 && r.getString(3) == null)
+    }
+  }
+
+  test("null in, null out; codegen over projected column") {
+    val rows = Seq[(Long, String)]((1L, null),
+      (2L, "Traceback (most recent call last):\n  File \"a.py\", line 1, in m\nKeyError: 'k'"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.stackTrace(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getStruct(1).getString(0) == "python")
+    assert(rows(1).getStruct(1).getString(3) == "KeyError")
+  }
+}
