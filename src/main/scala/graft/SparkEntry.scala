@@ -6397,6 +6397,32 @@ object SparkEntry {
           v.getField("top_frame").as("top_frame"))
         .orderBy("doc_id")
     }),
+
+    // --- 263. markdown table extraction + linearization, oracle-pinned ----------------------------------
+    // Three constructed shapes: a 2x2 table (id in cells), a doc with two
+    // tables AND a fenced decoy table that must not count, and pipe-bearing
+    // prose without a delimiter row. Counts, headers, and the first
+    // table's header=cell linearization restated closed-form.
+    "q263_md_tables" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("intro\n| name | val |\n|------|-----|\n| item"), id,
+        lit(" | "), id, lit(" |\n| fixed | 7 |\nafter")))
+        .when(m === 1, concat(
+          lit("| h |\n|---|\n| "), id,
+          lit(" |\n\n```\n| fake | tbl |\n|---|---|\n| x | y |\n```\n" +
+            "| k | v |\n|---|---|\n| a | b"), id, lit(" |")))
+        .otherwise(concat(lit("a | b\nplain prose "), id))
+      val v = TF.mdTables(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_tables").as("n_tables"),
+          v.getField("n_rows").as("n_rows"),
+          v.getField("n_cols_first").as("n_cols_first"),
+          v.getField("headers").as("headers"),
+          v.getField("linearized").as("linearized"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10625,6 +10651,23 @@ object SparkEntry {
         |  CASE doc_id % 4 WHEN 0 THEN 'app.py:30:handler' || doc_id
         |    WHEN 1 THEN 'com.foo.Bar.baz(Bar.java:42)'
         |    WHEN 2 THEN 'doWork (app.js:10:5)' END AS top_frame
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Markdown tables: the fenced decoy never counts; linearization is
+    // first-table-only.
+    "q263_md_tables" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_tables,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_rows,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_cols_first,
+        |  CASE doc_id % 3 WHEN 0 THEN 'name,val' WHEN 1 THEN 'h' END AS headers,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'name=item' || doc_id || '; val=' || doc_id ||
+        |      chr(10) || 'name=fixed; val=7'
+        |    WHEN 1 THEN 'h=' || doc_id END AS linearized
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -1,0 +1,130 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Markdown pipe-table extraction + linearization — the table-to-text
+  * transform documentation corpora need: GitHub-style tables are dense
+  * aligned facts that read as noise to every text scorer (pipe soup), but
+  * linearized `header=cell` rows are exactly the serialization
+  * table-question-answering training uses. Pinned grammar:
+  *
+  *  - a table = a pipe-bearing header line, a delimiter line whose cells
+  *    all match `:?-+:?`, then pipe-bearing body rows until the first
+  *    non-pipe line;
+  *  - cells split on `|` with the optional outer pipes dropped, each cell
+  *    trimmed; short body rows pad with empty cells, long ones truncate
+  *    to the header width (GitHub's rule);
+  *  - fenced code blocks (``` fences) are skipped wholesale — a table
+  *    pasted INSIDE a fence is code, not data.
+  *
+  * Emits table/row counts plus the FIRST table's headers and its
+  * linearization (`h=v; h=v` per row, rows newline-joined). Row-local,
+  * codegen'd.
+  */
+object MdTableCodec {
+
+  private val delimCellRe = java.util.regex.Pattern.compile(":?-+:?")
+
+  /** Cells of a pipe row: outer pipes optional, cells trimmed. */
+  private def cells(line: String): Array[String] = {
+    var s = line.trim
+    if (s.startsWith("|")) s = s.substring(1)
+    if (s.endsWith("|")) s = s.substring(0, s.length - 1)
+    s.split("\\|", -1).map(_.trim)
+  }
+
+  private def isDelimRow(line: String): Boolean = {
+    val t = line.trim
+    if (!t.contains("-") || t.exists(c => c != '|' && c != '-' && c != ':' && c != ' '))
+      return false
+    val cs = cells(line)
+    cs.nonEmpty && cs.forall(c => c.nonEmpty && delimCellRe.matcher(c).matches())
+  }
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val lines = u.toString.split("\n", -1)
+    var nTables = 0L
+    var nRows = 0L
+    var firstHeaders: Array[String] = null
+    val linearized = new java.lang.StringBuilder()
+    var i = 0
+    var inFence = false
+    while (i < lines.length) {
+      val line = lines(i)
+      val t = line.trim
+      if (t.startsWith("```")) { inFence = !inFence; i += 1 }
+      else if (!inFence && t.contains("|") && i + 1 < lines.length &&
+        isDelimRow(lines(i + 1))) {
+        val headers = cells(line)
+        nTables += 1
+        val isFirst = firstHeaders == null
+        if (isFirst) firstHeaders = headers
+        i += 2
+        var done = false
+        while (i < lines.length && !done) {
+          val b = lines(i).trim
+          if (b.contains("|") && !b.startsWith("```")) {
+            nRows += 1
+            if (isFirst) {
+              val cs = cells(lines(i))
+              if (linearized.length > 0) linearized.append('\n')
+              var j = 0
+              while (j < headers.length) {
+                if (j > 0) linearized.append("; ")
+                linearized.append(headers(j)).append('=')
+                  .append(if (j < cs.length) cs(j) else "")
+                j += 1
+              }
+            }
+            i += 1
+          } else done = true
+        }
+      } else i += 1
+    }
+    val out = new Array[Any](5)
+    out(0) = nTables
+    out(1) = nRows
+    out(2) = if (firstHeaders == null) 0L else firstHeaders.length.toLong
+    out(3) = if (firstHeaders == null) null
+      else UTF8String.fromString(firstHeaders.mkString(","))
+    out(4) = if (linearized.length == 0) null
+      else UTF8String.fromString(linearized.toString)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<n_tables,n_rows,n_cols_first,headers,linearized>
+  * ([[MdTableCodec.profile]]): pipe-table census + the first table's
+  * `header=cell` linearization.
+  */
+case class MdTableExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tables", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_cols_first", LongType, nullable = false),
+    StructField("headers", StringType),
+    StructField("linearized", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    MdTableCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MdTableCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MdTableExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_md_tables"
+}

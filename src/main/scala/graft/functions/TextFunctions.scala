@@ -419,6 +419,15 @@ object TextFunctions {
       graft.expressions.StackTraceExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Markdown pipe-table extraction ([[graft.expressions.MdTableExpr]]):
+    * table/row census plus the first table's `header=cell` linearization —
+    * aligned pipe soup becomes the serialization table-QA training uses.
+    */
+  def mdTables(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.MdTableExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Markdown heading outline ([[graft.expressions.MdOutlineExpr]]):
     * ATX + setext headings with fenced code skipped — the structure
     * signal for heading-boundary chunking and docs-vs-prose routing.

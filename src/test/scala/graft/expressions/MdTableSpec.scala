@@ -1,0 +1,61 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Markdown table extraction: grammar (header + delimiter + body), cell
+  * padding/truncation, multiple tables, fence skipping, and the
+  * linearization format.
+  */
+class MdTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.mdTables(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("basic table with outer pipes: counts, headers, linearization") {
+    val r = one(
+      "intro\n| name | age |\n|------|----:|\n| ada | 36 |\n| bob | 41 |\nafter")
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getString(3) == "name,age")
+    assert(r.getString(4) == "name=ada; age=36\nname=bob; age=41")
+  }
+
+  test("outer pipes optional; short rows pad, long rows truncate") {
+    val r = one("a | b | c\n--- | --- | ---\n1 | 2\nx | y | z | extra")
+    assert(r.getLong(1) == 2 && r.getLong(2) == 3)
+    assert(r.getString(4) == "a=1; b=2; c=\na=x; b=y; c=z")
+  }
+
+  test("two tables: census counts both, linearization covers only the first") {
+    val r = one(
+      "| h |\n|---|\n| 1 |\n\n| k | v |\n|---|---|\n| a | b |")
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getString(3) == "h")
+    assert(r.getString(4) == "h=1")
+  }
+
+  test("tables inside code fences are skipped; pipe lines without delimiter are not tables") {
+    val fenced = "```\n| a | b |\n|---|---|\n| 1 | 2 |\n```"
+    val r = one(fenced)
+    assert(r.getLong(0) == 0 && r.getString(4) == null)
+    val noDelim = one("| a | b |\n| 1 | 2 |")
+    assert(noDelim.getLong(0) == 0)
+    // alignment colons are valid delimiter cells
+    assert(one("| a |\n|:---:|\n| 1 |").getLong(0) == 1)
+  }
+
+  test("null in, null out; prose without pipes is zero everywhere") {
+    val rows = Seq[(Long, String)]((1L, null), (2L, "no tables here"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.mdTables(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    val z = rows(1).getStruct(1)
+    assert(z.getLong(0) == 0 && z.getLong(1) == 0 && z.isNullAt(3))
+  }
+}
