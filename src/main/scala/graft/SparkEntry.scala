@@ -6423,6 +6423,34 @@ object SparkEntry {
           v.getField("linearized").as("linearized"))
         .orderBy("doc_id")
     }),
+
+    // --- 264. BibTeX extraction, oracle-pinned ----------------------------------------------------------
+    // Three constructed shapes: two entries with nested case-protection
+    // braces + quoted author + bare year, a directive-heavy doc with one
+    // book entry, and prose with an email decoy. First-entry tuple and
+    // the key census restated closed-form.
+    "q264_bibtex" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("@article{p"), id, lit(", title = {The {Big} Result "), id,
+        lit("}, author = \"Doe, Jane\", year = 2020}\nprose\n@misc{m"), id,
+        lit(", year = {1999}}")))
+        .when(m === 1, concat(
+          lit("@string{acm = {ACM}}\n@comment{junk}\n@book{b"), id,
+          lit(", title = {TAOCP}, year = {1997}}")))
+        .otherwise(concat(lit("contact me@example.com about "), id))
+      val v = TF.bibtex(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_entries").as("n_entries"),
+          v.getField("entry_type").as("entry_type"),
+          v.getField("cite_key").as("cite_key"),
+          v.getField("title").as("title"),
+          v.getField("author").as("author"),
+          v.getField("year").as("year"),
+          v.getField("keys").as("keys"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10668,6 +10696,24 @@ object SparkEntry {
         |    WHEN 0 THEN 'name=item' || doc_id || '; val=' || doc_id ||
         |      chr(10) || 'name=fixed; val=7'
         |    WHEN 1 THEN 'h=' || doc_id END AS linearized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BibTeX: first-entry tuple and the key census per construction case;
+    // case-protection braces drop from the title.
+    "q264_bibtex" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_entries,
+        |  CASE doc_id % 3 WHEN 0 THEN 'article' WHEN 1 THEN 'book' END
+        |    AS entry_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 'p' || doc_id
+        |    WHEN 1 THEN 'b' || doc_id END AS cite_key,
+        |  CASE doc_id % 3 WHEN 0 THEN 'The Big Result ' || doc_id
+        |    WHEN 1 THEN 'TAOCP' END AS title,
+        |  CASE doc_id % 3 WHEN 0 THEN 'Doe, Jane' END AS author,
+        |  CASE doc_id % 3 WHEN 0 THEN '2020' WHEN 1 THEN '1997' END AS year,
+        |  CASE doc_id % 3 WHEN 0 THEN 'p' || doc_id || ',m' || doc_id
+        |    WHEN 1 THEN 'b' || doc_id END AS keys
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

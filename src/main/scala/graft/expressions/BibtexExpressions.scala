@@ -1,0 +1,156 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BibTeX extraction — the bibliography face of the structured-format
+  * family ([[VcardCodec]], [[IcalCodec]]): academic corpora (arXiv
+  * sources, homepage .bib dumps) carry reference lists whose entries are
+  * metadata, not prose — the title/author/year tuple is the citation-graph
+  * key and the dedup key for paper corpora. Pinned grammar:
+  *
+  *  - entries: `@type{key, field = value, ...}` with a BALANCED-BRACE
+  *    walk (values nest: `{The {GPT}-3 paper}`); `@string`/`@preamble`/
+  *    `@comment` directives are skipped, not counted;
+  *  - fields: `name = {braced}` / `name = "quoted"` / bare (numbers,
+  *    string refs), names lowercased; values strip ONE outer layer, drop
+  *    remaining braces (BibTeX case protection), collapse whitespace;
+  *  - emits the entry census, every cite key in order, and the first
+  *    entry's type/key/title/author/year.
+  *
+  * Row-local, codegen'd.
+  */
+object BibtexCodec {
+
+  private def cleanValue(raw: String): String = {
+    var v = raw.trim
+    if (v.length >= 2 && ((v.head == '{' && v.last == '}') ||
+      (v.head == '"' && v.last == '"'))) v = v.substring(1, v.length - 1)
+    v.replace("{", "").replace("}", "")
+      .replaceAll("\\s+", " ").trim
+  }
+
+  /** Split a `key, f = v, ...` body at top-level commas (brace/quote aware). */
+  private def topSplit(body: String): Array[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var inQ = false
+    var start = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"' && depth == 0) inQ = !inQ
+      else if (!inQ && c == '{') depth += 1
+      else if (!inQ && c == '}') depth -= 1
+      else if (!inQ && depth == 0 && c == ',') {
+        parts += body.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    parts += body.substring(start)
+    parts.toArray
+  }
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    var nEntries = 0L
+    val keys = scala.collection.mutable.ArrayBuffer[String]()
+    var firstType: String = null
+    var firstKey: String = null
+    var title: String = null
+    var author: String = null
+    var year: String = null
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) == '@') {
+        var j = i + 1
+        while (j < n && (s.charAt(j).isLetter)) j += 1
+        val etype = s.substring(i + 1, j).toLowerCase
+        var k = j
+        while (k < n && s.charAt(k).isWhitespace) k += 1
+        if (etype.nonEmpty && k < n && s.charAt(k) == '{') {
+          // balanced walk to the closing brace
+          var depth = 1
+          var e = k + 1
+          while (e < n && depth > 0) {
+            val c = s.charAt(e)
+            if (c == '{') depth += 1 else if (c == '}') depth -= 1
+            e += 1
+          }
+          val body = s.substring(k + 1, math.max(k + 1, e - 1))
+          if (etype != "string" && etype != "preamble" && etype != "comment") {
+            val parts = topSplit(body)
+            val key = parts(0).trim
+            nEntries += 1
+            keys += key
+            if (firstType == null) {
+              firstType = etype
+              firstKey = key
+              for (p <- parts.drop(1)) {
+                val eq = p.indexOf('=')
+                if (eq > 0) {
+                  val name = p.substring(0, eq).trim.toLowerCase
+                  val v = cleanValue(p.substring(eq + 1))
+                  name match {
+                    case "title" if title == null => title = v
+                    case "author" if author == null => author = v
+                    case "year" if year == null => year = v
+                    case _ =>
+                  }
+                }
+              }
+            }
+          }
+          i = e
+        } else i = j
+      } else i += 1
+    }
+    val out = new Array[Any](7)
+    out(0) = nEntries
+    out(1) = if (firstType == null) null else UTF8String.fromString(firstType)
+    out(2) = if (firstKey == null) null else UTF8String.fromString(firstKey)
+    out(3) = if (title == null) null else UTF8String.fromString(title)
+    out(4) = if (author == null) null else UTF8String.fromString(author)
+    out(5) = if (year == null) null else UTF8String.fromString(year)
+    out(6) = if (keys.isEmpty) null else UTF8String.fromString(keys.mkString(","))
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<n_entries,entry_type,cite_key,title,author,year,keys>
+  * ([[BibtexCodec.profile]]): bibliography census + the first entry's
+  * citation-graph tuple.
+  */
+case class BibtexExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_entries", LongType, nullable = false),
+    StructField("entry_type", StringType),
+    StructField("cite_key", StringType),
+    StructField("title", StringType),
+    StructField("author", StringType),
+    StructField("year", StringType),
+    StructField("keys", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    BibtexCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.BibtexCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): BibtexExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bibtex"
+}

@@ -428,6 +428,15 @@ object TextFunctions {
       graft.expressions.MdTableExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** BibTeX extraction ([[graft.expressions.BibtexExpr]]): entry census,
+    * cite keys in order, and the first entry's type/key/title/author/year
+    * — the citation-graph and paper-dedup tuple.
+    */
+  def bibtex(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.BibtexExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Markdown heading outline ([[graft.expressions.MdOutlineExpr]]):
     * ATX + setext headings with fenced code skipped — the structure
     * signal for heading-boundary chunking and docs-vs-prose routing.

@@ -1,0 +1,65 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** BibTeX extraction: balanced-brace entries, nested case-protection
+  * braces, quoted and bare values, directive skipping, and prose rejection.
+  */
+class BibtexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.bibtex(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("two entries with nested braces, quoted and bare fields") {
+    val r = one(
+      "@article{brown2020,\n  title = {Language Models are {Few-Shot} Learners},\n" +
+        "  author = \"Brown, Tom and others\",\n  year = 2020,\n}\n" +
+        "preamble prose\n" +
+        "@inproceedings{vaswani2017, title={Attention}, year={2017}}")
+    assert(r.getLong(0) == 2)
+    assert(r.getString(1) == "article" && r.getString(2) == "brown2020")
+    assert(r.getString(3) == "Language Models are Few-Shot Learners")
+    assert(r.getString(4) == "Brown, Tom and others")
+    assert(r.getString(5) == "2020")
+    assert(r.getString(6) == "brown2020,vaswani2017")
+  }
+
+  test("@string/@preamble/@comment are skipped, not counted") {
+    val r = one(
+      "@string{acm = {ACM Press}}\n@preamble{\"x\"}\n@comment{junk}\n" +
+        "@book{knuth1997, title = {TAOCP}, year = {1997}}")
+    assert(r.getLong(0) == 1)
+    assert(r.getString(2) == "knuth1997" && r.getString(6) == "knuth1997")
+  }
+
+  test("whitespace collapses inside values; multi-line fields parse") {
+    val r = one(
+      "@misc{k1,\n  title = {Spread\n    over   lines},\n  year = {1999}\n}")
+    assert(r.getString(3) == "Spread over lines")
+    assert(r.getString(5) == "1999")
+  }
+
+  test("email @ signs and prose never count as entries") {
+    for (t <- Seq("contact me@example.com about things",
+      "twitter @handle posts", "no at signs at all")) {
+      val r = one(t)
+      assert(r.getLong(0) == 0, t)
+      assert(r.isNullAt(1) && r.isNullAt(6))
+    }
+  }
+
+  test("null in, null out; codegen path") {
+    val rows = Seq[(Long, String)]((1L, null), (2L, "@article{a1, year = 2001}"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.bibtex(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getStruct(1).getString(5) == "2001")
+  }
+}
