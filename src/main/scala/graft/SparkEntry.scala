@@ -6451,6 +6451,34 @@ object SparkEntry {
           v.getField("keys").as("keys"))
         .orderBy("doc_id")
     }),
+
+    // --- 265. INI/TOML/dotenv config profile, oracle-pinned ---------------------------------------------
+    // Three constructed shapes: sectioned ini with comments and both pair
+    // styles, dotenv + TOML double-bracket table, and prose that fails
+    // the dominance floor. Census, fraction, and the dotted key list
+    // restated closed-form.
+    "q265_config_profile" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("# cfg "), id,
+        lit("\n[database]\nhost = h"), id,
+        lit("\nport: 5432\n[server]\ntimeout = "), id))
+        .when(m === 1, concat(
+          lit("API_KEY=k"), id,
+          lit("\nDEBUG=true\n[[servers.alpha]]\nip = \"10.0.0."), id, lit("\"")))
+        .otherwise(concat(lit("plain prose "), id, lit("\nnothing: here")))
+      val v = TF.configProfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_config").as("is_config"),
+          v.getField("n_sections").as("n_sections"),
+          v.getField("n_pairs").as("n_pairs"),
+          v.getField("n_comments").as("n_comments"),
+          v.getField("config_frac").as("config_frac"),
+          v.getField("sections").as("sections"),
+          v.getField("keys").as("keys"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10714,6 +10742,27 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN '2020' WHEN 1 THEN '1997' END AS year,
         |  CASE doc_id % 3 WHEN 0 THEN 'p' || doc_id || ',m' || doc_id
         |    WHEN 1 THEN 'b' || doc_id END AS keys
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Config profile: census + dotted keys per construction case; the
+    // prose case carries one decoy pair and fails the dominance floor.
+    "q265_config_profile" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_config,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_sections,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 1 END
+        |    AS BIGINT) AS n_pairs,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_comments,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0.5 ELSE 1.0 END AS DOUBLE)
+        |    AS config_frac,
+        |  CASE doc_id % 3 WHEN 0 THEN 'database,server'
+        |    WHEN 1 THEN 'servers.alpha' END AS sections,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'database.host,database.port,server.timeout'
+        |    WHEN 1 THEN 'API_KEY,DEBUG,servers.alpha.ip'
+        |    ELSE 'nothing' END AS keys
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -1,0 +1,158 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** INI / TOML / dotenv config-file profile — the configuration face of the
+  * format-router family: code corpora are full of config files whose
+  * KEY STRUCTURE matters (they route as config, their keys drive secrets
+  * screening, and their values are usually NOT trainable prose). Pinned
+  * grammar, one line-walk:
+  *
+  *  - sections: `[name]` / `[[array.of.tables]]` lines (TOML double
+  *    brackets normalize to the inner name);
+  *  - pairs: `key = value` or `key: value` (ini style) at top level or
+  *    under a section; keys must look identifier-ish
+  *    (`[A-Za-z_][\w.-]*`), values may be quoted (one outer layer
+  *    stripped) with `#`/`;` comment tails dropped OUTSIDE quotes;
+  *  - comments: full-line `#` or `;`;
+  *  - the file READS AS CONFIG when pairs + sections dominate the
+  *    non-blank lines (>= 0.6 fraction) and there are >= 2 pairs.
+  *
+  * Emits the census (sections, pairs, comment lines), the config-line
+  * fraction, the section list, and the dotted `section.key` list —
+  * the screening surface. Row-local, codegen'd.
+  */
+object ConfigFileCodec {
+
+  import java.util.regex.{Pattern => P}
+  private val secRe = P.compile("^\\s*\\[\\[?([^\\]]+?)\\]?\\]\\s*$")
+  private val kvRe = P.compile("^\\s*([A-Za-z_][\\w.-]*)\\s*[=:]\\s*(.*)$")
+
+  private def cleanValue(raw: String): String = {
+    var v = raw.trim
+    if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+      (v.head == '\'' && v.last == '\''))) {
+      v.substring(1, v.length - 1)
+    } else {
+      // comment tail only outside quotes
+      var cut = v.length
+      var i = 0
+      while (i < v.length && cut == v.length) {
+        val c = v.charAt(i)
+        if (c == '#' || c == ';') cut = i
+        i += 1
+      }
+      v.substring(0, cut).trim
+    }
+  }
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val lines = u.toString.split("\n", -1)
+    var nonBlank = 0L
+    var nSections = 0L
+    var nPairs = 0L
+    var nComments = 0L
+    var section = ""
+    val sections = scala.collection.mutable.ArrayBuffer[String]()
+    val keys = scala.collection.mutable.ArrayBuffer[String]()
+    for (raw <- lines) {
+      val line = raw.trim
+      if (line.nonEmpty) {
+        nonBlank += 1
+        if (line.startsWith("#") || line.startsWith(";")) nComments += 1
+        else {
+          val sm = secRe.matcher(line)
+          if (sm.matches()) {
+            nSections += 1
+            section = sm.group(1).trim
+            sections += section
+          } else {
+            val km = kvRe.matcher(line)
+            if (km.matches()) {
+              nPairs += 1
+              keys += (if (section.isEmpty) km.group(1)
+                else s"$section.${km.group(1)}")
+            }
+          }
+        }
+      }
+    }
+    val frac =
+      if (nonBlank == 0) 0.0
+      else (nSections + nPairs + nComments).toDouble / nonBlank
+    val isConfig = nPairs >= 2 && frac >= 0.6
+    val out = new Array[Any](7)
+    out(0) = isConfig
+    out(1) = nSections
+    out(2) = nPairs
+    out(3) = nComments
+    out(4) = if (nonBlank == 0) null else java.lang.Double.valueOf(frac)
+    out(5) = if (sections.isEmpty) null
+      else UTF8String.fromString(sections.mkString(","))
+    out(6) = if (keys.isEmpty) null else UTF8String.fromString(keys.mkString(","))
+    new GenericInternalRow(out)
+  }
+
+  /** First value for dotted key `k`, or null — the point probe secrets
+    * screening uses after [[profile]] flags a file.
+    */
+  def valueOf(u: UTF8String, k: UTF8String): UTF8String = {
+    if (u == null || k == null) return null
+    val want = k.toString
+    var section = ""
+    for (raw <- u.toString.split("\n", -1)) {
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
+        val sm = secRe.matcher(line)
+        if (sm.matches()) section = sm.group(1).trim
+        else {
+          val km = kvRe.matcher(line)
+          if (km.matches()) {
+            val dotted = if (section.isEmpty) km.group(1)
+              else s"$section.${km.group(1)}"
+            if (dotted == want)
+              return UTF8String.fromString(cleanValue(km.group(2)))
+          }
+        }
+      }
+    }
+    null
+  }
+}
+
+/** `string` -> struct<is_config,n_sections,n_pairs,n_comments,config_frac,
+  * sections,keys> ([[ConfigFileCodec.profile]]).
+  */
+case class ConfigProfileExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_config", BooleanType, nullable = false),
+    StructField("n_sections", LongType, nullable = false),
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("n_comments", LongType, nullable = false),
+    StructField("config_frac", DoubleType),
+    StructField("sections", StringType),
+    StructField("keys", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    ConfigFileCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ConfigFileCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ConfigProfileExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_config_profile"
+}

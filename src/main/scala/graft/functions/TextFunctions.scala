@@ -437,6 +437,16 @@ object TextFunctions {
       graft.expressions.BibtexExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** INI/TOML/dotenv config profile
+    * ([[graft.expressions.ConfigProfileExpr]]): section/pair/comment
+    * census, the config-line fraction, and the dotted key list — the
+    * secrets-screening surface; config routes as config, not prose.
+    */
+  def configProfile(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ConfigProfileExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Markdown heading outline ([[graft.expressions.MdOutlineExpr]]):
     * ATX + setext headings with fenced code skipped — the structure
     * signal for heading-boundary chunking and docs-vs-prose routing.

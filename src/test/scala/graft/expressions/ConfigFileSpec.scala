@@ -1,0 +1,68 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Config profile: INI/TOML grammar, dotted keys, the dominance floor,
+  * value probing with quote/comment handling, and prose rejection.
+  */
+class ConfigFileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.configProfile(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("ini with sections, comments, colon and equals pairs") {
+    val r = one(
+      "# db config\n[database]\nhost = localhost\nport: 5432\n" +
+        "; legacy\n[server.http]\ntimeout = 30\n")
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 2 && r.getLong(2) == 3 && r.getLong(3) == 2)
+    assert(r.getString(5) == "database,server.http")
+    assert(r.getString(6) == "database.host,database.port,server.http.timeout")
+  }
+
+  test("TOML double-bracket tables normalize; top-level dotenv keys undotted") {
+    val r = one("API_KEY=abc\nDEBUG=true\n[[servers.alpha]]\nip = \"10.0.0.1\"")
+    assert(r.getBoolean(0))
+    assert(r.getString(5) == "servers.alpha")
+    assert(r.getString(6) == "API_KEY,DEBUG,servers.alpha.ip")
+  }
+
+  test("prose with a stray colon line fails the dominance floor") {
+    val r = one(
+      "Dear reader: this is prose\nIt goes on for a while\n" +
+        "and on without any config shape\nuntil the end\nnote: one pair only")
+    assert(!r.getBoolean(0))
+    val r2 = one("just one\nk = v\nline of config\nin lots of prose\nmore prose")
+    assert(!r2.getBoolean(0)) // only 1 pair
+  }
+
+  test("valueOf probes dotted keys with quote stripping and comment tails") {
+    def v(text: String, k: String): String = {
+      val r = ConfigFileCodec.valueOf(
+        UTF8String.fromString(text), UTF8String.fromString(k))
+      if (r == null) null else r.toString
+    }
+    val cfg = "[db]\nhost = \"local # host\"\nport = 5432 # default\nname = prod ; env"
+    assert(v(cfg, "db.host") == "local # host")
+    assert(v(cfg, "db.port") == "5432")
+    assert(v(cfg, "db.name") == "prod")
+    assert(v(cfg, "db.missing") == null)
+  }
+
+  test("null in, null out; empty text zeros with null frac") {
+    val rows = Seq[(Long, String)]((1L, null), (2L, ""))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.configProfile(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    val z = rows(1).getStruct(1)
+    assert(!z.getBoolean(0) && z.isNullAt(4))
+  }
+}
