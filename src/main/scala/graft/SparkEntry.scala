@@ -6479,6 +6479,13 @@ object SparkEntry {
           v.getField("keys").as("keys"))
         .orderBy("doc_id")
     }),
+
+    // --- 266. corpus vocabulary profile (Zipf/Heaps sheet), oracle-pinned -------------------------------
+    // Integer corpus diagnostics + one final ratio division: exactly
+    // replayable; the only shuffle is the vocabulary-sized term table.
+    "q266_vocab_profile" -> ((s, d) =>
+      graft.functions.Retrieval.vocabProfile(
+        t(s, d, "documents"), "doc_id", "text")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10763,7 +10770,26 @@ object SparkEntry {
         |    WHEN 0 THEN 'database.host,database.port,server.timeout'
         |    WHEN 1 THEN 'API_KEY,DEBUG,servers.alpha.ip'
         |    ELSE 'nothing' END AS keys
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Vocabulary profile: the definition computed directly over the same
+    // lowercase-whitespace tokenization.
+    "q266_vocab_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''),
+        |tm AS (SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS tdf
+        |       FROM toks GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  count(CASE WHEN cnt = 1 THEN 1 END) AS hapax,
+        |  count(CASE WHEN tdf = 1 THEN 1 END) AS df1_terms,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |    AS type_token_ratio
+        |FROM tm""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -128,6 +128,32 @@ object Retrieval {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Corpus vocabulary profile — the Zipf/Heaps diagnostic sheet corpus
+    * curation reads before tokenizer training and mixing decisions: total
+    * tokens, vocabulary size, hapax legomena (corpus count exactly 1 —
+    * the Heaps-law tail that decides vocab truncation), single-document
+    * terms (df 1 — typo/noise mass), and the type-token ratio. One row.
+    *
+    * Everything is INTEGER aggregation plus one final division, so the
+    * profile is exactly replayable. Scale shape: tokens explode once,
+    * one (term)-keyed shuffle with map-side combine over a
+    * vocabulary-sized table, then a single-row global aggregate — no
+    * per-document state, no driver collection.
+    */
+  def vocabProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val term = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("tdf"))
+    term.agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      count(when(col("cnt") === 1, 1)).as("hapax"),
+      count(when(col("tdf") === 1, 1)).as("df1_terms"))
+      .withColumn("type_token_ratio",
+        col("vocab").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of N
     * ranked runs — the standard hybrid-retrieval combiner (e.g. BM25 +
     * dense ANN): fused score of a document is the sum over runs of

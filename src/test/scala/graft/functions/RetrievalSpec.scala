@@ -88,4 +88,15 @@ class RetrievalSpec extends SparkTestBase {
       .collect().map(_.getLong(1))
     assert(out.toSeq == Seq(3L, 5L)) // doc asc among ties, 9 truncated
   }
+
+  test("vocab profile: hand-counted Zipf sheet on a tiny corpus") {
+    // tokens: a a b | b c | d  -> counts a:2 b:2 c:1 d:1; dfs a:1 b:2 c:1 d:1
+    val docs = Seq((1L, "a A b"), (2L, "b c"), (3L, "d")).toDF("id", "text")
+    val r = Retrieval.vocabProfile(docs, "id", "text").collect()(0)
+    assert(r.getLong(0) == 6)  // n_tokens
+    assert(r.getLong(1) == 4)  // vocab
+    assert(r.getLong(2) == 2)  // hapax: c, d
+    assert(r.getLong(3) == 3)  // df1: a, c, d
+    assert(r.getDouble(4) == 4.0 / 6)
+  }
 }
