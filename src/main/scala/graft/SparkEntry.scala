@@ -6486,6 +6486,37 @@ object SparkEntry {
     "q266_vocab_profile" -> ((s, d) =>
       graft.functions.Retrieval.vocabProfile(
         t(s, d, "documents"), "doc_id", "text")),
+
+    // --- 267. crawl-frontier politeness rounds, oracle-pinned -------------------------------------------
+    // Deterministic fetch scheduling: a 7-host frontier built from
+    // documents, 3 fetches per host per round, priority-first with a
+    // total tie-break. The oracle replays the identical window.
+    "q267_politeness_rounds" -> ((s, d) => {
+      val urls = t(s, d, "documents").select(
+        concat(lit("h"), (col("doc_id") % 7).cast("string"), lit(".test")).as("host"),
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+          lit(".test/p"), col("doc_id").cast("string")).as("url"),
+        (col("doc_id") % 5).cast("int").as("prio"))
+      graft.operators.Frontier.politenessRounds(urls, "host", "url", "prio", 3)
+        .orderBy("host", "round", "slot")
+    }),
+
+    // --- 268. robust median/MAD outlier gate, oracle-pinned ---------------------------------------------
+    // Per-group Hampel gate on an INTEGER metric (token count), so every
+    // median/MAD is a dyadic rational and the whole gate is bit-exact.
+    // Aggregated per group: counts, flagged count, and both robust stats.
+    "q268_robust_outliers" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        (col("doc_id") % 5).cast("int").as("grp"),
+        size(graft.functions.Retrieval.tokens(col("text"))).cast("long").as("m"))
+      graft.operators.Outliers.robustGate(docs, "grp", "m")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("is_outlier"), 1)).as("n_outliers"),
+          first(col("grp_median")).as("grp_median"),
+          first(col("grp_mad")).as("grp_mad"))
+        .orderBy("grp")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10789,7 +10820,42 @@ object SparkEntry {
         |  count(CASE WHEN tdf = 1 THEN 1 END) AS df1_terms,
         |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
         |    AS type_token_ratio
-        |FROM tm""".stripMargin
+        |FROM tm""".stripMargin,
+
+    // Politeness rounds: the identical window replayed.
+    "q267_politeness_rounds" ->
+      """WITH u AS (
+        |  SELECT 'h' || (doc_id % 7) || '.test' AS host,
+        |    'http://h' || (doc_id % 7) || '.test/p' || doc_id AS url,
+        |    CAST(doc_id % 5 AS INT) AS prio
+        |  FROM documents),
+        |r AS (SELECT host, url, prio,
+        |  ROW_NUMBER() OVER (PARTITION BY host ORDER BY prio DESC, url) AS rk
+        |  FROM u)
+        |SELECT host, url, prio,
+        |  CAST((rk - 1) // 3 AS INT) AS round,
+        |  CAST((rk - 1) % 3 AS INT) AS slot
+        |FROM r ORDER BY host, round, slot""".stripMargin,
+
+    // Robust gate: medians over integer metrics are dyadic rationals, so
+    // DuckDB's independent median/interpolation lands on identical doubles.
+    "q268_robust_outliers" ->
+      """WITH docs AS (
+        |  SELECT CAST(doc_id % 5 AS INT) AS grp,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS m
+        |  FROM documents),
+        |med AS (SELECT grp, median(m) AS grp_median FROM docs GROUP BY 1),
+        |mad AS (SELECT d.grp, grp_median,
+        |    median(abs(m - grp_median)) AS grp_mad
+        |  FROM docs d JOIN med USING (grp) GROUP BY 1, 2)
+        |SELECT d.grp, count(*) AS n,
+        |  count(CASE WHEN abs(m - grp_median) > 3.0 * grp_mad THEN 1 END)
+        |    AS n_outliers,
+        |  CAST(grp_median AS DOUBLE) AS grp_median,
+        |  CAST(grp_mad AS DOUBLE) AS grp_mad
+        |FROM docs d JOIN mad USING (grp)
+        |GROUP BY 1, 4, 5 ORDER BY grp""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

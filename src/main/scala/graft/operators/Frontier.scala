@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier politeness scheduling — the planning half of the robots
+  * operators: a crawler must spread each host's fetches over time, so the
+  * frontier assigns every URL a fetch ROUND such that no host sees more
+  * than `perRound` requests per round, higher-priority URLs go first, and
+  * the assignment is deterministic (re-planning a frontier after a crash
+  * reproduces the same schedule).
+  *
+  * `round = (rank - 1) / perRound`, `slot = (rank - 1) % perRound`, where
+  * rank numbers a host's URLs by (priority DESC, url) — the tie-break is
+  * total, so the schedule is a pure function of the frontier contents.
+  *
+  * Scale shape: ONE shuffle on the host key for the window; no global
+  * sort, no driver state. Hosts are independent, so a 10^9-URL frontier
+  * with 10^6 hosts parallelizes across every executor; a pathological
+  * single-host frontier degrades to that host's own sort, which is the
+  * problem's inherent shape.
+  */
+object Frontier {
+
+  def politenessRounds(
+      urls: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      priorityCol: String,
+      perRound: Int
+  ): DataFrame = {
+    require(perRound >= 1, s"perRound must be >= 1, got $perRound")
+    val rank = row_number().over(
+      Window.partitionBy(col(hostCol))
+        .orderBy(col(priorityCol).desc, col(urlCol)))
+    urls.withColumn("__rk", rank)
+      .withColumn("round", ((col("__rk") - 1) / perRound).cast("int"))
+      .withColumn("slot", ((col("__rk") - 1) % perRound).cast("int"))
+      .drop("__rk")
+  }
+}

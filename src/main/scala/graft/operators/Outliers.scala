@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier gating — the median/MAD filter corpus curation
+  * runs per domain/source: mean/stddev gates break on the very outliers
+  * they hunt (a single 10 GB document drags the mean), so the robust
+  * location/scale pair is the published practice (Hampel filter; Leys et
+  * al. 2013). A row is an outlier in its group when
+  * `|x - median| > k * MAD`, with `MAD = median(|x - median|)`.
+  *
+  * EXACTNESS: with an integer metric (token counts, line counts, byte
+  * sizes — the corpus-curation cases), every median is either an integer
+  * or a .5 half — dyadic rationals that IEEE doubles carry exactly — so
+  * the gate is bit-exact replayable by an independent SQL implementation,
+  * interpolation and all. `k` should be a small dyadic constant (3.0,
+  * 2.5) for the same reason.
+  *
+  * Scale shape: two grouped EXACT percentile aggregates (sort-based
+  * within group, map-side partial collection) and one broadcastable
+  * group-stats join back — group count is domains/sources, orders of
+  * magnitude below row count. No driver state.
+  */
+object Outliers {
+
+  /** Adds `grp_median`, `grp_mad`, `is_outlier` to `df`. */
+  def robustGate(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      k: Double = 3.0
+  ): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(percentile(col(metricCol), lit(0.5)).as("grp_median"))
+    val mad = df.join(broadcast(med), groupCol)
+      .groupBy(groupCol, "grp_median")
+      .agg(percentile(abs(col(metricCol) - col("grp_median")), lit(0.5))
+        .as("grp_mad"))
+    df.join(broadcast(mad), groupCol)
+      .withColumn("is_outlier",
+        abs(col(metricCol) - col("grp_median")) > lit(k) * col("grp_mad"))
+  }
+}

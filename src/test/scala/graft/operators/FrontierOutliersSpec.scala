@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Frontier politeness rounds (determinism, per-round host cap, priority
+  * order) and the robust median/MAD outlier gate (hand-computed medians,
+  * resistance to the outlier itself, exact dyadic arithmetic).
+  */
+class FrontierOutliersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("politeness rounds: host cap, priority-first, deterministic") {
+    val urls = Seq(
+      ("a.com", "http://a.com/1", 1), ("a.com", "http://a.com/2", 9),
+      ("a.com", "http://a.com/3", 5), ("a.com", "http://a.com/4", 9),
+      ("b.com", "http://b.com/1", 0))
+      .toDF("host", "url", "prio")
+    val out = Frontier.politenessRounds(urls, "host", "url", "prio", 2)
+      .orderBy("host", "round", "slot")
+      .as[(String, String, Int, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      // priority desc, url asc within host; 2 per round
+      ("a.com", "http://a.com/2", 9, 0, 0),
+      ("a.com", "http://a.com/4", 9, 0, 1),
+      ("a.com", "http://a.com/3", 5, 1, 0),
+      ("a.com", "http://a.com/1", 1, 1, 1),
+      ("b.com", "http://b.com/1", 0, 0, 0)))
+    // no host exceeds the cap in any round
+    val cap = Frontier.politenessRounds(urls, "host", "url", "prio", 2)
+      .groupBy("host", "round").count().agg(max("count")).first().getLong(0)
+    assert(cap <= 2L)
+  }
+
+  test("robust gate: hand-computed median/MAD, outlier flagged, inliers kept") {
+    // group g: 1 2 3 4 100 -> median 3, deviations 2 1 0 1 97 -> MAD 1
+    // outlier iff |x-3| > 3*1: only 100.
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L),
+      ("h", 10L), ("h", 10L)).toDF("grp", "m")
+    val out = Outliers.robustGate(df, "grp", "m")
+      .select("grp", "m", "grp_median", "grp_mad", "is_outlier")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    val g = out.filter(_._1 == "g")
+    assert(g.forall(r => r._3 == 3.0 && r._4 == 1.0))
+    assert(g.filter(_._5).map(_._2).toSeq == Seq(100L))
+    // constant group: MAD 0, nothing flagged (0 > 0 is false)
+    assert(out.filter(_._1 == "h").forall(!_._5))
+  }
+
+  test("robust gate: even-count interpolation lands on exact halves") {
+    // 1 2 3 10 -> median 2.5; deviations 1.5 .5 .5 7.5 -> MAD 1.0
+    val df = Seq(("e", 1L), ("e", 2L), ("e", 3L), ("e", 10L)).toDF("grp", "m")
+    val r = Outliers.robustGate(df, "grp", "m")
+      .select("grp_median", "grp_mad").distinct().collect()(0)
+    assert(r.getDouble(0) == 2.5 && r.getDouble(1) == 1.0)
+  }
+}
