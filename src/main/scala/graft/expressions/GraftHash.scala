@@ -115,6 +115,34 @@ object GraftHash {
     inter.toDouble / na
   }
 
+  /** Integer dot product of two sparse term-count vectors PACKED as
+    * interleaved `array<bigint>` `[h0, c0, h1, c1, ...]` with the
+    * (hash, count) pairs sorted ascending by signed hash. One merge scan
+    * of primitive longs: zero allocation, zero string compares — the
+    * exact-cosine verifier's per-pair kernel, run once per raw bucket
+    * pair (tens of millions per corpus slice). The struct-array
+    * formulation (`getStruct` + UTF8String compare) allocates two
+    * wrappers per element visit and was measured 2x+ slower under the
+    * same join; an interpreted HOF (`aggregate` + `element_at`) is
+    * O(|a|·|b|) boxed compares and drops the stage out of
+    * WholeStageCodegen entirely.
+    */
+  def tfDotPacked(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val ha = a.getLong(i)
+      val hb = b.getLong(j)
+      if (ha == hb) { acc += a.getLong(i + 1) * b.getLong(j + 1); i += 2; j += 2 }
+      else if (ha < hb) i += 2
+      else j += 2
+    }
+    acc
+  }
+
   /** One-pass cosine similarity of two float vectors (double accumulators);
     * 0.0 when either vector is empty/all-zero or lengths differ.
     */

@@ -140,6 +140,35 @@ case class ContainmentSortedExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_containment_sorted"
 }
 
+/** Integer dot product of two sparse tf vectors — each PACKED as an
+  * interleaved `array<bigint>` `[h0, c0, h1, c1, ...]`, (hash, count)
+  * pairs sorted ascending by signed hash — via one codegen'd primitive
+  * merge scan ([[GraftHash.tfDotPacked]]). The per-pair verification
+  * kernel of [[graft.functions.Dedup.cosineJoinExact]]: exact integer
+  * arithmetic, zero per-row allocation, stays inside the enclosing
+  * WholeStageCodegen span (a HOF lambda would not).
+  */
+case class TfDotPackedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> (the packed interleaved " +
+        "hash/count tf representation), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.tfDotPacked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.tfDotPacked($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TfDotPackedExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_tf_dot_packed"
+}
+
 /** `array<string>` of tokens -> struct<n_tokens,n_long,sum_len> (all bigint),
   * one pass. The codegen'd replacement for the interpreted HOF chain
   * `size(filter(toks, len>k))` + `aggregate(transform(toks, len), 0, +)`:

