@@ -6517,6 +6517,39 @@ object SparkEntry {
           first(col("grp_mad")).as("grp_mad"))
         .orderBy("grp")
     }),
+
+    // --- 269. LaTeX source extraction, oracle-pinned ----------------------------------------------------
+    // Three constructed shapes: a full article (preamble, title capture,
+    // section, inline math, comment, cite), a fragment (itemize, href
+    // URL-drop, escaped percent, display math, verbatim skip), and plain
+    // prose where the pinned %-comment rule truncates the line. Flag,
+    // title, every census count and the extracted text closed-form.
+    "q269_latex_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("\\documentclass{article}\\title{Paper "), id,
+        lit("}\\begin{document}\\section{Intro "), id,
+        lit("}\nResult \\emph{"), id, lit("} is $x_"), id,
+        lit("$ fine. % trail\n\\cite{k"), id, lit("} done.\\end{document}")))
+        .when(m === 1, concat(
+          lit("\\begin{itemize}\\item A"), id, lit("\\item B\\end{itemize} "),
+          lit("\\href{http://e/"), id, lit("}{link "), id,
+          lit("} 100\\% $$d_"), id,
+          lit("$$ \\begin{verbatim}$raw"), id, lit("$\\end{verbatim} tail")))
+        .otherwise(concat(
+          lit("Plain notes "), id, lit(": 50% discount applies\nsecond line "), id))
+      val v = TF.latexText(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_latex").as("is_latex"),
+          v.getField("title").as("title"),
+          v.getField("n_sections").as("n_sections"),
+          v.getField("n_envs").as("n_envs"),
+          v.getField("n_math").as("n_math"),
+          v.getField("n_commands").as("n_commands"),
+          v.getField("text").as("text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10855,7 +10888,30 @@ object SparkEntry {
         |  CAST(grp_median AS DOUBLE) AS grp_median,
         |  CAST(grp_mad AS DOUBLE) AS grp_mad
         |FROM docs d JOIN mad USING (grp)
-        |GROUP BY 1, 4, 5 ORDER BY grp""".stripMargin
+        |GROUP BY 1, 4, 5 ORDER BY grp""".stripMargin,
+
+    // LaTeX extraction: flag, title, census and text per construction
+    // case; the prose case pins the %-comment truncation rule.
+    "q269_latex_text" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS is_latex,
+        |  CASE doc_id % 3 WHEN 0 THEN 'Paper ' || doc_id END AS title,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_sections,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_envs,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_math,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 7 WHEN 1 THEN 6 ELSE 0 END
+        |    AS BIGINT) AS n_commands,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'Intro ' || doc_id || ' Result ' || doc_id ||
+        |      ' is fine. done.'
+        |    WHEN 1 THEN 'A' || doc_id || ' B link ' || doc_id ||
+        |      ' 100% tail'
+        |    ELSE 'Plain notes ' || doc_id || ': 50 second line ' || doc_id
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,257 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LaTeX source extraction — the academic-paper face of the markup family
+  * ([[BoilerplateCodec]] for HTML, `MarkdownCodec` for markdown): arXiv
+  * source dumps are a staple pretraining corpus and ship as raw `.tex`,
+  * where the prose is interleaved with markup that is NOT text (math,
+  * preamble, labels, citations). Pinned single-pass grammar:
+  *
+  *  - comments: unescaped `%` to end of line (the newline survives as
+  *    whitespace); `\%` is the literal percent;
+  *  - math: inline `$...$`, display `$$...$$`, `\(...\)`, `\[...\]` are
+  *    removed and counted in `n_math` (unclosed math swallows the tail —
+  *    truncated sources route to quality gates, not here);
+  *  - environments: every `\begin{name}` counts in `n_envs`; math/code
+  *    environment BODIES are skipped to the first matching `\end{name}`
+  *    (equation/align/eqnarray/gather/multline and `*` forms,
+  *    displaymath, math, verbatim(*), lstlisting, minted, tikzpicture,
+  *    comment); all other environment markers drop but their content
+  *    flows through (itemize/abstract/document/figure hold prose);
+  *  - commands: every `\letters*?` token counts in `n_commands`.
+  *    A pinned DROP-ARGS set (labels, refs, cites, includegraphics,
+  *    preamble declarations, spacing, url, author/date metadata) removes
+  *    the command plus its `[...]`/`{...}` groups; `\href{u}{t}` drops
+  *    the URL argument and keeps the text argument; `\title{...}` is
+  *    captured as metadata and removed from the body; section heads
+  *    (`\(sub)*section`, `\chapter`, `\paragraph`) count in `n_sections`
+  *    and keep their argument text inline. Every OTHER command drops
+  *    just the token and its `[...]` options — its brace argument
+  *    content flows through the generic brace rule, so `\emph{x}` yields
+  *    `x` without a keep-list per styling macro;
+  *  - escapes `\% \$ \& \_ \# \{ \}` yield the literal; `\\` and `~`
+  *    yield whitespace; braces drop (grouping); whitespace collapses.
+  *
+  * `is_latex` is the routing signal: a `\documentclass`, `\usepackage`
+  * or `\begin{document}` token was seen. The extractor itself runs
+  * unconditionally (the router decides; mixed corpora gate on the flag).
+  * Row-local, zero allocation beyond the output, codegen'd.
+  */
+object LatexCodec {
+
+  private val SkipEnvs: Set[String] = Set(
+    "equation", "equation*", "align", "align*", "eqnarray", "eqnarray*",
+    "gather", "gather*", "multline", "multline*", "displaymath", "math",
+    "verbatim", "verbatim*", "lstlisting", "minted", "tikzpicture",
+    "comment")
+
+  private val DropArgs: Set[String] = Set(
+    "label", "ref", "eqref", "pageref", "autoref", "cite", "citep",
+    "citet", "citealp", "citeauthor", "citeyear", "footcite", "nocite",
+    "includegraphics", "input", "include", "usepackage", "documentclass",
+    "bibliography", "bibliographystyle", "newcommand", "renewcommand",
+    "providecommand", "newenvironment", "renewenvironment", "setlength",
+    "addtolength", "vspace", "hspace", "url", "graphicspath",
+    "hypersetup", "author", "date", "thanks", "pagestyle",
+    "thispagestyle", "newtheorem")
+
+  private val SectionCmds: Set[String] = Set(
+    "section", "section*", "subsection", "subsection*", "subsubsection",
+    "subsubsection*", "chapter", "chapter*", "paragraph", "paragraph*")
+
+  /** Index just past the balanced `{...}` group starting at `i` (which
+    * must point at `{`); brace counting only — escaped braces inside are
+    * rare in arguments and pinned out of scope.
+    */
+  private def skipGroup(s: String, i: Int, n: Int): Int = {
+    var depth = 1
+    var j = i + 1
+    while (j < n && depth > 0) {
+      val c = s.charAt(j)
+      if (c == '{') depth += 1 else if (c == '}') depth -= 1
+      j += 1
+    }
+    j
+  }
+
+  private def skipOpts(s: String, i0: Int, n: Int): Int = {
+    var i = i0
+    while (i < n && s.charAt(i) == '[') {
+      while (i < n && s.charAt(i) != ']') i += 1
+      if (i < n) i += 1
+    }
+    i
+  }
+
+  /** Strip nested command tokens/braces from a captured argument (title). */
+  private def cleanArg(raw: String): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < n && Character.isLetter(raw.charAt(i + 1))) {
+        i += 1
+        while (i < n && Character.isLetter(raw.charAt(i))) i += 1
+      } else if (c == '{' || c == '}') i += 1
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString.replaceAll("\\s+", " ").trim
+  }
+
+  def extract(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var i = 0
+    var nCmds = 0L
+    var nEnvs = 0L
+    var nMath = 0L
+    var nSections = 0L
+    var isLatex = false
+    var title: String = null
+    var ws = sb.length == 0
+    def appendWs(): Unit = if (!ws) { sb.append(' '); ws = true }
+    def append(c: Char): Unit = { sb.append(c); ws = false }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '$') {
+        nMath += 1
+        if (i + 1 < n && s.charAt(i + 1) == '$') {
+          i += 2
+          while (i + 1 < n && !(s.charAt(i) == '$' && s.charAt(i + 1) == '$')) i += 1
+          i = if (i + 1 < n) i + 2 else n
+        } else {
+          i += 1
+          while (i < n && s.charAt(i) != '$') {
+            if (s.charAt(i) == '\\' && i + 1 < n) i += 1
+            i += 1
+          }
+          if (i < n) i += 1
+        }
+        appendWs()
+      } else if (c == '~') { appendWs(); i += 1 }
+      else if (c == '{' || c == '}') i += 1
+      else if (Character.isWhitespace(c)) { appendWs(); i += 1 }
+      else if (c != '\\') { append(c); i += 1 }
+      else if (i + 1 >= n) i += 1
+      else {
+        val d = s.charAt(i + 1)
+        if (d == '%' || d == '$' || d == '&' || d == '_' || d == '#' ||
+          d == '{' || d == '}') { append(d); i += 2 }
+        else if (d == '\\') { appendWs(); i += 2 }
+        else if (d == '(') {
+          nMath += 1
+          i += 2
+          while (i + 1 < n && !(s.charAt(i) == '\\' && s.charAt(i + 1) == ')')) i += 1
+          i = if (i + 1 < n) i + 2 else n
+          appendWs()
+        } else if (d == '[') {
+          nMath += 1
+          i += 2
+          while (i + 1 < n && !(s.charAt(i) == '\\' && s.charAt(i + 1) == ']')) i += 1
+          i = if (i + 1 < n) i + 2 else n
+          appendWs()
+        } else if (!Character.isLetter(d)) { append(d); i += 2 }
+        else {
+          var j = i + 1
+          while (j < n && Character.isLetter(s.charAt(j))) j += 1
+          if (j < n && s.charAt(j) == '*') j += 1
+          val cmd = s.substring(i + 1, j)
+          nCmds += 1
+          if (cmd == "documentclass" || cmd == "usepackage") isLatex = true
+          var k = j
+          while (k < n && (s.charAt(k) == ' ' || s.charAt(k) == '\t')) k += 1
+          if (cmd == "begin" && k < n && s.charAt(k) == '{') {
+            val e = skipGroup(s, k, n)
+            val env = s.substring(k + 1, math.max(k + 1, e - 1))
+            nEnvs += 1
+            if (env == "document") isLatex = true
+            if (SkipEnvs.contains(env)) {
+              val close = "\\end{" + env + "}"
+              val at = s.indexOf(close, e)
+              i = if (at < 0) n else at + close.length
+            } else i = e
+            appendWs()
+          } else if (cmd == "end" && k < n && s.charAt(k) == '{') {
+            i = skipGroup(s, k, n)
+            appendWs()
+          } else if (cmd == "title" && k < n && s.charAt(k) == '{') {
+            val e = skipGroup(s, k, n)
+            if (title == null)
+              title = cleanArg(s.substring(k + 1, math.max(k + 1, e - 1)))
+            i = e
+            appendWs()
+          } else if (cmd == "href") {
+            var k2 = skipOpts(s, k, n)
+            if (k2 < n && s.charAt(k2) == '{') k2 = skipGroup(s, k2, n)
+            i = k2
+            appendWs()
+          } else if (DropArgs.contains(cmd)) {
+            var k2 = skipOpts(s, k, n)
+            while (k2 < n && s.charAt(k2) == '{')
+              k2 = skipOpts(s, skipGroup(s, k2, n), n)
+            i = k2
+            appendWs()
+          } else {
+            if (SectionCmds.contains(cmd)) nSections += 1
+            i = skipOpts(s, k, n)
+            appendWs()
+          }
+        }
+      }
+    }
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    val out = new Array[Any](7)
+    out(0) = isLatex
+    out(1) = if (title == null) null else UTF8String.fromString(title)
+    out(2) = nSections
+    out(3) = nEnvs
+    out(4) = nMath
+    out(5) = nCmds
+    out(6) = UTF8String.fromString(sb.toString)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<is_latex,title,n_sections,n_envs,n_math,n_commands,
+  * text> ([[LatexCodec.extract]]): LaTeX routing signal, title metadata,
+  * markup census and the extracted prose.
+  */
+case class LatexTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_latex", BooleanType, nullable = false),
+    StructField("title", StringType),
+    StructField("n_sections", LongType, nullable = false),
+    StructField("n_envs", LongType, nullable = false),
+    StructField("n_math", LongType, nullable = false),
+    StructField("n_commands", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    LatexCodec.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.LatexCodec.extract($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): LatexTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_latex_text"
+}

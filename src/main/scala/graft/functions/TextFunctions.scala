@@ -437,6 +437,15 @@ object TextFunctions {
       graft.expressions.BibtexExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** LaTeX source extraction ([[graft.expressions.LatexTextExpr]]):
+    * routing signal, title metadata, markup census (sections/envs/math/
+    * commands) and the extracted prose — the arXiv-corpus text face.
+    */
+  def latexText(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.LatexTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** INI/TOML/dotenv config profile
     * ([[graft.expressions.ConfigProfileExpr]]): section/pair/comment
     * census, the config-line fraction, and the dotted key list — the

@@ -1,0 +1,84 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** LaTeX extraction: comment/math/environment stripping, command-argument
+  * retention rules, escapes, title capture, and the routing signal.
+  */
+class LatexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.latexText(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("full article: preamble dropped, prose and headings kept") {
+    val r = one(
+      "\\documentclass[11pt]{article}\n\\usepackage{amsmath}\n" +
+        "\\title{A \\textbf{Grand} Theory}\n\\author{J. Doe}\n" +
+        "\\begin{document}\n\\section{Intro}\nHello \\emph{brave} world. % note\n" +
+        "\\end{document}")
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "A Grand Theory")
+    assert(r.getLong(2) == 1) // n_sections
+    assert(r.getLong(3) == 1) // n_envs (document)
+    assert(r.getString(6) == "Intro Hello brave world.")
+  }
+
+  test("math is removed and counted: inline, display, bracket forms, envs") {
+    val r = one(
+      "a $x+y$ b $$\\int f$$ c \\(z\\) d \\[w\\] e " +
+        "\\begin{equation}E=mc^2\\end{equation} f")
+    assert(r.getLong(4) == 4) // $...$, $$...$$, \(...\), \[...\]
+    assert(r.getLong(3) == 1) // equation env
+    assert(r.getString(6) == "a b c d e f")
+  }
+
+  test("verbatim and lstlisting bodies are skipped wholesale") {
+    val r = one(
+      "before \\begin{verbatim}$raw$ \\notacmd{x}\\end{verbatim} after " +
+        "\\begin{lstlisting}int main()\\end{lstlisting} done")
+    assert(r.getString(6) == "before after done")
+    assert(r.getLong(4) == 0)
+  }
+
+  test("drop-args commands remove their groups; href keeps link text") {
+    val r = one(
+      "see \\cite{brown2020} and \\ref{fig:1} at " +
+        "\\href{https://example.com}{the site} via \\url{http://x.y} end")
+    assert(r.getString(6) == "see and at the site via end")
+  }
+
+  test("itemize content flows; escapes are literal; tilde is space") {
+    val r = one(
+      "\\begin{itemize}\\item A\\item B\\end{itemize} 100\\% of~it \\& more \\_x\\_")
+    assert(r.getString(6) == "A B 100% of it & more _x_")
+    assert(r.getLong(3) == 1)
+  }
+
+  test("prose with a bare percent truncates the line (pinned comment rule)") {
+    val r = one("plain prose, 100% sure\nnext line")
+    assert(!r.getBoolean(0))
+    assert(r.getString(6) == "plain prose, 100 next line")
+    assert(r.getLong(5) == 0)
+  }
+
+  test("unclosed math swallows the tail; unclosed env drops to end") {
+    assert(one("a $x never closes").getString(6) == "a")
+    assert(one("a \\begin{equation} x y z").getString(6) == "a")
+  }
+
+  test("null in, null out; codegen path") {
+    val rows = Seq[(Long, String)]((1L, null), (2L, "\\section{S} t"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.latexText(col("t")).as("v"))
+      .select(col("id"), col("v.text"), col("v.n_sections"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getString(1) == "S t" && rows(1).getLong(2) == 1)
+  }
+}
