@@ -6550,6 +6550,35 @@ object SparkEntry {
           v.getField("text").as("text"))
         .orderBy("doc_id")
     }),
+
+    // --- 270. JSON structure census, oracle-pinned ------------------------------------------------------
+    // Three constructed shapes: a nested object with an array (depth,
+    // every node-type count, three typed leaf paths), an array root with
+    // a null-vs-number path split, and a truncated document that must
+    // zero the whole census. All fields closed-form.
+    "q270_json_paths" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("{\"user\":{\"name\":\"u"), id,
+        lit("\",\"tags\":[1,"), id, lit("]},\"ok\":true}")))
+        .when(m === 1, concat(
+          lit("[{\"a\":"), id, lit("},{\"a\":null},\"x"), id, lit("\"]")))
+        .otherwise(concat(lit("{\"broken\": "), id))
+      val v = TF.jsonPaths(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_json").as("is_json"),
+          v.getField("max_depth").as("max_depth"),
+          v.getField("n_objects").as("n_objects"),
+          v.getField("n_arrays").as("n_arrays"),
+          v.getField("n_keys").as("n_keys"),
+          v.getField("n_strings").as("n_strings"),
+          v.getField("n_numbers").as("n_numbers"),
+          v.getField("n_bools").as("n_bools"),
+          v.getField("n_nulls").as("n_nulls"),
+          v.getField("paths").as("paths"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10911,6 +10940,33 @@ object SparkEntry {
         |      ' 100% tail'
         |    ELSE 'Plain notes ' || doc_id || ': 50 second line ' || doc_id
         |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // JSON census: depth, node-type counts and typed leaf paths per
+    // construction case; the truncated case zeroes everything.
+    "q270_json_paths" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_json,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS max_depth,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 2 END AS BIGINT)
+        |    AS n_objects,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_arrays,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_keys,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_strings,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_numbers,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_bools,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_nulls,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN '$.user.name=string,$.user.tags[]=number,$.ok=boolean'
+        |    WHEN 1 THEN '$[].a=number,$[].a=null,$[]=string'
+        |  END AS paths
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

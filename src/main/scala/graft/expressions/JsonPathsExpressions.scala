@@ -1,0 +1,221 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JSON structure census — the schema-profile face of the structured-data
+  * family ([[ConfigFileExpressions]] for INI/TOML, `CsvSniffCodec` for
+  * delimited): API dumps, log lines and scraped payloads are JSON whose
+  * VALUE is the shape, not the prose — which paths exist, what scalar
+  * types live at them, how deep the nesting runs. That census is the
+  * schema-inference input, the router between "structured record" and
+  * "text with braces", and the drift detector between corpus slices
+  * (`groupBy(path, type)` over the exploded census is the corpus schema).
+  *
+  * Pinned grammar: one strict recursive-descent pass — object/array/
+  * string (JSON escapes incl. `\uXXXX`)/number (`-?d+(.d+)?([eE][+-]?d+)?`)/
+  * `true|false|null`, nothing lenient (lenient repair is
+  * [[JsonRepairExpressions]]' job). `is_json` requires ONE complete root
+  * value with only whitespace after it; any failure — including depth
+  * beyond 64 (bomb cap) — zeroes the whole census so downstream
+  * aggregates never mix full and partial walks. Leaf paths are recorded
+  * `$.user.tags[]=number` style (root `$`, member `.key` unescaped,
+  * array element `[]`), first-visit order, DISTINCT, capped at 64 —
+  * `paths` joins them with `,`. Row-local, codegen'd.
+  */
+object JsonPathsCodec {
+
+  private final val MaxDepth = 64
+  private final val MaxPaths = 64
+
+  private final class Walk(s: String) {
+    val n: Int = s.length
+    var i = 0
+    var ok = true
+    var maxDepth = 0L
+    var nObj = 0L
+    var nArr = 0L
+    var nKeys = 0L
+    var nStr = 0L
+    var nNum = 0L
+    var nBool = 0L
+    var nNull = 0L
+    val paths = new java.util.LinkedHashSet[String]()
+
+    def ws(): Unit =
+      while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+        s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+
+    /** Scan a JSON string starting at the opening quote; returns its
+      * content verbatim (escapes NOT decoded — paths are census keys,
+      * not display text) or null on malformed input.
+      */
+    def str(): String = {
+      val start = i + 1
+      i += 1
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= n) { ok = false; return null }
+          i += (if (s.charAt(i + 1) == 'u') 6 else 2)
+        } else if (c == '"') {
+          val out = s.substring(start, i)
+          i += 1
+          return out
+        } else i += 1
+      }
+      ok = false
+      null
+    }
+
+    def leaf(path: String, tpe: String): Unit =
+      if (paths.size < MaxPaths) paths.add(path + "=" + tpe)
+
+    def value(path: String, depth: Int): Unit = {
+      if (!ok) return
+      if (depth > MaxDepth) { ok = false; return }
+      if (depth > maxDepth) maxDepth = depth
+      ws()
+      if (i >= n) { ok = false; return }
+      val c = s.charAt(i)
+      if (c == '{') {
+        nObj += 1
+        i += 1
+        ws()
+        if (i < n && s.charAt(i) == '}') { i += 1; return }
+        var more = true
+        while (ok && more) {
+          ws()
+          if (i >= n || s.charAt(i) != '"') { ok = false; return }
+          val key = str()
+          if (!ok) return
+          nKeys += 1
+          ws()
+          if (i >= n || s.charAt(i) != ':') { ok = false; return }
+          i += 1
+          value(path + "." + key, depth + 1)
+          if (!ok) return
+          ws()
+          if (i < n && s.charAt(i) == ',') i += 1
+          else if (i < n && s.charAt(i) == '}') { i += 1; more = false }
+          else ok = false
+        }
+      } else if (c == '[') {
+        nArr += 1
+        i += 1
+        ws()
+        if (i < n && s.charAt(i) == ']') { i += 1; return }
+        var more = true
+        while (ok && more) {
+          value(path + "[]", depth + 1)
+          if (!ok) return
+          ws()
+          if (i < n && s.charAt(i) == ',') i += 1
+          else if (i < n && s.charAt(i) == ']') { i += 1; more = false }
+          else ok = false
+        }
+      } else if (c == '"') {
+        str()
+        if (ok) { nStr += 1; leaf(path, "string") }
+      } else if (c == 't') {
+        if (s.startsWith("true", i)) { i += 4; nBool += 1; leaf(path, "boolean") }
+        else ok = false
+      } else if (c == 'f') {
+        if (s.startsWith("false", i)) { i += 5; nBool += 1; leaf(path, "boolean") }
+        else ok = false
+      } else if (c == 'n') {
+        if (s.startsWith("null", i)) { i += 4; nNull += 1; leaf(path, "null") }
+        else ok = false
+      } else if (c == '-' || (c >= '0' && c <= '9')) {
+        if (c == '-') i += 1
+        val d0 = i
+        while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+        if (i == d0) { ok = false; return }
+        if (i < n && s.charAt(i) == '.') {
+          i += 1
+          val d1 = i
+          while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+          if (i == d1) { ok = false; return }
+        }
+        if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+          i += 1
+          if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+          val d2 = i
+          while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+          if (i == d2) { ok = false; return }
+        }
+        nNum += 1
+        leaf(path, "number")
+      } else ok = false
+    }
+  }
+
+  def census(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val w = new Walk(u.toString)
+    w.value("$", 1)
+    w.ws()
+    val isJson = w.ok && w.i == w.n
+    val out = new Array[Any](10)
+    if (!isJson) {
+      out(0) = false
+      var k = 1
+      while (k < 9) { out(k) = 0L; k += 1 }
+      out(9) = null
+    } else {
+      out(0) = true
+      out(1) = w.maxDepth
+      out(2) = w.nObj
+      out(3) = w.nArr
+      out(4) = w.nKeys
+      out(5) = w.nStr
+      out(6) = w.nNum
+      out(7) = w.nBool
+      out(8) = w.nNull
+      out(9) =
+        if (w.paths.isEmpty) null
+        else UTF8String.fromString(String.join(",", w.paths))
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<is_json,max_depth,n_objects,n_arrays,n_keys,
+  * n_strings,n_numbers,n_bools,n_nulls,paths>
+  * ([[JsonPathsCodec.census]]): strict JSON structure census with typed
+  * leaf paths.
+  */
+case class JsonPathsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_json", BooleanType, nullable = false),
+    StructField("max_depth", LongType, nullable = false),
+    StructField("n_objects", LongType, nullable = false),
+    StructField("n_arrays", LongType, nullable = false),
+    StructField("n_keys", LongType, nullable = false),
+    StructField("n_strings", LongType, nullable = false),
+    StructField("n_numbers", LongType, nullable = false),
+    StructField("n_bools", LongType, nullable = false),
+    StructField("n_nulls", LongType, nullable = false),
+    StructField("paths", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    JsonPathsCodec.census(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.JsonPathsCodec.census($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): JsonPathsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_json_paths"
+}

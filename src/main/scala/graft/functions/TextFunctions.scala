@@ -446,6 +446,15 @@ object TextFunctions {
       graft.expressions.LatexTextExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** JSON structure census ([[graft.expressions.JsonPathsExpr]]): strict
+    * parse flag, nesting depth, node-type counts and typed leaf paths —
+    * the schema-inference input and structured-vs-prose router.
+    */
+  def jsonPaths(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.JsonPathsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** INI/TOML/dotenv config profile
     * ([[graft.expressions.ConfigProfileExpr]]): section/pair/comment
     * census, the config-line fraction, and the dotted key list — the

@@ -1,0 +1,78 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** JSON structure census: strict parse gate, depth/type counts, typed
+  * leaf paths, escape handling, bomb caps, and failure zeroing.
+  */
+class JsonPathsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.jsonPaths(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("nested object with array: counts, depth, distinct typed paths") {
+    val r = one("""{"user":{"name":"u1","tags":[1,2]},"ok":true}""")
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 4) // root 1 -> user 2 -> tags 3 -> element 4
+    assert(r.getLong(2) == 2 && r.getLong(3) == 1) // objects, arrays
+    assert(r.getLong(4) == 4) // user, name, tags, ok
+    assert(r.getLong(5) == 1 && r.getLong(6) == 2 && r.getLong(7) == 1)
+    assert(r.getString(9) ==
+      "$.user.name=string,$.user.tags[]=number,$.ok=boolean")
+  }
+
+  test("array root; null and repeated paths are distinct per type") {
+    val r = one("""[{"a":1},{"a":null},"x"]""")
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 3)
+    assert(r.getLong(8) == 1)
+    assert(r.getString(9) == "$[].a=number,$[].a=null,$[]=string")
+  }
+
+  test("scalar roots parse; numbers cover fraction and exponent forms") {
+    assert(one("42").getString(9) == "$=number")
+    assert(one("-3.5e+2").getString(9) == "$=number")
+    assert(one("\"s\"").getString(9) == "$=string")
+    assert(one("null").getLong(8) == 1)
+    assert(one("  true  ").getBoolean(0))
+  }
+
+  test("string escapes including unicode pass through the scan") {
+    val r = one("""{"a\"b":"xAy","c":"\\"}""")
+    assert(r.getBoolean(0))
+    assert(r.getLong(4) == 2 && r.getLong(5) == 2)
+  }
+
+  test("failures zero the census: truncation, trailing junk, bad tokens") {
+    for (t <- Seq("""{"a":1""", """{"a":1} extra""", "{a:1}", "tru",
+      "1.2.3", "[1,]", "", "not json {")) {
+      val r = one(t)
+      assert(!r.getBoolean(0), t)
+      assert(r.getLong(2) == 0 && r.getLong(6) == 0, t)
+      assert(r.isNullAt(9), t)
+    }
+  }
+
+  test("depth bomb beyond 64 fails; exactly 64 passes") {
+    val deep65 = "[" * 65 + "1" + "]" * 65
+    assert(!one(deep65).getBoolean(0))
+    val deep63 = "[" * 63 + "1" + "]" * 63
+    assert(one(deep63).getBoolean(0))
+  }
+
+  test("null in, null out; codegen path over rows") {
+    val rows = Seq[(Long, String)]((1L, null), (2L, """{"k":7}"""))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.jsonPaths(col("t")).as("v"))
+      .select(col("id"), col("v.paths"), col("v.n_keys"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getString(1) == "$.k=number" && rows(1).getLong(2) == 1)
+  }
+}
