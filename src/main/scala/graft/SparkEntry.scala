@@ -6579,6 +6579,24 @@ object SparkEntry {
           v.getField("paths").as("paths"))
         .orderBy("doc_id")
     }),
+
+    // --- 271. HITS hubs and authorities, oracle-pinned --------------------------------------------------
+    // Integer HITS (no per-iteration normalization, so every distributed
+    // sum is an exact BIGINT and partition order cannot perturb the
+    // hash) on an asymmetric two-family ring: every node links +1, every
+    // fifth node also links +7. The oracle unrolls both iterations as
+    // plain SQL joins; norms are one final IEEE division.
+    "q271_hits" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val e1 = docs.select(
+        concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") + 1) % 300).as("dst"))
+      val e2 = docs.where(col("doc_id") % 5 === 0).select(
+        concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") + 7) % 300).as("dst"))
+      graft.functions.Graph.hits(e1.union(e2), "src", "dst", iterations = 2)
+        .orderBy("node")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -10967,7 +10985,42 @@ object SparkEntry {
         |    WHEN 0 THEN '$.user.name=string,$.user.tags[]=number,$.ok=boolean'
         |    WHEN 1 THEN '$[].a=number,$[].a=null,$[]=string'
         |  END AS paths
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // HITS: both iterations unrolled as joins; integer sums cast back to
+    // BIGINT (DuckDB widens sum to HUGEINT); one final division per norm.
+    "q271_hits" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |e AS (
+        |  SELECT 'n' || doc_id AS src, 'n' || ((doc_id + 1) % 300) AS dst
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'n' || doc_id, 'n' || ((doc_id + 7) % 300)
+        |  FROM base WHERE doc_id % 5 = 0),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a
+        |  FROM e GROUP BY 1),
+        |a1f AS (SELECT n.node, COALESCE(a1.a, 0) AS a
+        |  FROM nodes n LEFT JOIN a1 USING (node)),
+        |h1 AS (SELECT e.src AS node, CAST(sum(f.a) AS BIGINT) AS h
+        |  FROM e JOIN a1f f ON f.node = e.dst GROUP BY 1),
+        |h1f AS (SELECT n.node, COALESCE(h1.h, 0) AS h
+        |  FROM nodes n LEFT JOIN h1 USING (node)),
+        |a2 AS (SELECT e.dst AS node, CAST(sum(f.h) AS BIGINT) AS a
+        |  FROM e JOIN h1f f ON f.node = e.src GROUP BY 1),
+        |a2f AS (SELECT n.node, COALESCE(a2.a, 0) AS a
+        |  FROM nodes n LEFT JOIN a2 USING (node)),
+        |h2 AS (SELECT e.src AS node, CAST(sum(f.a) AS BIGINT) AS h
+        |  FROM e JOIN a2f f ON f.node = e.dst GROUP BY 1),
+        |h2f AS (SELECT n.node, COALESCE(h2.h, 0) AS h
+        |  FROM nodes n LEFT JOIN h2 USING (node)),
+        |m AS (SELECT max(h) AS mh, max(a) AS ma
+        |  FROM h2f JOIN a2f USING (node))
+        |SELECT n.node, h2f.h AS hub, a2f.a AS auth,
+        |  CAST(h2f.h AS DOUBLE) / CAST(m.mh AS DOUBLE) AS hub_norm,
+        |  CAST(a2f.a AS DOUBLE) / CAST(m.ma AS DOUBLE) AS auth_norm
+        |FROM nodes n JOIN h2f USING (node) JOIN a2f USING (node), m
+        |ORDER BY node""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -118,4 +118,71 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs-and-authorities (Kleinberg JACM 1999) over a DIRECTED
+    * edge list — the topic-graph complement of [[pageRank]]: a good HUB
+    * points at good authorities, a good AUTHORITY is pointed at by good
+    * hubs. For crawl corpora the authority score is a directory-vs-
+    * content signal PageRank conflates.
+    *
+    * INTEGER formulation for cross-engine exactness: scores start at 1
+    * and each half-step is a plain `sum` of the opposite score over the
+    * edge list — no per-iteration normalization, so every intermediate
+    * is an exact BIGINT and distributed sums are order-independent
+    * (bit-exact replayable by an unrolled SQL oracle; float HITS would
+    * hash-differ on partition order). Normalization happens ONCE at the
+    * end, dividing by the max (a single IEEE division per row). Scores
+    * grow like (max degree)^(2*iterations): with ANSI overflow checking
+    * a too-deep run FAILS LOUDLY instead of wrapping — the iteration
+    * guard keeps the published small-k use (rankings stabilize within a
+    * few rounds; k=2..5 is the working range).
+    *
+    * Scale shape: per half-step ONE equi-join of the checkpointed edge
+    * list against the current scores plus a map-side-combining groupBy;
+    * scores localCheckpoint per iteration for bounded lineage. Parallel
+    * edges weigh double, self-loops count like any edge.
+    *
+    * Returns (node, hub, auth, hub_norm, auth_norm) over every node
+    * appearing as src OR dst.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 8,
+      s"iterations must be in [1, 8] (integer scores grow like " +
+        s"deg^(2*iterations)), got $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var hub = nodes.withColumn("h", lit(1L))
+    var auth = nodes.withColumn("a", lit(0L))
+    var iter = 0
+    while (iter < iterations) {
+      val aNext = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h")).as("a"))
+      auth = nodes.join(aNext, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      val hNext = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a")).as("h"))
+      hub = nodes.join(hNext, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    val maxes = hub.join(auth, "node")
+      .agg(max("h").as("__mh"), max("a").as("__ma"))
+    hub.join(auth, "node")
+      .crossJoin(broadcast(maxes))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"),
+        when(col("__mh") > 0,
+          col("h").cast("double") / col("__mh").cast("double"))
+          .otherwise(lit(0.0)).as("hub_norm"),
+        when(col("__ma") > 0,
+          col("a").cast("double") / col("__ma").cast("double"))
+          .otherwise(lit(0.0)).as("auth_norm"))
+  }
 }

@@ -93,4 +93,53 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(got("B") - (base + 0.85 * (2.0 / 3) / 3)) < 1e-12)
     assert(math.abs(got("C") - (base + 0.85 * (1.0 / 3) / 3)) < 1e-12)
   }
+
+  test("HITS integer scores match the hand computation") {
+    // A->B, A->C, B->C, C->A; two iterations:
+    //   a1 = (A 1, B 1, C 2); h1 = (A 3, B 2, C 1)
+    //   a2 = (A 1, B 3, C 5); h2 = (A 8, B 5, C 1)
+    val got = Graph.hits(
+      Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")).toDF("s", "t"),
+      "s", "t", iterations = 2)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._2 == 8L && got("B")._2 == 5L && got("C")._2 == 1L)
+    assert(got("A")._3 == 1L && got("B")._3 == 3L && got("C")._3 == 5L)
+    assert(got("A")._4 == 1.0 && got("C")._5 == 1.0)
+    assert(got("B")._4 == 5.0 / 8.0 && got("B")._5 == 3.0 / 5.0)
+  }
+
+  test("HITS matches a plain-Scala reference on a denser graph") {
+    val edges = for {
+      i <- 0L until 12L
+      j <- Seq((i + 1) % 12, (i * 5 + 2) % 12) if j != i
+    } yield (i, j)
+    def ref(iters: Int): (Map[Long, Long], Map[Long, Long]) = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var h = nodes.map(_ -> 1L).toMap
+      var a = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        a = nodes.map(v => v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+        h = nodes.map(v => v -> edges.filter(_._1 == v).map(e => a(e._2)).sum).toMap
+      }
+      (h, a)
+    }
+    val (eh, ea) = ref(3)
+    val got = Graph.hits(edges.toDF("s", "t"), "s", "t", iterations = 3)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 12)
+    got.foreach { r =>
+      assert(r._2 == eh(r._1), s"hub ${r._1}")
+      assert(r._3 == ea(r._1), s"auth ${r._1}")
+    }
+  }
+
+  test("HITS: pure sink has zero hub, pure source has zero auth") {
+    val got = Graph.hits(Seq(("S", "X"), ("X", "T")).toDF("s", "t"),
+      "s", "t", iterations = 2)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("T")._2 == 0L && got("S")._3 == 0L)
+    assert(got.contains("X"))
+  }
 }
