@@ -6597,6 +6597,17 @@ object SparkEntry {
       graft.functions.Graph.hits(e1.union(e2), "src", "dst", iterations = 2)
         .orderBy("node")
     }),
+
+    // --- 272. PMI collocation mining, oracle-pinned ------------------------------------------------------
+    // Corpus-level adjacent-pair PMI over the REAL documents text:
+    // integer bigram table, margins rolled up from the table itself,
+    // one double division + ln rounded to 7 (the suite's ln discipline).
+    // The oracle replays tokenization, counts and the exact expression.
+    "q272_pmi_collocations" -> ((s, d) =>
+      graft.functions.Collocations.pmiBigrams(
+        t(s, d, "documents"), "text", minCount = 20L)
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(100)),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11020,7 +11031,29 @@ object SparkEntry {
         |  CAST(h2f.h AS DOUBLE) / CAST(m.mh AS DOUBLE) AS hub_norm,
         |  CAST(a2f.a AS DOUBLE) / CAST(m.ma AS DOUBLE) AS auth_norm
         |FROM nodes n JOIN h2f USING (node) JOIN a2f USING (node), m
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    // PMI: replay tokenization, the bigram table, self-contained margins
+    // and the exact product/division/ln expression at 7-decimal rounding.
+    "q272_pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM d WHERE len(toks) >= 2)),
+        |bigrams AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigrams GROUP BY 1),
+        |r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bigrams GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM bigrams)
+        |SELECT bg.w1, bg.w2, bg.c12, l.c1, r.c2,
+        |  ROUND(ln(CAST(bg.c12 AS DOUBLE) * CAST(t.b AS DOUBLE) /
+        |    (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))), 7) AS pmi
+        |FROM bigrams bg JOIN l USING (w1) JOIN r USING (w2), tot t
+        |WHERE bg.c12 >= 20
+        |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 100""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level collocation mining — the distributional-statistics
+  * complement of the per-document fluency score (q103) and the vocabulary
+  * profile: which ADJACENT word pairs co-occur far more often than their
+  * marginals predict. PMI-ranked collocations drive tokenizer vocabulary
+  * seeding (multi-word units), stop-phrase lists, and domain drift checks
+  * between corpus slices.
+  */
+object Collocations {
+
+  /** Pointwise mutual information over the corpus bigram table.
+    *
+    * Event space: ADJACENT token pairs ([[Retrieval.tokens]] whitespace
+    * tokenization — the engine-replayable shared definition). Marginals
+    * come from the bigram table itself (`c1 = sum over w2 of c12`,
+    * `c2 = sum over w1 of c12`, `B = sum of c12`), NOT from a second
+    * token pass: self-contained margins make `PMI = ln(c12*B/(c1*c2))`
+    * a pure function of one integer table, and the rollup is vocab-sized
+    * work instead of a corpus re-scan.
+    *
+    * Exactness: every count is an exact BIGINT; `c12*B` and `c1*c2` stay
+    * below 2^53 for corpora up to ~90M bigram tokens, so the double
+    * products are exact and the single division + `ln` are IEEE —
+    * cross-engine-stable at 7-decimal rounding (the suite's ln
+    * discipline). Beyond that scale, swap the numerator/denominator to
+    * DECIMAL(38,0) before the division; the shape is unchanged.
+    *
+    * Scale shape: one tokenize+explode pass -> map-side-combining
+    * groupBy on (w1, w2); margins and the total roll up from the
+    * vocab-sized bigram table (two grouped sums + one 1-row aggregate
+    * crossJoin-broadcast). `minCount` prunes the hapax tail BEFORE the
+    * margin joins, so the joined relation is the reported rows only.
+    *
+    * Returns (w1, w2, c12, c1, c2, pmi) with pmi rounded to 7 decimals.
+    */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val docs = df.select(Retrieval.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val pairs = docs.select(
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = bigrams.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val right = bigrams.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val total = bigrams.agg(sum(col("c12")).as("__b"))
+    bigrams.where(col("c12") >= minCount)
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(col("c12").cast("double") * col("__b").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 7)
+          .as("pmi"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** PMI collocations: hand-computed margins, minCount pruning before the
+  * margin joins, and case/whitespace tokenization via the shared rule.
+  */
+class CollocationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("PMI matches the hand computation on a tiny corpus") {
+    // Bigrams: (a b) x2, (b a) x1, (b c) x1  =>  B = 4
+    //   c1: a->2, b->2 ; c2: b->2, a->1, c->1
+    val df = Seq("a b a b", "b c").toDF("text")
+    val got = Collocations.pmiBigrams(df, "text", minCount = 1)
+      .collect().map(r => (r.getString(1), r.getString(0)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // key is (w2, w1) order-insensitive lookup helper; rebuild directly:
+    val ab = got(("b", "a")); val ba = got(("a", "b")); val bc = got(("c", "b"))
+    assert(ab._1 == 2 && ab._2 == 2 && ab._3 == 2)
+    assert(ab._4 == math.rint(math.log(2.0 * 4.0 / (2.0 * 2.0)) * 1e7) / 1e7)
+    assert(ba._1 == 1 && ba._4 ==
+      math.rint(math.log(1.0 * 4.0 / (2.0 * 1.0)) * 1e7) / 1e7)
+    assert(bc._1 == 1 && bc._4 ==
+      math.rint(math.log(1.0 * 4.0 / (2.0 * 1.0)) * 1e7) / 1e7)
+  }
+
+  test("minCount prunes pairs but margins use the full bigram table") {
+    val df = Seq("x y x y x y", "x z").toDF("text")
+    // bigrams: (x y) 3, (y x) 2, (x z) 1 => B = 6; c1(x) = 4 (3 + 1)
+    val got = Collocations.pmiBigrams(df, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(("x", "y"), ("y", "x")))
+    assert(got(("x", "y")) == (3L, 4L)) // margin counts the pruned (x z)
+  }
+
+  test("single-token and empty docs contribute nothing") {
+    val df = Seq("solo", "", "  ", "p q").toDF("text")
+    val got = Collocations.pmiBigrams(df, "text", minCount = 1).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "p" && got(0).getString(1) == "q")
+  }
+}
