@@ -6608,6 +6608,15 @@ object SparkEntry {
         t(s, d, "documents"), "text", minCount = 20L)
         .orderBy(desc("pmi"), col("w1"), col("w2"))
         .limit(100)),
+
+    // --- 273. weekly retention cohorts, oracle-pinned ---------------------------------------------------
+    // Classic cohort matrix over the REAL events log: first-seen week
+    // per user, distinct users per (cohort, offset), one division per
+    // rate against the cohort's own offset-0 size.
+    "q273_retention_cohorts" -> ((s, d) =>
+      graft.operators.Retention.weeklyCohorts(
+        t(s, d, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11053,7 +11062,27 @@ object SparkEntry {
         |    (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))), 7) AS pmi
         |FROM bigrams bg JOIN l USING (w1) JOIN r USING (w2), tot t
         |WHERE bg.c12 >= 20
-        |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 100""".stripMargin
+        |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 100""".stripMargin,
+
+    // Retention: first-seen week, whole-week offsets (day deltas are
+    // exact multiples of 7), distinct counts, one rounded division.
+    "q273_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+        |    CAST((e.wk - f.cohort) // 7 AS BIGINT) AS week_offset,
+        |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_users AS cohort_size
+        |  FROM g WHERE week_offset = 0)
+        |SELECT g.cohort_week, g.week_offset, g.n_users, s.cohort_size,
+        |  ROUND(CAST(g.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 7)
+        |    AS retention
+        |FROM g JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

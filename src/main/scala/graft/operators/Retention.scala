@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort retention — the standard product-analytics matrix, and for
+  * corpus work the revisit/engagement profile of a crawl or feedback
+  * log: users grouped by FIRST-SEEN week, then counted per week offset,
+  * with the retention rate against the cohort's own size.
+  */
+object Retention {
+
+  /** Weekly retention cohorts over an event log.
+    *
+    * cohort = the Monday of the user's first-seen week (date_trunc
+    * semantics, shared by Spark and the SQL oracle); offset = whole
+    * weeks between the event's week and the cohort week (day deltas are
+    * exact multiples of 7 by construction). Counts are exact distinct
+    * users; the rate is ONE double division against the offset-0 row
+    * (every user appears at offset 0 by definition of first-seen), at
+    * the suite's 7-decimal rounding.
+    *
+    * Scale shape: one groupBy(user) for first-seen (map-side combining
+    * min), one equi-join back on user (AQE broadcasts the first-seen
+    * side when small; both sides hash-partition on user at scale — the
+    * join key is the natural partitioning of an event log), one grouped
+    * count-distinct on (cohort, offset) whose cardinality is
+    * weeks-squared — tiny — and a broadcastable offset-0 join.
+    *
+    * Returns (cohort_week 'yyyy-MM-dd', week_offset, n_users,
+    * cohort_size, retention).
+    */
+  def weeklyCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      to_date(date_trunc("week", col(tsCol))).as("wk"))
+    val firsts = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val cells = e.join(firsts, "user_id")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val sizes = cells.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") /
+          col("cohort_size").cast("double"), 7).as("retention"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Weekly retention cohorts: hand-computed matrix, week-boundary
+  * assignment, offset-0 completeness, and multi-event idempotence.
+  */
+class RetentionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("two cohorts with churn match the hand matrix") {
+    // Week A = 2024-01-01 (Mon), week B = 2024-01-08.
+    // u1: A, A+1; u2: A only; u3: B, B+1; u4: B; duplicate events ignored
+    val df = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-03 11:00:00")),
+      (1L, ts("2024-01-10 09:00:00")),
+      (2L, ts("2024-01-05 08:00:00")),
+      (3L, ts("2024-01-08 00:00:00")), (3L, ts("2024-01-16 23:59:59")),
+      (4L, ts("2024-01-14 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Retention.weeklyCohorts(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-08", 0L, 2L, 2L, 1.0),
+      ("2024-01-08", 1L, 1L, 2L, 0.5)))
+  }
+
+  test("sunday belongs to the week starting the previous monday") {
+    val df = Seq((9L, ts("2024-01-07 12:00:00"))).toDF("user_id", "ts")
+    val got = Retention.weeklyCohorts(df, "user_id", "ts").collect()(0)
+    assert(got.getString(0) == "2024-01-01" && got.getLong(1) == 0L)
+  }
+
+  test("every user appears at offset 0; rates divide by the cohort size") {
+    val df = (1L to 20L).flatMap(u => Seq(
+      (u, ts("2024-03-04 01:00:00")),
+      (u, ts(f"2024-03-${11 + (u % 3) * 7}%02d 01:00:00"))))
+      .toDF("user_id", "ts")
+    val rows = Retention.weeklyCohorts(df, "user_id", "ts")
+      .orderBy("week_offset")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.head._2 == 0L && rows.head._3 == 20L && rows.head._5 == 1.0)
+    assert(rows.forall(_._4 == 20L))
+    assert(rows.map(_._3).sum == 40L)
+  }
+}
