@@ -6617,6 +6617,31 @@ object SparkEntry {
       graft.operators.Retention.weeklyCohorts(
         t(s, d, "events"), "user_id", "ts")
         .orderBy("cohort_week", "week_offset")),
+
+    // --- 274. protobuf wire-format sniff, oracle-pinned -------------------------------------------------
+    // Three constructed byte shapes via unhex: a varint+len message, a
+    // fixed32-then-varint message (order-free fields), and a field-0 tag
+    // that must zero the census. Flag, every count and the field-envelope
+    // string closed-form.
+    "q274_proto_sniff" -> ((s, d) => {
+      val vh = lpad(hex(col("doc_id") % 100), 2, "0")
+      val m = col("doc_id") % 3
+      val blob = unhex(when(m === 0,
+        concat(lit("08"), vh, lit("12026869")))
+        .when(m === 1, concat(lit("1D"), vh, lit("0000000801")))
+        .otherwise(concat(lit("00"), vh)))
+      val v = graft.functions.Multimodal.protoSniff(blob)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_proto").as("is_proto"),
+          v.getField("n_fields").as("n_fields"),
+          v.getField("max_field").as("max_field"),
+          v.getField("n_varint").as("n_varint"),
+          v.getField("n_fixed64").as("n_fixed64"),
+          v.getField("n_len").as("n_len"),
+          v.getField("n_fixed32").as("n_fixed32"),
+          v.getField("fields").as("fields"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11082,7 +11107,26 @@ object SparkEntry {
         |  ROUND(CAST(g.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 7)
         |    AS retention
         |FROM g JOIN s USING (cohort_week)
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // Proto sniff: census per construction case; the field-0 tag zeroes.
+    "q274_proto_sniff" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_proto,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 2 END AS BIGINT)
+        |    AS n_fields,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS max_field,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_varint,
+        |  CAST(0 AS BIGINT) AS n_fixed64,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_len,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_fixed32,
+        |  CASE doc_id % 3 WHEN 0 THEN '1:varint,2:len'
+        |    WHEN 1 THEN '3:fixed32,1:varint' END AS fields
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,157 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Protobuf wire-format sniff — the binary-blob router of the
+  * structured-data family ([[JsonPathsCodec]] for text JSON): data-lake
+  * blob columns mix serialized protobufs with images, compressed text
+  * and raw strings, and the WIRE FORMAT is self-describing enough to
+  * route without a schema — a valid message is a sequence of
+  * `(field_number << 3 | wire_type)` varint tags whose payloads exactly
+  * consume the buffer.
+  *
+  * Pinned walk (proto3 wire spec, public encoding docs): top-level
+  * fields only — a length-delimited payload is indistinguishable from a
+  * string/bytes field without the schema, so NO descent (routing needs
+  * the envelope, not the tree). Wire types 0 (varint, max 10 bytes),
+  * 1 (fixed64), 2 (len-delimited, length varint must fit the remainder),
+  * 5 (fixed32); deprecated group types 3/4 and reserved 6/7 REJECT.
+  * Field numbers must sit in [1, 536870911] and reserved [19000,19999]
+  * rejects. `is_proto` requires >= 1 field and FULL consumption; any
+  * failure zeroes the census ([[JsonPathsCodec]]'s discipline). `fields`
+  * joins the DISTINCT `number:wiretype` pairs in first-visit order
+  * (cap 32).
+  *
+  * Necessary, not sufficient: short ASCII runs can structurally parse
+  * (every printable byte is a plausible tag or varint byte), so the
+  * flag is a ROUTING signal to combine with charset/printability
+  * checks, exactly like magic-byte sniffs elsewhere in the family —
+  * ProtoSniffSpec pins one such false-accept as documented behavior.
+  */
+object ProtoSniffCodec {
+
+  private final val MaxFields = 32
+  private val WireNames = Array("varint", "fixed64", "len", "", "", "fixed32")
+
+  def sniff(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    val n = b.length
+    var i = 0
+    var ok = n > 0
+    var nFields = 0L
+    var maxField = 0L
+    var nVarint = 0L
+    var nFixed64 = 0L
+    var nLen = 0L
+    var nFixed32 = 0L
+    val fields = new java.util.LinkedHashSet[String]()
+
+    var bad = false
+
+    /** Consumes a varint at i, returning its u64 value in a Long (full
+      * 64-bit wraparound — a negative int64 field value legitimately
+      * encodes as 10 bytes with the sign bit set). Structural failure
+      * (no terminator, more than 10 bytes, 10th byte beyond the u64 bit
+      * budget) sets `bad`.
+      */
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      while (i < n && shift <= 63) {
+        val c = b(i) & 0xff
+        i += 1
+        if (shift == 63 && (c & 0xfe) != 0) { bad = true; return 0L }
+        v |= (c & 0x7fL) << shift
+        if ((c & 0x80) == 0) return v
+        shift += 7
+      }
+      bad = true
+      0L
+    }
+
+    while (ok && i < n) {
+      val tag = varint()
+      val wt = (tag & 7L).toInt
+      val fn = tag >>> 3 // negative tag -> huge fn -> range reject below
+      if (bad || fn < 1 || fn > 536870911L ||
+        (fn >= 19000L && fn <= 19999L)) ok = false
+      else wt match {
+        case 0 =>
+          varint()
+          if (bad) ok = false else nVarint += 1
+        case 1 =>
+          if (i + 8 > n) ok = false
+          else { i += 8; nFixed64 += 1 }
+        case 2 =>
+          val len = varint()
+          if (bad || len < 0 || len > (n - i).toLong) ok = false
+          else { i += len.toInt; nLen += 1 }
+        case 5 =>
+          if (i + 4 > n) ok = false
+          else { i += 4; nFixed32 += 1 }
+        case _ => ok = false
+      }
+      if (ok) {
+        nFields += 1
+        if (fn > maxField) maxField = fn
+        if (fields.size < MaxFields) fields.add(fn + ":" + WireNames(wt))
+      }
+    }
+    val isProto = ok && nFields > 0 && i == n
+    val out = new Array[Any](8)
+    if (!isProto) {
+      out(0) = false
+      var k = 1
+      while (k < 7) { out(k) = 0L; k += 1 }
+      out(7) = null
+    } else {
+      out(0) = true
+      out(1) = nFields
+      out(2) = maxField
+      out(3) = nVarint
+      out(4) = nFixed64
+      out(5) = nLen
+      out(6) = nFixed32
+      out(7) = UTF8String.fromString(String.join(",", fields))
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+/** `binary` -> struct<is_proto,n_fields,max_field,n_varint,n_fixed64,
+  * n_len,n_fixed32,fields> ([[ProtoSniffCodec.sniff]]): schema-free
+  * protobuf wire-format census for blob routing.
+  */
+case class ProtoSniffExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_proto", BooleanType, nullable = false),
+    StructField("n_fields", LongType, nullable = false),
+    StructField("max_field", LongType, nullable = false),
+    StructField("n_varint", LongType, nullable = false),
+    StructField("n_fixed64", LongType, nullable = false),
+    StructField("n_len", LongType, nullable = false),
+    StructField("n_fixed32", LongType, nullable = false),
+    StructField("fields", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    ProtoSniffCodec.sniff(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ProtoSniffCodec.sniff($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ProtoSniffExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_proto_sniff"
+}

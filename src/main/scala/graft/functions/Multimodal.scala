@@ -438,6 +438,16 @@ object Multimodal {
       graft.expressions.AdtsFrameWalkExpr(
         org.apache.spark.sql.graft.Bridge.expression(bin)))
 
+  /** Protobuf wire-format sniff ([[graft.expressions.ProtoSniffExpr]]):
+    * schema-free tag/wire-type census of a blob — is this bytes column
+    * a serialized message, and what is its field envelope? Top-level
+    * walk only; any structural failure zeroes the census.
+    */
+  def protoSniff(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ProtoSniffExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin)))
+
   /** AVIF/HEIC image dimensions from the ISO-BMFF meta/ispe walk —
     * the modern web-image containers a crawl inventory must size even
     * without an AV1/HEVC decoder ([[graft.expressions

@@ -1,0 +1,86 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Protobuf wire sniff: real encodings accept with the right census;
+  * structural failures, reserved ranges and group wire types reject.
+  */
+class ProtoSniffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(bytes: Array[Byte]): Row =
+    Seq(Tuple1(bytes)).toDF("b")
+      .select(Multimodal.protoSniff(col("b")).as("v"))
+      .select("v.*").collect()(0)
+
+  private def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("varint + len + fixed32 + fixed64 message parses with full census") {
+    // field 1 varint 150; field 2 "hi"; field 3 fixed32; field 4 fixed64
+    val m = bs(0x08, 0x96, 0x01) ++ bs(0x12, 0x02, 'h', 'i') ++
+      bs(0x1d, 1, 2, 3, 4) ++ bs(0x21, 0, 0, 0, 0, 0, 0, 0, 0)
+    val r = one(m)
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 4 && r.getLong(2) == 4)
+    assert(r.getLong(3) == 1 && r.getLong(4) == 1 &&
+      r.getLong(5) == 1 && r.getLong(6) == 1)
+    assert(r.getString(7) == "1:varint,2:len,3:fixed32,4:fixed64")
+  }
+
+  test("negative int64 value: full 10-byte varint accepts") {
+    // field 1 = -1: tag 0x08 then ff ff ff ff ff ff ff ff ff 01
+    val m = bs(0x08) ++ Array.fill(9)(0xff.toByte) ++ bs(0x01)
+    val r = one(m)
+    assert(r.getBoolean(0) && r.getLong(3) == 1)
+  }
+
+  test("repeated field numbers dedupe in the census string") {
+    val m = bs(0x08, 0x01, 0x08, 0x02, 0x12, 0x00)
+    val r = one(m)
+    assert(r.getLong(1) == 3 && r.getString(7) == "1:varint,2:len")
+  }
+
+  test("rejects: truncation, group wire types, field 0, reserved range, text") {
+    val cases = Seq(
+      bs(0x08),                         // varint value missing
+      bs(0x12, 0x05, 'h', 'i'),         // len overruns
+      bs(0x0b, 0x0c),                   // wire type 3/4 (groups)
+      bs(0x00, 0x01),                   // field number 0
+      bs(0xc0, 0xa4, 0x09, 0x01),       // field 19016 varint (reserved)
+      "plain text".getBytes("UTF-8"),
+      Array.empty[Byte])
+    for (c <- cases) {
+      val r = one(c)
+      assert(!r.getBoolean(0), c.mkString(","))
+      assert(r.getLong(1) == 0 && r.isNullAt(7), c.mkString(","))
+    }
+  }
+
+  test("false-accept honesty: some ASCII parses as wire format (pinned)") {
+    // 'p' reads as tag(field 14, varint), 'l' its value, 'a' as
+    // tag(field 12, fixed64) consuming exactly the remaining 8 bytes —
+    // a structural accept. Schema-free sniffing is necessary, not
+    // sufficient; routers combine it with charset/printability signals.
+    assert(one("plain text!".getBytes("UTF-8")).getBoolean(0))
+  }
+
+  test("overlong varint (11 bytes) and 10th-byte overflow reject") {
+    val over = bs(0x08) ++ Array.fill(10)(0x80.toByte) ++ bs(0x01)
+    assert(!one(over).getBoolean(0))
+    val big = bs(0x08) ++ Array.fill(9)(0xff.toByte) ++ bs(0x02)
+    assert(!one(big).getBoolean(0))
+  }
+
+  test("null in, null out; codegen path") {
+    val rows = Seq((1L, null), (2L, bs(0x08, 0x07)))
+      .toDF("id", "b")
+      .select(col("id"), Multimodal.protoSniff(col("b")).as("v"))
+      .select(col("id"), col("v.is_proto"), col("v.fields"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getBoolean(1) && rows(1).getString(2) == "1:varint")
+  }
+}
