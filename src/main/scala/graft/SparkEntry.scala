@@ -6642,6 +6642,36 @@ object SparkEntry {
           v.getField("fields").as("fields"))
         .orderBy("doc_id")
     }),
+
+    // --- 275. Gale-Church sentence alignment, oracle-pinned ----------------------------------------------
+    // Three constructed length shapes: equal-length lines (all 1-1 at
+    // exactly zero cost — the only case whose cost is closed-form, so
+    // cost is CASE-gated to it), a forced 2-1 merge between anchors,
+    // and an empty target (all 1-0 drops). Bead strings and every count
+    // closed-form; alignment is a deterministic function of lengths.
+    "q275_align_sentences" -> ((s, d) => {
+      val m = col("doc_id") % 3
+      val l1 = repeat(lit("x"), (lit(20) + col("doc_id") % 10).cast("int"))
+      val src = when(m === 0, concat_ws("\n", l1, repeat(lit("y"), 25)))
+        .when(m === 1, concat_ws("\n", repeat(lit("x"), 30),
+          repeat(lit("y"), 18), repeat(lit("z"), 22), repeat(lit("w"), 30)))
+        .otherwise(concat_ws("\n", repeat(lit("x"), 10), repeat(lit("y"), 12)))
+      val tgt = when(m === 0, concat_ws("\n", l1, repeat(lit("b"), 25)))
+        .when(m === 1, concat_ws("\n", repeat(lit("a"), 30),
+          repeat(lit("b"), 41), repeat(lit("c"), 30)))
+        .otherwise(lit(""))
+      val v = TF.alignSentences(src, tgt)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_src").as("n_src"),
+          v.getField("n_tgt").as("n_tgt"),
+          v.getField("n_beads").as("n_beads"),
+          v.getField("beads").as("beads"),
+          v.getField("n_11").as("n_11"),
+          v.getField("n_drop").as("n_drop"),
+          v.getField("n_21").as("n_21"),
+          when(m === 0, v.getField("cost_centilog")).as("cost_centilog"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11126,6 +11156,28 @@ object SparkEntry {
         |    AS n_fixed32,
         |  CASE doc_id % 3 WHEN 0 THEN '1:varint,2:len'
         |    WHEN 1 THEN '3:fixed32,1:varint' END AS fields
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Alignment: bead strings and counts per length shape; cost pinned
+    // only where it is exactly zero (equal lengths).
+    "q275_align_sentences" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 2 END
+        |    AS BIGINT) AS n_src,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS n_tgt,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 2 END
+        |    AS BIGINT) AS n_beads,
+        |  CASE doc_id % 3 WHEN 0 THEN '1-1,1-1'
+        |    WHEN 1 THEN '1-1,2-1,1-1' ELSE '1-0,1-0' END AS beads,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_11,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS n_drop,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_21,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0 END AS BIGINT)
+        |    AS cost_centilog
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

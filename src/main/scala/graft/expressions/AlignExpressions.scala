@@ -1,0 +1,183 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gale–Church sentence alignment (Computational Linguistics 1993) — the
+  * alignment half of parallel-corpus mining: [[graft.functions
+  * .Similarity]]'s margin scoring finds which DOCUMENTS pair across
+  * languages; this aligns their SENTENCES into translation beads, the
+  * unit MT training actually consumes. The published insight: character
+  * LENGTH alone aligns sentences nearly as well as lexical methods,
+  * because translated sentences have strongly correlated lengths.
+  *
+  * Pinned formulation (the published one):
+  *  - input is one sentence per LINE (segmentation is the sentence
+  *    splitter's job — compose with `graft_sentences`); blank-trimmed,
+  *    empty lines dropped; cost unit is the CHARACTER count;
+  *  - bead types and priors: 1-1 (0), 1-0 / 0-1 (450), 2-1 / 1-2 (230),
+  *    2-2 (440) — the paper's -100*log(prob) penalties;
+  *  - length match cost: delta = (l2 - l1*c) / sqrt((l1 + l2) * s2 / 2)
+  *    with c = 1, s2 = 6.8; cost = -100 * log(2 * (1 - Phi(|delta|))),
+  *    Phi via the Abramowitz–Stegun 7.1.26 polynomial (deterministic,
+  *    pinned — the oracle restates alignment OUTPUTS, never internals);
+  *  - DP over (i, j) prefixes; ties break by the bead-order preference
+  *    1-1, 1-0, 0-1, 2-1, 1-2, 2-2 (strictly-less comparisons in that
+  *    visit order), so the argmin is total and the output deterministic;
+  *  - bomb cap: more than 512 lines a side returns null (row-local DP is
+  *    O(n*m) with a 6-bead band per cell — document pairs, not books).
+  *
+  * Returns the bead list as `src_lines-tgt_lines` counts in order (e.g.
+  * `1-1,2-1,1-1`), per-type counts, and the total cost in centi-log
+  * units rounded to a Long (exactness: the rounded integer is stable
+  * far beyond double noise).
+  */
+object AlignCodec {
+
+  private final val MaxLines = 512
+
+  /** Standard normal CDF, Abramowitz–Stegun 7.1.26 (|err| < 7.5e-8). */
+  private def phi(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.2316419 * math.abs(x))
+    val d = 0.3989422804014327 * math.exp(-x * x / 2.0)
+    val p = d * t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+      t * (-1.821255978 + t * 1.330274429))))
+    if (x >= 0) 1.0 - p else p
+  }
+
+  /** The paper's two-sided length-match cost in centi-log units. */
+  private def matchCost(l1: Long, l2: Long): Double = {
+    if (l1 == 0 && l2 == 0) return 0.0
+    val delta = (l2 - l1).toDouble / math.sqrt((l1 + l2).toDouble * 6.8 / 2.0)
+    val tail = 2.0 * (1.0 - phi(math.abs(delta)))
+    if (tail < 1e-300) 30000.0 else -100.0 * math.log(tail)
+  }
+
+  private def lines(u: UTF8String): Array[Long] = {
+    val parts = u.toString.split("\n", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](parts.length)
+    for (p <- parts) {
+      val t = p.trim
+      if (t.nonEmpty) out += t.length.toLong
+    }
+    out.toArray
+  }
+
+  def align(su: UTF8String, tu: UTF8String): InternalRow = {
+    if (su == null || tu == null) return null
+    val a = lines(su)
+    val b = lines(tu)
+    val n = a.length
+    val m = b.length
+    if (n > MaxLines || m > MaxLines) return null
+    // DP[i][j] = min cost aligning first i src lines with first j tgt.
+    val big = Double.MaxValue / 4
+    val dp = Array.fill(n + 1, m + 1)(big)
+    // back pointer: bead encoded as (srcTaken << 2 | tgtTaken) is not
+    // unique for 2-2 vs others; store (srcTaken, tgtTaken) packed.
+    val bk = Array.fill(n + 1, m + 1)(-1)
+    dp(0)(0) = 0.0
+    // visit order IS the tie-break preference: strictly-less updates.
+    val beads = Array((1, 1, 0.0), (1, 0, 450.0), (0, 1, 450.0),
+      (2, 1, 230.0), (1, 2, 230.0), (2, 2, 440.0))
+    var i = 0
+    while (i <= n) {
+      var j = 0
+      while (j <= m) {
+        if (dp(i)(j) < big) {
+          var k = 0
+          while (k < 6) {
+            val (ds, dt, prior) = beads(k)
+            val ni = i + ds
+            val nj = j + dt
+            if (ni <= n && nj <= m) {
+              val l1 = (if (ds >= 1) a(i) else 0L) + (if (ds == 2) a(i + 1) else 0L)
+              val l2 = (if (dt >= 1) b(j) else 0L) + (if (dt == 2) b(j + 1) else 0L)
+              val c = dp(i)(j) + prior + matchCost(l1, l2)
+              if (c < dp(ni)(nj)) {
+                dp(ni)(nj) = c
+                bk(ni)(nj) = k
+              }
+            }
+            k += 1
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (dp(n)(m) >= big) return null // unreachable only when n+m == 0 band gaps; defensive
+    // reconstruct
+    val rev = new scala.collection.mutable.ArrayBuffer[Int]()
+    var ci = n
+    var cj = m
+    while (ci > 0 || cj > 0) {
+      val k = bk(ci)(cj)
+      rev += k
+      val (ds, dt, _) = beads(k)
+      ci -= ds
+      cj -= dt
+    }
+    val seq = rev.reverse
+    val counts = new Array[Long](6)
+    val sb = new java.lang.StringBuilder()
+    for (k <- seq) {
+      counts(k) += 1
+      if (sb.length > 0) sb.append(',')
+      sb.append(beads(k)._1).append('-').append(beads(k)._2)
+    }
+    val out = new Array[Any](10)
+    out(0) = n.toLong
+    out(1) = m.toLong
+    out(2) = seq.length.toLong
+    out(3) = if (sb.length == 0) null else UTF8String.fromString(sb.toString)
+    out(4) = counts(0)
+    out(5) = counts(1) + counts(2)
+    out(6) = counts(3)
+    out(7) = counts(4)
+    out(8) = counts(5)
+    out(9) = math.rint(dp(n)(m)).toLong
+    new GenericInternalRow(out)
+  }
+}
+
+/** `(string, string)` -> struct<n_src,n_tgt,n_beads,beads,n_11,n_drop,
+  * n_21,n_12,n_22,cost_centilog> ([[AlignCodec.align]]): Gale–Church
+  * length-based sentence alignment over line-segmented inputs.
+  */
+case class SentenceAlignExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_src", LongType, nullable = false),
+    StructField("n_tgt", LongType, nullable = false),
+    StructField("n_beads", LongType, nullable = false),
+    StructField("beads", StringType),
+    StructField("n_11", LongType, nullable = false),
+    StructField("n_drop", LongType, nullable = false),
+    StructField("n_21", LongType, nullable = false),
+    StructField("n_12", LongType, nullable = false),
+    StructField("n_22", LongType, nullable = false),
+    StructField("cost_centilog", LongType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    AlignCodec.align(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.expressions.AlignCodec.align($a, $b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SentenceAlignExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_align_sentences"
+}

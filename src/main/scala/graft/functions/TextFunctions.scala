@@ -446,6 +446,17 @@ object TextFunctions {
       graft.expressions.LatexTextExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Gale–Church sentence alignment ([[graft.expressions
+    * .SentenceAlignExpr]]): length-based translation beads over
+    * line-segmented inputs — the sentence-level half of parallel-corpus
+    * mining (margin scoring pairs the documents; this beads them).
+    */
+  def alignSentences(src: Column, tgt: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SentenceAlignExpr(
+        org.apache.spark.sql.graft.Bridge.expression(src),
+        org.apache.spark.sql.graft.Bridge.expression(tgt)))
+
   /** JSON structure census ([[graft.expressions.JsonPathsExpr]]): strict
     * parse flag, nesting depth, node-type counts and typed leaf paths —
     * the schema-inference input and structured-vs-prose router.

@@ -1,0 +1,87 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Gale–Church alignment: forced bead shapes, drops, the merge case,
+  * deterministic tie-breaking, caps and null totality.
+  */
+class AlignSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(src: String, tgt: String): Row =
+    Seq((src, tgt)).toDF("s", "t")
+      .select(TextFunctions.alignSentences(col("s"), col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  private def line(n: Int, c: Char = 'x'): String = c.toString * n
+
+  test("equal-length lines align all 1-1 at zero cost") {
+    val src = Seq(line(20), line(35), line(28)).mkString("\n")
+    val tgt = Seq(line(20), line(35), line(28)).mkString("\n")
+    val r = one(src, tgt)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getLong(2) == 3)
+    assert(r.getString(3) == "1-1,1-1,1-1")
+    assert(r.getLong(4) == 3 && r.getLong(9) == 0L)
+  }
+
+  test("a split sentence beads 2-1 between anchors") {
+    // tgt merges src lines 2+3 (18 + 22 ~ 41 chars); anchors hold.
+    val src = Seq(line(30), line(18), line(22), line(30)).mkString("\n")
+    val tgt = Seq(line(30), line(41), line(30)).mkString("\n")
+    val r = one(src, tgt)
+    assert(r.getString(3) == "1-1,2-1,1-1")
+    assert(r.getLong(6) == 1)
+  }
+
+  test("the mirror case beads 1-2") {
+    val src = Seq(line(30), line(41), line(30)).mkString("\n")
+    val tgt = Seq(line(30), line(18), line(22), line(30)).mkString("\n")
+    val r = one(src, tgt)
+    assert(r.getString(3) == "1-1,1-2,1-1")
+    assert(r.getLong(7) == 1)
+  }
+
+  test("an unmatched middle line merges 2-1 — deletions are rare under the published priors") {
+    // The 450 deletion prior plus the match(l, 0) tail cost always
+    // exceeds merging into a neighbor (230 + a mild length mismatch):
+    // Gale-Church's own finding that 1-0/0-1 beads are rare. The empty-
+    // side case below is where drops genuinely appear.
+    val src = Seq(line(30), line(60), line(30)).mkString("\n")
+    val tgt = Seq(line(30), line(30)).mkString("\n")
+    val r = one(src, tgt)
+    assert(r.getString(3) == "1-1,2-1" || r.getString(3) == "2-1,1-1")
+    assert(r.getLong(5) == 0 && r.getLong(6) == 1)
+  }
+
+  test("blank lines drop out before alignment; empty side is all drops") {
+    val r = one("  \n" + line(25) + "\n\n", line(25))
+    assert(r.getLong(0) == 1 && r.getString(3) == "1-1")
+    val r2 = one(line(10) + "\n" + line(12), "   \n")
+    assert(r2.getLong(1) == 0 && r2.getString(3) == "1-0,1-0")
+    val r3 = one("", "")
+    assert(r3.getLong(2) == 0 && r3.isNullAt(3))
+  }
+
+  test("tie between equal-cost paths breaks deterministically") {
+    // tgt has an extra short line; absorbing it 1-2 costs the same at
+    // every position — the forward-DP strictly-less rule pins the
+    // FIRST-reached path (absorb at position 1), so reruns and
+    // partition order can never flip the output.
+    val src = Seq(line(30), line(30), line(30)).mkString("\n")
+    val tgt = Seq(line(30), line(5), line(30), line(30)).mkString("\n")
+    val r = one(src, tgt)
+    assert(r.getString(3) == "1-2,1-1,1-1")
+  }
+
+  test("beyond 512 lines a side returns null; nulls propagate") {
+    val big = Seq.fill(513)(line(10)).mkString("\n")
+    val rows = Seq((big, line(10)), (line(10), line(10)))
+      .toDF("s", "t")
+      .select(TextFunctions.alignSentences(col("s"), col("t")).as("v"))
+      .collect()
+    assert(rows(0).isNullAt(0) && !rows(1).isNullAt(0))
+  }
+}
