@@ -6672,6 +6672,20 @@ object SparkEntry {
           when(m === 0, v.getField("cost_centilog")).as("cost_centilog"))
         .orderBy("doc_id")
     }),
+
+    // --- 276. Z-order (Morton) layout key, oracle-pinned -------------------------------------------------
+    // A 16x16 grid from doc_id: global-bounds equi-width bucketing (the
+    // exact BIGINT div formula) + MSB-aligned bit interleaving, both
+    // replayed term by term in the oracle. The clustering operator
+    // itself (range partition + local sort) is LayoutSpec-pinned.
+    "q276_zorder" -> ((s, d) => {
+      val grid = t(s, d, "documents").where(col("doc_id") < 256)
+        .select(col("doc_id"), (col("doc_id") % 16).as("x"),
+          floor(col("doc_id") / 16).cast("long").as("y"))
+      graft.pipeline.Layout.zValue(grid, Seq("x", "y"), bits = 4)
+        .select(col("doc_id"), col("x"), col("y"), col("__z").as("z"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11178,7 +11192,26 @@ object SparkEntry {
         |    AS n_21,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 0 END AS BIGINT)
         |    AS cost_centilog
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Z-order: replay global bounds, the BIGINT equi-width bucket
+    // division, and the bit interleave (x bits at odd positions).
+    "q276_zorder" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 16 AS x, doc_id // 16 AS y
+        |  FROM documents WHERE doc_id < 256),
+        |b AS (SELECT min(x) AS lx, max(x) AS hx, min(y) AS ly, max(y) AS hy
+        |  FROM base),
+        |bk AS (
+        |  SELECT doc_id, x, y,
+        |    ((x - lx) * 16) // (hx - lx + 1) AS bx,
+        |    ((y - ly) * 16) // (hy - ly + 1) AS by
+        |  FROM base, b)
+        |SELECT doc_id, x, y,
+        |  CAST((SELECT SUM((((bx >> k) & 1) << (2 * k + 1)) +
+        |                   (((by >> k) & 1) << (2 * k)))
+        |        FROM generate_series(0, 3) AS g(k)) AS BIGINT) AS z
+        |FROM bk ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

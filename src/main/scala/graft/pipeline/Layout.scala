@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout — the file-clustering half of data
+  * skipping: min/max sidecars ([[Snapshot.computeStats]]) can only prune
+  * files whose value RANGES are tight, and a table sorted by one column
+  * has tight ranges for that column alone. Z-ordering interleaves the
+  * bits of several columns into one sort key so every participating
+  * column's per-file range shrinks like N^(1/k) — the published
+  * Morton-curve layout every lakehouse engine ships for multi-predicate
+  * scans.
+  */
+object Layout {
+
+  /** The Morton (Z-curve) key for `cols`, as a column expression.
+    *
+    * Pinned construction, exact and engine-replayable end to end:
+    *  1. each column is equi-width bucketed to `bits` bits against its
+    *     own GLOBAL min/max — `(v - min) * 2^bits / (max - min + 1)` in
+    *     pure BIGINT arithmetic (min/max are order-independent exact
+    *     aggregates; the caller guarantees `range * 2^bits < 2^63`,
+    *     which holds for every natural key short of full-range hashes —
+    *     pre-hash-bucket those first);
+    *  2. bucket bits interleave MSB-aligned: bit b of column i lands at
+    *     position `b * k + (k - 1 - i)`, so the FIRST column owns the
+    *     most significant position of each group and equal-prefix rows
+    *     tile into aligned hyper-rectangles (the Morton property that
+    *     makes per-file min/max tight on EVERY column).
+    *
+    * Bucketing, not raw bits: raw-value interleaving puts all skew into
+    * a few curve cells; min/max equi-width is the pinned, sample-free
+    * rank proxy (exact replay beats sampled range-partition ids, and a
+    * 1-row min/max aggregate broadcast is free at any scale).
+    *
+    * `bits * cols.size` must stay <= 63.
+    */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits * columns must be in [1, 63], got ${bits * cols.size}")
+    val k = cols.size
+    val nb = 1L << bits
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__min_$c"),
+      max(col(c).cast("long")).as(s"__max_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val withBounds = df.crossJoin(broadcast(bounds))
+    val buckets: Seq[Column] = cols.map { c =>
+      val v = col(c).cast("long")
+      val lo = col(s"__min_$c")
+      val range = col(s"__max_$c") - lo + lit(1L)
+      // (v - lo) * nb div range: BIGINT floor division (`div`, not the
+      // fractional `/` — doubles lose exactness past 2^53), bucket in
+      // [0, nb)
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graft.Bridge.expression((v - lo) * lit(nb)),
+          org.apache.spark.sql.graft.Bridge.expression(range)))
+    }
+    var z: Column = lit(0L)
+    for (b <- 0 until bits; i <- 0 until k) {
+      val bit = shiftright(buckets(i), b).bitwiseAND(lit(1L))
+      z = z.bitwiseOR(shiftleft(bit, b * k + (k - 1 - i)))
+    }
+    withBounds.withColumn("__z", z)
+      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Cluster `df` into `numPartitions` z-ordered partitions: every
+    * output partition is a contiguous Morton-curve segment, so each
+    * written file carries tight min/max on EVERY participating column
+    * and the stats sidecar prunes multi-predicate scans. Range
+    * partitioning on the z key (explicit N — AQE never coalesces an
+    * explicit count) plus an in-partition sort, the exact shape a
+    * billion-row relayout needs: one sampled range exchange, one local
+    * sort, no global sort.
+    */
+  def cluster(df: DataFrame, cols: Seq[String], bits: Int,
+      numPartitions: Int): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1")
+    zValue(df, cols, bits)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: hand-computed Morton keys, bucketing against global
+  * bounds, the locality property that makes per-file stats tight, and
+  * the argument guards.
+  */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("morton key interleaves bucket bits, first column most significant") {
+    // x, y in [0, 3], bits = 2, range 4, buckets = values themselves.
+    // z = x1 y1 x0 y0 (bit positions 3 2 1 0).
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+    val got = Layout.zValue(df, Seq("x", "y"), bits = 2)
+      .select("x", "y", "__z").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0L, 0L)) == 0L)
+    assert(got((1L, 0L)) == 2L) // x0 at position 1
+    assert(got((0L, 1L)) == 1L) // y0 at position 0
+    assert(got((3L, 3L)) == 15L)
+    assert(got((2L, 1L)) == 9L) // x=10, y=01 -> 1 0 0 1
+  }
+
+  test("bucketing maps the global min/max range onto 2^bits cells") {
+    // values 100..1700 step 100; range 1601 -> nb=4 buckets of ~400
+    val df = (0 to 16).map(i => Tuple1(100L + i * 100L)).toDF("v")
+    val z = Layout.zValue(df, Seq("v"), bits = 2)
+      .select("v", "__z").as[(Long, Long)].collect().toMap
+    assert(z(100L) == 0L && z(1700L) == 3L)
+    assert(z(500L) == ((500L - 100L) * 4L / 1601L)) // = 0
+    assert(z(900L) == 1L && z(1300L) == 2L)
+  }
+
+  test("negative ranges bucket correctly through the long arithmetic") {
+    val df = Seq(-100L, -50L, 0L, 50L, 99L).map(Tuple1(_)).toDF("v")
+    val z = Layout.zValue(df, Seq("v"), bits = 1)
+      .select("v", "__z").as[(Long, Long)].collect().toMap
+    assert(z(-100L) == 0L && z(-50L) == 0L && z(0L) == 1L && z(99L) == 1L)
+  }
+
+  test("clustering a uniform grid halves every column's per-partition span") {
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val parts = Layout.cluster(df, Seq("x", "y"), bits = 5, numPartitions = 4)
+      .select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"),
+        (max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(parts.map(_.getLong(1)).sum == 1024L)
+    // a z-range segment of a 32x32 grid cut in 4 keeps each dimension's
+    // span at most ~half the global 31 (curve segments are 2-4 tiles)
+    parts.foreach { r =>
+      assert(r.getLong(2) <= 16L, s"x span ${r.getLong(2)}")
+      assert(r.getLong(3) <= 16L, s"y span ${r.getLong(3)}")
+    }
+  }
+
+  test("argument guards") {
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    intercept[IllegalArgumentException](Layout.zValue(df, Seq(), 4))
+    intercept[IllegalArgumentException](Layout.zValue(df, Seq("x", "y"), 32))
+    intercept[IllegalArgumentException](
+      Layout.cluster(df, Seq("x"), 4, 0))
+  }
+}
