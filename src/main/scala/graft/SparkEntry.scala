@@ -6686,6 +6686,17 @@ object SparkEntry {
         .select(col("doc_id"), col("x"), col("y"), col("__z").as("z"))
         .orderBy("doc_id")
     }),
+
+    // --- 277. cap-per-cluster near-dup sampling, oracle-pinned -------------------------------------------
+    // q45's diversity-preserving sibling (the FineWeb recipe): the same
+    // banded-MinHash clusters, each keeping its 2 smallest ids instead
+    // of 1; singletons survive unconditionally. Oracle replays the full
+    // MinHash pipeline + transitive closure + per-component rank.
+    "q277_cap_per_cluster" -> ((s, d) =>
+      Dedup.capPerCluster(t(s, d, "documents"), "doc_id", "text", k = 2,
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11211,7 +11222,12 @@ object SparkEntry {
         |  CAST((SELECT SUM((((bx >> k) & 1) << (2 * k + 1)) +
         |                   (((by >> k) & 1) << (2 * k)))
         |        FROM generate_series(0, 3) AS g(k)) AS BIGINT) AS z
-        |FROM bk ORDER BY doc_id""".stripMargin
+        |FROM bk ORDER BY doc_id""".stripMargin,
+
+    "q277_cap_per_cluster" ->
+      graft.oracle.XxSql.capPerClusterSql(shingleN = 3, numHashes = 64,
+        bands = 16, threshold = 0.5, k = 2,
+        selectCols = "d.doc_id, d.lang", orderCol = "doc_id")
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

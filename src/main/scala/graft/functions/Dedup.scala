@@ -554,6 +554,45 @@ object Dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** Cap-per-cluster sampling — the diversity-preserving middle ground
+    * between keeping every near-duplicate and [[dropNearDuplicates]]'
+    * single representative (the FineWeb/Gopher recipe: heavy repetition
+    * is a quality signal to EXPLOIT a little, not zero out — k copies
+    * cap the memorization risk while keeping natural upweighting).
+    * Near-dup pairs cluster by connected components; each cluster keeps
+    * its k smallest ids (a total, deterministic order), singletons
+    * always survive.
+    *
+    * Scale shape: the banded-LSH pair generation and the label-
+    * propagation components are the shared machinery; the only addition
+    * is a per-component row_number — windows partition by component and
+    * components are near-dup clusters, i.e. small by construction.
+    */
+  def capPerCluster(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands,
+        threshold, sorted = false)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint(true)
+    if (pairs.limit(1).count() == 0) return df
+    val labels = Graph.connectedComponents(pairs, "id1", "id2", maxIterations)
+    val w = Window.partitionBy("component").orderBy("node")
+    val losers = labels.withColumn("rn", row_number().over(w))
+      .where(col("rn") > k)
+      .select(col("node").as("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** Driver-side ordering for id types we can compare locally; None falls
     * back to the distributed path (Spark's own ordering).
     */

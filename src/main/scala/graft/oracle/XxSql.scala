@@ -212,6 +212,30 @@ object XxSql {
          |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE id = d.$orderCol)
          |ORDER BY d.$orderCol""".stripMargin
 
+  /** [[dropNearDupsSql]]'s cap-k sibling: transitive-closure components
+    * assign `component = least(self, min reachable)` — the engine's
+    * min-label propagation — then each component's ids rank by id and
+    * rank > k drops. Singletons never enter `reach`, so they survive
+    * unconditionally, exactly like the engine.
+    */
+  def capPerClusterSql(shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, k: Int, selectCols: String, orderCol: String): String =
+    "WITH RECURSIVE " + minhashCore(shingleN, numHashes, bands, None).stripPrefix("WITH ") +
+      s""",
+         |pairs AS MATERIALIZED (SELECT id1, id2 FROM jac WHERE j >= $threshold),
+         |walk AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |         UNION SELECT id2, id1 FROM pairs),
+         |reach AS (SELECT a, b FROM walk
+         |          UNION SELECT r.a, w.b FROM reach r JOIN walk w ON w.a = r.b),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |ranked AS (SELECT id, ROW_NUMBER() OVER
+         |             (PARTITION BY component ORDER BY id) AS rn FROM comp),
+         |losers AS (SELECT id FROM ranked WHERE rn > $k)
+         |SELECT $selectCols FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE id = d.$orderCol)
+         |ORDER BY d.$orderCol""".stripMargin
+
   private def minhashCore(shingleN: Int, numHashes: Int, bands: Int,
       blockCol: Option[String]): String = {
     val rows = numHashes / bands

@@ -142,6 +142,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(outDist == out)
   }
 
+  test("capPerCluster keeps the k smallest ids per cluster, singletons always") {
+    // cluster {1,2,3,5} + singleton 4: k=2 keeps {1,2} and 4; k=1
+    // matches dropNearDuplicates; k >= cluster size keeps everything.
+    val k2 = Dedup.capPerCluster(docs, "doc_id", "text", k = 2,
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k2 == Seq(1L, 2L, 4L))
+    val k1 = Dedup.capPerCluster(docs, "doc_id", "text", k = 1,
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k1 == Seq(1L, 4L))
+    val k9 = Dedup.capPerCluster(docs, "doc_id", "text", k = 9,
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k9 == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("normalizeForDedup makes cosmetic variants identical") {
     val df = Seq(
       ("The  Quick,   Brown FOX!", "the quick brown fox"),
