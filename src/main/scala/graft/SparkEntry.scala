@@ -6697,6 +6697,22 @@ object SparkEntry {
           shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // --- 278. Count-Min sketch, oracle-pinned ------------------------------------------------------------
+    // The point-frequency sketch over the REAL corpus token stream at a
+    // deliberately tiny width (64) so collisions are real: per-term true
+    // count, CM estimate and the never-negative overcount. The oracle
+    // replays the xxhash64 fold, the mask, the grid and the min.
+    "q278_cm_sketch" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(Retrieval.tokens(col("text"))).as("term"))
+      val sketch = graft.functions.CmSketchCounts.build(toks, "term", 64, 3)
+      val truth = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      graft.functions.CmSketchCounts.estimate(sketch, truth, "term", 64, 3)
+        .select(col("item").as("term"), col("true_cnt"), col("estimate"),
+          (col("estimate") - col("true_cnt")).as("over_by"))
+        .orderBy("term")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11227,7 +11243,9 @@ object SparkEntry {
     "q277_cap_per_cluster" ->
       graft.oracle.XxSql.capPerClusterSql(shingleN = 3, numHashes = 64,
         bands = 16, threshold = 0.5, k = 2,
-        selectCols = "d.doc_id, d.lang", orderCol = "doc_id")
+        selectCols = "d.doc_id, d.lang", orderCol = "doc_id"),
+
+    "q278_cm_sketch" -> graft.oracle.XxSql.cmSketchSql(width = 64, depth = 3)
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

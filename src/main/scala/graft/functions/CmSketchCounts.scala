@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) in relational form —
+  * the point-frequency member of the sketch family beside Misra-Gries
+  * (top-k), KMV (distinct), HLL (distinct), KLL (quantiles) and Bloom
+  * (membership): a depth x width counter grid where item frequency is
+  * estimated as the MINIMUM of its `depth` bucket counters. Estimates
+  * NEVER undercount; overcount is bounded by 2*N/width with probability
+  * 1 - 2^-depth. The streaming use: a bounded-size frequency table over
+  * an unbounded token stream, mergeable by plain addition.
+  *
+  * Representation: a (row, bucket, cnt) DataFrame — the sketch IS a
+  * relation, so merging two sketches is `union + groupBy sum`, partial
+  * aggregation is map-side, and persistence is a parquet write. Buckets
+  * come from the Catalyst `xxhash64(row, item)` kernel masked to a
+  * power-of-two width (the mask makes signed-vs-unsigned modulo moot and
+  * is exactly replayable by the XXH64 SQL oracle).
+  */
+object CmSketchCounts {
+
+  private def bucketCol(width: Int) =
+    xxhash64(col("row"), col("item")).bitwiseAND(lit((width - 1).toLong))
+      .as("bucket")
+
+  private def rowsFor(depth: Int) =
+    explode(array((0 until depth).map(lit): _*)).as("row")
+
+  private def check(width: Int, depth: Int): Unit = {
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 2, got $width")
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+  }
+
+  /** Build the sketch over every row of `df` (one increment per
+    * occurrence). Returns (row, bucket, cnt); absent buckets are zero.
+    */
+  def build(df: DataFrame, itemCol: String, width: Int, depth: Int): DataFrame = {
+    check(width, depth)
+    df.select(col(itemCol).as("item"), rowsFor(depth))
+      .select(col("row"), bucketCol(width))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `items` (one row per item to query):
+    * min over the item's `depth` counters; items hashing only to empty
+    * buckets estimate 0. Extra columns of `items` are carried through.
+    */
+  def estimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+      width: Int, depth: Int): DataFrame = {
+    check(width, depth)
+    val carry = items.columns.filter(_ != itemCol).map(col).toSeq
+    items.select((col(itemCol).as("item") +: carry) :+ rowsFor(depth): _*)
+      .select((col("item") +: carry) :+ col("row") :+ bucketCol(width): _*)
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy((col("item") +: carry): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
+  }
+}

@@ -236,6 +236,36 @@ object XxSql {
          |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE id = d.$orderCol)
          |ORDER BY d.$orderCol""".stripMargin
 
+  /** Oracle SQL for [[graft.functions.CmSketchCounts]] over the corpus
+    * token stream: replays tokenization, the Catalyst
+    * `xxhash64(row, term)` fold (hashInt(row, 42) then hashUTF8String
+    * seeded with it), the power-of-two bucket mask, the (row, bucket)
+    * counter grid, and the per-term MIN — emitting true count, estimate
+    * and the never-negative overcount.
+    */
+  def cmSketchSql(width: Int, depth: Int): String = {
+    require(width >= 2 && (width & (width - 1)) == 0)
+    val ch = chain("cq",
+      s"""SELECT term, c, r, length(term) AS l FROM (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      t -> len(t) > 0)) AS term FROM documents) GROUP BY 1),
+         |  (SELECT unnest(range($depth)) AS r)""".stripMargin,
+      Seq("term", "c", "r", "l"))
+    intHash(ch, "r", "42", "ih")
+    strHash(ch, "term", "l", maxLen = 16, out = "hh", seed = "ih")
+    ch.stage("bucket" -> s"CAST((hh & ${width - 1}) AS BIGINT)")
+      .drop("hh", "ih", "l")
+    s"""WITH ${ch.withClauses},
+       |sk AS MATERIALIZED (SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM ${ch.last} GROUP BY 1, 2),
+       |est AS (SELECT t.term, t.c, MIN(sk.cnt) AS estimate
+       |  FROM ${ch.last} t JOIN sk ON sk.r = t.r AND sk.bucket = t.bucket
+       |  GROUP BY 1, 2)
+       |SELECT term, c AS true_cnt, estimate, estimate - c AS over_by
+       |FROM est ORDER BY term""".stripMargin
+  }
+
   private def minhashCore(shingleN: Int, numHashes: Int, bands: Int,
       blockCol: Option[String]): String = {
     val rows = numHashes / bands

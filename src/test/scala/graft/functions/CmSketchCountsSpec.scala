@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Count-Min: never undercounts, exact when collision-free, mergeable by
+  * union+sum, zero for never-seen items, and the argument guards.
+  */
+class CmSketchCountsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val stream = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+    .toDF("item")
+
+  test("estimates never undercount and hit exactly without collisions") {
+    // width 1024 >> 3 distinct items: collisions vanish, estimates exact.
+    val sk = CmSketchCounts.build(stream, "item", width = 1024, depth = 4)
+    val truth = stream.groupBy("item").agg(count(lit(1)).as("true_cnt"))
+    val est = CmSketchCounts.estimate(sk, truth, "item", 1024, 4)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(est("a") == (7L, 7L) && est("b") == (3L, 3L) && est("c") == (1L, 1L))
+  }
+
+  test("tiny width overcounts but never undercounts") {
+    val sk = CmSketchCounts.build(stream, "item", width = 2, depth = 2)
+    val truth = stream.groupBy("item").agg(count(lit(1)).as("true_cnt"))
+    val est = CmSketchCounts.estimate(sk, truth, "item", 2, 2)
+      .as[(String, Long, Long)].collect()
+    est.foreach(r => assert(r._3 >= r._2, r.toString))
+    assert(est.map(_._3).sum >= est.map(_._2).sum)
+  }
+
+  test("sketches merge by union + groupBy sum") {
+    val half1 = Seq.fill(4)("a").toDF("item")
+    val half2 = (Seq.fill(3)("a") :+ "d").toDF("item")
+    val merged = CmSketchCounts.build(half1, "item", 64, 3)
+      .union(CmSketchCounts.build(half2, "item", 64, 3))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = CmSketchCounts.build(half1.union(half2), "item", 64, 3)
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    assert(m == whole.as[(Int, Long, Long)].collect().toSet)
+  }
+
+  test("never-seen items estimate zero on a wide sketch") {
+    val sk = CmSketchCounts.build(stream, "item", 1024, 4)
+    val est = CmSketchCounts.estimate(sk, Seq("zzz").toDF("item"), "item", 1024, 4)
+      .as[(String, Long)].collect()
+    assert(est.head._2 == 0L)
+  }
+
+  test("argument guards") {
+    intercept[IllegalArgumentException](
+      CmSketchCounts.build(stream, "item", width = 100, depth = 4))
+    intercept[IllegalArgumentException](
+      CmSketchCounts.build(stream, "item", width = 64, depth = 0))
+  }
+}
