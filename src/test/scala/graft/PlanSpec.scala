@@ -534,6 +534,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q260 verifies inside the bucket join behind a pinned-width exchange") {
+    // The three load-bearing shapes of the 54s->8s rewrite:
+    //  1. the packed-kernel dot product evaluates in the SAME stage as
+    //     the term self-join (no candidate list is materialized or
+    //     shuffled — no exchange may sit between the join and the score);
+    //  2. the index repartitions with an EXPLICIT partition count so AQE
+    //     cannot coalesce the exploding join onto one core (the measured
+    //     47s single-task stage);
+    //  3. only threshold survivors reach the distinct's exchange.
+    val p = plan("q260_cosine_join")
+    assert(p.contains("graft_tf_dot_packed"), p)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+    // the dot-product score must appear as a join-stage filter/condition,
+    // not after an aggregate: no HashAggregate between join and filter.
+    val joinIdx = p.indexOf("graft_tf_dot_packed")
+    val tail = p.substring(joinIdx)
+    assert(!tail.take(200).contains("Exchange"),
+      "dot product separated from the join by an exchange:\n" + p)
+  }
+
   test("q256 KMV sketch aggregates partially before the group shuffle") {
     // The mergeable Aggregator must run map-side (partial_kmvsketch...):
     // only k-long sketch states cross the exchange, never raw hash rows.
