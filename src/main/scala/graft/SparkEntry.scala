@@ -6713,6 +6713,19 @@ object SparkEntry {
           (col("estimate") - col("true_cnt")).as("over_by"))
         .orderBy("term")
     }),
+
+    // --- 279. per-group OLS trend, oracle-pinned ---------------------------------------------------------
+    // Value drift per event type over the REAL events log: x = epoch
+    // day, y = value in cents (both exact integers, so the sufficient
+    // statistics are order-independent BIGINTs); slope/intercept is one
+    // pinned double expression replayed verbatim by the oracle.
+    "q279_value_trend" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      graft.operators.Trend.ols(e, "event_type", "x", "y")
+        .orderBy("event_type")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11245,7 +11258,38 @@ object SparkEntry {
         bands = 16, threshold = 0.5, k = 2,
         selectCols = "d.doc_id, d.lang", orderCol = "doc_id"),
 
-    "q278_cm_sketch" -> graft.oracle.XxSql.cmSketchSql(width = 64, depth = 3)
+    "q278_cm_sketch" -> graft.oracle.XxSql.cmSketchSql(width = 64, depth = 3),
+
+    // OLS: exact integer sufficient statistics, the identical double
+    // slope/intercept expression, 7-decimal rounding.
+    "q279_value_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 7) AS slope,
+        |  ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    (CAST(sy AS DOUBLE) -
+        |     ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) END, 7) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Per-group trend fitting — the time-series health check of a corpus or
+  * event log: is volume/quality/latency drifting, and how fast? One
+  * closed-form least-squares line per group.
+  */
+object Trend {
+
+  /** Ordinary least squares `y ~ x` per group, closed form.
+    *
+    * EXACTNESS CONTRACT: `x` and `y` must be INTEGRAL columns (epoch
+    * days, cents, counts — the caller quantizes), so the five sufficient
+    * statistics (n, Σx, Σx², Σxy, Σy) are exact BIGINTs whose
+    * distributed sums are order-independent. The slope and intercept
+    * are then ONE pinned double expression over those exact sums —
+    * products are taken in DOUBLE (overflow-free, IEEE-deterministic,
+    * cross-engine replayable) and rounded at the suite's 7 decimals:
+    *
+    *   slope = (n*Σxy - Σx*Σy) / (n*Σx² - Σx*Σx)
+    *   intercept = (Σy - slope*Σx) / n
+    *
+    * Per-row products must fit a Long: |x*y| < 2^63 (epoch-day x cents
+    * y clears this by five orders of magnitude at any corpus scale).
+    *
+    * Scale shape: one map-side-combining groupBy — sufficient statistics
+    * ARE the shuffle payload (five longs per group), never rows. Groups
+    * with a single point or constant x yield null slope (0/0).
+    */
+  def ols(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(xCol, yCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first — the exactness contract), " +
+          s"got ${df.schema(c).dataType.catalogString}")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(x * y).as("sxy"), sum(y).as("sy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val syD = col("sy").cast("double")
+    val denom = nD * sxxD - sxD * sxD
+    val slope = (nD * sxyD - sxD * syD) / denom
+    g.select(col(groupCol), col("n"),
+      round(when(denom =!= 0.0, slope), 7).as("slope"),
+      round(when(denom =!= 0.0, (syD - slope * sxD) / nD), 7).as("intercept"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** OLS trend: exact-line recovery, a hand-computed noisy fit, degenerate
+  * groups, and the integral-input contract.
+  */
+class TrendSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("points on an exact line recover slope and intercept exactly") {
+    // y = 3x + 40 over x = 0..9
+    val df = (0L to 9L).map(x => ("g", x, 3 * x + 40)).toDF("g", "x", "y")
+    val r = Trend.ols(df, "g", "x", "y").collect()(0)
+    assert(r.getLong(1) == 10)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 40.0)
+  }
+
+  test("noisy points match the hand-computed closed form") {
+    // x = 0,1,2 ; y = 0,2,3: n=3 sx=3 sxx=5 sxy=8 sy=5
+    // slope = (24-15)/(15-9) = 1.5 ; intercept = (5-1.5*3)/3 = 1/6
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 3L)).toDF("g", "x", "y")
+    val r = Trend.ols(df, "g", "x", "y").collect()(0)
+    assert(r.getDouble(2) == 1.5)
+    assert(r.getDouble(3) == math.rint(1.0 / 6.0 * 1e7) / 1e7)
+  }
+
+  test("single point and constant-x groups yield null slope") {
+    val df = Seq(("one", 5L, 7L), ("const", 2L, 1L), ("const", 2L, 9L))
+      .toDF("g", "x", "y")
+    val rows = Trend.ols(df, "g", "x", "y").orderBy("g").collect()
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
+  test("multiple groups fit independently") {
+    val df = ((0L to 4L).map(x => ("a", x, 2 * x)) ++
+      (0L to 4L).map(x => ("b", x, 10 - x))).toDF("g", "x", "y")
+    val got = Trend.ols(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("a") == 2.0 && got("b") == -1.0)
+  }
+
+  test("non-integral input is rejected by the exactness contract") {
+    val df = Seq(("g", 1.0, 2L)).toDF("g", "x", "y")
+    intercept[IllegalArgumentException](Trend.ols(df, "g", "x", "y"))
+  }
+}
