@@ -6726,6 +6726,29 @@ object SparkEntry {
       graft.operators.Trend.ols(e, "event_type", "x", "y")
         .orderBy("event_type")
     }),
+
+    // --- 280. token-budget selection, oracle-pinned ------------------------------------------------------
+    // The data-constrained-scaling recipe over REAL documents: quality =
+    // milli-avg-word-length (exact integer div), spend an 8000-token
+    // budget best-first. The engine's two-level shape (distinct-score
+    // window + one broadcast partial score) must equal the oracle's
+    // row-level greedy prefix in (score desc, id) order.
+    "q280_budget_select" -> ((s, d) => {
+      val stats = TF.tokenLenStats(Retrieval.tokens(col("text")))
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), stats.getField("n_tokens").as("n_tok"),
+          stats.getField("sum_len").as("sum_len"))
+        .where(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          org.apache.spark.sql.graft.Bridge.column(
+            org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+              org.apache.spark.sql.graft.Bridge.expression(col("sum_len") * 1000),
+              org.apache.spark.sql.graft.Bridge.expression(col("n_tok"))))
+            .as("score"))
+      graft.operators.Sampling.budgetSelect(base, "doc_id", "score", "n_tok",
+          budget = 8000L)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11289,7 +11312,27 @@ object SparkEntry {
         |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) END, 7) AS intercept
-        |FROM s ORDER BY event_type""".stripMargin
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // Budget selection: the row-level greedy prefix the two-level engine
+    // shape must equal — cumsum in (score desc, id) order, keep <= budget.
+    "q280_budget_select" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS BIGINT) AS sum_len
+        |  FROM t0 WHERE len(toks) > 0),
+        |scored AS (
+        |  SELECT doc_id, n_tok, (sum_len * 1000) // n_tok AS score FROM base),
+        |r AS (
+        |  SELECT doc_id, n_tok, score,
+        |    SUM(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum FROM scored)
+        |SELECT doc_id, n_tok, score FROM r WHERE cum <= 8000
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

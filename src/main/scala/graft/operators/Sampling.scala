@@ -277,4 +277,52 @@ object Sampling {
       .limit(k)
       .drop("__wkey")
   }
+
+  /** Greedy token-budget selection (the data-constrained-scaling recipe:
+    * spend a fixed token budget on the highest-quality documents first).
+    * Equivalent to ordering by (score desc, id asc) and keeping the
+    * prefix whose running token sum stays within `budget` — but computed
+    * WITHOUT a global row-level window: a corpus-scale cumulative sum
+    * over one partition is the classic driver-shaped bottleneck.
+    *
+    * Two-level shape: (1) per-score token totals groupBy — the global
+    * window runs over DISTINCT SCORES only (scores are quantized by
+    * contract, so this table is small); (2) fully-funded scores semi-join
+    * back; (3) the single partially-funded score — at most one row,
+    * broadcast — ranks its own rows by id with a score-partitioned
+    * window. Ties at the cutoff are spent in ascending-id order; a row
+    * that would overshoot is dropped (strict prefix, never over budget).
+    *
+    * `scoreCol` and `tokensCol` must be integral (exactness contract:
+    * sums and comparisons stay in BIGINT).
+    */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val byScore = df.groupBy(col(scoreCol))
+      .agg(sum(col(tokensCol)).as("__tok"))
+    val w = Window.orderBy(desc(scoreCol))
+    val cum = byScore
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("__before", col("__cum") - col("__tok"))
+    val fullScores = cum.where(col("__cum") <= budget).select(col(scoreCol))
+    val partial = cum
+      .where(col("__cum") > budget && col("__before") < budget)
+      .select(col(scoreCol).as("__pscore"),
+        (lit(budget) - col("__before")).as("__remaining"))
+    val outCols = df.columns.toSeq.map(col)
+    val kept = df.join(fullScores, Seq(scoreCol), "left_semi")
+      .select(outCols: _*)
+    val pw = Window.partitionBy(col("__pscore")).orderBy(col(idCol))
+    val partRows = df.join(broadcast(partial), df(scoreCol) === col("__pscore"))
+      .withColumn("__rcum", sum(col(tokensCol)).over(pw))
+      .where(col("__rcum") <= col("__remaining"))
+      .select(outCols: _*)
+    kept.union(partRows)
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Token-budget selection: greedy prefix equivalence, cutoff-tie spending
+  * in id order, strict never-over-budget, and the edge budgets.
+  */
+class BudgetSelectSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (id, score, tokens)
+  private val docs = Seq(
+    (1L, 9L, 100L), (2L, 9L, 50L),
+    (3L, 7L, 80L), (4L, 7L, 80L), (5L, 7L, 80L),
+    (6L, 3L, 10L)
+  ).toDF("id", "score", "tok")
+
+  private def select(budget: Long): Seq[Long] =
+    Sampling.budgetSelect(docs, "id", "score", "tok", budget)
+      .select("id").as[Long].collect().sorted.toSeq
+
+  test("equals the row-level greedy prefix in (score desc, id) order") {
+    // order: 1(100) 2(50) 3(80) 4(80) 5(80) 6(10); cum 100 150 230 310 390 400
+    assert(select(400L) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(select(390L) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(select(309L) == Seq(1L, 2L, 3L)) // 4 would overshoot; 6 never reached
+    assert(select(230L) == Seq(1L, 2L, 3L))
+    assert(select(150L) == Seq(1L, 2L))
+  }
+
+  test("ties at the cutoff score spend in ascending id order") {
+    // budget 310: full scores {9}, remaining 160 at score 7 -> ids 3, 4
+    assert(select(310L) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("never exceeds the budget; a too-big first row selects nothing") {
+    for (b <- Seq(0L, 99L)) assert(select(b).isEmpty, s"budget $b")
+    val total = docs.agg(sum("tok")).as[Long].collect()(0)
+    for (b <- Seq(100L, 230L, 310L, 400L, 1000L)) {
+      val kept = Sampling.budgetSelect(docs, "id", "score", "tok", b)
+        .agg(coalesce(sum("tok"), lit(0L))).as[Long].collect()(0)
+      assert(kept <= math.min(b, total), s"budget $b spent $kept")
+    }
+  }
+}
