@@ -6749,6 +6749,19 @@ object SparkEntry {
           budget = 8000L)
         .orderBy("doc_id")
     }),
+
+    // --- 281. rendezvous sharding, oracle-pinned ---------------------------------------------------------
+    // Stable HRW doc-to-shard routing at n=8 and n=9 side by side: the
+    // oracle replays every candidate hash and both signed argmaxes,
+    // pinning the assignment AND the minimal-disruption regrow (keys
+    // that move can only move to the new shard — verified by hash).
+    "q281_rendezvous" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.operators.Sampling.rendezvousShard(
+          col("doc_id").cast("string"), 8).as("shard_a"),
+        graft.operators.Sampling.rendezvousShard(
+          col("doc_id").cast("string"), 9).as("shard_b"))
+        .orderBy("doc_id")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11332,7 +11345,9 @@ object SparkEntry {
         |  SELECT doc_id, n_tok, score,
         |    SUM(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum FROM scored)
         |SELECT doc_id, n_tok, score FROM r WHERE cum <= 8000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q281_rendezvous" -> graft.oracle.XxSql.rendezvousSql(nA = 8, nB = 9)
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -278,6 +278,30 @@ object Sampling {
       .drop("__wkey")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the STABLE
+    * alternative to `pmod(hash, n)` sharding: every key scores each
+    * shard with `xxhash64(shard, key)` and lands on the argmax, so
+    * growing n to n+1 moves ONLY the keys whose new argmax is the new
+    * shard (expected 1/(n+1) of them) — `pmod` resharding moves almost
+    * everything. The dataset-layout use: stable doc-to-shard routing
+    * across corpus regrows, so incremental pipelines reprocess one new
+    * shard instead of the world.
+    *
+    * Row-local, codegen'd (a `greatest` over (hash, shard) structs —
+    * field-wise comparison, no explode, no shuffle), bit-replayable by
+    * the XXH64 SQL oracle. Signed-long comparison is the pinned order.
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"nShards must be in [1, 1024], got $nShards")
+    if (nShards == 1) lit(0)
+    else {
+      val scored = (0 until nShards).map(s =>
+        struct(xxhash64(lit(s), key).as("h"), lit(s).as("s")))
+      greatest(scored: _*).getField("s")
+    }
+  }
+
   /** Greedy token-budget selection (the data-constrained-scaling recipe:
     * spend a fixed token budget on the highest-quality documents first).
     * Equivalent to ordering by (score desc, id asc) and keeping the

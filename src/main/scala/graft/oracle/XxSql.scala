@@ -266,6 +266,28 @@ object XxSql {
        |FROM est ORDER BY term""".stripMargin
   }
 
+  /** Oracle SQL for [[graft.operators.Sampling.rendezvousShard]] over
+    * `CAST(doc_id AS VARCHAR)` keys: replays `xxhash64(shard, key)` per
+    * candidate shard and takes the SIGNED argmax under two shard counts,
+    * pinning both the assignment and the minimal-disruption regrow.
+    */
+  def rendezvousSql(nA: Int, nB: Int): String = {
+    val rMax = math.max(nA, nB)
+    val ch = chain("rv",
+      s"""SELECT doc_id, CAST(doc_id AS VARCHAR) AS k,
+         |  length(CAST(doc_id AS VARCHAR)) AS l, r
+         |FROM documents, (SELECT unnest(range($rMax)) AS r)""".stripMargin,
+      Seq("doc_id", "k", "l", "r"))
+    intHash(ch, "r", "42", "ih")
+    strHash(ch, "k", "l", maxLen = 8, out = "hh", seed = "ih")
+    ch.stage("hs" -> s64("hh")).drop("hh", "ih", "l", "k")
+    s"""WITH ${ch.withClauses}
+       |SELECT doc_id,
+       |  CAST(arg_max(r, hs) FILTER (WHERE r < $nA) AS INT) AS shard_a,
+       |  CAST(arg_max(r, hs) FILTER (WHERE r < $nB) AS INT) AS shard_b
+       |FROM ${ch.last} GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private def minhashCore(shingleN: Int, numHashes: Int, bands: Int,
       blockCol: Option[String]): String = {
     val rows = numHashes / bands

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Rendezvous sharding: determinism, coverage, and the minimal-disruption
+  * property that is its whole reason to exist.
+  */
+class RendezvousSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val keys = (0 until 2000).map(i => s"key$i").toDF("k")
+
+  test("assignment is deterministic and covers all shards roughly evenly") {
+    val counts = keys
+      .select(Sampling.rendezvousShard(col("k"), 8).as("s"))
+      .groupBy("s").count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet == (0 until 8).toSet)
+    // 2000 keys over 8 shards: expect 250 per shard, allow wide slack
+    counts.values.foreach(n => assert(n > 130 && n < 380, counts.toString))
+    val again = keys
+      .select(Sampling.rendezvousShard(col("k"), 8).as("s"))
+      .groupBy("s").count().as[(Int, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("growing n to n+1 moves only keys that land on the new shard") {
+    val moved = keys.select(col("k"),
+      Sampling.rendezvousShard(col("k"), 8).as("s8"),
+      Sampling.rendezvousShard(col("k"), 9).as("s9"))
+      .where(col("s8") =!= col("s9"))
+      .select("s9").as[Int].collect()
+    assert(moved.nonEmpty && moved.forall(_ == 8), moved.distinct.mkString(","))
+    // expected move fraction 1/9 of 2000 ~ 222; allow wide slack
+    assert(moved.length > 120 && moved.length < 350, moved.length.toString)
+  }
+
+  test("single shard short-circuits to zero") {
+    val got = keys.limit(5)
+      .select(Sampling.rendezvousShard(col("k"), 1).as("s"))
+      .as[Int].collect()
+    assert(got.forall(_ == 0))
+  }
+}
