@@ -6762,6 +6762,16 @@ object SparkEntry {
         graft.operators.Sampling.rendezvousShard(
           col("doc_id").cast("string"), 9).as("shard_b"))
         .orderBy("doc_id")),
+
+    // --- 282. positional proximity search, oracle-pinned -------------------------------------------------
+    // The NEAR operator over the REAL corpus: documents where 'join'
+    // sits within 3 tokens of 'hash', with match counts and minimum
+    // distance. Postings filter to the two query terms before any join.
+    "q282_proximity" -> ((s, d) =>
+      Retrieval.proximityMatches(t(s, d, "documents"), "doc_id", "text",
+          "join", "hash", 3)
+        .select(col("id").as("doc_id"), col("n_matches"), col("min_dist"))
+        .orderBy("doc_id")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11347,7 +11357,26 @@ object SparkEntry {
         |SELECT doc_id, n_tok, score FROM r WHERE cum <= 8000
         |ORDER BY doc_id""".stripMargin,
 
-    "q281_rendezvous" -> graft.oracle.XxSql.rendezvousSql(nA = 8, nB = 9)
+    "q281_rendezvous" -> graft.oracle.XxSql.rendezvousSql(nA = 8, nB = 9),
+
+    // Proximity: replay positions (0-based), the two postings lists, the
+    // windowed pair join and both aggregates.
+    "q282_proximity" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, toks,
+        |          UNNEST(generate_series(1, len(toks))) AS i FROM t0)
+        |  WHERE toks[i] IN ('join', 'hash')),
+        |a AS (SELECT doc_id, pos AS pa FROM p WHERE term = 'join'),
+        |b AS (SELECT doc_id, pos AS pb FROM p WHERE term = 'hash')
+        |SELECT a.doc_id, COUNT(*) AS n_matches,
+        |  CAST(MIN(abs(pa - pb)) AS BIGINT) AS min_dist
+        |FROM a JOIN b USING (doc_id) WHERE abs(pa - pb) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -202,4 +202,37 @@ object Retrieval {
       .select(col(queryCol), col(docCol), col("rrf"),
         col("fused_rank").cast("int").as("fused_rank"))
   }
+
+  /** Positional proximity search — the phrase/NEAR operator the inverted
+    * index (q97) needs to answer "termA within `window` tokens of
+    * termB": documents where both terms co-occur that close, with the
+    * match count and the minimum distance (1 = adjacent, the phrase
+    * case).
+    *
+    * Scale shape: positions explode ONCE and filter to the two query
+    * terms BEFORE any join — the pair join runs on query-term postings
+    * only (corpus-frequency-sized, not corpus-sized) and joins on the
+    * document key, so a document's matches never leave its partition.
+    * Positions are 0-based token indexes under the shared
+    * [[Retrieval.tokens]] rule.
+    */
+  def proximityMatches(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(termA != termB, "termA and termB must differ (same-term " +
+      "proximity is repetition analysis, not phrase search)")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val posts = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .where(col("term").isin(termA, termB))
+    val a = posts.where(col("term") === termA)
+      .select(col("id"), col("pos").as("pa"))
+    val b = posts.where(col("term") === termB)
+      .select(col("id"), col("pos").as("pb"))
+    a.join(b, "id")
+      .where(abs(col("pa") - col("pb")) <= window)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+  }
 }

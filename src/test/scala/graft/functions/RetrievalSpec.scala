@@ -99,4 +99,24 @@ class RetrievalSpec extends SparkTestBase {
     assert(r.getLong(3) == 3)  // df1: a, c, d
     assert(r.getDouble(4) == 4.0 / 6)
   }
+
+  test("proximityMatches: window gating, counts, min distance, absence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x gap y tail"),      // distance 2
+      (2L, "x y"),               // adjacent
+      (3L, "x y x"),             // two pairs within 2, min 1
+      (4L, "x alone here"),      // only one term
+      (5L, "y only")
+    ).toDF("id", "text")
+    val w2 = Retrieval.proximityMatches(docs, "id", "text", "x", "y", 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w2.keySet == Set(1L, 2L, 3L))
+    assert(w2(1L) == (1L, 2L) && w2(2L) == (1L, 1L) && w2(3L) == (2L, 1L))
+    val w1 = Retrieval.proximityMatches(docs, "id", "text", "x", "y", 1)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(w1 == Set(2L, 3L))
+    intercept[IllegalArgumentException](
+      Retrieval.proximityMatches(docs, "id", "text", "x", "x", 2))
+  }
 }
