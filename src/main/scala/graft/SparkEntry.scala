@@ -6772,6 +6772,32 @@ object SparkEntry {
           "join", "hash", 3)
         .select(col("id").as("doc_id"), col("n_matches"), col("min_dist"))
         .orderBy("doc_id")),
+
+    // --- 283. session path analysis, oracle-pinned -------------------------------------------------------
+    // The behavioral complement of the funnel (q61): top event-type
+    // TRIGRAMS within q43's 30-minute sessions — which three-step paths
+    // dominate. Session boundaries, leads, counts and the total order
+    // all replay exactly.
+    "q283_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts"))
+      val prev = lag(unix_micros(col("ts")), 1).over(w)
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sw = Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("new_session",
+          when(prev.isNull || (us - prev) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .withColumn("e2", lead(col("event_type"), 1).over(sw))
+        .withColumn("e3", lead(col("event_type"), 2).over(sw))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))
+        .limit(50)
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11376,7 +11402,32 @@ object SparkEntry {
         |SELECT a.doc_id, COUNT(*) AS n_matches,
         |  CAST(MIN(abs(pa - pb)) AS BIGINT) AS min_dist
         |FROM a JOIN b USING (doc_id) WHERE abs(pa - pb) <= 3
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Paths: q43's session boundaries, two leads, trigram counts.
+    "q283_event_paths" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM base
+        |), tri AS (
+        |  SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER sw AS e2,
+        |    LEAD(event_type, 2) OVER sw AS e3
+        |  FROM sess
+        |  WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+        |)
+        |SELECT e1, e2, e3, COUNT(*) AS n FROM tri
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to
