@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** THE Morton bit-interleave — the single definition both z-order
+    * surfaces share ([[zValue]]'s exact-integer path and
+    * [[Medallion.writeZOrdered]]'s continuous width_bucket path), so the
+    * curve's bit order can never drift between them: bit b of bucket i
+    * lands at position `b * k + (k - 1 - i)` — the FIRST column owns the
+    * most significant position of each group, so equal-prefix rows tile
+    * into aligned hyper-rectangles. Buckets must already sit in
+    * [0, 2^bits).
+    */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty && bits >= 1 && bits * buckets.size <= 63,
+      s"bits * columns must be in [1, 63], got ${bits * buckets.size}")
+    val k = buckets.size
+    var z: Column = lit(0L)
+    for (b <- 0 until bits; i <- 0 until k) {
+      val bit = shiftright(buckets(i), b).bitwiseAND(lit(1L))
+      z = z.bitwiseOR(shiftleft(bit, b * k + (k - 1 - i)))
+    }
+    z
+  }
+
   /** The Morton (Z-curve) key for `cols`, as a column expression.
     *
     * Pinned construction, exact and engine-replayable end to end:
@@ -40,7 +61,6 @@ object Layout {
     require(cols.nonEmpty, "zValue needs at least one column")
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits * columns must be in [1, 63], got ${bits * cols.size}")
-    val k = cols.size
     val nb = 1L << bits
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__min_$c"),
@@ -59,12 +79,7 @@ object Layout {
           org.apache.spark.sql.graft.Bridge.expression((v - lo) * lit(nb)),
           org.apache.spark.sql.graft.Bridge.expression(range)))
     }
-    var z: Column = lit(0L)
-    for (b <- 0 until bits; i <- 0 until k) {
-      val bit = shiftright(buckets(i), b).bitwiseAND(lit(1L))
-      z = z.bitwiseOR(shiftleft(bit, b * k + (k - 1 - i)))
-    }
-    withBounds.withColumn("__z", z)
+    withBounds.withColumn("__z", interleave(buckets, bits))
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
 

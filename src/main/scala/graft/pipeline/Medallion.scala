@@ -835,13 +835,11 @@ object Medallion {
           lit(nBuckets)) - 1, lit(0L)), lit((nBuckets - 1).toLong))
       (bucket, d)
     }
-    // Interleave: output bit (i*dims + d) = bit i of dimension d's bucket.
-    val nDims = zCols.size
-    val zCode = (0 until bitsPerDim).flatMap { i =>
-      dims.map { case (bucket, d) =>
-        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * nDims + d)
-      }
-    }.reduce(_.bitwiseOR(_))
+    // The bit interleave is THE shared Morton definition (Layout.interleave)
+    // so this continuous-dimension writer and the exact-integer key path
+    // (Layout.zValue, oracle-replayed by q276) can never drift in curve
+    // order.
+    val zCode = Layout.interleave(dims.map(_._1), bitsPerDim)
     df.withColumn("__z", zCode)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
