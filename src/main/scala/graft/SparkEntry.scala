@@ -6798,6 +6798,54 @@ object SparkEntry {
         .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))
         .limit(50)
     }),
+
+    // --- 284. SQuAD token F1, oracle-pinned --------------------------------------------------------------
+    // Three constructed pred/gold shapes: normalization equivalence
+    // (case/punct/articles), a partial multiset overlap with closed-form
+    // F1, and the empty-gold convention. Every field closed-form.
+    "q284_token_f1" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val pred = when(m === 0, concat(lit("The answer: IS 42 "), id))
+        .when(m === 1, lit("green eggs"))
+        .otherwise(lit("nothing"))
+      val gold = when(m === 0, concat(lit("answer is 42 "), id))
+        .when(m === 1, concat(lit("green eggs and ham "), id))
+        .otherwise(lit("the"))
+      val v = graft.functions.Eval.tokenF1(pred, gold)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("em").as("em"),
+          v.getField("f1").as("f1"),
+          v.getField("overlap").as("overlap"),
+          v.getField("n_pred").as("n_pred"),
+          v.getField("n_gold").as("n_gold"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 285. unbiased pass@k estimator, oracle-pinned ---------------------------------------------------
+    // 40 synthetic problems with every-third sample correct: exact
+    // falling products, one division, the n<k undefined case. The
+    // oracle replays the closed form term by term.
+    "q285_pass_at_k" -> ((s, d) => {
+      val samples = t(s, d, "documents").select(
+        (col("doc_id") % 40).as("prob"),
+        (col("doc_id") % 3 === 0).as("ok"))
+      graft.functions.Eval.passAtK(samples, "prob", "ok", 3)
+        .orderBy("prob")
+    }),
+
+    // --- 286. classification report, oracle-pinned -------------------------------------------------------
+    // Gold = the real lang column; pred corrupts every 7th doc to 'en'.
+    // Per-class counts, precision/recall/F1 with the engine's exact
+    // round-then-combine discipline replayed.
+    "q286_class_report" -> ((s, d) => {
+      val pairs = t(s, d, "documents").select(
+        col("lang").as("gold"),
+        when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang"))
+          .as("pred"))
+      graft.functions.Eval.classificationReport(pairs, "gold", "pred")
+        .orderBy("label")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11427,7 +11475,67 @@ object SparkEntry {
         |)
         |SELECT e1, e2, e3, COUNT(*) AS n FROM tri
         |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin,
+
+    // Token F1 per construction case; m=1's F1 = 2*(2/2)*(2/5)/(2/2+2/5).
+    "q284_token_f1" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS em,
+        |  CASE doc_id % 3 WHEN 0 THEN 1.0
+        |    WHEN 1 THEN ROUND(2.0 * 1.0 * 0.4 / 1.4, 7) ELSE 0.0 END AS f1,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS overlap,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_pred,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 5 ELSE 0 END
+        |    AS BIGINT) AS n_gold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pass@3: exact falling products, one rounded division.
+    "q285_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT doc_id % 40 AS prob, doc_id % 3 = 0 AS ok FROM documents),
+        |g AS (
+        |  SELECT prob, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS c
+        |  FROM s GROUP BY 1)
+        |SELECT prob, n, c,
+        |  CASE WHEN n >= 3 THEN ROUND(1.0 -
+        |    CAST(GREATEST(n - c, 0) * GREATEST(n - c - 1, 0) *
+        |         GREATEST(n - c - 2, 0) AS DOUBLE) /
+        |    CAST(n * (n - 1) * (n - 2) AS DOUBLE), 7) END AS pass_at_3
+        |FROM g ORDER BY prob""".stripMargin,
+
+    // Report: counts, then the engine's round-then-combine F1 discipline.
+    "q286_class_report" ->
+      """WITH pairs AS (
+        |  SELECT lang AS gold,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS pred
+        |  FROM documents),
+        |tp AS (SELECT gold AS label, CAST(COUNT(*) AS BIGINT) AS tp
+        |  FROM pairs WHERE gold = pred GROUP BY 1),
+        |gn AS (SELECT gold AS label, CAST(COUNT(*) AS BIGINT) AS n_gold
+        |  FROM pairs GROUP BY 1),
+        |pn AS (SELECT pred AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+        |  FROM pairs GROUP BY 1),
+        |j AS (
+        |  SELECT label, COALESCE(n_gold, 0) AS n_gold,
+        |    COALESCE(n_pred, 0) AS n_pred, COALESCE(tp.tp, 0) AS tp
+        |  FROM gn FULL OUTER JOIN pn USING (label)
+        |  LEFT JOIN tp USING (label)),
+        |pr AS (
+        |  SELECT label, n_gold, n_pred, tp,
+        |    ROUND(CASE WHEN n_pred > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END, 7) AS precision,
+        |    ROUND(CASE WHEN n_gold > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE) END, 7) AS recall
+        |  FROM j)
+        |SELECT label, n_gold, n_pred, tp, precision, recall,
+        |  ROUND(CASE WHEN precision + recall > 0.0 THEN
+        |      2.0 * precision * recall / (precision + recall)
+        |    WHEN precision IS NOT NULL AND recall IS NOT NULL THEN 0.0
+        |    END, 7) AS f1
+        |FROM pr ORDER BY label""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,103 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQuAD-style answer scoring — the row-local kernel of model-output
+  * evaluation: exact match and token-overlap F1 between a prediction and
+  * a gold answer under the PUBLISHED normalization (the SQuAD eval
+  * script's rule set, pinned):
+  *
+  *  - lowercase; every character outside [a-z0-9] becomes a space
+  *    (punctuation removal and tokenization in one rule);
+  *  - the English articles `a`, `an`, `the` drop;
+  *  - `em` = the normalized token sequences are identical;
+  *  - F1 over token MULTISETS: overlap = sum over tokens of
+  *    min(count_pred, count_gold); P = overlap/n_pred;
+  *    R = overlap/n_gold; F1 = 2PR/(P+R), 0 when overlap is 0. Both
+  *    sides empty => em and F1 = 1 (the SQuAD empty-answer convention);
+  *    exactly one side empty => 0.
+  *
+  * F1 rounds to 7 decimals (the suite's cross-engine discipline — the
+  * inputs to the division are exact integers). Row-local, codegen'd.
+  */
+object EvalCodec {
+
+  private def normTokens(s: String): Array[String] = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else sb.append(' ')
+      i += 1
+    }
+    sb.toString.split(" ").filter(t =>
+      t.nonEmpty && t != "a" && t != "an" && t != "the")
+  }
+
+  def tokenF1(pu: UTF8String, gu: UTF8String): InternalRow = {
+    if (pu == null || gu == null) return null
+    val p = normTokens(pu.toString)
+    val g = normTokens(gu.toString)
+    val em = java.util.Arrays.equals(
+      p.asInstanceOf[Array[AnyRef]], g.asInstanceOf[Array[AnyRef]])
+    val counts = new java.util.HashMap[String, Long]()
+    for (t <- g) counts.merge(t, 1L, _ + _)
+    var overlap = 0L
+    for (t <- p) {
+      val c = counts.getOrDefault(t, 0L)
+      if (c > 0) { overlap += 1; counts.put(t, c - 1) }
+    }
+    val f1 =
+      if (p.isEmpty && g.isEmpty) 1.0
+      else if (overlap == 0) 0.0
+      else {
+        val pr = overlap.toDouble / p.length
+        val rc = overlap.toDouble / g.length
+        2.0 * pr * rc / (pr + rc)
+      }
+    val out = new Array[Any](5)
+    out(0) = em
+    out(1) = math.rint(f1 * 1e7) / 1e7
+    out(2) = overlap
+    out(3) = p.length.toLong
+    out(4) = g.length.toLong
+    new GenericInternalRow(out)
+  }
+}
+
+/** `(string, string)` -> struct<em,f1,overlap,n_pred,n_gold>
+  * ([[EvalCodec.tokenF1]]): SQuAD-normalized exact match + token F1.
+  */
+case class TokenF1Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("em", BooleanType, nullable = false),
+    StructField("f1", DoubleType, nullable = false),
+    StructField("overlap", LongType, nullable = false),
+    StructField("n_pred", LongType, nullable = false),
+    StructField("n_gold", LongType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EvalCodec.tokenF1(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.expressions.EvalCodec.tokenF1($a, $b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenF1Expr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_token_f1"
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-output evaluation — the scoring half of an LLM data pipeline
+  * (the other operators PREPARE training data; these grade what came
+  * back): SQuAD exact-match/F1, the unbiased pass@k estimator, and the
+  * per-class classification report.
+  */
+object Eval {
+
+  /** SQuAD-normalized exact match + token F1
+    * ([[graft.expressions.TokenF1Expr]]): struct<em,f1,overlap,n_pred,
+    * n_gold>. Row-local, codegen'd.
+    */
+  def tokenF1(pred: Column, gold: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TokenF1Expr(
+        org.apache.spark.sql.graft.Bridge.expression(pred),
+        org.apache.spark.sql.graft.Bridge.expression(gold)))
+
+  /** The UNBIASED pass@k estimator (Chen et al. 2021, the Codex paper):
+    * per problem with n samples of which c are correct,
+    * `pass@k = 1 - C(n-c, k)/C(n, k)`, computed as the exact falling
+    * products `prod_{i<k}(n-c-i) / prod_{i<k}(n-i)` — both exact BIGINTs
+    * (k literal terms, no loop, no float until the single division,
+    * rounded at 7). Groups with n < k yield null (the estimator is
+    * undefined); c = n yields exactly 1, c with n-c < k exactly... the
+    * numerator's zero factor makes pass@k exactly 1 — the estimator's
+    * own behavior, not a special case.
+    *
+    * `k <= 9` and per-problem `n <= 100` keep the falling products
+    * below 2^63 (100^9 < 2^60); the count guard fails loudly past it.
+    *
+    * Scale shape: one map-side-combining groupBy per problem; the
+    * products are k-term column expressions over (n, c) — no explode,
+    * no window.
+    */
+  def passAtK(df: DataFrame, problemCol: String, correctCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 9, s"k must be in [1, 9], got $k")
+    val g = df.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(correctCol), 1)).as("c"))
+    val n = col("n")
+    val c = col("c")
+    def falling(base: Column): Column =
+      (0 until k).map(i => greatest(base - lit(i.toLong), lit(0L)))
+        .reduce(_ * _)
+    val num = falling(n - c)
+    val den = falling(n)
+    g.select(col(problemCol), n, c,
+      when(n >= k,
+        round(lit(1.0) - num.cast("double") / den.cast("double"), 7))
+        .as(s"pass_at_$k"))
+  }
+
+  /** Per-class precision/recall/F1 from (gold, pred) pairs — the
+    * confusion-matrix report. Counts are exact; each ratio is one
+    * rounded division; classes appearing only as predictions still get
+    * a row (precision defined, recall null) and vice versa.
+    */
+  def classificationReport(df: DataFrame, goldCol: String,
+      predCol: String): DataFrame = {
+    val tp = df.where(col(goldCol) === col(predCol))
+      .groupBy(col(goldCol).as("label"))
+      .agg(count(lit(1)).as("tp"))
+    val goldN = df.groupBy(col(goldCol).as("label"))
+      .agg(count(lit(1)).as("n_gold"))
+    val predN = df.groupBy(col(predCol).as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    goldN.join(predN, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", round(
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")), 7))
+      .withColumn("recall", round(
+        when(col("n_gold") > 0,
+          col("tp").cast("double") / col("n_gold").cast("double")), 7))
+      .withColumn("f1", round(
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")))
+          .otherwise(when(col("precision").isNotNull &&
+            col("recall").isNotNull, 0.0)), 7))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Evaluation kernels: SQuAD normalization and F1 cases, the pass@k
+  * estimator against its closed form, and the classification report.
+  */
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def f1(pred: String, gold: String): Row =
+    Seq((pred, gold)).toDF("p", "g")
+      .select(Eval.tokenF1(col("p"), col("g")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("token F1: SQuAD normalization, articles, punctuation, multisets") {
+    val r = f1("The quick, BROWN fox!", "quick brown fox")
+    assert(r.getBoolean(0) && r.getDouble(1) == 1.0)
+    // multiset: gold has two 'go', pred one -> overlap 1 of max 2
+    val r2 = f1("go stop", "go go")
+    assert(!r2.getBoolean(0))
+    assert(r2.getLong(2) == 1 && r2.getLong(3) == 2 && r2.getLong(4) == 2)
+    assert(r2.getDouble(1) == 0.5)
+    // disjoint -> 0; digits kept; hyphen splits
+    assert(f1("alpha", "beta").getDouble(1) == 0.0)
+    assert(f1("x-1", "x 1").getBoolean(0))
+  }
+
+  test("token F1 empty conventions: both empty 1, one empty 0") {
+    assert(f1("the a an", "").getDouble(1) == 1.0) // articles-only = empty
+    assert(f1("", "answer").getDouble(1) == 0.0)
+    assert(f1("answer", "").getDouble(1) == 0.0)
+  }
+
+  test("pass@k matches the closed form and its edge behavior") {
+    // problem A: n=5, c=2 -> pass@2 = 1 - C(3,2)/C(5,2) = 1 - 3/10 = 0.7
+    val df = (Seq.fill(2)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+      Seq.fill(4)(("B", false)) ++ Seq.fill(1)(("C", true)))
+      .toDF("prob", "ok")
+    val got = Eval.passAtK(df, "prob", "ok", 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got("A") == (5L, 2L, 0.7))
+    assert(got("B") == (4L, 0L, 0.0))   // no correct samples
+    assert(got("C") == (1L, 1L, null))  // n < k -> undefined
+    val all = Eval.passAtK(df.where(col("prob") === "A"), "prob", "ok", 5)
+      .collect()(0)
+    assert(all.getDouble(3) == 1.0)     // k = n with c > 0 -> certain
+  }
+
+  test("classification report: per-class counts, ratios, one-sided classes") {
+    val df = Seq(
+      ("x", "x"), ("x", "x"), ("x", "y"), // x: gold 3, tp 2
+      ("y", "x"), ("y", "y"),             // y: gold 2, tp 1
+      ("z", "w")                          // w predicted only, z gold only
+    ).toDF("gold", "pred")
+    val got = Eval.classificationReport(df, "gold", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getLong(1) == 3 && x.getLong(2) == 3 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == math.rint(2.0 / 3 * 1e7) / 1e7)
+    val w = got("w")
+    assert(w.getLong(1) == 0 && w.getLong(2) == 1 && w.getLong(3) == 0)
+    assert(w.getDouble(4) == 0.0 && w.isNullAt(5))
+    val z = got("z")
+    assert(z.isNullAt(4) && z.getDouble(5) == 0.0)
+  }
+}
