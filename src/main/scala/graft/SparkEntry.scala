@@ -6846,6 +6846,17 @@ object SparkEntry {
       graft.functions.Eval.classificationReport(pairs, "gold", "pred")
         .orderBy("label")
     }),
+
+    // --- 287. relational HLL with exact denominator, oracle-pinned ---------------------------------------
+    // The published 2007 HLL estimator restated replayably: register
+    // ranks via binary-string length (no float log2), the harmonic
+    // denominator summed EXACTLY in DECIMAL(38,0) scaled by 2^64 (a
+    // float sum would be partition-order dependent), one double
+    // division. q60 keeps pinning the builtin HLL++; this one is ours.
+    "q287_hll_exact" -> ((s, d) =>
+      graft.functions.HllSketch.estimate(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_orderkey", p = 12)
+        .orderBy("l_returnflag")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11535,7 +11546,9 @@ object SparkEntry {
         |      2.0 * precision * recall / (precision + recall)
         |    WHEN precision IS NOT NULL AND recall IS NOT NULL THEN 0.0
         |    END, 7) AS f1
-        |FROM pr ORDER BY label""".stripMargin
+        |FROM pr ORDER BY label""".stripMargin,
+
+    "q287_hll_exact" -> graft.oracle.XxSql.hllSql(p = 12)
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog in relational form with an EXACT-arithmetic estimator —
+  * the distinct-count sketch whose internals are usually a black box
+  * (`approx_count_distinct` is HLL++ with baked bias tables, q60 pins
+  * it rows-only): this is the PUBLISHED Flajolet et al. 2007 estimator,
+  * restated so every step is engine-replayable:
+  *
+  *  - registers are a (group, idx, max_rank) RELATION: idx = the hash's
+  *    low p bits, rank = leading-zero count of the remaining 64-p bits
+  *    plus one, computed EXACTLY via binary-string length (`bin()` —
+  *    an integer string op, no float log2 near power-of-two boundaries);
+  *    merge is `groupBy max`, partials combine map-side;
+  *  - the harmonic-mean denominator is the usual float trap: each term
+  *    2^-M_j is an exact power of two, but their 77-bit dynamic range
+  *    overflows a double's 53-bit mantissa, so a float SUM depends on
+  *    partition order. Scaled by 2^64 every term is an exact INTEGER —
+  *    the sum runs in DECIMAL(38,0), order-independent and exact;
+  *    absent registers (M = 0) contribute 2^64 each;
+  *  - estimate = alpha_m * m^2 * 2^64 / S64 — ONE double division of
+  *    exact quantities (the alpha expression mirrors the oracle
+  *    op-by-op); the small-range linear-counting branch
+  *    (E <= 2.5m and V > 0 => m * ln(m/V)) uses the suite's rounded-ln
+  *    discipline. The 2007 large-range correction is a 32-bit-hash
+  *    artifact — with 64-bit hashes it never fires (documented, not
+  *    implemented).
+  *
+  * Returns (group..., n_set, s64 as exact digits, hll_estimate).
+  */
+object HllSketch {
+
+  private val TwoTo64 = new java.math.BigDecimal(
+    java.math.BigInteger.ONE.shiftLeft(64))
+
+  def estimate(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      p: Int = 12): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7, 16], got $p")
+    val m = 1 << p
+    val gcols = groupCols.map(col)
+    val h = xxhash64(col(itemCol))
+    val idx = h.bitwiseAND(lit((m - 1).toLong))
+    val w = shiftrightunsigned(h, p)
+    val maxRank = (64 - p + 1).toLong
+    val rank = when(w === 0L, lit(maxRank))
+      .otherwise(lit(maxRank) - length(bin(w)).cast("long"))
+    val regs = df
+      .select(gcols :+ idx.as("idx") :+ rank.as("r"): _*)
+      .groupBy(gcols :+ col("idx"): _*)
+      .agg(max(col("r")).as("mr"))
+    // 2^(64-mr) built by INTEGER shift, never a double: Spark's
+    // double->decimal cast routes through BigDecimal.valueOf (shortest
+    // decimal string), which corrupts 2^63 to 9223372036854776000 —
+    // an off-by-182k denominator the oracle caught. Long->decimal is
+    // exact; the one over-long term (mr=1 -> 2^63) is a decimal literal.
+    val term = when(col("mr") === 1L,
+      lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))))
+      .otherwise(expr("shiftleft(1L, 64 - cast(mr as int))")
+        .cast("decimal(38,0)"))
+    val agg = regs.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_set"), sum(term).as("s_set"))
+      .withColumn("s64", col("s_set") +
+        (lit(m.toLong) - col("n_set")).cast("decimal(38,0)") * lit(TwoTo64))
+    val mD = lit(m.toDouble)
+    val eraw = lit(0.7213) / (lit(1.0) + lit(1.079) / mD) * mD * mD *
+      lit(18446744073709551616.0) / col("s64").cast("double")
+    val v = lit(m.toLong) - col("n_set")
+    val est = when(eraw <= lit(2.5) * mD && v > 0,
+      round(mD * log(mD / v.cast("double")), 7))
+      .otherwise(round(eraw, 7))
+    agg.select(gcols :+ col("n_set") :+
+      col("s64").cast("string").as("s64") :+ est.as("hll_estimate"): _*)
+  }
+}

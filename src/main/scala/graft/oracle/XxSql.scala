@@ -288,6 +288,48 @@ object XxSql {
        |FROM ${ch.last} GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle SQL for [[graft.functions.HllSketch.estimate]] over lineitem
+    * order keys per return flag: replays the xxhash64 of each key, the
+    * low-p register index, the binary-string-length rank, the per-group
+    * register maxima, the EXACT DECIMAL(38,0) scaled denominator, and
+    * the estimator expression op by op (incl. the linear-counting
+    * branch).
+    */
+  def hllSql(p: Int): String = {
+    val m = 1 << p
+    val maxRank = 64 - p + 1
+    val ch = chain("hd",
+      "SELECT g, v FROM (SELECT DISTINCT l_returnflag AS g, " +
+        "l_orderkey AS v FROM lineitem)",
+      Seq("g", "v"))
+    ch.stage("vu" -> u64("v"))
+    longHash(ch, "vu", "42", "h")
+    ch.stage("idx" -> s"CAST((h & ${m - 1}) AS BIGINT)",
+        "w" -> s"CAST((h >> $p) AS BIGINT)")
+      .drop("h", "vu", "v")
+    ch.stage("r" ->
+        s"CASE WHEN w = 0 THEN $maxRank ELSE $maxRank - length(bin(w)) END")
+      .drop("w")
+    val eraw = s"0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0 * " +
+      "18446744073709551616.0 / CAST(s64 AS DOUBLE)"
+    s"""WITH ${ch.withClauses},
+       |regs AS MATERIALIZED (
+       |  SELECT g, idx, MAX(r) AS mr FROM ${ch.last} GROUP BY 1, 2),
+       |agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_set,
+       |    SUM(CAST(POWER(2.0, 64 - mr) AS DECIMAL(38,0))) AS s_set
+       |  FROM regs GROUP BY 1),
+       |s AS (SELECT g, n_set,
+       |    s_set + ($m - n_set) * CAST('18446744073709551616'
+       |      AS DECIMAL(38,0)) AS s64
+       |  FROM agg)
+       |SELECT g AS l_returnflag, n_set, CAST(s64 AS VARCHAR) AS s64,
+       |  CASE WHEN $eraw <= 2.5 * $m.0 AND $m - n_set > 0
+       |    THEN ROUND($m.0 * ln($m.0 / CAST($m - n_set AS DOUBLE)), 7)
+       |    ELSE ROUND($eraw, 7)
+       |  END AS hll_estimate
+       |FROM s ORDER BY l_returnflag""".stripMargin
+  }
+
   private def minhashCore(shingleN: Int, numHashes: Int, bands: Int,
       blockCol: Option[String]): String = {
     val rows = numHashes / bands

@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Relational HLL: accuracy envelope against exact counts, duplicate
+  * invariance, partition-order invariance of the exact denominator, and
+  * the linear-counting branch.
+  */
+class HllSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("estimates land within the published error envelope") {
+    // p=12 => typical relative error 1.04/sqrt(4096) ~ 1.6%; allow 5%.
+    val df = (1L to 50000L).map(i => ("g", i)).toDF("g", "v")
+    val r = HllSketch.estimate(df, Seq("g"), "v", p = 12).collect()(0)
+    val est = r.getDouble(3)
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.05, est.toString)
+  }
+
+  test("duplicates do not move the estimate") {
+    val once = (1L to 5000L).map(i => ("g", i)).toDF("g", "v")
+    val thrice = (once.union(once).union(once))
+    val a = HllSketch.estimate(once, Seq("g"), "v").collect()(0)
+    val b = HllSketch.estimate(thrice, Seq("g"), "v").collect()(0)
+    assert(a.getString(2) == b.getString(2) && a.getDouble(3) == b.getDouble(3))
+  }
+
+  test("the exact denominator is partition-order invariant") {
+    val df = (1L to 20000L).map(i => ("g", i)).toDF("g", "v")
+    val a = HllSketch.estimate(df.repartition(1), Seq("g"), "v").collect()(0)
+    val b = HllSketch.estimate(df.repartition(32), Seq("g"), "v").collect()(0)
+    assert(a.getString(2) == b.getString(2))
+    assert(a.getDouble(3) == b.getDouble(3))
+  }
+
+  test("small cardinalities take the linear-counting branch near-exactly") {
+    val df = (1L to 100L).map(i => ("g", i)).toDF("g", "v")
+    val r = HllSketch.estimate(df, Seq("g"), "v").collect()(0)
+    // linear counting at n << m is accurate to a fraction of a count
+    assert(math.abs(r.getDouble(3) - 100.0) < 3.0, r.toString)
+    assert(r.getLong(1) <= 100L)
+  }
+
+  test("groups estimate independently") {
+    val df = ((1L to 1000L).map(i => ("a", i)) ++ (1L to 10L).map(i => ("b", i)))
+      .toDF("g", "v")
+    val got = HllSketch.estimate(df, Seq("g"), "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got("a") - 1000.0) / 1000.0 < 0.1)
+    assert(math.abs(got("b") - 10.0) < 2.0)
+  }
+}
