@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.functions.CmSketchCounts
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Streaming Count-Min: the sketch IS a (row, bucket, cnt) relation, so
+  * it runs as a plain streaming aggregation — per-key state is one
+  * counter, memory is bounded by depth x width regardless of stream
+  * length, and the final table equals the batch sketch over the same
+  * data (mergeability = streaming correctness).
+  */
+class StreamingCmSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed sketch equals the batch sketch and preserves estimates") {
+    val dir = graft.GraftTmp.dir("graft-scm")
+    Files.write(dir.resolve("a.txt"),
+      (Seq.fill(7)("alpha") ++ Seq.fill(2)("beta")).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("b.txt"),
+      (Seq.fill(3)("alpha") ++ Seq("gamma")).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    val streamed = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+    // build = explode rows x hash bucket, then the SAME groupBy count the
+    // batch build uses — here as a streaming aggregation in complete mode
+    val q = CmSketchCounts.build(streamed.toDF("item"), "item",
+        width = 64, depth = 3)
+      .writeStream.format("memory").queryName("scm")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val sk = spark.table("scm")
+    val batch = CmSketchCounts.build(
+      Seq.fill(10)("alpha").union(Seq.fill(2)("beta")).union(Seq("gamma"))
+        .toDF("item"), "item", width = 64, depth = 3)
+    assert(sk.as[(Int, Long, Long)].collect().toSet ==
+      batch.as[(Int, Long, Long)].collect().toSet)
+    val est = CmSketchCounts.estimate(sk,
+        Seq("alpha", "beta", "gamma", "zzz").toDF("item"), "item", 64, 3)
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") >= 10L && est("beta") >= 2L && est("gamma") >= 1L)
+  }
+}
