@@ -6857,6 +6857,31 @@ object SparkEntry {
       graft.functions.HllSketch.estimate(
         t(s, d, "lineitem"), Seq("l_returnflag"), "l_orderkey", p = 12)
         .orderBy("l_returnflag")),
+
+    // --- 288. skip-gram pair generation, oracle-pinned ---------------------------------------------------
+    // word2vec data prep over the REAL corpus: (center, context) counts
+    // within a 2-token window via per-position array slices (never a
+    // positional self-join). The oracle uses the band-join DEFINITION —
+    // if the slice geometry dropped or duplicated any pair, the counts
+    // would differ.
+    "q288_skipgram_pairs" -> ((s, d) =>
+      graft.functions.SkipGram.pairs(t(s, d, "documents"), "text", window = 2)
+        .orderBy("center", "context")),
+
+    // --- 289. deterministic negative sampling, oracle-pinned ---------------------------------------------
+    // SGNS negatives: two draws per distinct pair via
+    // xxhash64(center, context, j) mod total, mapped through the exact
+    // unigram CDF. The oracle replays the three-child hash fold, the
+    // modulo, the cumsum and the interval lookup.
+    "q289_skipgram_negatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.functions.SkipGram.pairs(docs, "text", window = 2)
+      val uni = docs
+        .select(explode(Retrieval.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      graft.functions.SkipGram.negativeSamples(pairs, uni, k = 2)
+        .orderBy("center", "context", "j")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11548,7 +11573,25 @@ object SparkEntry {
         |    END, 7) AS f1
         |FROM pr ORDER BY label""".stripMargin,
 
-    "q287_hll_exact" -> graft.oracle.XxSql.hllSql(p = 12)
+    "q287_hll_exact" -> graft.oracle.XxSql.hllSql(p = 12),
+
+    // Skip-gram pairs: the band-join definition of the window geometry.
+    "q288_skipgram_pairs" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks[i] AS term, i
+        |  FROM (SELECT doc_id, toks,
+        |          UNNEST(generate_series(1, len(toks))) AS i FROM t0))
+        |SELECT a.term AS center, b.term AS context, COUNT(*) AS n
+        |FROM p a JOIN p b
+        |  ON a.doc_id = b.doc_id AND a.i <> b.i AND abs(a.i - b.i) <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q289_skipgram_negatives" ->
+      graft.oracle.XxSql.skipGramNegSql(window = 2, k = 2)
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

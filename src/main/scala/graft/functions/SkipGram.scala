@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skip-gram training-pair generation (the word2vec/SGNS DATA PREP —
+  * what the published pipeline materializes before any training step):
+  * (center, context) pairs within a token window, plus NEGATIVE samples
+  * drawn from the unigram distribution. Training is out of scope
+  * (iterative SGD has no exact oracle); the pair/negative RELATION is
+  * the deliverable a training job consumes.
+  */
+object SkipGram {
+
+  /** All (center, context) pairs with |i - j| <= window, i != j, under
+    * the shared [[Retrieval.tokens]] rule, aggregated to
+    * (center, context, n) counts.
+    *
+    * Scale shape: contexts come from per-position ARRAY SLICES in one
+    * row-local pass (two clamped slices around each position, exploded
+    * twice) — never a positional self-join, whose per-document cost is
+    * O(n^2) before the band filter. Shuffle is the final count groupBy,
+    * map-side combining.
+    */
+  def pairs(df: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1, 16]")
+    val toks = Retrieval.tokens(col(textCol))
+    val perPos = df.select(toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 1),
+        i => {
+          val lo = greatest(i + 1 - window, lit(1))
+          struct(
+            element_at(col("toks"), i + 1).as("center"),
+            concat(
+              slice(col("toks"), lo, i + 1 - lo),
+              slice(col("toks"), i + 2, lit(window))).as("ctxs"))
+        })).as("p"))
+    perPos.select(col("p.center").as("center"),
+        explode(col("p.ctxs")).as("context"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** `k` deterministic negatives per distinct (center, context) pair:
+    * draw j-th sample with `u = pmod(xxhash64(center, context, j),
+    * total)` and map u through the unigram inverse CDF — vocabulary
+    * ordered by term, cumulative EXACT integer counts, each term owning
+    * the interval [cum - c, cum - 1]. Pinned to the PLAIN unigram
+    * distribution: the published 0.75 exponent makes weights floats and
+    * the CDF engine-divergent; callers wanting it pre-scale counts to
+    * integers themselves. Everything here — hash, modulo, cumsum,
+    * interval membership — is exact integer arithmetic, bit-replayable.
+    *
+    * Scale shape: the CDF table is vocabulary-sized (its cumsum window
+    * is the standard sampling-table build); the draw-to-term lookup is
+    * a bucketed [[graft.operators.RangeJoin]] — never a cross product.
+    * A drawn negative MAY equal the pair's center or context (the
+    * published sampler does not exclude them; rejection would need
+    * per-pair redraw chains).
+    */
+  def negativeSamples(pairsDf: DataFrame, unigrams: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 32, s"k must be in [1, 32]")
+    val w = Window.orderBy("term")
+    val cdf = unigrams.select(col("term"), col("c").cast("long").as("c"))
+      .withColumn("hi", sum(col("c")).over(w) - 1L)
+      .withColumn("lo", col("hi") - col("c") + 1L)
+    val total = unigrams.agg(sum(col("c").cast("long")).as("__total"))
+    val draws = pairsDf
+      .select(col("center"), col("context"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .crossJoin(broadcast(total))
+      .withColumn("u",
+        pmod(xxhash64(col("center"), col("context"), col("j")),
+          col("__total")))
+      .drop("__total")
+    graft.operators.RangeJoin.pointInInterval(
+        draws, cdf.select(col("term").as("neg"), col("lo"), col("hi")),
+        "u", "lo", "hi", bucketWidth = 4096.0)
+      .select(col("center"), col("context"), col("j"), col("neg"))
+  }
+}

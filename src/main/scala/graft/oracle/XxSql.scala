@@ -330,6 +330,57 @@ object XxSql {
        |FROM s ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Oracle SQL for [[graft.functions.SkipGram.negativeSamples]] over
+    * the corpus: replays the window-band pair set, the
+    * `xxhash64(center, context, j)` three-child fold (string, string,
+    * int — each seeding the next), the modulo draw, the exact unigram
+    * CDF and the interval lookup.
+    */
+  def skipGramNegSql(window: Int, k: Int): String = {
+    val ch = chain("sg",
+      s"""SELECT center, context, CAST(j AS INT) AS j,
+         |  length(center) AS lc, length(context) AS lx
+         |FROM (
+         |  SELECT DISTINCT a.term AS center, b.term AS context
+         |  FROM (SELECT doc_id, toks[i] AS term, i
+         |        FROM (SELECT doc_id,
+         |                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                  t -> len(t) > 0) AS toks
+         |              FROM documents),
+         |             UNNEST(generate_series(1, len(toks))) AS s(i)) a
+         |  JOIN (SELECT doc_id, toks[i] AS term, i
+         |        FROM (SELECT doc_id,
+         |                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                  t -> len(t) > 0) AS toks
+         |              FROM documents),
+         |             UNNEST(generate_series(1, len(toks))) AS s(i)) b
+         |    ON a.doc_id = b.doc_id AND a.i <> b.i
+         |       AND abs(a.i - b.i) <= $window),
+         |  (SELECT unnest(range(1, ${k + 1})) AS j)""".stripMargin,
+      Seq("center", "context", "j", "lc", "lx"))
+    strHash(ch, "center", "lc", maxLen = 16, out = "h1", seed = "42")
+    strHash(ch, "context", "lx", maxLen = 16, out = "h2", seed = "h1")
+    intHash(ch, "j", "h2", out = "h3")
+    ch.stage("hs" -> s64("h3")).drop("h1", "h2", "h3", "lc", "lx")
+    s"""WITH ${ch.withClauses},
+       |uni AS MATERIALIZED (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      t -> len(t) > 0)) AS term FROM documents) GROUP BY 1),
+       |cdf AS (
+       |  SELECT term, c,
+       |    CAST(SUM(c) OVER (ORDER BY term) - 1 AS BIGINT) AS hi,
+       |    CAST(SUM(c) OVER (ORDER BY term) - c AS BIGINT) AS lo
+       |  FROM uni),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+       |draws AS (
+       |  SELECT center, context, j, ((hs % t) + t) % t AS u
+       |  FROM ${ch.last}, tot)
+       |SELECT d.center, d.context, d.j, cdf.term AS neg
+       |FROM draws d JOIN cdf ON d.u BETWEEN cdf.lo AND cdf.hi
+       |ORDER BY center, context, j""".stripMargin
+  }
+
   private def minhashCore(shingleN: Int, numHashes: Int, bands: Int,
       blockCol: Option[String]): String = {
     val rows = numHashes / bands

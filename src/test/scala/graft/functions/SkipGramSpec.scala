@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Skip-gram prep: window geometry against a brute-force reference,
+  * boundary clamping, and the deterministic negative sampler's CDF
+  * correctness and distribution shape.
+  */
+class SkipGramSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pairs match the brute-force positional definition") {
+    val text = "a b c d e"
+    val toks = text.split(" ")
+    val expect = (for {
+      i <- toks.indices; j <- toks.indices
+      if i != j && math.abs(i - j) <= 2
+    } yield (toks(i), toks(j))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SkipGram.pairs(Seq(text).toDF("text"), "text", window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect)
+  }
+
+  test("boundaries clamp: first and last tokens see only inward context") {
+    val got = SkipGram.pairs(Seq("x y").toDF("text"), "text", window = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("x", "y", 1L), ("y", "x", 1L)))
+  }
+
+  test("repeated tokens aggregate counts") {
+    val got = SkipGram.pairs(Seq("p q p").toDF("text"), "text", window = 1)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("p", "q")) == 2L && got(("q", "p")) == 2L)
+  }
+
+  test("negatives: exactly k per pair, all from the vocabulary, deterministic") {
+    val pairsDf = Seq(("a", "b"), ("b", "c")).toDF("center", "context")
+      .withColumn("n", lit(1L))
+    val uni = Seq(("a", 5L), ("b", 3L), ("c", 1L), ("d", 11L))
+      .toDF("term", "c")
+    val got = SkipGram.negativeSamples(pairsDf, uni, k = 4)
+      .as[(String, String, Int, String)].collect()
+    assert(got.length == 8)
+    assert(got.forall(r => Set("a", "b", "c", "d").contains(r._4)))
+    val again = SkipGram.negativeSamples(pairsDf, uni, k = 4)
+      .as[(String, String, Int, String)].collect().toSet
+    assert(again == got.toSet)
+  }
+
+  test("the sampler follows the unigram CDF proportions") {
+    val pairsDf = (1 to 500).map(i => (s"c$i", s"x$i")).toDF("center", "context")
+    val uni = Seq(("hot", 90L), ("cold", 10L)).toDF("term", "c")
+    val got = SkipGram.negativeSamples(pairsDf, uni, k = 2)
+      .groupBy("neg").count().as[(String, Long)].collect().toMap
+    val hot = got.getOrElse("hot", 0L).toDouble / 1000.0
+    assert(hot > 0.85 && hot < 0.95, got.toString)
+  }
+}
