@@ -6882,6 +6882,32 @@ object SparkEntry {
       graft.functions.SkipGram.negativeSamples(pairs, uni, k = 2)
         .orderBy("center", "context", "j")
     }),
+
+    // --- 290. man/troff extraction, oracle-pinned --------------------------------------------------------
+    // Three constructed shapes: a typical page (TH metadata, SH head,
+    // font macro, break, inline \- escape), a discard block + unknown
+    // request + SS without TH, and plain prose. Flag, metadata, both
+    // censuses and the text closed-form.
+    "q290_man_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit(".TH CMD"), id, lit(" 1 \"2024\"\n.SH NAME\ncmd"), id,
+        lit(" \\- does "), id, lit(" things\n.B bold"), id, lit("\n.PP\ntail")))
+        .when(m === 1, concat(
+          lit(".ig\nsecret\n..\nplain "), id,
+          lit(" line\n.unknown req\n.SS Sub "), id, lit("\nbody")))
+        .otherwise(concat(lit("no markup here "), id, lit("\njust text")))
+      val v = TF.manText(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_man").as("is_man"),
+          v.getField("title").as("title"),
+          v.getField("section").as("section"),
+          v.getField("n_sections").as("n_sections"),
+          v.getField("n_requests").as("n_requests"),
+          v.getField("text").as("text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11591,7 +11617,25 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q289_skipgram_negatives" ->
-      graft.oracle.XxSql.skipGramNegSql(window = 2, k = 2)
+      graft.oracle.XxSql.skipGramNegSql(window = 2, k = 2),
+
+    // man extraction: metadata, censuses and text per construction case.
+    "q290_man_text" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS is_man,
+        |  CASE doc_id % 3 WHEN 0 THEN 'CMD' || doc_id END AS title,
+        |  CASE doc_id % 3 WHEN 0 THEN '1' END AS section,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_sections,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS n_requests,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'NAME cmd' || doc_id || ' - does ' || doc_id ||
+        |      ' things bold' || doc_id || ' tail'
+        |    WHEN 1 THEN 'plain ' || doc_id || ' line Sub ' || doc_id || ' body'
+        |    ELSE 'no markup here ' || doc_id || ' just text'
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

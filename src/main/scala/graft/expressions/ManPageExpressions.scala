@@ -1,0 +1,184 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** man/troff extraction — the unix-documentation face of the markup
+  * family (LaTeX for papers, markdown for READMEs): man page sources
+  * (`man7`-style troff with the `man` macro set) are a dense technical
+  * corpus whose markup is requests, not prose. Pinned single-pass
+  * grammar over the PORTABLE man-macro subset:
+  *
+  *  - request lines start with `.` or `'` in column 1; known macros:
+  *    `.TH title section` (captured as metadata, counted), `.SH` /
+  *    `.SS` section heads (argument text KEPT inline, quotes stripped,
+  *    counted in n_sections), `.PP`/`.LP`/`.P`/`.br`/`.sp` break to
+  *    whitespace, font macros `.B/.I/.R/.BI/.IR/...` keep their
+  *    argument text, `.TP`/`.IP` keep trailing arguments, `.nf`/`.fi`
+  *    toggle no-fill (content KEPT — usually code/synopsis),
+  *    `.ig`..`..` discards, `.de`..`..` macro definitions discard,
+  *    comments `.\"` drop; EVERY OTHER request line drops whole (the
+  *    troff convention: unknown requests are formatting);
+  *  - body lines pass through with inline escapes resolved: `\fB \fI
+  *    \fR \fP \f(..` and `\*(..` strip, `\-` -> `-`, `\&` drops, `\e`
+  *    -> backslash, `\\` -> backslash; other `\x` drop the backslash;
+  *  - `is_man` = a `.TH` was seen (the man(7) requirement).
+  *
+  * Whitespace collapses; row-local, codegen'd.
+  */
+object ManPageCodec {
+
+  private val FontMacros = Set("B", "I", "R", "SM", "SB", "BI", "BR",
+    "IB", "IR", "RB", "RI", "TP", "IP")
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '"' && t.last == '"')
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Resolve inline troff escapes into `sb`. */
+  private def emitBody(s: String, sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '\\') { sb.append(c); i += 1 }
+      else if (i + 1 >= n) i += 1
+      else s.charAt(i + 1) match {
+        case 'f' =>
+          // \fB \fI \fR \fP or \f(XX
+          if (i + 2 < n && s.charAt(i + 2) == '(') i += 5 min (n - i)
+          else i += 3 min (n - i)
+        case '*' =>
+          if (i + 2 < n && s.charAt(i + 2) == '(') i += 5 min (n - i)
+          else i += 3 min (n - i)
+        case '-' => sb.append('-'); i += 2
+        case '&' => i += 2
+        case 'e' | '\\' => sb.append('\\'); i += 2
+        case _ => i += 2 // drop the backslash, drop the escape char
+      }
+    }
+  }
+
+  def extract(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val lines = u.toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder()
+    var isMan = false
+    var title: String = null
+    var section: String = null
+    var nSections = 0L
+    var nRequests = 0L
+    var discard: String = null // ".." terminates .ig / .de blocks
+    for (raw <- lines) {
+      if (discard != null) {
+        if (raw.trim == discard) discard = null
+      } else if (raw.startsWith(".") || raw.startsWith("'")) {
+        nRequests += 1
+        val body = raw.substring(1)
+        if (body.startsWith("\\\"")) {
+          // comment: drop
+        } else {
+          val sp = body.indexOf(' ')
+          val name = if (sp < 0) body.trim else body.substring(0, sp)
+          val args = if (sp < 0) "" else body.substring(sp + 1).trim
+          name match {
+            case "TH" =>
+              isMan = true
+              val parts = tokenizeArgs(args)
+              if (title == null && parts.nonEmpty) title = parts(0)
+              if (section == null && parts.length > 1) section = parts(1)
+            case "SH" | "SS" =>
+              nSections += 1
+              if (sb.length > 0) sb.append(' ')
+              emitBody(stripQuotes(args), sb)
+              sb.append(' ')
+            case "PP" | "LP" | "P" | "br" | "sp" | "nf" | "fi" =>
+              sb.append(' ')
+            case "ig" => discard = ".."
+            case "de" => discard = ".."
+            case m if FontMacros.contains(m) =>
+              if (args.nonEmpty) {
+                if (sb.length > 0) sb.append(' ')
+                emitBody(tokenizeArgs(args).mkString(" "), sb)
+                sb.append(' ')
+              }
+            case _ => // unknown request: drop whole line
+          }
+        }
+      } else {
+        emitBody(raw, sb)
+        sb.append(' ')
+      }
+    }
+    val text = sb.toString.replaceAll("\\s+", " ").trim
+    val out = new Array[Any](6)
+    out(0) = isMan
+    out(1) = if (title == null) null else UTF8String.fromString(title)
+    out(2) = if (section == null) null else UTF8String.fromString(section)
+    out(3) = nSections
+    out(4) = nRequests
+    out(5) = UTF8String.fromString(text)
+    new GenericInternalRow(out)
+  }
+
+  /** Split macro arguments on spaces, honoring double quotes. */
+  private def tokenizeArgs(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i < n) {
+        if (s.charAt(i) == '"') {
+          val e = s.indexOf('"', i + 1)
+          val end = if (e < 0) n else e
+          out += s.substring(i + 1, end)
+          i = if (e < 0) n else e + 1
+        } else {
+          val e = s.indexOf(' ', i)
+          val end = if (e < 0) n else e
+          out += s.substring(i, end)
+          i = end
+        }
+      }
+    }
+    out.toArray
+  }
+}
+
+/** `string` -> struct<is_man,title,section,n_sections,n_requests,text>
+  * ([[ManPageCodec.extract]]): man/troff routing, metadata and prose.
+  */
+case class ManPageExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_man", BooleanType, nullable = false),
+    StructField("title", StringType),
+    StructField("section", StringType),
+    StructField("n_sections", LongType, nullable = false),
+    StructField("n_requests", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    ManPageCodec.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ManPageCodec.extract($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ManPageExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_man_text"
+}

@@ -457,6 +457,15 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(src),
         org.apache.spark.sql.graft.Bridge.expression(tgt)))
 
+  /** man/troff extraction ([[graft.expressions.ManPageExpr]]): routing
+    * flag, TH title/section metadata, section/request census and the
+    * request-stripped prose — the unix-documentation corpus face.
+    */
+  def manText(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ManPageExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** JSON structure census ([[graft.expressions.JsonPathsExpr]]): strict
     * parse flag, nesting depth, node-type counts and typed leaf paths —
     * the schema-inference input and structured-vs-prose router.

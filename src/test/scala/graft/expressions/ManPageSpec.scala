@@ -1,0 +1,60 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** man/troff extraction: TH metadata, section heads, font macros, inline
+  * escapes, discard blocks, comments and the routing flag.
+  */
+class ManPageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.manText(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("a typical page: TH metadata, SH heads kept, requests stripped") {
+    val r = one(
+      ".TH GREP 1 \"2024\" \"GNU\"\n.SH NAME\ngrep \\- print matching lines\n" +
+        ".SH \"SEE ALSO\"\n.B sed\nand more\n.PP\ndone")
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "GREP" && r.getString(2) == "1")
+    assert(r.getLong(3) == 2)
+    assert(r.getString(5) ==
+      "NAME grep - print matching lines SEE ALSO sed and more done")
+  }
+
+  test("inline font escapes and specials resolve; unknown requests drop") {
+    val r = one("\\fBbold\\fR and \\fIita\\fP text \\&x \\e\n.UR http://x\nkept")
+    assert(!r.getBoolean(0))
+    assert(r.getString(5) == "bold and ita text x \\ kept")
+  }
+
+  test("ig and de blocks discard to the terminating dot-dot") {
+    val r = one("before\n.ig\nhidden $$\n..\nmiddle\n.de XX\nmacro body\n..\nafter")
+    assert(r.getString(5) == "before middle after")
+  }
+
+  test("comments drop; TP/IP keep trailing args; quoted args unquote") {
+    val r = one(".\\\" internal note\n.TP \"first item\"\nbody\n.IP bullet\nmore")
+    assert(r.getString(5) == "first item body bullet more")
+  }
+
+  test("no TH means not a man page; plain prose passes through") {
+    val r = one("just some text\nwith lines")
+    assert(!r.getBoolean(0) && r.isNullAt(1))
+    assert(r.getString(5) == "just some text with lines")
+  }
+
+  test("null totality and codegen over rows") {
+    val rows = Seq((1L, null), (2L, ".TH X 7\nbody"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.manText(col("t")).as("v"))
+      .select(col("id"), col("v.is_man"), col("v.text")).orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getBoolean(1) && rows(1).getString(2) == "body")
+  }
+}
