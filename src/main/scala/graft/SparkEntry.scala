@@ -6908,6 +6908,39 @@ object SparkEntry {
           v.getField("text").as("text"))
         .orderBy("doc_id")
     }),
+
+    // --- 291. snapshot tags, oracle-pinned ----------------------------------------------------------------
+    // Named immutable refs with vacuum protection: tag v1 'baseline',
+    // merge inserts + deletes into v2, then read BOTH refs — the tag
+    // must still see the pre-merge table. Closed-form oracle from the
+    // same construction arithmetic.
+    "q291_snapshot_tags" -> ((s, d) => {
+      val base = t(s, d, "orders").select(col("o_orderkey"))
+      val root = s"/tmp/graft_q291_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_tagged"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      graft.pipeline.Medallion.writeTable(base, tbl, Nil)
+      val tp = new org.apache.hadoop.fs.Path(tbl)
+      graft.pipeline.Snapshot.ensure(fs, tp) // v1
+      graft.pipeline.Snapshot.tag(fs, tp, "baseline", 1L)
+      val inserts = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("is_deleted", lit(false))
+      val deletes = base.where(col("o_orderkey") % 9 === 0)
+        .withColumn("is_deleted", lit(true))
+      graft.pipeline.Medallion.merge(s, tbl,
+        inserts.unionByName(deletes), keys = Seq("o_orderkey"),
+        partitionBy = Nil, deleteCol = Some("is_deleted"), snapshot = true)
+      val tagged = graft.pipeline.Snapshot.readTag(s, tbl, "baseline")
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .select(lit("baseline").as("ref"), col("n_rows"), col("key_sum"))
+      val cur = graft.pipeline.Snapshot.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .select(lit("current").as("ref"), col("n_rows"), col("key_sum"))
+      tagged.unionByName(cur).orderBy("ref")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11635,7 +11668,26 @@ object SparkEntry {
         |    WHEN 1 THEN 'plain ' || doc_id || ' line Sub ' || doc_id || ' body'
         |    ELSE 'no markup here ' || doc_id || ' just text'
         |  END AS text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Tags: the tagged ref sees the pre-merge table; current reflects
+    // the inserts (+20M keys) and the %9 deletes.
+    "q291_snapshot_tags" ->
+      """WITH b AS (SELECT o_orderkey FROM orders),
+        |a0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS s FROM b),
+        |d9 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s
+        |  FROM b WHERE o_orderkey % 9 = 0),
+        |i13 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s
+        |  FROM b WHERE o_orderkey % 13 = 0)
+        |SELECT 'baseline' AS ref, a0.n AS n_rows, a0.s AS key_sum FROM a0
+        |UNION ALL
+        |SELECT 'current', a0.n - d9.n + i13.n,
+        |  a0.s - d9.s + i13.s + 20000000 * i13.n
+        |FROM a0, d9, i13
+        |ORDER BY ref""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

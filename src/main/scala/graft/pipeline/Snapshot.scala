@@ -138,17 +138,31 @@ object Snapshot {
   def publishVersion(fs: FileSystem, root: Path, files: Seq[String], version: Long,
       tombstones: Seq[String] = Nil): Unit = {
     val dst = new Path(root, s"$Prefix$version")
-    // Writer-unique tmp: two racers publishing the same version must not
-    // share a staging file, or one's commit could promote the OTHER's
-    // content and both "succeed".
-    val tmp = new Path(root,
-      s"$Prefix$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
     // An EMPTY file list is a legal table state (a merge can delete every
     // row): zero bytes; readManifest yields Nil, which read() renders as an
     // empty table — never as "no manifest, fall back to a raw listing".
     val lines = files.sorted ++ tombstones.sorted.map(TombMark + _)
-    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    atomicCreate(fs, root, dst, lines.mkString("\n").getBytes("UTF-8"),
+      s"snapshot publish: version $version of $root already exists — " +
+        "a concurrent writer committed first; re-read and retry")
+  }
+
+  /** Atomic create-no-overwrite of `dst` — the commit primitive shared by
+    * manifest publish and tag creation. Plain rename is not no-overwrite
+    * on local posix (rename(2) replaces an existing destination; an
+    * exists() pre-check is a TOCTOU and two racers could both "succeed"):
+    * on `file:` the content stages to a writer-unique tmp and commits
+    * with `Files.createLink` — hard-link creation fails with EEXIST
+    * atomically in the kernel, the classic lock-file primitive. Elsewhere
+    * (HDFS and friends) rename-without-overwrite is atomic by contract
+    * and the rename's boolean is the verdict.
+    */
+  private def atomicCreate(fs: FileSystem, root: Path, dst: Path,
+      content: Array[Byte], conflictMsg: String): Unit = {
+    val tmp = new Path(root,
+      s"${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content)
     finally out.close()
     if ("file" == fs.getUri.getScheme) {
       import java.nio.file.{Files, Paths, FileAlreadyExistsException}
@@ -156,22 +170,17 @@ object Snapshot {
       catch {
         case _: FileAlreadyExistsException =>
           fs.delete(tmp, true)
-          throw new CommitConflictException(
-            s"snapshot publish: version $version of $root already exists — " +
-              "a concurrent writer committed first; re-read and retry")
+          throw new CommitConflictException(conflictMsg)
       }
       fs.delete(tmp, true)
     } else {
       if (fs.exists(dst)) { // fast-path detection; the rename is the verdict
         fs.delete(tmp, true)
-        throw new CommitConflictException(
-          s"snapshot publish: version $version of $root already exists — " +
-            "a concurrent writer committed first; re-read and retry")
+        throw new CommitConflictException(conflictMsg)
       }
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, true)
-        throw new CommitConflictException(
-          s"snapshot publish: lost the race for manifest version $version of $root")
+        throw new CommitConflictException(conflictMsg)
       }
     }
   }
@@ -370,8 +379,14 @@ object Snapshot {
     current(fs, root) match {
       case None => Seq.empty
       case Some((v, _)) =>
+        // Tagged versions are PROTECTED refs: a tag names a version a
+        // reader may still resolve, so its manifest, data files and
+        // tombstones survive any retention horizon until the tag is
+        // deleted (the Iceberg tag semantic).
+        val tagged = tags(fs, root).map(_._2).toSet
         val (retained, dropped) =
-          manifestVersions(fs, root).partition(_ > v - keepVersions)
+          manifestVersions(fs, root)
+            .partition(mv => mv > v - keepVersions || tagged.contains(mv))
         val full = retained.map(readManifestFull(fs, root, _))
         val referenced = full.flatMap(_._1).toSet
         val garbage = listDataFiles(fs, root).filterNot(referenced)
@@ -409,6 +424,61 @@ object Snapshot {
     * `file SEP col SEP min SEP max` line per (data file, stats column).
     */
   val StatsPrefix = "_stats-"
+
+  /** Prefix of named version refs: `_tag-<name>` holds the version number
+    * in decimal. Tags are the Iceberg semantic — IMMUTABLE refs ([[tag]]
+    * fails on an existing name; re-pointing is deleteTag + tag) that
+    * PROTECT their version from [[vacuum]] until deleted.
+    */
+  val TagPrefix = "_tag-"
+
+  /** Create the immutable tag `name` -> `version`. The version's manifest
+    * must exist; creation is the same atomic no-overwrite commit as a
+    * manifest publish, so two racers creating the same tag resolve to
+    * exactly one winner ([[CommitConflictException]] for the loser).
+    */
+  def tag(fs: FileSystem, root: Path, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      Character.isLetterOrDigit(c) || c == '.' || c == '_' || c == '-'),
+      s"tag names are [A-Za-z0-9._-]+, got '$name'")
+    require(fs.exists(new Path(root, s"$Prefix$version")),
+      s"cannot tag $root@$version: no such version")
+    atomicCreate(fs, root, new Path(root, s"$TagPrefix$name"),
+      version.toString.getBytes("UTF-8"),
+      s"tag '$name' of $root already exists — tags are immutable; " +
+        "deleteTag first to re-point")
+  }
+
+  /** All tags of the table as (name, version), name-sorted. */
+  def tags(fs: FileSystem, root: Path): Seq[(String, Long)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(TagPrefix) && !n.endsWith(".tmp"))
+      .map { n =>
+        val in = fs.open(new Path(root, n))
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+        (n.stripPrefix(TagPrefix), v)
+      }
+      .sortBy(_._1)
+
+  /** Resolve a tag to its version; None when absent. */
+  def tagVersion(fs: FileSystem, root: Path, name: String): Option[Long] =
+    tags(fs, root).collectFirst { case (`name`, v) => v }
+
+  /** Delete a tag (idempotent); its version becomes ordinary vacuum prey. */
+  def deleteTag(fs: FileSystem, root: Path, name: String): Unit =
+    fs.delete(new Path(root, s"$TagPrefix$name"), false)
+
+  /** Time-travel read by tag name. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val root = new Path(path)
+    val fs = fsFor(spark, root)
+    val v = tagVersion(fs, root, name).getOrElse(
+      throw new IllegalArgumentException(s"$path has no tag '$name'"))
+    read(spark, path, Some(v))
+  }
 
   /** `input_file_name()` output mapped back to the manifest-relative data
     * path. Path(String) handles both plain and URI-escaped names; going

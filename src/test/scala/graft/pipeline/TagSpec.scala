@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Snapshot tags: immutable named refs, time travel by name, vacuum
+  * protection of the tagged version and release on delete.
+  */
+class TagSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(name: String): (String, Path, org.apache.hadoop.fs.FileSystem) = {
+    val dir = graft.GraftTmp.dir(name).toString
+    val root = new Path(dir + "/tbl")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    ((dir + "/tbl"), root, fs)
+  }
+
+  test("tag, resolve, read by name; immutability; delete + retag") {
+    val (tbl, root, fs) = freshTable("graft-tag-basic")
+    Medallion.writeTable((1L to 5L).toDF("k"), tbl, Nil)
+    Snapshot.ensure(fs, root) // v1
+    Snapshot.tag(fs, root, "baseline", 1L)
+    Medallion.merge(spark, tbl, Seq(6L, 7L).toDF("k"), keys = Seq("k"),
+      partitionBy = Nil, snapshot = true) // v2
+    assert(Snapshot.tags(fs, root) == Seq(("baseline", 1L)))
+    assert(Snapshot.readTag(spark, tbl, "baseline")
+      .as[Long].collect().sorted.toSeq == (1L to 5L))
+    assert(Snapshot.read(spark, tbl).count() == 7L)
+    intercept[Snapshot.CommitConflictException](
+      Snapshot.tag(fs, root, "baseline", 2L))
+    Snapshot.deleteTag(fs, root, "baseline")
+    Snapshot.tag(fs, root, "baseline", 2L)
+    assert(Snapshot.readTag(spark, tbl, "baseline").count() == 7L)
+  }
+
+  test("vacuum retains a tagged version's manifest and files until deleteTag") {
+    val (tbl, root, fs) = freshTable("graft-tag-vacuum")
+    Medallion.writeTable((1L to 4L).toDF("k"), tbl, Nil)
+    Snapshot.ensure(fs, root) // v1
+    Snapshot.tag(fs, root, "keepme", 1L)
+    // three more commits push v1 far past keepVersions = 2
+    for (i <- 0 until 3)
+      Medallion.merge(spark, tbl, Seq(100L + i).toDF("k"), keys = Seq("k"),
+        partitionBy = Nil, snapshot = true)
+    Snapshot.vacuum(fs, root, keepVersions = 2)
+    assert(Snapshot.manifestVersions(fs, root).contains(1L))
+    assert(Snapshot.readTag(spark, tbl, "keepme")
+      .as[Long].collect().sorted.toSeq == (1L to 4L))
+    // releasing the tag makes the version ordinary vacuum prey
+    Snapshot.deleteTag(fs, root, "keepme")
+    Snapshot.vacuum(fs, root, keepVersions = 2)
+    assert(!Snapshot.manifestVersions(fs, root).contains(1L))
+    assert(Snapshot.read(spark, tbl).count() == 7L) // current unharmed
+  }
+
+  test("tag guards: bad names and missing versions fail loudly") {
+    val (tbl, root, fs) = freshTable("graft-tag-guards")
+    Medallion.writeTable(Seq(1L).toDF("k"), tbl, Nil)
+    Snapshot.ensure(fs, root)
+    intercept[IllegalArgumentException](Snapshot.tag(fs, root, "a/b", 1L))
+    intercept[IllegalArgumentException](Snapshot.tag(fs, root, "", 1L))
+    intercept[IllegalArgumentException](Snapshot.tag(fs, root, "x", 99L))
+    assert(Snapshot.tagVersion(fs, root, "absent").isEmpty)
+  }
+}
