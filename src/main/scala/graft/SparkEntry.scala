@@ -6941,6 +6941,29 @@ object SparkEntry {
         .select(lit("current").as("ref"), col("n_rows"), col("key_sum"))
       tagged.unionByName(cur).orderBy("ref")
     }),
+
+    // --- 292. Smith-Waterman local alignment, oracle-pinned ----------------------------------------------
+    // Three constructed pairs: identical strings, a verbatim span lifted
+    // into different surroundings (the case whole-string metrics miss),
+    // and disjoint alphabets. Score/ends/sim closed-form in the same
+    // LENGTH arithmetic as the construction.
+    "q292_smith_waterman" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val a = when(m === 0, concat(lit("clone "), id, lit(" body")))
+        .when(m === 1, concat(lit("xxSHARED"), id, lit("yy")))
+        .otherwise(lit("aaaa"))
+      val b = when(m === 0, concat(lit("clone "), id, lit(" body")))
+        .when(m === 1, concat(lit("aaaaSHARED"), id, lit("bb")))
+        .otherwise(lit("bbbb"))
+      val v = TF.smithWaterman(a, b)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("score").as("score"),
+          v.getField("a_end").as("a_end"),
+          v.getField("b_end").as("b_end"),
+          v.getField("sim").as("sim"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11687,7 +11710,26 @@ object SparkEntry {
         |SELECT 'current', a0.n - d9.n + i13.n,
         |  a0.s - d9.s + i13.s + 20000000 * i13.n
         |FROM a0, d9, i13
-        |ORDER BY ref""".stripMargin
+        |ORDER BY ref""".stripMargin,
+
+    // Smith-Waterman: LENGTH arithmetic mirrors the construction; L is
+    // the id's digit count, the shared span is 6 + L chars.
+    "q292_smith_waterman" ->
+      """WITH b AS (
+        |  SELECT doc_id, LENGTH(CAST(doc_id AS VARCHAR)) AS ln
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 * (11 + ln)
+        |    WHEN 1 THEN 2 * (6 + ln) ELSE 0 END AS BIGINT) AS score,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 11 + ln
+        |    WHEN 1 THEN 8 + ln ELSE 0 END AS BIGINT) AS a_end,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 11 + ln
+        |    WHEN 1 THEN 10 + ln ELSE 0 END AS BIGINT) AS b_end,
+        |  CASE doc_id % 3 WHEN 0 THEN 1.0
+        |    WHEN 1 THEN ROUND(CAST(2 * (6 + ln) AS DOUBLE) /
+        |      (2.0 * (10 + ln)), 7)
+        |    ELSE 0.0 END AS sim
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Smith–Waterman local alignment (JMB 1981) — the LOCAL similarity the
+  * edit-distance family lacks: Levenshtein (q65) and Jaro-Winkler (q252)
+  * score WHOLE strings, so a verbatim paragraph lifted into an otherwise
+  * different document scores near zero; local alignment finds the
+  * best-matching SUBSTRING pair — the plagiarism/code-clone/quote-mining
+  * kernel.
+  *
+  * Pinned classic parameters: match +2, mismatch -1, gap -1 (linear),
+  * over CHARACTERS. Integer DP, argmax cell reported with the
+  * first-visit tie-break (row-major scan keeps the smallest (i, j)), so
+  * outputs are total functions of the inputs:
+  *
+  *  - `score`: the best local alignment score (0 when nothing aligns);
+  *  - `a_end`, `b_end`: 0-based EXCLUSIVE ends of the best-scoring local
+  *    alignment in each string (0 when score is 0);
+  *  - `sim`: score / (2 * min(len_a, len_b)) rounded to 7 — 1.0 means
+  *    one string aligns perfectly inside the other.
+  *
+  * 512-char bomb cap per side (row-local O(n*m)); longer inputs NULL —
+  * paragraph-level use chunks first (the chunking operators' job).
+  */
+object SmithWatermanCodec {
+
+  private final val MaxLen = 512
+
+  def align(au: UTF8String, bu: UTF8String): InternalRow = {
+    if (au == null || bu == null) return null
+    val a = au.toString
+    val b = bu.toString
+    val n = a.length
+    val m = b.length
+    if (n > MaxLen || m > MaxLen) return null
+    var best = 0L
+    var bi = 0
+    var bj = 0
+    val prev = new Array[Long](m + 1)
+    val cur = new Array[Long](m + 1)
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 2L else -1L)
+        var v = sub
+        if (prev(j) - 1L > v) v = prev(j) - 1L
+        if (cur(j - 1) - 1L > v) v = cur(j - 1) - 1L
+        if (v < 0L) v = 0L
+        cur(j) = v
+        if (v > best) { best = v; bi = i; bj = j }
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    val minLen = math.min(n, m)
+    val sim =
+      if (best == 0L || minLen == 0) 0.0
+      else math.rint(best.toDouble / (2.0 * minLen) * 1e7) / 1e7
+    val out = new Array[Any](4)
+    out(0) = best
+    out(1) = bi.toLong
+    out(2) = bj.toLong
+    out(3) = sim
+    new GenericInternalRow(out)
+  }
+}
+
+/** `(string, string)` -> struct<score,a_end,b_end,sim>
+  * ([[SmithWatermanCodec.align]]): best local alignment under the pinned
+  * classic scores.
+  */
+case class SmithWatermanExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", LongType, nullable = false),
+    StructField("a_end", LongType, nullable = false),
+    StructField("b_end", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def nullSafeEval(x: Any, y: Any): Any =
+    SmithWatermanCodec.align(x.asInstanceOf[UTF8String], y.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = graft.expressions.SmithWatermanCodec.align($x, $y);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SmithWatermanExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_smith_waterman"
+}

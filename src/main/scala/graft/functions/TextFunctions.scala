@@ -683,6 +683,17 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Smith-Waterman local alignment ([[graft.expressions
+    * .SmithWatermanExpr]]): the best-matching SUBSTRING pair — the
+    * plagiarism/code-clone kernel Levenshtein and Jaro-Winkler miss
+    * because they score whole strings. Pinned classic +2/-1/-1 scores.
+    */
+  def smithWaterman(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SmithWatermanExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Porter stem of one word ([[graft.expressions.PorterStemExpr]], the
     * original 1980 rules): the retrieval-side normalization for BM25
     * term unification and keyword overlap. Compose over token arrays

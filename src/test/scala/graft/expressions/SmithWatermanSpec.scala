@@ -1,0 +1,57 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Smith-Waterman: hand-computed alignments, the local property whole-
+  * string metrics miss, gaps/mismatches, end positions, caps and nulls.
+  */
+class SmithWatermanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(a: String, b: String): Row =
+    Seq((a, b)).toDF("a", "b")
+      .select(TextFunctions.smithWaterman(col("a"), col("b")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("identical strings: perfect score, sim 1, ends at lengths") {
+    val r = one("match", "match")
+    assert(r.getLong(0) == 10 && r.getLong(1) == 5 && r.getLong(2) == 5)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("a lifted substring scores fully despite different surroundings") {
+    val r = one("xxxxSTOLENTEXTyyyy", "aaSTOLENTEXTbb")
+    assert(r.getLong(0) == 20) // 10 matched chars * 2
+    assert(r.getLong(1) == 14 && r.getLong(2) == 12) // exclusive ends
+  }
+
+  test("one mismatch inside a run costs match+mismatch arithmetic") {
+    // abcXabc vs abcYabc: best = 2*3 + (-1) + 2*3 = 11 (through the sub)
+    val r = one("abcXabc", "abcYabc")
+    assert(r.getLong(0) == 11)
+  }
+
+  test("a gap bridges when worth it") {
+    // abcdef vs abcXdef: 2*3 -1 (gap) + 2*3 = 11
+    val r = one("abcdef", "abcXdef")
+    assert(r.getLong(0) == 11)
+  }
+
+  test("disjoint strings score zero with zeroed ends") {
+    val r = one("aaaa", "bbbb")
+    assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 0)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("cap and null totality") {
+    val big = "x" * 513
+    val rows = Seq((big, "x"), ("ab", null), ("ab", "ab"))
+      .toDF("a", "b")
+      .select(TextFunctions.smithWaterman(col("a"), col("b")).as("v"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && !rows(2).isNullAt(0))
+  }
+}
