@@ -6964,6 +6964,24 @@ object SparkEntry {
           v.getField("sim").as("sim"))
         .orderBy("doc_id")
     }),
+
+    // --- 293. triangle counting + clustering coefficient, oracle-pinned ----------------------------------
+    // Degree-oriented enumeration on a 300-node double ring (+1/+2 edges
+    // give every consecutive triple a triangle) with degree-varying +5
+    // chords that create none. The oracle enumerates triangles by the
+    // canonical a<b wedge definition — orientation must not change the
+    // set.
+    "q293_triangles" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val e1 = docs.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % 300).as("v"))
+      val e2 = docs.select(col("doc_id").as("u"),
+        ((col("doc_id") + 2) % 300).as("v"))
+      val e3 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("u"), ((col("doc_id") + 5) % 300).as("v"))
+      graft.functions.Graph.triangles(e1.union(e2).union(e3), "u", "v")
+        .orderBy("node")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11729,7 +11747,32 @@ object SparkEntry {
         |    WHEN 1 THEN ROUND(CAST(2 * (6 + ln) AS DOUBLE) /
         |      (2.0 * (10 + ln)), 7)
         |    ELSE 0.0 END AS sim
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Triangles: the canonical a<b wedge definition, per-node explode.
+    "q293_triangles" ->
+      """WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id < 300),
+        |raw AS (
+        |  SELECT i AS u, (i + 1) % 300 AS v FROM base
+        |  UNION ALL SELECT i, (i + 2) % 300 FROM base
+        |  UNION ALL SELECT i, (i + 5) % 300 FROM base WHERE i % 3 = 0),
+        |e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+        |  FROM raw WHERE u <> v),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        |  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |  COALESCE(pn.t, 0) AS n_triangles,
+        |  ROUND(CASE WHEN deg.d >= 2 THEN
+        |    2.0 * COALESCE(pn.t, 0) / (deg.d * (deg.d - 1))
+        |    ELSE 0.0 END, 7) AS clustering
+        |FROM deg LEFT JOIN pn USING (n) ORDER BY node""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

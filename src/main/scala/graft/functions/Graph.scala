@@ -185,4 +185,64 @@ object Graph {
           col("a").cast("double") / col("__ma").cast("double"))
           .otherwise(lit(0.0)).as("auth_norm"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * UNDIRECTED edge list — the density/community signal of the graph
+    * family (spam link-farms are triangle-dense; organic link graphs are
+    * sparse), and the classic "can it do graph analytics" benchmark.
+    *
+    * DEGREE-ORIENTED enumeration (the published compact-forward /
+    * node-iterator-core algorithm): canonical undirected edges orient
+    * from the (degree, id)-SMALLER endpoint to the larger, so every
+    * triangle has exactly one node with two out-edges and is enumerated
+    * ONCE — and wedge fan-out at a node is bounded by its ORIENTED
+    * out-degree, O(sqrt(m)) on any graph, so the wedge join does
+    * O(m^1.5) work where naive smaller-id orientation explodes on hubs
+    * (a celebrity node with degree d contributes d^2 wedges un-oriented,
+    * ~m wedges oriented). Joins are equi-keyed throughout; the wedge's
+    * third-edge check carries (degree, id) pairs so no global rank ever
+    * materializes.
+    *
+    * Exactness: counts are integers; the clustering coefficient
+    * `2*t / (d*(d-1))` is one rounded division. Self-loops drop;
+    * parallel edges collapse.
+    *
+    * Returns (node, degree, n_triangles, clustering) for EVERY node.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val e = raw.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct().localCheckpoint(true)
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          col("db").as("dd")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+          col("da").as("dd"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.dd").as("dd"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("e1").join(oriented.as("e2"), "src")
+      .where(struct(col("e1.dd"), col("e1.dst")) <
+        struct(col("e2.dd"), col("e2.dst")))
+      .select(col("src").as("x"), col("e1.dst").as("p"), col("e2.dst").as("q"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("p"), col("dst").as("q")), Seq("p", "q"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("p"), col("q"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        round(when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"))
+          .otherwise(lit(0.0)), 7).as("clustering"))
+  }
 }

@@ -134,6 +134,39 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("triangles: hand graph, coefficients, hubs, parallel/self edges") {
+    // K3 {A,B,C} + pendant D on A + self loop + duplicate edge
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "D"),
+      ("B", "B"), ("B", "A"))
+    val got = Graph.triangles(edges.toDF("s", "t"), "s", "t")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == ("A", 3L, 1L, math.rint(2.0 / 6.0 * 1e7) / 1e7))
+    assert(got("B") == ("B", 2L, 1L, 1.0))
+    assert(got("C") == ("C", 2L, 1L, 1.0))
+    assert(got("D") == ("D", 1L, 0L, 0.0))
+  }
+
+  test("triangles match a brute-force reference on a denser graph") {
+    val edges = (for {
+      i <- 0L until 20L
+      j <- Seq((i + 1) % 20, (i + 2) % 20, (i * 7 + 3) % 20) if j != i
+    } yield (math.min(i, j), math.max(i, j))).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    def connected(a: Long, b: Long) =
+      adj(math.min(a, b)).contains(math.max(a, b))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val refTri = nodes.map { n =>
+      val nb = nodes.filter(o => o != n && connected(n, o))
+      n -> nb.combinations(2).count(p => connected(p(0), p(1))).toLong
+    }.toMap
+    val got = Graph.triangles(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long, Long, Double)].collect()
+    got.foreach(r => assert(r._3 == refTri(r._1), s"node ${r._1}"))
+    assert(got.map(_._3).sum == refTri.values.sum)
+  }
+
   test("HITS: pure sink has zero hub, pure source has zero auth") {
     val got = Graph.hits(Seq(("S", "X"), ("X", "T")).toDF("s", "t"),
       "s", "t", iterations = 2)
