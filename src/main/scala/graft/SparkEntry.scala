@@ -6982,6 +6982,19 @@ object SparkEntry {
       graft.functions.Graph.triangles(e1.union(e2).union(e3), "u", "v")
         .orderBy("node")
     }),
+
+    // --- 294. two-proportion z-test, oracle-pinned --------------------------------------------------------
+    // Experiment readout over the REAL events log: variant by user
+    // parity, success = purchase event; exact integer cells, one pinned
+    // double expression for the z statistic.
+    "q294_ab_test" -> ((s, d) => {
+      val assigned = t(s, d, "events").select(
+        when(col("user_id") % 2 === 0, lit("ctl")).otherwise(lit("treat"))
+          .as("variant"),
+        (col("event_type") === "purchase").as("ok"))
+      graft.operators.AbTest.zTest(assigned, "variant", "ok", control = "ctl")
+        .orderBy("variant")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11772,7 +11785,40 @@ object SparkEntry {
         |  ROUND(CASE WHEN deg.d >= 2 THEN
         |    2.0 * COALESCE(pn.t, 0) / (deg.d * (deg.d - 1))
         |    ELSE 0.0 END, 7) AS clustering
-        |FROM deg LEFT JOIN pn USING (n) ORDER BY node""".stripMargin
+        |FROM deg LEFT JOIN pn USING (n) ORDER BY node""".stripMargin,
+
+    // A/B: exact cells, the verbatim pooled-z expression at 7 decimals.
+    "q294_ab_test" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'treat' END
+        |    AS variant,
+        |    event_type = 'purchase' AS ok
+        |  FROM events),
+        |g AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS successes
+        |  FROM s GROUP BY 1),
+        |c AS (SELECT n AS n_c, successes AS s_c FROM g
+        |  WHERE variant = 'ctl')
+        |SELECT g.variant, g.n, g.successes,
+        |  ROUND(CAST(g.successes AS DOUBLE) / CAST(g.n AS DOUBLE), 7)
+        |    AS rate,
+        |  ROUND(CAST(c.s_c AS DOUBLE) / CAST(c.n_c AS DOUBLE), 7)
+        |    AS control_rate,
+        |  ROUND(CASE WHEN g.n > 0 AND c.n_c > 0
+        |      AND CAST(g.successes + c.s_c AS DOUBLE) /
+        |          CAST(g.n + c.n_c AS DOUBLE) > 0.0
+        |      AND CAST(g.successes + c.s_c AS DOUBLE) /
+        |          CAST(g.n + c.n_c AS DOUBLE) < 1.0
+        |    THEN (CAST(g.successes AS DOUBLE) / CAST(g.n AS DOUBLE) -
+        |          CAST(c.s_c AS DOUBLE) / CAST(c.n_c AS DOUBLE)) /
+        |      sqrt(CAST(g.successes + c.s_c AS DOUBLE) /
+        |             CAST(g.n + c.n_c AS DOUBLE) *
+        |           (1.0 - CAST(g.successes + c.s_c AS DOUBLE) /
+        |             CAST(g.n + c.n_c AS DOUBLE)) *
+        |           (1.0 / CAST(g.n AS DOUBLE) + 1.0 / CAST(c.n_c AS DOUBLE)))
+        |    END, 7) AS z
+        |FROM g, c WHERE g.variant <> 'ctl'
+        |ORDER BY g.variant""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

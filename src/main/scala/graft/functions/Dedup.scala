@@ -303,9 +303,32 @@ object Dedup {
     // re-tokenized the corpus five times — measured 4x the runtime on
     // identical output).
     val vecs = postings.groupBy("id").agg(
-      collect_list(struct(col("term"), col("cnt"))).as("tf"),
+      sort_array(collect_list(struct(col("term"), col("cnt")))).as("tf"),
       sum(col("cnt") * col("cnt")).as("ssq"))
-    val flat = vecs.select(col("id"), col("ssq"), explode(col("tf")).as("e"))
+    // IDENTICAL-VECTOR COLLAPSE: duplicate-heavy corpora are the all-
+    // pairs join's own use case, and every group of g byte-identical tf
+    // vectors would otherwise multiply the candidate set by g^2 (a 10x
+    // replicated corpus measured 106x, not 10x — candidates, and thus
+    // dot products, grow with the SQUARE of duplication). Each distinct
+    // vector joins ONCE through its minimum-id representative; survivors
+    // expand to member pairs afterward (output-sized work, no scoring),
+    // and within-group pairs are emitted directly with the SAME cosine
+    // expression the verify path uses (cos of a vector with itself —
+    // exactly 1.0 at these magnitudes, but the expression is mirrored,
+    // not the constant, so the oracle's arithmetic matches bit for bit
+    // even where sqrt(ssq^2) rounds). The sorted collect_list makes
+    // byte-identical vectors group-identical regardless of partition
+    // order.
+    // localCheckpoint: reps feeds four consumers (prefix index, packed
+    // vectors, both expansion joins) and its lineage is the whole
+    // tokenize+aggregate+array-shuffle chain — uncheckpointed, Catalyst
+    // re-runs it per consumer (measured 2x the total runtime).
+    val reps = vecs.groupBy("tf", "ssq").agg(
+      min(col("id")).as("id"),
+      sort_array(collect_list(col("id"))).as("ids"),
+      count(lit(1)).as("gsz"))
+      .localCheckpoint(true)
+    val flat = reps.select(col("id"), col("ssq"), explode(col("tf")).as("e"))
       .select(col("id"), col("ssq"), col("e.term").as("term"), col("e.cnt").as("cnt"))
     val dfreq = flat.groupBy("term").agg(count(lit(1)).as("tdf"))
     val w = Window.partitionBy("id").orderBy(col("tdf"), col("term"))
@@ -341,7 +364,7 @@ object Dedup {
     // The vector-bearing index is postings-sized (prefix-bounded,
     // vectors document-bounded) and shuffles once on term — the same
     // bytes the postings shuffle already moves.
-    val packed = vecs.select(col("id"), col("ssq"),
+    val packed = reps.select(col("id"), col("ssq"),
       flatten(transform(
         sort_array(transform(col("tf"),
           e => struct(xxhash64(e("term")).as("h"), e("cnt").as("c")))),
@@ -354,7 +377,7 @@ object Dedup {
     // An explicit partition count is the one shuffle AQE never coalesces.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val idxv = idx.join(packed, "id").repartition(nPart, col("term"))
-    val out = idxv.as("a").join(idxv.as("b"), "term")
+    val repPairs = idxv.as("a").join(idxv.as("b"), "term")
       .where(col("a.id") < col("b.id"))
       .withColumn("num", org.apache.spark.sql.graft.Bridge.column(
         graft.expressions.TfDotPackedExpr(
@@ -365,6 +388,26 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
       .distinct()
+    // Expand representative survivors to member pairs: output-sized work,
+    // every cross-group member pair inherits the representatives' cosine
+    // (the vectors ARE the representatives' vectors).
+    val members = reps.select(col("id"), col("ids"))
+    val cross = repPairs
+      .join(members.select(col("id").as("id1"), col("ids").as("ids1")), "id1")
+      .join(members.select(col("id").as("id2"), col("ids").as("ids2")), "id2")
+      .select(explode(col("ids1")).as("m1"), col("ids2"), col("cos"))
+      .select(col("m1"), explode(col("ids2")).as("m2"), col("cos"))
+      .select(least(col("m1"), col("m2")).as("id1"),
+        greatest(col("m1"), col("m2")).as("id2"), col("cos"))
+    val within = reps.where(col("gsz") >= 2)
+      .withColumn("cos", col("ssq").cast("double") /
+        sqrt((col("ssq") * col("ssq")).cast("double")))
+      .where(col("cos") >= threshold)
+      .select(explode(col("ids")).as("m1"), col("ids"), col("cos"))
+      .select(col("m1"), explode(col("ids")).as("m2"), col("cos"))
+      .where(col("m1") < col("m2"))
+      .select(col("m1").as("id1"), col("m2").as("id2"), col("cos"))
+    val out = cross.unionByName(within)
     if (sorted) out.orderBy(desc("cos"), col("id1"), col("id2")) else out
   }
 

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Two-proportion z-test — the experiment-readout operator: did variant
+  * B's success rate move relative to A's, and by how many standard
+  * errors? The analytics counterpart of the evaluation module (Eval
+  * grades model outputs; this grades interventions).
+  */
+object AbTest {
+
+  /** Pairwise two-proportion z-tests between every variant and the named
+    * control.
+    *
+    * Exactness: per-variant (n, successes) are exact integer aggregates;
+    * rates, the pooled proportion and the z statistic are ONE pinned
+    * double expression over them, rounded at 7 (the suite's cross-engine
+    * discipline):
+    *
+    *   z = (p_v - p_c) / sqrt(p*(1-p) * (1/n_v + 1/n_c)),
+    *   p = (s_v + s_c) / (n_v + n_c)
+    *
+    * Degenerate cells (either side empty, or pooled p in {0, 1} making
+    * the standard error zero) yield null z instead of an infinity that
+    * would differ in sign by float noise.
+    *
+    * Scale shape: one map-side-combining groupBy over the assignment
+    * log; the per-variant table (a handful of rows) broadcasts against
+    * the control row. No window, no shuffle beyond the count.
+    */
+  def zTest(df: DataFrame, variantCol: String, successCol: String,
+      control: String): DataFrame = {
+    val g = df.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(successCol), 1)).as("successes"))
+    val c = g.where(col("variant") === control)
+      .select(col("n").as("n_c"), col("successes").as("s_c"))
+    val nv = col("n").cast("double")
+    val nc = col("n_c").cast("double")
+    val pv = col("successes").cast("double") / nv
+    val pc = col("s_c").cast("double") / nc
+    val pool = (col("successes") + col("s_c")).cast("double") /
+      (col("n") + col("n_c")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / nv + lit(1.0) / nc))
+    g.where(col("variant") =!= control)
+      .crossJoin(broadcast(c))
+      .select(col("variant"), col("n"), col("successes"),
+        round(pv, 7).as("rate"),
+        round(pc, 7).as("control_rate"),
+        round(when(col("n") > 0 && col("n_c") > 0 &&
+          pool > 0.0 && pool < 1.0, (pv - pc) / se), 7).as("z"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Two-proportion z-test: hand-computed statistic, sign symmetry,
+  * degenerate cells, and multi-variant fan-out against one control.
+  */
+class AbTestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mk(rows: (String, Int, Int)*): org.apache.spark.sql.DataFrame =
+    rows.flatMap { case (v, succ, fail) =>
+      Seq.fill(succ)((v, true)) ++ Seq.fill(fail)((v, false))
+    }.toDF("variant", "ok")
+
+  test("z matches the hand computation") {
+    // control: 40/100; b: 55/100. p=0.475, se=sqrt(.475*.525*.02)
+    val df = mk(("a", 40, 60), ("b", 55, 45))
+    val r = AbTest.zTest(df, "variant", "ok", control = "a").collect()(0)
+    assert(r.getString(0) == "b" && r.getLong(1) == 100 && r.getLong(2) == 55)
+    val se = math.sqrt(0.475 * 0.525 * (1.0 / 100 + 1.0 / 100))
+    val z = (0.55 - 0.40) / se
+    assert(r.getDouble(5) == math.rint(z * 1e7) / 1e7)
+  }
+
+  test("a worse variant gets the mirrored negative z") {
+    val df = mk(("a", 55, 45), ("b", 40, 60))
+    val r = AbTest.zTest(df, "variant", "ok", "a").collect()(0)
+    val se = math.sqrt(0.475 * 0.525 * 0.02)
+    assert(r.getDouble(5) == math.rint(-(0.55 - 0.40) / se * 1e7) / 1e7)
+  }
+
+  test("degenerate pooled proportions yield null z") {
+    val allFail = mk(("a", 0, 50), ("b", 0, 50))
+    assert(AbTest.zTest(allFail, "variant", "ok", "a").collect()(0).isNullAt(5))
+    val allPass = mk(("a", 50, 0), ("b", 50, 0))
+    assert(AbTest.zTest(allPass, "variant", "ok", "a").collect()(0).isNullAt(5))
+  }
+
+  test("several variants each test against the one control") {
+    val df = mk(("ctl", 50, 50), ("v1", 60, 40), ("v2", 45, 55))
+    val got = AbTest.zTest(df, "variant", "ok", "ctl")
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(got.keySet == Set("v1", "v2"))
+    assert(got("v1") > 0 && got("v2") < 0)
+  }
+}
