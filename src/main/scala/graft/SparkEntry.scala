@@ -6995,6 +6995,54 @@ object SparkEntry {
       graft.operators.AbTest.zTest(assigned, "variant", "ok", control = "ctl")
         .orderBy("variant")
     }),
+
+    // --- 295. Dockerfile profile, oracle-pinned -----------------------------------------------------------
+    // Three constructed shapes: a single-stage file, a multi-stage file
+    // with a continuation that hides a decoy FROM, and prose that fails
+    // the dominance floor (base still captured — pinned). All fields
+    // closed-form.
+    "q295_dockerfile" -> ((s, d) => {
+      val k = (col("doc_id") % 10).cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("FROM python:3."), k,
+        lit("\nWORKDIR /app\nCOPY . .\nRUN pip install -r r.txt\nCMD [\"x\"]")))
+        .when(m === 1, lit("# c\nFROM node:18 AS b\nRUN npm ci \\\n" +
+          "  --quiet FROM decoy\nFROM nginx\nCOPY --from=b /d /usr/share"))
+        .otherwise(concat(lit("FROM here on "), k,
+          lit("\nwe write prose\nmore prose")))
+      val v = TF.dockerfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_dockerfile").as("is_dockerfile"),
+          v.getField("base_image").as("base_image"),
+          v.getField("n_from").as("n_from"),
+          v.getField("n_run").as("n_run"),
+          v.getField("n_copy_add").as("n_copy_add"),
+          v.getField("n_instructions").as("n_instructions"),
+          v.getField("instructions").as("instructions"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 296. requirements.txt extraction, oracle-pinned --------------------------------------------------
+    // Two constructed shapes: a mixed file (pin, bound, option, trailing
+    // comment) and a bare+extras file with PEP 503 normalization. Names
+    // and pins closed-form.
+    "q296_requirements" -> ((s, d) => {
+      val k = (col("doc_id") % 10).cast("string")
+      val m = col("doc_id") % 2
+      val text = when(m === 0, concat(
+        lit("flask==2.0."), k,
+        lit("\nNumPy>=1.20\n-r base.txt\nrequests==2.31.0 # http")))
+        .otherwise(lit("# empty\n\ntorch\nMy_Pkg[gpu]==1.0"))
+      val v = TF.requirements(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_reqs").as("n_reqs"),
+          v.getField("n_pinned").as("n_pinned"),
+          v.getField("n_options").as("n_options"),
+          v.getField("names").as("names"),
+          v.getField("pins").as("pins"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11818,7 +11866,39 @@ object SparkEntry {
         |           (1.0 / CAST(g.n AS DOUBLE) + 1.0 / CAST(c.n_c AS DOUBLE)))
         |    END, 7) AS z
         |FROM g, c WHERE g.variant <> 'ctl'
-        |ORDER BY g.variant""".stripMargin
+        |ORDER BY g.variant""".stripMargin,
+
+    "q295_dockerfile" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_dockerfile,
+        |  CASE doc_id % 3 WHEN 0 THEN 'python:3.' || (doc_id % 10)
+        |    WHEN 1 THEN 'node:18' ELSE 'here' END AS base_image,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_from,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_run,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_copy_add,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 4 ELSE 1 END
+        |    AS BIGINT) AS n_instructions,
+        |  CASE doc_id % 3 WHEN 0 THEN 'FROM,WORKDIR,COPY,RUN,CMD'
+        |    WHEN 1 THEN 'FROM,RUN,COPY' ELSE 'FROM' END AS instructions
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q296_requirements" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 2 WHEN 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_reqs,
+        |  CAST(CASE doc_id % 2 WHEN 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_pinned,
+        |  CAST(CASE doc_id % 2 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_options,
+        |  CASE doc_id % 2 WHEN 0 THEN 'flask,numpy,requests'
+        |    ELSE 'torch,my-pkg' END AS names,
+        |  CASE doc_id % 2
+        |    WHEN 0 THEN 'flask==2.0.' || (doc_id % 10) || ',requests==2.31.0'
+        |    ELSE 'my-pkg==1.0' END AS pins
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,231 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dockerfile profile — the build-recipe member of the repo-file family
+  * (config census for INI/TOML, JSON census for manifests): code corpora
+  * carry Dockerfiles whose VALUE is the dependency and build structure.
+  * Pinned grammar (the documented Dockerfile syntax):
+  *
+  *  - instructions are the first word of a line (case-insensitive,
+  *    UPPERCASED in the census), from the documented set — FROM RUN CMD
+  *    LABEL EXPOSE ENV ADD COPY ENTRYPOINT VOLUME USER WORKDIR ARG
+  *    ONBUILD STOPSIGNAL HEALTHCHECK SHELL MAINTAINER; a first word
+  *    outside the set makes the line prose (counted against the
+  *    dominance floor);
+  *  - `#` lines are comments; blank lines ignored; a trailing `\`
+  *    CONTINUES the instruction (the continuation lines belong to it,
+  *    not to the census);
+  *  - `FROM <image> [AS <stage>]`: the FIRST base image is captured
+  *    verbatim; the FROM count is the multi-stage signal;
+  *  - `is_dockerfile` = at least one FROM and instructions strictly
+  *    outnumber prose lines (the dominance floor, as the config census).
+  *
+  * Returns struct<is_dockerfile,base_image,n_from,n_run,n_copy_add,
+  * n_instructions,instructions> (instructions = distinct names
+  * first-seen order, comma-joined). Row-local, codegen'd.
+  */
+object DockerfileCodec {
+
+  private val Known = Set("FROM", "RUN", "CMD", "LABEL", "EXPOSE", "ENV",
+    "ADD", "COPY", "ENTRYPOINT", "VOLUME", "USER", "WORKDIR", "ARG",
+    "ONBUILD", "STOPSIGNAL", "HEALTHCHECK", "SHELL", "MAINTAINER")
+
+  def profile(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val lines = u.toString.split("\n", -1)
+    var nFrom = 0L
+    var nRun = 0L
+    var nCopyAdd = 0L
+    var nInstr = 0L
+    var nProse = 0L
+    var base: String = null
+    val seen = new java.util.LinkedHashSet[String]()
+    var continuing = false
+    for (raw <- lines) {
+      val line = raw.trim
+      if (continuing) {
+        continuing = line.endsWith("\\")
+      } else if (line.isEmpty || line.startsWith("#")) {
+        // comment/blank: ignored
+      } else {
+        val sp = line.indexOf(' ')
+        val w0 = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
+        if (Known.contains(w0)) {
+          nInstr += 1
+          seen.add(w0)
+          w0 match {
+            case "FROM" =>
+              nFrom += 1
+              if (base == null && sp > 0) {
+                val rest = line.substring(sp + 1).trim
+                val e = rest.indexOf(' ')
+                base = if (e < 0) rest else rest.substring(0, e)
+              }
+            case "RUN" => nRun += 1
+            case "COPY" | "ADD" => nCopyAdd += 1
+            case _ =>
+          }
+        } else nProse += 1
+        continuing = line.endsWith("\\")
+      }
+    }
+    val isDf = nFrom > 0 && nInstr > nProse
+    val out = new Array[Any](7)
+    out(0) = isDf
+    out(1) = if (base == null) null else UTF8String.fromString(base)
+    out(2) = nFrom
+    out(3) = nRun
+    out(4) = nCopyAdd
+    out(5) = nInstr
+    out(6) =
+      if (seen.isEmpty) null
+      else UTF8String.fromString(String.join(",", seen))
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<is_dockerfile,base_image,n_from,n_run,n_copy_add,
+  * n_instructions,instructions> ([[DockerfileCodec.profile]]).
+  */
+case class DockerfileExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_dockerfile", BooleanType, nullable = false),
+    StructField("base_image", StringType),
+    StructField("n_from", LongType, nullable = false),
+    StructField("n_run", LongType, nullable = false),
+    StructField("n_copy_add", LongType, nullable = false),
+    StructField("n_instructions", LongType, nullable = false),
+    StructField("instructions", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    DockerfileCodec.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.DockerfileCodec.profile($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): DockerfileExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dockerfile"
+}
+
+/** Python requirements.txt extraction — the dependency-mining member of
+  * the repo-file family: which packages, which version disciplines.
+  * Pinned grammar (PEP 508's common subset):
+  *
+  *  - one requirement per line; `#` comments (whole-line or trailing,
+  *    space-preceded) strip; blank lines skip;
+  *  - option lines (`-r`, `--index-url`, `-e`, ...) count as options,
+  *    not requirements;
+  *  - a requirement is `name[extras]<spec>`: name = leading
+  *    `[A-Za-z0-9._-]+` LOWERCASED (PEP 503 normalization collapses
+  *    `-`/`_`/`.` runs to `-`); extras in `[...]` drop; the FIRST
+  *    specifier operator (`==`, `>=`, `<=`, `~=`, `!=`, `>`, `<`,
+  *    `===`) classifies the line (pinned/bounded/unpinned); environment
+  *    markers after `;` drop.
+  *
+  * Returns struct<n_reqs,n_pinned,n_options,names,pins> — names =
+  * normalized names in order; pins = `name==version` for the pinned
+  * subset. Row-local, codegen'd.
+  */
+object RequirementsCodec {
+
+  private def normName(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var lastDash = false
+    for (c <- s) {
+      if (c == '-' || c == '_' || c == '.') {
+        if (!lastDash) sb.append('-')
+        lastDash = true
+      } else { sb.append(Character.toLowerCase(c)); lastDash = false }
+    }
+    sb.toString
+  }
+
+  def extract(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    var nReqs = 0L
+    var nPinned = 0L
+    var nOpts = 0L
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    val pins = new scala.collection.mutable.ArrayBuffer[String]()
+    for (raw <- u.toString.split("\n", -1)) {
+      var line = raw.trim
+      val hash = line.indexOf(" #")
+      if (line.startsWith("#")) line = ""
+      else if (hash >= 0) line = line.substring(0, hash).trim
+      if (line.nonEmpty) {
+        if (line.startsWith("-")) nOpts += 1
+        else {
+          val semi = line.indexOf(';')
+          if (semi >= 0) line = line.substring(0, semi).trim
+          var i = 0
+          while (i < line.length && (Character.isLetterOrDigit(line.charAt(i)) ||
+            "._-".indexOf(line.charAt(i)) >= 0)) i += 1
+          if (i > 0) {
+            val name = normName(line.substring(0, i))
+            nReqs += 1
+            names += name
+            var rest = line.substring(i).trim
+            if (rest.startsWith("[")) {
+              val e = rest.indexOf(']')
+              rest = if (e < 0) "" else rest.substring(e + 1).trim
+            }
+            if (rest.startsWith("===") || (rest.startsWith("==") && !rest.startsWith("==="))) {
+              val op = if (rest.startsWith("===")) 3 else 2
+              val ver = rest.substring(op).trim.takeWhile(c => !c.isWhitespace && c != ',')
+              if (ver.nonEmpty) { nPinned += 1; pins += s"$name==$ver" }
+            }
+          }
+        }
+      }
+    }
+    val out = new Array[Any](5)
+    out(0) = nReqs
+    out(1) = nPinned
+    out(2) = nOpts
+    out(3) = if (names.isEmpty) null else UTF8String.fromString(names.mkString(","))
+    out(4) = if (pins.isEmpty) null else UTF8String.fromString(pins.mkString(","))
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<n_reqs,n_pinned,n_options,names,pins>
+  * ([[RequirementsCodec.extract]]).
+  */
+case class RequirementsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_reqs", LongType, nullable = false),
+    StructField("n_pinned", LongType, nullable = false),
+    StructField("n_options", LongType, nullable = false),
+    StructField("names", StringType),
+    StructField("pins", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    RequirementsCodec.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.RequirementsCodec.extract($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): RequirementsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_requirements"
+}

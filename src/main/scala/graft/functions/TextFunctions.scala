@@ -457,6 +457,24 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(src),
         org.apache.spark.sql.graft.Bridge.expression(tgt)))
 
+  /** Dockerfile profile ([[graft.expressions.DockerfileExpr]]): routing
+    * flag, first base image, instruction censuses — the build-recipe
+    * structure of a code corpus.
+    */
+  def dockerfile(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.DockerfileExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** requirements.txt extraction ([[graft.expressions.RequirementsExpr]]):
+    * PEP 503-normalized names, pinned-version pairs and option census —
+    * dependency mining over code corpora.
+    */
+  def requirements(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.RequirementsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** man/troff extraction ([[graft.expressions.ManPageExpr]]): routing
     * flag, TH title/section metadata, section/request census and the
     * request-stripped prose — the unix-documentation corpus face.

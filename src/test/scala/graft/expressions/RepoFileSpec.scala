@@ -1,0 +1,66 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Repo-file extractors: Dockerfile instruction grammar and
+  * requirements.txt dependency parsing.
+  */
+class RepoFileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docker(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.dockerfile(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  private def reqs(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.requirements(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("multi-stage dockerfile: base image, censuses, continuations") {
+    val r = docker(
+      "# build\nFROM golang:1.21 AS build\nWORKDIR /src\n" +
+        "RUN go build \\\n    -o app .\nFROM alpine:3.19\n" +
+        "COPY --from=build /src/app /app\nENTRYPOINT [\"/app\"]")
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "golang:1.21")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 1 && r.getLong(4) == 1)
+    assert(r.getLong(5) == 6)
+    assert(r.getString(6) == "FROM,WORKDIR,RUN,COPY,ENTRYPOINT")
+  }
+
+  test("continuation lines never count as instructions or prose") {
+    val r = docker("FROM a\nRUN x \\\n  FROM fake \\\n  more\nCMD y")
+    assert(r.getLong(2) == 1 && r.getLong(5) == 3)
+  }
+
+  test("prose with a FROM word fails the dominance floor") {
+    val r = docker("FROM the start\nthis is prose\nso is this\nand this")
+    assert(!r.getBoolean(0))
+  }
+
+  test("requirements: normalization, extras, markers, pins, options") {
+    val r = reqs(
+      "# deps\nFlask==2.3.1\nNumPy>=1.20  # math\nuvicorn[standard]==0.23.0\n" +
+        "requests~=2.31\nDjango_Rest.Framework==3.14 ; python_version > '3.8'\n" +
+        "-r base.txt\n--index-url https://pypi.org/simple\n\ntorch")
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(r.getString(3) ==
+      "flask,numpy,uvicorn,requests,django-rest-framework,torch")
+    assert(r.getString(4) ==
+      "flask==2.3.1,uvicorn==0.23.0,django-rest-framework==3.14")
+  }
+
+  test("empty and null totality") {
+    assert(reqs("# only comments\n\n").getLong(0) == 0)
+    val rows = Seq((1L, null), (2L, "FROM x"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.dockerfile(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && !rows(1).isNullAt(1))
+  }
+}
