@@ -7043,6 +7043,27 @@ object SparkEntry {
           v.getField("pins").as("pins"))
         .orderBy("doc_id")
     }),
+
+    // --- 297. monetary-amount extraction, oracle-pinned ---------------------------------------------------
+    // Three constructed shapes: symbol + code amounts with decimals, a
+    // comma-grouped symbol amount, and money-free prose. Cents are the
+    // exact integer arithmetic of the construction.
+    "q297_money" -> ((s, d) => {
+      val k = (col("doc_id") % 900 + 100).cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("invoice $"), k, lit(".25 plus 30 EUR tax")))
+        .when(m === 1, lit("total ¥5,000 due"))
+        .otherwise(lit("no money here 42"))
+      val v = TF.money(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_amounts").as("n_amounts"),
+          v.getField("currencies").as("currencies"),
+          v.getField("amounts").as("amounts"),
+          v.getField("max_cents").as("max_cents"),
+          v.getField("max_currency").as("max_currency"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11898,6 +11919,24 @@ object SparkEntry {
         |  CASE doc_id % 2
         |    WHEN 0 THEN 'flask==2.0.' || (doc_id % 10) || ',requests==2.31.0'
         |    ELSE 'my-pkg==1.0' END AS pins
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Money: cents are the construction's integer arithmetic.
+    "q297_money" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_amounts,
+        |  CASE doc_id % 3 WHEN 0 THEN 'USD,EUR' WHEN 1 THEN 'JPY' END
+        |    AS currencies,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'USD:' || ((doc_id % 900 + 100) * 100 + 25) ||
+        |      ',EUR:3000'
+        |    WHEN 1 THEN 'JPY:500000' END AS amounts,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN (doc_id % 900 + 100) * 100 + 25
+        |    WHEN 1 THEN 500000 ELSE 0 END AS BIGINT) AS max_cents,
+        |  CASE doc_id % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'JPY' END
+        |    AS max_currency
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

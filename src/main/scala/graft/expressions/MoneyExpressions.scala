@@ -1,0 +1,115 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Monetary-amount extraction — the currency sibling of date extraction
+  * (q246): prices, salaries and fines are the numeric facts commercial
+  * and legal corpora exist to state, and PII-adjacent enough that
+  * redaction pipelines want the same spans. Pinned grammar (bounded
+  * regex, the Feed/Svg discipline):
+  *
+  *  - symbol-prefixed: `$ € £ ¥` + optional one space + amount (symbol
+  *    currencies pin to USD/EUR/GBP/JPY);
+  *  - code-adjacent: `USD EUR GBP JPY CHF CAD AUD` word-bounded, before
+  *    or after the amount, one space or adjacent;
+  *  - amount: `1,234,567.89` (strict 3-digit comma groups) or plain
+  *    digits, optional 1-2 decimal places; at most 15 integer digits
+  *    (Long-cents safety);
+  *  - normalization: exact integer CENTS — `*100` plus right-padded
+  *    decimals; minor-unit-free currencies (JPY) still scale by 100,
+  *    a documented simplification that keeps the column one unit;
+  *  - matches scan left to right, non-overlapping.
+  *
+  * Returns struct<n_amounts,currencies,amounts,max_cents,max_currency>:
+  * currencies = distinct first-seen codes; amounts = `CODE:cents` in
+  * text order (cap 32). Row-local, codegen'd.
+  */
+object MoneyCodec {
+
+  private val Pat = java.util.regex.Pattern.compile(
+    "(?:([$€£¥])\\s?|\\b(USD|EUR|GBP|JPY|CHF|CAD|AUD)\\s?)" +
+      "(\\d{1,3}(?:,\\d{3})+|\\d{1,15})(\\.\\d{1,2})?" +
+      "|(\\d{1,3}(?:,\\d{3})+|\\d{1,15})(\\.\\d{1,2})?\\s?(USD|EUR|GBP|JPY|CHF|CAD|AUD)\\b")
+
+  private val SymCur = Map("$" -> "USD", "€" -> "EUR",
+    "£" -> "GBP", "¥" -> "JPY")
+
+  private def cents(intPart: String, decPart: String): Long = {
+    val digits = intPart.replace(",", "")
+    if (digits.length > 15) return -1L
+    val whole = digits.toLong * 100L
+    val dec =
+      if (decPart == null) 0L
+      else {
+        val d = decPart.substring(1)
+        if (d.length == 1) d.toLong * 10L else d.toLong
+      }
+    whole + dec
+  }
+
+  def extract(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val s = u.toString
+    val m = Pat.matcher(s)
+    var n = 0L
+    var maxCents = -1L
+    var maxCur: String = null
+    val curs = new java.util.LinkedHashSet[String]()
+    val amounts = new scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) {
+      val (cur, ip, dp) =
+        if (m.group(3) != null)
+          (if (m.group(1) != null) SymCur(m.group(1)) else m.group(2),
+            m.group(3), m.group(4))
+        else (m.group(7), m.group(5), m.group(6))
+      val c = cents(ip, dp)
+      if (c >= 0) {
+        n += 1
+        curs.add(cur)
+        if (amounts.size < 32) amounts += s"$cur:$c"
+        if (c > maxCents) { maxCents = c; maxCur = cur }
+      }
+    }
+    val out = new Array[Any](5)
+    out(0) = n
+    out(1) = if (curs.isEmpty) null else UTF8String.fromString(String.join(",", curs))
+    out(2) = if (amounts.isEmpty) null else UTF8String.fromString(amounts.mkString(","))
+    out(3) = if (n == 0) 0L else maxCents
+    out(4) = if (maxCur == null) null else UTF8String.fromString(maxCur)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<n_amounts,currencies,amounts,max_cents,max_currency>
+  * ([[MoneyCodec.extract]]): monetary amounts normalized to exact cents.
+  */
+case class MoneyExtractExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_amounts", LongType, nullable = false),
+    StructField("currencies", StringType),
+    StructField("amounts", StringType),
+    StructField("max_cents", LongType, nullable = false),
+    StructField("max_currency", StringType)))
+  override def nullSafeEval(input: Any): Any =
+    MoneyCodec.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MoneyCodec.extract($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MoneyExtractExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_money"
+}

@@ -475,6 +475,15 @@ object TextFunctions {
       graft.expressions.RequirementsExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Monetary-amount extraction ([[graft.expressions.MoneyExtractExpr]]):
+    * symbol- and code-adjacent amounts normalized to exact integer
+    * cents — the currency sibling of date extraction.
+    */
+  def money(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.MoneyExtractExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** man/troff extraction ([[graft.expressions.ManPageExpr]]): routing
     * flag, TH title/section metadata, section/request census and the
     * request-stripped prose — the unix-documentation corpus face.

@@ -1,0 +1,50 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Money extraction: symbol and code forms, comma groups, cents
+  * normalization, word boundaries, caps and totality.
+  */
+class MoneySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.money(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("symbol and code forms normalize to exact cents") {
+    val r = one("price $1,234.56 or 99 EUR or GBP 5.5 end")
+    assert(r.getLong(0) == 3)
+    assert(r.getString(1) == "USD,EUR,GBP")
+    assert(r.getString(2) == "USD:123456,EUR:9900,GBP:550")
+    assert(r.getLong(3) == 123456L && r.getString(4) == "USD")
+  }
+
+  test("strict comma groups; trailing decimals pad right") {
+    assert(one("$12,34 x").getString(2) == "USD:1200") // 12 matches, ,34 doesn't
+    assert(one("€7.5").getString(2) == "EUR:750")
+    assert(one("¥1000").getString(2) == "JPY:100000")
+  }
+
+  test("currency codes need word boundaries; bare numbers never match") {
+    val r = one("HUSD 5 and 12 USDX and plain 42")
+    assert(r.getLong(0) == 0 && r.isNullAt(1))
+  }
+
+  test("fifteen-digit cap guards Long cents") {
+    assert(one("$999999999999999 big").getLong(3) == 99999999999999900L)
+    assert(one("$1234567890123456 too-big").getLong(0) == 1) // 15-digit prefix matches
+  }
+
+  test("null in, null out") {
+    val rows = Seq((1L, null), (2L, "fee CAD 3"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.money(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && !rows(1).isNullAt(1))
+  }
+}
