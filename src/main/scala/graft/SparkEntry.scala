@@ -7064,6 +7064,27 @@ object SparkEntry {
           v.getField("max_currency").as("max_currency"))
         .orderBy("doc_id")
     }),
+
+    // --- 298. acronym-definition mining, oracle-pinned ----------------------------------------------------
+    // Three constructed shapes: plain initials, stopword-skipping
+    // initials, and an unresolved candidate. Censuses and the def pairs
+    // closed-form.
+    "q298_acronyms" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("the Large Language Model (LLM) file "), id))
+        .when(m === 1, concat(
+          lit("Bureau of Weights and Measures (BWM) ref "), id))
+        .otherwise(concat(lit("shipped it (ASAP) on day "), id))
+      val v = TF.acronyms(text)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("n_candidates").as("n_candidates"),
+          v.getField("n_defs").as("n_defs"),
+          v.getField("defs").as("defs"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11937,6 +11958,15 @@ object SparkEntry {
         |    WHEN 1 THEN 500000 ELSE 0 END AS BIGINT) AS max_cents,
         |  CASE doc_id % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'JPY' END
         |    AS max_currency
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q298_acronyms" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS n_candidates,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_defs,
+        |  CASE doc_id % 3 WHEN 0 THEN 'LLM=Large Language Model'
+        |    WHEN 1 THEN 'BWM=Bureau of Weights and Measures' END AS defs
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -475,6 +475,15 @@ object TextFunctions {
       graft.expressions.RequirementsExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Acronym-definition mining ([[graft.expressions.AcronymExpr]]):
+    * `long form (ABC)` pairs by the pinned initials rule — glossary and
+    * entity-normalization fuel from technical corpora.
+    */
+  def acronyms(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AcronymExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Monetary-amount extraction ([[graft.expressions.MoneyExtractExpr]]):
     * symbol- and code-adjacent amounts normalized to exact integer
     * cents — the currency sibling of date extraction.

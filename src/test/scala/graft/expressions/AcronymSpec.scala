@@ -1,0 +1,53 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Acronym mining: the initials rule, stopword skips, window bound,
+  * candidate-vs-definition split, and shape rejections.
+  */
+class AcronymSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.acronyms(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("plain initials and stopword-skipping definitions extract") {
+    val r = one("The Large Language Model (LLM) era; the Federal Bureau " +
+      "of Investigation (FBI) disagrees.")
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getString(2) ==
+      "LLM=Large Language Model,FBI=Federal Bureau of Investigation")
+  }
+
+  test("unresolved candidates count but define nothing") {
+    val r = one("we shipped it (ASAP) yesterday")
+    assert(r.getLong(0) == 1 && r.getLong(1) == 0 && r.isNullAt(2))
+  }
+
+  test("window bound: a definition too far back stays unresolved") {
+    val r = one("Graph Neural thing stuff words pad pad Network (GNN)")
+    assert(r.getLong(1) == 0)
+  }
+
+  test("shape rejections: lowercase, too short, too long, mixed") {
+    for (t <- Seq("see (abc) here", "a (X) b", "big (ABCDEFG) one",
+      "mix (AbC) case")) {
+      assert(one(t).getLong(0) == 0, t)
+    }
+  }
+
+  test("case-insensitive initials, punctuation-led words, null totality") {
+    val r = one("\"quoted natural language processing\" (NLP) works")
+    assert(r.getString(2) == "NLP=natural language processing")
+    val rows = Seq((1L, null), (2L, "Unit Test (UT)"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.acronyms(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && !rows(1).isNullAt(1))
+  }
+}
