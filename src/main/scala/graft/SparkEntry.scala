@@ -7085,6 +7085,20 @@ object SparkEntry {
           v.getField("defs").as("defs"))
         .orderBy("doc_id")
     }),
+
+    // --- 299. email thread reconstruction, oracle-pinned --------------------------------------------------
+    // Reply chains of four built from doc_id: every 4th message roots a
+    // thread, the rest reply to their predecessor. Roots, depths and
+    // sizes are the construction's arithmetic; pointer doubling must
+    // reproduce them exactly.
+    "q299_email_threads" -> ((s, d) => {
+      val msgs = t(s, d, "documents").select(
+        concat(lit("m"), col("doc_id")).as("mid"),
+        when(col("doc_id") % 4 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("m"), col("doc_id") - 1)).as("irt"))
+      graft.operators.Threads.emailThreads(msgs, "mid", "irt")
+        .orderBy("id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11967,7 +11981,16 @@ object SparkEntry {
         |    AS n_defs,
         |  CASE doc_id % 3 WHEN 0 THEN 'LLM=Large Language Model'
         |    WHEN 1 THEN 'BWM=Bureau of Weights and Measures' END AS defs
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Threads: chain-of-four construction arithmetic.
+    "q299_email_threads" ->
+      """SELECT 'm' || doc_id AS id,
+        |  'm' || (doc_id - doc_id % 4) AS root_id,
+        |  CAST(doc_id % 4 AS BIGINT) AS depth,
+        |  CAST(4 AS BIGINT) AS thread_size,
+        |  doc_id % 4 = 0 AS is_root
+        |FROM documents ORDER BY id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

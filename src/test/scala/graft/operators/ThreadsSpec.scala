@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Thread reconstruction: forests, broken references, deep chains under
+  * pointer doubling, cycles, and thread sizes.
+  */
+class ThreadsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("a forest with a broken reference resolves roots, depths, sizes") {
+    val msgs = Seq(
+      ("r1", null), ("c1", "r1"), ("c2", "c1"), ("c3", "c2"),
+      ("r2", null), ("c4", "r2"),
+      ("orphan", "ghost-id")
+    ).toDF("mid", "irt")
+    val got = Threads.emailThreads(msgs, "mid", "irt")
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("r1") == ("r1", "r1", 0L, 4L, true))
+    assert(got("c3") == ("c3", "r1", 3L, 4L, false))
+    assert(got("c4") == ("c4", "r2", 1L, 2L, false))
+    assert(got("orphan") == ("orphan", "orphan", 0L, 1L, true))
+  }
+
+  test("a 300-deep chain settles within the doubling budget") {
+    val msgs = (0 until 300).map(i =>
+      (s"m$i", if (i == 0) null else s"m${i - 1}")).toDF("mid", "irt")
+    val got = Threads.emailThreads(msgs, "mid", "irt")
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(got.forall(_._2 == "m0"))
+    assert(got.map(_._3).max == 299L)
+    assert(got.forall(_._4 == 300L))
+  }
+
+  test("a cycle is cut deterministically, the rest of the corpus unharmed") {
+    val msgs = Seq(("a", "b"), ("b", "a"), ("solo", null)).toDF("mid", "irt")
+    val got = Threads.emailThreads(msgs, "mid", "irt", maxIter = 6)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("solo")._3 == 0L && got("solo")._4 == 1L)
+    val again = Threads.emailThreads(msgs, "mid", "irt", maxIter = 6)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+}
