@@ -7099,6 +7099,21 @@ object SparkEntry {
       graft.operators.Threads.emailThreads(msgs, "mid", "irt")
         .orderBy("id")
     }),
+
+    // --- 300. NDCG@k ranking evaluation, oracle-pinned ----------------------------------------------------
+    // 50 synthetic queries of 10 docs: graded relevance doc_id % 4, a
+    // deterministic non-ideal score permutation (doc_id * 37 % 101).
+    // The micro-gain quantization makes both sums exact integers; the
+    // oracle replays ranks, gains, sums and the division.
+    "q300_ndcg" -> ((s, d) => {
+      val runs = t(s, d, "documents").where(col("doc_id") < 500).select(
+        (col("doc_id") % 50).as("query"),
+        col("doc_id").as("doc"),
+        (col("doc_id") % 4).as("rel"),
+        ((col("doc_id") * 37) % 101).cast("double").as("score"))
+      graft.functions.Eval.ndcgAtK(runs, "query", "doc", "rel", "score", k = 5)
+        .orderBy("query")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11990,7 +12005,38 @@ object SparkEntry {
         |  CAST(doc_id % 4 AS BIGINT) AS depth,
         |  CAST(4 AS BIGINT) AS thread_size,
         |  doc_id % 4 = 0 AS is_root
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // NDCG: replay ranks, the per-position micro-gain floor, the exact
+    // integer sums and one rounded division.
+    "q300_ndcg" ->
+      """WITH runs AS (
+        |  SELECT doc_id % 50 AS query, doc_id AS doc, doc_id % 4 AS rel,
+        |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+        |  FROM documents WHERE doc_id < 500),
+        |ranked AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY score DESC, doc ASC) AS r,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY rel DESC, doc ASC) AS ri
+        |  FROM runs),
+        |g AS (
+        |  SELECT query, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN r <= 5 THEN
+        |      CAST(FLOOR((POWER(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0
+        |        / log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS dcg_micro,
+        |    CAST(SUM(CASE WHEN ri <= 5 THEN
+        |      CAST(FLOOR((POWER(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0
+        |        / log2(CAST(ri AS DOUBLE) + 1.0)) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS idcg_micro
+        |  FROM ranked GROUP BY 1)
+        |SELECT query, n_docs, dcg_micro, idcg_micro,
+        |  ROUND(CASE WHEN idcg_micro > 0 THEN
+        |    CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) END, 7)
+        |    AS ndcg
+        |FROM g ORDER BY query""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

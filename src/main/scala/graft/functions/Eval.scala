@@ -56,6 +56,52 @@ object Eval {
         .as(s"pass_at_$k"))
   }
 
+  /** NDCG@k — the graded ranking metric (retrieval and reranker
+    * evaluation), in the MICRO-GAIN formulation that keeps it
+    * engine-exact: the standard DCG is a float SUM of rel/log2 terms,
+    * and float-sum results depend on partition order; here each
+    * position's gain quantizes FIRST —
+    *
+    *   gain(rel, r) = floor((2^rel - 1) * 1e6 / log2(r + 1))
+    *
+    * — a per-row double expression (replayable verbatim) floored to an
+    * exact BIGINT, so the per-query sums are order-independent integers
+    * and NDCG = dcg_micro / idcg_micro is one rounded division. The 1e-6
+    * quantization error is orders below any ranking decision.
+    *
+    * Ranking: per query by `scoreCol` desc, ties by `docCol` asc (total,
+    * deterministic); positions beyond k ignored; the ideal ranking
+    * sorts the SAME candidate set by relevance desc (ties doc asc).
+    * Integer relevance 0..20 (the 2^rel gain needs headroom).
+    *
+    * Returns (query, n_docs, dcg_micro, idcg_micro, ndcg).
+    */
+  def ndcgAtK(df: DataFrame, queryCol: String, docCol: String,
+      relCol: String, scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    val byRel = Window.partitionBy(queryCol)
+      .orderBy(col(relCol).desc, col(docCol).asc)
+    def gain(rank: Column): Column =
+      floor((pow(lit(2.0), col(relCol).cast("double")) - 1.0)
+        * 1000000.0 / log2(rank.cast("double") + 1.0)).cast("long")
+    val ranked = df
+      .withColumn("__r", row_number().over(byScore))
+      .withColumn("__ri", row_number().over(byRel))
+    ranked.groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__r") <= k, gain(col("__r"))).otherwise(0L))
+          .as("dcg_micro"),
+        sum(when(col("__ri") <= k, gain(col("__ri"))).otherwise(0L))
+          .as("idcg_micro"))
+      .withColumn("ndcg", round(
+        when(col("idcg_micro") > 0,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double")),
+        7))
+  }
+
   /** Per-class precision/recall/F1 from (gold, pred) pairs — the
     * confusion-matrix report. Counts are exact; each ratio is one
     * rounded division; classes appearing only as predictions still get

@@ -50,6 +50,33 @@ class EvalSpec extends SparkTestBase {
     assert(all.getDouble(3) == 1.0)     // k = n with c > 0 -> certain
   }
 
+  test("NDCG@k: hand computation, perfect ranking, truncation, zero ideal") {
+    // query q: docs a(rel 3, score .9) b(rel 1, score .8) c(rel 2, score .7)
+    // ranked: a b c ; ideal: a c b
+    def g(rel: Int, r: Int): Long =
+      math.floor(((1L << rel) - 1).toDouble * 1e6 /
+        (math.log(r + 1.0) / math.log(2.0))).toLong
+    val df = Seq(("q", "a", 3, 0.9), ("q", "b", 1, 0.8), ("q", "c", 2, 0.7),
+      ("z", "x", 0, 0.5)).toDF("query", "doc", "rel", "score")
+    val got = Eval.ndcgAtK(df, "query", "doc", "rel", "score", k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val dcg = g(3, 1) + g(1, 2) + g(2, 3)
+    val idcg = g(3, 1) + g(2, 2) + g(1, 3)
+    assert(got("q").getLong(2) == dcg && got("q").getLong(3) == idcg)
+    assert(got("q").getDouble(4) ==
+      math.rint(dcg.toDouble / idcg * 1e7) / 1e7)
+    assert(got("z").isNullAt(4)) // all-zero relevance: undefined
+    // a ranking that matches the ideal is exactly 1
+    val perfect = Seq(("p", "a", 2, 0.9), ("p", "b", 1, 0.5))
+      .toDF("query", "doc", "rel", "score")
+    assert(Eval.ndcgAtK(perfect, "query", "doc", "rel", "score", 2)
+      .collect()(0).getDouble(4) == 1.0)
+    // k = 1 truncates both sides
+    val t = Eval.ndcgAtK(df.where(col("query") === "q"),
+      "query", "doc", "rel", "score", k = 1).collect()(0)
+    assert(t.getLong(2) == g(3, 1) && t.getDouble(4) == 1.0)
+  }
+
   test("classification report: per-class counts, ratios, one-sided classes") {
     val df = Seq(
       ("x", "x"), ("x", "x"), ("x", "y"), // x: gold 3, tp 2
