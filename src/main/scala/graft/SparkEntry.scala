@@ -7114,6 +7114,31 @@ object SparkEntry {
       graft.functions.Eval.ndcgAtK(runs, "query", "doc", "rel", "score", k = 5)
         .orderBy("query")
     }),
+
+    // --- 301. reStructuredText extraction, oracle-pinned --------------------------------------------------
+    // Three constructed shapes: a sectioned page with an admonition and
+    // a code block, a bare literal block (not rst by the routing floor),
+    // and plain prose. All censuses and text closed-form.
+    "q301_rst_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("Doc "), id, lit("\n============\n\nIntro "), id,
+        lit(" here.\n\n.. note::\n   keep "), id,
+        lit("\n\n.. code-block:: python\n   x = "), id, lit("\n\nEnd.")))
+        .when(m === 1, concat(
+          lit("usage::\n\n   cmd "), id, lit("\n\ntail "), id))
+        .otherwise(concat(lit("plain "), id, lit(" text")))
+      val v = TF.rstText(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_rst").as("is_rst"),
+          v.getField("title").as("title"),
+          v.getField("n_sections").as("n_sections"),
+          v.getField("n_directives").as("n_directives"),
+          v.getField("n_code_blocks").as("n_code_blocks"),
+          v.getField("text").as("text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12036,7 +12061,25 @@ object SparkEntry {
         |  ROUND(CASE WHEN idcg_micro > 0 THEN
         |    CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) END, 7)
         |    AS ndcg
-        |FROM g ORDER BY query""".stripMargin
+        |FROM g ORDER BY query""".stripMargin,
+
+    "q301_rst_text" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS is_rst,
+        |  CASE doc_id % 3 WHEN 0 THEN 'Doc ' || doc_id END AS title,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_sections,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS n_directives,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_code_blocks,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' Intro ' || doc_id ||
+        |      ' here. keep ' || doc_id || ' End.'
+        |    WHEN 1 THEN 'usage: tail ' || doc_id
+        |    ELSE 'plain ' || doc_id || ' text'
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

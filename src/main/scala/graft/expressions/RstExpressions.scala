@@ -1,0 +1,155 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** reStructuredText extraction — the Sphinx/Python-docs member of the
+  * markup family (LaTeX for papers, markdown for READMEs, man for unix
+  * docs): the docs of the entire Python ecosystem ship as `.rst`.
+  * Pinned single-pass grammar over the docutils core:
+  *
+  *  - SECTION titles: a text line whose NEXT line is an adornment (one
+  *    repeated char from the docutils punctuation set, >= 2 long, at
+  *    least as long as the title) — title kept and counted, adornment
+  *    dropped; the first title is the document title;
+  *  - DIRECTIVES `.. name:: args`: counted; admonition directives
+  *    (note/warning/tip/important/hint/caution/attention) KEEP their
+  *    indented block text (they are prose); all others (code-block,
+  *    image, toctree, ...) DROP it — code-ish blocks count in
+  *    n_code_blocks; `.. text` without `::` is a comment block, dropped;
+  *  - a line ending `::` introduces a literal block: the line keeps a
+  *    single colon (the docutils rendering), the indented block drops
+  *    and counts in n_code_blocks;
+  *  - blocks end at the first non-blank line at column 0;
+  *  - inline markup on kept lines: ``literal`` -> literal, **strong** ->
+  *    strong, *em* -> em, :role:`content` -> content,
+  *    `text <target>`_ -> text, `text`_ -> text, |subst| -> subst;
+  *  - `is_rst` = at least one section or directive (the routing floor).
+  *
+  * Whitespace collapses. Row-local, codegen'd.
+  */
+object RstCodec {
+
+  private val Adorn = "=-`:'\"~^_*+#<>.!$%&(),/;?@[]\\{}|".toSet
+  private val Admonitions = Set("note", "warning", "tip", "important",
+    "hint", "caution", "attention")
+  private val Directive = java.util.regex.Pattern.compile(
+    "^\\.\\.\\s+([A-Za-z][A-Za-z0-9_-]*)::\\s*(.*)$")
+
+  private def isAdornment(s: String): Boolean =
+    s.length >= 2 && Adorn.contains(s.head) && s.forall(_ == s.head)
+
+  private def inline(s: String): String = {
+    var t = s
+    t = t.replaceAll("``([^`]+)``", "$1")
+    t = t.replaceAll("\\*\\*([^*]+)\\*\\*", "$1")
+    t = t.replaceAll("\\*([^*]+)\\*", "$1")
+    t = t.replaceAll(":[A-Za-z][A-Za-z0-9:_-]*:`([^`]+)`", "$1")
+    t = t.replaceAll("`([^`<]+?)\\s*<[^`>]*>`_{1,2}", "$1")
+    t = t.replaceAll("`([^`]+)`_{1,2}", "$1")
+    t = t.replaceAll("\\|([^|]+)\\|", "$1")
+    t
+  }
+
+  def extract(u: UTF8String): InternalRow = {
+    if (u == null) return null
+    val lines = u.toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder()
+    var title: String = null
+    var nSections = 0L
+    var nDirectives = 0L
+    var nCode = 0L
+    // block mode: 0 none, 1 drop-indented, 2 keep-indented
+    var block = 0
+    var i = 0
+    while (i < lines.length) {
+      val raw = lines(i)
+      val line = raw.trim
+      val indented = raw.startsWith(" ") || raw.startsWith("\t")
+      if (block != 0) {
+        if (line.isEmpty) { /* blank stays in block */ }
+        else if (indented) {
+          if (block == 2) { sb.append(inline(line)); sb.append(' ') }
+        } else block = 0
+      }
+      if (block == 0 && line.nonEmpty && !indented) {
+        val m = Directive.matcher(line)
+        if (m.matches()) {
+          nDirectives += 1
+          val name = m.group(1).toLowerCase
+          if (Admonitions.contains(name)) {
+            if (m.group(2).nonEmpty) { sb.append(inline(m.group(2))); sb.append(' ') }
+            block = 2
+          } else {
+            if (name == "code" || name == "code-block" || name == "sourcecode")
+              nCode += 1
+            block = 1
+          }
+        } else if (line.startsWith(".. ") || line == "..") {
+          block = 1 // comment block
+        } else if (i + 1 < lines.length && isAdornment(lines(i + 1).trim) &&
+          lines(i + 1).trim.length >= line.length && !isAdornment(line)) {
+          nSections += 1
+          if (title == null) title = inline(line)
+          sb.append(inline(line)); sb.append(' ')
+          i += 1 // consume the adornment
+        } else if (isAdornment(line)) {
+          // stray adornment (overline or transition): drop
+        } else if (line.endsWith("::")) {
+          nCode += 1
+          sb.append(inline(line.substring(0, line.length - 2))); sb.append(": ")
+          block = 1
+        } else {
+          sb.append(inline(line)); sb.append(' ')
+        }
+      } else if (block == 0 && line.nonEmpty && indented) {
+        // indented prose outside any block (quote): keep
+        sb.append(inline(line)); sb.append(' ')
+      }
+      i += 1
+    }
+    val text = sb.toString.replaceAll("\\s+", " ").trim
+    val out = new Array[Any](6)
+    out(0) = nSections > 0 || nDirectives > 0
+    out(1) = if (title == null) null else UTF8String.fromString(title)
+    out(2) = nSections
+    out(3) = nDirectives
+    out(4) = nCode
+    out(5) = UTF8String.fromString(text)
+    new GenericInternalRow(out)
+  }
+}
+
+/** `string` -> struct<is_rst,title,n_sections,n_directives,n_code_blocks,
+  * text> ([[RstCodec.extract]]).
+  */
+case class RstTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("is_rst", BooleanType, nullable = false),
+    StructField("title", StringType),
+    StructField("n_sections", LongType, nullable = false),
+    StructField("n_directives", LongType, nullable = false),
+    StructField("n_code_blocks", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    RstCodec.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.RstCodec.extract($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): RstTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rst_text"
+}

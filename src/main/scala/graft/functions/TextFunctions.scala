@@ -475,6 +475,15 @@ object TextFunctions {
       graft.expressions.RequirementsExpr(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** reStructuredText extraction ([[graft.expressions.RstTextExpr]]):
+    * routing flag, first section title, section/directive/code censuses
+    * and the markup-stripped prose — the Sphinx/Python-docs corpus face.
+    */
+  def rstText(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.RstTextExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Acronym-definition mining ([[graft.expressions.AcronymExpr]]):
     * `long form (ABC)` pairs by the pinned initials rule — glossary and
     * entity-normalization fuel from technical corpora.

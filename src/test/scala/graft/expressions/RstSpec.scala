@@ -1,0 +1,61 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** reST extraction: section adornments, directive blocks, admonitions,
+  * literal blocks, inline markup and the routing floor.
+  */
+class RstSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String): Row =
+    Seq(text).toDF("t")
+      .select(TextFunctions.rstText(col("t")).as("v"))
+      .select("v.*").collect()(0)
+
+  test("sections, admonitions kept, code blocks dropped") {
+    val r = one(
+      "My Title\n========\n\nIntro text here.\n\n" +
+        ".. note::\n   remember this bit\n\n" +
+        ".. code-block:: python\n   x = secret()\n   y = 2\n\n" +
+        "Subsection\n----------\n\nMore prose.")
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "My Title")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 2 && r.getLong(4) == 1)
+    assert(r.getString(5) ==
+      "My Title Intro text here. remember this bit Subsection More prose.")
+  }
+
+  test("literal blocks drop after the double colon; one colon survives") {
+    val r = one("Example usage::\n\n    run --fast\n    done\n\nafter")
+    assert(r.getLong(4) == 1)
+    assert(r.getString(5) == "Example usage: after")
+  }
+
+  test("inline markup strips to content") {
+    val r = one("use ``code`` and **bold** and *em* and :func:`open` " +
+      "and `Python <https://python.org>`_ and `ref`_ and |sub| end")
+    assert(r.getString(5) ==
+      "use code and bold and em and open and Python and ref and sub end")
+  }
+
+  test("comment blocks drop; adornment must cover the title") {
+    val r = one(".. this is a comment\n   still comment\n\nShort\n==\ntext")
+    // '==' is shorter than 'Short' -> not a section; '==' drops as stray
+    assert(r.getLong(2) == 0)
+    assert(r.getString(5) == "Short text")
+  }
+
+  test("plain prose is not rst; null totality") {
+    val r = one("just words\nand more words")
+    assert(!r.getBoolean(0) && r.getString(5) == "just words and more words")
+    val rows = Seq((1L, null), (2L, "T\n=\n\nx")) // '=' shorter than 'T'? equal
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.rstText(col("t")).as("v"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+  }
+}
