@@ -7139,6 +7139,20 @@ object SparkEntry {
           v.getField("text").as("text"))
         .orderBy("doc_id")
     }),
+
+    // --- 302. probability calibration + Brier, oracle-pinned ----------------------------------------------
+    // A synthetic informative-but-miscalibrated classifier (label 40%
+    // positive, positives score 500+, negatives 0-599): exact milli-unit
+    // bins, rates, mean probabilities and the integer-numerator Brier.
+    "q302_calibration" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.calibration(scored, "p", "y", nBins = 10)
+        .orderBy("bin")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12079,7 +12093,33 @@ object SparkEntry {
         |    WHEN 1 THEN 'usage: tail ' || doc_id
         |    ELSE 'plain ' || doc_id || ' text'
         |  END AS text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Calibration: exact integer bins/sums, two rounded divisions, the
+    // integer-numerator Brier broadcast onto every bin.
+    "q302_calibration" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |      ELSE doc_id % 600 END AS p
+        |  FROM documents),
+        |b AS (
+        |  SELECT LEAST((p * 10) // 1000, 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(p) AS BIGINT) AS psum
+        |  FROM s GROUP BY 1),
+        |br AS (
+        |  SELECT CAST(SUM((p - 1000 * CASE WHEN y THEN 1 ELSE 0 END) *
+        |                  (p - 1000 * CASE WHEN y THEN 1 ELSE 0 END))
+        |      AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS brier
+        |  FROM s)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        |  ROUND(CAST(psum AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE)), 7)
+        |    AS mean_prob,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 7) AS rate,
+        |  ROUND(br.brier, 7) AS brier
+        |FROM b, br ORDER BY bin""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

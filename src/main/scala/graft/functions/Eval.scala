@@ -102,6 +102,53 @@ object Eval {
         7))
   }
 
+  /** Probability calibration (the reliability diagram) + Brier score —
+    * the trust check on any quality/toxicity classifier the pipeline
+    * gates with: does a 0.8 score mean 80%?
+    *
+    * EXACTNESS CONTRACT: probabilities arrive as MILLI-units (an
+    * integral 0..1000 column — classifiers that emit floats quantize
+    * once at the boundary), so every per-bin statistic is exact integer
+    * arithmetic plus one rounded division, and the Brier numerator
+    * `sum((p_milli - 1000*y)^2)` is an exact BIGINT (order-independent);
+    * Brier = numerator / (1e6 * n), one rounded division.
+    *
+    * Bins: `least(p_milli * nBins div 1000, nBins - 1)` — equal-width,
+    * 1.0 folded into the last bin. Per bin: count, positives, mean
+    * predicted probability and observed rate (both rounded at 7), and
+    * the overall Brier score broadcast onto every row for one-table
+    * consumption.
+    *
+    * Scale shape: one map-side-combining groupBy on the bin; the Brier
+    * aggregate is a 1-row crossJoin broadcast.
+    */
+  def calibration(df: DataFrame, probMilliCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]")
+    val p = col(probMilliCol).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val bin = least(
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graft.Bridge.expression(p * nBins),
+          org.apache.spark.sql.graft.Bridge.expression(lit(1000L)))),
+      lit((nBins - 1).toLong))
+    val brier = df.agg(
+      (sum((p - lit(1000L) * y) * (p - lit(1000L) * y)).cast("double") /
+        (lit(1000000.0) * count(lit(1)).cast("double"))).as("__brier"))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(y).as("n_pos"),
+        sum(p).as("__psum"))
+      .crossJoin(broadcast(brier))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__psum").cast("double") /
+          (lit(1000.0) * col("n").cast("double")), 7).as("mean_prob"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 7)
+          .as("rate"),
+        round(col("__brier"), 7).as("brier"))
+  }
+
   /** Per-class precision/recall/F1 from (gold, pred) pairs — the
     * confusion-matrix report. Counts are exact; each ratio is one
     * rounded division; classes appearing only as predictions still get

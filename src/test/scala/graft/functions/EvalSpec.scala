@@ -77,6 +77,29 @@ class EvalSpec extends SparkTestBase {
     assert(t.getLong(2) == g(3, 1) && t.getDouble(4) == 1.0)
   }
 
+  test("calibration: bins, rates, mean probabilities, Brier, edge folding") {
+    // bin width 100 milli at nBins=10; p=1000 folds into bin 9
+    val df = Seq(
+      (950, true), (1000, true), (980, false), // bin 9: rate 2/3
+      (120, false), (150, false), (180, true), // bin 1: rate 1/3
+      (50, false)                              // bin 0
+    ).toDF("p", "y")
+    val got = Eval.calibration(df, "p", "y", nBins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(0L, 1L, 9L))
+    val b9 = got(9L)
+    assert(b9.getLong(1) == 3 && b9.getLong(2) == 2)
+    assert(b9.getDouble(3) == math.rint(2930.0 / 3000.0 * 1e7) / 1e7)
+    assert(b9.getDouble(4) == math.rint(2.0 / 3.0 * 1e7) / 1e7)
+    // Brier: exact integer numerator over 1e6 * n
+    val num = Seq((950, 1), (1000, 1), (980, 0), (120, 0), (150, 0),
+      (180, 1), (50, 0)).map { case (p, y) =>
+      val d = p - 1000L * y; d * d
+    }.sum
+    val brier = math.rint(num.toDouble / (1e6 * 7) * 1e7) / 1e7
+    assert(got(0L).getDouble(5) == brier)
+  }
+
   test("classification report: per-class counts, ratios, one-sided classes") {
     val df = Seq(
       ("x", "x"), ("x", "x"), ("x", "y"), // x: gold 3, tp 2
