@@ -7153,6 +7153,21 @@ object SparkEntry {
       graft.functions.Eval.calibration(scored, "p", "y", nBins = 10)
         .orderBy("bin")
     }),
+
+    // --- 303. reciprocal rank, oracle-pinned ---------------------------------------------------------------
+    // q300's binary companion over the same synthetic ranking: rank of
+    // the first relevant doc per query, one rounded division; the
+    // per-query table stays deterministic (aggregate MRR is a mean the
+    // caller takes).
+    "q303_reciprocal_rank" -> ((s, d) => {
+      val runs = t(s, d, "documents").where(col("doc_id") < 500).select(
+        (col("doc_id") % 50).as("query"),
+        col("doc_id").as("doc"),
+        (col("doc_id") % 4).as("rel"),
+        ((col("doc_id") * 37) % 101).cast("double").as("score"))
+      graft.functions.Eval.reciprocalRank(runs, "query", "doc", "rel", "score")
+        .orderBy("query")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12119,7 +12134,27 @@ object SparkEntry {
         |    AS mean_prob,
         |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 7) AS rate,
         |  ROUND(br.brier, 7) AS brier
-        |FROM b, br ORDER BY bin""".stripMargin
+        |FROM b, br ORDER BY bin""".stripMargin,
+
+    // MRR: replay the rank and the single division.
+    "q303_reciprocal_rank" ->
+      """WITH runs AS (
+        |  SELECT doc_id % 50 AS query, doc_id AS doc, doc_id % 4 AS rel,
+        |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+        |  FROM documents WHERE doc_id < 500),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query
+        |    ORDER BY score DESC, doc ASC) AS r
+        |  FROM runs),
+        |g AS (
+        |  SELECT query, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(MIN(CASE WHEN rel > 0 THEN r END) AS BIGINT)
+        |      AS first_rel_rank
+        |  FROM ranked GROUP BY 1)
+        |SELECT query, n_docs, first_rel_rank,
+        |  ROUND(CASE WHEN first_rel_rank IS NOT NULL THEN
+        |    1.0 / CAST(first_rel_rank AS DOUBLE) END, 7) AS rr
+        |FROM g ORDER BY query""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -102,6 +102,29 @@ object Eval {
         7))
   }
 
+  /** Reciprocal rank per query — NDCG's binary companion (the metric for
+    * "did the right answer come first"): the rank of the FIRST relevant
+    * document under the (score desc, doc asc) total order, rr = 1/rank
+    * as one rounded division; queries with no relevant document yield
+    * null rank and rr (aggregate MRR is the caller's mean over this
+    * deterministic per-query table — averaging here would be a float
+    * sum whose value depends on partition order).
+    */
+  def reciprocalRank(df: DataFrame, queryCol: String, docCol: String,
+      relCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    df.withColumn("__r", row_number().over(byScore))
+      .groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col(relCol) > 0, col("__r"))).cast("long")
+          .as("first_rel_rank"))
+      .withColumn("rr", round(
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double")), 7))
+  }
+
   /** Probability calibration (the reliability diagram) + Brier score —
     * the trust check on any quality/toxicity classifier the pipeline
     * gates with: does a 0.8 score mean 80%?

@@ -77,6 +77,17 @@ class EvalSpec extends SparkTestBase {
     assert(t.getLong(2) == g(3, 1) && t.getDouble(4) == 1.0)
   }
 
+  test("reciprocal rank: first relevant position, no-relevant null") {
+    val df = Seq(
+      ("q", "a", 0, 0.9), ("q", "b", 1, 0.8), ("q", "c", 2, 0.7),
+      ("z", "x", 0, 0.5), ("z", "y", 0, 0.4)
+    ).toDF("query", "doc", "rel", "score")
+    val got = Eval.reciprocalRank(df, "query", "doc", "rel", "score")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("q").getLong(2) == 2L && got("q").getDouble(3) == 0.5)
+    assert(got("z").isNullAt(2) && got("z").isNullAt(3))
+  }
+
   test("calibration: bins, rates, mean probabilities, Brier, edge folding") {
     // bin width 100 milli at nBins=10; p=1000 folds into bin 9
     val df = Seq(
