@@ -11354,7 +11354,8 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id1, id2, cos FROM (
         |  SELECT id1, id2,
-        |    CAST(num AS DOUBLE) / sqrt(CAST(n1.ssq * n2.ssq AS DOUBLE)) AS cos
+        |    CAST(num AS DOUBLE)
+        |      / sqrt(CAST(n1.ssq AS DOUBLE) * CAST(n2.ssq AS DOUBLE)) AS cos
         |  FROM pairs
         |  JOIN n n1 ON n1.doc_id = id1
         |  JOIN n n2 ON n2.doc_id = id2)

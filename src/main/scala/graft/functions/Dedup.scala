@@ -383,8 +383,12 @@ object Dedup {
         graft.expressions.TfDotPackedExpr(
           org.apache.spark.sql.graft.Bridge.expression(col("a.tfv")),
           org.apache.spark.sql.graft.Bridge.expression(col("b.tfv")))))
+      // ssq casts to double BEFORE the multiply: the BIGINT product
+      // a.ssq * b.ssq overflows Long once a document's ssq passes ~3.0e9
+      // (one term repeated ~55k times) and would silently wrap (non-ANSI),
+      // dropping qualifying pairs despite the full-recall contract.
       .withColumn("cos", col("num").cast("double") /
-        sqrt((col("a.ssq") * col("b.ssq")).cast("double")))
+        sqrt(col("a.ssq").cast("double") * col("b.ssq").cast("double")))
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
       .distinct()
@@ -400,8 +404,11 @@ object Dedup {
       .select(least(col("m1"), col("m2")).as("id1"),
         greatest(col("m1"), col("m2")).as("id2"), col("cos"))
     val within = reps.where(col("gsz") >= 2)
+      // double-first for the same overflow reason; self-cosine is exactly
+      // ssq / (sqrt(ssq) * sqrt(ssq)) = 1 up to rounding, and the oracle
+      // replays the identical expression, so keep the form mirrored.
       .withColumn("cos", col("ssq").cast("double") /
-        sqrt((col("ssq") * col("ssq")).cast("double")))
+        sqrt(col("ssq").cast("double") * col("ssq").cast("double")))
       .where(col("cos") >= threshold)
       .select(explode(col("ids")).as("m1"), col("ids"), col("cos"))
       .select(col("m1"), explode(col("ids")).as("m2"), col("cos"))

@@ -50,9 +50,18 @@ object Eval {
         .reduce(_ * _)
     val num = falling(n - c)
     val den = falling(n)
+    // The documented bound is ENFORCED in-plan: past n = 100 the falling
+    // products can exceed 2^63 and would wrap silently (non-ANSI), turning
+    // an overflow into a wrong pass@k. raise_error keeps the check inside
+    // the projection (column pruning cannot drop it — it guards the very
+    // column being computed) and fails the job loudly instead.
     g.select(col(problemCol), n, c,
-      when(n >= k,
-        round(lit(1.0) - num.cast("double") / den.cast("double"), 7))
+      when(n > lit(100L), raise_error(concat(
+          lit("passAtK: per-problem n = "), n.cast("string"),
+          lit(" exceeds 100 — the exact falling products would overflow")))
+          .cast("double"))
+        .when(n >= k,
+          round(lit(1.0) - num.cast("double") / den.cast("double"), 7))
         .as(s"pass_at_$k"))
   }
 

@@ -63,10 +63,22 @@ object Scd {
         .withColumn(EffTo, lit(null).cast("long"))
         .withColumn(IsCurrent, lit(true))
       Medallion.writeTable(hist, path, partitionBy)
+      // Snapshot-mode FROM THE FIRST WRITE: the next batch's current-slice
+      // read must be version-pinned (explicit file list), never a directory
+      // listing that the in-flight merge is concurrently moving files into.
+      graft.pipeline.Snapshot.ensure(fs, p)
       return hist.count()
     }
 
-    val cur = Medallion.read(spark, path).where(col(IsCurrent)).cache()
+    // Version-pinned read + EAGER lineage truncation: `cur` feeds three
+    // consumers (max-batch guard, the join, and — through `changes` — the
+    // merge's several passes) while the merge REWRITES the very table it
+    // came from. cache() is not a correctness barrier (an evicted or
+    // re-planned partition recomputes from a source that has since
+    // changed); localCheckpoint(eager = true) materializes the rows once
+    // and cuts the lineage, so every consumer sees the identical slice.
+    val cur = Snapshot.pinnedCurrent(spark, path)
+      .where(col(IsCurrent)).localCheckpoint(true)
     try {
       val newest = cur.agg(max(col(EffFrom))).first()
       if (!newest.isNullAt(0))
@@ -94,7 +106,10 @@ object Scd {
           lit(batchId).as(EffFrom),
           lit(null).cast("long").as(EffTo),
           lit(true).as(IsCurrent)): _*)
-      val changes = closed.unionByName(opened).cache()
+      // Same discipline for the changeset: merge() consumes it several
+      // times (dup-key guard, key projection, the rewrite union) — one
+      // eager materialization, zero recompute doors.
+      val changes = closed.unionByName(opened).localCheckpoint(true)
       try {
         val n = changes.count()
         if (n > 0)

@@ -238,6 +238,33 @@ object Snapshot {
     }
   }
 
+  /** Read the table as a VERSION-PINNED immutable view, bootstrapping a
+    * manifest if none exists — the structural answer to the
+    * read-modify-write hazard every pipeline maintainer (SCD2, incremental
+    * agg, version diff) walks into: a plain `read(path)` of a manifest-less
+    * table is a DIRECTORY-LISTING plan, and any lineage recompute of it
+    * after the maintainer has started moving files into that same directory
+    * is a nondeterminism door. `pinnedCurrent` always resolves to an
+    * EXPLICIT file list (immutable files, stable across the whole
+    * operation), so a plan built on it can be re-evaluated any number of
+    * times — cache eviction, retry, multi-consumer fan-out — and always
+    * yields the same rows.
+    *
+    * Cost: one manifest read (or, first call, one listing + one 4 KB
+    * manifest publish). Use this — not `read` — whenever the caller will
+    * WRITE to the same table before its last consumption of the returned
+    * frame.
+    */
+  def pinnedCurrent(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame = {
+    val root = new Path(path)
+    val fs = fsFor(spark, root)
+    val (v, _) = ensure(fs, root)
+    // one readManifestFull pins files AND tombstones to the same version
+    val (files, tombs) = readManifestFull(fs, root, v)
+    applyTombstones(spark, path, readFiles(spark, path, files, format), tombs, format)
+  }
+
   /** Merge-on-read delete application: anti-join the data against the
     * version's tombstone sidecars (each a parquet file of key tuples; its
     * OWN schema names the key columns, so the reader needs no external key

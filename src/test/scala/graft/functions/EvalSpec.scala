@@ -50,6 +50,22 @@ class EvalSpec extends SparkTestBase {
     assert(all.getDouble(3) == 1.0)     // k = n with c > 0 -> certain
   }
 
+  test("pass@k: per-problem n past 100 fails loudly, never wraps") {
+    // 101 samples of one problem: the documented overflow bound must be a
+    // RUNTIME error, not a silently wrapped falling product.
+    val big = Seq.fill(101)(("X", true)).toDF("prob", "ok")
+    val e = intercept[Exception] {
+      Eval.passAtK(big, "prob", "ok", 9).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds 100")))
+    // exactly at the bound still computes: n = 100, c = 100 -> pass@9 = 1
+    val ok = Eval.passAtK(Seq.fill(100)(("X", true)).toDF("prob", "ok"),
+      "prob", "ok", 9).collect()(0)
+    assert(ok.getDouble(3) == 1.0)
+  }
+
   test("NDCG@k: hand computation, perfect ranking, truncation, zero ideal") {
     // query q: docs a(rel 3, score .9) b(rel 1, score .8) c(rel 2, score .7)
     // ranked: a b c ; ideal: a c b

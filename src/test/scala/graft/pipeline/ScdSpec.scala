@@ -74,6 +74,53 @@ class ScdSpec extends SparkTestBase {
     assert(Scd.current(spark, path).count() == 1L)
   }
 
+  test("determinism: the same batch sequence always writes the same history") {
+    // The q259 regression class: an SCD maintainer whose current-slice or
+    // changeset lineage can recompute against the table it is rewriting
+    // occasionally commits DIFFERENT history rows. Apply one nontrivial
+    // batch sequence (change + delete + insert + revive, enough rows to
+    // span all 32 shuffle partitions) into several fresh roots and demand
+    // byte-identical sorted history every time.
+    def run(tag: String): Seq[String] = {
+      val path = freshPath(s"det-$tag")
+      val b1 = spark.range(1, 501)
+        .select(col("id").as("k"), concat(lit("seg"), col("id") % 7).as("seg"))
+      Scd.applyBatch(spark, path, b1, Seq("k"), Seq("seg"), 1L)
+      val b2 = spark.range(1, 551).select(
+        col("id").as("k"),
+        when(col("id") % 3 === 0, lit("CHANGED"))
+          .otherwise(concat(lit("seg"), col("id") % 7)).as("seg"),
+        (col("id") % 11 === 0).as("del"))
+      Scd.applyBatch(spark, path, b2, Seq("k"), Seq("seg"), 2L,
+        deleteCol = Some("del"))
+      val b3 = spark.range(1, 101).where(col("id") % 11 === 0)
+        .select(col("id").as("k"), lit("REVIVED").as("seg"))
+      Scd.applyBatch(spark, path, b3, Seq("k"), Seq("seg"), 3L)
+      Scd.history(spark, path)
+        .select("k", "seg", Scd.EffFrom, Scd.EffTo, Scd.IsCurrent)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val runs = (1 to 3).map(i => run(i.toString))
+    assert(runs(0).nonEmpty)
+    assert(runs(1) == runs(0), "second run wrote a different history")
+    assert(runs(2) == runs(0), "third run wrote a different history")
+  }
+
+  test("snapshot-mode from the first batch: every read is version-pinned") {
+    val path = freshPath("pinned")
+    val b1 = Seq((1L, "A")).toDF("k", "seg")
+    Scd.applyBatch(spark, path, b1, Seq("k"), Seq("seg"), 1L)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Snapshot.manifestVersions(fs, hp).nonEmpty,
+      "batch 1 must bootstrap the manifest so batch 2's current-slice read is pinned")
+    Scd.applyBatch(spark, path, Seq((1L, "B")).toDF("k", "seg"),
+      Seq("k"), Seq("seg"), 2L)
+    assert(Snapshot.manifestVersions(fs, hp).max >= 2L)
+    assert(hist(path) == Set(
+      (1L, "A", 1L, Some(2L), false), (1L, "B", 2L, None, true)))
+  }
+
   test("batch ids must increase; stale replays are rejected") {
     val path = freshPath("mono")
     val b = Seq((1L, "A")).toDF("k", "seg")

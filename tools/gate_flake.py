@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Gate-flake detector: diff two full graft.Verify output trees.
+
+The q259/SCD2 lesson: a query can be green in every solo rerun and still be
+nondeterministic at 1-in-a-few-full-runs frequency. The only way to catch
+that BEFORE the driver does is to run the whole verify twice back-to-back
+and compare every query's result content, not just its row count.
+
+Usage:
+  python3 tools/gate_flake.py <verifyOutDirA> <verifyOutDirB>
+
+For each query directory present in either tree: load the parquet, sort
+columns by name and rows by value (same normalization as check_oracle.py),
+and compare cell-by-cell. Exit 1 on any mismatch, listing the flaky queries.
+
+Typical ritual (run before committing a round-closing snapshot):
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gateA"
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gateB"
+  python3 tools/gate_flake.py /tmp/gateA /tmp/gateB
+"""
+import sys, glob, math, os
+import pandas as pd
+
+dir_a, dir_b = sys.argv[1], sys.argv[2]
+
+def queries(d):
+    return {os.path.basename(p) for p in glob.glob(f"{d}/q*") if os.path.isdir(p)}
+
+qa, qb = queries(dir_a), queries(dir_b)
+if qa != qb:
+    print(f"query sets differ: only-in-A={sorted(qa - qb)} only-in-B={sorted(qb - qa)}")
+    sys.exit(1)
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def load(d, name):
+    files = sorted(glob.glob(f"{d}/{name}/*.parquet"))
+    if not files:
+        return None
+    return norm(pd.concat([pd.read_parquet(f) for f in files]))
+
+def cells_equal(a, b):
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb  # exact: the driver hashes values
+    return a == b or str(a) == str(b)
+
+flaky = []
+for name in sorted(qa):
+    a, b = load(dir_a, name), load(dir_b, name)
+    if a is None or b is None:
+        flaky.append((name, "missing parquet output"))
+        continue
+    if list(a.columns) != list(b.columns):
+        flaky.append((name, f"columns {list(a.columns)} vs {list(b.columns)}"))
+        continue
+    if len(a) != len(b):
+        flaky.append((name, f"rows {len(a)} vs {len(b)}"))
+        continue
+    mismatch = None
+    for c in a.columns:
+        for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
+            if not cells_equal(x, y):
+                mismatch = f"col {c} row {i}: {x!r} vs {y!r}"
+                break
+        if mismatch:
+            break
+    if mismatch:
+        flaky.append((name, mismatch))
+
+for name, why in flaky:
+    print(f"FLAKY {name}: {why}")
+print(f"\n{len(qa)} queries compared, {len(flaky)} flaky")
+sys.exit(1 if flaky else 0)
