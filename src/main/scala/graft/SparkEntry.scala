@@ -806,7 +806,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- 42. IVF approximate kNN (KMeans cells + probe search; no SQL oracle) ----------------------------
+    // --- 42. IVF kNN machinery, oracle-pinned via probe-all ----------------------------------------------
+    // Probing ALL cells makes IVF search exactly brute force: every corpus
+    // vector lives in exactly one cell and every query probes all of them,
+    // so the fit -> assign -> probe -> score pipeline earns q36's
+    // brute-force SQL oracle — a hash match proves the cell assignment
+    // loses no vector and the scoring path is exact. Selective probing
+    // (the production mode, nProbe << k) is pinned live by IvfSpec, whose
+    // recall and pruning assertions are the part no SQL oracle can state.
     "q42_knn_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -814,7 +821,7 @@ object SparkEntry {
         .select(col("v").as("vec")), "vec", k = 8, seed = 42L)
       graft.functions.Ivf.knn(
         e.where(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec")),
-        e, k = 5, model, nProbe = 2)
+        e, k = 5, model, nProbe = 8)
     }),
 
     // --- 101. product-quantization kNN (PQ codes + ADC search; no SQL oracle) ---------------------------
@@ -8471,6 +8478,20 @@ object SparkEntry {
     // Full-probe search over the persisted index is exact brute-force
     // cosine top-k — the same relational statement as q36. A hash match
     // here certifies the persist/load/prune/score round-trip end-to-end.
+    // Same statement again for the INLINE IVF pipeline (q42): probe-all
+    // collapses fit -> assign -> probe -> score to exact brute force, so
+    // the machinery is oracled even though trained centroids aren't.
+    "q42_knn_ivf" ->
+      """SELECT qid, rank, neighbor, cos FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS INT) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     "q106_knn_persisted" ->
       """SELECT qid, rank, neighbor, cos FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,

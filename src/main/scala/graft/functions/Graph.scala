@@ -13,50 +13,87 @@ object Graph {
 
   /** Connected components over an UNDIRECTED edge list — the public
     * face of the label machinery near-dup clustering runs on: each
-    * node's component id is the MINIMUM node id reachable from it
-    * (min-label propagation to a fixpoint, the Pregel classic).
+    * node's component id is the MINIMUM node id reachable from it.
     * Duplicate-pair edges in, duplicate CLUSTERS out — cluster sizes,
     * representatives, and per-cluster sampling all hang off this.
     *
-    * Scale shape: the symmetrized edge list checkpoints once; each
-    * iteration is one join + one min-aggregate (map-side combining) +
-    * a 1-row convergence count, labels checkpointed per step for
-    * bounded lineage. Iterations needed = graph diameter; the cap
-    * guards adversarial chains (a warning prints, labels still
-    * returned, partially merged).
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — each round rewires every edge toward its
+    * neighborhood minimum, so component trees flatten exponentially
+    * and the fixpoint (every component a star rooted at its minimum)
+    * arrives in O(log n) rounds. The previous min-label propagation
+    * needed rounds = graph DIAMETER: fine for near-dup clusters,
+    * pathological on chain-shaped graphs (a 1M-link chain = 1M rounds
+    * vs ~20 here).
+    *
+    * Scale shape: each round is two groupBy-min passes + their
+    * re-keying joins over the current edge set, all equi-keyed and
+    * map-side combining; the edge set is localCheckpoint'd per round
+    * (bounded lineage, and contraction SHRINKS it — edges collapse
+    * onto roots as the rounds proceed). Convergence is a set-equality
+    * check on the checkpointed rounds.
+    *
+    * The iteration cap is LOUD: a graph that has not converged within
+    * `maxIterations` rounds throws instead of returning partially
+    * merged labels — silently wrong clusters would propagate straight
+    * into dedup decisions downstream. The default 20 covers any graph
+    * up to ~2^20 nodes per component chain-shaped, and far larger for
+    * realistic shapes.
     *
     * Returns (node, component).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIterations: Int = 20): DataFrame = {
     require(maxIterations >= 1, s"maxIterations must be >= 1")
-    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    val e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
-    var labels = e.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node")).localCheckpoint(true)
-    var converged = false
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val nodes = raw.select(col("a").as("node"))
+      .union(raw.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+    // Canonical (lo < hi) edge set; self-loops drop (they join nothing),
+    // parallel edges collapse.
+    var e = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct().localCheckpoint(true)
+    var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val neighborMin = e.join(labels, e("b") === labels("node"))
-        .groupBy(col("a").as("node"))
-        .agg(min("component").as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
-      val changed = updated.as("u").join(labels.as("l"), "node")
-        .where(col("u.component") =!= col("l.component")).limit(1).count()
-      labels = updated
-      converged = changed == 0
+      // LARGE-STAR: every neighbor v > u rewires to m(u) = min(Γ(u) ∪ {u}).
+      // Each canonical edge (u, v) belongs to exactly one group's v>u
+      // slice, so the output is again one edge per input edge.
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val lmin = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.where(col("v") > col("u")).join(lmin, "u")
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+      // SMALL-STAR: group by the LARGER endpoint; it and all its smaller
+      // neighbors rewire to the group minimum.
+      val smin = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large.join(smin, "hi")
+        .where(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(smin.select(col("m").as("lo"), col("hi")))
+        .where(col("lo") =!= col("hi"))
+        .distinct().localCheckpoint(true)
+      // Fixpoint: stars are invariant under both steps, so set equality
+      // with the previous round is the termination condition.
+      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      e = small
       iter += 1
     }
     if (!converged)
-      System.err.println(s"[graft] connectedComponents: not converged " +
-        s"within $maxIterations rounds — components may be partially " +
-        "merged; raise maxIterations toward the graph diameter")
-    labels
+      throw new IllegalStateException(
+        s"connectedComponents: not converged within $maxIterations " +
+          "contraction rounds — refusing to return partially merged " +
+          "components (each round is O(log n) progress; raise maxIterations)")
+    // At the fixpoint every edge is (componentMin, node): non-root nodes
+    // appear exactly once as `hi`; roots and isolated nodes label themselves.
+    nodes.join(e.select(col("hi").as("node"), col("lo").as("comp")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("component"))
   }
 
   /** Damped PageRank over an edge list — the Brin/Page formulation with

@@ -86,6 +86,24 @@ class GraphSpec extends SparkTestBase {
     assert(cc.forall(_._2 == 0L))
   }
 
+  test("star contraction: a 1024-link chain converges in O(log n) rounds") {
+    // Diameter 1024 — min-label propagation would need 1024 rounds; the
+    // alternating large-star/small-star contraction must finish in ~log2.
+    val chain = (0L until 1024L).map(i => (i, i + 1))
+    val cc = Graph.connectedComponents(chain.toDF("s", "t"), "s", "t",
+      maxIterations = 15).as[(Long, Long)].collect()
+    assert(cc.length == 1025 && cc.forall(_._2 == 0L))
+  }
+
+  test("iteration cap is loud: partial merges throw, never return") {
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(chain.toDF("s", "t"), "s", "t",
+        maxIterations = 1).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("parallel edges carry proportional weight") {
     // Two A->B edges + one A->C: B gets 2/3 of A's flow.
     val got = ranksOf(Seq(("A", "B"), ("A", "B"), ("A", "C")), 1)
