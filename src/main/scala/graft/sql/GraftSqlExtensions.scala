@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_compute_bloom('/path/to/table', 'id_col')
   *   CALL graft_maintain_agg('/path/to/table', '/path/to/agg', 'g1,g2', 's1,s2')
   *   CALL graft_count_fast('/path/to/table' [, version])
+  *   CALL graft_scd_apply('/path/to/dim', batch_view, 'k1,k2', 't1,t2',
+  *                        batchId [, 'deleteCol=gone', 'partitionBy=p'])
+  *   CALL graft_scd_asof('/path/to/dim', batchId, view_name)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -297,7 +300,54 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
       val n = Snapshot.countFast(spark, target, pinned)
       Seq(Row(n.toString))
 
+    // SCD Type-2 dimension maintenance from pure SQL — apply a batch of
+    // current-state rows (pipeline/Scd.applyBatch) and reconstruct the
+    // dimension as of any applied batch as a temp view. `-1` (or omitting
+    // the batch id) on scd_asof means "current slice".
+    case "scd_apply" =>
+      val target = str(0)
+      val batch = args.lift(1) match {
+        case Some(IdArg(name)) => spark.table(name)
+        case Some(SArg(name)) => spark.table(name)
+        case other => bad(s"argument 2 must be a batch table/view, got $other")
+      }
+      val keys = str(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val tracked = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (keys.isEmpty) bad("argument 3 must name at least one key column")
+      if (tracked.isEmpty) bad("argument 4 must name at least one tracked column")
+      val batchId = args.lift(4) match {
+        case Some(IArg(v)) => v
+        case other => bad(s"argument 5 must be an integer batch id, got $other")
+      }
+      val o = options(5)
+      val known = Set("deleteCol", "partitionBy")
+      o.keys.find(!known.contains(_)).foreach(k =>
+        bad(s"unknown option '$k' (known: ${known.toSeq.sorted.mkString(", ")})"))
+      val n = graft.pipeline.Scd.applyBatch(spark, target, batch, keys,
+        tracked, batchId, deleteCol = o.get("deleteCol"),
+        partitionBy = o.get("partitionBy").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+      Seq(Row(s"applied batch $batchId to $target: $n change rows"))
+
+    case "scd_asof" =>
+      val target = str(0)
+      val batchId = args.lift(1) match {
+        case Some(IArg(v)) => v
+        case other => bad(s"argument 2 must be an integer batch id, got $other")
+      }
+      val view = args.lift(2) match {
+        case Some(IdArg(name)) => name
+        case Some(SArg(name)) => name
+        case other => bad(s"argument 3 must be a view name, got $other")
+      }
+      val df =
+        if (batchId < 0) graft.pipeline.Scd.current(spark, target)
+        else graft.pipeline.Scd.asOf(spark, target, batchId)
+      df.createOrReplaceTempView(view)
+      Seq(Row(s"registered $view = $target as of " +
+        (if (batchId < 0) "current" else s"batch $batchId")))
+
     case other =>
-      bad(s"unknown verb (known: clone, compact, compute_bloom, compute_stats, count_fast, maintain_agg, merge, read_version, vacuum)")
+      bad(s"unknown verb (known: clone, compact, compute_bloom, compute_stats, count_fast, maintain_agg, merge, read_version, scd_apply, scd_asof, vacuum)")
   }
 }

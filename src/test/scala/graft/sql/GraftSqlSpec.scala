@@ -155,4 +155,40 @@ class GraftSqlSpec extends SparkTestBase {
     assert(sqlS.sql(s"CALL graft_count_fast('$path')").head().getString(0) == "3")
     assert(sqlS.sql(s"CALL graft_count_fast('$path', 1)").head().getString(0) == "3")
   }
+
+  test("CALL graft_scd_apply / graft_scd_asof: SCD2 dimension from pure SQL") {
+    val path = tmpDir("scd")
+    // batch 1: three keys (views must live in the SQL sibling's own
+    // temp catalog, so stage through parquet like the merge tests)
+    val b1Src = tmpDir("scd-b1src")
+    Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+      .write.parquet(b1Src)
+    sqlS.read.parquet(b1Src).createOrReplaceTempView("scd_b1v")
+    val r1 = sqlS.sql(
+      s"CALL graft_scd_apply('$path', scd_b1v, 'k', 'seg', 1)")
+      .head().getString(0)
+    assert(r1.contains("3 change rows"), r1)
+
+    // batch 2: k=1 changes, k=2 deleted, k=4 inserted
+    val b2Src = tmpDir("scd-b2src")
+    Seq((1L, "A2", false), (2L, "B", true), (4L, "D", false))
+      .toDF("k", "seg", "gone").write.parquet(b2Src)
+    sqlS.read.parquet(b2Src).createOrReplaceTempView("scd_b2v")
+    val r2 = sqlS.sql(
+      s"CALL graft_scd_apply('$path', scd_b2v, 'k', 'seg', 2, 'deleteCol=gone')")
+      .head().getString(0)
+    assert(r2.contains("4 change rows"), r2) // close k1, open k1', close k2, open k4
+
+    // asOf batch 1 reconstructs the original dimension exactly
+    sqlS.sql(s"CALL graft_scd_asof('$path', 1, scd_v1)").collect()
+    val asOf1 = sqlS.sql("SELECT k, seg FROM scd_v1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(asOf1 == Seq((1L, "A"), (2L, "B"), (3L, "C")))
+
+    // current slice via batchId = -1
+    sqlS.sql(s"CALL graft_scd_asof('$path', -1, scd_cur)").collect()
+    val cur = sqlS.sql("SELECT k, seg FROM scd_cur ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(cur == Seq((1L, "A2"), (3L, "C"), (4L, "D")))
+  }
 }
