@@ -7175,6 +7175,57 @@ object SparkEntry {
       graft.functions.Eval.reciprocalRank(runs, "query", "doc", "rel", "score")
         .orderBy("query")
     }),
+
+    // --- 304. label-propagation communities, oracle-pinned ------------------------------------------------
+    // Deterministic synchronous LPA (min tie-break, 3 rounds) over a
+    // constructed cliques-of-6-with-bridges graph on customer keys: each
+    // clique must lock onto its own minimum and the bridges must not
+    // merge neighbors. The oracle UNROLLS the three vote rounds
+    // relationally — same plurality, same tie order — so any drift in
+    // the vote/adopt machinery hash-mismatches.
+    "q304_label_propagation" -> ((s, d) => {
+      val ks = t(s, d, "customer")
+        .where(col("c_custkey").between(1, 120))
+        .select(col("c_custkey").as("k"))
+      val g = (c: org.apache.spark.sql.Column) => floor((c - 1) / 6).cast("long")
+      val m = (c: org.apache.spark.sql.Column) => pmod(c - 1, lit(6L))
+      val cliques = ks.as("x").join(ks.as("y"),
+          g(col("x.k")) === g(col("y.k")) && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val bridges = ks.where(pmod(col("k"), lit(6L)) === 0 && col("k") < 120)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      graft.functions.Graph.labelPropagation(
+          cliques.unionByName(bridges), "src", "dst", rounds = 3)
+        .orderBy("node")
+    }),
+
+    // --- 305. k-core decomposition, oracle-pinned ----------------------------------------------------------
+    // Peeling fixpoint over a three-class construction on customer keys
+    // (groups of 8, class = g%3): 5-cliques survive k=3 at core degree 4;
+    // 4-cliques with pendant leaves survive at 3 AFTER their leaves peel
+    // (one cascade round); chorded 8-rings collapse entirely (two cascade
+    // rounds). The oracle states the closed-form survivor set — any
+    // under- or over-peeling hash-mismatches.
+    "q305_kcore" -> ((s, d) => {
+      val ks = t(s, d, "customer")
+        .where(col("c_custkey").between(1, 120))
+        .select(col("c_custkey").as("k"))
+      val gOf = (c: org.apache.spark.sql.Column) => floor((c - 1) / 8).cast("long")
+      val mOf = (c: org.apache.spark.sql.Column) => pmod(c - 1, lit(8L))
+      val joined = ks.as("x").join(ks.as("y"),
+        gOf(col("x.k")) === gOf(col("y.k")) && col("x.k") < col("y.k"))
+      val gm = pmod(gOf(col("x.k")), lit(3L))
+      val mx = mOf(col("x.k"))
+      val my = mOf(col("y.k"))
+      val edges = joined.where(
+          (gm === 0 && my <= 4) ||                                    // 5-clique
+          (gm === 1 && (my <= 3 || (mx <= 3 && my === mx + 4))) ||    // 4-clique + pendants
+          (gm === 2 && (my === mx + 1 || (mx === 0 && my === 7) ||
+            (mx === 0 && my === 4))))                                 // chorded ring
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      graft.functions.Graph.kCore(edges, "src", "dst", k = 3)
+        .orderBy("node")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12176,7 +12227,47 @@ object SparkEntry {
         |SELECT query, n_docs, first_rel_rank,
         |  ROUND(CASE WHEN first_rel_rank IS NOT NULL THEN
         |    1.0 / CAST(first_rel_rank AS DOUBLE) END, 7) AS rr
-        |FROM g ORDER BY query""".stripMargin
+        |FROM g ORDER BY query""".stripMargin,
+
+    // Synchronous LPA replayed by UNROLLING the three vote rounds: same
+    // plurality count, same (votes desc, label asc) tie order. Every node
+    // has neighbors here (complete cliques), so no keep-own branch is
+    // needed in the replay.
+    "q304_label_propagation" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (SELECT s.u, l.label, count(*) AS c
+           |  FROM sym s JOIN l${r - 1} l ON l.node = s.v GROUP BY 1, 2),
+           |l$r AS (SELECT u AS node, label FROM (
+           |  SELECT u, label,
+           |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+           |  FROM v$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ks AS (SELECT c_custkey AS k FROM customer
+         |  WHERE c_custkey BETWEEN 1 AND 120),
+         |edges AS (
+         |  SELECT x.k AS a, y.k AS b FROM ks x JOIN ks y
+         |    ON (x.k - 1) // 6 = (y.k - 1) // 6 AND x.k < y.k
+         |  UNION ALL
+         |  SELECT k, k + 1 FROM ks WHERE k % 6 = 0 AND k < 120),
+         |sym AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |l0 AS (SELECT k AS node, k AS label FROM ks),
+         |$rounds
+         |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+    },
+
+    // The k-core survivor set in closed form: 5-cliques keep all five
+    // members at core degree 4; pendant-decorated 4-cliques keep the
+    // clique at degree 3 once their leaves peel; chorded rings vanish.
+    "q305_kcore" ->
+      """SELECT c_custkey AS node,
+        |  CAST(CASE WHEN ((c_custkey - 1) // 8) % 3 = 0 THEN 4 ELSE 3 END
+        |    AS BIGINT) AS core_degree
+        |FROM customer
+        |WHERE c_custkey BETWEEN 1 AND 120
+        |  AND ((((c_custkey - 1) // 8) % 3 = 0 AND (c_custkey - 1) % 8 <= 4)
+        |    OR (((c_custkey - 1) // 8) % 3 = 1 AND (c_custkey - 1) % 8 <= 3))
+        |ORDER BY node""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -223,6 +223,123 @@ object Graph {
           .otherwise(lit(0.0)).as("auth_norm"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.,
+    * Phys. Rev. E 2007) over an UNDIRECTED edge list — the near-linear
+    * community signal of the graph family: nodes start labeled with
+    * their own id and each round adopt the label the PLURALITY of their
+    * neighbors holds. Communities = dense neighborhoods that lock onto
+    * one label; connected components merge everything reachable, LPA
+    * stops at the density boundaries between clusters.
+    *
+    * DETERMINISTIC formulation (the published algorithm breaks ties
+    * randomly and updates asynchronously — both unacceptable in a
+    * replayable engine): updates are SYNCHRONOUS (every round-r label
+    * derives only from round r-1 labels) and ties break to the SMALLEST
+    * label (first by vote count desc, then label asc). A FIXED round
+    * count replaces the oscillation-prone "until stable" loop —
+    * synchronous LPA can 2-cycle on bipartite structures by
+    * construction, so a fixpoint test would never terminate there;
+    * rankings stabilize within a few rounds on real graphs (the
+    * published experience) and the round-r table is exact and
+    * SQL-replayable by unrolling r vote layers.
+    *
+    * Scale shape: per round ONE equi-join of the checkpointed
+    * symmetrized edge list against the current labels + one combining
+    * (node, label) count + one per-node window top-1 (partitioned by
+    * node — no global sort); labels localCheckpoint per round.
+    * Isolated or self-loop-only nodes keep their own label.
+    *
+    * Returns (node, community) — community = the round-`rounds` label.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1, 50], got $rounds")
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val nodes = raw.select(col("a").as("node"))
+      .union(raw.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+    val e = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val votes = sym.join(labels, sym("v") === labels("node"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(desc("votes"), col("label"))
+      val adopted = votes
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("u").as("node"), col("label").as("next"))
+      labels = labels.join(adopted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("next"), col("label")).as("label"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** k-CORE of an UNDIRECTED edge list — the maximal subgraph in which
+    * every node keeps degree >= k (Seidman, Social Networks 1983): the
+    * standard "dense kernel" extractor (spam link-farm cores, collusive
+    * account rings, the community seeds LPA grows from). Computed by the
+    * classic peeling fixpoint: repeatedly delete every node whose
+    * CURRENT degree is < k; what survives is exactly the k-core
+    * (deletion order provably cannot change the result, so the parallel
+    * all-at-once peel is deterministic).
+    *
+    * Scale shape: each round is one combining degree count over the
+    * surviving edge set + two semi-joins to drop edges touching peeled
+    * nodes; the edge set localCheckpoints per round and only SHRINKS.
+    * Rounds needed = peel depth (bounded by the degeneracy ordering;
+    * tiny for real graphs, O(n) only on adversarial chains) — the cap
+    * THROWS rather than returning a half-peeled "core" that still
+    * contains sub-k nodes.
+    *
+    * Self-loops drop (a self-loop must not let a node certify its own
+    * coreness); parallel edges collapse. Returns (node, core_degree) —
+    * the node's degree WITHIN the k-core — empty when no k-core exists.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIterations: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIterations >= 1, "maxIterations must be >= 1")
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    var e = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIterations) {
+      val deg = e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val peeled = deg.where(col("d") < k).select(col("n"))
+      if (peeled.isEmpty) stable = true
+      else {
+        e = e.join(peeled.withColumnRenamed("n", "lo"), Seq("lo"), "left_anti")
+          .join(peeled.withColumnRenamed("n", "hi"), Seq("hi"), "left_anti")
+          .select(col("lo"), col("hi"))
+          .localCheckpoint(true)
+      }
+      iter += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"kCore: peeling did not reach a fixpoint within $maxIterations " +
+          "rounds — refusing to return a partially peeled core")
+    e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_degree"))
+      .select(col("n").as("node"), col("core_degree"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * UNDIRECTED edge list — the density/community signal of the graph
     * family (spam link-farms are triangle-dense; organic link graphs are

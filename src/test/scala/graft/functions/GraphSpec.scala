@@ -104,6 +104,90 @@ class GraphSpec extends SparkTestBase {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("label propagation: two cliques with one bridge split into two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10: plurality voting keeps
+    // each clique on its own minimum; the bridge cannot flip either side.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val got = Graph.labelPropagation(edges.toDF("s", "t"), "s", "t", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(Set(got(10L), got(11L), got(12L)).size == 1)
+    assert(got(10L) != got(1L), "bridge must not merge the cliques")
+  }
+
+  test("label propagation matches a synchronous reference simulation") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 3L), (6L, 0L), (6L, 1L), (7L, 7L), (8L, 9L))
+    val rounds = 4
+    val got = Graph.labelPropagation(edges.toDF("s", "t"), "s", "t", rounds)
+      .as[(Long, Long)].collect().toMap
+    // reference: symmetric adjacency, synchronous plurality, min tie-break
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      adj(a) += b; adj(b) += a
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = nodes.map { n =>
+        val nb = adj(n)
+        if (nb.isEmpty) n -> lab(n)
+        else {
+          val counts = nb.toSeq.map(lab).groupBy(identity).view.mapValues(_.size)
+          n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    nodes.foreach(n => assert(got(n) == lab(n), s"node $n"))
+  }
+
+  test("k-core: cliques survive, chains peel, cap is loud") {
+    // 4-clique (degree 3) + a chain 20-21-22-23 + a tail 4-100 hanging off
+    // the clique: k=3 keeps exactly the clique at degree 3.
+    val clique = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val edges = clique ++ Seq((20L, 21L), (21L, 22L), (22L, 23L), (4L, 100L))
+    val got = Graph.kCore(edges.toDF("s", "t"), "s", "t", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2: the chain still peels (ends cascade), clique+nothing else
+    val got2 = Graph.kCore(edges.toDF("s", "t"), "s", "t", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2.keySet == Set(1L, 2L, 3L, 4L))
+    // no 5-core exists: empty result, loudly converged
+    assert(Graph.kCore(edges.toDF("s", "t"), "s", "t", k = 5).isEmpty)
+    // cap path throws: a 40-link chain needs ~20 peel rounds at k=2
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(chain.toDF("s", "t"), "s", "t", k = 2, maxIterations = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
+  test("k-core matches a reference peeling on a denser graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = Graph.kCore(edges.toDF("s", "t"), "s", "t", k = 3)
+      .as[(Long, Long)].collect().toMap
+    // reference peel
+    var es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+      val keep = deg.filter(_._2 >= 3).keySet.toSet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    val ref = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == ref)
+  }
+
   test("parallel edges carry proportional weight") {
     // Two A->B edges + one A->C: B gets 2/3 of A's flow.
     val got = ranksOf(Seq(("A", "B"), ("A", "B"), ("A", "C")), 1)
