@@ -7226,6 +7226,52 @@ object SparkEntry {
       graft.functions.Graph.kCore(edges, "src", "dst", k = 3)
         .orderBy("node")
     }),
+
+    // --- 306. chi-square token-label association, oracle-pinned --------------------------------------------
+    // Feature selection over the real corpus: which tokens are most
+    // associated with lang='en' document membership. Observations are
+    // DISTINCT (doc, token) pairs; the statistic is the exact-BIGINT
+    // determinant squared inside one pinned double expression (see
+    // StatTests.chiSquareCategories). Top 50 by chi2, token tie-break.
+    "q306_chi2_tokens" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          explode(split(lower(col("text")), "\\s+")).as("category"))
+        .where(col("category") =!= "")
+        .distinct()
+      graft.operators.StatTests.chiSquareCategories(toks, "category", "pos")
+        .where(col("n") >= 20)
+        .orderBy(desc("chi2"), col("category"))
+        .limit(50)
+    }),
+
+    // --- 307. Benford first-digit conformance, oracle-pinned -----------------------------------------------
+    // Per returnflag over l_extendedprice: exact digit census from the
+    // STRING form (no float log in extraction), chi2-vs-Benford as a
+    // fixed nine-term fold in digit order.
+    "q307_benford" -> ((s, d) =>
+      graft.operators.StatTests.benfordFirstDigit(
+          t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("group")),
+
+    // --- 308. Kolmogorov-Smirnov two-sample drift test, oracle-pinned --------------------------------------
+    // click vs purchase event values: integer ECDF cross-products in
+    // DECIMAL(38,0) pick the exact argmax; D is the one final division.
+    "q308_ks_test" -> ((s, d) =>
+      graft.operators.StatTests.ksTwoSample(
+        t(s, d, "events"), "event_type", "value", "click", "purchase")),
+
+    // --- 309. Mann-Whitney U rank-sum test, oracle-pinned ---------------------------------------------------
+    // signup vs error values quantized to deci-units (floor(v*10) —
+    // exact IEEE both engines) to FORCE midrank ties; doubled midranks
+    // keep U exact; tie-corrected z is one pinned double expression.
+    "q309_mannwhitney" -> ((s, d) =>
+      graft.operators.StatTests.mannWhitneyU(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "signup", "error")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12267,7 +12313,119 @@ object SparkEntry {
         |WHERE c_custkey BETWEEN 1 AND 120
         |  AND ((((c_custkey - 1) // 8) % 3 = 0 AND (c_custkey - 1) % 8 <= 4)
         |    OR (((c_custkey - 1) // 8) % 3 = 1 AND (c_custkey - 1) % 8 <= 3))
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    // Chi-square replayed with the identical exact-determinant-then-one-
+    // double-expression form; margins left-associated like the engine.
+    "q306_chi2_tokens" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lang = 'en' AS pos,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS category
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE category <> ''),
+        |g AS (SELECT category, count(*) AS n, count(*) FILTER (pos) AS n_pos
+        |      FROM t2 GROUP BY 1),
+        |tot AS (SELECT sum(n) AS n_tot, sum(n_pos) AS p_tot FROM g)
+        |SELECT category, n, n_pos, chi2 FROM (
+        |  SELECT category, n, n_pos,
+        |    ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(n_tot - n AS DOUBLE)
+        |        * CAST(p_tot AS DOUBLE) * CAST(n_tot - p_tot AS DOUBLE) > 0 THEN
+        |      CAST(n_tot AS DOUBLE)
+        |        * CAST(n_pos * (n_tot - p_tot - (n - n_pos))
+        |               - (n - n_pos) * (p_tot - n_pos) AS DOUBLE)
+        |        * CAST(n_pos * (n_tot - p_tot - (n - n_pos))
+        |               - (n - n_pos) * (p_tot - n_pos) AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n_tot - n AS DOUBLE)
+        |           * CAST(p_tot AS DOUBLE) * CAST(n_tot - p_tot AS DOUBLE))
+        |      END, 7) AS chi2
+        |  FROM g, tot WHERE n >= 20)
+        |ORDER BY chi2 DESC NULLS LAST, category LIMIT 50""".stripMargin,
+
+    // Benford: exact census from the decimal's string form, then the
+    // fixed nine-term chi2 fold with ln/ln(10) probabilities (the
+    // engine's LOG(10, x) form) — every literal cast to DOUBLE so DuckDB
+    // decimal literal arithmetic never enters.
+    "q307_benford" -> {
+      val terms = (1 to 9).map { dd =>
+        s"""(CAST(d$dd AS DOUBLE) - CAST(n AS DOUBLE)
+           |      * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / $dd) / ln(CAST(10 AS DOUBLE))))
+           |    * (CAST(d$dd AS DOUBLE) - CAST(n AS DOUBLE)
+           |      * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / $dd) / ln(CAST(10 AS DOUBLE))))
+           |    / (CAST(n AS DOUBLE)
+           |      * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / $dd) / ln(CAST(10 AS DOUBLE))))""".stripMargin
+      }.mkString("\n    + ")
+      val sums = (1 to 9).map(dd =>
+        s"sum(CASE WHEN d = '$dd' THEN c ELSE 0 END) AS d$dd").mkString(",\n  ")
+      s"""WITH census AS (
+         |  SELECT l_returnflag AS "group",
+         |    substring(CAST(l_extendedprice AS VARCHAR), 1, 1) AS d,
+         |    count(*) AS c
+         |  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1, 2),
+         |wide AS (SELECT "group",
+         |  $sums
+         |  FROM census GROUP BY 1),
+         |w2 AS (SELECT *,
+         |  d1 + d2 + d3 + d4 + d5 + d6 + d7 + d8 + d9 AS n FROM wide)
+         |SELECT "group", n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+         |  ROUND(CASE WHEN n > 0 THEN
+         |    $terms
+         |  END, 7) AS benford_chi2
+         |FROM w2 ORDER BY "group"""".stripMargin
+    },
+
+    // KS: exact integer ECDF cross-products, argmax on exact arithmetic,
+    // one final division.
+    "q308_ks_test" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
+        |         count(*) FILTER (g = 'purchase') AS cb
+        |       FROM slim GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM pv),
+        |tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM pv)
+        |SELECT n_a, n_b, gap AS d_num, n_a * n_b AS d_den,
+        |  ROUND(CAST(gap AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 7) AS d,
+        |  v AS at_value
+        |FROM (SELECT cum.v, abs(cum_a * n_b - cum_b * n_a) AS gap, n_a, n_b
+        |      FROM cum, tot)
+        |ORDER BY gap DESC, at_value LIMIT 1""".stripMargin,
+
+    // Mann-Whitney: doubled midranks keep U exact; the tie-corrected z
+    // mirrors the engine's operation order with all-DOUBLE literals.
+    "q309_mannwhitney" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'error') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'signup') AS ca, count(*) AS t
+        |       FROM slim GROUP BY 1),
+        |r AS (SELECT *, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM pv),
+        |m AS (SELECT *, 2 * cum - t + 1 AS mid2 FROM r),
+        |a AS (SELECT sum(ca) AS n_a, sum(t - ca) AS n_b,
+        |        sum(ca * mid2) AS r2_a, sum(t * t * t - t) AS tie_cube
+        |      FROM m)
+        |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a, tie_cube,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE)
+        |        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(1 AS DOUBLE))
+        |           - CAST(tie_cube AS DOUBLE)
+        |             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) > 0
+        |    THEN
+        |      CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / CAST(2 AS DOUBLE)
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE)
+        |        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(1 AS DOUBLE))
+        |           - CAST(tie_cube AS DOUBLE)
+        |             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)))))
+        |    END, 7) AS z
+        |FROM a""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution tests and association scores — the statistical-audit
+  * battery a data pipeline runs beside its quality filters: is a token
+  * associated with a label (feature selection), do two slices follow the
+  * same distribution (drift detection), do numeric fields look organic
+  * (fraud/generation screening). Every statistic here follows the suite's
+  * exactness discipline: integer/decimal aggregates all the way, then ONE
+  * pinned double expression rounded at 7 — so a SQL oracle replays each
+  * test bit-exactly and distributed sums can never be partition-order
+  * dependent.
+  */
+object StatTests {
+
+  /** Per-category chi-square association against a boolean outcome —
+    * the classic feature-selection score (token vs label, source vs
+    * toxicity flag): each observation carries one category and one flag;
+    * per category the 2x2 contingency against "every other observation"
+    * yields
+    *
+    *   chi2 = N * (n11*n00 - n10*n01)^2 / ((n11+n10)(n01+n00)(n11+n01)(n10+n00))
+    *
+    * Exactness: the contingency cells and the determinant
+    * `n11*n00 - n10*n01` are exact BIGINTs (cells bounded by N; the
+    * products need N < ~3e9 — beyond that the determinant belongs in
+    * DECIMAL, noted below); the statistic is one double expression over
+    * them, rounded at 7. Degenerate margins (a category that is all of
+    * one class AND the corpus is too) yield null instead of 0/0.
+    *
+    * Scale shape: one map-side-combining groupBy over the observations +
+    * a broadcast 1-row total. At 100 TB swap the two determinant
+    * products to DECIMAL(38,0) (exact to 1e38) — the shape is unchanged.
+    *
+    * Returns (category, n, n_pos, chi2).
+    */
+  def chiSquareCategories(df: DataFrame, categoryCol: String,
+      positiveCol: String): DataFrame = {
+    val g = df.groupBy(col(categoryCol).as("category"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(positiveCol), 1)).as("n_pos"))
+    val tot = g.agg(sum(col("n")).as("n_tot"), sum(col("n_pos")).as("p_tot"))
+    val n11 = col("n_pos")
+    val n10 = col("n") - col("n_pos")
+    val n01 = col("p_tot") - col("n_pos")
+    val n00 = col("n_tot") - col("p_tot") - n10
+    val det = (n11 * n00 - n10 * n01).cast("double")
+    val denom = (n11 + n10).cast("double") * (n01 + n00).cast("double") *
+      (n11 + n01).cast("double") * (n10 + n00).cast("double")
+    g.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"), col("n_pos"),
+        round(when(denom > 0.0,
+          col("n_tot").cast("double") * det * det / denom), 7).as("chi2"))
+  }
+
+  /** Benford first-significant-digit conformance per group — the
+    * organic-data screen (accounting fraud, synthetic-number detection):
+    * naturally occurring magnitudes put digit d first with probability
+    * log10(1 + 1/d); fabricated or uniformly generated fields do not.
+    *
+    * First digits come from the value's STRING form (first character of
+    * the canonical decimal rendering, values must be >= 1) — no float
+    * log in the digit extraction, so the census is exact integers. The
+    * chi-square-vs-Benford statistic is then one FIXED nine-term double
+    * expression over the pivoted counts (d=1 term first, d=9 last) —
+    * a fold in digit order, never a partition-ordered float sum.
+    *
+    * Scale shape: one combining groupBy on (group, digit) + a 9-way
+    * conditional pivot per group. Returns
+    * (group, n, d1..d9, benford_chi2).
+    */
+  def benfordFirstDigit(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val digit = substring(col(valueCol).cast("string"), 1, 1)
+    val counts = df.where(col(valueCol) >= 1)
+      .groupBy(col(groupCol).as("group"), digit.as("d"))
+      .agg(count(lit(1)).as("c"))
+    val aggs = (1 to 9).map(d =>
+      sum(when(col("d") === d.toString, col("c")).otherwise(0L)).as(s"d$d"))
+    val wide = counts.groupBy(col("group"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", (1 to 9).map(d => col(s"d$d")).reduce(_ + _))
+    val chi2 = (1 to 9).map { d =>
+      val p = log(10.0, lit(1.0) + lit(1.0) / d)
+      val exp = col("n").cast("double") * p
+      val diff = col(s"d$d").cast("double") - exp
+      diff * diff / exp
+    }.reduce(_ + _)
+    wide.select(col("group") +: col("n") +:
+      (1 to 9).map(d => col(s"d$d")) :+
+      round(when(col("n") > 0, chi2), 7).as("benford_chi2"): _*)
+  }
+
+  /** Two-sample Kolmogorov-Smirnov D — the distribution-drift detector
+    * (did this week's score distribution move?): D = max over x of
+    * |F_a(x) - F_b(x)|.
+    *
+    * Exactness: ECDF steps are integer cumulative counts over the
+    * distinct pooled values; the comparison runs on the cross-multiplied
+    * integers |c_a * n_b - c_b * n_a| in DECIMAL(38,0) (exact past any
+    * BIGINT product), so the argmax is chosen on exact arithmetic; D
+    * itself is the final single division, rounded at 7. `at_value` is
+    * the SMALLEST value achieving the maximum (deterministic tie-break).
+    *
+    * Scale shape: one combining groupBy on value + one window cumsum
+    * ordered by value (single partition of DISTINCT values — bounded by
+    * the value domain, not the row count; quantize first if the domain
+    * is unbounded) + a 1-row max.
+    *
+    * Returns one row (n_a, n_b, d_num, d_den, d, at_value).
+    */
+  def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dec = "decimal(38,0)"
+    val cum = perValue
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val gap = abs(col("cum_a").cast(dec) * col("n_b").cast(dec) -
+      col("cum_b").cast(dec) * col("n_a").cast(dec))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), gap.as("gap"), col("v"))
+      .orderBy(desc("gap"), col("v"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"),
+        col("gap").as("d_num"),
+        (col("n_a").cast(dec) * col("n_b").cast(dec)).as("d_den"),
+        round(col("gap").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 7).as("d"),
+        col("v").as("at_value"))
+  }
+
+  /** Mann-Whitney U with midrank tie handling — the rank-sum alternative
+    * to the t-test (no normality assumption; the standard significance
+    * test for "did slice A's values shift relative to slice B's").
+    *
+    * Exactness: midranks are half-integers, so everything carries
+    * DOUBLED — `2*midrank` of a tie run spanning competition ranks
+    * [lo, hi] is the exact BIGINT lo + hi; `u2 = 2*U_a` is therefore an
+    * exact integer, as are the tie-correction terms sum(t^3 - t). The
+    * normal-approximation z (the published tie-corrected form)
+    *
+    *   z = (U - n_a n_b / 2) / sqrt(n_a n_b / 12 * ((n+1) - sum(t^3-t)/(n(n-1))))
+    *
+    * is one pinned double expression over those integers, rounded at 7.
+    * Null z when either side is empty or all values tie (zero variance).
+    *
+    * Scale shape: one combining groupBy on value + one window cumsum
+    * over the distinct-value domain + a 1-row aggregate — the row count
+    * never enters a window.
+    *
+    * Returns one row (n_a, n_b, u2_a, tie_cube, z).
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // competition ranks of the tie run ending at this value: (cum-t+1, cum)
+    // -> 2*midrank = 2*cum - t + 1 (exact BIGINT)
+    val ranked = perValue.withColumn("cum", sum(col("t")).over(w))
+      .withColumn("mid2", lit(2L) * col("cum") - col("t") + 1L)
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"),
+      sum(col("t") - col("ca")).as("n_b"),
+      sum(col("ca") * col("mid2")).as("r2_a"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_cube"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val u2 = col("r2_a") - col("n_a") * (col("n_a") + 1L)
+    val mu2 = col("n_a") * col("n_b") // 2 * (n_a n_b / 2)
+    val variance = nA * nB / 12.0 *
+      ((n + 1.0) - col("tie_cube").cast("double") / (n * (n - 1.0)))
+    agg.select(col("n_a"), col("n_b"),
+      u2.as("u2_a"), col("tie_cube"),
+      round(when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
+        (u2 - mu2).cast("double") / lit(2.0) / sqrt(variance)), 7).as("z"))
+  }
+}

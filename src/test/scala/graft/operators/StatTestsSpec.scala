@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the statistical-audit battery: chi-square
+  * association, Benford conformance, KS two-sample, Mann-Whitney U.
+  */
+class StatTestsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chi-square categories: hand 2x2 contingency, symmetry, degenerate null") {
+    // X: 8 pos / 2 neg; Y: 3 pos / 7 neg. N=20, P=11.
+    // det(X) = 8*7 - 2*3 = 50; chi2 = 20*2500 / (10*10*11*9) = 5.0505051
+    val obs = (Seq.fill(8)(("X", true)) ++ Seq.fill(2)(("X", false)) ++
+      Seq.fill(3)(("Y", true)) ++ Seq.fill(7)(("Y", false)))
+      .toDF("cat", "pos")
+    val got = StatTests.chiSquareCategories(obs, "cat", "pos")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("X") == (10L, 8L, 5.0505051))
+    // the complementary category carries the identical statistic
+    assert(got("Y") == (10L, 3L, 5.0505051))
+
+    // all-positive corpus: every margin with the negative class is zero
+    val degen = Seq(("A", true), ("B", true)).toDF("cat", "pos")
+    assert(StatTests.chiSquareCategories(degen, "cat", "pos")
+      .collect().forall(_.isNullAt(3)))
+  }
+
+  test("benford: digit census exact, chi2 matches the nine-term fold") {
+    // group g: digits 1 x 5, 2 x 3, 9 x 2 (values chosen by first digit)
+    val vals = Seq.fill(5)(13L) ++ Seq.fill(3)(250L) ++ Seq.fill(2)(9L)
+    val df = vals.map(v => ("g", v)).toDF("grp", "v")
+    val row = StatTests.benfordFirstDigit(df, "grp", "v").collect()(0)
+    assert(row.getLong(1) == 10L)                 // n
+    assert(row.getLong(2) == 5L)                  // d1
+    assert(row.getLong(3) == 3L)                  // d2
+    assert(row.getLong(10) == 2L)                 // d9
+    val n = 10.0
+    val counts = Map(1 -> 5L, 2 -> 3L, 9 -> 2L).withDefaultValue(0L)
+    val expected = (1 to 9).map { d =>
+      val p = math.log10(1.0 + 1.0 / d)
+      val diff = counts(d) - n * p
+      diff * diff / (n * p)
+    }.sum
+    assert(math.abs(row.getDouble(11) - expected) < 1e-6)
+  }
+
+  test("KS two-sample: hand ECDFs, exact numerator, smallest argmax") {
+    val df = (Seq(1, 2, 3).map(v => ("A", v)) ++ Seq(2, 3, 4).map(v => ("B", v)))
+      .toDF("g", "v")
+    val row = StatTests.ksTwoSample(df, "g", "v", "A", "B").collect()(0)
+    assert(row.getLong(0) == 3L && row.getLong(1) == 3L)
+    assert(row.getDecimal(2).longValueExact() == 3L)  // max |ca*nb - cb*na|
+    assert(row.getDecimal(3).longValueExact() == 9L)
+    assert(row.getDouble(4) == 0.3333333)
+    assert(row.getInt(5) == 1)                         // smallest value at max
+  }
+
+  test("Mann-Whitney U: midrank ties doubled exactly, tie-corrected z") {
+    // A = {1, 2}, B = {2, 3}: R_A = 1 + 2.5 = 3.5, U_A = 0.5 -> u2 = 1
+    val df = (Seq(1, 2).map(v => ("A", v)) ++ Seq(2, 3).map(v => ("B", v)))
+      .toDF("g", "v")
+    val row = StatTests.mannWhitneyU(df, "g", "v", "A", "B").collect()(0)
+    assert(row.getLong(0) == 2L && row.getLong(1) == 2L)
+    assert(row.getLong(2) == 1L)     // 2 * U_A
+    assert(row.getLong(3) == 6L)     // sum(t^3 - t) = 0 + 6 + 0
+    // z = (0.5 - 2) / sqrt(4/12 * (5 - 6/12)) = -1.5 / sqrt(1.5)
+    assert(row.getDouble(4) == math.rint(-1.5 / math.sqrt(1.5) * 1e7) / 1e7)
+
+    // zero-variance (all values tie) -> null z
+    val flat = Seq(("A", 5), ("A", 5), ("B", 5)).toDF("g", "v")
+    assert(StatTests.mannWhitneyU(flat, "g", "v", "A", "B")
+      .collect()(0).isNullAt(4))
+  }
+
+  test("Mann-Whitney matches a brute-force reference on a larger sample") {
+    val rnd = new scala.util.Random(3)
+    val as = Seq.fill(40)(rnd.nextInt(30))
+    val bs = Seq.fill(55)(rnd.nextInt(30) + 3)
+    val df = (as.map(("A", _)) ++ bs.map(("B", _))).toDF("g", "v")
+    val row = StatTests.mannWhitneyU(df, "g", "v", "A", "B").collect()(0)
+    // reference: U_A = #{(a,b): a > b} + #{ties}/2, doubled
+    val u2ref = (for (a <- as; b <- bs) yield {
+      if (a > b) 2L else if (a == b) 1L else 0L
+    }).sum
+    assert(row.getLong(2) == u2ref)
+  }
+}
