@@ -7272,6 +7272,88 @@ object SparkEntry {
           .select(col("event_type"),
             floor(col("value") * 10).cast("long").as("value")),
         "event_type", "value", "signup", "error")),
+
+    // --- 310. dyadic decay sum (recency-weighted activity), oracle-pinned -----------------------------------
+    // Per-user exponential decay over the event stream with the PINNED
+    // dyadic alpha = 1/2: every term x/2^i is an exact double, so the
+    // latest-event decay is bit-exact with NO rounding step at all —
+    // the replayable form of EWMA. One window pass (20 lag terms).
+    "q310_dyadic_decay" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value")).cast("long").as("v"))
+      val dd = graft.operators.Trend.dyadicDecay(
+        e, "user_id", Seq("ts", "event_id"), "v")
+      val w = Window.partitionBy("user_id")
+      dd.withColumn("__mx", max(col("rn")).over(w))
+        .where(col("rn") === col("__mx"))
+        .select(col("user_id"), col("rn").as("n_events"), col("decay"))
+        .orderBy("user_id")
+    }),
+
+    // --- 311. CIDR containment tagging, oracle-pinned -------------------------------------------------------
+    // IPs constructed from customer keys, tagged against a curated block
+    // list (overlapping on purpose — containment is many-to-many); the
+    // oracle replays the uint32 arithmetic and the range test. Broadcast
+    // block table: the 100 TB shape is a narrow map + broadcast join.
+    "q311_cidr_tag" -> ((s, d) => {
+      val k = col("c_custkey")
+      val ips = t(s, d, "customer").where(k.between(1, 2000))
+        .select(k.as("ck"), concat_ws(".",
+          (lit(10) + k % 3).cast("string"),
+          (k % 256).cast("string"),
+          ((k * 7) % 256).cast("string"),
+          ((k * 13) % 256).cast("string")).as("ip"))
+      val blocks = s.createDataFrame(Seq(
+        Tuple1("10.0.0.0/8"), Tuple1("11.0.0.0/8"), Tuple1("12.0.0.0/8"),
+        Tuple1("10.128.0.0/9"), Tuple1("11.64.0.0/10")))
+        .toDF("cidr")
+      graft.functions.Net.cidrTag(ips, "ip", blocks, "cidr")
+        .groupBy(col("cidr"))
+        .agg(count(lit(1)).as("n_ips"),
+          min(col("ip_long")).as("min_ip"),
+          max(col("ip_long")).as("max_ip"))
+        .orderBy("cidr")
+    }),
+
+    // --- 312. user-agent profiling, oracle-pinned -----------------------------------------------------------
+    // Six constructed client shapes (Chrome/Firefox/Safari/curl/
+    // python-requests and a Googlebot that still claims Chrome): family
+    // ladder, major version, bot flag — every field restated closed-form
+    // by doc_id class in the oracle.
+    "q312_user_agent" -> ((s, d) => {
+      val m = col("doc_id") % 6
+      val ua = when(m === 0, concat(
+          lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+            "(KHTML, like Gecko) Chrome/"),
+          (lit(100) + col("doc_id") % 20).cast("string"),
+          lit(".0.0.0 Safari/537.36")))
+        .when(m === 1, concat(
+          lit("Mozilla/5.0 (X11; Linux x86_64; rv:"),
+          (lit(90) + col("doc_id") % 15).cast("string"),
+          lit(".0) Gecko/20100101 Firefox/"),
+          (lit(90) + col("doc_id") % 15).cast("string"), lit(".0")))
+        .when(m === 2, concat(
+          lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) " +
+            "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/"),
+          (lit(14) + col("doc_id") % 4).cast("string"),
+          lit(".1 Safari/605.1.15")))
+        .when(m === 3, concat(lit("curl/8."),
+          (col("doc_id") % 10).cast("string"), lit(".0")))
+        .when(m === 4, concat(
+          lit("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; " +
+            "compatible; Googlebot/2.1; +http://www.google.com/bot.html) " +
+            "Chrome/"),
+          (lit(110) + col("doc_id") % 9).cast("string"),
+          lit(".0.6045.214 Safari/537.36")))
+        .otherwise(concat(lit("python-requests/2."),
+          (col("doc_id") % 30).cast("string"), lit(".0")))
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Net.uaProfile(ua).as("p"))
+        .select(col("doc_id"), col("p.family").as("family"),
+          col("p.major").as("major"), col("p.is_bot").as("is_bot"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12425,7 +12507,64 @@ object SparkEntry {
         |             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
         |                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)))))
         |    END, 7) AS z
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Dyadic decay: the 20 lag terms replayed in the identical left-
+    // associated order with exact power-of-two divisors — NO rounding
+    // step anywhere, the sum is exact by construction.
+    "q310_dyadic_decay" -> {
+      val terms = (0 until 20).map(i =>
+        s"CAST(coalesce(lag(v, $i) OVER w, 0) AS DOUBLE) / CAST(${1L << i} AS DOUBLE)")
+        .mkString("\n        + ")
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |d AS (
+         |  SELECT user_id,
+         |    $terms AS decay,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS mx
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, rn AS n_events, decay FROM d
+         |WHERE rn = mx ORDER BY user_id""".stripMargin
+    },
+
+    // CIDR containment as pure uint32 arithmetic: block ranges written as
+    // precomputed integer bounds.
+    "q311_cidr_tag" ->
+      """WITH ips AS (
+        |  SELECT (10 + c_custkey % 3) * 16777216 + (c_custkey % 256) * 65536
+        |       + ((c_custkey * 7) % 256) * 256 + ((c_custkey * 13) % 256)
+        |       AS ip_long
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 2000),
+        |blocks(cidr, bstart, bend) AS (VALUES
+        |  ('10.0.0.0/8',   167772160, 184549375),
+        |  ('11.0.0.0/8',   184549376, 201326591),
+        |  ('12.0.0.0/8',   201326592, 218103807),
+        |  ('10.128.0.0/9', 176160768, 184549375),
+        |  ('11.64.0.0/10', 188743680, 192937983))
+        |SELECT cidr, count(*) AS n_ips,
+        |  CAST(min(ip_long) AS BIGINT) AS min_ip,
+        |  CAST(max(ip_long) AS BIGINT) AS max_ip
+        |FROM ips JOIN blocks ON ip_long BETWEEN bstart AND bend
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Every UA field restated closed-form by construction class.
+    "q312_user_agent" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'chrome' WHEN 1 THEN 'firefox' WHEN 2 THEN 'safari'
+        |    WHEN 3 THEN 'curl' WHEN 4 THEN 'chrome'
+        |    ELSE 'python-requests' END AS family,
+        |  CAST(CASE doc_id % 6
+        |    WHEN 0 THEN 100 + doc_id % 20
+        |    WHEN 1 THEN 90 + doc_id % 15
+        |    WHEN 2 THEN 14 + doc_id % 4
+        |    WHEN 3 THEN 8
+        |    WHEN 4 THEN 110 + doc_id % 9
+        |    ELSE 2 END AS INT) AS major,
+        |  doc_id % 6 = 4 AS is_bot
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

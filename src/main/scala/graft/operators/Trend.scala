@@ -53,4 +53,44 @@ object Trend {
       round(when(denom =!= 0.0, slope), 7).as("slope"),
       round(when(denom =!= 0.0, (syD - slope * sxD) / nD), 7).as("intercept"))
   }
+
+  /** Windowed exponential decay sum per row — the recency-weighted
+    * activity signal (user engagement, error-burst detection) that a
+    * plain moving average lags behind:
+    *
+    *   decay_t = sum over i in [0, window) of x_{t-i} / 2^i
+    *
+    * EXACTNESS CONTRACT: alpha is pinned at the DYADIC 1/2 and `x` must
+    * be an integral column with |x| < 2^(53 - window): every term
+    * x/2^i is then an exact double and the fixed-order sum never
+    * rounds — the result is bit-exact and engine-independent, where an
+    * arbitrary-alpha EWMA is a float recurrence whose value depends on
+    * evaluation order. The window cap (default 20) bounds the dyadic
+    * spread; beyond ~2^-window the discarded tail is below the decay
+    * sum's own resolution anyway.
+    *
+    * Scale shape: ONE window pass per group (ordered by `orderCols`,
+    * ties must be broken by the caller's order columns for a total
+    * order) evaluating `window` lag() terms in a single frame — no
+    * self-join, no explode; a narrow window map at 100 TB.
+    *
+    * Returns the input plus `decay` (double) and `rn` (the row's
+    * position in its group, for pinning the latest row downstream).
+    */
+  def dyadicDecay(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 40, s"window must be in [1, 40], got $window")
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first — the exactness " +
+        s"contract), got ${df.schema(valueCol).dataType.catalogString}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+    val decay = (0 until window).map { i =>
+      coalesce(lag(col(valueCol), i).over(w), lit(0L)).cast("double") /
+        lit(math.pow(2.0, i))
+    }.reduce(_ + _)
+    df.withColumn("decay", decay)
+      .withColumn("rn", row_number().over(w))
+  }
 }

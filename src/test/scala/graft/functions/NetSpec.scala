@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** IPv4 arithmetic, CIDR containment, user-agent profiling. */
+class NetSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ip2long(s: String): Option[Long] =
+    Seq(s).toDF("ip").select(Net.ipv4ToLong(col("ip")))
+      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+
+  test("ipv4ToLong: textbook values, strict rejection") {
+    assert(ip2long("0.0.0.0").contains(0L))
+    assert(ip2long("255.255.255.255").contains(4294967295L))
+    assert(ip2long("10.0.0.1").contains(167772161L))
+    assert(ip2long("192.168.1.10").contains(3232235786L))
+    for (bad <- Seq("256.0.0.1", "1.2.3", "1.2.3.4.5", "a.b.c.d", "1..2.3", ""))
+      assert(ip2long(bad).isEmpty, bad)
+  }
+
+  test("cidrRange: host bits zeroed, /0 and /32 edges, malformed null") {
+    def range(s: String): Option[(Long, Long)] =
+      Seq(s).toDF("c").select(Net.cidrRange(col("c")))
+        .collect().headOption.flatMap(r =>
+          if (r.isNullAt(0)) None
+          else { val st = r.getStruct(0); Some((st.getLong(0), st.getLong(1))) })
+    assert(range("10.0.0.0/8").contains((167772160L, 184549375L)))
+    assert(range("10.1.2.3/8").contains((167772160L, 184549375L))) // normalized
+    assert(range("192.168.1.10/32").contains((3232235786L, 3232235786L)))
+    assert(range("0.0.0.0/0").contains((0L, 4294967295L)))
+    for (bad <- Seq("10.0.0.0/33", "10.0.0.0", "10.0.0.0/x", "300.0.0.0/8"))
+      assert(range(bad).isEmpty, bad)
+  }
+
+  test("cidrTag: containment is many-to-many, malformed rows drop") {
+    val ips = Seq("10.0.3.4", "11.0.0.7", "10.255.255.255", "not-an-ip")
+      .toDF("ip")
+    val blocks = Seq("10.0.0.0/8", "10.0.0.0/16", "11.0.0.0/24").toDF("cidr")
+    val got = Net.cidrTag(ips, "ip", blocks, "cidr")
+      .select("ip", "cidr").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("10.0.3.4", "10.0.0.0/8"),    // in /8 AND /16: many-to-many
+      ("10.0.3.4", "10.0.0.0/16"),
+      ("10.255.255.255", "10.0.0.0/8"), // in /8 only
+      ("11.0.0.7", "11.0.0.0/24")))
+  }
+
+  test("uaProfile: precedence ladder, versions, bot flag") {
+    val cases = Seq(
+      ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        ("chrome", 120, false)),
+      ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36 Edg/119.0.2151.97",
+        ("edge", 119, false)),
+      ("Mozilla/5.0 AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36 OPR/105.0.0.0",
+        ("opera", 105, false)),
+      ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+        ("safari", 17, false)),
+      ("Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+        ("firefox", 121, false)),
+      ("curl/8.5.0", ("curl", 8, false)),
+      ("python-requests/2.31.0", ("python-requests", 2, false)),
+      ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; Googlebot/2.1; +http://www.google.com/bot.html) Chrome/119.0.6045.214 Safari/537.36",
+        ("chrome", 119, true)),
+      ("Wget/1.21", ("other", -1, false)))
+    val got = cases.map(_._1).toDF("ua")
+      .select(col("ua"), Net.uaProfile(col("ua")).as("p"))
+      .select(col("ua"), col("p.family"), col("p.major"), col("p.is_bot"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2), r.getBoolean(3)))
+      .toMap
+    cases.foreach { case (ua, want) => assert(got(ua) == want, ua) }
+  }
+}

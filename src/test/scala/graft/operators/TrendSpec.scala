@@ -45,4 +45,33 @@ class TrendSpec extends SparkTestBase {
     val df = Seq(("g", 1.0, 2L)).toDF("g", "x", "y")
     intercept[IllegalArgumentException](Trend.ols(df, "g", "x", "y"))
   }
+
+  test("dyadic decay: hand values, window truncation, bit-exactness") {
+    // group a: x = 8, 4, 2 in order -> decays 8, 4+8/2=8, 2+4/2+8/4=6
+    val df = Seq(("a", 1L, 8L), ("a", 2L, 4L), ("a", 3L, 2L),
+      ("b", 1L, 5L)).toDF("g", "t", "v")
+    val got = Trend.dyadicDecay(df, "g", Seq("t"), "v")
+      .select("g", "t", "decay").as[(String, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", 1L)) == 8.0)
+    assert(got(("a", 2L)) == 8.0)
+    assert(got(("a", 3L)) == 6.0)
+    assert(got(("b", 1L)) == 5.0)
+
+    // window = 2 truncates the tail exactly
+    val win2 = Trend.dyadicDecay(df, "g", Seq("t"), "v", window = 2)
+      .select("g", "t", "decay").as[(String, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(win2(("a", 3L)) == 4.0) // 2 + 4/2, the 8/4 term dropped
+
+    // dyadic exactness: odd values produce exact halves, never rounding
+    val odd = Seq(("c", 1L, 1L), ("c", 2L, 1L)).toDF("g", "t", "v")
+    val d2 = Trend.dyadicDecay(odd, "g", Seq("t"), "v")
+      .where(col("t") === 2).select("decay").as[Double].collect()(0)
+    assert(d2 == 1.5)
+
+    intercept[IllegalArgumentException](
+      Trend.dyadicDecay(Seq(("g", 1L, 2.0)).toDF("g", "t", "v"),
+        "g", Seq("t"), "v"))
+  }
 }
