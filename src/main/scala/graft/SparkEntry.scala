@@ -7354,6 +7354,40 @@ object SparkEntry {
           col("p.major").as("major"), col("p.is_bot").as("is_bot"))
         .orderBy("doc_id")
     }),
+
+    // --- 313. geohash cell assignment, oracle-pinned ---------------------------------------------------------
+    // Constructed coordinates over customer keys; the oracle replays the
+    // pinned quantization chain (identical IEEE op order — +,-,*,/ and
+    // floor are exact-deterministic, so this is bit-exact even at cell
+    // boundaries), the shared Morton interleave, and the base-32
+    // alphabet walk.
+    "q313_geohash" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer").where(k.between(1, 2000))
+        .select(k.as("ck"),
+          (((k * 7) % 18000).cast("double") / 100.0 - 90.0).as("lat"),
+          (((k * 13) % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+        .select(col("ck"), col("lat"), col("lon"),
+          graft.functions.Geo.geohash(col("lat"), col("lon"), 6).as("gh"))
+        .orderBy("ck")
+    }),
+
+    // --- 314. haversine distance, oracle-pinned ---------------------------------------------------------------
+    // Distance from each constructed point to one reference point
+    // (Paris), meter-resolution rounding — coarse enough that the few-ulp
+    // libm trig differences between engines can never straddle a
+    // rounding boundary at earth-scale magnitudes.
+    "q314_haversine" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer").where(k.between(1, 2000))
+        .select(k.as("ck"),
+          (((k * 7) % 18000).cast("double") / 100.0 - 90.0).as("lat"),
+          (((k * 13) % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+        .select(col("ck"),
+          graft.functions.Geo.haversineKm(col("lat"), col("lon"),
+            lit(48.8566), lit(2.3522)).as("dist_km"))
+        .orderBy("ck")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12564,7 +12598,63 @@ object SparkEntry {
         |    WHEN 4 THEN 110 + doc_id % 9
         |    ELSE 2 END AS INT) AS major,
         |  doc_id % 6 = 4 AS is_bot
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Geohash: the full pinned chain replayed — coordinate construction,
+    // the (v+90)/180*2^15 quantization (same IEEE op order, so floor
+    // boundaries agree bit-exactly), the shared Morton interleave, and
+    // the base-32 walk.
+    "q313_geohash" -> {
+      val chars = (0 until 6).map(i =>
+        s"substring('0123456789bcdefghjkmnpqrstuvwxyz', " +
+          s"CAST(((z >> ${5 * (5 - i)}) & 31) + 1 AS INT), 1)")
+        .mkString(" ||\n        ")
+      s"""WITH pts AS (
+         |  SELECT c_custkey AS ck,
+         |    CAST((c_custkey * 7) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE)
+         |      - CAST(90 AS DOUBLE) AS lat,
+         |    CAST((c_custkey * 13) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE)
+         |      - CAST(180 AS DOUBLE) AS lon
+         |  FROM customer WHERE c_custkey BETWEEN 1 AND 2000),
+         |q AS (
+         |  SELECT ck, lat, lon,
+         |    least(greatest(CAST(floor((lat - CAST(-90 AS DOUBLE))
+         |      / CAST(180 AS DOUBLE) * CAST(32768 AS DOUBLE)) AS BIGINT),
+         |      0), 32767) AS latq,
+         |    least(greatest(CAST(floor((lon - CAST(-180 AS DOUBLE))
+         |      / CAST(360 AS DOUBLE) * CAST(32768 AS DOUBLE)) AS BIGINT),
+         |      0), 32767) AS lonq
+         |  FROM pts),
+         |zc AS (
+         |  SELECT ck, lat, lon,
+         |    (SELECT CAST(SUM((((lonq >> k) & 1) << (2 * k + 1))
+         |                   + (((latq >> k) & 1) << (2 * k))) AS BIGINT)
+         |     FROM generate_series(0, 14) AS g(k)) AS z
+         |  FROM q)
+         |SELECT ck, lat, lon,
+         |  $chars AS gh
+         |FROM zc ORDER BY ck""".stripMargin
+    },
+
+    // Haversine mirrored op by op (radians/sin/cos/asin differ by ulps
+    // across libms; meter-resolution rounding absorbs that).
+    "q314_haversine" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS ck,
+        |    CAST((c_custkey * 7) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE)
+        |      - CAST(90 AS DOUBLE) AS lat,
+        |    CAST((c_custkey * 13) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE)
+        |      - CAST(180 AS DOUBLE) AS lon
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 2000)
+        |SELECT ck,
+        |  ROUND(CAST(2 AS DOUBLE) * CAST(6371.0088 AS DOUBLE) * asin(sqrt(
+        |    sin(radians(CAST(48.8566 AS DOUBLE) - lat) / CAST(2 AS DOUBLE))
+        |      * sin(radians(CAST(48.8566 AS DOUBLE) - lat) / CAST(2 AS DOUBLE))
+        |    + cos(radians(lat)) * cos(radians(CAST(48.8566 AS DOUBLE)))
+        |      * (sin(radians(CAST(2.3522 AS DOUBLE) - lon) / CAST(2 AS DOUBLE))
+        |         * sin(radians(CAST(2.3522 AS DOUBLE) - lon) / CAST(2 AS DOUBLE)))
+        |  )), 3) AS dist_km
+        |FROM pts ORDER BY ck""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial bucketing and distance for log/crawl enrichment: geohash
+  * cell assignment (the string-prefix spatial index every pipeline uses
+  * for "group nearby things" joins) and great-circle distance. Pure
+  * builtin-expression compositions — row-local, codegen'd, replayable.
+  */
+object Geo {
+
+  /** The public geohash base-32 alphabet (no a, i, l, o). */
+  val Alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash cell of (lat, lon) at `precision` characters (EVEN, 2..12):
+    * the classic interleave — longitude owns the first (most
+    * significant) bit, 5 bits per character.
+    *
+    * PINNED quantization: `floor((lat + 90) / 180 * 2^bits)` clamped to
+    * [0, 2^bits - 1] (and the 360 analog for longitude) — one double
+    * expression identical to successive halving in real arithmetic and
+    * bit-replayable as written. The bit interleave is THE shared Morton
+    * definition ([[graft.pipeline.Layout.interleave]]), so geohash cells
+    * and z-order keys can never drift in curve order. Even precisions
+    * keep lat/lon bit counts equal, which is all the shared interleave
+    * supports; odd precisions are not worth an asymmetric special case.
+    *
+    * Null lat/lon or out-of-range coordinates yield null.
+    */
+  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 2 && precision <= 12 && precision % 2 == 0,
+      s"precision must be even in [2, 12], got $precision")
+    val bits = 5 * precision / 2
+    val scale = (1L << bits).toDouble
+    def quant(v: Column, lo: Double, range: Double): Column =
+      least(greatest(
+        floor((v - lit(lo)) / lit(range) * lit(scale)).cast("long"),
+        lit(0L)), lit((1L << bits) - 1L))
+    val latQ = quant(lat, -90.0, 180.0)
+    val lonQ = quant(lon, -180.0, 360.0)
+    val z = graft.pipeline.Layout.interleave(Seq(lonQ, latQ), bits)
+    val chars = (0 until precision).map { i =>
+      val chunk = shiftright(z, 5 * (precision - 1 - i)).bitwiseAND(lit(31L))
+      lit(Alphabet).substr((chunk + 1L).cast("int"), lit(1))
+    }
+    when(lat.isNotNull && lon.isNotNull &&
+        lat >= -90.0 && lat <= 90.0 && lon >= -180.0 && lon <= 180.0,
+      concat(chars: _*))
+  }
+
+  /** Great-circle distance in km (haversine over the IUGG mean radius
+    * 6371.0088): one pinned double expression —
+    *
+    *   a = sin(dlat/2)^2 + cos(lat1) cos(lat2) sin(dlon/2)^2
+    *   d = 2 R asin(sqrt(a))
+    *
+    * rounded at 3 decimals (meter resolution): trig libms differ by a
+    * few ulps across engines, and at earth-scale magnitudes a 7-decimal
+    * round would sit within libm noise of its own boundaries — meters
+    * are both physically meaningful and safely coarse.
+    */
+  def haversineKm(lat1: Column, lon1: Column,
+      lat2: Column, lon2: Column): Column = {
+    val dlat = radians(lat2 - lat1)
+    val dlon = radians(lon2 - lon1)
+    val a = sin(dlat / 2) * sin(dlat / 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) *
+        (sin(dlon / 2) * sin(dlon / 2))
+    round(lit(2.0) * lit(6371.0088) * asin(sqrt(a)), 3)
+  }
+}

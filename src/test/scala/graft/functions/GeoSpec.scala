@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Geohash cell assignment against published vectors; haversine against
+  * the closed-form reference.
+  */
+class GeoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def gh(lat: Double, lon: Double, p: Int): Option[String] =
+    Seq((lat, lon)).toDF("lat", "lon")
+      .select(Geo.geohash(col("lat"), col("lon"), p))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+
+  test("geohash: published vector, poles, origin, clamping") {
+    // the canonical wikipedia example: 57.64911, 10.40744 -> u4pruydqqvj
+    assert(gh(57.64911, 10.40744, 6).contains("u4pruy"))
+    assert(gh(57.64911, 10.40744, 4).contains("u4pr"))
+    assert(gh(0.0, 0.0, 6).contains("s00000"))
+    assert(gh(-90.0, -180.0, 6).contains("000000"))
+    // the north-east corner clamps into the last cell
+    assert(gh(90.0, 180.0, 6).contains("zzzzzz"))
+    assert(gh(91.0, 0.0, 6).isEmpty)
+    assert(gh(0.0, 181.0, 6).isEmpty)
+    intercept[IllegalArgumentException](Geo.geohash(lit(0.0), lit(0.0), 5))
+  }
+
+  test("geohash prefixes nest: nearby points share a prefix, far ones don't") {
+    val paris1 = gh(48.8566, 2.3522, 6).get
+    val paris2 = gh(48.8570, 2.3530, 6).get
+    val london = gh(51.5074, -0.1278, 6).get
+    assert(paris1.take(4) == paris2.take(4))
+    assert(paris1.take(2) != london.take(2))
+  }
+
+  test("haversine: reference distances at meter resolution") {
+    def hv(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+      Seq((lat1, lon1, lat2, lon2)).toDF("a", "b", "c", "d")
+        .select(Geo.haversineKm(col("a"), col("b"), col("c"), col("d")))
+        .collect()(0).getDouble(0)
+    def ref(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val dlat = math.toRadians(lat2 - lat1)
+      val dlon = math.toRadians(lon2 - lon1)
+      val a = math.sin(dlat / 2) * math.sin(dlat / 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          (math.sin(dlon / 2) * math.sin(dlon / 2))
+      math.rint(2.0 * 6371.0088 * math.asin(math.sqrt(a)) * 1000) / 1000
+    }
+    // Paris -> London is famously ~343.5 km
+    val pl = hv(48.8566, 2.3522, 51.5074, -0.1278)
+    assert(pl == ref(48.8566, 2.3522, 51.5074, -0.1278))
+    assert(math.abs(pl - 343.5) < 1.0)
+    assert(hv(10.0, 20.0, 10.0, 20.0) == 0.0)
+    // antipodal: half the mean circumference, pi * R
+    assert(math.abs(hv(0.0, 0.0, 0.0, 180.0) - math.Pi * 6371.0088) < 0.001)
+  }
+}
