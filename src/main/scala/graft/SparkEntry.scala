@@ -7388,6 +7388,28 @@ object SparkEntry {
             lit(48.8566), lit(2.3522)).as("dist_km"))
         .orderBy("ck")
     }),
+
+    // --- 315. Gini inequality index, oracle-pinned ------------------------------------------------------------
+    // Revenue concentration per order priority (totalprice in exact
+    // cents): rank formulation, decimal-exact sums, one final division.
+    "q315_gini" -> ((s, d) =>
+      graft.operators.StatTests.giniIndex(
+          t(s, d, "orders").select(col("o_orderpriority"),
+            // totalprice ships as DOUBLE: round-to-cents explicitly
+            // (a bare long cast TRUNCATES in Spark but ROUNDS in
+            // DuckDB — the q279 precedent)
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "o_orderpriority", "cents")
+        .orderBy("group")),
+
+    // --- 316. categorical concentration (HHI + entropy), oracle-pinned -----------------------------------------
+    // Language mixture per document source: exact HHI, micro-quantized
+    // Shannon entropy (the NDCG per-term-integer trick applied to
+    // c*ln(c)).
+    "q316_concentration" -> ((s, d) =>
+      graft.operators.StatTests.concentration(
+          t(s, d, "documents"), "source", "lang")
+        .orderBy("group")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12654,7 +12676,45 @@ object SparkEntry {
         |      * (sin(radians(CAST(2.3522 AS DOUBLE) - lon) / CAST(2 AS DOUBLE))
         |         * sin(radians(CAST(2.3522 AS DOUBLE) - lon) / CAST(2 AS DOUBLE)))
         |  )), 3) AS dist_km
-        |FROM pts ORDER BY ck""".stripMargin
+        |FROM pts ORDER BY ck""".stripMargin,
+
+    // Gini: exact rank formulation (HUGEINT sums on the DuckDB side match
+    // the engine's DECIMAL(38,0) accumulation), one final division.
+    "q315_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS i
+        |  FROM orders),
+        |g AS (SELECT grp AS "group", count(*) AS n,
+        |        CAST(sum(x) AS BIGINT) AS total, sum(i * x) AS ix
+        |      FROM r GROUP BY 1)
+        |SELECT "group", n, total,
+        |  ROUND(CASE WHEN total > 0 THEN
+        |    CAST(2 * ix - (n + 1) * total AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END, 7) AS gini
+        |FROM g ORDER BY "group"""".stripMargin,
+
+    // Concentration: exact HHI; entropy via per-term micro-quantization
+    // so the category sum is an order-independent integer.
+    "q316_concentration" ->
+      """WITH counts AS (
+        |  SELECT source AS "group", lang AS cat, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT "group", CAST(sum(c) AS BIGINT) AS n_obs,
+        |        count(*) AS k, CAST(sum(c * c) AS BIGINT) AS c2,
+        |        CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |          * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_micro
+        |      FROM counts GROUP BY 1)
+        |SELECT "group", n_obs, k,
+        |  ROUND(CAST(c2 AS DOUBLE)
+        |    / (CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE)), 7) AS hhi,
+        |  ROUND((ln(CAST(n_obs AS DOUBLE))
+        |    - CAST(s_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      / CAST(n_obs AS DOUBLE)) / ln(CAST(2 AS DOUBLE)), 7)
+        |    AS entropy_bits
+        |FROM g ORDER BY "group"""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

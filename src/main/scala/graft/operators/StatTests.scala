@@ -139,6 +139,89 @@ object StatTests {
         col("v").as("at_value"))
   }
 
+  /** Gini inequality index per group — the concentration diagnostic for
+    * corpus curation (is one site contributing most of the tokens? is
+    * revenue concentrated in a few keys?): the classic rank formulation
+    *
+    *   G = (2 * sum(i * x_(i)) - (n + 1) * sum(x)) / (n * sum(x))
+    *
+    * over values sorted ascending with 1-based rank i.
+    *
+    * EXACTNESS: values must be INTEGRAL (cents, counts — caller
+    * quantizes); both numerator terms are then exact BIGINT sums, and
+    * ties cannot perturb the result (equal values contribute the same
+    * regardless of rank order among themselves), so the statistic is
+    * deterministic without any tie-break contract. G is the one final
+    * double division, rounded at 7. Null for empty groups or zero sum.
+    *
+    * Scale shape: one per-group window rank (partitioned by group — no
+    * global sort) + one combining aggregate.
+    *
+    * Returns (group, n, total, gini).
+    */
+  def giniIndex(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("x"))
+    val ranked = df.select(col(groupCol).as("group"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    // Per-row i*x fits a Long, but the group SUM does not at
+    // billion-row groups: accumulate in DECIMAL(38,0) (exact, mergeable)
+    // and keep n*total out of integer space entirely.
+    val dec = "decimal(38,0)"
+    val g = ranked.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum((col("i") * col("x")).cast(dec)).as("ix"))
+    val num = (lit(2L).cast(dec) * col("ix") -
+      (col("n") + 1L).cast(dec) * col("total").cast(dec)).cast("double")
+    g.select(col("group"), col("n"), col("total"),
+      round(when(col("total") > 0,
+        num / (col("n").cast("double") * col("total").cast("double"))), 7)
+        .as("gini"))
+  }
+
+  /** Categorical concentration per group — the mixture report a corpus
+    * curator reads per source/site/shard: how many distinct categories,
+    * how concentrated (Herfindahl-Hirschman index = sum of squared
+    * shares), how even (Shannon entropy in bits).
+    *
+    * EXACTNESS: counts are exact; HHI = sum(c^2) / n^2 — both exact
+    * BIGINTs, one division. The entropy sum quantizes PER TERM
+    * (floor(c * ln(c) * 1e6) as BIGINT — the NDCG micro-gain trick), so
+    * the cross-category sum is an order-independent integer and
+    *
+    *   H_bits = (ln(n) - S_micro / 1e6 / n) / ln(2)
+    *
+    * is one pinned double expression, rounded at 7. The 1e-6 per-term
+    * quantization error is orders below any curation decision.
+    *
+    * Scale shape: two combining groupBys ((group, category) then group)
+    * — category-sized shuffles, never row-sized.
+    *
+    * Returns (group, n_obs, k, hhi, entropy_bits).
+    */
+  def concentration(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("group"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val g = counts.groupBy(col("group"))
+      .agg(sum(col("c")).as("n_obs"),
+        count(lit(1)).as("k"),
+        sum(col("c") * col("c")).as("c2"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1000000.0)).cast("long")).as("s_micro"))
+    g.select(col("group"), col("n_obs"), col("k"),
+      round(col("c2").cast("double") /
+        (col("n_obs").cast("double") * col("n_obs").cast("double")), 7).as("hhi"),
+      round((log(col("n_obs").cast("double")) -
+        col("s_micro").cast("double") / lit(1000000.0) / col("n_obs").cast("double"))
+        / log(lit(2.0)), 7).as("entropy_bits"))
+  }
+
   /** Mann-Whitney U with midrank tie handling — the rank-sum alternative
     * to the t-test (no normality assumption; the standard significance
     * test for "did slice A's values shift relative to slice B's").

@@ -75,6 +75,42 @@ class StatTestsSpec extends SparkTestBase {
       .collect()(0).isNullAt(4))
   }
 
+  test("Gini: uniform zero, maximal concentration, hand case, tie invariance") {
+    val df = (Seq.fill(4)(("u", 1L)) ++
+      Seq(("m", 0L), ("m", 0L), ("m", 0L), ("m", 10L)) ++
+      Seq(("h", 1L), ("h", 2L), ("h", 3L), ("h", 4L)))
+      .toDF("g", "x")
+    val got = StatTests.giniIndex(df, "g", "x")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got("u") == 0.0)
+    assert(got("m") == 0.75)   // (n-1)/n, all mass on one holder
+    assert(got("h") == 0.25)   // 2*30 - 5*10 over 4*10
+    // zero total -> null
+    val z = Seq(("z", 0L)).toDF("g", "x")
+    assert(StatTests.giniIndex(z, "g", "x").collect()(0).isNullAt(3))
+    intercept[IllegalArgumentException](
+      StatTests.giniIndex(Seq(("g", 1.0)).toDF("g", "x"), "g", "x"))
+  }
+
+  test("concentration: HHI exact, micro-quantized entropy matches the formula") {
+    val df = (Seq.fill(4)(("s", "a")) ++ Seq.fill(4)(("s", "b")) ++
+      Seq.fill(9)(("t", "a")) ++ Seq.fill(1)(("t", "b")))
+      .toDF("g", "c")
+    val got = StatTests.concentration(df, "g", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    def h(counts: Seq[Long]): Double = {
+      val n = counts.sum.toDouble
+      val sMicro = counts.map(c =>
+        math.floor(c * math.log(c.toDouble) * 1e6).toLong).sum
+      math.rint((math.log(n) - sMicro / 1e6 / n) / math.log(2.0) * 1e7) / 1e7
+    }
+    assert(got("s") == (8L, 2L, 0.5, h(Seq(4L, 4L))))
+    assert(math.abs(got("s")._4 - 1.0) < 1e-5) // even 2-way split ~ 1 bit
+    assert(got("t") == (10L, 2L, 0.82, h(Seq(9L, 1L))))
+  }
+
   test("Mann-Whitney matches a brute-force reference on a larger sample") {
     val rnd = new scala.util.Random(3)
     val as = Seq.fill(40)(rnd.nextInt(30))
