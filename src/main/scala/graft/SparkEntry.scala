@@ -7410,6 +7410,36 @@ object SparkEntry {
       graft.operators.StatTests.concentration(
           t(s, d, "documents"), "source", "lang")
         .orderBy("group")),
+
+    // --- 317. pairwise association rules, oracle-pinned --------------------------------------------------------
+    // Which event types co-occur per user beyond independence: exact
+    // distinct-membership counts, support/confidence/lift as pinned
+    // divisions.
+    "q317_pair_rules" -> ((s, d) =>
+      graft.operators.Baskets.pairRules(
+          t(s, d, "events"), "user_id", "event_type")
+        .orderBy("item_a", "item_b")),
+
+    // --- 318. Cohen's kappa inter-annotator agreement, oracle-pinned -------------------------------------------
+    // Synthetic second rater (every 7th doc relabeled 'en'): exact
+    // agreement + marginal cross-products, one pinned kappa expression.
+    "q318_cohens_kappa" -> ((s, d) => {
+      val labeled = t(s, d, "documents").select(
+        col("lang").as("r1"),
+        when(col("doc_id") % 7 === 0, lit("en"))
+          .otherwise(col("lang")).as("r2"))
+      graft.operators.StatTests.cohensKappa(labeled, "r1", "r2")
+    }),
+
+    // --- 319. Wilson score intervals, oracle-pinned --------------------------------------------------------------
+    // English-rate per source with the interval an eval dashboard should
+    // show: exact (n, successes), pinned center/half expressions.
+    "q319_wilson" -> ((s, d) =>
+      graft.operators.StatTests.wilsonInterval(
+          t(s, d, "documents").select(col("source"),
+            (col("lang") === "en").as("is_en")),
+          "source", "is_en")
+        .orderBy("group")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12714,6 +12744,94 @@ object SparkEntry {
         |    - CAST(s_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
         |      / CAST(n_obs AS DOUBLE)) / ln(CAST(2 AS DOUBLE)), 7)
         |    AS entropy_bits
+        |FROM g ORDER BY "group"""".stripMargin,
+
+    // Association rules replayed on distinct memberships.
+    "q317_pair_rules" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id AS basket, event_type AS item
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM m),
+        |ic AS (SELECT item, count(*) AS n_item FROM m GROUP BY 1),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |      FROM m x JOIN m y ON x.basket = y.basket AND x.item < y.item
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, a.n_item AS n_a, b.n_item AS n_b,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 7) AS support,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(a.n_item AS DOUBLE), 7) AS conf_ab,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(b.n_item AS DOUBLE), 7) AS conf_ba,
+        |  ROUND(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |    / (CAST(a.n_item AS DOUBLE) * CAST(b.n_item AS DOUBLE)), 7) AS lift
+        |FROM p
+        |JOIN ic a ON a.item = item_a
+        |JOIN ic b ON b.item = item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // Kappa: exact agreement and marginal cross-products, the identical
+    // pinned expression.
+    "q318_cohens_kappa" ->
+      """WITH s AS (
+        |  SELECT lang AS r1,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS r2
+        |  FROM documents),
+        |base AS (SELECT count(*) AS n,
+        |           count(CASE WHEN r1 = r2 THEN 1 END) AS n_agree FROM s),
+        |m1 AS (SELECT r1 AS cat, count(*) AS c1 FROM s GROUP BY 1),
+        |m2 AS (SELECT r2 AS cat, count(*) AS c2 FROM s GROUP BY 1),
+        |ch AS (SELECT CAST(coalesce(sum(c1 * c2), 0) AS BIGINT) AS chance_num
+        |       FROM m1 JOIN m2 USING (cat))
+        |SELECT n, n_agree, chance_num,
+        |  ROUND(CASE WHEN n > 0 AND
+        |      CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        < CAST(1 AS DOUBLE) THEN
+        |    (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / (CAST(1 AS DOUBLE)
+        |      - CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    END, 7) AS kappa
+        |FROM base, ch""".stripMargin,
+
+    // Wilson: the identical center/half expressions with every constant
+    // cast to DOUBLE (z^2 written as the same 1.96*1.96 product).
+    "q319_wilson" ->
+      """WITH g AS (
+        |  SELECT source AS "group", count(*) AS n,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS successes
+        |  FROM documents GROUP BY 1)
+        |SELECT "group", n, successes,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) END, 7) AS rate,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    ((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |        / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+        |     / (CAST(1 AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    - (CAST(1.96 AS DOUBLE) * sqrt(
+        |        CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(1 AS DOUBLE) - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |          / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       / (CAST(1 AS DOUBLE)
+        |          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    END, 7) AS lo,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    ((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |        / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+        |     / (CAST(1 AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    + (CAST(1.96 AS DOUBLE) * sqrt(
+        |        CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(1 AS DOUBLE) - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |          / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       / (CAST(1 AS DOUBLE)
+        |          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    END, 7) AS hi
         |FROM g ORDER BY "group"""".stripMargin
   )
 

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pairwise association-rule mining (the support/confidence/lift core of
+  * the classic basket analysis, and the co-occurrence report a corpus
+  * curator reads over tags/domains/event types): which items appear
+  * together more than independence predicts?
+  */
+object Baskets {
+
+  /** All unordered item pairs co-occurring in at least `minPairCount`
+    * baskets, with the three classic measures (Agrawal et al., SIGMOD
+    * 1993 definitions):
+    *
+    *   support(a,b)    = n_ab / n_baskets
+    *   confidence(a→b) = n_ab / n_a   (both directions reported)
+    *   lift(a,b)       = n_ab * n_baskets / (n_a * n_b)
+    *
+    * Exactness: all counts are exact BIGINTs over DISTINCT
+    * (basket, item) memberships (duplicate items in one basket count
+    * once — the standard convention); each measure is one pinned double
+    * expression rounded at 7.
+    *
+    * Scale shape: one distinct pass, one combining per-item count
+    * (broadcast back — item vocabularies are small by nature), and the
+    * pair generation is a basket-keyed self-join whose fan-out is
+    * bounded by the largest basket (cap upstream if baskets can be
+    * pathological: a basket of k items emits k(k-1)/2 pairs).
+    *
+    * Returns (item_a, item_b, n_ab, n_a, n_b, support, conf_ab,
+    * conf_ba, lift) with item_a < item_b.
+    */
+  def pairRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 1L): DataFrame = {
+    val m = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .where(col("item").isNotNull && col("basket").isNotNull)
+      .distinct()
+    val nBaskets = m.select(col("basket")).distinct().count()
+    val itemCounts = m.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = m.as("x").join(m.as("y"), "basket")
+      .where(col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    val withCounts = pairs
+      .join(broadcast(itemCounts.select(col("item").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("item").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+    withCounts.select(col("item_a"), col("item_b"),
+      col("n_ab"), col("n_a"), col("n_b"),
+      round(col("n_ab").cast("double") / lit(nBaskets.toDouble), 7)
+        .as("support"),
+      round(col("n_ab").cast("double") / col("n_a").cast("double"), 7)
+        .as("conf_ab"),
+      round(col("n_ab").cast("double") / col("n_b").cast("double"), 7)
+        .as("conf_ba"),
+      round(col("n_ab").cast("double") * lit(nBaskets.toDouble) /
+        (col("n_a").cast("double") * col("n_b").cast("double")), 7)
+        .as("lift"))
+  }
+}

@@ -222,6 +222,76 @@ object StatTests {
         / log(lit(2.0)), 7).as("entropy_bits"))
   }
 
+  /** Cohen's kappa — inter-annotator agreement for labeled data (the
+    * quality gate on human or model-judge labels before they train
+    * anything): observed agreement corrected for the agreement two
+    * independent raters with these marginals would produce by chance,
+    *
+    *   kappa = (p_o - p_e) / (1 - p_e),
+    *   p_o = agreements / n,  p_e = sum_k (r1_k * r2_k) / n^2.
+    *
+    * Exactness: the agreement count, n, and the marginal cross-products
+    * are exact BIGINTs (per-category products bounded by n^2 — DECIMAL
+    * swap documented past n ~ 3e9); kappa is one pinned double
+    * expression rounded at 7; null when p_e = 1 (both raters constant —
+    * chance correction undefined).
+    *
+    * Scale shape: one combining pass for n/agreements, two
+    * category-sized marginal aggregates joined on category (vocab-sized
+    * shuffle), one broadcast combine.
+    *
+    * Returns one row (n, n_agree, chance_num, kappa) where chance_num =
+    * sum_k r1_k*r2_k (the exact p_e numerator, pinned for the oracle).
+    */
+  def cohensKappa(df: DataFrame, rater1Col: String, rater2Col: String): DataFrame = {
+    val slim = df.select(col(rater1Col).as("r1"), col(rater2Col).as("r2"))
+      .where(col("r1").isNotNull && col("r2").isNotNull)
+    val base = slim.agg(count(lit(1)).as("n"),
+      count(when(col("r1") === col("r2"), 1)).as("n_agree"))
+    val m1 = slim.groupBy(col("r1").as("cat")).agg(count(lit(1)).as("c1"))
+    val m2 = slim.groupBy(col("r2").as("cat")).agg(count(lit(1)).as("c2"))
+    val chance = m1.join(m2, Seq("cat"), "inner")
+      .agg(coalesce(sum(col("c1") * col("c2")), lit(0L)).as("chance_num"))
+    val nD = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nD
+    val pe = col("chance_num").cast("double") / (nD * nD)
+    base.crossJoin(broadcast(chance))
+      .select(col("n"), col("n_agree"), col("chance_num"),
+        round(when(col("n") > 0 && pe < 1.0, (po - pe) / (lit(1.0) - pe)), 7)
+          .as("kappa"))
+  }
+
+  /** Wilson score interval per group — the confidence interval every
+    * eval dashboard should put around a pass rate (the normal
+    * approximation collapses at small n or extreme p; Wilson does not):
+    *
+    *   center = (p + z^2/2n) / (1 + z^2/n)
+    *   half   = z * sqrt(p(1-p)/n + z^2/(4n^2)) / (1 + z^2/n)
+    *
+    * Exactness: (n, successes) are exact; lo/hi are pinned double
+    * expressions over them, rounded at 7. Empty groups yield nulls.
+    *
+    * Returns (group, n, successes, rate, lo, hi).
+    */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(successCol), 1)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    g.select(col("group"), col("n"), col("successes"),
+      round(when(col("n") > 0, p), 7).as("rate"),
+      round(when(col("n") > 0, center - half), 7).as("lo"),
+      round(when(col("n") > 0, center + half), 7).as("hi"))
+  }
+
   /** Mann-Whitney U with midrank tie handling — the rank-sum alternative
     * to the t-test (no normality assumption; the standard significance
     * test for "did slice A's values shift relative to slice B's").

@@ -111,6 +111,64 @@ class StatTestsSpec extends SparkTestBase {
     assert(got("t") == (10L, 2L, 0.82, h(Seq(9L, 1L))))
   }
 
+  test("Cohen's kappa: textbook 2x2, perfect, chance-level, constant-rater null") {
+    // The classic worked example: 2 raters, yes/no, n=50,
+    // agree on 20 yes + 15 no; marginals r1: 25y/25n, r2: 30y/20n.
+    // p_o = 0.7, p_e = (25*30 + 25*20)/2500 = 0.5 -> kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(5)(("y", "n"))
+    val row = StatTests.cohensKappa(rows.toDF("r1", "r2"), "r1", "r2")
+      .collect()(0)
+    assert(row.getLong(0) == 50L && row.getLong(1) == 35L)
+    assert(row.getLong(2) == 1250L)
+    assert(row.getDouble(3) == 0.4)
+    // perfect agreement -> 1
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("r1", "r2")
+    assert(StatTests.cohensKappa(perfect, "r1", "r2")
+      .collect()(0).getDouble(3) == 1.0)
+    // both raters constant -> p_e = 1 -> null
+    val const = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
+    assert(StatTests.cohensKappa(const, "r1", "r2").collect()(0).isNullAt(3))
+  }
+
+  test("Wilson interval: hand case, small-n sanity, extreme p stays in [0,1]") {
+    val df = (Seq.fill(8)(("g", true)) ++ Seq.fill(2)(("g", false)) ++
+      Seq.fill(3)(("z", false))).toDF("grp", "ok")
+    val got = StatTests.wilsonInterval(df, "grp", "ok")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (n, p, z) = (10.0, 0.8, 1.96)
+    val denom = 1.0 + z * z / n
+    val center = (p + z * z / (2 * n)) / denom
+    val half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert(got("g") == (10L, 0.8,
+      math.rint((center - half) * 1e7) / 1e7,
+      math.rint((center + half) * 1e7) / 1e7))
+    // zero successes: lo clamps near 0 but stays nonnegative, hi > 0
+    val (lz, hz) = (got("z")._3, got("z")._4)
+    assert(lz == 0.0 && hz > 0.0 && hz < 1.0)
+  }
+
+  test("pair rules: hand baskets, distinct membership, both confidences, lift") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a} 4:{b,c} (+ duplicate a in basket 3)
+    val df = Seq((1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+      (3, "a"), (3, "a"), (4, "b"), (4, "c")).toDF("basket", "item")
+    val got = Baskets.pairRules(df, "basket", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    // (a,b): n_ab=2, n_a=3, n_b=3; support 0.5, conf 2/3 both, lift 2*4/9
+    assert(got(("a", "b")) == (2L, 3L, 3L, 0.5, 0.6666667, 0.6666667, 0.8888889))
+    // (b,c): n_ab=2, n_b=3, n_c=2: conf_ab 2/3, conf_ba 1.0, lift 8/6
+    assert(got(("b", "c")) == (2L, 3L, 2L, 0.5, 0.6666667, 1.0, 1.3333333))
+    // (a,c): basket 1 only
+    assert(got(("a", "c"))._1 == 1L)
+    // min pair count filters
+    assert(Baskets.pairRules(df, "basket", "item", minPairCount = 2)
+      .count() == 2L)
+  }
+
   test("Mann-Whitney matches a brute-force reference on a larger sample") {
     val rnd = new scala.util.Random(3)
     val as = Seq.fill(40)(rnd.nextInt(30))
