@@ -7440,6 +7440,27 @@ object SparkEntry {
             (col("lang") === "en").as("is_en")),
           "source", "is_en")
         .orderBy("group")),
+
+    // --- 320. ROC AUC via the rank statistic, oracle-pinned ------------------------------------------------------
+    // q302's synthetic informative-but-miscalibrated classifier graded
+    // threshold-free: doubled midranks keep the statistic exact, ties
+    // get half credit automatically, one final division.
+    "q320_roc_auc" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.rocAuc(scored, "p", "y")
+    }),
+
+    // --- 321. population stability index, oracle-pinned ----------------------------------------------------------
+    // click-vs-purchase value drift over 10 fixed-width bins with
+    // add-one smoothing; the PSI sum is a fixed fold in bin order.
+    "q321_psi" -> ((s, d) =>
+      graft.operators.StatTests.populationStability(
+        t(s, d, "events"), "event_type", "value",
+        "click", "purchase", lo = 0.0, hi = 500.0, nBins = 10)),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12832,7 +12853,64 @@ object SparkEntry {
         |       / (CAST(1 AS DOUBLE)
         |          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
         |    END, 7) AS hi
-        |FROM g ORDER BY "group"""".stripMargin
+        |FROM g ORDER BY "group"""".stripMargin,
+
+    // AUC replayed through the same doubled-midrank machinery as q309.
+    "q320_roc_auc" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |         ELSE doc_id % 600 END AS v
+        |  FROM documents),
+        |pv AS (SELECT v, count(CASE WHEN y THEN 1 END) AS cp, count(*) AS t
+        |       FROM s GROUP BY 1),
+        |r AS (SELECT *, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM pv),
+        |m AS (SELECT *, 2 * cum - t + 1 AS mid2 FROM r),
+        |a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |        CAST(sum(t - cp) AS BIGINT) AS n_neg,
+        |        CAST(sum(cp * mid2) AS BIGINT) AS r2 FROM m)
+        |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2,
+        |  ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |    END, 7) AS auc
+        |FROM a""".stripMargin,
+
+    // PSI: identical bin arithmetic, add-one smoothing, the same fixed
+    // ten-term fold.
+    "q321_psi" -> {
+      val terms = (0 until 10).map { i =>
+        val pa = s"(CAST(a$i + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE))"
+        val pb = s"(CAST(b$i + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE))"
+        s"($pa - $pb) * ln($pa / $pb)"
+      }.mkString("\n    + ")
+      val sums = (0 until 10).flatMap(i => Seq(
+        s"CAST(sum(CASE WHEN bin = $i THEN ca ELSE 0 END) AS BIGINT) AS a$i",
+        s"CAST(sum(CASE WHEN bin = $i THEN cb ELSE 0 END) AS BIGINT) AS b$i"))
+        .mkString(",\n  ")
+      s"""WITH slim AS (
+         |  SELECT event_type AS g,
+         |    least(greatest(CAST(floor((CAST(value AS DOUBLE)
+         |      - CAST(0 AS DOUBLE)) / CAST(500 AS DOUBLE)
+         |      * CAST(10 AS DOUBLE)) AS BIGINT), 0), 9) AS bin
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+         |counts AS (SELECT bin, count(CASE WHEN g = 'click' THEN 1 END) AS ca,
+         |             count(CASE WHEN g = 'purchase' THEN 1 END) AS cb
+         |           FROM slim GROUP BY 1),
+         |wide AS (SELECT
+         |  $sums
+         |  FROM counts),
+         |w2 AS (SELECT *,
+         |  a0+a1+a2+a3+a4+a5+a6+a7+a8+a9 AS n_a,
+         |  b0+b1+b2+b3+b4+b5+b6+b7+b8+b9 AS n_b FROM wide)
+         |SELECT n_a, n_b,
+         |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    $terms
+         |  END, 7) AS psi
+         |FROM w2""".stripMargin
+    }
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

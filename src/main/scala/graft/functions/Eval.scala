@@ -214,4 +214,44 @@ object Eval {
           .otherwise(when(col("precision").isNotNull &&
             col("recall").isNotNull, 0.0)), 7))
   }
+
+  /** ROC AUC via the rank statistic (the Mann-Whitney identity: AUC =
+    * P(score_pos > score_neg) + P(=)/2) — threshold-free classifier
+    * quality, computed EXACTLY:
+    *
+    *   AUC = (R2_pos - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)
+    *
+    * where R2_pos is the sum of DOUBLED midranks of the positives (a
+    * tie run over competition ranks [lo, hi] has 2*midrank = lo + hi,
+    * an exact BIGINT — the same device as
+    * [[graft.operators.StatTests.mannWhitneyU]]). Score ties across
+    * classes get the standard half credit automatically. One final
+    * division, rounded at 7; null when either class is empty.
+    *
+    * Scale shape: one combining groupBy on the score value + one window
+    * cumsum over the DISTINCT score domain (quantize unbounded scores
+    * first) + a 1-row aggregate — row count never enters a window.
+    *
+    * Returns one row (n_pos, n_neg, u2, auc).
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val slim = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("v"), col(labelCol).as("y"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("y"), 1)).as("cp"), count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = perValue.withColumn("cum", sum(col("t")).over(w))
+      .withColumn("mid2", lit(2L) * col("cum") - col("t") + 1L)
+    val agg = ranked.agg(
+      sum(col("cp")).as("n_pos"),
+      sum(col("t") - col("cp")).as("n_neg"),
+      sum(col("cp") * col("mid2")).as("r2_pos"))
+    val u2 = col("r2_pos") - col("n_pos") * (col("n_pos") + 1L)
+    agg.select(col("n_pos"), col("n_neg"), u2.as("u2"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0,
+        u2.cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))),
+        7).as("auc"))
+  }
 }

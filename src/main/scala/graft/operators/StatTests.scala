@@ -222,6 +222,57 @@ object StatTests {
         / log(lit(2.0)), 7).as("entropy_bits"))
   }
 
+  /** Population stability index — the ML-monitoring drift score (the
+    * standard "did the serving distribution move off the training
+    * one?") over FIXED equal-width bins:
+    *
+    *   PSI = sum over bins of (p_a - p_b) * ln(p_a / p_b)
+    *
+    * with add-one smoothing (c+1 over n+nBins) so empty bins are
+    * defined — the pinned alternative to the ad-hoc epsilon every PSI
+    * implementation otherwise invents. Values clamp into [lo, hi);
+    * out-of-range mass lands in the edge bins, so the index is total.
+    *
+    * Exactness: bin counts are exact BIGINTs (the bin index is floor
+    * arithmetic over one pinned double expression); the PSI sum is a
+    * FIXED fold in bin order over the pivoted counts (the Benford
+    * device), one term per bin — never a partition-ordered float sum.
+    * Rounded at 7.
+    *
+    * Scale shape: one combining groupBy on (slice, bin) + a fixed-width
+    * pivot; nothing row-sized shuffles twice.
+    *
+    * Returns one row (n_a, n_b, psi).
+    */
+  def populationStability(df: DataFrame, sliceCol: String, valueCol: String,
+      a: String, b: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"nBins must be in [2, 64], got $nBins")
+    require(hi > lo, s"hi must exceed lo, got [$lo, $hi)")
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo)
+        * lit(nBins.toDouble)).cast("long"), lit(0L)), lit((nBins - 1).toLong))
+    val counts = df.where(col(sliceCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(sliceCol).as("g"), bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    val aggs = (0 until nBins).flatMap(i => Seq(
+      sum(when(col("bin") === i.toLong, col("ca")).otherwise(0L)).as(s"a$i"),
+      sum(when(col("bin") === i.toLong, col("cb")).otherwise(0L)).as(s"b$i")))
+    val wide = counts.agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_a", (0 until nBins).map(i => col(s"a$i")).reduce(_ + _))
+      .withColumn("n_b", (0 until nBins).map(i => col(s"b$i")).reduce(_ + _))
+    val psi = (0 until nBins).map { i =>
+      val pa = (col(s"a$i") + 1L).cast("double") /
+        (col("n_a") + nBins.toLong).cast("double")
+      val pb = (col(s"b$i") + 1L).cast("double") /
+        (col("n_b") + nBins.toLong).cast("double")
+      (pa - pb) * log(pa / pb)
+    }.reduce(_ + _)
+    wide.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, psi), 7).as("psi"))
+  }
+
   /** Cohen's kappa — inter-annotator agreement for labeled data (the
     * quality gate on human or model-judge labels before they train
     * anything): observed agreement corrected for the agreement two

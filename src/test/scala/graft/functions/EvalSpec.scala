@@ -144,4 +144,25 @@ class EvalSpec extends SparkTestBase {
     val z = got("z")
     assert(z.isNullAt(4) && z.getDouble(5) == 0.0)
   }
+
+  test("ROC AUC: perfect, random, hand ties, brute-force parity, empty-class null") {
+    def auc(rows: Seq[(Double, Boolean)]): org.apache.spark.sql.Row =
+      Eval.rocAuc(rows.toDF("score", "y"), "score", "y").collect()(0)
+    // perfect separation -> 1.0; inverted -> 0.0
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false))).getDouble(3) == 1.0)
+    assert(auc(Seq((0.1, true), (0.9, false))).getDouble(3) == 0.0)
+    // all scores tied -> 0.5 (half credit everywhere)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true))).getDouble(3) == 0.5)
+    // brute force: AUC = (#(pos>neg) + #(pos=neg)/2) / (np*nn)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(60)((rnd.nextInt(20) / 20.0, rnd.nextBoolean()))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val want = math.rint(wins.toDouble / (2.0 * pos.size * neg.size) * 1e7) / 1e7
+    assert(auc(rows).getDouble(3) == want)
+    // one class empty -> null
+    assert(auc(Seq((0.5, true), (0.7, true))).isNullAt(3))
+  }
 }

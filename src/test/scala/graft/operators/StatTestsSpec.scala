@@ -169,6 +169,34 @@ class StatTestsSpec extends SparkTestBase {
       .count() == 2L)
   }
 
+  test("PSI: identical slices zero, known shift, smoothing defines empty bins") {
+    // identical distributions -> PSI exactly 0 (every pa == pb)
+    val same = (1 to 40).flatMap(i => Seq(("a", i % 10 * 10.0), ("b", i % 10 * 10.0)))
+      .toDF("g", "v")
+    val r0 = StatTests.populationStability(same, "g", "v", "a", "b",
+      lo = 0.0, hi = 100.0, nBins = 10).collect()(0)
+    assert(r0.getLong(0) == 40L && r0.getLong(1) == 40L && r0.getDouble(2) == 0.0)
+
+    // hand case, 2 bins: a = 8 low / 2 high, b = 2 low / 8 high
+    val df = (Seq.fill(8)(("a", 1.0)) ++ Seq.fill(2)(("a", 9.0)) ++
+      Seq.fill(2)(("b", 1.0)) ++ Seq.fill(8)(("b", 9.0))).toDF("g", "v")
+    val r = StatTests.populationStability(df, "g", "v", "a", "b",
+      0.0, 10.0, 2).collect()(0)
+    def term(caI: Long, cbI: Long): Double = {
+      val pa = (caI + 1).toDouble / 12.0
+      val pb = (cbI + 1).toDouble / 12.0
+      (pa - pb) * math.log(pa / pb)
+    }
+    val want = math.rint((term(8, 2) + term(2, 8)) * 1e7) / 1e7
+    assert(r.getDouble(2) == want)
+    assert(r.getDouble(2) > 0.25, "a clear shift must read as major drift")
+
+    // a bin empty on one side is still defined (smoothing)
+    val oneSided = (Seq.fill(5)(("a", 1.0)) ++ Seq.fill(5)(("b", 9.0))).toDF("g", "v")
+    assert(!StatTests.populationStability(oneSided, "g", "v", "a", "b",
+      0.0, 10.0, 2).collect()(0).isNullAt(2))
+  }
+
   test("Mann-Whitney matches a brute-force reference on a larger sample") {
     val rnd = new scala.util.Random(3)
     val as = Seq.fill(40)(rnd.nextInt(30))
