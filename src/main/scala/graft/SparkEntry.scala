@@ -7461,6 +7461,49 @@ object SparkEntry {
       graft.operators.StatTests.populationStability(
         t(s, d, "events"), "event_type", "value",
         "click", "purchase", lo = 0.0, hi = 500.0, nBins = 10)),
+
+    // --- 322. soundex phonetic blocking, oracle-pinned ------------------------------------------------------------
+    // The phonetic member of the fuzzy-matching family (beside q65
+    // Levenshtein, q252 Jaro-Winkler): fourteen constructed surnames
+    // whose classic codes — including the tricky ASHCRAFT/TYMCZAK/
+    // PFISTER cases — are restated closed-form per construction class.
+    "q322_soundex" -> ((s, d) => {
+      val names = Seq("ROBERT", "RUPERT", "SMITH", "SMYTH", "JOHNSON",
+        "JANSEN", "MILLER", "MULLER", "WILSON", "WOLSON", "ASHCRAFT",
+        "TYMCZAK", "PFISTER", "HONEYMAN")
+      val k = col("c_custkey")
+      val name = names.zipWithIndex.tail.foldLeft(
+        when(k % 14 === 0, lit(names.head))) { case (acc, (n, i)) =>
+        acc.when(k % 14 === i, lit(n))
+      }
+      t(s, d, "customer").where(k.between(1, 2000))
+        .select(k.as("ck"), name.as("name"))
+        .select(col("ck"), col("name"), soundex(col("name")).as("sdx"))
+        .orderBy("ck")
+    }),
+
+    // --- 323. CUSUM changepoint scan, oracle-pinned ----------------------------------------------------------------
+    // Where each event type's value level shifts most: the argmax runs
+    // on EXACT integers (n*cum - t*S), only the reported magnitude
+    // divides.
+    "q323_cusum" -> ((s, d) =>
+      graft.operators.Trend.cusumChangepoint(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value")).cast("long").as("v")),
+          "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
+    // --- 324. autocorrelation function, oracle-pinned ----------------------------------------------------------------
+    // Lags 1..3 of each event type's value series: exact sufficient
+    // statistics, one pinned expression per lag.
+    "q324_acf" -> ((s, d) =>
+      graft.operators.Trend.autocorrelation(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value")).cast("long").as("v")),
+          "event_type", Seq("ts", "event_id"), "v", maxLag = 3)
+        .orderBy("group", "lag")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -12910,6 +12953,85 @@ object SparkEntry {
          |    $terms
          |  END, 7) AS psi
          |FROM w2""".stripMargin
+    },
+
+    // Soundex codes restated closed-form per construction class (the
+    // probed classic values, incl. ASHCRAFT A261 / TYMCZAK T522 /
+    // PFISTER P236 / HONEYMAN H555).
+    "q322_soundex" -> {
+      val codes = Seq("ROBERT" -> "R163", "RUPERT" -> "R163",
+        "SMITH" -> "S530", "SMYTH" -> "S530", "JOHNSON" -> "J525",
+        "JANSEN" -> "J525", "MILLER" -> "M460", "MULLER" -> "M460",
+        "WILSON" -> "W425", "WOLSON" -> "W425", "ASHCRAFT" -> "A261",
+        "TYMCZAK" -> "T522", "PFISTER" -> "P236", "HONEYMAN" -> "H555")
+      val nameCase = codes.zipWithIndex
+        .map { case ((n, _), i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+      val codeCase = codes.zipWithIndex
+        .map { case ((_, c), i) => s"WHEN $i THEN '$c'" }.mkString(" ")
+      s"""SELECT c_custkey AS ck,
+         |  CASE c_custkey % 14 $nameCase END AS name,
+         |  CASE c_custkey % 14 $codeCase END AS sdx
+         |FROM customer WHERE c_custkey BETWEEN 1 AND 2000
+         |ORDER BY ck""".stripMargin
+    },
+
+    // CUSUM replayed: exact |n*cum - t*S| argmax with min-t tie-break.
+    "q323_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, ts, event_id, CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |sc AS (SELECT g,
+        |    ROW_NUMBER() OVER w AS t, SUM(v) OVER w AS cum,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    SUM(v) OVER (PARTITION BY g) AS tot
+        |  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |d AS (SELECT g, n, t, abs(n * cum - t * tot) AS dev FROM sc),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev DESC, t) AS rk
+        |      FROM d)
+        |SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        |  CAST(t AS BIGINT) AS cp_index,
+        |  ROUND(CASE WHEN n >= 2 THEN
+        |    CAST(dev AS DOUBLE) / CAST(n AS DOUBLE) END, 7) AS cp_stat
+        |FROM r WHERE rk = 1 ORDER BY "group"""".stripMargin,
+
+    // ACF replayed: lag windows, exact sufficient statistics, the
+    // identical pinned expression per lag.
+    "q324_acf" -> {
+      val lagAggs = (1 to 3).map(k =>
+        s"""sum(v * l$k) AS c$k,
+           |    sum(CASE WHEN l$k IS NOT NULL THEN v END) AS s1_$k,
+           |    sum(l$k) AS s2_$k""".stripMargin).mkString(",\n    ")
+      val branches = (1 to 3).map { k =>
+        s"""SELECT g AS "group", CAST($k AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           |  ROUND(CASE WHEN n > $k AND
+           |      CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0 THEN
+           |    (CAST(c$k AS DOUBLE)
+           |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * CAST(s1_$k + s2_$k AS DOUBLE)
+           |      + CAST(n - $k AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    END, 7) AS r
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |l AS (SELECT g, v,
+         |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+         |    lag(v, 3) OVER w AS l3
+         |  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+         |a AS (SELECT g, count(*) AS n, sum(v) AS s, sum(v * v) AS q,
+         |    $lagAggs
+         |  FROM l GROUP BY 1)
+         |SELECT * FROM ($branches)
+         |ORDER BY "group", lag""".stripMargin
     }
   )
 

@@ -93,4 +93,114 @@ object Trend {
     df.withColumn("decay", decay)
       .withColumn("rn", row_number().over(w))
   }
+
+  /** Sample autocorrelation r_k per group for lags 1..maxLag — the
+    * periodicity/burstiness diagnostic of the time-series family (is
+    * traffic daily-periodic? are errors bursty?):
+    *
+    *   r_k = sum_{t>k} (x_t - m)(x_{t-k} - m) / sum_t (x_t - m)^2,
+    *   m = mean(x)
+    *
+    * EXACTNESS: integral x; the sufficient statistics — n, S = sum(x),
+    * Q = sum(x^2), and per lag C_k = sum(x_t * x_{t-k}),
+    * S1_k = sum_{t>k} x_t, S2_k = sum_{t>k} x_{t-k} — are exact (per-row
+    * products in BIGINT, accumulated in DECIMAL(38,0)); r_k expands to
+    * ONE pinned double expression over them:
+    *
+    *   r_k = (C_k - m*(S1_k + S2_k) + (n-k)*m^2) / (Q - n*m^2)
+    *
+    * rounded at 7; null where the variance is 0 or n <= k.
+    *
+    * Scale shape: one window pass computes all maxLag lag columns in a
+    * single frame; one combining groupBy carries 3*maxLag+3 numbers per
+    * group — statistics ARE the shuffle payload.
+    *
+    * Returns (group, lag, n, r).
+    */
+  def autocorrelation(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag must be in [1, 32], got $maxLag")
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("long")
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      (col(groupCol).as("group") +: x.as("x") +: orderCols.map(col)): _*)
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("x"), k).over(
+        Window.partitionBy(col("group")).orderBy(orderCols.map(col): _*)))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("s"),
+      sum((col("x") * col("x")).cast(dec)).as("q")) ++
+      (1 to maxLag).flatMap(k => Seq(
+        sum((col("x") * col(s"__l$k")).cast(dec)).as(s"c$k"),
+        sum(when(col(s"__l$k").isNotNull, col("x")).cast(dec)).as(s"s1_$k"),
+        sum(col(s"__l$k").cast(dec)).as(s"s2_$k")))
+    val g = lagged.groupBy(col("group")).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val m = col("s").cast("double") / nD
+    val den = col("q").cast("double") - nD * m * m
+    val perLag = (1 to maxLag).map { k =>
+      val num = col(s"c$k").cast("double") -
+        m * (col(s"s1_$k") + col(s"s2_$k")).cast("double") +
+        (col("n") - k.toLong).cast("double") * m * m
+      struct(lit(k).as("lag"),
+        round(when(col("n") > k.toLong && den > 0.0, num / den), 7).as("r"))
+    }
+    g.select(col("group"), col("n"), explode(array(perLag: _*)).as("lr"))
+      .select(col("group"), col("lr.lag").as("lag"), col("n"), col("lr.r").as("r"))
+  }
+
+  /** CUSUM changepoint detection per group — where did the level of a
+    * series shift? The classic mean-centered cumulative-sum scan:
+    *
+    *   cusum_t = sum_{i<=t} x_i - t * mean,   cp = argmax_t |cusum_t|
+    *
+    * computed EXACTLY: with integral x, `n * cusum_t = n * cum_t - t * S`
+    * is an exact BIGINT (S = series sum), so the argmax — the decision —
+    * is chosen on exact integers with a smallest-t tie-break, and only
+    * the reported magnitude `max|cusum| / n` is a (single, rounded)
+    * division. No float ever enters the comparison.
+    *
+    * Scale shape: one per-group window cumsum (ordered by `orderCols`)
+    * + one per-group top-1; per-row products n*cum and t*S are kept in
+    * DECIMAL(38,0) so long series with large values cannot wrap.
+    *
+    * Returns (group, n, cp_index, cp_stat) — cp_index is the 1-based
+    * position AFTER which the shift is largest; null stat for n < 2.
+    */
+  def cusumChangepoint(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(groupCol))
+    val dec = "decimal(38,0)"
+    val scanned = df
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+      .withColumn("__cum", sum(col(valueCol).cast("long")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col(valueCol).cast("long")).over(wAll))
+      .withColumn("__dev",
+        abs(col("__n").cast(dec) * col("__cum").cast(dec) -
+          col("__t").cast(dec) * col("__s").cast(dec)))
+    val pick = Window.partitionBy(col(groupCol))
+      .orderBy(desc("__dev"), col("__t"))
+    scanned.withColumn("__rk", row_number().over(pick))
+      .where(col("__rk") === 1)
+      .select(col(groupCol).as("group"), col("__n").as("n"),
+        col("__t").as("cp_index"),
+        round(when(col("__n") >= 2,
+          col("__dev").cast("double") / col("__n").cast("double")), 7)
+          .as("cp_stat"))
+  }
 }

@@ -74,4 +74,70 @@ class TrendSpec extends SparkTestBase {
       Trend.dyadicDecay(Seq(("g", 1L, 2.0)).toDF("g", "t", "v"),
         "g", Seq("t"), "v"))
   }
+
+  test("autocorrelation: alternating series r1 = -1, reference parity, flat null") {
+    // perfectly alternating 0,4,0,4,... -> r1 = -1, r2 = +1 (up to the
+    // finite-sample end terms; use the textbook formula as reference)
+    def ref(xs: Seq[Long], k: Int): Double = {
+      val n = xs.size
+      val m = xs.sum.toDouble / n
+      val num = (k until n).map(t => (xs(t) - m) * (xs(t - k) - m)).sum
+      val den = xs.map(x => (x - m) * (x - m)).sum
+      math.rint(num / den * 1e7) / 1e7
+    }
+    val alt = (0 until 12).map(i => if (i % 2 == 0) 0L else 4L)
+    val df = alt.zipWithIndex.map { case (x, i) => ("a", (i + 1).toLong, x) }
+      .toDF("g", "t", "v")
+    val got = Trend.autocorrelation(df, "g", Seq("t"), "v", maxLag = 3)
+      .collect().map(r => r.getInt(1) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got(1) == ref(alt, 1) && got(1) < -0.9)
+    assert(got(2) == ref(alt, 2) && got(2) > 0.8)
+    assert(got(3) == ref(alt, 3))
+
+    // noisy reference parity
+    val rnd = new scala.util.Random(9)
+    val xs = Seq.fill(50)(rnd.nextInt(100).toLong)
+    val df2 = xs.zipWithIndex.map { case (x, i) => ("b", (i + 1).toLong, x) }
+      .toDF("g", "t", "v")
+    val got2 = Trend.autocorrelation(df2, "g", Seq("t"), "v", maxLag = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    (1 to 4).foreach(k => assert(got2(k) == ref(xs, k), s"lag $k"))
+
+    // constant series: zero variance -> null r
+    val flat = (1 to 6).map(t => ("c", t.toLong, 5L)).toDF("g", "t", "v")
+    assert(Trend.autocorrelation(flat, "g", Seq("t"), "v", 2)
+      .collect().forall(_.isNullAt(3)))
+  }
+
+  test("CUSUM changepoint: clean level shift found exactly, flat series ties to t=1") {
+    // group a: 0,0,0,0,10,10,10,10 -> shift after t=4.
+    // mean 5; cusum_t = cum - 5t peaks (in |.|) at t=4: |0-20|=20.
+    val a = (1 to 4).map(t => ("a", t.toLong, 0L)) ++
+      (5 to 8).map(t => ("a", t.toLong, 10L))
+    // group b: flat -> every cusum is 0, tie-break picks t=1, stat 0
+    val b = (1 to 5).map(t => ("b", t.toLong, 7L))
+    val got = Trend.cusumChangepoint((a ++ b).toDF("g", "t", "v"),
+      "g", Seq("t"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a") == (8L, 4L, 20.0))
+    assert(got("b") == (5L, 1L, 0.0))
+
+    // reference scan on a noisy series: argmax of |n*cum - t*S|, min t
+    val rnd = new scala.util.Random(5)
+    val xs = Seq.fill(30)(rnd.nextInt(10).toLong) ++
+      Seq.fill(30)(rnd.nextInt(10) + 6L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("c", (i + 1).toLong, x) }
+      .toDF("g", "t", "v")
+    val row = Trend.cusumChangepoint(df, "g", Seq("t"), "v").collect()(0)
+    val s = xs.sum
+    val n = xs.size.toLong
+    val devs = xs.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+      case (cum, i) => (math.abs(n * cum - (i + 1) * s), (i + 1).toLong)
+    }
+    val best = devs.maxBy(d => (d._1, -d._2))
+    assert(row.getLong(2) == best._2)
+    assert(row.getDouble(3) == math.rint(best._1.toDouble / n * 1e7) / 1e7)
+  }
 }
