@@ -7504,6 +7504,28 @@ object SparkEntry {
               floor(col("value")).cast("long").as("v")),
           "event_type", Seq("ts", "event_id"), "v", maxLag = 3)
         .orderBy("group", "lag")),
+
+    // --- 325. longest common subsequence, oracle-pinned ---------------------------------------------------------
+    // The diff/near-version kernel completing the similarity ledger:
+    // three constructed shapes — insertion-only revision (the original
+    // IS the LCS), identical, disjoint — every len/sim restated in
+    // closed-form LENGTH arithmetic.
+    "q325_lcs" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val a = when(m === 0, concat(lit("alpha beta gamma delta "), id))
+        .when(m === 1, concat(lit("same text "), id))
+        .otherwise(concat(lit("xxxxx"), lit("x")))
+      val b = when(m === 0, concat(lit("alpha beta INSERT gamma delta "), id))
+        .when(m === 1, concat(lit("same text "), id))
+        .otherwise(lit("yyy"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.lcs(a, b).as("r"))
+        .select(col("doc_id"), col("r.len").as("lcs_len"),
+          col("r.sim").as("sim"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13032,7 +13054,23 @@ object SparkEntry {
          |  FROM l GROUP BY 1)
          |SELECT * FROM ($branches)
          |ORDER BY "group", lag""".stripMargin
-    }
+    },
+
+    // LCS shapes restated in closed-form length arithmetic: the
+    // insertion-only revision's LCS is the whole original.
+    "q325_lcs" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 23 + length(CAST(doc_id AS VARCHAR))
+        |    WHEN 1 THEN 10 + length(CAST(doc_id AS VARCHAR))
+        |    ELSE 0 END AS BIGINT) AS lcs_len,
+        |  ROUND(CASE doc_id % 3
+        |    WHEN 0 THEN
+        |      CAST(2 * (23 + length(CAST(doc_id AS VARCHAR))) AS DOUBLE)
+        |        / CAST(53 + 2 * length(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+        |    WHEN 1 THEN CAST(1 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END, 7) AS sim
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

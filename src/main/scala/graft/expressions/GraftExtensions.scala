@@ -379,6 +379,14 @@ object GraftExtensions {
           "graft_jaro_winkler(string, string)")
       }),
     (
+      FunctionIdentifier("graft_lcs"),
+      new ExpressionInfo(classOf[LcsExpr].getName, "graft_lcs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => LcsExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_lcs(string, string)")
+      }),
+    (
       FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[PorterStemExpr].getName, "graft_stem"),
       (args: Seq[Expression]) => args match {

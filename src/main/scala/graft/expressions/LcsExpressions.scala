@@ -1,0 +1,88 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Longest common subsequence — the remaining member of the string-
+  * similarity family ledger: Levenshtein (q65) charges every edit,
+  * Jaro-Winkler (q252) scores whole short identifiers, Smith-Waterman
+  * (q292) finds the best CONTIGUOUS local span; LCS measures how much
+  * ORDERED content two strings share regardless of what was inserted
+  * between — the `diff`/near-version kernel (unified diffs are exactly
+  * the complement of an LCS), and the similarity to reach for when one
+  * document is an edited revision of another.
+  *
+  * Pinned definition: character-level classic DP (two-row, O(n*m) time,
+  * O(min side) heap), `sim = 2 * lcs / (l1 + l2)` (the Dice-style
+  * normalization diff tools report) rounded at 7; both-empty pairs
+  * score sim 1 (identical), one-empty 0. A 512-char bomb cap returns
+  * null (same contract as Smith-Waterman — document-pair work, not
+  * books; chunk or fingerprint first at scale).
+  */
+object LcsCodec {
+
+  private final val MaxLen = 512
+
+  def lcs(x: UTF8String, y: UTF8String): Any = {
+    val a0 = x.toString
+    val b0 = y.toString
+    if (a0.length > MaxLen || b0.length > MaxLen) return null
+    // keep the shorter string on the DP row for O(min) heap
+    val (a, b) = if (a0.length >= b0.length) (a0, b0) else (b0, a0)
+    val n = a.length
+    val m = b.length
+    val out = new Array[Any](2)
+    if (n == 0 && m == 0) {
+      out(0) = 0L; out(1) = 1.0
+      return new GenericInternalRow(out)
+    }
+    val prev = new Array[Long](m + 1)
+    val cur = new Array[Long](m + 1)
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (a.charAt(i - 1) == b.charAt(j - 1)) prev(j - 1) + 1L
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    val len = prev(m)
+    out(0) = len
+    out(1) = math.rint(2.0 * len / (n + m).toDouble * 1e7) / 1e7
+    new GenericInternalRow(out)
+  }
+}
+
+/** `(string, string)` -> struct<len,sim> ([[LcsCodec.lcs]]). */
+case class LcsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("len", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def nullSafeEval(x: Any, y: Any): Any =
+    LcsCodec.lcs(x.asInstanceOf[UTF8String], y.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.expressions.LcsCodec.lcs($x, $y);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_lcs"
+}

@@ -739,6 +739,19 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Longest common subsequence ([[graft.expressions.LcsExpr]]):
+    * struct<len,sim> — how much ORDERED content two strings share
+    * regardless of insertions between; the diff/near-version kernel
+    * completing the similarity ledger (Levenshtein/Jaro-Winkler/
+    * Smith-Waterman). sim = 2*lcs/(l1+l2) at 7 decimals; 512-char cap
+    * yields null.
+    */
+  def lcs(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.LcsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Porter stem of one word ([[graft.expressions.PorterStemExpr]], the
     * original 1980 rules): the retrieval-side normalization for BM25
     * term unification and keyword overlap. Compose over token arrays

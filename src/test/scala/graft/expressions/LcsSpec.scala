@@ -1,0 +1,66 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** LCS: hand DP cases, the revision-similarity property, dynamic-
+  * programming parity against a recursive reference, the cap, SQL.
+  */
+class LcsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(a: String, b: String): Option[(Long, Double)] =
+    Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.TextFunctions.lcs(col("a"), col("b")).as("r"))
+      .select(col("r.len"), col("r.sim"))
+      .collect().headOption.flatMap(r =>
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getDouble(1))))
+
+  test("hand cases: textbook pairs, identity, disjoint, empties") {
+    assert(run("ABCBDAB", "BDCABA").contains((4L, 0.6153846))) // BCBA / BDAB
+    assert(run("kitten", "sitting").contains((4L, 0.6153846))) // ittn
+    assert(run("same", "same").contains((4L, 1.0)))
+    assert(run("abc", "xyz").contains((0L, 0.0)))
+    assert(run("", "").contains((0L, 1.0)))
+    assert(run("abc", "").contains((0L, 0.0)))
+  }
+
+  test("revision property: an insertion-only edit keeps the original as LCS") {
+    val original = "the quick brown fox jumps over the lazy dog"
+    val revised = "the quick RED brown fox jumps NOW over the lazy dog"
+    val (len, sim) = run(original, revised).get
+    assert(len == original.length)
+    assert(sim == math.rint(2.0 * original.length /
+      (original.length + revised.length).toDouble * 1e7) / 1e7)
+  }
+
+  test("matches a recursive reference on random short strings") {
+    def ref(a: String, b: String): Int = {
+      val memo = Array.fill(a.length + 1, b.length + 1)(-1)
+      def go(i: Int, j: Int): Int = {
+        if (i == 0 || j == 0) 0
+        else if (memo(i)(j) >= 0) memo(i)(j)
+        else {
+          val v = if (a.charAt(i - 1) == b.charAt(j - 1)) go(i - 1, j - 1) + 1
+            else math.max(go(i - 1, j), go(i, j - 1))
+          memo(i)(j) = v; v
+        }
+      }
+      go(a.length, b.length)
+    }
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 25) {
+      val a = rnd.alphanumeric.take(rnd.nextInt(15) + 1).mkString.toLowerCase
+      val b = rnd.alphanumeric.take(rnd.nextInt(15) + 1).mkString.toLowerCase
+      assert(run(a, b).get._1 == ref(a, b).toLong, s"'$a' vs '$b'")
+    }
+  }
+
+  test("bomb cap nulls past 512 chars; SQL surface resolves") {
+    assert(run("x" * 513, "y").isEmpty)
+    assert(run("x" * 512, "x" * 512).contains((512L, 1.0)))
+    val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)
+    assert(sqlS.sql("SELECT graft_lcs('abcd', 'acd').len AS l")
+      .head().getLong(0) == 3L)
+  }
+}
