@@ -7526,6 +7526,17 @@ object SparkEntry {
           col("r.sim").as("sim"))
         .orderBy("doc_id")
     }),
+
+    // --- 326. log-odds lexical divergence with informative prior, oracle-pinned -----------------------------
+    // Monroe et al. 2008 "Fightin' Words" over the real corpus: which
+    // tokens distinguish en from de documents, with the combined corpus
+    // as the Dirichlet prior (pinned integer prior — a_w = combined
+    // count, a0 = combined total). Top 40 by z desc.
+    "q326_log_odds" -> ((s, d) =>
+      graft.functions.Collocations.logOddsPrior(
+          t(s, d, "documents"), "text", "lang", "en", "de", minCount = 10)
+        .orderBy(desc("z"), col("word"))
+        .limit(40)),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13070,7 +13081,36 @@ object SparkEntry {
         |        / CAST(53 + 2 * length(CAST(doc_id AS VARCHAR)) AS DOUBLE)
         |    WHEN 1 THEN CAST(1 AS DOUBLE)
         |    ELSE CAST(0 AS DOUBLE) END, 7) AS sim
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Log-odds with informative prior replayed: same tokenization, same
+    // integer prior (a_w = combined count, a0 = combined total), the
+    // identical pinned expression.
+    "q326_log_odds" ->
+      """WITH toks AS (
+        |  SELECT lang = 'en' AS is_i,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |t2 AS (SELECT * FROM toks WHERE word <> ''),
+        |c AS (SELECT word,
+        |        count(CASE WHEN is_i THEN 1 END) AS y_i,
+        |        count(CASE WHEN NOT is_i THEN 1 END) AS y_j
+        |      FROM t2 GROUP BY 1),
+        |tot AS (SELECT sum(y_i) AS n_i, sum(y_j) AS n_j FROM c),
+        |scored AS (
+        |  SELECT word, y_i, y_j,
+        |    ln(CAST(y_i + (y_i + y_j) AS DOUBLE)
+        |       / CAST(n_i + (n_i + n_j) - y_i - (y_i + y_j) AS DOUBLE))
+        |    - ln(CAST(y_j + (y_i + y_j) AS DOUBLE)
+        |       / CAST(n_j + (n_i + n_j) - y_j - (y_i + y_j) AS DOUBLE)) AS delta,
+        |    CAST(1 AS DOUBLE) / CAST(y_i + (y_i + y_j) AS DOUBLE)
+        |      + CAST(1 AS DOUBLE) / CAST(y_j + (y_i + y_j) AS DOUBLE) AS v
+        |  FROM c, tot WHERE y_i + y_j >= 10)
+        |SELECT word, y_i, y_j, ROUND(delta, 7) AS delta,
+        |  ROUND(delta / sqrt(v), 7) AS z
+        |FROM scored
+        |ORDER BY ROUND(delta / sqrt(v), 7) DESC NULLS LAST, word
+        |LIMIT 40""".stripMargin
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

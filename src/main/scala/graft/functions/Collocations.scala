@@ -59,4 +59,50 @@ object Collocations {
           (col("c1").cast("double") * col("c2").cast("double"))), 7)
           .as("pmi"))
   }
+
+  /** Log-odds lexical divergence with an informative Dirichlet prior
+    * (Monroe, Colaresi & Quinn, "Fightin' Words", Political Analysis
+    * 2008) — WHICH words distinguish slice i from slice j, without the
+    * rare-word explosion raw log-odds or PMI suffer: the combined corpus
+    * is the prior, so a word must beat its corpus-wide rate to score.
+    *
+    *   delta_w = ln((y_iw + a_w)/(n_i + a0 - y_iw - a_w))
+    *           - ln((y_jw + a_w)/(n_j + a0 - y_jw - a_w))
+    *   var_w   = 1/(y_iw + a_w) + 1/(y_jw + a_w)
+    *   z_w     = delta_w / sqrt(var_w)
+    *
+    * PINNED prior: a_w = the word's COMBINED count and a0 = the combined
+    * token total (the paper's "informative prior from the full corpus"
+    * at prior strength 1:1) — integer by construction, so every input to
+    * the one pinned double expression is an exact BIGINT.
+    *
+    * Scale shape: one tokenize+explode pass, one combining (word, slice)
+    * count, vocab-sized rollups, a 1-row total broadcast. `minCount`
+    * prunes the tail before scoring.
+    *
+    * Returns (word, y_i, y_j, delta, z) rounded at 7.
+    */
+  def logOddsPrior(df: DataFrame, textCol: String, sliceCol: String,
+      sliceI: String, sliceJ: String, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.where(col(sliceCol).isin(sliceI, sliceJ))
+      .select((col(sliceCol) === sliceI).as("is_i"),
+        explode(Retrieval.tokens(col(textCol))).as("word"))
+    val counts = toks.groupBy(col("word"))
+      .agg(count(when(col("is_i"), 1)).as("y_i"),
+        count(when(!col("is_i"), 1)).as("y_j"))
+    val tot = counts.agg(sum(col("y_i")).as("n_i"), sum(col("y_j")).as("n_j"))
+    val aw = col("y_i") + col("y_j")
+    val a0 = col("n_i") + col("n_j")
+    def lo(y: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      log((y + aw).cast("double") / (n + a0 - y - aw).cast("double"))
+    val delta = lo(col("y_i"), col("n_i")) - lo(col("y_j"), col("n_j"))
+    val variance = lit(1.0) / (col("y_i") + aw).cast("double") +
+      lit(1.0) / (col("y_j") + aw).cast("double")
+    counts.where(aw >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("word"), col("y_i"), col("y_j"),
+        round(delta, 7).as("delta"),
+        round(delta / sqrt(variance), 7).as("z"))
+  }
 }

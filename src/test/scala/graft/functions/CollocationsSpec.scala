@@ -42,4 +42,31 @@ class CollocationsSpec extends SparkTestBase {
     assert(got.length == 1)
     assert(got(0).getString(0) == "p" && got(0).getString(1) == "q")
   }
+
+  test("log-odds with informative prior: hand computation, symmetry, pruning") {
+    val df = Seq(("i", "apple apple banana"), ("j", "banana cherry cherry"))
+      .toDF("slice", "text")
+    val got = Collocations.logOddsPrior(df, "text", "slice", "i", "j",
+      minCount = 1).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // apple: y_i=2, y_j=0, a_w=2, a0=6, n_i=3, n_j=3
+    def lo(y: Long, n: Long, aw: Long): Double =
+      math.log((y + aw).toDouble / (n + 6 - y - aw).toDouble)
+    val dApple = lo(2, 3, 2) - lo(0, 3, 2)
+    val zApple = dApple / math.sqrt(1.0 / 4 + 1.0 / 2)
+    assert(got("apple")._1 == 2L && got("apple")._2 == 0L)
+    assert(got("apple")._3 == math.rint(dApple * 1e7) / 1e7)
+    assert(got("apple")._4 == math.rint(zApple * 1e7) / 1e7)
+    // cherry mirrors apple with slices swapped -> opposite sign
+    assert(got("cherry")._3 == -got("apple")._3)
+    // banana is balanced -> delta exactly 0
+    assert(got("banana")._3 == 0.0)
+    // minCount prunes on the COMBINED count (all three words sit at 2)
+    assert(Collocations.logOddsPrior(df, "text", "slice", "i", "j",
+      minCount = 2).collect().map(_.getString(0)).toSet ==
+      Set("apple", "banana", "cherry"))
+    assert(Collocations.logOddsPrior(df, "text", "slice", "i", "j",
+      minCount = 3).isEmpty)
+  }
 }
