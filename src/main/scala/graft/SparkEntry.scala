@@ -7537,6 +7537,21 @@ object SparkEntry {
           t(s, d, "documents"), "text", "lang", "en", "de", minCount = 10)
         .orderBy(desc("z"), col("word"))
         .limit(40)),
+
+    // --- 327. two-regressor OLS (Cramer closed form), oracle-pinned -----------------------------------------------
+    // value ~ epoch_day + hour_of_day per event type: day trend and
+    // intraday effect in one closed-form fit — exact sufficient
+    // statistics, four pinned determinant expressions.
+    "q327_ols_multi" -> ((s, d) =>
+      graft.operators.Trend.olsMulti2(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").as("x1"),
+            hour(col("ts")).cast("long").as("x2"),
+            floor(col("value")).cast("long").as("y")),
+          "event_type", "x1", "x2", "y")
+        .orderBy("group")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13110,7 +13125,40 @@ object SparkEntry {
         |  ROUND(delta / sqrt(v), 7) AS z
         |FROM scored
         |ORDER BY ROUND(delta / sqrt(v), 7) DESC NULLS LAST, word
-        |LIMIT 40""".stripMargin
+        |LIMIT 40""".stripMargin,
+
+    // Two-regressor OLS: the identical Cramer determinants (same cofactor
+    // order) over the same exact sufficient statistics.
+    "q327_ols_multi" -> {
+      def det3(a: String, b: String, c: String, d: String, e: String,
+          f: String, g: String, h: String, i: String): String =
+        s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) " +
+          s"+ $c * ($d * $h - $e * $g))"
+      val Seq(n, s1, s2, sy, s11, s22, s12, s1y, s2y) =
+        Seq("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
+          .map(c => s"CAST($c AS DOUBLE)")
+      val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+      val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+      val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+      val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+      s"""WITH e AS (
+         |  SELECT event_type AS "group",
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS x1,
+         |    CAST(hour(ts) AS BIGINT) AS x2,
+         |    CAST(floor(value) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT "group", count(*) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         |    sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+         |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+         |  FROM e GROUP BY 1)
+         |SELECT "group", CAST(n AS BIGINT) AS n,
+         |  ROUND(CASE WHEN $det <> 0 THEN $det0 / $det END, 7) AS b0,
+         |  ROUND(CASE WHEN $det <> 0 THEN $det1 / $det END, 7) AS b1,
+         |  ROUND(CASE WHEN $det <> 0 THEN $det2 / $det END, 7) AS b2
+         |FROM s ORDER BY "group"""".stripMargin
+    }
   )
 
   /** Fixture texts for q209 — shared by the query builder (encoded to

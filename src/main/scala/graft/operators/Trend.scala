@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
@@ -52,6 +52,67 @@ object Trend {
     g.select(col(groupCol), col("n"),
       round(when(denom =!= 0.0, slope), 7).as("slope"),
       round(when(denom =!= 0.0, (syD - slope * sxD) / nD), 7).as("intercept"))
+  }
+
+  /** Two-regressor least squares `y ~ x1 + x2` per group, closed form
+    * via Cramer's rule over the 3x3 normal equations — the multivariate
+    * step past [[ols]] (seasonality + trend, size + age, any
+    * two-factor attribution) that still needs NO iterative solver.
+    *
+    * EXACTNESS CONTRACT: all three columns integral (caller quantizes);
+    * the nine sufficient statistics (n, Σx1, Σx2, Σy, Σx1², Σx2²,
+    * Σx1x2, Σx1y, Σx2y) have exact BIGINT per-row products accumulated
+    * in DECIMAL(38,0), so distributed sums are order-independent. The
+    * four 3x3 determinants are then ONE pinned double expression each
+    * (identical cofactor order), rounded at 7. Singular groups (det 0,
+    * collinear or constant regressors) yield nulls.
+    *
+    * Scale shape: one map-side-combining groupBy; nine numbers per
+    * group ARE the shuffle payload.
+    *
+    * Returns (group, n, b0, b1, b2).
+    */
+  def olsMulti2(df: DataFrame, groupCol: String, x1Col: String,
+      x2Col: String, yCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(x1Col, x2Col, yCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val x1 = col(x1Col).cast("long")
+    val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    val g = df.groupBy(col(groupCol).as("group")).agg(
+      count(lit(1)).as("n"),
+      sum(x1.cast(dec)).as("s1"), sum(x2.cast(dec)).as("s2"),
+      sum(y.cast(dec)).as("sy"),
+      sum((x1 * x1).cast(dec)).as("s11"), sum((x2 * x2).cast(dec)).as("s22"),
+      sum((x1 * x2).cast(dec)).as("s12"),
+      sum((x1 * y).cast(dec)).as("s1y"), sum((x2 * y).cast(dec)).as("s2y"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n").cast("double")
+    // det3 with the pinned cofactor order a(ei-fh) - b(di-fg) + c(dh-eg)
+    def det3(a: Column, b: Column, c: Column,
+        dd: Column, e: Column, f: Column,
+        gg: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (dd * i - f * gg) + c * (dd * h - e * gg)
+    val det = det3(nD, d("s1"), d("s2"),
+      d("s1"), d("s11"), d("s12"),
+      d("s2"), d("s12"), d("s22"))
+    val det0 = det3(d("sy"), d("s1"), d("s2"),
+      d("s1y"), d("s11"), d("s12"),
+      d("s2y"), d("s12"), d("s22"))
+    val det1 = det3(nD, d("sy"), d("s2"),
+      d("s1"), d("s1y"), d("s12"),
+      d("s2"), d("s2y"), d("s22"))
+    val det2 = det3(nD, d("s1"), d("sy"),
+      d("s1"), d("s11"), d("s1y"),
+      d("s2"), d("s12"), d("s2y"))
+    g.select(col("group"), col("n"),
+      round(when(det =!= 0.0, det0 / det), 7).as("b0"),
+      round(when(det =!= 0.0, det1 / det), 7).as("b1"),
+      round(when(det =!= 0.0, det2 / det), 7).as("b2"))
   }
 
   /** Windowed exponential decay sum per row — the recency-weighted

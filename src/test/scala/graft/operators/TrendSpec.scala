@@ -75,6 +75,52 @@ class TrendSpec extends SparkTestBase {
         "g", Seq("t"), "v"))
   }
 
+  test("two-regressor OLS: exact plane recovered, collinearity nulls, reference parity") {
+    // y = 3 + 2*x1 - x2 exactly
+    val pts = for (x1 <- 0L to 4L; x2 <- 0L to 3L)
+      yield ("a", x1, x2, 3 + 2 * x1 - x2)
+    val got = Trend.olsMulti2(pts.toDF("g", "x1", "x2", "y"),
+      "g", "x1", "x2", "y").collect()(0)
+    assert(got.getDouble(2) == 3.0 && got.getDouble(3) == 2.0 &&
+      got.getDouble(4) == -1.0)
+
+    // collinear regressors (x2 = 2*x1): singular normal matrix -> nulls
+    val coll = (0L to 5L).map(x => ("c", x, 2 * x, x + 1)).toDF("g", "x1", "x2", "y")
+    val cr = Trend.olsMulti2(coll, "g", "x1", "x2", "y").collect()(0)
+    assert(cr.isNullAt(2) && cr.isNullAt(3) && cr.isNullAt(4))
+
+    // noisy reference parity against a plain Scala normal-equations solve
+    val rnd = new scala.util.Random(21)
+    val noisy = (1 to 60).map { _ =>
+      val x1 = rnd.nextInt(50).toLong
+      val x2 = rnd.nextInt(30).toLong
+      ("n", x1, x2, 5 + 3 * x1 - 2 * x2 + rnd.nextInt(9) - 4L)
+    }
+    val row = Trend.olsMulti2(noisy.toDF("g", "x1", "x2", "y"),
+      "g", "x1", "x2", "y").collect()(0)
+    val n = noisy.size.toDouble
+    val s1 = noisy.map(_._2).sum.toDouble
+    val s2 = noisy.map(_._3).sum.toDouble
+    val sy = noisy.map(_._4).sum.toDouble
+    val s11 = noisy.map(p => p._2 * p._2).sum.toDouble
+    val s22 = noisy.map(p => p._3 * p._3).sum.toDouble
+    val s12 = noisy.map(p => p._2 * p._3).sum.toDouble
+    val s1y = noisy.map(p => p._2 * p._4).sum.toDouble
+    val s2y = noisy.map(p => p._3 * p._4).sum.toDouble
+    def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+        f: Double, g: Double, h: Double, i: Double): Double =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+    val b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+    val b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    assert(row.getDouble(2) == math.rint(b0 * 1e7) / 1e7)
+    assert(row.getDouble(3) == math.rint(b1 * 1e7) / 1e7)
+    assert(row.getDouble(4) == math.rint(b2 * 1e7) / 1e7)
+    assert(math.abs(row.getDouble(3) - 3.0) < 0.2)
+    assert(math.abs(row.getDouble(4) + 2.0) < 0.2)
+  }
+
   test("autocorrelation: alternating series r1 = -1, reference parity, flat null") {
     // perfectly alternating 0,4,0,4,... -> r1 = -1, r2 = +1 (up to the
     // finite-sample end terms; use the textbook formula as reference)
