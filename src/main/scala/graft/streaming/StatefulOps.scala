@@ -41,6 +41,21 @@ case class BandState(entries: Seq[BandEntry])
   */
 case class NearDupHit(doc_id: Long, seen_doc_id: Long, hamming: Int)
 
+/** Input event for [[StatefulOps.streamingCusumAlarm]]. */
+case class CusumEvent(key: Long, ts: java.sql.Timestamp, value: Double)
+
+/** CUSUM accumulator carried across microbatches: the two one-sided
+  * sums and the number of observations consumed since the last reset.
+  */
+case class CusumState(sHi: Double, sLo: Double, n: Long)
+
+/** An emitted drift alarm: the event that crossed the threshold, the
+  * crossing side ("up"/"down"), the sum at crossing, and how many
+  * observations this run of the detector consumed.
+  */
+case class CusumHit(key: Long, ts: java.sql.Timestamp, direction: String,
+    s_value: Double, n_since_reset: Long)
+
 /** Custom-state streaming operators (`flatMapGroupsWithState`) for the
   * semantics the built-in `session_window` cannot express: sessions that
   * EMIT ON COMPLETION (append-mode friendly — a session row is final the
@@ -195,6 +210,64 @@ object StatefulOps {
     *                  under `withWatermark`
     * @param keyCols   content columns that define row identity
     */
+  /** Streaming CUSUM drift alarm (Page, Biometrika 1954 — the original
+    * sequential changepoint detector, still the standard for "tell me
+    * the moment this metric's level shifts"): per key, the two
+    * one-sided cumulative sums
+    *
+    *   sHi = max(0, sHi + (x - target - slack))
+    *   sLo = max(0, sLo + (target - x - slack))
+    *
+    * advance per event (event-time order within each microbatch); when
+    * either crosses `threshold`, an alarm row is emitted and that
+    * detector resets — the published repeated-alarm protocol. `slack`
+    * (the reference value k) absorbs ordinary noise so only sustained
+    * shifts accumulate.
+    *
+    * The batch complement is [[graft.operators.Trend.cusumChangepoint]]
+    * (retrospective argmax over a complete series); this is the
+    * PROSPECTIVE form — O(1) state per key (two doubles + a counter),
+    * alarms the first event whose cumulative evidence crosses.
+    *
+    * Determinism: state advances in (ts, then value) order within each
+    * group-batch, so replays produce identical alarms; out-of-order
+    * arrivals should be bounded upstream with `withWatermark`.
+    * State never expires on its own (a silent detector is still armed);
+    * keys that stop arriving simply stop being touched.
+    */
+  def streamingCusumAlarm(
+      events: Dataset[CusumEvent],
+      target: Double,
+      slack: Double,
+      threshold: Double): Dataset[CusumHit] = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(slack >= 0, s"slack must be nonnegative, got $slack")
+    implicit val stateEnc = Encoders.product[CusumState]
+    implicit val outEnc = Encoders.product[CusumHit]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[CusumState, CusumHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L))
+          val hits = scala.collection.mutable.ListBuffer.empty[CusumHit]
+          val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          for (e <- ordered) {
+            val sHi = math.max(0.0, st.sHi + (e.value - target - slack))
+            val sLo = math.max(0.0, st.sLo + (target - e.value - slack))
+            val n = st.n + 1
+            if (sHi > threshold) {
+              hits += CusumHit(key, e.ts, "up", sHi, n)
+              st = CusumState(0.0, 0.0, 0L)
+            } else if (sLo > threshold) {
+              hits += CusumHit(key, e.ts, "down", sLo, n)
+              st = CusumState(0.0, 0.0, 0L)
+            } else st = CusumState(sHi, sLo, n)
+          }
+          state.update(st)
+          hits.iterator
+      }
+  }
+
   def streamingExactDedup(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(!df.columns.contains("__digest"),
       "streamingExactDedup reserves the column name __digest")

@@ -131,6 +131,55 @@ class StatefulOpsSpec extends SparkTestBase {
       (2L, "2024-01-01 00:00:30", "2024-01-01 00:00:30", 1L, 9.0)), got.toString)
   }
 
+  test("streamingCusumAlarm: sustained shift alarms across batches, noise never does") {
+    val dir = graft.GraftTmp.dir("graft-cusum")
+    // key 1: five on-target values (10 +- 1), then a sustained shift to
+    // 14 SPLIT ACROSS MICROBATCHES — state must carry the partial sum.
+    // target 10, slack 1, threshold 8: each 14 adds 3 to sHi, so the
+    // third shifted event (cumulative 9 > 8) alarms. key 2: noise only.
+    Files.write(dir.resolve("a.json"),
+      """{"key": 1, "ts": "2024-01-01T00:00:00", "value": 10.0}
+        |{"key": 1, "ts": "2024-01-01T00:01:00", "value": 11.0}
+        |{"key": 1, "ts": "2024-01-01T00:02:00", "value": 9.0}
+        |{"key": 1, "ts": "2024-01-01T00:03:00", "value": 10.5}
+        |{"key": 1, "ts": "2024-01-01T00:04:00", "value": 9.5}
+        |{"key": 1, "ts": "2024-01-01T00:05:00", "value": 14.0}
+        |{"key": 2, "ts": "2024-01-01T00:00:00", "value": 10.9}
+        |{"key": 2, "ts": "2024-01-01T00:01:00", "value": 9.1}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"key": 1, "ts": "2024-01-01T00:06:00", "value": 14.0}
+        |{"key": 1, "ts": "2024-01-01T00:07:00", "value": 14.0}
+        |{"key": 1, "ts": "2024-01-01T00:08:00", "value": 10.0}
+        |{"key": 2, "ts": "2024-01-01T00:06:00", "value": 10.9}""".stripMargin.getBytes("UTF-8"))
+
+    val cusumSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(cusumSchema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[CusumEvent]
+    val q = StatefulOps.streamingCusumAlarm(stream,
+        target = 10.0, slack = 1.0, threshold = 8.0)
+      .writeStream.format("memory").queryName("cusum_hits")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql(
+      "SELECT key, CAST(ts AS STRING), direction, s_value, n_since_reset " +
+        "FROM cusum_hits ORDER BY key, ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    // sHi walk for key 1: noise keeps it at 0 (each |dev| <= slack... the
+    // +11 adds 0, the 10.5 adds 0 after slack? 10.5-10-1 = -0.5 -> 0);
+    // then 14s add 3 each: 3, 6, 9 -> alarm on the THIRD shifted event.
+    assert(got.length == 1, got.mkString(","))
+    assert(got(0) == (1L, "2024-01-01 00:07:00", "up", 9.0, 8L))
+  }
+
   test("a cross-batch out-of-order event lowers the session start") {
     val dir = graft.GraftTmp.dir("graft-fmgs-ooo")
     // Batch 1 opens a session at 00:04. Batch 2 delivers an EARLIER event
