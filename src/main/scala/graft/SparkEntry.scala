@@ -7552,6 +7552,50 @@ object SparkEntry {
             floor(col("value")).cast("long").as("y")),
           "event_type", "x1", "x2", "y")
         .orderBy("group")),
+
+    // --- 328. Pearson correlation, oracle-pinned -------------------------------------------------------------------
+    // hour-of-day vs value per event type: six exact sufficient
+    // statistics, one pinned r expression.
+    "q328_pearson" -> ((s, d) =>
+      graft.operators.StatTests.pearson(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            hour(col("ts")).cast("long").as("x"),
+            floor(col("value")).cast("long").as("y")),
+          "event_type", "x", "y")
+        .orderBy("group")),
+
+    // --- 329. Spearman rank correlation, oracle-pinned -------------------------------------------------------------
+    // The same pair monotone-ranked: doubled midranks keep every input
+    // to the shared Pearson expression exact.
+    "q329_spearman" -> ((s, d) =>
+      graft.operators.StatTests.spearman(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            hour(col("ts")).cast("long").as("x"),
+            floor(col("value")).cast("long").as("y")),
+          "event_type", "x", "y")
+        .orderBy("group")),
+
+    // --- 330. Kendall tau-b, oracle-pinned ---------------------------------------------------------------------------
+    // Pair concordance over QUANTIZED domains (the documented O(cells^2)
+    // contract): value deciles-ish vs 4-hour bands.
+    "q330_kendall" -> ((s, d) =>
+      graft.operators.StatTests.kendallTauB(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            floor(col("value") / 50).cast("long").as("x"),
+            floor(hour(col("ts")) / 4).cast("long").as("y")),
+          "event_type", "x", "y")
+        .orderBy("group")),
+
+    // --- 331. Welch's t-test, oracle-pinned --------------------------------------------------------------------------
+    // click vs purchase mean values under unequal variances.
+    "q331_welch" -> ((s, d) =>
+      graft.operators.StatTests.welchTTest(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), floor(col("value")).cast("long").as("v")),
+        "event_type", "v", "click", "purchase")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13158,8 +13202,128 @@ object SparkEntry {
          |  ROUND(CASE WHEN $det <> 0 THEN $det1 / $det END, 7) AS b1,
          |  ROUND(CASE WHEN $det <> 0 THEN $det2 / $det END, 7) AS b2
          |FROM s ORDER BY "group"""".stripMargin
+    },
+
+    // Pearson / Spearman share the identical pinned r expression.
+    "q328_pearson" -> {
+      s"""WITH e AS (
+         |  SELECT event_type AS "group", CAST(hour(ts) AS BIGINT) AS x,
+         |    CAST(floor(value) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT "group", count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM e GROUP BY 1)
+         |SELECT "group", CAST(n AS BIGINT) AS n, ${XxSqlPearson.rExpr}
+         |FROM s ORDER BY "group"""".stripMargin
+    },
+
+    "q329_spearman" -> {
+      s"""WITH e AS (
+         |  SELECT event_type AS "group", CAST(hour(ts) AS BIGINT) AS xv,
+         |    CAST(floor(value) AS BIGINT) AS yv
+         |  FROM events WHERE value IS NOT NULL),
+         |mx AS (SELECT "group", xv,
+         |    2 * sum(t) OVER (PARTITION BY "group" ORDER BY xv
+         |      ROWS UNBOUNDED PRECEDING) - t + 1 AS m
+         |  FROM (SELECT "group", xv, count(*) AS t FROM e GROUP BY 1, 2)),
+         |my AS (SELECT "group", yv,
+         |    2 * sum(t) OVER (PARTITION BY "group" ORDER BY yv
+         |      ROWS UNBOUNDED PRECEDING) - t + 1 AS m
+         |  FROM (SELECT "group", yv, count(*) AS t FROM e GROUP BY 1, 2)),
+         |r AS (SELECT e."group", mx.m AS x, my.m AS y
+         |  FROM e
+         |  JOIN mx ON mx."group" = e."group" AND mx.xv = e.xv
+         |  JOIN my ON my."group" = e."group" AND my.yv = e.yv),
+         |s AS (SELECT "group", count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM r GROUP BY 1)
+         |SELECT "group", CAST(n AS BIGINT) AS n, ${XxSqlPearson.rExpr}
+         |FROM s ORDER BY "group"""".stripMargin
+    },
+
+    "q330_kendall" ->
+      """WITH e AS (
+        |  SELECT event_type AS "group",
+        |    CAST(floor(value / 50) AS BIGINT) AS x,
+        |    CAST(floor(hour(ts) / 4) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT "group", x, y, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |p AS (SELECT a."group",
+        |    sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS cc,
+        |    sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS dd
+        |  FROM cells a JOIN cells b
+        |    ON a."group" = b."group" AND a.x < b.x
+        |  GROUP BY 1),
+        |base AS (SELECT "group", count(*) AS n FROM e GROUP BY 1),
+        |tx AS (SELECT "group", sum(t * (t - 1)) AS tx2
+        |  FROM (SELECT "group", x, count(*) AS t FROM e GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT "group", sum(t * (t - 1)) AS ty2
+        |  FROM (SELECT "group", y, count(*) AS t FROM e GROUP BY 1, 2) GROUP BY 1),
+        |j AS (SELECT base."group", n, coalesce(cc, 0) AS cc,
+        |        coalesce(dd, 0) AS dd, tx2, ty2
+        |  FROM base LEFT JOIN p ON p."group" = base."group"
+        |  JOIN tx ON tx."group" = base."group"
+        |  JOIN ty ON ty."group" = base."group")
+        |SELECT "group", CAST(n AS BIGINT) AS n, cc AS concordant,
+        |  dd AS discordant,
+        |  ROUND(CASE WHEN sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE))
+        |      * sqrt(CAST(n * (n - 1) - ty2 AS DOUBLE)) > 0 THEN
+        |    CAST(2 AS DOUBLE) * CAST(cc - dd AS DOUBLE)
+        |      / (sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE))
+        |         * sqrt(CAST(n * (n - 1) - ty2 AS DOUBLE)))
+        |    END, 7) AS tau_b
+        |FROM j ORDER BY "group"""".stripMargin,
+
+    "q331_welch" -> {
+      val ma = "(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val mb = "(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      val va = s"((CAST(qa AS DOUBLE) - CAST(n_a AS DOUBLE) * $ma * $ma) " +
+        "/ (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)))"
+      val vb = s"((CAST(qb AS DOUBLE) - CAST(n_b AS DOUBLE) * $mb * $mb) " +
+        "/ (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)))"
+      val se2 = s"($va / CAST(n_a AS DOUBLE) + $vb / CAST(n_b AS DOUBLE))"
+      val dfW = s"($se2 * $se2 / (($va / CAST(n_a AS DOUBLE)) " +
+        s"* ($va / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) " +
+        s"+ ($vb / CAST(n_b AS DOUBLE)) * ($vb / CAST(n_b AS DOUBLE)) " +
+        s"/ (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |    AND event_type IN ('click', 'purchase')),
+         |s AS (SELECT
+         |    count(CASE WHEN g = 'click' THEN 1 END) AS n_a,
+         |    count(CASE WHEN g = 'purchase' THEN 1 END) AS n_b,
+         |    sum(CASE WHEN g = 'click' THEN v END) AS sa,
+         |    sum(CASE WHEN g = 'purchase' THEN v END) AS sb,
+         |    sum(CASE WHEN g = 'click' THEN v * v END) AS qa,
+         |    sum(CASE WHEN g = 'purchase' THEN v * v END) AS qb
+         |  FROM e)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  ROUND(CASE WHEN n_a > 0 THEN $ma END, 7) AS mean_a,
+         |  ROUND(CASE WHEN n_b > 0 THEN $mb END, 7) AS mean_b,
+         |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN
+         |    ($ma - $mb) / sqrt($se2) END, 7) AS t,
+         |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN
+         |    $dfW END, 7) AS df
+         |FROM s""".stripMargin
     }
   )
+
+  /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic
+    * columns n/sx/sy/sxx/syy/sxy) — one definition for q328 and q329 so
+    * the two oracles can never drift from each other.
+    */
+  private object XxSqlPearson {
+    private val vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    private val vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    private val cov = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val rExpr: String =
+      s"ROUND(CASE WHEN $vx > 0 AND $vy > 0 THEN " +
+        s"$cov / (sqrt($vx) * sqrt($vy)) END, 7) AS r"
+  }
 
   /** Fixture texts for q209 — shared by the query builder (encoded to
     * legacy bytes driver-side) and the oracle SQL (embedded as UTF-8

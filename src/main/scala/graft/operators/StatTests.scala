@@ -139,6 +139,201 @@ object StatTests {
         col("v").as("at_value"))
   }
 
+  /** Pearson correlation per group over INTEGRAL columns — the linear-
+    * association readout with the suite's exactness discipline: the six
+    * sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) have exact BIGINT
+    * per-row products accumulated in DECIMAL(38,0); r is ONE pinned
+    * double expression
+    *
+    *   r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+    *
+    * rounded at 7; null when either variance is zero. One combining
+    * groupBy — statistics are the shuffle payload.
+    *
+    * Returns (group, n, r).
+    */
+  def pearson(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    for (c <- Seq(xCol, yCol))
+      require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val g = df.groupBy(col(groupCol).as("group")).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+      sum((x * x).cast(dec)).as("sxx"), sum((y * y).cast(dec)).as("syy"),
+      sum((x * y).cast(dec)).as("sxy"))
+    pearsonFromStats(g)
+  }
+
+  /** The pinned r expression over already-aggregated sufficient
+    * statistics (columns n, sx, sy, sxx, syy, sxy) — shared by
+    * [[pearson]] and [[spearman]] so the two can never drift.
+    */
+  private def pearsonFromStats(g: DataFrame): DataFrame = {
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    g.select(col("group"), col("n"),
+      round(when(vx > 0.0 && vy > 0.0, cov / (sqrt(vx) * sqrt(vy))), 7)
+        .as("r"))
+  }
+
+  /** Spearman rank correlation per group — Pearson over midranks, the
+    * monotone-association test that ignores the marginal shapes. Ranks
+    * are DOUBLED midranks (a tie run over competition ranks [lo, hi]
+    * has 2*midrank = lo + hi, exact BIGINT — the Mann-Whitney device),
+    * assigned per variable via a distinct-value cumsum and joined back,
+    * so every input to the shared Pearson expression is exact. The
+    * constant factor 2 cancels in r.
+    *
+    * Scale shape: two distinct-value windows (per group — the value
+    * DOMAIN, not the row count, enters each window) + two joins back +
+    * one combining groupBy.
+    *
+    * Returns (group, n, r).
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val slim = df.select(col(groupCol).as("group"),
+      col(xCol).as("x"), col(yCol).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    def mid2(vcol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("group")).orderBy(col(vcol))
+      slim.groupBy(col("group"), col(vcol))
+        .agg(count(lit(1)).as("t"))
+        .withColumn("cum", sum(col("t")).over(w))
+        .select(col("group"), col(vcol),
+          (lit(2L) * col("cum") - col("t") + 1L).as(s"m_$vcol"))
+    }
+    val ranked = slim
+      .join(mid2("x"), Seq("group", "x"))
+      .join(mid2("y"), Seq("group", "y"))
+    val dec = "decimal(38,0)"
+    val rx = col("m_x")
+    val ry = col("m_y")
+    val g = ranked.groupBy(col("group")).agg(
+      count(lit(1)).as("n"),
+      sum(rx.cast(dec)).as("sx"), sum(ry.cast(dec)).as("sy"),
+      sum((rx * rx).cast(dec)).as("sxx"), sum((ry * ry).cast(dec)).as("syy"),
+      sum((rx * ry).cast(dec)).as("sxy"))
+    pearsonFromStats(g)
+  }
+
+  /** Kendall tau-b per group — the pair-concordance association with
+    * full tie correction:
+    *
+    *   tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+    *
+    * with n0 = n(n-1)/2, n1/n2 the tied-pair counts in x/y. Computed
+    * EXACTLY over the joint contingency: distinct (x, y) cells with
+    * counts, one within-group cell self-join counting concordant /
+    * discordant weight products (each unordered cell pair enumerated
+    * once via x_a < x_b), tie terms from the marginal counts. Every
+    * count is an exact BIGINT in DECIMAL(38,0); tau is one pinned
+    * double expression rounded at 7.
+    *
+    * Scale contract: work is O(cells^2) per group — QUANTIZE both
+    * columns to bounded domains first (the same contract as KS); the
+    * cell join is within-group equi-keyed.
+    *
+    * Returns (group, n, concordant, discordant, tau_b).
+    */
+  def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val slim = df.select(col(groupCol).as("group"),
+      col(xCol).as("x"), col(yCol).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val cells = slim.groupBy(col("group"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    val dec = "decimal(38,0)"
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.group") === col("b.group") && col("a.x") < col("b.x"))
+      .groupBy(col("a.group").as("group"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"), (col("a.c") * col("b.c")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("cc"),
+        sum(when(col("a.y") > col("b.y"), (col("a.c") * col("b.c")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("dd"))
+    val base = slim.groupBy(col("group")).agg(count(lit(1)).as("n"))
+    val tx = slim.groupBy(col("group"), col("x")).agg(count(lit(1)).as("t"))
+      .groupBy(col("group"))
+      .agg(sum((col("t") * (col("t") - 1L)).cast(dec)).as("tx2"))
+    val ty = slim.groupBy(col("group"), col("y")).agg(count(lit(1)).as("t"))
+      .groupBy(col("group"))
+      .agg(sum((col("t") * (col("t") - 1L)).cast(dec)).as("ty2"))
+    val j = base.join(pairs, Seq("group"), "left")
+      .join(tx, Seq("group")).join(ty, Seq("group"))
+      .select(col("group"), col("n"),
+        coalesce(col("cc"), lit(0).cast(dec)).as("cc"),
+        coalesce(col("dd"), lit(0).cast(dec)).as("dd"),
+        col("tx2"), col("ty2"))
+    // doubled pair counts keep everything integer: 2*n0 = n(n-1),
+    // 2*n1 = tx2, 2*n2 = ty2 — the factor 2 cancels inside the sqrt
+    // product against the (C - D) numerator scaled by 2.
+    val n02 = (col("n").cast(dec) * (col("n") - 1L).cast(dec))
+    val num = lit(2.0) * (col("cc") - col("dd")).cast("double")
+    val den = sqrt((n02 - col("tx2")).cast("double")) *
+      sqrt((n02 - col("ty2")).cast("double"))
+    j.select(col("group"), col("n"), col("cc").as("concordant"),
+      col("dd").as("discordant"),
+      round(when(den > 0.0, num / den), 7).as("tau_b"))
+  }
+
+  /** Welch's unequal-variance t-test between two slices — the default
+    * two-sample mean comparison (Student's equal-variance assumption is
+    * never free): exact per-slice (n, S, Q) in DECIMAL(38,0) over
+    * INTEGRAL values, then the t statistic and Welch-Satterthwaite
+    * degrees of freedom as pinned double expressions rounded at 7.
+    * Nulls when either slice has n < 2 or both variances are zero.
+    *
+    * Returns one row (n_a, n_b, mean_a, mean_b, t, df).
+    */
+  def welchTTest(df: DataFrame, sliceCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val x = col(valueCol).cast("long")
+    val g = df.where(col(sliceCol).isin(a, b))
+      .agg(
+        count(when(col(sliceCol) === a, 1)).as("n_a"),
+        count(when(col(sliceCol) === b, 1)).as("n_b"),
+        sum(when(col(sliceCol) === a, x).cast(dec)).as("sa"),
+        sum(when(col(sliceCol) === b, x).cast(dec)).as("sb"),
+        sum(when(col(sliceCol) === a, x * x).cast(dec)).as("qa"),
+        sum(when(col(sliceCol) === b, x * x).cast(dec)).as("qb"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val ma = col("sa").cast("double") / nA
+    val mb = col("sb").cast("double") / nB
+    val va = (col("qa").cast("double") - nA * ma * ma) / (nA - 1.0)
+    val vb = (col("qb").cast("double") - nB * mb * mb) / (nB - 1.0)
+    val se2 = va / nA + vb / nB
+    val dfW = se2 * se2 /
+      ((va / nA) * (va / nA) / (nA - 1.0) + (vb / nB) * (vb / nB) / (nB - 1.0))
+    g.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0, ma), 7).as("mean_a"),
+      round(when(col("n_b") > 0, mb), 7).as("mean_b"),
+      round(when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0,
+        (ma - mb) / sqrt(se2)), 7).as("t"),
+      round(when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0, dfW), 7)
+        .as("df"))
+  }
+
   /** Gini inequality index per group — the concentration diagnostic for
     * corpus curation (is one site contributing most of the tokens? is
     * revenue concentrated in a few keys?): the classic rank formulation

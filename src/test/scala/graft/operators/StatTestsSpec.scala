@@ -169,6 +169,111 @@ class StatTestsSpec extends SparkTestBase {
       .count() == 2L)
   }
 
+  test("Pearson: exact lines, hand reference, zero-variance null") {
+    val df = ((0L to 9L).map(x => ("up", x, 2 * x + 3)) ++
+      (0L to 9L).map(x => ("dn", x, 100 - x)) ++
+      Seq(("z", 1L, 5L), ("z", 2L, 5L))).toDF("g", "x", "y")
+    val got = StatTests.pearson(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got("up") == 1.0 && got("dn") == -1.0)
+    assert(got("z").isNaN) // constant y
+    // noisy hand reference
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 40).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val row = StatTests.pearson(pts.map(p => ("n", p._1, p._2)).toDF("g", "x", "y"),
+      "g", "x", "y").collect()(0)
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(row.getDouble(2) == math.rint(want * 1e7) / 1e7)
+  }
+
+  test("Spearman: monotone nonlinear is exactly 1, tie midranks match reference") {
+    // y = x^3 is a perfect monotone relation -> rho exactly 1
+    val mono = (1L to 8L).map(x => ("m", x, x * x * x)).toDF("g", "x", "y")
+    assert(StatTests.spearman(mono, "g", "x", "y").collect()(0).getDouble(2) == 1.0)
+    // tied data vs a plain-Scala midrank+pearson reference
+    val xs = Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L)
+    val ys = Seq(5L, 5L, 7L, 6L, 8L, 8L, 9L)
+    def midranks(v: Seq[Long]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val lo = sorted.indexOf(x) + 1
+        val hi = sorted.lastIndexOf(x) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val (rx, ry) = (midranks(xs), midranks(ys))
+    val n = xs.size.toDouble
+    def s(v: Seq[Double]) = v.sum
+    val want = (n * rx.zip(ry).map(p => p._1 * p._2).sum - s(rx) * s(ry)) /
+      (math.sqrt(n * rx.map(r => r * r).sum - s(rx) * s(rx)) *
+        math.sqrt(n * ry.map(r => r * r).sum - s(ry) * s(ry)))
+    val got = StatTests.spearman(
+      xs.zip(ys).map(p => ("t", p._1, p._2)).toDF("g", "x", "y"),
+      "g", "x", "y").collect()(0).getDouble(2)
+    assert(math.abs(got - want) < 1e-6)
+  }
+
+  test("Kendall tau-b: textbook triple, tie correction, reference parity") {
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 3L), ("a", 3L, 2L)).toDF("g", "x", "y")
+    val row = StatTests.kendallTauB(df, "g", "x", "y").collect()(0)
+    assert(row.getDecimal(2).longValueExact() == 2L) // concordant
+    assert(row.getDecimal(3).longValueExact() == 1L) // discordant
+    assert(row.getDouble(4) == 0.3333333)
+    // tie case: x=[1,1,2], y=[1,2,2] -> C=1, D=0, tau_b = 0.5
+    val tied = Seq(("t", 1L, 1L), ("t", 1L, 2L), ("t", 2L, 2L)).toDF("g", "x", "y")
+    val tr = StatTests.kendallTauB(tied, "g", "x", "y").collect()(0)
+    assert(tr.getDouble(4) == 0.5)
+    // brute-force reference on random quantized data
+    val rnd = new scala.util.Random(29)
+    val pts = (1 to 30).map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(6).toLong))
+    val got = StatTests.kendallTauB(
+      pts.map(p => ("r", p._1, p._2)).toDF("g", "x", "y"), "g", "x", "y")
+      .collect()(0).getDouble(4)
+    var (cc, dd, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- pts.indices; j <- (i + 1) until pts.size) {
+      val (xi, yi) = pts(i); val (xj, yj) = pts(j)
+      val sx = java.lang.Long.compare(xi, xj)
+      val sy = java.lang.Long.compare(yi, yj)
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx != 0 && sy != 0) { if (sx == sy) cc += 1 else dd += 1 }
+    }
+    val n0 = pts.size.toLong * (pts.size - 1) / 2
+    val want = (cc - dd).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(math.abs(got - want) < 1e-6)
+  }
+
+  test("Welch t-test: hand case, symmetric sign flip, degenerate nulls") {
+    val df = (Seq(10L, 12L, 14L).map(v => ("a", v)) ++
+      Seq(20L, 21L, 22L, 25L).map(v => ("b", v))).toDF("g", "v")
+    val row = StatTests.welchTTest(df, "g", "v", "a", "b").collect()(0)
+    val (na, nb) = (3.0, 4.0)
+    val (ma, mb) = (12.0, 22.0)
+    val va = Seq(10.0, 12, 14).map(x => (x - ma) * (x - ma)).sum / (na - 1)
+    val vb = Seq(20.0, 21, 22, 25).map(x => (x - mb) * (x - mb)).sum / (nb - 1)
+    val se2 = va / na + vb / nb
+    val tWant = (ma - mb) / math.sqrt(se2)
+    val dfWant = se2 * se2 /
+      ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    assert(row.getDouble(2) == 12.0 && row.getDouble(3) == 22.0)
+    assert(math.abs(row.getDouble(4) - tWant) < 1e-6)
+    assert(math.abs(row.getDouble(5) - dfWant) < 1e-6)
+    // swapped slices flip the sign
+    val sw = StatTests.welchTTest(df, "g", "v", "b", "a").collect()(0)
+    assert(sw.getDouble(4) == -row.getDouble(4))
+    // both slices constant: zero variance -> null t
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)).toDF("g", "v")
+    assert(StatTests.welchTTest(const, "g", "v", "a", "b").collect()(0).isNullAt(4))
+  }
+
   test("PSI: identical slices zero, known shift, smoothing defines empty bins") {
     // identical distributions -> PSI exactly 0 (every pa == pb)
     val same = (1 to 40).flatMap(i => Seq(("a", i % 10 * 10.0), ("b", i % 10 * 10.0)))
