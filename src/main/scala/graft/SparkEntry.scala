@@ -7596,6 +7596,16 @@ object SparkEntry {
         t(s, d, "events").where(col("value").isNotNull)
           .select(col("event_type"), floor(col("value")).cast("long").as("v")),
         "event_type", "v", "click", "purchase")),
+
+    // --- 332. Kruskal-Wallis H, oracle-pinned -------------------------------------------------------------------------
+    // Does ANY event type's value distribution differ: global doubled
+    // midranks, exact per-group rank sums, cross-group terms folded in
+    // sorted group order.
+    "q332_kruskal" -> ((s, d) =>
+      graft.operators.StatTests.kruskalWallis(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), floor(col("value")).cast("long").as("v")),
+        "event_type", "v")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13306,6 +13316,38 @@ object SparkEntry {
          |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN
          |    $dfW END, 7) AS df
          |FROM s""".stripMargin
+    },
+
+    // Kruskal-Wallis replayed: same midranks, same sorted-group fold
+    // (list_reduce from the first element == the engine's 0.0-seeded
+    // fold, since 0.0 + x is exact).
+    "q332_kruskal" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val corr = s"(CAST(1 AS DOUBLE) - CAST(tiesum AS DOUBLE) " +
+        s"/ ($nD * $nD * $nD - $nD))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pv AS (SELECT v, count(*) AS t FROM e GROUP BY 1),
+         |mids AS (SELECT v,
+         |    2 * sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t + 1 AS mid2
+         |  FROM pv),
+         |pg AS (SELECT g, count(*) AS n_g, sum(mid2) AS r2
+         |  FROM e JOIN mids USING (v) GROUP BY 1),
+         |terms AS (SELECT g, n_g,
+         |    CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / CAST(4 AS DOUBLE)
+         |      / CAST(n_g AS DOUBLE) AS term
+         |  FROM pg),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS f
+         |  FROM terms),
+         |tie AS (SELECT sum(t * t * t - t) AS tiesum FROM pv)
+         |SELECT n, k,
+         |  ROUND(CASE WHEN n >= 2 AND $corr > 0 THEN
+         |    (CAST(12 AS DOUBLE) / ($nD * ($nD + CAST(1 AS DOUBLE))) * f
+         |      - CAST(3 AS DOUBLE) * ($nD + CAST(1 AS DOUBLE))) / $corr
+         |    END, 7) AS h
+         |FROM agg, tie""".stripMargin
     }
   )
 

@@ -334,6 +334,53 @@ object StatTests {
         .as("df"))
   }
 
+  /** Kruskal-Wallis H — the k-group rank test (does ANY slice's value
+    * distribution differ?), tie-corrected:
+    *
+    *   H = (12/(n(n+1)) * sum_g R_g^2/n_g - 3(n+1))
+    *       / (1 - sum_v (t_v^3 - t_v) / (n^3 - n))
+    *
+    * Exactness: global DOUBLED midranks per distinct value (exact
+    * BIGINTs), per-group rank sums R2_g = 2*R_g exact in DECIMAL(38,0),
+    * tie terms exact. The cross-GROUP sum of R_g^2/n_g is a float sum,
+    * so it folds in SORTED group order over a collected k-sized list
+    * (groups are few by construction — event types, sources, variants) —
+    * order-pinned, replayable. H is rounded at 7; null for n < 2 or a
+    * fully-tied sample.
+    *
+    * Returns one row (n, k, h).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val perValue = slim.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val mids = perValue.withColumn("cum", sum(col("t")).over(w))
+      .select(col("v"), (lit(2L) * col("cum") - col("t") + 1L).as("mid2"))
+    val dec = "decimal(38,0)"
+    val perGroup = slim.join(mids, "v")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("mid2").cast(dec)).as("r2"))
+      // term_g = ((R2/2)^2)/n_g = R2_d*R2_d/4/n_g in pinned order
+      .select(col("g"), col("n_g"),
+        (col("r2").cast("double") * col("r2").cast("double") / lit(4.0) /
+          col("n_g").cast("double")).as("term"))
+    val ties = perValue.agg(
+      sum((col("t") * col("t") * col("t") - col("t")).cast(dec)).as("tie"))
+    val agg = perGroup.agg(
+      sum(col("n_g")).as("n"),
+      count(lit(1)).as("k"),
+      sort_array(collect_list(struct(col("g"), col("term")))).as("terms"))
+    val f = aggregate(col("terms"), lit(0.0), (acc, e) => acc + e("term"))
+    val nD = col("n").cast("double")
+    val corr = lit(1.0) - col("tie").cast("double") / (nD * nD * nD - nD)
+    val h = (lit(12.0) / (nD * (nD + 1.0)) * f - lit(3.0) * (nD + 1.0)) / corr
+    agg.crossJoin(broadcast(ties))
+      .select(col("n"), col("k"),
+        round(when(col("n") >= 2 && corr > 0.0, h), 7).as("h"))
+  }
+
   /** Gini inequality index per group — the concentration diagnostic for
     * corpus curation (is one site contributing most of the tokens? is
     * revenue concentrated in a few keys?): the classic rank formulation

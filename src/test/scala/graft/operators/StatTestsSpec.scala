@@ -274,6 +274,48 @@ class StatTestsSpec extends SparkTestBase {
     assert(StatTests.welchTTest(const, "g", "v", "a", "b").collect()(0).isNullAt(4))
   }
 
+  test("Kruskal-Wallis: textbook reference, identical groups near zero, tie correction") {
+    def ref(groups: Seq[Seq[Long]]): Double = {
+      val all = groups.flatten.sorted
+      val n = all.size.toDouble
+      def midrank(x: Long): Double =
+        (all.indexOf(x) + 1 + all.lastIndexOf(x) + 1) / 2.0
+      val f = groups.map(g => math.pow(g.map(midrank).sum, 2) / g.size).sum
+      val tie = all.distinct.map { v =>
+        val t = all.count(_ == v).toLong; t * t * t - t
+      }.sum.toDouble
+      val h = (12.0 / (n * (n + 1)) * f - 3 * (n + 1)) /
+        (1.0 - tie / (n * n * n - n))
+      h
+    }
+    val ga = Seq(27L, 2L, 4L, 18L, 7L, 9L)
+    val gb = Seq(20L, 8L, 14L, 36L, 21L, 22L)
+    val gc = Seq(34L, 31L, 3L, 23L, 30L, 6L)
+    val df = (ga.map(("a", _)) ++ gb.map(("b", _)) ++ gc.map(("c", _)))
+      .toDF("g", "v")
+    val row = StatTests.kruskalWallis(df, "g", "v").collect()(0)
+    assert(row.getLong(0) == 18L && row.getLong(1) == 3L)
+    assert(math.abs(row.getDouble(2) - ref(Seq(ga, gb, gc))) < 1e-6)
+
+    // identical distributions across groups -> H near 0 (and >= 0 is NOT
+    // guaranteed by the statistic, only smallness)
+    val same = (1 to 3).flatMap(g => (1L to 8L).map(v => (s"g$g", v))).toDF("g", "v")
+    assert(math.abs(StatTests.kruskalWallis(same, "g", "v")
+      .collect()(0).getDouble(2)) < 1.0)
+
+    // heavy ties still match the reference (tie correction live)
+    val tied = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L)).map(("x", _)) ++
+      (Seq.fill(2)(1L) ++ Seq.fill(6)(2L)).map(("y", _))
+    val tr = StatTests.kruskalWallis(tied.toDF("g", "v"), "g", "v").collect()(0)
+    assert(math.abs(tr.getDouble(2) -
+      ref(Seq(tied.filter(_._1 == "x").map(_._2),
+        tied.filter(_._1 == "y").map(_._2)))) < 1e-6)
+
+    // fully tied sample: zero correction denominator -> null
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    assert(StatTests.kruskalWallis(flat, "g", "v").collect()(0).isNullAt(2))
+  }
+
   test("PSI: identical slices zero, known shift, smoothing defines empty bins") {
     // identical distributions -> PSI exactly 0 (every pa == pb)
     val same = (1 to 40).flatMap(i => Seq(("a", i % 10 * 10.0), ("b", i % 10 * 10.0)))
