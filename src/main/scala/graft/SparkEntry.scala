@@ -12266,7 +12266,8 @@ object SparkEntry {
         |    AS BIGINT) AS n_gold
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // pass@3: exact falling products, one rounded division.
+    // pass@3 in the Codex paper's per-factor product form (overflow-free
+    // at any n — the factor fold order mirrors the engine's).
     "q285_pass_at_k" ->
       """WITH s AS (
         |  SELECT doc_id % 40 AS prob, doc_id % 3 = 0 AS ok FROM documents),
@@ -12275,10 +12276,11 @@ object SparkEntry {
         |    CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS c
         |  FROM s GROUP BY 1)
         |SELECT prob, n, c,
-        |  CASE WHEN n >= 3 THEN ROUND(1.0 -
-        |    CAST(GREATEST(n - c, 0) * GREATEST(n - c - 1, 0) *
-        |         GREATEST(n - c - 2, 0) AS DOUBLE) /
-        |    CAST(n * (n - 1) * (n - 2) AS DOUBLE), 7) END AS pass_at_3
+        |  CASE WHEN n >= 3 THEN ROUND(CAST(1 AS DOUBLE) -
+        |    CAST(GREATEST(n - c, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * (CAST(GREATEST(n - c - 1, 0) AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |    * (CAST(GREATEST(n - c - 2, 0) AS DOUBLE) / CAST(n - 2 AS DOUBLE)),
+        |    7) END AS pass_at_3
         |FROM g ORDER BY prob""".stripMargin,
 
     // Report: counts, then the engine's round-then-combine F1 discipline.

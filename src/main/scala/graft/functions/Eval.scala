@@ -22,20 +22,23 @@ object Eval {
 
   /** The UNBIASED pass@k estimator (Chen et al. 2021, the Codex paper):
     * per problem with n samples of which c are correct,
-    * `pass@k = 1 - C(n-c, k)/C(n, k)`, computed as the exact falling
-    * products `prod_{i<k}(n-c-i) / prod_{i<k}(n-i)` — both exact BIGINTs
-    * (k literal terms, no loop, no float until the single division,
-    * rounded at 7). Groups with n < k yield null (the estimator is
-    * undefined); c = n yields exactly 1, c with n-c < k exactly... the
-    * numerator's zero factor makes pass@k exactly 1 — the estimator's
-    * own behavior, not a special case.
+    * `pass@k = 1 - C(n-c, k)/C(n, k)`, computed as the Codex paper's own
+    * numerically-stable form — a FIXED left-fold product of k per-factor
+    * double divisions
     *
-    * `k <= 9` and per-problem `n <= 100` keep the falling products
-    * below 2^63 (100^9 < 2^60); the count guard fails loudly past it.
+    *   prod_{i<k} max(n-c-i, 0) / (n-i)
+    *
+    * which CANNOT overflow at any n (the earlier exact-falling-product
+    * form wrapped its BIGINTs past n ~ 128 at k = 9 — caught live by
+    * the loud guard at sf0.1). Each factor is one IEEE division of
+    * exact integers and the fold order is pinned, so the result is
+    * bit-replayable; rounded at 7. Groups with n < k yield null (the
+    * estimator is undefined); a zero factor (n-c < k) makes pass@k
+    * exactly 1 — the estimator's own behavior, not a special case.
     *
     * Scale shape: one map-side-combining groupBy per problem; the
-    * products are k-term column expressions over (n, c) — no explode,
-    * no window.
+    * product is a k-term column expression over (n, c) — no explode,
+    * no window, valid at any per-problem sample count.
     */
   def passAtK(df: DataFrame, problemCol: String, correctCol: String,
       k: Int): DataFrame = {
@@ -45,24 +48,12 @@ object Eval {
         count(when(col(correctCol), 1)).as("c"))
     val n = col("n")
     val c = col("c")
-    def falling(base: Column): Column =
-      (0 until k).map(i => greatest(base - lit(i.toLong), lit(0L)))
-        .reduce(_ * _)
-    val num = falling(n - c)
-    val den = falling(n)
-    // The documented bound is ENFORCED in-plan: past n = 100 the falling
-    // products can exceed 2^63 and would wrap silently (non-ANSI), turning
-    // an overflow into a wrong pass@k. raise_error keeps the check inside
-    // the projection (column pruning cannot drop it — it guards the very
-    // column being computed) and fails the job loudly instead.
+    val prod = (0 until k).map { i =>
+      greatest(n - c - lit(i.toLong), lit(0L)).cast("double") /
+        (n - lit(i.toLong)).cast("double")
+    }.reduce(_ * _)
     g.select(col(problemCol), n, c,
-      when(n > lit(100L), raise_error(concat(
-          lit("passAtK: per-problem n = "), n.cast("string"),
-          lit(" exceeds 100 — the exact falling products would overflow")))
-          .cast("double"))
-        .when(n >= k,
-          round(lit(1.0) - num.cast("double") / den.cast("double"), 7))
-        .as(s"pass_at_$k"))
+      when(n >= k, round(lit(1.0) - prod, 7)).as(s"pass_at_$k"))
   }
 
   /** NDCG@k — the graded ranking metric (retrieval and reranker

@@ -50,18 +50,20 @@ class EvalSpec extends SparkTestBase {
     assert(all.getDouble(3) == 1.0)     // k = n with c > 0 -> certain
   }
 
-  test("pass@k: per-problem n past 100 fails loudly, never wraps") {
-    // 101 samples of one problem: the documented overflow bound must be a
-    // RUNTIME error, not a silently wrapped falling product.
-    val big = Seq.fill(101)(("X", true)).toDF("prob", "ok")
-    val e = intercept[Exception] {
-      Eval.passAtK(big, "prob", "ok", 9).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("exceeds 100")))
-    // exactly at the bound still computes: n = 100, c = 100 -> pass@9 = 1
-    val ok = Eval.passAtK(Seq.fill(100)(("X", true)).toDF("prob", "ok"),
+  test("pass@k: per-factor product form cannot overflow at any n") {
+    // 5000 samples at k=9 wrapped the old exact-falling-product BIGINTs
+    // (caught live at sf0.1); the per-factor form must compute, exactly
+    // matching the closed-form reference.
+    val n = 5000
+    val c = 137
+    val big = (Seq.fill(c)(("X", true)) ++ Seq.fill(n - c)(("X", false)))
+      .toDF("prob", "ok")
+    val row = Eval.passAtK(big, "prob", "ok", 9).collect()(0)
+    val want = 1.0 - (0 until 9).map(i => (n - c - i).toDouble / (n - i))
+      .foldLeft(1.0)(_ * _)
+    assert(row.getDouble(3) == math.rint(want * 1e7) / 1e7)
+    // all-correct at any size is exactly 1 (zero factor)
+    val ok = Eval.passAtK(Seq.fill(101)(("X", true)).toDF("prob", "ok"),
       "prob", "ok", 9).collect()(0)
     assert(ok.getDouble(3) == 1.0)
   }
