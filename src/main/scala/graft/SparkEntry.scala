@@ -7606,6 +7606,26 @@ object SparkEntry {
         t(s, d, "events").where(col("value").isNotNull)
           .select(col("event_type"), floor(col("value")).cast("long").as("v")),
         "event_type", "v")),
+
+    // --- 333. hard-negative mining for retrieval training, oracle-pinned ------------------------------------------
+    // The DPR/BGE recipe: queries are the first six tokens of every
+    // 101st document, the positive is the source document itself, and
+    // the negatives are the top-5 BM25-scoring OTHER documents —
+    // lexically confusable, semantically wrong. Per-term micro
+    // quantization keeps the query-level score sum order-independent.
+    "q333_hard_negatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val queries = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(graft.functions.Retrieval.tokens(col("text")),
+            1, 6)).as("qtext"))
+      val positives = queries.select(col("query_id"),
+        col("query_id").as("pos_doc"))
+      graft.functions.Retrieval.hardNegatives(
+          docs, "doc_id", "text",
+          queries, "query_id", "qtext", positives, "pos_doc", k = 5)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13350,7 +13370,42 @@ object SparkEntry {
          |      - CAST(3 AS DOUBLE) * ($nD + CAST(1 AS DOUBLE))) / $corr
          |    END, 7) AS h
          |FROM agg, tie""".stripMargin
-    }
+    },
+
+    // Hard negatives: q94's BM25 replay + per-term micro quantization +
+    // the (score desc, doc) ranking with the positive anti-joined away.
+    "q333_hard_negatives" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0)
+        |      AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM dd),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl
+        |      FROM dl),
+        |q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:6]) AS term
+        |      FROM dd WHERE doc_id % 101 = 0),
+        |qt AS (SELECT DISTINCT term FROM q),
+        |f AS (SELECT dl.doc_id, t.term, dl.dl,
+        |    CAST(len(list_filter(dl.toks, x -> x = t.term)) AS DOUBLE) AS tf
+        |  FROM dl CROSS JOIN qt t
+        |  WHERE len(list_filter(dl.toks, x -> x = t.term)) > 0),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM f GROUP BY 1),
+        |sc AS (SELECT f.doc_id, f.term,
+        |    CAST(floor(((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |      ((f.tf * 2.2) /
+        |       (f.tf + 1.2 * (0.25 + 0.75 * f.dl / (s.sum_dl / s.n_docs))))
+        |      * 1000000.0) AS BIGINT) AS micro
+        |  FROM f, s, dfs WHERE dfs.term = f.term),
+        |pq AS (SELECT q.query_id, sc.doc_id,
+        |    CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM sc JOIN q ON q.term = sc.term GROUP BY 1, 2),
+        |neg AS (SELECT * FROM pq WHERE doc_id <> query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score_micro DESC, doc_id) AS rank
+        |      FROM neg)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

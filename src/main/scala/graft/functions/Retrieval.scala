@@ -235,4 +235,73 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matches"),
         min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
   }
+
+  /** Hard-negative mining for retrieval training data — the published
+    * dense-retriever recipe (DPR, Karpukhin et al. 2020; the BGE/E5
+    * pipelines): for each (query, positive) pair, the best negatives are
+    * the top BM25-scoring documents that are NOT the positive — lexically
+    * confusable, semantically wrong, exactly what contrastive training
+    * needs.
+    *
+    * Scoring: per-(doc, query-term) BM25 (the [[bm25]] expression,
+    * unchanged), then the per-query document score is the term-score SUM
+    * quantized PER TERM to micro-units (floor(score * 1e6) as BIGINT —
+    * the suite's order-independence device: a raw float sum over matched
+    * terms would depend on partition order). Ranking is
+    * (score_micro desc, doc asc) — total and replayable.
+    *
+    * Scale shape: corpus tokens explode ONCE and filter against the
+    * broadcast query-term vocabulary, so the pair table is
+    * query-term-postings-sized, never |corpus| x |queries|; the positive
+    * exclusion is one anti-join on (query, doc); top-k is a per-query
+    * window, no global sort.
+    *
+    * @param queries (queryIdCol, queryTextCol) — query text tokenizes
+    *                under the shared [[tokens]] rule; must be small
+    *                enough to broadcast (training-pair sets are)
+    * @param positives (queryIdCol, docIdCol) pairs to EXCLUDE
+    * @return (query_id, rank, doc_id, score_micro), rank 1..k
+    */
+  def hardNegatives(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      positives: DataFrame, posDocCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val tokenized = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val stats = tokenized.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = tokenized
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        floor((((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * (k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+              (col("sum_dl") / col("n_docs"))))))
+          * lit(1000000.0)).cast("long").as("micro"))
+    val perQuery = scored.join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("micro")).as("score_micro"))
+    val negatives = perQuery.join(
+      positives.select(col(queryIdCol).as("query_id"),
+        col(posDocCol).as("doc_id")),
+      Seq("query_id", "doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score_micro"), col("doc_id"))
+    negatives.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class RetrievalSpec extends SparkTestBase {
   import spark.implicits._
@@ -118,5 +119,33 @@ class RetrievalSpec extends SparkTestBase {
     assert(w1 == Set(2L, 3L))
     intercept[IllegalArgumentException](
       Retrieval.proximityMatches(docs, "id", "text", "x", "x", 2))
+  }
+
+  test("hard negatives: positive excluded, ranking matches the quantized bm25 sums") {
+    val docs = Seq(
+      (1L, "spark join vector"),
+      (2L, "spark spark join filter"),
+      (3L, "unrelated words entirely here"),
+      (4L, "spark join vector extra tokens")).toDF("doc_id", "text")
+    val queries = Seq((4L, "spark join vector")).toDF("query_id", "qtext")
+    val positives = Seq((4L, 4L)).toDF("query_id", "pos_doc")
+    val got = Retrieval.hardNegatives(docs, "doc_id", "text",
+      queries, "query_id", "qtext", positives, "pos_doc", k = 3)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    // the positive never appears
+    assert(!got.exists(_._3 == 4L))
+    // reference: quantize q94's oracle-pinned per-term scores and sum
+    val ref = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("spark", "join", "vector"))
+      .select(col("doc_id"),
+        floor(col("bm25") * 1000000.0).cast("long").as("m"))
+      .groupBy("doc_id").agg(sum(col("m")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    // doc 1 (all three terms, shortest) outranks doc 2 (two terms)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L).filter(ref.contains) ++
+      got.map(_._3).toSeq.drop(2)) // first two are 1 then 2
+    got.foreach { case (_, _, d, s) => assert(s == ref(d), s"doc $d") }
+    // doc 3 matches no query term: absent even with k = 3
+    assert(!got.exists(_._3 == 3L) && got.length == 2)
   }
 }
