@@ -7626,6 +7626,22 @@ object SparkEntry {
           queries, "query_id", "qtext", positives, "pos_doc", k = 5)
         .orderBy("query_id", "rank")
     }),
+
+    // --- 334. epoch schedule for data-constrained training, oracle-pinned -----------------------------------------
+    // Budget = 1.5 corpora: every document trains one full epoch and the
+    // md5-order greedy prefix gets the half-epoch repeat (the
+    // Muennighoff 2023 repetition plan made hash-deterministic). The
+    // engine runs the two-level bucket fill; the oracle replays the
+    // GLOBAL hash-order greedy — their equality is the operator's
+    // correctness statement.
+    "q334_epoch_schedule" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val corpus = docs.agg(sum(col("n_chars")).cast("long"))
+        .first().getLong(0)
+      graft.operators.Sampling.epochSchedule(
+          docs, "doc_id", "n_chars", corpus + corpus / 2)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13405,7 +13421,22 @@ object SparkEntry {
         |        ORDER BY score_micro DESC, doc_id) AS rank
         |      FROM neg)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Epoch schedule: the GLOBAL md5-order greedy — equal to the
+    // engine's two-level bucket fill by construction.
+    "q334_epoch_schedule" ->
+      """WITH c AS (SELECT CAST(sum(n_chars) AS BIGINT) AS corpus FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |        sum(n_chars) OVER (ORDER BY h, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT doc_id, n_chars,
+        |  CAST(1 + CASE WHEN cum <= (SELECT corpus // 2 FROM c)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

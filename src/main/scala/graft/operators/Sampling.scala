@@ -349,4 +349,62 @@ object Sampling {
       .select(outCols: _*)
     kept.union(partRows)
   }
+
+  /** Epoch schedule for data-constrained training (the repetition plan
+    * behind Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": when the token budget exceeds the corpus, data REPEATS —
+    * the question is which documents get the extra pass): every document
+    * gets `targetTokens div corpusTokens` full epochs, and the
+    * fractional remainder epoch is filled GREEDILY in portable-hash
+    * order (md5 of the id — the q58/q98 determinism device) until the
+    * remaining budget would overflow, so any engine recomputes the
+    * identical plan and re-planning after a crash reproduces it.
+    *
+    * Scale shape: the budgetSelect two-level trick on the HASH — a
+    * 256-bucket (first two md5 hex chars) coarse cumsum picks whole
+    * buckets, and only the single boundary bucket's rows enter a window
+    * (1/256 of the corpus) — no corpus-sized single-partition sort.
+    *
+    * Returns the input plus `n_epochs` (full epochs + 0/1 extra).
+    */
+  def epochSchedule(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      targetTokens: Long
+  ): DataFrame = {
+    require(targetTokens >= 0, s"targetTokens must be >= 0, got $targetTokens")
+    val corpus = df.agg(sum(col(tokensCol)).cast("long")).first().getLong(0)
+    require(corpus > 0, "corpus has no tokens")
+    val full = targetTokens / corpus
+    val rem = targetTokens - full * corpus
+    val outCols = df.columns.toSeq.map(col)
+    if (rem == 0)
+      return df.select(outCols :+ lit(full).as("n_epochs"): _*)
+    val keyed = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val byBucket = keyed.groupBy(col("__b"))
+      .agg(sum(col(tokensCol)).cast("long").as("__tok"))
+    val bw = Window.orderBy(col("__b")) // 256 rows — trivially single-partition
+    val cum = byBucket
+      .withColumn("__cum", sum(col("__tok")).over(bw))
+      .withColumn("__before", col("__cum") - col("__tok"))
+    val fullBuckets = cum.where(col("__cum") <= rem).select(col("__b"))
+    val partial = cum
+      .where(col("__cum") > rem && col("__before") < rem)
+      .select(col("__b").as("__pb"), (lit(rem) - col("__before")).as("__left"))
+    val pw = Window.partitionBy(col("__pb")).orderBy(col("__h"), col(idCol))
+    val extraPartial = keyed.join(broadcast(partial), col("__b") === col("__pb"))
+      .withColumn("__rcum", sum(col(tokensCol)).over(pw))
+      .where(col("__rcum") <= col("__left"))
+      .select(col(idCol).as("__xid"))
+    val extraFull = keyed.join(broadcast(fullBuckets), Seq("__b"), "left_semi")
+      .select(col(idCol).as("__xid"))
+    val extras = extraFull.union(extraPartial)
+    df.join(extras, col(idCol) === col("__xid"), "left")
+      .select(outCols :+
+        (lit(full) + when(col("__xid").isNotNull, 1L).otherwise(0L))
+          .as("n_epochs"): _*)
+  }
 }

@@ -43,4 +43,44 @@ class BudgetSelectSpec extends SparkTestBase {
       assert(kept <= math.min(b, total), s"budget $b spent $kept")
     }
   }
+
+  test("epoch schedule: full epochs exact, remainder filled in hash order") {
+    val docs = (1L to 50L).map(i => (i, 10L + i % 5)).toDF("id", "tok")
+    val corpus = docs.agg(sum("tok")).as[Long].collect()(0)
+
+    // exact multiple: everyone gets exactly target/corpus epochs
+    val flat = Sampling.epochSchedule(docs, "id", "tok", corpus * 3)
+      .select("n_epochs").as[Long].collect()
+    assert(flat.forall(_ == 3L))
+
+    // remainder: n_epochs in {full, full+1}; scheduled tokens never
+    // exceed the target and undershoot by less than the largest doc
+    val target = corpus * 2 + corpus / 3
+    val sched = Sampling.epochSchedule(docs, "id", "tok", target)
+      .select(col("id"), col("tok"), col("n_epochs"))
+      .as[(Long, Long, Long)].collect()
+    assert(sched.map(_._3).toSet == Set(2L, 3L))
+    val spent = sched.map(r => r._2 * r._3).sum
+    assert(spent <= target && target - spent < 15,
+      s"spent $spent of $target")
+
+    // the extra-epoch set is exactly the md5-order greedy prefix
+    val rem = target - 2 * corpus
+    val order = sched.map(r => (r._1, r._2))
+      .sortBy { case (id, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString, id)
+      }
+    var acc = 0L
+    val wantExtra = order.takeWhile { case (_, t) =>
+      acc += t; acc <= rem
+    }.map(_._1).toSet
+    assert(sched.filter(_._3 == 3L).map(_._1).toSet == wantExtra)
+
+    // target below one epoch: full = 0, a hash-prefix subset gets 1
+    val small = Sampling.epochSchedule(docs, "id", "tok", corpus / 2)
+      .select("n_epochs").as[Long].collect()
+    assert(small.toSet == Set(0L, 1L))
+  }
 }
