@@ -7642,6 +7642,35 @@ object SparkEntry {
           docs, "doc_id", "n_chars", corpus + corpus / 2)
         .orderBy("doc_id")
     }),
+
+    // --- 335. corpus-overlap estimation via group-level MinHash, oracle-pinned --------------------------------------
+    // How much 3-token shingle mass do the en and de slices share: the
+    // mergeable group sketch's signature-agreement ESTIMATE beside the
+    // exact Jaccard — the oracle replays the chained shingle hash, the
+    // per-seed signature minima, the agreement count AND the exact sets,
+    // so both numbers are pinned.
+    "q335_corpus_overlap" -> ((s, d) => {
+      val hs = t(s, d, "documents").where(col("lang").isin("en", "de"))
+        .select(col("lang"),
+          graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+      val sigs = hs.groupBy(col("lang"))
+        .agg(graft.functions.MinHashSketch.sketch(col("hs"), 64).as("sig"))
+      val sigA = sigs.where(col("lang") === "en").select(col("sig").as("sig_a"))
+      val sigB = sigs.where(col("lang") === "de").select(col("sig").as("sig_b"))
+      val shingles = hs.select(col("lang"), explode(col("hs")).as("sh")).distinct()
+      val a = shingles.where(col("lang") === "en").select(col("sh"))
+      val b = shingles.where(col("lang") === "de").select(col("sh"))
+      val nA = a.agg(count(lit(1)).as("n_a"))
+      val nB = b.agg(count(lit(1)).as("n_b"))
+      val inter = a.join(b, "sh").agg(count(lit(1)).as("n_inter"))
+      nA.crossJoin(nB).crossJoin(inter).crossJoin(sigA).crossJoin(sigB)
+        .select(col("n_a"), col("n_b"), col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 7)
+            .as("exact_jaccard"),
+          round(graft.functions.MinHashSketch.estimatedJaccard(
+            col("sig_a"), col("sig_b")), 7).as("estimated_jaccard"))
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13436,7 +13465,11 @@ object SparkEntry {
         |SELECT doc_id, n_chars,
         |  CAST(1 + CASE WHEN cum <= (SELECT corpus // 2 FROM c)
         |    THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q335_corpus_overlap" ->
+      graft.oracle.XxSql.corpusOverlapSql(shingleN = 3, numHashes = 64,
+        sliceCol = "lang", a = "en", b = "de")
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

@@ -185,6 +185,74 @@ object XxSql {
     * signature slot: the corpus-wide distinct-shingle set times numHashes
     * is the only big intermediate.
     */
+  /** Oracle SQL for a GROUP-level MinHash corpus-overlap readout
+    * ([[graft.functions.MinHashSketch]] over per-slice shingle sets):
+    * replays tokenization, the chained shingle hash, the per-seed
+    * signature minima (SIGNED comparison — the aggregator's Long order),
+    * the signature-agreement estimate AND the exact Jaccard of the two
+    * slices' distinct shingle sets.
+    */
+  def corpusOverlapSql(shingleN: Int, numHashes: Int, sliceCol: String,
+      a: String, b: String): String = {
+    val docsWhere = s"WHERE $sliceCol IN ('$a', '$b')"
+    val tok = chain("tk",
+      s"""SELECT st, length(st) AS l FROM (
+         |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS st
+         |  FROM documents $docsWhere)""".stripMargin,
+      Seq("st", "l"))
+    strHash(tok, "st", "l", maxLen = 16)
+    val win = chain("sw",
+      s"SELECT p0.slice, p0.doc_id, p0.pos" +
+        (0 until shingleN).map(j => s", t$j.th AS v$j").mkString + "\n" +
+        "FROM tp p0 " +
+        (1 until shingleN).map(j =>
+          s"JOIN tp p$j ON p$j.doc_id = p0.doc_id AND p$j.pos = p0.pos + $j ").mkString +
+        (0 until shingleN).map(j => s"JOIN th t$j ON t$j.st = p$j.st ").mkString,
+      Seq("slice", "doc_id", "pos") ++ (0 until shingleN).map(j => s"v$j"))
+    var prevSeed = "42"
+    for (j <- 0 until shingleN) {
+      longHash(win, s"v$j", prevSeed, s"w$j")
+      win.drop(s"v$j")
+      if (j > 0) win.drop(s"w${j - 1}")
+      prevSeed = s"w$j"
+    }
+    val sig = chain("sg",
+      s"SELECT g.sh, s.s AS seed FROM (SELECT DISTINCT sh FROM sh) g, " +
+        s"LATERAL (SELECT unnest(range($numHashes)) AS s) s",
+      Seq("sh", "seed"))
+    longHash(sig, "sh", "seed", "mh")
+    s"""WITH th AS MATERIALIZED (WITH ${tok.withClauses} SELECT st, h AS th FROM ${tok.last}),
+       |tp AS MATERIALIZED (
+       |  SELECT $sliceCol AS slice, doc_id, i.i AS pos, arr[i.i + 1] AS st
+       |  FROM (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS arr
+       |        FROM documents $docsWhere),
+       |       LATERAL (SELECT unnest(range(len(arr))) AS i) i),
+       |sh AS MATERIALIZED (WITH ${win.withClauses}
+       |  SELECT DISTINCT slice, w${shingleN - 1} AS sh FROM ${win.last}),
+       |sigs AS MATERIALIZED (WITH ${sig.withClauses}
+       |  SELECT d.slice, m.seed, min(${s64("m.mh")}) AS sv
+       |  FROM sh d JOIN ${sig.last} m ON m.sh = d.sh
+       |  GROUP BY d.slice, m.seed),
+       |agree AS (
+       |  SELECT count(CASE WHEN x.sv = y.sv THEN 1 END) AS n_agree
+       |  FROM sigs x JOIN sigs y ON x.seed = y.seed
+       |  WHERE x.slice = '$a' AND y.slice = '$b'),
+       |sizes AS (
+       |  SELECT count(CASE WHEN slice = '$a' THEN 1 END) AS n_a,
+       |         count(CASE WHEN slice = '$b' THEN 1 END) AS n_b
+       |  FROM sh),
+       |inter AS (
+       |  SELECT count(*) AS i FROM sh x JOIN sh y ON x.sh = y.sh
+       |  WHERE x.slice = '$a' AND y.slice = '$b')
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(i AS BIGINT) AS n_inter,
+       |  ROUND(CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE), 7)
+       |    AS exact_jaccard,
+       |  ROUND(CAST(n_agree AS DOUBLE) / CAST($numHashes AS DOUBLE), 7)
+       |    AS estimated_jaccard
+       |FROM sizes, inter, agree""".stripMargin
+  }
+
   def minhashPairsSql(shingleN: Int, numHashes: Int, bands: Int,
       threshold: Double, blockCol: Option[String]): String =
     minhashCore(shingleN, numHashes, bands, blockCol) +
