@@ -7671,6 +7671,16 @@ object SparkEntry {
           round(graft.functions.MinHashSketch.estimatedJaccard(
             col("sig_a"), col("sig_b")), 7).as("estimated_jaccard"))
     }),
+
+    // --- 336. Dirichlet query likelihood, oracle-pinned ---------------------------------------------------------------
+    // The LM-retrieval scorer beside BM25 (Zhai & Lafferty 2001), q94's
+    // query trio at mu = 2000: postings-only decomposition, every ln
+    // term micro-quantized before any cross-row sum.
+    "q336_query_likelihood" -> ((s, d) =>
+      graft.functions.Retrieval.queryLikelihood(
+          t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "join", "vector"), mu = 2000.0, k = 20)
+        .orderBy("rank")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13469,7 +13479,47 @@ object SparkEntry {
 
     "q335_corpus_overlap" ->
       graft.oracle.XxSql.corpusOverlapSql(shingleN = 3, numHashes = 64,
-        sliceCol = "lang", a = "en", b = "de")
+        sliceCol = "lang", a = "en", b = "de"),
+
+    // Query likelihood: the identical postings-only decomposition with
+    // every ln term floored to micro-units before summation.
+    "q336_query_likelihood" -> {
+      val mu = "CAST(2000 AS DOUBLE)"
+      val m6 = "CAST(1000000 AS DOUBLE)"
+      s"""WITH dd AS (
+         |  SELECT doc_id,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), t -> len(t) > 0)
+         |      AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM dd),
+         |cl AS (SELECT SUM(dl) AS corpus_len FROM dl),
+         |q AS (SELECT UNNEST(['spark', 'join', 'vector']) AS term),
+         |posts AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+         |cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf
+         |       FROM posts JOIN q USING (term) GROUP BY 1),
+         |tf AS (SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM posts JOIN q USING (term) GROUP BY 1, 2, 3),
+         |gain AS (SELECT doc_id, dl,
+         |    CAST(sum(CAST(floor((ln(tf + $mu * (cf.cf / corpus_len))
+         |      - ln($mu * (cf.cf / corpus_len))) * $m6) AS BIGINT)) AS BIGINT)
+         |      AS gm
+         |  FROM tf JOIN cf USING (term), cl GROUP BY 1, 2),
+         |c0 AS (SELECT
+         |    CAST(sum(CAST(floor(ln($mu * (cf / corpus_len)) * $m6)
+         |      AS BIGINT)) AS BIGINT) AS c0,
+         |    count(*) AS neff
+         |  FROM cf, cl),
+         |scored AS (SELECT doc_id,
+         |    gm + c0 - neff * CAST(floor(ln(dl + $mu) * $m6) AS BIGINT)
+         |      AS score_micro
+         |  FROM gain, c0)
+         |SELECT doc_id AS id, score_micro,
+         |  CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER
+         |        (ORDER BY score_micro DESC, doc_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    }
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

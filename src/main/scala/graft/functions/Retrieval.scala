@@ -236,6 +236,71 @@ object Retrieval {
         min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
   }
 
+  /** Dirichlet-smoothed query likelihood (Zhai & Lafferty, SIGIR 2001) —
+    * the language-model retrieval scorer beside BM25 (q94): rank by
+    *
+    *   score(q, d) = sum_t ln((tf_td + mu * p_t) / (dl_d + mu)),
+    *   p_t = cf_t / |C|
+    *
+    * decomposed the postings-only way: the constant sum_t ln(mu p_t)
+    * folds ONCE in term-list order, matched postings contribute
+    * ln(tf + mu p_t) - ln(mu p_t), and every document pays
+    * -|q| * ln(dl + mu) — so unmatched (doc, term) pairs never
+    * materialize and the scan stays corpus-frequency-sized.
+    *
+    * Exactness: every ln term quantizes to micro-units
+    * (floor(x * 1e6) as BIGINT) before any cross-row sum, so scores are
+    * exact integers and ranking is (score_micro desc, id asc) — total,
+    * replayable.
+    *
+    * Returns the top `k` (id, score_micro, rank) over documents matching
+    * at least one query term PLUS (tie-broken in) nothing else: a doc
+    * with zero matches can still out-rank a long matching doc under pure
+    * QL, but retrieval-set semantics want term-matching candidates —
+    * the standard index-driven behavior.
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], mu: Double = 2000.0, k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "query terms must be nonempty and distinct")
+    require(mu > 0 && k >= 1, "mu must be positive, k >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokenized = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val corpusLen = tokenized.agg(sum(col("dl"))).first().getDouble(0)
+    val postings = tokenized
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+    val cf = postings.join(broadcast(terms.toDF("term")), "term")
+      .groupBy("term").agg(count(lit(1)).cast("double").as("cf"))
+    val tf = postings.join(broadcast(terms.toDF("term")), "term")
+      .groupBy(col("id"), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // matched-term gain over the background, micro-quantized per term
+    val p = col("cf") / lit(corpusLen)
+    val gain = floor((log(col("tf") + lit(mu) * p) - log(lit(mu) * p))
+      * lit(1000000.0)).cast("long")
+    val perDoc = tf.join(broadcast(cf), "term")
+      .groupBy(col("id"), col("dl"))
+      .agg(sum(gain).as("gain_micro"))
+    // the query-constant background folds driver-side in term order
+    val cfMap = cf.as[(String, Double)].collect().toMap
+    val c0 = terms.map { t =>
+      val pt = cfMap.getOrElse(t, 0.0) / corpusLen
+      if (pt > 0) math.floor(math.log(mu * pt) * 1e6).toLong else 0L
+    }.sum
+    val nEff = terms.count(t => cfMap.getOrElse(t, 0.0) > 0)
+    val score = col("gain_micro") + lit(c0) -
+      lit(nEff.toLong) * floor(log(col("dl") + lit(mu)) * lit(1000000.0)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_micro"), col("id"))
+    perDoc.select(col("id"), score.as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Hard-negative mining for retrieval training data — the published
     * dense-retriever recipe (DPR, Karpukhin et al. 2020; the BGE/E5
     * pipelines): for each (query, positive) pair, the best negatives are

@@ -121,6 +121,42 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.proximityMatches(docs, "id", "text", "x", "x", 2))
   }
 
+  test("query likelihood: matches the decomposed reference, non-matching docs absent") {
+    val docs = Seq(
+      (1L, "spark join vector"),
+      (2L, "spark spark join filter"),
+      (3L, "unrelated words entirely"),
+      (4L, "join")).toDF("doc_id", "text")
+    val terms = Seq("spark", "join")
+    val mu = 10.0
+    val got = Retrieval.queryLikelihood(docs, "doc_id", "text", terms, mu, k = 10)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // reference mirroring the decomposed quantization
+    val toks = Map(1L -> Seq("spark", "join", "vector"),
+      2L -> Seq("spark", "spark", "join", "filter"),
+      3L -> Seq("unrelated", "words", "entirely"),
+      4L -> Seq("join"))
+    val corpusLen = toks.values.map(_.size).sum.toDouble
+    val cf = terms.map(t => t -> toks.values.map(_.count(_ == t)).sum.toDouble).toMap
+    val c0 = terms.map(t => math.floor(math.log(mu * cf(t) / corpusLen) * 1e6).toLong).sum
+    def score(id: Long): Long = {
+      val dl = toks(id).size.toDouble
+      val gain = terms.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf > 0) {
+          val p = cf(t) / corpusLen
+          math.floor((math.log(tf + mu * p) - math.log(mu * p)) * 1e6).toLong
+        } else 0L
+      }.sum
+      gain + c0 - 2L * math.floor(math.log(dl + mu) * 1e6).toLong
+    }
+    assert(!got.exists(_._1 == 3L)) // no query term -> not a candidate
+    got.foreach { case (id, s, _) => assert(s == score(id), s"doc $id") }
+    // ranking follows the exact integer scores
+    assert(got.map(_._1).toSeq ==
+      Seq(1L, 2L, 4L).sortBy(id => (-score(id), id)))
+  }
+
   test("hard negatives: positive excluded, ranking matches the quantized bm25 sums") {
     val docs = Seq(
       (1L, "spark join vector"),
