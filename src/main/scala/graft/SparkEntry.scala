@@ -7681,6 +7681,27 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text",
           Seq("spark", "join", "vector"), mu = 2000.0, k = 20)
         .orderBy("rank")),
+
+    // --- 337. chrF2 character n-gram F-score, oracle-pinned -------------------------------------------------------
+    // Four constructed hyp/ref shapes: identical, disjoint, a prefix pair
+    // whose recall average is stated term by term, and a whitespace pair
+    // pinning the removal convention.
+    "q337_chrf" -> ((s, d) => {
+      val m = col("doc_id") % 4
+      val hyp = when(m === 0, lit("the quick brown fox"))
+        .when(m === 1, lit("aaaaaaaa"))
+        .when(m === 2, lit("abcdef"))
+        .otherwise(lit("ab cd"))
+      val ref = when(m === 0, lit("the quick brown fox"))
+        .when(m === 1, lit("bbbbbbbb"))
+        .when(m === 2, lit("abcdefgh"))
+        .otherwise(lit("abcd"))
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Eval.chrF(hyp, ref).as("s"))
+        .select(col("doc_id"), col("s.chr_p").as("chr_p"),
+          col("s.chr_r").as("chr_r"), col("s.chrf").as("chrf"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13519,6 +13540,29 @@ object SparkEntry {
          |        (ORDER BY score_micro DESC, doc_id) AS rank
          |      FROM scored)
          |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+
+    // chrF: the prefix shape's recall average stated term by term in the
+    // engine's n = 1..6 fold order; the rest closed-form.
+    "q337_chrf" -> {
+      val sumR = (1 to 6).map(n =>
+        s"CAST(${7 - n} AS DOUBLE) / CAST(${9 - n} AS DOUBLE)")
+        .mkString("\n        + ")
+      s"""WITH pre AS (SELECT
+         |  ($sumR) / CAST(6 AS DOUBLE) AS r2)
+         |SELECT doc_id,
+         |  ROUND(CASE doc_id % 4 WHEN 1 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(1 AS DOUBLE) END, 7) AS chr_p,
+         |  ROUND(CASE doc_id % 4
+         |    WHEN 1 THEN CAST(0 AS DOUBLE)
+         |    WHEN 2 THEN r2
+         |    ELSE CAST(1 AS DOUBLE) END, 7) AS chr_r,
+         |  ROUND(CASE doc_id % 4
+         |    WHEN 1 THEN CAST(0 AS DOUBLE)
+         |    WHEN 2 THEN CAST(5 AS DOUBLE) * CAST(1 AS DOUBLE) * r2
+         |      / (CAST(4 AS DOUBLE) * CAST(1 AS DOUBLE) + r2)
+         |    ELSE CAST(1 AS DOUBLE) END, 7) AS chrf
+         |FROM documents, pre ORDER BY doc_id""".stripMargin
     }
   )
 

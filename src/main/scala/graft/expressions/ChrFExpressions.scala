@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** chrF — character n-gram F-score (Popović, WMT 2015), the
+  * tokenization-free MT/generation quality metric that correlates with
+  * human judgment where BLEU's word n-grams fracture on morphology:
+  * clipped character n-gram precision/recall averaged over n = 1..6,
+  * combined with recall-weighted beta = 2 (chrF2, the published
+  * default).
+  *
+  * Pinned conventions (the reference implementation's):
+  *  - whitespace is REMOVED before n-gram extraction (the paper's
+  *    setting);
+  *  - overlap is the multiset (clipped) intersection per n;
+  *  - an n with zero n-grams on EITHER side contributes to neither
+  *    average (divisor = number of included n);
+  *  - chrP/chrR fold in n order; chrF = 5*P*R/(4P + R), 0 when both
+  *    averages are 0; both-empty inputs score 1 (identical).
+  *
+  * Row-local, one pass per n over the two char arrays with a hash
+  * multiset — codegen'd, O(len) heap.
+  */
+object ChrFCodec {
+
+  private final val MaxN = 6
+
+  def score(hyp0: UTF8String, ref0: UTF8String): Any = {
+    val hyp = hyp0.toString.filterNot(_.isWhitespace)
+    val ref = ref0.toString.filterNot(_.isWhitespace)
+    val out = new Array[Any](3)
+    if (hyp.isEmpty && ref.isEmpty) {
+      out(0) = 1.0; out(1) = 1.0; out(2) = 1.0
+      return new GenericInternalRow(out)
+    }
+    var sumP = 0.0
+    var sumR = 0.0
+    var included = 0
+    var n = 1
+    while (n <= MaxN) {
+      val nh = hyp.length - n + 1
+      val nr = ref.length - n + 1
+      if (nh > 0 && nr > 0) {
+        val refCounts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < nr) {
+          val g = ref.substring(i, i + n)
+          refCounts.put(g, refCounts.getOrDefault(g, 0) + 1)
+          i += 1
+        }
+        var overlap = 0
+        i = 0
+        while (i < nh) {
+          val g = hyp.substring(i, i + n)
+          val c = refCounts.getOrDefault(g, 0)
+          if (c > 0) { overlap += 1; refCounts.put(g, c - 1) }
+          i += 1
+        }
+        sumP += overlap.toDouble / nh
+        sumR += overlap.toDouble / nr
+        included += 1
+      }
+      n += 1
+    }
+    val chrP = if (included > 0) sumP / included else 0.0
+    val chrR = if (included > 0) sumR / included else 0.0
+    val chrF =
+      if (chrP == 0.0 && chrR == 0.0) 0.0
+      else 5.0 * chrP * chrR / (4.0 * chrP + chrR)
+    out(0) = math.rint(chrP * 1e7) / 1e7
+    out(1) = math.rint(chrR * 1e7) / 1e7
+    out(2) = math.rint(chrF * 1e7) / 1e7
+    new GenericInternalRow(out)
+  }
+}
+
+/** `(hyp, ref)` -> struct<chr_p,chr_r,chrf> ([[ChrFCodec.score]]). */
+case class ChrFExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("chr_p", DoubleType, nullable = false),
+    StructField("chr_r", DoubleType, nullable = false),
+    StructField("chrf", DoubleType, nullable = false)))
+  override def nullSafeEval(x: Any, y: Any): Any =
+    ChrFCodec.score(x.asInstanceOf[UTF8String], y.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.expressions.ChrFCodec.score($x, $y);
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ChrFExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_chrf"
+}

@@ -387,6 +387,14 @@ object GraftExtensions {
           "graft_lcs(string, string)")
       }),
     (
+      FunctionIdentifier("graft_chrf"),
+      new ExpressionInfo(classOf[ChrFExpr].getName, "graft_chrf"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ChrFExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_chrf(hyp string, ref string)")
+      }),
+    (
       FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[PorterStemExpr].getName, "graft_stem"),
       (args: Seq[Expression]) => args match {

@@ -206,6 +206,16 @@ object Eval {
             col("recall").isNotNull, 0.0)), 7))
   }
 
+  /** chrF2 character n-gram F-score ([[graft.expressions.ChrFExpr]],
+    * Popović 2015): the tokenization-free generation/MT quality metric —
+    * struct<chr_p,chr_r,chrf>. Row-local, codegen'd.
+    */
+  def chrF(hyp: Column, ref: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ChrFExpr(
+        org.apache.spark.sql.graft.Bridge.expression(hyp),
+        org.apache.spark.sql.graft.Bridge.expression(ref)))
+
   /** ROC AUC via the rank statistic (the Mann-Whitney identity: AUC =
     * P(score_pos > score_neg) + P(=)/2) — threshold-free classifier
     * quality, computed EXACTLY:

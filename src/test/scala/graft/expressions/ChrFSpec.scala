@@ -1,0 +1,70 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** chrF2: hand n-gram arithmetic, whitespace removal, clipping, the
+  * included-n convention, reference parity on random pairs, SQL.
+  */
+class ChrFSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(h: String, r: String): (Double, Double, Double) = {
+    val row = Seq((h, r)).toDF("h", "r")
+      .select(graft.functions.Eval.chrF(col("h"), col("r")).as("s"))
+      .select(col("s.chr_p"), col("s.chr_r"), col("s.chrf"))
+      .collect()(0)
+    (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+  }
+
+  private def ref(h0: String, r0: String): (Double, Double, Double) = {
+    val h = h0.filterNot(_.isWhitespace)
+    val r = r0.filterNot(_.isWhitespace)
+    if (h.isEmpty && r.isEmpty) return (1.0, 1.0, 1.0)
+    var (sp, sr, inc) = (0.0, 0.0, 0)
+    for (n <- 1 to 6) {
+      val hg = h.sliding(n).toSeq.filter(_.length == n)
+      val rg = r.sliding(n).toSeq.filter(_.length == n)
+      if (hg.nonEmpty && rg.nonEmpty) {
+        val rc = rg.groupBy(identity).view.mapValues(_.size).toMap
+        val overlap = hg.groupBy(identity).map { case (g, occ) =>
+          math.min(occ.size, rc.getOrElse(g, 0))
+        }.sum
+        sp += overlap.toDouble / hg.size
+        sr += overlap.toDouble / rg.size
+        inc += 1
+      }
+    }
+    val (p, q) = (if (inc > 0) sp / inc else 0.0, if (inc > 0) sr / inc else 0.0)
+    val f = if (p == 0 && q == 0) 0.0 else 5.0 * p * q / (4.0 * p + q)
+    def r7(x: Double) = math.rint(x * 1e7) / 1e7
+    (r7(p), r7(q), r7(f))
+  }
+
+  test("identical, disjoint, prefix, whitespace removal, both-empty") {
+    assert(run("abcdefgh", "abcdefgh") == ((1.0, 1.0, 1.0)))
+    assert(run("aaaaaaaa", "bbbbbbbb") == ((0.0, 0.0, 0.0)))
+    assert(run("ab cd", "abcd") == ((1.0, 1.0, 1.0))) // whitespace pinned away
+    assert(run("", "") == ((1.0, 1.0, 1.0)))
+    // prefix case: P = 1 every n; R averages (7-n)/(9-n)
+    val got = run("abcdef", "abcdefgh")
+    assert(got._1 == 1.0)
+    assert(got == ref("abcdef", "abcdefgh"))
+    // clipping: repeated hyp grams cannot overclaim a single ref gram
+    assert(run("aaaa", "xaxx")._1 == ref("aaaa", "xaxx")._1)
+  }
+
+  test("reference parity on random pairs; SQL surface") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 30) {
+      val a = (1 to rnd.nextInt(20) + 1)
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val b = (1 to rnd.nextInt(20) + 1)
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      assert(run(a, b) == ref(a, b), s"'$a' vs '$b'")
+    }
+    val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)
+    assert(sqlS.sql("SELECT graft_chrf('abcd', 'abcd').chrf AS f")
+      .head().getDouble(0) == 1.0)
+  }
+}
