@@ -7702,6 +7702,27 @@ object SparkEntry {
           col("s.chr_r").as("chr_r"), col("s.chrf").as("chrf"))
         .orderBy("doc_id")
     }),
+
+    // --- 338. sentence BLEU-4, oracle-pinned ------------------------------------------------------------------------
+    // chrF's token companion over four shapes: identical, disjoint
+    // (p1 = 0 zeroes BLEU), a perfect prefix scoring exactly the brevity
+    // penalty, and a clipping case with every smoothed precision stated.
+    "q338_bleu" -> ((s, d) => {
+      val m = col("doc_id") % 4
+      val hyp = when(m === 0, lit("the cat sat down"))
+        .when(m === 1, lit("x y z"))
+        .when(m === 2, lit("a b c d e"))
+        .otherwise(lit("a a a b"))
+      val ref = when(m === 0, lit("the cat sat down"))
+        .when(m === 1, lit("p q r"))
+        .when(m === 2, lit("a b c d e f g"))
+        .otherwise(lit("a b c"))
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Eval.bleu(hyp, ref).as("s"))
+        .select(col("doc_id"), col("s.p1").as("p1"),
+          col("s.bp").as("bp"), col("s.bleu").as("bleu"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13563,7 +13584,32 @@ object SparkEntry {
          |      / (CAST(4 AS DOUBLE) * CAST(1 AS DOUBLE) + r2)
          |    ELSE CAST(1 AS DOUBLE) END, 7) AS chrf
          |FROM documents, pre ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // BLEU: every smoothed precision and the ln fold stated explicitly
+    // per shape; the brevity shape is exactly exp(1 - 7/5).
+    "q338_bleu" ->
+      """SELECT doc_id,
+        |  ROUND(CASE doc_id % 4
+        |    WHEN 1 THEN CAST(0 AS DOUBLE)
+        |    WHEN 3 THEN CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE)
+        |    ELSE CAST(1 AS DOUBLE) END, 7) AS p1,
+        |  ROUND(CASE doc_id % 4
+        |    WHEN 2 THEN exp(CAST(1 AS DOUBLE)
+        |      - CAST(7 AS DOUBLE) / CAST(5 AS DOUBLE))
+        |    ELSE CAST(1 AS DOUBLE) END, 7) AS bp,
+        |  ROUND(CASE doc_id % 4
+        |    WHEN 0 THEN CAST(1 AS DOUBLE)
+        |    WHEN 1 THEN CAST(0 AS DOUBLE)
+        |    WHEN 2 THEN exp(CAST(1 AS DOUBLE)
+        |      - CAST(7 AS DOUBLE) / CAST(5 AS DOUBLE))
+        |    ELSE exp(CAST(0.25 AS DOUBLE) * (
+        |      ln(CAST(2 AS DOUBLE) / CAST(4 AS DOUBLE))
+        |      + ln(CAST(2 AS DOUBLE) / CAST(4 AS DOUBLE))
+        |      + ln(CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+        |      + ln(CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))))
+        |    END, 7) AS bleu
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

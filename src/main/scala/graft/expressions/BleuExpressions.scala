@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sentence-level BLEU-4 (Papineni et al., ACL 2002) with the standard
+  * add-one smoothing for the higher orders (Lin & Och 2004's
+  * smoothing-1, the common sentence-BLEU default) — the token n-gram
+  * companion of chrF (q337): clipped modified precisions p_1..p_4 over
+  * whitespace-lowercase tokens, brevity penalty min(1, e^(1 - r/c)),
+  *
+  *   BLEU = BP * exp(0.25 * (ln p1 + ln p2 + ln p3 + ln p4))
+  *
+  * Pinned conventions:
+  *  - tokens: the engine's shared whitespace-lower rule;
+  *  - p1 is RAW (a zero unigram overlap zeroes BLEU — the published
+  *    behavior); p_n for n >= 2 smooths to (o_n + 1)/(t_n + 1);
+  *  - an n with no hypothesis n-grams contributes ln 1 = 0 (short
+  *    hypotheses stay defined);
+  *  - ln sum folds in n order; every reported number rounds at 7.
+  *
+  * Row-local hash-multiset pass per n — codegen'd, O(len) heap.
+  */
+object BleuCodec {
+
+  private def toks(s: UTF8String): Array[String] =
+    s.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+
+  def score(hyp0: UTF8String, ref0: UTF8String): Any = {
+    val hyp = toks(hyp0)
+    val ref = toks(ref0)
+    val out = new Array[Any](3)
+    if (hyp.isEmpty && ref.isEmpty) {
+      out(0) = 1.0; out(1) = 1.0; out(2) = 1.0
+      return new GenericInternalRow(out)
+    }
+    if (hyp.isEmpty || ref.isEmpty) {
+      out(0) = 0.0; out(1) = 0.0; out(2) = 0.0
+      return new GenericInternalRow(out)
+    }
+    def grams(a: Array[String], n: Int): Array[String] =
+      (0 to a.length - n).map(i => a.slice(i, i + n).mkString(" ")).toArray
+    var lnSum = 0.0
+    var p1 = 1.0
+    var zero = false
+    var n = 1
+    while (n <= 4) {
+      val hg = grams(hyp, n)
+      if (hg.nonEmpty) {
+        val rg = grams(ref, n)
+        val rc = new java.util.HashMap[String, Int]()
+        rg.foreach(g => rc.put(g, rc.getOrDefault(g, 0) + 1))
+        var overlap = 0
+        hg.foreach { g =>
+          val c = rc.getOrDefault(g, 0)
+          if (c > 0) { overlap += 1; rc.put(g, c - 1) }
+        }
+        val p =
+          if (n == 1) overlap.toDouble / hg.length
+          else (overlap + 1).toDouble / (hg.length + 1)
+        if (n == 1) p1 = p
+        if (p == 0.0) zero = true else lnSum += math.log(p)
+      }
+      n += 1
+    }
+    val bp =
+      if (hyp.length >= ref.length) 1.0
+      else math.exp(1.0 - ref.length.toDouble / hyp.length)
+    val bleu = if (zero) 0.0 else bp * math.exp(0.25 * lnSum)
+    out(0) = math.rint(p1 * 1e7) / 1e7
+    out(1) = math.rint(bp * 1e7) / 1e7
+    out(2) = math.rint(bleu * 1e7) / 1e7
+    new GenericInternalRow(out)
+  }
+}
+
+/** `(hyp, ref)` -> struct<p1,bp,bleu> ([[BleuCodec.score]]). */
+case class BleuExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("p1", DoubleType, nullable = false),
+    StructField("bp", DoubleType, nullable = false),
+    StructField("bleu", DoubleType, nullable = false)))
+  override def nullSafeEval(x: Any, y: Any): Any =
+    BleuCodec.score(x.asInstanceOf[UTF8String], y.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.expressions.BleuCodec.score($x, $y);
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BleuExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_bleu"
+}

@@ -387,6 +387,14 @@ object GraftExtensions {
           "graft_lcs(string, string)")
       }),
     (
+      FunctionIdentifier("graft_bleu"),
+      new ExpressionInfo(classOf[BleuExpr].getName, "graft_bleu"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => BleuExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_bleu(hyp string, ref string)")
+      }),
+    (
       FunctionIdentifier("graft_chrf"),
       new ExpressionInfo(classOf[ChrFExpr].getName, "graft_chrf"),
       (args: Seq[Expression]) => args match {

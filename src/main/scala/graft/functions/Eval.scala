@@ -216,6 +216,16 @@ object Eval {
         org.apache.spark.sql.graft.Bridge.expression(hyp),
         org.apache.spark.sql.graft.Bridge.expression(ref)))
 
+  /** Sentence BLEU-4 with add-one smoothing on the higher orders
+    * ([[graft.expressions.BleuExpr]], Papineni 2002 / Lin & Och 2004):
+    * struct<p1,bp,bleu>. Row-local, codegen'd.
+    */
+  def bleu(hyp: Column, ref: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.BleuExpr(
+        org.apache.spark.sql.graft.Bridge.expression(hyp),
+        org.apache.spark.sql.graft.Bridge.expression(ref)))
+
   /** ROC AUC via the rank statistic (the Mann-Whitney identity: AUC =
     * P(score_pos > score_neg) + P(=)/2) — threshold-free classifier
     * quality, computed EXACTLY:

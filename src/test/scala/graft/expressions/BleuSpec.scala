@@ -1,0 +1,76 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Sentence BLEU-4: hand shapes, clipping, brevity penalty, the
+  * short-hypothesis convention, random reference parity, SQL.
+  */
+class BleuSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(h: String, r: String): (Double, Double, Double) = {
+    val row = Seq((h, r)).toDF("h", "r")
+      .select(graft.functions.Eval.bleu(col("h"), col("r")).as("s"))
+      .select(col("s.p1"), col("s.bp"), col("s.bleu")).collect()(0)
+    (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+  }
+
+  private def ref(h0: String, r0: String): (Double, Double, Double) = {
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val (h, r) = (toks(h0), toks(r0))
+    def r7(x: Double) = math.rint(x * 1e7) / 1e7
+    if (h.isEmpty && r.isEmpty) return (1.0, 1.0, 1.0)
+    if (h.isEmpty || r.isEmpty) return (0.0, 0.0, 0.0)
+    def grams(a: Seq[String], n: Int) = a.sliding(n).filter(_.size == n).toSeq
+    var lnSum = 0.0
+    var p1 = 1.0
+    var zero = false
+    for (n <- 1 to 4) {
+      val hg = grams(h, n)
+      if (hg.nonEmpty) {
+        val rc = grams(r, n).groupBy(identity).view.mapValues(_.size).toMap
+        val overlap = hg.groupBy(identity).map { case (g, occ) =>
+          math.min(occ.size, rc.getOrElse(g, 0))
+        }.sum
+        val p = if (n == 1) overlap.toDouble / hg.size
+          else (overlap + 1).toDouble / (hg.size + 1)
+        if (n == 1) p1 = p
+        if (p == 0.0) zero = true else lnSum += math.log(p)
+      }
+    }
+    val bp = if (h.size >= r.size) 1.0
+      else math.exp(1.0 - r.size.toDouble / h.size)
+    val bleu = if (zero) 0.0 else bp * math.exp(0.25 * lnSum)
+    (r7(p1), r7(bp), r7(bleu))
+  }
+
+  test("identical, disjoint, brevity, clipping, short hypothesis") {
+    assert(run("the cat sat down", "the cat sat down") == ((1.0, 1.0, 1.0)))
+    assert(run("x y z", "p q r")._3 == 0.0)
+    // pure brevity: a perfect prefix scores exactly the penalty
+    val pre = run("a b c d e", "a b c d e f g")
+    assert(pre._1 == 1.0)
+    assert(pre._2 == math.rint(math.exp(1.0 - 7.0 / 5.0) * 1e7) / 1e7)
+    assert(pre._3 == pre._2)
+    // clipping: repeated hyp unigrams cannot overclaim
+    assert(run("a a a b", "a b c") == ref("a a a b", "a b c"))
+    assert(run("a a a b", "a b c")._1 == 0.5)
+    // short hypothesis: orders with no hyp n-grams contribute ln 1
+    assert(run("a", "a b") == ref("a", "a b"))
+    assert(run("a", "a b")._3 == math.rint(math.exp(-1.0) * 1e7) / 1e7)
+  }
+
+  test("reference parity on random pairs; SQL surface") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Seq("a", "b", "c", "d")
+    for (_ <- 1 to 30) {
+      val h = Seq.fill(rnd.nextInt(10) + 1)(vocab(rnd.nextInt(4))).mkString(" ")
+      val r = Seq.fill(rnd.nextInt(10) + 1)(vocab(rnd.nextInt(4))).mkString(" ")
+      assert(run(h, r) == ref(h, r), s"'$h' vs '$r'")
+    }
+    val sqlS = graft.sql.GraftSqlExtensions.sessionWithSql(spark)
+    assert(sqlS.sql("SELECT graft_bleu('a b', 'a b').bleu AS v")
+      .head().getDouble(0) == 1.0)
+  }
+}
