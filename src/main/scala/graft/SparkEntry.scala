@@ -7723,6 +7723,22 @@ object SparkEntry {
           col("s.bp").as("bp"), col("s.bleu").as("bleu"))
         .orderBy("doc_id")
     }),
+
+    // --- 339. nearest-centroid classification over the embedding labels, oracle-pinned ----------------------------
+    // The Rocchio baseline on the embeddings table's own labels (80/20
+    // hash split): micro-quantized components keep the trained centroids
+    // exact, the n^2-scaled integer distance makes unequal class sizes
+    // comparable, ties break to the smaller label.
+    "q339_nearest_centroid" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val train = e.where(col("id") % 5 =!= 0)
+      val test = e.where(col("id") % 5 === 0)
+      graft.functions.Similarity.nearestCentroid(
+          train, test, "id", "vec", "label")
+        .orderBy("id")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13609,7 +13625,39 @@ object SparkEntry {
         |      + ln(CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
         |      + ln(CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))))
         |    END, 7) AS bleu
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Nearest centroid: micro-quantized component sums, the identical
+    // n^2-scaled integer distance, (dist, label) argmin.
+    "q339_nearest_centroid" ->
+      """WITH tr AS (SELECT vec_id, embedding, label FROM embeddings
+        |           WHERE vec_id % 5 <> 0),
+        |te AS (SELECT vec_id, embedding, label FROM embeddings
+        |       WHERE vec_id % 5 = 0),
+        |trd AS (SELECT label AS lab, dd.d AS d,
+        |    CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xm
+        |  FROM tr, LATERAL (SELECT unnest(range(len(embedding))) AS d) dd),
+        |cs AS (SELECT lab, d, CAST(sum(xm) AS HUGEINT) AS c_sum
+        |       FROM trd GROUP BY 1, 2),
+        |tn AS (SELECT label AS lab, count(*) AS n_l FROM tr GROUP BY 1),
+        |ted AS (SELECT vec_id AS id, label AS actual, dd.d AS d,
+        |    CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xm
+        |  FROM te, LATERAL (SELECT unnest(range(len(embedding))) AS d) dd),
+        |sc AS (SELECT ted.id, ted.actual, cs.lab, tn.n_l,
+        |    sum((CAST(tn.n_l AS HUGEINT) * CAST(ted.xm AS HUGEINT) - cs.c_sum)
+        |      * (CAST(tn.n_l AS HUGEINT) * CAST(ted.xm AS HUGEINT) - cs.c_sum))
+        |      AS d2
+        |  FROM ted JOIN cs ON cs.d = ted.d
+        |  JOIN tn ON tn.lab = cs.lab
+        |  GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |        ORDER BY CAST(d2 AS DOUBLE)
+        |          / (CAST(n_l AS DOUBLE) * CAST(n_l AS DOUBLE)), lab) AS rk
+        |      FROM sc)
+        |SELECT id, actual, lab AS predicted, lab = actual AS correct
+        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

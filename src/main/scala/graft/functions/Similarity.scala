@@ -44,6 +44,64 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Nearest-class-centroid classification (the Rocchio 1971 baseline —
+    * the supervised readout of the embedding column: does the space
+    * separate the labels?): train centroids as per-label means, assign
+    * each test vector to the Euclidean-nearest centroid.
+    *
+    * EXACT formulation (trained float means are a partition-order
+    * nondeterminism door): components quantize to micro-units
+    * (floor(v * 1e6) as BIGINT) BEFORE any sum, so per-label component
+    * sums c_sum are exact; the comparison key per label is
+    *
+    *   dist2(x, l) = sum_d (n_l * x_micro_d - c_sum_ld)^2 / n_l^2
+    *
+    * — an exact DECIMAL(38,0) integer sum divided once by n_l^2 (the
+    * scale factor that makes labels with different training counts
+    * comparable); argmin with a label tie-break. The 1e-6 quantization
+    * is orders below any class boundary.
+    *
+    * Scale shape: centroid sums are one combining (label, dim) groupBy
+    * broadcast back (labels x dims rows); scoring is a postings-style
+    * per-(vector, dim) explode joined to the broadcast sums — no
+    * vector ever enters a shuffle whole.
+    *
+    * Returns (id, actual, predicted, correct) for every test row.
+    */
+  def nearestCentroid(
+      train: DataFrame, // (id, vec, label)
+      test: DataFrame,  // (id, vec, label)  — label kept for grading
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dec = "decimal(38,0)"
+    val micro = (v: Column) =>
+      floor(v.cast("double") * lit(1000000.0)).cast("long")
+    val trainDims = train.select(col(labelCol).as("lab"),
+        posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("lab"), col("d"))
+      .agg(sum(micro(col("v")).cast(dec)).as("c_sum"))
+    val trainN = train.groupBy(col(labelCol).as("lab"))
+      .agg(count(lit(1)).as("n_l"))
+    val cent = trainDims.join(broadcast(trainN), "lab")
+    val testDims = test.select(col(idCol).as("id"),
+        col(labelCol).as("actual"),
+        posexplode(col(vecCol)).as(Seq("d", "v")))
+      .withColumn("xm", micro(col("v")))
+    val scored = testDims.join(broadcast(cent), Seq("d"))
+      .groupBy(col("id"), col("actual"), col("lab"), col("n_l"))
+      .agg(sum(((col("n_l").cast(dec) * col("xm").cast(dec) - col("c_sum")) *
+        (col("n_l").cast(dec) * col("xm").cast(dec) - col("c_sum"))))
+        .as("d2"))
+      .withColumn("dist2", col("d2").cast("double") /
+        (col("n_l").cast("double") * col("n_l").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("dist2"), col("lab"))
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("id"), col("actual"), col("lab").as("predicted"),
+        (col("lab") === col("actual")).as("correct"))
+  }
+
   /** Multi-table hyperplane-LSH bucket ids for a vector: array<bigint>,
     * one packed `planes`-bit bucket per table.
     */

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Nearest-class-centroid classification: separable clusters classify
+  * exactly, the quantized-integer distance matches a plain reference,
+  * ties break to the smaller label.
+  */
+class NearestCentroidSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("separable clusters classify exactly; unequal class sizes compare fairly") {
+    // label 0 near (1, 0); label 1 near (0, 1) with MORE training points
+    // (the n_l^2 scale factor must keep them comparable)
+    val train = (Seq(
+      (1L, Seq(1.0f, 0.1f), 0), (2L, Seq(0.9f, -0.1f), 0),
+      (3L, Seq(0.1f, 1.0f), 1), (4L, Seq(-0.1f, 0.9f), 1),
+      (5L, Seq(0.0f, 1.1f), 1), (6L, Seq(0.2f, 1.0f), 1)))
+      .toDF("id", "vec", "label")
+    val test = Seq(
+      (10L, Seq(0.95f, 0.0f), 0), (11L, Seq(0.05f, 1.05f), 1),
+      (12L, Seq(1.1f, 0.2f), 0)).toDF("id", "vec", "label")
+    val got = Similarity.nearestCentroid(train, test, "id", "vec", "label")
+      .as[(Long, Int, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.values.forall(_._4), got.toString)
+  }
+
+  test("matches a plain quantized reference on random data; tie breaks to smaller label") {
+    val rnd = new scala.util.Random(19)
+    def vec() = Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+    val train = (1 to 60).map(i => (i.toLong, vec(), rnd.nextInt(3)))
+    val test = (100 to 120).map(i => (i.toLong, vec(), rnd.nextInt(3)))
+    val got = Similarity.nearestCentroid(
+      train.toDF("id", "vec", "label"), test.toDF("id", "vec", "label"),
+      "id", "vec", "label")
+      .as[(Long, Int, Int, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    // reference: exact integer micro sums, dist2 = sum (n*x - csum)^2 / n^2
+    def micro(v: Float): Long = math.floor(v.toDouble * 1e6).toLong
+    val byLabel = train.groupBy(_._3)
+    val cs = byLabel.map { case (l, rows) =>
+      l -> (rows.size.toLong,
+        (0 until 6).map(d => rows.map(r => micro(r._2(d))).sum))
+    }
+    test.foreach { case (id, v, _) =>
+      val want = cs.toSeq.map { case (l, (n, sums)) =>
+        val d2 = (0 until 6).map { d =>
+          val diff = BigInt(n * micro(v(d))) - BigInt(sums(d))
+          diff * diff
+        }.sum
+        (d2.toDouble / (n.toDouble * n.toDouble), l)
+      }.minBy(identity)._2
+      assert(got(id) == want, s"vec $id")
+    }
+    // exact tie: test point equidistant from two centroids -> label 0
+    val t2 = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(-1.0f, 0.0f), 1))
+      .toDF("id", "vec", "label")
+    val mid = Seq((9L, Seq(0.0f, 0.0f), 0)).toDF("id", "vec", "label")
+    assert(Similarity.nearestCentroid(t2, mid, "id", "vec", "label")
+      .select("predicted").as[Int].collect()(0) == 0)
+  }
+}
