@@ -7739,6 +7739,30 @@ object SparkEntry {
           train, test, "id", "vec", "label")
         .orderBy("id")
     }),
+
+    // --- 340. metadata-only aggregates vs ground truth, oracle-pinned ----------------------------------------------
+    // The O(metadata) lakehouse readouts carried to the correctness gate:
+    // countFast (footer record counts) and minMaxFast (stats sidecar)
+    // over a snapshot table built from a lineitem slice must equal the
+    // direct relational aggregates — the oracle IS the direct SQL, so any
+    // footer-sum or sidecar drift hash-mismatches.
+    "q340_metadata_agg" -> ((s, d) => {
+      val root = selfCleaningRoot("q340", d) + "/tbl"
+      val slice = t(s, d, "lineitem")
+        .where(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      graft.pipeline.Medallion.writeTable(slice, root, Seq.empty)
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.pipeline.Snapshot.ensure(fs, fs.makeQualified(p))
+      graft.pipeline.Snapshot.computeStats(s, root, Seq("l_quantity"))
+      val n = graft.pipeline.Snapshot.countFast(s, root)
+      val mm = graft.pipeline.Snapshot.minMaxFast(s, root, "l_quantity")
+        .getOrElse(throw new IllegalStateException(
+          "stats sidecar must serve min/max here"))
+      import s.implicits._
+      Seq((n, mm._1, mm._2)).toDF("n_rows", "min_qty", "max_qty")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13657,7 +13681,13 @@ object SparkEntry {
         |          / (CAST(n_l AS DOUBLE) * CAST(n_l AS DOUBLE)), lab) AS rk
         |      FROM sc)
         |SELECT id, actual, lab AS predicted, lab = actual AS correct
-        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+
+    // Metadata-only aggregates: the oracle IS the direct relational truth.
+    "q340_metadata_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic
