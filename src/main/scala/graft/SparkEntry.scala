@@ -7763,6 +7763,21 @@ object SparkEntry {
       import s.implicits._
       Seq((n, mm._1, mm._2)).toDF("n_rows", "min_qty", "max_qty")
     }),
+
+    // --- 341. cross-corpus contamination detection, oracle-pinned ----------------------------------------------------
+    // Train-vs-eval near-dup screening (the published decontamination
+    // sweep every release pipeline runs): even-id documents as the
+    // "training" corpus, odd-id as the "benchmark"; the oracle is the
+    // full minhash-pairs replay restricted to parity-crossing pairs —
+    // identical banding, identical Jaccard verification.
+    "q341_cross_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.functions.Dedup.crossCorpusNearDups(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "doc_id", "text", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13687,7 +13702,23 @@ object SparkEntry {
     "q340_metadata_agg" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
-        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin
+        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin,
+
+    // Cross-corpus contamination: the q33 pairs replay restricted to
+    // parity-crossing pairs, reoriented (even = training side).
+    "q341_cross_contamination" -> {
+      val pairs = graft.oracle.XxSql.minhashPairsSql(shingleN = 3,
+        numHashes = 64, bands = 16, threshold = 0.5, blockCol = None)
+      s"""SELECT
+         |  CASE WHEN id1 % 2 = 0 THEN id1 ELSE id2 END AS left_id,
+         |  CASE WHEN id1 % 2 = 0 THEN id2 ELSE id1 END AS right_id,
+         |  jaccard
+         |FROM (
+         |$pairs
+         |)
+         |WHERE (id1 % 2 = 0) <> (id2 % 2 = 0)
+         |ORDER BY jaccard DESC, left_id, right_id""".stripMargin
+    }
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

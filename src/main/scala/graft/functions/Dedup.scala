@@ -567,11 +567,13 @@ object Dedup {
     *    sized for a default driver heap) components come from a single
     *    union-find pass over the collected edges — one job instead of one
     *    join+aggregate round per component diameter;
-    *  - above the threshold (or for exotic id types), iterative min-label
-    *    propagation runs distributed: each round touches only the edge
-    *    list, `localCheckpoint` between rounds keeps plans bounded, and a
-    *    chain deeper than `maxIterations` logs a warning and returns
-    *    partially merged.
+    *  - above the threshold (or for exotic id types), components run
+    *    distributed through [[Graph.connectedComponents]] — alternating
+    *    large-star/small-star contraction (O(log n) rounds, per-round
+    *    checkpoints); a graph that somehow exceeds `maxIterations`
+    *    contraction rounds THROWS rather than returning partially merged
+    *    clusters (r13 — silent partial merges would propagate wrong
+    *    dedup decisions).
     */
   def dropNearDuplicates(
       df: DataFrame,
