@@ -7778,6 +7778,28 @@ object SparkEntry {
         "doc_id", "doc_id", "text", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
     }),
+
+    // --- 342. Zipf rank-frequency slope, oracle-pinned ----------------------------------------------------------------
+    // The corpus-health diagnostic (natural text slopes near -1 on the
+    // log-log rank-frequency line; generated/templated corpora deviate):
+    // token frequencies -> (freq desc, term) total rank -> micro-
+    // quantized logs feed the exact-sufficient-statistics OLS. Restricted
+    // to the top 500 ranks (the power-law regime; the hapax tail bends
+    // every natural corpus).
+    "q342_zipf_slope" -> ((s, d) => {
+      val freqs = t(s, d, "documents")
+        .select(explode(graft.functions.Retrieval.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(desc("freq"), col("term"))
+      val ranked = freqs.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 500)
+        .select(lit("corpus").as("g"),
+          floor(log(col("rank").cast("double")) * 1000000.0)
+            .cast("long").as("x"),
+          floor(log(col("freq").cast("double")) * 1000000.0)
+            .cast("long").as("y"))
+      graft.operators.Trend.ols(ranked, "g", "x", "y")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13718,7 +13740,44 @@ object SparkEntry {
          |)
          |WHERE (id1 % 2 = 0) <> (id2 % 2 = 0)
          |ORDER BY jaccard DESC, left_id, right_id""".stripMargin
-    }
+    },
+
+    // Zipf slope: same tokenization, same total rank, same micro-log
+    // quantization, q279's OLS expression.
+    "q342_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY 1),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+        |      FROM f),
+        |e AS (SELECT
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+        |      AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+        |      AS BIGINT) AS y
+        |  FROM r WHERE rank <= 500),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM e)
+        |SELECT 'corpus' AS g, n,
+        |  ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 7) AS slope,
+        |  ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    (CAST(sy AS DOUBLE) -
+        |     ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) END, 7) AS intercept
+        |FROM s""".stripMargin
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic
