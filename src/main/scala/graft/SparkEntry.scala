@@ -7800,6 +7800,21 @@ object SparkEntry {
             .cast("long").as("y"))
       graft.operators.Trend.ols(ranked, "g", "x", "y")
     }),
+
+    // --- 343. Fleiss' kappa multi-rater agreement, oracle-pinned -------------------------------------------------------
+    // Three synthetic raters over the corpus labels (rater 2 drifts to
+    // 'en' on every 5th doc, rater 3 to 'de' on every 7th): the k-rater
+    // agreement readout computed entirely from two integer sums.
+    "q343_fleiss_kappa" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r1 = docs.select(col("doc_id").as("item"), col("lang").as("cat"))
+      val r2 = docs.select(col("doc_id").as("item"),
+        when(col("doc_id") % 5 === 0, lit("en")).otherwise(col("lang")).as("cat"))
+      val r3 = docs.select(col("doc_id").as("item"),
+        when(col("doc_id") % 7 === 0, lit("de")).otherwise(col("lang")).as("cat"))
+      graft.operators.StatTests.fleissKappa(
+        r1.unionByName(r2).unionByName(r3), "item", "cat")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13777,7 +13792,34 @@ object SparkEntry {
         |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) END, 7) AS intercept
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // Fleiss: the same two integer sums, the identical pinned expression
+    // (n = 3 raters literal).
+    "q343_fleiss_kappa" -> {
+      val nI = "CAST(n_items AS DOUBLE)"
+      val nD = "CAST(3 AS DOUBLE)"
+      val pBar = s"((CAST(s2 AS DOUBLE) - $nI * $nD) " +
+        s"/ ($nI * $nD * ($nD - CAST(1 AS DOUBLE))))"
+      val pE = s"(CAST(c2 AS DOUBLE) / ($nI * $nD * ($nI * $nD)))"
+      s"""WITH r AS (
+         |  SELECT doc_id AS item, lang AS cat FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'de' ELSE lang END
+         |  FROM documents),
+         |cells AS (SELECT item, cat, count(*) AS c FROM r GROUP BY 1, 2),
+         |base AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+         |           CAST(sum(c * c) AS BIGINT) AS s2 FROM cells),
+         |cc AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c2
+         |       FROM (SELECT cat, sum(c) AS cj FROM cells GROUP BY 1))
+         |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, s2, c2,
+         |  ROUND(CASE WHEN $pE < CAST(1 AS DOUBLE) THEN
+         |    ($pBar - $pE) / (CAST(1 AS DOUBLE) - $pE) END, 7) AS kappa
+         |FROM base, cc""".stripMargin
+    }
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

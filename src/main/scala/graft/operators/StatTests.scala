@@ -554,6 +554,58 @@ object StatTests {
           .as("kappa"))
   }
 
+  /** Fleiss' kappa — multi-rater agreement (Fleiss, Psych. Bulletin
+    * 1971), the k-rater generalization of [[cohensKappa]] and the
+    * label-quality gate for crowd/model-judge annotation with MORE than
+    * two raters per item:
+    *
+    *   kappa = (P_bar - P_e) / (1 - P_e)
+    *
+    * computed ENTIRELY from two integer sums — with n raters per item,
+    * N items, n_ij the per-(item, category) rating counts and c_j the
+    * per-category totals,
+    *
+    *   P_bar = (S2 - N*n) / (N*n*(n-1)),  S2 = sum_ij n_ij^2
+    *   P_e   = C2 / (N*n)^2,              C2 = sum_j c_j^2
+    *
+    * so no per-item float ever sums across items; kappa is one pinned
+    * double expression over (N, n, S2, C2) rounded at 7. Requires the
+    * classic design: the SAME rater count per item (validated — a
+    * ragged panel makes Fleiss undefined); null kappa at P_e = 1
+    * (all raters constant).
+    *
+    * Scale shape: one combining (item, category) count, two integer
+    * rollups, a 1-row combine.
+    *
+    * Returns one row (n_items, n_raters, s2, c2, kappa).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String): DataFrame = {
+    val cells = df.where(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cells.groupBy(col("item"))
+      .agg(sum(col("c")).as("n_r"), sum(col("c") * col("c")).as("s2_i"))
+    val raterCounts = perItem.select(col("n_r")).distinct().collect()
+    require(raterCounts.length == 1,
+      s"Fleiss' kappa needs the same rater count per item, got " +
+        s"${raterCounts.length} distinct counts")
+    val n = raterCounts(0).getLong(0)
+    require(n >= 2, s"Fleiss' kappa needs >= 2 raters per item, got $n")
+    val dec = "decimal(38,0)"
+    val base = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("s2_i").cast(dec)).as("s2"))
+    val c2 = cells.groupBy(col("cat")).agg(sum(col("c")).as("c_j"))
+      .agg(sum((col("c_j") * col("c_j")).cast(dec)).as("c2"))
+    val nD = lit(n.toDouble)
+    val nItemsD = col("n_items").cast("double")
+    val pBar = (col("s2").cast("double") - nItemsD * nD) /
+      (nItemsD * nD * (nD - 1.0))
+    val pE = col("c2").cast("double") / (nItemsD * nD * (nItemsD * nD))
+    base.crossJoin(broadcast(c2))
+      .select(col("n_items"), lit(n).as("n_raters"), col("s2"), col("c2"),
+        round(when(pE < 1.0, (pBar - pE) / (lit(1.0) - pE)), 7).as("kappa"))
+  }
+
   /** Wilson score interval per group — the confidence interval every
     * eval dashboard should put around a pass rate (the normal
     * approximation collapses at small n or extreme p; Wilson does not):

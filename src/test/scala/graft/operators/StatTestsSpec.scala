@@ -131,6 +131,43 @@ class StatTestsSpec extends SparkTestBase {
     assert(StatTests.cohensKappa(const, "r1", "r2").collect()(0).isNullAt(3))
   }
 
+  test("Fleiss' kappa: the published worked example, perfect, ragged panel rejected") {
+    // Fleiss 1971's classic 10-item, 5-category example with n = 6
+    // raters per item (the table every textbook reproduces); kappa ~ 0.42
+    val counts: Seq[Seq[Int]] = Seq(
+      Seq(0, 0, 0, 0, 6), Seq(0, 3, 0, 0, 3), Seq(0, 1, 4, 0, 1),
+      Seq(0, 0, 0, 0, 6), Seq(0, 3, 0, 3, 0), Seq(2, 0, 4, 0, 0),
+      Seq(0, 0, 4, 0, 2), Seq(2, 0, 3, 1, 0), Seq(2, 0, 0, 4, 0),
+      Seq(0, 0, 0, 0, 6))
+    val rows = counts.zipWithIndex.flatMap { case (cs, item) =>
+      cs.zipWithIndex.flatMap { case (c, cat) =>
+        Seq.fill(c)((item.toLong, s"cat$cat"))
+      }
+    }
+    val row = StatTests.fleissKappa(rows.toDF("item", "cat"), "item", "cat")
+      .collect()(0)
+    assert(row.getLong(0) == 10L && row.getLong(1) == 6L)
+    // reference from the exact integer formulation
+    val s2 = counts.flatten.map(c => c.toLong * c).sum
+    val c2 = (0 until 5).map(j => counts.map(_(j)).sum.toLong)
+      .map(c => c * c).sum
+    val pBar = (s2 - 10.0 * 6) / (10.0 * 6 * 5)
+    val pE = c2 / (60.0 * 60.0)
+    val want = math.rint((pBar - pE) / (1.0 - pE) * 1e7) / 1e7
+    assert(row.getDouble(4) == want)
+    assert(row.getDouble(4) > 0.4 && row.getDouble(4) < 0.45)
+
+    // perfect agreement -> 1
+    val perfect = (1 to 5).flatMap(i => Seq.fill(3)((i.toLong, s"c${i % 2}")))
+    assert(StatTests.fleissKappa(perfect.toDF("item", "cat"), "item", "cat")
+      .collect()(0).getDouble(4) == 1.0)
+
+    // ragged panel rejected loudly
+    val ragged = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("item", "cat")
+    intercept[IllegalArgumentException](
+      StatTests.fleissKappa(ragged, "item", "cat").collect())
+  }
+
   test("Wilson interval: hand case, small-n sanity, extreme p stays in [0,1]") {
     val df = (Seq.fill(8)(("g", true)) ++ Seq.fill(2)(("g", false)) ++
       Seq.fill(3)(("z", false))).toDF("grp", "ok")
