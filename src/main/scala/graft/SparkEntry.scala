@@ -7256,11 +7256,17 @@ object SparkEntry {
         .orderBy("group")),
 
     // --- 308. Kolmogorov-Smirnov two-sample drift test, oracle-pinned --------------------------------------
-    // click vs purchase event values: integer ECDF cross-products in
+    // click vs purchase event values DECI-QUANTIZED first (the operator's
+    // documented contract: the ECDF window runs over the DISTINCT value
+    // domain, so an unbounded continuous column must quantize — floor is
+    // IEEE-exact both engines); integer ECDF cross-products in
     // DECIMAL(38,0) pick the exact argmax; D is the one final division.
     "q308_ks_test" -> ((s, d) =>
       graft.operators.StatTests.ksTwoSample(
-        t(s, d, "events"), "event_type", "value", "click", "purchase")),
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
 
     // --- 309. Mann-Whitney U rank-sum test, oracle-pinned ---------------------------------------------------
     // signup vs error values quantized to deci-units (floor(v*10) —
@@ -12918,11 +12924,12 @@ object SparkEntry {
          |FROM w2 ORDER BY "group"""".stripMargin
     },
 
-    // KS: exact integer ECDF cross-products, argmax on exact arithmetic,
-    // one final division.
+    // KS: same deci-quantization, exact integer ECDF cross-products,
+    // argmax on exact arithmetic, one final division.
     "q308_ks_test" ->
       """WITH slim AS (
-        |  SELECT event_type AS g, value AS v FROM events
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
         |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
         |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
         |         count(*) FILTER (g = 'purchase') AS cb
