@@ -56,6 +56,19 @@ case class CusumState(sHi: Double, sLo: Double, n: Long)
 case class CusumHit(key: Long, ts: java.sql.Timestamp, direction: String,
     s_value: Double, n_since_reset: Long)
 
+/** Input event for [[StatefulOps.streamingBottomK]]. */
+case class SampleEvent(grp: String, id: Long)
+
+/** Bottom-k sampler state: the k smallest (md5(id), id) pairs seen,
+  * plus the running event count.
+  */
+case class SampleState(hashes: Seq[String], ids: Seq[Long], nSeen: Long)
+
+/** A group's current deterministic sample, re-emitted whenever it
+  * changes (Update semantics — downstream upserts per group).
+  */
+case class SampleSnapshot(grp: String, sample_ids: Seq[Long], n_seen: Long)
+
 /** Custom-state streaming operators (`flatMapGroupsWithState`) for the
   * semantics the built-in `session_window` cannot express: sessions that
   * EMIT ON COMPLETION (append-mode friendly — a session row is final the
@@ -265,6 +278,49 @@ object StatefulOps {
           }
           state.update(st)
           hits.iterator
+      }
+  }
+
+  /** Streaming deterministic bottom-k sample per group — the streaming
+    * face of [[graft.operators.Sampling.stratifiedTopKByHash]]: keep the
+    * k events whose portable md5(id) sorts lowest. Because membership is
+    * decided by CONTENT HASH, the final sample is independent of arrival
+    * order and microbatch boundaries — replays, retries and re-splits
+    * all converge to the identical set (the property a reservoir sampler
+    * fundamentally cannot give a restarted stream).
+    *
+    * Emission: Update semantics — whenever a batch CHANGES a group's
+    * sample, the group's full current snapshot re-emits (k ids in hash
+    * order, plus the running seen-count); unchanged groups emit nothing.
+    * Downstream upserts per group. State is O(k) per group, never
+    * expires on its own.
+    */
+  def streamingBottomK(
+      events: Dataset[SampleEvent],
+      k: Int): Dataset[SampleSnapshot] = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    implicit val stateEnc = Encoders.product[SampleState]
+    implicit val outEnc = Encoders.product[SampleSnapshot]
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    events.groupByKey(_.grp)(Encoders.STRING)
+      .flatMapGroupsWithState[SampleState, SampleSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, it: Iterator[SampleEvent], state: GroupState[SampleState]) =>
+          val st = state.getOption.getOrElse(SampleState(Nil, Nil, 0L))
+          val seen0 = st.hashes.zip(st.ids)
+          val batch = it.map(e => (md5hex(e.id), e.id)).toSeq
+          // merge, dedupe by pair (a re-arriving id must not double-enter),
+          // keep the k hash-smallest — a pure SET function of the ids
+          // seen, which is the whole order-invariance argument
+          val merged = (seen0 ++ batch).distinct.sorted.take(k)
+          val nSeen = st.nSeen + batch.size
+          state.update(SampleState(merged.map(_._1), merged.map(_._2), nSeen))
+          if (merged != seen0)
+            Iterator(SampleSnapshot(grp, merged.map(_._2), nSeen))
+          else Iterator.empty
       }
   }
 

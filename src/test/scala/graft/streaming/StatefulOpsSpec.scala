@@ -131,6 +131,48 @@ class StatefulOpsSpec extends SparkTestBase {
       (2L, "2024-01-01 00:00:30", "2024-01-01 00:00:30", 1L, 9.0)), got.toString)
   }
 
+  test("streamingBottomK: final sample is batch-split-invariant and equals the batch answer") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ids = (1L to 40L)
+    val batchAnswer = ids.map(i => (md5hex(i), i)).sorted.take(5).map(_._2)
+
+    def run(tag: String, split: Long => Int): Seq[Long] = {
+      val dir = graft.GraftTmp.dir(s"graft-bk-$tag")
+      val parts = ids.groupBy(split)
+      parts.toSeq.sortBy(_._1).foreach { case (p, members) =>
+        Files.write(dir.resolve(s"$p.json"),
+          members.map(i => s"""{"grp": "g", "id": $i}""")
+            .mkString("\n").getBytes("UTF-8"))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(dir.toString)
+        .as[SampleEvent]
+      val q = StatefulOps.streamingBottomK(stream, k = 5)
+        .writeStream.format("memory").queryName(s"bk_$tag")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // Update semantics: the LAST emitted snapshot per group is current
+      val rows = spark.sql(
+        s"SELECT sample_ids, n_seen FROM bk_$tag ORDER BY n_seen")
+        .collect()
+      assert(rows.last.getLong(1) == 40L) // every event counted once
+      rows.last.getSeq[Long](0)
+    }
+
+    val a = run("split2", i => (i % 2).toInt)      // two interleaved batches
+    val b = run("split7", i => (i % 7).toInt)      // seven different batches
+    assert(a == batchAnswer, s"split2 gave $a, want $batchAnswer")
+    assert(b == batchAnswer, "a different batch split must converge to the same sample")
+  }
+
   test("streamingCusumAlarm: sustained shift alarms across batches, noise never does") {
     val dir = graft.GraftTmp.dir("graft-cusum")
     // key 1: five on-target values (10 +- 1), then a sustained shift to
