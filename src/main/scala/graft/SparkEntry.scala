@@ -7266,7 +7266,11 @@ object SparkEntry {
         t(s, d, "events")
           .select(col("event_type"),
             floor(col("value") * 10).cast("long").as("value")),
-        "event_type", "value", "click", "purchase")),
+        "event_type", "value", "click", "purchase")
+        // sf-bounded exact ints: pin int64 on both engines (the operator
+        // itself keeps DECIMAL(38,0) for 100 TB row counts)
+        .withColumn("d_num", col("d_num").cast("long"))
+        .withColumn("d_den", col("d_den").cast("long"))),
 
     // --- 309. Mann-Whitney U rank-sum test, oracle-pinned ---------------------------------------------------
     // signup vs error values quantized to deci-units (floor(v*10) —
@@ -7277,7 +7281,10 @@ object SparkEntry {
         t(s, d, "events")
           .select(col("event_type"),
             floor(col("value") * 10).cast("long").as("value")),
-        "event_type", "value", "signup", "error")),
+        "event_type", "value", "signup", "error")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("u2_a", col("u2_a").cast("long"))
+        .withColumn("tie_cube", col("tie_cube").cast("long"))),
 
     // --- 310. dyadic decay sum (recency-weighted activity), oracle-pinned -----------------------------------
     // Per-user exponential decay over the event stream with the PINNED
@@ -7293,7 +7300,9 @@ object SparkEntry {
       val w = Window.partitionBy("user_id")
       dd.withColumn("__mx", max(col("rn")).over(w))
         .where(col("rn") === col("__mx"))
-        .select(col("user_id"), col("rn").as("n_events"), col("decay"))
+        // row_number is int32; DuckDB ROW_NUMBER is int64 — pin int64
+        .select(col("user_id"), col("rn").cast("long").as("n_events"),
+          col("decay"))
         .orderBy("user_id")
     }),
 
@@ -7458,6 +7467,8 @@ object SparkEntry {
         when(y, lit(500L) + col("doc_id") % 500)
           .otherwise(col("doc_id") % 600).as("p"))
       graft.functions.Eval.rocAuc(scored, "p", "y")
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("u2", col("u2").cast("long"))
     }),
 
     // --- 321. population stability index, oracle-pinned ----------------------------------------------------------
@@ -7593,6 +7604,9 @@ object SparkEntry {
             floor(col("value") / 50).cast("long").as("x"),
             floor(hour(col("ts")) / 4).cast("long").as("y")),
           "event_type", "x", "y")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("concordant", col("concordant").cast("long"))
+        .withColumn("discordant", col("discordant").cast("long"))
         .orderBy("group")),
 
     // --- 331. Welch's t-test, oracle-pinned --------------------------------------------------------------------------
@@ -7820,7 +7834,38 @@ object SparkEntry {
         when(col("doc_id") % 7 === 0, lit("de")).otherwise(col("lang")).as("cat"))
       graft.operators.StatTests.fleissKappa(
         r1.unionByName(r2).unionByName(r3), "item", "cat")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("s2", col("s2").cast("long"))
+        .withColumn("c2", col("c2").cast("long"))
     }),
+
+    // --- 344. comparator-contract canary, oracle-pinned -----------------------------------------------------
+    // One tiny query emitting every output dtype the suite uses. If the
+    // driver's comparator semantics ever drift (a pandas/duckdb upgrade
+    // changing a fetch path, a new hash normalization), THIS row goes
+    // red first and its column name says which dtype broke. dec0 is the
+    // exact-int DECIMAL(38,0)==int64 equivalence the suite relies on
+    // (DuckDB decimals always fetch as float64, so oracles cast to
+    // BIGINT); dt/ts are raw date/timestamp columns (elsewhere the
+    // oracles strftime dates — this row pins whether that caution is
+    // load-bearing); z is an all-null column.
+    "q344_dtype_canary" -> ((s, d) =>
+      t(s, d, "nation").where(col("n_nationkey") < 5)
+        .select(
+          col("n_nationkey").cast("int").as("i32"),
+          col("n_nationkey").cast("long").as("i64"),
+          col("n_nationkey").cast("decimal(38,0)").as("dec0"),
+          // quarters are exact binary fractions: bit-identical everywhere
+          (col("n_nationkey").cast("double") / lit(4.0)).as("dbl"),
+          col("n_name").as("s"),
+          (col("n_nationkey") % 2 === 0).as("b"),
+          date_add(lit("2026-01-01").cast("date"),
+            col("n_nationkey").cast("int")).as("dt"),
+          (lit("2026-01-15 12:34:56").cast("timestamp") +
+            make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
+              col("n_nationkey").cast("int"))).as("ts"),
+          when(lit(false), lit(0.0)).as("z"))
+        .orderBy("i64")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -11998,7 +12043,7 @@ object SparkEntry {
         |  SELECT c_custkey + 5000000, 'NEWSEG', 2, TRUE, NULL FROM customer
         |  WHERE c_custkey % 13 = 0)
         |SELECT CAST(eff_from AS BIGINT) AS eff_from, is_current,
-        |  count(*) AS n, sum(c_custkey) AS key_sum,
+        |  count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
         |  count(CASE WHEN c_mktsegment = 'WHOLESALE' THEN 1 END) AS n_wholesale,
         |  max(eff_to) AS eff_to
         |FROM hist GROUP BY 1, 2 ORDER BY eff_from, is_current""".stripMargin,
@@ -12906,7 +12951,8 @@ object SparkEntry {
            |      * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / $dd) / ln(CAST(10 AS DOUBLE))))""".stripMargin
       }.mkString("\n    + ")
       val sums = (1 to 9).map(dd =>
-        s"sum(CASE WHEN d = '$dd' THEN c ELSE 0 END) AS d$dd").mkString(",\n  ")
+        s"CAST(sum(CASE WHEN d = '$dd' THEN c ELSE 0 END) AS BIGINT) AS d$dd")
+        .mkString(",\n  ")
       s"""WITH census AS (
          |  SELECT l_returnflag AS "group",
          |    substring(CAST(l_extendedprice AS VARCHAR), 1, 1) AS d,
@@ -12938,8 +12984,10 @@ object SparkEntry {
         |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
         |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
         |  FROM pv),
-        |tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM pv)
-        |SELECT n_a, n_b, gap AS d_num, n_a * n_b AS d_den,
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM pv)
+        |SELECT n_a, n_b, CAST(gap AS BIGINT) AS d_num,
+        |  n_a * n_b AS d_den,
         |  ROUND(CAST(gap AS DOUBLE)
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 7) AS d,
         |  v AS at_value
@@ -12959,8 +13007,10 @@ object SparkEntry {
         |r AS (SELECT *, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM pv),
         |m AS (SELECT *, 2 * cum - t + 1 AS mid2 FROM r),
-        |a AS (SELECT sum(ca) AS n_a, sum(t - ca) AS n_b,
-        |        sum(ca * mid2) AS r2_a, sum(t * t * t - t) AS tie_cube
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(t - ca) AS BIGINT) AS n_b,
+        |        CAST(sum(ca * mid2) AS BIGINT) AS r2_a,
+        |        CAST(sum(t * t * t - t) AS BIGINT) AS tie_cube
         |      FROM m)
         |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a, tie_cube,
         |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND
@@ -13492,8 +13542,9 @@ object SparkEntry {
         |  FROM base LEFT JOIN p ON p."group" = base."group"
         |  JOIN tx ON tx."group" = base."group"
         |  JOIN ty ON ty."group" = base."group")
-        |SELECT "group", CAST(n AS BIGINT) AS n, cc AS concordant,
-        |  dd AS discordant,
+        |SELECT "group", CAST(n AS BIGINT) AS n,
+        |  CAST(cc AS BIGINT) AS concordant,
+        |  CAST(dd AS BIGINT) AS discordant,
         |  ROUND(CASE WHEN sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE))
         |      * sqrt(CAST(n * (n - 1) - ty2 AS DOUBLE)) > 0 THEN
         |    CAST(2 AS DOUBLE) * CAST(cc - dd AS DOUBLE)
@@ -13826,7 +13877,23 @@ object SparkEntry {
          |  ROUND(CASE WHEN $pE < CAST(1 AS DOUBLE) THEN
          |    ($pBar - $pE) / (CAST(1 AS DOUBLE) - $pE) END, 7) AS kappa
          |FROM base, cc""".stripMargin
-    }
+    },
+
+    // Comparator canary: dec0 is CAST AS BIGINT on purpose — DuckDB
+    // decimals fetch as float64, so the suite's contract is exact-int
+    // DECIMAL(38,0) == int64 (the equivalence the driver accepts).
+    "q344_dtype_canary" ->
+      """SELECT CAST(n_nationkey AS INT) AS i32,
+        |  CAST(n_nationkey AS BIGINT) AS i64,
+        |  CAST(n_nationkey AS BIGINT) AS dec0,
+        |  CAST(n_nationkey AS DOUBLE) / CAST(4 AS DOUBLE) AS dbl,
+        |  n_name AS s,
+        |  n_nationkey % 2 = 0 AS b,
+        |  DATE '2026-01-01' + CAST(n_nationkey AS INT) AS dt,
+        |  TIMESTAMP '2026-01-15 12:34:56'
+        |    + to_minutes(CAST(n_nationkey AS BIGINT)) AS ts,
+        |  CAST(NULL AS DOUBLE) AS z
+        |FROM nation WHERE n_nationkey < 5 ORDER BY i64""".stripMargin
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

@@ -254,10 +254,12 @@ object Eval {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val ranked = perValue.withColumn("cum", sum(col("t")).over(w))
       .withColumn("mid2", lit(2L) * col("cum") - col("t") + 1L)
+    // r2_pos accumulates cp*mid2 (mid2 up to ~2n): DECIMAL(38,0) so the
+    // rank sum stays exact past the ~2e9 rows where BIGINT wraps.
     val agg = ranked.agg(
       sum(col("cp")).as("n_pos"),
       sum(col("t") - col("cp")).as("n_neg"),
-      sum(col("cp") * col("mid2")).as("r2_pos"))
+      sum((col("cp") * col("mid2")).cast("decimal(38,0)")).as("r2_pos"))
     val u2 = col("r2_pos") - col("n_pos") * (col("n_pos") + 1L)
     agg.select(col("n_pos"), col("n_neg"), u2.as("u2"),
       round(when(col("n_pos") > 0 && col("n_neg") > 0,

@@ -671,11 +671,16 @@ object StatTests {
     // -> 2*midrank = 2*cum - t + 1 (exact BIGINT)
     val ranked = perValue.withColumn("cum", sum(col("t")).over(w))
       .withColumn("mid2", lit(2L) * col("cum") - col("t") + 1L)
+    // r2_a and tie_cube accumulate per-row products up to ~2n per term:
+    // DECIMAL(38,0) (like gini/pearson/kendall) so the sums stay exact
+    // past the ~2e9 pooled rows where BIGINT would wrap silently.
+    val dec38 = "decimal(38,0)"
     val agg = ranked.agg(
       sum(col("ca")).as("n_a"),
       sum(col("t") - col("ca")).as("n_b"),
-      sum(col("ca") * col("mid2")).as("r2_a"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie_cube"))
+      sum((col("ca") * col("mid2")).cast(dec38)).as("r2_a"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast(dec38))
+        .as("tie_cube"))
     val nA = col("n_a").cast("double")
     val nB = col("n_b").cast("double")
     val n = nA + nB

@@ -35,6 +35,15 @@ object Scd {
   /** Apply one batch of current-state rows to the history table at `path`
     * (created on first call). Returns the number of change rows written
     * (closed + opened); 0 means the batch was a complete no-op.
+    *
+    * Historical note (r13 verdict): the q259 driver-red that motivated
+    * r13's determinism hardening was ultimately a missing
+    * `CAST(SUM(..) AS BIGINT)` in the ORACLE SQL (DuckDB HUGEINT →
+    * float64 type skew), not nondeterminism here — proven by 5
+    * bit-identical full reruns and a dtype audit. The snapshot-pinned
+    * batch-1 write and localCheckpoint below are kept anyway: a
+    * read-modify-write maintainer must never re-read its own in-flight
+    * output, and that is worth enforcing regardless of the misdiagnosis.
     */
   def applyBatch(
       spark: SparkSession,

@@ -1,0 +1,222 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static lint over every oracle SQL string: a DuckDB `SUM(...)` whose
+  * result escapes to the final projection uncast is the r13 driver-red
+  * class (SUM(BIGINT) returns HUGEINT, which the driver's comparator
+  * surfaces as float64 while Spark emits exact int64/DECIMAL — same
+  * values, different hash). The 232-site CAST discipline becomes
+  * enforced here instead of remembered.
+  *
+  * Rule (single-hop alias tracing): every `sum(` that is not lexically
+  * inside a `CAST( ... )` span contributes its alias to the raw-sum set;
+  * a violation is (a) a bare raw-sum alias projected by the final
+  * top-level SELECT, or (b) an uncast `sum(` directly inside a final
+  * projection item. Multi-hop flows (a raw sum consumed by an arithmetic
+  * alias that is then projected) are caught dynamically by
+  * tools/check_oracle.py's dtype-strict gate; this lint is the static
+  * first line for the common shape.
+  *
+  * Sums of DOUBLE columns are type-safe (DuckDB sum(DOUBLE) = DOUBLE =
+  * Spark) — reviewed sites are allowlisted per query below.
+  */
+object OracleLint {
+
+  /** Balanced spans of CAST( ... ) in lower-cased sql, inclusive. */
+  private def castSpans(sql: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val re = "(?i)\\bcast\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql)) {
+      var depth = 1
+      var i = m.end
+      while (depth > 0 && i < sql.length) {
+        val c = sql.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        i += 1
+      }
+      if (depth == 0) out += ((m.start, i))
+    }
+    out.toSeq
+  }
+
+  private def inside(spans: Seq[(Int, Int)], pos: Int): Boolean =
+    spans.exists { case (a, b) => pos >= a && pos < b }
+
+  /** End index (exclusive) of the balanced paren group opening at `open`. */
+  private def balancedEnd(sql: String, open: Int): Int = {
+    var depth = 1
+    var i = open + 1
+    while (depth > 0 && i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      i += 1
+    }
+    i
+  }
+
+  /** Aliases bound to a sum( that is not wrapped in CAST (window frames
+    * `sum(x) OVER (...)` AS y included), plus positions of raw sums. */
+  private def rawSums(sql: String): (Set[String], Seq[Int]) = {
+    val casts = castSpans(sql)
+    val aliases = scala.collection.mutable.Set[String]()
+    val positions = scala.collection.mutable.ArrayBuffer[Int]()
+    val re = "(?i)\\bsum\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql) if !inside(casts, m.start)) {
+      positions += m.start
+      var end = balancedEnd(sql, sql.indexOf('(', m.start))
+      // postgres-style cast escape: sum(...)::BIGINT is typed
+      val tail0 = sql.substring(end)
+      if (tail0.startsWith("::")) {
+        // typed; not raw
+        positions.remove(positions.length - 1)
+      } else {
+        val over = "(?is)^\\s*over\\s*\\(".r.findFirstMatchIn(tail0)
+        if (over.isDefined)
+          end = balancedEnd(sql, end + over.get.end - 1)
+        val as =
+          "(?is)^\\s*(?:filter\\s*\\([^)]*\\)\\s*)?as\\s+\"?([A-Za-z_]\\w*)\"?"
+            .r.findFirstMatchIn(sql.substring(end))
+        as.foreach(a => aliases += a.group(1).toLowerCase)
+      }
+    }
+    (aliases.toSet, positions.toSeq)
+  }
+
+  /** The final top-level SELECT's projection items (split on top-level
+    * commas), with their absolute start offsets. */
+  private def finalProjection(sql: String): Seq[(String, Int)] = {
+    // last SELECT at paren depth 0
+    var depth = 0
+    var lastSel = -1
+    var i = 0
+    val lower = sql.toLowerCase
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && lower.startsWith("select", i) &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+        (i + 6 >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + 6))))
+        lastSel = i
+      i += 1
+    }
+    if (lastSel < 0) return Seq.empty
+    // projection runs to FROM at depth 0 (or end)
+    var j = lastSel + 6
+    depth = 0
+    var fromAt = sql.length
+    var found = false
+    while (j < sql.length && !found) {
+      val c = sql.charAt(j)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && lower.startsWith("from", j) &&
+        !Character.isLetterOrDigit(sql.charAt(j - 1)) &&
+        (j + 4 >= sql.length || !Character.isLetterOrDigit(sql.charAt(j + 4)))) {
+        fromAt = j; found = true
+      }
+      j += 1
+    }
+    val proj = sql.substring(lastSel + 6, fromAt)
+    // split on top-level commas
+    val items = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    var start = 0
+    depth = 0
+    var k = 0
+    while (k < proj.length) {
+      val c = proj.charAt(k)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) {
+        items += ((proj.substring(start, k), lastSel + 6 + start))
+        start = k + 1
+      }
+      k += 1
+    }
+    items += ((proj.substring(start), lastSel + 6 + start))
+    items.toSeq
+  }
+
+  private val bareId = "(?s)^\\s*\"?([A-Za-z_]\\w*)\"?\\s*$".r
+
+  /** Violation descriptions for one oracle SQL (empty = clean). */
+  def lint(sql: String): Seq[String] = {
+    val (aliases, _) = rawSums(sql)
+    val casts = castSpans(sql)
+    finalProjection(sql).flatMap { case (item, off) =>
+      item match {
+        case bareId(name) if aliases.contains(name.toLowerCase) =>
+          Some(s"bare raw-sum alias '$name' in final projection")
+        case _ =>
+          // A sum embedded in double-coercing arithmetic (division, a
+          // double literal, ln/exp/sqrt/round) yields DOUBLE on both
+          // engines — type-safe. Only a sum escaping through pure
+          // integer arithmetic stays HUGEINT and flags.
+          val doubleCoerced = item.contains("/") ||
+            "\\d\\s*\\.\\s*\\d".r.findFirstIn(item).isDefined ||
+            "(?i)\\b(ln|log|log2|log10|exp|sqrt|round)\\s*\\(".r
+              .findFirstIn(item).isDefined
+          val re = "(?i)\\bsum\\s*\\(".r
+          val raw = !doubleCoerced && re.findAllMatchIn(item).exists { m =>
+            val abs = off + m.start
+            !inside(casts, abs) && {
+              // sum( ... )::TYPE is typed
+              val end = balancedEnd(sql, sql.indexOf('(', abs))
+              !sql.substring(end).startsWith("::")
+            }
+          }
+          if (raw) Some(s"uncast sum( in final projection item: " +
+            item.trim.takeWhile(_ != '\n').take(70))
+          else None
+      }
+    }
+  }
+}
+
+class OracleLintSpec extends AnyFunSuite {
+
+  /** Reviewed type-safe sites: DuckDB sum over a DOUBLE expression
+    * returns DOUBLE, exactly what Spark emits — no HUGEINT hazard.
+    * Key: query name -> substrings of tolerated violation messages. */
+  private val allowlist: Map[String, Set[String]] = Map(
+  )
+
+  test("the lint catches the r13 bug class on a broken fixture") {
+    // q259's exact pre-fix shape
+    val broken =
+      """WITH h AS (SELECT 1 AS k)
+        |SELECT count(*) AS n, sum(k) AS key_sum FROM h GROUP BY 1""".stripMargin
+    assert(OracleLint.lint(broken)
+      .exists(_.contains("uncast sum( in final projection")))
+    // q307's pre-fix shape: raw sum aliased in a CTE, projected bare
+    val brokenCte =
+      """WITH wide AS (SELECT g, sum(c) AS d1 FROM t GROUP BY 1)
+        |SELECT g, d1 FROM wide""".stripMargin
+    assert(OracleLint.lint(brokenCte)
+      .exists(_.contains("bare raw-sum alias 'd1'")))
+    // the fixed shapes are clean
+    val fixed =
+      """WITH h AS (SELECT 1 AS k)
+        |SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM h GROUP BY 1""".stripMargin
+    assert(OracleLint.lint(fixed).isEmpty)
+    val fixedCte =
+      """WITH wide AS (SELECT g, CAST(sum(c) AS BIGINT) AS d1
+        |  FROM t GROUP BY 1)
+        |SELECT g, d1 FROM wide""".stripMargin
+    assert(OracleLint.lint(fixedCte).isEmpty)
+  }
+
+  test("every declared oracle is free of uncast escaping sums") {
+    val violations = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        OracleLint.lint(sql)
+          .filterNot(v => allowlist.getOrElse(name, Set.empty)
+            .exists(v.contains))
+          .map(v => s"$name: $v")
+    }
+    assert(violations.isEmpty,
+      s"\n${violations.mkString("\n")}\n(${violations.size} violations)")
+  }
+}

@@ -64,8 +64,9 @@ class StatTestsSpec extends SparkTestBase {
       .toDF("g", "v")
     val row = StatTests.mannWhitneyU(df, "g", "v", "A", "B").collect()(0)
     assert(row.getLong(0) == 2L && row.getLong(1) == 2L)
-    assert(row.getLong(2) == 1L)     // 2 * U_A
-    assert(row.getLong(3) == 6L)     // sum(t^3 - t) = 0 + 6 + 0
+    // u2_a / tie_cube accumulate in DECIMAL(38,0) (wrap-proof past 2e9 rows)
+    assert(row.getDecimal(2).longValueExact == 1L)  // 2 * U_A
+    assert(row.getDecimal(3).longValueExact == 6L)  // sum(t^3 - t) = 0 + 6 + 0
     // z = (0.5 - 2) / sqrt(4/12 * (5 - 6/12)) = -1.5 / sqrt(1.5)
     assert(row.getDouble(4) == math.rint(-1.5 / math.sqrt(1.5) * 1e7) / 1e7)
 
@@ -391,6 +392,6 @@ class StatTestsSpec extends SparkTestBase {
     val u2ref = (for (a <- as; b <- bs) yield {
       if (a > b) 2L else if (a == b) 1L else 0L
     }).sum
-    assert(row.getLong(2) == u2ref)
+    assert(row.getDecimal(2).longValueExact == u2ref)
   }
 }

@@ -5,11 +5,18 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query with an oracle: run the oracle SQL in DuckDB over the parquet
 tables, load the Spark result parquet, sort columns by name, sort rows, and
-compare cell-by-cell (exact for ints/strings, 1e-9 rel tolerance for floats).
+compare cell-by-cell EXACTLY — then dtype-strictly: a column whose dtype
+class differs between the engines (float64 vs int64, the r13 driver-red
+class) FAILS even when every value compares equal, because the driver
+hashes typed values. int32/int64/exact-int-Decimal are one class (the
+equivalence the driver demonstrably accepts).
 """
-import sys, json, glob, math
+import sys, json, glob, os
 import duckdb
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from gatelib import norm, cells_equal, dtype_skews
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -19,29 +26,6 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
-        # decimal/object numerics -> float
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
-
-def cells_equal(a, b):
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        # EXACT: the driver hashes values, so doubles must be bit-identical.
-        return fa == fb
-    return a == b or str(a) == str(b)
 
 n_pass = n_fail = 0
 for name in sorted(oracle):
@@ -79,6 +63,13 @@ for name in sorted(oracle):
     if bad:
         c, i, a, b = bad
         print(f"FAIL {name}: col {c} row {i}: duck={a!r} spark={b!r}")
+        n_fail += 1
+        continue
+    skews = dtype_skews(d, s)
+    if skews:
+        detail = ", ".join(f"{c}: duck={cd} spark={cs}" for c, cd, cs in skews)
+        print(f"FAIL {name}: values equal but dtype skew ({detail}) — "
+              f"the driver hashes typed values and would reject this")
         n_fail += 1
     else:
         print(f"PASS {name} ({len(d)} rows)")

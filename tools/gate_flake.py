@@ -18,8 +18,11 @@ Typical ritual (run before committing a round-closing snapshot):
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gateB"
   python3 tools/gate_flake.py /tmp/gateA /tmp/gateB
 """
-import sys, glob, math, os
+import sys, glob, os
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from gatelib import norm, cells_equal
 
 dir_a, dir_b = sys.argv[1], sys.argv[2]
 
@@ -31,31 +34,11 @@ if qa != qb:
     print(f"query sets differ: only-in-A={sorted(qa - qb)} only-in-B={sorted(qb - qa)}")
     sys.exit(1)
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
 def load(d, name):
     files = sorted(glob.glob(f"{d}/{name}/*.parquet"))
     if not files:
         return None
     return norm(pd.concat([pd.read_parquet(f) for f in files]))
-
-def cells_equal(a, b):
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb  # exact: the driver hashes values
-    return a == b or str(a) == str(b)
 
 flaky = []
 for name in sorted(qa):

@@ -1,0 +1,139 @@
+"""Shared normalize/compare/dtype helpers for the local correctness gates
+(check_oracle.py and gate_flake.py).
+
+Comparator contract (pinned by the r13 verdict's evidence):
+  - values are compared EXACTLY (the driver hashes typed values);
+  - exact integers hash canonically across int32/int64/exact-int Decimal
+    (proven by the driver-green q343 Decimal-vs-int64 and q310
+    int32-vs-int64 rows), so those are ONE dtype class here;
+  - float64 does NOT hash canonically against ints: an uncast DuckDB
+    SUM (HUGEINT -> float64) vs Spark BIGINT is exactly the r13
+    driver-red class. dtype_skew flags it.
+"""
+import datetime
+import math
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+
+
+def is_seq(v):
+    return isinstance(v, (list, tuple, np.ndarray))
+
+
+def canon_seq(v):
+    """Canonical exact string for array/list cells (repr of a float is the
+    shortest round-trip form, so this is an exact representation)."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(canon_seq(x) for x in v) + "]"
+    return repr(v)
+
+
+def cell_isna(v):
+    if is_seq(v):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value; canonicalize timestamps to
+    microseconds and array cells to exact strings (ndarray cells are
+    unhashable and unsortable otherwise — the gate must compare them, not
+    crash on them)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        dt = df[c].dtype
+        if getattr(dt, "tz", None) is not None:
+            # tz-aware (Spark parquet UTC instant) -> naive UTC, matching
+            # DuckDB's naive TIMESTAMP under the session's UTC timezone
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None) \
+                .astype("datetime64[us]")
+        elif str(dt).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif dt == object and df[c].map(is_seq).any():
+            df[c] = df[c].map(lambda v: canon_seq(v) if is_seq(v) else v)
+        elif dt == object and df[c].map(
+                lambda v: isinstance(v, datetime.date) or v is None or
+                cell_isna(v)).all() and df[c].notna().any():
+            # datetime.date objects (Spark parquet date32 via pandas) ->
+            # datetime64, matching DuckDB's DATE fetch
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def cells_equal(a, b):
+    if is_seq(a) or is_seq(b):
+        return is_seq(a) and is_seq(b) and canon_seq(a) == canon_seq(b)
+    if cell_isna(a) and cell_isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        # EXACT: the driver hashes values, so doubles must be bit-identical.
+        return fa == fb
+    return a == b or str(a) == str(b)
+
+
+def dtype_class(s: pd.Series) -> str:
+    """Collapse a column to the driver-comparator equivalence class."""
+    kind = getattr(s.dtype, "kind", None)
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    if kind == "m":
+        return "timedelta"
+    classes = set()
+    for v in s:
+        if v is None or cell_isna(v):
+            continue
+        if isinstance(v, (bool, np.bool_)):
+            classes.add("bool")
+        elif isinstance(v, (int, np.integer)):
+            classes.add("int")
+        elif isinstance(v, Decimal):
+            classes.add("int" if v == v.to_integral_value() else "decimal")
+        elif isinstance(v, (float, np.floating)):
+            classes.add("float")
+        elif isinstance(v, str):
+            classes.add("str")
+        elif isinstance(v, (bytes, bytearray)):
+            classes.add("bytes")
+        elif isinstance(v, datetime.date):  # date and datetime both
+            classes.add("datetime")
+        elif is_seq(v):
+            classes.add("seq")
+        else:
+            classes.add(type(v).__name__)
+    if not classes:
+        return "empty"  # all-null column: compatible with anything
+    if len(classes) == 1:
+        return classes.pop()
+    return "+".join(sorted(classes))
+
+
+def dtype_skews(duck: pd.DataFrame, spark: pd.DataFrame):
+    """Column-level dtype-class mismatches the driver's hash would reject
+    (same column sets assumed — check that first). Returns
+    [(col, duck_class, spark_class)]."""
+    out = []
+    for c in duck.columns:
+        cd, cs = dtype_class(duck[c]), dtype_class(spark[c])
+        if cd == cs or "empty" in (cd, cs):
+            continue
+        out.append((c, cd, cs))
+    return out
