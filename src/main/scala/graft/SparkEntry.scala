@@ -8842,6 +8842,109 @@ object SparkEntry {
         |  CAST(16 + (doc_id * 7) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // The decode seam's feature vector, replayed closed-form per format
+    // branch (PGM q41 / PNG q89 / GIF q92 / JPEG q93 arithmetic) plus the
+    // byte-stat fallback over the UTF-8 text payload (ASCII-verified, so
+    // ascii(substring()) IS the byte). Every feature dim is one pinned
+    // DOUBLE expression narrowed by a single CAST AS REAL — the engine's
+    // exact contract (ln parity JVM==DuckDB verified bitwise on all int
+    // inputs the synthetics can produce).
+    "q79_media_decode_seam" -> {
+      def feats(w: String, h: String, ch: String, m0: String, m1: String,
+          m2: String, mn: String, mx: String): String =
+        s"""CAST(ln(CAST(1 + $w AS DOUBLE)) / CAST(16 AS DOUBLE) AS REAL) AS f0,
+           |    CAST(ln(CAST(1 + $h AS DOUBLE)) / CAST(16 AS DOUBLE) AS REAL) AS f1,
+           |    CAST(CAST($ch AS DOUBLE) / CAST(4 AS DOUBLE) AS REAL) AS f2,
+           |    CAST($m0 / CAST(255 AS DOUBLE) AS REAL) AS f3,
+           |    CAST($m1 / CAST(255 AS DOUBLE) AS REAL) AS f4,
+           |    CAST($m2 / CAST(255 AS DOUBLE) AS REAL) AS f5,
+           |    CAST($mn / CAST(255 AS DOUBLE) AS REAL) AS f6,
+           |    CAST($mx / CAST(255 AS DOUBLE) AS REAL) AS f7""".stripMargin
+      val fbf = (0 until 8).map { i =>
+        s"""CAST(FLOOR(s$i * CAST(10000 AS DOUBLE)
+           |      / (CAST(255 AS DOUBLE) * CAST(n AS DOUBLE))
+           |      + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS REAL) AS f$i"""
+          .stripMargin
+      }.mkString(",\n    ")
+      val fbs = (0 until 8).map(i =>
+        s"""CAST(COALESCE(SUM(CASE WHEN (p - 1) % 8 = $i
+           |      THEN ascii(substring(text, p, 1)) END), 0) AS DOUBLE) AS s$i"""
+          .stripMargin).mkString(",\n    ")
+      s"""WITH pgm AS (
+         |  SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+         |         CAST(3 + (doc_id * 5) % 11 AS BIGINT) AS h
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |pgm_s AS (
+         |  SELECT doc_id, w, h, AVG((doc_id + i) % 256) AS m,
+         |         CAST(MIN((doc_id + i) % 256) AS DOUBLE) AS mn,
+         |         CAST(MAX((doc_id + i) % 256) AS DOUBLE) AS mx
+         |  FROM (SELECT doc_id, w, h,
+         |          UNNEST(generate_series(0, w * h - 1)) AS i FROM pgm)
+         |  GROUP BY doc_id, w, h),
+         |png AS (
+         |  SELECT doc_id, CAST(3 + doc_id % 5 AS BIGINT) AS w,
+         |         CAST(1 + doc_id % 20 AS BIGINT) AS c
+         |  FROM documents WHERE doc_id % 5 = 1),
+         |png_s AS (
+         |  SELECT doc_id, w, AVG(v) AS m, CAST(MIN(v) AS DOUBLE) AS mn,
+         |         CAST(MAX(v) AS DOUBLE) AS mx
+         |  FROM (SELECT doc_id, w,
+         |          CASE p // w WHEN 0 THEN (doc_id + (p % w)) % 256
+         |                      WHEN 1 THEN c * ((p % w) + 1)
+         |                      ELSE c * ((p % w) + 1) + 5 END AS v
+         |        FROM (SELECT doc_id, w, c,
+         |                UNNEST(generate_series(0, w * 3 - 1)) AS p FROM png))
+         |  GROUP BY doc_id, w),
+         |gif AS (
+         |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w
+         |  FROM documents WHERE doc_id % 5 = 2),
+         |gif_s AS (
+         |  SELECT doc_id, w, AVG(i) AS m0, AVG(2 * i) AS m1,
+         |         AVG(255 - i) AS m2,
+         |         CAST(LEAST(MIN(i), MIN(2 * i), MIN(255 - i)) AS DOUBLE) AS mn,
+         |         CAST(GREATEST(MAX(i), MAX(2 * i), MAX(255 - i)) AS DOUBLE) AS mx
+         |  FROM (SELECT doc_id, w, (doc_id * 3 + p * 5) % 128 AS i
+         |        FROM (SELECT doc_id, w,
+         |                UNNEST(generate_series(0, w * 3 - 1)) AS p FROM gif))
+         |  GROUP BY doc_id, w),
+         |jpg AS (
+         |  SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS wb,
+         |         CAST(1 + doc_id % 2 AS BIGINT) AS hb
+         |  FROM documents WHERE doc_id % 5 = 3),
+         |jpg_s AS (
+         |  SELECT doc_id, wb * 8 AS w, hb * 8 AS h,
+         |         AVG(144 + (doc_id * 7 + i * 11) % 16) AS m,
+         |         CAST(MIN(144 + (doc_id * 7 + i * 11) % 16) AS DOUBLE) AS mn,
+         |         CAST(MAX(144 + (doc_id * 7 + i * 11) % 16) AS DOUBLE) AS mx
+         |  FROM (SELECT doc_id, wb, hb,
+         |          UNNEST(generate_series(0, wb * hb - 1)) AS i FROM jpg)
+         |  GROUP BY doc_id, wb, hb),
+         |fb AS (SELECT doc_id, GREATEST(length(text), 1) AS n, text
+         |       FROM documents WHERE doc_id % 5 = 4),
+         |fb_b AS (SELECT doc_id, n, text,
+         |           UNNEST(generate_series(1, length(text))) AS p FROM fb),
+         |fb_s AS (SELECT doc_id, n,
+         |    $fbs
+         |  FROM fb_b GROUP BY doc_id, n)
+         |SELECT * FROM (
+         |  SELECT doc_id AS id,
+         |    ${feats("w", "h", "1", "m", "CAST(0 AS DOUBLE)", "CAST(0 AS DOUBLE)", "mn", "mx")}
+         |  FROM pgm_s
+         |  UNION ALL SELECT doc_id,
+         |    ${feats("w", "3", "1", "m", "CAST(0 AS DOUBLE)", "CAST(0 AS DOUBLE)", "mn", "mx")}
+         |  FROM png_s
+         |  UNION ALL SELECT doc_id,
+         |    ${feats("w", "3", "3", "m0", "m1", "m2", "mn", "mx")}
+         |  FROM gif_s
+         |  UNION ALL SELECT doc_id,
+         |    ${feats("w", "h", "1", "m", "CAST(0 AS DOUBLE)", "CAST(0 AS DOUBLE)", "mn", "mx")}
+         |  FROM jpg_s
+         |  UNION ALL SELECT doc_id,
+         |    $fbf
+         |  FROM fb_s)
+         |ORDER BY id""".stripMargin
+    },
+
     // Decoded s16le sample of stored u16 raw: ((raw + 32768) % 65536) - 32768.
     "q88_audio_stats" ->
       """SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,

@@ -759,29 +759,39 @@ object Multimodal {
         val feat = new Array[Float](featureDims)
         if (px != null) {
           // Real decoded features. Dimensions log-scaled (corpus images span
-          // orders of magnitude), samples scaled to [0,1].
-          feat(0) = (math.log1p(px.width) / 16.0).toFloat
-          feat(1) = (math.log1p(px.height) / 16.0).toFloat
-          feat(2) = px.channels / 4.0f
+          // orders of magnitude), samples scaled to [0,1]. Every dim is one
+          // pinned DOUBLE expression narrowed by a single toFloat — the
+          // replayable form (float32 of a correctly-rounded double); no
+          // float32 arithmetic ever accumulates (q79's oracle replays
+          // these exactly).
+          feat(0) = (math.log(1.0 + px.width) / 16.0).toFloat
+          feat(1) = (math.log(1.0 + px.height) / 16.0).toFloat
+          feat(2) = (px.channels / 4.0).toFloat
           var c = 0
           while (c < 3) {
             feat(3 + c) =
               if (c < px.channels) (px.mean(c) / 255.0).toFloat else 0f
             c += 1
           }
-          feat(6) = px.min.min / 255.0f
-          feat(7) = px.max.max / 255.0f
+          feat(6) = (px.min.min / 255.0).toFloat
+          feat(7) = (px.max.max / 255.0).toFloat
         } else {
-          // Fallback: deterministic byte statistics (documented above).
+          // Fallback: deterministic byte statistics. Exact integer bucket
+          // sums (order-independent — safe to parallelize or re-chunk),
+          // then ONE pinned double expression per dim: the mean byte value
+          // of bucket i scaled to [0,1], quantized to 1e-4 with floor(x+.5)
+          // (floor is exact in every engine; round() half-mode is not).
           val n = math.max(bytes.length, 1)
+          val sums = new Array[Long](featureDims)
           var i = 0
           while (i < bytes.length) {
-            feat(i % featureDims) += (bytes(i) & 0xFF) / 255.0f
+            sums(i % featureDims) += (bytes(i) & 0xFF).toLong
             i += 1
           }
           i = 0
           while (i < featureDims) {
-            feat(i) = math.round(feat(i) / n * 10000f) / 10000f
+            feat(i) = (math.floor(
+              sums(i) * 10000.0 / (255.0 * n) + 0.5) / 10000.0).toFloat
             i += 1
           }
         }
