@@ -7866,6 +7866,62 @@ object SparkEntry {
               col("n_nationkey").cast("int"))).as("ts"),
           when(lit(false), lit(0.0)).as("z"))
         .orderBy("i64")),
+
+    // --- 345. one-way ANOVA F, oracle-pinned -----------------------------------------------------------------
+    // k-group mean comparison over deci-quantized event values (the
+    // family's classic: Welch is the 2-group face, Kruskal the rank
+    // face); exact per-group sufficient stats + the sorted-group fold.
+    "q345_anova" -> ((s, d) =>
+      graft.operators.StatTests.anovaF(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")),
+
+    // --- 346. Cramer's V association, oracle-pinned ----------------------------------------------------------
+    // event type x 6-hour band: is activity type associated with time of
+    // day? Exact margins + sorted-cell fold; V normalizes chi2 to [0,1].
+    "q346_cramers_v" -> ((s, d) =>
+      graft.operators.StatTests.cramersV(
+        t(s, d, "events").where(col("ts").isNotNull)
+          .select(col("event_type"),
+            floor(hour(col("ts")) / 6).cast("long").as("band")),
+        "event_type", "band")),
+
+    // --- 347. McNemar paired test, oracle-pinned -------------------------------------------------------------
+    // Per user: clicked-in-the-morning vs clicked-in-the-afternoon —
+    // paired binary, only discordant users carry signal.
+    "q347_mcnemar" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val perUser = e.groupBy(col("user_id"))
+        .agg((count(when(col("event_type") === "click" &&
+            hour(col("ts")) < 12, 1)) > 0).as("a"),
+          (count(when(col("event_type") === "click" &&
+            hour(col("ts")) >= 12, 1)) > 0).as("b"))
+      graft.operators.StatTests.mcnemar(perUser, "a", "b")
+    }),
+
+    // --- 348. Wald-Wolfowitz runs test, oracle-pinned --------------------------------------------------------
+    // Per event type, is the above/below-50 value sequence random in
+    // event-time order, or do high values cluster?
+    "q348_runs_test" -> ((s, d) =>
+      graft.operators.StatTests.runsTest(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            (col("value") >= 50.0).as("fl")),
+        "event_type", Seq("ts", "event_id"), "fl")
+        .orderBy("group")),
+
+    // --- 349. Mood's median test, oracle-pinned --------------------------------------------------------------
+    // Do the five event types share one median value? Pooled lower
+    // median pinned on the distinct-value cumsum, 2xk chi2 collapsed to
+    // the sorted-group fold.
+    "q349_mood_median" -> ((s, d) =>
+      graft.operators.StatTests.moodMedianTest(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -13996,7 +14052,146 @@ object SparkEntry {
         |  TIMESTAMP '2026-01-15 12:34:56'
         |    + to_minutes(CAST(n_nationkey AS BIGINT)) AS ts,
         |  CAST(NULL AS DOUBLE) AS z
-        |FROM nation WHERE n_nationkey < 5 ORDER BY i64""".stripMargin
+        |FROM nation WHERE n_nationkey < 5 ORDER BY i64""".stripMargin,
+
+    // ANOVA: exact (n,S,Q) per group, the q332 sorted-group list_reduce
+    // fold for R = sum S^2/n, one F expression over unrounded SSB/SSW.
+    "q345_anova" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val kD = "CAST(k AS DOUBLE)"
+      val ssb = s"(r - s * s / $nD)"
+      val ssw = "(q - r)"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pg AS (SELECT g, count(*) AS n_g, sum(v) AS s_g,
+         |         sum(v * v) AS q_g FROM e GROUP BY 1),
+         |terms AS (SELECT g, n_g, s_g, q_g,
+         |    CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+         |      AS term
+         |  FROM pg),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(s_g) AS DOUBLE) AS s, CAST(sum(q_g) AS DOUBLE) AS q,
+         |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS r
+         |  FROM terms)
+         |SELECT n, k,
+         |  ROUND($ssb, 7) AS ss_between,
+         |  ROUND($ssw, 7) AS ss_within,
+         |  ROUND(CASE WHEN k >= 2 AND n > k AND $ssw > 0 THEN
+         |    ($ssb / ($kD - CAST(1 AS DOUBLE)))
+         |      / ($ssw / ($nD - $kD)) END, 7) AS f
+         |FROM agg""".stripMargin
+    },
+
+    // Cramer's V: exact margins, sorted-cell fold of o^2/(rt*ct), the
+    // no-expected-subtraction chi2 identity, one sqrt.
+    "q346_cramers_v" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val chi2 = s"($nD * (s - CAST(1 AS DOUBLE)))"
+      s"""WITH e AS (
+         |  SELECT event_type AS x, CAST(hour(ts) // 6 AS VARCHAR) AS y
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         |cells AS (SELECT x, y, count(*) AS o FROM e GROUP BY 1, 2),
+         |rt AS (SELECT x, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+         |ct AS (SELECT y, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+         |terms AS (SELECT c.x, c.y, c.o,
+         |    CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE)
+         |      / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)) AS term
+         |  FROM cells c JOIN rt USING (x) JOIN ct USING (y)),
+         |agg AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    list_reduce(list(term ORDER BY x, y), (a, b) -> a + b) AS s
+         |  FROM terms),
+         |rr AS (SELECT count(*) AS r FROM rt),
+         |cc AS (SELECT count(*) AS c FROM ct)
+         |SELECT n, r, c,
+         |  ROUND($chi2, 7) AS chi2,
+         |  ROUND(CASE WHEN LEAST(r, c) > 1 THEN
+         |    sqrt(GREATEST($chi2, CAST(0 AS DOUBLE))
+         |      / ($nD * (CAST(LEAST(r, c) AS DOUBLE) - CAST(1 AS DOUBLE))))
+         |    END, 7) AS v
+         |FROM agg, rr, cc""".stripMargin
+    },
+
+    // McNemar: exact discordant counts over the per-user paired bools.
+    "q347_mcnemar" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'click' AND hour(ts) < 12
+        |               THEN 1 END) > 0 AS a,
+        |    count(CASE WHEN event_type = 'click' AND hour(ts) >= 12
+        |               THEN 1 END) > 0 AS b
+        |  FROM events GROUP BY 1),
+        |agg AS (SELECT count(*) AS n,
+        |    count(CASE WHEN a AND NOT b THEN 1 END) AS b_disc,
+        |    count(CASE WHEN NOT a AND b THEN 1 END) AS c_disc
+        |  FROM u)
+        |SELECT n, b_disc, c_disc,
+        |  ROUND(CASE WHEN b_disc + c_disc > 0 THEN
+        |    CAST(b_disc - c_disc AS DOUBLE) * CAST(b_disc - c_disc AS DOUBLE)
+        |      / CAST(b_disc + c_disc AS DOUBLE) END, 7) AS chi2,
+        |  ROUND(CASE WHEN b_disc + c_disc > 0 THEN
+        |    GREATEST(abs(CAST(b_disc - c_disc AS DOUBLE)) - CAST(1 AS DOUBLE),
+        |             CAST(0 AS DOUBLE))
+        |    * GREATEST(abs(CAST(b_disc - c_disc AS DOUBLE)) - CAST(1 AS DOUBLE),
+        |               CAST(0 AS DOUBLE))
+        |    / CAST(b_disc + c_disc AS DOUBLE) END, 7) AS chi2_cc
+        |FROM agg""".stripMargin,
+
+    // Runs test: change-flag window in event-time order, exact census,
+    // one z expression.
+    "q348_runs_test" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val p2 = s"(CAST(2 AS DOUBLE) * CAST(n_true AS DOUBLE) " +
+        s"* CAST(n_false AS DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id, value >= 50 AS fl
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT g, fl,
+         |    CASE WHEN lag(fl) OVER w IS NULL THEN 1
+         |         WHEN fl <> lag(fl) OVER w THEN 1 ELSE 0 END AS chg
+         |  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+         |agg AS (SELECT g AS "group", count(*) AS n,
+         |    count(CASE WHEN fl THEN 1 END) AS n_true,
+         |    count(CASE WHEN NOT fl THEN 1 END) AS n_false,
+         |    CAST(sum(chg) AS BIGINT) AS runs
+         |  FROM r GROUP BY 1)
+         |SELECT "group", n, n_true, n_false, runs,
+         |  ROUND(CASE WHEN n_true > 0 AND n_false > 0 AND n >= 2 THEN
+         |    (CAST(runs AS DOUBLE) - ($p2 / $nD + CAST(1 AS DOUBLE)))
+         |      / sqrt($p2 * ($p2 - $nD) / ($nD * $nD * ($nD - CAST(1 AS DOUBLE))))
+         |    END, 7) AS z
+         |FROM agg ORDER BY "group"""".stripMargin
+    },
+
+    // Mood's median: lower pooled median on the distinct-value cumsum,
+    // D_j = a_j*N - n_j*A in HUGEINT (exact like Spark's DECIMAL), the
+    // sorted-group fold, divide by A*B last.
+    "q349_mood_median" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pv AS (SELECT v, count(*) AS t FROM e GROUP BY 1),
+        |cum AS (SELECT v, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS cumt FROM pv),
+        |tot AS (SELECT sum(t) AS n_all FROM pv),
+        |med AS (SELECT min(v) AS m FROM cum, tot WHERE 2 * cumt >= n_all),
+        |pg AS (SELECT g, count(*) AS n_g,
+        |         count(CASE WHEN v <= m THEN 1 END) AS a_g
+        |       FROM e, med GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |         CAST(sum(a_g) AS BIGINT) AS a FROM pg),
+        |terms AS (SELECT g,
+        |    CAST(CAST(a_g * n - n_g * a AS HUGEINT)
+        |         * CAST(a_g * n - n_g * a AS HUGEINT) AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE) AS term
+        |  FROM pg, tt),
+        |agg AS (SELECT count(*) AS k,
+        |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS s
+        |  FROM terms)
+        |SELECT n, k, m AS median,
+        |  ROUND(CASE WHEN a > 0 AND n - a > 0 THEN
+        |    s / (CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE)) END, 7) AS chi2
+        |FROM agg, tt, med""".stripMargin,
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

@@ -693,4 +693,237 @@ object StatTests {
       round(when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
         (u2 - mu2).cast("double") / lit(2.0) / sqrt(variance)), 7).as("z"))
   }
+
+  private def requireIntegral(df: DataFrame, valueCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType)
+  }
+
+  /** One-way ANOVA F — the k-group mean comparison completing the family
+    * (Welch covers two groups, Kruskal-Wallis the rank alternative):
+    * F = (SSB/(k-1)) / (SSW/(N-k)).
+    *
+    * Exactness: per-group sufficient statistics (n_j, S_j, Q_j) are exact
+    * BIGINT/DECIMAL(38,0) over INTEGRAL values (caller quantizes). The
+    * cross-group sum R = sum_j S_j^2/n_j is a FOLD over groups sorted by
+    * group key (the Kruskal-Wallis device) — deterministic order, never a
+    * partition-ordered float sum — with each term the pinned double
+    * S_d*S_d/n_d. SSB = R - T^2/N, SSW = Q - R, F one final expression,
+    * all rounded at 7. Null F when k < 2, N <= k, or SSW <= 0.
+    *
+    * Scale shape: one combining groupBy (k rows) + a k-sized fold — the
+    * row count never enters a window or a collect.
+    *
+    * Returns one row (n, k, ss_between, ss_within, f).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val perGroup = slim.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("v").cast(dec)).as("s_g"),
+        sum((col("v") * col("v")).cast(dec)).as("q_g"))
+      .select(col("g"), col("n_g"), col("s_g"), col("q_g"),
+        (col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double")).as("term"))
+    val agg = perGroup.agg(
+      sum(col("n_g")).as("n"),
+      count(lit(1)).as("k"),
+      sum(col("s_g")).as("s"),
+      sum(col("q_g")).as("q"),
+      sort_array(collect_list(struct(col("g"), col("term")))).as("terms"))
+    val r = aggregate(col("terms"), lit(0.0), (acc, e) => acc + e("term"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = r - col("s").cast("double") * col("s").cast("double") / nD
+    val ssw = col("q").cast("double") - r
+    val f = (ssb / (kD - 1.0)) / (ssw / (nD - kD))
+    agg.select(col("n"), col("k"),
+      round(ssb, 7).as("ss_between"),
+      round(ssw, 7).as("ss_within"),
+      round(when(col("k") >= 2 && col("n") > col("k") && ssw > 0.0, f), 7)
+        .as("f"))
+  }
+
+  /** Cramer's V — the [0,1]-normalized association strength for an r x c
+    * contingency table (chi2 alone grows with N; V is comparable across
+    * tables): V = sqrt(chi2 / (N * min(r-1, c-1))) with the identity
+    * chi2 = N * (sum_cells o^2/(rowtot*coltot) - 1), which needs no
+    * expected-count subtraction per cell.
+    *
+    * Exactness: cell and margin counts are exact BIGINTs; the cell sum is
+    * a fold over cells sorted by (x, y) as strings — deterministic order —
+    * each term the pinned double o_d*o_d/(r_d*c_d); chi2 and V are final
+    * expressions rounded at 7. Null V for a 1-row or 1-column table.
+    *
+    * Scale shape: one combining groupBy per margin + one on cells; the
+    * fold is cell-count-sized — both domains must be bounded (quantize
+    * first), the same documented contract as the KS/MWU window.
+    *
+    * Returns one row (n, r, c, chi2, v).
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val slim = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val cells = slim.groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("x")).agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy(col("y")).agg(sum(col("o")).as("ct"))
+    val terms = cells.join(rows, "x").join(cols, "y")
+      .select(col("x"), col("y"),
+        (col("o").cast("double") * col("o").cast("double") /
+          (col("rt").cast("double") * col("ct").cast("double"))).as("term"),
+        col("o"))
+    val agg = terms.agg(
+      sum(col("o")).as("n"),
+      count(lit(1)).as("cells"),
+      sort_array(collect_list(struct(col("x"), col("y"), col("term"))))
+        .as("terms"))
+    val nr = rows.agg(count(lit(1)).as("r"))
+    val nc = cols.agg(count(lit(1)).as("c"))
+    val s = aggregate(col("terms"), lit(0.0), (acc, e) => acc + e("term"))
+    val nD = col("n").cast("double")
+    val chi2 = nD * (s - lit(1.0))
+    val dof = least(col("r"), col("c")).cast("double") - 1.0
+    agg.crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .select(col("n"), col("r"), col("c"),
+        round(chi2, 7).as("chi2"),
+        round(when(dof > 0.0, sqrt(greatest(chi2, lit(0.0)) / (nD * dof))), 7)
+          .as("v"))
+  }
+
+  /** McNemar's test — paired binary before/after comparison (did the
+    * filter change flip documents between pass and fail? did users who
+    * clicked before noon also click after?): only the DISCORDANT pairs
+    * carry signal. chi2 = (b - c)^2 / (b + c); the continuity-corrected
+    * form uses (|b - c| - 1)^2, floored at 0.
+    *
+    * Exactness: b (a true, b false) and c (a false, b true) are exact
+    * BIGINTs; both statistics are one final expression each, rounded at
+    * 7; null when b + c = 0 (no discordant pairs).
+    *
+    * Scale shape: one combining aggregate — a single pass, no shuffle
+    * beyond the 1-row reduction.
+    *
+    * Returns one row (n, b_discordant, c_discordant, chi2, chi2_cc).
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val slim = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val agg = slim.agg(
+      count(lit(1)).as("n"),
+      count(when(col("a") && !col("b"), 1)).as("b_disc"),
+      count(when(!col("a") && col("b"), 1)).as("c_disc"))
+    val d = (col("b_disc") - col("c_disc")).cast("double")
+    val t = (col("b_disc") + col("c_disc")).cast("double")
+    val cc = greatest(abs(d) - lit(1.0), lit(0.0))
+    agg.select(col("n"), col("b_disc"), col("c_disc"),
+      round(when(t > 0.0, d * d / t), 7).as("chi2"),
+      round(when(t > 0.0, cc * cc / t), 7).as("chi2_cc"))
+  }
+
+  /** Wald-Wolfowitz runs test — randomness of a binary sequence in its
+    * given order (are quality-filter rejections bursty? do error events
+    * cluster?): too few runs means clustering, too many means
+    * oscillation. z = (R - mu) / sigma with mu = 2*n1*n0/N + 1 and
+    * sigma^2 = 2*n1*n0*(2*n1*n0 - N) / (N^2 * (N - 1)).
+    *
+    * Exactness: the run count R = 1 + #(flag_t != flag_{t-1}) and the
+    * n1/n0 census are exact BIGINTs from one ordered window pass; z is
+    * one final double expression rounded at 7, null when either side is
+    * empty (sigma = 0).
+    *
+    * Scale shape: one per-group ordered window (the CUSUM contract: a
+    * single-partition sequential scan per group by construction — key
+    * finely or accept it) + one combining aggregate.
+    *
+    * Returns (group, n, n_true, n_false, runs, z).
+    */
+  def runsTest(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      flagCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(orderCols.map(col): _*)
+    val slim = df.select(col(groupCol).as("g") +: col(flagCol).as("fl") +:
+      orderCols.map(col): _*).where(col("g").isNotNull && col("fl").isNotNull)
+    val runs = slim
+      .withColumn("chg",
+        when(lag(col("fl"), 1).over(w).isNull, 1L)
+          .when(col("fl") =!= lag(col("fl"), 1).over(w), 1L)
+          .otherwise(0L))
+    val agg = runs.groupBy(col("g").as("group"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("fl"), 1)).as("n_true"),
+        count(when(!col("fl"), 1)).as("n_false"),
+        sum(col("chg")).as("runs"))
+    val nD = col("n").cast("double")
+    val p2 = lit(2.0) * col("n_true").cast("double") *
+      col("n_false").cast("double")
+    val mu = p2 / nD + 1.0
+    val variance = p2 * (p2 - nD) / (nD * nD * (nD - 1.0))
+    agg.select(col("group"), col("n"), col("n_true"), col("n_false"),
+      col("runs"),
+      round(when(col("n_true") > 0 && col("n_false") > 0 && col("n") >= 2,
+        (col("runs").cast("double") - mu) / sqrt(variance)), 7).as("z"))
+  }
+
+  /** Mood's median test — do k groups share one median (the coarse,
+    * outlier-immune cousin of Kruskal-Wallis): classify every value
+    * against the POOLED median, then chi2 over the 2 x k table of
+    * at-or-below vs above counts.
+    *
+    * The pooled median is pinned exactly: the smallest value m with
+    * 2*cum(m) >= N over the distinct-value cumsum (lower median — no
+    * float interpolation, same both engines). With D_j = a_j*N - n_j*A
+    * (a_j = group j's at-or-below count, A the pooled count), the 2 x k
+    * chi2 collapses to sum_j (D_j^2/n_j) / (A*B) — per-group D_j is an
+    * exact DECIMAL(38,0), the k-term sum is the sorted-group fold, and
+    * the divide by A*B is final. Values must be INTEGRAL.
+    *
+    * Scale shape: one distinct-value cumsum window (the KS quantize-first
+    * contract) + one combining groupBy + a k-sized fold.
+    *
+    * Returns one row (n, k, median, chi2).
+    */
+  def moodMedianTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val perValue = slim.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perValue.withColumn("cum", sum(col("t")).over(w))
+    val tot = perValue.agg(sum(col("t")).as("n_all"))
+    val med = cum.crossJoin(broadcast(tot))
+      .where(lit(2L) * col("cum") >= col("n_all"))
+      .agg(min(col("v")).as("m"))
+    val perGroup = slim.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        count(when(col("v") <= col("m"), 1)).as("a_g"),
+        first(col("m")).as("m"))
+    val totals = perGroup.agg(sum(col("n_g")).as("n"), sum(col("a_g")).as("a"))
+    val terms = perGroup.crossJoin(broadcast(totals))
+      .select(col("g"), col("n_g"), col("m"),
+        ((col("a_g").cast(dec) * col("n").cast(dec) -
+          col("n_g").cast(dec) * col("a").cast(dec))).as("d"))
+      .select(col("g"), col("n_g"), col("m"),
+        ((col("d") * col("d")).cast("double") / col("n_g").cast("double"))
+          .as("term"))
+    val agg = terms.agg(
+      count(lit(1)).as("k"),
+      first(col("m")).as("median"),
+      sort_array(collect_list(struct(col("g"), col("term")))).as("terms"))
+    val s = aggregate(col("terms"), lit(0.0), (acc, e) => acc + e("term"))
+    val ab = col("a").cast("double") * (col("n") - col("a")).cast("double")
+    agg.crossJoin(broadcast(totals))
+      .select(col("n"), col("k"), col("median"),
+        round(when(ab > 0.0, s / ab), 7).as("chi2"))
+  }
 }

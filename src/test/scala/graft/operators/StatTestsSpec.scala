@@ -394,4 +394,84 @@ class StatTestsSpec extends SparkTestBase {
     }).sum
     assert(row.getDecimal(2).longValueExact == u2ref)
   }
+
+  test("one-way ANOVA F: hand three-group case, degenerate nulls") {
+    // A={1,2,3} B={2,3,4} C={6,7,8}: T=36 N=9 k=3, Q=192,
+    // R = 36/3 + 81/3 + 441/3 = 186; SSB = 186-144 = 42, SSW = 6,
+    // F = (42/2)/(6/6) = 21
+    val df = (Seq(1, 2, 3).map(("A", _)) ++ Seq(2, 3, 4).map(("B", _)) ++
+      Seq(6, 7, 8).map(("C", _))).toDF("g", "v")
+    val r = StatTests.anovaF(df, "g", "v").collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 42.0 && r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == 21.0)
+    // one group -> null F; zero within-variance -> null F
+    assert(StatTests.anovaF(Seq(("A", 1), ("A", 2)).toDF("g", "v"), "g", "v")
+      .collect()(0).isNullAt(4))
+    assert(StatTests.anovaF(
+      Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2)).toDF("g", "v"), "g", "v")
+      .collect()(0).isNullAt(4))
+    intercept[IllegalArgumentException](
+      StatTests.anovaF(Seq(("A", 1.0)).toDF("g", "v"), "g", "v"))
+  }
+
+  test("Cramer's V: perfect association is 1, independence is 0, 1-col null") {
+    val perfect = (Seq.fill(5)(("a", 1)) ++ Seq.fill(5)(("b", 2)))
+      .toDF("x", "y")
+    val p = StatTests.cramersV(perfect, "x", "y").collect()(0)
+    assert(p.getLong(0) == 10L && p.getLong(1) == 2L && p.getLong(2) == 2L)
+    assert(p.getDouble(3) == 10.0 && p.getDouble(4) == 1.0)
+    val indep = (Seq.fill(2)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++
+      Seq.fill(2)(("b", 1)) ++ Seq.fill(2)(("b", 2))).toDF("x", "y")
+    val i = StatTests.cramersV(indep, "x", "y").collect()(0)
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0)
+    // single column -> dof 0 -> null V
+    val one = Seq(("a", 1), ("b", 1)).toDF("x", "y")
+    assert(StatTests.cramersV(one, "x", "y").collect()(0).isNullAt(4))
+  }
+
+  test("McNemar: textbook discordant counts, both corrections, empty null") {
+    // b=10, c=4: chi2 = 36/14, cc = 25/14
+    val df = (Seq.fill(10)((true, false)) ++ Seq.fill(4)((false, true)) ++
+      Seq.fill(6)((true, true)) ++ Seq.fill(5)((false, false)))
+      .toDF("a", "b")
+    val r = StatTests.mcnemar(df, "a", "b").collect()(0)
+    assert(r.getLong(0) == 25L && r.getLong(1) == 10L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == math.rint(36.0 / 14.0 * 1e7) / 1e7)
+    assert(r.getDouble(4) == math.rint(25.0 / 14.0 * 1e7) / 1e7)
+    // no discordant pairs -> null
+    val conc = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(StatTests.mcnemar(conc, "a", "b").collect()(0).isNullAt(3))
+  }
+
+  test("runs test: hand sequence, alternating vs constant extremes") {
+    // T T F F T -> runs 3, n1=3 n0=2: mu=3.4, var=0.84
+    val df = Seq((1, true), (2, true), (3, false), (4, false), (5, true))
+      .map { case (i, f) => ("g", i, f) }.toDF("g", "i", "fl")
+    val r = StatTests.runsTest(df, "g", Seq("i"), "fl").collect()(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 3L)
+    assert(r.getDouble(5) ==
+      math.rint((3.0 - 3.4) / math.sqrt(0.84) * 1e7) / 1e7)
+    // all-true -> sigma 0 -> null z; runs counted per group independently
+    val const = Seq(("h", 1, true), ("h", 2, true)).toDF("g", "i", "fl")
+    val c = StatTests.runsTest(const, "g", Seq("i"), "fl").collect()(0)
+    assert(c.getLong(4) == 1L && c.isNullAt(5))
+  }
+
+  test("Mood's median test: hand 2-group case equals the 2xk chi2") {
+    // A={1,2,3,4} B={3,4,5,6}: pooled lower median 3; table A:(3,1)
+    // B:(1,3), expected 2 everywhere -> chi2 = 4 * 1/2 = 2
+    val df = (Seq(1, 2, 3, 4).map(("A", _)) ++ Seq(3, 4, 5, 6).map(("B", _)))
+      .toDF("g", "v")
+    val r = StatTests.moodMedianTest(df, "g", "v").collect()(0)
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L)
+    assert(r.getInt(2) == 3)
+    assert(r.getDouble(3) == 2.0)
+    // identical groups -> chi2 0
+    val same = (Seq(1, 2).map(("A", _)) ++ Seq(1, 2).map(("B", _)))
+      .toDF("g", "v")
+    assert(StatTests.moodMedianTest(same, "g", "v").collect()(0)
+      .getDouble(3) == 0.0)
+  }
 }
