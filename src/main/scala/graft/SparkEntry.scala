@@ -7922,6 +7922,95 @@ object SparkEntry {
           .select(col("event_type"),
             floor(col("value") * 10).cast("long").as("value")),
         "event_type", "value")),
+
+    // --- 350. Cochran's Q, oracle-pinned ---------------------------------------------------------------------
+    // Per user x event type: "has >= 10 events of that type" — do the
+    // five types succeed for the same users? The user x type grid is
+    // built explicitly (absent cell = 0 events = false) so every block
+    // is complete by construction.
+    "q350_cochran_q" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      val cnts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val g = grid.join(cnts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          (coalesce(col("c"), lit(0L)) >= 10L).as("o"))
+      graft.operators.StatTests.cochranQ(g, "user_id", "event_type", "o")
+    }),
+
+    // --- 351. Friedman test, oracle-pinned -------------------------------------------------------------------
+    // Same grid, ordinal face: within-user ranks of the five per-type
+    // event counts — do the types rank consistently across users?
+    "q351_friedman" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      val cnts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val g = grid.join(cnts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("v"))
+      graft.operators.StatTests.friedman(g, "user_id", "event_type", "v")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("s2", col("s2").cast("long"))
+        .withColumn("denom", col("denom").cast("long"))
+    }),
+
+    // --- 352. Kendall's W concordance, oracle-pinned ---------------------------------------------------------
+    // Three synthetic integer scorers ranking every 20th document: W in
+    // [0,1] says how much the scorers agree on ordering.
+    "q352_kendall_w" -> ((s, d) => {
+      val it = t(s, d, "documents").where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val r1 = it.select(lit("r1").as("r"), col("doc_id").as("i"),
+        col("n_chars").as("v"))
+      val r2 = it.select(lit("r2").as("r"), col("doc_id").as("i"),
+        ((col("doc_id") * 7919) % 997).as("v"))
+      val r3 = it.select(lit("r3").as("r"), col("doc_id").as("i"),
+        ((col("doc_id") * 31 + col("n_chars")) % 512).as("v"))
+      graft.operators.StatTests.kendallW(
+        r1.unionByName(r2).unionByName(r3), "r", "i", "v")
+    }),
+
+    // --- 353. Krippendorff's alpha, oracle-pinned ------------------------------------------------------------
+    // The q343 rater panel with rater 2 MISSING on every third document —
+    // the ragged-panel agreement coefficient Fleiss' kappa cannot state.
+    "q353_krippendorff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r1 = docs.select(col("doc_id").as("u"), col("lang").as("c"))
+      val r2 = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("u"),
+          when(col("doc_id") % 5 === 0, lit("en")).otherwise(col("lang"))
+            .as("c"))
+      val r3 = docs.select(col("doc_id").as("u"),
+        when(col("doc_id") % 7 === 0, lit("de")).otherwise(col("lang"))
+          .as("c"))
+      graft.operators.StatTests.krippendorffAlpha(
+        r1.unionByName(r2).unionByName(r3), "u", "c")
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("d_o_q6", col("d_o_q6").cast("long"))
+    }),
+
+    // --- 354. Cronbach's alpha, oracle-pinned ----------------------------------------------------------------
+    // Treat the five per-type event counts as five items scoring each
+    // user: do they measure one "activity" trait?
+    "q354_cronbach" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      val cnts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val g = grid.join(cnts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("v"))
+      graft.operators.StatTests.cronbachAlpha(
+        g, "user_id", "event_type", "v")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -14192,6 +14281,168 @@ object SparkEntry {
         |  ROUND(CASE WHEN a > 0 AND n - a > 0 THEN
         |    s / (CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE)) END, 7) AS chi2
         |FROM agg, tt, med""".stripMargin,
+
+    // Cochran's Q over the explicit user x type grid: all-integer
+    // numerator/denominator, one division.
+    "q350_cochran_q" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |ty AS (SELECT DISTINCT event_type FROM events
+        |       WHERE event_type IS NOT NULL),
+        |c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, ty.event_type, COALESCE(c.c, 0) >= 10 AS o
+        |      FROM u CROSS JOIN ty
+        |      LEFT JOIN c USING (user_id, event_type)),
+        |rt AS (SELECT user_id, count(CASE WHEN o THEN 1 END) AS r
+        |       FROM g GROUP BY 1),
+        |rws AS (SELECT count(*) AS n_blocks, CAST(sum(r) AS BIGINT) AS t,
+        |          CAST(sum(r * r) AS BIGINT) AS r2 FROM rt),
+        |ct AS (SELECT event_type, count(CASE WHEN o THEN 1 END) AS c
+        |       FROM g GROUP BY 1),
+        |kk AS (SELECT count(*) AS k FROM ty),
+        |n1 AS (SELECT CAST(sum((k * c - t) * (k * c - t)) AS BIGINT) AS num
+        |       FROM ct, rws, kk)
+        |SELECT n_blocks, k, t,
+        |  ROUND(CASE WHEN k * t - r2 > 0 THEN
+        |    (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE)) * CAST(num AS DOUBLE)
+        |      / (CAST(k AS DOUBLE)
+        |         * (CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+        |            - CAST(r2 AS DOUBLE)))
+        |    END, 7) AS q
+        |FROM rws, kk, n1""".stripMargin,
+
+    // Friedman: within-user doubled midranks, the all-integer Conover
+    // form (multiplied through by 4).
+    "q351_friedman" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |ty AS (SELECT DISTINCT event_type FROM events
+        |       WHERE event_type IS NOT NULL),
+        |c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, ty.event_type, COALESCE(c.c, 0) AS v
+        |      FROM u CROSS JOIN ty
+        |      LEFT JOIN c USING (user_id, event_type)),
+        |pv AS (SELECT user_id, v, count(*) AS t FROM g GROUP BY 1, 2),
+        |mids AS (SELECT user_id, v,
+        |    2 * sum(t) OVER (PARTITION BY user_id ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) - t + 1 AS mid2
+        |  FROM pv),
+        |r AS (SELECT g.user_id, g.event_type, mid2
+        |      FROM g JOIN mids USING (user_id, v)),
+        |a4 AS (SELECT CAST(sum(mid2 * mid2) AS BIGINT) AS a4 FROM r),
+        |pt AS (SELECT event_type, CAST(sum(mid2) AS BIGINT) AS r2
+        |       FROM r GROUP BY 1),
+        |nb AS (SELECT count(*) AS n FROM u),
+        |kk AS (SELECT count(*) AS k FROM ty),
+        |s2 AS (SELECT CAST(sum((r2 - n * (k + 1)) * (r2 - n * (k + 1)))
+        |         AS BIGINT) AS s2 FROM pt, nb, kk)
+        |SELECT n AS n_blocks, k, s2,
+        |  a4 - n * k * (k + 1) * (k + 1) AS denom,
+        |  ROUND(CASE WHEN a4 - n * k * (k + 1) * (k + 1) > 0 THEN
+        |    (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE)) * CAST(s2 AS DOUBLE)
+        |      / CAST(a4 - n * k * (k + 1) * (k + 1) AS DOUBLE)
+        |    END, 7) AS q
+        |FROM nb, kk, a4, s2""".stripMargin,
+
+    // Kendall's W: per-rater doubled midranks, tie-corrected all-integer
+    // denominator.
+    "q352_kendall_w" ->
+      """WITH it AS (SELECT doc_id, n_chars FROM documents
+        |            WHERE doc_id % 20 = 0),
+        |r AS (SELECT 'r1' AS r, doc_id AS i, n_chars AS v FROM it
+        |  UNION ALL SELECT 'r2', doc_id, (doc_id * 7919) % 997 FROM it
+        |  UNION ALL SELECT 'r3', doc_id, (doc_id * 31 + n_chars) % 512
+        |    FROM it),
+        |pv AS (SELECT r, v, count(*) AS t FROM r GROUP BY 1, 2),
+        |mids AS (SELECT r, v,
+        |    2 * sum(t) OVER (PARTITION BY r ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) - t + 1 AS mid2
+        |  FROM pv),
+        |rk AS (SELECT r.r, r.i, mid2 FROM r JOIN mids USING (r, v)),
+        |pi AS (SELECT i, CAST(sum(mid2) AS BIGINT) AS r2
+        |       FROM rk GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM it),
+        |tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM pv),
+        |s2 AS (SELECT CAST(sum((r2 - 3 * (n + 1)) * (r2 - 3 * (n + 1)))
+        |         AS BIGINT) AS s2 FROM pi, nn)
+        |SELECT n AS n_items, CAST(3 AS BIGINT) AS m_raters,
+        |  ROUND(CASE WHEN 9 * (n * n * n - n) - 3 * tt > 0 THEN
+        |    CAST(3 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(9 * (n * n * n - n) - 3 * tt AS DOUBLE)
+        |    END, 7) AS w
+        |FROM nn, tt, s2""".stripMargin,
+
+    // Krippendorff: exact integer disagreement pairs, per-item division
+    // micro-quantized as INTEGER division by (mu-1) — `//` truncates =
+    // floor for nonnegative, matching the engine's subtract-mod floor.
+    "q353_krippendorff" ->
+      """WITH rat AS (
+        |  SELECT doc_id AS u, lang AS c FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'de' ELSE lang END
+        |  FROM documents),
+        |cells AS (SELECT u, c, count(*) AS nuc FROM rat GROUP BY 1, 2),
+        |pi AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS mu,
+        |         CAST(sum(nuc * nuc) AS BIGINT) AS sq
+        |       FROM cells GROUP BY 1),
+        |inc AS (SELECT * FROM pi WHERE mu >= 2),
+        |items AS (SELECT u, mu,
+        |    ((mu * mu - sq) * 1000000) // (mu - 1) AS qu FROM inc),
+        |obs AS (SELECT count(*) AS n_items,
+        |    CAST(sum(mu) AS BIGINT) AS n_ratings,
+        |    CAST(sum(qu) AS BIGINT) AS d_o_q6 FROM items),
+        |marg AS (SELECT c, CAST(sum(nuc) AS BIGINT) AS nc
+        |         FROM cells JOIN inc USING (u) GROUP BY c),
+        |ex AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS nc2 FROM marg)
+        |SELECT n_items, n_ratings, d_o_q6,
+        |  ROUND(CASE WHEN CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |      - CAST(nc2 AS DOUBLE) > 0 THEN
+        |    CAST(1 AS DOUBLE)
+        |      - CAST(d_o_q6 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |        * (CAST(n_ratings AS DOUBLE) - CAST(1 AS DOUBLE))
+        |        / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |           - CAST(nc2 AS DOUBLE))
+        |    END, 7) AS alpha
+        |FROM obs, ex""".stripMargin,
+
+    // Cronbach: the shared n(n-1) variance denominators cancel, so both
+    // variance sums are exact integers; one division.
+    "q354_cronbach" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |ty AS (SELECT DISTINCT event_type FROM events
+        |       WHERE event_type IS NOT NULL),
+        |c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, ty.event_type, COALESCE(c.c, 0) AS v
+        |      FROM u CROSS JOIN ty
+        |      LEFT JOIN c USING (user_id, event_type)),
+        |pi AS (SELECT event_type, CAST(sum(v) AS BIGINT) AS si,
+        |         CAST(sum(v * v) AS BIGINT) AS qi FROM g GROUP BY 1),
+        |ia AS (SELECT CAST(sum(qi) AS BIGINT) AS qall,
+        |         CAST(sum(si * si) AS BIGINT) AS ssum2 FROM pi),
+        |ps AS (SELECT user_id, CAST(sum(v) AS BIGINT) AS tsu
+        |       FROM g GROUP BY 1),
+        |sa AS (SELECT count(*) AS n, CAST(sum(tsu * tsu) AS BIGINT) AS qt,
+        |         CAST(sum(tsu) AS BIGINT) AS st FROM ps),
+        |kk AS (SELECT count(*) AS k FROM ty)
+        |SELECT n AS n_subjects, k,
+        |  ROUND(CASE WHEN n >= 2 AND k >= 2
+        |      AND CAST(n * qt - st * st AS DOUBLE) > 0 THEN
+        |    CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE))
+        |      * (CAST(1 AS DOUBLE)
+        |         - CAST(n * qall - ssum2 AS DOUBLE)
+        |           / CAST(n * qt - st * st AS DOUBLE))
+        |    END, 7) AS alpha
+        |FROM sa, kk, ia""".stripMargin,
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

@@ -926,4 +926,276 @@ object StatTests {
       .select(col("n"), col("k"), col("median"),
         round(when(ab > 0.0, s / ab), 7).as("chi2"))
   }
+
+  /** Cochran's Q — k-treatment binary repeated measures (did k filter
+    * versions pass the same documents? do k probes succeed for the same
+    * users?): the k-group generalization of McNemar. With C_j the
+    * per-treatment success totals, R_i the per-block totals and T the
+    * grand total,
+    *
+    *   Q = (k-1) * sum_j (k*C_j - T)^2 / (k * (k*T - sum_i R_i^2))
+    *
+    * (the textbook form multiplied through by k^2 — every quantity an
+    * exact integer; the sums are order-independent DECIMAL(38,0)).
+    *
+    * Only blocks observed under ALL k treatments enter (the design
+    * requirement); caller supplies one row per (block, treatment). Null
+    * Q when every block is constant (denominator 0).
+    *
+    * Scale shape: two combining groupBys (block- and treatment-sized) +
+    * exact reductions — no windows, no folds.
+    *
+    * Returns one row (n_blocks, k, t, q).
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+      outcomeCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(blockCol).as("b"), col(treatmentCol).as("trt"),
+        col(outcomeCol).as("o"))
+      .where(col("b").isNotNull && col("trt").isNotNull && col("o").isNotNull)
+    val kDf = slim.agg(countDistinct(col("trt")).as("k"))
+    val complete = slim.groupBy(col("b"))
+      .agg(countDistinct(col("trt")).as("cnt"))
+      .crossJoin(broadcast(kDf)).where(col("cnt") === col("k"))
+      .select(col("b"))
+    val f = slim.join(complete, "b")
+    val rowTot = f.groupBy(col("b")).agg(count(when(col("o"), 1)).as("r"))
+    val rows = rowTot.agg(count(lit(1)).as("n_blocks"),
+      sum(col("r")).as("t"),
+      sum((col("r") * col("r")).cast(dec)).as("r2"))
+    val colTot = f.groupBy(col("trt")).agg(count(when(col("o"), 1)).as("c"))
+    val n1 = colTot.crossJoin(broadcast(rows)).crossJoin(broadcast(kDf))
+      .select(((col("k") * col("c") - col("t")) *
+        (col("k") * col("c") - col("t"))).cast(dec).as("d2"))
+      .agg(sum(col("d2")).as("num"))
+    val kD = col("k").cast("double")
+    val den = kD * (kD * col("t").cast("double") - col("r2").cast("double"))
+    rows.crossJoin(broadcast(kDf)).crossJoin(broadcast(n1))
+      .select(col("n_blocks"), col("k"), col("t"),
+        round(when(den > 0.0,
+          (kD - 1.0) * col("num").cast("double") / den), 7).as("q"))
+  }
+
+  /** Friedman test — k-treatment repeated measures on ORDINAL/numeric
+    * values (do k scoring models rank the same users differently?): the
+    * rank-based sibling of Cochran's Q. Within each block the treatments
+    * get doubled midranks (2*mid = lo + hi, exact); with R2_j the
+    * per-treatment doubled rank sums and A4 = sum of squared doubled
+    * ranks, the tie-corrected statistic collapses to all-integer form
+    *
+    *   Q = (k-1) * sum_j (R2_j - n*(k+1))^2 / (A4 - n*k*(k+1)^2)
+    *
+    * (Conover's formulation multiplied through by 4). Values must be
+    * INTEGRAL; only blocks with all k treatments enter; one row per
+    * (block, treatment). Null when every block is fully tied
+    * (denominator 0).
+    *
+    * Scale shape: per-block windows partition by block (never global),
+    * then exact DECIMAL reductions.
+    *
+    * Returns one row (n_blocks, k, s2, denom, q) with s2/denom the exact
+    * integer numerator pieces.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(blockCol).as("b"), col(treatmentCol).as("trt"),
+        col(valueCol).as("v"))
+      .where(col("b").isNotNull && col("trt").isNotNull && col("v").isNotNull)
+    val kDf = slim.agg(countDistinct(col("trt")).as("k"))
+    val complete = slim.groupBy(col("b"))
+      .agg(countDistinct(col("trt")).as("cnt"))
+      .crossJoin(broadcast(kDf)).where(col("cnt") === col("k"))
+      .select(col("b"))
+    val f = slim.join(complete, "b")
+    val pv = f.groupBy(col("b"), col("v")).agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val mids = pv.withColumn("cum", sum(col("t")).over(w))
+      .select(col("b"), col("v"),
+        (lit(2L) * col("cum") - col("t") + 1L).as("mid2"))
+    val ranked = f.join(mids, Seq("b", "v"))
+    val nb = complete.agg(count(lit(1)).as("n"))
+    val a4 = ranked.agg(sum((col("mid2") * col("mid2")).cast(dec)).as("a4"))
+    val perTrt = ranked.groupBy(col("trt"))
+      .agg(sum(col("mid2").cast(dec)).as("r2"))
+    val s2 = perTrt.crossJoin(broadcast(nb)).crossJoin(broadcast(kDf))
+      .select(((col("r2") - (col("n") * (col("k") + 1L)).cast(dec)) *
+        (col("r2") - (col("n") * (col("k") + 1L)).cast(dec))).as("d2"))
+      .agg(sum(col("d2")).as("s2"))
+    val denom = col("a4") -
+      (col("n") * col("k") * (col("k") + 1L) * (col("k") + 1L)).cast(dec)
+    nb.crossJoin(broadcast(kDf)).crossJoin(broadcast(a4))
+      .crossJoin(broadcast(s2))
+      .select(col("n").as("n_blocks"), col("k"), col("s2"),
+        denom.as("denom"),
+        round(when(denom > 0L,
+          (col("k") - 1L).cast("double") * col("s2").cast("double") /
+            denom.cast("double")), 7).as("q"))
+  }
+
+  /** Kendall's W — concordance of m raters ranking n items (do the
+    * quality scorers agree on document ordering?): W in [0,1], the
+    * normalized Friedman. Doubled midranks within each rater; with
+    * R2_i the per-item doubled rank sums and T_r = sum(t^3 - t) the
+    * per-rater tie terms, the tie-corrected W collapses to
+    *
+    *   W = 3 * sum_i (R2_i - m*(n+1))^2 / (m^2*(n^3 - n) - m*sum_r T_r)
+    *
+    * — all integers. Values must be INTEGRAL; only items rated by all m
+    * raters enter; one row per (rater, item). Null when every rater's
+    * ranking is fully tied (denominator 0).
+    *
+    * Scale shape: per-rater windows + exact DECIMAL reductions; n^3
+    * lives in DECIMAL(38,0).
+    *
+    * Returns one row (n_items, m_raters, w).
+    */
+  def kendallW(df: DataFrame, raterCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(raterCol).as("r"), col(itemCol).as("i"),
+        col(valueCol).as("v"))
+      .where(col("r").isNotNull && col("i").isNotNull && col("v").isNotNull)
+    val mDf = slim.agg(countDistinct(col("r")).as("m"))
+    val complete = slim.groupBy(col("i"))
+      .agg(countDistinct(col("r")).as("cnt"))
+      .crossJoin(broadcast(mDf)).where(col("cnt") === col("m"))
+      .select(col("i"))
+    val f = slim.join(complete, "i")
+    val pv = f.groupBy(col("r"), col("v")).agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val mids = pv.withColumn("cum", sum(col("t")).over(w))
+      .select(col("r"), col("v"),
+        (lit(2L) * col("cum") - col("t") + 1L).as("mid2"))
+    val ranked = f.join(mids, Seq("r", "v"))
+    val nI = complete.agg(count(lit(1)).as("n"))
+    val ties = pv.agg(sum((col("t") * col("t") * col("t") - col("t"))
+      .cast(dec)).as("tt"))
+    val perItem = ranked.groupBy(col("i"))
+      .agg(sum(col("mid2").cast(dec)).as("r2"))
+    val s2 = perItem.crossJoin(broadcast(nI)).crossJoin(broadcast(mDf))
+      .select(((col("r2") - (col("m") * (col("n") + 1L)).cast(dec)) *
+        (col("r2") - (col("m") * (col("n") + 1L)).cast(dec))).as("d2"))
+      .agg(sum(col("d2")).as("s2"))
+    val nD3 = col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+      col("n").cast(dec)
+    val denom = (col("m") * col("m")).cast(dec) * nD3 -
+      col("m").cast(dec) * col("tt")
+    nI.crossJoin(broadcast(mDf)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(s2))
+      .select(col("n").as("n_items"), col("m").as("m_raters"),
+        round(when(denom > 0L,
+          lit(3.0) * col("s2").cast("double") / denom.cast("double")), 7)
+          .as("w"))
+  }
+
+  /** Krippendorff's alpha (nominal) — the agreement coefficient that
+    * tolerates MISSING ratings and varying rater counts per item (where
+    * Fleiss' kappa demands a constant panel): alpha = 1 - D_o/D_e over
+    * pairwise disagreement.
+    *
+    * Exactness: per item u, the disagreeing ordered pairs
+    * num_u = sum_c n_uc*(m_u - n_uc) are exact BIGINTs; the per-item
+    * division by (m_u - 1) is micro-quantized as the INTEGER division
+    * q_u = num_u*1e6 div (m_u-1) (the q316 entropy device — exact
+    * integer arithmetic, order-independent sum, documented 1e-6
+    * contract). D_e = sum_c n_c*(n - n_c)/(n - 1) is one exact rational.
+    * Items with fewer than 2 ratings drop (they carry no pair). Null
+    * when D_e = 0 (a single category overall).
+    *
+    * Scale shape: two combining groupBys (item-category- and
+    * category-sized) + exact reductions.
+    *
+    * Returns one row (n_items, n_ratings, d_o_q6, alpha) — d_o_q6 the
+    * quantized observed-disagreement integer.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.where(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("u"), col(categoryCol).as("c"))
+      .agg(count(lit(1)).as("nuc"))
+    val perItem = cells.groupBy(col("u"))
+      .agg(sum(col("nuc")).as("mu"),
+        sum(col("nuc") * col("nuc")).as("sq"))
+      .where(col("mu") >= 2L)
+    // num_u = mu^2 - sum nuc^2; q_u = num_u * 1e6 div (mu - 1) — exact
+    // integer floor via subtract-mod (Spark's `/` on longs is a double
+    // divide; the mod-subtracted numerator divides exactly, so the one
+    // double division is exact)
+    val scaled = (col("mu") * col("mu") - col("sq")) * lit(1000000L)
+    val items = perItem.select(col("u"), col("mu"),
+      ((scaled - pmod(scaled, col("mu") - 1L)) / (col("mu") - 1L))
+        .cast("long").as("qu"))
+    val obs = items.agg(count(lit(1)).as("n_items"),
+      sum(col("mu")).as("n_ratings"),
+      sum(col("qu").cast(dec)).as("d_o_q6"))
+    // margins over the INCLUDED items only
+    val included = cells.join(perItem.select(col("u")), "u")
+    val marg = included.groupBy(col("c")).agg(sum(col("nuc")).as("nc"))
+    val exp = marg.agg(sum((col("nc") * col("nc")).cast(dec)).as("nc2"))
+    val nD = col("n_ratings").cast("double")
+    val deNum = nD * nD - col("nc2").cast("double")
+    val dO = col("d_o_q6").cast("double") / lit(1e6)
+    val alpha = lit(1.0) -
+      dO * (nD - 1.0) / deNum
+    obs.crossJoin(broadcast(exp))
+      .select(col("n_items"), col("n_ratings"), col("d_o_q6"),
+        round(when(deNum > 0.0, alpha), 7).as("alpha"))
+  }
+
+  /** Cronbach's alpha — internal-consistency reliability of k items
+    * scored across n subjects (do the k quality sub-scores measure one
+    * thing?): with sample variances,
+    *
+    *   alpha = k/(k-1) * (1 - (n*sum_i Q_i - sum_i S_i^2) / (n*Q_T - S_T^2))
+    *
+    * where the shared n*(n-1) variance denominators cancel — so both
+    * variance sums are EXACT DECIMAL(38,0) integer expressions (values
+    * must be INTEGRAL) and alpha is one final division. Only subjects
+    * scored on all k items enter; one row per (subject, item). Null when
+    * n < 2, k < 2, or the total-score variance is 0.
+    *
+    * Scale shape: two combining groupBys (item- and subject-sized) +
+    * exact reductions.
+    *
+    * Returns one row (n_subjects, k, alpha).
+    */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(subjectCol).as("s"), col(itemCol).as("it"),
+        col(valueCol).as("v"))
+      .where(col("s").isNotNull && col("it").isNotNull && col("v").isNotNull)
+    val kDf = slim.agg(countDistinct(col("it")).as("k"))
+    val complete = slim.groupBy(col("s"))
+      .agg(countDistinct(col("it")).as("cnt"))
+      .crossJoin(broadcast(kDf)).where(col("cnt") === col("k"))
+      .select(col("s"))
+    val f = slim.join(complete, "s")
+    val perItem = f.groupBy(col("it"))
+      .agg(sum(col("v").cast(dec)).as("si"),
+        sum((col("v") * col("v")).cast(dec)).as("qi"))
+    val itemAgg = perItem.agg(sum(col("qi")).as("qall"),
+      sum(col("si") * col("si")).as("ssum2"))
+    val perSubj = f.groupBy(col("s")).agg(sum(col("v").cast(dec)).as("ts"))
+    val subjAgg = perSubj.agg(count(lit(1)).as("n"),
+      sum(col("ts") * col("ts")).as("qt"),
+      sum(col("ts")).as("st"))
+    val nDec = col("n").cast(dec)
+    val num = (nDec * col("qall") - col("ssum2")).cast("double")
+    val den = (nDec * col("qt") - col("st") * col("st")).cast("double")
+    val kD = col("k").cast("double")
+    subjAgg.crossJoin(broadcast(kDf)).crossJoin(broadcast(itemAgg))
+      .select(col("n").as("n_subjects"), col("k"),
+        round(when(col("n") >= 2 && col("k") >= 2 && den > 0.0,
+          kD / (kD - 1.0) * (lit(1.0) - num / den)), 7).as("alpha"))
+  }
 }

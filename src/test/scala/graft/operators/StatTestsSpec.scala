@@ -474,4 +474,98 @@ class StatTestsSpec extends SparkTestBase {
     assert(StatTests.moodMedianTest(same, "g", "v").collect()(0)
       .getDouble(3) == 0.0)
   }
+
+  test("Cochran's Q: hand 4-block case, constant-block null, incomplete drop") {
+    // blocks x treatments: C=(4,2,1) T=7 R=(2,1,3,1) sumR2=15
+    // Q = 2 * ((12-7)^2+(6-7)^2+(3-7)^2) / (3*(21-15)) = 84/18
+    val rows = Seq(
+      ("b1", "A", true), ("b1", "B", true), ("b1", "C", false),
+      ("b2", "A", true), ("b2", "B", false), ("b2", "C", false),
+      ("b3", "A", true), ("b3", "B", true), ("b3", "C", true),
+      ("b4", "A", true), ("b4", "B", false), ("b4", "C", false))
+    val r = StatTests.cochranQ(rows.toDF("b", "trt", "o"), "b", "trt", "o")
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 7L)
+    assert(r.getDouble(3) == math.rint(84.0 / 18.0 * 1e7) / 1e7)
+    // all blocks constant -> null; a block missing a treatment drops
+    val const = Seq(("b1", "A", true), ("b1", "B", true),
+      ("b2", "A", false), ("b2", "B", false)).toDF("b", "trt", "o")
+    assert(StatTests.cochranQ(const, "b", "trt", "o").collect()(0).isNullAt(3))
+    val incomplete = rows ++ Seq(("b5", "A", true)) // b5 lacks B, C
+    val r2 = StatTests.cochranQ(incomplete.toDF("b", "trt", "o"),
+      "b", "trt", "o").collect()(0)
+    assert(r2.getLong(0) == 4L && r2.getDouble(3) == r.getDouble(3))
+  }
+
+  test("Friedman: textbook 3x3 case, tie robustness, all-tied null") {
+    // b1,b2: A<B<C; b3: C<B<A. R2=(10,12,14), n(k+1)=12 -> S2=8;
+    // A4 = 168, nk(k+1)^2 = 144 -> Q = 2*8/24 = 2/3
+    val df = Seq(
+      ("b1", "A", 1), ("b1", "B", 2), ("b1", "C", 3),
+      ("b2", "A", 1), ("b2", "B", 2), ("b2", "C", 3),
+      ("b3", "A", 3), ("b3", "B", 2), ("b3", "C", 1)).toDF("b", "trt", "v")
+    val r = StatTests.friedman(df, "b", "trt", "v").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDecimal(2).longValueExact == 8L)
+    assert(r.getDecimal(3).longValueExact == 24L)
+    assert(r.getDouble(4) == math.rint(2.0 / 3.0 * 1e7) / 1e7)
+    // every block fully tied -> denominator 0 -> null
+    val tied = Seq(("b1", "A", 5), ("b1", "B", 5),
+      ("b2", "A", 7), ("b2", "B", 7)).toDF("b", "trt", "v")
+    assert(StatTests.friedman(tied, "b", "trt", "v").collect()(0).isNullAt(4))
+  }
+
+  test("Kendall's W: perfect agreement 1, equals Friedman identity") {
+    // 3 raters, identical rankings of 3 items -> W = 1
+    val perfect = (for (r <- Seq("r1", "r2", "r3"); (i, v) <-
+      Seq(("x", 1), ("y", 2), ("z", 3))) yield (r, i, v)).toDF("r", "i", "v")
+    val p = StatTests.kendallW(perfect, "r", "i", "v").collect()(0)
+    assert(p.getLong(0) == 3L && p.getLong(1) == 3L && p.getDouble(2) == 1.0)
+    // reversed third rater: W = Friedman Q / (m*(n-1)) on the transpose
+    val mixed = (Seq("r1", "r2").flatMap(r =>
+      Seq(("x", 1), ("y", 2), ("z", 3)).map { case (i, v) => (r, i, v) }) ++
+      Seq(("r3", "x", 3), ("r3", "y", 2), ("r3", "z", 1)))
+      .toDF("r", "i", "v")
+    val wGot = StatTests.kendallW(mixed, "r", "i", "v").collect()(0).getDouble(2)
+    val qGot = StatTests.friedman(
+      mixed.toDF("b", "trt", "v"), "b", "trt", "v").collect()(0).getDouble(4)
+    assert(wGot == math.rint(qGot / (3.0 * 2.0) * 1e7) / 1e7)
+  }
+
+  test("Krippendorff's alpha: perfect 1, hand aa/ab case 0, ragged tolerated") {
+    val perfect = Seq(("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b"))
+      .toDF("u", "c")
+    assert(StatTests.krippendorffAlpha(perfect, "u", "c").collect()(0)
+      .getDouble(3) == 1.0)
+    // {a,a} + {a,b}: D_o = 2, D_e = (3*1 + 1*3)/3 = 2 -> alpha 0
+    val hand = Seq(("i1", "a"), ("i1", "a"), ("i2", "a"), ("i2", "b"))
+      .toDF("u", "c")
+    val h = StatTests.krippendorffAlpha(hand, "u", "c").collect()(0)
+    assert(h.getLong(0) == 2L && h.getLong(1) == 4L)
+    assert(h.getDecimal(2).longValueExact == 2000000L)
+    assert(h.getDouble(3) == 0.0)
+    // single-rating items drop; varying rater counts are fine
+    val ragged = Seq(("i1", "a"), ("i1", "a"), ("i1", "a"),
+      ("i2", "b"), ("i2", "b"), ("i3", "a")).toDF("u", "c")
+    val r = StatTests.krippendorffAlpha(ragged, "u", "c").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L && r.getDouble(3) == 1.0)
+    // one category everywhere -> D_e = 0 -> null
+    val mono = Seq(("i1", "a"), ("i1", "a")).toDF("u", "c")
+    assert(StatTests.krippendorffAlpha(mono, "u", "c").collect()(0).isNullAt(3))
+  }
+
+  test("Cronbach's alpha: hand 2-item case, zero-variance null") {
+    // s1(1,2) s2(2,3) s3(3,5): num = 3*52-136 = 20, den = 3*98-256 = 38,
+    // alpha = 2*(1 - 20/38) = 18/19
+    val df = Seq(("s1", "i1", 1), ("s1", "i2", 2), ("s2", "i1", 2),
+      ("s2", "i2", 3), ("s3", "i1", 3), ("s3", "i2", 5)).toDF("s", "it", "v")
+    val r = StatTests.cronbachAlpha(df, "s", "it", "v").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == math.rint(18.0 / 19.0 * 1e7) / 1e7)
+    // identical total scores -> zero total variance -> null
+    val flat = Seq(("s1", "i1", 1), ("s1", "i2", 2), ("s2", "i1", 2),
+      ("s2", "i2", 1)).toDF("s", "it", "v")
+    assert(StatTests.cronbachAlpha(flat, "s", "it", "v").collect()(0)
+      .isNullAt(2))
+  }
 }
