@@ -8011,6 +8011,61 @@ object SparkEntry {
       graft.operators.StatTests.cronbachAlpha(
         g, "user_id", "event_type", "v")
     }),
+
+    // --- 355. Cramer-von Mises two-sample, oracle-pinned -----------------------------------------------------
+    // q308's drift pair graded by the WHOLE curve, not just the largest
+    // gap — the everywhere-a-little drift KS misses.
+    "q355_cvm" -> ((s, d) =>
+      graft.operators.StatTests.cvmTwoSample(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 356. Jonckheere-Terpstra ordered trend, oracle-pinned -----------------------------------------------
+    // Do event values trend upward along the pinned type order? The
+    // doubled pairwise U sum is exact; the z uses the classic no-tie
+    // variance (documented approximation).
+    "q356_jonckheere" -> ((s, d) =>
+      graft.operators.StatTests.jonckheereTerpstra(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("jt2", col("jt2").cast("long"))),
+
+    // --- 357. Brown-Forsythe Levene, oracle-pinned -----------------------------------------------------------
+    // Do the five event types share one SPREAD? ANOVA F on |x - group
+    // median| with the per-group lower median pinned exactly.
+    "q357_levene_bf" -> ((s, d) =>
+      graft.operators.StatTests.leveneBrownForsythe(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")),
+
+    // --- 358. mutual information, oracle-pinned --------------------------------------------------------------
+    // Is document language predictable from source? MI + normalized MI
+    // with every cell term micro-quantized (the q316 device).
+    "q358_mutual_info" -> ((s, d) =>
+      graft.operators.StatTests.mutualInformation(
+        t(s, d, "documents").select(col("lang"), col("source")),
+        "lang", "source")),
+
+    // --- 359. Jensen-Shannon corpus divergence, oracle-pinned ------------------------------------------------
+    // How far apart are the en and de token distributions? Bounded
+    // symmetric drift in nats, per-term contributions on the 1e-12 grid.
+    "q359_jsd" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("lang").isin("en", "de") && col("text").isNotNull)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      graft.operators.StatTests.jensenShannon(toks, "lang", "term",
+        "en", "de")
+    }),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -14443,6 +14498,178 @@ object SparkEntry {
         |           / CAST(n * qt - st * st AS DOUBLE))
         |    END, 7) AS alpha
         |FROM sa, kk, ia""".stripMargin,
+
+    // CvM: the KS cross-multiplied integer ECDF device, whole-curve
+    // weighted sum in HUGEINT (exact like Spark's DECIMAL), one division.
+    "q355_cvm" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
+        |         count(*) FILTER (g = 'purchase') AS cb
+        |       FROM slim GROUP BY 1),
+        |cum AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |u AS (SELECT sum(CAST(ca + cb AS HUGEINT)
+        |        * (CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+        |        * (CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
+        |        AS u
+        |      FROM cum, tot)
+        |SELECT n_a, n_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(u AS DOUBLE)
+        |      / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |         * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    END, 7) AS t
+        |FROM u, tot""".stripMargin,
+
+    // Jonckheere-Terpstra: the full value x group spine cumsum, the
+    // doubled pairwise contribution, no-tie variance z.
+    "q356_jonckheere" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val mu2 = s"(CAST(n AS HUGEINT) * n - n2)"
+      val variance = s"($nD * $nD * (CAST(2 AS DOUBLE) * $nD + CAST(3 AS DOUBLE))" +
+        s" - CAST(v2 AS DOUBLE)) / CAST(72 AS DOUBLE)"
+      s"""WITH slim AS (
+         |  SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+         |           WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+         |           WHEN 'view' THEN 4 END AS gi,
+         |    CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events
+         |  WHERE event_type IN ('click','error','purchase','signup','view')
+         |    AND value IS NOT NULL),
+         |sp AS (SELECT v, gi FROM (SELECT DISTINCT v FROM slim)
+         |       CROSS JOIN (SELECT DISTINCT gi FROM slim)),
+         |pv AS (SELECT gi, v, count(*) AS c0 FROM slim GROUP BY 1, 2),
+         |f AS (SELECT sp.gi, sp.v, COALESCE(c0, 0) AS c
+         |      FROM sp LEFT JOIN pv USING (gi, v)),
+         |cums AS (SELECT gi, v, c,
+         |    sum(c) OVER (PARTITION BY gi ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      AS cum
+         |  FROM f),
+         |ll AS (SELECT gi AS i, v, c AS ci, cum - c AS lti FROM cums),
+         |hh AS (SELECT gi AS j, v, c AS cj FROM cums),
+         |jt AS (SELECT CAST(sum(cj * (2 * lti + ci)) AS BIGINT) AS jt2
+         |       FROM ll JOIN hh USING (v) WHERE i < j),
+         |sz AS (SELECT gi, count(*) AS n_g FROM slim GROUP BY 1),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(n_g * n_g) AS BIGINT) AS n2,
+         |    CAST(sum(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS v2
+         |  FROM sz)
+         |SELECT n, k, jt2,
+         |  ROUND(CASE WHEN $variance > 0 THEN
+         |    (CAST(jt2 AS DOUBLE) / CAST(2 AS DOUBLE)
+         |     - CAST($mu2 AS DOUBLE) / CAST(2 AS DOUBLE) / CAST(2 AS DOUBLE))
+         |      / sqrt($variance)
+         |    END, 7) AS z
+         |FROM agg, jt""".stripMargin
+    },
+
+    // Brown-Forsythe: per-group pinned lower median, |x - m| devs, then
+    // the q345 ANOVA replay on the deviations.
+    "q357_levene_bf" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val kD = "CAST(k AS DOUBLE)"
+      val ssb = s"(r - s * s / $nD)"
+      val ssw = "(q - r)"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pv AS (SELECT g, v, count(*) AS t FROM e GROUP BY 1, 2),
+         |cum AS (SELECT g, v,
+         |    sum(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      AS cumt
+         |  FROM pv),
+         |sz AS (SELECT g, count(*) AS n_g FROM e GROUP BY 1),
+         |med AS (SELECT g, min(v) AS m FROM cum JOIN sz USING (g)
+         |        WHERE 2 * cumt >= n_g GROUP BY g),
+         |dev AS (SELECT e.g, abs(v - m) AS dv FROM e JOIN med USING (g)),
+         |pg AS (SELECT g, count(*) AS n_g, sum(dv) AS s_g,
+         |         sum(dv * dv) AS q_g FROM dev GROUP BY 1),
+         |terms AS (SELECT g, n_g, s_g, q_g,
+         |    CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+         |      AS term
+         |  FROM pg),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(s_g) AS DOUBLE) AS s, CAST(sum(q_g) AS DOUBLE) AS q,
+         |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS r
+         |  FROM terms)
+         |SELECT n, k,
+         |  ROUND($ssb, 7) AS ss_between,
+         |  ROUND($ssw, 7) AS ss_within,
+         |  ROUND(CASE WHEN k >= 2 AND n > k AND $ssw > 0 THEN
+         |    ($ssb / ($kD - CAST(1 AS DOUBLE)))
+         |      / ($ssw / ($nD - $kD)) END, 7) AS f
+         |FROM agg""".stripMargin
+    },
+
+    // MI: micro-quantized per-cell terms (floor(c*ln(cN/(rs))*1e6)),
+    // the same device for both margin entropies, one division each.
+    "q358_mutual_info" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val mi = s"(CAST(qsum AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      val hx = s"(ln($nD) - CAST(hr AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      val hy = s"(ln($nD) - CAST(hs AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      s"""WITH e AS (
+         |  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+         |cells AS (SELECT x, y, count(*) AS c FROM e GROUP BY 1, 2),
+         |rm AS (SELECT x, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+         |sm AS (SELECT y, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         |qq AS (SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+         |        * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+         |             / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+         |        * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qsum,
+         |    count(*) AS cells
+         |  FROM cells JOIN rm USING (x) JOIN sm USING (y), tot),
+         |hxq AS (SELECT CAST(sum(CAST(floor(CAST(r AS DOUBLE)
+         |          * ln(CAST(r AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         |          AS BIGINT)) AS BIGINT) AS hr FROM rm),
+         |hyq AS (SELECT CAST(sum(CAST(floor(CAST(s AS DOUBLE)
+         |          * ln(CAST(s AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         |          AS BIGINT)) AS BIGINT) AS hs FROM sm)
+         |SELECT n, cells,
+         |  ROUND($mi, 7) AS mi,
+         |  ROUND(CASE WHEN $hx > 0 AND $hy > 0 THEN
+         |    $mi / sqrt($hx * $hy) END, 7) AS nmi
+         |FROM qq, tot, hxq, hyq""".stripMargin
+    },
+
+    // JSD: per-term contributions on the 1e-12 grid (floor exact both
+    // signs), zero-count sides contribute 0.
+    "q359_jsd" -> {
+      val p = "(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))"
+      val q = "(CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))"
+      val m = s"(($p + $q) / CAST(2 AS DOUBLE))"
+      s"""WITH toks AS (
+         |  SELECT lang AS g,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL),
+         |tk AS (SELECT g, term FROM toks WHERE term <> ''),
+         |pt AS (SELECT term, count(*) FILTER (g = 'en') AS ca,
+         |         count(*) FILTER (g = 'de') AS cb
+         |       FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |          CAST(sum(cb) AS BIGINT) AS tb FROM pt),
+         |qs AS (SELECT CAST(sum(CAST(floor(
+         |      (CASE WHEN ca > 0 THEN $p * ln($p / $m)
+         |            ELSE CAST(0 AS DOUBLE) END
+         |       + CASE WHEN cb > 0 THEN $q * ln($q / $m)
+         |              ELSE CAST(0 AS DOUBLE) END)
+         |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qsum,
+         |    count(*) AS n_terms
+         |  FROM pt, tot)
+         |SELECT n_terms, ta AS a_total, tb AS b_total,
+         |  ROUND(CAST(qsum AS DOUBLE) / CAST(1000000000000 AS DOUBLE)
+         |    / CAST(2 AS DOUBLE), 7) AS jsd
+         |FROM qs, tot""".stripMargin
+    },
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

@@ -1198,4 +1198,239 @@ object StatTests {
         round(when(col("n") >= 2 && col("k") >= 2 && den > 0.0,
           kD / (kD - 1.0) * (lit(1.0) - num / den)), 7).as("alpha"))
   }
+
+  /** Cramer-von Mises two-sample T — the whole-curve companion to KS
+    * (KS sees only the largest ECDF gap; CvM integrates every gap, so a
+    * distribution that drifts a little everywhere is caught): the
+    * tie-adjusted discretization over pooled distinct values
+    *
+    *   T = sum_k t_k * D_k^2 / (N^2 * n_a * n_b),  D_k = cumA_k*n_b - cumB_k*n_a
+    *
+    * Exactness: D_k and the weighted sum U = sum t_k*D_k^2 are exact
+    * DECIMAL(38,0) (the KS cross-multiplication device); T is the one
+    * final division. Same distinct-value-domain window as KS — quantize
+    * an unbounded column first.
+    *
+    * Returns one row (n_a, n_b, t).
+    */
+  def cvmTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = perValue.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val dd = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (((col("ca") + col("cb")).cast(dec)) *
+          (col("cum_a").cast(dec) * col("n_b").cast(dec) -
+            col("cum_b").cast(dec) * col("n_a").cast(dec)) *
+          (col("cum_a").cast(dec) * col("n_b").cast(dec) -
+            col("cum_b").cast(dec) * col("n_a").cast(dec))).as("term"))
+    val agg = dd.groupBy(col("n_a"), col("n_b")).agg(sum(col("term")).as("u"))
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    agg.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0,
+        col("u").cast("double") / (nD * nD * naD * nbD)), 7).as("t"))
+  }
+
+  /** Jonckheere-Terpstra trend test — k ORDERED groups (dose-response,
+    * model-size-response: do values increase along the given order?):
+    * JT = sum over ordered group pairs (i earlier than j) of the
+    * Mann-Whitney count #(x_i < x_j) + ties/2.
+    *
+    * Exactness: carried DOUBLED — per pooled value v the pair (i, j)
+    * contributes c_j(v) * (2*cumlt_i(v) + c_i(v)) where cumlt is the
+    * strictly-below cumulative, every factor an exact BIGINT from one
+    * per-group cumsum; JT2 = 2*JT is an exact DECIMAL(38,0) sum. The
+    * normal z uses the classic NO-TIE variance
+    * sigma^2 = (N^2(2N+3) - sum n_i^2(2n_i+3)) / 72 — with heavy ties it
+    * is approximate (documented; the JT2 integer itself is exact).
+    *
+    * Scale shape: per-group cumsums over the distinct value domain
+    * (quantize first) + one value-keyed self-join of the k-group
+    * per-value table.
+    *
+    * Returns one row (n, k, jt2, z).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valueCol: String,
+      order: Seq[String]): DataFrame = {
+    require(order.nonEmpty, "group order must be given")
+    val dec = "decimal(38,0)"
+    val rank: Column = order.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (g, i)) => when(col("g") === g, lit(i)).otherwise(acc)
+    }
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isin(order.map(x => x: Any): _*) && col("v").isNotNull)
+      .withColumn("gi", rank)
+    // the cumsum must be known at EVERY pooled value for every group
+    // (a pair (i,j) contributes at j's values even where i has none):
+    // cumulate over the full distinct-value x group spine
+    val spine = slim.select(col("v")).distinct()
+      .crossJoin(broadcast(slim.select(col("gi")).distinct()))
+    val pv = slim.groupBy(col("gi"), col("v")).agg(count(lit(1)).as("c0"))
+    val full = spine.join(pv, Seq("gi", "v"), "left")
+      .withColumn("c", coalesce(col("c0"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gi"))
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cums = full.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("cumlt", col("cum") - col("c"))
+    val lo = cums.select(col("gi").as("i"), col("v"),
+      col("c").as("ci"), col("cumlt").as("lti"))
+    val hi = cums.select(col("gi").as("j"), col("v"), col("c").as("cj"))
+    val jt2 = lo.join(hi, Seq("v")).where(col("i") < col("j"))
+      .select((col("cj").cast(dec) *
+        (lit(2L) * col("lti") + col("ci")).cast(dec)).as("term"))
+      .agg(sum(col("term")).as("jt2"))
+    val sizes = slim.groupBy(col("gi")).agg(count(lit(1)).as("n_g"))
+    val agg = sizes.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      sum((col("n_g") * col("n_g")).cast(dec)).as("n2"),
+      sum((col("n_g") * col("n_g") * (lit(2L) * col("n_g") + 3L)).cast(dec))
+        .as("v2"))
+    val nD = col("n").cast("double")
+    val mu2 = (col("n").cast(dec) * col("n").cast(dec) - col("n2"))
+      .cast("double") / 2.0
+    val variance = (nD * nD * (lit(2.0) * nD + 3.0) -
+      col("v2").cast("double")) / 72.0
+    agg.crossJoin(broadcast(jt2))
+      .select(col("n"), col("k"), col("jt2"),
+        round(when(variance > 0.0,
+          (col("jt2").cast("double") / 2.0 - mu2 / 2.0) / sqrt(variance)), 7)
+          .as("z"))
+  }
+
+  /** Brown-Forsythe Levene test — do k groups share one VARIANCE (the
+    * spread counterpart of ANOVA; the gate before pooling slices or
+    * trusting a variance-sensitive test): one-way ANOVA F computed on
+    * absolute deviations from each group's MEDIAN (Brown-Forsythe's
+    * robust variant of Levene's mean-centered original).
+    *
+    * Exactness: the per-group lower median is pinned on the per-group
+    * distinct-value cumsum (smallest v with 2*cum >= n_g — no
+    * interpolation); |x - median| stays integral, and the F on the
+    * deviations inherits [[anovaF]]'s exactness. Values must be INTEGRAL.
+    *
+    * Returns one row (n, k, ss_between, ss_within, f) over deviations.
+    */
+  def leveneBrownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val pv = slim.groupBy(col("g"), col("v")).agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = pv.withColumn("cum", sum(col("t")).over(w))
+    val sizes = slim.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
+    val med = cum.join(sizes, "g")
+      .where(lit(2L) * col("cum") >= col("n_g"))
+      .groupBy(col("g")).agg(min(col("v")).as("m"))
+    val dev = slim.join(med, "g")
+      .select(col("g"), abs(col("v") - col("m")).as("dv"))
+    anovaF(dev, "g", "dv")
+  }
+
+  /** Mutual information between two categorical columns — the
+    * association strength in bits-adjacent nats (is language predictable
+    * from source? does event type leak the user cohort?): with cell
+    * counts c, margins r/s and total N,
+    *
+    *   I = sum_cells (c/N) * ln(c*N / (r*s))
+    *
+    * Exactness: the per-cell term is micro-quantized as
+    * floor(c * ln(c*N/(r*s)) * 1e6) in BIGINT (the q316 entropy device —
+    * order-independent integer sum, documented 1e-6-per-cell contract,
+    * floor exact for both signs); I = Q/(1e6*N). The normalized
+    * nmi = I / sqrt(H(X)*H(Y)) uses the same quantized device for both
+    * margin entropies. Both domains must be bounded (quantize first).
+    *
+    * Returns one row (n, cells, mi, nmi).
+    */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val cells = slim.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val rows = cells.groupBy(col("x")).agg(sum(col("c")).as("r"))
+    val colsM = cells.groupBy(col("y")).agg(sum(col("c")).as("s"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val nD = col("n").cast("double")
+    val joined = cells.join(rows, "x").join(colsM, "y")
+      .crossJoin(broadcast(tot))
+    val term = floor(col("c").cast("double") *
+      log(col("c").cast("double") * nD /
+        (col("r").cast("double") * col("s").cast("double"))) * lit(1e6))
+      .cast("long")
+    val agg = joined.select(term.as("q"), col("c"))
+      .agg(sum(col("q").cast(dec)).as("qsum"), count(lit(1)).as("cells"),
+        sum(col("c")).as("n"))
+    def hQ(margin: DataFrame, cnt: String): DataFrame =
+      margin.select(floor(col(cnt).cast("double") *
+          log(col(cnt).cast("double")) * lit(1e6)).cast("long").as("q"))
+        .agg(sum(col("q").cast(dec)).as(s"h_$cnt"))
+    val hx = hQ(rows, "r")
+    val hy = hQ(colsM, "s")
+    val mi = col("qsum").cast("double") / (lit(1e6) * nD)
+    def h(c: Column): Column =
+      log(nD) - c.cast("double") / (lit(1e6) * nD)
+    val nmi = mi / sqrt(h(col("h_r")) * h(col("h_s")))
+    agg.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("cells"),
+        round(mi, 7).as("mi"),
+        round(when(h(col("h_r")) > 0.0 && h(col("h_s")) > 0.0, nmi), 7)
+          .as("nmi"))
+  }
+
+  /** Jensen-Shannon divergence between two term distributions — the
+    * symmetric, bounded corpus-drift measure (how far apart are slice
+    * A's and slice B's vocabularies?): with p = a_t/A, q = b_t/B and
+    * m = (p+q)/2,
+    *
+    *   JSD = (sum_t p*ln(p/m) + sum_t q*ln(q/m)) / 2      (nats, <= ln 2)
+    *
+    * Exactness: the per-term contribution f_t = p*ln(p/m) + q*ln(q/m)
+    * (zero-count sides contribute 0) is micro-quantized as
+    * floor(f_t * 1e12) in BIGINT — order-independent exact sum, the
+    * documented 1e-12-per-term contract (terms are O(1/vocab), so the
+    * coarser 1e6 grid of the count devices would erase them).
+    *
+    * Scale shape: one combining groupBy per term + two broadcast totals —
+    * vocabulary-sized, never corpus-sized.
+    *
+    * Returns one row (n_terms, a_total, b_total, jsd).
+    */
+  def jensenShannon(df: DataFrame, groupCol: String, termCol: String,
+      a: String, b: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(groupCol).isin(a, b) && col(termCol).isNotNull)
+      .select(col(groupCol).as("g"), col(termCol).as("term"))
+    val perTerm = slim.groupBy(col("term"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    val tot = perTerm.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val j = perTerm.crossJoin(broadcast(tot))
+    val p = col("ca").cast("double") / col("ta").cast("double")
+    val q = col("cb").cast("double") / col("tb").cast("double")
+    val m = (p + q) / 2.0
+    val f = when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+    val agg = j.select(floor(f * lit(1e12)).cast("long").as("qt"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("qt").cast(dec)).as("qsum"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n_terms"), col("ta").as("a_total"), col("tb").as("b_total"),
+        round(col("qsum").cast("double") / lit(1e12) / 2.0, 7).as("jsd"))
+  }
 }

@@ -568,4 +568,86 @@ class StatTestsSpec extends SparkTestBase {
     assert(StatTests.cronbachAlpha(flat, "s", "it", "v").collect()(0)
       .isNullAt(2))
   }
+
+  test("Cramer-von Mises: hand ECDF case, identical slices zero") {
+    // A={1,2} B={2,3}: U = 1*4 + 2*4 + 0 = 12, T = 12/(16*4) = 0.1875
+    val df = (Seq(1, 2).map(("A", _)) ++ Seq(2, 3).map(("B", _)))
+      .toDF("g", "v")
+    val r = StatTests.cvmTwoSample(df, "g", "v", "A", "B").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.1875)
+    val same = (Seq(1, 2, 3).map(("A", _)) ++ Seq(1, 2, 3).map(("B", _)))
+      .toDF("g", "v")
+    assert(StatTests.cvmTwoSample(same, "g", "v", "A", "B").collect()(0)
+      .getDouble(2) == 0.0)
+  }
+
+  test("Jonckheere-Terpstra: hand doubled U, monotone three-group trend") {
+    // A={1,2} B={2,3}: U_AB = 3 + 0.5 -> JT2 = 7; mu=2, var=5/3
+    val df = (Seq(1, 2).map(("A", _)) ++ Seq(2, 3).map(("B", _)))
+      .toDF("g", "v")
+    val r = StatTests.jonckheereTerpstra(df, "g", "v", Seq("A", "B"))
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDecimal(2).longValueExact == 7L)
+    assert(r.getDouble(3) ==
+      math.rint(1.5 / math.sqrt(5.0 / 3.0) * 1e7) / 1e7)
+    // perfectly increasing three groups: JT2 = 2 * 3 * (2*2*2) pairs all won
+    val mono = (Seq(1, 2).map(("A", _)) ++ Seq(3, 4).map(("B", _)) ++
+      Seq(5, 6).map(("C", _))).toDF("g", "v")
+    val m = StatTests.jonckheereTerpstra(mono, "g", "v", Seq("A", "B", "C"))
+      .collect()(0)
+    assert(m.getDecimal(2).longValueExact == 24L) // 3 pairs * 4 wins * 2
+    // reversed order flips the z sign
+    val rev = StatTests.jonckheereTerpstra(mono, "g", "v", Seq("C", "B", "A"))
+      .collect()(0)
+    assert(rev.getDouble(3) == -m.getDouble(3))
+  }
+
+  test("Brown-Forsythe Levene: hand case via ANOVA on |x - median|") {
+    // A={1,5} median 1 -> devs {0,4}; B={2,2} median 2 -> devs {0,0}
+    // ANOVA on devs: SSB=4, SSW=8, F = (4/1)/(8/2) = 1
+    val df = (Seq(1, 5).map(("A", _)) ++ Seq(2, 2).map(("B", _)))
+      .toDF("g", "v")
+    val r = StatTests.leveneBrownForsythe(df, "g", "v").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 8.0)
+    assert(r.getDouble(4) == 1.0)
+    // equal spreads -> F null or 0 depending on deviation ties
+    val eq = (Seq(1, 3).map(("A", _)) ++ Seq(5, 7).map(("B", _)))
+      .toDF("g", "v")
+    val e = StatTests.leveneBrownForsythe(eq, "g", "v").collect()(0)
+    // devs all {0,2} -> SSB = 0, SSW > 0 -> F = 0
+    assert(e.getDouble(4) == 0.0)
+  }
+
+  test("mutual information: perfect association = H, independence = 0") {
+    val perfect = (Seq.fill(2)(("a", 1)) ++ Seq.fill(2)(("b", 2)))
+      .toDF("x", "y")
+    val p = StatTests.mutualInformation(perfect, "x", "y").collect()(0)
+    // device-exact expectation: 2 cells of floor(2*ln(2)*1e6)
+    val q = math.floor(2.0 * math.log(2.0 * 4.0 / (2.0 * 2.0)) * 1e6)
+    val miExp = math.rint(2.0 * q / (1e6 * 4.0) * 1e7) / 1e7
+    assert(p.getLong(0) == 4L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == miExp)
+    assert(p.getDouble(3) > 0.9999 && p.getDouble(3) <= 1.0)
+    val indep = (Seq.fill(2)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++
+      Seq.fill(2)(("b", 1)) ++ Seq.fill(2)(("b", 2))).toDF("x", "y")
+    val i = StatTests.mutualInformation(indep, "x", "y").collect()(0)
+    assert(i.getDouble(2) == 0.0)
+  }
+
+  test("Jensen-Shannon: identical zero, disjoint vocabularies ln 2") {
+    val same = (Seq("x", "y", "x").map(("A", _)) ++
+      Seq("x", "y", "x").map(("B", _))).toDF("g", "t")
+    assert(StatTests.jensenShannon(same, "g", "t", "A", "B").collect()(0)
+      .getDouble(3) == 0.0)
+    val disjoint = (Seq("x").map(("A", _)) ++ Seq("y").map(("B", _)))
+      .toDF("g", "t")
+    val d = StatTests.jensenShannon(disjoint, "g", "t", "A", "B").collect()(0)
+    assert(d.getLong(0) == 2L && d.getLong(1) == 1L && d.getLong(2) == 1L)
+    // device-exact ln 2 under the 1e-12 grid
+    val qt = math.floor(1.0 * math.log(1.0 / 0.5) * 1e12)
+    assert(d.getDouble(3) == math.rint(2.0 * qt / 1e12 / 2.0 * 1e7) / 1e7)
+  }
 }
