@@ -8066,6 +8066,83 @@ object SparkEntry {
       graft.operators.StatTests.jensenShannon(toks, "lang", "term",
         "en", "de")
     }),
+
+    // --- 360. Brown double exponential smoothing, oracle-pinned ----------------------------------------------
+    // q310's EWMA upgraded with a trend term: dyadic alpha=1/2 keeps
+    // every lag term exact; latest-row level/trend/forecast per user.
+    "q360_brown_double" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value")).cast("long").as("v"))
+      val bd = graft.operators.Trend.brownDouble(
+        e, "user_id", Seq("ts", "event_id"), "v")
+      val w = Window.partitionBy("user_id")
+      bd.withColumn("__mx", max(col("rn")).over(w))
+        .where(col("rn") === col("__mx"))
+        .select(col("user_id"), col("rn").cast("long").as("n_events"),
+          col("level"), col("trend"), col("forecast"))
+        .orderBy("user_id")
+    }),
+
+    // --- 361. Haar wavelet energy decomposition, oracle-pinned -----------------------------------------------
+    // Which timescale carries each event type's variance? Unnormalized
+    // integer pyramid over the first 16 events; Parseval total pinned.
+    "q361_haar_energy" -> ((s, d) =>
+      graft.operators.Trend.haarEnergy(
+        t(s, d, "events").where(col("value").isNotNull &&
+          col("event_type").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value")).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
+    // --- 362. Theil-Sen robust slope, oracle-pinned ----------------------------------------------------------
+    // Value-vs-hour robust trend per event type over quantized cells —
+    // the slope one vandal point cannot bend.
+    "q362_theil_sen" -> ((s, d) =>
+      graft.operators.Trend.theilSen(
+        t(s, d, "events").where(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"),
+            hour(col("ts")).cast("long").as("x"),
+            floor(col("value") / 50).cast("long").as("y")),
+        "event_type", "x", "y")
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("n_pairs", col("n_pairs").cast("long"))
+        .orderBy("group")),
+
+    // --- 363. Kaplan-Meier survival, oracle-pinned -----------------------------------------------------------
+    // User lifetime (first-to-last event span in days) with right
+    // censoring: users still active near the window edge are censored,
+    // not churned — the readout naive averages get wrong.
+    "q363_kaplan_meier" -> ((s, d) => {
+      // time-to-first-big-purchase per user, right-censored at the
+      // user's last observed event when it never happens
+      val e = t(s, d, "events").where(col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      val pu = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase" &&
+            col("value") >= 150, unix_micros(col("ts")))).as("te"))
+      val g = pu.select(
+        concat(lit("c"), (col("user_id") % 3).cast("string")).as("cohort"),
+        floor((coalesce(col("te"), col("t1")) - col("t0")) /
+          lit(86400000000L)).cast("long").as("dur"),
+        col("te").isNotNull.as("ev"))
+      graft.functions.Survival.kaplanMeier(g, "cohort", "dur", "ev")
+        .orderBy("group", "t")
+    }),
+
+    // --- 364. Fano factor burstiness, oracle-pinned ----------------------------------------------------------
+    // Per event type: variance/mean of per-day counts — Poisson traffic
+    // sits at 1, bursts above, schedules below.
+    "q364_fano" -> ((s, d) =>
+      graft.operators.Trend.fanoFactor(
+        t(s, d, "events").where(col("ts").isNotNull &&
+          col("event_type").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day")),
+        "event_type", "day")
+        .orderBy("group")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -14670,6 +14747,148 @@ object SparkEntry {
          |    / CAST(2 AS DOUBLE), 7) AS jsd
          |FROM qs, tot""".stripMargin
     },
+
+    // Brown double smoothing: the q310 lag replay with BOTH truncated
+    // dyadic sums in the identical left-associated order.
+    "q360_brown_double" -> {
+      val s1 = (0 until 20).map(i =>
+        s"CAST(coalesce(lag(v, $i) OVER w, 0) AS DOUBLE) / CAST(${1L << (i + 1)} AS DOUBLE)")
+        .mkString("\n        + ")
+      val s2 = (0 until 20).map(i =>
+        s"CAST(coalesce(lag(v, $i) OVER w, 0) AS DOUBLE) * CAST(${i + 1} AS DOUBLE) / CAST(${1L << (i + 2)} AS DOUBLE)")
+        .mkString("\n        + ")
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |d AS (
+         |  SELECT user_id,
+         |    $s1 AS s1,
+         |    $s2 AS s2,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS mx
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, rn AS n_events,
+         |  CAST(2 AS DOUBLE) * s1 - s2 AS level,
+         |  s1 - s2 AS trend,
+         |  (CAST(2 AS DOUBLE) * s1 - s2) + (s1 - s2) AS forecast
+         |FROM d WHERE rn = mx ORDER BY user_id""".stripMargin
+    },
+
+    // Haar energies: the identical integer pyramid generated from the
+    // same recursion, power-of-two divisions exact.
+    "q361_haar_energy" -> {
+      def a(j: Int, k: Int): String =
+        if (j == 0) s"x$k" else s"(${a(j - 1, 2 * k)} + ${a(j - 1, 2 * k + 1)})"
+      def e(j: Int): String = (0 until (16 >> j)).map { k =>
+        val d = s"(${a(j - 1, 2 * k)} - ${a(j - 1, 2 * k + 1)})"
+        s"CAST($d * $d AS DOUBLE) / CAST(${1 << j} AS DOUBLE)"
+      }.mkString("\n    + ")
+      val pivots = (0 until 16).map(p =>
+        s"CAST(sum(CASE WHEN rn = ${p + 1} THEN v ELSE 0 END) AS BIGINT) AS x$p")
+        .mkString(",\n  ")
+      val total = (0 until 16).map(p => s"x$p * x$p").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id,
+         |    CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT g, v,
+         |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY ts, event_id)
+         |          AS rn
+         |      FROM e),
+         |wide AS (SELECT g, count(*) AS nn,
+         |  $pivots
+         |  FROM r WHERE rn <= 16 GROUP BY 1)
+         |SELECT g AS "group",
+         |  ${e(1)} AS e1,
+         |  ${e(2)} AS e2,
+         |  ${e(3)} AS e3,
+         |  ${e(4)} AS e4,
+         |  CAST(${a(4, 0)} * ${a(4, 0)} AS DOUBLE) / CAST(16 AS DOUBLE)
+         |    AS approx,
+         |  $total AS total
+         |FROM wide WHERE nn = 16 ORDER BY "group"""".stripMargin
+    },
+
+    // Theil-Sen: identical one-division slopes grouped by value, the
+    // weighted lower median on the slope cumsum.
+    "q362_theil_sen" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS x,
+        |    CAST(floor(value / 50) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT g, x, y, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |pairs AS (SELECT a.g,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+        |    a.c * b.c AS wt
+        |  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x),
+        |bys AS (SELECT g, slope, CAST(sum(wt) AS BIGINT) AS w
+        |        FROM pairs GROUP BY 1, 2),
+        |cum AS (SELECT g, slope, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY slope
+        |                 ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM bys),
+        |tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM bys GROUP BY 1)
+        |SELECT c.g AS "group", MIN(tw) AS n_pairs, MIN(c.slope) AS slope
+        |FROM cum c JOIN tot USING (g) WHERE 2 * cw >= tw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Kaplan-Meier: risk sets from the duration cumsum, per-cohort
+    // prefix product replayed with list_reduce over the ordered factor
+    // list (1-based inclusive slice == Spark's slice(1, pos+1)).
+    "q363_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    CAST(floor(CAST(COALESCE(te, t1) - t0 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS dur,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |pd AS (SELECT cohort, dur, count(*) AS cnt,
+        |         count(CASE WHEN ev THEN 1 END) AS d
+        |       FROM g GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(cnt) AS BIGINT) AS n_all
+        |        FROM pd GROUP BY 1),
+        |cum AS (SELECT cohort, dur, cnt, d,
+        |    sum(cnt) OVER (PARTITION BY cohort ORDER BY dur
+        |                   ROWS UNBOUNDED PRECEDING) AS cumall
+        |  FROM pd),
+        |f AS (SELECT c.cohort, dur,
+        |        CAST(n_all - cumall + cnt AS BIGINT) AS n_risk, d,
+        |        CAST(n_all - cumall + cnt - d AS DOUBLE)
+        |          / CAST(n_all - cumall + cnt AS DOUBLE) AS factor
+        |      FROM cum c JOIN tot USING (cohort) WHERE d > 0),
+        |l AS (SELECT cohort, list(factor ORDER BY dur) AS fl
+        |      FROM f GROUP BY 1),
+        |i AS (SELECT f.cohort, dur, n_risk, d,
+        |        row_number() OVER (PARTITION BY f.cohort ORDER BY dur) AS rn,
+        |        fl
+        |      FROM f JOIN l USING (cohort))
+        |SELECT cohort AS "group", dur AS t, n_risk, d,
+        |  ROUND(list_reduce(fl[1:rn], (a, b) -> a * b), 7) AS surv
+        |FROM i ORDER BY "group", t""".stripMargin,
+
+    // Fano: exact per-day census, the all-integer variance/mean form.
+    "q364_fano" ->
+      """WITH c AS (SELECT event_type AS g, CAST(ts AS DATE) AS bk,
+        |    count(*) AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT g, count(*) AS n_buckets,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM c GROUP BY 1)
+        |SELECT g AS "group", n_buckets, total,
+        |  ROUND(CASE WHEN n_buckets >= 2 AND total > 0 THEN
+        |    CAST(n_buckets * q - total * total AS DOUBLE)
+        |      / (CAST(n_buckets - 1 AS DOUBLE) * CAST(total AS DOUBLE))
+        |    END, 7) AS fano
+        |FROM agg ORDER BY "group"""".stripMargin,
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Right-censored survival estimation — the retention/lifetime readout
+  * (how long do users stay active? how long until a doc is re-crawled?)
+  * where naive "average duration" is wrong the moment anything is still
+  * alive at the window edge.
+  */
+object Survival {
+
+  /** Kaplan-Meier survival estimator per group over right-censored
+    * integral durations: at each distinct duration t carrying >= 1 event
+    * (censored-only times adjust the risk set but emit no row),
+    *
+    *   n_t = #(duration >= t),  d_t = #(event AND duration = t),
+    *   S(t) = prod_{u <= t} (n_u - d_u) / n_u.
+    *
+    * EXACTNESS: n_t and d_t are exact from one per-group cumsum over the
+    * distinct duration domain (quantize durations first — the KS
+    * contract); each factor is ONE IEEE division; the prefix product
+    * folds in duration order over the collected per-group event-time
+    * list (bounded by the distinct-duration domain), left-associated
+    * with a 1.0 seed (1.0 * f is exact, so the seed equals
+    * first-element seeding — list_reduce-replayable). S rounded at 7.
+    *
+    * Scale shape: one combining groupBy on (group, duration) + one
+    * per-group window + a domain-sized collected fold; row count never
+    * enters a collect.
+    *
+    * Returns (group, t, n_risk, d, surv) — one row per event time.
+    */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(durationCol).dataType),
+      s"$durationCol must be integral (quantize first), got " +
+        df.schema(durationCol).dataType.catalogString)
+    val slim = df.select(col(groupCol).as("g"), col(durationCol).as("dur"),
+        col(eventCol).as("ev"))
+      .where(col("g").isNotNull && col("dur").isNotNull &&
+        col("ev").isNotNull)
+    val perDur = slim.groupBy(col("g"), col("dur"))
+      .agg(count(lit(1)).as("cnt"), count(when(col("ev"), 1)).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = slim.groupBy(col("g")).agg(count(lit(1)).as("n_all"))
+    val cum = perDur.withColumn("cumAll", sum(col("cnt")).over(w))
+      .join(tot, "g")
+      .withColumn("n_risk", col("n_all") - col("cumAll") + col("cnt"))
+    val eventTimes = cum.where(col("d") > 0)
+      .select(col("g"), col("dur"), col("n_risk"), col("d"),
+        ((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")).as("factor"))
+    val lists = eventTimes.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("dur"), col("n_risk"),
+        col("d"), col("factor")))).as("fl"))
+    lists.select(col("g"), col("fl"),
+        posexplode(col("fl")).as(Seq("pos", "el")))
+      .select(col("g").as("group"),
+        col("el.dur").as("t"),
+        col("el.n_risk").as("n_risk"),
+        col("el.d").as("d"),
+        round(aggregate(
+          slice(transform(col("fl"), e => e("factor")), lit(1),
+            col("pos") + 1),
+          lit(1.0), (acc, f) => acc * f), 7).as("surv"))
+  }
+}

@@ -264,4 +264,168 @@ object Trend {
           col("__dev").cast("double") / col("__n").cast("double")), 7)
           .as("cp_stat"))
   }
+
+  /** Brown's double exponential smoothing with the PINNED dyadic
+    * alpha = 1/2, truncated at `window` lags — [[dyadicDecay]]'s
+    * level-plus-trend sibling (single smoothing lags a trending series;
+    * Brown's S2-of-S1 recovers the slope):
+    *
+    *   S1_t = sum_i x_{t-i} / 2^{i+1}
+    *   S2_t = sum_i (i+1) * x_{t-i} / 2^{i+2}     (S1 smoothed again)
+    *   level = 2*S1 - S2, trend = S1 - S2 (alpha/(1-alpha) = 1),
+    *   forecast = level + trend.
+    *
+    * EXACTNESS: integral x; every term x * (i+1) / 2^k is an exact
+    * double (power-of-two scaling), and both truncated sums replay in
+    * the identical left-associated lag order — the q310 contract. One
+    * window pass.
+    *
+    * Returns df + (s1, s2, level, trend, forecast, rn).
+    */
+  def brownDouble(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 40, s"window must be in [1, 40], got $window")
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+    val s1 = (0 until window).map { i =>
+      coalesce(lag(col(valueCol), i).over(w), lit(0L)).cast("double") /
+        lit(math.pow(2.0, i + 1))
+    }.reduce(_ + _)
+    val s2 = (0 until window).map { i =>
+      coalesce(lag(col(valueCol), i).over(w), lit(0L)).cast("double") *
+        lit((i + 1).toDouble) / lit(math.pow(2.0, i + 2))
+    }.reduce(_ + _)
+    df.withColumn("s1", s1).withColumn("s2", s2)
+      .withColumn("level", lit(2.0) * col("s1") - col("s2"))
+      .withColumn("trend", col("s1") - col("s2"))
+      .withColumn("forecast", col("level") + col("trend"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Unnormalized Haar wavelet energy decomposition of each group's
+    * FIRST 16 values (in the given order) — the multi-resolution
+    * burstiness readout (which timescale carries the variance?): with
+    * A_0 = x and A_j,k = A_{j-1,2k} + A_{j-1,2k+1} the integer pyramid,
+    *
+    *   E_j = sum_k (A_{j-1,2k} - A_{j-1,2k+1})^2 / 2^j     (levels 1..4)
+    *   approx = A_4,0^2 / 16,
+    *
+    * and Parseval holds exactly: E_1+E_2+E_3+E_4+approx = sum x^2.
+    *
+    * EXACTNESS: integral x keeps the whole pyramid in exact BIGINTs;
+    * each energy is one power-of-two-scaled division (exact). Groups
+    * with fewer than 16 rows are dropped (no padding invention).
+    *
+    * Scale shape: one row_number window + one 16-way conditional pivot
+    * per group; closed-form expressions after that.
+    *
+    * Returns (group, e1, e2, e3, e4, approx, total) — total = sum x^2
+    * over the 16, the Parseval pin.
+    */
+  def haarEnergy(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+    val first16 = df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 16)
+    val pivots = (0 until 16).map(p =>
+      sum(when(col("__rn") === p + 1, col(valueCol).cast("long"))
+        .otherwise(0L)).as(s"x$p"))
+    val wide = first16.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("__n"), pivots: _*)
+      .where(col("__n") === 16)
+    // integer pyramid
+    def a(j: Int, k: Int): Column =
+      if (j == 0) col(s"x$k") else a(j - 1, 2 * k) + a(j - 1, 2 * k + 1)
+    def e(j: Int): Column = (0 until (16 >> j)).map { k =>
+      val d = a(j - 1, 2 * k) - a(j - 1, 2 * k + 1)
+      (d * d).cast("double") / lit(math.pow(2.0, j))
+    }.reduce(_ + _)
+    val total = (0 until 16).map(p => col(s"x$p") * col(s"x$p")).reduce(_ + _)
+    wide.select(col("group"),
+      e(1).as("e1"), e(2).as("e2"), e(3).as("e3"), e(4).as("e4"),
+      ((a(4, 0) * a(4, 0)).cast("double") / lit(16.0)).as("approx"),
+      total.as("total"))
+  }
+
+  /** Theil-Sen robust slope per group — the median of pairwise slopes
+    * (one vandal point cannot bend it, unlike OLS): over QUANTIZED
+    * (x, y) cells with counts, pairs weighted by c_i * c_j.
+    *
+    * Determinism: each slope is ONE IEEE division (dy/dx — identical on
+    * both engines); the weighted LOWER median is the smallest slope s
+    * with 2*cumweight(s) >= W over slopes grouped by value (tie order
+    * inside a slope value cannot matter). Both domains bounded — the
+    * cells^2 pair table is the documented contract (same as q330
+    * Kendall).
+    *
+    * Returns (group, n_pairs, slope).
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val a = cells.select(col("g"), col("x").as("xi"), col("y").as("yi"),
+      col("c").as("ci"))
+    val b = cells.select(col("g"), col("x").as("xj"), col("y").as("yj"),
+      col("c").as("cj"))
+    val pairs = a.join(b, Seq("g")).where(col("xi") < col("xj"))
+      .select(col("g"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double")).as("slope"),
+        (col("ci").cast(dec) * col("cj").cast(dec)).as("wt"))
+    val bySlope = pairs.groupBy(col("g"), col("slope"))
+      .agg(sum(col("wt")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("slope"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bySlope.withColumn("cw", sum(col("w")).over(win))
+    val tot = bySlope.groupBy(col("g")).agg(sum(col("w")).as("tw"))
+    cum.join(tot, "g")
+      .where(lit(2) * col("cw") >= col("tw"))
+      .groupBy(col("g").as("group"))
+      .agg(first(col("tw")).as("n_pairs2"), min(col("slope")).as("slope"))
+      .select(col("group"), col("n_pairs2").as("n_pairs"), col("slope"))
+  }
+
+  /** Fano factor per group — burstiness of per-bucket counts (Poisson
+    * arrivals give F = 1; F >> 1 means clustered bursts, F << 1
+    * regularity): F = var/mean over the bucket counts with sample
+    * variance, which collapses to the all-integer
+    *
+    *   F = (B * sum c^2 - S^2) / ((B - 1) * S),   S = sum c.
+    *
+    * Buckets are the OBSERVED ones in the given bucket column (callers
+    * wanting empty buckets counted supply the grid). One combining
+    * groupBy per (group, bucket) + one per group; one final division.
+    *
+    * Returns (group, n_buckets, total, fano).
+    */
+  def fanoFactor(df: DataFrame, groupCol: String,
+      bucketCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.where(col(bucketCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(bucketCol).as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy(col("g").as("group"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("total"),
+        sum((col("c") * col("c")).cast(dec)).as("q"))
+    val num = (col("n_buckets").cast(dec) * col("q") -
+      col("total").cast(dec) * col("total").cast(dec)).cast("double")
+    val den = (col("n_buckets") - 1L).cast("double") *
+      col("total").cast("double")
+    agg.select(col("group"), col("n_buckets"), col("total"),
+      round(when(col("n_buckets") >= 2 && col("total") > 0, num / den), 7)
+        .as("fano"))
+  }
 }

@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** Kaplan-Meier: the classic hand-computed curve with censoring, the
+  * no-censoring ECDF identity, and the integral-duration contract.
+  */
+class SurvivalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand curve: censoring adjusts risk sets, censored-only times emit no row") {
+    // durations (1,T) (2,T) (2,F) (3,T) (5,F):
+    // t=1: n=5 d=1 S=0.8; t=2: n=4 d=1 S=0.6; t=3: n=2 d=1 S=0.3; no t=5
+    val df = Seq(("g", 1, true), ("g", 2, true), ("g", 2, false),
+      ("g", 3, true), ("g", 5, false)).toDF("g", "dur", "ev")
+    val got = Survival.kaplanMeier(df, "g", "dur", "ev")
+      .orderBy("t").collect()
+    assert(got.length == 3)
+    assert(got(0).getInt(1) == 1 && got(0).getLong(2) == 5L &&
+      got(0).getLong(3) == 1L && got(0).getDouble(4) == 0.8)
+    assert(got(1).getLong(2) == 4L && got(1).getDouble(4) == 0.6)
+    assert(got(2).getLong(2) == 2L && got(2).getDouble(4) == 0.3)
+  }
+
+  test("no censoring: S(t) is exactly the complementary ECDF") {
+    val df = Seq(1, 2, 2, 4).map(d => ("g", d, true)).toDF("g", "dur", "ev")
+    val got = Survival.kaplanMeier(df, "g", "dur", "ev")
+      .orderBy("t").collect()
+    // S = (n - cum)/n: 3/4, 1/4, 0
+    assert(got.map(_.getDouble(4)).toSeq == Seq(0.75, 0.25, 0.0))
+    // all censored -> no event times -> empty result
+    val cens = Seq(("g", 1, false), ("g", 2, false)).toDF("g", "dur", "ev")
+    assert(Survival.kaplanMeier(cens, "g", "dur", "ev").count() == 0L)
+    intercept[IllegalArgumentException](
+      Survival.kaplanMeier(Seq(("g", 1.5, true)).toDF("g", "dur", "ev"),
+        "g", "dur", "ev"))
+  }
+}

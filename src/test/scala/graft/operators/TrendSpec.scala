@@ -186,4 +186,74 @@ class TrendSpec extends SparkTestBase {
     assert(row.getLong(2) == best._2)
     assert(row.getDouble(3) == math.rint(best._1.toDouble / n * 1e7) / 1e7)
   }
+
+  test("Brown double smoothing: hand two-step case, dyadic exactness") {
+    val df = Seq(("u", 1, 4), ("u", 2, 8)).toDF("g", "i", "v")
+    val got = Trend.brownDouble(df, "g", Seq("i"), "v", window = 2)
+      .orderBy("rn").collect()
+    // row1: S1 = 2, S2 = 1, level 3, trend 1, forecast 4
+    assert(got(0).getAs[Double]("s1") == 2.0 &&
+      got(0).getAs[Double]("s2") == 1.0)
+    assert(got(0).getAs[Double]("level") == 3.0 &&
+      got(0).getAs[Double]("trend") == 1.0 &&
+      got(0).getAs[Double]("forecast") == 4.0)
+    // row2: S1 = 8/2 + 4/4 = 5, S2 = 8/4 + 2*4/8 = 3 -> level 7, trend 2
+    assert(got(1).getAs[Double]("s1") == 5.0 &&
+      got(1).getAs[Double]("s2") == 3.0)
+    assert(got(1).getAs[Double]("forecast") == 9.0)
+    intercept[IllegalArgumentException](
+      Trend.brownDouble(Seq(("u", 1, 1.0)).toDF("g", "i", "v"),
+        "g", Seq("i"), "v"))
+  }
+
+  test("Haar energy: constant flat, alternating level-1 only, Parseval") {
+    val const = (1 to 16).map(i => ("c", i, 1)).toDF("g", "i", "v")
+    val c = Trend.haarEnergy(const, "g", Seq("i"), "v").collect()(0)
+    assert(c.getDouble(1) == 0.0 && c.getDouble(2) == 0.0 &&
+      c.getDouble(3) == 0.0 && c.getDouble(4) == 0.0)
+    assert(c.getDouble(5) == 16.0 && c.getLong(6) == 16L)
+    val alt = (1 to 16).map(i => ("a", i, i % 2)).toDF("g", "i", "v")
+    val a = Trend.haarEnergy(alt, "g", Seq("i"), "v").collect()(0)
+    assert(a.getDouble(1) == 4.0 && a.getDouble(2) == 0.0 &&
+      a.getDouble(3) == 0.0 && a.getDouble(4) == 0.0)
+    assert(a.getDouble(5) == 4.0 && a.getLong(6) == 8L)
+    // Parseval on an arbitrary seeded series; short groups drop
+    val rnd = new scala.util.Random(7)
+    val series = (1 to 16).map(i => ("r", i, rnd.nextInt(100))) ++
+      (1 to 7).map(i => ("short", i, i))
+    val r = Trend.haarEnergy(series.toDF("g", "i", "v"), "g", Seq("i"), "v")
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val sum = row.getDouble(1) + row.getDouble(2) + row.getDouble(3) +
+      row.getDouble(4) + row.getDouble(5)
+    assert(sum == row.getLong(6).toDouble)
+  }
+
+  test("Theil-Sen: exact line recovered, single outlier cannot bend it") {
+    val line = Seq(1, 2, 3, 4).map(x => ("g", x, 2 * x)).toDF("g", "x", "y")
+    assert(Trend.theilSen(line, "g", "x", "y").collect()(0)
+      .getDouble(2) == 2.0)
+    val outlier = Seq(("g", 1, 1), ("g", 2, 2), ("g", 3, 3), ("g", 4, 100))
+      .toDF("g", "x", "y")
+    val r = Trend.theilSen(outlier, "g", "x", "y").collect()(0)
+    assert(r.getDecimal(1).longValueExact == 6L) // 4 choose 2 pairs
+    assert(r.getDouble(2) == 1.0) // median slope survives the vandal
+  }
+
+  test("Fano factor: regular counts 0, hand bursty case, Poisson-ish 1") {
+    val regular = (1 to 3).flatMap(b => Seq.fill(2)(("g", b)))
+      .toDF("g", "bk")
+    assert(Trend.fanoFactor(regular, "g", "bk").collect()(0)
+      .getDouble(3) == 0.0)
+    // counts (4,1,1): F = (3*18 - 36) / (2*6) = 1.5
+    val bursty = (Seq.fill(4)(("g", 1)) ++ Seq(("g", 2), ("g", 3)))
+      .toDF("g", "bk")
+    val r = Trend.fanoFactor(bursty, "g", "bk").collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 1.5)
+    // single bucket -> null
+    val one = Seq(("g", 1), ("g", 1)).toDF("g", "bk")
+    assert(Trend.fanoFactor(one, "g", "bk").collect()(0).isNullAt(3))
+  }
 }
