@@ -8143,6 +8143,81 @@ object SparkEntry {
           .select(col("event_type"), to_date(col("ts")).as("day")),
         "event_type", "day")
         .orderBy("group")),
+
+    // --- 365. word2vec negative-sampling table, oracle-pinned ------------------------------------------------
+    // The f^(3/4)-smoothed unigram table: sqrt(f*sqrt(f)) keeps the
+    // power bit-identical cross-engine (pow() would not), the 1e6
+    // quantization makes the normalizer exact integers. Top 100.
+    "q365_neg_sampling" -> ((s, d) => {
+      val toks = t(s, d, "documents").where(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      graft.operators.Sampling.negativeSamplingTable(toks, "tok")
+        .orderBy(desc("wq"), col("token")).limit(100)
+    }),
+
+    // --- 366. Fellegi-Sunter linkage weights, oracle-pinned --------------------------------------------------
+    // Labeled pairs from a perturbed-duplicate construction (same-key =
+    // match, neighbor-key = unmatch); per-field agreement evidence in
+    // one pass over the pair table.
+    "q366_fellegi_sunter" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      val dup = c.select(col("k"),
+        when(col("k") % 10 === 0, lit("PERTURBED")).otherwise(col("seg"))
+          .as("seg2"),
+        when(col("k") % 7 === 0, col("nat") + 1).otherwise(col("nat"))
+          .as("nat2"))
+      val matched = c.join(dup, "k")
+        .select(lit(true).as("is_match"),
+          (col("seg") === col("seg2")).as("seg_agree"),
+          (col("nat") === col("nat2")).as("nat_agree"))
+      val unmatched = c.join(dup.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") + 1)
+        .select(lit(false).as("is_match"),
+          (col("seg") === col("seg2")).as("seg_agree"),
+          (col("nat") === col("nat2")).as("nat_agree"))
+      graft.functions.Linkage.fellegiSunterWeights(
+        matched.unionByName(unmatched), "is_match",
+        Seq("nat_agree", "seg_agree"))
+    }),
+
+    // --- 367. quantile normalization, oracle-pinned ----------------------------------------------------------
+    // Per-type event values mapped onto the pooled distribution — the
+    // batch-effect corrector; exact integer order statistics end to end.
+    "q367_quantile_norm" -> ((s, d) =>
+      graft.operators.Normalize.quantileNormalize(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 10).cast("long").as("v")),
+        "event_type", "event_id", "v")
+        .orderBy("group", "rank")),
+
+    // --- 368. MAD modified-z outliers, oracle-pinned ---------------------------------------------------------
+    // Deterministic spikes injected on every 509th event id; the
+    // Iglewicz-Hoaglin robust z flags exactly the spikes (a stddev
+    // gate would be inflated by its own outliers).
+    "q368_mad_outliers" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          (floor(col("value") * 10).cast("long") +
+            when(col("event_id") % 509 === 0, lit(50000L)).otherwise(lit(0L)))
+            .as("v"))
+      graft.operators.Normalize.madOutliers(e, "event_type", "event_id", "v")
+        .orderBy("group", "id")
+    }),
+
+    // --- 369. exact 2-feature PCA, oracle-pinned -------------------------------------------------------------
+    // Closed-form 2x2 covariance eigenvalues per event type over two
+    // correlated derived metrics; sqrt is IEEE-exact cross-engine.
+    "q369_pca2" -> ((s, d) =>
+      graft.operators.StatTests.pca2(
+        t(s, d, "events").where(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"),
+            floor(col("value")).cast("long").as("x"),
+            (floor(col("value") / 2).cast("long") +
+              hour(col("ts")).cast("long")).as("y")),
+        "event_type", "x", "y")
+        .orderBy("group")),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -14889,6 +14964,155 @@ object SparkEntry {
         |      / (CAST(n_buckets - 1 AS DOUBLE) * CAST(total AS DOUBLE))
         |    END, 7) AS fano
         |FROM agg ORDER BY "group"""".stripMargin,
+
+    // Negative sampling: sqrt(f*sqrt(f)) is the bit-portable f^(3/4);
+    // the 1e6-quantized weights make the normalizer exact.
+    "q365_neg_sampling" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |counts AS (SELECT tok AS token, count(*) AS freq FROM toks
+        |           WHERE tok <> '' GROUP BY 1),
+        |wt AS (SELECT token, freq,
+        |    CAST(floor(sqrt(CAST(freq AS DOUBLE) * sqrt(CAST(freq AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wq
+        |  FROM counts),
+        |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM wt),
+        |cum AS (SELECT token, freq, wq,
+        |    CAST(sum(wq) OVER (ORDER BY wq DESC, token
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        |  FROM wt)
+        |SELECT token, freq, wq,
+        |  ROUND(CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE), 7) AS p,
+        |  ROUND(CAST(cm AS DOUBLE) / CAST(tw AS DOUBLE), 7) AS cum_p
+        |FROM cum, tot ORDER BY wq DESC, token LIMIT 100""".stripMargin,
+
+    // Fellegi-Sunter: replay the pair construction and the add-one
+    // smoothed per-field evidence weights.
+    "q366_fellegi_sunter" -> {
+      def fieldRow(name: String, am: String, au: String): String = {
+        val m = s"(CAST($am + 1 AS DOUBLE) / CAST(n_match + 2 AS DOUBLE))"
+        val u = s"(CAST($au + 1 AS DOUBLE) / CAST(n_all - n_match + 2 AS DOUBLE))"
+        s"""SELECT '$name' AS field, n_match,
+           |  n_all - n_match AS n_unmatch,
+           |  $am AS agree_match, $au AS agree_unmatch,
+           |  ROUND(ln($m / $u), 7) AS w_agree,
+           |  ROUND(ln((CAST(1 AS DOUBLE) - $m) / (CAST(1 AS DOUBLE) - $u)), 7)
+           |    AS w_disagree
+           |FROM agg""".stripMargin
+      }
+      s"""WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+         |    c_nationkey AS nat FROM customer),
+         |dup AS (SELECT k,
+         |    CASE WHEN k % 10 = 0 THEN 'PERTURBED' ELSE seg END AS seg2,
+         |    CASE WHEN k % 7 = 0 THEN nat + 1 ELSE nat END AS nat2
+         |  FROM c),
+         |p AS (
+         |  SELECT TRUE AS is_match, seg = seg2 AS seg_agree,
+         |    nat = nat2 AS nat_agree
+         |  FROM c JOIN dup USING (k)
+         |  UNION ALL
+         |  SELECT FALSE, c.seg = dup.seg2, c.nat = dup.nat2
+         |  FROM c JOIN dup ON c.k = dup.k + 1),
+         |agg AS (SELECT count(*) AS n_all,
+         |    count(CASE WHEN is_match THEN 1 END) AS n_match,
+         |    count(CASE WHEN is_match AND nat_agree THEN 1 END) AS am_nat,
+         |    count(CASE WHEN NOT is_match AND nat_agree THEN 1 END) AS au_nat,
+         |    count(CASE WHEN is_match AND seg_agree THEN 1 END) AS am_seg,
+         |    count(CASE WHEN NOT is_match AND seg_agree THEN 1 END) AS au_seg
+         |  FROM p)
+         |SELECT * FROM (
+         |  ${fieldRow("nat_agree", "am_nat", "au_nat")}
+         |  UNION ALL
+         |  ${fieldRow("seg_agree", "am_seg", "au_seg")})
+         |ORDER BY field""".stripMargin
+    },
+
+    // Quantile normalization: exact ceil-division order statistic
+    // against the exploded pooled position table.
+    "q367_quantile_norm" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT g, id, v,
+        |        CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+        |          AS BIGINT) AS rank
+        |      FROM e),
+        |sz AS (SELECT g, count(*) AS n_g FROM e GROUP BY 1),
+        |pool AS (SELECT v, count(*) AS c FROM e GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm
+        |  FROM pool),
+        |pos AS (SELECT unnest(generate_series(CAST(cm - c + 1 AS BIGINT),
+        |          CAST(cm AS BIGINT))) AS pos,
+        |          v AS ref FROM cum),
+        |nn AS (SELECT count(*) AS n_all FROM e),
+        |rr AS (SELECT r.g, id, v, rank, n_g,
+        |    (rank * (n_all + 1) + n_g) // (n_g + 1) AS pos
+        |  FROM r JOIN sz USING (g), nn)
+        |SELECT rr.g AS "group", id, v, rank, n_g, ref
+        |FROM rr JOIN pos USING (pos)
+        |ORDER BY "group", rank""".stripMargin,
+
+    // MAD outliers: both pinned lower medians replayed, the modified-z
+    // expression with explicit double literals.
+    "q368_mad_outliers" -> {
+      val mz = "CAST(0.6745 AS DOUBLE) * CAST(v - m AS DOUBLE) " +
+        "/ CAST(mad AS DOUBLE)"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, event_id AS id,
+         |    CAST(floor(value * 10) AS BIGINT)
+         |      + CASE WHEN event_id % 509 = 0 THEN 50000 ELSE 0 END AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pv AS (SELECT g, v, count(*) AS t FROM e GROUP BY 1, 2),
+         |sz AS (SELECT g, count(*) AS n_g FROM e GROUP BY 1),
+         |med AS (SELECT g, min(v) AS m FROM (
+         |    SELECT g, v, sum(t) OVER (PARTITION BY g ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cm FROM pv)
+         |  JOIN sz USING (g) WHERE 2 * cm >= n_g GROUP BY g),
+         |dev AS (SELECT e.g, id, v, m, abs(v - m) AS dv
+         |        FROM e JOIN med USING (g)),
+         |pd AS (SELECT g, dv, count(*) AS t FROM dev GROUP BY 1, 2),
+         |mad AS (SELECT g, min(dv) AS mad FROM (
+         |    SELECT g, dv, sum(t) OVER (PARTITION BY g ORDER BY dv
+         |      ROWS UNBOUNDED PRECEDING) AS cm FROM pd)
+         |  JOIN sz USING (g) WHERE 2 * cm >= n_g GROUP BY g)
+         |SELECT dev.g AS "group", id, v, m AS med, mad,
+         |  ROUND($mz, 7) AS mz
+         |FROM dev JOIN mad USING (g)
+         |WHERE mad > 0 AND abs($mz) > CAST(3.5 AS DOUBLE)
+         |ORDER BY "group", id""".stripMargin
+    },
+
+    // PCA-2: n^2-scaled covariance in HUGEINT (exact like Spark's
+    // DECIMAL), IEEE sqrt, pinned eigenvalue expressions.
+    "q369_pca2" -> {
+      val tr = "CAST(cxx + cyy AS DOUBLE)"
+      val disc = "sqrt(CAST((cxx - cyy) * (cxx - cyy) " +
+        "+ 4 * cxy * cxy AS DOUBLE))"
+      val l1 = s"(($tr + $disc) / CAST(2 AS DOUBLE))"
+      val l2 = s"(($tr - $disc) / CAST(2 AS DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x,
+         |    CAST(floor(value / 2) AS BIGINT) + CAST(hour(ts) AS BIGINT) AS y
+         |  FROM events
+         |  WHERE value IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |agg AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM e GROUP BY 1),
+         |sc AS (SELECT g, n,
+         |    CAST(n * sxx - sx * sx AS HUGEINT) AS cxx,
+         |    CAST(n * syy - sy * sy AS HUGEINT) AS cyy,
+         |    CAST(n * sxy - sx * sy AS HUGEINT) AS cxy
+         |  FROM agg)
+         |SELECT g AS "group", n,
+         |  ROUND($l1, 7) AS l1,
+         |  ROUND($l2, 7) AS l2,
+         |  ROUND(CASE WHEN $tr > 0 THEN $l1 / $tr END, 7) AS explained
+         |FROM sc ORDER BY "group"""".stripMargin
+    },
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

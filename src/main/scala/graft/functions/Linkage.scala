@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi-Sunter 1969) — the principled
+  * weights behind every "same entity?" dedup beyond exact keys: each
+  * field's agreement carries evidence ln(m/u), its disagreement
+  * ln((1-m)/(1-u)), with m = P(agree | match) and u = P(agree | unmatch)
+  * estimated from a labeled pair sample.
+  */
+object Linkage {
+
+  /** Per-field Fellegi-Sunter match/unmatch weights from a labeled
+    * candidate-pair table: `matchCol` is the pair label, each field
+    * column a boolean agreement indicator.
+    *
+    * Exactness: the four counts per field are exact BIGINTs; m and u use
+    * add-one smoothing — m = (a_m + 1)/(n_m + 2) — so no weight is ever
+    * infinite on a clean sample (documented estimator contract); both
+    * weights are one pinned double expression each, rounded at 7.
+    *
+    * Scale shape: ONE combining aggregate over the pair table computes
+    * every field's counts in a single pass (fields unpivot after, k
+    * rows) — the pair table is never scanned per field.
+    *
+    * Returns (field, n_match, n_unmatch, agree_match, agree_unmatch,
+    * w_agree, w_disagree) — one row per field, ordered by field.
+    */
+  def fellegiSunterWeights(df: DataFrame, matchCol: String,
+      fieldCols: Seq[String]): DataFrame = {
+    require(fieldCols.nonEmpty, "at least one field column required")
+    val base = df.where(col(matchCol).isNotNull)
+    val aggs = Seq(
+      count(lit(1)).as("n_all"),
+      count(when(col(matchCol), 1)).as("n_match")) ++
+      fieldCols.flatMap { f =>
+        Seq(count(when(col(matchCol) && col(f), 1)).as(s"am_$f"),
+          count(when(!col(matchCol) && col(f), 1)).as(s"au_$f"))
+      }
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val fields = fieldCols.map { f =>
+      struct(lit(f).as("field"), col(s"am_$f").as("am"),
+        col(s"au_$f").as("au"))
+    }
+    val long = wide
+      .select(col("n_match"), (col("n_all") - col("n_match")).as("n_unmatch"),
+        explode(array(fields: _*)).as("e"))
+      .select(col("e.field").as("field"), col("n_match"), col("n_unmatch"),
+        col("e.am").as("agree_match"), col("e.au").as("agree_unmatch"))
+    val m = (col("agree_match") + 1L).cast("double") /
+      (col("n_match") + 2L).cast("double")
+    val u = (col("agree_unmatch") + 1L).cast("double") /
+      (col("n_unmatch") + 2L).cast("double")
+    long.select(col("field"), col("n_match"), col("n_unmatch"),
+        col("agree_match"), col("agree_unmatch"),
+        round(log(m / u), 7).as("w_agree"),
+        round(log((lit(1.0) - m) / (lit(1.0) - u)), 7).as("w_disagree"))
+      .orderBy("field")
+  }
+}

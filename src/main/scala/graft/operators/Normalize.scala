@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Distribution-normalization preprocessing — the batch-effect
+  * correction layer of a feature pipeline: make per-slice value
+  * distributions comparable before thresholds or models see them.
+  */
+object Normalize {
+
+  private def requireIntegral(df: DataFrame, valueCol: String): Unit =
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType)
+
+  /** Quantile normalization — map every group's values onto the POOLED
+    * distribution so group identity stops leaking into the scale
+    * (microarray-style batch correction for event/metric slices): a row
+    * with rank i of n_g in its group maps to the pooled reference
+    *
+    *   ref = min{ v_pool : cum(v_pool) * (n_g + 1) >= i * (N + 1) }
+    *
+    * equivalently the pooled order statistic at the exact ceil-division
+    * position p* = ceil(i*(N+1)/(n_g+1)) — integer arithmetic end to
+    * end, no float quantile anywhere; the reference is always defined
+    * (i <= n_g implies the pooled max qualifies). Ranks are row_number
+    * over (value, id) — the deterministic-tie contract; values must be
+    * INTEGRAL.
+    *
+    * Scale shape: one per-group rank window, the pooled cumsum exploded
+    * into an N-row (position -> value) table, then ONE equi-join on the
+    * position — no range/nested-loop join survives to the plan.
+    *
+    * Returns (group, id, v, rank, n_g, ref).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val slim = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val ranked = slim.withColumn("rank", row_number().over(w).cast("long"))
+    val sizes = slim.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
+    val pool = slim.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wp = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val positions = pool.withColumn("cum", sum(col("c")).over(wp))
+      .select(explode(sequence(col("cum") - col("c") + 1L, col("cum")))
+        .as("pos"), col("v").as("ref"))
+    val n = slim.agg(count(lit(1)).as("n_all"))
+    // p* = ceil(rank*(N+1)/(n_g+1)) via the exact subtract-mod floor of
+    // (rank*(N+1) + n_g) / (n_g+1)
+    val num = col("rank") * (col("n_all") + 1L) + col("n_g")
+    val den = col("n_g") + 1L
+    val pstar = ((num - pmod(num, den)) / den).cast("long")
+    ranked.join(sizes, "g").crossJoin(broadcast(n))
+      .withColumn("pos", pstar)
+      .join(positions, "pos")
+      .select(col("g").as("group"), col("id"), col("v"), col("rank"),
+        col("n_g"), col("ref"))
+  }
+
+  /** Modified-z-score outliers (Iglewicz-Hoaglin) — the robust
+    * replacement for mean/stddev flagging (one wild value inflates a
+    * stddev until nothing is an outlier): per group,
+    *
+    *   M = 0.6745 * (x - median) / MAD,  flag |M| > threshold (3.5).
+    *
+    * Exactness: the group median and the MAD (median of |x - median|)
+    * are both pinned LOWER medians on distinct-value cumsums (exact
+    * integers); M is one double expression. Groups with MAD = 0 emit no
+    * rows (every deviation is the tie at 0 — no robust scale exists).
+    * Values must be INTEGRAL.
+    *
+    * Returns the outlier rows only: (group, id, v, med, mad, mz).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, threshold: Double = 3.5): DataFrame = {
+    requireIntegral(df, valueCol)
+    val slim = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    def lowerMedian(in: DataFrame, vc: String): DataFrame = {
+      val pv = in.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("t"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        .orderBy(col(vc))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val sizes = in.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
+      pv.withColumn("cum", sum(col("t")).over(w))
+        .join(sizes, "g")
+        .where(lit(2L) * col("cum") >= col("n_g"))
+        .groupBy(col("g")).agg(min(col(vc)).as("m"))
+    }
+    val med = lowerMedian(slim, "v")
+    val dev = slim.join(med, "g")
+      .withColumn("dv", abs(col("v") - col("m")))
+    val mad = lowerMedian(dev.select(col("g"), col("dv")), "dv")
+      .withColumnRenamed("m", "mad")
+    val mz = lit(0.6745) * (col("v") - col("m")).cast("double") /
+      col("mad").cast("double")
+    dev.join(mad, "g")
+      .where(col("mad") > 0L && abs(mz) > lit(threshold))
+      .select(col("g").as("group"), col("id"), col("v"), col("m").as("med"),
+        col("mad"), round(mz, 7).as("mz"))
+  }
+}

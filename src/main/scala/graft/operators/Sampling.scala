@@ -407,4 +407,42 @@ object Sampling {
         (lit(full) + when(col("__xid").isNotNull, 1L).otherwise(0L))
           .as("n_epochs"): _*)
   }
+
+  /** word2vec-style negative-sampling table — the smoothed unigram
+    * distribution f^{3/4} that downweights stopwords without erasing
+    * them (Mikolov et al. 2013): per token,
+    *
+    *   w = f^{3/4} = sqrt(f * sqrt(f)),
+    *
+    * computed via two IEEE sqrts and one multiply — each correctly
+    * rounded, so the double is bit-identical on any engine (no pow(),
+    * whose libm parity is not guaranteed). The weight is then quantized
+    * to wq = floor(w * 1e6) BIGINT, so the normalizing total and the
+    * cumulative table are EXACT integer arithmetic; p and cum_p are one
+    * division each. Table order is (wq desc, token asc) — pinned.
+    *
+    * Scale shape: one tokenize-groupBy (vocabulary-sized) + one window
+    * over the vocabulary.
+    *
+    * Returns (token, freq, wq, p, cum_p).
+    */
+  def negativeSamplingTable(df: DataFrame, tokenCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.where(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .groupBy(col(tokenCol).as("token")).agg(count(lit(1)).as("freq"))
+    val fD = col("freq").cast("double")
+    val wq = floor(sqrt(fD * sqrt(fD)) * lit(1e6)).cast("long")
+    val weighted = counts.withColumn("wq", wq)
+    val tot = weighted.agg(sum(col("wq").cast(dec)).as("tw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("wq"), col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    weighted.withColumn("cum", sum(col("wq").cast(dec)).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("freq"), col("wq"),
+        round(col("wq").cast("double") / col("tw").cast("double"), 7)
+          .as("p"),
+        round(col("cum").cast("double") / col("tw").cast("double"), 7)
+          .as("cum_p"))
+  }
 }

@@ -1199,6 +1199,51 @@ object StatTests {
           kD / (kD - 1.0) * (lit(1.0) - num / den)), 7).as("alpha"))
   }
 
+  /** Exact 2-feature PCA per group — the closed-form eigendecomposition
+    * of the 2x2 covariance (how much of two metrics' joint variance is
+    * one direction — the collinearity readout before feature selection):
+    * with the n^2-scaled covariance entries
+    *
+    *   Sxx' = n*sum(x^2) - (sum x)^2   (and Syy', Sxy' likewise)
+    *   lambda_{1,2} = ((Sxx'+Syy') +/- sqrt((Sxx'-Syy')^2 + 4*Sxy'^2)) / 2
+    *
+    * Exactness: the scaled entries and the discriminant's integer parts
+    * are exact DECIMAL(38,0) over INTEGRAL features; sqrt is IEEE
+    * correctly rounded (bit-identical on any engine — unlike pow); the
+    * eigenvalues and explained = lambda1/(lambda1+lambda2) are pinned
+    * double expressions rounded at 7. Null when the trace is 0.
+    *
+    * Returns (group, n, l1, l2, explained) — l1/l2 carry the n^2 scale
+    * (divide by n(n-1) for sample covariance eigenvalues).
+    */
+  def pca2(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    requireIntegral(df, xCol)
+    requireIntegral(df, yCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"), col(xCol).as("x"),
+        col(yCol).as("y"))
+      .where(col("g").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    val agg = slim.groupBy(col("g").as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    val nDec = col("n").cast(dec)
+    val cxx = nDec * col("sxx") - col("sx") * col("sx")
+    val cyy = nDec * col("syy") - col("sy") * col("sy")
+    val cxy = nDec * col("sxy") - col("sx") * col("sy")
+    val tr = (cxx + cyy).cast("double")
+    val disc = sqrt(((cxx - cyy) * (cxx - cyy) +
+      lit(4L).cast(dec) * cxy * cxy).cast("double"))
+    val l1 = (tr + disc) / 2.0
+    val l2 = (tr - disc) / 2.0
+    agg.select(col("group"), col("n"),
+      round(l1, 7).as("l1"), round(l2, 7).as("l2"),
+      round(when(tr > 0.0, l1 / tr), 7).as("explained"))
+  }
+
   /** Cramer-von Mises two-sample T — the whole-curve companion to KS
     * (KS sees only the largest ECDF gap; CvM integrates every gap, so a
     * distribution that drifts a little everywhere is caught): the

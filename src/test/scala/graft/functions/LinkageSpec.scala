@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** Fellegi-Sunter weights: hand m/u case with smoothing, multi-field
+  * single-pass, discriminative vs useless fields.
+  */
+class LinkageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand case: m=0.75 u=0.25 gives +/- ln 3 weights") {
+    // 10 matches (8 agree), 10 unmatches (2 agree); add-one smoothing
+    // -> m = 9/12, u = 3/12
+    val rows = Seq.fill(8)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(8)((false, false))
+    val got = Linkage.fellegiSunterWeights(
+      rows.toDF("is_match", "f"), "is_match", Seq("f")).collect()(0)
+    assert(got.getString(0) == "f")
+    assert(got.getLong(1) == 10L && got.getLong(2) == 10L)
+    assert(got.getLong(3) == 8L && got.getLong(4) == 2L)
+    assert(got.getDouble(5) == math.rint(math.log(3.0) * 1e7) / 1e7)
+    assert(got.getDouble(6) == math.rint(math.log(1.0 / 3.0) * 1e7) / 1e7)
+  }
+
+  test("one pass scores many fields; a useless field weighs ~zero") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      val m = i % 2 == 0
+      // good field tracks the label; noise field is a coin flip
+      (m, m ^ (i % 20 == 0), rnd.nextBoolean())
+    }
+    val got = Linkage.fellegiSunterWeights(
+      rows.toDF("is_match", "good", "noise"), "is_match",
+      Seq("good", "noise"))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(got("good") > 1.0)          // strongly positive evidence
+    assert(math.abs(got("noise")) < 0.5) // roughly uninformative
+  }
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Negative-sampling table: the exact-power-of-two f^(3/4) case, pinned
+  * ordering, and the quantized-total normalization.
+  */
+class NegativeSamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("16:1 counts give exact 8:1 smoothed weights and a pinned cumulative") {
+    // 16^(3/4) = 8 exactly (sqrt(16*sqrt(16)) = sqrt(64))
+    val df = (Seq.fill(16)("a") ++ Seq("b")).toDF("tok")
+    val got = Sampling.negativeSamplingTable(df, "tok")
+      .orderBy("cum_p").collect()
+    assert(got(0).getString(0) == "a" && got(0).getLong(1) == 16L &&
+      got(0).getLong(2) == 8000000L)
+    assert(got(1).getString(0) == "b" && got(1).getLong(2) == 1000000L)
+    assert(got(0).getDouble(3) == math.rint(8.0 / 9.0 * 1e7) / 1e7)
+    assert(got(0).getDouble(4) == got(0).getDouble(3))
+    assert(got(1).getDouble(4) == 1.0)
+    // empty/null tokens drop
+    val noisy = (Seq("x", "", "x") :+ null).toDF("tok")
+    assert(Sampling.negativeSamplingTable(noisy, "tok").count() == 1L)
+  }
+
+  test("smoothing compresses the head: stopword share shrinks vs raw frequency") {
+    val df = (Seq.fill(81)("the") ++ Seq.fill(1)("rare")).toDF("tok")
+    val got = Sampling.negativeSamplingTable(df, "tok")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // raw share would be 81/82 = 0.9878; 81^(3/4) = 27 -> 27/28 = 0.9643
+    assert(got("the") < 81.0 / 82.0)
+    assert(got("the") == math.rint(27.0 / 28.0 * 1e7) / 1e7)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Quantile normalization and MAD outliers: identity on identical
+  * groups, the shifted-groups collapse, hand outlier case.
+  */
+class NormalizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantile normalization: identical groups map to themselves") {
+    val df = (Seq(1, 2, 3).map(("g1", _)) ++ Seq(1, 2, 3).map(("g2", _)))
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      .toDF("g", "id", "v")
+    val got = Normalize.quantileNormalize(df, "g", "id", "v").collect()
+    assert(got.length == 6)
+    assert(got.forall(r => r.getInt(2) == r.getInt(5)))
+  }
+
+  test("quantile normalization: shifted groups collapse onto pooled refs") {
+    val df = Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 11), ("b", 4L, 12))
+      .toDF("g", "id", "v")
+    val got = Normalize.quantileNormalize(df, "g", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getInt(5)))
+    // rank1 -> pooled pos ceil(5/3)=2 -> 2; rank2 -> pos ceil(10/3)=4 -> 12
+    val byGroupRank = got.map { case (g, rk, ref) => (g, rk) -> ref }.toMap
+    assert(byGroupRank(("a", 1L)) == 2 && byGroupRank(("b", 1L)) == 2)
+    assert(byGroupRank(("a", 2L)) == 12 && byGroupRank(("b", 2L)) == 12)
+    intercept[IllegalArgumentException](
+      Normalize.quantileNormalize(Seq(("g", 1L, 1.0)).toDF("g", "id", "v"),
+        "g", "id", "v"))
+  }
+
+  test("MAD outliers: hand case flags the vandal only; MAD=0 emits nothing") {
+    val df = ((1 to 9) :+ 100).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+    val got = Normalize.madOutliers(df, "g", "id", "v").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getInt(2) == 100 && r.getInt(3) == 5 && r.getInt(4) == 2)
+    assert(r.getDouble(5) == math.rint(0.6745 * 95.0 / 2.0 * 1e7) / 1e7)
+    // constant-plus-one-vandal: MAD = 0 -> no robust scale -> no rows
+    val flat = (Seq.fill(9)(5) :+ 100).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+    assert(Normalize.madOutliers(flat, "g", "id", "v").count() == 0L)
+  }
+}

@@ -650,4 +650,21 @@ class StatTestsSpec extends SparkTestBase {
     val qt = math.floor(1.0 * math.log(1.0 / 0.5) * 1e12)
     assert(d.getDouble(3) == math.rint(2.0 * qt / 1e12 / 2.0 * 1e7) / 1e7)
   }
+
+  test("exact 2-feature PCA: perfect line, isotropic square, zero-trace null") {
+    val line = Seq((1, 1), (2, 2), (3, 3)).map { case (x, y) => ("g", x, y) }
+      .toDF("g", "x", "y")
+    val l = StatTests.pca2(line, "g", "x", "y").collect()(0)
+    assert(l.getLong(1) == 3L)
+    assert(l.getDouble(2) == 12.0 && l.getDouble(3) == 0.0)
+    assert(l.getDouble(4) == 1.0)
+    val square = Seq((0, 0), (0, 1), (1, 0), (1, 1))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val s = StatTests.pca2(square, "g", "x", "y").collect()(0)
+    assert(s.getDouble(2) == 4.0 && s.getDouble(3) == 4.0)
+    assert(s.getDouble(4) == 0.5)
+    // all points identical -> zero trace -> null explained
+    val flat = Seq(("g", 2, 3), ("g", 2, 3)).toDF("g", "x", "y")
+    assert(StatTests.pca2(flat, "g", "x", "y").collect()(0).isNullAt(4))
+  }
 }
