@@ -8218,6 +8218,65 @@ object SparkEntry {
               hour(col("ts")).cast("long")).as("y")),
         "event_type", "x", "y")
         .orderBy("group")),
+
+    // --- 370. Boruvka minimum spanning forest, oracle-pinned -------------------------------------------------
+    // Binary tree on customer keys + strictly-heavier chord edges: by
+    // the cycle property the MST is exactly the tree, so the oracle is
+    // closed-form while the engine runs full distributed Boruvka
+    // (component min-edge selection + CC contraction per round).
+    "q370_boruvka_mst" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val tree = c.where(col("k") >= 2)
+        .select(col("k").as("s"),
+          floor(col("k") / 2).cast("long").as("d"),
+          (lit(1000L) + col("k")).as("w"))
+      val extra = c.where(col("k") >= 3)
+        .select(col("k").as("s"),
+          floor(col("k") / 3).cast("long").as("d"),
+          (lit(10000000L) + col("k")).as("w"))
+      graft.functions.Graph.boruvkaMst(
+        tree.unionByName(extra), "s", "d", "w")
+        .orderBy("lo", "hi")
+    }),
+
+    // --- 371. multi-source BFS hop distances, oracle-pinned --------------------------------------------------
+    // Ring + chord graph on customer keys, seeds every 97th key, 6-hop
+    // horizon; the oracle replays the BFS as a bounded recursive CTE
+    // with MIN(hop) per node.
+    "q371_multi_source_bfs" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val m = c.agg((max(col("k")) + 1L).as("mm"))
+      val cm = c.crossJoin(broadcast(m))
+      val e = cm.select(col("k").as("s"), ((col("k") + 1) % col("mm")).as("d"))
+        .unionByName(cm.select(col("k").as("s"),
+          ((col("k") * 7 + 3) % col("mm")).as("d")))
+      val seeds = c.where(col("k") % 97 === 0)
+      graft.functions.Graph.multiSourceBfs(e, "s", "d", seeds, "k",
+        maxHops = 6).orderBy("node")
+    }),
+
+    // --- 372. bounded-gap followed-by counts, oracle-pinned --------------------------------------------------
+    // "A then B within 3 events" per user — the PrefixSpan workhorse
+    // special case under funnels; one window pass, label-pair shuffle.
+    "q372_followed_by" -> ((s, d) =>
+      graft.operators.Sequences.followedByCounts(
+        t(s, d, "events").where(col("ts").isNotNull),
+        "user_id", Seq("ts", "event_id"), "event_type", maxGap = 3)
+        .orderBy("a", "b")),
+
+    // --- 373. Cochran-Armitage trend, oracle-pinned ----------------------------------------------------------
+    // Does the purchase rate trend across the four 6-hour bands? The
+    // binary-outcome sibling of q356's Jonckheere.
+    "q373_cochran_armitage" -> ((s, d) =>
+      graft.operators.StatTests.cochranArmitage(
+        t(s, d, "events").where(col("ts").isNotNull &&
+          col("event_type").isNotNull)
+          .select(concat(lit("h"),
+            floor(hour(col("ts")) / 6).cast("long").cast("string")).as("band"),
+            (col("event_type") === "purchase").as("o")),
+        "band", "o", Seq("h0", "h1", "h2", "h3"))
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("num", col("num").cast("long"))),
   )
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
@@ -15112,6 +15171,70 @@ object SparkEntry {
          |  ROUND($l2, 7) AS l2,
          |  ROUND(CASE WHEN $tr > 0 THEN $l1 / $tr END, 7) AS explained
          |FROM sc ORDER BY "group"""".stripMargin
+    },
+
+    // Boruvka: the MST is the construction's tree by the cycle property
+    // (every chord is strictly heaviest on its cycle) — closed form.
+    "q370_boruvka_mst" ->
+      """SELECT CAST(c_custkey // 2 AS BIGINT) AS lo, c_custkey AS hi,
+        |  1000 + c_custkey AS weight
+        |FROM customer WHERE c_custkey >= 2 ORDER BY lo, hi""".stripMargin,
+
+    // Multi-source BFS: bounded recursive CTE, MIN(hop) per node.
+    "q371_multi_source_bfs" ->
+      """WITH RECURSIVE m AS (SELECT max(c_custkey) + 1 AS mm FROM customer),
+        |e0 AS (SELECT c_custkey AS s, (c_custkey + 1) % mm AS d
+        |       FROM customer, m
+        |       UNION
+        |       SELECT c_custkey, (c_custkey * 7 + 3) % mm FROM customer, m),
+        |e AS (SELECT s, d FROM e0 WHERE s <> d
+        |      UNION SELECT d, s FROM e0 WHERE s <> d),
+        |seeds AS (SELECT c_custkey AS v FROM customer
+        |          WHERE c_custkey % 97 = 0),
+        |walk(v, h) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT e.d, w.h + 1 FROM walk w JOIN e ON e.s = w.v WHERE w.h < 6)
+        |SELECT v AS node, CAST(MIN(h) AS BIGINT) AS hops
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Followed-by: the identical three lead columns stacked.
+    "q372_followed_by" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |             AND event_type IS NOT NULL),
+        |l AS (SELECT event_type AS a,
+        |        lead(event_type, 1) OVER w AS b1,
+        |        lead(event_type, 2) OVER w AS b2,
+        |        lead(event_type, 3) OVER w AS b3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (SELECT a, b1 AS b FROM l
+        |      UNION ALL SELECT a, b2 FROM l
+        |      UNION ALL SELECT a, b3 FROM l)
+        |SELECT a, b, count(*) AS n_pairs FROM u WHERE b IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // Cochran-Armitage: exact integer trend numerator and variance
+    // pieces, one division + sqrt.
+    "q373_cochran_armitage" -> {
+      val varExpr = "CAST(a * (n - a) AS DOUBLE) " +
+        "* CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+      s"""WITH e AS (SELECT CAST(hour(ts) // 6 AS BIGINT) AS wj,
+         |    event_type = 'purchase' AS o
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |per AS (SELECT wj, count(*) AS n_j,
+         |          count(CASE WHEN o THEN 1 END) AS a_j
+         |        FROM e GROUP BY 1),
+         |agg AS (SELECT CAST(sum(n_j) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(a_j) AS BIGINT) AS a,
+         |    CAST(sum(wj * n_j) AS BIGINT) AS s1,
+         |    CAST(sum(wj * wj * n_j) AS BIGINT) AS s2,
+         |    CAST(sum(wj * a_j) AS BIGINT) AS sa
+         |  FROM per)
+         |SELECT n, k, n * sa - a * s1 AS num,
+         |  ROUND(CASE WHEN $varExpr > 0 THEN
+         |    CAST(n * sa - a * s1 AS DOUBLE) / sqrt($varExpr) END, 7) AS z
+         |FROM agg""".stripMargin
     },
   )
 

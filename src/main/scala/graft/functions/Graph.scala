@@ -399,4 +399,124 @@ object Graph {
             (col("d") * (col("d") - 1)).cast("double"))
           .otherwise(lit(0.0)), 7).as("clustering"))
   }
+
+  /** Minimum spanning forest via distributed Boruvka — the backbone
+    * extractor (cheapest network connecting every dedup cluster, minimax
+    * similarity paths): each round every component selects its lightest
+    * outgoing edge under the TOTAL order (weight, lo, hi) — the
+    * deterministic tie-break that makes the forest unique even with
+    * duplicate weights (classic Boruvka requires distinct weights; a
+    * total order on edges is the standard generalization) — then merged
+    * components relabel through [[connectedComponents]].
+    *
+    * Every round at least halves the component count, so rounds <=
+    * log2(n); the cap is LOUD like CC's. Parallel edges collapse to
+    * their lightest; self-loops drop.
+    *
+    * Scale shape per round: two component-relabel joins + one
+    * combining groupBy-min per component + a CC run over the SELECTED
+    * edges only (component-count-sized, not edge-count-sized); the
+    * cross-component edge set shrinks monotonically and is
+    * localCheckpoint'd.
+    *
+    * Returns the forest edges (lo, hi, weight).
+    */
+  def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val raw = edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"),
+        col(weightCol).as("w"))
+      .where(col("lo") =!= col("hi"))
+      .groupBy(col("lo"), col("hi")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    val nodes = raw.select(col("lo").as("node"))
+      .union(raw.select(col("hi").as("node"))).distinct()
+    var comp = nodes.select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var remaining = raw
+    var mst: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val lab = remaining
+        .join(comp.select(col("node").as("lo"), col("comp").as("cl")), "lo")
+        .join(comp.select(col("node").as("hi"), col("comp").as("ch")), "hi")
+        .where(col("cl") =!= col("ch"))
+        .select(col("lo"), col("hi"), col("w"), col("cl"), col("ch"))
+        .localCheckpoint(true)
+      if (lab.isEmpty) {
+        done = true
+      } else {
+        val cand = lab.select(col("cl").as("c"),
+            struct(col("w"), col("lo"), col("hi"), col("ch").as("other"))
+              .as("e"))
+          .union(lab.select(col("ch").as("c"),
+            struct(col("w"), col("lo"), col("hi"), col("cl").as("other"))
+              .as("e")))
+        val sel = cand.groupBy(col("c")).agg(min(col("e")).as("m"))
+          .localCheckpoint(true)
+        val picked = sel
+          .select(col("m.lo").as("lo"), col("m.hi").as("hi"),
+            col("m.w").as("w"))
+          .distinct()
+        mst = if (mst == null) picked.localCheckpoint(true)
+          else mst.union(picked).localCheckpoint(true)
+        val cc = connectedComponents(
+          sel.select(col("c"), col("m.other").as("o")), "c", "o")
+        comp = comp.join(cc.select(col("node").as("comp"),
+              col("component").as("nc")), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        remaining = lab.select(col("lo"), col("hi"), col("w"))
+        round += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"boruvkaMst: not converged within $maxRounds rounds — refusing " +
+          "to return a partial forest (each round halves components; " +
+          "raise maxRounds)")
+    if (mst == null) raw.limit(0).select(col("lo"), col("hi"),
+      col("w").as("weight"))
+    else mst.select(col("lo"), col("hi"), col("w").as("weight"))
+  }
+
+  /** Multi-source BFS hop distances over an UNDIRECTED edge list — the
+    * "how far is everything from the seed set" primitive (contamination
+    * spread from flagged docs, crawl distance from trusted hosts):
+    * frontier expansion with an anti-join against the settled set, so
+    * each vertex is labeled with its MINIMUM hop count exactly once.
+    *
+    * Rounds = min(eccentricity, maxHops) — vertices beyond `maxHops`
+    * are absent from the result (documented horizon, not an error);
+    * per round one equi-join + one anti-join, frontier and settled set
+    * localCheckpoint'd (bounded lineage).
+    *
+    * Returns (node, hops) for every vertex reached within maxHops.
+    */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("node").as("a"))
+        .join(sym, "a").select(col("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h + 1L))
+        .localCheckpoint(true)
+      dist = dist.union(next).localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    dist
+  }
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequential-pattern mining primitives over per-key ordered event
+  * streams — the "what follows what" layer under funnels (q61) and
+  * Markov fluency (q103): PrefixSpan's workhorse special case of
+  * bounded-gap ordered pairs, which covers most production "A then B"
+  * questions without the exponential pattern lattice.
+  */
+object Sequences {
+
+  /** Ordered-pair occurrence counts: for every event at position t in
+    * its key's stream, pair its label with the labels at positions
+    * t+1 .. t+maxGap. One window pass computes all gap offsets as lead
+    * columns; the stack explodes maxGap pairs per row; one combining
+    * groupBy counts.
+    *
+    * Exactness: pure integer counting over a deterministic
+    * (orderCols)-pinned order — ties must be broken by the order
+    * columns (pass an id column last).
+    *
+    * Scale shape: one per-key window (partitioned, never global) + one
+    * combining groupBy on (a, b) — label-pair-sized shuffle.
+    *
+    * Returns (a, b, n_pairs).
+    */
+  def followedByCounts(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], labelCol: String,
+      maxGap: Int = 3): DataFrame = {
+    require(maxGap >= 1 && maxGap <= 16, s"maxGap must be in [1,16], got $maxGap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val leads = (1 to maxGap).map(j => lead(col(labelCol), j).over(w))
+    df.where(col(keyCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("a"), array(leads: _*).as("bs"))
+      .select(col("a"), explode(col("bs")).as("b"))
+      .where(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pairs"))
+  }
+}

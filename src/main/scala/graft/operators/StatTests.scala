@@ -1199,6 +1199,52 @@ object StatTests {
           kD / (kD - 1.0) * (lit(1.0) - num / den)), 7).as("alpha"))
   }
 
+  /** Cochran-Armitage trend test — k ORDERED groups with a BINARY
+    * outcome (does the pass rate rise with model size? does toxicity
+    * grow along the dose order?): the binary-outcome sibling of
+    * Jonckheere-Terpstra. With integer scores w_j = 0..k-1, successes
+    * a_j, sizes n_j, A = sum a, N = sum n, S1 = sum w*n, S2 = sum w^2*n,
+    * Sa = sum w*a:
+    *
+    *   z = (N*Sa - A*S1) / sqrt(A*(N-A) * (N*S2 - S1^2) / N)
+    *
+    * Exactness: every inner term is an exact DECIMAL(38,0) product of
+    * BIGINT sums; z is one pinned double expression rounded at 7, null
+    * when the variance is 0 (all-success, all-failure, or one group).
+    *
+    * Scale shape: one combining groupBy (k rows) + exact reductions.
+    *
+    * Returns one row (n, k, num, z) — num = N*Sa - A*S1, the exact
+    * trend numerator.
+    */
+  def cochranArmitage(df: DataFrame, groupCol: String, outcomeCol: String,
+      order: Seq[String]): DataFrame = {
+    require(order.nonEmpty, "group order must be given")
+    val dec = "decimal(38,0)"
+    val rank: Column = order.zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, (g, i)) => when(col("g") === g, lit(i.toLong)).otherwise(acc)
+    }
+    val slim = df.select(col(groupCol).as("g"), col(outcomeCol).as("o"))
+      .where(col("g").isin(order.map(x => x: Any): _*) && col("o").isNotNull)
+      .withColumn("wj", rank)
+    val per = slim.groupBy(col("wj"))
+      .agg(count(lit(1)).as("n_j"), count(when(col("o"), 1)).as("a_j"))
+    val agg = per.agg(
+      sum(col("n_j")).as("n"), count(lit(1)).as("k"),
+      sum(col("a_j")).as("a"),
+      sum((col("wj") * col("n_j")).cast(dec)).as("s1"),
+      sum((col("wj") * col("wj") * col("n_j")).cast(dec)).as("s2"),
+      sum((col("wj") * col("a_j")).cast(dec)).as("sa"))
+    val num = (col("n").cast(dec) * col("sa") - col("a").cast(dec) * col("s1"))
+    val varInner = (col("a").cast(dec) * (col("n") - col("a")).cast(dec))
+      .cast("double") *
+      (col("n").cast(dec) * col("s2") - col("s1") * col("s1"))
+        .cast("double") / col("n").cast("double")
+    agg.select(col("n"), col("k"), num.as("num"),
+      round(when(varInner > 0.0, num.cast("double") / sqrt(varInner)), 7)
+        .as("z"))
+  }
+
   /** Exact 2-feature PCA per group — the closed-form eigendecomposition
     * of the 2x2 covariance (how much of two metrics' joint variance is
     * one direction — the collinearity readout before feature selection):

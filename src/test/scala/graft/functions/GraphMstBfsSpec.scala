@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** Boruvka MST vs a brute-force Kruskal reference; multi-source BFS hop
+  * distances vs hand-walked paths.
+  */
+class GraphMstBfsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var out = Set[(Long, Long)]()
+    for ((lo, hi, w) <- edges.sortBy(e => (e._3, e._1, e._2))) {
+      val (a, b) = (find(lo), find(hi))
+      if (a != b) { parent(a) = b; out += ((math.min(lo, hi), math.max(lo, hi))) }
+    }
+    out
+  }
+
+  test("square with heavy diagonal: the three light edges win") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L),
+      (4L, 1L, 4L), (1L, 3L, 10L)).toDF("s", "d", "w")
+    val got = Graph.boruvkaMst(edges, "s", "d", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+  }
+
+  test("random graph matches the Kruskal reference; forests handled") {
+    val rnd = new scala.util.Random(19)
+    val raw = (for (_ <- 1 to 70) yield {
+      val a = rnd.nextInt(30).toLong
+      val b = rnd.nextInt(30).toLong
+      (math.min(a, b), math.max(a, b))
+    }).filter(e => e._1 != e._2).distinct
+    val edges = rnd.shuffle(raw).zipWithIndex
+      .map { case ((a, b), i) => (a, b, 100L + i) } // distinct weights
+    val got = Graph.boruvkaMst(edges.toDF("s", "d", "w"), "s", "d", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == kruskal(edges))
+    // two disjoint edges -> a 2-edge forest
+    val forest = Seq((1L, 2L, 5L), (10L, 11L, 6L)).toDF("s", "d", "w")
+    assert(Graph.boruvkaMst(forest, "s", "d", "w").count() == 2L)
+  }
+
+  test("multi-source BFS: path graph hops, horizon, two seeds meet") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val one = Graph.multiSourceBfs(path, "s", "d",
+      Seq(1L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val capped = Graph.multiSourceBfs(path, "s", "d",
+      Seq(1L).toDF("seed"), "seed", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val both = Graph.multiSourceBfs(path, "s", "d",
+      Seq(1L, 5L).toDF("seed"), "seed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+}

@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Bounded-gap ordered-pair counts: hand stream, gap horizon, per-key
+  * isolation.
+  */
+class SequencesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand stream A B A C at gap 2 yields the five pairs") {
+    val df = Seq(("u", 1, "A"), ("u", 2, "B"), ("u", 3, "A"), ("u", 4, "C"))
+      .toDF("k", "i", "e")
+    val got = Sequences.followedByCounts(df, "k", Seq("i"), "e", maxGap = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("A", "B") -> 1L, ("A", "A") -> 1L, ("B", "A") -> 1L,
+      ("B", "C") -> 1L, ("A", "C") -> 1L))
+  }
+
+  test("gap 1 is strict adjacency; keys never leak into each other") {
+    val df = Seq(("u1", 1, "A"), ("u1", 2, "B"),
+      ("u2", 1, "B"), ("u2", 2, "C")).toDF("k", "i", "e")
+    val got = Sequences.followedByCounts(df, "k", Seq("i"), "e", maxGap = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("A", "B") -> 1L, ("B", "C") -> 1L))
+  }
+}

@@ -667,4 +667,25 @@ class StatTestsSpec extends SparkTestBase {
     val flat = Seq(("g", 2, 3), ("g", 2, 3)).toDF("g", "x", "y")
     assert(StatTests.pca2(flat, "g", "x", "y").collect()(0).isNullAt(4))
   }
+
+  test("Cochran-Armitage: hand rising trend, flat zero, degenerate null") {
+    // a = (2,5,8) over n = 10 each: num = 180, var = 4500
+    val df = (Seq.fill(2)(("g0", true)) ++ Seq.fill(8)(("g0", false)) ++
+      Seq.fill(5)(("g1", true)) ++ Seq.fill(5)(("g1", false)) ++
+      Seq.fill(8)(("g2", true)) ++ Seq.fill(2)(("g2", false)))
+      .toDF("g", "o")
+    val r = StatTests.cochranArmitage(df, "g", "o", Seq("g0", "g1", "g2"))
+      .collect()(0)
+    assert(r.getLong(0) == 30L && r.getLong(1) == 3L)
+    assert(r.getDecimal(2).longValueExact == 180L)
+    assert(r.getDouble(3) == math.rint(180.0 / math.sqrt(4500.0) * 1e7) / 1e7)
+    // flat rates -> zero numerator; reversed order flips the sign
+    val rev = StatTests.cochranArmitage(df, "g", "o", Seq("g2", "g1", "g0"))
+      .collect()(0)
+    assert(rev.getDouble(3) == -r.getDouble(3))
+    // all-success -> zero variance -> null
+    val allPass = Seq(("g0", true), ("g1", true)).toDF("g", "o")
+    assert(StatTests.cochranArmitage(allPass, "g", "o", Seq("g0", "g1"))
+      .collect()(0).isNullAt(3))
+  }
 }
