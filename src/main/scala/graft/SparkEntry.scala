@@ -8277,7 +8277,98 @@ object SparkEntry {
         "band", "o", Seq("h0", "h1", "h2", "h3"))
         // sf-bounded exact int: pin int64 on both engines
         .withColumn("num", col("num").cast("long"))),
+
+    // --- 374. Cohen's d / Hedges' g, oracle-pinned -----------------------------------------------------------
+    // Effect SIZE for the q331 Welch pair — at 100 TB everything is
+    // significant; d says whether anyone should care.
+    "q374_cohens_d" -> ((s, d) =>
+      graft.operators.EffectSizes.cohensD(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 375. Cliff's delta, oracle-pinned -------------------------------------------------------------------
+    // The ordinal effect size from the exact doubled Mann-Whitney U —
+    // no variance assumption at all.
+    "q375_cliffs_delta" -> ((s, d) =>
+      graft.operators.EffectSizes.cliffsDelta(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 376. odds ratio + relative risk, oracle-pinned ------------------------------------------------------
+    // Morning exposure vs purchase outcome: the 2x2 effect readout with
+    // the log-normal 95% CI.
+    "q376_odds_ratio" -> ((s, d) =>
+      graft.operators.EffectSizes.oddsRatio(
+        t(s, d, "events").where(col("ts").isNotNull &&
+          col("event_type").isNotNull)
+          .select((hour(col("ts")) < 12).as("e"),
+            (col("event_type") === "purchase").as("o")),
+        "e", "o")),
+
+    // --- 377. pairwise audience overlap, oracle-pinned -------------------------------------------------------
+    // Which event types share users? Exact Jaccard per type pair via
+    // one postings-style self-join on user id.
+    "q377_audience_overlap" -> ((s, d) =>
+      graft.functions.Coverage.audienceOverlap(
+        t(s, d, "events").where(col("user_id").isNotNull),
+        "event_type", "user_id")
+        .orderBy("g_a", "g_b")),
+
+    // --- 378. Lorenz curve deciles, oracle-pinned ------------------------------------------------------------
+    // The full concentration profile behind q315's Gini: per return
+    // flag, which decile of line items carries the quantity?
+    "q378_lorenz" -> ((s, d) =>
+      graft.operators.StatTests.lorenzCurve(
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("q")),
+        "l_returnflag", "q")
+        .orderBy("group", "p")),
+
+    // --- 379. capture-recapture dedup coverage, oracle-pinned ------------------------------------------------
+    // Two independent md5-bucket "detectors" over documents; Chapman's
+    // estimator recovers the population size they sample from — the
+    // device that estimates what a dedup pass MISSES.
+    "q379_capture_recapture" -> ((s, d) =>
+      graft.functions.Coverage.capturerecapture(
+        t(s, d, "documents").select(
+          (md5Bucket(col("doc_id")) < 40).as("a"),
+          (md5Bucket(col("doc_id") + 7777) < 40).as("b")),
+        "a", "b")),
+
+    // --- 380. Chao1 richness over word trigrams, oracle-pinned -----------------------------------------------
+    // How many trigram types exist INCLUDING the unseen tail — the
+    // corpus-growth planning number (the unigram vocab is closed at
+    // this corpus size; trigrams still have a live singleton frontier).
+    "q380_chao1" -> ((s, d) =>
+      graft.functions.Coverage.chao1(
+        trigramShingles(t(s, d, "documents")), "tok")),
+
+    // --- 381. Good-Turing adjusted counts, oracle-pinned -----------------------------------------------------
+    // r* = (r+1) N_{r+1}/N_r over the trigram count-of-counts ladder —
+    // the smoothing behind every serious rare-event frequency estimate.
+    "q381_good_turing" -> ((s, d) =>
+      graft.functions.Coverage.goodTuring(
+        trigramShingles(t(s, d, "documents")), "tok", maxR = 10)),
   )
+
+  /** Word-trigram shingles of documents.text (shared by q380/q381):
+    * lowercase whitespace tokens, empty tokens dropped, adjacent
+    * triples joined with single spaces.
+    */
+  private def trigramShingles(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0).as("a"))
+      .where(size(col("a")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 3), " +
+          "i -> concat(a[i], ' ', a[i+1], ' ', a[i+2]))")).as("tok"))
 
   /** Driver-side construction of animated-WebP fixtures for q224: a
     * solid-color VP8L frame (one-symbol prefix codes — zero bits per
@@ -15236,6 +15327,191 @@ object SparkEntry {
          |    CAST(n * sa - a * s1 AS DOUBLE) / sqrt($varExpr) END, 7) AS z
          |FROM agg""".stripMargin
     },
+
+    // Cohen's d / Hedges' g: exact (n,S,Q) per slice, the engine's
+    // exact-numerator pooled variance, one expression each.
+    "q374_cohens_d" -> {
+      val naD = "CAST(n_a AS DOUBLE)"
+      val nbD = "CAST(n_b AS DOUBLE)"
+      val ssA = s"(CAST(n_a * qa - sa * sa AS DOUBLE) / $naD)"
+      val ssB = s"(CAST(n_b * qb - sb * sb AS DOUBLE) / $nbD)"
+      val pooled = s"(($ssA + $ssB) / ($naD + $nbD - CAST(2 AS DOUBLE)))"
+      val dExpr = s"((CAST(sa AS DOUBLE) / $naD - CAST(sb AS DOUBLE) / $nbD)" +
+        s" / sqrt($pooled))"
+      val gf = s"(CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE)" +
+        s" / (CAST(4 AS DOUBLE) * ($naD + $nbD) - CAST(9 AS DOUBLE)))"
+      s"""WITH slim AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+         |agg AS (SELECT
+         |    count(*) FILTER (g = 'click') AS n_a,
+         |    count(*) FILTER (g = 'purchase') AS n_b,
+         |    CAST(sum(CASE WHEN g = 'click' THEN v ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN g = 'purchase' THEN v ELSE 0 END) AS BIGINT) AS sb,
+         |    CAST(sum(CASE WHEN g = 'click' THEN v * v ELSE 0 END) AS BIGINT) AS qa,
+         |    CAST(sum(CASE WHEN g = 'purchase' THEN v * v ELSE 0 END) AS BIGINT) AS qb
+         |  FROM slim)
+         |SELECT n_a, n_b,
+         |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $pooled > 0 THEN
+         |    $dExpr END, 7) AS d,
+         |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $pooled > 0 THEN
+         |    $dExpr * $gf END, 7) AS g
+         |FROM agg""".stripMargin
+    },
+
+    // Cliff's delta: the q309 doubled-U machinery, then one expression.
+    "q375_cliffs_delta" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca, count(*) AS t
+        |       FROM slim GROUP BY 1),
+        |r AS (SELECT *, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM pv),
+        |m AS (SELECT *, 2 * cum - t + 1 AS mid2 FROM r),
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(t - ca) AS BIGINT) AS n_b,
+        |        CAST(sum(ca * mid2) AS BIGINT) AS r2_a
+        |      FROM m)
+        |SELECT n_a, n_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      - CAST(1 AS DOUBLE)
+        |    END, 7) AS delta
+        |FROM a""".stripMargin,
+
+    // Odds ratio / RR: exact 2x2 cells, the log-normal CI with pinned
+    // double literals.
+    "q376_odds_ratio" -> {
+      val orE = "(CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE) " +
+        "/ (CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE)))"
+      val se = "sqrt(CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) " +
+        "+ CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE) " +
+        "+ CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) " +
+        "+ CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE))"
+      val ok = "n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0"
+      s"""WITH e AS (SELECT hour(ts) < 12 AS e, event_type = 'purchase' AS o
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |agg AS (SELECT
+         |    count(CASE WHEN e AND o THEN 1 END) AS n11,
+         |    count(CASE WHEN e AND NOT o THEN 1 END) AS n10,
+         |    count(CASE WHEN NOT e AND o THEN 1 END) AS n01,
+         |    count(CASE WHEN NOT e AND NOT o THEN 1 END) AS n00
+         |  FROM e)
+         |SELECT n11, n10, n01, n00,
+         |  ROUND(CASE WHEN $ok THEN $orE END, 7) AS odds_ratio,
+         |  ROUND(CASE WHEN $ok THEN
+         |    exp(ln($orE) - CAST(1.96 AS DOUBLE) * $se) END, 7) AS or_lo,
+         |  ROUND(CASE WHEN $ok THEN
+         |    exp(ln($orE) + CAST(1.96 AS DOUBLE) * $se) END, 7) AS or_hi,
+         |  ROUND(CASE WHEN $ok THEN
+         |    (CAST(n11 AS DOUBLE) / (CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)))
+         |      / (CAST(n01 AS DOUBLE) / (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+         |    END, 7) AS relative_risk
+         |FROM agg""".stripMargin
+    },
+
+    // Audience overlap: postings self-join, exact Jaccard.
+    "q377_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT event_type AS g, user_id AS id
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sz AS (SELECT g, count(*) AS sz FROM m GROUP BY 1),
+        |i AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS inter
+        |      FROM m a JOIN m b USING (id) WHERE a.g < b.g GROUP BY 1, 2)
+        |SELECT g_a, g_b, sa.sz AS n_a, sb.sz AS n_b, inter,
+        |  sa.sz + sb.sz - inter AS uni,
+        |  ROUND(CAST(inter AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE), 7) AS jaccard
+        |FROM i JOIN sz sa ON sa.g = i.g_a JOIN sz sb ON sb.g = i.g_b
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // Lorenz deciles: rank+cumsum (sum of k smallest is tie-invariant),
+    // exact integer decile positions.
+    "q378_lorenz" ->
+      """WITH slim AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |r AS (SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS rn,
+        |    CAST(sum(v) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v
+        |  FROM slim),
+        |sz AS (SELECT g, count(*) AS n_g, CAST(sum(v) AS BIGINT) AS total
+        |       FROM slim GROUP BY 1),
+        |ps AS (SELECT g, n_g, total, CAST(p AS INT) AS p,
+        |         (p * n_g) // 10 AS k
+        |       FROM sz, (SELECT unnest(generate_series(1, 10)) AS p))
+        |SELECT ps.g AS "group", p, k, cum_v,
+        |  ROUND(CASE WHEN total > 0 THEN
+        |    CAST(cum_v AS DOUBLE) / CAST(total AS DOUBLE) END, 7) AS share
+        |FROM ps JOIN r ON r.g = ps.g AND r.rn = ps.k
+        |WHERE k >= 1 ORDER BY "group", p""".stripMargin,
+
+    // Capture-recapture: the same portable md5 buckets, Chapman's
+    // bias-corrected estimator.
+    "q379_capture_recapture" -> {
+      val nHat = "(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) " +
+        "/ CAST(m_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE))"
+      s"""WITH f AS (SELECT
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 40 AS a,
+         |    CAST(('0x' || substr(md5(CAST(doc_id + 7777 AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 40 AS b
+         |  FROM documents),
+         |agg AS (SELECT count(CASE WHEN a THEN 1 END) AS n1,
+         |    count(CASE WHEN b THEN 1 END) AS n2,
+         |    count(CASE WHEN a AND b THEN 1 END) AS m_both
+         |  FROM f)
+         |SELECT n1, n2, m_both,
+         |  ROUND($nHat, 7) AS n_hat,
+         |  ROUND(CASE WHEN $nHat > 0 THEN
+         |    CAST(n1 AS DOUBLE) / $nHat END, 7) AS coverage_1,
+         |  ROUND(CASE WHEN $nHat > 0 THEN
+         |    CAST(n2 AS DOUBLE) / $nHat END, 7) AS coverage_2
+         |FROM agg""".stripMargin
+    },
+
+    // Chao1: exact singleton/doubleton census over word trigrams.
+    "q380_chao1" ->
+      """WITH d AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tok
+        |  FROM (SELECT a, UNNEST(generate_series(1, len(a) - 2)) AS i
+        |        FROM d WHERE len(a) >= 3)),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |agg AS (SELECT count(*) AS d,
+        |    count(CASE WHEN c = 1 THEN 1 END) AS f1,
+        |    count(CASE WHEN c = 2 THEN 1 END) AS f2
+        |  FROM counts)
+        |SELECT d, f1, f2,
+        |  ROUND(CAST(d AS DOUBLE)
+        |    + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |      / (CAST(2 AS DOUBLE) * CAST(f2 + 1 AS DOUBLE)), 7) AS chao1
+        |FROM agg""".stripMargin,
+
+    // Good-Turing: count-of-counts ladder, null where the next rung is
+    // empty (the estimator is undefined, not zero).
+    "q381_good_turing" ->
+      """WITH d AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tok
+        |  FROM (SELECT a, UNNEST(generate_series(1, len(a) - 2)) AS i
+        |        FROM d WHERE len(a) >= 3)),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |fof AS (SELECT c AS r, count(*) AS n_r FROM counts GROUP BY 1),
+        |nx AS (SELECT r - 1 AS r, n_r AS n_r1 FROM fof)
+        |SELECT r, n_r,
+        |  CASE WHEN COALESCE(n_r1, 0) > 0 THEN
+        |    ROUND(CAST(r + 1 AS DOUBLE) * CAST(COALESCE(n_r1, 0) AS DOUBLE)
+        |      / CAST(n_r AS DOUBLE), 7) END AS r_star
+        |FROM fof LEFT JOIN nx USING (r) WHERE r <= 10 ORDER BY r""".stripMargin,
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Coverage and richness estimation — "how much is out there that we
+  * have NOT seen": dedup-detector miss rates, unseen-vocabulary mass,
+  * audience overlap between slices. The estimators every corpus report
+  * quotes, restated with the suite's exactness discipline.
+  */
+object Coverage {
+
+  /** Pairwise audience overlap between groups — |A∩B|, |A∪B| and the
+    * exact Jaccard for every group pair (which event types share users?
+    * which sources share documents?): one distinct projection, one
+    * self-join keyed by member id (postings-style, never all-pairs over
+    * members), exact counts, one division.
+    *
+    * Returns (g_a, g_b, n_a, n_b, inter, uni, jaccard) for g_a < g_b.
+    */
+  def audienceOverlap(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val m = df.select(col(groupCol).as("g"), col(idCol).as("id"))
+      .where(col("g").isNotNull && col("id").isNotNull).distinct()
+    val sizes = m.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+    val inter = m.select(col("g").as("g_a"), col("id"))
+      .join(m.select(col("g").as("g_b"), col("id")), "id")
+      .where(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("g").as("g_a"), col("sz").as("n_a")), "g_a")
+      .join(sizes.select(col("g").as("g_b"), col("sz").as("n_b")), "g_b")
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("uni"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 7)
+          .as("jaccard"))
+  }
+
+  /** Chapman's capture-recapture estimator — how big is the population
+    * two independent detectors sample from (how many near-dups does the
+    * dedup pass MISS: run two detectors, count the overlap):
+    *
+    *   N_hat = (n1 + 1)(n2 + 1)/(m + 1) - 1
+    *
+    * (the bias-corrected Lincoln-Petersen, defined even at m = 0).
+    * Exact counts, one division; per-detector coverage = n/N_hat.
+    *
+    * Returns one row (n1, n2, m_both, n_hat, coverage_1, coverage_2).
+    */
+  def capturerecapture(df: DataFrame, flagACol: String,
+      flagBCol: String): DataFrame = {
+    val slim = df.select(col(flagACol).as("a"), col(flagBCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val agg = slim.agg(
+      count(when(col("a"), 1)).as("n1"),
+      count(when(col("b"), 1)).as("n2"),
+      count(when(col("a") && col("b"), 1)).as("m_both"))
+    val nHat = (col("n1") + 1L).cast("double") *
+      (col("n2") + 1L).cast("double") /
+      (col("m_both") + 1L).cast("double") - 1.0
+    agg.select(col("n1"), col("n2"), col("m_both"),
+      round(nHat, 7).as("n_hat"),
+      round(when(nHat > 0.0, col("n1").cast("double") / nHat), 7)
+        .as("coverage_1"),
+      round(when(nHat > 0.0, col("n2").cast("double") / nHat), 7)
+        .as("coverage_2"))
+  }
+
+  /** Chao1 richness estimator — how many vocabulary items exist
+    * including the ones the corpus has NOT surfaced yet (Chao 1984,
+    * bias-corrected form, defined at f2 = 0):
+    *
+    *   chao1 = D + f1*(f1 - 1) / (2*(f2 + 1))
+    *
+    * with D the observed distinct count, f1 singletons, f2 doubletons.
+    * Exact counts, one expression.
+    *
+    * Returns one row (d, f1, f2, chao1).
+    */
+  def chao1(df: DataFrame, tokenCol: String): DataFrame = {
+    val counts = df.where(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .groupBy(col(tokenCol)).agg(count(lit(1)).as("c"))
+    val agg = counts.agg(count(lit(1)).as("d"),
+      count(when(col("c") === 1, 1)).as("f1"),
+      count(when(col("c") === 2, 1)).as("f2"))
+    agg.select(col("d"), col("f1"), col("f2"),
+      round(col("d").cast("double") +
+        col("f1").cast("double") * (col("f1") - 1L).cast("double") /
+          (lit(2.0) * (col("f2") + 1L).cast("double")), 7).as("chao1"))
+  }
+
+  /** Good-Turing adjusted counts — the smoothing behind every serious
+    * LM/frequency estimate of rare events: a token seen r times should
+    * be treated as seen r* = (r+1) * N_{r+1} / N_r times, where N_r is
+    * the count-of-counts. Exact integer N_r from two combining groupBys
+    * + one lead over the dense r ladder; one division per row; rows with
+    * N_{r+1} = 0 carry null r_star (the estimator is undefined there —
+    * production smoothers fit a tail; that fitting is out of scope by
+    * design).
+    *
+    * Returns (r, n_r, r_star) for r in [1, maxR].
+    */
+  def goodTuring(df: DataFrame, tokenCol: String,
+      maxR: Int = 10): DataFrame = {
+    require(maxR >= 1, "maxR must be >= 1")
+    val counts = df.where(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .groupBy(col(tokenCol)).agg(count(lit(1)).as("c"))
+    val freqOfFreq = counts.groupBy(col("c").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    // the ladder must be dense: lead() over observed r would skip gaps
+    val next = freqOfFreq.select((col("r") - 1L).as("r"),
+      col("n_r").as("n_r1"))
+    freqOfFreq.where(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1L).cast("double") *
+          coalesce(col("n_r1"), lit(0L)).cast("double") /
+          col("n_r").cast("double"), 7).as("r_star"))
+      .withColumn("r_star",
+        when(col("r_star") > 0.0, col("r_star")))
+      .orderBy(col("r"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Effect sizes — the "how much, not just whether" companions to the
+  * test battery: a drift test on 100 TB is ALWAYS significant; these
+  * say whether anyone should care.
+  */
+object EffectSizes {
+
+  private def requireIntegral(df: DataFrame, valueCol: String): Unit =
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType)
+
+  /** Cohen's d + Hedges' g between two slices — the standardized mean
+    * difference (in pooled-SD units) behind every "is this shift big"
+    * judgement; g applies the small-sample bias factor
+    * 1 - 3/(4(n_a+n_b) - 9).
+    *
+    * Exactness: per-slice (n, S, Q) exact DECIMAL over INTEGRAL values;
+    * the pooled variance is one pinned double expression over the two
+    * exact corrected sums (n*Q - S^2)/n; d and g round at 7. Null when
+    * either slice has < 2 rows or the pooled variance is 0.
+    *
+    * Returns one row (n_a, n_b, d, g).
+    */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val agg = slim.agg(
+      count(when(col("g") === a, 1)).as("n_a"),
+      count(when(col("g") === b, 1)).as("n_b"),
+      sum(when(col("g") === a, col("v")).otherwise(0L).cast(dec)).as("sa"),
+      sum(when(col("g") === b, col("v")).otherwise(0L).cast(dec)).as("sb"),
+      sum(when(col("g") === a, col("v") * col("v")).otherwise(0L).cast(dec))
+        .as("qa"),
+      sum(when(col("g") === b, col("v") * col("v")).otherwise(0L).cast(dec))
+        .as("qb"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    // (n-1)*s^2 = (n*Q - S^2)/n, exact numerator
+    val ssA = (col("n_a").cast(dec) * col("qa") - col("sa") * col("sa"))
+      .cast("double") / naD
+    val ssB = (col("n_b").cast(dec) * col("qb") - col("sb") * col("sb"))
+      .cast("double") / nbD
+    val pooled = (ssA + ssB) / (naD + nbD - 2.0)
+    val dExpr = (col("sa").cast("double") / naD -
+      col("sb").cast("double") / nbD) / sqrt(pooled)
+    val gFactor = lit(1.0) - lit(3.0) / (lit(4.0) * (naD + nbD) - 9.0)
+    agg.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") >= 2 && col("n_b") >= 2 && pooled > 0.0, dExpr),
+        7).as("d"),
+      round(when(col("n_a") >= 2 && col("n_b") >= 2 && pooled > 0.0,
+        dExpr * gFactor), 7).as("g"))
+  }
+
+  /** Cliff's delta — the ordinal effect size (P(a > b) - P(a < b)) that
+    * needs no variance assumption at all: derived exactly from the
+    * Mann-Whitney doubled U as delta = u2/(n_a*n_b) - 1 (midrank ties
+    * get half credit automatically).
+    *
+    * Returns one row (n_a, n_b, delta).
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val mwu = StatTests.mannWhitneyU(df, groupCol, valueCol, a, b)
+    mwu.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0,
+        col("u2_a").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")) - 1.0), 7)
+        .as("delta"))
+  }
+
+  /** Odds ratio + relative risk with the 95% log-normal CI — the 2x2
+    * effect readout (exposure vs outcome): OR = ad/bc,
+    * RR = (a/(a+b)) / (c/(c+d)), CI = exp(ln OR +/- 1.96*sqrt(sum 1/cell)).
+    *
+    * Exactness: the four cells are exact BIGINTs; every statistic is one
+    * pinned double expression rounded at 7; all nulls when any cell is 0
+    * (the documented contract — callers wanting Haldane +0.5 smoothing
+    * apply it to the inputs explicitly, not silently here).
+    *
+    * Returns one row (n11, n10, n01, n00, odds_ratio, or_lo, or_hi,
+    * relative_risk).
+    */
+  def oddsRatio(df: DataFrame, exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val slim = df.select(col(exposureCol).as("e"), col(outcomeCol).as("o"))
+      .where(col("e").isNotNull && col("o").isNotNull)
+    val agg = slim.agg(
+      count(when(col("e") && col("o"), 1)).as("n11"),
+      count(when(col("e") && !col("o"), 1)).as("n10"),
+      count(when(!col("e") && col("o"), 1)).as("n01"),
+      count(when(!col("e") && !col("o"), 1)).as("n00"))
+    def d(c: String) = col(c).cast("double")
+    val ok = col("n11") > 0 && col("n10") > 0 && col("n01") > 0 &&
+      col("n00") > 0
+    val orE = d("n11") * d("n00") / (d("n10") * d("n01"))
+    val se = sqrt(lit(1.0) / d("n11") + lit(1.0) / d("n10") +
+      lit(1.0) / d("n01") + lit(1.0) / d("n00"))
+    val rr = (d("n11") / (d("n11") + d("n10"))) /
+      (d("n01") / (d("n01") + d("n00")))
+    agg.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      round(when(ok, orE), 7).as("odds_ratio"),
+      round(when(ok, exp(log(orE) - lit(1.96) * se)), 7).as("or_lo"),
+      round(when(ok, exp(log(orE) + lit(1.96) * se)), 7).as("or_hi"),
+      round(when(ok, rr), 7).as("relative_risk"))
+  }
+}

@@ -1199,6 +1199,54 @@ object StatTests {
           kD / (kD - 1.0) * (lit(1.0) - num / den)), 7).as("alpha"))
   }
 
+  /** Lorenz curve decile points per group — the full concentration
+    * PROFILE behind [[giniIndex]]'s single number (which decile of docs
+    * carries the tokens? how top-heavy is revenue?): at each decile
+    * p = 1..10,
+    *
+    *   share(p) = (sum of the floor(p*n/10) smallest values) / total.
+    *
+    * Exactness: the cumulative at a fixed position is the sum of the k
+    * smallest values — unique regardless of tie order inside the rank
+    * window — and the decile positions are exact integer divisions;
+    * share is one division per row. Values must be INTEGRAL and
+    * non-negative (the Lorenz construction's own requirement).
+    *
+    * Scale shape: one per-group rank+cumsum window + a 10-row-per-group
+    * position join.
+    *
+    * Returns (group, p, k, cum_v, share) for deciles with k >= 1.
+    */
+  def lorenzCurve(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val ranked = slim
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("cum_v", sum(col("v")).over(w))
+    val sizes = slim.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("total"))
+    val deciles = sizes
+      .select(col("g"), col("n_g"), col("total"),
+        explode(sequence(lit(1), lit(10))).as("p"))
+      .withColumn("k",
+        ((col("p") * col("n_g") - pmod(col("p") * col("n_g"), lit(10))) /
+          10L).cast("long"))
+      .where(col("k") >= 1L)
+    deciles.join(ranked.select(col("g"), col("rn").as("k"), col("cum_v")),
+        Seq("g", "k"))
+      .select(col("g").as("group"), col("p"), col("k"), col("cum_v"),
+        round(when(col("total") > 0L,
+          col("cum_v").cast("double") / col("total").cast("double")), 7)
+          .as("share"))
+  }
+
   /** Cochran-Armitage trend test — k ORDERED groups with a BINARY
     * outcome (does the pass rate rise with model size? does toxicity
     * grow along the dose order?): the binary-outcome sibling of

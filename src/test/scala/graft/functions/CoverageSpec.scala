@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** Coverage estimators: hand Jaccard overlap, Chapman capture-recapture,
+  * Chao1 worked counts, Good-Turing ladder with gaps.
+  */
+class CoverageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("audience overlap: hand pair, duplicate memberships collapse") {
+    val df = (Seq(1, 2, 3, 3).map(("A", _)) ++ Seq(2, 3, 4).map(("B", _)))
+      .toDF("g", "id")
+    val r = Coverage.audienceOverlap(df, "g", "id").collect()(0)
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 4L)
+    assert(r.getDouble(6) == 0.5)
+  }
+
+  test("capture-recapture: Chapman hand case, zero-overlap defined") {
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(30)((true, false)) ++
+      Seq.fill(20)((false, true)) ++ Seq.fill(10)((false, false))
+    val r = Coverage.capturerecapture(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 40L && r.getLong(2) == 20L)
+    // Chapman: 51*41/21 - 1
+    assert(r.getDouble(3) ==
+      math.rint((51.0 * 41.0 / 21.0 - 1.0) * 1e7) / 1e7)
+    val disjoint = Seq((true, false), (false, true)).toDF("a", "b")
+    assert(!Coverage.capturerecapture(disjoint, "a", "b").collect()(0)
+      .isNullAt(3)) // m = 0 still defined (the Chapman point)
+  }
+
+  test("Chao1: worked singleton/doubleton case") {
+    val toks = Seq("a", "b", "c", "d", "d", "e", "e", "e").toDF("tok")
+    val r = Coverage.chao1(toks, "tok").collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 5.0 + 3.0 * 2.0 / 4.0)
+  }
+
+  test("Good-Turing: adjusted counts, ladder gaps carry null") {
+    // N1=3, N2=1, N4=1
+    val toks = (Seq("a", "b", "c") ++ Seq("d", "d") ++ Seq.fill(4)("e"))
+      .toDF("tok")
+    val got = Coverage.goodTuring(toks.toDF("tok"), "tok")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) == Some(math.rint(2.0 / 3.0 * 1e7) / 1e7))
+    assert(got(2L).isEmpty) // N3 = 0 -> undefined, not zero
+    assert(got(4L).isEmpty) // N5 = 0
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Effect sizes: hand-computed d/g, Cliff's delta extremes, textbook
+  * 2x2 odds ratio with its log-normal CI.
+  */
+class EffectSizesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Cohen's d and Hedges' g: hand two-slice case, degenerate null") {
+    // A={1,2,3} B={4,5,6}: pooled var 1, d = -3, g = -3 * 0.8
+    val df = (Seq(1, 2, 3).map(("A", _)) ++ Seq(4, 5, 6).map(("B", _)))
+      .toDF("g", "v")
+    val r = EffectSizes.cohensD(df, "g", "v", "A", "B").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == -3.0)
+    assert(r.getDouble(3) == -2.4)
+    // constant slices -> zero pooled variance -> null
+    val flat = (Seq(5, 5).map(("A", _)) ++ Seq(7, 7).map(("B", _)))
+      .toDF("g", "v")
+    assert(EffectSizes.cohensD(flat, "g", "v", "A", "B").collect()(0)
+      .isNullAt(2))
+  }
+
+  test("Cliff's delta: hand overlap case, total separation extremes") {
+    val df = (Seq(1, 2).map(("A", _)) ++ Seq(2, 3).map(("B", _)))
+      .toDF("g", "v")
+    assert(EffectSizes.cliffsDelta(df, "g", "v", "A", "B").collect()(0)
+      .getDouble(2) == -0.75)
+    val sep = (Seq(5, 6).map(("A", _)) ++ Seq(1, 2).map(("B", _)))
+      .toDF("g", "v")
+    assert(EffectSizes.cliffsDelta(sep, "g", "v", "A", "B").collect()(0)
+      .getDouble(2) == 1.0)
+    assert(EffectSizes.cliffsDelta(sep, "g", "v", "B", "A").collect()(0)
+      .getDouble(2) == -1.0)
+  }
+
+  test("odds ratio: textbook 2x2, CI brackets, zero-cell null") {
+    // a=10 b=20 c=5 d=40: OR = 4, RR = 3
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(20)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(40)((false, false))
+    val r = EffectSizes.oddsRatio(rows.toDF("e", "o"), "e", "o").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 20L, 5L, 40L)))
+    assert(r.getDouble(4) == 4.0)
+    assert(r.getDouble(7) == 3.0)
+    val se = math.sqrt(1.0 / 10 + 1.0 / 20 + 1.0 / 5 + 1.0 / 40)
+    assert(r.getDouble(5) ==
+      math.rint(math.exp(math.log(4.0) - 1.96 * se) * 1e7) / 1e7)
+    assert(r.getDouble(6) ==
+      math.rint(math.exp(math.log(4.0) + 1.96 * se) * 1e7) / 1e7)
+    // an empty cell -> all nulls (no silent smoothing)
+    val sparse = Seq((true, true), (false, false)).toDF("e", "o")
+    assert(EffectSizes.oddsRatio(sparse, "e", "o").collect()(0).isNullAt(4))
+  }
+}

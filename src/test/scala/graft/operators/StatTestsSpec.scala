@@ -688,4 +688,15 @@ class StatTestsSpec extends SparkTestBase {
     assert(StatTests.cochranArmitage(allPass, "g", "o", Seq("g0", "g1"))
       .collect()(0).isNullAt(3))
   }
+
+  test("Lorenz curve: extreme concentration, perfect equality diagonal") {
+    val conc = (Seq.fill(9)(1) :+ 91).map(("g", _)).toDF("g", "v")
+    val got = StatTests.lorenzCurve(conc, "g", "v")
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    assert(got(5) == 0.05 && got(9) == 0.09 && got(10) == 1.0)
+    val eq = Seq.fill(10)(10).map(("e", _)).toDF("g", "v")
+    val diag = StatTests.lorenzCurve(eq, "g", "v")
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    assert((1 to 10).forall(p => diag(p) == p / 10.0))
+  }
 }
