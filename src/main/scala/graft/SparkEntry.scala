@@ -8354,6 +8354,42 @@ object SparkEntry {
     "q381_good_turing" -> ((s, d) =>
       graft.functions.Coverage.goodTuring(
         trigramShingles(t(s, d, "documents")), "tok", maxR = 10)),
+
+    // --- 382. Wasserstein-1 drift distance, oracle-pinned ----------------------------------------------------
+    // The drift measure with UNITS: q308's pair again, but the answer
+    // is "values shifted by W1 deci-units", not a unitless statistic.
+    "q382_wasserstein" -> ((s, d) =>
+      graft.operators.StatTests.wassersteinOne(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 383. Bhattacharyya / Hellinger, oracle-pinned -------------------------------------------------------
+    // Geometric vocabulary overlap between the en and de slices — the
+    // proper-metric companion to q359's JSD.
+    "q383_bhattacharyya" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("lang").isin("en", "de") && col("text").isNotNull)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      graft.operators.StatTests.bhattacharyya(toks, "lang", "term",
+        "en", "de")
+    }),
+
+    // --- 384. smoothed KL divergence both ways, oracle-pinned ------------------------------------------------
+    // The asymmetric drift JSD symmetrizes away: KL(en||de) and
+    // KL(de||en) answer different deployment questions.
+    "q384_kl_divergence" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("lang").isin("en", "de") && col("text").isNotNull)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      graft.operators.StatTests.klDivergence(toks, "lang", "term",
+        "en", "de")
+    }),
   )
 
   /** Word-trigram shingles of documents.text (shared by q380/q381):
@@ -15512,6 +15548,87 @@ object SparkEntry {
         |    ROUND(CAST(r + 1 AS DOUBLE) * CAST(COALESCE(n_r1, 0) AS DOUBLE)
         |      / CAST(n_r AS DOUBLE), 7) END AS r_star
         |FROM fof LEFT JOIN nx USING (r) WHERE r <= 10 ORDER BY r""".stripMargin,
+
+    // Wasserstein-1: the KS cross-multiplied gaps weighted by the
+    // distance to the next pooled value, exact in HUGEINT, one division.
+    "q382_wasserstein" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
+        |         count(*) FILTER (g = 'purchase') AS cb
+        |       FROM slim GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+        |    COALESCE(lead(v, 1) OVER (ORDER BY v) - v, 0) AS width
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |s AS (SELECT sum(abs(CAST(cum_a AS HUGEINT) * n_b
+        |        - CAST(cum_b AS HUGEINT) * n_a)
+        |        * CAST(width AS HUGEINT)) AS s
+        |      FROM cum, tot)
+        |SELECT n_a, n_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(s AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 7) AS w1
+        |FROM s, tot""".stripMargin,
+
+    // Bhattacharyya: per-term sqrt(a*b) on the 1e6 grid, one division
+    // by the exact sqrt(A*B).
+    "q383_bhattacharyya" -> {
+      val bc = "CAST(qsum AS DOUBLE) / CAST(1000000 AS DOUBLE) " +
+        "/ sqrt(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))"
+      s"""WITH toks AS (
+         |  SELECT lang AS g,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL),
+         |tk AS (SELECT g, term FROM toks WHERE term <> ''),
+         |pt AS (SELECT term, count(*) FILTER (g = 'en') AS ca,
+         |         count(*) FILTER (g = 'de') AS cb
+         |       FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |          CAST(sum(cb) AS BIGINT) AS tb FROM pt),
+         |qs AS (SELECT count(*) AS n_terms,
+         |    CAST(sum(CAST(floor(sqrt(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qsum
+         |  FROM pt)
+         |SELECT n_terms, ta AS a_total, tb AS b_total,
+         |  ROUND($bc, 7) AS bc,
+         |  ROUND(sqrt(GREATEST(CAST(1 AS DOUBLE) - $bc, CAST(0 AS DOUBLE))), 7)
+         |    AS hellinger
+         |FROM qs, tot""".stripMargin
+    },
+
+    // Smoothed KL both directions: add-one terms on the 1e-12 grid.
+    "q384_kl_divergence" -> {
+      val p = "(CAST(ca + 1 AS DOUBLE) / CAST(ta + vsz AS DOUBLE))"
+      val q = "(CAST(cb + 1 AS DOUBLE) / CAST(tb + vsz AS DOUBLE))"
+      s"""WITH toks AS (
+         |  SELECT lang AS g,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL),
+         |tk AS (SELECT g, term FROM toks WHERE term <> ''),
+         |pt AS (SELECT term, count(*) FILTER (g = 'en') AS ca,
+         |         count(*) FILTER (g = 'de') AS cb
+         |       FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |          CAST(sum(cb) AS BIGINT) AS tb, count(*) AS vsz FROM pt),
+         |qs AS (SELECT count(*) AS n_terms,
+         |    CAST(sum(CAST(floor($p * ln($p / $q)
+         |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sab,
+         |    CAST(sum(CAST(floor($q * ln($q / $p)
+         |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sba
+         |  FROM pt, tot)
+         |SELECT n_terms, ta AS a_total, tb AS b_total,
+         |  ROUND(CAST(sab AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 7)
+         |    AS kl_ab,
+         |  ROUND(CAST(sba AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 7)
+         |    AS kl_ba
+         |FROM qs, tot""".stripMargin
+    },
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

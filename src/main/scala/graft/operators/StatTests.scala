@@ -1382,6 +1382,129 @@ object StatTests {
         col("u").cast("double") / (nD * nD * naD * nbD)), 7).as("t"))
   }
 
+  /** Wasserstein-1 (earth mover's) distance between two slices — the
+    * drift measure that carries UNITS (KS/CvM say "how different", W1
+    * says "by how much, in the value's own scale"): for step ECDFs over
+    * the pooled distinct values,
+    *
+    *   W1 = sum_k |F_a(v_k) - F_b(v_k)| * (v_{k+1} - v_k)
+    *      = sum_k gap_k * width_k / (n_a * n_b),
+    *
+    * with gap_k = |cumA_k*n_b - cumB_k*n_a| the KS cross-multiplied
+    * integer and width_k the gap to the next pooled value (the last
+    * value contributes 0). Exactness: the weighted sum is exact
+    * DECIMAL(38,0) over INTEGRAL values; W1 is the one final division.
+    * Same distinct-domain quantize-first contract as KS.
+    *
+    * Returns one row (n_a, n_b, w1).
+    */
+  def wassersteinOne(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val wcum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("cum_a", sum(col("ca")).over(wcum))
+      .withColumn("cum_b", sum(col("cb")).over(wcum))
+      .withColumn("width",
+        coalesce(lead(col("v"), 1).over(w) - col("v"), lit(0L)))
+    val tot = perValue.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val terms = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (abs(col("cum_a").cast(dec) * col("n_b").cast(dec) -
+          col("cum_b").cast(dec) * col("n_a").cast(dec)) *
+          col("width").cast(dec)).as("term"))
+    terms.groupBy(col("n_a"), col("n_b")).agg(sum(col("term")).as("s"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("s").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 7)
+          .as("w1"))
+  }
+
+  /** Bhattacharyya coefficient + Hellinger distance between two term or
+    * bin distributions — the geometric-overlap drift pair (BC = 1 means
+    * identical, Hellinger = sqrt(1 - BC) is a proper metric):
+    *
+    *   BC = sum_t sqrt(p_t * q_t) = sum_t sqrt(a_t * b_t) / sqrt(A * B).
+    *
+    * Exactness: per-term sqrt(a*b) is one correctly-rounded IEEE sqrt
+    * of an exact-below-2^53 product, micro-quantized floor(x*1e6) into
+    * an order-independent BIGINT sum (documented grid); BC is one final
+    * division by sqrt(A*B) (one more exact-int sqrt).
+    *
+    * Returns one row (n_terms, a_total, b_total, bc, hellinger).
+    */
+  def bhattacharyya(df: DataFrame, groupCol: String, termCol: String,
+      a: String, b: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(groupCol).isin(a, b) && col(termCol).isNotNull)
+      .select(col(groupCol).as("g"), col(termCol).as("term"))
+    val perTerm = slim.groupBy(col("term"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    val tot = perTerm.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val q = floor(sqrt(col("ca").cast("double") * col("cb").cast("double")) *
+      lit(1e6)).cast("long")
+    val agg = perTerm.select(q.as("qt"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("qt").cast(dec)).as("qsum"))
+    val bc = col("qsum").cast("double") / lit(1e6) /
+      sqrt(col("ta").cast("double") * col("tb").cast("double"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n_terms"), col("ta").as("a_total"), col("tb").as("b_total"),
+        round(bc, 7).as("bc"),
+        round(sqrt(greatest(lit(1.0) - bc, lit(0.0))), 7).as("hellinger"))
+  }
+
+  /** Add-one-smoothed KL divergence between two term distributions,
+    * BOTH directions — the asymmetric drift readout JSD symmetrizes
+    * away (KL(train||new) and KL(new||train) answer different
+    * questions): with V the shared vocabulary size,
+    *
+    *   p_t = (a_t + 1)/(A + V),  q_t = (b_t + 1)/(B + V),
+    *   KL(P||Q) = sum_t p_t * ln(p_t / q_t).
+    *
+    * Exactness: smoothing makes every term finite; per-term
+    * contributions micro-quantized floor(x*1e12) (the JSD grid — terms
+    * are O(1/vocab)) into order-independent BIGINT sums; one division
+    * each. Vocabulary-sized shuffles only.
+    *
+    * Returns one row (n_terms, a_total, b_total, kl_ab, kl_ba).
+    */
+  def klDivergence(df: DataFrame, groupCol: String, termCol: String,
+      a: String, b: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(groupCol).isin(a, b) && col(termCol).isNotNull)
+      .select(col(groupCol).as("g"), col(termCol).as("term"))
+    val perTerm = slim.groupBy(col("term"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    val tot = perTerm.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("vsz"))
+    val j = perTerm.crossJoin(broadcast(tot))
+    val p = (col("ca") + 1L).cast("double") /
+      (col("ta") + col("vsz")).cast("double")
+    val q = (col("cb") + 1L).cast("double") /
+      (col("tb") + col("vsz")).cast("double")
+    val agg = j.select(
+        floor(p * log(p / q) * lit(1e12)).cast("long").as("qab"),
+        floor(q * log(q / p) * lit(1e12)).cast("long").as("qba"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("qab").cast(dec)).as("sab"),
+        sum(col("qba").cast(dec)).as("sba"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n_terms"), col("ta").as("a_total"), col("tb").as("b_total"),
+        round(col("sab").cast("double") / lit(1e12), 7).as("kl_ab"),
+        round(col("sba").cast("double") / lit(1e12), 7).as("kl_ba"))
+  }
+
   /** Jonckheere-Terpstra trend test — k ORDERED groups (dose-response,
     * model-size-response: do values increase along the given order?):
     * JT = sum over ordered group pairs (i earlier than j) of the

@@ -689,6 +689,52 @@ class StatTestsSpec extends SparkTestBase {
       .collect()(0).isNullAt(3))
   }
 
+  test("Wasserstein-1: unit shift costs exactly 1, identical slices 0") {
+    // A={0,2} B={1,3}: every mass point shifts by 1 -> W1 = 1
+    val df = (Seq(0, 2).map(("A", _)) ++ Seq(1, 3).map(("B", _)))
+      .toDF("g", "v")
+    val r = StatTests.wassersteinOne(df, "g", "v", "A", "B").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0)
+    val same = (Seq(1, 5).map(("A", _)) ++ Seq(1, 5).map(("B", _)))
+      .toDF("g", "v")
+    assert(StatTests.wassersteinOne(same, "g", "v", "A", "B").collect()(0)
+      .getDouble(2) == 0.0)
+    // scale carries through: doubling the shift doubles W1
+    val far = (Seq(0, 2).map(("A", _)) ++ Seq(2, 4).map(("B", _)))
+      .toDF("g", "v")
+    assert(StatTests.wassersteinOne(far, "g", "v", "A", "B").collect()(0)
+      .getDouble(2) == 2.0)
+  }
+
+  test("Bhattacharyya/Hellinger: identical 1/0, disjoint 0/1") {
+    val same = (Seq("x", "x", "y").map(("A", _)) ++
+      Seq("x", "x", "y").map(("B", _))).toDF("g", "t")
+    val s = StatTests.bhattacharyya(same, "g", "t", "A", "B").collect()(0)
+    assert(s.getDouble(3) == 1.0 && s.getDouble(4) == 0.0)
+    val disj = (Seq("x").map(("A", _)) ++ Seq("y").map(("B", _)))
+      .toDF("g", "t")
+    val d = StatTests.bhattacharyya(disj, "g", "t", "A", "B").collect()(0)
+    assert(d.getDouble(3) == 0.0 && d.getDouble(4) == 1.0)
+  }
+
+  test("smoothed KL: identical zero both ways, hand asymmetric case") {
+    val same = (Seq("x", "y").map(("A", _)) ++ Seq("x", "y").map(("B", _)))
+      .toDF("g", "t")
+    val s = StatTests.klDivergence(same, "g", "t", "A", "B").collect()(0)
+    assert(s.getDouble(3) == 0.0 && s.getDouble(4) == 0.0)
+    // A = {x,x,x}, B = {x,y,y}, V=2: p=(0.8,0.2), q=(0.4,0.6)
+    val df = (Seq("x", "x", "x").map(("A", _)) ++
+      Seq("x", "y", "y").map(("B", _))).toDF("g", "t")
+    val r = StatTests.klDivergence(df, "g", "t", "A", "B").collect()(0)
+    def dev(p: Double, q: Double) = math.floor(p * math.log(p / q) * 1e12)
+    val ab = (dev(0.8, 0.4) + dev(0.2, 0.6)) / 1e12
+    val ba = (dev(0.4, 0.8) + dev(0.6, 0.2)) / 1e12
+    assert(r.getDouble(3) == math.rint(ab * 1e7) / 1e7)
+    assert(r.getDouble(4) == math.rint(ba * 1e7) / 1e7)
+    assert(r.getDouble(3) != r.getDouble(4)) // genuinely asymmetric
+  }
+
   test("Lorenz curve: extreme concentration, perfect equality diagonal") {
     val conc = (Seq.fill(9)(1) :+ 91).map(("g", _)).toDF("g", "v")
     val got = StatTests.lorenzCurve(conc, "g", "v")
