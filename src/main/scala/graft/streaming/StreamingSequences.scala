@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row for [[StreamingSequences.streamingFollowedBy]]. */
+case class SeqEvent(key: Long, ts: java.sql.Timestamp, event_id: Long,
+  label: String)
+
+/** Per-key state: the most recent labels, newest LAST, length <= maxGap. */
+case class SeqWindowState(recent: Seq[String])
+
+/** One emitted ordered pair: `a` was followed by `b` after `gap` events. */
+case class SeqPair(key: Long, a: String, b: String, gap: Int)
+
+/** Streaming face of [[graft.operators.Sequences.followedByCounts]] —
+  * bounded-gap "A then B" pairs over a LIVE per-key event stream, for
+  * funnels and next-event models that cannot wait for a batch pass.
+  */
+object StreamingSequences {
+
+  /** Emit every bounded-gap ordered pair as events arrive: each incoming
+    * event pairs with the up-to-`maxGap` labels retained in its key's
+    * state, then enters the buffer itself.
+    *
+    * Determinism across microbatch splits: within a batch, a key's
+    * events replay in (ts, event_id) order — the same deterministic-tie
+    * contract as the batch operator — and the O(maxGap) buffer carries
+    * across batch boundaries, so ANY split of the same event sequence
+    * emits the identical pair multiset (asserted by the spec, including
+    * batch-parity with the batch operator's counts).
+    *
+    * State is O(maxGap) strings per key, never grows with history.
+    * Append output; downstream aggregates counts.
+    */
+  def streamingFollowedBy(events: Dataset[SeqEvent],
+      maxGap: Int = 3): Dataset[SeqPair] = {
+    require(maxGap >= 1 && maxGap <= 16, s"maxGap must be in [1,16], got $maxGap")
+    implicit val stateEnc = Encoders.product[SeqWindowState]
+    implicit val outEnc = Encoders.product[SeqPair]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SeqWindowState, SeqPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[SeqEvent], state: GroupState[SeqWindowState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ListBuffer.empty[SeqPair]
+          val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          for (e <- ordered) {
+            for ((a, i) <- recent.reverse.zipWithIndex if i < maxGap)
+              out += SeqPair(key, a, e.label, i + 1)
+            recent = (recent :+ e.label).takeRight(maxGap)
+          }
+          state.update(SeqWindowState(recent))
+          out.iterator
+      }
+  }
+}

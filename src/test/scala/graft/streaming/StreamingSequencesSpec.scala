@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Streaming followed-by: batch parity with the batch operator and
+  * microbatch-split determinism of the emitted pair multiset.
+  */
+class StreamingSequencesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("key", LongType), StructField("ts", TimestampType),
+    StructField("event_id", LongType), StructField("label", StringType)))
+
+  private def row(key: Long, sec: Int, id: Long, label: String): String =
+    s"""{"key": $key, "ts": "2024-01-01T00:00:${f"$sec%02d"}", """ +
+      s""""event_id": $id, "label": "$label"}"""
+
+  private def runStream(dir: java.nio.file.Path, name: String)
+      : Map[(String, String, Int), Long] = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString).as[SeqEvent]
+    val q = StreamingSequences.streamingFollowedBy(stream, maxGap = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name).groupBy("a", "b", "gap").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+  }
+
+  test("pairs match the batch operator and survive a different batch split") {
+    // one key, stream A B A C; another key isolated
+    val rows = Seq(row(1, 1, 1, "A"), row(1, 2, 2, "B"), row(1, 3, 3, "A"),
+      row(1, 4, 4, "C"), row(2, 1, 5, "B"), row(2, 2, 6, "C"))
+    // split 1: one file (single batch)
+    val d1 = graft.GraftTmp.dir("graft-sseq1")
+    Files.write(d1.resolve("a.json"), rows.mkString("\n").getBytes("UTF-8"))
+    // split 2: three files (three microbatches, buffer carries across)
+    val d2 = graft.GraftTmp.dir("graft-sseq2")
+    Files.write(d2.resolve("a.json"), rows.take(2).mkString("\n").getBytes("UTF-8"))
+    Files.write(d2.resolve("b.json"), rows.slice(2, 4).mkString("\n").getBytes("UTF-8"))
+    Files.write(d2.resolve("c.json"), rows.drop(4).mkString("\n").getBytes("UTF-8"))
+    val one = runStream(d1, "sseq_one")
+    val split = runStream(d2, "sseq_split")
+    assert(one == split)
+    // batch parity: same pairs as Sequences.followedByCounts (gap summed)
+    val batch = graft.operators.Sequences.followedByCounts(
+      Seq((1L, 1, "A"), (1L, 2, "B"), (1L, 3, "A"), (1L, 4, "C"),
+        (2L, 1, "B"), (2L, 2, "C")).toDF("k", "i", "e"),
+      "k", Seq("i"), "e", maxGap = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val streamed = one.groupBy { case ((a, b, _), _) => (a, b) }
+      .map { case (k, m) => k -> m.values.sum }
+    assert(streamed == batch)
+    // the expected multiset itself, by hand
+    assert(one == Map(("A", "B", 1) -> 1L, ("B", "A", 1) -> 1L,
+      ("A", "A", 2) -> 1L, ("A", "C", 1) -> 1L, ("B", "C", 2) -> 1L,
+      ("B", "C", 1) -> 1L))
+  }
+}
