@@ -8390,6 +8390,48 @@ object SparkEntry {
       graft.operators.StatTests.klDivergence(toks, "lang", "term",
         "en", "de")
     }),
+
+    // --- 385. Jarque-Bera normality, oracle-pinned -----------------------------------------------------------
+    // The moment-based gate before any normality-assuming test: exact
+    // power sums S1..S4 in DECIMAL, the standard raw-to-central chain.
+    "q385_jarque_bera" -> ((s, d) =>
+      graft.operators.Robust.jarqueBera(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")
+        .orderBy("group")),
+
+    // --- 386. rank-agreement distances, oracle-pinned --------------------------------------------------------
+    // Do q352's two scorers order documents the same way? Exact footrule
+    // and Kendall distance with their normalized forms (top-k contract).
+    "q386_rank_distance" -> ((s, d) =>
+      graft.operators.Robust.rankDistance(
+        t(s, d, "documents").where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("id"), col("n_chars").as("s1"),
+            ((col("doc_id") * 7919) % 997).as("s2")),
+        "id", "s1", "s2")),
+
+    // --- 387. rank-biased overlap at k, oracle-pinned --------------------------------------------------------
+    // The top-weighted ranking similarity (p = 1/2 dyadic-exact): the
+    // top of the list matters most, unlike footrule/Kendall.
+    "q387_rbo" -> ((s, d) =>
+      graft.operators.Robust.rboAtK(
+        t(s, d, "documents").where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("id"), col("n_chars").as("s1"),
+            ((col("doc_id") * 7919) % 997).as("s2")),
+        "id", "s1", "s2", k = 20)),
+
+    // --- 388. trimmed + winsorized means, oracle-pinned ------------------------------------------------------
+    // The location estimates that survive tails; exact order statistics
+    // and integer sums, one division each.
+    "q388_trimmed_mean" -> ((s, d) =>
+      graft.operators.Robust.trimmedMean(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", trim = 0.1)
+        .orderBy("group")),
   )
 
   /** Word-trigram shingles of documents.text (shared by q380/q381):
@@ -15629,6 +15671,124 @@ object SparkEntry {
          |    AS kl_ba
          |FROM qs, tot""".stripMargin
     },
+
+    // Jarque-Bera: exact HUGEINT power sums, the identical
+    // raw-to-central moment chain, one expression per output.
+    "q385_jarque_bera" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val mean = s"(CAST(s1 AS DOUBLE) / $nD)"
+      val m2 = s"(CAST(s2 AS DOUBLE) / $nD - $mean * $mean)"
+      val m3 = s"(CAST(s3 AS DOUBLE) / $nD - CAST(3 AS DOUBLE) * $mean " +
+        s"* (CAST(s2 AS DOUBLE) / $nD) " +
+        s"+ CAST(2 AS DOUBLE) * $mean * $mean * $mean)"
+      val m4 = s"(CAST(s4 AS DOUBLE) / $nD - CAST(4 AS DOUBLE) * $mean " +
+        s"* (CAST(s3 AS DOUBLE) / $nD) " +
+        s"+ CAST(6 AS DOUBLE) * $mean * $mean * (CAST(s2 AS DOUBLE) / $nD) " +
+        s"- CAST(3 AS DOUBLE) * $mean * $mean * $mean * $mean)"
+      val skew = s"($m3 / sqrt($m2 * $m2 * $m2))"
+      val exk = s"($m4 / ($m2 * $m2) - CAST(3 AS DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |agg AS (SELECT g, count(*) AS n,
+         |    sum(CAST(v AS HUGEINT)) AS s1,
+         |    sum(CAST(v AS HUGEINT) * v) AS s2,
+         |    sum(CAST(v AS HUGEINT) * v * v) AS s3,
+         |    sum(CAST(v AS HUGEINT) * v * v * v) AS s4
+         |  FROM e GROUP BY 1)
+         |SELECT g AS "group", n,
+         |  ROUND(CASE WHEN n >= 2 AND $m2 > 0 THEN $skew END, 7) AS skewness,
+         |  ROUND(CASE WHEN n >= 2 AND $m2 > 0 THEN $exk END, 7) AS kurtosis,
+         |  ROUND(CASE WHEN n >= 2 AND $m2 > 0 THEN
+         |    $nD / CAST(6 AS DOUBLE)
+         |      * ($skew * $skew + $exk * $exk / CAST(4 AS DOUBLE))
+         |    END, 7) AS jb
+         |FROM agg ORDER BY "group"""".stripMargin
+    },
+
+    // Rank distances: deterministic (score desc, id) ranks, exact
+    // footrule sum and discordant-pair count.
+    "q386_rank_distance" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      s"""WITH it AS (SELECT doc_id AS id, n_chars AS s1,
+         |    (doc_id * 7919) % 997 AS s2
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |r AS (SELECT id,
+         |    CAST(row_number() OVER (ORDER BY s1 DESC, id) AS BIGINT) AS r1,
+         |    CAST(row_number() OVER (ORDER BY s2 DESC, id) AS BIGINT) AS r2
+         |  FROM it),
+         |f AS (SELECT count(*) AS n,
+         |        CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule FROM r),
+         |dd AS (SELECT count(*) AS kendall_dist
+         |       FROM r a JOIN r b ON a.id < b.id
+         |       WHERE (a.r1 < b.r1) <> (a.r2 < b.r2))
+         |SELECT n, footrule,
+         |  ROUND(CASE WHEN floor($nD * $nD / CAST(2 AS DOUBLE)) > 0 THEN
+         |    CAST(footrule AS DOUBLE) / floor($nD * $nD / CAST(2 AS DOUBLE))
+         |    END, 7) AS nfootrule,
+         |  kendall_dist,
+         |  ROUND(CASE WHEN $nD * ($nD - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) > 0
+         |    THEN CAST(kendall_dist AS DOUBLE)
+         |      / ($nD * ($nD - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE))
+         |    END, 7) AS nkendall
+         |FROM f, dd""".stripMargin
+    },
+
+    // RBO@20 with p=1/2: X_d from the max-rank cumsum over the dense
+    // depth ladder, 2^-d as an exact shift reciprocal, depth-order fold.
+    "q387_rbo" ->
+      """WITH it AS (SELECT doc_id AS id, n_chars AS s1,
+        |    (doc_id * 7919) % 997 AS s2
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |r AS (SELECT id,
+        |    CAST(row_number() OVER (ORDER BY s1 DESC, id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY s2 DESC, id) AS BIGINT) AS r2
+        |  FROM it),
+        |rr AS (SELECT GREATEST(r1, r2) AS m FROM r WHERE GREATEST(r1, r2) <= 20),
+        |pd AS (SELECT m, count(*) AS c FROM rr GROUP BY 1),
+        |dep AS (SELECT d, COALESCE(c, 0) AS c
+        |        FROM (SELECT unnest(generate_series(1, 20)) AS d) g
+        |        LEFT JOIN pd ON pd.m = g.d),
+        |xd AS (SELECT d, CAST(sum(c) OVER (ORDER BY d
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS x,
+        |         CAST(1 AS DOUBLE) / CAST((1 << d) AS DOUBLE) AS w
+        |       FROM dep)
+        |SELECT CAST(20 AS INT) AS k,
+        |  ROUND(list_reduce(
+        |    list(CAST(x AS DOUBLE) / CAST(d AS DOUBLE) * w ORDER BY d),
+        |    (a, b) -> a + b), 7) AS rbo
+        |FROM xd GROUP BY 1""".stripMargin,
+
+    // Trimmed/winsorized means: exact rank census, clamp order
+    // statistics, one division each.
+    "q388_trimmed_mean" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS rn
+        |  FROM e),
+        |sz AS (SELECT g, count(*) AS n,
+        |    CAST(floor(CAST(0.1 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS k
+        |  FROM e GROUP BY 1),
+        |mid AS (SELECT r.g, CAST(sum(v) AS BIGINT) AS tsum, count(*) AS tn
+        |        FROM r JOIN sz USING (g)
+        |        WHERE rn > k AND rn <= n - k GROUP BY 1),
+        |lo AS (SELECT r.g, v AS v_lo FROM r JOIN sz USING (g)
+        |       WHERE rn = k + 1),
+        |hi AS (SELECT r.g, v AS v_hi FROM r JOIN sz USING (g)
+        |       WHERE rn = n - k)
+        |SELECT sz.g AS "group", n, k AS k_trim,
+        |  ROUND(CASE WHEN tn > 0 THEN
+        |    CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) END, 7) AS trimmed_mean,
+        |  ROUND(CASE WHEN tn > 0 THEN
+        |    CAST(tsum + k * v_lo + k * v_hi AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END, 7) AS winsorized_mean
+        |FROM sz LEFT JOIN mid USING (g) LEFT JOIN lo USING (g)
+        |LEFT JOIN hi USING (g)
+        |ORDER BY "group"""".stripMargin,
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

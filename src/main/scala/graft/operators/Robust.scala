@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Distribution-shape diagnostics and robust location estimates — the
+  * checks run BEFORE trusting a parametric test, and the means that
+  * survive the tails parametric means don't.
+  */
+object Robust {
+
+  private def requireIntegral(df: DataFrame, valueCol: String): Unit =
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType)
+
+  /** Jarque-Bera normality test per group — the moment-based gate before
+    * any normality-assuming test: with central moments m2..m4 from the
+    * exact raw power sums,
+    *
+    *   skew = m3/m2^1.5,  exkurt = m4/m2^2 - 3,
+    *   JB = n/6 * (skew^2 + exkurt^2/4).
+    *
+    * Exactness: S1..S4 are exact DECIMAL(38,0) sums of BIGINT powers
+    * (quantize so |v|^4 * n < 10^38 — documented); the moment expansion
+    * is ONE pinned double expression chain (mean = S1/n first, then
+    * m2/m3/m4 in the standard raw-to-central form), rounded at 7. Null
+    * when n < 2 or m2 = 0.
+    *
+    * Returns (group, n, skewness, kurtosis, jb) — kurtosis is EXCESS.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val agg = slim.groupBy(col("g").as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).as("s1"),
+        sum((col("v") * col("v")).cast(dec)).as("s2"),
+        sum((col("v") * col("v") * col("v")).cast(dec)).as("s3"),
+        sum((col("v") * col("v") * col("v") * col("v")).cast(dec)).as("s4"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mean * mean
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mean * (col("s2").cast("double") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4").cast("double") / nD -
+      lit(4.0) * mean * (col("s3").cast("double") / nD) +
+      lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exk = m4 / (m2 * m2) - 3.0
+    val jb = nD / 6.0 * (skew * skew + exk * exk / 4.0)
+    agg.select(col("group"), col("n"),
+      round(when(col("n") >= 2 && m2 > 0.0, skew), 7).as("skewness"),
+      round(when(col("n") >= 2 && m2 > 0.0, exk), 7).as("kurtosis"),
+      round(when(col("n") >= 2 && m2 > 0.0, jb), 7).as("jb"))
+  }
+
+  /** Trimmed and winsorized means per group — the location estimates
+    * that survive tails (a plain mean moves arbitrarily far on one
+    * vandal value; the 10%-trimmed mean does not): with
+    * k = floor(trim * n),
+    *
+    *   trimmed    = mean of ranks k+1 .. n-k,
+    *   winsorized = mean with the k lowest clamped UP to the (k+1)-th
+    *                order statistic and the k highest DOWN to the
+    *                (n-k)-th.
+    *
+    * Exactness: order statistics and the k census are exact integers
+    * from one per-group rank window (cum-at-position is tie-invariant);
+    * both means are one division each over exact integer sums.
+    * Values must be INTEGRAL. Null means when n - 2k <= 0.
+    *
+    * Returns (group, n, k_trim, trimmed_mean, winsorized_mean).
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trim: Double = 0.1): DataFrame = {
+    requireIntegral(df, valueCol)
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val ranked = slim.withColumn("rn", row_number().over(wr).cast("long"))
+    val sizes = slim.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", floor(lit(trim) * col("n").cast("double"))
+        .cast("long"))
+    val r = ranked.join(sizes, "g")
+    val mid = r.where(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy(col("g"))
+      .agg(sum(col("v").cast(dec)).as("ts"), count(lit(1)).as("tn"))
+    val lo = r.where(col("rn") === col("k") + 1L)
+      .select(col("g"), col("v").as("v_lo"))
+    val hi = r.where(col("rn") === col("n") - col("k"))
+      .select(col("g"), col("v").as("v_hi"))
+    val joined = sizes.join(mid, Seq("g"), "left")
+      .join(lo, Seq("g"), "left").join(hi, Seq("g"), "left")
+    val wsum = col("ts") +
+      col("k").cast(dec) * col("v_lo").cast(dec) +
+      col("k").cast(dec) * col("v_hi").cast(dec)
+    joined.select(col("g").as("group"), col("n"), col("k").as("k_trim"),
+      round(when(col("tn") > 0,
+        col("ts").cast("double") / col("tn").cast("double")), 7)
+        .as("trimmed_mean"),
+      round(when(col("tn") > 0,
+        wsum.cast("double") / col("n").cast("double")), 7)
+        .as("winsorized_mean"))
+  }
+
+  /** Rank-agreement distances between two scorers over the same items —
+    * eval plumbing for "do the two quality models order documents the
+    * same way": ranks are row_number over (score desc, id) — the
+    * deterministic-tie contract — then
+    *
+    *   footrule = sum |r1 - r2|            (max floor(n^2/2))
+    *   kendall  = #discordant pairs        (max n(n-1)/2)
+    *
+    * both exact integers with their normalized [0,1] forms. The pair
+    * count is O(n^2) BY CONSTRUCTION — the documented top-k contract
+    * (rankings are compared on shortlists, not corpora).
+    *
+    * Returns one row (n, footrule, nfootrule, kendall_dist, nkendall).
+    */
+  def rankDistance(df: DataFrame, idCol: String, score1Col: String,
+      score2Col: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(idCol).as("id"), col(score1Col).as("s1"),
+        col(score2Col).as("s2"))
+      .where(col("id").isNotNull && col("s1").isNotNull &&
+        col("s2").isNotNull)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("s1"), col("id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("s2"), col("id"))
+    val ranked = slim
+      .withColumn("r1", row_number().over(w1).cast("long"))
+      .withColumn("r2", row_number().over(w2).cast("long"))
+    val foot = ranked.agg(count(lit(1)).as("n"),
+      sum(abs(col("r1") - col("r2")).cast(dec)).as("footrule"))
+    val a = ranked.select(col("id").as("ia"), col("r1").as("r1a"),
+      col("r2").as("r2a"))
+    val b = ranked.select(col("id").as("ib"), col("r1").as("r1b"),
+      col("r2").as("r2b"))
+    val disc = a.join(b, col("ia") < col("ib"))
+      .where((col("r1a") < col("r1b")) =!= (col("r2a") < col("r2b")))
+      .agg(count(lit(1)).as("kendall_dist"))
+    val nD = col("n").cast("double")
+    val maxFoot = floor(nD * nD / 2.0)
+    val maxPairs = nD * (nD - 1.0) / 2.0
+    foot.crossJoin(broadcast(disc))
+      .select(col("n"), col("footrule").cast("long").as("footrule"),
+        round(when(maxFoot > 0.0,
+          col("footrule").cast("double") / maxFoot), 7).as("nfootrule"),
+        col("kendall_dist"),
+        round(when(maxPairs > 0.0,
+          col("kendall_dist").cast("double") / maxPairs), 7).as("nkendall"))
+  }
+
+  /** Truncated rank-biased overlap at depth k with the PINNED dyadic
+    * persistence p = 1/2 — the top-weighted ranking similarity for
+    * comparing two scorers' shortlists (footrule/Kendall weight all
+    * depths equally; RBO cares most about the top):
+    *
+    *   RBO@k = (1-p)/p * sum_{d=1..k} p^d * X_d / d
+    *         = sum_{d=1..k} 2^{-d} * X_d / d          (p = 1/2)
+    *
+    * where X_d = |top-d of scorer 1 ∩ top-d of scorer 2| — computed
+    * exactly as the cumulative count of items with max(r1, r2) <= d.
+    * The d-term fold runs in depth order over a k-sized collected list
+    * (each term one division and one exact power-of-two multiply). The
+    * infinite-tail extrapolation of full RBO is deliberately out of
+    * scope — truncation is the documented contract.
+    *
+    * Returns one row (k, rbo).
+    */
+  def rboAtK(df: DataFrame, idCol: String, score1Col: String,
+      score2Col: String, k: Int): DataFrame = {
+    // 2^-d comes from an exact integer shift (pow() is not bit-portable
+    // across engines); depths beyond 62 would contribute < 2^-62 anyway
+    require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
+    val slim = df.select(col(idCol).as("id"), col(score1Col).as("s1"),
+        col(score2Col).as("s2"))
+      .where(col("id").isNotNull && col("s1").isNotNull &&
+        col("s2").isNotNull)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("s1"), col("id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("s2"), col("id"))
+    val ranked = slim
+      .withColumn("r1", row_number().over(w1).cast("long"))
+      .withColumn("r2", row_number().over(w2).cast("long"))
+      .withColumn("m", greatest(col("r1"), col("r2")))
+      .where(col("m") <= k)
+    val perDepth = ranked.groupBy(col("m")).agg(count(lit(1)).as("c"))
+    val depths = perDepth.sparkSession.range(1, k + 1)
+      .select(col("id").as("m"))
+      .join(perDepth, Seq("m"), "left")
+      .select(col("m").as("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val xd = depths.withColumn("x", sum(col("c")).over(wcum))
+      // 2^-d as the exact reciprocal of an integer shift (scaling by a
+      // power of two is exact; pow() is not bit-portable)
+      .withColumn("w",
+        lit(1.0) / expr("cast(shiftleft(1L, cast(d as int)) as double)"))
+      .select(col("d"), col("x"), col("w"))
+    val terms = xd.agg(
+      sort_array(collect_list(struct(col("d"), col("x"), col("w"))))
+        .as("terms"))
+    val fold = aggregate(col("terms"), lit(0.0), (acc, e) =>
+      acc + e("x").cast("double") / e("d").cast("double") * e("w"))
+    terms.select(lit(k).as("k"), round(fold, 7).as("rbo"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Shape diagnostics and robust estimates: hand moments, trimmed means
+  * immune to the vandal, rank-distance extremes, RBO identity cases.
+  */
+class RobustSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Jarque-Bera: symmetric hand case, skewed hand case, flat null") {
+    // {1,2,3}: skew 0, exkurt -1.5, JB = 0.5 * (2.25/4) = 0.28125
+    val sym = Seq(1, 2, 3).map(("g", _)).toDF("g", "v")
+    val s = Robust.jarqueBera(sym, "g", "v").collect()(0)
+    assert(s.getDouble(2) == 0.0 && s.getDouble(3) == -1.5)
+    assert(s.getDouble(4) == 0.28125)
+    // {0,0,0,4}: m2=3, m3=6, m4=21
+    val sk = Seq(0, 0, 0, 4).map(("g", _)).toDF("g", "v")
+    val r = Robust.jarqueBera(sk, "g", "v").collect()(0)
+    assert(r.getDouble(2) ==
+      math.rint(6.0 / math.sqrt(27.0) * 1e7) / 1e7)
+    assert(r.getDouble(3) == math.rint((21.0 / 9.0 - 3.0) * 1e7) / 1e7)
+    val flat = Seq(5, 5).map(("g", _)).toDF("g", "v")
+    assert(Robust.jarqueBera(flat, "g", "v").collect()(0).isNullAt(4))
+  }
+
+  test("trimmed/winsorized mean: the vandal moves the mean, not these") {
+    val df = ((0 to 9) :+ 100).map(("g", _)).toDF("g", "v")
+    val r = Robust.trimmedMean(df, "g", "v", trim = 0.1).collect()(0)
+    assert(r.getLong(1) == 11L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 5.0) // mean of 1..9
+    assert(r.getDouble(4) == 5.0) // 0->1, 100->9: (1 + 45 + 9)/11
+    // plain mean would be 145/11 = 13.18...
+    // trim too deep -> null
+    val tiny = Seq(1, 2).map(("g", _)).toDF("g", "v")
+    assert(Robust.trimmedMean(tiny, "g", "v", trim = 0.49).collect()(0)
+      .getDouble(3) == 1.5) // k = 0 at n = 2
+  }
+
+  test("rank distance: identical zero, full reversal maxima") {
+    val same = Seq((1L, 30, 30), (2L, 20, 20), (3L, 10, 10))
+      .toDF("id", "s1", "s2")
+    val s = Robust.rankDistance(same, "id", "s1", "s2").collect()(0)
+    assert(s.getLong(1) == 0L && s.getLong(3) == 0L)
+    val rev = Seq((1L, 30, 10), (2L, 20, 20), (3L, 10, 30))
+      .toDF("id", "s1", "s2")
+    val r = Robust.rankDistance(rev, "id", "s1", "s2").collect()(0)
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 1.0)
+    assert(r.getLong(3) == 3L && r.getDouble(4) == 1.0)
+  }
+
+  test("RBO@k: identical lists hit 1 - 2^-k, disjoint lists 0") {
+    val same = Seq((1L, 30, 30), (2L, 20, 20), (3L, 10, 10))
+      .toDF("id", "s1", "s2")
+    assert(Robust.rboAtK(same, "id", "s1", "s2", k = 3).collect()(0)
+      .getDouble(1) == 0.875)
+    // scorer 2 reverses: top-1 disjoint, X_1=0, X_2=?: r1=(1,2,3),
+    // r2=(3,2,1): m = (3,2,3): X_1=0 X_2=1 X_3=3
+    val rev = Seq((1L, 30, 10), (2L, 20, 20), (3L, 10, 30))
+      .toDF("id", "s1", "s2")
+    val r = Robust.rboAtK(rev, "id", "s1", "s2", k = 3).collect()(0)
+    assert(r.getDouble(1) ==
+      math.rint((0.0 + (1.0 / 2.0) / 4.0 + (3.0 / 3.0) / 8.0) * 1e7) / 1e7)
+    intercept[IllegalArgumentException](
+      Robust.rboAtK(same, "id", "s1", "s2", k = 100))
+  }
+}
