@@ -15,8 +15,11 @@ object Bench {
       // cache was fully evicted in between), taxing each sample a
       // uniform ~10-15% — measured as "fresh-JVM subsets run at
       // committed speed while the same queries inside a full pass run
-      // slow, independent of position". Size the cache to the suite.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // slow, independent of position". Size the cache to the suite:
+      // 4096 saturated at ~387 queries (r14 measured the same uniform
+      // inflation signature with a clean canary), so 16384 keeps
+      // headroom for suite growth.
+      .config("spark.sql.codegen.cache.maxEntries", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Execute the query's OWN physical plan (sorts, projections and all).
