@@ -8432,6 +8432,50 @@ object SparkEntry {
             floor(col("value") * 10).cast("long").as("value")),
         "event_type", "value", trim = 0.1)
         .orderBy("group")),
+
+    // --- 389. Page's L ordered trend, oracle-pinned ----------------------------------------------------------
+    // Do the five per-type counts INCREASE along the pinned order
+    // within users? The within-block sibling of q356's Jonckheere.
+    "q389_page_l" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      val cnts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val g = grid.join(cnts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("v"))
+      graft.operators.StatTests.pageL(g, "user_id", "event_type", "v",
+        Seq("click", "error", "purchase", "signup", "view"))
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("l2", col("l2").cast("long"))
+    }),
+
+    // --- 390. Mann-Kendall monotonic trend, oracle-pinned ----------------------------------------------------
+    // Is each event type's daily volume creeping up or down? The
+    // assumption-free time-series trend test over the daily grain.
+    "q390_mann_kendall" -> ((s, d) => {
+      val daily = t(s, d, "events").where(col("ts").isNotNull &&
+        col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2020-01-01").cast("date"))
+            .cast("long").as("t"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Trend.mannKendall(daily, "event_type", "t", "v")
+        .orderBy("group")
+    }),
+
+    // --- 391. Tukey fences boxplot census, oracle-pinned -----------------------------------------------------
+    // The profile number every dashboard quotes: exact type-1 quartiles,
+    // 1.5*IQR fences, outlier counts per event type.
+    "q391_tukey_fences" -> ((s, d) =>
+      graft.operators.Robust.tukeyFences(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")
+        .orderBy("group")),
   )
 
   /** Word-trigram shingles of documents.text (shared by q380/q381):
@@ -15789,6 +15833,105 @@ object SparkEntry {
         |FROM sz LEFT JOIN mid USING (g) LEFT JOIN lo USING (g)
         |LEFT JOIN hi USING (g)
         |ORDER BY "group"""".stripMargin,
+
+    // Page's L: the q351 grid + within-user midranks, weighted rank
+    // sums, the no-tie moments.
+    "q389_page_l" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val muL = s"($nD * CAST(5 AS DOUBLE) * CAST(36 AS DOUBLE) / CAST(4 AS DOUBLE))"
+      val sig2 = s"($nD * CAST(25 AS DOUBLE) * CAST(36 AS DOUBLE) " +
+        s"* CAST(4 AS DOUBLE) / CAST(144 AS DOUBLE))"
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events
+         |           WHERE user_id IS NOT NULL),
+         |ty AS (SELECT DISTINCT event_type FROM events
+         |       WHERE event_type IS NOT NULL),
+         |c AS (SELECT user_id, event_type, count(*) AS c FROM events
+         |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |      GROUP BY 1, 2),
+         |g AS (SELECT u.user_id, ty.event_type, COALESCE(c.c, 0) AS v,
+         |        CASE ty.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+         |          WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+         |          WHEN 'view' THEN 5 END AS wj
+         |      FROM u CROSS JOIN ty
+         |      LEFT JOIN c USING (user_id, event_type)),
+         |pv AS (SELECT user_id, v, count(*) AS t FROM g GROUP BY 1, 2),
+         |mids AS (SELECT user_id, v,
+         |    2 * sum(t) OVER (PARTITION BY user_id ORDER BY v
+         |                     ROWS UNBOUNDED PRECEDING) - t + 1 AS mid2
+         |  FROM pv),
+         |r AS (SELECT g.user_id, g.wj, mid2
+         |      FROM g JOIN mids USING (user_id, v)),
+         |nb AS (SELECT count(*) AS n FROM u),
+         |l AS (SELECT CAST(sum(wj * mid2) AS BIGINT) AS l2 FROM r)
+         |SELECT n AS n_blocks, CAST(5 AS BIGINT) AS k, l2,
+         |  ROUND(CASE WHEN n > 0 AND $sig2 > 0 THEN
+         |    (CAST(l2 AS DOUBLE) / CAST(2 AS DOUBLE) - $muL) / sqrt($sig2)
+         |    END, 7) AS z
+         |FROM nb, l""".stripMargin
+    },
+
+    // Mann-Kendall: daily counts, exact pairwise sign sum, tie-corrected
+    // variance, continuity-corrected z.
+    "q390_mann_kendall" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val sig2 = s"(($nD * ($nD - CAST(1 AS DOUBLE)) " +
+        s"* (CAST(2 AS DOUBLE) * $nD + CAST(5 AS DOUBLE)) " +
+        s"- CAST(tcorr AS DOUBLE)) / CAST(18 AS DOUBLE))"
+      s"""WITH daily AS (
+         |  SELECT event_type AS g,
+         |    CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS t,
+         |    count(*) AS v
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |s AS (SELECT a.g,
+         |    count(CASE WHEN b.v > a.v THEN 1 END)
+         |      - count(CASE WHEN b.v < a.v THEN 1 END) AS s
+         |  FROM daily a JOIN daily b ON a.g = b.g AND a.t < b.t
+         |  GROUP BY 1),
+         |sz AS (SELECT g, count(*) AS n FROM daily GROUP BY 1),
+         |ties AS (SELECT g, CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+         |           AS tcorr
+         |         FROM (SELECT g, v, count(*) AS tt FROM daily GROUP BY 1, 2)
+         |         GROUP BY 1)
+         |SELECT sz.g AS "group", n, s,
+         |  ROUND(CASE WHEN $sig2 > 0 THEN
+         |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - CAST(1 AS DOUBLE))
+         |           / sqrt($sig2)
+         |         WHEN s < 0 THEN (CAST(s AS DOUBLE) + CAST(1 AS DOUBLE))
+         |           / sqrt($sig2)
+         |         ELSE CAST(0 AS DOUBLE) END
+         |    END, 7) AS z
+         |FROM sz JOIN s USING (g) JOIN ties USING (g)
+         |ORDER BY "group"""".stripMargin
+    },
+
+    // Tukey fences: type-1 quartile pins, 1.5*IQR fences, exact counts.
+    "q391_tukey_fences" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pv AS (SELECT g, v, count(*) AS t FROM e GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    sum(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS cm
+        |  FROM pv),
+        |sz AS (SELECT g, count(*) AS n FROM e GROUP BY 1),
+        |q1 AS (SELECT g, min(v) AS q1 FROM cum JOIN sz USING (g)
+        |       WHERE 4 * cm >= n GROUP BY g),
+        |q3 AS (SELECT g, min(v) AS q3 FROM cum JOIN sz USING (g)
+        |       WHERE 4 * cm >= 3 * n GROUP BY g),
+        |f AS (SELECT sz.g, n, q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr,
+        |        CAST(q1.q1 AS DOUBLE)
+        |          - CAST(1.5 AS DOUBLE) * CAST(q3.q3 - q1.q1 AS DOUBLE) AS lo,
+        |        CAST(q3.q3 AS DOUBLE)
+        |          + CAST(1.5 AS DOUBLE) * CAST(q3.q3 - q1.q1 AS DOUBLE) AS hi
+        |      FROM sz JOIN q1 USING (g) JOIN q3 USING (g))
+        |SELECT e.g AS "group", MIN(n) AS n, MIN(q1) AS q1, MIN(q3) AS q3,
+        |  MIN(iqr) AS iqr,
+        |  count(CASE WHEN CAST(v AS DOUBLE) < lo THEN 1 END) AS n_low,
+        |  count(CASE WHEN CAST(v AS DOUBLE) > hi THEN 1 END) AS n_high
+        |FROM e JOIN f USING (g)
+        |GROUP BY 1 ORDER BY "group"""".stripMargin,
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

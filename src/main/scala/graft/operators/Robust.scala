@@ -115,6 +115,44 @@ object Robust {
         .as("winsorized_mean"))
   }
 
+  /** Tukey fences per group — the boxplot outlier census (the default
+    * "how many points are beyond 1.5 IQR" every data profile quotes):
+    * quartiles pinned as type-1 order statistics (smallest v with
+    * 4*cum >= n for Q1, 4*cum >= 3n for Q3 — integer comparisons, no
+    * interpolation), fences at Q1/Q3 -/+ 1.5*IQR, exact counts beyond.
+    *
+    * Returns (group, n, q1, q3, iqr, n_low, n_high). Values INTEGRAL.
+    */
+  def tukeyFences(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val pv = slim.groupBy(col("g"), col("v")).agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = pv.withColumn("cum", sum(col("t")).over(w))
+    val sizes = slim.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val q1 = cum.join(sizes, "g").where(lit(4L) * col("cum") >= col("n"))
+      .groupBy(col("g")).agg(min(col("v")).as("q1"))
+    val q3 = cum.join(sizes, "g")
+      .where(lit(4L) * col("cum") >= lit(3L) * col("n"))
+      .groupBy(col("g")).agg(min(col("v")).as("q3"))
+    val fences = sizes.join(q1, "g").join(q3, "g")
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo",
+        col("q1").cast("double") - lit(1.5) * col("iqr").cast("double"))
+      .withColumn("hi",
+        col("q3").cast("double") + lit(1.5) * col("iqr").cast("double"))
+    slim.join(fences, "g")
+      .groupBy(col("g").as("group"))
+      .agg(first(col("n")).as("n"), first(col("q1")).as("q1"),
+        first(col("q3")).as("q3"), first(col("iqr")).as("iqr"),
+        count(when(col("v").cast("double") < col("lo"), 1)).as("n_low"),
+        count(when(col("v").cast("double") > col("hi"), 1)).as("n_high"))
+  }
+
   /** Rank-agreement distances between two scorers over the same items —
     * eval plumbing for "do the two quality models order documents the
     * same way": ranks are row_number over (score desc, id) — the

@@ -1036,6 +1036,59 @@ object StatTests {
             denom.cast("double")), 7).as("q"))
   }
 
+  /** Page's L trend test — k ORDERED treatments under repeated measures
+    * (Friedman says "the treatments differ"; Page says "they INCREASE
+    * along this order" — the within-block sibling of Jonckheere):
+    * L = sum_j w_j * R_j with w_j = 1..k in the given order and R_j the
+    * per-treatment rank sums over complete blocks.
+    *
+    * Exactness: doubled within-block midranks make L2 = 2L an exact
+    * DECIMAL(38,0); the normal z uses the classic NO-TIE moments
+    * mu_L = n*k*(k+1)^2/4 and sigma^2 = n*k^2*(k+1)^2*(k-1)/144
+    * (documented approximation under ties, like Jonckheere's). One row
+    * per (block, treatment); blocks missing a treatment drop.
+    *
+    * Returns one row (n_blocks, k, l2, z).
+    */
+  def pageL(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, order: Seq[String]): DataFrame = {
+    require(order.nonEmpty, "treatment order must be given")
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val rank: Column = order.zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, (g, i)) =>
+        when(col("trt") === g, lit(i + 1L)).otherwise(acc)
+    }
+    val slim = df.select(col(blockCol).as("b"), col(treatmentCol).as("trt"),
+        col(valueCol).as("v"))
+      .where(col("b").isNotNull && col("v").isNotNull &&
+        col("trt").isin(order.map(x => x: Any): _*))
+      .withColumn("wj", rank)
+    val k = order.length
+    val complete = slim.groupBy(col("b"))
+      .agg(countDistinct(col("trt")).as("cnt"))
+      .where(col("cnt") === k).select(col("b"))
+    val f = slim.join(complete, "b")
+    val pv = f.groupBy(col("b"), col("v")).agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val mids = pv.withColumn("cum", sum(col("t")).over(w))
+      .select(col("b"), col("v"),
+        (lit(2L) * col("cum") - col("t") + 1L).as("mid2"))
+    val ranked = f.join(mids, Seq("b", "v"))
+    val nb = complete.agg(count(lit(1)).as("n"))
+    val l2 = ranked.agg(sum((col("wj") * col("mid2")).cast(dec)).as("l2"))
+    val nD = col("n").cast("double")
+    val kD = lit(k.toDouble)
+    val muL = nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val sig2 = nD * kD * kD * (kD + 1.0) * (kD + 1.0) * (kD - 1.0) / 144.0
+    nb.crossJoin(broadcast(l2))
+      .select(col("n").as("n_blocks"), lit(k.toLong).as("k"), col("l2"),
+        round(when(col("n") > 0 && sig2 > 0.0,
+          (col("l2").cast("double") / 2.0 - muL) / sqrt(sig2)), 7).as("z"))
+  }
+
   /** Kendall's W — concordance of m raters ranking n items (do the
     * quality scorers agree on document ordering?): W in [0,1], the
     * normalized Friedman. Doubled midranks within each rater; with

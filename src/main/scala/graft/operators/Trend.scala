@@ -398,6 +398,56 @@ object Trend {
       .select(col("group"), col("n_pairs2").as("n_pairs"), col("slope"))
   }
 
+  /** Mann-Kendall trend test per group — THE standard monotonic-trend
+    * test on a time series (is the daily error rate creeping up?),
+    * assumption-free where OLS is not: S = sum over ordered time pairs
+    * of sign(v_j - v_i), with the tie-corrected variance
+    *
+    *   sigma^2 = (n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)) / 18
+    *
+    * and the continuity-corrected z = (S -/+ 1)/sigma (0 at S = 0).
+    *
+    * EXACTNESS: one row per (group, time) — caller aggregates to the
+    * time grain first (the bounded-domain contract: the pair table is
+    * O(times^2) per group); S and the variance pieces are exact
+    * integers; z is one expression, null when sigma = 0. Both columns
+    * INTEGRAL.
+    *
+    * Returns (group, n, s, z).
+    */
+  def mannKendall(df: DataFrame, groupCol: String, timeCol: String,
+      valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(timeCol).dataType) &&
+      integral.contains(df.schema(valueCol).dataType),
+      "time and value must be integral (quantize first)")
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"), col(timeCol).as("t"),
+        col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("t").isNotNull && col("v").isNotNull)
+    val a = slim.select(col("g"), col("t").as("ti"), col("v").as("vi"))
+    val b = slim.select(col("g"), col("t").as("tj"), col("v").as("vj"))
+    val s = a.join(b, Seq("g")).where(col("ti") < col("tj"))
+      .groupBy(col("g"))
+      .agg((count(when(col("vj") > col("vi"), 1)) -
+        count(when(col("vj") < col("vi"), 1))).as("s"))
+    val sizes = slim.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val ties = slim.groupBy(col("g"), col("v")).agg(count(lit(1)).as("tt"))
+      .groupBy(col("g"))
+      .agg(sum((col("tt") * (col("tt") - 1L) * (lit(2L) * col("tt") + 5L))
+        .cast(dec)).as("tcorr"))
+    val nD = col("n").cast("double")
+    val sig2 = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("tcorr").cast("double")) / 18.0
+    val sD = col("s").cast("double")
+    val z = when(col("s") > 0, (sD - 1.0) / sqrt(sig2))
+      .when(col("s") < 0, (sD + 1.0) / sqrt(sig2))
+      .otherwise(lit(0.0))
+    sizes.join(s, "g").join(ties, "g")
+      .select(col("g").as("group"), col("n"), col("s"),
+        round(when(sig2 > 0.0, z), 7).as("z"))
+  }
+
   /** Fano factor per group — burstiness of per-bucket counts (Poisson
     * arrivals give F = 1; F >> 1 means clustered bursts, F << 1
     * regularity): F = var/mean over the bucket counts with sample

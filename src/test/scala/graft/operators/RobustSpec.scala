@@ -37,6 +37,18 @@ class RobustSpec extends SparkTestBase {
       .getDouble(3) == 1.5) // k = 0 at n = 2
   }
 
+  test("Tukey fences: hand quartiles, the vandal is the only flag") {
+    val df = ((1 to 8) :+ 100).map(("g", _)).toDF("g", "v")
+    val r = Robust.tukeyFences(df, "g", "v").collect()(0)
+    assert(r.getLong(1) == 9L)
+    assert(r.getInt(2) == 3 && r.getInt(3) == 7 && r.getInt(4) == 4)
+    assert(r.getLong(5) == 0L && r.getLong(6) == 1L)
+    // tight distribution: nothing beyond the fences
+    val tight = Seq(4, 5, 5, 6).map(("g", _)).toDF("g", "v")
+    val t = Robust.tukeyFences(tight, "g", "v").collect()(0)
+    assert(t.getLong(5) == 0L && t.getLong(6) == 0L)
+  }
+
   test("rank distance: identical zero, full reversal maxima") {
     val same = Seq((1L, 30, 30), (2L, 20, 20), (3L, 10, 10))
       .toDF("id", "s1", "s2")

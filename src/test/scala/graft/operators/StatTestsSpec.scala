@@ -689,6 +689,21 @@ class StatTestsSpec extends SparkTestBase {
       .collect()(0).isNullAt(3))
   }
 
+  test("Page's L: perfect trend hand case, order reversal flips the sign") {
+    // 3 blocks, each A<B<C: R = (3,6,9), L = 42, mu = 36, var = 6
+    val df = (for (b <- Seq("b1", "b2", "b3"); (t, v) <-
+      Seq(("A", 1), ("B", 2), ("C", 3))) yield (b, t, v))
+      .toDF("b", "trt", "v")
+    val r = StatTests.pageL(df, "b", "trt", "v", Seq("A", "B", "C"))
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDecimal(2).longValueExact == 84L) // 2L
+    assert(r.getDouble(3) == math.rint(6.0 / math.sqrt(6.0) * 1e7) / 1e7)
+    val rev = StatTests.pageL(df, "b", "trt", "v", Seq("C", "B", "A"))
+      .collect()(0)
+    assert(rev.getDouble(3) == -r.getDouble(3))
+  }
+
   test("Wasserstein-1: unit shift costs exactly 1, identical slices 0") {
     // A={0,2} B={1,3}: every mass point shifts by 1 -> W1 = 1
     val df = (Seq(0, 2).map(("A", _)) ++ Seq(1, 3).map(("B", _)))

@@ -241,6 +241,21 @@ class TrendSpec extends SparkTestBase {
     assert(r.getDouble(2) == 1.0) // median slope survives the vandal
   }
 
+  test("Mann-Kendall: rising/falling hand series, flat null") {
+    val up = (1 to 5).map(i => ("g", i, i)).toDF("g", "t", "v")
+    val r = Trend.mannKendall(up, "g", "t", "v").collect()(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 10L)
+    // sigma^2 = 5*4*15/18; z = 9/sigma
+    assert(r.getDouble(3) ==
+      math.rint(9.0 / math.sqrt(5.0 * 4.0 * 15.0 / 18.0) * 1e7) / 1e7)
+    val down = (1 to 5).map(i => ("g", i, 10 - i)).toDF("g", "t", "v")
+    val d = Trend.mannKendall(down, "g", "t", "v").collect()(0)
+    assert(d.getLong(2) == -10L && d.getDouble(3) == -r.getDouble(3))
+    // constant series: every pair ties -> variance 0 -> null
+    val flat = (1 to 5).map(i => ("g", i, 7)).toDF("g", "t", "v")
+    assert(Trend.mannKendall(flat, "g", "t", "v").collect()(0).isNullAt(3))
+  }
+
   test("Fano factor: regular counts 0, hand bursty case, Poisson-ish 1") {
     val regular = (1 to 3).flatMap(b => Seq.fill(2)(("g", b)))
       .toDF("g", "bk")
