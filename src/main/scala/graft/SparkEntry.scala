@@ -8476,7 +8476,41 @@ object SparkEntry {
             floor(col("value") * 10).cast("long").as("value")),
         "event_type", "value")
         .orderBy("group")),
+
+    // --- 392. Wilcoxon signed-rank, oracle-pinned ------------------------------------------------------------
+    // Paired per user: first-half vs second-half activity counts — did
+    // activity shift WITHIN users? The rank replacement for the paired
+    // t-test, exact via doubled midranks over |d|.
+    "q392_wilcoxon" -> ((s, d) => {
+      graft.operators.StatTests.wilcoxonSignedRank(
+        pairedHalfCounts(t(s, d, "events")), "x", "y")
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("w2_plus", col("w2_plus").cast("long"))
+    }),
+
+    // --- 393. sign test, oracle-pinned -----------------------------------------------------------------------
+    // The assumption-free paired readout on the same pairs — only the
+    // sign of each within-user shift matters.
+    "q393_sign_test" -> ((s, d) =>
+      graft.operators.StatTests.signTest(
+        pairedHalfCounts(t(s, d, "events")), "x", "y")),
   )
+
+  /** Per-user paired activity counts (shared by q392/q393): events in
+    * the first vs second half of the global time window, the midpoint
+    * pinned as floor((min+max)/2) micros — exact both engines.
+    */
+  private def pairedHalfCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = events.where(col("ts").isNotNull && col("user_id").isNotNull)
+    val b = e.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val mid = floor((col("lo") + col("hi")) / lit(2L)).cast("long")
+    e.crossJoin(broadcast(b.select(mid.as("mid"))))
+      .groupBy(col("user_id"))
+      .agg(count(when(unix_micros(col("ts")) <= col("mid"), 1)).as("x"),
+        count(when(unix_micros(col("ts")) > col("mid"), 1)).as("y"))
+  }
 
   /** Word-trigram shingles of documents.text (shared by q380/q381):
     * lowercase whitespace tokens, empty tokens dropped, adjacent
@@ -15932,6 +15966,71 @@ object SparkEntry {
         |  count(CASE WHEN CAST(v AS DOUBLE) > hi THEN 1 END) AS n_high
         |FROM e JOIN f USING (g)
         |GROUP BY 1 ORDER BY "group"""".stripMargin,
+
+    // Wilcoxon signed-rank: the shared paired construction, doubled
+    // midranks over |d|, tie-corrected z.
+    "q392_wilcoxon" -> {
+      val nD = "CAST(n_pairs AS DOUBLE)"
+      val mu = s"($nD * ($nD + CAST(1 AS DOUBLE)) / CAST(4 AS DOUBLE))"
+      val variance = s"($nD * ($nD + CAST(1 AS DOUBLE)) " +
+        s"* (CAST(2 AS DOUBLE) * $nD + CAST(1 AS DOUBLE)) / CAST(24 AS DOUBLE)" +
+        s" - CAST(tie AS DOUBLE) / CAST(48 AS DOUBLE))"
+      s"""WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |m AS (SELECT CAST(floor(CAST(lo + hi AS DOUBLE) / CAST(2 AS DOUBLE))
+         |        AS BIGINT) AS mid FROM b),
+         |pu AS (SELECT user_id,
+         |    count(CASE WHEN epoch_us(ts) <= mid THEN 1 END) AS x,
+         |    count(CASE WHEN epoch_us(ts) > mid THEN 1 END) AS y
+         |  FROM events, m WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY user_id, mid),
+         |d AS (SELECT x - y AS d FROM pu),
+         |zc AS (SELECT count(CASE WHEN d = 0 THEN 1 END) AS n_zero FROM d),
+         |nzd AS (SELECT abs(d) AS ad, d > 0 AS pos FROM d WHERE d <> 0),
+         |pv AS (SELECT ad, count(CASE WHEN pos THEN 1 END) AS cp,
+         |         count(*) AS t FROM nzd GROUP BY 1),
+         |rk AS (SELECT ad, cp, t,
+         |    2 * sum(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - t + 1
+         |      AS mid2
+         |  FROM pv),
+         |a AS (SELECT CAST(sum(t) AS BIGINT) AS np,
+         |    CAST(sum(cp * mid2) AS BIGINT) AS w2,
+         |    CAST(sum(t * t * t - t) AS BIGINT) AS tie0 FROM rk)
+         |SELECT COALESCE(n_pairs, 0) AS n_pairs, n_zero,
+         |  COALESCE(w2, 0) AS w2_plus,
+         |  ROUND(CASE WHEN COALESCE(n_pairs, 0) > 0 AND $variance > 0 THEN
+         |    (CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE) - $mu) / sqrt($variance)
+         |    END, 7) AS z
+         |FROM (SELECT np AS n_pairs, w2, COALESCE(tie0, 0) AS tie FROM a), zc
+         |""".stripMargin
+    },
+
+    // Sign test: exact sign census on the same pairs, continuity z.
+    "q393_sign_test" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |m AS (SELECT CAST(floor(CAST(lo + hi AS DOUBLE) / CAST(2 AS DOUBLE))
+        |        AS BIGINT) AS mid FROM b),
+        |pu AS (SELECT user_id,
+        |    count(CASE WHEN epoch_us(ts) <= mid THEN 1 END) AS x,
+        |    count(CASE WHEN epoch_us(ts) > mid THEN 1 END) AS y
+        |  FROM events, m WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id, mid),
+        |agg AS (SELECT count(CASE WHEN x > y THEN 1 END) AS n_pos,
+        |    count(CASE WHEN x < y THEN 1 END) AS n_neg,
+        |    count(CASE WHEN x = y THEN 1 END) AS n_zero
+        |  FROM pu)
+        |SELECT n_pos, n_neg, n_zero,
+        |  ROUND(CASE WHEN n_pos + n_neg > 0 THEN
+        |    CASE WHEN n_pos > n_neg THEN
+        |      (abs(CAST(n_pos - n_neg AS DOUBLE)) - CAST(1 AS DOUBLE))
+        |        / sqrt(CAST(n_pos + n_neg AS DOUBLE))
+        |    WHEN n_pos < n_neg THEN
+        |      -((abs(CAST(n_pos - n_neg AS DOUBLE)) - CAST(1 AS DOUBLE))
+        |        / sqrt(CAST(n_pos + n_neg AS DOUBLE)))
+        |    ELSE CAST(0 AS DOUBLE) END
+        |    END, 7) AS z
+        |FROM agg""".stripMargin,
   )
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic

@@ -1391,6 +1391,84 @@ object StatTests {
       round(when(tr > 0.0, l1 / tr), 7).as("explained"))
   }
 
+  /** Wilcoxon signed-rank test — PAIRED values (before/after per key:
+    * did the metric shift within subjects?), the paired sibling of
+    * Mann-Whitney and the rank replacement for the paired t-test:
+    * nonzero differences d ranked by |d| with midranks, W+ = rank sum
+    * of the positive side.
+    *
+    * Exactness: doubled midranks over the distinct |d| domain make
+    * W2+ = 2*W+ an exact BIGINT/DECIMAL; zeros drop (the standard
+    * Wilcoxon treatment, counted in n_zero); the tie-corrected normal z
+    *
+    *   z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - sum(t^3-t)/48)
+    *
+    * is one pinned expression, null when n = 0 or the variance is 0.
+    * Differences must be INTEGRAL (quantize the inputs first).
+    *
+    * Scale shape: one combining groupBy on |d| + one distinct-domain
+    * cumsum window (the KS contract) + a 1-row aggregate.
+    *
+    * Returns one row (n_pairs, n_zero, w2_plus, z).
+    */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    requireIntegral(df, xCol)
+    requireIntegral(df, yCol)
+    val dec = "decimal(38,0)"
+    val diffs = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(xCol) - col(yCol)).as("d"))
+    val zeros = diffs.agg(count(when(col("d") === 0L, 1)).as("n_zero"))
+    val nz = diffs.where(col("d") =!= 0L)
+      .select(abs(col("d")).as("ad"), (col("d") > 0L).as("pos"))
+    val perValue = nz.groupBy(col("ad"))
+      .agg(count(when(col("pos"), 1)).as("cp"), count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ad"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = perValue.withColumn("cum", sum(col("t")).over(w))
+      .withColumn("mid2", lit(2L) * col("cum") - col("t") + 1L)
+    val agg = ranked.agg(
+      sum(col("t")).as("n_pairs"),
+      sum((col("cp") * col("mid2")).cast(dec)).as("w2_plus"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast(dec)).as("tie"))
+    val nD = col("n_pairs").cast("double")
+    val mu = nD * (nD + 1.0) / 4.0
+    val variance = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+      col("tie").cast("double") / 48.0
+    agg.crossJoin(broadcast(zeros))
+      .select(coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("n_zero"),
+        coalesce(col("w2_plus"), lit(0L).cast(dec)).as("w2_plus"),
+        round(when(col("n_pairs") > 0 && variance > 0.0,
+          (col("w2_plus").cast("double") / 2.0 - mu) / sqrt(variance)), 7)
+          .as("z"))
+  }
+
+  /** Sign test — the assumption-free paired comparison (only the SIGN of
+    * each difference matters; immune even to the skew that bends
+    * Wilcoxon): n+ positive vs n- negative differences, zeros dropped,
+    * continuity-corrected normal z = sign * (|n+ - n-| - 1)/sqrt(n+ + n-).
+    *
+    * Exact counts, one expression; null z when no nonzero differences.
+    *
+    * Returns one row (n_pos, n_neg, n_zero, z).
+    */
+  def signTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val diffs = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(xCol) - col(yCol)).as("d"))
+    val agg = diffs.agg(
+      count(when(col("d") > 0, 1)).as("n_pos"),
+      count(when(col("d") < 0, 1)).as("n_neg"),
+      count(when(col("d") === 0, 1)).as("n_zero"))
+    val n = (col("n_pos") + col("n_neg")).cast("double")
+    val diff = (col("n_pos") - col("n_neg")).cast("double")
+    val core = (abs(diff) - 1.0) / sqrt(n)
+    agg.select(col("n_pos"), col("n_neg"), col("n_zero"),
+      round(when(n > 0.0,
+        when(diff > 0.0, core).when(diff < 0.0, -core).otherwise(lit(0.0))),
+        7).as("z"))
+  }
+
   /** Cramer-von Mises two-sample T — the whole-curve companion to KS
     * (KS sees only the largest ECDF gap; CvM integrates every gap, so a
     * distribution that drifts a little everywhere is caught): the

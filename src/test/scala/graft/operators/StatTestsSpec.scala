@@ -689,6 +689,35 @@ class StatTestsSpec extends SparkTestBase {
       .collect()(0).isNullAt(3))
   }
 
+  test("Wilcoxon signed-rank: hand ranks with ties and zeros, brute parity") {
+    // pairs (x, y): d = (2, -1, 1, 3, 0): zeros drop, |d| = (2,1,1,3)
+    // ranks |1|: mid 1.5 (x2), |2|: 3, |3|: 4 -> W+ = 1.5 + 3 + 4 = 8.5
+    val df = Seq((3, 1), (1, 2), (2, 1), (4, 1), (5, 5)).toDF("x", "y")
+    val r = StatTests.wilcoxonSignedRank(df, "x", "y").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)
+    assert(r.getDecimal(2).longValueExact == 17L) // 2 * 8.5
+    // mu = 5, var = 4*5*9/24 - 6/48 = 7.5 - 0.125
+    assert(r.getDouble(3) ==
+      math.rint((8.5 - 5.0) / math.sqrt(7.375) * 1e7) / 1e7)
+    // all-zero differences -> no pairs -> null z
+    val flat = Seq((1, 1), (2, 2)).toDF("x", "y")
+    val f = StatTests.wilcoxonSignedRank(flat, "x", "y").collect()(0)
+    assert(f.getLong(0) == 0L && f.getLong(1) == 2L && f.isNullAt(3))
+  }
+
+  test("sign test: hand counts with continuity correction, symmetry") {
+    val df = (Seq.fill(12)((2, 1)) ++ Seq.fill(4)((1, 2)) ++
+      Seq.fill(3)((5, 5))).toDF("x", "y")
+    val r = StatTests.signTest(df, "x", "y").collect()(0)
+    assert(r.getLong(0) == 12L && r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == math.rint(7.0 / 4.0 * 1e7) / 1e7)
+    val sw = StatTests.signTest(df, "y", "x").collect()(0)
+    assert(sw.getDouble(3) == -r.getDouble(3))
+    // balanced -> z = 0
+    val bal = Seq((2, 1), (1, 2)).toDF("x", "y")
+    assert(StatTests.signTest(bal, "x", "y").collect()(0).getDouble(3) == 0.0)
+  }
+
   test("Page's L: perfect trend hand case, order reversal flips the sign") {
     // 3 blocks, each A<B<C: R = (3,6,9), L = 42, mu = 36, var = 6
     val df = (for (b <- Seq("b1", "b2", "b3"); (t, v) <-
