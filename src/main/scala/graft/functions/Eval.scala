@@ -250,6 +250,7 @@ object Eval {
       .select(col(scoreCol).as("v"), col(labelCol).as("y"))
     val perValue = slim.groupBy(col("v"))
       .agg(count(when(col("y"), 1)).as("cp"), count(lit(1)).as("t"))
+    graft.operators.StatTests.requireBoundedDomain(perValue, "rocAuc")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val ranked = perValue.withColumn("cum", sum(col("t")).over(w))

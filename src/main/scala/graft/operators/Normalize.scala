@@ -47,6 +47,7 @@ object Normalize {
     val ranked = slim.withColumn("rank", row_number().over(w).cast("long"))
     val sizes = slim.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
     val pool = slim.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    StatTests.requireBoundedDomain(pool, "quantileNormalize pooled domain")
     val wp = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val positions = pool.withColumn("cum", sum(col("c")).over(wp))

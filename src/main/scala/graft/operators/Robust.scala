@@ -174,6 +174,11 @@ object Robust {
         col(score2Col).as("s2"))
       .where(col("id").isNotNull && col("s1").isNotNull &&
         col("s2").isNotNull)
+    // The shortlist contract, enforced: both the global ranking window
+    // and the O(n^2) discordant-pair join demand a LIST, not a corpus —
+    // 2^16 items is already ~2e9 pairs.
+    StatTests.requireBoundedDomain(slim, "rankDistance ranked list",
+      maxDomain = 1L << 16)
     val w1 = org.apache.spark.sql.expressions.Window
       .orderBy(desc("s1"), col("id"))
     val w2 = org.apache.spark.sql.expressions.Window
@@ -228,6 +233,9 @@ object Robust {
         col(score2Col).as("s2"))
       .where(col("id").isNotNull && col("s1").isNotNull &&
         col("s2").isNotNull)
+    // Shortlist contract, enforced: the global ranking windows sort the
+    // whole list in one partition.
+    StatTests.requireBoundedDomain(slim, "rboAtK ranked list")
     val w1 = org.apache.spark.sql.expressions.Window
       .orderBy(desc("s1"), col("id"))
     val w2 = org.apache.spark.sql.expressions.Window

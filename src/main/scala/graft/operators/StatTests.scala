@@ -118,6 +118,7 @@ object StatTests {
     val perValue = slim.groupBy(col("v"))
       .agg(count(when(col("g") === a, 1)).as("ca"),
         count(when(col("g") === b, 1)).as("cb"))
+    requireBoundedDomain(perValue, "ksTwoSample")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val dec = "decimal(38,0)"
@@ -256,6 +257,7 @@ object StatTests {
       .where(col("x").isNotNull && col("y").isNotNull)
     val cells = slim.groupBy(col("group"), col("x"), col("y"))
       .agg(count(lit(1)).as("c"))
+    requireBoundedCells(cells, "group", "kendallTauB")
     val dec = "decimal(38,0)"
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.group") === col("b.group") && col("a.x") < col("b.x"))
@@ -354,6 +356,7 @@ object StatTests {
     val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
     val perValue = slim.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    requireBoundedDomain(perValue, "kruskalWallis")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val mids = perValue.withColumn("cum", sum(col("t")).over(w))
@@ -585,10 +588,12 @@ object StatTests {
       .agg(count(lit(1)).as("c"))
     val perItem = cells.groupBy(col("item"))
       .agg(sum(col("c")).as("n_r"), sum(col("c") * col("c")).as("s2_i"))
-    val raterCounts = perItem.select(col("n_r")).distinct().collect()
+    // limit(2): the check only needs "exactly one distinct count?" — on a
+    // ragged billion-item panel it must not pull every count to the driver.
+    val raterCounts = perItem.select(col("n_r")).distinct().limit(2).collect()
     require(raterCounts.length == 1,
       s"Fleiss' kappa needs the same rater count per item, got " +
-        s"${raterCounts.length} distinct counts")
+        s"${raterCounts.length} or more distinct counts")
     val n = raterCounts(0).getLong(0)
     require(n >= 2, s"Fleiss' kappa needs >= 2 raters per item, got $n")
     val dec = "decimal(38,0)"
@@ -665,6 +670,7 @@ object StatTests {
     val perValue = slim.groupBy(col("v"))
       .agg(count(when(col("g") === a, 1)).as("ca"),
         count(lit(1)).as("t"))
+    requireBoundedDomain(perValue, "mannWhitneyU")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // competition ranks of the tie run ending at this value: (cum-t+1, cum)
@@ -700,6 +706,64 @@ object StatTests {
         .contains(df.schema(valueCol).dataType),
       s"$valueCol must be integral (quantize first), got " +
         df.schema(valueCol).dataType)
+  }
+
+  /** Hard cap on the distinct-value domain a single-partition cumsum
+    * window may sort. 2^20 distinct values sort comfortably in one task;
+    * an unbounded domain (raw doubles, microsecond timestamps) would turn
+    * the domain window into THE bottleneck of a 100 TB job.
+    */
+  val MaxDistinctDomain: Long = 1L << 20
+
+  /** The quantize-first contract, ENFORCED: every operator in the
+    * distinct-domain window family (KS, Mann-Whitney, Kruskal-Wallis,
+    * Mood, CvM, Wasserstein-1, Wilcoxon signed-rank, Jonckheere-Terpstra,
+    * quantile-normalize, rank-distance/RBO) cumulates over the DISTINCT
+    * value domain in one ordered partition — bounded by the domain, not
+    * the row count. That is the right distributed shape only while the
+    * domain is small; this guard counts it (one extra combining pass —
+    * a distributed count, never a hot partition) and throws loudly above
+    * [[MaxDistinctDomain]] instead of letting a silent single-partition
+    * sort eat the job. Quantizing the value column (bucketing, rounding,
+    * [[graft.functions.Quantize]]) is the documented fix, not raising
+    * the cap.
+    */
+  def requireBoundedDomain(domain: DataFrame, what: String,
+      maxDomain: Long = MaxDistinctDomain): Unit = {
+    val n = domain.count()
+    require(n <= maxDomain,
+      s"$what: $n distinct values exceed the domain-window bound " +
+        s"$maxDomain — the ordered domain cumsum would run in ONE " +
+        "partition at this cardinality. Quantize the value column first " +
+        "(the documented quantize-first contract).")
+  }
+
+  /** Cap on per-group distinct cells for the cells^2 pair-join family.
+    * 2^13 cells is ~33.5M pair rows in the single task that owns the
+    * group (the pair join is keyed on the group, so one group's whole
+    * cells x cells product materializes in one task).
+    */
+  val MaxPairCells: Long = 1L << 13
+
+  /** Per-group companion of [[requireBoundedDomain]] for the cells^2
+    * family (Kendall tau-b, Theil-Sen, Mann-Kendall): counts the largest
+    * group's distinct cells with one distributed pass and throws loudly
+    * above [[MaxPairCells]] — the alternative is a silent quadratic task
+    * that owns the whole group. Quantize coarser (or aggregate to a
+    * coarser time grain) to shrink the cell domain.
+    */
+  def requireBoundedCells(cells: DataFrame, groupCol: String, what: String,
+      maxCells: Long = MaxPairCells): Unit = {
+    val worst = cells.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nc")).agg(max(col("nc"))).first()
+    if (!worst.isNullAt(0)) {
+      val n = worst.getLong(0)
+      require(n <= maxCells,
+        s"$what: a group carries $n distinct cells, past the cells^2 " +
+          s"pair-join bound $maxCells (~${maxCells * maxCells / 2} pair " +
+          "rows in ONE task). Quantize coarser first (the documented " +
+          "bounded-cells^2 contract).")
+    }
   }
 
   /** One-way ANOVA F — the k-group mean comparison completing the family
@@ -896,6 +960,7 @@ object StatTests {
     val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
     val perValue = slim.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    requireBoundedDomain(perValue, "moodMedianTest")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = perValue.withColumn("cum", sum(col("t")).over(w))
@@ -1423,6 +1488,7 @@ object StatTests {
       .select(abs(col("d")).as("ad"), (col("d") > 0L).as("pos"))
     val perValue = nz.groupBy(col("ad"))
       .agg(count(when(col("pos"), 1)).as("cp"), count(lit(1)).as("t"))
+    requireBoundedDomain(perValue, "wilcoxonSignedRank")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("ad"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val ranked = perValue.withColumn("cum", sum(col("t")).over(w))
@@ -1491,6 +1557,7 @@ object StatTests {
     val perValue = slim.groupBy(col("v"))
       .agg(count(when(col("g") === a, 1)).as("ca"),
         count(when(col("g") === b, 1)).as("cb"))
+    requireBoundedDomain(perValue, "cvmTwoSample")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = perValue
@@ -1538,6 +1605,7 @@ object StatTests {
     val perValue = slim.groupBy(col("v"))
       .agg(count(when(col("g") === a, 1)).as("ca"),
         count(when(col("g") === b, 1)).as("cb"))
+    requireBoundedDomain(perValue, "wassersteinOne")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
     val wcum = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1668,7 +1736,9 @@ object StatTests {
     // the cumsum must be known at EVERY pooled value for every group
     // (a pair (i,j) contributes at j's values even where i has none):
     // cumulate over the full distinct-value x group spine
-    val spine = slim.select(col("v")).distinct()
+    val domain = slim.select(col("v")).distinct()
+    requireBoundedDomain(domain, "jonckheereTerpstra")
+    val spine = domain
       .crossJoin(broadcast(slim.select(col("gi")).distinct()))
     val pv = slim.groupBy(col("gi"), col("v")).agg(count(lit(1)).as("c0"))
     val full = spine.join(pv, Seq("gi", "v"), "left")

@@ -375,6 +375,7 @@ object Trend {
     val cells = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("c"))
+    StatTests.requireBoundedCells(cells, "g", "theilSen")
     val a = cells.select(col("g"), col("x").as("xi"), col("y").as("yi"),
       col("c").as("ci"))
     val b = cells.select(col("g"), col("x").as("xj"), col("y").as("yj"),
@@ -425,6 +426,7 @@ object Trend {
     val slim = df.select(col(groupCol).as("g"), col(timeCol).as("t"),
         col(valueCol).as("v"))
       .where(col("g").isNotNull && col("t").isNotNull && col("v").isNotNull)
+    StatTests.requireBoundedCells(slim, "g", "mannKendall")
     val a = slim.select(col("g"), col("t").as("ti"), col("v").as("vi"))
     val b = slim.select(col("g"), col("t").as("tj"), col("v").as("vj"))
     val s = a.join(b, Seq("g")).where(col("ti") < col("tj"))

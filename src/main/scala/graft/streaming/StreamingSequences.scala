@@ -44,7 +44,11 @@ object StreamingSequences {
         (key: Long, it: Iterator[SeqEvent], state: GroupState[SeqWindowState]) =>
           var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
           val out = scala.collection.mutable.ListBuffer.empty[SeqPair]
-          val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // Full timestamp precision: getTime alone drops sub-millisecond
+          // digits, which would break batch-parity whenever two events in
+          // the same millisecond order differently by event_id than by ts.
+          val ordered =
+            it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           for (e <- ordered) {
             for ((a, i) <- recent.reverse.zipWithIndex if i < maxGap)
               out += SeqPair(key, a, e.label, i + 1)

@@ -153,7 +153,10 @@ object OracleLint {
           // double literal, ln/exp/sqrt/round) yields DOUBLE on both
           // engines — type-safe. Only a sum escaping through pure
           // integer arithmetic stays HUGEINT and flags.
-          val doubleCoerced = item.contains("/") ||
+          // Single '/' only: DuckDB's '//' is INTEGER division and keeps
+          // HUGEINT, so it must NOT count as a double coercion.
+          val doubleCoerced =
+            "(?<!/)/(?!/)".r.findFirstIn(item).isDefined ||
             "\\d\\s*\\.\\s*\\d".r.findFirstIn(item).isDefined ||
             "(?i)\\b(ln|log|log2|log10|exp|sqrt|round)\\s*\\(".r
               .findFirstIn(item).isDefined
@@ -206,6 +209,16 @@ class OracleLintSpec extends AnyFunSuite {
         |  FROM t GROUP BY 1)
         |SELECT g, d1 FROM wide""".stripMargin
     assert(OracleLint.lint(fixedCte).isEmpty)
+  }
+
+  test("DuckDB integer division // does not whitelist an uncast sum") {
+    // '//' keeps HUGEINT in DuckDB — the exact dtype-skew class the lint
+    // exists to catch; a single '/' (true division → DOUBLE) stays clean.
+    val intDiv = "SELECT sum(x) // 2 AS y FROM t"
+    assert(OracleLint.lint(intDiv)
+      .exists(_.contains("uncast sum( in final projection")))
+    val trueDiv = "SELECT sum(x) / 2 AS y FROM t"
+    assert(OracleLint.lint(trueDiv).isEmpty)
   }
 
   test("every declared oracle is free of uncast escaping sums") {

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The quantize-first contract, enforced: [[StatTests.requireBoundedDomain]]
+  * must trip LOUDLY on an over-bound distinct domain — the 100 TB failure
+  * mode of the domain-window family is a silent single-partition sort, and
+  * the guard exists to turn it into a contract violation instead.
+  */
+class DomainGuardSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("helper: passes at the bound, throws one past it") {
+    val eight = spark.range(8).toDF("v")
+    StatTests.requireBoundedDomain(eight, "fits", maxDomain = 8)
+    val nine = spark.range(9).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      StatTests.requireBoundedDomain(nine, "overflows", maxDomain = 8)
+    }
+    assert(e.getMessage.contains("overflows"))
+    assert(e.getMessage.contains("quantize"))
+  }
+
+  test("a real operator trips end-to-end on an over-domain column") {
+    // 2^20 + 1 distinct values: one past MaxDistinctDomain. The guard
+    // must fire BEFORE any single-partition window runs.
+    val wide = spark.range(StatTests.MaxDistinctDomain + 1)
+      .select(when(col("id") % 2 === 0, "a").otherwise("b").as("g"),
+        col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      StatTests.ksTwoSample(wide, "g", "v", "a", "b")
+    }
+    assert(e.getMessage.contains("ksTwoSample"))
+    assert(e.getMessage.contains("quantize"))
+    // quantized, the identical data passes and produces the one-row result
+    val quantized = wide.select(col("g"), (col("v") / 1024L).cast("long").as("v"))
+    assert(StatTests.ksTwoSample(quantized, "g", "v", "a", "b").count() == 1L)
+  }
+
+  test("cells^2 guard: largest group's cell count gates the pair join") {
+    val ok = spark.range(StatTests.MaxPairCells)
+      .select(lit("g1").as("g"), col("id").as("x"), col("id").as("y"))
+    StatTests.requireBoundedCells(ok, "g", "fits")
+    // one group past the bound trips it even when the OTHER group is tiny
+    val over = spark.range(StatTests.MaxPairCells + 1)
+      .select(lit("g1").as("g"), col("id").as("x"), col("id").as("y"))
+      .union(Seq(("g2", 1L, 1L)).toDF("g", "x", "y"))
+    val e = intercept[IllegalArgumentException] {
+      StatTests.requireBoundedCells(over, "g", "overflows")
+    }
+    assert(e.getMessage.contains("cells^2"))
+    // end-to-end: mannKendall refuses an unaggregated time grain
+    val raw = spark.range(StatTests.MaxPairCells + 1)
+      .select(lit("g1").as("g"), col("id").as("t"), (col("id") % 7).as("v"))
+    val e2 = intercept[IllegalArgumentException] {
+      Trend.mannKendall(raw, "g", "t", "v")
+    }
+    assert(e2.getMessage.contains("mannKendall"))
+  }
+
+  test("the shortlist guards on rank ops trip on corpus-sized input") {
+    val big = spark.range((1L << 16) + 1)
+      .select(col("id"), col("id").as("s1"), (-col("id")).as("s2"))
+    val e = intercept[IllegalArgumentException] {
+      Robust.rankDistance(big, "id", "s1", "s2")
+    }
+    assert(e.getMessage.contains("rankDistance"))
+  }
+}
