@@ -1,0 +1,1030 @@
+package graft
+
+
+import graft.expectations.Expectations
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, LinearText, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, WordPiece, TextFunctions => TF}
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.{t, dec, dsum}
+import SparkEntry._
+
+/** Query registry part 1 (q01-q47): relational core, TPC-H shapes, DQ pipeline, dedup/ANN entry points.
+  * Split from the monolithic SparkEntry in r15 — pure relocation,
+  * identical entries; SparkEntry composes the eight parts.
+  */
+private[graft] object QueriesPart1 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- 1. scan + filter + project (predicate pushdown, column pruning) ----
+    "q01_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // --- 2. grouped aggregate, TPC-H Q1 shape -------------------------------
+    "q02_agg_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity")))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- 3. inner equi-join + aggregate (broadcast the small dim) -----------
+    "q03_join_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")),
+
+    // --- 4. multi-way star join: revenue per nation in a region/date window -
+    "q04_join_multiway" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")),
+
+    // --- 5. left outer join + nested aggregation ----------------------------
+    "q05_left_join_dist" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")),
+
+    // --- 6. left-semi join (EXISTS) ------------------------------------------
+    "q06_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // --- 7. left-anti join (NOT EXISTS) --------------------------------------
+    "q07_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")),
+
+    // --- 8. count distinct ----------------------------------------------------
+    "q08_count_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // --- 9. group-by + HAVING -------------------------------------------------
+    "q09_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .where(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+
+    // --- 10. rollup ------------------------------------------------------------
+    "q10_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_year"))),
+
+    // --- 11. cube ---------------------------------------------------------------
+    "q11_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // --- 12. grouping sets (SQL-expressed; same text runs on DuckDB) -----------
+    "q12_grouping_sets" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q12)
+    }),
+
+    // --- 13. window: partitioned top-n by rank ---------------------------------
+    "q13_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    // --- 14. window: lag / lead -------------------------------------------------
+    "q14_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .withColumn("delta", col("o_totalprice") - col("prev_price"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price", "delta")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // --- 15. window: running sum with ROWS frame ---------------------------------
+    "q15_window_running" -> ((s, d) => {
+      // l_quantity joins the ordering because (suppkey, shipdate, orderkey,
+      // linenumber) is NOT unique in the synthetic data at sf0.1 — a
+      // non-total ROWS-frame order makes the running sum engine-dependent.
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // --- 16. order-by + limit (top-k, TakeOrderedAndProject) ---------------------
+    "q16_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // --- 17. UNION ALL ------------------------------------------------------------
+    "q17_union_all" -> ((s, d) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+        .select(lit("customer").as("side"), col("nationkey"), col("n"), col("bal"))
+      val sup = t(s, d, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("bal"))
+        .select(lit("supplier").as("side"), col("nationkey"), col("n"), col("bal"))
+      c.unionAll(sup).orderBy("side", "nationkey")
+    }),
+
+    // --- 18. UNION (distinct) -------------------------------------------------------
+    "q18_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    // --- 19. INTERSECT ----------------------------------------------------------------
+    "q19_intersect" -> ((s, d) =>
+      t(s, d, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").where(col("s_acctbal") > 5000)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // --- 20. EXCEPT --------------------------------------------------------------------
+    "q20_except" -> ((s, d) =>
+      t(s, d, "customer").where(col("c_acctbal") < -500)
+        .select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // --- 21. scalar string functions -----------------------------------------------------
+    "q21_scalar_string" -> ((s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("name5"),
+          length(col("p_name")).as("name_len"),
+          concat(col("p_brand"), lit("#"), lower(col("p_type"))).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+          col("p_name").rlike("^[a-z]+ [a-z]+$").as("is_two_words"))
+        .orderBy("p_partkey")),
+
+    // --- 22. scalar date functions --------------------------------------------------------
+    "q22_scalar_date" -> ((s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate")))
+            .as("days_to_2000"))
+        .orderBy("o_orderkey")),
+
+    // --- 23. scalar math + conditional -----------------------------------------------------
+    "q23_scalar_math" -> ((s, d) =>
+      t(s, d, "lineitem").where(col("l_orderkey") <= 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          when(col("l_quantity") >= 30, "H").when(col("l_quantity") >= 15, "M")
+            .otherwise("L").as("qty_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("X")).as("flag2"),
+          (col("l_extendedprice") * col("l_tax")).as("tax_amt"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // --- 24. scalar subquery (SQL-expressed) --------------------------------------------------
+    "q24_scalar_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q24)
+    }),
+
+    // --- 25. IN subquery (SQL-expressed) -------------------------------------------------------
+    "q25_in_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q25)
+    }),
+
+    // --- 26. correlated EXISTS with aggregate guard (SQL-expressed) ---------------------------
+    "q26_exists_agg" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(sql_q26)
+    }),
+
+    // --- 27. waterbear-native DQ: per-rule violation counts over customer ----------------------
+    "q27_dq_counts" -> ((s, d) =>
+      Expectations.violationCounts(t(s, d, "customer"), customerConstraints)
+        .orderBy("rule")),
+
+    // --- 28. event-time bucketed aggregation ----------------------------------------------------
+    "q28_events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // --- 29. exact dedup (keep-first by content hash) ------------------------------------------
+    "q29_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", Seq("text"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // --- 30. token counting ----------------------------------------------------------------------
+    "q30_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars2"))
+        .orderBy("doc_id")),
+
+    // --- 31. text quality scoring ----------------------------------------------------------------
+    "q31_text_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TF.punctRatio(col("text")).as("punct_ratio"),
+          TF.meanTokenLength(col("text")).as("mean_token_len"))
+        .orderBy("doc_id")),
+
+    // --- 32. language ID (Cavnar–Trenkle trigram profiles), oracle-pinned --------------------------
+    // The classifier itself can't be re-run in SQL, so the oracle pins
+    // its EXPECTED OUTPUT: each row classifies a held-out sentence in a
+    // KNOWN language (cycled by doc_id over the 11 covered languages,
+    // incl. ru/ar/zh/ja scripts), and the oracle recomputes the expected
+    // code arithmetically. stopword/quality stay on the corpus text.
+    "q32_lang_id" -> ((s, d) => {
+      val sents = graft.expressions.LangIdCodec.DemoSentences
+      val sent = element_at(array(sents.map(p => lit(p._2)): _*),
+        (col("doc_id") % sents.length).cast("int") + 1)
+      t(s, d, "documents").select(
+          col("doc_id"), col("lang"), TF.langId(sent).as("lang_pred"),
+          TF.stopwordRatio(col("text")).as("stopword_ratio"),
+          TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 33. MinHash+LSH near-dup pairs (no SQL oracle) --------------------------------------------
+    "q33_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        sorted = true)),  // deterministic output order for the verify dump
+
+    // --- 34. SimHash near-dup pairs (no SQL oracle) -------------------------------------------------
+    "q34_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3,
+        sorted = true)),
+
+    // --- 35. n-gram Jaccard within language block (no SQL oracle) -----------------------------------
+    "q35_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
+        n = 2, threshold = 0.25, sorted = true)),
+
+    // --- 36. brute-force cosine top-k (no SQL oracle) -----------------------------------------------
+    "q36_knn_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceKnn(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 5)
+    }),
+
+    // --- 37. LSH-bucketed approximate top-k (no SQL oracle) ------------------------------------------
+    "q37_knn_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshKnn(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 5, nPlanes = 6)
+    }),
+
+    // --- 38. embedding near-duplicate pairs (no SQL oracle) -------------------------------------------
+    // The raw embeddings are near-orthogonal random vectors (max pairwise
+    // cosine ~0.51 at sf0.01), so a 0.95-threshold scan of them alone is
+    // vacuous. Plant known near-dups instead: every 10th vector re-enters
+    // the corpus scaled by 2 under a NEGATED id (vec_ids are non-negative,
+    // so planted ids can never collide with real ones at any sf) — same
+    // direction, cosine 1.0, identical hyperplane sign pattern, so LSH
+    // recall is exactly 1 and the output is precisely the planted pairs.
+    "q38_embedding_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val planted = e.where(col("id") % 10 === 0)
+        .select((-col("id") - 1L).as("id"),
+          transform(col("vec"), x => x * lit(2.0f)).as("vec"))
+      Similarity.embeddingNearDupPairs(e.unionAll(planted),
+        threshold = 0.95, nPlanes = 8)
+    }),
+
+    // --- 39. document fingerprint (rolling hash; no SQL oracle) ----------------------------------------
+    "q39_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TF.fingerprint(col("text"), 8).as("fp"),
+          TF.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // --- 40. multimodal metadata plumbing ----------------------------------------------------------------
+    "q40_media_meta" -> ((s, d) => {
+      val bin = col("text").cast("binary")
+      t(s, d, "documents").select(
+          col("doc_id"),
+          length(bin).as("n_bytes"),
+          ceil(length(bin).cast("double") / 64.0).cast("int").as("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 41. REAL pixel decode (PGM raster) + per-channel stats, oracle-pinned --------------------------
+    // No real image files exist in the synthetic corpus, so the query
+    // CONSTRUCTS a binary PGM (P5) per row — ASCII header + raw raster where
+    // pixel i = (doc_id + i) % 256 — and decodes it back with the native
+    // codegen'd ImagePixelStatsExpr (one-pass decode+reduce, O(1) heap,
+    // inside WholeStageCodegen). The DuckDB oracle recomputes the stats
+    // arithmetically over generate_series: a hash match proves the decoder
+    // exactly inverts construction — header tokenization, raster offset,
+    // and the min/max/mean reduction. (Construction uses interpreted HOFs;
+    // that's the test harness, not the decode path being measured.)
+    "q41_media_features" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.pixelStats(syntheticPgm).as("px"))
+        .select(col("doc_id"),
+          col("px.format").as("fmt"),
+          col("px.width").as("width"),
+          col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.c0_mean").as("px_mean"),
+          col("px.c0_min").as("px_min"),
+          col("px.c0_max").as("px_max"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 42. IVF kNN machinery, oracle-pinned via probe-all ----------------------------------------------
+    // Probing ALL cells makes IVF search exactly brute force: every corpus
+    // vector lives in exactly one cell and every query probes all of them,
+    // so the fit -> assign -> probe -> score pipeline earns q36's
+    // brute-force SQL oracle — a hash match proves the cell assignment
+    // loses no vector and the scoring path is exact. Selective probing
+    // (the production mode, nProbe << k) is pinned live by IvfSpec, whose
+    // recall and pruning assertions are the part no SQL oracle can state.
+    "q42_knn_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = graft.functions.Ivf.fit(e.withColumnRenamed("vec", "v")
+        .select(col("v").as("vec")), "vec", k = 8, seed = 42L)
+      graft.functions.Ivf.knn(
+        e.where(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec")),
+        e, k = 5, model, nProbe = 8)
+    }),
+
+    // --- 101. product-quantization kNN (PQ codes + ADC search; no SQL oracle) ---------------------------
+    // The compression end of the ANN ladder (brute q36 -> LSH q37 -> IVF
+    // q42 -> PQ): embeddings shrink to 8 codes each via the codegen'd
+    // encode expression, and search is table lookups over codes — no float
+    // vector is touched at scan time. KMeans codebooks are engine-specific
+    // (rows-only); the exactness of the ADC arithmetic and self-recall are
+    // pinned by PqSpec. Self-pairs excluded to mirror the other kNN shapes.
+    "q101_knn_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = graft.functions.Pq.fit(e, "vec", m = 8, k = 16, seed = 42L)
+      graft.functions.Pq.adcKnn(
+          e.where(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec")),
+          e, k = 6, model)
+        .where(col("qid") =!= col("neighbor"))
+        .select(col("qid"), col("neighbor"), col("adc_dist"))
+        .orderBy("qid", "adc_dist", "neighbor")
+    }),
+
+    // --- 43. sessionization: 30-min-gap sessions per user over the event stream --------------------------
+    "q43_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts"))
+      val prev = lag(unix_micros(col("ts")), 1).over(w)
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("new_session",
+          when(prev.isNull || (us - prev) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // --- 44. PII redaction over documents ----------------------------------------------------------------
+    "q44_pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TF.redactPii(col("text")).as("clean_text"),
+          (length(col("text")) - length(TF.redactPii(col("text"))))
+            .cast("int").as("chars_removed"))
+        .orderBy("doc_id")),
+
+    // --- 45. near-duplicate removal (LSH pairs -> connected components; no SQL oracle) ------------------
+    "q45_drop_neardups" -> ((s, d) =>
+      Dedup.dropNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // --- 46. as-of join: latest view before each purchase per user ---------------------------------------
+    "q46_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("value").as("view_value"))
+      graft.operators.AsOfJoin(purchases, views, Seq("user_id"), "ts", "vts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+          col("value"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // --- 48. exact column profile (one aggregation pass melted to rows) ---------------------------------
+    "q48_profile_stats" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val src = t(s, d, "orders")
+      val aggs = cols.flatMap { c =>
+        Seq(count(lit(1)).as(s"${c}__rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+      }
+      val one = src.agg(aggs.head, aggs.tail: _*)
+      val kvs = cols.map { c =>
+        struct(lit(c).as("column"), col(s"${c}__rows").as("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"))
+      }
+      one.select(explode(array(kvs: _*)).as("p")).select("p.*").orderBy("column")
+    }),
+
+    // --- 47. skew-safe salted aggregation (exact decimal partials; oracle = plain GROUP BY) -------------
+    "q47_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+          t(s, d, "lineitem"), Seq("l_suppkey"), saltBuckets = 16,
+          Seq((sum(dec(col("l_quantity"))), (p: String) => sum(col(p)), "sum_qty"),
+            (count(lit(1)), (p: String) => sum(col(p)), "n_items")))
+        .select(col("l_suppkey"), col("sum_qty").cast("double").as("sum_qty"),
+          col("n_items"))
+        .orderBy("l_suppkey")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_join_multiway" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q05_left_join_dist" ->
+      """SELECT n_orders, COUNT(*) AS n_customers
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY n_orders
+        |ORDER BY n_orders""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q09_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, CAST(YEAR(o_orderdate) AS INT))
+        |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+
+    "q11_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q12_grouping_sets" -> sql_q12,
+
+    "q13_window_topn" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q14_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  o_totalprice - LAG(o_totalprice, 1) OVER w AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q15_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q16_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q17_union_all" ->
+      """SELECT side, nationkey, n, bal FROM (
+        |  SELECT 'customer' AS side, c_nationkey AS nationkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |  FROM customer GROUP BY c_nationkey
+        |  UNION ALL
+        |  SELECT 'supplier' AS side, s_nationkey AS nationkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |  FROM supplier GROUP BY s_nationkey) t
+        |ORDER BY side, nationkey""".stripMargin,
+
+    "q18_union" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION SELECT s_nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q19_intersect" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q20_except" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -500
+        |  EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal < 0) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q21_scalar_string" ->
+      """SELECT p_partkey,
+        |  UPPER(SUBSTR(p_name, 1, 5)) AS name5,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  CONCAT(p_brand, '#', LOWER(p_type)) AS brand_type,
+        |  REPLACE(p_name, ' ', '_') AS snake,
+        |  TRIM(CONCAT(' ', p_name, ' ')) AS trimmed,
+        |  regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS is_two_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q22_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  CAST(MONTH(o_orderdate) AS INT) AS o_month,
+        |  CAST(DAY(o_orderdate) AS INT) AS o_day,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+        |  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_2000
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q23_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_discount - 0.05) AS disc_dev,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CASE WHEN l_quantity >= 30 THEN 'H' WHEN l_quantity >= 15 THEN 'M' ELSE 'L' END AS qty_band,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'X') AS flag2,
+        |  l_extendedprice * l_tax AS tax_amt
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q24_scalar_subquery" -> sql_q24,
+    "q25_in_subquery" -> sql_q25,
+    "q26_exists_agg" -> sql_q26,
+
+    "q27_dq_counts" -> {
+      // mirrors the compiled customer constraints exactly (predicate text is
+      // dialect-neutral except RLIKE -> regexp_matches)
+      """SELECT rule, violations FROM (
+        |  SELECT '[`c_custkey`] NULLABLE' AS rule,
+        |    COUNT(*) FILTER (WHERE NOT (c_custkey IS NOT NULL)) AS violations FROM customer
+        |  UNION ALL SELECT '[`c_custkey`] VALUE',
+        |    COUNT(*) FILTER (WHERE NOT (c_custkey IS NULL OR c_custkey >= 0.0)) FROM customer
+        |  UNION ALL SELECT '[`c_name`] NULLABLE',
+        |    COUNT(*) FILTER (WHERE NOT (c_name IS NOT NULL)) FROM customer
+        |  UNION ALL SELECT '[`c_name`] MATCH',
+        |    COUNT(*) FILTER (WHERE NOT (c_name IS NULL OR regexp_matches(c_name, '^Customer#[0-9]{9}$'))) FROM customer
+        |  UNION ALL SELECT '[`c_name`] LENGTH',
+        |    COUNT(*) FILTER (WHERE NOT (c_name IS NULL OR LENGTH(c_name) <= 18)) FROM customer
+        |  UNION ALL SELECT '[`c_nationkey`] NULLABLE',
+        |    COUNT(*) FILTER (WHERE NOT (c_nationkey IS NOT NULL)) FROM customer
+        |  UNION ALL SELECT '[`c_nationkey`] VALUE',
+        |    COUNT(*) FILTER (WHERE NOT (c_nationkey IS NULL OR c_nationkey BETWEEN 0.0 AND 24.0)) FROM customer
+        |  UNION ALL SELECT '[`c_acctbal`] VALUE',
+        |    COUNT(*) FILTER (WHERE NOT (c_acctbal IS NULL OR c_acctbal >= 0.0)) FROM customer
+        |  UNION ALL SELECT '[`c_mktsegment`] VALUE',
+        |    COUNT(*) FILTER (WHERE NOT (c_mktsegment IS NULL OR c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY'))) FROM customer
+        |) t ORDER BY rule""".stripMargin
+    },
+
+    "q28_events_hourly" ->
+      """SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q29_dedup_exact" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q30_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(LENGTH(text) AS INT) AS n_chars2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) - LENGTH(TRANSLATE(text, '.,;:!?''"()-', '')) AS DOUBLE)
+        |    / GREATEST(LENGTH(text), 1) AS punct_ratio,
+        |  CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM base
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q32_lang_id" -> {
+      // lang_pred: the classifier output on a held-out sentence in a
+      // KNOWN language, recomputed arithmetically from doc_id (never
+      // re-running trigram logic in SQL). stopword_ratio/quality mirror
+      // TextFunctions exactly over the corpus text.
+      val langCase = graft.expressions.LangIdCodec.DemoSentences
+        .zipWithIndex.map { case ((lang, _), i) => s"WHEN $i THEN '$lang'" }
+        .mkString(" ")
+      val n = graft.expressions.LangIdCodec.DemoSentences.length
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "la", "le", "el",
+        "de", "der", "die", "und", "en", "y", "et", "的", "了")
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, text,
+         |    string_split_regex(TRIM(LOWER(text)), '\\s+') AS tl
+         |  FROM documents
+         |), hits AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(list_filter(tl, x -> list_contains(${lst(stop)}, x))) AS DOUBLE)
+         |      / GREATEST(len(tl), 1) AS sw_ratio,
+         |    CAST(LENGTH(text) - LENGTH(TRANSLATE(text, '.,;:!?''"()-', '')) AS DOUBLE)
+         |      / GREATEST(LENGTH(text), 1) AS p_ratio
+         |  FROM toks
+         |)
+         |SELECT doc_id, lang,
+         |  CASE CAST(doc_id % $n AS INT) $langCase END AS lang_pred,
+         |  sw_ratio AS stopword_ratio,
+         |  FLOOR((LEAST(LENGTH(text) / 500.0, 1.0) * 0.4 +
+         |        (CASE WHEN p_ratio <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |        LEAST(sw_ratio * 5.0, 1.0) * 0.3) * 10000.0) / 10000.0 AS quality
+         |FROM hits ORDER BY doc_id""".stripMargin
+    },
+
+    "q36_knn_brute" ->
+      """SELECT qid, rank, neighbor, cos FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS INT) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Replays BOTH hash kernels exactly in integer SQL (graft.oracle.XxSql):
+    // the winnowing fingerprint is min (signed) over xxhash64 of every
+    // 8-char window; the SimHash signature hashes each DISTINCT whitespace
+    // token once, then per-bit +-1 votes over the token MULTISET decide the
+    // 64 signature bits. Was rows-only before round 12.
+    "q39_fingerprint" -> {
+      import graft.oracle.XxSql._
+      val win = chain("fw",
+        """SELECT doc_id, substring(text, w + 1, 8) AS st
+          |FROM documents,
+          |  LATERAL (SELECT unnest(range(length(text) - 7)) AS w)""".stripMargin,
+        Seq("doc_id", "st"))
+      strHash(win, "st", "8", maxLen = 8, constLen = Some(8))
+      val tok = chain("tk",
+        """SELECT st, length(st) AS l FROM (
+          |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS st
+          |  FROM documents)""".stripMargin,
+        Seq("st", "l"))
+      strHash(tok, "st", "l", maxLen = 16)
+      s"""WITH fp AS (WITH ${win.withClauses}
+         |  SELECT doc_id, min(${s64("h")}) AS fp FROM ${win.last} GROUP BY doc_id),
+         |th AS (WITH ${tok.withClauses} SELECT st, h FROM ${tok.last}),
+         |dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS st
+         |       FROM documents),
+         |votes AS (
+         |  SELECT d.doc_id, b.b,
+         |    sum(CASE WHEN (th.h // (1::HUGEINT << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM dt d JOIN th ON th.st = d.st,
+         |       LATERAL (SELECT unnest(range(64)) AS b) b
+         |  GROUP BY d.doc_id, b.b),
+         |sim AS (
+         |  SELECT doc_id,
+         |    ${s64("sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END)")} AS simhash
+         |  FROM votes GROUP BY doc_id)
+         |SELECT fp.doc_id, fp.fp, sim.simhash
+         |FROM fp JOIN sim ON fp.doc_id = sim.doc_id ORDER BY fp.doc_id""".stripMargin
+    },
+
+    // The engine's pigeonhole band join (maxHamming+1 disjoint chunks) has
+    // GUARANTEED full recall — candidates are a superset of all true pairs
+    // and are verified by exact hamming — so the all-pairs oracle over the
+    // replayed SimHash signatures is exactly equivalent, with no LSH
+    // modeling needed (unlike MinHash banding, whose recall is < 1).
+    "q34_simhash_pairs" -> {
+      import graft.oracle.XxSql._
+      val tok = chain("tk",
+        """SELECT st, length(st) AS l FROM (
+          |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS st
+          |  FROM documents)""".stripMargin,
+        Seq("st", "l"))
+      strHash(tok, "st", "l", maxLen = 16)
+      s"""WITH th AS (WITH ${tok.withClauses} SELECT st, h FROM ${tok.last}),
+         |dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS st
+         |       FROM documents),
+         |votes AS (
+         |  SELECT d.doc_id, b.b,
+         |    sum(CASE WHEN (th.h // (1::HUGEINT << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM dt d JOIN th ON th.st = d.st,
+         |       LATERAL (SELECT unnest(range(64)) AS b) b
+         |  GROUP BY d.doc_id, b.b),
+         |sim AS (
+         |  SELECT doc_id,
+         |    ${s64("sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END)")} AS sig
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY hamming, id1, id2""".stripMargin
+    },
+
+    // Full MinHash+LSH replay (graft.oracle.XxSql.minhashPairsSql): the
+    // banding itself is part of the declared semantics (recall < 1), so the
+    // oracle rebuilds signatures and band keys hash-for-hash rather than
+    // scanning all pairs. 64 hashes, 16 bands, 3-word shingles, exact
+    // Jaccard >= 0.5 on candidates. Was rows-only before round 12.
+    "q33_minhash_pairs" ->
+      graft.oracle.XxSql.minhashPairsSql(shingleN = 3, numHashes = 64,
+        bands = 16, threshold = 0.5, blockCol = None),
+
+    // Same replay, bigram shingles blocked by language (48 hashes, 24
+    // bands, Jaccard >= 0.25). Was rows-only before round 12.
+    "q35_ngram_jaccard" ->
+      graft.oracle.XxSql.minhashPairsSql(shingleN = 2, numHashes = 48,
+        bands = 24, threshold = 0.25, blockCol = Some("lang")),
+
+    // Bit-exact LSH KNN replay (graft.oracle.VecSql): hyperplane sign sums
+    // re-folded in IEEE order with signs baked in at generation time,
+    // bucket-collision candidates, exact cosine, same tie-breaks. Was
+    // rows-only before round 12.
+    "q37_knn_lsh" ->
+      graft.oracle.VecSql.lshKnnSql(dims = 64, k = 5, nPlanes = 6,
+        tables = 4, queryPred = "< 10"),
+
+    // The planted-near-dup construction makes the expected output CLOSED
+    // FORM: every planted vector (2x a real one, negated id) pairs with its
+    // source at cosine 1.0 (scaling by 2 commutes exactly with IEEE
+    // addition, so dot == 2*na and the ratio rounds to 1.0); all other
+    // pairs sit at cosine <= ~0.51, far under the 0.95 threshold, and
+    // identical sign patterns guarantee LSH recall 1. A missed or spurious
+    // pair in the engine WOULD break this oracle, so it checks the whole
+    // LSH + verify pipeline, not just the construction. Was rows-only
+    // before round 12.
+    "q38_embedding_neardup" ->
+      """SELECT CAST(-vec_id - 1 AS BIGINT) AS id1, vec_id AS id2,
+        |  CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id % 10 = 0
+        |ORDER BY cos DESC, id1, id2""".stripMargin,
+
+    // Pairs replay + transitive-closure components, keeping each
+    // component's min doc_id (the engine's union-find order). Was
+    // rows-only before round 12.
+    "q45_drop_neardups" ->
+      graft.oracle.XxSql.dropNearDupsSql(shingleN = 3, numHashes = 64,
+        bands = 16, threshold = 0.5,
+        selectCols = "d.doc_id, d.lang", orderCol = "doc_id"),
+
+    "q46_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+        |  p.value AS value, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q48_profile_stats" -> {
+      // "column" is a reserved word in DuckDB — quote the identifier.
+      def side(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_totalprice").map(side)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY \"column\"")
+    },
+
+    "q47_salted_agg" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q44_pii_redact" -> {
+      // Same three regex passes; DuckDB needs the 'g' flag for replace-all.
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')
+         |    AS clean_text,
+         |  CAST(LENGTH(text) -
+         |    LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
+         |    AS INT) AS chars_removed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q40_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+        |  CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 64.0) AS INT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the constructed PGM's pixel stats arithmetically: pixel i of
+    // doc d is (d + i) % 256 over i in [0, w*h) — AVG/MIN/MAX via a lateral
+    // generate_series. Sums are integer-valued and < 2^53, so double AVG is
+    // exact on both engines.
+    "q41_media_features" ->
+      """SELECT doc_id, 'pgm' AS fmt, w AS width, h AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  AVG((doc_id + i) % 256) AS px_mean,
+        |  CAST(MIN((doc_id + i) % 256) AS INT) AS px_min,
+        |  CAST(MAX((doc_id + i) % 256) AS INT) AS px_max
+        |FROM (SELECT doc_id, w, h,
+        |        UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS i
+        |      FROM (SELECT doc_id,
+        |              CAST(4 + doc_id % 13 AS INT) AS w,
+        |              CAST(3 + (doc_id * 5) % 11 AS INT) AS h
+        |            FROM documents))
+        |GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full-probe search over the persisted index is exact brute-force
+    // cosine top-k — the same relational statement as q36. A hash match
+    // here certifies the persist/load/prune/score round-trip end-to-end.
+    // Same statement again for the INLINE IVF pipeline (q42): probe-all
+    // collapses fit -> assign -> probe -> score to exact brute force, so
+    // the machinery is oracled even though trained centroids aren't.
+    "q42_knn_ivf" ->
+      """SELECT qid, rank, neighbor, cos FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS INT) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,2288 @@
+package graft
+
+
+import graft.expectations.Expectations
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, LinearText, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, WordPiece, TextFunctions => TF}
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.{t, dec, dsum}
+import SparkEntry._
+
+/** Query registry part 4 (q149-q197): text cleaning, extraction formats, n-gram LMs.
+  * Split from the monolithic SparkEntry in r15 — pure relocation,
+  * identical entries; SparkEntry composes the eight parts.
+  */
+private[graft] object QueriesPart4 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- 149. mojibake repair (graft_fix_mojibake), oracle-pinned ---------------------------------------
+    // The most common encoding damage in web corpora, CONSTRUCTED for
+    // real per row: clean text (doc prefix + accents, em-dash, CJK,
+    // trademark) is UTF-8-encoded then mis-decoded as ISO-8859-1 — the
+    // exact upstream failure — and repaired by the codegen'd expression.
+    // The oracle states the expected repaired text closed-form: repair
+    // must restore the original byte-for-byte.
+    "q149_fix_mojibake" -> ((s, d) => {
+      val clean = concat(substring(col("text"), 1, 30),
+        lit(" caf\u00e9 \u2014 \u4f60\u597d d\u00e9sol\u00e9\u2122"))
+      val moji = decode(encode(clean, "UTF-8"), "ISO-8859-1")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TF.fixMojibake(moji).as("fixed"),
+          (length(moji) - length(TF.fixMojibake(moji))).as("chars_recovered"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 150. BPE encoding with a pinned merge list, oracle-pinned ---------------------------------------
+    // The tokenizer pillar's ENCODE half, oracle-exact: a 15-merge list
+    // is pinned in the query (rank chains up to 4 deep — t+a→ta→tab→
+    // tabl→table — plus rank-priority splits like er-before-ar), and
+    // every document encodes with the GPT-2 merge-by-rank algorithm.
+    // The corpus vocabulary is CLOSED (31 words), so the oracle restates
+    // each word's pieces hand-derived from the same merge list and
+    // reassembles documents relationally — counts AND the piece strings
+    // hash-match. Corpus TRAINING (learnMerges' one-pass word count +
+    // incremental pair maintenance) stays pinned by BpeSpec's
+    // hand-computed Sennrich trace — the iterative merge-learning loop
+    // is the one half with no SQL expression.
+    "q150_bpe_tokens" -> ((s, d) => {
+      val merges = Seq(("t", "a"), ("h", "e"), ("t", "he"), ("r", "o"),
+        ("ro", "w"), ("s", "c"), ("sc", "a"), ("sca", "n"), ("ta", "b"),
+        ("tab", "l"), ("tabl", "e"), ("k", "e"), ("ke", "y"), ("e", "r"),
+        ("a", "r")).zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      val enc = Bpe.encode(col("text"), merges)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(Retrieval.tokens(col("text"))).as("n_tokens"),
+          size(enc).as("n_subwords"),
+          concat_ws(" ", enc).as("pieces"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 151. HTML metadata extraction, oracle-pinned ---------------------------------------------------
+    // The per-page fields a crawl index keys on (title, meta description,
+    // canonical link, og:title), CONSTRUCTED per row in four shapes:
+    // normal attribute order, reversed order + single quotes, partial
+    // fields + uppercase tags, and bare pages (all NULL). Extraction is a
+    // codegen'd regexp_extract chain with attr-order coalescing; the
+    // oracle states each shape's fields closed-form.
+    "q151_html_meta" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val html =
+        when(m === 0, concat(
+          lit("<html><head><title> Page "), id, lit(" </title>"),
+          lit("<meta name=\"description\" content=\"Desc "), id, lit("\">"),
+          lit("<link rel=\"canonical\" href=\"http://c.io/"), id, lit("\">"),
+          lit("<meta property=\"og:title\" content=\"OG "), id,
+          lit("\"></head><body>x</body></html>")))
+        .when(m === 1, concat(
+          lit("<head><title id='t'>T"), id, lit("</title>"),
+          lit("<meta content='Rev "), id, lit("' name='description'>"),
+          lit("<link href='http://r.io/"), id, lit("' rel='canonical'></head>")))
+        .when(m === 2, concat(
+          lit("<HTML><HEAD><TITLE>Up "), id, lit("</TITLE>"),
+          lit("<meta content=\"OGR "), id,
+          lit("\" property=\"og:title\"></HEAD></HTML>")))
+        .otherwise(concat(lit("<html><body>plain "), id, lit("</body></html>")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.htmlMeta(html).as("v"))
+        .select(col("doc_id"),
+          col("v.title").as("title"),
+          col("v.description").as("description"),
+          col("v.canonical").as("canonical"),
+          col("v.og_title").as("og_title"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 152. Gopher quality-filter rules, oracle-pinned ------------------------------------------------
+    // The published heuristic gate (word-count bounds, mean word length,
+    // symbol ratios, bullet/ellipsis line ratios, alpha-word ratio, core
+    // stopwords) computed as one builtin-function struct over the raw
+    // corpus; the oracle recomputes every metric and the verdict
+    // relationally with the shared tokenization.
+    "q152_gopher_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          Retrieval.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TF.gopherQualityFlags(col("text"), col("__toks")).as("v"))
+        .select(col("doc_id"),
+          col("v.n_words").as("n_words"),
+          col("v.mean_word_len").as("mean_word_len"),
+          col("v.hash_word_ratio").as("hash_word_ratio"),
+          col("v.ellipsis_word_ratio").as("ellipsis_word_ratio"),
+          col("v.bullet_line_ratio").as("bullet_line_ratio"),
+          col("v.ellipsis_line_ratio").as("ellipsis_line_ratio"),
+          col("v.alpha_word_ratio").as("alpha_word_ratio"),
+          col("v.stop_hits").as("stop_hits"),
+          col("v.passes").as("passes"))
+        .orderBy("doc_id")),
+
+    // --- 153. robots.txt politeness metadata (crawl-delay + sitemaps), oracle-pinned --------------------
+    // The other half of the robots gate (q137 decides CAN fetch; this
+    // decides HOW FAST and WHERE TO START): four constructed shapes cycle
+    // specific-group vs wildcard vs merged-group delays and 0-2 sitemap
+    // URLs; group selection must match graft_robots_allowed's RFC 9309
+    // semantics exactly. Oracle states delay and sitemap list closed-form.
+    "q153_robots_meta" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val robots =
+        when(m === 0, concat(
+          lit("User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /x\n"),
+          lit("User-agent: *\nCrawl-delay: 9\nDisallow: /\n"),
+          lit("Sitemap: http://h"), id, lit(".io/sm.xml\n")))
+        .when(m === 1, concat(
+          lit("User-agent: *\nCrawl-delay: 7\nDisallow: /\n"),
+          lit("Sitemap: http://a"), id, lit(".io/1.xml\n"),
+          lit("Sitemap: http://a"), id, lit(".io/2.xml\n")))
+        .when(m === 2, concat(
+          // Two merged graftbot groups (equal specificity): smallest
+          // delay wins; no sitemaps.
+          lit("User-agent: graftbot\nCrawl-delay: 6\nDisallow: /a\n"),
+          lit("User-agent: graftbot\nCrawl-delay: 4\nDisallow: /b\n")))
+        .otherwise(
+          // No delay anywhere; unknown lines and a comment ignored.
+          lit("# robots\nUser-agent: graftbot\nDisallow: /q\nFoo: bar\n"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.robotsMeta(robots, lit("graftbot")).as("v"))
+        .select(col("doc_id"),
+          col("v.crawl_delay").as("crawl_delay"),
+          array_join(col("v.sitemaps"), ",").as("sitemaps"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 154. sentence segmentation (graft_sentences), oracle-pinned ------------------------------------
+    // Abbreviation-aware rule segmentation: three constructed shapes per
+    // row exercise Dr./p.m./fig. suppression, initials, ellipsis-capital
+    // boundaries, closing quotes and digit-led sentences; posexploded so
+    // the oracle can state every (pos, sentence) closed-form.
+    "q154_sentences" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text =
+        when(m === 0, concat(
+          lit("Dr. Smith visited site "), id,
+          lit(". He left at 5 p.m. on Friday! Done.")))
+        .when(m === 1, concat(
+          lit("Version "), id,
+          lit(" shipped... users cheered. See fig. 2 for charts. 3 bugs remain.")))
+        .otherwise(concat(
+          lit("She said \"wait.\" Then left. Case "), id, lit(" closed?")))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(TF.sentences(text)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("sentence"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 155. audio near-dup via spectral fingerprints, declared rows-only ------------------------------
+    // The audio face of corpus dedup: a 0.5s square-wave WAV (frequency
+    // class doc_id % 48, bounded slice) is CONSTRUCTED per row, then
+    // constellation-fingerprinted (Hann + radix-2 FFT + landmark pairs)
+    // and paired by the exact key join — same-class docs share their
+    // constellation, cross-class docs share none. FFT peaks are not
+    // SQL-expressible, so rows-only; determinism, WAV/FLAC container
+    // identity and group recovery are pinned by AudioFingerprintSpec.
+    "q155_audio_neardups" -> ((s, d) => {
+      def leHex16(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"))
+      def leHex32(c: org.apache.spark.sql.Column) = concat(
+        leHex16(c.bitwiseAND(lit(65535L))),
+        leHex16(shiftright(c, 16).bitwiseAND(lit(65535L))))
+      // SQUARE wave built by REPEATING one period's constant hex — zero
+      // per-sample lambdas (a transform() over 4000 samples ran
+      // interpreted and dominated the query at 40x the join's cost).
+      // Period 8..102 samples (frequency class doc_id % 48, ~78-1000 Hz);
+      // odd harmonics give the fingerprint a rich constellation.
+      // +12000 -> s16le "E02E"; -12000 -> "20D1".
+      val period = (lit(8) + (col("doc_id") % 48) * 2).cast("int")
+      val m = (lit(4000) / period).cast("int") * period // whole periods
+      val dataSize = (m * 2).cast("long")
+      val header = concat(
+        lit("52494646"), leHex32(dataSize + 36L), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+        lit("401F0000"), lit("803E0000"), lit("0200"), lit("1000"),
+        lit("64617461"), leHex32(dataSize))
+      val samplesHex = repeat(
+        concat(repeat(lit("E02E"), (period / 2).cast("int")),
+          repeat(lit("20D1"), (period / 2).cast("int"))),
+        (m / period).cast("int"))
+      // The constructed-audio slice is CONSTANT-BOUNDED (300 docs): this
+      // query's cost is synthesizing test audio, not the operator under
+      // test — the fingerprint join is the bucketed MinHash shape.
+      val docs = t(s, d, "documents")
+        .where(col("doc_id") < 300)
+        .select(col("doc_id").as("id"),
+          unhex(concat(header, samplesHex)).as("audio"))
+      Dedup.audioNearDups(docs, "id", "audio", minSharedKeys = 6, sorted = true)
+    }),
+
+    // --- 156. perceptual image hash (dHash/aHash), oracle-pinned ----------------------------------------
+    // The visual near-dup signature, pinned RELATIONALLY: a 36x32 gray
+    // PGM (grid cells exactly 4x4, so cell means are exact sums/16) is
+    // CONSTRUCTED per row with a closed-form pixel function, decoded and
+    // hashed by the codegen'd ImageHashExpr, while the oracle recomputes
+    // every cell mean, every gradient comparison, and the 64-bit packing
+    // from the same arithmetic. The slice is constant-bounded (200 docs):
+    // the cost is per-pixel test-image synthesis, not the operator.
+    "q156_image_phash" -> ((s, d) => {
+      val w = 36; val h = 32
+      val header = concat(lit(hex(lit(s"P5 $w $h 255\n"))))
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y) % 256
+      val rasterHex = array_join(
+        transform(sequence(lit(0), lit(w * h - 1)), i =>
+          // floorDiv, not `/`: Spark's int/int division is DOUBLE.
+          lpad(hex(px(i % w, floor(i / w).cast("int"))), 2, "0")), "")
+      val payload = unhex(concat(header, rasterHex))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), Multimodal.imageHash(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.dhash").as("dhash"),
+          col("v.ahash").as("ahash"),
+          col("v.width").as("width"),
+          col("v.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 157. per-frame video hashes (AVI walk + frame dHash), oracle-pinned ----------------------------
+    // The video near-dup signature end-to-end: a minimal RIFF/AVI (LIST
+    // movi of 00dc chunks, word-aligned odd frames) holding two 36x32
+    // PGM frames with closed-form pixels is CONSTRUCTED per row, walked
+    // and per-frame-hashed by the codegen'd VideoHashExpr; the oracle
+    // recomputes every frame's cell means, comparisons and bit packing
+    // relationally (q156's oracle with a frame dimension). Constant
+    // sizes: frame 1165 B (+pad), movi 2352, LIST 2360, RIFF 2364.
+    "q157_video_hash" -> ((s, d) => {
+      val w = 36; val h = 32
+      def le32hex(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+      val frameLen = 13 + w * h // "P5 36 32 255\n" + raster
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, f: Int) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y + f * 31) % 256
+      def frameHex(f: Int) = concat(
+        lit("30306463"), lit(le32hex(frameLen)), // "00dc" + size
+        hex(lit(s"P5 $w $h 255\n")),
+        array_join(transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"), f)), 2, "0")), ""),
+        lit("00")) // pad byte: 1165 is odd
+      val movi = 4 + 2 * (8 + frameLen + 1)
+      val payload = unhex(concat(
+        lit("52494646"), lit(le32hex(4 + 8 + movi)), lit("41564920"),
+        lit("4C495354"), lit(le32hex(movi)), lit("6D6F7669"),
+        frameHex(0), frameHex(1)))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(Multimodal.videoHash(payload)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("frame_hash"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 158. MP4 sample-table walk + per-frame hash, oracle-pinned -------------------------------------
+    // q157's contract on the DOMINANT web container: a minimal ISO-BMFF
+    // MP4 (ftyp + moov with real stsd/stsz/stsc/stco sample tables +
+    // mdat) is CONSTRUCTED per row holding the same two closed-form
+    // 36x32 PGM frames (offset constant 29, distinguishing it from
+    // q157's 31); decodeMp4 enumerates the samples via the stbl join and
+    // hashes each, while the oracle recomputes every cell mean and bit
+    // relationally. Every byte of the container EXCEPT the pixel raster
+    // is doc-independent, so the box layout (including the absolute stco
+    // offsets) is computed once in plain Scala; only the frames are
+    // column expressions.
+    "q158_mp4_video_hash" -> ((s, d) => {
+      val w = 36; val h = 32
+      def be32hex(v: Int) = f"$v%08X"
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def boxHex(t: String, body: String) = be32hex(body.length / 2 + 8) + cc(t) + body
+      val frameLen = 13 + w * h // "P5 36 32 255\n" + raster
+      val hdlr = boxHex("hdlr", "00" * 8 + cc("vide") + "00" * 13)
+      val stsd = boxHex("stsd", be32hex(0) + be32hex(1) +
+        be32hex(16) + cc("jpeg") + "00" * 8)
+      val stsz = boxHex("stsz", be32hex(0) + be32hex(0) + be32hex(2) +
+        be32hex(frameLen) * 2)
+      val stsc = boxHex("stsc", be32hex(0) + be32hex(1) +
+        be32hex(1) + be32hex(1) + be32hex(1))
+      def moovHex(off0: Int, off1: Int) = {
+        val stco = boxHex("stco", be32hex(0) + be32hex(2) +
+          be32hex(off0) + be32hex(off1))
+        boxHex("moov", boxHex("trak", boxHex("mdia", hdlr +
+          boxHex("minf", boxHex("stbl", stsd + stsz + stsc + stco)))))
+      }
+      val ftyp = boxHex("ftyp", cc("isom") + be32hex(0x200) + cc("isom"))
+      // stco offsets depend only on the (offset-invariant) moov length.
+      val base = ftyp.length / 2 + moovHex(0, 0).length / 2 + 8
+      val prefix = ftyp + moovHex(base, base + frameLen) +
+        be32hex(2 * frameLen + 8) + cc("mdat")
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, f: Int) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y + f * 29) % 256
+      def frameHex(f: Int) = concat(
+        hex(lit(s"P5 $w $h 255\n")),
+        array_join(transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"), f)), 2, "0")), ""))
+      val payload = unhex(concat(lit(prefix), frameHex(0), frameHex(1)))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(Multimodal.videoHash(payload)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("frame_hash"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 159. MPEG frame walk: exact stream inventory, oracle-pinned ------------------------------------
+    // Layer III PAYLOAD decode is deliberately out of scope (the spec's
+    // Huffman tables + synthesis window are unverifiable table data in
+    // this environment — see SURVEY §8); the frame WALK is closed-form
+    // ISO 11172-3 arithmetic, so every output field is independently
+    // recomputable. Streams are CONSTRUCTED per row: even docs CBR (k
+    // frames at 128 kbps), odd docs VBR (alternating 128/192), all
+    // MPEG-1 Layer III 44.1 kHz mono with an ID3v1 trailer the walk must
+    // exclude. frameLen(128) = 417, frameLen(192) = 626 (144*br/sr).
+    "q159_mp3_frames" -> ((s, d) => {
+      val f128 = "FFFB90C0" + "00" * 413
+      val f192 = "FFFBB0C0" + "00" * 622
+      val trailer = "544147" + "00" * 125 // "TAG" + zeroed v1 fields
+      val k = (col("doc_id") % 4 + 2).cast("int") // 2..5 frames
+      val framesHex = when(col("doc_id") % 2 === 0, repeat(lit(f128), k))
+        .otherwise(array_join(
+          transform(sequence(lit(0), k - 1),
+            i => when(i % 2 === 0, lit(f128)).otherwise(lit(f192))), ""))
+      val payload = unhex(concat(framesHex, lit(trailer)))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.mp3Frames(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.frame_count").as("frame_count"),
+          col("v.duration_ms").as("duration_ms"),
+          col("v.stream_bytes").as("stream_bytes"),
+          col("v.bitrate_min").as("bitrate_min"),
+          col("v.bitrate_max").as("bitrate_max"),
+          col("v.avg_bitrate_kbps").as("avg_bitrate_kbps"),
+          col("v.is_vbr").as("is_vbr"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 161. ID3 metadata extraction, oracle-pinned ----------------------------------------------------
+    // An ID3v2.3 prefix (TIT2/TPE1 latin1 text frames, sizes computed
+    // relationally) + an ID3v1 trailer carrying only the album: the
+    // extractor must take title/artist from v2 and fill album/year from
+    // v1. The oracle simply states the expected strings — the whole
+    // byte-layout complexity lives on the construction side.
+    "q161_id3_tags" -> ((s, d) => {
+      val title = concat(lit("Song "), col("doc_id"))
+      val artist = concat(lit("Artist "), col("doc_id") % 7)
+      val album = concat(lit("Album "), col("doc_id") % 3)
+      def textFrame(id: String, text: org.apache.spark.sql.Column) = concat(
+        hex(lit(id)), lpad(hex(length(text) + 1), 8, "0"), lit("0000"),
+        lit("00"), hex(text))
+      val body = concat(textFrame("TIT2", title), textFrame("TPE1", artist))
+      val bodyLen = length(title) + length(artist) + 22 // 2x (10 hdr + enc byte)
+      val tag = concat(hex(lit("ID3")), lit("0300"), lit("00"), lit("0000"),
+        lpad(hex(shiftright(bodyLen, 7)), 2, "0"),
+        lpad(hex(bodyLen.bitwiseAND(lit(0x7F))), 2, "0"), body)
+      val v1 = concat(hex(lit("TAG")), lit("00" * 60), // title+artist zeroed
+        rpad(hex(album), 60, "0"), hex(lit("1999")), lit("00" * 31))
+      val payload = unhex(concat(tag, v1))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.id3Tags(payload).as("v"))
+        .select(col("doc_id"), col("v.title").as("title"),
+          col("v.artist").as("artist"), col("v.album").as("album"),
+          col("v.year").as("year"), col("v.version").as("version"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 162. PCM audio in MP4/M4A (sample-table walk), oracle-pinned -----------------------------------
+    // The audio face of q158: a minimal M4A ('soun' track, 'sowt' s16le
+    // entry, real stsd/stsz/stsc/stco) is CONSTRUCTED per row around 64
+    // closed-form PCM frames; decodeM4aPcm enumerates the chunk via the
+    // shared stbl join and reduces exact integer stats the oracle
+    // recomputes relationally. Container bytes except the samples are
+    // doc-independent (computed once in Scala).
+    "q162_m4a_audio" -> ((s, d) => {
+      val n = 64
+      def be32hex(v: Int) = f"$v%08X"
+      def be16hex(v: Int) = f"$v%04X"
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def boxHex(t: String, body: String) = be32hex(body.length / 2 + 8) + cc(t) + body
+      val hdlr = boxHex("hdlr", "00" * 8 + cc("soun") + "00" * 13)
+      val entry = be32hex(36) + cc("sowt") + "00" * 6 + be16hex(1) + // dref
+        be16hex(0) + be16hex(0) + be32hex(0) + // version/rev/vendor
+        be16hex(1) + be16hex(16) + be16hex(0) + be16hex(0) + // mono s16
+        be16hex(8000) + be16hex(0) // 16.16 rate
+      val stsd = boxHex("stsd", be32hex(0) + be32hex(1) + entry)
+      val stsz = boxHex("stsz", be32hex(0) + be32hex(2 * n) + be32hex(1))
+      val stsc = boxHex("stsc", be32hex(0) + be32hex(1) +
+        be32hex(1) + be32hex(1) + be32hex(1))
+      def moovHex(off: Int) = {
+        val stco = boxHex("stco", be32hex(0) + be32hex(1) + be32hex(off))
+        boxHex("moov", boxHex("trak", boxHex("mdia", hdlr +
+          boxHex("minf", boxHex("stbl", stsd + stsz + stsc + stco)))))
+      }
+      val ftyp = boxHex("ftyp", cc("M4A ") + be32hex(0x200) + cc("isom"))
+      val base = ftyp.length / 2 + moovHex(0).length / 2 + 8
+      val prefix = ftyp + moovHex(base) + be32hex(2 * n + 8) + cc("mdat")
+      val samplesHex = array_join(transform(sequence(lit(0), lit(n - 1)), i => {
+        val v = (col("doc_id") * 31 + i * 257) % 4001 - 2000
+        val u = ((v % 65536) + 65536) % 65536 // two's-complement u16
+        concat(lpad(hex(u.bitwiseAND(lit(255))), 2, "0"), // little-endian
+          lpad(hex(shiftright(u, 8)), 2, "0"))
+      }), "")
+      val payload = unhex(concat(lit(prefix), samplesHex))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.audioStats(payload).as("v"))
+        .select(col("doc_id"), col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"), col("v.n_frames").as("n_frames"),
+          col("v.c0_mean").as("c0_mean"), col("v.c0_min").as("c0_min"),
+          col("v.c0_max").as("c0_max"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 163. docx text extraction (ZIP walk + WordprocessingML), oracle-pinned -------------------------
+    // A STORED-method ZIP holding word/document.xml is CONSTRUCTED per
+    // row — every header field computed relationally including the real
+    // CRC-32 (Spark's crc32 on the XML bytes), sizes/offsets from
+    // length(); the extractor must walk EOCD -> central directory ->
+    // local header, verify the CRC, and reduce the WordprocessingML to
+    // plain text. The oracle states the expected text and inventory.
+    "q163_docx_text" -> ((s, d) => {
+      def le32hex(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+      val name = "word/document.xml" // 17 bytes
+      val nameHex = name.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      val xml = concat(lit("<w:document><w:body><w:p><w:r><w:t>Report "),
+        col("doc_id"), lit("</w:t></w:r></w:p><w:p><w:r><w:t>Total &amp; sum for "),
+        col("doc_id") % 5, lit("</w:t></w:r></w:p></w:body></w:document>"))
+      val crcHex = le32hex(crc32(xml.cast("binary")))
+      val szHex = le32hex(length(xml).cast("long"))
+      val cdOff = (length(xml) + 30 + 17).cast("long")
+      val payload = unhex(concat(
+        // local header: sig ver flags method time date crc comp size nlen xlen
+        lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, szHex, szHex, lit("1100" + "0000"), lit(nameHex),
+        hex(xml),
+        // central dir: sig vmade vneed flags method time date crc comp size
+        // nlen xlen clen disk iattr eattr localoff
+        lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+        crcHex, szHex, szHex,
+        lit("1100" + "0000" + "0000" + "0000" + "0000" + "00000000" + "00000000"),
+        lit(nameHex),
+        // EOCD: sig disks counts cdsize cdoff comment
+        lit("504B0506" + "0000" + "0000" + "0100" + "0100"),
+        le32hex(lit(63L)), le32hex(cdOff), lit("0000")))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.docxText(payload).as("text"),
+          size(Multimodal.zipEntries(payload)).as("n_entries"),
+          Multimodal.zipEntries(payload).getItem(0).getField("name").as("entry_name"),
+          Multimodal.zipEntries(payload).getItem(0).getField("size").as("entry_size"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 164. EXIF metadata walk, oracle-pinned ---------------------------------------------------------
+    // A JPEG APP1 + little-endian TIFF with IFD0 (Make/Orientation/
+    // DateTime/GPS pointer) and a GPS IFD (refs + 3-rational coordinates)
+    // is CONSTRUCTED per row; fixed-width strings keep every offset
+    // constant, so the layout is computed once in Scala and only field
+    // bytes are column expressions. The oracle recomputes each field —
+    // including the signed decimal-degree reduction — arithmetically.
+    "q164_exif" -> ((s, d) => {
+      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+      def le32h(v: Long) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def entryH(tag: Int, typ: Int, count: Long) =
+        le16h(tag) + le16h(typ) + le32h(count) // value appended separately
+      // fixed layout: hdr 8 | IFD0 54 | make 5 | dt 20 | gpsIFD 54 | lat 24 | lon 24
+      val makeOff = 62L; val dtOff = 67L; val gpsOff = 87L
+      val latOff = 141L; val lonOff = 165L
+      val C = (c: org.apache.spark.sql.Column) => c // type helper
+      def le32hexC(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+      val orient = (col("doc_id") % 8 + 1).cast("long")
+      val makeS = concat(lit("Cam"), col("doc_id") % 10)
+      val dtS = concat(lit("2024:01:"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"), lit(" "),
+        lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":00:00"))
+      val latDeg = col("doc_id") % 90; val latMin = col("doc_id") % 60
+      val latSec = (col("doc_id") * 7) % 60
+      val lonDeg = col("doc_id") % 180; val lonMin = (col("doc_id") * 3) % 60
+      val lonSec = (col("doc_id") * 11) % 60
+      val ifd0 = concat(lit(le16h(4)),
+        lit(entryH(0x010F, 2, 5) + le32h(makeOff)),
+        lit(entryH(0x0112, 3, 1)), lpad(hex(orient), 2, "0"), lit("000000"),
+        lit(entryH(0x0132, 2, 20) + le32h(dtOff)),
+        lit(entryH(0x8825, 4, 1) + le32h(gpsOff)),
+        lit(le32h(0)))
+      def rats(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+          c2: org.apache.spark.sql.Column) = concat(
+        le32hexC(a.cast("long")), lit(le32h(1)),
+        le32hexC(b.cast("long")), lit(le32h(1)),
+        le32hexC((c2 * 100).cast("long")), lit(le32h(100)))
+      val gpsIfd = concat(lit(le16h(4)),
+        lit(entryH(0x0001, 2, 2)),
+        when(col("doc_id") % 2 === 0, lit(cc("N"))).otherwise(lit(cc("S"))), lit("000000"),
+        lit(entryH(0x0002, 5, 3) + le32h(latOff)),
+        lit(entryH(0x0003, 2, 2) + cc("E") + "000000"),
+        lit(entryH(0x0004, 5, 3) + le32h(lonOff)),
+        lit(le32h(0)))
+      val tiff = concat(lit(cc("II") + le16h(42) + le32h(8L)), ifd0,
+        hex(makeS), lit("00"), hex(dtS), lit("00"), gpsIfd,
+        rats(latDeg, latMin, latSec), rats(lonDeg, lonMin, lonSec))
+      val tiffLen = 189 // 8 + 54 + 5 + 20 + 54 + 24 + 24
+      val segLen = 2 + 6 + tiffLen
+      val payload = unhex(concat(
+        lit("FFD8FFE1" + f"$segLen%04X" + cc("Exif") + "0000"), tiff, lit("FFD9")))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), C(Multimodal.exifMeta(payload)).as("v"))
+        .select(col("doc_id"),
+          col("v.orientation").as("orientation"), col("v.make").as("make"),
+          col("v.datetime").as("datetime"),
+          col("v.gps_lat").as("gps_lat"), col("v.gps_lon").as("gps_lon"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 165. Office text dispatch (docx/pptx/xlsx), oracle-pinned --------------------------------------
+    // q163's STORED-zip construction generalized: each doc gets one of
+    // the three OOXML shapes (doc_id % 3) and graft_office_text must
+    // dispatch on the archive's parts and reduce the right XML dialect.
+    "q165_office_text" -> ((s, d) => {
+      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+      def le32hex(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+      // One stored entry named `name` holding `xml`: the q163 layout with
+      // the name length parameterized.
+      def storedZip(name: String, xml: org.apache.spark.sql.Column) = {
+        val nameHex = name.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+        val nl = name.length
+        val crcHex = le32hex(crc32(xml.cast("binary")))
+        val szHex = le32hex(length(xml).cast("long"))
+        val cdOff = (length(xml) + 30 + nl).cast("long")
+        unhex(concat(
+          lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crcHex, szHex, szHex, lit(le16h(nl) + "0000"), lit(nameHex),
+          hex(xml),
+          lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crcHex, szHex, szHex,
+          lit(le16h(nl) + "0000" + "0000" + "0000" + "0000" + "00000000" + "00000000"),
+          lit(nameHex),
+          lit("504B0506" + "0000" + "0000" + "0100" + "0100"),
+          le32hex(lit(46L + nl)), le32hex(cdOff), lit("0000")))
+      }
+      val docx = storedZip("word/document.xml",
+        concat(lit("<w:document><w:body><w:p><w:r><w:t>Body "), col("doc_id"),
+          lit("</w:t></w:r></w:p></w:body></w:document>")))
+      val pptx = storedZip("ppt/slides/slide1.xml",
+        concat(lit("<p:sld><a:p><a:r><a:t>Slide "), col("doc_id"),
+          lit("</a:t></a:r></a:p></p:sld>")))
+      val xlsx = storedZip("xl/sharedStrings.xml",
+        concat(lit("<sst><si><t>Cell A</t></si><si><t>Val "), col("doc_id"),
+          lit("</t></si></sst>")))
+      val payload = when(col("doc_id") % 3 === 0, docx)
+        .when(col("doc_id") % 3 === 1, pptx)
+        .otherwise(xlsx)
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.officeText(payload).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 166. subtitle cue parse (SRT), oracle-pinned ---------------------------------------------------
+    // Two cues per doc with arithmetic-derived timestamps and markup the
+    // parser must strip; the oracle restates cue times in milliseconds
+    // and the cleaned text.
+    "q166_subtitles" -> ((s, d) => {
+      val sec1 = col("doc_id") % 50
+      val min2 = col("doc_id") % 58 + 1
+      val srt = concat(
+        lit("1\n00:00:"), lpad(sec1.cast("string"), 2, "0"),
+        lit(",500 --> 00:00:"), lpad((sec1 + 2).cast("string"), 2, "0"),
+        lit(",500\nHello <i>doc "), col("doc_id"), lit("</i>\nsecond line\n\n"),
+        lit("2\n00:"), lpad(min2.cast("string"), 2, "0"),
+        lit(":10,000 --> 00:"), lpad(min2.cast("string"), 2, "0"),
+        lit(":11,500\n{\\an8}Cue "), col("doc_id") % 9, lit("\n"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), posexplode(Multimodal.subtitleCues(srt)))
+        .select(col("doc_id"), col("col.pos").as("pos"),
+          col("col.start_ms").as("start_ms"), col("col.end_ms").as("end_ms"),
+          col("col.text").as("text"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 167. e-mail extraction (RFC 5322/MIME), oracle-pinned ------------------------------------------
+    // A multipart/alternative message per doc: folded To header,
+    // encoded-word subject (B via Spark's base64), an html part the
+    // extractor must pass over, and a quoted-printable utf-8 plain part
+    // it must decode. Oracle states every decoded field.
+    "q167_email" -> ((s, d) => {
+      val subjectWord = concat(lit("=?UTF-8?B?"),
+        base64(concat(lit("Sub "), col("doc_id")).cast("binary")), lit("?="))
+      val eml = concat(
+        lit("From: u"), col("doc_id") % 7, lit("@example.org\r\n"),
+        lit("To: first@example.org,\r\n\tsecond@example.org\r\n"),
+        lit("Subject: "), subjectWord, lit("\r\n"),
+        lit("Content-Type: multipart/alternative; boundary=\"BB\"\r\n\r\n"),
+        lit("--BB\r\nContent-Type: text/html\r\n\r\n<p>no</p>\r\n"),
+        lit("--BB\r\nContent-Type: text/plain; charset=utf-8\r\n"),
+        lit("Content-Transfer-Encoding: quoted-printable\r\n\r\n"),
+        lit("Msg "), col("doc_id"), lit(" caf=C3=A9\r\n--BB--\r\n"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.email(eml.cast("binary")).as("v"))
+        .select(col("doc_id"), col("v.from").as("from_addr"),
+          col("v.to").as("to_addr"), col("v.subject").as("subject"),
+          col("v.mime").as("mime"), col("v.body_text").as("body_text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 168. data-URI media extraction from HTML, oracle-pinned ----------------------------------------
+    // Crawl HTML embeds media inline as data: URIs; this query pulls
+    // them back out with builtins only (regexp + unbase64 — codegen'd,
+    // no custom kernel needed for the EXTRACTION) and feeds the image
+    // payload to the perceptual-hash ladder. The page embeds a q156-style
+    // closed-form PGM (pixel offset +13) and a text note; the oracle
+    // recomputes the dHash relationally and states the note.
+    "q168_data_uris" -> ((s, d) => {
+      val w = 36; val h = 32
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y + 13) % 256
+      val rasterHex = array_join(
+        transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"))), 2, "0")), "")
+      // Spark's base64 emits MIME-chunked output (76-char lines); a data:
+      // URI is single-line, so strip the breaks at construction.
+      val imgB64 = regexp_replace(
+        base64(unhex(concat(lit(hex(lit(s"P5 $w $h 255\n"))), rasterHex))),
+        "[\\r\\n]", "")
+      val noteB64 = regexp_replace(
+        base64(concat(lit("note "), col("doc_id")).cast("binary")), "[\\r\\n]", "")
+      val html = concat(
+        lit("<p>body</p><img src=\"data:image/x-portable-graymap;base64,"),
+        imgB64,
+        lit("\"><a href=\"data:text/plain;base64,"), noteB64, lit("\">n</a>"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("__html"),
+            lit("data:[^;\"]+;base64,([A-Za-z0-9+/=]+)"), lit(0))).as("n_uris"),
+          Multimodal.imageHash(unbase64(regexp_extract(col("__html"),
+            "data:image/[^;]+;base64,([A-Za-z0-9+/=]+)", 1)))
+            .getField("dhash").as("dhash"),
+          unbase64(regexp_extract(col("__html"),
+            "data:text/plain;base64,([A-Za-z0-9+/=]+)", 1))
+            .cast("string").as("note"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 169. RTF text extraction, oracle-pinned --------------------------------------------------------
+    // A constructed RTF per row: font/color tables the extractor must
+    // skip, a codepage escape, a Unicode escape with fallback, and
+    // paragraph breaks. The oracle states the decoded text.
+    "q169_rtf_text" -> ((s, d) => {
+      val BS = "\\"
+      val doc = concat(
+        lit("{" + BS + "rtf1" + BS + "ansi{" + BS + "fonttbl{" + BS + "f0 Arial;}}" +
+          BS + "f0" + BS + "fs24 Doc "), col("doc_id"),
+        lit(BS + "par Caf" + BS + "'e9 item "), col("doc_id") % 7,
+        lit(BS + "par}"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"),
+          Multimodal.rtfText(doc.cast("binary")).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 170. mbox splitting + e-mail extraction (builtins + graft_email) -------------------------------
+    // An mbox is messages separated by "From " lines; the split is pure
+    // builtins (multiline regexp split + first-line strip), each message
+    // then feeding graft_email — composition at the right altitude.
+    "q170_mbox" -> ((s, d) => {
+      def msg(k: Int) = concat(
+        lit(s"From sender$k@example.org Mon Jan  1 00:0$k:00 2024\n"),
+        lit(s"From: sender$k@example.org\nSubject: M$k doc "), col("doc_id"),
+        lit(s"\n\nBody $k for "), col("doc_id"), lit("\n"))
+      val mbox = concat(msg(0), msg(1))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), posexplode(filter(
+          split(mbox, "(?m)^From "), m => m =!= "")))
+        // strip the "From " envelope line: the message starts after it
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          Multimodal.email(expr("substring(col, instr(col, '\n') + 1)")
+            .cast("binary")).as("v"))
+        .select(col("doc_id"), col("pos"),
+          col("v.from").as("from_addr"), col("v.subject").as("subject"),
+          col("v.body_text").as("body_text"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 160. block-level boilerplate removal (JusText), oracle-pinned ----------------------------------
+    // Pages CONSTRUCTED per row with known structure: a nav link list
+    // (link density ~0.9 -> BAD), a short heading (mixed neighbours ->
+    // BAD, then promoted above GOOD content), a long high-stopword prose
+    // block (GOOD), a copyright footer (BAD). The oracle states the
+    // exact retained text and the block-class census.
+    "q160_boilerplate" -> ((s, d) => {
+      val base = "the cat sat on the mat and it was happy and the sun was warm."
+      val nav = """<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>"""
+      val prose = concat(lit((base + " ") * 4), lit("Doc "), col("doc_id"), lit(" ends."))
+      val html = concat(lit("<html><body>" + nav + "<h2>Story "), col("doc_id"),
+        lit("</h2><p>"), prose, lit("</p><div>&copy; 2024 Site</div></body></html>"))
+      val blocks = TF.htmlBlocks(html)
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), TF.mainText(html).as("main_text"),
+          size(filter(blocks, b => b.getField("class") === "good")).as("good_blocks"),
+          size(filter(blocks, b => b.getField("class") === "bad")).as("bad_blocks"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 171. PII detection + redaction, oracle-pinned ---------------------------------------------------
+    // The pre-release hygiene sweep: text CONSTRUCTED per row with one
+    // redactable instance of each category (email, intl + US phone,
+    // IPv4 + full-form IPv6, Luhn-valid card) AND the reject side inline
+    // (an out-of-range dotted quad, the same card digits failing Luhn) —
+    // the oracle states the masked text and per-category counts.
+    "q171_pii_redact" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val d4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      val d3 = lpad((col("doc_id") % 1000).cast("string"), 3, "0")
+      val oct = (col("doc_id") % 200).cast("string")
+      val text2 = concat(
+        lit("Contact user"), id, lit("@mail"), id,
+        lit(".example or call +1 555 010 "), d4,
+        lit(" / (212) 555-0"), d3, lit(". Host 10."), oct,
+        lit(".0.1 peer 2001:db8:0:0:0:0:2:1 bad 999.300.1.1"),
+        lit(" pay 4111 1111 1111 1111 ref 4111 1111 1111 1112. "),
+        substring(col("text"), 1, 40))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.piiRedact(text2).as("v"))
+        .select(col("doc_id"),
+          col("v.redacted").as("redacted"),
+          col("v.n_emails").as("n_emails"),
+          col("v.n_phones").as("n_phones"),
+          col("v.n_ips").as("n_ips"),
+          col("v.n_cards").as("n_cards"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 172. cross-document boilerplate line removal, oracle-pinned ------------------------------------
+    // The RefinedWeb/CCNet intra-site cleanup: every document of a source
+    // gets the SAME nav header and copyright footer plus a unique body
+    // line and a blank line; lines repeating across >= 2 docs of the
+    // source are removed corpus-wide (every source has >= 25 docs at all
+    // SFs), so exactly the body survives. Oracle states the cleaned text
+    // and kept/removed counts closed-form.
+    "q172_line_dedup" -> ((s, d) => {
+      val text2 = concat(
+        lit("HOME | ABOUT | "), col("source"), lit("\n"),
+        lit("doc "), col("doc_id"), lit(" "), substring(col("text"), 1, 40),
+        lit("\n  \n(c) 2024 "), col("source"))
+      Dedup.dropBoilerplateLines(
+        t(s, d, "documents").withColumn("text2", text2),
+        "doc_id", "text2", "source")
+        .orderBy("doc_id")
+    }),
+
+    // --- 196. connected components, oracle-pinned -------------------------------------------------------
+    // The duplicate-cluster operator on a constructed graph: 30 chains
+    // of 10 consecutive ids (diameter 9, well inside the default
+    // iteration cap); every node's component is its chain's minimum id,
+    // stated closed-form.
+    "q196_connected_components" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val edges = docs.where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      Graph.connectedComponents(edges, "src", "dst")
+        .orderBy("node")
+    }),
+
+    // --- 195. e-mail attachment extraction, oracle-pinned -----------------------------------------------
+    // The mail-corpus media seam: per-row multipart/mixed messages with
+    // a body (NOT an attachment), a base64 octet-stream attachment and
+    // a named image part; every inventory row + the transfer-DECODED
+    // payload text stated closed-form.
+    "q195_email_attachments" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val att1 = base64(encode(concat(lit("att "), id), "UTF-8"))
+      val att2 = base64(encode(concat(lit("P5 1 1 255\nA")), "UTF-8"))
+      val mailText = concat(
+        lit("From: a@b.c\r\nSubject: S"), id,
+        lit("\r\nMIME-Version: 1.0\r\nContent-Type: multipart/mixed; " +
+          "boundary=\"B\"\r\n\r\n" +
+          "--B\r\nContent-Type: text/plain\r\n\r\nbody "), id,
+        lit("\r\n--B\r\nContent-Type: application/octet-stream\r\n" +
+          "Content-Disposition: attachment; filename=\"note"), id,
+        lit(".txt\"\r\nContent-Transfer-Encoding: base64\r\n\r\n"), att1,
+        lit("\r\n--B\r\nContent-Type: image/x-portable-graymap; name=\"p"), id,
+        lit(".pgm\"\r\nContent-Transfer-Encoding: base64\r\n\r\n"), att2,
+        lit("\r\n--B--\r\n"))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), posexplode(
+          Multimodal.emailAttachments(encode(mailText, "ISO-8859-1"))))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col.filename").as("filename"),
+          col("col.mime").as("mime"),
+          col("col.size_bytes").as("size_bytes"),
+          decode(col("col.bytes"), "UTF-8").as("content"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 194. ADTS AAC frame walk, oracle-pinned --------------------------------------------------------
+    // Raw .aac dumps inventoried exactly: k LC/44.1k/stereo frames per
+    // row with id-dependent frame lengths (header arithmetic computed
+    // in-plan), duration on the 1024-samples-per-block clock.
+    "q194_adts_frames" -> ((s, d) => {
+      val k = (col("doc_id") % 4 + 1).cast("int")
+      val len = (col("doc_id") % 50 + 17).cast("int") // 7 hdr + payload
+      val frameHex = concat(
+        lit("FFF15080"), // sync/MPEG-4/LC/44.1k/stereo, len<2048
+        lpad(hex(shiftright(len, 3).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftleft(len.bitwiseAND(lit(7)), 5)), 2, "0"),
+        lit("00"), // fullness low, 1 raw block
+        repeat(lit("00"), len - 7))
+      val payload = unhex(array_join(
+        transform(sequence(lit(1), k), _ => frameHex), ""))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.adtsFrames(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.frame_count").as("frame_count"),
+          col("v.profile").as("profile"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.channels").as("channels"),
+          col("v.n_samples").as("n_samples"),
+          col("v.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 193. AVIF/HEIC image metadata, oracle-pinned ---------------------------------------------------
+    // The modern image containers sized WITHOUT an AV1/HEVC decoder:
+    // real ISO-BMFF meta/iprp/ipco/ispe boxes constructed per row —
+    // avif rows carry a primary ispe plus a 32x32 thumbnail ispe (the
+    // largest must win), heic rows a single ispe. Closed-form oracle.
+    "q193_bmff_image_meta" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def boxH(t: String, body: Column): Column = concat(
+        lpad(hex((length(body) / 2).cast("int") + 8), 8, "0"), lit(cc(t)), body)
+      def be32h(c: Column) = lpad(hex(c), 8, "0")
+      val w = (col("doc_id") % 800 + 100).cast("int")
+      val h = (col("doc_id") % 600 + 80).cast("int")
+      val m = col("doc_id") % 2
+      def ispe(wc: Column, hc: Column) =
+        boxH("ispe", concat(lit("00000000"), be32h(wc), be32h(hc)))
+      val ipco = boxH("ipco",
+        when(m === 0, concat(ispe(w, h), ispe(lit(32), lit(32))))
+          .otherwise(ispe(w, h)))
+      val meta = boxH("meta", concat(lit("00000000"),
+        boxH("iprp", ipco)))
+      val brand = when(m === 0, "avif").otherwise("heic")
+      val ftyp = boxH("ftyp", concat(hex(brand), lit("00000000"), hex(brand)))
+      val payload = unhex(concat(ftyp, meta))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.bmffImageMeta(payload).as("v"))
+        .select(col("doc_id"),
+          col("v.brand").as("brand"), col("v.width").as("width"),
+          col("v.height").as("height"), col("v.n_items").as("n_items"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 192. exact containment slice, oracle-pinned ----------------------------------------------------
+    // The quote/subset signal: q57's exact blocked pair slice with the
+    // ASYMMETRIC measure — |A∩B| / |smaller| oriented as
+    // (contained, container) — recomputed relationally by DuckDB on the
+    // same bigram sets. (The LSH-scaled form is Dedup.containmentPairs,
+    // spec-pinned; this slice is the cross-engine anchor.)
+    "q192_containment_exact" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      val grams = when(size(toks) >= 2,
+        array_distinct(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
+        .otherwise(array().cast("array<string>"))
+      val g = t(s, d, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), grams.as("gs"))
+        .where(size(col("gs")) > 0)
+      g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          when(size(col("a.gs")) <= size(col("b.gs")), col("a.doc_id"))
+            .otherwise(col("b.doc_id")).as("contained_id"),
+          when(size(col("a.gs")) <= size(col("b.gs")), col("b.doc_id"))
+            .otherwise(col("a.doc_id")).as("container_id"),
+          (size(array_intersect(col("a.gs"), col("b.gs"))).cast("double") /
+            least(size(col("a.gs")), size(col("b.gs"))).cast("double"))
+            .as("containment"))
+        .where(col("containment") >= 0.35)
+        .orderBy("contained_id", "container_id")
+    }),
+
+    // --- 191. CJK sentence segmentation, oracle-pinned --------------------------------------------------
+    // The caseless-script half of q154: fullwidth terminators bound
+    // unconditionally (no case or space cues exist), fullwidth closers
+    // ride with their sentence, and ASCII rules still govern ASCII
+    // runs in mixed text. Every (pos, sentence) stated closed-form.
+    "q191_cjk_sentences" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val textC = concat(
+        lit("文書"), id, lit("です。明日は雨！出かけますか？End "), id, lit("."))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(TF.sentences(textC)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("sentence"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 190. truncated-JSON repair, oracle-pinned ------------------------------------------------------
+    // The LLM-output salvage op: a balanced doc passes through
+    // untouched, a mid-array cut closes, a dangling-key cut trims; the
+    // repaired text must actually parse, proven in-plan by
+    // get_json_object extraction. Oracle states repaired text + fields.
+    "q190_json_repair" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val raw =
+        when(m === 0, concat(lit("{\"id\": "), id, lit(", \"tag\": \"t"), id,
+          lit("\"}")))
+        .when(m === 1, concat(lit("{\"id\": "), id,
+          lit(", \"tags\": [\"a\", \"b")))
+        .otherwise(concat(lit("{\"id\": "), id, lit(", \"extr")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.jsonRepair(raw).as("repaired"))
+        .select(col("doc_id"), col("repaired"),
+          get_json_object(col("repaired"), "$.id").as("rid"),
+          get_json_object(col("repaired"), "$.tags[1]").as("tag1"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 189. shared zstd dictionary train + roundtrip, oracle-pinned -----------------------------------
+    // The small-document storage path: a dictionary trained driver-side
+    // on a bounded deterministic sample (first 256 docs), then EVERY
+    // document compressed and decompressed through it in-plan. The
+    // oracle states the roundtrip identity; the compression win itself
+    // is pinned in ZstdDictSpec (dict bytes are library-version
+    // detail, the identity is not).
+    "q189_zstd_dict" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dict = Multimodal.trainZstdDict(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+        "doc_id", "bin", dictSizeBytes = 16 * 1024, maxSamples = 256)
+      val bin = encode(col("text"), "UTF-8")
+      docs.select(col("doc_id"),
+          decode(Multimodal.zunstdDict(
+            Multimodal.zstdDict(bin, dict), dict), "UTF-8").as("rt_text"),
+          lit(dict != null).as("dict_trained"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 188. Unicode script profile, oracle-pinned -----------------------------------------------------
+    // The writing-system census: four constructed shapes (pure Latin,
+    // pure Cyrillic, mixed Latin+CJK with han AND kana, letterless);
+    // every fraction is an exact small division stated closed-form,
+    // dominant NULL-distinct on the letterless shape.
+    "q188_script_profile" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val textC =
+        when(m === 0, concat(lit("Hello world "), id))
+        .when(m === 1, concat(lit("Привет " +
+          "мир "), id)) // "Привет мир"
+        .when(m === 2, concat(lit("Tokyo 東京です "), id))
+        .otherwise(concat(lit("12345 !! "), id))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.scriptProfile(textC).as("v"))
+        .select(col("doc_id"),
+          col("v.latin_frac").as("latin_frac"),
+          col("v.cyrillic_frac").as("cyrillic_frac"),
+          col("v.cjk_frac").as("cjk_frac"),
+          col("v.hangul_frac").as("hangul_frac"),
+          col("v.dominant").as("dominant"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 187. audio resample, oracle-pinned -------------------------------------------------------------
+    // The canonical-rate normalization: syntheticWav's 16 kHz stream
+    // linear-resampled to 12 kHz (4:3 — every third output frame sits
+    // between inputs at exact thirds) and reduced through the same
+    // audio-stats path as q88. The oracle replays the pinned integer
+    // div/mod + IEEE interpolation arithmetic for every output frame.
+    "q187_audio_resample" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.audioStats(
+          Multimodal.audioResample(syntheticWav, 12000)).as("au"))
+        .select(col("doc_id"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.n_frames").as("n_frames"),
+          col("au.c0_mean").as("amp_mean"),
+          col("au.c0_min").as("amp_min"),
+          col("au.c0_max").as("amp_max"))
+        .orderBy("doc_id")),
+
+    // --- 186. image thumbnail resize, oracle-pinned -----------------------------------------------------
+    // The pre-embedding downscale: a 36x32 PGM constructed per row
+    // (q158's pixel formula), box-mean-resized to 9x8 — cells are exact
+    // 4x4 blocks, so every output byte is an integer-exact mean the
+    // oracle recomputes relationally. Output bytes re-exploded from the
+    // PGM payload (11-byte header skipped).
+    "q186_image_resize" -> ((s, d) => {
+      val w = 36; val h = 32
+      val px = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        (col("doc_id") * 7 + x * x * 3 + y * 5 + x * y) % 256
+      val srcHex = concat(
+        hex(lit(s"P5 $w $h 255\n")),
+        array_join(transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(px(i % w, floor(i / w).cast("int"))), 2, "0")), ""))
+      val resized = Multimodal.imageResize(unhex(srcHex), 9, 8)
+      t(s, d, "documents")
+        .where(col("doc_id") < 200)
+        // 11-byte "P5 9 8 255\n" header -> body starts at hex char 23
+        .select(col("doc_id"), substring(hex(resized), 23, 144).as("bh"))
+        .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(71)),
+          i => conv(substring(col("bh"), i * 2 + 1, lit(2)), 16, 10)
+            .cast("int"))))
+        .select(col("doc_id"), col("pos").cast("int").as("cell"),
+          col("col").as("value"))
+        .orderBy("doc_id", "cell")
+    }),
+
+    // --- 185. DSIR importance weights, oracle-pinned ----------------------------------------------------
+    // The published importance-resampling selection score: every-5th
+    // document is the target slice, the rest are raw; the bucket feature
+    // here is the token's first character (the paper's hashed n-grams
+    // are one pluggable bucket fn away — smoothing and scoring are what
+    // is under test). The oracle recomputes both Laplace-smoothed bucket
+    // models and every document's log-likelihood-ratio sum relationally;
+    // 9-decimal round absorbs libm/ordering ulps under the bit-exact
+    // hash compare.
+    "q185_importance_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Sampling.importanceWeights(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", tok => substring(tok, 1, 1))
+        .select(col("doc_id"), round(col("log_weight"), 9).as("log_weight"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 184. Aho-Corasick blocklist gate, oracle-pinned ------------------------------------------------
+    // The C4-style bad-phrase filter as ONE automaton pass: even rows
+    // carry two spellings of one phrase (case fold), a second phrase,
+    // and a hyphen-bounded term; odd rows are clean. Counts, distinct
+    // terms and the first term in TEXT order stated closed-form.
+    "q184_blocklist" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 2
+      val textC =
+        when(m === 0, concat(lit("Doc "), id,
+          lit(": click here to win free money, CLICK HERE again. "),
+          lit("casino-grade fun. "), substring(col("text"), 1, 30)))
+        .otherwise(concat(lit("Calm doc "), id, lit(". "),
+          substring(col("text"), 1, 30)))
+      val terms = Seq("free money", "click here", "buy now", "casino", "winner")
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.blocklistHits(textC, terms).as("v"))
+        .select(col("doc_id"),
+          col("v.hits").as("hits"),
+          col("v.distinct_terms").as("distinct_terms"),
+          col("v.first_term").as("first_term"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 183. HTML table extraction, oracle-pinned ------------------------------------------------------
+    // Tables are the structured slice of web text (table-QA corpora key
+    // on them): tr/td|th cell grids pulled with BUILTINS only (nested
+    // regexp_extract_all under transform), inner markup stripped,
+    // emitted one row per <tr> with '|'-joined cells. Header row, bold
+    // cell and attribute-bearing td all constructed; oracle states
+    // every row.
+    "q183_html_tables" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<p>intro</p><table class=\"t\"><tr><th>K</th><th>V</th></tr>"),
+        lit("<tr><td>a"), id, lit("</td><td><b>1</b></td></tr>"),
+        lit("<tr><td a=\"x\">b"), id, lit("</td><td>2"), id,
+        lit("</td></tr></table>"))
+      val rows = regexp_extract_all(html, lit("(?s)<tr[^>]*>(.*?)</tr>"), lit(1))
+      val cells = transform(rows, r => transform(
+        regexp_extract_all(r, lit("(?s)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)),
+        c => trim(regexp_replace(c, "<[^>]+>", ""))))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(cells))
+        .select(col("doc_id"), col("pos").cast("int").as("row_idx"),
+          size(col("col")).as("n_cells"),
+          array_join(col("col"), "|").as("row_text"))
+        .orderBy("doc_id", "row_idx")
+    }),
+
+    // --- 182. intra-document repetition statistics, oracle-pinned ---------------------------------------
+    // The repetition half of the Gopher gate over three constructed
+    // shapes (clean, repeated-lines-with-alternating-bigrams, repeated
+    // paragraphs); every fraction is a small exact division stated by
+    // the oracle — the same hand derivations pinned in RepetitionSpec.
+    "q182_repetition" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val textC =
+        when(m === 0, concat(lit("u"), id, lit("a u"), id, lit("b u"), id,
+          lit("c")))
+        .when(m === 1, "aa bb aa bb\naa bb aa bb\ncc dd")
+        .otherwise("pp qq\n\npp qq\n\nrr ss tt uu vv ww xx yy zz a1 b2 c3")
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.repetitionStats(textC).as("v"))
+        .select(col("doc_id") +: graft.expressions.RepetitionStats.Schema
+          .fieldNames.map(f => col(s"v.$f").as(f)): _*)
+        .orderBy("doc_id")
+    }),
+
+    // --- 181. tar.bz2 / tar.xz ingest composition, oracle-pinned ----------------------------------------
+    // The two big dump compressions beside gzip/zstd, through the full
+    // chain IN-PLAN: ustar archive constructed byte-for-byte (shared
+    // TarHex, checksum as column arithmetic), bzip2- and xz-compressed,
+    // decompressed, enumerated, payload text extracted. Round-trip
+    // inverse pairs; cross-tool interop is pinned by CPython-produced
+    // blobs in Bzip2XzSpec.
+    "q181_tar_bz2_xz" -> ((s, d) => {
+      import TarHex.{hdr, pay}
+      val id = col("doc_id").cast("string")
+      val content = concat(lit("payload "), id, lit("\n"))
+      val name = concat(lit("src"), id, lit(".txt"))
+      val tarBin = unhex(concat(
+        hdr(name, length(content), '0'), pay(content), lit("00" * 1024)))
+      val viaBz2 = Multimodal.bunzip2(Multimodal.bzip2(tarBin))
+      val viaXz = Multimodal.unxz(Multimodal.xz(tarBin))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), viaBz2.as("bz"), viaXz.as("xz"))
+        .select(col("doc_id"),
+          element_at(Multimodal.tarEntries(col("bz")), 1)
+            .getField("name").as("bz2_name"),
+          Multimodal.tarText(col("bz"),
+            concat(lit("src"), id, lit(".txt"))).as("bz2_text"),
+          element_at(Multimodal.tarEntries(col("xz")), 1)
+            .getField("name").as("xz_name"),
+          Multimodal.tarText(col("xz"),
+            concat(lit("src"), id, lit(".txt"))).as("xz_text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 180. JSON-LD structured-data extraction, oracle-pinned -----------------------------------------
+    // The schema.org metadata crawl indexes key on: the ld+json script
+    // block pulled with a (?s) regexp (BUILTINS only) and its fields
+    // with get_json_object bracket paths (@-keys). Article and Product
+    // shapes plus a block-less page (all NULL); oracle closed-form.
+    "q180_jsonld" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val block =
+        when(m === 0, concat(
+          lit("""{"@context":"https://schema.org","@type":"Article","""),
+          lit(""""headline":"Story """), id,
+          lit("""","author":{"@type":"Person","name":"A"""), id, lit("\"}}")))
+        .when(m === 1, concat(
+          lit("""{"@type":"Product","name":"Item """), id,
+          lit("""","offers":{"price":""""), id, lit(""".99","priceCurrency":"USD"}}""")))
+      val html =
+        when(m === 2, concat(lit("<html><body>plain "), id, lit("</body></html>")))
+        .otherwise(concat(lit("<html><head><script type=\"application/ld+json\">"),
+          block, lit("</script></head><body>x</body></html>")))
+      val ld = nullif(regexp_extract(html,
+        "(?s)<script type=\"application/ld\\+json\">(.*?)</script>", 1), lit(""))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          get_json_object(ld, "$['@type']").as("ld_type"),
+          coalesce(get_json_object(ld, "$.headline"),
+            get_json_object(ld, "$.name")).as("title"),
+          get_json_object(ld, "$.author.name").as("author_name"),
+          get_json_object(ld, "$.offers.price").as("price"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 178. link extraction + in-degree census, oracle-pinned -----------------------------------------
+    // The web-graph edge list out of page HTML with BUILTINS only
+    // (regexp_extract_all for hrefs + anchors, arrays_zip, explode) and
+    // graft_canonicalize_url folding tracking params and host case so
+    // both constructed spellings of a target land on ONE node; the
+    // oracle rebuilds the same edges relationally and aggregates
+    // in-degree + lexicographically-first anchor per target.
+    "q178_link_graph" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val k = 50
+      val j1 = ((col("doc_id") + 1) % k).cast("string")
+      val j2 = ((col("doc_id") + 2) % k).cast("string")
+      val html = concat(
+        lit("<p><a href=\"http://site"), j1,
+        lit(".com/page?utm_source=x\">Next "), id,
+        lit("</a> <a href=\"HTTP://Site"), j2,
+        lit(".com/page\">Other</a></p>"))
+      val hrefs = regexp_extract_all(html, lit("<a href=\"([^\"]+)\""), lit(1))
+      val anchors = regexp_extract_all(html, lit(">([^<]+)</a>"), lit(1))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(arrays_zip(hrefs, anchors)).as("e"))
+        .select(TF.canonicalizeUrl(col("e.0")).as("dst"),
+          col("e.1").as("anchor"))
+        .groupBy("dst")
+        .agg(count(lit(1)).as("in_degree"), min("anchor").as("top_anchor"))
+        .orderBy("dst")
+    }),
+
+    // --- 179. PageRank over a link graph, oracle-pinned -------------------------------------------------
+    // The Pregel-in-DataFrames loop on a CONSTRUCTED 2-out-regular ring
+    // (i -> i+1, i -> i+7 mod 300): regular graphs keep the uniform
+    // distribution as their exact fixpoint at EVERY iteration count, so
+    // the oracle states rank = 1/300 closed-form while the query still
+    // runs the full 5-iteration join/aggregate/checkpoint machinery.
+    // (Non-regular dynamics are pinned by hand + reference impl in
+    // GraphSpec.)
+    "q179_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val e1 = docs.select(
+        concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") + 1) % 300).as("dst"))
+      val e2 = docs.select(
+        concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") + 7) % 300).as("dst"))
+      Graph.pageRank(e1.union(e2), "src", "dst", iterations = 5)
+        // 12-decimal round: the gate hash-compares doubles bit-exact, and
+        // 5 iterations of float arithmetic sit ~1e-15 off the closed form
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+        .orderBy("node")
+    }),
+
+    // --- 177. Markdown-to-text extraction, oracle-pinned ------------------------------------------------
+    // README-style pages CONSTRUCTED per row exercising headers, inline
+    // + image links, list markers, bold, inline code and blockquotes;
+    // the oracle states the exact extracted text.
+    "q177_markdown_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val mdText = concat(
+        lit("# Doc "), id, lit("\n\nSee [link "), id, lit("](http://x.io/"),
+        id, lit(") and ![img](p.png).\n\n- item one "), id,
+        lit("\n- **bold "), id, lit("** and `code "), id,
+        lit("`\n\n> quote "), id)
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.markdownToText(mdText).as("plain"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 176. Ogg Vorbis/Opus header walk, oracle-pinned ------------------------------------------------
+    // Streams CONSTRUCTED per row as real RFC 3533 pages (ident header
+    // page + audio pages with the duration in the LAST granule
+    // position): vorbis stereo 44.1k, opus mono with a 312-sample
+    // pre-skip on the 48 kHz granule clock, and a 3-page vorbis 8k
+    // walk. Arithmetic picks granules so durations are exact integers;
+    // the oracle states every field closed-form.
+    "q176_ogg_header" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      def cc(str: String) = str.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+      def le(v: Long, nb: Int) =
+        (0 until nb).map(i => f"${(v >> (8 * i)) & 0xFF}%02X").mkString
+      def leC(v: Column, nb: Int) = concat((0 until nb).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * i), lit(256))), 2, "0")): _*)
+      def pageHex(flags: String, granule: Column, serial: Long, seq: Long,
+          payloadHex: Column) =
+        concat(lit(cc("OggS") + "00" + flags), leC(granule, 8),
+          lit(le(serial, 4) + le(seq, 4) + "00000000" + "01"),
+          lpad(hex((length(payloadHex) / 2).cast("int")), 2, "0"), payloadHex)
+      def vIdent(ch: Int, rate: Long) = "01" + cc("vorbis") + "00000000" +
+        f"$ch%02X" + le(rate, 4) + "00" * 12 + "B8" + "01"
+      val opusHead = cc("OpusHead") + "01" + "01" + le(312, 2) +
+        le(48000, 4) + "0000" + "00"
+      val n = (col("doc_id") % 1000 + 1)
+      val m = col("doc_id") % 3
+      val stream =
+        when(m === 0, concat(
+          pageHex("02", lit(0L), 7, 0, lit(vIdent(2, 44100))),
+          pageHex("04", n * 441, 7, 1, lit("AA"))))
+        .when(m === 1, concat(
+          pageHex("02", lit(0L), 9, 0, lit(opusHead)),
+          pageHex("04", n * 480 + 312, 9, 1, lit("BB"))))
+        .otherwise(concat(
+          pageHex("02", lit(0L), 7, 0, lit(vIdent(1, 8000))),
+          pageHex("00", n * 4, 7, 1, lit("CC")),
+          pageHex("04", n * 8, 7, 2, lit("DD"))))
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.oggHeader(unhex(stream)).as("v"))
+        .select(col("doc_id"),
+          col("v.codec").as("codec"),
+          col("v.channels").as("channels"),
+          col("v.sample_rate").as("sample_rate"),
+          col("v.n_samples").as("n_samples"),
+          col("v.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 175. code-file quality flags, oracle-pinned ----------------------------------------------------
+    // The StarCoder/The-Stack pre-training filters over constructed
+    // source files: a clean file, an autogenerated one (marker line),
+    // and one with a 1200-char minified line; the oracle recomputes
+    // every metric and the gate relationally from the same text.
+    "q175_code_quality" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val base = concat(
+        lit("// Copyright "), id, lit("\nfn f"), id,
+        lit("() {\n  let x = "), id, lit("; // init\n\n}"))
+      val code =
+        when(m === 1, concat(lit("// DO NOT EDIT - generated by tool\n"), base))
+        .when(m === 2, concat(base, lit("\n"), repeat(lit("x"), 1200)))
+        .otherwise(base)
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.codeQualityFlags(code).as("v"))
+        .select(col("doc_id"),
+          col("v.n_lines").as("n_lines"),
+          col("v.mean_line_len").as("mean_line_len"),
+          col("v.max_line_len").as("max_line_len"),
+          col("v.alnum_frac").as("alnum_frac"),
+          col("v.comment_line_ratio").as("comment_line_ratio"),
+          col("v.blank_line_ratio").as("blank_line_ratio"),
+          col("v.autogenerated").as("autogenerated"),
+          col("v.passes").as("passes"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 174. license identification, oracle-pinned -----------------------------------------------------
+    // The permissive-license filter every code dataset runs: 8 header
+    // shapes cycle an SPDX tag, six characteristic phrases (with comment
+    // markers and line breaks in the way), and a no-license file; the
+    // oracle states id + tier closed-form.
+    "q174_license_id" -> ((s, d) => {
+      val m = col("doc_id") % 8
+      val header =
+        when(m === 0, "// SPDX-License-Identifier: Apache-2.0\n")
+        .when(m === 1, "/* Permission is hereby granted, free of charge, " +
+          "to any person obtaining a copy */\n")
+        .when(m === 2, " * Licensed under the Apache License,\n" +
+          " * Version 2.0 (the \"License\");\n")
+        .when(m === 3, "GNU General Public License as published by\n" +
+          "the Free Software Foundation, either version 3 of the License\n")
+        .when(m === 4, "Redistribution and use in source and binary " +
+          "forms, with or without\nmodification, are permitted ... " +
+          "Neither the name of the copyright holder\n")
+        .when(m === 5, "Redistribution and use in source and binary " +
+          "forms, with or without\nmodification, are permitted\n")
+        .when(m === 6, "Permission to use, copy, modify, and/or " +
+          "distribute this software for any purpose\n")
+        .otherwise("")
+      t(s, d, "documents")
+        // norm projected once; the ladder references it ~12 times
+        .select(col("doc_id"), concat(header, col("text")).as("__t"))
+        .select(col("doc_id"), col("__t"), TF.licenseNorm(col("__t")).as("__n"))
+        .select(col("doc_id"), TF.licenseId(col("__t"), col("__n")).as("v"))
+        .select(col("doc_id"),
+          col("v.license").as("license"),
+          col("v.matched_by").as("matched_by"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 173. TAR archive enumeration + text extraction, oracle-pinned ----------------------------------
+    // Source-tarball ingest: archives CONSTRUCTED per row byte-for-byte
+    // (512-byte ustar headers with the checksum computed IN the plan as
+    // the byte sum over the header hex — the same arithmetic the walk
+    // verifies), three shapes: dir + file, a ustar prefix-field path,
+    // and a terminator-less single file. Every entry row (name, size,
+    // typeflag, payload text) is stated closed-form by the oracle.
+    "q173_tar_entries" -> ((s, d) => {
+      import TarHex.{hdr, pay}
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val readme = concat(lit("Readme for "), id, lit("\n"))
+      val librs = concat(lit("pub fn f"), id, lit("() {}\n"))
+      val csv = concat(lit("a,b\n"), id, lit(",1\n"))
+      val arch =
+        when(m === 0, concat(
+          hdr(concat(lit("proj"), id, lit("/")), lit(0L), '5'),
+          hdr(concat(lit("proj"), id, lit("/readme.txt")), length(readme), '0'),
+          pay(readme), lit("00" * 1024)))
+        .when(m === 1, concat(
+          hdr(lit("lib.rs"), length(librs), '0',
+            prefix = concat(lit("vendor/pkg"), id)),
+          pay(librs), lit("00" * 1024)))
+        .otherwise(concat( // no two-zero-block terminator: also valid
+          hdr(concat(lit("data"), id, lit(".csv")), length(csv), '0'),
+          pay(csv)))
+      val payload = unhex(arch)
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), payload.as("tar"),
+          posexplode(Multimodal.tarEntries(payload)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col.name").as("name"),
+          col("col.size_bytes").as("size_bytes"),
+          col("col.typeflag").as("typeflag"),
+          col("col.mtime").as("mtime"),
+          Multimodal.tarText(col("tar"), col("col.name")).as("text"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 197. Kneser-Ney LM perplexity scoring, oracle-pinned -------------------------------------------
+    // The CCNet-style quality filter: train an interpolated KN bigram LM
+    // on the every-5th-document target slice (q185's split), score the
+    // rest by perplexity. All three probability paths run relationally —
+    // seen bigram (full interpolation), seen prefix with unseen bigram
+    // (lambda * Pcont backoff), unseen prefix (Pcont alone) — plus the
+    // floor for never-seen continuations. The oracle rebuilds the model
+    // (bigram types, prefix totals + distinct-continuation counts,
+    // distinct-predecessor counts, the type total) and every transition
+    // probability from the same exact integer counts; only the per-doc
+    // log-sum is order-dependent, absorbed by the 7-decimal round under
+    // the bit-exact hash compare (q185 precedent, wider margin).
+    "q197_kn_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train(docs.where(col("doc_id") % 5 === 0), "text")
+      NgramLm.score(model, docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_trans"),
+          round(col("avg_logp"), 7).as("avg_logp"),
+          round(exp(-round(col("avg_logp"), 7)), 6).as("ppl"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // Mojibake: repaired text must equal the closed-form original; the
+    // recovered-char count is the mojibake inflation (one char per
+    // multi-byte continuation byte).
+    "q149_fix_mojibake" ->
+      """SELECT doc_id,
+        |  substring(text, 1, 30) || ' caf' || chr(233) || ' ' || chr(8212)
+        |    || ' ' || chr(20320) || chr(22909)
+        |    || ' d' || chr(233) || 'sol' || chr(233) || chr(8482) AS fixed,
+        |  CAST(11 AS INT) AS chars_recovered
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BPE encode with the pinned 15-merge list: the corpus vocabulary is
+    // closed (31 words), so each word's pieces are hand-derived from the
+    // merge ranks (t+a→ta→tab→tabl→table chains; er rank 13 beats ar 14)
+    // and documents reassemble relationally in token order.
+    "q150_bpe_tokens" ->
+      """WITH bpe(w, p, np) AS (VALUES
+        |  ('a', 'a', 1), ('agg', 'a g g', 3), ('batch', 'b a t c h', 5),
+        |  ('big', 'b i g', 3), ('column', 'c o l u m n', 6),
+        |  ('customer', 'c u s t o m er', 7), ('data', 'd a ta', 3),
+        |  ('dup', 'd u p', 3), ('fast', 'f a s t', 4),
+        |  ('filter', 'f i l t er', 5), ('group', 'g ro u p', 4),
+        |  ('hash', 'h a s h', 4), ('join', 'j o i n', 4), ('key', 'key', 1),
+        |  ('line', 'l i n e', 4), ('merge', 'm er g e', 4),
+        |  ('order', 'o r d er', 4), ('part', 'p ar t', 3),
+        |  ('query', 'q u er y', 4), ('row', 'row', 1), ('scan', 'scan', 1),
+        |  ('slow', 's l o w', 4), ('small', 's m a l l', 5),
+        |  ('sort', 's o r t', 4), ('spark', 's p ar k', 4),
+        |  ('stream', 's t r e a m', 6), ('table', 'table', 1),
+        |  ('the', 'the', 1), ('value', 'v a l u e', 5),
+        |  ('vector', 'v e c t o r', 6), ('window', 'w i n d o w', 6)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    UNNEST(string_split(text, ' ')) AS w,
+        |    UNNEST(range(len(string_split(text, ' ')))) AS i
+        |  FROM documents)
+        |SELECT t.doc_id,
+        |  CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(b.np) AS INT) AS n_subwords,
+        |  string_agg(b.p, ' ' ORDER BY t.i) AS pieces
+        |FROM tok t JOIN bpe b ON b.w = t.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // HTML metadata closed forms, one per constructed shape.
+    "q151_html_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'Page ' || doc_id WHEN 1 THEN 'T' || doc_id
+        |    WHEN 2 THEN 'Up ' || doc_id ELSE NULL END AS title,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'Desc ' || doc_id WHEN 1 THEN 'Rev ' || doc_id
+        |    ELSE NULL END AS description,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'http://c.io/' || doc_id
+        |    WHEN 1 THEN 'http://r.io/' || doc_id ELSE NULL END AS canonical,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'OG ' || doc_id WHEN 2 THEN 'OGR ' || doc_id
+        |    ELSE NULL END AS og_title
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Perceptual-hash oracle: regenerate the 36x32 raster relationally,
+    // box-average the exact 4x4 cells, compare adjacent cells, and pack
+    // the 64 bits with the same row-major MSB-first order as the
+    // implementation (first comparison lands at bit 63).
+    "q156_image_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y) % 256 AS DOUBLE) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y)),
+        | cells AS (
+        |  SELECT doc_id, CAST(x // 4 AS INT) AS cx, CAST(y // 4 AS INT) AS cy,
+        |    SUM(v) / 16.0 AS m
+        |  FROM px GROUP BY doc_id, x // 4, y // 4),
+        | grid AS (
+        |  SELECT l.doc_id, l.cy, l.cx, l.m AS ml, r.m AS mr
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        | bits AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN ml < mr
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx))) ELSE 0 END) AS dh
+        |  FROM grid GROUP BY doc_id),
+        | cavg AS (
+        |  SELECT doc_id, AVG(m) AS gavg
+        |  FROM cells WHERE cx < 8 GROUP BY doc_id),
+        | abits AS (
+        |  SELECT c.doc_id,
+        |    SUM(CASE WHEN c.m > a.gavg
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (c.cy * 8 + c.cx))) ELSE 0 END) AS ah
+        |  FROM cells c JOIN cavg a ON c.doc_id = a.doc_id
+        |  WHERE c.cx < 8 GROUP BY c.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN b.dh >= CAST(1 AS HUGEINT) << 63
+        |    THEN b.dh - (CAST(1 AS HUGEINT) << 64) ELSE b.dh END AS BIGINT) AS dhash,
+        |  CAST(CASE WHEN ab.ah >= CAST(1 AS HUGEINT) << 63
+        |    THEN ab.ah - (CAST(1 AS HUGEINT) << 64) ELSE ab.ah END AS BIGINT) AS ahash,
+        |  36 AS width, 32 AS height
+        |FROM bits b JOIN abits ab ON b.doc_id = ab.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Video-hash oracle: q156's relational dHash with a frame dimension.
+    "q157_video_hash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y + f * 31) % 256
+        |      AS DOUBLE) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(2)) AS uf(f),
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y)),
+        | cells AS (
+        |  SELECT doc_id, f, CAST(x // 4 AS INT) AS cx, CAST(y // 4 AS INT) AS cy,
+        |    SUM(v) / 16.0 AS m
+        |  FROM px GROUP BY doc_id, f, x // 4, y // 4),
+        | grid AS (
+        |  SELECT l.doc_id, l.f, l.cy, l.cx, l.m AS ml, r.m AS mr
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND l.cy = r.cy
+        |      AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        | bits AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN ml < mr
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx))) ELSE 0 END) AS dh
+        |  FROM grid GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(f AS INT) AS pos,
+        |  CAST(CASE WHEN dh >= CAST(1 AS HUGEINT) << 63
+        |    THEN dh - (CAST(1 AS HUGEINT) << 64) ELSE dh END AS BIGINT) AS frame_hash
+        |FROM bits ORDER BY doc_id, pos""".stripMargin,
+
+    // MPEG frame-walk oracle: every inventory field restated from the
+    // public frame-length arithmetic (417/626-byte frames, 1152 samples
+    // at 44.1 kHz), integer maths throughout.
+    "q159_mp3_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS k
+        |  FROM documents WHERE doc_id < 400),
+        | c AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST(k AS BIGINT) * 417
+        |         ELSE CAST((k + 1) // 2 AS BIGINT) * 417
+        |            + CAST(k // 2 AS BIGINT) * 626 END AS stream_bytes,
+        |    CAST(k AS BIGINT) * 1152 * 1000 // 44100 AS duration_ms
+        |  FROM d)
+        |SELECT doc_id, k AS frame_count, duration_ms, stream_bytes,
+        |  CAST(128 AS INT) AS bitrate_min,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 192 END AS INT) AS bitrate_max,
+        |  CAST(stream_bytes * 8 // duration_ms AS INT) AS avg_bitrate_kbps,
+        |  doc_id % 2 <> 0 AS is_vbr,
+        |  CAST(44100 AS INT) AS sample_rate, CAST(1 AS INT) AS channels
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // ID3 oracle: the expected parse stated directly — construction
+    // complexity lives entirely on the Spark side.
+    "q161_id3_tags" ->
+      """SELECT doc_id,
+        |  'Song ' || doc_id AS title,
+        |  'Artist ' || (doc_id % 7) AS artist,
+        |  'Album ' || (doc_id % 3) AS album,
+        |  '1999' AS year,
+        |  CAST(2 AS INT) AS version
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // M4A PCM oracle: regenerate the closed-form samples, aggregate exact
+    // integer stats (mean = integer sum / 64, exact in doubles).
+    "q162_m4a_audio" ->
+      """WITH s AS (
+        |  SELECT d.doc_id,
+        |    CAST((d.doc_id * 31 + i * 257) % 4001 - 2000 AS INT) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d,
+        |    LATERAL UNNEST(range(64)) AS ui(i))
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(64 AS BIGINT) AS n_frames,
+        |  SUM(v)::DOUBLE / 64 AS c0_mean,
+        |  CAST(MIN(v) AS INT) AS c0_min, CAST(MAX(v) AS INT) AS c0_max
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // EXIF oracle: every field restated arithmetically; decimal degrees
+    // mirror the implementation's exact float order (deg + min/60 +
+    // sec/3600, sign applied, floored to 6dp).
+    "q164_exif" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        |  'Cam' || (doc_id % 10) AS make,
+        |  '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' ' ||
+        |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS datetime,
+        |  FLOOR((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+        |    ((doc_id % 90) + (doc_id % 60) / 60.0 + ((doc_id * 7) % 60) / 3600.0)
+        |    * 1000000) / 1000000 AS gps_lat,
+        |  FLOOR(((doc_id % 180) + ((doc_id * 3) % 60) / 60.0 +
+        |    ((doc_id * 11) % 60) / 3600.0) * 1000000) / 1000000 AS gps_lon
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Office-dispatch oracle: expected text per format variant.
+    "q165_office_text" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'Body ' || doc_id
+        |    WHEN 1 THEN 'Slide ' || doc_id
+        |    ELSE 'Cell A' || chr(10) || 'Val ' || doc_id END AS text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // data-URI oracle: q156's relational dHash with pixel offset +13,
+    // plus the URI census and the decoded note.
+    "q168_data_uris" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y + 13) % 256 AS DOUBLE) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y)),
+        | cells AS (
+        |  SELECT doc_id, CAST(x // 4 AS INT) AS cx, CAST(y // 4 AS INT) AS cy,
+        |    SUM(v) / 16.0 AS m
+        |  FROM px GROUP BY doc_id, x // 4, y // 4),
+        | grid AS (
+        |  SELECT l.doc_id, l.cy, l.cx, l.m AS ml, r.m AS mr
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        | bits AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN ml < mr
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx))) ELSE 0 END) AS dh
+        |  FROM grid GROUP BY doc_id)
+        |SELECT doc_id, CAST(2 AS INT) AS n_uris,
+        |  CAST(CASE WHEN dh >= CAST(1 AS HUGEINT) << 63
+        |    THEN dh - (CAST(1 AS HUGEINT) << 64) ELSE dh END AS BIGINT) AS dhash,
+        |  'note ' || doc_id AS note
+        |FROM bits ORDER BY doc_id""".stripMargin,
+
+    // RTF oracle: decoded text stated directly (é from the codepage escape).
+    "q169_rtf_text" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || 'Café item ' || (doc_id % 7) AS text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // mbox oracle: two extracted messages per doc.
+    "q170_mbox" ->
+      """WITH r AS (SELECT doc_id, UNNEST(range(2)) AS pos
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  'sender' || pos || '@example.org' AS from_addr,
+        |  'M' || pos || ' doc ' || doc_id AS subject,
+        |  'Body ' || pos || ' for ' || doc_id AS body_text
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
+
+    // Subtitle oracle: cue times in ms + cleaned text, closed-form.
+    "q166_subtitles" ->
+      """WITH r AS (SELECT doc_id, UNNEST(range(2)) AS pos
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE pos WHEN 0 THEN (doc_id % 50) * 1000 + 500
+        |    ELSE (doc_id % 58 + 1) * 60000 + 10000 END AS start_ms,
+        |  CASE pos WHEN 0 THEN (doc_id % 50 + 2) * 1000 + 500
+        |    ELSE (doc_id % 58 + 1) * 60000 + 11500 END AS end_ms,
+        |  CASE pos WHEN 0 THEN 'Hello doc ' || doc_id || chr(10) || 'second line'
+        |    ELSE 'Cue ' || (doc_id % 9) END AS text
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
+
+    // E-mail oracle: every decoded field stated directly.
+    "q167_email" ->
+      """SELECT doc_id,
+        |  'u' || (doc_id % 7) || '@example.org' AS from_addr,
+        |  'first@example.org, second@example.org' AS to_addr,
+        |  'Sub ' || doc_id AS subject,
+        |  'text/plain' AS mime,
+        |  'Msg ' || doc_id || ' café' AS body_text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // docx oracle: expected text + inventory stated closed-form (the
+    // CRC/offset machinery lives entirely on the construction side).
+    "q163_docx_text" ->
+      """SELECT doc_id,
+        |  'Report ' || doc_id || chr(10) || 'Total & sum for ' || (doc_id % 5) AS text,
+        |  CAST(1 AS INT) AS n_entries,
+        |  'word/document.xml' AS entry_name,
+        |  CAST(LENGTH('<w:document><w:body><w:p><w:r><w:t>Report ' || doc_id ||
+        |    '</w:t></w:r></w:p><w:p><w:r><w:t>Total &amp; sum for ' || (doc_id % 5) ||
+        |    '</w:t></w:r></w:p></w:body></w:document>') AS BIGINT) AS entry_size
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Boilerplate oracle: retained text + block census stated closed-form.
+    "q160_boilerplate" ->
+      """SELECT doc_id,
+        |  'Story ' || doc_id || chr(10) ||
+        |    repeat('the cat sat on the mat and it was happy and the sun was warm. ', 4) ||
+        |    'Doc ' || doc_id || ' ends.' AS main_text,
+        |  CAST(2 AS INT) AS good_blocks,
+        |  CAST(2 AS INT) AS bad_blocks
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // PII masking closed form: every placeholder and count stated.
+    "q171_pii_redact" ->
+      """SELECT doc_id,
+        |  'Contact <EMAIL> or call <PHONE> / <PHONE>. Host <IP> peer <IP>'
+        |    || ' bad 999.300.1.1 pay <CARD> ref 4111 1111 1111 1112. '
+        |    || substring(text, 1, 40) AS redacted,
+        |  CAST(1 AS INT) AS n_emails, CAST(2 AS INT) AS n_phones,
+        |  CAST(2 AS INT) AS n_ips, CAST(1 AS INT) AS n_cards
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Boilerplate line removal closed form: body survives, counts stated.
+    "q172_line_dedup" ->
+      """SELECT doc_id,
+        |  'doc ' || doc_id || ' ' || substring(text, 1, 40) AS clean_text,
+        |  CAST(1 AS INT) AS n_kept, CAST(3 AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Connected components: each chain labels with its minimum id.
+    "q196_connected_components" ->
+      """SELECT doc_id AS node, (doc_id // 10) * 10 AS component
+        |FROM documents WHERE doc_id < 300 ORDER BY node""".stripMargin,
+
+    // Email attachments: every inventory row + decoded payload stated.
+    "q195_email_attachments" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS pos,
+        |    'note' || doc_id || '.txt' AS filename,
+        |    'application/octet-stream' AS mime,
+        |    CAST(4 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS size_bytes,
+        |    'att ' || doc_id AS content
+        |  FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT), 'p' || doc_id || '.pgm',
+        |    'image/x-portable-graymap', CAST(12 AS BIGINT),
+        |    'P5 1 1 255' || chr(10) || 'A'
+        |  FROM documents WHERE doc_id < 400)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // ADTS closed forms: counts + the 1024-sample clock.
+    "q194_adts_frames" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 + 1 AS INT) AS frame_count,
+        |  'LC' AS profile, CAST(44100 AS INT) AS sample_rate,
+        |  CAST(2 AS INT) AS channels,
+        |  CAST((doc_id % 4 + 1) * 1024 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 4 + 1) * 1024 * 1000 // 44100 AS BIGINT)
+        |    AS duration_ms
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // AVIF/HEIC meta closed forms: largest ispe wins on avif rows.
+    "q193_bmff_image_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+        |  CAST(doc_id % 800 + 100 AS INT) AS width,
+        |  CAST(doc_id % 600 + 80 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_items
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Containment: same bigram sets, asymmetric measure, oriented pairs.
+    "q192_containment_exact" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS gs
+        |  FROM (SELECT doc_id, lang, string_split_regex(LOWER(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 100))
+        |SELECT contained_id, container_id, containment FROM (
+        |  SELECT
+        |    CASE WHEN len(a.gs) <= len(b.gs) THEN a.doc_id ELSE b.doc_id END
+        |      AS contained_id,
+        |    CASE WHEN len(a.gs) <= len(b.gs) THEN b.doc_id ELSE a.doc_id END
+        |      AS container_id,
+        |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |      CAST(least(len(a.gs), len(b.gs)) AS DOUBLE) AS containment
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.gs) > 0 AND len(b.gs) > 0) t
+        |WHERE containment >= 0.35 ORDER BY contained_id, container_id""".stripMargin,
+
+    // CJK sentences: every (pos, sentence) stated.
+    "q191_cjk_sentences" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS pos,
+        |    '文書' || doc_id || 'です。' AS sentence FROM documents
+        |  UNION ALL SELECT doc_id, CAST(1 AS INT), '明日は雨！' FROM documents
+        |  UNION ALL SELECT doc_id, CAST(2 AS INT), '出かけますか？' FROM documents
+        |  UNION ALL SELECT doc_id, CAST(3 AS INT), 'End ' || doc_id || '.'
+        |    FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // JSON repair: repaired text + extracted fields per shape.
+    "q190_json_repair" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN '{"id": ' || doc_id || ', "tag": "t' || doc_id || '"}'
+        |    WHEN 1 THEN '{"id": ' || doc_id || ', "tags": ["a", "b"]}'
+        |    ELSE '{"id": ' || doc_id || '}' END AS repaired,
+        |  CAST(doc_id AS VARCHAR) AS rid,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'b' ELSE NULL END AS tag1
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Dict roundtrip identity; training success is part of the contract.
+    "q189_zstd_dict" ->
+      """SELECT doc_id, text AS rt_text, TRUE AS dict_trained
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Script profile closed forms: exact fractions per shape.
+    "q188_script_profile" ->
+      """SELECT doc_id,
+        |  CASE m WHEN 0 THEN 1.0 WHEN 2 THEN 5.0/9 ELSE 0.0 END AS latin_frac,
+        |  CASE m WHEN 1 THEN 1.0 ELSE 0.0 END AS cyrillic_frac,
+        |  CASE m WHEN 2 THEN 4.0/9 ELSE 0.0 END AS cjk_frac,
+        |  0.0 AS hangul_frac,
+        |  CASE m WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic'
+        |    WHEN 2 THEN 'latin' ELSE NULL END AS dominant
+        |FROM (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Audio resample: every output frame's interpolation replayed.
+    "q187_audio_resample" ->
+      """WITH d AS (SELECT doc_id, CAST(20 + doc_id % 50 AS BIGINT) AS n
+        |    FROM documents),
+        | kk AS (SELECT doc_id, n, UNNEST(generate_series(0, (3*n)//4 - 1)) AS k
+        |    FROM d),
+        | p AS (SELECT doc_id, n, (k*16000)//12000 AS i,
+        |    CAST(k*16000 % 12000 AS DOUBLE) AS rem FROM kk),
+        | sv AS (SELECT doc_id, n,
+        |    ((doc_id*7 + i*13) % 65536 + 32768) % 65536 - 32768 AS s0,
+        |    CASE WHEN i + 1 >= n THEN NULL
+        |      ELSE ((doc_id*7 + (i+1)*13) % 65536 + 32768) % 65536 - 32768
+        |      END AS s1, rem FROM p),
+        | r AS (SELECT doc_id,
+        |    CAST(floor(CASE WHEN s1 IS NULL THEN CAST(s0 AS DOUBLE)
+        |      ELSE s0 + (s1 - s0) * (rem / 12000.0) END + 0.5) AS BIGINT) AS v
+        |  FROM sv)
+        |SELECT doc_id, CAST(12000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(count(*) AS BIGINT) AS n_frames,
+        |  AVG(v) AS amp_mean, CAST(MIN(v) AS INT) AS amp_min,
+        |  CAST(MAX(v) AS INT) AS amp_max
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Image resize: every output cell's 4x4 box mean recomputed.
+    "q186_image_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y) % 256 AS DOUBLE)
+        |      AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y))
+        |SELECT doc_id,
+        |  CAST(CAST(y // 4 AS INT) * 9 + CAST(x // 4 AS INT) AS INT) AS cell,
+        |  CAST(floor(SUM(v) / 16.0 + 0.5) AS INT) AS value
+        |FROM px GROUP BY doc_id, y // 4, x // 4
+        |ORDER BY doc_id, cell""".stripMargin,
+
+    // DSIR weights: both bucket models + every LLR sum recomputed.
+    "q185_importance_weights" ->
+      """WITH rawd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        | tgt AS (SELECT text FROM documents WHERE doc_id % 5 = 0),
+        | rt AS (SELECT doc_id, substring(tok, 1, 1) AS b FROM (
+        |   SELECT doc_id, unnest(string_split_regex(TRIM(LOWER(text)), '\s+'))
+        |     AS tok FROM rawd) WHERE tok <> ''),
+        | tt AS (SELECT substring(tok, 1, 1) AS b FROM (
+        |   SELECT unnest(string_split_regex(TRIM(LOWER(text)), '\s+'))
+        |     AS tok FROM tgt) WHERE tok <> ''),
+        | tb AS (SELECT b, count(*) AS tc FROM tt GROUP BY b),
+        | rb AS (SELECT b, count(*) AS rc FROM rt GROUP BY b),
+        | j AS (SELECT coalesce(tb.b, rb.b) AS b, coalesce(tc, 0) AS tc,
+        |     coalesce(rc, 0) AS rc
+        |   FROM tb FULL OUTER JOIN rb ON tb.b = rb.b),
+        | tot AS (SELECT sum(tc) AS t2, sum(rc) AS r2, count(*) AS nb FROM j),
+        | lr AS (SELECT b, ln((tc + 1.0) / (t2 + nb)) - ln((rc + 1.0) / (r2 + nb))
+        |     AS lr FROM j, tot),
+        | w AS (SELECT doc_id, sum(lr) AS lw, count(*) AS nt
+        |   FROM rt JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT doc_id, round(coalesce(lw, 0), 9) AS log_weight,
+        |  CAST(coalesce(nt, 0) AS INT) AS n_tokens
+        |FROM rawd LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Blocklist closed forms: counts + first term in text order.
+    "q184_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END AS INT) AS hits,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 0 END AS INT)
+        |    AS distinct_terms,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'click here' ELSE NULL END
+        |    AS first_term
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // HTML tables: every extracted row stated.
+    "q183_html_tables" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS row_idx, CAST(2 AS INT) AS n_cells,
+        |    'K|V' AS row_text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT), CAST(2 AS INT),
+        |    'a' || doc_id || '|1' FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS INT), CAST(2 AS INT),
+        |    'b' || doc_id || '|2' || doc_id FROM documents)
+        |ORDER BY doc_id, row_idx""".stripMargin,
+
+    // Repetition stats: every fraction an exact division per shape.
+    "q182_repetition" ->
+      """SELECT doc_id,
+        |  CASE m WHEN 1 THEN 2.0/3 WHEN 2 THEN 2.0/3 ELSE 0.0 END AS dup_line_frac,
+        |  CASE m WHEN 1 THEN 22.0/27 WHEN 2 THEN 10.0/45 ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE m WHEN 2 THEN 2.0/3 ELSE 0.0 END AS dup_para_frac,
+        |  CASE m WHEN 2 THEN 10.0/45 ELSE 0.0 END AS dup_para_char_frac,
+        |  CASE m WHEN 1 THEN 16.0/20 WHEN 2 THEN 8.0/32 ELSE 0.0 END AS top_2gram_char_frac,
+        |  CASE m WHEN 1 THEN 18.0/20 ELSE 0.0 END AS top_3gram_char_frac,
+        |  CASE m WHEN 1 THEN 24.0/20 ELSE 0.0 END AS top_4gram_char_frac,
+        |  CASE m WHEN 1 THEN 16.0/20 ELSE 0.0 END AS dup_5gram_char_frac,
+        |  CASE m WHEN 1 THEN 16.0/20 ELSE 0.0 END AS dup_6gram_char_frac,
+        |  0.0 AS dup_7gram_char_frac,
+        |  0.0 AS dup_8gram_char_frac,
+        |  0.0 AS dup_9gram_char_frac,
+        |  0.0 AS dup_10gram_char_frac,
+        |  (m = 0) AS passes
+        |FROM (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // tar.bz2/tar.xz chain closed forms: same fields via both codecs.
+    "q181_tar_bz2_xz" ->
+      """SELECT doc_id,
+        |  'src' || doc_id || '.txt' AS bz2_name,
+        |  'payload ' || doc_id || chr(10) AS bz2_text,
+        |  'src' || doc_id || '.txt' AS xz_name,
+        |  'payload ' || doc_id || chr(10) AS xz_text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // JSON-LD closed forms per shape; block-less pages all NULL.
+    "q180_jsonld" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Article'
+        |    WHEN 1 THEN 'Product' ELSE NULL END AS ld_type,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Story ' || doc_id
+        |    WHEN 1 THEN 'Item ' || doc_id ELSE NULL END AS title,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'A' || doc_id
+        |    ELSE NULL END AS author_name,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN doc_id || '.99'
+        |    ELSE NULL END AS price
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Link graph: same edges rebuilt relationally, canonical forms stated.
+    "q178_link_graph" ->
+      """WITH e AS (
+        |  SELECT 'http://site' || CAST((doc_id + 1) % 50 AS VARCHAR)
+        |    || '.com/page' AS dst, 'Next ' || doc_id AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'http://site' || CAST((doc_id + 2) % 50 AS VARCHAR)
+        |    || '.com/page', 'Other'
+        |  FROM documents)
+        |SELECT dst, CAST(count(*) AS BIGINT) AS in_degree,
+        |  min(anchor) AS top_anchor
+        |FROM e GROUP BY dst ORDER BY dst""".stripMargin,
+
+    // PageRank on a 2-out-regular ring: uniform is the exact fixpoint.
+    "q179_pagerank" ->
+      """SELECT 'n' || doc_id AS node, round(1.0 / 300, 12) AS rank
+        |FROM documents WHERE doc_id < 300 ORDER BY node""".stripMargin,
+
+    // Markdown extraction closed form: the exact plain text stated.
+    "q177_markdown_text" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || chr(10)
+        |  || 'See link ' || doc_id || ' and img.' || chr(10) || chr(10)
+        |  || 'item one ' || doc_id || chr(10)
+        |  || 'bold ' || doc_id || ' and code ' || doc_id || chr(10) || chr(10)
+        |  || 'quote ' || doc_id AS plain
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Ogg header closed forms: all fields stated per shape.
+    "q176_ogg_header" ->
+      """SELECT doc_id,
+        |  CASE m WHEN 1 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(CASE m WHEN 0 THEN 2 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE m WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 8000 END
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(CASE m WHEN 0 THEN n * 441 WHEN 1 THEN n * 480 ELSE n * 8 END
+        |    AS BIGINT) AS n_samples,
+        |  CAST(CASE m WHEN 2 THEN n ELSE n * 10 END AS BIGINT) AS duration_ms
+        |FROM (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+        |    doc_id % 1000 + 1 AS n
+        |  FROM documents WHERE doc_id < 400)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Code quality: every metric + the gate recomputed relationally.
+    "q175_code_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 1 THEN '// DO NOT EDIT - generated by tool' || chr(10)
+        |      ELSE '' END
+        |    || '// Copyright ' || doc_id || chr(10)
+        |    || 'fn f' || doc_id || '() {' || chr(10)
+        |    || '  let x = ' || doc_id || '; // init' || chr(10) || chr(10) || '}'
+        |    || CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 2 THEN chr(10) || repeat('x', 1200) ELSE '' END AS code
+        |  FROM documents),
+        | l AS (SELECT doc_id, unnest(string_split(code, chr(10))) AS line FROM d),
+        | s AS (SELECT doc_id,
+        |    CAST(count(*) AS INT) AS n_lines,
+        |    SUM(length(line)) * 1.0 / count(*) AS mean_line_len,
+        |    CAST(max(length(line)) AS INT) AS max_line_len,
+        |    SUM(CASE WHEN regexp_matches(trim(line), '^(//|#|\*|/\*|--)')
+        |      THEN 1 ELSE 0 END) * 1.0 / count(*) AS comment_line_ratio,
+        |    SUM(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |      AS blank_line_ratio
+        |  FROM l GROUP BY doc_id),
+        | c AS (SELECT doc_id,
+        |    length(regexp_replace(code, '[^A-Za-z0-9]', '', 'g')) * 1.0
+        |      / length(code) AS alnum_frac,
+        |    regexp_matches(lower(code),
+        |      'auto[- ]?generated|automatically generated|do not edit|generated by')
+        |      AS autogenerated
+        |  FROM d)
+        |SELECT s.doc_id, n_lines, mean_line_len, max_line_len, alnum_frac,
+        |  comment_line_ratio, blank_line_ratio, autogenerated,
+        |  (max_line_len <= 1000 AND mean_line_len <= 100
+        |    AND alnum_frac >= 0.25 AND NOT autogenerated) AS passes
+        |FROM s JOIN c ON s.doc_id = c.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // License id closed forms: id + detection tier per shape.
+    "q174_license_id" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT'
+        |    WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'GPL-3.0-or-later'
+        |    WHEN 4 THEN 'BSD-3-Clause' WHEN 5 THEN 'BSD-2-Clause'
+        |    WHEN 6 THEN 'ISC' ELSE NULL END AS license,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'spdx-tag' WHEN 7 THEN NULL
+        |    ELSE 'header-phrase' END AS matched_by
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // TAR inventory closed forms: every entry row stated per shape.
+    "q173_tar_entries" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 3 AS INT) AS m
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS pos,
+        |    CASE m WHEN 0 THEN 'proj' || s || '/'
+        |      WHEN 1 THEN 'vendor/pkg' || s || '/lib.rs'
+        |      ELSE 'data' || s || '.csv' END AS name,
+        |    CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN 14 + length(s)
+        |      ELSE 7 + length(s) END AS BIGINT) AS size_bytes,
+        |    CASE m WHEN 0 THEN '5' ELSE '0' END AS typeflag,
+        |    CAST(1700000000 AS BIGINT) AS mtime,
+        |    CASE m WHEN 0 THEN NULL
+        |      WHEN 1 THEN 'pub fn f' || s || '() {}' || chr(10)
+        |      ELSE 'a,b' || chr(10) || s || ',1' || chr(10) END AS text
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT), 'proj' || s || '/readme.txt',
+        |    CAST(12 + length(s) AS BIGINT), '0', CAST(1700000000 AS BIGINT),
+        |    'Readme for ' || s || chr(10)
+        |  FROM d WHERE m = 0)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // MP4 sample-walk oracle: identical relational dHash, frame offset 29.
+    "q158_mp4_video_hash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f, x, y,
+        |    CAST((d.doc_id * 7 + x * x * 3 + y * 5 + x * y + f * 29) % 256
+        |      AS DOUBLE) AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+        |    LATERAL UNNEST(range(2)) AS uf(f),
+        |    LATERAL UNNEST(range(36)) AS ux(x),
+        |    LATERAL UNNEST(range(32)) AS uy(y)),
+        | cells AS (
+        |  SELECT doc_id, f, CAST(x // 4 AS INT) AS cx, CAST(y // 4 AS INT) AS cy,
+        |    SUM(v) / 16.0 AS m
+        |  FROM px GROUP BY doc_id, f, x // 4, y // 4),
+        | grid AS (
+        |  SELECT l.doc_id, l.f, l.cy, l.cx, l.m AS ml, r.m AS mr
+        |  FROM cells l JOIN cells r
+        |    ON l.doc_id = r.doc_id AND l.f = r.f AND l.cy = r.cy
+        |      AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        | bits AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN ml < mr
+        |      THEN (CAST(1 AS HUGEINT) << (63 - (cy * 8 + cx))) ELSE 0 END) AS dh
+        |  FROM grid GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(f AS INT) AS pos,
+        |  CAST(CASE WHEN dh >= CAST(1 AS HUGEINT) << 63
+        |    THEN dh - (CAST(1 AS HUGEINT) << 64) ELSE dh END AS BIGINT) AS frame_hash
+        |FROM bits ORDER BY doc_id, pos""".stripMargin,
+
+    // Sentence segmentation closed forms: every (pos, sentence) stated.
+    "q154_sentences" ->
+      """WITH r AS (
+        |  SELECT doc_id, UNNEST(range(3)) AS pos FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN CASE pos
+        |      WHEN 0 THEN 'Dr. Smith visited site ' || doc_id || '.'
+        |      WHEN 1 THEN 'He left at 5 p.m. on Friday!'
+        |      ELSE 'Done.' END
+        |    WHEN 1 THEN CASE pos
+        |      WHEN 0 THEN 'Version ' || doc_id || ' shipped... users cheered.'
+        |      WHEN 1 THEN 'See fig. 2 for charts.'
+        |      ELSE '3 bugs remain.' END
+        |    ELSE CASE pos
+        |      WHEN 0 THEN 'She said "wait."'
+        |      WHEN 1 THEN 'Then left.'
+        |      ELSE 'Case ' || doc_id || ' closed?' END
+        |  END AS sentence
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
+
+    // Robots politeness metadata closed forms, one per shape.
+    "q153_robots_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 2.5 WHEN 1 THEN 7.0 WHEN 2 THEN 4.0
+        |    ELSE NULL END AS DOUBLE) AS crawl_delay,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'http://h' || doc_id || '.io/sm.xml'
+        |    WHEN 1 THEN 'http://a' || doc_id || '.io/1.xml,http://a' || doc_id || '.io/2.xml'
+        |    ELSE '' END AS sitemaps
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Gopher metrics recomputed relationally with the shared tokenization.
+    "q152_gopher_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(str_split_regex(lower(text), '\s+'),
+        |      s -> len(s) > 0) AS toks
+        |  FROM documents),
+        | m AS (
+        |  SELECT doc_id, text, toks,
+        |    len(toks) AS n_words,
+        |    CAST(GREATEST(len(toks), 1) AS DOUBLE) AS nw,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonspace,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3.0 AS ell,
+        |    str_split(text, chr(10)) AS lines
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(n_words AS INT) AS n_words,
+        |  nonspace / nw AS mean_word_len,
+        |  hashes / nw AS hash_word_ratio,
+        |  ell / nw AS ellipsis_word_ratio,
+        |  CAST(len(list_filter(lines, l -> starts_with(trim(l), chr(8226))
+        |      OR starts_with(trim(l), '- ') OR starts_with(trim(l), '* ')))
+        |    AS DOUBLE) / GREATEST(len(lines), 1) AS bullet_line_ratio,
+        |  CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |    AS DOUBLE) / GREATEST(len(lines), 1) AS ellipsis_line_ratio,
+        |  CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-z]')))
+        |    AS DOUBLE) / nw AS alpha_word_ratio,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    w -> list_contains(toks, w))) AS INT) AS stop_hits,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (nonspace / nw BETWEEN 3.0 AND 10.0)
+        |    AND hashes / nw <= 0.1 AND ell / nw <= 0.1
+        |    AND CAST(len(list_filter(lines, l -> starts_with(trim(l), chr(8226))
+        |        OR starts_with(trim(l), '- ') OR starts_with(trim(l), '* ')))
+        |      AS DOUBLE) / GREATEST(len(lines), 1) <= 0.9
+        |    AND CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |      AS DOUBLE) / GREATEST(len(lines), 1) <= 0.3
+        |    AND CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-z]')))
+        |      AS DOUBLE) / nw >= 0.8
+        |    AND len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) >= 2 AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // KN perplexity: the oracle retrains the model relationally — bigram
+    // types from the target slice, prefix totals + distinct continuations
+    // rolled up from the type table, distinct-predecessor continuation
+    // counts, the scalar type total — and replays every transition's
+    // interpolated probability with the SAME arithmetic tree (left-assoc
+    // * and / mirror the Spark expression). 7-decimal round on the
+    // log-mean, 6 on ppl of the rounded mean.
+    "q197_kn_perplexity" ->
+      """WITH tgt AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tp AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tgt WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM tp GROUP BY w1, w2),
+        |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |          COUNT(*) AS n1p FROM big GROUP BY w1),
+        |cont AS (SELECT w2, COUNT(*) AS contc FROM big GROUP BY w2),
+        |bt AS (SELECT COUNT(*) AS btypes FROM big),
+        |sd AS (
+        |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |sp AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM sd WHERE len(toks) >= 2)),
+        |p AS (
+        |  SELECT sp.doc_id, GREATEST(
+        |    CASE
+        |      WHEN b.c12 IS NOT NULL THEN
+        |        (CAST(b.c12 AS DOUBLE) - 0.75) / CAST(f.c1 AS DOUBLE)
+        |        + 0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |          * (CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE))
+        |      WHEN f.c1 IS NOT NULL THEN
+        |        0.75 * CAST(f.n1p AS DOUBLE) / CAST(f.c1 AS DOUBLE)
+        |        * COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |      ELSE COALESCE(CAST(c.contc AS DOUBLE) / CAST(bt.btypes AS DOUBLE), 0.0)
+        |    END, 1e-10) AS prob
+        |  FROM sp
+        |  LEFT JOIN big b ON sp.w1 = b.w1 AND sp.w2 = b.w2
+        |  LEFT JOIN pre f ON sp.w1 = f.w1
+        |  LEFT JOIN cont c ON sp.w2 = c.w2
+        |  CROSS JOIN bt)
+        |SELECT doc_id, COUNT(*) AS n_trans,
+        |  ROUND(SUM(ln(prob)) / COUNT(*), 7) AS avg_logp,
+        |  ROUND(exp(-ROUND(SUM(ln(prob)) / COUNT(*), 7)), 6) AS ppl
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

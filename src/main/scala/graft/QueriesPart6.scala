@@ -1,0 +1,2115 @@
+package graft
+
+
+import graft.expectations.Expectations
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, LinearText, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, WordPiece, TextFunctions => TF}
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.{t, dec, dsum}
+import SparkEntry._
+
+/** Query registry part 6 (q247-q295): version diff, format sniffers/parsers, repo/code analysis.
+  * Split from the monolithic SparkEntry in r15 — pure relocation,
+  * identical entries; SparkEntry composes the eight parts.
+  */
+private[graft] object QueriesPart6 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- 247. version diff without a change feed, end-to-end oracle -------------------------------------
+    // q91's merge replayed, but the diff is RECONSTRUCTED from the two
+    // manifests alone (no `_changes` published): only files private to
+    // one version are read — partition-scoped rewrites price the diff
+    // at the changed partitions — and byte-identical rewritten
+    // neighbors drop out of the key join. Same CDC vocabulary as the
+    // feed, same closed-form oracle shape as q91.
+    "q247_version_diff" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val root = s"/tmp/graft_q247_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_diff"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Medallion.writeTable(base, tbl, Seq("o_orderstatus"))
+      val updates = base
+        .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .withColumn("is_deleted", lit(false))
+      val deletes = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("is_deleted", lit(true))
+      val inserts = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderpriority", lit("NEW"))
+        .withColumn("is_deleted", lit(false))
+      graft.pipeline.Medallion.merge(s, tbl,
+        updates.unionByName(deletes).unionByName(inserts),
+        keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"),
+        deleteCol = Some("is_deleted"), snapshot = true)
+      graft.pipeline.VersionDiff.diffVersions(s, tbl, 1L, 2L,
+          Seq("o_orderkey"))
+        .groupBy("_diff_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          count(when(col("o_orderpriority") === "MERGED", 1)).as("n_merged"))
+        .withColumnRenamed("_diff_type", "diff_type")
+        .orderBy("diff_type")
+    }),
+
+    // --- 248. shell/REPL-session profile, oracle-pinned -------------------------------------------------
+    // The transcript complement of q229's log gate: four constructed
+    // session shapes — bash with a user@host:path prompt, python REPL
+    // with a '...' continuation (joined into ONE command), IPython
+    // In/Out cells, PowerShell + venv prefixes — with every line count,
+    // the prompt fraction, and the prompt-stripped command extract
+    // stated closed-form from the same construction.
+    "q248_shell_session" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val text = when(m === 0, concat(
+        lit("$ ls -la "), id,
+        lit("\ntotal 4\nuser@host:~/src $ echo "), id,
+        lit("\n"), id))
+        .when(m === 1, concat(
+          lit(">>> x = "), id,
+          lit("\n... y = x + 1\n>>> print(y)\ndone")))
+        .when(m === 2, concat(
+          lit("In [1]: run job "), id,
+          lit("\nOut[1]: 42\nplain note")))
+        .otherwise(concat(
+          lit("PS C:\\Users\\me> dir "), id,
+          lit("\nDirectory listing\n(venv) $ pip install pkg"), id,
+          lit("\nok")))
+      val v = TF.shellProfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("n_lines").as("n_lines"),
+          v.getField("prompt_lines").as("prompt_lines"),
+          v.getField("repl_lines").as("repl_lines"),
+          v.getField("prompt_frac").as("prompt_frac"),
+          v.getField("commands").as("commands"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 249. sitemap extraction (bounded-regex, crawl-scale), oracle-pinned ----------------------------
+    // The scale-path sitemap operator (q138 keeps the xpath-builtin
+    // pin): per row an even doc gets a urlset with 1-3 <url> entries
+    // (loc with an &amp; entity, lastmod, priority, changefreq on the
+    // first only), an odd doc a sitemapindex with 2 child sitemaps —
+    // every extracted field restated closed-form from the same
+    // construction. Row-local, codegen'd, no DOM.
+    "q249_sitemap_items" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      def urlBlock(i: Int) = concat(
+        lit("<url><loc>http://s.test/"), id, lit(s"/$i?a=1&amp;b=$i</loc>"),
+        lit((if (i == 0) "<changefreq>daily</changefreq>" else "") +
+          s"<lastmod>2024-0${i + 1}-15</lastmod>" +
+          s"<priority>0.${i + 5}</priority></url>"))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        urlBlock(0),
+        when(col("doc_id") % 3 >= 1, urlBlock(1)).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, urlBlock(2)).otherwise(lit("")),
+        lit("</urlset>"))
+      def mapBlock(i: Int) = concat(
+        lit("<sitemap><loc>http://s.test/maps/"), id,
+        lit(s"/$i.xml</loc><lastmod>2024-01-0${i + 1}</lastmod></sitemap>"))
+      val index = concat(lit("<sitemapindex>"), mapBlock(0), mapBlock(1),
+        lit("</sitemapindex>"))
+      val v = TF.sitemapItems(
+        when(col("doc_id") % 2 === 0, urlset).otherwise(index))
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("kind").as("kind"),
+          posexplode(v.getField("items")),
+          size(v.getField("items")).cast("bigint").as("n_items"))
+        .select(col("doc_id"), col("kind"),
+          col("pos").cast("int").as("pos"),
+          col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+          col("col.changefreq").as("changefreq"),
+          col("col.priority").as("priority"), col("n_items"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- 250. xlsx worksheet typed cells, oracle-pinned -------------------------------------------------
+    // The spreadsheet-DATA half of office extraction (q165 pins the
+    // string pool): a TWO-entry stored zip (sharedStrings + sheet1) is
+    // constructed per row, with shared-string, numeric, boolean,
+    // formula-string and entity-bearing cells; graft_office_text must
+    // resolve the pool indexes and emit typed values row-major. The
+    // oracle restates the whole text closed-form from the construction.
+    "q250_xlsx_cells" -> ((s, d) => {
+      def le16h(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+      def le32hex(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255L))), 2, "0"))
+      // Two stored entries + central directory: q165's layout with the
+      // second entry's local offset and the directory offset tracked in
+      // Column arithmetic.
+      def storedZip2(n1: String, x1: org.apache.spark.sql.Column,
+          n2: String, x2: org.apache.spark.sql.Column) = {
+        val h1 = n1.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+        val h2 = n2.getBytes("US-ASCII").map(bb => f"$bb%02X").mkString
+        val (l1, l2) = (n1.length, n2.length)
+        val crc1 = le32hex(crc32(x1.cast("binary")))
+        val crc2 = le32hex(crc32(x2.cast("binary")))
+        val sz1 = le32hex(length(x1).cast("long"))
+        val sz2 = le32hex(length(x2).cast("long"))
+        val off2 = (length(x1) + 30 + l1).cast("long")
+        val cdOff = (off2 + 30 + l2 + length(x2)).cast("long")
+        unhex(concat(
+          lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crc1, sz1, sz1, lit(le16h(l1) + "0000"), lit(h1), hex(x1),
+          lit("504B0304" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crc2, sz2, sz2, lit(le16h(l2) + "0000"), lit(h2), hex(x2),
+          lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crc1, sz1, sz1,
+          lit(le16h(l1) + "0000" + "0000" + "0000" + "0000" + "00000000" +
+            "00000000"),
+          lit(h1),
+          lit("504B0102" + "1400" + "0A00" + "0000" + "0000" + "0000" + "0000"),
+          crc2, sz2, sz2,
+          lit(le16h(l2) + "0000" + "0000" + "0000" + "0000" + "00000000"),
+          le32hex(off2), lit(h2),
+          lit("504B0506" + "0000" + "0000" + "0200" + "0200"),
+          le32hex(lit(92L + l1 + l2)), le32hex(cdOff), lit("0000")))
+      }
+      val id = col("doc_id").cast("string")
+      val shared = concat(lit("<sst><si><t>label</t></si><si><t>name "),
+        id, lit("</t></si></sst>"))
+      val sheet = concat(
+        lit("<worksheet><sheetData>" +
+          "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c><c r=\"B1\"><v>"),
+        (col("doc_id") * 3).cast("string"),
+        lit("</v></c><c r=\"C1\" t=\"b\"><v>"),
+        (col("doc_id") % 2).cast("string"),
+        lit("</v></c></row>" +
+          "<row r=\"2\"><c r=\"A2\" t=\"s\"><v>1</v></c><c r=\"B2\"><v>"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".25</v></c><c r=\"C2\" t=\"str\"><v>=A&amp;B "), id,
+        lit("</v></c></row></sheetData></worksheet>"))
+      val payload = storedZip2("xl/sharedStrings.xml", shared,
+        "xl/worksheets/sheet1.xml", sheet)
+      t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.officeText(payload).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 251. fastText-shaped linear quality filter, oracle-pinned ---------------------------------------
+    // The CCNet/GPT-3 quality-filter family member with an EXACTLY-
+    // replayable training rule: hashed word-bigram features (FNV-1a,
+    // 64 buckets, unsigned mod — all integer SQL), keyword-seeded
+    // classes ('spark' docs positive, 'slow' docs negative), and the
+    // centroid-difference scorer kept in integers end to end
+    // (w[b] = P[b]*Sn - N[b]*Sp; score = SUM c[b]*w[b]) — the oracle
+    // rebuilds buckets, weights and scores from the raw text with the
+    // q147 HUGEINT fnv fold. Iterative-SGD fastText is deliberately
+    // out of scope: no exact oracle.
+    "q251_fasttext_quality" -> ((s, d) =>
+      LinearText.centroidScores(t(s, d, "documents"), "doc_id", "text",
+          isPos = col("text").contains("spark"),
+          isNeg = col("text").contains("slow"), buckets = 64)
+        .orderBy("doc_id")),
+
+    // --- 252. Jaro-Winkler record linkage, oracle-pinned --------------------------------------------------
+    // q65's fuzzy-matching block with the record-linkage-standard
+    // scorer: transposition-tolerant, prefix-boosted. The oracle is
+    // DuckDB's OWN jaro_winkler_similarity — an INDEPENDENT
+    // implementation of the same published definition (rapidfuzz
+    // family), bit-matched by construction: the strongest oracle form
+    // in the suite (not a restatement of our arithmetic).
+    "q252_jaro_winkler" -> ((s, d) => {
+      val p = t(s, d, "part").where(col("p_partkey") <= 150)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val jw = TF.jaroWinkler(col("a.p_name"), col("b.p_name"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+          jw.as("jw"))
+        .where(col("jw") >= 0.82)
+        .orderBy("id1", "id2")
+    }),
+
+    // --- 253. salted skew join in the gate, oracle-pinned -------------------------------------------------
+    // The hot-key mitigation operator (operators/Skew): each left row
+    // gets a salt, the small right side replicates across all salts, so
+    // one hot part key spreads over saltBuckets tasks. Salting must be
+    // INVISIBLE in the answer — the revenue rollup is exact DECIMAL
+    // (order-free), so the oracle is the plain unsalted join. The salt
+    // itself is nondeterministic (partition id + row position); only
+    // plans whose result is salt-independent may use it, which is
+    // exactly what this query demonstrates.
+    "q253_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_extendedprice"))
+      val p = t(s, d, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(li, p, Seq("pk"), saltBuckets = 8)
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // --- 254. Johnson-Lindenstrauss random projection, oracle-pinned -------------------------------------
+    // The embedding coarse filter: ±1 sign matrix from FNV-1a of "d:j"
+    // (Achlioptas' database-friendly JL — no stored model), accumulated
+    // as a plain ascending-d left fold. The oracle rebuilds the SAME
+    // signs with the q147 HUGEINT fnv fold and replays the identical
+    // fold over the float values lifted to double — bit-exact output,
+    // k=8 components exploded per vector.
+    "q254_random_projection" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Similarity.randomProjection(col("embedding"), 8))
+            .as(Seq("j", "v")))
+        .orderBy("vec_id", "j")),
+
+    // --- 255. reciprocal-rank fusion of two retrieval runs, oracle-pinned -------------------------------
+    // The hybrid-retrieval combiner (RRF, SIGIR 2009): a BM25 run and a
+    // raw-tf run over the same query terms fuse by sum of 1/(60 + rank).
+    // Ranks are integers and the score is a fixed two-term left fold, so
+    // the fused doubles are bit-exact and fully oracle-replayable.
+    "q255_rrf_fusion" -> ((s, d) => {
+      val scored = Retrieval.bm25(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector"))
+      val wA = Window.partitionBy("term").orderBy(desc("bm25"), col("doc_id"))
+      val wB = Window.partitionBy("term").orderBy(desc("tf"), col("doc_id"))
+      val runA = scored.withColumn("rank", row_number().over(wA))
+        .where(col("rank") <= 20)
+      val runB = scored.withColumn("rank", row_number().over(wB))
+        .where(col("rank") <= 20)
+      Retrieval.rrfFuse(Seq(runA, runB), "term", "doc_id", "rank",
+          k = 60, topK = 10)
+        .orderBy("term", "fused_rank")
+    }),
+
+    // --- 256. KMV bottom-k distinct sketch vs exact, oracle-pinned --------------------------------------
+    // The VERIFIABLE distinct sketch beside q60's HLL: k smallest distinct
+    // xxhash64 values per group, estimate (k-1)*2^64/kth. Integer hashing
+    // + one fixed-order double expression => the estimate is bit-exact
+    // replayable, unlike HLL++'s bias tables. Mergeable (map-side combine;
+    // k longs of state per group at any group size).
+    "q256_kmv_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val exact = li.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_orders"))
+      val sk = li.groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketch.sketch(xxhash64(col("l_orderkey")), 256).as("sk"))
+      exact.join(sk, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_orders"),
+          size(col("sk")).cast("int").as("sk_size"),
+          graft.functions.KmvSketch.estimate(col("sk"), 256).as("kmv_est"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- 257. fill-in-the-middle transform, oracle-pinned -----------------------------------------------
+    // Deterministic FIM over documents: pivots and PSM/SPM mode derive
+    // from xxhash64(doc_id) (and xxhash64 of that hash), so the oracle
+    // replays both hash chains in integer SQL (XxSql.longHash) and then
+    // restates the substring arithmetic relationally.
+    "q257_fim_split" -> ((s, d) => {
+      val v = TF.fimSplit(col("text"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("mode").as("mode"),
+          length(v.getField("prefix")).cast("int").as("prefix_len"),
+          v.getField("middle").as("middle"),
+          v.getField("suffix").as("suffix"),
+          v.getField("fim_text").as("fim_text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 258. chat-transcript structure extraction, oracle-pinned ---------------------------------------
+    // Four constructed shapes: full ChatML (3 turns), ChatML with the
+    // mid-line <|im_end|> and a multi-line body, role-prefixed markers
+    // with bold/heading dress + human/AI normalization, and plain prose
+    // (must stay kind=none). Counts, role sequence, and both extracts
+    // restated closed-form from the construction.
+    "q258_chat_turns" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val text = when(m === 0, concat(
+        lit("<|im_start|>system\nBe helpful.\n<|im_end|>\n<|im_start|>user\nq "),
+        id, lit("\n<|im_end|>\n<|im_start|>assistant\na "), id, lit("\n<|im_end|>")))
+        .when(m === 1, concat(
+          lit("<|im_start|>user\nline one "), id,
+          lit("\nline two<|im_end|>\n<|im_start|>assistant\nans "), id,
+          lit("<|im_end|>")))
+        .when(m === 2, concat(
+          lit("intro ignored\n**Human:** ask "), id,
+          lit("\ndetails "), id, lit("\n## AI: answer "), id,
+          lit("\nSystem: done")))
+        .otherwise(concat(lit("plain document text "), id,
+          lit("\nNote: nothing conversational here")))
+      val v = TF.chatTurns(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("kind").as("kind"),
+          v.getField("n_turns").as("n_turns"),
+          v.getField("n_user").as("n_user"),
+          v.getField("n_assistant").as("n_assistant"),
+          v.getField("roles").as("roles"),
+          v.getField("first_user").as("first_user"),
+          v.getField("assistant_text").as("assistant_text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 259. SCD Type-2 dimension history, end-to-end oracle -------------------------------------------
+    // Dimension-history maintenance over the customer table: batch 1
+    // loads the dimension, batch 2 changes %7 keys (not %11), deletes
+    // %11 keys, inserts %13 keys shifted +5e6. The full history then
+    // aggregates per (eff_from, is_current) class; the oracle rebuilds
+    // every class relationally from customer alone.
+    "q259_scd2_history" -> ((s, d) => {
+      val base = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val root = s"/tmp/graft_q259_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/dim"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild from scratch: idempotent per run
+      graft.pipeline.Scd.applyBatch(s, tbl, base,
+        Seq("c_custkey"), Seq("c_mktsegment"), 1L)
+      val k = col("c_custkey")
+      val changed = base.where(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("c_mktsegment", lit("WHOLESALE"))
+        .withColumn("is_gone", lit(false))
+      val deletes = base.where(k % 11 === 0).withColumn("is_gone", lit(true))
+      val inserts = base.where(k % 13 === 0)
+        .withColumn("c_custkey", k + 5000000L)
+        .withColumn("c_mktsegment", lit("NEWSEG"))
+        .withColumn("is_gone", lit(false))
+      graft.pipeline.Scd.applyBatch(s, tbl,
+        changed.unionByName(deletes).unionByName(inserts),
+        Seq("c_custkey"), Seq("c_mktsegment"), 2L, deleteCol = Some("is_gone"))
+      graft.pipeline.Scd.history(s, tbl)
+        .groupBy(col(graft.pipeline.Scd.EffFrom).as("eff_from"),
+          col(graft.pipeline.Scd.IsCurrent).as("is_current"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).as("key_sum"),
+          count(when(col("c_mktsegment") === "WHOLESALE", 1)).as("n_wholesale"),
+          max(col(graft.pipeline.Scd.EffTo)).as("eff_to"))
+        .orderBy("eff_from", "is_current")
+    }),
+
+    // --- 260. exact prefix-filtered cosine similarity join, oracle-pinned -------------------------------
+    // Total-recall complement of the LSH pair finders: every pair with
+    // tf-vector cosine >= 0.8, prefix filtering (rare-first, suffix-norm
+    // bound) instead of banding. The oracle is an INDEPENDENT direct
+    // implementation of the definition — the strongest pin form: if
+    // prefix filtering dropped any true pair, the hash would differ.
+    "q260_cosine_join" -> ((s, d) =>
+      graft.functions.Dedup.cosineJoinExact(
+        t(s, d, "documents"), "doc_id", "text", 0.8)
+        .select(col("id1"), col("id2"), col("cos"))),
+
+    // --- 261. unified-diff/patch profile, oracle-pinned -------------------------------------------------
+    // Three constructed shapes: a two-file git diff, a classic unified
+    // file deletion (name recovered from the --- side), and prose with
+    // decoy +/- lines that must stay is_diff=false. Every count and the
+    // file list restated closed-form.
+    "q261_diff_profile" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("diff --git a/f"), id, lit(".c b/f"), id, lit(".c\n--- a/f"), id,
+        lit(".c\n+++ b/f"), id,
+        lit(".c\n@@ -1,3 +1,4 @@\n ctx\n-old "), id, lit("\n+new "), id,
+        lit("\n+more\ndiff --git a/doc.md b/doc.md\n--- a/doc.md\n" +
+          "+++ b/doc.md\n@@ -5 +5,2 @@\n+doc "), id))
+        .when(m === 1, concat(
+          lit("--- a/gone"), id, lit(".py\n+++ /dev/null\n@@ -1,2 +0,0 @@\n-a "),
+          id, lit("\n-b")))
+        .otherwise(concat(lit("plain text "), id, lit("\n+ plus\n- minus")))
+      val v = TF.diffProfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_diff").as("is_diff"),
+          v.getField("n_files").as("n_files"),
+          v.getField("n_hunks").as("n_hunks"),
+          v.getField("n_added").as("n_added"),
+          v.getField("n_removed").as("n_removed"),
+          v.getField("files").as("files"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 262. stack-trace profile, oracle-pinned --------------------------------------------------------
+    // Four constructed shapes: a chained Python traceback (innermost-LAST
+    // top frame, one cause), a JVM trace with Caused by (innermost-FIRST),
+    // a Node trace with column-suffixed frames, and prose with an 'Error:'
+    // decoy that must stay kind=none. All fields closed-form.
+    "q262_stack_trace" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val text = when(m === 0, concat(
+        lit("Traceback (most recent call last):\n  File \"app.py\", line 10, in main\n" +
+          "    run()\n  File \"app.py\", line 22, in run\n    parse(x)\n" +
+          "ValueError: bad input "), id,
+        lit("\n\nDuring handling of the above exception, another exception occurred:\n\n" +
+          "Traceback (most recent call last):\n  File \"app.py\", line 30, in handler"),
+        id, lit("\n    raise\nRuntimeError: giving up")))
+        .when(m === 1, concat(
+          lit("Exception in thread \"main\" java.lang.IllegalStateException: boom "), id,
+          lit("\n\tat com.foo.Bar.baz(Bar.java:42)\n\tat com.foo.Main.main(Main.java:7)\n" +
+            "Caused by: java.io.IOException: disk\n\tat com.foo.Disk.read(Disk.java:99)\n" +
+            "\t... 2 more")))
+        .when(m === 2, concat(
+          lit("TypeError: x is not a function "), id,
+          lit("\n    at doWork (app.js:10:5)\n    at main (app.js:3:1)")))
+        .otherwise(concat(lit("plain text about an Error: nothing here "), id))
+      val v = TF.stackTrace(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("kind").as("kind"),
+          v.getField("n_frames").as("n_frames"),
+          v.getField("n_causes").as("n_causes"),
+          v.getField("exception").as("exception"),
+          v.getField("message").as("message"),
+          v.getField("top_frame").as("top_frame"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 263. markdown table extraction + linearization, oracle-pinned ----------------------------------
+    // Three constructed shapes: a 2x2 table (id in cells), a doc with two
+    // tables AND a fenced decoy table that must not count, and pipe-bearing
+    // prose without a delimiter row. Counts, headers, and the first
+    // table's header=cell linearization restated closed-form.
+    "q263_md_tables" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("intro\n| name | val |\n|------|-----|\n| item"), id,
+        lit(" | "), id, lit(" |\n| fixed | 7 |\nafter")))
+        .when(m === 1, concat(
+          lit("| h |\n|---|\n| "), id,
+          lit(" |\n\n```\n| fake | tbl |\n|---|---|\n| x | y |\n```\n" +
+            "| k | v |\n|---|---|\n| a | b"), id, lit(" |")))
+        .otherwise(concat(lit("a | b\nplain prose "), id))
+      val v = TF.mdTables(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_tables").as("n_tables"),
+          v.getField("n_rows").as("n_rows"),
+          v.getField("n_cols_first").as("n_cols_first"),
+          v.getField("headers").as("headers"),
+          v.getField("linearized").as("linearized"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 264. BibTeX extraction, oracle-pinned ----------------------------------------------------------
+    // Three constructed shapes: two entries with nested case-protection
+    // braces + quoted author + bare year, a directive-heavy doc with one
+    // book entry, and prose with an email decoy. First-entry tuple and
+    // the key census restated closed-form.
+    "q264_bibtex" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("@article{p"), id, lit(", title = {The {Big} Result "), id,
+        lit("}, author = \"Doe, Jane\", year = 2020}\nprose\n@misc{m"), id,
+        lit(", year = {1999}}")))
+        .when(m === 1, concat(
+          lit("@string{acm = {ACM}}\n@comment{junk}\n@book{b"), id,
+          lit(", title = {TAOCP}, year = {1997}}")))
+        .otherwise(concat(lit("contact me@example.com about "), id))
+      val v = TF.bibtex(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_entries").as("n_entries"),
+          v.getField("entry_type").as("entry_type"),
+          v.getField("cite_key").as("cite_key"),
+          v.getField("title").as("title"),
+          v.getField("author").as("author"),
+          v.getField("year").as("year"),
+          v.getField("keys").as("keys"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 265. INI/TOML/dotenv config profile, oracle-pinned ---------------------------------------------
+    // Three constructed shapes: sectioned ini with comments and both pair
+    // styles, dotenv + TOML double-bracket table, and prose that fails
+    // the dominance floor. Census, fraction, and the dotted key list
+    // restated closed-form.
+    "q265_config_profile" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("# cfg "), id,
+        lit("\n[database]\nhost = h"), id,
+        lit("\nport: 5432\n[server]\ntimeout = "), id))
+        .when(m === 1, concat(
+          lit("API_KEY=k"), id,
+          lit("\nDEBUG=true\n[[servers.alpha]]\nip = \"10.0.0."), id, lit("\"")))
+        .otherwise(concat(lit("plain prose "), id, lit("\nnothing: here")))
+      val v = TF.configProfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_config").as("is_config"),
+          v.getField("n_sections").as("n_sections"),
+          v.getField("n_pairs").as("n_pairs"),
+          v.getField("n_comments").as("n_comments"),
+          v.getField("config_frac").as("config_frac"),
+          v.getField("sections").as("sections"),
+          v.getField("keys").as("keys"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 266. corpus vocabulary profile (Zipf/Heaps sheet), oracle-pinned -------------------------------
+    // Integer corpus diagnostics + one final ratio division: exactly
+    // replayable; the only shuffle is the vocabulary-sized term table.
+    "q266_vocab_profile" -> ((s, d) =>
+      graft.functions.Retrieval.vocabProfile(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // --- 267. crawl-frontier politeness rounds, oracle-pinned -------------------------------------------
+    // Deterministic fetch scheduling: a 7-host frontier built from
+    // documents, 3 fetches per host per round, priority-first with a
+    // total tie-break. The oracle replays the identical window.
+    "q267_politeness_rounds" -> ((s, d) => {
+      val urls = t(s, d, "documents").select(
+        concat(lit("h"), (col("doc_id") % 7).cast("string"), lit(".test")).as("host"),
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+          lit(".test/p"), col("doc_id").cast("string")).as("url"),
+        (col("doc_id") % 5).cast("int").as("prio"))
+      graft.operators.Frontier.politenessRounds(urls, "host", "url", "prio", 3)
+        .orderBy("host", "round", "slot")
+    }),
+
+    // --- 268. robust median/MAD outlier gate, oracle-pinned ---------------------------------------------
+    // Per-group Hampel gate on an INTEGER metric (token count), so every
+    // median/MAD is a dyadic rational and the whole gate is bit-exact.
+    // Aggregated per group: counts, flagged count, and both robust stats.
+    "q268_robust_outliers" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        (col("doc_id") % 5).cast("int").as("grp"),
+        size(graft.functions.Retrieval.tokens(col("text"))).cast("long").as("m"))
+      graft.operators.Outliers.robustGate(docs, "grp", "m")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("is_outlier"), 1)).as("n_outliers"),
+          first(col("grp_median")).as("grp_median"),
+          first(col("grp_mad")).as("grp_mad"))
+        .orderBy("grp")
+    }),
+
+    // --- 269. LaTeX source extraction, oracle-pinned ----------------------------------------------------
+    // Three constructed shapes: a full article (preamble, title capture,
+    // section, inline math, comment, cite), a fragment (itemize, href
+    // URL-drop, escaped percent, display math, verbatim skip), and plain
+    // prose where the pinned %-comment rule truncates the line. Flag,
+    // title, every census count and the extracted text closed-form.
+    "q269_latex_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("\\documentclass{article}\\title{Paper "), id,
+        lit("}\\begin{document}\\section{Intro "), id,
+        lit("}\nResult \\emph{"), id, lit("} is $x_"), id,
+        lit("$ fine. % trail\n\\cite{k"), id, lit("} done.\\end{document}")))
+        .when(m === 1, concat(
+          lit("\\begin{itemize}\\item A"), id, lit("\\item B\\end{itemize} "),
+          lit("\\href{http://e/"), id, lit("}{link "), id,
+          lit("} 100\\% $$d_"), id,
+          lit("$$ \\begin{verbatim}$raw"), id, lit("$\\end{verbatim} tail")))
+        .otherwise(concat(
+          lit("Plain notes "), id, lit(": 50% discount applies\nsecond line "), id))
+      val v = TF.latexText(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_latex").as("is_latex"),
+          v.getField("title").as("title"),
+          v.getField("n_sections").as("n_sections"),
+          v.getField("n_envs").as("n_envs"),
+          v.getField("n_math").as("n_math"),
+          v.getField("n_commands").as("n_commands"),
+          v.getField("text").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 270. JSON structure census, oracle-pinned ------------------------------------------------------
+    // Three constructed shapes: a nested object with an array (depth,
+    // every node-type count, three typed leaf paths), an array root with
+    // a null-vs-number path split, and a truncated document that must
+    // zero the whole census. All fields closed-form.
+    "q270_json_paths" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("{\"user\":{\"name\":\"u"), id,
+        lit("\",\"tags\":[1,"), id, lit("]},\"ok\":true}")))
+        .when(m === 1, concat(
+          lit("[{\"a\":"), id, lit("},{\"a\":null},\"x"), id, lit("\"]")))
+        .otherwise(concat(lit("{\"broken\": "), id))
+      val v = TF.jsonPaths(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_json").as("is_json"),
+          v.getField("max_depth").as("max_depth"),
+          v.getField("n_objects").as("n_objects"),
+          v.getField("n_arrays").as("n_arrays"),
+          v.getField("n_keys").as("n_keys"),
+          v.getField("n_strings").as("n_strings"),
+          v.getField("n_numbers").as("n_numbers"),
+          v.getField("n_bools").as("n_bools"),
+          v.getField("n_nulls").as("n_nulls"),
+          v.getField("paths").as("paths"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 271. HITS hubs and authorities, oracle-pinned --------------------------------------------------
+    // Integer HITS (no per-iteration normalization, so every distributed
+    // sum is an exact BIGINT and partition order cannot perturb the
+    // hash) on an asymmetric two-family ring: every node links +1, every
+    // fifth node also links +7. The oracle unrolls both iterations as
+    // plain SQL joins; norms are one final IEEE division.
+    "q271_hits" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val e1 = docs.select(
+        concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") + 1) % 300).as("dst"))
+      val e2 = docs.where(col("doc_id") % 5 === 0).select(
+        concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") + 7) % 300).as("dst"))
+      graft.functions.Graph.hits(e1.union(e2), "src", "dst", iterations = 2)
+        .orderBy("node")
+    }),
+
+    // --- 272. PMI collocation mining, oracle-pinned ------------------------------------------------------
+    // Corpus-level adjacent-pair PMI over the REAL documents text:
+    // integer bigram table, margins rolled up from the table itself,
+    // one double division + ln rounded to 7 (the suite's ln discipline).
+    // The oracle replays tokenization, counts and the exact expression.
+    "q272_pmi_collocations" -> ((s, d) =>
+      graft.functions.Collocations.pmiBigrams(
+        t(s, d, "documents"), "text", minCount = 20L)
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(100)),
+
+    // --- 273. weekly retention cohorts, oracle-pinned ---------------------------------------------------
+    // Classic cohort matrix over the REAL events log: first-seen week
+    // per user, distinct users per (cohort, offset), one division per
+    // rate against the cohort's own offset-0 size.
+    "q273_retention_cohorts" -> ((s, d) =>
+      graft.operators.Retention.weeklyCohorts(
+        t(s, d, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // --- 274. protobuf wire-format sniff, oracle-pinned -------------------------------------------------
+    // Three constructed byte shapes via unhex: a varint+len message, a
+    // fixed32-then-varint message (order-free fields), and a field-0 tag
+    // that must zero the census. Flag, every count and the field-envelope
+    // string closed-form.
+    "q274_proto_sniff" -> ((s, d) => {
+      val vh = lpad(hex(col("doc_id") % 100), 2, "0")
+      val m = col("doc_id") % 3
+      val blob = unhex(when(m === 0,
+        concat(lit("08"), vh, lit("12026869")))
+        .when(m === 1, concat(lit("1D"), vh, lit("0000000801")))
+        .otherwise(concat(lit("00"), vh)))
+      val v = graft.functions.Multimodal.protoSniff(blob)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_proto").as("is_proto"),
+          v.getField("n_fields").as("n_fields"),
+          v.getField("max_field").as("max_field"),
+          v.getField("n_varint").as("n_varint"),
+          v.getField("n_fixed64").as("n_fixed64"),
+          v.getField("n_len").as("n_len"),
+          v.getField("n_fixed32").as("n_fixed32"),
+          v.getField("fields").as("fields"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 275. Gale-Church sentence alignment, oracle-pinned ----------------------------------------------
+    // Three constructed length shapes: equal-length lines (all 1-1 at
+    // exactly zero cost — the only case whose cost is closed-form, so
+    // cost is CASE-gated to it), a forced 2-1 merge between anchors,
+    // and an empty target (all 1-0 drops). Bead strings and every count
+    // closed-form; alignment is a deterministic function of lengths.
+    "q275_align_sentences" -> ((s, d) => {
+      val m = col("doc_id") % 3
+      val l1 = repeat(lit("x"), (lit(20) + col("doc_id") % 10).cast("int"))
+      val src = when(m === 0, concat_ws("\n", l1, repeat(lit("y"), 25)))
+        .when(m === 1, concat_ws("\n", repeat(lit("x"), 30),
+          repeat(lit("y"), 18), repeat(lit("z"), 22), repeat(lit("w"), 30)))
+        .otherwise(concat_ws("\n", repeat(lit("x"), 10), repeat(lit("y"), 12)))
+      val tgt = when(m === 0, concat_ws("\n", l1, repeat(lit("b"), 25)))
+        .when(m === 1, concat_ws("\n", repeat(lit("a"), 30),
+          repeat(lit("b"), 41), repeat(lit("c"), 30)))
+        .otherwise(lit(""))
+      val v = TF.alignSentences(src, tgt)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_src").as("n_src"),
+          v.getField("n_tgt").as("n_tgt"),
+          v.getField("n_beads").as("n_beads"),
+          v.getField("beads").as("beads"),
+          v.getField("n_11").as("n_11"),
+          v.getField("n_drop").as("n_drop"),
+          v.getField("n_21").as("n_21"),
+          when(m === 0, v.getField("cost_centilog")).as("cost_centilog"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 276. Z-order (Morton) layout key, oracle-pinned -------------------------------------------------
+    // A 16x16 grid from doc_id: global-bounds equi-width bucketing (the
+    // exact BIGINT div formula) + MSB-aligned bit interleaving, both
+    // replayed term by term in the oracle. The clustering operator
+    // itself (range partition + local sort) is LayoutSpec-pinned.
+    "q276_zorder" -> ((s, d) => {
+      val grid = t(s, d, "documents").where(col("doc_id") < 256)
+        .select(col("doc_id"), (col("doc_id") % 16).as("x"),
+          floor(col("doc_id") / 16).cast("long").as("y"))
+      graft.pipeline.Layout.zValue(grid, Seq("x", "y"), bits = 4)
+        .select(col("doc_id"), col("x"), col("y"), col("__z").as("z"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 277. cap-per-cluster near-dup sampling, oracle-pinned -------------------------------------------
+    // q45's diversity-preserving sibling (the FineWeb recipe): the same
+    // banded-MinHash clusters, each keeping its 2 smallest ids instead
+    // of 1; singletons survive unconditionally. Oracle replays the full
+    // MinHash pipeline + transitive closure + per-component rank.
+    "q277_cap_per_cluster" -> ((s, d) =>
+      Dedup.capPerCluster(t(s, d, "documents"), "doc_id", "text", k = 2,
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // --- 278. Count-Min sketch, oracle-pinned ------------------------------------------------------------
+    // The point-frequency sketch over the REAL corpus token stream at a
+    // deliberately tiny width (64) so collisions are real: per-term true
+    // count, CM estimate and the never-negative overcount. The oracle
+    // replays the xxhash64 fold, the mask, the grid and the min.
+    "q278_cm_sketch" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(Retrieval.tokens(col("text"))).as("term"))
+      val sketch = graft.functions.CmSketchCounts.build(toks, "term", 64, 3)
+      val truth = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      graft.functions.CmSketchCounts.estimate(sketch, truth, "term", 64, 3)
+        .select(col("item").as("term"), col("true_cnt"), col("estimate"),
+          (col("estimate") - col("true_cnt")).as("over_by"))
+        .orderBy("term")
+    }),
+
+    // --- 279. per-group OLS trend, oracle-pinned ---------------------------------------------------------
+    // Value drift per event type over the REAL events log: x = epoch
+    // day, y = value in cents (both exact integers, so the sufficient
+    // statistics are order-independent BIGINTs); slope/intercept is one
+    // pinned double expression replayed verbatim by the oracle.
+    "q279_value_trend" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      graft.operators.Trend.ols(e, "event_type", "x", "y")
+        .orderBy("event_type")
+    }),
+
+    // --- 280. token-budget selection, oracle-pinned ------------------------------------------------------
+    // The data-constrained-scaling recipe over REAL documents: quality =
+    // milli-avg-word-length (exact integer div), spend an 8000-token
+    // budget best-first. The engine's two-level shape (distinct-score
+    // window + one broadcast partial score) must equal the oracle's
+    // row-level greedy prefix in (score desc, id) order.
+    "q280_budget_select" -> ((s, d) => {
+      val stats = TF.tokenLenStats(Retrieval.tokens(col("text")))
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), stats.getField("n_tokens").as("n_tok"),
+          stats.getField("sum_len").as("sum_len"))
+        .where(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          org.apache.spark.sql.graft.Bridge.column(
+            org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+              org.apache.spark.sql.graft.Bridge.expression(col("sum_len") * 1000),
+              org.apache.spark.sql.graft.Bridge.expression(col("n_tok"))))
+            .as("score"))
+      graft.operators.Sampling.budgetSelect(base, "doc_id", "score", "n_tok",
+          budget = 8000L)
+        .orderBy("doc_id")
+    }),
+
+    // --- 281. rendezvous sharding, oracle-pinned ---------------------------------------------------------
+    // Stable HRW doc-to-shard routing at n=8 and n=9 side by side: the
+    // oracle replays every candidate hash and both signed argmaxes,
+    // pinning the assignment AND the minimal-disruption regrow (keys
+    // that move can only move to the new shard — verified by hash).
+    "q281_rendezvous" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.operators.Sampling.rendezvousShard(
+          col("doc_id").cast("string"), 8).as("shard_a"),
+        graft.operators.Sampling.rendezvousShard(
+          col("doc_id").cast("string"), 9).as("shard_b"))
+        .orderBy("doc_id")),
+
+    // --- 282. positional proximity search, oracle-pinned -------------------------------------------------
+    // The NEAR operator over the REAL corpus: documents where 'join'
+    // sits within 3 tokens of 'hash', with match counts and minimum
+    // distance. Postings filter to the two query terms before any join.
+    "q282_proximity" -> ((s, d) =>
+      Retrieval.proximityMatches(t(s, d, "documents"), "doc_id", "text",
+          "join", "hash", 3)
+        .select(col("id").as("doc_id"), col("n_matches"), col("min_dist"))
+        .orderBy("doc_id")),
+
+    // --- 283. session path analysis, oracle-pinned -------------------------------------------------------
+    // The behavioral complement of the funnel (q61): top event-type
+    // TRIGRAMS within q43's 30-minute sessions — which three-step paths
+    // dominate. Session boundaries, leads, counts and the total order
+    // all replay exactly.
+    "q283_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts"))
+      val prev = lag(unix_micros(col("ts")), 1).over(w)
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sw = Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("new_session",
+          when(prev.isNull || (us - prev) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .withColumn("e2", lead(col("event_type"), 1).over(sw))
+        .withColumn("e3", lead(col("event_type"), 2).over(sw))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))
+        .limit(50)
+    }),
+
+    // --- 284. SQuAD token F1, oracle-pinned --------------------------------------------------------------
+    // Three constructed pred/gold shapes: normalization equivalence
+    // (case/punct/articles), a partial multiset overlap with closed-form
+    // F1, and the empty-gold convention. Every field closed-form.
+    "q284_token_f1" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val pred = when(m === 0, concat(lit("The answer: IS 42 "), id))
+        .when(m === 1, lit("green eggs"))
+        .otherwise(lit("nothing"))
+      val gold = when(m === 0, concat(lit("answer is 42 "), id))
+        .when(m === 1, concat(lit("green eggs and ham "), id))
+        .otherwise(lit("the"))
+      val v = graft.functions.Eval.tokenF1(pred, gold)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("em").as("em"),
+          v.getField("f1").as("f1"),
+          v.getField("overlap").as("overlap"),
+          v.getField("n_pred").as("n_pred"),
+          v.getField("n_gold").as("n_gold"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 285. unbiased pass@k estimator, oracle-pinned ---------------------------------------------------
+    // 40 synthetic problems with every-third sample correct: exact
+    // falling products, one division, the n<k undefined case. The
+    // oracle replays the closed form term by term.
+    "q285_pass_at_k" -> ((s, d) => {
+      val samples = t(s, d, "documents").select(
+        (col("doc_id") % 40).as("prob"),
+        (col("doc_id") % 3 === 0).as("ok"))
+      graft.functions.Eval.passAtK(samples, "prob", "ok", 3)
+        .orderBy("prob")
+    }),
+
+    // --- 286. classification report, oracle-pinned -------------------------------------------------------
+    // Gold = the real lang column; pred corrupts every 7th doc to 'en'.
+    // Per-class counts, precision/recall/F1 with the engine's exact
+    // round-then-combine discipline replayed.
+    "q286_class_report" -> ((s, d) => {
+      val pairs = t(s, d, "documents").select(
+        col("lang").as("gold"),
+        when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang"))
+          .as("pred"))
+      graft.functions.Eval.classificationReport(pairs, "gold", "pred")
+        .orderBy("label")
+    }),
+
+    // --- 287. relational HLL with exact denominator, oracle-pinned ---------------------------------------
+    // The published 2007 HLL estimator restated replayably: register
+    // ranks via binary-string length (no float log2), the harmonic
+    // denominator summed EXACTLY in DECIMAL(38,0) scaled by 2^64 (a
+    // float sum would be partition-order dependent), one double
+    // division. q60 keeps pinning the builtin HLL++; this one is ours.
+    "q287_hll_exact" -> ((s, d) =>
+      graft.functions.HllSketch.estimate(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_orderkey", p = 12)
+        .orderBy("l_returnflag")),
+
+    // --- 288. skip-gram pair generation, oracle-pinned ---------------------------------------------------
+    // word2vec data prep over the REAL corpus: (center, context) counts
+    // within a 2-token window via per-position array slices (never a
+    // positional self-join). The oracle uses the band-join DEFINITION —
+    // if the slice geometry dropped or duplicated any pair, the counts
+    // would differ.
+    "q288_skipgram_pairs" -> ((s, d) =>
+      graft.functions.SkipGram.pairs(t(s, d, "documents"), "text", window = 2)
+        .orderBy("center", "context")),
+
+    // --- 289. deterministic negative sampling, oracle-pinned ---------------------------------------------
+    // SGNS negatives: two draws per distinct pair via
+    // xxhash64(center, context, j) mod total, mapped through the exact
+    // unigram CDF. The oracle replays the three-child hash fold, the
+    // modulo, the cumsum and the interval lookup.
+    "q289_skipgram_negatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.functions.SkipGram.pairs(docs, "text", window = 2)
+      val uni = docs
+        .select(explode(Retrieval.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      graft.functions.SkipGram.negativeSamples(pairs, uni, k = 2)
+        .orderBy("center", "context", "j")
+    }),
+
+    // --- 290. man/troff extraction, oracle-pinned --------------------------------------------------------
+    // Three constructed shapes: a typical page (TH metadata, SH head,
+    // font macro, break, inline \- escape), a discard block + unknown
+    // request + SS without TH, and plain prose. Flag, metadata, both
+    // censuses and the text closed-form.
+    "q290_man_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit(".TH CMD"), id, lit(" 1 \"2024\"\n.SH NAME\ncmd"), id,
+        lit(" \\- does "), id, lit(" things\n.B bold"), id, lit("\n.PP\ntail")))
+        .when(m === 1, concat(
+          lit(".ig\nsecret\n..\nplain "), id,
+          lit(" line\n.unknown req\n.SS Sub "), id, lit("\nbody")))
+        .otherwise(concat(lit("no markup here "), id, lit("\njust text")))
+      val v = TF.manText(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_man").as("is_man"),
+          v.getField("title").as("title"),
+          v.getField("section").as("section"),
+          v.getField("n_sections").as("n_sections"),
+          v.getField("n_requests").as("n_requests"),
+          v.getField("text").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 291. snapshot tags, oracle-pinned ----------------------------------------------------------------
+    // Named immutable refs with vacuum protection: tag v1 'baseline',
+    // merge inserts + deletes into v2, then read BOTH refs — the tag
+    // must still see the pre-merge table. Closed-form oracle from the
+    // same construction arithmetic.
+    "q291_snapshot_tags" -> ((s, d) => {
+      val base = t(s, d, "orders").select(col("o_orderkey"))
+      val root = s"/tmp/graft_q291_${java.lang.Integer.toHexString(d.hashCode)}"
+      val tbl = s"$root/orders_tagged"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      graft.pipeline.Medallion.writeTable(base, tbl, Nil)
+      val tp = new org.apache.hadoop.fs.Path(tbl)
+      graft.pipeline.Snapshot.ensure(fs, tp) // v1
+      graft.pipeline.Snapshot.tag(fs, tp, "baseline", 1L)
+      val inserts = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("is_deleted", lit(false))
+      val deletes = base.where(col("o_orderkey") % 9 === 0)
+        .withColumn("is_deleted", lit(true))
+      graft.pipeline.Medallion.merge(s, tbl,
+        inserts.unionByName(deletes), keys = Seq("o_orderkey"),
+        partitionBy = Nil, deleteCol = Some("is_deleted"), snapshot = true)
+      val tagged = graft.pipeline.Snapshot.readTag(s, tbl, "baseline")
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .select(lit("baseline").as("ref"), col("n_rows"), col("key_sum"))
+      val cur = graft.pipeline.Snapshot.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .select(lit("current").as("ref"), col("n_rows"), col("key_sum"))
+      tagged.unionByName(cur).orderBy("ref")
+    }),
+
+    // --- 292. Smith-Waterman local alignment, oracle-pinned ----------------------------------------------
+    // Three constructed pairs: identical strings, a verbatim span lifted
+    // into different surroundings (the case whole-string metrics miss),
+    // and disjoint alphabets. Score/ends/sim closed-form in the same
+    // LENGTH arithmetic as the construction.
+    "q292_smith_waterman" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val a = when(m === 0, concat(lit("clone "), id, lit(" body")))
+        .when(m === 1, concat(lit("xxSHARED"), id, lit("yy")))
+        .otherwise(lit("aaaa"))
+      val b = when(m === 0, concat(lit("clone "), id, lit(" body")))
+        .when(m === 1, concat(lit("aaaaSHARED"), id, lit("bb")))
+        .otherwise(lit("bbbb"))
+      val v = TF.smithWaterman(a, b)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("score").as("score"),
+          v.getField("a_end").as("a_end"),
+          v.getField("b_end").as("b_end"),
+          v.getField("sim").as("sim"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 293. triangle counting + clustering coefficient, oracle-pinned ----------------------------------
+    // Degree-oriented enumeration on a 300-node double ring (+1/+2 edges
+    // give every consecutive triple a triangle) with degree-varying +5
+    // chords that create none. The oracle enumerates triangles by the
+    // canonical a<b wedge definition — orientation must not change the
+    // set.
+    "q293_triangles" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val e1 = docs.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % 300).as("v"))
+      val e2 = docs.select(col("doc_id").as("u"),
+        ((col("doc_id") + 2) % 300).as("v"))
+      val e3 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("u"), ((col("doc_id") + 5) % 300).as("v"))
+      graft.functions.Graph.triangles(e1.union(e2).union(e3), "u", "v")
+        .orderBy("node")
+    }),
+
+    // --- 294. two-proportion z-test, oracle-pinned --------------------------------------------------------
+    // Experiment readout over the REAL events log: variant by user
+    // parity, success = purchase event; exact integer cells, one pinned
+    // double expression for the z statistic.
+    "q294_ab_test" -> ((s, d) => {
+      val assigned = t(s, d, "events").select(
+        when(col("user_id") % 2 === 0, lit("ctl")).otherwise(lit("treat"))
+          .as("variant"),
+        (col("event_type") === "purchase").as("ok"))
+      graft.operators.AbTest.zTest(assigned, "variant", "ok", control = "ctl")
+        .orderBy("variant")
+    }),
+
+    // --- 295. Dockerfile profile, oracle-pinned -----------------------------------------------------------
+    // Three constructed shapes: a single-stage file, a multi-stage file
+    // with a continuation that hides a decoy FROM, and prose that fails
+    // the dominance floor (base still captured — pinned). All fields
+    // closed-form.
+    "q295_dockerfile" -> ((s, d) => {
+      val k = (col("doc_id") % 10).cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("FROM python:3."), k,
+        lit("\nWORKDIR /app\nCOPY . .\nRUN pip install -r r.txt\nCMD [\"x\"]")))
+        .when(m === 1, lit("# c\nFROM node:18 AS b\nRUN npm ci \\\n" +
+          "  --quiet FROM decoy\nFROM nginx\nCOPY --from=b /d /usr/share"))
+        .otherwise(concat(lit("FROM here on "), k,
+          lit("\nwe write prose\nmore prose")))
+      val v = TF.dockerfile(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_dockerfile").as("is_dockerfile"),
+          v.getField("base_image").as("base_image"),
+          v.getField("n_from").as("n_from"),
+          v.getField("n_run").as("n_run"),
+          v.getField("n_copy_add").as("n_copy_add"),
+          v.getField("n_instructions").as("n_instructions"),
+          v.getField("instructions").as("instructions"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // Version diff: q91's closed form with the diff vocabulary — the
+    // reconstruction must land on exactly the feed's rows.
+    "q247_version_diff" ->
+      """SELECT diff_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  COUNT(CASE WHEN prio = 'MERGED' THEN 1 END) AS n_merged
+        |FROM (
+        |  SELECT 'delete' AS diff_type, o_orderkey AS k, o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT 'update_pre', o_orderkey, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT 'update_post', o_orderkey, 'MERGED'
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 10000000, 'NEW'
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |)
+        |GROUP BY diff_type ORDER BY diff_type""".stripMargin,
+
+    // Shell/REPL session: counts and the command extract restated
+    // closed-form per construction case; the '...' continuation joins
+    // with a SPACE onto its opening '>>>' command.
+    "q248_shell_session" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 3 ELSE 4 END AS BIGINT) AS n_lines,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS prompt_lines,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS repl_lines,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 0.75
+        |    WHEN 2 THEN CAST(1 AS DOUBLE) / 3 ELSE 0.5 END AS DOUBLE)
+        |    AS prompt_frac,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'ls -la ' || doc_id || chr(10) || 'echo ' || doc_id
+        |    WHEN 1 THEN 'x = ' || doc_id || ' y = x + 1' || chr(10) || 'print(y)'
+        |    WHEN 2 THEN 'run job ' || doc_id
+        |    ELSE 'dir ' || doc_id || chr(10) || 'pip install pkg' || doc_id
+        |  END AS commands
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Sitemap extraction: both shapes regenerated relationally; the
+    // urlset loc restates the DECODED entity (&amp; -> &).
+    "q249_sitemap_items" ->
+      """WITH u AS (
+        |  SELECT doc_id, UNNEST(range(CAST(doc_id % 3 AS INT) + 1)) AS pos
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |m AS (
+        |  SELECT doc_id, UNNEST(range(2)) AS pos
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, 'urlset' AS kind, CAST(pos AS INT) AS pos,
+        |  'http://s.test/' || doc_id || '/' || pos || '?a=1&b=' || pos AS loc,
+        |  '2024-0' || (pos + 1) || '-15' AS lastmod,
+        |  CASE WHEN pos = 0 THEN 'daily' END AS changefreq,
+        |  '0.' || (pos + 5) AS priority,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_items
+        |FROM u
+        |UNION ALL
+        |SELECT doc_id, 'sitemapindex', CAST(pos AS INT),
+        |  'http://s.test/maps/' || doc_id || '/' || pos || '.xml',
+        |  '2024-01-0' || (pos + 1), NULL, NULL, CAST(2 AS BIGINT)
+        |FROM m
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // xlsx typed cells: the whole extracted text restated closed-form —
+    // pool resolution, numeric passthrough, TRUE/FALSE booleans, the
+    // formula string with its entity decoded.
+    "q250_xlsx_cells" ->
+      """SELECT doc_id,
+        |  'label' || chr(9) || (doc_id * 3) || chr(9)
+        |    || CASE WHEN doc_id % 2 = 1 THEN 'TRUE' ELSE 'FALSE' END
+        |    || chr(10)
+        |    || 'name ' || doc_id || chr(9) || (doc_id % 7) || '.25'
+        |    || chr(9) || '=A&B ' || doc_id AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fastText-shaped filter: buckets, weights and scores all rebuilt
+    // from raw text in integer SQL — FNV-1a per bigram via a HUGEINT
+    // list_reduce fold, unsigned mod-64 buckets, centroid-difference
+    // weights as exact integer products.
+    "q251_fasttext_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text LIKE '%spark%' AS pos, text LIKE '%slow%' AS neg,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, pos, neg, ws[i] || ' ' || ws[i + 1] AS bg
+        |  FROM tok, LATERAL UNNEST(range(1, len(ws))) AS u(i)),
+        |hh AS (
+        |  SELECT bg,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        list_transform(string_split_regex(bg, ''),
+        |          c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, b) -> (((h // 256) * 256 + xor(h % 256, b)) % 4294967296
+        |                   * CAST('1099511628211' AS HUGEINT)
+        |                 + (((h // 256) * 256 + xor(h % 256, b)) // 4294967296
+        |                    * CAST('1099511628211' AS HUGEINT) % 4294967296)
+        |                   * 4294967296)
+        |                % CAST('18446744073709551616' AS HUGEINT)
+        |    ) % 64 AS INT) AS b
+        |  FROM (SELECT DISTINCT bg FROM big)),
+        |feat AS (
+        |  SELECT doc_id, any_value(pos) AS pos, any_value(neg) AS neg,
+        |    h.b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM big JOIN hh h USING (bg) GROUP BY doc_id, h.b),
+        |tots AS (
+        |  SELECT SUM(CASE WHEN pos THEN c ELSE 0 END) AS sp,
+        |    SUM(CASE WHEN neg THEN c ELSE 0 END) AS sn
+        |  FROM feat),
+        |p AS (SELECT b, SUM(c) AS pc FROM feat WHERE pos GROUP BY b),
+        |ng AS (SELECT b, SUM(c) AS nc FROM feat WHERE neg GROUP BY b),
+        |w AS (
+        |  SELECT COALESCE(p.b, ng.b) AS b,
+        |    COALESCE(pc, 0) * sn - COALESCE(nc, 0) * sp AS wb
+        |  FROM p FULL JOIN ng ON p.b = ng.b CROSS JOIN tots),
+        |sc AS (
+        |  SELECT doc_id, SUM(c * wb) AS score
+        |  FROM feat JOIN w USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(score, 0) AS BIGINT) AS score,
+        |  COALESCE(score, 0) > 0 AS pred
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Independent-implementation oracle: DuckDB's own rapidfuzz-family
+    // jaro_winkler_similarity, bit-compatible with ours by construction.
+    "q252_jaro_winkler" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM (SELECT * FROM part WHERE p_partkey <= 150) a
+        |JOIN (SELECT * FROM part WHERE p_partkey <= 150) b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.82
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Salting must be invisible: the oracle is the PLAIN join with the
+    // same exact-decimal rollup.
+    "q253_salted_join" ->
+      """SELECT p.p_brand,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    // JL projection: the same FNV sign bits rebuilt in HUGEINT, the same
+    // ascending-d left fold over doubles (list_reduce preserves order,
+    // so the IEEE sums are bit-identical).
+    "q254_random_projection" ->
+      """WITH sg AS (
+        |  SELECT d, j,
+        |    CASE WHEN list_reduce(
+        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        list_transform(string_split_regex(d || ':' || j, ''),
+        |          c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, b) -> (((h // 256) * 256 + xor(h % 256, b)) % 4294967296
+        |                   * CAST('1099511628211' AS HUGEINT)
+        |                 + (((h // 256) * 256 + xor(h % 256, b)) // 4294967296
+        |                    * CAST('1099511628211' AS HUGEINT) % 4294967296)
+        |                   * 4294967296)
+        |                % CAST('18446744073709551616' AS HUGEINT)
+        |    ) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM (SELECT UNNEST(range(64)) AS d),
+        |       (SELECT UNNEST(range(8)) AS j)),
+        |signs AS (
+        |  SELECT j, list(s ORDER BY d) AS sl FROM sg GROUP BY j)
+        |SELECT e.vec_id, CAST(j AS INT) AS j,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(64),
+        |        d -> sl[d + 1] * CAST(e.embedding[d + 1] AS DOUBLE))),
+        |    (a, x) -> a + x) AS v
+        |FROM embeddings e CROSS JOIN signs
+        |ORDER BY vec_id, j""".stripMargin,
+
+    // Replays both runs (the q94 BM25 replay + a raw-tf ranking over the
+    // same postings) and the fixed-order RRF fold 1/(60+rA) + 1/(60+rB).
+    "q255_rrf_fusion" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d
+        |       WHERE toks IS NOT NULL),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dd),
+        |q AS (SELECT UNNEST(['spark', 'join', 'vector']) AS term),
+        |f AS (
+        |  SELECT dd.doc_id, q.term, dd.dl,
+        |    CAST(len(list_filter(dd.toks, t -> t = q.term)) AS DOUBLE) AS tf
+        |  FROM dd CROSS JOIN q
+        |  WHERE len(list_filter(dd.toks, t -> t = q.term)) > 0),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM f GROUP BY term),
+        |bm AS (
+        |  SELECT f.doc_id, f.term, f.tf,
+        |    ((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |    ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / (s.sum_dl / s.n_docs))))
+        |      AS bm25
+        |  FROM f, s, dfs WHERE dfs.term = f.term),
+        |ra AS (SELECT term, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS r
+        |       FROM bm QUALIFY r <= 20),
+        |rb AS (SELECT term, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r
+        |       FROM bm QUALIFY r <= 20),
+        |wide AS (
+        |  SELECT COALESCE(a.term, b.term) AS term,
+        |    COALESCE(a.doc_id, b.doc_id) AS doc_id, a.r AS r0, b.r AS r1
+        |  FROM ra a FULL OUTER JOIN rb b ON a.term = b.term AND a.doc_id = b.doc_id),
+        |fused AS (
+        |  SELECT term, doc_id,
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r0), CAST(0.0 AS DOUBLE)) +
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r1), CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM wide)
+        |SELECT term, doc_id, rrf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id) AS INT)
+        |    AS fused_rank
+        |FROM fused
+        |QUALIFY fused_rank <= 10
+        |ORDER BY term, fused_rank""".stripMargin,
+
+    // Replays the sketch exactly: distinct keys -> hashLong(key, 42) in
+    // HUGEINT SQL, unsigned rank per group, k-th value into the identical
+    // two-op unsigned->double conversion and one division.
+    "q256_kmv_distinct" -> {
+      import graft.oracle.XxSql._
+      val ch = chain("kh",
+        "SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem",
+        Seq("l_returnflag", "l_orderkey"))
+      longHash(ch, u64("l_orderkey"), "42", "h")
+      s"""WITH hh AS MATERIALIZED (WITH ${ch.withClauses}
+         |  SELECT DISTINCT l_returnflag, h FROM ${ch.last}),
+         |rk AS (SELECT l_returnflag, h,
+         |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |       FROM hh),
+         |st AS (SELECT l_returnflag, count(*) AS nh FROM hh GROUP BY l_returnflag),
+         |kth AS (SELECT l_returnflag, ${s64("h")} AS ks FROM rk WHERE rn = 256),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
+         |       FROM lineitem GROUP BY l_returnflag)
+         |SELECT ex.l_returnflag, ex.exact_orders,
+         |  CAST(LEAST(st.nh, 256) AS INT) AS sk_size,
+         |  CASE WHEN st.nh < 256 THEN CAST(st.nh AS DOUBLE)
+         |       ELSE CAST(4703919738795935662080 AS DOUBLE) /
+         |            (CASE WHEN kth.ks >= 0 THEN CAST(kth.ks AS DOUBLE)
+         |                  ELSE CAST(kth.ks AS DOUBLE) + 1.8446744073709552e19 END)
+         |  END AS kmv_est
+         |FROM ex JOIN st USING (l_returnflag) LEFT JOIN kth USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // FIM: replay the two chained hashLong calls in integer SQL, then the
+    // pivot arithmetic (Spark's pmod on the SIGNED long) and substring
+    // algebra are restated relationally; text joins back at the end so the
+    // hash chain carries only doc_id.
+    "q257_fim_split" -> {
+      import graft.oracle.XxSql._
+      val ch = chain("fh", "SELECT doc_id FROM documents", Seq("doc_id"))
+      longHash(ch, u64("doc_id"), "42", "h1")
+      longHash(ch, "h1", "42", "h2")
+      s"""WITH ${ch.withClauses},
+         |pv AS (SELECT d.doc_id, d.text, length(d.text) AS n,
+         |  CASE WHEN c.h1 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+         |  ((${s64("c.h1")} % (length(d.text)+1)) + (length(d.text)+1))
+         |    % (length(d.text)+1) AS a,
+         |  ((${s64("c.h2")} % (length(d.text)+1)) + (length(d.text)+1))
+         |    % (length(d.text)+1) AS b
+         |  FROM documents d JOIN ${ch.last} c USING (doc_id)),
+         |sp AS (SELECT doc_id, mode, text, n,
+         |  LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM pv),
+         |parts AS (SELECT doc_id, mode, lo,
+         |  substring(text, 1, CAST(lo AS INT)) AS prefix,
+         |  substring(text, CAST(lo+1 AS INT), CAST(hi-lo AS INT)) AS middle,
+         |  substring(text, CAST(hi+1 AS INT), CAST(n-hi AS INT)) AS suffix
+         |  FROM sp)
+         |SELECT doc_id, mode, CAST(lo AS INT) AS prefix_len, middle, suffix,
+         |  CASE WHEN mode = 'psm'
+         |    THEN '<fim_prefix>' || prefix || '<fim_suffix>' || suffix ||
+         |         '<fim_middle>' || middle
+         |    ELSE '<fim_prefix><fim_suffix>' || suffix || '<fim_middle>' ||
+         |         prefix || middle END AS fim_text
+         |FROM parts ORDER BY doc_id""".stripMargin
+    },
+
+    // Chat transcript: every field restated closed-form per construction
+    // case; the m=2 continuation line joins first_user with a newline.
+    "q258_chat_turns" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 3 THEN 'none' WHEN 2 THEN 'prefixed'
+        |    ELSE 'chatml' END AS kind,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    ELSE 0 END AS BIGINT) AS n_turns,
+        |  CAST(CASE doc_id % 4 WHEN 3 THEN 0 ELSE 1 END AS BIGINT) AS n_user,
+        |  CAST(CASE doc_id % 4 WHEN 3 THEN 0 ELSE 1 END AS BIGINT) AS n_assistant,
+        |  CASE doc_id % 4 WHEN 0 THEN 'system,user,assistant'
+        |    WHEN 1 THEN 'user,assistant'
+        |    WHEN 2 THEN 'user,assistant,system' END AS roles,
+        |  CASE doc_id % 4 WHEN 0 THEN 'q ' || doc_id
+        |    WHEN 1 THEN 'line one ' || doc_id || chr(10) || 'line two'
+        |    WHEN 2 THEN 'ask ' || doc_id || chr(10) || 'details ' || doc_id
+        |  END AS first_user,
+        |  CASE doc_id % 4 WHEN 0 THEN 'a ' || doc_id
+        |    WHEN 1 THEN 'ans ' || doc_id
+        |    WHEN 2 THEN 'answer ' || doc_id END AS assistant_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // SCD2: every history class rebuilt relationally — (1,current) the
+    // untouched keys, (1,closed) changed+deleted originals with their OLD
+    // segment, (2,current) the WHOLESALE reopens plus shifted NEWSEG
+    // inserts; eff_to is 2 exactly on the closed class.
+    "q259_scd2_history" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, c_mktsegment, 1 AS eff_from, TRUE AS is_current,
+        |    CAST(NULL AS BIGINT) AS eff_to
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 11 <> 0)
+        |    AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, 1, FALSE, 2 FROM customer
+        |  WHERE (c_custkey % 7 = 0 AND c_custkey % 11 <> 0)
+        |    OR c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'WHOLESALE', 2, TRUE, NULL FROM customer
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 5000000, 'NEWSEG', 2, TRUE, NULL FROM customer
+        |  WHERE c_custkey % 13 = 0)
+        |SELECT CAST(eff_from AS BIGINT) AS eff_from, is_current,
+        |  count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  count(CASE WHEN c_mktsegment = 'WHOLESALE' THEN 1 END) AS n_wholesale,
+        |  max(eff_to) AS eff_to
+        |FROM hist GROUP BY 1, 2 ORDER BY eff_from, is_current""".stripMargin,
+
+    // Exact cosine join: the definition computed directly — integer tf
+    // dot products over shared terms, one double division per pair; the
+    // engine's prefix filtering must change nothing.
+    "q260_cosine_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''),
+        |p AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(cnt*cnt) AS ssq FROM p GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.cnt*b.cnt) AS num
+        |  FROM p a JOIN p b USING (term) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, cos FROM (
+        |  SELECT id1, id2,
+        |    CAST(num AS DOUBLE)
+        |      / sqrt(CAST(n1.ssq AS DOUBLE) * CAST(n2.ssq AS DOUBLE)) AS cos
+        |  FROM pairs
+        |  JOIN n n1 ON n1.doc_id = id1
+        |  JOIN n n2 ON n2.doc_id = id2)
+        |WHERE cos >= 0.8
+        |ORDER BY cos DESC, id1, id2""".stripMargin,
+
+    // Diff profile: all three construction cases restated closed-form.
+    "q261_diff_profile" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_diff,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_files,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_hunks,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 1 END
+        |    AS BIGINT) AS n_added,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_removed,
+        |  CASE doc_id % 3 WHEN 0 THEN 'f' || doc_id || '.c,doc.md'
+        |    WHEN 1 THEN 'gone' || doc_id || '.py' END AS files
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Stack trace: all four construction cases closed-form; python top
+    // frame is the LAST File line (in handler{id}), jvm the FIRST at.
+    "q262_stack_trace" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'python' WHEN 1 THEN 'jvm'
+        |    WHEN 2 THEN 'js' ELSE 'none' END AS kind,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 2
+        |    ELSE 0 END AS BIGINT) AS n_frames,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_causes,
+        |  CASE doc_id % 4 WHEN 0 THEN 'ValueError'
+        |    WHEN 1 THEN 'java.lang.IllegalStateException'
+        |    WHEN 2 THEN 'TypeError' END AS exception,
+        |  CASE doc_id % 4 WHEN 0 THEN 'bad input ' || doc_id
+        |    WHEN 1 THEN 'boom ' || doc_id
+        |    WHEN 2 THEN 'x is not a function ' || doc_id END AS message,
+        |  CASE doc_id % 4 WHEN 0 THEN 'app.py:30:handler' || doc_id
+        |    WHEN 1 THEN 'com.foo.Bar.baz(Bar.java:42)'
+        |    WHEN 2 THEN 'doWork (app.js:10:5)' END AS top_frame
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Markdown tables: the fenced decoy never counts; linearization is
+    // first-table-only.
+    "q263_md_tables" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_tables,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_rows,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_cols_first,
+        |  CASE doc_id % 3 WHEN 0 THEN 'name,val' WHEN 1 THEN 'h' END AS headers,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'name=item' || doc_id || '; val=' || doc_id ||
+        |      chr(10) || 'name=fixed; val=7'
+        |    WHEN 1 THEN 'h=' || doc_id END AS linearized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BibTeX: first-entry tuple and the key census per construction case;
+    // case-protection braces drop from the title.
+    "q264_bibtex" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_entries,
+        |  CASE doc_id % 3 WHEN 0 THEN 'article' WHEN 1 THEN 'book' END
+        |    AS entry_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 'p' || doc_id
+        |    WHEN 1 THEN 'b' || doc_id END AS cite_key,
+        |  CASE doc_id % 3 WHEN 0 THEN 'The Big Result ' || doc_id
+        |    WHEN 1 THEN 'TAOCP' END AS title,
+        |  CASE doc_id % 3 WHEN 0 THEN 'Doe, Jane' END AS author,
+        |  CASE doc_id % 3 WHEN 0 THEN '2020' WHEN 1 THEN '1997' END AS year,
+        |  CASE doc_id % 3 WHEN 0 THEN 'p' || doc_id || ',m' || doc_id
+        |    WHEN 1 THEN 'b' || doc_id END AS keys
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Config profile: census + dotted keys per construction case; the
+    // prose case carries one decoy pair and fails the dominance floor.
+    "q265_config_profile" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_config,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_sections,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 1 END
+        |    AS BIGINT) AS n_pairs,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_comments,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0.5 ELSE 1.0 END AS DOUBLE)
+        |    AS config_frac,
+        |  CASE doc_id % 3 WHEN 0 THEN 'database,server'
+        |    WHEN 1 THEN 'servers.alpha' END AS sections,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'database.host,database.port,server.timeout'
+        |    WHEN 1 THEN 'API_KEY,DEBUG,servers.alpha.ip'
+        |    ELSE 'nothing' END AS keys
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Vocabulary profile: the definition computed directly over the same
+    // lowercase-whitespace tokenization.
+    "q266_vocab_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''),
+        |tm AS (SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS tdf
+        |       FROM toks GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  count(CASE WHEN cnt = 1 THEN 1 END) AS hapax,
+        |  count(CASE WHEN tdf = 1 THEN 1 END) AS df1_terms,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |    AS type_token_ratio
+        |FROM tm""".stripMargin,
+
+    // Politeness rounds: the identical window replayed.
+    "q267_politeness_rounds" ->
+      """WITH u AS (
+        |  SELECT 'h' || (doc_id % 7) || '.test' AS host,
+        |    'http://h' || (doc_id % 7) || '.test/p' || doc_id AS url,
+        |    CAST(doc_id % 5 AS INT) AS prio
+        |  FROM documents),
+        |r AS (SELECT host, url, prio,
+        |  ROW_NUMBER() OVER (PARTITION BY host ORDER BY prio DESC, url) AS rk
+        |  FROM u)
+        |SELECT host, url, prio,
+        |  CAST((rk - 1) // 3 AS INT) AS round,
+        |  CAST((rk - 1) % 3 AS INT) AS slot
+        |FROM r ORDER BY host, round, slot""".stripMargin,
+
+    // Robust gate: medians over integer metrics are dyadic rationals, so
+    // DuckDB's independent median/interpolation lands on identical doubles.
+    "q268_robust_outliers" ->
+      """WITH docs AS (
+        |  SELECT CAST(doc_id % 5 AS INT) AS grp,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS m
+        |  FROM documents),
+        |med AS (SELECT grp, median(m) AS grp_median FROM docs GROUP BY 1),
+        |mad AS (SELECT d.grp, grp_median,
+        |    median(abs(m - grp_median)) AS grp_mad
+        |  FROM docs d JOIN med USING (grp) GROUP BY 1, 2)
+        |SELECT d.grp, count(*) AS n,
+        |  count(CASE WHEN abs(m - grp_median) > 3.0 * grp_mad THEN 1 END)
+        |    AS n_outliers,
+        |  CAST(grp_median AS DOUBLE) AS grp_median,
+        |  CAST(grp_mad AS DOUBLE) AS grp_mad
+        |FROM docs d JOIN mad USING (grp)
+        |GROUP BY 1, 4, 5 ORDER BY grp""".stripMargin,
+
+    // LaTeX extraction: flag, title, census and text per construction
+    // case; the prose case pins the %-comment truncation rule.
+    "q269_latex_text" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS is_latex,
+        |  CASE doc_id % 3 WHEN 0 THEN 'Paper ' || doc_id END AS title,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_sections,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_envs,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_math,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 7 WHEN 1 THEN 6 ELSE 0 END
+        |    AS BIGINT) AS n_commands,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'Intro ' || doc_id || ' Result ' || doc_id ||
+        |      ' is fine. done.'
+        |    WHEN 1 THEN 'A' || doc_id || ' B link ' || doc_id ||
+        |      ' 100% tail'
+        |    ELSE 'Plain notes ' || doc_id || ': 50 second line ' || doc_id
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // JSON census: depth, node-type counts and typed leaf paths per
+    // construction case; the truncated case zeroes everything.
+    "q270_json_paths" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_json,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS max_depth,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 2 END AS BIGINT)
+        |    AS n_objects,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_arrays,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_keys,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_strings,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_numbers,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_bools,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_nulls,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN '$.user.name=string,$.user.tags[]=number,$.ok=boolean'
+        |    WHEN 1 THEN '$[].a=number,$[].a=null,$[]=string'
+        |  END AS paths
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // HITS: both iterations unrolled as joins; integer sums cast back to
+    // BIGINT (DuckDB widens sum to HUGEINT); one final division per norm.
+    "q271_hits" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |e AS (
+        |  SELECT 'n' || doc_id AS src, 'n' || ((doc_id + 1) % 300) AS dst
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'n' || doc_id, 'n' || ((doc_id + 7) % 300)
+        |  FROM base WHERE doc_id % 5 = 0),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a
+        |  FROM e GROUP BY 1),
+        |a1f AS (SELECT n.node, COALESCE(a1.a, 0) AS a
+        |  FROM nodes n LEFT JOIN a1 USING (node)),
+        |h1 AS (SELECT e.src AS node, CAST(sum(f.a) AS BIGINT) AS h
+        |  FROM e JOIN a1f f ON f.node = e.dst GROUP BY 1),
+        |h1f AS (SELECT n.node, COALESCE(h1.h, 0) AS h
+        |  FROM nodes n LEFT JOIN h1 USING (node)),
+        |a2 AS (SELECT e.dst AS node, CAST(sum(f.h) AS BIGINT) AS a
+        |  FROM e JOIN h1f f ON f.node = e.src GROUP BY 1),
+        |a2f AS (SELECT n.node, COALESCE(a2.a, 0) AS a
+        |  FROM nodes n LEFT JOIN a2 USING (node)),
+        |h2 AS (SELECT e.src AS node, CAST(sum(f.a) AS BIGINT) AS h
+        |  FROM e JOIN a2f f ON f.node = e.dst GROUP BY 1),
+        |h2f AS (SELECT n.node, COALESCE(h2.h, 0) AS h
+        |  FROM nodes n LEFT JOIN h2 USING (node)),
+        |m AS (SELECT max(h) AS mh, max(a) AS ma
+        |  FROM h2f JOIN a2f USING (node))
+        |SELECT n.node, h2f.h AS hub, a2f.a AS auth,
+        |  CAST(h2f.h AS DOUBLE) / CAST(m.mh AS DOUBLE) AS hub_norm,
+        |  CAST(a2f.a AS DOUBLE) / CAST(m.ma AS DOUBLE) AS auth_norm
+        |FROM nodes n JOIN h2f USING (node) JOIN a2f USING (node), m
+        |ORDER BY node""".stripMargin,
+
+    // PMI: replay tokenization, the bigram table, self-contained margins
+    // and the exact product/division/ln expression at 7-decimal rounding.
+    "q272_pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |        FROM d WHERE len(toks) >= 2)),
+        |bigrams AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigrams GROUP BY 1),
+        |r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bigrams GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM bigrams)
+        |SELECT bg.w1, bg.w2, bg.c12, l.c1, r.c2,
+        |  ROUND(ln(CAST(bg.c12 AS DOUBLE) * CAST(t.b AS DOUBLE) /
+        |    (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))), 7) AS pmi
+        |FROM bigrams bg JOIN l USING (w1) JOIN r USING (w2), tot t
+        |WHERE bg.c12 >= 20
+        |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 100""".stripMargin,
+
+    // Retention: first-seen week, whole-week offsets (day deltas are
+    // exact multiples of 7), distinct counts, one rounded division.
+    "q273_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+        |    CAST((e.wk - f.cohort) // 7 AS BIGINT) AS week_offset,
+        |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_users AS cohort_size
+        |  FROM g WHERE week_offset = 0)
+        |SELECT g.cohort_week, g.week_offset, g.n_users, s.cohort_size,
+        |  ROUND(CAST(g.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 7)
+        |    AS retention
+        |FROM g JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // Proto sniff: census per construction case; the field-0 tag zeroes.
+    "q274_proto_sniff" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_proto,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 2 END AS BIGINT)
+        |    AS n_fields,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS max_field,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_varint,
+        |  CAST(0 AS BIGINT) AS n_fixed64,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_len,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_fixed32,
+        |  CASE doc_id % 3 WHEN 0 THEN '1:varint,2:len'
+        |    WHEN 1 THEN '3:fixed32,1:varint' END AS fields
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Alignment: bead strings and counts per length shape; cost pinned
+    // only where it is exactly zero (equal lengths).
+    "q275_align_sentences" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 2 END
+        |    AS BIGINT) AS n_src,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS n_tgt,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 2 END
+        |    AS BIGINT) AS n_beads,
+        |  CASE doc_id % 3 WHEN 0 THEN '1-1,1-1'
+        |    WHEN 1 THEN '1-1,2-1,1-1' ELSE '1-0,1-0' END AS beads,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_11,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS n_drop,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_21,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0 END AS BIGINT)
+        |    AS cost_centilog
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Z-order: replay global bounds, the BIGINT equi-width bucket
+    // division, and the bit interleave (x bits at odd positions).
+    "q276_zorder" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 16 AS x, doc_id // 16 AS y
+        |  FROM documents WHERE doc_id < 256),
+        |b AS (SELECT min(x) AS lx, max(x) AS hx, min(y) AS ly, max(y) AS hy
+        |  FROM base),
+        |bk AS (
+        |  SELECT doc_id, x, y,
+        |    ((x - lx) * 16) // (hx - lx + 1) AS bx,
+        |    ((y - ly) * 16) // (hy - ly + 1) AS by
+        |  FROM base, b)
+        |SELECT doc_id, x, y,
+        |  CAST((SELECT SUM((((bx >> k) & 1) << (2 * k + 1)) +
+        |                   (((by >> k) & 1) << (2 * k)))
+        |        FROM generate_series(0, 3) AS g(k)) AS BIGINT) AS z
+        |FROM bk ORDER BY doc_id""".stripMargin,
+
+    "q277_cap_per_cluster" ->
+      graft.oracle.XxSql.capPerClusterSql(shingleN = 3, numHashes = 64,
+        bands = 16, threshold = 0.5, k = 2,
+        selectCols = "d.doc_id, d.lang", orderCol = "doc_id"),
+
+    "q278_cm_sketch" -> graft.oracle.XxSql.cmSketchSql(width = 64, depth = 3),
+
+    // OLS: exact integer sufficient statistics, the identical double
+    // slope/intercept expression, 7-decimal rounding.
+    "q279_value_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 7) AS slope,
+        |  ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    (CAST(sy AS DOUBLE) -
+        |     ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) END, 7) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // Budget selection: the row-level greedy prefix the two-level engine
+    // shape must equal — cumsum in (score desc, id) order, keep <= budget.
+    "q280_budget_select" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS BIGINT) AS sum_len
+        |  FROM t0 WHERE len(toks) > 0),
+        |scored AS (
+        |  SELECT doc_id, n_tok, (sum_len * 1000) // n_tok AS score FROM base),
+        |r AS (
+        |  SELECT doc_id, n_tok, score,
+        |    SUM(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum FROM scored)
+        |SELECT doc_id, n_tok, score FROM r WHERE cum <= 8000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q281_rendezvous" -> graft.oracle.XxSql.rendezvousSql(nA = 8, nB = 9),
+
+    // Proximity: replay positions (0-based), the two postings lists, the
+    // windowed pair join and both aggregates.
+    "q282_proximity" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, toks,
+        |          UNNEST(generate_series(1, len(toks))) AS i FROM t0)
+        |  WHERE toks[i] IN ('join', 'hash')),
+        |a AS (SELECT doc_id, pos AS pa FROM p WHERE term = 'join'),
+        |b AS (SELECT doc_id, pos AS pb FROM p WHERE term = 'hash')
+        |SELECT a.doc_id, COUNT(*) AS n_matches,
+        |  CAST(MIN(abs(pa - pb)) AS BIGINT) AS min_dist
+        |FROM a JOIN b USING (doc_id) WHERE abs(pa - pb) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Paths: q43's session boundaries, two leads, trigram counts.
+    "q283_event_paths" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM base
+        |), tri AS (
+        |  SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER sw AS e2,
+        |    LEAD(event_type, 2) OVER sw AS e3
+        |  FROM sess
+        |  WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+        |)
+        |SELECT e1, e2, e3, COUNT(*) AS n FROM tri
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin,
+
+    // Token F1 per construction case; m=1's F1 = 2*(2/2)*(2/5)/(2/2+2/5).
+    "q284_token_f1" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS em,
+        |  CASE doc_id % 3 WHEN 0 THEN 1.0
+        |    WHEN 1 THEN ROUND(2.0 * 1.0 * 0.4 / 1.4, 7) ELSE 0.0 END AS f1,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS overlap,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_pred,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 5 ELSE 0 END
+        |    AS BIGINT) AS n_gold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pass@3 in the Codex paper's per-factor product form (overflow-free
+    // at any n — the factor fold order mirrors the engine's).
+    "q285_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT doc_id % 40 AS prob, doc_id % 3 = 0 AS ok FROM documents),
+        |g AS (
+        |  SELECT prob, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS c
+        |  FROM s GROUP BY 1)
+        |SELECT prob, n, c,
+        |  CASE WHEN n >= 3 THEN ROUND(CAST(1 AS DOUBLE) -
+        |    CAST(GREATEST(n - c, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * (CAST(GREATEST(n - c - 1, 0) AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |    * (CAST(GREATEST(n - c - 2, 0) AS DOUBLE) / CAST(n - 2 AS DOUBLE)),
+        |    7) END AS pass_at_3
+        |FROM g ORDER BY prob""".stripMargin,
+
+    // Report: counts, then the engine's round-then-combine F1 discipline.
+    "q286_class_report" ->
+      """WITH pairs AS (
+        |  SELECT lang AS gold,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS pred
+        |  FROM documents),
+        |tp AS (SELECT gold AS label, CAST(COUNT(*) AS BIGINT) AS tp
+        |  FROM pairs WHERE gold = pred GROUP BY 1),
+        |gn AS (SELECT gold AS label, CAST(COUNT(*) AS BIGINT) AS n_gold
+        |  FROM pairs GROUP BY 1),
+        |pn AS (SELECT pred AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+        |  FROM pairs GROUP BY 1),
+        |j AS (
+        |  SELECT label, COALESCE(n_gold, 0) AS n_gold,
+        |    COALESCE(n_pred, 0) AS n_pred, COALESCE(tp.tp, 0) AS tp
+        |  FROM gn FULL OUTER JOIN pn USING (label)
+        |  LEFT JOIN tp USING (label)),
+        |pr AS (
+        |  SELECT label, n_gold, n_pred, tp,
+        |    ROUND(CASE WHEN n_pred > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END, 7) AS precision,
+        |    ROUND(CASE WHEN n_gold > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE) END, 7) AS recall
+        |  FROM j)
+        |SELECT label, n_gold, n_pred, tp, precision, recall,
+        |  ROUND(CASE WHEN precision + recall > 0.0 THEN
+        |      2.0 * precision * recall / (precision + recall)
+        |    WHEN precision IS NOT NULL AND recall IS NOT NULL THEN 0.0
+        |    END, 7) AS f1
+        |FROM pr ORDER BY label""".stripMargin,
+
+    "q287_hll_exact" -> graft.oracle.XxSql.hllSql(p = 12),
+
+    // Skip-gram pairs: the band-join definition of the window geometry.
+    "q288_skipgram_pairs" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks[i] AS term, i
+        |  FROM (SELECT doc_id, toks,
+        |          UNNEST(generate_series(1, len(toks))) AS i FROM t0))
+        |SELECT a.term AS center, b.term AS context, COUNT(*) AS n
+        |FROM p a JOIN p b
+        |  ON a.doc_id = b.doc_id AND a.i <> b.i AND abs(a.i - b.i) <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q289_skipgram_negatives" ->
+      graft.oracle.XxSql.skipGramNegSql(window = 2, k = 2),
+
+    // man extraction: metadata, censuses and text per construction case.
+    "q290_man_text" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS is_man,
+        |  CASE doc_id % 3 WHEN 0 THEN 'CMD' || doc_id END AS title,
+        |  CASE doc_id % 3 WHEN 0 THEN '1' END AS section,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_sections,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS n_requests,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'NAME cmd' || doc_id || ' - does ' || doc_id ||
+        |      ' things bold' || doc_id || ' tail'
+        |    WHEN 1 THEN 'plain ' || doc_id || ' line Sub ' || doc_id || ' body'
+        |    ELSE 'no markup here ' || doc_id || ' just text'
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Tags: the tagged ref sees the pre-merge table; current reflects
+    // the inserts (+20M keys) and the %9 deletes.
+    "q291_snapshot_tags" ->
+      """WITH b AS (SELECT o_orderkey FROM orders),
+        |a0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS s FROM b),
+        |d9 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s
+        |  FROM b WHERE o_orderkey % 9 = 0),
+        |i13 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s
+        |  FROM b WHERE o_orderkey % 13 = 0)
+        |SELECT 'baseline' AS ref, a0.n AS n_rows, a0.s AS key_sum FROM a0
+        |UNION ALL
+        |SELECT 'current', a0.n - d9.n + i13.n,
+        |  a0.s - d9.s + i13.s + 20000000 * i13.n
+        |FROM a0, d9, i13
+        |ORDER BY ref""".stripMargin,
+
+    // Smith-Waterman: LENGTH arithmetic mirrors the construction; L is
+    // the id's digit count, the shared span is 6 + L chars.
+    "q292_smith_waterman" ->
+      """WITH b AS (
+        |  SELECT doc_id, LENGTH(CAST(doc_id AS VARCHAR)) AS ln
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 * (11 + ln)
+        |    WHEN 1 THEN 2 * (6 + ln) ELSE 0 END AS BIGINT) AS score,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 11 + ln
+        |    WHEN 1 THEN 8 + ln ELSE 0 END AS BIGINT) AS a_end,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 11 + ln
+        |    WHEN 1 THEN 10 + ln ELSE 0 END AS BIGINT) AS b_end,
+        |  CASE doc_id % 3 WHEN 0 THEN 1.0
+        |    WHEN 1 THEN ROUND(CAST(2 * (6 + ln) AS DOUBLE) /
+        |      (2.0 * (10 + ln)), 7)
+        |    ELSE 0.0 END AS sim
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Triangles: the canonical a<b wedge definition, per-node explode.
+    "q293_triangles" ->
+      """WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id < 300),
+        |raw AS (
+        |  SELECT i AS u, (i + 1) % 300 AS v FROM base
+        |  UNION ALL SELECT i, (i + 2) % 300 FROM base
+        |  UNION ALL SELECT i, (i + 5) % 300 FROM base WHERE i % 3 = 0),
+        |e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+        |  FROM raw WHERE u <> v),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        |  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |  COALESCE(pn.t, 0) AS n_triangles,
+        |  ROUND(CASE WHEN deg.d >= 2 THEN
+        |    2.0 * COALESCE(pn.t, 0) / (deg.d * (deg.d - 1))
+        |    ELSE 0.0 END, 7) AS clustering
+        |FROM deg LEFT JOIN pn USING (n) ORDER BY node""".stripMargin,
+
+    // A/B: exact cells, the verbatim pooled-z expression at 7 decimals.
+    "q294_ab_test" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'treat' END
+        |    AS variant,
+        |    event_type = 'purchase' AS ok
+        |  FROM events),
+        |g AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS successes
+        |  FROM s GROUP BY 1),
+        |c AS (SELECT n AS n_c, successes AS s_c FROM g
+        |  WHERE variant = 'ctl')
+        |SELECT g.variant, g.n, g.successes,
+        |  ROUND(CAST(g.successes AS DOUBLE) / CAST(g.n AS DOUBLE), 7)
+        |    AS rate,
+        |  ROUND(CAST(c.s_c AS DOUBLE) / CAST(c.n_c AS DOUBLE), 7)
+        |    AS control_rate,
+        |  ROUND(CASE WHEN g.n > 0 AND c.n_c > 0
+        |      AND CAST(g.successes + c.s_c AS DOUBLE) /
+        |          CAST(g.n + c.n_c AS DOUBLE) > 0.0
+        |      AND CAST(g.successes + c.s_c AS DOUBLE) /
+        |          CAST(g.n + c.n_c AS DOUBLE) < 1.0
+        |    THEN (CAST(g.successes AS DOUBLE) / CAST(g.n AS DOUBLE) -
+        |          CAST(c.s_c AS DOUBLE) / CAST(c.n_c AS DOUBLE)) /
+        |      sqrt(CAST(g.successes + c.s_c AS DOUBLE) /
+        |             CAST(g.n + c.n_c AS DOUBLE) *
+        |           (1.0 - CAST(g.successes + c.s_c AS DOUBLE) /
+        |             CAST(g.n + c.n_c AS DOUBLE)) *
+        |           (1.0 / CAST(g.n AS DOUBLE) + 1.0 / CAST(c.n_c AS DOUBLE)))
+        |    END, 7) AS z
+        |FROM g, c WHERE g.variant <> 'ctl'
+        |ORDER BY g.variant""".stripMargin,
+
+    "q295_dockerfile" ->
+      """SELECT doc_id,
+        |  doc_id % 3 <> 2 AS is_dockerfile,
+        |  CASE doc_id % 3 WHEN 0 THEN 'python:3.' || (doc_id % 10)
+        |    WHEN 1 THEN 'node:18' ELSE 'here' END AS base_image,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_from,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_run,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_copy_add,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 4 ELSE 1 END
+        |    AS BIGINT) AS n_instructions,
+        |  CASE doc_id % 3 WHEN 0 THEN 'FROM,WORKDIR,COPY,RUN,CMD'
+        |    WHEN 1 THEN 'FROM,RUN,COPY' ELSE 'FROM' END AS instructions
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

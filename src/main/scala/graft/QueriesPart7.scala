@@ -1,0 +1,2033 @@
+package graft
+
+
+import graft.expectations.Expectations
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, LinearText, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, WordPiece, TextFunctions => TF}
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.{t, dec, dsum}
+import SparkEntry._
+
+/** Query registry part 7 (q296-q344): statistical tests, graph, drift, dtype canary.
+  * Split from the monolithic SparkEntry in r15 — pure relocation,
+  * identical entries; SparkEntry composes the eight parts.
+  */
+private[graft] object QueriesPart7 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- 296. requirements.txt extraction, oracle-pinned --------------------------------------------------
+    // Two constructed shapes: a mixed file (pin, bound, option, trailing
+    // comment) and a bare+extras file with PEP 503 normalization. Names
+    // and pins closed-form.
+    "q296_requirements" -> ((s, d) => {
+      val k = (col("doc_id") % 10).cast("string")
+      val m = col("doc_id") % 2
+      val text = when(m === 0, concat(
+        lit("flask==2.0."), k,
+        lit("\nNumPy>=1.20\n-r base.txt\nrequests==2.31.0 # http")))
+        .otherwise(lit("# empty\n\ntorch\nMy_Pkg[gpu]==1.0"))
+      val v = TF.requirements(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_reqs").as("n_reqs"),
+          v.getField("n_pinned").as("n_pinned"),
+          v.getField("n_options").as("n_options"),
+          v.getField("names").as("names"),
+          v.getField("pins").as("pins"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 297. monetary-amount extraction, oracle-pinned ---------------------------------------------------
+    // Three constructed shapes: symbol + code amounts with decimals, a
+    // comma-grouped symbol amount, and money-free prose. Cents are the
+    // exact integer arithmetic of the construction.
+    "q297_money" -> ((s, d) => {
+      val k = (col("doc_id") % 900 + 100).cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("invoice $"), k, lit(".25 plus 30 EUR tax")))
+        .when(m === 1, lit("total ¥5,000 due"))
+        .otherwise(lit("no money here 42"))
+      val v = TF.money(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("n_amounts").as("n_amounts"),
+          v.getField("currencies").as("currencies"),
+          v.getField("amounts").as("amounts"),
+          v.getField("max_cents").as("max_cents"),
+          v.getField("max_currency").as("max_currency"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 298. acronym-definition mining, oracle-pinned ----------------------------------------------------
+    // Three constructed shapes: plain initials, stopword-skipping
+    // initials, and an unresolved candidate. Censuses and the def pairs
+    // closed-form.
+    "q298_acronyms" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("the Large Language Model (LLM) file "), id))
+        .when(m === 1, concat(
+          lit("Bureau of Weights and Measures (BWM) ref "), id))
+        .otherwise(concat(lit("shipped it (ASAP) on day "), id))
+      val v = TF.acronyms(text)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          v.getField("n_candidates").as("n_candidates"),
+          v.getField("n_defs").as("n_defs"),
+          v.getField("defs").as("defs"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 299. email thread reconstruction, oracle-pinned --------------------------------------------------
+    // Reply chains of four built from doc_id: every 4th message roots a
+    // thread, the rest reply to their predecessor. Roots, depths and
+    // sizes are the construction's arithmetic; pointer doubling must
+    // reproduce them exactly.
+    "q299_email_threads" -> ((s, d) => {
+      val msgs = t(s, d, "documents").select(
+        concat(lit("m"), col("doc_id")).as("mid"),
+        when(col("doc_id") % 4 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("m"), col("doc_id") - 1)).as("irt"))
+      graft.operators.Threads.emailThreads(msgs, "mid", "irt")
+        .orderBy("id")
+    }),
+
+    // --- 300. NDCG@k ranking evaluation, oracle-pinned ----------------------------------------------------
+    // 50 synthetic queries of 10 docs: graded relevance doc_id % 4, a
+    // deterministic non-ideal score permutation (doc_id * 37 % 101).
+    // The micro-gain quantization makes both sums exact integers; the
+    // oracle replays ranks, gains, sums and the division.
+    "q300_ndcg" -> ((s, d) => {
+      val runs = t(s, d, "documents").where(col("doc_id") < 500).select(
+        (col("doc_id") % 50).as("query"),
+        col("doc_id").as("doc"),
+        (col("doc_id") % 4).as("rel"),
+        ((col("doc_id") * 37) % 101).cast("double").as("score"))
+      graft.functions.Eval.ndcgAtK(runs, "query", "doc", "rel", "score", k = 5)
+        .orderBy("query")
+    }),
+
+    // --- 301. reStructuredText extraction, oracle-pinned --------------------------------------------------
+    // Three constructed shapes: a sectioned page with an admonition and
+    // a code block, a bare literal block (not rst by the routing floor),
+    // and plain prose. All censuses and text closed-form.
+    "q301_rst_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val text = when(m === 0, concat(
+        lit("Doc "), id, lit("\n============\n\nIntro "), id,
+        lit(" here.\n\n.. note::\n   keep "), id,
+        lit("\n\n.. code-block:: python\n   x = "), id, lit("\n\nEnd.")))
+        .when(m === 1, concat(
+          lit("usage::\n\n   cmd "), id, lit("\n\ntail "), id))
+        .otherwise(concat(lit("plain "), id, lit(" text")))
+      val v = TF.rstText(text)
+      t(s, d, "documents")
+        .select(col("doc_id"), v.getField("is_rst").as("is_rst"),
+          v.getField("title").as("title"),
+          v.getField("n_sections").as("n_sections"),
+          v.getField("n_directives").as("n_directives"),
+          v.getField("n_code_blocks").as("n_code_blocks"),
+          v.getField("text").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 302. probability calibration + Brier, oracle-pinned ----------------------------------------------
+    // A synthetic informative-but-miscalibrated classifier (label 40%
+    // positive, positives score 500+, negatives 0-599): exact milli-unit
+    // bins, rates, mean probabilities and the integer-numerator Brier.
+    "q302_calibration" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.calibration(scored, "p", "y", nBins = 10)
+        .orderBy("bin")
+    }),
+
+    // --- 303. reciprocal rank, oracle-pinned ---------------------------------------------------------------
+    // q300's binary companion over the same synthetic ranking: rank of
+    // the first relevant doc per query, one rounded division; the
+    // per-query table stays deterministic (aggregate MRR is a mean the
+    // caller takes).
+    "q303_reciprocal_rank" -> ((s, d) => {
+      val runs = t(s, d, "documents").where(col("doc_id") < 500).select(
+        (col("doc_id") % 50).as("query"),
+        col("doc_id").as("doc"),
+        (col("doc_id") % 4).as("rel"),
+        ((col("doc_id") * 37) % 101).cast("double").as("score"))
+      graft.functions.Eval.reciprocalRank(runs, "query", "doc", "rel", "score")
+        .orderBy("query")
+    }),
+
+    // --- 304. label-propagation communities, oracle-pinned ------------------------------------------------
+    // Deterministic synchronous LPA (min tie-break, 3 rounds) over a
+    // constructed cliques-of-6-with-bridges graph on customer keys: each
+    // clique must lock onto its own minimum and the bridges must not
+    // merge neighbors. The oracle UNROLLS the three vote rounds
+    // relationally — same plurality, same tie order — so any drift in
+    // the vote/adopt machinery hash-mismatches.
+    "q304_label_propagation" -> ((s, d) => {
+      val ks = t(s, d, "customer")
+        .where(col("c_custkey").between(1, 120))
+        .select(col("c_custkey").as("k"))
+      val g = (c: org.apache.spark.sql.Column) => floor((c - 1) / 6).cast("long")
+      val m = (c: org.apache.spark.sql.Column) => pmod(c - 1, lit(6L))
+      val cliques = ks.as("x").join(ks.as("y"),
+          g(col("x.k")) === g(col("y.k")) && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val bridges = ks.where(pmod(col("k"), lit(6L)) === 0 && col("k") < 120)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      graft.functions.Graph.labelPropagation(
+          cliques.unionByName(bridges), "src", "dst", rounds = 3)
+        .orderBy("node")
+    }),
+
+    // --- 305. k-core decomposition, oracle-pinned ----------------------------------------------------------
+    // Peeling fixpoint over a three-class construction on customer keys
+    // (groups of 8, class = g%3): 5-cliques survive k=3 at core degree 4;
+    // 4-cliques with pendant leaves survive at 3 AFTER their leaves peel
+    // (one cascade round); chorded 8-rings collapse entirely (two cascade
+    // rounds). The oracle states the closed-form survivor set — any
+    // under- or over-peeling hash-mismatches.
+    "q305_kcore" -> ((s, d) => {
+      val ks = t(s, d, "customer")
+        .where(col("c_custkey").between(1, 120))
+        .select(col("c_custkey").as("k"))
+      val gOf = (c: org.apache.spark.sql.Column) => floor((c - 1) / 8).cast("long")
+      val mOf = (c: org.apache.spark.sql.Column) => pmod(c - 1, lit(8L))
+      val joined = ks.as("x").join(ks.as("y"),
+        gOf(col("x.k")) === gOf(col("y.k")) && col("x.k") < col("y.k"))
+      val gm = pmod(gOf(col("x.k")), lit(3L))
+      val mx = mOf(col("x.k"))
+      val my = mOf(col("y.k"))
+      val edges = joined.where(
+          (gm === 0 && my <= 4) ||                                    // 5-clique
+          (gm === 1 && (my <= 3 || (mx <= 3 && my === mx + 4))) ||    // 4-clique + pendants
+          (gm === 2 && (my === mx + 1 || (mx === 0 && my === 7) ||
+            (mx === 0 && my === 4))))                                 // chorded ring
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      graft.functions.Graph.kCore(edges, "src", "dst", k = 3)
+        .orderBy("node")
+    }),
+
+    // --- 306. chi-square token-label association, oracle-pinned --------------------------------------------
+    // Feature selection over the real corpus: which tokens are most
+    // associated with lang='en' document membership. Observations are
+    // DISTINCT (doc, token) pairs; the statistic is the exact-BIGINT
+    // determinant squared inside one pinned double expression (see
+    // StatTests.chiSquareCategories). Top 50 by chi2, token tie-break.
+    "q306_chi2_tokens" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          explode(split(lower(col("text")), "\\s+")).as("category"))
+        .where(col("category") =!= "")
+        .distinct()
+      graft.operators.StatTests.chiSquareCategories(toks, "category", "pos")
+        .where(col("n") >= 20)
+        .orderBy(desc("chi2"), col("category"))
+        .limit(50)
+    }),
+
+    // --- 307. Benford first-digit conformance, oracle-pinned -----------------------------------------------
+    // Per returnflag over l_extendedprice: exact digit census from the
+    // STRING form (no float log in extraction), chi2-vs-Benford as a
+    // fixed nine-term fold in digit order.
+    "q307_benford" -> ((s, d) =>
+      graft.operators.StatTests.benfordFirstDigit(
+          t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("group")),
+
+    // --- 308. Kolmogorov-Smirnov two-sample drift test, oracle-pinned --------------------------------------
+    // click vs purchase event values DECI-QUANTIZED first (the operator's
+    // documented contract: the ECDF window runs over the DISTINCT value
+    // domain, so an unbounded continuous column must quantize — floor is
+    // IEEE-exact both engines); integer ECDF cross-products in
+    // DECIMAL(38,0) pick the exact argmax; D is the one final division.
+    "q308_ks_test" -> ((s, d) =>
+      graft.operators.StatTests.ksTwoSample(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")
+        // sf-bounded exact ints: pin int64 on both engines (the operator
+        // itself keeps DECIMAL(38,0) for 100 TB row counts)
+        .withColumn("d_num", col("d_num").cast("long"))
+        .withColumn("d_den", col("d_den").cast("long"))),
+
+    // --- 309. Mann-Whitney U rank-sum test, oracle-pinned ---------------------------------------------------
+    // signup vs error values quantized to deci-units (floor(v*10) —
+    // exact IEEE both engines) to FORCE midrank ties; doubled midranks
+    // keep U exact; tie-corrected z is one pinned double expression.
+    "q309_mannwhitney" -> ((s, d) =>
+      graft.operators.StatTests.mannWhitneyU(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "signup", "error")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("u2_a", col("u2_a").cast("long"))
+        .withColumn("tie_cube", col("tie_cube").cast("long"))),
+
+    // --- 310. dyadic decay sum (recency-weighted activity), oracle-pinned -----------------------------------
+    // Per-user exponential decay over the event stream with the PINNED
+    // dyadic alpha = 1/2: every term x/2^i is an exact double, so the
+    // latest-event decay is bit-exact with NO rounding step at all —
+    // the replayable form of EWMA. One window pass (20 lag terms).
+    "q310_dyadic_decay" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value")).cast("long").as("v"))
+      val dd = graft.operators.Trend.dyadicDecay(
+        e, "user_id", Seq("ts", "event_id"), "v")
+      val w = Window.partitionBy("user_id")
+      dd.withColumn("__mx", max(col("rn")).over(w))
+        .where(col("rn") === col("__mx"))
+        // row_number is int32; DuckDB ROW_NUMBER is int64 — pin int64
+        .select(col("user_id"), col("rn").cast("long").as("n_events"),
+          col("decay"))
+        .orderBy("user_id")
+    }),
+
+    // --- 311. CIDR containment tagging, oracle-pinned -------------------------------------------------------
+    // IPs constructed from customer keys, tagged against a curated block
+    // list (overlapping on purpose — containment is many-to-many); the
+    // oracle replays the uint32 arithmetic and the range test. Broadcast
+    // block table: the 100 TB shape is a narrow map + broadcast join.
+    "q311_cidr_tag" -> ((s, d) => {
+      val k = col("c_custkey")
+      val ips = t(s, d, "customer").where(k.between(1, 2000))
+        .select(k.as("ck"), concat_ws(".",
+          (lit(10) + k % 3).cast("string"),
+          (k % 256).cast("string"),
+          ((k * 7) % 256).cast("string"),
+          ((k * 13) % 256).cast("string")).as("ip"))
+      val blocks = s.createDataFrame(Seq(
+        Tuple1("10.0.0.0/8"), Tuple1("11.0.0.0/8"), Tuple1("12.0.0.0/8"),
+        Tuple1("10.128.0.0/9"), Tuple1("11.64.0.0/10")))
+        .toDF("cidr")
+      graft.functions.Net.cidrTag(ips, "ip", blocks, "cidr")
+        .groupBy(col("cidr"))
+        .agg(count(lit(1)).as("n_ips"),
+          min(col("ip_long")).as("min_ip"),
+          max(col("ip_long")).as("max_ip"))
+        .orderBy("cidr")
+    }),
+
+    // --- 312. user-agent profiling, oracle-pinned -----------------------------------------------------------
+    // Six constructed client shapes (Chrome/Firefox/Safari/curl/
+    // python-requests and a Googlebot that still claims Chrome): family
+    // ladder, major version, bot flag — every field restated closed-form
+    // by doc_id class in the oracle.
+    "q312_user_agent" -> ((s, d) => {
+      val m = col("doc_id") % 6
+      val ua = when(m === 0, concat(
+          lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+            "(KHTML, like Gecko) Chrome/"),
+          (lit(100) + col("doc_id") % 20).cast("string"),
+          lit(".0.0.0 Safari/537.36")))
+        .when(m === 1, concat(
+          lit("Mozilla/5.0 (X11; Linux x86_64; rv:"),
+          (lit(90) + col("doc_id") % 15).cast("string"),
+          lit(".0) Gecko/20100101 Firefox/"),
+          (lit(90) + col("doc_id") % 15).cast("string"), lit(".0")))
+        .when(m === 2, concat(
+          lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) " +
+            "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/"),
+          (lit(14) + col("doc_id") % 4).cast("string"),
+          lit(".1 Safari/605.1.15")))
+        .when(m === 3, concat(lit("curl/8."),
+          (col("doc_id") % 10).cast("string"), lit(".0")))
+        .when(m === 4, concat(
+          lit("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; " +
+            "compatible; Googlebot/2.1; +http://www.google.com/bot.html) " +
+            "Chrome/"),
+          (lit(110) + col("doc_id") % 9).cast("string"),
+          lit(".0.6045.214 Safari/537.36")))
+        .otherwise(concat(lit("python-requests/2."),
+          (col("doc_id") % 30).cast("string"), lit(".0")))
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Net.uaProfile(ua).as("p"))
+        .select(col("doc_id"), col("p.family").as("family"),
+          col("p.major").as("major"), col("p.is_bot").as("is_bot"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 313. geohash cell assignment, oracle-pinned ---------------------------------------------------------
+    // Constructed coordinates over customer keys; the oracle replays the
+    // pinned quantization chain (identical IEEE op order — +,-,*,/ and
+    // floor are exact-deterministic, so this is bit-exact even at cell
+    // boundaries), the shared Morton interleave, and the base-32
+    // alphabet walk.
+    "q313_geohash" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer").where(k.between(1, 2000))
+        .select(k.as("ck"),
+          (((k * 7) % 18000).cast("double") / 100.0 - 90.0).as("lat"),
+          (((k * 13) % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+        .select(col("ck"), col("lat"), col("lon"),
+          graft.functions.Geo.geohash(col("lat"), col("lon"), 6).as("gh"))
+        .orderBy("ck")
+    }),
+
+    // --- 314. haversine distance, oracle-pinned ---------------------------------------------------------------
+    // Distance from each constructed point to one reference point
+    // (Paris), meter-resolution rounding — coarse enough that the few-ulp
+    // libm trig differences between engines can never straddle a
+    // rounding boundary at earth-scale magnitudes.
+    "q314_haversine" -> ((s, d) => {
+      val k = col("c_custkey")
+      t(s, d, "customer").where(k.between(1, 2000))
+        .select(k.as("ck"),
+          (((k * 7) % 18000).cast("double") / 100.0 - 90.0).as("lat"),
+          (((k * 13) % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+        .select(col("ck"),
+          graft.functions.Geo.haversineKm(col("lat"), col("lon"),
+            lit(48.8566), lit(2.3522)).as("dist_km"))
+        .orderBy("ck")
+    }),
+
+    // --- 315. Gini inequality index, oracle-pinned ------------------------------------------------------------
+    // Revenue concentration per order priority (totalprice in exact
+    // cents): rank formulation, decimal-exact sums, one final division.
+    "q315_gini" -> ((s, d) =>
+      graft.operators.StatTests.giniIndex(
+          t(s, d, "orders").select(col("o_orderpriority"),
+            // totalprice ships as DOUBLE: round-to-cents explicitly
+            // (a bare long cast TRUNCATES in Spark but ROUNDS in
+            // DuckDB — the q279 precedent)
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "o_orderpriority", "cents")
+        .orderBy("group")),
+
+    // --- 316. categorical concentration (HHI + entropy), oracle-pinned -----------------------------------------
+    // Language mixture per document source: exact HHI, micro-quantized
+    // Shannon entropy (the NDCG per-term-integer trick applied to
+    // c*ln(c)).
+    "q316_concentration" -> ((s, d) =>
+      graft.operators.StatTests.concentration(
+          t(s, d, "documents"), "source", "lang")
+        .orderBy("group")),
+
+    // --- 317. pairwise association rules, oracle-pinned --------------------------------------------------------
+    // Which event types co-occur per user beyond independence: exact
+    // distinct-membership counts, support/confidence/lift as pinned
+    // divisions.
+    "q317_pair_rules" -> ((s, d) =>
+      graft.operators.Baskets.pairRules(
+          t(s, d, "events"), "user_id", "event_type")
+        .orderBy("item_a", "item_b")),
+
+    // --- 318. Cohen's kappa inter-annotator agreement, oracle-pinned -------------------------------------------
+    // Synthetic second rater (every 7th doc relabeled 'en'): exact
+    // agreement + marginal cross-products, one pinned kappa expression.
+    "q318_cohens_kappa" -> ((s, d) => {
+      val labeled = t(s, d, "documents").select(
+        col("lang").as("r1"),
+        when(col("doc_id") % 7 === 0, lit("en"))
+          .otherwise(col("lang")).as("r2"))
+      graft.operators.StatTests.cohensKappa(labeled, "r1", "r2")
+    }),
+
+    // --- 319. Wilson score intervals, oracle-pinned --------------------------------------------------------------
+    // English-rate per source with the interval an eval dashboard should
+    // show: exact (n, successes), pinned center/half expressions.
+    "q319_wilson" -> ((s, d) =>
+      graft.operators.StatTests.wilsonInterval(
+          t(s, d, "documents").select(col("source"),
+            (col("lang") === "en").as("is_en")),
+          "source", "is_en")
+        .orderBy("group")),
+
+    // --- 320. ROC AUC via the rank statistic, oracle-pinned ------------------------------------------------------
+    // q302's synthetic informative-but-miscalibrated classifier graded
+    // threshold-free: doubled midranks keep the statistic exact, ties
+    // get half credit automatically, one final division.
+    "q320_roc_auc" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.rocAuc(scored, "p", "y")
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("u2", col("u2").cast("long"))
+    }),
+
+    // --- 321. population stability index, oracle-pinned ----------------------------------------------------------
+    // click-vs-purchase value drift over 10 fixed-width bins with
+    // add-one smoothing; the PSI sum is a fixed fold in bin order.
+    "q321_psi" -> ((s, d) =>
+      graft.operators.StatTests.populationStability(
+        t(s, d, "events"), "event_type", "value",
+        "click", "purchase", lo = 0.0, hi = 500.0, nBins = 10)),
+
+    // --- 322. soundex phonetic blocking, oracle-pinned ------------------------------------------------------------
+    // The phonetic member of the fuzzy-matching family (beside q65
+    // Levenshtein, q252 Jaro-Winkler): fourteen constructed surnames
+    // whose classic codes — including the tricky ASHCRAFT/TYMCZAK/
+    // PFISTER cases — are restated closed-form per construction class.
+    "q322_soundex" -> ((s, d) => {
+      val names = Seq("ROBERT", "RUPERT", "SMITH", "SMYTH", "JOHNSON",
+        "JANSEN", "MILLER", "MULLER", "WILSON", "WOLSON", "ASHCRAFT",
+        "TYMCZAK", "PFISTER", "HONEYMAN")
+      val k = col("c_custkey")
+      val name = names.zipWithIndex.tail.foldLeft(
+        when(k % 14 === 0, lit(names.head))) { case (acc, (n, i)) =>
+        acc.when(k % 14 === i, lit(n))
+      }
+      t(s, d, "customer").where(k.between(1, 2000))
+        .select(k.as("ck"), name.as("name"))
+        .select(col("ck"), col("name"), soundex(col("name")).as("sdx"))
+        .orderBy("ck")
+    }),
+
+    // --- 323. CUSUM changepoint scan, oracle-pinned ----------------------------------------------------------------
+    // Where each event type's value level shifts most: the argmax runs
+    // on EXACT integers (n*cum - t*S), only the reported magnitude
+    // divides.
+    "q323_cusum" -> ((s, d) =>
+      graft.operators.Trend.cusumChangepoint(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value")).cast("long").as("v")),
+          "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
+    // --- 324. autocorrelation function, oracle-pinned ----------------------------------------------------------------
+    // Lags 1..3 of each event type's value series: exact sufficient
+    // statistics, one pinned expression per lag.
+    "q324_acf" -> ((s, d) =>
+      graft.operators.Trend.autocorrelation(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value")).cast("long").as("v")),
+          "event_type", Seq("ts", "event_id"), "v", maxLag = 3)
+        .orderBy("group", "lag")),
+
+    // --- 325. longest common subsequence, oracle-pinned ---------------------------------------------------------
+    // The diff/near-version kernel completing the similarity ledger:
+    // three constructed shapes — insertion-only revision (the original
+    // IS the LCS), identical, disjoint — every len/sim restated in
+    // closed-form LENGTH arithmetic.
+    "q325_lcs" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val a = when(m === 0, concat(lit("alpha beta gamma delta "), id))
+        .when(m === 1, concat(lit("same text "), id))
+        .otherwise(concat(lit("xxxxx"), lit("x")))
+      val b = when(m === 0, concat(lit("alpha beta INSERT gamma delta "), id))
+        .when(m === 1, concat(lit("same text "), id))
+        .otherwise(lit("yyy"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.lcs(a, b).as("r"))
+        .select(col("doc_id"), col("r.len").as("lcs_len"),
+          col("r.sim").as("sim"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 326. log-odds lexical divergence with informative prior, oracle-pinned -----------------------------
+    // Monroe et al. 2008 "Fightin' Words" over the real corpus: which
+    // tokens distinguish en from de documents, with the combined corpus
+    // as the Dirichlet prior (pinned integer prior — a_w = combined
+    // count, a0 = combined total). Top 40 by z desc.
+    "q326_log_odds" -> ((s, d) =>
+      graft.functions.Collocations.logOddsPrior(
+          t(s, d, "documents"), "text", "lang", "en", "de", minCount = 10)
+        .orderBy(desc("z"), col("word"))
+        .limit(40)),
+
+    // --- 327. two-regressor OLS (Cramer closed form), oracle-pinned -----------------------------------------------
+    // value ~ epoch_day + hour_of_day per event type: day trend and
+    // intraday effect in one closed-form fit — exact sufficient
+    // statistics, four pinned determinant expressions.
+    "q327_ols_multi" -> ((s, d) =>
+      graft.operators.Trend.olsMulti2(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").as("x1"),
+            hour(col("ts")).cast("long").as("x2"),
+            floor(col("value")).cast("long").as("y")),
+          "event_type", "x1", "x2", "y")
+        .orderBy("group")),
+
+    // --- 328. Pearson correlation, oracle-pinned -------------------------------------------------------------------
+    // hour-of-day vs value per event type: six exact sufficient
+    // statistics, one pinned r expression.
+    "q328_pearson" -> ((s, d) =>
+      graft.operators.StatTests.pearson(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            hour(col("ts")).cast("long").as("x"),
+            floor(col("value")).cast("long").as("y")),
+          "event_type", "x", "y")
+        .orderBy("group")),
+
+    // --- 329. Spearman rank correlation, oracle-pinned -------------------------------------------------------------
+    // The same pair monotone-ranked: doubled midranks keep every input
+    // to the shared Pearson expression exact.
+    "q329_spearman" -> ((s, d) =>
+      graft.operators.StatTests.spearman(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            hour(col("ts")).cast("long").as("x"),
+            floor(col("value")).cast("long").as("y")),
+          "event_type", "x", "y")
+        .orderBy("group")),
+
+    // --- 330. Kendall tau-b, oracle-pinned ---------------------------------------------------------------------------
+    // Pair concordance over QUANTIZED domains (the documented O(cells^2)
+    // contract): value deciles-ish vs 4-hour bands.
+    "q330_kendall" -> ((s, d) =>
+      graft.operators.StatTests.kendallTauB(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            floor(col("value") / 50).cast("long").as("x"),
+            floor(hour(col("ts")) / 4).cast("long").as("y")),
+          "event_type", "x", "y")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("concordant", col("concordant").cast("long"))
+        .withColumn("discordant", col("discordant").cast("long"))
+        .orderBy("group")),
+
+    // --- 331. Welch's t-test, oracle-pinned --------------------------------------------------------------------------
+    // click vs purchase mean values under unequal variances.
+    "q331_welch" -> ((s, d) =>
+      graft.operators.StatTests.welchTTest(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), floor(col("value")).cast("long").as("v")),
+        "event_type", "v", "click", "purchase")),
+
+    // --- 332. Kruskal-Wallis H, oracle-pinned -------------------------------------------------------------------------
+    // Does ANY event type's value distribution differ: global doubled
+    // midranks, exact per-group rank sums, cross-group terms folded in
+    // sorted group order.
+    "q332_kruskal" -> ((s, d) =>
+      graft.operators.StatTests.kruskalWallis(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), floor(col("value")).cast("long").as("v")),
+        "event_type", "v")),
+
+    // --- 333. hard-negative mining for retrieval training, oracle-pinned ------------------------------------------
+    // The DPR/BGE recipe: queries are the first six tokens of every
+    // 101st document, the positive is the source document itself, and
+    // the negatives are the top-5 BM25-scoring OTHER documents —
+    // lexically confusable, semantically wrong. Per-term micro
+    // quantization keeps the query-level score sum order-independent.
+    "q333_hard_negatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val queries = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(graft.functions.Retrieval.tokens(col("text")),
+            1, 6)).as("qtext"))
+      val positives = queries.select(col("query_id"),
+        col("query_id").as("pos_doc"))
+      graft.functions.Retrieval.hardNegatives(
+          docs, "doc_id", "text",
+          queries, "query_id", "qtext", positives, "pos_doc", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- 334. epoch schedule for data-constrained training, oracle-pinned -----------------------------------------
+    // Budget = 1.5 corpora: every document trains one full epoch and the
+    // md5-order greedy prefix gets the half-epoch repeat (the
+    // Muennighoff 2023 repetition plan made hash-deterministic). The
+    // engine runs the two-level bucket fill; the oracle replays the
+    // GLOBAL hash-order greedy — their equality is the operator's
+    // correctness statement.
+    "q334_epoch_schedule" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val corpus = docs.agg(sum(col("n_chars")).cast("long"))
+        .first().getLong(0)
+      graft.operators.Sampling.epochSchedule(
+          docs, "doc_id", "n_chars", corpus + corpus / 2)
+        .orderBy("doc_id")
+    }),
+
+    // --- 335. corpus-overlap estimation via group-level MinHash, oracle-pinned --------------------------------------
+    // How much 3-token shingle mass do the en and de slices share: the
+    // mergeable group sketch's signature-agreement ESTIMATE beside the
+    // exact Jaccard — the oracle replays the chained shingle hash, the
+    // per-seed signature minima, the agreement count AND the exact sets,
+    // so both numbers are pinned.
+    "q335_corpus_overlap" -> ((s, d) => {
+      val hs = t(s, d, "documents").where(col("lang").isin("en", "de"))
+        .select(col("lang"),
+          graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+      val sigs = hs.groupBy(col("lang"))
+        .agg(graft.functions.MinHashSketch.sketch(col("hs"), 64).as("sig"))
+      val sigA = sigs.where(col("lang") === "en").select(col("sig").as("sig_a"))
+      val sigB = sigs.where(col("lang") === "de").select(col("sig").as("sig_b"))
+      val shingles = hs.select(col("lang"), explode(col("hs")).as("sh")).distinct()
+      val a = shingles.where(col("lang") === "en").select(col("sh"))
+      val b = shingles.where(col("lang") === "de").select(col("sh"))
+      val nA = a.agg(count(lit(1)).as("n_a"))
+      val nB = b.agg(count(lit(1)).as("n_b"))
+      val inter = a.join(b, "sh").agg(count(lit(1)).as("n_inter"))
+      nA.crossJoin(nB).crossJoin(inter).crossJoin(sigA).crossJoin(sigB)
+        .select(col("n_a"), col("n_b"), col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 7)
+            .as("exact_jaccard"),
+          round(graft.functions.MinHashSketch.estimatedJaccard(
+            col("sig_a"), col("sig_b")), 7).as("estimated_jaccard"))
+    }),
+
+    // --- 336. Dirichlet query likelihood, oracle-pinned ---------------------------------------------------------------
+    // The LM-retrieval scorer beside BM25 (Zhai & Lafferty 2001), q94's
+    // query trio at mu = 2000: postings-only decomposition, every ln
+    // term micro-quantized before any cross-row sum.
+    "q336_query_likelihood" -> ((s, d) =>
+      graft.functions.Retrieval.queryLikelihood(
+          t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "join", "vector"), mu = 2000.0, k = 20)
+        .orderBy("rank")),
+
+    // --- 337. chrF2 character n-gram F-score, oracle-pinned -------------------------------------------------------
+    // Four constructed hyp/ref shapes: identical, disjoint, a prefix pair
+    // whose recall average is stated term by term, and a whitespace pair
+    // pinning the removal convention.
+    "q337_chrf" -> ((s, d) => {
+      val m = col("doc_id") % 4
+      val hyp = when(m === 0, lit("the quick brown fox"))
+        .when(m === 1, lit("aaaaaaaa"))
+        .when(m === 2, lit("abcdef"))
+        .otherwise(lit("ab cd"))
+      val ref = when(m === 0, lit("the quick brown fox"))
+        .when(m === 1, lit("bbbbbbbb"))
+        .when(m === 2, lit("abcdefgh"))
+        .otherwise(lit("abcd"))
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Eval.chrF(hyp, ref).as("s"))
+        .select(col("doc_id"), col("s.chr_p").as("chr_p"),
+          col("s.chr_r").as("chr_r"), col("s.chrf").as("chrf"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 338. sentence BLEU-4, oracle-pinned ------------------------------------------------------------------------
+    // chrF's token companion over four shapes: identical, disjoint
+    // (p1 = 0 zeroes BLEU), a perfect prefix scoring exactly the brevity
+    // penalty, and a clipping case with every smoothed precision stated.
+    "q338_bleu" -> ((s, d) => {
+      val m = col("doc_id") % 4
+      val hyp = when(m === 0, lit("the cat sat down"))
+        .when(m === 1, lit("x y z"))
+        .when(m === 2, lit("a b c d e"))
+        .otherwise(lit("a a a b"))
+      val ref = when(m === 0, lit("the cat sat down"))
+        .when(m === 1, lit("p q r"))
+        .when(m === 2, lit("a b c d e f g"))
+        .otherwise(lit("a b c"))
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Eval.bleu(hyp, ref).as("s"))
+        .select(col("doc_id"), col("s.p1").as("p1"),
+          col("s.bp").as("bp"), col("s.bleu").as("bleu"))
+        .orderBy("doc_id")
+    }),
+
+    // --- 339. nearest-centroid classification over the embedding labels, oracle-pinned ----------------------------
+    // The Rocchio baseline on the embeddings table's own labels (80/20
+    // hash split): micro-quantized components keep the trained centroids
+    // exact, the n^2-scaled integer distance makes unequal class sizes
+    // comparable, ties break to the smaller label.
+    "q339_nearest_centroid" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val train = e.where(col("id") % 5 =!= 0)
+      val test = e.where(col("id") % 5 === 0)
+      graft.functions.Similarity.nearestCentroid(
+          train, test, "id", "vec", "label")
+        .orderBy("id")
+    }),
+
+    // --- 340. metadata-only aggregates vs ground truth, oracle-pinned ----------------------------------------------
+    // The O(metadata) lakehouse readouts carried to the correctness gate:
+    // countFast (footer record counts) and minMaxFast (stats sidecar)
+    // over a snapshot table built from a lineitem slice must equal the
+    // direct relational aggregates — the oracle IS the direct SQL, so any
+    // footer-sum or sidecar drift hash-mismatches.
+    "q340_metadata_agg" -> ((s, d) => {
+      val root = selfCleaningRoot("q340", d) + "/tbl"
+      val slice = t(s, d, "lineitem")
+        .where(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      graft.pipeline.Medallion.writeTable(slice, root, Seq.empty)
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.pipeline.Snapshot.ensure(fs, fs.makeQualified(p))
+      graft.pipeline.Snapshot.computeStats(s, root, Seq("l_quantity"))
+      val n = graft.pipeline.Snapshot.countFast(s, root)
+      val mm = graft.pipeline.Snapshot.minMaxFast(s, root, "l_quantity")
+        .getOrElse(throw new IllegalStateException(
+          "stats sidecar must serve min/max here"))
+      import s.implicits._
+      Seq((n, mm._1, mm._2)).toDF("n_rows", "min_qty", "max_qty")
+    }),
+
+    // --- 341. cross-corpus contamination detection, oracle-pinned ----------------------------------------------------
+    // Train-vs-eval near-dup screening (the published decontamination
+    // sweep every release pipeline runs): even-id documents as the
+    // "training" corpus, odd-id as the "benchmark"; the oracle is the
+    // full minhash-pairs replay restricted to parity-crossing pairs —
+    // identical banding, identical Jaccard verification.
+    "q341_cross_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.functions.Dedup.crossCorpusNearDups(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "doc_id", "text", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    }),
+
+    // --- 342. Zipf rank-frequency slope, oracle-pinned ----------------------------------------------------------------
+    // The corpus-health diagnostic (natural text slopes near -1 on the
+    // log-log rank-frequency line; generated/templated corpora deviate):
+    // token frequencies -> (freq desc, term) total rank -> micro-
+    // quantized logs feed the exact-sufficient-statistics OLS. Restricted
+    // to the top 500 ranks (the power-law regime; the hapax tail bends
+    // every natural corpus).
+    "q342_zipf_slope" -> ((s, d) => {
+      val freqs = t(s, d, "documents")
+        .select(explode(graft.functions.Retrieval.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(desc("freq"), col("term"))
+      val ranked = freqs.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 500)
+        .select(lit("corpus").as("g"),
+          floor(log(col("rank").cast("double")) * 1000000.0)
+            .cast("long").as("x"),
+          floor(log(col("freq").cast("double")) * 1000000.0)
+            .cast("long").as("y"))
+      graft.operators.Trend.ols(ranked, "g", "x", "y")
+    }),
+
+    // --- 343. Fleiss' kappa multi-rater agreement, oracle-pinned -------------------------------------------------------
+    // Three synthetic raters over the corpus labels (rater 2 drifts to
+    // 'en' on every 5th doc, rater 3 to 'de' on every 7th): the k-rater
+    // agreement readout computed entirely from two integer sums.
+    "q343_fleiss_kappa" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r1 = docs.select(col("doc_id").as("item"), col("lang").as("cat"))
+      val r2 = docs.select(col("doc_id").as("item"),
+        when(col("doc_id") % 5 === 0, lit("en")).otherwise(col("lang")).as("cat"))
+      val r3 = docs.select(col("doc_id").as("item"),
+        when(col("doc_id") % 7 === 0, lit("de")).otherwise(col("lang")).as("cat"))
+      graft.operators.StatTests.fleissKappa(
+        r1.unionByName(r2).unionByName(r3), "item", "cat")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("s2", col("s2").cast("long"))
+        .withColumn("c2", col("c2").cast("long"))
+    }),
+
+    // --- 344. comparator-contract canary, oracle-pinned -----------------------------------------------------
+    // One tiny query emitting every output dtype the suite uses. If the
+    // driver's comparator semantics ever drift (a pandas/duckdb upgrade
+    // changing a fetch path, a new hash normalization), THIS row goes
+    // red first and its column name says which dtype broke. dec0 is the
+    // exact-int DECIMAL(38,0)==int64 equivalence the suite relies on
+    // (DuckDB decimals always fetch as float64, so oracles cast to
+    // BIGINT); dt/ts are raw date/timestamp columns (elsewhere the
+    // oracles strftime dates — this row pins whether that caution is
+    // load-bearing); z is an all-null column.
+    "q344_dtype_canary" -> ((s, d) =>
+      t(s, d, "nation").where(col("n_nationkey") < 5)
+        .select(
+          col("n_nationkey").cast("int").as("i32"),
+          col("n_nationkey").cast("long").as("i64"),
+          col("n_nationkey").cast("decimal(38,0)").as("dec0"),
+          // quarters are exact binary fractions: bit-identical everywhere
+          (col("n_nationkey").cast("double") / lit(4.0)).as("dbl"),
+          col("n_name").as("s"),
+          (col("n_nationkey") % 2 === 0).as("b"),
+          date_add(lit("2026-01-01").cast("date"),
+            col("n_nationkey").cast("int")).as("dt"),
+          (lit("2026-01-15 12:34:56").cast("timestamp") +
+            make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
+              col("n_nationkey").cast("int"))).as("ts"),
+          when(lit(false), lit(0.0)).as("z"))
+        .orderBy("i64")),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q296_requirements" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 2 WHEN 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_reqs,
+        |  CAST(CASE doc_id % 2 WHEN 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_pinned,
+        |  CAST(CASE doc_id % 2 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_options,
+        |  CASE doc_id % 2 WHEN 0 THEN 'flask,numpy,requests'
+        |    ELSE 'torch,my-pkg' END AS names,
+        |  CASE doc_id % 2
+        |    WHEN 0 THEN 'flask==2.0.' || (doc_id % 10) || ',requests==2.31.0'
+        |    ELSE 'my-pkg==1.0' END AS pins
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Money: cents are the construction's integer arithmetic.
+    "q297_money" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_amounts,
+        |  CASE doc_id % 3 WHEN 0 THEN 'USD,EUR' WHEN 1 THEN 'JPY' END
+        |    AS currencies,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'USD:' || ((doc_id % 900 + 100) * 100 + 25) ||
+        |      ',EUR:3000'
+        |    WHEN 1 THEN 'JPY:500000' END AS amounts,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN (doc_id % 900 + 100) * 100 + 25
+        |    WHEN 1 THEN 500000 ELSE 0 END AS BIGINT) AS max_cents,
+        |  CASE doc_id % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'JPY' END
+        |    AS max_currency
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q298_acronyms" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS n_candidates,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_defs,
+        |  CASE doc_id % 3 WHEN 0 THEN 'LLM=Large Language Model'
+        |    WHEN 1 THEN 'BWM=Bureau of Weights and Measures' END AS defs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Threads: chain-of-four construction arithmetic.
+    "q299_email_threads" ->
+      """SELECT 'm' || doc_id AS id,
+        |  'm' || (doc_id - doc_id % 4) AS root_id,
+        |  CAST(doc_id % 4 AS BIGINT) AS depth,
+        |  CAST(4 AS BIGINT) AS thread_size,
+        |  doc_id % 4 = 0 AS is_root
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // NDCG: replay ranks, the per-position micro-gain floor, the exact
+    // integer sums and one rounded division.
+    "q300_ndcg" ->
+      """WITH runs AS (
+        |  SELECT doc_id % 50 AS query, doc_id AS doc, doc_id % 4 AS rel,
+        |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+        |  FROM documents WHERE doc_id < 500),
+        |ranked AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY score DESC, doc ASC) AS r,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY rel DESC, doc ASC) AS ri
+        |  FROM runs),
+        |g AS (
+        |  SELECT query, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN r <= 5 THEN
+        |      CAST(FLOOR((POWER(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0
+        |        / log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS dcg_micro,
+        |    CAST(SUM(CASE WHEN ri <= 5 THEN
+        |      CAST(FLOOR((POWER(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000.0
+        |        / log2(CAST(ri AS DOUBLE) + 1.0)) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS idcg_micro
+        |  FROM ranked GROUP BY 1)
+        |SELECT query, n_docs, dcg_micro, idcg_micro,
+        |  ROUND(CASE WHEN idcg_micro > 0 THEN
+        |    CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) END, 7)
+        |    AS ndcg
+        |FROM g ORDER BY query""".stripMargin,
+
+    "q301_rst_text" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS is_rst,
+        |  CASE doc_id % 3 WHEN 0 THEN 'Doc ' || doc_id END AS title,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_sections,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS n_directives,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_code_blocks,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' Intro ' || doc_id ||
+        |      ' here. keep ' || doc_id || ' End.'
+        |    WHEN 1 THEN 'usage: tail ' || doc_id
+        |    ELSE 'plain ' || doc_id || ' text'
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Calibration: exact integer bins/sums, two rounded divisions, the
+    // integer-numerator Brier broadcast onto every bin.
+    "q302_calibration" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |      ELSE doc_id % 600 END AS p
+        |  FROM documents),
+        |b AS (
+        |  SELECT LEAST((p * 10) // 1000, 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(p) AS BIGINT) AS psum
+        |  FROM s GROUP BY 1),
+        |br AS (
+        |  SELECT CAST(SUM((p - 1000 * CASE WHEN y THEN 1 ELSE 0 END) *
+        |                  (p - 1000 * CASE WHEN y THEN 1 ELSE 0 END))
+        |      AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS brier
+        |  FROM s)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        |  ROUND(CAST(psum AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE)), 7)
+        |    AS mean_prob,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 7) AS rate,
+        |  ROUND(br.brier, 7) AS brier
+        |FROM b, br ORDER BY bin""".stripMargin,
+
+    // MRR: replay the rank and the single division.
+    "q303_reciprocal_rank" ->
+      """WITH runs AS (
+        |  SELECT doc_id % 50 AS query, doc_id AS doc, doc_id % 4 AS rel,
+        |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+        |  FROM documents WHERE doc_id < 500),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query
+        |    ORDER BY score DESC, doc ASC) AS r
+        |  FROM runs),
+        |g AS (
+        |  SELECT query, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(MIN(CASE WHEN rel > 0 THEN r END) AS BIGINT)
+        |      AS first_rel_rank
+        |  FROM ranked GROUP BY 1)
+        |SELECT query, n_docs, first_rel_rank,
+        |  ROUND(CASE WHEN first_rel_rank IS NOT NULL THEN
+        |    1.0 / CAST(first_rel_rank AS DOUBLE) END, 7) AS rr
+        |FROM g ORDER BY query""".stripMargin,
+
+    // Synchronous LPA replayed by UNROLLING the three vote rounds: same
+    // plurality count, same (votes desc, label asc) tie order. Every node
+    // has neighbors here (complete cliques), so no keep-own branch is
+    // needed in the replay.
+    "q304_label_propagation" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (SELECT s.u, l.label, count(*) AS c
+           |  FROM sym s JOIN l${r - 1} l ON l.node = s.v GROUP BY 1, 2),
+           |l$r AS (SELECT u AS node, label FROM (
+           |  SELECT u, label,
+           |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+           |  FROM v$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ks AS (SELECT c_custkey AS k FROM customer
+         |  WHERE c_custkey BETWEEN 1 AND 120),
+         |edges AS (
+         |  SELECT x.k AS a, y.k AS b FROM ks x JOIN ks y
+         |    ON (x.k - 1) // 6 = (y.k - 1) // 6 AND x.k < y.k
+         |  UNION ALL
+         |  SELECT k, k + 1 FROM ks WHERE k % 6 = 0 AND k < 120),
+         |sym AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |l0 AS (SELECT k AS node, k AS label FROM ks),
+         |$rounds
+         |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+    },
+
+    // The k-core survivor set in closed form: 5-cliques keep all five
+    // members at core degree 4; pendant-decorated 4-cliques keep the
+    // clique at degree 3 once their leaves peel; chorded rings vanish.
+    "q305_kcore" ->
+      """SELECT c_custkey AS node,
+        |  CAST(CASE WHEN ((c_custkey - 1) // 8) % 3 = 0 THEN 4 ELSE 3 END
+        |    AS BIGINT) AS core_degree
+        |FROM customer
+        |WHERE c_custkey BETWEEN 1 AND 120
+        |  AND ((((c_custkey - 1) // 8) % 3 = 0 AND (c_custkey - 1) % 8 <= 4)
+        |    OR (((c_custkey - 1) // 8) % 3 = 1 AND (c_custkey - 1) % 8 <= 3))
+        |ORDER BY node""".stripMargin,
+
+    // Chi-square replayed with the identical exact-determinant-then-one-
+    // double-expression form; margins left-associated like the engine.
+    "q306_chi2_tokens" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lang = 'en' AS pos,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS category
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE category <> ''),
+        |g AS (SELECT category, count(*) AS n, count(*) FILTER (pos) AS n_pos
+        |      FROM t2 GROUP BY 1),
+        |tot AS (SELECT sum(n) AS n_tot, sum(n_pos) AS p_tot FROM g)
+        |SELECT category, n, n_pos, chi2 FROM (
+        |  SELECT category, n, n_pos,
+        |    ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(n_tot - n AS DOUBLE)
+        |        * CAST(p_tot AS DOUBLE) * CAST(n_tot - p_tot AS DOUBLE) > 0 THEN
+        |      CAST(n_tot AS DOUBLE)
+        |        * CAST(n_pos * (n_tot - p_tot - (n - n_pos))
+        |               - (n - n_pos) * (p_tot - n_pos) AS DOUBLE)
+        |        * CAST(n_pos * (n_tot - p_tot - (n - n_pos))
+        |               - (n - n_pos) * (p_tot - n_pos) AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n_tot - n AS DOUBLE)
+        |           * CAST(p_tot AS DOUBLE) * CAST(n_tot - p_tot AS DOUBLE))
+        |      END, 7) AS chi2
+        |  FROM g, tot WHERE n >= 20)
+        |ORDER BY chi2 DESC NULLS LAST, category LIMIT 50""".stripMargin,
+
+    // Benford: exact census from the decimal's string form, then the
+    // fixed nine-term chi2 fold with ln/ln(10) probabilities (the
+    // engine's LOG(10, x) form) — every literal cast to DOUBLE so DuckDB
+    // decimal literal arithmetic never enters.
+    "q307_benford" -> {
+      val terms = (1 to 9).map { dd =>
+        s"""(CAST(d$dd AS DOUBLE) - CAST(n AS DOUBLE)
+           |      * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / $dd) / ln(CAST(10 AS DOUBLE))))
+           |    * (CAST(d$dd AS DOUBLE) - CAST(n AS DOUBLE)
+           |      * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / $dd) / ln(CAST(10 AS DOUBLE))))
+           |    / (CAST(n AS DOUBLE)
+           |      * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / $dd) / ln(CAST(10 AS DOUBLE))))""".stripMargin
+      }.mkString("\n    + ")
+      val sums = (1 to 9).map(dd =>
+        s"CAST(sum(CASE WHEN d = '$dd' THEN c ELSE 0 END) AS BIGINT) AS d$dd")
+        .mkString(",\n  ")
+      s"""WITH census AS (
+         |  SELECT l_returnflag AS "group",
+         |    substring(CAST(l_extendedprice AS VARCHAR), 1, 1) AS d,
+         |    count(*) AS c
+         |  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1, 2),
+         |wide AS (SELECT "group",
+         |  $sums
+         |  FROM census GROUP BY 1),
+         |w2 AS (SELECT *,
+         |  d1 + d2 + d3 + d4 + d5 + d6 + d7 + d8 + d9 AS n FROM wide)
+         |SELECT "group", n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+         |  ROUND(CASE WHEN n > 0 THEN
+         |    $terms
+         |  END, 7) AS benford_chi2
+         |FROM w2 ORDER BY "group"""".stripMargin
+    },
+
+    // KS: same deci-quantization, exact integer ECDF cross-products,
+    // argmax on exact arithmetic, one final division.
+    "q308_ks_test" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
+        |         count(*) FILTER (g = 'purchase') AS cb
+        |       FROM slim GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM pv)
+        |SELECT n_a, n_b, CAST(gap AS BIGINT) AS d_num,
+        |  n_a * n_b AS d_den,
+        |  ROUND(CAST(gap AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 7) AS d,
+        |  v AS at_value
+        |FROM (SELECT cum.v, abs(cum_a * n_b - cum_b * n_a) AS gap, n_a, n_b
+        |      FROM cum, tot)
+        |ORDER BY gap DESC, at_value LIMIT 1""".stripMargin,
+
+    // Mann-Whitney: doubled midranks keep U exact; the tie-corrected z
+    // mirrors the engine's operation order with all-DOUBLE literals.
+    "q309_mannwhitney" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'error') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'signup') AS ca, count(*) AS t
+        |       FROM slim GROUP BY 1),
+        |r AS (SELECT *, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM pv),
+        |m AS (SELECT *, 2 * cum - t + 1 AS mid2 FROM r),
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(t - ca) AS BIGINT) AS n_b,
+        |        CAST(sum(ca * mid2) AS BIGINT) AS r2_a,
+        |        CAST(sum(t * t * t - t) AS BIGINT) AS tie_cube
+        |      FROM m)
+        |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a, tie_cube,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE)
+        |        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(1 AS DOUBLE))
+        |           - CAST(tie_cube AS DOUBLE)
+        |             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) > 0
+        |    THEN
+        |      CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / CAST(2 AS DOUBLE)
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE)
+        |        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(1 AS DOUBLE))
+        |           - CAST(tie_cube AS DOUBLE)
+        |             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)))))
+        |    END, 7) AS z
+        |FROM a""".stripMargin,
+
+    // Dyadic decay: the 20 lag terms replayed in the identical left-
+    // associated order with exact power-of-two divisors — NO rounding
+    // step anywhere, the sum is exact by construction.
+    "q310_dyadic_decay" -> {
+      val terms = (0 until 20).map(i =>
+        s"CAST(coalesce(lag(v, $i) OVER w, 0) AS DOUBLE) / CAST(${1L << i} AS DOUBLE)")
+        .mkString("\n        + ")
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |d AS (
+         |  SELECT user_id,
+         |    $terms AS decay,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS mx
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, rn AS n_events, decay FROM d
+         |WHERE rn = mx ORDER BY user_id""".stripMargin
+    },
+
+    // CIDR containment as pure uint32 arithmetic: block ranges written as
+    // precomputed integer bounds.
+    "q311_cidr_tag" ->
+      """WITH ips AS (
+        |  SELECT (10 + c_custkey % 3) * 16777216 + (c_custkey % 256) * 65536
+        |       + ((c_custkey * 7) % 256) * 256 + ((c_custkey * 13) % 256)
+        |       AS ip_long
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 2000),
+        |blocks(cidr, bstart, bend) AS (VALUES
+        |  ('10.0.0.0/8',   167772160, 184549375),
+        |  ('11.0.0.0/8',   184549376, 201326591),
+        |  ('12.0.0.0/8',   201326592, 218103807),
+        |  ('10.128.0.0/9', 176160768, 184549375),
+        |  ('11.64.0.0/10', 188743680, 192937983))
+        |SELECT cidr, count(*) AS n_ips,
+        |  CAST(min(ip_long) AS BIGINT) AS min_ip,
+        |  CAST(max(ip_long) AS BIGINT) AS max_ip
+        |FROM ips JOIN blocks ON ip_long BETWEEN bstart AND bend
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Every UA field restated closed-form by construction class.
+    "q312_user_agent" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'chrome' WHEN 1 THEN 'firefox' WHEN 2 THEN 'safari'
+        |    WHEN 3 THEN 'curl' WHEN 4 THEN 'chrome'
+        |    ELSE 'python-requests' END AS family,
+        |  CAST(CASE doc_id % 6
+        |    WHEN 0 THEN 100 + doc_id % 20
+        |    WHEN 1 THEN 90 + doc_id % 15
+        |    WHEN 2 THEN 14 + doc_id % 4
+        |    WHEN 3 THEN 8
+        |    WHEN 4 THEN 110 + doc_id % 9
+        |    ELSE 2 END AS INT) AS major,
+        |  doc_id % 6 = 4 AS is_bot
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Geohash: the full pinned chain replayed — coordinate construction,
+    // the (v+90)/180*2^15 quantization (same IEEE op order, so floor
+    // boundaries agree bit-exactly), the shared Morton interleave, and
+    // the base-32 walk.
+    "q313_geohash" -> {
+      val chars = (0 until 6).map(i =>
+        s"substring('0123456789bcdefghjkmnpqrstuvwxyz', " +
+          s"CAST(((z >> ${5 * (5 - i)}) & 31) + 1 AS INT), 1)")
+        .mkString(" ||\n        ")
+      s"""WITH pts AS (
+         |  SELECT c_custkey AS ck,
+         |    CAST((c_custkey * 7) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE)
+         |      - CAST(90 AS DOUBLE) AS lat,
+         |    CAST((c_custkey * 13) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE)
+         |      - CAST(180 AS DOUBLE) AS lon
+         |  FROM customer WHERE c_custkey BETWEEN 1 AND 2000),
+         |q AS (
+         |  SELECT ck, lat, lon,
+         |    least(greatest(CAST(floor((lat - CAST(-90 AS DOUBLE))
+         |      / CAST(180 AS DOUBLE) * CAST(32768 AS DOUBLE)) AS BIGINT),
+         |      0), 32767) AS latq,
+         |    least(greatest(CAST(floor((lon - CAST(-180 AS DOUBLE))
+         |      / CAST(360 AS DOUBLE) * CAST(32768 AS DOUBLE)) AS BIGINT),
+         |      0), 32767) AS lonq
+         |  FROM pts),
+         |zc AS (
+         |  SELECT ck, lat, lon,
+         |    (SELECT CAST(SUM((((lonq >> k) & 1) << (2 * k + 1))
+         |                   + (((latq >> k) & 1) << (2 * k))) AS BIGINT)
+         |     FROM generate_series(0, 14) AS g(k)) AS z
+         |  FROM q)
+         |SELECT ck, lat, lon,
+         |  $chars AS gh
+         |FROM zc ORDER BY ck""".stripMargin
+    },
+
+    // Haversine mirrored op by op (radians/sin/cos/asin differ by ulps
+    // across libms; meter-resolution rounding absorbs that).
+    "q314_haversine" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS ck,
+        |    CAST((c_custkey * 7) % 18000 AS DOUBLE) / CAST(100 AS DOUBLE)
+        |      - CAST(90 AS DOUBLE) AS lat,
+        |    CAST((c_custkey * 13) % 36000 AS DOUBLE) / CAST(100 AS DOUBLE)
+        |      - CAST(180 AS DOUBLE) AS lon
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 2000)
+        |SELECT ck,
+        |  ROUND(CAST(2 AS DOUBLE) * CAST(6371.0088 AS DOUBLE) * asin(sqrt(
+        |    sin(radians(CAST(48.8566 AS DOUBLE) - lat) / CAST(2 AS DOUBLE))
+        |      * sin(radians(CAST(48.8566 AS DOUBLE) - lat) / CAST(2 AS DOUBLE))
+        |    + cos(radians(lat)) * cos(radians(CAST(48.8566 AS DOUBLE)))
+        |      * (sin(radians(CAST(2.3522 AS DOUBLE) - lon) / CAST(2 AS DOUBLE))
+        |         * sin(radians(CAST(2.3522 AS DOUBLE) - lon) / CAST(2 AS DOUBLE)))
+        |  )), 3) AS dist_km
+        |FROM pts ORDER BY ck""".stripMargin,
+
+    // Gini: exact rank formulation (HUGEINT sums on the DuckDB side match
+    // the engine's DECIMAL(38,0) accumulation), one final division.
+    "q315_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS i
+        |  FROM orders),
+        |g AS (SELECT grp AS "group", count(*) AS n,
+        |        CAST(sum(x) AS BIGINT) AS total, sum(i * x) AS ix
+        |      FROM r GROUP BY 1)
+        |SELECT "group", n, total,
+        |  ROUND(CASE WHEN total > 0 THEN
+        |    CAST(2 * ix - (n + 1) * total AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END, 7) AS gini
+        |FROM g ORDER BY "group"""".stripMargin,
+
+    // Concentration: exact HHI; entropy via per-term micro-quantization
+    // so the category sum is an order-independent integer.
+    "q316_concentration" ->
+      """WITH counts AS (
+        |  SELECT source AS "group", lang AS cat, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT "group", CAST(sum(c) AS BIGINT) AS n_obs,
+        |        count(*) AS k, CAST(sum(c * c) AS BIGINT) AS c2,
+        |        CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |          * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_micro
+        |      FROM counts GROUP BY 1)
+        |SELECT "group", n_obs, k,
+        |  ROUND(CAST(c2 AS DOUBLE)
+        |    / (CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE)), 7) AS hhi,
+        |  ROUND((ln(CAST(n_obs AS DOUBLE))
+        |    - CAST(s_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      / CAST(n_obs AS DOUBLE)) / ln(CAST(2 AS DOUBLE)), 7)
+        |    AS entropy_bits
+        |FROM g ORDER BY "group"""".stripMargin,
+
+    // Association rules replayed on distinct memberships.
+    "q317_pair_rules" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id AS basket, event_type AS item
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM m),
+        |ic AS (SELECT item, count(*) AS n_item FROM m GROUP BY 1),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |      FROM m x JOIN m y ON x.basket = y.basket AND x.item < y.item
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, a.n_item AS n_a, b.n_item AS n_b,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 7) AS support,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(a.n_item AS DOUBLE), 7) AS conf_ab,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(b.n_item AS DOUBLE), 7) AS conf_ba,
+        |  ROUND(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |    / (CAST(a.n_item AS DOUBLE) * CAST(b.n_item AS DOUBLE)), 7) AS lift
+        |FROM p
+        |JOIN ic a ON a.item = item_a
+        |JOIN ic b ON b.item = item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // Kappa: exact agreement and marginal cross-products, the identical
+    // pinned expression.
+    "q318_cohens_kappa" ->
+      """WITH s AS (
+        |  SELECT lang AS r1,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS r2
+        |  FROM documents),
+        |base AS (SELECT count(*) AS n,
+        |           count(CASE WHEN r1 = r2 THEN 1 END) AS n_agree FROM s),
+        |m1 AS (SELECT r1 AS cat, count(*) AS c1 FROM s GROUP BY 1),
+        |m2 AS (SELECT r2 AS cat, count(*) AS c2 FROM s GROUP BY 1),
+        |ch AS (SELECT CAST(coalesce(sum(c1 * c2), 0) AS BIGINT) AS chance_num
+        |       FROM m1 JOIN m2 USING (cat))
+        |SELECT n, n_agree, chance_num,
+        |  ROUND(CASE WHEN n > 0 AND
+        |      CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        < CAST(1 AS DOUBLE) THEN
+        |    (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / (CAST(1 AS DOUBLE)
+        |      - CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    END, 7) AS kappa
+        |FROM base, ch""".stripMargin,
+
+    // Wilson: the identical center/half expressions with every constant
+    // cast to DOUBLE (z^2 written as the same 1.96*1.96 product).
+    "q319_wilson" ->
+      """WITH g AS (
+        |  SELECT source AS "group", count(*) AS n,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS successes
+        |  FROM documents GROUP BY 1)
+        |SELECT "group", n, successes,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) END, 7) AS rate,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    ((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |        / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+        |     / (CAST(1 AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    - (CAST(1.96 AS DOUBLE) * sqrt(
+        |        CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(1 AS DOUBLE) - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |          / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       / (CAST(1 AS DOUBLE)
+        |          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    END, 7) AS lo,
+        |  ROUND(CASE WHEN n > 0 THEN
+        |    ((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |        / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+        |     / (CAST(1 AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    + (CAST(1.96 AS DOUBLE) * sqrt(
+        |        CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(1 AS DOUBLE) - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |          / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       / (CAST(1 AS DOUBLE)
+        |          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    END, 7) AS hi
+        |FROM g ORDER BY "group"""".stripMargin,
+
+    // AUC replayed through the same doubled-midrank machinery as q309.
+    "q320_roc_auc" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |         ELSE doc_id % 600 END AS v
+        |  FROM documents),
+        |pv AS (SELECT v, count(CASE WHEN y THEN 1 END) AS cp, count(*) AS t
+        |       FROM s GROUP BY 1),
+        |r AS (SELECT *, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM pv),
+        |m AS (SELECT *, 2 * cum - t + 1 AS mid2 FROM r),
+        |a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |        CAST(sum(t - cp) AS BIGINT) AS n_neg,
+        |        CAST(sum(cp * mid2) AS BIGINT) AS r2 FROM m)
+        |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2,
+        |  ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |    END, 7) AS auc
+        |FROM a""".stripMargin,
+
+    // PSI: identical bin arithmetic, add-one smoothing, the same fixed
+    // ten-term fold.
+    "q321_psi" -> {
+      val terms = (0 until 10).map { i =>
+        val pa = s"(CAST(a$i + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE))"
+        val pb = s"(CAST(b$i + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE))"
+        s"($pa - $pb) * ln($pa / $pb)"
+      }.mkString("\n    + ")
+      val sums = (0 until 10).flatMap(i => Seq(
+        s"CAST(sum(CASE WHEN bin = $i THEN ca ELSE 0 END) AS BIGINT) AS a$i",
+        s"CAST(sum(CASE WHEN bin = $i THEN cb ELSE 0 END) AS BIGINT) AS b$i"))
+        .mkString(",\n  ")
+      s"""WITH slim AS (
+         |  SELECT event_type AS g,
+         |    least(greatest(CAST(floor((CAST(value AS DOUBLE)
+         |      - CAST(0 AS DOUBLE)) / CAST(500 AS DOUBLE)
+         |      * CAST(10 AS DOUBLE)) AS BIGINT), 0), 9) AS bin
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+         |counts AS (SELECT bin, count(CASE WHEN g = 'click' THEN 1 END) AS ca,
+         |             count(CASE WHEN g = 'purchase' THEN 1 END) AS cb
+         |           FROM slim GROUP BY 1),
+         |wide AS (SELECT
+         |  $sums
+         |  FROM counts),
+         |w2 AS (SELECT *,
+         |  a0+a1+a2+a3+a4+a5+a6+a7+a8+a9 AS n_a,
+         |  b0+b1+b2+b3+b4+b5+b6+b7+b8+b9 AS n_b FROM wide)
+         |SELECT n_a, n_b,
+         |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    $terms
+         |  END, 7) AS psi
+         |FROM w2""".stripMargin
+    },
+
+    // Soundex codes restated closed-form per construction class (the
+    // probed classic values, incl. ASHCRAFT A261 / TYMCZAK T522 /
+    // PFISTER P236 / HONEYMAN H555).
+    "q322_soundex" -> {
+      val codes = Seq("ROBERT" -> "R163", "RUPERT" -> "R163",
+        "SMITH" -> "S530", "SMYTH" -> "S530", "JOHNSON" -> "J525",
+        "JANSEN" -> "J525", "MILLER" -> "M460", "MULLER" -> "M460",
+        "WILSON" -> "W425", "WOLSON" -> "W425", "ASHCRAFT" -> "A261",
+        "TYMCZAK" -> "T522", "PFISTER" -> "P236", "HONEYMAN" -> "H555")
+      val nameCase = codes.zipWithIndex
+        .map { case ((n, _), i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+      val codeCase = codes.zipWithIndex
+        .map { case ((_, c), i) => s"WHEN $i THEN '$c'" }.mkString(" ")
+      s"""SELECT c_custkey AS ck,
+         |  CASE c_custkey % 14 $nameCase END AS name,
+         |  CASE c_custkey % 14 $codeCase END AS sdx
+         |FROM customer WHERE c_custkey BETWEEN 1 AND 2000
+         |ORDER BY ck""".stripMargin
+    },
+
+    // CUSUM replayed: exact |n*cum - t*S| argmax with min-t tie-break.
+    "q323_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, ts, event_id, CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |sc AS (SELECT g,
+        |    ROW_NUMBER() OVER w AS t, SUM(v) OVER w AS cum,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    SUM(v) OVER (PARTITION BY g) AS tot
+        |  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |d AS (SELECT g, n, t, abs(n * cum - t * tot) AS dev FROM sc),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev DESC, t) AS rk
+        |      FROM d)
+        |SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        |  CAST(t AS BIGINT) AS cp_index,
+        |  ROUND(CASE WHEN n >= 2 THEN
+        |    CAST(dev AS DOUBLE) / CAST(n AS DOUBLE) END, 7) AS cp_stat
+        |FROM r WHERE rk = 1 ORDER BY "group"""".stripMargin,
+
+    // ACF replayed: lag windows, exact sufficient statistics, the
+    // identical pinned expression per lag.
+    "q324_acf" -> {
+      val lagAggs = (1 to 3).map(k =>
+        s"""sum(v * l$k) AS c$k,
+           |    sum(CASE WHEN l$k IS NOT NULL THEN v END) AS s1_$k,
+           |    sum(l$k) AS s2_$k""".stripMargin).mkString(",\n    ")
+      val branches = (1 to 3).map { k =>
+        s"""SELECT g AS "group", CAST($k AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           |  ROUND(CASE WHEN n > $k AND
+           |      CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0 THEN
+           |    (CAST(c$k AS DOUBLE)
+           |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * CAST(s1_$k + s2_$k AS DOUBLE)
+           |      + CAST(n - $k AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    END, 7) AS r
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |l AS (SELECT g, v,
+         |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+         |    lag(v, 3) OVER w AS l3
+         |  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+         |a AS (SELECT g, count(*) AS n, sum(v) AS s, sum(v * v) AS q,
+         |    $lagAggs
+         |  FROM l GROUP BY 1)
+         |SELECT * FROM ($branches)
+         |ORDER BY "group", lag""".stripMargin
+    },
+
+    // LCS shapes restated in closed-form length arithmetic: the
+    // insertion-only revision's LCS is the whole original.
+    "q325_lcs" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 23 + length(CAST(doc_id AS VARCHAR))
+        |    WHEN 1 THEN 10 + length(CAST(doc_id AS VARCHAR))
+        |    ELSE 0 END AS BIGINT) AS lcs_len,
+        |  ROUND(CASE doc_id % 3
+        |    WHEN 0 THEN
+        |      CAST(2 * (23 + length(CAST(doc_id AS VARCHAR))) AS DOUBLE)
+        |        / CAST(53 + 2 * length(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+        |    WHEN 1 THEN CAST(1 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END, 7) AS sim
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Log-odds with informative prior replayed: same tokenization, same
+    // integer prior (a_w = combined count, a0 = combined total), the
+    // identical pinned expression.
+    "q326_log_odds" ->
+      """WITH toks AS (
+        |  SELECT lang = 'en' AS is_i,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |t2 AS (SELECT * FROM toks WHERE word <> ''),
+        |c AS (SELECT word,
+        |        count(CASE WHEN is_i THEN 1 END) AS y_i,
+        |        count(CASE WHEN NOT is_i THEN 1 END) AS y_j
+        |      FROM t2 GROUP BY 1),
+        |tot AS (SELECT sum(y_i) AS n_i, sum(y_j) AS n_j FROM c),
+        |scored AS (
+        |  SELECT word, y_i, y_j,
+        |    ln(CAST(y_i + (y_i + y_j) AS DOUBLE)
+        |       / CAST(n_i + (n_i + n_j) - y_i - (y_i + y_j) AS DOUBLE))
+        |    - ln(CAST(y_j + (y_i + y_j) AS DOUBLE)
+        |       / CAST(n_j + (n_i + n_j) - y_j - (y_i + y_j) AS DOUBLE)) AS delta,
+        |    CAST(1 AS DOUBLE) / CAST(y_i + (y_i + y_j) AS DOUBLE)
+        |      + CAST(1 AS DOUBLE) / CAST(y_j + (y_i + y_j) AS DOUBLE) AS v
+        |  FROM c, tot WHERE y_i + y_j >= 10)
+        |SELECT word, y_i, y_j, ROUND(delta, 7) AS delta,
+        |  ROUND(delta / sqrt(v), 7) AS z
+        |FROM scored
+        |ORDER BY ROUND(delta / sqrt(v), 7) DESC NULLS LAST, word
+        |LIMIT 40""".stripMargin,
+
+    // Two-regressor OLS: the identical Cramer determinants (same cofactor
+    // order) over the same exact sufficient statistics.
+    "q327_ols_multi" -> {
+      def det3(a: String, b: String, c: String, d: String, e: String,
+          f: String, g: String, h: String, i: String): String =
+        s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) " +
+          s"+ $c * ($d * $h - $e * $g))"
+      val Seq(n, s1, s2, sy, s11, s22, s12, s1y, s2y) =
+        Seq("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
+          .map(c => s"CAST($c AS DOUBLE)")
+      val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+      val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+      val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+      val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+      s"""WITH e AS (
+         |  SELECT event_type AS "group",
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS x1,
+         |    CAST(hour(ts) AS BIGINT) AS x2,
+         |    CAST(floor(value) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT "group", count(*) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         |    sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+         |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+         |  FROM e GROUP BY 1)
+         |SELECT "group", CAST(n AS BIGINT) AS n,
+         |  ROUND(CASE WHEN $det <> 0 THEN $det0 / $det END, 7) AS b0,
+         |  ROUND(CASE WHEN $det <> 0 THEN $det1 / $det END, 7) AS b1,
+         |  ROUND(CASE WHEN $det <> 0 THEN $det2 / $det END, 7) AS b2
+         |FROM s ORDER BY "group"""".stripMargin
+    },
+
+    // Pearson / Spearman share the identical pinned r expression.
+    "q328_pearson" -> {
+      s"""WITH e AS (
+         |  SELECT event_type AS "group", CAST(hour(ts) AS BIGINT) AS x,
+         |    CAST(floor(value) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT "group", count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM e GROUP BY 1)
+         |SELECT "group", CAST(n AS BIGINT) AS n, ${XxSqlPearson.rExpr}
+         |FROM s ORDER BY "group"""".stripMargin
+    },
+
+    "q329_spearman" -> {
+      s"""WITH e AS (
+         |  SELECT event_type AS "group", CAST(hour(ts) AS BIGINT) AS xv,
+         |    CAST(floor(value) AS BIGINT) AS yv
+         |  FROM events WHERE value IS NOT NULL),
+         |mx AS (SELECT "group", xv,
+         |    2 * sum(t) OVER (PARTITION BY "group" ORDER BY xv
+         |      ROWS UNBOUNDED PRECEDING) - t + 1 AS m
+         |  FROM (SELECT "group", xv, count(*) AS t FROM e GROUP BY 1, 2)),
+         |my AS (SELECT "group", yv,
+         |    2 * sum(t) OVER (PARTITION BY "group" ORDER BY yv
+         |      ROWS UNBOUNDED PRECEDING) - t + 1 AS m
+         |  FROM (SELECT "group", yv, count(*) AS t FROM e GROUP BY 1, 2)),
+         |r AS (SELECT e."group", mx.m AS x, my.m AS y
+         |  FROM e
+         |  JOIN mx ON mx."group" = e."group" AND mx.xv = e.xv
+         |  JOIN my ON my."group" = e."group" AND my.yv = e.yv),
+         |s AS (SELECT "group", count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM r GROUP BY 1)
+         |SELECT "group", CAST(n AS BIGINT) AS n, ${XxSqlPearson.rExpr}
+         |FROM s ORDER BY "group"""".stripMargin
+    },
+
+    "q330_kendall" ->
+      """WITH e AS (
+        |  SELECT event_type AS "group",
+        |    CAST(floor(value / 50) AS BIGINT) AS x,
+        |    CAST(floor(hour(ts) / 4) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT "group", x, y, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |p AS (SELECT a."group",
+        |    sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS cc,
+        |    sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS dd
+        |  FROM cells a JOIN cells b
+        |    ON a."group" = b."group" AND a.x < b.x
+        |  GROUP BY 1),
+        |base AS (SELECT "group", count(*) AS n FROM e GROUP BY 1),
+        |tx AS (SELECT "group", sum(t * (t - 1)) AS tx2
+        |  FROM (SELECT "group", x, count(*) AS t FROM e GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT "group", sum(t * (t - 1)) AS ty2
+        |  FROM (SELECT "group", y, count(*) AS t FROM e GROUP BY 1, 2) GROUP BY 1),
+        |j AS (SELECT base."group", n, coalesce(cc, 0) AS cc,
+        |        coalesce(dd, 0) AS dd, tx2, ty2
+        |  FROM base LEFT JOIN p ON p."group" = base."group"
+        |  JOIN tx ON tx."group" = base."group"
+        |  JOIN ty ON ty."group" = base."group")
+        |SELECT "group", CAST(n AS BIGINT) AS n,
+        |  CAST(cc AS BIGINT) AS concordant,
+        |  CAST(dd AS BIGINT) AS discordant,
+        |  ROUND(CASE WHEN sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE))
+        |      * sqrt(CAST(n * (n - 1) - ty2 AS DOUBLE)) > 0 THEN
+        |    CAST(2 AS DOUBLE) * CAST(cc - dd AS DOUBLE)
+        |      / (sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE))
+        |         * sqrt(CAST(n * (n - 1) - ty2 AS DOUBLE)))
+        |    END, 7) AS tau_b
+        |FROM j ORDER BY "group"""".stripMargin,
+
+    "q331_welch" -> {
+      val ma = "(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val mb = "(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      val va = s"((CAST(qa AS DOUBLE) - CAST(n_a AS DOUBLE) * $ma * $ma) " +
+        "/ (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)))"
+      val vb = s"((CAST(qb AS DOUBLE) - CAST(n_b AS DOUBLE) * $mb * $mb) " +
+        "/ (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)))"
+      val se2 = s"($va / CAST(n_a AS DOUBLE) + $vb / CAST(n_b AS DOUBLE))"
+      val dfW = s"($se2 * $se2 / (($va / CAST(n_a AS DOUBLE)) " +
+        s"* ($va / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) " +
+        s"+ ($vb / CAST(n_b AS DOUBLE)) * ($vb / CAST(n_b AS DOUBLE)) " +
+        s"/ (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |    AND event_type IN ('click', 'purchase')),
+         |s AS (SELECT
+         |    count(CASE WHEN g = 'click' THEN 1 END) AS n_a,
+         |    count(CASE WHEN g = 'purchase' THEN 1 END) AS n_b,
+         |    sum(CASE WHEN g = 'click' THEN v END) AS sa,
+         |    sum(CASE WHEN g = 'purchase' THEN v END) AS sb,
+         |    sum(CASE WHEN g = 'click' THEN v * v END) AS qa,
+         |    sum(CASE WHEN g = 'purchase' THEN v * v END) AS qb
+         |  FROM e)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  ROUND(CASE WHEN n_a > 0 THEN $ma END, 7) AS mean_a,
+         |  ROUND(CASE WHEN n_b > 0 THEN $mb END, 7) AS mean_b,
+         |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN
+         |    ($ma - $mb) / sqrt($se2) END, 7) AS t,
+         |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN
+         |    $dfW END, 7) AS df
+         |FROM s""".stripMargin
+    },
+
+    // Kruskal-Wallis replayed: same midranks, same sorted-group fold
+    // (list_reduce from the first element == the engine's 0.0-seeded
+    // fold, since 0.0 + x is exact).
+    "q332_kruskal" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val corr = s"(CAST(1 AS DOUBLE) - CAST(tiesum AS DOUBLE) " +
+        s"/ ($nD * $nD * $nD - $nD))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pv AS (SELECT v, count(*) AS t FROM e GROUP BY 1),
+         |mids AS (SELECT v,
+         |    2 * sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t + 1 AS mid2
+         |  FROM pv),
+         |pg AS (SELECT g, count(*) AS n_g, sum(mid2) AS r2
+         |  FROM e JOIN mids USING (v) GROUP BY 1),
+         |terms AS (SELECT g, n_g,
+         |    CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / CAST(4 AS DOUBLE)
+         |      / CAST(n_g AS DOUBLE) AS term
+         |  FROM pg),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS f
+         |  FROM terms),
+         |tie AS (SELECT sum(t * t * t - t) AS tiesum FROM pv)
+         |SELECT n, k,
+         |  ROUND(CASE WHEN n >= 2 AND $corr > 0 THEN
+         |    (CAST(12 AS DOUBLE) / ($nD * ($nD + CAST(1 AS DOUBLE))) * f
+         |      - CAST(3 AS DOUBLE) * ($nD + CAST(1 AS DOUBLE))) / $corr
+         |    END, 7) AS h
+         |FROM agg, tie""".stripMargin
+    },
+
+    // Hard negatives: q94's BM25 replay + per-term micro quantization +
+    // the (score desc, doc) ranking with the positive anti-joined away.
+    "q333_hard_negatives" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0)
+        |      AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM dd),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl
+        |      FROM dl),
+        |q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:6]) AS term
+        |      FROM dd WHERE doc_id % 101 = 0),
+        |qt AS (SELECT DISTINCT term FROM q),
+        |f AS (SELECT dl.doc_id, t.term, dl.dl,
+        |    CAST(len(list_filter(dl.toks, x -> x = t.term)) AS DOUBLE) AS tf
+        |  FROM dl CROSS JOIN qt t
+        |  WHERE len(list_filter(dl.toks, x -> x = t.term)) > 0),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM f GROUP BY 1),
+        |sc AS (SELECT f.doc_id, f.term,
+        |    CAST(floor(((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |      ((f.tf * 2.2) /
+        |       (f.tf + 1.2 * (0.25 + 0.75 * f.dl / (s.sum_dl / s.n_docs))))
+        |      * 1000000.0) AS BIGINT) AS micro
+        |  FROM f, s, dfs WHERE dfs.term = f.term),
+        |pq AS (SELECT q.query_id, sc.doc_id,
+        |    CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM sc JOIN q ON q.term = sc.term GROUP BY 1, 2),
+        |neg AS (SELECT * FROM pq WHERE doc_id <> query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score_micro DESC, doc_id) AS rank
+        |      FROM neg)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Epoch schedule: the GLOBAL md5-order greedy — equal to the
+    // engine's two-level bucket fill by construction.
+    "q334_epoch_schedule" ->
+      """WITH c AS (SELECT CAST(sum(n_chars) AS BIGINT) AS corpus FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |        sum(n_chars) OVER (ORDER BY h, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT doc_id, n_chars,
+        |  CAST(1 + CASE WHEN cum <= (SELECT corpus // 2 FROM c)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q335_corpus_overlap" ->
+      graft.oracle.XxSql.corpusOverlapSql(shingleN = 3, numHashes = 64,
+        sliceCol = "lang", a = "en", b = "de"),
+
+    // Query likelihood: the identical postings-only decomposition with
+    // every ln term floored to micro-units before summation.
+    "q336_query_likelihood" -> {
+      val mu = "CAST(2000 AS DOUBLE)"
+      val m6 = "CAST(1000000 AS DOUBLE)"
+      s"""WITH dd AS (
+         |  SELECT doc_id,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), t -> len(t) > 0)
+         |      AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |dl AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM dd),
+         |cl AS (SELECT SUM(dl) AS corpus_len FROM dl),
+         |q AS (SELECT UNNEST(['spark', 'join', 'vector']) AS term),
+         |posts AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+         |cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf
+         |       FROM posts JOIN q USING (term) GROUP BY 1),
+         |tf AS (SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM posts JOIN q USING (term) GROUP BY 1, 2, 3),
+         |gain AS (SELECT doc_id, dl,
+         |    CAST(sum(CAST(floor((ln(tf + $mu * (cf.cf / corpus_len))
+         |      - ln($mu * (cf.cf / corpus_len))) * $m6) AS BIGINT)) AS BIGINT)
+         |      AS gm
+         |  FROM tf JOIN cf USING (term), cl GROUP BY 1, 2),
+         |c0 AS (SELECT
+         |    CAST(sum(CAST(floor(ln($mu * (cf / corpus_len)) * $m6)
+         |      AS BIGINT)) AS BIGINT) AS c0,
+         |    count(*) AS neff
+         |  FROM cf, cl),
+         |scored AS (SELECT doc_id,
+         |    gm + c0 - neff * CAST(floor(ln(dl + $mu) * $m6) AS BIGINT)
+         |      AS score_micro
+         |  FROM gain, c0)
+         |SELECT doc_id AS id, score_micro,
+         |  CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER
+         |        (ORDER BY score_micro DESC, doc_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+
+    // chrF: the prefix shape's recall average stated term by term in the
+    // engine's n = 1..6 fold order; the rest closed-form.
+    "q337_chrf" -> {
+      val sumR = (1 to 6).map(n =>
+        s"CAST(${7 - n} AS DOUBLE) / CAST(${9 - n} AS DOUBLE)")
+        .mkString("\n        + ")
+      s"""WITH pre AS (SELECT
+         |  ($sumR) / CAST(6 AS DOUBLE) AS r2)
+         |SELECT doc_id,
+         |  ROUND(CASE doc_id % 4 WHEN 1 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(1 AS DOUBLE) END, 7) AS chr_p,
+         |  ROUND(CASE doc_id % 4
+         |    WHEN 1 THEN CAST(0 AS DOUBLE)
+         |    WHEN 2 THEN r2
+         |    ELSE CAST(1 AS DOUBLE) END, 7) AS chr_r,
+         |  ROUND(CASE doc_id % 4
+         |    WHEN 1 THEN CAST(0 AS DOUBLE)
+         |    WHEN 2 THEN CAST(5 AS DOUBLE) * CAST(1 AS DOUBLE) * r2
+         |      / (CAST(4 AS DOUBLE) * CAST(1 AS DOUBLE) + r2)
+         |    ELSE CAST(1 AS DOUBLE) END, 7) AS chrf
+         |FROM documents, pre ORDER BY doc_id""".stripMargin
+    },
+
+    // BLEU: every smoothed precision and the ln fold stated explicitly
+    // per shape; the brevity shape is exactly exp(1 - 7/5).
+    "q338_bleu" ->
+      """SELECT doc_id,
+        |  ROUND(CASE doc_id % 4
+        |    WHEN 1 THEN CAST(0 AS DOUBLE)
+        |    WHEN 3 THEN CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE)
+        |    ELSE CAST(1 AS DOUBLE) END, 7) AS p1,
+        |  ROUND(CASE doc_id % 4
+        |    WHEN 2 THEN exp(CAST(1 AS DOUBLE)
+        |      - CAST(7 AS DOUBLE) / CAST(5 AS DOUBLE))
+        |    ELSE CAST(1 AS DOUBLE) END, 7) AS bp,
+        |  ROUND(CASE doc_id % 4
+        |    WHEN 0 THEN CAST(1 AS DOUBLE)
+        |    WHEN 1 THEN CAST(0 AS DOUBLE)
+        |    WHEN 2 THEN exp(CAST(1 AS DOUBLE)
+        |      - CAST(7 AS DOUBLE) / CAST(5 AS DOUBLE))
+        |    ELSE exp(CAST(0.25 AS DOUBLE) * (
+        |      ln(CAST(2 AS DOUBLE) / CAST(4 AS DOUBLE))
+        |      + ln(CAST(2 AS DOUBLE) / CAST(4 AS DOUBLE))
+        |      + ln(CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+        |      + ln(CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))))
+        |    END, 7) AS bleu
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Nearest centroid: micro-quantized component sums, the identical
+    // n^2-scaled integer distance, (dist, label) argmin.
+    "q339_nearest_centroid" ->
+      """WITH tr AS (SELECT vec_id, embedding, label FROM embeddings
+        |           WHERE vec_id % 5 <> 0),
+        |te AS (SELECT vec_id, embedding, label FROM embeddings
+        |       WHERE vec_id % 5 = 0),
+        |trd AS (SELECT label AS lab, dd.d AS d,
+        |    CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xm
+        |  FROM tr, LATERAL (SELECT unnest(range(len(embedding))) AS d) dd),
+        |cs AS (SELECT lab, d, CAST(sum(xm) AS HUGEINT) AS c_sum
+        |       FROM trd GROUP BY 1, 2),
+        |tn AS (SELECT label AS lab, count(*) AS n_l FROM tr GROUP BY 1),
+        |ted AS (SELECT vec_id AS id, label AS actual, dd.d AS d,
+        |    CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xm
+        |  FROM te, LATERAL (SELECT unnest(range(len(embedding))) AS d) dd),
+        |sc AS (SELECT ted.id, ted.actual, cs.lab, tn.n_l,
+        |    sum((CAST(tn.n_l AS HUGEINT) * CAST(ted.xm AS HUGEINT) - cs.c_sum)
+        |      * (CAST(tn.n_l AS HUGEINT) * CAST(ted.xm AS HUGEINT) - cs.c_sum))
+        |      AS d2
+        |  FROM ted JOIN cs ON cs.d = ted.d
+        |  JOIN tn ON tn.lab = cs.lab
+        |  GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |        ORDER BY CAST(d2 AS DOUBLE)
+        |          / (CAST(n_l AS DOUBLE) * CAST(n_l AS DOUBLE)), lab) AS rk
+        |      FROM sc)
+        |SELECT id, actual, lab AS predicted, lab = actual AS correct
+        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+
+    // Metadata-only aggregates: the oracle IS the direct relational truth.
+    "q340_metadata_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin,
+
+    // Cross-corpus contamination: the q33 pairs replay restricted to
+    // parity-crossing pairs, reoriented (even = training side).
+    "q341_cross_contamination" -> {
+      val pairs = graft.oracle.XxSql.minhashPairsSql(shingleN = 3,
+        numHashes = 64, bands = 16, threshold = 0.5, blockCol = None)
+      s"""SELECT
+         |  CASE WHEN id1 % 2 = 0 THEN id1 ELSE id2 END AS left_id,
+         |  CASE WHEN id1 % 2 = 0 THEN id2 ELSE id1 END AS right_id,
+         |  jaccard
+         |FROM (
+         |$pairs
+         |)
+         |WHERE (id1 % 2 = 0) <> (id2 % 2 = 0)
+         |ORDER BY jaccard DESC, left_id, right_id""".stripMargin
+    },
+
+    // Zipf slope: same tokenization, same total rank, same micro-log
+    // quantization, q279's OLS expression.
+    "q342_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY 1),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+        |      FROM f),
+        |e AS (SELECT
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+        |      AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+        |      AS BIGINT) AS y
+        |  FROM r WHERE rank <= 500),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM e)
+        |SELECT 'corpus' AS g, n,
+        |  ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 7) AS slope,
+        |  ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    (CAST(sy AS DOUBLE) -
+        |     ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) END, 7) AS intercept
+        |FROM s""".stripMargin,
+
+    // Fleiss: the same two integer sums, the identical pinned expression
+    // (n = 3 raters literal).
+    "q343_fleiss_kappa" -> {
+      val nI = "CAST(n_items AS DOUBLE)"
+      val nD = "CAST(3 AS DOUBLE)"
+      val pBar = s"((CAST(s2 AS DOUBLE) - $nI * $nD) " +
+        s"/ ($nI * $nD * ($nD - CAST(1 AS DOUBLE))))"
+      val pE = s"(CAST(c2 AS DOUBLE) / ($nI * $nD * ($nI * $nD)))"
+      s"""WITH r AS (
+         |  SELECT doc_id AS item, lang AS cat FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'de' ELSE lang END
+         |  FROM documents),
+         |cells AS (SELECT item, cat, count(*) AS c FROM r GROUP BY 1, 2),
+         |base AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+         |           CAST(sum(c * c) AS BIGINT) AS s2 FROM cells),
+         |cc AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c2
+         |       FROM (SELECT cat, sum(c) AS cj FROM cells GROUP BY 1))
+         |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, s2, c2,
+         |  ROUND(CASE WHEN $pE < CAST(1 AS DOUBLE) THEN
+         |    ($pBar - $pE) / (CAST(1 AS DOUBLE) - $pE) END, 7) AS kappa
+         |FROM base, cc""".stripMargin
+    },
+
+    // Comparator canary: dec0 is CAST AS BIGINT on purpose — DuckDB
+    // decimals fetch as float64, so the suite's contract is exact-int
+    // DECIMAL(38,0) == int64 (the equivalence the driver accepts).
+    "q344_dtype_canary" ->
+      """SELECT CAST(n_nationkey AS INT) AS i32,
+        |  CAST(n_nationkey AS BIGINT) AS i64,
+        |  CAST(n_nationkey AS BIGINT) AS dec0,
+        |  CAST(n_nationkey AS DOUBLE) / CAST(4 AS DOUBLE) AS dbl,
+        |  n_name AS s,
+        |  n_nationkey % 2 = 0 AS b,
+        |  DATE '2026-01-01' + CAST(n_nationkey AS INT) AS dt,
+        |  TIMESTAMP '2026-01-15 12:34:56'
+        |    + to_minutes(CAST(n_nationkey AS BIGINT)) AS ts,
+        |  CAST(NULL AS DOUBLE) AS z
+        |FROM nation WHERE n_nationkey < 5 ORDER BY i64""".stripMargin,
+  )
+}

@@ -1,0 +1,2030 @@
+package graft
+
+
+import graft.expectations.Expectations
+import graft.functions.{Bpe, Dedup, FrequentItems, Graph, LinearText, Multimodal, NaiveBayes, NgramLm, Quantize, QuantileSketch, Retrieval, Similarity, UnigramTokenizer, WordPiece, TextFunctions => TF}
+import graft.model.ModelDirectory
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.{t, dec, dsum}
+import SparkEntry._
+
+/** Query registry part 8 (q345-q393): r14 stats battery: ANOVA/agreement/survival/trend/coverage/paired.
+  * Split from the monolithic SparkEntry in r15 — pure relocation,
+  * identical entries; SparkEntry composes the eight parts.
+  */
+private[graft] object QueriesPart8 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- 345. one-way ANOVA F, oracle-pinned -----------------------------------------------------------------
+    // k-group mean comparison over deci-quantized event values (the
+    // family's classic: Welch is the 2-group face, Kruskal the rank
+    // face); exact per-group sufficient stats + the sorted-group fold.
+    "q345_anova" -> ((s, d) =>
+      graft.operators.StatTests.anovaF(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")),
+
+    // --- 346. Cramer's V association, oracle-pinned ----------------------------------------------------------
+    // event type x 6-hour band: is activity type associated with time of
+    // day? Exact margins + sorted-cell fold; V normalizes chi2 to [0,1].
+    "q346_cramers_v" -> ((s, d) =>
+      graft.operators.StatTests.cramersV(
+        t(s, d, "events").where(col("ts").isNotNull)
+          .select(col("event_type"),
+            floor(hour(col("ts")) / 6).cast("long").as("band")),
+        "event_type", "band")),
+
+    // --- 347. McNemar paired test, oracle-pinned -------------------------------------------------------------
+    // Per user: clicked-in-the-morning vs clicked-in-the-afternoon —
+    // paired binary, only discordant users carry signal.
+    "q347_mcnemar" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val perUser = e.groupBy(col("user_id"))
+        .agg((count(when(col("event_type") === "click" &&
+            hour(col("ts")) < 12, 1)) > 0).as("a"),
+          (count(when(col("event_type") === "click" &&
+            hour(col("ts")) >= 12, 1)) > 0).as("b"))
+      graft.operators.StatTests.mcnemar(perUser, "a", "b")
+    }),
+
+    // --- 348. Wald-Wolfowitz runs test, oracle-pinned --------------------------------------------------------
+    // Per event type, is the above/below-50 value sequence random in
+    // event-time order, or do high values cluster?
+    "q348_runs_test" -> ((s, d) =>
+      graft.operators.StatTests.runsTest(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            (col("value") >= 50.0).as("fl")),
+        "event_type", Seq("ts", "event_id"), "fl")
+        .orderBy("group")),
+
+    // --- 349. Mood's median test, oracle-pinned --------------------------------------------------------------
+    // Do the five event types share one median value? Pooled lower
+    // median pinned on the distinct-value cumsum, 2xk chi2 collapsed to
+    // the sorted-group fold.
+    "q349_mood_median" -> ((s, d) =>
+      graft.operators.StatTests.moodMedianTest(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")),
+
+    // --- 350. Cochran's Q, oracle-pinned ---------------------------------------------------------------------
+    // Per user x event type: "has >= 10 events of that type" — do the
+    // five types succeed for the same users? The user x type grid is
+    // built explicitly (absent cell = 0 events = false) so every block
+    // is complete by construction.
+    "q350_cochran_q" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      val cnts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val g = grid.join(cnts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          (coalesce(col("c"), lit(0L)) >= 10L).as("o"))
+      graft.operators.StatTests.cochranQ(g, "user_id", "event_type", "o")
+    }),
+
+    // --- 351. Friedman test, oracle-pinned -------------------------------------------------------------------
+    // Same grid, ordinal face: within-user ranks of the five per-type
+    // event counts — do the types rank consistently across users?
+    "q351_friedman" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      val cnts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val g = grid.join(cnts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("v"))
+      graft.operators.StatTests.friedman(g, "user_id", "event_type", "v")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("s2", col("s2").cast("long"))
+        .withColumn("denom", col("denom").cast("long"))
+    }),
+
+    // --- 352. Kendall's W concordance, oracle-pinned ---------------------------------------------------------
+    // Three synthetic integer scorers ranking every 20th document: W in
+    // [0,1] says how much the scorers agree on ordering.
+    "q352_kendall_w" -> ((s, d) => {
+      val it = t(s, d, "documents").where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val r1 = it.select(lit("r1").as("r"), col("doc_id").as("i"),
+        col("n_chars").as("v"))
+      val r2 = it.select(lit("r2").as("r"), col("doc_id").as("i"),
+        ((col("doc_id") * 7919) % 997).as("v"))
+      val r3 = it.select(lit("r3").as("r"), col("doc_id").as("i"),
+        ((col("doc_id") * 31 + col("n_chars")) % 512).as("v"))
+      graft.operators.StatTests.kendallW(
+        r1.unionByName(r2).unionByName(r3), "r", "i", "v")
+    }),
+
+    // --- 353. Krippendorff's alpha, oracle-pinned ------------------------------------------------------------
+    // The q343 rater panel with rater 2 MISSING on every third document —
+    // the ragged-panel agreement coefficient Fleiss' kappa cannot state.
+    "q353_krippendorff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r1 = docs.select(col("doc_id").as("u"), col("lang").as("c"))
+      val r2 = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("u"),
+          when(col("doc_id") % 5 === 0, lit("en")).otherwise(col("lang"))
+            .as("c"))
+      val r3 = docs.select(col("doc_id").as("u"),
+        when(col("doc_id") % 7 === 0, lit("de")).otherwise(col("lang"))
+          .as("c"))
+      graft.operators.StatTests.krippendorffAlpha(
+        r1.unionByName(r2).unionByName(r3), "u", "c")
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("d_o_q6", col("d_o_q6").cast("long"))
+    }),
+
+    // --- 354. Cronbach's alpha, oracle-pinned ----------------------------------------------------------------
+    // Treat the five per-type event counts as five items scoring each
+    // user: do they measure one "activity" trait?
+    "q354_cronbach" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      val cnts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val g = grid.join(cnts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("v"))
+      graft.operators.StatTests.cronbachAlpha(
+        g, "user_id", "event_type", "v")
+    }),
+
+    // --- 355. Cramer-von Mises two-sample, oracle-pinned -----------------------------------------------------
+    // q308's drift pair graded by the WHOLE curve, not just the largest
+    // gap — the everywhere-a-little drift KS misses.
+    "q355_cvm" -> ((s, d) =>
+      graft.operators.StatTests.cvmTwoSample(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 356. Jonckheere-Terpstra ordered trend, oracle-pinned -----------------------------------------------
+    // Do event values trend upward along the pinned type order? The
+    // doubled pairwise U sum is exact; the z uses the classic no-tie
+    // variance (documented approximation).
+    "q356_jonckheere" -> ((s, d) =>
+      graft.operators.StatTests.jonckheereTerpstra(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("jt2", col("jt2").cast("long"))),
+
+    // --- 357. Brown-Forsythe Levene, oracle-pinned -----------------------------------------------------------
+    // Do the five event types share one SPREAD? ANOVA F on |x - group
+    // median| with the per-group lower median pinned exactly.
+    "q357_levene_bf" -> ((s, d) =>
+      graft.operators.StatTests.leveneBrownForsythe(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")),
+
+    // --- 358. mutual information, oracle-pinned --------------------------------------------------------------
+    // Is document language predictable from source? MI + normalized MI
+    // with every cell term micro-quantized (the q316 device).
+    "q358_mutual_info" -> ((s, d) =>
+      graft.operators.StatTests.mutualInformation(
+        t(s, d, "documents").select(col("lang"), col("source")),
+        "lang", "source")),
+
+    // --- 359. Jensen-Shannon corpus divergence, oracle-pinned ------------------------------------------------
+    // How far apart are the en and de token distributions? Bounded
+    // symmetric drift in nats, per-term contributions on the 1e-12 grid.
+    "q359_jsd" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("lang").isin("en", "de") && col("text").isNotNull)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      graft.operators.StatTests.jensenShannon(toks, "lang", "term",
+        "en", "de")
+    }),
+
+    // --- 360. Brown double exponential smoothing, oracle-pinned ----------------------------------------------
+    // q310's EWMA upgraded with a trend term: dyadic alpha=1/2 keeps
+    // every lag term exact; latest-row level/trend/forecast per user.
+    "q360_brown_double" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value")).cast("long").as("v"))
+      val bd = graft.operators.Trend.brownDouble(
+        e, "user_id", Seq("ts", "event_id"), "v")
+      val w = Window.partitionBy("user_id")
+      bd.withColumn("__mx", max(col("rn")).over(w))
+        .where(col("rn") === col("__mx"))
+        .select(col("user_id"), col("rn").cast("long").as("n_events"),
+          col("level"), col("trend"), col("forecast"))
+        .orderBy("user_id")
+    }),
+
+    // --- 361. Haar wavelet energy decomposition, oracle-pinned -----------------------------------------------
+    // Which timescale carries each event type's variance? Unnormalized
+    // integer pyramid over the first 16 events; Parseval total pinned.
+    "q361_haar_energy" -> ((s, d) =>
+      graft.operators.Trend.haarEnergy(
+        t(s, d, "events").where(col("value").isNotNull &&
+          col("event_type").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value")).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
+    // --- 362. Theil-Sen robust slope, oracle-pinned ----------------------------------------------------------
+    // Value-vs-hour robust trend per event type over quantized cells —
+    // the slope one vandal point cannot bend.
+    "q362_theil_sen" -> ((s, d) =>
+      graft.operators.Trend.theilSen(
+        t(s, d, "events").where(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"),
+            hour(col("ts")).cast("long").as("x"),
+            floor(col("value") / 50).cast("long").as("y")),
+        "event_type", "x", "y")
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("n_pairs", col("n_pairs").cast("long"))
+        .orderBy("group")),
+
+    // --- 363. Kaplan-Meier survival, oracle-pinned -----------------------------------------------------------
+    // User lifetime (first-to-last event span in days) with right
+    // censoring: users still active near the window edge are censored,
+    // not churned — the readout naive averages get wrong.
+    "q363_kaplan_meier" -> ((s, d) => {
+      // time-to-first-big-purchase per user, right-censored at the
+      // user's last observed event when it never happens
+      val e = t(s, d, "events").where(col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      val pu = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase" &&
+            col("value") >= 150, unix_micros(col("ts")))).as("te"))
+      val g = pu.select(
+        concat(lit("c"), (col("user_id") % 3).cast("string")).as("cohort"),
+        floor((coalesce(col("te"), col("t1")) - col("t0")) /
+          lit(86400000000L)).cast("long").as("dur"),
+        col("te").isNotNull.as("ev"))
+      graft.functions.Survival.kaplanMeier(g, "cohort", "dur", "ev")
+        .orderBy("group", "t")
+    }),
+
+    // --- 364. Fano factor burstiness, oracle-pinned ----------------------------------------------------------
+    // Per event type: variance/mean of per-day counts — Poisson traffic
+    // sits at 1, bursts above, schedules below.
+    "q364_fano" -> ((s, d) =>
+      graft.operators.Trend.fanoFactor(
+        t(s, d, "events").where(col("ts").isNotNull &&
+          col("event_type").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day")),
+        "event_type", "day")
+        .orderBy("group")),
+
+    // --- 365. word2vec negative-sampling table, oracle-pinned ------------------------------------------------
+    // The f^(3/4)-smoothed unigram table: sqrt(f*sqrt(f)) keeps the
+    // power bit-identical cross-engine (pow() would not), the 1e6
+    // quantization makes the normalizer exact integers. Top 100.
+    "q365_neg_sampling" -> ((s, d) => {
+      val toks = t(s, d, "documents").where(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      graft.operators.Sampling.negativeSamplingTable(toks, "tok")
+        .orderBy(desc("wq"), col("token")).limit(100)
+    }),
+
+    // --- 366. Fellegi-Sunter linkage weights, oracle-pinned --------------------------------------------------
+    // Labeled pairs from a perturbed-duplicate construction (same-key =
+    // match, neighbor-key = unmatch); per-field agreement evidence in
+    // one pass over the pair table.
+    "q366_fellegi_sunter" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      val dup = c.select(col("k"),
+        when(col("k") % 10 === 0, lit("PERTURBED")).otherwise(col("seg"))
+          .as("seg2"),
+        when(col("k") % 7 === 0, col("nat") + 1).otherwise(col("nat"))
+          .as("nat2"))
+      val matched = c.join(dup, "k")
+        .select(lit(true).as("is_match"),
+          (col("seg") === col("seg2")).as("seg_agree"),
+          (col("nat") === col("nat2")).as("nat_agree"))
+      val unmatched = c.join(dup.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") + 1)
+        .select(lit(false).as("is_match"),
+          (col("seg") === col("seg2")).as("seg_agree"),
+          (col("nat") === col("nat2")).as("nat_agree"))
+      graft.functions.Linkage.fellegiSunterWeights(
+        matched.unionByName(unmatched), "is_match",
+        Seq("nat_agree", "seg_agree"))
+    }),
+
+    // --- 367. quantile normalization, oracle-pinned ----------------------------------------------------------
+    // Per-type event values mapped onto the pooled distribution — the
+    // batch-effect corrector; exact integer order statistics end to end.
+    "q367_quantile_norm" -> ((s, d) =>
+      graft.operators.Normalize.quantileNormalize(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 10).cast("long").as("v")),
+        "event_type", "event_id", "v")
+        .orderBy("group", "rank")),
+
+    // --- 368. MAD modified-z outliers, oracle-pinned ---------------------------------------------------------
+    // Deterministic spikes injected on every 509th event id; the
+    // Iglewicz-Hoaglin robust z flags exactly the spikes (a stddev
+    // gate would be inflated by its own outliers).
+    "q368_mad_outliers" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          (floor(col("value") * 10).cast("long") +
+            when(col("event_id") % 509 === 0, lit(50000L)).otherwise(lit(0L)))
+            .as("v"))
+      graft.operators.Normalize.madOutliers(e, "event_type", "event_id", "v")
+        .orderBy("group", "id")
+    }),
+
+    // --- 369. exact 2-feature PCA, oracle-pinned -------------------------------------------------------------
+    // Closed-form 2x2 covariance eigenvalues per event type over two
+    // correlated derived metrics; sqrt is IEEE-exact cross-engine.
+    "q369_pca2" -> ((s, d) =>
+      graft.operators.StatTests.pca2(
+        t(s, d, "events").where(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"),
+            floor(col("value")).cast("long").as("x"),
+            (floor(col("value") / 2).cast("long") +
+              hour(col("ts")).cast("long")).as("y")),
+        "event_type", "x", "y")
+        .orderBy("group")),
+
+    // --- 370. Boruvka minimum spanning forest, oracle-pinned -------------------------------------------------
+    // Binary tree on customer keys + strictly-heavier chord edges: by
+    // the cycle property the MST is exactly the tree, so the oracle is
+    // closed-form while the engine runs full distributed Boruvka
+    // (component min-edge selection + CC contraction per round).
+    "q370_boruvka_mst" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val tree = c.where(col("k") >= 2)
+        .select(col("k").as("s"),
+          floor(col("k") / 2).cast("long").as("d"),
+          (lit(1000L) + col("k")).as("w"))
+      val extra = c.where(col("k") >= 3)
+        .select(col("k").as("s"),
+          floor(col("k") / 3).cast("long").as("d"),
+          (lit(10000000L) + col("k")).as("w"))
+      graft.functions.Graph.boruvkaMst(
+        tree.unionByName(extra), "s", "d", "w")
+        .orderBy("lo", "hi")
+    }),
+
+    // --- 371. multi-source BFS hop distances, oracle-pinned --------------------------------------------------
+    // Ring + chord graph on customer keys, seeds every 97th key, 6-hop
+    // horizon; the oracle replays the BFS as a bounded recursive CTE
+    // with MIN(hop) per node.
+    "q371_multi_source_bfs" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val m = c.agg((max(col("k")) + 1L).as("mm"))
+      val cm = c.crossJoin(broadcast(m))
+      val e = cm.select(col("k").as("s"), ((col("k") + 1) % col("mm")).as("d"))
+        .unionByName(cm.select(col("k").as("s"),
+          ((col("k") * 7 + 3) % col("mm")).as("d")))
+      val seeds = c.where(col("k") % 97 === 0)
+      graft.functions.Graph.multiSourceBfs(e, "s", "d", seeds, "k",
+        maxHops = 6).orderBy("node")
+    }),
+
+    // --- 372. bounded-gap followed-by counts, oracle-pinned --------------------------------------------------
+    // "A then B within 3 events" per user — the PrefixSpan workhorse
+    // special case under funnels; one window pass, label-pair shuffle.
+    "q372_followed_by" -> ((s, d) =>
+      graft.operators.Sequences.followedByCounts(
+        t(s, d, "events").where(col("ts").isNotNull),
+        "user_id", Seq("ts", "event_id"), "event_type", maxGap = 3)
+        .orderBy("a", "b")),
+
+    // --- 373. Cochran-Armitage trend, oracle-pinned ----------------------------------------------------------
+    // Does the purchase rate trend across the four 6-hour bands? The
+    // binary-outcome sibling of q356's Jonckheere.
+    "q373_cochran_armitage" -> ((s, d) =>
+      graft.operators.StatTests.cochranArmitage(
+        t(s, d, "events").where(col("ts").isNotNull &&
+          col("event_type").isNotNull)
+          .select(concat(lit("h"),
+            floor(hour(col("ts")) / 6).cast("long").cast("string")).as("band"),
+            (col("event_type") === "purchase").as("o")),
+        "band", "o", Seq("h0", "h1", "h2", "h3"))
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("num", col("num").cast("long"))),
+
+    // --- 374. Cohen's d / Hedges' g, oracle-pinned -----------------------------------------------------------
+    // Effect SIZE for the q331 Welch pair — at 100 TB everything is
+    // significant; d says whether anyone should care.
+    "q374_cohens_d" -> ((s, d) =>
+      graft.operators.EffectSizes.cohensD(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 375. Cliff's delta, oracle-pinned -------------------------------------------------------------------
+    // The ordinal effect size from the exact doubled Mann-Whitney U —
+    // no variance assumption at all.
+    "q375_cliffs_delta" -> ((s, d) =>
+      graft.operators.EffectSizes.cliffsDelta(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 376. odds ratio + relative risk, oracle-pinned ------------------------------------------------------
+    // Morning exposure vs purchase outcome: the 2x2 effect readout with
+    // the log-normal 95% CI.
+    "q376_odds_ratio" -> ((s, d) =>
+      graft.operators.EffectSizes.oddsRatio(
+        t(s, d, "events").where(col("ts").isNotNull &&
+          col("event_type").isNotNull)
+          .select((hour(col("ts")) < 12).as("e"),
+            (col("event_type") === "purchase").as("o")),
+        "e", "o")),
+
+    // --- 377. pairwise audience overlap, oracle-pinned -------------------------------------------------------
+    // Which event types share users? Exact Jaccard per type pair via
+    // one postings-style self-join on user id.
+    "q377_audience_overlap" -> ((s, d) =>
+      graft.functions.Coverage.audienceOverlap(
+        t(s, d, "events").where(col("user_id").isNotNull),
+        "event_type", "user_id")
+        .orderBy("g_a", "g_b")),
+
+    // --- 378. Lorenz curve deciles, oracle-pinned ------------------------------------------------------------
+    // The full concentration profile behind q315's Gini: per return
+    // flag, which decile of line items carries the quantity?
+    "q378_lorenz" -> ((s, d) =>
+      graft.operators.StatTests.lorenzCurve(
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("q")),
+        "l_returnflag", "q")
+        .orderBy("group", "p")),
+
+    // --- 379. capture-recapture dedup coverage, oracle-pinned ------------------------------------------------
+    // Two independent md5-bucket "detectors" over documents; Chapman's
+    // estimator recovers the population size they sample from — the
+    // device that estimates what a dedup pass MISSES.
+    "q379_capture_recapture" -> ((s, d) =>
+      graft.functions.Coverage.capturerecapture(
+        t(s, d, "documents").select(
+          (md5Bucket(col("doc_id")) < 40).as("a"),
+          (md5Bucket(col("doc_id") + 7777) < 40).as("b")),
+        "a", "b")),
+
+    // --- 380. Chao1 richness over word trigrams, oracle-pinned -----------------------------------------------
+    // How many trigram types exist INCLUDING the unseen tail — the
+    // corpus-growth planning number (the unigram vocab is closed at
+    // this corpus size; trigrams still have a live singleton frontier).
+    "q380_chao1" -> ((s, d) =>
+      graft.functions.Coverage.chao1(
+        trigramShingles(t(s, d, "documents")), "tok")),
+
+    // --- 381. Good-Turing adjusted counts, oracle-pinned -----------------------------------------------------
+    // r* = (r+1) N_{r+1}/N_r over the trigram count-of-counts ladder —
+    // the smoothing behind every serious rare-event frequency estimate.
+    "q381_good_turing" -> ((s, d) =>
+      graft.functions.Coverage.goodTuring(
+        trigramShingles(t(s, d, "documents")), "tok", maxR = 10)),
+
+    // --- 382. Wasserstein-1 drift distance, oracle-pinned ----------------------------------------------------
+    // The drift measure with UNITS: q308's pair again, but the answer
+    // is "values shifted by W1 deci-units", not a unitless statistic.
+    "q382_wasserstein" -> ((s, d) =>
+      graft.operators.StatTests.wassersteinOne(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 383. Bhattacharyya / Hellinger, oracle-pinned -------------------------------------------------------
+    // Geometric vocabulary overlap between the en and de slices — the
+    // proper-metric companion to q359's JSD.
+    "q383_bhattacharyya" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("lang").isin("en", "de") && col("text").isNotNull)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      graft.operators.StatTests.bhattacharyya(toks, "lang", "term",
+        "en", "de")
+    }),
+
+    // --- 384. smoothed KL divergence both ways, oracle-pinned ------------------------------------------------
+    // The asymmetric drift JSD symmetrizes away: KL(en||de) and
+    // KL(de||en) answer different deployment questions.
+    "q384_kl_divergence" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("lang").isin("en", "de") && col("text").isNotNull)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      graft.operators.StatTests.klDivergence(toks, "lang", "term",
+        "en", "de")
+    }),
+
+    // --- 385. Jarque-Bera normality, oracle-pinned -----------------------------------------------------------
+    // The moment-based gate before any normality-assuming test: exact
+    // power sums S1..S4 in DECIMAL, the standard raw-to-central chain.
+    "q385_jarque_bera" -> ((s, d) =>
+      graft.operators.Robust.jarqueBera(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")
+        .orderBy("group")),
+
+    // --- 386. rank-agreement distances, oracle-pinned --------------------------------------------------------
+    // Do q352's two scorers order documents the same way? Exact footrule
+    // and Kendall distance with their normalized forms (top-k contract).
+    "q386_rank_distance" -> ((s, d) =>
+      graft.operators.Robust.rankDistance(
+        t(s, d, "documents").where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("id"), col("n_chars").as("s1"),
+            ((col("doc_id") * 7919) % 997).as("s2")),
+        "id", "s1", "s2")),
+
+    // --- 387. rank-biased overlap at k, oracle-pinned --------------------------------------------------------
+    // The top-weighted ranking similarity (p = 1/2 dyadic-exact): the
+    // top of the list matters most, unlike footrule/Kendall.
+    "q387_rbo" -> ((s, d) =>
+      graft.operators.Robust.rboAtK(
+        t(s, d, "documents").where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("id"), col("n_chars").as("s1"),
+            ((col("doc_id") * 7919) % 997).as("s2")),
+        "id", "s1", "s2", k = 20)),
+
+    // --- 388. trimmed + winsorized means, oracle-pinned ------------------------------------------------------
+    // The location estimates that survive tails; exact order statistics
+    // and integer sums, one division each.
+    "q388_trimmed_mean" -> ((s, d) =>
+      graft.operators.Robust.trimmedMean(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", trim = 0.1)
+        .orderBy("group")),
+
+    // --- 389. Page's L ordered trend, oracle-pinned ----------------------------------------------------------
+    // Do the five per-type counts INCREASE along the pinned order
+    // within users? The within-block sibling of q356's Jonckheere.
+    "q389_page_l" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      val cnts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val g = grid.join(cnts, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("v"))
+      graft.operators.StatTests.pageL(g, "user_id", "event_type", "v",
+        Seq("click", "error", "purchase", "signup", "view"))
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("l2", col("l2").cast("long"))
+    }),
+
+    // --- 390. Mann-Kendall monotonic trend, oracle-pinned ----------------------------------------------------
+    // Is each event type's daily volume creeping up or down? The
+    // assumption-free time-series trend test over the daily grain.
+    "q390_mann_kendall" -> ((s, d) => {
+      val daily = t(s, d, "events").where(col("ts").isNotNull &&
+        col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2020-01-01").cast("date"))
+            .cast("long").as("t"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Trend.mannKendall(daily, "event_type", "t", "v")
+        .orderBy("group")
+    }),
+
+    // --- 391. Tukey fences boxplot census, oracle-pinned -----------------------------------------------------
+    // The profile number every dashboard quotes: exact type-1 quartiles,
+    // 1.5*IQR fences, outlier counts per event type.
+    "q391_tukey_fences" -> ((s, d) =>
+      graft.operators.Robust.tukeyFences(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")
+        .orderBy("group")),
+
+    // --- 392. Wilcoxon signed-rank, oracle-pinned ------------------------------------------------------------
+    // Paired per user: first-half vs second-half activity counts — did
+    // activity shift WITHIN users? The rank replacement for the paired
+    // t-test, exact via doubled midranks over |d|.
+    "q392_wilcoxon" -> ((s, d) => {
+      graft.operators.StatTests.wilcoxonSignedRank(
+        pairedHalfCounts(t(s, d, "events")), "x", "y")
+        // sf-bounded exact int: pin int64 on both engines
+        .withColumn("w2_plus", col("w2_plus").cast("long"))
+    }),
+
+    // --- 393. sign test, oracle-pinned -----------------------------------------------------------------------
+    // The assumption-free paired readout on the same pairs — only the
+    // sign of each within-user shift matters.
+    "q393_sign_test" -> ((s, d) =>
+      graft.operators.StatTests.signTest(
+        pairedHalfCounts(t(s, d, "events")), "x", "y")),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // ANOVA: exact (n,S,Q) per group, the q332 sorted-group list_reduce
+    // fold for R = sum S^2/n, one F expression over unrounded SSB/SSW.
+    "q345_anova" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val kD = "CAST(k AS DOUBLE)"
+      val ssb = s"(r - s * s / $nD)"
+      val ssw = "(q - r)"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pg AS (SELECT g, count(*) AS n_g, sum(v) AS s_g,
+         |         sum(v * v) AS q_g FROM e GROUP BY 1),
+         |terms AS (SELECT g, n_g, s_g, q_g,
+         |    CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+         |      AS term
+         |  FROM pg),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(s_g) AS DOUBLE) AS s, CAST(sum(q_g) AS DOUBLE) AS q,
+         |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS r
+         |  FROM terms)
+         |SELECT n, k,
+         |  ROUND($ssb, 7) AS ss_between,
+         |  ROUND($ssw, 7) AS ss_within,
+         |  ROUND(CASE WHEN k >= 2 AND n > k AND $ssw > 0 THEN
+         |    ($ssb / ($kD - CAST(1 AS DOUBLE)))
+         |      / ($ssw / ($nD - $kD)) END, 7) AS f
+         |FROM agg""".stripMargin
+    },
+
+    // Cramer's V: exact margins, sorted-cell fold of o^2/(rt*ct), the
+    // no-expected-subtraction chi2 identity, one sqrt.
+    "q346_cramers_v" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val chi2 = s"($nD * (s - CAST(1 AS DOUBLE)))"
+      s"""WITH e AS (
+         |  SELECT event_type AS x, CAST(hour(ts) // 6 AS VARCHAR) AS y
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         |cells AS (SELECT x, y, count(*) AS o FROM e GROUP BY 1, 2),
+         |rt AS (SELECT x, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+         |ct AS (SELECT y, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+         |terms AS (SELECT c.x, c.y, c.o,
+         |    CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE)
+         |      / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)) AS term
+         |  FROM cells c JOIN rt USING (x) JOIN ct USING (y)),
+         |agg AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    list_reduce(list(term ORDER BY x, y), (a, b) -> a + b) AS s
+         |  FROM terms),
+         |rr AS (SELECT count(*) AS r FROM rt),
+         |cc AS (SELECT count(*) AS c FROM ct)
+         |SELECT n, r, c,
+         |  ROUND($chi2, 7) AS chi2,
+         |  ROUND(CASE WHEN LEAST(r, c) > 1 THEN
+         |    sqrt(GREATEST($chi2, CAST(0 AS DOUBLE))
+         |      / ($nD * (CAST(LEAST(r, c) AS DOUBLE) - CAST(1 AS DOUBLE))))
+         |    END, 7) AS v
+         |FROM agg, rr, cc""".stripMargin
+    },
+
+    // McNemar: exact discordant counts over the per-user paired bools.
+    "q347_mcnemar" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'click' AND hour(ts) < 12
+        |               THEN 1 END) > 0 AS a,
+        |    count(CASE WHEN event_type = 'click' AND hour(ts) >= 12
+        |               THEN 1 END) > 0 AS b
+        |  FROM events GROUP BY 1),
+        |agg AS (SELECT count(*) AS n,
+        |    count(CASE WHEN a AND NOT b THEN 1 END) AS b_disc,
+        |    count(CASE WHEN NOT a AND b THEN 1 END) AS c_disc
+        |  FROM u)
+        |SELECT n, b_disc, c_disc,
+        |  ROUND(CASE WHEN b_disc + c_disc > 0 THEN
+        |    CAST(b_disc - c_disc AS DOUBLE) * CAST(b_disc - c_disc AS DOUBLE)
+        |      / CAST(b_disc + c_disc AS DOUBLE) END, 7) AS chi2,
+        |  ROUND(CASE WHEN b_disc + c_disc > 0 THEN
+        |    GREATEST(abs(CAST(b_disc - c_disc AS DOUBLE)) - CAST(1 AS DOUBLE),
+        |             CAST(0 AS DOUBLE))
+        |    * GREATEST(abs(CAST(b_disc - c_disc AS DOUBLE)) - CAST(1 AS DOUBLE),
+        |               CAST(0 AS DOUBLE))
+        |    / CAST(b_disc + c_disc AS DOUBLE) END, 7) AS chi2_cc
+        |FROM agg""".stripMargin,
+
+    // Runs test: change-flag window in event-time order, exact census,
+    // one z expression.
+    "q348_runs_test" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val p2 = s"(CAST(2 AS DOUBLE) * CAST(n_true AS DOUBLE) " +
+        s"* CAST(n_false AS DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id, value >= 50 AS fl
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT g, fl,
+         |    CASE WHEN lag(fl) OVER w IS NULL THEN 1
+         |         WHEN fl <> lag(fl) OVER w THEN 1 ELSE 0 END AS chg
+         |  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+         |agg AS (SELECT g AS "group", count(*) AS n,
+         |    count(CASE WHEN fl THEN 1 END) AS n_true,
+         |    count(CASE WHEN NOT fl THEN 1 END) AS n_false,
+         |    CAST(sum(chg) AS BIGINT) AS runs
+         |  FROM r GROUP BY 1)
+         |SELECT "group", n, n_true, n_false, runs,
+         |  ROUND(CASE WHEN n_true > 0 AND n_false > 0 AND n >= 2 THEN
+         |    (CAST(runs AS DOUBLE) - ($p2 / $nD + CAST(1 AS DOUBLE)))
+         |      / sqrt($p2 * ($p2 - $nD) / ($nD * $nD * ($nD - CAST(1 AS DOUBLE))))
+         |    END, 7) AS z
+         |FROM agg ORDER BY "group"""".stripMargin
+    },
+
+    // Mood's median: lower pooled median on the distinct-value cumsum,
+    // D_j = a_j*N - n_j*A in HUGEINT (exact like Spark's DECIMAL), the
+    // sorted-group fold, divide by A*B last.
+    "q349_mood_median" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pv AS (SELECT v, count(*) AS t FROM e GROUP BY 1),
+        |cum AS (SELECT v, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS cumt FROM pv),
+        |tot AS (SELECT sum(t) AS n_all FROM pv),
+        |med AS (SELECT min(v) AS m FROM cum, tot WHERE 2 * cumt >= n_all),
+        |pg AS (SELECT g, count(*) AS n_g,
+        |         count(CASE WHEN v <= m THEN 1 END) AS a_g
+        |       FROM e, med GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |         CAST(sum(a_g) AS BIGINT) AS a FROM pg),
+        |terms AS (SELECT g,
+        |    CAST(CAST(a_g * n - n_g * a AS HUGEINT)
+        |         * CAST(a_g * n - n_g * a AS HUGEINT) AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE) AS term
+        |  FROM pg, tt),
+        |agg AS (SELECT count(*) AS k,
+        |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS s
+        |  FROM terms)
+        |SELECT n, k, m AS median,
+        |  ROUND(CASE WHEN a > 0 AND n - a > 0 THEN
+        |    s / (CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE)) END, 7) AS chi2
+        |FROM agg, tt, med""".stripMargin,
+
+    // Cochran's Q over the explicit user x type grid: all-integer
+    // numerator/denominator, one division.
+    "q350_cochran_q" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |ty AS (SELECT DISTINCT event_type FROM events
+        |       WHERE event_type IS NOT NULL),
+        |c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, ty.event_type, COALESCE(c.c, 0) >= 10 AS o
+        |      FROM u CROSS JOIN ty
+        |      LEFT JOIN c USING (user_id, event_type)),
+        |rt AS (SELECT user_id, count(CASE WHEN o THEN 1 END) AS r
+        |       FROM g GROUP BY 1),
+        |rws AS (SELECT count(*) AS n_blocks, CAST(sum(r) AS BIGINT) AS t,
+        |          CAST(sum(r * r) AS BIGINT) AS r2 FROM rt),
+        |ct AS (SELECT event_type, count(CASE WHEN o THEN 1 END) AS c
+        |       FROM g GROUP BY 1),
+        |kk AS (SELECT count(*) AS k FROM ty),
+        |n1 AS (SELECT CAST(sum((k * c - t) * (k * c - t)) AS BIGINT) AS num
+        |       FROM ct, rws, kk)
+        |SELECT n_blocks, k, t,
+        |  ROUND(CASE WHEN k * t - r2 > 0 THEN
+        |    (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE)) * CAST(num AS DOUBLE)
+        |      / (CAST(k AS DOUBLE)
+        |         * (CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+        |            - CAST(r2 AS DOUBLE)))
+        |    END, 7) AS q
+        |FROM rws, kk, n1""".stripMargin,
+
+    // Friedman: within-user doubled midranks, the all-integer Conover
+    // form (multiplied through by 4).
+    "q351_friedman" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |ty AS (SELECT DISTINCT event_type FROM events
+        |       WHERE event_type IS NOT NULL),
+        |c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, ty.event_type, COALESCE(c.c, 0) AS v
+        |      FROM u CROSS JOIN ty
+        |      LEFT JOIN c USING (user_id, event_type)),
+        |pv AS (SELECT user_id, v, count(*) AS t FROM g GROUP BY 1, 2),
+        |mids AS (SELECT user_id, v,
+        |    2 * sum(t) OVER (PARTITION BY user_id ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) - t + 1 AS mid2
+        |  FROM pv),
+        |r AS (SELECT g.user_id, g.event_type, mid2
+        |      FROM g JOIN mids USING (user_id, v)),
+        |a4 AS (SELECT CAST(sum(mid2 * mid2) AS BIGINT) AS a4 FROM r),
+        |pt AS (SELECT event_type, CAST(sum(mid2) AS BIGINT) AS r2
+        |       FROM r GROUP BY 1),
+        |nb AS (SELECT count(*) AS n FROM u),
+        |kk AS (SELECT count(*) AS k FROM ty),
+        |s2 AS (SELECT CAST(sum((r2 - n * (k + 1)) * (r2 - n * (k + 1)))
+        |         AS BIGINT) AS s2 FROM pt, nb, kk)
+        |SELECT n AS n_blocks, k, s2,
+        |  a4 - n * k * (k + 1) * (k + 1) AS denom,
+        |  ROUND(CASE WHEN a4 - n * k * (k + 1) * (k + 1) > 0 THEN
+        |    (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE)) * CAST(s2 AS DOUBLE)
+        |      / CAST(a4 - n * k * (k + 1) * (k + 1) AS DOUBLE)
+        |    END, 7) AS q
+        |FROM nb, kk, a4, s2""".stripMargin,
+
+    // Kendall's W: per-rater doubled midranks, tie-corrected all-integer
+    // denominator.
+    "q352_kendall_w" ->
+      """WITH it AS (SELECT doc_id, n_chars FROM documents
+        |            WHERE doc_id % 20 = 0),
+        |r AS (SELECT 'r1' AS r, doc_id AS i, n_chars AS v FROM it
+        |  UNION ALL SELECT 'r2', doc_id, (doc_id * 7919) % 997 FROM it
+        |  UNION ALL SELECT 'r3', doc_id, (doc_id * 31 + n_chars) % 512
+        |    FROM it),
+        |pv AS (SELECT r, v, count(*) AS t FROM r GROUP BY 1, 2),
+        |mids AS (SELECT r, v,
+        |    2 * sum(t) OVER (PARTITION BY r ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) - t + 1 AS mid2
+        |  FROM pv),
+        |rk AS (SELECT r.r, r.i, mid2 FROM r JOIN mids USING (r, v)),
+        |pi AS (SELECT i, CAST(sum(mid2) AS BIGINT) AS r2
+        |       FROM rk GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM it),
+        |tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM pv),
+        |s2 AS (SELECT CAST(sum((r2 - 3 * (n + 1)) * (r2 - 3 * (n + 1)))
+        |         AS BIGINT) AS s2 FROM pi, nn)
+        |SELECT n AS n_items, CAST(3 AS BIGINT) AS m_raters,
+        |  ROUND(CASE WHEN 9 * (n * n * n - n) - 3 * tt > 0 THEN
+        |    CAST(3 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(9 * (n * n * n - n) - 3 * tt AS DOUBLE)
+        |    END, 7) AS w
+        |FROM nn, tt, s2""".stripMargin,
+
+    // Krippendorff: exact integer disagreement pairs, per-item division
+    // micro-quantized as INTEGER division by (mu-1) — `//` truncates =
+    // floor for nonnegative, matching the engine's subtract-mod floor.
+    "q353_krippendorff" ->
+      """WITH rat AS (
+        |  SELECT doc_id AS u, lang AS c FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'de' ELSE lang END
+        |  FROM documents),
+        |cells AS (SELECT u, c, count(*) AS nuc FROM rat GROUP BY 1, 2),
+        |pi AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS mu,
+        |         CAST(sum(nuc * nuc) AS BIGINT) AS sq
+        |       FROM cells GROUP BY 1),
+        |inc AS (SELECT * FROM pi WHERE mu >= 2),
+        |items AS (SELECT u, mu,
+        |    ((mu * mu - sq) * 1000000) // (mu - 1) AS qu FROM inc),
+        |obs AS (SELECT count(*) AS n_items,
+        |    CAST(sum(mu) AS BIGINT) AS n_ratings,
+        |    CAST(sum(qu) AS BIGINT) AS d_o_q6 FROM items),
+        |marg AS (SELECT c, CAST(sum(nuc) AS BIGINT) AS nc
+        |         FROM cells JOIN inc USING (u) GROUP BY c),
+        |ex AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS nc2 FROM marg)
+        |SELECT n_items, n_ratings, d_o_q6,
+        |  ROUND(CASE WHEN CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |      - CAST(nc2 AS DOUBLE) > 0 THEN
+        |    CAST(1 AS DOUBLE)
+        |      - CAST(d_o_q6 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |        * (CAST(n_ratings AS DOUBLE) - CAST(1 AS DOUBLE))
+        |        / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |           - CAST(nc2 AS DOUBLE))
+        |    END, 7) AS alpha
+        |FROM obs, ex""".stripMargin,
+
+    // Cronbach: the shared n(n-1) variance denominators cancel, so both
+    // variance sums are exact integers; one division.
+    "q354_cronbach" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |ty AS (SELECT DISTINCT event_type FROM events
+        |       WHERE event_type IS NOT NULL),
+        |c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, ty.event_type, COALESCE(c.c, 0) AS v
+        |      FROM u CROSS JOIN ty
+        |      LEFT JOIN c USING (user_id, event_type)),
+        |pi AS (SELECT event_type, CAST(sum(v) AS BIGINT) AS si,
+        |         CAST(sum(v * v) AS BIGINT) AS qi FROM g GROUP BY 1),
+        |ia AS (SELECT CAST(sum(qi) AS BIGINT) AS qall,
+        |         CAST(sum(si * si) AS BIGINT) AS ssum2 FROM pi),
+        |ps AS (SELECT user_id, CAST(sum(v) AS BIGINT) AS tsu
+        |       FROM g GROUP BY 1),
+        |sa AS (SELECT count(*) AS n, CAST(sum(tsu * tsu) AS BIGINT) AS qt,
+        |         CAST(sum(tsu) AS BIGINT) AS st FROM ps),
+        |kk AS (SELECT count(*) AS k FROM ty)
+        |SELECT n AS n_subjects, k,
+        |  ROUND(CASE WHEN n >= 2 AND k >= 2
+        |      AND CAST(n * qt - st * st AS DOUBLE) > 0 THEN
+        |    CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE))
+        |      * (CAST(1 AS DOUBLE)
+        |         - CAST(n * qall - ssum2 AS DOUBLE)
+        |           / CAST(n * qt - st * st AS DOUBLE))
+        |    END, 7) AS alpha
+        |FROM sa, kk, ia""".stripMargin,
+
+    // CvM: the KS cross-multiplied integer ECDF device, whole-curve
+    // weighted sum in HUGEINT (exact like Spark's DECIMAL), one division.
+    "q355_cvm" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
+        |         count(*) FILTER (g = 'purchase') AS cb
+        |       FROM slim GROUP BY 1),
+        |cum AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |u AS (SELECT sum(CAST(ca + cb AS HUGEINT)
+        |        * (CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+        |        * (CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
+        |        AS u
+        |      FROM cum, tot)
+        |SELECT n_a, n_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(u AS DOUBLE)
+        |      / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |         * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    END, 7) AS t
+        |FROM u, tot""".stripMargin,
+
+    // Jonckheere-Terpstra: the full value x group spine cumsum, the
+    // doubled pairwise contribution, no-tie variance z.
+    "q356_jonckheere" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val mu2 = s"(CAST(n AS HUGEINT) * n - n2)"
+      val variance = s"($nD * $nD * (CAST(2 AS DOUBLE) * $nD + CAST(3 AS DOUBLE))" +
+        s" - CAST(v2 AS DOUBLE)) / CAST(72 AS DOUBLE)"
+      s"""WITH slim AS (
+         |  SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+         |           WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+         |           WHEN 'view' THEN 4 END AS gi,
+         |    CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events
+         |  WHERE event_type IN ('click','error','purchase','signup','view')
+         |    AND value IS NOT NULL),
+         |sp AS (SELECT v, gi FROM (SELECT DISTINCT v FROM slim)
+         |       CROSS JOIN (SELECT DISTINCT gi FROM slim)),
+         |pv AS (SELECT gi, v, count(*) AS c0 FROM slim GROUP BY 1, 2),
+         |f AS (SELECT sp.gi, sp.v, COALESCE(c0, 0) AS c
+         |      FROM sp LEFT JOIN pv USING (gi, v)),
+         |cums AS (SELECT gi, v, c,
+         |    sum(c) OVER (PARTITION BY gi ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      AS cum
+         |  FROM f),
+         |ll AS (SELECT gi AS i, v, c AS ci, cum - c AS lti FROM cums),
+         |hh AS (SELECT gi AS j, v, c AS cj FROM cums),
+         |jt AS (SELECT CAST(sum(cj * (2 * lti + ci)) AS BIGINT) AS jt2
+         |       FROM ll JOIN hh USING (v) WHERE i < j),
+         |sz AS (SELECT gi, count(*) AS n_g FROM slim GROUP BY 1),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(n_g * n_g) AS BIGINT) AS n2,
+         |    CAST(sum(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS v2
+         |  FROM sz)
+         |SELECT n, k, jt2,
+         |  ROUND(CASE WHEN $variance > 0 THEN
+         |    (CAST(jt2 AS DOUBLE) / CAST(2 AS DOUBLE)
+         |     - CAST($mu2 AS DOUBLE) / CAST(2 AS DOUBLE) / CAST(2 AS DOUBLE))
+         |      / sqrt($variance)
+         |    END, 7) AS z
+         |FROM agg, jt""".stripMargin
+    },
+
+    // Brown-Forsythe: per-group pinned lower median, |x - m| devs, then
+    // the q345 ANOVA replay on the deviations.
+    "q357_levene_bf" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val kD = "CAST(k AS DOUBLE)"
+      val ssb = s"(r - s * s / $nD)"
+      val ssw = "(q - r)"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pv AS (SELECT g, v, count(*) AS t FROM e GROUP BY 1, 2),
+         |cum AS (SELECT g, v,
+         |    sum(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      AS cumt
+         |  FROM pv),
+         |sz AS (SELECT g, count(*) AS n_g FROM e GROUP BY 1),
+         |med AS (SELECT g, min(v) AS m FROM cum JOIN sz USING (g)
+         |        WHERE 2 * cumt >= n_g GROUP BY g),
+         |dev AS (SELECT e.g, abs(v - m) AS dv FROM e JOIN med USING (g)),
+         |pg AS (SELECT g, count(*) AS n_g, sum(dv) AS s_g,
+         |         sum(dv * dv) AS q_g FROM dev GROUP BY 1),
+         |terms AS (SELECT g, n_g, s_g, q_g,
+         |    CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+         |      AS term
+         |  FROM pg),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(s_g) AS DOUBLE) AS s, CAST(sum(q_g) AS DOUBLE) AS q,
+         |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS r
+         |  FROM terms)
+         |SELECT n, k,
+         |  ROUND($ssb, 7) AS ss_between,
+         |  ROUND($ssw, 7) AS ss_within,
+         |  ROUND(CASE WHEN k >= 2 AND n > k AND $ssw > 0 THEN
+         |    ($ssb / ($kD - CAST(1 AS DOUBLE)))
+         |      / ($ssw / ($nD - $kD)) END, 7) AS f
+         |FROM agg""".stripMargin
+    },
+
+    // MI: micro-quantized per-cell terms (floor(c*ln(cN/(rs))*1e6)),
+    // the same device for both margin entropies, one division each.
+    "q358_mutual_info" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val mi = s"(CAST(qsum AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      val hx = s"(ln($nD) - CAST(hr AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      val hy = s"(ln($nD) - CAST(hs AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      s"""WITH e AS (
+         |  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+         |cells AS (SELECT x, y, count(*) AS c FROM e GROUP BY 1, 2),
+         |rm AS (SELECT x, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+         |sm AS (SELECT y, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         |qq AS (SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+         |        * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+         |             / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+         |        * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qsum,
+         |    count(*) AS cells
+         |  FROM cells JOIN rm USING (x) JOIN sm USING (y), tot),
+         |hxq AS (SELECT CAST(sum(CAST(floor(CAST(r AS DOUBLE)
+         |          * ln(CAST(r AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         |          AS BIGINT)) AS BIGINT) AS hr FROM rm),
+         |hyq AS (SELECT CAST(sum(CAST(floor(CAST(s AS DOUBLE)
+         |          * ln(CAST(s AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         |          AS BIGINT)) AS BIGINT) AS hs FROM sm)
+         |SELECT n, cells,
+         |  ROUND($mi, 7) AS mi,
+         |  ROUND(CASE WHEN $hx > 0 AND $hy > 0 THEN
+         |    $mi / sqrt($hx * $hy) END, 7) AS nmi
+         |FROM qq, tot, hxq, hyq""".stripMargin
+    },
+
+    // JSD: per-term contributions on the 1e-12 grid (floor exact both
+    // signs), zero-count sides contribute 0.
+    "q359_jsd" -> {
+      val p = "(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))"
+      val q = "(CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))"
+      val m = s"(($p + $q) / CAST(2 AS DOUBLE))"
+      s"""WITH toks AS (
+         |  SELECT lang AS g,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL),
+         |tk AS (SELECT g, term FROM toks WHERE term <> ''),
+         |pt AS (SELECT term, count(*) FILTER (g = 'en') AS ca,
+         |         count(*) FILTER (g = 'de') AS cb
+         |       FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |          CAST(sum(cb) AS BIGINT) AS tb FROM pt),
+         |qs AS (SELECT CAST(sum(CAST(floor(
+         |      (CASE WHEN ca > 0 THEN $p * ln($p / $m)
+         |            ELSE CAST(0 AS DOUBLE) END
+         |       + CASE WHEN cb > 0 THEN $q * ln($q / $m)
+         |              ELSE CAST(0 AS DOUBLE) END)
+         |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qsum,
+         |    count(*) AS n_terms
+         |  FROM pt, tot)
+         |SELECT n_terms, ta AS a_total, tb AS b_total,
+         |  ROUND(CAST(qsum AS DOUBLE) / CAST(1000000000000 AS DOUBLE)
+         |    / CAST(2 AS DOUBLE), 7) AS jsd
+         |FROM qs, tot""".stripMargin
+    },
+
+    // Brown double smoothing: the q310 lag replay with BOTH truncated
+    // dyadic sums in the identical left-associated order.
+    "q360_brown_double" -> {
+      val s1 = (0 until 20).map(i =>
+        s"CAST(coalesce(lag(v, $i) OVER w, 0) AS DOUBLE) / CAST(${1L << (i + 1)} AS DOUBLE)")
+        .mkString("\n        + ")
+      val s2 = (0 until 20).map(i =>
+        s"CAST(coalesce(lag(v, $i) OVER w, 0) AS DOUBLE) * CAST(${i + 1} AS DOUBLE) / CAST(${1L << (i + 2)} AS DOUBLE)")
+        .mkString("\n        + ")
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |d AS (
+         |  SELECT user_id,
+         |    $s1 AS s1,
+         |    $s2 AS s2,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS mx
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, rn AS n_events,
+         |  CAST(2 AS DOUBLE) * s1 - s2 AS level,
+         |  s1 - s2 AS trend,
+         |  (CAST(2 AS DOUBLE) * s1 - s2) + (s1 - s2) AS forecast
+         |FROM d WHERE rn = mx ORDER BY user_id""".stripMargin
+    },
+
+    // Haar energies: the identical integer pyramid generated from the
+    // same recursion, power-of-two divisions exact.
+    "q361_haar_energy" -> {
+      def a(j: Int, k: Int): String =
+        if (j == 0) s"x$k" else s"(${a(j - 1, 2 * k)} + ${a(j - 1, 2 * k + 1)})"
+      def e(j: Int): String = (0 until (16 >> j)).map { k =>
+        val d = s"(${a(j - 1, 2 * k)} - ${a(j - 1, 2 * k + 1)})"
+        s"CAST($d * $d AS DOUBLE) / CAST(${1 << j} AS DOUBLE)"
+      }.mkString("\n    + ")
+      val pivots = (0 until 16).map(p =>
+        s"CAST(sum(CASE WHEN rn = ${p + 1} THEN v ELSE 0 END) AS BIGINT) AS x$p")
+        .mkString(",\n  ")
+      val total = (0 until 16).map(p => s"x$p * x$p").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id,
+         |    CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT g, v,
+         |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY ts, event_id)
+         |          AS rn
+         |      FROM e),
+         |wide AS (SELECT g, count(*) AS nn,
+         |  $pivots
+         |  FROM r WHERE rn <= 16 GROUP BY 1)
+         |SELECT g AS "group",
+         |  ${e(1)} AS e1,
+         |  ${e(2)} AS e2,
+         |  ${e(3)} AS e3,
+         |  ${e(4)} AS e4,
+         |  CAST(${a(4, 0)} * ${a(4, 0)} AS DOUBLE) / CAST(16 AS DOUBLE)
+         |    AS approx,
+         |  $total AS total
+         |FROM wide WHERE nn = 16 ORDER BY "group"""".stripMargin
+    },
+
+    // Theil-Sen: identical one-division slopes grouped by value, the
+    // weighted lower median on the slope cumsum.
+    "q362_theil_sen" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS x,
+        |    CAST(floor(value / 50) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT g, x, y, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |pairs AS (SELECT a.g,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+        |    a.c * b.c AS wt
+        |  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x),
+        |bys AS (SELECT g, slope, CAST(sum(wt) AS BIGINT) AS w
+        |        FROM pairs GROUP BY 1, 2),
+        |cum AS (SELECT g, slope, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY slope
+        |                 ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM bys),
+        |tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM bys GROUP BY 1)
+        |SELECT c.g AS "group", MIN(tw) AS n_pairs, MIN(c.slope) AS slope
+        |FROM cum c JOIN tot USING (g) WHERE 2 * cw >= tw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Kaplan-Meier: risk sets from the duration cumsum, per-cohort
+    // prefix product replayed with list_reduce over the ordered factor
+    // list (1-based inclusive slice == Spark's slice(1, pos+1)).
+    "q363_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    CAST(floor(CAST(COALESCE(te, t1) - t0 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS dur,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |pd AS (SELECT cohort, dur, count(*) AS cnt,
+        |         count(CASE WHEN ev THEN 1 END) AS d
+        |       FROM g GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(cnt) AS BIGINT) AS n_all
+        |        FROM pd GROUP BY 1),
+        |cum AS (SELECT cohort, dur, cnt, d,
+        |    sum(cnt) OVER (PARTITION BY cohort ORDER BY dur
+        |                   ROWS UNBOUNDED PRECEDING) AS cumall
+        |  FROM pd),
+        |f AS (SELECT c.cohort, dur,
+        |        CAST(n_all - cumall + cnt AS BIGINT) AS n_risk, d,
+        |        CAST(n_all - cumall + cnt - d AS DOUBLE)
+        |          / CAST(n_all - cumall + cnt AS DOUBLE) AS factor
+        |      FROM cum c JOIN tot USING (cohort) WHERE d > 0),
+        |l AS (SELECT cohort, list(factor ORDER BY dur) AS fl
+        |      FROM f GROUP BY 1),
+        |i AS (SELECT f.cohort, dur, n_risk, d,
+        |        row_number() OVER (PARTITION BY f.cohort ORDER BY dur) AS rn,
+        |        fl
+        |      FROM f JOIN l USING (cohort))
+        |SELECT cohort AS "group", dur AS t, n_risk, d,
+        |  ROUND(list_reduce(fl[1:rn], (a, b) -> a * b), 7) AS surv
+        |FROM i ORDER BY "group", t""".stripMargin,
+
+    // Fano: exact per-day census, the all-integer variance/mean form.
+    "q364_fano" ->
+      """WITH c AS (SELECT event_type AS g, CAST(ts AS DATE) AS bk,
+        |    count(*) AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT g, count(*) AS n_buckets,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM c GROUP BY 1)
+        |SELECT g AS "group", n_buckets, total,
+        |  ROUND(CASE WHEN n_buckets >= 2 AND total > 0 THEN
+        |    CAST(n_buckets * q - total * total AS DOUBLE)
+        |      / (CAST(n_buckets - 1 AS DOUBLE) * CAST(total AS DOUBLE))
+        |    END, 7) AS fano
+        |FROM agg ORDER BY "group"""".stripMargin,
+
+    // Negative sampling: sqrt(f*sqrt(f)) is the bit-portable f^(3/4);
+    // the 1e6-quantized weights make the normalizer exact.
+    "q365_neg_sampling" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |counts AS (SELECT tok AS token, count(*) AS freq FROM toks
+        |           WHERE tok <> '' GROUP BY 1),
+        |wt AS (SELECT token, freq,
+        |    CAST(floor(sqrt(CAST(freq AS DOUBLE) * sqrt(CAST(freq AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wq
+        |  FROM counts),
+        |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM wt),
+        |cum AS (SELECT token, freq, wq,
+        |    CAST(sum(wq) OVER (ORDER BY wq DESC, token
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        |  FROM wt)
+        |SELECT token, freq, wq,
+        |  ROUND(CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE), 7) AS p,
+        |  ROUND(CAST(cm AS DOUBLE) / CAST(tw AS DOUBLE), 7) AS cum_p
+        |FROM cum, tot ORDER BY wq DESC, token LIMIT 100""".stripMargin,
+
+    // Fellegi-Sunter: replay the pair construction and the add-one
+    // smoothed per-field evidence weights.
+    "q366_fellegi_sunter" -> {
+      def fieldRow(name: String, am: String, au: String): String = {
+        val m = s"(CAST($am + 1 AS DOUBLE) / CAST(n_match + 2 AS DOUBLE))"
+        val u = s"(CAST($au + 1 AS DOUBLE) / CAST(n_all - n_match + 2 AS DOUBLE))"
+        s"""SELECT '$name' AS field, n_match,
+           |  n_all - n_match AS n_unmatch,
+           |  $am AS agree_match, $au AS agree_unmatch,
+           |  ROUND(ln($m / $u), 7) AS w_agree,
+           |  ROUND(ln((CAST(1 AS DOUBLE) - $m) / (CAST(1 AS DOUBLE) - $u)), 7)
+           |    AS w_disagree
+           |FROM agg""".stripMargin
+      }
+      s"""WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+         |    c_nationkey AS nat FROM customer),
+         |dup AS (SELECT k,
+         |    CASE WHEN k % 10 = 0 THEN 'PERTURBED' ELSE seg END AS seg2,
+         |    CASE WHEN k % 7 = 0 THEN nat + 1 ELSE nat END AS nat2
+         |  FROM c),
+         |p AS (
+         |  SELECT TRUE AS is_match, seg = seg2 AS seg_agree,
+         |    nat = nat2 AS nat_agree
+         |  FROM c JOIN dup USING (k)
+         |  UNION ALL
+         |  SELECT FALSE, c.seg = dup.seg2, c.nat = dup.nat2
+         |  FROM c JOIN dup ON c.k = dup.k + 1),
+         |agg AS (SELECT count(*) AS n_all,
+         |    count(CASE WHEN is_match THEN 1 END) AS n_match,
+         |    count(CASE WHEN is_match AND nat_agree THEN 1 END) AS am_nat,
+         |    count(CASE WHEN NOT is_match AND nat_agree THEN 1 END) AS au_nat,
+         |    count(CASE WHEN is_match AND seg_agree THEN 1 END) AS am_seg,
+         |    count(CASE WHEN NOT is_match AND seg_agree THEN 1 END) AS au_seg
+         |  FROM p)
+         |SELECT * FROM (
+         |  ${fieldRow("nat_agree", "am_nat", "au_nat")}
+         |  UNION ALL
+         |  ${fieldRow("seg_agree", "am_seg", "au_seg")})
+         |ORDER BY field""".stripMargin
+    },
+
+    // Quantile normalization: exact ceil-division order statistic
+    // against the exploded pooled position table.
+    "q367_quantile_norm" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT g, id, v,
+        |        CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+        |          AS BIGINT) AS rank
+        |      FROM e),
+        |sz AS (SELECT g, count(*) AS n_g FROM e GROUP BY 1),
+        |pool AS (SELECT v, count(*) AS c FROM e GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm
+        |  FROM pool),
+        |pos AS (SELECT unnest(generate_series(CAST(cm - c + 1 AS BIGINT),
+        |          CAST(cm AS BIGINT))) AS pos,
+        |          v AS ref FROM cum),
+        |nn AS (SELECT count(*) AS n_all FROM e),
+        |rr AS (SELECT r.g, id, v, rank, n_g,
+        |    (rank * (n_all + 1) + n_g) // (n_g + 1) AS pos
+        |  FROM r JOIN sz USING (g), nn)
+        |SELECT rr.g AS "group", id, v, rank, n_g, ref
+        |FROM rr JOIN pos USING (pos)
+        |ORDER BY "group", rank""".stripMargin,
+
+    // MAD outliers: both pinned lower medians replayed, the modified-z
+    // expression with explicit double literals.
+    "q368_mad_outliers" -> {
+      val mz = "CAST(0.6745 AS DOUBLE) * CAST(v - m AS DOUBLE) " +
+        "/ CAST(mad AS DOUBLE)"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, event_id AS id,
+         |    CAST(floor(value * 10) AS BIGINT)
+         |      + CASE WHEN event_id % 509 = 0 THEN 50000 ELSE 0 END AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pv AS (SELECT g, v, count(*) AS t FROM e GROUP BY 1, 2),
+         |sz AS (SELECT g, count(*) AS n_g FROM e GROUP BY 1),
+         |med AS (SELECT g, min(v) AS m FROM (
+         |    SELECT g, v, sum(t) OVER (PARTITION BY g ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cm FROM pv)
+         |  JOIN sz USING (g) WHERE 2 * cm >= n_g GROUP BY g),
+         |dev AS (SELECT e.g, id, v, m, abs(v - m) AS dv
+         |        FROM e JOIN med USING (g)),
+         |pd AS (SELECT g, dv, count(*) AS t FROM dev GROUP BY 1, 2),
+         |mad AS (SELECT g, min(dv) AS mad FROM (
+         |    SELECT g, dv, sum(t) OVER (PARTITION BY g ORDER BY dv
+         |      ROWS UNBOUNDED PRECEDING) AS cm FROM pd)
+         |  JOIN sz USING (g) WHERE 2 * cm >= n_g GROUP BY g)
+         |SELECT dev.g AS "group", id, v, m AS med, mad,
+         |  ROUND($mz, 7) AS mz
+         |FROM dev JOIN mad USING (g)
+         |WHERE mad > 0 AND abs($mz) > CAST(3.5 AS DOUBLE)
+         |ORDER BY "group", id""".stripMargin
+    },
+
+    // PCA-2: n^2-scaled covariance in HUGEINT (exact like Spark's
+    // DECIMAL), IEEE sqrt, pinned eigenvalue expressions.
+    "q369_pca2" -> {
+      val tr = "CAST(cxx + cyy AS DOUBLE)"
+      val disc = "sqrt(CAST((cxx - cyy) * (cxx - cyy) " +
+        "+ 4 * cxy * cxy AS DOUBLE))"
+      val l1 = s"(($tr + $disc) / CAST(2 AS DOUBLE))"
+      val l2 = s"(($tr - $disc) / CAST(2 AS DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x,
+         |    CAST(floor(value / 2) AS BIGINT) + CAST(hour(ts) AS BIGINT) AS y
+         |  FROM events
+         |  WHERE value IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |agg AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM e GROUP BY 1),
+         |sc AS (SELECT g, n,
+         |    CAST(n * sxx - sx * sx AS HUGEINT) AS cxx,
+         |    CAST(n * syy - sy * sy AS HUGEINT) AS cyy,
+         |    CAST(n * sxy - sx * sy AS HUGEINT) AS cxy
+         |  FROM agg)
+         |SELECT g AS "group", n,
+         |  ROUND($l1, 7) AS l1,
+         |  ROUND($l2, 7) AS l2,
+         |  ROUND(CASE WHEN $tr > 0 THEN $l1 / $tr END, 7) AS explained
+         |FROM sc ORDER BY "group"""".stripMargin
+    },
+
+    // Boruvka: the MST is the construction's tree by the cycle property
+    // (every chord is strictly heaviest on its cycle) — closed form.
+    "q370_boruvka_mst" ->
+      """SELECT CAST(c_custkey // 2 AS BIGINT) AS lo, c_custkey AS hi,
+        |  1000 + c_custkey AS weight
+        |FROM customer WHERE c_custkey >= 2 ORDER BY lo, hi""".stripMargin,
+
+    // Multi-source BFS: bounded recursive CTE, MIN(hop) per node.
+    "q371_multi_source_bfs" ->
+      """WITH RECURSIVE m AS (SELECT max(c_custkey) + 1 AS mm FROM customer),
+        |e0 AS (SELECT c_custkey AS s, (c_custkey + 1) % mm AS d
+        |       FROM customer, m
+        |       UNION
+        |       SELECT c_custkey, (c_custkey * 7 + 3) % mm FROM customer, m),
+        |e AS (SELECT s, d FROM e0 WHERE s <> d
+        |      UNION SELECT d, s FROM e0 WHERE s <> d),
+        |seeds AS (SELECT c_custkey AS v FROM customer
+        |          WHERE c_custkey % 97 = 0),
+        |walk(v, h) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT e.d, w.h + 1 FROM walk w JOIN e ON e.s = w.v WHERE w.h < 6)
+        |SELECT v AS node, CAST(MIN(h) AS BIGINT) AS hops
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Followed-by: the identical three lead columns stacked.
+    "q372_followed_by" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |             AND event_type IS NOT NULL),
+        |l AS (SELECT event_type AS a,
+        |        lead(event_type, 1) OVER w AS b1,
+        |        lead(event_type, 2) OVER w AS b2,
+        |        lead(event_type, 3) OVER w AS b3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (SELECT a, b1 AS b FROM l
+        |      UNION ALL SELECT a, b2 FROM l
+        |      UNION ALL SELECT a, b3 FROM l)
+        |SELECT a, b, count(*) AS n_pairs FROM u WHERE b IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // Cochran-Armitage: exact integer trend numerator and variance
+    // pieces, one division + sqrt.
+    "q373_cochran_armitage" -> {
+      val varExpr = "CAST(a * (n - a) AS DOUBLE) " +
+        "* CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+      s"""WITH e AS (SELECT CAST(hour(ts) // 6 AS BIGINT) AS wj,
+         |    event_type = 'purchase' AS o
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |per AS (SELECT wj, count(*) AS n_j,
+         |          count(CASE WHEN o THEN 1 END) AS a_j
+         |        FROM e GROUP BY 1),
+         |agg AS (SELECT CAST(sum(n_j) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(a_j) AS BIGINT) AS a,
+         |    CAST(sum(wj * n_j) AS BIGINT) AS s1,
+         |    CAST(sum(wj * wj * n_j) AS BIGINT) AS s2,
+         |    CAST(sum(wj * a_j) AS BIGINT) AS sa
+         |  FROM per)
+         |SELECT n, k, n * sa - a * s1 AS num,
+         |  ROUND(CASE WHEN $varExpr > 0 THEN
+         |    CAST(n * sa - a * s1 AS DOUBLE) / sqrt($varExpr) END, 7) AS z
+         |FROM agg""".stripMargin
+    },
+
+    // Cohen's d / Hedges' g: exact (n,S,Q) per slice, the engine's
+    // exact-numerator pooled variance, one expression each.
+    "q374_cohens_d" -> {
+      val naD = "CAST(n_a AS DOUBLE)"
+      val nbD = "CAST(n_b AS DOUBLE)"
+      val ssA = s"(CAST(n_a * qa - sa * sa AS DOUBLE) / $naD)"
+      val ssB = s"(CAST(n_b * qb - sb * sb AS DOUBLE) / $nbD)"
+      val pooled = s"(($ssA + $ssB) / ($naD + $nbD - CAST(2 AS DOUBLE)))"
+      val dExpr = s"((CAST(sa AS DOUBLE) / $naD - CAST(sb AS DOUBLE) / $nbD)" +
+        s" / sqrt($pooled))"
+      val gf = s"(CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE)" +
+        s" / (CAST(4 AS DOUBLE) * ($naD + $nbD) - CAST(9 AS DOUBLE)))"
+      s"""WITH slim AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+         |agg AS (SELECT
+         |    count(*) FILTER (g = 'click') AS n_a,
+         |    count(*) FILTER (g = 'purchase') AS n_b,
+         |    CAST(sum(CASE WHEN g = 'click' THEN v ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN g = 'purchase' THEN v ELSE 0 END) AS BIGINT) AS sb,
+         |    CAST(sum(CASE WHEN g = 'click' THEN v * v ELSE 0 END) AS BIGINT) AS qa,
+         |    CAST(sum(CASE WHEN g = 'purchase' THEN v * v ELSE 0 END) AS BIGINT) AS qb
+         |  FROM slim)
+         |SELECT n_a, n_b,
+         |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $pooled > 0 THEN
+         |    $dExpr END, 7) AS d,
+         |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND $pooled > 0 THEN
+         |    $dExpr * $gf END, 7) AS g
+         |FROM agg""".stripMargin
+    },
+
+    // Cliff's delta: the q309 doubled-U machinery, then one expression.
+    "q375_cliffs_delta" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca, count(*) AS t
+        |       FROM slim GROUP BY 1),
+        |r AS (SELECT *, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM pv),
+        |m AS (SELECT *, 2 * cum - t + 1 AS mid2 FROM r),
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(t - ca) AS BIGINT) AS n_b,
+        |        CAST(sum(ca * mid2) AS BIGINT) AS r2_a
+        |      FROM m)
+        |SELECT n_a, n_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      - CAST(1 AS DOUBLE)
+        |    END, 7) AS delta
+        |FROM a""".stripMargin,
+
+    // Odds ratio / RR: exact 2x2 cells, the log-normal CI with pinned
+    // double literals.
+    "q376_odds_ratio" -> {
+      val orE = "(CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE) " +
+        "/ (CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE)))"
+      val se = "sqrt(CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) " +
+        "+ CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE) " +
+        "+ CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) " +
+        "+ CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE))"
+      val ok = "n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0"
+      s"""WITH e AS (SELECT hour(ts) < 12 AS e, event_type = 'purchase' AS o
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |agg AS (SELECT
+         |    count(CASE WHEN e AND o THEN 1 END) AS n11,
+         |    count(CASE WHEN e AND NOT o THEN 1 END) AS n10,
+         |    count(CASE WHEN NOT e AND o THEN 1 END) AS n01,
+         |    count(CASE WHEN NOT e AND NOT o THEN 1 END) AS n00
+         |  FROM e)
+         |SELECT n11, n10, n01, n00,
+         |  ROUND(CASE WHEN $ok THEN $orE END, 7) AS odds_ratio,
+         |  ROUND(CASE WHEN $ok THEN
+         |    exp(ln($orE) - CAST(1.96 AS DOUBLE) * $se) END, 7) AS or_lo,
+         |  ROUND(CASE WHEN $ok THEN
+         |    exp(ln($orE) + CAST(1.96 AS DOUBLE) * $se) END, 7) AS or_hi,
+         |  ROUND(CASE WHEN $ok THEN
+         |    (CAST(n11 AS DOUBLE) / (CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)))
+         |      / (CAST(n01 AS DOUBLE) / (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+         |    END, 7) AS relative_risk
+         |FROM agg""".stripMargin
+    },
+
+    // Audience overlap: postings self-join, exact Jaccard.
+    "q377_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT event_type AS g, user_id AS id
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sz AS (SELECT g, count(*) AS sz FROM m GROUP BY 1),
+        |i AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS inter
+        |      FROM m a JOIN m b USING (id) WHERE a.g < b.g GROUP BY 1, 2)
+        |SELECT g_a, g_b, sa.sz AS n_a, sb.sz AS n_b, inter,
+        |  sa.sz + sb.sz - inter AS uni,
+        |  ROUND(CAST(inter AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE), 7) AS jaccard
+        |FROM i JOIN sz sa ON sa.g = i.g_a JOIN sz sb ON sb.g = i.g_b
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // Lorenz deciles: rank+cumsum (sum of k smallest is tie-invariant),
+    // exact integer decile positions.
+    "q378_lorenz" ->
+      """WITH slim AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |r AS (SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS rn,
+        |    CAST(sum(v) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v
+        |  FROM slim),
+        |sz AS (SELECT g, count(*) AS n_g, CAST(sum(v) AS BIGINT) AS total
+        |       FROM slim GROUP BY 1),
+        |ps AS (SELECT g, n_g, total, CAST(p AS INT) AS p,
+        |         (p * n_g) // 10 AS k
+        |       FROM sz, (SELECT unnest(generate_series(1, 10)) AS p))
+        |SELECT ps.g AS "group", p, k, cum_v,
+        |  ROUND(CASE WHEN total > 0 THEN
+        |    CAST(cum_v AS DOUBLE) / CAST(total AS DOUBLE) END, 7) AS share
+        |FROM ps JOIN r ON r.g = ps.g AND r.rn = ps.k
+        |WHERE k >= 1 ORDER BY "group", p""".stripMargin,
+
+    // Capture-recapture: the same portable md5 buckets, Chapman's
+    // bias-corrected estimator.
+    "q379_capture_recapture" -> {
+      val nHat = "(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) " +
+        "/ CAST(m_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE))"
+      s"""WITH f AS (SELECT
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 40 AS a,
+         |    CAST(('0x' || substr(md5(CAST(doc_id + 7777 AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 40 AS b
+         |  FROM documents),
+         |agg AS (SELECT count(CASE WHEN a THEN 1 END) AS n1,
+         |    count(CASE WHEN b THEN 1 END) AS n2,
+         |    count(CASE WHEN a AND b THEN 1 END) AS m_both
+         |  FROM f)
+         |SELECT n1, n2, m_both,
+         |  ROUND($nHat, 7) AS n_hat,
+         |  ROUND(CASE WHEN $nHat > 0 THEN
+         |    CAST(n1 AS DOUBLE) / $nHat END, 7) AS coverage_1,
+         |  ROUND(CASE WHEN $nHat > 0 THEN
+         |    CAST(n2 AS DOUBLE) / $nHat END, 7) AS coverage_2
+         |FROM agg""".stripMargin
+    },
+
+    // Chao1: exact singleton/doubleton census over word trigrams.
+    "q380_chao1" ->
+      """WITH d AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tok
+        |  FROM (SELECT a, UNNEST(generate_series(1, len(a) - 2)) AS i
+        |        FROM d WHERE len(a) >= 3)),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |agg AS (SELECT count(*) AS d,
+        |    count(CASE WHEN c = 1 THEN 1 END) AS f1,
+        |    count(CASE WHEN c = 2 THEN 1 END) AS f2
+        |  FROM counts)
+        |SELECT d, f1, f2,
+        |  ROUND(CAST(d AS DOUBLE)
+        |    + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |      / (CAST(2 AS DOUBLE) * CAST(f2 + 1 AS DOUBLE)), 7) AS chao1
+        |FROM agg""".stripMargin,
+
+    // Good-Turing: count-of-counts ladder, null where the next rung is
+    // empty (the estimator is undefined, not zero).
+    "q381_good_turing" ->
+      """WITH d AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tok
+        |  FROM (SELECT a, UNNEST(generate_series(1, len(a) - 2)) AS i
+        |        FROM d WHERE len(a) >= 3)),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |fof AS (SELECT c AS r, count(*) AS n_r FROM counts GROUP BY 1),
+        |nx AS (SELECT r - 1 AS r, n_r AS n_r1 FROM fof)
+        |SELECT r, n_r,
+        |  CASE WHEN COALESCE(n_r1, 0) > 0 THEN
+        |    ROUND(CAST(r + 1 AS DOUBLE) * CAST(COALESCE(n_r1, 0) AS DOUBLE)
+        |      / CAST(n_r AS DOUBLE), 7) END AS r_star
+        |FROM fof LEFT JOIN nx USING (r) WHERE r <= 10 ORDER BY r""".stripMargin,
+
+    // Wasserstein-1: the KS cross-multiplied gaps weighted by the
+    // distance to the next pooled value, exact in HUGEINT, one division.
+    "q382_wasserstein" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
+        |         count(*) FILTER (g = 'purchase') AS cb
+        |       FROM slim GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+        |    COALESCE(lead(v, 1) OVER (ORDER BY v) - v, 0) AS width
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |s AS (SELECT sum(abs(CAST(cum_a AS HUGEINT) * n_b
+        |        - CAST(cum_b AS HUGEINT) * n_a)
+        |        * CAST(width AS HUGEINT)) AS s
+        |      FROM cum, tot)
+        |SELECT n_a, n_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(s AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 7) AS w1
+        |FROM s, tot""".stripMargin,
+
+    // Bhattacharyya: per-term sqrt(a*b) on the 1e6 grid, one division
+    // by the exact sqrt(A*B).
+    "q383_bhattacharyya" -> {
+      val bc = "CAST(qsum AS DOUBLE) / CAST(1000000 AS DOUBLE) " +
+        "/ sqrt(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))"
+      s"""WITH toks AS (
+         |  SELECT lang AS g,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL),
+         |tk AS (SELECT g, term FROM toks WHERE term <> ''),
+         |pt AS (SELECT term, count(*) FILTER (g = 'en') AS ca,
+         |         count(*) FILTER (g = 'de') AS cb
+         |       FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |          CAST(sum(cb) AS BIGINT) AS tb FROM pt),
+         |qs AS (SELECT count(*) AS n_terms,
+         |    CAST(sum(CAST(floor(sqrt(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qsum
+         |  FROM pt)
+         |SELECT n_terms, ta AS a_total, tb AS b_total,
+         |  ROUND($bc, 7) AS bc,
+         |  ROUND(sqrt(GREATEST(CAST(1 AS DOUBLE) - $bc, CAST(0 AS DOUBLE))), 7)
+         |    AS hellinger
+         |FROM qs, tot""".stripMargin
+    },
+
+    // Smoothed KL both directions: add-one terms on the 1e-12 grid.
+    "q384_kl_divergence" -> {
+      val p = "(CAST(ca + 1 AS DOUBLE) / CAST(ta + vsz AS DOUBLE))"
+      val q = "(CAST(cb + 1 AS DOUBLE) / CAST(tb + vsz AS DOUBLE))"
+      s"""WITH toks AS (
+         |  SELECT lang AS g,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL),
+         |tk AS (SELECT g, term FROM toks WHERE term <> ''),
+         |pt AS (SELECT term, count(*) FILTER (g = 'en') AS ca,
+         |         count(*) FILTER (g = 'de') AS cb
+         |       FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |          CAST(sum(cb) AS BIGINT) AS tb, count(*) AS vsz FROM pt),
+         |qs AS (SELECT count(*) AS n_terms,
+         |    CAST(sum(CAST(floor($p * ln($p / $q)
+         |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sab,
+         |    CAST(sum(CAST(floor($q * ln($q / $p)
+         |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sba
+         |  FROM pt, tot)
+         |SELECT n_terms, ta AS a_total, tb AS b_total,
+         |  ROUND(CAST(sab AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 7)
+         |    AS kl_ab,
+         |  ROUND(CAST(sba AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 7)
+         |    AS kl_ba
+         |FROM qs, tot""".stripMargin
+    },
+
+    // Jarque-Bera: exact HUGEINT power sums, the identical
+    // raw-to-central moment chain, one expression per output.
+    "q385_jarque_bera" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val mean = s"(CAST(s1 AS DOUBLE) / $nD)"
+      val m2 = s"(CAST(s2 AS DOUBLE) / $nD - $mean * $mean)"
+      val m3 = s"(CAST(s3 AS DOUBLE) / $nD - CAST(3 AS DOUBLE) * $mean " +
+        s"* (CAST(s2 AS DOUBLE) / $nD) " +
+        s"+ CAST(2 AS DOUBLE) * $mean * $mean * $mean)"
+      val m4 = s"(CAST(s4 AS DOUBLE) / $nD - CAST(4 AS DOUBLE) * $mean " +
+        s"* (CAST(s3 AS DOUBLE) / $nD) " +
+        s"+ CAST(6 AS DOUBLE) * $mean * $mean * (CAST(s2 AS DOUBLE) / $nD) " +
+        s"- CAST(3 AS DOUBLE) * $mean * $mean * $mean * $mean)"
+      val skew = s"($m3 / sqrt($m2 * $m2 * $m2))"
+      val exk = s"($m4 / ($m2 * $m2) - CAST(3 AS DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |agg AS (SELECT g, count(*) AS n,
+         |    sum(CAST(v AS HUGEINT)) AS s1,
+         |    sum(CAST(v AS HUGEINT) * v) AS s2,
+         |    sum(CAST(v AS HUGEINT) * v * v) AS s3,
+         |    sum(CAST(v AS HUGEINT) * v * v * v) AS s4
+         |  FROM e GROUP BY 1)
+         |SELECT g AS "group", n,
+         |  ROUND(CASE WHEN n >= 2 AND $m2 > 0 THEN $skew END, 7) AS skewness,
+         |  ROUND(CASE WHEN n >= 2 AND $m2 > 0 THEN $exk END, 7) AS kurtosis,
+         |  ROUND(CASE WHEN n >= 2 AND $m2 > 0 THEN
+         |    $nD / CAST(6 AS DOUBLE)
+         |      * ($skew * $skew + $exk * $exk / CAST(4 AS DOUBLE))
+         |    END, 7) AS jb
+         |FROM agg ORDER BY "group"""".stripMargin
+    },
+
+    // Rank distances: deterministic (score desc, id) ranks, exact
+    // footrule sum and discordant-pair count.
+    "q386_rank_distance" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      s"""WITH it AS (SELECT doc_id AS id, n_chars AS s1,
+         |    (doc_id * 7919) % 997 AS s2
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |r AS (SELECT id,
+         |    CAST(row_number() OVER (ORDER BY s1 DESC, id) AS BIGINT) AS r1,
+         |    CAST(row_number() OVER (ORDER BY s2 DESC, id) AS BIGINT) AS r2
+         |  FROM it),
+         |f AS (SELECT count(*) AS n,
+         |        CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule FROM r),
+         |dd AS (SELECT count(*) AS kendall_dist
+         |       FROM r a JOIN r b ON a.id < b.id
+         |       WHERE (a.r1 < b.r1) <> (a.r2 < b.r2))
+         |SELECT n, footrule,
+         |  ROUND(CASE WHEN floor($nD * $nD / CAST(2 AS DOUBLE)) > 0 THEN
+         |    CAST(footrule AS DOUBLE) / floor($nD * $nD / CAST(2 AS DOUBLE))
+         |    END, 7) AS nfootrule,
+         |  kendall_dist,
+         |  ROUND(CASE WHEN $nD * ($nD - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) > 0
+         |    THEN CAST(kendall_dist AS DOUBLE)
+         |      / ($nD * ($nD - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE))
+         |    END, 7) AS nkendall
+         |FROM f, dd""".stripMargin
+    },
+
+    // RBO@20 with p=1/2: X_d from the max-rank cumsum over the dense
+    // depth ladder, 2^-d as an exact shift reciprocal, depth-order fold.
+    "q387_rbo" ->
+      """WITH it AS (SELECT doc_id AS id, n_chars AS s1,
+        |    (doc_id * 7919) % 997 AS s2
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |r AS (SELECT id,
+        |    CAST(row_number() OVER (ORDER BY s1 DESC, id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY s2 DESC, id) AS BIGINT) AS r2
+        |  FROM it),
+        |rr AS (SELECT GREATEST(r1, r2) AS m FROM r WHERE GREATEST(r1, r2) <= 20),
+        |pd AS (SELECT m, count(*) AS c FROM rr GROUP BY 1),
+        |dep AS (SELECT d, COALESCE(c, 0) AS c
+        |        FROM (SELECT unnest(generate_series(1, 20)) AS d) g
+        |        LEFT JOIN pd ON pd.m = g.d),
+        |xd AS (SELECT d, CAST(sum(c) OVER (ORDER BY d
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS x,
+        |         CAST(1 AS DOUBLE) / CAST((1 << d) AS DOUBLE) AS w
+        |       FROM dep)
+        |SELECT CAST(20 AS INT) AS k,
+        |  ROUND(list_reduce(
+        |    list(CAST(x AS DOUBLE) / CAST(d AS DOUBLE) * w ORDER BY d),
+        |    (a, b) -> a + b), 7) AS rbo
+        |FROM xd GROUP BY 1""".stripMargin,
+
+    // Trimmed/winsorized means: exact rank census, clamp order
+    // statistics, one division each.
+    "q388_trimmed_mean" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS rn
+        |  FROM e),
+        |sz AS (SELECT g, count(*) AS n,
+        |    CAST(floor(CAST(0.1 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS k
+        |  FROM e GROUP BY 1),
+        |mid AS (SELECT r.g, CAST(sum(v) AS BIGINT) AS tsum, count(*) AS tn
+        |        FROM r JOIN sz USING (g)
+        |        WHERE rn > k AND rn <= n - k GROUP BY 1),
+        |lo AS (SELECT r.g, v AS v_lo FROM r JOIN sz USING (g)
+        |       WHERE rn = k + 1),
+        |hi AS (SELECT r.g, v AS v_hi FROM r JOIN sz USING (g)
+        |       WHERE rn = n - k)
+        |SELECT sz.g AS "group", n, k AS k_trim,
+        |  ROUND(CASE WHEN tn > 0 THEN
+        |    CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) END, 7) AS trimmed_mean,
+        |  ROUND(CASE WHEN tn > 0 THEN
+        |    CAST(tsum + k * v_lo + k * v_hi AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END, 7) AS winsorized_mean
+        |FROM sz LEFT JOIN mid USING (g) LEFT JOIN lo USING (g)
+        |LEFT JOIN hi USING (g)
+        |ORDER BY "group"""".stripMargin,
+
+    // Page's L: the q351 grid + within-user midranks, weighted rank
+    // sums, the no-tie moments.
+    "q389_page_l" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val muL = s"($nD * CAST(5 AS DOUBLE) * CAST(36 AS DOUBLE) / CAST(4 AS DOUBLE))"
+      val sig2 = s"($nD * CAST(25 AS DOUBLE) * CAST(36 AS DOUBLE) " +
+        s"* CAST(4 AS DOUBLE) / CAST(144 AS DOUBLE))"
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events
+         |           WHERE user_id IS NOT NULL),
+         |ty AS (SELECT DISTINCT event_type FROM events
+         |       WHERE event_type IS NOT NULL),
+         |c AS (SELECT user_id, event_type, count(*) AS c FROM events
+         |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |      GROUP BY 1, 2),
+         |g AS (SELECT u.user_id, ty.event_type, COALESCE(c.c, 0) AS v,
+         |        CASE ty.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+         |          WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+         |          WHEN 'view' THEN 5 END AS wj
+         |      FROM u CROSS JOIN ty
+         |      LEFT JOIN c USING (user_id, event_type)),
+         |pv AS (SELECT user_id, v, count(*) AS t FROM g GROUP BY 1, 2),
+         |mids AS (SELECT user_id, v,
+         |    2 * sum(t) OVER (PARTITION BY user_id ORDER BY v
+         |                     ROWS UNBOUNDED PRECEDING) - t + 1 AS mid2
+         |  FROM pv),
+         |r AS (SELECT g.user_id, g.wj, mid2
+         |      FROM g JOIN mids USING (user_id, v)),
+         |nb AS (SELECT count(*) AS n FROM u),
+         |l AS (SELECT CAST(sum(wj * mid2) AS BIGINT) AS l2 FROM r)
+         |SELECT n AS n_blocks, CAST(5 AS BIGINT) AS k, l2,
+         |  ROUND(CASE WHEN n > 0 AND $sig2 > 0 THEN
+         |    (CAST(l2 AS DOUBLE) / CAST(2 AS DOUBLE) - $muL) / sqrt($sig2)
+         |    END, 7) AS z
+         |FROM nb, l""".stripMargin
+    },
+
+    // Mann-Kendall: daily counts, exact pairwise sign sum, tie-corrected
+    // variance, continuity-corrected z.
+    "q390_mann_kendall" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val sig2 = s"(($nD * ($nD - CAST(1 AS DOUBLE)) " +
+        s"* (CAST(2 AS DOUBLE) * $nD + CAST(5 AS DOUBLE)) " +
+        s"- CAST(tcorr AS DOUBLE)) / CAST(18 AS DOUBLE))"
+      s"""WITH daily AS (
+         |  SELECT event_type AS g,
+         |    CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS t,
+         |    count(*) AS v
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |s AS (SELECT a.g,
+         |    count(CASE WHEN b.v > a.v THEN 1 END)
+         |      - count(CASE WHEN b.v < a.v THEN 1 END) AS s
+         |  FROM daily a JOIN daily b ON a.g = b.g AND a.t < b.t
+         |  GROUP BY 1),
+         |sz AS (SELECT g, count(*) AS n FROM daily GROUP BY 1),
+         |ties AS (SELECT g, CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+         |           AS tcorr
+         |         FROM (SELECT g, v, count(*) AS tt FROM daily GROUP BY 1, 2)
+         |         GROUP BY 1)
+         |SELECT sz.g AS "group", n, s,
+         |  ROUND(CASE WHEN $sig2 > 0 THEN
+         |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - CAST(1 AS DOUBLE))
+         |           / sqrt($sig2)
+         |         WHEN s < 0 THEN (CAST(s AS DOUBLE) + CAST(1 AS DOUBLE))
+         |           / sqrt($sig2)
+         |         ELSE CAST(0 AS DOUBLE) END
+         |    END, 7) AS z
+         |FROM sz JOIN s USING (g) JOIN ties USING (g)
+         |ORDER BY "group"""".stripMargin
+    },
+
+    // Tukey fences: type-1 quartile pins, 1.5*IQR fences, exact counts.
+    "q391_tukey_fences" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pv AS (SELECT g, v, count(*) AS t FROM e GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    sum(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS cm
+        |  FROM pv),
+        |sz AS (SELECT g, count(*) AS n FROM e GROUP BY 1),
+        |q1 AS (SELECT g, min(v) AS q1 FROM cum JOIN sz USING (g)
+        |       WHERE 4 * cm >= n GROUP BY g),
+        |q3 AS (SELECT g, min(v) AS q3 FROM cum JOIN sz USING (g)
+        |       WHERE 4 * cm >= 3 * n GROUP BY g),
+        |f AS (SELECT sz.g, n, q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr,
+        |        CAST(q1.q1 AS DOUBLE)
+        |          - CAST(1.5 AS DOUBLE) * CAST(q3.q3 - q1.q1 AS DOUBLE) AS lo,
+        |        CAST(q3.q3 AS DOUBLE)
+        |          + CAST(1.5 AS DOUBLE) * CAST(q3.q3 - q1.q1 AS DOUBLE) AS hi
+        |      FROM sz JOIN q1 USING (g) JOIN q3 USING (g))
+        |SELECT e.g AS "group", MIN(n) AS n, MIN(q1) AS q1, MIN(q3) AS q3,
+        |  MIN(iqr) AS iqr,
+        |  count(CASE WHEN CAST(v AS DOUBLE) < lo THEN 1 END) AS n_low,
+        |  count(CASE WHEN CAST(v AS DOUBLE) > hi THEN 1 END) AS n_high
+        |FROM e JOIN f USING (g)
+        |GROUP BY 1 ORDER BY "group"""".stripMargin,
+
+    // Wilcoxon signed-rank: the shared paired construction, doubled
+    // midranks over |d|, tie-corrected z.
+    "q392_wilcoxon" -> {
+      val nD = "CAST(n_pairs AS DOUBLE)"
+      val mu = s"($nD * ($nD + CAST(1 AS DOUBLE)) / CAST(4 AS DOUBLE))"
+      val variance = s"($nD * ($nD + CAST(1 AS DOUBLE)) " +
+        s"* (CAST(2 AS DOUBLE) * $nD + CAST(1 AS DOUBLE)) / CAST(24 AS DOUBLE)" +
+        s" - CAST(tie AS DOUBLE) / CAST(48 AS DOUBLE))"
+      s"""WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |m AS (SELECT CAST(floor(CAST(lo + hi AS DOUBLE) / CAST(2 AS DOUBLE))
+         |        AS BIGINT) AS mid FROM b),
+         |pu AS (SELECT user_id,
+         |    count(CASE WHEN epoch_us(ts) <= mid THEN 1 END) AS x,
+         |    count(CASE WHEN epoch_us(ts) > mid THEN 1 END) AS y
+         |  FROM events, m WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY user_id, mid),
+         |d AS (SELECT x - y AS d FROM pu),
+         |zc AS (SELECT count(CASE WHEN d = 0 THEN 1 END) AS n_zero FROM d),
+         |nzd AS (SELECT abs(d) AS ad, d > 0 AS pos FROM d WHERE d <> 0),
+         |pv AS (SELECT ad, count(CASE WHEN pos THEN 1 END) AS cp,
+         |         count(*) AS t FROM nzd GROUP BY 1),
+         |rk AS (SELECT ad, cp, t,
+         |    2 * sum(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - t + 1
+         |      AS mid2
+         |  FROM pv),
+         |a AS (SELECT CAST(sum(t) AS BIGINT) AS np,
+         |    CAST(sum(cp * mid2) AS BIGINT) AS w2,
+         |    CAST(sum(t * t * t - t) AS BIGINT) AS tie0 FROM rk)
+         |SELECT COALESCE(n_pairs, 0) AS n_pairs, n_zero,
+         |  COALESCE(w2, 0) AS w2_plus,
+         |  ROUND(CASE WHEN COALESCE(n_pairs, 0) > 0 AND $variance > 0 THEN
+         |    (CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE) - $mu) / sqrt($variance)
+         |    END, 7) AS z
+         |FROM (SELECT np AS n_pairs, w2, COALESCE(tie0, 0) AS tie FROM a), zc
+         |""".stripMargin
+    },
+
+    // Sign test: exact sign census on the same pairs, continuity z.
+    "q393_sign_test" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |m AS (SELECT CAST(floor(CAST(lo + hi AS DOUBLE) / CAST(2 AS DOUBLE))
+        |        AS BIGINT) AS mid FROM b),
+        |pu AS (SELECT user_id,
+        |    count(CASE WHEN epoch_us(ts) <= mid THEN 1 END) AS x,
+        |    count(CASE WHEN epoch_us(ts) > mid THEN 1 END) AS y
+        |  FROM events, m WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id, mid),
+        |agg AS (SELECT count(CASE WHEN x > y THEN 1 END) AS n_pos,
+        |    count(CASE WHEN x < y THEN 1 END) AS n_neg,
+        |    count(CASE WHEN x = y THEN 1 END) AS n_zero
+        |  FROM pu)
+        |SELECT n_pos, n_neg, n_zero,
+        |  ROUND(CASE WHEN n_pos + n_neg > 0 THEN
+        |    CASE WHEN n_pos > n_neg THEN
+        |      (abs(CAST(n_pos - n_neg AS DOUBLE)) - CAST(1 AS DOUBLE))
+        |        / sqrt(CAST(n_pos + n_neg AS DOUBLE))
+        |    WHEN n_pos < n_neg THEN
+        |      -((abs(CAST(n_pos - n_neg AS DOUBLE)) - CAST(1 AS DOUBLE))
+        |        / sqrt(CAST(n_pos + n_neg AS DOUBLE)))
+        |    ELSE CAST(0 AS DOUBLE) END
+        |    END, 7) AS z
+        |FROM agg""".stripMargin,
+  )
+}

@@ -56,6 +56,20 @@ case class CusumState(sHi: Double, sLo: Double, n: Long)
 case class CusumHit(key: Long, ts: java.sql.Timestamp, direction: String,
     s_value: Double, n_since_reset: Long)
 
+/** Page-Hinkley accumulator carried across microbatches: observation
+  * count and sum (for the running mean), the two one-sided drift sums
+  * and their running extrema since the last reset.
+  */
+case class PhState(n: Long, sum: Double, mUp: Double, minUp: Double,
+    mDown: Double, minDown: Double)
+
+/** An emitted Page-Hinkley drift alarm: the event that crossed lambda,
+  * the drifting side ("up"/"down"), the PH gap at crossing, and how many
+  * observations this run of the detector consumed.
+  */
+case class PhHit(key: Long, ts: java.sql.Timestamp, direction: String,
+    ph_value: Double, n_since_reset: Long)
+
 /** Input event for [[StatefulOps.streamingBottomK]]. */
 case class SampleEvent(grp: String, id: Long)
 
@@ -118,7 +132,7 @@ object StatefulOps {
             state.remove()
             out.iterator
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.value))
             val closed = Seq.newBuilder[Session]
             var cur = state.getOption
             // Cross-batch out-of-order events can precede the open session's
@@ -263,7 +277,7 @@ object StatefulOps {
         (key: Long, it: Iterator[CusumEvent], state: GroupState[CusumState]) =>
           var st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L))
           val hits = scala.collection.mutable.ListBuffer.empty[CusumHit]
-          val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.value))
           for (e <- ordered) {
             val sHi = math.max(0.0, st.sHi + (e.value - target - slack))
             val sLo = math.max(0.0, st.sLo + (target - e.value - slack))
@@ -275,6 +289,68 @@ object StatefulOps {
               hits += CusumHit(key, e.ts, "down", sLo, n)
               st = CusumState(0.0, 0.0, 0L)
             } else st = CusumState(sHi, sLo, n)
+          }
+          state.update(st)
+          hits.iterator
+      }
+  }
+
+  /** Streaming Page-Hinkley drift alarm — the monitoring counterpart of
+    * the batch Mann-Kendall trend test (q390), sitting beside
+    * [[streamingCusumAlarm]] with the same O(1)-state alarm-and-reset
+    * protocol. Where CUSUM needs a KNOWN target mean, Page-Hinkley
+    * estimates the mean as it goes — the right detector when "normal"
+    * is whatever the stream has been doing so far:
+    *
+    *   mUp_t = mUp_{t-1} + (x_t - mean_t - delta),  alarm when
+    *   mUp_t - min(mUp) > lambda            (upward drift; "down" is the
+    *   mirror with (mean_t - x_t - delta) and ITS running minimum).
+    *
+    * `delta` is the magnitude tolerance (drifts smaller than delta never
+    * alarm), `lambda` the detection threshold trading latency for false
+    * alarms. On an alarm the whole accumulator resets — the detector
+    * restarts with no memory, CUSUM-style, so repeated drifts re-alarm.
+    *
+    * Determinism across microbatch splits: the state carries (n, sum,
+    * both drift sums, both minima) — everything the recurrence needs —
+    * and each batch replays a key's events in full-precision
+    * (ts, value) order, so ANY split of the same event sequence alarms
+    * at the identical event (asserted by the spec).
+    *
+    * State is O(1) doubles per key; append output.
+    */
+  def streamingPageHinkley(
+      events: Dataset[CusumEvent],
+      delta: Double,
+      lambda: Double): Dataset[PhHit] = {
+    require(lambda > 0, s"lambda must be positive, got $lambda")
+    require(delta >= 0, s"delta must be nonnegative, got $delta")
+    implicit val stateEnc = Encoders.product[PhState]
+    implicit val outEnc = Encoders.product[PhHit]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[PhState, PhHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[CusumEvent], state: GroupState[PhState]) =>
+          val zero = PhState(0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+          var st = state.getOption.getOrElse(zero)
+          val hits = scala.collection.mutable.ListBuffer.empty[PhHit]
+          val ordered =
+            it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.value))
+          for (e <- ordered) {
+            val n = st.n + 1
+            val sum = st.sum + e.value
+            val mean = sum / n
+            val mUp = st.mUp + (e.value - mean - delta)
+            val minUp = math.min(st.minUp, mUp)
+            val mDown = st.mDown + (mean - e.value - delta)
+            val minDown = math.min(st.minDown, mDown)
+            if (mUp - minUp > lambda) {
+              hits += PhHit(key, e.ts, "up", mUp - minUp, n)
+              st = zero
+            } else if (mDown - minDown > lambda) {
+              hits += PhHit(key, e.ts, "down", mDown - minDown, n)
+              st = zero
+            } else st = PhState(n, sum, mUp, minUp, mDown, minDown)
           }
           state.update(st)
           hits.iterator
@@ -396,7 +472,7 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            val sorted = it.toSeq.sortBy(d => (d.ts.getTime, d.ts.getNanos, d.doc_id))
             // Mutable buffer + inline max: appending to an immutable Seq
             // per document would copy the whole collection each time in
             // the one loop a hot band group pays per batch.

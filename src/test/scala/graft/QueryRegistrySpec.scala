@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inventory invariants of the split query registry (r15: SparkEntry's
+  * monolithic maps became eight QueriesPart objects composed with ++):
+  * no part may shadow another's key, every oracle needs its query, and
+  * the declared totals pin the driver-contract surface.
+  */
+class QueryRegistrySpec extends AnyFunSuite {
+
+  private val parts: Seq[(String, Map[String, _], Map[String, String])] = Seq(
+    ("P1", QueriesPart1.queries, QueriesPart1.oracles),
+    ("P2", QueriesPart2.queries, QueriesPart2.oracles),
+    ("P3", QueriesPart3.queries, QueriesPart3.oracles),
+    ("P4", QueriesPart4.queries, QueriesPart4.oracles),
+    ("P5", QueriesPart5.queries, QueriesPart5.oracles),
+    ("P6", QueriesPart6.queries, QueriesPart6.oracles),
+    ("P7", QueriesPart7.queries, QueriesPart7.oracles),
+    ("P8", QueriesPart8.queries, QueriesPart8.oracles))
+
+  test("parts are disjoint: ++ composition cannot shadow a query") {
+    val all = parts.flatMap { case (n, q, _) => q.keys.map(_ -> n) }
+    val dup = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dup.isEmpty, s"duplicated across parts: $dup")
+    val allO = parts.flatMap { case (n, _, o) => o.keys.map(_ -> n) }
+    val dupO = allO.groupBy(_._1).filter(_._2.size > 1)
+    assert(dupO.isEmpty, s"oracles duplicated across parts: $dupO")
+  }
+
+  test("every oracle names a declared query, in the SAME part") {
+    for ((n, q, o) <- parts; k <- o.keys)
+      assert(q.contains(k), s"$n: oracle '$k' has no query in its part")
+  }
+
+  test("declared inventory totals: 392+ queries, <=5 rows-only") {
+    assert(SparkEntry.queries.size >= 392)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.subsetOf(Set(
+      "q60_hll_distinct", "q101_knn_pq", "q155_audio_neardups",
+      "q202_mfcc", "q203_unigram_tokens")),
+      s"undeclared rows-only queries: $rowsOnly")
+  }
+}

@@ -173,6 +173,68 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(b == batchAnswer, "a different batch split must converge to the same sample")
   }
 
+  test("streamingPageHinkley: drift alarms at the predicted event across a batch split, noise never") {
+    val dir = graft.GraftTmp.dir("graft-ph")
+    // delta 0.5, lambda 12. key 1: five 10s establish the mean, then a
+    // shift to 20 — the FIRST shifted event (n=6) moves the running mean
+    // to 11.67 and adds 7.83 to mUp (gap 7.83 < 12, no alarm); the
+    // SECOND (n=7, the first event of batch b) adds 6.64 more ->
+    // gap 14.476 > 12: the alarm fires at 00:06 ONLY if (n, sum, mUp,
+    // minUp) carried across the split. key 3 mirrors it downward
+    // (10s then 0s). key 2 alternates 10.9/9.1 around the mean: both
+    // gaps stay under 1 — never alarms.
+    Files.write(dir.resolve("a.json"),
+      """{"key": 1, "ts": "2024-01-01T00:00:00", "value": 10.0}
+        |{"key": 1, "ts": "2024-01-01T00:01:00", "value": 10.0}
+        |{"key": 1, "ts": "2024-01-01T00:02:00", "value": 10.0}
+        |{"key": 1, "ts": "2024-01-01T00:03:00", "value": 10.0}
+        |{"key": 1, "ts": "2024-01-01T00:04:00", "value": 10.0}
+        |{"key": 1, "ts": "2024-01-01T00:05:00", "value": 20.0}
+        |{"key": 3, "ts": "2024-01-01T00:00:00", "value": 10.0}
+        |{"key": 3, "ts": "2024-01-01T00:01:00", "value": 10.0}
+        |{"key": 3, "ts": "2024-01-01T00:02:00", "value": 10.0}
+        |{"key": 3, "ts": "2024-01-01T00:03:00", "value": 10.0}
+        |{"key": 3, "ts": "2024-01-01T00:04:00", "value": 10.0}
+        |{"key": 3, "ts": "2024-01-01T00:05:00", "value": 0.0}
+        |{"key": 2, "ts": "2024-01-01T00:00:00", "value": 10.9}
+        |{"key": 2, "ts": "2024-01-01T00:01:00", "value": 9.1}
+        |{"key": 2, "ts": "2024-01-01T00:02:00", "value": 10.9}
+        |{"key": 2, "ts": "2024-01-01T00:03:00", "value": 9.1}""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("b.json"),
+      """{"key": 1, "ts": "2024-01-01T00:06:00", "value": 20.0}
+        |{"key": 1, "ts": "2024-01-01T00:07:00", "value": 20.0}
+        |{"key": 3, "ts": "2024-01-01T00:06:00", "value": 0.0}
+        |{"key": 3, "ts": "2024-01-01T00:07:00", "value": 0.0}
+        |{"key": 2, "ts": "2024-01-01T00:06:00", "value": 10.9}
+        |{"key": 2, "ts": "2024-01-01T00:07:00", "value": 9.1}""".stripMargin.getBytes("UTF-8"))
+    val phSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(phSchema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[CusumEvent]
+    val q = StatefulOps.streamingPageHinkley(stream, delta = 0.5, lambda = 12.0)
+      .writeStream.format("memory").queryName("ph_hits")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT key, CAST(ts AS STRING), direction, ph_value, n_since_reset " +
+        "FROM ph_hits ORDER BY key, ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.length == 2, got.mkString(","))
+    assert(got(0)._1 == 1L && got(0)._2 == "2024-01-01 00:06:00" &&
+      got(0)._3 == "up" && got(0)._5 == 7L)
+    assert(math.abs(got(0)._4 - 14.476190476190476) < 1e-9)
+    assert(got(1)._1 == 3L && got(1)._2 == "2024-01-01 00:06:00" &&
+      got(1)._3 == "down" && got(1)._5 == 7L)
+    assert(math.abs(got(1)._4 - 14.476190476190476) < 1e-9)
+  }
+
   test("streamingCusumAlarm: sustained shift alarms across batches, noise never does") {
     val dir = graft.GraftTmp.dir("graft-cusum")
     // key 1: five on-target values (10 +- 1), then a sustained shift to
