@@ -27,6 +27,17 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_scd_apply('/path/to/dim', batch_view, 'k1,k2', 't1,t2',
   *                        batchId [, 'deleteCol=gone', 'partitionBy=p'])
   *   CALL graft_scd_asof('/path/to/dim', batchId, view_name)
+  *   -- dashboard statistics (result registered as a temp view):
+  *   CALL graft_stat_welch(src_view, 'slice', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_mannwhitney(src_view, 'group', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_ks(src_view, 'group', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_psi(src_view, 'slice', 'value', 'a', 'b', lo, hi, nbins, out_view)
+  *   CALL graft_stat_wilson(src_view, 'group', 'success_col' [, z], out_view)
+  *   CALL graft_stat_auc(src_view, 'score', 'label', out_view)
+  *   CALL graft_stat_cusum(src_view, 'group', 'ord1,ord2', 'value', out_view)
+  *   CALL graft_stat_mann_kendall(src_view, 'group', 'time', 'value', out_view)
+  *   CALL graft_stat_theil_sen(src_view, 'group', 'x', 'y', out_view)
+  *   CALL graft_stat_benford(src_view, 'group', 'value', out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -98,6 +109,7 @@ object GraftSqlParser {
   private[sql] sealed trait Arg
   private[sql] final case class SArg(s: String) extends Arg
   private[sql] final case class IArg(i: Long) extends Arg
+  private[sql] final case class DArg(d: Double) extends Arg
   private[sql] final case class IdArg(name: String) extends Arg
 
   private val CallRe =
@@ -145,11 +157,12 @@ object GraftSqlParser {
     if (tok.startsWith("'") && tok.endsWith("'") && tok.length >= 2)
       SArg(tok.substring(1, tok.length - 1).replace("''", "'"))
     else if (tok.matches("[-+]?\\d+")) IArg(tok.toLong)
+    else if (tok.matches("[-+]?\\d+\\.\\d+")) DArg(tok.toDouble)
     else if (tok.matches("[A-Za-z_][A-Za-z0-9_.]*")) IdArg(tok)
     else throw new ParseException(
       Option(stmt), org.apache.spark.sql.catalyst.trees.Origin(),
       "PARSE_SYNTAX_ERROR",
-      Map("error" -> s"'$tok'", "hint" -> ": CALL graft_* arguments are string literals, integers, or view names"))
+      Map("error" -> s"'$tok'", "hint" -> ": CALL graft_* arguments are string literals, numbers, or view names"))
 }
 
 /** The executed verb. Eager (command) semantics: running `spark.sql(...)`
@@ -347,7 +360,62 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
       Seq(Row(s"registered $view = $target as of " +
         (if (batchId < 0) "current" else s"batch $batchId")))
 
+    // Dashboard statistics from pure SQL: each CALL runs the named test
+    // over a registered table/view and registers the one-or-few-row
+    // result as a temp view — the read_version precedent, so the command
+    // schema stays fixed while each stat keeps its own result columns.
+    //   CALL graft_stat_<name>(source_view, <col/level args...>, result_view)
+    case stat if stat.startsWith("stat_") =>
+      import graft.operators.{StatTests, Trend}
+      val src = args.headOption match {
+        case Some(IdArg(n)) => spark.table(n)
+        case Some(SArg(n)) => spark.table(n)
+        case other => bad(s"argument 1 must be a source table/view, got $other")
+      }
+      val view = args.lastOption match {
+        case Some(IdArg(n)) => n
+        case Some(SArg(n)) => n
+        case other => bad(s"last argument must be a result view name, got $other")
+      }
+      val mid = args.slice(1, args.length - 1)
+      def ms(i: Int): String = mid.lift(i) match {
+        case Some(SArg(s)) => s
+        case other => bad(s"argument ${i + 2} must be a string literal, got $other")
+      }
+      def md(i: Int): Double = mid.lift(i) match {
+        case Some(DArg(d)) => d
+        case Some(IArg(v)) => v.toDouble
+        case other => bad(s"argument ${i + 2} must be a number, got $other")
+      }
+      def mi(i: Int): Int = mid.lift(i) match {
+        case Some(IArg(v)) => v.toInt
+        case other => bad(s"argument ${i + 2} must be an integer, got $other")
+      }
+      val result = stat.stripPrefix("stat_") match {
+        case "welch" => StatTests.welchTTest(src, ms(0), ms(1), ms(2), ms(3))
+        case "mannwhitney" =>
+          StatTests.mannWhitneyU(src, ms(0), ms(1), ms(2), ms(3))
+        case "ks" => StatTests.ksTwoSample(src, ms(0), ms(1), ms(2), ms(3))
+        case "psi" => StatTests.populationStability(src, ms(0), ms(1), ms(2),
+          ms(3), md(4), md(5), mi(6))
+        case "wilson" =>
+          if (mid.length >= 3) StatTests.wilsonInterval(src, ms(0), ms(1), md(2))
+          else StatTests.wilsonInterval(src, ms(0), ms(1))
+        case "auc" => graft.functions.Eval.rocAuc(src, ms(0), ms(1))
+        case "cusum" => Trend.cusumChangepoint(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "mann_kendall" => Trend.mannKendall(src, ms(0), ms(1), ms(2))
+        case "theil_sen" => Trend.theilSen(src, ms(0), ms(1), ms(2))
+        case "benford" => StatTests.benfordFirstDigit(src, ms(0), ms(1))
+        case other => bad(s"unknown statistic '$other' (known: auc, " +
+          "benford, cusum, ks, mann_kendall, mannwhitney, psi, theil_sen, " +
+          "welch, wilson)")
+      }
+      result.createOrReplaceTempView(view)
+      Seq(Row(s"registered $view = graft_$verb over ${mid.collect {
+        case SArg(s) => s }.mkString(", ")}"))
+
     case other =>
-      bad(s"unknown verb (known: clone, compact, compute_bloom, compute_stats, count_fast, maintain_agg, merge, read_version, scd_apply, scd_asof, vacuum)")
+      bad(s"unknown verb (known: clone, compact, compute_bloom, compute_stats, count_fast, maintain_agg, merge, read_version, scd_apply, scd_asof, stat_<name>, vacuum)")
   }
 }

@@ -191,4 +191,60 @@ class GraftSqlSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(cur == Seq((1L, "A2"), (3L, "C"), (4L, "D")))
   }
+
+  test("CALL graft_stat_*: every dashboard statistic round-trips via spark.sql") {
+    import graft.operators.{StatTests, Trend}
+    // one fixture: two slices of 20 (t, v) points with a clear a-vs-b
+    // shift, a boolean outcome, and v doubling as a score
+    val rows = (1L to 20L).flatMap { t =>
+      Seq(("a", t, 10L + (t % 5), (t % 3) == 0L),
+        ("b", t, 30L + t, (t % 2) == 0L))
+    }
+    val fixture = rows.toDF("g", "t", "v", "y")
+    // register on the SQL-extensions sibling (it cannot see spark's views)
+    fixture.createOrReplaceTempView("sqlstat_src_orig")
+    val srcPath = tmpDir("stat-src")
+    fixture.write.parquet(srcPath)
+    sqlS.read.parquet(srcPath).createOrReplaceTempView("sqlstat_src")
+    val src = sqlS.table("sqlstat_src")
+
+    def parity(call: String, view: String, direct: org.apache.spark.sql.DataFrame): Unit = {
+      val report = sqlS.sql(call).head().getString(0)
+      assert(report.contains(view), s"$call -> $report")
+      val got = sqlS.table(view).collect().map(_.toSeq).toSet
+      val want = direct.collect().map(_.toSeq).toSet
+      assert(got == want, s"$call: $got vs $want")
+      assert(got.nonEmpty, call)
+    }
+
+    parity("CALL graft_stat_welch(sqlstat_src, 'g', 'v', 'a', 'b', st_welch)",
+      "st_welch", StatTests.welchTTest(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_mannwhitney(sqlstat_src, 'g', 'v', 'a', 'b', st_mwu)",
+      "st_mwu", StatTests.mannWhitneyU(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_ks(sqlstat_src, 'g', 'v', 'a', 'b', st_ks)",
+      "st_ks", StatTests.ksTwoSample(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_psi(sqlstat_src, 'g', 'v', 'a', 'b', 0.0, 60.0, 6, st_psi)",
+      "st_psi",
+      StatTests.populationStability(src, "g", "v", "a", "b", 0.0, 60.0, 6))
+    parity("CALL graft_stat_wilson(sqlstat_src, 'g', 'y', st_wilson)",
+      "st_wilson", StatTests.wilsonInterval(src, "g", "y"))
+    parity("CALL graft_stat_wilson(sqlstat_src, 'g', 'y', 2.5, st_wilson25)",
+      "st_wilson25", StatTests.wilsonInterval(src, "g", "y", z = 2.5))
+    parity("CALL graft_stat_auc(sqlstat_src, 'v', 'y', st_auc)",
+      "st_auc", graft.functions.Eval.rocAuc(src, "v", "y"))
+    parity("CALL graft_stat_cusum(sqlstat_src, 'g', 't', 'v', st_cusum)",
+      "st_cusum", Trend.cusumChangepoint(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_mann_kendall(sqlstat_src, 'g', 't', 'v', st_mk)",
+      "st_mk", Trend.mannKendall(src, "g", "t", "v"))
+    parity("CALL graft_stat_theil_sen(sqlstat_src, 'g', 't', 'v', st_ts)",
+      "st_ts", Trend.theilSen(src, "g", "t", "v"))
+    parity("CALL graft_stat_benford(sqlstat_src, 'g', 'v', st_benford)",
+      "st_benford", StatTests.benfordFirstDigit(src, "g", "v"))
+
+    // an unknown statistic fails loudly with the known list
+    val e = intercept[IllegalArgumentException] {
+      sqlS.sql("CALL graft_stat_bogus(sqlstat_src, 'g', out_v)").collect()
+    }
+    assert(e.getMessage.contains("unknown statistic"), e.getMessage)
+  }
 }
