@@ -644,6 +644,16 @@ private[graft] object QueriesPart8 {
     // --- 393. sign test, oracle-pinned -----------------------------------------------------------------------
     // The assumption-free paired readout on the same pairs — only the
     // sign of each within-user shift matters.
+    // --- 394. Good-Turing mass balance x Chao1 cross-check, oracle-pinned ------------------------------------
+    // The composition row pinning the two coverage estimators against
+    // each other: sum_r N_r*r* (through the dense-ladder join) must
+    // equal N - f1 EXACTLY (both BIGINT columns — drift is a hash
+    // mismatch), beside GT's unseen MASS (f1/N) and Chao1's unseen
+    // TYPE COUNT (f1(f1-1)/(2(f2+1))) over the same trigram census.
+    "q394_coverage_mass" -> ((s, d) =>
+      graft.functions.Coverage.gtMassBalance(
+        trigramShingles(t(s, d, "documents")), "tok")),
+
     "q393_sign_test" -> ((s, d) =>
       graft.operators.StatTests.signTest(
         pairedHalfCounts(t(s, d, "events")), "x", "y")),
@@ -2026,5 +2036,37 @@ private[graft] object QueriesPart8 {
         |    ELSE CAST(0 AS DOUBLE) END
         |    END, 7) AS z
         |FROM agg""".stripMargin,
+
+    // GT mass balance: the ladder-join path and the direct census must
+    // agree exactly (both cast to BIGINT); unseen mass + Chao1 f0.
+    "q394_coverage_mass" ->
+      """WITH dd AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tok
+        |  FROM (SELECT a, UNNEST(generate_series(1, len(a) - 2)) AS i
+        |        FROM dd WHERE len(a) >= 3)),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |census AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS d,
+        |    count(CASE WHEN c = 1 THEN 1 END) AS f1,
+        |    count(CASE WHEN c = 2 THEN 1 END) AS f2
+        |  FROM counts),
+        |fof AS (SELECT c AS r, count(*) AS n_r FROM counts GROUP BY 1),
+        |nx AS (SELECT r - 1 AS r, n_r AS n_r1 FROM fof),
+        |ladder AS (SELECT CAST(sum((r + 1) * COALESCE(n_r1, 0)) AS BIGINT)
+        |    AS gt_seen_mass
+        |  FROM fof FULL OUTER JOIN nx USING (r) WHERE r >= 1)
+        |SELECT n_tokens, d, f1, f2, gt_seen_mass,
+        |  n_tokens - f1 AS seen_mass_direct,
+        |  ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 7)
+        |    AS p0_unseen,
+        |  ROUND(CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |    / (CAST(2 AS DOUBLE) * CAST(f2 + 1 AS DOUBLE)), 7) AS chao1_f0,
+        |  ROUND(CAST(d AS DOUBLE)
+        |    + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |      / (CAST(2 AS DOUBLE) * CAST(f2 + 1 AS DOUBLE)), 7) AS chao1
+        |FROM census, ladder""".stripMargin,
   )
 }

@@ -121,4 +121,57 @@ object Coverage {
         when(col("r_star") > 0.0, col("r_star")))
       .orderBy(col("r"))
   }
+
+  /** Good-Turing mass balance + Chao1 cross-check — the composition row
+    * that pins the two coverage estimators against each other AND
+    * against an exact integer identity:
+    *
+    *   sum_r N_r * r*  =  sum_r (r+1) N_{r+1}  =  N - f1      (exact)
+    *
+    * The left side is computed through the SAME dense-ladder lead-join
+    * [[goodTuring]] uses (so a gap-skipping ladder would break the
+    * balance); the right side is a direct census (`n - f1`). Both are
+    * BIGINT columns in the output — any drift between the two paths is
+    * a hash mismatch, not a tolerance. Alongside: the GT unseen-mass
+    * estimate p0 = f1/N and Chao1's unseen-richness f0 =
+    * f1(f1-1)/(2(f2+1)), the two "how much is missing" numbers a corpus
+    * report quotes together (probability mass vs type count).
+    *
+    * Scale: two combining groupBys over the token domain, a
+    * ladder-sized (max count, tiny) self-join, single-row output.
+    *
+    * Returns one row (n_tokens, d, f1, f2, gt_seen_mass,
+    * seen_mass_direct, p0_unseen, chao1_f0, chao1).
+    */
+  def gtMassBalance(df: DataFrame, tokenCol: String): DataFrame = {
+    val counts = df.where(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .groupBy(col(tokenCol)).agg(count(lit(1)).as("c"))
+    val census = counts.agg(sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("d"),
+      count(when(col("c") === 1, 1)).as("f1"),
+      count(when(col("c") === 2, 1)).as("f2"))
+    val fof = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val next = fof.select((col("r") - 1L).as("r"), col("n_r").as("n_r1"))
+    // full ladder, exact integers: sum_r (r+1) * N_{r+1} via the dense
+    // r-1 shift. OUTER join, not left: a rung with N_r = 0 but
+    // N_{r+1} > 0 (a count-of-counts gap) still carries mass, and a
+    // left join anchored on observed r would drop it — exactly the
+    // ladder bug this row exists to catch. r >= 1 drops the shifted
+    // r = 0 rung (that mass is the unseen estimate, not seen mass).
+    val ladder = fof.join(next, Seq("r"), "outer")
+      .where(col("r") >= 1L)
+      .agg(sum((col("r") + 1L) * coalesce(col("n_r1"), lit(0L)))
+        .as("gt_seen_mass"))
+    census.crossJoin(broadcast(ladder))
+      .select(col("n_tokens"), col("d"), col("f1"), col("f2"),
+        col("gt_seen_mass"),
+        (col("n_tokens") - col("f1")).as("seen_mass_direct"),
+        round(col("f1").cast("double") / col("n_tokens").cast("double"), 7)
+          .as("p0_unseen"),
+        round(col("f1").cast("double") * (col("f1") - 1L).cast("double") /
+          (lit(2.0) * (col("f2") + 1L).cast("double")), 7).as("chao1_f0"),
+        round(col("d").cast("double") +
+          col("f1").cast("double") * (col("f1") - 1L).cast("double") /
+            (lit(2.0) * (col("f2") + 1L).cast("double")), 7).as("chao1"))
+  }
 }

@@ -50,4 +50,26 @@ class CoverageSpec extends SparkTestBase {
     assert(got(2L).isEmpty) // N3 = 0 -> undefined, not zero
     assert(got(4L).isEmpty) // N5 = 0
   }
+
+  test("GT mass balance: ladder path equals census path exactly") {
+    // counts: a,b,c=1 (f1=3), d=2 (f2=1), e=4; N=9, d=5
+    val toks = (Seq("a", "b", "c") ++ Seq("d", "d") ++ Seq.fill(4)("e"))
+      .toDF("tok")
+    val r = Coverage.gtMassBalance(toks, "tok").collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 1L)
+    // ladder: sum_r (r+1)N_{r+1} = 2*1 + 4*1 = 6 = N - f1 = 9 - 3
+    assert(r.getLong(4) == 6L && r.getLong(5) == 6L)
+    assert(r.getDouble(6) == math.rint(3.0 / 9.0 * 1e7) / 1e7)
+    assert(r.getDouble(7) == 3.0 * 2.0 / 4.0) // f1(f1-1)/(2(f2+1))
+    assert(r.getDouble(8) == 5.0 + 1.5)
+  }
+
+  test("GT mass balance: identity holds on a gapped ladder") {
+    // counts 1,1,5 — the ladder has gaps 2..4; a lead() over observed r
+    // (instead of the dense r-1 join) would mis-sum the mass.
+    val toks = (Seq("x", "y") ++ Seq.fill(5)("z")).toDF("tok")
+    val r = Coverage.gtMassBalance(toks, "tok").collect()(0)
+    assert(r.getLong(4) == r.getLong(5) && r.getLong(4) == 7L - 2L)
+  }
 }
