@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 import Tables.{t, dec, dsum}
 import SparkEntry._
 
-/** Query registry part 8 (q345-q393): r14 stats battery: ANOVA/agreement/survival/trend/coverage/paired.
+/** Query registry part 8 (q345-q396): r14 stats battery (ANOVA/agreement/survival/trend/coverage/paired) + r15 additions.
   * Split from the monolithic SparkEntry in r15 — pure relocation,
   * identical entries; SparkEntry composes the eight parts.
   */
@@ -644,6 +644,32 @@ private[graft] object QueriesPart8 {
     // --- 393. sign test, oracle-pinned -----------------------------------------------------------------------
     // The assumption-free paired readout on the same pairs — only the
     // sign of each within-user shift matters.
+    // --- 395. MFCC frame census, oracle-pinned ----------------------------------------------------------------
+    // The integer half of q202 flipped to an oracle (the r14 q79
+    // decode-seam precedent): n_frames from the REAL WAV decode (RIFF
+    // walk, s16le sample count) + the 512/256 window arithmetic must
+    // equal the closed-form count from the synthetic length formula.
+    // A header mis-parse, a dropped sample, or an off-by-one window is
+    // a hash mismatch; only the cepstral floats stay rows-only (q202).
+    "q395_mfcc_frames" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"), Multimodal.mfcc(syntheticWavN(
+          lit(768L) + (col("doc_id") % 4).cast("long") * 256L)).as("m"))
+        .select(col("doc_id"), col("m.n_frames").as("n_frames"))
+        .orderBy("doc_id")),
+
+    // --- 396. Unigram-LM seed inventory, oracle-pinned --------------------------------------------------------
+    // The integer half of q203 flipped to an oracle: the SAME word-count
+    // pass and driver-side substring census that feed EM, replayed
+    // relationally — pieces = alphabet + top (4*vocab - |alphabet|)
+    // multi-char substrings by freq*length (ties by piece). Pins the
+    // tokenize pass, the substring weighting, and the rank cut; only
+    // the EM/pruning floats stay rows-only (q203).
+    "q396_unigram_seed" -> ((s, d) =>
+      graft.functions.UnigramTokenizer.seedInventory(
+        t(s, d, "documents"), "text", vocabSize = 200)),
+
     // --- 394. Good-Turing mass balance x Chao1 cross-check, oracle-pinned ------------------------------------
     // The composition row pinning the two coverage estimators against
     // each other: sum_r N_r*r* (through the dense-ladder join) must
@@ -2036,6 +2062,43 @@ private[graft] object QueriesPart8 {
         |    ELSE CAST(0 AS DOUBLE) END
         |    END, 7) AS z
         |FROM agg""".stripMargin,
+
+    // MFCC frame census: closed-form from the synthetic length formula
+    // n = 768 + (doc_id%4)*256 -> frames = (n - 512)/256 + 1.
+    "q395_mfcc_frames" ->
+      """SELECT doc_id,
+        |  CAST((768 + (doc_id % 4) * 256 - 512) // 256 + 1 AS INTEGER)
+        |    AS n_frames
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // Unigram seed inventory: word census capped top-100k (c desc, w
+    // asc), substring explosion to len 8, alphabet + top 800-|alphabet|
+    // multis by freq*len with ties by piece.
+    "q396_unigram_seed" ->
+      """WITH dd AS (
+        |  SELECT list_filter(str_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT w, count(*) AS c
+        |  FROM (SELECT UNNEST(a) AS w FROM dd) GROUP BY 1
+        |  ORDER BY c DESC, w ASC LIMIT 100000),
+        |subs AS (SELECT substr(w, i, l) AS piece,
+        |    CAST(sum(c) AS BIGINT) AS f
+        |  FROM (SELECT w, c, i,
+        |      UNNEST(generate_series(1, least(8, len(w) - i + 1))) AS l
+        |    FROM (SELECT w, c, UNNEST(generate_series(1, len(w))) AS i
+        |          FROM wc))
+        |  GROUP BY 1),
+        |ch AS (SELECT count(*) AS nchars FROM subs WHERE len(piece) = 1),
+        |ranked AS (SELECT piece, f,
+        |    row_number() OVER (ORDER BY f * len(piece) DESC, piece ASC)
+        |      AS rn
+        |  FROM subs WHERE len(piece) > 1)
+        |SELECT piece, f AS weight FROM subs WHERE len(piece) = 1
+        |UNION ALL
+        |SELECT piece, f AS weight FROM ranked, ch
+        |WHERE rn <= greatest(800, nchars + 1) - nchars
+        |ORDER BY piece""".stripMargin,
 
     // GT mass balance: the ladder-join path and the direct census must
     // agree exactly (both cast to BIGINT); unseen mass + Chao1 f0.

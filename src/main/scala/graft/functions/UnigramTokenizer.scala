@@ -47,29 +47,38 @@ object UnigramTokenizer {
       emIters: Int = 4
   ): Model = {
     require(vocabSize >= 2 && maxPieceLen >= 1 && emIters >= 1)
-    val wordCounts: Array[(String, Long)] =
-      df.select(explode(Retrieval.tokens(col(textCol))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), asc("w"))
-        .limit(maxVocab)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-    trainFromWordCounts(wordCounts, vocabSize, maxPieceLen, seedFactor, emIters)
+    trainFromWordCounts(wordCountPass(df, textCol, maxVocab),
+      vocabSize, maxPieceLen, seedFactor, emIters)
   }
 
-  /** Driver-side seeding + EM + pruning over a word-frequency dictionary
-    * — separated for direct testing (the [[Bpe.learnFromWordCounts]]
-    * precedent).
+  /** The ONE corpus touch: distributed word-frequency aggregation with
+    * map-side combine, capped at the `maxVocab` most frequent words
+    * (ties broken by word asc — deterministic, oracle-replayable).
     */
-  def trainFromWordCounts(
+  private def wordCountPass(df: DataFrame, textCol: String,
+      maxVocab: Int): Array[(String, Long)] =
+    df.select(explode(Retrieval.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** The seed inventory — all substrings of the dictionary up to
+    * `maxPieceLen`, frequency-weighted, single characters always kept,
+    * multi-character pieces ranked by freq*length with ties broken by
+    * the piece string (Kudo 2018's suffix-array seeding restated as an
+    * exact census). Returned sorted by piece: (piece, summed weight).
+    *
+    * PURE INTEGER DOMAIN — the one half of unigram training that has a
+    * relational oracle (q396); EM and pruning downstream are float.
+    */
+  private[graft] def seedPieces(
       wordCounts: Array[(String, Long)],
       vocabSize: Int,
-      maxPieceLen: Int = 8,
-      seedFactor: Int = 4,
-      emIters: Int = 4
-  ): Model = {
-    require(wordCounts.nonEmpty, "empty dictionary")
-    // ---- Seed: all substrings up to maxPieceLen, frequency-weighted.
+      maxPieceLen: Int,
+      seedFactor: Int
+  ): Array[(String, Long)] = {
     val subFreq = scala.collection.mutable.HashMap.empty[String, Long]
     wordCounts.foreach { case (w, c) =>
       var i = 0
@@ -89,7 +98,46 @@ object UnigramTokenizer {
       .sortBy { case (s, f) => (-f * s.length, s) } // SP seeds by freq*len
       .take(seedSize - chars.length)
       .map(_._1)
-    var pieces: Array[String] = (chars ++ multis).sorted
+    (chars ++ multis).sorted.map(p => (p, subFreq(p)))
+  }
+
+  /** The seed inventory as a DataFrame (piece, weight) — the integer
+    * half of [[train]] exposed for oracle pinning: the SAME distributed
+    * word-count pass and the SAME driver-side substring census that
+    * feed EM, replayable relationally (q396 recomputes it in SQL from
+    * the raw corpus — a hash match pins the tokenize pass, the cap
+    * ordering, the substring weighting, and the freq*len rank cut).
+    */
+  def seedInventory(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxVocab: Int = 100000,
+      maxPieceLen: Int = 8,
+      seedFactor: Int = 4
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    seedPieces(wordCountPass(df, textCol, maxVocab),
+        vocabSize, maxPieceLen, seedFactor)
+      .toSeq.toDF("piece", "weight")
+  }
+
+  /** Driver-side seeding + EM + pruning over a word-frequency dictionary
+    * — separated for direct testing (the [[Bpe.learnFromWordCounts]]
+    * precedent).
+    */
+  def trainFromWordCounts(
+      wordCounts: Array[(String, Long)],
+      vocabSize: Int,
+      maxPieceLen: Int = 8,
+      seedFactor: Int = 4,
+      emIters: Int = 4
+  ): Model = {
+    require(wordCounts.nonEmpty, "empty dictionary")
+    val seeded = seedPieces(wordCounts, vocabSize, maxPieceLen, seedFactor)
+    val subFreq = seeded.toMap
+    var pieces: Array[String] = seeded.map(_._1)
     // Init probs proportional to weighted frequency.
     var logProbs: Array[Double] = {
       val total = pieces.map(subFreq(_).toDouble).sum

@@ -87,4 +87,21 @@ class UnigramTokenizerSpec extends SparkTestBase {
     assert(m.pieces.toSeq == m2.pieces.toSeq &&
       m.logProbs.toSeq == m2.logProbs.toSeq, "training is deterministic")
   }
+
+  test("seed inventory: hand census, alphabet kept, freq*len rank cut") {
+    // dictionary: "abab" x3, "ab" x2 -> substrings (maxPieceLen 3):
+    //   a: 3*2+2 = 8, b: 8, ab: 3*2+2 = 8, ba: 3, aba: 3, bab: 3
+    val wc = Array(("abab", 3L), ("ab", 2L))
+    val seed = UnigramTokenizer.seedPieces(wc, vocabSize = 2,
+      maxPieceLen = 3, seedFactor = 2) // seedSize = max(4, 3) = 4
+    // chars a,b always kept; 2 multi slots: rank by f*len desc, piece asc
+    //   ab: 8*2=16; aba: 3*3=9; bab: 3*3=9 (tie -> aba); ba: 3*2=6
+    assert(seed.toSeq == Seq(("a", 8L), ("ab", 8L), ("aba", 3L), ("b", 8L)))
+    // the DataFrame face carries the same rows
+    val docs = Seq("abab abab abab ab ab").toDF("text")
+    val inv = UnigramTokenizer.seedInventory(docs, "text", vocabSize = 2,
+        maxPieceLen = 3, seedFactor = 2)
+      .orderBy("piece").as[(String, Long)].collect().toSeq
+    assert(inv == Seq(("a", 8L), ("ab", 8L), ("aba", 3L), ("b", 8L)))
+  }
 }
