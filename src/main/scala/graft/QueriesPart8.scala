@@ -670,6 +670,70 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 397-403. clustering-quality battery, oracle-pinned ---------------------------------------------------
+    // The report a pipeline runs after ANY grouping step (SemDeDup
+    // clusters, IVF cells, topic buckets): a deterministic nearest-seed
+    // assignment of the embeddings (k = 8 seed vectors, milli-quantized
+    // distances — exact integer argmin) graded externally against the
+    // reference `label` (ARI, purity, V-measure) and internally on its
+    // own geometry (Calinski-Harabasz, Davies-Bouldin, centroid
+    // silhouette). Everything follows the quantize-first contract:
+    // vectors AND centroids in exact milli-units, float only in the
+    // one final pinned expression per metric.
+    "q397_cluster_assign" -> ((s, d) =>
+      graft.functions.ClusterEval.assignNearestSeed(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 8)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")),
+
+    "q398_cluster_ari" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val a = graft.functions.ClusterEval.assignNearestSeed(
+        emb, "vec_id", "embedding", k = 8)
+      graft.functions.ClusterEval.ari(
+        a.join(emb.select(col("vec_id"), col("label")), "vec_id"),
+        "cluster", "label")
+    }),
+
+    "q399_cluster_purity" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val a = graft.functions.ClusterEval.assignNearestSeed(
+        emb, "vec_id", "embedding", k = 8)
+      graft.functions.ClusterEval.purity(
+        a.join(emb.select(col("vec_id"), col("label")), "vec_id"),
+        "cluster", "label")
+    }),
+
+    "q400_cluster_vmeasure" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val a = graft.functions.ClusterEval.assignNearestSeed(
+        emb, "vec_id", "embedding", k = 8)
+      graft.functions.ClusterEval.vMeasure(
+        a.join(emb.select(col("vec_id"), col("label")), "vec_id"),
+        "cluster", "label")
+    }),
+
+    "q401_calinski_harabasz" -> ((s, d) =>
+      graft.functions.ClusterEval.calinskiHarabasz(
+        graft.functions.ClusterEval.assignNearestSeed(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 8),
+        "cluster", "q")),
+
+    "q402_davies_bouldin" -> ((s, d) =>
+      graft.functions.ClusterEval.daviesBouldin(
+        graft.functions.ClusterEval.assignNearestSeed(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 8),
+        "cluster", "q")),
+
+    "q403_silhouette" -> ((s, d) =>
+      graft.functions.ClusterEval.silhouetteCentroid(
+          graft.functions.ClusterEval.assignNearestSeed(
+            t(s, d, "embeddings"), "vec_id", "embedding", k = 8),
+          "vec_id", "cluster", "q")
+        .select(col("cl").as("cluster"), col("n"),
+          col("mean_silhouette"))
+        .orderBy("cluster")),
+
     // --- 394. Good-Turing mass balance x Chao1 cross-check, oracle-pinned ------------------------------------
     // The composition row pinning the two coverage estimators against
     // each other: sum_r N_r*r* (through the dense-ladder join) must
@@ -685,7 +749,185 @@ private[graft] object QueriesPart8 {
         pairedHalfCounts(t(s, d, "events")), "x", "y")),
   )
 
+  /** Shared oracle CTE prefix for the q397-q403 clustering battery:
+    * milli-quantized vectors, the k=8 nearest-seed assignment (exact
+    * integer argmin, ties to the lowest seed), and the milli-quantized
+    * per-cluster centroid table — the same quantize-first pipeline
+    * `ClusterEval` declares, replayed relationally.
+    */
+  private val clusterCte: String =
+    """WITH pts AS (
+      |  SELECT vec_id, label, list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id AS seed, q AS sq FROM pts WHERE vec_id < 8),
+      |dists AS (SELECT p.vec_id, p.label, p.q, s.seed,
+      |    CAST(list_sum(list_transform(list_zip(p.q, s.sq),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+      |  FROM pts p CROSS JOIN seeds s),
+      |asg AS (SELECT vec_id, label, q, seed AS cluster
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d2 ASC, seed ASC) AS rn FROM dists)
+      |  WHERE rn = 1),
+      |cdim AS (SELECT cluster, i,
+      |    CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+      |    count(*) AS n
+      |  FROM (SELECT cluster, q, UNNEST(generate_series(1, len(q))) AS i
+      |        FROM asg)
+      |  GROUP BY cluster, i),
+      |cent AS (SELECT cluster, max(n) AS n_i, list(c ORDER BY i) AS cvec
+      |  FROM cdim GROUP BY cluster)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    // Nearest-seed assignment: the exact integer argmin replayed.
+    "q397_cluster_assign" -> (clusterCte +
+      "\nSELECT vec_id, cluster FROM asg ORDER BY vec_id"),
+
+    // Adjusted Rand: exact pair counts, one pinned double ratio.
+    "q398_cluster_ari" -> (clusterCte + """,
+      |cells AS (SELECT cluster AS a, label AS b, count(*) AS c
+      |  FROM asg GROUP BY 1, 2),
+      |ii AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS i_pairs,
+      |    CAST(sum(c) AS BIGINT) AS n FROM cells),
+      |am AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS a_pairs
+      |  FROM (SELECT sum(c) AS m FROM cells GROUP BY a)),
+      |bm AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS b_pairs
+      |  FROM (SELECT sum(c) AS m FROM cells GROUP BY b))
+      |SELECT n, i_pairs, a_pairs, b_pairs,
+      |  ROUND(CASE WHEN n * (n - 1) // 2 > 0 THEN
+      |    (CAST(i_pairs AS DOUBLE)
+      |      - CAST(a_pairs AS DOUBLE) * CAST(b_pairs AS DOUBLE)
+      |        / CAST(n * (n - 1) // 2 AS DOUBLE))
+      |    / ((CAST(a_pairs AS DOUBLE) + CAST(b_pairs AS DOUBLE)) / 2
+      |      - CAST(a_pairs AS DOUBLE) * CAST(b_pairs AS DOUBLE)
+      |        / CAST(n * (n - 1) // 2 AS DOUBLE)) END, 7) AS ari
+      |FROM ii, am, bm""".stripMargin),
+
+    // Purity both ways: exact max-counts, two divisions.
+    "q399_cluster_purity" -> (clusterCte + """,
+      |cells AS (SELECT cluster AS k, label AS j, count(*) AS c
+      |  FROM asg GROUP BY 1, 2),
+      |p AS (SELECT CAST(sum(m) AS BIGINT) AS sum_max_cluster
+      |  FROM (SELECT max(c) AS m FROM cells GROUP BY k)),
+      |ip AS (SELECT CAST(sum(m) AS BIGINT) AS sum_max_class
+      |  FROM (SELECT max(c) AS m FROM cells GROUP BY j)),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+      |SELECT n, sum_max_cluster, sum_max_class,
+      |  ROUND(CAST(sum_max_cluster AS DOUBLE) / CAST(n AS DOUBLE), 7)
+      |    AS purity,
+      |  ROUND(CAST(sum_max_class AS DOUBLE) / CAST(n AS DOUBLE), 7)
+      |    AS inverse_purity
+      |FROM nn, p, ip""".stripMargin),
+
+    // V-measure: the q358 micro-quantized entropy pattern.
+    "q400_cluster_vmeasure" -> (clusterCte + """,
+      |cells AS (SELECT cluster AS k, label AS j, count(*) AS c
+      |  FROM asg GROUP BY 1, 2),
+      |jt AS (SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+      |      * ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS q_kj,
+      |    CAST(sum(c) AS BIGINT) AS n FROM cells),
+      |km AS (SELECT CAST(sum(CAST(floor(CAST(m AS DOUBLE)
+      |      * ln(CAST(m AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS q_k
+      |  FROM (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY k)),
+      |jm AS (SELECT CAST(sum(CAST(floor(CAST(m AS DOUBLE)
+      |      * ln(CAST(m AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS q_j
+      |  FROM (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY j)),
+      |hs AS (SELECT n,
+      |    ln(CAST(n AS DOUBLE))
+      |      - CAST(q_kj AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)) AS hkj,
+      |    ln(CAST(n AS DOUBLE))
+      |      - CAST(q_k AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)) AS hk,
+      |    ln(CAST(n AS DOUBLE))
+      |      - CAST(q_j AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)) AS hj
+      |  FROM jt, km, jm),
+      |hc AS (SELECT n,
+      |    CASE WHEN hj <= 0 THEN 1.0
+      |      ELSE 1.0 - (hkj - hk) / hj END AS hom,
+      |    CASE WHEN hk <= 0 THEN 1.0
+      |      ELSE 1.0 - (hkj - hj) / hk END AS com
+      |  FROM hs)
+      |SELECT n, ROUND(hom, 7) AS homogeneity,
+      |  ROUND(com, 7) AS completeness,
+      |  ROUND(CASE WHEN hom + com <= 0 THEN 0.0
+      |    ELSE 2.0 * hom * com / (hom + com) END, 7) AS v_measure
+      |FROM hc""".stripMargin),
+
+    // Calinski-Harabasz: exact integer W/B decomposition on quantized
+    // centroids, one pinned variance-ratio.
+    "q401_calinski_harabasz" -> (clusterCte + """,
+      |wps AS (SELECT a.vec_id,
+      |    CAST(list_sum(list_transform(list_zip(a.q, c.cvec),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+      |  FROM asg a JOIN cent c ON a.cluster = c.cluster),
+      |w AS (SELECT CAST(sum(d2) AS BIGINT) AS w_ssq, count(*) AS n
+      |  FROM wps),
+      |gdim AS (SELECT i,
+      |    CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      |  FROM (SELECT q, UNNEST(generate_series(1, len(q))) AS i FROM asg)
+      |  GROUP BY i),
+      |g AS (SELECT list(c ORDER BY i) AS gvec FROM gdim),
+      |b AS (SELECT CAST(sum(n_i
+      |      * CAST(list_sum(list_transform(list_zip(cvec, gvec),
+      |        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)) AS BIGINT)
+      |      AS b_ssq,
+      |    count(*) AS k
+      |  FROM cent, g)
+      |SELECT n, k, w_ssq, b_ssq,
+      |  ROUND(CASE WHEN k > 1 AND n > k THEN
+      |    (CAST(b_ssq AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+      |    / (CAST(w_ssq AS DOUBLE) / CAST(n - k AS DOUBLE)) END, 7) AS ch
+      |FROM w, b""".stripMargin),
+
+    // Davies-Bouldin: centroid-diameter scatter, micro-quantized R.
+    "q402_davies_bouldin" -> (clusterCte + """,
+      |wpc AS (SELECT a.cluster,
+      |    CAST(sum(CAST(list_sum(list_transform(list_zip(a.q, c.cvec),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)) AS BIGINT)
+      |      AS w_i
+      |  FROM asg a JOIN cent c ON a.cluster = c.cluster
+      |  GROUP BY a.cluster),
+      |scat AS (SELECT c.cluster, c.cvec,
+      |    sqrt(CAST(w.w_i AS DOUBLE) / CAST(c.n_i AS DOUBLE)) AS s
+      |  FROM cent c JOIN wpc w ON c.cluster = w.cluster),
+      |prs AS (SELECT x.cluster AS ci,
+      |    CAST(list_sum(list_transform(list_zip(x.cvec, y.cvec),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2,
+      |    x.s AS si, y.s AS sj
+      |  FROM scat x CROSS JOIN scat y WHERE x.cluster <> y.cluster),
+      |rm AS (SELECT ci, CASE WHEN d2 > 0 THEN
+      |    CAST(floor((si + sj) / sqrt(CAST(d2 AS DOUBLE)) * 1e6)
+      |      AS BIGINT) END AS r_micro
+      |  FROM prs),
+      |mx AS (SELECT ci, max(r_micro) AS m FROM rm GROUP BY ci)
+      |SELECT count(*) AS k,
+      |  ROUND(CAST(sum(m) AS DOUBLE)
+      |    / (1e6 * CAST(count(*) AS DOUBLE)), 7) AS db
+      |FROM mx""".stripMargin),
+
+    // Centroid silhouette: per-point pinned sqrt chain, micro-quantized
+    // before the per-cluster mean.
+    "q403_silhouette" -> (clusterCte + """,
+      |dall AS (SELECT a.vec_id, a.cluster, c.cluster AS ccl,
+      |    CAST(list_sum(list_transform(list_zip(a.q, c.cvec),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+      |  FROM asg a CROSS JOIN cent c),
+      |pp AS (SELECT vec_id, cluster,
+      |    min(CASE WHEN ccl = cluster THEN d2 END) AS a2,
+      |    min(CASE WHEN ccl <> cluster THEN d2 END) AS b2
+      |  FROM dall GROUP BY vec_id, cluster),
+      |sm AS (SELECT cluster, CAST(floor(
+      |    CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+      |        sqrt(CAST(b2 AS DOUBLE))) > 0
+      |      THEN (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+      |        / greatest(sqrt(CAST(a2 AS DOUBLE)),
+      |            sqrt(CAST(b2 AS DOUBLE)))
+      |      ELSE 0.0 END * 1e6) AS BIGINT) AS s_micro
+      |  FROM pp)
+      |SELECT cluster, count(*) AS n,
+      |  ROUND(CAST(sum(s_micro) AS DOUBLE)
+      |    / (1e6 * CAST(count(*) AS DOUBLE)), 7) AS mean_silhouette
+      |FROM sm GROUP BY cluster ORDER BY cluster""".stripMargin),
 
     // ANOVA: exact (n,S,Q) per group, the q332 sorted-group list_reduce
     // fold for R = sum S^2/n, one F expression over unrounded SSB/SSW.

@@ -1,0 +1,290 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Clustering-quality metrics — the report a training-data pipeline
+  * runs after ANY grouping step (SemDeDup clusters, IVF cells, topic
+  * buckets): external agreement against a reference labeling (adjusted
+  * Rand, purity, V-measure) and internal geometry (Calinski-Harabasz,
+  * Davies-Bouldin, centroid silhouette).
+  *
+  * Exactness discipline (the suite's round-7 contract): vectors are
+  * milli-QUANTIZED FIRST (`quantizeVec`), centroids are milli-quantized
+  * floors of exact integer sums, so every distance and every dispersion
+  * sum is an exact BIGINT/DECIMAL(38,0) fold — the one double division
+  * (or sqrt chain) happens once, at the end, on exact integer inputs.
+  * Pair-counting and entropy metrics follow the q358 pattern: exact
+  * contingency counts, micro-quantized `c*ln c` terms summed as
+  * integers.
+  *
+  * Scale shape: one pass over the points for moments (k*dim-sized
+  * combine payload), a broadcast of the k-row centroid table for
+  * per-point distances, k*k driver-free pair math on k rows. Nothing
+  * is all-pairs over points.
+  */
+object ClusterEval {
+
+  private val Dec = "decimal(38,0)"
+
+  /** Milli-quantize a float/double vector: q_i = floor(x_i * 1000) as
+    * BIGINT. The quantize-first contract — every downstream distance
+    * is exact integer arithmetic, replayable by any engine.
+    */
+  def quantizeVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+
+  /** Exact squared L2 distance between two quantized (long) vectors. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Assign every point to its nearest seed centroid — the seeds are
+    * the first k points by id (deterministic, oracle-replayable; the
+    * shape of one k-means assignment sweep). Ties go to the lowest
+    * seed id. Returns (idCol, cluster, q) with q the quantized vector.
+    *
+    * Scale: seeds broadcast (k rows), one pass over points, exact
+    * integer distances — no float order anywhere.
+    */
+  def assignNearestSeed(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 seeds")
+    val pts = df.select(col(idCol), quantizeVec(col(vecCol)).as("q"))
+      .where(col("q").isNotNull)
+    val seeds = pts.where(col(idCol) < k)
+      .select(col(idCol).as("seed"), col("q").as("sq"))
+    pts.crossJoin(broadcast(seeds))
+      .select(col(idCol), col("q"),
+        struct(sqDist(col("q"), col("sq")).as("d2"), col("seed")).as("c"))
+      .groupBy(col(idCol), col("q"))
+      .agg(min(col("c")).getField("seed").as("cluster"))
+      .select(col(idCol), col("cluster"), col("q"))
+  }
+
+  /** Adjusted Rand index between two labelings (Hubert-Arabie 1985):
+    * with I = sum_cells C(n_ij,2), A = sum_i C(a_i,2), B = sum_j
+    * C(b_j,2), C = C(n,2),
+    *
+    *   ARI = (I - A*B/C) / ((A+B)/2 - A*B/C)
+    *
+    * I/A/B/C are exact DECIMAL(38,0) pair counts (the contingency
+    * table never leaves the cluster); the ratio is ONE pinned double
+    * expression over them. Returns one row (n, i_pairs, a_pairs,
+    * b_pairs, ari).
+    */
+  def ari(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val slim = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    def comb2(c: Column): Column =
+      (c.cast(Dec) * (c - 1L).cast(Dec) / lit(2).cast(Dec)).cast(Dec)
+    val cells = slim.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val i = cells.agg(sum(comb2(col("c"))).as("i_pairs"),
+      sum(col("c")).as("n"))
+    val aM = cells.groupBy(col("a")).agg(sum(col("c")).as("m"))
+      .agg(sum(comb2(col("m"))).as("a_pairs"))
+    val bM = cells.groupBy(col("b")).agg(sum(col("c")).as("m"))
+      .agg(sum(comb2(col("m"))).as("b_pairs"))
+    val joined = i.crossJoin(broadcast(aM)).crossJoin(broadcast(bM))
+    val nPairs = comb2(col("n"))
+    def d(c: Column): Column = c.cast("double")
+    val exp = d(col("a_pairs")) * d(col("b_pairs")) / d(nPairs)
+    val ariE = (d(col("i_pairs")) - exp) /
+      ((d(col("a_pairs")) + d(col("b_pairs"))) / 2.0 - exp)
+    joined.select(col("n"), col("i_pairs"), col("a_pairs"), col("b_pairs"),
+      round(when(nPairs > 0, ariE), 7).as("ari"))
+  }
+
+  /** Purity and inverse purity — the two asymmetric halves of cluster/
+    * class agreement: purity = sum_k max_j n_kj / n (are clusters
+    * homogeneous?), inverse = sum_j max_k n_kj / n (are classes
+    * intact?). Exact max-counts, two divisions. One row.
+    */
+  def purity(df: DataFrame, clusterCol: String,
+      classCol: String): DataFrame = {
+    val cells = df.select(col(clusterCol).cast("string").as("k"),
+        col(classCol).cast("string").as("j"))
+      .where(col("k").isNotNull && col("j").isNotNull)
+      .groupBy(col("k"), col("j")).agg(count(lit(1)).as("c"))
+    val p = cells.groupBy(col("k")).agg(max(col("c")).as("m"))
+      .agg(sum(col("m")).as("sum_max_cluster"))
+    val ip = cells.groupBy(col("j")).agg(max(col("c")).as("m"))
+      .agg(sum(col("m")).as("sum_max_class"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    n.crossJoin(broadcast(p)).crossJoin(broadcast(ip))
+      .select(col("n"), col("sum_max_cluster"), col("sum_max_class"),
+        round(col("sum_max_cluster").cast("double") /
+          col("n").cast("double"), 7).as("purity"),
+        round(col("sum_max_class").cast("double") /
+          col("n").cast("double"), 7).as("inverse_purity"))
+  }
+
+  /** V-measure (Rosenberg-Hirschberg 2007): homogeneity h = 1 -
+    * H(J|K)/H(J), completeness c = 1 - H(K|J)/H(K), v = 2hc/(h+c).
+    * Entropies follow the q358 exactness pattern — exact contingency
+    * counts, per-cell floor(c*ln(c)*1e6) micro-terms summed as
+    * DECIMAL(38,0), H = ln n - q/(1e6 n) as the one pinned double per
+    * term. Degenerate conventions (sklearn's): H(J) = 0 -> h = 1,
+    * H(K) = 0 -> c = 1, h + c = 0 -> v = 0. One row (n, homogeneity,
+    * completeness, v_measure).
+    */
+  def vMeasure(df: DataFrame, clusterCol: String,
+      classCol: String): DataFrame = {
+    val slim = df.select(col(clusterCol).cast("string").as("k"),
+        col(classCol).cast("string").as("j"))
+      .where(col("k").isNotNull && col("j").isNotNull)
+    val cells = slim.groupBy(col("k"), col("j")).agg(count(lit(1)).as("c"))
+    def micro(c: Column): Column =
+      floor(c.cast("double") * log(c.cast("double")) * lit(1e6))
+        .cast("long").cast(Dec)
+    val joint = cells.agg(sum(micro(col("c"))).as("q_kj"),
+      sum(col("c")).as("n"))
+    val kM = cells.groupBy(col("k")).agg(sum(col("c")).as("m"))
+      .agg(sum(micro(col("m"))).as("q_k"))
+    val jM = cells.groupBy(col("j")).agg(sum(col("c")).as("m"))
+      .agg(sum(micro(col("m"))).as("q_j"))
+    val all = joint.crossJoin(broadcast(kM)).crossJoin(broadcast(jM))
+    val nD = col("n").cast("double")
+    def h(q: Column): Column = log(nD) - q.cast("double") / (lit(1e6) * nD)
+    val hkj = h(col("q_kj"))
+    val hk = h(col("q_k"))
+    val hj = h(col("q_j"))
+    // H(J|K) = H(J,K) - H(K); H(K|J) = H(J,K) - H(J)
+    val hom = when(hj <= 0.0, lit(1.0)).otherwise(lit(1.0) - (hkj - hk) / hj)
+    val com = when(hk <= 0.0, lit(1.0)).otherwise(lit(1.0) - (hkj - hj) / hk)
+    val v = when(hom + com <= 0.0, lit(0.0))
+      .otherwise(lit(2.0) * hom * com / (hom + com))
+    all.select(col("n"), round(hom, 7).as("homogeneity"),
+      round(com, 7).as("completeness"), round(v, 7).as("v_measure"))
+  }
+
+  /** Per-cluster milli-quantized centroids + exact dispersion moments
+    * — the shared sufficient-statistics pass behind [[calinskiHarabasz]]
+    * / [[daviesBouldin]] / [[silhouetteCentroid]]: one posexplode over
+    * quantized vectors, per-(cluster, dim) integer sums, centroid
+    * component c_d = floor(double(S_d)/n) back in milli-units (the
+    * quantize-first contract applied to the CENTROID, so every
+    * point-to-centroid and centroid-to-centroid distance downstream is
+    * an exact integer fold and no DECIMAL(38,0) overflow hides at
+    * 1e12 rows). Returns (cluster, n_i, cvec array<long>).
+    */
+  def centroids(df: DataFrame, clusterCol: String,
+      qCol: String): DataFrame = {
+    val dims = df.select(col(clusterCol).as("cl"),
+        posexplode(col(qCol)).as(Seq("dim", "v")))
+      .groupBy(col("cl"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cl"), col("dim"), col("n"),
+        floor(col("s").cast("double") / col("n").cast("double"))
+          .cast("long").as("c"))
+    dims.groupBy(col("cl"))
+      .agg(max(col("n")).as("n_i"),
+        transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+  }
+
+  /** Calinski-Harabasz (variance-ratio criterion) on the quantized-
+    * centroid dispersion decomposition: W = sum over points of
+    * ||q - c_cluster||^2, B = sum over clusters of n_i*||c_i - c||^2
+    * (c = the milli-quantized global centroid), both exact
+    * DECIMAL(38,0) sums; CH = (B/(k-1))/(W/(n-k)) is the one pinned
+    * double. One row (n, k, w_ssq, b_ssq, ch).
+    */
+  def calinskiHarabasz(df: DataFrame, clusterCol: String,
+      qCol: String): DataFrame = {
+    val pts = df.select(col(clusterCol).as("cl"), col(qCol).as("q"))
+    val cents = centroids(pts, "cl", "q")
+    val w = pts.join(broadcast(cents), "cl")
+      .select(sqDist(col("q"), col("cvec")).cast(Dec).as("d2"))
+      .agg(sum(col("d2")).as("w_ssq"), count(lit(1)).as("n"))
+    // global centroid from the same pass shape, over ALL points
+    val g = centroids(pts.select(lit(0L).as("cl"), col("q")), "cl", "q")
+      .select(col("cvec").as("gvec"))
+    val b = cents.crossJoin(broadcast(g))
+      .select((sqDist(col("cvec"), col("gvec")).cast(Dec) *
+        col("n_i").cast(Dec)).as("bt"))
+      .agg(sum(col("bt")).as("b_ssq"), count(lit(1)).as("k"))
+    w.crossJoin(broadcast(b))
+      .select(col("n"), col("k"), col("w_ssq"), col("b_ssq"),
+        round(when(col("k") > 1L && col("n") > col("k"),
+          (col("b_ssq").cast("double") / (col("k") - 1L).cast("double")) /
+            (col("w_ssq").cast("double") /
+              (col("n") - col("k")).cast("double"))), 7).as("ch"))
+  }
+
+  /** Davies-Bouldin on quantized centroids: scatter s_i =
+    * sqrt(W_i/n_i) (centroid-diameter variant — W_i is the exact
+    * integer within-cluster squared dispersion), pair similarity
+    * R_ij = (s_i + s_j)/d_ij over the k*k centroid pairs, DB = mean_i
+    * max_{j!=i} R_ij. R is micro-quantized (floor(R*1e6)) before the
+    * max/mean so the k-term reduction is exact integer arithmetic.
+    * One row (k, db).
+    */
+  def daviesBouldin(df: DataFrame, clusterCol: String,
+      qCol: String): DataFrame = {
+    val pts = df.select(col(clusterCol).as("cl"), col(qCol).as("q"))
+    val cents = centroids(pts, "cl", "q")
+    val wPer = pts.join(broadcast(cents), "cl")
+      .select(col("cl"), sqDist(col("q"), col("cvec")).cast(Dec).as("d2"))
+      .groupBy(col("cl")).agg(sum(col("d2")).as("w_i"))
+    val scat = cents.join(wPer, "cl")
+      .select(col("cl"), col("cvec"),
+        sqrt(col("w_i").cast("double") / col("n_i").cast("double"))
+          .as("s"))
+    val pairs = scat.select(col("cl").as("ci"), col("cvec").as("vi"),
+        col("s").as("si"))
+      .crossJoin(broadcast(scat.select(col("cl").as("cj"),
+        col("cvec").as("vj"), col("s").as("sj"))))
+      .where(col("ci") =!= col("cj"))
+      .select(col("ci"), sqDist(col("vi"), col("vj")).as("d2"),
+        col("si"), col("sj"))
+      // coincident centroids (d2 = 0) leave R undefined -> null, so the
+      // max skips them instead of tripping ANSI on floor(Infinity)
+      .select(col("ci"),
+        when(col("d2") > 0L,
+          floor((col("si") + col("sj")) /
+            sqrt(col("d2").cast("double")) * lit(1e6)).cast("long"))
+          .as("r_micro"))
+    pairs.groupBy(col("ci")).agg(max(col("r_micro")).as("m"))
+      .agg(count(lit(1)).as("k"),
+        round(sum(col("m")).cast("double") /
+          (lit(1e6) * count(lit(1)).cast("double")), 7).as("db"))
+  }
+
+  /** Centroid silhouette (the linear-time variant every large-scale
+    * report uses instead of O(n^2) pairwise): per point a = distance
+    * to own centroid, b = min distance to any OTHER centroid, s =
+    * (b - a)/max(a, b); per-point s is micro-quantized (a/b are sqrts
+    * of exact integers — one pinned chain) so the per-cluster mean is
+    * an exact integer sum + one division. Returns per-cluster
+    * (cluster, n, mean_silhouette), ordered by cluster.
+    */
+  def silhouetteCentroid(df: DataFrame, idCol: String, clusterCol: String,
+      qCol: String): DataFrame = {
+    val pts = df.select(col(idCol).as("id"), col(clusterCol).as("cl"),
+      col(qCol).as("q"))
+    val cents = centroids(pts, "cl", "q")
+      .select(col("cl").as("ccl"), col("cvec"))
+    val d2all = pts.crossJoin(broadcast(cents))
+      .select(col("id"), col("cl"), col("ccl"),
+        sqDist(col("q"), col("cvec")).as("d2"))
+    // per POINT (id), not per distinct vector — duplicate embeddings
+    // are distinct points and each contributes to its cluster's mean
+    val perPoint = d2all.groupBy(col("id"), col("cl"))
+      .agg(min(when(col("ccl") === col("cl"), col("d2"))).as("a2"),
+        min(when(col("ccl") =!= col("cl"), col("d2"))).as("b2"))
+    val a = sqrt(col("a2").cast("double"))
+    val b = sqrt(col("b2").cast("double"))
+    val s = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
+      .otherwise(lit(0.0))
+    perPoint
+      .select(col("cl"), floor(s * lit(1e6)).cast("long").as("s_micro"))
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s_micro")).cast("double") /
+          (lit(1e6) * count(lit(1)).cast("double")), 7)
+          .as("mean_silhouette"))
+      .orderBy(col("cl"))
+  }
+}

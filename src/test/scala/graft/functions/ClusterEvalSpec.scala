@@ -1,0 +1,109 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Clustering-quality metrics: hand contingencies for ARI/purity/
+  * V-measure, worked two-cluster geometry for CH/DB/silhouette, the
+  * quantize-first determinism of the assignment.
+  */
+class ClusterEvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def assigned(k: Int = 2) = {
+    // Two tight blobs in 2-d: seeds 0 (at ~(0,0)) and 1 (at ~(10,10)).
+    val rows = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.1f, 0.0f)), (3L, Array(0.0f, 0.1f)),
+      (4L, Array(10.1f, 10.0f)), (5L, Array(10.0f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    ClusterEval.assignNearestSeed(rows, "vec_id", "embedding", k)
+  }
+
+  test("assignment: nearest seed, quantized, deterministic") {
+    val a = assigned().orderBy("vec_id")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toSeq
+    assert(a == Seq(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, 5L -> 1L))
+  }
+
+  test("ARI: the textbook 4-point hand case = 4/7") {
+    // a = [0,0,1,1], b = [0,0,1,2]: I=1, A=2, B=1, C=6
+    // ARI = (1 - 2/6) / (3/2 - 2/6) = (2/3)/(7/6) = 4/7
+    val df = Seq((0, 0), (0, 0), (1, 1), (1, 2)).toDF("a", "b")
+    val r = ClusterEval.ari(df, "a", "b").collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(4) == math.rint(4.0 / 7.0 * 1e7) / 1e7)
+  }
+
+  test("ARI: identical labelings = 1, independent-ish < 1") {
+    val same = Seq((0, 0), (0, 0), (1, 1), (1, 1)).toDF("a", "b")
+    assert(ClusterEval.ari(same, "a", "b").collect()(0).getDouble(4) == 1.0)
+  }
+
+  test("purity: hand contingency") {
+    // cluster 0: {x: 3, y: 1}; cluster 1: {y: 2}
+    val df = (Seq.fill(3)((0, "x")) ++ Seq((0, "y")) ++
+      Seq.fill(2)((1, "y"))).toDF("k", "j")
+    val r = ClusterEval.purity(df, "k", "j").collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == 5L) // max 3 (cluster 0) + max 2 (cluster 1)
+    assert(r.getLong(2) == 5L) // max 3 (class x) + max 2 (class y)
+    assert(r.getDouble(3) == math.rint(5.0 / 6.0 * 1e7) / 1e7)
+  }
+
+  test("V-measure: perfect match = 1/1/1; single cluster = 0/1/0") {
+    val perfect = Seq((0, "a"), (0, "a"), (1, "b")).toDF("k", "j")
+    val p = ClusterEval.vMeasure(perfect, "k", "j").collect()(0)
+    assert(p.getDouble(1) == 1.0 && p.getDouble(2) == 1.0 &&
+      p.getDouble(3) == 1.0)
+    val mono = Seq((0, "a"), (0, "b")).toDF("k", "j")
+    val m = ClusterEval.vMeasure(mono, "k", "j").collect()(0)
+    // homogeneity ~ 0 up to the documented micro-quantization residue
+    // (floor(c*ln(c)*1e6) truncates H(K) by < 1e-6/n) — the oracle
+    // replays the identical quantization, so this is defined, not noisy
+    assert(m.getDouble(1) < 1e-6) // H(J|K) = H(J): nothing explained
+    assert(m.getDouble(2) == 1.0) // H(K) = 0 convention
+    assert(m.getDouble(3) < 2e-6)
+  }
+
+  test("centroids: milli floors of exact means") {
+    val c = ClusterEval.centroids(assigned(), "cluster", "q")
+      .orderBy("cl").collect()
+    // cluster 0: q-vectors (0,0),(100,0),(0,100) -> floor(mean) = (33,33)
+    assert(c(0).getLong(1) == 3L)
+    assert(c(0).getSeq[Long](2) == Seq(33L, 33L))
+    // cluster 1: (10000,10000),(10100,10000),(10000,10100)
+    assert(c(1).getSeq[Long](2) == Seq(10033L, 10033L))
+  }
+
+  test("Calinski-Harabasz: worked two-blob decomposition") {
+    val r = ClusterEval.calinskiHarabasz(assigned(), "cluster", "q")
+      .collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    // W per cluster: (33-0)^2*2+(33-100)^2+(33-0)^2*2+(33-100)^2 per dim
+    // pattern; exact: points minus (33,33): (33,33),(67,33),(33,67)
+    // -> 33^2*2 + (67^2+33^2)*2 = 2178 + 11156 = 13334 per cluster
+    assert(r.getDecimal(2).longValue == 2L * 13334L)
+    // global centroid: mean of all 6 points = (5033,5033) floored
+    // B = 3*((33-5033)^2*2) + 3*((10033-5033)^2*2) = 6*2*5000^2
+    assert(r.getDecimal(3).longValue == 12L * 5000L * 5000L)
+    val ch = (12.0 * 25000000 / 1.0) / (26668.0 / 4.0)
+    assert(r.getDouble(4) == math.rint(ch * 1e7) / 1e7)
+  }
+
+  test("Davies-Bouldin and silhouette: tight separated blobs") {
+    val db = ClusterEval.daviesBouldin(assigned(), "cluster", "q")
+      .collect()(0)
+    assert(db.getLong(0) == 2L)
+    // s_i = sqrt(13334/3); d = sqrt(2)*10000; R = 2*s/d (tiny)
+    val s = math.sqrt(13334.0 / 3.0)
+    val exp = math.floor(2.0 * s / (math.sqrt(2.0) * 10000.0) * 1e6) / 1e6
+    assert(math.abs(db.getDouble(1) - exp) < 1e-6)
+    val sil = ClusterEval.silhouetteCentroid(assigned(), "vec_id",
+      "cluster", "q")
+      .collect()
+    assert(sil.length == 2)
+    assert(sil.forall(_.getDouble(2) > 0.98), "separated blobs ~ 1")
+  }
+}
