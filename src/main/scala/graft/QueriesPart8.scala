@@ -670,6 +670,22 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 404. concordance measures (gamma + Somers' D), oracle-pinned ----------------------------------------
+    // q330's quantized cell pairs graded the other two classical ways:
+    // gamma ignores ties entirely, Somers' D corrects per direction
+    // (somers_xy over a 0/1 outcome is the classifier Gini 2*AUC-1).
+    "q404_concordance" -> ((s, d) =>
+      graft.operators.StatTests.concordanceMeasures(
+          t(s, d, "events").where(col("value").isNotNull).select(
+            col("event_type"),
+            floor(col("value") / 50).cast("long").as("x"),
+            floor(hour(col("ts")) / 4).cast("long").as("y")),
+          "event_type", "x", "y")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("concordant", col("concordant").cast("long"))
+        .withColumn("discordant", col("discordant").cast("long"))
+        .orderBy("group")),
+
     // --- 397-403. clustering-quality battery, oracle-pinned ---------------------------------------------------
     // The report a pipeline runs after ANY grouping step (SemDeDup
     // clusters, IVF cells, topic buckets): a deterministic nearest-seed
@@ -779,6 +795,47 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Concordance: q330's cell-pair census, three tie-aware ratios.
+    "q404_concordance" ->
+      """WITH e AS (
+        |  SELECT event_type AS "group",
+        |    CAST(floor(value / 50) AS BIGINT) AS x,
+        |    CAST(floor(hour(ts) / 4) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT "group", x, y, count(*) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |p AS (SELECT a."group",
+        |    sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS cc,
+        |    sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS dd
+        |  FROM cells a JOIN cells b
+        |    ON a."group" = b."group" AND a.x < b.x
+        |  GROUP BY 1),
+        |base AS (SELECT "group", count(*) AS n FROM e GROUP BY 1),
+        |tx AS (SELECT "group", CAST(sum(t * (t - 1)) AS BIGINT) AS x2
+        |  FROM (SELECT "group", x, count(*) AS t FROM e GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (SELECT "group", CAST(sum(t * (t - 1)) AS BIGINT) AS y2
+        |  FROM (SELECT "group", y, count(*) AS t FROM e GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b."group", b.n,
+        |  CAST(COALESCE(p.cc, 0) AS BIGINT) AS concordant,
+        |  CAST(COALESCE(p.dd, 0) AS BIGINT) AS discordant,
+        |  ROUND(CASE WHEN COALESCE(p.cc, 0) + COALESCE(p.dd, 0) > 0 THEN
+        |    CAST(COALESCE(p.cc, 0) - COALESCE(p.dd, 0) AS DOUBLE)
+        |    / CAST(COALESCE(p.cc, 0) + COALESCE(p.dd, 0) AS DOUBLE)
+        |    END, 7) AS gamma,
+        |  ROUND(CASE WHEN b.n * (b.n - 1) - tx.x2 > 0 THEN
+        |    CAST(COALESCE(p.cc, 0) - COALESCE(p.dd, 0) AS DOUBLE)
+        |    / (CAST(b.n * (b.n - 1) - tx.x2 AS DOUBLE) / 2)
+        |    END, 7) AS somers_yx,
+        |  ROUND(CASE WHEN b.n * (b.n - 1) - ty.y2 > 0 THEN
+        |    CAST(COALESCE(p.cc, 0) - COALESCE(p.dd, 0) AS DOUBLE)
+        |    / (CAST(b.n * (b.n - 1) - ty.y2 AS DOUBLE) / 2)
+        |    END, 7) AS somers_xy
+        |FROM base b LEFT JOIN p USING ("group")
+        |  JOIN tx USING ("group") JOIN ty USING ("group")
+        |ORDER BY "group"""".stripMargin,
 
     // Nearest-seed assignment: the exact integer argmin replayed.
     "q397_cluster_assign" -> (clusterCte +

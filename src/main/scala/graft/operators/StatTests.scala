@@ -292,6 +292,70 @@ object StatTests {
       round(when(den > 0.0, num / den), 7).as("tau_b"))
   }
 
+  /** The full concordance-measure family over the SAME quantized cell
+    * pairs [[kendallTauB]] uses — Goodman-Kruskal gamma (ties ignored
+    * entirely: (C-D)/(C+D)) and Somers' D in both directions (the
+    * asymmetric tie corrections: D(y|x) = (C-D)/(n0 - T_x) counts
+    * pairs untied on the PREDICTOR; D(x|y) mirror). Gamma is what an
+    * ordinal-by-ordinal dashboard quotes; with x = score and y = a 0/1
+    * outcome, somers_xy = (C-D)/(pairs untied on y) =
+    * (C-D)/(n_pos*n_neg) = 2*AUC - 1 — the classifier Gini, the
+    * credit-scoring face of q320 (pinned by the spec).
+    *
+    * Same contract as tau-b: quantize FIRST (the cells^2 join is
+    * domain- not row-bounded, enforced by the shared loud guard);
+    * every pair count exact DECIMAL(38,0) (tie terms doubled: n0x2 =
+    * n(n-1), x2/y2 = sum t(t-1) — halved once where an UNordered pair
+    * count meets the unordered C/D); one pinned division per measure.
+    * D(y|x) = (C-D)/(n0 - T_x) because pairs tied on x (whether or not
+    * also tied on y) are exactly the ones Somers' predictor-direction
+    * excludes.
+    *
+    * Returns per group (group, n, concordant, discordant, gamma,
+    * somers_yx, somers_xy).
+    */
+  def concordanceMeasures(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val slim = df.select(col(groupCol).as("group"),
+      col(xCol).as("x"), col(yCol).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val cells = slim.groupBy(col("group"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    requireBoundedCells(cells, "group", "concordanceMeasures")
+    val dec = "decimal(38,0)"
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.group") === col("b.group") && col("a.x") < col("b.x"))
+      .groupBy(col("a.group").as("group"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"), (col("a.c") * col("b.c")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("cc"),
+        sum(when(col("a.y") > col("b.y"), (col("a.c") * col("b.c")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("dd"))
+    val base = slim.groupBy(col("group")).agg(count(lit(1)).as("n"))
+    def tie2(c: String) = slim.groupBy(col("group"), col(c))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("group"))
+      .agg(sum((col("t") * (col("t") - 1L)).cast(dec)).as(s"${c}2"))
+    val j = base.join(pairs, Seq("group"), "left")
+      .join(tie2("x"), Seq("group")).join(tie2("y"), Seq("group"))
+      .select(col("group"), col("n"),
+        coalesce(col("cc"), lit(0).cast(dec)).as("cc"),
+        coalesce(col("dd"), lit(0).cast(dec)).as("dd"),
+        col("x2"), col("y2"))
+    val num = (col("cc") - col("dd")).cast("double")
+    val n02 = (col("n").cast(dec) * (col("n") - 1L).cast(dec))
+    // doubled counts throughout: C+D needs no doubling (cell pairs are
+    // unordered already), so the doubled tie terms divide by 2 here
+    val cd = (col("cc") + col("dd")).cast("double")
+    val untiedX = (n02 - col("x2")).cast("double") / 2.0
+    val untiedY = (n02 - col("y2")).cast("double") / 2.0
+    j.select(col("group"), col("n"),
+      col("cc").as("concordant"), col("dd").as("discordant"),
+      round(when(cd > 0.0, num / cd), 7).as("gamma"),
+      round(when(untiedX > 0.0, num / untiedX), 7).as("somers_yx"),
+      round(when(untiedY > 0.0, num / untiedY), 7).as("somers_xy"))
+  }
+
   /** Welch's unequal-variance t-test between two slices — the default
     * two-sample mean comparison (Student's equal-variance assumption is
     * never free): exact per-slice (n, S, Q) in DECIMAL(38,0) over

@@ -289,6 +289,58 @@ class StatTestsSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("concordance: hand gamma + Somers' D, brute-force parity") {
+    // (1,1),(1,2),(2,1),(2,2),(3,3): C=5, D=1, T_x=2, T_y=2, n0=10
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L))
+      .map(p => ("a", p._1, p._2)).toDF("g", "x", "y")
+    val r = StatTests.concordanceMeasures(df, "g", "x", "y").collect()(0)
+    assert(r.getDecimal(2).longValueExact() == 5L)
+    assert(r.getDecimal(3).longValueExact() == 1L)
+    assert(r.getDouble(4) == math.rint(4.0 / 6.0 * 1e7) / 1e7) // gamma
+    assert(r.getDouble(5) == 0.5) // (C-D)/(n0-T_x) = 4/8
+    assert(r.getDouble(6) == 0.5)
+    // brute-force reference on random quantized data
+    val rnd = new scala.util.Random(31)
+    val pts = (1 to 30).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(5).toLong))
+    val got = StatTests.concordanceMeasures(
+      pts.map(p => ("r", p._1, p._2)).toDF("g", "x", "y"), "g", "x", "y")
+      .collect()(0)
+    var (cc, dd, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- pts.indices; j <- (i + 1) until pts.size) {
+      val (xi, yi) = pts(i); val (xj, yj) = pts(j)
+      val sx = java.lang.Long.compare(xi, xj)
+      val sy = java.lang.Long.compare(yi, yj)
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx != 0 && sy != 0) { if (sx == sy) cc += 1 else dd += 1 }
+    }
+    val n0 = pts.size.toLong * (pts.size - 1) / 2
+    assert(math.abs(got.getDouble(4) -
+      (cc - dd).toDouble / (cc + dd).toDouble) < 1e-6)
+    assert(math.abs(got.getDouble(5) -
+      (cc - dd).toDouble / (n0 - tx).toDouble) < 1e-6)
+    assert(math.abs(got.getDouble(6) -
+      (cc - dd).toDouble / (n0 - ty).toDouble) < 1e-6)
+  }
+
+  test("concordance: Somers' D(y|x) on binary y equals 2*AUC - 1") {
+    // the credit-scoring identity: score x, outcome y in {0,1}
+    val pts = Seq((10L, 0L), (20L, 0L), (20L, 1L), (30L, 0L), (40L, 1L),
+      (50L, 1L), (50L, 0L), (60L, 1L))
+    val df = pts.map(p => ("s", p._1, p._2)).toDF("g", "x", "y")
+    // 2*AUC - 1 = (C-D)/(n_pos*n_neg), and n_pos*n_neg = pairs untied
+    // on the OUTCOME y — the D(x|y) direction (column 6)
+    val somers = StatTests.concordanceMeasures(df, "g", "x", "y")
+      .collect()(0).getDouble(6)
+    // AUC by the rank formula (tie-averaged)
+    val pos = pts.filter(_._2 == 1L).map(_._1)
+    val neg = pts.filter(_._2 == 0L).map(_._1)
+    val wins = (for (p <- pos; q <- neg) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val auc = wins / (pos.size * neg.size)
+    assert(math.abs(somers - (2.0 * auc - 1.0)) < 1e-6)
+  }
+
   test("Welch t-test: hand case, symmetric sign flip, degenerate nulls") {
     val df = (Seq(10L, 12L, 14L).map(v => ("a", v)) ++
       Seq(20L, 21L, 22L, 25L).map(v => ("b", v))).toDF("g", "v")
