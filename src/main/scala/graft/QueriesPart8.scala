@@ -670,6 +670,20 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 405. link prediction (5 classical heuristics), oracle-pinned ----------------------------------------
+    // Who is likely to connect next — the Liben-Nowell/Kleinberg
+    // neighborhood scores over the supplier-part bipartite graph
+    // (suppliers sharing parts = the co-purchase recommendation): CN,
+    // Jaccard, Adamic-Adar, resource allocation, preferential
+    // attachment, top-40 by CN. Wedge join through capped centers
+    // (maxDegree 64 — wedge volume linear in edges), exact nano terms.
+    "q405_link_prediction" -> ((s, d) =>
+      graft.functions.Graph.linkPrediction(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("p"), col("l_partkey")).as("b")),
+        "a", "b", maxDegree = 64, topK = 40)),
+
     // --- 404. concordance measures (gamma + Somers' D), oracle-pinned ----------------------------------------
     // q330's quantized cell pairs graded the other two classical ways:
     // gamma ignores ties entirely, Somers' D corrects per direction
@@ -795,6 +809,36 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Link prediction: wedge census through capped centers, nano terms.
+    "q405_link_prediction" ->
+      """WITH e AS (SELECT DISTINCT
+        |    's' || CAST(l_suppkey AS VARCHAR) AS a,
+        |    'p' || CAST(l_partkey AS VARCHAR) AS b
+        |  FROM lineitem),
+        |adj AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY 1),
+        |cent AS (SELECT adj.a AS w, adj.b AS n, deg.deg AS degw
+        |  FROM adj JOIN deg ON adj.a = deg.a WHERE deg.deg <= 64),
+        |wed AS (SELECT x.w, x.n AS u, y.n AS v, x.degw
+        |  FROM cent x JOIN cent y ON x.w = y.w WHERE x.n < y.n),
+        |sc AS (SELECT u, v, count(*) AS cn,
+        |    CAST(sum(CAST(floor(1e9 / ln(CAST(degw AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) AS aa_nano,
+        |    CAST(sum(1000000000 // degw) AS BIGINT) AS ra_nano
+        |  FROM wed GROUP BY 1, 2),
+        |ex AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM e),
+        |cand AS (SELECT * FROM sc WHERE NOT EXISTS (
+        |  SELECT 1 FROM ex WHERE ex.u = sc.u AND ex.v = sc.v))
+        |SELECT c.u, c.v, c.cn,
+        |  CAST(du.deg * dv.deg AS BIGINT) AS pa,
+        |  ROUND(CAST(c.cn AS DOUBLE)
+        |    / CAST(du.deg + dv.deg - c.cn AS DOUBLE), 7) AS jaccard,
+        |  ROUND(CAST(c.aa_nano AS DOUBLE) / 1e9, 7) AS adamic_adar,
+        |  ROUND(CAST(c.ra_nano AS DOUBLE) / 1e9, 7) AS resource_alloc
+        |FROM cand c JOIN deg du ON c.u = du.a JOIN deg dv ON c.v = dv.a
+        |ORDER BY c.cn DESC, c.u, c.v LIMIT 40""".stripMargin,
 
     // Concordance: q330's cell-pair census, three tie-aware ratios.
     "q404_concordance" ->

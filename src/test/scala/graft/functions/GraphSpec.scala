@@ -269,6 +269,33 @@ class GraphSpec extends SparkTestBase {
     assert(got.map(_._3).sum == refTri.values.sum)
   }
 
+  test("link prediction: path-graph hand scores") {
+    // a-b-c-d: candidates (a,c) via b and (b,d) via c, both deg-2 centers
+    val got = Graph.linkPrediction(
+      Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "t"), "s", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 2)
+    val ac = got(("a", "c"))
+    assert(ac.getLong(2) == 1L)            // cn
+    assert(ac.getLong(3) == 1L * 2L)       // pa = deg a * deg c
+    assert(ac.getDouble(4) == 0.5)         // 1/(1+2-1)
+    assert(ac.getDouble(5) == 1.442695)    // floor(1e9/ln 2)/1e9 @7
+    assert(ac.getDouble(6) == 0.5)         // 1/deg b
+    assert(got(("b", "d")).getLong(3) == 2L)
+  }
+
+  test("link prediction: existing edges excluded, hubs capped") {
+    // triangle: the only wedge closes an existing edge -> empty
+    val tri = Graph.linkPrediction(
+      Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "t"), "s", "t")
+    assert(tri.count() == 0L)
+    // star with a deg-3 center above the cap -> no intermediaries
+    val star = Graph.linkPrediction(
+      Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("s", "t"),
+      "s", "t", maxDegree = 2)
+    assert(star.count() == 0L)
+  }
+
   test("HITS: pure sink has zero hub, pure source has zero auth") {
     val got = Graph.hits(Seq(("S", "X"), ("X", "T")).toDF("s", "t"),
       "s", "t", iterations = 2)
