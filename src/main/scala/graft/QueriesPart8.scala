@@ -670,6 +670,43 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 406. Kuiper two-sample test, oracle-pinned -----------------------------------------------------------
+    // q308's KS pair with the rotation-invariant statistic V = D+ + D-
+    // — equally sensitive at the tails; both sups exact integer maxima.
+    "q406_kuiper" -> ((s, d) =>
+      graft.operators.StatTests.kuiperTwoSample(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")
+        // sf-bounded exact ints: pin int64 on both engines
+        .withColumn("vplus_num", col("vplus_num").cast("long"))
+        .withColumn("vminus_num", col("vminus_num").cast("long"))),
+
+    // --- 407. Durbin-Watson, oracle-pinned ---------------------------------------------------------------------
+    // Lag-1 serial-correlation diagnostic per event type's value series
+    // (DW ~ 2 = white): exact lag-window numerator, n*den exact, one
+    // pinned division.
+    "q407_durbin_watson" -> ((s, d) =>
+      graft.operators.Trend.durbinWatson(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value")).cast("long").as("v")),
+          "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
+    // --- 408. Ljung-Box portmanteau, oracle-pinned -------------------------------------------------------------
+    // "Any autocorrelation in the first 3 lags?" — composed on q324's
+    // published round-7 ACF, per-lag terms micro-quantized so the
+    // h-term reduction is exact.
+    "q408_ljung_box" -> ((s, d) =>
+      graft.operators.Trend.ljungBox(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value")).cast("long").as("v")),
+          "event_type", Seq("ts", "event_id"), "v", maxLag = 3)
+        .orderBy("group")),
+
     // --- 405. link prediction (5 classical heuristics), oracle-pinned ----------------------------------------
     // Who is likely to connect next — the Liben-Nowell/Kleinberg
     // neighborhood scores over the supplier-part bipartite graph
@@ -809,6 +846,99 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Kuiper: the KS cum table with two clamped integer sups.
+    "q406_kuiper" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
+        |         count(*) FILTER (g = 'purchase') AS cb
+        |       FROM slim GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |g AS (SELECT n_a, n_b,
+        |    greatest(CAST(max(cum_a * n_b - cum_b * n_a) AS BIGINT), 0)
+        |      AS vplus_num,
+        |    greatest(CAST(max(cum_b * n_a - cum_a * n_b) AS BIGINT), 0)
+        |      AS vminus_num
+        |  FROM cum, tot GROUP BY n_a, n_b)
+        |SELECT n_a, n_b, vplus_num, vminus_num,
+        |  ROUND(CAST(vplus_num + vminus_num AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 7) AS v
+        |FROM g""".stripMargin,
+
+    // Durbin-Watson: exact lag numerator, n*den exact, one division.
+    "q407_durbin_watson" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT g, v,
+        |    lag(v, 1) OVER (PARTITION BY g ORDER BY ts, event_id) AS l1
+        |  FROM e),
+        |a AS (SELECT g, count(*) AS n, sum(v) AS s, sum(v * v) AS q,
+        |    sum(CASE WHEN l1 IS NOT NULL
+        |      THEN (v - l1) * (v - l1) END) AS num
+        |  FROM l GROUP BY 1)
+        |SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        |  ROUND(CASE WHEN n > 1 AND CAST(n * q - s * s AS DOUBLE) > 0 THEN
+        |    CAST(n * num AS DOUBLE) / CAST(n * q - s * s AS DOUBLE)
+        |    END, 7) AS dw
+        |FROM a ORDER BY "group"""".stripMargin,
+
+    // Ljung-Box: q324's per-lag round-7 r, micro-quantized terms.
+    "q408_ljung_box" -> {
+      val lagAggs = (1 to 3).map(k =>
+        s"""sum(v * l$k) AS c$k,
+           |    sum(CASE WHEN l$k IS NOT NULL THEN v END) AS s1_$k,
+           |    sum(l$k) AS s2_$k""".stripMargin).mkString(",\n    ")
+      val branches = (1 to 3).map { k =>
+        s"""SELECT g AS "group", CAST($k AS INT) AS lag,
+           |  CAST(n AS BIGINT) AS n,
+           |  ROUND(CASE WHEN n > $k AND
+           |      CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0 THEN
+           |    (CAST(c$k AS DOUBLE)
+           |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * CAST(s1_$k + s2_$k AS DOUBLE)
+           |      + CAST(n - $k AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    END, 7) AS r
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id,
+         |    CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |l AS (SELECT g, v,
+         |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+         |    lag(v, 3) OVER w AS l3
+         |  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+         |a AS (SELECT g, count(*) AS n, sum(v) AS s, sum(v * v) AS q,
+         |    $lagAggs
+         |  FROM l GROUP BY 1),
+         |r AS ($branches),
+         |t AS (SELECT "group", n,
+         |    CAST(floor(r * r / CAST(n - lag AS DOUBLE) * 1e12)
+         |      AS BIGINT) AS t
+         |  FROM r WHERE r IS NOT NULL)
+         |SELECT "group", CAST(max(n) AS BIGINT) AS n,
+         |  count(*) AS h,
+         |  ROUND(CAST(max(n) AS DOUBLE) * CAST(max(n) + 2 AS DOUBLE)
+         |    * (CAST(sum(t) AS DOUBLE) / 1e12), 7) AS q
+         |FROM t GROUP BY "group" ORDER BY "group"""".stripMargin
+    },
 
     // Link prediction: wedge census through capped centers, nano terms.
     "q405_link_prediction" ->

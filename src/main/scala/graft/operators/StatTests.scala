@@ -140,6 +140,45 @@ object StatTests {
         col("v").as("at_value"))
   }
 
+  /** Kuiper's two-sample test — the rotation-invariant sibling of
+    * [[ksTwoSample]]: V = D+ + D- (sup of Fa-Fb plus sup of Fb-Fa),
+    * equally sensitive at the distribution TAILS where KS's single
+    * sup under-weights, and the standard choice for cyclic domains
+    * (hour-of-day, phase). Same quantize-first distinct-value-domain
+    * contract and loud guard; both sups are exact integer maxima of
+    * the cross-multiplied gap (cum_a*n_b - cum_b*n_a), clamped at 0
+    * (the sup over x includes the flat tails); ONE division.
+    *
+    * Returns one row (n_a, n_b, vplus_num, vminus_num, v).
+    */
+  def kuiperTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    requireBoundedDomain(perValue, "kuiperTwoSample")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dec = "decimal(38,0)"
+    val cum = perValue
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val gap = col("cum_a").cast(dec) * col("n_b").cast(dec) -
+      col("cum_b").cast(dec) * col("n_a").cast(dec)
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), gap.as("gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(greatest(max(col("gap")), lit(0).cast(dec)).as("vplus_num"),
+        greatest(max(-col("gap")), lit(0).cast(dec)).as("vminus_num"))
+      .select(col("n_a"), col("n_b"), col("vplus_num"), col("vminus_num"),
+        round((col("vplus_num") + col("vminus_num")).cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 7)
+          .as("v"))
+  }
+
   /** Pearson correlation per group over INTEGRAL columns — the linear-
     * association readout with the suite's exactness discipline: the six
     * sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) have exact BIGINT

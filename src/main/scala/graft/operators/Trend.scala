@@ -218,6 +218,77 @@ object Trend {
       .select(col("group"), col("lr.lag").as("lag"), col("n"), col("lr.r").as("r"))
   }
 
+  /** Durbin-Watson statistic per group — the lag-1 serial-correlation
+    * diagnostic (DW ~ 2 means no autocorrelation, toward 0 positive,
+    * toward 4 negative), on the centered series:
+    *
+    *   DW = sum_{t>=2} (x_t - x_{t-1})^2 / sum_t (x_t - mean)^2
+    *
+    * Exactness: with integral x the numerator is an exact BIGINT lag
+    * window sum and n*denominator = n*Q - S^2 is exact DECIMAL(38,0),
+    * so DW = n*num / (n*Q - S^2) is ONE pinned division. Null when the
+    * series is constant or has < 2 points.
+    *
+    * Returns (group, n, dw).
+    */
+  def durbinWatson(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("group")).orderBy(orderCols.map(col): _*)
+    val base = df.select(
+      (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
+        orderCols.map(col)): _*)
+    val lagged = base.withColumn("l1", lag(col("x"), 1).over(w))
+    val g = lagged.groupBy(col("group")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("s"),
+      sum((col("x") * col("x")).cast(dec)).as("q"),
+      sum(when(col("l1").isNotNull,
+        (col("x") - col("l1")) * (col("x") - col("l1"))).cast(dec))
+        .as("num"))
+    val den = col("n").cast(dec) * col("q") - col("s") * col("s")
+    g.select(col("group"), col("n"),
+      round(when(col("n") > 1L && den.cast("double") > 0.0,
+        (col("n").cast(dec) * col("num")).cast("double") /
+          den.cast("double")), 7).as("dw"))
+  }
+
+  /** Ljung-Box portmanteau test per group — "is there ANY
+    * autocorrelation in the first h lags":
+    *
+    *   Q = n(n+2) * sum_{k=1..h} r_k^2 / (n - k)
+    *
+    * built ON [[autocorrelation]]'s published per-lag r (already the
+    * pinned round-7 output — the quantization boundary is the
+    * operator's own contract, not a new one): each lag's term is
+    * micro-quantized as floor(r_k^2/(n-k) * 1e12) so the h-term
+    * reduction is an exact integer sum, and Q is one pinned double.
+    * Lags with undefined r (n <= k, zero variance) are skipped and
+    * reported in h.
+    *
+    * Returns (group, n, h, q).
+    */
+  def ljungBox(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, maxLag: Int): DataFrame = {
+    val acf = autocorrelation(df, groupCol, orderCols, valueCol, maxLag)
+    val term = floor(col("r") * col("r") /
+      (col("n") - col("lag").cast("long")).cast("double") * lit(1e12))
+      .cast("long")
+    acf.where(col("r").isNotNull)
+      .select(col("group"), col("n"), term.as("t"))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("h"),
+        sum(col("t")).as("qsum_pico"))
+      .select(col("group"), col("n"), col("h"),
+        round(col("n").cast("double") * (col("n") + 2L).cast("double") *
+          (col("qsum_pico").cast("double") / lit(1e12)), 7).as("q"))
+  }
+
   /** CUSUM changepoint detection per group — where did the level of a
     * series shift? The classic mean-centered cumulative-sum scan:
     *

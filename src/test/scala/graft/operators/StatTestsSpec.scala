@@ -289,6 +289,23 @@ class StatTestsSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("Kuiper: tail shift doubles KS, clamped sups") {
+    // a=[1,4], b=[2,3]: D+ = D- = 1/2 -> V = 1.0 while KS D = 0.5
+    val df = Seq(("a", 1L), ("a", 4L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val r = StatTests.kuiperTwoSample(df, "g", "v", "a", "b").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDecimal(2).longValueExact() == 2L)
+    assert(r.getDecimal(3).longValueExact() == 2L)
+    assert(r.getDouble(4) == 1.0)
+    // one-sided dominance: D- clamps at 0, V = D+
+    val dom = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val d = StatTests.kuiperTwoSample(dom, "g", "v", "a", "b").collect()(0)
+    assert(d.getDecimal(3).longValueExact() == 0L)
+    assert(d.getDouble(4) == 1.0)
+  }
+
   test("concordance: hand gamma + Somers' D, brute-force parity") {
     // (1,1),(1,2),(2,1),(2,2),(3,3): C=5, D=1, T_x=2, T_y=2, n0=10
     val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L))

@@ -156,6 +156,43 @@ class TrendSpec extends SparkTestBase {
       .collect().forall(_.isNullAt(3)))
   }
 
+  test("Durbin-Watson: monotone 0.6, alternating 3.0, flat null") {
+    val mono = (1L to 4L).zipWithIndex
+      .map { case (x, i) => ("m", (i + 1).toLong, x) }.toDF("g", "t", "v")
+    val r = Trend.durbinWatson(mono, "g", Seq("t"), "v").collect()(0)
+    // num = 3, n*num = 12, nQ - S^2 = 4*30 - 100 = 20 -> 0.6
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 0.6)
+    val alt = Seq(1L, 2L, 1L, 2L).zipWithIndex
+      .map { case (x, i) => ("a", (i + 1).toLong, x) }.toDF("g", "t", "v")
+    assert(Trend.durbinWatson(alt, "g", Seq("t"), "v")
+      .collect()(0).getDouble(2) == 3.0)
+    val flat = (1 to 5).map(t => ("f", t.toLong, 7L)).toDF("g", "t", "v")
+    assert(Trend.durbinWatson(flat, "g", Seq("t"), "v")
+      .collect()(0).isNullAt(2))
+  }
+
+  test("Ljung-Box: Q recomposes from the published ACF rounds") {
+    val rnd = new scala.util.Random(17)
+    val xs = Seq.fill(40)(rnd.nextInt(50).toLong)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", (i + 1).toLong, x) }
+      .toDF("g", "t", "v")
+    val acf = Trend.autocorrelation(df, "g", Seq("t"), "v", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val picoSum = (1 to 3).map(k =>
+      math.floor(acf(k) * acf(k) / (40 - k) * 1e12).toLong).sum
+    val want = math.rint(40.0 * 42.0 * (picoSum.toDouble / 1e12) * 1e7) / 1e7
+    val got = Trend.ljungBox(df, "g", Seq("t"), "v", maxLag = 3)
+      .collect()(0)
+    assert(got.getLong(1) == 40L && got.getLong(2) == 3L)
+    assert(got.getDouble(3) == want)
+    // a strongly alternating series carries a LARGE Q (r1 ~ -1)
+    val alt = (0 until 20).map(i => if (i % 2 == 0) 0L else 4L)
+    val big = Trend.ljungBox(alt.zipWithIndex
+        .map { case (x, i) => ("a", (i + 1).toLong, x) }.toDF("g", "t", "v"),
+      "g", Seq("t"), "v", maxLag = 2).collect()(0).getDouble(3)
+    assert(big > 20.0)
+  }
+
   test("CUSUM changepoint: clean level shift found exactly, flat series ties to t=1") {
     // group a: 0,0,0,0,10,10,10,10 -> shift after t=4.
     // mean 5; cusum_t = cum - 5t peaks (in |.|) at t=4: |0-20|=20.
