@@ -670,6 +670,15 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 409. RAKE keyword extraction, oracle-pinned -----------------------------------------------------------
+    // Rose et al. 2010 over the real corpus: punctuation-then-stopword
+    // phrase split, deg/freq word scores as exact integer micro-
+    // divisions, phrase scores exact integer sums — the top-30 cut
+    // never compares floats.
+    "q409_rake" -> ((s, d) =>
+      graft.functions.Keywords.rake(
+        t(s, d, "documents"), "doc_id", "text", topK = 30)),
+
     // --- 406. Kuiper two-sample test, oracle-pinned -----------------------------------------------------------
     // q308's KS pair with the rotation-invariant statistic V = D+ + D-
     // — equally sensitive at the tails; both sups exact integer maxima.
@@ -846,6 +855,45 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // RAKE: two-level split, exact micro word scores, integer ranking.
+    "q409_rake" -> {
+      val stops = graft.functions.Keywords.RakeStop
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH segs AS (
+         |  SELECT doc_id AS id,
+         |    generate_subscripts(str_split_regex(lower(text),
+         |      '[^a-z0-9 ]+'), 1) AS seg,
+         |    UNNEST(str_split_regex(lower(text), '[^a-z0-9 ]+')) AS st
+         |  FROM documents WHERE text IS NOT NULL),
+         |words AS (SELECT id, seg,
+         |    generate_subscripts(str_split(trim(regexp_replace(st,
+         |      ' +', ' ', 'g')), ' '), 1) AS pos,
+         |    UNNEST(str_split(trim(regexp_replace(st, ' +', ' ', 'g')),
+         |      ' ')) AS w
+         |  FROM segs),
+         |ns AS (SELECT id, seg, pos, w,
+         |    pos - row_number() OVER (PARTITION BY id, seg ORDER BY pos)
+         |      AS grp
+         |  FROM words WHERE w <> '' AND w NOT IN ($stops)),
+         |plen AS (SELECT id, seg, grp, count(*) AS plen
+         |  FROM ns GROUP BY 1, 2, 3),
+         |member AS (SELECT ns.*, plen.plen
+         |  FROM ns JOIN plen USING (id, seg, grp)),
+         |ws AS (SELECT w,
+         |    (CAST(sum(plen) AS BIGINT) * 1000000) // count(*) AS ws_micro
+         |  FROM member GROUP BY w),
+         |ps AS (SELECT id, seg, grp,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |    count(*) AS n_words,
+         |    CAST(sum(ws_micro) AS BIGINT) AS score_micro
+         |  FROM member JOIN ws USING (w) GROUP BY 1, 2, 3)
+         |SELECT phrase, max(n_words) AS n_words,
+         |  count(*) AS occurrences,
+         |  ROUND(CAST(max(score_micro) AS DOUBLE) / 1e6, 7) AS score
+         |FROM ps GROUP BY phrase
+         |ORDER BY max(score_micro) DESC, phrase LIMIT 30""".stripMargin
+    },
 
     // Kuiper: the KS cum table with two clamped integer sups.
     "q406_kuiper" ->

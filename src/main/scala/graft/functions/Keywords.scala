@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword extraction — RAKE (Rapid Automatic Keyword
+  * Extraction, Rose et al. 2010): candidate phrases are maximal runs of
+  * non-stopword tokens between stopword/punctuation breaks; each word
+  * scores deg(w)/freq(w) (deg counts the size of every phrase the word
+  * appears in — co-occurrence including self); a phrase scores the sum
+  * of its member word scores, so multi-word technical terms outrank
+  * their parts. The unsupervised keyword pass a corpus report runs
+  * before any model-based tagging.
+  *
+  * Exactness: deg and freq are exact corpus-wide integers; the word
+  * score is micro-quantized as exact integer division (deg * 1e6) div
+  * freq, so phrase scores are exact integer sums and the top-K ranking
+  * never compares floats; the reported score is the one unscaling
+  * division, rounded at 7.
+  *
+  * Scale: one tokenize pass, per-document windows (documents are the
+  * natural partitions), then vocabulary-sized word and phrase rollups
+  * — nothing quadratic; the stop list ships in the operator and is
+  * part of the contract. The micro-scaling bound: deg * 1e6 must fit
+  * BIGINT (deg < 9.2e12 phrase-word co-occurrences for one word) —
+  * past it ANSI mode throws LOUDLY rather than wrapping.
+  */
+object Keywords {
+
+  /** The RAKE break list (English core) — results are a function of
+    * this list, so it is fixed, public, and shared verbatim with the
+    * oracle replay.
+    */
+  val RakeStop: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "on", "is", "are",
+    "was", "were", "be", "been", "it", "its", "this", "that", "with",
+    "as", "for", "at", "by", "from", "but", "not", "has", "have", "had",
+    "he", "she", "they", "we", "you", "i", "his", "her", "their", "our",
+    "your", "my", "so", "if", "then", "than", "which", "who", "what",
+    "when", "where", "why", "how", "all", "any", "no", "nor", "can",
+    "will", "just", "do", "does", "did", "about", "into", "over",
+    "after", "before", "between", "under", "there", "here", "up",
+    "down", "out", "off", "more", "most", "other", "some", "such")
+
+  /** Candidate phrases per document: (id, seg, grp, pos, w) rows for
+    * every member word, where (id, seg, grp) identifies one phrase.
+    * Two-level split — PUNCTUATION breaks segments first (a comma must
+    * end a phrase even between non-stop words), then stopwords break
+    * phrases inside a segment via gaps-and-islands over dense word
+    * positions.
+    */
+  private def phraseWords(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9 ]+"))
+          .as(Seq("seg", "st")))
+    val words = segs.select(col("id"), col("seg"),
+        posexplode(split(trim(regexp_replace(col("st"), " +", " ")), " "))
+          .as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+    val nonStop = words.where(!col("w").isin(RakeStop: _*))
+    val wn = Window.partitionBy(col("id"), col("seg")).orderBy(col("pos"))
+    nonStop.withColumn("grp", col("pos") - row_number().over(wn))
+  }
+
+  /** RAKE top-K keywords over a document corpus. Returns
+    * (phrase, n_words, occurrences, score) ordered by the exact
+    * micro-score descending, ties by phrase — a deterministic cut.
+    */
+  def rake(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 30): DataFrame = {
+    require(topK >= 1)
+    val pw = phraseWords(df, idCol, textCol)
+    val plen = pw.groupBy(col("id"), col("seg"), col("grp"))
+      .agg(count(lit(1)).as("plen"))
+    val member = pw.join(plen, Seq("id", "seg", "grp"))
+    // corpus-wide word statistics: freq = occurrences, deg = sum of
+    // containing-phrase sizes (co-occurrence including self)
+    val wordScore = member.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        expr("(deg * 1000000L) div freq").as("ws_micro"))
+    val phraseScore = member.join(wordScore, "w")
+      .groupBy(col("id"), col("seg"), col("grp"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("pos"),
+          col("w")))).getField("w")).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("ws_micro")).as("score_micro"))
+    phraseScore.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("occurrences"),
+        max(col("score_micro")).as("score_micro"))
+      .orderBy(desc("score_micro"), col("phrase"))
+      .limit(topK)
+      .select(col("phrase"), col("n_words"), col("occurrences"),
+        round(col("score_micro").cast("double") / lit(1e6), 7)
+          .as("score"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** RAKE: the worked example's phrase split, degree/frequency scores,
+  * multi-word dominance, and the deterministic cut.
+  */
+class KeywordsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("RAKE: hand-worked scores on a two-phrase corpus") {
+    // "deep learning of deep models" ->
+    //   phrases: "deep learning", "deep models"
+    // freq: deep 2, learning 1, models 1; deg: deep 4, learning 2,
+    // models 2; ws: deep 2, learning 2, models 2
+    // scores: "deep learning" = 4, "deep models" = 4
+    val df = Seq((1L, "Deep learning of deep models")).toDF("id", "text")
+    val got = Keywords.rake(df, "id", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 2)
+    assert(got("deep learning").getLong(1) == 2L) // n_words
+    assert(got("deep learning").getDouble(3) == 4.0)
+    assert(got("deep models").getDouble(3) == 4.0)
+  }
+
+  test("RAKE: multi-word technical terms outrank their parts") {
+    val df = Seq(
+      (1L, "linear regression is a linear model"),
+      (2L, "the linear regression baseline"),
+      (3L, "model and baseline")).toDF("id", "text")
+    val rows = Keywords.rake(df, "id", "text").collect()
+    // the longest technical run wins (RAKE's known long-phrase bias),
+    // then the bigram, then single words
+    assert(rows.head.getString(0) == "linear regression baseline",
+      s"got ${rows.head.getString(0)}")
+    val bigram = rows.find(_.getString(0) == "linear regression").get
+    val single = rows.find(_.getString(0) == "baseline").get
+    assert(bigram.getDouble(3) > single.getDouble(3))
+    assert(rows.head.getDouble(3) > bigram.getDouble(3))
+  }
+
+  test("RAKE: punctuation and stopwords both break phrases; topK cuts") {
+    val df = Seq((1L, "alpha beta, gamma of delta")).toDF("id", "text")
+    val phrases = Keywords.rake(df, "id", "text").collect()
+      .map(_.getString(0)).toSet
+    assert(phrases == Set("alpha beta", "gamma", "delta"))
+    val capped = Keywords.rake(df, "id", "text", topK = 2).collect()
+    assert(capped.length == 2)
+  }
+}
