@@ -670,6 +670,21 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 410/411. privacy-risk audits, oracle-pinned -----------------------------------------------------------
+    // The release gate: k-anonymity over (nation, market segment) and
+    // l-diversity of the account-balance band inside those classes.
+    // Pure exact censuses, one division each.
+    "q410_k_anonymity" -> ((s, d) =>
+      graft.operators.Privacy.kAnonymity(
+        t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)),
+
+    "q411_l_diversity" -> ((s, d) =>
+      graft.operators.Privacy.lDiversity(
+        t(s, d, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal").cast("double") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)),
+
     // --- 409. RAKE keyword extraction, oracle-pinned -----------------------------------------------------------
     // Rose et al. 2010 over the real corpus: punctuation-then-stopword
     // phrase split, deg/freq word scores as exact integer micro-
@@ -855,6 +870,41 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // k-anonymity: exact equivalence-class census.
+    "q410_k_anonymity" ->
+      """WITH cl AS (SELECT c_nationkey, c_mktsegment, count(*) AS c
+        |  FROM customer GROUP BY 1, 2),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS classes,
+        |    CAST(min(c) AS BIGINT) AS k_min,
+        |    count(CASE WHEN c < 5 THEN 1 END) AS classes_below,
+        |    CAST(COALESCE(sum(CASE WHEN c < 5 THEN c END), 0) AS BIGINT)
+        |      AS rows_below
+        |  FROM cl)
+        |SELECT n, classes, k_min, classes_below, rows_below,
+        |  ROUND(CAST(rows_below AS DOUBLE) / CAST(n AS DOUBLE), 7)
+        |    AS risk_share
+        |FROM a""".stripMargin,
+
+    // l-diversity: distinct sensitive bands per class.
+    "q411_l_diversity" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+        |      AS bal_band
+        |  FROM customer),
+        |cl AS (SELECT c_nationkey, c_mktsegment, count(*) AS c,
+        |    count(DISTINCT bal_band) AS d
+        |  FROM base GROUP BY 1, 2),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS classes,
+        |    CAST(min(d) AS BIGINT) AS l_min,
+        |    count(CASE WHEN d < 3 THEN 1 END) AS classes_below,
+        |    CAST(COALESCE(sum(CASE WHEN d < 3 THEN c END), 0) AS BIGINT)
+        |      AS rows_below
+        |  FROM cl)
+        |SELECT n, classes, l_min, classes_below, rows_below,
+        |  ROUND(CAST(rows_below AS DOUBLE) / CAST(n AS DOUBLE), 7)
+        |    AS risk_share
+        |FROM a""".stripMargin,
 
     // RAKE: two-level split, exact micro word scores, integer ranking.
     "q409_rake" -> {

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk audits — the release gate a training-data pipeline runs
+  * before sharing a slice: k-anonymity (no quasi-identifier combination
+  * may isolate fewer than k rows) and l-diversity (each combination
+  * must carry at least l distinct sensitive values, or the QI reveals
+  * the secret even at k > 1). Pure censuses: exact equivalence-class
+  * counts, one division for the risk share — no float enters any
+  * comparison.
+  *
+  * Scale: one combining groupBy over the QI columns (class table is
+  * QI-domain-sized), then class-table rollups. Nothing row-quadratic.
+  */
+object Privacy {
+
+  /** k-anonymity census over the quasi-identifier columns. Returns one
+    * row (n, classes, k_min, classes_below, rows_below, risk_share):
+    * k_min is the smallest equivalence class (the dataset's effective
+    * k), risk_share the fraction of rows living in classes below k.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2)
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    classes.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("classes"),
+      min(col("c")).as("k_min"),
+      count(when(col("c") < k, 1)).as("classes_below"),
+      coalesce(sum(when(col("c") < k, col("c"))), lit(0L))
+        .as("rows_below"))
+      .select(col("n"), col("classes"), col("k_min"),
+        col("classes_below"), col("rows_below"),
+        round(col("rows_below").cast("double") / col("n").cast("double"),
+          7).as("risk_share"))
+  }
+
+  /** l-diversity census: distinct sensitive values per QI equivalence
+    * class. Returns one row (n, classes, l_min, classes_below,
+    * rows_below, risk_share) — classes_below counts classes with fewer
+    * than l distinct sensitive values.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2)
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("c"),
+        countDistinct(col(sensitiveCol)).as("d"))
+    classes.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("classes"),
+      min(col("d")).as("l_min"),
+      count(when(col("d") < l, 1)).as("classes_below"),
+      coalesce(sum(when(col("d") < l, col("c"))), lit(0L))
+        .as("rows_below"))
+      .select(col("n"), col("classes"), col("l_min"),
+        col("classes_below"), col("rows_below"),
+        round(col("rows_below").cast("double") / col("n").cast("double"),
+          7).as("risk_share"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Privacy censuses: hand equivalence classes, boundary semantics
+  * (strictly-below), zero-violation datasets.
+  */
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // QI (zip, age): class (1, 30) x3, (1, 40) x2, (2, 30) x1
+    (1, 30, "flu"), (1, 30, "flu"), (1, 30, "cold"),
+    (1, 40, "flu"), (1, 40, "cold"),
+    (2, 30, "flu")).toDF("zip", "age", "dx")
+
+  test("k-anonymity: hand classes, strictly-below counting") {
+    val r = Privacy.kAnonymity(rows, Seq("zip", "age"), k = 2).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 1L)          // k_min: the singleton class
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == math.rint(1.0 / 6.0 * 1e7) / 1e7)
+    // at k = 4 the size-3 and size-2 classes violate too
+    val r4 = Privacy.kAnonymity(rows, Seq("zip", "age"), k = 4).collect()(0)
+    assert(r4.getLong(3) == 3L && r4.getLong(4) == 6L)
+    assert(r4.getDouble(5) == 1.0)
+  }
+
+  test("l-diversity: distinct sensitive values per class") {
+    val r = Privacy.lDiversity(rows, Seq("zip", "age"), "dx", l = 2)
+      .collect()(0)
+    assert(r.getLong(2) == 1L)          // the singleton class: 1 dx
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L)
+    // a fully diverse dataset has zero violations
+    val ok = Seq((1, "a"), (1, "b"), (2, "a"), (2, "c"))
+      .toDF("zip", "dx")
+    val r2 = Privacy.lDiversity(ok, Seq("zip"), "dx", l = 2).collect()(0)
+    assert(r2.getLong(3) == 0L && r2.getLong(4) == 0L)
+    assert(r2.getDouble(5) == 0.0)
+  }
+}
