@@ -670,6 +670,28 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 412/413. classifier-quality completions, oracle-pinned ------------------------------------------------
+    // ECE over q302's bins (the telescoped |1000*n_pos - psum| exact
+    // numerator) and the decile lift/gains table (value-atomic bins on
+    // the distinct-score cumsum — ties never straddle a boundary).
+    "q412_ece" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.ece(scored, "p", "y", nBins = 10)
+    }),
+
+    "q413_lift_table" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.liftTable(scored, "p", "y", nBins = 10)
+    }),
+
     // --- 410/411. privacy-risk audits, oracle-pinned -----------------------------------------------------------
     // The release gate: k-anonymity over (nation, market segment) and
     // l-diversity of the account-balance band inside those classes.
@@ -870,6 +892,56 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // ECE: exact telescoped numerator over q302's bins.
+    "q412_ece" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |      ELSE doc_id % 600 END AS p
+        |  FROM documents),
+        |b AS (SELECT LEAST((p * 10) // 1000, 9) AS bin, count(*) AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos, sum(p) AS psum
+        |  FROM s GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n, count(*) AS n_bins,
+        |  CAST(sum(abs(1000 * n_pos - psum)) AS BIGINT) AS ece_milli_num,
+        |  ROUND(CAST(sum(abs(1000 * n_pos - psum)) AS DOUBLE)
+        |    / (1000 * CAST(sum(n) AS DOUBLE)), 7) AS ece
+        |FROM b""".stripMargin,
+
+    // Lift/gains: value-atomic deciles on the distinct-score cumsum.
+    "q413_lift_table" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |      ELSE doc_id % 600 END AS p
+        |  FROM documents),
+        |ps AS (SELECT p AS sc, count(*) AS c,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+        |  FROM s GROUP BY 1),
+        |cum AS (SELECT sc, c, pos,
+        |    sum(c) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING)
+        |      AS cum,
+        |    sum(pos) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING)
+        |      AS cum_pos
+        |  FROM ps),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all,
+        |    CAST(sum(pos) AS BIGINT) AS pos_all FROM ps),
+        |binned AS (SELECT CAST(((cum - c) * 10) // n_all AS BIGINT)
+        |    AS bin, n_all,
+        |    pos_all, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM cum, tot GROUP BY 1, 2, 3)
+        |SELECT bin, n, n_pos,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 7) AS rate,
+        |  ROUND(CASE WHEN pos_all > 0 THEN
+        |    (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)) END, 7)
+        |    AS lift,
+        |  ROUND(CASE WHEN pos_all > 0 THEN
+        |    CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS DOUBLE) / CAST(pos_all AS DOUBLE) END, 7) AS cum_gain
+        |FROM binned ORDER BY bin""".stripMargin,
 
     // k-anonymity: exact equivalence-class census.
     "q410_k_anonymity" ->

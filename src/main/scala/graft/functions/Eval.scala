@@ -145,17 +145,22 @@ object Eval {
     * Scale shape: one map-side-combining groupBy on the bin; the Brier
     * aggregate is a 1-row crossJoin broadcast.
     */
+  /** The shared milli-probability equal-width bin: floor(p*nBins/1000)
+    * clamped to the last bin — integer division, engine-portable.
+    */
+  private def milliBin(p: Column, nBins: Int): Column = least(
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(p * nBins),
+        org.apache.spark.sql.graft.Bridge.expression(lit(1000L)))),
+    lit((nBins - 1).toLong))
+
   def calibration(df: DataFrame, probMilliCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]")
     val p = col(probMilliCol).cast("long")
     val y = when(col(labelCol), 1L).otherwise(0L)
-    val bin = least(
-      org.apache.spark.sql.graft.Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.graft.Bridge.expression(p * nBins),
-          org.apache.spark.sql.graft.Bridge.expression(lit(1000L)))),
-      lit((nBins - 1).toLong))
+    val bin = milliBin(p, nBins)
     val brier = df.agg(
       (sum((p - lit(1000L) * y) * (p - lit(1000L) * y)).cast("double") /
         (lit(1000000.0) * count(lit(1)).cast("double"))).as("__brier"))
@@ -170,6 +175,89 @@ object Eval {
         round(col("n_pos").cast("double") / col("n").cast("double"), 7)
           .as("rate"),
         round(col("__brier"), 7).as("brier"))
+  }
+
+  /** Expected calibration error over the same milli-probability bins
+    * as [[calibration]]:
+    *
+    *   ECE = sum_b (n_b/N) * |acc_b - conf_b|
+    *       = sum_b |1000*n_pos_b - psum_b| / (1000*N)
+    *
+    * — the weighted form telescopes so the numerator is an EXACT
+    * BIGINT (|1000*positives - milli-prob sum| per bin, summed); ECE
+    * itself is the one division. Returns one row (n, n_bins,
+    * ece_milli_num, ece).
+    */
+  def ece(df: DataFrame, probMilliCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]")
+    val p = col(probMilliCol).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    df.groupBy(milliBin(p, nBins).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(y).as("n_pos"), sum(p).as("psum"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        sum(abs(lit(1000L) * col("n_pos") - col("psum")))
+          .as("ece_milli_num"))
+      .select(col("n"), col("n_bins"), col("ece_milli_num"),
+        round(col("ece_milli_num").cast("double") /
+          (lit(1000.0) * col("n").cast("double")), 7).as("ece"))
+  }
+
+  /** Decile lift/gains table — the campaign-targeting readout: rank by
+    * score descending, cut into nBins VALUE-ATOMIC bins (every row of
+    * one distinct score lands in the bin of its first element, so ties
+    * never straddle a boundary — the tie-safe variant, documented),
+    * report per-bin response rate, lift over the base rate, and the
+    * cumulative gain curve.
+    *
+    * Shape: the distinct-score-domain cumsum (the KS machinery) under
+    * the quantize-first contract and loud guard — scores must be
+    * quantized (milli-units); counts exact; rate/lift/gain are pinned
+    * divisions.
+    *
+    * Returns per bin (bin, n, n_pos, rate, lift, cum_gain), bin 0 =
+    * highest scores.
+    */
+  def liftTable(df: DataFrame, scoreMilliCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]")
+    val s = col(scoreMilliCol).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val perScore = df.groupBy(s.as("s"))
+      .agg(count(lit(1)).as("c"), sum(y).as("pos"))
+    graft.operators.StatTests.requireBoundedDomain(perScore,
+      "Eval.liftTable")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perScore
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+    val tot = cum.agg(sum(col("c")).as("n_all"),
+      sum(col("pos")).as("pos_all"))
+    // value-atomic bin: the bin of the score's FIRST row (cum - c)
+    val bin = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(
+          (col("cum") - col("c")) * nBins),
+        org.apache.spark.sql.graft.Bridge.expression(col("n_all"))))
+    val binned = cum.crossJoin(broadcast(tot))
+      .groupBy(bin.as("bin"), col("n_all"), col("pos_all"))
+      .agg(sum(col("c")).as("n"), sum(col("pos")).as("n_pos"))
+    binned.select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 7)
+          .as("rate"),
+        round(when(col("pos_all") > 0L,
+          (col("n_pos").cast("double") / col("n").cast("double")) /
+            (col("pos_all").cast("double") / col("n_all").cast("double"))),
+          7).as("lift"),
+        round(when(col("pos_all") > 0L,
+          sum(col("n_pos")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+              .rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                0)).cast("double") / col("pos_all").cast("double")), 7)
+          .as("cum_gain"))
+      .orderBy(col("bin"))
   }
 
   /** Per-class precision/recall/F1 from (gold, pred) pairs — the

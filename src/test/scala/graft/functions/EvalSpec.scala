@@ -129,6 +129,46 @@ class EvalSpec extends SparkTestBase {
     assert(got(0L).getDouble(5) == brier)
   }
 
+  test("ECE: exact telescoped numerator over the calibration bins") {
+    val df = Seq(
+      (950, true), (1000, true), (980, false), // bin 9: |2000-2930|=930
+      (120, false), (150, false), (180, true), // bin 1: |1000-450|=550
+      (50, false)                              // bin 0: |0-50|=50
+    ).toDF("p", "y")
+    val r = Eval.ece(df, "p", "y", nBins = 10).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 930L + 550L + 50L)
+    assert(r.getDouble(3) == math.rint(1530.0 / 7000.0 * 1e7) / 1e7)
+    // a perfectly calibrated constant classifier has ECE 0
+    val perfect = Seq((500, true), (500, false)).toDF("p", "y")
+    assert(Eval.ece(perfect, "p", "y").collect()(0).getDouble(3) == 0.0)
+  }
+
+  test("lift table: value-atomic deciles, lift and cumulative gain") {
+    // 10 rows, scores 1000..100, positives at the top 3 scores
+    val df = (1 to 10).map(i => (i * 100, i >= 8)).toDF("p", "y")
+    val got = Eval.liftTable(df, "p", "y", nBins = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 5)
+    // bin 0 = scores 1000, 900: both positive -> rate 1, lift 1/(3/10)
+    assert(got(0L).getLong(1) == 2L && got(0L).getLong(2) == 2L)
+    assert(got(0L).getDouble(3) == 1.0)
+    assert(got(0L).getDouble(4) ==
+      math.rint(1.0 / 0.3 * 1e7) / 1e7)
+    assert(got(0L).getDouble(5) == math.rint(2.0 / 3.0 * 1e7) / 1e7)
+    // bin 1 = scores 800, 700: one positive
+    assert(got(1L).getLong(2) == 1L)
+    assert(got(1L).getDouble(5) == 1.0) // all positives found by bin 1
+    assert(got(4L).getDouble(5) == 1.0)
+    // tie-straddle: every row of one score stays in one bin
+    val tied = (1 to 10).map(i => (500, i <= 5)) :+ ((900, true))
+    val tb = Eval.liftTable(tied.toDF("p", "y"), "p", "y", nBins = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // score 500 starts at rank 1 (after the single 900) -> bin 0
+    // holds 900 AND the whole 500 block: value-atomic
+    assert(tb(0L).getLong(1) == 11L || tb.size == 1)
+  }
+
   test("classification report: per-class counts, ratios, one-sided classes") {
     val df = Seq(
       ("x", "x"), ("x", "x"), ("x", "y"), // x: gold 3, tp 2
