@@ -670,6 +670,28 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 414/415. feature encoders, oracle-pinned ---------------------------------------------------------------
+    // Smoothed target encoding (exact rational (S_c*N + m*S)/(N*(n_c+m)),
+    // one pinned division) and the md5 hashing trick (engine-portable
+    // buckets + signs, exact signed counts).
+    "q414_target_encode" -> ((s, d) =>
+      graft.operators.Features.targetEncode(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"),
+              floor(col("value") * 10).cast("long").as("y")),
+          "event_type", "y", m = 50)
+        .orderBy("category")),
+
+    "q415_feature_hash" -> ((s, d) =>
+      graft.operators.Features.featureHash(
+          t(s, d, "documents")
+            .where(col("doc_id") < 100 && col("text").isNotNull)
+            .select(col("doc_id"),
+              explode(graft.functions.Retrieval.tokens(col("text")))
+                .as("tok")),
+          "doc_id", "tok", nBuckets = 32)
+        .orderBy("id", "bucket")),
+
     // --- 412/413. classifier-quality completions, oracle-pinned ------------------------------------------------
     // ECE over q302's bins (the telescoped |1000*n_pos - psum| exact
     // numerator) and the decile lift/gains table (value-atomic bins on
@@ -892,6 +914,38 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Target encoding: exact rational shrinkage, one division.
+    "q414_target_encode" ->
+      """WITH e AS (SELECT event_type AS category,
+        |    CAST(floor(value * 10) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (SELECT category, count(*) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s FROM e GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+        |    CAST(sum(s) AS BIGINT) AS s_all FROM per)
+        |SELECT category, n,
+        |  ROUND(CAST(s * n_all + 50 * s_all AS DOUBLE)
+        |    / CAST(n_all * (n + 50) AS DOUBLE), 7) AS enc,
+        |  ROUND(CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE), 7) AS mu
+        |FROM per, g ORDER BY category""".stripMargin,
+
+    // Hashing trick: portable md5 buckets and signs, signed counts.
+    "q415_feature_hash" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |    UNNEST(list_filter(str_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+        |h AS (SELECT id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32
+        |      AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT)
+        |      % 2 = 0 THEN 1 ELSE -1 END AS sign
+        |  FROM toks WHERE tok <> '')
+        |SELECT id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+        |FROM h GROUP BY id, bucket
+        |HAVING CAST(sum(sign) AS BIGINT) <> 0
+        |ORDER BY id, bucket""".stripMargin,
 
     // ECE: exact telescoped numerator over q302's bins.
     "q412_ece" ->

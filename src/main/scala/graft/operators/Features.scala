@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators — the two workhorse encoders a tabular
+  * training pipeline applies before any model sees the data: smoothed
+  * target encoding (category -> shrunk response mean) and the hashing
+  * trick (unbounded token vocabulary -> fixed-width sparse vector).
+  */
+object Features {
+
+  /** Smoothed (additive / empirical-Bayes) target encoding over an
+    * INTEGRAL target:
+    *
+    *   enc(c) = (S_c + m * mu) / (n_c + m),   mu = S/N
+    *
+    * computed as the EXACT rational (S_c*N + m*S) / (N*(n_c + m)) —
+    * both sides DECIMAL(38,0), one pinned division. The shrinkage m
+    * is the prior weight: rare categories pull to the global mean
+    * instead of memorizing their few rows (the leakage the naive
+    * per-category mean bakes in). One combining groupBy; the global
+    * (N, S) is a broadcast 1-row aggregate.
+    *
+    * Returns per category (category, n, enc), plus the global mean as
+    * mu on every row (the decoder needs it for unseen categories).
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      m: Long): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(m >= 1, "shrinkage m must be >= 1")
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(targetCol).dataType),
+      s"$targetCol must be integral (quantize first), got " +
+        df.schema(targetCol).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val y = col(targetCol).cast("long")
+    val slim = df.where(col(catCol).isNotNull)
+      .select(col(catCol).as("category"), y.as("y"))
+    val per = slim.groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("y").cast(dec)).as("s"))
+    val glob = per.agg(sum(col("n")).as("n_all"), sum(col("s")).as("s_all"))
+    per.crossJoin(broadcast(glob))
+      .select(col("category"), col("n"),
+        round((col("s") * col("n_all").cast(dec) +
+            lit(m).cast(dec) * col("s_all")).cast("double") /
+          (col("n_all").cast(dec) *
+            (col("n").cast(dec) + lit(m).cast(dec))).cast("double"), 7)
+          .as("enc"),
+        round(col("s_all").cast("double") / col("n_all").cast("double"), 7)
+          .as("mu"))
+  }
+
+  /** The hashing trick (Weinberger et al. 2009) over a token column:
+    * bucket = md5-hash mod nBuckets, sign from an independent md5 bit,
+    * weight = signed occurrence count per (id, bucket). md5 (not the
+    * engine's native hash) so any engine replays the exact vector.
+    * Unsigned variant: pass signed = false.
+    *
+    * Scale: one explode + one combining groupBy keyed (id, bucket) —
+    * output is at most nBuckets rows per document.
+    *
+    * Returns (id, bucket, weight), the sparse fixed-width vector.
+    */
+  def featureHash(df: DataFrame, idCol: String, tokenCol: String,
+      nBuckets: Int, signed: Boolean = true): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20))
+    val tok = col(tokenCol)
+    val bucket = (conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+      % nBuckets).as("bucket")
+    val sign =
+      if (signed)
+        when(conv(substring(md5(tok), 9, 1), 16, 10).cast("long") % 2
+          === 0L, 1L).otherwise(-1L)
+      else lit(1L)
+    df.where(col(idCol).isNotNull && tok.isNotNull && tok =!= "")
+      .select(col(idCol).as("id"), bucket, sign.as("sign"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(sum(col("sign")).as("weight"))
+      .where(col("weight") =!= 0L)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Feature encoders: hand shrinkage arithmetic, the rare-category pull,
+  * hash-vector determinism and sign cancellation.
+  */
+class FeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("target encoding: hand shrinkage, rare category pulls to mu") {
+    // a: 3 rows sum 30 (mean 10); b: 1 row sum 0; mu = 30/4 = 7.5
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("b", 0L))
+      .toDF("c", "y")
+    val got = Features.targetEncode(df, "c", "y", m = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // enc(a) = (30 + 2*7.5)/(3+2) = 9; enc(b) = (0 + 15)/(1+2) = 5
+    assert(got("a").getDouble(2) == 9.0)
+    assert(got("b").getDouble(2) == 5.0)
+    assert(got("a").getDouble(3) == 7.5)
+    // heavier shrinkage pulls the rare category closer to mu
+    val heavy = Features.targetEncode(df, "c", "y", m = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(heavy("b") - 7.5) < math.abs(5.0 - 7.5))
+  }
+
+  test("feature hashing: deterministic, bounded, signs cancel") {
+    val df = Seq((1L, "alpha"), (1L, "alpha"), (1L, "beta"), (2L, "alpha"))
+      .toDF("id", "tok")
+    val v1 = Features.featureHash(df, "id", "tok", nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // same token -> same bucket, doubled weight for the repeat
+    val aBucket = v1.keys.filter(_._1 == 2L).head._2
+    assert(math.abs(v1((1L, aBucket))) == 2L)
+    assert(math.abs(v1((2L, aBucket))) == 1L)
+    // rerun is bit-identical (md5, not a seeded engine hash)
+    val v2 = Features.featureHash(df, "id", "tok", nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(v1 == v2)
+    // unsigned variant: weights are plain counts
+    val u = Features.featureHash(df, "id", "tok", 16, signed = false)
+      .collect().map(r => r.getLong(2))
+    assert(u.forall(_ > 0))
+  }
+}
