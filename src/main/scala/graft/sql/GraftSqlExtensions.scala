@@ -38,6 +38,18 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_mann_kendall(src_view, 'group', 'time', 'value', out_view)
   *   CALL graft_stat_theil_sen(src_view, 'group', 'x', 'y', out_view)
   *   CALL graft_stat_benford(src_view, 'group', 'value', out_view)
+  *   CALL graft_stat_kuiper(src_view, 'group', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_concordance(src_view, 'group', 'x', 'y', out_view)
+  *   CALL graft_stat_durbin_watson(src_view, 'group', 'ord1,ord2', 'value', out_view)
+  *   CALL graft_stat_ljung_box(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
+  *   CALL graft_stat_ece(src_view, 'prob_milli', 'label', nbins, out_view)
+  *   CALL graft_stat_lift(src_view, 'score_milli', 'label', nbins, out_view)
+  *   CALL graft_stat_ari(src_view, 'label_a', 'label_b', out_view)
+  *   CALL graft_stat_purity(src_view, 'cluster', 'class', out_view)
+  *   CALL graft_stat_vmeasure(src_view, 'cluster', 'class', out_view)
+  *   CALL graft_stat_k_anonymity(src_view, 'qi1,qi2', k, out_view)
+  *   CALL graft_stat_l_diversity(src_view, 'qi1,qi2', 'sensitive', l, out_view)
+  *   CALL graft_stat_target_encode(src_view, 'category', 'target', m, out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -407,8 +419,35 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
         case "mann_kendall" => Trend.mannKendall(src, ms(0), ms(1), ms(2))
         case "theil_sen" => Trend.theilSen(src, ms(0), ms(1), ms(2))
         case "benford" => StatTests.benfordFirstDigit(src, ms(0), ms(1))
-        case other => bad(s"unknown statistic '$other' (known: auc, " +
-          "benford, cusum, ks, mann_kendall, mannwhitney, psi, theil_sen, " +
+        case "kuiper" => StatTests.kuiperTwoSample(src, ms(0), ms(1),
+          ms(2), ms(3))
+        case "concordance" => StatTests.concordanceMeasures(src, ms(0),
+          ms(1), ms(2))
+        case "durbin_watson" => Trend.durbinWatson(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "ljung_box" => Trend.ljungBox(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
+          mi(3))
+        case "ece" => graft.functions.Eval.ece(src, ms(0), ms(1), mi(2))
+        case "lift" => graft.functions.Eval.liftTable(src, ms(0), ms(1),
+          mi(2))
+        case "ari" => graft.functions.ClusterEval.ari(src, ms(0), ms(1))
+        case "purity" => graft.functions.ClusterEval.purity(src, ms(0),
+          ms(1))
+        case "vmeasure" => graft.functions.ClusterEval.vMeasure(src,
+          ms(0), ms(1))
+        case "k_anonymity" => graft.operators.Privacy.kAnonymity(src,
+          ms(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          mi(1).toLong)
+        case "l_diversity" => graft.operators.Privacy.lDiversity(src,
+          ms(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(1),
+          mi(2).toLong)
+        case "target_encode" => graft.operators.Features.targetEncode(src,
+          ms(0), ms(1), mi(2).toLong)
+        case other => bad(s"unknown statistic '$other' (known: ari, auc, " +
+          "benford, concordance, cusum, durbin_watson, ece, k_anonymity, " +
+          "ks, kuiper, l_diversity, lift, ljung_box, mann_kendall, " +
+          "mannwhitney, psi, purity, target_encode, theil_sen, vmeasure, " +
           "welch, wilson)")
       }
       result.createOrReplaceTempView(view)

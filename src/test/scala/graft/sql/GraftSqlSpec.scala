@@ -240,6 +240,30 @@ class GraftSqlSpec extends SparkTestBase {
       "st_ts", Trend.theilSen(src, "g", "t", "v"))
     parity("CALL graft_stat_benford(sqlstat_src, 'g', 'v', st_benford)",
       "st_benford", StatTests.benfordFirstDigit(src, "g", "v"))
+    parity("CALL graft_stat_kuiper(sqlstat_src, 'g', 'v', 'a', 'b', st_kp)",
+      "st_kp", StatTests.kuiperTwoSample(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_concordance(sqlstat_src, 'g', 't', 'v', st_cc)",
+      "st_cc", StatTests.concordanceMeasures(src, "g", "t", "v"))
+    parity("CALL graft_stat_durbin_watson(sqlstat_src, 'g', 't', 'v', st_dw)",
+      "st_dw", Trend.durbinWatson(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_ljung_box(sqlstat_src, 'g', 't', 'v', 3, st_lb)",
+      "st_lb", Trend.ljungBox(src, "g", Seq("t"), "v", 3))
+    parity("CALL graft_stat_ece(sqlstat_src, 'v', 'y', 10, st_ece)",
+      "st_ece", graft.functions.Eval.ece(src, "v", "y", 10))
+    parity("CALL graft_stat_lift(sqlstat_src, 'v', 'y', 5, st_lift)",
+      "st_lift", graft.functions.Eval.liftTable(src, "v", "y", 5))
+    parity("CALL graft_stat_ari(sqlstat_src, 'g', 'y', st_ari)",
+      "st_ari", graft.functions.ClusterEval.ari(src, "g", "y"))
+    parity("CALL graft_stat_purity(sqlstat_src, 'g', 'y', st_pur)",
+      "st_pur", graft.functions.ClusterEval.purity(src, "g", "y"))
+    parity("CALL graft_stat_vmeasure(sqlstat_src, 'g', 'y', st_vm)",
+      "st_vm", graft.functions.ClusterEval.vMeasure(src, "g", "y"))
+    parity("CALL graft_stat_k_anonymity(sqlstat_src, 'g,y', 3, st_ka)",
+      "st_ka", graft.operators.Privacy.kAnonymity(src, Seq("g", "y"), 3L))
+    parity("CALL graft_stat_l_diversity(sqlstat_src, 'g', 'y', 2, st_ld)",
+      "st_ld", graft.operators.Privacy.lDiversity(src, Seq("g"), "y", 2L))
+    parity("CALL graft_stat_target_encode(sqlstat_src, 'g', 'v', 10, st_te)",
+      "st_te", graft.operators.Features.targetEncode(src, "g", "v", 10L))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
