@@ -670,6 +670,36 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 416/417. Neyman stratified sampling, oracle-pinned ------------------------------------------------------
+    // Optimal allocation n_h ~ N_h*sigma_h where N_h*sigma_h =
+    // sqrt(N_h*Q_h - S_h^2) EXACTLY — integer base shares + a
+    // largest-remainder pass, then the per-stratum smallest-md5 take.
+    "q416_neyman_alloc" -> ((s, d) =>
+      graft.operators.Sampling.neymanAllocation(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"),
+              floor(col("value") * 10).cast("long").as("v")),
+          "event_type", "v", sampleSize = 200)
+        .orderBy("stratum")),
+
+    "q417_neyman_sample" -> ((s, d) =>
+      graft.operators.Sampling.neymanSample(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"), col("event_id"),
+              floor(col("value") * 10).cast("long").as("v")),
+          "event_type", "v", "event_id", sampleSize = 200)
+        .orderBy("stratum", "id")),
+
+    // --- 418. degree assortativity, oracle-pinned ----------------------------------------------------------------
+    // Do hub suppliers share parts with hub parts? Newman's r over the
+    // q405 bipartite graph: exact endpoint-degree moments, one pinned r.
+    "q418_assortativity" -> ((s, d) =>
+      graft.functions.Graph.degreeAssortativity(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("p"), col("l_partkey")).as("b")),
+        "a", "b")),
+
     // --- 414/415. feature encoders, oracle-pinned ---------------------------------------------------------------
     // Smoothed target encoding (exact rational (S_c*N + m*S)/(N*(n_c+m)),
     // one pinned division) and the md5 hashing trick (engine-portable
@@ -914,6 +944,96 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Neyman allocation: exact sqrt weight, largest-remainder shares.
+    "q416_neyman_alloc" ->
+      """WITH e AS (SELECT event_type AS stratum,
+        |    CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |st AS (SELECT stratum, count(*) AS n_rows,
+        |    CAST(floor(sqrt(CAST(count(*) * sum(v * v)
+        |      - sum(v) * sum(v) AS DOUBLE))) AS BIGINT) AS w_sd
+        |  FROM e GROUP BY 1),
+        |tw AS (SELECT CAST(sum(w_sd) AS BIGINT) AS w_all FROM st),
+        |wt AS (SELECT stratum, n_rows,
+        |    CASE WHEN w_all > 0 THEN w_sd ELSE n_rows END AS w_int
+        |  FROM st, tw),
+        |w2 AS (SELECT CAST(sum(w_int) AS BIGINT) AS w FROM wt),
+        |based AS (SELECT stratum, n_rows, w_int,
+        |    CAST((200 * w_int) // w AS BIGINT) AS base,
+        |    CAST((200 * w_int) % w AS BIGINT) AS rem
+        |  FROM wt, w2),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+        |    200 - sum(base) OVER () AS leftover
+        |  FROM based)
+        |SELECT stratum, n_rows, w_int,
+        |  least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+        |    n_rows) AS alloc
+        |FROM ranked ORDER BY stratum""".stripMargin,
+
+    // Neyman take: per-stratum smallest-md5 rows up to the allocation.
+    "q417_neyman_sample" ->
+      """WITH e AS (SELECT event_type AS stratum, event_id,
+        |    CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |st AS (SELECT stratum, count(*) AS n_rows,
+        |    CAST(floor(sqrt(CAST(count(*) * sum(v * v)
+        |      - sum(v) * sum(v) AS DOUBLE))) AS BIGINT) AS w_sd
+        |  FROM e GROUP BY 1),
+        |tw AS (SELECT CAST(sum(w_sd) AS BIGINT) AS w_all FROM st),
+        |wt AS (SELECT stratum, n_rows,
+        |    CASE WHEN w_all > 0 THEN w_sd ELSE n_rows END AS w_int
+        |  FROM st, tw),
+        |w2 AS (SELECT CAST(sum(w_int) AS BIGINT) AS w FROM wt),
+        |based AS (SELECT stratum, n_rows, w_int,
+        |    CAST((200 * w_int) // w AS BIGINT) AS base,
+        |    CAST((200 * w_int) % w AS BIGINT) AS rem
+        |  FROM wt, w2),
+        |alloc AS (SELECT stratum,
+        |    least(base + CASE WHEN
+        |        row_number() OVER (ORDER BY rem DESC, stratum)
+        |          <= 200 - sum(base) OVER () THEN 1 ELSE 0 END,
+        |      n_rows) AS alloc
+        |  FROM based),
+        |rk AS (SELECT e.stratum, e.event_id AS id, a.alloc,
+        |    row_number() OVER (PARTITION BY e.stratum
+        |      ORDER BY md5(CAST(e.event_id AS VARCHAR)), e.event_id)
+        |      AS rk
+        |  FROM e JOIN alloc a ON e.stratum = a.stratum)
+        |SELECT stratum, id FROM rk WHERE rk <= alloc
+        |ORDER BY stratum, id""".stripMargin,
+
+    // Assortativity: exact endpoint-degree moments, pinned r.
+    "q418_assortativity" ->
+      """WITH e AS (SELECT DISTINCT
+        |    's' || CAST(l_suppkey AS VARCHAR) AS a,
+        |    'p' || CAST(l_partkey AS VARCHAR) AS b
+        |  FROM lineitem),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |p AS (SELECT dx.deg AS dx, dy.deg AS dy
+        |  FROM sym JOIN deg dx ON sym.a = dx.a
+        |    JOIN deg dy ON sym.b = dy.a),
+        |g AS (SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sx,
+        |    CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(sum(dy * dy) AS BIGINT) AS syy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+        |  FROM p)
+        |SELECT n AS n_directed,
+        |  ROUND(CASE WHEN
+        |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 7) AS r
+        |FROM g""".stripMargin,
 
     // Target encoding: exact rational shrinkage, one division.
     "q414_target_encode" ->

@@ -520,6 +520,47 @@ object Graph {
     dist
   }
 
+  /** Degree assortativity (Newman 2002) — do hubs link to hubs (r > 0,
+    * social graphs) or to leaves (r < 0, the web / infrastructure)?
+    * Pearson correlation of endpoint degrees over every directed
+    * realization of the undirected edge list: six exact DECIMAL(38,0)
+    * sufficient statistics over the (deg u, deg v) pairs, ONE pinned
+    * r expression (the q328 discipline). Null on degree-regular
+    * graphs (zero variance).
+    *
+    * Returns one row (n_directed, r).
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg.select(col("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("dy")), "b")
+    val g = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("dx").cast(dec)).as("sx"), sum(col("dy").cast(dec)).as("sy"),
+      sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+      sum((col("dy") * col("dy")).cast(dec)).as("syy"),
+      sum((col("dx") * col("dy")).cast(dec)).as("sxy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    g.select(col("n").as("n_directed"),
+      round(when(vx > 0.0 && vy > 0.0, cov / (sqrt(vx) * sqrt(vy))), 7)
+        .as("r"))
+  }
+
   /** Link-prediction scores over an UNDIRECTED edge list — the five
     * classical neighborhood heuristics (Liben-Nowell & Kleinberg 2003)
     * for every candidate pair at distance 2, top-K by common-neighbor

@@ -445,4 +445,81 @@ object Sampling {
         round(col("cum").cast("double") / col("tw").cast("double"), 7)
           .as("cum_p"))
   }
+
+  /** Neyman (optimal) stratified allocation — how many samples each
+    * stratum deserves when the budget is fixed: n_h proportional to
+    * N_h * sigma_h, so volatile strata get more and constant strata
+    * get none. With integral values, N_h * sigma_h =
+    * sqrt(N_h*Q_h - S_h^2) EXACTLY (the per-stratum moments cancel),
+    * so the weight is one pinned sqrt floored to an exact integer and
+    * the whole apportionment — integer-division base shares + a
+    * largest-remainder pass (ties by stratum ascending) — is exact
+    * integer arithmetic, engine-replayable. Allocations are capped at
+    * the stratum size (the shortfall is NOT redistributed — capped
+    * Neyman, documented); if every stratum is constant (all weights
+    * zero) the weights fall back to plain proportional N_h.
+    *
+    * Scale: one combining groupBy over strata, then window passes over
+    * the STRATA table (domain-sized, tiny).
+    *
+    * Returns per stratum (stratum, n_rows, w_int, alloc).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, sampleSize: Long): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(sampleSize >= 1)
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast("long")
+    val stats = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(v.cast(dec)).as("s"),
+        sum((v * v).cast(dec)).as("q"))
+      .select(col("stratum"), col("n_rows"),
+        floor(sqrt((col("n_rows").cast(dec) * col("q") -
+          col("s") * col("s")).cast("double"))).cast("long").as("w_sd"))
+    val tot = stats.agg(sum(col("w_sd")).as("w_all"))
+    val weighted = stats.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_rows"),
+        when(col("w_all") > 0L, col("w_sd")).otherwise(col("n_rows"))
+          .as("w_int"))
+    val wTot = weighted.agg(sum(col("w_int")).as("w"))
+    val based = weighted.crossJoin(broadcast(wTot))
+      .select(col("stratum"), col("n_rows"), col("w_int"),
+        expr(s"(${sampleSize}L * w_int) div w").as("base"),
+        expr(s"(${sampleSize}L * w_int) % w").as("rem"))
+    import org.apache.spark.sql.expressions.Window
+    val leftover = lit(sampleSize) -
+      sum(col("base")).over(Window.partitionBy())
+    val rk = row_number().over(
+      Window.orderBy(desc("rem"), col("stratum")))
+    based
+      .withColumn("alloc_raw",
+        col("base") + when(rk <= leftover, 1L).otherwise(0L))
+      .select(col("stratum"), col("n_rows"), col("w_int"),
+        least(col("alloc_raw"), col("n_rows")).as("alloc"))
+  }
+
+  /** The rows a [[neymanAllocation]] selects: per stratum, the `alloc`
+    * rows with the smallest md5(id) (hash-stable, engine-replayable,
+    * ties impossible on unique ids). Returns (stratum, id).
+    */
+  def neymanSample(df: DataFrame, stratumCol: String, valueCol: String,
+      idCol: String, sampleSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = neymanAllocation(df, stratumCol, valueCol, sampleSize)
+      .select(col("stratum"), col("alloc"))
+    val rk = row_number().over(Window.partitionBy(col("stratum"))
+      .orderBy(md5(col("id").cast("string")), col("id")))
+    df.where(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"), col(idCol).as("id"))
+      .join(broadcast(alloc), "stratum")
+      .withColumn("__rk", rk)
+      .where(col("__rk") <= col("alloc"))
+      .select(col("stratum"), col("id"))
+  }
 }

@@ -269,6 +269,21 @@ class GraphSpec extends SparkTestBase {
     assert(got.map(_._3).sum == refTri.values.sum)
   }
 
+  test("degree assortativity: star -1, path -1, regular null") {
+    val star = Graph.degreeAssortativity(
+      Seq(("s", "a"), ("s", "b"), ("s", "c")).toDF("x", "y"), "x", "y")
+      .collect()(0)
+    assert(star.getLong(0) == 6L && star.getDouble(1) == -1.0)
+    val path = Graph.degreeAssortativity(
+      Seq(("a", "b"), ("b", "c")).toDF("x", "y"), "x", "y").collect()(0)
+    assert(path.getDouble(1) == -1.0)
+    // K3 is 2-regular: zero degree variance -> null
+    val k3 = Graph.degreeAssortativity(
+      Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("x", "y"), "x", "y")
+      .collect()(0)
+    assert(k3.isNullAt(1))
+  }
+
   test("link prediction: path-graph hand scores") {
     // a-b-c-d: candidates (a,c) via b and (b,d) via c, both deg-2 centers
     val got = Graph.linkPrediction(

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Neyman allocation: the exact sqrt(NQ - S^2) weight, largest-remainder
+  * apportionment, the stratum-size cap, the all-constant fallback, and
+  * the deterministic hash take.
+  */
+class NeymanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("volatile strata get the budget; constant strata get none") {
+    // a: constant 5 x4 (sigma 0); b: 0/10 alternating x4
+    val df = (Seq.fill(4)(("a", 5L)) ++ Seq(("b", 0L), ("b", 10L),
+      ("b", 0L), ("b", 10L))).toDF("g", "v")
+    val got = Sampling.neymanAllocation(df, "g", "v", sampleSize = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(2) == 0L && got("a").getLong(3) == 0L)
+    assert(got("b").getLong(2) == 20L) // sqrt(4*200 - 400) = 20
+    assert(got("b").getLong(3) == 4L)
+  }
+
+  test("largest-remainder apportionment, exact total") {
+    // weights 3 and 2 via constructed variances, n = 3
+    // stratum x: values 0,3 -> sqrt(2*9-9) = 3; y: 0,2 -> sqrt(2*4-4)=2
+    val df = Seq(("x", 0L), ("x", 3L), ("y", 0L), ("y", 2L)).toDF("g", "v")
+    val got = Sampling.neymanAllocation(df, "g", "v", sampleSize = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // base: (3*3) div 5 = 1 rem 4; (3*2) div 5 = 1 rem 1 -> x gets +1
+    assert(got("x") == 2L && got("y") == 1L)
+    assert(got.values.sum == 3L)
+  }
+
+  test("all-constant strata fall back to proportional; cap binds") {
+    val df = (Seq.fill(6)(("a", 1L)) ++ Seq.fill(3)(("b", 7L)))
+      .toDF("g", "v")
+    val got = Sampling.neymanAllocation(df, "g", "v", sampleSize = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(2) == 6L && got("b").getLong(2) == 3L)
+    assert(got("a").getLong(3) == 2L && got("b").getLong(3) == 1L)
+    // cap: ask for more than a tiny stratum holds
+    val tiny = Seq(("t", 0L), ("t", 9L), ("u", 5L)).toDF("g", "v")
+    val capped = Sampling.neymanAllocation(tiny, "g", "v", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(capped("t") == 2L) // alloc 5 capped at n_rows 2
+  }
+
+  test("sample take: per-stratum counts match alloc, reruns identical") {
+    val df = (1L to 40L).map(i => (if (i % 2 == 0) "e" else "o", i % 7, i))
+      .toDF("g", "v", "id")
+    val alloc = Sampling.neymanAllocation(df, "g", "v", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val s1 = Sampling.neymanSample(df, "g", "v", "id", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(s1.groupBy(_._1).map { case (g, xs) => g -> xs.size.toLong } ==
+      alloc.filter(_._2 > 0))
+    val s2 = Sampling.neymanSample(df, "g", "v", "id", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(s1 == s2)
+  }
+}
