@@ -670,6 +670,19 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 419. blocking-scheme quality, oracle-pinned -------------------------------------------------------------
+    // The census before any pairwise comparison stage: candidate pairs
+    // under a (lang, length-band) blocking key vs all-pairs, max block,
+    // singletons. Exact DECIMAL(38,0) pair counts.
+    "q419_blocking_quality" -> ((s, d) =>
+      graft.functions.Linkage.blockingQuality(
+        t(s, d, "documents")
+          .where(col("lang").isNotNull && col("n_chars").isNotNull)
+          .select(concat(col("lang"), lit("#"),
+            floor(col("n_chars") / 200).cast("long").cast("string"))
+            .as("blk")),
+        "blk")),
+
     // --- 416/417. Neyman stratified sampling, oracle-pinned ------------------------------------------------------
     // Optimal allocation n_h ~ N_h*sigma_h where N_h*sigma_h =
     // sqrt(N_h*Q_h - S_h^2) EXACTLY — integer base shares + a
@@ -944,6 +957,27 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Blocking quality: exact pair-count census, one division.
+    "q419_blocking_quality" ->
+      """WITH b AS (SELECT lang || '#' ||
+        |    CAST(CAST(floor(n_chars / 200) AS BIGINT) AS VARCHAR)
+        |      AS blk
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |bl AS (SELECT blk, count(*) AS c FROM b GROUP BY 1),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS blocks,
+        |    CAST(sum(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
+        |    CAST(max(c) AS BIGINT) AS max_block,
+        |    count(CASE WHEN c = 1 THEN 1 END) AS singleton_blocks
+        |  FROM bl)
+        |SELECT n, blocks, candidate_pairs,
+        |  CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs, max_block,
+        |  singleton_blocks,
+        |  ROUND(CASE WHEN CAST(n * (n - 1) // 2 AS DOUBLE) > 0 THEN
+        |    1.0 - CAST(candidate_pairs AS DOUBLE)
+        |      / CAST(n * (n - 1) // 2 AS DOUBLE) END, 7)
+        |    AS reduction_ratio
+        |FROM a""".stripMargin,
 
     // Neyman allocation: exact sqrt weight, largest-remainder shares.
     "q416_neyman_alloc" ->

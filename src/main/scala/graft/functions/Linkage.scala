@@ -58,4 +58,38 @@ object Linkage {
         round(log((lit(1.0) - m) / (lit(1.0) - u)), 7).as("w_disagree"))
       .orderBy("field")
   }
+
+  /** Blocking-scheme quality census — the number every entity-resolution
+    * pipeline reports before running pairwise comparison: how many
+    * candidate pairs does the blocking key generate (sum of C(b,2)
+    * within blocks) vs the all-pairs C(n,2) it replaced:
+    *
+    *   reduction_ratio = 1 - candidate_pairs / total_pairs
+    *
+    * plus the skew diagnostics that predict the comparison stage's
+    * worst task (max block, singletons that can never match). Exact
+    * DECIMAL(38,0) pair counts, one pinned division.
+    *
+    * Returns one row (n, blocks, candidate_pairs, total_pairs,
+    * max_block, singleton_blocks, reduction_ratio).
+    */
+  def blockingQuality(df: DataFrame, blockCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val blocks = df.where(col(blockCol).isNotNull)
+      .groupBy(col(blockCol)).agg(count(lit(1)).as("b"))
+    def comb2(c: org.apache.spark.sql.Column) =
+      (c.cast(dec) * (c - 1L).cast(dec) / lit(2).cast(dec)).cast(dec)
+    blocks.agg(
+      sum(col("b")).as("n"),
+      count(lit(1)).as("blocks"),
+      sum(comb2(col("b"))).as("candidate_pairs"),
+      max(col("b")).as("max_block"),
+      count(when(col("b") === 1L, 1)).as("singleton_blocks"))
+      .select(col("n"), col("blocks"), col("candidate_pairs"),
+        comb2(col("n")).as("total_pairs"), col("max_block"),
+        col("singleton_blocks"),
+        round(when(comb2(col("n")).cast("double") > 0.0,
+          lit(1.0) - col("candidate_pairs").cast("double") /
+            comb2(col("n")).cast("double")), 7).as("reduction_ratio"))
+  }
 }

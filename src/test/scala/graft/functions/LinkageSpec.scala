@@ -36,4 +36,20 @@ class LinkageSpec extends SparkTestBase {
     assert(got("good") > 1.0)          // strongly positive evidence
     assert(math.abs(got("noise")) < 0.5) // roughly uninformative
   }
+
+  test("blocking quality: hand census, perfect-block edge") {
+    // blocks: A x3, B x2, C x1 -> cand = 3 + 1 + 0 = 4; total C(6,2)=15
+    val df = (Seq.fill(3)("A") ++ Seq.fill(2)("B") :+ "C").toDF("blk")
+    val r = Linkage.blockingQuality(df, "blk").collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getDecimal(2).longValueExact() == 4L)
+    assert(r.getDecimal(3).longValueExact() == 15L)
+    assert(r.getLong(4) == 3L && r.getLong(5) == 1L)
+    assert(r.getDouble(6) == math.rint((1.0 - 4.0 / 15.0) * 1e7) / 1e7)
+    // one row per block: zero candidate pairs, reduction ratio 1
+    val perfect = Seq("x", "y", "z").toDF("blk")
+    val p = Linkage.blockingQuality(perfect, "blk").collect()(0)
+    assert(p.getDecimal(2).longValueExact() == 0L)
+    assert(p.getDouble(6) == 1.0)
+  }
 }
