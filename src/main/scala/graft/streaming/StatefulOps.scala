@@ -83,6 +83,21 @@ case class SampleState(hashes: Seq[String], ids: Seq[Long], nSeen: Long)
   */
 case class SampleSnapshot(grp: String, sample_ids: Seq[Long], n_seen: Long)
 
+/** Input event for [[StatefulOps.streamingHeavyHitters]]. */
+case class HhEvent(key: Long, ts: java.sql.Timestamp, item: String)
+
+/** Misra-Gries counter table carried across microbatches: parallel
+  * item/count seqs (<= k entries) plus the processed-event census.
+  */
+case class HhState(items: Seq[String], counts: Seq[Long], n: Long)
+
+/** A key's current heavy-hitter table, re-emitted after every batch
+  * that touched the key (Update semantics — downstream upserts).
+  * `count` carries the MG guarantee: true frequency is in
+  * [count, count + n/(k+1)].
+  */
+case class HhSnapshot(key: Long, item: String, count: Long, n_seen: Long)
+
 /** Custom-state streaming operators (`flatMapGroupsWithState`) for the
   * semantics the built-in `session_window` cannot express: sessions that
   * EMIT ON COMPLETION (append-mode friendly — a session row is final the
@@ -262,6 +277,59 @@ object StatefulOps {
     * State never expires on its own (a silent detector is still armed);
     * keys that stop arriving simply stop being touched.
     */
+  /** Streaming heavy hitters — Misra-Gries (1982) inside the state
+    * store, the live face of the batch [[graft.functions.FrequentItems]]
+    * pass: per key, a counter table of at most k items advances per
+    * event (tracked item +1; empty slot claims the item at 1; full
+    * table decrements EVERY counter by 1, dropping zeros — the classic
+    * step). After each batch that touched a key, the key's current
+    * table is re-emitted (Update semantics). The MG guarantee rides
+    * along: any item with true frequency > n/(k+1) is guaranteed
+    * present, and a tracked item's true count lies in
+    * [count, count + n/(k+1)].
+    *
+    * Determinism across microbatch splits: MG is a deterministic
+    * function of the event SEQUENCE; each batch replays its key's
+    * events in full-precision (ts, item) order and the state carries
+    * the complete table, so any time-ordered split of the same stream
+    * yields the identical final table (asserted by the spec).
+    *
+    * State is O(k) per key; k <= 1024 keeps the per-event decrement
+    * loop trivially cheap.
+    */
+  def streamingHeavyHitters(
+      events: Dataset[HhEvent],
+      k: Int): Dataset[HhSnapshot] = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    implicit val stateEnc = Encoders.product[HhState]
+    implicit val outEnc = Encoders.product[HhSnapshot]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[HhState, HhSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[HhEvent], state: GroupState[HhState]) =>
+          val st = state.getOption.getOrElse(HhState(Nil, Nil, 0L))
+          val table = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          st.items.zip(st.counts).foreach { case (i, c) => table(i) = c }
+          var n = st.n
+          val ordered = it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.item))
+          for (e <- ordered) {
+            n += 1
+            if (table.contains(e.item)) table(e.item) += 1
+            else if (table.size < k) table(e.item) = 1L
+            else {
+              // the MG decrement-all step; drop exhausted counters
+              for (i <- table.keys.toSeq) {
+                val c = table(i) - 1
+                if (c == 0) table.remove(i) else table(i) = c
+              }
+            }
+          }
+          state.update(HhState(table.keys.toSeq, table.values.toSeq, n))
+          table.iterator.map { case (i, c) => HhSnapshot(key, i, c, n) }
+      }
+  }
+
   def streamingCusumAlarm(
       events: Dataset[CusumEvent],
       target: Double,

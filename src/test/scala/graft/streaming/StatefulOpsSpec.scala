@@ -173,6 +173,48 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(b == batchAnswer, "a different batch split must converge to the same sample")
   }
 
+  test("streamingHeavyHitters: MG table carries across batches, split-invariant") {
+    val hhSchema = StructType(Seq(StructField("key", LongType),
+      StructField("ts", TimestampType), StructField("item", StringType)))
+    def run(dirName: String, files: Seq[String]): Set[(Long, String, Long, Long)] = {
+      val dir = graft.GraftTmp.dir(dirName)
+      files.zipWithIndex.foreach { case (content, i) =>
+        Files.write(dir.resolve(s"$i.json"), content.getBytes("UTF-8")) }
+      val stream = spark.readStream.schema(hhSchema)
+        .option("maxFilesPerTrigger", "1").json(dir.toString)
+        .as[HhEvent]
+      val name = dirName.replace("-", "_")
+      val q = StatefulOps.streamingHeavyHitters(stream, k = 2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val all = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val maxN = all.map(_._4).max
+      all.filter(_._4 == maxN).toSet
+    }
+    // sequence (k=2): x,x,y,z | y,x,x
+    //   batch a: x->2, y->1, z hits a full table -> decrement: {x:1}
+    //   batch b: y claims the slot (1), x->3 -> final {x:3, y:1}, n=7
+    val a =
+      """{"key": 1, "ts": "2024-01-01T00:00:00", "item": "x"}
+        |{"key": 1, "ts": "2024-01-01T00:01:00", "item": "x"}
+        |{"key": 1, "ts": "2024-01-01T00:02:00", "item": "y"}
+        |{"key": 1, "ts": "2024-01-01T00:03:00", "item": "z"}""".stripMargin
+    val b =
+      """{"key": 1, "ts": "2024-01-01T00:04:00", "item": "y"}
+        |{"key": 1, "ts": "2024-01-01T00:05:00", "item": "x"}
+        |{"key": 1, "ts": "2024-01-01T00:06:00", "item": "x"}""".stripMargin
+    val split = run("graft-hh-split", Seq(a, b))
+    assert(split == Set((1L, "x", 3L, 7L), (1L, "y", 1L, 7L)), split)
+    // the same sequence in ONE batch yields the identical final table
+    val whole = run("graft-hh-whole", Seq(a + "\n" + b))
+    assert(whole == split, s"$whole vs $split")
+    // MG guarantee on the final table: count_x >= true(4) - n/(k+1)
+    assert(split.find(_._2 == "x").get._3 >= 4L - 7L / 3L)
+  }
+
   test("streamingPageHinkley: drift alarms at the predicted event across a batch split, noise never") {
     val dir = graft.GraftTmp.dir("graft-ph")
     // delta 0.5, lambda 12. key 1: five 10s establish the mean, then a
