@@ -670,6 +670,29 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 420. Anderson-Darling two-sample, oracle-pinned ---------------------------------------------------------
+    // The tail-weighted EDF member completing KS/Kuiper/CvM, on q308's
+    // pair: tie-adjusted midrank form, exact integer inputs, per-value
+    // pinned terms micro-quantized at 1e6.
+    "q420_anderson_darling" -> ((s, d) =>
+      graft.operators.StatTests.andersonDarlingTwoSample(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "click", "purchase")),
+
+    // --- 421. Matthews correlation, oracle-pinned ----------------------------------------------------------------
+    // The imbalance-honest single number for q320's synthetic
+    // classifier thresholded at 500 milli.
+    "q421_mcc" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        (when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600) >= 500L).as("pred"))
+      graft.functions.Eval.mcc(scored, "y", "pred")
+    }),
+
     // --- 419. blocking-scheme quality, oracle-pinned -------------------------------------------------------------
     // The census before any pairwise comparison stage: candidate pairs
     // under a (lang, length-band) blocking key vs all-pairs, max block,
@@ -957,6 +980,69 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Anderson-Darling: midrank EDF terms, micro-quantized at 1e6.
+    "q420_anderson_darling" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'click') AS ca,
+        |         count(*) FILTER (g = 'purchase') AS cb
+        |       FROM slim GROUP BY 1),
+        |cum AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |terms AS (SELECT n_a, n_b,
+        |    CAST(ca + cb AS DOUBLE) AS ld,
+        |    CAST(n_a + n_b AS DOUBLE) AS nd,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(2 * (cum_a + cum_b) - (ca + cb) AS DOUBLE) AS bpd,
+        |    CAST(2 * cum_a - ca AS DOUBLE) AS mpa,
+        |    CAST(2 * cum_b - cb AS DOUBLE) AS mpb
+        |  FROM cum, tot),
+        |tm AS (SELECT n_a, n_b,
+        |    CAST(floor(ld * (
+        |      (nd * mpa - nad * bpd) * (nd * mpa - nad * bpd)
+        |        / (nad * (bpd * (2 * nd - bpd) - nd * ld))
+        |      + (nd * mpb - nbd * bpd) * (nd * mpb - nbd * bpd)
+        |        / (nbd * (bpd * (2 * nd - bpd) - nd * ld))) * 1e6)
+        |      AS BIGINT) AS t_micro
+        |  FROM terms WHERE bpd * (2 * nd - bpd) - nd * ld > 0)
+        |SELECT n_a, n_b, CAST(sum(t_micro) AS BIGINT) AS a2_micro,
+        |  ROUND(CAST(sum(t_micro) AS DOUBLE)
+        |    / (1e6 * CAST(n_a + n_b AS DOUBLE)), 7) AS a2
+        |FROM tm GROUP BY n_a, n_b""".stripMargin,
+
+    // MCC: exact confusion counts, one pinned ratio.
+    "q421_mcc" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    (CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |      ELSE doc_id % 600 END) >= 500 AS pred
+        |  FROM documents),
+        |c AS (SELECT count(CASE WHEN y AND pred THEN 1 END) AS tp,
+        |    count(CASE WHEN NOT y AND NOT pred THEN 1 END) AS tn,
+        |    count(CASE WHEN NOT y AND pred THEN 1 END) AS fp,
+        |    count(CASE WHEN y AND NOT pred THEN 1 END) AS fn
+        |  FROM s)
+        |SELECT tp, tn, fp, fn,
+        |  ROUND(CASE WHEN
+        |      sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) > 0 THEN
+        |    (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |    / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) END, 7)
+        |    AS mcc
+        |FROM c""".stripMargin,
 
     // Blocking quality: exact pair-count census, one division.
     "q419_blocking_quality" ->

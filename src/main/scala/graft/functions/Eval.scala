@@ -260,6 +260,35 @@ object Eval {
       .orderBy(col("bin"))
   }
 
+  /** Matthews correlation coefficient for a binary classifier — the
+    * single-number confusion summary that stays honest under class
+    * imbalance (unlike accuracy or F1):
+    *
+    *   MCC = (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    *
+    * Counts exact; the ratio is ONE pinned double expression (the
+    * four-way product runs in doubles — it overflows BIGINT at 1e12
+    * rows, and doubles lose ULPs identically on both engines). Null
+    * when any marginal is zero (MCC undefined).
+    *
+    * Returns one row (tp, tn, fp, fn, mcc).
+    */
+  def mcc(df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    val g = col(goldCol)
+    val p = col(predCol)
+    val agg = df.agg(
+      count(when(g && p, 1)).as("tp"),
+      count(when(!g && !p, 1)).as("tn"),
+      count(when(!g && p, 1)).as("fp"),
+      count(when(g && !p, 1)).as("fn"))
+    def d(c: String): Column = col(c).cast("double")
+    val den = sqrt((d("tp") + d("fp")) * (d("tp") + d("fn")) *
+      (d("tn") + d("fp")) * (d("tn") + d("fn")))
+    agg.select(col("tp"), col("tn"), col("fp"), col("fn"),
+      round(when(den > 0.0,
+        (d("tp") * d("tn") - d("fp") * d("fn")) / den), 7).as("mcc"))
+  }
+
   /** Per-class precision/recall/F1 from (gold, pred) pairs — the
     * confusion-matrix report. Counts are exact; each ratio is one
     * rounded division; classes appearing only as predictions still get

@@ -140,6 +140,69 @@ object StatTests {
         col("v").as("at_value"))
   }
 
+  /** Anderson-Darling two-sample test (Scholz-Stephens 1987, the
+    * tie-adjusted midrank version) — the EDF member that weights the
+    * TAILS, completing KS (sup), Kuiper (two sups) and CvM (integrated
+    * square): with pooled distinct values j (multiplicity l_j),
+    * doubled midrank cumulatives B'_j = 2*cum_j - l_j and per-sample
+    * M'_ij = 2*cum_ij - l_ij,
+    *
+    *   A2 = (1/N) * sum_j l_j * sum_i
+    *        (N*M'_ij - n_i*B'_j)^2 / (n_i * (B'_j*(2N - B'_j) - N*l_j))
+    *
+    * (the x4 rescaling of both numerator and denominator cancels, so
+    * every input to the per-(i,j) term is an EXACT integer). Each term
+    * is one pinned double micro-quantized at 1e6 so the sum over the
+    * value domain is exact; A2 is the one unscaling division. The
+    * degenerate last term (B' = 2N - l at the maximum, denominator 0)
+    * is excluded per the published formula's j < (distinct) range —
+    * here: denominator > 0 filter.
+    *
+    * Same quantize-first distinct-value-domain contract + loud guard
+    * as KS. Returns one row (n_a, n_b, a2_micro, a2).
+    */
+  def andersonDarlingTwoSample(df: DataFrame, groupCol: String,
+      valueCol: String, a: String, b: String): DataFrame = {
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    requireBoundedDomain(perValue, "andersonDarlingTwoSample")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val j = cum.crossJoin(broadcast(tot))
+    // the big cross-products run in PINNED doubles, not long arithmetic
+    // (nn*mp ~ 2N^2 overflows BIGINT at 1e12 rows; doubles lose ULPs
+    // identically on both engines — the pinned-expression discipline)
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    val l = (col("ca") + col("cb")).cast("double")
+    val bp = (lit(2L) * (col("cum_a") + col("cum_b")) -
+      (col("ca") + col("cb"))).cast("double")
+    val den0 = bp * (lit(2.0) * nn - bp) - nn * l
+    def term(cumI: Column, lI: Column, nI: Column): Column = {
+      val mp = (lit(2L) * cumI - lI).cast("double")
+      val num = nn * mp - nI.cast("double") * bp
+      num * num / (nI.cast("double") * den0)
+    }
+    val perJ = j.where(den0 > 0.0)
+      .select(col("n_a"), col("n_b"),
+        floor(l *
+          (term(col("cum_a"), col("ca"), col("n_a")) +
+            term(col("cum_b"), col("cb"), col("n_b"))) * lit(1e6))
+          .cast("long").as("t_micro"))
+    perJ.groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("t_micro")).as("a2_micro"))
+      .select(col("n_a"), col("n_b"), col("a2_micro"),
+        round(col("a2_micro").cast("double") /
+          (lit(1e6) * (col("n_a") + col("n_b")).cast("double")), 7)
+          .as("a2"))
+  }
+
   /** Kuiper's two-sample test — the rotation-invariant sibling of
     * [[ksTwoSample]]: V = D+ + D- (sup of Fa-Fb plus sup of Fb-Fa),
     * equally sensitive at the distribution TAILS where KS's single

@@ -169,6 +169,23 @@ class EvalSpec extends SparkTestBase {
     assert(tb(0L).getLong(1) == 11L || tb.size == 1)
   }
 
+  test("MCC: hand confusion, perfect 1, inverted -1, degenerate null") {
+    // tp=4, tn=3, fp=2, fn=1 -> (12-2)/sqrt(6*5*5*4)
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(3)((false, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq((true, false))).toDF("g", "p")
+    val r = Eval.mcc(df, "g", "p").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 2L, 1L)))
+    val want = 10.0 / math.sqrt(6.0 * 5.0 * 5.0 * 4.0)
+    assert(r.getDouble(4) == math.rint(want * 1e7) / 1e7)
+    val perfect = Seq((true, true), (false, false)).toDF("g", "p")
+    assert(Eval.mcc(perfect, "g", "p").collect()(0).getDouble(4) == 1.0)
+    val inverted = Seq((true, false), (false, true)).toDF("g", "p")
+    assert(Eval.mcc(inverted, "g", "p").collect()(0).getDouble(4) == -1.0)
+    val onlyPos = Seq((true, true), (true, false)).toDF("g", "p")
+    assert(Eval.mcc(onlyPos, "g", "p").collect()(0).isNullAt(4))
+  }
+
   test("classification report: per-class counts, ratios, one-sided classes") {
     val df = Seq(
       ("x", "x"), ("x", "x"), ("x", "y"), // x: gold 3, tp 2

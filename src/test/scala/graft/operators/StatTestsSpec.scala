@@ -289,6 +289,49 @@ class StatTestsSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("Anderson-Darling 2-sample: brute-force parity, shift ordering") {
+    // independent reference implementing the midrank formula directly
+    def ref(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val na = xs.size.toLong; val nb = ys.size.toLong; val n = na + nb
+      val vals = (xs ++ ys).distinct.sorted
+      var cumA = 0L; var cumB = 0L; var s = 0L
+      for (v <- vals) {
+        val la = xs.count(_ == v).toLong; val lb = ys.count(_ == v).toLong
+        cumA += la; cumB += lb
+        val l = la + lb
+        val bp = 2L * (cumA + cumB) - l
+        val den0 = bp.toDouble * (2.0 * n - bp) - n.toDouble * l
+        if (den0 > 0) {
+          def t(cum: Long, li: Long, ni: Long): Double = {
+            val mp = 2L * cum - li
+            val num = n.toDouble * mp - ni.toDouble * bp
+            num * num / (ni.toDouble * den0)
+          }
+          s += math.floor(l.toDouble * (t(cumA, la, na) + t(cumB, lb, nb))
+            * 1e6).toLong
+        }
+      }
+      math.rint(s.toDouble / (1e6 * n) * 1e7) / 1e7
+    }
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.fill(25)(rnd.nextInt(8).toLong)
+    val ys = Seq.fill(30)(rnd.nextInt(8).toLong + 1)
+    val df = (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("g", "v")
+    val r = StatTests.andersonDarlingTwoSample(df, "g", "v", "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 25L && r.getLong(1) == 30L)
+    assert(r.getDouble(3) == ref(xs, ys))
+    // a clear shift scores higher than near-identical samples
+    val near = (xs.map(("a", _)) ++ xs.map(("b", _))).toDF("g", "v")
+    val a2near = StatTests.andersonDarlingTwoSample(near, "g", "v", "a", "b")
+      .collect()(0).getDouble(3)
+    val far = (xs.map(("a", _)) ++ xs.map(x => ("b", x + 50L)))
+      .toDF("g", "v")
+    val a2far = StatTests.andersonDarlingTwoSample(far, "g", "v", "a", "b")
+      .collect()(0).getDouble(3)
+    assert(a2far > a2near && a2far > 10.0)
+  }
+
   test("Kuiper: tail shift doubles KS, clamped sups") {
     // a=[1,4], b=[2,3]: D+ = D- = 1/2 -> V = 1.0 while KS D = 0.5
     val df = Seq(("a", 1L), ("a", 4L), ("b", 2L), ("b", 3L))
