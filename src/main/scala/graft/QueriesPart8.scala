@@ -670,6 +670,32 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 422-424. association completions, oracle-pinned ---------------------------------------------------------
+    // Theil's U (the directional normalization of q358's MI), ANOVA
+    // effect sizes (the magnitude companion of q345's F), and
+    // first-order partial correlation (q328 threefold + composition).
+    "q422_uncertainty" -> ((s, d) =>
+      graft.operators.StatTests.uncertaintyCoefficient(
+        t(s, d, "documents").select(col("lang"), col("source")),
+        "lang", "source")),
+
+    "q423_anova_eta" -> ((s, d) =>
+      graft.operators.StatTests.anovaEta(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value")),
+
+    "q424_partial_corr" -> ((s, d) =>
+      graft.operators.StatTests.partialCorrelation(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"),
+              floor(col("value")).cast("long").as("x"),
+              hour(col("ts")).cast("long").as("y"),
+              dayofmonth(col("ts")).cast("long").as("z")),
+          "event_type", "x", "y", "z")
+        .orderBy("group")),
+
     // --- 420. Anderson-Darling two-sample, oracle-pinned ---------------------------------------------------------
     // The tail-weighted EDF member completing KS/Kuiper/CvM, on q308's
     // pair: tie-adjusted midrank form, exact integer inputs, per-value
@@ -980,6 +1006,116 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Theil's U: q358's micro-entropy machinery, directional ratios,
+    // exact distinct-count zero-entropy guards.
+    "q422_uncertainty" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val mi = s"(CAST(qsum AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      val hx = s"(ln($nD) - CAST(hr AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      val hy = s"(ln($nD) - CAST(hs AS DOUBLE) / (CAST(1000000 AS DOUBLE) * $nD))"
+      s"""WITH e AS (
+         |  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+         |cells AS (SELECT x, y, count(*) AS c FROM e GROUP BY 1, 2),
+         |rm AS (SELECT x, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+         |sm AS (SELECT y, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         |qq AS (SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+         |        * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+         |             / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+         |        * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qsum
+         |  FROM cells JOIN rm USING (x) JOIN sm USING (y), tot),
+         |hxq AS (SELECT CAST(sum(CAST(floor(CAST(r AS DOUBLE)
+         |          * ln(CAST(r AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         |          AS BIGINT)) AS BIGINT) AS hr,
+         |      count(*) AS dr FROM rm),
+         |hyq AS (SELECT CAST(sum(CAST(floor(CAST(s AS DOUBLE)
+         |          * ln(CAST(s AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+         |          AS BIGINT)) AS BIGINT) AS hs,
+         |      count(*) AS ds FROM sm)
+         |SELECT n,
+         |  ROUND(CASE WHEN dr > 1 THEN $mi / $hx END, 7) AS u_xy,
+         |  ROUND(CASE WHEN ds > 1 THEN $mi / $hy END, 7) AS u_yx,
+         |  ROUND(CASE WHEN dr > 1 OR ds > 1 THEN
+         |    CAST(2 AS DOUBLE) * $mi / ($hx + $hy) END, 7) AS u_sym
+         |FROM qq, tot, hxq, hyq""".stripMargin
+    },
+
+    // ANOVA effect sizes: the q345 sorted-group fold, two pinned ratios.
+    "q423_anova_eta" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val kD = "CAST(k AS DOUBLE)"
+      val ssb = s"(r - s * s / $nD)"
+      val ssw = "(q - r)"
+      val sst = s"($ssb + $ssw)"
+      val msw = s"($ssw / ($nD - $kD))"
+      val ok = s"k >= 2 AND n > k AND $ssw > 0"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |pg AS (SELECT g, count(*) AS n_g, sum(v) AS s_g,
+         |         sum(v * v) AS q_g FROM e GROUP BY 1),
+         |terms AS (SELECT g, n_g, s_g, q_g,
+         |    CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+         |      AS term
+         |  FROM pg),
+         |agg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         |    CAST(sum(s_g) AS DOUBLE) AS s, CAST(sum(q_g) AS DOUBLE) AS q,
+         |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS r
+         |  FROM terms)
+         |SELECT n, k,
+         |  ROUND(CASE WHEN $ok AND $sst > 0 THEN $ssb / $sst END, 7)
+         |    AS eta2,
+         |  ROUND(CASE WHEN $ok AND $sst + $msw > 0 THEN
+         |    ($ssb - ($kD - CAST(1 AS DOUBLE)) * $msw) / ($sst + $msw)
+         |    END, 7) AS omega2
+         |FROM agg""".stripMargin
+    },
+
+    // Partial correlation: three pinned r's from one moment pass.
+    "q424_partial_corr" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val vx = s"($nD * ${dd("sxx")} - ${dd("sx")} * ${dd("sx")})"
+      val vy = s"($nD * ${dd("syy")} - ${dd("sy")} * ${dd("sy")})"
+      val vz = s"($nD * ${dd("szz")} - ${dd("sz")} * ${dd("sz")})"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x,
+         |    CAST(hour(ts) AS BIGINT) AS y, CAST(day(ts) AS BIGINT) AS z
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |a AS (SELECT g, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(z) AS BIGINT) AS sz,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(z * z) AS BIGINT) AS szz,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * z) AS BIGINT) AS sxz,
+         |    CAST(sum(y * z) AS BIGINT) AS syz
+         |  FROM e GROUP BY 1),
+         |rr AS (SELECT g, n,
+         |    ($nD * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")})
+         |      / (sqrt($vx) * sqrt($vy)) AS rxy,
+         |    ($nD * ${dd("sxz")} - ${dd("sx")} * ${dd("sz")})
+         |      / (sqrt($vx) * sqrt($vz)) AS rxz,
+         |    ($nD * ${dd("syz")} - ${dd("sy")} * ${dd("sz")})
+         |      / (sqrt($vy) * sqrt($vz)) AS ryz,
+         |    CASE WHEN $vx > 0 AND $vy > 0 AND $vz > 0
+         |      THEN 1 ELSE 0 END AS ok
+         |  FROM a)
+         |SELECT g AS "group", n,
+         |  ROUND(CASE WHEN ok = 1 THEN rxy END, 7) AS r_xy,
+         |  ROUND(CASE WHEN ok = 1 THEN rxz END, 7) AS r_xz,
+         |  ROUND(CASE WHEN ok = 1 THEN ryz END, 7) AS r_yz,
+         |  ROUND(CASE WHEN ok = 1 AND
+         |      sqrt((CAST(1 AS DOUBLE) - rxz * rxz)
+         |        * (CAST(1 AS DOUBLE) - ryz * ryz)) > 0 THEN
+         |    (rxy - rxz * ryz)
+         |      / sqrt((CAST(1 AS DOUBLE) - rxz * rxz)
+         |        * (CAST(1 AS DOUBLE) - ryz * ryz)) END, 7) AS r_partial
+         |FROM rr ORDER BY "group"""".stripMargin
+    },
 
     // Anderson-Darling: midrank EDF terms, micro-quantized at 1e6.
     "q420_anderson_darling" ->

@@ -980,6 +980,158 @@ object StatTests {
         .as("f"))
   }
 
+  /** ANOVA effect sizes — the magnitude companion of [[anovaF]]'s
+    * significance readout (an F alone says "real", not "big"):
+    *
+    *   eta^2   = SSB / SST                      (variance explained)
+    *   omega^2 = (SSB - (k-1)*MSW) / (SST + MSW)  (bias-corrected)
+    *
+    * Same exact sufficient statistics and sorted-group fold as anovaF;
+    * both ratios pinned, rounded at 7; null on degenerate designs.
+    * Returns one row (n, k, eta2, omega2).
+    */
+  def anovaEta(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val perGroup = slim.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("v").cast(dec)).as("s_g"),
+        sum((col("v") * col("v")).cast(dec)).as("q_g"))
+      .select(col("n_g"), col("s_g"), col("q_g"), col("g"),
+        (col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double")).as("term"))
+    val agg = perGroup.agg(
+      sum(col("n_g")).as("n"),
+      count(lit(1)).as("k"),
+      sum(col("s_g")).as("s"),
+      sum(col("q_g")).as("q"),
+      sort_array(collect_list(struct(col("g"), col("term")))).as("terms"))
+    val r = aggregate(col("terms"), lit(0.0), (acc, e) => acc + e("term"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = r - col("s").cast("double") * col("s").cast("double") / nD
+    val ssw = col("q").cast("double") - r
+    val sst = ssb + ssw
+    val msw = ssw / (nD - kD)
+    val ok = col("k") >= 2 && col("n") > col("k") && ssw > 0.0
+    agg.select(col("n"), col("k"),
+      round(when(ok && sst > 0.0, ssb / sst), 7).as("eta2"),
+      round(when(ok && sst + msw > 0.0,
+        (ssb - (kD - 1.0) * msw) / (sst + msw)), 7).as("omega2"))
+  }
+
+  /** Theil's uncertainty coefficient — the ASYMMETRIC categorical
+    * association ("knowing y, what fraction of x's entropy goes
+    * away?"), the normalization a dashboard wants when MI's nats mean
+    * nothing on their own:
+    *
+    *   U(x|y) = MI / H(x),  U(y|x) = MI / H(y),
+    *   U_sym  = 2*MI / (H(x) + H(y))
+    *
+    * Exactness: the q358 pattern verbatim — exact contingency counts,
+    * micro-quantized c*ln(c) sums in DECIMAL(38,0), each H and MI one
+    * pinned expression. Returns one row (n, u_xy, u_yx, u_sym); a
+    * direction is null when its conditioning entropy is zero.
+    */
+  def uncertaintyCoefficient(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val cells = slim.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val rows = cells.groupBy(col("x")).agg(sum(col("c")).as("r"))
+    val colsM = cells.groupBy(col("y")).agg(sum(col("c")).as("s"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val nD = col("n").cast("double")
+    val joined = cells.join(rows, "x").join(colsM, "y")
+      .crossJoin(broadcast(tot))
+    val term = floor(col("c").cast("double") *
+      log(col("c").cast("double") * nD /
+        (col("r").cast("double") * col("s").cast("double"))) * lit(1e6))
+      .cast("long")
+    val agg = joined.select(term.as("q"), col("c"))
+      .agg(sum(col("q").cast(dec)).as("qsum"), sum(col("c")).as("n"))
+    def hQ(margin: DataFrame, cnt: String): DataFrame =
+      margin.select(floor(col(cnt).cast("double") *
+          log(col(cnt).cast("double")) * lit(1e6)).cast("long").as("q"))
+        .agg(sum(col("q").cast(dec)).as(s"h_$cnt"),
+          count(lit(1)).as(s"d_$cnt"))
+    val mi = col("qsum").cast("double") / (lit(1e6) * nD)
+    def h(c: Column): Column =
+      log(nD) - c.cast("double") / (lit(1e6) * nD)
+    val hx = h(col("h_r"))
+    val hy = h(col("h_s"))
+    // zero-entropy detection must be EXACT (one distinct value), not
+    // "quantized H > 0" — the micro floor leaves a tiny positive
+    // residue on constant margins that would turn null into 0/epsilon
+    val okX = col("d_r") > 1L
+    val okY = col("d_s") > 1L
+    agg.crossJoin(broadcast(hQ(rows, "r"))).crossJoin(broadcast(hQ(colsM, "s")))
+      .select(col("n"),
+        round(when(okX, mi / hx), 7).as("u_xy"),
+        round(when(okY, mi / hy), 7).as("u_yx"),
+        round(when(okX || okY, lit(2.0) * mi / (hx + hy)), 7)
+          .as("u_sym"))
+  }
+
+  /** First-order partial correlation — x-y association with z held
+    * fixed (does value correlate with hour AFTER controlling for the
+    * day?):
+    *
+    *   r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+    *
+    * The three pairwise r's come from ONE combining groupBy of the
+    * nine exact DECIMAL(38,0) sufficient statistics (the q328
+    * discipline applied threefold); the composition is one pinned
+    * expression. Null when any variance is zero or a denominator term
+    * vanishes. Returns (group, n, r_xy, r_xz, r_yz, r_partial).
+    */
+  def partialCorrelation(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, zCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    for (c <- Seq(xCol, yCol, zCol))
+      require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val z = col(zCol).cast("long")
+    val g = df.groupBy(col(groupCol).as("group")).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+      sum(z.cast(dec)).as("sz"),
+      sum((x * x).cast(dec)).as("sxx"), sum((y * y).cast(dec)).as("syy"),
+      sum((z * z).cast(dec)).as("szz"),
+      sum((x * y).cast(dec)).as("sxy"), sum((x * z).cast(dec)).as("sxz"),
+      sum((y * z).cast(dec)).as("syz"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    def v(sq: String, s1: String) = nD * d(sq) - d(s1) * d(s1)
+    def cv(sp: String, s1: String, s2: String) =
+      nD * d(sp) - d(s1) * d(s2)
+    def r(sp: String, s1: String, sq1: String, s2: String,
+        sq2: String): Column =
+      cv(sp, s1, s2) / (sqrt(v(sq1, s1)) * sqrt(v(sq2, s2)))
+    val ok = v("sxx", "sx") > 0.0 && v("syy", "sy") > 0.0 &&
+      v("szz", "sz") > 0.0
+    val rxy = r("sxy", "sx", "sxx", "sy", "syy")
+    val rxz = r("sxz", "sx", "sxx", "sz", "szz")
+    val ryz = r("syz", "sy", "syy", "sz", "szz")
+    val den = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    g.select(col("group"), col("n"),
+      round(when(ok, rxy), 7).as("r_xy"),
+      round(when(ok, rxz), 7).as("r_xz"),
+      round(when(ok, ryz), 7).as("r_yz"),
+      round(when(ok && den > 0.0, (rxy - rxz * ryz) / den), 7)
+        .as("r_partial"))
+  }
+
   /** Cramer's V — the [0,1]-normalized association strength for an r x c
     * contingency table (chi2 alone grows with N; V is comparable across
     * tables): V = sqrt(chi2 / (N * min(r-1, c-1))) with the identity

@@ -289,6 +289,58 @@ class StatTestsSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("ANOVA effect sizes: hand eta2/omega2, degenerate null") {
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L))
+      .toDF("g", "v")
+    val r = StatTests.anovaEta(df, "g", "v").collect()(0)
+    // SSB = 100, SSW = 4, SST = 104, MSW = 2
+    assert(r.getDouble(2) == math.rint(100.0 / 104.0 * 1e7) / 1e7)
+    assert(r.getDouble(3) == math.rint(98.0 / 106.0 * 1e7) / 1e7)
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    assert(StatTests.anovaEta(flat, "g", "v").collect()(0).isNullAt(2))
+  }
+
+  test("uncertainty coefficient: identity ~1, independence 0, null H") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r = StatTests.uncertaintyCoefficient(dep, "x", "y").collect()(0)
+    assert(r.getDouble(1) > 0.999999 && r.getDouble(2) > 0.999999)
+    assert(r.getDouble(3) > 0.999999)
+    // constant y: H(y) = 0 -> u_yx null; MI = 0 -> u_xy = 0
+    val mono = Seq(("a", "k"), ("b", "k"), ("c", "k")).toDF("x", "y")
+    val m = StatTests.uncertaintyCoefficient(mono, "x", "y").collect()(0)
+    assert(m.getDouble(1) == 0.0 && m.isNullAt(2))
+  }
+
+  test("partial correlation: brute-force parity, collinear null") {
+    val rnd = new scala.util.Random(41)
+    val pts = (1 to 40).map { i =>
+      val z = rnd.nextInt(20).toLong
+      (z + rnd.nextInt(4).toLong, 2 * z + rnd.nextInt(5).toLong, z)
+    }
+    val df = pts.map(p => ("g", p._1, p._2, p._3)).toDF("g", "x", "y", "z")
+    val got = StatTests.partialCorrelation(df, "g", "x", "y", "z")
+      .collect()(0)
+    def pear(a: Seq[Long], b: Seq[Long]): Double = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val cov = n * a.zip(b).map(p => p._1 * p._2).sum - sa * sb
+      cov / (math.sqrt(n * a.map(v => v * v).sum - sa * sa) *
+        math.sqrt(n * b.map(v => v * v).sum - sb * sb))
+    }
+    val (xs, ys, zs) = (pts.map(_._1), pts.map(_._2), pts.map(_._3))
+    val (rxy, rxz, ryz) = (pear(xs, ys), pear(xs, zs), pear(ys, zs))
+    val want = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(got.getDouble(5) - want) < 1e-6)
+    // x and y both ~ z: controlling for z collapses the association
+    assert(math.abs(got.getDouble(5)) < math.abs(got.getDouble(2)))
+    // perfectly collinear: denominator vanishes -> null
+    val col3 = (1L to 10L).map(t => ("c", t, t, t)).toDF("g", "x", "y", "z")
+    assert(StatTests.partialCorrelation(col3, "g", "x", "y", "z")
+      .collect()(0).isNullAt(5))
+  }
+
   test("Anderson-Darling 2-sample: brute-force parity, shift ordering") {
     // independent reference implementing the midrank formula directly
     def ref(xs: Seq[Long], ys: Seq[Long]): Double = {
