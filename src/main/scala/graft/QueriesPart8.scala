@@ -670,6 +670,25 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 425/426. experiment-health + conformal gates, oracle-pinned ---------------------------------------------
+    // SRM: chi-square of a declared 2/1/1 split over a deterministic
+    // user_id assignment; conformal: the k-th-order-statistic
+    // threshold guaranteeing 90% coverage over deci-scores.
+    "q425_srm" -> ((s, d) => {
+      val m = col("user_id") % 4
+      val v = when(m < 2, "a").when(m === 2, "b").otherwise("c")
+      graft.operators.AbTest.sampleRatioMismatch(
+        t(s, d, "events").where(col("user_id").isNotNull)
+          .select(v.as("v")),
+        "v", Seq("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    }),
+
+    "q426_conformal" -> ((s, d) =>
+      graft.functions.Eval.conformalThreshold(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(floor(col("value") * 10).cast("long").as("score")),
+        "score", alphaMilli = 100)),
+
     // --- 422-424. association completions, oracle-pinned ---------------------------------------------------------
     // Theil's U (the directional normalization of q358's MI), ANOVA
     // effect sizes (the magnitude companion of q345's F), and
@@ -1006,6 +1025,48 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // SRM: exact counts vs integer split weights, sorted-variant fold.
+    "q425_srm" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 4 < 2 THEN 'a'
+        |    WHEN user_id % 4 = 2 THEN 'b' ELSE 'c' END AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cnt AS (SELECT v AS variant, count(*) AS c FROM e GROUP BY 1),
+        |wts AS (SELECT * FROM (VALUES ('a', 2), ('b', 1), ('c', 1))
+        |  AS t(variant, w)),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |det AS (SELECT w.variant,
+        |    CAST(COALESCE(c.c, 0) AS BIGINT) AS observed,
+        |    CAST(n AS DOUBLE) * CAST(w.w AS DOUBLE)
+        |      / CAST(4 AS DOUBLE) AS expected
+        |  FROM wts w LEFT JOIN cnt c ON w.variant = c.variant, tot),
+        |terms AS (SELECT variant, observed, expected,
+        |    (CAST(observed AS DOUBLE) - expected)
+        |      * (CAST(observed AS DOUBLE) - expected) / expected AS term
+        |  FROM det)
+        |SELECT CAST(sum(observed) AS BIGINT) AS n, count(*) AS k,
+        |  ROUND(list_reduce(list(term ORDER BY variant),
+        |    (a, b) -> a + b), 7) AS chi2
+        |FROM terms""".stripMargin,
+
+    // Conformal: k = ceil((n+1)(1-alpha)) via exact integer division,
+    // threshold on the distinct-score cumsum.
+    "q426_conformal" ->
+      """WITH s AS (SELECT CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pv AS (SELECT v, count(*) AS c FROM s GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(((sum(c) + 1) * 900 + 999) // 1000 AS BIGINT) AS k
+        |  FROM pv),
+        |hit AS (SELECT n, k, CAST(min(v) AS BIGINT) AS threshold
+        |  FROM cum, tot WHERE cum >= k GROUP BY n, k)
+        |SELECT h.n, h.k, h.threshold,
+        |  ROUND(CAST(c.cum AS DOUBLE) / CAST(h.n AS DOUBLE), 7)
+        |    AS coverage
+        |FROM hit h JOIN cum c ON c.v = h.threshold""".stripMargin,
 
     // Theil's U: q358's micro-entropy machinery, directional ratios,
     // exact distinct-count zero-entropy guards.

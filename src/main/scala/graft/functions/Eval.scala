@@ -260,6 +260,58 @@ object Eval {
       .orderBy(col("bin"))
   }
 
+  /** Split-conformal prediction threshold (Vovk; the Angelopoulos-Bates
+    * recipe): given calibration nonconformity scores, the threshold
+    * q_hat = the k-th SMALLEST score with k = ceil((n+1)*(1-alpha)),
+    * which guarantees >= 1-alpha coverage on exchangeable test points.
+    * alpha arrives in MILLI units (exact integer arithmetic:
+    * k = ceil((n+1)*(1000-alphaMilli)/1000) = ((n+1)*(1000-alphaMilli)
+    * + 999) div 1000); the k-th order statistic is found on the
+    * distinct-score cumsum (the KS machinery, quantize-first + loud
+    * guard) — no global row sort. Null threshold when k > n (alpha too
+    * small for the calibration size — the documented conformal
+    * failure mode).
+    *
+    * Returns one row (n, k, threshold, coverage) — coverage is the
+    * exact share of calibration scores <= threshold (>= k/n by
+    * construction; ties can only raise it).
+    */
+  def conformalThreshold(df: DataFrame, scoreMilliCol: String,
+      alphaMilli: Int): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999,
+      s"alphaMilli must be in [1, 999], got $alphaMilli")
+    val s = col(scoreMilliCol).cast("long")
+    val perScore = df.where(s.isNotNull).groupBy(s.as("v"))
+      .agg(count(lit(1)).as("c"))
+    graft.operators.StatTests.requireBoundedDomain(perScore,
+      "Eval.conformalThreshold")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perScore.withColumn("cum", sum(col("c")).over(w))
+    val tot = cum.agg(sum(col("c")).as("n"))
+    val k = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(
+          (col("n") + 1L) * lit(1000L - alphaMilli) + 999L),
+        org.apache.spark.sql.graft.Bridge.expression(lit(1000L))))
+    val withK = cum.crossJoin(broadcast(tot.select(col("n"), k.as("k"))))
+    val hit = withK.where(col("cum") >= col("k"))
+      .groupBy(col("n"), col("k"))
+      .agg(min(col("v")).as("threshold"))
+    val cov = withK.select(col("n"), col("k"), col("v"), col("cum"))
+      .join(hit, Seq("n", "k"), "left")
+      .where(col("v") === col("threshold"))
+      .select(col("n"), col("k"), col("threshold"),
+        round(col("cum").cast("double") / col("n").cast("double"), 7)
+          .as("coverage"))
+    // k > n: no row reaches cum >= k -> emit the null-threshold row
+    val empty = tot.select(col("n"), k.as("k"))
+      .where(col("k") > col("n"))
+      .select(col("n"), col("k"), lit(null).cast("long").as("threshold"),
+        lit(null).cast("double").as("coverage"))
+    cov.unionByName(empty)
+  }
+
   /** Matthews correlation coefficient for a binary classifier — the
     * single-number confusion summary that stays honest under class
     * imbalance (unlike accuracy or F1):

@@ -51,4 +51,71 @@ object AbTest {
         round(when(col("n") > 0 && col("n_c") > 0 &&
           pool > 0.0 && pool < 1.0, (pv - pc) / se), 7).as("z"))
   }
+
+  /** Sample-ratio mismatch — the assignment-health check every A/B
+    * readout must pass FIRST (a skewed split invalidates the metric
+    * comparison before it starts): chi-square goodness-of-fit of the
+    * observed per-variant counts against the declared split weights,
+    *
+    *   chi2 = sum_v (o_v - e_v)^2 / e_v,   e_v = n * w_v / sum(w)
+    *
+    * Weights are passed as INTEGERS (50/50, 90/10, 1/1/2 — exact
+    * rationals, no float weights), so e_v = n*w_v/W is an exact
+    * rational and each term is one pinned double; the per-variant
+    * terms are summed through a variant-sorted fold (the q345
+    * discipline). A variant observed but NOT declared throws loudly
+    * (an undeclared arm is a logging bug, not a statistic — and its
+    * expected count of zero would make chi2 infinite); a declared but
+    * absent variant carries its full expected-count penalty. Returns
+    * one row (n, k, chi2); the per-variant observed/expected table is
+    * [[sampleRatioDetail]].
+    */
+  def sampleRatioMismatch(df: DataFrame, variantCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    val detail = sampleRatioDetail(df, variantCol, weights)
+    val agg = detail.agg(
+      sum(col("observed")).as("n"),
+      count(lit(1)).as("k"),
+      sort_array(collect_list(struct(col("variant"),
+        ((col("observed").cast("double") - col("expected")) *
+          (col("observed").cast("double") - col("expected")) /
+          col("expected")).as("term")))).as("terms"))
+    agg.select(col("n"), col("k"),
+      round(aggregate(col("terms"), lit(0.0),
+        (acc, e) => acc + e("term")), 7).as("chi2"))
+  }
+
+  /** The per-variant observed/expected table behind
+    * [[sampleRatioMismatch]] — exact counts, expected = n*w/W one
+    * pinned division per variant. Declared-but-absent variants appear
+    * with observed 0.
+    */
+  def sampleRatioDetail(df: DataFrame, variantCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive integers")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wSum = weights.map(_._2).sum
+    val wDf = weights.toDF("variant", "w")
+    val counts = df.where(col(variantCol).isNotNull)
+      .groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("c"))
+    // loud guard, bounded probe: an observed-but-undeclared arm is a
+    // logging bug — its expected count of 0 would blow chi2 to Inf
+    val undeclared = counts.join(wDf, Seq("variant"), "left_anti")
+      .select(col("variant")).limit(1).collect()
+    require(undeclared.isEmpty,
+      s"variant '${undeclared.headOption.map(_.getString(0)).orNull}' " +
+        "observed but not declared in the split weights")
+    val tot = counts.agg(sum(col("c")).as("n"))
+    wDf.join(counts, Seq("variant"), "full_outer")
+      .select(col("variant"),
+        coalesce(col("c"), lit(0L)).as("observed"),
+        coalesce(col("w"), lit(0L)).as("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("variant"), col("observed"),
+        (col("n").cast("double") * col("w").cast("double") /
+          lit(wSum.toDouble)).as("expected"))
+  }
 }

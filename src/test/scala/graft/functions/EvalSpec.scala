@@ -169,6 +169,27 @@ class EvalSpec extends SparkTestBase {
     assert(tb(0L).getLong(1) == 11L || tb.size == 1)
   }
 
+  test("conformal threshold: k-th order statistic, ties, k > n null") {
+    val df = (1L to 10L).toDF("s")
+    val r1 = Eval.conformalThreshold(df, "s", alphaMilli = 100)
+      .collect()(0)
+    assert(r1.getLong(1) == 10L && r1.getLong(2) == 10L)
+    assert(r1.getDouble(3) == 1.0)
+    val r2 = Eval.conformalThreshold(df, "s", alphaMilli = 200)
+      .collect()(0)
+    assert(r2.getLong(1) == 9L && r2.getLong(2) == 9L)
+    assert(r2.getDouble(3) == 0.9)
+    // ties: the threshold value's whole tie block counts as covered
+    val tied = Seq(5L, 5L, 5L, 5L).toDF("s")
+    val rt = Eval.conformalThreshold(tied, "s", alphaMilli = 250)
+      .collect()(0)
+    assert(rt.getLong(1) == 4L && rt.getLong(2) == 5L &&
+      rt.getDouble(3) == 1.0)
+    // alpha too small for n: k = n+1 -> null threshold, documented
+    val rn = Eval.conformalThreshold(df, "s", alphaMilli = 1).collect()(0)
+    assert(rn.getLong(1) == 11L && rn.isNullAt(2) && rn.isNullAt(3))
+  }
+
   test("MCC: hand confusion, perfect 1, inverted -1, degenerate null") {
     // tp=4, tn=3, fp=2, fn=1 -> (12-2)/sqrt(6*5*5*4)
     val df = (Seq.fill(4)((true, true)) ++ Seq.fill(3)((false, false)) ++

@@ -45,4 +45,22 @@ class AbTestSpec extends SparkTestBase {
     assert(got.keySet == Set("v1", "v2"))
     assert(got("v1") > 0 && got("v2") < 0)
   }
+
+  test("SRM: hand chi2, declared-absent penalty, undeclared throws") {
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("v")
+    val r = AbTest.sampleRatioMismatch(df, "v", Seq("a" -> 1L, "b" -> 1L))
+      .collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 4.0) // (10^2 + 10^2)/50
+    // declared-but-absent arm carries its full expected penalty
+    val two = (Seq.fill(25)("a") ++ Seq.fill(25)("b")).toDF("v")
+    val r3 = AbTest.sampleRatioMismatch(two, "v",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 2L)).collect()(0)
+    assert(r3.getDouble(2) == 50.0)
+    // an observed-but-undeclared arm is a logging bug -> loud
+    val e = intercept[IllegalArgumentException] {
+      AbTest.sampleRatioMismatch(two, "v", Seq("a" -> 1L)).collect()
+    }
+    assert(e.getMessage.contains("not declared"), e.getMessage)
+  }
 }
