@@ -670,6 +670,49 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 427. Matryoshka truncation agreement, oracle-pinned -----------------------------------------------------
+    // Does the 16-dim prefix of each embedding retrieve the same
+    // nearest neighbor as all 64 dims (the MRL deployment question)?
+    // Top-1 by cosine at both widths, id tie-break, per-query verdict.
+    "q427_matryoshka" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pairs = q.crossJoin(c).where(col("qid") =!= col("id"))
+        .select(col("qid"), col("id"),
+          graft.functions.Similarity.cosine(col("qvec"), col("vec"))
+            .as("cf"),
+          graft.functions.Similarity.cosine(
+            slice(col("qvec"), 1, 16), slice(col("vec"), 1, 16))
+            .as("ct"))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(desc("cf"), col("id"))
+      val wt = Window.partitionBy(col("qid"))
+        .orderBy(desc("ct"), col("id"))
+      val topF = pairs.withColumn("r", row_number().over(wf))
+        .where(col("r") === 1).select(col("qid"), col("id").as("top_full"))
+      val topT = pairs.withColumn("r", row_number().over(wt))
+        .where(col("r") === 1).select(col("qid"), col("id").as("top_trunc"))
+      topF.join(topT, "qid")
+        .select(col("qid"), col("top_full"), col("top_trunc"),
+          (col("top_full") === col("top_trunc")).as("agree"))
+        .orderBy("qid")
+    }),
+
+    // --- 428. 2-feature Mahalanobis outliers, oracle-pinned ------------------------------------------------------
+    // The correlation-aware anomaly score over (deci-value, hour):
+    // closed-form 2x2 inverse, pinned per-row quadratic form,
+    // micro-quantized top-20 cut.
+    "q428_mahalanobis" -> ((s, d) =>
+      graft.operators.Outliers.mahalanobis2(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_id"),
+            floor(col("value") * 10).cast("long").as("x"),
+            hour(col("ts")).cast("long").as("y")),
+        "event_id", "x", "y", topK = 20)),
+
     // --- 425/426. experiment-health + conformal gates, oracle-pinned ---------------------------------------------
     // SRM: chi-square of a declared 2/1/1 split over a deterministic
     // user_id assignment; conformal: the k-th-order-statistic
@@ -1025,6 +1068,66 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Matryoshka: top-1 by cosine at 64 and 16 dims, id tie-break.
+    "q427_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |p AS (SELECT qid, id,
+        |    list_cosine_similarity(qvec::DOUBLE[], vec::DOUBLE[]) AS cf,
+        |    list_cosine_similarity((qvec[1:16])::DOUBLE[],
+        |      (vec[1:16])::DOUBLE[]) AS ct
+        |  FROM q, c WHERE qid <> id),
+        |tf AS (SELECT qid, id AS top_full FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cf DESC, id) AS r FROM p) WHERE r = 1),
+        |tt AS (SELECT qid, id AS top_trunc FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY ct DESC, id) AS r FROM p) WHERE r = 1)
+        |SELECT qid, top_full, top_trunc,
+        |  top_full = top_trunc AS agree
+        |FROM tf JOIN tt USING (qid) ORDER BY qid""".stripMargin,
+
+    // Mahalanobis: closed-form 2x2 inverse, micro-quantized top-20.
+    "q428_mahalanobis" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      s"""WITH e AS (SELECT event_id AS id,
+         |    CAST(floor(value * 10) AS BIGINT) AS x,
+         |    CAST(hour(ts) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM e),
+         |st AS (SELECT n,
+         |    CAST(sx AS DOUBLE) / $nD AS mx,
+         |    CAST(sy AS DOUBLE) / $nD AS my,
+         |    CAST(sxx AS DOUBLE) / $nD
+         |      - (CAST(sx AS DOUBLE) / $nD) * (CAST(sx AS DOUBLE) / $nD)
+         |      AS vx,
+         |    CAST(syy AS DOUBLE) / $nD
+         |      - (CAST(sy AS DOUBLE) / $nD) * (CAST(sy AS DOUBLE) / $nD)
+         |      AS vy,
+         |    CAST(sxy AS DOUBLE) / $nD
+         |      - (CAST(sx AS DOUBLE) / $nD) * (CAST(sy AS DOUBLE) / $nD)
+         |      AS cxy
+         |  FROM m),
+         |sc AS (SELECT e.id, e.x, e.y,
+         |    CAST(floor((vy * (CAST(x AS DOUBLE) - mx)
+         |        * (CAST(x AS DOUBLE) - mx)
+         |      - CAST(2 AS DOUBLE) * cxy * (CAST(x AS DOUBLE) - mx)
+         |        * (CAST(y AS DOUBLE) - my)
+         |      + vx * (CAST(y AS DOUBLE) - my)
+         |        * (CAST(y AS DOUBLE) - my))
+         |      / (vx * vy - cxy * cxy) * 1e6) AS BIGINT) AS d2_micro
+         |  FROM e, st WHERE vx * vy - cxy * cxy > 0)
+         |SELECT id, x, y,
+         |  ROUND(CAST(d2_micro AS DOUBLE) / 1e6, 6) AS d2
+         |FROM sc ORDER BY d2_micro DESC, id LIMIT 20""".stripMargin
+    },
 
     // SRM: exact counts vs integer split weights, sorted-variant fold.
     "q425_srm" ->

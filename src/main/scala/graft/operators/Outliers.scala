@@ -41,4 +41,63 @@ object Outliers {
       .withColumn("is_outlier",
         abs(col(metricCol) - col("grp_median")) > lit(k) * col("grp_mad"))
   }
+
+  /** Two-feature Mahalanobis outlier scores — the correlation-aware
+    * distance a univariate gate cannot see (a point can be ordinary in
+    * x AND in y yet wildly off the joint ellipse): with the 2x2
+    * covariance inverted in closed form,
+    *
+    *   d^2 = (vy*dx^2 - 2*cxy*dx*dy + vx*dy^2) / (vx*vy - cxy^2)
+    *
+    * over INTEGRAL features (quantize first). The five exact
+    * DECIMAL(38,0) moments come from one combining groupBy; the
+    * per-row chain (means, deviations, the quadratic form) is pinned
+    * doubles; d^2 is micro-quantized (floor * 1e6) so the top-K cut
+    * ranks exact integers with an id tie-break. Null result set when
+    * the covariance is singular (collinear features — the caller's
+    * features are redundant; loudly empty, not wrong).
+    *
+    * Returns the top-K (id, x, y, d2) by descending micro score.
+    */
+  def mahalanobis2(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(topK >= 1)
+    for (c <- Seq(xCol, yCol))
+      require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val slim = df.select(col(idCol).as("id"), x.as("x"), y.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val m = slim.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    val nD = col("n").cast("double")
+    val mx = col("sx").cast("double") / nD
+    val my = col("sy").cast("double") / nD
+    val vx = col("sxx").cast("double") / nD - mx * mx
+    val vy = col("syy").cast("double") / nD - my * my
+    val cxy = col("sxy").cast("double") / nD - mx * my
+    val stats = m.select(col("n"), mx.as("mx"), my.as("my"),
+      vx.as("vx"), vy.as("vy"), cxy.as("cxy"),
+      (vx * vy - cxy * cxy).as("det"))
+    val dx = col("x").cast("double") - col("mx")
+    val dy = col("y").cast("double") - col("my")
+    val d2 = (col("vy") * dx * dx - lit(2.0) * col("cxy") * dx * dy +
+      col("vx") * dy * dy) / col("det")
+    slim.crossJoin(broadcast(stats))
+      .where(col("det") > 0.0)
+      .select(col("id"), col("x"), col("y"),
+        floor(d2 * lit(1e6)).cast("long").as("d2_micro"))
+      .orderBy(desc("d2_micro"), col("id"))
+      .limit(topK)
+      .select(col("id"), col("x"), col("y"),
+        round(col("d2_micro").cast("double") / lit(1e6), 6).as("d2"))
+  }
 }

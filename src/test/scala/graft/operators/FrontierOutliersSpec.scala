@@ -54,4 +54,22 @@ class FrontierOutliersSpec extends SparkTestBase {
       .select("grp_median", "grp_mad").distinct().collect()(0)
     assert(r.getDouble(0) == 2.5 && r.getDouble(1) == 1.0)
   }
+
+  test("Mahalanobis 2-feature: off-ellipse points top, collinear empty") {
+    // tight diagonal cloud + two anti-diagonal points: each marginal is
+    // ordinary, only the JOINT distance exposes them
+    val rows = (0L to 9L).map(i => (i, i, i)) ++
+      Seq((100L, 0L, 9L), (101L, 9L, 0L))
+    val df = rows.toDF("id", "x", "y")
+    val top = Outliers.mahalanobis2(df, "id", "x", "y", topK = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(100L, 101L))
+    // symmetric construction: the two outliers tie exactly
+    val d2s = Outliers.mahalanobis2(df, "id", "x", "y", topK = 2)
+      .collect().map(_.getDouble(3))
+    assert(d2s(0) == d2s(1))
+    // perfectly collinear features: singular covariance -> empty
+    val col2 = (1L to 10L).map(i => (i, i, 2 * i)).toDF("id", "x", "y")
+    assert(Outliers.mahalanobis2(col2, "id", "x", "y").count() == 0L)
+  }
 }
