@@ -444,11 +444,24 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           mi(2).toLong)
         case "target_encode" => graft.operators.Features.targetEncode(src,
           ms(0), ms(1), mi(2).toLong)
-        case other => bad(s"unknown statistic '$other' (known: ari, auc, " +
-          "benford, concordance, cusum, durbin_watson, ece, k_anonymity, " +
-          "ks, kuiper, l_diversity, lift, ljung_box, mann_kendall, " +
-          "mannwhitney, psi, purity, target_encode, theil_sen, vmeasure, " +
-          "welch, wilson)")
+        case "anderson_darling" => StatTests.andersonDarlingTwoSample(src,
+          ms(0), ms(1), ms(2), ms(3))
+        case "mcc" => graft.functions.Eval.mcc(src, ms(0), ms(1))
+        case "conformal" => graft.functions.Eval.conformalThreshold(src,
+          ms(0), mi(1))
+        case "mahalanobis" => graft.operators.Outliers.mahalanobis2(src,
+          ms(0), ms(1), ms(2), mi(3))
+        case "uncertainty" => StatTests.uncertaintyCoefficient(src,
+          ms(0), ms(1))
+        case "anova_eta" => StatTests.anovaEta(src, ms(0), ms(1))
+        case "partial_corr" => StatTests.partialCorrelation(src, ms(0),
+          ms(1), ms(2), ms(3))
+        case other => bad(s"unknown statistic '$other' (known: " +
+          "anderson_darling, anova_eta, ari, auc, benford, concordance, " +
+          "conformal, cusum, durbin_watson, ece, k_anonymity, ks, kuiper, " +
+          "l_diversity, lift, ljung_box, mahalanobis, mann_kendall, " +
+          "mannwhitney, mcc, partial_corr, psi, purity, target_encode, " +
+          "theil_sen, uncertainty, vmeasure, welch, wilson)")
       }
       result.createOrReplaceTempView(view)
       Seq(Row(s"registered $view = graft_$verb over ${mid.collect {

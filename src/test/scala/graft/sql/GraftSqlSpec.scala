@@ -264,6 +264,20 @@ class GraftSqlSpec extends SparkTestBase {
       "st_ld", graft.operators.Privacy.lDiversity(src, Seq("g"), "y", 2L))
     parity("CALL graft_stat_target_encode(sqlstat_src, 'g', 'v', 10, st_te)",
       "st_te", graft.operators.Features.targetEncode(src, "g", "v", 10L))
+    parity("CALL graft_stat_anderson_darling(sqlstat_src, 'g', 'v', 'a', 'b', st_ad)",
+      "st_ad", StatTests.andersonDarlingTwoSample(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_mcc(sqlstat_src, 'y', 'y', st_mcc)",
+      "st_mcc", graft.functions.Eval.mcc(src, "y", "y"))
+    parity("CALL graft_stat_conformal(sqlstat_src, 'v', 100, st_cf)",
+      "st_cf", graft.functions.Eval.conformalThreshold(src, "v", 100))
+    parity("CALL graft_stat_mahalanobis(sqlstat_src, 't', 'v', 't', 5, st_mh)",
+      "st_mh", graft.operators.Outliers.mahalanobis2(src, "t", "v", "t", 5))
+    parity("CALL graft_stat_uncertainty(sqlstat_src, 'g', 'y', st_uc)",
+      "st_uc", StatTests.uncertaintyCoefficient(src, "g", "y"))
+    parity("CALL graft_stat_anova_eta(sqlstat_src, 'g', 'v', st_ae)",
+      "st_ae", StatTests.anovaEta(src, "g", "v"))
+    parity("CALL graft_stat_partial_corr(sqlstat_src, 'g', 't', 'v', 't', st_pc)",
+      "st_pc", StatTests.partialCorrelation(src, "g", "t", "v", "t"))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
