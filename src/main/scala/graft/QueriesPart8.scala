@@ -670,6 +670,28 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 429/430. ordinal agreement + threshold choice, oracle-pinned --------------------------------------------
+    // Weighted kappa over paired ordinal "ratings" (value bands rated
+    // by two derived judges) and Youden's J optimal cut for q320's
+    // classifier — both decided on exact integers.
+    "q429_weighted_kappa" -> ((s, d) => {
+      val band = floor(col("value") / 100).cast("long")
+      graft.operators.StatTests.weightedKappa(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(band.as("r1"),
+            least(band + (col("event_id") % 3) - 1, lit(5L)).as("r2")),
+        "r1", "r2")
+    }),
+
+    "q430_youden" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.operators.StatTests.youdenThreshold(scored, "p", "y")
+    }),
+
     // --- 427. Matryoshka truncation agreement, oracle-pinned -----------------------------------------------------
     // Does the 16-dim prefix of each embedding retrieve the same
     // nearest neighbor as all 64 dims (the MRL deployment question)?
@@ -1068,6 +1090,53 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Weighted kappa: exact integer O_w and E'_w, one division.
+    "q429_weighted_kappa" ->
+      """WITH e AS (SELECT CAST(floor(value / 100) AS BIGINT) AS r1,
+        |    least(CAST(floor(value / 100) AS BIGINT) + event_id % 3 - 1,
+        |      5) AS r2
+        |  FROM events WHERE value IS NOT NULL),
+        |ow AS (SELECT count(*) AS n,
+        |    CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS ow_num FROM e),
+        |m1 AS (SELECT r1 AS i, count(*) AS ri FROM e GROUP BY 1),
+        |m2 AS (SELECT r2 AS j, count(*) AS cj FROM e GROUP BY 1),
+        |ew AS (SELECT CAST(sum((i - j) * (i - j) * ri * cj) AS BIGINT)
+        |    AS ew_num FROM m1, m2)
+        |SELECT n, ow_num, ew_num,
+        |  ROUND(CASE WHEN CAST(ew_num AS DOUBLE) > 0 THEN
+        |    1.0 - CAST(n AS DOUBLE) * CAST(ow_num AS DOUBLE)
+        |      / CAST(ew_num AS DOUBLE) END, 7) AS kappa_w
+        |FROM ow, ew""".stripMargin,
+
+    // Youden: suffix-sum confusion per threshold, exact integer argmax.
+    "q430_youden" ->
+      """WITH s AS (SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |      ELSE doc_id % 600 END AS p
+        |  FROM documents),
+        |pv AS (SELECT p AS v,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+        |  FROM s GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(pos) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |      AS tp,
+        |    sum(neg) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |      AS fp
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg FROM pv),
+        |jt AS (SELECT n_pos, n_neg, v, CAST(tp AS BIGINT) AS tp,
+        |    CAST(fp AS BIGINT) AS fp,
+        |    CAST(tp * n_neg - fp * n_pos AS BIGINT) AS j_num
+        |  FROM cum, tot WHERE n_pos > 0 AND n_neg > 0)
+        |SELECT n_pos, n_neg, v AS threshold,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE), 7) AS tpr,
+        |  ROUND(CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE), 7) AS fpr,
+        |  ROUND(CAST(j_num AS DOUBLE)
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 7) AS j
+        |FROM jt ORDER BY j_num DESC, v LIMIT 1""".stripMargin,
 
     // Matryoshka: top-1 by cosine at 64 and 16 dims, id tie-break.
     "q427_matryoshka" ->

@@ -723,6 +723,93 @@ object StatTests {
           .as("kappa"))
   }
 
+  /** Weighted Cohen's kappa — the ordinal-rating agreement standard
+    * (Cohen 1968): near-misses on an ORDERED scale count partially,
+    * with quadratic disagreement weights w_ij = (i-j)^2 over INTEGRAL
+    * categories (quantize first):
+    *
+    *   kappa_w = 1 - sum_ij w_ij*o_ij / sum_ij w_ij*e_ij,
+    *   e_ij = r_i*c_j/n
+    *
+    * Exactness: observed weighted disagreement sum_ij (i-j)^2*o_ij is
+    * an exact DECIMAL(38,0); the expected side multiplies through by n
+    * so BOTH sides are exact integers — kappa_w = 1 - n*O_w / E'_w
+    * with E'_w = sum_ij (i-j)^2*r_i*c_j — and the statistic is ONE
+    * pinned division. The margin cross-product runs over the category
+    * domain squared (tiny, quantize-first). Null when the expected
+    * disagreement is zero (all mass on one diagonal cell pair).
+    *
+    * Returns one row (n, ow_num, ew_num, kappa_w).
+    */
+  def weightedKappa(df: DataFrame, rater1Col: String,
+      rater2Col: String): DataFrame = {
+    for (c <- Seq(rater1Col, rater2Col)) requireIntegral(df, c)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(rater1Col).cast("long").as("r1"),
+        col(rater2Col).cast("long").as("r2"))
+      .where(col("r1").isNotNull && col("r2").isNotNull)
+    val ow = slim.agg(count(lit(1)).as("n"),
+      sum(((col("r1") - col("r2")) * (col("r1") - col("r2"))).cast(dec))
+        .as("ow_num"))
+    val m1 = slim.groupBy(col("r1").as("i")).agg(count(lit(1)).as("ri"))
+    val m2 = slim.groupBy(col("r2").as("j")).agg(count(lit(1)).as("cj"))
+    val ew = m1.crossJoin(m2)
+      .agg(sum(((col("i") - col("j")) * (col("i") - col("j"))).cast(dec) *
+        col("ri").cast(dec) * col("cj").cast(dec)).as("ew_num"))
+    ow.crossJoin(broadcast(ew))
+      .select(col("n"), col("ow_num"), col("ew_num"),
+        round(when(col("ew_num").cast("double") > 0.0,
+          lit(1.0) - col("n").cast("double") *
+            col("ow_num").cast("double") / col("ew_num").cast("double")),
+          7).as("kappa_w"))
+  }
+
+  /** Youden's J optimal threshold — where should the classifier cut:
+    * over every distinct score t, J(t) = TPR(t) - FPR(t) with
+    * "predict positive when score >= t"; the returned threshold
+    * maximizes J. Exactness: J's sign-scaled numerator
+    * j_num = tp*neg - fp*pos is an exact integer per threshold (the
+    * cross-multiplied form — no per-threshold division), so the
+    * argmax is decided on exact integers with a smallest-threshold
+    * tie-break; TPR/FPR/J of the winner are the only divisions. The
+    * distinct-score cumsum (quantize-first + loud guard), descending.
+    *
+    * Returns one row (n_pos, n_neg, threshold, tpr, fpr, j).
+    */
+  def youdenThreshold(df: DataFrame, scoreMilliCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = col(scoreMilliCol).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val perScore = df.where(s.isNotNull).groupBy(s.as("v"))
+      .agg(sum(y).as("pos"), sum(lit(1L) - y).as("neg"))
+    requireBoundedDomain(perScore, "youdenThreshold")
+    // predict positive when score >= t: tp(t)/fp(t) are SUFFIX sums
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perScore
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("neg")).over(w))
+    val tot = cum.agg(sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"))
+    val jNum = col("tp").cast(dec) * col("n_neg").cast(dec) -
+      col("fp").cast(dec) * col("n_pos").cast(dec)
+    cum.crossJoin(broadcast(tot))
+      .where(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("n_pos"), col("n_neg"), col("v"), jNum.as("j_num"),
+        col("tp"), col("fp"))
+      .orderBy(desc("j_num"), col("v"))
+      .limit(1)
+      .select(col("n_pos"), col("n_neg"), col("v").as("threshold"),
+        round(col("tp").cast("double") / col("n_pos").cast("double"), 7)
+          .as("tpr"),
+        round(col("fp").cast("double") / col("n_neg").cast("double"), 7)
+          .as("fpr"),
+        round(col("j_num").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")), 7)
+          .as("j"))
+  }
+
   /** Fleiss' kappa — multi-rater agreement (Fleiss, Psych. Bulletin
     * 1971), the k-rater generalization of [[cohensKappa]] and the
     * label-quality gate for crowd/model-judge annotation with MORE than

@@ -289,6 +289,41 @@ class StatTestsSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("weighted kappa: hand quadratic case, binary = unweighted kappa") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 1L)).toDF("a", "b")
+    val r = StatTests.weightedKappa(df, "a", "b").collect()(0)
+    assert(r.getDecimal(1).longValueExact() == 5L)  // 0+1+0+4
+    assert(r.getDecimal(2).longValueExact() == 16L)
+    assert(r.getDouble(3) == -(4.0 * 5.0 / 16.0 - 1.0))
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("a", "b")
+    assert(StatTests.weightedKappa(perfect, "a", "b")
+      .collect()(0).getDouble(3) == 1.0)
+    // on 0/1 categories the quadratic weight IS the disagreement
+    // indicator, so kappa_w must equal plain Cohen's kappa
+    val rnd = new scala.util.Random(7)
+    val bin = Seq.fill(40)((rnd.nextInt(2).toLong, rnd.nextInt(2).toLong))
+      .toDF("a", "b")
+    val kw = StatTests.weightedKappa(bin, "a", "b").collect()(0).getDouble(3)
+    val k = StatTests.cohensKappa(bin, "a", "b").collect()(0).getDouble(3)
+    assert(math.abs(kw - k) < 1e-9)
+  }
+
+  test("Youden threshold: separable cut, overlap argmax, exact ties") {
+    val sep = Seq((900L, true), (800L, true), (300L, false), (200L, false))
+      .toDF("s", "y")
+    val r = StatTests.youdenThreshold(sep, "s", "y").collect()(0)
+    assert(r.getLong(2) == 800L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 1.0)
+    // overlap: pos [10, 20, 30], neg [5, 15, 25] -> best at t=10:
+    // tp3*3 - fp2*3 = 3; t=20: 2*3-1*3=3 tie -> smaller threshold 10
+    val ov = Seq((10L, true), (20L, true), (30L, true),
+      (5L, false), (15L, false), (25L, false)).toDF("s", "y")
+    val o = StatTests.youdenThreshold(ov, "s", "y").collect()(0)
+    assert(o.getLong(2) == 10L)
+    assert(o.getDouble(5) == math.rint(3.0 / 9.0 * 1e7) / 1e7)
+  }
+
   test("ANOVA effect sizes: hand eta2/omega2, degenerate null") {
     val df = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L))
       .toDF("g", "v")
