@@ -670,6 +670,36 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 431/432. PR-AUC + log-rank, oracle-pinned ---------------------------------------------------------------
+    // Average precision (the imbalance-honest ranking readout, sklearn
+    // step rule) for q320's classifier; Mantel-Cox log-rank comparing
+    // q363's c0/c1 cohort hazards.
+    "q431_average_precision" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.averagePrecision(scored, "p", "y")
+    }),
+
+    "q432_logrank" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      val pu = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase" &&
+            col("value") >= 150, unix_micros(col("ts")))).as("te"))
+      val g = pu.select(
+        concat(lit("c"), (col("user_id") % 3).cast("string")).as("cohort"),
+        floor((coalesce(col("te"), col("t1")) - col("t0")) /
+          lit(86400000000L)).cast("long").as("dur"),
+        col("te").isNotNull.as("ev"))
+      graft.functions.Survival.logRank(g, "cohort", "dur", "ev",
+        "c0", "c1")
+    }),
+
     // --- 429/430. ordinal agreement + threshold choice, oracle-pinned --------------------------------------------
     // Weighted kappa over paired ordinal "ratings" (value bands rated
     // by two derived judges) and Youden's J optimal cut for q320's
@@ -1090,6 +1120,86 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Average precision: pico-quantized step terms, exact sum.
+    "q431_average_precision" ->
+      """WITH s AS (SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |      ELSE doc_id % 600 END AS p
+        |  FROM documents),
+        |pv AS (SELECT p AS v,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+        |  FROM s GROUP BY 1),
+        |cum AS (SELECT v, pos,
+        |    sum(pos) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |      AS tp,
+        |    sum(neg) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |      AS fp
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg FROM pv),
+        |t AS (SELECT n_pos, n_neg,
+        |    CAST(floor(CAST(pos AS DOUBLE) * CAST(tp AS DOUBLE)
+        |      / (CAST(tp + fp AS DOUBLE) * CAST(n_pos AS DOUBLE))
+        |      * 1e12) AS BIGINT) AS t
+        |  FROM cum, tot WHERE n_pos > 0 AND pos > 0)
+        |SELECT n_pos, n_neg,
+        |  ROUND(CAST(sum(t) AS DOUBLE) / 1e12, 7) AS ap
+        |FROM t GROUP BY n_pos, n_neg""".stripMargin,
+
+    // Log-rank: suffix-sum risk sets, micro-quantized E/V terms.
+    "q432_logrank" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    CAST(floor(CAST(COALESCE(te, t1) - t0 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS dur,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |slim AS (SELECT cohort, dur, ev FROM g
+        |  WHERE cohort IN ('c0', 'c1')),
+        |pd AS (SELECT dur,
+        |    count(CASE WHEN cohort = 'c0' THEN 1 END) AS c1,
+        |    count(CASE WHEN cohort = 'c1' THEN 1 END) AS c2,
+        |    count(CASE WHEN cohort = 'c0' AND ev THEN 1 END) AS d1,
+        |    count(CASE WHEN cohort = 'c1' AND ev THEN 1 END) AS d2
+        |  FROM slim GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+        |    CAST(sum(c2) AS BIGINT) AS n_b FROM pd),
+        |cum AS (SELECT dur, d1, d2,
+        |    n_a - CAST(sum(c1) OVER (ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + c1 AS r1,
+        |    n_b - CAST(sum(c2) OVER (ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + c2 AS r2,
+        |    n_a, n_b
+        |  FROM pd, tot),
+        |ev AS (SELECT n_a, n_b, d1,
+        |    CAST(floor(CAST(d1 + d2 AS DOUBLE) * CAST(r1 AS DOUBLE)
+        |      / CAST(r1 + r2 AS DOUBLE) * 1e6) AS BIGINT) AS e,
+        |    CASE WHEN r1 + r2 > 1 THEN
+        |      CAST(floor(CAST(d1 + d2 AS DOUBLE)
+        |        * (CAST(r1 + r2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+        |        * CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |        / (CAST(r1 + r2 AS DOUBLE) * CAST(r1 + r2 AS DOUBLE)
+        |          * (CAST(r1 + r2 AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |        * 1e6) AS BIGINT) ELSE 0 END AS v
+        |  FROM cum WHERE d1 + d2 > 0),
+        |agg AS (SELECT n_a, n_b, CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(e) AS BIGINT) AS e_micro,
+        |    CAST(sum(v) AS BIGINT) AS v_micro
+        |  FROM ev GROUP BY n_a, n_b)
+        |SELECT n_a, n_b, o1,
+        |  ROUND(CAST(e_micro AS DOUBLE) / 1e6, 7) AS e1,
+        |  ROUND(CASE WHEN v_micro > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(e_micro AS DOUBLE) / 1e6)
+        |      * (CAST(o1 AS DOUBLE) - CAST(e_micro AS DOUBLE) / 1e6)
+        |      / (CAST(v_micro AS DOUBLE) / 1e6) END, 7) AS chi2
+        |FROM agg""".stripMargin,
 
     // Weighted kappa: exact integer O_w and E'_w, one division.
     "q429_weighted_kappa" ->

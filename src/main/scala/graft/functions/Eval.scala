@@ -312,6 +312,49 @@ object Eval {
     cov.unionByName(empty)
   }
 
+  /** Average precision (the area under the precision-recall curve by
+    * the step rule — sklearn's definition, ties grouped by distinct
+    * score): descending over distinct scores g,
+    *
+    *   AP = sum_g (pos_g / n_pos) * (tp_g / (tp_g + fp_g))
+    *
+    * with tp/fp the suffix-sum confusion at g's threshold. Each
+    * per-group term is a pinned double pico-quantized (floor * 1e12)
+    * so the accumulation is an exact integer sum; AP is the one
+    * unscaling division. The PR counterpart of rocAuc — the right
+    * readout under heavy class imbalance. Quantize-first + loud
+    * domain guard.
+    *
+    * Returns one row (n_pos, n_neg, ap).
+    */
+  def averagePrecision(df: DataFrame, scoreMilliCol: String,
+      labelCol: String): DataFrame = {
+    val s = col(scoreMilliCol).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val perScore = df.where(s.isNotNull).groupBy(s.as("v"))
+      .agg(sum(y).as("pos"), sum(lit(1L) - y).as("neg"))
+    graft.operators.StatTests.requireBoundedDomain(perScore,
+      "Eval.averagePrecision")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perScore
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("neg")).over(w))
+    val tot = cum.agg(sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"))
+    val term = floor(col("pos").cast("double") *
+      col("tp").cast("double") /
+      ((col("tp") + col("fp")).cast("double") *
+        col("n_pos").cast("double")) * lit(1e12)).cast("long")
+    cum.crossJoin(broadcast(tot))
+      .where(col("n_pos") > 0L && col("pos") > 0L)
+      .select(col("n_pos"), col("n_neg"), term.as("t"))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("t")).as("ap_pico"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("ap_pico").cast("double") / lit(1e12), 7).as("ap"))
+  }
+
   /** Matthews correlation coefficient for a binary classifier — the
     * single-number confusion summary that stays honest under class
     * imbalance (unlike accuracy or F1):

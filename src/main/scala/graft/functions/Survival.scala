@@ -69,4 +69,75 @@ object Survival {
             col("pos") + 1),
           lit(1.0), (acc, f) => acc * f), 7).as("surv"))
   }
+
+  /** Log-rank (Mantel-Cox) two-group survival comparison — "do cohorts
+    * a and b have the same hazard?", the significance companion of
+    * [[kaplanMeier]]'s curves: at every pooled distinct event time,
+    * with (n1, n2) at risk and (d1, d2) events,
+    *
+    *   O1 = sum d1,  E1 = sum d*n1/n,
+    *   V  = sum d*(n-d)*n1*n2 / (n^2*(n-1)),
+    *   chi2 = (O1 - E1)^2 / V
+    *
+    * Exactness: at-risk and event counts are exact suffix sums on the
+    * distinct-duration domain (quantize-first + the KS loud-guard
+    * contract); the per-time E and V terms are pinned doubles
+    * micro-quantized at 1e6 so both accumulations are exact integer
+    * sums; chi2 is the one final pinned expression. Times with a
+    * single subject at risk contribute no variance (the published
+    * convention — the n-1 denominator vanishes).
+    *
+    * Returns one row (n_a, n_b, o1, e1, chi2).
+    */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String, a: String, b: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(durationCol).dataType),
+      s"$durationCol must be integral (quantize first), got " +
+        df.schema(durationCol).dataType.catalogString)
+    val slim = df.where(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"), col(durationCol).as("dur"),
+        col(eventCol).as("ev"))
+      .where(col("dur").isNotNull && col("ev").isNotNull)
+    val perDur = slim.groupBy(col("dur"))
+      .agg(count(when(col("g") === a, 1)).as("c1"),
+        count(when(col("g") === b, 1)).as("c2"),
+        count(when(col("g") === a && col("ev"), 1)).as("d1"),
+        count(when(col("g") === b && col("ev"), 1)).as("d2"))
+    graft.operators.StatTests.requireBoundedDomain(perDur,
+      "Survival.logRank")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = perDur.agg(sum(col("c1")).as("n_a"), sum(col("c2")).as("n_b"))
+    val cum = perDur
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("d1"), col("d2"),
+        (col("n_a") - col("cum1") + col("c1")).as("r1"),
+        (col("n_b") - col("cum2") + col("c2")).as("r2"))
+      .where(col("d1") + col("d2") > 0L)
+    val n = (col("r1") + col("r2")).cast("double")
+    val dt = (col("d1") + col("d2")).cast("double")
+    val eTerm = floor(dt * col("r1").cast("double") / n * lit(1e6))
+      .cast("long")
+    val vTerm = floor(dt * (n - dt) * col("r1").cast("double") *
+      col("r2").cast("double") /
+      (n * n * (n - lit(1.0))) * lit(1e6)).cast("long")
+    val agg = cum.select(col("n_a"), col("n_b"), col("d1"),
+        eTerm.as("e"),
+        when(col("r1") + col("r2") > 1L, vTerm).otherwise(lit(0L))
+          .as("v"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("d1")).as("o1"), sum(col("e")).as("e_micro"),
+        sum(col("v")).as("v_micro"))
+    agg.select(col("n_a"), col("n_b"), col("o1"),
+      round(col("e_micro").cast("double") / lit(1e6), 7).as("e1"),
+      round(when(col("v_micro") > 0L,
+        (col("o1").cast("double") -
+          col("e_micro").cast("double") / lit(1e6)) *
+          (col("o1").cast("double") -
+            col("e_micro").cast("double") / lit(1e6)) /
+          (col("v_micro").cast("double") / lit(1e6))), 7).as("chi2"))
+  }
 }

@@ -169,6 +169,22 @@ class EvalSpec extends SparkTestBase {
     assert(tb(0L).getLong(1) == 11L || tb.size == 1)
   }
 
+  test("average precision: perfect 1, interleaved hand case, tie blob") {
+    val perfect = Seq((30, true), (20, true), (10, false)).toDF("p", "y")
+    assert(Eval.averagePrecision(perfect, "p", "y")
+      .collect()(0).getDouble(2) == 1.0)
+    // pos at 30 and 10, neg at 20: AP = 1/2 + (1/3) -> 0.8333333
+    val mix = Seq((30, true), (20, false), (10, true)).toDF("p", "y")
+    val m = Eval.averagePrecision(mix, "p", "y").collect()(0)
+    assert(m.getLong(0) == 2L && m.getLong(1) == 1L)
+    assert(m.getDouble(2) == math.rint((0.5 + 1.0 / 3.0) * 1e7) / 1e7)
+    // one tied blob: AP = the blob's precision
+    val blob = Seq((5, true), (5, true), (5, false), (5, false))
+      .toDF("p", "y")
+    assert(Eval.averagePrecision(blob, "p", "y")
+      .collect()(0).getDouble(2) == 0.5)
+  }
+
   test("conformal threshold: k-th order statistic, ties, k > n null") {
     val df = (1L to 10L).toDF("s")
     val r1 = Eval.conformalThreshold(df, "s", alphaMilli = 100)

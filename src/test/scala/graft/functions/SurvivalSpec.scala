@@ -35,4 +35,24 @@ class SurvivalSpec extends SparkTestBase {
       Survival.kaplanMeier(Seq(("g", 1.5, true)).toDF("g", "dur", "ev"),
         "g", "dur", "ev"))
   }
+
+  test("log-rank: hand separated cohorts, identical cohorts ~0") {
+    // a dies at 1,2; b at 3,4 — fully separated hazards
+    val df = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 3L, true), ("b", 4L, true)).toDF("g", "dur", "ev")
+    val r = Survival.logRank(df, "g", "dur", "ev", "a", "b").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // E1 micro: floor(.5e6) + floor(1e6/3) = 500000 + 333333
+    val e1 = (500000L + 333333L).toDouble / 1e6
+    assert(r.getDouble(3) == e1)
+    // V micro: floor(.25e6) + floor(2e6/9) + 0 + 0 (singleton risk set)
+    val v = (250000L + 222222L).toDouble / 1e6
+    val want = math.rint((2.0 - e1) * (2.0 - e1) / v * 1e7) / 1e7
+    assert(r.getDouble(4) == want)
+    // identical cohorts: O1 = E1 up to quantization -> chi2 ~ 0
+    val same = Seq(("a", 1L, true), ("a", 2L, false),
+      ("b", 1L, true), ("b", 2L, false)).toDF("g", "dur", "ev")
+    val s = Survival.logRank(same, "g", "dur", "ev", "a", "b").collect()(0)
+    assert(s.getDouble(4) < 0.01)
+  }
 }
