@@ -670,6 +670,34 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 433/434. stratified association + rate comparison, oracle-pinned ----------------------------------------
+    // CMH: does user parity relate to high-value events WITHIN each
+    // 6-hour band (the Simpson defense)? Poisson: do even and odd users
+    // generate events at the same per-day rate?
+    "q433_cmh" -> ((s, d) =>
+      graft.operators.StatTests.cmhTest(
+        t(s, d, "events").where(col("ts").isNotNull &&
+          col("value").isNotNull && col("user_id").isNotNull)
+          .select(floor(hour(col("ts")) / 6).cast("long")
+            .cast("string").as("band"),
+            (col("user_id") % 2 === 0).as("x"),
+            (col("value") >= 100).as("y")),
+        "band", "x", "y")),
+
+    "q434_poisson_rate" -> ((s, d) => {
+      val pu = t(s, d, "events")
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("k"),
+          (floor((max(unix_micros(col("ts"))) -
+            min(unix_micros(col("ts")))) / lit(86400000000L)) + 1)
+            .cast("long").as("t"))
+      graft.operators.StatTests.poissonTwoRate(
+        pu.select(when(col("user_id") % 2 === 0, "even")
+          .otherwise("odd").as("g"), col("k"), col("t")),
+        "g", "k", "t", "even", "odd")
+    }),
+
     // --- 431/432. PR-AUC + log-rank, oracle-pinned ---------------------------------------------------------------
     // Average precision (the imbalance-honest ranking readout, sklearn
     // step rule) for q320's classifier; Mantel-Cox log-rank comparing
@@ -1120,6 +1148,95 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // CMH: per-stratum hypergeometric E/V micro terms, exact sums.
+    "q433_cmh" -> {
+      val n = "(CAST(a AS DOUBLE) + CAST(b AS DOUBLE) " +
+        "+ CAST(c AS DOUBLE) + CAST(d AS DOUBLE))"
+      val e = s"((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) " +
+        s"* (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) / $n)"
+      val v = s"((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) " +
+        s"* (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) " +
+        s"* (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) " +
+        s"* (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) " +
+        s"/ ($n * $n * ($n - CAST(1 AS DOUBLE))))"
+      val orn = s"(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / $n)"
+      val ord = s"(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / $n)"
+      s"""WITH e0 AS (SELECT CAST(CAST(hour(ts) // 6 AS BIGINT) AS VARCHAR)
+         |    AS s, user_id % 2 = 0 AS x, value >= 100 AS y
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND user_id IS NOT NULL),
+         |cl AS (SELECT s,
+         |    count(CASE WHEN x AND y THEN 1 END) AS a,
+         |    count(CASE WHEN x AND NOT y THEN 1 END) AS b,
+         |    count(CASE WHEN NOT x AND y THEN 1 END) AS c,
+         |    count(CASE WHEN NOT x AND NOT y THEN 1 END) AS d
+         |  FROM e0 GROUP BY 1),
+         |t AS (SELECT a,
+         |    CASE WHEN $n >= 2 THEN CAST(floor($e * 1e6) AS BIGINT)
+         |      ELSE 0 END AS e6,
+         |    CASE WHEN $n >= 2 THEN CAST(floor($v * 1e6) AS BIGINT)
+         |      ELSE 0 END AS v6,
+         |    CASE WHEN $n >= 2 THEN CAST(floor($orn * 1e6) AS BIGINT)
+         |      ELSE 0 END AS on6,
+         |    CASE WHEN $n >= 2 THEN CAST(floor($ord * 1e6) AS BIGINT)
+         |      ELSE 0 END AS od6,
+         |    CASE WHEN $n >= 2 THEN a ELSE 0 END AS a_ok
+         |  FROM cl),
+         |agg AS (SELECT count(*) AS strata,
+         |    CAST(sum(a_ok) AS BIGINT) AS sum_a,
+         |    CAST(sum(e6) AS BIGINT) AS e6, CAST(sum(v6) AS BIGINT) AS v6,
+         |    CAST(sum(on6) AS BIGINT) AS on6,
+         |    CAST(sum(od6) AS BIGINT) AS od6
+         |  FROM t)
+         |SELECT strata, sum_a,
+         |  ROUND(CAST(e6 AS DOUBLE) / 1e6, 7) AS e_sum,
+         |  ROUND(CASE WHEN v6 > 0 THEN
+         |    (abs(CAST(sum_a AS DOUBLE) - CAST(e6 AS DOUBLE) / 1e6)
+         |      - CAST(0.5 AS DOUBLE))
+         |    * (abs(CAST(sum_a AS DOUBLE) - CAST(e6 AS DOUBLE) / 1e6)
+         |      - CAST(0.5 AS DOUBLE))
+         |    / (CAST(v6 AS DOUBLE) / 1e6) END, 7) AS cmh,
+         |  ROUND(CASE WHEN od6 > 0 THEN
+         |    CAST(on6 AS DOUBLE) / CAST(od6 AS DOUBLE) END, 7) AS or_mh
+         |FROM agg""".stripMargin
+    },
+
+    // Poisson two-rate: exact event/exposure sums, one pinned z.
+    "q434_poisson_rate" ->
+      """WITH pu AS (SELECT user_id, count(*) AS k,
+        |    CAST(floor(CAST(max(epoch_us(ts)) - min(epoch_us(ts))
+        |      AS DOUBLE) / CAST(86400000000 AS DOUBLE)) AS BIGINT) + 1
+        |      AS t
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+        |    ELSE 'odd' END AS g, k, t FROM pu),
+        |a AS (SELECT
+        |    CAST(COALESCE(sum(CASE WHEN g = 'even' THEN k END), 0)
+        |      AS BIGINT) AS k1,
+        |    CAST(COALESCE(sum(CASE WHEN g = 'even' THEN t END), 0)
+        |      AS BIGINT) AS t1,
+        |    CAST(COALESCE(sum(CASE WHEN g = 'odd' THEN k END), 0)
+        |      AS BIGINT) AS k2,
+        |    CAST(COALESCE(sum(CASE WHEN g = 'odd' THEN t END), 0)
+        |      AS BIGINT) AS t2
+        |  FROM g)
+        |SELECT k1, t1, k2, t2,
+        |  ROUND(CASE WHEN t1 > 0 THEN
+        |    CAST(k1 AS DOUBLE) / CAST(t1 AS DOUBLE) END, 7) AS rate1,
+        |  ROUND(CASE WHEN t2 > 0 THEN
+        |    CAST(k2 AS DOUBLE) / CAST(t2 AS DOUBLE) END, 7) AS rate2,
+        |  ROUND(CASE WHEN t1 > 0 AND t2 > 0 AND k1 + k2 > 0 THEN
+        |    (CAST(k1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        |      - CAST(k2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+        |    / sqrt(CAST(k1 AS DOUBLE)
+        |        / (CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+        |      + CAST(k2 AS DOUBLE)
+        |        / (CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE))) END, 7)
+        |    AS z
+        |FROM a""".stripMargin,
 
     // Average precision: pico-quantized step terms, exact sum.
     "q431_average_precision" ->

@@ -723,6 +723,104 @@ object StatTests {
           .as("kappa"))
   }
 
+  /** Cochran-Mantel-Haenszel test + Mantel-Haenszel pooled odds ratio —
+    * 2x2 association adjusted for a confounding stratum (the Simpson's
+    * paradox defense: does exposure relate to outcome WITHIN strata?):
+    * per stratum i with cells (a,b,c,d) and n = a+b+c+d,
+    *
+    *   E_i = (a+b)(a+c)/n,
+    *   V_i = (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1)),
+    *   CMH = (|sum a - sum E| - 1/2)^2 / sum V   (continuity-corrected)
+    *   OR_MH = sum(a*d/n) / sum(b*c/n)
+    *
+    * Exactness: cells are exact counts; every per-stratum rational is
+    * a pinned double micro-quantized (1e6) so the four accumulations
+    * are exact integer sums; CMH and OR_MH are final pinned
+    * expressions. Degenerate strata (n < 2) contribute nothing, the
+    * published convention. Returns one row (strata, sum_a, e_sum,
+    * cmh, or_mh).
+    */
+  def cmhTest(df: DataFrame, stratumCol: String, exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val slim = df.select(col(stratumCol).as("s"),
+        col(exposedCol).as("x"), col(outcomeCol).as("y"))
+      .where(col("s").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+    val cells = slim.groupBy(col("s")).agg(
+      count(when(col("x") && col("y"), 1)).as("a"),
+      count(when(col("x") && !col("y"), 1)).as("b"),
+      count(when(!col("x") && col("y"), 1)).as("c"),
+      count(when(!col("x") && !col("y"), 1)).as("d"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("a") + dd("b") + dd("c") + dd("d")
+    val e = (dd("a") + dd("b")) * (dd("a") + dd("c")) / n
+    val v = (dd("a") + dd("b")) * (dd("c") + dd("d")) *
+      (dd("a") + dd("c")) * (dd("b") + dd("d")) / (n * n * (n - lit(1.0)))
+    val orNum = dd("a") * dd("d") / n
+    val orDen = dd("b") * dd("c") / n
+    val ok = n >= 2.0
+    val agg = cells.select(col("a"),
+        when(ok, floor(e * lit(1e6)).cast("long")).otherwise(0L).as("e6"),
+        when(ok, floor(v * lit(1e6)).cast("long")).otherwise(0L).as("v6"),
+        when(ok, floor(orNum * lit(1e6)).cast("long")).otherwise(0L)
+          .as("on6"),
+        when(ok, floor(orDen * lit(1e6)).cast("long")).otherwise(0L)
+          .as("od6"),
+        when(ok, col("a")).otherwise(0L).as("a_ok"),
+        lit(1L).as("one"))
+      .agg(count(lit(1)).as("strata"), sum(col("a_ok")).as("sum_a"),
+        sum(col("e6")).as("e6"), sum(col("v6")).as("v6"),
+        sum(col("on6")).as("on6"), sum(col("od6")).as("od6"))
+    val diff = abs(col("sum_a").cast("double") -
+      col("e6").cast("double") / lit(1e6)) - lit(0.5)
+    agg.select(col("strata"), col("sum_a"),
+      round(col("e6").cast("double") / lit(1e6), 7).as("e_sum"),
+      round(when(col("v6") > 0L,
+        diff * diff / (col("v6").cast("double") / lit(1e6))), 7)
+        .as("cmh"),
+      round(when(col("od6") > 0L,
+        col("on6").cast("double") / col("od6").cast("double")), 7)
+        .as("or_mh"))
+  }
+
+  /** Two-sample Poisson rate test — "did the error RATE change between
+    * windows of different lengths?": with k events over exposure t per
+    * slice (exposures as exact integers — micros, days, requests),
+    *
+    *   z = (k1/t1 - k2/t2) / sqrt(k1/t1^2 + k2/t2^2)
+    *
+    * (the Wald form on the rate difference). Input is per-UNIT rows
+    * (a machine-day, a user-window) each carrying its event count and
+    * its exposure; both sums are exact integers; z is ONE pinned
+    * expression; null when both counts are zero (no information).
+    * Returns one row (k1, t1, k2, t2, rate1, rate2, z).
+    */
+  def poissonTwoRate(df: DataFrame, sliceCol: String, eventsCol: String,
+      exposureCol: String, a: String, b: String): DataFrame = {
+    requireIntegral(df, eventsCol)
+    requireIntegral(df, exposureCol)
+    val agg = df.where(col(sliceCol).isin(a, b))
+      .groupBy().agg(
+        coalesce(sum(when(col(sliceCol) === a,
+          col(eventsCol).cast("long"))), lit(0L)).as("k1"),
+        coalesce(sum(when(col(sliceCol) === a,
+          col(exposureCol).cast("long"))), lit(0L)).as("t1"),
+        coalesce(sum(when(col(sliceCol) === b,
+          col(eventsCol).cast("long"))), lit(0L)).as("k2"),
+        coalesce(sum(when(col(sliceCol) === b,
+          col(exposureCol).cast("long"))), lit(0L)).as("t2"))
+    def dd(c: String) = col(c).cast("double")
+    val r1 = dd("k1") / dd("t1")
+    val r2 = dd("k2") / dd("t2")
+    val se = sqrt(dd("k1") / (dd("t1") * dd("t1")) +
+      dd("k2") / (dd("t2") * dd("t2")))
+    agg.select(col("k1"), col("t1"), col("k2"), col("t2"),
+      round(when(col("t1") > 0L, r1), 7).as("rate1"),
+      round(when(col("t2") > 0L, r2), 7).as("rate2"),
+      round(when(col("t1") > 0L && col("t2") > 0L &&
+        col("k1") + col("k2") > 0L, (r1 - r2) / se), 7).as("z"))
+  }
+
   /** Weighted Cohen's kappa — the ordinal-rating agreement standard
     * (Cohen 1968): near-misses on an ORDERED scale count partially,
     * with quadratic disagreement weights w_ij = (i-j)^2 over INTEGRAL

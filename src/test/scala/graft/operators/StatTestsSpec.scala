@@ -289,6 +289,46 @@ class StatTestsSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("CMH: paradox-proof stratified association, hand arithmetic") {
+    // two strata, each with the SAME positive within-stratum effect
+    // stratum s1: exposed 8/10 vs unexposed 4/10;
+    // stratum s2: exposed 6/10 vs unexposed 2/10
+    def stratum(s: String, expPos: Int, unexpPos: Int): Seq[(String, Boolean, Boolean)] =
+      (Seq.fill(expPos)((s, true, true)) ++
+        Seq.fill(10 - expPos)((s, true, false)) ++
+        Seq.fill(unexpPos)((s, false, true)) ++
+        Seq.fill(10 - unexpPos)((s, false, false)))
+    val df = (stratum("s1", 8, 4) ++ stratum("s2", 6, 2))
+      .toDF("s", "x", "y")
+    val r = StatTests.cmhTest(df, "s", "x", "y").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 14L)
+    // per stratum: E = 10*(a+c)/20; s1: a=8,c=4 -> E=6; s2: a=6,c=2 -> 4
+    assert(r.getDouble(2) == 10.0)
+    // V_i = 10*10*(a+c)*(20-a-c)/(400*19); s1: 100*12*8/7600
+    val v = math.floor(100.0 * 12 * 8 / 7600 * 1e6) / 1e6 +
+      math.floor(100.0 * 8 * 12 / 7600 * 1e6) / 1e6
+    val want = math.rint((4.0 - 0.5) * (4.0 - 0.5) / v * 1e7) / 1e7
+    assert(r.getDouble(3) == want)
+    // OR_MH > 1: consistent positive association
+    assert(r.getDouble(4) > 3.0)
+  }
+
+  test("Poisson two-rate: hand z, equal rates 0, empty null") {
+    // slice a: 20 events over 100; b: 10 over 100
+    val df = Seq(("a", 20L, 100L), ("b", 10L, 100L)).toDF("g", "k", "t")
+    val r = StatTests.poissonTwoRate(df, "g", "k", "t", "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 20L && r.getLong(3) == 100L)
+    val want = (0.2 - 0.1) / math.sqrt(20.0 / 10000 + 10.0 / 10000)
+    assert(r.getDouble(6) == math.rint(want * 1e7) / 1e7)
+    val eq = Seq(("a", 5L, 50L), ("b", 10L, 100L)).toDF("g", "k", "t")
+    assert(StatTests.poissonTwoRate(eq, "g", "k", "t", "a", "b")
+      .collect()(0).getDouble(6) == 0.0)
+    val zero = Seq(("a", 0L, 50L), ("b", 0L, 100L)).toDF("g", "k", "t")
+    assert(StatTests.poissonTwoRate(zero, "g", "k", "t", "a", "b")
+      .collect()(0).isNullAt(6))
+  }
+
   test("weighted kappa: hand quadratic case, binary = unweighted kappa") {
     val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 1L)).toDF("a", "b")
     val r = StatTests.weightedKappa(df, "a", "b").collect()(0)
