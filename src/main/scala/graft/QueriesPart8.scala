@@ -670,6 +670,28 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 435/436. seasonal trend + proportion effect size, oracle-pinned -----------------------------------------
+    // Seasonal MK over daily counts per (event type, 6-hour band) —
+    // the trend detector that ignores the diurnal cycle; Cohen's h for
+    // the click-vs-purchase high-value proportion gap.
+    "q435_seasonal_mk" -> ((s, d) => {
+      val daily = t(s, d, "events").where(col("ts").isNotNull &&
+        col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          floor(hour(col("ts")) / 6).cast("long").as("season"),
+          datediff(to_date(col("ts")), lit("2020-01-01").cast("date"))
+            .cast("long").as("t"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Trend.seasonalMannKendall(daily, "event_type",
+        "season", "t", "v").orderBy("group")
+    }),
+
+    "q436_cohens_h" -> ((s, d) =>
+      graft.operators.EffectSizes.cohensH(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), (col("value") >= 200).as("big")),
+        "event_type", "big", "click", "purchase")),
+
     // --- 433/434. stratified association + rate comparison, oracle-pinned ----------------------------------------
     // CMH: does user parity relate to high-value events WITHIN each
     // 6-hour band (the Simpson defense)? Poisson: do even and odd users
@@ -1148,6 +1170,69 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Seasonal MK: per-season exact S and 18-scaled variance, one z.
+    "q435_seasonal_mk" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    CAST(hour(ts) // 6 AS BIGINT) AS m,
+        |    CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS t,
+        |    count(*) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |s AS (SELECT a.g, a.m,
+        |    CAST(count(CASE WHEN b.v > a.v THEN 1 END)
+        |      - count(CASE WHEN b.v < a.v THEN 1 END) AS BIGINT) AS sm
+        |  FROM daily a JOIN daily b
+        |    ON a.g = b.g AND a.m = b.m AND a.t < b.t
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT g, m, count(*) AS nm FROM daily GROUP BY 1, 2),
+        |ti AS (SELECT g, m,
+        |    CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tm
+        |  FROM (SELECT g, m, v, count(*) AS tt FROM daily
+        |        GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |ps AS (SELECT sz.g, sz.nm, COALESCE(s.sm, 0) AS sm,
+        |    CAST(sz.nm * (sz.nm - 1) * (2 * sz.nm + 5) AS BIGINT)
+        |      - ti.tm AS v18
+        |  FROM sz LEFT JOIN s ON sz.g = s.g AND sz.m = s.m
+        |    JOIN ti ON sz.g = ti.g AND sz.m = ti.m),
+        |agg AS (SELECT g, count(*) AS seasons,
+        |    CAST(sum(nm) AS BIGINT) AS n, CAST(sum(sm) AS BIGINT) AS s,
+        |    CAST(sum(v18) AS BIGINT) AS v18
+        |  FROM ps GROUP BY 1)
+        |SELECT g AS "group", seasons, n, s,
+        |  ROUND(CASE WHEN CAST(v18 AS DOUBLE) / CAST(18 AS DOUBLE) > 0
+        |    THEN CASE
+        |      WHEN s > 0 THEN (CAST(s AS DOUBLE) - CAST(1 AS DOUBLE))
+        |        / sqrt(CAST(v18 AS DOUBLE) / CAST(18 AS DOUBLE))
+        |      WHEN s < 0 THEN (CAST(s AS DOUBLE) + CAST(1 AS DOUBLE))
+        |        / sqrt(CAST(v18 AS DOUBLE) / CAST(18 AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END
+        |    END, 7) AS z
+        |FROM agg ORDER BY "group"""".stripMargin,
+
+    // Cohen's h: exact proportions, one arcsine expression.
+    "q436_cohens_h" ->
+      """WITH e AS (SELECT event_type AS g, value >= 200 AS big
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT
+        |    count(CASE WHEN g = 'click' THEN 1 END) AS n_a,
+        |    count(CASE WHEN g = 'click' AND big THEN 1 END) AS s_a,
+        |    count(CASE WHEN g = 'purchase' THEN 1 END) AS n_b,
+        |    count(CASE WHEN g = 'purchase' AND big THEN 1 END) AS s_b
+        |  FROM e)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  ROUND(CASE WHEN n_a > 0 THEN
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) END, 7) AS p_a,
+        |  ROUND(CASE WHEN n_b > 0 THEN
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END, 7) AS p_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(2 AS DOUBLE)
+        |      * asin(sqrt(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+        |    - CAST(2 AS DOUBLE)
+        |      * asin(sqrt(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |    END, 7) AS h
+        |FROM a""".stripMargin,
 
     // CMH: per-stratum hypergeometric E/V micro terms, exact sums.
     "q433_cmh" -> {

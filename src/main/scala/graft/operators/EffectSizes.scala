@@ -113,4 +113,30 @@ object EffectSizes {
       round(when(ok, exp(log(orE) + lit(1.96) * se)), 7).as("or_hi"),
       round(when(ok, rr), 7).as("relative_risk"))
   }
+
+  /** Cohen's h — the effect size for a difference of PROPORTIONS
+    * (the arcsine transform makes equal h mean equal detectability at
+    * any base rate, which a raw p1-p2 difference does not):
+    *
+    *   h = 2*asin(sqrt(p1)) - 2*asin(sqrt(p2))
+    *
+    * Counts exact; h is ONE pinned expression over the two exact
+    * rationals. Returns one row (n_a, s_a, n_b, s_b, p_a, p_b, h).
+    */
+  def cohensH(df: DataFrame, groupCol: String, successCol: String,
+      a: String, b: String): DataFrame = {
+    val agg = df.where(col(groupCol).isin(a, b)).agg(
+      count(when(col(groupCol) === a, 1)).as("n_a"),
+      count(when(col(groupCol) === a && col(successCol), 1)).as("s_a"),
+      count(when(col(groupCol) === b, 1)).as("n_b"),
+      count(when(col(groupCol) === b && col(successCol), 1)).as("s_b"))
+    def d(c: String) = col(c).cast("double")
+    val p1 = d("s_a") / d("n_a")
+    val p2 = d("s_b") / d("n_b")
+    val h = lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p2))
+    agg.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+      round(when(col("n_a") > 0, p1), 7).as("p_a"),
+      round(when(col("n_b") > 0, p2), 7).as("p_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, h), 7).as("h"))
+  }
 }

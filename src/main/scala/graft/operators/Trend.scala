@@ -521,6 +521,68 @@ object Trend {
         round(when(sig2 > 0.0, z), 7).as("z"))
   }
 
+  /** Seasonal Mann-Kendall (Hirsch-Slack 1984) — monotone-trend
+    * detection that ignores the seasonal cycle a plain [[mannKendall]]
+    * would misread as trend: the S statistic and its variance are
+    * computed WITHIN each season (pairs never cross seasons), then
+    * summed,
+    *
+    *   S* = sum_m S_m,   18*Var* = sum_m (n_m(n_m-1)(2n_m+5) - T_m),
+    *   z  = (S* -+ 1) / sqrt(Var*)
+    *
+    * Exactness: per-season S and the 18-scaled variance terms are
+    * exact integers (DECIMAL(38,0) sums); the /18 and the z happen
+    * once, pinned. Same quantized cells^2 contract per (group,
+    * season) with the shared loud guard.
+    *
+    * Returns (group, seasons, n, s, z).
+    */
+  def seasonalMannKendall(df: DataFrame, groupCol: String,
+      seasonCol: String, timeCol: String, valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(timeCol).dataType) &&
+      integral.contains(df.schema(valueCol).dataType),
+      "time and value must be integral (quantize first)")
+    val dec = "decimal(38,0)"
+    val slim = df.select(concat(col(groupCol).cast("string"), lit("#"),
+        col(seasonCol).cast("string")).as("gs"),
+        col(groupCol).cast("string").as("g0"),
+        col(timeCol).as("t"), col(valueCol).as("v"))
+      .where(col("g0").isNotNull && col("t").isNotNull &&
+        col("v").isNotNull)
+    StatTests.requireBoundedCells(slim, "gs", "seasonalMannKendall")
+    val a = slim.select(col("gs"), col("g0"), col("t").as("ti"),
+      col("v").as("vi"))
+    val b = slim.select(col("gs").as("gs2"), col("t").as("tj"),
+      col("v").as("vj"))
+    val s = a.join(b, col("gs") === col("gs2") && col("ti") < col("tj"))
+      .groupBy(col("gs"))
+      .agg((count(when(col("vj") > col("vi"), 1)) -
+        count(when(col("vj") < col("vi"), 1))).as("sm"))
+    val sizes = slim.groupBy(col("gs"), col("g0"))
+      .agg(count(lit(1)).as("nm"))
+    val ties = slim.groupBy(col("gs"), col("v"))
+      .agg(count(lit(1)).as("tt"))
+      .groupBy(col("gs"))
+      .agg(sum((col("tt") * (col("tt") - 1L) * (lit(2L) * col("tt") + 5L))
+        .cast(dec)).as("tm"))
+    val perSeason = sizes.join(s, Seq("gs"), "left").join(ties, "gs")
+      .select(col("g0"), col("nm"),
+        coalesce(col("sm"), lit(0L)).as("sm"),
+        (col("nm").cast(dec) * (col("nm") - 1L).cast(dec) *
+          (lit(2L) * col("nm") + 5L).cast(dec) - col("tm")).as("v18"))
+    val g = perSeason.groupBy(col("g0").as("group"))
+      .agg(count(lit(1)).as("seasons"), sum(col("nm")).as("n"),
+        sum(col("sm")).as("s"), sum(col("v18")).as("v18"))
+    val sig2 = col("v18").cast("double") / 18.0
+    val sD = col("s").cast("double")
+    val z = when(col("s") > 0, (sD - 1.0) / sqrt(sig2))
+      .when(col("s") < 0, (sD + 1.0) / sqrt(sig2))
+      .otherwise(lit(0.0))
+    g.select(col("group"), col("seasons"), col("n"), col("s"),
+      round(when(sig2 > 0.0, z), 7).as("z"))
+  }
+
   /** Fano factor per group — burstiness of per-bucket counts (Poisson
     * arrivals give F = 1; F >> 1 means clustered bursts, F << 1
     * regularity): F = var/mean over the bucket counts with sample

@@ -54,4 +54,19 @@ class EffectSizesSpec extends SparkTestBase {
     val sparse = Seq((true, true), (false, false)).toDF("e", "o")
     assert(EffectSizes.oddsRatio(sparse, "e", "o").collect()(0).isNullAt(4))
   }
+
+  test("Cohen's h: hand arcsine case, antisymmetry, equal rates 0") {
+    // p1 = 1/4, p2 = 0 -> h = 2*asin(1/2) = pi/3
+    val df = (Seq(("a", true)) ++ Seq.fill(3)(("a", false)) ++
+      Seq.fill(4)(("b", false))).toDF("g", "s")
+    val r = EffectSizes.cohensH(df, "g", "s", "a", "b").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)
+    assert(r.getDouble(6) == math.rint(math.Pi / 3.0 * 1e7) / 1e7)
+    val rev = EffectSizes.cohensH(df, "g", "s", "b", "a").collect()(0)
+    assert(rev.getDouble(6) == -r.getDouble(6))
+    val eq = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("g", "s")
+    assert(EffectSizes.cohensH(eq, "g", "s", "a", "b")
+      .collect()(0).getDouble(6) == 0.0)
+  }
 }

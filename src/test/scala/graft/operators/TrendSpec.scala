@@ -156,6 +156,29 @@ class TrendSpec extends SparkTestBase {
       .collect().forall(_.isNullAt(3)))
   }
 
+  test("seasonal Mann-Kendall: within-season trend found, pure cycle null") {
+    // two seasons, both strictly rising: S* = 3 + 3, 18Var = 66 + 66
+    val trend = Seq((0L, 1L, 10L), (0L, 3L, 20L), (0L, 5L, 30L),
+      (1L, 2L, 100L), (1L, 4L, 200L), (1L, 6L, 300L))
+      .map { case (m, t, v) => ("g", m, t, v) }.toDF("g", "m", "t", "v")
+    val r = Trend.seasonalMannKendall(trend, "g", "m", "t", "v")
+      .collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 6L && r.getLong(3) == 6L)
+    val want = math.rint((6.0 - 1.0) / math.sqrt(132.0 / 18.0) * 1e7) / 1e7
+    assert(r.getDouble(4) == want)
+    // pure seasonal cycle, no within-season movement: S = 0 and the
+    // all-tied variance vanishes -> null z (nothing to test)
+    val cycle = Seq((0L, 1L, 10L), (0L, 3L, 10L), (0L, 5L, 10L),
+      (1L, 2L, 100L), (1L, 4L, 100L), (1L, 6L, 100L))
+      .map { case (m, t, v) => ("g", m, t, v) }.toDF("g", "m", "t", "v")
+    val c = Trend.seasonalMannKendall(cycle, "g", "m", "t", "v")
+      .collect()(0)
+    assert(c.getLong(3) == 0L && c.isNullAt(4))
+    // ...while PLAIN MK on the same data sees the cycle as signal
+    val plain = Trend.mannKendall(cycle, "g", "t", "v").collect()(0)
+    assert(plain.getLong(2) != 0L)
+  }
+
   test("Durbin-Watson: monotone 0.6, alternating 3.0, flat null") {
     val mono = (1L to 4L).zipWithIndex
       .map { case (x, i) => ("m", (i + 1).toLong, x) }.toDF("g", "t", "v")
