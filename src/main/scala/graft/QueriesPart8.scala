@@ -670,6 +670,29 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 437/438. lead-lag + randomness diagnostics, oracle-pinned -----------------------------------------------
+    // CCF: does daily activity VOLUME lead daily value mass (lags
+    // 0..3)? Turning points: is each type's value stream i.i.d.-ish?
+    "q437_ccf" -> ((s, d) => {
+      val daily = t(s, d, "events").where(col("ts").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2020-01-01").cast("date"))
+            .cast("long").as("t"))
+        .agg(count(lit(1)).as("x"),
+          sum(floor(col("value")).cast("long")).as("y"))
+      graft.operators.Trend.crossCorrelation(daily, "event_type",
+        Seq("t"), "x", "y", maxLag = 3).orderBy("group", "lag")
+    }),
+
+    "q438_turning_points" -> ((s, d) =>
+      graft.operators.Trend.turningPointTest(
+          t(s, d, "events").where(col("value").isNotNull)
+            .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value")).cast("long").as("v")),
+          "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
     // --- 435/436. seasonal trend + proportion effect size, oracle-pinned -----------------------------------------
     // Seasonal MK over daily counts per (event type, 6-hour band) —
     // the trend detector that ignores the diurnal cycle; Cohen's h for
@@ -1170,6 +1193,71 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // CCF: per-lag exact moments over aligned pairs, pinned r each.
+    "q437_ccf" -> {
+      val lagAggs = (0 to 3).map(k =>
+        s"""count(CASE WHEN y$k IS NOT NULL THEN 1 END) AS n$k,
+           |    sum(CASE WHEN y$k IS NOT NULL THEN x END) AS sx$k,
+           |    sum(CASE WHEN y$k IS NOT NULL THEN y$k END) AS sy$k,
+           |    sum(CASE WHEN y$k IS NOT NULL THEN x * x END) AS sxx$k,
+           |    sum(CASE WHEN y$k IS NOT NULL THEN y$k * y$k END) AS syy$k,
+           |    sum(CASE WHEN y$k IS NOT NULL THEN x * y$k END) AS sxy$k"""
+          .stripMargin).mkString(",\n    ")
+      val branches = (0 to 3).map { k =>
+        val nD = s"CAST(n$k AS DOUBLE)"
+        val vx = s"($nD * CAST(sxx$k AS DOUBLE) " +
+          s"- CAST(sx$k AS DOUBLE) * CAST(sx$k AS DOUBLE))"
+        val vy = s"($nD * CAST(syy$k AS DOUBLE) " +
+          s"- CAST(sy$k AS DOUBLE) * CAST(sy$k AS DOUBLE))"
+        val cov = s"($nD * CAST(sxy$k AS DOUBLE) " +
+          s"- CAST(sx$k AS DOUBLE) * CAST(sy$k AS DOUBLE))"
+        s"""SELECT g AS "group", CAST($k AS INT) AS lag,
+           |  CAST(n$k AS BIGINT) AS n_pairs,
+           |  ROUND(CASE WHEN n$k >= 2 AND $vx > 0 AND $vy > 0 THEN
+           |    $cov / (sqrt($vx) * sqrt($vy)) END, 7) AS r
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH daily AS (SELECT event_type AS g,
+         |    CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS t,
+         |    count(*) AS x,
+         |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |l AS (SELECT g, x,
+         |    lead(y, 0) OVER w AS y0, lead(y, 1) OVER w AS y1,
+         |    lead(y, 2) OVER w AS y2, lead(y, 3) OVER w AS y3
+         |  FROM daily WINDOW w AS (PARTITION BY g ORDER BY t)),
+         |a AS (SELECT g, $lagAggs
+         |  FROM l GROUP BY 1)
+         |SELECT * FROM ($branches)
+         |ORDER BY "group", lag""".stripMargin
+    },
+
+    // Turning points: exact extremum census, closed-form E/V, one z.
+    "q438_turning_points" ->
+      """WITH e AS (SELECT event_type AS g, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT g, v, lag(v, 1) OVER w AS p, lead(v, 1) OVER w AS f
+        |  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+        |a AS (SELECT g, count(*) AS n,
+        |    count(CASE WHEN p IS NOT NULL AND f IS NOT NULL AND
+        |      ((p < v AND f < v) OR (p > v AND f > v)) THEN 1 END)
+        |      AS turning_points
+        |  FROM l GROUP BY 1)
+        |SELECT g AS "group", n, turning_points,
+        |  ROUND(CASE WHEN n >= 3 AND
+        |      (CAST(16 AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(29 AS DOUBLE)) / CAST(90 AS DOUBLE) > 0 THEN
+        |    (CAST(turning_points AS DOUBLE)
+        |      - CAST(2 AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(2 AS DOUBLE)) / CAST(3 AS DOUBLE))
+        |    / sqrt((CAST(16 AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(29 AS DOUBLE)) / CAST(90 AS DOUBLE)) END, 7) AS z
+        |FROM a ORDER BY "group"""".stripMargin,
 
     // Seasonal MK: per-season exact S and 18-scaled variance, one z.
     "q435_seasonal_mk" ->

@@ -521,6 +521,101 @@ object Trend {
         round(when(sig2 > 0.0, z), 7).as("z"))
   }
 
+  /** Cross-correlation function — does series x LEAD series y (and by
+    * how much): for each lag k in [0, maxLag], the Pearson correlation
+    * of (x_t, y_{t+k}) over the per-group ordered stream. The
+    * lead-lag diagnostic behind "do clicks predict purchases two days
+    * out". Exactness: per-lag sufficient statistics over the aligned
+    * pairs are exact DECIMAL(38,0) (the q328 discipline per lag); one
+    * pinned r per lag; lags with < 2 pairs or zero variance are null.
+    *
+    * One window pass computes all lags as lead columns (the
+    * [[autocorrelation]] shape); per-key windows, never global.
+    *
+    * Returns (group, lag, n_pairs, r).
+    */
+  def crossCorrelation(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 32,
+      s"maxLag must be in [0, 32], got $maxLag")
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(xCol, yCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("group")).orderBy(orderCols.map(col): _*)
+    val base = df.select(
+      (col(groupCol).as("group") +: col(xCol).cast("long").as("x") +:
+        col(yCol).cast("long").as("y") +: orderCols.map(col)): _*)
+    val led = (0 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__y$k", lead(col("y"), k).over(w))
+    }
+    val aggs = (0 to maxLag).flatMap { k =>
+      val yk = col(s"__y$k")
+      val live = yk.isNotNull
+      Seq(
+        count(when(live, 1)).as(s"n$k"),
+        sum(when(live, col("x")).cast(dec)).as(s"sx$k"),
+        sum(when(live, yk).cast(dec)).as(s"sy$k"),
+        sum(when(live, col("x") * col("x")).cast(dec)).as(s"sxx$k"),
+        sum(when(live, yk * yk).cast(dec)).as(s"syy$k"),
+        sum(when(live, col("x") * yk).cast(dec)).as(s"sxy$k"))
+    }
+    val g = led.groupBy(col("group")).agg(aggs.head, aggs.tail: _*)
+    val perLag = (0 to maxLag).map { k =>
+      val nD = col(s"n$k").cast("double")
+      def d(c: String) = col(s"$c$k").cast("double")
+      val vx = nD * d("sxx") - d("sx") * d("sx")
+      val vy = nD * d("syy") - d("sy") * d("sy")
+      val cov = nD * d("sxy") - d("sx") * d("sy")
+      struct(lit(k).as("lag"), col(s"n$k").as("n_pairs"),
+        round(when(col(s"n$k") >= 2L && vx > 0.0 && vy > 0.0,
+          cov / (sqrt(vx) * sqrt(vy))), 7).as("r"))
+    }
+    g.select(col("group"), explode(array(perLag: _*)).as("lr"))
+      .select(col("group"), col("lr.lag").as("lag"),
+        col("lr.n_pairs").as("n_pairs"), col("lr.r").as("r"))
+  }
+
+  /** Turning-point test — the quick randomness check (is this series
+    * i.i.d. noise or does it have structure?): count interior strict
+    * local extrema T; under randomness E[T] = 2(n-2)/3 and
+    * Var[T] = (16n - 29)/90, z = (T - E)/sqrt(V). Ties break NO
+    * turning point (the conservative convention, documented). The
+    * count is exact (one window pass, per-group); E, V and z are
+    * pinned expressions over exact integers.
+    *
+    * Returns (group, n, turning_points, z).
+    */
+  def turningPointTest(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("group")).orderBy(orderCols.map(col): _*)
+    val base = df.select(
+      (col(groupCol).as("group") +: col(valueCol).cast("long").as("v") +:
+        orderCols.map(col)): _*)
+      .withColumn("p", lag(col("v"), 1).over(w))
+      .withColumn("f", lead(col("v"), 1).over(w))
+    val isTp = col("p").isNotNull && col("f").isNotNull &&
+      ((col("p") < col("v") && col("f") < col("v")) ||
+        (col("p") > col("v") && col("f") > col("v")))
+    val g = base.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), count(when(isTp, 1)).as("turning_points"))
+    val nD = col("n").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    g.select(col("group"), col("n"), col("turning_points"),
+      round(when(col("n") >= 3L && v > 0.0,
+        (col("turning_points").cast("double") - e) / sqrt(v)), 7).as("z"))
+  }
+
   /** Seasonal Mann-Kendall (Hirsch-Slack 1984) — monotone-trend
     * detection that ignores the seasonal cycle a plain [[mannKendall]]
     * would misread as trend: the S statistic and its variance are

@@ -156,6 +156,51 @@ class TrendSpec extends SparkTestBase {
       .collect().forall(_.isNullAt(3)))
   }
 
+  test("cross-correlation: shifted copy peaks at its lag, reference parity") {
+    // y is x shifted by 2 -> r at lag 2 must be exactly 1
+    val rnd = new scala.util.Random(13)
+    val xs = Seq.fill(30)(rnd.nextInt(50).toLong)
+    val ys = xs.indices.map(i => if (i >= 2) Some(xs(i - 2)) else None)
+    // y_t = x_{t-2}: x leads y by 2 -> CCF(x, y) peaks at lag 2
+    val df = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+      ("g", (i + 1).toLong, x, y) }.toDF("g", "t", "x", "y")
+    val got = Trend.crossCorrelation(df, "g", Seq("t"), "x", "y",
+      maxLag = 3).collect().map(r => r.getInt(1) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got(2) == 1.0, s"lag-2 r: ${got(2)}")
+    assert(math.abs(got(0)) < 0.7 && math.abs(got(1)) < 0.7)
+    // reference parity at lag 1 via direct Pearson on aligned pairs
+    val pairs = xs.indices.flatMap(i =>
+      ys.lift(i + 1).flatten.map(y => (xs(i), y)))
+    def pear(a: Seq[Long], b: Seq[Long]): Double = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val cov = n * a.zip(b).map(p => p._1 * p._2).sum - sa * sb
+      cov / (math.sqrt(n * a.map(q => q * q).sum - sa * sa) *
+        math.sqrt(n * b.map(q => q * q).sum - sb * sb))
+    }
+    val want = math.rint(pear(pairs.map(_._1), pairs.map(_._2)) * 1e7) / 1e7
+    assert(got(1) == want)
+  }
+
+  test("turning points: sawtooth all-turns, monotone none, hand z") {
+    val saw = Seq(0L, 5L, 0L, 5L, 0L, 5L, 0L).zipWithIndex
+      .map { case (v, i) => ("s", (i + 1).toLong, v) }.toDF("g", "t", "v")
+    val r = Trend.turningPointTest(saw, "g", Seq("t"), "v").collect()(0)
+    assert(r.getLong(1) == 7L && r.getLong(2) == 5L) // every interior
+    val e = 2.0 * 5 / 3; val v = (16.0 * 7 - 29) / 90
+    assert(r.getDouble(3) == math.rint((5 - e) / math.sqrt(v) * 1e7) / 1e7)
+    val mono = (1L to 6L).zipWithIndex
+      .map { case (v, i) => ("m", (i + 1).toLong, v) }.toDF("g", "t", "v")
+    assert(Trend.turningPointTest(mono, "g", Seq("t"), "v")
+      .collect()(0).getLong(2) == 0L)
+    // ties are conservative: a flat shoulder is not a turn
+    val flat = Seq(1L, 3L, 3L, 1L).zipWithIndex
+      .map { case (v, i) => ("f", (i + 1).toLong, v) }.toDF("g", "t", "v")
+    assert(Trend.turningPointTest(flat, "g", Seq("t"), "v")
+      .collect()(0).getLong(2) == 0L)
+  }
+
   test("seasonal Mann-Kendall: within-season trend found, pure cycle null") {
     // two seasons, both strictly rising: S* = 3 + 3, 18Var = 66 + 66
     val trend = Seq((0L, 1L, 10L), (0L, 3L, 20L), (0L, 5L, 30L),
