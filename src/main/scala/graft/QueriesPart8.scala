@@ -670,6 +670,19 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 439. Gwet's AC1, oracle-pinned --------------------------------------------------------------------------
+    // The prevalence-robust companion of q318's kappa over the q429
+    // rating pair — modern annotation reports quote both.
+    "q439_gwet_ac1" -> ((s, d) => {
+      val band = floor(col("value") / 100).cast("long")
+      graft.operators.StatTests.gwetAc1(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(band.cast("string").as("r1"),
+            least(band + (col("event_id") % 3) - 1, lit(5L))
+              .cast("string").as("r2")),
+        "r1", "r2")
+    }),
+
     // --- 437/438. lead-lag + randomness diagnostics, oracle-pinned -----------------------------------------------
     // CCF: does daily activity VOLUME lead daily value mass (lags
     // 0..3)? Turning points: is each type's value stream i.i.d.-ish?
@@ -1193,6 +1206,38 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Gwet AC1: exact marginal census, category-sorted Pe fold.
+    "q439_gwet_ac1" ->
+      """WITH e AS (SELECT
+        |    CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR) AS r1,
+        |    CAST(least(CAST(floor(value / 100) AS BIGINT)
+        |      + event_id % 3 - 1, 5) AS VARCHAR) AS r2
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT count(*) AS n,
+        |    count(CASE WHEN r1 = r2 THEN 1 END) AS n_agree FROM e),
+        |m1 AS (SELECT r1 AS cat, count(*) AS c1 FROM e GROUP BY 1),
+        |m2 AS (SELECT r2 AS cat, count(*) AS c2 FROM e GROUP BY 1),
+        |cats AS (SELECT COALESCE(m1.cat, m2.cat) AS cat,
+        |    COALESCE(c1, 0) + COALESCE(c2, 0) AS m
+        |  FROM m1 FULL OUTER JOIN m2 ON m1.cat = m2.cat),
+        |ca AS (SELECT count(*) AS q,
+        |    list_reduce(list(
+        |      (CAST(m AS DOUBLE)
+        |        / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      * (CAST(1 AS DOUBLE) - CAST(m AS DOUBLE)
+        |        / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      ORDER BY cat), (a, b) -> a + b) AS pe_sum
+        |  FROM cats, b)
+        |SELECT n, n_agree, q,
+        |  ROUND(CASE WHEN q >= 2 AND
+        |      pe_sum / (CAST(q AS DOUBLE) - CAST(1 AS DOUBLE)) < 1 THEN
+        |    (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - pe_sum / (CAST(q AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |    / (CAST(1 AS DOUBLE)
+        |      - pe_sum / (CAST(q AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |    END, 7) AS ac1
+        |FROM b, ca""".stripMargin,
 
     // CCF: per-lag exact moments over aligned pairs, pinned r each.
     "q437_ccf" -> {

@@ -908,6 +908,50 @@ object StatTests {
           .as("j"))
   }
 
+  /** Gwet's AC1 (Gwet 2008) — inter-rater agreement that survives the
+    * prevalence paradox (kappa collapses toward 0 when one category
+    * dominates even at 95% raw agreement; AC1 does not, which is why
+    * modern annotation-quality reports quote both):
+    *
+    *   AC1 = (Po - Pe) / (1 - Pe),
+    *   Pe  = sum_c pi_c*(1 - pi_c) / (q - 1),
+    *   pi_c = (r1_c + r2_c) / (2n)
+    *
+    * with q the number of observed categories. Counts exact; Pe's
+    * per-category terms are pinned doubles summed through a
+    * category-sorted fold (the q345 discipline); AC1 one final
+    * expression. Null when q < 2 or Pe = 1. Returns one row
+    * (n, n_agree, q, ac1).
+    */
+  def gwetAc1(df: DataFrame, rater1Col: String,
+      rater2Col: String): DataFrame = {
+    val slim = df.select(col(rater1Col).cast("string").as("r1"),
+        col(rater2Col).cast("string").as("r2"))
+      .where(col("r1").isNotNull && col("r2").isNotNull)
+    val base = slim.agg(count(lit(1)).as("n"),
+      count(when(col("r1") === col("r2"), 1)).as("n_agree"))
+    val m1 = slim.groupBy(col("r1").as("cat")).agg(count(lit(1)).as("c1"))
+    val m2 = slim.groupBy(col("r2").as("cat")).agg(count(lit(1)).as("c2"))
+    val cats = m1.join(m2, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        (coalesce(col("c1"), lit(0L)) + coalesce(col("c2"), lit(0L)))
+          .as("m"))
+    val catAgg = cats.agg(count(lit(1)).as("q"),
+      sort_array(collect_list(struct(col("cat"), col("m")))).as("ms"))
+    val joined = base.crossJoin(broadcast(catAgg))
+    val nD = col("n").cast("double")
+    // category-sorted fold of pi*(1-pi), pi = m/(2n)
+    val peSum = aggregate(col("ms"), lit(0.0), (acc, e) => {
+      val pi = e("m").cast("double") / (lit(2.0) * nD)
+      acc + pi * (lit(1.0) - pi)
+    })
+    val pe = peSum / (col("q").cast("double") - 1.0)
+    val po = col("n_agree").cast("double") / nD
+    joined.select(col("n"), col("n_agree"), col("q"),
+      round(when(col("q") >= 2L && pe < 1.0, (po - pe) / (lit(1.0) - pe)),
+        7).as("ac1"))
+  }
+
   /** Fleiss' kappa — multi-rater agreement (Fleiss, Psych. Bulletin
     * 1971), the k-rater generalization of [[cohensKappa]] and the
     * label-quality gate for crowd/model-judge annotation with MORE than

@@ -289,6 +289,24 @@ class StatTestsSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("Gwet AC1: hand case, prevalence robustness vs kappa") {
+    // 9 agreements on 'a', 1 agreement on 'b': Po = 1
+    // pi_a = 18/20, pi_b = 2/20; Pe = (.9*.1 + .1*.9)/1 = 0.18
+    val perfect = (Seq.fill(9)(("a", "a")) :+ (("b", "b")))
+      .toDF("r1", "r2")
+    val p = StatTests.gwetAc1(perfect, "r1", "r2").collect()(0)
+    assert(p.getLong(0) == 10L && p.getLong(1) == 10L && p.getLong(2) == 2L)
+    assert(p.getDouble(3) == 1.0)
+    // skewed prevalence with one disagreement: AC1 stays high while
+    // kappa collapses (the paradox AC1 exists to fix)
+    val skew = (Seq.fill(18)(("a", "a")) ++ Seq(("a", "b"), ("b", "a")))
+      .toDF("r1", "r2")
+    val ac1 = StatTests.gwetAc1(skew, "r1", "r2").collect()(0).getDouble(3)
+    val kap = StatTests.cohensKappa(skew, "r1", "r2")
+      .collect()(0).getDouble(3)
+    assert(ac1 > 0.8 && kap < 0.2, s"ac1=$ac1 kappa=$kap")
+  }
+
   test("CMH: paradox-proof stratified association, hand arithmetic") {
     // two strata, each with the SAME positive within-stratum effect
     // stratum s1: exposed 8/10 vs unexposed 4/10;
