@@ -125,7 +125,7 @@ object GraftSqlParser {
   private[sql] final case class IdArg(name: String) extends Arg
 
   private val CallRe =
-    """(?is)\s*CALL\s+graft_([a-z_]+)\s*\((.*)\)\s*;?\s*""".r
+    """(?is)\s*CALL\s+graft_([a-z0-9_]+)\s*\((.*)\)\s*;?\s*""".r
 
   /** Some(command) iff the statement is a well-formed `CALL graft_*`; a
     * malformed graft CALL throws a ParseException with the grammar (it
@@ -456,12 +456,41 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
         case "anova_eta" => StatTests.anovaEta(src, ms(0), ms(1))
         case "partial_corr" => StatTests.partialCorrelation(src, ms(0),
           ms(1), ms(2), ms(3))
+        case "weighted_kappa" => StatTests.weightedKappa(src, ms(0), ms(1))
+        case "gwet_ac1" => StatTests.gwetAc1(src, ms(0), ms(1))
+        case "youden" => StatTests.youdenThreshold(src, ms(0), ms(1))
+        case "average_precision" =>
+          graft.functions.Eval.averagePrecision(src, ms(0), ms(1))
+        case "logrank" => graft.functions.Survival.logRank(src, ms(0),
+          ms(1), ms(2), ms(3), ms(4))
+        case "cmh" => StatTests.cmhTest(src, ms(0), ms(1), ms(2))
+        case "poisson_rate" => StatTests.poissonTwoRate(src, ms(0),
+          ms(1), ms(2), ms(3), ms(4))
+        case "seasonal_mann_kendall" => Trend.seasonalMannKendall(src,
+          ms(0), ms(1), ms(2), ms(3))
+        case "ccf" => Trend.crossCorrelation(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
+          ms(3), mi(4))
+        case "turning_points" => Trend.turningPointTest(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "srm" =>
+          val ws = ms(1).split(",").map(_.trim).filter(_.nonEmpty).map {
+            kv =>
+              val Array(k, v) = kv.split(":")
+              (k.trim, v.trim.toLong)
+          }.toSeq
+          graft.operators.AbTest.sampleRatioMismatch(src, ms(0), ws)
+        case "cohens_h" => graft.operators.EffectSizes.cohensH(src,
+          ms(0), ms(1), ms(2), ms(3))
         case other => bad(s"unknown statistic '$other' (known: " +
-          "anderson_darling, anova_eta, ari, auc, benford, concordance, " +
-          "conformal, cusum, durbin_watson, ece, k_anonymity, ks, kuiper, " +
-          "l_diversity, lift, ljung_box, mahalanobis, mann_kendall, " +
-          "mannwhitney, mcc, partial_corr, psi, purity, target_encode, " +
-          "theil_sen, uncertainty, vmeasure, welch, wilson)")
+          "anderson_darling, anova_eta, ari, auc, average_precision, " +
+          "benford, ccf, cmh, cohens_h, concordance, conformal, cusum, " +
+          "durbin_watson, ece, gwet_ac1, k_anonymity, ks, kuiper, " +
+          "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
+          "mann_kendall, mannwhitney, mcc, partial_corr, poisson_rate, " +
+          "psi, purity, seasonal_mann_kendall, srm, target_encode, " +
+          "theil_sen, turning_points, uncertainty, vmeasure, " +
+          "weighted_kappa, welch, wilson, youden)")
       }
       result.createOrReplaceTempView(view)
       Seq(Row(s"registered $view = graft_$verb over ${mid.collect {

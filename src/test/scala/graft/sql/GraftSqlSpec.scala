@@ -278,6 +278,31 @@ class GraftSqlSpec extends SparkTestBase {
       "st_ae", StatTests.anovaEta(src, "g", "v"))
     parity("CALL graft_stat_partial_corr(sqlstat_src, 'g', 't', 'v', 't', st_pc)",
       "st_pc", StatTests.partialCorrelation(src, "g", "t", "v", "t"))
+    parity("CALL graft_stat_weighted_kappa(sqlstat_src, 't', 't', st_wk)",
+      "st_wk", StatTests.weightedKappa(src, "t", "t"))
+    parity("CALL graft_stat_gwet_ac1(sqlstat_src, 'g', 'g', st_gw)",
+      "st_gw", StatTests.gwetAc1(src, "g", "g"))
+    parity("CALL graft_stat_youden(sqlstat_src, 'v', 'y', st_yd)",
+      "st_yd", StatTests.youdenThreshold(src, "v", "y"))
+    parity("CALL graft_stat_average_precision(sqlstat_src, 'v', 'y', st_ap)",
+      "st_ap", graft.functions.Eval.averagePrecision(src, "v", "y"))
+    parity("CALL graft_stat_logrank(sqlstat_src, 'g', 't', 'y', 'a', 'b', st_lr)",
+      "st_lr", graft.functions.Survival.logRank(src, "g", "t", "y", "a", "b"))
+    parity("CALL graft_stat_cmh(sqlstat_src, 'g', 'y', 'y', st_cmh)",
+      "st_cmh", StatTests.cmhTest(src, "g", "y", "y"))
+    parity("CALL graft_stat_poisson_rate(sqlstat_src, 'g', 't', 'v', 'a', 'b', st_pr)",
+      "st_pr", StatTests.poissonTwoRate(src, "g", "t", "v", "a", "b"))
+    parity("CALL graft_stat_seasonal_mann_kendall(sqlstat_src, 'g', 'y', 't', 'v', st_smk)",
+      "st_smk", Trend.seasonalMannKendall(src, "g", "y", "t", "v"))
+    parity("CALL graft_stat_ccf(sqlstat_src, 'g', 't', 'v', 'v', 2, st_ccf)",
+      "st_ccf", Trend.crossCorrelation(src, "g", Seq("t"), "v", "v", 2))
+    parity("CALL graft_stat_turning_points(sqlstat_src, 'g', 't', 'v', st_tp)",
+      "st_tp", Trend.turningPointTest(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_srm(sqlstat_src, 'g', 'a:1,b:1', st_srm)",
+      "st_srm", graft.operators.AbTest.sampleRatioMismatch(src, "g",
+        Seq("a" -> 1L, "b" -> 1L)))
+    parity("CALL graft_stat_cohens_h(sqlstat_src, 'g', 'y', 'a', 'b', st_ch)",
+      "st_ch", graft.operators.EffectSizes.cohensH(src, "g", "y", "a", "b"))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
