@@ -670,6 +670,20 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 440. precision/recall@k, oracle-pinned ------------------------------------------------------------------
+    // The set-based retrieval readout beside q300's NDCG and q303's
+    // MRR, on the same synthetic ranking: exact relevant-in-top-5
+    // census per query, deterministic (score desc, doc) cut.
+    "q440_precision_at_k" -> ((s, d) => {
+      val runs = t(s, d, "documents").where(col("doc_id") < 500).select(
+        (col("doc_id") % 50).as("query"),
+        col("doc_id").as("doc"),
+        (col("doc_id") % 4).as("rel"),
+        ((col("doc_id") * 37) % 101).cast("double").as("score"))
+      graft.functions.Eval.precisionRecallAtK(runs, "query", "doc",
+        "rel", "score", k = 5).orderBy("query")
+    }),
+
     // --- 439. Gwet's AC1, oracle-pinned --------------------------------------------------------------------------
     // The prevalence-robust companion of q318's kappa over the q429
     // rating pair — modern annotation reports quote both.
@@ -1206,6 +1220,28 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // P/R@k: exact top-5 relevance census, deterministic cut.
+    "q440_precision_at_k" ->
+      """WITH runs AS (
+        |  SELECT doc_id % 50 AS query, doc_id AS doc, doc_id % 4 AS rel,
+        |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+        |  FROM documents WHERE doc_id < 500),
+        |ranked AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY score DESC, doc ASC) AS r
+        |  FROM runs),
+        |g AS (SELECT query, count(*) AS n_docs,
+        |    count(CASE WHEN rel > 0 THEN 1 END) AS n_rel,
+        |    count(CASE WHEN rel > 0 AND r <= 5 THEN 1 END) AS rel_at_k
+        |  FROM ranked GROUP BY 1)
+        |SELECT query, n_docs, n_rel, rel_at_k,
+        |  ROUND(CAST(rel_at_k AS DOUBLE) / CAST(5 AS DOUBLE), 7)
+        |    AS p_at_k,
+        |  ROUND(CASE WHEN n_rel > 0 THEN
+        |    CAST(rel_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE) END, 7)
+        |    AS r_at_k
+        |FROM g ORDER BY query""".stripMargin,
 
     // Gwet AC1: exact marginal census, category-sorted Pe fold.
     "q439_gwet_ac1" ->

@@ -260,6 +260,37 @@ object Eval {
       .orderBy(col("bin"))
   }
 
+  /** Precision@k and recall@k per query — the set-based retrieval
+    * readout beside [[ndcgAtK]] (rank-discounted) and
+    * [[reciprocalRank]] (first-hit): rank docs by (score desc, doc id)
+    * — a TOTAL order, so the cut is deterministic — and report the
+    * exact relevant-in-top-k census against k and against the query's
+    * total relevant count. Per-query windows (queries are the
+    * partitions, never a global sort); counts exact; two divisions
+    * per query.
+    *
+    * Returns (query, n_docs, n_rel, rel_at_k, p_at_k, r_at_k).
+    */
+  def precisionRecallAtK(df: DataFrame, queryCol: String, docCol: String,
+      relCol: String, scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(desc(scoreCol), col(docCol))
+    val ranked = df.select(col(queryCol).as("query"), col(docCol),
+        (col(relCol) > 0).as("is_rel"), col(scoreCol))
+      .withColumn("__r", row_number().over(w))
+    ranked.groupBy(col("query"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_rel"), 1)).as("n_rel"),
+        count(when(col("is_rel") && col("__r") <= k, 1)).as("rel_at_k"))
+      .select(col("query"), col("n_docs"), col("n_rel"), col("rel_at_k"),
+        round(col("rel_at_k").cast("double") / lit(k.toDouble), 7)
+          .as("p_at_k"),
+        round(when(col("n_rel") > 0L,
+          col("rel_at_k").cast("double") / col("n_rel").cast("double")),
+          7).as("r_at_k"))
+  }
+
   /** Split-conformal prediction threshold (Vovk; the Angelopoulos-Bates
     * recipe): given calibration nonconformity scores, the threshold
     * q_hat = the k-th SMALLEST score with k = ceil((n+1)*(1-alpha)),

@@ -169,6 +169,28 @@ class EvalSpec extends SparkTestBase {
     assert(tb(0L).getLong(1) == 11L || tb.size == 1)
   }
 
+  test("precision/recall@k: hand ranking, tie-safe cut, zero-rel null") {
+    // query q: docs ranked by score desc: d1(rel), d2, d3(rel), d4
+    val df = Seq(("q", "d1", 1, 90.0), ("q", "d2", 0, 80.0),
+      ("q", "d3", 2, 70.0), ("q", "d4", 0, 60.0),
+      ("z", "e1", 0, 50.0)).toDF("query", "doc", "rel", "score")
+    val got = Eval.precisionRecallAtK(df, "query", "doc", "rel", "score",
+      k = 2).collect().map(r => r.getString(0) -> r).toMap
+    val q = got("q")
+    assert(q.getLong(1) == 4L && q.getLong(2) == 2L && q.getLong(3) == 1L)
+    assert(q.getDouble(4) == 0.5) // 1 relevant in top-2
+    assert(q.getDouble(5) == 0.5) // of 2 total relevant
+    // no relevant docs: recall undefined -> null, precision 0
+    val z = got("z")
+    assert(z.getDouble(4) == 0.0 && z.isNullAt(5))
+    // score ties cut deterministically by doc id
+    val tied = Seq(("t", "a", 1, 5.0), ("t", "b", 0, 5.0),
+      ("t", "c", 1, 5.0)).toDF("query", "doc", "rel", "score")
+    val t = Eval.precisionRecallAtK(tied, "query", "doc", "rel", "score",
+      k = 2).collect()(0)
+    assert(t.getLong(3) == 1L) // top-2 by (score, doc) = a, b
+  }
+
   test("average precision: perfect 1, interleaved hand case, tie blob") {
     val perfect = Seq((30, true), (20, true), (10, false)).toDF("p", "y")
     assert(Eval.averagePrecision(perfect, "p", "y")
