@@ -670,6 +670,20 @@ private[graft] object QueriesPart8 {
       graft.functions.UnigramTokenizer.seedInventory(
         t(s, d, "documents"), "text", vocabSize = 200)),
 
+    // --- 441. Brier decomposition, oracle-pinned -----------------------------------------------------------------
+    // WHERE q302's Brier loss comes from: reliability (miscalibration)
+    // vs resolution (discrimination) vs irreducible uncertainty, over
+    // the same bins.
+    "q441_brier_decomposition" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.brierDecomposition(scored, "p", "y",
+        nBins = 10)
+    }),
+
     // --- 440. precision/recall@k, oracle-pinned ------------------------------------------------------------------
     // The set-based retrieval readout beside q300's NDCG and q303's
     // MRR, on the same synthetic ranking: exact relevant-in-top-5
@@ -1220,6 +1234,43 @@ private[graft] object QueriesPart8 {
       |  FROM cdim GROUP BY cluster)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // Brier decomposition: exact-numerator bin terms, micro sums.
+    "q441_brier_decomposition" ->
+      """WITH s AS (SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |      ELSE doc_id % 600 END AS p
+        |  FROM documents),
+        |b AS (SELECT LEAST((p * 10) // 1000, 9) AS bin, count(*) AS nb,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos, sum(p) AS psum
+        |  FROM s GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS npos FROM b),
+        |t AS (SELECT n, npos,
+        |    CAST(floor(CAST(psum - 1000 * pos AS DOUBLE)
+        |      * CAST(psum - 1000 * pos AS DOUBLE)
+        |      / (1e6 * CAST(nb AS DOUBLE)) * 1e6) AS BIGINT) AS r6,
+        |    CAST(floor((CAST(pos AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(nb AS DOUBLE) * CAST(npos AS DOUBLE))
+        |      * (CAST(pos AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(nb AS DOUBLE) * CAST(npos AS DOUBLE))
+        |      / (CAST(nb AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s6
+        |  FROM b, tot),
+        |agg AS (SELECT n, npos, count(*) AS n_bins,
+        |    CAST(sum(r6) AS BIGINT) AS rel_micro,
+        |    CAST(sum(s6) AS BIGINT) AS res_micro
+        |  FROM t GROUP BY n, npos)
+        |SELECT n, n_bins,
+        |  ROUND(CAST(rel_micro AS DOUBLE)
+        |    / (1e6 * CAST(n AS DOUBLE)), 7) AS reliability,
+        |  ROUND(CAST(res_micro AS DOUBLE)
+        |    / (1e6 * CAST(n AS DOUBLE)), 7) AS resolution,
+        |  ROUND((CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(1 AS DOUBLE)
+        |      - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 7)
+        |    AS uncertainty
+        |FROM agg""".stripMargin,
 
     // P/R@k: exact top-5 relevance census, deterministic cut.
     "q440_precision_at_k" ->

@@ -203,6 +203,56 @@ object Eval {
           (lit(1000.0) * col("n").cast("double")), 7).as("ece"))
   }
 
+  /** Murphy decomposition of the Brier score over the shared milli-
+    * probability bins — WHERE does a classifier's Brier loss come
+    * from:
+    *
+    *   REL = sum_b n_b*(conf_b - acc_b)^2 / N   (miscalibration, bad)
+    *   RES = sum_b n_b*(acc_b - base)^2 / N     (discrimination, good)
+    *   UNC = base*(1 - base)                    (irreducible)
+    *
+    * with binned Brier = REL - RES + UNC. Exactness: per-bin terms
+    * have exact integer numerators ((psum - 1000*n_pos)^2 / n_b and
+    * the base-rate mirror) pinned and micro-quantized at 1e6 before
+    * the bin sums, so both accumulations are exact; the three outputs
+    * are final pinned expressions. Returns one row (n, n_bins,
+    * reliability, resolution, uncertainty).
+    */
+  def brierDecomposition(df: DataFrame, probMilliCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]")
+    val p = col(probMilliCol).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val bins = df.groupBy(milliBin(p, nBins).as("bin"))
+      .agg(count(lit(1)).as("nb"), sum(y).as("pos"), sum(p).as("psum"))
+    val tot = bins.agg(sum(col("nb")).as("n"), sum(col("pos")).as("npos"))
+    val j = bins.crossJoin(broadcast(tot))
+    // conf - acc = (psum - 1000*pos)/(1000*nb); n_b*(.)^2 =
+    // (psum - 1000*pos)^2/(1e6*nb) — exact integer numerator
+    val dRel = (col("psum") - lit(1000L) * col("pos")).cast("double")
+    val rel6 = floor(dRel * dRel /
+      (lit(1e6) * col("nb").cast("double")) * lit(1e6)).cast("long")
+    // acc - base = (pos*n - nb*npos)/(nb*n); n_b*(.)^2 =
+    // (pos*n - nb*npos)^2/(nb*n^2)
+    val dRes = (col("pos").cast("double") * col("n").cast("double") -
+      col("nb").cast("double") * col("npos").cast("double"))
+    val res6 = floor(dRes * dRes /
+      (col("nb").cast("double") * col("n").cast("double") *
+        col("n").cast("double")) * lit(1e6)).cast("long")
+    val agg = j.select(col("n"), col("npos"), rel6.as("r6"),
+        res6.as("s6"))
+      .groupBy(col("n"), col("npos"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("r6")).as("rel_micro"),
+        sum(col("s6")).as("res_micro"))
+    val base = col("npos").cast("double") / col("n").cast("double")
+    agg.select(col("n"), col("n_bins"),
+      round(col("rel_micro").cast("double") /
+        (lit(1e6) * col("n").cast("double")), 7).as("reliability"),
+      round(col("res_micro").cast("double") /
+        (lit(1e6) * col("n").cast("double")), 7).as("resolution"),
+      round(base * (lit(1.0) - base), 7).as("uncertainty"))
+  }
+
   /** Decile lift/gains table — the campaign-targeting readout: rank by
     * score descending, cut into nBins VALUE-ATOMIC bins (every row of
     * one distinct score lands in the bin of its first element, so ties

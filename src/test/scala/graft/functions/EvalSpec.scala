@@ -129,6 +129,23 @@ class EvalSpec extends SparkTestBase {
     assert(got(0L).getDouble(5) == brier)
   }
 
+  test("Brier decomposition: hand bins, perfect-calibration REL 0") {
+    // bin 9: p=900 x2 (1 pos), bin 0: p=100 x2 (0 pos); base = 1/4
+    val df = Seq((900, true), (900, false), (100, false), (100, false))
+      .toDF("p", "y")
+    val r = Eval.brierDecomposition(df, "p", "y", nBins = 10).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    // REL: bin9 (1800-1000)^2/(1e6*2)=0.32; bin0 (200-0)^2/(1e6*2)=0.02
+    assert(r.getDouble(2) == math.rint((0.32 + 0.02) / 4 * 1e7) / 1e7)
+    // RES: bin9 (1*4-2*1)^2/(2*16)=0.125; bin0 (0-2)^2/(2*16)=0.125
+    assert(r.getDouble(3) == math.rint(0.25 / 4 * 1e7) / 1e7)
+    assert(r.getDouble(4) == 0.1875) // 0.25*0.75
+    // perfectly calibrated bins: REL = 0
+    val cal = Seq((500, true), (500, false)).toDF("p", "y")
+    assert(Eval.brierDecomposition(cal, "p", "y").collect()(0)
+      .getDouble(2) == 0.0)
+  }
+
   test("ECE: exact telescoped numerator over the calibration bins") {
     val df = Seq(
       (950, true), (1000, true), (980, false), // bin 9: |2000-2930|=930
