@@ -1206,16 +1206,19 @@ private[graft] object QueriesPart8 {
 
   /** Shared oracle CTE prefix for the q397-q403 clustering battery:
     * milli-quantized vectors, the k=8 nearest-seed assignment (exact
-    * integer argmin, ties to the lowest seed), and the milli-quantized
-    * per-cluster centroid table — the same quantize-first pipeline
-    * `ClusterEval` declares, replayed relationally.
+    * integer argmin, ties to the lowest seed, seeds = the 8 SMALLEST
+    * vec_ids — the ranked take, matching `assignNearestSeed`), and the
+    * milli-quantized per-cluster centroid table — the same
+    * quantize-first pipeline `ClusterEval` declares, replayed
+    * relationally.
     */
   private val clusterCte: String =
     """WITH pts AS (
       |  SELECT vec_id, label, list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-      |  FROM embeddings),
-      |seeds AS (SELECT vec_id AS seed, q AS sq FROM pts WHERE vec_id < 8),
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |seeds AS (SELECT vec_id AS seed, q AS sq FROM pts
+      |          ORDER BY vec_id LIMIT 8),
       |dists AS (SELECT p.vec_id, p.label, p.q, s.seed,
       |    CAST(list_sum(list_transform(list_zip(p.q, s.sq),
       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
@@ -1914,8 +1917,9 @@ private[graft] object QueriesPart8 {
         |      AS BIGINT) AS t_micro
         |  FROM terms WHERE bpd * (2 * nd - bpd) - nd * ld > 0)
         |SELECT n_a, n_b, CAST(sum(t_micro) AS BIGINT) AS a2_micro,
-        |  ROUND(CAST(sum(t_micro) AS DOUBLE)
-        |    / (1e6 * CAST(n_a + n_b AS DOUBLE)), 7) AS a2
+        |  ROUND(CAST(sum(t_micro) AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)
+        |    / (1e6 * CAST(n_a + n_b AS DOUBLE)
+        |         * CAST(n_a + n_b AS DOUBLE)), 7) AS a2
         |FROM tm GROUP BY n_a, n_b""".stripMargin,
 
     // MCC: exact confusion counts, one pinned ratio.

@@ -40,19 +40,23 @@ object ClusterEval {
       lit(0L), (acc, v) => acc + v)
 
   /** Assign every point to its nearest seed centroid — the seeds are
-    * the first k points by id (deterministic, oracle-replayable; the
-    * shape of one k-means assignment sweep). Ties go to the lowest
+    * the k points with the SMALLEST ids (deterministic,
+    * oracle-replayable; the shape of one k-means assignment sweep).
+    * Ranked take, not `id < k`: sparse or non-zero-based id domains
+    * still yield exactly k seeds (a TakeOrdered over k rows, not a
+    * filter that can silently come up empty). Ties go to the lowest
     * seed id. Returns (idCol, cluster, q) with q the quantized vector.
     *
-    * Scale: seeds broadcast (k rows), one pass over points, exact
-    * integer distances — no float order anywhere.
+    * Scale: seeds broadcast (k rows via global TakeOrdered — no full
+    * sort materializes), one pass over points, exact integer
+    * distances — no float order anywhere.
     */
   def assignNearestSeed(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 2, "need at least 2 seeds")
     val pts = df.select(col(idCol), quantizeVec(col(vecCol)).as("q"))
       .where(col("q").isNotNull)
-    val seeds = pts.where(col(idCol) < k)
+    val seeds = pts.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("seed"), col("q").as("sq"))
     pts.crossJoin(broadcast(seeds))
       .select(col(idCol), col("q"),
@@ -70,8 +74,13 @@ object ClusterEval {
     *
     * I/A/B/C are exact DECIMAL(38,0) pair counts (the contingency
     * table never leaves the cluster); the ratio is ONE pinned double
-    * expression over them. Returns one row (n, i_pairs, a_pairs,
-    * b_pairs, ari).
+    * expression over them. Degenerate labelings (both all-singletons or
+    * both one-cluster) make the denominator exactly 0; since C(a+b) =
+    * 2ab with a,b in [0,C] forces a = b = C or a = b = 0 (harmonic mean
+    * equals the cap only at the cap), that case is EXACTLY a_pairs =
+    * b_pairs = i_pairs, and we return the sklearn convention 1.0
+    * (perfect agreement) on that integer test instead of 0/0 = NaN.
+    * Returns one row (n, i_pairs, a_pairs, b_pairs, ari).
     */
   def ari(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val slim = df.select(col(aCol).cast("string").as("a"),
@@ -92,8 +101,11 @@ object ClusterEval {
     val exp = d(col("a_pairs")) * d(col("b_pairs")) / d(nPairs)
     val ariE = (d(col("i_pairs")) - exp) /
       ((d(col("a_pairs")) + d(col("b_pairs"))) / 2.0 - exp)
+    val degenerate = col("a_pairs") === col("i_pairs") &&
+      col("b_pairs") === col("i_pairs")
     joined.select(col("n"), col("i_pairs"), col("a_pairs"), col("b_pairs"),
-      round(when(nPairs > 0, ariE), 7).as("ari"))
+      round(when(nPairs > 0,
+        when(degenerate, lit(1.0)).otherwise(ariE)), 7).as("ari"))
   }
 
   /** Purity and inverse purity — the two asymmetric halves of cluster/

@@ -125,6 +125,16 @@ object Eval {
           lit(1.0) / col("first_rel_rank").cast("double")), 7))
   }
 
+  /** The shared milli-probability equal-width bin: floor(p*nBins/1000)
+    * clamped to the last bin — integer division, engine-portable.
+    */
+  private def milliBin(p: Column, nBins: Int): Column = least(
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(p * nBins),
+        org.apache.spark.sql.graft.Bridge.expression(lit(1000L)))),
+    lit((nBins - 1).toLong))
+
   /** Probability calibration (the reliability diagram) + Brier score —
     * the trust check on any quality/toxicity classifier the pipeline
     * gates with: does a 0.8 score mean 80%?
@@ -145,16 +155,6 @@ object Eval {
     * Scale shape: one map-side-combining groupBy on the bin; the Brier
     * aggregate is a 1-row crossJoin broadcast.
     */
-  /** The shared milli-probability equal-width bin: floor(p*nBins/1000)
-    * clamped to the last bin — integer division, engine-portable.
-    */
-  private def milliBin(p: Column, nBins: Int): Column = least(
-    org.apache.spark.sql.graft.Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.graft.Bridge.expression(p * nBins),
-        org.apache.spark.sql.graft.Bridge.expression(lit(1000L)))),
-    lit((nBins - 1).toLong))
-
   def calibration(df: DataFrame, probMilliCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]")

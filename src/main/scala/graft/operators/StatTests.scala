@@ -147,16 +147,20 @@ object StatTests {
     * doubled midrank cumulatives B'_j = 2*cum_j - l_j and per-sample
     * M'_ij = 2*cum_ij - l_ij,
     *
-    *   A2 = (1/N) * sum_j l_j * sum_i
+    *   A2akN = ((N-1)/N^2) * sum_j l_j * sum_i
     *        (N*M'_ij - n_i*B'_j)^2 / (n_i * (B'_j*(2N - B'_j) - N*l_j))
     *
     * (the x4 rescaling of both numerator and denominator cancels, so
-    * every input to the per-(i,j) term is an EXACT integer). Each term
-    * is one pinned double micro-quantized at 1e6 so the sum over the
-    * value domain is exact; A2 is the one unscaling division. The
-    * degenerate last term (B' = 2N - l at the maximum, denominator 0)
-    * is excluded per the published formula's j < (distinct) range —
-    * here: denominator > 0 filter.
+    * every input to the per-(i,j) term is an EXACT integer; the doubled
+    * form divided by 4/4 equals the paper's (l_j/N)(N*M-n_i*B)^2 /
+    * (B(N-B) - N*l/4) per-sample sums, and the trailing (N-1)/N is the
+    * published small-sample normalization — without it the statistic is
+    * inflated by N/(N-1) and the tabulated critical values don't
+    * apply). Each term is one pinned double micro-quantized at 1e6 so
+    * the sum over the value domain is exact; A2akN is the one unscaling
+    * division. A denominator-zero term (possible only when one value
+    * carries ALL N observations) is excluded by the denominator > 0
+    * filter, matching the formula's convention.
     *
     * Same quantize-first distinct-value-domain contract + loud guard
     * as KS. Returns one row (n_a, n_b, a2_micro, a2).
@@ -198,8 +202,10 @@ object StatTests {
     perJ.groupBy(col("n_a"), col("n_b"))
       .agg(sum(col("t_micro")).as("a2_micro"))
       .select(col("n_a"), col("n_b"), col("a2_micro"),
-        round(col("a2_micro").cast("double") /
-          (lit(1e6) * (col("n_a") + col("n_b")).cast("double")), 7)
+        round(col("a2_micro").cast("double") *
+          (col("n_a") + col("n_b") - 1L).cast("double") /
+          (lit(1e6) * (col("n_a") + col("n_b")).cast("double") *
+            (col("n_a") + col("n_b")).cast("double")), 7)
           .as("a2"))
   }
 

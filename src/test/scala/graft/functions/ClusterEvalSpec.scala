@@ -41,6 +41,34 @@ class ClusterEvalSpec extends SparkTestBase {
     assert(ClusterEval.ari(same, "a", "b").collect()(0).getDouble(4) == 1.0)
   }
 
+  test("ARI: degenerate labelings hit the exact guard, not 0/0") {
+    // both all-singletons: A = B = I = 0 -> denominator exactly 0;
+    // sklearn convention 1.0 (agreement is perfect, trivially)
+    val singletons = Seq((0, 9), (1, 8), (2, 7)).toDF("a", "b")
+    assert(ClusterEval.ari(singletons, "a", "b")
+      .collect()(0).getDouble(4) == 1.0)
+    // both one cluster: A = B = I = C(n,2) -> denominator exactly 0
+    val mono = Seq((5, "x"), (5, "x"), (5, "x")).toDF("a", "b")
+    assert(ClusterEval.ari(mono, "a", "b").collect()(0).getDouble(4) == 1.0)
+    // n < 2: no pairs at all -> null, not a number
+    val one = Seq((1, 1)).toDF("a", "b")
+    assert(ClusterEval.ari(one, "a", "b").collect()(0).isNullAt(4))
+  }
+
+  test("assignment: sparse non-zero-based ids still yield k seeds") {
+    // ids 100/207/315/899 — `id < k` would find ZERO seeds; the ranked
+    // take uses the two smallest (100 at origin, 207 at (10,10))
+    val rows = Seq(
+      (100L, Array(0.0f, 0.0f)), (207L, Array(10.0f, 10.0f)),
+      (315L, Array(0.2f, 0.1f)), (899L, Array(9.9f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    val a = ClusterEval.assignNearestSeed(rows, "vec_id", "embedding", 2)
+      .orderBy("vec_id").select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toSeq
+    assert(a == Seq(100L -> 100L, 207L -> 207L, 315L -> 100L,
+      899L -> 207L))
+  }
+
   test("purity: hand contingency") {
     // cluster 0: {x: 3, y: 1}; cluster 1: {y: 2}
     val df = (Seq.fill(3)((0, "x")) ++ Seq((0, "y")) ++

@@ -434,39 +434,37 @@ class StatTestsSpec extends SparkTestBase {
       .collect()(0).isNullAt(5))
   }
 
-  test("Anderson-Darling 2-sample: brute-force parity, shift ordering") {
-    // independent reference implementing the midrank formula directly
-    def ref(xs: Seq[Long], ys: Seq[Long]): Double = {
-      val na = xs.size.toLong; val nb = ys.size.toLong; val n = na + nb
-      val vals = (xs ++ ys).distinct.sorted
-      var cumA = 0L; var cumB = 0L; var s = 0L
-      for (v <- vals) {
-        val la = xs.count(_ == v).toLong; val lb = ys.count(_ == v).toLong
-        cumA += la; cumB += lb
-        val l = la + lb
-        val bp = 2L * (cumA + cumB) - l
-        val den0 = bp.toDouble * (2.0 * n - bp) - n.toDouble * l
-        if (den0 > 0) {
-          def t(cum: Long, li: Long, ni: Long): Double = {
-            val mp = 2L * cum - li
-            val num = n.toDouble * mp - ni.toDouble * bp
-            num * num / (ni.toDouble * den0)
-          }
-          s += math.floor(l.toDouble * (t(cumA, la, na) + t(cumB, lb, nb))
-            * 1e6).toLong
-        }
-      }
-      math.rint(s.toDouble / (1e6 * n) * 1e7) / 1e7
-    }
-    val rnd = new scala.util.Random(23)
-    val xs = Seq.fill(25)(rnd.nextInt(8).toLong)
-    val ys = Seq.fill(30)(rnd.nextInt(8).toLong + 1)
-    val df = (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("g", "v")
+  test("Anderson-Darling 2-sample: exact published-formula fixture") {
+    // Fixture derived OUTSIDE this codebase from Scholz-Stephens (1987)
+    // eq. 7 (the tie-adjusted midrank A2akN, scipy's default) evaluated
+    // in exact rational arithmetic — NOT a re-run of the Scala formula.
+    // a = [1,1,2,4,5], b = [2,3,3,4,6], N = 10; midrank cumulatives
+    // B_j = cum_j - l_j/2, M_ij = cum_ij - l_ij/2 over the pooled
+    // distinct values {1,2,3,4,5,6} with l = (2,2,2,2,1,1):
+    //   A2akN = (N-1)/N * sum_i (1/n_i) * sum_j (l_j/N)
+    //           * (N*M_ij - n_i*B_j)^2 / (B_j*(N-B_j) - N*l_j/4)
+    //         = 4559/4100 = 1.1119512195...
+    // The engine micro-quantizes each per-j term (floor at 1e6) before
+    // summing, so parity is to the quantization bound: at most
+    // (#distinct)/1e6 total floor error before the (N-1)/N^2 unscaling.
+    val df = (Seq(1L, 1L, 2L, 4L, 5L).map(("a", _)) ++
+      Seq(2L, 3L, 3L, 4L, 6L).map(("b", _))).toDF("g", "v")
     val r = StatTests.andersonDarlingTwoSample(df, "g", "v", "a", "b")
       .collect()(0)
-    assert(r.getLong(0) == 25L && r.getLong(1) == 30L)
-    assert(r.getDouble(3) == ref(xs, ys))
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+    assert(math.abs(r.getDouble(3) - 4559.0 / 4100.0) < 1e-6)
+    // Fully separated equal halves, same external derivation:
+    // a = [1..5], b = [11..15] -> A2akN = 4.0145208 (rounded at 7).
+    // (The unnormalized form would give 4.4605787 — this pins the
+    // (N-1)/N factor specifically, not just proportionality.)
+    val sep = (Seq(1L, 2L, 3L, 4L, 5L).map(("a", _)) ++
+      Seq(11L, 12L, 13L, 14L, 15L).map(("b", _))).toDF("g", "v")
+    val rs = StatTests.andersonDarlingTwoSample(sep, "g", "v", "a", "b")
+      .collect()(0)
+    assert(math.abs(rs.getDouble(3) - 4.0145208) < 1e-5)
     // a clear shift scores higher than near-identical samples
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.fill(25)(rnd.nextInt(8).toLong)
     val near = (xs.map(("a", _)) ++ xs.map(("b", _))).toDF("g", "v")
     val a2near = StatTests.andersonDarlingTwoSample(near, "g", "v", "a", "b")
       .collect()(0).getDouble(3)
