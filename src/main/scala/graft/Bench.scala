@@ -98,7 +98,7 @@ object Bench {
     // "total" comes LAST: the driver's log capture keeps only a bounded tail
     // of this line, and the headline number must survive the truncation.
     val json =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"canary":$canaryJson,"value":$total,"total":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"canary":$canaryJson,"value":$total,"total":$total}"""
     println(json)
     // Also persist the FULL per-query JSON to the repo: the driver's bounded
     // tail capture has dropped the leading queries before (BENCH_r04 lost

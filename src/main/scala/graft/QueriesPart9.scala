@@ -1,0 +1,289 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables.t
+
+/** Query registry part 9 (q442+): r16 additions — the d-dimensional
+  * generalizations of the fixed-arity multivariate ops (Mahalanobis
+  * over a column list, d-regressor OLS, 3-feature PCA with a bisection
+  * eigensolve), each with a relational oracle on a >= 3-feature case
+  * where the 2-d closed forms no longer apply.
+  */
+private[graft] object QueriesPart9 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- 442. d-feature Mahalanobis outliers, oracle-pinned -------------------------------------------------
+    // q428 taken to a column list: 3 quantized event features, the
+    // exact-C' / pinned-double-adjugate quadratic form, top-25 by
+    // micro score. The oracle replays the identical 3x3 adjugate.
+    "q442_mahalanobis3" -> ((s, d) =>
+      graft.operators.Outliers.mahalanobisD(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_id"),
+            floor(col("value") * 10).cast("long").as("x"),
+            hour(col("ts")).cast("long").as("y"),
+            dayofmonth(col("ts")).cast("long").as("z")),
+        "event_id", Seq("x", "y", "z"), topK = 25)),
+
+    // --- 443. 3-regressor OLS, oracle-pinned -----------------------------------------------------------------
+    // q345's family at d = 3: y ~ value-band + hour + day per event
+    // type via the generated 4x4 Cramer (the hand det3 of olsMulti2
+    // no longer applies — the oracle emits the same detPinned
+    // recursion as SQL text).
+    "q443_ols_multi3" -> ((s, d) =>
+      graft.operators.Trend.olsMulti(
+          t(s, d, "events")
+            .where(col("value").isNotNull && col("ts").isNotNull)
+            .select(col("event_type"),
+              floor(col("value")).cast("long").as("x1"),
+              hour(col("ts")).cast("long").as("x2"),
+              dayofmonth(col("ts")).cast("long").as("x3"),
+              floor(col("value") * 10).cast("long").as("y")),
+          "event_type", Seq("x1", "x2", "x3"), "y")
+        .orderBy("group")),
+
+    // --- 444. 3-feature PCA spectrum, oracle-pinned ----------------------------------------------------------
+    // The full sorted eigenvalue spectrum + principal axis of the
+    // 3-feature covariance per event type — trig-free bisection
+    // eigensolve, replayed by the oracle as a 200-step recursive CTE
+    // running the identical IEEE double sequence.
+    "q444_pca3" -> ((s, d) =>
+      graft.operators.StatTests.pca3(
+          t(s, d, "events")
+            .where(col("value").isNotNull && col("ts").isNotNull)
+            .select(col("event_type"),
+              floor(col("value") * 10).cast("long").as("x"),
+              hour(col("ts")).cast("long").as("y"),
+              dayofmonth(col("ts")).cast("long").as("z")),
+          "event_type", "x", "y", "z")
+        .orderBy("group")))
+
+  /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
+    * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
+    * left-associated alternating +/-), so the emitted expression's IEEE
+    * double sequence is bit-for-bit the Column tree's. `a - b` here vs
+    * the Column side's `a + b*(-1.0)` is exact-equal by IEEE sign
+    * semantics.
+    */
+  private def detSql(m: IndexedSeq[IndexedSeq[String]]): String = {
+    val k = m.length
+    if (k == 1) m(0)(0)
+    else if (k == 2) s"(${m(0)(0)} * ${m(1)(1)} - ${m(0)(1)} * ${m(1)(0)})"
+    else (0 until k).map { j =>
+      val minor = (1 until k).map(r =>
+        (0 until k).collect { case c if c != j => m(r)(c) })
+      val t = s"${m(0)(j)} * ${detSql(minor)}"
+      if (j == 0) t else if (j % 2 == 0) s"+ $t" else s"- $t"
+    }.mkString("(", " ", ")")
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    // d-feature Mahalanobis: exact HUGEINT C', pinned-double 3x3
+    // adjugate/determinant (the Scala side embeds the same doubles as
+    // literals), micro-quantized top-K.
+    "q442_mahalanobis3" -> {
+      def adj(e: String) = e // readability marker
+      s"""WITH e AS (
+         |  SELECT event_id AS id, CAST(floor(value * 10) AS BIGINT) AS x,
+         |    CAST(hour(ts) AS BIGINT) AS y, CAST(day(ts) AS BIGINT) AS z
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |a AS (SELECT count(*) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(z) AS HUGEINT) AS sz,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+         |    CAST(sum(x * z) AS HUGEINT) AS sxz,
+         |    CAST(sum(y * y) AS HUGEINT) AS syy,
+         |    CAST(sum(y * z) AS HUGEINT) AS syz,
+         |    CAST(sum(z * z) AS HUGEINT) AS szz
+         |  FROM e),
+         |c AS (SELECT n,
+         |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS c00,
+         |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS c01,
+         |    CAST(CAST(n AS HUGEINT) * sxz - sx * sz AS DOUBLE) AS c02,
+         |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS c11,
+         |    CAST(CAST(n AS HUGEINT) * syz - sy * sz AS DOUBLE) AS c12,
+         |    CAST(CAST(n AS HUGEINT) * szz - sz * sz AS DOUBLE) AS c22,
+         |    sx, sy, sz FROM a),
+         |k AS (SELECT n, sx, sy, sz,
+         |    ${adj("(c11 * c22 - c12 * c12)")} AS a00,
+         |    ${adj("-(c01 * c22 - c02 * c12)")} AS a01,
+         |    ${adj("(c01 * c12 - c02 * c11)")} AS a02,
+         |    ${adj("(c00 * c22 - c02 * c02)")} AS a11,
+         |    ${adj("-(c00 * c12 - c02 * c01)")} AS a12,
+         |    ${adj("(c00 * c11 - c01 * c01)")} AS a22,
+         |    c00 * (c11 * c22 - c12 * c12) - c01 * (c01 * c22 - c12 * c02)
+         |      + c02 * (c01 * c12 - c11 * c02) AS det
+         |  FROM c),
+         |u AS (SELECT e.id, e.x, e.y, e.z,
+         |    CAST(CAST(e.x AS HUGEINT) * k.n - k.sx AS DOUBLE) AS u0,
+         |    CAST(CAST(e.y AS HUGEINT) * k.n - k.sy AS DOUBLE) AS u1,
+         |    CAST(CAST(e.z AS HUGEINT) * k.n - k.sz AS DOUBLE) AS u2,
+         |    k.a00, k.a01, k.a02, k.a11, k.a12, k.a22, k.det
+         |  FROM e CROSS JOIN k),
+         |q AS (SELECT id, x, y, z,
+         |    CAST(floor((a00 * u0 * u0 + a01 * 2.0 * u0 * u1
+         |      + a02 * 2.0 * u0 * u2 + a11 * u1 * u1
+         |      + a12 * 2.0 * u1 * u2 + a22 * u2 * u2) / det * 1e6)
+         |      AS BIGINT) AS d2_micro
+         |  FROM u)
+         |SELECT id, x, y, z,
+         |  ROUND(CAST(d2_micro AS DOUBLE) / 1e6, 6) AS d2
+         |FROM q ORDER BY d2_micro DESC, id LIMIT 25""".stripMargin
+    },
+
+    // 3-regressor OLS: the generated 4x4 Cramer (detSql = detPinned).
+    "q443_ols_multi3" -> {
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val m = IndexedSeq(
+        IndexedSeq(dd("n"), dd("s1"), dd("s2"), dd("s3")),
+        IndexedSeq(dd("s1"), dd("s11"), dd("s12"), dd("s13")),
+        IndexedSeq(dd("s2"), dd("s12"), dd("s22"), dd("s23")),
+        IndexedSeq(dd("s3"), dd("s13"), dd("s23"), dd("s33")))
+      val rhs = IndexedSeq(dd("sy"), dd("s1y"), dd("s2y"), dd("s3y"))
+      val det = detSql(m)
+      val bs = (0 to 3).map { kk =>
+        val mk = IndexedSeq.tabulate(4, 4)((r, c) =>
+          if (c == kk) rhs(r) else m(r)(c))
+        s"ROUND(CASE WHEN $det <> 0 THEN ${detSql(mk)} / $det END, 7) AS b$kk"
+      }
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x1,
+         |    CAST(hour(ts) AS BIGINT) AS x2, CAST(day(ts) AS BIGINT) AS x3,
+         |    CAST(floor(value * 10) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |a AS (SELECT g, count(*) AS n,
+         |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+         |    CAST(sum(x3) AS HUGEINT) AS s3,
+         |    CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+         |    CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+         |    CAST(sum(x1 * x3) AS HUGEINT) AS s13,
+         |    CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+         |    CAST(sum(x2 * x3) AS HUGEINT) AS s23,
+         |    CAST(sum(x3 * x3) AS HUGEINT) AS s33,
+         |    CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+         |    CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+         |    CAST(sum(x3 * y) AS HUGEINT) AS s3y,
+         |    CAST(sum(y) AS HUGEINT) AS sy
+         |  FROM e GROUP BY 1)
+         |SELECT g AS "group", n, ${bs.mkString(",\n  ")}
+         |FROM a ORDER BY "group"""".stripMargin
+    },
+
+    // 3-feature PCA: exact HUGEINT C' -> pinned-double characteristic
+    // coefficients -> 200-step recursive-CTE bisection running the
+    // EigenCodec double sequence verbatim -> principal-axis cross
+    // products.
+    "q444_pca3" -> {
+      val horner = "((-(mid) + c2) * (mid) - c1) * (mid) + c0"
+      s"""WITH RECURSIVE e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS x,
+         |    CAST(hour(ts) AS BIGINT) AS y, CAST(day(ts) AS BIGINT) AS z
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |a AS (SELECT g, count(*) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(z) AS HUGEINT) AS sz,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(y * y) AS HUGEINT) AS syy,
+         |    CAST(sum(z * z) AS HUGEINT) AS szz,
+         |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+         |    CAST(sum(x * z) AS HUGEINT) AS sxz,
+         |    CAST(sum(y * z) AS HUGEINT) AS syz
+         |  FROM e GROUP BY 1),
+         |c AS (SELECT g, n,
+         |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS axx,
+         |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS ayy,
+         |    CAST(CAST(n AS HUGEINT) * szz - sz * sz AS DOUBLE) AS azz,
+         |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS axy,
+         |    CAST(CAST(n AS HUGEINT) * sxz - sx * sz AS DOUBLE) AS axz,
+         |    CAST(CAST(n AS HUGEINT) * syz - sy * sz AS DOUBLE) AS ayz
+         |  FROM a),
+         |coef AS (SELECT g, n, axx, ayy, azz, axy, axz, ayz,
+         |    axx + ayy + azz AS c2,
+         |    (axx * ayy - axy * axy) + (axx * azz - axz * axz)
+         |      + (ayy * azz - ayz * ayz) AS c1,
+         |    axx * (ayy * azz - ayz * ayz) - axy * (axy * azz - ayz * axz)
+         |      + axz * (axy * ayz - ayy * axz) AS c0
+         |  FROM c),
+         |crit AS (SELECT *,
+         |    sqrt(CASE WHEN c2 * c2 - 3.0 * c1 > 0.0
+         |      THEN c2 * c2 - 3.0 * c1 ELSE 0.0 END) AS s
+         |  FROM coef),
+         |seeds AS (
+         |  SELECT g, c2, c1, c0, 1 AS root, 1 AS dec_seg,
+         |    (c2 + s) / 3.0 AS lo, c2 AS hi FROM crit
+         |  UNION ALL
+         |  SELECT g, c2, c1, c0, 2, 0, (c2 - s) / 3.0, (c2 + s) / 3.0
+         |    FROM crit
+         |  UNION ALL
+         |  SELECT g, c2, c1, c0, 3, 1, 0.0, (c2 - s) / 3.0 FROM crit),
+         |bis AS (
+         |  SELECT g, c2, c1, c0, root, dec_seg, 0 AS i, lo, hi FROM seeds
+         |  UNION ALL
+         |  SELECT g, c2, c1, c0, root, dec_seg, i + 1,
+         |    CASE WHEN (dec_seg = 1 AND p >= 0.0)
+         |           OR (dec_seg = 0 AND p <= 0.0) THEN mid ELSE lo END,
+         |    CASE WHEN (dec_seg = 1 AND p >= 0.0)
+         |           OR (dec_seg = 0 AND p <= 0.0) THEN hi ELSE mid END
+         |  FROM (SELECT *, $horner AS p
+         |        FROM (SELECT *, lo + (hi - lo) / 2.0 AS mid
+         |              FROM bis WHERE i < 200) mm) pp),
+         |lam AS (SELECT g, root, lo + (hi - lo) / 2.0 AS l
+         |  FROM bis WHERE i = 200),
+         |eig AS (SELECT g,
+         |    CAST(max(CASE WHEN root = 1 THEN l END) AS DOUBLE) AS l1,
+         |    CAST(max(CASE WHEN root = 2 THEN l END) AS DOUBLE) AS l2,
+         |    CAST(max(CASE WHEN root = 3 THEN l END) AS DOUBLE) AS l3
+         |  FROM lam GROUP BY g),
+         |ax AS (SELECT coef.g, n, c2, l1, l2, l3,
+         |    axy * ayz - axz * (ayy - l1) AS c01x,
+         |    axz * axy - (axx - l1) * ayz AS c01y,
+         |    (axx - l1) * (ayy - l1) - axy * axy AS c01z,
+         |    axy * (azz - l1) - axz * ayz AS c02x,
+         |    axz * axz - (axx - l1) * (azz - l1) AS c02y,
+         |    (axx - l1) * ayz - axy * axz AS c02z,
+         |    (ayy - l1) * (azz - l1) - ayz * ayz AS c12x,
+         |    ayz * axz - axy * (azz - l1) AS c12y,
+         |    axy * ayz - (ayy - l1) * axz AS c12z
+         |  FROM coef JOIN eig ON coef.g = eig.g),
+         |nn AS (SELECT *,
+         |    c01x * c01x + c01y * c01y + c01z * c01z AS n01,
+         |    c02x * c02x + c02y * c02y + c02z * c02z AS n02,
+         |    c12x * c12x + c12y * c12y + c12z * c12z AS n12
+         |  FROM ax),
+         |pickd AS (SELECT *,
+         |    CASE WHEN n01 >= n02 AND n01 >= n12 THEN c01x
+         |         WHEN n02 >= n12 THEN c02x ELSE c12x END AS wx,
+         |    CASE WHEN n01 >= n02 AND n01 >= n12 THEN c01y
+         |         WHEN n02 >= n12 THEN c02y ELSE c12y END AS wy,
+         |    CASE WHEN n01 >= n02 AND n01 >= n12 THEN c01z
+         |         WHEN n02 >= n12 THEN c02z ELSE c12z END AS wz,
+         |    CASE WHEN n01 >= n02 THEN
+         |      CASE WHEN n01 >= n12 THEN n01 ELSE n12 END
+         |    ELSE CASE WHEN n02 >= n12 THEN n02 ELSE n12 END END AS bestn
+         |  FROM nn),
+         |sc AS (SELECT *,
+         |    CASE WHEN abs(wx) >= abs(wy) AND abs(wx) >= abs(wz) THEN wx
+         |         WHEN abs(wy) >= abs(wz) THEN wy ELSE wz END AS scale
+         |  FROM pickd)
+         |SELECT g AS "group", n,
+         |  ROUND(l1 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4)
+         |    AS l1,
+         |  ROUND(l2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4)
+         |    AS l2,
+         |  ROUND(l3 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4)
+         |    AS l3,
+         |  ROUND(CASE WHEN c2 > 0.0 THEN l1 / c2 END, 7) AS explained1,
+         |  ROUND(CASE WHEN c2 > 0.0 THEN (l1 + l2) / c2 END, 7)
+         |    AS explained12,
+         |  ROUND(CASE WHEN bestn > 0.0 THEN wx / scale END, 7) AS vx,
+         |  ROUND(CASE WHEN bestn > 0.0 THEN wy / scale END, 7) AS vy,
+         |  ROUND(CASE WHEN bestn > 0.0 THEN wz / scale END, 7) AS vz
+         |FROM sc ORDER BY "group"""".stripMargin
+    })
+}

@@ -413,7 +413,7 @@ object SparkEntry {
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesPart1.queries ++ QueriesPart2.queries ++ QueriesPart3.queries ++ QueriesPart4.queries ++ QueriesPart5.queries ++ QueriesPart6.queries ++ QueriesPart7.queries ++ QueriesPart8.queries
+    QueriesPart1.queries ++ QueriesPart2.queries ++ QueriesPart3.queries ++ QueriesPart4.queries ++ QueriesPart5.queries ++ QueriesPart6.queries ++ QueriesPart7.queries ++ QueriesPart8.queries ++ QueriesPart9.queries
 
   /** Per-user paired activity counts (shared by q392/q393): events in
     * the first vs second half of the global time window, the midpoint
@@ -681,7 +681,7 @@ object SparkEntry {
     * and (post-driver-normalization) types must match the Spark output.
     */
   def oracleSql: Map[String, String] =
-    QueriesPart1.oracles ++ QueriesPart2.oracles ++ QueriesPart3.oracles ++ QueriesPart4.oracles ++ QueriesPart5.oracles ++ QueriesPart6.oracles ++ QueriesPart7.oracles ++ QueriesPart8.oracles
+    QueriesPart1.oracles ++ QueriesPart2.oracles ++ QueriesPart3.oracles ++ QueriesPart4.oracles ++ QueriesPart5.oracles ++ QueriesPart6.oracles ++ QueriesPart7.oracles ++ QueriesPart8.oracles ++ QueriesPart9.oracles
 
   /** The shared pinned Pearson-r SQL fragment (over sufficient-statistic
     * columns n/sx/sy/sxx/syy/sxy) — one definition for q328 and q329 so

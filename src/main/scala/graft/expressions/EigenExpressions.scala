@@ -1,0 +1,114 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Eigenvalues of a symmetric PSD 3x3 matrix from its characteristic
+  * polynomial — WITHOUT trigonometry: Cardano's trig form needs
+  * cos/acos, which IEEE does NOT require to be correctly rounded, so a
+  * trig eigensolve is not replayable across engines. Instead:
+  *
+  *   p(t) = det(C - tI) = -t^3 + c2*t^2 - c1*t + c0
+  *   (c2 = trace, c1 = sum of principal 2x2 minors, c0 = det)
+  *
+  * p' has roots r- <= r+ (closed form with ONE sqrt — correctly rounded
+  * by IEEE, hence portable), and the three real eigenvalues interlace
+  * them: l3 <= r- <= l2 <= r+ <= l1, with p strictly monotone on each
+  * of [0, r-], [r-, r+], [r+, c2] (PSD puts all roots in [0, trace]).
+  * So each eigenvalue is a MONOTONE BISECTION — 200 fixed iterations of
+  * nothing but +, *, /2 and sign tests, every step identically
+  * representable in any IEEE engine (a DuckDB recursive CTE replays the
+  * exact double sequence). 200 iterations collapse any [lo, hi] of
+  * doubles to adjacent representables long before the cap; the fixed
+  * count (rather than a convergence test) keeps the loop shape
+  * engine-independent. Accuracy: machine precision at simple roots; at
+  * a TANGENT (double) root p ~ k*(t-r)^2, so the computed sign is
+  * rounding noise inside |t-r| < sqrt(eps/k) and the result lands
+  * within ~sqrt(eps) of the root — still the identical value on every
+  * engine, since the noise is the same deterministic IEEE sequence.
+  *
+  * Pinned forms (the oracle must emit these exactly):
+  *   disc = c2*c2 - 3.0*c1, clamped at 0;  s = sqrt(disc)
+  *   rp = (c2 + s) / 3.0;  rm = (c2 - s) / 3.0
+  *   p(t) = ((-t + c2) * t - c1) * t + c0   (Horner, left)
+  *   mid = lo + (hi - lo) / 2.0
+  *   decreasing segment: p(mid) >= 0 -> lo = mid else hi = mid
+  *   increasing segment: p(mid) <= 0 -> lo = mid else hi = mid
+  *   result = lo + (hi - lo) / 2.0 after 200 updates
+  */
+object EigenCodec {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("l1", DoubleType, nullable = false),
+    StructField("l2", DoubleType, nullable = false),
+    StructField("l3", DoubleType, nullable = false)))
+
+  val Iters = 200
+
+  private def horner(c2: Double, c1: Double, c0: Double, t: Double): Double =
+    ((-t + c2) * t - c1) * t + c0
+
+  /** Bisect [lo, hi]; `decreasing` picks the sign convention. */
+  private def bisect(c2: Double, c1: Double, c0: Double,
+      lo0: Double, hi0: Double, decreasing: Boolean): Double = {
+    var lo = lo0
+    var hi = hi0
+    var i = 0
+    while (i < Iters) {
+      val mid = lo + (hi - lo) / 2.0
+      val p = horner(c2, c1, c0, mid)
+      val goRight = if (decreasing) p >= 0.0 else p <= 0.0
+      if (goRight) lo = mid else hi = mid
+      i += 1
+    }
+    lo + (hi - lo) / 2.0
+  }
+
+  /** (c2, c1, c0) -> (l1 >= l2 >= l3), the three real roots of the PSD
+    * characteristic polynomial. Null inputs handled by the expression.
+    */
+  def roots(c2: Double, c1: Double, c0: Double): GenericInternalRow = {
+    val disc0 = c2 * c2 - 3.0 * c1
+    val disc = if (disc0 > 0.0) disc0 else 0.0
+    val s = math.sqrt(disc)
+    val rp = (c2 + s) / 3.0
+    val rm = (c2 - s) / 3.0
+    val l1 = bisect(c2, c1, c0, rp, c2, decreasing = true)
+    val l2 = bisect(c2, c1, c0, rm, rp, decreasing = false)
+    val l3 = bisect(c2, c1, c0, 0.0, rm, decreasing = true)
+    new GenericInternalRow(Array[Any](l1, l2, l3))
+  }
+}
+
+/** `(double, double, double)` -> `struct<l1,l2,l3>`: the sorted
+  * eigenvalues of a symmetric PSD 3x3 from its characteristic
+  * polynomial coefficients ([[EigenCodec.roots]]). Codegen'd; the
+  * per-row cost is 600 fused multiply-free flops on a one-row-per-group
+  * table — never a hot path.
+  */
+case class CubicEigenExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires three doubles, got " +
+        Seq(first, second, third).map(_.dataType.catalogString).mkString(","))
+  override def dataType: DataType = EigenCodec.Schema
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override def nullSafeEval(c2: Any, c1: Any, c0: Any): Any =
+    EigenCodec.roots(c2.asInstanceOf[Double], c1.asInstanceOf[Double],
+      c0.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
+      ${ev.value} = graft.expressions.EigenCodec.roots($a, $b, $c);
+    """)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CubicEigenExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -100,4 +100,136 @@ object Outliers {
       .select(col("id"), col("x"), col("y"),
         round(col("d2_micro").cast("double") / lit(1e6), 6).as("d2"))
   }
+
+  /** d-feature Mahalanobis outlier scores — [[mahalanobis2]] taken to a
+    * COLUMN LIST (2 <= d <= 8), the way a real analytics engine exposes
+    * it. The algebra: with the n^2-scaled covariance C'_ij =
+    * n*S_ij - S_i*S_j (S_i = sum x_i, S_ij = the Gram upper triangle,
+    * all EXACT DECIMAL(38,0) from ONE combining aggregate),
+    *
+    *   d^2 = sum_ij adj(C')_ij * (n*x_i - S_i) * (n*x_j - S_j) / det(C')
+    *
+    * — the adjugate identity V^-1 = n^2 * adj(C')/det(C') with the
+    * 1/n deviation scaling folded in. The C' entries are exact BigInt
+    * DRIVER-side from the collected 1-row sufficient statistics (a
+    * bounded collect: d(d+3)/2 + 1 numbers, never rows); SINGULARITY is
+    * decided on the exact integer determinant, but the adjugate/det
+    * values used in the score run in PINNED doubles (each C' entry
+    * rounded to double once, then cofactor expansion in a fixed
+    * left-associated alternating order — the olsMulti2 det3 discipline,
+    * because a d=3 determinant of n^2-scaled entries overflows every
+    * fixed-width engine integer and an exact-vs-float mix would not be
+    * replayable). The per-row quadratic form is then ONE pinned double
+    * expression (row-major i <= j term order, off-diagonal terms
+    * doubled, left-associated sum) with the pinned adjugate entries
+    * embedded as literals; d^2 is micro-quantized (floor * 1e6) so the
+    * top-K cut ranks exact integers with an id tie-break, exactly as
+    * [[mahalanobis2]].
+    *
+    * Features must be INTEGRAL (quantize first). A singular covariance
+    * (det(C') = 0: collinear or constant features) returns the loudly
+    * EMPTY result set, matching [[mahalanobis2]]'s convention.
+    *
+    * Scale shape: one map-side-combining global aggregate (the
+    * sufficient statistics ARE the shuffle payload), one broadcast of
+    * the d+1 mean/count literals inside the expression, one codegen'd
+    * per-row projection, one TakeOrdered(topK). No per-row shuffle
+    * beyond the topK.
+    *
+    * Returns the top-K (id, <each feature col>, d2) by descending
+    * micro score.
+    */
+  def mahalanobisD(df: DataFrame, idCol: String, featureCols: Seq[String],
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.Column
+    require(topK >= 1)
+    val d = featureCols.size
+    require(d >= 2 && d <= 8,
+      s"mahalanobisD takes 2..8 features (exact cofactor adjugate), got $d")
+    for (c <- featureCols)
+      require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val xs = featureCols.map(c => col(c).cast("long"))
+    val slim = df.select((col(idCol).as("id") +:
+        featureCols.zip(xs).map { case (n, x) => x.as(n) }): _*)
+      .where(featureCols.map(col(_).isNotNull).reduce(_ && _))
+    // one aggregate: n, the d sums, the d(d+1)/2 Gram upper triangle
+    val sums = featureCols.map(c => sum(col(c).cast(dec)).as(s"s_$c"))
+    val gram = for {
+      i <- 0 until d; j <- i until d
+    } yield sum((col(featureCols(i)) * col(featureCols(j))).cast(dec))
+      .as(s"g_${i}_$j")
+    val statsRow = slim.agg(count(lit(1)).as("n"), (sums ++ gram): _*)
+      .collect()(0) // bounded: d(d+3)/2 + 1 numbers, never rows
+    val n = statsRow.getLong(0)
+    val emptyResult = slim.where(lit(false))
+      .select((col("id") +: featureCols.map(col)) :+
+        lit(null).cast("double").as("d2"): _*)
+    if (n < d + 1) return emptyResult // no full-rank covariance possible
+    val s = Array.tabulate(d)(i => BigInt(statsRow.getDecimal(1 + i)
+      .toBigInteger))
+    val g = Array.ofDim[BigInt](d, d)
+    var idx = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      g(i)(j) = BigInt(statsRow.getDecimal(idx).toBigInteger)
+      g(j)(i) = g(i)(j)
+      idx += 1
+    }
+    val nB = BigInt(n)
+    val cp = Array.tabulate(d, d)((i, j) => nB * g(i)(j) - s(i) * s(j))
+    // exact cofactor determinant (d <= 8 keeps the d! expansion trivial)
+    def detExact(m: Array[Array[BigInt]]): BigInt =
+      if (m.length == 1) m(0)(0)
+      else (0 until m.length).foldLeft(BigInt(0)) { (acc, k) =>
+        val minor = m.drop(1).map(row =>
+          row.zipWithIndex.collect { case (v, c) if c != k => v })
+        val term = m(0)(k) * detExact(minor)
+        if (k % 2 == 0) acc + term else acc - term
+      }
+    if (detExact(cp) == 0) return emptyResult // singular: loudly empty
+    // pinned-double adjugate/det: one rounding per C' entry, then the
+    // fixed cofactor order 0 + t_0 - t_1 + t_2 ... (left-associated) —
+    // an independent SQL replay of the same structure is bit-identical
+    val cpD = cp.map(_.map(_.toDouble))
+    def detPinned(m: Array[Array[Double]]): Double =
+      if (m.length == 1) m(0)(0)
+      else (0 until m.length).foldLeft(0.0) { (acc, k) =>
+        val minor = m.drop(1).map(row =>
+          row.zipWithIndex.collect { case (v, c) if c != k => v })
+        val term = m(0)(k) * detPinned(minor)
+        if (k % 2 == 0) acc + term else acc - term
+      }
+    val detD = detPinned(cpD)
+    if (detD == 0.0) return emptyResult // cancellation-singular in double
+    val adj = Array.tabulate(d, d) { (i, j) =>
+      // adj = transpose of cofactors; C' symmetric so adj is symmetric
+      val minor = cpD.zipWithIndex.collect { case (row, r) if r != j =>
+        row.zipWithIndex.collect { case (v, c) if c != i => v } }
+      val sign = if ((i + j) % 2 == 0) 1.0 else -1.0
+      sign * detPinned(minor)
+    }
+    def decLit(b: BigInt): Column =
+      lit(new java.math.BigDecimal(b.bigInteger)).cast(dec)
+    // u_i = n*x_i - S_i, exact in DECIMAL then pinned to double once
+    val u = featureCols.zipWithIndex.map { case (c, i) =>
+      (col(c).cast(dec) * decLit(nB) - decLit(s(i))).cast("double")
+    }
+    // row-major i <= j, off-diagonals doubled, left-associated — pinned
+    val q = (for { i <- 0 until d; j <- i until d } yield {
+      val coef = if (i == j) adj(i)(j) else adj(i)(j) * 2.0
+      lit(coef) * u(i) * u(j)
+    }).reduceLeft(_ + _)
+    val d2 = q / lit(detD)
+    slim
+      .select((col("id") +: featureCols.map(col)) :+
+        floor(d2 * lit(1e6)).cast("long").as("d2_micro"): _*)
+      .orderBy(desc("d2_micro"), col("id"))
+      .limit(topK)
+      .select((col("id") +: featureCols.map(col)) :+
+        round(col("d2_micro").cast("double") / lit(1e6), 6).as("d2"): _*)
+  }
 }

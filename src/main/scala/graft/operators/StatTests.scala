@@ -2009,6 +2009,132 @@ object StatTests {
       round(when(tr > 0.0, l1 / tr), 7).as("explained"))
   }
 
+  /** Exact-contract 3-feature PCA per group — [[pca2]] past the
+    * quadratic formula: the FULL sorted spectrum (top-k eigenvalues for
+    * any k <= 3) of the n^2-scaled covariance C' plus the principal
+    * axis, with NO trigonometry (Cardano's trig form needs cos/acos,
+    * which IEEE does not correctly round — not engine-replayable).
+    * Pipeline:
+    *
+    *  1. C'_ij = n*S_ij - S_i*S_j — exact DECIMAL(38,0) from one
+    *     combining aggregate, cast to double ONCE per entry;
+    *  2. characteristic coefficients c2 (trace), c1 (sum of principal
+    *     2x2 minors), c0 (det) as pinned double expressions;
+    *  3. eigenvalues by fixed-count monotone bisection between the
+    *     derivative roots ([[graft.expressions.EigenCodec]] — 200
+    *     iterations of +,*,/2 and sign tests, bit-replayable by a SQL
+    *     recursive CTE emitting the identical double sequence);
+    *  4. the principal axis as the largest-norm cross product of two
+    *     rows of C' - l1*I (pinned candidate order c01 >= c02 >= c12 on
+    *     strict squared-norm comparisons), normalized by its
+    *     largest-|component| coordinate — deterministic up to the
+    *     documented sign convention (that component becomes +1).
+    *
+    * Eigenvalues are returned at SAMPLE-covariance scale (the internal
+    * n^2-scaled values divided by n(n-1) — the pca2 unscaling note,
+    * applied): besides being the statistically quotable numbers, this
+    * keeps the rounded magnitudes far below 2^53/1e4, where a
+    * float-multiply ROUND implementation (DuckDB's) is still exact —
+    * rounding a raw n^2-scaled eigenvalue (~1e12+) at 4 decimals is NOT
+    * engine-portable (measured: one-ulp round disagreements).
+    * Explained ratios are scale-free. Isotropic groups (C' - l1*I = 0,
+    * every cross product null) yield null axis; zero trace yields null
+    * explained.
+    *
+    * Scale shape: one map-side-combining groupBy — 10 exact numbers
+    * per group ARE the shuffle payload; the eigensolve is a codegen'd
+    * per-GROUP scalar (never per row).
+    *
+    * Returns (group, n, l1, l2, l3, explained1, explained12,
+    * vx, vy, vz).
+    */
+  def pca3(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    requireIntegral(df, xCol)
+    requireIntegral(df, yCol)
+    requireIntegral(df, zCol)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"), col(xCol).as("x"),
+        col(yCol).as("y"), col(zCol).as("z"))
+      .where(col("g").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull && col("z").isNotNull)
+    val agg = slim.groupBy(col("g").as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("z").cast(dec)).as("sz"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("z") * col("z")).cast(dec)).as("szz"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("z")).cast(dec)).as("sxz"),
+        sum((col("y") * col("z")).cast(dec)).as("syz"))
+    val nDec = col("n").cast(dec)
+    def cpd(sij: String, i: String, j: String): Column =
+      (nDec * col(sij) - col(i) * col(j)).cast("double")
+    val axx = cpd("sxx", "sx", "sx"); val ayy = cpd("syy", "sy", "sy")
+    val azz = cpd("szz", "sz", "sz"); val axy = cpd("sxy", "sx", "sy")
+    val axz = cpd("sxz", "sx", "sz"); val ayz = cpd("syz", "sy", "sz")
+    val stats = agg.select(col("group"), col("n"), axx.as("axx"),
+      ayy.as("ayy"), azz.as("azz"), axy.as("axy"), axz.as("axz"),
+      ayz.as("ayz"))
+    val c2 = col("axx") + col("ayy") + col("azz")
+    val c1 = (col("axx") * col("ayy") - col("axy") * col("axy")) +
+      (col("axx") * col("azz") - col("axz") * col("axz")) +
+      (col("ayy") * col("azz") - col("ayz") * col("ayz"))
+    // det3, the pinned cofactor order of olsMulti2
+    val c0 = col("axx") * (col("ayy") * col("azz") - col("ayz") * col("ayz")) -
+      col("axy") * (col("axy") * col("azz") - col("ayz") * col("axz")) +
+      col("axz") * (col("axy") * col("ayz") - col("ayy") * col("axz"))
+    val eig = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.CubicEigenExpr(
+        org.apache.spark.sql.graft.Bridge.expression(c2),
+        org.apache.spark.sql.graft.Bridge.expression(c1),
+        org.apache.spark.sql.graft.Bridge.expression(c0)))
+    val withEig = stats.withColumn("e", eig)
+      .select(col("group"), col("n"), col("axx"), col("ayy"), col("azz"),
+        col("axy"), col("axz"), col("ayz"),
+        col("e").getField("l1").as("l1"), col("e").getField("l2").as("l2"),
+        col("e").getField("l3").as("l3"))
+    // principal axis: rows of A = C' - l1*I, pinned cross products
+    val r = IndexedSeq(
+      IndexedSeq(col("axx") - col("l1"), col("axy"), col("axz")),
+      IndexedSeq(col("axy"), col("ayy") - col("l1"), col("ayz")),
+      IndexedSeq(col("axz"), col("ayz"), col("azz") - col("l1")))
+    def cross(a: IndexedSeq[Column], b: IndexedSeq[Column]) = IndexedSeq(
+      a(1) * b(2) - a(2) * b(1),
+      a(2) * b(0) - a(0) * b(2),
+      a(0) * b(1) - a(1) * b(0))
+    val cands = IndexedSeq(cross(r(0), r(1)), cross(r(0), r(2)),
+      cross(r(1), r(2)))
+    def norm2(v: IndexedSeq[Column]): Column =
+      v(0) * v(0) + v(1) * v(1) + v(2) * v(2)
+    val ns = cands.map(norm2)
+    def pick(i: Int): Column =
+      when(ns(0) >= ns(1) && ns(0) >= ns(2), cands(0)(i))
+        .when(ns(1) >= ns(2), cands(1)(i))
+        .otherwise(cands(2)(i))
+    val named = withEig.withColumn("wx", pick(0)).withColumn("wy", pick(1))
+      .withColumn("wz", pick(2))
+    val bestN = greatest(ns(0), greatest(ns(1), ns(2)))
+    val scale = when(abs(col("wx")) >= abs(col("wy")) &&
+        abs(col("wx")) >= abs(col("wz")), col("wx"))
+      .when(abs(col("wy")) >= abs(col("wz")), col("wy"))
+      .otherwise(col("wz"))
+    val tr = c2 // same pinned expression over the stats columns
+    val nD = col("n").cast("double")
+    val bessel = nD * (nD - 1.0)
+    named.select(col("group"), col("n"),
+      round(col("l1") / bessel, 4).as("l1"),
+      round(col("l2") / bessel, 4).as("l2"),
+      round(col("l3") / bessel, 4).as("l3"),
+      round(when(tr > 0.0, col("l1") / tr), 7).as("explained1"),
+      round(when(tr > 0.0, (col("l1") + col("l2")) / tr), 7)
+        .as("explained12"),
+      round(when(bestN > 0.0, col("wx") / scale), 7).as("vx"),
+      round(when(bestN > 0.0, col("wy") / scale), 7).as("vy"),
+      round(when(bestN > 0.0, col("wz") / scale), 7).as("vz"))
+  }
+
   /** Wilcoxon signed-rank test — PAIRED values (before/after per key:
     * did the metric shift within subjects?), the paired sibling of
     * Mann-Whitney and the rank replacement for the paired t-test:

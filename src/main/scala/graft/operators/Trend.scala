@@ -115,6 +115,95 @@ object Trend {
       round(when(det =!= 0.0, det2 / det), 7).as("b2"))
   }
 
+  /** Determinant of a matrix of Column expressions by Laplace expansion
+    * along the first row, PINNED order: left-associated alternating sum
+    * `m00*det(minor0) - m01*det(minor1) + ...`, 2x2 base `a*d - b*c`.
+    * The identical recursion emitted as SQL text replays bit-for-bit on
+    * any IEEE engine — this is how [[olsMulti]] stays oracle-checkable
+    * past the hand-written det3 of [[olsMulti2]].
+    */
+  private[graft] def detPinned(m: IndexedSeq[IndexedSeq[Column]]): Column = {
+    val k = m.length
+    if (k == 1) m(0)(0)
+    else if (k == 2) m(0)(0) * m(1)(1) - m(0)(1) * m(1)(0)
+    else (0 until k).map { j =>
+      val minor = (1 until k).map(r =>
+        (0 until k).collect { case c if c != j => m(r)(c) })
+      val term = m(0)(j) * detPinned(minor)
+      if (j % 2 == 0) term else term * lit(-1.0)
+    }.reduceLeft(_ + _)
+  }
+
+  /** d-regressor least squares `y ~ x_1 + ... + x_d` per group —
+    * [[olsMulti2]] taken to a COLUMN LIST via the same closed
+    * normal-equations path: the (d+1)x(d+1) system solved by Cramer's
+    * rule, every determinant ONE pinned double expression built by the
+    * shared [[detPinned]] recursion (first-row Laplace, left-associated
+    * alternating sum), so an independent SQL emission of the identical
+    * recursion hashes equal. d <= 4 keeps the largest determinant at
+    * 5x5 = 120 products — well inside codegen limits; past that a real
+    * engine switches to an iterative solver and leaves closed-form
+    * replayability behind (documented boundary, loud require).
+    *
+    * EXACTNESS CONTRACT: all columns integral (caller quantizes); the
+    * (d+1)(d+4)/2 sufficient statistics (n, the sums, the regressor
+    * Gram upper triangle, the y cross-moments) have exact BIGINT
+    * per-row products accumulated in DECIMAL(38,0); determinants and
+    * the d+1 coefficient ratios are pinned doubles rounded at 7.
+    * Singular groups (det 0) yield nulls.
+    *
+    * Scale shape: one map-side-combining groupBy; the statistics ARE
+    * the shuffle payload ((d+1)(d+4)/2 numbers per group, never rows).
+    *
+    * Returns (group, n, b0, b1, ..., bd).
+    */
+  def olsMulti(df: DataFrame, groupCol: String, xCols: Seq[String],
+      yCol: String): DataFrame = {
+    val d = xCols.size
+    require(d >= 1 && d <= 4,
+      s"olsMulti takes 1..4 regressors (closed-form Cramer), got $d")
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    for (c <- xCols :+ yCol)
+      require(integral.contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val xs = xCols.map(c => col(c).cast("long"))
+    val y = col(yCol).cast("long")
+    val sumCols =
+      xs.zipWithIndex.map { case (x, i) => sum(x.cast(dec)).as(s"s_$i") } ++
+      (for { i <- 0 until d; j <- i until d }
+        yield sum((xs(i) * xs(j)).cast(dec)).as(s"s_${i}_$j")) ++
+      xs.zipWithIndex.map { case (x, i) =>
+        sum((x * y).cast(dec)).as(s"s_${i}_y") } :+
+      sum(y.cast(dec)).as("s_y")
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+    def s(i: Int, j: Int): Column =
+      (if (i <= j) col(s"s_${i}_$j") else col(s"s_${j}_$i")).cast("double")
+    val nD = col("n").cast("double")
+    // normal-equations matrix with intercept: row/col 0 is (n, S_j)
+    val m = IndexedSeq.tabulate(d + 1, d + 1) { (r, c) =>
+      (r, c) match {
+        case (0, 0) => nD
+        case (0, j) => col(s"s_${j - 1}").cast("double")
+        case (i, 0) => col(s"s_${i - 1}").cast("double")
+        case (i, j) => s(i - 1, j - 1)
+      }
+    }
+    val rhs = IndexedSeq.tabulate(d + 1) {
+      case 0 => col("s_y").cast("double")
+      case i => col(s"s_${i - 1}_y").cast("double")
+    }
+    val det = detPinned(m)
+    val coefs = (0 to d).map { k =>
+      val mk = IndexedSeq.tabulate(d + 1, d + 1)((r, c) =>
+        if (c == k) rhs(r) else m(r)(c))
+      round(when(det =!= 0.0, detPinned(mk) / det), 7).as(s"b$k")
+    }
+    g.select((col("group") +: col("n") +: coefs): _*)
+  }
+
   /** Windowed exponential decay sum per row — the recency-weighted
     * activity signal (user engagement, error-burst detection) that a
     * plain moving average lags behind:

@@ -50,6 +50,9 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_k_anonymity(src_view, 'qi1,qi2', k, out_view)
   *   CALL graft_stat_l_diversity(src_view, 'qi1,qi2', 'sensitive', l, out_view)
   *   CALL graft_stat_target_encode(src_view, 'category', 'target', m, out_view)
+  *   CALL graft_stat_mahalanobis_d(src_view, 'id', 'f1,f2,f3', topk, out_view)
+  *   CALL graft_stat_ols_multi(src_view, 'group', 'x1,x2,x3', 'y', out_view)
+  *   CALL graft_stat_pca3(src_view, 'group', 'x', 'y', 'z', out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -482,12 +485,19 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           graft.operators.AbTest.sampleRatioMismatch(src, ms(0), ws)
         case "cohens_h" => graft.operators.EffectSizes.cohensH(src,
           ms(0), ms(1), ms(2), ms(3))
+        case "mahalanobis_d" => graft.operators.Outliers.mahalanobisD(src,
+          ms(0), ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          mi(2))
+        case "ols_multi" => Trend.olsMulti(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "pca3" => StatTests.pca3(src, ms(0), ms(1), ms(2), ms(3))
         case other => bad(s"unknown statistic '$other' (known: " +
           "anderson_darling, anova_eta, ari, auc, average_precision, " +
           "benford, ccf, cmh, cohens_h, concordance, conformal, cusum, " +
           "durbin_watson, ece, gwet_ac1, k_anonymity, ks, kuiper, " +
           "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
-          "mann_kendall, mannwhitney, mcc, partial_corr, poisson_rate, " +
+          "mahalanobis_d, mann_kendall, mannwhitney, mcc, ols_multi, " +
+          "partial_corr, pca3, poisson_rate, " +
           "psi, purity, seasonal_mann_kendall, srm, target_encode, " +
           "theil_sen, turning_points, uncertainty, vmeasure, " +
           "weighted_kappa, welch, wilson, youden)")

@@ -17,7 +17,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     ("P5", QueriesPart5.queries, QueriesPart5.oracles),
     ("P6", QueriesPart6.queries, QueriesPart6.oracles),
     ("P7", QueriesPart7.queries, QueriesPart7.oracles),
-    ("P8", QueriesPart8.queries, QueriesPart8.oracles))
+    ("P8", QueriesPart8.queries, QueriesPart8.oracles),
+    ("P9", QueriesPart9.queries, QueriesPart9.oracles))
 
   test("parts are disjoint: ++ composition cannot shadow a query") {
     val all = parts.flatMap { case (n, q, _) => q.keys.map(_ -> n) }

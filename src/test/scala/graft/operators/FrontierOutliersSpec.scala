@@ -72,4 +72,57 @@ class FrontierOutliersSpec extends SparkTestBase {
     val col2 = (1L to 10L).map(i => (i, i, 2 * i)).toDF("id", "x", "y")
     assert(Outliers.mahalanobis2(col2, "id", "x", "y").count() == 0L)
   }
+
+  test("Mahalanobis d-feature: 2-d ranking agrees with mahalanobis2") {
+    // same joint-outlier construction; the d-generalized path must rank
+    // identically (scores agree to float tolerance — the 2-d closed form
+    // and the adjugate path associate differently)
+    val rows = (0L to 9L).map(i => (i, i, i)) ++
+      Seq((100L, 0L, 9L), (101L, 9L, 0L))
+    val df = rows.toDF("id", "x", "y")
+    val a = Outliers.mahalanobis2(df, "id", "x", "y", topK = 12)
+      .collect().sortBy(_.getLong(0))
+    val b = Outliers.mahalanobisD(df, "id", Seq("x", "y"), topK = 12)
+      .collect().sortBy(_.getLong(0))
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    for ((ra, rb) <- a.zip(b))
+      assert(math.abs(ra.getDouble(3) - rb.getDouble(3)) <=
+        1e-6 * math.max(1.0, math.abs(ra.getDouble(3))))
+    // the two joint outliers top both rankings
+    val top2 = Outliers.mahalanobisD(df, "id", Seq("x", "y"), topK = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(100L, 101L))
+  }
+
+  test("Mahalanobis d-feature: independent unit features = scaled L2") {
+    // x,y,z full factorial over {0,1} -> covariance = I/4 * n^2-scale;
+    // diagonal C' means d^2 = sum dx_i^2 / var_i = 4 * (deviation in
+    // quarter-units)^2: every corner point has d^2 = 3 (dx = +-1/2 each
+    // axis, 0.25/0.25 per axis summing to 3); an added center point
+    // shifts means but keeps symmetry. Use the pure factorial: all 8
+    // corners tie at exactly 3.0.
+    val corners = for {
+      x <- Seq(0L, 1L); y <- Seq(0L, 1L); z <- Seq(0L, 1L)
+    } yield (x * 4 + y * 2 + z, x, y, z)
+    val df = corners.toDF("id", "x", "y", "z")
+    val r = Outliers.mahalanobisD(df, "id", Seq("x", "y", "z"), topK = 8)
+      .collect()
+    assert(r.length == 8)
+    assert(r.forall(_.getDouble(4) == 3.0))
+  }
+
+  test("Mahalanobis d-feature: singular and underdetermined are empty") {
+    // z = x + y exactly: rank-2 covariance in 3-d -> loudly empty
+    val dep = (0L to 9L).map(i => (i, i, 9 - i, 9L)).toDF("id", "x", "y", "z")
+      .selectExpr("id", "x", "y", "x + y AS z")
+    assert(Outliers.mahalanobisD(dep, "id", Seq("x", "y", "z")).count() == 0L)
+    // n <= d: no full-rank covariance possible
+    val tiny = Seq((1L, 1L, 2L, 3L), (2L, 4L, 5L, 6L), (3L, 7L, 8L, 10L))
+      .toDF("id", "x", "y", "z")
+    assert(Outliers.mahalanobisD(tiny, "id", Seq("x", "y", "z")).count() == 0L)
+    // arity guard
+    intercept[IllegalArgumentException] {
+      Outliers.mahalanobisD(tiny, "id", Seq("x"))
+    }
+  }
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.expressions.EigenCodec
+import org.apache.spark.sql.functions._
+
+/** 3-feature PCA: the trig-free bisection eigensolve against known
+  * spectra and an independent Jacobi reference, plus the axis
+  * conventions.
+  */
+class Pca3Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("EigenCodec: known cubics converge to machine precision") {
+    // diag(1,2,3): p(t) = -(t-1)(t-2)(t-3); c2=6, c1=11, c0=6
+    val r = EigenCodec.roots(6.0, 11.0, 6.0)
+    assert(math.abs(r.getDouble(0) - 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // double root diag(2,2,5): c2=9, c1=24, c0=20. At a TANGENT root
+    // p ~ k*(t-r)^2, so the computed p's sign is rounding noise inside
+    // |t-r| < sqrt(eps_p/k) — bisection lands within ~sqrt(eps) of a
+    // double root (deterministically: the same IEEE sequence on every
+    // engine), vs machine precision at simple roots.
+    val d = EigenCodec.roots(9.0, 24.0, 20.0)
+    assert(math.abs(d.getDouble(0) - 5.0) < 1e-9)
+    assert(math.abs(d.getDouble(1) - 2.0) < 1e-6)
+    assert(math.abs(d.getDouble(2) - 2.0) < 1e-6)
+    // triple zero (isotropic zero matrix)
+    val z = EigenCodec.roots(0.0, 0.0, 0.0)
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0 &&
+      z.getDouble(2) == 0.0)
+  }
+
+  test("pca3: independent factorial axes = exact diagonal spectrum") {
+    // x in {0,2}, y in {0,4}, z in {0,6} full factorial: population
+    // variances (1,4,9), zero cross-covariances; C' = 8^2*diag(1,4,9) =
+    // diag(64,256,576) -> sample-scale spectrum (576,256,64)/56,
+    // explained1 = 576/896, principal axis = z (normalized (0,0,1))
+    val pts = for {
+      x <- Seq(0L, 2L); y <- Seq(0L, 4L); z <- Seq(0L, 6L)
+    } yield ("a", x, y, z)
+    val r = StatTests.pca3(pts.toDF("g", "x", "y", "z"), "g", "x", "y", "z")
+      .collect()(0)
+    assert(r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 10.2857 && r.getDouble(3) == 4.5714 &&
+      r.getDouble(4) == 1.1429)
+    assert(r.getDouble(5) == math.rint(576.0 / 896.0 * 1e7) / 1e7)
+    assert(r.getDouble(6) == math.rint(832.0 / 896.0 * 1e7) / 1e7)
+    assert(r.getDouble(7) == 0.0 && r.getDouble(8) == 0.0 &&
+      r.getDouble(9) == 1.0)
+  }
+
+  test("pca3: Jacobi reference parity on a random integral cloud") {
+    val rnd = new scala.util.Random(77)
+    val pts = (1 to 200).map { _ =>
+      val x = rnd.nextInt(40).toLong
+      // correlated features so the spectrum is anisotropic off-axis
+      val y = x / 2 + rnd.nextInt(15)
+      val z = 30 - x / 3 + rnd.nextInt(10)
+      ("j", x, y, z)
+    }
+    val got = StatTests.pca3(pts.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect()(0)
+    // exact C' in BigInt, then a plain Jacobi sweep eigensolver
+    val n = pts.size
+    def sums(f: ((String, Long, Long, Long)) => Long) = pts.map(f).sum
+    val (sx, sy, sz) = (sums(_._2), sums(_._3), sums(_._4))
+    val m = Array(
+      Array(n.toLong * sums(p => p._2 * p._2) - sx * sx,
+        n.toLong * sums(p => p._2 * p._3) - sx * sy,
+        n.toLong * sums(p => p._2 * p._4) - sx * sz),
+      Array(0L, n.toLong * sums(p => p._3 * p._3) - sy * sy,
+        n.toLong * sums(p => p._3 * p._4) - sy * sz),
+      Array(0L, 0L, n.toLong * sums(p => p._4 * p._4) - sz * sz))
+    val a = Array.tabulate(3, 3)((i, j) =>
+      if (i <= j) m(i)(j).toDouble else m(j)(i).toDouble)
+    val v = Array.tabulate(3, 3)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until 60; p <- 0 until 2; q <- (p + 1) to 2
+         if math.abs(a(p)(q)) > 1e-12) {
+      val theta = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      for (k <- 0 until 3) {
+        val (akp, akq) = (a(k)(p), a(k)(q))
+        a(k)(p) = c * akp - s * akq; a(k)(q) = s * akp + c * akq
+      }
+      for (k <- 0 until 3) {
+        val (apk, aqk) = (a(p)(k), a(q)(k))
+        a(p)(k) = c * apk - s * aqk; a(q)(k) = s * apk + c * aqk
+      }
+      for (k <- 0 until 3) {
+        val (vkp, vkq) = (v(k)(p), v(k)(q))
+        v(k)(p) = c * vkp - s * vkq; v(k)(q) = s * vkp + c * vkq
+      }
+    }
+    val eig = (0 until 3).map(i => (a(i)(i), (0 until 3).map(v(_)(i))))
+      .sortBy(-_._1)
+    val bessel = n.toDouble * (n - 1).toDouble
+    val scale = eig.head._1 / bessel
+    assert(math.abs(got.getDouble(2) - eig(0)._1 / bessel) < 1e-6 * scale)
+    assert(math.abs(got.getDouble(3) - eig(1)._1 / bessel) < 1e-6 * scale)
+    assert(math.abs(got.getDouble(4) - eig(2)._1 / bessel) < 1e-6 * scale)
+    // principal axis parity up to sign: |cosine| of the two unit axes
+    val w = Seq(got.getDouble(7), got.getDouble(8), got.getDouble(9))
+    val wn = math.sqrt(w.map(x => x * x).sum)
+    val jn = math.sqrt(eig.head._2.map(x => x * x).sum)
+    val cos = w.zip(eig.head._2).map { case (p, q) => p * q }.sum / (wn * jn)
+    assert(math.abs(math.abs(cos) - 1.0) < 1e-9)
+  }
+
+  test("pca3: isotropic group yields null axis, zero trace nulls ratios") {
+    // all points identical: C' = 0 -> spectrum (0,0,0), null axis +
+    // null explained (trace 0)
+    val flat = Seq.fill(5)(("f", 3L, 3L, 3L)).toDF("g", "x", "y", "z")
+    val r = StatTests.pca3(flat, "g", "x", "y", "z").collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 &&
+      r.getDouble(4) == 0.0)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+    assert(r.isNullAt(7) && r.isNullAt(8) && r.isNullAt(9))
+  }
+}

@@ -121,6 +121,46 @@ class TrendSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(4) + 2.0) < 0.2)
   }
 
+  test("d-regressor OLS: d=2 is bit-identical to olsMulti2, d=3 exact") {
+    // the generic detPinned recursion at d=2 must reproduce the hand
+    // det3 EXACTLY (same cofactor order, same double sequence)
+    val rnd = new scala.util.Random(33)
+    val pts = (1 to 80).map { _ =>
+      val x1 = rnd.nextInt(40).toLong
+      val x2 = rnd.nextInt(25).toLong
+      ("a", x1, x2, 7 + 2 * x1 + x2 + rnd.nextInt(5) - 2L)
+    }
+    val df = pts.toDF("g", "x1", "x2", "y")
+    val a = Trend.olsMulti2(df, "g", "x1", "x2", "y").collect()(0)
+    val b = Trend.olsMulti(df, "g", Seq("x1", "x2"), "y").collect()(0)
+    assert(a.getDouble(2) == b.getDouble(2))
+    assert(a.getDouble(3) == b.getDouble(3))
+    assert(a.getDouble(4) == b.getDouble(4))
+
+    // exact hyperplane at d=3: y = 2 + 3*x1 - x2 + 5*x3 over a
+    // full-rank integer design -> coefficients recovered exactly
+    val cube = for (x1 <- 0L to 3L; x2 <- 0L to 2L; x3 <- 0L to 2L)
+      yield ("h", x1, x2, x3, 2 + 3 * x1 - x2 + 5 * x3)
+    val h = Trend.olsMulti(cube.toDF("g", "x1", "x2", "x3", "y"),
+      "g", Seq("x1", "x2", "x3"), "y").collect()(0)
+    assert(h.getDouble(2) == 2.0 && h.getDouble(3) == 3.0 &&
+      h.getDouble(4) == -1.0 && h.getDouble(5) == 5.0)
+
+    // collinear regressor triple (x3 = x1 + x2): nulls across the board
+    // (small magnitudes keep every det term exact in doubles, so the
+    // singular determinant is EXACTLY 0.0, not cancellation residue)
+    val coll = (0L to 5L).map(i => ("c", i, 2 * i + 1, 3 * i + 1, i))
+      .toDF("g", "x1", "x2", "x3", "y")
+    val cr = Trend.olsMulti(coll, "g", Seq("x1", "x2", "x3"), "y")
+      .collect()(0)
+    assert((2 to 5).forall(cr.isNullAt))
+
+    // arity guard: 5 regressors refuse loudly
+    intercept[IllegalArgumentException] {
+      Trend.olsMulti(coll, "g", Seq("x1", "x2", "x3", "x1", "x2"), "y")
+    }
+  }
+
   test("autocorrelation: alternating series r1 = -1, reference parity, flat null") {
     // perfectly alternating 0,4,0,4,... -> r1 = -1, r2 = +1 (up to the
     // finite-sample end terms; use the textbook formula as reference)

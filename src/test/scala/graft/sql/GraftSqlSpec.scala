@@ -303,6 +303,13 @@ class GraftSqlSpec extends SparkTestBase {
         Seq("a" -> 1L, "b" -> 1L)))
     parity("CALL graft_stat_cohens_h(sqlstat_src, 'g', 'y', 'a', 'b', st_ch)",
       "st_ch", graft.operators.EffectSizes.cohensH(src, "g", "y", "a", "b"))
+    parity("CALL graft_stat_mahalanobis_d(sqlstat_src, 't', 'v,t', 5, st_md)",
+      "st_md", graft.operators.Outliers.mahalanobisD(src, "t",
+        Seq("v", "t"), 5))
+    parity("CALL graft_stat_ols_multi(sqlstat_src, 'g', 't', 'v', st_om)",
+      "st_om", Trend.olsMulti(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_pca3(sqlstat_src, 'g', 't', 'v', 't', st_p3)",
+      "st_p3", StatTests.pca3(src, "g", "t", "v", "t"))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
