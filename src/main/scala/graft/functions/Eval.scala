@@ -324,10 +324,14 @@ object Eval {
   def precisionRecallAtK(df: DataFrame, queryCol: String, docCol: String,
       relCol: String, scoreCol: String, k: Int): DataFrame = {
     require(k >= 1)
+    // Rank over the RENAMED columns: the window is resolved against the
+    // select's output, where queryCol is already `query` (partitioning on
+    // col(queryCol) would only resolve when the caller's column happens
+    // to be named "query" — the q440 coincidence).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryCol)).orderBy(desc(scoreCol), col(docCol))
-    val ranked = df.select(col(queryCol).as("query"), col(docCol),
-        (col(relCol) > 0).as("is_rel"), col(scoreCol))
+      .partitionBy(col("query")).orderBy(desc("__score"), col("__doc"))
+    val ranked = df.select(col(queryCol).as("query"), col(docCol).as("__doc"),
+        (col(relCol) > 0).as("is_rel"), col(scoreCol).as("__score"))
       .withColumn("__r", row_number().over(w))
     ranked.groupBy(col("query"))
       .agg(count(lit(1)).as("n_docs"),

@@ -53,6 +53,20 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_mahalanobis_d(src_view, 'id', 'f1,f2,f3', topk, out_view)
   *   CALL graft_stat_ols_multi(src_view, 'group', 'x1,x2,x3', 'y', out_view)
   *   CALL graft_stat_pca3(src_view, 'group', 'x', 'y', 'z', out_view)
+  *   CALL graft_stat_wasserstein(src_view, 'group', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_jarque_bera(src_view, 'group', 'value', out_view)
+  *   CALL graft_stat_trimmed_mean(src_view, 'group', 'value' [, trim], out_view)
+  *   CALL graft_stat_quantile_norm(src_view, 'group', 'id', 'value', out_view)
+  *   CALL graft_stat_brier(src_view, 'prob_milli', 'label', nbins, out_view)
+  *   CALL graft_stat_precision_at_k(src_view, 'query', 'doc', 'rel', 'score', k, out_view)
+  *   CALL graft_stat_assortativity(edges_view, 'src', 'dst', out_view)
+  *   CALL graft_stat_kruskal_wallis(src_view, 'group', 'value', out_view)
+  *   CALL graft_stat_anova_f(src_view, 'group', 'value', out_view)
+  *   CALL graft_stat_cramers_v(src_view, 'x', 'y', out_view)
+  *   CALL graft_stat_mood_median(src_view, 'group', 'value', out_view)
+  *   CALL graft_stat_wilcoxon(src_view, 'x', 'y', out_view)
+  *   CALL graft_stat_cohens_d(src_view, 'group', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_fleiss_kappa(src_view, 'item', 'category', out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -491,16 +505,45 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
         case "ols_multi" => Trend.olsMulti(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
         case "pca3" => StatTests.pca3(src, ms(0), ms(1), ms(2), ms(3))
+        case "wasserstein" => StatTests.wassersteinOne(src, ms(0), ms(1),
+          ms(2), ms(3))
+        case "jarque_bera" => graft.operators.Robust.jarqueBera(src,
+          ms(0), ms(1))
+        case "trimmed_mean" =>
+          if (mid.length >= 3)
+            graft.operators.Robust.trimmedMean(src, ms(0), ms(1), md(2))
+          else graft.operators.Robust.trimmedMean(src, ms(0), ms(1))
+        case "quantile_norm" => graft.operators.Normalize
+          .quantileNormalize(src, ms(0), ms(1), ms(2))
+        case "brier" => graft.functions.Eval.brierDecomposition(src,
+          ms(0), ms(1), mi(2))
+        case "precision_at_k" => graft.functions.Eval.precisionRecallAtK(
+          src, ms(0), ms(1), ms(2), ms(3), mi(4))
+        case "assortativity" => graft.functions.Graph.degreeAssortativity(
+          src, ms(0), ms(1))
+        case "kruskal_wallis" => StatTests.kruskalWallis(src, ms(0), ms(1))
+        case "anova_f" => StatTests.anovaF(src, ms(0), ms(1))
+        case "cramers_v" => StatTests.cramersV(src, ms(0), ms(1))
+        case "mood_median" => StatTests.moodMedianTest(src, ms(0), ms(1))
+        case "wilcoxon" => StatTests.wilcoxonSignedRank(src, ms(0), ms(1))
+        case "cohens_d" => graft.operators.EffectSizes.cohensD(src,
+          ms(0), ms(1), ms(2), ms(3))
+        case "fleiss_kappa" => StatTests.fleissKappa(src, ms(0), ms(1))
         case other => bad(s"unknown statistic '$other' (known: " +
-          "anderson_darling, anova_eta, ari, auc, average_precision, " +
-          "benford, ccf, cmh, cohens_h, concordance, conformal, cusum, " +
-          "durbin_watson, ece, gwet_ac1, k_anonymity, ks, kuiper, " +
+          "anderson_darling, anova_eta, anova_f, ari, assortativity, " +
+          "auc, average_precision, " +
+          "benford, brier, ccf, cmh, cohens_d, cohens_h, concordance, " +
+          "conformal, cramers_v, cusum, " +
+          "durbin_watson, ece, fleiss_kappa, gwet_ac1, jarque_bera, " +
+          "k_anonymity, kruskal_wallis, ks, kuiper, " +
           "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
-          "mahalanobis_d, mann_kendall, mannwhitney, mcc, ols_multi, " +
-          "partial_corr, pca3, poisson_rate, " +
-          "psi, purity, seasonal_mann_kendall, srm, target_encode, " +
-          "theil_sen, turning_points, uncertainty, vmeasure, " +
-          "weighted_kappa, welch, wilson, youden)")
+          "mahalanobis_d, mann_kendall, mannwhitney, mcc, mood_median, " +
+          "ols_multi, partial_corr, pca3, poisson_rate, " +
+          "precision_at_k, psi, purity, quantile_norm, " +
+          "seasonal_mann_kendall, srm, target_encode, " +
+          "theil_sen, trimmed_mean, turning_points, uncertainty, " +
+          "vmeasure, wasserstein, weighted_kappa, welch, wilcoxon, " +
+          "wilson, youden)")
       }
       result.createOrReplaceTempView(view)
       Seq(Row(s"registered $view = graft_$verb over ${mid.collect {

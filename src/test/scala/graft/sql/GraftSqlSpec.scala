@@ -310,6 +310,36 @@ class GraftSqlSpec extends SparkTestBase {
       "st_om", Trend.olsMulti(src, "g", Seq("t"), "v"))
     parity("CALL graft_stat_pca3(sqlstat_src, 'g', 't', 'v', 't', st_p3)",
       "st_p3", StatTests.pca3(src, "g", "t", "v", "t"))
+    parity("CALL graft_stat_wasserstein(sqlstat_src, 'g', 'v', 'a', 'b', st_w1)",
+      "st_w1", StatTests.wassersteinOne(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_jarque_bera(sqlstat_src, 'g', 'v', st_jb)",
+      "st_jb", graft.operators.Robust.jarqueBera(src, "g", "v"))
+    parity("CALL graft_stat_trimmed_mean(sqlstat_src, 'g', 'v', st_tm)",
+      "st_tm", graft.operators.Robust.trimmedMean(src, "g", "v"))
+    parity("CALL graft_stat_trimmed_mean(sqlstat_src, 'g', 'v', 0.2, st_tm2)",
+      "st_tm2", graft.operators.Robust.trimmedMean(src, "g", "v", 0.2))
+    parity("CALL graft_stat_quantile_norm(sqlstat_src, 'g', 't', 'v', st_qn)",
+      "st_qn", graft.operators.Normalize.quantileNormalize(src, "g", "t", "v"))
+    parity("CALL graft_stat_brier(sqlstat_src, 'v', 'y', 10, st_br)",
+      "st_br", graft.functions.Eval.brierDecomposition(src, "v", "y", 10))
+    parity("CALL graft_stat_precision_at_k(sqlstat_src, 'g', 't', 't', 'v', 3, st_pk)",
+      "st_pk", graft.functions.Eval.precisionRecallAtK(src, "g", "t", "t", "v", 3))
+    parity("CALL graft_stat_assortativity(sqlstat_src, 't', 'v', st_as)",
+      "st_as", graft.functions.Graph.degreeAssortativity(src, "t", "v"))
+    parity("CALL graft_stat_kruskal_wallis(sqlstat_src, 'g', 'v', st_kw)",
+      "st_kw", StatTests.kruskalWallis(src, "g", "v"))
+    parity("CALL graft_stat_anova_f(sqlstat_src, 'g', 'v', st_af)",
+      "st_af", StatTests.anovaF(src, "g", "v"))
+    parity("CALL graft_stat_cramers_v(sqlstat_src, 'g', 'y', st_cv)",
+      "st_cv", StatTests.cramersV(src, "g", "y"))
+    parity("CALL graft_stat_mood_median(sqlstat_src, 'g', 'v', st_mm)",
+      "st_mm", StatTests.moodMedianTest(src, "g", "v"))
+    parity("CALL graft_stat_wilcoxon(sqlstat_src, 'v', 't', st_wx)",
+      "st_wx", StatTests.wilcoxonSignedRank(src, "v", "t"))
+    parity("CALL graft_stat_cohens_d(sqlstat_src, 'g', 'v', 'a', 'b', st_cd)",
+      "st_cd", graft.operators.EffectSizes.cohensD(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_fleiss_kappa(sqlstat_src, 't', 'g', st_fk)",
+      "st_fk", StatTests.fleissKappa(src, "t", "g"))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
