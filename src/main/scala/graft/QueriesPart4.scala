@@ -192,37 +192,15 @@ private[graft] object QueriesPart4 {
     // SQL-expressible, so rows-only; determinism, WAV/FLAC container
     // identity and group recovery are pinned by AudioFingerprintSpec.
     "q155_audio_neardups" -> ((s, d) => {
-      def leHex16(c: org.apache.spark.sql.Column) = concat(
-        lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
-        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"))
-      def leHex32(c: org.apache.spark.sql.Column) = concat(
-        leHex16(c.bitwiseAND(lit(65535L))),
-        leHex16(shiftright(c, 16).bitwiseAND(lit(65535L))))
-      // SQUARE wave built by REPEATING one period's constant hex — zero
-      // per-sample lambdas (a transform() over 4000 samples ran
-      // interpreted and dominated the query at 40x the join's cost).
-      // Period 8..102 samples (frequency class doc_id % 48, ~78-1000 Hz);
-      // odd harmonics give the fingerprint a rich constellation.
-      // +12000 -> s16le "E02E"; -12000 -> "20D1".
-      val period = (lit(8) + (col("doc_id") % 48) * 2).cast("int")
-      val m = (lit(4000) / period).cast("int") * period // whole periods
-      val dataSize = (m * 2).cast("long")
-      val header = concat(
-        lit("52494646"), leHex32(dataSize + 36L), lit("57415645"),
-        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
-        lit("401F0000"), lit("803E0000"), lit("0200"), lit("1000"),
-        lit("64617461"), leHex32(dataSize))
-      val samplesHex = repeat(
-        concat(repeat(lit("E02E"), (period / 2).cast("int")),
-          repeat(lit("20D1"), (period / 2).cast("int"))),
-        (m / period).cast("int"))
+      // Square wave built by SparkEntry.syntheticSquareWav (shared with
+      // q446's pair census — identical bytes, identical constellation).
       // The constructed-audio slice is CONSTANT-BOUNDED (300 docs): this
       // query's cost is synthesizing test audio, not the operator under
       // test — the fingerprint join is the bucketed MinHash shape.
       val docs = t(s, d, "documents")
         .where(col("doc_id") < 300)
         .select(col("doc_id").as("id"),
-          unhex(concat(header, samplesHex)).as("audio"))
+          SparkEntry.syntheticSquareWav.as("audio"))
       Dedup.audioNearDups(docs, "id", "audio", minSharedKeys = 6, sorted = true)
     }),
 

@@ -60,7 +60,61 @@ private[graft] object QueriesPart9 {
               hour(col("ts")).cast("long").as("y"),
               dayofmonth(col("ts")).cast("long").as("z")),
           "event_type", "x", "y", "z")
-        .orderBy("group")))
+        .orderBy("group")),
+
+    // --- 445. PQ cell-assignment census, oracle-pinned --------------------------------------------------------
+    // The integer half of q101 flipped to an oracle (the q199 trick):
+    // the codebook is sixteen EXPLICIT table rows (vec_id < 16, each
+    // 64-float embedding sliced into 8 subvectors), so the per-subspace
+    // nearest-centroid assignment that PQ encoding performs is a pure
+    // relational replay — the oracle recomputes every squared-L2
+    // distance in the kernel's own left-associated double arithmetic
+    // and picks argmin with the identical strict-< (smaller index on
+    // ties) rule. Pins the codegen'd PqEncodeExpr subvector slicing,
+    // distance arithmetic and assignment; only the k-means codebook
+    // TRAINING floats stay rows-only (q101).
+    "q445_pq_assign" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val seeds = e.where(col("id") < 16).orderBy("id").collect()
+      require(seeds.length == 16, s"need vec_id 0..15, got ${seeds.length}")
+      val dim = seeds(0).getSeq[Float](1).length
+      val m = 8
+      val subDim = dim / m
+      val books = Array.tabulate(m) { sp =>
+        seeds.map(r =>
+          r.getSeq[Float](1).slice(sp * subDim, (sp + 1) * subDim).toArray)
+      }
+      val model = graft.functions.Pq.Model(books)
+      e.where(col("id") < 2000)
+        .select(col("id").as("vec_id"),
+          posexplode(graft.functions.Pq.codes(col("vec"), model)))
+        .select(col("vec_id"), col("pos").as("subspace"),
+          col("col").as("code"))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // --- 446. audio-fingerprint pair census, oracle-pinned ----------------------------------------------------
+    // The integer half of q155 flipped to an oracle: same-class docs
+    // carry BYTE-IDENTICAL constructed audio, so their constellations
+    // are identical and every within-class pair clears minSharedKeys;
+    // cross-class constellations share under the threshold (every class
+    // period gives distinct harmonic bins — verified exhaustively by
+    // AudioFingerprintSpec's group-recovery case and at both gate SFs).
+    // The pair set is therefore the closed-form within-class census,
+    // which pins the WAV synthesis+parse, the Hann/FFT/landmark
+    // determinism, the key join and the threshold; the per-pair
+    // shared-key COUNTS (FFT-magnitude-dependent) stay rows-only (q155).
+    "q446_audio_pair_census" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .where(col("doc_id") < 300)
+        .select(col("doc_id").as("id"),
+          SparkEntry.syntheticSquareWav.as("audio"))
+      graft.functions.Dedup.audioNearDups(docs, "id", "audio",
+          minSharedKeys = 6, sorted = true)
+        .select(col("id1"), col("id2"))
+        .orderBy("id1", "id2")
+    }))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -285,5 +339,40 @@ private[graft] object QueriesPart9 {
          |  ROUND(CASE WHEN bestn > 0.0 THEN wy / scale END, 7) AS vy,
          |  ROUND(CASE WHEN bestn > 0.0 THEN wz / scale END, 7) AS vz
          |FROM sc ORDER BY "group"""".stripMargin
-    })
+    },
+
+    // PQ cell assignment: squared-L2 per subspace in the kernel's own
+    // left-associated double order (8 unrolled terms), argmin with
+    // smaller-centroid-id tie-break — the q199 explicit-centroid trick.
+    "q445_pq_assign" -> {
+      val terms = (1 to 8).map(j =>
+        s"(p.v[s.s*8+$j] - c.cv[s.s*8+$j]) * (p.v[s.s*8+$j] - c.cv[s.s*8+$j])")
+        .mkString("\n         |    + ")
+      s"""WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id < 2000 AND len(embedding) >= 64),
+         |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |subs AS (SELECT UNNEST(generate_series(0, 7)) AS s),
+         |d AS (SELECT p.id, s.s, c.cid,
+         |    $terms AS d2
+         |  FROM pts p CROSS JOIN subs s CROSS JOIN cents c),
+         |asg AS (SELECT id, s, cid FROM (
+         |  SELECT id, s, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY id, s
+         |      ORDER BY d2 ASC, cid ASC) AS rk
+         |  FROM d) WHERE rk = 1)
+         |SELECT id AS vec_id, CAST(s AS INTEGER) AS subspace,
+         |  CAST(cid AS INTEGER) AS code
+         |FROM asg ORDER BY vec_id, subspace""".stripMargin
+    },
+
+    // Audio pair census: within-class pairs of the constructed corpus
+    // (same class = byte-identical audio = identical constellation;
+    // cross-class shares under the threshold).
+    "q446_audio_pair_census" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 48 = b.doc_id % 48 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 300 AND b.doc_id < 300
+        |ORDER BY id1, id2""".stripMargin)
 }

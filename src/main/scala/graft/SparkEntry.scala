@@ -141,6 +141,39 @@ object SparkEntry {
     unhex(concat(header, samplesHex))
   }
 
+  /** Synthetic 0.5s square-wave mono WAV (s16le, 8 kHz) per documents
+    * row — the constructed corpus for the audio-fingerprint queries
+    * (q155 pairs, q446 pair census). Frequency class doc_id % 48 sets
+    * the period (8..102 samples, ~78-1000 Hz); the wave is built by
+    * REPEATING one period's constant hex (zero per-sample lambdas — a
+    * transform() over 4000 samples ran interpreted at 40x the join's
+    * cost). Same class => byte-identical audio => identical
+    * constellation fingerprints; the odd harmonics give each class a
+    * rich, class-distinct constellation.
+    */
+  private[graft] def syntheticSquareWav: org.apache.spark.sql.Column = {
+    def leHex16(c: org.apache.spark.sql.Column) = concat(
+      lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255L))), 2, "0"))
+    def leHex32(c: org.apache.spark.sql.Column) = concat(
+      leHex16(c.bitwiseAND(lit(65535L))),
+      leHex16(shiftright(c, 16).bitwiseAND(lit(65535L))))
+    // +12000 -> s16le "E02E"; -12000 -> "20D1".
+    val period = (lit(8) + (col("doc_id") % 48) * 2).cast("int")
+    val m = (lit(4000) / period).cast("int") * period // whole periods
+    val dataSize = (m * 2).cast("long")
+    val header = concat(
+      lit("52494646"), leHex32(dataSize + 36L), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+      lit("401F0000"), lit("803E0000"), lit("0200"), lit("1000"),
+      lit("64617461"), leHex32(dataSize))
+    val samplesHex = repeat(
+      concat(repeat(lit("E02E"), (period / 2).cast("int")),
+        repeat(lit("20D1"), (period / 2).cast("int"))),
+      (m / period).cast("int"))
+    unhex(concat(header, samplesHex))
+  }
+
   /** Synthetic 8-bit grayscale PNG built per documents row, exercising the
     * REAL inflate+unfilter decode path (q89). Geometry: w = 3 + doc_id%5,
     * h = 3, c = 1 + doc_id%20. The three scanlines use three different

@@ -1131,13 +1131,33 @@ object StatTests {
     */
   def requireBoundedDomain(domain: DataFrame, what: String,
       maxDomain: Long = MaxDistinctDomain): Unit = {
-    val n = domain.count()
+    if (guardsTrusted(domain)) return
+    // limit(max+1): the check needs "over the bound?", never the exact
+    // count — CollectLimit stops scanning once max+1 rows surface, so an
+    // over-domain column fails after reading ~maxDomain rows instead of
+    // counting the whole (possibly huge) distinct domain.
+    val n = domain.limit(math.min(maxDomain + 1, Int.MaxValue.toLong - 1).toInt).count()
     require(n <= maxDomain,
-      s"$what: $n distinct values exceed the domain-window bound " +
-        s"$maxDomain — the ordered domain cumsum would run in ONE " +
+      s"$what: over $maxDomain distinct values exceed the domain-window " +
+        "bound — the ordered domain cumsum would run in ONE " +
         "partition at this cardinality. Quantize the value column first " +
         "(the documented quantize-first contract).")
   }
+
+  /** Session-level trusted mode for the pre-flight domain guards
+    * ([[requireBoundedDomain]]/[[requireBoundedCells]]): when
+    * `spark.graft.stats.trustGuards` is `true`, the guards return
+    * immediately and the caller ASSERTS the quantize-first contract
+    * holds. Each guarded call otherwise pays one eager bounded job
+    * before the real one — the right default (loud beats silent), but
+    * a dashboard sweep over pre-quantized columns doubles its job
+    * count for checks it has already satisfied. The single-partition
+    * blow-up risk transfers to the caller while the conf is set; scope
+    * it tightly (`spark.conf.set(...)` around the sweep, unset after).
+    */
+  private def guardsTrusted(df: DataFrame): Boolean =
+    df.sparkSession.conf
+      .getOption("spark.graft.stats.trustGuards").contains("true")
 
   /** Cap on per-group distinct cells for the cells^2 pair-join family.
     * 2^13 cells is ~33.5M pair rows in the single task that owns the
@@ -1155,6 +1175,7 @@ object StatTests {
     */
   def requireBoundedCells(cells: DataFrame, groupCol: String, what: String,
       maxCells: Long = MaxPairCells): Unit = {
+    if (guardsTrusted(cells)) return
     val worst = cells.groupBy(col(groupCol))
       .agg(count(lit(1)).as("nc")).agg(max(col("nc"))).first()
     if (!worst.isNullAt(0)) {

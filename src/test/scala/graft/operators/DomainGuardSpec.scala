@@ -59,6 +59,25 @@ class DomainGuardSpec extends SparkTestBase {
     assert(e2.getMessage.contains("mannKendall"))
   }
 
+  test("trusted mode skips the pre-flight jobs; default stays loud") {
+    val nine = spark.range(9).toDF("v")
+    val over = spark.range(StatTests.MaxPairCells + 1)
+      .select(lit("g1").as("g"), col("id").as("x"))
+    spark.conf.set("spark.graft.stats.trustGuards", "true")
+    try {
+      // Neither guard throws while the session asserts the contract.
+      StatTests.requireBoundedDomain(nine, "trusted", maxDomain = 8)
+      StatTests.requireBoundedCells(over, "g", "trusted")
+    } finally spark.conf.unset("spark.graft.stats.trustGuards")
+    // Unset, the identical inputs trip again — the conf is scoped, not sticky.
+    intercept[IllegalArgumentException] {
+      StatTests.requireBoundedDomain(nine, "loud-again", maxDomain = 8)
+    }
+    intercept[IllegalArgumentException] {
+      StatTests.requireBoundedCells(over, "g", "loud-again")
+    }
+  }
+
   test("the shortlist guards on rank ops trip on corpus-sized input") {
     val big = spark.range((1L << 16) + 1)
       .select(col("id"), col("id").as("s1"), (-col("id")).as("s2"))
