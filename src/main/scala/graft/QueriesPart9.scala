@@ -97,21 +97,24 @@ private[graft] object QueriesPart9 {
     // --- 446. audio-fingerprint pair census, oracle-pinned ----------------------------------------------------
     // The integer half of q155 flipped to an oracle: same-class docs
     // carry BYTE-IDENTICAL constructed audio, so their constellations
-    // are identical and every within-class pair clears minSharedKeys;
-    // cross-class constellations share under the threshold (every class
-    // period gives distinct harmonic bins — verified exhaustively by
-    // AudioFingerprintSpec's group-recovery case and at both gate SFs).
-    // The pair set is therefore the closed-form within-class census,
-    // which pins the WAV synthesis+parse, the Hann/FFT/landmark
-    // determinism, the key join and the threshold; the per-pair
-    // shared-key COUNTS (FFT-magnitude-dependent) stay rows-only (q155).
+    // are identical and every within-class pair shares the full
+    // constellation (measured 9..18 keys per class); cross-class pairs
+    // share EXACTLY 6 keys wherever nearby periods collide on a
+    // coarse-band peak (measured over all 48x47/2 class pairs — the
+    // corpus depends only on doc_id, so the census is SF-independent).
+    // minSharedKeys = 8 sits in the [7, 9) separation gap with margin
+    // on both sides, making the pair set the closed-form within-class
+    // census — which pins the WAV synthesis+parse, the Hann/FFT/
+    // landmark determinism, the key join and the threshold; the
+    // per-pair shared-key COUNTS (FFT-magnitude-dependent) stay
+    // rows-only (q155).
     "q446_audio_pair_census" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .where(col("doc_id") < 300)
         .select(col("doc_id").as("id"),
           SparkEntry.syntheticSquareWav.as("audio"))
       graft.functions.Dedup.audioNearDups(docs, "id", "audio",
-          minSharedKeys = 6, sorted = true)
+          minSharedKeys = 8, sorted = true)
         .select(col("id1"), col("id2"))
         .orderBy("id1", "id2")
     }))

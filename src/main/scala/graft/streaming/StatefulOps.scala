@@ -98,6 +98,36 @@ case class HhState(items: Seq[String], counts: Seq[Long], n: Long)
   */
 case class HhSnapshot(key: Long, item: String, count: Long, n_seen: Long)
 
+/** A scored prediction for the streaming calibration monitor: milli-unit
+  * probability (0..1000, the suite's exactness contract) + boolean label.
+  */
+case class ScoredEvent(key: Long, ts: java.sql.Timestamp, p_milli: Long,
+    label: Boolean)
+
+/** Per-milli-bin exact accumulators (counts/positives/psum, each length
+  * nBins) carried across microbatches — bounded state: nBins <= 1000
+  * longs per key regardless of stream length.
+  */
+case class EceState(counts: Seq[Long], pos: Seq[Long], psum: Seq[Long])
+
+/** A key's current calibration readout (the [[graft.functions.Eval.ece]]
+  * columns), re-emitted after every batch that touched the key.
+  */
+case class EceSnapshot(key: Long, n: Long, n_bins: Long,
+    ece_milli_num: Long, ece: Double)
+
+/** An assignment-log record for the streaming SRM monitor. */
+case class SrmEvent(key: Long, ts: java.sql.Timestamp, variant: String)
+
+/** Per-declared-variant exact counts (aligned with the weights order). */
+case class SrmState(counts: Seq[Long])
+
+/** A key's current sample-ratio-mismatch readout (the
+  * [[graft.operators.AbTest.sampleRatioMismatch]] columns), re-emitted
+  * after every batch that touched the key.
+  */
+case class SrmSnapshot(key: Long, n: Long, k: Long, chi2: Double)
+
 /** Custom-state streaming operators (`flatMapGroupsWithState`) for the
   * semantics the built-in `session_window` cannot express: sessions that
   * EMIT ON COMPLETION (append-mode friendly — a session row is final the
@@ -422,6 +452,122 @@ object StatefulOps {
           }
           state.update(st)
           hits.iterator
+      }
+  }
+
+  /** Half-up decimal rounding at 7, matching the suite's `round(col, 7)`
+    * discipline so streaming snapshots are comparable with their batch
+    * counterparts.
+    */
+  private def round7(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Streaming expected-calibration-error monitor — the streaming face of
+    * [[graft.functions.Eval.ece]] beside the CUSUM/Page-Hinkley alarms:
+    * a live "does a 0.8 score still mean 80%?" readout per model/slice
+    * key. State is the exact per-milli-bin accumulator triple
+    * (count, positives, psum) — nBins <= 1000 longs per key, bounded
+    * regardless of stream length — and every batch that touches a key
+    * re-emits the key's full-history snapshot (Update semantics,
+    * downstream upserts).
+    *
+    * Exactness and parity: bins, the integer ECE numerator
+    * `sum_b |1000*pos_b - psum_b|` and the final division mirror the
+    * batch operator exactly; bin accumulation is commutative, so the
+    * snapshot is microbatch-split-invariant BY CONSTRUCTION and equals
+    * the batch `Eval.ece` of the same events (asserted by the spec).
+    * Probabilities must arrive in milli units (0..1000) — out-of-range
+    * input throws rather than silently mis-binning.
+    */
+  def streamingEce(
+      events: Dataset[ScoredEvent],
+      nBins: Int = 10): Dataset[EceSnapshot] = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]")
+    implicit val stateEnc = Encoders.product[EceState]
+    implicit val outEnc = Encoders.product[EceSnapshot]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[EceState, EceSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[ScoredEvent], state: GroupState[EceState]) =>
+          val zero = Seq.fill(nBins)(0L)
+          val st = state.getOption.getOrElse(EceState(zero, zero, zero))
+          val counts = st.counts.toArray
+          val pos = st.pos.toArray
+          val psum = st.psum.toArray
+          for (e <- it) {
+            require(e.p_milli >= 0L && e.p_milli <= 1000L,
+              s"p_milli must be in [0, 1000], got ${e.p_milli}")
+            val b = math.min(e.p_milli * nBins / 1000L, nBins - 1L).toInt
+            counts(b) += 1L
+            if (e.label) pos(b) += 1L
+            psum(b) += e.p_milli
+          }
+          state.update(EceState(
+            counts.toIndexedSeq, pos.toIndexedSeq, psum.toIndexedSeq))
+          val n = counts.sum
+          var num = 0L
+          var i = 0
+          while (i < nBins) {
+            num += math.abs(1000L * pos(i) - psum(i))
+            i += 1
+          }
+          Iterator.single(EceSnapshot(key, n, counts.count(_ > 0L).toLong,
+            num, round7(num.toDouble / (1000.0 * n))))
+      }
+  }
+
+  /** Streaming sample-ratio-mismatch monitor — the streaming face of
+    * [[graft.operators.AbTest.sampleRatioMismatch]]: a live
+    * assignment-health chi-square per experiment key over the declared
+    * integer split weights. State is one exact count per DECLARED
+    * variant (bounded by the weight list); each touched key re-emits its
+    * full-history snapshot (Update semantics).
+    *
+    * Parity with the batch operator: expected counts are the same pinned
+    * `n*w/W` doubles and chi2 folds the per-variant terms in the same
+    * variant-sorted order (the q345 discipline), so the snapshot equals
+    * the batch readout of the same assignment log (asserted by the
+    * spec). An observed-but-undeclared arm throws loudly — a logging
+    * bug, same contract as batch.
+    */
+  def streamingSrm(
+      events: Dataset[SrmEvent],
+      weights: Seq[(String, Long)]): Dataset[SrmSnapshot] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive integers")
+    require(weights.map(_._1).distinct.length == weights.length,
+      "duplicate variant in split weights")
+    val sorted = weights.sortBy(_._1)
+    val wSum = weights.map(_._2).sum
+    val idx = sorted.map(_._1).zipWithIndex.toMap
+    implicit val stateEnc = Encoders.product[SrmState]
+    implicit val outEnc = Encoders.product[SrmSnapshot]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SrmState, SrmSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[SrmEvent], state: GroupState[SrmState]) =>
+          val counts = state.getOption
+            .getOrElse(SrmState(Seq.fill(sorted.length)(0L)))
+            .counts.toArray
+          for (e <- it) {
+            val i = idx.getOrElse(e.variant,
+              throw new IllegalArgumentException(s"variant '${e.variant}' " +
+                "observed but not declared in the split weights"))
+            counts(i) += 1L
+          }
+          state.update(SrmState(counts.toIndexedSeq))
+          val n = counts.sum
+          var chi2 = 0.0
+          var i = 0
+          while (i < sorted.length) {
+            val e = n.toDouble * sorted(i)._2.toDouble / wSum.toDouble
+            val d = counts(i).toDouble - e
+            chi2 += d * d / e
+            i += 1
+          }
+          Iterator.single(
+            SrmSnapshot(key, n, sorted.length.toLong, round7(chi2)))
       }
   }
 

@@ -277,6 +277,84 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(math.abs(got(1)._4 - 14.476190476190476) < 1e-9)
   }
 
+  test("streamingEce: bin state carries across microbatches, equals batch Eval.ece") {
+    val eceSchema = StructType(Seq(StructField("key", LongType),
+      StructField("ts", TimestampType), StructField("p_milli", LongType),
+      StructField("label", BooleanType)))
+    // 12 events; the 700-bin (and others) receive events in BOTH batches,
+    // so a correct final snapshot REQUIRES the carried accumulators.
+    val rows = Seq( // (p_milli, label)
+      (950L, true), (920L, true), (700L, true), (730L, false),
+      (150L, false), (80L, false), (980L, true), (760L, true),
+      (120L, true), (710L, false), (90L, false), (940L, false))
+    def line(i: Int, p: Long, y: Boolean) =
+      s"""{"key": 1, "ts": "2024-01-01T00:0${i / 6}:${10 + i % 6}", """ +
+        s""""p_milli": $p, "label": $y}"""
+    val files = Seq(
+      rows.take(6).zipWithIndex.map { case ((p, y), i) => line(i, p, y) }
+        .mkString("\n"),
+      rows.drop(6).zipWithIndex.map { case ((p, y), i) => line(i + 6, p, y) }
+        .mkString("\n"))
+    val dir = graft.GraftTmp.dir("graft-ece-stream")
+    files.zipWithIndex.foreach { case (content, i) =>
+      Files.write(dir.resolve(s"$i.json"), content.getBytes("UTF-8")) }
+    val stream = spark.readStream.schema(eceSchema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[ScoredEvent]
+    val q = StatefulOps.streamingEce(stream, nBins = 10)
+      .writeStream.format("memory").queryName("graft_ece_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val snaps = spark.table("graft_ece_stream").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(snaps.length == 2, snaps.toSeq) // one snapshot per batch
+    val fin = snaps.maxBy(_._1)
+    assert(fin._1 == 12L) // the second snapshot saw the whole history
+    val batch = graft.functions.Eval.ece(
+      rows.toDF("p_milli", "label"), "p_milli", "label", nBins = 10)
+      .head()
+    assert(fin._2 == batch.getLong(1), s"n_bins $fin vs $batch")
+    assert(fin._3 == batch.getLong(2), s"ece_milli_num $fin vs $batch")
+    assert(math.abs(fin._4 - batch.getDouble(3)) < 1e-9, s"$fin vs $batch")
+    // the mid-stream snapshot covered exactly the first batch
+    assert(snaps.minBy(_._1)._1 == 6L)
+  }
+
+  test("streamingSrm: declared-arm counts carry across batches, equals batch readout") {
+    val srmSchema = StructType(Seq(StructField("key", LongType),
+      StructField("ts", TimestampType), StructField("variant", StringType)))
+    // 9:3 observed on declared 1:1 weights — a loud mismatch; variant 'b'
+    // appears in both batches so the final chi2 needs the carried counts.
+    val vs = Seq("a", "a", "a", "b", "a", "a", "b", "a", "a", "a", "b", "a")
+    def line(i: Int, v: String) =
+      s"""{"key": 7, "ts": "2024-01-01T00:0${i / 6}:${10 + i % 6}", """ +
+        s""""variant": "$v"}"""
+    val files = Seq(
+      vs.take(6).zipWithIndex.map { case (v, i) => line(i, v) }.mkString("\n"),
+      vs.drop(6).zipWithIndex.map { case (v, i) => line(i + 6, v) }
+        .mkString("\n"))
+    val dir = graft.GraftTmp.dir("graft-srm-stream")
+    files.zipWithIndex.foreach { case (content, i) =>
+      Files.write(dir.resolve(s"$i.json"), content.getBytes("UTF-8")) }
+    val stream = spark.readStream.schema(srmSchema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[SrmEvent]
+    val q = StatefulOps.streamingSrm(stream, Seq("a" -> 1L, "b" -> 1L))
+      .writeStream.format("memory").queryName("graft_srm_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val snaps = spark.table("graft_srm_stream").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(snaps.length == 2, snaps.toSeq)
+    val fin = snaps.maxBy(_._1)
+    assert(fin._1 == 12L && fin._2 == 2L)
+    val batch = graft.operators.AbTest.sampleRatioMismatch(
+      vs.toDF("variant"), "variant", Seq("a" -> 1L, "b" -> 1L)).head()
+    assert(fin._3 == batch.getDouble(2), s"$fin vs $batch")
+    // 9 vs 3 on equal weights: chi2 = (9-6)^2/6 + (3-6)^2/6 = 3.0
+    assert(fin._3 == 3.0, fin)
+  }
+
   test("streamingCusumAlarm: sustained shift alarms across batches, noise never does") {
     val dir = graft.GraftTmp.dir("graft-cusum")
     // key 1: five on-target values (10 +- 1), then a sustained shift to
