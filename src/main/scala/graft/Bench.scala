@@ -4,9 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Scale probes size shuffle partitions to the decade (constant
+    // per-partition bytes — what AQE/auto-scaling does on a cluster):
+    // a fixed 32 at 10x the data means 10x per-task spill volume, which
+    // measures disk thrash, not the plan.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // 200+ distinct queries generate far more codegen stages than the
@@ -76,6 +82,16 @@ object Bench {
           -1.0
       }
       samples(name) = t :: samples(name)
+      // Scale probes: shuffle files live until their RDDs are GC'd, so a
+      // long multi-query run accumulates every query's spill on disk
+      // (measured 43 GB into an sf10 pass — two queries then failed on
+      // ENOSPC, not on their plans). An explicit GC after each query
+      // lets the ContextCleaner reclaim them; off by default (the sf0.1
+      // round bench never accumulates enough to matter).
+      if (sys.env.contains("SPARK_GRAFT_BENCH_GC")) {
+        System.gc()
+        Thread.sleep(200)
+      }
     }
     canary()
     val results = ordered.map { case (name, _) =>

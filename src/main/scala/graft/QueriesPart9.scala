@@ -117,6 +117,180 @@ private[graft] object QueriesPart9 {
           minSharedKeys = 8, sorted = true)
         .select(col("id1"), col("id2"))
         .orderBy("id1", "id2")
+    }),
+
+    // --- 447. BH-FDR + Holm multiple-testing correction, oracle-pinned ----------------------------------------
+    // The layer above the whole stat battery: a deterministic planted
+    // p-value battery (every 10th test strongly significant, the rest
+    // pseudo-uniform), both corrections decided in exact integer
+    // arithmetic — the oracle replays the rank windows verbatim.
+    "q447_bh_fdr" -> ((s, d) => {
+      val battery = t(s, d, "documents").where(col("doc_id") < 200)
+        .select(
+          concat(lit("t"), lpad(col("doc_id").cast("string"), 3, "0"))
+            .as("test"),
+          when(col("doc_id") % 10 === 0, col("doc_id") % 7)
+            .otherwise((col("doc_id") * 37) % 1000).cast("long")
+            .as("p_milli"))
+      graft.operators.StatTests.bhFdr(battery, "test", "p_milli")
+        .orderBy("rank")
+    }),
+
+    // --- 448. Hosmer-Lemeshow calibration test, oracle-pinned -------------------------------------------------
+    // The calibration TEST beside q412's ECE readout, on the same
+    // synthetic classifier as q441: exact per-bin integer numerators,
+    // micro-quantized fold, one division.
+    "q448_hosmer" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.hosmerLemeshow(scored, "p", "y", nBins = 10)
+    }),
+
+    // --- 449. G-test of independence, oracle-pinned -----------------------------------------------------------
+    // The log-likelihood-ratio face of q331's chi-square family:
+    // event type x hour band, micro-quantized c*ln(c*N/(r*s)) fold.
+    "q449_g_test" -> ((s, d) =>
+      graft.operators.StatTests.gTest(
+        t(s, d, "events").where(col("ts").isNotNull)
+          .select(col("event_type"),
+            (hour(col("ts")) % 6).cast("string").as("hband")),
+        "event_type", "hband")),
+
+    // --- 450. total variation distance, oracle-pinned ---------------------------------------------------------
+    // The L1 drift readout beside Hellinger (q384) and W1 (q382):
+    // click vs purchase deci-value distributions, exact cross-
+    // multiplied gaps, one division.
+    "q450_total_variation" -> ((s, d) =>
+      graft.operators.StatTests.totalVariation(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 10).cast("long").as("v")),
+        "g", "v", "click", "purchase")),
+
+    // --- 451. Gini-impurity feature screen, oracle-pinned -----------------------------------------------------
+    // CART-style "does this raw column carry signal": language vs the
+    // q441 synthetic label, exact per-value counts, micro-quantized
+    // impurity fold.
+    "q451_gini_screen" -> ((s, d) =>
+      graft.operators.Features.giniScreen(
+        t(s, d, "documents").select(col("lang"),
+          ((col("doc_id") * 13 % 100) < 40).as("y")),
+        "lang", "y")),
+
+    // --- 452. isotonic (PAV) calibration, oracle-pinned -------------------------------------------------------
+    // THE standard calibrator on q448's synthetic classifier:
+    // driver-side PAV over the bounded milli census with exact BigInt
+    // pooling decisions; the oracle replays the fit via the max-min
+    // characterization (two windows, no loop) — equal rationals give
+    // equal doubles and rounding is monotone, so the replay is exact.
+    "q452_isotonic" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.isotonicCalibration(scored, "p", "y")
+        .orderBy("p_milli")
+    }),
+
+    // --- 453. correlation matrix, oracle-pinned ---------------------------------------------------------------
+    // The multivariate screen beside q442-q444: which of the three
+    // quantized event features move together — exact DECIMAL
+    // sufficient stats, pinned pairwise expressions.
+    "q453_corr_matrix" -> ((s, d) =>
+      graft.operators.StatTests.corrMatrixD(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull)
+          .select(floor(col("value") * 10).cast("long").as("x"),
+            hour(col("ts")).cast("long").as("y"),
+            dayofmonth(col("ts")).cast("long").as("z")),
+        Seq("x", "y", "z"))),
+
+    // --- 454. Nelson-Aalen cumulative hazard, oracle-pinned ---------------------------------------------------
+    // The additive face of q363's Kaplan-Meier on the same
+    // right-censored time-to-first-big-purchase construction: exact
+    // risk sets, one division per event time, ordered additive fold.
+    "q454_nelson_aalen" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      val pu = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase" &&
+            col("value") >= 150, unix_micros(col("ts")))).as("te"))
+      val g = pu.select(
+        concat(lit("c"), (col("user_id") % 3).cast("string")).as("cohort"),
+        floor((coalesce(col("te"), col("t1")) - col("t0")) /
+          lit(86400000000L)).cast("long").as("dur"),
+        col("te").isNotNull.as("ev"))
+      graft.functions.Survival.nelsonAalen(g, "cohort", "dur", "ev")
+        .orderBy("group", "t")
+    }),
+
+    // --- 455. KMV sketch Jaccard, oracle-pinned ---------------------------------------------------------------
+    // Set similarity WITHOUT rescanning either corpus (the theta-sketch
+    // trick on q256's bottom-k sketches): clicker vs purchaser user
+    // sets at k = 64 — saturated sketches, so the estimator (not the
+    // exact path) is what's pinned. Exact long set algebra + one
+    // division; the oracle replays the xxhash64 chain.
+    "q455_kmv_jaccard" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      val sk = e.groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch.sketch(xxhash64(col("user_id")), 64)
+          .as("sk"))
+      val a = sk.where(col("event_type") === "click")
+        .select(col("sk").as("sk_a"))
+      val b = sk.where(col("event_type") === "purchase")
+        .select(col("sk").as("sk_b"))
+      a.crossJoin(b).select(
+        size(col("sk_a")).cast("int").as("size_a"),
+        size(col("sk_b")).cast("int").as("size_b"),
+        round(graft.functions.KmvSketch.jaccard(
+          col("sk_a"), col("sk_b"), 64), 7).as("jaccard_est"))
+    }),
+
+    // --- 456. stratified ATE, oracle-pinned -------------------------------------------------------------------
+    // The blocking estimator: deci-value outcome, parity-of-user
+    // "treatment", event type as the stratum; exact per-stratum sums,
+    // micro-quantized stratum terms, one-armed strata censused.
+    "q456_stratified_ate" -> ((s, d) =>
+      graft.operators.AbTest.stratifiedAte(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type").as("s"),
+            (col("user_id") % 2 === 0).as("t"),
+            floor(col("value") * 10).cast("long").as("y")),
+        "s", "t", "y")),
+
+    // --- 457. minimum detectable effect, oracle-pinned --------------------------------------------------------
+    // The power-analysis readout per event type against the click
+    // baseline: exact counts, one pinned sqrt expression.
+    "q457_mde" -> ((s, d) =>
+      graft.operators.AbTest.minDetectableEffect(
+        t(s, d, "events").where(col("value").isNotNull &&
+          col("event_type").isNotNull)
+          .select(col("event_type").as("variant"),
+            (col("value") >= 100).as("succ")),
+        "variant", "succ", "click")
+        .orderBy("variant")),
+
+    // --- 458. Pettitt change-point, oracle-pinned -------------------------------------------------------------
+    // The WHERE to q390's WHETHER on the same daily-count series per
+    // event type: exact doubled-midrank U_t, integer argmax, pinned
+    // p approximation.
+    "q458_pettitt" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("g"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Trend.pettitt(daily, "g", "day", "v")
+        .orderBy("group")
     }))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
@@ -371,11 +545,375 @@ private[graft] object QueriesPart9 {
 
     // Audio pair census: within-class pairs of the constructed corpus
     // (same class = byte-identical audio = identical constellation;
-    // cross-class shares under the threshold).
+    // cross-class shares exactly 6 keys < the threshold 8).
     "q446_audio_pair_census" ->
       """SELECT a.doc_id AS id1, b.doc_id AS id2
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 48 = b.doc_id % 48 AND a.doc_id < b.doc_id
         |WHERE a.doc_id < 300 AND b.doc_id < 300
-        |ORDER BY id1, id2""".stripMargin)
+        |ORDER BY id1, id2""".stripMargin,
+
+    // BH/Holm: exact integer decisions replayed over the same total
+    // (p, test) order; BH's step-up = reversed running max, Holm's
+    // step-down = running min.
+    "q447_bh_fdr" ->
+      """WITH battery AS (
+        |  SELECT 't' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS test,
+        |    CAST(CASE WHEN doc_id % 10 = 0 THEN doc_id % 7
+        |         ELSE (doc_id * 37) % 1000 END AS BIGINT) AS p_milli
+        |  FROM documents WHERE doc_id < 200),
+        |ranked AS (
+        |  SELECT test, p_milli,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p_milli, test) AS INTEGER)
+        |      AS rank,
+        |    count(*) OVER () AS m
+        |  FROM battery),
+        |flags AS (
+        |  SELECT test, p_milli, rank,
+        |    CASE WHEN p_milli * m <= rank * 50 THEN 1 ELSE 0 END
+        |      AS bh_pass,
+        |    CASE WHEN p_milli * (m - rank + 1) <= 50 THEN 1 ELSE 0 END
+        |      AS holm_pass
+        |  FROM ranked)
+        |SELECT test, p_milli, rank,
+        |  max(bh_pass) OVER (ORDER BY rank DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS bh_reject,
+        |  min(holm_pass) OVER (ORDER BY rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS holm_reject
+        |FROM flags ORDER BY rank""".stripMargin,
+
+    // Hosmer-Lemeshow: same milli bins as ECE, per-bin D^2 term in the
+    // engine's own double order, micro-quantized fold.
+    "q448_hosmer" ->
+      """WITH scored AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CAST(CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |         ELSE doc_id % 600 END AS BIGINT) AS p
+        |  FROM documents),
+        |bins AS (
+        |  SELECT least(p * 10 // 1000, 9) AS bin, count(*) AS nb,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(p) AS BIGINT) AS psum
+        |  FROM scored GROUP BY 1),
+        |terms AS (
+        |  SELECT nb, pos, psum,
+        |    CASE WHEN psum > 0 AND psum < 1000 * nb THEN
+        |      CAST(floor(CAST(1000 * pos - psum AS DOUBLE)
+        |        * CAST(1000 * pos - psum AS DOUBLE)
+        |        * (1.0 / (1000.0 * CAST(psum AS DOUBLE))
+        |           + 1.0 / (1000.0 * CAST(1000 * nb - psum AS DOUBLE)))
+        |        * 1e6) AS BIGINT) ELSE 0 END AS q,
+        |    CASE WHEN psum = 0 OR psum = 1000 * nb THEN 1 ELSE 0 END
+        |      AS degen
+        |  FROM bins)
+        |SELECT CAST(sum(nb) AS BIGINT) AS n, count(*) AS n_bins,
+        |  greatest(count(*) - 2, 0) AS dof,
+        |  ROUND(CASE WHEN max(degen) = 0
+        |    THEN CAST(sum(q) AS DOUBLE) / 1e6 END, 7) AS hl_chi2
+        |FROM terms""".stripMargin,
+
+    // G-test: exact contingency, micro-quantized c*ln(c*N/(r*s)) fold
+    // (the q358 grid), one division.
+    "q449_g_test" ->
+      """WITH e AS (
+        |  SELECT event_type AS x, CAST(hour(ts) % 6 AS VARCHAR) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT x, y, count(*) AS c FROM e GROUP BY 1, 2),
+        |rt AS (SELECT x, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT y, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |q AS (
+        |  SELECT CAST(floor(CAST(c AS DOUBLE)
+        |    * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+        |    * 1e6) AS BIGINT) AS q
+        |  FROM cells JOIN rt USING (x) JOIN ct USING (y) CROSS JOIN tot),
+        |dims AS (SELECT (SELECT count(*) FROM rt) AS r_levels,
+        |                (SELECT count(*) FROM ct) AS s_levels)
+        |SELECT n, r_levels, s_levels,
+        |  (r_levels - 1) * (s_levels - 1) AS dof,
+        |  ROUND(CASE WHEN r_levels > 1 AND s_levels > 1
+        |    THEN 2.0 * CAST(sum(q) AS DOUBLE) / 1e6 END, 7) AS g
+        |FROM q CROSS JOIN tot CROSS JOIN dims
+        |GROUP BY n, r_levels, s_levels""".stripMargin,
+
+    // Total variation: exact cross-multiplied per-value gaps, one
+    // division by 2*n_a*n_b.
+    "q450_total_variation" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |pv AS (
+        |  SELECT CAST(v AS VARCHAR) AS v,
+        |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b, count(*) AS n_values FROM pv)
+        |SELECT n_a, n_b, n_values,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(sum(abs(CAST(ca AS HUGEINT) * n_b
+        |      - CAST(cb AS HUGEINT) * n_a)) AS DOUBLE)
+        |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 7)
+        |    AS tv
+        |FROM pv CROSS JOIN tot GROUP BY n_a, n_b, n_values""".stripMargin,
+
+    // Gini screen: exact per-value counts, micro-quantized
+    // pos*neg/n fold, pinned root/split/gain.
+    "q451_gini_screen" ->
+      """WITH d AS (
+        |  SELECT lang AS v, (doc_id * 13 % 100) < 40 AS y
+        |  FROM documents WHERE lang IS NOT NULL),
+        |pv AS (SELECT v, count(*) AS nv,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM d GROUP BY 1),
+        |q AS (SELECT nv, pos,
+        |    CAST(floor(CAST(pos AS DOUBLE) * CAST(nv - pos AS DOUBLE)
+        |      / CAST(nv AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM pv),
+        |agg AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS p, count(*) AS n_values,
+        |    CAST(sum(q) AS BIGINT) AS qsum
+        |  FROM q)
+        |SELECT n, n_values,
+        |  ROUND(2.0 * CAST(p AS DOUBLE)
+        |    * (CAST(n AS DOUBLE) - CAST(p AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 7) AS root_gini,
+        |  ROUND(2.0 * CAST(qsum AS DOUBLE)
+        |    / (1e6 * CAST(n AS DOUBLE)), 7) AS split_gini,
+        |  ROUND(2.0 * CAST(p AS DOUBLE)
+        |    * (CAST(n AS DOUBLE) - CAST(p AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    - 2.0 * CAST(qsum AS DOUBLE)
+        |    / (1e6 * CAST(n AS DOUBLE)), 7) AS gini_gain
+        |FROM agg""".stripMargin,
+
+    // Isotonic: the max-min characterization — fit(i) =
+    // max_{j<=i} min_{k>=i} avg(j..k) — replayed with one pair join and
+    // two windows; correct rounding + monotone rounding make the double
+    // max-min equal the PAV block rate exactly.
+    "q452_isotonic" ->
+      """WITH scored AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CAST(CASE WHEN (doc_id * 13 % 100) < 40 THEN 500 + doc_id % 500
+        |         ELSE doc_id % 600 END AS BIGINT) AS p
+        |  FROM documents),
+        |pv AS (SELECT p AS p_milli, count(*) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM scored GROUP BY 1),
+        |ord AS (SELECT p_milli, n, pos,
+        |    ROW_NUMBER() OVER (ORDER BY p_milli) AS i FROM pv),
+        |cum AS (SELECT i, p_milli, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER (ORDER BY i) AS BIGINT) AS cp
+        |  FROM ord),
+        |pairs AS (SELECT j.i AS j, k.i AS k,
+        |    CAST(k.cp - j.cp + j.pos AS DOUBLE)
+        |      / CAST(k.cn - j.cn + j.n AS DOUBLE) AS a
+        |  FROM cum j JOIN cum k ON j.i <= k.i),
+        |mins AS (SELECT j, k AS i,
+        |    min(a) OVER (PARTITION BY j ORDER BY k DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM pairs),
+        |fit AS (SELECT i, max(m) AS f FROM mins GROUP BY i)
+        |SELECT o.p_milli, o.n, o.pos, ROUND(f, 7) AS rate_fit
+        |FROM ord o JOIN fit USING (i) ORDER BY p_milli""".stripMargin,
+
+    // Correlation matrix: HUGEINT sufficient stats mirroring the
+    // DECIMAL(38,0) sums, identical pinned pairwise expressions.
+    "q453_corr_matrix" -> {
+      val names = Seq("x", "y", "z")
+      def den(i: String) =
+        s"(CAST(n AS DOUBLE) * CAST(s_${i}_$i AS DOUBLE) " +
+          s"- CAST(s_$i AS DOUBLE) * CAST(s_$i AS DOUBLE))"
+      val rows = (for (i <- 0 until 3; j <- i + 1 until 3) yield {
+        val (a, b) = (names(i), names(j))
+        s"""SELECT '$a' AS x_col, '$b' AS y_col, n,
+           |  ROUND(CASE WHEN ${den(a)} > 0.0 AND ${den(b)} > 0.0 THEN
+           |    (CAST(n AS DOUBLE) * CAST(s_${a}_$b AS DOUBLE)
+           |     - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |    / (sqrt(${den(a)}) * sqrt(${den(b)})) END, 7) AS corr
+           |FROM agg""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT CAST(floor(value * 10) AS BIGINT) AS x,
+         |    CAST(hour(ts) AS BIGINT) AS y,
+         |    CAST(day(ts) AS BIGINT) AS z
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |agg AS (SELECT count(*) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS s_x,
+         |    CAST(sum(y) AS HUGEINT) AS s_y,
+         |    CAST(sum(z) AS HUGEINT) AS s_z,
+         |    CAST(sum(x * x) AS HUGEINT) AS s_x_x,
+         |    CAST(sum(x * y) AS HUGEINT) AS s_x_y,
+         |    CAST(sum(x * z) AS HUGEINT) AS s_x_z,
+         |    CAST(sum(y * y) AS HUGEINT) AS s_y_y,
+         |    CAST(sum(y * z) AS HUGEINT) AS s_y_z,
+         |    CAST(sum(z * z) AS HUGEINT) AS s_z_z
+         |  FROM e)
+         |$rows""".stripMargin
+    },
+
+    // Nelson-Aalen: q363's risk-set machinery with an additive
+    // list_reduce fold (seed-first == 0.0-seed for the + fold).
+    "q454_nelson_aalen" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    CAST(floor(CAST(COALESCE(te, t1) - t0 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS dur,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |pd AS (SELECT cohort, dur, count(*) AS cnt,
+        |         count(CASE WHEN ev THEN 1 END) AS d
+        |       FROM g GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(cnt) AS BIGINT) AS n_all
+        |        FROM pd GROUP BY 1),
+        |cum AS (SELECT cohort, dur, cnt, d,
+        |    sum(cnt) OVER (PARTITION BY cohort ORDER BY dur
+        |                   ROWS UNBOUNDED PRECEDING) AS cumall
+        |  FROM pd),
+        |f AS (SELECT c.cohort, dur,
+        |        CAST(n_all - cumall + cnt AS BIGINT) AS n_risk, d,
+        |        CAST(d AS DOUBLE)
+        |          / CAST(n_all - cumall + cnt AS DOUBLE) AS inc
+        |      FROM cum c JOIN tot USING (cohort) WHERE d > 0),
+        |l AS (SELECT cohort, list(inc ORDER BY dur) AS fl
+        |      FROM f GROUP BY 1),
+        |i AS (SELECT f.cohort, dur, n_risk, d,
+        |        row_number() OVER (PARTITION BY f.cohort ORDER BY dur) AS rn,
+        |        fl
+        |      FROM f JOIN l USING (cohort))
+        |SELECT cohort AS "group", dur AS t, n_risk, d,
+        |  ROUND(list_reduce(fl[1:rn], (a, b) -> a + b), 7) AS hazard
+        |FROM i ORDER BY "group", t""".stripMargin,
+
+    // KMV Jaccard: the xxhash64 chain (the q256 device) -> per-group
+    // bottom-64 -> union bottom-64 -> in-both census -> one division.
+    // The u64 HUGEINT states order BY VALUE = unsigned order, matching
+    // the engine's sign-flip bijection.
+    "q455_kmv_jaccard" -> {
+      import graft.oracle.XxSql._
+      val ch = chain("jh",
+        "SELECT DISTINCT event_type, user_id FROM events " +
+          "WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')",
+        Seq("event_type", "user_id"))
+      longHash(ch, u64("user_id"), "42", "h")
+      s"""WITH hh AS MATERIALIZED (WITH ${ch.withClauses}
+         |  SELECT DISTINCT event_type, h FROM ${ch.last}),
+         |rk AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hh),
+         |ska AS (SELECT h FROM rk WHERE event_type = 'click' AND rn <= 64),
+         |skb AS (SELECT h FROM rk
+         |        WHERE event_type = 'purchase' AND rn <= 64),
+         |un AS (SELECT h FROM ska UNION SELECT h FROM skb),
+         |ku AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         |       count(*) OVER () AS nu FROM un),
+         |hits AS (SELECT count(*) AS inboth FROM ku
+         |  WHERE rn <= 64 AND h IN (SELECT h FROM ska)
+         |    AND h IN (SELECT h FROM skb)),
+         |kp AS (SELECT least(CAST(max(nu) AS BIGINT), 64) AS kprime FROM ku)
+         |SELECT
+         |  (SELECT CAST(count(*) AS INT) FROM ska) AS size_a,
+         |  (SELECT CAST(count(*) AS INT) FROM skb) AS size_b,
+         |  ROUND(CASE WHEN kprime > 0 THEN
+         |    CAST(inboth AS DOUBLE) / CAST(kprime AS DOUBLE) END, 7)
+         |    AS jaccard_est
+         |FROM hits CROSS JOIN kp""".stripMargin
+    },
+
+    // Stratified ATE: exact per-stratum arm sums, the engine's own
+    // term order, micro-quantized fold, exclusion census.
+    "q456_stratified_ate" ->
+      """WITH e AS (
+        |  SELECT event_type AS s, (user_id % 2 = 0) AS t,
+        |    CAST(floor(value * 10) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |ps AS (SELECT s,
+        |    CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS nt,
+        |    CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS syc
+        |  FROM e GROUP BY 1),
+        |inc AS (SELECT * FROM ps WHERE nt > 0 AND nc > 0),
+        |tot AS (SELECT CAST(sum(nt + nc) AS BIGINT) AS n_inc,
+        |        count(*) AS n_strata FROM inc),
+        |exc AS (SELECT count(*) AS n_excluded FROM ps
+        |        WHERE nt = 0 OR nc = 0),
+        |q AS (SELECT CAST(floor(
+        |    (CAST(nt + nc AS DOUBLE) / CAST(n_inc AS DOUBLE))
+        |    * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |       - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS q, n_inc, n_strata
+        |  FROM inc CROSS JOIN tot)
+        |SELECT n_inc AS n, n_strata, n_excluded,
+        |  ROUND(CAST(sum(q) AS DOUBLE) / 1e6, 7) AS ate
+        |FROM q CROSS JOIN exc GROUP BY n_inc, n_strata, n_excluded""".stripMargin,
+
+    // MDE: exact counts, the pinned (1.96 + 0.84) * sqrt(...) double
+    // expression (the z sum folded in double on both engines).
+    "q457_mde" ->
+      """WITH g AS (SELECT event_type AS variant, count(*) AS n,
+        |    CAST(count(CASE WHEN value >= 100 THEN 1 END) AS BIGINT) AS sx
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT n AS n_c, sx AS s_c FROM g WHERE variant = 'click')
+        |SELECT variant, n,
+        |  ROUND(CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE), 7)
+        |    AS control_rate,
+        |  ROUND(CASE WHEN n > 0 AND n_c > 0
+        |      AND CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) > 0.0
+        |      AND CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) < 1.0 THEN
+        |    (1.96 + 0.84) * sqrt(
+        |      CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |      * (1.0 - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+        |    END, 7) AS mde_abs
+        |FROM g CROSS JOIN c WHERE variant <> 'click'
+        |ORDER BY variant""".stripMargin,
+
+    // Pettitt: doubled-midrank U_t replayed with the same two windows;
+    // integer argmax with the same (|U| desc, day) tiebreak.
+    "q458_pettitt" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cells AS (SELECT g, v, count(*) AS c FROM daily GROUP BY 1, 2),
+        |rk AS (SELECT g, v,
+        |    2 * sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+        |  FROM cells),
+        |tot AS (SELECT g, count(*) AS n FROM daily GROUP BY 1),
+        |pts AS (SELECT d.g, d.day, d.v, r2,
+        |    ROW_NUMBER() OVER (PARTITION BY d.g ORDER BY d.day, d.v) AS rn,
+        |    sum(r2) OVER (PARTITION BY d.g ORDER BY d.day, d.v
+        |      ROWS UNBOUNDED PRECEDING) AS s2
+        |  FROM daily d JOIN rk USING (g, v)),
+        |u AS (SELECT pts.g, day, n,
+        |    CAST(s2 - rn * (n + 1) AS BIGINT) AS u
+        |  FROM pts JOIN tot USING (g) WHERE rn < n),
+        |top AS (SELECT g, n, day, abs(u) AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY abs(u) DESC, day) AS rkk
+        |  FROM u)
+        |SELECT g AS "group", CAST(n AS BIGINT) AS n, day AS t_hat,
+        |  CAST(k AS BIGINT) AS k_stat,
+        |  ROUND(least(1.0, 2.0 * exp(-6.0 * CAST(k AS DOUBLE)
+        |    * CAST(k AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |       + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 7) AS p_approx
+        |FROM top WHERE rkk = 1 ORDER BY "group"""".stripMargin)
 }

@@ -48,9 +48,26 @@ object ScaleUp {
       // One scan, exploded per replica — avoids N unions of the same file.
       val withR = df.withColumn("__r",
         explode(sequence(lit(0), lit(replicas - 1))))
-      keys.foldLeft(withR) { (d, k) =>
+      val keyed = keys.foldLeft(withR) { (d, k) =>
         d.withColumn(k, col(k) + col("__r") * OFF)
-      }.drop("__r")
+      }
+      // SALT text per replica: verbatim copies make every content-
+      // similarity op (n-gram Jaccard, span dedup, tf-cosine join) pay
+      // the c^2 within-group pair law BY CONSTRUCTION — at 100 replicas
+      // that measures the corpus, not the plan (the c = 10 verbatim
+      // behavior stays covered by the sf1 probe history; real crawls
+      // grow with mostly-new content). A suffix token is NOT enough
+      // (one extra token leaves tf-cosine and n-gram Jaccard above any
+      // dedup threshold), so the replica token is INTERLEAVED between
+      // words — every n-gram changes and cross-replica cosines drop to
+      // ~0.5. Replica 0 keeps the original corpus verbatim.
+      val salted =
+        if (!keyed.columns.contains("text")) keyed
+        else keyed.withColumn("text",
+          when(col("__r") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit(" "),
+              concat(lit(" z"), col("__r").cast("string"), lit(" ")))))
+      salted.drop("__r")
     }
 
     for (t <- Seq("region", "nation")) {

@@ -203,6 +203,113 @@ object Eval {
           (lit(1000.0) * col("n").cast("double")), 7).as("ece"))
   }
 
+  /** Isotonic (PAV) calibration over the milli-probability domain — THE
+    * standard calibrator beside Platt scaling: fit the monotone
+    * non-decreasing step function minimizing squared error to the
+    * per-score observed rates, then a raw score maps to its block's
+    * pooled rate.
+    *
+    * Scale shape: scores live on the milli grid (<= 1001 distinct
+    * values BY CONTRACT — out-of-range throws), so the per-score census
+    * is one map-side-combining groupBy and pool-adjacent-violators runs
+    * driver-side over <= 1001 blocks with EXACT rational pooling
+    * (BigInt cross-multiplied comparisons — no float enters a pooling
+    * decision). The row count never reaches the driver.
+    *
+    * Exactness of the emitted rate: each block rate is ONE IEEE
+    * division pos/n of exact longs, rounded at 7 via the suite's
+    * Column round. The fitted value also equals the max-min
+    * characterization fit(i) = max_{j<=i} min_{k>=i} avg(j..k)
+    * computed in doubles — correct rounding makes equal rationals
+    * equal doubles and rounding is monotone, so a relational oracle
+    * replays the fit EXACTLY with two windows, no PAV loop.
+    *
+    * Returns (p_milli, n, pos, rate_fit) — one row per distinct score.
+    */
+  def isotonicCalibration(df: DataFrame, probMilliCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = col(probMilliCol).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val perP = df.groupBy(p.as("p_milli"))
+      .agg(count(lit(1)).as("n"), sum(y).as("pos"))
+      .orderBy("p_milli")
+    val pts = perP.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(pts.forall(t => t._1 >= 0L && t._1 <= 1000L),
+      "p_milli must be in [0, 1000] (the milli probability contract)")
+    // PAV: merge the trailing block while it violates monotonicity,
+    // comparing pooled rates as exact cross-multiplied BigInts.
+    final case class Block(n: Long, pos: Long,
+        members: List[(Long, Long, Long)])
+    val blocks = pts.foldLeft(List.empty[Block]) { (acc, pt) =>
+      var st = Block(pt._2, pt._3, List(pt)) :: acc
+      while (st.tail.nonEmpty && {
+        val prev = st.tail.head
+        BigInt(prev.pos) * st.head.n > BigInt(st.head.pos) * prev.n
+      }) {
+        val cur = st.head
+        val prev = st.tail.head
+        st = Block(prev.n + cur.n, prev.pos + cur.pos,
+          prev.members ++ cur.members) :: st.tail.tail
+      }
+      st
+    }.reverse
+    val out = blocks.flatMap(b => b.members.map { case (pm, n, pos) =>
+      (pm, n, pos, b.pos.toDouble / b.n.toDouble)
+    })
+    import spark.implicits._
+    out.toDF("p_milli", "n", "pos", "__raw")
+      .select(col("p_milli"), col("n"), col("pos"),
+        round(col("__raw"), 7).as("rate_fit"))
+  }
+
+  /** Hosmer-Lemeshow goodness-of-fit chi-square over the shared
+    * milli-probability bins — the calibration TEST beside the ECE
+    * readout (ECE says "how far off", HL says "is the miscalibration
+    * statistically surprising for this sample size"):
+    *
+    *   HL = sum_b (O1_b - E1_b)^2/E1_b + (O0_b - E0_b)^2/E0_b
+    *      = sum_b D_b * (1/(1000*psum_b) + 1/(1000*(1000*n_b - psum_b)))
+    *
+    * with D_b = (1000*pos_b - psum_b)^2 — ECE's exact integer numerator
+    * squared, so the per-bin term is a deterministic double over exact
+    * integers, micro-quantized floor(x*1e6) into an order-independent
+    * DECIMAL(38,0) sum (the q358 grid); HL is one final division,
+    * rounded at 7. Null hl_chi2 when any occupied bin is degenerate
+    * (psum 0 or 1000*n_b — an expected count of zero, where the test is
+    * undefined; the standard remedy is fewer bins). Compared against
+    * chi2(nBins - 2) by convention.
+    *
+    * Returns one row (n, n_bins, dof, hl_chi2).
+    */
+  def hosmerLemeshow(df: DataFrame, probMilliCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]")
+    val dec = "decimal(38,0)"
+    val p = col(probMilliCol).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val bins = df.groupBy(milliBin(p, nBins).as("bin"))
+      .agg(count(lit(1)).as("nb"), sum(y).as("pos"), sum(p).as("psum"))
+    val dd = (lit(1000L) * col("pos") - col("psum")).cast("double")
+    val term = floor(dd * dd *
+      (lit(1.0) / (lit(1000.0) * col("psum").cast("double")) +
+        lit(1.0) / (lit(1000.0) *
+          (lit(1000L) * col("nb") - col("psum")).cast("double"))) *
+      lit(1e6)).cast("long")
+    bins.agg(
+        sum(col("nb")).as("n"), count(lit(1)).as("n_bins"),
+        max(when(col("psum") === 0L ||
+          col("psum") === lit(1000L) * col("nb"), 1L).otherwise(0L))
+          .as("__degenerate"),
+        sum(when(col("psum") > 0L && col("psum") < lit(1000L) * col("nb"),
+          term).otherwise(0L).cast(dec)).as("qsum"))
+      .select(col("n"), col("n_bins"),
+        greatest(col("n_bins") - 2L, lit(0L)).as("dof"),
+        round(when(col("__degenerate") === 0L,
+          col("qsum").cast("double") / lit(1e6)), 7).as("hl_chi2"))
+  }
+
   /** Murphy decomposition of the Brier score over the shared milli-
     * probability bins — WHERE does a classifier's Brier loss come
     * from:

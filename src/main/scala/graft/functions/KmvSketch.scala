@@ -97,4 +97,33 @@ object KmvSketch {
     when(size(sk) < k, size(sk).cast("double"))
       .otherwise(lit(a) / u64d(element_at(sk, k)))
   }
+
+  /** Jaccard similarity estimate from two bottom-k sketches (the
+    * theta-sketch set-expression trick — similarity of two corpora
+    * WITHOUT rescanning either): with K the k unsigned-smallest values
+    * of the sketch union and k' = |K|,
+    *
+    *   J(A, B) ~= |K ∩ sk(A) ∩ sk(B)| / k'.
+    *
+    * K is a uniform sample of A ∪ B (hashes are uniform), so the hit
+    * rate of "in both" estimates the Jaccard with the usual bottom-k
+    * guarantees; below capacity the sketches are the exact hash sets
+    * and the estimate is exact. All set algebra is on exact longs —
+    * unsigned order obtained by the sign-flip bijection
+    * `h XOR Long.MinValue` (flipped signed order == unsigned order) —
+    * and the estimate is ONE IEEE division, so a SQL oracle replays it
+    * bit-for-bit. Null when both sketches are empty.
+    */
+  def jaccard(skA: Column, skB: Column, k: Int): Column = {
+    require(k >= 2, "k must be >= 2")
+    def flip(a: Column): Column =
+      transform(a, h => h.bitwiseXOR(lit(Long.MinValue)))
+    val fa = flip(skA)
+    val fb = flip(skB)
+    val unionAll = array_sort(array_distinct(concat(fa, fb)))
+    val kth = slice(unionAll, 1, k)
+    val inBoth = size(array_intersect(array_intersect(kth, fa), fb))
+    val kPrime = least(size(unionAll), lit(k))
+    when(kPrime > 0, inBoth.cast("double") / kPrime.cast("double"))
+  }
 }

@@ -70,6 +70,61 @@ object Survival {
           lit(1.0), (acc, f) => acc * f), 7).as("surv"))
   }
 
+  /** Nelson-Aalen cumulative-hazard estimator per group — the additive
+    * face of [[kaplanMeier]] (KM multiplies survival factors, NA sums
+    * hazard increments; NA is what hazard-ratio eyeballing and the
+    * Breslow estimator want):
+    *
+    *   H(t) = sum_{u <= t, d_u > 0} d_u / n_u.
+    *
+    * EXACTNESS: the same risk-set machinery as KM (exact per-group
+    * cumsum over the distinct duration domain, quantize-first); each
+    * increment is ONE IEEE division and the prefix sum folds in
+    * duration order over the collected per-group event-time list with
+    * a 0.0 seed (0.0 + f is exact for the f >= 0 increments, so the
+    * seed equals first-element seeding — list_reduce-replayable).
+    * H rounded at 7.
+    *
+    * Returns (group, t, n_risk, d, hazard) — one row per event time.
+    */
+  def nelsonAalen(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(durationCol).dataType),
+      s"$durationCol must be integral (quantize first), got " +
+        df.schema(durationCol).dataType.catalogString)
+    val slim = df.select(col(groupCol).as("g"), col(durationCol).as("dur"),
+        col(eventCol).as("ev"))
+      .where(col("g").isNotNull && col("dur").isNotNull &&
+        col("ev").isNotNull)
+    val perDur = slim.groupBy(col("g"), col("dur"))
+      .agg(count(lit(1)).as("cnt"), count(when(col("ev"), 1)).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = slim.groupBy(col("g")).agg(count(lit(1)).as("n_all"))
+    val cum = perDur.withColumn("cumAll", sum(col("cnt")).over(w))
+      .join(tot, "g")
+      .withColumn("n_risk", col("n_all") - col("cumAll") + col("cnt"))
+    val eventTimes = cum.where(col("d") > 0)
+      .select(col("g"), col("dur"), col("n_risk"), col("d"),
+        (col("d").cast("double") / col("n_risk").cast("double"))
+          .as("inc"))
+    val lists = eventTimes.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("dur"), col("n_risk"),
+        col("d"), col("inc")))).as("fl"))
+    lists.select(col("g"), col("fl"),
+        posexplode(col("fl")).as(Seq("pos", "el")))
+      .select(col("g").as("group"),
+        col("el.dur").as("t"),
+        col("el.n_risk").as("n_risk"),
+        col("el.d").as("d"),
+        round(aggregate(
+          slice(transform(col("fl"), e => e("inc")), lit(1),
+            col("pos") + 1),
+          lit(0.0), (acc, f) => acc + f), 7).as("hazard"))
+  }
+
   /** Log-rank (Mantel-Cox) two-group survival comparison — "do cohorts
     * a and b have the same hazard?", the significance companion of
     * [[kaplanMeier]]'s curves: at every pooled distinct event time,

@@ -85,6 +85,99 @@ object AbTest {
         (acc, e) => acc + e("term")), 7).as("chi2"))
   }
 
+  /** Stratified average treatment effect — the blocking/post-
+    * stratification estimator (the causal readout when assignment is
+    * only unconfounded WITHIN strata — device, country, signup cohort):
+    *
+    *   ATE = sum_s (n_s / N) * (ybar_treated_s - ybar_control_s)
+    *
+    * over strata where BOTH arms are populated; one-armed strata are
+    * excluded and CENSUSED (`n_excluded` — the positivity-violation
+    * readout a silent drop would hide), and N counts included strata
+    * only.
+    *
+    * Exactness: per-stratum (counts, treated/control y sums) are exact
+    * integer aggregates over the INTEGRAL outcome (quantize first);
+    * each stratum's term is one deterministic double expression over
+    * them, micro-quantized floor(x*1e6) into an order-independent
+    * DECIMAL(38,0) sum (the q358 grid); ATE is one final division,
+    * rounded at 7.
+    *
+    * Returns one row (n, n_strata, n_excluded, ate).
+    */
+  def stratifiedAte(df: DataFrame, stratumCol: String, treatCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(yCol).dataType),
+      s"$yCol must be integral (quantize first), got " +
+        df.schema(yCol).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(stratumCol).isNotNull && col(treatCol).isNotNull
+        && col(yCol).isNotNull)
+      .select(col(stratumCol).as("s"), col(treatCol).as("t"),
+        col(yCol).cast("long").as("y"))
+    val perS = slim.groupBy(col("s")).agg(
+      count(when(col("t"), 1)).as("nt"),
+      count(when(!col("t"), 1)).as("nc"),
+      sum(when(col("t"), col("y")).otherwise(0L)).as("syt"),
+      sum(when(!col("t"), col("y")).otherwise(0L)).as("syc"))
+    val included = perS.where(col("nt") > 0L && col("nc") > 0L)
+    val tot = included.agg(sum(col("nt") + col("nc")).as("n_inc"),
+      count(lit(1)).as("n_strata"))
+    val excl = perS.where(col("nt") === 0L || col("nc") === 0L)
+      .agg(count(lit(1)).as("n_excluded"))
+    val term = floor(((col("nt") + col("nc")).cast("double") /
+      col("n_inc").cast("double")) *
+      (col("syt").cast("double") / col("nt").cast("double") -
+        col("syc").cast("double") / col("nc").cast("double")) *
+      lit(1e6)).cast("long")
+    included.crossJoin(broadcast(tot))
+      .select(term.as("q"), col("n_inc"), col("n_strata"))
+      .groupBy(col("n_inc"), col("n_strata"))
+      .agg(sum(col("q").cast(dec)).as("qsum"))
+      .crossJoin(broadcast(excl))
+      .select(col("n_inc").as("n"), col("n_strata"), col("n_excluded"),
+        round(col("qsum").cast("double") / lit(1e6), 7).as("ate"))
+  }
+
+  /** Minimum detectable effect for the two-proportion test — the
+    * power-analysis readout an experimenter checks BEFORE trusting a
+    * null result ("we saw no lift" means nothing if the MDE was 10
+    * points): for each variant against the named control,
+    *
+    *   MDE = (z_alpha + z_beta) * sqrt(p*(1-p) * (1/n_v + 1/n_c)),
+    *
+    * with p the CONTROL success rate (the baseline the next test would
+    * be powered against). Defaults z_alpha = 1.96 (two-sided 5%),
+    * z_beta = 0.84 (80% power). Exactness: counts exact, the MDE one
+    * pinned double expression, rounded at 7; null when either arm is
+    * empty or the control rate is degenerate (0 or 1).
+    *
+    * Returns (variant, n, control_rate, mde_abs) per non-control
+    * variant.
+    */
+  def minDetectableEffect(df: DataFrame, variantCol: String,
+      successCol: String, control: String, zAlpha: Double = 1.96,
+      zBeta: Double = 0.84): DataFrame = {
+    val g = df.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(successCol), 1)).as("successes"))
+    val c = g.where(col("variant") === control)
+      .select(col("n").as("n_c"), col("successes").as("s_c"))
+    val nv = col("n").cast("double")
+    val nc = col("n_c").cast("double")
+    val p = col("s_c").cast("double") / nc
+    g.where(col("variant") =!= control)
+      .crossJoin(broadcast(c))
+      .select(col("variant"), col("n"),
+        round(p, 7).as("control_rate"),
+        round(when(col("n") > 0L && col("n_c") > 0L &&
+          p > 0.0 && p < 1.0,
+          lit(zAlpha + zBeta) * sqrt(p * (lit(1.0) - p) *
+            (lit(1.0) / nv + lit(1.0) / nc))), 7).as("mde_abs"))
+  }
+
   /** The per-variant observed/expected table behind
     * [[sampleRatioMismatch]] — exact counts, expected = n*w/W one
     * pinned division per variant. Declared-but-absent variants appear

@@ -79,4 +79,50 @@ object Features {
       .agg(sum(col("sign")).as("weight"))
       .where(col("weight") =!= 0L)
   }
+
+  /** Gini-impurity split screen for one categorical feature against a
+    * boolean label — the CART-style feature-importance readout a
+    * tabular pipeline runs before training (which raw columns carry
+    * signal at all):
+    *
+    *   root  = 2*P*(N-P)/N^2
+    *   split = sum_v (n_v/N) * 2*pos_v*neg_v/n_v^2
+    *         = (2/N) * sum_v pos_v*neg_v/n_v
+    *   gain  = root - split   (>= 0 always; 0 = feature is useless)
+    *
+    * Exactness: per-value (n_v, pos_v) are exact counts; each
+    * `pos_v*neg_v/n_v` is a deterministic double over exact integers,
+    * micro-quantized floor(x*1e6) into an order-independent
+    * DECIMAL(38,0) sum (the q358 grid); root and gain are final pinned
+    * expressions, rounded at 7.
+    *
+    * Scale shape: one map-side-combining groupBy over the feature
+    * values + a broadcast 1-row total — no window, no shuffle beyond
+    * the count. Returns one row (n, n_values, root_gini, split_gini,
+    * gini_gain).
+    */
+  def giniScreen(df: DataFrame, featureCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(featureCol).cast("string").as("v"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(lit(1)).as("nv"), sum(col("y")).as("pos"))
+    val term = floor(col("pos").cast("double") *
+      (col("nv") - col("pos")).cast("double") / col("nv").cast("double") *
+      lit(1e6)).cast("long")
+    val agg = perValue.agg(
+      sum(col("nv")).as("n"), sum(col("pos")).as("p"),
+      count(lit(1)).as("n_values"),
+      sum(term.cast(dec)).as("qsum"))
+    val nD = col("n").cast("double")
+    val pD = col("p").cast("double")
+    val root = lit(2.0) * pD * (nD - pD) / (nD * nD)
+    val split = lit(2.0) * col("qsum").cast("double") / (lit(1e6) * nD)
+    agg.select(col("n"), col("n_values"),
+      round(when(col("n") > 0L, root), 7).as("root_gini"),
+      round(when(col("n") > 0L, split), 7).as("split_gini"),
+      round(when(col("n") > 0L, root - split), 7).as("gini_gain"))
+  }
 }

@@ -1334,6 +1334,197 @@ object StatTests {
           .as("u_sym"))
   }
 
+  /** Pearson correlation matrix over a COLUMN LIST (2 <= d <= 8) — the
+    * multivariate screening readout beside `mahalanobisD`/`olsMulti`/
+    * `pca3` (which columns move together, before anything is modeled):
+    * for every unordered pair,
+    *
+    *   corr(i,j) = (n*S_ij - S_i*S_j)
+    *             / (sqrt(n*S_ii - S_i^2) * sqrt(n*S_jj - S_j^2)).
+    *
+    * Exactness: all d(d+3)/2 sufficient statistics are exact
+    * DECIMAL(38,0) sums over INTEGRAL values (quantize-first — per-row
+    * products stay in BIGINT, the documented bound) collected in ONE
+    * map-side-combining aggregation; each correlation is one pinned
+    * double expression over their double casts (the olsMulti
+    * discipline), rounded at 7, null when either variance term is
+    * non-positive. Output is the exploded upper triangle — d <= 8 keeps
+    * it dashboard-sized.
+    *
+    * Returns (x_col, y_col, n, corr) — one row per pair, in column-list
+    * order.
+    */
+  def corrMatrixD(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    require(colNames.size >= 2 && colNames.size <= 8,
+      s"need 2..8 columns, got ${colNames.size}")
+    require(colNames.distinct.size == colNames.size, "duplicate column")
+    colNames.foreach(c => requireIntegral(df, c))
+    val dec = "decimal(38,0)"
+    val d = colNames.size
+    val slim = df
+      .where(colNames.map(col(_).isNotNull).reduce(_ && _))
+      .select(colNames.map(c => col(c).cast("long").as(c)): _*)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        colNames.zipWithIndex.map { case (c, i) =>
+          sum(col(c).cast(dec)).as(s"s_$i") } ++
+        (for (i <- 0 until d; j <- i until d) yield
+          sum((col(colNames(i)) * col(colNames(j))).cast(dec))
+            .as(s"s_${i}_$j"))
+    val agg = slim.agg(sums.head, sums.tail: _*)
+    val nD = col("n").cast("double")
+    def sD(i: Int) = col(s"s_$i").cast("double")
+    def sij(i: Int, j: Int) = col(s"s_${i}_$j").cast("double")
+    def den(i: Int) = nD * sij(i, i) - sD(i) * sD(i)
+    val pairs = for (i <- 0 until d; j <- i + 1 until d) yield struct(
+      lit(colNames(i)).as("x_col"), lit(colNames(j)).as("y_col"),
+      round(when(den(i) > 0.0 && den(j) > 0.0,
+        (nD * sij(i, j) - sD(i) * sD(j)) /
+          (sqrt(den(i)) * sqrt(den(j)))), 7).as("corr"))
+    agg.select(col("n"), explode(array(pairs: _*)).as("el"))
+      .select(col("el.x_col").as("x_col"), col("el.y_col").as("y_col"),
+        col("n"), col("el.corr").as("corr"))
+  }
+
+  /** Benjamini-Hochberg step-up FDR + Holm step-down FWER over a battery
+    * of test p-values — the multiple-testing layer a dashboard battery
+    * needs before declaring discoveries (run 400 drift tests at
+    * alpha=.05 and ~20 "significant" rows are noise): with the m tests
+    * ordered by ascending p (ties by test id — a TOTAL order, so the
+    * cut is deterministic),
+    *
+    *   BH:   reject ranks 1..k*, k* = max{k : p_(k) <= k*q/m}
+    *   Holm: reject rank k iff EVERY j <= k has p_(j) <= alpha/(m-j+1)
+    *
+    * Exactness: p-values arrive in MILLI units (the suite's probability
+    * contract), so both decisions clear denominators into exact BIGINT
+    * comparisons — BH's `p_(k)*m <= k*qMilli`, Holm's
+    * `p_(j)*(m-j+1) <= alphaMilli` — no float anywhere in a decision.
+    * BH's "some k >= mine passes" is a reversed-order running max of
+    * the pass indicator; Holm's "every j <= mine passed" a running min.
+    *
+    * Scale shape: the battery is dashboard-sized BY CONTRACT (one row
+    * per TEST, not per observation — the caller aggregated each test
+    * first); the ordered rank window is single-partition, so the same
+    * loud [[requireBoundedDomain]] guard as the distinct-domain family
+    * applies to the test census.
+    *
+    * Returns (test, p_milli, rank, bh_reject, holm_reject) — one row
+    * per test.
+    */
+  def bhFdr(df: DataFrame, testCol: String, pMilliCol: String,
+      qMilli: Long = 50L, alphaMilli: Long = 50L): DataFrame = {
+    require(qMilli > 0L && qMilli <= 1000L,
+      s"qMilli must be in (0, 1000], got $qMilli")
+    require(alphaMilli > 0L && alphaMilli <= 1000L,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    requireIntegral(df, pMilliCol)
+    val slim = df.where(col(testCol).isNotNull && col(pMilliCol).isNotNull)
+      .select(col(testCol).cast("string").as("test"),
+        col(pMilliCol).cast("long").as("p_milli"))
+    requireBoundedDomain(slim, "bhFdr")
+    val asc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_milli"), col("test"))
+    val desc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_milli").desc, col("test").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ascCum = asc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = slim.agg(count(lit(1)).as("m"))
+    val ranked = slim.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(asc))
+      .withColumn("bh_pass",
+        when(col("p_milli") * col("m") <= col("rank") * lit(qMilli), 1L)
+          .otherwise(0L))
+      .withColumn("holm_pass",
+        when(col("p_milli") * (col("m") - col("rank") + 1L) <=
+          lit(alphaMilli), 1L).otherwise(0L))
+    ranked
+      .withColumn("bh_reject", max(col("bh_pass")).over(desc) === 1L)
+      .withColumn("holm_reject", min(col("holm_pass")).over(ascCum) === 1L)
+      .select(col("test"), col("p_milli"), col("rank"),
+        col("bh_reject"), col("holm_reject"))
+  }
+
+  /** G-test of independence (the log-likelihood-ratio cousin of the
+    * chi-square — additive across partitions of the table, the form
+    * information theory prefers: G = 2*N*MI in nats):
+    *
+    *   G = 2 * sum_cells O * ln(O*N / (r*s)),  dof = (R-1)(C-1)
+    *
+    * Exactness: exact contingency counts; each cell's
+    * `c * ln(c*N/(r*s))` is micro-quantized `floor(x*1e6)` into an
+    * order-independent DECIMAL(38,0) sum (the q358/uncertainty grid —
+    * the one documented place the suite accepts a 1e-6 grid, because a
+    * float log sum would otherwise be partition-order dependent); G is
+    * one final division, rounded at 7. Returns one row
+    * (n, r_levels, s_levels, dof, g); null g for a degenerate table
+    * (R < 2 or S < 2).
+    */
+  def gTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val cells = slim.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val rows = cells.groupBy(col("x")).agg(sum(col("c")).as("r"))
+    val colsM = cells.groupBy(col("y")).agg(sum(col("c")).as("s"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val nD = col("n").cast("double")
+    val term = floor(col("c").cast("double") *
+      log(col("c").cast("double") * nD /
+        (col("r").cast("double") * col("s").cast("double"))) * lit(1e6))
+      .cast("long")
+    val agg = cells.join(rows, "x").join(colsM, "y")
+      .crossJoin(broadcast(tot))
+      .select(term.as("q"))
+      .agg(sum(col("q").cast(dec)).as("qsum"))
+    val dims = rows.agg(count(lit(1)).as("r_levels"))
+      .crossJoin(broadcast(colsM.agg(count(lit(1)).as("s_levels"))))
+    agg.crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+      .select(col("n"), col("r_levels"), col("s_levels"),
+        ((col("r_levels") - 1L) * (col("s_levels") - 1L)).as("dof"),
+        round(when(col("r_levels") > 1L && col("s_levels") > 1L,
+          lit(2.0) * col("qsum").cast("double") / lit(1e6)), 7).as("g"))
+  }
+
+  /** Total variation distance between two slices' categorical
+    * distributions — the L1 drift readout with the cleanest guarantee
+    * (TV = max probability difference any event class can see;
+    * Hellinger q384 bounds it both ways):
+    *
+    *   TV = (1/2) * sum_v |c_a(v)/n_a - c_b(v)/n_b|
+    *      = sum_v |c_a(v)*n_b - c_b(v)*n_a| / (2*n_a*n_b).
+    *
+    * Exactness: the cross-multiplied per-value gaps are exact
+    * DECIMAL(38,0) (the KS device, but order-independent — no window,
+    * no domain guard needed); TV is the one final division, rounded
+    * at 7. Returns one row (n_a, n_b, n_values, tv).
+    */
+  def totalVariation(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("string").as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    // the gap needs BOTH totals, so it is a second pass over the cells
+    val tot = perValue.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("n_values"))
+    perValue.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        abs(col("ca").cast(dec) * col("n_b").cast(dec) -
+          col("cb").cast(dec) * col("n_a").cast(dec)).as("gap"))
+      .groupBy(col("n_a"), col("n_b"), col("n_values"))
+      .agg(sum(col("gap")).as("s"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        round(when(col("n_a") > 0L && col("n_b") > 0L,
+          col("s").cast("double") / (lit(2.0) *
+            col("n_a").cast("double") * col("n_b").cast("double"))), 7)
+          .as("tv"))
+  }
+
   /** First-order partial correlation — x-y association with z held
     * fixed (does value correlate with hour AFTER controlling for the
     * day?):

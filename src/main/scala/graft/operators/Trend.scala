@@ -797,4 +797,78 @@ object Trend {
       round(when(col("n_buckets") >= 2 && col("total") > 0, num / den), 7)
         .as("fano"))
   }
+
+  /** Pettitt change-point test per group — the rank-based WHERE to
+    * Mann-Kendall's WHETHER (q390 says "volume is drifting", Pettitt
+    * says "it broke at the 14th"): with per-group ranks r_i of the
+    * series values and split point t,
+    *
+    *   U_t = 2 * sum_{i<=t} r_i - t*(n+1),   t = 1..n-1,
+    *   K = max_t |U_t|,   t_hat = argmax (smallest t on ties),
+    *   p ~= 2*exp(-6*K^2 / (n^3 + n^2))   (the published approximation).
+    *
+    * EXACTNESS: doubled midranks keep every U_t an exact BIGINT
+    * (2r = 2*cum - c + 1 on the per-group distinct-value cumsum, so
+    * U_t = sum 2r_i - t*(n+1) directly); K and t_hat are integer
+    * decisions; only the p approximation is a pinned double (exp),
+    * rounded at 7. One row per (group, time) — the caller aggregates
+    * to the series grain first (the Mann-Kendall contract); duplicate
+    * times order deterministically by (time, value).
+    *
+    * Scale shape: two per-group windows (value cumsum for ranks, time
+    * cumsum for U) + one combining groupBy — series length per group is
+    * the window partition, never a global sort.
+    *
+    * Returns one row per group: (group, n, t_hat, k_stat, p_approx);
+    * null t_hat/k/p for series shorter than 2.
+    */
+  def pettitt(df: DataFrame, groupCol: String, timeCol: String,
+      valueCol: String): DataFrame = {
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val slim = df.select(col(groupCol).as("g"), col(timeCol).as("t"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("t").isNotNull && col("v").isNotNull)
+    val cells = slim.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = cells.withColumn("cum", sum(col("c")).over(wv))
+      .select(col("g"), col("v"),
+        (lit(2L) * col("cum") - col("c") + 1L).as("r2"))
+    val pts = slim.join(ranked, Seq("g", "v"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("t"), col("v"))
+    val wtc = wt.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = slim.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val u = pts
+      .withColumn("rn", row_number().over(wt))
+      .withColumn("s2", sum(col("r2")).over(wtc))
+      .join(tot, "g")
+      .where(col("rn") < col("n"))
+      .select(col("g"), col("t"), col("n"),
+        (col("s2") - col("rn") * (col("n") + 1L)).as("u"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(abs(col("u")).desc, col("t"))
+    val nD = col("n").cast("double")
+    val kD = abs(col("u")).cast("double")
+    val top = u.withColumn("__rk", row_number().over(wk))
+      .where(col("__rk") === 1)
+      .select(col("g").as("group"), col("n"),
+        col("t").as("t_hat"), abs(col("u")).as("k_stat"),
+        round(least(lit(1.0),
+          lit(2.0) * exp(lit(-6.0) * kD * kD / (nD * nD * nD + nD * nD))),
+          7).as("p_approx"))
+    // series of length < 2 never produce a split row; re-attach them
+    // with null readouts so every group reports
+    val short = tot.where(col("n") < 2L)
+      .select(col("g").as("group"), col("n"),
+        lit(null).cast(df.schema(timeCol).dataType).as("t_hat"),
+        lit(null).cast("long").as("k_stat"),
+        lit(null).cast("double").as("p_approx"))
+    top.unionByName(short)
+  }
 }

@@ -67,6 +67,17 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_wilcoxon(src_view, 'x', 'y', out_view)
   *   CALL graft_stat_cohens_d(src_view, 'group', 'value', 'a', 'b', out_view)
   *   CALL graft_stat_fleiss_kappa(src_view, 'item', 'category', out_view)
+  *   CALL graft_stat_bh_fdr(src_view, 'test', 'p_milli' [, q_milli, alpha_milli], out_view)
+  *   CALL graft_stat_hosmer_lemeshow(src_view, 'prob_milli', 'label', nbins, out_view)
+  *   CALL graft_stat_g_test(src_view, 'x', 'y', out_view)
+  *   CALL graft_stat_total_variation(src_view, 'group', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_gini_screen(src_view, 'feature', 'label', out_view)
+  *   CALL graft_stat_isotonic(src_view, 'prob_milli', 'label', out_view)
+  *   CALL graft_stat_corr_matrix(src_view, 'c1,c2,c3', out_view)
+  *   CALL graft_stat_nelson_aalen(src_view, 'group', 'duration', 'event', out_view)
+  *   CALL graft_stat_stratified_ate(src_view, 'stratum', 'treat', 'y', out_view)
+  *   CALL graft_stat_mde(src_view, 'variant', 'success', 'control' [, z_a, z_b], out_view)
+  *   CALL graft_stat_pettitt(src_view, 'group', 'time', 'value', out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -529,21 +540,49 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
         case "cohens_d" => graft.operators.EffectSizes.cohensD(src,
           ms(0), ms(1), ms(2), ms(3))
         case "fleiss_kappa" => StatTests.fleissKappa(src, ms(0), ms(1))
+        case "bh_fdr" =>
+          if (mid.length >= 4)
+            StatTests.bhFdr(src, ms(0), ms(1), mi(2).toLong, mi(3).toLong)
+          else StatTests.bhFdr(src, ms(0), ms(1))
+        case "hosmer_lemeshow" => graft.functions.Eval.hosmerLemeshow(src,
+          ms(0), ms(1), mi(2))
+        case "g_test" => StatTests.gTest(src, ms(0), ms(1))
+        case "total_variation" => StatTests.totalVariation(src, ms(0),
+          ms(1), ms(2), ms(3))
+        case "gini_screen" => graft.operators.Features.giniScreen(src,
+          ms(0), ms(1))
+        case "isotonic" => graft.functions.Eval.isotonicCalibration(src,
+          ms(0), ms(1))
+        case "corr_matrix" => StatTests.corrMatrixD(src,
+          ms(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "nelson_aalen" => graft.functions.Survival.nelsonAalen(src,
+          ms(0), ms(1), ms(2))
+        case "stratified_ate" => graft.operators.AbTest.stratifiedAte(src,
+          ms(0), ms(1), ms(2))
+        case "mde" =>
+          if (mid.length >= 5)
+            graft.operators.AbTest.minDetectableEffect(src, ms(0), ms(1),
+              ms(2), md(3), md(4))
+          else graft.operators.AbTest.minDetectableEffect(src, ms(0),
+            ms(1), ms(2))
+        case "pettitt" => Trend.pettitt(src, ms(0), ms(1), ms(2))
         case other => bad(s"unknown statistic '$other' (known: " +
           "anderson_darling, anova_eta, anova_f, ari, assortativity, " +
-          "auc, average_precision, " +
-          "benford, brier, ccf, cmh, cohens_d, cohens_h, concordance, " +
-          "conformal, cramers_v, cusum, " +
-          "durbin_watson, ece, fleiss_kappa, gwet_ac1, jarque_bera, " +
-          "k_anonymity, kruskal_wallis, ks, kuiper, " +
+          "auc, average_precision, benford, bh_fdr, brier, ccf, cmh, " +
+          "cohens_d, cohens_h, concordance, " +
+          "conformal, corr_matrix, cramers_v, cusum, " +
+          "durbin_watson, ece, fleiss_kappa, g_test, gini_screen, " +
+          "gwet_ac1, hosmer_lemeshow, jarque_bera, " +
+          "isotonic, k_anonymity, kruskal_wallis, ks, kuiper, " +
           "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
-          "mahalanobis_d, mann_kendall, mannwhitney, mcc, mood_median, " +
-          "ols_multi, partial_corr, pca3, poisson_rate, " +
+          "mahalanobis_d, mann_kendall, mannwhitney, mcc, mde, " +
+          "mood_median, nelson_aalen, " +
+          "ols_multi, partial_corr, pca3, pettitt, poisson_rate, " +
           "precision_at_k, psi, purity, quantile_norm, " +
-          "seasonal_mann_kendall, srm, target_encode, " +
-          "theil_sen, trimmed_mean, turning_points, uncertainty, " +
-          "vmeasure, wasserstein, weighted_kappa, welch, wilcoxon, " +
-          "wilson, youden)")
+          "seasonal_mann_kendall, srm, stratified_ate, target_encode, " +
+          "theil_sen, total_variation, trimmed_mean, turning_points, " +
+          "uncertainty, vmeasure, wasserstein, weighted_kappa, welch, " +
+          "wilcoxon, wilson, youden)")
       }
       result.createOrReplaceTempView(view)
       Seq(Row(s"registered $view = graft_$verb over ${mid.collect {

@@ -300,4 +300,59 @@ class EvalSpec extends SparkTestBase {
     // one class empty -> null
     assert(auc(Seq((0.5, true), (0.7, true))).isNullAt(3))
   }
+
+  test("hosmerLemeshow: perfect calibration is zero, hand bins match, degenerate bin nulls") {
+    // each bin's observed rate equals its mean prob exactly -> D = 0
+    val perfect = Seq((500L, true), (500L, false), // bin 5: pos 1, psum 1000
+      (200L, true), (200L, false), (200L, false), (200L, false), (200L, false))
+      .toDF("p", "y") // bin 2: pos 1, psum 1000
+    val pr = Eval.hosmerLemeshow(perfect, "p", "y", nBins = 10).head()
+    assert(pr.getLong(0) == 7L && pr.getLong(1) == 2L && pr.getLong(2) == 0L)
+    assert(pr.getDouble(3) == 0.0, pr)
+    // hand case over two bins, replayed on the same micro grid
+    val hand = Seq((100L, true), (100L, true), // bin 1: pos 2, psum 200
+      (900L, false), (900L, true)) // bin 9: pos 1, psum 1800
+      .toDF("p", "y")
+    def term(nb: Long, pos: Long, psum: Long): Long = {
+      val d = (1000L * pos - psum).toDouble
+      math.floor(d * d * (1.0 / (1000.0 * psum) +
+        1.0 / (1000.0 * (1000L * nb - psum))) * 1e6).toLong
+    }
+    val want = BigDecimal(
+      (term(2, 2, 200) + term(2, 1, 1800)).toDouble / 1e6)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h = Eval.hosmerLemeshow(hand, "p", "y", nBins = 10).head()
+    assert(h.getDouble(3) == want, s"$h vs $want")
+    // a bin with psum = 0 (expected positives zero) -> null chi2
+    val degen = Seq((0L, false), (0L, false), (500L, true), (500L, false))
+      .toDF("p", "y")
+    assert(Eval.hosmerLemeshow(degen, "p", "y", nBins = 10).head().isNullAt(3))
+  }
+
+  test("isotonicCalibration: PAV pools violators, leaves monotone input alone") {
+    def fit(rows: Seq[(Long, Boolean)]): Map[Long, (Long, Long, Double)] =
+      Eval.isotonicCalibration(rows.toDF("p", "y"), "p", "y")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+    // rates (0.5, 0.0, 1.0): PAV pools the first two into 1/4
+    val pooled = fit(Seq((100L, true), (100L, false),
+      (200L, false), (200L, false), (300L, true), (300L, true)))
+    assert(pooled(100L) == ((2L, 1L, 0.25)), pooled)
+    assert(pooled(200L) == ((2L, 0L, 0.25)), pooled)
+    assert(pooled(300L) == ((2L, 2L, 1.0)), pooled)
+    // already-monotone rates survive untouched
+    val mono = fit(Seq((10L, false), (20L, true), (20L, false),
+      (30L, true)))
+    assert(mono(10L)._3 == 0.0 && mono(20L)._3 == 0.5 && mono(30L)._3 == 1.0)
+    // a long violation cascades: rates (1, 0, 0) pool into one block 1/3
+    val cascade = fit(Seq((1L, true), (2L, false), (3L, false)))
+    val third = BigDecimal(1.0 / 3.0)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(cascade.values.forall(_._3 == third), cascade)
+    // out-of-range milli throws loudly
+    intercept[IllegalArgumentException] {
+      fit(Seq((1001L, true)))
+    }
+  }
 }

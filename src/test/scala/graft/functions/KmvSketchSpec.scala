@@ -55,4 +55,29 @@ class KmvSketchSpec extends SparkTestBase {
       .agg(KmvSketch.sketch(xxhash64(col("v")), 32)).collect()(0).getSeq[Long](0)
     assert(whole == halves)
   }
+
+  test("jaccard: exact below capacity, near-truth when saturated, disjoint ~0") {
+    def skOf(vs: Seq[Long], k: Int): Seq[Long] =
+      vs.toDF("v").agg(KmvSketch.sketch(xxhash64(col("v")), k))
+        .collect()(0).getSeq[Long](0)
+    def jac(a: Seq[Long], b: Seq[Long], k: Int): Double = {
+      import spark.implicits._
+      Seq((a, b)).toDF("a", "b")
+        .select(KmvSketch.jaccard(col("a"), col("b"), k))
+        .collect()(0).getDouble(0)
+    }
+    // below capacity the sketches ARE the sets: estimate exact
+    // |A ∩ B| = 21 (80..100), |A ∪ B| = 120 (1..120)
+    val a = skOf(1L to 100L, 256)
+    val b = skOf(80L to 120L, 256)
+    assert(jac(a, b, 256) == 21.0 / 120.0)
+    // saturated sketches: estimate within the bottom-k error envelope
+    // of the truth (true J = 1001/3000 ~= 0.3337)
+    val bigA = skOf(1L to 2000L, 128)
+    val bigB = skOf(1000L to 3000L, 128)
+    val est = jac(bigA, bigB, 128)
+    assert(math.abs(est - 1001.0 / 3000.0) < 0.15, est)
+    // disjoint sets estimate 0 exactly below capacity
+    assert(jac(skOf(1L to 50L, 256), skOf(100L to 150L, 256), 256) == 0.0)
+  }
 }

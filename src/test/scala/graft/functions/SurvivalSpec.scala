@@ -55,4 +55,29 @@ class SurvivalSpec extends SparkTestBase {
     val s = Survival.logRank(same, "g", "dur", "ev", "a", "b").collect()(0)
     assert(s.getDouble(4) < 0.01)
   }
+
+  test("nelsonAalen: hand hazard increments, censoring shrinks risk only") {
+    // durations 1(event), 2(censored), 3(event):
+    //   t=1: n=3, d=1, H = 1/3; t=3: n=1, d=1, H = 1/3 + 1
+    val df = Seq(("a", 1L, true), ("a", 2L, false), ("a", 3L, true))
+      .toDF("g", "dur", "ev")
+    val na = Survival.nelsonAalen(df, "g", "dur", "ev")
+      .orderBy("t").collect()
+    assert(na.length == 2)
+    assert(na(0).getLong(1) == 1L && na(0).getLong(2) == 3L &&
+      na(0).getLong(3) == 1L)
+    assert(na(0).getDouble(4) == BigDecimal(1.0 / 3.0)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(na(1).getLong(1) == 3L && na(1).getLong(2) == 1L)
+    assert(na(1).getDouble(4) == BigDecimal(1.0 / 3.0 + 1.0)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // no events at a censored-only time: it emits no row
+    assert(!na.map(_.getLong(1)).contains(2L))
+    // hazard is non-decreasing within a cohort by construction
+    val evs = Seq.tabulate(20)(i => ("c", (i % 7).toLong + 1L, i % 3 != 0))
+      .toDF("g", "dur", "ev")
+    val hs = Survival.nelsonAalen(evs, "g", "dur", "ev")
+      .orderBy("t").collect().map(_.getDouble(4))
+    assert(hs.zip(hs.tail).forall { case (x, y) => x <= y })
+  }
 }

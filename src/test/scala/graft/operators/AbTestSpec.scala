@@ -63,4 +63,50 @@ class AbTestSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("not declared"), e.getMessage)
   }
+
+  test("stratifiedAte: hand strata, one-armed stratum censused not averaged") {
+    // s1: treated {10, 20}, control {0, 10} -> diff 10, n=4
+    // s2: treated {30},     control {10}    -> diff 20, n=2
+    // ATE = (4/6)*10 + (2/6)*20 = 40/3
+    val df = Seq(("s1", true, 10L), ("s1", true, 20L),
+      ("s1", false, 0L), ("s1", false, 10L),
+      ("s2", true, 30L), ("s2", false, 10L)).toDF("s", "t", "y")
+    val r = AbTest.stratifiedAte(df, "s", "t", "y").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L && r.getLong(2) == 0L)
+    val want = BigDecimal(
+      (math.floor((4.0 / 6.0) * 10.0 * 1e6) +
+        math.floor((2.0 / 6.0) * 20.0 * 1e6)) / 1e6)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == want, s"$r vs $want")
+    // a control-only stratum is EXCLUDED and counted, never averaged in
+    val withOrphan = df.union(
+      Seq(("s3", false, 999L)).toDF("s", "t", "y"))
+    val o = AbTest.stratifiedAte(withOrphan, "s", "t", "y").head()
+    assert(o.getLong(0) == 6L && o.getLong(1) == 2L && o.getLong(2) == 1L)
+    assert(o.getDouble(3) == want, o)
+    // zero effect in every stratum -> ATE exactly 0
+    val nullEff = Seq(("s1", true, 5L), ("s1", false, 5L),
+      ("s2", true, 9L), ("s2", false, 9L)).toDF("s", "t", "y")
+    assert(AbTest.stratifiedAte(nullEff, "s", "t", "y")
+      .head().getDouble(3) == 0.0)
+  }
+
+  test("minDetectableEffect: hand case, degenerate control nulls") {
+    // control 'c': 100 trials, 50 successes (p = 0.5);
+    // variant 'v': 400 trials -> MDE = 2.8*sqrt(.25*(1/400 + 1/100))
+    val rows = Seq.fill(50)(("c", true)) ++ Seq.fill(50)(("c", false)) ++
+      Seq.tabulate(400)(i => ("v", i % 3 == 0))
+    val r = AbTest.minDetectableEffect(rows.toDF("v", "y"), "v", "y", "c")
+      .head()
+    assert(r.getString(0) == "v" && r.getLong(1) == 400L)
+    assert(r.getDouble(2) == 0.5)
+    val want = BigDecimal((1.96 + 0.84) *
+      math.sqrt(0.5 * 0.5 * (1.0 / 400.0 + 1.0 / 100.0)))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == want, s"$r vs $want")
+    // all-success control: p = 1 -> null MDE
+    val degen = Seq(("c", true), ("c", true), ("v", false))
+    assert(AbTest.minDetectableEffect(degen.toDF("v", "y"), "v", "y", "c")
+      .head().isNullAt(3))
+  }
 }

@@ -44,4 +44,36 @@ class FeaturesSpec extends SparkTestBase {
       .collect().map(r => r.getLong(2))
     assert(u.forall(_ > 0))
   }
+
+  test("giniScreen: perfect split gets the full root gain, useless split gets zero") {
+    // A carries only positives, B only negatives: split impurity 0.
+    val perfect = Seq(("A", true), ("A", true), ("B", false), ("B", false))
+      .toDF("f", "y")
+    val p = Features.giniScreen(perfect, "f", "y").head()
+    assert(p.getLong(0) == 4L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 0.5) // root: 2*(1/2)*(1/2)
+    assert(p.getDouble(3) == 0.0)
+    assert(p.getDouble(4) == 0.5)
+    // both values 50/50: split == root, gain exactly 0 (terms exact on
+    // the micro grid: 2*2/4 = 1.0)
+    val useless = Seq(("A", true), ("A", true), ("A", false), ("A", false),
+      ("B", true), ("B", true), ("B", false), ("B", false)).toDF("f", "y")
+    val u = Features.giniScreen(useless, "f", "y").head()
+    assert(u.getDouble(2) == 0.5 && u.getDouble(3) == 0.5 &&
+      u.getDouble(4) == 0.0, u)
+    // hand case: A(n=3, pos=2), B(n=2, pos=0): root = 2*2*3/25 = 0.48,
+    // split = (2/5)*(2*2*1/9*... ) -> via the micro grid
+    val hand = Seq(("A", true), ("A", true), ("A", false), ("B", false),
+      ("B", false)).toDF("f", "y")
+    val h = Features.giniScreen(hand, "f", "y").head()
+    val qA = math.floor(2.0 * 1.0 / 3.0 * 1e6).toLong // pos*neg/n micro
+    val qB = 0L
+    val root = 2.0 * 2.0 * 3.0 / 25.0
+    val split = 2.0 * (qA + qB).toDouble / (1e6 * 5.0)
+    def r7(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h.getDouble(2) == r7(root), h)
+    assert(h.getDouble(3) == r7(split), h)
+    assert(h.getDouble(4) == r7(root - split), h)
+  }
 }

@@ -1044,4 +1044,96 @@ class StatTestsSpec extends SparkTestBase {
       .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
     assert((1 to 10).forall(p => diag(p) == p / 10.0))
   }
+
+  test("bhFdr: step-up rescues earlier ranks, Holm step-down stops at the first failure") {
+    def run(ps: Seq[Long]): Map[String, (Int, Boolean, Boolean)] =
+      StatTests.bhFdr(
+          ps.zipWithIndex.map { case (p, i) => (s"t$i", p) }
+            .toDF("test", "p_milli"), "test", "p_milli")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getInt(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    // textbook battery: BH rejects ranks 1..3, Holm only rank 1
+    // (20*4 = 80 > 50 stops the step-down at rank 2)
+    val a = run(Seq(10L, 20L, 30L, 400L, 800L))
+    assert(a("t0") == ((1, true, true)), a)
+    assert(a("t1") == ((2, true, false)), a)
+    assert(a("t2") == ((3, true, false)), a)
+    assert(a("t3") == ((4, false, false)) && a("t4") == ((5, false, false)))
+    // step-up proof: rank 1 fails pointwise (26*2 = 52 > 50) but rank 2
+    // passes (30*2 = 60 <= 100) and rescues it
+    val b = run(Seq(26L, 30L))
+    assert(b("t0")._2 && b("t1")._2, b)
+    // step-down proof: the same battery rejects NOTHING under Holm even
+    // though rank 2 passes pointwise (30*1 <= 50) — rank 1 already failed
+    assert(!b("t0")._3 && !b("t1")._3, b)
+  }
+
+  test("gTest: independence gives exactly zero, hand 2x2 matches the micro-grid fold") {
+    val ind = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("u", "v")
+    val z = StatTests.gTest(ind, "u", "v").head()
+    assert(z.getLong(0) == 40L && z.getLong(3) == 1L)
+    assert(z.getDouble(4) == 0.0, z)
+    // [[10,20],[30,40]]: replay the exact micro-quantized fold
+    val cells = Seq(("a", "x", 10), ("a", "y", 20), ("b", "x", 30),
+      ("b", "y", 40))
+    val df = cells.flatMap { case (u, v, c) => Seq.fill(c)((u, v)) }
+      .toDF("u", "v")
+    val n = 100.0
+    val r = Map("a" -> 30.0, "b" -> 70.0)
+    val s = Map("x" -> 40.0, "y" -> 60.0)
+    val qsum = cells.map { case (u, v, c) =>
+      math.floor(c.toDouble *
+        math.log(c.toDouble * n / (r(u) * s(v))) * 1e6).toLong
+    }.sum
+    val want = BigDecimal(2.0 * qsum.toDouble / 1e6)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g = StatTests.gTest(df, "u", "v").head()
+    assert(g.getDouble(4) == want, s"$g vs $want")
+    // a single row level -> null g
+    val degen = Seq(("a", "x"), ("a", "y")).toDF("u", "v")
+    assert(StatTests.gTest(degen, "u", "v").head().isNullAt(4))
+  }
+
+  test("corrMatrixD: perfect/anti/hand correlations, constant column nulls") {
+    val df = Seq((1L, 1L, 1L, 5L), (2L, 2L, 3L, 5L), (3L, 3L, 2L, 5L))
+      .toDF("x", "y", "z", "c")
+    val m = StatTests.corrMatrixD(df, Seq("x", "y", "z", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m.size == 6)
+    assert(m(("x", "y")) == Some(1.0)) // identical columns
+    // x=[1,2,3], z=[1,3,2]: (3*13-36) / (sqrt(6)*sqrt(6)) = 3/6
+    assert(m(("x", "z")) == Some(0.5), m)
+    // constant column: null against everything
+    assert(m(("x", "c")).isEmpty && m(("y", "c")).isEmpty &&
+      m(("z", "c")).isEmpty)
+    val anti = Seq((1L, -1L), (2L, -2L), (3L, -3L)).toDF("x", "y")
+    assert(StatTests.corrMatrixD(anti, Seq("x", "y"))
+      .head().getDouble(3) == -1.0)
+    // arity and dtype guards
+    intercept[IllegalArgumentException] {
+      StatTests.corrMatrixD(df, Seq("x"))
+    }
+  }
+
+  test("totalVariation: hand gaps, identical slices zero, disjoint slices one") {
+    val df = (Seq(1L, 1L, 2L).map(("a", _)) ++
+      Seq(1L, 2L, 2L, 2L).map(("b", _))).toDF("g", "v")
+    val tv = StatTests.totalVariation(df, "g", "v", "a", "b").head()
+    // ca = (2,1), cb = (1,3): gaps |2*4-1*3| = 5, |1*4-3*3| = 5
+    // TV = 10 / (2*3*4) = 0.4166667
+    assert(tv.getLong(0) == 3L && tv.getLong(1) == 4L && tv.getLong(2) == 2L)
+    assert(tv.getDouble(3) == 0.4166667, tv)
+    val same = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(1L, 2L, 3L).map(("b", _))).toDF("g", "v")
+    assert(StatTests.totalVariation(same, "g", "v", "a", "b")
+      .head().getDouble(3) == 0.0)
+    val disj = (Seq(1L, 2L).map(("a", _)) ++
+      Seq(3L, 4L).map(("b", _))).toDF("g", "v")
+    assert(StatTests.totalVariation(disj, "g", "v", "a", "b")
+      .head().getDouble(3) == 1.0)
+  }
 }

@@ -416,4 +416,27 @@ class TrendSpec extends SparkTestBase {
     val one = Seq(("g", 1), ("g", 1)).toDF("g", "bk")
     assert(Trend.fanoFactor(one, "g", "bk").collect()(0).isNullAt(3))
   }
+
+  test("pettitt: level shift found at the exact split, constant series K=0") {
+    // values 1,2,3 then 10,11,12: ranks 1..6, U_t = (2,6,12,20,30) - 7t
+    // = (-5,-8,-9,-8,-5) -> K = 9 at t = 3
+    val shift = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 10L), ("g", 5L, 11L), ("g", 6L, 12L)).toDF("g", "t", "v")
+    val r = Trend.pettitt(shift, "g", "t", "v").head()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L && r.getLong(3) == 9L)
+    val want = BigDecimal(math.min(1.0,
+      2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0))))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == want, s"$r vs $want")
+    // constant series: every U_t = 0 (doubled midranks 7 each), K = 0,
+    // t_hat = the first split (smallest-t tiebreak), p capped at 1
+    val flat = Seq.tabulate(6)(i => ("g", (i + 1).toLong, 5L))
+      .toDF("g", "t", "v")
+    val f = Trend.pettitt(flat, "g", "t", "v").head()
+    assert(f.getLong(3) == 0L && f.getLong(2) == 1L && f.getDouble(4) == 1.0)
+    // a 1-point series reports with null readouts instead of vanishing
+    val tiny = Seq(("g", 1L, 5L)).toDF("g", "t", "v")
+    val ty = Trend.pettitt(tiny, "g", "t", "v").head()
+    assert(ty.getLong(1) == 1L && ty.isNullAt(2) && ty.isNullAt(3))
+  }
 }

@@ -340,6 +340,33 @@ class GraftSqlSpec extends SparkTestBase {
       "st_cd", graft.operators.EffectSizes.cohensD(src, "g", "v", "a", "b"))
     parity("CALL graft_stat_fleiss_kappa(sqlstat_src, 't', 'g', st_fk)",
       "st_fk", StatTests.fleissKappa(src, "t", "g"))
+    parity("CALL graft_stat_bh_fdr(sqlstat_src, 'g', 'v', st_bh)",
+      "st_bh", StatTests.bhFdr(src, "g", "v"))
+    parity("CALL graft_stat_bh_fdr(sqlstat_src, 'g', 'v', 100, 100, st_bh2)",
+      "st_bh2", StatTests.bhFdr(src, "g", "v", 100L, 100L))
+    parity("CALL graft_stat_hosmer_lemeshow(sqlstat_src, 'v', 'y', 10, st_hl)",
+      "st_hl", graft.functions.Eval.hosmerLemeshow(src, "v", "y", 10))
+    parity("CALL graft_stat_g_test(sqlstat_src, 'g', 'y', st_gt)",
+      "st_gt", StatTests.gTest(src, "g", "y"))
+    parity("CALL graft_stat_total_variation(sqlstat_src, 'g', 'v', 'a', 'b', st_tv)",
+      "st_tv", StatTests.totalVariation(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_gini_screen(sqlstat_src, 'g', 'y', st_gs)",
+      "st_gs", graft.operators.Features.giniScreen(src, "g", "y"))
+    parity("CALL graft_stat_isotonic(sqlstat_src, 'v', 'y', st_iso)",
+      "st_iso", graft.functions.Eval.isotonicCalibration(src, "v", "y"))
+    parity("CALL graft_stat_corr_matrix(sqlstat_src, 'v,t', st_cm)",
+      "st_cm", StatTests.corrMatrixD(src, Seq("v", "t")))
+    parity("CALL graft_stat_nelson_aalen(sqlstat_src, 'g', 'v', 'y', st_na)",
+      "st_na", graft.functions.Survival.nelsonAalen(src, "g", "v", "y"))
+    parity("CALL graft_stat_stratified_ate(sqlstat_src, 'g', 'y', 'v', st_sa)",
+      "st_sa", graft.operators.AbTest.stratifiedAte(src, "g", "y", "v"))
+    parity("CALL graft_stat_mde(sqlstat_src, 'g', 'y', 'a', st_mde)",
+      "st_mde", graft.operators.AbTest.minDetectableEffect(src, "g", "y", "a"))
+    parity("CALL graft_stat_mde(sqlstat_src, 'g', 'y', 'a', 2.0, 1.0, st_mde2)",
+      "st_mde2",
+      graft.operators.AbTest.minDetectableEffect(src, "g", "y", "a", 2.0, 1.0))
+    parity("CALL graft_stat_pettitt(sqlstat_src, 'g', 't', 'v', st_pt)",
+      "st_pt", Trend.pettitt(src, "g", "t", "v"))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Assemble a scale-probe artifact (BENCH_SF10.json style) from two
+graft.Bench JSON lines captured at adjacent scale decades.
+
+Usage: assemble_scale_probe.py <lo.log> <hi.log> <lo_name> <hi_name> <out.json>
+
+Each log is a `sbt runMain graft.Bench` capture; the LAST line starting
+with '{' is the bench JSON. The artifact records both per-query timing
+maps, the hi/lo ratio per query, both canaries, and a verdict line
+("no superlinear query" = every ratio < the data growth factor 10).
+"""
+import json
+import sys
+
+
+def bench_line(path):
+    last = None
+    with open(path) as f:
+        for line in f:
+            t = line.strip()
+            if t.startswith("{") and '"queries"' in t:
+                last = t
+    if last is None:
+        raise SystemExit(f"no bench JSON line in {path}")
+    return json.loads(last)
+
+
+def main():
+    lo_log, hi_log, lo_name, hi_name, out = sys.argv[1:6]
+    lo, hi = bench_line(lo_log), bench_line(hi_log)
+    lo_q, hi_q = lo["queries"], hi["queries"]
+    common = sorted(set(lo_q) & set(hi_q))
+    ratios = {}
+    for q in common:
+        if lo_q[q] > 0 and hi_q[q] > 0:
+            ratios[q] = round(hi_q[q] / lo_q[q], 2)
+    failed = sorted([q for q in common if lo_q[q] < 0 or hi_q[q] < 0])
+    worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
+    superlinear = {q: r for q, r in ratios.items() if r >= 10.0}
+    artifact = {
+        "probe": f"empirical 10x scale validation {lo_name} -> {hi_name}: "
+                 f"{len(common)} queries, min of 2 interleaved reps, "
+                 "local[32], 64g heap (heap scaled with data - a cluster "
+                 "scales memory with data; an 8g heap at the top decade "
+                 "fakes superlinearity via GC pressure)",
+        f"{lo_name}_sec": {q: lo_q[q] for q in common},
+        f"{hi_name}_sec": {q: hi_q[q] for q in common},
+        f"ratio_{hi_name}_over_{lo_name}": ratios,
+        "failed": failed,
+        "worst": [list(w) for w in worst],
+        "superlinear": superlinear,
+        "verdict": ("no superlinear query" if not superlinear and not failed
+                    else f"{len(superlinear)} superlinear, {len(failed)} failed"),
+        "canary_lo": lo.get("canary"),
+        "canary_hi": hi.get("canary"),
+    }
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=False)
+    print(f"[assemble] {len(common)} queries, {len(superlinear)} superlinear, "
+          f"{len(failed)} failed -> {out}")
+    for q, r in worst:
+        print(f"  {q}: {r}x")
+
+
+if __name__ == "__main__":
+    main()
