@@ -291,7 +291,48 @@ private[graft] object QueriesPart9 {
         .agg(count(lit(1)).as("v"))
       graft.operators.Trend.pettitt(daily, "g", "day", "v")
         .orderBy("group")
-    }))
+    }),
+
+    // --- 459. Markov stationary distribution, oracle-pinned ---------------------------------------------------
+    // Where the user journey settles: per-user event-type transition
+    // matrix, 100 pinned power-iteration steps (the q444 recursive-CTE
+    // discipline — the oracle replays the identical IEEE sequence over
+    // the 5-state alphabet).
+    "q459_markov_stationary" -> ((s, d) =>
+      graft.operators.Sequences.markovStationary(
+        t(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull),
+        "user_id", Seq("ts", "event_id"), "event_type")
+        .orderBy("state")),
+
+    // --- 460. effective sample size, oracle-pinned ------------------------------------------------------------
+    // How many independent samples the deci-value stream is worth per
+    // event type: q324's exact autocorrelation machinery folded into
+    // tau = 1 + 2*sum r_k (lag order), one division.
+    "q460_effective_n" -> ((s, d) =>
+      graft.operators.Trend.effectiveSampleSize(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type").as("g"), col("ts"), col("event_id"),
+            floor(col("value") * 10).cast("long").as("y")),
+        "g", Seq("ts", "event_id"), "y", maxLag = 5)
+        .orderBy("group")),
+
+    // --- 461. Gumbel block maxima, oracle-pinned --------------------------------------------------------------
+    // The capacity readout past the observed tail: daily deci-value
+    // maxima per event type, method-of-moments Gumbel fit, 10- and
+    // 100-day return levels.
+    "q461_gumbel_maxima" -> ((s, d) =>
+      graft.operators.Outliers.gumbelBlockMaxima(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type").as("g"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            floor(col("value") * 10).cast("long").as("v")),
+        "g", "day", "v")
+        .orderBy("group")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -915,5 +956,154 @@ private[graft] object QueriesPart9 {
         |    * CAST(k AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
         |       + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 7) AS p_approx
-        |FROM top WHERE rkk = 1 ORDER BY "group"""".stripMargin)
+        |FROM top WHERE rkk = 1 ORDER BY "group"""".stripMargin,
+
+    // Markov stationary: the 5-state transition pivot + a 100-step
+    // recursive CTE running the engine's exact left-associated
+    // v' = vP sequence (uniform 1/5 seed, dangling rows uniform).
+    "q459_markov_stationary" -> {
+      val st = Seq("click", "error", "purchase", "signup", "view")
+      val k = st.length
+      val pCols = (for (i <- 0 until k; j <- 0 until k) yield
+        s"""CASE WHEN COALESCE(oc$i, 0) = 0 THEN 1.0 / $k
+           |      ELSE CAST(COALESCE(c_${i}_$j, 0) AS DOUBLE)
+           |           / CAST(oc$i AS DOUBLE) END AS p_${i}_$j"""
+          .stripMargin).mkString(",\n|    ")
+      val cPivot = (for (i <- 0 until k; j <- 0 until k) yield
+        s"""CAST(sum(CASE WHEN "from" = '${st(i)}' AND "to" = '${st(j)}'
+           |  THEN c END) AS BIGINT) AS c_${i}_$j""".stripMargin)
+        .mkString(",\n|    ")
+      val ocPivot = (0 until k).map(i =>
+        s"""CAST(sum(CASE WHEN "from" = '${st(i)}' THEN c END) AS BIGINT)
+           |  AS oc$i""".stripMargin).mkString(",\n|    ")
+      val vNext = (0 until k).map { j =>
+        (0 until k).map(i => s"v$i * p_${i}_$j").mkString(" + ")
+      }.zipWithIndex.map { case (e, j) => s"$e AS __v$j" }
+        .mkString(",\n|      ")
+      val vInit = (0 until k).map(i => s"1.0 / $k AS v$i").mkString(", ")
+      val vCarry = (0 until k).map(j => s"__v$j AS v$j").mkString(", ")
+      val pCarry = (for (i <- 0 until k; j <- 0 until k)
+        yield s"p_${i}_$j").mkString(", ")
+      val caseOut = (0 until k).map(i =>
+        s"WHEN ${i} THEN v$i").mkString(" ")
+      s"""WITH RECURSIVE tr AS (
+         |  SELECT f AS "from", t2 AS "to", count(*) AS c FROM (
+         |    SELECT event_type AS t2,
+         |      lag(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS f
+         |    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |      AND event_type IS NOT NULL)
+         |  WHERE f IS NOT NULL GROUP BY 1, 2),
+         |pm AS (SELECT
+         |    $cPivot,
+         |    $ocPivot
+         |  FROM tr),
+         |pr AS (SELECT
+         |    $pCols
+         |  FROM pm),
+         |it AS (
+         |  SELECT 0 AS i, $vInit, $pCarry FROM pr
+         |  UNION ALL
+         |  SELECT i + 1, $vCarry, $pCarry FROM (
+         |    SELECT i,
+         |      $vNext,
+         |      $pCarry
+         |    FROM it WHERE i < 100)),
+         |fin AS (SELECT * FROM it WHERE i = 100),
+         |states AS (${st.zipWithIndex.map { case (nm, i) =>
+             s"SELECT '$nm' AS state, $i AS idx" }
+             .mkString("\n|  UNION ALL ")}),
+         |oc AS (SELECT "from" AS state, CAST(sum(c) AS BIGINT) AS n_out
+         |  FROM tr GROUP BY 1)
+         |SELECT s.state, COALESCE(oc.n_out, 0) AS n_out,
+         |  ROUND(CASE s.idx $caseOut END, 7) AS stationary
+         |FROM states s LEFT JOIN oc USING (state) CROSS JOIN fin
+         |ORDER BY s.state""".stripMargin
+    },
+
+    // ESS: q324's exact lag sufficient statistics, tau folded in lag
+    // order, one division.
+    "q460_effective_n" -> {
+      val lagCols = (1 to 5).map(kk =>
+        s"""lag(y, $kk) OVER (PARTITION BY g ORDER BY ts, event_id)
+           |  AS l$kk""".stripMargin).mkString(",\n|    ")
+      val lagAggs = (1 to 5).map(kk =>
+        s"""CAST(sum(y * l$kk) AS HUGEINT) AS c$kk,
+           |    CAST(sum(CASE WHEN l$kk IS NOT NULL THEN y END) AS HUGEINT)
+           |      AS s1_$kk,
+           |    CAST(sum(l$kk) AS HUGEINT) AS s2_$kk""".stripMargin)
+        .mkString(",\n|    ")
+      def rK(kk: Int) =
+        s"""(CAST(c$kk AS DOUBLE)
+           | - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           |   * CAST(s1_$kk + s2_$kk AS DOUBLE)
+           | + CAST(n - $kk AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           | / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+           |    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))""".stripMargin
+      val tau = (2 to 5).foldLeft(s"1.0 + 2.0 * ${rK(1)}") {
+        (acc, kk) => s"$acc + 2.0 * ${rK(kk)}"
+      }
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id,
+         |    CAST(floor(value * 10) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |lagd AS (SELECT g, y,
+         |    $lagCols
+         |  FROM e),
+         |agg AS (SELECT g AS "group", count(*) AS n,
+         |    CAST(sum(y) AS HUGEINT) AS s,
+         |    CAST(sum(y * y) AS HUGEINT) AS q,
+         |    $lagAggs
+         |  FROM lagd GROUP BY 1),
+         |tt AS (SELECT "group", n,
+         |    CASE WHEN n > 5 AND CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+         |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0
+         |      THEN $tau END AS tau0
+         |  FROM agg)
+         |SELECT "group", n, ROUND(tau0, 7) AS tau,
+         |  ROUND(CASE WHEN tau0 > 0.0
+         |    THEN CAST(n AS DOUBLE) / tau0 END, 7) AS ess
+         |FROM tt ORDER BY "group"""".stripMargin
+    },
+
+    // Gumbel: exact daily maxima + moments, pinned method-of-moments
+    // fit and return levels.
+    "q461_gumbel_maxima" ->
+      """WITH mx AS (
+        |  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS day,
+        |    max(CAST(floor(value * 10) AS BIGINT)) AS m
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT g AS "group", count(*) AS n_blocks,
+        |    CAST(sum(m) AS HUGEINT) AS s,
+        |    CAST(sum(m * m) AS HUGEINT) AS q
+        |  FROM mx GROUP BY 1),
+        |fit AS (SELECT "group", n_blocks,
+        |    CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean,
+        |    (CAST(n_blocks AS DOUBLE) * CAST(q AS DOUBLE)
+        |     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n_blocks AS DOUBLE)
+        |       * (CAST(n_blocks AS DOUBLE) - 1.0)) AS varn
+        |  FROM agg),
+        |gb AS (SELECT "group", n_blocks, mean, varn,
+        |    sqrt(varn) * sqrt(6.0) / pi() AS beta
+        |  FROM fit),
+        |mm AS (SELECT "group", n_blocks, varn, beta,
+        |    mean - 0.5772156649015329 * beta AS mu
+        |  FROM gb)
+        |SELECT "group", n_blocks,
+        |  ROUND(CASE WHEN n_blocks > 1 AND varn > 0.0 THEN mu END, 7)
+        |    AS mu,
+        |  ROUND(CASE WHEN n_blocks > 1 AND varn > 0.0 THEN beta END, 7)
+        |    AS beta,
+        |  ROUND(CASE WHEN n_blocks > 1 AND varn > 0.0 THEN
+        |    mu - beta * ln(-ln(1.0 - 1.0 / 10.0)) END, 7) AS return_10,
+        |  ROUND(CASE WHEN n_blocks > 1 AND varn > 0.0 THEN
+        |    mu - beta * ln(-ln(1.0 - 1.0 / 100.0)) END, 7) AS return_100
+        |FROM mm ORDER BY "group"""".stripMargin)
 }

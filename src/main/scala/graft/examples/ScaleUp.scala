@@ -51,23 +51,19 @@ object ScaleUp {
       val keyed = keys.foldLeft(withR) { (d, k) =>
         d.withColumn(k, col(k) + col("__r") * OFF)
       }
-      // SALT text per replica: verbatim copies make every content-
-      // similarity op (n-gram Jaccard, span dedup, tf-cosine join) pay
-      // the c^2 within-group pair law BY CONSTRUCTION — at 100 replicas
-      // that measures the corpus, not the plan (the c = 10 verbatim
-      // behavior stays covered by the sf1 probe history; real crawls
-      // grow with mostly-new content). A suffix token is NOT enough
-      // (one extra token leaves tf-cosine and n-gram Jaccard above any
-      // dedup threshold), so the replica token is INTERLEAVED between
-      // words — every n-gram changes and cross-replica cosines drop to
-      // ~0.5. Replica 0 keeps the original corpus verbatim.
-      val salted =
-        if (!keyed.columns.contains("text")) keyed
-        else keyed.withColumn("text",
-          when(col("__r") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit(" "),
-              concat(lit(" z"), col("__r").cast("string"), lit(" ")))))
-      salted.drop("__r")
+      // Text replicates VERBATIM — deliberately. A replicated corpus is
+      // maximally duplicate-heavy (every doc has `replicas` byte-
+      // identical twins), which is exactly the regime the content-
+      // similarity operators are built for: their identical-signature
+      // collapses (cosineJoinExact, ngramJaccardPairs) keep candidate
+      // work distinct-content-sized and only the OUTPUT pair expansion
+      // grows with c^2 — so the probe exercises the collapse machinery
+      // at scale instead of dodging it. (An earlier salted variant that
+      // interleaved a replica token between words DEFEATED the
+      // collapses and made the probe strictly harder than any real
+      // corpus: 500k near-unique docs with a shared super-hot salt
+      // term.)
+      keyed.drop("__r")
     }
 
     for (t <- Seq("region", "nation")) {

@@ -777,12 +777,51 @@ object Dedup {
         else raw.withColumn("hs",
           array_except(col("hs"), lit(stop)))
       }
-    val candidates = lshCandidates(docs, numHashes, bands, blocked = true)
-    val verified = candidates
-      .join(docs.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
-      .join(docs.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
+    // IDENTICAL-SIGNATURE COLLAPSE (the cosineJoinExact device): a
+    // duplicate-heavy corpus is this operator's own use case, and every
+    // group of g byte-identical shingle sets would otherwise send g^2
+    // candidate pairs through the verify join WITH BOTH FULL ARRAYS
+    // ATTACHED (a 100x-replicated corpus measured an ~80 GB verify
+    // shuffle and died on ENOSPC — candidates grow with the SQUARE of
+    // duplication). Each distinct (block, shingle-set) joins ONCE
+    // through its minimum-id representative; surviving rep pairs expand
+    // to member pairs afterward (output-sized work, no arrays); within-
+    // group pairs emit directly with the SAME mirrored jaccard
+    // expression (identical sets score exactly 1.0, but the expression
+    // is mirrored, not the constant, so the oracle's arithmetic matches
+    // bit for bit). The sorted shingle arrays make byte-identical sets
+    // group-identical regardless of partition order. localCheckpoint:
+    // the groups feed four consumers (LSH reps, both expansion sides,
+    // the within-group emission) and their lineage is the whole
+    // tokenize+shingle+aggregate chain.
+    val groups = docs.groupBy(col("blk"), col("hs"))
+      .agg(min(col("id")).as("id"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint(true)
+    val reps = groups.select(col("id"), col("blk"), col("hs"))
+    val candidates = lshCandidates(reps, numHashes, bands, blocked = true)
+    val repPairs = candidates
+      .join(reps.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(reps.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
       .withColumn("jaccard", jaccard(col("hs1"), col("hs2")))
       .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val cross = repPairs
+      .join(groups.select(col("id").as("id1"), col("members").as("m1")), "id1")
+      .join(groups.select(col("id").as("id2"), col("members").as("m2")), "id2")
+      .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
+      .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("jaccard"))
+    val within = groups.where(size(col("members")) > 1)
+      .withColumn("jaccard", jaccard(col("hs"), col("hs")))
+      .where(col("jaccard") >= threshold)
+      .select(explode(col("members")).as("a"), col("members"),
+        col("jaccard"))
+      .select(col("a"), explode(col("members")).as("b"), col("jaccard"))
+      .where(col("a") < col("b"))
+      .select(col("a").as("id1"), col("b").as("id2"), col("jaccard"))
+    val verified = cross.unionByName(within)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     if (sorted) verified.orderBy(desc("jaccard"), col("id1"), col("id2")) else verified
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust per-group outlier gating — the median/MAD filter corpus curation
@@ -231,5 +231,61 @@ object Outliers {
       .limit(topK)
       .select((col("id") +: featureCols.map(col)) :+
         round(col("d2_micro").cast("double") / lit(1e6), 6).as("d2"): _*)
+  }
+
+  /** Gumbel block-maxima fit per group — the extreme-value capacity
+    * readout ("what daily peak should we expect once a quarter / once
+    * a year"), the statistic the MAD gate and percentile tails both
+    * miss because it EXTRAPOLATES past the observed maxima. Method of
+    * moments on the per-block maxima (the textbook Gumbel fit):
+    *
+    *   beta = s * sqrt(6) / pi,   mu = mean - gamma * beta,
+    *   x_T  = mu - beta * ln(-ln(1 - 1/T))   (the T-block return level)
+    *
+    * with gamma the Euler-Mascheroni constant. Exactness: per-block
+    * maxima and their (n, S, Q) moments are exact integer aggregates
+    * over the INTEGRAL value (quantize first); s^2 = (n*Q - S^2) /
+    * (n*(n-1)) and everything after is one pinned double expression
+    * per output, rounded at 7. Null fit when fewer than 2 blocks or
+    * zero variance.
+    *
+    * Scale shape: one combining groupBy on (group, block) for the
+    * maxima + one on group for the moments — no window, no collect.
+    *
+    * Returns (group, n_blocks, mu, beta, return_10, return_100).
+    */
+  def gumbelBlockMaxima(df: DataFrame, groupCol: String, blockCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val maxima = df
+      .where(col(groupCol).isNotNull && col(blockCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(blockCol).as("b"))
+      .agg(max(col(valueCol).cast("long")).as("m"))
+    val agg = maxima.groupBy(col("g").as("group"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("m").cast(dec)).as("s"),
+        sum((col("m") * col("m")).cast(dec)).as("q"))
+    val nD = col("n_blocks").cast("double")
+    val mean = col("s").cast("double") / nD
+    val varN = (nD * col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) /
+      (nD * (nD - lit(1.0)))
+    val gamma = 0.5772156649015329
+    val beta = sqrt(varN) * sqrt(lit(6.0)) / lit(math.Pi)
+    val mu = mean - lit(gamma) * beta
+    def ret(t: Double): Column =
+      mu - beta * log(-log(lit(1.0) - lit(1.0) / lit(t)))
+    val ok = col("n_blocks") > 1L && varN > 0.0
+    agg.select(col("group"), col("n_blocks"),
+      round(when(ok, mu), 7).as("mu"),
+      round(when(ok, beta), 7).as("beta"),
+      round(when(ok, ret(10.0)), 7).as("return_10"),
+      round(when(ok, ret(100.0)), 7).as("return_100"))
   }
 }

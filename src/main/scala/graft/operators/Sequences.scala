@@ -39,4 +39,79 @@ object Sequences {
       .where(col("b").isNotNull)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Markov transition matrix + stationary distribution over a per-key
+    * event-state stream — where does the user journey SETTLE (the
+    * steady-state share of each state, the quantity funnels and raw
+    * transition counts both miss):
+    *
+    *   P[i][j] = n(i -> j) / n(i -> *),   pi = pi P (power iteration).
+    *
+    * Scale shape: transitions are one per-key window (lag) + one
+    * combining groupBy on (from, to) — the state alphabet is BOUNDED
+    * (<= 64, loud), so the k x k matrix collects driver-side and the
+    * iteration never touches the cluster; the row count only enters
+    * the distributed counting pass.
+    *
+    * Determinism: states sort lexicographically; v starts uniform 1/k;
+    * each of the `iters` steps computes v'_j = sum_i v_i * P[i][j]
+    * LEFT-ASSOCIATED in state order (the q444 discipline — a fixed
+    * IEEE double sequence a recursive-CTE oracle replays verbatim).
+    * Rows with no outgoing transitions redistribute uniformly (the
+    * PageRank dangling-node convention). P entries are single exact-
+    * count divisions. Output rounded at 7.
+    *
+    * Returns (state, n_out, stationary) — one row per state.
+    */
+  def markovStationary(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], stateCol: String,
+      iters: Int = 100): DataFrame = {
+    require(iters >= 1 && iters <= 10000, s"iters must be in [1, 10000]")
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val trans = df
+      .where(col(keyCol).isNotNull && col(stateCol).isNotNull)
+      .select(col(stateCol).cast("string").as("to"),
+        lag(col(stateCol).cast("string"), 1).over(w).as("from"))
+      .where(col("from").isNotNull)
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("c"))
+    val rows = trans.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val states = rows.keysIterator
+      .flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct.sorted
+    val k = states.length
+    require(k <= 64, s"state alphabet has $k distinct states, past the " +
+      "bounded-matrix contract (64) — bucket the state column first")
+    if (k == 0) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Double)]
+        .toDF("state", "n_out", "stationary")
+    }
+    val outCounts = states.map(a =>
+      states.map(b => rows.getOrElse((a, b), 0L)).sum)
+    val p = Array.tabulate(k, k) { (i, j) =>
+      if (outCounts(i) == 0L) 1.0 / k
+      else rows.getOrElse((states(i), states(j)), 0L).toDouble /
+        outCounts(i).toDouble
+    }
+    var v = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to iters) {
+      val nv = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        var acc = 0.0
+        var i = 0
+        while (i < k) { acc += v(i) * p(i)(j); i += 1 }
+        nv(j) = acc
+        j += 1
+      }
+      v = nv
+    }
+    import spark.implicits._
+    states.zipWithIndex.map { case (st, i) => (st, outCounts(i), v(i)) }
+      .toDF("state", "n_out", "__raw")
+      .select(col("state"), col("n_out"),
+        round(col("__raw"), 7).as("stationary"))
+  }
 }

@@ -307,6 +307,69 @@ object Trend {
       .select(col("group"), col("lr.lag").as("lag"), col("n"), col("lr.r").as("r"))
   }
 
+  /** Effective sample size per group — how many INDEPENDENT samples an
+    * autocorrelated series is worth (the readout that deflates every
+    * "n = 1M so the CI is tiny" claim about a correlated metric
+    * stream): with the [[autocorrelation]] lag estimates r_k,
+    *
+    *   tau = 1 + 2 * sum_{k=1..K} r_k,   ESS = n / tau.
+    *
+    * Exactness: the same exact sufficient statistics as
+    * [[autocorrelation]] (lag cross-sums in DECIMAL(38,0)); tau folds
+    * the K lag terms in lag order (fixed K, left-associated — a
+    * deterministic IEEE sequence); ESS is one final division, both
+    * rounded at 7. Null when the series is constant, shorter than
+    * maxLag + 1, or tau <= 0 (the fixed-window estimator's documented
+    * failure mode — strong negative autocorrelation wants a smaller
+    * maxLag).
+    *
+    * Returns one row per group: (group, n, tau, ess).
+    */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag must be in [1, 32], got $maxLag")
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol).cast("long")
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      (col(groupCol).as("group") +: x.as("x") +: orderCols.map(col)): _*)
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("x"), k).over(
+        Window.partitionBy(col("group")).orderBy(orderCols.map(col): _*)))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("s"),
+      sum((col("x") * col("x")).cast(dec)).as("q")) ++
+      (1 to maxLag).flatMap(k => Seq(
+        sum((col("x") * col(s"__l$k")).cast(dec)).as(s"c$k"),
+        sum(when(col(s"__l$k").isNotNull, col("x")).cast(dec)).as(s"s1_$k"),
+        sum(col(s"__l$k").cast(dec)).as(s"s2_$k")))
+    val g = lagged.groupBy(col("group")).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val m = col("s").cast("double") / nD
+    val den = col("q").cast("double") - nD * m * m
+    def r(k: Int): Column =
+      (col(s"c$k").cast("double") -
+        m * (col(s"s1_$k") + col(s"s2_$k")).cast("double") +
+        (col("n") - k.toLong).cast("double") * m * m) / den
+    // fold lags 1..K in order (left-associated)
+    val tauExpr = (2 to maxLag).foldLeft(lit(1.0) + lit(2.0) * r(1)) {
+      (acc, k) => acc + lit(2.0) * r(k)
+    }
+    g.select(col("group"), col("n"),
+        when(col("n") > maxLag.toLong && den > 0.0, tauExpr).as("__tau"))
+      .select(col("group"), col("n"),
+        round(col("__tau"), 7).as("tau"),
+        round(when(col("__tau") > 0.0,
+          col("n").cast("double") / col("__tau")), 7).as("ess"))
+  }
+
   /** Durbin-Watson statistic per group — the lag-1 serial-correlation
     * diagnostic (DW ~ 2 means no autocorrelation, toward 0 positive,
     * toward 4 negative), on the centered series:

@@ -78,6 +78,9 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_stratified_ate(src_view, 'stratum', 'treat', 'y', out_view)
   *   CALL graft_stat_mde(src_view, 'variant', 'success', 'control' [, z_a, z_b], out_view)
   *   CALL graft_stat_pettitt(src_view, 'group', 'time', 'value', out_view)
+  *   CALL graft_stat_markov_stationary(src_view, 'key', 'ord1,ord2', 'state', out_view)
+  *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
+  *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -566,16 +569,26 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           else graft.operators.AbTest.minDetectableEffect(src, ms(0),
             ms(1), ms(2))
         case "pettitt" => Trend.pettitt(src, ms(0), ms(1), ms(2))
+        case "markov_stationary" =>
+          graft.operators.Sequences.markovStationary(src, ms(0),
+            ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "ess" => Trend.effectiveSampleSize(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
+          mi(3))
+        case "gumbel" => graft.operators.Outliers.gumbelBlockMaxima(src,
+          ms(0), ms(1), ms(2))
         case other => bad(s"unknown statistic '$other' (known: " +
           "anderson_darling, anova_eta, anova_f, ari, assortativity, " +
           "auc, average_precision, benford, bh_fdr, brier, ccf, cmh, " +
           "cohens_d, cohens_h, concordance, " +
           "conformal, corr_matrix, cramers_v, cusum, " +
-          "durbin_watson, ece, fleiss_kappa, g_test, gini_screen, " +
+          "durbin_watson, ece, ess, fleiss_kappa, g_test, gini_screen, " +
+          "gumbel, " +
           "gwet_ac1, hosmer_lemeshow, jarque_bera, " +
           "isotonic, k_anonymity, kruskal_wallis, ks, kuiper, " +
           "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
-          "mahalanobis_d, mann_kendall, mannwhitney, mcc, mde, " +
+          "mahalanobis_d, mann_kendall, mannwhitney, markov_stationary, " +
+          "mcc, mde, " +
           "mood_median, nelson_aalen, " +
           "ols_multi, partial_corr, pca3, pettitt, poisson_rate, " +
           "precision_at_k, psi, purity, quantile_norm, " +

@@ -125,4 +125,28 @@ class FrontierOutliersSpec extends SparkTestBase {
       Outliers.mahalanobisD(tiny, "id", Seq("x"))
     }
   }
+
+  test("gumbelBlockMaxima: hand moments, return levels ordered, degenerate nulls") {
+    // blocks (maxima): b1 max 10, b2 max 20, b3 max 30:
+    // mean 20, var (n*q - s^2)/(n*(n-1)) = (3*1400 - 3600)/6 = 100
+    val df = Seq(("g", "b1", 5L), ("g", "b1", 10L), ("g", "b2", 20L),
+      ("g", "b3", 30L), ("g", "b3", 1L)).toDF("g", "b", "v")
+    val r = Outliers.gumbelBlockMaxima(df, "g", "b", "v").head()
+    assert(r.getLong(1) == 3L)
+    val beta = math.sqrt(100.0) * math.sqrt(6.0) / math.Pi
+    val mu = 20.0 - 0.5772156649015329 * beta
+    def r7(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == r7(mu), s"$r vs $mu")
+    assert(r.getDouble(3) == r7(beta), s"$r vs $beta")
+    assert(r.getDouble(4) == r7(mu - beta * math.log(-math.log(0.9))))
+    assert(r.getDouble(5) == r7(mu - beta * math.log(-math.log(0.99))))
+    // longer horizons sit strictly higher, both above the mean
+    assert(r.getDouble(5) > r.getDouble(4) && r.getDouble(4) > 20.0)
+    // one block, or identical maxima: null fit
+    val one = Seq(("g", "b1", 5L)).toDF("g", "b", "v")
+    assert(Outliers.gumbelBlockMaxima(one, "g", "b", "v").head().isNullAt(2))
+    val flat = Seq(("g", "b1", 5L), ("g", "b2", 5L)).toDF("g", "b", "v")
+    assert(Outliers.gumbelBlockMaxima(flat, "g", "b", "v").head().isNullAt(3))
+  }
 }

@@ -26,4 +26,35 @@ class SequencesSpec extends SparkTestBase {
       .toMap
     assert(got == Map(("A", "B") -> 1L, ("B", "C") -> 1L))
   }
+
+  test("markovStationary: two-state chain converges to the exact stationary point") {
+    // one user looping A,B,A,B,A: transitions A->B x2, B->A x2 —
+    // symmetric chain, stationary (0.5, 0.5) exactly (uniform seed is
+    // already stationary)
+    val loop = Seq.tabulate(5)(i =>
+      (1L, i.toLong, if (i % 2 == 0) "A" else "B")).toDF("u", "t", "st")
+    val r = Sequences.markovStationary(loop, "u", Seq("t"), "st")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    assert(r("A") == ((2L, 0.5)) && r("B") == ((2L, 0.5)), r)
+    // an absorbing state takes all the mass
+    val absorb = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "B")).toDF("u", "t", "st")
+    val a = Sequences.markovStationary(absorb, "u", Seq("t"), "st")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(a("B") > 0.999 && a("A") < 0.001, a)
+    // biased chain: A->B always, B->A 1/4, B->B 3/4 -> pi = (0.2, 0.8)
+    val biased = Seq.tabulate(12)(i => (1L, i.toLong,
+      if (i % 4 == 0) "A" else "B")).toDF("u", "t", "st")
+    val b = Sequences.markovStationary(biased, "u", Seq("t"), "st")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(math.abs(b("A") - 0.2) < 1e-6 && math.abs(b("B") - 0.8) < 1e-6, b)
+    // an over-wide alphabet fails loudly
+    val wide = Seq.tabulate(200)(i => (1L, i.toLong, s"s$i"))
+      .toDF("u", "t", "st")
+    val e = intercept[IllegalArgumentException] {
+      Sequences.markovStationary(wide, "u", Seq("t"), "st")
+    }
+    assert(e.getMessage.contains("bounded-matrix"), e.getMessage)
+  }
 }

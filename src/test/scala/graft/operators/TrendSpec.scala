@@ -439,4 +439,27 @@ class TrendSpec extends SparkTestBase {
     val ty = Trend.pettitt(tiny, "g", "t", "v").head()
     assert(ty.getLong(1) == 1L && ty.isNullAt(2) && ty.isNullAt(3))
   }
+
+  test("effectiveSampleSize: iid-ish series keeps ~n, constant series nulls") {
+    // an alternating series has strong NEGATIVE lag-1 autocorrelation:
+    // tau < 1, ESS > n (antithetic) — and both equal the ACF identity
+    val alt = Seq.tabulate(40)(i => ("g", i.toLong,
+      if (i % 2 == 0) 10L else 20L)).toDF("g", "t", "v")
+    val a = Trend.effectiveSampleSize(alt, "g", Seq("t"), "v", maxLag = 2)
+      .head()
+    val acf = Trend.autocorrelation(alt, "g", Seq("t"), "v", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val tau = 1.0 + 2.0 * acf(1) + 2.0 * acf(2)
+    assert(math.abs(a.getDouble(2) - tau) < 1e-6, s"$a vs $tau")
+    assert(a.getDouble(2) < 1.0 && a.getDouble(3) > 40.0)
+    // a constant series has zero variance -> null tau and ess
+    val const = Seq.tabulate(10)(i => ("g", i.toLong, 7L)).toDF("g", "t", "v")
+    val c = Trend.effectiveSampleSize(const, "g", Seq("t"), "v", 2).head()
+    assert(c.isNullAt(2) && c.isNullAt(3))
+    // a strongly positively-correlated (blocky) series deflates hard
+    val blocky = Seq.tabulate(40)(i => ("g", i.toLong, (i / 10).toLong))
+      .toDF("g", "t", "v")
+    val b = Trend.effectiveSampleSize(blocky, "g", Seq("t"), "v", 4).head()
+    assert(b.getDouble(3) < 20.0, b)
+  }
 }

@@ -367,6 +367,13 @@ class GraftSqlSpec extends SparkTestBase {
       graft.operators.AbTest.minDetectableEffect(src, "g", "y", "a", 2.0, 1.0))
     parity("CALL graft_stat_pettitt(sqlstat_src, 'g', 't', 'v', st_pt)",
       "st_pt", Trend.pettitt(src, "g", "t", "v"))
+    parity("CALL graft_stat_markov_stationary(sqlstat_src, 't', 't,g', 'g', st_mk2)",
+      "st_mk2",
+      graft.operators.Sequences.markovStationary(src, "t", Seq("t", "g"), "g"))
+    parity("CALL graft_stat_ess(sqlstat_src, 'g', 't', 'v', 3, st_ess)",
+      "st_ess", Trend.effectiveSampleSize(src, "g", Seq("t"), "v", 3))
+    parity("CALL graft_stat_gumbel(sqlstat_src, 'g', 't', 'v', st_gum)",
+      "st_gum", graft.operators.Outliers.gumbelBlockMaxima(src, "g", "t", "v"))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
