@@ -332,7 +332,23 @@ private[graft] object QueriesPart9 {
             date_format(col("ts"), "yyyy-MM-dd").as("day"),
             floor(col("value") * 10).cast("long").as("v")),
         "g", "day", "v")
-        .orderBy("group")))
+        .orderBy("group")),
+
+    // --- 462. broken-stick segmented regression, oracle-pinned ------------------------------------------------
+    // The regression-flavored change-point beside q458: the daily
+    // volume series per event type split at the SSE-optimal day, both
+    // slopes reported; exact prefix sufficient statistics, pinned side
+    // SSEs, micro-quantized integer argmin.
+    "q462_broken_stick" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("g"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Trend.brokenStick(daily, "g", "day", "v")
+        .orderBy("group")
+    }))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -1105,5 +1121,82 @@ private[graft] object QueriesPart9 {
         |    mu - beta * ln(-ln(1.0 - 1.0 / 10.0)) END, 7) AS return_10,
         |  ROUND(CASE WHEN n_blocks > 1 AND varn > 0.0 THEN
         |    mu - beta * ln(-ln(1.0 - 1.0 / 100.0)) END, 7) AS return_100
-        |FROM mm ORDER BY "group"""".stripMargin)
+        |FROM mm ORDER BY "group"""".stripMargin,
+
+    // Broken stick: the engine's exact prefix cumsums and pinned side
+    // SSEs restated textually; argmin on the micro-quantized HUGEINT.
+    "q462_broken_stick" -> {
+      def d(e: String) = s"CAST($e AS DOUBLE)"
+      // the engine's sttC/stvC/svvC subexpressions for a side given
+      // (m, st, sv, stt, stv, svv) fragments
+      def sttC(m: String, st: String, stt: String) =
+        s"(${d(stt)} - ${d(st)} * ${d(st)} / ${d(m)})"
+      def stvC(m: String, st: String, sv: String, stv: String) =
+        s"(${d(stv)} - ${d(st)} * ${d(sv)} / ${d(m)})"
+      def svvC(m: String, sv: String, svv: String) =
+        s"(${d(svv)} - ${d(sv)} * ${d(sv)} / ${d(m)})"
+      def sse(m: String, st: String, sv: String, stt: String,
+          stv: String, svv: String) =
+        s"""CASE WHEN ${sttC(m, st, stt)} > 0.0
+           |  THEN ${svvC(m, sv, svv)}
+           |    - ${stvC(m, st, sv, stv)} * ${stvC(m, st, sv, stv)}
+           |      / ${sttC(m, st, stt)}
+           |  ELSE ${svvC(m, sv, svv)} END""".stripMargin
+      def slope(m: String, st: String, sv: String, stt: String,
+          stv: String) =
+        s"""CASE WHEN ${sttC(m, st, stt)} > 0.0
+           |  THEN ROUND(${stvC(m, st, sv, stv)} / ${sttC(m, st, stt)}, 7)
+           |  END""".stripMargin
+      val lArgs = ("k", "st", "sv", "stt", "stv", "svv")
+      val rArgs = ("(n - k)", "(st_all - st)", "(sv_all - sv)",
+        "(stt_all - stt)", "(stv_all - stv)", "(svv_all - svv)")
+      val aArgs = ("n", "st_all", "sv_all", "stt_all", "stv_all", "svv_all")
+      def sseOf(a: (String, String, String, String, String, String)) =
+        sse(a._1, a._2, a._3, a._4, a._5, a._6)
+      def slopeOf(a: (String, String, String, String, String, String)) =
+        slope(a._1, a._2, a._3, a._4, a._5)
+      s"""WITH daily AS (
+         |  SELECT event_type AS g,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS t,
+         |    count(*) AS v
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT g, count(*) AS n,
+         |    CAST(sum(t) AS HUGEINT) AS st_all,
+         |    CAST(sum(v) AS HUGEINT) AS sv_all,
+         |    CAST(sum(t * t) AS HUGEINT) AS stt_all,
+         |    CAST(sum(t * v) AS HUGEINT) AS stv_all,
+         |    CAST(sum(v * v) AS HUGEINT) AS svv_all
+         |  FROM daily GROUP BY 1),
+         |cum AS (SELECT g, t,
+         |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY t, v) AS k,
+         |    CAST(sum(t) OVER w AS HUGEINT) AS st,
+         |    CAST(sum(v) OVER w AS HUGEINT) AS sv,
+         |    CAST(sum(t * t) OVER w AS HUGEINT) AS stt,
+         |    CAST(sum(t * v) OVER w AS HUGEINT) AS stv,
+         |    CAST(sum(v * v) OVER w AS HUGEINT) AS svv
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY g ORDER BY t, v
+         |    ROWS UNBOUNDED PRECEDING)),
+         |splits AS (SELECT c.g, t, k, n,
+         |    st, sv, stt, stv, svv, st_all, sv_all, stt_all, stv_all,
+         |    svv_all,
+         |    CAST(floor((${sseOf(lArgs)} + ${sseOf(rArgs)}) * 1e6)
+         |      AS HUGEINT) AS q
+         |  FROM cum c JOIN tot USING (g)
+         |  WHERE k >= 2 AND k <= n - 2),
+         |best AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY q, t) AS rk
+         |  FROM splits)
+         |SELECT g AS "group", CAST(n AS BIGINT) AS n, t AS t_split,
+         |  ${slopeOf(lArgs)} AS slope_left,
+         |  ${slopeOf(rArgs)} AS slope_right,
+         |  ROUND(CAST(q AS DOUBLE) / 1e6, 6) AS sse_split,
+         |  ROUND(${sseOf(aArgs)}, 6) AS sse_line,
+         |  ROUND(CASE WHEN ${sseOf(aArgs)} > 0.0
+         |    THEN CAST(q AS DOUBLE) / 1e6 / (${sseOf(aArgs)}) END, 6)
+         |    AS sse_ratio
+         |FROM best WHERE rk = 1 ORDER BY "group"""".stripMargin
+    })
 }

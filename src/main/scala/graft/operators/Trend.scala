@@ -861,6 +861,106 @@ object Trend {
         .as("fano"))
   }
 
+  /** Broken-stick (two-segment) least squares per group — the
+    * regression-flavored change-point beside [[pettitt]] (rank shift)
+    * and CUSUM (mean shift): fit independent OLS lines on [1..k] and
+    * [k+1..n]
+    * for every admissible split k (>= 2 points per side) and keep the
+    * split minimizing total SSE.
+    *
+    * EXACTNESS: with INTEGRAL (t, v) all prefix sufficient statistics
+    * (n, St, Sv, Stt, Stv, Svv and their right-side complements) are
+    * exact DECIMAL(38,0) window cumsums; each side's
+    * SSE = Svv_c - Stv_c^2/Stt_c is a pinned double, and the TOTAL is
+    * micro-quantized floor(x*1e6) into DECIMAL so the argmin is an
+    * integer decision (smallest t on ties). Slopes are the usual
+    * closed-form pinned divisions; a degenerate side (constant t)
+    * reports a null slope and contributes its centered Svv as SSE.
+    *
+    * Scale shape: two per-group window passes (the cumsums and the
+    * argmin rank) + one combining groupBy — series length per group is
+    * the window partition, never a global sort.
+    *
+    * Returns one row per group with >= 4 points:
+    * (group, n, t_split, slope_left, slope_right, sse_split, sse_line,
+    * sse_ratio) — sse_line is the single-line fit's SSE, so
+    * sse_ratio = sse_split/sse_line says how much the break explains
+    * (null when the single line already fits exactly).
+    */
+  def brokenStick(df: DataFrame, groupCol: String, timeCol: String,
+      valueCol: String): DataFrame = {
+    for (c <- Seq(timeCol, valueCol))
+      require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).as("g"),
+        col(timeCol).cast("long").as("t"), col(valueCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("t").isNotNull && col("v").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy(col("g")).orderBy(col("t"), col("v"))
+    val wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    val tot = slim.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("t").cast(dec)).as("st_all"),
+      sum(col("v").cast(dec)).as("sv_all"),
+      sum((col("t") * col("t")).cast(dec)).as("stt_all"),
+      sum((col("t") * col("v")).cast(dec)).as("stv_all"),
+      sum((col("v") * col("v")).cast(dec)).as("svv_all"))
+    val cum = slim
+      .withColumn("k", row_number().over(wo))
+      .withColumn("st", sum(col("t").cast(dec)).over(wc))
+      .withColumn("sv", sum(col("v").cast(dec)).over(wc))
+      .withColumn("stt", sum((col("t") * col("t")).cast(dec)).over(wc))
+      .withColumn("stv", sum((col("t") * col("v")).cast(dec)).over(wc))
+      .withColumn("svv", sum((col("v") * col("v")).cast(dec)).over(wc))
+      .join(tot, "g")
+    // side SSE from (m, st, sv, stt, stv, svv) — all pinned doubles
+    def sse(m: Column, st: Column, sv: Column, stt: Column, stv: Column,
+        svv: Column): Column = {
+      val mD = m.cast("double")
+      val sttC = stt.cast("double") - st.cast("double") * st.cast("double") / mD
+      val stvC = stv.cast("double") - st.cast("double") * sv.cast("double") / mD
+      val svvC = svv.cast("double") - sv.cast("double") * sv.cast("double") / mD
+      when(sttC > 0.0, svvC - stvC * stvC / sttC).otherwise(svvC)
+    }
+    def slope(m: Column, st: Column, sv: Column, stt: Column,
+        stv: Column): Column = {
+      val mD = m.cast("double")
+      val sttC = stt.cast("double") - st.cast("double") * st.cast("double") / mD
+      val stvC = stv.cast("double") - st.cast("double") * sv.cast("double") / mD
+      when(sttC > 0.0, round(stvC / sttC, 7))
+    }
+    val kC = col("k").cast(dec)
+    val nC = col("n").cast(dec)
+    val splits = cum
+      .where(col("k") >= 2L && col("k") <= col("n") - 2L)
+      .withColumn("__sse", sse(kC, col("st"), col("sv"), col("stt"),
+        col("stv"), col("svv")) +
+        sse(nC - kC, col("st_all") - col("st"), col("sv_all") - col("sv"),
+          col("stt_all") - col("stt"), col("stv_all") - col("stv"),
+          col("svv_all") - col("svv")))
+      .withColumn("__q", floor(col("__sse") * lit(1e6)).cast(dec))
+    val wk = Window.partitionBy(col("g")).orderBy(col("__q"), col("t"))
+    val best = splits.withColumn("__rk", row_number().over(wk))
+      .where(col("__rk") === 1)
+    best.select(col("g").as("group"), col("n"), col("t").as("t_split"),
+      slope(kC, col("st"), col("sv"), col("stt"), col("stv"))
+        .as("slope_left"),
+      slope(nC - kC, col("st_all") - col("st"), col("sv_all") - col("sv"),
+        col("stt_all") - col("stt"), col("stv_all") - col("stv"))
+        .as("slope_right"),
+      round(col("__q").cast("double") / lit(1e6), 6).as("sse_split"),
+      round(sse(nC, col("st_all"), col("sv_all"), col("stt_all"),
+        col("stv_all"), col("svv_all")), 6).as("sse_line"),
+      round(when(sse(nC, col("st_all"), col("sv_all"), col("stt_all"),
+          col("stv_all"), col("svv_all")) > 0.0,
+        col("__q").cast("double") / lit(1e6) /
+          sse(nC, col("st_all"), col("sv_all"), col("stt_all"),
+            col("stv_all"), col("svv_all"))), 6).as("sse_ratio"))
+  }
+
   /** Pettitt change-point test per group — the rank-based WHERE to
     * Mann-Kendall's WHETHER (q390 says "volume is drifting", Pettitt
     * says "it broke at the 14th"): with per-group ranks r_i of the

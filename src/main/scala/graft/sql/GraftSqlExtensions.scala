@@ -81,6 +81,7 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_markov_stationary(src_view, 'key', 'ord1,ord2', 'state', out_view)
   *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
   *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
+  *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -577,9 +578,11 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           mi(3))
         case "gumbel" => graft.operators.Outliers.gumbelBlockMaxima(src,
           ms(0), ms(1), ms(2))
+        case "broken_stick" => Trend.brokenStick(src, ms(0), ms(1), ms(2))
         case other => bad(s"unknown statistic '$other' (known: " +
           "anderson_darling, anova_eta, anova_f, ari, assortativity, " +
-          "auc, average_precision, benford, bh_fdr, brier, ccf, cmh, " +
+          "auc, average_precision, benford, bh_fdr, brier, broken_stick, " +
+          "ccf, cmh, " +
           "cohens_d, cohens_h, concordance, " +
           "conformal, corr_matrix, cramers_v, cusum, " +
           "durbin_watson, ece, ess, fleiss_kappa, g_test, gini_screen, " +

@@ -462,4 +462,27 @@ class TrendSpec extends SparkTestBase {
     val b = Trend.effectiveSampleSize(blocky, "g", Seq("t"), "v", 4).head()
     assert(b.getDouble(3) < 20.0, b)
   }
+
+  test("brokenStick: the exact two-line series splits at the joint with zero SSE") {
+    // left line v = t on t = 1..3, right line v = 140 - 10t on t = 4..6:
+    // the k = 3 split fits both sides exactly (SSE 0, slopes 1 and -10)
+    val two = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 100L), ("g", 5L, 90L), ("g", 6L, 80L)).toDF("g", "t", "v")
+    val r = Trend.brokenStick(two, "g", "t", "v").head()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L, r)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == -10.0, r)
+    assert(r.getDouble(5) == 0.0, r) // sse_split exactly zero
+    assert(r.getDouble(6) > 0.0)     // one line cannot fit it
+    assert(r.getDouble(7) == 0.0)    // the break explains everything
+    // a flat series ties every split at SSE 0: smallest t wins
+    val flat = Seq.tabulate(6)(i => ("g", (i + 1).toLong, 5L))
+      .toDF("g", "t", "v")
+    val f = Trend.brokenStick(flat, "g", "t", "v").head()
+    assert(f.getLong(2) == 2L && f.getDouble(5) == 0.0)
+    assert(f.isNullAt(7)) // sse_line is 0 -> ratio null
+    // fewer than 4 points: no admissible split, no row
+    val tiny = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 9L))
+      .toDF("g", "t", "v")
+    assert(Trend.brokenStick(tiny, "g", "t", "v").count() == 0L)
+  }
 }

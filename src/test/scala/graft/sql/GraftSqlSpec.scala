@@ -374,6 +374,8 @@ class GraftSqlSpec extends SparkTestBase {
       "st_ess", Trend.effectiveSampleSize(src, "g", Seq("t"), "v", 3))
     parity("CALL graft_stat_gumbel(sqlstat_src, 'g', 't', 'v', st_gum)",
       "st_gum", graft.operators.Outliers.gumbelBlockMaxima(src, "g", "t", "v"))
+    parity("CALL graft_stat_broken_stick(sqlstat_src, 'g', 't', 'v', st_bs)",
+      "st_bs", Trend.brokenStick(src, "g", "t", "v"))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
