@@ -348,7 +348,37 @@ private[graft] object QueriesPart9 {
         .agg(count(lit(1)).as("v"))
       graft.operators.Trend.brokenStick(daily, "g", "day", "v")
         .orderBy("group")
-    }))
+    }),
+
+    // --- 463. CUPED variance reduction, oracle-pinned ---------------------------------------------------------
+    // The standard pre-period adjustment before any metric readout:
+    // deci-value metric against its own coarse pre-covariate (strongly
+    // correlated, so the reduction is visible), pooled theta from
+    // exact moments, adjusted per-variant means.
+    "q463_cuped" -> ((s, d) =>
+      graft.operators.AbTest.cuped(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type").as("variant"),
+            floor(col("value") * 10).cast("long").as("y"),
+            floor(col("value")).cast("long").as("x")),
+        "variant", "y", "x")
+        .orderBy("variant")),
+
+    // --- 464. delta-method ratio-metric CI, oracle-pinned -----------------------------------------------------
+    // The clicks-per-impression-style readout with the covariance term
+    // the naive CI drops: deci-value numerator over an hour-derived
+    // positive denominator, exact per-variant moments, pinned delta SE.
+    "q464_ratio_ci" -> ((s, d) =>
+      graft.operators.AbTest.ratioMetricCi(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type").as("variant"),
+            floor(col("value") * 10).cast("long").as("num"),
+            (hour(col("ts")) + 1).cast("long").as("den")),
+        "variant", "num", "den")
+        .orderBy("variant")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -1198,5 +1228,81 @@ private[graft] object QueriesPart9 {
          |    THEN CAST(q AS DOUBLE) / 1e6 / (${sseOf(aArgs)}) END, 6)
          |    AS sse_ratio
          |FROM best WHERE rk = 1 ORDER BY "group"""".stripMargin
-    })
+    },
+
+    // CUPED: pooled theta from exact HUGEINT moments, the engine's own
+    // expression order for the adjustment and rho^2.
+    "q463_cuped" ->
+      """WITH e AS (
+        |  SELECT event_type AS variant,
+        |    CAST(floor(value * 10) AS BIGINT) AS y,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pv AS (SELECT variant, count(*) AS n,
+        |    CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x) AS HUGEINT) AS sx
+        |  FROM e GROUP BY 1),
+        |pl AS (SELECT count(*) AS n_all,
+        |    CAST(sum(y) AS HUGEINT) AS sy_all,
+        |    CAST(sum(x) AS HUGEINT) AS sx_all,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy_all,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx_all,
+        |    CAST(sum(y * x) AS HUGEINT) AS syx_all
+        |  FROM e),
+        |k AS (SELECT n_all,
+        |    CAST(syx_all AS DOUBLE) - CAST(sy_all AS DOUBLE)
+        |      * CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS covyx,
+        |    CAST(sxx_all AS DOUBLE) - CAST(sx_all AS DOUBLE)
+        |      * CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS varx,
+        |    CAST(syy_all AS DOUBLE) - CAST(sy_all AS DOUBLE)
+        |      * CAST(sy_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS vary,
+        |    CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS mean_x_all
+        |  FROM pl)
+        |SELECT variant, n,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 7) AS mean_raw,
+        |  ROUND(CASE WHEN varx > 0.0 THEN
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - covyx / varx * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |                      - mean_x_all) END, 7) AS mean_adj,
+        |  ROUND(CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+        |    covyx * covyx / (vary * varx) END, 7) AS var_reduction
+        |FROM pv CROSS JOIN k ORDER BY variant""".stripMargin,
+
+    // Ratio-metric delta CI: exact per-variant moments, the engine's
+    // (varY - 2R*cov + R^2*varX)/(n*meanX^2) order, z = 1.96.
+    "q464_ratio_ci" ->
+      """WITH e AS (
+        |  SELECT event_type AS variant,
+        |    CAST(floor(value * 10) AS BIGINT) AS y,
+        |    CAST(hour(ts) + 1 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT variant, count(*) AS n,
+        |    CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * x) AS HUGEINT) AS syx
+        |  FROM e GROUP BY 1),
+        |k AS (SELECT variant, n, sy, sx,
+        |    CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vary,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS varx,
+        |    (CAST(syx AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sx AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS covyx
+        |  FROM g),
+        |k2 AS (SELECT *,
+        |    (vary - 2.0 * r * covyx + r * r * varx) / (CAST(n AS DOUBLE)
+        |      * mx * mx) AS inr
+        |  FROM k)
+        |SELECT variant, n,
+        |  ROUND(CASE WHEN sx <> 0 THEN r END, 7) AS ratio,
+        |  ROUND(CASE WHEN n > 1 AND sx <> 0 AND mx <> 0.0
+        |    AND inr >= 0.0 THEN sqrt(inr) END, 7) AS se,
+        |  ROUND(CASE WHEN n > 1 AND sx <> 0 AND mx <> 0.0
+        |    AND inr >= 0.0 THEN r - 1.96 * sqrt(inr) END, 7) AS lo,
+        |  ROUND(CASE WHEN n > 1 AND sx <> 0 AND mx <> 0.0
+        |    AND inr >= 0.0 THEN r + 1.96 * sqrt(inr) END, 7) AS hi
+        |FROM k2 ORDER BY variant""".stripMargin)
 }

@@ -178,6 +178,139 @@ object AbTest {
             (lit(1.0) / nv + lit(1.0) / nc))), 7).as("mde_abs"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013 — the standard
+    * pre-experiment-covariate adjustment every mature experimentation
+    * platform applies before reading a metric): with theta the POOLED
+    * OLS coefficient of the metric on the pre-period covariate,
+    *
+    *   y_adj = y - theta * (x - mean_all(x)),
+    *   theta = cov(y, x) / var(x),
+    *
+    * the adjusted per-variant means are unbiased for the same treatment
+    * effect with variance shrunk by the squared pooled correlation
+    * (`var_reduction` = rho^2 — the fraction of metric variance the
+    * pre-period explains).
+    *
+    * Exactness: both columns INTEGRAL (quantize first); all second-
+    * moment sufficient statistics are exact DECIMAL(38,0) from ONE
+    * combining groupBy + a broadcast pooled row; theta, the adjusted
+    * means and rho^2 are pinned double expressions rounded at 7. Null
+    * adjustment when the covariate is constant (var(x) = 0 — nothing
+    * to adjust with).
+    *
+    * Returns per variant (variant, n, mean_raw, mean_adj,
+    * var_reduction) — var_reduction is the same pooled value on every
+    * row (one-table consumption).
+    */
+  def cuped(df: DataFrame, variantCol: String, yCol: String,
+      preCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    for (c <- Seq(yCol, preCol))
+      require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(variantCol).isNotNull && col(yCol).isNotNull &&
+        col(preCol).isNotNull)
+      .select(col(variantCol).as("variant"), col(yCol).cast("long").as("y"),
+        col(preCol).cast("long").as("x"))
+    val perV = slim.groupBy(col("variant")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec)).as("sx"))
+    val pooled = slim.agg(
+      count(lit(1)).as("n_all"),
+      sum(col("y").cast(dec)).as("sy_all"),
+      sum(col("x").cast(dec)).as("sx_all"),
+      sum((col("y") * col("y")).cast(dec)).as("syy_all"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx_all"),
+      sum((col("y") * col("x")).cast(dec)).as("syx_all"))
+    val nA = col("n_all").cast("double")
+    val covYX = col("syx_all").cast("double") -
+      col("sy_all").cast("double") * col("sx_all").cast("double") / nA
+    val varX = col("sxx_all").cast("double") -
+      col("sx_all").cast("double") * col("sx_all").cast("double") / nA
+    val varY = col("syy_all").cast("double") -
+      col("sy_all").cast("double") * col("sy_all").cast("double") / nA
+    val theta = covYX / varX
+    val meanXAll = col("sx_all").cast("double") / nA
+    val nD = col("n").cast("double")
+    val meanY = col("sy").cast("double") / nD
+    val meanX = col("sx").cast("double") / nD
+    perV.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n"),
+        round(meanY, 7).as("mean_raw"),
+        round(when(varX > 0.0,
+          meanY - theta * (meanX - meanXAll)), 7).as("mean_adj"),
+        round(when(varX > 0.0 && varY > 0.0,
+          covYX * covYX / (varY * varX)), 7).as("var_reduction"))
+  }
+
+  /** Delta-method confidence interval for a RATIO metric per variant —
+    * the readout that keeps clicks-per-impression honest (a ratio of
+    * sums is NOT a mean of ratios, and its variance needs the
+    * covariance term the naive per-row CI drops):
+    *
+    *   R = sum(num)/sum(den),
+    *   Var(R) ~= (var_n - 2*R*cov + R^2*var_d) / (n * mean_d^2)
+    *
+    * (Deng-Knoblich-Lu 2018's formulation). Exactness: INTEGRAL
+    * numerator/denominator columns, exact DECIMAL(38,0) second moments
+    * per variant from one combining groupBy, every output one pinned
+    * double expression rounded at 7. Null CI when the variant has < 2
+    * rows or a zero mean denominator.
+    *
+    * Returns per variant (variant, n, ratio, se, lo, hi) at the given
+    * z (default 1.96).
+    */
+  def ratioMetricCi(df: DataFrame, variantCol: String, numCol: String,
+      denCol: String, z: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    for (c <- Seq(numCol, denCol))
+      require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(c).dataType),
+        s"$c must be integral (quantize first), got " +
+          df.schema(c).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(variantCol).isNotNull && col(numCol).isNotNull &&
+        col(denCol).isNotNull)
+      .select(col(variantCol).as("variant"),
+        col(numCol).cast("long").as("y"), col(denCol).cast("long").as("x"))
+    val g = slim.groupBy(col("variant")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("x")).cast(dec)).as("syx"))
+    val nD = col("n").cast("double")
+    val meanX = col("sx").cast("double") / nD
+    val ratio = col("sy").cast("double") / col("sx").cast("double")
+    // sample (n-1) variances/covariance of the per-row num/den
+    val varY = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / nD) /
+      (nD - lit(1.0))
+    val varX = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) /
+      (nD - lit(1.0))
+    val covYX = (col("syx").cast("double") -
+      col("sy").cast("double") * col("sx").cast("double") / nD) /
+      (nD - lit(1.0))
+    val inner = (varY - lit(2.0) * ratio * covYX +
+      ratio * ratio * varX) / (nD * meanX * meanX)
+    val se = sqrt(inner)
+    // inner is Var(y - R*x)/(n*mean_x^2) >= 0 mathematically; the
+    // >= 0.0 gate keeps a float-degenerate case a NULL, never a NaN
+    val ok = col("n") > 1L && col("sx") =!= lit(0L).cast(dec) &&
+      meanX =!= 0.0 && inner >= 0.0
+    g.select(col("variant"), col("n"),
+      round(when(col("sx") =!= lit(0L).cast(dec), ratio), 7).as("ratio"),
+      round(when(ok, se), 7).as("se"),
+      round(when(ok, ratio - lit(z) * se), 7).as("lo"),
+      round(when(ok, ratio + lit(z) * se), 7).as("hi"))
+  }
+
   /** The per-variant observed/expected table behind
     * [[sampleRatioMismatch]] — exact counts, expected = n*w/W one
     * pinned division per variant. Declared-but-absent variants appear

@@ -82,6 +82,8 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
   *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
   *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
+  *   CALL graft_stat_cuped(src_view, 'variant', 'metric', 'pre_covariate', out_view)
+  *   CALL graft_stat_ratio_ci(src_view, 'variant', 'num', 'den' [, z], out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -579,12 +581,20 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
         case "gumbel" => graft.operators.Outliers.gumbelBlockMaxima(src,
           ms(0), ms(1), ms(2))
         case "broken_stick" => Trend.brokenStick(src, ms(0), ms(1), ms(2))
+        case "cuped" => graft.operators.AbTest.cuped(src, ms(0), ms(1),
+          ms(2))
+        case "ratio_ci" =>
+          if (mid.length >= 4)
+            graft.operators.AbTest.ratioMetricCi(src, ms(0), ms(1), ms(2),
+              md(3))
+          else graft.operators.AbTest.ratioMetricCi(src, ms(0), ms(1),
+            ms(2))
         case other => bad(s"unknown statistic '$other' (known: " +
           "anderson_darling, anova_eta, anova_f, ari, assortativity, " +
           "auc, average_precision, benford, bh_fdr, brier, broken_stick, " +
           "ccf, cmh, " +
           "cohens_d, cohens_h, concordance, " +
-          "conformal, corr_matrix, cramers_v, cusum, " +
+          "conformal, corr_matrix, cramers_v, cuped, cusum, " +
           "durbin_watson, ece, ess, fleiss_kappa, g_test, gini_screen, " +
           "gumbel, " +
           "gwet_ac1, hosmer_lemeshow, jarque_bera, " +
@@ -594,7 +604,7 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "mcc, mde, " +
           "mood_median, nelson_aalen, " +
           "ols_multi, partial_corr, pca3, pettitt, poisson_rate, " +
-          "precision_at_k, psi, purity, quantile_norm, " +
+          "precision_at_k, psi, purity, quantile_norm, ratio_ci, " +
           "seasonal_mann_kendall, srm, stratified_ate, target_encode, " +
           "theil_sen, total_variation, trimmed_mean, turning_points, " +
           "uncertainty, vmeasure, wasserstein, weighted_kappa, welch, " +

@@ -91,6 +91,49 @@ class AbTestSpec extends SparkTestBase {
       .head().getDouble(3) == 0.0)
   }
 
+  test("cuped: perfect covariate equalizes arms completely, constant covariate nulls") {
+    // y == x exactly: theta = 1, var_reduction = 1, every arm's adjusted
+    // mean collapses to the pooled covariate mean
+    val perfect = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("b", 10L, 10L), ("b", 20L, 20L)).toDF("v", "y", "x")
+    val p = AbTest.cuped(perfect, "v", "y", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val pooledMean = BigDecimal(36.0 / 5.0)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p("a")._2 == pooledMean && p("b")._2 == pooledMean, p)
+    assert(p("a")._3 == 1.0 && p("b")._3 == 1.0)
+    assert(p("a")._1 == 2.0 && p("b")._1 == 15.0) // raw means untouched
+    // constant covariate: nothing to adjust with -> null adj and rho^2
+    val const = Seq(("a", 1L, 7L), ("a", 3L, 7L), ("b", 5L, 7L))
+      .toDF("v", "y", "x")
+    val c = AbTest.cuped(const, "v", "y", "x")
+      .collect().map(r => (r.isNullAt(3), r.isNullAt(4)))
+    assert(c.forall(t => t._1 && t._2), c.toSeq)
+  }
+
+  test("ratioMetricCi: zero-residual ratio has zero SE, hand variance case") {
+    // y = 2x exactly: residual variance 0 -> se 0, CI collapses
+    val exact = Seq(("a", 2L, 1L), ("a", 4L, 2L), ("a", 6L, 3L))
+      .toDF("v", "y", "x")
+    val e = AbTest.ratioMetricCi(exact, "v", "y", "x").head()
+    assert(e.getDouble(2) == 2.0 && e.getDouble(3) == 0.0)
+    assert(e.getDouble(4) == 2.0 && e.getDouble(5) == 2.0)
+    // (1,1),(5,1): ratio 3, varY 8, varX 0, cov 0 ->
+    // inner = 8/(2*1*1) = 4, se 2, CI 3 -/+ 1.96*2
+    val hand = Seq(("a", 1L, 1L), ("a", 5L, 1L)).toDF("v", "y", "x")
+    val h = AbTest.ratioMetricCi(hand, "v", "y", "x").head()
+    def r7(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h.getDouble(2) == 3.0 && h.getDouble(3) == 2.0, h)
+    assert(h.getDouble(4) == r7(3.0 - 1.96 * 2.0) &&
+      h.getDouble(5) == r7(3.0 + 1.96 * 2.0), h)
+    // a single row cannot estimate a variance -> null CI
+    val one = Seq(("a", 4L, 2L)).toDF("v", "y", "x")
+    val o = AbTest.ratioMetricCi(one, "v", "y", "x").head()
+    assert(o.getDouble(2) == 2.0 && o.isNullAt(3) && o.isNullAt(4))
+  }
+
   test("minDetectableEffect: hand case, degenerate control nulls") {
     // control 'c': 100 trials, 50 successes (p = 0.5);
     // variant 'v': 400 trials -> MDE = 2.8*sqrt(.25*(1/400 + 1/100))

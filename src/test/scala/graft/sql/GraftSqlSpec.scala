@@ -376,6 +376,13 @@ class GraftSqlSpec extends SparkTestBase {
       "st_gum", graft.operators.Outliers.gumbelBlockMaxima(src, "g", "t", "v"))
     parity("CALL graft_stat_broken_stick(sqlstat_src, 'g', 't', 'v', st_bs)",
       "st_bs", Trend.brokenStick(src, "g", "t", "v"))
+    parity("CALL graft_stat_cuped(sqlstat_src, 'g', 'v', 't', st_cu)",
+      "st_cu", graft.operators.AbTest.cuped(src, "g", "v", "t"))
+    parity("CALL graft_stat_ratio_ci(sqlstat_src, 'g', 'v', 't', st_rc)",
+      "st_rc", graft.operators.AbTest.ratioMetricCi(src, "g", "v", "t"))
+    parity("CALL graft_stat_ratio_ci(sqlstat_src, 'g', 'v', 't', 2.5, st_rc2)",
+      "st_rc2",
+      graft.operators.AbTest.ratioMetricCi(src, "g", "v", "t", 2.5))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
