@@ -119,11 +119,15 @@ object Bench {
     // Also persist the FULL per-query JSON to the repo: the driver's bounded
     // tail capture has dropped the leading queries before (BENCH_r04 lost
     // q01-q25), and round-over-round per-query comparison needs all of them.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
-    }
+    // FULL runs only — a SPARK_GRAFT_BENCH_QUERIES subset (scale probes,
+    // spot reruns) must not clobber the committed full-suite artifact
+    // (r16 lost the 461-query file to a 1-query probe this way).
+    if (subset.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+      }
     spark.stop()
   }
 }
