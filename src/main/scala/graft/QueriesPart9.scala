@@ -378,6 +378,33 @@ private[graft] object QueriesPart9 {
             floor(col("value") * 10).cast("long").as("num"),
             (hour(col("ts")) + 1).cast("long").as("den")),
         "variant", "num", "den")
+        .orderBy("variant")),
+
+    // --- 465. Ansari-Bradley scale test, oracle-pinned --------------------------------------------------------
+    // The missing SPREAD axis of the two-sample family: click vs
+    // purchase deci-values, exact integer block scores from both ends,
+    // micro-quantized average-score fold, classical moments.
+    "q465_ansari_bradley" -> ((s, d) =>
+      graft.operators.StatTests.ansariBradley(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 10).cast("long").as("v")),
+        "g", "v", "click", "purchase")),
+
+    // --- 466. Wald SPRT, oracle-pinned ------------------------------------------------------------------------
+    // The peek-safe sequential test per event type: H0 p=0.3 vs H1
+    // p=0.4 on value >= 100, alpha .05 / beta .2 — the LLR walk is an
+    // exact integer cumsum after four micro-quantized constants, so
+    // every stopping decision is an integer comparison.
+    "q466_sprt" -> ((s, d) =>
+      graft.operators.AbTest.sprt(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type").as("variant"), col("ts"),
+            col("event_id"), (col("value") >= 100).as("succ")),
+        "variant", Seq("ts", "event_id"), "succ",
+        p0Milli = 300L, p1Milli = 400L)
         .orderBy("variant")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
@@ -1304,5 +1331,104 @@ private[graft] object QueriesPart9 {
         |    AND inr >= 0.0 THEN r - 1.96 * sqrt(inr) END, 7) AS lo,
         |  ROUND(CASE WHEN n > 1 AND sx <> 0 AND mx <> 0.0
         |    AND inr >= 0.0 THEN r + 1.96 * sqrt(inr) END, 7) AS hi
-        |FROM k2 ORDER BY variant""".stripMargin)
+        |FROM k2 ORDER BY variant""".stripMargin,
+
+    // Ansari-Bradley: exact block scores via the closed-form f(h) with
+    // DuckDB's true integral //, the engine's micro-quantized
+    // average-score fold and classical-moment z.
+    "q465_ansari_bradley" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |pv AS (SELECT v,
+        |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |cum AS (SELECT v, ca, cb, ca + cb AS c,
+        |    CAST(sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS hi,
+        |    n_a, n_b, n_a + n_b AS nn
+        |  FROM pv CROSS JOIN tot),
+        |sc AS (SELECT *, hi - c + 1 AS lo, nn + 1 AS mm,
+        |    (nn + 1) // 2 AS mh FROM cum),
+        |fs AS (SELECT *,
+        |    (least(hi, mh) * (least(hi, mh) + 1)) // 2
+        |      + CASE WHEN hi > mh THEN (hi - mh) * mm
+        |          - ((hi * (hi + 1)) // 2 - (mh * (mh + 1)) // 2)
+        |        ELSE 0 END
+        |    - ((least(lo - 1, mh) * (least(lo - 1, mh) + 1)) // 2
+        |      + CASE WHEN lo - 1 > mh THEN (lo - 1 - mh) * mm
+        |          - (((lo - 1) * lo) // 2 - (mh * (mh + 1)) // 2)
+        |        ELSE 0 END) AS s
+        |  FROM sc),
+        |q AS (SELECT n_a, n_b, nn,
+        |    CAST(floor(CAST(ca AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(c AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM fs),
+        |agg AS (SELECT n_a, n_b, nn, CAST(sum(q) AS HUGEINT) AS qsum
+        |  FROM q GROUP BY 1, 2, 3),
+        |k AS (SELECT n_a, n_b, nn,
+        |    CAST(qsum AS DOUBLE) / 1e6 AS ab,
+        |    CASE WHEN nn % 2 = 0
+        |      THEN CAST(n_a AS DOUBLE) * (CAST(nn AS DOUBLE) + 2.0) / 4.0
+        |      ELSE CAST(n_a AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+        |        * (CAST(nn AS DOUBLE) + 1.0) / (4.0 * CAST(nn AS DOUBLE))
+        |      END AS e,
+        |    CASE WHEN nn % 2 = 0
+        |      THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) + 2.0) * (CAST(nn AS DOUBLE) - 2.0)
+        |        / (48.0 * (CAST(nn AS DOUBLE) - 1.0))
+        |      ELSE CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) + 1.0)
+        |        * (3.0 + CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+        |        / (48.0 * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+        |      END AS vv
+        |  FROM agg)
+        |SELECT n_a, n_b, ROUND(ab, 7) AS ab,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND nn > 2 AND vv > 0.0
+        |    THEN (ab - e) / sqrt(vv) END, 7) AS z
+        |FROM k""".stripMargin,
+
+    // SPRT: the four micro-quantized constants inlined, the exact
+    // integer LLR walk and first-crossing decisions replayed.
+    "q466_sprt" ->
+      """WITH e AS (
+        |  SELECT event_type AS variant, ts, event_id,
+        |    (value >= 100) AS succ
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |ww AS (SELECT variant, ts, event_id,
+        |    CASE WHEN succ
+        |      THEN CAST(floor(ln(400.0 / 300.0) * 1e6) AS BIGINT)
+        |      ELSE CAST(floor(ln((1000.0 - 400.0) / (1000.0 - 300.0))
+        |        * 1e6) AS BIGINT) END AS w
+        |  FROM e),
+        |walk AS (SELECT variant, w,
+        |    CAST(sum(w) OVER (PARTITION BY variant ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+        |    ROW_NUMBER() OVER (PARTITION BY variant
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM ww),
+        |agg AS (SELECT variant, count(*) AS n,
+        |    min(CASE WHEN llr >= CAST(ceil(ln((1000.0 - 200.0) / 50.0)
+        |      * 1e6) AS BIGINT) THEN rn END) AS t1,
+        |    min(CASE WHEN llr <= CAST(floor(ln(200.0 / (1000.0 - 50.0))
+        |      * 1e6) AS BIGINT) THEN rn END) AS t0,
+        |    CAST(sum(w) AS BIGINT) AS fin
+        |  FROM walk GROUP BY 1)
+        |SELECT variant, n,
+        |  CASE WHEN t1 IS NOT NULL AND (t0 IS NULL OR t1 <= t0)
+        |      THEN 'accept_h1'
+        |    WHEN t0 IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision,
+        |  CAST(CASE WHEN t1 IS NOT NULL AND (t0 IS NULL OR t1 <= t0)
+        |      THEN t1
+        |    WHEN t0 IS NOT NULL THEN t0 END AS BIGINT) AS n_decide,
+        |  ROUND(CAST(fin AS DOUBLE) / 1e6, 6) AS llr_final
+        |FROM agg ORDER BY variant""".stripMargin)
 }

@@ -311,6 +311,80 @@ object AbTest {
       round(when(ok, ratio + lit(z) * se), 7).as("hi"))
   }
 
+  /** Wald's sequential probability ratio test — the "can we stop the
+    * experiment YET" readout (peeking at a fixed-horizon test inflates
+    * alpha; the SPRT is the test built to be peeked at): walk the
+    * cumulative log-likelihood ratio of H1: p = p1 vs H0: p = p0 over
+    * the variant's outcomes in arrival order, stop at the first
+    * boundary crossing,
+    *
+    *   accept H1 when LLR >= ln((1-beta)/alpha),
+    *   accept H0 when LLR <= ln(beta/(1-alpha)).
+    *
+    * EXACTNESS: the per-outcome increments ln(p1/p0), ln((1-p1)/(1-p0))
+    * and both boundaries are micro-quantized ONCE —
+    * floor/ceil(x * 1e6) — so the whole walk is an EXACT BIGINT window
+    * cumsum and every crossing decision is an integer comparison; no
+    * float enters a decision after the four constants (the q358 grid,
+    * applied to the decision itself). Probabilities and levels arrive
+    * in MILLI units (the suite's contract). Ordering must be total —
+    * pass an id column last.
+    *
+    * Scale shape: one per-variant window cumsum + one combining
+    * groupBy; state per variant is four counters.
+    *
+    * Returns per variant (variant, n, decision, n_decide, llr_final) —
+    * decision in {accept_h1, accept_h0, continue}; n_decide null while
+    * continuing.
+    */
+  def sprt(df: DataFrame, variantCol: String, orderCols: Seq[String],
+      successCol: String, p0Milli: Long, p1Milli: Long,
+      alphaMilli: Long = 50L, betaMilli: Long = 200L): DataFrame = {
+    require(p0Milli > 0L && p0Milli < 1000L && p1Milli > 0L &&
+      p1Milli < 1000L && p0Milli != p1Milli,
+      "p0/p1 must be interior milli probabilities and differ")
+    require(alphaMilli > 0L && alphaMilli < 1000L &&
+      betaMilli > 0L && betaMilli < 1000L, "alpha/beta milli in (0,1000)")
+    // the four pinned constants, micro-quantized once
+    val w1 = math.floor(math.log(p1Milli.toDouble / p0Milli.toDouble) *
+      1e6).toLong
+    val w0 = math.floor(math.log((1000.0 - p1Milli) / (1000.0 - p0Milli)) *
+      1e6).toLong
+    val upQ = math.ceil(math.log((1000.0 - betaMilli) / alphaMilli) *
+      1e6).toLong
+    val loQ = math.floor(math.log(betaMilli / (1000.0 - alphaMilli)) *
+      1e6).toLong
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("variant"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wRn = Window.partitionBy(col("variant"))
+      .orderBy(orderCols.map(col): _*)
+    val slim = df.where(col(variantCol).isNotNull &&
+        col(successCol).isNotNull)
+      .select((col(variantCol).as("variant") +:
+        when(col(successCol), lit(w1)).otherwise(lit(w0)).as("w") +:
+        orderCols.map(col)): _*)
+    val walk = slim
+      .withColumn("llr", sum(col("w")).over(wOrd))
+      .withColumn("rn", row_number().over(wRn))
+    walk.groupBy(col("variant")).agg(
+        count(lit(1)).as("n"),
+        min(when(col("llr") >= upQ, col("rn"))).as("__t1"),
+        min(when(col("llr") <= loQ, col("rn"))).as("__t0"),
+        sum(col("w")).as("__final"))
+      .select(col("variant"), col("n"),
+        when(col("__t1").isNotNull &&
+          (col("__t0").isNull || col("__t1") <= col("__t0")), "accept_h1")
+          .when(col("__t0").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"),
+        when(col("__t1").isNotNull &&
+          (col("__t0").isNull || col("__t1") <= col("__t0")), col("__t1"))
+          .when(col("__t0").isNotNull, col("__t0"))
+          .cast("long").as("n_decide"),
+        round(col("__final").cast("double") / lit(1e6), 6).as("llr_final"))
+  }
+
   /** The per-variant observed/expected table behind
     * [[sampleRatioMismatch]] — exact counts, expected = n*w/W one
     * pinned division per variant. Declared-but-absent variants appear

@@ -1334,6 +1334,89 @@ object StatTests {
           .as("u_sym"))
   }
 
+  /** Ansari-Bradley two-sample SCALE test — the missing axis of the
+    * two-sample family (MWU asks "did the location move", KS/CvM/AD ask
+    * "did anything move"; AB asks "did the SPREAD change" — variance
+    * drift with the location held): score each pooled rank from both
+    * ends, s(r) = min(r, N+1-r), and sum sample a's scores; compact
+    * spreads concentrate high scores.
+    *
+    *   AB = sum_a s(r_a),   z = (AB - E) / sqrt(Var)
+    *
+    * with the classical tie-free moments (even N: E = n_a(N+2)/4,
+    * Var = n_a n_b (N+2)(N-2) / (48(N-1)); odd N: E = n_a(N+1)^2/(4N),
+    * Var = n_a n_b (N+1)(3+N^2)/(48N^2)) — documented APPROXIMATE under
+    * heavy ties, the Jonckheere precedent.
+    *
+    * Exactness: tied blocks carry the exact INTEGER block score sum
+    * S(lo..hi) = f(hi) - f(lo-1) via the closed form
+    * f(h) = T(min(h,m)) + [h > m](h-m)M - (T(h)-T(m)), M = N+1,
+    * m = floor(M/2), T(x) = x(x+1)/2 — all BIGINT window arithmetic on
+    * the distinct-value cumsum (quantize-first + the loud domain
+    * guard); each value's average-score contribution ca*S/c is one
+    * deterministic double micro-quantized into the order-independent
+    * DECIMAL sum (the q358 grid); AB and z are final pinned
+    * expressions rounded at 7.
+    *
+    * Returns one row (n_a, n_b, ab, z); null z when either side is
+    * empty or N < 3.
+    */
+  def ansariBradley(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    requireBoundedDomain(perValue, "ansariBradley")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = perValue.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val cum = perValue
+      .withColumn("c", col("ca") + col("cb"))
+      .withColumn("hi", sum(col("ca") + col("cb")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+      .crossJoin(broadcast(tot))
+      .withColumn("nn", col("n_a") + col("n_b"))
+    // f(h) = sum_{r<=h} min(r, M-r) with M = N+1, m = floor(M/2).
+    // TRUE integral division (Column `/` on longs is double division,
+    // inexact past 2^53 — the milliBin device):
+    def idiv(x: Column, y: Column): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graft.Bridge.expression(x),
+          org.apache.spark.sql.graft.Bridge.expression(y)))
+    def tri(x: Column): Column = idiv(x * (x + 1L), lit(2L))
+    val mM = col("nn") + 1L
+    val mH = idiv(mM, lit(2L))
+    def f(h: Column): Column =
+      tri(least(h, mH)) +
+        when(h > mH, (h - mH) * mM - (tri(h) - tri(mH))).otherwise(0L)
+    val blockS = f(col("hi")) - f(col("lo") - 1L)
+    val term = floor(col("ca").cast("double") * blockS.cast("double") /
+      col("c").cast("double") * lit(1e6)).cast("long")
+    val agg = cum.select(term.as("q"), col("n_a"), col("n_b"), col("nn"))
+      .groupBy(col("n_a"), col("n_b"), col("nn"))
+      .agg(sum(col("q").cast(dec)).as("qsum"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = col("nn").cast("double")
+    val ab = col("qsum").cast("double") / lit(1e6)
+    val even = col("nn") % 2L === 0L
+    val e = when(even, naD * (nD + 2.0) / 4.0)
+      .otherwise(naD * (nD + 1.0) * (nD + 1.0) / (lit(4.0) * nD))
+    val v = when(even,
+      naD * nbD * (nD + 2.0) * (nD - 2.0) / (lit(48.0) * (nD - 1.0)))
+      .otherwise(naD * nbD * (nD + 1.0) * (lit(3.0) + nD * nD) /
+        (lit(48.0) * nD * nD))
+    agg.select(col("n_a"), col("n_b"),
+      round(ab, 7).as("ab"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L && col("nn") > 2L &&
+        v > 0.0, (ab - e) / sqrt(v)), 7).as("z"))
+  }
+
   /** Pearson correlation matrix over a COLUMN LIST (2 <= d <= 8) — the
     * multivariate screening readout beside `mahalanobisD`/`olsMulti`/
     * `pca3` (which columns move together, before anything is modeled):

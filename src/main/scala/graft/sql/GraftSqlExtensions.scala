@@ -84,6 +84,8 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
   *   CALL graft_stat_cuped(src_view, 'variant', 'metric', 'pre_covariate', out_view)
   *   CALL graft_stat_ratio_ci(src_view, 'variant', 'num', 'den' [, z], out_view)
+  *   CALL graft_stat_ansari_bradley(src_view, 'group', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_sprt(src_view, 'variant', 'ord1,ord2', 'success', p0_milli, p1_milli, out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -583,6 +585,11 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
         case "broken_stick" => Trend.brokenStick(src, ms(0), ms(1), ms(2))
         case "cuped" => graft.operators.AbTest.cuped(src, ms(0), ms(1),
           ms(2))
+        case "ansari_bradley" => StatTests.ansariBradley(src, ms(0),
+          ms(1), ms(2), ms(3))
+        case "sprt" => graft.operators.AbTest.sprt(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
+          mi(3).toLong, mi(4).toLong)
         case "ratio_ci" =>
           if (mid.length >= 4)
             graft.operators.AbTest.ratioMetricCi(src, ms(0), ms(1), ms(2),
@@ -590,7 +597,8 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           else graft.operators.AbTest.ratioMetricCi(src, ms(0), ms(1),
             ms(2))
         case other => bad(s"unknown statistic '$other' (known: " +
-          "anderson_darling, anova_eta, anova_f, ari, assortativity, " +
+          "anderson_darling, anova_eta, anova_f, ansari_bradley, ari, " +
+          "assortativity, " +
           "auc, average_precision, benford, bh_fdr, brier, broken_stick, " +
           "ccf, cmh, " +
           "cohens_d, cohens_h, concordance, " +
@@ -605,7 +613,8 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "mood_median, nelson_aalen, " +
           "ols_multi, partial_corr, pca3, pettitt, poisson_rate, " +
           "precision_at_k, psi, purity, quantile_norm, ratio_ci, " +
-          "seasonal_mann_kendall, srm, stratified_ate, target_encode, " +
+          "seasonal_mann_kendall, sprt, srm, stratified_ate, " +
+          "target_encode, " +
           "theil_sen, total_variation, trimmed_mean, turning_points, " +
           "uncertainty, vmeasure, wasserstein, weighted_kappa, welch, " +
           "wilcoxon, wilson, youden)")

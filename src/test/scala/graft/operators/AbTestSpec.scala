@@ -134,6 +134,37 @@ class AbTestSpec extends SparkTestBase {
     assert(o.getDouble(2) == 2.0 && o.isNullAt(3) && o.isNullAt(4))
   }
 
+  test("sprt: pure streaks cross at the exact predicted step, short walks continue") {
+    // p0 = .3 vs p1 = .4, alpha .05, beta .2 — the micro-quantized
+    // constants make every crossing an integer comparison the spec can
+    // predict exactly
+    val w1 = math.floor(math.log(400.0 / 300.0) * 1e6).toLong
+    val w0 = math.floor(math.log(600.0 / 700.0) * 1e6).toLong
+    val upQ = math.ceil(math.log(800.0 / 50.0) * 1e6).toLong
+    val loQ = math.floor(math.log(200.0 / 950.0) * 1e6).toLong
+    val tUp = (1 to 100).find(t => t * w1 >= upQ).get
+    val tDn = (1 to 100).find(t => t * w0 <= loQ).get
+    def run(vs: Seq[(String, Long, Boolean)]) =
+      AbTest.sprt(vs.toDF("v", "t", "y"), "v", Seq("t"), "y", 300L, 400L)
+        .collect().map(r => r.getString(0) ->
+          ((r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+        .toMap
+    val streaks =
+      Seq.tabulate(40)(i => ("up", i.toLong, true)) ++
+        Seq.tabulate(40)(i => ("dn", i.toLong, false)) ++
+        Seq.tabulate(3)(i => ("short", i.toLong, i % 2 == 0))
+    val r = run(streaks)
+    assert(r("up") == (("accept_h1", tUp.toLong)), s"$r vs $tUp")
+    assert(r("dn") == (("accept_h0", tDn.toLong)), s"$r vs $tDn")
+    assert(r("short") == (("continue", -1L)), r)
+    // the decision is the FIRST crossing: a down-streak that later
+    // rockets up still accepted H0 at the early crossing
+    val vshape = Seq.tabulate(tDn)(i => ("v", i.toLong, false)) ++
+      Seq.tabulate(60)(i => ("v", (tDn + i).toLong, true))
+    val v = run(vshape)
+    assert(v("v") == (("accept_h0", tDn.toLong)), v)
+  }
+
   test("minDetectableEffect: hand case, degenerate control nulls") {
     // control 'c': 100 trials, 50 successes (p = 0.5);
     // variant 'v': 400 trials -> MDE = 2.8*sqrt(.25*(1/400 + 1/100))

@@ -1119,6 +1119,30 @@ class StatTestsSpec extends SparkTestBase {
     }
   }
 
+  test("ansariBradley: extremes-vs-middle hand case, full tie is exactly null-centered") {
+    // a = {1, 4} (the spread-out sample), b = {2, 3}: scores from both
+    // ends are (1,2,2,1), AB = 1+1 = 2; E = 2*6/4 = 3,
+    // Var = 2*2*6*2/(48*3) = 1/3 -> z = -sqrt(3)
+    val df = (Seq(1L, 4L).map(("a", _)) ++ Seq(2L, 3L).map(("b", _)))
+      .toDF("g", "v")
+    val r = StatTests.ansariBradley(df, "g", "v", "a", "b").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0, r)
+    val want = BigDecimal((2.0 - 3.0) / math.sqrt(1.0 / 3.0))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == want, s"$r vs $want")
+    // a fully tied pool: every observation carries the average score,
+    // AB lands exactly on its null mean -> z = 0
+    val tied = (Seq(7L, 7L).map(("a", _)) ++ Seq(7L, 7L).map(("b", _)))
+      .toDF("g", "v")
+    val t = StatTests.ansariBradley(tied, "g", "v", "a", "b").head()
+    assert(t.getDouble(2) == 3.0 && t.getDouble(3) == 0.0, t)
+    // one side empty -> null z
+    val empty = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(StatTests.ansariBradley(empty, "g", "v", "a", "b")
+      .head().isNullAt(3))
+  }
+
   test("totalVariation: hand gaps, identical slices zero, disjoint slices one") {
     val df = (Seq(1L, 1L, 2L).map(("a", _)) ++
       Seq(1L, 2L, 2L, 2L).map(("b", _))).toDF("g", "v")

@@ -383,6 +383,11 @@ class GraftSqlSpec extends SparkTestBase {
     parity("CALL graft_stat_ratio_ci(sqlstat_src, 'g', 'v', 't', 2.5, st_rc2)",
       "st_rc2",
       graft.operators.AbTest.ratioMetricCi(src, "g", "v", "t", 2.5))
+    parity("CALL graft_stat_ansari_bradley(sqlstat_src, 'g', 'v', 'a', 'b', st_ab2)",
+      "st_ab2", StatTests.ansariBradley(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_sprt(sqlstat_src, 'g', 't', 'y', 300, 400, st_sp)",
+      "st_sp",
+      graft.operators.AbTest.sprt(src, "g", Seq("t"), "y", 300L, 400L))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
