@@ -405,7 +405,19 @@ private[graft] object QueriesPart9 {
             col("event_id"), (col("value") >= 100).as("succ")),
         "variant", Seq("ts", "event_id"), "succ",
         p0Milli = 300L, p1Milli = 400L)
-        .orderBy("variant")))
+        .orderBy("variant")),
+
+    // --- 467. Cronbach's alpha, oracle-pinned -----------------------------------------------------------------
+    // Internal consistency of three correlated quantizations of the
+    // same signal (deliberately near-parallel items): exact Gram
+    // moments, pinned alpha.
+    "q467_cronbach" -> ((s, d) =>
+      graft.operators.StatTests.cronbachAlpha(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(floor(col("value") * 10).cast("long").as("i1"),
+            floor(col("value") * 7).cast("long").as("i2"),
+            floor(col("value") * 13).cast("long").as("i3")),
+        Seq("i1", "i2", "i3"))))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -1430,5 +1442,40 @@ private[graft] object QueriesPart9 {
         |      THEN t1
         |    WHEN t0 IS NOT NULL THEN t0 END AS BIGINT) AS n_decide,
         |  ROUND(CAST(fin AS DOUBLE) / 1e6, 6) AS llr_final
-        |FROM agg ORDER BY variant""".stripMargin)
+        |FROM agg ORDER BY variant""".stripMargin,
+
+    // Cronbach: the exact Gram-triangle moments, sum(T)/sum(T^2)
+    // derived exactly, the engine's pinned alpha expression.
+    "q467_cronbach" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(value * 10) AS BIGINT) AS i1,
+        |    CAST(floor(value * 7) AS BIGINT) AS i2,
+        |    CAST(floor(value * 13) AS BIGINT) AS i3
+        |  FROM events WHERE value IS NOT NULL),
+        |agg AS (SELECT count(*) AS n,
+        |    CAST(sum(i1) AS HUGEINT) AS s0,
+        |    CAST(sum(i2) AS HUGEINT) AS s1,
+        |    CAST(sum(i3) AS HUGEINT) AS s2,
+        |    CAST(sum(i1 * i1) AS HUGEINT) AS q00,
+        |    CAST(sum(i1 * i2) AS HUGEINT) AS q01,
+        |    CAST(sum(i1 * i3) AS HUGEINT) AS q02,
+        |    CAST(sum(i2 * i2) AS HUGEINT) AS q11,
+        |    CAST(sum(i2 * i3) AS HUGEINT) AS q12,
+        |    CAST(sum(i3 * i3) AS HUGEINT) AS q22
+        |  FROM e),
+        |k AS (SELECT n,
+        |    (CAST(q00 + q11 + q22 + 2 * (q01 + q02 + q12) AS DOUBLE)
+        |     - CAST(s0 + s1 + s2 AS DOUBLE) * CAST(s0 + s1 + s2 AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vart,
+        |    (CAST(q00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |    + (CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |    + (CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS sumvar
+        |  FROM agg)
+        |SELECT n, CAST(3 AS BIGINT) AS k_items,
+        |  ROUND(CASE WHEN n > 1 AND vart > 0.0
+        |    THEN (3.0 / 2.0) * (1.0 - sumvar / vart) END, 7) AS alpha
+        |FROM k""".stripMargin)
 }

@@ -1334,6 +1334,59 @@ object StatTests {
           .as("u_sym"))
   }
 
+  /** Cronbach's alpha over an item COLUMN LIST (2 <= k <= 8) — the
+    * internal-consistency readout for any multi-item score the pipeline
+    * aggregates (k quality sub-scores, k rater columns, k rubric
+    * items): do the items measure one thing?
+    *
+    *   alpha = k/(k-1) * (1 - sum_i var_i / var_total),
+    *
+    * var_total the sample variance of the row SUM. Exactness: all item
+    * and cross sums (the corrMatrixD Gram triangle) are exact
+    * DECIMAL(38,0) from ONE combining aggregation over INTEGRAL items
+    * (quantize first); sum(T) and sum(T^2) derive EXACTLY from them
+    * (sum T^2 = sum_ii Q_ii + 2*sum_{i<j} Q_ij); alpha is one pinned
+    * double expression rounded at 7, null when n < 2 or the total has
+    * zero variance.
+    *
+    * Returns one row (n, k_items, alpha).
+    */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2 && itemCols.size <= 8,
+      s"need 2..8 item columns, got ${itemCols.size}")
+    require(itemCols.distinct.size == itemCols.size, "duplicate column")
+    itemCols.foreach(c => requireIntegral(df, c))
+    val dec = "decimal(38,0)"
+    val k = itemCols.size
+    val slim = df.where(itemCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(itemCols.map(c => col(c).cast("long").as(c)): _*)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        itemCols.zipWithIndex.map { case (c, i) =>
+          sum(col(c).cast(dec)).as(s"s_$i") } ++
+        (for (i <- 0 until k; j <- i until k) yield
+          sum((col(itemCols(i)) * col(itemCols(j))).cast(dec))
+            .as(s"q_${i}_$j"))
+    val agg = slim.agg(sums.head, sums.tail: _*)
+    val nD = col("n").cast("double")
+    def sD(i: Int) = col(s"s_$i").cast("double")
+    def qD(i: Int, j: Int) = col(s"q_${i}_$j").cast("double")
+    // exact decimal sums for T and T^2, folded as Columns (still exact:
+    // DECIMAL additions of in-range integers)
+    val sT = (0 until k).map(i => col(s"s_$i")).reduce(_ + _)
+    val qT = (0 until k).map(i => col(s"q_${i}_$i")).reduce(_ + _) +
+      lit(2L) * (for (i <- 0 until k; j <- i + 1 until k)
+        yield col(s"q_${i}_$j")).reduce(_ + _)
+    val varT = (qT.cast("double") -
+      sT.cast("double") * sT.cast("double") / nD) / (nD - lit(1.0))
+    val sumVarI = (0 until k).map(i =>
+      (qD(i, i) - sD(i) * sD(i) / nD) / (nD - lit(1.0))).reduce(_ + _)
+    agg.select(col("n"), lit(k).cast("long").as("k_items"),
+      round(when(col("n") > 1L && varT > 0.0,
+        lit(k.toDouble / (k - 1).toDouble) *
+          (lit(1.0) - sumVarI / varT)), 7).as("alpha"))
+  }
+
   /** Ansari-Bradley two-sample SCALE test — the missing axis of the
     * two-sample family (MWU asks "did the location move", KS/CvM/AD ask
     * "did anything move"; AB asks "did the SPREAD change" — variance

@@ -86,6 +86,7 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_ratio_ci(src_view, 'variant', 'num', 'den' [, z], out_view)
   *   CALL graft_stat_ansari_bradley(src_view, 'group', 'value', 'a', 'b', out_view)
   *   CALL graft_stat_sprt(src_view, 'variant', 'ord1,ord2', 'success', p0_milli, p1_milli, out_view)
+  *   CALL graft_stat_cronbach(src_view, 'i1,i2,i3', out_view)
   * }}}
   *
   * Implemented the standard way (Delta's, Iceberg's): an injected parser
@@ -587,6 +588,8 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           ms(2))
         case "ansari_bradley" => StatTests.ansariBradley(src, ms(0),
           ms(1), ms(2), ms(3))
+        case "cronbach" => StatTests.cronbachAlpha(src,
+          ms(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "sprt" => graft.operators.AbTest.sprt(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
           mi(3).toLong, mi(4).toLong)
@@ -602,7 +605,7 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "auc, average_precision, benford, bh_fdr, brier, broken_stick, " +
           "ccf, cmh, " +
           "cohens_d, cohens_h, concordance, " +
-          "conformal, corr_matrix, cramers_v, cuped, cusum, " +
+          "conformal, corr_matrix, cramers_v, cronbach, cuped, cusum, " +
           "durbin_watson, ece, ess, fleiss_kappa, g_test, gini_screen, " +
           "gumbel, " +
           "gwet_ac1, hosmer_lemeshow, jarque_bera, " +

@@ -1119,6 +1119,30 @@ class StatTestsSpec extends SparkTestBase {
     }
   }
 
+  test("cronbachAlpha: identical items hit 1 exactly, anti-item sinks it, guards") {
+    // three identical items: var_total = 9v, sum var_i = 3v ->
+    // alpha = 1.5 * (1 - 1/3) = 1.0 exactly
+    val same = Seq((1L, 1L, 1L), (2L, 2L, 2L), (5L, 5L, 5L), (9L, 9L, 9L))
+      .toDF("a", "b", "c")
+    val r = StatTests.cronbachAlpha(same, Seq("a", "b", "c")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 1.0, r)
+    // an anti-correlated item drags alpha negative (x, x, -x):
+    // T = x, varT = v, sum var_i = 3v -> alpha = 1.5*(1-3) = -3
+    val anti = Seq((1L, 1L, -1L), (2L, 2L, -2L), (5L, 5L, -5L))
+      .toDF("a", "b", "c")
+    val n = StatTests.cronbachAlpha(anti, Seq("a", "b", "c")).head()
+    assert(n.getDouble(2) == -3.0, n)
+    // constant total: null alpha; arity guard throws
+    val const = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(StatTests.cronbachAlpha(
+      Seq((1L, -1L), (2L, -2L)).toDF("a", "b"), Seq("a", "b"))
+      .head().isNullAt(2)) // T = 0 everywhere
+    intercept[IllegalArgumentException] {
+      StatTests.cronbachAlpha(const, Seq("a"))
+    }
+  }
+
   test("ansariBradley: extremes-vs-middle hand case, full tie is exactly null-centered") {
     // a = {1, 4} (the spread-out sample), b = {2, 3}: scores from both
     // ends are (1,2,2,1), AB = 1+1 = 2; E = 2*6/4 = 3,

@@ -388,6 +388,8 @@ class GraftSqlSpec extends SparkTestBase {
     parity("CALL graft_stat_sprt(sqlstat_src, 'g', 't', 'y', 300, 400, st_sp)",
       "st_sp",
       graft.operators.AbTest.sprt(src, "g", Seq("t"), "y", 300L, 400L))
+    parity("CALL graft_stat_cronbach(sqlstat_src, 'v,t', st_ca)",
+      "st_ca", StatTests.cronbachAlpha(src, Seq("v", "t")))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
