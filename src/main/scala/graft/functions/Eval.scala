@@ -231,9 +231,16 @@ object Eval {
     val spark = df.sparkSession
     val p = col(probMilliCol).cast("long")
     val y = when(col(labelCol), 1L).otherwise(0L)
-    val perP = df.groupBy(p.as("p_milli"))
+    val perP = df.where(p.isNotNull).groupBy(p.as("p_milli"))
       .agg(count(lit(1)).as("n"), sum(y).as("pos"))
       .orderBy("p_milli")
+    // Guard BEFORE the collect (the liftTable discipline): a raw-score
+    // column with millions of distinct values must trip the loud milli
+    // contract, not materialize its whole census driver-side first. The
+    // probe stops scanning once 1002 distinct scores surface.
+    graft.operators.StatTests.requireBoundedDomain(perP,
+      "Eval.isotonicCalibration (the milli probability contract: <= 1001 " +
+        "distinct scores in [0, 1000])", maxDomain = 1001L)
     val pts = perP.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2)))
     require(pts.forall(t => t._1 >= 0L && t._1 <= 1000L),
@@ -289,8 +296,17 @@ object Eval {
     val dec = "decimal(38,0)"
     val p = col(probMilliCol).cast("long")
     val y = when(col(labelCol), 1L).otherwise(0L)
-    val bins = df.groupBy(milliBin(p, nBins).as("bin"))
-      .agg(count(lit(1)).as("nb"), sum(y).as("pos"), sum(p).as("psum"))
+    // Nulls are dropped (the suite convention — a null probability is
+    // not a bin) and an out-of-range p_milli throws LOUDLY instead of
+    // silently mis-binning, matching the streaming counterpart
+    // (StatefulOps.streamingEce) — batch and stream share one contract.
+    val pg = when(p.between(0L, 1000L), p).otherwise(raise_error(
+      format_string("Eval.hosmerLemeshow: p_milli %s outside [0, 1000] " +
+        "(the milli probability contract)", p)))
+    val bins = df
+      .where(col(probMilliCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(milliBin(pg, nBins).as("bin"))
+      .agg(count(lit(1)).as("nb"), sum(y).as("pos"), sum(pg).as("psum"))
     val dd = (lit(1000L) * col("pos") - col("psum")).cast("double")
     val term = floor(dd * dd *
       (lit(1.0) / (lit(1000.0) * col("psum").cast("double")) +

@@ -132,12 +132,15 @@ object AbTest {
       (col("syt").cast("double") / col("nt").cast("double") -
         col("syc").cast("double") / col("nc").cast("double")) *
       lit(1e6)).cast("long")
-    included.crossJoin(broadcast(tot))
-      .select(term.as("q"), col("n_inc"), col("n_strata"))
-      .groupBy(col("n_inc"), col("n_strata"))
-      .agg(sum(col("q").cast(dec)).as("qsum"))
-      .crossJoin(broadcast(excl))
-      .select(col("n_inc").as("n"), col("n_strata"), col("n_excluded"),
+    // Global agg (never a groupBy on the possibly-EMPTY included set):
+    // when every stratum is one-armed the readout must still emit its
+    // single row — n = 0, null ate, and the n_excluded positivity census
+    // that matters most exactly then.
+    val qsum = included.crossJoin(broadcast(tot))
+      .agg(sum(term.cast(dec)).as("qsum"))
+    qsum.crossJoin(broadcast(tot)).crossJoin(broadcast(excl))
+      .select(coalesce(col("n_inc"), lit(0L)).as("n"),
+        col("n_strata"), col("n_excluded"),
         round(col("qsum").cast("double") / lit(1e6), 7).as("ate"))
   }
 
@@ -165,6 +168,13 @@ object AbTest {
         count(when(col(successCol), 1)).as("successes"))
     val c = g.where(col("variant") === control)
       .select(col("n").as("n_c"), col("successes").as("s_c"))
+    // A mistyped control name must fail loudly, not return an empty
+    // frame that reads as "no variants to power" — the MDE is meaning-
+    // less without the baseline it is powered against. One bounded job
+    // over the variant-sized aggregate.
+    require(c.limit(1).count() == 1L,
+      s"minDetectableEffect: control variant '$control' not present in " +
+        s"$variantCol")
     val nv = col("n").cast("double")
     val nc = col("n_c").cast("double")
     val p = col("s_c").cast("double") / nc

@@ -70,8 +70,17 @@ object Sequences {
     val spark = df.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
-    val trans = df
-      .where(col(keyCol).isNotNull && col(stateCol).isNotNull)
+    val nonNull = df.where(col(keyCol).isNotNull && col(stateCol).isNotNull)
+    // Guard BEFORE the collect: a high-cardinality state column (user_id
+    // by mistake) must fail the loud k<=64 contract, not OOM the driver
+    // pulling an unbounded (from, to) census first. The probe is the
+    // bounded limit(k+1).count() device — it stops scanning once 65
+    // distinct states surface.
+    graft.operators.StatTests.requireBoundedDomain(
+      nonNull.select(col(stateCol).cast("string")).distinct(),
+      "Sequences.markovStationary (state alphabet past the bounded-matrix " +
+        "contract of 64 — bucket the state column first)", maxDomain = 64L)
+    val trans = nonNull
       .select(col(stateCol).cast("string").as("to"),
         lag(col(stateCol).cast("string"), 1).over(w).as("from"))
       .where(col("from").isNotNull)

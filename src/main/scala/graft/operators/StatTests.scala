@@ -857,6 +857,14 @@ object StatTests {
         .as("ow_num"))
     val m1 = slim.groupBy(col("r1").as("i")).agg(count(lit(1)).as("ri"))
     val m2 = slim.groupBy(col("r2").as("j")).agg(count(lit(1)).as("cj"))
+    // The expected side is the marginal cross product — category-domain
+    // SQUARED. A raw (unquantized) rating column turns it into a silent
+    // D^2 cartesian; bound both marginals at the pair-join cell cap
+    // before the product is declared.
+    requireBoundedDomain(m1, "weightedKappa (rater1 categories)",
+      maxDomain = MaxPairCells)
+    requireBoundedDomain(m2, "weightedKappa (rater2 categories)",
+      maxDomain = MaxPairCells)
     val ew = m1.crossJoin(m2)
       .agg(sum(((col("i") - col("j")) * (col("i") - col("j"))).cast(dec) *
         col("ri").cast(dec) * col("cj").cast(dec)).as("ew_num"))

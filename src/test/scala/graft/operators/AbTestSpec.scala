@@ -89,6 +89,14 @@ class AbTestSpec extends SparkTestBase {
       ("s2", true, 9L), ("s2", false, 9L)).toDF("s", "t", "y")
     assert(AbTest.stratifiedAte(nullEff, "s", "t", "y")
       .head().getDouble(3) == 0.0)
+    // ALL strata one-armed: the readout row still emits — n=0, null ate,
+    // and the positivity census that matters most exactly then
+    val allOneArmed = Seq(("s1", true, 5L), ("s2", false, 9L),
+      ("s3", true, 1L)).toDF("s", "t", "y")
+    val z = AbTest.stratifiedAte(allOneArmed, "s", "t", "y").collect()
+    assert(z.length == 1)
+    assert(z(0).getLong(0) == 0L && z(0).getLong(1) == 0L &&
+      z(0).getLong(2) == 3L && z(0).isNullAt(3), z(0))
   }
 
   test("cuped: perfect covariate equalizes arms completely, constant covariate nulls") {
@@ -182,5 +190,10 @@ class AbTestSpec extends SparkTestBase {
     val degen = Seq(("c", true), ("c", true), ("v", false))
     assert(AbTest.minDetectableEffect(degen.toDF("v", "y"), "v", "y", "c")
       .head().isNullAt(3))
+    // a mistyped control name throws loudly, never an empty frame
+    val e = intercept[IllegalArgumentException] {
+      AbTest.minDetectableEffect(degen.toDF("v", "y"), "v", "y", "ctl")
+    }
+    assert(e.getMessage.contains("ctl"), e.getMessage)
   }
 }

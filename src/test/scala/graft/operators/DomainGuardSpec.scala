@@ -78,6 +78,71 @@ class DomainGuardSpec extends SparkTestBase {
     }
   }
 
+  test("markovStationary probes the state alphabet BEFORE collecting") {
+    // 65 distinct states, one past the bounded-matrix contract: the loud
+    // guard must fire from the bounded probe, never from a driver-side
+    // census of an unbounded (from, to) matrix.
+    val wide = spark.range(650)
+      .select((col("id") % 10L).as("k"), col("id").as("t"),
+        concat(lit("s"), col("id") % 65L).as("state"))
+    val e = intercept[IllegalArgumentException] {
+      Sequences.markovStationary(wide, "k", Seq("t"), "state")
+    }
+    assert(e.getMessage.contains("markovStationary"))
+    assert(e.getMessage.contains("64"))
+    // at the bound, the identical shape passes
+    val ok = spark.range(650)
+      .select((col("id") % 10L).as("k"), col("id").as("t"),
+        concat(lit("s"), col("id") % 64L).as("state"))
+    assert(Sequences.markovStationary(ok, "k", Seq("t"), "state")
+      .count() == 64L)
+  }
+
+  test("isotonicCalibration probes the score census BEFORE collecting") {
+    // a raw (unquantized) score column: 1002 distinct values, one past
+    // the milli contract — must throw from the bounded probe
+    val raw = spark.range(1002)
+      .select(col("id").as("p"), (col("id") % 2 === 0).as("y"))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Eval.isotonicCalibration(raw, "p", "y")
+    }
+    assert(e.getMessage.contains("isotonicCalibration"))
+    // nulls are dropped, not a null group key that NPEs
+    import org.apache.spark.sql.types.LongType
+    val withNull = spark.range(100)
+      .select(when(col("id") % 10 === 0, lit(null).cast(LongType))
+        .otherwise(col("id") % 11L * 100L).as("p"),
+        (col("id") % 3 === 0).as("y"))
+    assert(graft.functions.Eval.isotonicCalibration(withNull, "p", "y")
+      .count() == 11L)
+  }
+
+  test("weightedKappa bounds the marginal cross product") {
+    val wide = spark.range(StatTests.MaxPairCells + 1)
+      .select(col("id").as("r1"), col("id").as("r2"))
+    val e = intercept[IllegalArgumentException] {
+      StatTests.weightedKappa(wide, "r1", "r2")
+    }
+    assert(e.getMessage.contains("weightedKappa"))
+  }
+
+  test("hosmerLemeshow: nulls drop, out-of-range p_milli throws loudly") {
+    import org.apache.spark.sql.types.LongType
+    // nulls in either column are excluded from n and the bins
+    val withNull = spark.range(100)
+      .select(when(col("id") % 10 === 0, lit(null).cast(LongType))
+        .otherwise(col("id") % 11L * 100L).as("p"),
+        (col("id") % 3 === 0).as("y"))
+    val r = graft.functions.Eval.hosmerLemeshow(withNull, "p", "y").collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 90L)
+    // out-of-range throws (the streamingEce contract, shared by batch)
+    val bad = Seq((1500L, true), (500L, false)).toDF("p", "y")
+    val e = intercept[Exception] {
+      graft.functions.Eval.hosmerLemeshow(bad, "p", "y").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("1500"))
+  }
+
   test("the shortlist guards on rank ops trip on corpus-sized input") {
     val big = spark.range((1L << 16) + 1)
       .select(col("id"), col("id").as("s1"), (-col("id")).as("s2"))
