@@ -18,7 +18,7 @@ Typical ritual (run before committing a round-closing snapshot):
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gateB"
   python3 tools/gate_flake.py /tmp/gateA /tmp/gateB
 """
-import sys, glob, os
+import sys, glob, os, re
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,9 +29,33 @@ dir_a, dir_b = sys.argv[1], sys.argv[2]
 def queries(d):
     return {os.path.basename(p) for p in glob.glob(f"{d}/q*") if os.path.isdir(p)}
 
+def declared_queries():
+    """Every query name registered in the Scala tree — the ritual's value
+    is that it is LAST, so a lands-after-the-ritual query (q440/q441 in
+    r15, q467 in r16) must turn THIS gate red, not slip past a smaller
+    compared set."""
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "src", "main", "scala", "graft")
+    pat = re.compile(r'"(q[0-9]+[a-z0-9_]*)"\s*->')
+    names = set()
+    for p in glob.glob(os.path.join(root, "QueriesPart*.scala")) + \
+             [os.path.join(root, "SparkEntry.scala")]:
+        with open(p) as f:
+            names.update(pat.findall(f.read()))
+    return names
+
 qa, qb = queries(dir_a), queries(dir_b)
 if qa != qb:
     print(f"query sets differ: only-in-A={sorted(qa - qb)} only-in-B={sorted(qb - qa)}")
+    sys.exit(1)
+
+declared = declared_queries()
+if qa != declared:
+    missing, extra = sorted(declared - qa), sorted(qa - declared)
+    print(f"compared set ({len(qa)}) != declared registry ({len(declared)}): "
+          f"missing({len(missing)})={missing[:20]}{'...' if len(missing) > 20 else ''} "
+          f"extra={extra}")
+    print("rerun the full Verify AFTER the last query lands — the ritual must be LAST")
     sys.exit(1)
 
 def load(d, name):
