@@ -340,8 +340,9 @@ object AbTest {
     * in MILLI units (the suite's contract). Ordering must be total —
     * pass an id column last.
     *
-    * Scale shape: one per-variant window cumsum + one combining
-    * groupBy; state per variant is four counters.
+    * Scale shape: a distributed prefix scan ([[PrefixScan]] — the walk
+    * parallelizes over variant x time-bucket tasks, never one task per
+    * arm) + one combining groupBy; state per variant is four counters.
     *
     * Returns per variant (variant, n, decision, n_decide, llr_final) —
     * decision in {accept_h1, accept_h0, continue}; n_decide null while
@@ -364,20 +365,15 @@ object AbTest {
       1e6).toLong
     val loQ = math.floor(math.log(betaMilli / (1000.0 - alphaMilli)) *
       1e6).toLong
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(col("variant"))
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wRn = Window.partitionBy(col("variant"))
-      .orderBy(orderCols.map(col): _*)
     val slim = df.where(col(variantCol).isNotNull &&
         col(successCol).isNotNull)
       .select((col(variantCol).as("variant") +:
         when(col(successCol), lit(w1)).otherwise(lit(w0)).as("w") +:
         orderCols.map(col)): _*)
-    val walk = slim
-      .withColumn("llr", sum(col("w")).over(wOrd))
-      .withColumn("rn", row_number().over(wRn))
+    // distributed prefix scan: with a handful of arms, a bare
+    // per-variant window would walk each whole series in ONE task
+    val walk = PrefixScan.withRowNumberAndSums(slim, "variant",
+      orderCols, Seq("llr" -> col("w")), rnName = "rn")
     walk.groupBy(col("variant")).agg(
         count(lit(1)).as("n"),
         min(when(col("llr") >= upQ, col("rn"))).as("__t1"),

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed prefix-scan device for the per-group ordered-cumsum
+  * family (SPRT, CUSUM changepoint, ACF/ESS lags, Durbin-Watson, runs
+  * test, Lorenz) — the scale-safe replacement for a bare
+  * `Window.partitionBy(group).orderBy(time)`, whose single task owns a
+  * whole group's series. With a handful of experiment arms over 100 TB
+  * that task is THE straggler; this device makes the scan's
+  * parallelism groups x buckets instead of groups.
+  *
+  * Shape (the textbook two-phase scan, relational edition):
+  *
+  *  1. Bucket every row by value ranges of the LEADING order column
+  *     (range boundaries from one `percentile_approx` pass). The
+  *     assignment is monotone — equal keys share a bucket, so a bucket
+  *     boundary can never split an order tie — and nulls land in
+  *     bucket 0 (they sort first ascending).
+  *  2. Run the window WITHIN (group, bucket): local row numbers, local
+  *     running sums, local lags.
+  *  3. Lift per-bucket partials to a tiny (groups x buckets)-row
+  *     table, prefix it with an ordinary window (trivial size), and
+  *     join the exclusive offsets back on (group, bucket) — AQE
+  *     broadcasts the tiny side.
+  *
+  * EXACTNESS: bucketing only re-brackets the computation. Row counts
+  * and LONG sums are associative, and lags are exact element lookups
+  * stitched from per-bucket tail arrays, so every derived column is
+  * bit-identical to the single-window form regardless of where the
+  * (approximate, possibly run-varying) boundaries fall —
+  * PrefixScanSpec pins this op by op against the window form.
+  *
+  * Ordering contract: `orderCols` ascending, and total within a group
+  * (pass an id column last) — the same contract the window form
+  * documents. The leading order column must be numeric, timestamp or
+  * date for bucketing; any other type degrades LOUDLY to a single
+  * bucket per group (the pre-device shape) rather than reordering.
+  */
+object PrefixScan {
+
+  /** Default bucket count: spreads a 5-group worst case over a 32-core
+    * host (320 tasks) while keeping the prefix table tiny. Override
+    * per session with `spark.graft.prefixScan.buckets` (1..4096) —
+    * decade-scale probes size it like shuffle partitions.
+    */
+  val DefaultBuckets: Int = 64
+
+  private def bucketCount(df: DataFrame): Int = {
+    val n = df.sparkSession.conf
+      .getOption("spark.graft.prefixScan.buckets")
+      .map(_.toInt).getOrElse(DefaultBuckets)
+    require(n >= 1 && n <= 4096,
+      s"spark.graft.prefixScan.buckets must be in [1, 4096], got $n")
+    n
+  }
+
+  /** The bucketing key: a double-cast monotone image of the leading
+    * order column. Monotone is all that correctness needs (ties may
+    * collapse — collapsed ties share a bucket, which is exactly the
+    * requirement); the double image only steers balance.
+    */
+  private def bucketKey(df: DataFrame, orderHead: String): Option[Column] =
+    df.schema(orderHead).dataType match {
+      case _: NumericType => Some(col(orderHead).cast("double"))
+      case _: TimestampType => Some(unix_micros(col(orderHead)).cast("double"))
+      case _: TimestampNTZType =>
+        Some(unix_micros(col(orderHead).cast("timestamp")).cast("double"))
+      case _: DateType => Some(unix_date(col(orderHead)).cast("double"))
+      case _ => None
+    }
+
+  /** Monotone bucket assignment from range boundaries: one bounded
+    * `percentile_approx` job (nBuckets-1 doubles to the driver — the
+    * requireBoundedDomain class of pre-flight action), then a static
+    * comparison chain that stays inside WholeStageCodegen. Boundary
+    * wobble across runs moves rows between buckets, never between
+    * positions — outputs are invariant to the split.
+    */
+  private def bucketColumn(df: DataFrame, orderHead: String): Column = {
+    val n = bucketCount(df)
+    bucketKey(df, orderHead) match {
+      case Some(key) if n > 1 =>
+        val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+        val row = df.agg(
+          percentile_approx(key, probs, lit(10000)).as("b")).head()
+        val bs =
+          if (row.isNullAt(0)) Array.empty[Double]
+          else row.getSeq[Double](0).toArray.distinct.sorted
+        bs.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(key >= lit(b), 1).otherwise(0)
+        }
+      case _ => lit(0)
+    }
+  }
+
+  /** df + `rnName` (1-based per-group row number in `orderCols` order)
+    * and, for each (name, expr) in `sums`, the running INCLUSIVE sum
+    * of expr — the distributed form of
+    * `row_number()/sum().over(partitionBy(group).orderBy(order))`.
+    *
+    * `sums` expressions must be LONG-typed (the family's exact-integer
+    * contract; ANSI overflow stays as loud as the window form's).
+    */
+  def withRowNumberAndSums(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], sums: Seq[(String, Column)],
+      rnName: String = "__rn"): DataFrame = {
+    val g = col(groupCol)
+    val withB = df.withColumn("__psb", bucketColumn(df, orderCols.head))
+    val wRn = Window.partitionBy(g, col("__psb"))
+      .orderBy(orderCols.map(col): _*)
+    val wCum = wRn.rowsBetween(Window.unboundedPreceding, 0)
+    val local = sums.foldLeft(
+      withB.withColumn("__psrn", row_number().over(wRn))) {
+      case (d, (nm, e)) => d.withColumn(s"__psl_$nm", sum(e).over(wCum))
+    }
+    val partAggs = count(lit(1)).as("__psc") +:
+      sums.map { case (nm, e) => sum(e).as(s"__pss_$nm") }
+    val partials = withB.groupBy(g.as("__psg"), col("__psb").as("__psob"))
+      .agg(partAggs.head, partAggs.tail: _*)
+    val wPre = Window.partitionBy(col("__psg")).orderBy(col("__psob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums.foldLeft(
+      partials.withColumn("__pso_rn",
+        coalesce(sum(col("__psc")).over(wPre), lit(0L)))) {
+      case (d, (nm, _)) => d.withColumn(s"__pso_$nm",
+        coalesce(sum(col(s"__pss_$nm")).over(wPre), lit(0L)))
+    }.select(col("__psg") +: col("__psob") +: col("__pso_rn") +:
+      sums.map { case (nm, _) => col(s"__pso_$nm") }: _*)
+    val joined = local.join(offsets,
+      g <=> col("__psg") && col("__psb") === col("__psob"))
+    val outCols = df.columns.map(col).toSeq ++
+      Seq((col("__pso_rn") + col("__psrn").cast("long")).as(rnName)) ++
+      sums.map { case (nm, _) =>
+        (col(s"__pso_$nm") + col(s"__psl_$nm")).as(nm)
+      }
+    joined.select(outCols: _*)
+  }
+
+  /** df + lag columns `lagName(j)` = lag j of `xCol` for j in
+    * 1..maxLag, in `orderCols` order within `groupCol` — the
+    * distributed form of `lag(x, j).over(partitionBy(group)
+    * .orderBy(order))`. Cross-boundary lags are stitched from
+    * per-bucket tail arrays: each bucket keeps its last min(maxLag, n)
+    * values; the running concatenation's last maxLag elements are by
+    * construction the true preceding elements, whatever the bucket
+    * sizes (a bucket that dropped an element kept maxLag after it).
+    */
+  def withLags(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      xCol: String, maxLag: Int,
+      lagName: Int => String): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag must be in [1, 64], got $maxLag")
+    val g = col(groupCol)
+    val withB = df.withColumn("__psb", bucketColumn(df, orderCols.head))
+    val wOrd = Window.partitionBy(g, col("__psb"))
+      .orderBy(orderCols.map(col): _*)
+    val wB = Window.partitionBy(g, col("__psb"))
+    val local = (1 to maxLag).foldLeft(
+      withB.withColumn("__psrn", row_number().over(wOrd))
+        .withColumn("__pscnt", count(lit(1)).over(wB))) { (d, j) =>
+      d.withColumn(s"__pswl_$j", lag(col(xCol), j).over(wOrd))
+    }
+    // per-bucket tails, then the running tail of everything BEFORE the
+    // bucket — all on the tiny (groups x buckets) table, where the
+    // interpreted higher-order functions are harmless
+    val tails = local.where(col("__psrn") > col("__pscnt") - maxLag)
+      .groupBy(g.as("__psg"), col("__psb").as("__psob"))
+      .agg(sort_array(collect_list(
+        struct(col("__psrn").as("__psi"), col(xCol).as("__psx"))))
+        .as("__pspairs"))
+      .select(col("__psg"), col("__psob"),
+        expr("transform(__pspairs, p -> p.__psx)").as("__pstl"))
+    val wPrev = Window.partitionBy(col("__psg")).orderBy(col("__psob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevTails = tails
+      .withColumn("__psall", flatten(collect_list(col("__pstl")).over(wPrev)))
+      .select(col("__psg"), col("__psob"),
+        when(size(col("__psall")) <= maxLag, col("__psall"))
+          .otherwise(slice(col("__psall"),
+            size(col("__psall")) - maxLag + 1, lit(maxLag)))
+          .as("__psptl"))
+    val joined = local.join(prevTails,
+      g <=> col("__psg") && col("__psb") === col("__psob"))
+    val m = size(col("__psptl"))
+    val lagCols = (1 to maxLag).map { j =>
+      // back-offset into the preceding stream for rows the local lag
+      // can't see; the m >= d gate keeps ANSI element_at in bounds and
+      // yields null at the true series start (null prev tail included)
+      val d = lit(j) - col("__psrn") + 1
+      when(col("__psrn") > j, col(s"__pswl_$j"))
+        .otherwise(when(m >= d,
+          element_at(col("__psptl"), (m - d + 1).cast("int"))))
+        .as(lagName(j))
+    }
+    joined.select(df.columns.map(col).toSeq ++ lagCols: _*)
+  }
+}

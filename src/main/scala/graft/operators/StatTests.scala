@@ -1811,22 +1811,22 @@ object StatTests {
     * one final double expression rounded at 7, null when either side is
     * empty (sigma = 0).
     *
-    * Scale shape: one per-group ordered window (the CUSUM contract: a
-    * single-partition sequential scan per group by construction — key
-    * finely or accept it) + one combining aggregate.
+    * Scale shape: a distributed lag scan ([[PrefixScan]] — group x
+    * time-bucket tasks, never one task per group) + one combining
+    * aggregate.
     *
     * Returns (group, n, n_true, n_false, runs, z).
     */
   def runsTest(df: DataFrame, groupCol: String, orderCols: Seq[String],
       flagCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(orderCols.map(col): _*)
     val slim = df.select(col(groupCol).as("g") +: col(flagCol).as("fl") +:
       orderCols.map(col): _*).where(col("g").isNotNull && col("fl").isNotNull)
-    val runs = slim
+    // distributed lag (PrefixScan) — never one task per group
+    val runs = PrefixScan.withLags(slim, "g", orderCols, "fl", 1,
+        _ => "__lag1")
       .withColumn("chg",
-        when(lag(col("fl"), 1).over(w).isNull, 1L)
-          .when(col("fl") =!= lag(col("fl"), 1).over(w), 1L)
+        when(col("__lag1").isNull, 1L)
+          .when(col("fl") =!= col("__lag1"), 1L)
           .otherwise(0L))
     val agg = runs.groupBy(col("g").as("group"))
       .agg(count(lit(1)).as("n"),
@@ -2239,8 +2239,9 @@ object StatTests {
     * share is one division per row. Values must be INTEGRAL and
     * non-negative (the Lorenz construction's own requirement).
     *
-    * Scale shape: one per-group rank+cumsum window + a 10-row-per-group
-    * position join.
+    * Scale shape: a distributed rank+cumsum scan ([[PrefixScan]] —
+    * group x value-bucket tasks, never one task per group) + a
+    * 10-row-per-group position join.
     *
     * Returns (group, p, k, cum_v, share) for deciles with k >= 1.
     */
@@ -2249,14 +2250,12 @@ object StatTests {
     requireIntegral(df, valueCol)
     val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("v"))
-    val ranked = slim
-      .withColumn("rn", row_number().over(wr).cast("long"))
-      .withColumn("cum_v", sum(col("v")).over(w))
+    // distributed rank + cumsum (PrefixScan, bucketed on the value
+    // itself — ties share a bucket, and the cumulative at a fixed rank
+    // is tie-order-invariant) — never one task per group
+    val ranked = PrefixScan.withRowNumberAndSums(
+      slim.select(col("g"), col("v").cast("long").as("v")),
+      "g", Seq("v"), Seq("cum_v" -> col("v")), rnName = "rn")
     val sizes = slim.groupBy(col("g"))
       .agg(count(lit(1)).as("n_g"), sum(col("v")).as("total"))
     val deciles = sizes

@@ -261,8 +261,9 @@ object Trend {
     *
     * rounded at 7; null where the variance is 0 or n <= k.
     *
-    * Scale shape: one window pass computes all maxLag lag columns in a
-    * single frame; one combining groupBy carries 3*maxLag+3 numbers per
+    * Scale shape: a distributed lag scan ([[PrefixScan]] — group x
+    * time-bucket tasks, never one task per group) computes all maxLag
+    * lag columns; one combining groupBy carries 3*maxLag+3 numbers per
     * group — statistics ARE the shuffle payload.
     *
     * Returns (group, lag, n, r).
@@ -274,16 +275,13 @@ object Trend {
     require(integral.contains(df.schema(valueCol).dataType),
       s"$valueCol must be integral (quantize first), got " +
         df.schema(valueCol).dataType.catalogString)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
     val x = col(valueCol).cast("long")
     val dec = "decimal(38,0)"
     val base = df.select(
       (col(groupCol).as("group") +: x.as("x") +: orderCols.map(col)): _*)
-    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
-      d.withColumn(s"__l$k", lag(col("x"), k).over(
-        Window.partitionBy(col("group")).orderBy(orderCols.map(col): _*)))
-    }
+    // distributed lags (PrefixScan) — never one task per group
+    val lagged = PrefixScan.withLags(base, "group", orderCols, "x",
+      maxLag, j => s"__l$j")
     val aggs = Seq(
       count(lit(1)).as("n"),
       sum(col("x").cast(dec)).as("s"),
@@ -333,15 +331,13 @@ object Trend {
     require(integral.contains(df.schema(valueCol).dataType),
       s"$valueCol must be integral (quantize first), got " +
         df.schema(valueCol).dataType.catalogString)
-    import org.apache.spark.sql.expressions.Window
     val x = col(valueCol).cast("long")
     val dec = "decimal(38,0)"
     val base = df.select(
       (col(groupCol).as("group") +: x.as("x") +: orderCols.map(col)): _*)
-    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
-      d.withColumn(s"__l$k", lag(col("x"), k).over(
-        Window.partitionBy(col("group")).orderBy(orderCols.map(col): _*)))
-    }
+    // distributed lags (PrefixScan) — never one task per group
+    val lagged = PrefixScan.withLags(base, "group", orderCols, "x",
+      maxLag, j => s"__l$j")
     val aggs = Seq(
       count(lit(1)).as("n"),
       sum(col("x").cast(dec)).as("s"),
@@ -389,13 +385,13 @@ object Trend {
     require(integral.contains(df.schema(valueCol).dataType),
       s"$valueCol must be integral (quantize first), got " +
         df.schema(valueCol).dataType.catalogString)
-    import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    val w = Window.partitionBy(col("group")).orderBy(orderCols.map(col): _*)
     val base = df.select(
       (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
         orderCols.map(col)): _*)
-    val lagged = base.withColumn("l1", lag(col("x"), 1).over(w))
+    // distributed lag (PrefixScan) — never one task per group
+    val lagged = PrefixScan.withLags(base, "group", orderCols, "x",
+      1, _ => "l1")
     val g = lagged.groupBy(col("group")).agg(
       count(lit(1)).as("n"),
       sum(col("x").cast(dec)).as("s"),
@@ -452,9 +448,10 @@ object Trend {
     * the reported magnitude `max|cusum| / n` is a (single, rounded)
     * division. No float ever enters the comparison.
     *
-    * Scale shape: one per-group window cumsum (ordered by `orderCols`)
-    * + one per-group top-1; per-row products n*cum and t*S are kept in
-    * DECIMAL(38,0) so long series with large values cannot wrap.
+    * Scale shape: a distributed prefix scan for the cumsum
+    * ([[PrefixScan]] — group x bucket tasks, never one task per group)
+    * + a combining max_by argmax; per-row products n*cum and t*S are
+    * kept in DECIMAL(38,0) so long series with large values cannot wrap.
     *
     * Returns (group, n, cp_index, cp_stat) — cp_index is the 1-based
     * position AFTER which the shift is largest; null stat for n < 2.
@@ -465,27 +462,30 @@ object Trend {
     require(integral.contains(df.schema(valueCol).dataType),
       s"$valueCol must be integral (quantize first), got " +
         df.schema(valueCol).dataType.catalogString)
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
-    val wAll = Window.partitionBy(col(groupCol))
     val dec = "decimal(38,0)"
-    val scanned = df
-      .withColumn("__t", row_number().over(wOrd).cast("long"))
-      .withColumn("__cum", sum(col(valueCol).cast("long")).over(wOrd))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .withColumn("__s", sum(col(valueCol).cast("long")).over(wAll))
-      .withColumn("__dev",
-        abs(col("__n").cast(dec) * col("__cum").cast(dec) -
-          col("__t").cast(dec) * col("__s").cast(dec)))
-    val pick = Window.partitionBy(col(groupCol))
-      .orderBy(desc("__dev"), col("__t"))
-    scanned.withColumn("__rk", row_number().over(pick))
-      .where(col("__rk") === 1)
-      .select(col(groupCol).as("group"), col("__n").as("n"),
-        col("__t").as("cp_index"),
-        round(when(col("__n") >= 2,
-          col("__dev").cast("double") / col("__n").cast("double")), 7)
-          .as("cp_stat"))
+    // distributed prefix scan for the walk (PrefixScan — never one
+    // task per group), a combining groupBy for the series totals, and
+    // an exact max_by aggregate for the argmax (map-side combining —
+    // the old top-1 pick window re-sorted each whole group in one task)
+    val scanned = PrefixScan.withRowNumberAndSums(df, groupCol,
+      orderCols, Seq("__cum" -> col(valueCol).cast("long")),
+      rnName = "__t")
+    val tot = df.groupBy(col(groupCol).as("__tg")).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valueCol).cast("long")).as("__s"))
+    val dev = abs(col("__n").cast(dec) * col("__cum").cast(dec) -
+      col("__t").cast(dec) * col("__s").cast(dec))
+    scanned.join(tot, col(groupCol) <=> col("__tg"))
+      .select(col(groupCol), col("__n"), col("__t"), dev.as("__dev"))
+      .groupBy(col(groupCol).as("group"))
+      .agg(max(col("__n")).as("n"),
+        max_by(struct(col("__t"), col("__dev")),
+          struct(col("__dev"), -col("__t"))).as("__best"))
+      .select(col("group"), col("n"),
+        col("__best.__t").as("cp_index"),
+        round(when(col("n") >= 2,
+          col("__best.__dev").cast("double") / col("n").cast("double")),
+          7).as("cp_stat"))
   }
 
   /** Brown's double exponential smoothing with the PINNED dyadic

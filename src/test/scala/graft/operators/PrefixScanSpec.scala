@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[PrefixScan]]'s whole claim is BIT-IDENTITY to the single-window
+  * form — bucketing only re-brackets associative work. These specs pin
+  * that claim directly (device vs window, cell by cell) under forced
+  * small buckets, so the cross-bucket stitching paths (offset joins,
+  * multi-bucket tail carry, null tails at series start) all execute.
+  */
+class PrefixScanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random series: 3 uneven groups (one with a
+    * single row, one with heavy order-key ties), values with nulls.
+    */
+  private def series(n: Int): DataFrame =
+    spark.range(n).select(
+      when(col("id") === 0, "solo")
+        .when(col("id") % 3 === 0, "a").otherwise("b").as("g"),
+      // heavy ties: only ~n/4 distinct order keys in group b
+      when(col("id") % 3 === 0, col("id") * 7 % 1000)
+        .otherwise(col("id") / 4 * 11 % 500).as("t"),
+      col("id").as("tie"),
+      when(col("id") % 17 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * col("id")) % 97 - 40).as("x"))
+
+  private def withBuckets[A](n: Int)(body: => A): A = {
+    spark.conf.set("spark.graft.prefixScan.buckets", n.toString)
+    try body finally spark.conf.unset("spark.graft.prefixScan.buckets")
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame, sortCols: Seq[String]): Unit = {
+    val ra = a.orderBy(sortCols.map(col): _*).collect()
+    val rb = b.orderBy(sortCols.map(col): _*).collect()
+    assert(ra.length == rb.length, s"${ra.length} vs ${rb.length} rows")
+    ra.zip(rb).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
+  test("withRowNumberAndSums is bit-identical to the window form") {
+    val df = series(200).where(col("x").isNotNull)
+    val ord = Seq("t", "tie")
+    val w = Window.partitionBy(col("g")).orderBy(col("t"), col("tie"))
+    val expected = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    for (nb <- Seq(1, 3, 16)) withBuckets(nb) {
+      val got = PrefixScan.withRowNumberAndSums(df, "g", ord,
+        Seq("cum" -> col("x")), rnName = "rn")
+      assertSame(got, expected, Seq("g", "t", "tie"))
+    }
+  }
+
+  test("withLags is bit-identical to the window form, incl. tail carry") {
+    val df = series(120)
+    val ord = Seq("t", "tie")
+    val w = Window.partitionBy(col("g")).orderBy(col("t"), col("tie"))
+    val k = 5
+    val expected = (1 to k).foldLeft(df) { (d, j) =>
+      d.withColumn(s"l$j", lag(col("x"), j).over(w))
+    }
+    // 16 buckets over ~40 rows/group -> 2-3 rows per bucket, far fewer
+    // than maxLag=5: every lag crosses buckets and the running tail
+    // must stitch across SEVERAL buckets, not just the previous one
+    for (nb <- Seq(1, 4, 16)) withBuckets(nb) {
+      val got = PrefixScan.withLags(df, "g", ord, "x", k, j => s"l$j")
+      assertSame(got, expected, Seq("g", "t", "tie"))
+    }
+  }
+
+  test("null group keys and a non-bucketable order type degrade safely") {
+    val df = spark.range(30).select(
+      when(col("id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(lit("g")).as("g"),
+      concat(lit("k"), format_string("%03d", col("id"))).as("t"),
+      col("id").as("x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("t"))
+    val expected = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("l1", lag(col("x"), 1).over(w))
+    val gotSums = PrefixScan.withRowNumberAndSums(df, "g", Seq("t"),
+      Seq("cum" -> col("x")), rnName = "rn")
+    val gotLags = PrefixScan.withLags(df, "g", Seq("t"), "x", 1, _ => "l1")
+    assertSame(gotSums, expected.drop("l1"), Seq("g", "t"))
+    assertSame(gotLags, expected.drop("rn", "cum"), Seq("g", "t"))
+  }
+
+  test("rewired operators match hand-computed window equivalents") {
+    withBuckets(8) {
+      // runsTest on a pinned sequence: TTFFT -> 3 runs
+      val seqDf = Seq(("g", 1L, true), ("g", 2L, true), ("g", 3L, false),
+        ("g", 4L, false), ("g", 5L, true)).toDF("grp", "ord", "fl")
+      val r = StatTests.runsTest(seqDf, "grp", Seq("ord"), "fl").head()
+      assert(r.getLong(r.fieldIndex("runs")) == 3L)
+      // cusumChangepoint: level shift at position 5 of 10
+      val shift = Seq.tabulate(10)(i =>
+        ("g", (i + 1).toLong, if (i < 5) 10L else 50L))
+        .toDF("grp", "ord", "v")
+      val c = Trend.cusumChangepoint(shift, "grp", Seq("ord"), "v").head()
+      assert(c.getLong(c.fieldIndex("cp_index")) == 5L)
+      // durbinWatson on an alternating series: DW near 4
+      val alt = Seq.tabulate(20)(i => ("g", (i + 1).toLong,
+        if (i % 2 == 0) 1L else -1L)).toDF("grp", "ord", "v")
+      val dw = Trend.durbinWatson(alt, "grp", Seq("ord"), "v").head()
+      assert(dw.getDouble(dw.fieldIndex("dw")) > 3.5)
+      // sprt stops at the first boundary crossing on an all-success arm
+      val wins = Seq.tabulate(30)(i => ("v1", (i + 1).toLong, true))
+        .toDF("variant", "ord", "succ")
+      val s = AbTest.sprt(wins, "variant", Seq("ord"), "succ",
+        p0Milli = 200L, p1Milli = 800L)
+      val sr = s.head()
+      assert(sr.getString(sr.fieldIndex("decision")) == "accept_h1")
+      assert(sr.getLong(sr.fieldIndex("n_decide")) == 3L)
+    }
+  }
+}
