@@ -417,7 +417,26 @@ private[graft] object QueriesPart9 {
           .select(floor(col("value") * 10).cast("long").as("i1"),
             floor(col("value") * 7).cast("long").as("i2"),
             floor(col("value") * 13).cast("long").as("i3")),
-        Seq("i1", "i2", "i3"))))
+        Seq("i1", "i2", "i3"))),
+
+    // --- 468. d-feature PCA spectrum (d = 4), oracle-pinned -----------------------------------------------------
+    // q444's family past the cubic: the full sorted 4-eigenvalue
+    // spectrum per event type via the fixed-sweep cyclic Jacobi
+    // (driver-side on the exact Gram — the mahalanobisD device). The
+    // oracle replays all 180 rotations as a recursive CTE running the
+    // identical IEEE double sequence.
+    "q468_pca_d" -> ((s, d) =>
+      graft.operators.StatTests.pcaD(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("x1"),
+            hour(col("ts")).cast("long").as("x2"),
+            dayofmonth(col("ts")).cast("long").as("x3"),
+            minute(col("ts")).cast("long").as("x4")),
+        "event_type", Seq("x1", "x2", "x3", "x4"))
+        .orderBy("group", "component")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -1477,5 +1496,110 @@ private[graft] object QueriesPart9 {
         |SELECT n, CAST(3 AS BIGINT) AS k_items,
         |  ROUND(CASE WHEN n > 1 AND vart > 0.0
         |    THEN (3.0 / 2.0) * (1.0 - sumvar / vart) END, 7) AS alpha
-        |FROM k""".stripMargin)
+        |FROM k""".stripMargin,
+
+    // d=4 PCA: exact HUGEINT C' -> one double rounding per entry ->
+    // 180 cyclic-Jacobi rotations replayed as a recursive CTE running
+    // StatTests.jacobiEigen's IEEE double sequence verbatim (pivot
+    // order (0,1),(0,2),(0,3),(1,2),(1,3),(2,3), 30 sweeps, identity
+    // rotations written through the same formulas) -> sorted spectrum,
+    // pinned trace ratios, left-associated cumulative shares.
+    "q468_pca_d" -> {
+      val dd = 4
+      val pivots = for { i <- 0 until dd; j <- i + 1 until dd } yield (i, j)
+      def nm(i: Int, j: Int) =
+        if (i <= j) s"a_${i}_$j" else s"a_${j}_$i"
+      val entryIdx = for { i <- 0 until dd; j <- i until dd } yield (i, j)
+      val entryNames = entryIdx.map { case (i, j) => nm(i, j) }
+      // the per-iteration update of one upper-triangle entry, a CASE
+      // over the 6 cyclic pivots — mirrors jacobiEigen's k-loop exactly
+      def upd(i: Int, j: Int): String = {
+        val cases = pivots.zipWithIndex.map { case ((p, q), pv) =>
+          val e =
+            if (i == p && j == p) s"(${nm(p, p)} - tt * ${nm(p, q)})"
+            else if (i == q && j == q) s"(${nm(q, q)} + tt * ${nm(p, q)})"
+            else if (i == p && j == q) "0.0"
+            else if (i == p || j == p) {
+              val k = if (i == p) j else i
+              s"(cc * ${nm(k, p)} - ss * ${nm(k, q)})"
+            } else if (i == q || j == q) {
+              val k = if (i == q) j else i
+              s"(ss * ${nm(k, p)} + cc * ${nm(k, q)})"
+            } else nm(i, j)
+          s"WHEN $pv THEN $e"
+        }
+        s"CASE pv ${cases.mkString(" ")} END AS ${nm(i, j)}"
+      }
+      def pvCase(f: (Int, Int) => String): String = {
+        val cases = pivots.zipWithIndex.map { case ((p, q), pv) =>
+          s"WHEN $pv THEN ${f(p, q)}"
+        }
+        s"CASE pv ${cases.mkString(" ")} END"
+      }
+      val sums = (0 until dd).map(i =>
+        s"CAST(sum(x${i + 1}) AS HUGEINT) AS s$i").mkString(",\n    ")
+      val grams = entryIdx.map { case (i, j) =>
+        s"CAST(sum(x${i + 1} * x${j + 1}) AS HUGEINT) AS g_${i}_$j"
+      }.mkString(",\n    ")
+      val cps = entryIdx.map { case (i, j) =>
+        s"CAST(CAST(n AS HUGEINT) * g_${i}_$j - s$i * s$j AS DOUBLE) AS ${nm(i, j)}"
+      }.mkString(",\n    ")
+      val besselSql = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))"
+      val comps = (1 to dd).map { k =>
+        val cum = (1 to k).map(x => s"l$x").reduceLeft((a, b) => s"($a + $b)")
+        s"""SELECT g, n, CAST($k AS BIGINT) AS component,
+           |  ROUND(CASE WHEN n >= 2 THEN l$k / $besselSql END, 4) AS lambda,
+           |  ROUND(CASE WHEN n >= 2 AND tr > 0.0 THEN l$k / tr END, 7)
+           |    AS explained,
+           |  ROUND(CASE WHEN n >= 2 AND tr > 0.0 THEN $cum / tr END, 7)
+           |    AS cum_explained
+           |FROM lam""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH RECURSIVE e AS (
+         |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS x1,
+         |    CAST(hour(ts) AS BIGINT) AS x2, CAST(day(ts) AS BIGINT) AS x3,
+         |    CAST(minute(ts) AS BIGINT) AS x4
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |a AS (SELECT g, count(*) AS n,
+         |    $sums,
+         |    $grams
+         |  FROM e GROUP BY 1),
+         |c AS (SELECT g, n,
+         |    $cps
+         |  FROM a),
+         |jac AS (
+         |  SELECT g, 0 AS i, ${entryNames.mkString(", ")} FROM c
+         |  UNION ALL
+         |  SELECT g, i + 1, ${entryIdx.map { case (i, j) => upd(i, j) }
+             .mkString(",\n    ")}
+         |  FROM (SELECT *, tt * cc AS ss FROM (
+         |    SELECT *, 1.0 / sqrt(tt * tt + 1.0) AS cc FROM (
+         |      SELECT *, CASE WHEN apq = 0.0 THEN 0.0 ELSE
+         |          (CASE WHEN theta >= 0.0 THEN 1.0 ELSE -1.0 END)
+         |          / (abs(theta) + sqrt(theta * theta + 1.0)) END AS tt
+         |      FROM (
+         |        SELECT *, CASE WHEN apq = 0.0 THEN 0.0
+         |          ELSE (aqq - app) / (2.0 * apq) END AS theta
+         |        FROM (
+         |          SELECT *,
+         |            ${pvCase((p, q) => nm(p, q))} AS apq,
+         |            ${pvCase((p, q) => nm(p, p))} AS app,
+         |            ${pvCase((p, q) => nm(q, q))} AS aqq
+         |          FROM (SELECT *, i % ${pivots.size} AS pv FROM jac
+         |                WHERE i < ${30 * pivots.size}) q0) q1) q2) q3) q4) q5),
+         |fin AS (SELECT g, ${(0 until dd).map(i =>
+             s"${nm(i, i)} + 0.0 AS d$i").mkString(", ")}
+         |  FROM jac WHERE i = ${30 * pivots.size}),
+         |srt AS (SELECT g, list_sort([${(0 until dd).map(i => s"d$i")
+             .mkString(", ")}], 'DESC') AS ls FROM fin),
+         |lam AS (SELECT srt.g, c.n,
+         |    ((c.a_0_0 + c.a_1_1) + c.a_2_2) + c.a_3_3 AS tr,
+         |    ${(1 to dd).map(k => s"ls[$k] AS l$k").mkString(", ")}
+         |  FROM srt JOIN c ON srt.g = c.g)
+         |$comps
+         |ORDER BY "group", component""".stripMargin
+        .replace("SELECT g, n, CAST(1 AS BIGINT)",
+          """SELECT g AS "group", n, CAST(1 AS BIGINT)""")
+    })
 }

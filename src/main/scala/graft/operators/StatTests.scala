@@ -2490,6 +2490,145 @@ object StatTests {
       round(when(bestN > 0.0, col("wz") / scale), 7).as("vz"))
   }
 
+  /** Cyclic-Jacobi eigenvalues of a symmetric matrix of PINNED doubles
+    * — the driver-side eigensolve behind [[pcaD]], built for
+    * cross-engine replay: a FIXED 30 cyclic sweeps (pivot order
+    * (0,1),(0,2),...,(d-2,d-1)), every rotation the textbook
+    *
+    *   theta = (a_qq - a_pp) / (2*a_pq),
+    *   t = sign(theta) / (|theta| + sqrt(theta^2 + 1)),
+    *   c = 1/sqrt(t^2 + 1),  s = t*c
+    *
+    * applied UNCONDITIONALLY (a zero pivot takes t = 0, c = 1, s = 0 —
+    * the identity written through the same formulas), so the whole
+    * walk is a fixed sequence of IEEE +,-,*,/,sqrt a SQL engine
+    * replays bit-for-bit as a recursive CTE (the q444 discipline, one
+    * dimension up). Returned diagonals are normalized by `+ 0.0`
+    * (kills the -0.0/+0.0 sign split) and sorted descending.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+      sweeps: Int = 30): Array[Double] = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val pivots = for { i <- 0 until d; j <- i + 1 until d } yield (i, j)
+    var sw = 0
+    while (sw < sweeps) {
+      for ((p, q) <- pivots) {
+        val apq = a(p)(q)
+        val theta =
+          if (apq == 0.0) 0.0 else (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t =
+          if (apq == 0.0) 0.0
+          else (if (theta >= 0.0) 1.0 else -1.0) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        val app = a(p)(p); val aqq = a(q)(q)
+        a(p)(p) = app - t * apq
+        a(q)(q) = aqq + t * apq
+        a(p)(q) = 0.0; a(q)(p) = 0.0
+        var k = 0
+        while (k < d) {
+          if (k != p && k != q) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq; a(p)(k) = a(k)(p)
+            a(k)(q) = s * akp + c * akq; a(q)(k) = a(k)(q)
+          }
+          k += 1
+        }
+      }
+      sw += 1
+    }
+    Array.tabulate(d)(i => a(i)(i) + 0.0).sorted.reverse
+  }
+
+  /** d-feature PCA spectrum per group (2 <= d <= 8) — [[pca3]] past the
+    * cubic: the full sorted eigenvalue spectrum of the n^2-scaled
+    * covariance C'_ij = n*S_ij - S_i*S_j, eigensolved by the
+    * fixed-sweep [[jacobiEigen]] cyclic Jacobi.
+    *
+    * The mahalanobisD device: ONE exact-decimal combining aggregate
+    * per group (n + d sums + the d(d+1)/2 Gram triangle — the
+    * statistics ARE the shuffle payload, never rows), a BOUNDED
+    * driver-side collect (guarded by the group census probe BEFORE the
+    * collect — the markovStationary discipline), each C' entry exact
+    * BigInt rounded to double ONCE, then the k x k eigensolve on the
+    * driver. Eigenvalues are reported at SAMPLE-covariance scale
+    * (divided by n(n-1), rounded at 4 — the pca3 engine-portability
+    * note); explained ratios use the PINNED original trace
+    * (left-associated diagonal sum) and cumulative shares are
+    * left-associated partial sums, both rounded at 7.
+    *
+    * Returns (group, n, component, lambda, explained, cum_explained) —
+    * one row per component 1..d per group; null lambda/ratios for
+    * n < 2 or a non-positive trace.
+    */
+  def pcaD(df: DataFrame, groupCol: String,
+      featureCols: Seq[String]): DataFrame = {
+    val d = featureCols.size
+    require(d >= 2 && d <= 8,
+      s"pcaD takes 2..8 features (driver-side k x k eigensolve), got $d")
+    featureCols.foreach(c => requireIntegral(df, c))
+    val spark = df.sparkSession
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(groupCol).cast("string").as("g") +:
+        featureCols.map(c => col(c).cast("long").as(c)): _*)
+      .where(col("g").isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+    // guard BEFORE the collect: the driver holds one stats row per
+    // group, so the group census must be bounded first
+    requireBoundedDomain(slim.select(col("g")).distinct(),
+      "pcaD (group census past the bounded driver-collect contract — " +
+        "bucket the group column first)", maxDomain = 4096L)
+    val sums = featureCols.map(c => sum(col(c).cast(dec)).as(s"s_$c"))
+    val gram = for { i <- 0 until d; j <- i until d }
+      yield sum((col(featureCols(i)) * col(featureCols(j))).cast(dec))
+        .as(s"g_${i}_$j")
+    val rows = slim.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), (sums ++ gram): _*)
+      .collect() // bounded: <= 4096 groups x (d(d+3)/2 + 1) numbers
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r7(x: Double): Double =
+      BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = rows.toSeq.flatMap { r =>
+      val g = r.getString(0)
+      val n = r.getLong(1)
+      val s = Array.tabulate(d)(i =>
+        BigInt(r.getDecimal(2 + i).toBigInteger))
+      val gm = Array.ofDim[BigInt](d, d)
+      var idx = 2 + d
+      for (i <- 0 until d; j <- i until d) {
+        gm(i)(j) = BigInt(r.getDecimal(idx).toBigInteger)
+        gm(j)(i) = gm(i)(j)
+        idx += 1
+      }
+      val nB = BigInt(n)
+      // each C' entry exact, rounded to double ONCE (mahalanobisD)
+      val cpD = Array.tabulate(d, d)((i, j) =>
+        (nB * gm(i)(j) - s(i) * s(j)).toDouble)
+      val tr = (0 until d).map(i => cpD(i)(i)).reduceLeft(_ + _)
+      if (n < 2) (1 to d).map(k =>
+        (g, n, k.toLong, None: Option[Double], None: Option[Double],
+          None: Option[Double]))
+      else {
+        val lam = jacobiEigen(cpD)
+        val bessel = n.toDouble * (n.toDouble - 1.0)
+        // left-associated cumulative shares (the pinned fold)
+        val cums = lam.scanLeft(0.0)(_ + _).drop(1)
+        (1 to d).map { k =>
+          val l = lam(k - 1)
+          (g, n, k.toLong, Some(r4(l / bessel)),
+            if (tr > 0.0) Some(r7(l / tr)) else None,
+            if (tr > 0.0) Some(r7(cums(k - 1) / tr)) else None)
+        }
+      }
+    }
+    import spark.implicits._
+    out.toDF("group", "n", "component", "lambda", "explained",
+      "cum_explained")
+  }
+
   /** Wilcoxon signed-rank test — PAIRED values (before/after per key:
     * did the metric shift within subjects?), the paired sibling of
     * Mann-Whitney and the rank replacement for the paired t-test:

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[StatTests.pcaD]] and its fixed-sweep cyclic Jacobi
+  * ([[StatTests.jacobiEigen]]) against hand-diagonalized fixtures.
+  */
+class PcaDSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("jacobiEigen: diagonal fixture is exact, block fixture to 1e-9") {
+    // already diagonal: every pivot is zero, identity rotations only
+    val diag = Array(
+      Array(4.0, 0.0, 0.0, 0.0), Array(0.0, 3.0, 0.0, 0.0),
+      Array(0.0, 0.0, 2.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    assert(StatTests.jacobiEigen(diag).toSeq == Seq(4.0, 3.0, 2.0, 1.0))
+    // [[2,1],[1,2]] block has eigenvalues 3 and 1 (hand-diagonalized:
+    // eigenvectors (1,1)/(1,-1)); embedded beside diag(5, 7)
+    val block = Array(
+      Array(2.0, 1.0, 0.0, 0.0), Array(1.0, 2.0, 0.0, 0.0),
+      Array(0.0, 0.0, 5.0, 0.0), Array(0.0, 0.0, 0.0, 7.0))
+    val lam = StatTests.jacobiEigen(block)
+    val want = Seq(7.0, 5.0, 3.0, 1.0)
+    lam.zip(want).foreach { case (l, w) =>
+      assert(math.abs(l - w) < 1e-9, s"$l vs $w")
+    }
+    // invariants: trace and Frobenius norm preserved
+    assert(math.abs(lam.sum - 16.0) < 1e-9)
+    assert(math.abs(lam.map(x => x * x).sum - (4 + 1 + 1 + 4 + 25 + 49))
+      < 1e-6)
+  }
+
+  test("pcaD: independent features recover per-feature variances") {
+    // x1 in {0, 6} (var 9 pop-scale), x2 in {0, 2} (var 1), x3 constant,
+    // x4 in {0, 4} (var 4) — independent by construction over the 8-row
+    // full factorial, so the covariance is diagonal and the sorted
+    // sample-scale eigenvalues are the sample variances
+    val rows = for {
+      a <- Seq(0L, 6L); b <- Seq(0L, 2L); c <- Seq(0L, 4L)
+    } yield ("g", a, b, 5L, c)
+    val df = rows.toDF("g", "x1", "x2", "x3", "x4")
+    val out = StatTests.pcaD(df, "g", Seq("x1", "x2", "x3", "x4"))
+      .orderBy("component").collect()
+    assert(out.length == 4)
+    val n = 8.0
+    // sample variance of {0,v}^(n/2 each) = n^2*(v/2)^2/(n*(n-1))... the
+    // operator reports C'/(n(n-1)) = population var * n/(n-1)
+    def sampleVar(v: Double) = (v / 2) * (v / 2) * n / (n - 1.0)
+    val want = Seq(sampleVar(6), sampleVar(4), sampleVar(2), 0.0)
+    out.zip(want).foreach { case (r, w) =>
+      assert(math.abs(r.getDouble(r.fieldIndex("lambda")) - w) < 1e-3,
+        s"$r vs $w")
+    }
+    // cum_explained ends at 1 for a positive-trace spectrum
+    assert(math.abs(out.last.getDouble(out.last.fieldIndex("cum_explained"))
+      - 1.0) < 1e-6)
+    // component ranks are 1..4 with descending lambda
+    assert(out.map(_.getLong(out.head.fieldIndex("component"))).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("pcaD guards: group census probed BEFORE the collect; d bounds") {
+    val wide = spark.range(4097)
+      .select(concat(lit("g"), col("id")).as("g"),
+        col("id").as("x1"), (col("id") * 2).as("x2"))
+    val e = intercept[IllegalArgumentException] {
+      StatTests.pcaD(wide, "g", Seq("x1", "x2"))
+    }
+    assert(e.getMessage.contains("pcaD"))
+    intercept[IllegalArgumentException] {
+      StatTests.pcaD(wide.limit(5), "g", Seq("x1"))
+    }
+    // n < 2 groups emit null spectra, never a division blow-up
+    val tiny = Seq(("g", 1L, 2L)).toDF("g", "x1", "x2")
+    val rows = StatTests.pcaD(tiny, "g", Seq("x1", "x2")).collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(3)))
+  }
+}
