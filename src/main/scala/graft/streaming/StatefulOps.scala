@@ -128,6 +128,28 @@ case class SrmState(counts: Seq[Long])
   */
 case class SrmSnapshot(key: Long, n: Long, k: Long, chi2: Double)
 
+/** An outcome record for the streaming SPRT monitor: one experiment
+  * arm's success/failure in arrival (ts) order.
+  */
+case class SprtEvent(variant: String, ts: java.sql.Timestamp,
+    success: Boolean)
+
+/** The SPRT's whole per-variant state: the exact micro-quantized LLR
+  * walk position, the outcome count, and the held first-crossing
+  * decision — O(1) regardless of stream length.
+  */
+case class SprtState(n: Long, llr: Long, decision: String,
+    nDecide: Option[Long])
+
+/** A variant's current sequential-test readout (the
+  * [[graft.operators.AbTest.sprt]] columns), re-emitted after every
+  * batch that touched the variant. The decision HOLDS from the first
+  * boundary crossing (alarm-and-hold) even as n and llr_final keep
+  * accumulating — exactly the batch operator's first-crossing pick.
+  */
+case class SprtSnapshot(variant: String, n: Long, decision: String,
+    n_decide: Option[Long], llr_final: Double)
+
 /** Custom-state streaming operators (`flatMapGroupsWithState`) for the
   * semantics the built-in `session_window` cannot express: sessions that
   * EMIT ON COMPLETION (append-mode friendly — a session row is final the
@@ -570,6 +592,74 @@ object StatefulOps {
             SrmSnapshot(key, n, sorted.length.toLong, round7(chi2)))
       }
   }
+
+  /** Streaming Wald SPRT monitor — the streaming face of
+    * [[graft.operators.AbTest.sprt]], and the test BUILT to be run this
+    * way: the SPRT is the peek-safe sequential test, so its natural
+    * home is a live monitor that emits the decision the moment the LLR
+    * walk first crosses a boundary. State per variant is O(1): the
+    * running micro-quantized BIGINT LLR, the outcome count, and the
+    * held decision (alarm-and-hold — once crossed, the decision and
+    * n_decide freeze while n and llr_final keep accumulating).
+    *
+    * Exactness and parity: the four constants are micro-quantized
+    * EXACTLY as batch (floor/ceil(x*1e6)), the walk is the same exact
+    * long cumsum, and every crossing check is the same integer
+    * comparison with the same h1-first precedence — so after any
+    * microbatch split the snapshot equals the batch `AbTest.sprt` of
+    * the same prefix (asserted by the spec). Ordering: events are
+    * walked in ts order WITHIN each batch (ts must be a total order
+    * per variant), and batches must arrive in ts order — the live-
+    * monitor reality, same contract as the CUSUM/PH alarms.
+    */
+  def streamingSprt(
+      events: Dataset[SprtEvent],
+      p0Milli: Long, p1Milli: Long,
+      alphaMilli: Long = 50L, betaMilli: Long = 200L): Dataset[SprtSnapshot] = {
+    require(p0Milli > 0L && p0Milli < 1000L && p1Milli > 0L &&
+      p1Milli < 1000L && p0Milli != p1Milli,
+      "p0/p1 must be interior milli probabilities and differ")
+    require(alphaMilli > 0L && alphaMilli < 1000L &&
+      betaMilli > 0L && betaMilli < 1000L, "alpha/beta milli in (0,1000)")
+    // the four pinned constants — bit-identical to AbTest.sprt's
+    val w1 = math.floor(math.log(p1Milli.toDouble / p0Milli.toDouble) *
+      1e6).toLong
+    val w0 = math.floor(math.log((1000.0 - p1Milli) / (1000.0 - p0Milli)) *
+      1e6).toLong
+    val upQ = math.ceil(math.log((1000.0 - betaMilli) / alphaMilli) *
+      1e6).toLong
+    val loQ = math.floor(math.log(betaMilli / (1000.0 - alphaMilli)) *
+      1e6).toLong
+    implicit val stateEnc = Encoders.product[SprtState]
+    implicit val outEnc = Encoders.product[SprtSnapshot]
+    events.groupByKey(_.variant)(Encoders.STRING)
+      .flatMapGroupsWithState[SprtState, SprtSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (variant: String, it: Iterator[SprtEvent], state: GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(SprtState(0L, 0L, "continue", None))
+          // within-batch walk in ts order (the ordering contract)
+          for (e <- it.toSeq.sortBy(_.ts.getTime)) {
+            val llr = st.llr + (if (e.success) w1 else w0)
+            val n = st.n + 1L
+            val (dec, nd) =
+              if (st.decision != "continue") (st.decision, st.nDecide)
+              else if (llr >= upQ) ("accept_h1", Some(n))
+              else if (llr <= loQ) ("accept_h0", Some(n))
+              else ("continue", None)
+            st = SprtState(n, llr, dec, nd)
+          }
+          state.update(st)
+          Iterator.single(SprtSnapshot(variant, st.n, st.decision,
+            st.nDecide, round6(st.llr.toDouble / 1e6)))
+      }
+  }
+
+  /** Half-up decimal rounding at 6 — the batch `sprt`'s llr_final
+    * rounding, mirrored.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Streaming deterministic bottom-k sample per group — the streaming
     * face of [[graft.operators.Sampling.stratifiedTopKByHash]]: keep the

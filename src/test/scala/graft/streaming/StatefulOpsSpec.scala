@@ -355,6 +355,67 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(fin._3 == 3.0, fin)
   }
 
+  test("streamingSprt: decision crosses mid-stream, holds, equals batch sprt") {
+    val sprtSchema = StructType(Seq(StructField("variant", StringType),
+      StructField("ts", TimestampType), StructField("success", BooleanType)))
+    // v1: all successes under p0=200/p1=800 -> accept_h1 at n=3, INSIDE
+    // batch 1; batch 2 keeps accumulating but the decision must hold.
+    // v2: strict alternation -> continue throughout.
+    val rows = Seq(
+      ("v1", true), ("v2", true), ("v1", true), ("v2", false),
+      ("v1", true), ("v2", true),
+      ("v1", true), ("v2", false), ("v1", true), ("v2", true),
+      ("v1", true), ("v2", false))
+    def line(i: Int, v: String, s: Boolean) =
+      s"""{"variant": "$v", "ts": "2024-01-01T00:0${i / 6}:${10 + i % 6}", """ +
+        s""""success": $s}"""
+    val files = Seq(
+      rows.take(6).zipWithIndex.map { case ((v, s), i) => line(i, v, s) }
+        .mkString("\n"),
+      rows.drop(6).zipWithIndex.map { case ((v, s), i) => line(i + 6, v, s) }
+        .mkString("\n"))
+    val dir = graft.GraftTmp.dir("graft-sprt-stream")
+    files.zipWithIndex.foreach { case (content, i) =>
+      val p = Files.write(dir.resolve(s"$i.json"), content.getBytes("UTF-8"))
+      // the walk is order-sensitive: pin file mtimes so the source
+      // triggers batch 0 before batch 1 (same-ms writes tie otherwise)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(sprtSchema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[SprtEvent]
+    val q = StatefulOps.streamingSprt(stream, p0Milli = 200L,
+        p1Milli = 800L)
+      .writeStream.format("memory").queryName("graft_sprt_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val snaps = spark.table("graft_sprt_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getDouble(4)))
+    // one snapshot per variant per batch
+    assert(snaps.length == 4, snaps.toSeq)
+    def batchSprt(prefix: Seq[(String, Boolean)]) =
+      graft.operators.AbTest.sprt(
+        prefix.zipWithIndex.map { case ((v, s), i) => (v, i.toLong, s) }
+          .toDF("variant", "ord", "succ"),
+        "variant", Seq("ord"), "succ", p0Milli = 200L, p1Milli = 800L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getDouble(4)))
+        .toSet
+    // mid-stream snapshots equal batch sprt of the 6-event prefix;
+    // final snapshots equal batch sprt of the full log — exact parity
+    assert(snaps.filter(_._2 <= 3L).toSet == batchSprt(rows.take(6)),
+      s"${snaps.toSeq} vs ${batchSprt(rows.take(6))}")
+    assert(snaps.filter(_._2 > 3L).toSet == batchSprt(rows), snaps.toSeq)
+    // the hold: v1 decided at n=3 in batch 1 and stays decided at n=6
+    val v1fin = snaps.filter(s => s._1 == "v1" && s._2 == 6L).head
+    assert(v1fin._3 == "accept_h1" && v1fin._4 == 3L, v1fin)
+    val v2fin = snaps.filter(s => s._1 == "v2" && s._2 == 6L).head
+    assert(v2fin._3 == "continue" && v2fin._4 == -1L, v2fin)
+  }
+
   test("streamingCusumAlarm: sustained shift alarms across batches, noise never does") {
     val dir = graft.GraftTmp.dir("graft-cusum")
     // key 1: five on-target values (10 +- 1), then a sustained shift to
