@@ -65,15 +65,26 @@ object Bench {
     // numerically: a real regression moves one query while the canary stays
     // flat; host noise inflates canary samples in the same window.
     val canarySamples = scala.collection.mutable.ListBuffer.empty[Double]
-    def canary(): Unit = {
+    def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       run(spark.range(1L << 23).selectExpr("sum(id) AS s"))
-      canarySamples += (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    canary() // warm the canary's own codegen before the timed samples
-    canarySamples.clear()
+    def canary(): Unit = {
+      // The canary measures HOST interference, not the engine's GC debt:
+      // r16's tail (spread 4.6, max 0.18 vs median 0.072) was canary
+      // points landing right after a heavy query's garbage — collect and
+      // settle first, then record the MEDIAN of 3 back-to-back samples
+      // so a single scheduler hiccup can't print as an interference
+      // window. Sustained contention still inflates all 3.
+      System.gc()
+      Thread.sleep(50)
+      val xs = Seq(canaryOnce(), canaryOnce(), canaryOnce()).sorted
+      canarySamples += xs(1)
+    }
+    canaryOnce() // warm the canary's own codegen before the timed samples
     for (_ <- 1 to reps; ((name, fn), i) <- ordered.zipWithIndex) {
-      if (i % 10 == 0) canary()
+      if (i % 20 == 0) canary()
       val t0 = System.nanoTime()
       val t = try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
