@@ -281,6 +281,15 @@ object Dedup {
     * division — bit-exact replayable by an independent SQL
     * implementation. Nothing is O(n^2) in the corpus: pairing is
     * term-bucket-local and prefix-bounded.
+    *
+    * OUTPUT-VOLUME WARNING: the plan is linear in work, but the
+    * DECLARED OUTPUT of any all-pairs join grows with the SQUARE of
+    * the corpus's duplication factor (110x output at 10x data on the
+    * r16 replicated-corpus probe). On duplication-heavy corpora cap
+    * the pair list with [[capPairsPerDoc]] (+ [[pairCapCensus]] for
+    * the drop readout), or skip pairs entirely —
+    * [[dropNearDuplicates]] / [[capPerCluster]] are the representative
+    * faces whose output is corpus-bounded by construction.
     */
   def cosineJoinExact(
       df: DataFrame,
@@ -416,6 +425,66 @@ object Dedup {
       .select(col("m1").as("id1"), col("m2").as("id2"), col("cos"))
     val out = cross.unionByName(within)
     if (sorted) out.orderBy(desc("cos"), col("id1"), col("id2")) else out
+  }
+
+  /** Mutual top-`cap` output limit for the pair-PRODUCING dedup APIs
+    * ([[cosineJoinExact]], [[minhashPairs]], [[simhashPairs]],
+    * [[ngramJaccardPairs]], [[embeddingNearDups]]...): on a duplication-
+    * heavy corpus the DECLARED pair output grows with the SQUARE of the
+    * duplication factor (the r16 sf10 probe measured 110x output at 10x
+    * data), so a materialized pair set floods storage long before any
+    * plan misbehaves. This cap bounds the blast radius: a pair survives
+    * only if it ranks within each endpoint's top `cap` by
+    * (score, partner-id) — the mutual-kNN-graph convention — so every
+    * document emits AT MOST `cap` pairs, deterministically.
+    *
+    * What a cap drops is a readout, not a silent truncation: run
+    * [[pairCapCensus]] beside it (one row — total/kept/dropped), or
+    * skip pairs entirely — when the goal is the cleaned corpus rather
+    * than the pair list, [[dropNearDuplicates]] (single representative)
+    * and [[capPerCluster]] (k representatives per cluster) are the
+    * scale faces whose OUTPUT is corpus-bounded by construction.
+    *
+    * Contract: `pairs` carries canonical (id1 < id2, distinct) pairs
+    * with a sortable score column; `ascending = true` for distance-like
+    * scores (hamming), false for similarity scores (cos, jaccard).
+    * Scale shape: one per-document rank window (documents are numerous
+    * and their pair lists duplication-bounded — fine-grained
+    * parallelism) + one self-join on the oriented pair key.
+    */
+  def capPairsPerDoc(pairs: DataFrame, cap: Int, scoreCol: String,
+      ascending: Boolean = false): DataFrame = {
+    require(cap >= 1 && cap <= 100000,
+      s"cap must be in [1, 100000], got $cap")
+    val oriented = pairs
+      .select(col("id1").as("d"), col("id2").as("p"), col(scoreCol).as("__s"))
+      .unionByName(pairs
+        .select(col("id2").as("d"), col("id1").as("p"), col(scoreCol).as("__s")))
+    val ord = if (ascending) col("__s").asc else col("__s").desc
+    val w = Window.partitionBy(col("d")).orderBy(ord, col("p"))
+    val kept = oriented.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .select(col("d"), col("p"), col("__s"))
+    kept.as("a").join(kept.as("b"),
+        col("a.d") === col("b.p") && col("a.p") === col("b.d") &&
+          col("a.d") < col("a.p"))
+      .select(col("a.d").as("id1"), col("a.p").as("id2"),
+        col("a.__s").as(scoreCol))
+  }
+
+  /** The drop readout beside [[capPairsPerDoc]] — never cap silently:
+    * one row (n_pairs, n_kept, n_dropped) for the given pair set and
+    * cap, so a pipeline logs exactly how much of the declared pair
+    * volume the cap removed.
+    */
+  def pairCapCensus(pairs: DataFrame, cap: Int, scoreCol: String,
+      ascending: Boolean = false): DataFrame = {
+    val total = pairs.agg(count(lit(1)).as("n_pairs"))
+    val kept = capPairsPerDoc(pairs, cap, scoreCol, ascending)
+      .agg(count(lit(1)).as("n_kept"))
+    total.crossJoin(kept)
+      .select(col("n_pairs"), col("n_kept"),
+        (col("n_pairs") - col("n_kept")).as("n_dropped"))
   }
 
   /** The pigeonhole chunk map shared by batch ([[simhashPairs]]) and

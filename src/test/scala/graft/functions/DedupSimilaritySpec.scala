@@ -294,4 +294,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     // literal text '&lt;' on the page, never '<'.
     assert(extract("a &amp;lt;b&amp;gt; c") == "a &lt;b&gt; c")
   }
+
+  test("capPairsPerDoc: mutual top-cap bounds every doc; census counts drops") {
+    // star: doc 0 near-dups docs 1..5 at descending scores
+    val star = Seq((0L, 1L, 0.95), (0L, 2L, 0.94), (0L, 3L, 0.93),
+      (0L, 4L, 0.92), (0L, 5L, 0.91)).toDF("id1", "id2", "cos")
+    val kept = graft.functions.Dedup.capPairsPerDoc(star, 2, "cos")
+      .orderBy("id1", "id2").collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (0L, 2L))) // doc 0 keeps its top-2 by (score, partner)
+    val census = graft.functions.Dedup.pairCapCensus(star, 2, "cos").head()
+    assert(census.getLong(0) == 5L && census.getLong(1) == 2L &&
+      census.getLong(2) == 3L, census)
+    // clique with tied scores: the (score, partner-id) tie-break is total,
+    // the mutual rule bounds EVERY doc at <= cap pairs
+    val clique = (for { a <- 0L to 5L; b <- a + 1 to 5L } yield (a, b, 0.9))
+      .toDF("id1", "id2", "cos")
+    val ck = graft.functions.Dedup.capPairsPerDoc(clique, 2, "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ck.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)), ck)
+    val perDoc = ck.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size)
+    assert(perDoc.values.forall(_ <= 2), perDoc.toMap)
+    // ascending mode caps distance-like scores (keep the SMALLEST)
+    val ham = Seq((0L, 1L, 1L), (0L, 2L, 3L), (0L, 3L, 2L))
+      .toDF("id1", "id2", "hamming")
+    val hk = graft.functions.Dedup.capPairsPerDoc(ham, 2, "hamming",
+        ascending = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hk == Set((0L, 1L), (0L, 3L)), hk)
+  }
 }
