@@ -436,7 +436,24 @@ private[graft] object QueriesPart9 {
             dayofmonth(col("ts")).cast("long").as("x3"),
             minute(col("ts")).cast("long").as("x4")),
         "event_type", Seq("x1", "x2", "x3", "x4"))
-        .orderBy("group", "component")))
+        .orderBy("group", "component")),
+
+    // --- 469. Markov absorption, oracle-pinned ------------------------------------------------------------------
+    // The funnel-completion face of q459's chain: declaring error and
+    // purchase absorbing, where does each journey END and how long does
+    // it take — fixed-100-step value iteration b <- R + Qb, s <- 1 + Qs
+    // (never a matrix inverse), replayed verbatim by a recursive-CTE
+    // oracle over the 5-state alphabet.
+    "q469_markov_absorption" -> ((s, d) =>
+      graft.operators.Sequences.markovAbsorption(
+        t(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        "user_id", Seq("ts", "event_id"), "event_type",
+        absorbing = Seq("error", "purchase"))
+        .orderBy("state", "absorb")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -1601,5 +1618,95 @@ private[graft] object QueriesPart9 {
          |ORDER BY "group", component""".stripMargin
         .replace("SELECT g, n, CAST(1 AS BIGINT)",
           """SELECT g AS "group", n, CAST(1 AS BIGINT)""")
+    },
+
+    // Markov absorption: the q459 pivot, then a recursive CTE running
+    // the operator's fixed-100-step value iteration b <- R + Qb,
+    // s <- 1 + Qs with the identical left-associated IEEE sequence.
+    "q469_markov_absorption" -> {
+      val full = Seq("click", "error", "purchase", "signup", "view")
+      val k = full.length
+      val tn = Seq("click", "signup", "view") // transient, sorted
+      val an = Seq("error", "purchase") // absorbing, sorted
+      val nT = tn.length
+      // pivot: per transient row, the out total and the counts to each
+      // transient / absorbing target
+      val ocPivot = tn.indices.map(i =>
+        s"""CAST(sum(CASE WHEN "from" = '${tn(i)}' THEN c END) AS BIGINT)
+           |  AS oc$i""".stripMargin).mkString(",\n|    ")
+      val cq = (for (i <- tn.indices; j <- tn.indices) yield
+        s"""CAST(sum(CASE WHEN "from" = '${tn(i)}' AND "to" = '${tn(j)}'
+           |  THEN c END) AS BIGINT) AS cq_${i}_$j""".stripMargin)
+        .mkString(",\n|    ")
+      val cr = (for (i <- tn.indices; a <- an.indices) yield
+        s"""CAST(sum(CASE WHEN "from" = '${tn(i)}' AND "to" = '${an(a)}'
+           |  THEN c END) AS BIGINT) AS cr_${i}_$a""".stripMargin)
+        .mkString(",\n|    ")
+      def prob(cnt: String, i: Int) =
+        s"""CASE WHEN COALESCE(oc$i, 0) = 0 THEN 1.0 / $k
+           |  ELSE CAST(COALESCE($cnt, 0) AS DOUBLE) / CAST(oc$i AS DOUBLE)
+           |  END""".stripMargin
+      val qCols = (for (i <- tn.indices; j <- tn.indices) yield
+        s"${prob(s"cq_${i}_$j", i)} AS q_${i}_$j").mkString(",\n|    ")
+      val rCols = (for (i <- tn.indices; a <- an.indices) yield
+        s"${prob(s"cr_${i}_$a", i)} AS r_${i}_$a").mkString(",\n|    ")
+      val carry = ((for (i <- tn.indices; j <- tn.indices)
+        yield s"q_${i}_$j") ++
+        (for (i <- tn.indices; a <- an.indices) yield s"r_${i}_$a") ++
+        tn.indices.map(i => s"oc$i")).mkString(", ")
+      // CAST: a bare 0.0 literal seeds the recursion as DECIMAL(1,1)
+      // and DuckDB coerces every iteration back to it (1-decimal
+      // rounding per step); the walk must run in DOUBLE throughout
+      val init = (an.indices.flatMap(a => tn.indices.map(i =>
+        s"CAST(0.0 AS DOUBLE) AS b${a}_$i")) ++
+        tn.indices.map(i => s"CAST(0.0 AS DOUBLE) AS s$i"))
+        .mkString(", ")
+      val bNext = an.indices.flatMap(a => tn.indices.map { i =>
+        val terms = tn.indices.map(j => s"q_${i}_$j * b${a}_$j")
+          .mkString(" + ")
+        s"r_${i}_$a + $terms AS __b${a}_$i"
+      })
+      val sNext = tn.indices.map { i =>
+        val terms = tn.indices.map(j => s"q_${i}_$j * s$j").mkString(" + ")
+        s"1.0 + $terms AS __s$i"
+      }
+      val nextCols = (bNext ++ sNext).mkString(",\n|      ")
+      val carryNext = (an.indices.flatMap(a => tn.indices.map(i =>
+        s"__b${a}_$i AS b${a}_$i")) ++
+        tn.indices.map(i => s"__s$i AS s$i")).mkString(", ")
+      val outRows = (for (i <- tn.indices; a <- an.indices) yield
+        s"""SELECT '${tn(i)}' AS state, '${an(a)}' AS absorb,
+           |  COALESCE(oc$i, 0) AS n_out,
+           |  ROUND(b${a}_$i, 7) AS p_absorb, ROUND(s$i, 7) AS steps_exp
+           |FROM fin""".stripMargin).mkString("\n|  UNION ALL\n|")
+      s"""WITH RECURSIVE tr AS (
+         |  SELECT f AS "from", t2 AS "to", count(*) AS c FROM (
+         |    SELECT event_type AS t2,
+         |      lag(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS f
+         |    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |      AND event_type IS NOT NULL)
+         |  WHERE f IS NOT NULL GROUP BY 1, 2),
+         |pm AS (SELECT
+         |    $ocPivot,
+         |    $cq,
+         |    $cr
+         |  FROM tr),
+         |pr AS (SELECT
+         |    $qCols,
+         |    $rCols,
+         |    ${tn.indices.map(i => s"oc$i").mkString(", ")}
+         |  FROM pm),
+         |it AS (
+         |  SELECT 0 AS i, $init, $carry FROM pr
+         |  UNION ALL
+         |  SELECT i + 1, $carryNext, $carry FROM (
+         |    SELECT i,
+         |      $nextCols,
+         |      $carry
+         |    FROM it WHERE i < 100)),
+         |fin AS (SELECT * FROM it WHERE i = 100)
+         |$outRows
+         |ORDER BY state, absorb""".stripMargin
     })
 }

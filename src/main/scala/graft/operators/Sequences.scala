@@ -123,4 +123,109 @@ object Sequences {
       .select(col("state"), col("n_out"),
         round(col("__raw"), 7).as("stationary"))
   }
+
+  /** Absorbing-state analysis of the same bounded Markov chain — the
+    * funnel-completion face of [[markovStationary]]'s k x k matrix:
+    * which terminal state does a journey END in, and how long does it
+    * take? With Q the transient-to-transient and R the transient-to-
+    * absorbing probability blocks,
+    *
+    *   B = N R   (absorption probabilities, N = (I-Q)^{-1})
+    *   s = N 1   (expected steps to absorption)
+    *
+    * computed as PINNED fixed-count value iteration (the q459
+    * discipline — never a matrix inverse, which no SQL engine
+    * replays):
+    *
+    *   b_a <- R(.,a) + Q b_a,   s <- 1 + Q s     (iters steps, from 0)
+    *
+    * each entry's update LEFT-ASSOCIATED in transient-state order, so
+    * the whole walk is a fixed IEEE double sequence a recursive-CTE
+    * oracle replays verbatim. For an absorbing chain the iteration
+    * converges geometrically; `iters` = 100 resolves any plausible
+    * event-funnel chain far past the rounded 7 decimals.
+    *
+    * Conventions: the declared `absorbing` states are absorbing
+    * REGARDLESS of observed outgoing rows (declaration wins — their
+    * outgoing transitions are ignored); transient states with no
+    * outgoing transitions redistribute uniformly over all k states
+    * (the [[markovStationary]] dangling convention); every declared
+    * absorbing state must be OBSERVED in the state column (loud).
+    * State alphabet bounded (<= 64), probed BEFORE any driver collect.
+    *
+    * Returns one row per (transient state x absorbing state, both
+    * lexicographic): (state, absorb, n_out, p_absorb, steps_exp) —
+    * steps_exp repeats across a state's rows (one-table consumption).
+    */
+  def markovAbsorption(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], stateCol: String, absorbing: Seq[String],
+      iters: Int = 100): DataFrame = {
+    require(iters >= 1 && iters <= 10000, s"iters must be in [1, 10000]")
+    require(absorbing.nonEmpty && absorbing.distinct.size == absorbing.size,
+      "absorbing states must be a non-empty distinct list")
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val nonNull = df.where(col(keyCol).isNotNull && col(stateCol).isNotNull)
+    graft.operators.StatTests.requireBoundedDomain(
+      nonNull.select(col(stateCol).cast("string")).distinct(),
+      "Sequences.markovAbsorption (state alphabet past the bounded-matrix " +
+        "contract of 64 — bucket the state column first)", maxDomain = 64L)
+    val trans = nonNull
+      .select(col(stateCol).cast("string").as("to"),
+        lag(col(stateCol).cast("string"), 1).over(w).as("from"))
+      .where(col("from").isNotNull)
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("c"))
+    val rows = trans.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val observed = (rows.keysIterator
+      .flatMap { case (a, b) => Iterator(a, b) } ++
+      Iterator.empty).toSeq.distinct.sorted
+    for (a <- absorbing) require(observed.contains(a),
+      s"absorbing state '$a' not observed in $stateCol")
+    val k = observed.length
+    val absSorted = absorbing.sorted
+    val transient = observed.filterNot(absSorted.contains).sorted
+    import spark.implicits._
+    if (transient.isEmpty)
+      return Seq.empty[(String, String, Long, Double, Double)]
+        .toDF("state", "absorb", "n_out", "p_absorb", "steps_exp")
+    val outCounts = transient.map(t =>
+      observed.map(o => rows.getOrElse((t, o), 0L)).sum)
+    // P(t -> o) over the full alphabet, dangling rows uniform 1/k
+    def p(ti: Int, o: String): Double =
+      if (outCounts(ti) == 0L) 1.0 / k
+      else rows.getOrElse((transient(ti), o), 0L).toDouble /
+        outCounts(ti).toDouble
+    val nT = transient.length
+    val q = Array.tabulate(nT, nT)((i, j) => p(i, transient(j)))
+    val r = Array.tabulate(nT, absSorted.length)((i, a) =>
+      p(i, absSorted(a)))
+    // pinned value iteration: b <- R + Q b, s <- 1 + Q s, from zero
+    var b = Array.fill(absSorted.length, nT)(0.0)
+    var s = Array.fill(nT)(0.0)
+    for (_ <- 1 to iters) {
+      val nb = Array.tabulate(absSorted.length, nT) { (a, i) =>
+        var acc = r(i)(a)
+        var j = 0
+        while (j < nT) { acc += q(i)(j) * b(a)(j); j += 1 }
+        acc
+      }
+      val ns = Array.tabulate(nT) { i =>
+        var acc = 1.0
+        var j = 0
+        while (j < nT) { acc += q(i)(j) * s(j); j += 1 }
+        acc
+      }
+      b = nb; s = ns
+    }
+    val out = for {
+      (t, i) <- transient.zipWithIndex
+      (a, ai) <- absSorted.zipWithIndex
+    } yield (t, a, outCounts(i), b(ai)(i), s(i))
+    out.toDF("state", "absorb", "n_out", "__pb", "__se")
+      .select(col("state"), col("absorb"), col("n_out"),
+        round(col("__pb"), 7).as("p_absorb"),
+        round(col("__se"), 7).as("steps_exp"))
+  }
 }

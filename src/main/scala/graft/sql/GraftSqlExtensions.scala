@@ -79,6 +79,8 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_mde(src_view, 'variant', 'success', 'control' [, z_a, z_b], out_view)
   *   CALL graft_stat_pettitt(src_view, 'group', 'time', 'value', out_view)
   *   CALL graft_stat_markov_stationary(src_view, 'key', 'ord1,ord2', 'state', out_view)
+  *   CALL graft_stat_markov_absorption(src_view, 'key', 'ord1,ord2', 'state', 'abs1,abs2', out_view)
+  *   CALL graft_stat_pca_d(src_view, 'group', 'x1,x2,x3,x4', out_view)
   *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
   *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
   *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
@@ -578,6 +580,12 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
         case "markov_stationary" =>
           graft.operators.Sequences.markovStationary(src, ms(0),
             ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "markov_absorption" =>
+          graft.operators.Sequences.markovAbsorption(src, ms(0),
+            ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
+            ms(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "pca_d" => StatTests.pcaD(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "ess" => Trend.effectiveSampleSize(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
           mi(3))
@@ -611,10 +619,10 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "gwet_ac1, hosmer_lemeshow, jarque_bera, " +
           "isotonic, k_anonymity, kruskal_wallis, ks, kuiper, " +
           "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
-          "mahalanobis_d, mann_kendall, mannwhitney, markov_stationary, " +
-          "mcc, mde, " +
+          "mahalanobis_d, mann_kendall, mannwhitney, markov_absorption, " +
+          "markov_stationary, mcc, mde, " +
           "mood_median, nelson_aalen, " +
-          "ols_multi, partial_corr, pca3, pettitt, poisson_rate, " +
+          "ols_multi, partial_corr, pca3, pca_d, pettitt, poisson_rate, " +
           "precision_at_k, psi, purity, quantile_norm, ratio_ci, " +
           "seasonal_mann_kendall, sprt, srm, stratified_ate, " +
           "target_encode, " +

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 /** Bounded-gap ordered-pair counts: hand stream, gap horizon, per-key
   * isolation.
@@ -56,5 +57,48 @@ class SequencesSpec extends SparkTestBase {
       Sequences.markovStationary(wide, "u", Seq("t"), "st")
     }
     assert(e.getMessage.contains("bounded-matrix"), e.getMessage)
+  }
+
+  test("markovAbsorption: gambler split, two-hop chain, declaration wins") {
+    // one-step gambler: from m, half the journeys end L, half end W
+    val gambler = Seq((1L, 1L, "m"), (1L, 2L, "L"), (2L, 1L, "m"),
+      (2L, 2L, "W")).toDF("k", "t", "st")
+    val g = Sequences.markovAbsorption(gambler, "k", Seq("t"), "st",
+      Seq("L", "W")).orderBy("absorb").collect()
+    assert(g.length == 2)
+    assert(g.map(_.getString(1)).toSeq == Seq("L", "W"))
+    g.foreach { r =>
+      assert(r.getString(0) == "m" && r.getDouble(3) == 0.5 &&
+        r.getDouble(4) == 1.0, r)
+    }
+    // two-hop: a -> b -> W always; steps(a) = 2, steps(b) = 1, p = 1
+    val chain = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "W"),
+      (2L, 1L, "b"), (2L, 2L, "W")).toDF("k", "t", "st")
+    val c = Sequences.markovAbsorption(chain, "k", Seq("t"), "st", Seq("W"))
+      .orderBy("state").collect()
+    assert(c.length == 2)
+    assert(c(0).getString(0) == "a" && c(0).getDouble(3) == 1.0 &&
+      c(0).getDouble(4) == 2.0, c(0))
+    assert(c(1).getString(0) == "b" && c(1).getDouble(3) == 1.0 &&
+      c(1).getDouble(4) == 1.0, c(1))
+    // declaration wins: W's observed outgoing row is ignored
+    val leaky = chain.union(Seq((3L, 1L, "W"), (3L, 2L, "a"))
+      .toDF("k", "t", "st"))
+    val l = Sequences.markovAbsorption(leaky, "k", Seq("t"), "st", Seq("W"))
+      .orderBy("state").collect()
+    assert(l(0).getDouble(3) == 1.0 && l(1).getDouble(3) == 1.0, l.toSeq)
+    // an undeclared-unobserved absorbing state is loud
+    val e = intercept[IllegalArgumentException] {
+      Sequences.markovAbsorption(chain, "k", Seq("t"), "st", Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+    // the state-alphabet guard probes BEFORE collecting (the q459 fix)
+    val wide = spark.range(650)
+      .select((col("id") % 10L).as("k"), col("id").as("t"),
+        concat(lit("s"), col("id") % 65L).as("st"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sequences.markovAbsorption(wide, "k", Seq("t"), "st", Seq("s0"))
+    }
+    assert(e2.getMessage.contains("markovAbsorption"))
   }
 }

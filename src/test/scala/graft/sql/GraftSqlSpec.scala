@@ -370,6 +370,12 @@ class GraftSqlSpec extends SparkTestBase {
     parity("CALL graft_stat_markov_stationary(sqlstat_src, 't', 't,g', 'g', st_mk2)",
       "st_mk2",
       graft.operators.Sequences.markovStationary(src, "t", Seq("t", "g"), "g"))
+    parity("CALL graft_stat_markov_absorption(sqlstat_src, 't', 't,g', 'g', 'a', st_mab)",
+      "st_mab",
+      graft.operators.Sequences.markovAbsorption(src, "t", Seq("t", "g"),
+        "g", Seq("a")))
+    parity("CALL graft_stat_pca_d(sqlstat_src, 'g', 'v,t', st_pcd)",
+      "st_pcd", StatTests.pcaD(src, "g", Seq("v", "t")))
     parity("CALL graft_stat_ess(sqlstat_src, 'g', 't', 'v', 3, st_ess)",
       "st_ess", Trend.effectiveSampleSize(src, "g", Seq("t"), "v", 3))
     parity("CALL graft_stat_gumbel(sqlstat_src, 'g', 't', 'v', st_gum)",
