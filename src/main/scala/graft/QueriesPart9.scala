@@ -453,7 +453,77 @@ private[graft] object QueriesPart9 {
             col("event_type")),
         "user_id", Seq("ts", "event_id"), "event_type",
         absorbing = Seq("error", "purchase"))
-        .orderBy("state", "absorb")))
+        .orderBy("state", "absorb")),
+
+    // --- 470. partial autocorrelation, oracle-pinned ------------------------------------------------------------
+    // The AR-order readout beside q324's ACF: Durbin-Levinson unrolled
+    // over the PUBLISHED round-7 r values, every sum a pinned
+    // subtraction chain — the oracle emits the identical recursion.
+    "q470_pacf" -> ((s, d) =>
+      graft.operators.Trend.pacf(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value")).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v", maxLag = 4)
+        .orderBy("group", "lag")),
+
+    // --- 471. variance-ratio test, oracle-pinned ----------------------------------------------------------------
+    // Lo-MacKinlay random-walk diagnostic at q=4 on each event type's
+    // value series: exact difference sufficient statistics, pinned VR
+    // and homoskedastic z.
+    "q471_variance_ratio" -> ((s, d) =>
+      graft.operators.Trend.varianceRatio(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value")).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v", q = 4)
+        .orderBy("group")),
+
+    // --- 472. Cox-Stuart trend test, oracle-pinned --------------------------------------------------------------
+    // The assumption-free drift gate: first-vs-second-half sign pairs
+    // via a row-number equi-join (never a whole-group window).
+    "q472_cox_stuart" -> ((s, d) =>
+      graft.operators.Trend.coxStuart(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value")).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
+    // --- 473. KPSS level statistic, oracle-pinned ---------------------------------------------------------------
+    // Stationarity-null diagnostic: exact n-scaled demeaned partial
+    // sums (the cusum device), S_t^2 on the 1e4 grid, one division.
+    "q473_kpss" -> ((s, d) =>
+      graft.operators.Trend.kpssLevel(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value")).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
+    // --- 474. Spiegelhalter calibration Z, oracle-pinned --------------------------------------------------------
+    // The unbinned calibration test on q448's synthetic classifier:
+    // both sums exact integers in milli units, one pinned division.
+    "q474_spiegelhalter" -> ((s, d) => {
+      val y = (col("doc_id") * 13 % 100) < 40
+      val scored = t(s, d, "documents").select(
+        y.as("y"),
+        when(y, lit(500L) + col("doc_id") % 500)
+          .otherwise(col("doc_id") % 600).as("p"))
+      graft.functions.Eval.spiegelhalterZ(scored, "p", "y")
+    }),
+
+    // --- 475. permutation entropy, oracle-pinned ----------------------------------------------------------------
+    // Bandt-Pompe ordinal complexity (m=3) of each event type's value
+    // series: integer pattern ranks, the q244 integer-argument ln
+    // device, micro-quantized c*ln(c) fold.
+    "q475_perm_entropy" -> ((s, d) =>
+      graft.operators.Trend.permutationEntropy(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value")).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -1708,5 +1778,219 @@ private[graft] object QueriesPart9 {
          |fin AS (SELECT * FROM it WHERE i = 100)
          |$outRows
          |ORDER BY state, absorb""".stripMargin
+    },
+
+    // PACF: the q460 exact ACF sufficient statistics give the PUBLISHED
+    // round-7 r values; Durbin-Levinson is then emitted UNROLLED with
+    // the operator's own subtraction-chain association.
+    "q470_pacf" -> {
+      val maxLag = 4
+      val lagCols = (1 to maxLag).map(kk =>
+        s"""lag(v, $kk) OVER (PARTITION BY g ORDER BY ts, event_id)
+           |  AS l$kk""".stripMargin).mkString(",\n|    ")
+      val lagAggs = (1 to maxLag).map(kk =>
+        s"""CAST(sum(v * l$kk) AS HUGEINT) AS c$kk,
+           |    CAST(sum(CASE WHEN l$kk IS NOT NULL THEN v END) AS HUGEINT)
+           |      AS s1_$kk,
+           |    CAST(sum(l$kk) AS HUGEINT) AS s2_$kk""".stripMargin)
+        .mkString(",\n|    ")
+      def m = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+      def rK(kk: Int) =
+        s"""ROUND(CASE WHEN n > $kk AND
+           |    (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * $m * $m) > 0.0 THEN
+           |  (CAST(c$kk AS DOUBLE) - $m * CAST(s1_$kk + s2_$kk AS DOUBLE)
+           |   + CAST(n - $kk AS DOUBLE) * $m * $m)
+           |  / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * $m * $m)
+           |END, 7)""".stripMargin
+      // Durbin-Levinson levels, mirroring the withColumn chain
+      val levels = (2 to maxLag).map { k =>
+        val den = (1 until k).map(j => s" - p_${k - 1}_$j * r$j")
+          .mkString
+        val num = (1 until k).map(j => s" - p_${k - 1}_$j * r${k - j}")
+          .mkString
+        val pkj = (1 until k).map(j =>
+          s"p_${k - 1}_$j - p_${k}_$k * p_${k - 1}_${k - j} AS p_${k}_$j")
+          .mkString(", ")
+        s"""lvl${k}a AS (SELECT *, 1.0$den AS den_$k FROM lvl${k - 1}),
+           |lvl${k}b AS (SELECT *, CASE WHEN den_$k <> 0.0
+           |  THEN (r$k$num) / den_$k END AS p_${k}_$k FROM lvl${k}a),
+           |lvl$k AS (SELECT *, $pkj FROM lvl${k}b)""".stripMargin
+      }.mkString(",\n|")
+      val outRows = (1 to maxLag).map(k =>
+        s"""SELECT g AS "group", $k AS lag, n,
+           |  ROUND(p_${k}_$k, 7) AS pacf FROM lvl$maxLag""".stripMargin)
+        .mkString("\n|  UNION ALL\n|")
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id,
+         |    CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |lagged AS (SELECT g, v,
+         |    $lagCols
+         |  FROM e),
+         |a AS (SELECT g, count(*) AS n, CAST(sum(v) AS HUGEINT) AS s,
+         |    CAST(sum(v * v) AS HUGEINT) AS q,
+         |    $lagAggs
+         |  FROM lagged GROUP BY 1),
+         |rs AS (SELECT g, n,
+         |    ${(1 to maxLag).map(k => s"${rK(k)} AS r$k")
+             .mkString(",\n|    ")}
+         |  FROM a),
+         |lvl1 AS (SELECT *, r1 AS p_1_1 FROM rs),
+         |$levels
+         |$outRows
+         |ORDER BY "group", lag""".stripMargin
+    },
+
+    // variance ratio at q=4: exact overlapping-difference statistics,
+    // pinned VR and homoskedastic z.
+    "q471_variance_ratio" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |lagged AS (SELECT g, v,
+        |    lag(v, 1) OVER (PARTITION BY g ORDER BY ts, event_id) AS l1,
+        |    lag(v, 4) OVER (PARTITION BY g ORDER BY ts, event_id) AS l4
+        |  FROM e),
+        |a AS (SELECT g, count(*) AS n,
+        |    count(l1) AS n1,
+        |    CAST(sum(v - l1) AS HUGEINT) AS s1,
+        |    CAST(sum((v - l1) * (v - l1)) AS HUGEINT) AS q1,
+        |    count(l4) AS nq,
+        |    CAST(sum(v - l4) AS HUGEINT) AS sq,
+        |    CAST(sum((v - l4) * (v - l4)) AS HUGEINT) AS qq
+        |  FROM lagged GROUP BY 1),
+        |k AS (SELECT g, n, nq,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS var1,
+        |    (CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+        |      / CAST(nq AS DOUBLE)) / CAST(nq AS DOUBLE) AS varq,
+        |    n1 FROM a)
+        |SELECT g AS "group", n, nq AS n_q,
+        |  ROUND(CASE WHEN n1 > 0 AND nq > 0 AND var1 > 0.0
+        |    THEN (varq / 4.0) / var1 END, 7) AS vr,
+        |  ROUND(CASE WHEN n1 > 0 AND nq > 0 AND var1 > 0.0
+        |    THEN ((varq / 4.0) / var1 - 1.0)
+        |      * sqrt(12.0 * CAST(n1 AS DOUBLE) / 42.0) END, 7) AS z
+        |FROM k ORDER BY "group"""".stripMargin,
+
+    // Cox-Stuart: first-vs-second-half sign pairs by row-number join.
+    "q472_cox_stuart" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rn AS (SELECT g, v, row_number()
+        |    OVER (PARTITION BY g ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |tot AS (SELECT g, count(*) AS n FROM e GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.g, t.n, a.v AS x1, b.v AS x2
+        |  FROM rn a JOIN tot t ON a.g = t.g
+        |  JOIN rn b ON a.g = b.g AND b.rn = a.rn + (t.n + 1) // 2
+        |  WHERE a.rn <= t.n // 2),
+        |agg AS (SELECT g, max(n) AS n, count(*) AS n_pairs,
+        |    count(CASE WHEN x2 > x1 THEN 1 END) AS n_pos,
+        |    count(CASE WHEN x2 < x1 THEN 1 END) AS n_neg
+        |  FROM pairs GROUP BY 1)
+        |SELECT g AS "group", n, n_pairs, n_pos, n_neg,
+        |  ROUND(CASE WHEN n_pos + n_neg > 0 THEN
+        |    CAST(n_pos - n_neg AS DOUBLE)
+        |      / sqrt(CAST(n_pos + n_neg AS DOUBLE)) END, 7) AS z
+        |FROM agg ORDER BY "group"""".stripMargin,
+
+    // KPSS level: exact n-scaled partial sums, S_t^2 on the 1e4 grid.
+    "q473_kpss" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cum AS (SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+        |      AS BIGINT) AS t,
+        |    CAST(sum(v) OVER (PARTITION BY g ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM e),
+        |tot AS (SELECT g, count(*) AS n, CAST(sum(v) AS HUGEINT) AS s,
+        |    CAST(sum(v * v) AS HUGEINT) AS q
+        |  FROM e GROUP BY 1),
+        |terms AS (SELECT cum.g, t2.n, t2.s, t2.q,
+        |    CAST(floor(
+        |      (CAST(CAST(t2.n AS HUGEINT) * CAST(cum.c AS HUGEINT)
+        |         - CAST(cum.t AS HUGEINT) * t2.s AS DOUBLE)
+        |       / CAST(t2.n AS DOUBLE))
+        |      * (CAST(CAST(t2.n AS HUGEINT) * CAST(cum.c AS HUGEINT)
+        |         - CAST(cum.t AS HUGEINT) * t2.s AS DOUBLE)
+        |       / CAST(t2.n AS DOUBLE)) * 1e4) AS BIGINT) AS q4
+        |  FROM cum JOIN tot t2 ON cum.g = t2.g),
+        |agg AS (SELECT g, max(n) AS n, max(s) AS s, max(q) AS q,
+        |    CAST(sum(q4) AS HUGEINT) AS ssum4
+        |  FROM terms GROUP BY 1)
+        |SELECT g AS "group", n,
+        |  ROUND(CASE WHEN n >= 2 AND
+        |    CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) > 0.0 THEN
+        |    (CAST(ssum4 AS DOUBLE) / 1e4)
+        |      / CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) END, 7)
+        |    AS eta
+        |FROM agg ORDER BY "group"""".stripMargin,
+
+    // Spiegelhalter Z: both sums exact integers in milli units.
+    "q474_spiegelhalter" ->
+      """WITH scored AS (
+        |  SELECT (doc_id * 13 % 100) < 40 AS y,
+        |    CASE WHEN (doc_id * 13 % 100) < 40
+        |      THEN 500 + doc_id % 500 ELSE doc_id % 600 END AS p
+        |  FROM documents),
+        |a AS (SELECT count(*) AS n,
+        |    CAST(sum((CASE WHEN y THEN 1000 ELSE 0 END - p)
+        |      * (1000 - 2 * p)) AS HUGEINT) AS z_num,
+        |    CAST(sum((1000 - 2 * p) * (1000 - 2 * p) * p * (1000 - p))
+        |      AS HUGEINT) AS z_var
+        |  FROM scored)
+        |SELECT n, CAST(z_num AS DOUBLE) AS z_num,
+        |  CAST(z_var AS DOUBLE) AS z_var,
+        |  ROUND(CASE WHEN CAST(z_var AS DOUBLE) > 0.0 THEN
+        |    (CAST(z_num AS DOUBLE) / 1e6)
+        |      / sqrt(CAST(z_var AS DOUBLE) / 1e12) END, 7) AS z
+        |FROM a""".stripMargin,
+
+    // permutation entropy m=3: integer ordinal ranks, the q244
+    // integer-argument ln device, micro-quantized c*ln(c) fold.
+    "q475_perm_entropy" -> {
+      val ln6 = math.log(6.0).toString
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id,
+         |    CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |lagged AS (SELECT g, v AS c3,
+         |    lag(v, 2) OVER (PARTITION BY g ORDER BY ts, event_id) AS a3,
+         |    lag(v, 1) OVER (PARTITION BY g ORDER BY ts, event_id) AS b3
+         |  FROM e),
+         |pats AS (SELECT g,
+         |    CAST(CASE WHEN NOT (a3 < b3 OR a3 = b3) THEN 1 ELSE 0 END
+         |       + CASE WHEN NOT (a3 < c3 OR a3 = c3) THEN 1 ELSE 0 END
+         |       AS VARCHAR)
+         |    || CAST(CASE WHEN (a3 < b3 OR a3 = b3) THEN 1 ELSE 0 END
+         |       + CASE WHEN NOT (b3 < c3 OR b3 = c3) THEN 1 ELSE 0 END
+         |       AS VARCHAR)
+         |    || CAST(CASE WHEN (a3 < c3 OR a3 = c3) THEN 1 ELSE 0 END
+         |       + CASE WHEN (b3 < c3 OR b3 = c3) THEN 1 ELSE 0 END
+         |       AS VARCHAR) AS pattern
+         |  FROM lagged WHERE a3 IS NOT NULL),
+         |census AS (SELECT g, pattern, count(*) AS c
+         |  FROM pats GROUP BY 1, 2),
+         |agg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_windows,
+         |    count(*) AS n_patterns,
+         |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |      * 1e6) AS BIGINT)) AS HUGEINT) AS tsum6
+         |  FROM census GROUP BY 1)
+         |SELECT g AS "group", n_windows, n_patterns,
+         |  ROUND(ln(CAST(n_windows AS DOUBLE))
+         |    - (CAST(tsum6 AS DOUBLE) / 1e6) / CAST(n_windows AS DOUBLE),
+         |    7) AS h,
+         |  ROUND((ln(CAST(n_windows AS DOUBLE))
+         |    - (CAST(tsum6 AS DOUBLE) / 1e6) / CAST(n_windows AS DOUBLE))
+         |    / $ln6, 7) AS h_norm
+         |FROM agg ORDER BY "group"""".stripMargin
     })
 }

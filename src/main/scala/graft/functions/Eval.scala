@@ -326,6 +326,51 @@ object Eval {
           col("qsum").cast("double") / lit(1e6)), 7).as("hl_chi2"))
   }
 
+  /** Spiegelhalter's Z calibration test over milli probabilities — the
+    * UNBINNED calibration significance readout beside [[hosmerLemeshow]]
+    * (no bin choice to argue about): under perfect calibration the
+    * Brier score's conditional expectation is met exactly, and
+    *
+    *   Z = sum (y - p)(1 - 2p) / sqrt(sum (1 - 2p)^2 p (1 - p)).
+    *
+    * EXACTNESS: in milli units both sums clear their denominators —
+    * numerator 1e6 * num = sum (1000y - p)(1000 - 2p) and variance
+    * 1e12 * var = sum (1000 - 2p)^2 p (1000 - p) are EXACT
+    * DECIMAL(38,0) integer sums — so Z = (num_int/1e6) /
+    * sqrt(var_int/1e12) is one pinned double expression, rounded at 7.
+    * Null rows drop; out-of-range p_milli throws (the shared milli
+    * contract). Null z when the variance is zero (every p in {0,1000}).
+    *
+    * Scale shape: ONE map-side-combining global aggregate — three
+    * numbers are the entire shuffle.
+    *
+    * Returns one row (n, z_num, z_var, z).
+    */
+  def spiegelhalterZ(df: DataFrame, probMilliCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val p = col(probMilliCol).cast("long")
+    val y = when(col(labelCol), 1000L).otherwise(0L)
+    val pg = when(p.between(0L, 1000L), p).otherwise(raise_error(
+      format_string("Eval.spiegelhalterZ: p_milli %s outside [0, 1000] " +
+        "(the milli probability contract)", p)))
+    val slim = df
+      .where(col(probMilliCol).isNotNull && col(labelCol).isNotNull)
+      .select((y - pg).as("d"), (lit(1000L) - lit(2L) * pg).as("w"),
+        pg.as("p"))
+    val agg = slim.agg(count(lit(1)).as("n"),
+      sum((col("d") * col("w")).cast(dec)).as("z_num"),
+      sum((col("w") * col("w") * col("p") * (lit(1000L) - col("p")))
+        .cast(dec)).as("z_var"))
+    // the exact sums are published as doubles (one rounding each — the
+    // cross-engine-portable width for magnitudes past BIGINT)
+    agg.select(col("n"), col("z_num").cast("double").as("z_num"),
+      col("z_var").cast("double").as("z_var"),
+      round(when(col("z_var").cast("double") > 0.0,
+        (col("z_num").cast("double") / lit(1e6)) /
+          sqrt(col("z_var").cast("double") / lit(1e12))), 7).as("z"))
+  }
+
   /** Murphy decomposition of the Brier score over the shared milli-
     * probability bins — WHERE does a classifier's Brier loss come
     * from:

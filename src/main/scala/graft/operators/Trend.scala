@@ -1034,4 +1034,273 @@ object Trend {
         lit(null).cast("double").as("p_approx"))
     top.unionByName(short)
   }
+
+  /** Partial autocorrelation per group for lags 1..maxLag — the AR-order
+    * identification readout beside [[autocorrelation]] (ACF says "is
+    * there memory"; PACF says "how many AR terms explain it"): the
+    * Durbin-Levinson recursion over the PUBLISHED round-7 ACF values,
+    *
+    *   phi_{k,k} = (r_k - sum_j phi_{k-1,j} r_{k-j})
+    *             / (1 - sum_j phi_{k-1,j} r_j),
+    *   phi_{k,j} = phi_{k-1,j} - phi_{k,k} phi_{k-1,k-j},
+    *
+    * unrolled for the FIXED maxLag as pinned column expressions (every
+    * sum left-associated in j order, subtraction-chain form), so the
+    * whole recursion is a deterministic IEEE sequence over the rounded
+    * r's that an independent SQL emission replays bit-for-bit. The
+    * round-7 quantization boundary is [[autocorrelation]]'s own
+    * published contract — PACF consumes the operator's output, not a
+    * private intermediate. maxLag <= 8 keeps the unrolled expression
+    * tree small. Null pacf propagates from null r (n <= k, zero
+    * variance) or a zero Durbin-Levinson denominator.
+    *
+    * Returns (group, lag, n, pacf).
+    */
+  def pacf(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8,
+      s"maxLag must be in [1, 8] (unrolled recursion), got $maxLag")
+    val acf = autocorrelation(df, groupCol, orderCols, valueCol, maxLag)
+    val aggs = max(col("n")).as("n") +: (1 to maxLag).map(k =>
+      max(when(col("lag") === k, col("r"))).as(s"r$k"))
+    val piv = acf.groupBy(col("group")).agg(aggs.head, aggs.tail: _*)
+    var d = piv.withColumn("p_1_1", col("r1"))
+    for (k <- 2 to maxLag) {
+      val den = (1 until k).map(j => col(s"p_${k - 1}_$j") * col(s"r$j"))
+        .foldLeft(lit(1.0))(_ - _)
+      val num = (1 until k)
+        .map(j => col(s"p_${k - 1}_$j") * col(s"r${k - j}"))
+        .foldLeft(col(s"r$k"))(_ - _)
+      d = d.withColumn(s"__den_$k", den)
+        .withColumn(s"p_${k}_$k",
+          when(col(s"__den_$k") =!= 0.0, num / col(s"__den_$k")))
+      for (j <- 1 until k)
+        d = d.withColumn(s"p_${k}_$j",
+          col(s"p_${k - 1}_$j") - col(s"p_${k}_$k") * col(s"p_${k - 1}_${k - j}"))
+    }
+    val entries = (1 to maxLag).map(k =>
+      struct(lit(k).as("lag"), round(col(s"p_${k}_$k"), 7).as("pacf")))
+    d.select(col("group"), col("n"), explode(array(entries: _*)).as("e"))
+      .select(col("group"), col("e.lag").as("lag"), col("n"),
+        col("e.pacf").as("pacf"))
+  }
+
+  /** Lo-MacKinlay variance-ratio test per group — the random-walk
+    * diagnostic (VR ~ 1 under a random walk; < 1 mean reversion, > 1
+    * momentum): with overlapping 1- and q-period differences of the
+    * INTEGRAL series,
+    *
+    *   VR(q) = (Var_q / q) / Var_1,
+    *   z = (VR - 1) * sqrt(3 q n1 / (2 (2q-1) (q-1)))
+    *
+    * where Var_j is the mean-corrected population variance of the
+    * j-period differences ((Q_j - S_j^2/n_j) / n_j over exact
+    * DECIMAL(38,0) sums) and n1 counts 1-period differences — the
+    * homoskedastic form, pinned exactly as written. Null when either
+    * difference set is empty, Var_1 <= 0, or n <= q.
+    *
+    * Scale shape: distributed lags ([[PrefixScan]]) + one combining
+    * groupBy — six exact numbers per group.
+    *
+    * Returns (group, n, n_q, vr, z).
+    */
+  def varianceRatio(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String, q: Int): DataFrame = {
+    require(q >= 2 && q <= 16, s"q must be in [2, 16], got $q")
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
+        orderCols.map(col)): _*)
+    val lagged = PrefixScan.withLags(base, "group", orderCols, "x", q,
+      j => s"__l$j")
+    val d1 = col("x") - col("__l1")
+    val dq = col("x") - col(s"__l$q")
+    val g = lagged.groupBy(col("group")).agg(
+      count(lit(1)).as("n"),
+      count(col("__l1")).as("n1"),
+      sum(d1.cast(dec)).as("s1"), sum((d1 * d1).cast(dec)).as("q1"),
+      count(col(s"__l$q")).as("nq"),
+      sum(dq.cast(dec)).as("sq"), sum((dq * dq).cast(dec)).as("qq"))
+    def dd(c: String) = col(c).cast("double")
+    val var1 = (dd("q1") - dd("s1") * dd("s1") / dd("n1")) / dd("n1")
+    val varq = (dd("qq") - dd("sq") * dd("sq") / dd("nq")) / dd("nq")
+    val vr = (varq / lit(q.toDouble)) / var1
+    val zden = sqrt(lit(3.0 * q) * dd("n1") /
+      lit(2.0 * (2 * q - 1) * (q - 1)))
+    val ok = col("n1") > 0L && col("nq") > 0L && var1 > 0.0
+    g.select(col("group"), col("n"), col("nq").as("n_q"),
+      round(when(ok, vr), 7).as("vr"),
+      round(when(ok, (vr - lit(1.0)) * zden), 7).as("z"))
+  }
+
+  /** Cox-Stuart trend test per group — the sign test on first-vs-second
+    * half pairs (the assumption-free "is it drifting at all" gate
+    * before fitting [[ols]]): pair x_i with x_{i+c}, c = ceil(n/2),
+    * for i = 1..floor(n/2) (odd-length series drop the middle
+    * element); count increases vs decreases (ties drop), and
+    *
+    *   z = (n_pos - n_neg) / sqrt(n_pos + n_neg).
+    *
+    * Exactness: the pairing is an equi-join on the [[PrefixScan]] row
+    * number (never a whole-group window), counts are exact, z is one
+    * pinned expression rounded at 7; null z when every pair ties.
+    *
+    * Returns (group, n, n_pairs, n_pos, n_neg, z).
+    */
+  def coxStuart(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val slim = df.select(
+      (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
+        orderCols.map(col)): _*)
+      .where(col("x").isNotNull)
+    val scanned = PrefixScan.withRowNumberAndSums(slim, "group",
+      orderCols, Seq.empty, rnName = "__rn")
+    val tot = slim.groupBy(col("group").as("__tg"))
+      .agg(count(lit(1)).as("n"))
+    // floor-division in LONGs (Spark's / on integral Columns is double
+    // division): c = ceil(n/2) = (n+1) div 2, half = n div 2
+    val c = floor((col("n").cast("double") + lit(1.0)) / lit(2.0))
+      .cast("long")
+    val half = floor(col("n").cast("double") / lit(2.0)).cast("long")
+    val firstHalf = scanned.join(tot, col("group") <=> col("__tg"))
+      .where(col("__rn") <= half)
+      .select(col("group"), col("n"), (col("__rn") + c).as("__mate"),
+        col("x").as("x1"))
+    val secondHalf = scanned.select(col("group").as("__g2"),
+      col("__rn").as("__rn2"), col("x").as("x2"))
+    val pairs = firstHalf.join(secondHalf,
+      col("group") <=> col("__g2") && col("__mate") === col("__rn2"))
+    val agg = pairs.groupBy(col("group")).agg(
+      max(col("n")).as("n"),
+      count(lit(1)).as("n_pairs"),
+      count(when(col("x2") > col("x1"), 1)).as("n_pos"),
+      count(when(col("x2") < col("x1"), 1)).as("n_neg"))
+    val m = (col("n_pos") + col("n_neg")).cast("double")
+    agg.select(col("group"), col("n"), col("n_pairs"), col("n_pos"),
+      col("n_neg"),
+      round(when(m > 0.0,
+        (col("n_pos") - col("n_neg")).cast("double") / sqrt(m)), 7)
+        .as("z"))
+  }
+
+  /** KPSS level-stationarity statistic per group (Kwiatkowski et al.
+    * 1992, lag-0 long-run variance — the stationarity NULL beside the
+    * unit-root alternatives): with S_t the demeaned partial sums,
+    *
+    *   eta = sum_t S_t^2 / (n^2 * sbar^2),   sbar^2 = sum (x - mean)^2 / n
+    *
+    * computed on the engine's integer grid: n*S_t = n*cum_t - t*S is an
+    * exact DECIMAL(38,0) ([[cusumChangepoint]]'s device), S_t one
+    * pinned division, and each S_t^2 is quantized floor(S_t^2 * 1e4)
+    * into an order-independent exact sum (the q358 grid at 1e4 — the
+    * per-row term must fit a BIGINT, |S_t| < 3e7; past that the ANSI
+    * overflow is loud, quantize the series coarser). The denominator
+    * n^2*sbar^2 = n*Q - S^2 is exact; eta is ONE pinned division,
+    * rounded at 7. Null for n < 2 or a constant series.
+    *
+    * Scale shape: distributed prefix scan for the cumsum
+    * ([[PrefixScan]]) + one combining groupBy.
+    *
+    * Returns (group, n, eta).
+    */
+  def kpssLevel(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val slim = df.select(
+      (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
+        orderCols.map(col)): _*)
+      .where(col("x").isNotNull)
+    val scanned = PrefixScan.withRowNumberAndSums(slim, "group",
+      orderCols, Seq("__cum" -> col("x")), rnName = "__t")
+    val tot = slim.groupBy(col("group").as("__tg")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum((col("x") * col("x")).cast(dec)).as("q"))
+    val st = (col("n").cast(dec) * col("__cum").cast(dec) -
+      col("__t").cast(dec) * col("s").cast(dec)).cast("double") /
+      col("n").cast("double")
+    val term = floor(st * st * lit(1e4)).cast("long")
+    val agg = scanned.join(tot, col("group") <=> col("__tg"))
+      .select(col("group"), col("n"), col("s"), col("q"), term.as("__q4"))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+        max(col("q")).as("q"), sum(col("__q4").cast(dec)).as("ssum4"))
+    val den = (col("n").cast(dec) * col("q") -
+      col("s").cast(dec) * col("s").cast(dec)).cast("double")
+    agg.select(col("group"), col("n"),
+      round(when(col("n") >= 2L && den > 0.0,
+        (col("ssum4").cast("double") / lit(1e4)) / den), 7).as("eta"))
+  }
+
+  /** Permutation entropy per group (Bandt-Pompe 2002, order m = 3) —
+    * the model-free complexity readout of a series: classify every
+    * (x_{t-2}, x_{t-1}, x_t) window by its ordinal pattern (ties break
+    * by POSITION, earlier index first — the standard stable
+    * convention), then
+    *
+    *   H = ln(N) - sum_p c_p ln(c_p) / N,   h_norm = H / ln(6)
+    *
+    * over the exact pattern census. Exactness: pattern ranks are pure
+    * integer comparisons; every ln() argument is an integer count (the
+    * q244 entropy device) and each c*ln(c) term is quantized
+    * floor(x * 1e6) into an order-independent exact sum; H and h_norm
+    * are pinned divisions (ln(6) is embedded as one literal), rounded
+    * at 7.
+    *
+    * Scale shape: distributed lags ([[PrefixScan]]) + one combining
+    * groupBy on (group, pattern) — at most 6 rows per group.
+    *
+    * Returns (group, n_windows, n_patterns, h, h_norm).
+    */
+  def permutationEntropy(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val base = df.select(
+      (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
+        orderCols.map(col)): _*)
+      .where(col("x").isNotNull)
+    val lagged = PrefixScan.withLags(base, "group", orderCols, "x", 2,
+      j => s"__l$j")
+    // window (a, b, c) = (lag2, lag1, x); "u precedes v" with the
+    // positional tie-break; rank = how many elements precede it
+    val a = col("__l2"); val b = col("__l1"); val c = col("x")
+    val ab = a < b || (a === b) // position 0 before 1 on ties
+    val ac = a < c || (a === c)
+    val bc = b < c || (b === c)
+    def b2i(x: Column): Column = when(x, 1).otherwise(0)
+    val pattern = concat(
+      (b2i(!ab) + b2i(!ac)).cast("string"),
+      (b2i(ab) + b2i(!bc)).cast("string"),
+      (b2i(ac) + b2i(bc)).cast("string"))
+    val census = lagged.where(col("__l2").isNotNull)
+      .groupBy(col("group"), pattern.as("pattern"))
+      .agg(count(lit(1)).as("c"))
+    val term = floor(col("c").cast("double") *
+      log(col("c").cast("double")) * lit(1e6)).cast("long")
+    val agg = census
+      .select(col("group"), col("c"), term.as("__t6"))
+      .groupBy(col("group"))
+      .agg(sum(col("c")).as("n_windows"), count(lit(1)).as("n_patterns"),
+        sum(col("__t6").cast("decimal(38,0)")).as("tsum6"))
+    val nD = col("n_windows").cast("double")
+    val h = log(nD) - (col("tsum6").cast("double") / lit(1e6)) / nD
+    agg.select(col("group"), col("n_windows"), col("n_patterns"),
+      round(h, 7).as("h"),
+      round(h / lit(math.log(6.0)), 7).as("h_norm"))
+  }
 }

@@ -81,6 +81,12 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_markov_stationary(src_view, 'key', 'ord1,ord2', 'state', out_view)
   *   CALL graft_stat_markov_absorption(src_view, 'key', 'ord1,ord2', 'state', 'abs1,abs2', out_view)
   *   CALL graft_stat_pca_d(src_view, 'group', 'x1,x2,x3,x4', out_view)
+  *   CALL graft_stat_pacf(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
+  *   CALL graft_stat_variance_ratio(src_view, 'group', 'ord1,ord2', 'value', q, out_view)
+  *   CALL graft_stat_cox_stuart(src_view, 'group', 'ord1,ord2', 'value', out_view)
+  *   CALL graft_stat_kpss(src_view, 'group', 'ord1,ord2', 'value', out_view)
+  *   CALL graft_stat_perm_entropy(src_view, 'group', 'ord1,ord2', 'value', out_view)
+  *   CALL graft_stat_spiegelhalter(src_view, 'prob_milli', 'label', out_view)
   *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
   *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
   *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
@@ -586,6 +592,20 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
             ms(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "pca_d" => StatTests.pcaD(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "pacf" => Trend.pacf(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
+          mi(3))
+        case "variance_ratio" => Trend.varianceRatio(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
+          mi(3))
+        case "cox_stuart" => Trend.coxStuart(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "kpss" => Trend.kpssLevel(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "perm_entropy" => Trend.permutationEntropy(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "spiegelhalter" => graft.functions.Eval.spiegelhalterZ(src,
+          ms(0), ms(1))
         case "ess" => Trend.effectiveSampleSize(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
           mi(3))
@@ -613,21 +633,24 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "auc, average_precision, benford, bh_fdr, brier, broken_stick, " +
           "ccf, cmh, " +
           "cohens_d, cohens_h, concordance, " +
-          "conformal, corr_matrix, cramers_v, cronbach, cuped, cusum, " +
+          "conformal, corr_matrix, cox_stuart, cramers_v, cronbach, " +
+          "cuped, cusum, " +
           "durbin_watson, ece, ess, fleiss_kappa, g_test, gini_screen, " +
           "gumbel, " +
           "gwet_ac1, hosmer_lemeshow, jarque_bera, " +
-          "isotonic, k_anonymity, kruskal_wallis, ks, kuiper, " +
+          "isotonic, k_anonymity, kpss, kruskal_wallis, ks, kuiper, " +
           "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
           "mahalanobis_d, mann_kendall, mannwhitney, markov_absorption, " +
           "markov_stationary, mcc, mde, " +
           "mood_median, nelson_aalen, " +
-          "ols_multi, partial_corr, pca3, pca_d, pettitt, poisson_rate, " +
+          "ols_multi, pacf, partial_corr, pca3, pca_d, perm_entropy, " +
+          "pettitt, poisson_rate, " +
           "precision_at_k, psi, purity, quantile_norm, ratio_ci, " +
-          "seasonal_mann_kendall, sprt, srm, stratified_ate, " +
-          "target_encode, " +
+          "seasonal_mann_kendall, spiegelhalter, sprt, srm, " +
+          "stratified_ate, target_encode, " +
           "theil_sen, total_variation, trimmed_mean, turning_points, " +
-          "uncertainty, vmeasure, wasserstein, weighted_kappa, welch, " +
+          "uncertainty, variance_ratio, vmeasure, wasserstein, " +
+          "weighted_kappa, welch, " +
           "wilcoxon, wilson, youden)")
       }
       result.createOrReplaceTempView(view)

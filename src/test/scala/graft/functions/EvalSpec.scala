@@ -355,4 +355,29 @@ class EvalSpec extends SparkTestBase {
       fit(Seq((1001L, true)))
     }
   }
+
+  test("spiegelhalterZ: calibrated mix is exactly 0; miscalibration is sqrt(20)") {
+    // p = 200 milli, observed rate 1/5 -> perfectly calibrated
+    val cal = (Seq.fill(4)((200L, false)) :+ ((200L, true)))
+      .map(t => (t._1, t._2)).toDF("p", "y")
+    val r = graft.functions.Eval.spiegelhalterZ(cal, "p", "y").head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(r.fieldIndex("z")) == 0.0, r)
+    // all-success at p = 200: z = 2.4 / sqrt(0.288) = sqrt(20)
+    val bad = Seq.fill(5)((200L, true)).toDF("p", "y")
+    val b = graft.functions.Eval.spiegelhalterZ(bad, "p", "y").head()
+    val want = BigDecimal(2.4 / math.sqrt(0.288))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(b.getDouble(b.fieldIndex("z")) == want, s"$b vs $want")
+    // degenerate probabilities (all 0/1000) -> zero variance -> null z
+    val degen = Seq((1000L, true), (0L, false)).toDF("p", "y")
+    assert(graft.functions.Eval.spiegelhalterZ(degen, "p", "y")
+      .head().isNullAt(3))
+    // nulls drop; out-of-range throws (the shared milli contract)
+    val e = intercept[Exception] {
+      graft.functions.Eval.spiegelhalterZ(
+        Seq((1500L, true)).toDF("p", "y"), "p", "y").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("1500"))
+  }
 }

@@ -485,4 +485,96 @@ class TrendSpec extends SparkTestBase {
       .toDF("g", "t", "v")
     assert(Trend.brokenStick(tiny, "g", "t", "v").count() == 0L)
   }
+
+  test("pacf: lag 1 equals published r1; lag 2 replays Durbin-Levinson") {
+    val df = Seq.tabulate(12)(i => ("g", (i + 1).toLong, i.toLong,
+      ((i * 7) % 5 + i).toLong)).toDF("g", "t", "id", "v")
+    val acf = Trend.autocorrelation(df, "g", Seq("t", "id"), "v", 2)
+      .collect().map(r => r.getInt(1) -> (if (r.isNullAt(3)) None
+        else Some(r.getDouble(3)))).toMap
+    val p = Trend.pacf(df, "g", Seq("t", "id"), "v", 2)
+      .orderBy("lag").collect()
+    assert(p.length == 2)
+    assert(p(0).getDouble(3) == acf(1).get)
+    val r1 = acf(1).get; val r2 = acf(2).get
+    val want = BigDecimal((r2 - r1 * r1) / (1.0 - r1 * r1))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p(1).getDouble(3) == want, s"${p(1)} vs $want")
+  }
+
+  test("varianceRatio: period-2 series has VR 0 and the pinned z") {
+    val df = Seq.tabulate(9)(i => ("g", (i + 1).toLong, i.toLong,
+      (i % 2).toLong)).toDF("g", "t", "id", "v")
+    val r = Trend.varianceRatio(df, "g", Seq("t", "id"), "v", q = 4).head()
+    assert(r.getDouble(r.fieldIndex("vr")) == 0.0, r)
+    val want = BigDecimal(-math.sqrt(12.0 * 8.0 / 42.0))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(r.fieldIndex("z")) == want, s"$r vs $want")
+    // constant series: var1 = 0 -> null
+    val const = Seq.tabulate(9)(i => ("g", (i + 1).toLong, i.toLong, 5L))
+      .toDF("g", "t", "id", "v")
+    assert(Trend.varianceRatio(const, "g", Seq("t", "id"), "v", 4)
+      .head().isNullAt(3))
+  }
+
+  test("coxStuart: monotone series all-increase; odd n drops the middle") {
+    val df = Seq.tabulate(9)(i => ("g", (i + 1).toLong, i.toLong,
+      (i + 1).toLong)).toDF("g", "t", "id", "v")
+    val r = Trend.coxStuart(df, "g", Seq("t", "id"), "v").head()
+    // n = 9: c = 5, pairs (1,6)..(4,9) -> 4 pairs, middle element 5 dropped
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_pos")) == 4L &&
+      r.getLong(r.fieldIndex("n_neg")) == 0L)
+    val want = BigDecimal(4.0 / math.sqrt(4.0))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(r.fieldIndex("z")) == want, r)
+    // all ties -> null z
+    val ties = Seq.tabulate(8)(i => ("g", (i + 1).toLong, i.toLong, 3L))
+      .toDF("g", "t", "id", "v")
+    assert(Trend.coxStuart(ties, "g", Seq("t", "id"), "v")
+      .head().isNullAt(5))
+  }
+
+  test("kpss: hand two-point case exact; constant series null") {
+    // v = (1, 2): S_1 = -0.5 -> floor(0.25e4) = 2500; S_2 = 0;
+    // den = n*Q - S^2 = 2*5 - 9 = 1 -> eta = 0.25 exactly
+    val df = Seq(("g", 1L, 0L, 1L), ("g", 2L, 1L, 2L))
+      .toDF("g", "t", "id", "v")
+    val r = Trend.kpssLevel(df, "g", Seq("t", "id"), "v").head()
+    assert(r.getDouble(r.fieldIndex("eta")) == 0.25, r)
+    val const = Seq.tabulate(6)(i => ("g", (i + 1).toLong, i.toLong, 4L))
+      .toDF("g", "t", "id", "v")
+    assert(Trend.kpssLevel(const, "g", Seq("t", "id"), "v")
+      .head().isNullAt(2))
+    // a trending series scores far above a stationary alternation
+    val trendy = Seq.tabulate(40)(i => ("g", (i + 1).toLong, i.toLong,
+      (i * 10).toLong)).toDF("g", "t", "id", "v")
+    val alt = Seq.tabulate(40)(i => ("g", (i + 1).toLong, i.toLong,
+      ((i % 2) * 10).toLong)).toDF("g", "t", "id", "v")
+    val etaT = Trend.kpssLevel(trendy, "g", Seq("t", "id"), "v")
+      .head().getDouble(2)
+    val etaA = Trend.kpssLevel(alt, "g", Seq("t", "id"), "v")
+      .head().getDouble(2)
+    assert(etaT > 10 * etaA, s"$etaT vs $etaA")
+  }
+
+  test("permutationEntropy: monotone collapses to one pattern; period-2 splits evenly") {
+    val up = Seq.tabulate(10)(i => ("g", (i + 1).toLong, i.toLong,
+      (i * 3).toLong)).toDF("g", "t", "id", "v")
+    val r = Trend.permutationEntropy(up, "g", Seq("t", "id"), "v").head()
+    assert(r.getLong(r.fieldIndex("n_patterns")) == 1L)
+    assert(math.abs(r.getDouble(r.fieldIndex("h"))) < 1e-6, r)
+    // 0,9,0,9,... -> two patterns, 3 windows each of 6
+    val alt = Seq.tabulate(8)(i => ("g", (i + 1).toLong, i.toLong,
+      ((i % 2) * 9).toLong)).toDF("g", "t", "id", "v")
+    val a = Trend.permutationEntropy(alt, "g", Seq("t", "id"), "v").head()
+    assert(a.getLong(a.fieldIndex("n_windows")) == 6L &&
+      a.getLong(a.fieldIndex("n_patterns")) == 2L, a)
+    val tsum = 2L * math.floor(3.0 * math.log(3.0) * 1e6).toLong
+    val h = math.log(6.0) - (tsum.toDouble / 1e6) / 6.0
+    def r7(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getDouble(a.fieldIndex("h")) == r7(h), a)
+    assert(a.getDouble(a.fieldIndex("h_norm")) == r7(h / math.log(6.0)), a)
+  }
 }

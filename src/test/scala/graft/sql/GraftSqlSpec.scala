@@ -376,6 +376,18 @@ class GraftSqlSpec extends SparkTestBase {
         "g", Seq("a")))
     parity("CALL graft_stat_pca_d(sqlstat_src, 'g', 'v,t', st_pcd)",
       "st_pcd", StatTests.pcaD(src, "g", Seq("v", "t")))
+    parity("CALL graft_stat_pacf(sqlstat_src, 'g', 't', 'v', 2, st_pf)",
+      "st_pf", Trend.pacf(src, "g", Seq("t"), "v", 2))
+    parity("CALL graft_stat_variance_ratio(sqlstat_src, 'g', 't', 'v', 2, st_vr)",
+      "st_vr", Trend.varianceRatio(src, "g", Seq("t"), "v", 2))
+    parity("CALL graft_stat_cox_stuart(sqlstat_src, 'g', 't', 'v', st_cs)",
+      "st_cs", Trend.coxStuart(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_kpss(sqlstat_src, 'g', 't', 'v', st_kp)",
+      "st_kp", Trend.kpssLevel(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_perm_entropy(sqlstat_src, 'g', 't', 'v', st_pe)",
+      "st_pe", Trend.permutationEntropy(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_spiegelhalter(sqlstat_src, 'v', 'y', st_sz)",
+      "st_sz", graft.functions.Eval.spiegelhalterZ(src, "v", "y"))
     parity("CALL graft_stat_ess(sqlstat_src, 'g', 't', 'v', 3, st_ess)",
       "st_ess", Trend.effectiveSampleSize(src, "g", Seq("t"), "v", 3))
     parity("CALL graft_stat_gumbel(sqlstat_src, 'g', 't', 'v', st_gum)",
