@@ -523,7 +523,66 @@ private[graft] object QueriesPart9 {
           .select(col("event_type"), col("ts"), col("event_id"),
             floor(col("value")).cast("long").as("v")),
         "event_type", Seq("ts", "event_id"), "v")
-        .orderBy("group")))
+        .orderBy("group")),
+
+    // --- 476. ERR@k, oracle-pinned -------------------------------------------------------------------------------
+    // The graded cascade metric beside q300's NDCG: exact dyadic
+    // relevance gains (bit shift, never pow), per-query rank-order
+    // fold; the oracle replays the fold as a rank-indexed recursive
+    // CTE.
+    "q476_err" -> ((s, d) =>
+      graft.functions.Eval.errAtK(
+        t(s, d, "documents").select(
+          (col("doc_id") % 50).as("q"),
+          col("doc_id").as("doc"),
+          (col("doc_id") * 7 % 5).as("rel"),
+          (col("doc_id") * 13 % 997).as("score")),
+        "q", "doc", "rel", "score", k = 5)
+        .orderBy("query")),
+
+    // --- 477. restricted mean survival time, oracle-pinned --------------------------------------------------------
+    // The area under q363's KM curves to a 30-day horizon: round-7
+    // survival segments on the 1e6 grid, zero-event cohorts exactly
+    // tau.
+    "q477_rmst" -> ((s, d) => {
+      val pu = t(s, d, "events")
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase" && col("value") >= 150,
+            unix_micros(col("ts")))).as("te"))
+      val g = pu.select(
+        concat(lit("c"), (col("user_id") % 3).cast("string")).as("cohort"),
+        floor((coalesce(col("te"), col("t1")) - col("t0")) /
+          lit(86400000000L)).cast("long").as("dur"),
+        col("te").isNotNull.as("ev"))
+      graft.functions.Survival.rmst(g, "cohort", "dur", "ev", tau = 30L)
+        .orderBy("group")
+    }),
+
+    // --- 478. Brunner-Munzel test, oracle-pinned ------------------------------------------------------------------
+    // q309's rank comparison without the equal-variance assumption:
+    // exact doubled-midrank placements, pinned phat and W.
+    "q478_brunner_munzel" -> ((s, d) =>
+      graft.operators.StatTests.brunnerMunzel(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "signup", "error")),
+
+    // --- 479. difference-in-differences, oracle-pinned ------------------------------------------------------------
+    // The quasi-experimental 2x2: even/odd users as cohorts, afternoon
+    // as the post period; exact cell moments, pinned DiD/se/t.
+    "q479_did" -> ((s, d) =>
+      graft.operators.AbTest.diffInDiff(
+        t(s, d, "events")
+          .where(col("value").isNotNull && col("ts").isNotNull &&
+            col("user_id").isNotNull)
+          .select((col("user_id") % 2 === 0).as("tr"),
+            (hour(col("ts")) >= 12).as("po"),
+            floor(col("value")).cast("long").as("y")),
+        "tr", "po", "y")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -1992,5 +2051,212 @@ private[graft] object QueriesPart9 {
          |    - (CAST(tsum6 AS DOUBLE) / 1e6) / CAST(n_windows AS DOUBLE))
          |    / $ln6, 7) AS h_norm
          |FROM agg ORDER BY "group"""".stripMargin
-    })
+    },
+
+    // ERR@5: exact dyadic gains via bit shift; the per-query fold
+    // replayed as a rank-indexed recursive CTE running the identical
+    // left-associated IEEE sequence (DOUBLE-cast seeds — the q469
+    // decimal-coercion lesson).
+    "q476_err" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 50 AS q, doc_id AS doc, doc_id * 7 % 5 AS rel,
+        |    doc_id * 13 % 997 AS score
+        |  FROM documents),
+        |ranked AS (SELECT q,
+        |    row_number() OVER (PARTITION BY q
+        |      ORDER BY score DESC, doc ASC) AS rn,
+        |    (CAST((CAST(1 AS BIGINT) << rel) AS DOUBLE) - 1.0)
+        |      * (1.0 / 16.0) AS rr
+        |  FROM d),
+        |tot AS (SELECT q, count(*) AS n_docs FROM d GROUP BY 1),
+        |it AS (
+        |  SELECT q, 0 AS r, CAST(0.0 AS DOUBLE) AS err,
+        |    CAST(1.0 AS DOUBLE) AS prod FROM tot
+        |  UNION ALL
+        |  SELECT it.q, it.r + 1,
+        |    CASE WHEN rk.rr IS NULL THEN it.err
+        |      ELSE it.err + 1.0 / (CAST(it.r AS DOUBLE) + 1.0)
+        |        * rk.rr * it.prod END,
+        |    CASE WHEN rk.rr IS NULL THEN it.prod
+        |      ELSE it.prod * (1.0 - rk.rr) END
+        |  FROM it LEFT JOIN ranked rk
+        |    ON rk.q = it.q AND rk.rn = it.r + 1
+        |  WHERE it.r < 5)
+        |SELECT tot.q AS query, tot.n_docs, ROUND(it.err, 7) AS err
+        |FROM it JOIN tot ON it.q = tot.q
+        |WHERE it.r = 5
+        |ORDER BY query""".stripMargin,
+
+    // RMST: q363's replayed KM surv values, then round-7 segments on
+    // the 1e6 grid to the tau = 30 horizon; zero-event cohorts are
+    // exactly tau.
+    "q477_rmst" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    CAST(floor(CAST(COALESCE(te, t1) - t0 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS dur,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |pd AS (SELECT cohort, dur, count(*) AS cnt,
+        |         count(CASE WHEN ev THEN 1 END) AS d
+        |       FROM g GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(cnt) AS BIGINT) AS n_all
+        |        FROM pd GROUP BY 1),
+        |cum AS (SELECT cohort, dur, cnt, d,
+        |    sum(cnt) OVER (PARTITION BY cohort ORDER BY dur
+        |                   ROWS UNBOUNDED PRECEDING) AS cumall
+        |  FROM pd),
+        |f AS (SELECT c.cohort, dur,
+        |        CAST(n_all - cumall + cnt AS BIGINT) AS n_risk, d,
+        |        CAST(n_all - cumall + cnt - d AS DOUBLE)
+        |          / CAST(n_all - cumall + cnt AS DOUBLE) AS factor
+        |      FROM cum c JOIN tot USING (cohort) WHERE d > 0),
+        |l AS (SELECT cohort, list(factor ORDER BY dur) AS fl
+        |      FROM f GROUP BY 1),
+        |i AS (SELECT f.cohort, dur, n_risk, d,
+        |        row_number() OVER (PARTITION BY f.cohort ORDER BY dur) AS rn,
+        |        fl
+        |      FROM f JOIN l USING (cohort)),
+        |km AS (SELECT cohort, dur AS t,
+        |    ROUND(list_reduce(fl[1:rn], (a, b) -> a * b), 7) AS surv
+        |  FROM i),
+        |segs AS (SELECT cohort, t, surv,
+        |    COALESCE(lag(t) OVER (PARTITION BY cohort ORDER BY t),
+        |      CAST(0 AS BIGINT)) AS prev_t,
+        |    COALESCE(lag(surv) OVER (PARTITION BY cohort ORDER BY t),
+        |      CAST(1.0 AS DOUBLE)) AS prev_s
+        |  FROM km),
+        |agg AS (SELECT cohort, count(*) AS n_event_times,
+        |    CAST(sum(CAST(floor(prev_s * CAST(least(t, 30)
+        |      - least(prev_t, 30) AS DOUBLE) * 1e6) AS BIGINT))
+        |      AS HUGEINT) AS sum6,
+        |    max_by(t, t) AS last_t, max_by(surv, t) AS last_s
+        |  FROM segs GROUP BY 1),
+        |per AS (SELECT cohort, n_event_times,
+        |    sum6 + CAST(floor(last_s * CAST(30 - least(last_t, 30)
+        |      AS DOUBLE) * 1e6) AS BIGINT) AS rmst6
+        |  FROM agg)
+        |SELECT g2.cohort AS "group", g2.n,
+        |  COALESCE(per.n_event_times, 0) AS n_event_times,
+        |  CAST(30 AS BIGINT) AS tau,
+        |  ROUND(COALESCE(CAST(per.rmst6 AS DOUBLE), 30.0 * 1e6) / 1e6, 6)
+        |    AS rmst
+        |FROM (SELECT cohort, count(*) AS n FROM g GROUP BY 1) g2
+        |LEFT JOIN per USING (cohort)
+        |ORDER BY "group"""".stripMargin,
+
+    // Brunner-Munzel: the MWU doubled-midrank device extended with
+    // within-group midranks; exact placement sums, pinned phat/W.
+    "q478_brunner_munzel" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'error') AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*) FILTER (g = 'signup') AS ca,
+        |         count(*) FILTER (g = 'error') AS cb
+        |       FROM slim GROUP BY 1),
+        |r AS (SELECT *,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM pv),
+        |u AS (SELECT ca, cb,
+        |    2 * (cuma + cumb) - (ca + cb) + 1 AS p2,
+        |    (2 * (cuma + cumb) - (ca + cb) + 1)
+        |      - (2 * cuma - ca + 1) AS ua,
+        |    (2 * (cuma + cumb) - (ca + cb) + 1)
+        |      - (2 * cumb - cb + 1) AS ub
+        |  FROM r),
+        |agg AS (SELECT
+        |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * p2) AS HUGEINT) AS t2a,
+        |    CAST(sum(cb * p2) AS HUGEINT) AS t2b,
+        |    CAST(sum(ca * ua) AS HUGEINT) AS sua,
+        |    CAST(sum(CAST(ca AS HUGEINT) * CAST(ua AS HUGEINT)
+        |      * CAST(ua AS HUGEINT)) AS HUGEINT) AS sua2,
+        |    CAST(sum(cb * ub) AS HUGEINT) AS sub,
+        |    CAST(sum(CAST(cb AS HUGEINT) * CAST(ub AS HUGEINT)
+        |      * CAST(ub AS HUGEINT)) AS HUGEINT) AS sub2
+        |  FROM u),
+        |k AS (SELECT n_a, n_b,
+        |    CAST(t2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE)) AS rbara,
+        |    CAST(t2b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE)) AS rbarb,
+        |    CAST(CAST(n_a AS HUGEINT) * sua2 - sua * sua AS DOUBLE)
+        |      / (4.0 * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+        |      AS sa,
+        |    CAST(CAST(n_b AS HUGEINT) * sub2 - sub * sub AS DOUBLE)
+        |      / (4.0 * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+        |      AS sb
+        |  FROM agg)
+        |SELECT n_a, n_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (rbarb - (CAST(n_b AS DOUBLE) + 1.0) / 2.0)
+        |      / CAST(n_a AS DOUBLE) END, 7) AS phat,
+        |  ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |      CAST(n_a AS DOUBLE) * sa + CAST(n_b AS DOUBLE) * sb > 0.0
+        |    THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * (rbarb - rbara)
+        |      / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |        * sqrt(CAST(n_a AS DOUBLE) * sa
+        |          + CAST(n_b AS DOUBLE) * sb)) END, 7) AS w
+        |FROM k""".stripMargin,
+
+    // DiD: exact 2x2 cell moments, pinned estimate and homoskedastic
+    // standard error.
+    "q479_did" ->
+      """WITH e AS (
+        |  SELECT (user_id % 2 = 0) AS tr, (hour(ts) >= 12) AS po,
+        |    CAST(floor(value) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |a AS (SELECT count(*) AS n,
+        |    count(CASE WHEN tr AND po THEN 1 END) AS n_t1,
+        |    CAST(sum(CASE WHEN tr AND po THEN y END) AS HUGEINT) AS s_t1,
+        |    CAST(sum(CASE WHEN tr AND po THEN y * y END) AS HUGEINT) AS q_t1,
+        |    count(CASE WHEN tr AND NOT po THEN 1 END) AS n_t0,
+        |    CAST(sum(CASE WHEN tr AND NOT po THEN y END) AS HUGEINT) AS s_t0,
+        |    CAST(sum(CASE WHEN tr AND NOT po THEN y * y END) AS HUGEINT)
+        |      AS q_t0,
+        |    count(CASE WHEN NOT tr AND po THEN 1 END) AS n_c1,
+        |    CAST(sum(CASE WHEN NOT tr AND po THEN y END) AS HUGEINT) AS s_c1,
+        |    CAST(sum(CASE WHEN NOT tr AND po THEN y * y END) AS HUGEINT)
+        |      AS q_c1,
+        |    count(CASE WHEN NOT tr AND NOT po THEN 1 END) AS n_c0,
+        |    CAST(sum(CASE WHEN NOT tr AND NOT po THEN y END) AS HUGEINT)
+        |      AS s_c0,
+        |    CAST(sum(CASE WHEN NOT tr AND NOT po THEN y * y END) AS HUGEINT)
+        |      AS q_c0
+        |  FROM e),
+        |k AS (SELECT *,
+        |    (CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+        |     - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+        |    - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+        |       - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) AS did,
+        |    (CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE)
+        |       * CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+        |     + (CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE)
+        |       * CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+        |     + (CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE)
+        |       * CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))
+        |     + (CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE)
+        |       * CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - 4.0) AS sigma2,
+        |    1.0 / CAST(n_t1 AS DOUBLE) + 1.0 / CAST(n_t0 AS DOUBLE)
+        |      + 1.0 / CAST(n_c1 AS DOUBLE) + 1.0 / CAST(n_c0 AS DOUBLE)
+        |      AS invn
+        |  FROM a)
+        |SELECT n, n_t1, n_t0, n_c1, n_c0,
+        |  ROUND(CASE WHEN n_t1 > 0 AND n_t0 > 0 AND n_c1 > 0 AND n_c0 > 0
+        |    THEN did END, 7) AS did,
+        |  ROUND(CASE WHEN n_t1 > 0 AND n_t0 > 0 AND n_c1 > 0 AND n_c0 > 0
+        |      AND n > 4 AND sigma2 > 0.0
+        |    THEN sqrt(sigma2 * invn) END, 7) AS se,
+        |  ROUND(CASE WHEN n_t1 > 0 AND n_t0 > 0 AND n_c1 > 0 AND n_c0 > 0
+        |      AND n > 4 AND sigma2 > 0.0
+        |    THEN did / sqrt(sigma2 * invn) END, 7) AS t
+        |FROM k""".stripMargin)
 }

@@ -125,6 +125,57 @@ object Eval {
           lit(1.0) / col("first_rel_rank").cast("double")), 7))
   }
 
+  /** Expected reciprocal rank @ k (Chapelle et al. CIKM 2009) — the
+    * graded CASCADE metric beside [[ndcgAtK]] (NDCG assumes the user
+    * reads on; ERR models stopping at the first satisfying result):
+    * with R_r = (2^rel - 1) / 2^maxRel,
+    *
+    *   ERR = sum_{r<=k} (1/r) * R_r * prod_{i<r} (1 - R_i).
+    *
+    * EXACTNESS: integer relevance makes every R an EXACT DYADIC double
+    * (2^rel via a bit shift — never pow(), which is not correctly
+    * rounded); the per-query fold runs over the (score desc, doc asc)
+    * top-k in rank order, left-associated as written, so the whole
+    * walk is a fixed IEEE sequence a rank-indexed recursive CTE
+    * replays verbatim. Out-of-range relevance throws loudly. Rounded
+    * at 7.
+    *
+    * Scale shape: one per-query rank window (queries are numerous —
+    * fine-grained parallelism) + a k-bounded per-query fold.
+    *
+    * Returns (query, n_docs, err).
+    */
+  def errAtK(df: DataFrame, queryCol: String, docCol: String,
+      relCol: String, scoreCol: String, k: Int,
+      maxRel: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    require(maxRel >= 1 && maxRel <= 20, s"maxRel must be in [1, 20]")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    val relG = when(col(relCol).between(0, maxRel), col(relCol))
+      .otherwise(raise_error(format_string(
+        s"Eval.errAtK: relevance %s outside [0, $maxRel]", col(relCol))))
+    val rr = (call_function("shiftleft", lit(1L), relG.cast("int"))
+      .cast("double") - lit(1.0)) * lit(1.0 / (1L << maxRel).toDouble)
+    val ranked = df.withColumn("__r", row_number().over(byScore))
+    val lists = ranked
+      .groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(when(col("__r") <= k,
+          struct(col("__r").as("__rn"), rr.as("__rr"))))).as("__l"))
+    val folded = aggregate(
+      expr("transform(__l, e -> e.__rr)"),
+      struct(lit(0.0).as("err"), lit(1.0).as("prod"), lit(0.0).as("r")),
+      (acc, x) => struct(
+        (acc("err") + lit(1.0) / (acc("r") + lit(1.0)) * x * acc("prod"))
+          .as("err"),
+        (acc("prod") * (lit(1.0) - x)).as("prod"),
+        (acc("r") + lit(1.0)).as("r")))
+    lists.select(col("query"), col("n_docs"),
+      round(folded.getField("err"), 7).as("err"))
+  }
+
   /** The shared milli-probability equal-width bin: floor(p*nBins/1000)
     * clamped to the last bin — integer division, engine-portable.
     */

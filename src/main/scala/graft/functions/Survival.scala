@@ -125,6 +125,65 @@ object Survival {
           lit(0.0), (acc, f) => acc + f), 7).as("hazard"))
   }
 
+  /** Restricted mean survival time per group — the AREA under the
+    * [[kaplanMeier]] curve up to the horizon `tau` (the survival
+    * readout a clinician or retention analyst can actually quote:
+    * "mean days retained within the first tau", valid under any
+    * censoring pattern where a bare mean is not):
+    *
+    *   RMST(tau) = integral_0^tau S(t) dt
+    *             = sum_i S(t_{i-1}) * (t_i ^ tau - t_{i-1} ^ tau)
+    *               + S(t_last) * (tau - t_last ^ tau)
+    *
+    * over the KM event times (S(t_0) = 1 before the first event).
+    *
+    * EXACTNESS: S values are [[kaplanMeier]]'s PUBLISHED round-7
+    * outputs (the operator's own quantization boundary); each segment
+    * is one pinned double product of a round-7 S and an exact integer
+    * gap, quantized floor(x * 1e6) into an order-independent exact sum
+    * (the q358 grid); RMST is the micro sum over 1e6, rounded at 6.
+    * Groups with NO events contribute S = 1 throughout: RMST = tau
+    * exactly.
+    *
+    * Returns (group, n, n_event_times, tau, rmst) — one row per group
+    * of the input (not just groups with events).
+    */
+  def rmst(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String, tau: Long): DataFrame = {
+    require(tau >= 1L, s"tau must be >= 1, got $tau")
+    val dec = "decimal(38,0)"
+    val km = kaplanMeier(df, groupCol, durationCol, eventCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("t"))
+    val prevT = coalesce(lag(col("t"), 1).over(w), lit(0L))
+    val prevS = coalesce(lag(col("surv"), 1).over(w), lit(1.0))
+    val seg = prevS *
+      (least(col("t"), lit(tau)) - least(prevT, lit(tau))).cast("double")
+    val segs = km
+      .withColumn("__seg6", floor(seg * lit(1e6)).cast("long"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_event_times"),
+        sum(col("__seg6").cast(dec)).as("__sum6"),
+        max_by(struct(col("t"), col("surv")), col("t")).as("__last"))
+    val tail = col("__last.surv") *
+      (lit(tau) - least(col("__last.t"), lit(tau))).cast("double")
+    val perGroup = segs.select(col("group"), col("n_event_times"),
+      (col("__sum6") + floor(tail * lit(1e6)).cast("long").cast(dec))
+        .as("__rmst6"))
+    // every input group reports — zero-event groups are S = 1 up to tau
+    val sizes = df.select(col(groupCol).as("group"),
+        col(durationCol).as("__d"), col(eventCol).as("__e"))
+      .where(col("group").isNotNull && col("__d").isNotNull &&
+        col("__e").isNotNull)
+      .groupBy(col("group")).agg(count(lit(1)).as("n"))
+    sizes.join(perGroup, Seq("group"), "left")
+      .select(col("group"), col("n"),
+        coalesce(col("n_event_times"), lit(0L)).as("n_event_times"),
+        lit(tau).as("tau"),
+        round(coalesce(col("__rmst6").cast("double"),
+          lit(tau.toDouble * 1e6)) / lit(1e6), 6).as("rmst"))
+  }
+
   /** Log-rank (Mantel-Cox) two-group survival comparison — "do cohorts
     * a and b have the same hazard?", the significance companion of
     * [[kaplanMeier]]'s curves: at every pooled distinct event time,

@@ -144,6 +144,66 @@ object AbTest {
         round(col("qsum").cast("double") / lit(1e6), 7).as("ate"))
   }
 
+  /** 2x2 difference-in-differences — the quasi-experimental workhorse
+    * when assignment wasn't randomized but a pre-period exists (feature
+    * shipped to one cohort: did the metric move MORE than the control
+    * cohort's own drift?):
+    *
+    *   DiD = (ybar_t1 - ybar_t0) - (ybar_c1 - ybar_c0),
+    *   se = sqrt(sigma2 * sum_cells 1/n_cell),
+    *   sigma2 = sum_cells (Q - S^2/n) / (N - 4)
+    *
+    * — the saturated-OLS-equivalent estimate and its homoskedastic
+    * standard error. Exactness: per-cell (n, S, Q) are exact
+    * DECIMAL(38,0) aggregates over the INTEGRAL outcome from ONE
+    * combining groupBy; DiD, sigma2, se, t are pinned double
+    * expressions over them, rounded at 7. Null se/t when any cell is
+    * empty, N <= 4, or the pooled residual variance is 0.
+    *
+    * Returns one row (n, n_t1, n_t0, n_c1, n_c0, did, se, t).
+    */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[Any](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(yCol).dataType),
+      s"$yCol must be integral (quantize first), got " +
+        df.schema(yCol).dataType.catalogString)
+    val dec = "decimal(38,0)"
+    val slim = df.where(col(treatCol).isNotNull && col(postCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(treatCol).as("tr"), col(postCol).as("po"),
+        col(yCol).cast("long").as("y"))
+    def cell(t: Boolean, p: Boolean, nm: String) = Seq(
+      count(when(col("tr") === t && col("po") === p, 1)).as(s"n_$nm"),
+      sum(when(col("tr") === t && col("po") === p, col("y"))
+        .cast(dec)).as(s"s_$nm"),
+      sum(when(col("tr") === t && col("po") === p, col("y") * col("y"))
+        .cast(dec)).as(s"q_$nm"))
+    val aggs = count(lit(1)).as("n") +:
+      (cell(true, true, "t1") ++ cell(true, false, "t0") ++
+        cell(false, true, "c1") ++ cell(false, false, "c0"))
+    val g = slim.agg(aggs.head, aggs.tail: _*)
+    def mean(nm: String) =
+      col(s"s_$nm").cast("double") / col(s"n_$nm").cast("double")
+    def rss(nm: String) = col(s"q_$nm").cast("double") -
+      col(s"s_$nm").cast("double") * col(s"s_$nm").cast("double") /
+        col(s"n_$nm").cast("double")
+    val cells = Seq("t1", "t0", "c1", "c0")
+    val did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    val sigma2 = cells.map(rss).reduceLeft(_ + _) /
+      (col("n").cast("double") - lit(4.0))
+    val invN = cells.map(nm => lit(1.0) / col(s"n_$nm").cast("double"))
+      .reduceLeft(_ + _)
+    val se = sqrt(sigma2 * invN)
+    val allCells = cells.map(nm => col(s"n_$nm") > 0L).reduce(_ && _)
+    val okSe = allCells && col("n") > 4L && sigma2 > 0.0
+    g.select((col("n") +: cells.map(nm => col(s"n_$nm"))) ++ Seq(
+      round(when(allCells, did), 7).as("did"),
+      round(when(okSe, se), 7).as("se"),
+      round(when(okSe, did / se), 7).as("t")): _*)
+  }
+
   /** Minimum detectable effect for the two-proportion test — the
     * power-analysis readout an experimenter checks BEFORE trusting a
     * null result ("we saw no lift" means nothing if the MDE was 10

@@ -1109,6 +1109,79 @@ object StatTests {
         (u2 - mu2).cast("double") / lit(2.0) / sqrt(variance)), 7).as("z"))
   }
 
+  /** Brunner-Munzel test (Brunner & Munzel 2000, the scipy
+    * formulation) — [[mannWhitneyU]] without the equal-variance
+    * assumption MWU silently makes (the Behrens-Fisher situation for
+    * ranks: unequal spreads make MWU anticonservative; BM is the
+    * robust default): with pooled midranks R and within-group midranks
+    * R^(k),
+    *
+    *   phat = (Rbar_b - (n_b+1)/2) / n_a   (P(X < Y) + P(X = Y)/2)
+    *   S_k = sum_i (R_ki - R^(k)_ki - Rbar_k + (n_k+1)/2)^2 / (n_k-1)
+    *   W = n_a n_b (Rbar_b - Rbar_a) / (N sqrt(n_a S_a + n_b S_b))
+    *
+    * Exactness: with doubled midranks (the MWU device), the per-element
+    * placement u = 2(R - R^(k)) is an exact BIGINT per distinct value,
+    * so S_k = (n_k sum(u^2) - sum(u)^2) / (4 n_k (n_k-1)) has an exact
+    * DECIMAL(38,0) numerator; phat and W are pinned double expressions
+    * over exact sums, rounded at 7. Null W for n_k < 2 or zero
+    * variance (both samples internally constant).
+    *
+    * Scale shape: one combining groupBy on value + one distinct-domain
+    * cumsum window (the KS quantize-first contract, loud) + a 1-row
+    * aggregate.
+    *
+    * Returns one row (n_a, n_b, phat, w).
+    */
+  def brunnerMunzel(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val perValue = slim.groupBy(col("v"))
+      .agg(count(when(col("g") === a, 1)).as("ca"),
+        count(when(col("g") === b, 1)).as("cb"))
+    requireBoundedDomain(perValue, "brunnerMunzel")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = perValue
+      .withColumn("cumA", sum(col("ca")).over(w))
+      .withColumn("cumB", sum(col("cb")).over(w))
+      // doubled midranks: pooled and within-group (the MWU device)
+      .withColumn("p2", lit(2L) * (col("cumA") + col("cumB")) -
+        (col("ca") + col("cb")) + 1L)
+      .withColumn("w2a", lit(2L) * col("cumA") - col("ca") + 1L)
+      .withColumn("w2b", lit(2L) * col("cumB") - col("cb") + 1L)
+      .withColumn("ua", col("p2") - col("w2a"))
+      .withColumn("ub", col("p2") - col("w2b"))
+    val dec38 = "decimal(38,0)"
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum((col("ca") * col("p2")).cast(dec38)).as("t2a"),
+      sum((col("cb") * col("p2")).cast(dec38)).as("t2b"),
+      sum((col("ca") * col("ua")).cast(dec38)).as("sua"),
+      sum((col("ca").cast(dec38) * col("ua").cast(dec38) *
+        col("ua").cast(dec38))).as("sua2"),
+      sum((col("cb") * col("ub")).cast(dec38)).as("sub"),
+      sum((col("cb").cast(dec38) * col("ub").cast(dec38) *
+        col("ub").cast(dec38))).as("sub2"))
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val nT = nA + nB
+    val rbarA = col("t2a").cast("double") / (lit(2.0) * nA)
+    val rbarB = col("t2b").cast("double") / (lit(2.0) * nB)
+    val sA = (col("n_a").cast(dec38) * col("sua2") -
+      col("sua") * col("sua")).cast("double") /
+      (lit(4.0) * nA * (nA - lit(1.0)))
+    val sB = (col("n_b").cast(dec38) * col("sub2") -
+      col("sub") * col("sub")).cast("double") /
+      (lit(4.0) * nB * (nB - lit(1.0)))
+    val varSum = nA * sA + nB * sB
+    agg.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L,
+        (rbarB - (nB + lit(1.0)) / lit(2.0)) / nA), 7).as("phat"),
+      round(when(col("n_a") >= 2L && col("n_b") >= 2L && varSum > 0.0,
+        nA * nB * (rbarB - rbarA) / (nT * sqrt(varSum))), 7).as("w"))
+  }
+
   private def requireIntegral(df: DataFrame, valueCol: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Set[Any](ByteType, ShortType, IntegerType, LongType)

@@ -87,6 +87,10 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_kpss(src_view, 'group', 'ord1,ord2', 'value', out_view)
   *   CALL graft_stat_perm_entropy(src_view, 'group', 'ord1,ord2', 'value', out_view)
   *   CALL graft_stat_spiegelhalter(src_view, 'prob_milli', 'label', out_view)
+  *   CALL graft_stat_err_at_k(src_view, 'query', 'doc', 'rel', 'score', k [, max_rel], out_view)
+  *   CALL graft_stat_rmst(src_view, 'group', 'duration', 'event', tau, out_view)
+  *   CALL graft_stat_brunner_munzel(src_view, 'group', 'value', 'a', 'b', out_view)
+  *   CALL graft_stat_did(src_view, 'treat', 'post', 'y', out_view)
   *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
   *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
   *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
@@ -606,6 +610,18 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
         case "spiegelhalter" => graft.functions.Eval.spiegelhalterZ(src,
           ms(0), ms(1))
+        case "err_at_k" =>
+          if (mid.length >= 6)
+            graft.functions.Eval.errAtK(src, ms(0), ms(1), ms(2), ms(3),
+              mi(4), mi(5))
+          else graft.functions.Eval.errAtK(src, ms(0), ms(1), ms(2),
+            ms(3), mi(4))
+        case "rmst" => graft.functions.Survival.rmst(src, ms(0), ms(1),
+          ms(2), mi(3).toLong)
+        case "brunner_munzel" => StatTests.brunnerMunzel(src, ms(0),
+          ms(1), ms(2), ms(3))
+        case "did" => graft.operators.AbTest.diffInDiff(src, ms(0),
+          ms(1), ms(2))
         case "ess" => Trend.effectiveSampleSize(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
           mi(3))
@@ -631,6 +647,7 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "anderson_darling, anova_eta, anova_f, ansari_bradley, ari, " +
           "assortativity, " +
           "auc, average_precision, benford, bh_fdr, brier, broken_stick, " +
+          "brunner_munzel, did, err_at_k, rmst, " +
           "ccf, cmh, " +
           "cohens_d, cohens_h, concordance, " +
           "conformal, corr_matrix, cox_stuart, cramers_v, cronbach, " +

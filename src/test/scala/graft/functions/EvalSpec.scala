@@ -380,4 +380,27 @@ class EvalSpec extends SparkTestBase {
     }
     assert(e.getMessage != null && e.getMessage.contains("1500"))
   }
+
+  test("errAtK: hand cascade, truncation at k, loud out-of-range") {
+    // rels (4, 0, 2) at maxRel 4: R = (15/16, 0, 3/16)
+    val df = Seq((1L, "d1", 4L, 30L), (1L, "d2", 0L, 20L),
+      (1L, "d3", 2L, 10L)).toDF("q", "doc", "rel", "score")
+    val r = graft.functions.Eval.errAtK(df, "q", "doc", "rel", "score",
+      k = 3).head()
+    val want = BigDecimal(15.0 / 16.0 +
+      (1.0 / 3.0) * (3.0 / 16.0) * (1.0 / 16.0))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(r.fieldIndex("err")) == want, s"$r vs $want")
+    // k = 1 truncates to the first result
+    val r1 = graft.functions.Eval.errAtK(df, "q", "doc", "rel", "score",
+      k = 1).head()
+    assert(r1.getDouble(r1.fieldIndex("err")) == 0.9375)
+    // out-of-range relevance throws
+    val e = intercept[Exception] {
+      graft.functions.Eval.errAtK(
+        Seq((1L, "d", 9L, 1L)).toDF("q", "doc", "rel", "score"),
+        "q", "doc", "rel", "score", 3).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("9"))
+  }
 }

@@ -80,4 +80,23 @@ class SurvivalSpec extends SparkTestBase {
       .orderBy("t").collect().map(_.getDouble(4))
     assert(hs.zip(hs.tail).forall { case (x, y) => x <= y })
   }
+
+  test("rmst: hand segments, tau cap, zero-event group is exactly tau") {
+    // g1: event at t=2 (S drops to 0.5), censor at 4
+    val df = Seq(("g1", 2L, true), ("g1", 4L, false),
+      ("g2", 5L, false), ("g2", 7L, false)).toDF("g", "dur", "ev")
+    val r = Survival.rmst(df, "g", "dur", "ev", tau = 3L)
+      .orderBy("group").collect()
+    assert(r.length == 2)
+    // g1: 1.0 * 2 + 0.5 * (3 - 2) = 2.5
+    assert(r(0).getString(0) == "g1" &&
+      r(0).getDouble(r(0).fieldIndex("rmst")) == 2.5, r(0))
+    // g2 has no events: S = 1 throughout -> rmst = tau
+    assert(r(1).getString(0) == "g2" &&
+      r(1).getDouble(r(1).fieldIndex("rmst")) == 3.0, r(1))
+    // tau before the first event: the whole area is the S = 1 segment
+    val early = Survival.rmst(df, "g", "dur", "ev", tau = 1L)
+      .orderBy("group").head()
+    assert(early.getDouble(early.fieldIndex("rmst")) == 1.0, early)
+  }
 }

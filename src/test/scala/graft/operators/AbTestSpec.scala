@@ -196,4 +196,26 @@ class AbTestSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("ctl"), e.getMessage)
   }
+
+  test("diffInDiff: hand 2x2 with exact cell noise") {
+    // cell means t0=10, t1=25, c0=8, c1=13 -> DiD = 15 - 5 = 10;
+    // each cell (m-1, m+1): RSS = 2 per cell, sigma2 = 8/4 = 2,
+    // se = sqrt(2 * 4/2) = 2, t = 5
+    val rows = Seq(
+      (true, false, 9L), (true, false, 11L),
+      (true, true, 24L), (true, true, 26L),
+      (false, false, 7L), (false, false, 9L),
+      (false, true, 12L), (false, true, 14L))
+    val r = AbTest.diffInDiff(rows.toDF("tr", "po", "y"), "tr", "po", "y")
+      .head()
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(r.fieldIndex("did")) == 10.0, r)
+    assert(r.getDouble(r.fieldIndex("se")) == 2.0, r)
+    assert(r.getDouble(r.fieldIndex("t")) == 5.0, r)
+    // an empty cell nulls the estimate
+    val missing = rows.filterNot(t => t._1 && t._2)
+    val m = AbTest.diffInDiff(missing.toDF("tr", "po", "y"), "tr", "po", "y")
+      .head()
+    assert(m.isNullAt(m.fieldIndex("did")), m)
+  }
 }

@@ -1184,4 +1184,27 @@ class StatTestsSpec extends SparkTestBase {
     assert(StatTests.totalVariation(disj, "g", "v", "a", "b")
       .head().getDouble(3) == 1.0)
   }
+
+  test("brunnerMunzel: hand case sqrt(5)/2, symmetric zero, dominance") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 5L),
+      ("b", 3L), ("b", 4L), ("b", 6L)).toDF("g", "v")
+    val r = StatTests.brunnerMunzel(df, "g", "v", "a", "b").head()
+    def r7(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(r.fieldIndex("w")) == r7(math.sqrt(5.0) / 2.0), r)
+    assert(r.getDouble(r.fieldIndex("phat")) == r7(7.0 / 9.0), r)
+    // identical samples: phat exactly 0.5, W exactly 0
+    val same = Seq(("a", 1L), ("a", 2L), ("a", 9L),
+      ("b", 1L), ("b", 2L), ("b", 9L)).toDF("g", "v")
+    val s = StatTests.brunnerMunzel(same, "g", "v", "a", "b").head()
+    assert(s.getDouble(s.fieldIndex("phat")) == 0.5 &&
+      s.getDouble(s.fieldIndex("w")) == 0.0, s)
+    // complete dominance with zero within-placement variance: null W,
+    // phat exactly 1
+    val dom = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val d = StatTests.brunnerMunzel(dom, "g", "v", "a", "b").head()
+    assert(d.getDouble(d.fieldIndex("phat")) == 1.0 &&
+      d.isNullAt(d.fieldIndex("w")), d)
+  }
 }

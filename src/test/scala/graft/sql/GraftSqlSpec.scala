@@ -388,6 +388,14 @@ class GraftSqlSpec extends SparkTestBase {
       "st_pe", Trend.permutationEntropy(src, "g", Seq("t"), "v"))
     parity("CALL graft_stat_spiegelhalter(sqlstat_src, 'v', 'y', st_sz)",
       "st_sz", graft.functions.Eval.spiegelhalterZ(src, "v", "y"))
+    parity("CALL graft_stat_err_at_k(sqlstat_src, 'g', 't', 't', 'v', 3, 20, st_err)",
+      "st_err", graft.functions.Eval.errAtK(src, "g", "t", "t", "v", 3, 20))
+    parity("CALL graft_stat_rmst(sqlstat_src, 'g', 'v', 'y', 20, st_rm)",
+      "st_rm", graft.functions.Survival.rmst(src, "g", "v", "y", 20L))
+    parity("CALL graft_stat_brunner_munzel(sqlstat_src, 'g', 'v', 'a', 'b', st_bm)",
+      "st_bm", StatTests.brunnerMunzel(src, "g", "v", "a", "b"))
+    parity("CALL graft_stat_did(sqlstat_src, 'y', 'y', 'v', st_did)",
+      "st_did", graft.operators.AbTest.diffInDiff(src, "y", "y", "v"))
     parity("CALL graft_stat_ess(sqlstat_src, 'g', 't', 'v', 3, st_ess)",
       "st_ess", Trend.effectiveSampleSize(src, "g", Seq("t"), "v", 3))
     parity("CALL graft_stat_gumbel(sqlstat_src, 'g', 't', 'v', st_gum)",
