@@ -582,7 +582,31 @@ private[graft] object QueriesPart9 {
           .select((col("user_id") % 2 === 0).as("tr"),
             (hour(col("ts")) >= 12).as("po"),
             floor(col("value")).cast("long").as("y")),
-        "tr", "po", "y")))
+        "tr", "po", "y")),
+
+    // --- 480. records test, oracle-pinned -----------------------------------------------------------------------
+    // Distribution-free upward-trend diagnostic: exact record counts
+    // via the PrefixScan running maximum (records = distinct running-
+    // max values), harmonic-approximation z.
+    "q480_records" -> ((s, d) =>
+      graft.operators.Trend.recordsTest(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 10).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")),
+
+    // --- 481. maximum drawdown, oracle-pinned -------------------------------------------------------------------
+    // The metric-collapse readout: deepest peak-to-trough fall of the
+    // cumulative signed series — exact integer prefix scans end to end,
+    // argmax on exact (dd, -t).
+    "q481_max_drawdown" -> ((s, d) =>
+      graft.operators.Trend.maxDrawdown(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            (floor(col("value")) - 100L).cast("long").as("v")),
+        "event_type", Seq("ts", "event_id"), "v")
+        .orderBy("group")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -2258,5 +2282,57 @@ private[graft] object QueriesPart9 {
         |  ROUND(CASE WHEN n_t1 > 0 AND n_t0 > 0 AND n_c1 > 0 AND n_c0 > 0
         |      AND n > 4 AND sigma2 > 0.0
         |    THEN did / sqrt(sigma2 * invn) END, 7) AS t
-        |FROM k""".stripMargin)
+        |FROM k""".stripMargin,
+
+    // records test: window running max, records = distinct max values,
+    // the operator's pinned harmonic-approximation z (gamma and pi^2/6
+    // as literals).
+    "q480_records" -> {
+      val gamma = "0.5772156649015329"
+      val pi26 = (math.Pi * math.Pi / 6.0).toString
+      s"""WITH e AS (
+         |  SELECT event_type AS g, ts, event_id,
+         |    CAST(floor(value * 10) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT g, max(v) OVER (PARTITION BY g
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS mx
+         |  FROM e),
+         |agg AS (SELECT g, count(*) AS n,
+         |    count(DISTINCT mx) AS n_records FROM m GROUP BY 1)
+         |SELECT g AS "group", n, n_records,
+         |  ROUND(CASE WHEN n >= 2 AND
+         |      (ln(CAST(n AS DOUBLE)) + $gamma
+         |        + 1.0 / (2.0 * CAST(n AS DOUBLE)))
+         |      - ($pi26 - 1.0 / CAST(n AS DOUBLE)) > 0.0 THEN
+         |    (CAST(n_records AS DOUBLE)
+         |      - (ln(CAST(n AS DOUBLE)) + $gamma
+         |         + 1.0 / (2.0 * CAST(n AS DOUBLE))))
+         |    / sqrt((ln(CAST(n AS DOUBLE)) + $gamma
+         |            + 1.0 / (2.0 * CAST(n AS DOUBLE)))
+         |           - ($pi26 - 1.0 / CAST(n AS DOUBLE))) END, 7) AS z
+         |FROM agg ORDER BY "group"""".stripMargin
+    },
+
+    // max drawdown: integer prefix sums + running max, earliest argmax.
+    "q481_max_drawdown" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, ts, event_id,
+        |    CAST(floor(value) - 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+        |      AS BIGINT) AS t,
+        |    CAST(sum(v) OVER (PARTITION BY g ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM e),
+        |m AS (SELECT g, t,
+        |    max(cum) OVER (PARTITION BY g ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) - cum AS dd
+        |  FROM c),
+        |r AS (SELECT g, t, dd, count(*) OVER (PARTITION BY g) AS n,
+        |    row_number() OVER (PARTITION BY g ORDER BY dd DESC, t ASC)
+        |      AS rk
+        |  FROM m)
+        |SELECT g AS "group", n, t AS t_at, dd AS drawdown
+        |FROM r WHERE rk = 1 ORDER BY "group"""".stripMargin)
 }

@@ -140,6 +140,33 @@ object PrefixScan {
     joined.select(outCols: _*)
   }
 
+  /** df + `outName` = the running INCLUSIVE maximum of `xCol` in
+    * `orderCols` order within `groupCol` — the max-monoid face of
+    * [[withRowNumberAndSums]] (max is associative and commutative, so
+    * the same bucket/prefix/join shape applies; the exclusive prefix
+    * max is null at the first bucket and `greatest` skips nulls).
+    */
+  def withRunningMax(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], xCol: String, outName: String): DataFrame = {
+    val g = col(groupCol)
+    val withB = df.withColumn("__psb", bucketColumn(df, orderCols.head))
+    val wCum = Window.partitionBy(g, col("__psb"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = withB.withColumn("__psm", max(col(xCol)).over(wCum))
+    val partials = withB.groupBy(g.as("__psg"), col("__psb").as("__psob"))
+      .agg(max(col(xCol)).as("__psbm"))
+    val wPre = Window.partitionBy(col("__psg")).orderBy(col("__psob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("__pso_m", max(col("__psbm")).over(wPre))
+      .select(col("__psg"), col("__psob"), col("__pso_m"))
+    local.join(offsets,
+        g <=> col("__psg") && col("__psb") === col("__psob"))
+      .select(df.columns.map(col).toSeq :+
+        greatest(col("__pso_m"), col("__psm")).as(outName): _*)
+  }
+
   /** df + lag columns `lagName(j)` = lag j of `xCol` for j in
     * 1..maxLag, in `orderCols` order within `groupCol` — the
     * distributed form of `lag(x, j).over(partitionBy(group)

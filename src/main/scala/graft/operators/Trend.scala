@@ -1244,6 +1244,90 @@ object Trend {
         (col("ssum4").cast("double") / lit(1e4)) / den), 7).as("eta"))
   }
 
+  /** Records test per group — the distribution-free upward-trend
+    * diagnostic built on running maxima (how many times did the series
+    * set a new all-time high? under exchangeability the t-th
+    * observation is a record with probability 1/t):
+    *
+    *   R = #records (strict new maxima),
+    *   E[R] ~ H_n ~ ln n + gamma + 1/(2n),
+    *   Var[R] ~ H_n - H_n2,  H_n2 ~ pi^2/6 - 1/n,
+    *   z = (R - E) / sqrt(Var)
+    *
+    * R is EXACT: record values are strictly increasing, so R equals
+    * the distinct-value count of the running maximum — one
+    * [[PrefixScan.withRunningMax]] pass + count(DISTINCT M), no lag
+    * needed. The harmonic approximations are documented pinned double
+    * expressions (gamma and pi^2/6 embedded as literals; ln over the
+    * integer n — the q244 device), rounded at 7; null z for n < 2.
+    *
+    * Returns (group, n, n_records, z).
+    */
+  def recordsTest(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val slim = df.select(
+      (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
+        orderCols.map(col)): _*)
+      .where(col("x").isNotNull)
+    val m = PrefixScan.withRunningMax(slim, "group", orderCols, "x", "__m")
+    val agg = m.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("__m")).as("n_records"))
+    val nD = col("n").cast("double")
+    val gamma = 0.5772156649015329
+    val h1 = log(nD) + lit(gamma) + lit(1.0) / (lit(2.0) * nD)
+    val h2 = lit(math.Pi * math.Pi / 6.0) - lit(1.0) / nD
+    val variance = h1 - h2
+    agg.select(col("group"), col("n"), col("n_records"),
+      round(when(col("n") >= 2L && variance > 0.0,
+        (col("n_records").cast("double") - h1) / sqrt(variance)), 7)
+        .as("z"))
+  }
+
+  /** Maximum drawdown per group — the metric-collapse readout (the
+    * deepest peak-to-trough fall of the cumulative series; THE risk
+    * number for anything that accumulates: revenue run rate, token
+    * budget, eval score): with C_t the running sum and M_t its running
+    * maximum,
+    *
+    *   dd = max_t (M_t - C_t),   at the EARLIEST t attaining it.
+    *
+    * EXACT end to end: C and M are integer prefix scans
+    * ([[PrefixScan]] sums + running max — two passes, group x bucket
+    * tasks), dd is an integer subtraction, and the argmax is a
+    * combining max_by on exact (dd, -t) structs (the cusum argmax
+    * device). No doubles anywhere.
+    *
+    * Returns (group, n, t_at, drawdown) — t_at the 1-based position.
+    */
+  def maxDrawdown(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"$valueCol must be integral (quantize first), got " +
+        df.schema(valueCol).dataType.catalogString)
+    val slim = df.select(
+      (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
+        orderCols.map(col)): _*)
+      .where(col("x").isNotNull)
+    val cum = PrefixScan.withRowNumberAndSums(slim, "group", orderCols,
+      Seq("__c" -> col("x")), rnName = "__t")
+    val withM = PrefixScan.withRunningMax(cum, "group", orderCols,
+      "__c", "__mx")
+    withM.select(col("group"), col("__t"),
+        (col("__mx") - col("__c")).as("__dd"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        max_by(struct(col("__t"), col("__dd")),
+          struct(col("__dd"), -col("__t"))).as("__best"))
+      .select(col("group"), col("n"),
+        col("__best.__t").as("t_at"),
+        col("__best.__dd").as("drawdown"))
+  }
+
   /** Permutation entropy per group (Bandt-Pompe 2002, order m = 3) —
     * the model-free complexity readout of a series: classify every
     * (x_{t-2}, x_{t-1}, x_t) window by its ordinal pattern (ties break

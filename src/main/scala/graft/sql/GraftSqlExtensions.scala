@@ -91,6 +91,8 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_rmst(src_view, 'group', 'duration', 'event', tau, out_view)
   *   CALL graft_stat_brunner_munzel(src_view, 'group', 'value', 'a', 'b', out_view)
   *   CALL graft_stat_did(src_view, 'treat', 'post', 'y', out_view)
+  *   CALL graft_stat_records(src_view, 'group', 'ord1,ord2', 'value', out_view)
+  *   CALL graft_stat_max_drawdown(src_view, 'group', 'ord1,ord2', 'value', out_view)
   *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
   *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
   *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
@@ -622,6 +624,10 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           ms(1), ms(2), ms(3))
         case "did" => graft.operators.AbTest.diffInDiff(src, ms(0),
           ms(1), ms(2))
+        case "records" => Trend.recordsTest(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "max_drawdown" => Trend.maxDrawdown(src, ms(0),
+          ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
         case "ess" => Trend.effectiveSampleSize(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
           mi(3))
@@ -658,6 +664,7 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "isotonic, k_anonymity, kpss, kruskal_wallis, ks, kuiper, " +
           "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
           "mahalanobis_d, mann_kendall, mannwhitney, markov_absorption, " +
+          "max_drawdown, records, " +
           "markov_stationary, mcc, mde, " +
           "mood_median, nelson_aalen, " +
           "ols_multi, pacf, partial_corr, pca3, pca_d, perm_entropy, " +

@@ -119,4 +119,16 @@ class PrefixScanSpec extends SparkTestBase {
       assert(sr.getLong(sr.fieldIndex("n_decide")) == 3L)
     }
   }
+
+  test("withRunningMax is bit-identical to the window form") {
+    val df = series(150)
+    val w = Window.partitionBy(col("g")).orderBy(col("t"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = df.withColumn("m", max(col("x")).over(w))
+    for (nb <- Seq(1, 5, 16)) withBuckets(nb) {
+      val got = PrefixScan.withRunningMax(df, "g", Seq("t", "tie"),
+        "x", "m")
+      assertSame(got, expected, Seq("g", "t", "tie"))
+    }
+  }
 }

@@ -577,4 +577,33 @@ class TrendSpec extends SparkTestBase {
     assert(a.getDouble(a.fieldIndex("h")) == r7(h), a)
     assert(a.getDouble(a.fieldIndex("h_norm")) == r7(h / math.log(6.0)), a)
   }
+
+  test("recordsTest: exact record counts; maxDrawdown: hand walk") {
+    // records: 3,1,5,5,9 -> records at 3,5,9 (ties at a max are NOT
+    // records)
+    val df = Seq(("g", 1L, 0L, 3L), ("g", 2L, 1L, 1L), ("g", 3L, 2L, 5L),
+      ("g", 4L, 3L, 5L), ("g", 5L, 4L, 9L)).toDF("g", "t", "id", "v")
+    val r = Trend.recordsTest(df, "g", Seq("t", "id"), "v").head()
+    assert(r.getLong(r.fieldIndex("n")) == 5L &&
+      r.getLong(r.fieldIndex("n_records")) == 3L, r)
+    val n = 5.0
+    val h1 = math.log(n) + 0.5772156649015329 + 1.0 / (2.0 * n)
+    val h2 = math.Pi * math.Pi / 6.0 - 1.0 / n
+    val want = BigDecimal((3.0 - h1) / math.sqrt(h1 - h2))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(r.fieldIndex("z")) == want, s"$r vs $want")
+    // drawdown: increments (5, -3, -4, 10): cum 5,2,-2,8; M 5,5,5,8;
+    // dd 0,3,7,0 -> max 7 at t=3
+    val dd = Seq(("g", 1L, 0L, 5L), ("g", 2L, 1L, -3L),
+      ("g", 3L, 2L, -4L), ("g", 4L, 3L, 10L)).toDF("g", "t", "id", "v")
+    val d = Trend.maxDrawdown(dd, "g", Seq("t", "id"), "v").head()
+    assert(d.getLong(d.fieldIndex("t_at")) == 3L &&
+      d.getLong(d.fieldIndex("drawdown")) == 7L, d)
+    // a monotone rise never draws down: dd 0 at the earliest position
+    val up = Seq.tabulate(6)(i => ("g", (i + 1).toLong, i.toLong, 2L))
+      .toDF("g", "t", "id", "v")
+    val u = Trend.maxDrawdown(up, "g", Seq("t", "id"), "v").head()
+    assert(u.getLong(u.fieldIndex("drawdown")) == 0L &&
+      u.getLong(u.fieldIndex("t_at")) == 1L, u)
+  }
 }

@@ -396,6 +396,10 @@ class GraftSqlSpec extends SparkTestBase {
       "st_bm", StatTests.brunnerMunzel(src, "g", "v", "a", "b"))
     parity("CALL graft_stat_did(sqlstat_src, 'y', 'y', 'v', st_did)",
       "st_did", graft.operators.AbTest.diffInDiff(src, "y", "y", "v"))
+    parity("CALL graft_stat_records(sqlstat_src, 'g', 't', 'v', st_rec)",
+      "st_rec", Trend.recordsTest(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_max_drawdown(sqlstat_src, 'g', 't', 'v', st_mdd)",
+      "st_mdd", Trend.maxDrawdown(src, "g", Seq("t"), "v"))
     parity("CALL graft_stat_ess(sqlstat_src, 'g', 't', 'v', 3, st_ess)",
       "st_ess", Trend.effectiveSampleSize(src, "g", Seq("t"), "v", 3))
     parity("CALL graft_stat_gumbel(sqlstat_src, 'g', 't', 'v', st_gum)",
