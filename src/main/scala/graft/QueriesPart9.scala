@@ -606,7 +606,31 @@ private[graft] object QueriesPart9 {
           .select(col("event_type"), col("ts"), col("event_id"),
             (floor(col("value")) - 100L).cast("long").as("v")),
         "event_type", Seq("ts", "event_id"), "v")
-        .orderBy("group")))
+        .orderBy("group")),
+
+    // --- 482. truncation census, oracle-pinned ------------------------------------------------------------------
+    // Context-length planning: per candidate limit, the cut-document
+    // count and surviving token mass — pure integer aggregates of the
+    // whitespace token count.
+    "q482_truncation_census" -> ((s, d) =>
+      graft.operators.Packing.truncationCensus(
+        t(s, d, "documents").select(
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens")),
+        "n_tokens", Seq(64L, 256L, 1024L))
+        .orderBy("limit")),
+
+    // --- 483. dedup cluster-size histogram, oracle-pinned --------------------------------------------------------
+    // Dedup observability: log2-bucketed component-size census over
+    // q196's constructed chain edges (30 decade components of 10 —
+    // the bucket arithmetic is integer bin-length, never a float log).
+    "q483_cluster_histogram" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val edges = docs.where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      graft.functions.Dedup.clusterSizeHistogram(edges)
+        .orderBy("size_bucket")
+    }))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -2334,5 +2358,30 @@ private[graft] object QueriesPart9 {
         |      AS rk
         |  FROM m)
         |SELECT g AS "group", n, t AS t_at, dd AS drawdown
-        |FROM r WHERE rk = 1 ORDER BY "group"""".stripMargin)
+        |FROM r WHERE rk = 1 ORDER BY "group"""".stripMargin,
+
+    // truncation census: integer conditional aggregates per limit.
+    "q482_truncation_census" ->
+      """WITH d AS (SELECT CAST(LEN(string_split_regex(TRIM(text), '\s+'))
+        |    AS BIGINT) AS len
+        |  FROM documents),
+        |a AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot
+        |  FROM d)
+        |SELECT lim AS "limit", n_docs,
+        |  (SELECT count(*) FROM d WHERE len > lim) AS n_truncated,
+        |  tot AS tokens_total,
+        |  (SELECT CAST(sum(least(len, lim)) AS BIGINT) FROM d)
+        |    AS tokens_kept,
+        |  ROUND(CASE WHEN tot > 0 THEN
+        |    CAST((SELECT sum(least(len, lim)) FROM d) AS DOUBLE)
+        |      / CAST(tot AS DOUBLE) END, 7) AS share_kept
+        |FROM a CROSS JOIN (SELECT unnest([CAST(64 AS BIGINT),
+        |  CAST(256 AS BIGINT), CAST(1024 AS BIGINT)]) AS lim)
+        |ORDER BY "limit"""".stripMargin,
+
+    // cluster histogram: q196's closed-form decades — 30 components of
+    // exactly 10 nodes, one bucket row (floor(log2(10)) = 3, lo 8).
+    "q483_cluster_histogram" ->
+      """SELECT CAST(3 AS INT) AS size_bucket, CAST(8 AS BIGINT) AS bucket_lo,
+        |  CAST(30 AS BIGINT) AS n_clusters, CAST(300 AS BIGINT) AS n_nodes""".stripMargin)
 }

@@ -472,6 +472,35 @@ object Dedup {
         col("a.__s").as(scoreCol))
   }
 
+  /** Cluster-size histogram — dedup OBSERVABILITY over any near-dup
+    * pair set: connected components, then a log2-bucketed census of
+    * component sizes (how duplicated IS this corpus? is the mass in
+    * twins or in thousand-copy boilerplate?). The readout that decides
+    * between [[dropNearDuplicates]], [[capPerCluster]]'s k, and a pair
+    * cap.
+    *
+    * Exactness: the size-class bucket floor(log2(size)) is computed as
+    * length(bin(size)) - 1 — pure integer arithmetic, never a float
+    * log whose 1-ulp wobble could flip a power-of-two boundary.
+    *
+    * Returns (size_bucket, bucket_lo, n_clusters, n_nodes) — one row
+    * per occupied power-of-two size class.
+    */
+  def clusterSizeHistogram(pairs: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val labels = Graph.connectedComponents(pairs, "id1", "id2",
+      maxIterations)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+    val bucket = (length(bin(col("sz"))) - 1).cast("int")
+    sizes.groupBy(bucket.as("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_nodes"))
+      .select(col("size_bucket"),
+        call_function("shiftleft", lit(1L), col("size_bucket"))
+          .as("bucket_lo"),
+        col("n_clusters"), col("n_nodes"))
+  }
+
   /** The drop readout beside [[capPairsPerDoc]] — never cap silently:
     * one row (n_pairs, n_kept, n_dropped) for the given pair set and
     * cap, so a pipeline logs exactly how much of the declared pair

@@ -53,4 +53,45 @@ object Packing {
     }(Encoders.product[(String, Long, Long, Long)])
       .toDF(groupCol, "seq_id", "n_items", "bin_weight")
   }
+
+  /** Truncation census — the context-length planning readout BEFORE
+    * packing: for each candidate limit L, how many documents would be
+    * cut and how much of the token mass survives
+    * (`tokens_kept = sum(min(len, L))`). The numbers that decide the
+    * max-sequence-length / packing-budget trade-off.
+    *
+    * Exactness: pure integer aggregates from ONE combining pass (all
+    * limits evaluated as conditional aggregates of the same scan);
+    * share_kept is one rounded division per limit.
+    *
+    * Returns one row per limit: (limit, n_docs, n_truncated,
+    * tokens_total, tokens_kept, share_kept).
+    */
+  def truncationCensus(df: DataFrame, lenCol: String,
+      limits: Seq[Long]): DataFrame = {
+    require(limits.nonEmpty && limits.size <= 32 &&
+      limits.forall(_ >= 1L) && limits.distinct.size == limits.size,
+      "limits must be 1..32 distinct positive lengths")
+    val len = col(lenCol).cast("long")
+    val slim = df.where(len.isNotNull).select(len.as("__len"))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("__len")).as("tokens_total")) ++
+      limits.sorted.zipWithIndex.flatMap { case (l, i) => Seq(
+        count(when(col("__len") > l, 1)).as(s"__tr_$i"),
+        sum(least(col("__len"), lit(l))).as(s"__kp_$i"))
+      }
+    val one = slim.agg(aggs.head, aggs.tail: _*)
+    val entries = limits.sorted.zipWithIndex.map { case (l, i) =>
+      struct(lit(l).as("limit"), col(s"__tr_$i").as("n_truncated"),
+        col(s"__kp_$i").as("tokens_kept"))
+    }
+    one.select(col("n_docs"), col("tokens_total"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("e.limit").as("limit"), col("n_docs"),
+        col("e.n_truncated").as("n_truncated"), col("tokens_total"),
+        col("e.tokens_kept").as("tokens_kept"),
+        round(when(col("tokens_total") > 0L,
+          col("e.tokens_kept").cast("double") /
+            col("tokens_total").cast("double")), 7).as("share_kept"))
+  }
 }

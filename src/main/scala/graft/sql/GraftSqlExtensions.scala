@@ -93,6 +93,8 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_did(src_view, 'treat', 'post', 'y', out_view)
   *   CALL graft_stat_records(src_view, 'group', 'ord1,ord2', 'value', out_view)
   *   CALL graft_stat_max_drawdown(src_view, 'group', 'ord1,ord2', 'value', out_view)
+  *   CALL graft_stat_truncation_census(src_view, 'len', '64,256,1024', out_view)
+  *   CALL graft_stat_cluster_histogram(pairs_view, out_view)
   *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
   *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
   *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
@@ -628,6 +630,12 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
         case "max_drawdown" => Trend.maxDrawdown(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2))
+        case "truncation_census" => graft.operators.Packing
+          .truncationCensus(src, ms(0),
+            ms(1).split(",").map(_.trim).filter(_.nonEmpty)
+              .map(_.toLong).toSeq)
+        case "cluster_histogram" =>
+          graft.functions.Dedup.clusterSizeHistogram(src)
         case "ess" => Trend.effectiveSampleSize(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
           mi(3))
@@ -656,6 +664,7 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "brunner_munzel, did, err_at_k, rmst, " +
           "ccf, cmh, " +
           "cohens_d, cohens_h, concordance, " +
+          "cluster_histogram, " +
           "conformal, corr_matrix, cox_stuart, cramers_v, cronbach, " +
           "cuped, cusum, " +
           "durbin_watson, ece, ess, fleiss_kappa, g_test, gini_screen, " +
@@ -672,7 +681,8 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "precision_at_k, psi, purity, quantile_norm, ratio_ci, " +
           "seasonal_mann_kendall, spiegelhalter, sprt, srm, " +
           "stratified_ate, target_encode, " +
-          "theil_sen, total_variation, trimmed_mean, turning_points, " +
+          "theil_sen, total_variation, trimmed_mean, truncation_census, " +
+          "turning_points, " +
           "uncertainty, variance_ratio, vmeasure, wasserstein, " +
           "weighted_kappa, welch, " +
           "wilcoxon, wilson, youden)")

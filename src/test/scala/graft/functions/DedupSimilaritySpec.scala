@@ -324,4 +324,20 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hk == Set((0L, 1L), (0L, 3L)), hk)
   }
+
+  test("clusterSizeHistogram: integer log2 buckets, never a float log") {
+    // components: a pair (size 2 -> bucket 1), a chain of 8 (bucket 3),
+    // a triangle (size 3 -> bucket 1)
+    val pairs = (Seq((100L, 101L)) ++
+      (0L until 7L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (200L, 202L)))
+      .toDF("id1", "id2")
+    val h = graft.functions.Dedup.clusterSizeHistogram(pairs)
+      .orderBy("size_bucket").collect()
+    assert(h.length == 2, h.toSeq)
+    assert(h(0).getInt(0) == 1 && h(0).getLong(1) == 2L &&
+      h(0).getLong(2) == 2L && h(0).getLong(3) == 5L, h(0))
+    assert(h(1).getInt(0) == 3 && h(1).getLong(1) == 8L &&
+      h(1).getLong(2) == 1L && h(1).getLong(3) == 8L, h(1))
+  }
 }

@@ -42,4 +42,21 @@ class PackingSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("a", 0L, 2L, 10L),
       ("b", 0L, 1L, 5L), ("b", 1L, 1L, 6L)))
   }
+
+  test("truncationCensus: hand limits, exact kept mass") {
+    val df = Seq(10L, 100L, 300L).toDF("len")
+    val r = Packing.truncationCensus(df, "len", Seq(256L, 64L))
+      .orderBy("limit").collect()
+    assert(r.length == 2)
+    // limit 64: docs 100 and 300 truncated; kept = 10 + 64 + 64
+    assert(r(0).getLong(0) == 64L && r(0).getLong(2) == 2L &&
+      r(0).getLong(4) == 138L, r(0))
+    // limit 256: only 300 truncated; kept = 10 + 100 + 256
+    assert(r(1).getLong(0) == 256L && r(1).getLong(2) == 1L &&
+      r(1).getLong(4) == 366L, r(1))
+    assert(r(1).getLong(3) == 410L) // tokens_total
+    val want = BigDecimal(366.0 / 410.0)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1).getDouble(5) == want, r(1))
+  }
 }

@@ -207,6 +207,12 @@ class GraftSqlSpec extends SparkTestBase {
     fixture.write.parquet(srcPath)
     sqlS.read.parquet(srcPath).createOrReplaceTempView("sqlstat_src")
     val src = sqlS.table("sqlstat_src")
+    val pairsFixture = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id1", "id2")
+    val pairsPath = tmpDir("stat-pairs")
+    pairsFixture.write.parquet(pairsPath)
+    sqlS.read.parquet(pairsPath).createOrReplaceTempView("sqlstat_pairs")
+    val pairsSrc = sqlS.table("sqlstat_pairs")
 
     def parity(call: String, view: String, direct: org.apache.spark.sql.DataFrame): Unit = {
       val report = sqlS.sql(call).head().getString(0)
@@ -400,6 +406,11 @@ class GraftSqlSpec extends SparkTestBase {
       "st_rec", Trend.recordsTest(src, "g", Seq("t"), "v"))
     parity("CALL graft_stat_max_drawdown(sqlstat_src, 'g', 't', 'v', st_mdd)",
       "st_mdd", Trend.maxDrawdown(src, "g", Seq("t"), "v"))
+    parity("CALL graft_stat_truncation_census(sqlstat_src, 'v', '16,32', st_tc)",
+      "st_tc", graft.operators.Packing.truncationCensus(src, "v",
+        Seq(16L, 32L)))
+    parity("CALL graft_stat_cluster_histogram(sqlstat_pairs, st_chh)",
+      "st_chh", graft.functions.Dedup.clusterSizeHistogram(pairsSrc))
     parity("CALL graft_stat_ess(sqlstat_src, 'g', 't', 'v', 3, st_ess)",
       "st_ess", Trend.effectiveSampleSize(src, "g", Seq("t"), "v", 3))
     parity("CALL graft_stat_gumbel(sqlstat_src, 'g', 't', 'v', st_gum)",
