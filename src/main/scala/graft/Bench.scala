@@ -74,13 +74,16 @@ object Bench {
       // The canary measures HOST interference, not the engine's GC debt:
       // r16's tail (spread 4.6, max 0.18 vs median 0.072) was canary
       // points landing right after a heavy query's garbage — collect and
-      // settle first, then record the MEDIAN of 3 back-to-back samples
-      // so a single scheduler hiccup can't print as an interference
-      // window. Sustained contention still inflates all 3.
+      // settle first, discard one post-GC warmup run, then record the
+      // MEDIAN of 5 back-to-back samples so a couple of scheduler
+      // hiccups can't print as an interference window. Sustained
+      // contention still inflates the median.
       System.gc()
       Thread.sleep(50)
-      val xs = Seq(canaryOnce(), canaryOnce(), canaryOnce()).sorted
-      canarySamples += xs(1)
+      canaryOnce() // post-GC warmup: the first run pays page-cache/JIT
+      val xs = Seq(canaryOnce(), canaryOnce(), canaryOnce(),
+        canaryOnce(), canaryOnce()).sorted
+      canarySamples += xs(2)
     }
     canaryOnce() // warm the canary's own codegen before the timed samples
     for (_ <- 1 to reps; ((name, fn), i) <- ordered.zipWithIndex) {
@@ -117,10 +120,13 @@ object Bench {
     val cs = canarySamples.toList.sorted
     val canaryJson = if (cs.isEmpty) "null" else {
       val med = cs(cs.size / 2)
-      // max/min ratio is the single-number noise verdict: ~1 on a quiet
-      // host; >>1 means interference windows hit during this run.
+      // max/min ratio is the historical single-number noise verdict;
+      // spread_med = max/median is the robust one — max/min is inflated
+      // by an unusually FAST sample (cache-hot canary block), which is
+      // not interference. Read spread_med for "did noise windows hit".
       s"""{"n":${cs.size},"min":${cs.head},"median":$med,"max":${cs.last},""" +
-        s""""spread":${if (cs.head > 0) cs.last / cs.head else -1.0}}"""
+        s""""spread":${if (cs.head > 0) cs.last / cs.head else -1.0},""" +
+        s""""spread_med":${if (med > 0) cs.last / med else -1.0}}"""
     }
     // "total" comes LAST: the driver's log capture keeps only a bounded tail
     // of this line, and the headline number must survive the truncation.
