@@ -167,6 +167,49 @@ object PrefixScan {
         greatest(col("__pso_m"), col("__psm")).as(outName): _*)
   }
 
+  /** df + `cumName` (running inclusive sum of `xCol`) + `maxName`
+    * (running inclusive maximum OF THAT RUNNING SUM) in ONE bucketing
+    * pass — the fused form drawdown-style consumers need (chaining
+    * [[withRowNumberAndSums]] then [[withRunningMax]] would re-evaluate
+    * the first device's whole plan inside the second's percentile job
+    * and main pass). Decomposition: with off_b the exclusive bucket
+    * prefix sum, the global running max at a row is
+    * max(prior buckets' max(off_j + localCumMax_j), off_b + localMax_t)
+    * — all associative pieces, so bit-identity holds as usual.
+    */
+  def withCumAndRunningMax(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], xCol: String, cumName: String,
+      maxName: String, rnName: String = "__rn"): DataFrame = {
+    val g = col(groupCol)
+    val withB = df.withColumn("__psb", bucketColumn(df, orderCols.head))
+    val wRn = Window.partitionBy(g, col("__psb"))
+      .orderBy(orderCols.map(col): _*)
+    val wCum = wRn.rowsBetween(Window.unboundedPreceding, 0)
+    val local = withB
+      .withColumn("__psrn", row_number().over(wRn))
+      .withColumn("__pslc", sum(col(xCol)).over(wCum))
+      .withColumn("__pslm", max(col("__pslc")).over(wCum))
+    val partials = local.groupBy(g.as("__psg"), col("__psb").as("__psob"))
+      .agg(count(lit(1)).as("__psc"), sum(col(xCol)).as("__psbs"),
+        max(col("__pslc")).as("__psbm"))
+    val wPre = Window.partitionBy(col("__psg")).orderBy(col("__psob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("__pso_rn", coalesce(sum(col("__psc")).over(wPre), lit(0L)))
+      .withColumn("__pso", coalesce(sum(col("__psbs")).over(wPre), lit(0L)))
+      .withColumn("__pso_m",
+        max(col("__pso") + col("__psbm")).over(wPre))
+      .select(col("__psg"), col("__psob"), col("__pso_rn"), col("__pso"),
+        col("__pso_m"))
+    local.join(offsets,
+        g <=> col("__psg") && col("__psb") === col("__psob"))
+      .select(df.columns.map(col).toSeq ++ Seq(
+        (col("__pso_rn") + col("__psrn").cast("long")).as(rnName),
+        (col("__pso") + col("__pslc")).as(cumName),
+        greatest(col("__pso_m"), col("__pso") + col("__pslm"))
+          .as(maxName)): _*)
+  }
+
   /** df + lag columns `lagName(j)` = lag j of `xCol` for j in
     * 1..maxLag, in `orderCols` order within `groupCol` — the
     * distributed form of `lag(x, j).over(partitionBy(group)

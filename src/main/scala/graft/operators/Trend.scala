@@ -1313,10 +1313,10 @@ object Trend {
       (col(groupCol).as("group") +: col(valueCol).cast("long").as("x") +:
         orderCols.map(col)): _*)
       .where(col("x").isNotNull)
-    val cum = PrefixScan.withRowNumberAndSums(slim, "group", orderCols,
-      Seq("__c" -> col("x")), rnName = "__t")
-    val withM = PrefixScan.withRunningMax(cum, "group", orderCols,
-      "__c", "__mx")
+    // ONE fused bucketing pass: chaining two devices would re-evaluate
+    // the first inside the second's percentile job and main pass
+    val withM = PrefixScan.withCumAndRunningMax(slim, "group", orderCols,
+      "x", cumName = "__c", maxName = "__mx", rnName = "__t")
     withM.select(col("group"), col("__t"),
         (col("__mx") - col("__c")).as("__dd"))
       .groupBy(col("group"))

@@ -131,4 +131,19 @@ class PrefixScanSpec extends SparkTestBase {
       assertSame(got, expected, Seq("g", "t", "tie"))
     }
   }
+
+  test("withCumAndRunningMax is bit-identical to the window form") {
+    val df = series(150).where(col("x").isNotNull)
+    val w = Window.partitionBy(col("g")).orderBy(col("t"), col("tie"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    val expected = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("c", sum(col("x")).over(wc))
+      .withColumn("m", max(sum(col("x")).over(wc)).over(wc))
+    for (nb <- Seq(1, 5, 16)) withBuckets(nb) {
+      val got = PrefixScan.withCumAndRunningMax(df, "g", Seq("t", "tie"),
+        "x", cumName = "c", maxName = "m", rnName = "rn")
+      assertSame(got, expected, Seq("g", "t", "tie"))
+    }
+  }
 }
