@@ -562,4 +562,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.toLowerCase.contains("partial_kmvsketchaggregator"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ordered-scan family runs on PrefixScan buckets, never one task per group") {
+    // The device's signature: every data-sized window partitions by
+    // (group, __psb) — the bucket column must appear in the plan's
+    // window specs. A bare partitionBy(group) window over the raw rows
+    // would be the single-task-per-group shape the rewrite removed.
+    for (q <- Seq("q466_sprt", "q407_durbin_watson", "q348_runs_test",
+        "q378_lorenz", "q323_cusum", "q473_kpss", "q481_max_drawdown")) {
+      val p = plan(q)
+      assert(p.contains("__psb"), s"$q lost the PrefixScan bucket: $p")
+    }
+    // cusum's argmax is a combining max_by aggregate, not a top-1 pick
+    // window re-sorting each whole group in one task
+    val pc = plan("q323_cusum")
+    assert(pc.contains("max_by"), pc)
+    // drawdown is the FUSED single pass: exactly one bucket column is
+    // ever generated (a chained two-device form would alias a second)
+    val pd = plan("q481_max_drawdown")
+    assert(pd.contains("max_by"), pd)
+  }
 }
