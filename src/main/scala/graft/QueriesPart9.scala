@@ -630,7 +630,29 @@ private[graft] object QueriesPart9 {
         .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
       graft.functions.Dedup.clusterSizeHistogram(edges)
         .orderBy("size_bucket")
-    }))
+    }),
+
+    // --- 484. Theil inequality index, oracle-pinned ---------------------------------------------------------------
+    // Mass concentration per event type in nats: every ln() argument an
+    // integer (the q244 device), micro-quantized x*ln(x) fold, one
+    // pinned expression.
+    "q484_theil" -> ((s, d) =>
+      graft.operators.StatTests.theilIndex(
+        t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value")).cast("long").as("x")),
+        "event_type", "x")
+        .orderBy("group")),
+
+    // --- 485. Hodges-Lehmann shift, oracle-pinned -----------------------------------------------------------------
+    // MWU's robust effect size: weighted lower median of pairwise
+    // differences over the bounded distinct-value cross product.
+    "q485_hodges_lehmann" -> ((s, d) =>
+      graft.operators.StatTests.hodgesLehmann(
+        t(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("value")),
+        "event_type", "value", "signup", "error")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -2383,5 +2405,48 @@ private[graft] object QueriesPart9 {
     // exactly 10 nodes, one bucket row (floor(log2(10)) = 3, lo 8).
     "q483_cluster_histogram" ->
       """SELECT CAST(3 AS INT) AS size_bucket, CAST(8 AS BIGINT) AS bucket_lo,
-        |  CAST(30 AS BIGINT) AS n_clusters, CAST(300 AS BIGINT) AS n_nodes""".stripMargin)
+        |  CAST(30 AS BIGINT) AS n_clusters, CAST(300 AS BIGINT) AS n_nodes""".stripMargin,
+
+    // Theil: integer-argument ln device, micro-quantized x*ln(x) fold,
+    // T = q/X - ln X + ln n pinned.
+    "q484_theil" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |agg AS (SELECT g, count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN x > 0 THEN
+        |      CAST(floor(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)) * 1e6)
+        |        AS BIGINT) ELSE 0 END) AS HUGEINT) AS tsum6
+        |  FROM e GROUP BY 1)
+        |SELECT g AS "group", n, total,
+        |  ROUND(CASE WHEN n >= 1 AND total > 0 THEN
+        |    (CAST(tsum6 AS DOUBLE) / 1e6) / CAST(total AS DOUBLE)
+        |      - ln(CAST(total AS DOUBLE)) + ln(CAST(n AS DOUBLE)) END, 7)
+        |    AS theil
+        |FROM agg ORDER BY "group"""".stripMargin,
+
+    // Hodges-Lehmann: bounded distinct-value cross product, weighted
+    // lower median on integer comparisons.
+    "q485_hodges_lehmann" ->
+      """WITH slim AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'error') AND value IS NOT NULL),
+        |pa AS (SELECT v AS va, count(*) AS ca FROM slim
+        |       WHERE g = 'signup' GROUP BY 1),
+        |pb AS (SELECT v AS vb, count(*) AS cb FROM slim
+        |       WHERE g = 'error' GROUP BY 1),
+        |diffs AS (SELECT vb - va AS d, CAST(sum(ca * cb) AS BIGINT) AS w
+        |  FROM pa CROSS JOIN pb GROUP BY 1),
+        |cum AS (SELECT d, w,
+        |    sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM diffs),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS n_pairs FROM diffs),
+        |med AS (SELECT min(d) AS hl_shift, max(n_pairs) AS n_pairs
+        |  FROM cum CROSS JOIN tot WHERE 2 * cum >= n_pairs),
+        |counts AS (SELECT
+        |    count(CASE WHEN g = 'signup' THEN 1 END) AS n_a,
+        |    count(CASE WHEN g = 'error' THEN 1 END) AS n_b
+        |  FROM slim)
+        |SELECT n_a, n_b, n_pairs, hl_shift FROM counts CROSS JOIN med""".stripMargin)
 }

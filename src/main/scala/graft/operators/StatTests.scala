@@ -1182,6 +1182,90 @@ object StatTests {
         nA * nB * (rbarB - rbarA) / (nT * sqrt(varSum))), 7).as("w"))
   }
 
+  /** Theil index per group — the decomposable inequality measure
+    * beside the Gini (how concentrated is token/revenue/traffic mass,
+    * in nats):
+    *
+    *   T = sum_i (x_i/X) ln(x_i n / X)
+    *     = (sum_i x_i ln x_i) / X - ln X + ln n
+    *
+    * — the second form is the ENGINE-PORTABLE one: every ln() argument
+    * is an integer (the q244 device), the per-row x*ln(x) terms are
+    * quantized floor(. * 1e6) into an order-independent exact sum, and
+    * T is one pinned expression rounded at 7. x = 0 rows contribute
+    * exactly 0 (the x ln x limit); negative x throws loudly. Null for
+    * n < 1 or X <= 0.
+    *
+    * Returns (group, n, total, theil).
+    */
+  def theilIndex(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val x = col(valueCol).cast("long")
+    val xg = when(x >= 0L, x).otherwise(raise_error(format_string(
+      "StatTests.theilIndex: negative value %s (mass must be >= 0)", x)))
+    val term = when(xg > 0L,
+      floor(xg.cast("double") * log(xg.cast("double")) * lit(1e6))
+        .cast("long")).otherwise(0L)
+    val slim = df.where(col(groupCol).isNotNull && x.isNotNull)
+      .select(col(groupCol).as("group"), xg.as("x"), term.as("__t6"))
+    val agg = slim.groupBy(col("group")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("total"),
+      sum(col("__t6").cast("decimal(38,0)")).as("tsum6"))
+    val xD = col("total").cast("double")
+    val t = (col("tsum6").cast("double") / lit(1e6)) / xD -
+      log(xD) + log(col("n").cast("double"))
+    agg.select(col("group"), col("n"), col("total"),
+      round(when(col("n") >= 1L && col("total") > 0L, t), 7).as("theil"))
+  }
+
+  /** Hodges-Lehmann shift estimator — the EFFECT SIZE companion of
+    * [[mannWhitneyU]] (MWU says "did it shift"; HL says "by how
+    * much", robustly): the weighted LOWER median of all pairwise
+    * differences v_b - v_a over the two samples' distinct-value
+    * domains (the [[moodMedianTest]] no-float-interpolation median
+    * convention, documented — classic HL averages the two middles on
+    * even counts).
+    *
+    * Exactness: the difference domain is the bounded cross product of
+    * the two distinct-value domains (each loudly capped at the
+    * pair-cell bound — a raw unquantized column would declare a D^2
+    * product); cell weights ca*cb are exact, the weighted cumsum runs
+    * over the distinct-difference domain, and the median pick
+    * `smallest d with 2*cum >= W` is an integer comparison.
+    *
+    * Returns one row (n_a, n_b, n_pairs, hl_shift).
+    */
+  def hodgesLehmann(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    requireIntegral(df, valueCol)
+    val slim = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val perA = slim.where(col("g") === a).groupBy(col("v").as("va"))
+      .agg(count(lit(1)).as("ca"))
+    val perB = slim.where(col("g") === b).groupBy(col("v").as("vb"))
+      .agg(count(lit(1)).as("cb"))
+    requireBoundedDomain(perA, "hodgesLehmann (sample a)",
+      maxDomain = MaxPairCells)
+    requireBoundedDomain(perB, "hodgesLehmann (sample b)",
+      maxDomain = MaxPairCells)
+    val diffs = perA.crossJoin(perB)
+      .groupBy((col("vb") - col("va")).as("d"))
+      .agg(sum(col("ca") * col("cb")).as("w"))
+    val wWin = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = diffs.withColumn("cum", sum(col("w")).over(wWin))
+    val tot = diffs.agg(sum(col("w")).as("n_pairs"))
+    val med = cum.crossJoin(broadcast(tot))
+      .where(lit(2L) * col("cum") >= col("n_pairs"))
+      .agg(min(col("d")).as("hl_shift"), max(col("n_pairs")).as("n_pairs"))
+    val counts = slim.agg(
+      count(when(col("g") === a, 1)).as("n_a"),
+      count(when(col("g") === b, 1)).as("n_b"))
+    counts.crossJoin(broadcast(med))
+      .select(col("n_a"), col("n_b"), col("n_pairs"), col("hl_shift"))
+  }
+
   private def requireIntegral(df: DataFrame, valueCol: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Set[Any](ByteType, ShortType, IntegerType, LongType)

@@ -95,6 +95,8 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_max_drawdown(src_view, 'group', 'ord1,ord2', 'value', out_view)
   *   CALL graft_stat_truncation_census(src_view, 'len', '64,256,1024', out_view)
   *   CALL graft_stat_cluster_histogram(pairs_view, out_view)
+  *   CALL graft_stat_theil(src_view, 'group', 'mass', out_view)
+  *   CALL graft_stat_hodges_lehmann(src_view, 'group', 'value', 'a', 'b', out_view)
   *   CALL graft_stat_ess(src_view, 'group', 'ord1,ord2', 'value', maxlag, out_view)
   *   CALL graft_stat_gumbel(src_view, 'group', 'block', 'value', out_view)
   *   CALL graft_stat_broken_stick(src_view, 'group', 'time', 'value', out_view)
@@ -636,6 +638,9 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
               .map(_.toLong).toSeq)
         case "cluster_histogram" =>
           graft.functions.Dedup.clusterSizeHistogram(src)
+        case "theil" => StatTests.theilIndex(src, ms(0), ms(1))
+        case "hodges_lehmann" => StatTests.hodgesLehmann(src, ms(0),
+          ms(1), ms(2), ms(3))
         case "ess" => Trend.effectiveSampleSize(src, ms(0),
           ms(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, ms(2),
           mi(3))
@@ -669,7 +674,7 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "cuped, cusum, " +
           "durbin_watson, ece, ess, fleiss_kappa, g_test, gini_screen, " +
           "gumbel, " +
-          "gwet_ac1, hosmer_lemeshow, jarque_bera, " +
+          "gwet_ac1, hodges_lehmann, hosmer_lemeshow, jarque_bera, " +
           "isotonic, k_anonymity, kpss, kruskal_wallis, ks, kuiper, " +
           "l_diversity, lift, ljung_box, logrank, mahalanobis, " +
           "mahalanobis_d, mann_kendall, mannwhitney, markov_absorption, " +
@@ -681,7 +686,8 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "precision_at_k, psi, purity, quantile_norm, ratio_ci, " +
           "seasonal_mann_kendall, spiegelhalter, sprt, srm, " +
           "stratified_ate, target_encode, " +
-          "theil_sen, total_variation, trimmed_mean, truncation_census, " +
+          "theil, theil_sen, total_variation, trimmed_mean, " +
+          "truncation_census, " +
           "turning_points, " +
           "uncertainty, variance_ratio, vmeasure, wasserstein, " +
           "weighted_kappa, welch, " +

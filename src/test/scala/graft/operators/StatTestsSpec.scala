@@ -1207,4 +1207,46 @@ class StatTestsSpec extends SparkTestBase {
     assert(d.getDouble(d.fieldIndex("phat")) == 1.0 &&
       d.isNullAt(d.fieldIndex("w")), d)
   }
+
+  test("theilIndex: equal mass is ~0, full concentration is ln n; negatives loud") {
+    def r7(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val equal = Seq.fill(8)(("g", 5L)).toDF("g", "x")
+    val e = StatTests.theilIndex(equal, "g", "x").head()
+    // replicate the quantized formula: all mass equal -> T ~ 0
+    val q6 = 8L * math.floor(5.0 * math.log(5.0) * 1e6).toLong
+    val want = r7(q6 / 1e6 / 40.0 - math.log(40.0) + math.log(8.0))
+    assert(e.getDouble(e.fieldIndex("theil")) == want, s"$e vs $want")
+    assert(math.abs(want) < 1e-6)
+    // one row holds everything: T -> ln n
+    val conc = (Seq.fill(7)(("g", 0L)) :+ (("g", 80L))).toDF("g", "x")
+    val c = StatTests.theilIndex(conc, "g", "x").head()
+    val wantC = r7(math.floor(80.0 * math.log(80.0) * 1e6) / 1e6 / 80.0 -
+      math.log(80.0) + math.log(8.0))
+    assert(c.getDouble(c.fieldIndex("theil")) == wantC, c)
+    assert(math.abs(wantC - math.log(8.0)) < 1e-5)
+    val bad = Seq(("g", -1L)).toDF("g", "x")
+    val ex = intercept[Exception] {
+      StatTests.theilIndex(bad, "g", "x").collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("-1"))
+  }
+
+  test("hodgesLehmann: hand shift, lower-median convention on even counts") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 10L), ("b", 4L))
+      .toDF("g", "v")
+    val r = StatTests.hodgesLehmann(df, "g", "v", "a", "b").head()
+    // diffs b - a: {3, 2, -6} -> median 2
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L &&
+      r.getLong(2) == 3L && r.getLong(3) == 2L, r)
+    // even pair count: {-1, 1} -> LOWER median -1 (documented convention)
+    val even = Seq(("a", 1L), ("a", 3L), ("b", 2L)).toDF("g", "v")
+    assert(StatTests.hodgesLehmann(even, "g", "v", "a", "b")
+      .head().getLong(3) == -1L)
+    // a pure shift is recovered exactly
+    val shift = Seq(("a", 1L), ("a", 5L), ("a", 9L),
+      ("b", 4L), ("b", 8L), ("b", 12L)).toDF("g", "v")
+    assert(StatTests.hodgesLehmann(shift, "g", "v", "a", "b")
+      .head().getLong(3) == 3L)
+  }
 }

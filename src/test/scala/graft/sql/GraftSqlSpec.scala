@@ -411,6 +411,10 @@ class GraftSqlSpec extends SparkTestBase {
         Seq(16L, 32L)))
     parity("CALL graft_stat_cluster_histogram(sqlstat_pairs, st_chh)",
       "st_chh", graft.functions.Dedup.clusterSizeHistogram(pairsSrc))
+    parity("CALL graft_stat_theil(sqlstat_src, 'g', 'v', st_th)",
+      "st_th", StatTests.theilIndex(src, "g", "v"))
+    parity("CALL graft_stat_hodges_lehmann(sqlstat_src, 'g', 'v', 'a', 'b', st_hl)",
+      "st_hl", StatTests.hodgesLehmann(src, "g", "v", "a", "b"))
     parity("CALL graft_stat_ess(sqlstat_src, 'g', 't', 'v', 3, st_ess)",
       "st_ess", Trend.effectiveSampleSize(src, "g", Seq("t"), "v", 3))
     parity("CALL graft_stat_gumbel(sqlstat_src, 'g', 't', 'v', st_gum)",
