@@ -36,6 +36,11 @@ object AbTest {
         count(when(col(successCol), 1)).as("successes"))
     val c = g.where(col("variant") === control)
       .select(col("n").as("n_c"), col("successes").as("s_c"))
+    // A mistyped control name must fail loudly, not return an empty
+    // frame that reads as "no variants differ" (the minDetectableEffect
+    // contract, shared). One bounded job over the variant-sized table.
+    require(c.limit(1).count() == 1L,
+      s"zTest: control variant '$control' not present in $variantCol")
     val nv = col("n").cast("double")
     val nc = col("n_c").cast("double")
     val pv = col("successes").cast("double") / nv

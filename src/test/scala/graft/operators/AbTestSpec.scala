@@ -38,6 +38,14 @@ class AbTestSpec extends SparkTestBase {
     assert(AbTest.zTest(allPass, "variant", "ok", "a").collect()(0).isNullAt(5))
   }
 
+  test("a mistyped control name throws loudly, never an empty frame") {
+    val df = mk(("a", 40, 60), ("b", 55, 45))
+    val e = intercept[IllegalArgumentException] {
+      AbTest.zTest(df, "variant", "ok", control = "ctl")
+    }
+    assert(e.getMessage.contains("ctl"), e.getMessage)
+  }
+
   test("several variants each test against the one control") {
     val df = mk(("ctl", 50, 50), ("v1", 60, 40), ("v2", 45, 55))
     val got = AbTest.zTest(df, "variant", "ok", "ctl")
