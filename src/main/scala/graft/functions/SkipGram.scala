@@ -63,6 +63,17 @@ object SkipGram {
   def negativeSamples(pairsDf: DataFrame, unigrams: DataFrame,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 32, s"k must be in [1, 32]")
+    // ENFORCE the bounded-vocabulary contract: the CDF build below is
+    // a global ordered window over the unigram table — one partition
+    // owns the whole vocabulary. Right shape for a sampling table (it
+    // is built once and range-joined), but only while the vocab is
+    // bounded; an open vocabulary (urls, user ids) must fail loudly
+    // here, not land 10M+ terms in one task.
+    graft.operators.StatTests.requireBoundedDomain(
+      unigrams.select(col("term")),
+      "SkipGram.negativeSamples (unigram vocabulary past the bounded-" +
+        "vocab contract — prune the long tail first, e.g. a min-count " +
+        "filter)")
     val w = Window.orderBy("term")
     val cdf = unigrams.select(col("term"), col("c").cast("long").as("c"))
       .withColumn("hi", sum(col("c")).over(w) - 1L)

@@ -34,6 +34,12 @@ import org.apache.spark.sql.types._
   * (approximate, possibly run-varying) boundaries fall —
   * PrefixScanSpec pins this op by op against the window form.
   *
+  * COST: each device call with no precomputed `boundaries` runs its
+  * `percentile_approx` probe EAGERLY at construction time — one extra
+  * full input scan before the query executes. Callers composing
+  * several devices over one frame should [[probeBoundaries]] once and
+  * pass the result to every call (see that method's scaladoc).
+  *
   * Ordering contract: `orderCols` ascending, and total within a group
   * (pass an id column last) — the same contract the window form
   * documents. The leading order column must be numeric, timestamp or
@@ -73,29 +79,51 @@ object PrefixScan {
       case _ => None
     }
 
-  /** Monotone bucket assignment from range boundaries: one bounded
-    * `percentile_approx` job (nBuckets-1 doubles to the driver — the
-    * requireBoundedDomain class of pre-flight action), then a static
-    * comparison chain that stays inside WholeStageCodegen. Boundary
-    * wobble across runs moves rows between buckets, never between
-    * positions — outputs are invariant to the split.
+  /** One `percentile_approx` probe of the leading order column's
+    * monotone double image, returning the boundary set the bucket
+    * assignment uses. COST NOTE (applies to every device below): when
+    * no precomputed `boundaries` are passed, each device call runs
+    * this probe EAGERLY at DataFrame-construction time — one extra
+    * full scan of the input before the real query executes. An
+    * operator that invokes one device once inherits one hidden scan;
+    * composing several devices over the same frame multiplies them.
+    * The fix is this method: probe once, pass the array to every
+    * device call over that frame. Any boundary set is CORRECT —
+    * exactness never depends on where boundaries fall (they only
+    * steer balance) — so reuse across filtered/derived views of the
+    * same frame is fine. Returns empty when the column type is not
+    * bucketable (numeric/timestamp/date) or the input is empty; the
+    * devices then degrade to one bucket per group.
     */
-  private def bucketColumn(df: DataFrame, orderHead: String): Column = {
+  def probeBoundaries(df: DataFrame, orderHead: String): Array[Double] = {
     val n = bucketCount(df)
     bucketKey(df, orderHead) match {
       case Some(key) if n > 1 =>
         val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
         val row = df.agg(
           percentile_approx(key, probs, lit(10000)).as("b")).head()
-        val bs =
-          if (row.isNullAt(0)) Array.empty[Double]
-          else row.getSeq[Double](0).toArray.distinct.sorted
+        if (row.isNullAt(0)) Array.empty[Double]
+        else row.getSeq[Double](0).toArray.distinct.sorted
+      case _ => Array.empty[Double]
+    }
+  }
+
+  /** Monotone bucket assignment from range boundaries: the
+    * [[probeBoundaries]] probe (or the caller's precomputed set), then
+    * a static comparison chain that stays inside WholeStageCodegen.
+    * Boundary wobble across runs moves rows between buckets, never
+    * between positions — outputs are invariant to the split.
+    */
+  private def bucketColumn(df: DataFrame, orderHead: String,
+      pre: Option[Array[Double]]): Column =
+    bucketKey(df, orderHead) match {
+      case Some(key) =>
+        val bs = pre.getOrElse(probeBoundaries(df, orderHead))
         bs.foldLeft(lit(0)) { (acc, b) =>
           acc + when(key >= lit(b), 1).otherwise(0)
         }
       case _ => lit(0)
     }
-  }
 
   /** df + `rnName` (1-based per-group row number in `orderCols` order)
     * and, for each (name, expr) in `sums`, the running INCLUSIVE sum
@@ -107,9 +135,11 @@ object PrefixScan {
     */
   def withRowNumberAndSums(df: DataFrame, groupCol: String,
       orderCols: Seq[String], sums: Seq[(String, Column)],
-      rnName: String = "__rn"): DataFrame = {
+      rnName: String = "__rn",
+      boundaries: Option[Array[Double]] = None): DataFrame = {
     val g = col(groupCol)
-    val withB = df.withColumn("__psb", bucketColumn(df, orderCols.head))
+    val withB =
+      df.withColumn("__psb", bucketColumn(df, orderCols.head, boundaries))
     val wRn = Window.partitionBy(g, col("__psb"))
       .orderBy(orderCols.map(col): _*)
     val wCum = wRn.rowsBetween(Window.unboundedPreceding, 0)
@@ -147,9 +177,11 @@ object PrefixScan {
     * max is null at the first bucket and `greatest` skips nulls).
     */
   def withRunningMax(df: DataFrame, groupCol: String,
-      orderCols: Seq[String], xCol: String, outName: String): DataFrame = {
+      orderCols: Seq[String], xCol: String, outName: String,
+      boundaries: Option[Array[Double]] = None): DataFrame = {
     val g = col(groupCol)
-    val withB = df.withColumn("__psb", bucketColumn(df, orderCols.head))
+    val withB =
+      df.withColumn("__psb", bucketColumn(df, orderCols.head, boundaries))
     val wCum = Window.partitionBy(g, col("__psb"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -179,9 +211,11 @@ object PrefixScan {
     */
   def withCumAndRunningMax(df: DataFrame, groupCol: String,
       orderCols: Seq[String], xCol: String, cumName: String,
-      maxName: String, rnName: String = "__rn"): DataFrame = {
+      maxName: String, rnName: String = "__rn",
+      boundaries: Option[Array[Double]] = None): DataFrame = {
     val g = col(groupCol)
-    val withB = df.withColumn("__psb", bucketColumn(df, orderCols.head))
+    val withB =
+      df.withColumn("__psb", bucketColumn(df, orderCols.head, boundaries))
     val wRn = Window.partitionBy(g, col("__psb"))
       .orderBy(orderCols.map(col): _*)
     val wCum = wRn.rowsBetween(Window.unboundedPreceding, 0)
@@ -221,11 +255,13 @@ object PrefixScan {
     */
   def withLags(df: DataFrame, groupCol: String, orderCols: Seq[String],
       xCol: String, maxLag: Int,
-      lagName: Int => String): DataFrame = {
+      lagName: Int => String,
+      boundaries: Option[Array[Double]] = None): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64,
       s"maxLag must be in [1, 64], got $maxLag")
     val g = col(groupCol)
-    val withB = df.withColumn("__psb", bucketColumn(df, orderCols.head))
+    val withB =
+      df.withColumn("__psb", bucketColumn(df, orderCols.head, boundaries))
     val wOrd = Window.partitionBy(g, col("__psb"))
       .orderBy(orderCols.map(col): _*)
     val wB = Window.partitionBy(g, col("__psb"))

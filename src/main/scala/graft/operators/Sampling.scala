@@ -328,6 +328,14 @@ object Sampling {
       budget: Long
   ): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // ENFORCE the quantized-score contract (not just document it): the
+    // global cutoff window below runs over the distinct-score table in
+    // one ordered partition — correct-and-small only while scores are
+    // quantized. An unquantized 64-bit score column must fail loudly
+    // here, not silently single-partition a corpus-sized table.
+    StatTests.requireBoundedDomain(df.select(col(scoreCol)).distinct(),
+      "Sampling.budgetSelect (distinct scores past the quantized-score " +
+        "contract — quantize the score column first)")
     val byScore = df.groupBy(col(scoreCol))
       .agg(sum(col(tokensCol)).as("__tok"))
     val w = Window.orderBy(desc(scoreCol))

@@ -167,8 +167,9 @@ object Sequences {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
     val nonNull = df.where(col(keyCol).isNotNull && col(stateCol).isNotNull)
-    graft.operators.StatTests.requireBoundedDomain(
-      nonNull.select(col(stateCol).cast("string")).distinct(),
+    val stateDomain = nonNull.select(col(stateCol).cast("string").as("s"))
+      .distinct()
+    graft.operators.StatTests.requireBoundedDomain(stateDomain,
       "Sequences.markovAbsorption (state alphabet past the bounded-matrix " +
         "contract of 64 — bucket the state column first)", maxDomain = 64L)
     val trans = nonNull
@@ -178,9 +179,13 @@ object Sequences {
       .groupBy(col("from"), col("to")).agg(count(lit(1)).as("c"))
     val rows = trans.collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-    val observed = (rows.keysIterator
-      .flatMap { case (a, b) => Iterator(a, b) } ++
-      Iterator.empty).toSeq.distinct.sorted
+    // Alphabet = the stateCol census the guard just bounded (<= 64
+    // rows to the driver), NOT the transition-derived set: a state
+    // appearing only in length-1 journeys is still "observed in the
+    // state column" (the documented contract), still a legal absorbing
+    // declaration, and still part of the k the dangling 1/k
+    // redistribution spreads over.
+    val observed = stateDomain.collect().map(_.getString(0)).toSeq.sorted
     for (a <- absorbing) require(observed.contains(a),
       s"absorbing state '$a' not observed in $stateCol")
     val k = observed.length

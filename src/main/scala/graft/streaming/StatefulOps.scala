@@ -637,8 +637,14 @@ object StatefulOps {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (variant: String, it: Iterator[SprtEvent], state: GroupState[SprtState]) =>
           var st = state.getOption.getOrElse(SprtState(0L, 0L, "continue", None))
-          // within-batch walk in ts order (the ordering contract)
-          for (e <- it.toSeq.sortBy(_.ts.getTime)) {
+          // within-batch walk in ts order (the ordering contract).
+          // Sort at FULL timestamp precision: Spark timestamps carry
+          // microseconds, and getTime truncates to milliseconds — two
+          // events inside the same millisecond would walk in arbitrary
+          // order and break the documented batch-parity claim. The
+          // (millis, nanos) pair is java.sql.Timestamp's own total
+          // order.
+          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))) {
             val llr = st.llr + (if (e.success) w1 else w0)
             val n = st.n + 1L
             val (dec, nd) =

@@ -143,6 +143,72 @@ class DomainGuardSpec extends SparkTestBase {
     assert(e.getMessage != null && e.getMessage.contains("1500"))
   }
 
+  test("budgetSelect enforces the quantized-score contract") {
+    // an unquantized 64-bit score column (one distinct score per row,
+    // one past the domain bound) must fail loudly BEFORE the global
+    // distinct-score cutoff window runs in one partition
+    val raw = spark.range(StatTests.MaxDistinctDomain + 1)
+      .select(col("id"), col("id").as("score"), lit(10L).as("tok"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(raw, "id", "score", "tok", budget = 100L)
+    }
+    assert(e.getMessage.contains("budgetSelect"))
+    assert(e.getMessage.contains("quantize"))
+    // quantized, the identical data passes and honors the budget
+    val q = raw.select(col("id"), shiftright(col("score"), 12).as("score"),
+      col("tok"))
+    val kept = Sampling.budgetSelect(q, "id", "score", "tok", budget = 100L)
+    assert(kept.count() == 10L)
+  }
+
+  test("negativeSamples enforces the bounded-vocabulary contract") {
+    import spark.implicits._
+    // an open vocabulary (one term per row, one past the bound) must
+    // fail loudly BEFORE the global CDF window lands it in one task
+    val openVocab = spark.range(StatTests.MaxDistinctDomain + 1)
+      .select(concat(lit("t"), col("id")).as("term"), lit(1L).as("c"))
+    val pairs = Seq(("a", "b", 1L)).toDF("center", "context", "n")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.SkipGram.negativeSamples(pairs, openVocab, k = 2)
+    }
+    assert(e.getMessage.contains("negativeSamples"))
+    assert(e.getMessage.contains("vocab"))
+    // a bounded vocab passes and draws exactly k negatives per pair
+    val vocab = Seq(("a", 3L), ("b", 2L), ("c", 5L)).toDF("term", "c")
+    assert(graft.functions.SkipGram.negativeSamples(pairs, vocab, k = 2)
+      .count() == 2L)
+  }
+
+  test("markovAbsorption alphabet comes from the state column census") {
+    import spark.implicits._
+    // 'sink' appears ONLY in a length-1 journey — no transitions touch
+    // it. It is still observed in the state column, so declaring it
+    // absorbing must be LEGAL (not the misleading 'not observed'
+    // error), and the dangling 1/k redistribution runs over the full
+    // 4-state census alphabet {a, b, end, sink}, k = 4.
+    val df = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "end"),
+      ("u2", 1L, "a"), ("u2", 2L, "end"),
+      ("u3", 1L, "sink")).toDF("k", "t", "state")
+    val out = Sequences.markovAbsorption(df, "k", Seq("t"), "state",
+      absorbing = Seq("end", "sink")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // transient {a, b} x absorbing {end, sink} = 4 rows
+    assert(out.size == 4)
+    // b is dangling in the transient sense? No: b -> end once. a goes
+    // b or end, never sink directly; sink has no inbound transitions,
+    // so p_absorb(a -> sink) = 0 and p_absorb(a -> end) = 1.
+    assert(out(("a", "end"))._2 == 1.0)
+    assert(out(("a", "sink"))._2 == 0.0)
+    // a genuinely undeclared state still throws loudly
+    val e = intercept[IllegalArgumentException] {
+      Sequences.markovAbsorption(df, "k", Seq("t"), "state",
+        absorbing = Seq("ghost"))
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("the shortlist guards on rank ops trip on corpus-sized input") {
     val big = spark.range((1L << 16) + 1)
       .select(col("id"), col("id").as("s1"), (-col("id")).as("s2"))

@@ -416,6 +416,36 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(v2fin._3 == "continue" && v2fin._4 == -1L, v2fin)
   }
 
+  test("streamingSprt walks sub-millisecond timestamps in micro order") {
+    // Four events in the SAME millisecond, distinguished only by
+    // microseconds, written to the file in the WRONG order (F last in
+    // ts, first in the file). ts order S,S,S,F crosses upQ at n=3
+    // (p0=200/p1=800, alpha=50/beta=200: 3*w1 = 4158882 >= 2772589);
+    // file order F,S,S,S never crosses (peak 2772587 < upQ). A
+    // millisecond-precision sort keeps file order for equal millis
+    // (stable sort), so the decision itself pins the full-precision
+    // contract.
+    val sprtSchema = StructType(Seq(StructField("variant", StringType),
+      StructField("ts", TimestampType), StructField("success", BooleanType)))
+    val dir = graft.GraftTmp.dir("graft-sprt-micros")
+    Files.write(dir.resolve("a.json"),
+      """{"variant": "v", "ts": "2024-01-01T00:00:00.000004", "success": false}
+        |{"variant": "v", "ts": "2024-01-01T00:00:00.000001", "success": true}
+        |{"variant": "v", "ts": "2024-01-01T00:00:00.000002", "success": true}
+        |{"variant": "v", "ts": "2024-01-01T00:00:00.000003", "success": true}""".stripMargin.getBytes("UTF-8"))
+    val stream = spark.readStream.schema(sprtSchema).json(dir.toString)
+      .as[SprtEvent]
+    val q = StatefulOps.streamingSprt(stream, p0Milli = 200L,
+        p1Milli = 800L)
+      .writeStream.format("memory").queryName("graft_sprt_micros")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val snap = spark.table("graft_sprt_micros").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(snap == Seq(("v", 4L, "accept_h1", 3L)), snap)
+  }
+
   test("streamingCusumAlarm: sustained shift alarms across batches, noise never does") {
     val dir = graft.GraftTmp.dir("graft-cusum")
     // key 1: five on-target values (10 +- 1), then a sustained shift to
