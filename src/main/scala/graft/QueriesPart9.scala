@@ -652,7 +652,44 @@ private[graft] object QueriesPart9 {
         t(s, d, "events")
           .select(col("event_type"),
             floor(col("value") * 10).cast("long").as("value")),
-        "event_type", "value", "signup", "error")))
+        "event_type", "value", "signup", "error")),
+
+    // --- 486. maximal repeated spans, oracle-pinned -----------------------------------------------------------
+    // The arbitrary-length exact-substring dedup face (q129 is the
+    // fixed-n census): anchored extend-and-verify walk to the longest
+    // repeated spans, threshold-maximal, capped at 12 tokens with the
+    // at_cap readout. The oracle brute-forces every span of length
+    // 4..12 (500 docs x <=99 tokens — trivial at oracle scale) and
+    // applies the identical prefix/suffix maximality rule.
+    "q486_repeated_spans" -> ((s, d) =>
+      graft.functions.Dedup.longestRepeatedSpans(
+        t(s, d, "documents"), "doc_id", "text",
+        minDocs = 2, anchorN = 4, maxLen = 12)
+        .orderBy(desc("len"), col("span"))),
+
+    // --- 487. Cox proportional hazards, oracle-pinned ---------------------------------------------------------
+    // q432's cohorts through the regression face: Breslow partial-
+    // likelihood Newton on theta = e^beta (rational in theta — no
+    // exp/ln, so the walk is IEEE-replayable), micro-quantized
+    // integer-summed score/information, 16 pinned iterations. The
+    // oracle replays the identical walk with a recursive CTE over the
+    // same per-duration census as q432.
+    "q487_coxph" -> ((s, d) => {
+      val e = t(s, d, "events").where(col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      val pu = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase" &&
+            col("value") >= 150, unix_micros(col("ts")))).as("te"))
+      val g = pu.select(
+        concat(lit("c"), (col("user_id") % 3).cast("string")).as("cohort"),
+        floor((coalesce(col("te"), col("t1")) - col("t0")) /
+          lit(86400000000L)).cast("long").as("dur"),
+        col("te").isNotNull.as("ev"))
+      graft.functions.Survival.coxPh(g, "cohort", "dur", "ev",
+        "c0", "c1")
+    }))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -2448,5 +2485,124 @@ private[graft] object QueriesPart9 {
         |    count(CASE WHEN g = 'signup' THEN 1 END) AS n_a,
         |    count(CASE WHEN g = 'error' THEN 1 END) AS n_b
         |  FROM slim)
-        |SELECT n_a, n_b, n_pairs, hl_shift FROM counts CROSS JOIN med""".stripMargin)
+        |SELECT n_a, n_b, n_pairs, hl_shift FROM counts CROSS JOIN med""".stripMargin,
+
+    // Maximal repeated spans: brute-force every span of length 4..12
+    // and apply the identical threshold-maximality prefix/suffix rule
+    // (tokens carry no spaces, so the space-delimited starts_with /
+    // suffix checks are exact token-boundary tests).
+    "q486_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'),
+        |      s -> len(s) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(L AS INT) AS len,
+        |    array_to_string(toks[CAST(i + 1 AS INT) : CAST(i + L AS INT)], ' ') AS span
+        |  FROM t, UNNEST(range(4, 13)) AS l(L),
+        |    LATERAL UNNEST(range(len(toks) - CAST(L AS INT) + 1)) AS u(i)
+        |  WHERE len(toks) >= L),
+        |c AS (
+        |  SELECT len, span,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |    CAST(COUNT(*) AS BIGINT) AS total_count
+        |  FROM g GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT span, len, doc_freq, total_count, len = 12 AS at_cap
+        |FROM c
+        |WHERE len = 12 OR NOT EXISTS (
+        |  SELECT 1 FROM c c2 WHERE c2.len = c.len + 1
+        |    AND (starts_with(c2.span, c.span || ' ')
+        |      OR suffix(c2.span, ' ' || c.span)))
+        |ORDER BY len DESC, span""".stripMargin,
+
+    // CoxPH: the identical rational-in-theta Newton walk (16 pinned
+    // iterations, micro-floor-quantized integer score/information
+    // sums — order-free, so plain SUM replays the operator exactly)
+    // over q432's per-duration census.
+    "q487_coxph" ->
+      """WITH RECURSIVE pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    CAST(floor(CAST(COALESCE(te, t1) - t0 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS dur,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |slim AS (SELECT cohort, dur, ev FROM g
+        |  WHERE cohort IN ('c0', 'c1')),
+        |pd AS (SELECT dur,
+        |    count(CASE WHEN cohort = 'c0' THEN 1 END) AS c1,
+        |    count(CASE WHEN cohort = 'c1' THEN 1 END) AS c2,
+        |    count(CASE WHEN cohort = 'c0' AND ev THEN 1 END) AS d1,
+        |    count(CASE WHEN cohort = 'c1' AND ev THEN 1 END) AS d2
+        |  FROM slim GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+        |    CAST(sum(c2) AS BIGINT) AS n_b FROM pd),
+        |cum AS (SELECT d1, d2,
+        |    n_a - CAST(sum(c1) OVER (ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + c1 AS r1,
+        |    n_b - CAST(sum(c2) OVER (ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + c2 AS r0
+        |  FROM pd, tot),
+        |ev AS (SELECT d1, d1 + d2 AS d, r1, r0 FROM cum
+        |  WHERE d1 + d2 > 0),
+        |it AS (
+        |  SELECT 0 AS i, CAST(1000000 AS BIGINT) AS tm
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    CASE WHEN sj > 0 THEN GREATEST(CAST(1 AS BIGINT),
+        |      CAST(floor((CAST(tm AS DOUBLE) / 1e6
+        |        + CAST(su AS DOUBLE) / CAST(sj AS DOUBLE)) * 1e6) AS BIGINT))
+        |    ELSE tm END
+        |  FROM (
+        |    SELECT i, tm,
+        |      (SELECT CAST(sum(CAST(floor((CAST(d1 AS DOUBLE)
+        |          - CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE)
+        |            * (CAST(tm AS DOUBLE) / 1e6)
+        |            / (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |              * (CAST(tm AS DOUBLE) / 1e6))) * 1e6) AS BIGINT))
+        |        AS BIGINT) FROM ev) AS su,
+        |      (SELECT CAST(sum(CAST(floor(CAST(d AS DOUBLE) * CAST(r0 AS DOUBLE)
+        |          * CAST(r1 AS DOUBLE)
+        |          / ((CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |              * (CAST(tm AS DOUBLE) / 1e6))
+        |            * (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |              * (CAST(tm AS DOUBLE) / 1e6))) * 1e6) AS BIGINT))
+        |        AS BIGINT) FROM ev) AS sj
+        |    FROM it WHERE i < 16) q),
+        |fin AS (SELECT tm,
+        |    (SELECT CAST(sum(CAST(floor(CAST(d AS DOUBLE) * CAST(r0 AS DOUBLE)
+        |        * CAST(r1 AS DOUBLE)
+        |        / ((CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |            * (CAST(tm AS DOUBLE) / 1e6))
+        |          * (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |            * (CAST(tm AS DOUBLE) / 1e6))) * 1e6) AS BIGINT))
+        |      AS BIGINT) FROM ev) AS sjf
+        |  FROM it WHERE i = 16),
+        |s0 AS (SELECT
+        |    (SELECT CAST(sum(CAST(floor((CAST(d1 AS DOUBLE)
+        |        - CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) * 1.0
+        |          / (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * 1.0))
+        |        * 1e6) AS BIGINT)) AS BIGINT) FROM ev) AS u0,
+        |    (SELECT CAST(sum(CAST(floor(CAST(d AS DOUBLE) * CAST(r0 AS DOUBLE)
+        |        * CAST(r1 AS DOUBLE)
+        |        / ((CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * 1.0)
+        |          * (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * 1.0)) * 1e6)
+        |        AS BIGINT)) AS BIGINT) FROM ev) AS j0),
+        |nev AS (SELECT CAST(sum(d) AS BIGINT) AS events FROM ev),
+        |z AS (SELECT CAST(u0 AS DOUBLE) / 1e6
+        |    / sqrt(CAST(j0 AS DOUBLE) / 1e6) AS zraw FROM s0)
+        |SELECT n_a, n_b, events,
+        |  ROUND(CAST(tm AS DOUBLE) / 1e6, 7) AS hazard_ratio,
+        |  ROUND(CASE WHEN sjf > 0 THEN
+        |    1.0 / sqrt(CAST(tm AS DOUBLE) / 1e6 * (CAST(sjf AS DOUBLE) / 1e6))
+        |    END, 7) AS se_beta,
+        |  ROUND(zraw, 7) AS score_z,
+        |  ROUND(zraw * zraw, 7) AS score_chi2
+        |FROM tot, fin, s0, nev, z""".stripMargin)
 }

@@ -64,6 +64,123 @@ object Dedup {
       .where(col("doc_freq") >= minDocs)
   }
 
+  /** MAXIMAL repeated-span discovery at arbitrary length — the
+    * suffix-array-family census [[repeatedNgrams]] (fixed n) cannot
+    * give: every token span of length in [anchorN, maxLen] occurring
+    * in >= `minDocs` distinct documents AND not extendable — no
+    * one-token-longer repeated span has it as a prefix or suffix.
+    * Because every substring of a repeated span is itself repeated
+    * (downward closure), prefix-or-suffix non-extendability at length
+    * L+1 is exactly "not a substring of any longer repeated span", so
+    * the output is the classic longest-repeated-substring inventory,
+    * reported per span with (len, doc_freq, total_count). Spans that
+    * reach `maxLen` are reported with `at_cap = true`: the cap bounds
+    * the walk, so their maximality PAST the cap is unverified — raise
+    * `maxLen` to resolve them, the documented knob.
+    *
+    * Maximality is THRESHOLD-maximality: extendability is judged
+    * against the same `minDocs` bar, so a widely-shared span (df 5)
+    * absorbed by a rarer-but-still-duplicated extension (df 2) is NOT
+    * reported — the extension is, with its own doc_freq. Raise
+    * `minDocs` to split the inventory by rarity tier (the occurrence-
+    * set-maximality face); [[repeatedNgrams]] remains the per-length
+    * frequency census.
+    *
+    * Shape (anchored extend-and-verify, never a suffix sort and never
+    * all-pairs): anchor postings (doc, pos, span) for duplicated
+    * anchorN-grams only; each round extends a surviving posting by ONE
+    * token via an equi-join on (doc, pos+1) against its own shifted
+    * self, re-censuses the extended spans (two-level aggregate, as in
+    * [[repeatedNgrams]]), and drops spans under `minDocs`. Candidate
+    * bounding: postings(L+1) <= postings(L) by construction (an
+    * extended occurrence needs BOTH its length-L prefix and suffix
+    * occurrences alive), and postings(anchorN) is the duplicated-
+    * anchor occurrence list — corpus-sized text never enters a pair
+    * row, every shuffle carries (doc, pos, span<=maxLen tokens)
+    * postings keyed by (doc, pos) or span. The L+1 census carries its
+    * own length-L prefix/suffix strings (identical for every posting
+    * of a span), so maximality is an equi-anti-join per length — no
+    * substring LIKE scans. Each round localCheckpoints — the loop is
+    * maxLen-anchorN bounded joins over a monotonically shrinking
+    * postings table, with a bounded one-row emptiness probe per round.
+    * Tokenization is [[Retrieval.tokens]] (q129's convention).
+    */
+  def longestRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, anchorN: Int = 4, maxLen: Int = 16): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(anchorN >= 1, s"anchorN must be >= 1, got $anchorN")
+    require(maxLen >= anchorN && maxLen <= 256,
+      s"maxLen must be in [anchorN, 256], got $maxLen")
+    val toks = Retrieval.tokens(col(textCol))
+    val anchors = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= anchorN)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - anchorN),
+        i => struct(
+          array_join(slice(col("toks"), i + 1, lit(anchorN))
+            , " ").as("span"),
+          element_at(col("toks"), i + anchorN).as("last_tok"))))
+        .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), col("s.span").as("span"),
+        col("s.last_tok").as("last_tok"))
+    // span-level census with the carried prefix/suffix strings (null
+    // at the anchor length — there is nothing shorter to disqualify)
+    def census(p: DataFrame): DataFrame = p
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"), max(col("pref")).as("p1"),
+        max(col("suff")).as("s1"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("occ")).as("total_count"),
+        max(col("p1")).as("pref"), max(col("s1")).as("suff"))
+      .where(col("doc_freq") >= minDocs)
+    val nullS = lit(null).cast("string")
+    var cur = anchors.withColumn("pref", nullS).withColumn("suff", nullS)
+    var cen = census(cur).localCheckpoint(true)
+    var out = List.empty[(Int, DataFrame)]
+    var len = anchorN
+    var live = cen.limit(1).count() > 0L
+    while (live) {
+      out = (len, cen) :: out
+      if (len == maxLen) live = false
+      else {
+        cur = cur.join(cen.select(col("span")), Seq("span"), "left_semi")
+          .localCheckpoint(true)
+        val shifted = cur.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("span").as("b_span"), col("last_tok").as("b_last"))
+        cur = cur.join(shifted, Seq("doc_id", "pos"))
+          .select(col("doc_id"), col("pos"),
+            concat(col("span"), lit(" "), col("b_last")).as("span"),
+            col("b_last").as("last_tok"), col("span").as("pref"),
+            col("b_span").as("suff"))
+        cen = census(cur).localCheckpoint(true)
+        len += 1
+        live = cen.limit(1).count() > 0L
+      }
+    }
+    if (out.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("span"), lit(0).as("len"),
+          lit(0L).as("doc_freq"), lit(0L).as("total_count"),
+          lit(false).as("at_cap"))
+    // maximality per length: survive iff no (L+1)-census span names
+    // this span as its prefix or suffix; the deepest length present
+    // has no successor census, so all its spans survive (cap-flagged
+    // when that depth IS the cap).
+    out.map { case (l, c) =>
+      val longer = out.collectFirst { case (l2, c2) if l2 == l + 1 => c2 }
+      val base = c.select(col("span"), lit(l).as("len"), col("doc_freq"),
+        col("total_count"), lit(l == maxLen).as("at_cap"))
+      longer match {
+        case Some(c2) =>
+          val kills = c2.select(col("pref").as("span"))
+            .union(c2.select(col("suff").as("span"))).distinct()
+          base.join(kills, Seq("span"), "left_anti")
+        case None => base
+      }
+    }.reduce(_ unionAll _)
+  }
+
   /** Repeated-span REMOVAL — the ExactSubstr surgery of "Deduplicating
     * Training Data Makes Language Models Better" (Lee et al. 2021), at
     * n-gram anchor granularity: every token covered by ANY n-gram that

@@ -254,4 +254,124 @@ object Survival {
             col("e_micro").cast("double") / lit(1e6)) /
           (col("v_micro").cast("double") / lit(1e6))), 7).as("chi2"))
   }
+
+  /** Two-arm Cox proportional hazards — the regression face beside
+    * [[logRank]]'s test: the Breslow partial-likelihood MLE of the
+    * hazard ratio of arm `a` vs arm `b`, with the Wald standard error
+    * of log-HR and the score test (whose beta = 0 form IS log-rank up
+    * to the ties convention).
+    *
+    * Parametrization is the PORTABILITY device: Newton runs on
+    * theta = e^beta directly, where the score and information are
+    * RATIONAL in theta —
+    *
+    *   U(theta) = sum_t [ d1 - d * r1 * theta / (r0 + r1 * theta) ]
+    *   J(theta) = sum_t [ d * r0 * r1 / (r0 + r1 * theta)^2 ]
+    *   theta'   = theta + U / J        (J = -dU/dtheta)
+    *
+    * over the per-distinct-duration census (d1 = arm-a events, d =
+    * total events, r1/r0 = at-risk counts) — so no exp/ln ever enters
+    * the fixpoint (libm exp/ln are not IEEE-correctly-rounded and
+    * engine-divergent; +,*,/,sqrt are). Every per-duration term is
+    * micro-quantized (floor at 1e6) so the accumulations are exact
+    * order-free integer sums; theta floor-requantizes at micro each of
+    * the fixed `iters` Newton steps (clamped >= 1 micro) — the whole
+    * walk is bit-replayable by a relational engine from the same
+    * census. se(beta) = 1/sqrt(theta * J(theta_hat)) (the observed
+    * information for beta is theta * J). The score z and chi2 are
+    * evaluated at theta = 1.
+    *
+    * Scale shape: the census build is [[logRank]]'s (quantize-first
+    * loud-guarded distinct-duration domain, exact suffix sums); the
+    * Newton loop is `iters` + 2 ONE-ROW aggregates over the cached
+    * census — no census row ever reaches the driver. Throws loudly
+    * when either arm is absent or no event time has both arms at risk
+    * (J(1) = 0: beta is not identified).
+    *
+    * Returns one row (n_a, n_b, events, hazard_ratio, se_beta,
+    * score_z, score_chi2), doubles rounded at 7.
+    */
+  def coxPh(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String, a: String, b: String,
+      iters: Int = 16): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(durationCol).dataType),
+      s"$durationCol must be integral (quantize first), got " +
+        df.schema(durationCol).dataType.catalogString)
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64]")
+    val slim = df.where(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"), col(durationCol).as("dur"),
+        col(eventCol).as("ev"))
+      .where(col("dur").isNotNull && col("ev").isNotNull)
+    val perDur = slim.groupBy(col("dur"))
+      .agg(count(when(col("g") === a, 1)).as("c1"),
+        count(when(col("g") === b, 1)).as("c2"),
+        count(when(col("g") === a && col("ev"), 1)).as("d1"),
+        count(when(col("g") === b && col("ev"), 1)).as("d2"))
+    graft.operators.StatTests.requireBoundedDomain(perDur,
+      "Survival.coxPh")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = perDur.agg(sum(col("c1")).as("n_a"), sum(col("c2")).as("n_b"))
+    val ev = perDur
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("d1"), (col("d1") + col("d2")).as("d"),
+        (col("n_a") - col("cum1") + col("c1")).as("r1"),
+        (col("n_b") - col("cum2") + col("c2")).as("r0"))
+      .where(col("d1") + col("d2") > 0L)
+      .cache()
+    val totRow = tot.head()
+    val (nA, nB) =
+      (if (totRow.isNullAt(0)) 0L else totRow.getLong(0),
+        if (totRow.isNullAt(1)) 0L else totRow.getLong(1))
+    require(nA > 0L && nB > 0L,
+      s"Survival.coxPh: both arms must be present — arm '$a' has $nA " +
+        s"subjects, arm '$b' has $nB")
+    // one aggregate pass = (U_micro, J_micro) at a fixed theta; both
+    // are exact integer sums of per-duration floor-quantized terms
+    def sums(thetaMicro: Long): (Long, Long) = {
+      val th = lit(thetaMicro.toDouble / 1e6)
+      val den = col("r0").cast("double") + col("r1").cast("double") * th
+      val u = col("d1").cast("double") -
+        col("d").cast("double") * col("r1").cast("double") * th / den
+      val j = col("d").cast("double") * col("r0").cast("double") *
+        col("r1").cast("double") / (den * den)
+      val row = ev.agg(
+        coalesce(sum(floor(u * lit(1e6)).cast("long")), lit(0L)).as("u"),
+        coalesce(sum(floor(j * lit(1e6)).cast("long")), lit(0L)).as("j"))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val (u0, j0) = sums(1000000L)
+    require(j0 > 0L,
+      "Survival.coxPh: no event time has both arms at risk — the " +
+        "hazard ratio is not identified (J(1) = 0)")
+    var tm = 1000000L
+    for (_ <- 1 to iters) {
+      val (u, j) = sums(tm)
+      if (j > 0L)
+        tm = math.max(1L,
+          math.floor((tm.toDouble / 1e6 + u.toDouble / j.toDouble) * 1e6)
+            .toLong)
+    }
+    val (_, jHat) = sums(tm)
+    val evRow = ev.agg(coalesce(sum(col("d")), lit(0L))).head()
+    val events = evRow.getLong(0)
+    ev.unpersist()
+    def r7(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
+    val zRaw = u0.toDouble / 1e6 / math.sqrt(j0.toDouble / 1e6)
+    val seB =
+      if (jHat > 0L)
+        Some(r7(1.0 / math.sqrt(tm.toDouble / 1e6 * (jHat.toDouble / 1e6))))
+      else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nA, nB, events, r7(tm.toDouble / 1e6), seB, r7(zRaw),
+      r7(zRaw * zRaw)))
+      .toDF("n_a", "n_b", "events", "hazard_ratio", "se_beta",
+        "score_z", "score_chi2")
+  }
 }

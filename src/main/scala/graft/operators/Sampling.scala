@@ -358,6 +358,49 @@ object Sampling {
     kept.union(partRows)
   }
 
+  /** The dashboard READOUT of [[budgetSelect]] — one row per distinct
+    * score tier (descending), with the tier's row/token mass, the
+    * running token total, how many of its tokens the budget funds, and
+    * its status: `funded` (whole tier fits), `partial` (the single
+    * cutoff tier — its rows are spent in ascending-id order by
+    * [[budgetSelect]]), or `unfunded`. The selection itself stays the
+    * DataFrame API; this is the "where does my budget run out?" table
+    * a curation dashboard renders.
+    *
+    * Same quantized-score loud guard and the same exact-BIGINT
+    * cumulative arithmetic as [[budgetSelect]], so the census agrees
+    * row-for-row with what the selector keeps (tokens_kept sums to
+    * min(budget, total tokens) when the partial tier's token sizes
+    * divide the remainder; the selector's strict never-over-budget
+    * prefix can only spend LESS within the partial tier).
+    */
+  def budgetSelectCensus(
+      df: DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    StatTests.requireBoundedDomain(df.select(col(scoreCol)).distinct(),
+      "Sampling.budgetSelectCensus (distinct scores past the quantized-" +
+        "score contract — quantize the score column first)")
+    val byScore = df.groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col(tokensCol)).as("tokens"))
+    val w = Window.orderBy(desc(scoreCol))
+    byScore
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("__before", col("cum_tokens") - col("tokens"))
+      .select(col(scoreCol), col("n_rows"), col("tokens"),
+        col("cum_tokens"),
+        when(col("cum_tokens") <= budget, col("tokens"))
+          .when(col("__before") < budget, lit(budget) - col("__before"))
+          .otherwise(lit(0L)).as("tokens_funded"),
+        when(col("cum_tokens") <= budget, lit("funded"))
+          .when(col("__before") < budget, lit("partial"))
+          .otherwise(lit("unfunded")).as("status"))
+      .orderBy(desc(scoreCol))
+  }
+
   /** Epoch schedule for data-constrained training (the repetition plan
     * behind Muennighoff et al. 2023, "Scaling Data-Constrained Language
     * Models": when the token budget exceeds the corpus, data REPEATS —

@@ -34,6 +34,10 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_psi(src_view, 'slice', 'value', 'a', 'b', lo, hi, nbins, out_view)
   *   CALL graft_stat_wilson(src_view, 'group', 'success_col' [, z], out_view)
   *   CALL graft_stat_auc(src_view, 'score', 'label', out_view)
+  *   CALL graft_stat_coxph(src_view, 'group', 'dur', 'event', 'a', 'b', out_view)
+  *   CALL graft_stat_pair_cap_census(pairs_view, cap, 'score', out_view)
+  *   CALL graft_stat_budget_select(src_view, 'score', 'tokens', budget, out_view)
+  *   CALL graft_stat_repeated_spans(docs_view, 'id', 'text' [, min_docs, anchor_n, max_len], out_view)
   *   CALL graft_stat_cusum(src_view, 'group', 'ord1,ord2', 'value', out_view)
   *   CALL graft_stat_mann_kendall(src_view, 'group', 'time', 'value', out_view)
   *   CALL graft_stat_theil_sen(src_view, 'group', 'x', 'y', out_view)
@@ -662,13 +666,26 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
               md(3))
           else graft.operators.AbTest.ratioMetricCi(src, ms(0), ms(1),
             ms(2))
+        case "coxph" => graft.functions.Survival.coxPh(src, ms(0), ms(1),
+          ms(2), ms(3), ms(4))
+        case "pair_cap_census" =>
+          graft.functions.Dedup.pairCapCensus(src, mi(0), ms(1))
+        case "budget_select" => graft.operators.Sampling
+          .budgetSelectCensus(src, ms(0), ms(1), mi(2).toLong)
+        case "repeated_spans" =>
+          if (mid.length >= 5)
+            graft.functions.Dedup.longestRepeatedSpans(src, ms(0), ms(1),
+              mi(2), mi(3), mi(4))
+          else graft.functions.Dedup.longestRepeatedSpans(src, ms(0),
+            ms(1))
         case other => bad(s"unknown statistic '$other' (known: " +
           "anderson_darling, anova_eta, anova_f, ansari_bradley, ari, " +
           "assortativity, " +
           "auc, average_precision, benford, bh_fdr, brier, broken_stick, " +
           "brunner_munzel, did, err_at_k, rmst, " +
           "ccf, cmh, " +
-          "cohens_d, cohens_h, concordance, " +
+          "budget_select, " +
+          "cohens_d, cohens_h, concordance, coxph, " +
           "cluster_histogram, " +
           "conformal, corr_matrix, cox_stuart, cramers_v, cronbach, " +
           "cuped, cusum, " +
@@ -681,9 +698,11 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "max_drawdown, records, " +
           "markov_stationary, mcc, mde, " +
           "mood_median, nelson_aalen, " +
-          "ols_multi, pacf, partial_corr, pca3, pca_d, perm_entropy, " +
+          "ols_multi, pacf, pair_cap_census, partial_corr, pca3, pca_d, " +
+          "perm_entropy, " +
           "pettitt, poisson_rate, " +
           "precision_at_k, psi, purity, quantile_norm, ratio_ci, " +
+          "repeated_spans, " +
           "seasonal_mann_kendall, spiegelhalter, sprt, srm, " +
           "stratified_ate, target_encode, " +
           "theil, theil_sen, total_variation, trimmed_mean, " +

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** [[Dedup.longestRepeatedSpans]] — planted spans of varying length:
+  * the walk must find each maximal repeated span exactly (span text,
+  * length, doc_freq, total_count), absorb every sub-span, honor the
+  * cap with the at_cap flag, and re-tier under a higher minDocs.
+  */
+class DedupSpansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // planted 6-token span "a b c d e f" in two docs, unique flanks
+    (1L, "u1 a b c d e f w1"),
+    (2L, "u2 a b c d e f w2"),
+    // planted 3-token span "p p p" in two docs (self-overlapping grams)
+    (3L, "k1 p p p k2"),
+    (4L, "p p p k3"),
+    // "a b" alone in a third doc: df 3 for the pair, but absorbed by
+    // the df-2 extension "a b c" under threshold-maximality
+    (5L, "z a b z2")
+  ).toDF("doc_id", "text")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))).toSet
+
+  test("maximal spans of varying length, sub-spans absorbed") {
+    val out = rows(Dedup.longestRepeatedSpans(docs, "doc_id", "text",
+      minDocs = 2, anchorN = 2, maxLen = 8))
+    assert(out == Set(
+      ("a b c d e f", 6, 2L, 2L, false),
+      ("p p p", 3, 2L, 2L, false)), out)
+  }
+
+  test("the cap truncates the walk and flags unresolved spans") {
+    val out = rows(Dedup.longestRepeatedSpans(docs, "doc_id", "text",
+      minDocs = 2, anchorN = 2, maxLen = 4))
+    assert(out == Set(
+      ("a b c d", 4, 2L, 2L, true),
+      ("b c d e", 4, 2L, 2L, true),
+      ("c d e f", 4, 2L, 2L, true),
+      ("p p p", 3, 2L, 2L, false)), out)
+  }
+
+  test("minDocs re-tiers: the df-3 pair surfaces once its absorber is gone") {
+    val out = rows(Dedup.longestRepeatedSpans(docs, "doc_id", "text",
+      minDocs = 3, anchorN = 2, maxLen = 8))
+    assert(out == Set(("a b", 2, 3L, 3L, false)), out)
+  }
+
+  test("no repeats at all: empty frame with the declared schema") {
+    val lone = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    val out = Dedup.longestRepeatedSpans(lone, "doc_id", "text")
+    assert(out.columns.toSeq ==
+      Seq("span", "len", "doc_freq", "total_count", "at_cap"))
+    assert(out.count() == 0L)
+  }
+}

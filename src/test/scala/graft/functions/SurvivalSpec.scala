@@ -99,4 +99,48 @@ class SurvivalSpec extends SparkTestBase {
       .orderBy("group").head()
     assert(early.getDouble(early.fieldIndex("rmst")) == 1.0, early)
   }
+
+  test("coxPh: single event time has the closed-form hazard ratio") {
+    // one event time (dur 5), 10 at risk per arm, d1 = 3 vs d0 = 1:
+    // the partial-likelihood MLE is theta = d1*r0/(d0*r1) = 3 exactly
+    // (U(3) = 3 - 4*10*3/(10+30) = 0)
+    val df = ((1 to 10).map(i => ("a", 5L, i <= 3)) ++
+      (1 to 10).map(i => ("b", 5L, i <= 1))).toDF("g", "dur", "ev")
+    val r = Survival.coxPh(df, "g", "dur", "ev", "a", "b").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L && r.getLong(2) == 4L)
+    val hr = r.getDouble(r.fieldIndex("hazard_ratio"))
+    // the floor-quantized fixpoint settles a few micro BELOW the exact
+    // root (floors in U, J and the theta requantization all bias down)
+    assert(math.abs(hr - 3.0) <= 5e-6, hr)
+    assert(r.getDouble(r.fieldIndex("score_z")) > 0.0)
+    // se(beta) positive and finite
+    assert(r.getDouble(r.fieldIndex("se_beta")) > 0.0)
+  }
+
+  test("coxPh: exchangeable arms pin theta = 1 and score_z = 0") {
+    val one = Seq((1L, true), (2L, true), (3L, false), (4L, true),
+      (7L, false))
+    val df = (one.map { case (t, e) => ("a", t, e) } ++
+      one.map { case (t, e) => ("b", t, e) }).toDF("g", "dur", "ev")
+    val r = Survival.coxPh(df, "g", "dur", "ev", "a", "b").head()
+    assert(r.getDouble(r.fieldIndex("hazard_ratio")) == 1.0, r)
+    assert(r.getDouble(r.fieldIndex("score_z")) == 0.0, r)
+    assert(r.getDouble(r.fieldIndex("score_chi2")) == 0.0, r)
+  }
+
+  test("coxPh: loud on a missing arm and on an unidentified ratio") {
+    val onlyA = Seq(("a", 1L, true), ("a", 2L, false)).toDF("g", "dur", "ev")
+    val e1 = intercept[IllegalArgumentException] {
+      Survival.coxPh(onlyA, "g", "dur", "ev", "a", "b")
+    }
+    assert(e1.getMessage.contains("both arms"), e1.getMessage)
+    // arm a leaves the risk set (censored at 1) before arm b's only
+    // event at 5: no event time has both arms at risk -> J(1) = 0
+    val disjoint = Seq(("a", 1L, false), ("b", 5L, true))
+      .toDF("g", "dur", "ev")
+    val e2 = intercept[IllegalArgumentException] {
+      Survival.coxPh(disjoint, "g", "dur", "ev", "a", "b")
+    }
+    assert(e2.getMessage.contains("not identified"), e2.getMessage)
+  }
 }

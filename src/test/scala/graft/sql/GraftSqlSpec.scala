@@ -435,6 +435,28 @@ class GraftSqlSpec extends SparkTestBase {
       graft.operators.AbTest.sprt(src, "g", Seq("t"), "y", 300L, 400L))
     parity("CALL graft_stat_cronbach(sqlstat_src, 'v,t', st_ca)",
       "st_ca", StatTests.cronbachAlpha(src, Seq("v", "t")))
+    parity("CALL graft_stat_coxph(sqlstat_src, 'g', 't', 'y', 'a', 'b', st_cox)",
+      "st_cox", graft.functions.Survival.coxPh(src, "g", "t", "y", "a", "b"))
+    parity("CALL graft_stat_budget_select(sqlstat_src, 'v', 't', 100, st_bsel)",
+      "st_bsel",
+      graft.operators.Sampling.budgetSelectCensus(src, "v", "t", 100L))
+    val scoredPairs = Seq((1L, 2L, 5L), (2L, 3L, 4L), (1L, 3L, 3L),
+      (10L, 11L, 9L)).toDF("id1", "id2", "s")
+    val sp2 = tmpDir("stat-pairs2")
+    scoredPairs.write.parquet(sp2)
+    sqlS.read.parquet(sp2).createOrReplaceTempView("sqlstat_pairs_s")
+    val scoredSrc = sqlS.table("sqlstat_pairs_s")
+    parity("CALL graft_stat_pair_cap_census(sqlstat_pairs_s, 1, 's', st_pcc)",
+      "st_pcc", graft.functions.Dedup.pairCapCensus(scoredSrc, 1, "s"))
+    val spanDocs = Seq((1L, "u1 a b c d e f w1"), (2L, "u2 a b c d e f w2"),
+      (3L, "k p p p q"), (4L, "p p p r")).toDF("doc_id", "text")
+    val sd = tmpDir("stat-spandocs")
+    spanDocs.write.parquet(sd)
+    sqlS.read.parquet(sd).createOrReplaceTempView("sqlstat_docs")
+    val docsSrc = sqlS.table("sqlstat_docs")
+    parity("CALL graft_stat_repeated_spans(sqlstat_docs, 'doc_id', 'text', 2, 2, 8, st_spans)",
+      "st_spans", graft.functions.Dedup.longestRepeatedSpans(docsSrc,
+        "doc_id", "text", minDocs = 2, anchorN = 2, maxLen = 8))
 
     // an unknown statistic fails loudly with the known list
     val e = intercept[IllegalArgumentException] {
