@@ -689,7 +689,22 @@ private[graft] object QueriesPart9 {
         col("te").isNotNull.as("ev"))
       graft.functions.Survival.coxPh(g, "cohort", "dur", "ev",
         "c0", "c1")
-    }))
+    }),
+
+    // --- 488. capped cosine join, oracle-pinned ---------------------------------------------------------------
+    // The BOUNDED-OUTPUT route for duplication-heavy corpora (q260's
+    // total-recall join grows c^2 pairs on a c-replicated corpus; the
+    // r17 mutual top-cap bounds every document to <= 20 partners).
+    // This is the declared scale face the sf10 probe battery measures;
+    // the oracle replays the same rank-and-mutual-join over its own
+    // independent pair set.
+    "q488_cosine_join_capped" -> ((s, d) =>
+      graft.functions.Dedup.capPairsPerDoc(
+        graft.functions.Dedup.cosineJoinExact(
+          t(s, d, "documents"), "doc_id", "text", 0.8)
+          .select(col("id1"), col("id2"), col("cos")),
+        cap = 20, scoreCol = "cos")
+        .orderBy("id1", "id2")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -2604,5 +2619,42 @@ private[graft] object QueriesPart9 {
         |    END, 7) AS se_beta,
         |  ROUND(zraw, 7) AS score_z,
         |  ROUND(zraw * zraw, 7) AS score_chi2
-        |FROM tot, fin, s0, nev, z""".stripMargin)
+        |FROM tot, fin, s0, nev, z""".stripMargin,
+
+    // Capped cosine join: the q260 definition-direct pair set, both
+    // orientations ranked per document by (cos DESC, partner), mutual
+    // top-20 intersection.
+    "q488_cosine_join_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''),
+        |p AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(cnt*cnt) AS ssq FROM p GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.cnt*b.cnt) AS num
+        |  FROM p a JOIN p b USING (term) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT id1, id2, cos FROM (
+        |    SELECT id1, id2,
+        |      CAST(num AS DOUBLE)
+        |        / sqrt(CAST(n1.ssq AS DOUBLE) * CAST(n2.ssq AS DOUBLE)) AS cos
+        |    FROM pairs
+        |    JOIN n n1 ON n1.doc_id = id1
+        |    JOIN n n2 ON n2.doc_id = id2)
+        |  WHERE cos >= 0.8),
+        |o AS (
+        |  SELECT id1 AS d, id2 AS pr, cos FROM base
+        |  UNION ALL
+        |  SELECT id2 AS d, id1 AS pr, cos FROM base),
+        |rk AS (SELECT d, pr, cos,
+        |    row_number() OVER (PARTITION BY d ORDER BY cos DESC, pr) AS rk
+        |  FROM o),
+        |k AS (SELECT d, pr, cos FROM rk WHERE rk <= 20)
+        |SELECT a.d AS id1, a.pr AS id2, a.cos AS cos
+        |FROM k a JOIN k b ON a.d = b.pr AND a.pr = b.d AND a.d < a.pr
+        |ORDER BY id1, id2""".stripMargin)
 }

@@ -42,9 +42,12 @@ object Normalize {
     val slim = df.select(col(groupCol).as("g"), col(idCol).as("id"),
         col(valueCol).as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("v"), col("id"))
-    val ranked = slim.withColumn("rank", row_number().over(w).cast("long"))
+    // distributed per-group rank (PrefixScan, bucketed on v — a group
+    // is a whole event type, so a bare partitionBy(g) window hands one
+    // task the entire group's sort; bucketing makes the rank stage
+    // groups x buckets parallel and the rank values are identical)
+    val ranked = graft.operators.PrefixScan.withRowNumberAndSums(
+      slim, "g", Seq("v", "id"), Nil, rnName = "rank")
     val sizes = slim.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
     val pool = slim.groupBy(col("v")).agg(count(lit(1)).as("c"))
     StatTests.requireBoundedDomain(pool, "quantileNormalize pooled domain")

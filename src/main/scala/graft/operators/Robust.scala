@@ -86,9 +86,12 @@ object Robust {
     val dec = "decimal(38,0)"
     val slim = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("v"))
-    val ranked = slim.withColumn("rn", row_number().over(wr).cast("long"))
+    // distributed per-group rank (PrefixScan, bucketed on v): the
+    // consumers below only compare rn against rank THRESHOLDS and read
+    // boundary VALUES, both invariant to tie order, so the bucketed
+    // rank is drop-in for the one-task-per-group window form
+    val ranked = graft.operators.PrefixScan.withRowNumberAndSums(
+      slim, "g", Seq("v"), Nil, rnName = "rn")
     val sizes = slim.groupBy(col("g"))
       .agg(count(lit(1)).as("n"))
       .withColumn("k", floor(lit(trim) * col("n").cast("double"))

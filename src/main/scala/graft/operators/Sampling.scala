@@ -561,15 +561,23 @@ object Sampling {
     */
   def neymanSample(df: DataFrame, stratumCol: String, valueCol: String,
       idCol: String, sampleSize: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val alloc = neymanAllocation(df, stratumCol, valueCol, sampleSize)
       .select(col("stratum"), col("alloc"))
-    val rk = row_number().over(Window.partitionBy(col("stratum"))
-      .orderBy(md5(col("id").cast("string")), col("id")))
-    df.where(col(stratumCol).isNotNull)
-      .select(col(stratumCol).as("stratum"), col(idCol).as("id"))
+    // distributed per-stratum hash rank: a bare partitionBy(stratum)
+    // window hands ONE task the whole stratum's md5 sort. PrefixScan
+    // buckets need a numeric leading order column, so rank on the
+    // 60-bit integer image of the md5 prefix (hex is fixed-width
+    // lowercase, so lexicographic md5 order == (prefix image, full
+    // md5) order — the rank is bit-identical), tie-broken by the full
+    // hash then id exactly as before.
+    val slim = df.where(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+        md5(col(idCol).cast("string")).as("__m"))
+      .withColumn("__h",
+        conv(substring(col("__m"), 1, 15), 16, 10).cast("long"))
+    PrefixScan.withRowNumberAndSums(
+        slim, "stratum", Seq("__h", "__m", "id"), Nil, rnName = "__rk")
       .join(broadcast(alloc), "stratum")
-      .withColumn("__rk", rk)
       .where(col("__rk") <= col("alloc"))
       .select(col("stratum"), col("id"))
   }

@@ -569,7 +569,8 @@ class PlanSpec extends SparkTestBase {
     // window specs. A bare partitionBy(group) window over the raw rows
     // would be the single-task-per-group shape the rewrite removed.
     for (q <- Seq("q466_sprt", "q407_durbin_watson", "q348_runs_test",
-        "q378_lorenz", "q323_cusum", "q473_kpss", "q481_max_drawdown")) {
+        "q378_lorenz", "q323_cusum", "q473_kpss", "q481_max_drawdown",
+        "q367_quantile_norm", "q388_trimmed_mean", "q417_neyman_sample")) {
       val p = plan(q)
       assert(p.contains("__psb"), s"$q lost the PrefixScan bucket: $p")
     }
