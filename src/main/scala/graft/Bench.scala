@@ -70,7 +70,7 @@ object Bench {
       run(spark.range(1L << 23).selectExpr("sum(id) AS s"))
       (System.nanoTime() - t0) / 1e9
     }
-    def canary(): Unit = {
+    def canaryBlock(): Double = {
       // The canary measures HOST interference, not the engine's GC debt:
       // r16's tail (spread 4.6, max 0.18 vs median 0.072) was canary
       // points landing right after a heavy query's garbage — collect and
@@ -83,9 +83,14 @@ object Bench {
       canaryOnce() // post-GC warmup: the first run pays page-cache/JIT
       val xs = Seq(canaryOnce(), canaryOnce(), canaryOnce(),
         canaryOnce(), canaryOnce()).sorted
-      canarySamples += xs(2)
+      xs(2)
     }
-    canaryOnce() // warm the canary's own codegen before the timed samples
+    def canary(): Unit = canarySamples += canaryBlock()
+    // Warm with one FULL unrecorded block, not a single run: the first
+    // recorded point otherwise pays the canary's own JIT tiering ramp
+    // (r17's raw min-max spread 3.85 traced to an outlier FIRST block;
+    // max/median was 1.4x in the same run).
+    canaryBlock()
     for (_ <- 1 to reps; ((name, fn), i) <- ordered.zipWithIndex) {
       if (i % 20 == 0) canary()
       val t0 = System.nanoTime()
@@ -124,9 +129,15 @@ object Bench {
       // spread_med = max/median is the robust one — max/min is inflated
       // by an unusually FAST sample (cache-hot canary block), which is
       // not interference. Read spread_med for "did noise windows hit".
+      // points = every block median in RUN ORDER (cs is sorted): the
+      // diagnosis trail for a bad spread — which block was slow, and
+      // was it the first (warmth) or a mid-run window (interference).
+      val pts = canarySamples.toList
+        .map(x => math.rint(x * 1e4) / 1e4).mkString("[", ",", "]")
       s"""{"n":${cs.size},"min":${cs.head},"median":$med,"max":${cs.last},""" +
         s""""spread":${if (cs.head > 0) cs.last / cs.head else -1.0},""" +
-        s""""spread_med":${if (med > 0) cs.last / med else -1.0}}"""
+        s""""spread_med":${if (med > 0) cs.last / med else -1.0},""" +
+        s""""points":$pts}"""
     }
     // "total" comes LAST: the driver's log capture keeps only a bounded tail
     // of this line, and the headline number must survive the truncation.

@@ -692,18 +692,18 @@ private[graft] object QueriesPart9 {
     }),
 
     // --- 488. capped cosine join, oracle-pinned ---------------------------------------------------------------
-    // The BOUNDED-OUTPUT route for duplication-heavy corpora (q260's
-    // total-recall join grows c^2 pairs on a c-replicated corpus; the
-    // r17 mutual top-cap bounds every document to <= 20 partners).
-    // This is the declared scale face the sf10 probe battery measures;
-    // the oracle replays the same rank-and-mutual-join over its own
-    // independent pair set.
+    // The BOUNDED route for duplication-heavy corpora: the FUSED
+    // class-level cap (cosineJoinCapped), bit-identical to
+    // capPairsPerDoc(cosineJoinExact(...)) but never materializing the
+    // c^2 member-pair set the composed form must rank (the composed
+    // probe did not finish 2 sf10 reps in 45 minutes; the fused form
+    // is the declared scale face). The oracle replays the same
+    // rank-and-mutual-join over its own independent full pair set —
+    // if the class-level prune ever dropped a rankable candidate, the
+    // hash would differ.
     "q488_cosine_join_capped" -> ((s, d) =>
-      graft.functions.Dedup.capPairsPerDoc(
-        graft.functions.Dedup.cosineJoinExact(
-          t(s, d, "documents"), "doc_id", "text", 0.8)
-          .select(col("id1"), col("id2"), col("cos")),
-        cap = 20, scoreCol = "cos")
+      graft.functions.Dedup.cosineJoinCapped(
+        t(s, d, "documents"), "doc_id", "text", 0.8, cap = 20)
         .orderBy("id1", "id2")))
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the

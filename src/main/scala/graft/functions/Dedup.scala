@@ -347,6 +347,64 @@ object Dedup {
     *                  set ([[dropNearDuplicates]] does).
     * @return (id1, id2, jaccard) with id1 < id2
     */
+  /** The shared collapsed MinHash graph behind [[minhashPairs]],
+    * [[dropNearDuplicates]] and [[capPerCluster]]: documents group into
+    * IDENTICAL-SHINGLE-SET classes (the cosineJoinExact collapse — g
+    * byte-identical sets would otherwise multiply every LSH bucket
+    * join by g^2; the r18 sf10 probe measured dropNearDuplicates at
+    * 75x on a 100-replica corpus before this), LSH + exact-Jaccard
+    * verification runs over one minimum-id representative per class,
+    * and the class table carries the member lists for whatever
+    * expansion the caller's contract needs. Candidate equivalence is
+    * exact: identical sets produce identical signatures, so a
+    * cross-class member pair is an LSH candidate iff its rep pair is.
+    *
+    * Returns (repPairs (id1, id2, jaccard) with id1 < id2 over
+    * representatives, classes (hs, id = min member, ids sorted, gsz)).
+    */
+  private def minhashRepGraph(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val docs = df.select(
+      col(idCol).as("id"),
+      TextFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
+    // localCheckpoint: the class table feeds the rep pipeline AND the
+    // caller's member expansion; its lineage is the whole shingle
+    // aggregation.
+    val classes = docs.groupBy(col("hs")).agg(
+      min(col("id")).as("id"),
+      sort_array(collect_list(col("id"))).as("ids"),
+      count(lit(1)).as("gsz"))
+      .localCheckpoint(true)
+    val reps = classes.select(col("id"), col("hs"))
+    val candidates = lshCandidates(reps, numHashes, bands, blocked = false)
+    val repPairs = candidates
+      .join(reps.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(reps.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
+      .withColumn("jaccard", jaccard(col("hs1"), col("hs2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    (repPairs, classes)
+  }
+
+  /** Star edges connecting each multi-member class through its
+    * representative — the SPANNING substitute for the class's within
+    * pairs: components over (star edges + rep pairs) equal components
+    * over the full member-pair graph, at corpus-linear edge count
+    * instead of duplication-squared. Empty shingle sets never pair
+    * (the lshCandidates exclusion + the jaccard-of-empties-is-0
+    * convention), so empty classes emit no stars.
+    */
+  private def classStarEdges(classes: DataFrame): DataFrame =
+    classes.where(col("gsz") >= 2 && size(col("hs")) > 0)
+      .select(col("id").as("id1"), explode(col("ids")).as("id2"))
+      .where(col("id1") =!= col("id2"))
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -357,15 +415,28 @@ object Dedup {
       threshold: Double = 0.5,
       sorted: Boolean = true
   ): DataFrame = {
-    val docs = df.select(
-      col(idCol).as("id"),
-      TextFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
-    val candidates = lshCandidates(docs, numHashes, bands, blocked = false)
-    val verified = candidates
-      .join(docs.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
-      .join(docs.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
-      .withColumn("jaccard", jaccard(col("hs1"), col("hs2")))
+    val (repPairs, classes) = minhashRepGraph(df, idCol, textCol, shingleN,
+      numHashes, bands, threshold)
+    // Cross-class member pairs inherit the rep pair's exact jaccard
+    // (identical sets); within-class pairs mirror the jaccard
+    // EXPRESSION on (hs, hs) rather than embedding the constant 1.0,
+    // the cosineJoinExact convention. Both expansions are output-sized.
+    val members = classes.select(col("id"), col("ids"))
+    val cross = repPairs
+      .join(members.select(col("id").as("id1"), col("ids").as("ids1")), "id1")
+      .join(members.select(col("id").as("id2"), col("ids").as("ids2")), "id2")
+      .select(explode(col("ids1")).as("m1"), col("ids2"), col("jaccard"))
+      .select(col("m1"), explode(col("ids2")).as("m2"), col("jaccard"))
+      .select(least(col("m1"), col("m2")).as("id1"),
+        greatest(col("m1"), col("m2")).as("id2"), col("jaccard"))
+    val within = classes.where(col("gsz") >= 2 && size(col("hs")) > 0)
+      .withColumn("jaccard", jaccard(col("hs"), col("hs")))
       .where(col("jaccard") >= threshold)
+      .select(explode(col("ids")).as("m1"), col("ids"), col("jaccard"))
+      .select(col("m1"), explode(col("ids")).as("m2"), col("jaccard"))
+      .where(col("m1") < col("m2"))
+      .select(col("m1").as("id1"), col("m2").as("id2"), col("jaccard"))
+    val verified = cross.unionByName(within)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     if (sorted) verified.orderBy(desc("jaccard"), col("id1"), col("id2")) else verified
   }
@@ -408,13 +479,17 @@ object Dedup {
     * [[dropNearDuplicates]] / [[capPerCluster]] are the representative
     * faces whose output is corpus-bounded by construction.
     */
-  def cosineJoinExact(
+  /** The rep-level AllPairs pipeline shared by [[cosineJoinExact]] and
+    * [[cosineJoinCapped]]: identical-vector collapse, prefix index,
+    * packed-vector verify join. Returns (repPairs (id1, id2, cos) over
+    * class representatives with id1 < id2, reps (tf, ssq, id = min
+    * member, ids sorted, gsz) — localCheckpointed).
+    */
+  private def cosineRepGraph(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double,
-      sorted: Boolean = true
-  ): DataFrame = {
+      threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val postings = df
@@ -518,6 +593,23 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
       .distinct()
+    (repPairs, reps)
+  }
+
+  /** The full declared pair list of the AllPairs join documented on
+    * [[cosineRepGraph]] just above (which also carries the
+    * OUTPUT-VOLUME warning): every member pair expanded from the
+    * rep-level survivors. [[cosineJoinCapped]] is the bounded-output
+    * face for duplication-heavy corpora.
+    */
+  def cosineJoinExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      sorted: Boolean = true
+  ): DataFrame = {
+    val (repPairs, reps) = cosineRepGraph(df, idCol, textCol, threshold)
     // Expand representative survivors to member pairs: output-sized work,
     // every cross-group member pair inherits the representatives' cosine
     // (the vectors ARE the representatives' vectors).
@@ -542,6 +634,91 @@ object Dedup {
       .select(col("m1").as("id1"), col("m2").as("id2"), col("cos"))
     val out = cross.unionByName(within)
     if (sorted) out.orderBy(desc("cos"), col("id1"), col("id2")) else out
+  }
+
+  /** FUSED capped cosine join — bit-identical output to
+    * `capPairsPerDoc(cosineJoinExact(df, ...), cap, "cos")` WITHOUT
+    * ever materializing the duplication-squared member-pair set the
+    * composed form must rank (the r18 sf10 probe measured the composed
+    * q488 paying the full c^2 expansion before its cap). The cap is
+    * pushed to the CLASS level, where the graph is distinct-content-
+    * sized:
+    *
+    *  1. Neighbor tiers: each class's neighbors (including itself when
+    *     its self-cosine clears the threshold) group into equal-cosine
+    *     tiers; a per-class exclusive running sum of tier sizes gives
+    *     betterCnt = #partners STRICTLY better than a tier.
+    *  2. Class prune: a neighbor class B of A is kept only while
+    *     betterCnt <= cap (the <= absorbs the one-partner slack of a
+    *     doc's self-exclusion inside its own class) — a dropped B's
+    *     every member ranks past the cap for every doc of A.
+    *  3. Member truncation: within a kept B (one cosine, rank ties
+    *     break by ascending partner id), only the first
+    *     min(gszB, cap - betterCnt + 1) ids can ever make a top-cap
+    *     list — a later id has >= cap equal-or-better partners ahead.
+    *  4. The surviving per-doc candidate lists (cap-bounded, not
+    *     corpus-bounded) rank through the SAME (cos desc, partner)
+    *     row_number and mutual self-join as [[capPairsPerDoc]].
+    *
+    * Steps 2-3 drop only provably-unrankable candidates, so the kept
+    * set is a superset of every doc's true top cap and step 4's output
+    * is exactly the composed form's (DedupSpansSpec-style parity is
+    * pinned by DedupSimilaritySpec on a tiered fixture with cross-class
+    * cosine ties). Expansion volume is O(docs x cap x tie-width)
+    * instead of O(duplication^2).
+    */
+  def cosineJoinCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      cap: Int
+  ): DataFrame = {
+    require(cap >= 1 && cap <= 100000,
+      s"cap must be in [1, 100000], got $cap")
+    val (repPairsRaw, reps) = cosineRepGraph(df, idCol, textCol, threshold)
+    // two consumers (both orientations) — materialize the verify once
+    val repPairs = repPairsRaw.localCheckpoint(true)
+    val selfCos = col("ssq").cast("double") /
+      sqrt(col("ssq").cast("double") * col("ssq").cast("double"))
+    val orient = repPairs
+      .select(col("id1").as("a"), col("id2").as("b"), col("cos"))
+      .unionByName(repPairs
+        .select(col("id2").as("a"), col("id1").as("b"), col("cos")))
+      .unionByName(reps.where(col("gsz") >= 2)
+        .select(col("id").as("a"), col("id").as("b"), selfCos.as("cos"))
+        .where(col("cos") >= threshold))
+    val sized = orient
+      .join(reps.select(col("id").as("b"), col("ids").as("idsB"),
+        col("gsz").as("gszB")), "b")
+    // equal-cosine tiers per a, exclusive running size = betterCnt
+    val tiers = sized.groupBy(col("a"), col("cos"))
+      .agg(sum(col("gszB")).as("tier_sz"))
+    val wT = Window.partitionBy(col("a")).orderBy(desc("cos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val better = tiers
+      .withColumn("better", coalesce(sum(col("tier_sz")).over(wT), lit(0L)))
+      .select(col("a"), col("cos"), col("better"))
+    val kept = sized.join(better, Seq("a", "cos"))
+      .where(col("better") <= cap)
+      .select(col("a"), col("b"), col("cos"),
+        slice(col("idsB"), lit(1),
+          least(lit(cap + 1),
+            (lit(cap.toLong) - col("better") + 1L).cast("int")))
+          .as("cand"))
+    // explode docs of a x candidate partners; drop the self row
+    val docs = reps.select(col("id").as("a"), explode(col("ids")).as("d"))
+    val cands = kept.join(docs, "a")
+      .select(col("d"), explode(col("cand")).as("p"), col("cos"))
+      .where(col("d") =!= col("p"))
+    val wR = Window.partitionBy(col("d")).orderBy(desc("cos"), col("p"))
+    val top = cands.withColumn("__rk", row_number().over(wR))
+      .where(col("__rk") <= cap)
+      .select(col("d"), col("p"), col("cos"))
+    top.as("x").join(top.as("y"),
+        col("x.d") === col("y.p") && col("x.p") === col("y.d") &&
+          col("x.d") < col("x.p"))
+      .select(col("x.d").as("id1"), col("x.p").as("id2"), col("x.cos").as("cos"))
   }
 
   /** Mutual top-`cap` output limit for the pair-PRODUCING dedup APIs
@@ -801,15 +978,17 @@ object Dedup {
       maxIterations: Int = 20,
       maxLocalEdges: Long = 1000000L
   ): DataFrame = {
-    // Materialized ONCE (localCheckpoint): the edge count decides the
-    // strategy and both strategies re-read the pairs; without the
-    // checkpoint each pass would re-run the whole MinHash/LSH pipeline.
-    // sorted = false: the pairs feed straight into union-find / label
-    // propagation, which re-shuffle anyway — a global sort of the pair set
-    // here would be pure wasted work at scale (PlanSpec pins its absence).
-    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands, threshold,
-        sorted = false)
-      .select(col("id1"), col("id2"))
+    // COLLAPSED component graph: rep-to-rep verified pairs + per-class
+    // star edges — component-equivalent to the full member-pair graph
+    // (a member reaches its rep by star, reps reach each other by rep
+    // pairs) at corpus-linear edge count, where the full expansion is
+    // duplication-SQUARED (the r18 sf10 probe measured 75x before
+    // this). Materialized ONCE (localCheckpoint): the edge count
+    // decides the strategy and both strategies re-read the pairs.
+    val (repPairs, classes) = minhashRepGraph(df, idCol, textCol, shingleN,
+      numHashes, bands, threshold)
+    val pairs = repPairs.select(col("id1"), col("id2"))
+      .unionByName(classStarEdges(classes))
       .localCheckpoint(true)
     val idOrd = localOrdering(pairs.schema("id1").dataType)
     val nEdges = pairs.count()
@@ -847,9 +1026,12 @@ object Dedup {
       maxIterations: Int = 20
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands,
-        threshold, sorted = false)
-      .select(col("id1"), col("id2"))
+    // Same collapsed star+rep component graph as [[dropNearDuplicates]]
+    // — identical components, corpus-linear edges.
+    val (repPairs, classes) = minhashRepGraph(df, idCol, textCol, shingleN,
+      numHashes, bands, threshold)
+    val pairs = repPairs.select(col("id1"), col("id2"))
+      .unionByName(classStarEdges(classes))
       .localCheckpoint(true)
     if (pairs.limit(1).count() == 0) return df
     val labels = Graph.connectedComponents(pairs, "id1", "id2", maxIterations)

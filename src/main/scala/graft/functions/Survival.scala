@@ -303,11 +303,16 @@ object Survival {
       .select(col(groupCol).as("g"), col(durationCol).as("dur"),
         col(eventCol).as("ev"))
       .where(col("dur").isNotNull && col("ev").isNotNull)
+    // cached: the guard probe, the arm totals and the event census all
+    // derive from this one aggregate — uncached, each pays its own
+    // full scan of the input (the r18 sf10 probe measured coxPh at
+    // 9.1x, dominated by three redundant event scans)
     val perDur = slim.groupBy(col("dur"))
       .agg(count(when(col("g") === a, 1)).as("c1"),
         count(when(col("g") === b, 1)).as("c2"),
         count(when(col("g") === a && col("ev"), 1)).as("d1"),
         count(when(col("g") === b && col("ev"), 1)).as("d2"))
+      .cache()
     graft.operators.StatTests.requireBoundedDomain(perDur,
       "Survival.coxPh")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("dur"))
@@ -360,6 +365,7 @@ object Survival {
     val evRow = ev.agg(coalesce(sum(col("d")), lit(0L))).head()
     val events = evRow.getLong(0)
     ev.unpersist()
+    perDur.unpersist()
     def r7(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
     val zRaw = u0.toDouble / 1e6 / math.sqrt(j0.toDouble / 1e6)

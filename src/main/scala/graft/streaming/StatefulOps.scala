@@ -131,6 +131,25 @@ case class SrmSnapshot(key: Long, n: Long, k: Long, chi2: Double)
 /** An outcome record for the streaming SPRT monitor: one experiment
   * arm's success/failure in arrival (ts) order.
   */
+/** One integral increment of a per-key cumulative series for
+  * [[StatefulOps.streamingDrawdown]] (the q481 exactness contract:
+  * values are quantized integers, the walk is exact BIGINT).
+  */
+case class DdEvent(key: Long, ts: java.sql.Timestamp, value: Long)
+
+/** O(1) exact-integer drawdown state: event count, running sum, its
+  * running max, the deepest (max - sum) gap so far and the 1-based
+  * position that FIRST attained it.
+  */
+case class DdState(n: Long, c: Long, m: Long, dd: Long, tAt: Long)
+
+/** Per-key per-batch snapshot of [[StatefulOps.streamingDrawdown]] —
+  * field-for-field the batch `maxDrawdown` row of the same prefix,
+  * plus the threshold readout.
+  */
+case class DdSnapshot(key: Long, n: Long, t_at: Long, drawdown: Long,
+    alarmed: Boolean)
+
 case class SprtEvent(variant: String, ts: java.sql.Timestamp,
     success: Boolean)
 
@@ -657,6 +676,52 @@ object StatefulOps {
           state.update(st)
           Iterator.single(SprtSnapshot(variant, st.n, st.decision,
             st.nDecide, round6(st.llr.toDouble / 1e6)))
+      }
+  }
+
+  /** Streaming maximum-drawdown monitor — the PROSPECTIVE face of
+    * [[graft.operators.Trend.maxDrawdown]] (q481): per key, the running
+    * sum C, its running maximum M, and the deepest peak-to-trough gap
+    * max_t(M_t - C_t) with the EARLIEST 1-based position attaining it —
+    * O(1) exact-BIGINT state per key, `alarmed` once the gap reaches
+    * `threshold`. The gap maximum is monotone, so an alarm HOLDS by
+    * construction: a drawdown that happened, happened — this is a
+    * high-water-mark readout, not CUSUM's restartable detector.
+    *
+    * Parity: after ANY microbatch split, a key's snapshot equals the
+    * batch `maxDrawdown` row (n, t_at, drawdown) of the same event
+    * prefix — the walk is the identical integer recurrence, strict >
+    * keeps the earliest argmax, and events walk in full-precision ts
+    * order within each batch (ts must be a total order per key, and
+    * batches must arrive in ts order — the shared live-monitor
+    * contract). Update-mode output: one snapshot per touched key per
+    * batch.
+    */
+  def streamingDrawdown(events: Dataset[DdEvent],
+      threshold: Long): Dataset[DdSnapshot] = {
+    require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
+    implicit val stateEnc = Encoders.product[DdState]
+    implicit val outEnc = Encoders.product[DdSnapshot]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[DdState, DdSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[DdEvent], state: GroupState[DdState]) =>
+          // m = MinValue / dd = -1 make the first event establish
+          // m = c and dd = 0 at t_at = 1, exactly the batch base case
+          var st = state.getOption
+            .getOrElse(DdState(0L, 0L, Long.MinValue, -1L, 0L))
+          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))) {
+            val c = st.c + e.value
+            val m = math.max(st.m, c)
+            val n = st.n + 1L
+            val gap = m - c
+            st =
+              if (gap > st.dd) DdState(n, c, m, gap, n)
+              else DdState(n, c, m, st.dd, st.tAt)
+          }
+          state.update(st)
+          Iterator.single(DdSnapshot(key, st.n, st.tAt, st.dd,
+            st.dd >= threshold))
       }
   }
 

@@ -325,6 +325,37 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(hk == Set((0L, 1L), (0L, 3L)), hk)
   }
 
+  test("cosineJoinCapped equals capPairsPerDoc(cosineJoinExact) at every cap") {
+    // identical-doc classes of different sizes, two classes at the
+    // EXACT same cosine to the big class (cross-class tie — the rank
+    // interleaves their members by partner id), a weaker class, and a
+    // loner: the class-level prune and member truncation must keep
+    // every rankable candidate at every cap
+    val docs = (
+      (1L to 5L).map(i => (i, "alpha beta gamma delta")) ++
+      (11L to 13L).map(i => (i, "alpha beta gamma delta epsilon")) ++
+      (14L to 16L).map(i => (i, "alpha beta gamma delta zeta")) ++
+      (21L to 22L).map(i => (i, "alpha beta gamma eta")) ++
+      Seq((31L, "unrelated totally different words"))
+    ).toDF("doc_id", "text")
+    for (cap <- Seq(1, 2, 3, 4, 10)) {
+      val fused = graft.functions.Dedup
+        .cosineJoinCapped(docs, "doc_id", "text", 0.6, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val composed = graft.functions.Dedup.capPairsPerDoc(
+          graft.functions.Dedup.cosineJoinExact(docs, "doc_id", "text", 0.6,
+            sorted = false),
+          cap, "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused == composed, s"cap=$cap: $fused vs $composed")
+      assert(fused.nonEmpty, s"cap=$cap produced no pairs")
+      // the cap contract itself: no doc exceeds cap pairs
+      val perDoc = fused.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size)
+      assert(perDoc.values.forall(_ <= cap), s"cap=$cap: ${perDoc.toMap}")
+    }
+  }
+
   test("clusterSizeHistogram: integer log2 buckets, never a float log") {
     // components: a pair (size 2 -> bucket 1), a chain of 8 (bucket 3),
     // a triangle (size 3 -> bucket 1)

@@ -446,6 +446,54 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(snap == Seq(("v", 4L, "accept_h1", 3L)), snap)
   }
 
+  test("streamingDrawdown: snapshots equal batch maxDrawdown across a split") {
+    // key 1 walk: c 5,10,7,3 | 5,-1,9 -> gaps 0,0,3,7 | 5,11,1:
+    // mid dd=7@t4 (under threshold 8), final dd=11@t6 (alarmed, and
+    // holds by monotonicity). key 2 only rises: dd=0@t1 forever.
+    val ddSchema = StructType(Seq(StructField("key", LongType),
+      StructField("ts", TimestampType), StructField("value", LongType)))
+    val dir = graft.GraftTmp.dir("graft-dd-stream")
+    val files = Seq(
+      """{"key": 1, "ts": "2024-01-01T00:00:01", "value": 5}
+        |{"key": 1, "ts": "2024-01-01T00:00:02", "value": 5}
+        |{"key": 1, "ts": "2024-01-01T00:00:03", "value": -3}
+        |{"key": 1, "ts": "2024-01-01T00:00:04", "value": -4}
+        |{"key": 2, "ts": "2024-01-01T00:00:01", "value": 1}
+        |{"key": 2, "ts": "2024-01-01T00:00:02", "value": 2}""".stripMargin,
+      """{"key": 1, "ts": "2024-01-01T00:00:05", "value": 2}
+        |{"key": 1, "ts": "2024-01-01T00:00:06", "value": -6}
+        |{"key": 1, "ts": "2024-01-01T00:00:07", "value": 10}
+        |{"key": 2, "ts": "2024-01-01T00:00:05", "value": 3}""".stripMargin)
+    files.zipWithIndex.foreach { case (content, i) =>
+      val p = Files.write(dir.resolve(s"$i.json"), content.getBytes("UTF-8"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(ddSchema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[DdEvent]
+    val q = StatefulOps.streamingDrawdown(stream, threshold = 8L)
+      .writeStream.format("memory").queryName("graft_dd_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val snaps = spark.table("graft_dd_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(snaps == Set(
+      (1L, 4L, 4L, 7L, false), (2L, 2L, 1L, 0L, false),
+      (1L, 7L, 6L, 11L, true), (2L, 3L, 1L, 0L, false)), snaps)
+    // exact batch parity: the final snapshots equal Trend.maxDrawdown
+    // of the full log, the mid ones its prefix
+    val full = Seq((1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, -3L), (1L, 4L, -4L),
+      (1L, 5L, 2L), (1L, 6L, -6L), (1L, 7L, 10L),
+      (2L, 1L, 1L), (2L, 2L, 2L), (2L, 5L, 3L)).toDF("g", "t", "x")
+    val batch = graft.operators.Trend.maxDrawdown(full, "g", Seq("t"), "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(snaps.filter(s => s._1 == 1L && s._2 == 7L || s._1 == 2L && s._2 == 3L)
+      .map(s => (s._1, s._2, s._3, s._4)) == batch, s"$snaps vs $batch")
+  }
+
   test("streamingCusumAlarm: sustained shift alarms across batches, noise never does") {
     val dir = graft.GraftTmp.dir("graft-cusum")
     // key 1: five on-target values (10 +- 1), then a sustained shift to
