@@ -112,26 +112,39 @@ object Dedup {
     require(maxLen >= anchorN && maxLen <= 256,
       s"maxLen must be in [anchorN, 256], got $maxLen")
     val toks = Retrieval.tokens(col(textCol))
-    val anchors = df.where(col(idCol).isNotNull)
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
+    // IDENTICAL-TEXT COLLAPSE (the minhashRepGraph / cosineJoinExact
+    // device): byte-identical documents walk once as a weighted class —
+    // doc_freq(span) = sum of class weights over distinct texts
+    // containing it and total_count = sum of occ x weight are EXACT,
+    // and the whole walk becomes distinct-content-sized (the pre-
+    // collapse r18 probe measured 565s at sf10 on a 100-replica
+    // corpus: every round's postings and checkpoints carried 100
+    // copies of the same positions).
+    val classes = df.where(col(idCol).isNotNull)
+      .groupBy(col(textCol).as("__txt"))
+      .agg(min(col(idCol)).as("cls"), count(lit(1)).as("w"))
+    val anchors = classes
+      .select(col("cls"), col("w"),
+        Retrieval.tokens(col("__txt")).as("toks"))
       .where(size(col("toks")) >= anchorN)
-      .select(col("doc_id"), posexplode(transform(
+      .select(col("cls"), col("w"), posexplode(transform(
         sequence(lit(0), size(col("toks")) - anchorN),
         i => struct(
           array_join(slice(col("toks"), i + 1, lit(anchorN))
             , " ").as("span"),
           element_at(col("toks"), i + anchorN).as("last_tok"))))
         .as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"), col("s.span").as("span"),
+      .select(col("cls"), col("w"), col("pos"), col("s.span").as("span"),
         col("s.last_tok").as("last_tok"))
-    // span-level census with the carried prefix/suffix strings (null
-    // at the anchor length — there is nothing shorter to disqualify)
+    // span-level weighted census with the carried prefix/suffix strings
+    // (null at the anchor length — nothing shorter to disqualify)
     def census(p: DataFrame): DataFrame = p
-      .groupBy(col("span"), col("doc_id"))
-      .agg(count(lit(1)).as("occ"), max(col("pref")).as("p1"),
-        max(col("suff")).as("s1"))
+      .groupBy(col("span"), col("cls"))
+      .agg(count(lit(1)).as("occ"), max(col("w")).as("w"),
+        max(col("pref")).as("p1"), max(col("suff")).as("s1"))
       .groupBy(col("span"))
-      .agg(count(lit(1)).as("doc_freq"), sum(col("occ")).as("total_count"),
+      .agg(sum(col("w")).as("doc_freq"),
+        sum(col("occ") * col("w")).as("total_count"),
         max(col("p1")).as("pref"), max(col("s1")).as("suff"))
       .where(col("doc_freq") >= minDocs)
     val nullS = lit(null).cast("string")
@@ -146,10 +159,10 @@ object Dedup {
       else {
         cur = cur.join(cen.select(col("span")), Seq("span"), "left_semi")
           .localCheckpoint(true)
-        val shifted = cur.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        val shifted = cur.select(col("cls"), (col("pos") - 1).as("pos"),
           col("span").as("b_span"), col("last_tok").as("b_last"))
-        cur = cur.join(shifted, Seq("doc_id", "pos"))
-          .select(col("doc_id"), col("pos"),
+        cur = cur.join(shifted, Seq("cls", "pos"))
+          .select(col("cls"), col("w"), col("pos"),
             concat(col("span"), lit(" "), col("b_last")).as("span"),
             col("b_last").as("last_tok"), col("span").as("pref"),
             col("b_span").as("suff"))

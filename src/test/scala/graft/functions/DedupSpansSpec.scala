@@ -50,6 +50,21 @@ class DedupSpansSpec extends SparkTestBase {
     assert(out == Set(("a b", 2, 3L, 3L, false)), out)
   }
 
+  test("identical documents collapse to a weighted class, counts exact") {
+    // two byte-identical docs + one sharing only "a b": the collapsed
+    // walk must still count doc_freq over DOCUMENTS (twins weigh 2),
+    // and the twins' full text is the one maximal span
+    val docs = Seq((1L, "x a b y"), (2L, "x a b y"), (3L, "z a b w"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.longestRepeatedSpans(docs, "doc_id", "text",
+      minDocs = 2, anchorN = 2, maxLen = 8))
+    assert(out == Set(("x a b y", 4, 2L, 2L, false)), out)
+    // minDocs = 3 keeps only the cross-class pair, weighted 2 + 1
+    val out3 = rows(Dedup.longestRepeatedSpans(docs, "doc_id", "text",
+      minDocs = 3, anchorN = 2, maxLen = 8))
+    assert(out3 == Set(("a b", 2, 3L, 3L, false)), out3)
+  }
+
   test("no repeats at all: empty frame with the declared schema") {
     val lone = Seq((1L, "only one document here")).toDF("doc_id", "text")
     val out = Dedup.longestRepeatedSpans(lone, "doc_id", "text")
