@@ -43,24 +43,30 @@ object Dedup {
   def repeatedNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = Retrieval.tokens(col(textCol))
-    // NULL ids are dropped explicitly: the two-level aggregate would
-    // otherwise count the null group as a "document" (countDistinct
-    // semantics exclude nulls, and doc_freq must mean real documents).
-    df.where(col(idCol).isNotNull)
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
+    // IDENTICAL-TEXT COLLAPSE (the [[longestRepeatedSpans]] device):
+    // byte-identical documents tokenize and explode ONCE as a weighted
+    // class; doc_freq = sum of class weights and total_count =
+    // sum(occ x weight) are exact. NULL ids are dropped explicitly
+    // (doc_freq must mean real documents).
+    val cls = df.where(col(idCol).isNotNull)
+      .groupBy(col(textCol).as("__txt"))
+      .agg(min(col(idCol)).as("cls"), count(lit(1)).as("w"))
+    cls.select(col("cls"), col("w"),
+        Retrieval.tokens(col("__txt")).as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(transform(
+      .select(col("cls"), col("w"), explode(transform(
         sequence(lit(0), size(col("toks")) - n),
         i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ngram"))
       // Two-level aggregate instead of countDistinct + count in one pass:
       // the single-pass form plans an Expand that DOUBLES the posting
-      // stream before the shuffle. Level 1 collapses within-doc repeats
-      // map-side (the shuffle carries distinct (span, doc) pairs + a
-      // count), level 2 makes doc_freq a plain count.
-      .groupBy("ngram", "doc_id").agg(count(lit(1)).as("occ"))
+      // stream before the shuffle. Level 1 collapses within-class repeats
+      // map-side (the shuffle carries distinct (span, class) pairs + a
+      // count), level 2 makes doc_freq a weighted sum.
+      .groupBy("ngram", "cls").agg(count(lit(1)).as("occ"),
+        max(col("w")).as("w"))
       .groupBy("ngram")
-      .agg(count(lit(1)).as("doc_freq"), sum(col("occ")).as("total_count"))
+      .agg(sum(col("w")).as("doc_freq"),
+        sum(col("occ") * col("w")).as("total_count"))
       .where(col("doc_freq") >= minDocs)
   }
 
@@ -221,27 +227,36 @@ object Dedup {
       minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = df.where(col(idCol).isNotNull)
-      .select(col(idCol).as("doc_id"), Retrieval.tokens(col(textCol)).as("toks"))
+    // IDENTICAL-TEXT COLLAPSE: the cut is a pure function of the token
+    // sequence, so byte-identical documents compute once as a weighted
+    // class and the per-class result joins back per doc; the
+    // duplicated-gram census weights doc_freq by class size (exact).
+    val docsIn = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
+    val cls = docsIn.groupBy(col("__txt"))
+      .agg(min(col("doc_id")).as("cls"), count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val base = cls.select(col("cls"), col("w"),
+      Retrieval.tokens(col("__txt")).as("toks"))
     val toksP = base
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("cls"), posexplode(col("toks")).as(Seq("p", "tok")))
     val starts = base.where(size(col("toks")) >= n)
-      .select(col("doc_id"), posexplode(transform(
+      .select(col("cls"), col("w"), posexplode(transform(
         sequence(lit(0), size(col("toks")) - n),
         i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
         .as(Seq("s", "ngram")))
     val dup = starts
-      .groupBy("ngram", "doc_id").agg(count(lit(1)).as("c"))
-      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .groupBy(col("ngram"), col("cls")).agg(max(col("w")).as("w"))
+      .groupBy("ngram").agg(sum(col("w")).as("doc_freq"))
       .where(col("doc_freq") >= minDocs)
       .select("ngram")
     val covered = starts.join(dup, "ngram")
-      .select(col("doc_id"),
+      .select(col("cls"),
         explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
       .distinct()
-    toksP
-      .join(covered.withColumn("__cut", lit(true)), Seq("doc_id", "p"), "left")
-      .groupBy("doc_id")
+    val perClass = toksP
+      .join(covered.withColumn("__cut", lit(true)), Seq("cls", "p"), "left")
+      .groupBy("cls")
       .agg(
         count(lit(1)).cast("int").as("n_tokens"),
         sum(when(col("__cut").isNotNull, 1).otherwise(0)).cast("int")
@@ -249,6 +264,9 @@ object Dedup {
         array_join(transform(array_sort(collect_list(
           when(col("__cut").isNull, struct(col("p"), col("tok"))))),
           x => x.getField("tok")), " ").as("clean"))
+    docsIn.join(cls.select(col("__txt"), col("cls")), Seq("__txt"))
+      .join(perClass, "cls")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean"))
   }
 
   /** Exact dedup: keep the row with the smallest `idCol` per duplicate group.

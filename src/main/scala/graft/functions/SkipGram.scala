@@ -25,10 +25,16 @@ object SkipGram {
     */
   def pairs(df: DataFrame, textCol: String, window: Int): DataFrame = {
     require(window >= 1 && window <= 16, s"window must be in [1, 16]")
-    val toks = Retrieval.tokens(col(textCol))
-    val perPos = df.select(toks.as("toks"))
+    // IDENTICAL-TEXT COLLAPSE (the Dedup census device): byte-identical
+    // documents contribute identical pair multisets, so each distinct
+    // text explodes once and its occurrence rows carry the class count
+    // — sum(w) is exactly the per-document count over the full corpus.
+    val cls = df.groupBy(col(textCol).as("__txt"))
+      .agg(count(lit(1)).as("w"))
+    val perPos = cls
+      .select(Retrieval.tokens(col("__txt")).as("toks"), col("w"))
       .where(size(col("toks")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("toks")) - 1),
+      .select(col("w"), explode(transform(sequence(lit(0), size(col("toks")) - 1),
         i => {
           val lo = greatest(i + 1 - window, lit(1))
           struct(
@@ -38,9 +44,9 @@ object SkipGram {
               slice(col("toks"), i + 2, lit(window))).as("ctxs"))
         })).as("p"))
     perPos.select(col("p.center").as("center"),
-        explode(col("p.ctxs")).as("context"))
+        explode(col("p.ctxs")).as("context"), col("w"))
       .groupBy("center", "context")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("w")).as("n"))
   }
 
   /** `k` deterministic negatives per distinct (center, context) pair:
