@@ -704,7 +704,50 @@ private[graft] object QueriesPart9 {
     "q488_cosine_join_capped" -> ((s, d) =>
       graft.functions.Dedup.cosineJoinCapped(
         t(s, d, "documents"), "doc_id", "text", 0.8, cap = 20)
-        .orderBy("id1", "id2")))
+        .orderBy("id1", "id2")),
+
+    // --- 489/490. stratified survival comparison, oracle-pinned -------------------------------------------------
+    // q432/q487's cohorts with a confounder stratum (user parity): each
+    // stratum keeps its OWN risk sets; log-rank pools exact (O-E, V)
+    // sums (the survival CMH), CoxPH runs the identical theta-Newton
+    // over the (stratum x event time) census (stratified Breslow).
+    "q489_logrank_stratified" -> ((s, d) =>
+      graft.functions.Survival.logRankStratified(survCohorts(s, d),
+        "stratum", "cohort", "dur", "ev", "c0", "c1")),
+
+    "q490_coxph_stratified" -> ((s, d) =>
+      graft.functions.Survival.coxPhStratified(survCohorts(s, d),
+        "stratum", "cohort", "dur", "ev", "c0", "c1")),
+
+    // --- 491. E-value sensitivity readout, oracle-pinned --------------------------------------------------------
+    // VanderWeele-Ding: how strong would an unmeasured confounder have
+    // to be to explain away the c1-vs-c0 purchase risk ratio — one
+    // exact rational RR, one +,*,/,sqrt expression.
+    "q491_evalue" -> ((s, d) =>
+      graft.operators.AbTest.eValue(
+        survCohorts(s, d).select(col("cohort"), col("ev")),
+        "cohort", "ev", control = "c0", treat = "c1")))
+
+  /** The shared survival cohort construction of q432/q487/q489-q491:
+    * per user, duration = days from first event to first qualifying
+    * purchase (else last event, censored); cohort = user_id mod 3,
+    * stratum = user_id mod 2.
+    */
+  private def survCohorts(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").where(col("ts").isNotNull &&
+      col("user_id").isNotNull)
+    val pu = e.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"),
+        min(when(col("event_type") === "purchase" &&
+          col("value") >= 150, unix_micros(col("ts")))).as("te"))
+    pu.select(
+      concat(lit("c"), (col("user_id") % 3).cast("string")).as("cohort"),
+      concat(lit("s"), (col("user_id") % 2).cast("string")).as("stratum"),
+      floor((coalesce(col("te"), col("t1")) - col("t0")) /
+        lit(86400000000L)).cast("long").as("dur"),
+      col("te").isNotNull.as("ev"))
+  }
 
   /** SQL text emission of [[graft.operators.Trend.detPinned]] — the
     * IDENTICAL first-row Laplace recursion (2x2 base `a*d - b*c`,
@@ -2656,5 +2699,182 @@ private[graft] object QueriesPart9 {
         |k AS (SELECT d, pr, cos FROM rk WHERE rk <= 20)
         |SELECT a.d AS id1, a.pr AS id2, a.cos AS cos
         |FROM k a JOIN k b ON a.d = b.pr AND a.pr = b.d AND a.d < a.pr
-        |ORDER BY id1, id2""".stripMargin)
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Stratified log-rank: per-stratum suffix sums, micro-quantized
+    // (O-E, V) terms pooled with exact integer sums.
+    "q489_logrank_stratified" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    's' || CAST(user_id % 2 AS VARCHAR) AS str,
+        |    CAST(floor(CAST(COALESCE(te, t1) - t0 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS dur,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |slim AS (SELECT cohort, str, dur, ev FROM g
+        |  WHERE cohort IN ('c0', 'c1')),
+        |pd AS (SELECT str, dur,
+        |    count(CASE WHEN cohort = 'c0' THEN 1 END) AS c1,
+        |    count(CASE WHEN cohort = 'c1' THEN 1 END) AS c2,
+        |    count(CASE WHEN cohort = 'c0' AND ev THEN 1 END) AS d1,
+        |    count(CASE WHEN cohort = 'c1' AND ev THEN 1 END) AS d2
+        |  FROM slim GROUP BY 1, 2),
+        |tot AS (SELECT str, CAST(sum(c1) AS BIGINT) AS na_s,
+        |    CAST(sum(c2) AS BIGINT) AS nb_s FROM pd GROUP BY 1),
+        |cum AS (SELECT pd.str, d1, d2,
+        |    na_s - CAST(sum(c1) OVER (PARTITION BY pd.str ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + c1 AS r1,
+        |    nb_s - CAST(sum(c2) OVER (PARTITION BY pd.str ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + c2 AS r2
+        |  FROM pd JOIN tot ON pd.str = tot.str),
+        |ev AS (SELECT d1, d1 + d2 AS d, r1, r2 FROM cum WHERE d1 + d2 > 0),
+        |terms AS (SELECT d1,
+        |    CAST(floor(CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE)
+        |      / CAST(r1 + r2 AS DOUBLE) * 1e6) AS BIGINT) AS e,
+        |    CASE WHEN r1 + r2 > 1 THEN
+        |      CAST(floor(CAST(d AS DOUBLE)
+        |        * (CAST(r1 + r2 AS DOUBLE) - CAST(d AS DOUBLE))
+        |        * CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |        / (CAST(r1 + r2 AS DOUBLE) * CAST(r1 + r2 AS DOUBLE)
+        |          * (CAST(r1 + r2 AS DOUBLE) - CAST(1 AS DOUBLE)))
+        |        * 1e6) AS BIGINT) ELSE 0 END AS v
+        |  FROM ev),
+        |gl AS (SELECT CAST(COALESCE(sum(d1), 0) AS BIGINT) AS o1,
+        |    CAST(COALESCE(sum(e), 0) AS BIGINT) AS em,
+        |    CAST(COALESCE(sum(v), 0) AS BIGINT) AS vm FROM terms),
+        |tots AS (SELECT
+        |    CAST(count(CASE WHEN cohort = 'c0' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN cohort = 'c1' THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(count(DISTINCT str) AS BIGINT) AS n_strata FROM slim)
+        |SELECT n_a, n_b, n_strata, o1,
+        |  ROUND(CAST(em AS DOUBLE) / 1e6, 7) AS e1,
+        |  ROUND(CASE WHEN vm > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(em AS DOUBLE) / 1e6)
+        |      * (CAST(o1 AS DOUBLE) - CAST(em AS DOUBLE) / 1e6)
+        |      / (CAST(vm AS DOUBLE) / 1e6) END, 7) AS chi2
+        |FROM tots, gl""".stripMargin,
+
+    // Stratified CoxPH: q487's recursive Newton walk verbatim over the
+    // (stratum x duration) census.
+    "q490_coxph_stratified" ->
+      """WITH RECURSIVE pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    's' || CAST(user_id % 2 AS VARCHAR) AS str,
+        |    CAST(floor(CAST(COALESCE(te, t1) - t0 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS dur,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |slim AS (SELECT cohort, str, dur, ev FROM g
+        |  WHERE cohort IN ('c0', 'c1')),
+        |pd AS (SELECT str, dur,
+        |    count(CASE WHEN cohort = 'c0' THEN 1 END) AS c1,
+        |    count(CASE WHEN cohort = 'c1' THEN 1 END) AS c2,
+        |    count(CASE WHEN cohort = 'c0' AND ev THEN 1 END) AS d1,
+        |    count(CASE WHEN cohort = 'c1' AND ev THEN 1 END) AS d2
+        |  FROM slim GROUP BY 1, 2),
+        |tot AS (SELECT str AS tstr, CAST(sum(c1) AS BIGINT) AS na_s,
+        |    CAST(sum(c2) AS BIGINT) AS nb_s FROM pd GROUP BY 1),
+        |cum AS (SELECT d1, d2,
+        |    na_s - CAST(sum(c1) OVER (PARTITION BY pd.str ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + c1 AS r1,
+        |    nb_s - CAST(sum(c2) OVER (PARTITION BY pd.str ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + c2 AS r0
+        |  FROM pd JOIN tot ON pd.str = tot.tstr),
+        |ev AS (SELECT d1, d1 + d2 AS d, r1, r0 FROM cum
+        |  WHERE d1 + d2 > 0),
+        |it AS (
+        |  SELECT 0 AS i, CAST(1000000 AS BIGINT) AS tm
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    CASE WHEN sj > 0 THEN GREATEST(CAST(1 AS BIGINT),
+        |      CAST(floor((CAST(tm AS DOUBLE) / 1e6
+        |        + CAST(su AS DOUBLE) / CAST(sj AS DOUBLE)) * 1e6) AS BIGINT))
+        |    ELSE tm END
+        |  FROM (
+        |    SELECT i, tm,
+        |      (SELECT CAST(sum(CAST(floor((CAST(d1 AS DOUBLE)
+        |          - CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE)
+        |            * (CAST(tm AS DOUBLE) / 1e6)
+        |            / (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |              * (CAST(tm AS DOUBLE) / 1e6))) * 1e6) AS BIGINT))
+        |        AS BIGINT) FROM ev) AS su,
+        |      (SELECT CAST(sum(CAST(floor(CAST(d AS DOUBLE) * CAST(r0 AS DOUBLE)
+        |          * CAST(r1 AS DOUBLE)
+        |          / ((CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |              * (CAST(tm AS DOUBLE) / 1e6))
+        |            * (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |              * (CAST(tm AS DOUBLE) / 1e6))) * 1e6) AS BIGINT))
+        |        AS BIGINT) FROM ev) AS sj
+        |    FROM it WHERE i < 16) q),
+        |fin AS (SELECT tm,
+        |    (SELECT CAST(sum(CAST(floor(CAST(d AS DOUBLE) * CAST(r0 AS DOUBLE)
+        |        * CAST(r1 AS DOUBLE)
+        |        / ((CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |            * (CAST(tm AS DOUBLE) / 1e6))
+        |          * (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)
+        |            * (CAST(tm AS DOUBLE) / 1e6))) * 1e6) AS BIGINT))
+        |      AS BIGINT) FROM ev) AS sjf
+        |  FROM it WHERE i = 16),
+        |s0 AS (SELECT
+        |    (SELECT CAST(sum(CAST(floor((CAST(d1 AS DOUBLE)
+        |        - CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) * 1.0
+        |          / (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * 1.0))
+        |        * 1e6) AS BIGINT)) AS BIGINT) FROM ev) AS u0,
+        |    (SELECT CAST(sum(CAST(floor(CAST(d AS DOUBLE) * CAST(r0 AS DOUBLE)
+        |        * CAST(r1 AS DOUBLE)
+        |        / ((CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * 1.0)
+        |          * (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * 1.0)) * 1e6)
+        |        AS BIGINT)) AS BIGINT) FROM ev) AS j0),
+        |nev AS (SELECT CAST(sum(d) AS BIGINT) AS events FROM ev),
+        |gtot AS (SELECT CAST(sum(na_s) AS BIGINT) AS n_a,
+        |    CAST(sum(nb_s) AS BIGINT) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS n_strata FROM tot),
+        |z AS (SELECT CAST(u0 AS DOUBLE) / 1e6
+        |    / sqrt(CAST(j0 AS DOUBLE) / 1e6) AS zraw FROM s0)
+        |SELECT n_a, n_b, n_strata, events,
+        |  ROUND(CAST(tm AS DOUBLE) / 1e6, 7) AS hazard_ratio,
+        |  ROUND(CASE WHEN sjf > 0 THEN
+        |    1.0 / sqrt(CAST(tm AS DOUBLE) / 1e6 * (CAST(sjf AS DOUBLE) / 1e6))
+        |    END, 7) AS se_beta,
+        |  ROUND(zraw, 7) AS score_z,
+        |  ROUND(zraw * zraw, 7) AS score_chi2
+        |FROM gtot, fin, s0, nev, z""".stripMargin,
+
+    // E-value: one exact rational RR, one +,*,/,sqrt expression.
+    "q491_evalue" ->
+      """WITH pu AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |             THEN epoch_us(ts) END) AS te
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |    te IS NOT NULL AS ev
+        |  FROM pu),
+        |a AS (SELECT
+        |    CAST(count(CASE WHEN cohort = 'c0' THEN 1 END) AS BIGINT) AS n_c,
+        |    CAST(count(CASE WHEN cohort = 'c1' THEN 1 END) AS BIGINT) AS n_t,
+        |    CAST(count(CASE WHEN cohort = 'c0' AND ev THEN 1 END) AS BIGINT) AS s_c,
+        |    CAST(count(CASE WHEN cohort = 'c1' AND ev THEN 1 END) AS BIGINT) AS s_t
+        |  FROM g WHERE cohort IN ('c0', 'c1')),
+        |r AS (SELECT n_c, n_t, s_c, s_t,
+        |    CAST(s_t AS DOUBLE) * CAST(n_c AS DOUBLE)
+        |      / (CAST(s_c AS DOUBLE) * CAST(n_t AS DOUBLE)) AS rr0
+        |  FROM a)
+        |SELECT n_c, n_t, s_c, s_t,
+        |  CASE WHEN s_c > 0 AND s_t > 0 THEN ROUND(rr0, 7) END AS rr,
+        |  CASE WHEN s_c > 0 AND s_t > 0 THEN ROUND(
+        |    CASE WHEN rr0 >= 1.0 THEN rr0 + sqrt(rr0 * (rr0 - 1.0))
+        |         ELSE 1.0 / rr0 + sqrt(1.0 / rr0 * (1.0 / rr0 - 1.0)) END, 7)
+        |  END AS evalue
+        |FROM r""".stripMargin)
 }

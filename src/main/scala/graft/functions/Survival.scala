@@ -334,8 +334,33 @@ object Survival {
     require(nA > 0L && nB > 0L,
       s"Survival.coxPh: both arms must be present — arm '$a' has $nA " +
         s"subjects, arm '$b' has $nB")
+    val (events, tm, jHat, u0, j0) = coxNewton(ev, iters, "Survival.coxPh")
+    ev.unpersist()
+    perDur.unpersist()
+    val zRaw = u0.toDouble / 1e6 / math.sqrt(j0.toDouble / 1e6)
+    val seB =
+      if (jHat > 0L)
+        Some(r7(1.0 / math.sqrt(tm.toDouble / 1e6 * (jHat.toDouble / 1e6))))
+      else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nA, nB, events, r7(tm.toDouble / 1e6), seB, r7(zRaw),
+      r7(zRaw * zRaw)))
+      .toDF("n_a", "n_b", "events", "hazard_ratio", "se_beta",
+        "score_z", "score_chi2")
+  }
+
+  /** The shared micro-quantized theta-Newton of [[coxPh]]'s scaladoc,
+    * over any (d1, d, r1, r0) census (one row per event time — or per
+    * (stratum, event time): the stratified Breslow partial likelihood
+    * SUMS the same per-cell terms, so the identical walk serves both).
+    * Returns (events, theta_micro, J_micro at theta_hat, U_micro at 1,
+    * J_micro at 1); throws loudly when J(1) = 0.
+    */
+  private def coxNewton(ev: DataFrame, iters: Int,
+      what: String): (Long, Long, Long, Long, Long) = {
     // one aggregate pass = (U_micro, J_micro) at a fixed theta; both
-    // are exact integer sums of per-duration floor-quantized terms
+    // are exact integer sums of per-cell floor-quantized terms
     def sums(thetaMicro: Long): (Long, Long) = {
       val th = lit(thetaMicro.toDouble / 1e6)
       val den = col("r0").cast("double") + col("r1").cast("double") * th
@@ -351,7 +376,7 @@ object Survival {
     }
     val (u0, j0) = sums(1000000L)
     require(j0 > 0L,
-      "Survival.coxPh: no event time has both arms at risk — the " +
+      s"$what: no event time has both arms at risk — the " +
         "hazard ratio is not identified (J(1) = 0)")
     var tm = 1000000L
     for (_ <- 1 to iters) {
@@ -363,11 +388,136 @@ object Survival {
     }
     val (_, jHat) = sums(tm)
     val evRow = ev.agg(coalesce(sum(col("d")), lit(0L))).head()
-    val events = evRow.getLong(0)
-    ev.unpersist()
+    (evRow.getLong(0), tm, jHat, u0, j0)
+  }
+
+  private def r7(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-(stratum, duration) two-arm census shared by the stratified
+    * faces: (str, d1, d2, d, r1, r0) at every in-stratum event time,
+    * at-risk suffix sums WITHIN the stratum (the per-stratum window
+    * partitions by stratum and each stratum's census is distinct-
+    * duration-bounded — fine-grained). The loud quantize-first guard
+    * bounds the whole (stratum x duration) cell census. Returns the
+    * cached census plus (n_a, n_b, n_strata).
+    */
+  private def strataCensus(df: DataFrame, stratumCol: String,
+      groupCol: String, durationCol: String, eventCol: String,
+      a: String, b: String, what: String): (DataFrame, Long, Long, Long) = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(durationCol).dataType),
+      s"$durationCol must be integral (quantize first), got " +
+        df.schema(durationCol).dataType.catalogString)
+    val slim = df.where(col(groupCol).isin(a, b) &&
+        col(stratumCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("str"),
+        col(groupCol).as("g"), col(durationCol).as("dur"),
+        col(eventCol).as("ev"))
+      .where(col("dur").isNotNull && col("ev").isNotNull)
+    val perDur = slim.groupBy(col("str"), col("dur"))
+      .agg(count(when(col("g") === a, 1)).as("c1"),
+        count(when(col("g") === b, 1)).as("c2"),
+        count(when(col("g") === a && col("ev"), 1)).as("d1"),
+        count(when(col("g") === b && col("ev"), 1)).as("d2"))
+      .cache()
+    graft.operators.StatTests.requireBoundedDomain(perDur, what)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("str")).orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = perDur.groupBy(col("str"))
+      .agg(sum(col("c1")).as("na_s"), sum(col("c2")).as("nb_s"))
+    val cen = perDur
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .join(tot, "str")
+      .select(col("str"), col("dur"), col("d1"), col("d2"),
+        (col("d1") + col("d2")).as("d"),
+        (col("na_s") - col("cum1") + col("c1")).as("r1"),
+        (col("nb_s") - col("cum2") + col("c2")).as("r0"))
+      .where(col("d1") + col("d2") > 0L)
+      .cache()
+    val gRow = perDur.agg(sum(col("c1")), sum(col("c2")),
+      countDistinct(col("str"))).head()
+    val nA = if (gRow.isNullAt(0)) 0L else gRow.getLong(0)
+    val nB = if (gRow.isNullAt(1)) 0L else gRow.getLong(1)
+    val nStr = gRow.getLong(2)
+    // materialize the census cache BEFORE dropping its parent's —
+    // unpersisting perDur first would make cen's first real use
+    // recompute the whole input aggregate
+    cen.count()
     perDur.unpersist()
-    def r7(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
+    require(nA > 0L && nB > 0L,
+      s"$what: both arms must be present — arm '$a' has $nA " +
+        s"subjects, arm '$b' has $nB")
+    (cen, nA, nB, nStr)
+  }
+
+  /** Stratified log-rank — [[logRank]] with confounder adjustment (the
+    * survival CMH): each stratum contributes its OWN at-risk sets and
+    * per-time (O - E, V) terms, and the chi-square pools the exact
+    * sums across strata:
+    *
+    *   chi2 = (sum_s (O1_s - E1_s))^2 / sum_s V_s.
+    *
+    * Exactness is [[logRank]]'s: counts are exact within-stratum
+    * suffix sums on the loud-guarded (stratum x duration) cell census;
+    * per-cell E and V terms are micro-quantized (floor 1e6) into
+    * order-free integer sums; chi2 is one pinned expression (null when
+    * V = 0). Returns one row (n_a, n_b, n_strata, o1, e1, chi2).
+    */
+  def logRankStratified(df: DataFrame, stratumCol: String,
+      groupCol: String, durationCol: String, eventCol: String,
+      a: String, b: String): DataFrame = {
+    val (cen, nA, nB, nStr) = strataCensus(df, stratumCol, groupCol,
+      durationCol, eventCol, a, b, "Survival.logRankStratified")
+    val n = (col("r1") + col("r0")).cast("double")
+    val dt = col("d").cast("double")
+    val eTerm = floor(dt * col("r1").cast("double") / n * lit(1e6))
+      .cast("long")
+    val vTerm = floor(dt * (n - dt) * col("r1").cast("double") *
+      col("r0").cast("double") /
+      (n * n * (n - lit(1.0))) * lit(1e6)).cast("long")
+    val agg = cen.select(col("d1"), eTerm.as("e"),
+        when(col("r1") + col("r0") > 1L, vTerm).otherwise(lit(0L)).as("v"))
+      .agg(coalesce(sum(col("d1")), lit(0L)).as("o1"),
+        coalesce(sum(col("e")), lit(0L)).as("e_micro"),
+        coalesce(sum(col("v")), lit(0L)).as("v_micro"))
+      .head()
+    cen.unpersist()
+    val (o1, eM, vM) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val e1 = r7(eM.toDouble / 1e6)
+    val chi2 =
+      if (vM > 0L)
+        Some(r7((o1.toDouble - eM.toDouble / 1e6) *
+          (o1.toDouble - eM.toDouble / 1e6) / (vM.toDouble / 1e6)))
+      else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nA, nB, nStr, o1, e1, chi2))
+      .toDF("n_a", "n_b", "n_strata", "o1", "e1", "chi2")
+  }
+
+  /** Stratified two-arm Cox proportional hazards — [[coxPh]] with a
+    * per-stratum baseline hazard (the standard confounder adjustment:
+    * each stratum keeps its own risk sets, one COMMON hazard ratio is
+    * estimated). The stratified Breslow partial likelihood's score and
+    * information are the SAME per-cell rational terms summed over the
+    * (stratum x event time) census, so the identical micro-quantized
+    * theta-Newton runs unchanged — exactness, portability and the
+    * loud guards are [[coxPh]]'s. Returns one row (n_a, n_b, n_strata,
+    * events, hazard_ratio, se_beta, score_z, score_chi2).
+    */
+  def coxPhStratified(df: DataFrame, stratumCol: String,
+      groupCol: String, durationCol: String, eventCol: String,
+      a: String, b: String, iters: Int = 16): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64]")
+    val (cen, nA, nB, nStr) = strataCensus(df, stratumCol, groupCol,
+      durationCol, eventCol, a, b, "Survival.coxPhStratified")
+    val ev = cen.select(col("d1"), col("d"), col("r1"), col("r0"))
+    val (events, tm, jHat, u0, j0) =
+      coxNewton(ev, iters, "Survival.coxPhStratified")
+    cen.unpersist()
     val zRaw = u0.toDouble / 1e6 / math.sqrt(j0.toDouble / 1e6)
     val seB =
       if (jHat > 0L)
@@ -375,9 +525,9 @@ object Survival {
       else None
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((nA, nB, events, r7(tm.toDouble / 1e6), seB, r7(zRaw),
+    Seq((nA, nB, nStr, events, r7(tm.toDouble / 1e6), seB, r7(zRaw),
       r7(zRaw * zRaw)))
-      .toDF("n_a", "n_b", "events", "hazard_ratio", "se_beta",
-        "score_z", "score_chi2")
+      .toDF("n_a", "n_b", "n_strata", "events", "hazard_ratio",
+        "se_beta", "score_z", "score_chi2")
   }
 }

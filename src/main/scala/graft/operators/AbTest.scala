@@ -489,4 +489,55 @@ object AbTest {
         (col("n").cast("double") * col("w").cast("double") /
           lit(wSum.toDouble)).as("expected"))
   }
+
+  /** VanderWeele-Ding E-value — the sensitivity readout for an
+    * OBSERVATIONAL effect (no randomization): the minimum strength of
+    * association, on the risk-ratio scale, that an unmeasured
+    * confounder would need with BOTH treatment and outcome to fully
+    * explain away the observed treated-vs-control risk ratio:
+    *
+    *   RR* = max(RR, 1/RR),   E = RR* + sqrt(RR* * (RR* - 1)).
+    *
+    * Exactness: RR = (s_t * n_c) / (s_c * n_t) is one division of
+    * exact BIGINT products; the E expression is +,*,/,sqrt only —
+    * IEEE-portable, no libm. An E-value near 1 means a whisper of
+    * confounding flips the conclusion; E = 1 exactly when RR = 1.
+    * Null rr/evalue when either arm has zero successes (the ratio is
+    * unbounded — the readout stays a row, the numbers do not lie).
+    * Both arms must be PRESENT (loud, the zTest contract).
+    *
+    * Returns one row (n_c, n_t, s_c, s_t, rr, evalue), doubles
+    * rounded at 7.
+    */
+  def eValue(df: DataFrame, variantCol: String, successCol: String,
+      control: String, treat: String): DataFrame = {
+    require(control != treat, "control and treat must differ")
+    val agg = df.where(col(variantCol).isin(control, treat))
+      .agg(
+        count(when(col(variantCol) === control, 1)).as("n_c"),
+        count(when(col(variantCol) === treat, 1)).as("n_t"),
+        count(when(col(variantCol) === control && col(successCol), 1))
+          .as("s_c"),
+        count(when(col(variantCol) === treat && col(successCol), 1))
+          .as("s_t"))
+    val row = agg.head()
+    val (nC, nT, sC, sT) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    require(nC > 0L && nT > 0L,
+      s"AbTest.eValue: both arms must be present — control '$control' " +
+        s"has $nC rows, treat '$treat' has $nT")
+    val rr = (sT.toDouble * nC.toDouble) / (sC.toDouble * nT.toDouble)
+    def r7(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out: (Option[Double], Option[Double]) =
+      if (sC == 0L || sT == 0L) (None, None)
+      else {
+        val rs = if (rr >= 1.0) rr else 1.0 / rr
+        (Some(r7(rr)), Some(r7(rs + math.sqrt(rs * (rs - 1.0)))))
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nC, nT, sC, sT, out._1, out._2))
+      .toDF("n_c", "n_t", "s_c", "s_t", "rr", "evalue")
+  }
 }

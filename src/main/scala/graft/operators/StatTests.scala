@@ -3226,4 +3226,5 @@ object StatTests {
       .select(col("n_terms"), col("ta").as("a_total"), col("tb").as("b_total"),
         round(col("qsum").cast("double") / lit(1e12) / 2.0, 7).as("jsd"))
   }
+
 }

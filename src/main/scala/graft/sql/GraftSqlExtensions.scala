@@ -35,6 +35,9 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   CALL graft_stat_wilson(src_view, 'group', 'success_col' [, z], out_view)
   *   CALL graft_stat_auc(src_view, 'score', 'label', out_view)
   *   CALL graft_stat_coxph(src_view, 'group', 'dur', 'event', 'a', 'b', out_view)
+  *   CALL graft_stat_coxph_stratified(src_view, 'stratum', 'group', 'dur', 'event', 'a', 'b', out_view)
+  *   CALL graft_stat_logrank_stratified(src_view, 'stratum', 'group', 'dur', 'event', 'a', 'b', out_view)
+  *   CALL graft_stat_evalue(src_view, 'variant', 'success', 'control', 'treat', out_view)
   *   CALL graft_stat_pair_cap_census(pairs_view, cap, 'score', out_view)
   *   CALL graft_stat_budget_select(src_view, 'score', 'tokens', budget, out_view)
   *   CALL graft_stat_repeated_spans(docs_view, 'id', 'text' [, min_docs, anchor_n, max_len], out_view)
@@ -668,6 +671,12 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
             ms(2))
         case "coxph" => graft.functions.Survival.coxPh(src, ms(0), ms(1),
           ms(2), ms(3), ms(4))
+        case "coxph_stratified" => graft.functions.Survival
+          .coxPhStratified(src, ms(0), ms(1), ms(2), ms(3), ms(4), ms(5))
+        case "logrank_stratified" => graft.functions.Survival
+          .logRankStratified(src, ms(0), ms(1), ms(2), ms(3), ms(4), ms(5))
+        case "evalue" => graft.operators.AbTest.eValue(src, ms(0), ms(1),
+          ms(2), ms(3))
         case "pair_cap_census" =>
           graft.functions.Dedup.pairCapCensus(src, mi(0), ms(1))
         case "budget_select" => graft.operators.Sampling
@@ -685,7 +694,8 @@ case class GraftCallCommand(verb: String, args: Seq[GraftSqlParser.Arg])
           "brunner_munzel, did, err_at_k, rmst, " +
           "ccf, cmh, " +
           "budget_select, " +
-          "cohens_d, cohens_h, concordance, coxph, " +
+          "cohens_d, cohens_h, concordance, coxph, coxph_stratified, " +
+          "evalue, logrank_stratified, " +
           "cluster_histogram, " +
           "conformal, corr_matrix, cox_stuart, cramers_v, cronbach, " +
           "cuped, cusum, " +

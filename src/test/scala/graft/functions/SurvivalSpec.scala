@@ -128,6 +128,49 @@ class SurvivalSpec extends SparkTestBase {
     assert(r.getDouble(r.fieldIndex("score_chi2")) == 0.0, r)
   }
 
+  test("stratified log-rank and CoxPH collapse to the unstratified forms on one stratum") {
+    val df = ((1 to 10).map(i => ("a", 5L, i <= 3)) ++
+      (1 to 10).map(i => ("b", 5L, i <= 1))).toDF("g", "dur", "ev")
+      .withColumn("s", org.apache.spark.sql.functions.lit("only"))
+    val lr1 = Survival.logRankStratified(df, "s", "g", "dur", "ev",
+      "a", "b").head()
+    val lr0 = Survival.logRank(df, "g", "dur", "ev", "a", "b").head()
+    assert(lr1.getLong(0) == lr0.getLong(0) &&
+      lr1.getLong(1) == lr0.getLong(1))
+    assert(lr1.getLong(2) == 1L) // n_strata
+    assert(lr1.getLong(3) == lr0.getLong(2), s"$lr1 vs $lr0") // o1
+    assert(lr1.getDouble(4) == lr0.getDouble(3)) // e1
+    assert(lr1.getDouble(5) == lr0.getDouble(4)) // chi2
+    val cx1 = Survival.coxPhStratified(df, "s", "g", "dur", "ev",
+      "a", "b").head()
+    val cx0 = Survival.coxPh(df, "g", "dur", "ev", "a", "b").head()
+    assert(cx1.getLong(2) == 1L && cx1.getLong(3) == cx0.getLong(2))
+    assert(cx1.getDouble(cx1.fieldIndex("hazard_ratio")) ==
+      cx0.getDouble(cx0.fieldIndex("hazard_ratio")), s"$cx1 vs $cx0")
+    assert(cx1.getDouble(cx1.fieldIndex("score_z")) ==
+      cx0.getDouble(cx0.fieldIndex("score_z")))
+  }
+
+  test("stratified CoxPH: exchangeable WITHIN strata pins theta = 1") {
+    // arms identical within each stratum but stratum sizes differ —
+    // the stratified analysis must see no effect
+    val s1 = Seq(("a", 2L, true), ("a", 4L, false),
+      ("b", 2L, true), ("b", 4L, false))
+    val s2 = Seq(("a", 1L, true), ("a", 1L, true), ("a", 3L, false),
+      ("b", 1L, true), ("b", 1L, true), ("b", 3L, false))
+    val df = (s1.map { case (g, t, e) => ("s1", g, t, e) } ++
+      s2.map { case (g, t, e) => ("s2", g, t, e) })
+      .toDF("s", "g", "dur", "ev")
+    val r = Survival.coxPhStratified(df, "s", "g", "dur", "ev", "a", "b")
+      .head()
+    assert(r.getLong(2) == 2L) // n_strata
+    assert(r.getDouble(r.fieldIndex("hazard_ratio")) == 1.0, r)
+    assert(r.getDouble(r.fieldIndex("score_z")) == 0.0, r)
+    val lr = Survival.logRankStratified(df, "s", "g", "dur", "ev",
+      "a", "b").head()
+    assert(lr.getDouble(5) == 0.0, lr) // chi2 exactly 0
+  }
+
   test("coxPh: loud on a missing arm and on an unidentified ratio") {
     val onlyA = Seq(("a", 1L, true), ("a", 2L, false)).toDF("g", "dur", "ev")
     val e1 = intercept[IllegalArgumentException] {

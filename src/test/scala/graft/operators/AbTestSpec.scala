@@ -226,4 +226,31 @@ class AbTestSpec extends SparkTestBase {
       .head()
     assert(m.isNullAt(m.fieldIndex("did")), m)
   }
+
+  test("eValue: hand RR 3 gives E = 3 + sqrt(6); direction-symmetric; loud/null edges") {
+    // control 2/10, treat 6/10 -> RR = 3, E = 3 + sqrt(6) = 5.4494897
+    val df = ((1 to 10).map(i => ("c", i <= 2)) ++
+      (1 to 10).map(i => ("t", i <= 6))).toDF("v", "y")
+    val r = AbTest.eValue(df, "v", "y", "c", "t").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 10L, 2L, 6L)), r)
+    assert(r.getDouble(r.fieldIndex("rr")) == 3.0, r)
+    assert(r.getDouble(r.fieldIndex("evalue")) == 5.4494897, r)
+    // protective direction: the E-value is on the flipped ratio
+    val rp = AbTest.eValue(df, "v", "y", "t", "c").head()
+    assert(rp.getDouble(rp.fieldIndex("evalue")) ==
+      r.getDouble(r.fieldIndex("evalue")), rp)
+    // zero successes in an arm: counts stay, ratio columns null
+    val zero = ((1 to 5).map(_ => ("c", false)) ++
+      (1 to 5).map(i => ("t", i <= 2))).toDF("v", "y")
+    val rz = AbTest.eValue(zero, "v", "y", "c", "t").head()
+    assert(rz.isNullAt(rz.fieldIndex("rr")) &&
+      rz.isNullAt(rz.fieldIndex("evalue")), rz)
+    // a missing arm throws loudly
+    val only = Seq(("c", true)).toDF("v", "y")
+    val e = intercept[IllegalArgumentException] {
+      AbTest.eValue(only, "v", "y", "c", "t")
+    }
+    assert(e.getMessage.contains("both arms"), e.getMessage)
+  }
 }

@@ -437,6 +437,14 @@ class GraftSqlSpec extends SparkTestBase {
       "st_ca", StatTests.cronbachAlpha(src, Seq("v", "t")))
     parity("CALL graft_stat_coxph(sqlstat_src, 'g', 't', 'y', 'a', 'b', st_cox)",
       "st_cox", graft.functions.Survival.coxPh(src, "g", "t", "y", "a", "b"))
+    parity("CALL graft_stat_coxph_stratified(sqlstat_src, 't', 'g', 't', 'y', 'a', 'b', st_cxs)",
+      "st_cxs",
+      graft.functions.Survival.coxPhStratified(src, "t", "g", "t", "y", "a", "b"))
+    parity("CALL graft_stat_logrank_stratified(sqlstat_src, 't', 'g', 't', 'y', 'a', 'b', st_lrs)",
+      "st_lrs",
+      graft.functions.Survival.logRankStratified(src, "t", "g", "t", "y", "a", "b"))
+    parity("CALL graft_stat_evalue(sqlstat_src, 'g', 'y', 'a', 'b', st_ev)",
+      "st_ev", graft.operators.AbTest.eValue(src, "g", "y", "a", "b"))
     parity("CALL graft_stat_budget_select(sqlstat_src, 'v', 't', 100, st_bsel)",
       "st_bsel",
       graft.operators.Sampling.budgetSelectCensus(src, "v", "t", 100L))
