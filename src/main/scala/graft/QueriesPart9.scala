@@ -726,7 +726,17 @@ private[graft] object QueriesPart9 {
     "q491_evalue" -> ((s, d) =>
       graft.operators.AbTest.eValue(
         survCohorts(s, d).select(col("cohort"), col("ev")),
-        "cohort", "ev", control = "c0", treat = "c1")))
+        "cohort", "ev", control = "c0", treat = "c1")),
+
+    // --- 492. capped MinHash pairs, oracle-pinned ---------------------------------------------------------------
+    // q33's pair list through the fused class-level mutual cap (the
+    // q488 device over the collapsed MinHash graph) — the bounded
+    // route for the approximate family. The oracle composes the full
+    // MinHash replay with the identical rank-and-mutual-join.
+    "q492_minhash_capped" -> ((s, d) =>
+      graft.functions.Dedup.minhashPairsCapped(
+        t(s, d, "documents"), "doc_id", "text", cap = 2)
+        .orderBy("id1", "id2")))
 
   /** The shared survival cohort construction of q432/q487/q489-q491:
     * per user, duration = days from first event to first qualifying
@@ -2876,5 +2886,27 @@ private[graft] object QueriesPart9 {
         |    CASE WHEN rr0 >= 1.0 THEN rr0 + sqrt(rr0 * (rr0 - 1.0))
         |         ELSE 1.0 / rr0 + sqrt(1.0 / rr0 * (1.0 / rr0 - 1.0)) END, 7)
         |  END AS evalue
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+
+    // Capped MinHash pairs: the full banding replay, both orientations
+    // ranked per document by (rounded jaccard DESC, partner), mutual
+    // top-2 intersection.
+    "q492_minhash_capped" -> {
+      val base = graft.oracle.XxSql.minhashPairsSql(shingleN = 3,
+        numHashes = 64, bands = 16, threshold = 0.5, blockCol = None)
+      s"""WITH base AS (
+         |$base
+         |),
+         |o AS (SELECT id1 AS d, id2 AS pr, jaccard FROM base
+         |  UNION ALL
+         |  SELECT id2 AS d, id1 AS pr, jaccard FROM base),
+         |rk AS (SELECT d, pr, jaccard,
+         |    row_number() OVER (PARTITION BY d
+         |      ORDER BY jaccard DESC, pr) AS rk
+         |  FROM o),
+         |k AS (SELECT d, pr, jaccard FROM rk WHERE rk <= 2)
+         |SELECT a.d AS id1, a.pr AS id2, a.jaccard AS jaccard
+         |FROM k a JOIN k b ON a.d = b.pr AND a.pr = b.d AND a.d < a.pr
+         |ORDER BY id1, id2""".stripMargin
+    })
 }

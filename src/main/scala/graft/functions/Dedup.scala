@@ -719,37 +719,90 @@ object Dedup {
       .unionByName(reps.where(col("gsz") >= 2)
         .select(col("id").as("a"), col("id").as("b"), selfCos.as("cos"))
         .where(col("cos") >= threshold))
+    cappedMutualExpand(orient.withColumnRenamed("cos", "s"), reps, cap,
+      "cos")
+  }
+
+  /** FUSED capped MinHash pair join — bit-identical to
+    * `capPairsPerDoc(minhashPairs(df, ...), cap, "jaccard")` without
+    * materializing the duplication-squared member-pair set: the
+    * [[cosineJoinCapped]] class-level device over the collapsed
+    * [[minhashRepGraph]]. Ranking uses the DECLARED rounded-at-6
+    * jaccard — the composed form ranks on `minhashPairs`' output
+    * score, and rounding can merge tiers, so the fused rank key must
+    * be the rounded one for exact parity (DedupSimilaritySpec pins it
+    * cap-by-cap).
+    */
+  def minhashPairsCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cap: Int,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val (repPairsRaw, classes) = minhashRepGraph(df, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+    val repPairs = repPairsRaw.localCheckpoint(true)
+    val selfJ = jaccard(col("hs"), col("hs"))
+    val orient = repPairs
+      .select(col("id1").as("a"), col("id2").as("b"),
+        round(col("jaccard"), 6).as("s"))
+      .unionByName(repPairs.select(col("id2").as("a"), col("id1").as("b"),
+        round(col("jaccard"), 6).as("s")))
+      .unionByName(classes.where(col("gsz") >= 2 && size(col("hs")) > 0)
+        .where(selfJ >= threshold)
+        .select(col("id").as("a"), col("id").as("b"),
+          round(selfJ, 6).as("s")))
+    cappedMutualExpand(orient, classes, cap, "jaccard")
+  }
+
+  /** The shared class-level mutual-cap expansion behind
+    * [[cosineJoinCapped]] and [[minhashPairsCapped]] (the prune and
+    * truncation proofs live on cosineJoinCapped's scaladoc): takes the
+    * ORIENTED class-neighbor table (a, b, s) — both directions of
+    * every cross-class survivor plus each qualifying class's self
+    * row — and the class table (id, ids, gsz), and returns the exact
+    * mutual top-cap member pairs (id1, id2, <scoreName>).
+    */
+  private def cappedMutualExpand(orient: DataFrame, classes: DataFrame,
+      cap: Int, scoreName: String): DataFrame = {
+    require(cap >= 1 && cap <= 100000,
+      s"cap must be in [1, 100000], got $cap")
     val sized = orient
-      .join(reps.select(col("id").as("b"), col("ids").as("idsB"),
+      .join(classes.select(col("id").as("b"), col("ids").as("idsB"),
         col("gsz").as("gszB")), "b")
-    // equal-cosine tiers per a, exclusive running size = betterCnt
-    val tiers = sized.groupBy(col("a"), col("cos"))
+    // equal-score tiers per a, exclusive running size = betterCnt
+    val tiers = sized.groupBy(col("a"), col("s"))
       .agg(sum(col("gszB")).as("tier_sz"))
-    val wT = Window.partitionBy(col("a")).orderBy(desc("cos"))
+    val wT = Window.partitionBy(col("a")).orderBy(desc("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val better = tiers
       .withColumn("better", coalesce(sum(col("tier_sz")).over(wT), lit(0L)))
-      .select(col("a"), col("cos"), col("better"))
-    val kept = sized.join(better, Seq("a", "cos"))
+      .select(col("a"), col("s"), col("better"))
+    val kept = sized.join(better, Seq("a", "s"))
       .where(col("better") <= cap)
-      .select(col("a"), col("b"), col("cos"),
+      .select(col("a"), col("b"), col("s"),
         slice(col("idsB"), lit(1),
           least(lit(cap + 1),
             (lit(cap.toLong) - col("better") + 1L).cast("int")))
           .as("cand"))
     // explode docs of a x candidate partners; drop the self row
-    val docs = reps.select(col("id").as("a"), explode(col("ids")).as("d"))
+    val docs = classes.select(col("id").as("a"), explode(col("ids")).as("d"))
     val cands = kept.join(docs, "a")
-      .select(col("d"), explode(col("cand")).as("p"), col("cos"))
+      .select(col("d"), explode(col("cand")).as("p"), col("s"))
       .where(col("d") =!= col("p"))
-    val wR = Window.partitionBy(col("d")).orderBy(desc("cos"), col("p"))
+    val wR = Window.partitionBy(col("d")).orderBy(desc("s"), col("p"))
     val top = cands.withColumn("__rk", row_number().over(wR))
       .where(col("__rk") <= cap)
-      .select(col("d"), col("p"), col("cos"))
+      .select(col("d"), col("p"), col("s"))
     top.as("x").join(top.as("y"),
         col("x.d") === col("y.p") && col("x.p") === col("y.d") &&
           col("x.d") < col("x.p"))
-      .select(col("x.d").as("id1"), col("x.p").as("id2"), col("x.cos").as("cos"))
+      .select(col("x.d").as("id1"), col("x.p").as("id2"),
+        col("x.s").as(scoreName))
   }
 
   /** Mutual top-`cap` output limit for the pair-PRODUCING dedup APIs

@@ -356,6 +356,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("minhashPairsCapped equals capPairsPerDoc(minhashPairs) at every cap") {
+    // identical twins (jaccard 1 tier) + genuine near-dups + a loner
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, base + " extra tail words here"),
+      (5L, "a completely different document about spark plans")
+    ).toDF("doc_id", "text")
+    for (cap <- Seq(1, 2, 3, 10)) {
+      val fused = graft.functions.Dedup
+        .minhashPairsCapped(docs, "doc_id", "text", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val composed = graft.functions.Dedup.capPairsPerDoc(
+          graft.functions.Dedup.minhashPairs(docs, "doc_id", "text",
+            sorted = false),
+          cap, "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused == composed, s"cap=$cap: $fused vs $composed")
+      assert(fused.nonEmpty, s"cap=$cap produced no pairs")
+    }
+  }
+
   test("clusterSizeHistogram: integer log2 buckets, never a float log") {
     // components: a pair (size 2 -> bucket 1), a chain of 8 (bucket 3),
     // a triangle (size 3 -> bucket 1)
