@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round tooling: dump `.explain("formatted")` for a set of
+  * declared queries to files — the before/after plan evidence the
+  * optimization deliverable commits under `plans/rNN/`.
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  * writes `<outDir>/<query>_<suffix>.txt` per query (names may be
+  * prefixes, same matching rule as the Bench subset).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>")
+    val Array(sfDir, outDir, suffix, list) = args
+    val prefixes = list.split(",").map(_.trim).filter(_.nonEmpty)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if prefixes.exists(name.startsWith)) {
+      try {
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[plandump] wrote $name")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

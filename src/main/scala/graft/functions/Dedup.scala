@@ -142,20 +142,32 @@ object Dedup {
         .as(Seq("pos", "s")))
       .select(col("cls"), col("w"), col("pos"), col("s.span").as("span"),
         col("s.last_tok").as("last_tok"))
-    // span-level weighted census with the carried prefix/suffix strings
-    // (null at the anchor length — nothing shorter to disqualify)
-    def census(p: DataFrame): DataFrame = p
-      .groupBy(col("span"), col("cls"))
-      .agg(count(lit(1)).as("occ"), max(col("w")).as("w"),
-        max(col("pref")).as("p1"), max(col("suff")).as("s1"))
-      .groupBy(col("span"))
-      .agg(sum(col("w")).as("doc_freq"),
-        sum(col("occ") * col("w")).as("total_count"),
-        max(col("p1")).as("pref"), max(col("s1")).as("suff"))
-      .where(col("doc_freq") >= minDocs)
-    val nullS = lit(null).cast("string")
-    var cur = anchors.withColumn("pref", nullS).withColumn("suff", nullS)
-    var cen = census(cur).localCheckpoint(true)
+    // span-level weighted census; the length-(L-1) prefix/suffix strings
+    // maximality needs are RECOVERED from the span itself at the census
+    // level (tokens are whitespace-split and spans single-space-joined,
+    // so substring_index reproduces the exact join bytes) instead of
+    // being carried through every posting row — pref/suff roughly
+    // doubled each posting's string payload through the extension
+    // shuffles and the per-round checkpoints (r18: measured ~20% of the
+    // walk at sf0.1; at scale the saving is postings-shuffle-sized).
+    // Null at the anchor length — nothing shorter to disqualify.
+    def census(p: DataFrame, l: Int): DataFrame = {
+      val base = p
+        .groupBy(col("span"), col("cls"))
+        .agg(count(lit(1)).as("occ"), max(col("w")).as("w"))
+        .groupBy(col("span"))
+        .agg(sum(col("w")).as("doc_freq"),
+          sum(col("occ") * col("w")).as("total_count"))
+        .where(col("doc_freq") >= minDocs)
+      if (l == anchorN) {
+        val nullS = lit(null).cast("string")
+        base.withColumn("pref", nullS).withColumn("suff", nullS)
+      } else base
+        .withColumn("pref", substring_index(col("span"), " ", l - 1))
+        .withColumn("suff", substring_index(col("span"), " ", -(l - 1)))
+    }
+    var cur = anchors
+    var cen = census(cur, anchorN).localCheckpoint(true)
     var out = List.empty[(Int, DataFrame)]
     var len = anchorN
     var live = cen.limit(1).count() > 0L
@@ -166,13 +178,12 @@ object Dedup {
         cur = cur.join(cen.select(col("span")), Seq("span"), "left_semi")
           .localCheckpoint(true)
         val shifted = cur.select(col("cls"), (col("pos") - 1).as("pos"),
-          col("span").as("b_span"), col("last_tok").as("b_last"))
+          col("last_tok").as("b_last"))
         cur = cur.join(shifted, Seq("cls", "pos"))
           .select(col("cls"), col("w"), col("pos"),
             concat(col("span"), lit(" "), col("b_last")).as("span"),
-            col("b_last").as("last_tok"), col("span").as("pref"),
-            col("b_span").as("suff"))
-        cen = census(cur).localCheckpoint(true)
+            col("b_last").as("last_tok"))
+        cen = census(cur, len + 1).localCheckpoint(true)
         len += 1
         live = cen.limit(1).count() > 0L
       }
@@ -182,22 +193,26 @@ object Dedup {
         .select(lit("").as("span"), lit(0).as("len"),
           lit(0L).as("doc_freq"), lit(0L).as("total_count"),
           lit(false).as("at_cap"))
-    // maximality per length: survive iff no (L+1)-census span names
-    // this span as its prefix or suffix; the deepest length present
-    // has no successor census, so all its spans survive (cap-flagged
-    // when that depth IS the cap).
-    out.map { case (l, c) =>
-      val longer = out.collectFirst { case (l2, c2) if l2 == l + 1 => c2 }
-      val base = c.select(col("span"), lit(l).as("len"), col("doc_freq"),
+    // maximality: survive iff no (L+1)-census span names this span as
+    // its prefix or suffix. ONE anti-join on (span, len) over the
+    // concatenated censuses — each L census's pref/suff rows kill at
+    // len L-1, so the per-length pairing of the previous per-branch
+    // anti-join chain is preserved exactly while the assembly runs as
+    // a single join stage instead of one per length (r18). The deepest
+    // length present has no successor census, so all its spans survive
+    // (cap-flagged when that depth IS the cap).
+    val all = out.map { case (l, c) =>
+      c.select(col("span"), lit(l).as("len"), col("doc_freq"),
         col("total_count"), lit(l == maxLen).as("at_cap"))
-      longer match {
-        case Some(c2) =>
-          val kills = c2.select(col("pref").as("span"))
-            .union(c2.select(col("suff").as("span"))).distinct()
-          base.join(kills, Seq("span"), "left_anti")
-        case None => base
-      }
     }.reduce(_ unionAll _)
+    val kills = out.filter(_._1 > anchorN).map { case (l, c) =>
+      c.select(col("pref").as("span"), lit(l - 1).as("len"))
+        .unionAll(c.select(col("suff").as("span"), lit(l - 1).as("len")))
+    }.reduceOption(_ unionAll _)
+    kills match {
+      case Some(k) => all.join(k.distinct(), Seq("span", "len"), "left_anti")
+      case None => all
+    }
   }
 
   /** Repeated-span REMOVAL — the ExactSubstr surgery of "Deduplicating
