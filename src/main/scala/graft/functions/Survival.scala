@@ -359,6 +359,58 @@ object Survival {
     */
   private def coxNewton(ev: DataFrame, iters: Int,
       what: String): (Long, Long, Long, Long, Long) = {
+    // DRIVER TIER (r18): the census is distinct-duration-bounded by the
+    // loud guard upstream; when it is also small enough for a driver
+    // array (<= 2^16 cells — one bounded limit-probe decides), the
+    // whole Newton walk runs as pure Scala over ONE bounded collect.
+    // Every per-cell term is floor-quantized to an integer and the sums
+    // are order-free exact integer sums (Math.addExact mirrors the ANSI
+    // sum's loud overflow), and JVM doubles evaluate the identical
+    // expression tree — so the walk is bit-identical to the distributed
+    // aggregate form while costing 1 job instead of iters+3 sequential
+    // one-row aggregates (r18 sf0.1: coxPh 1.55s -> ~0.4s,
+    // coxPhStratified 3.16s -> ~0.5s; the distributed tier remains the
+    // over-2^16 fallback, where per-job latency is amortized anyway).
+    val cellCap = 1 << 16
+    if (ev.limit(cellCap + 1).count() <= cellCap) {
+      val cells = ev.select(col("d1").cast("long"), col("d").cast("long"),
+        col("r1").cast("long"), col("r0").cast("long")).collect()
+      def sums(thetaMicro: Long): (Long, Long) = {
+        val th = thetaMicro.toDouble / 1e6
+        var u = 0L
+        var j = 0L
+        var i = 0
+        while (i < cells.length) {
+          val c = cells(i)
+          val d1 = c.getLong(0).toDouble
+          val d = c.getLong(1).toDouble
+          val r1 = c.getLong(2).toDouble
+          val r0 = c.getLong(3).toDouble
+          val den = r0 + r1 * th
+          u = Math.addExact(u,
+            math.floor((d1 - d * r1 * th / den) * 1e6).toLong)
+          j = Math.addExact(j,
+            math.floor(d * r0 * r1 / (den * den) * 1e6).toLong)
+          i += 1
+        }
+        (u, j)
+      }
+      val (u0, j0) = sums(1000000L)
+      require(j0 > 0L,
+        s"$what: no event time has both arms at risk — the " +
+          "hazard ratio is not identified (J(1) = 0)")
+      var tm = 1000000L
+      for (_ <- 1 to iters) {
+        val (u, j) = sums(tm)
+        if (j > 0L)
+          tm = math.max(1L,
+            math.floor((tm.toDouble / 1e6 + u.toDouble / j.toDouble) * 1e6)
+              .toLong)
+      }
+      val (_, jHat) = sums(tm)
+      val events = cells.foldLeft(0L)((a, c) => Math.addExact(a, c.getLong(1)))
+      return (events, tm, jHat, u0, j0)
+    }
     // one aggregate pass = (U_micro, J_micro) at a fixed theta; both
     // are exact integer sums of per-cell floor-quantized terms
     def sums(thetaMicro: Long): (Long, Long) = {
