@@ -115,6 +115,31 @@ object GraftHash {
     inter.toDouble / na
   }
 
+  /** Minimum common element of two sorted `array<bigint>` sets, or
+    * Long.MinValue when the intersection is empty (a sentinel the
+    * caller's equality filter can never match: xxhash64 of a real term
+    * hitting the sentinel is the same 2^-64 class as the documented
+    * packed-vector collision caveat). One merge scan, zero allocation —
+    * the single-emission bucket filter of the AllPairs join: a
+    * candidate pair is scored ONLY in the bucket of its minimum shared
+    * indexed-term hash, so the verify kernel runs once per candidate
+    * pair instead of once per shared indexed term.
+    */
+  def minSharedLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) return x
+      else if (x < y) i += 1
+      else j += 1
+    }
+    Long.MinValue
+  }
+
   /** Integer dot product of two sparse term-count vectors PACKED as
     * interleaved `array<bigint>` `[h0, c0, h1, c1, ...]` with the
     * (hash, count) pairs sorted ascending by signed hash. One merge scan

@@ -169,6 +169,33 @@ case class TfDotPackedExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_tf_dot_packed"
 }
 
+/** Minimum common element of two sorted `array<bigint>` sets ->
+  * `bigint`, Long.MinValue when disjoint ([[GraftHash.minSharedLong]]
+  * documents the sentinel). The AllPairs single-emission filter: run
+  * BEFORE [[TfDotPackedExpr]] in the bucket join so each candidate
+  * pair pays one ~|prefix| merge instead of |prefix| many ~|vector|
+  * merges.
+  */
+case class MinSharedLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> (sorted hash sets), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.minSharedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.minSharedLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinSharedLongExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_min_shared"
+}
+
 /** `array<string>` of tokens -> struct<n_tokens,n_long,sum_len> (all bigint),
   * one pass. The codegen'd replacement for the interpreted HOF chain
   * `size(filter(toks, len>k))` + `aggregate(transform(toks, len), 0, +)`:

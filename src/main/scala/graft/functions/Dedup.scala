@@ -579,13 +579,19 @@ object Dedup {
       .select(col("id"), col("ssq"), col("e.term").as("term"), col("e.cnt").as("cnt"))
     val dfreq = flat.groupBy("term").agg(count(lit(1)).as("tdf"))
     val w = Window.partitionBy("id").orderBy(col("tdf"), col("term"))
+    // pfx: the doc's whole indexed-prefix hash set, sorted — carried on
+    // every posting so the bucket join can run the SINGLE-EMISSION
+    // filter below. The second window runs over the id partitioning the
+    // first one already established (no extra exchange).
     val idx = flat.join(dfreq, "term")
       .withColumn("run_ssq", sum(col("cnt") * col("cnt")).over(w))
       // suffix (this position included) must still carry >= t of the norm:
       // sound by the earliest-common-term argument in the scaladoc
       .where((col("ssq") - col("run_ssq") + col("cnt") * col("cnt"))
         .cast("double") >= lit(threshold * threshold) * col("ssq").cast("double"))
-      .select("term", "id")
+      .select(col("term"), col("id"))
+      .withColumn("pfx", sort_array(collect_list(xxhash64(col("term")))
+        .over(Window.partitionBy("id"))))
     // Verify INSIDE the term-bucket join (Vernica et al. SIGMOD 2010's
     // kernel shape): each indexed posting carries its document's whole
     // tf vector packed as an interleaved array<bigint> of sorted
@@ -624,8 +630,21 @@ object Dedup {
     // An explicit partition count is the one shuffle AQE never coalesces.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val idxv = idx.join(packed, "id").repartition(nPart, col("term"))
+    // SINGLE EMISSION (r18): a candidate pair co-occurs in one bucket
+    // per SHARED indexed term (measured 72M bucket pairs for ~8M
+    // candidates at sf0.1 — every redundant visit re-ran the full
+    // packed-vector merge), so score it ONLY in the bucket of its
+    // minimum shared prefix hash: one ~|prefix| merge scan decides,
+    // and the expensive dot runs once per candidate. Recall is
+    // untouched — the minimum shared hash IS one of the pair's shared
+    // indexed terms (same 2^-64 phantom-collision caveat as the packed
+    // tfv hashing, and the same oracle-replay safety net).
     val repPairs = idxv.as("a").join(idxv.as("b"), "term")
-      .where(col("a.id") < col("b.id"))
+      .where(col("a.id") < col("b.id") &&
+        xxhash64(col("term")) === org.apache.spark.sql.graft.Bridge.column(
+          graft.expressions.MinSharedLongExpr(
+            org.apache.spark.sql.graft.Bridge.expression(col("a.pfx")),
+            org.apache.spark.sql.graft.Bridge.expression(col("b.pfx")))))
       .withColumn("num", org.apache.spark.sql.graft.Bridge.column(
         graft.expressions.TfDotPackedExpr(
           org.apache.spark.sql.graft.Bridge.expression(col("a.tfv")),
