@@ -115,6 +115,36 @@ object GraftHash {
     inter.toDouble / na
   }
 
+  /** Rebuild a cleaned text from a token array and a SORTED array of
+    * cut positions (0-based): the tokens at uncut positions joined by
+    * single spaces — one merge scan, replacing the explode → left-join
+    * → collect_list → array_sort → transform regroup that shuffled
+    * every token of every document as a (pos, token) struct
+    * ([[graft.functions.Dedup.dropRepeatedSpans]]'s rebuild, r18).
+    * Positions outside [0, |toks|) are ignored; the cut array must be
+    * sorted ascending and duplicate-free (the caller's sort_array over
+    * a distinct position set).
+    */
+  def removePositions(toks: ArrayData, cut: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = toks.numElements()
+    val k = cut.numElements()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var j = 0
+    var first = true
+    while (i < n) {
+      while (j < k && cut.getInt(j) < i) j += 1
+      val isCut = j < k && cut.getInt(j) == i
+      if (!isCut) {
+        if (!first) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        first = false
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Minimum common element of two sorted `array<bigint>` sets, or
     * Long.MinValue when the intersection is empty (a sentinel the
     * caller's equality filter can never match: xxhash64 of a real term

@@ -196,6 +196,31 @@ case class MinSharedLongExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_min_shared"
 }
 
+/** (tokens `array<string>`, sorted cut positions `array<int>`) ->
+  * `string`: tokens at uncut positions joined by single spaces
+  * ([[GraftHash.removePositions]]) — the codegen'd rebuild kernel of
+  * `Dedup.dropRepeatedSpans`.
+  */
+case class RemovePositionsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<int>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.removePositions(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.removePositions($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemovePositionsExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_remove_positions"
+}
+
 /** `array<string>` of tokens -> struct<n_tokens,n_long,sum_len> (all bigint),
   * one pass. The codegen'd replacement for the interpreted HOF chain
   * `size(filter(toks, len>k))` + `aggregate(transform(toks, len), 0, +)`:

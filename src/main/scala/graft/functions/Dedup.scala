@@ -248,13 +248,16 @@ object Dedup {
     // duplicated-gram census weights doc_freq by class size (exact).
     val docsIn = df.where(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
+    // ids ride the class row so the per-doc fan-out at the end is an
+    // integer explode instead of a second full-corpus join keyed on
+    // the raw TEXT (r18: that join re-shuffled every document's bytes
+    // a second time just to recover doc_id -> class).
     val cls = docsIn.groupBy(col("__txt"))
-      .agg(min(col("doc_id")).as("cls"), count(lit(1)).as("w"))
+      .agg(min(col("doc_id")).as("cls"), count(lit(1)).as("w"),
+        collect_list(col("doc_id")).as("ids"))
       .localCheckpoint(true)
     val base = cls.select(col("cls"), col("w"),
       Retrieval.tokens(col("__txt")).as("toks"))
-    val toksP = base
-      .select(col("cls"), posexplode(col("toks")).as(Seq("p", "tok")))
     val starts = base.where(size(col("toks")) >= n)
       .select(col("cls"), col("w"), posexplode(transform(
         sequence(lit(0), size(col("toks")) - n),
@@ -265,21 +268,31 @@ object Dedup {
       .groupBy("ngram").agg(sum(col("w")).as("doc_freq"))
       .where(col("doc_freq") >= minDocs)
       .select("ngram")
+    // Per class, the SORTED set of covered positions — only covered
+    // positions ever shuffle; the uncut tokens never leave their row.
+    // The rebuild is then one codegen'd merge scan of (toks, cut)
+    // (RemovePositionsExpr) instead of the previous posexplode of
+    // every token + left join on (cls, p) + collect_list/array_sort
+    // regroup, which shuffled the whole corpus's tokens as (pos, tok)
+    // structs to reassemble strings it already had (r18).
     val covered = starts.join(dup, "ngram")
       .select(col("cls"),
         explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
       .distinct()
-    val perClass = toksP
-      .join(covered.withColumn("__cut", lit(true)), Seq("cls", "p"), "left")
-      .groupBy("cls")
-      .agg(
-        count(lit(1)).cast("int").as("n_tokens"),
-        sum(when(col("__cut").isNotNull, 1).otherwise(0)).cast("int")
-          .as("n_removed"),
-        array_join(transform(array_sort(collect_list(
-          when(col("__cut").isNull, struct(col("p"), col("tok"))))),
-          x => x.getField("tok")), " ").as("clean"))
-    docsIn.join(cls.select(col("__txt"), col("cls")), Seq("__txt"))
+      .groupBy("cls").agg(sort_array(collect_list(col("p"))).as("cut"))
+    val emptyCut = array().cast("array<int>")
+    val perClass = base
+      .where(size(col("toks")) > 0)
+      .join(covered, Seq("cls"), "left")
+      .select(col("cls"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        coalesce(size(col("cut")), lit(0)).cast("int").as("n_removed"),
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.expressions.RemovePositionsExpr(
+            org.apache.spark.sql.graft.Bridge.expression(col("toks")),
+            org.apache.spark.sql.graft.Bridge.expression(
+              coalesce(col("cut"), emptyCut)))).as("clean"))
+    cls.select(col("cls"), explode(col("ids")).as("doc_id"))
       .join(perClass, "cls")
       .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean"))
   }
