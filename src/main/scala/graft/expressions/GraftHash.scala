@@ -115,6 +115,76 @@ object GraftHash {
     inter.toDouble / na
   }
 
+  /** Whitespace tokenization with lowercasing in one kernel — the
+    * byte-exact native form of
+    * `filter(split(lower(text), "\\s+"), t => length(t) > 0)`
+    * ([[graft.functions.Retrieval.tokens]], used at ~56 call sites):
+    * lowercase via the same `UTF8String.toLowerCase` the `Lower`
+    * expression calls, then one byte scan splitting on Java regex
+    * `\s` = [ \t\n\x0B\f\r] (all ASCII, and UTF-8 multi-byte
+    * sequences never contain ASCII-range bytes, so the byte scan IS
+    * the character scan). Replaces a per-row regex split plus an
+    * INTERPRETED `filter` lambda that also dropped the enclosing
+    * projection out of WholeStageCodegen (§gotchas).
+    */
+  def tokensLower(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val lowered = s.toLowerCase
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+        b == '\f' || b == '\r'
+      if (isWs) i += 1
+      else {
+        val start = i
+        while (i < n && {
+          val c = bytes(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+            c == '\f' || c == '\r')
+        }) i += 1
+        out.add(org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start))
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](out.size())))
+  }
+
+  /** All n-token windows of a token array, each joined with single
+    * spaces, in position order — the native form of
+    * `transform(sequence(0, size - n), i -> array_join(slice(toks,
+    * i + 1, n), " "))` (the n-gram generators of repeatedNgrams /
+    * dropRepeatedSpans / the span-walk anchors). Empty array when the
+    * input has fewer than n tokens. One pass, no per-window slice
+    * allocation beyond the output strings themselves.
+    */
+  def tokenNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[org.apache.spark.unsafe.types.UTF8String](0))
+    val words = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) { words(i) = toks.getUTF8String(i); i += 1 }
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m - n + 1)
+    var s = 0
+    while (s <= m - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = words(s + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      out(s) = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Rebuild a cleaned text from a token array and a SORTED array of
     * cut positions (0-based): the tokens at uncut positions joined by
     * single spaces — one merge scan, replacing the explode → left-join

@@ -196,6 +196,47 @@ case class MinSharedLongExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_min_shared"
 }
 
+/** `string` -> `array<string>` lowercased whitespace tokens
+  * ([[GraftHash.tokensLower]]) — the codegen'd tokenizer behind
+  * `Retrieval.tokens`.
+  */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.tokensLower(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.tokensLower($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokensExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tokens"
+}
+
+/** (`array<string>` tokens, n) -> `array<string>` of space-joined
+  * n-token windows in position order ([[GraftHash.tokenNgrams]]).
+  */
+case class TokenNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.tokenNgrams(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.tokenNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenNgramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_ngrams"
+}
+
 /** (tokens `array<string>`, sorted cut positions `array<int>`) ->
   * `string`: tokens at uncut positions joined by single spaces
   * ([[GraftHash.removePositions]]) — the codegen'd rebuild kernel of

@@ -54,9 +54,8 @@ object Dedup {
     cls.select(col("cls"), col("w"),
         Retrieval.tokens(col("__txt")).as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col("cls"), col("w"), explode(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ngram"))
+      .select(col("cls"), col("w"),
+        explode(Retrieval.tokenNgrams(col("toks"), n)).as("ngram"))
       // Two-level aggregate instead of countDistinct + count in one pass:
       // the single-pass form plans an Expand that DOUBLES the posting
       // stream before the shuffle. Level 1 collapses within-class repeats
@@ -133,15 +132,11 @@ object Dedup {
       .select(col("cls"), col("w"),
         Retrieval.tokens(col("__txt")).as("toks"))
       .where(size(col("toks")) >= anchorN)
-      .select(col("cls"), col("w"), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - anchorN),
-        i => struct(
-          array_join(slice(col("toks"), i + 1, lit(anchorN))
-            , " ").as("span"),
-          element_at(col("toks"), i + anchorN).as("last_tok"))))
-        .as(Seq("pos", "s")))
-      .select(col("cls"), col("w"), col("pos"), col("s.span").as("span"),
-        col("s.last_tok").as("last_tok"))
+      .select(col("cls"), col("w"), col("toks"),
+        posexplode(Retrieval.tokenNgrams(col("toks"), anchorN))
+          .as(Seq("pos", "span")))
+      .select(col("cls"), col("w"), col("pos"), col("span"),
+        element_at(col("toks"), col("pos") + anchorN).as("last_tok"))
     // span-level weighted census; the length-(L-1) prefix/suffix strings
     // maximality needs are RECOVERED from the span itself at the census
     // level (tokens are whitespace-split and spans single-space-joined,
@@ -259,10 +254,9 @@ object Dedup {
     val base = cls.select(col("cls"), col("w"),
       Retrieval.tokens(col("__txt")).as("toks"))
     val starts = base.where(size(col("toks")) >= n)
-      .select(col("cls"), col("w"), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
-        .as(Seq("s", "ngram")))
+      .select(col("cls"), col("w"),
+        posexplode(Retrieval.tokenNgrams(col("toks"), n))
+          .as(Seq("s", "ngram")))
     val dup = starts
       .groupBy(col("ngram"), col("cls")).agg(max(col("w")).as("w"))
       .groupBy("ngram").agg(sum(col("w")).as("doc_freq"))
@@ -1475,11 +1469,7 @@ object Dedup {
     // re-splits the text once per reference (3x per row before the per-gram
     // slices) — measured 4.1s -> 0.9s at sf0.1 for the q145 shape.
     def gramsFromToks(toks: Column): Column =
-      when(size(toks) >= n,
-        array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-        .otherwise(array().cast("array<string>"))
+      array_distinct(Retrieval.tokenNgrams(toks, n))
     val benchGrams0 = bench
       .select(Retrieval.tokens(col(benchText)).as("__toks"))
       .select(explode(gramsFromToks(col("__toks"))).as("g")).distinct()

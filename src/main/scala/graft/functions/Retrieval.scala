@@ -23,9 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Whitespace tokenization shared by the scorer and its oracle. */
+  /** Whitespace tokenization shared by the scorer and its oracle —
+    * byte-identical to `filter(split(lower(text), "\\s+"),
+    * t => length(t) > 0)` but one native codegen kernel
+    * ([[graft.expressions.TokensExpr]]): no per-row regex, no
+    * interpreted filter lambda, and the enclosing projection stays in
+    * WholeStageCodegen (r18; TokensSpec pins the equivalence).
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TokensExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Space-joined n-token windows of a token array in position order
+    * (empty below n tokens) — the native codegen form of the
+    * `transform(sequence)/slice/array_join` n-gram lambda shared by
+    * the census/dedup operators (r18; TokensSpec pins equivalence).
+    */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TokenNgramsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(toks), n))
 
   /** Score every (document, query term) pair with tf > 0.
     *

@@ -33,14 +33,8 @@ object TextFunctions {
   /** Word n-gram shingles (arrays of n consecutive tokens joined by a space).
     * Returns an empty array when the document has fewer than n tokens.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(Retrieval.tokenNgrams(tokens(text), n))
 
   /** Distinct 64-bit hashes of the word n-gram shingles, as a sorted
     * `array<bigint>`: each token is hashed once, each window chains the

@@ -1,0 +1,61 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins the native tokenizer / n-gram kernels to the HOF forms they
+  * replace, byte for byte — the r18 optimization contract: identical
+  * output, cheaper plan.
+  */
+class TokensSpec extends SparkTestBase {
+
+  private val fixtures = Seq(
+    "Hello World",
+    "  leading and trailing  ",
+    "tabs\tand\nnewlinesvt\ffeed\rcr mix",
+    "UPPER lower MiXeD",
+    "", " ", "\t\n",
+    "unicode Élève İstanbul STRASSE ß",
+    "one",
+    "a b c", // U+00A0 NBSP is NOT Java \s: stays inside a token
+    "multi   internal    runs"
+  )
+
+  test("TokensExpr equals filter(split(lower(text), \\s+), len > 0)") {
+    import spark.implicits._
+    val df = fixtures.toDF("text")
+    val got = df.select(graft.functions.Retrieval.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    val want = df.select(
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("TokensExpr null propagates") {
+    import spark.implicits._
+    val df = Seq[Option[String]](None, Some("a b")).toDF("text")
+    val got = df.select(graft.functions.Retrieval.tokens(col("text")).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(got(0) == null && got(1) == Seq("a", "b"))
+  }
+
+  test("TokenNgramsExpr equals transform(sequence)/slice/array_join") {
+    import spark.implicits._
+    val df = fixtures.toDF("text")
+      .select(graft.functions.Retrieval.tokens(col("text")).as("toks"))
+    for (n <- Seq(1, 2, 4)) {
+      val got = df.select(org.apache.spark.sql.graft.Bridge.column(
+          TokenNgramsExpr(org.apache.spark.sql.graft.Bridge.expression(
+            col("toks")), n)).as("g"))
+        .collect().map(_.getSeq[String](0))
+      val want = df.select(
+          when(size(col("toks")) >= n, transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+            .otherwise(array().cast("array<string>")).as("g"))
+        .collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+  }
+}
