@@ -185,6 +185,60 @@ object GraftHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** All `width`-token adjacent windows of a token array as structs of
+    * the raw tokens (no joining — safe for tokenizers whose tokens may
+    * contain any byte) — the native form of the
+    * `transform(sequence, i -> struct(element_at...))` transition/
+    * triple builders of the n-gram LMs. Empty below `width` tokens.
+    */
+  def adjacentTokens(toks: ArrayData, width: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < width) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val words = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) { words(i) = toks.getUTF8String(i); i += 1 }
+    val out = new Array[Any](m - width + 1)
+    var s = 0
+    while (s <= m - width) {
+      val fields = new Array[Any](width)
+      var j = 0
+      while (j < width) { fields(j) = words(s + j); j += 1 }
+      out(s) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Every (center, context) pair of a token array within a +-window
+    * skip-gram neighborhood, in (position, left-to-right context)
+    * order — the native flattened form of the per-position
+    * struct(center, concat(slice, slice)) lambda + double explode of
+    * `SkipGram.pairs` (r18). Output size = sum over positions of the
+    * clipped window width.
+    */
+  def skipGramPairs(toks: ArrayData, window: Int): ArrayData = {
+    val m = toks.numElements()
+    val words = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) { words(i) = toks.getUTF8String(i); i += 1 }
+    val out = new java.util.ArrayList[Any]()
+    i = 0
+    while (i < m) {
+      val lo = math.max(i - window, 0)
+      val hi = math.min(i + window, m - 1)
+      var j = lo
+      while (j <= hi) {
+        if (j != i) out.add(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](words(i), words(j))))
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Rebuild a cleaned text from a token array and a SORTED array of
     * cut positions (0-based): the tokens at uncut positions joined by
     * single spaces — one merge scan, replacing the explode → left-join

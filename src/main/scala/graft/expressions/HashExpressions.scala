@@ -237,6 +237,57 @@ case class TokenNgramsExpr(child: Expression, n: Int)
   override def prettyName: String = "graft_token_ngrams"
 }
 
+/** `array<string>` -> `array<struct<w1..wK: string>>` of adjacent
+  * K-token windows ([[GraftHash.adjacentTokens]]) — the codegen'd
+  * transition/triple builder of the n-gram LMs. Tokens pass through
+  * raw (no joining), so any tokenizer output is safe.
+  */
+case class AdjacentTokensExpr(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 2 && width <= 8, "width must be in [2, 8]")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(
+    (1 to width).map(i => StructField(s"w$i", StringType, nullable = true))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.adjacentTokens(input.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.adjacentTokens($c, $width)")
+  override protected def withNewChildInternal(newChild: Expression): AdjacentTokensExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_adjacent_tokens"
+}
+
+/** `array<string>` -> `array<struct<center,context: string>>` of all
+  * +-window skip-gram pairs ([[GraftHash.skipGramPairs]]) — one
+  * codegen'd kernel replacing the per-position struct/slice lambda and
+  * its double explode.
+  */
+case class SkipGramPairsExpr(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1 && window <= 16, "window must be in [1, 16]")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("center", StringType, nullable = true),
+    StructField("context", StringType, nullable = true))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.skipGramPairs(input.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.skipGramPairs($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): SkipGramPairsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_skipgram_pairs"
+}
+
 /** (tokens `array<string>`, sorted cut positions `array<int>`) ->
   * `string`: tokens at uncut positions joined by single spaces
   * ([[GraftHash.removePositions]]) — the codegen'd rebuild kernel of

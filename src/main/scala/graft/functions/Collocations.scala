@@ -41,10 +41,13 @@ object Collocations {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val docs = df.select(Retrieval.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)
+    // native adjacent-window kernel (r18): the transform/element_at
+    // lambda was interpreted and broke WholeStageCodegen
     val pairs = docs.select(
-      explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => struct(element_at(col("toks"), i).as("w1"),
-          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      explode(org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.AdjacentTokensExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col("toks")), 2)))
+        .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val left = bigrams.groupBy("w1").agg(sum(col("c12")).as("c1"))

@@ -63,10 +63,13 @@ object NgramLm {
     val keys = keyCols.map(col)
     val toks = df.select(keys :+ tokenizer(col(textCol)).as("__toks"): _*)
       .where(size(col("__toks")) >= 2)
+    // native adjacent-window kernel: the transform/element_at lambda
+    // was interpreted and broke the enclosing WholeStageCodegen (r18)
     toks.select(keys :+
-        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => struct(element_at(col("__toks"), i).as("w1"),
-            element_at(col("__toks"), i + 1).as("w2")))).as("__p"): _*)
+        explode(org.apache.spark.sql.graft.Bridge.column(
+          graft.expressions.AdjacentTokensExpr(
+            org.apache.spark.sql.graft.Bridge.expression(col("__toks")), 2)))
+          .as("__p"): _*)
       .select(keys :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
   }
 
@@ -207,10 +210,10 @@ object NgramLm {
     val toks = df.select(col(idCol), tokenizer(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= 3)
     toks.select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("__toks")) - 2),
-          i => struct(element_at(col("__toks"), i).as("w1"),
-            element_at(col("__toks"), i + 1).as("w2"),
-            element_at(col("__toks"), i + 2).as("w3")))).as("__p"))
+        explode(org.apache.spark.sql.graft.Bridge.column(
+          graft.expressions.AdjacentTokensExpr(
+            org.apache.spark.sql.graft.Bridge.expression(col("__toks")), 3)))
+          .as("__p"))
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"),
         col("__p.w3").as("w3"))
   }

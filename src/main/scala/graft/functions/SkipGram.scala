@@ -31,20 +31,17 @@ object SkipGram {
     // — sum(w) is exactly the per-document count over the full corpus.
     val cls = df.groupBy(col(textCol).as("__txt"))
       .agg(count(lit(1)).as("w"))
-    val perPos = cls
-      .select(Retrieval.tokens(col("__txt")).as("toks"), col("w"))
+    // native flattened pair kernel (r18): one explode of codegen'd
+    // (center, context) structs replaces the interpreted per-position
+    // struct/slice lambda and its second explode
+    cls.select(Retrieval.tokens(col("__txt")).as("toks"), col("w"))
       .where(size(col("toks")) >= 2)
-      .select(col("w"), explode(transform(sequence(lit(0), size(col("toks")) - 1),
-        i => {
-          val lo = greatest(i + 1 - window, lit(1))
-          struct(
-            element_at(col("toks"), i + 1).as("center"),
-            concat(
-              slice(col("toks"), lo, i + 1 - lo),
-              slice(col("toks"), i + 2, lit(window))).as("ctxs"))
-        })).as("p"))
-    perPos.select(col("p.center").as("center"),
-        explode(col("p.ctxs")).as("context"), col("w"))
+      .select(col("w"), explode(org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.SkipGramPairsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col("toks")), window)))
+        .as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"),
+        col("w"))
       .groupBy("center", "context")
       .agg(sum(col("w")).as("n"))
   }
