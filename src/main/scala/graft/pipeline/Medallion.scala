@@ -288,6 +288,18 @@ object Medallion {
       if (snapMode)
         src.suffix(s"__merge_tmp.${java.util.UUID.randomUUID().toString.take(8)}")
       else src.suffix("__merge_tmp")
+    // Materialize the changeset ONCE per attempt (r18): the rewrite
+    // references it up to six more times below (upsert write, change
+    // keys, change-feed images, deferred-delete keys, affected-partition
+    // probe), and each reference re-evaluated the caller's whole
+    // changeset plan. A changeset is a DELTA by contract — bounded next
+    // to the table — so one local checkpoint is cheap at any scale.
+    // Deliberately AFTER the version pin: the attempt's first changeset
+    // evaluation stays inside the pinned window (the optimistic-
+    // concurrency contract MergeConcurrencySpec injects its racer into),
+    // and a retry re-reads a fresh changeset exactly as before.
+    val chM = changes.localCheckpoint(true)
+    val upsertsAllM = chM.where(!isDel)
     if (snapMode && target.columns.isEmpty) {
       // Emptied-and-vacuumed table: the manifest lists no files and no file
       // remains to supply a schema. The changeset IS the table again
@@ -297,12 +309,12 @@ object Medallion {
       val baseV = snapBase.get._1
       val tmp = stagingDir()
       fs.delete(tmp, true)
-      writeTable(upsertsAll.select(dataCols.map(col): _*), tmp.toString,
+      writeTable(upsertsAllM.select(dataCols.map(col): _*), tmp.toString,
         partitionBy, format)
       val moved = Snapshot.moveIn(fs, tmp, src)
       if (changeFeed)
         writeChangeFeed(spark, fs, src, baseV + 1,
-          upsertsAll.select(dataCols.map(col): _*)
+          upsertsAllM.select(dataCols.map(col): _*)
             .withColumn("_change_type", lit("insert")))
       Snapshot.publishVersion(fs, src, moved, baseV + 1)
       fs.delete(tmp, true)
@@ -334,15 +346,15 @@ object Medallion {
     val changeTypes = changes.schema.map(f => f.name -> f.dataType).toMap
     val targetWide = addedCols.foldLeft(target)((df, c) =>
       df.withColumn(c, lit(null).cast(changeTypes(c))))
-    val upserts = missingCols.foldLeft(upsertsAll)((df, c) =>
+    val upserts = missingCols.foldLeft(upsertsAllM)((df, c) =>
         df.withColumn(c, lit(null).cast(target.schema(c).dataType)))
       .select(ordered.map(col): _*)
-    val changeKeys = changes.select(keys.map(col): _*).distinct()
+    val changeKeys = chM.select(keys.map(col): _*).distinct()
     // Keys whose matched target rows are physically REMOVED by the rewrite:
     // with deferred deletes only the upserted keys rewrite (deletes become
     // tombstones); otherwise every changeset key does.
     val rewriteKeys =
-      if (deferDeletes) upsertsAll.select(keys.map(col): _*).distinct()
+      if (deferDeletes) upsertsAllM.select(keys.map(col): _*).distinct()
       else changeKeys
 
     // Consolidated tombstone set for the NEXT version: base tombstones
@@ -357,7 +369,7 @@ object Medallion {
         .join(changeKeys, keys, "left_anti"))
     val deferredDeleteKeys: Option[DataFrame] =
       if (!deferDeletes) None
-      else Some(changes.where(isDel).select(keys.map(col): _*).distinct())
+      else Some(chM.where(isDel).select(keys.map(col): _*).distinct())
     val tombPlan: Option[DataFrame] = (survivorTombs, deferredDeleteKeys) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b) => a.orElse(b)
@@ -369,7 +381,7 @@ object Medallion {
     // Pre-images come from the tombstone-APPLIED target: a logically
     // deleted row produces no image.
     def feed(): DataFrame = {
-      val flagged = changes.select(keys.map(col) :+ isDel.as("__is_del"): _*)
+      val flagged = chM.select(keys.map(col) :+ isDel.as("__is_del"): _*)
       val matched = targetWide.join(flagged, keys, "inner")
       val del = matched.where(col("__is_del"))
         .select(ordered.map(col): _*).withColumn("_change_type", lit("delete"))
@@ -387,7 +399,7 @@ object Medallion {
     // rewritten — the whole commit is one tombstone sidecar plus one
     // manifest rename. This is the 100 TB point-delete story: cost is
     // O(delete keys), not O(partition size).
-    if (deferDeletes && upsertsAll.isEmpty) {
+    if (deferDeletes && upsertsAllM.isEmpty) {
       val baseV = snapBase.get._1
       if (changeFeed) writeChangeFeed(spark, fs, src, baseV + 1, feed())
       Snapshot.publishVersion(fs, src, snapBase.get._2, baseV + 1, commitTombs())
