@@ -128,15 +128,20 @@ object Dedup {
     val classes = df.where(col(idCol).isNotNull)
       .groupBy(col(textCol).as("__txt"))
       .agg(min(col(idCol)).as("cls"), count(lit(1)).as("w"))
+    // last_tok is recovered from the SPAN (its last space-separated
+    // token) after the explode — carrying the full token array through
+    // posexplode would copy it into every generated row (O(len^2)
+    // bytes per document; the r18 sf1 probe measured the walk 2x
+    // slower with the array carried).
     val anchors = classes
       .select(col("cls"), col("w"),
         Retrieval.tokens(col("__txt")).as("toks"))
       .where(size(col("toks")) >= anchorN)
-      .select(col("cls"), col("w"), col("toks"),
+      .select(col("cls"), col("w"),
         posexplode(Retrieval.tokenNgrams(col("toks"), anchorN))
           .as(Seq("pos", "span")))
       .select(col("cls"), col("w"), col("pos"), col("span"),
-        element_at(col("toks"), col("pos") + anchorN).as("last_tok"))
+        substring_index(col("span"), " ", -1).as("last_tok"))
     // span-level weighted census; the length-(L-1) prefix/suffix strings
     // maximality needs are RECOVERED from the span itself at the census
     // level (tokens are whitespace-split and spans single-space-joined,
