@@ -143,6 +143,15 @@ object Bench {
     // of this line, and the headline number must survive the truncation.
     val json =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"canary":$canaryJson,"value":$total,"total":$total}"""
+    // SHORT summary line FIRST (r18 verdict item 1): BENCH_r17's bounded
+    // tail capture truncated the 484-query line mid-line and the driver's
+    // round-over-round comparison silently produced zero data (n_common=0).
+    // A second, self-contained short line gives the capture a parseable
+    // headline even when the full per-query line is cut; the full line
+    // stays LAST so existing parsers that take the final line see the
+    // complete artifact, and BENCH_LOCAL.json (committed at close) remains
+    // the per-query source of truth.
+    println(s"""{"metric":"total_summary","unit":"sec","sf":"$sfDir","reps":$reps,"n":${results.size},"value":$total,"total":$total}""")
     println(json)
     // Also persist the FULL per-query JSON to the repo: the driver's bounded
     // tail capture has dropped the leading queries before (BENCH_r04 lost

@@ -1,0 +1,105 @@
+package graft.examples
+
+import graft.functions.{Dedup, Retrieval}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage timing of the longestRepeatedSpans walk (dev tool). */
+object ProfSpans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    // warmup
+    time("warmup full")(Dedup.longestRepeatedSpans(df, "doc_id", "text",
+      2, 4, 12).queryExecution.toRdd.count())
+
+    val anchorN = 4
+    val classes = df.where(col("doc_id").isNotNull)
+      .groupBy(col("text").as("__txt"))
+      .agg(min(col("doc_id")).as("cls"), count(lit(1)).as("w"))
+    val anchorsL = classes
+      .select(col("cls"), col("w"), Retrieval.tokens(col("__txt")).as("toks"))
+      .where(size(col("toks")) >= anchorN)
+      .select(col("cls"), col("w"),
+        posexplode(Retrieval.tokenNgrams(col("toks"), anchorN))
+          .as(Seq("pos", "span")))
+    val anchors = time("anchors ckpt")(anchorsL.localCheckpoint(true))
+    println(s"  anchors rows=${anchors.count()}")
+    val cen0 = time("cen0 ckpt")(anchors
+      .groupBy(col("span"), col("cls"))
+      .agg(count(lit(1)).as("occ"), max(col("w")).as("w"))
+      .groupBy(col("span"))
+      .agg(sum(col("w")).as("doc_freq"), sum(col("occ") * col("w")).as("tc"))
+      .where(col("doc_freq") >= 2).localCheckpoint(true))
+    println(s"  cen0 rows=${cen0.count()}")
+    val base = anchors.join(cen0.select(col("span")), Seq("span"), "left_semi")
+    println(s"  base rows=${time("base count")(base.count())}")
+    val nexts = anchors.select(col("cls"), col("pos"), col("span").as("nxt"),
+        lit(anchorN).as("m"))
+      .unionAll(anchors
+        .groupBy(col("cls"))
+        .agg(max(struct(col("pos"), col("span"))).as("lastA"))
+        .select(col("cls"), col("lastA.pos").as("pos"),
+          col("lastA.span").as("span"),
+          explode(sequence(lit(1), lit(anchorN - 1))).as("j"))
+        .select(col("cls"), (col("pos") + col("j")).as("pos"),
+          call_function("substring_index", col("span"), lit(" "),
+            col("j") - anchorN).as("nxt"),
+          (lit(anchorN) - col("j")).as("m")))
+    var len = 4
+    var cur = anchors
+    var cenV = cen0.withColumn("len", lit(4))
+    for (b <- 1 to 2) {
+      val k = math.min(anchorN, 12 - len)
+      val bs = cur.join(cenV.where(col("len") === len).select(col("span")),
+        Seq("span"), "left_semi")
+      val nx = nexts.select(col("cls"), (col("pos") - len).as("pos"),
+        col("nxt"), col("m"))
+      val ext = time(s"ext$b ckpt")(bs.join(nx, Seq("cls", "pos"))
+        .localCheckpoint(true))
+      println(s"  ext$b rows=${ext.count()}")
+      def extBy(j: Int) = concat(col("span"), lit(" "),
+        if (j == anchorN) col("nxt")
+        else call_function("substring_index", col("nxt"), lit(" "), lit(j)))
+      val entries = (1 to k).map(j => when(col("m") >= j,
+        struct(lit(len + j).as("len"), extBy(j).as("span"))))
+      val cand = ext.select(col("cls"), col("w"),
+          explode(array_compact(array(entries: _*))).as("c"))
+        .select(col("c.span").as("span"), col("c.len").as("len"),
+          col("cls"), col("w"))
+      println(s"  cand$b rows=${time(s"cand$b count")(cand.count())}")
+      val lvl1 = cand
+        .groupBy(col("span"), col("len"), col("cls"))
+        .agg(count(lit(1)).as("occ"), max(col("w")).as("w"))
+      println(s"  lvl1-$b rows=${time(s"lvl1-$b count")(lvl1.count())}")
+      cenV = time(s"cen$b ckpt")(cand
+        .groupBy(col("span"), col("len"), col("cls"))
+        .agg(count(lit(1)).as("occ"), max(col("w")).as("w"))
+        .groupBy(col("span"), col("len"))
+        .agg(sum(col("w")).as("doc_freq"), sum(col("occ") * col("w")).as("tc"))
+        .where(col("doc_freq") >= 2).localCheckpoint(true))
+      println(s"  cen$b rows=${cenV.count()}")
+      cur = ext.where(col("m") >= k)
+        .select(col("cls"), col("w"), col("pos"), extBy(k).as("span"))
+      len += k
+    }
+    time("full run 2")(Dedup.longestRepeatedSpans(df, "doc_id", "text",
+      2, 4, 12).queryExecution.toRdd.count())
+    time("full run 3")(Dedup.longestRepeatedSpans(df, "doc_id", "text",
+      2, 4, 12).queryExecution.toRdd.count())
+    spark.stop()
+  }
+}

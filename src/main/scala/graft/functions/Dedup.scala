@@ -93,22 +93,42 @@ object Dedup {
     *
     * Shape (anchored extend-and-verify, never a suffix sort and never
     * all-pairs): anchor postings (doc, pos, span) for duplicated
-    * anchorN-grams only; each round extends a surviving posting by ONE
-    * token via an equi-join on (doc, pos+1) against its own shifted
-    * self, re-censuses the extended spans (two-level aggregate, as in
-    * [[repeatedNgrams]]), and drops spans under `minDocs`. Candidate
-    * bounding: postings(L+1) <= postings(L) by construction (an
-    * extended occurrence needs BOTH its length-L prefix and suffix
-    * occurrences alive), and postings(anchorN) is the duplicated-
-    * anchor occurrence list — corpus-sized text never enters a pair
-    * row, every shuffle carries (doc, pos, span<=maxLen tokens)
-    * postings keyed by (doc, pos) or span. The L+1 census carries its
-    * own length-L prefix/suffix strings (identical for every posting
-    * of a span), so maximality is an equi-anti-join per length — no
-    * substring LIKE scans. Each round localCheckpoints — the loop is
-    * maxLen-anchorN bounded joins over a monotonically shrinking
-    * postings table, with a bounded one-row emptiness probe per round.
-    * Tokenization is [[Retrieval.tokens]] (q129's convention).
+    * anchorN-grams only; each BATCH round extends every surviving
+    * posting by up to `anchorN` tokens at once (one equi-join on
+    * (doc, pos+L) against the next-tokens table, which is the anchor
+    * n-gram inventory itself plus the anchorN-1 tail windows per doc)
+    * and censuses ALL anchorN intermediate lengths in ONE two-level
+    * aggregate (as in [[repeatedNgrams]]), dropping spans under
+    * `minDocs`. The r18 one-token-per-round march paid its ~0.5 s
+    * fixed per-round cost (job scheduling + checkpoint + probe) once
+    * per LENGTH — 8 sequential rounds at sf0.1 with an 8-core/32-core
+    * ratio of 0.65, i.e. fixed-cost-bound; batching pays it once per
+    * anchorN lengths (guide §1.2: fix the distributed algorithm's
+    * round structure before per-task work).
+    *
+    * Census exactness under batching: candidates at length L+j are the
+    * j-token extensions of the PRUNED length-L survivors. Every true
+    * occurrence of a repeated (L+j)-span has its length-L prefix
+    * repeated at the same position (downward closure), so it extends a
+    * pruned survivor and IS a candidate — counts over candidates are
+    * exact for every span that passes `minDocs`; a non-repeated span's
+    * (possibly partial) candidate count stays under `minDocs` and is
+    * filtered identically. Output is bit-identical to the per-length
+    * march (DedupSpansSpec pins the planted fixtures; the q486 oracle
+    * replays the full inventory).
+    *
+    * Candidate bounding: postings(L+j) <= postings(L) by construction,
+    * and postings(anchorN) is the duplicated-anchor occurrence list —
+    * corpus-sized text never enters a pair row, every shuffle carries
+    * (doc, pos, span<=maxLen tokens) postings keyed by (doc, pos) or
+    * span. Each batch census carries its own length-(l-1)
+    * prefix/suffix strings (identical for every posting of a span), so
+    * maximality is ONE equi-anti-join on (span, len) — no substring
+    * LIKE scans. Each batch localCheckpoints its extension table and
+    * census — the loop is ceil((maxLen-anchorN)/anchorN) bounded joins
+    * over a monotonically shrinking postings table, with a bounded
+    * one-row emptiness probe per batch. Tokenization is
+    * [[Retrieval.tokens]] (q129's convention).
     */
   def longestRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, anchorN: Int = 4, maxLen: Int = 16): DataFrame = {
@@ -116,7 +136,6 @@ object Dedup {
     require(anchorN >= 1, s"anchorN must be >= 1, got $anchorN")
     require(maxLen >= anchorN && maxLen <= 256,
       s"maxLen must be in [anchorN, 256], got $maxLen")
-    val toks = Retrieval.tokens(col(textCol))
     // IDENTICAL-TEXT COLLAPSE (the minhashRepGraph / cosineJoinExact
     // device): byte-identical documents walk once as a weighted class —
     // doc_freq(span) = sum of class weights over distinct texts
@@ -128,11 +147,12 @@ object Dedup {
     val classes = df.where(col(idCol).isNotNull)
       .groupBy(col(textCol).as("__txt"))
       .agg(min(col(idCol)).as("cls"), count(lit(1)).as("w"))
-    // last_tok is recovered from the SPAN (its last space-separated
-    // token) after the explode — carrying the full token array through
-    // posexplode would copy it into every generated row (O(len^2)
-    // bytes per document; the r18 sf1 probe measured the walk 2x
-    // slower with the array carried).
+    // localCheckpoint: the anchor postings feed FOUR consumers (the
+    // anchor census, the batch-1 prune, and every batch's next-tokens
+    // inventory) — uncheckpointed, each one re-runs the corpus scan +
+    // tokenize + n-gram explode (measured ~5 tokenize passes per call
+    // at sf0.1). One materialized posting pass is the whole walk's
+    // only corpus read.
     val anchors = classes
       .select(col("cls"), col("w"),
         Retrieval.tokens(col("__txt")).as("toks"))
@@ -140,79 +160,126 @@ object Dedup {
       .select(col("cls"), col("w"),
         posexplode(Retrieval.tokenNgrams(col("toks"), anchorN))
           .as(Seq("pos", "span")))
-      .select(col("cls"), col("w"), col("pos"), col("span"),
-        substring_index(col("span"), " ", -1).as("last_tok"))
-    // span-level weighted census; the length-(L-1) prefix/suffix strings
-    // maximality needs are RECOVERED from the span itself at the census
-    // level (tokens are whitespace-split and spans single-space-joined,
-    // so substring_index reproduces the exact join bytes) instead of
-    // being carried through every posting row — pref/suff roughly
-    // doubled each posting's string payload through the extension
-    // shuffles and the per-round checkpoints (r18: measured ~20% of the
-    // walk at sf0.1; at scale the saving is postings-shuffle-sized).
-    // Null at the anchor length — nothing shorter to disqualify.
-    def census(p: DataFrame, l: Int): DataFrame = {
-      val base = p
-        .groupBy(col("span"), col("cls"))
-        .agg(count(lit(1)).as("occ"), max(col("w")).as("w"))
-        .groupBy(col("span"))
-        .agg(sum(col("w")).as("doc_freq"),
-          sum(col("occ") * col("w")).as("total_count"))
-        .where(col("doc_freq") >= minDocs)
-      if (l == anchorN) {
-        val nullS = lit(null).cast("string")
-        base.withColumn("pref", nullS).withColumn("suff", nullS)
-      } else base
-        .withColumn("pref", substring_index(col("span"), " ", l - 1))
-        .withColumn("suff", substring_index(col("span"), " ", -(l - 1)))
-    }
-    var cur = anchors
-    var cen = census(cur, anchorN).localCheckpoint(true)
-    var out = List.empty[(Int, DataFrame)]
+      .localCheckpoint(true)
+    // Next-tokens inventory for the batched extension join: at every
+    // position, the (up to) anchorN tokens starting there, as the
+    // single-space-joined window string `nxt` plus its token count `m`.
+    // Positions with a full anchorN window ARE the anchor n-grams; the
+    // last anchorN-1 positions of each doc hold the tail windows,
+    // which are suffixes of the doc's LAST anchor span — recovered
+    // from a per-class max aggregate over the checkpointed postings
+    // (never a second corpus tokenize).
+    val nexts =
+      if (anchorN == 1)
+        anchors.select(col("cls"), col("pos"), col("span").as("nxt"),
+          lit(1).as("m"))
+      else
+        anchors.select(col("cls"), col("pos"), col("span").as("nxt"),
+          lit(anchorN).as("m"))
+          .unionAll(anchors
+            .groupBy(col("cls"))
+            .agg(max(struct(col("pos"), col("span"))).as("lastA"))
+            .select(col("cls"), col("lastA.pos").as("pos"),
+              col("lastA.span").as("span"),
+              explode(sequence(lit(1), lit(anchorN - 1))).as("j"))
+            .select(col("cls"), (col("pos") + col("j")).as("pos"),
+              call_function("substring_index", col("span"), lit(" "),
+                col("j") - anchorN).as("nxt"),
+              (lit(anchorN) - col("j")).as("m")))
+    // span-level weighted census over (span, len) rows; the
+    // length-(l-1) prefix/suffix strings maximality needs are
+    // RECOVERED from the span itself at the census level (tokens are
+    // whitespace-split and spans single-space-joined, so
+    // substring_index reproduces the exact join bytes) instead of
+    // being carried through every posting row (r18: measured ~20% of
+    // the walk at sf0.1; at scale the saving is postings-shuffle-
+    // sized). ONE aggregate covers every length of a batch — spans of
+    // different lengths are distinct strings, so the (span, len) key
+    // adds no group cardinality over span alone.
+    def censusM(p: DataFrame): DataFrame = p
+      .groupBy(col("span"), col("len"), col("cls"))
+      .agg(count(lit(1)).as("occ"), max(col("w")).as("w"))
+      .groupBy(col("span"), col("len"))
+      .agg(sum(col("w")).as("doc_freq"),
+        sum(col("occ") * col("w")).as("total_count"))
+      .where(col("doc_freq") >= minDocs)
+      .withColumn("pref", call_function("substring_index",
+        col("span"), lit(" "), col("len") - 1))
+      .withColumn("suff", call_function("substring_index",
+        col("span"), lit(" "), -(col("len") - 1)))
+    // Anchor-length census: null pref/suff — nothing shorter to
+    // disqualify.
+    val nullS = lit(null).cast("string")
+    val cen0 = anchors
+      .select(col("span"), col("cls"), col("w"))
+      .groupBy(col("span"), col("cls"))
+      .agg(count(lit(1)).as("occ"), max(col("w")).as("w"))
+      .groupBy(col("span"))
+      .agg(sum(col("w")).as("doc_freq"),
+        sum(col("occ") * col("w")).as("total_count"))
+      .where(col("doc_freq") >= minDocs)
+      .select(col("span"), lit(anchorN).as("len"), col("doc_freq"),
+        col("total_count"), nullS.as("pref"), nullS.as("suff"))
+    var cen = cen0.localCheckpoint(true)
+    var out = List(cen)
     var len = anchorN
+    var cur = anchors
     var live = cen.limit(1).count() > 0L
-    while (live) {
-      out = (len, cen) :: out
-      if (len == maxLen) live = false
-      else {
-        cur = cur.join(cen.select(col("span")), Seq("span"), "left_semi")
-          .localCheckpoint(true)
-        val shifted = cur.select(col("cls"), (col("pos") - 1).as("pos"),
-          col("last_tok").as("b_last"))
-        cur = cur.join(shifted, Seq("cls", "pos"))
-          .select(col("cls"), col("w"), col("pos"),
-            concat(col("span"), lit(" "), col("b_last")).as("span"),
-            col("b_last").as("last_tok"))
-        cen = census(cur, len + 1).localCheckpoint(true)
-        len += 1
-        live = cen.limit(1).count() > 0L
-      }
-    }
-    if (out.isEmpty)
+    if (!live)
       return df.sparkSession.emptyDataFrame
         .select(lit("").as("span"), lit(0).as("len"),
           lit(0L).as("doc_freq"), lit(0L).as("total_count"),
           lit(false).as("at_cap"))
-    // maximality: survive iff no (L+1)-census span names this span as
-    // its prefix or suffix. ONE anti-join on (span, len) over the
-    // concatenated censuses — each L census's pref/suff rows kill at
-    // len L-1, so the per-length pairing of the previous per-branch
-    // anti-join chain is preserved exactly while the assembly runs as
-    // a single join stage instead of one per length (r18). The deepest
-    // length present has no successor census, so all its spans survive
-    // (cap-flagged when that depth IS the cap).
-    val all = out.map { case (l, c) =>
-      c.select(col("span"), lit(l).as("len"), col("doc_freq"),
-        col("total_count"), lit(l == maxLen).as("at_cap"))
-    }.reduce(_ unionAll _)
-    val kills = out.filter(_._1 > anchorN).map { case (l, c) =>
-      c.select(col("pref").as("span"), lit(l - 1).as("len"))
-        .unionAll(c.select(col("suff").as("span"), lit(l - 1).as("len")))
-    }.reduceOption(_ unionAll _)
-    kills match {
-      case Some(k) => all.join(k.distinct(), Seq("span", "len"), "left_anti")
-      case None => all
+    while (live && len < maxLen) {
+      val k = math.min(anchorN, maxLen - len)
+      // Prune to census survivors at the batch base length, then ONE
+      // equi-join on (cls, pos+len) attaches the next-token window.
+      // The checkpoint makes `ext` the shared base of both this
+      // batch's census and the next batch's postings (two consumers).
+      val base = cur.join(
+        cen.where(col("len") === len).select(col("span")),
+        Seq("span"), "left_semi")
+      val nx = nexts.select(col("cls"), (col("pos") - len).as("pos"),
+        col("nxt"), col("m"))
+      val ext = base.join(nx, Seq("cls", "pos")).localCheckpoint(true)
+      // Candidate spans at every length of the batch in one explode:
+      // entry j is the j-token extension, present only when the window
+      // holds >= j tokens (array_compact drops the rest).
+      def extBy(j: Int): Column = concat(col("span"), lit(" "),
+        if (j == anchorN) col("nxt")
+        else call_function("substring_index", col("nxt"), lit(" "), lit(j)))
+      val entries = (1 to k).map(j => when(col("m") >= j,
+        struct(lit(len + j).as("len"), extBy(j).as("span"))))
+      val cand = ext.select(col("cls"), col("w"),
+          explode(array_compact(array(entries: _*))).as("c"))
+        .select(col("c.span").as("span"), col("c.len").as("len"),
+          col("cls"), col("w"))
+      cen = censusM(cand).localCheckpoint(true)
+      out = cen :: out
+      cur = ext.where(col("m") >= k)
+        .select(col("cls"), col("w"), col("pos"), extBy(k).as("span"))
+      len += k
+      live = cen.where(col("len") === len).limit(1).count() > 0L
     }
+    // maximality: survive iff no (l+1)-census span names this span as
+    // its prefix or suffix. ONE anti-join on (span, len) over the
+    // concatenated censuses — each census row at length l kills at
+    // len l-1, so the per-length pairing of the r17 per-branch
+    // anti-join chain is preserved exactly while the assembly runs as
+    // a single join stage. The deepest length present has no successor
+    // census, so all its spans survive (cap-flagged when that depth IS
+    // the cap).
+    val all = out.map(c =>
+      c.select(col("span"), col("len"), col("doc_freq"),
+        col("total_count"), (col("len") === maxLen).as("at_cap")))
+      .reduce(_ unionAll _)
+    val kills = out.map { c =>
+      val k1 = c.where(col("len") > anchorN)
+      k1.select(col("pref").as("span"), (col("len") - 1).as("len"))
+        .unionAll(k1.select(col("suff").as("span"),
+          (col("len") - 1).as("len")))
+    }.reduce(_ unionAll _)
+    all.join(kills.distinct(), Seq("span", "len"), "left_anti")
   }
 
   /** Repeated-span REMOVAL — the ExactSubstr surgery of "Deduplicating
